@@ -1,13 +1,781 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{SparkSession, DataFrame, Column}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.functions.GraftFunctions._
+
+/** Driver contract: one named query per operator in SURVEY.md §2 (+ the
+  * training-data extension surface), each with a DuckDB-ANSI oracle twin
+  * where expressible.
+  *
+  * Oracle-exactness rules used throughout (so value hashes match bit-for-bit
+  * between Spark and DuckDB):
+  *  - synthesized coordinates derive from integer modulos cast to double —
+  *    every arithmetic step is IEEE-exact and identical in both engines;
+  *  - money sums go through CAST(ROUND(x*100) AS BIGINT) cents so sums are
+  *    integer-exact (double sums of fractional values are order-dependent);
+  *  - double sums are only used where values are integral (l_quantity);
+  *  - results of transcendental math are rounded to 6 decimals;
+  *  - every oracled query ORDER BYs a deterministic key in both engines;
+  *  - integer SUMs are CAST(... AS BIGINT) in SQL (DuckDB sums to HUGEINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // -- shared synthesized-geometry formulas (exact in IEEE, mirrored in SQL)
+  private def cxCol: Column = (col("l_partkey") % 360).cast("double") - 180.0 + 0.5
+  private def cyCol: Column = (col("l_suppkey") % 180).cast("double") - 90.0 + 0.25
+  private val cxSql = "(CAST(l_partkey % 360 AS DOUBLE) - 180.0 + 0.5)"
+  private val cySql = "(CAST(l_suppkey % 180 AS DOUBLE) - 90.0 + 0.25)"
+
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def centsSql(e: String) = s"CAST(ROUND($e * 100) AS BIGINT)"
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries nanosecond timestamps; Spark's parquet reader
+    * rejects TIMESTAMP(NANOS) unless read as raw long — normalize to a
+    * microsecond TimestampType column deterministically. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df
+    }
+  }
+
+  /** Flagship (sf0.001 smoke): the reference's universal pipeline shape —
+    * normalize + filter broken geometry + Hilbert spatial clustering
+    * (ORNL-FEMA-Buildings.md:78-93) over synthesized WKB geometry. */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = t(spark, "/root/testdata/sf0.001", "lineitem")
+    li.withColumn("geom", st_point(cxCol, cyCol))
+      .filter(wkb_shape_type(col("geom")) < 8)
+      .filter(st_x(st_centroid(col("geom"))).isNotNull)
+      .withColumn("hk", hilbert_encode(st_y(st_centroid(col("geom"))), st_x(st_centroid(col("geom")))))
+      .orderBy("hk")
+      .select("geom", "hk", "l_orderkey")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // =====================================================================
+    // Relational core (scans, projections, aggregates, sorts — S/P/A/O rows)
+    // =====================================================================
+
+    "q1_agg" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") < lit("2001-06-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          count(lit(1)).as("n_rows"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "p1_projection" -> { (s, d) =>
+      t(s, d, "orders")
+        .filter(col("o_totalprice") > 200000.0)
+        .select(col("o_orderkey").as("id"), cents(col("o_totalprice")).as("total_cents"),
+          col("o_orderpriority").as("prio"))
+        .orderBy("id")
+    },
+
+    "a4_count_distinct" -> { (s, d) =>
+      t(s, d, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n"))
+    },
+
+    "a5_per_group_counts" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("n", "l_returnflag", "l_linestatus")
+    },
+
+    "o2_topk_orders" -> { (s, d) =>
+      t(s, d, "orders")
+        .select(col("o_orderkey"), cents(col("o_totalprice")).as("total_cents"))
+        .orderBy(col("total_cents").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    "s5_parquet_multiglob" -> { (s, d) =>
+      // multi-path scan (implicit UNION ALL) — S5
+      s.read.parquet(s"$d/lineitem.parquet", s"$d/lineitem.parquet")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    },
+
+    "s6_filename_lineage" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .withColumn("source", regexp_extract(input_file_name(), "([^/]+)$", 1))
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        .orderBy("source")
+    },
+
+    "s7_json_props" -> { (s, d) =>
+      val schema = new StructType().add("k", IntegerType)
+      events(s, d)
+        .withColumn("k", from_json(col("props"), schema).getField("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // =====================================================================
+    // Joins & windows (extension surface; Spark built-ins)
+    // =====================================================================
+
+    "j1_join_revenue" -> { (s, d) =>
+      val li = t(s, d, "lineitem").withColumn("rev",
+        cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+      li.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("rev")).as("revenue_c10000"))
+        .orderBy("c_mktsegment")
+    },
+
+    "j2_orders_without_items" -> { (s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "lineitem").select(col("l_orderkey")).distinct(),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .orderBy("o_orderstatus")
+    },
+
+    "w1_running_total" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    "w2_topk_per_customer" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rk"))
+        .orderBy("o_custkey", "rk")
+    },
+
+    // =====================================================================
+    // Spatial operators over synthesized WKB geometry (P3/P4/P6, A1/A2/A6/A7,
+    // G1–G8, O1, F7, F8)
+    // =====================================================================
+
+    "p3_shapetype_mix" -> { (s, d) =>
+      // 2D points, 2D multipoints, 3D points (type byte 233 ⇒ filtered):
+      // the reference's core-7 predicate (east_asia.py:176,248)
+      t(s, d, "lineitem")
+        .withColumn("geom",
+          when(col("l_linenumber") % 3 === 0, st_point(cxCol, cyCol))
+            .when(col("l_linenumber") % 3 === 1, st_multipoint1(cxCol, cyCol))
+            .otherwise(st_point_z(cxCol, cyCol, lit(5.0))))
+        .withColumn("shape_type", wkb_shape_type(col("geom")))
+        .filter(col("shape_type") < 8)
+        .groupBy(col("shape_type")).agg(count(lit(1)).as("n"))
+        .orderBy("shape_type")
+    },
+
+    "a1_fallback_probe" -> { (s, d) =>
+      // the probe that routes files to the 3D fallback (east_asia.py:174-180)
+      t(s, d, "lineitem")
+        .withColumn("geom",
+          when(col("l_linenumber") % 3 === 2, st_point_z(cxCol, cyCol, lit(5.0)))
+            .otherwise(st_point(cxCol, cyCol)))
+        .filter(wkb_shape_type(col("geom")) >= 8)
+        .agg(count(lit(1)).as("n_3d"))
+    },
+
+    "p4_null_centroid" -> { (s, d) =>
+      // broken/null geometry dropped via null-centroid predicate
+      // (ORNL-FEMA-Buildings.md:83-84)
+      t(s, d, "lineitem")
+        .withColumn("geom", when(col("l_tax") > 0.05, lit(null).cast("binary"))
+          .otherwise(st_point(cxCol, cyCol)))
+        .filter(st_x(st_centroid(col("geom"))).isNotNull &&
+          st_y(st_centroid(col("geom"))).isNotNull)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    "p6_antimeridian_band" -> { (s, d) =>
+      // heatmap band filter (East-Asia-Building-Footprints.md:267-268)
+      t(s, d, "lineitem")
+        .withColumn("x", st_x(st_centroid(st_point(cxCol, cyCol))))
+        .filter(col("x") < 175.0 && col("x") > -175.0)
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    "g1_point_accessors" -> { (s, d) =>
+      // ST_X/ST_Y/ST_CENTROID round-trip on points — exact
+      t(s, d, "lineitem")
+        .withColumn("geom", st_point(cxCol, cyCol))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          st_x(st_centroid(col("geom"))).as("x"),
+          st_y(st_centroid(col("geom"))).as("y"))
+        .orderBy("l_orderkey", "l_linenumber", "x", "y")
+    },
+
+    "g3_envelope_centroid" -> { (s, d) =>
+      // envelope of an exact square + area-weighted centroid (round 6)
+      t(s, d, "lineitem")
+        .withColumn("geom", st_make_square(cxCol, cyCol, lit(0.5)))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          st_xmin(col("geom")).as("xmin"), st_xmax(col("geom")).as("xmax"),
+          st_ymin(col("geom")).as("ymin"), st_ymax(col("geom")).as("ymax"),
+          round(st_x(st_centroid(col("geom"))), 6).as("cx"),
+          round(st_y(st_centroid(col("geom"))), 6).as("cy"))
+        .orderBy("l_orderkey", "l_linenumber", "xmin", "ymin")
+    },
+
+    "a6_global_bbox" -> { (s, d) =>
+      // the 281M-row bbox aggregate that segfaults the reference
+      // (East-Asia-Building-Footprints.md:231-238) — must not crash here
+      t(s, d, "lineitem")
+        .withColumn("geom", st_make_square(cxCol, cyCol, lit(0.5)))
+        .agg(
+          min(st_xmin(col("geom"))).as("min_x"), max(st_xmax(col("geom"))).as("max_x"),
+          min(st_ymin(col("geom"))).as("min_y"), max(st_ymax(col("geom"))).as("max_y"),
+          count(lit(1)).as("n"))
+    },
+
+    "a7_cell_heatmap" -> { (s, d) =>
+      // H3-style heatmap: hierarchical grid cells at res 12 (~10 km), with
+      // the anti-meridian band filter (East-Asia-Building-Footprints.md:243-268)
+      t(s, d, "lineitem")
+        .withColumn("cell", grid_cell(cxCol, cyCol, lit(12)))
+        .groupBy(col("cell")).agg(count(lit(1)).as("num_recs"))
+        .withColumn("clon", grid_cell_center_lon(col("cell")))
+        .filter(col("clon") < 175.0 && col("clon") > -175.0)
+        .select(col("cell"), col("num_recs"))
+        .orderBy("cell")
+    },
+
+    "o1_hilbert_cells" -> { (s, d) =>
+      // Hilbert key bijectivity on the synthesized grid: as many distinct
+      // keys as distinct (lat, lon) grid points — plus total row count
+      t(s, d, "lineitem")
+        .withColumn("hk", hilbert_encode(cyCol, cxCol))
+        .agg(countDistinct(col("hk")).as("n_cells"), count(lit(1)).as("n"))
+    },
+
+    "o1_hilbert_sorted" -> { (s, d) =>
+      // the signature spatial clustering sort (east_asia.py:75-77); no SQL
+      // oracle (lindel-equivalent key) — driver rows-only check
+      t(s, d, "lineitem")
+        .withColumn("hk", hilbert_encode(cyCol, cxCol))
+        .select(col("hk"), cxCol.as("x"), cyCol.as("y"), col("l_orderkey"))
+        .orderBy("hk", "l_orderkey")
+        .limit(1000)
+    },
+
+    "g4_transform_utm_roundtrip" -> { (s, d) =>
+      // WGS84 → UTM 50N → WGS84 round-trip must be identity to <1e-6 deg
+      // (in-engine replacement for ogr2ogr/ST_TRANSFORM, east_asia.py:204-246)
+      val li = t(s, d, "lineitem")
+        .withColumn("x", cxCol).withColumn("y", cyCol)
+        .filter(col("x") >= 100.0 && col("x") <= 130.0 &&
+          col("y") >= -80.0 && col("y") <= 80.0)
+      li.withColumn("geom", st_point(col("x"), col("y")))
+        .withColumn("rt", st_transform(st_transform(col("geom"), lit(4326), lit(32650)),
+          lit(32650), lit(4326)))
+        .agg(
+          round(max(abs(st_x(col("rt")) - col("x"))), 6).as("max_err_x"),
+          round(max(abs(st_y(col("rt")) - col("y"))), 6).as("max_err_y"),
+          count(lit(1)).as("n"))
+    },
+
+    "g4_transform_webmerc" -> { (s, d) =>
+      // Web-Mercator → WGS84, per-row, vs closed-form SQL (round 6)
+      t(s, d, "lineitem")
+        .withColumn("mx", (col("l_partkey") % 40000).cast("double") * 1000.0 - 20000000.0)
+        .withColumn("my", (col("l_suppkey") % 30000).cast("double") * 1000.0 - 15000000.0)
+        .withColumn("pt", st_transform(st_point(col("mx"), col("my")), lit(3857), lit(4326)))
+        .select(col("l_orderkey"), col("l_linenumber"), col("mx"), col("my"),
+          round(st_x(col("pt")), 6).as("lon"), round(st_y(col("pt")), 6).as("lat"))
+        .orderBy("l_orderkey", "l_linenumber", "mx", "my")
+    },
+
+    "g7_wkt_roundtrip" -> { (s, d) =>
+      // ST_GeomFromText ∘ format ∘ ST_X == identity (shapely WKT path,
+      // east_asia.py:67-69); invariant-style oracle
+      t(s, d, "lineitem")
+        .withColumn("wkt", concat(lit("POINT ("), cxCol.cast("string"), lit(" "),
+          cyCol.cast("string"), lit(")")))
+        .withColumn("x2", st_x(st_geomfromtext(col("wkt"))))
+        .agg(
+          sum(when(col("x2") =!= cxCol, 1L).otherwise(0L)).as("mismatches"),
+          count(lit(1)).as("n"))
+    },
+
+    "f7_flip_pipeline" -> { (s, d) =>
+      // flipped-lat-lon repair: probe MIN(ST_XMIN), branch, flip
+      // (east_asia.py:195-239) — probe-and-branch runs on the driver
+      val pts = t(s, d, "lineitem")
+        .select(st_point(cyCol, cxCol).as("geom")) // deliberately flipped input
+      val minx = pts.agg(min(st_xmin(col("geom")))).head().getDouble(0)
+      val fixed = if (minx < 60.0) pts.select(st_flip_coordinates(col("geom")).as("geom"))
+                  else pts
+      fixed.agg(
+        min(st_xmin(col("geom"))).as("min_x"), max(st_xmax(col("geom"))).as("max_x"),
+        min(st_ymin(col("geom"))).as("min_y"), max(st_ymax(col("geom"))).as("max_y"),
+        count(lit(1)).as("n"))
+    },
+
+    "f6_force2d" -> { (s, d) =>
+      // 3D → 2D normalization in one pass (replaces the reference's
+      // per-file Python fallback, east_asia.py:43-93): after st_force2d all
+      // shape types are core-2D
+      t(s, d, "lineitem")
+        .withColumn("geom",
+          when(col("l_linenumber") % 3 === 2, st_point_z(cxCol, cyCol, lit(5.0)))
+            .otherwise(st_point(cxCol, cyCol)))
+        .withColumn("g2", st_force2d(col("geom")))
+        .groupBy(wkb_shape_type(col("g2")).as("shape_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("shape_type")
+    },
+
+    "f8_binpack_batches" -> { (s, d) =>
+      // compaction batch assignment: cumulative-count bin packing as a
+      // window function (scalable form of east_asia.py:382-393)
+      val counts = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.orderBy(col("cnt").desc, col("l_returnflag"), col("l_linestatus"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      counts
+        .withColumn("cum_excl", coalesce(sum(col("cnt")).over(w), lit(0L)))
+        .withColumn("batch", floor(col("cum_excl").cast("double") / 15000.0).cast("long"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("cnt"), col("batch"))
+        .orderBy(col("cnt").desc, col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // =====================================================================
+    // Text analysis / dedup (training-data pipeline surface)
+    // =====================================================================
+
+    "t1_text_stats" -> { (s, d) =>
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(length(col("text")).cast("long")).as("sum_chars"),
+          sum((lit(1) + length(col("text")) - length(translate(col("text"), " ", "")))
+            .cast("long")).as("sum_tokens"),
+          sum(col("n_chars")).as("sum_stored_chars"))
+        .orderBy("lang")
+    },
+
+    "t2_dedup_exact" -> { (s, d) =>
+      // exact dedup via content hash: keep lowest doc_id per text
+      t(s, d, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+        .orderBy("h")
+    },
+
+    "t3_ngram_jaccard" -> { (s, d) =>
+      // exact 3-gram Jaccard near-dup pairs ≥ 0.5, via the scalable
+      // explode-join (shingle inverted index) — not the O(n²) cross join
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), explode(shingle_hashes(col("text"), lit(3))).as("sh"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nsh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nsh", "nb"), "id_b")
+        .withColumn("jacc",
+          col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+        .filter(col("jacc") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("jacc"))
+        .orderBy("id_a", "id_b")
+    },
+
+    "t4_minhash_lsh" -> { (s, d) =>
+      // MinHash(64) + LSH banding (16 bands × 4 rows): candidate pairs with
+      // estimated Jaccard ≥ 0.5. Probabilistic (no SQL oracle); recall vs
+      // t3 is asserted in DedupSpec.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          minhash_signature(shingle_hashes(col("text"), lit(3)), lit(64), lit(42L)).as("sig"))
+      val bands = docs.select(col("doc_id"), col("sig"),
+        posexplode(expr("transform(sequence(0, 15), b -> hash(slice(sig, b * 4 + 1, 4), b))")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .distinct()
+      cand
+        .withColumn("est_jacc", expr(
+          "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / 64.0"))
+        .filter(col("est_jacc") >= 0.5)
+        .select(col("id_a"), col("id_b"), col("est_jacc"))
+        .orderBy("id_a", "id_b")
+    },
+
+    "t5_simhash_hamming" -> { (s, d) =>
+      // SimHash near-dup: 64-bit fingerprint of token hashes, pairs with
+      // hamming distance ≤ 16 via self-join on 16-bit prefix blocks
+      // (pigeonhole: ≤16 differing bits ⇒ at least one of 4 blocks equal...
+      // with ≤3 visible here we use exact small-table join; no SQL oracle)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), simhash64(shingle_hashes(col("text"), lit(3))).as("sh"))
+      docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("dist", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
+        .filter(col("dist") <= 16)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("dist"))
+        .orderBy("id_a", "id_b")
+    },
+
+    "t6_winnow_fingerprints" -> { (s, d) =>
+      // winnowing fingerprints (k=20 chars, window=8): per-doc fingerprint
+      // cardinality (hash-based; no SQL oracle)
+      t(s, d, "documents")
+        .select(col("doc_id"), size(winnow_fingerprint(col("text"), lit(20), lit(8))).as("n_fp"))
+        .orderBy("doc_id")
+    },
+
+    "t7_token_count" -> { (s, d) =>
+      // BPE-ish token counting; on the all-lowercase single-spaced corpus it
+      // must equal the whitespace formula — which is the oracle
+      t(s, d, "documents")
+        .select(col("doc_id"), bpeish_token_count(col("text")).as("n_tok"))
+        .orderBy("doc_id")
+    },
+
+    "t8_quality_langid" -> { (s, d) =>
+      // heuristic quality + language-ID (no SQL oracle; unit-tested)
+      t(s, d, "documents")
+        .select(col("doc_id"), round(quality_score(col("text")), 6).as("quality"),
+          detect_lang(col("text")).as("pred_lang"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    "mm1_binary_meta" -> { (s, d) =>
+      // multimodal plumbing: opaque binary column + typed metadata
+      t(s, d, "documents")
+        .withColumn("payload", col("text").cast("binary"))
+        .groupBy(col("lang"))
+        .agg(sum(length(col("payload")).cast("long")).as("sum_bytes"),
+          count(lit(1)).as("n"))
+        .orderBy("lang")
+    },
+
+    // =====================================================================
+    // Vector similarity (embeddings)
+    // =====================================================================
+
+    "v1_cosine_topk" -> { (s, d) =>
+      // brute-force cosine top-5 per query (first 10 vec_ids) — ANN baseline
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val c = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      q.join(broadcast(c), col("qid") =!= col("nid"))
+        .withColumn("cos", round(cosine_similarity(col("qv"), col("nv")), 6))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("qid"), col("nid"), col("rk"), col("cos"))
+        .orderBy("qid", "rk")
+    },
+
+    "v2_ann_lsh" -> { (s, d) =>
+      // LSH-bucketed ANN (random hyperplanes, 8-bit buckets): top-3 in-bucket
+      // neighbors per query — the 100TB-scale path; recall tested in spec
+      val emb = t(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          rhp_signature(col("embedding"), lit(6), lit(7L)).as("bucket"))
+      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+      emb.as("a").join(emb.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
+        .filter(col("a.vec_id") < 10)
+        .withColumn("cos", round(cosine_similarity(col("a.embedding"), col("b.embedding")), 6))
+        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"), col("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .orderBy("qid", "rk")
+    },
+
+    // =====================================================================
+    // Event streams (batch-equivalent of the Structured Streaming surface)
+    // =====================================================================
+
+    "e1_hourly_windows" -> { (s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_cents"))
+        .select(col("window.start").as("hour"), col("event_type"), col("n"),
+          col("sum_value_cents"))
+        .orderBy("hour", "event_type")
+    },
+
+    "e2_sessionize" -> { (s, d) =>
+      // 30-minute-gap sessionization per user (session_window built-in)
+      events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    "e3_event_dedup" -> { (s, d) =>
+      // keep-earliest dedup by (user_id, event_type) — batch twin of
+      // dropDuplicatesWithinWatermark
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
+        .orderBy("user_id", "event_type")
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         COUNT(*) AS n_rows, SUM(l_quantity) / COUNT(*) AS avg_qty
+         FROM lineitem WHERE l_shipdate < TIMESTAMP '2001-06-01 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "p1_projection" ->
+      """SELECT o_orderkey AS id, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+         o_orderpriority AS prio FROM orders WHERE o_totalprice > 200000.0 ORDER BY id""",
+
+    "a4_count_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(DISTINCT l_orderkey) AS n_orders, COUNT(*) AS n FROM lineitem""",
+
+    "a5_per_group_counts" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+         GROUP BY l_returnflag, l_linestatus ORDER BY n, l_returnflag, l_linestatus""",
+
+    "o2_topk_orders" ->
+      """SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents
+         FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 10""",
+
+    "s5_parquet_multiglob" ->
+      """SELECT COUNT(*) AS n, SUM(l_quantity) AS sum_qty FROM
+         (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)""",
+
+    "s6_filename_lineage" ->
+      "SELECT 'lineitem.parquet' AS source, COUNT(*) AS n FROM lineitem ORDER BY source",
+
+    "s7_json_props" ->
+      """SELECT event_type, CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS INTEGER)) AS BIGINT) AS sum_k,
+         COUNT(*) AS n FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "j1_join_revenue" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_c10000
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "j2_orders_without_items" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "w1_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER
+           (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+
+    "w2_topk_per_customer" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+           SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER
+             (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+           FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+
+    "p3_shapetype_mix" ->
+      s"""SELECT CASE WHEN l_linenumber % 3 = 0 THEN 1 ELSE 4 END AS shape_type,
+          COUNT(*) AS n FROM lineitem WHERE l_linenumber % 3 <> 2
+          GROUP BY 1 ORDER BY shape_type""",
+
+    "a1_fallback_probe" ->
+      "SELECT COUNT(*) AS n_3d FROM lineitem WHERE l_linenumber % 3 = 2",
+
+    "p4_null_centroid" ->
+      """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+         WHERE NOT (l_tax > 0.05) GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "p6_antimeridian_band" ->
+      s"""SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+          WHERE $cxSql < 175.0 AND $cxSql > -175.0
+          GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "g1_point_accessors" ->
+      s"""SELECT l_orderkey, l_linenumber, $cxSql AS x, $cySql AS y
+          FROM lineitem ORDER BY l_orderkey, l_linenumber, x, y""",
+
+    "g3_envelope_centroid" ->
+      s"""SELECT l_orderkey, l_linenumber,
+          $cxSql - 0.5 AS xmin, $cxSql + 0.5 AS xmax,
+          $cySql - 0.5 AS ymin, $cySql + 0.5 AS ymax,
+          ROUND($cxSql, 6) AS cx, ROUND($cySql, 6) AS cy
+          FROM lineitem ORDER BY l_orderkey, l_linenumber, xmin, ymin""",
+
+    "a6_global_bbox" ->
+      s"""SELECT MIN($cxSql - 0.5) AS min_x, MAX($cxSql + 0.5) AS max_x,
+          MIN($cySql - 0.5) AS min_y, MAX($cySql + 0.5) AS max_y, COUNT(*) AS n
+          FROM lineitem""",
+
+    "a7_cell_heatmap" ->
+      s"""WITH cells AS (
+            SELECT 3458764513820540928 +
+              CAST(FLOOR(($cxSql + 180.0) / 360.0 * 4096.0) AS BIGINT) * 4096 +
+              CAST(FLOOR(($cySql + 90.0) / 180.0 * 4096.0) AS BIGINT) AS cell
+            FROM lineitem),
+          agg AS (SELECT cell, COUNT(*) AS num_recs FROM cells GROUP BY cell)
+          SELECT cell, num_recs FROM agg
+          WHERE (-180.0 + ((cell - 3458764513820540928) // 4096 + 0.5) * 360.0 / 4096.0) < 175.0
+            AND (-180.0 + ((cell - 3458764513820540928) // 4096 + 0.5) * 360.0 / 4096.0) > -175.0
+          ORDER BY cell""",
+
+    "o1_hilbert_cells" ->
+      """SELECT COUNT(DISTINCT (l_suppkey % 180) * 1000 + (l_partkey % 360)) AS n_cells,
+         COUNT(*) AS n FROM lineitem""",
+
+    "g4_transform_utm_roundtrip" ->
+      s"""SELECT CAST(0.0 AS DOUBLE) AS max_err_x, CAST(0.0 AS DOUBLE) AS max_err_y,
+          COUNT(*) AS n FROM lineitem
+          WHERE $cxSql >= 100.0 AND $cxSql <= 130.0
+            AND $cySql >= -80.0 AND $cySql <= 80.0""",
+
+    "g4_transform_webmerc" ->
+      """SELECT l_orderkey, l_linenumber,
+         CAST(l_partkey % 40000 AS DOUBLE) * 1000.0 - 20000000.0 AS mx,
+         CAST(l_suppkey % 30000 AS DOUBLE) * 1000.0 - 15000000.0 AS my,
+         ROUND(DEGREES((CAST(l_partkey % 40000 AS DOUBLE) * 1000.0 - 20000000.0) / 6378137.0), 6) AS lon,
+         ROUND(DEGREES(ATAN((EXP((CAST(l_suppkey % 30000 AS DOUBLE) * 1000.0 - 15000000.0) / 6378137.0)
+           - EXP(-((CAST(l_suppkey % 30000 AS DOUBLE) * 1000.0 - 15000000.0) / 6378137.0))) / 2.0)), 6) AS lat
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, mx, my""",
+
+    "g7_wkt_roundtrip" ->
+      "SELECT CAST(0 AS BIGINT) AS mismatches, COUNT(*) AS n FROM lineitem",
+
+    "f7_flip_pipeline" ->
+      s"""SELECT MIN($cxSql) AS min_x, MAX($cxSql) AS max_x,
+          MIN($cySql) AS min_y, MAX($cySql) AS max_y, COUNT(*) AS n FROM lineitem""",
+
+    "f6_force2d" ->
+      """SELECT 1 AS shape_type, COUNT(*) AS n FROM lineitem
+         GROUP BY 1 ORDER BY shape_type""",
+
+    "f8_binpack_batches" ->
+      """WITH counts AS (
+           SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt FROM lineitem
+           GROUP BY l_returnflag, l_linestatus),
+         c2 AS (
+           SELECT l_returnflag, l_linestatus, cnt,
+             COALESCE(SUM(cnt) OVER (ORDER BY cnt DESC, l_returnflag, l_linestatus
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+           FROM counts)
+         SELECT l_returnflag, l_linestatus, CAST(cnt AS BIGINT) AS cnt,
+           CAST(FLOOR(CAST(cum_excl AS DOUBLE) / 15000.0) AS BIGINT) AS batch
+         FROM c2 ORDER BY cnt DESC, l_returnflag, l_linestatus""",
+
+    "t1_text_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+         CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+         CAST(SUM(1 + LENGTH(text) - LENGTH(REPLACE(text, ' ', ''))) AS BIGINT) AS sum_tokens,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_stored_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "t2_dedup_exact" ->
+      """SELECT md5(text) AS h, MIN(doc_id) AS keep_id, COUNT(*) AS n
+         FROM documents GROUP BY md5(text) ORDER BY h""",
+
+    "t3_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+                FROM toks, UNNEST(range(1, len(ts) - 1)) AS t(i)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jacc
+         FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    "t7_token_count" ->
+      """SELECT doc_id, CAST(1 + LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS INTEGER) AS n_tok
+         FROM documents ORDER BY doc_id""",
+
+    "mm1_binary_meta" ->
+      """SELECT lang, CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes, COUNT(*) AS n
+         FROM documents GROUP BY lang ORDER BY lang""",
+
+    "v1_cosine_topk" ->
+      """WITH ex AS (SELECT vec_id, UNNEST(embedding)::DOUBLE AS v,
+                     UNNEST(range(len(embedding))) AS i FROM embeddings),
+         norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id),
+         dots AS (SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.v * b.v) AS dot
+                  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < 10 AND a.vec_id <> b.vec_id
+                  GROUP BY a.vec_id, b.vec_id),
+         cos AS (SELECT qid, nid, ROUND(dot / (na.nrm * nb.nrm), 6) AS cos
+                 FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid),
+         ranked AS (SELECT qid, nid, cos,
+                    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM cos)
+         SELECT qid, nid, rk, cos FROM ranked WHERE rk <= 5 ORDER BY qid, rk""",
+
+    "e1_hourly_windows" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+         FROM events GROUP BY date_trunc('hour', ts), event_type ORDER BY hour, event_type""",
+
+    "e2_sessionize" ->
+      """WITH gaps AS (
+           SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events),
+         sess AS (
+           SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM gaps)
+         SELECT user_id, CAST(COUNT(DISTINCT sid) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+         FROM sess GROUP BY user_id ORDER BY user_id""",
+
+    "e3_event_dedup" ->
+      """SELECT user_id, event_type, event_id AS first_event_id FROM (
+           SELECT user_id, event_type, event_id, ROW_NUMBER() OVER
+             (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+           FROM events) WHERE rn = 1 ORDER BY user_id, event_type"""
+  )
 }

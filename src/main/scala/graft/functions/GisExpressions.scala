@@ -1,0 +1,270 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.geom.{GeomLib, CrsTransform}
+
+/** Catalyst expressions for the spatial operator family (SURVEY.md §2.9).
+  *
+  * Geometry is WKB bytes in `BinaryType` columns end-to-end (the reference's
+  * at-rest contract, east_asia.py:73,250). Hot, allocation-free scalars
+  * (Hilbert key, WKB shape type, grid cells, point construction) generate
+  * code into whole-stage codegen via static calls into [[graft.geom.GeomLib]];
+  * JTS-object operators use CodegenFallback (they allocate geometry objects
+  * regardless, so interpreted dispatch is not the bottleneck).
+  */
+
+/** hilbert_encode(lat, lon) → Long. The reference's signature sort key:
+  * HILBERT_ENCODE([ST_Y(centroid), ST_X(centroid)]::DOUBLE[2])
+  * (east_asia.py:75-77,252-254,401-403). */
+case class HilbertEncode(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hilbert_encode"
+  protected override def nullSafeEval(lat: Any, lon: Any): Any =
+    GeomLib.hilbertEncode(lat.asInstanceOf[Number].doubleValue, lon.asInstanceOf[Number].doubleValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.geom.GeomLib.hilbertEncode($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** wkb_shape_type(geom) → Int: low byte of the WKB geometry-type word —
+  * the reference's core-7 predicate input (east_asia.py:176,248). */
+case class WkbShapeType(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "wkb_shape_type"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.wkbShapeType(wkb.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.geom.GeomLib.wkbShapeType($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_point(x, y) → WKB POINT (constructor for synthesized geometry). */
+case class StPoint(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_point"
+  protected override def nullSafeEval(x: Any, y: Any): Any =
+    GeomLib.pointWkb(x.asInstanceOf[Number].doubleValue, y.asInstanceOf[Number].doubleValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.geom.GeomLib.pointWkb($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** st_point_z(x, y, z) → ISO WKB POINT Z (type 1001); synthesizes the 3D
+  * inputs the reference's fallback path exists for (east_asia.py:37-42). */
+case class StPointZ(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_point_z"
+  protected override def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    GeomLib.pointZWkb(x.asInstanceOf[Number].doubleValue, y.asInstanceOf[Number].doubleValue, z.asInstanceOf[Number].doubleValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.geom.GeomLib.pointZWkb($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** st_make_square(cx, cy, half) → WKB square POLYGON around a center. */
+case class StMakeSquare(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_make_square"
+  protected override def nullSafeEval(x: Any, y: Any, h: Any): Any =
+    GeomLib.squareWkb(x.asInstanceOf[Number].doubleValue, y.asInstanceOf[Number].doubleValue, h.asInstanceOf[Number].doubleValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.geom.GeomLib.squareWkb($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** st_multipoint1(x, y) → WKB MULTIPOINT of one point (type 4). */
+case class StMultiPoint1(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_multipoint1"
+  protected override def nullSafeEval(x: Any, y: Any): Any =
+    GeomLib.multiPointWkb(x.asInstanceOf[Number].doubleValue, y.asInstanceOf[Number].doubleValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.geom.GeomLib.multiPointWkb($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Base for WKB→WKB unary geometry ops returning null on broken input. */
+abstract class WkbToWkbExpression extends UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+}
+
+/** st_centroid(geom) → WKB POINT (east_asia.py:76). */
+case class StCentroid(child: Expression) extends WkbToWkbExpression {
+  override def prettyName: String = "st_centroid"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.centroid(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_flip_coordinates(geom): swap x/y (east_asia.py:261). */
+case class StFlipCoordinates(child: Expression) extends WkbToWkbExpression {
+  override def prettyName: String = "st_flip_coordinates"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.flip(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_force2d(geom): drop Z/M (the shapely output_dimension=2 fallback,
+  * east_asia.py:66-68, subsumed per SURVEY.md F6). */
+case class StForce2D(child: Expression) extends WkbToWkbExpression {
+  override def prettyName: String = "st_force2d"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.force2D(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Base for WKB→Double accessors (null on broken/empty input). */
+abstract class WkbToDoubleExpression extends UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+}
+
+case class StX(child: Expression) extends WkbToDoubleExpression {
+  override def prettyName: String = "st_x"
+  protected override def nullSafeEval(wkb: Any): Any = GeomLib.stX(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+case class StY(child: Expression) extends WkbToDoubleExpression {
+  override def prettyName: String = "st_y"
+  protected override def nullSafeEval(wkb: Any): Any = GeomLib.stY(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+case class StXMin(child: Expression) extends WkbToDoubleExpression {
+  override def prettyName: String = "st_xmin"
+  protected override def nullSafeEval(wkb: Any): Any = GeomLib.xMin(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+case class StXMax(child: Expression) extends WkbToDoubleExpression {
+  override def prettyName: String = "st_xmax"
+  protected override def nullSafeEval(wkb: Any): Any = GeomLib.xMax(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+case class StYMin(child: Expression) extends WkbToDoubleExpression {
+  override def prettyName: String = "st_ymin"
+  protected override def nullSafeEval(wkb: Any): Any = GeomLib.yMin(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+case class StYMax(child: Expression) extends WkbToDoubleExpression {
+  override def prettyName: String = "st_ymax"
+  protected override def nullSafeEval(wkb: Any): Any = GeomLib.yMax(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_astext(geom) → WKT string. */
+case class StAsText(child: Expression) extends UnaryExpression
+    with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_astext"
+  protected override def nullSafeEval(wkb: Any): Any = {
+    val s = GeomLib.asText(wkb.asInstanceOf[Array[Byte]])
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_geomfromtext(wkt) → WKB. */
+case class StGeomFromText(child: Expression) extends UnaryExpression
+    with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geomfromtext"
+  protected override def nullSafeEval(wkt: Any): Any =
+    GeomLib.fromText(wkt.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_transform(geom, src_epsg, dst_epsg) — in-engine CRS reprojection
+  * (replaces the reference's ogr2ogr subprocess + DuckDB ST_TRANSFORM,
+  * east_asia.py:118-137,204-208). */
+case class StTransform(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_transform"
+  protected override def nullSafeEval(wkb: Any, src: Any, dst: Any): Any =
+    CrsTransform.transformWkb(
+      wkb.asInstanceOf[Array[Byte]], src.asInstanceOf[Number].intValue, dst.asInstanceOf[Number].intValue)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** grid_cell(lon, lat, res) → hierarchical cell id — capability twin of
+  * H3_LATLNG_TO_CELL(lat, lng, res) (East-Asia-Building-Footprints.md:250-252;
+  * substitution documented in SURVEY.md §7.5). */
+case class GridCell(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "grid_cell"
+  protected override def nullSafeEval(lon: Any, lat: Any, res: Any): Any =
+    GeomLib.cellEncode(lon.asInstanceOf[Number].doubleValue, lat.asInstanceOf[Number].doubleValue, res.asInstanceOf[Number].intValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.geom.GeomLib.cellEncode($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** grid_cell_boundary_wkt(cell) — twin of H3_CELL_TO_BOUNDARY_WKT
+  * (East-Asia-Building-Footprints.md:264). */
+case class GridCellBoundaryWkt(child: Expression) extends UnaryExpression
+    with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "grid_cell_boundary_wkt"
+  protected override def nullSafeEval(cell: Any): Any =
+    UTF8String.fromString(GeomLib.cellBoundaryWkt(cell.asInstanceOf[Number].longValue))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** grid_cell_center_lon(cell) — centroid longitude of a cell (anti-meridian
+  * band filter, East-Asia-Building-Footprints.md:267-268). */
+case class GridCellCenterLon(child: Expression) extends UnaryExpression
+ with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "grid_cell_center_lon"
+  protected override def nullSafeEval(cell: Any): Any =
+    GeomLib.cellCenterLon(cell.asInstanceOf[Number].longValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.geom.GeomLib.cellCenterLon($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

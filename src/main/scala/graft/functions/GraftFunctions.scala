@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graft.SparkInternals
+
+/** DataFrame-API façade + SQL registration for every graft expression.
+  *
+  * `import graft.functions.GraftFunctions._` gives Column-typed functions;
+  * `GraftFunctions.registerAll(spark)` makes the same functions available to
+  * `spark.sql(...)` (the engine's equivalent of the reference's
+  * INSTALL/LOAD spatial,parquet,lindel — east_asia.py:49-50,292-295).
+  */
+object GraftFunctions {
+
+  private def col(e: Expression): Column = SparkInternals.column(e)
+  private def ex(c: Column): Expression = SparkInternals.expression(c)
+
+  // --- spatial ---
+  def hilbert_encode(lat: Column, lon: Column): Column = col(HilbertEncode(ex(lat), ex(lon)))
+  def wkb_shape_type(geom: Column): Column = col(WkbShapeType(ex(geom)))
+  def st_point(x: Column, y: Column): Column = col(StPoint(ex(x), ex(y)))
+  def st_point_z(x: Column, y: Column, z: Column): Column = col(StPointZ(ex(x), ex(y), ex(z)))
+  def st_make_square(cx: Column, cy: Column, half: Column): Column =
+    col(StMakeSquare(ex(cx), ex(cy), ex(half)))
+  def st_multipoint1(x: Column, y: Column): Column = col(StMultiPoint1(ex(x), ex(y)))
+  def st_centroid(geom: Column): Column = col(StCentroid(ex(geom)))
+  def st_flip_coordinates(geom: Column): Column = col(StFlipCoordinates(ex(geom)))
+  def st_force2d(geom: Column): Column = col(StForce2D(ex(geom)))
+  def st_x(geom: Column): Column = col(StX(ex(geom)))
+  def st_y(geom: Column): Column = col(StY(ex(geom)))
+  def st_xmin(geom: Column): Column = col(StXMin(ex(geom)))
+  def st_xmax(geom: Column): Column = col(StXMax(ex(geom)))
+  def st_ymin(geom: Column): Column = col(StYMin(ex(geom)))
+  def st_ymax(geom: Column): Column = col(StYMax(ex(geom)))
+  def st_astext(geom: Column): Column = col(StAsText(ex(geom)))
+  def st_geomfromtext(wkt: Column): Column = col(StGeomFromText(ex(wkt)))
+  def st_transform(geom: Column, srcEpsg: Column, dstEpsg: Column): Column =
+    col(StTransform(ex(geom), ex(srcEpsg), ex(dstEpsg)))
+  def grid_cell(lon: Column, lat: Column, res: Column): Column =
+    col(GridCell(ex(lon), ex(lat), ex(res)))
+  def grid_cell_boundary_wkt(cell: Column): Column = col(GridCellBoundaryWkt(ex(cell)))
+  def grid_cell_center_lon(cell: Column): Column = col(GridCellCenterLon(ex(cell)))
+
+  // --- text / dedup ---
+  def shingle_hashes(text: Column, n: Column): Column = col(ShingleHashes(ex(text), ex(n)))
+  def minhash_signature(elems: Column, k: Column, seed: Column): Column =
+    col(MinHashSignature(ex(elems), ex(k), ex(seed)))
+  def jaccard_sorted(a: Column, b: Column): Column = col(JaccardSorted(ex(a), ex(b)))
+  def simhash64(elems: Column): Column = col(SimHash64(ex(elems)))
+  def winnow_fingerprint(text: Column, k: Column, w: Column): Column =
+    col(WinnowFingerprint(ex(text), ex(k), ex(w)))
+  def bpeish_token_count(text: Column): Column = col(BpeIshTokenCount(ex(text)))
+  def quality_score(text: Column): Column = col(QualityScore(ex(text)))
+  def detect_lang(text: Column): Column = col(DetectLang(ex(text)))
+
+  // --- vectors ---
+  def cosine_similarity(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
+  def rhp_signature(v: Column, bits: Column, seed: Column): Column =
+    col(RhpSignature(ex(v), ex(bits), ex(seed)))
+
+  /** All functions, as SQL-callable names. */
+  private val builders: Map[String, Seq[Expression] => Expression] = Map(
+    "hilbert_encode" -> { e => HilbertEncode(e(0), e(1)) },
+    "wkb_shape_type" -> { e => WkbShapeType(e.head) },
+    "st_point" -> { e => StPoint(e(0), e(1)) },
+    "st_point_z" -> { e => StPointZ(e(0), e(1), e(2)) },
+    "st_make_square" -> { e => StMakeSquare(e(0), e(1), e(2)) },
+    "st_multipoint1" -> { e => StMultiPoint1(e(0), e(1)) },
+    "st_centroid" -> { e => StCentroid(e.head) },
+    "st_flip_coordinates" -> { e => StFlipCoordinates(e.head) },
+    "st_force2d" -> { e => StForce2D(e.head) },
+    "st_x" -> { e => StX(e.head) },
+    "st_y" -> { e => StY(e.head) },
+    "st_xmin" -> { e => StXMin(e.head) },
+    "st_xmax" -> { e => StXMax(e.head) },
+    "st_ymin" -> { e => StYMin(e.head) },
+    "st_ymax" -> { e => StYMax(e.head) },
+    "st_astext" -> { e => StAsText(e.head) },
+    "st_geomfromtext" -> { e => StGeomFromText(e.head) },
+    "st_transform" -> { e => StTransform(e(0), e(1), e(2)) },
+    "grid_cell" -> { e => GridCell(e(0), e(1), e(2)) },
+    "grid_cell_boundary_wkt" -> { e => GridCellBoundaryWkt(e.head) },
+    "grid_cell_center_lon" -> { e => GridCellCenterLon(e.head) },
+    "shingle_hashes" -> { e => ShingleHashes(e(0), e(1)) },
+    "minhash_signature" -> { e => MinHashSignature(e(0), e(1), e(2)) },
+    "jaccard_sorted" -> { e => JaccardSorted(e(0), e(1)) },
+    "simhash64" -> { e => SimHash64(e.head) },
+    "winnow_fingerprint" -> { e => WinnowFingerprint(e(0), e(1), e(2)) },
+    "bpeish_token_count" -> { e => BpeIshTokenCount(e.head) },
+    "quality_score" -> { e => QualityScore(e.head) },
+    "detect_lang" -> { e => DetectLang(e.head) },
+    "cosine_similarity" -> { e => CosineSimilarity(e(0), e(1)) },
+    "rhp_signature" -> { e => RhpSignature(e(0), e(1), e(2)) }
+  )
+
+  /** Register every function into the session's FunctionRegistry. */
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}

@@ -1,0 +1,332 @@
+package graft.geom
+
+import org.locationtech.jts.geom._
+import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
+
+/** Pure-Scala geometry kernel over JTS — the correctness core of the engine.
+  *
+  * Geometry travels through the engine as WKB bytes in a `BinaryType` column
+  * (the reference's storage contract: WKB in a `geom` column, see
+  * /root/reference/east_asia.py:73,250 and ORNL-FEMA-Buildings.md:80).
+  * All Catalyst expressions in [[graft.functions]] delegate to the static
+  * methods here so the same code is unit-testable without a SparkSession and
+  * callable from generated (Janino) code.
+  *
+  * Thread-safety: JTS readers/writers are not thread-safe; we keep them in
+  * ThreadLocals so executor task threads never contend.
+  */
+object GeomLib {
+
+  private val factory = new GeometryFactory(new PrecisionModel(), 4326)
+
+  private val wkbReader = ThreadLocal.withInitial[WKBReader](() => new WKBReader(factory))
+  // Output dimension 2: writing always forces XY-only, matching the
+  // reference's 2D output contract (shapely wkt.dumps(output_dimension=2),
+  // east_asia.py:66-68).
+  private val wkbWriter2 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2))
+  private val wkbWriter3 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(3))
+  private val wktReader = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
+  private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter())
+
+  def read(wkb: Array[Byte]): Geometry = wkbReader.get.read(wkb)
+
+  /** Null-safe read: returns null for undecodable bytes (the reference drops
+    * broken geometries rather than failing the file, east_asia.py:85-91). */
+  def readOrNull(wkb: Array[Byte]): Geometry =
+    try read(wkb)
+    catch { case _: Exception => null }
+
+  def write(g: Geometry): Array[Byte] = wkbWriter2.get.write(g)
+  def write3D(g: Geometry): Array[Byte] = wkbWriter3.get.write(g)
+
+  // -------------------------------------------------------------------------
+  // WKB byte-level introspection
+  // -------------------------------------------------------------------------
+
+  /** Low byte of the WKB geometry-type word — exactly what the reference's
+    * `('0x' || substr(geom::BLOB::TEXT, 7, 2))::INT` computes
+    * (east_asia.py:176,248): byte 1 of little-endian WKB. 2D core types give
+    * 1..7; ISO 3D types (1000+k) give (1000+k)&0xFF, e.g. POLYGON Z = 1003 →
+    * 0xEB = 235 (the "235(?)" in east_asia.py:37-42). Returns -1 for
+    * undecodable input.
+    */
+  def wkbShapeType(wkb: Array[Byte]): Int = {
+    if (wkb == null || wkb.length < 5) return -1
+    if (wkb(0) == 1) wkb(1) & 0xff // little-endian: low byte first
+    else wkb(4) & 0xff             // big-endian: low byte last
+  }
+
+  /** Full 32-bit WKB geometry-type word (e.g. 1003 for POLYGON Z). */
+  def wkbTypeWord(wkb: Array[Byte]): Int = {
+    if (wkb == null || wkb.length < 5) return -1
+    if (wkb(0) == 1)
+      (wkb(1) & 0xff) | ((wkb(2) & 0xff) << 8) | ((wkb(3) & 0xff) << 16) | ((wkb(4) & 0xff) << 24)
+    else
+      (wkb(4) & 0xff) | ((wkb(3) & 0xff) << 8) | ((wkb(2) & 0xff) << 16) | ((wkb(1) & 0xff) << 24)
+  }
+
+  // -------------------------------------------------------------------------
+  // Fast hand-rolled WKB constructors (no JTS allocation on the hot path)
+  // -------------------------------------------------------------------------
+
+  /** 21-byte little-endian WKB POINT. */
+  def pointWkb(x: Double, y: Double): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).putInt(1).putDouble(x).putDouble(y)
+    b.array()
+  }
+
+  /** ISO WKB POINT Z (type 1001) — used to synthesize 3D inputs for the
+    * shape-type predicate (reference filters these out / reroutes them,
+    * east_asia.py:174-193). */
+  def pointZWkb(x: Double, y: Double, z: Double): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(29).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).putInt(1001).putDouble(x).putDouble(y).putDouble(z)
+    b.array()
+  }
+
+  /** WKB MULTIPOINT of one point (type 4) — a second 2D core type for
+    * shape-type variety in synthesized test geometry. */
+  def multiPointWkb(x: Double, y: Double): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).putInt(4).putInt(1)
+    b.put(1.toByte).putInt(1).putDouble(x).putDouble(y)
+    b.array()
+  }
+
+  /** Axis-aligned square POLYGON around (cx, cy) with half-width h; closed
+    * 5-point ring, LE WKB (93 bytes). Envelope is exactly
+    * [cx-h, cx+h] x [cy-h, cy+h] and centroid exactly (cx, cy) in IEEE
+    * arithmetic, which keeps DuckDB-oracle comparisons bit-exact. */
+  def squareWkb(cx: Double, cy: Double, h: Double): Array[Byte] = {
+    val x0 = cx - h; val x1 = cx + h; val y0 = cy - h; val y1 = cy + h
+    val b = java.nio.ByteBuffer.allocate(93).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).putInt(3).putInt(1).putInt(5)
+    b.putDouble(x0).putDouble(y0)
+    b.putDouble(x1).putDouble(y0)
+    b.putDouble(x1).putDouble(y1)
+    b.putDouble(x0).putDouble(y1)
+    b.putDouble(x0).putDouble(y0)
+    b.array()
+  }
+
+  // -------------------------------------------------------------------------
+  // Scalar geometry accessors (ST_* semantics over WKB)
+  // -------------------------------------------------------------------------
+
+  def centroid(wkb: Array[Byte]): Array[Byte] = {
+    val g = readOrNull(wkb)
+    if (g == null || g.isEmpty) null else write(g.getCentroid)
+  }
+
+  /** X of a POINT (or of any geometry's first coordinate interior point
+    * semantics: non-point inputs return the centroid X like DuckDB's
+    * ST_X raises; we choose null for non-points). */
+  def stX(wkb: Array[Byte]): java.lang.Double = {
+    val g = readOrNull(wkb)
+    g match {
+      case p: Point if !p.isEmpty => Double.box(p.getX)
+      case _                      => null
+    }
+  }
+
+  def stY(wkb: Array[Byte]): java.lang.Double = {
+    val g = readOrNull(wkb)
+    g match {
+      case p: Point if !p.isEmpty => Double.box(p.getY)
+      case _                      => null
+    }
+  }
+
+  def xMin(wkb: Array[Byte]): java.lang.Double = env(wkb, 0)
+  def xMax(wkb: Array[Byte]): java.lang.Double = env(wkb, 1)
+  def yMin(wkb: Array[Byte]): java.lang.Double = env(wkb, 2)
+  def yMax(wkb: Array[Byte]): java.lang.Double = env(wkb, 3)
+
+  private def env(wkb: Array[Byte], which: Int): java.lang.Double = {
+    val g = readOrNull(wkb)
+    if (g == null || g.isEmpty) return null
+    val e = g.getEnvelopeInternal
+    Double.box(which match {
+      case 0 => e.getMinX
+      case 1 => e.getMaxX
+      case 2 => e.getMinY
+      case _ => e.getMaxY
+    })
+  }
+
+  /** Swap x<->y on every coordinate — ST_FlipCoordinates
+    * (east_asia.py:261, the flipped-lat-lon repair F7). */
+  def flip(wkb: Array[Byte]): Array[Byte] = {
+    val g = readOrNull(wkb)
+    if (g == null) return null
+    g.apply(new CoordinateFilter {
+      override def filter(c: Coordinate): Unit = {
+        val t = c.x; c.x = c.y; c.y = t
+      }
+    })
+    g.geometryChanged()
+    write(g)
+  }
+
+  /** Drop Z/M: WKBWriter with outputDimension=2 re-encodes XY only —
+    * the capability behind the reference's shapely
+    * `wkt.dumps(..., output_dimension=2)` fallback (east_asia.py:66-68). */
+  def force2D(wkb: Array[Byte]): Array[Byte] = {
+    val g = readOrNull(wkb)
+    if (g == null) null else write(g)
+  }
+
+  def asText(wkb: Array[Byte]): String = {
+    val g = readOrNull(wkb)
+    if (g == null) null else wktWriter.get.write(g)
+  }
+
+  def fromText(wkt: String): Array[Byte] =
+    try write(wktReader.get.read(wkt))
+    catch { case _: Exception => null }
+
+  def isEmptyGeom(wkb: Array[Byte]): Boolean = {
+    val g = readOrNull(wkb)
+    g == null || g.isEmpty
+  }
+
+  def numPoints(wkb: Array[Byte]): java.lang.Integer = {
+    val g = readOrNull(wkb)
+    if (g == null) null else Int.box(g.getNumPoints)
+  }
+
+  // -------------------------------------------------------------------------
+  // Hilbert curve (the reference's signature sort key — lindel
+  // HILBERT_ENCODE([y,x]::DOUBLE[2]), east_asia.py:75-77)
+  // -------------------------------------------------------------------------
+
+  /** Bits per dimension. 31 (not 32) so the 2-D index fits in a positive
+    * signed Long — it is a sort key, so only order matters; 31 bits over
+    * [-180,180] is ~1.7e-8 deg ≈ 2 mm resolution. */
+  val HilbertOrder: Int = 31
+  private val HilbertMax: Long = (1L << HilbertOrder) - 1
+
+  /** Map lat (y, first per lindel's [y,x] array) and lon to the Hilbert
+    * index used as the spatial clustering key. Inputs outside world bounds
+    * are clamped. */
+  def hilbertEncode(lat: Double, lon: Double): Long = {
+    val iy = scaleTo(lat, -90.0, 90.0)
+    val ix = scaleTo(lon, -180.0, 180.0)
+    hilbertXY2D(iy, ix)
+  }
+
+  private def scaleTo(v: Double, lo: Double, hi: Double): Long = {
+    if (v.isNaN) return 0L
+    val t = (v - lo) / (hi - lo)
+    val c = if (t < 0) 0.0 else if (t > 1) 1.0 else t
+    math.min((c * (HilbertMax + 1).toDouble).toLong, HilbertMax)
+  }
+
+  /** Classic 2-D Hilbert distance (x-y to d) over an order-31 grid; the
+    * standard iterative rotate-and-accumulate transform. First axis = the
+    * reference's first array element (latitude). */
+  def hilbertXY2D(aIn: Long, bIn: Long): Long = {
+    var x = aIn & HilbertMax
+    var y = bIn & HilbertMax
+    var d = 0L
+    var s = 1L << (HilbertOrder - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3L * rx) ^ ry)
+      // rotate quadrant
+      if (ry == 0L) {
+        if (rx == 1L) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Inverse of [[hilbertXY2D]] (d to x,y) — used by property tests
+    * (bijectivity + adjacency). */
+  def hilbertD2XY(dIn: Long): (Long, Long) = {
+    var x = 0L
+    var y = 0L
+    var t = dIn
+    var s = 1L
+    while (s < (1L << HilbertOrder)) {
+      val rx = 1L & (t / 2)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0L) {
+        if (rx == 1L) {
+          x = s - 1 - x
+          y = s - 1 - y
+        }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s <<= 1
+    }
+    (x, y)
+  }
+
+  // -------------------------------------------------------------------------
+  // Hierarchical grid cells (capability substitute for DuckDB's H3 ext —
+  // SURVEY.md §7.4.2 / §7.5: honest equal-capability discretizer)
+  // -------------------------------------------------------------------------
+
+  /** Bucket (lon, lat) into a 2^res x 2^res equal-angle grid cell.
+    * Cell id layout: (res << 58) | (ix << res) | iy, so ids are unique
+    * across resolutions and the parent of a cell is simply
+    * cellEncode(..., res-1) of the same point (ix>>1, iy>>1) — the
+    * hierarchical property H3 provides. res=12 cells are ~0.088 deg
+    * (~10 km at the equator), comparable to H3 res 7 for heatmapping.
+    * Deliberately SQL-expressible (floor + multiply + add) so the DuckDB
+    * oracle can reproduce it exactly:
+    *   (res<<58) + FLOOR((lon+180)/360 * 2^res) * 2^res + FLOOR((lat+90)/180 * 2^res)
+    * with LEAST(...) clamping at the +180/+90 edge.
+    */
+  def cellEncode(lon: Double, lat: Double, res: Int): Long = {
+    val n = 1L << res
+    val ix = gridIndex(lon, -180.0, 360.0, n)
+    val iy = gridIndex(lat, -90.0, 180.0, n)
+    (res.toLong << 58) | (ix << res) | iy
+  }
+
+  private def gridIndex(v: Double, lo: Double, span: Double, n: Long): Long = {
+    val i = math.floor((v - lo) / span * n.toDouble).toLong
+    if (i < 0) 0L else if (i >= n) n - 1 else i
+  }
+
+  /** Boundary polygon (WKT) of a grid cell — capability twin of
+    * H3_CELL_TO_BOUNDARY_WKT (East-Asia-Building-Footprints.md:264). */
+  def cellBoundaryWkt(cell: Long): String = {
+    val res = (cell >> 58).toInt
+    val n = 1L << res
+    val ix = (cell >> res) & (n - 1)
+    val iy = cell & (n - 1)
+    val lon0 = -180.0 + ix * 360.0 / n
+    val lon1 = -180.0 + (ix + 1) * 360.0 / n
+    val lat0 = -90.0 + iy * 180.0 / n
+    val lat1 = -90.0 + (iy + 1) * 180.0 / n
+    s"POLYGON (($lon0 $lat0, $lon1 $lat0, $lon1 $lat1, $lon0 $lat1, $lon0 $lat0))"
+  }
+
+  /** Centroid longitude of a cell (for the anti-meridian band filter P6). */
+  def cellCenterLon(cell: Long): Double = {
+    val res = (cell >> 58).toInt
+    val n = 1L << res
+    val ix = (cell >> res) & (n - 1)
+    -180.0 + (ix + 0.5) * 360.0 / n
+  }
+
+  def cellCenterLat(cell: Long): Double = {
+    val res = (cell >> 58).toInt
+    val n = 1L << res
+    val iy = cell & (n - 1)
+    -90.0 + (iy + 0.5) * 180.0 / n
+  }
+}

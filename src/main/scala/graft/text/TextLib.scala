@@ -1,0 +1,276 @@
+package graft.text
+
+/** Pure-Scala text/dedup kernel: stable 64-bit hashing, MinHash, SimHash,
+  * winnowing fingerprints, and a tiny n-gram language scorer. These back the
+  * training-data-pipeline operators (exact/near dedup, fingerprinting,
+  * language ID) that extend the reference's surface for 100 TB text corpora.
+  *
+  * Everything here is deterministic (fixed seeds), allocation-light, and
+  * independent of Spark so it unit-tests in isolation; the Catalyst layer in
+  * [[graft.functions.TextFunctions]] wraps these as expressions.
+  */
+object TextLib {
+
+  // ---------------------------------------------------------------------
+  // Stable 64-bit string hash (FNV-1a — public-domain algorithm). We do not
+  // use String.hashCode (32-bit, collision-heavy) nor rely on Spark's
+  // xxhash64 here so the kernel stays Spark-free; the Catalyst layer may
+  // still use xxhash64 for column-level hashing.
+  // ---------------------------------------------------------------------
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  def hash64(s: CharSequence): Long = {
+    var h = FnvOffset
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      h ^= (c & 0xff)
+      h *= FnvPrime
+      h ^= (c >>> 8)
+      h *= FnvPrime
+      i += 1
+    }
+    h
+  }
+
+  def hash64(v: Long): Long = {
+    // 64-bit finalizer (splitmix64 mixing constants, public domain)
+    var z = v + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  // ---------------------------------------------------------------------
+  // Tokenization
+  // ---------------------------------------------------------------------
+
+  /** Whitespace tokenizer (the baseline token counter). */
+  def tokenize(text: String): Array[String] =
+    if (text == null || text.isEmpty) Array.empty
+    else text.split("\\s+").filter(_.nonEmpty)
+
+  /** BPE-ish subword-shaped token count: runs of letters, runs of digits,
+    * or single non-space symbols — the regex family GPT-style tokenizers
+    * use as a pre-tokenizer. A cheap, deterministic proxy for "LLM tokens"
+    * usable at scale without a vocab file. */
+  private val BpeIsh = java.util.regex.Pattern.compile(
+    "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")
+
+  def bpeIshTokenCount(text: String): Int = {
+    if (text == null) return 0
+    val m = BpeIsh.matcher(text)
+    var n = 0
+    while (m.find()) n += 1
+    n
+  }
+
+  /** Hashed word n-gram shingles (distinct), the input to MinHash/Jaccard. */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.length < n) {
+      if (toks.isEmpty) return Array.empty
+      return Array(hash64(toks.mkString(" ")))
+    }
+    val out = new java.util.TreeSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out.add(hash64(sb))
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    arr
+  }
+
+  // ---------------------------------------------------------------------
+  // MinHash
+  // ---------------------------------------------------------------------
+
+  /** k-permutation MinHash signature over a set of element hashes.
+    * Permutation i is the splitmix64 mix of (x ^ seed_i) — a standard
+    * tabulation-free construction; deterministic across runs/JVMs. */
+  def minHashSignature(elems: Array[Long], k: Int, seed: Long): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (elems == null || elems.isEmpty) return sig
+    var i = 0
+    while (i < k) {
+      val s = hash64(seed + i * 0x9e3779b97f4a7c15L)
+      var best = Long.MaxValue
+      var j = 0
+      while (j < elems.length) {
+        val h = hash64(elems(j) ^ s)
+        if (h < best) best = h
+        j += 1
+      }
+      sig(i) = best
+      i += 1
+    }
+    sig
+  }
+
+  /** Estimated Jaccard from two signatures. */
+  def minHashJaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.length != b.length || a.length == 0) return 0.0
+    var same = 0
+    var i = 0
+    while (i < a.length) { if (a(i) == b(i)) same += 1; i += 1 }
+    same.toDouble / a.length
+  }
+
+  /** Exact Jaccard of two sorted-distinct hash arrays. */
+  def jaccard(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
+  // ---------------------------------------------------------------------
+  // SimHash (64-bit) over token hashes
+  // ---------------------------------------------------------------------
+
+  def simHash64(elems: Array[Long]): Long = {
+    if (elems == null || elems.isEmpty) return 0L
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < elems.length) {
+      val h = elems(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  // ---------------------------------------------------------------------
+  // Winnowing document fingerprint (Schleimer/Wilkerson/Aiken 2003):
+  // rolling k-gram hashes, keep the min in each window of w — a compact,
+  // position-robust fingerprint for plagiarism/near-dup detection.
+  // ---------------------------------------------------------------------
+
+  def winnowFingerprint(text: String, k: Int, w: Int): Array[Long] = {
+    if (text == null || text.length < k) return Array.empty
+    val n = text.length - k + 1
+    val kh = new Array[Long](n)
+    var i = 0
+    while (i < n) { kh(i) = hash64(text.subSequence(i, i + k)); i += 1 }
+    if (n <= w) return Array(kh.min)
+    val out = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    while (start + w <= n) {
+      var best = Long.MaxValue
+      var j = start
+      while (j < start + w) { if (kh(j) < best) best = kh(j); j += 1 }
+      out.add(best)
+      start += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator()
+    var m = 0
+    while (it.hasNext) { arr(m) = it.next(); m += 1 }
+    arr
+  }
+
+  // ---------------------------------------------------------------------
+  // Quality / language heuristics
+  // ---------------------------------------------------------------------
+
+  def punctRatio(text: String): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    var p = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (!Character.isLetterOrDigit(c) && !Character.isWhitespace(c)) p += 1
+      i += 1
+    }
+    p.toDouble / text.length
+  }
+
+  private val StopwordsEn: Set[String] = Set(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this")
+
+  def stopwordRatio(text: String): Double = {
+    val toks = tokenize(text)
+    if (toks.isEmpty) return 0.0
+    var s = 0
+    var i = 0
+    while (i < toks.length) {
+      if (StopwordsEn.contains(toks(i).toLowerCase)) s += 1
+      i += 1
+    }
+    s.toDouble / toks.length
+  }
+
+  /** Composite [0,1] quality score (length + stopword presence − excess
+    * punctuation), the shape of a C4/Gopher-style filter stage. */
+  def qualityScore(text: String): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    val toks = tokenize(text)
+    if (toks.isEmpty) return 0.0
+    val lenScore = math.min(1.0, toks.length / 50.0)
+    val meanWordLen = toks.map(_.length).sum.toDouble / toks.length
+    val wordLenScore = if (meanWordLen >= 2.0 && meanWordLen <= 12.0) 1.0 else 0.0
+    val punct = punctRatio(text)
+    val punctScore = if (punct < 0.2) 1.0 else math.max(0.0, 1.0 - punct)
+    val stop = math.min(1.0, stopwordRatio(text) * 5.0)
+    0.35 * lenScore + 0.2 * wordLenScore + 0.2 * punctScore + 0.25 * stop
+  }
+
+  /** Character-frequency language scorer: cheap trigram/letter-profile
+    * heuristic over a fixed profile table. Profiles are letter frequency
+    * signatures of the language's most common function words; score =
+    * fraction of tokens matching the profile's marker set. Returns the
+    * best-scoring language code, "und" when nothing scores. */
+  private val LangMarkers: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "ich", "zu", "mit"),
+    "fr" -> Set("le", "la", "les", "et", "est", "un", "une", "de", "que", "pour"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "un", "una", "de", "que"),
+    "it" -> Set("il", "la", "di", "e", "che", "un", "una", "per", "non", "sono"))
+
+  def detectLang(text: String): String = {
+    val toks = tokenize(text).map(_.toLowerCase)
+    if (toks.isEmpty) return "und"
+    var bestLang = "und"
+    var bestScore = 0.0
+    LangMarkers.foreach { case (lang, markers) =>
+      var hits = 0
+      var i = 0
+      while (i < toks.length) {
+        if (markers.contains(toks(i))) hits += 1
+        i += 1
+      }
+      val score = hits.toDouble / toks.length
+      if (score > bestScore) { bestScore = score; bestLang = lang }
+    }
+    bestLang
+  }
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` Column↔Expression conversions
+  * (org.apache.spark.sql.classic.ExpressionUtils, Spark 4.x column-node API).
+  * Lives under the org.apache.spark.sql package solely to satisfy the
+  * `private[sql]` access check; exposes only public types.
+  */
+object SparkInternals {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
