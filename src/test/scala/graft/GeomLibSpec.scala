@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.geom.GeomLib
+
+class GeomLibSpec extends AnyFunSuite {
+
+  test("wkbShapeType reads the low type byte (LE and 3D ISO types)") {
+    assert(GeomLib.wkbShapeType(GeomLib.pointWkb(1, 2)) == 1)
+    assert(GeomLib.wkbShapeType(GeomLib.multiPointWkb(1, 2)) == 4)
+    // ISO POINT Z = 1001 -> low byte 0xE9 = 233 (>= 8 like the reference's
+    // 235 for POLYGON Z, east_asia.py:37-42)
+    assert(GeomLib.wkbShapeType(GeomLib.pointZWkb(1, 2, 3)) == 233)
+    assert(GeomLib.wkbShapeType(Array[Byte](9)) == -1) // truncated
+    assert(GeomLib.wkbShapeType(null) == -1)
+  }
+
+  test("square polygon: exact envelope and centroid") {
+    val w = GeomLib.squareWkb(10.5, -20.25, 0.5)
+    assert(GeomLib.wkbShapeType(w) == 3)
+    assert(GeomLib.xMin(w) == 10.0)
+    assert(GeomLib.xMax(w) == 11.0)
+    assert(GeomLib.yMin(w) == -20.75)
+    assert(GeomLib.yMax(w) == -19.75)
+    val c = GeomLib.centroid(w)
+    assert(math.abs(GeomLib.stX(c) - 10.5) < 1e-9)
+    assert(math.abs(GeomLib.stY(c) + 20.25) < 1e-9)
+  }
+
+  test("flip is an involution and swaps envelope axes") {
+    val w = GeomLib.squareWkb(30.0, 60.0, 1.0)
+    val f = GeomLib.flip(w)
+    assert(GeomLib.xMin(f) == 59.0 && GeomLib.yMin(f) == 29.0)
+    assert(GeomLib.flip(f).toSeq == GeomLib.force2D(w).toSeq)
+  }
+
+  test("force2D drops Z and yields core-7 type") {
+    val z = GeomLib.pointZWkb(5, 6, 7)
+    val flat = GeomLib.force2D(z)
+    assert(GeomLib.wkbShapeType(flat) == 1)
+    assert(GeomLib.stX(flat) == 5.0 && GeomLib.stY(flat) == 6.0)
+  }
+
+  test("WKT round-trip") {
+    val w = GeomLib.fromText("POINT (1.5 -2.5)")
+    assert(GeomLib.asText(w) == "POINT (1.5 -2.5)")
+    assert(GeomLib.fromText("NOT A WKT") == null)
+  }
+
+  test("broken WKB returns null/sentinel, never throws") {
+    val junk = Array[Byte](1, 2, 3, 4, 5, 6, 7)
+    assert(GeomLib.centroid(junk) == null)
+    assert(GeomLib.stX(junk) == null)
+    assert(GeomLib.xMin(junk) == null)
+    assert(GeomLib.flip(junk) == null)
+  }
+
+  test("hilbert: d2xy and xy2d are inverse on random grid points") {
+    val rnd = new scala.util.Random(42)
+    (1 to 2000).foreach { _ =>
+      val x = rnd.nextLong() & ((1L << GeomLib.HilbertOrder) - 1)
+      val y = rnd.nextLong() & ((1L << GeomLib.HilbertOrder) - 1)
+      val d = GeomLib.hilbertXY2D(x, y)
+      assert(d >= 0, "index must stay in positive Long range")
+      val (x2, y2) = GeomLib.hilbertD2XY(d)
+      assert(x2 == x && y2 == y)
+    }
+  }
+
+  test("hilbert: consecutive indices are grid neighbors (locality)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { _ =>
+      val d = math.abs(rnd.nextLong()) % ((1L << 62) - 2)
+      val (x1, y1) = GeomLib.hilbertD2XY(d)
+      val (x2, y2) = GeomLib.hilbertD2XY(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+    }
+  }
+
+  test("hilbertEncode clamps world bounds and is monotone-safe") {
+    assert(GeomLib.hilbertEncode(-95.0, 0.0) == GeomLib.hilbertEncode(-90.0, 0.0))
+    assert(GeomLib.hilbertEncode(0.0, 200.0) == GeomLib.hilbertEncode(0.0, 180.0))
+    assert(GeomLib.hilbertEncode(Double.NaN, 0.0) >= 0)
+  }
+
+  test("grid cells: hierarchy and boundary containment") {
+    val lon = 116.4074; val lat = 39.9042
+    val c12 = GeomLib.cellEncode(lon, lat, 12)
+    val c11 = GeomLib.cellEncode(lon, lat, 11)
+    // parent cell indices are child indices >> 1
+    val ix12 = (c12 >> 12) & 0xfff
+    val iy12 = c12 & 0xfff
+    val ix11 = (c11 >> 11) & 0x7ff
+    val iy11 = c11 & 0x7ff
+    assert(ix12 >> 1 == ix11 && iy12 >> 1 == iy11)
+    val wkt = GeomLib.cellBoundaryWkt(c12)
+    val poly = GeomLib.fromText(wkt)
+    assert(GeomLib.xMin(poly) <= lon && lon <= GeomLib.xMax(poly))
+    assert(GeomLib.yMin(poly) <= lat && lat <= GeomLib.yMax(poly))
+    assert(GeomLib.cellCenterLon(c12) > GeomLib.xMin(poly))
+    assert(GeomLib.cellCenterLon(c12) < GeomLib.xMax(poly))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TextLib
+import graft.vector.VectorLib
+
+class TextLibSpec extends AnyFunSuite {
+
+  test("tokenize and bpe-ish token count") {
+    assert(TextLib.tokenize("a  b\tc").toSeq == Seq("a", "b", "c"))
+    assert(TextLib.tokenize("").isEmpty)
+    assert(TextLib.bpeIshTokenCount("hello world") == 2)
+    assert(TextLib.bpeIshTokenCount("hello, world! 42") == 6) // hello , world ! 4 2
+    assert(TextLib.bpeIshTokenCount(null) == 0)
+  }
+
+  test("shingles: count, dedup, short-text fallback") {
+    val sh = TextLib.shingleHashes("a b c d e", 3)
+    assert(sh.length == 3) // "a b c","b c d","c d e"
+    assert(sh.sorted.toSeq == sh.toSeq) // sorted contract
+    assert(TextLib.shingleHashes("a b", 3).length == 1) // whole-text fallback
+    assert(TextLib.shingleHashes("", 3).isEmpty)
+    // repeated shingles collapse
+    assert(TextLib.shingleHashes("x y x y x y x y", 2).length <= 3)
+  }
+
+  test("exact jaccard on sorted hash arrays") {
+    val a = TextLib.shingleHashes("the quick brown fox jumps", 2)
+    assert(TextLib.jaccard(a, a) == 1.0)
+    val b = TextLib.shingleHashes("completely different text here now", 2)
+    assert(TextLib.jaccard(a, b) == 0.0)
+    assert(TextLib.jaccard(Array.empty[Long], Array.empty[Long]) == 1.0)
+  }
+
+  test("minhash estimates jaccard") {
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val mut = (1 to 60).map(i => if (i % 10 == 0) s"x$i" else s"w$i").mkString(" ")
+    val sa = TextLib.shingleHashes(base, 3)
+    val sb = TextLib.shingleHashes(mut, 3)
+    val exact = TextLib.jaccard(sa, sb)
+    val est = TextLib.minHashJaccard(
+      TextLib.minHashSignature(sa, 128, 42L), TextLib.minHashSignature(sb, 128, 42L))
+    assert(math.abs(est - exact) < 0.15, s"est $est vs exact $exact")
+    // deterministic across calls
+    assert(TextLib.minHashSignature(sa, 16, 1L).toSeq ==
+      TextLib.minHashSignature(sa, 16, 1L).toSeq)
+  }
+
+  test("simhash: identical → 0 distance, near → small, far → large") {
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val t1 = (1 to 80).map(i => s"w${i % 30}").mkString(" ")
+    val t2 = t1 + " extra token tail"
+    val t3 = (1 to 80).map(i => s"z$i q${i * 7}").mkString(" ")
+    val h1 = TextLib.simHash64(TextLib.shingleHashes(t1, 3))
+    val h1b = TextLib.simHash64(TextLib.shingleHashes(t1, 3))
+    val h2 = TextLib.simHash64(TextLib.shingleHashes(t2, 3))
+    val h3 = TextLib.simHash64(TextLib.shingleHashes(t3, 3))
+    assert(dist(h1, h1b) == 0)
+    assert(dist(h1, h2) < dist(h1, h3))
+  }
+
+  test("winnowing fingerprints: deterministic, robust to position shift") {
+    val doc = "the quick brown fox jumps over the lazy dog again and again and again"
+    val f1 = TextLib.winnowFingerprint(doc, 10, 6)
+    val f2 = TextLib.winnowFingerprint("PREFIX " + doc, 10, 6)
+    assert(f1.nonEmpty)
+    val inter = f1.toSet.intersect(f2.toSet).size
+    assert(inter.toDouble / f1.length > 0.5, "shifted doc shares most fingerprints")
+    assert(TextLib.winnowFingerprint("short", 10, 6).isEmpty)
+  }
+
+  test("quality and language heuristics") {
+    val good = "the cat sat on the mat and it was a good day for all of us to be here"
+    val bad = "@@@@ ### $$$$ %%%% ^^^^"
+    assert(TextLib.qualityScore(good) > TextLib.qualityScore(bad))
+    assert(TextLib.detectLang("the cat and the dog sat on a mat in the sun") == "en")
+    assert(TextLib.detectLang("der hund und die katze ist nicht zu haus") == "de")
+    assert(TextLib.detectLang("el perro y la casa es una cosa de que") == "es")
+    assert(TextLib.detectLang("") == "und")
+  }
+
+  test("vector kernel: cosine and rhp signatures") {
+    val a = Array(1.0f, 0.0f, 0.0f)
+    val b = Array(0.0f, 1.0f, 0.0f)
+    assert(VectorLib.cosine(a, a) == 1.0)
+    assert(VectorLib.cosine(a, b) == 0.0)
+    assert(VectorLib.cosine(a, Array(0f, 0f, 0f)) == 0.0)
+    val v = Array.tabulate(64)(i => math.sin(i.toDouble).toFloat)
+    assert(VectorLib.rhpSignature(v, 16, 7L) == VectorLib.rhpSignature(v, 16, 7L))
+    val neg = v.map(x => -x)
+    // antipodal vectors get complementary signatures
+    val s1 = VectorLib.rhpSignature(v, 16, 7L)
+    val s2 = VectorLib.rhpSignature(neg, 16, 7L)
+    assert((s1 ^ s2) == 0xffffL)
+  }
+}
