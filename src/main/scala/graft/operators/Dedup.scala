@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Corpus deduplication operators (training-data pipeline surface). All are
+  * shuffle-lean by construction: candidate generation is equality-join on
+  * derived keys (content hash, LSH band, SimHash block), never O(n²) —
+  * the property that matters at 100 TB.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id row per identical text. One hash
+    * shuffle; deterministic survivor choice. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash-LSH near-dup candidate pairs with estimated Jaccard ≥ `minJaccard`.
+    * k-signature split into `bands`; candidates = pairs sharing any band
+    * bucket (equality join on (band, bucket) — the scalable inverted-index
+    * pattern), then verified against the full signatures. */
+  def minhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 64, bands: Int = 16, shingle: Int = 3, minJaccard: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    val rows = bands match { case b => k / b }
+    val sigs = docs.select(col(idCol).as("id"),
+      minhash_signature(shingle_hashes(col(textCol), lit(shingle)), lit(k), lit(seed)).as("sig"))
+    val bandCols = sigs.select(col("id"), col("sig"),
+      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows), b))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val cand = bandCols.as("a")
+      .join(bandCols.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand.withColumn("est_jaccard", expr(
+        s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / $k.0"))
+      .filter(col("est_jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** Exact n-gram Jaccard pairs ≥ `minJaccard` via the shingle inverted
+    * index (explode → equality join → count), not a cross join. */
+  def jaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      shingle: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(shingle_hashes(col(textCol), lit(shingle))).as("sh"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+    sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("nsh").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("nsh").as("nb")), "id_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: hamming(sig_a, sig_b) ≤ maxDist. Candidates via
+    * the pigeonhole block join: split the 64-bit fingerprint into
+    * `maxDist/blockBits + 1`-ish blocks so any pair within maxDist shares at
+    * least one exact block — equality join, no cross product. */
+  def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      shingle: Int = 3, maxDist: Int = 3): DataFrame = {
+    val nBlocks = maxDist + 1 // pigeonhole: ≤ maxDist diffs over nBlocks blocks
+    val blockBits = 64 / nBlocks
+    val sigs = docs.select(col(idCol).as("id"),
+      simhash64(shingle_hashes(col(textCol), lit(shingle))).as("sh"))
+    val blocks = sigs.select(col("id"), col("sh"),
+      posexplode(expr(
+        s"transform(sequence(0, ${nBlocks - 1}), b -> (sh >> (b * $blockBits)) & ${(1L << blockBits) - 1})")))
+      .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bv")
+    blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+      .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Embedding near-dup pairs: cosine ≥ `minCos` among LSH-bucketed
+    * candidates (random hyperplanes); brute-force only within buckets. */
+  def embeddingPairs(embs: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", bits: Int = 8, minCos: Double = 0.95,
+      seed: Long = 7L): DataFrame = {
+    val b = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      rhp_signature(col(vecCol), lit(bits), lit(seed)).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", cosine_similarity(col("a.v"), col("b.v")))
+      .filter(col("cos") >= minCos)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+  }
+
+  /** Collapse near-dup pairs into clusters: iterative min-label propagation
+    * (connected components) on the driver-controlled loop; converges in
+    * O(log n) rounds on realistic dup-cluster sizes (dup clusters are tiny —
+    * the iteration count is bounded by cluster diameter, not corpus size). */
+  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .cache()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      val next = edges.join(labels, edges("id_b") === labels("id"))
+        .groupBy(col("id_a").as("id")).agg(min(col("label")).as("nlabel"))
+      val merged = labels.join(next, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      changed = merged.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      labels = merged
+      iter += 1
+    }
+    labels
+  }
+}

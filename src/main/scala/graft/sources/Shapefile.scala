@@ -1,0 +1,159 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import org.locationtech.jts.geom._
+
+import graft.geom.GeomLib
+
+/** ESRI Shapefile ingestion (reference S1/S3: `ST_READ(shx, keep_wkb=TRUE)`,
+  * east_asia.py:145,175; geopandas fallback east_asia.py:54-69).
+  *
+  * The `.shp` main-file format is a public spec (ESRI Shapefile Technical
+  * Description, 1998): a 100-byte header (file code 9994 big-endian, shape
+  * type little-endian), then records of [big-endian record header][little-
+  * endian shape]. [[ShapefileCodec]] decodes the byte stream to WKB rows;
+  * [[Shapefile.read]] distributes it with Spark's `binaryFile` source — one
+  * task per file, the reference's file-granular parallelism (F1) with
+  * Spark's scheduler in place of the process Pool.
+  *
+  * Supported shapes: Null(0), Point(1), PolyLine(3), Polygon(5),
+  * MultiPoint(8) and their Z variants (11,13,15,18) — Z is parsed and
+  * dropped (the engine's 2D normalization, SURVEY.md F6). Polygon rings are
+  * assembled shell/hole by ring orientation (ESRI: clockwise = shell).
+  */
+object ShapefileCodec {
+
+  private val gf = new GeometryFactory(new PrecisionModel(), 4326)
+
+  /** Decode a whole .shp file to (recordNumber, shapeType, wkb) rows.
+    * Broken trailing records end the iteration rather than failing the file
+    * (reference F10 error isolation). */
+  def decode(bytes: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+    if (bytes.length < 100) return Seq.empty
+    val bb = ByteBuffer.wrap(bytes)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    if (bb.getInt(0) != 9994) return Seq.empty
+    // header file length is in 16-bit words, includes the header
+    val fileLen = math.min(bb.getInt(24).toLong * 2, bytes.length.toLong)
+    val out = Seq.newBuilder[(Int, Int, Array[Byte])]
+    var pos = 100
+    while (pos + 12 <= fileLen) {
+      val recNo = bb.getInt(pos)
+      val contentWords = bb.getInt(pos + 4)
+      val contentLen = contentWords * 2
+      if (pos + 8 + contentLen > fileLen) {
+        pos = fileLen.toInt // truncated record: stop
+      } else {
+        try {
+          val shape = ByteBuffer.wrap(bytes, pos + 8, contentLen)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          val stype = shape.getInt
+          val geom = decodeShape(shape, stype)
+          if (geom != null) out += ((recNo, stype, GeomLib.write(geom)))
+        } catch { case _: Exception => () } // skip broken record
+        pos += 8 + contentLen
+      }
+    }
+    out.result()
+  }
+
+  private def decodeShape(b: ByteBuffer, stype: Int): Geometry = stype match {
+    case 0 => null // null shape
+    case 1 | 11 | 21 => // Point / PointZ / PointM: x,y first
+      gf.createPoint(new Coordinate(b.getDouble, b.getDouble))
+    case 8 | 18 | 28 => // MultiPoint (+Z/M)
+      skipBbox(b)
+      val n = b.getInt
+      val pts = Array.fill(n)(new Coordinate(b.getDouble, b.getDouble))
+      gf.createMultiPointFromCoords(pts)
+    case 3 | 13 | 23 => // PolyLine (+Z/M)
+      val parts = readParts(b)
+      if (parts.length == 1) gf.createLineString(parts.head)
+      else gf.createMultiLineString(parts.map(gf.createLineString).toArray)
+    case 5 | 15 | 25 => // Polygon (+Z/M)
+      assemblePolygon(readParts(b))
+    case _ => null // unsupported type: dropped (the reference's core-7 gate)
+  }
+
+  private def skipBbox(b: ByteBuffer): Unit = { b.getDouble; b.getDouble; b.getDouble; b.getDouble }
+
+  private def readParts(b: ByteBuffer): Seq[Array[Coordinate]] = {
+    skipBbox(b)
+    val numParts = b.getInt
+    val numPoints = b.getInt
+    val partIdx = Array.fill(numParts)(b.getInt)
+    val coords = Array.fill(numPoints)(new Coordinate(b.getDouble, b.getDouble))
+    (0 until numParts).map { i =>
+      val from = partIdx(i)
+      val to = if (i + 1 < numParts) partIdx(i + 1) else numPoints
+      coords.slice(from, to)
+    }
+  }
+
+  /** ESRI ring orientation: clockwise = shell, counter-clockwise = hole;
+    * holes attach to the first shell that contains them. */
+  private def assemblePolygon(rings: Seq[Array[Coordinate]]): Geometry = {
+    val closed = rings.filter(_.length >= 4).map { r =>
+      if (r.head.equals2D(r.last)) r else r :+ r.head.copy()
+    }
+    if (closed.isEmpty) return null
+    val (shellRings, holeRings) = closed.partition(r =>
+      !org.locationtech.jts.algorithm.Orientation.isCCW(gf.createLinearRing(r)
+        .getCoordinateSequence))
+    val shells = (if (shellRings.isEmpty) closed else shellRings).map(gf.createLinearRing)
+    val holes = (if (shellRings.isEmpty) Seq.empty else holeRings).map(gf.createLinearRing)
+    val polys = shells.map { shell =>
+      val shellPoly = gf.createPolygon(shell)
+      val myHoles = holes.filter(h =>
+        shellPoly.contains(gf.createPoint(h.getCoordinateN(0))))
+      gf.createPolygon(shell, myHoles.toArray)
+    }
+    if (polys.length == 1) polys.head
+    else gf.createMultiPolygon(polys.toArray)
+  }
+
+  /** EPSG inference from a `.prj` WKT string (reference S8/G11,
+    * east_asia.py:30-34): explicit AUTHORITY tag, else the common UTM-WGS84
+    * name patterns; None for exotic CRSs (the reference shells out to
+    * ogr2ogr there — we surface None and let callers decide). */
+  def epsgFromPrj(wkt: String): Option[Int] = {
+    if (wkt == null) return None
+    val auth = "(?s).*AUTHORITY\\[\"EPSG\",\\s*\"(\\d+)\"\\]\\s*\\]\\s*$".r
+    wkt match {
+      case auth(code) => Some(code.toInt)
+      case _ =>
+        val utm = "(?si).*UTM[ _]zone[ _](\\d+)(N|S).*".r
+        wkt match {
+          case utm(z, ns) if wkt.toUpperCase.contains("WGS") =>
+            Some((if (ns.equalsIgnoreCase("N")) 32600 else 32700) + z.toInt)
+          case _ if wkt.contains("GCS_WGS_1984") || wkt.contains("WGS 84") => Some(4326)
+          case _ => None
+        }
+    }
+  }
+}
+
+object Shapefile {
+
+  /** Read shapefiles matching `pathGlob` into (source, record_no, shape_type,
+    * geom WKB). One Spark task per file via the binaryFile source —
+    * file-granular parallelism and retry exactly like the reference's Pool
+    * (east_asia.py:308-314), scheduled by Spark. */
+  def read(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.shp")
+      .load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val src = path.substring(path.lastIndexOf('/') + 1)
+        ShapefileCodec.decode(bytes).map { case (no, st, wkb) => (src, no, st, wkb) }
+      }
+      .toDF("source", "record_no", "shape_type", "geom")
+  }
+}

@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming surface over event-shaped data (ts, user_id,
+  * event_type, value). The reference is batch-only (SURVEY.md §2.13); this is
+  * the engine's incremental-processing extension, built entirely on Spark's
+  * built-in event-time machinery so the same code runs on a `readStream`
+  * source with checkpointing (Trigger.AvailableNow reproduces the
+  * reference's idempotent re-run semantics, F4) or on a batch frame in tests.
+  *
+  * Every transform takes and returns a DataFrame so it composes with both
+  * `spark.readStream` and `spark.read`.
+  */
+object EventStreams {
+
+  /** Tumbling/sliding event-time windows with a watermark for late data. */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+      slide: Option[String] = None, watermark: String = "2 hours"): DataFrame = {
+    val w = slide.map(s => window(col("ts"), window_, s))
+      .getOrElse(window(col("ts"), window_))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(w, col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Gap-based sessionization per user (session_window built-in). */
+  def sessionize(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Streaming dedup: first event per (user_id, event_type) within the
+    * watermark horizon — state is bounded by the watermark, which is what
+    * makes this safe on an unbounded stream. */
+  def dedupWithinWatermark(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+}

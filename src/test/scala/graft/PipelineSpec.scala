@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions._
+import graft.geom.GeomLib
+import graft.operators._
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft").toString
+
+  /** Reference-shaped fixture: mixed 2D/3D WKB + nulls + attributes, with
+    * the geometry column named `Shape` (column-discovery path). */
+  private def fixture(): DataFrame = {
+    val rows = (0 until 200).map { i =>
+      val lon = -170.0 + i * 1.7
+      val lat = -80.0 + (i % 160)
+      val geom: Array[Byte] =
+        if (i % 17 == 0) null
+        else if (i % 5 == 0) GeomLib.pointZWkb(lon, lat, 3.0)
+        else GeomLib.squareWkb(lon, lat, 0.25)
+      (i.toLong, s"name_$i", geom)
+    }
+    rows.toDF("fid", "name", "Shape")
+  }
+
+  test("normalize: discovers Shape column, drops nulls, flattens 3D, keeps attrs") {
+    val out = GeoNormalize.normalize(fixture(), srcEpsg = 4326, flipProbe = false)
+    assert(out.columns.toSeq == Seq("fid", "name", "geom"))
+    val n = out.count()
+    assert(n == 200 - 12) // 12 nulls dropped (i % 17 == 0)
+    val types = out.select(wkb_shape_type($"geom")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(types.subsetOf(Set(1, 3))) // points (flattened Z) + polygons
+  }
+
+  test("normalize repairs flipped sources via the min-x probe") {
+    // all longitudes < 60 after flipping (lat in x position) triggers repair
+    val flipped = (0 until 50).map { i =>
+      val lon = 100.0 + i * 0.5 // east-asian longitudes
+      val lat = 10.0 + i * 0.2
+      (i.toLong, GeomLib.pointWkb(lat, lon)) // deliberately (lat, lon)
+    }.toDF("fid", "geom")
+    val out = GeoNormalize.normalize(flipped)
+    val minX = out.agg(min(st_x($"geom"))).head().getDouble(0)
+    assert(minX >= 100.0, s"flip repair should restore lon-lat, got minX=$minX")
+  }
+
+  test("writeClustered: ZSTD parquet, Hilbert-nondecreasing rows, idempotency guard") {
+    val dir = tmp() + "/clustered"
+    val df = GeoNormalize.normalize(fixture(), flipProbe = false)
+    GeoNormalize.writeClustered(df, dir, numFiles = 1)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == df.count())
+    // read preserves file order for a single file; keys must be nondecreasing
+    val keys = back
+      .select(hilbert_encode(st_y(st_centroid($"geom")), st_x(st_centroid($"geom"))))
+      .collect().map(_.getLong(0))
+    assert(keys.zip(keys.tail).forall { case (a, b) => a <= b }, "hilbert order")
+    assert(GeoNormalize.alreadyDone(spark, dir))
+    assert(!GeoNormalize.alreadyDone(spark, dir + "_missing"))
+    // zstd codec actually applied
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.getName.contains("zstd")))
+  }
+
+  test("mergeParquet: greedy bin-packing plan matches reference semantics") {
+    assert(MergeParquet.planBatches(Seq("a" -> 4L, "b" -> 4L, "c" -> 4L), 8L)
+      == Seq(Seq("a", "b"), Seq("c")))
+    // one oversized file still gets its own batch
+    assert(MergeParquet.planBatches(Seq("a" -> 20L, "b" -> 1L), 8L)
+      == Seq(Seq("a"), Seq("b")))
+    assert(MergeParquet.planBatches(Seq.empty, 8L).isEmpty)
+  }
+
+  test("mergeParquet end-to-end: lineage column + row preservation") {
+    val base = tmp()
+    val d1 = s"$base/src1"; val d2 = s"$base/src2"
+    fixture().filter($"Shape".isNotNull).limit(50)
+      .select($"fid", $"Shape".as("geom")).write.parquet(d1)
+    fixture().filter($"Shape".isNotNull).limit(30)
+      .select($"fid", $"Shape".as("geom")).write.parquet(d2)
+    val inFiles = Seq(d1, d2).flatMap(d =>
+      new java.io.File(d).listFiles.filter(_.getName.endsWith(".parquet")).map(_.toString))
+    val outs = MergeParquet.merge(spark, inFiles, s"$base/merged", maxRows = 60)
+    assert(outs.size >= 2) // 80 rows, 60-row cap → ≥ 2 batches
+    val merged = spark.read.parquet(outs: _*)
+    assert(merged.count() == 80)
+    assert(merged.select($"source").distinct().count() == inFiles.size)
+  }
+
+  test("ewkbStats + heatmap + bbox") {
+    val df = fixture().filter($"Shape".isNotNull)
+      .select($"fid", $"Shape".as("geom"))
+    val stats = GeoStats.ewkbStats(df.withColumn("geom", $"geom"))
+    // input_file_name is empty for local relations; histogram still correct
+    val hist = stats.groupBy("shape_type").agg(sum("num_recs").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(hist(3) > 0 && hist(233) > 0)
+    val hm = GeoStats.cellHeatmap(GeoNormalize.normalize(df, flipProbe = false), res = 6)
+    assert(hm.agg(sum("num_recs")).head().getLong(0) > 0)
+    assert(hm.select("boundary_wkt").head().getString(0).startsWith("POLYGON"))
+    val bb = GeoStats.bbox(GeoNormalize.normalize(df, flipProbe = false)).head()
+    assert(bb.getDouble(0) >= -180 && bb.getDouble(1) <= 180)
+  }
+
+  test("dedup library: exact, minhash recall vs exact jaccard, clusters") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "the quick brown fox jumps over the lazy cat and runs far away home"),
+      (3L, "completely different content about spark query engines and storage"),
+      (4L, "totally unrelated words concerning database systems and file formats")
+    ).toDF("doc_id", "text")
+    val ex = Dedup.exact(docs)
+    assert(ex.count() == 4) // docs 0,1 collapse
+    assert(ex.agg(sum("n_dups")).head().getLong(0) == 5)
+    val exactPairs = Dedup.jaccardPairs(docs, minJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactPairs.contains((0L, 1L)) && exactPairs.contains((0L, 2L)))
+    val mh = Dedup.minhashPairs(docs, minJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((0L, 1L)), "identical docs must collide in every band")
+    val cl = Dedup.clusters(Dedup.jaccardPairs(docs, minJaccard = 0.5))
+    val labels = cl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(0L) == labels(1L) && labels(1L) == labels(2L))
+  }
+
+  test("simhash pigeonhole join finds near-identical docs") {
+    val docs = Seq(
+      (0L, (1 to 100).map(i => s"tok${i % 37}").mkString(" ")),
+      (1L, (1 to 100).map(i => s"tok${i % 37}").mkString(" ") + " tail"),
+      (2L, (1 to 100).map(i => s"zzz$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, maxDist = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+
+  test("similarity: lsh top-k recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val bf = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, queries, 5, bits = 4, probes = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(lsh).size.toDouble / bf.size
+    // embeddings here are near-uniform random (top-5 cosine ~0.4): LSH has
+    // limited signal, so only a loose recall floor is meaningful
+    assert(recall >= 0.1, s"multi-probe LSH recall too low: $recall")
+    assert(lsh.nonEmpty)
+  }
+}

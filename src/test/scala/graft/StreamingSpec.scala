@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStreams
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def eventsBatch() = {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    (0 until 300).map { i =>
+      val ts = new java.sql.Timestamp(base.getTime + i.toLong * 4 * 60 * 1000) // 4-min cadence
+      (i.toLong, ts, (i % 7).toLong, if (i % 2 == 0) "click" else "view", i.toDouble)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("windowedCounts on a real stream (file source → memory sink)") {
+    val dir = java.nio.file.Files.createTempDirectory("events").toString + "/data"
+    eventsBatch().write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    assert(stream.isStreaming)
+    val q = EventStreams.windowedCounts(stream, "1 hour")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("win_out")
+    // 300 events * 4 min = 20h span; append mode emits watermark-closed
+    // windows (the final ones stay open) — expect most hours present
+    assert(out.count() >= 15 * 2, s"got ${out.count()} windows")
+    val total = out.agg(sum("n")).head().getLong(0)
+    assert(total > 200)
+    assert(out.columns.contains("window_start"))
+  }
+
+  test("sessionize groups events by 30-minute gaps") {
+    // batch-mode check of the same code path: users 0..6, 4-min cadence per
+    // global stream → per-user cadence 28 min < 30 min gap → 1 session each
+    val sess = EventStreams.sessionize(eventsBatch()).collect()
+    assert(sess.length == 7)
+    assert(sess.map(_.getAs[Long]("n_events")).sum == 300)
+    // larger gap data: two bursts an hour apart → 2 sessions
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val twoBursts = (0 until 10).map { i =>
+      val off = if (i < 5) i * 60000L else 3600000L + i * 60000L
+      (i.toLong, new java.sql.Timestamp(base.getTime + off), 1L, "click", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val s2 = EventStreams.sessionize(twoBursts).collect()
+    assert(s2.length == 2)
+  }
+
+  test("dedupWithinWatermark on a stream keeps one row per key") {
+    val dir = java.nio.file.Files.createTempDirectory("events2").toString + "/data"
+    eventsBatch().write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = EventStreams.dedupWithinWatermark(stream)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("dedup_out")
+    assert(out.count() == 14) // 7 users × 2 event types
+  }
+}
