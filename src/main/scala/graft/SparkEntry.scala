@@ -33,8 +33,10 @@ object SparkEntry {
   private def cents(c: Column): Column = round(c * 100).cast("long")
   private def centsSql(e: String) = s"CAST(ROUND($e * 100) AS BIGINT)"
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.GeoSimplify.install(s) // idempotent; fuses geometry chains
     s.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** events.parquet carries nanosecond timestamps; Spark's parquet reader
     * rejects TIMESTAMP(NANOS) unless read as raw long — normalize to a

@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
+
+/** Algebraic simplification of geometry expression trees — the engine's one
+  * custom optimizer rule.
+  *
+  * Queries compose constructors and accessors freely
+  * (`st_x(st_centroid(st_point(x, y)))`); without rewriting, every such
+  * chain encodes WKB, decodes it into a JTS object, and re-encodes — pure
+  * overhead that scales linearly with the 100 TB row count. The rewrites
+  * here fuse constructor→accessor pairs into plain column arithmetic that
+  * whole-stage codegen compiles away entirely. All rewrites are bit-exact:
+  * WKB stores doubles verbatim, `squareWkb` corners are computed as
+  * `cx ± h` (exactly what the fused expression emits), and the centroid of
+  * a point/axis-aligned square is its center by construction.
+  *
+  * Null semantics are preserved: a constructor is null iff any input is
+  * null, so fused accessors guard on the inputs that no longer appear in
+  * the result expression.
+  */
+object GeoSimplify extends Rule[LogicalPlan] {
+
+  /** Result `res` plus null-propagation from dropped dependencies. */
+  private def guard(res: Expression, dropped: Seq[Expression]): Expression = {
+    val nullable = dropped.filter(_.nullable)
+    if (nullable.isEmpty) res
+    else If(nullable.map(IsNull(_): Expression).reduce(Or(_, _)),
+      Literal.create(null, res.dataType), res)
+  }
+
+  private def sub(a: Expression, b: Expression) = Subtract(a, b, evalMode = EvalMode.LEGACY)
+  private def add(a: Expression, b: Expression) = Add(a, b, evalMode = EvalMode.LEGACY)
+
+  private val rewrites: PartialFunction[Expression, Expression] = {
+    // centroid/force2d of constructors
+    case StCentroid(p @ StPoint(_, _))       => p
+    case StCentroid(StMakeSquare(x, y, h))   => guard(StPoint(x, y), Seq(h))
+    case StCentroid(StMultiPoint1(x, y))     => StPoint(x, y)
+    case StForce2D(p @ StPoint(_, _))        => p
+    case StForce2D(StPointZ(x, y, z))        => guard(StPoint(x, y), Seq(z))
+    // accessors over point constructors
+    case StX(StPoint(x, y))                  => guard(x, Seq(y))
+    case StY(StPoint(x, y))                  => guard(y, Seq(x))
+    case StXMin(StPoint(x, y))               => guard(x, Seq(y))
+    case StXMax(StPoint(x, y))               => guard(x, Seq(y))
+    case StYMin(StPoint(x, y))               => guard(y, Seq(x))
+    case StYMax(StPoint(x, y))               => guard(y, Seq(x))
+    // envelope of an axis-aligned square: corners are cx ± h bit-exactly
+    case StXMin(StMakeSquare(x, y, h))       => guard(sub(x, h), Seq(y))
+    case StXMax(StMakeSquare(x, y, h))       => guard(add(x, h), Seq(y))
+    case StYMin(StMakeSquare(x, y, h))       => guard(sub(y, h), Seq(x))
+    case StYMax(StMakeSquare(x, y, h))       => guard(add(y, h), Seq(x))
+    // no-op transform
+    case StTransform(g, Literal(a, _), Literal(b, _)) if a == b => g
+  }
+
+  private def isCtor(e: Expression): Boolean = e match {
+    case _: StPoint | _: StPointZ | _: StMakeSquare | _: StMultiPoint1 => true
+    case _ => false
+  }
+
+  /** CollapseProject declines to merge projects when an aliased geometry
+    * constructor is referenced many times (it would duplicate the
+    * expression), so accessor patterns never meet their constructors.
+    * Inline constructor aliases from a child Project into the parent
+    * expressions (whole-stage codegen's subexpression elimination dedupes
+    * any residual duplicates), restoring the constructor's inputs to the
+    * child project when the grandchild still provides them. */
+  private def inlineCtors(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ org.apache.spark.sql.catalyst.plans.logical.Project(upper,
+        pc @ org.apache.spark.sql.catalyst.plans.logical.Project(lower, grandchild)) =>
+      val ctors = lower.collect {
+        case a: Alias if isCtor(a.child) => a.exprId -> a.child
+      }.toMap
+      if (ctors.isEmpty) p
+      else {
+        val newUpper = upper.map {
+          case attr: Attribute => attr // keep bare projections of the geometry
+          case ne => ne.transformUp {
+            case attr: Attribute if ctors.contains(attr.exprId) => ctors(attr.exprId)
+          }.asInstanceOf[NamedExpression]
+        }
+        val lowerOut = lower.map(_.toAttribute.exprId).toSet
+        val needed = newUpper.flatMap(_.references).filterNot(a => lowerOut.contains(a.exprId))
+        if (needed.forall(a => grandchild.outputSet.contains(a))) {
+          val stillUsed = newUpper.flatMap(_.references.map(_.exprId)).toSet
+          val keptLower = lower.filter {
+            case a: Alias if ctors.contains(a.exprId) => stillUsed.contains(a.exprId)
+            case _ => true
+          }
+          val newLower = keptLower ++ needed.distinct.filterNot(a =>
+            keptLower.exists(_.toAttribute.exprId == a.exprId))
+          org.apache.spark.sql.catalyst.plans.logical.Project(newUpper,
+            org.apache.spark.sql.catalyst.plans.logical.Project(newLower, grandchild))
+        } else p
+      }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    inlineCtors(plan).transformUp { case node => node.transformExpressionsUp(rewrites) }
+
+  /** Install into an existing session (idempotent). For sessions built from
+    * scratch, `SparkSession.builder().withExtensions(new GraftExtensions)`
+    * achieves the same at construction time. */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.contains(GeoSimplify)) {
+      spark.experimental.extraOptimizations = cur :+ GeoSimplify
+    }
+  }
+}
+
+/** `SparkSessionExtensions` hook: register the optimizer rule (and nothing
+  * else — functions register per-session via GraftFunctions.registerAll). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => GeoSimplify)
+}

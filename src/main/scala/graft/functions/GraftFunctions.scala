@@ -94,11 +94,13 @@ object GraftFunctions {
     "rhp_signature" -> { e => RhpSignature(e(0), e(1), e(2)) }
   )
 
-  /** Register every function into the session's FunctionRegistry. */
+  /** Register every function into the session's FunctionRegistry and
+    * install the geometry-fusion optimizer rule. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     builders.foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    GeoSimplify.install(spark)
   }
 }
