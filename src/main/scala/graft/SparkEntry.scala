@@ -124,6 +124,40 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    "s1_shapefile_scan" -> { (s, d) =>
+      // end-to-end shapefile ingest: synthesize a .shp (public ESRI layout)
+      // from a deterministic lineitem sample, read it back through the
+      // distributed binaryFile source, aggregate — oracled via the same
+      // sample arithmetic. (2*cx is integral, so its sum is exact.)
+      import java.nio.{ByteBuffer, ByteOrder}
+      val pts = t(s, d, "lineitem")
+        .select(cxCol.as("x"), cyCol.as("y"),
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .limit(1000).select("x", "y").collect()
+      val total = 100 + pts.length * 28
+      val bb = ByteBuffer.allocate(total)
+      bb.order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(0, 9994)
+      bb.putInt(24, total / 2)
+      bb.order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(28, 1000)
+      bb.putInt(32, 1)
+      bb.position(100)
+      pts.zipWithIndex.foreach { case (r, i) =>
+        bb.order(ByteOrder.BIG_ENDIAN).putInt(i + 1).putInt(10)
+        bb.order(ByteOrder.LITTLE_ENDIAN).putInt(1)
+          .putDouble(r.getDouble(0)).putDouble(r.getDouble(1))
+      }
+      val dir = java.nio.file.Files.createTempDirectory("s1shp")
+      java.nio.file.Files.write(dir.resolve("lineitem_sample.shp"), bb.array())
+      graft.sources.Shapefile.read(s, dir.toString)
+        .agg(count(lit(1)).as("n"),
+          sum((st_x(col("geom")) * 2).cast("long")).as("sum_2x"),
+          min(st_x(col("geom"))).as("min_x"),
+          max(st_y(col("geom"))).as("max_y"))
+    },
+
     "s7_json_props" -> { (s, d) =>
       val schema = new StructType().add("k", IntegerType)
       events(s, d)
@@ -587,6 +621,13 @@ object SparkEntry {
 
     "s6_filename_lineage" ->
       "SELECT 'lineitem.parquet' AS source, COUNT(*) AS n FROM lineitem ORDER BY source",
+
+    "s1_shapefile_scan" ->
+      s"""WITH sample AS (
+            SELECT $cxSql AS x, $cySql AS y FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 1000)
+          SELECT COUNT(*) AS n, CAST(SUM(CAST(x * 2 AS BIGINT)) AS BIGINT) AS sum_2x,
+            MIN(x) AS min_x, MAX(y) AS max_y FROM sample""",
 
     "s7_json_props" ->
       """SELECT event_type, CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS INTEGER)) AS BIGINT) AS sum_k,
