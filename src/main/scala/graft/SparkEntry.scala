@@ -208,6 +208,32 @@ object SparkEntry {
         .orderBy("o_custkey", "rk")
     },
 
+    "w3_lag_gap_days" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      t(s, d, "orders")
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .withColumn("gap_days", datediff(col("o_orderdate"), col("prev_date")))
+        .filter(col("gap_days").isNotNull)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("gap_days").cast("long")).as("sum_gap_days"),
+          max(col("gap_days")).as("max_gap_days"))
+        .orderBy("o_custkey")
+    },
+
+    "x1_set_except" -> { (s, d) =>
+      // customers that never ordered: EXCEPT (set op) — then count
+      val with_ = t(s, d, "orders").select(col("o_custkey").as("k"))
+      val all = t(s, d, "customer").select(col("c_custkey").as("k"))
+      all.except(with_).agg(count(lit(1)).as("n_never_ordered"))
+    },
+
+    "a8_rollup" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
     // =====================================================================
     // Spatial operators over synthesized WKB geometry (P3/P4/P6, A1/A2/A6/A7,
     // G1–G8, O1, F7, F8)
@@ -658,6 +684,29 @@ object SparkEntry {
            SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER
              (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
            FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+
+    "w3_lag_gap_days" ->
+      """WITH g AS (
+           SELECT o_custkey,
+             date_diff('day', LAG(o_orderdate, 1) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) AS gap_days
+           FROM orders)
+         SELECT o_custkey, COUNT(*) AS n_gaps,
+           CAST(SUM(gap_days) AS BIGINT) AS sum_gap_days,
+           CAST(MAX(gap_days) AS INTEGER) AS max_gap_days
+         FROM g WHERE gap_days IS NOT NULL
+         GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "x1_set_except" ->
+      """SELECT COUNT(*) AS n_never_ordered FROM (
+           SELECT c_custkey AS k FROM customer
+           EXCEPT SELECT o_custkey AS k FROM orders)""",
+
+    "a8_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
 
     "p3_shapetype_mix" ->
       s"""SELECT CASE WHEN l_linenumber % 3 = 0 THEN 1 ELSE 4 END AS shape_type,
