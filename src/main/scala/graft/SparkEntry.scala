@@ -158,6 +158,21 @@ object SparkEntry {
           max(st_y(col("geom"))).as("max_y"))
     },
 
+    "s4_csv_wkt_roundtrip" -> { (s, d) =>
+      // the reference's CSV-of-WKT handoff (east_asia.py:57-74): emit WKT
+      // rows to CSV, scan them back, parse, and aggregate exactly
+      val dir = java.nio.file.Files.createTempDirectory("s4csv").toString + "/wkt"
+      t(s, d, "lineitem")
+        .select(concat(lit("POINT ("), cxCol.cast("string"), lit(" "),
+          cyCol.cast("string"), lit(")")).as("wkt"))
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      s.read.option("header", "true").csv(dir)
+        .withColumn("g", st_geomfromtext(col("wkt")))
+        .agg(count(lit(1)).as("n"),
+          sum((st_x(col("g")) * 2).cast("long")).as("sum_2x"),
+          min(st_y(col("g"))).as("min_y"), max(st_x(col("g"))).as("max_x"))
+    },
+
     "s7_json_props" -> { (s, d) =>
       val schema = new StructType().add("k", IntegerType)
       events(s, d)
@@ -454,14 +469,21 @@ object SparkEntry {
     },
 
     "t3_ngram_jaccard" -> { (s, d) =>
-      // exact 3-gram Jaccard near-dup pairs ≥ 0.5, via the scalable
-      // explode-join (shingle inverted index) — not the O(n²) cross join
+      // exact 3-gram Jaccard near-dup pairs ≥ 0.5 via the shingle inverted
+      // index: group each shingle's posting list once and emit its doc
+      // pairs directly — one shuffle cheaper than the equivalent self-join,
+      // and never an O(n²) cross join
       val sh = t(s, d, "documents")
         .select(col("doc_id"), explode(shingle_hashes(col("text"), lit(3))).as("sh"))
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-      val inter = sh.as("a")
-        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      val inter = sh.groupBy("sh")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), " +
+            "b -> named_struct('id_a', a, 'id_b', b))))")).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+        .groupBy("id_a", "id_b")
         .agg(count(lit(1)).as("inter"))
       inter
         .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nsh", "na"), "id_a")
@@ -483,14 +505,18 @@ object SparkEntry {
       val bands = docs.select(col("doc_id"), col("sig"),
         posexplode(expr("transform(sequence(0, 15), b -> hash(slice(sig, b * 4 + 1, 4), b))")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      // dedupe candidates on the id pair alone (cheap), then join the two
+      // signatures back — a distinct over wide sig arrays shuffles 16x the
+      // bytes for nothing
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
       cand
+        .join(docs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+        .join(docs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
         .withColumn("est_jacc", expr(
           "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / 64.0"))
         .filter(col("est_jacc") >= 0.5)
@@ -654,6 +680,11 @@ object SparkEntry {
             ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 1000)
           SELECT COUNT(*) AS n, CAST(SUM(CAST(x * 2 AS BIGINT)) AS BIGINT) AS sum_2x,
             MIN(x) AS min_x, MAX(y) AS max_y FROM sample""",
+
+    "s4_csv_wkt_roundtrip" ->
+      s"""SELECT COUNT(*) AS n,
+          CAST(SUM(CAST($cxSql * 2 AS BIGINT)) AS BIGINT) AS sum_2x,
+          MIN($cySql) AS min_y, MAX($cxSql) AS max_x FROM lineitem""",
 
     "s7_json_props" ->
       """SELECT event_type, CAST(SUM(CAST(regexp_extract(props, '[0-9]+') AS INTEGER)) AS BIGINT) AS sum_k,

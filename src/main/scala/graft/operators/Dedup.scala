@@ -31,28 +31,45 @@ object Dedup {
     val bandCols = sigs.select(col("id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows), b))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // dedupe candidates on the id pair alone, then join signatures back —
+    // a distinct over wide sig arrays shuffles bands× the bytes for nothing
     val cand = bandCols.as("a")
       .join(bandCols.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    cand.withColumn("est_jaccard", expr(
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard", expr(
         s"aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / $k.0"))
       .filter(col("est_jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
   /** Exact n-gram Jaccard pairs ≥ `minJaccard` via the shingle inverted
-    * index (explode → equality join → count), not a cross join. */
+    * index: group each shingle's posting list and emit its doc pairs —
+    * one shuffle cheaper than a self-join, never a cross join.
+    * `maxPosting` drops stop-shingles (posting lists longer than the cap):
+    * a shingle shared by thousands of documents carries no dedup signal but
+    * quadratic pair cost — capping it is the standard scale guard; pairs
+    * whose overlap is exclusively stop-shingles are then missed, which is
+    * the documented trade. Pass Int.MaxValue for exact semantics. */
   def jaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      shingle: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+      shingle: Int = 3, minJaccard: Double = 0.5,
+      maxPosting: Int = 10000): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       explode(shingle_hashes(col(textCol), lit(shingle))).as("sh"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
-    sh.as("a").join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    sh.groupBy("sh")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxPosting)
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), " +
+          "b -> named_struct('id_a', a, 'id_b', b))))")).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("id").as("id_a"), col("nsh").as("na")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("nsh").as("nb")), "id_b")

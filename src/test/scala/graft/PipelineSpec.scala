@@ -123,6 +123,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(bb.getDouble(0) >= -180 && bb.getDouble(1) <= 180)
   }
 
+  test("ndjson sink shape round-trips (shape_stats.json contract)") {
+    val df = fixture().filter($"Shape".isNotNull)
+      .select($"fid", $"Shape".as("geom"))
+    val out = tmp() + "/stats"
+    GeoStats.writeNdjson(GeoStats.ewkbStats(df), out)
+    val back = spark.read.json(out)
+    assert(back.columns.sorted.toSeq == Seq("filename", "num_recs", "shape_type"))
+    assert(back.agg(sum("num_recs")).head().getLong(0) == df.count())
+  }
+
   test("dedup library: exact, minhash recall vs exact jaccard, clusters") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over the lazy dog and runs far away home"),
