@@ -613,12 +613,14 @@ object SparkEntry {
     // =====================================================================
 
     "e1_hourly_windows" -> { (s, d) =>
+      // hour emitted as epoch seconds: timestamp columns round-trip through
+      // parquet/DuckDB with engine-specific tz adjustment; epoch longs don't
       events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_cents"))
-        .select(col("window.start").as("hour"), col("event_type"), col("n"),
-          col("sum_value_cents"))
-        .orderBy("hour", "event_type")
+        .select(unix_timestamp(col("window.start")).as("hour_epoch"), col("event_type"),
+          col("n"), col("sum_value_cents"))
+        .orderBy("hour_epoch", "event_type")
     },
 
     "e2_sessionize" -> { (s, d) =>
@@ -874,9 +876,10 @@ object SparkEntry {
          SELECT qid, nid, rk, cos FROM ranked WHERE rk <= 5 ORDER BY qid, rk""",
 
     "e1_hourly_windows" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n,
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+         COUNT(*) AS n,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
-         FROM events GROUP BY date_trunc('hour', ts), event_type ORDER BY hour, event_type""",
+         FROM events GROUP BY 1, event_type ORDER BY hour_epoch, event_type""",
 
     "e2_sessionize" ->
       """WITH gaps AS (

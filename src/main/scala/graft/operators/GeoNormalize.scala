@@ -120,4 +120,24 @@ object GeoNormalize {
       try { work(s); None }
       catch { case e: Throwable => Some(s -> e) }
     }
+
+  /** The reference's `main` command end-to-end (east_asia.py:286-314): for
+    * each (inputPath → srcEpsg) source table of WKB geometry, normalize and
+    * write a Hilbert-clustered output under `outDir`, with retry-friendly
+    * shuffled ordering (F3), idempotency skip (F4), and per-source error
+    * isolation (F10). Sources are independent Spark jobs — the scheduler
+    * provides the parallelism the reference got from its process Pool (F1).
+    * Returns the failures. */
+  def convertAll(spark: SparkSession, sources: Seq[(String, Int)], outDir: String,
+      numFilesPerSource: Int = 1, seed: Long = 42L): Seq[((String, Int), Throwable)] = {
+    val shuffled = new scala.util.Random(seed).shuffle(sources)
+    forEachSource(shuffled) { case (path, epsg) =>
+      val name = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".parquet")
+      val out = s"$outDir/$name"
+      if (!alreadyDone(spark, out)) {
+        val df = spark.read.parquet(path)
+        writeClustered(normalize(df, epsg), out, numFiles = numFilesPerSource)
+      }
+    }
+  }
 }

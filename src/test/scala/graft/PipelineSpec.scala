@@ -123,6 +123,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(bb.getDouble(0) >= -180 && bb.getDouble(1) <= 180)
   }
 
+  test("convertAll: multi-source convert with idempotent re-run") {
+    val base = tmp()
+    val src = s"$base/in/tokyo"
+    fixture().filter($"Shape".isNotNull)
+      .select($"fid", $"Shape".as("geom")).write.parquet(src)
+    val out = s"$base/out"
+    val fails = GeoNormalize.convertAll(spark, Seq(src -> 4326), out)
+    assert(fails.isEmpty)
+    val n1 = spark.read.parquet(s"$out/tokyo").count()
+    assert(n1 > 0)
+    // second run is a no-op (F4) and still succeeds
+    val mtime = new java.io.File(s"$out/tokyo").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+    assert(GeoNormalize.convertAll(spark, Seq(src -> 4326), out).isEmpty)
+    val mtime2 = new java.io.File(s"$out/tokyo").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.lastModified).max
+    assert(mtime2 == mtime, "idempotent re-run must not rewrite")
+    // a broken source is isolated, not fatal
+    val fails2 = GeoNormalize.convertAll(spark,
+      Seq(src -> 4326, s"$base/in/missing" -> 4326), out)
+    assert(fails2.map(_._1._1) == Seq(s"$base/in/missing"))
+  }
+
   test("ndjson sink shape round-trips (shape_stats.json contract)") {
     val df = fixture().filter($"Shape".isNotNull)
       .select($"fid", $"Shape".as("geom"))
