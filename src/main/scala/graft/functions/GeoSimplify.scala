@@ -36,7 +36,23 @@ object GeoSimplify extends Rule[LogicalPlan] {
   private def sub(a: Expression, b: Expression) = Subtract(a, b, evalMode = EvalMode.LEGACY)
   private def add(a: Expression, b: Expression) = Add(a, b, evalMode = EvalMode.LEGACY)
 
-  private val rewrites: PartialFunction[Expression, Expression] = {
+  private def isAccessor(e: Expression): Boolean = e match {
+    case _: StX | _: StY | _: StXMin | _: StXMax | _: StYMin | _: StYMax |
+        _: StCentroid | _: StForce2D | _: WkbShapeType => true
+    case _ => false
+  }
+
+  private def isFusableBranch(e: Expression): Boolean = e match {
+    case Literal(null, _) => true
+    case e if isCtor(e) => true
+    case _ => false
+  }
+
+  /** Re-apply the rewrite set to a freshly built subtree (used when pushing
+    * accessors into conditional branches creates new accessor(ctor) pairs). */
+  private def fuse(e: Expression): Expression = e.transformUp(rewrites)
+
+  private lazy val rewrites: PartialFunction[Expression, Expression] = {
     // centroid/force2d of constructors
     case StCentroid(p @ StPoint(_, _))       => p
     case StCentroid(StMakeSquare(x, y, h))   => guard(StPoint(x, y), Seq(h))
@@ -57,6 +73,26 @@ object GeoSimplify extends Rule[LogicalPlan] {
     case StYMax(StMakeSquare(x, y, h))       => guard(add(y, h), Seq(x))
     // no-op transform
     case StTransform(g, Literal(a, _), Literal(b, _)) if a == b => g
+    // shape-type of a known constructor is a constant (byte-level contract)
+    case WkbShapeType(StPoint(x, y))          => guard(Literal(1), Seq(x, y))
+    case WkbShapeType(StMultiPoint1(x, y))    => guard(Literal(4), Seq(x, y))
+    case WkbShapeType(StMakeSquare(x, y, h))  => guard(Literal(3), Seq(x, y, h))
+    case WkbShapeType(StPointZ(x, y, z))      => guard(Literal(233), Seq(x, y, z))
+    // accessors distribute over conditionals: the branches are where the
+    // constructors live when queries build geometry with when/otherwise
+    case acc: UnaryExpression if isAccessor(acc) =>
+      acc.child match {
+        case If(p, a, b) if isFusableBranch(a) || isFusableBranch(b) =>
+          If(p, fuse(acc.withNewChildren(Seq(a))), fuse(acc.withNewChildren(Seq(b))))
+        case CaseWhen(branches, elseValue)
+            if branches.exists(br => isFusableBranch(br._2)) ||
+              elseValue.exists(isFusableBranch) =>
+          CaseWhen(
+            branches.map { case (c, v) => (c, fuse(acc.withNewChildren(Seq(v)))) },
+            elseValue.map(v => fuse(acc.withNewChildren(Seq(v)))))
+        case Literal(null, _) => Literal.create(null, acc.dataType)
+        case _ => acc
+      }
   }
 
   private def isCtor(e: Expression): Boolean = e match {
