@@ -137,6 +137,62 @@ object ShapefileCodec {
   }
 }
 
+/** dBASE III (.dbf) attribute sidecar decoder — the `.dbf` half of the
+  * shapefile trio the reference's ST_READ exposes as attribute columns
+  * (east_asia.py:145-153 discovers them; ORNL-FEMA-Buildings.md:79-80 keeps
+  * them via `* EXCLUDE(Shape)`). Public dBASE spec: 32-byte header
+  * (record count at offset 4 LE, header size at 8, record size at 10),
+  * 32-byte field descriptors until 0x0D, then fixed-width ASCII records
+  * prefixed by a deletion flag. */
+object DbfCodec {
+
+  final case class Field(name: String, ftype: Char, length: Int)
+
+  def fields(bytes: Array[Byte]): Seq[Field] = {
+    if (bytes.length < 33) return Seq.empty
+    val out = Seq.newBuilder[Field]
+    var pos = 32
+    while (pos + 32 <= bytes.length && bytes(pos) != 0x0d) {
+      val nameEnd = (pos until pos + 11).find(i => bytes(i) == 0).getOrElse(pos + 11)
+      val name = new String(bytes, pos, nameEnd - pos, "US-ASCII").trim
+      val ftype = (bytes(pos + 11) & 0xff).toChar
+      val len = bytes(pos + 16) & 0xff
+      out += Field(name, ftype, len)
+      pos += 32
+    }
+    out.result()
+  }
+
+  /** Decode records to (recordIndex starting at 1, fieldName → trimmed
+    * string value); deleted rows ('*' flag) are skipped but keep their
+    * index so .shp record numbers still line up. */
+  def decode(bytes: Array[Byte]): Seq[(Int, Map[String, String])] = {
+    if (bytes.length < 32) return Seq.empty
+    val nRec = (bytes(4) & 0xff) | ((bytes(5) & 0xff) << 8) |
+      ((bytes(6) & 0xff) << 16) | ((bytes(7) & 0xff) << 24)
+    val headerSize = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+    val recSize = (bytes(10) & 0xff) | ((bytes(11) & 0xff) << 8)
+    val fs = fields(bytes)
+    if (fs.isEmpty || recSize <= 0) return Seq.empty
+    val out = Seq.newBuilder[(Int, Map[String, String])]
+    var i = 0
+    while (i < nRec && headerSize + (i + 1) * recSize <= bytes.length) {
+      val base = headerSize + i * recSize
+      if (bytes(base) != '*') { // not deleted
+        var off = base + 1
+        val m = Map.newBuilder[String, String]
+        fs.foreach { f =>
+          m += f.name -> new String(bytes, off, f.length, "US-ASCII").trim
+          off += f.length
+        }
+        out += ((i + 1, m.result()))
+      }
+      i += 1
+    }
+    out.result()
+  }
+}
+
 object Shapefile {
 
   /** Read shapefiles matching `pathGlob` into (source, record_no, shape_type,
@@ -155,5 +211,26 @@ object Shapefile {
         ShapefileCodec.decode(bytes).map { case (no, st, wkb) => (src, no, st, wkb) }
       }
       .toDF("source", "record_no", "shape_type", "geom")
+  }
+
+  /** Read shapefiles with their .dbf attribute sidecars: geometry rows
+    * joined to per-record attributes (as a map column — shapefile schemas
+    * vary per file, exactly why the reference probes schemas at runtime).
+    * Both sides scan with one task per file; the join keys on
+    * (source, record_no). */
+  def readWithAttrs(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    val geo = read(spark, pathGlob)
+    val attrs = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.dbf")
+      .load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val base = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".dbf")
+        DbfCodec.decode(bytes).map { case (no, m) => (base + ".shp", no, m) }
+      }
+      .toDF("source", "record_no", "attrs")
+    geo.join(attrs, Seq("source", "record_no"), "left")
   }
 }

@@ -22,6 +22,36 @@ object ShpFixture {
     b.array()
   }
 
+  /** dBASE III sidecar with fields NAME(C,8), POP(N,6); two records. */
+  def dbf(): Array[Byte] = {
+    val fields = Seq(("NAME", 'C', 8), ("POP", 'N', 6))
+    val recSize = 1 + fields.map(_._3).sum
+    val headerSize = 32 + fields.size * 32 + 1
+    val b = ByteBuffer.allocate(headerSize + 2 * recSize + 1)
+    b.order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0, 3.toByte)
+    b.putInt(4, 2) // record count
+    b.putShort(8, headerSize.toShort)
+    b.putShort(10, recSize.toShort)
+    fields.zipWithIndex.foreach { case ((name, t, len), i) =>
+      val off = 32 + i * 32
+      name.getBytes("US-ASCII").zipWithIndex.foreach { case (c, j) => b.put(off + j, c) }
+      b.put(off + 11, t.toByte)
+      b.put(off + 16, len.toByte)
+    }
+    b.put(32 + fields.size * 32, 0x0d.toByte)
+    def rec(off: Int, name: String, pop: String): Unit = {
+      b.put(off, ' '.toByte)
+      name.padTo(8, ' ').getBytes("US-ASCII").zipWithIndex.foreach { case (c, j) =>
+        b.put(off + 1 + j, c) }
+      pop.reverse.padTo(6, ' ').reverse.getBytes("US-ASCII").zipWithIndex.foreach {
+        case (c, j) => b.put(off + 9 + j, c) }
+    }
+    rec(headerSize, "tokyo", "37400")
+    rec(headerSize + recSize, "osaka", "19200")
+    b.array()
+  }
+
   /** One Point record + one Polygon record (single CW ring). */
   def pointAndPolygon(): Array[Byte] = {
     // point record: header 8 + content (4 + 16) = 28 bytes
@@ -75,6 +105,32 @@ class ShapefileSpec extends AnyFunSuite {
     assert(ShapefileCodec.epsgFromPrj("""GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984"]]""") == Some(4326))
     assert(ShapefileCodec.epsgFromPrj("""PROJCS["Weird Local Grid"]""") == None)
     assert(ShapefileCodec.epsgFromPrj(null) == None)
+  }
+
+  test("dbf decode: fields, records, record numbering") {
+    val bytes = ShpFixture.dbf()
+    import graft.sources.DbfCodec
+    assert(DbfCodec.fields(bytes).map(f => (f.name, f.ftype, f.length)) ==
+      Seq(("NAME", 'C', 8), ("POP", 'N', 6)))
+    val recs = DbfCodec.decode(bytes)
+    assert(recs == Seq(
+      1 -> Map("NAME" -> "tokyo", "POP" -> "37400"),
+      2 -> Map("NAME" -> "osaka", "POP" -> "19200")))
+    assert(DbfCodec.decode(Array.fill(10)(1.toByte)).isEmpty)
+  }
+
+  test("readWithAttrs joins .shp geometry with .dbf attributes") {
+    val spark = SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("shpattr").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "demo.shp"),
+      ShpFixture.pointAndPolygon())
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "demo.dbf"),
+      ShpFixture.dbf())
+    val df = Shapefile.readWithAttrs(spark, dir)
+    assert(df.count() == 2)
+    val byRec = df.collect().map(r =>
+      r.getAs[Int]("record_no") -> r.getAs[Map[String, String]]("attrs")).toMap
+    assert(byRec(1)("NAME") == "tokyo" && byRec(2)("POP") == "19200")
   }
 
   test("distributed read via binaryFile source") {
