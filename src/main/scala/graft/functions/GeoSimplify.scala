@@ -73,6 +73,13 @@ object GeoSimplify extends Rule[LogicalPlan] {
     case StYMax(StMakeSquare(x, y, h))       => guard(add(y, h), Seq(x))
     // no-op transform
     case StTransform(g, Literal(a, _), Literal(b, _)) if a == b => g
+    // fuse accessor-of-centroid (and the full Hilbert clustering key) into
+    // single-WKB-pass forms — ctor cases above fire first bottom-up, so
+    // these only catch real geometry columns
+    case StX(StCentroid(g)) => CentroidX(g)
+    case StY(StCentroid(g)) => CentroidY(g)
+    case HilbertEncode(CentroidY(g1), CentroidX(g2)) if g1.semanticEquals(g2) =>
+      HilbertOfGeom(g1)
     // shape-type of a known constructor is a constant (byte-level contract)
     case WkbShapeType(StPoint(x, y))          => guard(Literal(1), Seq(x, y))
     case WkbShapeType(StMultiPoint1(x, y))    => guard(Literal(4), Seq(x, y))

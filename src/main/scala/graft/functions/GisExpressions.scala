@@ -224,6 +224,36 @@ case class StTransform(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** centroid_x(geom): fused st_x(st_centroid(geom)) — one WKB decode. */
+case class CentroidX(child: Expression) extends WkbToDoubleExpression {
+  override def prettyName: String = "centroid_x"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.centroidX(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** centroid_y(geom): fused st_y(st_centroid(geom)). */
+case class CentroidY(child: Expression) extends WkbToDoubleExpression {
+  override def prettyName: String = "centroid_y"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.centroidY(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** hilbert_of_geom(geom): fused hilbert_encode(st_y(st_centroid g),
+  * st_x(st_centroid g)) — the engine's spatial clustering key in a single
+  * WKB pass (the write-path hot loop). */
+case class HilbertOfGeom(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hilbert_of_geom"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.hilbertOfGeom(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** grid_cell(lon, lat, res) → hierarchical cell id — capability twin of
   * H3_LATLNG_TO_CELL(lat, lng, res) (East-Asia-Building-Footprints.md:250-252;
   * substitution documented in SURVEY.md §7.5). */

@@ -37,6 +37,9 @@ object GraftFunctions {
   def st_geomfromtext(wkt: Column): Column = col(StGeomFromText(ex(wkt)))
   def st_transform(geom: Column, srcEpsg: Column, dstEpsg: Column): Column =
     col(StTransform(ex(geom), ex(srcEpsg), ex(dstEpsg)))
+  def centroid_x(geom: Column): Column = col(CentroidX(ex(geom)))
+  def centroid_y(geom: Column): Column = col(CentroidY(ex(geom)))
+  def hilbert_of_geom(geom: Column): Column = col(HilbertOfGeom(ex(geom)))
   def grid_cell(lon: Column, lat: Column, res: Column): Column =
     col(GridCell(ex(lon), ex(lat), ex(res)))
   def grid_cell_boundary_wkt(cell: Column): Column = col(GridCellBoundaryWkt(ex(cell)))
@@ -79,6 +82,9 @@ object GraftFunctions {
     "st_astext" -> { e => StAsText(e.head) },
     "st_geomfromtext" -> { e => StGeomFromText(e.head) },
     "st_transform" -> { e => StTransform(e(0), e(1), e(2)) },
+    "centroid_x" -> { e => CentroidX(e.head) },
+    "centroid_y" -> { e => CentroidY(e.head) },
+    "hilbert_of_geom" -> { e => HilbertOfGeom(e.head) },
     "grid_cell" -> { e => GridCell(e(0), e(1), e(2)) },
     "grid_cell_boundary_wkt" -> { e => GridCellBoundaryWkt(e.head) },
     "grid_cell_center_lon" -> { e => GridCellCenterLon(e.head) },

@@ -22,9 +22,13 @@ object GeomLib {
   private val wkbReader = ThreadLocal.withInitial[WKBReader](() => new WKBReader(factory))
   // Output dimension 2: writing always forces XY-only, matching the
   // reference's 2D output contract (shapely wkt.dumps(output_dimension=2),
-  // east_asia.py:66-68).
-  private val wkbWriter2 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2))
-  private val wkbWriter3 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(3))
+  // east_asia.py:66-68). Little-endian (NDR) throughout: the hand-rolled
+  // constructors, the shapefile spec, and DuckDB/GEOS output are all NDR,
+  // so one byte order keeps WKB byte-comparable across the engine.
+  private val wkbWriter2 = ThreadLocal.withInitial[WKBWriter](() =>
+    new WKBWriter(2, org.locationtech.jts.io.ByteOrderValues.LITTLE_ENDIAN))
+  private val wkbWriter3 = ThreadLocal.withInitial[WKBWriter](() =>
+    new WKBWriter(3, org.locationtech.jts.io.ByteOrderValues.LITTLE_ENDIAN))
   private val wktReader = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
   private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter())
 
@@ -171,10 +175,47 @@ object GeomLib {
 
   /** Drop Z/M: WKBWriter with outputDimension=2 re-encodes XY only —
     * the capability behind the reference's shapely
-    * `wkt.dumps(..., output_dimension=2)` fallback (east_asia.py:66-68). */
+    * `wkt.dumps(..., output_dimension=2)` fallback (east_asia.py:66-68).
+    * Fast path: little-endian WKB whose type word is already a core-2D
+    * code (1..7) is returned untouched — no decode/encode; on mixed
+    * corpora the overwhelming majority of rows take this path. */
   def force2D(wkb: Array[Byte]): Array[Byte] = {
+    if (wkb != null && wkb.length >= 5 && wkb(0) == 1) {
+      val tw = wkbTypeWord(wkb)
+      if (tw >= 1 && tw <= 7) return wkb
+    }
     val g = readOrNull(wkb)
     if (g == null) null else write(g)
+  }
+
+  // -------------------------------------------------------------------------
+  // Single-pass fused accessors (one WKB decode, no intermediate geometry
+  // encode) — the hot-path forms GeoSimplify rewrites compositions into.
+  // -------------------------------------------------------------------------
+
+  private def centroidCoord(wkb: Array[Byte]): Coordinate = {
+    val g = readOrNull(wkb)
+    if (g == null || g.isEmpty) null
+    else org.locationtech.jts.algorithm.Centroid.getCentroid(g)
+  }
+
+  /** X of the centroid — equals stX(centroid(wkb)) bit-for-bit (JTS
+    * getCentroid delegates to the same Centroid algorithm). */
+  def centroidX(wkb: Array[Byte]): java.lang.Double = {
+    val c = centroidCoord(wkb)
+    if (c == null) null else Double.box(c.x)
+  }
+
+  def centroidY(wkb: Array[Byte]): java.lang.Double = {
+    val c = centroidCoord(wkb)
+    if (c == null) null else Double.box(c.y)
+  }
+
+  /** Hilbert key of the centroid — equals
+    * hilbertEncode(stY(centroid(w)), stX(centroid(w))) in one pass. */
+  def hilbertOfGeom(wkb: Array[Byte]): java.lang.Long = {
+    val c = centroidCoord(wkb)
+    if (c == null) null else Long.box(hilbertEncode(c.y, c.x))
   }
 
   def asText(wkb: Array[Byte]): String = {

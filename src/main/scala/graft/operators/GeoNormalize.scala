@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.BinaryType
 
@@ -42,12 +42,14 @@ object GeoNormalize {
       throw new IllegalArgumentException("no binary geometry column found"))
     val attrs = df.columns.filter(_ != geomCol).map(col).toSeq
 
+    val transformed =
+      if (srcEpsg == 4326) (c: Column) => c
+      else (c: Column) => st_transform(c, lit(srcEpsg), lit(4326))
     val flat = df
       .withColumn("__g", st_force2d(col(geomCol)))
       .filter(col("__g").isNotNull && wkb_shape_type(col("__g")) < 8)
-      .withColumn("__g", st_transform(col("__g"), lit(srcEpsg), lit(4326)))
-      .filter(st_x(st_centroid(col("__g"))).isNotNull &&
-        st_y(st_centroid(col("__g"))).isNotNull)
+      .withColumn("__g", transformed(col("__g")))
+      .filter(centroid_x(col("__g")).isNotNull && centroid_y(col("__g")).isNotNull)
 
     val repaired =
       if (!flipProbe) flat
@@ -75,8 +77,7 @@ object GeoNormalize {
     */
   def writeClustered(df: DataFrame, outPath: String, numFiles: Int = 0,
       zstdLevel: Int = 22, rowGroupBytes: Long = 4L * 1024 * 1024): Unit = {
-    val keyed = df.withColumn("__hk",
-      hilbert_encode(st_y(st_centroid(col("geom"))), st_x(st_centroid(col("geom")))))
+    val keyed = df.withColumn("__hk", hilbert_of_geom(col("geom")))
     val arranged =
       if (numFiles > 0) keyed.repartitionByRange(numFiles, col("__hk"))
         .sortWithinPartitions("__hk")
@@ -95,8 +96,7 @@ object GeoNormalize {
     * across the cluster — the exact reference semantics for single-file
     * outputs (east_asia.py:75-82). */
   def writeClusteredSorted(df: DataFrame, outPath: String, zstdLevel: Int = 22): Unit = {
-    val keyed = df.withColumn("__hk",
-      hilbert_encode(st_y(st_centroid(col("geom"))), st_x(st_centroid(col("geom")))))
+    val keyed = df.withColumn("__hk", hilbert_of_geom(col("geom")))
     keyed.orderBy("__hk").drop("__hk")
       .write.mode("overwrite")
       .option("compression", "zstd")

@@ -31,8 +31,8 @@ object GeoStats {
     * the anti-meridian band (East-Asia-Building-Footprints.md:267-268).
     * Returns (cell, num_recs, boundary_wkt). */
   def cellHeatmap(df: DataFrame, res: Int = 12, geomCol: String = "geom"): DataFrame =
-    df.withColumn("__c", st_centroid(col(geomCol)))
-      .withColumn("cell", grid_cell(st_x(col("__c")), st_y(col("__c")), lit(res)))
+    df.withColumn("cell",
+        grid_cell(centroid_x(col(geomCol)), centroid_y(col(geomCol)), lit(res)))
       .groupBy(col("cell")).agg(count(lit(1)).as("num_recs"))
       .withColumn("clon", grid_cell_center_lon(col("cell")))
       .filter(col("clon") < 175.0 && col("clon") > -175.0)

@@ -55,8 +55,7 @@ object MergeParquet {
       val out = f"$outDir/merged_$i%04d"
       val df = spark.read.parquet(files: _*)
         .withColumn("source", regexp_extract(input_file_name(), "([^/]+)$", 1))
-      val keyed = df.withColumn("__hk",
-        hilbert_encode(st_y(st_centroid(col("geom"))), st_x(st_centroid(col("geom")))))
+      val keyed = df.withColumn("__hk", hilbert_of_geom(col("geom")))
       keyed.repartitionByRange(1, col("__hk")).sortWithinPartitions("__hk")
         .drop("__hk")
         .write.mode("overwrite")
