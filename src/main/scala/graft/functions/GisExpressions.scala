@@ -112,7 +112,7 @@ case class StMultiPoint1(left: Expression, right: Expression)
 
 /** Base for WKB→WKB unary geometry ops returning null on broken input. */
 abstract class WkbToWkbExpression extends UnaryExpression
-    with ImplicitCastInputTypes with CodegenFallback {
+    with ImplicitCastInputTypes with WkbStaticCodegen {
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = true
@@ -121,6 +121,7 @@ abstract class WkbToWkbExpression extends UnaryExpression
 /** st_centroid(geom) → WKB POINT (east_asia.py:76). */
 case class StCentroid(child: Expression) extends WkbToWkbExpression {
   override def prettyName: String = "st_centroid"
+  override def staticMethod: String = "graft.geom.GeomLib.centroid"
   protected override def nullSafeEval(wkb: Any): Any =
     GeomLib.centroid(wkb.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -129,6 +130,7 @@ case class StCentroid(child: Expression) extends WkbToWkbExpression {
 /** st_flip_coordinates(geom): swap x/y (east_asia.py:261). */
 case class StFlipCoordinates(child: Expression) extends WkbToWkbExpression {
   override def prettyName: String = "st_flip_coordinates"
+  override def staticMethod: String = "graft.geom.GeomLib.flip"
   protected override def nullSafeEval(wkb: Any): Any =
     GeomLib.flip(wkb.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -138,6 +140,7 @@ case class StFlipCoordinates(child: Expression) extends WkbToWkbExpression {
   * east_asia.py:66-68, subsumed per SURVEY.md F6). */
 case class StForce2D(child: Expression) extends WkbToWkbExpression {
   override def prettyName: String = "st_force2d"
+  override def staticMethod: String = "graft.geom.GeomLib.force2D"
   protected override def nullSafeEval(wkb: Any): Any =
     GeomLib.force2D(wkb.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -145,7 +148,7 @@ case class StForce2D(child: Expression) extends WkbToWkbExpression {
 
 /** Base for WKB→Double accessors (null on broken/empty input). */
 abstract class WkbToDoubleExpression extends UnaryExpression
-    with ImplicitCastInputTypes with CodegenFallback {
+    with ImplicitCastInputTypes with WkbStaticCodegen {
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -153,38 +156,45 @@ abstract class WkbToDoubleExpression extends UnaryExpression
 
 case class StX(child: Expression) extends WkbToDoubleExpression {
   override def prettyName: String = "st_x"
+  override def staticMethod: String = "graft.geom.GeomLib.stX"
   protected override def nullSafeEval(wkb: Any): Any = GeomLib.stX(wkb.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 case class StY(child: Expression) extends WkbToDoubleExpression {
   override def prettyName: String = "st_y"
+  override def staticMethod: String = "graft.geom.GeomLib.stY"
   protected override def nullSafeEval(wkb: Any): Any = GeomLib.stY(wkb.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 case class StXMin(child: Expression) extends WkbToDoubleExpression {
   override def prettyName: String = "st_xmin"
+  override def staticMethod: String = "graft.geom.GeomLib.xMin"
   protected override def nullSafeEval(wkb: Any): Any = GeomLib.xMin(wkb.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 case class StXMax(child: Expression) extends WkbToDoubleExpression {
   override def prettyName: String = "st_xmax"
+  override def staticMethod: String = "graft.geom.GeomLib.xMax"
   protected override def nullSafeEval(wkb: Any): Any = GeomLib.xMax(wkb.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 case class StYMin(child: Expression) extends WkbToDoubleExpression {
   override def prettyName: String = "st_ymin"
+  override def staticMethod: String = "graft.geom.GeomLib.yMin"
   protected override def nullSafeEval(wkb: Any): Any = GeomLib.yMin(wkb.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 case class StYMax(child: Expression) extends WkbToDoubleExpression {
   override def prettyName: String = "st_ymax"
+  override def staticMethod: String = "graft.geom.GeomLib.yMax"
   protected override def nullSafeEval(wkb: Any): Any = GeomLib.yMax(wkb.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** st_astext(geom) → WKT string. */
 case class StAsText(child: Expression) extends UnaryExpression
-    with CodegenFallback with ImplicitCastInputTypes {
+    with ImplicitCastInputTypes with WkbStaticCodegen {
+  override def staticMethod: String = "graft.geom.GeomLib.asText"
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -227,6 +237,7 @@ case class StTransform(first: Expression, second: Expression, third: Expression)
 /** centroid_x(geom): fused st_x(st_centroid(geom)) — one WKB decode. */
 case class CentroidX(child: Expression) extends WkbToDoubleExpression {
   override def prettyName: String = "centroid_x"
+  override def staticMethod: String = "graft.geom.GeomLib.centroidX"
   protected override def nullSafeEval(wkb: Any): Any =
     GeomLib.centroidX(wkb.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -235,6 +246,7 @@ case class CentroidX(child: Expression) extends WkbToDoubleExpression {
 /** centroid_y(geom): fused st_y(st_centroid(geom)). */
 case class CentroidY(child: Expression) extends WkbToDoubleExpression {
   override def prettyName: String = "centroid_y"
+  override def staticMethod: String = "graft.geom.GeomLib.centroidY"
   protected override def nullSafeEval(wkb: Any): Any =
     GeomLib.centroidY(wkb.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -244,7 +256,8 @@ case class CentroidY(child: Expression) extends WkbToDoubleExpression {
   * st_x(st_centroid g)) — the engine's spatial clustering key in a single
   * WKB pass (the write-path hot loop). */
 case class HilbertOfGeom(child: Expression) extends UnaryExpression
-    with ImplicitCastInputTypes with CodegenFallback {
+    with ImplicitCastInputTypes with WkbStaticCodegen {
+  override def staticMethod: String = "graft.geom.GeomLib.hilbertOfGeom"
   override def inputTypes: Seq[DataType] = Seq(BinaryType)
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
