@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for joins whose key distribution is heavy-tailed (a fact
+  * of life in 100 TB corpora: one hot URL/domain/cell key can pin a single
+  * reducer). AQE's skew-join handles sort-merge cases adaptively; this
+  * explicit salting utility covers the cases AQE cannot see (e.g. forced
+  * shuffled-hash joins, or pre-aggregation fan-in) and makes the technique
+  * first-class in the library.
+  */
+object Skew {
+
+  /** Equi-join `big` with `small` on `key`, salting the hot side:
+    * the big side scatters each row into one of `salt` sub-keys
+    * (deterministically, from a row hash so re-runs are stable), the small
+    * side replicates `salt` times. The join key becomes (key, salt_bucket),
+    * splitting each hot key across `salt` reducers. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      salt: Int = 16, joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col).toSeq: _*), lit(salt)))
+    val saltedSmall = small
+      .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
+    val out = saltedBig.join(saltedSmall, Seq(key, "__salt"), joinType)
+    out.drop("__salt")
+  }
+
+  /** Two-phase skew-safe aggregation: count-style aggregates over a
+    * heavy-tailed key first aggregate on (key, salt), then re-aggregate on
+    * key — bounding any single reducer's input to ~1/salt of the hot key.
+    * `aggs` must be decomposable (sum/count/min/max). */
+  def saltedCount(df: DataFrame, key: String, salt: Int = 16): DataFrame =
+    df.withColumn("__salt", pmod(hash(col(key), monotonically_increasing_id()), lit(salt)))
+      .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key)).agg(sum(col("__partial")).as("n"))
+}
