@@ -713,7 +713,7 @@ object SparkEntry {
          FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "w2_topk_per_customer" ->
-      """SELECT o_custkey, o_orderkey, rk FROM (
+      """SELECT o_custkey, o_orderkey, CAST(rk AS INTEGER) AS rk FROM (
            SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER
              (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
            FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
@@ -873,7 +873,8 @@ object SparkEntry {
                  FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = nid),
          ranked AS (SELECT qid, nid, cos,
                     ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk FROM cos)
-         SELECT qid, nid, rk, cos FROM ranked WHERE rk <= 5 ORDER BY qid, rk""",
+         SELECT qid, nid, CAST(rk AS INTEGER) AS rk, cos FROM ranked
+         WHERE rk <= 5 ORDER BY qid, rk""",
 
     "e1_hourly_windows" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
