@@ -118,6 +118,18 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
   }
 
+  /** End-to-end corpus dedup: exact + MinHash-LSH near-dup removal. Keeps
+    * one survivor (lowest id) per near-dup cluster; everything else passes
+    * through. The shape of a production training-data dedup stage: candidate
+    * generation and clustering never touch more than the near-dup pairs. */
+  def dedupeCorpus(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      minJaccard: Double = 0.8): DataFrame = {
+    val pairs = minhashPairs(docs, textCol, idCol, minJaccard = minJaccard)
+    val labels = clusters(pairs) // id -> cluster label (min id in cluster)
+    val drop = labels.filter(col("id") =!= col("label")).select(col("id"))
+    docs.join(drop, docs(idCol) === drop("id"), "left_anti")
+  }
+
   /** Collapse near-dup pairs into clusters: iterative min-label propagation
     * (connected components) on the driver-controlled loop; converges in
     * O(log n) rounds on realistic dup-cluster sizes (dup clusters are tiny —

@@ -45,4 +45,30 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
+
+  case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: a per-user running
+    * (count, sum) that survives across micro-batches — the escape hatch for
+    * aggregations Spark's built-in windows can't express. Update mode; state
+    * is one small case class per user. */
+  def statefulUserTotals(events: DataFrame): org.apache.spark.sql.Dataset[UserRunning] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          rows.foreach { case (_, v) => n += 1; s += v }
+          val next = UserRunning(user, n, s)
+          state.update(next)
+          Iterator(next)
+      }
+  }
 }

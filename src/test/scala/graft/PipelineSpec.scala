@@ -178,6 +178,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(labels(0L) == labels(1L) && labels(1L) == labels(2L))
   }
 
+  test("dedupeCorpus removes near-dups, keeps lowest-id survivor") {
+    val docs = Seq(
+      (0L, (1 to 60).map(i => s"w${i % 31}").mkString(" ")),
+      (1L, (1 to 60).map(i => s"w${i % 31}").mkString(" ")), // dup of 0
+      (2L, (1 to 60).map(i => s"q$i z${i * 3}").mkString(" ")),
+      (3L, (1 to 60).map(i => s"m$i k${i * 7}").mkString(" "))
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupeCorpus(docs, minJaccard = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L))
+  }
+
   test("simhash pigeonhole join finds near-identical docs") {
     val docs = Seq(
       (0L, (1 to 100).map(i => s"tok${i % 37}").mkString(" ")),

@@ -53,6 +53,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(s2.length == 2)
   }
 
+  test("statefulUserTotals: custom keyed state across micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("events3").toString + "/data"
+    // two files → two micro-batches with MaxFilesPerTrigger=1: state must
+    // carry counts across batches
+    eventsBatch().filter($"event_id" < 150).write.parquet(dir)
+    eventsBatch().filter($"event_id" >= 150).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.statefulUserTotals(stream)
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("state_out")
+    // last update per user must equal the full batch totals
+    val fin = out.groupBy("user_id").agg(max("n_events").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = eventsBatch().groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin == expect, s"$fin vs $expect")
+  }
+
   test("dedupWithinWatermark on a stream keeps one row per key") {
     val dir = java.nio.file.Files.createTempDirectory("events2").toString + "/data"
     eventsBatch().write.parquet(dir)
