@@ -344,6 +344,20 @@ object SparkEntry {
         .orderBy("cell")
     },
 
+    "sql1_spatial_sql" -> { (s, d) =>
+      // the SQL surface end-to-end: registered graft functions inside
+      // spark.sql text, over a temp view (the engine's INSTALL/LOAD twin)
+      graft.functions.GraftFunctions.registerAll(s)
+      t(s, d, "lineitem").createOrReplaceTempView("li_sql")
+      s.sql(
+        s"""SELECT grid_cell($cxSql, $cySql, 8) AS cell,
+              COUNT(*) AS n,
+              CAST(SUM(CAST($cxSql * 2 AS BIGINT)) AS BIGINT) AS sum_2x
+            FROM li_sql
+            WHERE wkb_shape_type(st_point($cxSql, $cySql)) = 1
+            GROUP BY 1 ORDER BY cell""")
+    },
+
     "o1_hilbert_cells" -> { (s, d) =>
       // Hilbert key bijectivity on the synthesized grid: as many distinct
       // keys as distinct (lat, lon) grid points — plus total row count
@@ -785,6 +799,14 @@ object SparkEntry {
           WHERE (-180.0 + ((cell - 3458764513820540928) // 4096 + 0.5) * 360.0 / 4096.0) < 175.0
             AND (-180.0 + ((cell - 3458764513820540928) // 4096 + 0.5) * 360.0 / 4096.0) > -175.0
           ORDER BY cell""",
+
+    "sql1_spatial_sql" ->
+      s"""SELECT 2305843009213693952 +
+            CAST(FLOOR(($cxSql + 180.0) / 360.0 * 256.0) AS BIGINT) * 256 +
+            CAST(FLOOR(($cySql + 90.0) / 180.0 * 256.0) AS BIGINT) AS cell,
+          COUNT(*) AS n,
+          CAST(SUM(CAST($cxSql * 2 AS BIGINT)) AS BIGINT) AS sum_2x
+          FROM lineitem GROUP BY 1 ORDER BY cell""",
 
     "o1_hilbert_cells" ->
       """SELECT COUNT(DISTINCT (l_suppkey % 180) * 1000 + (l_partkey % 360)) AS n_cells,
