@@ -59,6 +59,29 @@ object Multimodal {
     }
   }
 
+  case class Frame(id: Long, frame_no: Int, frame_payload: Array[Byte])
+
+  /** Frame sampling for video-shaped payloads: emit `n` evenly spaced
+    * byte-range "frames" per payload (the decode being stubbed, a frame is
+    * the corresponding payload slice — a real decoder would seek keyframes
+    * behind the same explode shape). One row in, n rows out, streamed via
+    * the partition iterator so a large payload never amplifies memory by
+    * more than one row's frames. */
+  def frameSample(rows: Dataset[MediaRow], n: Int): Dataset[Frame] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        val len = r.payload.length
+        if (len == 0 || n <= 0) Iterator.empty
+        else (0 until n).iterator.map { i =>
+          val from = (len.toLong * i / n).toInt
+          val until = math.max(from + 1, (len.toLong * (i + 1) / n).toInt)
+          Frame(r.id, i, java.util.Arrays.copyOfRange(r.payload, from, until))
+        }
+      }
+    }
+  }
+
   /** Resize stub: recompute metadata for a target box, keeping aspect ratio —
     * pure arithmetic on the typed metadata (a real implementation would remap
     * payload bytes). */

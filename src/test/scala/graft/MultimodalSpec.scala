@@ -31,6 +31,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ok)
   }
 
+  test("frameSample: n frames per payload, bytes partition the payload") {
+    val frames = Multimodal.frameSample(Multimodal.withMeta(spark, payloads()), 4)
+    val byId = frames.collect().groupBy(_.id)
+    assert(byId.size == 40)
+    byId.foreach { case (id, fs) =>
+      assert(fs.map(_.frame_no).sorted.toSeq == Seq(0, 1, 2, 3))
+      assert(fs.map(_.frame_payload.length).sum == 100 + id * 7)
+    }
+  }
+
   test("resizeMeta caps dimensions preserving aspect") {
     val resized = Multimodal.resizeMeta(Multimodal.withMeta(spark, payloads()), 128)
     assert(resized.collect().forall(r =>
