@@ -119,7 +119,7 @@ object SparkEntry {
 
     "s6_filename_lineage" -> { (s, d) =>
       t(s, d, "lineitem")
-        .withColumn("source", regexp_extract(input_file_name(), "([^/]+)$", 1))
+        .withColumn("source", substring_index(input_file_name(), "/", -1))
         .groupBy(col("source")).agg(count(lit(1)).as("n"))
         .orderBy("source")
     },

@@ -18,7 +18,7 @@ object GeoStats {
 
   /** Shape-type histogram per source file over a WKB `geom` column. */
   def ewkbStats(df: DataFrame, geomCol: String = "geom"): DataFrame =
-    df.withColumn("filename", regexp_extract(input_file_name(), "([^/]+)$", 1))
+    df.withColumn("filename", substring_index(input_file_name(), "/", -1))
       .groupBy(wkb_shape_type(col(geomCol)).as("shape_type"), col("filename"))
       .agg(count(lit(1)).as("num_recs"))
       .orderBy("filename", "shape_type")

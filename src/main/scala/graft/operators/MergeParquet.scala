@@ -54,7 +54,7 @@ object MergeParquet {
     batches.zipWithIndex.map { case (files, i) =>
       val out = f"$outDir/merged_$i%04d"
       val df = spark.read.parquet(files: _*)
-        .withColumn("source", regexp_extract(input_file_name(), "([^/]+)$", 1))
+        .withColumn("source", substring_index(input_file_name(), "/", -1))
       val keyed = df.withColumn("__hk", hilbert_of_geom(col("geom")))
       keyed.repartitionByRange(1, col("__hk")).sortWithinPartitions("__hk")
         .drop("__hk")
