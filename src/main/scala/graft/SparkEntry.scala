@@ -223,6 +223,24 @@ object SparkEntry {
         .orderBy("o_custkey", "rk")
     },
 
+    "j3_spatial_join" -> { (s, d) =>
+      // point-in-polygon spatial join: grid-cell prefilter + JTS refine
+      // (SURVEY §2.4 extension). Squares around supplier-derived anchors;
+      // boundary coincidence impossible by construction (.5/.25-offset
+      // points vs integer-edged squares), so the SQL range oracle is exact.
+      val pts = t(s, d, "lineitem").select(st_point(cxCol, cyCol).as("geom"))
+      val polys = t(s, d, "supplier")
+        .filter(col("s_suppkey") < 50)
+        .select(col("s_suppkey").as("polyid"),
+          st_make_square(
+            (col("s_suppkey") % 36).cast("double") * 10.0 - 175.0,
+            (col("s_suppkey") % 17).cast("double") * 10.0 - 80.0,
+            lit(3.0)).as("geom"))
+      graft.operators.SpatialJoin.pointInPolygon(pts, polys, res = 6)
+        .groupBy(col("polyid")).agg(count(lit(1)).as("n_points"))
+        .orderBy("polyid")
+    },
+
     "w3_lag_gap_days" -> { (s, d) =>
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       t(s, d, "orders")
@@ -731,6 +749,18 @@ object SparkEntry {
            SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER
              (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
            FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+
+    "j3_spatial_join" ->
+      s"""WITH polys AS (
+            SELECT s_suppkey AS polyid,
+              CAST(s_suppkey % 36 AS DOUBLE) * 10.0 - 175.0 AS sx,
+              CAST(s_suppkey % 17 AS DOUBLE) * 10.0 - 80.0 AS sy
+            FROM supplier WHERE s_suppkey < 50)
+          SELECT polyid, COUNT(*) AS n_points
+          FROM lineitem, polys
+          WHERE $cxSql > sx - 3.0 AND $cxSql < sx + 3.0
+            AND $cySql > sy - 3.0 AND $cySql < sy + 3.0
+          GROUP BY polyid ORDER BY polyid""",
 
     "w3_lag_gap_days" ->
       """WITH g AS (

@@ -267,6 +267,34 @@ case class HilbertOfGeom(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** cells_covering(geom, res) → cells intersecting the envelope (spatial-join
+  * polygon bucketing). */
+case class CellsCovering(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cells_covering"
+  protected override def nullSafeEval(wkb: Any, res: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      GeomLib.cellsCovering(wkb.asInstanceOf[Array[Byte]], res.asInstanceOf[Number].intValue))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** st_contains(outer, inner) — JTS containment (spatial-join refine step). */
+case class StContains(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_contains"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeomLib.contains(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** grid_cell(lon, lat, res) → hierarchical cell id — capability twin of
   * H3_LATLNG_TO_CELL(lat, lng, res) (East-Asia-Building-Footprints.md:250-252;
   * substitution documented in SURVEY.md §7.5). */

@@ -43,6 +43,8 @@ object GraftFunctions {
   def grid_cell(lon: Column, lat: Column, res: Column): Column =
     col(GridCell(ex(lon), ex(lat), ex(res)))
   def grid_cell_boundary_wkt(cell: Column): Column = col(GridCellBoundaryWkt(ex(cell)))
+  def cells_covering(geom: Column, res: Column): Column = col(CellsCovering(ex(geom), ex(res)))
+  def st_contains(outer: Column, inner: Column): Column = col(StContains(ex(outer), ex(inner)))
   def grid_cell_center_lon(cell: Column): Column = col(GridCellCenterLon(ex(cell)))
 
   // --- text / dedup ---
@@ -87,6 +89,8 @@ object GraftFunctions {
     "hilbert_of_geom" -> { e => HilbertOfGeom(e.head) },
     "grid_cell" -> { e => GridCell(e(0), e(1), e(2)) },
     "grid_cell_boundary_wkt" -> { e => GridCellBoundaryWkt(e.head) },
+    "cells_covering" -> { e => CellsCovering(e(0), e(1)) },
+    "st_contains" -> { e => StContains(e(0), e(1)) },
     "grid_cell_center_lon" -> { e => GridCellCenterLon(e.head) },
     "shingle_hashes" -> { e => ShingleHashes(e(0), e(1)) },
     "minhash_signature" -> { e => MinHashSignature(e(0), e(1), e(2)) },

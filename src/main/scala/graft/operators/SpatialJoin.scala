@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Spatial join (point-in-polygon) — the extension SURVEY.md §2.4 sketches:
+  * a grid-cell equi-join prefilter followed by an exact JTS refine. No
+  * custom SparkStrategy needed: the prefilter is a plain shuffled equi-join
+  * on cell ids (Catalyst picks broadcast vs sort-merge; AQE handles skewed
+  * cells), and the refine only touches candidate pairs.
+  *
+  * A point lives in exactly one res-`res` cell; a polygon is replicated to
+  * the cells covering its envelope — so every true containment pair shares
+  * exactly one cell and no pair is ever produced twice. Resolution trades
+  * polygon replication (finer → more copies) against candidate precision
+  * (coarser → more false candidates to refine); res 10–12 suits
+  * building/city-scale polygons.
+  */
+object SpatialJoin {
+
+  /** Join `points` (WKB `geom`) with `polygons` (WKB `geom`): one output row
+    * per (point, containing polygon). Both inputs keep their non-geometry
+    * columns; the polygon's come suffixed to avoid collisions. */
+  def pointInPolygon(points: DataFrame, polygons: DataFrame, res: Int = 10,
+      pointGeom: String = "geom", polyGeom: String = "geom"): DataFrame = {
+    val pts = points.withColumn("__cell",
+      grid_cell(centroid_x(col(pointGeom)), centroid_y(col(pointGeom)), lit(res)))
+    val polys = polygons
+      .withColumnRenamed(polyGeom, "__poly_geom")
+      .withColumn("__cell", explode(cells_covering(col("__poly_geom"), lit(res))))
+    pts.join(polys, Seq("__cell"))
+      .filter(st_contains(col("__poly_geom"), col(pointGeom)))
+      .drop("__cell")
+  }
+}

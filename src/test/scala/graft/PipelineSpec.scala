@@ -146,6 +146,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(fails2.map(_._1._1) == Seq(s"$base/in/missing"))
   }
 
+  test("spatial join: grid prefilter + JTS refine matches brute force") {
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 2000).map { i =>
+      (i.toLong, GeomLib.pointWkb(rnd.nextDouble() * 40 - 20, rnd.nextDouble() * 40 - 20))
+    }.toDF("pid", "geom")
+    val polys = (0 until 60).map { j =>
+      (j.toLong, GeomLib.squareWkb(rnd.nextDouble() * 36 - 18, rnd.nextDouble() * 36 - 18,
+        0.5 + rnd.nextDouble() * 2.0))
+    }.toDF("polyid", "geom")
+    val joined = SpatialJoin.pointInPolygon(pts, polys, res = 8)
+      .select("pid", "polyid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force oracle with the same kernel
+    val p = pts.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("geom"))
+    val g = polys.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("geom"))
+    val expected = (for {
+      (pid, pg) <- p
+      (gid, gg) <- g
+      if GeomLib.contains(gg, pg)
+    } yield (pid, gid)).toSet
+    assert(expected.nonEmpty, "fixture should produce containments")
+    assert(joined == expected)
+  }
+
   test("ndjson sink shape round-trips (shape_stats.json contract)") {
     val df = fixture().filter($"Shape".isNotNull)
       .select($"fid", $"Shape".as("geom"))
