@@ -295,6 +295,32 @@ case class StContains(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_intersects(a, b) — JTS intersection test. */
+case class StIntersects(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_intersects"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeomLib.intersects(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** st_distance(a, b) — planar (degree-space) distance. */
+case class StDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_distance"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeomLib.distance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** grid_cell(lon, lat, res) → hierarchical cell id — capability twin of
   * H3_LATLNG_TO_CELL(lat, lng, res) (East-Asia-Building-Footprints.md:250-252;
   * substitution documented in SURVEY.md §7.5). */

@@ -45,6 +45,8 @@ object GraftFunctions {
   def grid_cell_boundary_wkt(cell: Column): Column = col(GridCellBoundaryWkt(ex(cell)))
   def cells_covering(geom: Column, res: Column): Column = col(CellsCovering(ex(geom), ex(res)))
   def st_contains(outer: Column, inner: Column): Column = col(StContains(ex(outer), ex(inner)))
+  def st_intersects(a: Column, b: Column): Column = col(StIntersects(ex(a), ex(b)))
+  def st_distance(a: Column, b: Column): Column = col(StDistance(ex(a), ex(b)))
   def grid_cell_center_lon(cell: Column): Column = col(GridCellCenterLon(ex(cell)))
 
   // --- text / dedup ---
@@ -91,6 +93,8 @@ object GraftFunctions {
     "grid_cell_boundary_wkt" -> { e => GridCellBoundaryWkt(e.head) },
     "cells_covering" -> { e => CellsCovering(e(0), e(1)) },
     "st_contains" -> { e => StContains(e(0), e(1)) },
+    "st_intersects" -> { e => StIntersects(e(0), e(1)) },
+    "st_distance" -> { e => StDistance(e(0), e(1)) },
     "grid_cell_center_lon" -> { e => GridCellCenterLon(e.head) },
     "shingle_hashes" -> { e => ShingleHashes(e(0), e(1)) },
     "minhash_signature" -> { e => MinHashSignature(e(0), e(1), e(2)) },

@@ -379,6 +379,20 @@ object GeomLib {
     a != null && b != null && a.contains(b)
   }
 
+  /** JTS intersects over WKB (null-safe: false on broken input). */
+  def intersects(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val ga = readOrNull(a)
+    val gb = readOrNull(b)
+    ga != null && gb != null && ga.intersects(gb)
+  }
+
+  /** Planar distance between geometries (null on broken input). */
+  def distance(a: Array[Byte], b: Array[Byte]): java.lang.Double = {
+    val ga = readOrNull(a)
+    val gb = readOrNull(b)
+    if (ga == null || gb == null) null else Double.box(ga.distance(gb))
+  }
+
   /** Boundary polygon (WKT) of a grid cell — capability twin of
     * H3_CELL_TO_BOUNDARY_WKT (East-Asia-Building-Footprints.md:264). */
   def cellBoundaryWkt(cell: Long): String = {

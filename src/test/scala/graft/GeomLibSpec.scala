@@ -83,6 +83,20 @@ class GeomLibSpec extends AnyFunSuite {
     assert(GeomLib.hilbertEncode(Double.NaN, 0.0) >= 0)
   }
 
+  test("spatial predicates: contains, intersects, distance") {
+    val sq = GeomLib.squareWkb(0.0, 0.0, 1.0)
+    val inPt = GeomLib.pointWkb(0.5, 0.5)
+    val outPt = GeomLib.pointWkb(3.0, 0.0)
+    val edgePt = GeomLib.pointWkb(1.0, 0.0)
+    assert(GeomLib.contains(sq, inPt))
+    assert(!GeomLib.contains(sq, outPt))
+    assert(!GeomLib.contains(sq, edgePt)) // boundary excluded by contains
+    assert(GeomLib.intersects(sq, edgePt)) // ...but intersects
+    assert(GeomLib.distance(sq, outPt) == 2.0)
+    assert(GeomLib.distance(sq, inPt) == 0.0)
+    assert(GeomLib.distance(Array[Byte](1, 2), inPt) == null)
+  }
+
   test("grid cells: hierarchy and boundary containment") {
     val lon = 116.4074; val lat = 39.9042
     val c12 = GeomLib.cellEncode(lon, lat, 12)
