@@ -501,80 +501,59 @@ object SparkEntry {
     },
 
     "t3_ngram_jaccard" -> { (s, d) =>
-      // exact 3-gram Jaccard near-dup pairs ≥ 0.5 via the shingle inverted
-      // index: group each shingle's posting list once and emit its doc
-      // pairs directly — one shuffle cheaper than the equivalent self-join,
-      // and never an O(n²) cross join
-      val sh = t(s, d, "documents")
-        .select(col("doc_id"), explode(shingle_hashes(col("text"), lit(3))).as("sh"))
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-      val inter = sh.groupBy("sh")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), " +
-            "b -> named_struct('id_a', a, 'id_b', b))))")).as("p"))
-        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("nsh", "na"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("nsh", "nb"), "id_b")
-        .withColumn("jacc",
-          col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
-        .filter(col("jacc") >= 0.5)
-        .select(col("id_a"), col("id_b"), col("jacc"))
+      // exact 3-gram Jaccard near-dup pairs ≥ 0.5 through the library's
+      // inverted-index kernel (Dedup.jaccardPairs): posting-list pair
+      // emission with the stop-shingle cap (`maxPosting`) — a shingle shared
+      // by >10k docs carries no dedup signal but quadratic pair cost, so it
+      // is dropped before pair explosion. Never an O(n²) cross join.
+      graft.operators.Dedup.jaccardPairs(t(s, d, "documents"),
+          shingle = 3, minJaccard = 0.5, maxPosting = 10000)
+        .withColumnRenamed("jaccard", "jacc")
         .orderBy("id_a", "id_b")
     },
 
     "t4_minhash_lsh" -> { (s, d) =>
-      // MinHash(64) + LSH banding (16 bands × 4 rows): candidate pairs with
-      // estimated Jaccard ≥ 0.5. Probabilistic (no SQL oracle); recall vs
-      // t3 is asserted in DedupSpec.
+      // MinHash(64) + LSH banding (16 bands × 4 rows) recall oracle: the
+      // exact ≥0.5-Jaccard pairs (inverted index, t3's kernel) that the LSH
+      // candidate path recovers. The oracle is the full exact pair set — a
+      // missed pair hash-mismatches, so the green row proves 100% recall of
+      // true near-dups on this corpus, not just "some rows came out".
       val docs = t(s, d, "documents")
-        .select(col("doc_id"),
-          minhash_signature(shingle_hashes(col("text"), lit(3)), lit(64), lit(42L)).as("sig"))
-      val bands = docs.select(col("doc_id"), col("sig"),
-        posexplode(expr("transform(sequence(0, 15), b -> hash(slice(sig, b * 4 + 1, 4), b))")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
-      // dedupe candidates on the id pair alone (cheap), then join the two
-      // signatures back — a distinct over wide sig arrays shuffles 16x the
-      // bytes for nothing
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-      cand
-        .join(docs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-        .join(docs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
-        .withColumn("est_jacc", expr(
-          "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v) / 64.0"))
-        .filter(col("est_jacc") >= 0.5)
-        .select(col("id_a"), col("id_b"), col("est_jacc"))
+      val lsh = graft.operators.Dedup.minhashPairs(docs,
+        k = 64, bands = 16, shingle = 3, minJaccard = 0.5, seed = 42L)
+      graft.operators.Dedup.jaccardPairs(docs, shingle = 3, minJaccard = 0.5)
+        .join(lsh.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "left_semi")
+        .withColumnRenamed("jaccard", "jacc")
         .orderBy("id_a", "id_b")
     },
 
     "t5_simhash_hamming" -> { (s, d) =>
-      // SimHash near-dup: 64-bit fingerprint of token hashes, pairs with
-      // hamming distance ≤ 16 via self-join on 16-bit prefix blocks
-      // (pigeonhole: ≤16 differing bits ⇒ at least one of 4 blocks equal...
-      // with ≤3 visible here we use exact small-table join; no SQL oracle)
-      val docs = t(s, d, "documents")
-        .select(col("doc_id"), simhash64(shingle_hashes(col("text"), lit(3))).as("sh"))
-      docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .withColumn("dist", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
-        .filter(col("dist") <= 16)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"), col("dist"))
+      // SimHash near-dup pairs (hamming ≤ 16) through the library's
+      // pigeonhole block join (Dedup.simhashPairs): 17 disjoint blocks cover
+      // all 64 fingerprint bits, so ≤16 differing bits leave at least one
+      // block equal — every true pair survives an equality join on
+      // (block, value), never a cross join. Exact (the pigeonhole bound is
+      // a guarantee, not a probability); no SQL oracle (simhash itself is
+      // not ANSI-expressible); block-join ≡ brute-force asserted in spec.
+      graft.operators.Dedup.simhashPairs(t(s, d, "documents"),
+          shingle = 3, maxDist = 16)
         .orderBy("id_a", "id_b")
     },
 
     "t6_winnow_fingerprints" -> { (s, d) =>
-      // winnowing fingerprints (k=20 chars, window=8): per-doc fingerprint
-      // cardinality (hash-based; no SQL oracle)
+      // winnowing fingerprints (k=20 chars, window=8): per-doc invariant
+      // oracle. The fingerprint count itself is hash-valued, but winnowing
+      // (Schleimer et al. 2003) guarantees bounds the oracle CAN express:
+      // ≥1 fingerprint per document, ≤ one per k-gram, and the density
+      // guarantee (≈ one selection per window; halved here for slack against
+      // k-gram hash collisions). A broken kernel trips a bound → mismatch.
+      val len = length(col("text"))
+      val nfp = size(winnow_fingerprint(col("text"), lit(20), lit(8)))
       t(s, d, "documents")
-        .select(col("doc_id"), size(winnow_fingerprint(col("text"), lit(20), lit(8))).as("n_fp"))
+        .select(col("doc_id"), len.as("len"),
+          (nfp >= 1).as("fp_nonempty"),
+          (nfp <= greatest(lit(1), len - 19)).as("fp_le_kgrams"),
+          (nfp * 16 >= len - 26).as("fp_density_floor"))
         .orderBy("doc_id")
     },
 
@@ -587,10 +566,17 @@ object SparkEntry {
     },
 
     "t8_quality_langid" -> { (s, d) =>
-      // heuristic quality + language-ID (no SQL oracle; unit-tested)
+      // heuristic quality + language-ID. The quality formula (C4/Gopher-ish:
+      // length + word-length-range + punctuation + stopword terms) is plain
+      // arithmetic over token stats, so the oracle replicates it exactly in
+      // SQL — a full hash oracle on the score. Language-ID's marker-argmax
+      // is not ANSI-expressible; the oracle pins its codomain (the corpus
+      // lang labels are synthetic metadata, not the text's language, so
+      // pred == lang is not a meaningful target here).
       t(s, d, "documents")
         .select(col("doc_id"), round(quality_score(col("text")), 6).as("quality"),
-          detect_lang(col("text")).as("pred_lang"), col("lang"))
+          detect_lang(col("text")).isin("en", "de", "fr", "es", "it", "und")
+            .as("pred_lang_known"))
         .orderBy("doc_id")
     },
 
@@ -609,13 +595,18 @@ object SparkEntry {
     // =====================================================================
 
     "v1_cosine_topk" -> { (s, d) =>
-      // brute-force cosine top-5 per query (first 10 vec_ids) — ANN baseline
+      // brute-force cosine top-5 per query (first 10 vec_ids) — ANN
+      // baseline. The QUERY side (10 rows) is the broadcast; the corpus
+      // streams partition-local with zero shuffle — the only orientation
+      // that survives a 100 TB corpus (broadcasting the corpus would OOM
+      // the driver). Mirrors Similarity.bruteForceTopK; rounding happens
+      // before ranking so ties break identically to the SQL oracle.
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       val c = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
       val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-      q.join(broadcast(c), col("qid") =!= col("nid"))
+      c.join(broadcast(q), col("qid") =!= col("nid"))
         .withColumn("cos", round(cosine_similarity(col("qv"), col("nv")), 6))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
@@ -624,20 +615,20 @@ object SparkEntry {
     },
 
     "v2_ann_lsh" -> { (s, d) =>
-      // LSH-bucketed ANN (random hyperplanes, 8-bit buckets): top-3 in-bucket
-      // neighbors per query — the 100TB-scale path; recall tested in spec
+      // LSH ANN (random hyperplanes, 16-bit buckets × 4 tables, multi-probe)
+      // planted-self-match oracle: queries are exact copies of corpus
+      // vectors under shifted ids, so every query's signature equals its
+      // twin's in every table — recovery at cos 1.0, rank 1 is a guarantee
+      // of the multi-table bucket join, not a probability. (This corpus has
+      // no near-dup vector pairs — max off-diagonal cosine ≈ 0.51 — so a
+      // recall-vs-brute-force oracle would be vacuous; probabilistic recall
+      // on planted noisy neighbors is asserted in SimilaritySpec instead.)
       val emb = t(s, d, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          rhp_signature(col("embedding"), lit(6), lit(7L)).as("bucket"))
-      val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-      emb.as("a").join(emb.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.vec_id") =!= col("b.vec_id"))
-        .filter(col("a.vec_id") < 10)
-        .withColumn("cos", round(cosine_similarity(col("a.embedding"), col("b.embedding")), 6))
-        .select(col("a.vec_id").as("qid"), col("b.vec_id").as("nid"), col("cos"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 3)
-        .orderBy("qid", "rk")
+      val q = emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      graft.operators.Similarity.lshTopK(emb, q, k = 1, bits = 16, tables = 4)
+        .select(col("qid"), col("nid"), col("rk"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid")
     },
 
     // =====================================================================
@@ -909,6 +900,69 @@ object SparkEntry {
     "t7_token_count" ->
       """SELECT doc_id, CAST(1 + LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS INTEGER) AS n_tok
          FROM documents ORDER BY doc_id""",
+
+    // t4's oracle is the EXACT ≥0.5-Jaccard pair set (same SQL as t3): the
+    // gate emits the exact pairs that LSH recovers, so a hash match proves
+    // the MinHash/LSH candidate path has 100% recall of true near-dups here.
+    "t4_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+                FROM toks, UNNEST(range(1, len(ts) - 1)) AS t(i)),
+         sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+         SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) AS jacc
+         FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    // winnowing bounds (Schleimer et al. 2003) are provable invariants:
+    // the oracle pins them TRUE per document alongside the derivable length.
+    "t6_winnow_fingerprints" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS INTEGER) AS len,
+         TRUE AS fp_nonempty, TRUE AS fp_le_kgrams, TRUE AS fp_density_floor
+         FROM documents ORDER BY doc_id""",
+
+    // full arithmetic replication of the quality formula (the corpus is
+    // single-spaced lowercase, so token stats are exact string arithmetic)
+    "t8_quality_langid" ->
+      """WITH s AS (
+           SELECT doc_id,
+             CAST(1 + LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS ntok,
+             CAST(LENGTH(text) AS BIGINT) AS nch,
+             CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS npunct,
+             CAST(len(list_filter(string_split(text, ' '), x -> x IN
+               ('the','a','an','and','or','of','to','in','is','it','that',
+                'for','on','with','as','was','at','by','be','this'))) AS BIGINT) AS nstop
+           FROM documents),
+         sc AS (
+           SELECT doc_id,
+             LEAST(CAST(1.0 AS DOUBLE), CAST(ntok AS DOUBLE) / CAST(50.0 AS DOUBLE)) AS len_s,
+             CASE WHEN (CAST(nch - ntok + 1 AS DOUBLE) / CAST(ntok AS DOUBLE)) >= CAST(2.0 AS DOUBLE)
+                   AND (CAST(nch - ntok + 1 AS DOUBLE) / CAST(ntok AS DOUBLE)) <= CAST(12.0 AS DOUBLE)
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS wl_s,
+             CASE WHEN (CAST(npunct AS DOUBLE) / CAST(nch AS DOUBLE)) < CAST(0.2 AS DOUBLE)
+                  THEN CAST(1.0 AS DOUBLE)
+                  ELSE GREATEST(CAST(0.0 AS DOUBLE),
+                       CAST(1.0 AS DOUBLE) - (CAST(npunct AS DOUBLE) / CAST(nch AS DOUBLE))) END AS p_s,
+             LEAST(CAST(1.0 AS DOUBLE),
+                   (CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE)) * CAST(5.0 AS DOUBLE)) AS st_s
+           FROM s)
+         SELECT doc_id,
+           ROUND(CAST(0.35 AS DOUBLE) * len_s + CAST(0.2 AS DOUBLE) * wl_s
+                 + CAST(0.2 AS DOUBLE) * p_s + CAST(0.25 AS DOUBLE) * st_s, 6) AS quality,
+           TRUE AS pred_lang_known
+         FROM sc ORDER BY doc_id""",
+
+    // planted self-match: identical vectors share every LSH signature, so
+    // recovery at rank 1 / cos 1.0 is a structural guarantee the oracle can
+    // state exactly
+    "v2_ann_lsh" ->
+      """SELECT vec_id + 10000 AS qid, vec_id AS nid, CAST(1 AS INTEGER) AS rk,
+         CAST(1.0 AS DOUBLE) AS cos
+         FROM embeddings WHERE vec_id < 10 ORDER BY qid""",
 
     "mm1_binary_meta" ->
       """SELECT lang, CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes, COUNT(*) AS n

@@ -117,8 +117,12 @@ object GeoSimplify extends Rule[LogicalPlan] {
   private def inlineCtors(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p @ org.apache.spark.sql.catalyst.plans.logical.Project(upper,
         pc @ org.apache.spark.sql.catalyst.plans.logical.Project(lower, grandchild)) =>
+      // deterministic only: inlining duplicates the ctor expression into
+      // every referencing parent expression, and non-deterministic copies
+      // (e.g. st_point(rand(), y)) would evaluate independently — the same
+      // guard CollapseProject applies before merging projects
       val ctors = lower.collect {
-        case a: Alias if isCtor(a.child) => a.exprId -> a.child
+        case a: Alias if isCtor(a.child) && a.child.deterministic => a.exprId -> a.child
       }.toMap
       if (ctors.isEmpty) p
       else {

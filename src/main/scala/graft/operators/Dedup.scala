@@ -25,7 +25,10 @@ object Dedup {
   def minhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       k: Int = 64, bands: Int = 16, shingle: Int = 3, minJaccard: Double = 0.5,
       seed: Long = 42L): DataFrame = {
-    val rows = bands match { case b => k / b }
+    require(k % bands == 0,
+      s"k ($k) must be a multiple of bands ($bands): a truncated banding would " +
+        "silently ignore the last k % bands signature elements")
+    val rows = k / bands
     val sigs = docs.select(col(idCol).as("id"),
       minhash_signature(shingle_hashes(col(textCol), lit(shingle)), lit(k), lit(seed)).as("sig"))
     val bandCols = sigs.select(col("id"), col("sig"),
@@ -80,18 +83,27 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: hamming(sig_a, sig_b) ≤ maxDist. Candidates via
-    * the pigeonhole block join: split the 64-bit fingerprint into
-    * `maxDist/blockBits + 1`-ish blocks so any pair within maxDist shares at
-    * least one exact block — equality join, no cross product. */
+    * the pigeonhole block join: partition ALL 64 fingerprint bits into
+    * `maxDist + 1` disjoint blocks — ≤ maxDist differing bits can touch at
+    * most maxDist blocks, so every true pair shares at least one exact block.
+    * Equality join on (block index, block value); never a cross product.
+    * Block widths differ by at most one bit (64 = q·n + r split as r blocks
+    * of q+1 bits and n−r of q), keeping buckets balanced. */
   def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingle: Int = 3, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64): $maxDist")
     val nBlocks = maxDist + 1 // pigeonhole: ≤ maxDist diffs over nBlocks blocks
-    val blockBits = 64 / nBlocks
+    // block b covers bits [64*b/n, 64*(b+1)/n) — full 64-bit coverage
     val sigs = docs.select(col(idCol).as("id"),
       simhash64(shingle_hashes(col(textCol), lit(shingle))).as("sh"))
+    val blockCols = (0 until nBlocks).map { b =>
+      val lo = 64 * b / nBlocks
+      val hi = 64 * (b + 1) / nBlocks
+      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      shiftright(col("sh"), lo).bitwiseAND(lit(mask))
+    }
     val blocks = sigs.select(col("id"), col("sh"),
-      posexplode(expr(
-        s"transform(sequence(0, ${nBlocks - 1}), b -> (sh >> (b * $blockBits)) & ${(1L << blockBits) - 1})")))
+      posexplode(array(blockCols: _*)))
       .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bv")
     blocks.as("a")
       .join(blocks.as("b"),
@@ -133,13 +145,27 @@ object Dedup {
   /** Collapse near-dup pairs into clusters: iterative min-label propagation
     * (connected components) on the driver-controlled loop; converges in
     * O(log n) rounds on realistic dup-cluster sizes (dup clusters are tiny —
-    * the iteration count is bounded by cluster diameter, not corpus size). */
+    * the iteration count is bounded by cluster diameter, not corpus size).
+    *
+    * Each iteration `localCheckpoint`s the label frame so the plan stays one
+    * join deep — without it, lineage doubles per round and deep chains
+    * re-execute the whole upstream every iteration. Convergence is detected
+    * by the total label sum (one cheap aggregate per round) instead of a
+    * join + count: each step takes an elementwise `least`, so labels only
+    * ever decrease — the sum is stable iff no label moved. Decimal(38)
+    * accumulation cannot overflow on 64-bit ids. */
   def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .cache()
+      .localCheckpoint(true)
+    def checksum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("label").cast("decimal(38,0)")).as("ls")).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var prev = checksum(labels)
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
@@ -147,9 +173,10 @@ object Dedup {
         .groupBy(col("id_a").as("id")).agg(min(col("label")).as("nlabel"))
       val merged = labels.join(next, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
-      changed = merged.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count() > 0
+        .localCheckpoint(true) // truncate lineage: plan depth stays O(1)
+      val cur = checksum(merged)
+      changed = cur != prev
+      prev = cur
       labels = merged
       iter += 1
     }

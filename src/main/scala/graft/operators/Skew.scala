@@ -19,6 +19,14 @@ object Skew {
     * splitting each hot key across `salt` reducers. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       salt: Int = 16, joinType: String = "inner"): DataFrame = {
+    // replicating the small side `salt`× is only sound when unmatched
+    // small-side rows are never emitted — a right/full outer join would
+    // surface each unmatched replica as a duplicate output row
+    val allowed = Set("inner", "left", "left_outer", "leftouter", "left_semi",
+      "leftsemi", "left_anti", "leftanti", "cross")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports inner/left/left_semi/left_anti joins only, got '$joinType': " +
+        "right/full outer would emit each unmatched small-side row salt times")
     val saltedBig = big.withColumn("__salt",
       pmod(hash(big.columns.map(col).toSeq: _*), lit(salt)))
     val saltedSmall = small

@@ -22,16 +22,33 @@ object SpatialJoin {
 
   /** Join `points` (WKB `geom`) with `polygons` (WKB `geom`): one output row
     * per (point, containing polygon). Both inputs keep their non-geometry
-    * columns; the polygon's come suffixed to avoid collisions. */
+    * columns; the polygon's come suffixed to avoid collisions.
+    *
+    * Polygons whose envelope covers more res-`res` cells than the covering
+    * cap (country/continent scale — `cells_covering` returns an empty array
+    * past its cap) cannot ride the grid prefilter; instead of silently
+    * dropping them, they take a broadcast-refine branch: such polygons are by
+    * nature few (a corpus has bounded area ÷ huge polygons), so broadcasting
+    * them against the streamed point side is the scalable fallback. */
   def pointInPolygon(points: DataFrame, polygons: DataFrame, res: Int = 10,
       pointGeom: String = "geom", polyGeom: String = "geom"): DataFrame = {
     val pts = points.withColumn("__cell",
       grid_cell(centroid_x(col(pointGeom)), centroid_y(col(pointGeom)), lit(res)))
-    val polys = polygons
+    val tagged = polygons
       .withColumnRenamed(polyGeom, "__poly_geom")
-      .withColumn("__cell", explode(cells_covering(col("__poly_geom"), lit(res))))
-    pts.join(polys, Seq("__cell"))
+      .withColumn("__cells", cells_covering(col("__poly_geom"), lit(res)))
+    val gridable = tagged.filter(size(col("__cells")) > 0)
+      .withColumn("__cell", explode(col("__cells"))).drop("__cells")
+    // covering came back empty on a non-null geometry ⇒ envelope overflowed
+    // the cell cap (null/broken geometry stays dropped — contains() is false)
+    val oversized = tagged
+      .filter(size(col("__cells")) === 0 && col("__poly_geom").isNotNull)
+      .drop("__cells")
+    val fine = pts.join(gridable, Seq("__cell"))
       .filter(st_contains(col("__poly_geom"), col(pointGeom)))
       .drop("__cell")
+    val coarse = points.join(broadcast(oversized),
+      st_contains(col("__poly_geom"), col(pointGeom)))
+    fine.unionByName(coarse)
   }
 }

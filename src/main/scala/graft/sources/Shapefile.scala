@@ -45,8 +45,11 @@ object ShapefileCodec {
       val recNo = bb.getInt(pos)
       val contentWords = bb.getInt(pos + 4)
       val contentLen = contentWords * 2
-      if (pos + 8 + contentLen > fileLen) {
-        pos = fileLen.toInt // truncated record: stop
+      if (contentWords <= 0 || pos + 8 + contentLen > fileLen) {
+        // corrupt (non-positive content length ⇒ pos would stop advancing —
+        // an executor-task infinite loop) or truncated record: stop here and
+        // keep what decoded so far (reference F10 drops broken tails)
+        pos = fileLen.toInt
       } else {
         try {
           val shape = ByteBuffer.wrap(bytes, pos + 8, contentLen)

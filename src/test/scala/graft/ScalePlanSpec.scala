@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, SpatialJoin}
+
+/** Plan-shape assertions for the scale-critical gate queries: green outputs
+  * are not enough — the PLAN must be the one that survives a 100 TB corpus.
+  * These specs pin the three round-1 weak spots (VERDICT r1): no nested-loop
+  * joins in the dedup gates, the posting cap present in t3, the broadcast on
+  * the small query side in the ANN gates.
+  */
+class ScalePlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** AQE wraps the plan in AdaptiveSparkPlanExec (whose children are hidden
+    * from collect); disable it so the static physical plan is inspectable. */
+  private def staticPlan(name: String): SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("t5 gate plans an equality join — no nested-loop, no cartesian") {
+    val p = staticPlan("t5_simhash_hamming").toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"t5 must not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"t5 must not cross join:\n$p")
+  }
+
+  test("t3 gate carries the stop-shingle posting cap") {
+    val p = staticPlan("t3_ngram_jaccard").toString
+    assert(p.contains("10000"), s"t3 must cap posting lists (maxPosting):\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("v1 gate broadcasts the query side, not the corpus") {
+    val plan = staticPlan("v1_cosine_topk")
+    val exchanges = plan.collectWithSubqueries { case b: BroadcastExchangeExec => b }
+    assert(exchanges.nonEmpty, s"v1 should broadcast the query side:\n$plan")
+    exchanges.foreach { ex =>
+      val sub = ex.toString
+      assert(sub.contains("vec_id") && sub.contains("< 10"),
+        s"broadcast subtree must be the vec_id < 10 query side, not the corpus:\n$sub")
+    }
+  }
+
+  test("v2 gate (multi-table LSH) joins by equality — no nested-loop") {
+    val p = staticPlan("v2_ann_lsh").toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"v2 must not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"v2 must not cross join:\n$p")
+  }
+
+  test("simhash pigeonhole block join ≡ brute force at maxDist 16") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sigs = docs.select($"doc_id",
+      graft.functions.GraftFunctions.simhash64(
+        graft.functions.GraftFunctions.shingle_hashes($"text", lit(3))).as("sh"))
+    val brute = sigs.as("a").join(sigs.as("b"), $"a.doc_id" < $"b.doc_id")
+      .withColumn("dist", bit_count($"a.sh".bitwiseXOR($"b.sh")))
+      .filter($"dist" <= 16)
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val block = Dedup.simhashPairs(docs, maxDist = 16)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(block == brute,
+      s"pigeonhole must be exact: missing=${brute -- block} extra=${block -- brute}")
+  }
+
+  test("lshTopK multi-table recovers planted identical vectors at rank 1") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 8).withColumn("vec_id", $"vec_id" + 10000)
+    val hits = Similarity.lshTopK(emb, q, k = 1, bits = 16, tables = 4)
+      .select("qid", "nid", "cos").collect()
+    assert(hits.length == 8, s"all 8 planted queries must match: got ${hits.length}")
+    hits.foreach { r =>
+      assert(r.getLong(0) - 10000 == r.getLong(1), s"self-match expected: $r")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+  }
+
+  test("clusters converges on a 4-hop chain (≥3 propagation rounds)") {
+    // chain 10-11-12-13-14: min-label propagation needs ~4 rounds to push
+    // label 10 to node 14 — exercises the localCheckpoint + checksum loop
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
+  }
+
+  test("minhashPairs rejects k not divisible by bands") {
+    val docs = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashPairs(docs, k = 64, bands = 10)
+    }
+  }
+
+  test("saltedJoin rejects right/full outer join types") {
+    val a = Seq((1L, "x")).toDF("k", "v")
+    val b = Seq((1L, "y")).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(a, b, "k", joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Skew.saltedJoin(a, b, "k", joinType = "full_outer")
+    }
+    assert(graft.operators.Skew.saltedJoin(a, b, "k", joinType = "left").count() == 1)
+  }
+
+  test("pointInPolygon keeps polygons whose covering overflows the cell cap") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val gf = new GeometryFactory()
+    def polyWkb(minX: Double, minY: Double, maxX: Double, maxY: Double): Array[Byte] = {
+      val ring = Array(
+        new Coordinate(minX, minY), new Coordinate(maxX, minY),
+        new Coordinate(maxX, maxY), new Coordinate(minX, maxY),
+        new Coordinate(minX, minY))
+      graft.geom.GeomLib.write(gf.createPolygon(ring))
+    }
+    def pointWkb(x: Double, y: Double): Array[Byte] =
+      graft.geom.GeomLib.write(gf.createPoint(new Coordinate(x, y)))
+    // continent-scale polygon: at res 10 its envelope covers ~(1024·0.7)² ≫
+    // 4096 cells, so cells_covering returns empty — round 1 silently
+    // dropped it; now it must take the broadcast-refine branch
+    val bigPoly = Seq((100L, polyWkb(-170.0, -80.0, 170.0, 80.0))).toDF("polyid", "geom")
+    val smallPoly = Seq((200L, polyWkb(9.0, 9.0, 11.0, 11.0))).toDF("polyid", "geom")
+    val pts = Seq((1L, pointWkb(10.0, 10.0)), (2L, pointWkb(-100.0, 40.0)),
+      (3L, pointWkb(179.5, 0.0))).toDF("pid", "geom")
+    val inBig = SpatialJoin.pointInPolygon(pts, bigPoly, res = 10)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(inBig == Set(1L, 2L), s"oversized polygon must still match: $inBig")
+    val inSmall = SpatialJoin.pointInPolygon(pts, smallPoly, res = 10)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(inSmall == Set(1L))
+  }
+
+  test("shapefile decode terminates on corrupt record headers") {
+    // a .shp whose second record header declares a non-positive content
+    // length: round 1 would loop forever (pos never advanced); now it must
+    // stop and keep the records decoded so far
+    val buf = java.nio.ByteBuffer.allocate(200).order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.putInt(0, 9994)
+    buf.putInt(24, 100) // file length in 16-bit words = 200 bytes
+    // record 1: header (rec 1, 10 words = 20 bytes) + point shape
+    buf.putInt(100, 1).putInt(104, 10)
+    val shape = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    shape.putInt(0, 1).putDouble(4, 12.5).putDouble(12, -3.25)
+    buf.position(108); buf.put(shape.array())
+    // record 2: corrupt header with contentWords = -4
+    buf.putInt(128, 2).putInt(132, -4)
+    val decoded = graft.sources.ShapefileCodec.decode(buf.array())
+    assert(decoded.length == 1, s"one good record then stop: ${decoded.length}")
+    assert(decoded.head._1 == 1 && decoded.head._2 == 1)
+  }
+}
