@@ -124,6 +124,41 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    "s2_filegdb_scan" -> { (s, d) =>
+      // end-to-end FileGDB ingest (reference S2): synthesize a .gdb dir
+      // (public reverse-engineered .gdbtable layout) from a deterministic
+      // lineitem sample — plus a small decoy table, so the gate also proves
+      // the reference's largest-table layer selection — read it back via
+      // the distributed binaryFile source, aggregate geometry and
+      // attributes. Oracled via the same sample arithmetic.
+      val sample = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          cxCol.as("x"), cyCol.as("y"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .limit(1000)
+        .select("x", "y", "l_orderkey").collect()
+      val rows = sample.toSeq.map { r =>
+        val okey = r.getLong(2)
+        (Seq[Any](okey.toDouble, "r" + (okey % 7)), r.getDouble(0), r.getDouble(1))
+      }
+      val table = graft.sources.FileGdbCodec.writePointTable(
+        Seq("okey" -> 3, "tag" -> 4), rows)
+      val decoy = graft.sources.FileGdbCodec.writePointTable(
+        Seq("okey" -> 3), Seq((Seq[Any](1.0), 0.0, 0.0), (Seq[Any](2.0), 1.0, 1.0)))
+      val dir = java.nio.file.Files.createTempDirectory("s2gdb")
+      java.nio.file.Files.write(dir.resolve("a00000009.gdbtable"), table)
+      java.nio.file.Files.write(dir.resolve("a00000001.gdbtable"), decoy)
+      graft.sources.FileGdb.readLargest(s, dir.toString)
+        .select(st_x(col("geom")).as("x"), st_y(col("geom")).as("y"),
+          element_at(col("attrs"), "okey").cast("double").as("okey"),
+          element_at(col("attrs"), "tag").as("tag"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("x") * 2).cast("long")).as("sum_2x"),
+          sum(col("okey")).cast("long").as("sum_okey"),
+          countDistinct(col("tag")).as("n_tags"),
+          min(col("x")).as("min_x"), max(col("y")).as("max_y"))
+    },
+
     "s1_shapefile_scan" -> { (s, d) =>
       // end-to-end shapefile ingest: synthesize a .shp (public ESRI layout)
       // from a deterministic lineitem sample, read it back through the
@@ -698,6 +733,16 @@ object SparkEntry {
 
     "s6_filename_lineage" ->
       "SELECT 'lineitem.parquet' AS source, COUNT(*) AS n FROM lineitem ORDER BY source",
+
+    "s2_filegdb_scan" ->
+      s"""WITH sample AS (
+            SELECT $cxSql AS x, $cySql AS y, l_orderkey AS okey FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 1000)
+          SELECT COUNT(*) AS n,
+            CAST(SUM(CAST(x * 2 AS BIGINT)) AS BIGINT) AS sum_2x,
+            CAST(SUM(okey) AS BIGINT) AS sum_okey,
+            CAST(COUNT(DISTINCT 'r' || CAST(okey % 7 AS VARCHAR)) AS BIGINT) AS n_tags,
+            MIN(x) AS min_x, MAX(y) AS max_y FROM sample""",
 
     "s1_shapefile_scan" ->
       s"""WITH sample AS (

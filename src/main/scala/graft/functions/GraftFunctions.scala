@@ -109,12 +109,24 @@ object GraftFunctions {
   )
 
   /** Register every function into the session's FunctionRegistry and
-    * install the geometry-fusion optimizer rule. */
+    * install the geometry-fusion optimizer rule. Idempotent: a session that
+    * already carries the registrations is left untouched, so repeated calls
+    * (each gate query calls this) do not log "replaced a previously
+    * registered function" for every name. None of the registered names
+    * collide with Spark 4.1 builtins (its geo surface is st_asbinary /
+    * st_geomfromwkb / st_setsrid / st_srid — asserted in RegistrySpec), so
+    * SQL users never see a builtin silently shadowed. */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    builders.foreach { case (name, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    val sentinel = org.apache.spark.sql.catalyst.FunctionIdentifier("wkb_shape_type")
+    if (!registry.functionExists(sentinel)) {
+      builders.foreach { case (name, builder) =>
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+      }
     }
     GeoSimplify.install(spark)
   }
+
+  /** SQL-callable names this library registers (for collision audits). */
+  def registeredNames: Seq[String] = builders.keys.toSeq.sorted
 }
