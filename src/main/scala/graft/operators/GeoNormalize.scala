@@ -125,19 +125,26 @@ object GeoNormalize {
     * each (inputPath → srcEpsg) source table of WKB geometry, normalize and
     * write a Hilbert-clustered output under `outDir`, with retry-friendly
     * shuffled ordering (F3), idempotency skip (F4), and per-source error
-    * isolation (F10). Sources are independent Spark jobs — the scheduler
-    * provides the parallelism the reference got from its process Pool (F1).
+    * isolation (F10). Sources are independent Spark jobs submitted from a
+    * bounded driver-side pool (`maxConcurrent` at once) — concurrent
+    * submission is the parallelism the reference got from its process Pool
+    * (F1), and it hides each job's straggler tail behind the next job's
+    * ramp-up; serial submission left the cluster idle between sources.
     * Returns the failures. */
   def convertAll(spark: SparkSession, sources: Seq[(String, Int)], outDir: String,
-      numFilesPerSource: Int = 1, seed: Long = 42L): Seq[((String, Int), Throwable)] = {
+      numFilesPerSource: Int = 1, seed: Long = 42L,
+      maxConcurrent: Int = 4): Seq[((String, Int), Throwable)] = {
     val shuffled = new scala.util.Random(seed).shuffle(sources)
-    forEachSource(shuffled) { case (path, epsg) =>
-      val name = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".parquet")
-      val out = s"$outDir/$name"
-      if (!alreadyDone(spark, out)) {
-        val df = spark.read.parquet(path)
-        writeClustered(normalize(df, epsg), out, numFiles = numFilesPerSource)
-      }
-    }
+    Concurrency.mapBounded(shuffled, maxConcurrent) { case src @ (path, epsg) =>
+      try {
+        val name = path.substring(path.lastIndexOf('/') + 1).stripSuffix(".parquet")
+        val out = s"$outDir/$name"
+        if (!alreadyDone(spark, out)) {
+          val df = spark.read.parquet(path)
+          writeClustered(normalize(df, epsg), out, numFiles = numFilesPerSource)
+        }
+        None
+      } catch { case e: Throwable => Some(src -> e) }
+    }.flatten
   }
 }

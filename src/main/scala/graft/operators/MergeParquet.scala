@@ -46,12 +46,20 @@ object MergeParquet {
 
   /** Merge: per batch, union-scan the files, attach `source` lineage
     * (READ_PARQUET(filename=True) → `filename AS source`, east_asia.py:396-400),
-    * Hilbert-sort, write one ~500MB-class ZSTD file (east_asia.py:401-408). */
+    * Hilbert-sort, write one ~500MB-class ZSTD file (east_asia.py:401-408).
+    *
+    * Batches are independent Spark jobs; `maxConcurrent` of them are
+    * submitted at once from a bounded driver-side pool, so a batch whose
+    * final single-file write tails off does not leave the cluster idle —
+    * serial submission was leaving (batches−1)·write-tail of wall-clock on
+    * the table. Spark's scheduler interleaves the stages (FIFO by default;
+    * a fair pool makes it even). */
   def merge(spark: SparkSession, inPaths: Seq[String], outDir: String,
-      maxRows: Long = 10000000L, zstdLevel: Int = 22): Seq[String] = {
+      maxRows: Long = 10000000L, zstdLevel: Int = 22,
+      maxConcurrent: Int = 4): Seq[String] = {
     val counts = fileCounts(spark, inPaths)
     val batches = planBatches(counts, maxRows)
-    batches.zipWithIndex.map { case (files, i) =>
+    def writeBatch(files: Seq[String], i: Int): String = {
       val out = f"$outDir/merged_$i%04d"
       val df = spark.read.parquet(files: _*)
         .withColumn("source", substring_index(input_file_name(), "/", -1))
@@ -64,5 +72,26 @@ object MergeParquet {
         .parquet(out)
       out
     }
+    Concurrency.mapBounded(batches.zipWithIndex, maxConcurrent) {
+      case (files, i) => writeBatch(files, i)
+    }
+  }
+}
+
+/** Bounded-concurrency driver-side job submission. Spark jobs triggered
+  * from different driver threads run concurrently on the cluster; the
+  * bound keeps driver memory and scheduler pressure sane. */
+private[graft] object Concurrency {
+  def mapBounded[A, B](items: Seq[A], maxConcurrent: Int)(f: A => B): Seq[B] = {
+    require(maxConcurrent >= 1)
+    if (items.sizeIs <= 1 || maxConcurrent == 1) return items.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxConcurrent, items.size))
+    try {
+      val futures = items.map(a => pool.submit(new java.util.concurrent.Callable[B] {
+        override def call(): B = f(a)
+      }))
+      futures.map(_.get()) // propagate the first failure
+    } finally pool.shutdown()
   }
 }

@@ -64,6 +64,58 @@ object ShapefileCodec {
     out.result()
   }
 
+  /** Decode a headerless run of shapefile records (a byte range cut on
+    * record boundaries by [[splitRanges]]). Record numbers come from the
+    * record headers themselves, so ranges need no external base offset. */
+  def decodeRange(bytes: Array[Byte]): Seq[(Int, Int, Array[Byte])] = {
+    val bb = ByteBuffer.wrap(bytes)
+    bb.order(ByteOrder.BIG_ENDIAN)
+    val out = Seq.newBuilder[(Int, Int, Array[Byte])]
+    var pos = 0
+    while (pos + 12 <= bytes.length) {
+      val recNo = bb.getInt(pos)
+      val contentWords = bb.getInt(pos + 4)
+      val contentLen = contentWords * 2
+      if (contentWords <= 0 || pos + 8 + contentLen > bytes.length) {
+        pos = bytes.length // corrupt or truncated: stop (F10)
+      } else {
+        try {
+          val shape = ByteBuffer.wrap(bytes, pos + 8, contentLen)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          val stype = shape.getInt
+          val geom = decodeShape(shape, stype)
+          if (geom != null) out += ((recNo, stype, GeomLib.write(geom)))
+        } catch { case _: Exception => () }
+        pos += 8 + contentLen
+      }
+    }
+    out.result()
+  }
+
+  /** Cut a `.shx` index into record-range splits of ≤ `maxRecords` records:
+    * (byteStart, byteLength, firstRecordIndex, recordCount) against the
+    * `.shp`. The .shx is 100-byte header + one big-endian (offsetWords,
+    * contentWords) pair per record — arithmetic only, no shape decoding. */
+  def splitRanges(shx: Array[Byte], maxRecords: Int): Seq[(Long, Int, Int, Int)] = {
+    require(maxRecords > 0)
+    if (shx.length < 108) return Seq.empty
+    val bb = ByteBuffer.wrap(shx).order(ByteOrder.BIG_ENDIAN)
+    if (bb.getInt(0) != 9994) return Seq.empty
+    val nRecs = (math.min(bb.getInt(24).toLong * 2, shx.length.toLong).toInt - 100) / 8
+    val out = Seq.newBuilder[(Long, Int, Int, Int)]
+    var first = 0
+    while (first < nRecs) {
+      val last = math.min(first + maxRecords, nRecs) - 1
+      val startBytes = bb.getInt(100 + first * 8).toLong * 2
+      val endBytes = bb.getInt(100 + last * 8).toLong * 2 +
+        8 + bb.getInt(100 + last * 8 + 4).toLong * 2
+      if (endBytes <= startBytes) return out.result() // corrupt index: stop
+      out += ((startBytes, (endBytes - startBytes).toInt, first, last - first + 1))
+      first = last + 1
+    }
+    out.result()
+  }
+
   private def decodeShape(b: ByteBuffer, stype: Int): Geometry = stype match {
     case 0 => null // null shape
     case 1 | 11 | 21 => // Point / PointZ / PointM: x,y first
@@ -214,6 +266,59 @@ object Shapefile {
         ShapefileCodec.decode(bytes).map { case (no, st, wkb) => (src, no, st, wkb) }
       }
       .toDF("source", "record_no", "shape_type", "geom")
+  }
+
+  /** Read shapefiles with intra-file parallelism: the `.shx` index cuts
+    * each `.shp` into record ranges of ≤ `maxRecordsPerSplit`, and every
+    * range decodes in its own Spark task. One 12.5M-record file no longer
+    * caps a stage at one task (reference F1's limit; the Japan4 case in
+    * BASELINE.md). Index decoding happens on executors; only the split
+    * plan — a few rows per FILE, not per record — returns to the driver.
+    * Files without a `.shx` sidecar fall back to whole-file decoding. */
+  def readSplit(spark: SparkSession, pathGlob: String,
+      maxRecordsPerSplit: Int = 250000): DataFrame = {
+    import spark.implicits._
+    val splits: Array[(String, Long, Int)] =
+      spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.shx")
+        .load(pathGlob)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (path, shx) =>
+          val shp = path.stripSuffix(".shx") + ".shp"
+          ShapefileCodec.splitRanges(shx, maxRecordsPerSplit)
+            .map { case (off, len, _, _) => (shp, off, len) }
+        }
+        .collect()
+    val indexed = splits.map(_._1).toSet
+    // ranges: one task each, reading only its byte window
+    val ranged = spark.sparkContext
+      .parallelize(splits.toIndexedSeq, math.max(1, splits.length))
+      .flatMap { case (shp, off, len) =>
+        val p = new org.apache.hadoop.fs.Path(shp)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(p)
+        try {
+          val buf = new Array[Byte](len)
+          in.readFully(off, buf)
+          val src = shp.substring(shp.lastIndexOf('/') + 1)
+          ShapefileCodec.decodeRange(buf).map { case (no, st, wkb) => (src, no, st, wkb) }
+        } finally in.close()
+      }
+      .toDF("source", "record_no", "shape_type", "geom")
+    // files without a .shx: whole-file decode, one task per file (S1 path)
+    val whole = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.shp")
+      .load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .filter(pc => !indexed.contains(pc._1))
+      .flatMap { case (path, bytes) =>
+        val src = path.substring(path.lastIndexOf('/') + 1)
+        ShapefileCodec.decode(bytes).map { case (no, st, wkb) => (src, no, st, wkb) }
+      }
+      .toDF("source", "record_no", "shape_type", "geom")
+    ranged.unionByName(whole)
   }
 
   /** Read shapefiles with their .dbf attribute sidecars: geometry rows

@@ -83,6 +83,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.getName.contains("zstd")))
   }
 
+  test("zstd level 22 measurably outcompresses level 1 (the knob takes effect)") {
+    // near-duplicate long strings: parquet's dictionary can't dedupe them
+    // (all distinct) and zstd's level decides how well the page compresses —
+    // if the level option were silently dropped, both writes would be the
+    // same size
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 8000).map { i =>
+      val filler = (1 to 30).map(j => s"w${(i * 31 + j * 7) % 97}").mkString(" ")
+      (i.toLong, s"record $i of the corpus: $filler", GeomLib.pointWkb(100.0 + rnd.nextDouble(), 30.0 + rnd.nextDouble()))
+    }.toDF("fid", "text", "geom")
+    def dirSize(d: String): Long =
+      new java.io.File(d).listFiles.filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val d22 = tmp() + "/z22"; val d1 = tmp() + "/z1"
+    GeoNormalize.writeClustered(df, d22, numFiles = 1, zstdLevel = 22)
+    GeoNormalize.writeClustered(df, d1, numFiles = 1, zstdLevel = 1)
+    val (s22, s1) = (dirSize(d22), dirSize(d1))
+    assert(s22 < s1, s"level 22 ($s22 B) must beat level 1 ($s1 B)")
+  }
+
+  test("mapBounded: concurrent submission, order preserved, failures propagate") {
+    import graft.operators.Concurrency
+    // all 3 tasks must be in flight at once to pass the barrier
+    val barrier = new java.util.concurrent.CyclicBarrier(3)
+    val out = Concurrency.mapBounded(Seq(1, 2, 3), maxConcurrent = 3) { i =>
+      barrier.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      i * 10
+    }
+    assert(out == Seq(10, 20, 30))
+    intercept[Exception] {
+      Concurrency.mapBounded(Seq(1, 2), maxConcurrent = 2) { i =>
+        if (i == 2) throw new RuntimeException("boom") else i
+      }
+    }
+  }
+
   test("mergeParquet: greedy bin-packing plan matches reference semantics") {
     assert(MergeParquet.planBatches(Seq("a" -> 4L, "b" -> 4L, "c" -> 4L), 8L)
       == Seq(Seq("a", "b"), Seq("c")))

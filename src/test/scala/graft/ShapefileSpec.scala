@@ -52,6 +52,25 @@ object ShpFixture {
     b.array()
   }
 
+  /** `n` point records with matching .shx index: (shpBytes, shxBytes). */
+  def manyPoints(n: Int): (Array[Byte], Array[Byte]) = {
+    val shpTotal = 100 + n * 28
+    val shp = ByteBuffer.allocate(shpTotal)
+    shp.put(header(1, shpTotal / 2))
+    val shx = ByteBuffer.allocate(100 + n * 8)
+    shx.put(header(1, (100 + n * 8) / 2))
+    shx.order(ByteOrder.BIG_ENDIAN)
+    var offWords = 50 // 100 bytes
+    (1 to n).foreach { i =>
+      shp.order(ByteOrder.BIG_ENDIAN).putInt(i).putInt(10)
+      shp.order(ByteOrder.LITTLE_ENDIAN).putInt(1)
+        .putDouble(i * 0.01 - 25.0).putDouble(i * 0.005 - 12.5)
+      shx.putInt(offWords).putInt(10)
+      offWords += 14 // 28 bytes per record
+    }
+    (shp.array(), shx.array())
+  }
+
   /** One Point record + one Polygon record (single CW ring). */
   def pointAndPolygon(): Array[Byte] = {
     // point record: header 8 + content (4 + 16) = 28 bytes
@@ -142,5 +161,36 @@ class ShapefileSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("source", "record_no", "shape_type", "geom"))
     assert(df.count() == 2)
     assert(df.filter(df("source") === "demo.shp").count() == 2)
+  }
+
+  test("shx record-range splitting matches whole-file decode") {
+    val spark = SparkTestSession.spark
+    val n = 5000
+    val (shp, shx) = ShpFixture.manyPoints(n)
+    assert(ShapefileCodec.splitRanges(shx, 1000).length == 5,
+      "5000 records at 1000/split must yield 5 ranges")
+    val dir = java.nio.file.Files.createTempDirectory("shpsplit").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "big.shp"), shp)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "big.shx"), shx)
+    val split = Shapefile.readSplit(spark, dir, maxRecordsPerSplit = 1000)
+    assert(split.rdd.getNumPartitions >= 2,
+      "a .shx-indexed file must decode across multiple tasks")
+    val whole = ShapefileCodec.decode(shp)
+    assert(whole.length == n)
+    val splitRows = split.collect()
+      .map(r => (r.getInt(1), graft.geom.GeomLib.readOrNull(
+        r.getAs[Array[Byte]](3)).getCoordinate.x)).toMap
+    assert(splitRows.size == n)
+    whole.foreach { case (no, _, wkb) =>
+      assert(splitRows(no) == GeomLib.readOrNull(wkb).getCoordinate.x)
+    }
+  }
+
+  test("readSplit falls back to whole-file decode when no .shx exists") {
+    val spark = SparkTestSession.spark
+    val dir = java.nio.file.Files.createTempDirectory("shpnoshx").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "demo.shp"),
+      ShpFixture.pointAndPolygon())
+    assert(Shapefile.readSplit(spark, dir).count() == 2)
   }
 }
