@@ -105,6 +105,11 @@ object Dedup {
     val blocks = sigs.select(col("id"), col("sh"),
       posexplode(array(blockCols: _*)))
       .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bv")
+    // the 8-byte fingerprints ride along through the candidate distinct:
+    // unlike minhashPairs (64-element signature arrays, where re-joining
+    // after a narrow distinct wins), here carrying sh costs 16 bytes/row on
+    // ONE shuffle, while re-joining signatures would re-shuffle the whole
+    // candidate set twice more — measured 3-5× slower at sf0.1
     blocks.as("a")
       .join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") && col("a.id") < col("b.id"))
