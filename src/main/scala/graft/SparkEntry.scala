@@ -615,6 +615,34 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t9_chunk_tokens" -> { (s, d) =>
+      // context-window chunking (32-token windows, 4-token overlap): the
+      // map-only stage that turns documents into training sequences
+      graft.operators.TrainingData.chunkTokens(t(s, d, "documents"),
+          maxTokens = 32, overlap = 4)
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    "t10_contamination" -> { (s, d) =>
+      // benchmark decontamination: corpus docs sharing a 4-gram with the
+      // held-out eval slice (doc_id % 50 == 0) via the inverted-index join
+      val docs = t(s, d, "documents")
+      graft.operators.TrainingData.contamination(
+          docs, docs.filter(col("doc_id") % 50 === 0), n = 4)
+        .orderBy("doc_id")
+    },
+
+    "t11_stratified_sample" -> { (s, d) =>
+      // training-mix reweighting: keep 40% of English, 100% of the rest,
+      // decided deterministically by doc_id mod 100 (auditable sampling)
+      val docs = t(s, d, "documents")
+      graft.operators.TrainingData.stratifiedSample(
+          docs, "lang", col("doc_id"), Map("en" -> 40))
+        .groupBy("lang").agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    },
+
     "mm1_binary_meta" -> { (s, d) =>
       // multimodal plumbing: opaque binary column + typed metadata
       t(s, d, "documents")
@@ -1000,6 +1028,35 @@ object SparkEntry {
                  + CAST(0.2 AS DOUBLE) * p_s + CAST(0.25 AS DOUBLE) * st_s, 6) AS quality,
            TRUE AS pred_lang_known
          FROM sc ORDER BY doc_id""",
+
+    "t9_chunk_tokens" ->
+      """WITH s AS (SELECT doc_id,
+             CAST(1 + LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n
+           FROM documents),
+         c AS (SELECT doc_id, n,
+             GREATEST(0, CAST(CEIL((n - 4) / 28.0) AS INTEGER) - 1) AS cmax FROM s)
+         SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           CAST(i * 28 AS INTEGER) AS tok_start,
+           CAST(LEAST(32, n - i * 28) AS INTEGER) AS n_tok
+         FROM c, UNNEST(range(0, cmax + 1)) AS t(i)
+         ORDER BY doc_id, chunk_id""",
+
+    "t10_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         grams AS (SELECT DISTINCT doc_id,
+             ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] AS gram
+           FROM toks, UNNEST(range(1, len(ts) - 2)) AS t(i))
+         SELECT c.doc_id AS doc_id, COUNT(DISTINCT e.doc_id) AS n_eval_docs,
+           COUNT(DISTINCT c.gram) AS n_shared_grams
+         FROM grams c JOIN grams e ON c.gram = e.gram
+           AND e.doc_id % 50 = 0 AND c.doc_id <> e.doc_id
+         GROUP BY c.doc_id ORDER BY doc_id""",
+
+    "t11_stratified_sample" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents
+         WHERE (doc_id % 100) < (CASE WHEN lang = 'en' THEN 40 ELSE 100 END)
+         GROUP BY lang ORDER BY lang""",
 
     // planted self-match: identical vectors share every LSH signature, so
     // recovery at rank 1 / cos 1.0 is a structural guarantee the oracle can

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+
+/** Training-corpus preparation operators beyond dedup: context-window
+  * chunking, benchmark decontamination, and stratified mix sampling — the
+  * stages between "raw deduped text" and "training batches" in an LLM data
+  * pipeline. All are single-shuffle-or-less declarative plans.
+  */
+object TrainingData {
+
+  /** Split documents into fixed-token-budget chunks: one output row per
+    * chunk, `(doc_id, chunk_id, tok_start, n_tok)` with whitespace-token
+    * indexing. Pure per-row explode — no shuffle at all; at 100 TB this is
+    * a map-only stage that parallelizes with the scan. `overlap` tokens of
+    * stride overlap carry context across chunk boundaries (0 = disjoint). */
+  def chunkTokens(docs: DataFrame, maxTokens: Int, overlap: Int = 0,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got overlap=$overlap maxTokens=$maxTokens")
+    val stride = maxTokens - overlap
+    docs
+      .select(col(idCol),
+        posexplode(expr(
+          s"transform(sequence(0, greatest(0, cast(ceil((size(split($textCol, ' ')) " +
+            s"- $overlap) / $stride.0) as int) - 1)), " +
+          s"c -> least($maxTokens, size(split($textCol, ' ')) - c * $stride))")))
+      .select(col(idCol), col("pos").as("chunk_id"),
+        (col("pos") * stride).as("tok_start"), col("col").as("n_tok"))
+  }
+
+  /** Benchmark decontamination probe: corpus documents sharing at least one
+    * word `n`-gram with the held-out `evalSet`. Returns one row per
+    * contaminated corpus doc with the count of distinct matching eval docs.
+    * The plan is the inverted-index equality join (t3's shape): explode
+    * n-grams on both sides, join on the gram — never a doc×doc product.
+    * `maxPosting` drops grams shared by more than that many corpus docs
+    * (boilerplate grams carry no contamination signal but quadratic cost). */
+  def contamination(corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxPosting: Int = 10000): DataFrame = {
+    // CASE guard: sequence(1, stop) with stop < 1 would generate a
+    // DESCENDING sequence in Spark, not an empty one
+    def grams(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId),
+        explode(expr(
+          s"CASE WHEN size(split($textCol, ' ')) >= $n THEN " +
+          s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
+          s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))) " +
+          s"ELSE array() END")).as("gram"))
+        .distinct()
+    val cg = grams(corpus, "doc_id_c")
+    val eg = grams(evalSet, "doc_id_e")
+    val hot = cg.groupBy("gram").count().filter(col("count") > maxPosting)
+      .select("gram")
+    cg.join(hot, Seq("gram"), "left_anti")
+      .join(eg, Seq("gram"))
+      .filter(col("doc_id_c") =!= col("doc_id_e"))
+      .groupBy(col("doc_id_c").as(idCol))
+      .agg(countDistinct(col("doc_id_e")).as("n_eval_docs"),
+        countDistinct(col("gram")).as("n_shared_grams"))
+  }
+
+  /** Stratified downsampling for training-mix reweighting: keep a
+    * per-stratum fraction of rows, decided deterministically from `keyExpr
+    * mod 100` (pass e.g. `pmod(xxhash64(col), 100)` for hash sampling or a
+    * plain id column for reproducible audits). `ratesPct` maps stratum →
+    * keep-percentage; strata not listed keep everything. Pure filter — no
+    * shuffle, fully pushdown-friendly. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyExpr: Column,
+      ratesPct: Map[String, Int]): DataFrame = {
+    require(ratesPct.values.forall(r => r >= 0 && r <= 100),
+      s"rates must be percentages in [0,100]: $ratesPct")
+    val keep = ratesPct.foldLeft(lit(100)) { case (acc, (stratum, rate)) =>
+      when(col(strataCol) === stratum, lit(rate)).otherwise(acc)
+    }
+    df.filter(pmod(keyExpr, lit(100)) < keep)
+  }
+}

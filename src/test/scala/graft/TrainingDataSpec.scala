@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TrainingData
+
+/** Corpus-preparation operators: chunking, decontamination, stratified
+  * sampling. */
+class TrainingDataSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("chunkTokens: disjoint and overlapping windows cover every token") {
+    val docs = Seq((1L, (1 to 75).map(i => s"t$i").mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text")
+    val disjoint = TrainingData.chunkTokens(docs, maxTokens = 32).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    // 75 tokens at 32/chunk → 3 chunks of 32+32+11; 3 tokens → 1 chunk
+    assert(disjoint.filter(_._1 == 1L).toSeq ==
+      Seq((1L, 0, 0, 32), (1L, 1, 32, 32), (1L, 2, 64, 11)))
+    assert(disjoint.filter(_._1 == 2L).toSeq == Seq((2L, 0, 0, 3)))
+    val overlapped = TrainingData.chunkTokens(docs.filter($"doc_id" === 1), 32, overlap = 4)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getInt(3)))
+    // stride 28: starts 0,28,56 with sizes 32,32,19
+    assert(overlapped.toSeq == Seq((0, 0, 32), (1, 28, 32), (2, 56, 19)))
+    intercept[IllegalArgumentException] {
+      TrainingData.chunkTokens(docs, maxTokens = 8, overlap = 8)
+    }
+  }
+
+  test("contamination finds planted eval overlap, skips short docs") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"), // eval (0 % 50 == 0)
+      (1L, "prefix words then alpha beta gamma delta epsilon end"), // contaminated
+      (2L, "completely different content with no overlap at all"),
+      (3L, "tiny")).toDF("doc_id", "text") // < n tokens: no grams, no crash
+    val hits = TrainingData.contamination(docs, docs.filter($"doc_id" % 50 === 0), n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits.keySet == Set(1L))
+    assert(hits(1L) == 1L) // one eval doc matched
+  }
+
+  test("stratifiedSample keeps exact per-stratum slices and validates rates") {
+    val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val kept = TrainingData.stratifiedSample(df, "lang", col("doc_id"), Map("en" -> 40))
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // en docs are the even ids: those with id % 100 < 40 → 40 of 100
+    assert(kept("en") == 40L && kept("de") == 100L)
+    intercept[IllegalArgumentException] {
+      TrainingData.stratifiedSample(df, "lang", col("doc_id"), Map("en" -> 101))
+    }
+  }
+}
