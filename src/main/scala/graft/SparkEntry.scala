@@ -124,6 +124,37 @@ object SparkEntry {
         .orderBy("source")
     },
 
+    "k2_gpkg_sink" -> { (s, d) =>
+      // end-to-end GeoPackage export (reference K2): a deterministic
+      // lineitem point sample goes out through the from-spec SQLite/GPKG
+      // writer and comes back through the b-tree reader; aggregates are
+      // oracled via the same sample arithmetic. The file itself is
+      // additionally validated by the real SQLite library in GeoPackageSpec.
+      import s.implicits._
+      val sample = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          cxCol.as("x"), cyCol.as("y"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .limit(500)
+        .select("x", "y", "l_orderkey").collect()
+      val df = sample.toSeq.map { r =>
+        (r.getLong(2), graft.geom.GeomLib.pointWkb(r.getDouble(0), r.getDouble(1)))
+      }.toDF("okey", "geom")
+      val path = java.nio.file.Files.createTempDirectory("k2gpkg")
+        .resolve("sample.gpkg").toString
+      graft.sources.GeoPackage.write(df, path, "sample_layer",
+        geomCol = "geom", geometryType = "POINT")
+      val back = graft.sources.GeoPackage.readTable(path, "sample_layer")
+        .map { case (_, vals) =>
+          val g = graft.geom.GeomLib.readOrNull(vals(1).asInstanceOf[Array[Byte]])
+          (g.getCoordinate.x, g.getCoordinate.y, vals(2).asInstanceOf[Long])
+        }.toDF("x", "y", "okey")
+      back.agg(count(lit(1)).as("n"),
+        sum((col("x") * 2).cast("long")).as("sum_2x"),
+        sum(col("okey")).as("sum_okey"),
+        min(col("x")).as("min_x"), max(col("y")).as("max_y"))
+    },
+
     "s2_filegdb_scan" -> { (s, d) =>
       // end-to-end FileGDB ingest (reference S2): synthesize a .gdb dir
       // (public reverse-engineered .gdbtable layout) from a deterministic
@@ -761,6 +792,15 @@ object SparkEntry {
 
     "s6_filename_lineage" ->
       "SELECT 'lineitem.parquet' AS source, COUNT(*) AS n FROM lineitem ORDER BY source",
+
+    "k2_gpkg_sink" ->
+      s"""WITH sample AS (
+            SELECT $cxSql AS x, $cySql AS y, l_orderkey AS okey FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 500)
+          SELECT COUNT(*) AS n,
+            CAST(SUM(CAST(x * 2 AS BIGINT)) AS BIGINT) AS sum_2x,
+            CAST(SUM(okey) AS BIGINT) AS sum_okey,
+            MIN(x) AS min_x, MAX(y) AS max_y FROM sample""",
 
     "s2_filegdb_scan" ->
       s"""WITH sample AS (

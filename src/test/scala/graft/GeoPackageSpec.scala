@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geom.GeomLib
+import graft.sources.GeoPackage
+
+/** GeoPackage sink (reference K2): minimal from-spec SQLite writer.
+  * Round-trips through our own reader AND — when python3 is available —
+  * through the real SQLite library (stdlib sqlite3), including
+  * PRAGMA integrity_check, so the bytes are validated by an independent
+  * implementation, not just self-consistency. */
+class GeoPackageSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmpGpkg(): String =
+    java.nio.file.Files.createTempDirectory("gpkg").resolve("out.gpkg").toString
+
+  private def sampleDf(n: Int) = (1 to n).map { i =>
+    (i * 3L, s"name_$i", i * 0.25, GeomLib.pointWkb(i % 360 - 180.0, i % 170 - 85.0))
+  }.toDF("okey", "tag", "score", "geom")
+
+  test("write + own-reader round-trip preserves rows, attrs, geometry") {
+    val path = tmpGpkg()
+    GeoPackage.write(sampleDf(300), path, "layer", geomCol = "geom",
+      geometryType = "POINT")
+    val back = GeoPackage.readTable(path, "layer")
+    assert(back.length == 300)
+    back.zipWithIndex.foreach { case ((rowid, vals), idx) =>
+      val i = idx + 1
+      assert(rowid == i)
+      assert(vals.head == null) // fid INTEGER PRIMARY KEY = rowid alias
+      val g = GeomLib.readOrNull(vals(1).asInstanceOf[Array[Byte]])
+      assert(g.getCoordinate.x == (i % 360 - 180.0))
+      assert(vals(2) == i * 3L)
+      assert(vals(3) == s"name_$i")
+      assert(vals(4) == i * 0.25)
+    }
+  }
+
+  test("real SQLite accepts the file: integrity_check, metadata, aggregates") {
+    val python = Seq("/usr/bin/python3", "/usr/local/bin/python3")
+      .find(p => new java.io.File(p).canExecute)
+    assume(python.isDefined, "python3 not available for external validation")
+    val path = tmpGpkg()
+    GeoPackage.write(sampleDf(2500), path, "layer", geomCol = "geom",
+      geometryType = "POINT") // 2500 rows → multiple leaves + interior page
+    val script =
+      s"""import sqlite3
+         |cur = sqlite3.connect('$path').cursor()
+         |assert cur.execute('PRAGMA integrity_check').fetchall() == [('ok',)]
+         |assert cur.execute('PRAGMA application_id').fetchone()[0] == 0x47504B47
+         |n, s = cur.execute('SELECT COUNT(*), SUM(okey) FROM layer').fetchone()
+         |assert (n, s) == (2500, ${(1 to 2500).map(_ * 3L).sum}), (n, s)
+         |ct = cur.execute('SELECT table_name, data_type, srs_id FROM gpkg_contents').fetchall()
+         |assert ct == [('layer', 'features', 4326)], ct
+         |g = cur.execute('SELECT geom FROM layer WHERE fid=1').fetchone()[0]
+         |assert g[:2] == b'GP' and g[8:9] == b'\\x01', g[:9]
+         |print('SQLITE_OK')
+         |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("gpkgcheck", ".py")
+    java.nio.file.Files.write(f, script.getBytes("UTF-8"))
+    val out = new StringBuilder
+    val rc = scala.sys.process.Process(Seq(python.get, f.toString))
+      .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n'),
+        l => out.append(l).append('\n')))
+    assert(rc == 0 && out.toString.contains("SQLITE_OK"), s"external check failed:\n$out")
+  }
+
+  test("oversized row is rejected instead of silently corrupting the file") {
+    val big = Seq((1L, new Array[Byte](5000))).toDF("okey", "geom")
+    intercept[IllegalArgumentException] {
+      GeoPackage.write(big, tmpGpkg(), "layer")
+    }
+  }
+
+  test("null geometry and empty table are representable") {
+    val path = tmpGpkg()
+    val df = Seq((1L, null.asInstanceOf[Array[Byte]]),
+      (2L, GeomLib.pointWkb(1.0, 2.0))).toDF("okey", "geom")
+    GeoPackage.write(df, path, "layer")
+    val back = GeoPackage.readTable(path, "layer")
+    assert(back.length == 2)
+    assert(back.head._2(1) == null)
+    val empty = tmpGpkg()
+    GeoPackage.write(sampleDf(0), empty, "layer")
+    assert(GeoPackage.readTable(empty, "layer").isEmpty)
+  }
+}
