@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * with typed metadata, processed in partition-sized batches.
   *
   * The Spark-side machinery (schema, batching, partitioning, UDF signature)
-  * is real; the media decode itself is STUBBED deterministically — the
-  * decode/resample libraries are not in this container, so `decodeStub`
-  * derives plausible metadata from the bytes (documented; swap in a real
-  * decoder behind the same signature in production). This mirrors running
-  * `mapInPandas` batches in a Python pipeline: here the batch unit is the
-  * partition iterator, which Spark feeds without materializing the whole
-  * partition.
+  * is real. Decoding is pluggable via [[Multimodal.MediaDecoder]]:
+  * [[Multimodal.HeaderDecoder]] (default) REALLY parses container headers
+  * — PNG/JPEG/GIF/BMP dimensions and WAV rate/channels, all zero-dependency
+  * byte-level parsing of public formats — and falls back to
+  * [[Multimodal.StubDecoder]]'s deterministic fake for payloads it cannot
+  * sniff (full pixel/sample decode needs codec libraries this container
+  * lacks; a production decoder plugs in behind the same trait). This
+  * mirrors running `mapInPandas` batches in a Python pipeline: the batch
+  * unit is the partition iterator, which Spark feeds without materializing
+  * the whole partition.
   */
 object Multimodal {
 
@@ -21,26 +24,73 @@ object Multimodal {
   case class MediaRow(id: Long, payload: Array[Byte], meta: MediaMeta)
   case class MediaFeatures(id: Long, width: Int, height: Int, histogram: Array[Long])
 
-  /** STUB decode: deterministic fake dimensions from the payload hash.
-    * Replace with a real image/audio decoder (same signature) when the
-    * codec libraries are available. */
-  def decodeStub(payload: Array[Byte]): MediaMeta = {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
-    val w = 64 + (math.abs(h) % 960).toInt
-    val ht = 64 + (math.abs(h / 7) % 540).toInt
-    MediaMeta("application/octet-stream", payload.length.toLong, w, ht)
+  /** Pluggable payload → metadata decode. Implementations must be
+    * deterministic and serializable (they run inside executor tasks). */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte]): MediaMeta
+  }
+
+  /** Deterministic fake dimensions from a payload hash — the honest stand-in
+    * for payloads whose container format is unknown. */
+  object StubDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte]): MediaMeta = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < payload.length) { h = 31 * h + (payload(i) & 0xff); i += 1 }
+      val w = 64 + (math.abs(h) % 960).toInt
+      val ht = 64 + (math.abs(h / 7) % 540).toInt
+      MediaMeta("application/octet-stream", payload.length.toLong, w, ht)
+    }
+  }
+
+  /** Real container-header parsing for the common public formats; falls
+    * back to [[StubDecoder]] for unrecognized bytes. For audio (WAV) the
+    * width/height fields carry sample rate and channel count. */
+  object HeaderDecoder extends MediaDecoder {
+    private def u16le(b: Array[Byte], o: Int) = ((b(o) & 0xff) | ((b(o + 1) & 0xff) << 8))
+    private def u32le(b: Array[Byte], o: Int) =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    private def u32be(b: Array[Byte], o: Int) =
+      ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+    private def u16be(b: Array[Byte], o: Int) = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+    def decode(p: Array[Byte]): MediaMeta = {
+      val n = p.length.toLong
+      if (p.length >= 24 && p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+        MediaMeta("image/png", n, u32be(p, 16), u32be(p, 20))
+      else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8')
+        MediaMeta("image/gif", n, u16le(p, 6), u16le(p, 8))
+      else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
+        MediaMeta("image/bmp", n, u32le(p, 18), math.abs(u32le(p, 22)))
+      else if (p.length >= 28 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+          p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')
+        MediaMeta("audio/wav", n, u32le(p, 24) /* sample rate */, u16le(p, 22) /* channels */)
+      else if (p.length >= 4 && p(0) == 0xff.toByte && p(1) == 0xd8.toByte) {
+        // JPEG: walk marker segments to the first SOF0/1/2 frame header
+        var i = 2
+        while (i + 9 < p.length) {
+          if (p(i) != 0xff.toByte) return StubDecoder.decode(p)
+          val marker = p(i + 1) & 0xff
+          if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
+            return MediaMeta("image/jpeg", n, u16be(p, i + 7), u16be(p, i + 5))
+          if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+          else i += 2 + u16be(p, i + 2)
+        }
+        MediaMeta("image/jpeg", n, 0, 0) // truncated: type known, dims not
+      }
+      else StubDecoder.decode(p)
+    }
   }
 
   /** Wrap raw binary payloads (e.g. from Spark's binaryFile source) with
     * decoded metadata. */
   def withMeta(spark: SparkSession, payloads: DataFrame,
-      idCol: String = "id", payloadCol: String = "payload"): Dataset[MediaRow] = {
+      idCol: String = "id", payloadCol: String = "payload",
+      decoder: MediaDecoder = HeaderDecoder): Dataset[MediaRow] = {
     import spark.implicits._
     payloads.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
-      .map { case (id, p) => MediaRow(id, p, decodeStub(p)) }
+      .map { case (id, p) => MediaRow(id, p, decoder.decode(p)) }
   }
 
   /** Batch feature extraction over partition iterators: 16-bin byte

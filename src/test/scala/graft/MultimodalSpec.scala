@@ -41,6 +41,39 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("HeaderDecoder parses real container headers; stub only for unknown") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // PNG: signature + IHDR length/type + width/height (big-endian)
+    val png = ByteBuffer.allocate(33)
+    png.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    png.putInt(13).put("IHDR".getBytes).putInt(640).putInt(480)
+    // GIF89a with LE dims
+    val gif = ByteBuffer.allocate(13).order(ByteOrder.LITTLE_ENDIAN)
+    gif.put("GIF89a".getBytes).putShort(320.toShort).putShort(200.toShort)
+    // BMP: "BM", header, LE dims at 18/22 (negative height = top-down)
+    val bmp = ByteBuffer.allocate(30).order(ByteOrder.LITTLE_ENDIAN)
+    bmp.put(0, 'B'.toByte); bmp.put(1, 'M'.toByte)
+    bmp.putInt(18, 800); bmp.putInt(22, -600)
+    // WAV: RIFF/WAVE + fmt chunk with channels at 22, rate at 24
+    val wav = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
+    wav.put(0, "RIFF".getBytes, 0, 4); wav.put(8, "WAVEfmt ".getBytes, 0, 8)
+    wav.putShort(22, 2.toShort); wav.putInt(24, 44100)
+    // JPEG: SOI, APP0 segment, SOF0 with height 240 width 320
+    val jpg = ByteBuffer.allocate(32)
+    jpg.put(Array(0xff, 0xd8).map(_.toByte))
+    jpg.put(Array(0xff, 0xe0).map(_.toByte)); jpg.putShort(4.toShort); jpg.putShort(0.toShort)
+    jpg.put(Array(0xff, 0xc0).map(_.toByte)); jpg.putShort(8.toShort)
+    jpg.put(8.toByte); jpg.putShort(240.toShort); jpg.putShort(320.toShort)
+    val d = Multimodal.HeaderDecoder
+    assert(d.decode(png.array()) == Multimodal.MediaMeta("image/png", 33, 640, 480))
+    assert(d.decode(gif.array()) == Multimodal.MediaMeta("image/gif", 13, 320, 200))
+    assert(d.decode(bmp.array()) == Multimodal.MediaMeta("image/bmp", 30, 800, 600))
+    assert(d.decode(wav.array()) == Multimodal.MediaMeta("audio/wav", 44, 44100, 2))
+    assert(d.decode(jpg.array()) == Multimodal.MediaMeta("image/jpeg", 32, 320, 240))
+    val unknown = Array.fill[Byte](64)(0x42)
+    assert(d.decode(unknown) == Multimodal.StubDecoder.decode(unknown))
+  }
+
   test("resizeMeta caps dimensions preserving aspect") {
     val resized = Multimodal.resizeMeta(Multimodal.withMeta(spark, payloads()), 128)
     assert(resized.collect().forall(r =>
