@@ -11,6 +11,9 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output through raw (no [info]/[error] log prefixes) so the
+// one-line JSON that Bench prints is machine-parseable from sbt's stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +30,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ~50 queries × (warmup + timed) whole-stage-codegen compilations overflow
+  // the default 240 MB JIT code cache; once full, HotSpot disables the
+  // compiler and late (alphabetically last) queries run interpreted ~10×
+  // slower — the exact shape of the r2 bench regression.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -105,20 +105,24 @@ object Dedup {
     val blocks = sigs.select(col("id"), col("sh"),
       posexplode(array(blockCols: _*)))
       .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bv")
-    // the 8-byte fingerprints ride along through the candidate distinct:
-    // unlike minhashPairs (64-element signature arrays, where re-joining
-    // after a narrow distinct wins), here carrying sh costs 16 bytes/row on
-    // ONE shuffle, while re-joining signatures would re-shuffle the whole
-    // candidate set twice more — measured 3-5× slower at sf0.1
+    // the 8-byte fingerprints ride along into the candidate join: unlike
+    // minhashPairs (64-element signature arrays, where re-joining after a
+    // narrow distinct wins), carrying sh costs 16 bytes/row and lets the
+    // hamming distance be computed inline — re-joining signatures would
+    // re-shuffle the whole candidate set twice more (measured 3-5× slower
+    // at sf0.1)
+    // hamming filter BEFORE the distinct: the filter is deterministic per
+    // pair, so applying it to each candidate emission first shrinks the
+    // distinct's shuffle from |all bucket collisions| (quadratic in bucket
+    // occupancy — the dominant cost when nBlocks is large and blocks are
+    // only a few bits wide) down to |true near-dup pairs|
     blocks.as("a")
       .join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .distinct()
-      .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .withColumn("dist", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
       .filter(col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
+      .distinct()
   }
 
   /** Embedding near-dup pairs: cosine ≥ `minCos` among LSH-bucketed

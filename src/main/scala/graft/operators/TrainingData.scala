@@ -35,10 +35,17 @@ object TrainingData {
   /** Benchmark decontamination probe: corpus documents sharing at least one
     * word `n`-gram with the held-out `evalSet`. Returns one row per
     * contaminated corpus doc with the count of distinct matching eval docs.
-    * The plan is the inverted-index equality join (t3's shape): explode
-    * n-grams on both sides, join on the gram — never a doc×doc product.
-    * `maxPosting` drops grams shared by more than that many corpus docs
-    * (boilerplate grams carry no contamination signal but quadratic cost). */
+    *
+    * Scale shape: the eval set is always tiny relative to the corpus
+    * (thousands of benchmark docs vs a 100 TB corpus), so its exploded
+    * grams are BROADCAST and the corpus side never shuffles in full — the
+    * whole probe is a map-side explode + broadcast hash join; the only
+    * shuffles run over the matched subset (corpus rows that hit an eval
+    * gram). `maxPosting` drops grams shared by more than that many corpus
+    * docs (boilerplate carries no contamination signal but quadratic cost);
+    * the hot-gram count is computed over the matched subset too — posting
+    * counts of unmatched grams are irrelevant, so no full-corpus
+    * aggregation is ever needed. */
   def contamination(corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
       textCol: String = "text", idCol: String = "doc_id",
       maxPosting: Int = 10000): DataFrame = {
@@ -51,14 +58,21 @@ object TrainingData {
           s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
           s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))) " +
           s"ELSE array() END")).as("gram"))
-        .distinct()
+    // corpus grams are NOT distinct'd here (that would be a full-corpus
+    // shuffle); duplicates within a doc are harmless to the countDistinct
+    // aggregates and to the per-gram distinct-doc posting count below
     val cg = grams(corpus, "doc_id_c")
-    val eg = grams(evalSet, "doc_id_e")
-    val hot = cg.groupBy("gram").count().filter(col("count") > maxPosting)
-      .select("gram")
-    cg.join(hot, Seq("gram"), "left_anti")
-      .join(eg, Seq("gram"))
+    val eg = grams(evalSet, "doc_id_e").distinct()
+    val matched = cg.join(broadcast(eg), Seq("gram"))
       .filter(col("doc_id_c") =!= col("doc_id_e"))
+    // hot-gram cap over the matched subset only: posting count = distinct
+    // corpus docs containing the gram, identical to a full-corpus count for
+    // every gram that can reach the output
+    val hot = matched.groupBy("gram")
+      .agg(countDistinct(col("doc_id_c")).as("n_docs"))
+      .filter(col("n_docs") > maxPosting)
+      .select("gram")
+    matched.join(broadcast(hot), Seq("gram"), "left_anti")
       .groupBy(col("doc_id_c").as(idCol))
       .agg(countDistinct(col("doc_id_e")).as("n_eval_docs"),
         countDistinct(col("gram")).as("n_shared_grams"))
