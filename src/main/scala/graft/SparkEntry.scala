@@ -725,6 +725,41 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    "v3_embedding_neardup" -> { (s, d) =>
+      // embedding-cosine near-dup pairs through the library's multi-table
+      // LSH bucket join (Dedup.embeddingPairs). Planted-dup oracle: exact
+      // copies of the first 50 vectors under shifted ids are unioned in, so
+      // the true ≥0.95-cosine pair set is exactly {(i, i+10000)} — this
+      // corpus's max off-diagonal cosine is ≈0.60, far under the threshold.
+      // Identical vectors share every table's signature, so recovering ALL
+      // planted pairs is a structural guarantee of the bucket join; a hash
+      // match therefore proves 100% recall, not just non-emptiness.
+      val emb = t(s, d, "embeddings")
+      val planted = emb.filter(col("vec_id") < 50)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      graft.operators.Dedup.embeddingPairs(emb.unionByName(planted),
+          bits = 16, tables = 4, minCos = 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
+    },
+
+    "v4_ann_ivf" -> { (s, d) =>
+      // IVF coarse-quantizer ANN (Similarity.ivfTopK): spherical-kmeans
+      // codebook on a bounded sample, map-only cell assignment, nprobe-cell
+      // equality join. Planted-self-match oracle (v2's pattern): a query
+      // that is an exact copy of a corpus vector probes its twin's cell by
+      // the shared argmax tie-break, so rank-1/cos-1.0 recovery is
+      // structural; probabilistic recall on perturbed neighbors lives in
+      // ScalePlanSpec.
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      graft.operators.Similarity.ivfTopK(emb, q, k = 1, nlist = 64, nprobe = 4,
+          trainSample = 1000, iters = 4)
+        .select(col("qid"), col("nid"), col("rk"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid")
+    },
+
     // =====================================================================
     // Event streams (batch-equivalent of the Structured Streaming surface)
     // =====================================================================
@@ -1102,6 +1137,20 @@ object SparkEntry {
     // recovery at rank 1 / cos 1.0 is a structural guarantee the oracle can
     // state exactly
     "v2_ann_lsh" ->
+      """SELECT vec_id + 10000 AS qid, vec_id AS nid, CAST(1 AS INTEGER) AS rk,
+         CAST(1.0 AS DOUBLE) AS cos
+         FROM embeddings WHERE vec_id < 10 ORDER BY qid""",
+
+    // planted exact copies are the only pairs reaching cosine 0.95 (max
+    // off-diagonal cosine in this corpus ≈ 0.60), and identical vectors
+    // collide in every LSH table — the exact pair set is a guarantee
+    "v3_embedding_neardup" ->
+      """SELECT vec_id AS id_a, vec_id + 10000 AS id_b, CAST(1.0 AS DOUBLE) AS cos
+         FROM embeddings WHERE vec_id < 50 ORDER BY id_a, id_b""",
+
+    // planted self-match through the IVF cell probe: same argmax tie-break
+    // on both sides → twin cell always probed → rank 1 at cos 1.0
+    "v4_ann_ivf" ->
       """SELECT vec_id + 10000 AS qid, vec_id AS nid, CAST(1 AS INTEGER) AS rk,
          CAST(1.0 AS DOUBLE) AS cos
          FROM embeddings WHERE vec_id < 10 ORDER BY qid""",

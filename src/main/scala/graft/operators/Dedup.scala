@@ -126,17 +126,31 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: cosine ≥ `minCos` among LSH-bucketed
-    * candidates (random hyperplanes); brute-force only within buckets. */
+    * candidates (random hyperplanes); brute-force only within buckets.
+    *
+    * Multi-table OR-construction: `tables` independent signatures (seeds
+    * seed+t); a pair is a candidate if it collides in ANY table. For a pair
+    * at cosine c, per-bit agreement is 1 − θ/π, so single-table recall
+    * p^bits decays fast near the threshold — tables multiply it back up
+    * (1 − (1 − p^bits)^tables) without widening buckets, keeping the
+    * in-bucket quadratic cost at (N/2^bits)² per table. The cosine filter
+    * runs BEFORE the cross-table distinct, so the distinct only shuffles
+    * true near-dups, not every bucket collision. */
   def embeddingPairs(embs: DataFrame, vecCol: String = "embedding",
-      idCol: String = "vec_id", bits: Int = 8, minCos: Double = 0.95,
-      seed: Long = 7L): DataFrame = {
+      idCol: String = "vec_id", bits: Int = 16, tables: Int = 4,
+      minCos: Double = 0.95, seed: Long = 7L): DataFrame = {
+    require(tables >= 1, s"tables must be >= 1: $tables")
     val b = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      rhp_signature(col(vecCol), lit(bits), lit(seed)).as("bucket"))
+      posexplode(array((0 until tables).map(t =>
+        rhp_signature(col(vecCol), lit(bits), lit(seed + t))): _*)))
+      .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
       .withColumn("cos", cosine_similarity(col("a.v"), col("b.v")))
       .filter(col("cos") >= minCos)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos"))
+      .distinct()
   }
 
   /** End-to-end corpus dedup: exact + MinHash-LSH near-dup removal. Keeps

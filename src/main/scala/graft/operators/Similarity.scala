@@ -69,4 +69,99 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"), col("rk"), col("cos"))
   }
+
+  /** IVF (inverted-file) top-k: the coarse-quantizer ANN path.
+    *
+    * A spherical k-means codebook of `nlist` centroids is trained on a
+    * BOUNDED sample (`trainSample` rows via sort-limit, which Spark plans as
+    * TakeOrderedAndProject — per-partition top-N + merge, never a full
+    * sort) and solved on the driver: codebook training is O(sample·nlist)
+    * and independent of corpus size, the same shape faiss uses. The
+    * centroids then travel to executors as one literal array — corpus
+    * assignment is a map-only argmax-dot pass, queries probe their `nprobe`
+    * nearest cells, and candidates come from an equality join on the cell
+    * id. Per-query compute is nprobe/nlist of the corpus instead of all of
+    * it; the corpus shuffles once, on the cell key.
+    *
+    * Ties (equal dot products) break toward the lower centroid index on
+    * BOTH sides — corpus argmax picks the first maximum, query probing
+    * sorts by (−dot, index) — so a query that is an exact copy of a corpus
+    * vector always probes its twin's cell: planted self-matches are a
+    * structural guarantee, not a probability. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 256,
+      nprobe: Int = 8, trainSample: Int = 10000, iters: Int = 5,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe <= nlist: nlist=$nlist nprobe=$nprobe")
+    val sample = corpus.select(col(idCol), col(vecCol)).sort(col(idCol))
+      .limit(trainSample).collect().map(_.getSeq[Float](1).toArray)
+    val centroids = trainSpherical(sample, nlist, iters)
+    val centLit = typedlit(centroids.map(_.toSeq).toSeq)
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    def dots(v: Column): Column = transform(centLit, c => dot(c, v))
+    // corpus side: argmax cell, map-only (array_position finds the FIRST
+    // maximum — the low-index tie-break the probe order mirrors)
+    val assigned = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+      .withColumn("ds", dots(col("nv")))
+      .withColumn("cell", (array_position(col("ds"), array_max(col("ds"))) - 1).cast("int"))
+      .drop("ds")
+    // query side: nprobe nearest cells by dot, ties toward low index
+    val nc = centroids.length
+    val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("ds", dots(col("qv")))
+      .withColumn("cells", slice(transform(
+        array_sort(zip_with(col("ds"), sequence(lit(0), lit(nc - 1)),
+          (d, i) => struct((-d).as("nd"), i.as("i")))),
+        s => s("i")), 1, math.min(nprobe, nc)))
+      .select(col("qid"), col("qv"), explode(col("cells")).as("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    probed.join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine_similarity(col("qv"), col("nv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("rk"), col("cos"))
+  }
+
+  /** Spherical k-means on the driver over a bounded sample: unit-normalize,
+    * argmax-dot assignment, mean + renormalize update. Deterministic —
+    * centroids init from the first `nlist` sample rows in sample order and
+    * every step is argmax/mean arithmetic with fixed iteration order. Empty
+    * cells keep their previous centroid. Returns ≤ nlist centroids (fewer
+    * only when the sample itself is smaller). */
+  private[operators] def trainSpherical(sample: Array[Array[Float]], nlist: Int,
+      iters: Int): Array[Array[Float]] = {
+    def normalize(v: Array[Float]): Array[Float] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) v else v.map(x => (x / n).toFloat)
+    }
+    val pts = sample.map(normalize)
+    var cents = pts.take(nlist).map(_.clone)
+    if (cents.isEmpty) return Array(Array.fill(sample.headOption.map(_.length).getOrElse(1))(0f))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length, cents(0).length)(0.0)
+      val counts = Array.fill(cents.length)(0)
+      pts.foreach { p =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          var d = 0.0; var i = 0
+          while (i < p.length) { d += cents(c)(i).toDouble * p(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else normalize(sums(c).map(x => (x / counts(c)).toFloat))
+      }
+    }
+    cents
+  }
 }

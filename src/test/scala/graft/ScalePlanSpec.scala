@@ -85,6 +85,55 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("v3/v4 gates join by equality — no nested-loop, no cartesian") {
+    Seq("v3_embedding_neardup", "v4_ann_ivf").foreach { g =>
+      val p = staticPlan(g).toString
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$g must not nested-loop:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$g must not cross join:\n$p")
+    }
+  }
+
+  test("ivfTopK recovers planted identical vectors at rank 1") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 8).withColumn("vec_id", $"vec_id" + 10000)
+    val hits = Similarity.ivfTopK(emb, q, k = 1, nlist = 16, nprobe = 2,
+        trainSample = 200, iters = 3)
+      .select("qid", "nid", "cos").collect()
+    assert(hits.length == 8, s"all 8 planted queries must self-match: got ${hits.length}")
+    hits.foreach { r =>
+      assert(r.getLong(0) - 10000 == r.getLong(1), s"self-match expected: $r")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+  }
+
+  test("ivfTopK finds perturbed near-neighbors via multi-cell probing") {
+    // queries are corpus vectors with one coordinate scaled 1.5× — close
+    // (cos ≈ 0.99) but not identical, so the twin's cell is no longer the
+    // guaranteed argmax; nprobe > 1 must recover them anyway
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 8)
+      .withColumn("vec_id", $"vec_id" + 10000)
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, i) -> IF(i = 0, cast(x * 1.5 as float), x))"))
+    val hits = Similarity.ivfTopK(emb, q, k = 1, nlist = 16, nprobe = 4,
+        trainSample = 200, iters = 3)
+      .select("qid", "nid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val recovered = (0 until 8).count(i => hits.get(i + 10000L).contains(i.toLong))
+    assert(recovered >= 7, s"multi-probe should recover ≥7/8 perturbed twins: $recovered ($hits)")
+  }
+
+  test("embeddingPairs multi-table finds planted dups and only planted dups") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val planted = emb.filter($"vec_id" < 8).withColumn("vec_id", $"vec_id" + 10000)
+    val pairs = Dedup.embeddingPairs(emb.unionByName(planted),
+        bits = 16, tables = 4, minCos = 0.95)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (0 until 8).map(i => (i.toLong, i + 10000L)).toSet,
+      s"exact planted pair set expected: $pairs")
+  }
+
   test("clusters converges on a 4-hop chain (≥3 propagation rounds)") {
     // chain 10-11-12-13-14: min-label propagation needs ~4 rounds to push
     // label 10 to node 14 — exercises the localCheckpoint + checksum loop
