@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -13,11 +13,24 @@ import graft.vector.VectorLib
   * (training-data-pipeline operators extending the reference, SURVEY.md §7.6).
   * All delegate to the Spark-free kernels [[graft.text.TextLib]] /
   * [[graft.vector.VectorLib]].
+  *
+  * Every expression generates code (a static call into the kernel via
+  * `defineCodeGen`) rather than mixing in CodegenFallback: fallback nodes
+  * split WholeStageCodegen spans and pay per-row boxing + InternalRow
+  * construction, which is the difference between a fused scan→project
+  * pipeline and an interpreted one on the corpus-wide per-row passes these
+  * kernels sit in (token counts, shingles, fingerprints, signatures).
   */
+
+private object TextCodegen {
+  val GAD = "new org.apache.spark.sql.catalyst.util.GenericArrayData"
+  val UTF8 = "org.apache.spark.unsafe.types.UTF8String"
+}
+import TextCodegen._
 
 /** shingle_hashes(text, n) → sorted distinct 64-bit hashes of word n-grams. */
 case class ShingleHashes(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -25,13 +38,16 @@ case class ShingleHashes(left: Expression, right: Expression)
   protected override def nullSafeEval(text: Any, n: Any): Any =
     new GenericArrayData(
       TextLib.shingleHashes(text.asInstanceOf[UTF8String].toString, n.asInstanceOf[Number].intValue))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n) =>
+      s"$GAD(graft.text.TextLib.shingleHashes($t.toString(), $n))")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 /** minhash_signature(elem_hashes, k, seed) → k-long MinHash signature. */
 case class MinHashSignature(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    extends TernaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), IntegerType, LongType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -39,6 +55,9 @@ case class MinHashSignature(first: Expression, second: Expression, third: Expres
   protected override def nullSafeEval(arr: Any, k: Any, seed: Any): Any =
     new GenericArrayData(TextLib.minHashSignature(
       arr.asInstanceOf[ArrayData].toLongArray(), k.asInstanceOf[Number].intValue, seed.asInstanceOf[Number].longValue))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, k, s) =>
+      s"$GAD(graft.text.TextLib.minHashSignature($a.toLongArray(), $k, $s))")
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
 }
@@ -46,32 +65,37 @@ case class MinHashSignature(first: Expression, second: Expression, third: Expres
 /** jaccard_sorted(a, b) → exact Jaccard similarity of two sorted-distinct
   * hash arrays (merge-scan, no set allocation). */
 case class JaccardSorted(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "jaccard_sorted"
   protected override def nullSafeEval(a: Any, b: Any): Any =
     TextLib.jaccard(a.asInstanceOf[ArrayData].toLongArray(), b.asInstanceOf[ArrayData].toLongArray())
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.text.TextLib.jaccard($a.toLongArray(), $b.toLongArray())")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 /** simhash64(elem_hashes) → 64-bit SimHash. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "simhash64"
   protected override def nullSafeEval(arr: Any): Any =
     TextLib.simHash64(arr.asInstanceOf[ArrayData].toLongArray())
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.text.TextLib.simHash64($a.toLongArray())")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** winnow_fingerprint(text, k, w) → winnowing fingerprint hash set. */
 case class WinnowFingerprint(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    extends TernaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -79,6 +103,9 @@ case class WinnowFingerprint(first: Expression, second: Expression, third: Expre
   protected override def nullSafeEval(text: Any, k: Any, w: Any): Any =
     new GenericArrayData(TextLib.winnowFingerprint(
       text.asInstanceOf[UTF8String].toString, k.asInstanceOf[Number].intValue, w.asInstanceOf[Number].intValue))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, w) =>
+      s"$GAD(graft.text.TextLib.winnowFingerprint($t.toString(), $k, $w))")
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
 }
@@ -86,43 +113,50 @@ case class WinnowFingerprint(first: Expression, second: Expression, third: Expre
 /** bpeish_token_count(text) → Int: LLM-token-shaped count (letters runs /
   * digits / symbols pre-tokenizer regex). */
 case class BpeIshTokenCount(child: Expression)
-    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "bpeish_token_count"
   protected override def nullSafeEval(text: Any): Any =
     TextLib.bpeIshTokenCount(text.asInstanceOf[UTF8String].toString)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.text.TextLib.bpeIshTokenCount($t.toString())")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** quality_score(text) → [0,1] heuristic document quality. */
 case class QualityScore(child: Expression)
-    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "quality_score"
   protected override def nullSafeEval(text: Any): Any =
     TextLib.qualityScore(text.asInstanceOf[UTF8String].toString)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.text.TextLib.qualityScore($t.toString())")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** detect_lang(text) → best-guess ISO language code ("und" if unknown). */
 case class DetectLang(child: Expression)
-    extends UnaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "detect_lang"
   protected override def nullSafeEval(text: Any): Any =
     UTF8String.fromString(TextLib.detectLang(text.asInstanceOf[UTF8String].toString))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"$UTF8.fromString(graft.text.TextLib.detectLang($t.toString()))")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** cosine_similarity(a, b) over array<float> embeddings (double accumulate). */
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
@@ -130,6 +164,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   protected override def nullSafeEval(a: Any, b: Any): Any =
     VectorLib.cosine(
       a.asInstanceOf[ArrayData].toFloatArray(), b.asInstanceOf[ArrayData].toFloatArray())
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.vector.VectorLib.cosine($a.toFloatArray(), $b.toFloatArray())")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -137,7 +174,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** rhp_signature(vec, bits, seed) → random-hyperplane LSH signature (ANN
   * bucketing key). */
 case class RhpSignature(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback with ImplicitCastInputTypes {
+    extends TernaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), IntegerType, LongType)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -145,6 +182,9 @@ case class RhpSignature(first: Expression, second: Expression, third: Expression
   protected override def nullSafeEval(v: Any, bits: Any, seed: Any): Any =
     VectorLib.rhpSignature(
       v.asInstanceOf[ArrayData].toFloatArray(), bits.asInstanceOf[Number].intValue, seed.asInstanceOf[Number].longValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, b, s) =>
+      s"graft.vector.VectorLib.rhpSignature($v.toFloatArray(), $b, $s)")
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
 }
