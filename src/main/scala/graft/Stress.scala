@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TrainingData}
+import graft.functions.GraftFunctions._
+
+/** Scale stress for the text-dedup / ANN surface: synthesizes a corpus far
+  * beyond the sf0.1 gates (default 1M documents, 200k embeddings — ~20 GB
+  * of shingle traffic) with PLANTED near-duplicates and a zipf-ish
+  * vocabulary (so hot stop-shingles exist and the posting caps actually
+  * engage), then times each kernel at its production settings. Numbers land
+  * in docs/NOTES.md per round; the point is evidence that the plans hold
+  * when the data is 200× the gate size, not micro-benchmarks.
+  *
+  * All data derives deterministically from ids (xxhash64) — reruns are
+  * reproducible, no RNG state.
+  *
+  * Run: sbt "runMain graft.Stress [nDocs] [nVecs]"
+  */
+object Stress {
+  def main(args: Array[String]): Unit = {
+    val nDocs = args.headOption.map(_.toLong).getOrElse(1000000L)
+    val nVecs = args.drop(1).headOption.map(_.toLong).getOrElse(200000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def time[T](tag: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      val s = (System.nanoTime() - t0) / 1e9
+      results(tag) = s
+      println(f"### $tag%-28s ${s}%8.2f s")
+      r
+    }
+
+    // ---- synthetic corpus -------------------------------------------------
+    // 60 words/doc; 30% of positions draw from a 50-word head vocabulary
+    // (hot shingles), the rest from a 5000-word tail. Every 100th doc is a
+    // near-copy of its predecessor with position 0 replaced → planted
+    // near-dup pairs at Jaccard ≈ 0.93, plus exact dups every 1000th doc.
+    val docsPath = "/tmp/graft_stress_docs.parquet"
+    val vecsPath = "/tmp/graft_stress_vecs.parquet"
+    // word(seed, i): 30% head vocab (50 words), else tail (5000 words)
+    val wordSql = (i: String) =>
+      s"""concat('w', CASE WHEN pmod(xxhash64(seed_id * 61 + ($i)), 10) < 3
+            THEN pmod(xxhash64(seed_id, $i, 1L), 50)
+            ELSE pmod(xxhash64(seed_id, $i, 2L), 5000) + 50 END)"""
+    time("gen+write docs") {
+      spark.range(nDocs).toDF("doc_id")
+        // every 100th doc derives from its predecessor; of those, every
+        // 10th (doc_id % 1000 == 999) keeps word 0 too → exact dup, the
+        // rest swap word 0 → near-dup at Jaccard ≈ 58/62
+        .withColumn("seed_id",
+          when(col("doc_id") % 100 === 99, col("doc_id") - 1).otherwise(col("doc_id")))
+        .withColumn("word0",
+          when(col("doc_id") % 100 === 99 && col("doc_id") % 1000 =!= 999,
+            concat(lit("nd"), col("doc_id") % 7))
+          .otherwise(expr(wordSql("0"))))
+        .withColumn("body", expr(
+          s"""concat_ws(' ', transform(sequence(1, 59), i -> ${wordSql("i")}))"""))
+        .select(col("doc_id"), concat(col("word0"), lit(" "), col("body")).as("text"))
+        .write.mode("overwrite").parquet(docsPath)
+    }
+    val docs = spark.read.parquet(docsPath)
+
+    // ---- map-only text passes --------------------------------------------
+    time("text scan (tok+quality+lang)") {
+      docs.select(
+        bpeish_token_count(col("text")).as("tok"),
+        quality_score(col("text")).as("q"),
+        detect_lang(col("text")).as("lang"),
+        simhash64(shingle_hashes(col("text"), lit(3))).as("sim"))
+        .agg(sum(col("tok")), avg(col("q")), count(col("lang")), count(col("sim")))
+        .collect()
+    }
+    time("exact dedup") {
+      println("    exact groups w/ dups: " +
+        Dedup.exact(docs).filter(col("n_dups") > 1).count())
+    }
+    time("jaccardPairs (cap 10k)") {
+      println("    jaccard pairs: " +
+        Dedup.jaccardPairs(docs, shingle = 3, minJaccard = 0.5, maxPosting = 10000).count())
+    }
+    time("minhashPairs (64x16)") {
+      println("    minhash pairs: " +
+        Dedup.minhashPairs(docs, k = 64, bands = 16, shingle = 3, minJaccard = 0.5).count())
+    }
+    time("simhashPairs (maxDist 3)") {
+      // production setting: 4 blocks x 16 bits -> 65536 buckets/block; the
+      // gate's maxDist=16 (17 blocks of ~4 bits) is exact but only sane at
+      // small corpus sizes — this is the knob a 100 TB run uses
+      println("    simhash pairs: " + Dedup.simhashPairs(docs, maxDist = 3).count())
+    }
+    time("contamination (4-gram)") {
+      // eval slice = predecessors of planted near-dups (doc_id % 100 == 98),
+      // so each eval doc's twin genuinely shares 4-grams with it
+      println("    contaminated docs: " + TrainingData.contamination(
+        docs, docs.filter(col("doc_id") % 5000 === 98), n = 4).count())
+    }
+    time("chunkTokens (32/4)") {
+      println("    chunks: " + TrainingData.chunkTokens(docs, 32, 4).count())
+    }
+
+    // ---- embeddings -------------------------------------------------------
+    time("gen+write vecs") {
+      spark.range(nVecs).toDF("vec_id")
+        .withColumn("seed_id", when(col("vec_id") % 50 === 49, col("vec_id") - 1)
+          .otherwise(col("vec_id"))) // every 50th is an exact copy
+        .withColumn("embedding", expr(
+          """transform(sequence(0, 63), i ->
+               cast(pmod(xxhash64(seed_id, i), 2000) / 1000.0 - 1.0 as float))"""))
+        .select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(vecsPath)
+    }
+    val vecs = spark.read.parquet(vecsPath)
+    time("embeddingPairs (16b x4t)") {
+      println("    near-dup vec pairs: " +
+        Dedup.embeddingPairs(vecs, bits = 16, tables = 4, minCos = 0.95).count())
+    }
+    val queries = vecs.filter(col("vec_id") < 32).withColumn("vec_id", col("vec_id") + nVecs)
+    time("lshTopK (32 queries)") {
+      println("    lsh hits: " +
+        Similarity.lshTopK(vecs, queries, k = 10, bits = 16, tables = 4).count())
+    }
+    time("ivfTopK (nlist 1024)") {
+      println("    ivf hits: " + Similarity.ivfTopK(vecs, queries, k = 10,
+        nlist = 1024, nprobe = 8, trainSample = 20000, iters = 5).count())
+    }
+    time("bruteForceTopK (32 queries)") {
+      println("    brute hits: " + Similarity.bruteForceTopK(vecs, queries, k = 10).count())
+    }
+
+    val total = results.values.sum
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    println(s"""{"metric":"stress_total","value":$total,"unit":"sec","nDocs":$nDocs,"nVecs":$nVecs,"stages":$qs}""")
+    spark.stop()
+  }
+}

@@ -93,8 +93,12 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
       s"need 1 <= nprobe <= nlist: nlist=$nlist nprobe=$nprobe")
+    // tolerate array<double> inputs (e.g. from SQL arithmetic, which
+    // promotes float to double) — the Column-side kernels implicit-cast,
+    // so the driver-side sample must too
     val sample = corpus.select(col(idCol), col(vecCol)).sort(col(idCol))
-      .limit(trainSample).collect().map(_.getSeq[Float](1).toArray)
+      .limit(trainSample).collect()
+      .map(_.getSeq[Number](1).map(_.floatValue).toArray)
     val centroids = trainSpherical(sample, nlist, iters)
     val centLit = typedlit(centroids.map(_.toSeq).toSeq)
     def dot(a: Column, b: Column): Column =
