@@ -65,6 +65,10 @@ object GraftFunctions {
   def cosine_similarity(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
   def rhp_signature(v: Column, bits: Column, seed: Column): Column =
     col(RhpSignature(ex(v), ex(bits), ex(seed)))
+  /** IVF cell assignment/probing; codebook is a plan constant, so this has
+    * no SQL-name registration (no literal syntax for float[][]). */
+  def nearest_cells(v: Column, centroids: Array[Array[Float]], n: Int): Column =
+    col(NearestCells(ex(v), centroids, n))
 
   /** All functions, as SQL-callable names. */
   private val builders: Map[String, Seq[Expression] => Expression] = Map(

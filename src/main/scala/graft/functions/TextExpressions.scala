@@ -171,6 +171,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** nearest_cells(vec) → the `n` codebook centroid indices with the highest
+  * dot product, ties toward the lower index (the IVF cell-assignment /
+  * probe kernel). The codebook is a plan-time constant carried as a
+  * reference object rather than a child expression: it crosses to
+  * executors once inside the serialized plan, and both the interpreted and
+  * generated paths call the tight no-allocation kernel — a lambda-HOF
+  * formulation (transform + zip_with + aggregate over a literal array)
+  * allocates an intermediate array per centroid per row. */
+case class NearestCells(child: Expression, centroids: Array[Array[Float]], n: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_cells"
+  protected override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(VectorLib.nearestCells(
+      v.asInstanceOf[ArrayData].toFloatArray(), centroids, n))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"$GAD(graft.vector.VectorLib.nearestCells($v.toFloatArray(), $cRef, $n))")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** rhp_signature(vec, bits, seed) → random-hyperplane LSH signature (ANN
   * bucketing key). */
 case class RhpSignature(first: Expression, second: Expression, third: Expression)

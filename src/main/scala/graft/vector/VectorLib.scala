@@ -28,6 +28,45 @@ object VectorLib {
     if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
   }
 
+  /** The `n` codebook indices with the highest dot product against `v`,
+    * in (dot desc, index asc) order — strict-greater argmax scan, so ties
+    * break toward the lower index deterministically. One tight two-loop
+    * pass, no allocation beyond the dots buffer and the output: this is
+    * the per-row IVF cell-assignment kernel (a HOF formulation allocates a
+    * zip_with array per centroid per row — measured 100× slower at 200k
+    * rows × 1024 centroids). */
+  def nearestCells(v: Array[Float], centroids: Array[Array[Float]], n: Int): Array[Int] = {
+    val nc = centroids.length
+    val dots = new Array[Double](nc)
+    var c = 0
+    while (c < nc) {
+      val cc = centroids(c)
+      val m = math.min(cc.length, v.length)
+      var d = 0.0
+      var i = 0
+      while (i < m) { d += cc(i).toDouble * v(i).toDouble; i += 1 }
+      dots(c) = d
+      c += 1
+    }
+    val k = math.min(n, nc)
+    val out = new Array[Int](k)
+    val used = new Array[Boolean](nc)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      var bd = Double.NegativeInfinity
+      var j = 0
+      while (j < nc) {
+        if (!used(j) && dots(j) > bd) { bd = dots(j); best = j }
+        j += 1
+      }
+      used(best) = true
+      out(r) = best
+      r += 1
+    }
+    out
+  }
+
   /** Random-hyperplane LSH signature: `bits` sign bits of projections onto
     * deterministic pseudo-random hyperplanes (splitmix64-seeded, no stored
     * model). Hamming distance on signatures approximates angular distance —
