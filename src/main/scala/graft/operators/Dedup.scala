@@ -145,16 +145,29 @@ object Dedup {
     * (1 − (1 − p^bits)^tables) without widening buckets, keeping the
     * in-bucket quadratic cost at (N/2^bits)² per table. The cosine filter
     * runs BEFORE the cross-table distinct, so the distinct only shuffles
-    * true near-dups, not every bucket collision. */
+    * true near-dups, not every bucket collision.
+    *
+    * `maxBucket` is the skew guard (the maxPosting analog): REAL embedding
+    * corpora are correlated, and a dense region can pile a large fraction
+    * of the corpus into one bucket — quadratic blowup on a single reducer.
+    * Buckets larger than the cap are dropped in that table; a pair in a
+    * dense region usually still meets in another table (OR-construction),
+    * so the recall cost is bounded and documented rather than silent skew
+    * death. Pass Int.MaxValue for exhaustive-bucket semantics. */
   def embeddingPairs(embs: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", bits: Int = 16, tables: Int = 4,
-      minCos: Double = 0.95, seed: Long = 7L): DataFrame = {
+      minCos: Double = 0.95, seed: Long = 7L,
+      maxBucket: Int = 10000): DataFrame = {
     require(tables >= 1, s"tables must be >= 1: $tables")
     val b = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
       posexplode(array((0 until tables).map(t =>
         rhp_signature(col(vecCol), lit(bits), lit(seed + t))): _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
-    b.as("a").join(b.as("b"),
+    val keep = b.groupBy("tbl", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucket)
+      .select("tbl", "bucket")
+    val bK = b.join(keep, Seq("tbl", "bucket"), "left_semi")
+    bK.as("a").join(bK.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .withColumn("cos", cosine_similarity(col("a.v"), col("b.v")))

@@ -134,6 +134,24 @@ class ScalePlanSpec extends AnyFunSuite {
       s"exact planted pair set expected: $pairs")
   }
 
+  test("embeddingPairs maxBucket drops only the hot bucket's pairs") {
+    // 8 identical vectors (one hot bucket everywhere) + 2 planted dups of a
+    // distinct vector. With the cap below 8, the hot cluster's pairs are
+    // dropped in every table; the small pair survives.
+    val hot = (0 until 8).map(i => (i.toLong, Seq.fill(16)(1.0f)))
+    val pair = Seq((100L, Seq.tabulate(16)(j => j.toFloat)),
+      (101L, Seq.tabulate(16)(j => j.toFloat)))
+    val embs = (hot ++ pair).toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingPairs(embs, bits = 8, tables = 4,
+        minCos = 0.99, maxBucket = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((100L, 101L)), s"hot bucket capped, small pair kept: $capped")
+    val uncapped = Dedup.embeddingPairs(embs, bits = 8, tables = 4,
+        minCos = 0.99, maxBucket = Int.MaxValue)
+      .select("id_a", "id_b").collect()
+    assert(uncapped.length == 8 * 7 / 2 + 1, s"uncapped finds all: ${uncapped.length}")
+  }
+
   test("clusters converges on a 4-hop chain (≥3 propagation rounds)") {
     // chain 10-11-12-13-14: min-label propagation needs ~4 rounds to push
     // label 10 to node 14 — exercises the localCheckpoint + checksum loop
