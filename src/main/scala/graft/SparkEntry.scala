@@ -442,6 +442,21 @@ object SparkEntry {
             GROUP BY 1 ORDER BY cell""")
     },
 
+    "sql2_text_sql" -> { (s, d) =>
+      // the text surface through spark.sql (sql1's twin for the training-
+      // data functions): token count, quality, lang-id, shingle cardinality
+      // all as registered SQL names over a temp view
+      graft.functions.GraftFunctions.registerAll(s)
+      t(s, d, "documents").createOrReplaceTempView("docs_sql")
+      s.sql(
+        """SELECT doc_id,
+              bpeish_token_count(text) AS n_tok,
+              ROUND(quality_score(text), 6) AS quality,
+              detect_lang(text) IN ('en','de','fr','es','it','und') AS pred_lang_known,
+              size(shingle_hashes(text, 3)) AS n_shingles
+            FROM docs_sql ORDER BY doc_id""")
+    },
+
     "o1_hilbert_cells" -> { (s, d) =>
       // Hilbert key bijectivity on the synthesized grid: as many distinct
       // keys as distinct (lat, lon) grid points — plus total row count
@@ -1120,6 +1135,45 @@ object SparkEntry {
                  + CAST(0.2 AS DOUBLE) * p_s + CAST(0.25 AS DOUBLE) * st_s, 6) AS quality,
            TRUE AS pred_lang_known
          FROM sc ORDER BY doc_id""",
+
+    // sql1's twin for the text surface: token arithmetic + t8's quality
+    // replication + distinct word-trigram cardinality (hash cardinality ==
+    // string cardinality absent 64-bit intra-doc collisions)
+    "sql2_text_sql" ->
+      """WITH s AS (
+           SELECT doc_id,
+             CAST(1 + LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS ntok,
+             CAST(LENGTH(text) AS BIGINT) AS nch,
+             CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS npunct,
+             CAST(len(list_filter(string_split(text, ' '), x -> x IN
+               ('the','a','an','and','or','of','to','in','is','it','that',
+                'for','on','with','as','was','at','by','be','this'))) AS BIGINT) AS nstop
+           FROM documents),
+         sc AS (
+           SELECT doc_id, ntok,
+             LEAST(CAST(1.0 AS DOUBLE), CAST(ntok AS DOUBLE) / CAST(50.0 AS DOUBLE)) AS len_s,
+             CASE WHEN (CAST(nch - ntok + 1 AS DOUBLE) / CAST(ntok AS DOUBLE)) >= CAST(2.0 AS DOUBLE)
+                   AND (CAST(nch - ntok + 1 AS DOUBLE) / CAST(ntok AS DOUBLE)) <= CAST(12.0 AS DOUBLE)
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS wl_s,
+             CASE WHEN (CAST(npunct AS DOUBLE) / CAST(nch AS DOUBLE)) < CAST(0.2 AS DOUBLE)
+                  THEN CAST(1.0 AS DOUBLE)
+                  ELSE GREATEST(CAST(0.0 AS DOUBLE),
+                       CAST(1.0 AS DOUBLE) - (CAST(npunct AS DOUBLE) / CAST(nch AS DOUBLE))) END AS p_s,
+             LEAST(CAST(1.0 AS DOUBLE),
+                   (CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE)) * CAST(5.0 AS DOUBLE)) AS st_s
+           FROM s),
+         shc AS (
+           SELECT t.doc_id, COUNT(DISTINCT ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS n_shingles
+           FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents) t,
+                UNNEST(range(1, len(t.ts) - 1)) AS u(i)
+           GROUP BY t.doc_id)
+         SELECT sc.doc_id,
+           CAST(sc.ntok AS INTEGER) AS n_tok,
+           ROUND(CAST(0.35 AS DOUBLE) * len_s + CAST(0.2 AS DOUBLE) * wl_s
+                 + CAST(0.2 AS DOUBLE) * p_s + CAST(0.25 AS DOUBLE) * st_s, 6) AS quality,
+           TRUE AS pred_lang_known,
+           CAST(shc.n_shingles AS INTEGER) AS n_shingles
+         FROM sc JOIN shc ON sc.doc_id = shc.doc_id ORDER BY sc.doc_id""",
 
     "t9_chunk_tokens" ->
       """WITH s AS (SELECT doc_id,

@@ -93,4 +93,19 @@ class TextLibSpec extends AnyFunSuite {
     val s2 = VectorLib.rhpSignature(neg, 16, 7L)
     assert((s1 ^ s2) == 0xffffL)
   }
+
+  test("vector kernel: nearestCells orders by dot, ties to the lower index") {
+    val cents = Array(
+      Array(1.0f, 0.0f), Array(0.0f, 1.0f),
+      Array(0.7f, 0.7f), Array(0.0f, 1.0f)) // index 3 duplicates index 1
+    val v = Array(0.1f, 1.0f)
+    val top = VectorLib.nearestCells(v, cents, 3)
+    // dots: 0.1, 1.0, 0.77, 1.0 → order (1, 3 tie) -> lower index first
+    assert(top.toSeq == Seq(1, 3, 2), s"got ${top.toSeq}")
+    assert(top.distinct.length == top.length)
+    // n larger than codebook clamps
+    assert(VectorLib.nearestCells(v, cents, 10).length == 4)
+    // single best equals head of multi
+    assert(VectorLib.nearestCells(v, cents, 1).head == 1)
+  }
 }
