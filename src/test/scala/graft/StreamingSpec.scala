@@ -37,6 +37,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.columns.contains("window_start"))
   }
 
+  test("DocStreams.intake: quality floor + hash dedup on a real stream") {
+    import graft.streaming.DocStreams
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val good = "the quick brown fox jumps over the lazy dog and this text " +
+      "is long enough to pass the quality floor with stopwords in it " * 3
+    val docs = (0 until 60).map { i =>
+      val ts = new java.sql.Timestamp(base.getTime + i.toLong * 60 * 1000)
+      // ids 0..39: 20 distinct good texts, each EXACTLY duplicated once
+      // (i and i+20 share text); ids 40..59: junk that fails the floor
+      val text = if (i < 40) s"$good variant ${i % 20}" else "x!!"
+      (i.toLong, ts, text)
+    }.toDF("doc_id", "ingest_ts", "text")
+    val dir = java.nio.file.Files.createTempDirectory("docs").toString + "/data"
+    docs.write.parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    assert(stream.isStreaming)
+    val q = DocStreams.intake(stream, minQuality = 0.5)
+      .writeStream.format("memory").queryName("doc_intake")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val out = spark.table("doc_intake")
+    // 20 distinct good texts survive; dups and junk are gone
+    assert(out.count() == 20, s"got ${out.count()}")
+    assert(out.select("content_hash").distinct().count() == 20)
+    assert(out.agg(min("quality")).head().getDouble(0) >= 0.5)
+    // windowedStats over the same data in batch mode (dedup-within-
+    // watermark itself is streaming-only by Spark's contract)
+    val stats = DocStreams.windowedStats(docs, "1 hour").collect()
+    assert(stats.map(_.getAs[Long]("n_docs")).sum == 60)
+    assert(stats.forall(_.getAs[Long]("sum_tokens") > 0))
+  }
+
   test("sessionize groups events by 30-minute gaps") {
     // batch-mode check of the same code path: users 0..6, 4-min cadence per
     // global stream → per-user cadence 28 min < 30 min gap → 1 session each
