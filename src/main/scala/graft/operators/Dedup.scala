@@ -92,29 +92,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** SimHash near-dup pairs: hamming(sig_a, sig_b) ≤ maxDist. Candidates via
-    * the pigeonhole block join: partition ALL 64 fingerprint bits into
-    * `maxDist + 1` disjoint blocks — ≤ maxDist differing bits can touch at
-    * most maxDist blocks, so every true pair shares at least one exact block.
-    * Equality join on (block index, block value); never a cross product.
-    * Block widths differ by at most one bit (64 = q·n + r split as r blocks
-    * of q+1 bits and n−r of q), keeping buckets balanced. */
+  /** SimHash near-dup pairs: hamming(sig_a, sig_b) ≤ maxDist — exact, never
+    * a cross product, via the generalized pigeonhole block join (the Manku/
+    * Jain/Das Sarma WWW'07 near-duplicate scheme, re-expressed as equality
+    * joins instead of sorted permutation tables):
+    *
+    * Partition ALL 64 fingerprint bits into `m` disjoint blocks. If two
+    * fingerprints differ in ≤ maxDist bits, some block carries ≤
+    * floor(maxDist/m) of those differences (the differences cannot all avoid
+    * the minimum). So with per-block probe radius e = floor(maxDist/m), a
+    * pair is guaranteed to collide when one side also probes every value in
+    * the Hamming ball of radius e around its block value. e = 0 (m =
+    * maxDist+1) is the classic pigeonhole; e > 0 trades map-side key
+    * expansion (×Σ C(width,≤e), a plan constant) for exponentially wider
+    * buckets (2^width values instead of 2^(64/(maxDist+1))) — the difference
+    * between quadratic bucket blowup and a selective equality join when
+    * maxDist is loose. The ball masks are literal arrays XOR'd in codegen;
+    * no custom expression needed.
+    *
+    * `probeBlocks` = 0 picks m automatically: the classic split while blocks
+    * stay ≥ 8 bits wide (maxDist ≤ 7), else the smallest m with e ≤ 2 —
+    * expansion stays ≤ a few hundred keys/doc while buckets widen from
+    * 8-16 values (the measured quadratic cliff) to ≥ 2^9. */
   def simhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      shingle: Int = 3, maxDist: Int = 3): DataFrame = {
+      shingle: Int = 3, maxDist: Int = 3, probeBlocks: Int = 0): DataFrame = {
     require(maxDist >= 0 && maxDist < 64, s"maxDist must be in [0, 64): $maxDist")
-    val nBlocks = maxDist + 1 // pigeonhole: ≤ maxDist diffs over nBlocks blocks
+    require(probeBlocks >= 0 && probeBlocks <= 64,
+      s"probeBlocks must be in [0, 64]: $probeBlocks")
+    val nBlocks =
+      if (probeBlocks > 0) probeBlocks
+      else if (maxDist <= 7) maxDist + 1        // classic split, blocks ≥ 8 bits
+      else math.ceil((maxDist + 1) / 3.0).toInt // smallest m with e ≤ 2
+    val e = maxDist / nBlocks // per-block probe radius (generalized pigeonhole)
     // block b covers bits [64*b/n, 64*(b+1)/n) — full 64-bit coverage
+    val widths = (0 until nBlocks).map(b => 64 * (b + 1) / nBlocks - 64 * b / nBlocks)
     val sigs = docs.select(col(idCol).as("id"),
       simhash64(shingle_hashes(col(textCol), lit(shingle))).as("sh"))
     val blockCols = (0 until nBlocks).map { b =>
       val lo = 64 * b / nBlocks
-      val hi = 64 * (b + 1) / nBlocks
-      val mask = if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L
+      val w = widths(b)
+      val mask = if (w == 64) -1L else (1L << w) - 1L
       shiftright(col("sh"), lo).bitwiseAND(lit(mask))
     }
     val blocks = sigs.select(col("id"), col("sh"),
       posexplode(array(blockCols: _*)))
       .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bv")
+    // probe side: expand each block value by its Hamming ball of radius e.
+    // The masks are per-block-width constants (all XOR patterns with ≤ e
+    // set bits); e == 0 degenerates to a single zero mask — same plan as
+    // the classic pigeonhole join, so there is one code path.
+    def ballMasks(w: Int): Seq[Long] =
+      (0 to e).flatMap(k => (0 until w).combinations(k)
+        .map(_.foldLeft(0L)((m, bit) => m | (1L << bit))).toSeq)
+    val maskTable: Seq[Seq[Long]] = widths.map(ballMasks)
+    val probes =
+      if (e == 0) blocks.withColumn("bvp", col("bv"))
+      else blocks
+        .withColumn("xm", explode(element_at(typedLit(maskTable), col("blk") + 1)))
+        .withColumn("bvp", col("bv").bitwiseXOR(col("xm")))
+        .drop("xm")
     // the 8-byte fingerprints ride along into the candidate join: unlike
     // minhashPairs (64-element signature arrays, where re-joining after a
     // narrow distinct wins), carrying sh costs 16 bytes/row and lets the
@@ -124,11 +160,11 @@ object Dedup {
     // hamming filter BEFORE the distinct: the filter is deterministic per
     // pair, so applying it to each candidate emission first shrinks the
     // distinct's shuffle from |all bucket collisions| (quadratic in bucket
-    // occupancy — the dominant cost when nBlocks is large and blocks are
-    // only a few bits wide) down to |true near-dup pairs|
-    blocks.as("a")
+    // occupancy — the dominant cost when blocks are only a few bits wide)
+    // down to |true near-dup pairs|
+    probes.as("a")
       .join(blocks.as("b"),
-        col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") && col("a.id") < col("b.id"))
+        col("a.blk") === col("b.blk") && col("a.bvp") === col("b.bv") && col("a.id") < col("b.id"))
       .withColumn("dist", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
       .filter(col("dist") <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
