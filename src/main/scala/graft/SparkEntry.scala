@@ -270,6 +270,29 @@ object SparkEntry {
         .orderBy("o_orderstatus")
     },
 
+    "j4_asof_join" -> { (s, d) =>
+      // temporal as-of join: every purchase event joined to the SAME user's
+      // latest preceding click (inclusive; equal-time ties broken by max
+      // click id). AsofJoin plans union + one window — no inequality join,
+      // no per-key collect (the shape that survives 100 TB event streams);
+      // the oracle is DuckDB's inequality join + ROW_NUMBER, so the hash
+      // match proves the window formulation ≡ textbook as-of semantics.
+      val ev = events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"), col("value").as("click_value"))
+      graft.operators.AsofJoin.asofJoin(purchases, clicks,
+          on = Seq("user_id"), leftTime = "ts", rightTime = "click_ts",
+          payload = Seq("click_id", "click_value"), tiebreak = Some("click_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          unix_micros(col("asof_click_ts")).as("click_ts_us"),
+          col("click_id"), cents(col("click_value")).as("click_value_cents"))
+        .orderBy("event_id")
+    },
+
     "w1_running_total" -> { (s, d) =>
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -700,6 +723,40 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    "t12_hash_split" -> { (s, d) =>
+      // deterministic content-stable train/val/test split (md5-bucket
+      // 80/10/10): stable under re-sharding because it hashes TEXT, not ids
+      // or row order; mirrored hex arithmetic makes it oracle-exact
+      graft.operators.TrainingData.hashSplit(t(s, d, "documents"))
+        .select(col("doc_id"), col("bucket"), col("split"))
+        .orderBy("doc_id")
+    },
+
+    "t13_repetition" -> { (s, d) =>
+      // Gopher-style repetition signals, exact integer form: total/distinct
+      // words, top word count, top consecutive-bigram count per document
+      graft.operators.TrainingData.repetitionSignals(t(s, d, "documents"))
+        .orderBy("doc_id")
+    },
+
+    "k6_orc_roundtrip" -> { (s, d) =>
+      // columnar interchange sink/scan: lineitem → ORC (zlib) → re-scan →
+      // aggregate; the oracle computes the same aggregate from the original
+      // parquet, so a hash match proves lossless round-trip fidelity
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+          cents(col("l_extendedprice")).as("price_cents"))
+        .write.mode("overwrite").orc(tmp)
+      s.read.orc(tmp)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("price_cents")).as("sum_price_cents"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .orderBy("l_returnflag")
+    },
+
     "mm1_binary_meta" -> { (s, d) =>
       // multimodal plumbing: opaque binary column + typed metadata
       t(s, d, "documents")
@@ -901,6 +958,21 @@ object SparkEntry {
       """SELECT o_orderstatus, COUNT(*) AS n FROM orders o
          WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+
+    "j4_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT event_id AS click_id, user_id, ts AS click_ts, value AS click_value
+               FROM events WHERE event_type = 'click'),
+         j AS (SELECT p.event_id, p.user_id,
+                 CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+                 CAST(epoch_us(c.click_ts) AS BIGINT) AS click_ts_us,
+                 c.click_id,
+                 CAST(ROUND(c.click_value * 100) AS BIGINT) AS click_value_cents,
+                 ROW_NUMBER() OVER (PARTITION BY p.event_id
+                   ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+               FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.click_ts <= p.ts)
+         SELECT event_id, user_id, ts_us, click_ts_us, click_id, click_value_cents
+         FROM j WHERE rn = 1 ORDER BY event_id""",
 
     "w1_running_total" ->
       """SELECT o_custkey, o_orderkey,
@@ -1203,6 +1275,41 @@ object SparkEntry {
          FROM documents
          WHERE (doc_id % 100) < (CASE WHEN lang = 'en' THEN 40 ELSE 100 END)
          GROUP BY lang ORDER BY lang""",
+
+    "t12_hash_split" ->
+      """SELECT doc_id,
+           CAST((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 +
+                (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS INTEGER) AS bucket,
+           CASE WHEN (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 +
+                     (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) < 205 THEN 'train'
+                WHEN (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 +
+                     (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) < 230 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+
+    "t13_repetition" ->
+      """WITH w AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         wc AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+         uni AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+                   COUNT(*) AS n_distinct_words, CAST(MAX(c) AS BIGINT) AS top_word_n
+                 FROM wc GROUP BY 1),
+         bl AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(l) - 1),
+                   i -> l[i] || ' ' || l[i + 1])) AS bigram FROM bl),
+         bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+         bga AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n FROM bgc GROUP BY 1)
+         SELECT u.doc_id, u.n_words, u.n_distinct_words, u.top_word_n,
+                COALESCE(b.top_bigram_n, 0) AS top_bigram_n
+         FROM uni u LEFT JOIN bga b ON b.doc_id = u.doc_id
+         ORDER BY u.doc_id""",
+
+    "k6_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n, SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     // planted self-match: identical vectors share every LSH signature, so
     // recovery at rank 1 / cos 1.0 is a structural guarantee the oracle can

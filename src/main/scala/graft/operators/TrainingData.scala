@@ -78,6 +78,63 @@ object TrainingData {
         countDistinct(col("gram")).as("n_shared_grams"))
   }
 
+  /** Repetition quality signals (the Gopher/MassiveText repetition filters,
+    * Rae et al. 2021 §A1.1.3): per document, total/distinct word counts, the
+    * top single-word count and the top word-bigram count. High
+    * `top_word_n / n_words` or `top_bigram_n / n_words` flags degenerate
+    * repetitive text (boilerplate, keyword stuffing, decoding loops) that
+    * survives dedup but poisons training mixes.
+    *
+    * Scale shape: explode → two-level hash aggregate, all map-side
+    * combinable (partial max/count per partition before the shuffle), so the
+    * shuffle carries one row per (doc, distinct word|bigram) — never the raw
+    * token stream. No driver-side state; fractions are left to the caller so
+    * the gate can emit exact integers (double division rounds differently
+    * across engines at .5 ulp boundaries). */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+      explode(split(col(textCol), " ")).as("word"))
+    val uni = words.groupBy("id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(sum(col("c")).as("n_words"),
+        count(lit(1)).as("n_distinct_words"),
+        max(col("c")).as("top_word_n"))
+    // consecutive-word bigrams via index arithmetic on the split array;
+    // guard the 1-word doc (sequence(1, 0) would DESCEND in Spark)
+    val bigrams = docs.select(col(idCol).as("id"),
+      explode(expr(
+        s"CASE WHEN size(split($textCol, ' ')) < 2 THEN array() " +
+          s"ELSE transform(sequence(1, size(split($textCol, ' ')) - 1), " +
+          s"i -> concat(element_at(split($textCol, ' '), i), ' ', " +
+          s"element_at(split($textCol, ' '), i + 1))) END")).as("bigram"))
+    val bg = bigrams.groupBy("id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max(col("c")).as("top_bigram_n"))
+    uni.join(bg, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_words"), col("n_distinct_words"),
+        col("top_word_n"), coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+  }
+
+  /** Deterministic content-stable train/val/test split: bucket 0..255 from
+    * the first two hex chars of md5(text), thresholds in bucket units
+    * (e.g. 205/230 ≈ 80/10/10). Hashing CONTENT (not ids or row position)
+    * keeps the assignment stable under re-sharding, re-ordering, and
+    * re-ingestion — the property that stops eval contamination when the
+    * corpus is rebuilt. Pure map-side expression; no shuffle, no UDF. */
+  def hashSplit(docs: DataFrame, textCol: String = "text",
+      trainUpto: Int = 205, valUpto: Int = 230): DataFrame = {
+    require(0 <= trainUpto && trainUpto <= valUpto && valUpto <= 256,
+      s"need 0 <= trainUpto <= valUpto <= 256: $trainUpto, $valUpto")
+    val hexVal = (c: Int) => // value of hex char at 1-based position c
+      expr(s"instr('0123456789abcdef', substr(md5(cast($textCol AS binary)), $c, 1)) - 1")
+    val bucket = (hexVal(1) * 16 + hexVal(2)).cast("int")
+    docs.withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < trainUpto, "train")
+          .when(col("bucket") < valUpto, "val")
+          .otherwise("test"))
+  }
+
   /** Stratified downsampling for training-mix reweighting: keep a
     * per-stratum fraction of rows, decided deterministically from `keyExpr
     * mod 100` (pass e.g. `pmod(xxhash64(col), 100)` for hash sampling or a

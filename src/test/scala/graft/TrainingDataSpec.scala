@@ -41,6 +41,39 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(hits(1L) == 1L) // one eval doc matched
   }
 
+  test("repetitionSignals counts words, distincts, top word and top bigram") {
+    val docs = Seq(
+      (1L, "spam spam spam ham"),   // top word spam×3; top bigram "spam spam"×2
+      (2L, "a b a b a"),            // 5 words, 2 distinct; "a b"×2
+      (3L, "solo")                  // 1 word: no bigrams at all
+    ).toDF("doc_id", "text")
+    val m = TrainingData.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(m(1L) == (4L, 2L, 3L, 2L), s"doc 1: ${m(1L)}")
+    assert(m(2L) == (5L, 2L, 3L, 2L), s"doc 2: ${m(2L)}")
+    assert(m(3L) == (1L, 1L, 1L, 0L), s"doc 3 (no bigram): ${m(3L)}")
+  }
+
+  test("hashSplit is content-stable and respects thresholds") {
+    val docs = Seq((1L, "some document"), (2L, "another document"),
+      (3L, "some document")).toDF("doc_id", "text")
+    val rows = TrainingData.hashSplit(docs).select("doc_id", "bucket", "split")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(rows(1L) == rows(3L), "identical text → identical split")
+    rows.values.foreach { case (b, s) =>
+      assert(b >= 0 && b < 256)
+      val expect = if (b < 205) "train" else if (b < 230) "val" else "test"
+      assert(s == expect, s"bucket $b mapped to $s")
+    }
+    // all-train / all-test degenerate thresholds still valid
+    assert(TrainingData.hashSplit(docs, trainUpto = 256, valUpto = 256)
+      .filter($"split" =!= "train").count() == 0)
+    intercept[IllegalArgumentException] {
+      TrainingData.hashSplit(docs, trainUpto = 300, valUpto = 400)
+    }
+  }
+
   test("stratifiedSample keeps exact per-stratum slices and validates rates") {
     val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
