@@ -723,6 +723,37 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    "t14_pii_redact" -> { (s, d) =>
+      // PII scrub stage: deterministic synthetic PII (email, IPv4, long id)
+      // appended per doc — the corpus itself is PII-free — then redacted by
+      // the portable regex chain; full redacted strings are hash-compared
+      val injected = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com from 192.168."),
+        (col("doc_id") % 256).cast("string"), lit(".7 code "),
+        (col("doc_id") * 7919).cast("string"))
+      t(s, d, "documents")
+        .select(col("doc_id"), length(injected).cast("long").as("len_raw"),
+          graft.operators.TrainingData.piiScrub(injected).as("redacted"))
+        .withColumn("len_redacted", length(col("redacted")).cast("long"))
+        .select(col("doc_id"), col("len_raw"), col("len_redacted"), col("redacted"))
+        .orderBy("doc_id")
+    },
+
+    "a9_sketch_median" -> { (s, d) =>
+      // sketch + order-statistics aggregate: exact distinct count (oracled
+      // exactly), HLL++ distinct within a 15% bound (invariant oracle — the
+      // sketch value itself is engine-specific, its accuracy contract is
+      // not), and the exact interpolated median of an integral column
+      val nd = countDistinct(col("l_suppkey"))
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(nd.as("exact_nd"),
+          (abs(approx_count_distinct(col("l_suppkey")).cast("double") -
+            nd.cast("double")) <= nd.cast("double") * 0.15).as("hll_within_15pct"),
+          expr("percentile(l_quantity, 0.5)").as("median_qty"))
+        .orderBy("l_returnflag")
+    },
+
     "t12_hash_split" -> { (s, d) =>
       // deterministic content-stable train/val/test split (md5-bucket
       // 80/10/10): stable under re-sharding because it hashes TEXT, not ids
@@ -1275,6 +1306,29 @@ object SparkEntry {
          FROM documents
          WHERE (doc_id % 100) < (CASE WHEN lang = 'en' THEN 40 ELSE 100 END)
          GROUP BY lang ORDER BY lang""",
+
+    "t14_pii_redact" ->
+      """WITH inj AS (
+           SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com from 192.168.' || CAST(doc_id % 256 AS VARCHAR) ||
+             '.7 code ' || CAST(doc_id * 7919 AS VARCHAR) AS raw
+           FROM documents),
+         red AS (
+           SELECT doc_id, CAST(LENGTH(raw) AS BIGINT) AS len_raw,
+             regexp_replace(regexp_replace(regexp_replace(raw,
+               '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+               '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+               '[0-9]{6,}', '<NUM>', 'g') AS redacted
+           FROM inj)
+         SELECT doc_id, len_raw, CAST(LENGTH(redacted) AS BIGINT) AS len_redacted,
+           redacted
+         FROM red ORDER BY doc_id""",
+
+    "a9_sketch_median" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS exact_nd,
+           TRUE AS hll_within_15pct,
+           quantile_cont(l_quantity, 0.5) AS median_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "t12_hash_split" ->
       """SELECT doc_id,

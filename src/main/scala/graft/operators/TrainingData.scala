@@ -135,6 +135,23 @@ object TrainingData {
           .otherwise("test"))
   }
 
+  /** PII scrub patterns, applied in order (emails first — they contain the
+    * dots and digits the later patterns would mangle; then IPv4; then long
+    * digit runs). All patterns are portable RE2/Java regex (no lookaround,
+    * no backreferences) so SQL engines agree on the result. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
+    "([0-9]{1,3}\\.){3}[0-9]{1,3}" -> "<IP>",
+    "[0-9]{6,}" -> "<NUM>")
+
+  /** Redact PII-shaped spans (emails, IPv4 addresses, ≥6-digit runs) from a
+    * text column. Pure map-side `regexp_replace` chain — codegen'd, no UDF,
+    * no shuffle; at 100 TB this fuses into the scan projection. */
+  def piiScrub(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (acc, (pat, rep)) =>
+      regexp_replace(acc, pat, rep)
+    }
+
   /** Stratified downsampling for training-mix reweighting: keep a
     * per-stratum fraction of rows, decided deterministically from `keyExpr
     * mod 100` (pass e.g. `pmod(xxhash64(col), 100)` for hash sampling or a

@@ -74,6 +74,19 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("piiScrub redacts emails, IPs, long digit runs — and only those") {
+    val df = Seq(
+      ("mail me at a.user+x@some-host.org now", "mail me at <EMAIL> now"),
+      ("server 10.0.255.3 port 80", "server <IP> port 80"),
+      ("id 1234567890 short 12345", "id <NUM> short 12345"), // <6 digits kept
+      ("x@y.z at 1.2.3.4 ref 99999999", "x@y.z at <IP> ref <NUM>"), // 1-char TLD kept
+      ("plain words stay untouched", "plain words stay untouched")
+    ).toDF("raw", "expect")
+    val out = df.select(TrainingData.piiScrub($"raw").as("got"), $"expect").collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"got '${r.getString(0)}', want '${r.getString(1)}'"))
+  }
+
   test("stratifiedSample keeps exact per-stratum slices and validates rates") {
     val df = (0L until 200L).map(i => (i, if (i % 2 == 0) "en" else "de"))
       .toDF("doc_id", "lang")
