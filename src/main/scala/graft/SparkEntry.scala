@@ -723,6 +723,25 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    "e4_doc_intake" -> { (s, d) =>
+      // batch twin of the streaming corpus intake (DocStreams.intake):
+      // enrich → quality floor → content-hash dedup. The stream keeps the
+      // first arrival per hash inside the watermark; the batch twin pins the
+      // equivalent deterministic choice (min doc_id, via min_by). Quality's
+      // arithmetic is replicated in the oracle, so the floor decision, the
+      // dedup grouping, and the survivor stats are all hash-verified.
+      // (StreamingSpec drives the same intake on a real readStream.)
+      graft.streaming.DocStreams.enrich(t(s, d, "documents"))
+        .filter(col("quality") >= 0.5)
+        .withColumn("content_hash", md5(col("text").cast("binary")))
+        .groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_dups"),
+          expr("min_by(n_tok, doc_id)").as("n_tok"),
+          round(expr("min_by(quality, doc_id)"), 6).as("quality"))
+        .orderBy("content_hash")
+    },
+
     "t14_pii_redact" -> { (s, d) =>
       // PII scrub stage: deterministic synthetic PII (email, IPv4, long id)
       // appended per doc — the corpus itself is PII-free — then redacted by
@@ -1306,6 +1325,44 @@ object SparkEntry {
          FROM documents
          WHERE (doc_id % 100) < (CASE WHEN lang = 'en' THEN 40 ELSE 100 END)
          GROUP BY lang ORDER BY lang""",
+
+    // quality replication (t8's CTE) + md5 dedup + arg_min survivor stats
+    "e4_doc_intake" ->
+      """WITH s AS (
+           SELECT doc_id,
+             CAST(1 + LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS ntok,
+             CAST(LENGTH(text) AS BIGINT) AS nch,
+             CAST(LENGTH(REGEXP_REPLACE(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS npunct,
+             CAST(len(list_filter(string_split(text, ' '), x -> x IN
+               ('the','a','an','and','or','of','to','in','is','it','that',
+                'for','on','with','as','was','at','by','be','this'))) AS BIGINT) AS nstop
+           FROM documents),
+         sc AS (
+           SELECT doc_id, ntok,
+             LEAST(CAST(1.0 AS DOUBLE), CAST(ntok AS DOUBLE) / CAST(50.0 AS DOUBLE)) AS len_s,
+             CASE WHEN (CAST(nch - ntok + 1 AS DOUBLE) / CAST(ntok AS DOUBLE)) >= CAST(2.0 AS DOUBLE)
+                   AND (CAST(nch - ntok + 1 AS DOUBLE) / CAST(ntok AS DOUBLE)) <= CAST(12.0 AS DOUBLE)
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS wl_s,
+             CASE WHEN (CAST(npunct AS DOUBLE) / CAST(nch AS DOUBLE)) < CAST(0.2 AS DOUBLE)
+                  THEN CAST(1.0 AS DOUBLE)
+                  ELSE GREATEST(CAST(0.0 AS DOUBLE),
+                       CAST(1.0 AS DOUBLE) - (CAST(npunct AS DOUBLE) / CAST(nch AS DOUBLE))) END AS p_s,
+             LEAST(CAST(1.0 AS DOUBLE),
+                   (CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE)) * CAST(5.0 AS DOUBLE)) AS st_s
+           FROM s),
+         q AS (
+           SELECT doc_id, ntok,
+             CAST(0.35 AS DOUBLE) * len_s + CAST(0.2 AS DOUBLE) * wl_s
+               + CAST(0.2 AS DOUBLE) * p_s + CAST(0.25 AS DOUBLE) * st_s AS quality
+           FROM sc),
+         f AS (
+           SELECT d.doc_id, q.ntok, q.quality, md5(d.text) AS content_hash
+           FROM documents d JOIN q ON q.doc_id = d.doc_id
+           WHERE q.quality >= CAST(0.5 AS DOUBLE))
+         SELECT content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups,
+           CAST(arg_min(ntok, doc_id) AS INTEGER) AS n_tok,
+           ROUND(arg_min(quality, doc_id), 6) AS quality
+         FROM f GROUP BY content_hash ORDER BY content_hash""",
 
     "t14_pii_redact" ->
       """WITH inj AS (
