@@ -723,6 +723,30 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    "j5_range_join" -> { (s, d) =>
+      // interval join through the bucketed-equality kernel: for every error
+      // event, how many other events did the same user produce in the
+      // preceding hour (inclusive window)? RangeJoin quantizes time so the
+      // plan is a plain equi-join on (user, bucket) — never a nested loop —
+      // and the oracle is DuckDB's inequality join, so the hash match
+      // proves bucketing ≡ textbook range semantics on real boundaries.
+      val ev = events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val others = ev.select(col("event_id").as("r_event_id"),
+        col("user_id"), col("ts_us").as("r_ts_us"))
+      val hourUs = 3600L * 1000000L
+      val pairs = graft.operators.RangeJoin.intervalJoin(errors, others,
+          on = Seq("user_id"), leftTs = "ts_us", rightTs = "r_ts_us",
+          lower = -hourUs, upper = 0L)
+        .filter(col("r_event_id") =!= col("event_id"))
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_prior"))
+      errors.join(pairs, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          coalesce(col("n_prior"), lit(0L)).as("n_prior_hour"))
+        .orderBy("event_id")
+    },
+
     "e4_doc_intake" -> { (s, d) =>
       // batch twin of the streaming corpus intake (DocStreams.intake):
       // enrich → quality floor → content-hash dedup. The stream keeps the
@@ -1325,6 +1349,16 @@ object SparkEntry {
          FROM documents
          WHERE (doc_id % 100) < (CASE WHEN lang = 'en' THEN 40 ELSE 100 END)
          GROUP BY lang ORDER BY lang""",
+
+    "j5_range_join" ->
+      """SELECT e.event_id, e.user_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+           COUNT(r.event_id) AS n_prior_hour
+         FROM events e LEFT JOIN events r
+           ON r.user_id = e.user_id AND r.event_id != e.event_id
+           AND epoch_us(r.ts) BETWEEN epoch_us(e.ts) - 3600000000 AND epoch_us(e.ts)
+         WHERE e.event_type = 'error'
+         GROUP BY e.event_id, e.user_id, e.ts
+         ORDER BY e.event_id""",
 
     // quality replication (t8's CTE) + md5 dedup + arg_min survivor stats
     "e4_doc_intake" ->

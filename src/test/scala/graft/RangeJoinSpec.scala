@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RangeJoin
+
+class RangeJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, "u", 1000L), (2L, "u", 2000L), (3L, "v", 500L)
+  ).toDF("lid", "k", "lt")
+
+  private def right = Seq(
+    (10L, "u", 900L), (11L, "u", 1000L), (12L, "u", 1100L),
+    (13L, "u", 1999L), (14L, "v", 5000L)
+  ).toDF("rid", "k", "rt")
+
+  test("interval join matches brute force on window boundaries") {
+    val got = RangeJoin.intervalJoin(left, right, Seq("k"), "lt", "rt",
+        lower = -100L, upper = 0L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: r.rt in [l.lt-100, l.lt]
+    val brute = left.as("l").join(right.as("r"),
+        $"l.k" === $"r.k" && $"r.rt" >= $"l.lt" - 100 && $"r.rt" <= $"l.lt")
+      .select($"l.lid", $"r.rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 13L)), s"expected boundary set: $got")
+  }
+
+  test("asymmetric and negative-time windows stay exact") {
+    val l2 = Seq((1L, "u", -50L)).toDF("lid", "k", "lt")
+    val r2 = Seq((10L, "u", -120L), (11L, "u", -49L), (12L, "u", 200L))
+      .toDF("rid", "k", "rt")
+    for ((lo, hi) <- Seq((-100L, 300L), (-71L, 249L), (0L, 251L))) {
+      val got = RangeJoin.intervalJoin(l2, r2, Seq("k"), "lt", "rt", lo, hi)
+        .select("rid").collect().map(_.getLong(0)).toSet
+      val brute = r2.filter($"rt" >= -50L + lo && $"rt" <= -50L + hi)
+        .select("rid").collect().map(_.getLong(0)).toSet
+      assert(got == brute, s"window [$lo,$hi]: got=$got brute=$brute")
+    }
+  }
+
+  test("plans an equality join — no nested-loop, no cartesian") {
+    val p = RangeJoin.intervalJoin(left, right, Seq("k"), "lt", "rt", -100L, 0L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"must not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"must not cross join:\n$p")
+  }
+
+  test("rejects empty keys, bad windows, clashing columns") {
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(left, right, Seq.empty, "lt", "rt", -1L, 1L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(left, right, Seq("k"), "lt", "rt", 5L, 5L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(left, right.withColumnRenamed("rt", "lt"),
+        Seq("k"), "lt", "lt", -1L, 1L)
+    }
+  }
+}
