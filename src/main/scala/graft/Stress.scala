@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TrainingData}
+import graft.operators.{AsofJoin, Dedup, RangeJoin, Similarity, TrainingData}
 import graft.functions.GraftFunctions._
 
 /** Scale stress for the text-dedup / ANN surface: synthesizes a corpus far
@@ -117,6 +117,49 @@ object Stress {
     }
     time("chunkTokens (32/4)") {
       println("    chunks: " + TrainingData.chunkTokens(docs, 32, 4).count())
+    }
+    time("repetitionSignals") {
+      // planted dups repeat words but nothing is degenerate: top-word share
+      // stays a sanity check while the two explodes + combinable aggs run
+      println("    docs profiled: " + TrainingData.repetitionSignals(docs).count())
+    }
+    time("hashSplit + piiScrub") {
+      val split = TrainingData.hashSplit(docs)
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"    split sizes: $split")
+      println("    redacted chars: " + docs.select(
+        sum(length(TrainingData.piiScrub(col("text"))))).head().getLong(0))
+    }
+
+    // ---- temporal joins over a synthetic event stream ---------------------
+    // nDocs events across nDocs/100 users, ~10s cadence per user with
+    // deterministic jitter — realistic key cardinality and per-key density
+    val nUsers = math.max(1L, nDocs / 100L)
+    val evts = spark.range(nDocs).toDF("event_id")
+      .withColumn("user_id", pmod(xxhash64(col("event_id")), lit(nUsers)))
+      .withColumn("ts_us",
+        (col("event_id") / nUsers).cast("long") * 10000000L +
+          pmod(xxhash64(col("event_id"), lit(1)), lit(9999983L)))
+      .localCheckpoint(true)
+    time("asofJoin (1% left side)") {
+      val lhs = evts.filter(pmod(col("event_id"), lit(100)) === 0)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val rhs = evts.select(col("user_id"), col("ts_us").as("r_ts_us"),
+        col("event_id").as("r_event_id"))
+      println("    asof matches: " + AsofJoin.asofJoin(lhs, rhs,
+          on = Seq("user_id"), leftTime = "ts_us", rightTime = "r_ts_us",
+          payload = Seq("r_event_id"), tiebreak = Some("r_event_id"))
+        .filter(col("r_event_id").isNotNull).count())
+    }
+    time("intervalJoin (±60s window)") {
+      val lhs = evts.filter(pmod(col("event_id"), lit(100)) === 0)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val rhs = evts.select(col("user_id"), col("ts_us").as("r_ts_us"),
+        col("event_id").as("r_event_id"))
+      println("    window pairs: " + RangeJoin.intervalJoin(lhs, rhs,
+          on = Seq("user_id"), leftTs = "ts_us", rightTs = "r_ts_us",
+          lower = -60000000L, upper = 60000000L).count())
     }
 
     // ---- embeddings -------------------------------------------------------
