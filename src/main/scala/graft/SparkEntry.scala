@@ -747,6 +747,28 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    "t15_dup_clusters" -> { (s, d) =>
+      // connected-component clustering through Dedup.clusters: edges are a
+      // binary TREE inside each n_chars bucket (rank → rank div 2 on the
+      // id-sorted group), so the min label must propagate log₂(group-size)
+      // hops — real multi-round label propagation, not a one-join collapse
+      // (this corpus has no exact-dup texts at the oracle SF; length
+      // buckets give groups up to 6/21 docs at sf0.01/sf0.1). The converged
+      // component label IS SQL-expressible: MIN(doc_id) OVER (PARTITION BY
+      // n_chars) for docs in groups of ≥ 2 — so convergence, component
+      // membership, and the survivor choice are all hash-verified.
+      val docs = t(s, d, "documents")
+      val w = Window.partitionBy(col("n_chars")).orderBy(col("doc_id"))
+      val ranked = docs.select(col("doc_id"), col("n_chars"),
+        (row_number().over(w) - 1).as("r"))
+      val pairs = ranked.as("c").join(ranked.as("p"),
+          col("c.n_chars") === col("p.n_chars") &&
+            expr("c.r div 2") === col("p.r") && col("c.r") > 0)
+        .select(col("p.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
+      graft.operators.Dedup.clusters(pairs)
+        .orderBy("id")
+    },
+
     "e4_doc_intake" -> { (s, d) =>
       // batch twin of the streaming corpus intake (DocStreams.intake):
       // enrich → quality floor → content-hash dedup. The stream keeps the
@@ -1359,6 +1381,17 @@ object SparkEntry {
          WHERE e.event_type = 'error'
          GROUP BY e.event_id, e.user_id, e.ts
          ORDER BY e.event_id""",
+
+    // the component label of a tree inside a length bucket is the bucket
+    // minimum — a plain window aggregate in SQL
+    "t15_dup_clusters" ->
+      """WITH g AS (
+           SELECT doc_id,
+             COUNT(*) OVER (PARTITION BY n_chars) AS n_in_group,
+             MIN(doc_id) OVER (PARTITION BY n_chars) AS label
+           FROM documents)
+         SELECT doc_id AS id, label FROM g WHERE n_in_group >= 2
+         ORDER BY id""",
 
     // quality replication (t8's CTE) + md5 dedup + arg_min survivor stats
     "e4_doc_intake" ->
