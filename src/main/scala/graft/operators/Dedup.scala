@@ -29,8 +29,14 @@ object Dedup {
       s"k ($k) must be a multiple of bands ($bands): a truncated banding would " +
         "silently ignore the last k % bands signature elements")
     val rows = k / bands
+    // materialize the signatures once: the plan consumes them four times
+    // (band a/b sides + two signature re-joins), and without a barrier each
+    // consumer re-runs the shingle+minhash kernel over the full text — the
+    // dominant map cost. Signatures are k longs/doc (~0.5 KB), ≪ the text
+    // they summarize, so the barrier is safe at any corpus size.
     val sigs = docs.select(col(idCol).as("id"),
       minhash_signature(shingle_hashes(col(textCol), lit(shingle)), lit(k), lit(seed)).as("sig"))
+      .localCheckpoint(true)
     val bandCols = sigs.select(col("id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows), b))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -61,10 +67,19 @@ object Dedup {
     * the documented trade. Pass Int.MaxValue for exact semantics. */
   def jaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingle: Int = 3, minJaccard: Double = 0.5,
-      maxPosting: Int = 10000): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      explode(shingle_hashes(col(textCol), lit(shingle))).as("sh"))
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("nsh"))
+      maxPosting: Int = 10000, materialize: Boolean = true): DataFrame = {
+    // the shingle set size rides along with every exploded row (+8 bytes):
+    // it removes the separate per-doc size aggregate AND its two joins onto
+    // the pair set — two fewer full passes over the corpus text
+    val sh0 = docs
+      .select(col(idCol).as("id"), shingle_hashes(col(textCol), lit(shingle)).as("shs"))
+      .select(col("id"), size(col("shs")).as("nsh"), explode(col("shs")).as("sh"))
+    // the exploded frame is consumed three times (posting counts + both
+    // self-join sides); `materialize` buffers it once in executor storage
+    // so the text kernel runs a single pass. At extreme corpus scale the
+    // exploded stream is corpus-sized — pass materialize = false there to
+    // trade recompute (CPU) for storage, same plan otherwise.
+    val sh = if (materialize) sh0.localCheckpoint(true) else sh0
     // posting-size prefilter, NOT collect_list: a collect_list over the
     // shingle key materializes one array buffer per distinct shingle
     // (almost |corpus|·|doc len| of them — measured 12× slower than this
@@ -81,11 +96,10 @@ object Dedup {
     val shK = sh.join(keep, Seq("sh"), "left_semi")
     shK.as("a").join(shK.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
       .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("id_a"), col("nsh").as("na")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("nsh").as("nb")), "id_b")
+      .agg(count(lit(1)).as("inter"), min(col("na")).as("na"), min(col("nb")).as("nb"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
@@ -126,8 +140,12 @@ object Dedup {
     val e = maxDist / nBlocks // per-block probe radius (generalized pigeonhole)
     // block b covers bits [64*b/n, 64*(b+1)/n) — full 64-bit coverage
     val widths = (0 until nBlocks).map(b => 64 * (b + 1) / nBlocks - 64 * b / nBlocks)
+    // one barrier on the 8-byte fingerprints: probe and index sides both
+    // derive from them, and without it each side re-runs the shingle +
+    // simhash text kernel (16 bytes/doc stored — safe at any scale)
     val sigs = docs.select(col(idCol).as("id"),
       simhash64(shingle_hashes(col(textCol), lit(shingle))).as("sh"))
+      .localCheckpoint(true)
     val blockCols = (0 until nBlocks).map { b =>
       val lo = 64 * b / nBlocks
       val w = widths(b)
