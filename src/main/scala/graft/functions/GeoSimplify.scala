@@ -107,6 +107,33 @@ object GeoSimplify extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** A constructor possibly wrapped in conditionals — the shape
+    * `withColumn("geom", when(p, null).otherwise(st_point(…)))` produces.
+    * Inlining these too lets the accessor-distribute rewrite push accessors
+    * into the branches and eliminate the WKB round-trip per row. */
+  private def isCtorish(e: Expression): Boolean = e match {
+    case e if isCtor(e) => true
+    case If(_, a, b) => isCtorish(a) || isCtorish(b)
+    case CaseWhen(branches, elseValue) =>
+      branches.exists(br => isCtorish(br._2)) || elseValue.exists(isCtorish)
+    case _ => false
+  }
+
+  /** Constructor-ish aliases of a Project, ready for inlining. */
+  private def ctorAliases(
+      lower: Seq[NamedExpression]): Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression] =
+    lower.collect {
+      // deterministic only: inlining duplicates the expression into every
+      // referencing consumer, and non-deterministic copies (st_point(rand(),
+      // y)) would evaluate independently — CollapseProject's own guard
+      case a: Alias if isCtorish(a.child) && a.child.deterministic => a.exprId -> a.child
+    }.toMap
+
+  private def inlineInto(e: Expression, ctors: Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression]): Expression =
+    e.transformUp {
+      case attr: Attribute if ctors.contains(attr.exprId) => ctors(attr.exprId)
+    }
+
   /** CollapseProject declines to merge projects when an aliased geometry
     * constructor is referenced many times (it would duplicate the
     * expression), so accessor patterns never meet their constructors.
@@ -115,22 +142,61 @@ object GeoSimplify extends Rule[LogicalPlan] {
     * any residual duplicates), restoring the constructor's inputs to the
     * child project when the grandchild still provides them. */
   private def inlineCtors(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // Filter over a Project that aliases a (conditional) constructor: the
+    // predicate is where null-geometry/accessor probes live (p4's
+    // null-centroid filter). The Project itself is untouched — column
+    // pruning drops the alias when nothing else consumes it.
+    case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond,
+        pc @ org.apache.spark.sql.catalyst.plans.logical.Project(lower, _)) =>
+      val ctors = ctorAliases(lower)
+      val newCond = if (ctors.isEmpty) cond else inlineInto(cond, ctors)
+      if (ctors.isEmpty || !newCond.references.subsetOf(pc.outputSet)) f
+      else org.apache.spark.sql.catalyst.plans.logical.Filter(newCond, pc)
+
+    // Aggregate over a Project with constructor aliases: min/max envelope
+    // aggregates (bbox probes) reference the geometry attribute inside
+    // their aggregate expressions. The Aggregate is the SOLE consumer of
+    // its child's output, so the Project can be rebuilt too: dead ctor
+    // aliases dropped, newly-referenced input attributes passed through
+    // (column pruning upstream may have narrowed the Project to just the
+    // geometry — un-prune what the fused arithmetic needs).
+    case ag: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+      ag.child match {
+        case pc @ org.apache.spark.sql.catalyst.plans.logical.Project(lower, grandchild) =>
+          val ctors = ctorAliases(lower)
+          if (ctors.isEmpty) ag
+          else {
+            val newGroup = ag.groupingExpressions.map(inlineInto(_, ctors))
+            val newAggs = ag.aggregateExpressions.map {
+              case attr: Attribute => attr // keep bare passthrough attributes named
+              case ne => inlineInto(ne, ctors).asInstanceOf[NamedExpression]
+            }
+            val refs = (newGroup ++ newAggs).flatMap(_.references).distinct
+            val fromChild = refs.filterNot(pc.outputSet.contains)
+            if (fromChild.forall(grandchild.outputSet.contains)) {
+              val stillUsed = refs.map(_.exprId).toSet
+              val keptLower = lower.filter {
+                case a: Alias if ctors.contains(a.exprId) => stillUsed.contains(a.exprId)
+                case ne => stillUsed.contains(ne.exprId)
+              }
+              val newLower = keptLower ++ fromChild.filterNot(a =>
+                keptLower.exists(_.toAttribute.exprId == a.exprId))
+              ag.copy(groupingExpressions = newGroup,
+                aggregateExpressions = newAggs,
+                child = org.apache.spark.sql.catalyst.plans.logical.Project(newLower, grandchild))
+            } else ag
+          }
+        case _ => ag
+      }
+
     case p @ org.apache.spark.sql.catalyst.plans.logical.Project(upper,
         pc @ org.apache.spark.sql.catalyst.plans.logical.Project(lower, grandchild)) =>
-      // deterministic only: inlining duplicates the ctor expression into
-      // every referencing parent expression, and non-deterministic copies
-      // (e.g. st_point(rand(), y)) would evaluate independently — the same
-      // guard CollapseProject applies before merging projects
-      val ctors = lower.collect {
-        case a: Alias if isCtor(a.child) && a.child.deterministic => a.exprId -> a.child
-      }.toMap
+      val ctors = ctorAliases(lower)
       if (ctors.isEmpty) p
       else {
         val newUpper = upper.map {
           case attr: Attribute => attr // keep bare projections of the geometry
-          case ne => ne.transformUp {
-            case attr: Attribute if ctors.contains(attr.exprId) => ctors(attr.exprId)
-          }.asInstanceOf[NamedExpression]
+          case ne => inlineInto(ne, ctors).asInstanceOf[NamedExpression]
         }
         val lowerOut = lower.map(_.toAttribute.exprId).toSet
         val needed = newUpper.flatMap(_.references).filterNot(a => lowerOut.contains(a.exprId))

@@ -61,6 +61,54 @@ class GeoSimplifySpec extends AnyFunSuite {
     }
   }
 
+  test("conditional constructors fuse through a Filter (p4's shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("gs3").toString + "/d"
+    (0 until 100).map(i => (i.toLong, i * 1.0, i * 2.0, i % 3 == 0))
+      .toDF("id", "x", "y", "bad").write.parquet(dir)
+    GeoSimplify.install(spark)
+    val df = spark.read.parquet(dir)
+      .withColumn("geom", when($"bad", lit(null).cast("binary"))
+        .otherwise(st_point($"x", $"y")))
+      .filter(st_x(st_centroid($"geom")).isNotNull)
+      .select($"id")
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("st_point") && !plan.contains("st_centroid") &&
+      !plan.contains("centroid_x"), s"filter must fuse away all WKB work:\n$plan")
+    assert(df.count() == 66, "rows with bad=false survive")
+  }
+
+  test("conditional constructors fuse through stacked projects (f6's shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("gs4").toString + "/d"
+    (0 until 10).map(i => (i.toLong, i * 1.0, i * 2.0)).toDF("id", "x", "y")
+      .write.parquet(dir)
+    GeoSimplify.install(spark)
+    val df = spark.read.parquet(dir)
+      .withColumn("geom", when($"id" % 3 === 2, st_point_z($"x", $"y", lit(5.0)))
+        .otherwise(st_point($"x", $"y")))
+      .withColumn("g2", st_force2d($"geom"))
+      .select($"id", wkb_shape_type($"g2").as("st"), st_x($"g2").as("gx"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("st_point") && !plan.contains("st_force2d") &&
+      !plan.contains("wkb_shape_type"), s"stacked projects must fuse:\n$plan")
+    df.collect().foreach { r =>
+      assert(r.getInt(1) == 1 && r.getDouble(2) == r.getLong(0) * 1.0)
+    }
+  }
+
+  test("constructor aliases fuse into aggregate expressions (bbox shape)") {
+    val dir = java.nio.file.Files.createTempDirectory("gs5").toString + "/d"
+    (0 until 50).map(i => (i * 1.0, i * 0.5)).toDF("x", "y").write.parquet(dir)
+    GeoSimplify.install(spark)
+    val df = spark.read.parquet(dir)
+      .withColumn("geom", st_point($"x", $"y"))
+      .agg(min(st_xmin($"geom")).as("minx"), max(st_ymax($"geom")).as("maxy"))
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("st_point") && !plan.contains("st_xmin"),
+      s"aggregate inputs must fuse:\n$plan")
+    val r = df.head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 24.5)
+  }
+
   test("non-constructor children are left alone") {
     val dir = java.nio.file.Files.createTempDirectory("gs2").toString + "/d"
     val wkb = graft.geom.GeomLib.squareWkb(5.0, 6.0, 1.0)
