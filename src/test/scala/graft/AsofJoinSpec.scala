@@ -76,6 +76,28 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"expected a window plan:\n$p")
   }
 
+  test("randomized equivalence with an in-memory reference (seeded)") {
+    // 400 trades / 600 quotes over 8 symbols with heavy time collisions
+    // (times drawn from 0..50) — boundary and tie behavior under load
+    val rnd = new scala.util.Random(20260812L)
+    val syms = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val lt = (1 to 400).map(i => (i.toLong, syms(rnd.nextInt(8)), rnd.nextInt(50).toLong))
+    val rt = (1 to 600).map(i => (i.toLong, syms(rnd.nextInt(8)), rnd.nextInt(50).toLong))
+    val lDf = lt.toDF("trade_id", "sym", "t")
+    val rDf = rt.toDF("quote_id", "sym", "qt")
+    val got = AsofJoin.asofJoin(lDf, rDf, on = Seq("sym"),
+        leftTime = "t", rightTime = "qt", payload = Seq("quote_id"),
+        tiebreak = Some("quote_id"))
+      .select("trade_id", "quote_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    lt.foreach { case (tid, sym, t) =>
+      val cands = rt.filter(q => q._2 == sym && q._3 <= t)
+      val want = if (cands.isEmpty) -1L
+        else cands.maxBy(q => (q._3, q._1))._1 // latest time, then max id
+      assert(got(tid) == want, s"trade $tid ($sym@$t): got ${got(tid)}, want $want")
+    }
+  }
+
   test("rejects clashing payload names and bad direction") {
     intercept[IllegalArgumentException] {
       AsofJoin.asofJoin(trades, quotes.withColumnRenamed("px", "sym2")

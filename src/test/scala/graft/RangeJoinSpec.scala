@@ -50,6 +50,25 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"must not cross join:\n$p")
   }
 
+  test("randomized equivalence with an in-memory reference (seeded)") {
+    val rnd = new scala.util.Random(424242L)
+    val lt = (1 to 300).map(i => (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(1000).toLong - 500))
+    val rt = (1 to 500).map(i => (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(1000).toLong - 500))
+    val lDf = lt.toDF("lid", "k", "lt")
+    val rDf = rt.toDF("rid", "k", "rt")
+    for ((lo, hi) <- Seq((-37L, 53L), (0L, 101L), (-250L, -3L))) {
+      val got = RangeJoin.intervalJoin(lDf, rDf, Seq("k"), "lt", "rt", lo, hi)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (lid, lk, t) <- lt
+        (rid, rk, u) <- rt
+        if lk == rk && u >= t + lo && u <= t + hi
+      } yield (lid, rid)).toSet
+      assert(got == want,
+        s"window [$lo,$hi]: missing=${want -- got}, extra=${got -- want}")
+    }
+  }
+
   test("rejects empty keys, bad windows, clashing columns") {
     intercept[IllegalArgumentException] {
       RangeJoin.intervalJoin(left, right, Seq.empty, "lt", "rt", -1L, 1L)
