@@ -863,6 +863,22 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    "mm2_frame_sample" -> { (s, d) =>
+      // frame sampling through the real Dataset pipeline (withMeta →
+      // frameSample): 4 evenly spaced byte-range frames per payload. The
+      // payload is the document text (pure ASCII, so bytes ≡ chars) and the
+      // slicing arithmetic is replicated with substr in the oracle — the
+      // explode shape, boundaries, and content are all hash-verified.
+      val payloads = t(s, d, "documents")
+        .select(col("doc_id").as("id"), col("text").cast("binary").as("payload"))
+      val rows = graft.multimodal.Multimodal.withMeta(s, payloads)
+      graft.multimodal.Multimodal.frameSample(rows, 4).toDF()
+        .select(col("id"), col("frame_no"),
+          length(col("frame_payload")).cast("long").as("frame_len"),
+          col("frame_payload").cast("string").as("frame_text"))
+        .orderBy("id", "frame_no")
+    },
+
     // =====================================================================
     // Vector similarity (embeddings)
     // =====================================================================
@@ -1514,6 +1530,22 @@ object SparkEntry {
     "mm1_binary_meta" ->
       """SELECT lang, CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes, COUNT(*) AS n
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    // frame i of n=4 covers bytes [len*i//4, max(len*(i+1)//4, len*i//4+1))
+    "mm2_frame_sample" ->
+      """WITH f AS (
+           SELECT doc_id AS id, UNNEST(generate_series(0, 3)) AS frame_no,
+                  text, LENGTH(text) AS len
+           FROM documents),
+         b AS (
+           SELECT id, CAST(frame_no AS INTEGER) AS frame_no,
+                  (len * frame_no) // 4 AS fr,
+                  GREATEST((len * (frame_no + 1)) // 4, (len * frame_no) // 4 + 1) AS un,
+                  text
+           FROM f)
+         SELECT id, frame_no, CAST(un - fr AS BIGINT) AS frame_len,
+                substr(text, CAST(fr + 1 AS INTEGER), CAST(un - fr AS INTEGER)) AS frame_text
+         FROM b ORDER BY id, frame_no""",
 
     "v1_cosine_topk" ->
       """WITH ex AS (SELECT vec_id, UNNEST(embedding)::DOUBLE AS v,
