@@ -723,6 +723,22 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    "x2_salted_join" -> { (s, d) =>
+      // hot-key salting proven semantics-preserving: revenue per order
+      // priority through Skew.saltedJoin (lineitem scattered across 16
+      // sub-keys per join key, orders replicated 16×) must equal the plain
+      // join the oracle computes — salting changes the shuffle layout, not
+      // the result
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), cents(col("l_extendedprice")).as("pc"))
+      val ords = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, ords, "o_orderkey", salt = 16)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("pc")).as("revenue_cents"), count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")
+    },
+
     "j5_range_join" -> { (s, d) =>
       // interval join through the bucketed-equality kernel: for every error
       // event, how many other events did the same user produce in the
@@ -1387,6 +1403,14 @@ object SparkEntry {
          FROM documents
          WHERE (doc_id % 100) < (CASE WHEN lang = 'en' THEN 40 ELSE 100 END)
          GROUP BY lang ORDER BY lang""",
+
+    "x2_salted_join" ->
+      """SELECT o.o_orderpriority,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           COUNT(*) AS n_items
+         FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
 
     "j5_range_join" ->
       """SELECT e.event_id, e.user_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
