@@ -44,11 +44,16 @@ object AsofJoin {
     * @param tolerance max |leftTime - rightTime| (in the time column's
     *                  numeric domain after cast to long) — farther matches
     *                  are nulled out, pandas merge_asof-style
+    * @param allowExactMatches pandas knob: when false, an equal-time right
+    *                  row does NOT match (strict < / >). Implemented purely
+    *                  in the sort: exclusive mode orders equal-time right
+    *                  rows AFTER the left row, outside its running frame.
     */
   def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
       tiebreak: Option[String] = None, direction: String = "backward",
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one equality key")
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     require(direction == "backward" || direction == "forward",
@@ -66,8 +71,9 @@ object AsofJoin {
       tbType.map(t => lit(null).cast(t)).getOrElse(lit(0L)).as("__tb"),
       struct(leftCols.map(col): _*).as("__l"),
       lit(null).cast(rPayloadType(right, rightTime, payload)).as("__r")): _*)
+    val rightSide = if (allowExactMatches) 0 else 2 // after left ⇒ out of frame
     val rRel = right.select(on.map(col) ++ Seq(
-      col(rightTime).as("__t"), lit(0).as("__side"),
+      col(rightTime).as("__t"), lit(rightSide).as("__side"),
       tiebreak.map(col).getOrElse(lit(0L)).as("__tb"),
       lit(null).cast(lStructType(left)).as("__l"),
       rPayload.as("__r")): _*)

@@ -76,6 +76,23 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(p.contains("Window"), s"expected a window plan:\n$p")
   }
 
+  test("allowExactMatches = false excludes equal-time rows (both directions)") {
+    val strictBack = AsofJoin.asofJoin(trades, quotes, on = Seq("sym"),
+        leftTime = "t", rightTime = "qt", payload = Seq("quote_id"),
+        tiebreak = Some("quote_id"), allowExactMatches = false)
+      .select("trade_id", "quote_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(strictBack(1L) == 10L, s"t=100 must skip qt=100, take qt=90: $strictBack")
+    assert(strictBack(4L) == -1L, "B@100: only equal-time quotes exist → no match")
+    val strictFwd = AsofJoin.asofJoin(trades, quotes, on = Seq("sym"),
+        leftTime = "t", rightTime = "qt", payload = Seq("quote_id"),
+        tiebreak = Some("quote_id"), direction = "forward", allowExactMatches = false)
+      .select("trade_id", "quote_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(strictFwd(1L) == 12L, s"t=100 forward must skip qt=100, take qt=200: $strictFwd")
+    assert(strictFwd(4L) == 15L, "B@100 forward: qt=300 is the first strict match")
+  }
+
   test("randomized equivalence with an in-memory reference (seeded)") {
     // 400 trades / 600 quotes over 8 symbols with heavy time collisions
     // (times drawn from 0..50) — boundary and tie behavior under load
