@@ -56,6 +56,27 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"v2 must not cross join:\n$p")
   }
 
+  test("jaccard prefix-filter path ≡ plain inverted index (lossless)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def pairs(prefix: Boolean) =
+      Dedup.jaccardPairs(docs, shingle = 3, minJaccard = 0.5, prefixFilter = prefix)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaPrefix = pairs(true)
+    val viaIndex = pairs(false)
+    assert(viaPrefix == viaIndex,
+      s"prefix filtering must be exact: missing=${viaIndex -- viaPrefix} " +
+        s"extra=${viaPrefix -- viaIndex}")
+    assert(viaPrefix.nonEmpty, "sf0.01 corpus has known near-dup pairs")
+    // lower thresholds too (longer prefixes, more candidates — same result)
+    for (t <- Seq(0.3, 0.8)) {
+      val p = Dedup.jaccardPairs(docs, minJaccard = t, prefixFilter = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val i = Dedup.jaccardPairs(docs, minJaccard = t, prefixFilter = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(p == i, s"t=$t: missing=${i -- p} extra=${p -- i}")
+    }
+  }
+
   test("simhash pigeonhole block join ≡ brute force at maxDist 16") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val sigs = docs.select($"doc_id",
