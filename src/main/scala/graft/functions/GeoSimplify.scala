@@ -163,7 +163,20 @@ object GeoSimplify extends Rule[LogicalPlan] {
     case ag: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
       ag.child match {
         case pc @ org.apache.spark.sql.catalyst.plans.logical.Project(lower, grandchild) =>
-          val ctors = ctorAliases(lower)
+          val allCtors = ctorAliases(lower)
+          // A ctor alias that is grouped on as a BARE reference must stay an
+          // attribute everywhere: `groupBy(geom).agg(…)` keeps `geom` in the
+          // result list (the bare-Attribute case below), so inlining it into
+          // groupingExpressions would leave a result attribute that matches
+          // no grouping expression — an Aggregate that fails attribute
+          // binding at physical planning. Dropping such ctors from the map
+          // keeps grouping, outputs, and accessor uses consistent; only
+          // accessor-wrapped uses (min(st_x(geom))) of the REMAINING ctors
+          // are fused.
+          val groupedBare = ag.groupingExpressions.collect {
+            case a: Attribute if allCtors.contains(a.exprId) => a.exprId
+          }.toSet
+          val ctors = allCtors -- groupedBare
           if (ctors.isEmpty) ag
           else {
             val newGroup = ag.groupingExpressions.map(inlineInto(_, ctors))

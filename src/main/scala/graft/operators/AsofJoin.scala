@@ -61,6 +61,13 @@ object AsofJoin {
     payload.foreach(p => require(!left.columns.contains(p),
       s"right payload column '$p' clashes with a left column"))
     val leftCols = left.columns.toSeq
+    // Null-time semantics (pandas merge_asof raises; here they are handled
+    // deterministically instead): null-rightTime rows can match nothing and
+    // are dropped; null-leftTime rows emit a null match. The orderings below
+    // put nulls FIRST in both directions, so a null-time left row's running
+    // frame contains only other null-__t left rows (whose __r is null) —
+    // never a spurious trailing match from the whole partition.
+    val rightNn = right.filter(col(rightTime).isNotNull)
 
     // unified relation: key cols, __t, __side (right=0 sorts first at equal
     // time), __tb, left row struct, right payload struct (incl. match time)
@@ -72,7 +79,7 @@ object AsofJoin {
       struct(leftCols.map(col): _*).as("__l"),
       lit(null).cast(rPayloadType(right, rightTime, payload)).as("__r")): _*)
     val rightSide = if (allowExactMatches) 0 else 2 // after left ⇒ out of frame
-    val rRel = right.select(on.map(col) ++ Seq(
+    val rRel = rightNn.select(on.map(col) ++ Seq(
       col(rightTime).as("__t"), lit(rightSide).as("__side"),
       tiebreak.map(col).getOrElse(lit(0L)).as("__tb"),
       lit(null).cast(lStructType(left)).as("__l"),
@@ -81,9 +88,9 @@ object AsofJoin {
     val all = lRel.unionByName(rRel)
     val ord: Seq[Column] =
       if (direction == "backward")
-        Seq(col("__t").asc, col("__side").asc, col("__tb").asc)
-      else
-        Seq(col("__t").desc, col("__side").asc, col("__tb").desc)
+        Seq(col("__t").asc_nulls_first, col("__side").asc, col("__tb").asc)
+      else // desc defaults to NULLS LAST — force first so null-time left rows see an empty frame
+        Seq(col("__t").desc_nulls_first, col("__side").asc, col("__tb").desc)
     val w = Window.partitionBy(on.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = all

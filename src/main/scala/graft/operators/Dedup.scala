@@ -198,6 +198,21 @@ object Dedup {
     val e = maxDist / nBlocks // per-block probe radius (generalized pigeonhole)
     // block b covers bits [64*b/n, 64*(b+1)/n) — full 64-bit coverage
     val widths = (0 until nBlocks).map(b => 64 * (b + 1) / nBlocks - 64 * b / nBlocks)
+    // Guard the probe-ball size BEFORE enumerating it: an explicit
+    // probeBlocks (the auto path keeps e ≤ 2) can make Σ_b Σ_{k≤e} C(w_b, k)
+    // astronomically large (probeBlocks=1, maxDist=20 ⇒ C(64, ≤20) ≈ 10^15
+    // masks) — a driver hang/OOM, and a de-facto cross join even if it
+    // materialized. 2^16 masks/doc is already far past any useful plan.
+    val ballCap = 1L << 16
+    val ballTotal = widths.map { w =>
+      (0 to math.min(e, w)).map(k =>
+        (BigInt(w - k + 1) to BigInt(w)).product / (BigInt(1) to BigInt(k.max(1))).product)
+        .sum
+    }.sum
+    require(ballTotal <= ballCap,
+      s"simhashPairs probe ball too large: $nBlocks blocks at maxDist=$maxDist needs " +
+        s"$ballTotal probe masks/doc (cap $ballCap) — use more probeBlocks (smaller " +
+        s"per-block radius e=maxDist/probeBlocks) or the auto split (probeBlocks=0)")
     val sigs = docs.select(col(idCol).as("id"),
       simhash64(shingle_hashes(col(textCol), lit(shingle))).as("sh"))
     val blockCols = (0 until nBlocks).map { b =>

@@ -37,12 +37,19 @@ object RangeJoin {
       .intersect(right.columns.toSet -- on)
     require(clashes.isEmpty, s"non-key columns clash across sides: $clashes")
     val w = upper - lower // bucket width == window span ⇒ ≤ 2 buckets/left row
-    // exact floor division for any sign: subtract the non-negative pmod
-    // first, then divide the exact multiple (double-exact below 2^53 — epoch
-    // micros are ~2^50; quotients of representable exact multiples round to
-    // the true integer)
-    def fdiv(c: org.apache.spark.sql.Column) =
-      ((c - pmod(c, lit(w))) / lit(w)).cast("long")
+    // exact floor division for any sign and ANY long magnitude: subtract the
+    // non-negative pmod first, then divide the exact multiple with INTEGRAL
+    // division (Catalyst IntegralDivide — long/long → long). Double division
+    // would be exact only below 2^53; nanosecond-scale epochs (~2^61) would
+    // silently land in wrong buckets and drop matches.
+    def fdiv(c: org.apache.spark.sql.Column) = {
+      val shifted = (c - pmod(c, lit(w))).cast("long")
+      org.apache.spark.sql.graft.SparkInternals.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graft.SparkInternals.expression(shifted),
+          org.apache.spark.sql.graft.SparkInternals.expression(lit(w)),
+          org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+    }
     val lB = left.withColumn("__bkt", explode(sequence(
       fdiv(col(leftTs) + lower), fdiv(col(leftTs) + upper))))
     val rB = right.withColumn("__bkt", fdiv(col(rightTs)))

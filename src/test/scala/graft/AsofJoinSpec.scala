@@ -115,6 +115,22 @@ class AsofJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("null timestamps: null-time left rows get no match; null-time right rows ignored") {
+    val lt = Seq((1L, "A", Some(100L)), (2L, "A", Option.empty[Long]))
+      .toDF("trade_id", "sym", "t")
+    val rt = Seq((10L, "A", Some(90L), 1.0), (11L, "A", Option.empty[Long], 99.0),
+      (12L, "A", Some(110L), 2.0)).toDF("quote_id", "sym", "qt", "px")
+    for ((dir, want1) <- Seq("backward" -> 10L, "forward" -> 12L)) {
+      val m = AsofJoin.asofJoin(lt, rt, on = Seq("sym"),
+          leftTime = "t", rightTime = "qt", payload = Seq("quote_id", "px"),
+          tiebreak = Some("quote_id"), direction = dir)
+        .select("trade_id", "quote_id").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      assert(m(2L) == -1L, s"$dir: null-time left row must not inherit a match: $m")
+      assert(m(1L) == want1, s"$dir: null-time RIGHT row (quote 11) must be ignored: $m")
+    }
+  }
+
   test("rejects clashing payload names and bad direction") {
     intercept[IllegalArgumentException] {
       AsofJoin.asofJoin(trades, quotes.withColumnRenamed("px", "sym2")

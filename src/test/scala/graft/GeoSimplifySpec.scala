@@ -109,6 +109,27 @@ class GeoSimplifySpec extends AnyFunSuite {
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 24.5)
   }
 
+  test("group-by a constructed geometry column stays a valid Aggregate") {
+    // regression: inlining the ctor into groupingExpressions while the bare
+    // attribute stayed in the result list produced an Aggregate that failed
+    // attribute binding at physical planning
+    val dir = java.nio.file.Files.createTempDirectory("gs6").toString + "/d"
+    (0 until 40).map(i => ((i % 4) * 1.0, ((i / 4) % 2) * 1.0)).toDF("x", "y")
+      .write.parquet(dir)
+    GeoSimplify.install(spark)
+    val df = spark.read.parquet(dir)
+      .withColumn("geom", st_point($"x", $"y"))
+      .groupBy($"geom").agg(count(lit(1)).as("n"))
+    val rows = df.collect()
+    assert(rows.length == 8 && rows.map(_.getLong(1)).sum == 40, rows.mkString(","))
+    // mixed shape: grouped-on ctor attr + accessor aggregates over it
+    val df2 = spark.read.parquet(dir)
+      .withColumn("geom", st_point($"x", $"y"))
+      .groupBy($"geom").agg(min(st_x($"geom")).as("mx"), count(lit(1)).as("n"))
+    val rows2 = df2.collect()
+    assert(rows2.length == 8 && rows2.map(_.getLong(2)).sum == 40, rows2.mkString(","))
+  }
+
   test("non-constructor children are left alone") {
     val dir = java.nio.file.Files.createTempDirectory("gs2").toString + "/d"
     val wkb = graft.geom.GeomLib.squareWkb(5.0, 6.0, 1.0)

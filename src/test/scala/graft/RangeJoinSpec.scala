@@ -69,6 +69,20 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("nanosecond-scale epochs (beyond 2^53) bucket exactly — integral division") {
+    // ~2026 in epoch NANOS is ~1.78e18 ≈ 2^60.6: double division would be
+    // off by up to hundreds of buckets here and silently drop matches
+    val base = 1786000000000000000L
+    val l3 = Seq((1L, "u", base), (2L, "u", base + 3600L * 1000000000L))
+      .toDF("lid", "k", "lt")
+    val r3 = Seq((10L, "u", base - 1L), (11L, "u", base + 60L * 1000000000L),
+      (12L, "u", base + 3601L * 1000000000L)).toDF("rid", "k", "rt")
+    val w = 120L * 1000000000L // ±1-minute window in nanos
+    val got = RangeJoin.intervalJoin(l3, r3, Seq("k"), "lt", "rt", -w / 2, w / 2)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (1L, 11L), (2L, 12L)), s"nano-epoch set: $got")
+  }
+
   test("rejects empty keys, bad windows, clashing columns") {
     intercept[IllegalArgumentException] {
       RangeJoin.intervalJoin(left, right, Seq.empty, "lt", "rt", -1L, 1L)

@@ -94,6 +94,19 @@ class ScalePlanSpec extends AnyFunSuite {
       s"pigeonhole must be exact: missing=${brute -- block} extra=${block -- brute}")
   }
 
+  test("simhashPairs rejects explicit probeBlocks whose Hamming ball explodes") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // probeBlocks=1, maxDist=20 ⇒ C(64, ≤20) ≈ 10^15 probe masks — must fail
+    // loudly at plan time, not hang the driver enumerating them
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, maxDist = 20, probeBlocks = 1)
+    }
+    assert(ex.getMessage.contains("probe ball"), ex.getMessage)
+    // a sane explicit split still works (radius e ≤ 2)
+    assert(Dedup.simhashPairs(docs.limit(50), maxDist = 4, probeBlocks = 2)
+      .columns.contains("dist"))
+  }
+
   test("lshTopK multi-table recovers planted identical vectors at rank 1") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter($"vec_id" < 8).withColumn("vec_id", $"vec_id" + 10000)
