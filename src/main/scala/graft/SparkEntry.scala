@@ -644,15 +644,35 @@ object SparkEntry {
 
     "t5_simhash_hamming" -> { (s, d) =>
       // SimHash near-dup pairs (hamming ≤ 16) through the library's
-      // pigeonhole block join (Dedup.simhashPairs): 17 disjoint blocks cover
-      // all 64 fingerprint bits, so ≤16 differing bits leave at least one
-      // block equal — every true pair survives an equality join on
-      // (block, value), never a cross join. Exact (the pigeonhole bound is
-      // a guarantee, not a probability); no SQL oracle (simhash itself is
-      // not ANSI-expressible); block-join ≡ brute-force asserted in spec.
-      graft.operators.Dedup.simhashPairs(t(s, d, "documents"),
-          shingle = 3, maxDist = 16)
-        .orderBy("id_a", "id_b")
+      // pigeonhole block join (Dedup.simhashPairs). The simhash VALUE is not
+      // ANSI-expressible, but its CONTRACT is — so the gate plants 20 exact
+      // copies (doc_id + 1_000_000) and emits SQL-checkable invariants over
+      // the full pair output: identical text ⇒ identical fingerprint ⇒ every
+      // planted pair MUST be found at dist exactly 0 (recall + zero-distance
+      // proof), and the pair set must be ordered (id_a < id_b), deduped, and
+      // within the hamming bound. Block-join ≡ brute-force over the natural
+      // corpus is additionally asserted in ScalePlanSpec at this maxDist.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val seeds = docs.filter(col("doc_id") < 20)
+      val corpus = docs.unionByName(
+        seeds.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val pairs = graft.operators.Dedup.simhashPairs(corpus,
+        shingle = 3, maxDist = 16)
+      val planted = seeds.select(col("doc_id").cast("long").as("id_a"),
+        (col("doc_id") + 1000000L).as("id_b"))
+      val found = planted.join(pairs, Seq("id_a", "id_b"), "left")
+      pairs.agg(
+          sum(when(col("id_a") >= col("id_b"), 1L).otherwise(0L)).cast("long")
+            .as("order_violations"),
+          sum(when(col("dist") > 16 || col("dist") < 0, 1L).otherwise(0L)).cast("long")
+            .as("bound_violations"),
+          (count(lit(1)) - count_distinct(col("id_a"), col("id_b"))).cast("long")
+            .as("dup_rows"))
+        .crossJoin(found.agg(
+          count(lit(1)).cast("long").as("planted_pairs"),
+          sum(when(col("dist").isNull, 1L).otherwise(0L)).cast("long")
+            .as("planted_missed"),
+          sum(coalesce(col("dist"), lit(0))).cast("long").as("planted_dist_sum")))
     },
 
     "t6_winnow_fingerprints" -> { (s, d) =>
@@ -1297,6 +1317,19 @@ object SparkEntry {
          FROM pairs JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
          WHERE CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
          ORDER BY id_a, id_b""",
+
+    // t5's oracle pins the simhash CONTRACT: planted exact copies must all
+    // surface at distance exactly 0 (planted_pairs is data-derived — the
+    // count of seed docs — so the row isn't a constant tautology), and the
+    // emitted pair set must be ordered, deduped, and within the bound.
+    "t5_simhash_hamming" ->
+      """SELECT CAST(0 AS BIGINT) AS order_violations,
+         CAST(0 AS BIGINT) AS bound_violations,
+         CAST(0 AS BIGINT) AS dup_rows,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM documents WHERE doc_id < 20)
+           AS planted_pairs,
+         CAST(0 AS BIGINT) AS planted_missed,
+         CAST(0 AS BIGINT) AS planted_dist_sum""",
 
     // winnowing bounds (Schleimer et al. 2003) are provable invariants:
     // the oracle pins them TRUE per document alongside the derivable length.

@@ -255,10 +255,18 @@ object GeoPackage {
   /** Write `df` as a single-layer GeoPackage. The `geomCol` (WKB binary)
     * becomes a GPB POINT/GEOMETRY column; every other supported column
     * becomes a feature attribute. Rows stream through the driver
-    * (`toLocalIterator`) — this is the single-file export sink. */
+    * (`toLocalIterator`) and the whole file is assembled in driver memory —
+    * this is the single-file FINAL-ARTIFACT sink (the reference exports the
+    * aggregated heatmap this way), not a distributed table sink.
+    *
+    * `maxRows`/`maxBytes` are the driver-memory budget: exceeding either
+    * fails LOUDLY (IllegalStateException) instead of OOMing the driver
+    * mid-export. Raise them deliberately for a bigger driver; for genuinely
+    * large tables write parquet and convert outside, or aggregate first. */
   def write(df: DataFrame, path: String, tableName: String,
       geomCol: String = "geom", srsId: Int = 4326,
-      geometryType: String = "GEOMETRY"): Unit = {
+      geometryType: String = "GEOMETRY",
+      maxRows: Long = 5000000L, maxBytes: Long = 2L << 30): Unit = {
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geomCol)
     val attrs = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
@@ -267,12 +275,20 @@ object GeoPackage {
     // feature rows: rowid = running fid; geometry first column after fid
     val rows = new ArrayBuffer[(Long, Array[Byte])]()
     var fid = 0L
+    var bytesBuffered = 0L
     var minX = Double.MaxValue; var minY = Double.MaxValue
     var maxX = Double.MinValue; var maxY = Double.MinValue
     val it = df.toLocalIterator()
     while (it.hasNext) {
       val row = it.next()
       fid += 1
+      if (fid > maxRows || bytesBuffered > maxBytes)
+        throw new IllegalStateException(
+          s"GeoPackage export exceeds the driver-memory budget " +
+            s"($fid rows / $bytesBuffered record bytes; limits maxRows=$maxRows, " +
+            s"maxBytes=$maxBytes). This sink assembles ONE SQLite file on the " +
+            "driver — aggregate/filter first, raise the budget for a bigger " +
+            "driver, or export parquet instead.")
       val wkb = row.getAs[Array[Byte]](geomIdx)
       val gv = if (wkb == null) VNull else VBlob(gpbHeader(wkb, srsId))
       if (wkb != null) {
@@ -285,7 +301,9 @@ object GeoPackage {
       }
       val vals = Seq[Value](VNull) :+ gv // NULL = INTEGER PRIMARY KEY alias
       val attrVals = attrs.map { case (_, i) => toValue(row.get(i)) }.toSeq
-      rows += ((fid, record(vals ++ attrVals)))
+      val rec = record(vals ++ attrVals)
+      bytesBuffered += rec.length
+      rows += ((fid, rec))
     }
     val featureRoot = buildTable(pages, rows.toSeq)
 

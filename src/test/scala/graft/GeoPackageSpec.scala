@@ -76,6 +76,21 @@ class GeoPackageSpec extends AnyFunSuite {
     }
   }
 
+  test("driver-memory budget: exports beyond maxRows/maxBytes fail loudly") {
+    val exRows = intercept[IllegalStateException] {
+      GeoPackage.write(sampleDf(100), tmpGpkg(), "layer", maxRows = 50)
+    }
+    assert(exRows.getMessage.contains("driver-memory budget"), exRows.getMessage)
+    val exBytes = intercept[IllegalStateException] {
+      GeoPackage.write(sampleDf(100), tmpGpkg(), "layer", maxBytes = 512)
+    }
+    assert(exBytes.getMessage.contains("driver-memory budget"), exBytes.getMessage)
+    // within budget still writes fine
+    val path = tmpGpkg()
+    GeoPackage.write(sampleDf(100), path, "layer", maxRows = 100)
+    assert(GeoPackage.readTable(path, "layer").length == 100)
+  }
+
   test("null geometry and empty table are representable") {
     val path = tmpGpkg()
     val df = Seq((1L, null.asInstanceOf[Array[Byte]]),

