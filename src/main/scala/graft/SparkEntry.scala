@@ -190,6 +190,43 @@ object SparkEntry {
           min(col("x")).as("min_x"), max(col("y")).as("max_y"))
     },
 
+    "s2b_filegdb_polygon" -> { (s, d) =>
+      // FileGDB POLYGON ingest — the shape the reference's ORNL dataset
+      // actually carries (building footprints, ORNL-FEMA-Buildings.md:77-87).
+      // Each sampled lineitem becomes a delta-ribbon square (half-size 1/8)
+      // with a centered square hole (half-size 1/16) — shell CW, hole CCW
+      // per ESRI orientation. All coordinates and both ring areas are exact
+      // binary fractions, so area/envelope/vertex aggregates hash-match the
+      // closed-form oracle arithmetic: net area = 1/16 - 1/64 = 0.046875
+      // per feature, 10 vertices, envelope midpoint = the seed point.
+      val sample = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          cxCol.as("x"), cyCol.as("y"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .limit(500)
+        .select("x", "y", "l_orderkey").collect()
+      val h = 0.125; val hh = 0.0625
+      val rows = sample.toSeq.map { r =>
+        val x = r.getDouble(0); val y = r.getDouble(1)
+        val shell = Seq((x - h, y - h), (x - h, y + h), (x + h, y + h),
+          (x + h, y - h), (x - h, y - h))
+        val hole = Seq((x - hh, y - hh), (x + hh, y - hh), (x + hh, y + hh),
+          (x - hh, y + hh), (x - hh, y - hh))
+        (Seq[Any](r.getLong(2).toDouble), Seq(shell, hole))
+      }
+      val table = graft.sources.FileGdbCodec.writeShapeTable(
+        Seq("okey" -> 3), 5, rows)
+      val dir = java.nio.file.Files.createTempDirectory("s2bgdb")
+      java.nio.file.Files.write(dir.resolve("a00000012.gdbtable"), table)
+      graft.sources.FileGdb.readLargest(s, dir.toString)
+        .agg(count(lit(1)).as("n"),
+          sum((st_xmin(col("geom")) + st_xmax(col("geom"))).cast("long")).as("sum_2x"),
+          sum(st_npoints(col("geom"))).as("sum_pts"),
+          sum(st_area(col("geom"))).as("sum_area"),
+          sum(element_at(col("attrs"), "okey").cast("double")).cast("long").as("sum_okey"),
+          min(st_xmin(col("geom"))).as("min_x"), max(st_ymax(col("geom"))).as("max_y"))
+    },
+
     "s1_shapefile_scan" -> { (s, d) =>
       // end-to-end shapefile ingest: synthesize a .shp (public ESRI layout)
       // from a deterministic lineitem sample, read it back through the
@@ -1077,6 +1114,21 @@ object SparkEntry {
             CAST(SUM(okey) AS BIGINT) AS sum_okey,
             CAST(COUNT(DISTINCT 'r' || CAST(okey % 7 AS VARCHAR)) AS BIGINT) AS n_tags,
             MIN(x) AS min_x, MAX(y) AS max_y FROM sample""",
+
+    // polygon fixture arithmetic is closed-form: every ring coordinate and
+    // area is an exact binary fraction (see the gate comment), so the
+    // DuckDB side recomputes the aggregates from the seed sample directly.
+    "s2b_filegdb_polygon" ->
+      s"""WITH sample AS (
+            SELECT $cxSql AS x, $cySql AS y, l_orderkey AS okey FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 500)
+          SELECT COUNT(*) AS n,
+            CAST(SUM(CAST(x * 2 AS BIGINT)) AS BIGINT) AS sum_2x,
+            CAST(COUNT(*) * 10 AS BIGINT) AS sum_pts,
+            CAST(COUNT(*) AS DOUBLE) * CAST(0.046875 AS DOUBLE) AS sum_area,
+            CAST(SUM(okey) AS BIGINT) AS sum_okey,
+            MIN(x) - CAST(0.125 AS DOUBLE) AS min_x,
+            MAX(y) + CAST(0.125 AS DOUBLE) AS max_y FROM sample""",
 
     "s1_shapefile_scan" ->
       s"""WITH sample AS (

@@ -191,6 +191,27 @@ case class StYMax(child: Expression) extends WkbToDoubleExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** st_area(geom): planar shoelace area — 0 for points/lines. */
+case class StArea(child: Expression) extends WkbToDoubleExpression {
+  override def prettyName: String = "st_area"
+  override def staticMethod: String = "graft.geom.GeomLib.area"
+  protected override def nullSafeEval(wkb: Any): Any = GeomLib.area(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_npoints(geom): total vertex count across parts/rings. */
+case class StNPoints(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes with WkbStaticCodegen {
+  override def staticMethod: String = "graft.geom.GeomLib.nPoints"
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_npoints"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.nPoints(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** st_astext(geom) → WKT string. */
 case class StAsText(child: Expression) extends UnaryExpression
     with ImplicitCastInputTypes with WkbStaticCodegen {

@@ -33,6 +33,8 @@ object GraftFunctions {
   def st_xmax(geom: Column): Column = col(StXMax(ex(geom)))
   def st_ymin(geom: Column): Column = col(StYMin(ex(geom)))
   def st_ymax(geom: Column): Column = col(StYMax(ex(geom)))
+  def st_area(geom: Column): Column = col(StArea(ex(geom)))
+  def st_npoints(geom: Column): Column = col(StNPoints(ex(geom)))
   def st_astext(geom: Column): Column = col(StAsText(ex(geom)))
   def st_geomfromtext(wkt: Column): Column = col(StGeomFromText(ex(wkt)))
   def st_transform(geom: Column, srcEpsg: Column, dstEpsg: Column): Column =
@@ -87,6 +89,8 @@ object GraftFunctions {
     "st_xmax" -> { e => StXMax(e.head) },
     "st_ymin" -> { e => StYMin(e.head) },
     "st_ymax" -> { e => StYMax(e.head) },
+    "st_area" -> { e => StArea(e.head) },
+    "st_npoints" -> { e => StNPoints(e.head) },
     "st_astext" -> { e => StAsText(e.head) },
     "st_geomfromtext" -> { e => StGeomFromText(e.head) },
     "st_transform" -> { e => StTransform(e(0), e(1), e(2)) },

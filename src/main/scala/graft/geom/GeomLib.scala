@@ -218,6 +218,20 @@ object GeomLib {
     if (c == null) null else Long.box(hilbertEncode(c.y, c.x))
   }
 
+  /** Planar area (JTS shoelace; 0 for points/lines) — the polygon-payload
+    * accessor the FileGDB building-footprint path needs
+    * (ORNL-FEMA-Buildings.md:77-87). */
+  def area(wkb: Array[Byte]): java.lang.Double = {
+    val g = readOrNull(wkb)
+    if (g == null) null else Double.box(g.getArea)
+  }
+
+  /** Total vertex count across all rings/parts. */
+  def nPoints(wkb: Array[Byte]): java.lang.Long = {
+    val g = readOrNull(wkb)
+    if (g == null) null else Long.box(g.getNumPoints.toLong)
+  }
+
   def asText(wkb: Array[Byte]): String = {
     val g = readOrNull(wkb)
     if (g == null) null else wktWriter.get.write(g)

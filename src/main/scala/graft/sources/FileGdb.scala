@@ -23,12 +23,24 @@ import graft.geom.GeomLib
   * varuint-packed scaled offsets from the layer origin
   * (v = round((x − xorigin)·xyscale) + 1).
   *
-  * Scope (documented in docs/COVERAGE.md): point geometry, int32, float64,
-  * string and OID fields — the subset a synthesized fixture can exercise
-  * without GDAL in the environment. Polyline/polygon delta-ribbons, Z/M,
-  * and the .gdbtablx row index are out of scope; rows are scanned
-  * sequentially and corrupt length prefixes terminate the scan (the same
-  * F10 error-isolation contract as the shapefile decoder).
+  * Geometry coverage: point (shape 1 and Z/M variants) plus the
+  * delta-encoded vertex ribbons of polylines (shape 3/13/23 and general
+  * 50) and polygons (5/15/25 and general 51) — the format the actual ORNL
+  * FEMA payload uses (building-footprint polygons,
+  * ORNL-FEMA-Buildings.md:77-87). Ribbons carry varuint point/part counts
+  * and a scaled bbox, then per-vertex SIGNED varint deltas accumulated in
+  * the layer's integer grid (first byte: 6 value bits + sign 0x40 +
+  * continuation 0x80; later bytes 7+1). Z/M streams trail the XY ribbon
+  * and are skipped wholesale (the record's length prefix bounds the jump) —
+  * the engine's 2D normalization contract (SURVEY.md F6). General shapes
+  * with the curves modifier decode to null (curve segments are out of
+  * scope), never mis-parse. Rings assemble shell/hole by ESRI orientation
+  * via the shapefile decoder's shared logic.
+  *
+  * Remaining scope bounds (docs/COVERAGE.md): multipoint/multipatch shapes
+  * and the .gdbtablx row index; rows are scanned sequentially and corrupt
+  * length prefixes terminate the scan (the same F10 error-isolation
+  * contract as the shapefile decoder).
   */
 object FileGdbCodec {
 
@@ -57,6 +69,36 @@ object FileGdbCodec {
       v >>>= 7
       out.write(if (v != 0) b | 0x80 else b)
     } while (v != 0)
+  }
+
+  /** FGDB signed varint (the ribbon delta encoding): the FIRST byte carries
+    * 6 magnitude bits plus the sign at 0x40; every byte's 0x80 is the
+    * continuation flag; later bytes carry 7 magnitude bits. (Not zigzag —
+    * the sign-bit-in-first-byte form the published FGDB spec documents.) */
+  private[graft] def readVarint(bb: ByteBuffer): Long = {
+    var b = bb.get() & 0xff
+    val negative = (b & 0x40) != 0
+    var v = (b & 0x3fL)
+    var shift = 6
+    while ((b & 0x80) != 0 && shift < 70) {
+      b = bb.get() & 0xff
+      v |= (b & 0x7fL) << shift
+      shift += 7
+    }
+    if (negative) -v else v
+  }
+
+  private[graft] def writeVarint(out: java.io.ByteArrayOutputStream, value: Long): Unit = {
+    val negative = value < 0
+    var mag = math.abs(value)
+    var b = (mag & 0x3f).toInt | (if (negative) 0x40 else 0)
+    mag >>>= 6
+    out.write(if (mag != 0) b | 0x80 else b)
+    while (mag != 0) {
+      b = (mag & 0x7f).toInt
+      mag >>>= 7
+      out.write(if (mag != 0) b | 0x80 else b)
+    }
   }
 
   /** Decode a whole .gdbtable to (rowNo, attrs, wkbOrNull) rows. Broken
@@ -154,15 +196,9 @@ object FileGdbCodec {
               case 7 =>
                 val glen = readVaruint(bb)
                 val gEnd = bb.position() + glen
-                val shapeType = readVaruint(bb)
-                if (shapeType == 1L) { // point
-                  val vx = readVaruint(bb)
-                  val vy = readVaruint(bb)
-                  val x = (vx - 1).toDouble / f.xyscale + f.xorigin
-                  val y = (vy - 1).toDouble / f.xyscale + f.yorigin
-                  wkb = GeomLib.write(gf.createPoint(new Coordinate(x, y)))
-                }
-                bb.position(gEnd.toInt) // skip unsupported shapes
+                wkb = try decodeShape(bb, f) catch { case _: Exception => null }
+                bb.position(gEnd.toInt) // Z/M trailing streams and unsupported
+                                        // shapes skip via the length prefix
               case _ => ()
             } else if (f.ftype == 6) attrs += f.name -> rowNo.toString
           }
@@ -172,6 +208,86 @@ object FileGdbCodec {
       }
     }
     out.result()
+  }
+
+  // ESRI shape-buffer type codes (shared with the extended shapefile spec):
+  // base type in the low byte; general shapes (50/51/52) carry modifier
+  // flags in the high bits of the type varuint.
+  private val PointBases    = Set(1L, 9L, 11L, 21L, 52L)
+  private val PolylineBases = Set(3L, 10L, 13L, 23L, 50L)
+  private val PolygonBases  = Set(5L, 15L, 19L, 25L, 51L)
+  private val CurveFlag     = 0x20000000L
+
+  /** Decode one geometry value (positioned after the length varuint). The
+    * caller restores the buffer to the record end afterwards, so trailing
+    * Z/M streams never need parsing here — only the XY ribbon is read. */
+  private def decodeShape(bb: ByteBuffer, f: Field): Array[Byte] = {
+    val raw = readVaruint(bb)
+    val base = raw & 0xffL
+    if (PointBases.contains(base)) {
+      val vx = readVaruint(bb)
+      val vy = readVaruint(bb)
+      if (vx == 0L || vy == 0L) return null // 0 = empty point sentinel
+      val x = (vx - 1).toDouble / f.xyscale + f.xorigin
+      val y = (vy - 1).toDouble / f.xyscale + f.yorigin
+      GeomLib.write(gf.createPoint(new Coordinate(x, y)))
+    } else if (PolylineBases.contains(base) || PolygonBases.contains(base)) {
+      if ((raw & CurveFlag) != 0) return null // arc segments: out of scope
+      val parts = readRibbonParts(bb, f)
+      if (parts == null) null
+      else if (PolygonBases.contains(base)) {
+        val g = ShapefileCodec.assemblePolygon(parts)
+        if (g == null) null else GeomLib.write(g)
+      } else {
+        val lines = parts.filter(_.length >= 2)
+        if (lines.isEmpty) null
+        else if (lines.length == 1) GeomLib.write(gf.createLineString(lines.head))
+        else GeomLib.write(gf.createMultiLineString(
+          lines.map(gf.createLineString).toArray))
+      }
+    } else null // multipoint/multipatch: unsupported, skipped via gEnd
+  }
+
+  /** The delta ribbon: varuint total points + part count, scaled bbox
+    * (xmin, ymin, width, height — skipped), per-part counts for all but the
+    * last part, then INTERLEAVED signed varint (dx, dy) per vertex,
+    * accumulating in the scaled integer grid across part boundaries. */
+  private def readRibbonParts(bb: ByteBuffer, f: Field): Seq[Array[Coordinate]] = {
+    val nPoints = readVaruint(bb).toInt
+    if (nPoints <= 0 || nPoints > 50_000_000) return null
+    val nParts = readVaruint(bb).toInt
+    if (nParts <= 0 || nParts > nPoints) return null
+    readVaruint(bb); readVaruint(bb); readVaruint(bb); readVaruint(bb) // bbox
+    val counts = new Array[Int](nParts)
+    var assigned = 0
+    var i = 0
+    while (i < nParts - 1) {
+      counts(i) = readVaruint(bb).toInt
+      if (counts(i) < 0) return null
+      assigned += counts(i)
+      i += 1
+    }
+    counts(nParts - 1) = nPoints - assigned
+    if (counts(nParts - 1) < 0) return null
+    var xi = 0L
+    var yi = 0L
+    val out = new Array[Array[Coordinate]](nParts)
+    var p = 0
+    while (p < nParts) {
+      val coords = new Array[Coordinate](counts(p))
+      var j = 0
+      while (j < counts(p)) {
+        xi += readVarint(bb)
+        yi += readVarint(bb)
+        coords(j) = new Coordinate(
+          xi.toDouble / f.xyscale + f.xorigin,
+          yi.toDouble / f.xyscale + f.yorigin)
+        j += 1
+      }
+      out(p) = coords
+      p += 1
+    }
+    out.toSeq
   }
 
   private def readUtf16(bb: ByteBuffer, chars: Int): String = {
@@ -187,6 +303,56 @@ object FileGdbCodec {
   def writePointTable(attrs: Seq[(String, Int)], rows: Seq[(Seq[Any], Double, Double)],
       xorigin: Double = -400.0, yorigin: Double = -400.0,
       xyscale: Double = 1e9): Array[Byte] = {
+    val geomRows = rows.map { case (vals, x, y) =>
+      val geom = new java.io.ByteArrayOutputStream()
+      writeVaruint(geom, 1L) // point
+      writeVaruint(geom, math.round((x - xorigin) * xyscale) + 1)
+      writeVaruint(geom, math.round((y - yorigin) * xyscale) + 1)
+      (vals, geom.toByteArray)
+    }
+    writeTable(attrs, 1, geomRows, xorigin, yorigin, xyscale)
+  }
+
+  /** Write a polyline (shapeType 3) or polygon (shapeType 5) layer with
+    * delta-ribbon geometry — the fixture path for the building-footprint
+    * shape the reference's ORNL dataset carries. Each row's geometry is a
+    * part list (for polygons: shell ring first, holes after, ESRI
+    * orientation — shells clockwise). */
+  def writeShapeTable(attrs: Seq[(String, Int)], shapeType: Int,
+      rows: Seq[(Seq[Any], Seq[Seq[(Double, Double)]])],
+      xorigin: Double = -400.0, yorigin: Double = -400.0,
+      xyscale: Double = 1e9, trailingBytes: Int = 0): Array[Byte] = {
+    val isPolygon = PolygonBases.contains(shapeType.toLong & 0xffL)
+    require(isPolygon || PolylineBases.contains(shapeType.toLong & 0xffL),
+      s"shapeType must be a polyline or polygon code: $shapeType")
+    // trailingBytes simulates Z/M streams after the XY ribbon (the decoder
+    // must skip them via the record length prefix) — fixture knob only.
+    val geomRows = rows.map { case (vals, parts) =>
+      val geom = new java.io.ByteArrayOutputStream()
+      writeVaruint(geom, shapeType.toLong)
+      val all = parts.flatten
+      writeVaruint(geom, all.size.toLong)
+      writeVaruint(geom, parts.size.toLong)
+      def sx(x: Double) = math.round((x - xorigin) * xyscale)
+      def sy(y: Double) = math.round((y - yorigin) * xyscale)
+      val xs = all.map(p => sx(p._1)); val ys = all.map(p => sy(p._2))
+      writeVaruint(geom, xs.min); writeVaruint(geom, ys.min)
+      writeVaruint(geom, xs.max - xs.min); writeVaruint(geom, ys.max - ys.min)
+      parts.dropRight(1).foreach(p => writeVaruint(geom, p.size.toLong))
+      var xi = 0L; var yi = 0L
+      parts.foreach(_.foreach { case (x, y) =>
+        writeVarint(geom, sx(x) - xi); xi = sx(x)
+        writeVarint(geom, sy(y) - yi); yi = sy(y)
+      })
+      (0 until trailingBytes).foreach(_ => geom.write(0x01))
+      (vals, geom.toByteArray)
+    }
+    writeTable(attrs, if (isPolygon) 4 else 3, geomRows, xorigin, yorigin, xyscale)
+  }
+
+  private def writeTable(attrs: Seq[(String, Int)], layerGeomType: Int,
+      rows: Seq[(Seq[Any], Array[Byte])],
+      xorigin: Double, yorigin: Double, xyscale: Double): Array[Byte] = {
     val body = new java.io.ByteArrayOutputStream()
     // field section payload
     val fsec = new java.io.ByteArrayOutputStream()
@@ -202,7 +368,7 @@ object FileGdbCodec {
       o.write(s.getBytes(StandardCharsets.UTF_16LE))
     }
     leInt(fsec, 4) // version
-    leInt(fsec, 1) // point layer
+    leInt(fsec, layerGeomType) // 1 point / 3 polyline / 4 polygon
     leShort(fsec, attrs.size + 2) // + OBJECTID + SHAPE
     utf16(fsec, "OBJECTID"); fsec.write(0); fsec.write(6); fsec.write(4); fsec.write(2)
     attrs.foreach { case (name, t) =>
@@ -226,7 +392,7 @@ object FileGdbCodec {
 
     // row blobs
     val nullableCount = attrs.size + 1 // attrs + geometry
-    rows.foreach { case (vals, x, y) =>
+    rows.foreach { case (vals, geomBytes) =>
       val blob = new java.io.ByteArrayOutputStream()
       blob.write(new Array[Byte]((nullableCount + 7) / 8)) // nothing null
       vals.zip(attrs).foreach {
@@ -240,12 +406,8 @@ object FileGdbCodec {
         case (v, (n, t)) =>
           throw new IllegalArgumentException(s"value $v does not fit field $n type $t")
       }
-      val geom = new java.io.ByteArrayOutputStream()
-      writeVaruint(geom, 1L) // point
-      writeVaruint(geom, math.round((x - xorigin) * xyscale) + 1)
-      writeVaruint(geom, math.round((y - yorigin) * xyscale) + 1)
-      writeVaruint(blob, geom.size().toLong)
-      geom.writeTo(blob)
+      writeVaruint(blob, geomBytes.length.toLong)
+      blob.write(geomBytes)
       leInt(body, blob.size())
       blob.writeTo(body)
     }

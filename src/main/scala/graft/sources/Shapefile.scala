@@ -151,7 +151,7 @@ object ShapefileCodec {
 
   /** ESRI ring orientation: clockwise = shell, counter-clockwise = hole;
     * holes attach to the first shell that contains them. */
-  private def assemblePolygon(rings: Seq[Array[Coordinate]]): Geometry = {
+  private[sources] def assemblePolygon(rings: Seq[Array[Coordinate]]): Geometry = {
     val closed = rings.filter(_.length >= 4).map { r =>
       if (r.head.equals2D(r.last)) r else r :+ r.head.copy()
     }

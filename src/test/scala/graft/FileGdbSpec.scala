@@ -68,6 +68,70 @@ class FileGdbSpec extends AnyFunSuite {
     assert(decoded.length == 3, s"decode up to the corruption then stop: ${decoded.length}")
   }
 
+  test("signed varints round-trip across magnitudes and signs") {
+    val vals = Seq(0L, 1L, -1L, 63L, -63L, 64L, -64L, 8191L, -8192L,
+      1L << 40, -(1L << 40), Long.MaxValue / 2, -(Long.MaxValue / 2))
+    val out = new java.io.ByteArrayOutputStream()
+    vals.foreach(v => FileGdbCodec.writeVarint(out, v))
+    val bb = java.nio.ByteBuffer.wrap(out.toByteArray)
+    vals.foreach(v => assert(FileGdbCodec.readVarint(bb) == v, s"varint $v"))
+  }
+
+  test("polygon ribbon round-trips: shell + hole, exact area and vertices") {
+    // 10x10 CW shell with a 2x2 CCW hole — ESRI orientation
+    val shell = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0))
+    val hole = Seq((4.0, 4.0), (6.0, 4.0), (6.0, 6.0), (4.0, 6.0), (4.0, 4.0))
+    val bytes = FileGdbCodec.writeShapeTable(Seq("v" -> 3), 5,
+      Seq((Seq[Any](1.0), Seq(shell, hole))))
+    val decoded = FileGdbCodec.decode(bytes)
+    assert(decoded.length == 1)
+    val g = graft.geom.GeomLib.readOrNull(decoded.head._3)
+    assert(g != null && g.getGeometryType == "Polygon")
+    assert(g.getArea == 96.0, s"area ${g.getArea}") // 100 - 4, exact
+    assert(g.getNumPoints == 10)
+    assert(g.asInstanceOf[org.locationtech.jts.geom.Polygon].getNumInteriorRing == 1)
+  }
+
+  test("multi-part polyline ribbon with negative deltas round-trips") {
+    val a = Seq((5.0, 5.0), (-3.0, 2.0), (-3.0, -4.0)) // crosses origin, negative deltas
+    val b = Seq((100.0, -50.0), (101.0, -49.0))
+    val bytes = FileGdbCodec.writeShapeTable(Seq("v" -> 3), 3,
+      Seq((Seq[Any](1.0), Seq(a, b))))
+    val g = graft.geom.GeomLib.readOrNull(FileGdbCodec.decode(bytes).head._3)
+    assert(g != null && g.getGeometryType == "MultiLineString")
+    assert(g.getNumGeometries == 2)
+    val l0 = g.getGeometryN(0)
+    assert(l0.getCoordinates.map(c => (c.x, c.y)).toSeq == a)
+    assert(g.getGeometryN(1).getCoordinates.map(c => (c.x, c.y)).toSeq == b)
+  }
+
+  test("Z/M trailing streams are skipped via the record length prefix") {
+    // shape code 19 = polygonZ; the 16 trailing bytes play the z-stream
+    val shell = Seq((0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0))
+    val bytes = FileGdbCodec.writeShapeTable(Seq("v" -> 3), 19,
+      Seq((Seq[Any](2.0), Seq(shell)), (Seq[Any](3.0), Seq(shell.map { case (x, y) => (x + 10, y) }))),
+      trailingBytes = 16)
+    val decoded = FileGdbCodec.decode(bytes)
+    assert(decoded.length == 2, "both rows decode despite trailing z bytes")
+    decoded.foreach { case (_, _, wkb) =>
+      val g = graft.geom.GeomLib.readOrNull(wkb)
+      assert(g != null && g.getArea == 16.0)
+    }
+  }
+
+  test("general polygon (51) decodes; the curves modifier bails to null") {
+    val shell = Seq((0.0, 0.0), (0.0, 2.0), (2.0, 2.0), (2.0, 0.0), (0.0, 0.0))
+    val plain = FileGdbCodec.writeShapeTable(Seq("v" -> 3), 51,
+      Seq((Seq[Any](1.0), Seq(shell))))
+    val g = graft.geom.GeomLib.readOrNull(FileGdbCodec.decode(plain).head._3)
+    assert(g != null && g.getArea == 4.0)
+    // curve flag 0x20000000 on the type varuint → honest null, not mis-parse
+    val curved = FileGdbCodec.writeShapeTable(Seq("v" -> 3), 0x20000000 | 51,
+      Seq((Seq[Any](1.0), Seq(shell))))
+    val rows = FileGdbCodec.decode(curved)
+    assert(rows.length == 1 && rows.head._3 == null)
+  }
+
   test("garbage and truncated input decode to empty, never throw") {
     assert(FileGdbCodec.decode(Array.emptyByteArray).isEmpty)
     assert(FileGdbCodec.decode(Array.fill[Byte](100)(0x5a)).isEmpty)
