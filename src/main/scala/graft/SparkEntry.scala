@@ -836,6 +836,26 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     },
 
+    "x3_salted_twopath" -> { (s, d) =>
+      // hot-key-only salting (round 4): a deliberately skewed key (keys
+      // with l_orderkey%10 < 3 collapse to 0 — ~30% of the corpus on one
+      // key) joins a per-key dim through Skew.saltedJoinTwoPath. The
+      // sampler must flag key 0 hot (salted sub-join) while the ~997 cold
+      // keys take the plain path with zero replication; the union must
+      // equal the plain join the oracle computes.
+      val skew = when(col("l_orderkey") % 10 < 3, lit(0L))
+        .otherwise(col("l_orderkey") % 997)
+      val big = t(s, d, "lineitem")
+        .select(skew.as("k"), cents(col("l_extendedprice")).as("pc"))
+      val dim = big.select(col("k")).distinct()
+        .withColumn("tag", concat(lit("t"), (col("k") % 7).cast("string")))
+      graft.operators.Skew.saltedJoinTwoPath(big, dim, "k",
+          salt = 8, hotThreshold = 1000, sampleFraction = 0.2)
+        .groupBy(col("tag"))
+        .agg(sum(col("pc")).as("revenue_cents"), count(lit(1)).as("n_items"))
+        .orderBy("tag")
+    },
+
     "j5_range_join" -> { (s, d) =>
       // interval join through the bucketed-equality kernel: for every error
       // event, how many other events did the same user produce in the
@@ -974,6 +994,30 @@ object SparkEntry {
         .agg(sum(length(col("payload")).cast("long")).as("sum_bytes"),
           count(lit(1)).as("n"))
         .orderBy("lang")
+    },
+
+    "mm3_png_pixels" -> { (s, d) =>
+      // REAL pixel decode (round 4): each doc becomes a grayscale PNG whose
+      // pixel i is (doc_id*31 + i) % 256, encoded through PngCodec with
+      // CYCLING row filters (None/Sub/Up/Average/Paeth all exercised) and
+      // decoded back through the full zlib-inflate + un-filter path. The
+      // oracle recomputes each image's pixel sum in closed form (an
+      // arithmetic series that wraps mod 256 at most once), so a hash match
+      // proves the decode is bit-exact — not just plumbed.
+      import s.implicits._
+      val payloads = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .map { id =>
+          val w = 8 + (id % 9).toInt; val h = 8 + (id % 7).toInt
+          val px = Array.tabulate[Byte](w * h)(i => ((id * 31 + i) % 256).toByte)
+          (id, graft.multimodal.PngCodec.encode(
+            graft.multimodal.PngCodec.Image(w, h, 1, px)))
+        }.toDF("id", "payload")
+      val rows = graft.multimodal.Multimodal.withMeta(s, payloads)
+      graft.multimodal.Multimodal.pngPixelStats(rows).toDF()
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("sum_pixels"), col("decoded"))
+        .orderBy("doc_id")
     },
 
     "mm2_frame_sample" -> { (s, d) =>
@@ -1559,6 +1603,16 @@ object SparkEntry {
          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
          GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
 
+    // two-path salting ≡ plain join on the skewed key (the paths are a
+    // partition of the key space, so the union is exactly the plain join)
+    "x3_salted_twopath" ->
+      """WITH big AS (
+           SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0 ELSE l_orderkey % 997 END AS k,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc FROM lineitem),
+         dim AS (SELECT DISTINCT k, 't' || CAST(k % 7 AS VARCHAR) AS tag FROM big)
+         SELECT tag, CAST(SUM(pc) AS BIGINT) AS revenue_cents, COUNT(*) AS n_items
+         FROM big JOIN dim USING (k) GROUP BY tag ORDER BY tag""",
+
     "j5_range_join" ->
       """SELECT e.event_id, e.user_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
            COUNT(r.event_id) AS n_prior_hour
@@ -1701,6 +1755,25 @@ object SparkEntry {
     "mm1_binary_meta" ->
       """SELECT lang, CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes, COUNT(*) AS n
          FROM documents GROUP BY lang ORDER BY lang""",
+
+    // pixel sum of ((a + i) % 256 for i < n) in closed form: the series
+    // wraps at most once because a < 256 and n <= 224; both branches are
+    // exact integer arithmetic
+    "mm3_png_pixels" ->
+      """WITH e AS (
+           SELECT doc_id,
+             CAST(8 + doc_id % 9 AS INTEGER) AS w,
+             CAST(8 + doc_id % 7 AS INTEGER) AS h,
+             (doc_id * 31) % 256 AS a,
+             (8 + doc_id % 9) * (8 + doc_id % 7) AS n
+           FROM documents WHERE doc_id < 200)
+         SELECT doc_id, w AS width, h AS height,
+           CAST(CASE WHEN a + n <= 256 THEN n * a + n * (n - 1) / 2
+                ELSE (256 - a) * a + (256 - a) * (256 - a - 1) / 2
+                     + (n - (256 - a)) * (n - (256 - a) - 1) / 2 END AS BIGINT)
+             AS sum_pixels,
+           TRUE AS decoded
+         FROM e ORDER BY doc_id""",
 
     // frame i of n=4 covers bytes [len*i//4, max(len*(i+1)//4, len*i//4+1))
     "mm2_frame_sample" ->

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsofJoin, Dedup, RangeJoin, Similarity, TrainingData}
+import graft.operators.{AsofJoin, Dedup, RangeJoin, Similarity, Skew, TrainingData}
 import graft.functions.GraftFunctions._
 
 /** Scale stress for the text-dedup / ANN surface: synthesizes a corpus far
@@ -160,6 +160,40 @@ object Stress {
       println("    window pairs: " + RangeJoin.intervalJoin(lhs, rhs,
           on = Seq("user_id"), leftTs = "ts_us", rightTs = "r_ts_us",
           lower = -60000000L, upper = 60000000L).count())
+    }
+
+    // ---- skew: blanket vs two-path salting --------------------------------
+    // 1%-hot-key corpus: 10 hot keys carry ~30% of the big side; the small
+    // side has 100k keys. Blanket saltedJoin replicates ALL 100k small rows
+    // salt(16)x; two-path replicates only the ~10 hot rows and plain-joins
+    // the rest — the small-side shuffle volume drops ~salt x.
+    time("skew join: plain vs salted vs two-path") {
+      val nKeys = 100000L
+      val big = spark.range(nDocs).toDF("i")
+        .withColumn("k", when(pmod(col("i"), lit(10)) < 3,
+            pmod(xxhash64(col("i")), lit(10L)))
+          .otherwise(pmod(xxhash64(col("i"), lit(7)), lit(nKeys))))
+        .select(col("k"), col("i").as("v"))
+        .localCheckpoint(true)
+      val small = spark.range(nKeys).toDF("k")
+        .withColumn("name", concat(lit("dim_"), col("k")))
+        .localCheckpoint(true)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force shuffle joins
+      try {
+        val t0 = System.nanoTime()
+        val plainN = big.join(small, Seq("k")).count()
+        val t1 = System.nanoTime()
+        val blanketN = Skew.saltedJoin(big, small, "k", salt = 16).count()
+        val t2 = System.nanoTime()
+        val twoN = Skew.saltedJoinTwoPath(big, small, "k", salt = 16,
+          hotThreshold = nDocs / 1000, sampleFraction = 0.02).count()
+        val t3 = System.nanoTime()
+        require(plainN == blanketN && plainN == twoN,
+          s"salting changed results: $plainN / $blanketN / $twoN")
+        println(f"    rows: $plainN; plain ${(t1 - t0) / 1e9}%.2f s, " +
+          f"blanket ${(t2 - t1) / 1e9}%.2f s (small-side shuffle rows ${nKeys * 16}), " +
+          f"two-path ${(t3 - t2) / 1e9}%.2f s (~${nKeys + 10 * 16} small-side rows)")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
 
     // ---- embeddings -------------------------------------------------------

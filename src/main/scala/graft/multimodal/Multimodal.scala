@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * — PNG/JPEG/GIF/BMP dimensions and WAV rate/channels, all zero-dependency
   * byte-level parsing of public formats — and falls back to
   * [[Multimodal.StubDecoder]]'s deterministic fake for payloads it cannot
-  * sniff (full pixel/sample decode needs codec libraries this container
-  * lacks; a production decoder plugs in behind the same trait). This
+  * sniff. Full PIXEL decode is real for PNG ([[PngCodec]] over the JDK's
+  * zlib — see [[Multimodal.pngPixelStats]]); other formats' sample decode
+  * needs codec libraries this container lacks, and a production decoder
+  * plugs in behind the same trait. This
   * mirrors running `mapInPandas` batches in a Python pipeline: the batch
   * unit is the partition iterator, which Spark feeds without materializing
   * the whole partition.
@@ -105,6 +107,32 @@ object Multimodal {
         var i = 0
         while (i < r.payload.length) { hist((r.payload(i) & 0xff) >> 4) += 1; i += 1 }
         MediaFeatures(r.id, r.meta.width, r.meta.height, hist)
+      }
+    }
+  }
+
+  case class PixelStats(id: Long, width: Int, height: Int, channels: Int,
+      n_pixels: Long, sum_pixels: Long, decoded: Boolean)
+
+  /** REAL pixel decode for PNG payloads via [[PngCodec]] (JDK zlib — no
+    * codec library needed): per-image dimensions, channel count, and pixel
+    * sum. Non-PNG or unsupported payloads report `decoded = false` with
+    * header-only dimensions, so mixed corpora keep one schema. Runs on the
+    * partition iterator like every other multimodal stage. */
+  def pngPixelStats(rows: Dataset[MediaRow]): Dataset[PixelStats] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.map { r =>
+        val img = PngCodec.decode(r.payload)
+        if (img == null)
+          PixelStats(r.id, r.meta.width, r.meta.height, 0, 0L, 0L, decoded = false)
+        else {
+          var sum = 0L
+          var i = 0
+          while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
+          PixelStats(r.id, img.width, img.height, img.channels,
+            img.pixels.length.toLong, sum, decoded = true)
+        }
       }
     }
   }

@@ -1,0 +1,213 @@
+package graft.multimodal
+
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** Zero-dependency PNG pixel codec over the JDK's zlib (java.util.zip) —
+  * upgrades the multimodal path from header-only metadata to REAL pixel
+  * decode for the one format the runtime can handle without codec
+  * libraries: IDAT is a DEFLATE stream, and the five scanline filters
+  * (None/Sub/Up/Average/Paeth) are pure byte arithmetic from the public
+  * PNG specification (RFC 2083 / W3C PNG).
+  *
+  * Scope: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
+  * 6 (RGBA), non-interlaced. Palette (type 3), 16-bit and Adam7 return
+  * null — honestly unsupported rather than mis-decoded. Chunk CRCs are
+  * verified on decode (corrupt chunks reject the file). */
+object PngCodec extends Serializable {
+
+  /** Row-major, tightly packed `channels` bytes per pixel. */
+  final case class Image(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  private val Signature = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+
+  private def channelsOf(colorType: Int): Int = colorType match {
+    case 0 => 1 // grayscale
+    case 2 => 3 // RGB
+    case 4 => 2 // gray + alpha
+    case 6 => 4 // RGBA
+    case _ => -1 // palette / invalid: unsupported
+  }
+
+  private def colorTypeOf(channels: Int): Int = channels match {
+    case 1 => 0
+    case 2 => 4
+    case 3 => 2
+    case 4 => 6
+    case other => throw new IllegalArgumentException(s"channels must be 1..4: $other")
+  }
+
+  // --- decode -----------------------------------------------------------
+
+  /** Decode a PNG payload to raw pixels; null for non-PNG bytes, CRC
+    * corruption, or honestly-unsupported variants. */
+  def decode(p: Array[Byte]): Image = {
+    if (p == null || p.length < 8 + 25) return null
+    var i = 0
+    while (i < 8) { if (p(i) != Signature(i)) return null; i += 1 }
+    var pos = 8
+    var width = 0; var height = 0; var channels = -1
+    var sawIhdr = false
+    val idat = new java.io.ByteArrayOutputStream()
+    val crc = new CRC32()
+    try {
+      var done = false
+      while (!done && pos + 12 <= p.length) {
+        val len = u32(p, pos)
+        if (len < 0 || pos + 12 + len > p.length) return null
+        val ctype = new String(p, pos + 4, 4, "US-ASCII")
+        crc.reset()
+        crc.update(p, pos + 4, 4 + len)
+        if (crc.getValue != (u32(p, pos + 8 + len).toLong & 0xffffffffL)) return null
+        ctype match {
+          case "IHDR" =>
+            if (len != 13) return null
+            width = u32(p, pos + 8)
+            height = u32(p, pos + 12)
+            val bitDepth = p(pos + 16) & 0xff
+            channels = channelsOf(p(pos + 17) & 0xff)
+            val interlace = p(pos + 20) & 0xff
+            if (bitDepth != 8 || channels < 0 || interlace != 0) return null
+            if (width <= 0 || height <= 0 || width.toLong * height * channels > 256L * 1024 * 1024)
+              return null
+            sawIhdr = true
+          case "IDAT" => idat.write(p, pos + 8, len)
+          case "IEND" => done = true
+          case _ => () // ancillary chunks skipped
+        }
+        pos += 12 + len
+      }
+      if (!sawIhdr || idat.size() == 0) return null
+
+      // inflate the concatenated IDAT stream
+      val bpp = channels
+      val stride = width * bpp
+      val raw = new Array[Byte]((stride + 1) * height)
+      val inf = new Inflater()
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (!inf.finished() && off < raw.length) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return null // truncated stream
+        off += n
+      }
+      inf.end()
+      if (off != raw.length) return null
+
+      // un-filter scanlines in place into the output
+      val out = new Array[Byte](stride * height)
+      var y = 0
+      while (y < height) {
+        val filter = raw(y * (stride + 1)) & 0xff
+        val rowIn = y * (stride + 1) + 1
+        val rowOut = y * stride
+        var x = 0
+        while (x < stride) {
+          val rawB = raw(rowIn + x) & 0xff
+          val a = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0 // left
+          val b = if (y > 0) out(rowOut - stride + x) & 0xff else 0 // up
+          val c = if (x >= bpp && y > 0) out(rowOut - stride + x - bpp) & 0xff else 0
+          val recon = filter match {
+            case 0 => rawB
+            case 1 => rawB + a
+            case 2 => rawB + b
+            case 3 => rawB + ((a + b) >> 1)
+            case 4 => rawB + paeth(a, b, c)
+            case _ => return null
+          }
+          out(rowOut + x) = (recon & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      Image(width, height, channels, out)
+    } catch { case _: Exception => null }
+  }
+
+  // --- encode (fixture path; writes real spec-conformant files) ---------
+
+  /** Encode raw pixels as a PNG. `filterMode` -1 cycles row filters
+    * 0,1,2,3,4,0,… so every un-filter path is exercised; 0..4 forces one
+    * filter for every row. */
+  def encode(img: Image, filterMode: Int = -1): Array[Byte] = {
+    require(img.pixels.length == img.width * img.height * img.channels,
+      s"pixel buffer ${img.pixels.length} != ${img.width}x${img.height}x${img.channels}")
+    val bpp = img.channels
+    val stride = img.width * bpp
+    val raw = new Array[Byte]((stride + 1) * img.height)
+    var y = 0
+    while (y < img.height) {
+      val f = if (filterMode < 0) y % 5 else filterMode
+      raw(y * (stride + 1)) = f.toByte
+      val rowIn = y * stride
+      val rowOut = y * (stride + 1) + 1
+      var x = 0
+      while (x < stride) {
+        val cur = img.pixels(rowIn + x) & 0xff
+        val a = if (x >= bpp) img.pixels(rowIn + x - bpp) & 0xff else 0
+        val b = if (y > 0) img.pixels(rowIn - stride + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) img.pixels(rowIn - stride + x - bpp) & 0xff else 0
+        val filtered = f match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - ((a + b) >> 1)
+          case 4 => cur - paeth(a, b, c)
+        }
+        raw(rowOut + x) = (filtered & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(raw)
+    deflater.finish()
+    val zBuf = new java.io.ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!deflater.finished()) zBuf.write(tmp, 0, deflater.deflate(tmp))
+    deflater.end()
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Signature)
+    val ihdr = new Array[Byte](13)
+    putU32(ihdr, 0, img.width); putU32(ihdr, 4, img.height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = colorTypeOf(img.channels).toByte
+    // compression 0, filter 0, interlace 0 already zeroed
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "IDAT", zBuf.toByteArray)
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  // --- helpers ----------------------------------------------------------
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def u32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  private def putU32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v >>> 24).toByte; b(o + 1) = (v >>> 16).toByte
+    b(o + 2) = (v >>> 8).toByte; b(o + 3) = v.toByte
+  }
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, ctype: String,
+      data: Array[Byte]): Unit = {
+    val len = new Array[Byte](4)
+    putU32(len, 0, data.length)
+    out.write(len)
+    val typeBytes = ctype.getBytes("US-ASCII")
+    out.write(typeBytes)
+    out.write(data)
+    val crc = new CRC32()
+    crc.update(typeBytes)
+    crc.update(data)
+    val crcB = new Array[Byte](4)
+    putU32(crcB, 0, crc.getValue.toInt)
+    out.write(crcB)
+  }
+}

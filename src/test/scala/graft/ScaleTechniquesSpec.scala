@@ -24,6 +24,45 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("saltedJoinTwoPath: identical to plain join; only the hot key is salted") {
+    // one key carries 60% of the corpus, 49 cold keys share the rest
+    val big = (0 until 20000).map(i => (if (i % 5 < 3) 7L else i.toLong % 50, i))
+      .toDF("k", "v")
+    val dim = (0L until 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = big.join(dim, Seq("k")).agg(count(lit(1)), sum($"v")).head()
+    val two = Skew.saltedJoinTwoPath(big, dim, "k",
+      salt = 8, hotThreshold = 2000, sampleFraction = 0.3)
+    assert(two.agg(count(lit(1)), sum($"v")).head() == plain)
+    // the plan must carry BOTH paths: a union of the salted hot sub-join
+    // and the plain cold join (the isin hot-key filter is the marker)
+    val p = two.queryExecution.executedPlan.toString
+    assert(p.contains("Union"), s"two-path join must union hot+cold:\n$p")
+    assert(p.contains("__salt"), s"hot path must salt:\n$p")
+  }
+
+  test("saltedJoinTwoPath: empty hot set degrades to exactly the plain join") {
+    val big = (0 until 5000).map(i => (i.toLong % 500, i)).toDF("k", "v") // uniform
+    val dim = (0L until 500L).map(k => (k, s"d$k")).toDF("k", "name")
+    val two = Skew.saltedJoinTwoPath(big, dim, "k",
+      salt = 8, hotThreshold = 1000, sampleFraction = 0.5)
+    val p = two.queryExecution.executedPlan.toString
+    assert(!p.contains("Union") && !p.contains("__salt"),
+      s"uniform keys must take the plain single-path join:\n$p")
+    assert(two.count() == 5000)
+  }
+
+  test("saltedJoinTwoPath: left join keeps unmatched and null-key big rows") {
+    val big = Seq[(Option[Long], Int)]((Some(7L), 1), (Some(7L), 2), (Some(7L), 3),
+      (Some(7L), 4), (Some(99L), 5), (None, 6)).toDF("k", "v")
+    val dim = Seq((7L, "hot")).toDF("k", "name")
+    val out = Skew.saltedJoinTwoPath(big, dim, "k", salt = 4, joinType = "left",
+      hotThreshold = 3, sampleFraction = 1.0)
+    val rows = out.select($"v", $"name").collect()
+      .map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(1 -> Some("hot"), 2 -> Some("hot"), 3 -> Some("hot"),
+      4 -> Some("hot"), 5 -> None, 6 -> None))
+  }
+
   test("saltedCount: matches plain groupBy count on skewed keys") {
     val df = (0 until 30000).map(i => (if (i % 5 == 0) "hot" else s"k${i % 100}"))
       .toDF("k")
