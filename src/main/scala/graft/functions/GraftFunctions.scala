@@ -63,6 +63,11 @@ object GraftFunctions {
   def quality_score(text: Column): Column = col(QualityScore(ex(text)))
   def detect_lang(text: Column): Column = col(DetectLang(ex(text)))
 
+  // --- media ---
+  def png_width(payload: Column): Column = col(PngWidth(ex(payload)))
+  def png_height(payload: Column): Column = col(PngHeight(ex(payload)))
+  def png_pixel_sum(payload: Column): Column = col(PngPixelSum(ex(payload)))
+
   // --- vectors ---
   def cosine_similarity(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
   def rhp_signature(v: Column, bits: Column, seed: Column): Column =
@@ -112,6 +117,9 @@ object GraftFunctions {
     "bpeish_token_count" -> { e => BpeIshTokenCount(e.head) },
     "quality_score" -> { e => QualityScore(e.head) },
     "detect_lang" -> { e => DetectLang(e.head) },
+    "png_width" -> { e => PngWidth(e.head) },
+    "png_height" -> { e => PngHeight(e.head) },
+    "png_pixel_sum" -> { e => PngPixelSum(e.head) },
     "cosine_similarity" -> { e => CosineSimilarity(e(0), e(1)) },
     "rhp_signature" -> { e => RhpSignature(e(0), e(1), e(2)) }
   )

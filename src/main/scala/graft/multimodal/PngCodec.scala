@@ -179,6 +179,29 @@ object PngCodec extends Serializable {
     out.toByteArray
   }
 
+  // --- scalar accessors (SQL expression backends; null = not decodable) --
+
+  def width(p: Array[Byte]): java.lang.Integer = {
+    val img = decode(p)
+    if (img == null) null else Integer.valueOf(img.width)
+  }
+
+  def height(p: Array[Byte]): java.lang.Integer = {
+    val img = decode(p)
+    if (img == null) null else Integer.valueOf(img.height)
+  }
+
+  def pixelSum(p: Array[Byte]): java.lang.Long = {
+    val img = decode(p)
+    if (img == null) null
+    else {
+      var sum = 0L
+      var i = 0
+      while (i < img.pixels.length) { sum += img.pixels(i) & 0xff; i += 1 }
+      java.lang.Long.valueOf(sum)
+    }
+  }
+
   // --- helpers ----------------------------------------------------------
 
   private def paeth(a: Int, b: Int, c: Int): Int = {

@@ -143,6 +143,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(PngCodec.decode(bos.toByteArray) == null)
   }
 
+  test("png_width/png_height/png_pixel_sum work from SQL") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val img = testImage(7, 5, 1, seed = 11)
+    val expectedSum = img.pixels.map(p => (p & 0xff).toLong).sum
+    Seq((1L, PngCodec.encode(img)), (2L, "nope".getBytes))
+      .toDF("id", "payload").createOrReplaceTempView("media")
+    val rows = spark.sql(
+      """SELECT id, png_width(payload) w, png_height(payload) h,
+         png_pixel_sum(payload) s FROM media ORDER BY id""").collect()
+    assert(rows(0).getInt(1) == 7 && rows(0).getInt(2) == 5 &&
+      rows(0).getLong(3) == expectedSum)
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(2) && rows(1).isNullAt(3))
+  }
+
   test("pngPixelStats: real sums for PNGs, one schema for mixed corpora") {
     import spark.implicits._
     val img1 = testImage(6, 4, 1, seed = 3) // sum computable
