@@ -33,9 +33,12 @@ object Rehearsal {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional 3rd arg: force exactly one jaccard cap, bypassing the
+    // prune/guard logic (for deliberate long anchor runs)
+    val capOverride = args.drop(2).headOption.map(_.toInt)
     mode match {
-      case "jaccard" => jaccardCapSweep(spark, n, headWords = 50, headPct = 3)
-      case "jaccardHot" => jaccardCapSweep(spark, n, headWords = 10, headPct = 5)
+      case "jaccard" => jaccardCapSweep(spark, n, headWords = 50, headPct = 3, capOverride)
+      case "jaccardHot" => jaccardCapSweep(spark, n, headWords = 10, headPct = 5, capOverride)
       case "hilbert" => hilbertAtScale(spark, n)
       case other => sys.error(s"unknown mode $other (jaccard|jaccardHot|hilbert)")
     }
@@ -77,7 +80,7 @@ object Rehearsal {
   }
 
   private def jaccardCapSweep(spark: SparkSession, nDocs: Long,
-      headWords: Int, headPct: Int): Unit = {
+      headWords: Int, headPct: Int, capOverride: Option[Int] = None): Unit = {
     val path = "/tmp/graft_rehearsal_docs.parquet"
     timed(s"gen+write $nDocs docs (head $headWords @ ${headPct}0%)")(
       genDocs(spark, nDocs, path, headWords, headPct))
@@ -122,7 +125,8 @@ object Rehearsal {
         Nil
       }
     val pruned = binding ++ unbound
-    val caps = if (nDocs > 8000000L) pruned.take(1) else pruned
+    val caps = capOverride.map(Seq(_)).getOrElse(
+      if (nDocs > 8000000L) pruned.take(1) else pruned)
     if (caps != allCaps)
       println(s"    caps pruned to ${caps.mkString(",")} (largest posting $top1)")
     val rows = caps.map { cap =>
