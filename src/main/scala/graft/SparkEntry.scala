@@ -968,6 +968,45 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t16_line_dedup" -> { (s, d) =>
+      // C4-style corpus line dedup (TrainingData.lineDedup): the corpus has
+      // no newlines, so the gate manufactures deterministic 8-word lines
+      // with a regex both engines replicate byte-for-byte, then keeps each
+      // line only at its first (doc, position) occurrence and reassembles
+      // the documents. Full row-level hash oracle on the rebuilt text.
+      val lined = t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "((\\S+ ){7}\\S+) ", "$1\n").as("text"))
+      graft.operators.TrainingData.lineDedup(lined)
+        .orderBy("doc_id")
+    },
+
+    "t17_dup_spans" -> { (s, d) =>
+      // exact duplicate-span inventory (TrainingData.dupSpans — the signal a
+      // suffix-array substring deduper acts on): every 40-char window shared
+      // by ≥2 docs. Planted exact copies (doc_id+1M for doc_id<20, t5's
+      // construction) guarantee a non-trivial duplicated-span population on
+      // top of the natural near-dups; the oracle regenerates every window
+      // with substr arithmetic, so the span strings, doc counts, and
+      // occurrence counts all hash-match.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.TrainingData.dupSpans(corpus, spanLen = 40)
+        .orderBy("span")
+    },
+
+    "t18_pack_sequences" -> { (s, d) =>
+      // GPT-style sequence packing (TrainingData.packSequences): concat the
+      // token stream per deterministic shard (doc_id % 8), cut every 512
+      // tokens, documents straddle boundaries. The whole assignment is
+      // window+floor arithmetic, replicated exactly in SQL.
+      graft.operators.TrainingData.packSequences(t(s, d, "documents"),
+          budget = 512, nShards = 8)
+        .orderBy("shard", "seq_id", "doc_id")
+    },
+
     "k6_orc_roundtrip" -> { (s, d) =>
       // columnar interchange sink/scan: lineitem → ORC (zlib) → re-scan →
       // aggregate; the oracle computes the same aggregate from the original
@@ -984,6 +1023,96 @@ object SparkEntry {
           sum(col("price_cents")).as("sum_price_cents"),
           countDistinct(col("l_orderkey")).as("n_orders"))
         .orderBy("l_returnflag")
+    },
+
+    "k1_clustered_sink" -> { (s, d) =>
+      // the reference's signature sink (K1/O1, east_asia.py:72-83) as an
+      // end-to-end oracled gate: a deterministic lineitem point sample goes
+      // out through GeoNormalize.writeClustered (Hilbert range exchange,
+      // ZSTD parquet) and comes back through a fresh scan. The oracle pins
+      // the content aggregates from the same sample arithmetic plus the
+      // clustering contract: exactly 4 files whose per-file Hilbert key
+      // ranges are pairwise disjoint (range_violations = 0).
+      val sample = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          cxCol.as("x"), cyCol.as("y"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .limit(2000)
+        .select(col("x"), col("y"), col("l_orderkey").as("okey"))
+        .withColumn("geom", st_point(col("x"), col("y")))
+      val tmp = java.nio.file.Files.createTempDirectory("k1sink").toString + "/clustered"
+      graft.operators.GeoNormalize.writeClustered(sample, tmp, numFiles = 4)
+      val back = s.read.parquet(tmp)
+        .withColumn("hk", hilbert_of_geom(col("geom")))
+        .withColumn("file", input_file_name())
+      val perFile = back.groupBy(col("file"))
+        .agg(min(col("hk")).as("min_hk"), max(col("hk")).as("max_hk"))
+      val w = Window.orderBy(col("min_hk"))
+      val overlaps = perFile
+        .withColumn("prev_max", lag(col("max_hk"), 1).over(w))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("prev_max").isNotNull && col("min_hk") < col("prev_max"), 1L)
+            .otherwise(0L)).cast("long").as("range_violations"))
+      back.agg(count(lit(1)).as("n"),
+          sum((col("x") * 2).cast("long")).as("sum_2x"),
+          sum(col("okey")).as("sum_okey"))
+        .crossJoin(overlaps)
+    },
+
+    "k4_ndjson_sink" -> { (s, d) =>
+      // NDJSON interchange sink (reference K4): nation goes out through
+      // GeoStats.writeNdjson and back through the JSON scan; the oracle
+      // computes the same aggregates from the original parquet, so a hash
+      // match proves the JSON round-trip is lossless (types included).
+      val tmp = java.nio.file.Files.createTempDirectory("k4json").toString + "/nation"
+      graft.operators.GeoStats.writeNdjson(
+        t(s, d, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey")), tmp)
+      s.read.json(tmp)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_nationkey")).as("sum_key"),
+          min(col("n_name")).as("first_name"),
+          max(col("n_name")).as("last_name"))
+        .orderBy("n_regionkey")
+    },
+
+    "p2_exclude" -> { (s, d) =>
+      // `SELECT * EXCLUDE (...)` (reference P2, ORNL-FEMA-Buildings.md's
+      // `* EXCLUDE(Shape)`): Spark's declarative drop IS the capability —
+      // all remaining columns ride along unlisted. Oracled against DuckDB's
+      // native EXCLUDE so the surviving column SET (not just values) must
+      // match.
+      t(s, d, "part")
+        .drop("p_retailprice", "p_type")
+        .orderBy("p_partkey")
+        .limit(200)
+    },
+
+    "g10_cell_boundary" -> { (s, d) =>
+      // grid-cell boundary polygon (G10, H3_CELL_TO_BOUNDARY_WKT twin): the
+      // boundary WKT of each distinct level-8 cell over a lineitem sample,
+      // oracled by replicating the cell arithmetic and WKT formatting in SQL.
+      t(s, d, "lineitem")
+        .select(grid_cell(cxCol, cyCol, lit(8)).as("cell"))
+        .distinct()
+        .select(col("cell"), grid_cell_boundary_wkt(col("cell")).as("boundary"))
+        .orderBy("cell")
+    },
+
+    "s8_prj_epsg" -> { (s, d) =>
+      // .prj → EPSG inference (S8/G11, east_asia.py:30-34): the three public
+      // WKT shapes the reference meets — explicit AUTHORITY tag, UTM-WGS84
+      // name pattern, bare geographic WGS84 — plus an exotic CRS that must
+      // surface as unknown (-1), not a wrong guess.
+      import s.implicits._
+      val cases = Seq(
+        ("authority", """PROJCS["JGD2011 / Japan Plane Rectangular CS IX",GEOGCS["JGD2011",DATUM["Japanese_Geodetic_Datum_2011",SPHEROID["GRS 1980",6378137,298.257222101]]],PROJECTION["Transverse_Mercator"],AUTHORITY["EPSG","6677"]]"""),
+        ("utm_name", """PROJCS["WGS_1984_UTM_Zone_54N",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137,298.257223563]]],PROJECTION["Transverse_Mercator"]]"""),
+        ("wgs84_geo", """GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137,298.257223563]],PRIMEM["Greenwich",0],UNIT["Degree",0.017453292519943295]]"""),
+        ("exotic", """PROJCS["Tokyo / Japan Plane Rectangular CS IX",GEOGCS["Tokyo",DATUM["Tokyo",SPHEROID["Bessel 1841",6377397.155,299.1528128]]],PROJECTION["Transverse_Mercator"]]"""))
+      cases.map { case (name, wkt) =>
+        (name, graft.sources.ShapefileCodec.epsgFromPrj(wkt).getOrElse(-1))
+      }.toDF("case_name", "epsg").orderBy("case_name")
     },
 
     "mm1_binary_meta" -> { (s, d) =>
@@ -1729,6 +1858,120 @@ object SparkEntry {
              AS sum_price_cents,
            COUNT(DISTINCT l_orderkey) AS n_orders
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // C4 line dedup replicated end-to-end: the same line-manufacturing
+    // regex (RE2 '\1'||chr(10) ≡ Java "$1\n"), first-occurrence rank via
+    // ROW_NUMBER over (doc, position), and ordered string_agg reassembly.
+    "t16_line_dedup" ->
+      """WITH base AS (SELECT doc_id,
+             regexp_replace(text, '((\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS t
+           FROM documents),
+         parts AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM base),
+         lines AS (SELECT doc_id, i AS pos, ls[i] AS line
+                   FROM parts, UNNEST(range(1, len(ls) + 1)) AS u(i)),
+         ranked AS (SELECT doc_id, pos, line,
+                     ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+                    FROM lines),
+         kept AS (SELECT doc_id, pos, line FROM ranked WHERE rn = 1),
+         tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines
+                 FROM lines GROUP BY doc_id),
+         reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY pos) AS text_kept
+                 FROM kept GROUP BY doc_id)
+         SELECT t.doc_id, t.n_lines,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(r.text_kept, '') AS text_kept
+         FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+         ORDER BY t.doc_id""",
+
+    // every 40-char window regenerated with substr arithmetic over the
+    // planted corpus (t5's construction): span strings, distinct-doc and
+    // occurrence counts are all exact.
+    "t17_dup_spans" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20),
+         spans AS (
+           SELECT doc_id, substr(text, CAST(i AS INTEGER), 40) AS span
+           FROM corpus, UNNEST(range(1, len(text) - 38)) AS u(i)
+           WHERE len(text) >= 40)
+         SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ
+         FROM spans GROUP BY span
+         HAVING COUNT(DISTINCT doc_id) >= 2
+         ORDER BY span""",
+
+    // per-shard running token sum + boundary-straddle explode, all integer
+    // window/floor arithmetic — replicated exactly.
+    "t18_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, doc_id % 8 AS shard,
+             CAST(1 + LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (SELECT doc_id, shard, n_tok,
+                CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+               FROM d),
+         e AS (SELECT doc_id, shard, st, st + n_tok AS en,
+                st // 512 AS s0, (st + n_tok - 1) // 512 AS s1 FROM c)
+         SELECT doc_id, CAST(shard AS BIGINT) AS shard, CAST(s AS BIGINT) AS seq_id,
+           CAST(LEAST(en, (s + 1) * 512) - GREATEST(st, s * 512) AS BIGINT) AS n_tok_in_seq
+         FROM e, UNNEST(range(s0, s1 + 1)) AS u(s)
+         ORDER BY shard, seq_id, doc_id""",
+
+    // content aggregates from the same deterministic sample; the clustering
+    // contract (4 files, pairwise-disjoint Hilbert ranges) is pinned as
+    // constants — a broken range exchange breaks the zero.
+    "k1_clustered_sink" ->
+      s"""WITH sample AS (
+            SELECT $cxSql AS x, $cySql AS y, l_orderkey AS okey FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 2000)
+          SELECT COUNT(*) AS n,
+            CAST(SUM(CAST(x * 2 AS BIGINT)) AS BIGINT) AS sum_2x,
+            CAST(SUM(okey) AS BIGINT) AS sum_okey,
+            CAST(4 AS BIGINT) AS n_files,
+            CAST(0 AS BIGINT) AS range_violations
+          FROM sample""",
+
+    "k4_ndjson_sink" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, COUNT(*) AS n,
+           CAST(SUM(n_nationkey) AS BIGINT) AS sum_key,
+           MIN(n_name) AS first_name, MAX(n_name) AS last_name
+         FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    "p2_exclude" ->
+      "SELECT * EXCLUDE (p_retailprice, p_type) FROM part ORDER BY p_partkey LIMIT 200",
+
+    // cell id + boundary WKT recomputed in SQL: the grid arithmetic is
+    // sql1's (res 8), and every boundary coordinate is an exact dyadic
+    // rational whose shortest decimal form Java and DuckDB print identically
+    "g10_cell_boundary" ->
+      s"""WITH cells AS (
+            SELECT DISTINCT 2305843009213693952 +
+              CAST(FLOOR(($cxSql + 180.0) / 360.0 * 256.0) AS BIGINT) * 256 +
+              CAST(FLOOR(($cySql + 90.0) / 180.0 * 256.0) AS BIGINT) AS cell
+            FROM lineitem),
+          c2 AS (SELECT cell,
+                  (cell - 2305843009213693952) // 256 AS ix,
+                  (cell - 2305843009213693952) % 256 AS iy FROM cells),
+          c3 AS (SELECT cell,
+                  -180.0 + ix * 360.0 / 256.0 AS lon0,
+                  -180.0 + (ix + 1) * 360.0 / 256.0 AS lon1,
+                  -90.0 + iy * 180.0 / 256.0 AS lat0,
+                  -90.0 + (iy + 1) * 180.0 / 256.0 AS lat1 FROM c2)
+          SELECT cell, 'POLYGON ((' ||
+            CAST(lon0 AS VARCHAR) || ' ' || CAST(lat0 AS VARCHAR) || ', ' ||
+            CAST(lon1 AS VARCHAR) || ' ' || CAST(lat0 AS VARCHAR) || ', ' ||
+            CAST(lon1 AS VARCHAR) || ' ' || CAST(lat1 AS VARCHAR) || ', ' ||
+            CAST(lon0 AS VARCHAR) || ' ' || CAST(lat1 AS VARCHAR) || ', ' ||
+            CAST(lon0 AS VARCHAR) || ' ' || CAST(lat0 AS VARCHAR) || '))' AS boundary
+          FROM c3 ORDER BY cell""",
+
+    "s8_prj_epsg" ->
+      """SELECT * FROM (VALUES
+           ('authority', 6677), ('exotic', -1),
+           ('utm_name', 32654), ('wgs84_geo', 4326)) AS t(case_name, epsg)
+         ORDER BY case_name""",
 
     // planted self-match: identical vectors share every LSH signature, so
     // recovery at rank 1 / cos 1.0 is a structural guarantee the oracle can

@@ -152,6 +152,107 @@ object TrainingData {
       regexp_replace(acc, pat, rep)
     }
 
+  /** Corpus-level line deduplication (the C4 pipeline's "discard duplicate
+    * lines across the corpus" stage, Raffel et al. 2020 §2.2): every line is
+    * kept only at its FIRST occurrence — the (lowest doc, lowest position)
+    * one — and removed everywhere else, including repeats inside one
+    * document. Returns one row per input document:
+    * `(doc_id, n_lines, n_kept, text_kept)` with the surviving lines
+    * re-joined by the same delimiter (empty string when nothing survives).
+    *
+    * Scale shape: one shuffle keyed by line content to rank occurrences
+    * (window `row_number`, identical cost to the groupBy it replaces), one
+    * shuffle back to doc id to reassemble — the line strings travel exactly
+    * once. Boilerplate lines (nav bars, cookie banners) are the hot keys
+    * here; they skew the rank shuffle but each group collapses to its
+    * winner in the partial sort, so the reducer never materializes the
+    * group. No driver state, no UDFs. */
+  def lineDedup(docs: DataFrame, delim: String = "\n",
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val lines = docs.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
+      .select(col("__id"), col("pos"), col("col").as("line"))
+    val rn = row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(col("line")).orderBy(col("__id"), col("pos")))
+    val kept = lines.withColumn("__rn", rn).filter(col("__rn") === 1)
+    val perDoc = lines.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_lines"))
+    val rebuilt = kept.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), delim).as("text_kept"))
+    perDoc.join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
+  /** Exact duplicate-span detection (the signal behind suffix-array
+    * substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better"): every `spanLen`-character window of every
+    * document, grouped across the corpus; spans appearing in at least
+    * `minDocs` distinct documents come back as
+    * `(span, n_docs, n_occ)` — the memorization-risk inventory a substring
+    * deduper would cut.
+    *
+    * Scale shape: a map-only window explode (one row per character
+    * position — `stride > 1` thins it for survey-level scans) into a single
+    * count aggregate. With `hashed = true` the shuffle carries a 64-bit
+    * `xxhash64` of each span instead of the string — at 100 TB the span
+    * strings are ~spanLen× the corpus and the hash cuts shuffle bytes by
+    * that factor; collisions need ~2^32 distinct spans per false merge.
+    * The string form is for oracles and small corpora. */
+  def dupSpans(docs: DataFrame, spanLen: Int, minDocs: Int = 2,
+      stride: Int = 1, hashed: Boolean = false,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(spanLen > 0 && stride > 0, s"spanLen=$spanLen stride=$stride")
+    val spans = docs
+      .filter(length(col(textCol)) >= spanLen)
+      .select(col(idCol).as("__id"),
+        explode(expr(
+          s"transform(sequence(1, length($textCol) - ${spanLen - 1}, $stride), " +
+            s"i -> substring($textCol, i, $spanLen))")).as("span"))
+    val keyed = if (hashed) spans.select(col("__id"), xxhash64(col("span")).as("span"))
+                else spans
+    keyed.groupBy(col("span"))
+      .agg(countDistinct(col("__id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** GPT-style sequence packing: concatenate documents (whitespace token
+    * counts) in deterministic order and cut the stream every `budget`
+    * tokens, letting documents straddle sequence boundaries. Emits one row
+    * per (document, training sequence) overlap:
+    * `(doc_id, shard, seq_id, n_tok_in_seq)`.
+    *
+    * Scale shape: a single GLOBAL running sum is a one-task window at 100 TB,
+    * so packing is sharded the way training loaders shard anyway —
+    * documents land in `nShards` deterministic shards (`doc_id % nShards`)
+    * and each shard packs independently under
+    * `Window.partitionBy(shard)` — `nShards` parallel windows, one shuffle.
+    * Straddle rows come from a per-row `sequence()` explode (map-only). */
+  def packSequences(docs: DataFrame, budget: Int, nShards: Int = 64,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(budget > 0 && nShards > 0, s"budget=$budget nShards=$nShards")
+    val nTok = (lit(1) + length(col(textCol))
+      - length(translate(col(textCol), " ", ""))).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol), pmod(col(idCol), lit(nShards)).cast("long").as("shard"),
+        nTok.as("n_tok"))
+      .withColumn("start_tok", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("end_tok", col("start_tok") + col("n_tok"))
+      .withColumn("seq_id", explode(sequence(
+        floor(col("start_tok") / budget),
+        floor((col("end_tok") - 1) / budget))))
+      .select(col(idCol), col("shard"), col("seq_id").cast("long").as("seq_id"),
+        (least(col("end_tok"), (col("seq_id") + 1) * budget)
+          - greatest(col("start_tok"), col("seq_id") * budget)).as("n_tok_in_seq"))
+  }
+
   /** Stratified downsampling for training-mix reweighting: keep a
     * per-stratum fraction of rows, decided deterministically from `keyExpr
     * mod 100` (pass e.g. `pmod(xxhash64(col), 100)` for hash sampling or a

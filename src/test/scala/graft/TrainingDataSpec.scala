@@ -74,6 +74,58 @@ class TrainingDataSpec extends AnyFunSuite {
     }
   }
 
+  test("lineDedup keeps each line only at its first (doc, position) occurrence") {
+    val docs = Seq(
+      (1L, "x\ny\nx"), // intra-doc repeat of x must also go
+      (2L, "y\nz"),    // y lost to doc 1, z survives
+      (3L, "x")        // fully duplicated doc → empty survivor
+    ).toDF("doc_id", "text")
+    val m = TrainingData.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(m(1L) == (3L, 2L, "x\ny"), s"doc 1: ${m(1L)}")
+    assert(m(2L) == (2L, 1L, "z"), s"doc 2: ${m(2L)}")
+    assert(m(3L) == (1L, 0L, ""), s"doc 3: ${m(3L)}")
+  }
+
+  test("dupSpans finds cross-doc windows; hashed mode matches; stride thins") {
+    val docs = Seq((1L, "abcdef"), (2L, "zabcd"), (3L, "qqq"))
+      .toDF("doc_id", "text") // doc 3 shorter than the span → contributes none
+    val plain = TrainingData.dupSpans(docs, spanLen = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(plain.toSeq == Seq(("abcd", 2L, 2L)), s"got ${plain.toSeq}")
+    val hashed = TrainingData.dupSpans(docs, spanLen = 4, hashed = true).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(hashed.toSeq.sorted == plain.map(p => (p._2, p._3)).toSeq.sorted,
+      "hashed mode must surface the same (n_docs, n_occ) population")
+    // stride 2 samples positions 1,3,…: doc 1 yields abcd+cdef, doc 2 only
+    // zabc — the shared window is no longer sampled on both sides
+    assert(TrainingData.dupSpans(docs, spanLen = 4, stride = 2).count() == 0)
+  }
+
+  test("packSequences packs per shard, splits straddlers exactly at the budget") {
+    val docs = Seq(
+      (1L, "a b c d"),                   // 4 tokens
+      (2L, "a b c d e f g h"),           // 8 tokens
+      (3L, "a b c d e")                  // 5 tokens
+    ).toDF("doc_id", "text")
+    val one = TrainingData.packSequences(docs, budget = 10, nShards = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // stream: doc1 [0,4) seq0; doc2 [4,12) splits 6|2; doc3 [12,17) seq1
+    assert(one == Set(
+      (1L, 0L, 0L, 4L), (2L, 0L, 0L, 6L), (2L, 0L, 1L, 2L), (3L, 0L, 1L, 5L)),
+      s"got $one")
+    val sharded = TrainingData.packSequences(docs, budget = 10, nShards = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // shard 0: doc2 alone [0,8) seq0; shard 1: doc1 [0,4), doc3 [4,9) — both seq0
+    assert(sharded == Set((2L, 0L, 0L, 8L), (1L, 1L, 0L, 4L), (3L, 1L, 0L, 5L)),
+      s"got $sharded")
+    // token conservation: per-doc slice sums equal the doc token counts
+    val sums = TrainingData.packSequences(docs, budget = 3, nShards = 2)
+      .groupBy("doc_id").agg(sum("n_tok_in_seq").as("s")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sums == Map(1L -> 4L, 2L -> 8L, 3L -> 5L), s"got $sums")
+  }
+
   test("piiScrub redacts emails, IPs, long digit runs — and only those") {
     val df = Seq(
       ("mail me at a.user+x@some-host.org now", "mail me at <EMAIL> now"),
