@@ -1275,6 +1275,20 @@ object SparkEntry {
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type"), col("event_id").as("first_event_id"))
         .orderBy("user_id", "event_type")
+    },
+
+    "e5_stream_join" -> { (s, d) =>
+      // stream-stream correlation join (EventStreams.correlate — watermark
+      // + time-bound condition, the click→purchase attribution shape) run
+      // on its batch twin: every purchase by the same user within one hour
+      // strictly after each click. The oracle is the equivalent inequality
+      // join in DuckDB, with both engines comparing at microsecond
+      // precision (Spark stores micros; the parquet carries nanos).
+      val ev = events(s, d)
+      graft.streaming.EventStreams.correlate(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"), within = "1 hour")
+        .orderBy("user_id", "l_id", "r_id")
     }
   )
 
@@ -2075,6 +2089,19 @@ object SparkEntry {
       """SELECT user_id, event_type, event_id AS first_event_id FROM (
            SELECT user_id, event_type, event_id, ROW_NUMBER() OVER
              (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
-           FROM events) WHERE rn = 1 ORDER BY user_id, event_type"""
+           FROM events) WHERE rn = 1 ORDER BY user_id, event_type""",
+
+    "e5_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+             CAST(ts AS TIMESTAMP) AS ts FROM events),
+         c AS (SELECT user_id, event_id AS l_id, ts AS l_ts FROM e
+               WHERE event_type = 'click'),
+         p AS (SELECT user_id AS r_user, event_id AS r_id, ts AS r_ts FROM e
+               WHERE event_type = 'purchase')
+         SELECT c.user_id, l_id, r_id,
+           CAST(FLOOR(epoch(r_ts)) - FLOOR(epoch(l_ts)) AS BIGINT) AS gap_seconds
+         FROM c JOIN p ON c.user_id = r_user
+           AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL 1 HOUR
+         ORDER BY c.user_id, l_id, r_id"""
   )
 }

@@ -46,6 +46,33 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type")
 
+  /** Stream-stream correlation join: for each left event, the right events
+    * of the SAME user landing strictly after it and within `within` —
+    * the click→purchase attribution shape. Emits
+    * `(user_id, l_id, r_id, gap_seconds)`.
+    *
+    * Streaming semantics: both sides carry watermarks and the join
+    * condition carries the time bound, which is exactly what Spark needs to
+    * age out per-key state — without the bound, a stream-stream join
+    * buffers forever. State is further minimized by projecting each side to
+    * its three join-relevant columns BEFORE the join: the state store holds
+    * (key, ts, id) tuples, not whole events. On batch frames the same code
+    * runs as an ordinary equi-join on user_id with a residual time filter —
+    * a hash join, never a broadcast-nested-loop. */
+  def correlate(left: DataFrame, right: DataFrame, within: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_id").as("r_id"))
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts"))).as("gap_seconds"))
+  }
+
   case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 
   /** Custom keyed state via flatMapGroupsWithState: a per-user running

@@ -252,6 +252,45 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(inSmall == Set(1L))
   }
 
+  test("e5 correlate plans an equi-join on user_id — no nested-loop") {
+    // the time bound must be a residual filter on a hash join keyed by
+    // user_id; a BroadcastNestedLoopJoin here would be quadratic per user
+    // at corpus scale
+    val p = staticPlan("e5_stream_join").toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"e5 must equi-join on user_id with a residual time filter:\n$p")
+  }
+
+  test("t18 packSequences windows are sharded, never a single global sort") {
+    // the running sum must be Window.partitionBy(shard) — a window WITHOUT
+    // a partition spec plans a single-partition exchange (one task at 100TB)
+    val p = staticPlan("t18_pack_sequences").toString
+    assert(!p.contains("SinglePartition"),
+      s"t18 must not funnel the corpus through one partition:\n$p")
+    assert(p.contains("hashpartitioning(shard"),
+      s"t18's window exchange must hash by shard:\n$p")
+  }
+
+  test("t17 dupSpans is explode → one aggregate; hashed mode ships longs") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      graft.operators.TrainingData.dupSpans(docs, spanLen = 40, hashed = true)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("xxhash64"), s"hashed mode must hash before the shuffle:\n$p")
+    // the count-distinct aggregate expands to (span, doc) dedup + final
+    // span rollup — two exchanges, both keyed by span, with map-side
+    // partials before each; the explode itself is map-only (no exchange
+    // between scan and first partial aggregate)
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)#".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(exchanges.nonEmpty && exchanges.size <= 2 &&
+      exchanges.forall(_ == "span"),
+      s"t17 hashed should shuffle on span only, saw $exchanges:\n$p")
+  }
+
   test("shapefile decode terminates on corrupt record headers") {
     // a .shp whose second record header declares a non-positive content
     // length: round 1 would loop forever (pos never advanced); now it must

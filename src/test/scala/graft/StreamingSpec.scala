@@ -69,6 +69,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(stats.forall(_.getAs[Long]("sum_tokens") > 0))
   }
 
+  test("correlate joins two real streams within the time bound") {
+    // left: one click per user per hour; right: purchases 10 min after some
+    // clicks (in-bound) and 90 min after others (out-of-bound)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60 * 1000)
+    val clicks = (0 until 20).map { i =>
+      (100L + i, ts(i.toLong * 60), (i % 4).toLong, "click", 0.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val purchases = (0 until 20).map { i =>
+      val gap = if (i % 2 == 0) 10L else 90L // odd ones fall outside 1 hour
+      (500L + i, ts(i.toLong * 60 + gap), (i % 4).toLong, "purchase", 1.0)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dirL = java.nio.file.Files.createTempDirectory("corr_l").toString + "/d"
+    val dirR = java.nio.file.Files.createTempDirectory("corr_r").toString + "/d"
+    clicks.write.parquet(dirL); purchases.write.parquet(dirR)
+    val sl = spark.readStream.schema(clicks.schema).parquet(dirL)
+    val sr = spark.readStream.schema(purchases.schema).parquet(dirR)
+    assert(sl.isStreaming && sr.isStreaming)
+    val q = EventStreams.correlate(sl, sr, within = "1 hour")
+      .writeStream.format("memory").queryName("corr_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("corr_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch twin must agree exactly (same code path, no watermark effects
+    // at AvailableNow completion)
+    val batched = EventStreams.correlate(clicks, purchases, within = "1 hour")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batched, s"stream $streamed vs batch $batched")
+    // every in-bound pair present with the exact 10-min gap; no out-of-bound
+    val direct = (0 until 20).filter(_ % 2 == 0)
+      .map(i => ((i % 4).toLong, 100L + i, 500L + i, 600L)).toSet
+    assert(direct.subsetOf(batched), s"missing planted pairs: ${direct -- batched}")
+    assert(batched.forall { case (_, _, _, g) => g > 0 && g <= 3600 })
+  }
+
   test("sessionize groups events by 30-minute gaps") {
     // batch-mode check of the same code path: users 0..6, 4-min cadence per
     // global stream → per-user cadence 28 min < 30 min gap → 1 session each
