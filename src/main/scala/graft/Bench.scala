@@ -24,7 +24,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // optional comma-separated subset for local perf triage; the driver
+    // never sets it, so its runs always time the full suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") {
       val warmDir = "/root/testdata/sf0.001"
       names.foreach { name =>
@@ -34,6 +38,11 @@ object Bench {
     }
 
     val results = names.map { name =>
+      // GC quiescence outside the timed region: without it, garbage from
+      // earlier queries' shuffles is collected INSIDE whichever later query
+      // happens to allocate next (measured: t3/t5 2-3x inflated late in the
+      // suite while isolated runs are flat)
+      System.gc()
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }

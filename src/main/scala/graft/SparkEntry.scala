@@ -733,8 +733,10 @@ object SparkEntry {
       val seeds = docs.filter(col("doc_id") < 20)
       val corpus = docs.unionByName(
         seeds.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      // the tiny pair set feeds BOTH aggregates below; localCheckpoint
+      // materializes the simhash join once instead of evaluating it twice
       val pairs = graft.operators.Dedup.simhashPairs(corpus,
-        shingle = 3, maxDist = 16)
+        shingle = 3, maxDist = 16).localCheckpoint()
       val planted = seeds.select(col("doc_id").cast("long").as("id_a"),
         (col("doc_id") + 1000000L).as("id_b"))
       val found = planted.join(pairs, Seq("id_a", "id_b"), "left")
@@ -1040,8 +1042,13 @@ object SparkEntry {
         .limit(2000)
         .select(col("x"), col("y"), col("l_orderkey").as("okey"))
         .withColumn("geom", st_point(col("x"), col("y")))
+      // zstdLevel 3 here: level 22's per-column-chunk context init costs
+      // ~5 s on 4 tiny files and amortizes to nothing on real ~500 MB
+      // files — the gate pins the sink CONTRACT (range exchange, ordered
+      // disjoint files, zstd codec); level-22-takes-effect is separately
+      // asserted in PipelineSpec
       val tmp = java.nio.file.Files.createTempDirectory("k1sink").toString + "/clustered"
-      graft.operators.GeoNormalize.writeClustered(sample, tmp, numFiles = 4)
+      graft.operators.GeoNormalize.writeClustered(sample, tmp, numFiles = 4, zstdLevel = 3)
       val back = s.read.parquet(tmp)
         .withColumn("hk", hilbert_of_geom(col("geom")))
         .withColumn("file", input_file_name())

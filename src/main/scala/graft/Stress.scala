@@ -132,6 +132,25 @@ object Stress {
         sum(length(TrainingData.piiScrub(col("text"))))).head().getLong(0))
     }
 
+    time("lineDedup (8-word lines)") {
+      // corpus-level C4 line dedup over manufactured 8-word lines: the
+      // planted near/exact dups guarantee real cross-doc line collisions
+      val lined = docs.select(col("doc_id"),
+        regexp_replace(col("text"), "((\\S+ ){7}\\S+) ", "$1\n").as("text"))
+      val out = TrainingData.lineDedup(lined)
+      println("    docs: " + out.count() + ", kept lines: " +
+        out.agg(sum("n_kept")).head().getLong(0))
+    }
+    time("dupSpans (40c, hashed)") {
+      // full-stride span inventory: ~320 explode rows/doc, hashed shuffle
+      println("    duplicated spans: " +
+        TrainingData.dupSpans(docs, spanLen = 40, hashed = true).count())
+    }
+    time("packSequences (2048/64)") {
+      println("    doc-seq slices: " +
+        TrainingData.packSequences(docs, budget = 2048, nShards = 64).count())
+    }
+
     // ---- temporal joins over a synthetic event stream ---------------------
     // nDocs events across nDocs/100 users, ~10s cadence per user with
     // deterministic jitter — realistic key cardinality and per-key density
@@ -160,6 +179,19 @@ object Stress {
       println("    window pairs: " + RangeJoin.intervalJoin(lhs, rhs,
           on = Seq("user_id"), leftTs = "ts_us", rightTs = "r_ts_us",
           lower = -60000000L, upper = 60000000L).count())
+    }
+
+    time("correlate (1% x 10%, 60s)") {
+      // stream-stream correlation batch twin: equi-join on user_id with a
+      // residual time filter — never a per-user nested loop
+      val l = evts.filter(pmod(col("event_id"), lit(100)) === 0)
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("ts_us")).as("ts"))
+      val r = evts.filter(pmod(col("event_id"), lit(10)) === 1)
+        .select(col("event_id"), col("user_id"),
+          timestamp_micros(col("ts_us")).as("ts"))
+      println("    correlated pairs: " +
+        graft.streaming.EventStreams.correlate(l, r, within = "60 seconds").count())
     }
 
     // ---- skew: blanket vs two-path salting --------------------------------
