@@ -23,7 +23,8 @@ import graft.geom.GeomLib
   * varuint-packed scaled offsets from the layer origin
   * (v = round((x − xorigin)·xyscale) + 1).
   *
-  * Geometry coverage: point (shape 1 and Z/M variants) plus the
+  * Geometry coverage: point (shape 1 and Z/M variants), multipoint
+  * (8/18/20/28 and general 53: part-less delta ribbon), plus the
   * delta-encoded vertex ribbons of polylines (shape 3/13/23 and general
   * 50) and polygons (5/15/25 and general 51) — the format the actual ORNL
   * FEMA payload uses (building-footprint polygons,
@@ -37,7 +38,7 @@ import graft.geom.GeomLib
   * scope), never mis-parse. Rings assemble shell/hole by ESRI orientation
   * via the shapefile decoder's shared logic.
   *
-  * Remaining scope bounds (docs/COVERAGE.md): multipoint/multipatch shapes
+  * Remaining scope bounds (docs/COVERAGE.md): multipatch shapes
   * and the .gdbtablx row index; rows are scanned sequentially and corrupt
   * length prefixes terminate the scan (the same F10 error-isolation
   * contract as the shapefile decoder).
@@ -213,10 +214,11 @@ object FileGdbCodec {
   // ESRI shape-buffer type codes (shared with the extended shapefile spec):
   // base type in the low byte; general shapes (50/51/52) carry modifier
   // flags in the high bits of the type varuint.
-  private val PointBases    = Set(1L, 9L, 11L, 21L, 52L)
-  private val PolylineBases = Set(3L, 10L, 13L, 23L, 50L)
-  private val PolygonBases  = Set(5L, 15L, 19L, 25L, 51L)
-  private val CurveFlag     = 0x20000000L
+  private val PointBases      = Set(1L, 9L, 11L, 21L, 52L)
+  private val MultipointBases = Set(8L, 18L, 20L, 28L, 53L)
+  private val PolylineBases   = Set(3L, 10L, 13L, 23L, 50L)
+  private val PolygonBases    = Set(5L, 15L, 19L, 25L, 51L)
+  private val CurveFlag       = 0x20000000L
 
   /** Decode one geometry value (positioned after the length varuint). The
     * caller restores the buffer to the record end afterwards, so trailing
@@ -245,7 +247,27 @@ object FileGdbCodec {
         else GeomLib.write(gf.createMultiLineString(
           lines.map(gf.createLineString).toArray))
       }
-    } else null // multipoint/multipatch: unsupported, skipped via gEnd
+    } else if (MultipointBases.contains(base)) {
+      // multipoint ribbon: varuint count + scaled bbox, then the same
+      // interleaved signed-varint (dx, dy) stream as polylines but with no
+      // part structure (one point set)
+      val nPoints = readVaruint(bb).toInt
+      if (nPoints <= 0 || nPoints > 50_000_000) return null
+      readVaruint(bb); readVaruint(bb); readVaruint(bb); readVaruint(bb) // bbox
+      var xi = 0L
+      var yi = 0L
+      val coords = new Array[Coordinate](nPoints)
+      var j = 0
+      while (j < nPoints) {
+        xi += readVarint(bb)
+        yi += readVarint(bb)
+        coords(j) = new Coordinate(
+          xi.toDouble / f.xyscale + f.xorigin,
+          yi.toDouble / f.xyscale + f.yorigin)
+        j += 1
+      }
+      GeomLib.write(gf.createMultiPointFromCoords(coords))
+    } else null // multipatch: unsupported, skipped via gEnd
   }
 
   /** The delta ribbon: varuint total points + part count, scaled bbox
@@ -348,6 +370,32 @@ object FileGdbCodec {
       (vals, geom.toByteArray)
     }
     writeTable(attrs, if (isPolygon) 4 else 3, geomRows, xorigin, yorigin, xyscale)
+  }
+
+  /** Write a multipoint (shapeType 8) layer: count + bbox + the part-less
+    * interleaved delta ribbon. Fixture path for multipoint coverage. */
+  def writeMultipointTable(attrs: Seq[(String, Int)],
+      rows: Seq[(Seq[Any], Seq[(Double, Double)])],
+      xorigin: Double = -400.0, yorigin: Double = -400.0,
+      xyscale: Double = 1e9, trailingBytes: Int = 0): Array[Byte] = {
+    val geomRows = rows.map { case (vals, pts) =>
+      val geom = new java.io.ByteArrayOutputStream()
+      writeVaruint(geom, 8L)
+      writeVaruint(geom, pts.size.toLong)
+      def sx(x: Double) = math.round((x - xorigin) * xyscale)
+      def sy(y: Double) = math.round((y - yorigin) * xyscale)
+      val xs = pts.map(p => sx(p._1)); val ys = pts.map(p => sy(p._2))
+      writeVaruint(geom, xs.min); writeVaruint(geom, ys.min)
+      writeVaruint(geom, xs.max - xs.min); writeVaruint(geom, ys.max - ys.min)
+      var xi = 0L; var yi = 0L
+      pts.foreach { case (x, y) =>
+        writeVarint(geom, sx(x) - xi); xi = sx(x)
+        writeVarint(geom, sy(y) - yi); yi = sy(y)
+      }
+      (0 until trailingBytes).foreach(_ => geom.write(0x01))
+      (vals, geom.toByteArray)
+    }
+    writeTable(attrs, 2, geomRows, xorigin, yorigin, xyscale)
   }
 
   private def writeTable(attrs: Seq[(String, Int)], layerGeomType: Int,

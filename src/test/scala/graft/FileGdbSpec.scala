@@ -105,6 +105,24 @@ class FileGdbSpec extends AnyFunSuite {
     assert(g.getGeometryN(1).getCoordinates.map(c => (c.x, c.y)).toSeq == b)
   }
 
+  test("multipoint ribbon round-trips, incl. negative deltas and Z skip") {
+    val pts1 = Seq((10.0, 5.0), (9.5, 5.5), (-3.25, -7.75)) // negative deltas
+    val pts2 = Seq((0.125, 0.0625))                          // single point
+    val bytes = FileGdbCodec.writeMultipointTable(Seq("tag" -> 4),
+      Seq((Seq[Any]("a"), pts1), (Seq[Any]("b"), pts2)), trailingBytes = 6)
+    val decoded = FileGdbCodec.decode(bytes)
+    assert(decoded.length == 2)
+    val g1 = graft.geom.GeomLib.readOrNull(decoded(0)._3)
+    assert(g1.getGeometryType == "MultiPoint" && g1.getNumGeometries == 3)
+    val got = (0 until 3).map { i =>
+      val c = g1.getGeometryN(i).getCoordinate; (c.x, c.y)
+    }
+    assert(got == pts1, s"exact round-trip via xyscale 1e9: $got")
+    val g2 = graft.geom.GeomLib.readOrNull(decoded(1)._3)
+    assert(g2.getGeometryType == "MultiPoint" && g2.getNumGeometries == 1)
+    assert(decoded.map(_._2("tag")) == Seq("a", "b"))
+  }
+
   test("Z/M trailing streams are skipped via the record length prefix") {
     // shape code 19 = polygonZ; the 16 trailing bytes play the z-stream
     val shell = Seq((0.0, 0.0), (0.0, 4.0), (4.0, 4.0), (4.0, 0.0), (0.0, 0.0))
