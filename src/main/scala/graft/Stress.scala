@@ -34,8 +34,19 @@ object Stress {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // optional section filter (comma-set of text,dedup,training,temporal,
+    // skew,vecs): lets a section run in a fresh JVM so its numbers aren't
+    // confounded by a previous section's page-cache/GC footprint
+    val sections = sys.env.getOrElse("SPARK_GRAFT_STRESS_SECTIONS", "all")
+    def sec(name: String): Boolean =
+      sections == "all" || sections.split(",").contains(name)
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     def time[T](tag: String)(f: => T): T = {
+      // stage quiescence (same rationale as Bench): without it, a heavy
+      // stage's garbage is collected inside whichever later stage allocates
+      // next, inflating its number 3-10x
+      System.gc()
       val t0 = System.nanoTime()
       val r = f
       val s = (System.nanoTime() - t0) / 1e9
@@ -75,7 +86,7 @@ object Stress {
     val docs = spark.read.parquet(docsPath)
 
     // ---- map-only text passes --------------------------------------------
-    time("text scan (tok+quality+lang)") {
+    if (sec("text")) time("text scan (tok+quality+lang)") {
       docs.select(
         bpeish_token_count(col("text")).as("tok"),
         quality_score(col("text")).as("q"),
@@ -84,6 +95,7 @@ object Stress {
         .agg(sum(col("tok")), avg(col("q")), count(col("lang")), count(col("sim")))
         .collect()
     }
+    if (sec("dedup")) {
     time("exact dedup") {
       println("    exact groups w/ dups: " +
         Dedup.exact(docs).filter(col("n_dups") > 1).count())
@@ -109,6 +121,8 @@ object Stress {
       val survivors = Dedup.dedupeCorpus(docs, minJaccard = 0.5).count()
       println(s"    survivors: $survivors of $nDocs")
     }
+    }
+    if (sec("training")) {
     time("contamination (4-gram)") {
       // eval slice = predecessors of planted near-dups (doc_id % 100 == 98),
       // so each eval doc's twin genuinely shares 4-grams with it
@@ -151,9 +165,11 @@ object Stress {
         TrainingData.packSequences(docs, budget = 2048, nShards = 64).count())
     }
 
+    }
     // ---- temporal joins over a synthetic event stream ---------------------
     // nDocs events across nDocs/100 users, ~10s cadence per user with
     // deterministic jitter — realistic key cardinality and per-key density
+    if (sec("temporal")) {
     val nUsers = math.max(1L, nDocs / 100L)
     val evts = spark.range(nDocs).toDF("event_id")
       .withColumn("user_id", pmod(xxhash64(col("event_id")), lit(nUsers)))
@@ -194,12 +210,13 @@ object Stress {
         graft.streaming.EventStreams.correlate(l, r, within = "60 seconds").count())
     }
 
+    }
     // ---- skew: blanket vs two-path salting --------------------------------
     // 1%-hot-key corpus: 10 hot keys carry ~30% of the big side; the small
     // side has 100k keys. Blanket saltedJoin replicates ALL 100k small rows
     // salt(16)x; two-path replicates only the ~10 hot rows and plain-joins
     // the rest — the small-side shuffle volume drops ~salt x.
-    time("skew join: plain vs salted vs two-path") {
+    if (sec("skew")) time("skew join: plain vs salted vs two-path") {
       val nKeys = 100000L
       val big = spark.range(nDocs).toDF("i")
         .withColumn("k", when(pmod(col("i"), lit(10)) < 3,
@@ -229,6 +246,7 @@ object Stress {
     }
 
     // ---- embeddings -------------------------------------------------------
+    if (sec("vecs")) {
     time("gen+write vecs") {
       spark.range(nVecs).toDF("vec_id")
         .withColumn("seed_id", when(col("vec_id") % 50 === 49, col("vec_id") - 1)
@@ -257,6 +275,7 @@ object Stress {
       println("    brute hits: " + Similarity.bruteForceTopK(vecs, queries, k = 10).count())
     }
 
+    }
     val total = results.values.sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     println(s"""{"metric":"stress_total","value":$total,"unit":"sec","nDocs":$nDocs,"nVecs":$nVecs,"stages":$qs}""")
