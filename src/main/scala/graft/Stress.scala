@@ -160,6 +160,12 @@ object Stress {
       println("    duplicated spans: " +
         TrainingData.dupSpans(docs, spanLen = 40, hashed = true).count())
     }
+    time("dupSpans (40c, stride 4)") {
+      // the survey-scale knob: stride thins the explode linearly; exact
+      // copies still collide on every sampled offset
+      println("    duplicated spans: " +
+        TrainingData.dupSpans(docs, spanLen = 40, stride = 4, hashed = true).count())
+    }
     time("packSequences (2048/64)") {
       println("    doc-seq slices: " +
         TrainingData.packSequences(docs, budget = 2048, nShards = 64).count())
