@@ -169,8 +169,12 @@ object TrainingData {
     * group. No driver state, no UDFs. */
   def lineDedup(docs: DataFrame, delim: String = "\n",
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // null text coalesces to "" (one empty line) rather than silently
+    // dropping the document from the output — posexplode of a null split
+    // emits no row at all, which would make the doc vanish
     val lines = docs.select(col(idCol).as("__id"),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delim))))
+      posexplode(split(coalesce(col(textCol), lit("")),
+        java.util.regex.Pattern.quote(delim))))
       .select(col("__id"), col("pos"), col("col").as("line"))
     val rn = row_number().over(
       org.apache.spark.sql.expressions.Window
@@ -235,8 +239,14 @@ object TrainingData {
   def packSequences(docs: DataFrame, budget: Int, nShards: Int = 64,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(budget > 0 && nShards > 0, s"budget=$budget nShards=$nShards")
-    val nTok = (lit(1) + length(col(textCol))
-      - length(translate(col(textCol), " ", ""))).cast("long")
+    // null text counts as an empty document (1 whitespace token, the
+    // formula's floor) instead of silently dropping the row: a null n_tok
+    // would null the row's own sequence() explode while the window sum
+    // skipped it — the doc would vanish but still occupy no budget, an
+    // inconsistent half-presence
+    val safeText = coalesce(col(textCol), lit(""))
+    val nTok = (lit(1) + length(safeText)
+      - length(translate(safeText, " ", ""))).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

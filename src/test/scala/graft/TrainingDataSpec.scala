@@ -87,6 +87,19 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(m(3L) == (1L, 0L, ""), s"doc 3: ${m(3L)}")
   }
 
+  test("lineDedup and packSequences treat null text as empty, never drop docs") {
+    val docs = Seq((1L, "x\ny"), (2L, null.asInstanceOf[String]), (3L, "z"))
+      .toDF("doc_id", "text")
+    val ld = TrainingData.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(ld.keySet == Set(1L, 2L, 3L), "every doc must appear in the output")
+    assert(ld(2L) == (1L, 1L, ""), s"null doc = one empty line: ${ld(2L)}")
+    val ps = TrainingData.packSequences(docs, budget = 10, nShards = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    assert(ps.map(_._1).toSet == Set(1L, 2L, 3L), "null doc must occupy budget")
+    assert(ps.toMap.apply(2L) == 1L, "null doc counts the 1-token floor")
+  }
+
   test("dupSpans finds cross-doc windows; hashed mode matches; stride thins") {
     val docs = Seq((1L, "abcdef"), (2L, "zabcd"), (3L, "qqq"))
       .toDF("doc_id", "text") // doc 3 shorter than the span → contributes none
