@@ -179,17 +179,19 @@ object TrainingData {
     val rn = row_number().over(
       org.apache.spark.sql.expressions.Window
         .partitionBy(col("line")).orderBy(col("__id"), col("pos")))
-    val kept = lines.withColumn("__rn", rn).filter(col("__rn") === 1)
-    val perDoc = lines.groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_lines"))
-    val rebuilt = kept.groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+    // one aggregation over the ranked stream carries total, survivor count,
+    // and the reassembly together — the losing lines just don't enter the
+    // collect_list (collect_list skips nulls), so the corpus text is
+    // exploded ONCE and there is no per-doc join
+    lines.withColumn("__rn", rn)
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+            when(col("__rn") === 1, struct(col("pos"), col("line"))))),
           x => x.getField("line")), delim).as("text_kept"))
-    perDoc.join(rebuilt, Seq("__id"), "left")
-      .select(col("__id").as(idCol), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("text_kept"), lit("")).as("text_kept"))
+      .select(col("__id").as(idCol), col("n_lines"), col("n_kept"),
+        col("text_kept"))
   }
 
   /** Exact duplicate-span detection (the signal behind suffix-array
