@@ -227,6 +227,46 @@ object SparkEntry {
           min(st_xmin(col("geom"))).as("min_x"), max(st_ymax(col("geom"))).as("max_y"))
     },
 
+    "s2c_filegdb_split" -> { (s, d) =>
+      // FileGDB intra-file PARALLEL ingest: same polygon fixture as s2b but
+      // with a `.gdbtablx` row-index sidecar, read through
+      // readLargestSplit(maxRowsPerSplit=64) — 500 rows decode as 8
+      // independent row-range tasks (the shapefile .shx scale move applied
+      // to FGDB; one multi-GB table no longer caps a stage at one task).
+      // Oracled with the s2b closed-form arithmetic PLUS sum(row_no) =
+      // 500·501/2, which only matches when every split numbers its rows
+      // with the true OIDs from the index.
+      val sample = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          cxCol.as("x"), cyCol.as("y"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .limit(500)
+        .select("x", "y", "l_orderkey").collect()
+      val h = 0.125; val hh = 0.0625
+      val rows = sample.toSeq.map { r =>
+        val x = r.getDouble(0); val y = r.getDouble(1)
+        val shell = Seq((x - h, y - h), (x - h, y + h), (x + h, y + h),
+          (x + h, y - h), (x - h, y - h))
+        val hole = Seq((x - hh, y - hh), (x + hh, y - hh), (x + hh, y + hh),
+          (x - hh, y + hh), (x - hh, y - hh))
+        (Seq[Any](r.getLong(2).toDouble), Seq(shell, hole))
+      }
+      val table = graft.sources.FileGdbCodec.writeShapeTable(
+        Seq("okey" -> 3), 5, rows)
+      val dir = java.nio.file.Files.createTempDirectory("s2cgdb")
+      java.nio.file.Files.write(dir.resolve("a00000012.gdbtable"), table)
+      java.nio.file.Files.write(dir.resolve("a00000012.gdbtablx"),
+        graft.sources.FileGdbCodec.writeTablx(table))
+      graft.sources.FileGdb.readLargestSplit(s, dir.toString, maxRowsPerSplit = 64)
+        .agg(count(lit(1)).as("n"),
+          sum(col("row_no")).as("sum_oid"),
+          sum((st_xmin(col("geom")) + st_xmax(col("geom"))).cast("long")).as("sum_2x"),
+          sum(st_npoints(col("geom"))).as("sum_pts"),
+          sum(st_area(col("geom"))).as("sum_area"),
+          sum(element_at(col("attrs"), "okey").cast("double")).cast("long").as("sum_okey"),
+          min(st_xmin(col("geom"))).as("min_x"), max(st_ymax(col("geom"))).as("max_y"))
+    },
+
     "s1_shapefile_scan" -> { (s, d) =>
       // end-to-end shapefile ingest: synthesize a .shp (public ESRI layout)
       // from a deterministic lineitem sample, read it back through the
@@ -1357,6 +1397,21 @@ object SparkEntry {
             SELECT $cxSql AS x, $cySql AS y, l_orderkey AS okey FROM lineitem
             ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 500)
           SELECT COUNT(*) AS n,
+            CAST(SUM(CAST(x * 2 AS BIGINT)) AS BIGINT) AS sum_2x,
+            CAST(COUNT(*) * 10 AS BIGINT) AS sum_pts,
+            CAST(COUNT(*) AS DOUBLE) * CAST(0.046875 AS DOUBLE) AS sum_area,
+            CAST(SUM(okey) AS BIGINT) AS sum_okey,
+            MIN(x) - CAST(0.125 AS DOUBLE) AS min_x,
+            MAX(y) + CAST(0.125 AS DOUBLE) AS max_y FROM sample""",
+
+    // s2b arithmetic + sum(row_no): OIDs are 1..500 exactly when every
+    // split task numbers from its .gdbtablx range start.
+    "s2c_filegdb_split" ->
+      s"""WITH sample AS (
+            SELECT $cxSql AS x, $cySql AS y, l_orderkey AS okey FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 500)
+          SELECT COUNT(*) AS n,
+            CAST(COUNT(*) * (COUNT(*) + 1) / 2 AS BIGINT) AS sum_oid,
             CAST(SUM(CAST(x * 2 AS BIGINT)) AS BIGINT) AS sum_2x,
             CAST(COUNT(*) * 10 AS BIGINT) AS sum_pts,
             CAST(COUNT(*) AS DOUBLE) * CAST(0.046875 AS DOUBLE) AS sum_area,

@@ -38,10 +38,14 @@ import graft.geom.GeomLib
   * scope), never mis-parse. Rings assemble shell/hole by ESRI orientation
   * via the shapefile decoder's shared logic.
   *
-  * Remaining scope bounds (docs/COVERAGE.md): multipatch shapes
-  * and the .gdbtablx row index; rows are scanned sequentially and corrupt
-  * length prefixes terminate the scan (the same F10 error-isolation
-  * contract as the shapefile decoder).
+  * The `.gdbtablx` row index is decoded too (magic/blocks/rows/entry-width
+  * header + packed 4-6 byte offsets): [[FileGdb.readLargestSplit]] uses it
+  * to cut one table into row-range splits that decode in parallel tasks —
+  * the same intra-file scale move as the shapefile `.shx` path. Remaining
+  * scope bounds (docs/COVERAGE.md): multipatch shapes and sparse indexes
+  * (deleted rows) — those fall back to the sequential whole-file scan,
+  * where corrupt length prefixes terminate the scan (the same F10
+  * error-isolation contract as the shapefile decoder).
   */
 object FileGdbCodec {
 
@@ -102,21 +106,10 @@ object FileGdbCodec {
     }
   }
 
-  /** Decode a whole .gdbtable to (rowNo, attrs, wkbOrNull) rows. Broken
-    * trailing records end the iteration rather than failing the file. */
-  def decode(bytes: Array[Byte]): Seq[(Int, Map[String, String], Array[Byte])] = {
-    if (bytes.length < 44) return Seq.empty
-    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-    if (bb.getInt(0) != 3) return Seq.empty
-    val nRows = bb.getInt(4)
-    val fileSize = math.min(bb.getLong(24), bytes.length.toLong)
-    val fieldOff = bb.getLong(32)
-    if (fieldOff < 40 || fieldOff + 8 > fileSize) return Seq.empty
-
-    // --- field-description section ---
-    bb.position(fieldOff.toInt)
-    val sectionSize = bb.getInt()
-    val rowStart = fieldOff + 4 + sectionSize
+  /** Parse the field-description section; `bb` must be positioned at the
+    * section payload (right after the 4-byte size prefix). Returns None
+    * when an unsupported field type stops parsing. */
+  private[sources] def parseFieldSection(bb: ByteBuffer): Option[Seq[Field]] = {
     /* version */ bb.getInt()
     /* geometry type + flags */ bb.getInt()
     val nFields = bb.getShort().toInt
@@ -156,9 +149,62 @@ object FileGdbCodec {
       } catch { case _: Exception => ok = false }
       i += 1
     }
-    if (!ok) return Seq.empty
-    val fs = fields.result()
-    val nullable = fs.filter(_.nullable)
+    if (ok) Some(fields.result()) else None
+  }
+
+  /** Decode one row blob; `bb` must be positioned at the null bitmap (the
+    * length prefix already consumed). `oid` feeds implicit OBJECTID fields. */
+  private def decodeRow(bb: ByteBuffer, fs: Seq[Field], nullableCount: Int,
+      oid: Int): (Map[String, String], Array[Byte]) = {
+    val bitmap = new Array[Byte]((nullableCount + 7) / 8)
+    bb.get(bitmap)
+    var nullIdx = 0
+    def isNull: Boolean = {
+      val r = (bitmap(nullIdx / 8) >> (nullIdx % 8) & 1) != 0
+      nullIdx += 1
+      r
+    }
+    var attrs = Map.empty[String, String]
+    var wkb: Array[Byte] = null
+    fs.foreach { f =>
+      val fieldNull = f.nullable && isNull
+      if (!fieldNull) f.ftype match {
+        case 1 => attrs += f.name -> bb.getInt().toString
+        case 3 => attrs += f.name -> bb.getDouble().toString
+        case 4 =>
+          val len = readVaruint(bb).toInt
+          val buf = new Array[Byte](len)
+          bb.get(buf)
+          attrs += f.name -> new String(buf, StandardCharsets.UTF_8)
+        case 6 => attrs += f.name -> oid.toString // implicit OID
+        case 7 =>
+          val glen = readVaruint(bb)
+          val gEnd = bb.position() + glen
+          wkb = try decodeShape(bb, f) catch { case _: Exception => null }
+          bb.position(gEnd.toInt) // Z/M trailing streams and unsupported
+                                  // shapes skip via the length prefix
+        case _ => ()
+      } else if (f.ftype == 6) attrs += f.name -> oid.toString
+    }
+    (attrs, wkb)
+  }
+
+  /** Decode a whole .gdbtable to (rowNo, attrs, wkbOrNull) rows. Broken
+    * trailing records end the iteration rather than failing the file. */
+  def decode(bytes: Array[Byte]): Seq[(Int, Map[String, String], Array[Byte])] = {
+    if (bytes.length < 44) return Seq.empty
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (bb.getInt(0) != 3) return Seq.empty
+    val nRows = bb.getInt(4)
+    val fileSize = math.min(bb.getLong(24), bytes.length.toLong)
+    val fieldOff = bb.getLong(32)
+    if (fieldOff < 40 || fieldOff + 8 > fileSize) return Seq.empty
+
+    bb.position(fieldOff.toInt)
+    val sectionSize = bb.getInt()
+    val rowStart = fieldOff + 4 + sectionSize
+    val fs = parseFieldSection(bb).getOrElse(return Seq.empty)
+    val nullableCount = fs.count(_.nullable)
 
     // --- rows: length-prefixed blobs from rowStart ---
     val out = Seq.newBuilder[(Int, Map[String, String], Array[Byte])]
@@ -172,43 +218,133 @@ object FileGdbCodec {
       } else {
         rowNo += 1
         try {
-          val nullBytes = (nullable.size + 7) / 8
-          val bitmap = new Array[Byte](nullBytes)
-          bb.get(bitmap)
-          var nullIdx = 0
-          def isNull: Boolean = {
-            val r = (bitmap(nullIdx / 8) >> (nullIdx % 8) & 1) != 0
-            nullIdx += 1
-            r
-          }
-          var attrs = Map.empty[String, String]
-          var wkb: Array[Byte] = null
-          fs.foreach { f =>
-            val fieldNull = f.nullable && isNull
-            if (!fieldNull) f.ftype match {
-              case 1 => attrs += f.name -> bb.getInt().toString
-              case 3 => attrs += f.name -> bb.getDouble().toString
-              case 4 =>
-                val len = readVaruint(bb).toInt
-                val buf = new Array[Byte](len)
-                bb.get(buf)
-                attrs += f.name -> new String(buf, StandardCharsets.UTF_8)
-              case 6 => attrs += f.name -> rowNo.toString // implicit OID
-              case 7 =>
-                val glen = readVaruint(bb)
-                val gEnd = bb.position() + glen
-                wkb = try decodeShape(bb, f) catch { case _: Exception => null }
-                bb.position(gEnd.toInt) // Z/M trailing streams and unsupported
-                                        // shapes skip via the length prefix
-              case _ => ()
-            } else if (f.ftype == 6) attrs += f.name -> rowNo.toString
-          }
+          val (attrs, wkb) = decodeRow(bb, fs, nullableCount, rowNo)
           out += ((rowNo, attrs, wkb))
         } catch { case _: Exception => () } // skip broken row
         pos += 4 + blobLen
       }
     }
     out.result()
+  }
+
+  /** Decode `rowCount` consecutive length-prefixed row blobs from `buf`
+    * (a byte window that starts exactly at a row boundary), numbering them
+    * `startOid..`. The walk must land exactly on the window end — a
+    * mismatch means the table has relocation gaps the sequential walk
+    * cannot see, and the split read fails LOUDLY rather than mis-parse
+    * (the caller's whole-file path handles such tables). */
+  def decodeRows(buf: Array[Byte], fs: Seq[Field], startOid: Int,
+      rowCount: Int): Seq[(Int, Map[String, String], Array[Byte])] = {
+    val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+    val nullableCount = fs.count(_.nullable)
+    val out = Seq.newBuilder[(Int, Map[String, String], Array[Byte])]
+    var pos = 0L
+    var i = 0
+    while (i < rowCount) {
+      if (pos + 4 > buf.length)
+        throw new IllegalStateException(
+          s"split row walk ran past the window at row ${startOid + i}")
+      bb.position(pos.toInt)
+      val blobLen = bb.getInt()
+      if (blobLen <= 0 || pos + 4 + blobLen > buf.length)
+        throw new IllegalStateException(
+          s"bad row length $blobLen at split row ${startOid + i}")
+      val oid = startOid + i
+      try {
+        val (attrs, wkb) = decodeRow(bb, fs, nullableCount, oid)
+        out += ((oid, attrs, wkb))
+      } catch { case _: Exception => () } // skip broken row, keep walking
+      pos += 4 + blobLen
+      i += 1
+    }
+    if (pos != buf.length)
+      throw new IllegalStateException(
+        s"row walk ended at $pos, window is ${buf.length} bytes — " +
+          "non-contiguous .gdbtable rows; use the whole-file reader")
+    out.result()
+  }
+
+  /** Parse a `.gdbtablx` row index to absolute row offsets (1-based rows,
+    * array index 0 = OID 1). Header: int32 magic=3, int32 1024-row blocks
+    * present, int32 row count, int32 bytes per offset entry (4/5/6), then
+    * the packed little-endian offsets. Returns None for sparse tables
+    * (blocks × 1024 < rows ⇒ a trailer bitmap this reader doesn't model)
+    * or malformed input — callers fall back to whole-file decoding. */
+  def parseTablx(bytes: Array[Byte]): Option[Array[Long]] = {
+    if (bytes.length < 16) return None
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    if (bb.getInt(0) != 3) return None
+    val nBlocks = bb.getInt(4)
+    val nRows = bb.getInt(8)
+    val width = bb.getInt(12)
+    if (width < 4 || width > 6 || nRows < 0) return None
+    if (nBlocks.toLong * 1024 < nRows) return None // sparse: unsupported
+    if (16L + nRows.toLong * width > bytes.length) return None
+    val out = new Array[Long](nRows)
+    var i = 0
+    var pos = 16
+    while (i < nRows) {
+      var v = 0L
+      var b = 0
+      while (b < width) { v |= (bytes(pos + b) & 0xffL) << (8 * b); b += 1 }
+      out(i) = v
+      i += 1
+      pos += width
+    }
+    Some(out)
+  }
+
+  /** Cut a `.gdbtablx` into row-range splits of ≤ `maxRows`:
+    * (startOid, rowCount, byteStart, byteEnd — or -1 meaning "to EOF").
+    * Requires a dense index with strictly increasing offsets (no deleted
+    * or relocated rows) — anything else returns empty and the caller
+    * falls back to the whole-file path. Executor-side; only these few
+    * tuples per FILE (not per row) ever reach the driver. */
+  def splitRanges(tablx: Array[Byte], maxRows: Int): Seq[(Int, Int, Long, Long)] = {
+    require(maxRows > 0, s"maxRows must be positive: $maxRows")
+    val offs = parseTablx(tablx).getOrElse(return Seq.empty)
+    if (offs.isEmpty || offs(0) <= 0) return Seq.empty
+    var i = 1
+    while (i < offs.length) {
+      if (offs(i) <= offs(i - 1)) return Seq.empty // hole or relocation
+      i += 1
+    }
+    val out = Seq.newBuilder[(Int, Int, Long, Long)]
+    var start = 0
+    while (start < offs.length) {
+      val end = math.min(start + maxRows, offs.length) // exclusive
+      val byteEnd = if (end < offs.length) offs(end) else -1L
+      out += ((start + 1, end - start, offs(start), byteEnd))
+      start = end
+    }
+    out.result()
+  }
+
+  /** Derive the `.gdbtablx` sidecar for a table produced by the fixture
+    * writers (dense, contiguous rows): walk the length-prefixed blobs and
+    * emit 5-byte offset entries padded to a whole 1024-row block. */
+  def writeTablx(table: Array[Byte]): Array[Byte] = {
+    val bb = ByteBuffer.wrap(table).order(ByteOrder.LITTLE_ENDIAN)
+    val nRows = bb.getInt(4)
+    val fieldOff = bb.getLong(32)
+    var pos = fieldOff + 4 + bb.getInt(fieldOff.toInt)
+    val offs = new Array[Long](nRows)
+    var i = 0
+    while (i < nRows) {
+      offs(i) = pos
+      pos += 4 + bb.getInt(pos.toInt)
+      i += 1
+    }
+    val width = 5
+    val nBlocks = (nRows + 1023) / 1024
+    val out = ByteBuffer.allocate(16 + nBlocks * 1024 * width)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.putInt(3); out.putInt(nBlocks); out.putInt(nRows); out.putInt(width)
+    offs.foreach { v =>
+      var b = 0
+      while (b < width) { out.put(((v >> (8 * b)) & 0xff).toByte); b += 1 }
+    }
+    out.array() // padding entries beyond nRows stay zero
   }
 
   // ESRI shape-buffer type codes (shared with the extended shapefile spec):
@@ -505,6 +641,63 @@ object FileGdb {
       .flatMap { case (path, bytes) =>
         val src = path.substring(path.lastIndexOf('/') + 1)
         FileGdbCodec.decode(bytes).map { case (no, attrs, wkb) => (src, no, attrs, wkb) }
+      }
+      .toDF("source", "row_no", "attrs", "geom")
+  }
+
+  /** Read the largest .gdbtable with INTRA-file parallelism: the
+    * `.gdbtablx` row index cuts the table into row ranges of ≤
+    * `maxRowsPerSplit`, each decoded in its own Spark task reading only
+    * its byte window — the same scale move the shapefile source makes
+    * with `.shx` (SURVEY F1; one multi-GB table no longer caps a stage at
+    * one task). Falls back to [[readLargest]] when the index is missing,
+    * sparse, or non-monotonic (deleted/relocated rows). Split planning
+    * runs on an executor; only ≤ rows/maxRowsPerSplit small tuples reach
+    * the driver, never per-row offsets. */
+  def readLargestSplit(spark: SparkSession, gdbDir: String,
+      maxRowsPerSplit: Int = 250000): DataFrame = {
+    import spark.implicits._
+    val target = largestTable(spark, gdbDir).getOrElse(
+      throw new IllegalArgumentException(s"no .gdbtable under $gdbDir"))
+    val tablxPath = target.stripSuffix(".gdbtable") + ".gdbtablx"
+    val tp = new org.apache.hadoop.fs.Path(tablxPath)
+    val tfs = tp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!tfs.exists(tp)) return readLargest(spark, gdbDir)
+    val splits: Array[(Int, Int, Long, Long)] =
+      spark.read.format("binaryFile").load(tablxPath)
+        .select(col("content")).as[Array[Byte]]
+        .flatMap(b => FileGdbCodec.splitRanges(b, maxRowsPerSplit))
+        .collect()
+    if (splits.isEmpty) return readLargest(spark, gdbDir) // sparse/empty index
+    val src = target.substring(target.lastIndexOf('/') + 1)
+    spark.sparkContext
+      .parallelize(splits.toIndexedSeq, splits.length)
+      .flatMap { case (startOid, rowCount, byteStart, byteEnd) =>
+        val p = new org.apache.hadoop.fs.Path(target)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(p)
+        try {
+          // header → field section (a few hundred bytes, re-read per task)
+          val head = new Array[Byte](44)
+          in.readFully(0, head)
+          val hb = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN)
+          val fieldOff = hb.getLong(32)
+          val szBuf = new Array[Byte](4)
+          in.readFully(fieldOff, szBuf)
+          val secLen = ByteBuffer.wrap(szBuf).order(ByteOrder.LITTLE_ENDIAN).getInt(0)
+          val sec = new Array[Byte](secLen)
+          in.readFully(fieldOff + 4, sec)
+          val fields = FileGdbCodec
+            .parseFieldSection(ByteBuffer.wrap(sec).order(ByteOrder.LITTLE_ENDIAN))
+            .getOrElse(throw new IllegalStateException(
+              s"unparseable field section in $target"))
+          // this split's byte window only
+          val end = if (byteEnd < 0) fs.getFileStatus(p).getLen else byteEnd
+          val buf = new Array[Byte]((end - byteStart).toInt)
+          in.readFully(byteStart, buf)
+          FileGdbCodec.decodeRows(buf, fields, startOid, rowCount)
+            .map { case (no, attrs, wkb) => (src, no, attrs, wkb) }
+        } finally in.close()
       }
       .toDF("source", "row_no", "attrs", "geom")
   }

@@ -156,4 +156,85 @@ class FileGdbSpec extends AnyFunSuite {
     val ok = FileGdbCodec.writePointTable(Seq("v" -> 3), Seq((Seq[Any](1.0), 2.0, 3.0)))
     assert(FileGdbCodec.decode(ok.take(60)).isEmpty)
   }
+
+  test(".gdbtablx round-trips row offsets and cuts monotone splits") {
+    val rows = (1 to 100).map(i => (Seq[Any](i.toDouble, "s" * (i % 17)), i * 1.0, i * 0.5))
+    val table = FileGdbCodec.writePointTable(Seq("v" -> 3, "pad" -> 4), rows)
+    val tablx = FileGdbCodec.writeTablx(table)
+    val offs = FileGdbCodec.parseTablx(tablx).get
+    assert(offs.length == 100)
+    // offsets must point at each row's length prefix: manual walk agrees
+    val bb = java.nio.ByteBuffer.wrap(table).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val fieldOff = bb.getLong(32)
+    var pos = fieldOff + 4 + bb.getInt(fieldOff.toInt)
+    offs.foreach { o =>
+      assert(o == pos)
+      pos += 4 + bb.getInt(pos.toInt)
+    }
+    val splits = FileGdbCodec.splitRanges(tablx, 30)
+    assert(splits.length == 4)
+    assert(splits.map(_._2).sum == 100)
+    assert(splits.head._1 == 1 && splits.last._1 == 91)
+    assert(splits.last._4 == -1L, "last split reads to EOF")
+    assert(splits.sliding(2).forall { case Seq(a, b) => a._4 == b._3 },
+      "consecutive splits tile the byte range")
+    // variable-width entries: re-encode at width 4 and 6 parse identically
+    Seq(4, 6).foreach { w =>
+      val out = java.nio.ByteBuffer.allocate(16 + 1024 * w)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.putInt(3); out.putInt(1); out.putInt(100); out.putInt(w)
+      offs.foreach { v => (0 until w).foreach(b => out.put(((v >> (8 * b)) & 0xff).toByte)) }
+      assert(FileGdbCodec.parseTablx(out.array()).get.toSeq == offs.toSeq, s"width $w")
+    }
+  }
+
+  test("splitRanges rejects sparse and non-monotonic indexes") {
+    val rows = (1 to 10).map(i => (Seq[Any](i.toDouble), i * 1.0, i * 1.0))
+    val tablx = FileGdbCodec.writeTablx(FileGdbCodec.writePointTable(Seq("v" -> 3), rows))
+    assert(FileGdbCodec.splitRanges(tablx, 4).nonEmpty)
+    // swap two offsets (entries are 5 bytes from byte 16) → reject
+    val bad = tablx.clone()
+    val a = bad.slice(16, 21); System.arraycopy(bad, 21, bad, 16, 5)
+    System.arraycopy(a, 0, bad, 21, 5)
+    assert(FileGdbCodec.splitRanges(bad, 4).isEmpty)
+    // zero first offset (deleted row) → reject
+    val zeroed = tablx.clone()
+    (16 until 21).foreach(i => zeroed(i) = 0)
+    assert(FileGdbCodec.splitRanges(zeroed, 4).isEmpty)
+    // sparse header (fewer blocks than rows claim) → parseTablx None
+    val sparse = tablx.clone()
+    val sb = java.nio.ByteBuffer.wrap(sparse).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    sb.putInt(8, 2000) // 2000 rows > 1 block × 1024
+    assert(FileGdbCodec.parseTablx(sparse).isEmpty)
+  }
+
+  test("readLargestSplit ≡ readLargest across split sizes, incl. fallback") {
+    val dir = tmpGdb()
+    val shell = (x: Double, y: Double) => Seq(
+      (x - 0.5, y - 0.5), (x - 0.5, y + 0.5), (x + 0.5, y + 0.5),
+      (x + 0.5, y - 0.5), (x - 0.5, y - 0.5))
+    val rows = (1 to 137).map(i =>
+      (Seq[Any](i.toDouble, s"tag${i % 5}"), Seq(shell(i * 2.0, i * 1.0))))
+    val table = FileGdbCodec.writeShapeTable(Seq("v" -> 3, "tag" -> 4), 5, rows)
+    java.nio.file.Files.write(dir.resolve("a00000007.gdbtable"), table)
+    java.nio.file.Files.write(dir.resolve("a00000007.gdbtablx"),
+      FileGdbCodec.writeTablx(table))
+    import graft.functions.GraftFunctions.{st_area, st_xmin}
+    def proj(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("row_no"), element_at(col("attrs"), "v").as("v"),
+      element_at(col("attrs"), "tag").as("tag"),
+      st_area(col("geom")).as("area"), st_xmin(col("geom")).as("xmin"))
+    val whole = proj(FileGdb.readLargest(spark, dir.toString))
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Int])
+    Seq(10, 137, 1000).foreach { mrs =>
+      val split = proj(FileGdb.readLargestSplit(spark, dir.toString, mrs))
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Int])
+      assert(split.toSeq == whole.toSeq, s"maxRowsPerSplit=$mrs")
+    }
+    // no .gdbtablx sidecar → silent fallback to the whole-file path
+    val dir2 = tmpGdb()
+    java.nio.file.Files.write(dir2.resolve("a00000007.gdbtable"), table)
+    val fb = FileGdb.readLargestSplit(spark, dir2.toString, 10)
+    assert(fb.count() == 137)
+  }
 }
