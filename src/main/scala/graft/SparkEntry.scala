@@ -1049,6 +1049,46 @@ object SparkEntry {
         .orderBy("shard", "seq_id", "doc_id")
     },
 
+    "t19_corpus_shuffle" -> { (s, d) =>
+      // deterministic training-order shuffle (TrainingData
+      // .shuffleDeterministic): seeded md5 → shard byte → per-shard rank.
+      // The whole permutation is portable hash arithmetic (instr ≡ strpos),
+      // so shard AND position hash-match the SQL replica exactly.
+      graft.operators.TrainingData.shuffleDeterministic(
+          t(s, d, "documents"), seed = "r4", nShards = 16)
+        .orderBy("shard", "pos")
+    },
+
+    "t20_domain_cap" -> { (s, d) =>
+      // per-domain cap + blocklist (TrainingData.domainCap): at most 10
+      // docs per source, two sources blocked, survivors chosen by seeded
+      // hash rank — the deterministic CommonCrawl-style mix guard. The
+      // rank-limit is pushed below the window shuffle (WindowGroupLimit,
+      // plan-asserted in ScalePlanSpec).
+      graft.operators.TrainingData.domainCap(t(s, d, "documents"), "source",
+          cap = 10, seed = "cap", blocklist = Seq("src7", "src13"))
+        .select(col("doc_id"), col("source"), col("domain_rank"))
+        .orderBy("doc_id")
+    },
+
+    "t21_span_removal" -> { (s, d) =>
+      // duplicate-span REMOVAL (TrainingData.removeDupSpans — t17's
+      // inventory acted on): chars covered by a ≥2-occurrence 40-char
+      // window are cut except inside the span's globally-first occurrence.
+      // Planted full copies (t17's construction) must empty while their
+      // originals stay intact; natural near-dups lose only their duplicated
+      // windows. The oracle recomputes removal PER CHARACTER in SQL (range
+      // join + bool_or — a different algorithm than the engine's interval
+      // sweep, same semantics) and the full cleaned texts hash-compare.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.TrainingData.removeDupSpans(corpus, spanLen = 40,
+          hashed = false)
+        .orderBy("doc_id")
+    },
+
     "k6_orc_roundtrip" -> { (s, d) =>
       // columnar interchange sink/scan: lineitem → ORC (zlib) → re-scan →
       // aggregate; the oracle computes the same aggregate from the original
@@ -1994,6 +2034,76 @@ object SparkEntry {
            CAST(LEAST(en, (s + 1) * 512) - GREATEST(st, s * 512) AS BIGINT) AS n_tok_in_seq
          FROM e, UNNEST(range(s0, s1 + 1)) AS u(s)
          ORDER BY shard, seq_id, doc_id""",
+
+    // the seeded md5 permutation replicated: strpos ≡ instr (both 1-based),
+    // shard byte from the first two hex chars, rank within shard.
+    "t19_corpus_shuffle" ->
+      """WITH keyed AS (
+           SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':r4') AS k
+           FROM documents),
+         sharded AS (
+           SELECT doc_id, k,
+             CAST(((strpos('0123456789abcdef', substr(k, 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(k, 2, 1)) - 1)) % 16
+               AS INTEGER) AS shard
+           FROM keyed)
+         SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id)
+             AS BIGINT) AS pos
+         FROM sharded ORDER BY shard, pos""",
+
+    // the same seeded-hash rank per domain, blocklist applied first
+    "t20_domain_cap" ->
+      """WITH ranked AS (
+           SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':cap'), doc_id)
+               AS domain_rank
+           FROM documents WHERE source NOT IN ('src7', 'src13'))
+         SELECT doc_id, source, CAST(domain_rank AS BIGINT) AS domain_rank
+         FROM ranked WHERE domain_rank <= 10 ORDER BY doc_id""",
+
+    // per-character brute force over the t17 planted corpus: a char is cut
+    // iff covered by a non-first occurrence of a duplicated 40-char window
+    // and not covered by the first occurrence — recomputed with a range
+    // join + bool_or, then the kept chars re-concatenated in order.
+    "t21_span_removal" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20),
+         docs AS (SELECT doc_id, text, len(text) AS n FROM corpus),
+         occ AS (
+           SELECT doc_id, CAST(i AS INTEGER) AS o,
+             substr(text, CAST(i AS INTEGER), 40) AS span
+           FROM docs, UNNEST(range(1, n - 38)) AS u(i)
+           WHERE n >= 40),
+         marked AS (
+           SELECT doc_id, o,
+             COUNT(*) OVER (PARTITION BY span) AS n_occ,
+             ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, o) AS rn
+           FROM occ),
+         dup AS (SELECT doc_id, o, rn FROM marked WHERE n_occ >= 2),
+         cov AS (
+           SELECT d.doc_id, CAST(u.c AS INTEGER) AS pos,
+             substr(d.text, CAST(u.c AS INTEGER), 1) AS ch,
+             COALESCE(bool_or(r.rn > 1), FALSE) AS removable,
+             COALESCE(bool_or(r.rn = 1), FALSE) AS protected
+           FROM docs d
+           CROSS JOIN UNNEST(range(1, d.n + 1)) AS u(c)
+           LEFT JOIN dup r ON r.doc_id = d.doc_id
+             AND u.c >= r.o AND u.c < r.o + 40
+           GROUP BY 1, 2, 3),
+         kept AS (
+           SELECT doc_id,
+             string_agg(CASE WHEN NOT removable OR protected THEN ch ELSE '' END,
+               '' ORDER BY pos) AS text_kept
+           FROM cov GROUP BY doc_id)
+         SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars,
+           CAST(d.n - len(COALESCE(k.text_kept, d.text)) AS BIGINT) AS n_removed,
+           COALESCE(k.text_kept, d.text) AS text_kept
+         FROM docs d LEFT JOIN kept k ON d.doc_id = k.doc_id
+         ORDER BY d.doc_id""",
 
     // content aggregates from the same deterministic sample; the clustering
     // contract (4 files, pairwise-disjoint Hilbert ranges) is pinned as

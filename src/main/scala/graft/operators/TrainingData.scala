@@ -265,6 +265,139 @@ object TrainingData {
           - greatest(col("start_tok"), col("seq_id") * budget)).as("n_tok_in_seq"))
   }
 
+  /** Deterministic corpus shuffle — the stable pseudo-random training order
+    * a data loader needs, reproducible across re-runs and re-sharding
+    * because it derives ONLY from (id, seed), never from row position.
+    * Returns `(id, shard, pos)`: read order is (shard, pos).
+    *
+    * Scale shape: shard = two md5 hex chars of the seeded id hash (so any
+    * SQL engine replicates it), position = rank of the hash within the
+    * shard — `nShards` PARALLEL window sorts, never one global sort. At
+    * 100 TB pick nShards ≈ cluster parallelism; each shard sorts
+    * ~corpus/nShards rows in its own task, the same cost profile as the
+    * terasort-style repartitionByRange it replaces, but with stable shard
+    * identity. Map-side expression + one shuffle. */
+  def shuffleDeterministic(docs: DataFrame, seed: String, nShards: Int = 64,
+      idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0 && nShards <= 256,
+      s"nShards must be in 1..256 (shards come from one hash byte): $nShards")
+    val key = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+    // first two hex chars → 0..255 → mod nShards; instr arithmetic is
+    // portable (DuckDB strpos ≡ Spark instr, both 1-based)
+    val hv = (c: Int) =>
+      expr(s"instr('0123456789abcdef', substr(__key, $c, 1)) - 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
+    docs.select(col(idCol), key.as("__key"))
+      .withColumn("shard", pmod(hv(1) * 16 + hv(2), lit(nShards)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Per-domain document caps + blocklist — the CommonCrawl-style guard
+    * against any one domain dominating the mix. Keeps at most `cap`
+    * documents per domain, chosen deterministically by seeded id hash (so
+    * the survivor set is stable under re-ingestion), and drops blocklisted
+    * domains outright. Output carries `domain_rank` (1..cap).
+    *
+    * Scale shape: `row_number ≤ cap` over a domain-partitioned window is
+    * rank-limit-pushed by Catalyst (WindowGroupLimit): every map task keeps
+    * only its local top-`cap` per domain BEFORE the shuffle, so a hot
+    * domain ships ~cap rows per upstream partition, not its full row set
+    * (plan-asserted in ScalePlanSpec). For blocklists too big to inline,
+    * broadcast an anti-join instead of the `isin` filter. */
+  def domainCap(docs: DataFrame, domainCol: String, cap: Int,
+      seed: String = "domain-cap", blocklist: Seq[String] = Nil,
+      idCol: String = "doc_id"): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val allowed =
+      if (blocklist.isEmpty) docs
+      else docs.filter(!col(domainCol).isin(blocklist: _*))
+    val key = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col("__key"), col(idCol))
+    allowed.withColumn("__key", key)
+      .withColumn("domain_rank", row_number().over(w).cast("long"))
+      .filter(col("domain_rank") <= cap)
+      .drop("__key")
+  }
+
+  /** Exact duplicate-span REMOVAL — the acting half of [[dupSpans]]'s
+    * inventory (Lee et al. 2022 substring dedup): every character covered
+    * by a `spanLen`-window whose content occurs at least `minCount` times
+    * corpus-wide is cut, EXCEPT characters inside the span's globally
+    * first occurrence (lowest (doc, offset)) — so exactly one copy of each
+    * duplicated region survives, and a fully duplicated document empties
+    * while its original stays intact. Returns one row per document:
+    * `(doc_id, n_chars, n_removed, text_kept)`.
+    *
+    * Scale shape: the same map-only window explode as [[dupSpans]]
+    * (hashed = 64-bit spans through the shuffle) into one count+min
+    * aggregate, a join back to occurrences, and a per-doc aggregation of
+    * OFFSETS (ints, bounded by doc length — never the windows themselves).
+    * The cut is an O(events) interval sweep per document, expressed with
+    * higher-order functions (`aggregate` over the sorted ±1 coverage
+    * events), not a UDF and not per-character work. */
+  def removeDupSpans(docs: DataFrame, spanLen: Int, minCount: Int = 2,
+      hashed: Boolean = true, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(spanLen > 0 && minCount >= 2, s"spanLen=$spanLen minCount=$minCount")
+    // null text = empty document (kept empty), like lineDedup/packSequences
+    val withText = docs.withColumn("__text", coalesce(col(textCol), lit("")))
+    val occ = withText
+      .filter(length(col("__text")) >= spanLen)
+      .select(col(idCol).as("__id"),
+        posexplode(expr(
+          s"transform(sequence(1, length(__text) - ${spanLen - 1}), " +
+            s"i -> substring(__text, i, $spanLen))")))
+      .select(col("__id"), (col("pos") + 1).as("__off"), col("col").as("__span"))
+    val keyed =
+      if (hashed) occ.select(col("__id"), col("__off"), xxhash64(col("__span")).as("__span"))
+      else occ
+    val firsts = keyed.groupBy(col("__span"))
+      .agg(count(lit(1)).as("__n"),
+        min(struct(col("__id"), col("__off"))).as("__first"))
+      .filter(col("__n") >= minCount)
+      .select(col("__span"),
+        col("__first.__id").as("__fid"), col("__first.__off").as("__foff"))
+    val marks = keyed.join(firsts, Seq("__span"))
+      .select(col("__id"), col("__off"),
+        (col("__id") === col("__fid") && col("__off") === col("__foff")).as("__prot"))
+    val perDoc = marks.groupBy(col("__id"))
+      .agg(collect_list(when(!col("__prot"), col("__off"))).as("__roffs"),
+        collect_list(when(col("__prot"), col("__off"))).as("__poffs"))
+    // coverage events: +1/-1 at each interval edge for removable (rd) and
+    // protected (pd) windows; a character is kept iff rd = 0 OR pd > 0.
+    // The sweep emits the kept segments between consecutive events —
+    // O(|offsets|) per doc, zero-length segments at ties are harmless.
+    val events =
+      s"""array_sort(concat(
+            flatten(transform(coalesce(__roffs, array()), o -> array(
+              named_struct('pos', o, 'rd', 1, 'pd', 0),
+              named_struct('pos', o + $spanLen, 'rd', -1, 'pd', 0)))),
+            flatten(transform(coalesce(__poffs, array()), o -> array(
+              named_struct('pos', o, 'rd', 0, 'pd', 1),
+              named_struct('pos', o + $spanLen, 'rd', 0, 'pd', -1))))))"""
+    val kept =
+      s"""aggregate($events,
+            named_struct('cur', 1, 'rd', 0, 'pd', 0, 'acc', ''),
+            (a, e) -> named_struct(
+              'cur', e.pos,
+              'rd', a.rd + e.rd,
+              'pd', a.pd + e.pd,
+              'acc', concat(a.acc,
+                IF(a.rd = 0 OR a.pd > 0, substring(__text, a.cur, e.pos - a.cur), ''))),
+            a -> concat(a.acc,
+              IF(a.rd = 0 OR a.pd > 0,
+                 substring(__text, a.cur, length(__text) + 1 - a.cur), '')))"""
+    withText.join(perDoc, withText(idCol) === perDoc("__id"), "left")
+      .withColumn("text_kept", expr(kept))
+      .select(col(idCol),
+        length(col("__text")).cast("long").as("n_chars"),
+        (length(col("__text")) - length(col("text_kept"))).cast("long").as("n_removed"),
+        col("text_kept"))
+  }
+
   /** Stratified downsampling for training-mix reweighting: keep a
     * per-stratum fraction of rows, decided deterministically from `keyExpr
     * mod 100` (pass e.g. `pmod(xxhash64(col), 100)` for hash sampling or a

@@ -291,6 +291,42 @@ class ScalePlanSpec extends AnyFunSuite {
       s"t17 hashed should shuffle on span only, saw $exchanges:\n$p")
   }
 
+  test("domainCap pushes the rank limit below the window shuffle") {
+    // row_number ≤ cap over a domain-partitioned window must plan a
+    // WindowGroupLimit: map tasks keep their local top-cap per domain
+    // BEFORE the exchange, so a hot domain ships ~cap rows per upstream
+    // partition instead of its full row set
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.operators.TrainingData.domainCap(docs, "source", cap = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"domainCap must rank-limit-push below the shuffle:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"domainCap must not funnel through one partition:\n$p")
+  }
+
+  test("shuffleDeterministic windows are sharded, never a single global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.operators.TrainingData.shuffleDeterministic(docs, "s", 64)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"shuffle order must come from parallel per-shard sorts:\n$p")
+    assert(p.contains("hashpartitioning(shard"),
+      s"window exchange must hash by shard:\n$p")
+  }
+
+  test("removeDupSpans plans equality joins only; hashed mode ships longs") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      graft.operators.TrainingData.removeDupSpans(docs, spanLen = 40, hashed = true)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"span removal must never plan a non-equi join:\n$p")
+    assert(p.contains("xxhash64"), s"hashed mode must hash before the shuffle:\n$p")
+  }
+
   test("shapefile decode terminates on corrupt record headers") {
     // a .shp whose second record header declares a non-positive content
     // length: round 1 would loop forever (pos never advanced); now it must

@@ -163,4 +163,80 @@ class TrainingDataSpec extends AnyFunSuite {
       TrainingData.stratifiedSample(df, "lang", col("doc_id"), Map("en" -> 101))
     }
   }
+
+  test("shuffleDeterministic: stable permutation, contiguous per-shard ranks") {
+    val docs = (0L until 300L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = TrainingData.shuffleDeterministic(docs, "seedA", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // permutation: every doc exactly once, shard within range
+    assert(a.length == 300 && a.map(_._1).toSet.size == 300)
+    assert(a.forall(t => t._2 >= 0 && t._2 < 8))
+    // per-shard positions are contiguous 1..count
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // deterministic: identical on re-run; different under another seed
+    val a2 = TrainingData.shuffleDeterministic(docs, "seedA", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq == a2.sortBy(_._1).toSeq)
+    val b = TrainingData.shuffleDeterministic(docs, "seedB", nShards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq != b.sortBy(_._1).toSeq)
+    // order is not the input order (it IS a shuffle)
+    val shard0 = a.filter(_._2 == a.head._2).sortBy(_._3).map(_._1)
+    assert(shard0.toSeq != shard0.sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      TrainingData.shuffleDeterministic(docs, "s", nShards = 257)
+    }
+  }
+
+  test("domainCap enforces cap + blocklist deterministically") {
+    val docs = (0L until 120L).map(i => (i, s"dom${i % 4}")).toDF("doc_id", "source")
+    val kept = TrainingData.domainCap(docs, "source", cap = 10,
+      blocklist = Seq("dom3"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(kept.length == 30, "3 surviving domains x cap 10")
+    assert(!kept.exists(_._2 == "dom3"))
+    kept.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to 10L).toSeq)
+    }
+    // stable survivor set on re-run
+    val again = TrainingData.domainCap(docs, "source", cap = 10,
+      blocklist = Seq("dom3")).collect().map(_.getLong(0)).toSet
+    assert(again == kept.map(_._1).toSet)
+    // domains under the cap keep everything
+    val loose = TrainingData.domainCap(docs, "source", cap = 1000)
+    assert(loose.count() == 120)
+  }
+
+  test("removeDupSpans keeps one copy of each duplicated region") {
+    // identical pair: the later doc empties, the earlier survives intact
+    val pair = Seq((1L, "abcdefgh"), (2L, "abcdefgh")).toDF("doc_id", "text")
+    val gotPair = TrainingData.removeDupSpans(pair, spanLen = 4, hashed = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    assert(gotPair.toSeq == Seq((1L, 8L, 0L, "abcdefgh"), (2L, 8L, 8L, "")))
+    // intra-doc repeat: second occurrence cut, unique middle kept
+    val intra = Seq((1L, "abcdWXYZabcd")).toDF("doc_id", "text")
+    val gotIntra = TrainingData.removeDupSpans(intra, spanLen = 4, hashed = false)
+      .collect().map(r => (r.getLong(2), r.getString(3))).head
+    assert(gotIntra == (4L, "abcdWXYZ"))
+    // overlapping self-similar run collapses to exactly one span copy
+    val run = Seq((1L, "aaaaaa")).toDF("doc_id", "text")
+    val gotRun = TrainingData.removeDupSpans(run, spanLen = 4, hashed = false)
+      .collect().map(_.getString(3)).head
+    assert(gotRun == "aaaa")
+    // hashed mode ≡ string mode; minCount above the multiplicity keeps all;
+    // short and null docs pass through untouched
+    val mixed = Seq((1L, "abcdefgh"), (2L, "abcdefgh"), (3L, "xy"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val viaHash = TrainingData.removeDupSpans(mixed, 4, hashed = true)
+      .collect().map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
+    val viaStr = TrainingData.removeDupSpans(mixed, 4, hashed = false)
+      .collect().map(r => (r.getLong(0), r.getString(3))).sortBy(_._1)
+    assert(viaHash.toSeq == viaStr.toSeq)
+    assert(viaHash.toSeq == Seq((1L, "abcdefgh"), (2L, ""), (3L, "xy"), (4L, "")))
+    val loose = TrainingData.removeDupSpans(mixed, 4, minCount = 3, hashed = false)
+    assert(loose.agg(sum("n_removed")).head().getLong(0) == 0L)
+  }
 }
