@@ -281,7 +281,12 @@ object TrainingData {
       idCol: String = "doc_id"): DataFrame = {
     require(nShards > 0 && nShards <= 256,
       s"nShards must be in 1..256 (shards come from one hash byte): $nShards")
-    val key = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+    // a null id hashes like the empty string (concat of a null would null
+    // the key → null shard); ids are expected unique — rows sharing an id
+    // (or several null ids) tie on the key and their relative pos is
+    // tie-broken by id only, so equal ids order arbitrarily
+    val key = md5(concat(coalesce(col(idCol).cast("string"), lit("")),
+      lit(":" + seed)))
     // first two hex chars → 0..255 → mod nShards; instr arithmetic is
     // portable (DuckDB strpos ≡ Spark instr, both 1-based)
     val hv = (c: Int) =>
@@ -310,10 +315,14 @@ object TrainingData {
       seed: String = "domain-cap", blocklist: Seq[String] = Nil,
       idCol: String = "doc_id"): DataFrame = {
     require(cap > 0, s"cap must be positive: $cap")
+    // null domains form their own capped group; the blocklist filter must
+    // keep them too (bare `!isin` is NULL for a null domain — it would drop
+    // null-domain rows only when a blocklist is present, an inconsistency)
     val allowed =
       if (blocklist.isEmpty) docs
-      else docs.filter(!col(domainCol).isin(blocklist: _*))
-    val key = md5(concat(col(idCol).cast("string"), lit(":" + seed)))
+      else docs.filter(coalesce(!col(domainCol).isin(blocklist: _*), lit(true)))
+    val key = md5(concat(coalesce(col(idCol).cast("string"), lit("")),
+      lit(":" + seed)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol)).orderBy(col("__key"), col(idCol))
     allowed.withColumn("__key", key)
@@ -344,7 +353,13 @@ object TrainingData {
     require(spanLen > 0 && minCount >= 2, s"spanLen=$spanLen minCount=$minCount")
     // null text = empty document (kept empty), like lineDedup/packSequences
     val withText = docs.withColumn("__text", coalesce(col(textCol), lit("")))
+    // null-id docs can't participate in first-occurrence bookkeeping (the
+    // equality join back to the doc would never match, so their windows
+    // would count toward removal elsewhere while the doc itself passed
+    // through uncut — a one-sided inconsistency); they bypass the index
+    // entirely and come back unchanged via the left join
     val occ = withText
+      .filter(col(idCol).isNotNull)
       .filter(length(col("__text")) >= spanLen)
       .select(col(idCol).as("__id"),
         posexplode(expr(

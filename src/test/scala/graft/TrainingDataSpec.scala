@@ -239,4 +239,29 @@ class TrainingDataSpec extends AnyFunSuite {
     val loose = TrainingData.removeDupSpans(mixed, 4, minCount = 3, hashed = false)
     assert(loose.agg(sum("n_removed")).head().getLong(0) == 0L)
   }
+
+  test("null domains and ids survive the new operators consistently") {
+    // domainCap: null domains form their own capped group and must NOT be
+    // dropped just because a blocklist exists (bare !isin is NULL there)
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String]), (5L, "bad")).toDF("doc_id", "source")
+    val kept = TrainingData.domainCap(docs, "source", cap = 1,
+      blocklist = Seq("bad")).collect().map(r => (r.getLong(0), r.get(1)))
+    assert(kept.length == 2, s"one per group incl. the null domain: ${kept.toSeq}")
+    assert(kept.count(_._2 == null) == 1)
+    assert(!kept.exists(_._2 == "bad"))
+    // shuffleDeterministic: a null id still gets a real shard and pos
+    val withNull = Seq((Some(1L), "x"), (None, "y"), (Some(3L), "z"))
+      .toDF("doc_id", "text")
+    val out = TrainingData.shuffleDeterministic(withNull, "s", 4).collect()
+    assert(out.length == 3 && out.forall(r => !r.isNullAt(1) && !r.isNullAt(2)))
+    // removeDupSpans: null-id docs bypass the index — uncut, and their
+    // windows don't count as occurrences for other docs
+    val anon = Seq((Some(1L), "abcdefgh"), (None, "abcdefgh"))
+      .toDF("doc_id", "text")
+    val cleaned = TrainingData.removeDupSpans(anon, 4, hashed = false)
+      .collect().map(r => (r.isNullAt(0), r.getString(3)))
+    assert(cleaned.toSet == Set((false, "abcdefgh"), (true, "abcdefgh")),
+      s"no pair counted across the null id: ${cleaned.toSeq}")
+  }
 }
