@@ -155,6 +155,26 @@ object Stress {
       println("    docs: " + out.count() + ", kept lines: " +
         out.agg(sum("n_kept")).head().getLong(0))
     }
+    time("lineDedup (30% hot boilerplate)") {
+      // VERDICT r4 #2 rehearsal: a cookie-banner line planted in 30% of the
+      // corpus — ~nDocs*0.3 occurrences of ONE key. The old window plan
+      // shipped all of them to a single reducer; the combinable min-struct
+      // election must collapse the hot line map-side, so this runs in the
+      // same band as the no-hot-line pass above instead of stalling on a
+      // straggler task.
+      val lined = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) < 3,
+          concat(lit("accept all cookies to continue browsing\n"),
+            regexp_replace(col("text"), "((\\S+ ){7}\\S+) ", "$1\n")))
+        .otherwise(regexp_replace(col("text"), "((\\S+ ){7}\\S+) ", "$1\n"))
+        .as("text"))
+      val out = TrainingData.lineDedup(lined)
+      val hotKept = out.filter(col("text_kept")
+        .contains("accept all cookies")).count()
+      println("    docs: " + out.count() + ", hot line kept in " +
+        hotKept + " docs (must be 1)")
+      require(hotKept == 1, s"hot boilerplate must survive exactly once: $hotKept")
+    }
     time("dupSpans (40c, hashed)") {
       // full-stride span inventory: ~320 explode rows/doc, hashed shuffle
       println("    duplicated spans: " +

@@ -47,8 +47,15 @@ object SpatialJoin {
     val fine = pts.join(gridable, Seq("__cell"))
       .filter(st_contains(col("__poly_geom"), col(pointGeom)))
       .drop("__cell")
-    val coarse = points.join(broadcast(oversized),
-      st_contains(col("__poly_geom"), col(pointGeom)))
-    fine.unionByName(coarse)
+    // The coarse branch re-scans the ENTIRE point side — at corpus scale the
+    // dominant table — so it must only exist when an oversized polygon does.
+    // Probing costs one polygon-side-only job (polygons are the small input
+    // by construction of a point-in-polygon join); paying it once beats
+    // paying a second full point scan on every run. In the common case
+    // (every polygon fits the covering cap) the returned plan reads points
+    // exactly once.
+    if (oversized.isEmpty) fine
+    else fine.unionByName(points.join(broadcast(oversized),
+      st_contains(col("__poly_geom"), col(pointGeom))))
   }
 }

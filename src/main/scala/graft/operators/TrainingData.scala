@@ -160,13 +160,21 @@ object TrainingData {
     * `(doc_id, n_lines, n_kept, text_kept)` with the surviving lines
     * re-joined by the same delimiter (empty string when nothing survives).
     *
-    * Scale shape: one shuffle keyed by line content to rank occurrences
-    * (window `row_number`, identical cost to the groupBy it replaces), one
-    * shuffle back to doc id to reassemble — the line strings travel exactly
-    * once. Boilerplate lines (nav bars, cookie banners) are the hot keys
-    * here; they skew the rank shuffle but each group collapses to its
-    * winner in the partial sort, so the reducer never materializes the
-    * group. No driver state, no UDFs. */
+    * Scale shape (VERDICT r4 #2): boilerplate lines — the empty line, nav
+    * bars, cookie banners — are the corpus's hottest keys, realistically a
+    * double-digit percentage of a web crawl. A window `row_number` over
+    * `partitionBy(line)` has NO partial aggregation: every occurrence of the
+    * hot line ships to a single reducer (WindowExec sorts after the
+    * exchange). So first-occurrence election is a `groupBy(line).agg(min(
+    * struct(id, pos)))` instead — map-side combinable, each map task
+    * collapses the hot line to ONE candidate row before the shuffle. The
+    * winners (one row per distinct line) then regroup by winning doc for
+    * reassembly and left-join to per-doc line counts; both of those shuffles
+    * are keyed by doc id, where groups are bounded by document size — no hot
+    * key survives past the combiner. Line strings travel once per
+    * occurrence (the election) plus once per DISTINCT line (reassembly),
+    * strictly less than the old rank+reassemble plan. No join on the line
+    * key at all. */
   def lineDedup(docs: DataFrame, delim: String = "\n",
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     // null text coalesces to "" (one empty line) rather than silently
@@ -176,22 +184,21 @@ object TrainingData {
       posexplode(split(coalesce(col(textCol), lit("")),
         java.util.regex.Pattern.quote(delim))))
       .select(col("__id"), col("pos"), col("col").as("line"))
-    val rn = row_number().over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(col("line")).orderBy(col("__id"), col("pos")))
-    // one aggregation over the ranked stream carries total, survivor count,
-    // and the reassembly together — the losing lines just don't enter the
-    // collect_list (collect_list skips nulls), so the corpus text is
-    // exploded ONCE and there is no per-doc join
-    lines.withColumn("__rn", rn)
-      .groupBy(col("__id"))
-      .agg(count(lit(1)).as("n_lines"),
-        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+    // struct ordering is field-by-field, so min(struct(id, pos)) is exactly
+    // the (lowest doc, lowest position) occurrence the C4 rule keeps
+    val winners = lines.groupBy(col("line"))
+      .agg(min(struct(col("__id"), col("pos"))).as("__w"))
+      .select(col("__w.__id").as("__id"), col("__w.pos").as("pos"), col("line"))
+    val kept = winners.groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(
-            when(col("__rn") === 1, struct(col("pos"), col("line"))))),
+            struct(col("pos"), col("line")))),
           x => x.getField("line")), delim).as("text_kept"))
-      .select(col("__id").as(idCol), col("n_lines"), col("n_kept"),
-        col("text_kept"))
+    val totals = lines.groupBy(col("__id")).agg(count(lit(1)).as("n_lines"))
+    totals.join(kept, Seq("__id"), "left")
+      .select(col("__id").as(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
 
   /** Exact duplicate-span detection (the signal behind suffix-array
