@@ -528,6 +528,60 @@ object SparkEntry {
         .orderBy("cell")
     },
 
+    "a7h_h3_heatmap" -> { (s, d) =>
+      // TRUE-H3 heatmap at the runbook's res 7 (H3_LATLNG_TO_CELL(lat,lng,7),
+      // East-Asia-Building-Footprints.md:243-256), anti-meridian band on the
+      // point longitude so the oracle replicates it exactly. Reduced to one
+      // invariant row: totals DuckDB recomputes from the parquet, validity
+      // proven in-engine, n_cells pinned to the distinct lattice-point count
+      // (res-7 cells ≈ 2 km; the synthetic lattice is ~110 km — distinct
+      // points MUST land in distinct cells — which is why the polar caps,
+      // where 1 degree of longitude shrinks below the cell size, are
+      // clipped on BOTH sides), and the two published H3 anchor cells as
+      // literals pinning the absolute numbering.
+      val hm = t(s, d, "lineitem")
+        .filter(cxCol < 175.0 && cxCol > -175.0 &&
+          cyCol < 85.0 && cyCol > -85.0)
+        .withColumn("h3_7", h3_latlng_to_cell(cyCol, cxCol, lit(7)))
+        .groupBy(col("h3_7")).agg(count(lit(1)).as("num_recs"))
+      hm.agg(
+        sum(col("num_recs")).cast("long").as("total_recs"),
+        count(lit(1)).as("n_cells"),
+        (sum(when(h3_is_valid_cell(col("h3_7")), 1L).otherwise(0L)) ===
+          count(lit(1))).as("all_valid"))
+        .select(col("total_recs"), col("n_cells"), col("all_valid"),
+          h3_latlng_to_cell(lit(37.7752702151959257),
+            lit(-122.418307270836230), lit(9)).as("sf_anchor"),
+          h3_latlng_to_cell(lit(37.3615593), lit(-122.0553238), lit(5))
+            .as("ca_anchor"))
+    },
+
+    "g10h_h3_boundary" -> { (s, d) =>
+      // TRUE-H3 cell boundaries (H3_CELL_TO_BOUNDARY_WKT,
+      // East-Asia-Building-Footprints.md:264-268): every distinct res-7 cell
+      // of the band's lattice gets a boundary WKT that must parse, contain
+      // its own cell center, and carry the published 6..12-vertex shape
+      // (Class III cells gain icosa-edge distortion vertices). Poles are
+      // excluded point-level (planar containment degenerates there) so the
+      // oracle mirrors the filter on raw coordinates.
+      val cells = t(s, d, "lineitem")
+        .filter(cxCol < 175.0 && cxCol > -175.0 &&
+          cyCol < 85.0 && cyCol > -85.0)
+        .select(h3_latlng_to_cell(cyCol, cxCol, lit(7)).as("h3_7")).distinct()
+      cells.select(col("h3_7"),
+          h3_cell_to_boundary_wkt(col("h3_7")).as("wkt"),
+          h3_cell_center_lon(col("h3_7")).as("clon"),
+          h3_cell_center_lat(col("h3_7")).as("clat"))
+        .withColumn("geom", st_geomfromtext(col("wkt")))
+        .withColumn("ok", col("geom").isNotNull &&
+          st_contains(col("geom"), st_point(col("clon"), col("clat"))) &&
+          st_npoints(col("geom")).between(7, 13))
+        .agg(
+          (sum(when(col("ok"), 1L).otherwise(0L)) === count(lit(1))).as("all_ok"),
+          (countDistinct(col("wkt")) === count(lit(1))).as("wkts_distinct"),
+          count(lit(1)).as("n_cells"))
+    },
+
     "sql1_spatial_sql" -> { (s, d) =>
       // the SQL surface end-to-end: registered graft functions inside
       // spark.sql text, over a temp view (the engine's INSTALL/LOAD twin)
@@ -1595,6 +1649,28 @@ object SparkEntry {
           WHERE (-180.0 + ((cell - 3458764513820540928) // 4096 + 0.5) * 360.0 / 4096.0) < 175.0
             AND (-180.0 + ((cell - 3458764513820540928) // 4096 + 0.5) * 360.0 / 4096.0) > -175.0
           ORDER BY cell""",
+
+    // true-H3 gates: DuckDB has no H3 extension, so the oracle verifies what
+    // ANSI SQL can see — exact totals and distinct-lattice counts from the
+    // parquet, the published anchor cell ids as literals (pinning the
+    // absolute H3 numbering inside the correctness gate), and TRUE for the
+    // invariants the engine must prove over the full sf-scale input
+    "a7h_h3_heatmap" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS total_recs,
+            CAST(COUNT(DISTINCT ($cxSql || '/' || $cySql)) AS BIGINT) AS n_cells,
+            TRUE AS all_valid,
+            CAST(617700169958293503 AS BIGINT) AS sf_anchor,
+            CAST(599686042433355775 AS BIGINT) AS ca_anchor
+          FROM lineitem
+          WHERE $cxSql < 175.0 AND $cxSql > -175.0
+            AND $cySql < 85.0 AND $cySql > -85.0""",
+
+    "g10h_h3_boundary" ->
+      s"""SELECT TRUE AS all_ok, TRUE AS wkts_distinct,
+            CAST(COUNT(DISTINCT ($cxSql || '/' || $cySql)) AS BIGINT) AS n_cells
+          FROM lineitem
+          WHERE $cxSql < 175.0 AND $cxSql > -175.0
+            AND $cySql < 85.0 AND $cySql > -85.0""",
 
     "sql1_spatial_sql" ->
       s"""SELECT 2305843009213693952 +

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.geom.{GeomLib, CrsTransform}
+import graft.geom.{GeomLib, CrsTransform, H3Lib}
 
 /** Catalyst expressions for the spatial operator family (SURVEY.md §2.9).
   *
@@ -384,5 +384,76 @@ case class GridCellCenterLon(child: Expression) extends UnaryExpression
     GeomLib.cellCenterLon(cell.asInstanceOf[Number].longValue)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.geom.GeomLib.cellCenterLon($c)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** h3_latlng_to_cell(lat, lng, res) — TRUE H3 cell id, interchangeable with
+  * user-held H3 data; argument order matches H3_LATLNG_TO_CELL(lat, lng, res)
+  * (East-Asia-Building-Footprints.md:250-252). `graft.geom.H3Lib` is a
+  * from-scratch port of the published uber/h3 algorithm. */
+case class H3LatLngToCell(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "h3_latlng_to_cell"
+  protected override def nullSafeEval(lat: Any, lng: Any, res: Any): Any =
+    H3Lib.latLngToCell(lat.asInstanceOf[Number].doubleValue,
+      lng.asInstanceOf[Number].doubleValue, res.asInstanceOf[Number].intValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) => s"graft.geom.H3Lib.latLngToCell($a, $b, $c)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** h3_cell_to_boundary_wkt(cell) — twin of H3_CELL_TO_BOUNDARY_WKT
+  * (East-Asia-Building-Footprints.md:264). */
+case class H3CellToBoundaryWkt(child: Expression) extends UnaryExpression
+    with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "h3_cell_to_boundary_wkt"
+  protected override def nullSafeEval(cell: Any): Any =
+    UTF8String.fromString(H3Lib.cellToBoundaryWkt(cell.asInstanceOf[Number].longValue))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** h3_cell_center_lon(cell) / h3_cell_center_lat(cell) — cell centroid
+  * coordinates (the heatmap export's anti-meridian filter,
+  * East-Asia-Building-Footprints.md:267-268). */
+case class H3CellCenterLon(child: Expression) extends UnaryExpression
+    with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "h3_cell_center_lon"
+  protected override def nullSafeEval(cell: Any): Any =
+    H3Lib.cellToLatLng(cell.asInstanceOf[Number].longValue)._2
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class H3CellCenterLat(child: Expression) extends UnaryExpression
+    with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "h3_cell_center_lat"
+  protected override def nullSafeEval(cell: Any): Any =
+    H3Lib.cellToLatLng(cell.asInstanceOf[Number].longValue)._1
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** h3_is_valid_cell(cell) — structural validity of an H3 index. */
+case class H3IsValidCell(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "h3_is_valid_cell"
+  protected override def nullSafeEval(cell: Any): Any =
+    H3Lib.isValidCell(cell.asInstanceOf[Number].longValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.geom.H3Lib.isValidCell($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

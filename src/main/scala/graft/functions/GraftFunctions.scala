@@ -50,6 +50,12 @@ object GraftFunctions {
   def st_intersects(a: Column, b: Column): Column = col(StIntersects(ex(a), ex(b)))
   def st_distance(a: Column, b: Column): Column = col(StDistance(ex(a), ex(b)))
   def grid_cell_center_lon(cell: Column): Column = col(GridCellCenterLon(ex(cell)))
+  def h3_latlng_to_cell(lat: Column, lng: Column, res: Column): Column =
+    col(H3LatLngToCell(ex(lat), ex(lng), ex(res)))
+  def h3_cell_to_boundary_wkt(cell: Column): Column = col(H3CellToBoundaryWkt(ex(cell)))
+  def h3_cell_center_lon(cell: Column): Column = col(H3CellCenterLon(ex(cell)))
+  def h3_cell_center_lat(cell: Column): Column = col(H3CellCenterLat(ex(cell)))
+  def h3_is_valid_cell(cell: Column): Column = col(H3IsValidCell(ex(cell)))
 
   // --- text / dedup ---
   def shingle_hashes(text: Column, n: Column): Column = col(ShingleHashes(ex(text), ex(n)))
@@ -109,6 +115,11 @@ object GraftFunctions {
     "st_intersects" -> { e => StIntersects(e(0), e(1)) },
     "st_distance" -> { e => StDistance(e(0), e(1)) },
     "grid_cell_center_lon" -> { e => GridCellCenterLon(e.head) },
+    "h3_latlng_to_cell" -> { e => H3LatLngToCell(e(0), e(1), e(2)) },
+    "h3_cell_to_boundary_wkt" -> { e => H3CellToBoundaryWkt(e.head) },
+    "h3_cell_center_lon" -> { e => H3CellCenterLon(e.head) },
+    "h3_cell_center_lat" -> { e => H3CellCenterLat(e.head) },
+    "h3_is_valid_cell" -> { e => H3IsValidCell(e.head) },
     "shingle_hashes" -> { e => ShingleHashes(e(0), e(1)) },
     "minhash_signature" -> { e => MinHashSignature(e(0), e(1), e(2)) },
     "jaccard_sorted" -> { e => JaccardSorted(e(0), e(1)) },

@@ -1,0 +1,156 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geom.H3Lib
+
+/** H3 port validation. The implementation reconstructs uber/h3's face-slot
+  * lookup tables geometrically at init (any transcription error in the base
+  * cell registry fails init loudly); these tests pin the ABSOLUTE numbering
+  * against published H3 values and the published global invariants.
+  */
+class H3Spec extends AnyFunSuite {
+
+  test("published anchor: SF point at res 9 and its center") {
+    // uber/h3 documentation example: latLngToCell of the SF test point
+    val c = H3Lib.latLngToCell(37.7752702151959257, -122.418307270836230, 9)
+    assert(c == 0x8928308280fffffL, f"got ${H3Lib.hexString(c)}")
+    val (lat, lng) = H3Lib.cellToLatLng(0x8928308280fffffL)
+    assert(math.abs(lat - 37.77670234943567) < 1e-10, lat.toString)
+    assert(math.abs(lng - -122.41845932318311) < 1e-10, lng.toString)
+  }
+
+  test("published anchor: h3-js README example at res 5") {
+    val c = H3Lib.latLngToCell(37.3615593, -122.0553238, 5)
+    assert(c == 0x85283473fffffffL, f"got ${H3Lib.hexString(c)}")
+    val (lat, lng) = H3Lib.cellToLatLng(0x85283473fffffffL)
+    assert(math.abs(lat - 37.34579337536848) < 1e-8, lat.toString)
+    assert(math.abs(lng - -121.97637597255124) < 1e-8, lng.toString)
+  }
+
+  test("index structure: mode, res, base cell, validity") {
+    val c = H3Lib.latLngToCell(35.6895, 139.6917, 7)
+    assert(H3Lib.getResolution(c) == 7)
+    assert(H3Lib.isValidCell(c))
+    assert(H3Lib.getBaseCell(c) < 122)
+    assert(!H3Lib.isValidCell(c | (1L << 63)))
+    // res-0 pentagon index: base cell 4 with all-7 digits
+    assert(H3Lib.isValidCell(0x8009fffffffffffL))
+    assert(H3Lib.isPentagon(0x8009fffffffffffL))
+  }
+
+  test("round-trip: cell -> center -> same cell over 20k random points") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 0 until 20000) {
+      val lat = math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))
+      val lng = rnd.nextDouble() * 360 - 180
+      val res = rnd.nextInt(11)
+      val c = H3Lib.latLngToCell(lat, lng, res)
+      assert(H3Lib.isValidCell(c), H3Lib.hexString(c))
+      val (la, lo) = H3Lib.cellToLatLng(c)
+      val c2 = H3Lib.latLngToCell(la, lo, res)
+      assert(c2 == c,
+        f"($lat%.6f,$lng%.6f,r$res): ${H3Lib.hexString(c)} -> ${H3Lib.hexString(c2)}")
+    }
+  }
+
+  test("published invariants: global distinct cell counts at res 0/1/2") {
+    // cells(res) = 2 + 120*7^res: 122, 842, 5882 — counts pin the pentagon
+    // child arity (842 = 110*7 + 12*6) and global slot coverage
+    for (res <- 0 to 2) {
+      val step0 = if (res == 2) 0.25 else 0.5
+      val cells = scala.collection.mutable.Set[Long]()
+      var lat = -90 + step0 / 2
+      while (lat < 90) {
+        var lng = -180.0
+        val step = step0 / math.max(0.05, math.cos(math.toRadians(lat)))
+        while (lng < 180) { cells += H3Lib.latLngToCell(lat, lng, res); lng += step }
+        lat += step0
+      }
+      assert(cells.size == 2 + 120 * math.pow(7, res).toInt,
+        s"res $res: ${cells.size}")
+      // every cell id structurally valid
+      assert(cells.forall(H3Lib.isValidCell))
+    }
+  }
+
+  test("pentagon count: exactly 12 pentagons per resolution") {
+    val pents = scala.collection.mutable.Set[Long]()
+    var lat = -89.9
+    while (lat < 90) {
+      var lng = -180.0
+      while (lng < 180) {
+        val c = H3Lib.latLngToCell(lat, lng, 1)
+        if (H3Lib.isPentagon(c)) pents += c
+        lng += 0.4
+      }
+      lat += 0.4
+    }
+    assert(pents.size == 12, pents.map(H3Lib.hexString).toString)
+  }
+
+  test("boundary: vertices contain the center, counts in published range") {
+    val rnd = new scala.util.Random(7)
+    var pentSeen = 0
+    for (_ <- 0 until 3000) {
+      val lat = math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))
+      val lng = rnd.nextDouble() * 360 - 180
+      val res = 2 + rnd.nextInt(8)
+      val c = H3Lib.latLngToCell(lat, lng, res)
+      val b = H3Lib.cellToBoundary(c)
+      if (H3Lib.isPentagon(c)) pentSeen += 1
+      val exp = if (H3Lib.isPentagon(c)) 5 to 10 else 6 to 12
+      assert(exp.contains(b.length), s"${H3Lib.hexString(c)}: ${b.length} verts")
+      val (la, lo) = H3Lib.cellToLatLng(c)
+      if (math.abs(lo) < 170 && math.abs(la) < 85) {
+        // every vertex nudged 2% toward the center re-encodes to the cell
+        b.foreach { case (vla, vlo) =>
+          val n = H3Lib.latLngToCell(vla * 0.98 + la * 0.02, vlo * 0.98 + lo * 0.02, res)
+          assert(n == c, s"${H3Lib.hexString(c)} vertex ($vla,$vlo) escapes to ${H3Lib.hexString(n)}")
+        }
+      }
+    }
+  }
+
+  test("boundary WKT: closed ring, lng-lat order, parses via GeomLib") {
+    val c = H3Lib.latLngToCell(35.6895, 139.6917, 7)
+    val wkt = H3Lib.cellToBoundaryWkt(c)
+    assert(wkt.startsWith("POLYGON ((") && wkt.endsWith("))"))
+    val wkb = graft.geom.GeomLib.fromText(wkt)
+    assert(wkb != null)
+    val ring = new org.locationtech.jts.io.WKBReader().read(wkb).getCoordinates
+    assert(ring.head == ring.last, "ring must close")
+    assert(ring.length >= 7) // 6 verts + closure
+    // lng-lat order: Tokyo is at lng ~139.7
+    assert(math.abs(ring.head.x - 139.7) < 0.2, ring.head.toString)
+  }
+
+  test("res-7 cells are the runbook grain: ~5 km across") {
+    val c = H3Lib.latLngToCell(35.6895, 139.6917, 7)
+    val b = H3Lib.cellToBoundary(c)
+    val (la, lo) = H3Lib.cellToLatLng(c)
+    val rads = b.map { case (vla, vlo) =>
+      val d = math.sin(math.toRadians(la)) * math.sin(math.toRadians(vla)) +
+        math.cos(math.toRadians(la)) * math.cos(math.toRadians(vla)) *
+          math.cos(math.toRadians(vlo - lo))
+      math.acos(math.min(1.0, d)) * 6371.0
+    }
+    // res-7 circumradius ≈ 1.4 km (published average hex edge 1.406 km)
+    assert(rads.forall(r => r > 1.0 && r < 2.0), rads.mkString(","))
+  }
+
+  test("antipodal symmetry: mirrored points land in distinct valid cells") {
+    // H3's icosahedron orientation has no pole/equator symmetry, but every
+    // antipodal point pair must land in DIFFERENT cells at res >= 1 and both
+    // must be valid — catches gross face-registry distortions cheaply
+    val rnd = new scala.util.Random(3)
+    for (_ <- 0 until 2000) {
+      val lat = math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))
+      val lng = rnd.nextDouble() * 360 - 180
+      val a = H3Lib.latLngToCell(lat, lng, 1)
+      val b = H3Lib.latLngToCell(-lat, if (lng > 0) lng - 180 else lng + 180, 1)
+      assert(H3Lib.isValidCell(a) && H3Lib.isValidCell(b))
+      assert(a != b)
+    }
+  }
+}
