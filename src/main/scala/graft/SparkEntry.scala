@@ -681,14 +681,24 @@ object SparkEntry {
         ("kr", 5186, inBox(124.5, 129.5, -60.0, 10.0)),
         ("cn", 4502, inBox(72.5, 77.5, -60.0, 10.0)),
         ("tokyo", 30169, inBox(137.5, 142.0, -60.0, 10.0)),
-        ("lcc", 2154, inBox(0.5, 5.5, -30.0, 10.0)))
+        ("lcc", 2154, inBox(0.5, 5.5, -30.0, 10.0)),
+        // round 5: LCC-1SP (Jamaica grid + 3-param datum), Albers equal-area
+        // (Conus + Australian), polar stereographic variant B (Antarctic)
+        // and variant A (UPS South). The corpus's synthetic latitude band
+        // tops out near +10, so the north-polar/European families (3413,
+        // 5041, 27700, 28992) are anchored in CrsTransformSpec instead.
+        ("lcc1", 24200, inBox(-79.5, -74.5, -60.0, 10.0)),
+        ("alb", 5070, inBox(-106.0, -86.0, -60.0, 9.0)),
+        ("albau", 3577, inBox(120.0, 144.0, -60.0, 0.0)),
+        ("pol", 3031, inBox(-175.0, 175.0, -89.0, -75.0)),
+        ("ups", 5042, inBox(-175.0, 175.0, -89.0, -80.0)))
       val aggs = boxes.flatMap { case (tag, epsg, box) =>
-        // pure projections round-trip below 1e-6 deg; the Tokyo family
-        // crosses the 2D Helmert bridge twice, whose height-drop leak grows
-        // to ~0.2 m at the corpus's synthetic southern latitudes — its
-        // honest pinned bound is 1e-5 deg (sub-metre, same class as any 2D
-        // datum pipeline including PROJ's)
-        val digits = if (tag == "tokyo") 5 else 6
+        // pure projections round-trip below 1e-6 deg; the Tokyo and Jamaica
+        // families cross the 2D Helmert bridge twice, whose height-drop leak
+        // grows to ~0.2 m at the corpus's synthetic southern latitudes —
+        // their honest pinned bound is 1e-5 deg (sub-metre, same class as
+        // any 2D datum pipeline including PROJ's)
+        val digits = if (tag == "tokyo" || tag == "lcc1") 5 else 6
         Seq(
           sum(when(box, 1L).otherwise(0L)).cast("long").as(s"n_$tag"),
           round(max(when(box, rtErr(epsg))), digits).as(s"err_$tag"))
@@ -1715,7 +1725,22 @@ object SparkEntry {
             CAST(0.0 AS DOUBLE) AS err_tokyo,
             CAST(SUM(CASE WHEN x BETWEEN 0.5 AND 5.5 AND y BETWEEN -30.0 AND 10.0
               THEN 1 ELSE 0 END) AS BIGINT) AS n_lcc,
-            CAST(0.0 AS DOUBLE) AS err_lcc
+            CAST(0.0 AS DOUBLE) AS err_lcc,
+            CAST(SUM(CASE WHEN x BETWEEN -79.5 AND -74.5 AND y BETWEEN -60.0 AND 10.0
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_lcc1,
+            CAST(0.0 AS DOUBLE) AS err_lcc1,
+            CAST(SUM(CASE WHEN x BETWEEN -106.0 AND -86.0 AND y BETWEEN -60.0 AND 9.0
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_alb,
+            CAST(0.0 AS DOUBLE) AS err_alb,
+            CAST(SUM(CASE WHEN x BETWEEN 120.0 AND 144.0 AND y BETWEEN -60.0 AND 0.0
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_albau,
+            CAST(0.0 AS DOUBLE) AS err_albau,
+            CAST(SUM(CASE WHEN x BETWEEN -175.0 AND 175.0 AND y BETWEEN -89.0 AND -75.0
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_pol,
+            CAST(0.0 AS DOUBLE) AS err_pol,
+            CAST(SUM(CASE WHEN x BETWEEN -175.0 AND 175.0 AND y BETWEEN -89.0 AND -80.0
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_ups,
+            CAST(0.0 AS DOUBLE) AS err_ups
           FROM pts""",
 
     "g4_transform_webmerc" ->

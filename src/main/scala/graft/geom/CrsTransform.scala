@@ -47,6 +47,8 @@ object CrsTransform {
   val Wgs84: Ellipsoid = Ellipsoid(6378137.0, 298.257223563)
   val Grs80: Ellipsoid = Ellipsoid(6378137.0, 298.257222101)
   val Bessel1841: Ellipsoid = Ellipsoid(6377397.155, 299.1528128)
+  val Clarke1866: Ellipsoid = Ellipsoid(6378206.4, 294.978698214)
+  val Airy1830: Ellipsoid = Ellipsoid(6377563.396, 299.3249646)
 
   // -------------------------------------------------------------------
   // Datum shift: position-vector 7-parameter Helmert to WGS84
@@ -169,8 +171,11 @@ object CrsTransform {
   // -------------------------------------------------------------------
   // Lambert Conformal Conic, 2 standard parallels (Snyder / EPSG GN 7-2)
   // -------------------------------------------------------------------
+  /** 2SP per EPSG GN 7-2 method 9802; with `lat1 == lat2` and `k0 != 1` this
+    * is exactly the 1SP method 9801 (nCone = sin(phi0), radii scaled k0). */
   final class LccProjection(val ell: Ellipsoid, lat1Deg: Double, lat2Deg: Double,
-      lat0Deg: Double, lon0Deg: Double, fe: Double, fn: Double) {
+      lat0Deg: Double, lon0Deg: Double, fe: Double, fn: Double,
+      k0: Double = 1.0) {
     private val e = ell.e
     private def mOf(phi: Double): Double = {
       val s = math.sin(phi)
@@ -188,12 +193,12 @@ object CrsTransform {
       if (lat1Deg == lat2Deg) math.sin(phi1)
       else math.log(mOf(phi1) / mOf(phi2)) / math.log(tOf(phi1) / tOf(phi2))
     private val fBig = mOf(phi1) / (nCone * math.pow(tOf(phi1), nCone))
-    private val rho0 = ell.a * fBig * math.pow(tOf(phi0), nCone)
+    private val rho0 = k0 * ell.a * fBig * math.pow(tOf(phi0), nCone)
 
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
       val phi = math.toRadians(latDeg)
       val theta = nCone * math.toRadians(lonDeg - lon0Deg)
-      val rho = ell.a * fBig * math.pow(tOf(phi), nCone)
+      val rho = k0 * ell.a * fBig * math.pow(tOf(phi), nCone)
       (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))
     }
 
@@ -202,7 +207,7 @@ object CrsTransform {
       val dy = rho0 - (northing - fn)
       val sign = if (nCone >= 0) 1.0 else -1.0
       val rhoP = sign * math.hypot(dx, dy)
-      val tP = math.pow(rhoP / (ell.a * fBig), 1.0 / nCone)
+      val tP = math.pow(rhoP / (k0 * ell.a * fBig), 1.0 / nCone)
       val theta = math.atan2(sign * dx, sign * dy)
       var phi = math.Pi / 2.0 - 2.0 * math.atan(tP)
       var i = 0
@@ -213,6 +218,220 @@ object CrsTransform {
         i += 1
       }
       (lon0Deg + math.toDegrees(theta / nCone), math.toDegrees(phi))
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Albers Equal Area (EPSG method 9822, Snyder 14-1..14-21)
+  // -------------------------------------------------------------------
+  final class AlbersProjection(val ell: Ellipsoid, lat1Deg: Double,
+      lat2Deg: Double, lat0Deg: Double, lon0Deg: Double,
+      fe: Double, fn: Double) {
+    private val e = ell.e
+    private val e2 = ell.e2
+    private def mOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.cos(phi) / math.sqrt(1.0 - e2 * s * s)
+    }
+    /** Authalic q. */
+    private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1.0 - e2) * (s / (1.0 - e2 * s * s) -
+        (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+    }
+    private val phi1 = math.toRadians(lat1Deg)
+    private val phi2 = math.toRadians(lat2Deg)
+    private val phi0 = math.toRadians(lat0Deg)
+    private val nCone =
+      if (lat1Deg == lat2Deg) math.sin(phi1)
+      else (mOf(phi1) * mOf(phi1) - mOf(phi2) * mOf(phi2)) / (qOf(phi2) - qOf(phi1))
+    private val cBig = mOf(phi1) * mOf(phi1) + nCone * qOf(phi1)
+    private val rho0 = ell.a * math.sqrt(cBig - nCone * qOf(phi0)) / nCone
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val theta = nCone * math.toRadians(lonDeg - lon0Deg)
+      val rho = ell.a * math.sqrt(cBig - nCone * qOf(phi)) / nCone
+      (fe + rho * math.sin(theta), fn + rho0 - rho * math.cos(theta))
+    }
+
+    def inverse(easting: Double, northing: Double): (Double, Double) = {
+      val dx = easting - fe
+      val dy = rho0 - (northing - fn)
+      val sign = if (nCone >= 0) 1.0 else -1.0
+      val rhoP = sign * math.hypot(dx, dy)
+      val theta = math.atan2(sign * dx, sign * dy)
+      val q = (cBig - math.pow(rhoP * nCone / ell.a, 2.0)) / nCone
+      // Snyder 3-16 iteration from the spherical seed
+      var phi = math.asin(math.max(-1.0, math.min(1.0, q / 2.0)))
+      var i = 0
+      while (i < 12) {
+        val s = math.sin(phi)
+        val denom = 1.0 - e2 * s * s
+        phi = phi + denom * denom / (2.0 * math.cos(phi)) *
+          (q / (1.0 - e2) - s / denom +
+            (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+        i += 1
+      }
+      (lon0Deg + math.toDegrees(theta / nCone), math.toDegrees(phi))
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Polar Stereographic (EPSG methods 9810 variant A / 9829 variant B)
+  // -------------------------------------------------------------------
+  /** `north`: pole of projection. Variant A passes k0 directly (UPS: 0.994);
+    * variant B derives k0 from the standard parallel latTsDeg. */
+  final class PolarStereoProjection private (val ell: Ellipsoid,
+      north: Boolean, lon0Deg: Double, k0: Double, fe: Double, fn: Double) {
+    private val e = ell.e
+    private val bigK = math.sqrt(
+      math.pow(1.0 + e, 1.0 + e) * math.pow(1.0 - e, 1.0 - e))
+    private def tOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      if (north)
+        math.tan(math.Pi / 4.0 - phi / 2.0) *
+          math.pow((1.0 + e * s) / (1.0 - e * s), e / 2.0)
+      else
+        math.tan(math.Pi / 4.0 + phi / 2.0) /
+          math.pow((1.0 + e * s) / (1.0 - e * s), e / 2.0)
+    }
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val dlam = math.toRadians(lonDeg - lon0Deg)
+      val rho = 2.0 * ell.a * k0 * tOf(phi) / bigK
+      if (north) (fe + rho * math.sin(dlam), fn - rho * math.cos(dlam))
+      else (fe + rho * math.sin(dlam), fn + rho * math.cos(dlam))
+    }
+
+    def inverse(easting: Double, northing: Double): (Double, Double) = {
+      val dx = easting - fe
+      val dy = northing - fn
+      val rho = math.hypot(dx, dy)
+      val tP = rho * bigK / (2.0 * ell.a * k0)
+      var phi = if (north) math.Pi / 2.0 - 2.0 * math.atan(tP)
+        else 2.0 * math.atan(tP) - math.Pi / 2.0
+      var i = 0
+      while (i < 10) {
+        val s = math.sin(phi)
+        phi = if (north)
+          math.Pi / 2.0 - 2.0 * math.atan(
+            tP * math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+        else
+          2.0 * math.atan(tP * math.pow((1.0 + e * s) / (1.0 - e * s), e / 2.0)) -
+            math.Pi / 2.0
+        i += 1
+      }
+      val lam = if (rho < 1e-12) 0.0
+        else if (north) math.atan2(dx, -dy)
+        else math.atan2(dx, dy)
+      // lon0 + lam can leave (-180, 180]: polar grids span all longitudes
+      var lon = lon0Deg + math.toDegrees(lam)
+      while (lon > 180.0) lon -= 360.0
+      while (lon <= -180.0) lon += 360.0
+      (lon, math.toDegrees(phi))
+    }
+  }
+  object PolarStereoProjection {
+    /** Variant A: scale at the pole. */
+    def variantA(ell: Ellipsoid, north: Boolean, lon0Deg: Double, k0: Double,
+        fe: Double, fn: Double): PolarStereoProjection =
+      new PolarStereoProjection(ell, north, lon0Deg, k0, fe, fn)
+    /** Variant B: standard parallel latTsDeg (its sign fixes the pole). */
+    def variantB(ell: Ellipsoid, latTsDeg: Double, lon0Deg: Double,
+        fe: Double, fn: Double): PolarStereoProjection = {
+      val north = latTsDeg >= 0.0
+      val e = ell.e
+      val phiF = math.toRadians(latTsDeg)
+      val s = math.sin(phiF)
+      val mF = math.cos(phiF) / math.sqrt(1.0 - ell.e2 * s * s)
+      val tF = if (north)
+        math.tan(math.Pi / 4.0 - phiF / 2.0) *
+          math.pow((1.0 + e * s) / (1.0 - e * s), e / 2.0)
+      else
+        math.tan(math.Pi / 4.0 + phiF / 2.0) /
+          math.pow((1.0 + e * s) / (1.0 - e * s), e / 2.0)
+      val bigK = math.sqrt(
+        math.pow(1.0 + e, 1.0 + e) * math.pow(1.0 - e, 1.0 - e))
+      val k0 = mF * bigK / (2.0 * tF)
+      new PolarStereoProjection(ell, north, lon0Deg, k0, fe, fn)
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // Oblique Stereographic (EPSG method 9809 — double projection through
+  // the Gauss conformal sphere; the RD New / Amersfoort method)
+  // -------------------------------------------------------------------
+  final class ObliqueStereoProjection(val ell: Ellipsoid, lat0Deg: Double,
+      lon0Deg: Double, k0: Double, fe: Double, fn: Double) {
+    private val e = ell.e
+    private val phi0 = math.toRadians(lat0Deg)
+    private val lam0 = math.toRadians(lon0Deg)
+    private val s0 = math.sin(phi0)
+    private val nu0 = ell.a / math.sqrt(1.0 - ell.e2 * s0 * s0)
+    private val rho0m = ell.a * (1.0 - ell.e2) /
+      math.pow(1.0 - ell.e2 * s0 * s0, 1.5)
+    private val bigR = math.sqrt(rho0m * nu0)
+    private val nGauss = math.sqrt(
+      1.0 + ell.e2 * math.pow(math.cos(phi0), 4.0) / (1.0 - ell.e2))
+    private val w1 = math.pow(
+      (1.0 + s0) / (1.0 - s0) *
+        math.pow((1.0 - e * s0) / (1.0 + e * s0), e), nGauss)
+    private val sinChi00 = (w1 - 1.0) / (w1 + 1.0)
+    private val cGauss = (nGauss + s0) * (1.0 - sinChi00) /
+      ((nGauss - s0) * (1.0 + sinChi00))
+    private val w2 = cGauss * w1
+    private val chi0 = math.asin((w2 - 1.0) / (w2 + 1.0))
+    private val lamC0 = lam0
+
+    private def toSphere(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = math.toRadians(latDeg)
+      val lam = math.toRadians(lonDeg)
+      val s = math.sin(phi)
+      val w = cGauss * math.pow(
+        (1.0 + s) / (1.0 - s) * math.pow((1.0 - e * s) / (1.0 + e * s), e),
+        nGauss)
+      val chi = math.asin((w - 1.0) / (w + 1.0))
+      val lamC = nGauss * (lam - lamC0) + lamC0
+      (chi, lamC)
+    }
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val (chi, lamC) = toSphere(lonDeg, latDeg)
+      val b = 1.0 + math.sin(chi) * math.sin(chi0) +
+        math.cos(chi) * math.cos(chi0) * math.cos(lamC - lamC0)
+      val x = fe + 2.0 * bigR * k0 * math.cos(chi) * math.sin(lamC - lamC0) / b
+      val y = fn + 2.0 * bigR * k0 * (math.sin(chi) * math.cos(chi0) -
+        math.cos(chi) * math.sin(chi0) * math.cos(lamC - lamC0)) / b
+      (x, y)
+    }
+
+    def inverse(easting: Double, northing: Double): (Double, Double) = {
+      val eP = easting - fe
+      val nP = northing - fn
+      val g = 2.0 * bigR * k0 * math.tan(math.Pi / 4.0 - chi0 / 2.0)
+      val h = 4.0 * bigR * k0 * math.tan(chi0) + g
+      val i0 = math.atan2(eP, h + nP)
+      val j0 = math.atan2(eP, g - nP) - i0
+      val chi = chi0 + 2.0 * math.atan2(nP - eP * math.tan(j0 / 2.0),
+        2.0 * bigR * k0)
+      val lamC = j0 + 2.0 * i0 + lamC0
+      val lam = (lamC - lamC0) / nGauss + lamC0
+      // isometric latitude of chi, then Newton-free fixed point to geodetic
+      val psi = 0.5 * math.log(
+        (1.0 + math.sin(chi)) / (cGauss * (1.0 - math.sin(chi)))) / nGauss
+      var phi = 2.0 * math.atan(math.exp(psi)) - math.Pi / 2.0
+      var it = 0
+      while (it < 15) {
+        val s = math.sin(phi)
+        val psiI = math.log(math.tan(phi / 2.0 + math.Pi / 4.0) *
+          math.pow((1.0 - e * s) / (1.0 + e * s), e / 2.0))
+        phi = phi - (psiI - psi) * math.cos(phi) * (1.0 - ell.e2 * s * s) /
+          (1.0 - ell.e2)
+        it += 1
+      }
+      (math.toDegrees(lam), math.toDegrees(phi))
     }
   }
 
@@ -230,6 +449,18 @@ object CrsTransform {
     def inverse(x: Double, y: Double) = p.inverse(x, y)
   }
   private final case class LccProj(p: LccProjection) extends Proj {
+    def forward(lon: Double, lat: Double) = p.forward(lon, lat)
+    def inverse(x: Double, y: Double) = p.inverse(x, y)
+  }
+  private final case class AlbersProj(p: AlbersProjection) extends Proj {
+    def forward(lon: Double, lat: Double) = p.forward(lon, lat)
+    def inverse(x: Double, y: Double) = p.inverse(x, y)
+  }
+  private final case class PolarProj(p: PolarStereoProjection) extends Proj {
+    def forward(lon: Double, lat: Double) = p.forward(lon, lat)
+    def inverse(x: Double, y: Double) = p.inverse(x, y)
+  }
+  private final case class ObliqueProj(p: ObliqueStereoProjection) extends Proj {
     def forward(lon: Double, lat: Double) = p.forward(lon, lat)
     def inverse(x: Double, y: Double) = p.inverse(x, y)
   }
@@ -318,10 +549,62 @@ object CrsTransform {
       Crs(TmProj(new TmProjection(Grs80, 0.0, 75.0 + 3.0 * (z - 4534), 1.0, 500000.0, 0.0)), Grs80, None)
     // Lambert Conformal Conic family instance: RGF93 / Lambert-93
     case 2154 => Crs(LccProj(Lambert93), Grs80, None)
+    // LCC 1SP: Jamaica 1969 / Jamaica National Grid (EPSG GN7-2's worked
+    // example for method 9801); Clarke 1866 + published 3-param shift
+    case 24200 => Crs(LccProj(new LccProjection(Clarke1866, 18.0, 18.0,
+      18.0, -77.0, 250000.0, 150000.0, 1.0)), Clarke1866,
+      Some(Helmert(70.0, 207.0, 389.5)))
+    // Albers equal-area: NAD83 / Conus Albers and GDA94 / Australian Albers
+    // (GRS80 datums with null shift to WGS84)
+    case 5070 => Crs(AlbersProj(new AlbersProjection(Grs80, 29.5, 45.5,
+      23.0, -96.0, 0.0, 0.0)), Grs80, None)
+    case 3577 => Crs(AlbersProj(new AlbersProjection(Grs80, -18.0, -36.0,
+      0.0, 132.0, 0.0, 0.0)), Grs80, None)
+    // Polar stereographic variant B: NSIDC Sea Ice North (3413), Antarctic
+    // Polar Stereographic (3031), Arctic Polar Stereographic (3995),
+    // Australian Antarctic (3032 — GN7-2's method 9829 worked example)
+    case 3413 => Crs(PolarProj(PolarStereoProjection.variantB(Wgs84,
+      70.0, -45.0, 0.0, 0.0)), Wgs84, None)
+    case 3031 => Crs(PolarProj(PolarStereoProjection.variantB(Wgs84,
+      -71.0, 0.0, 0.0, 0.0)), Wgs84, None)
+    case 3995 => Crs(PolarProj(PolarStereoProjection.variantB(Wgs84,
+      71.0, 0.0, 0.0, 0.0)), Wgs84, None)
+    case 3032 => Crs(PolarProj(PolarStereoProjection.variantB(Wgs84,
+      -71.0, 70.0, 6000000.0, 6000000.0)), Wgs84, None)
+    // Polar stereographic variant A: Universal Polar Stereographic N/S
+    case 5041 => Crs(PolarProj(PolarStereoProjection.variantA(Wgs84,
+      north = true, 0.0, 0.994, 2000000.0, 2000000.0)), Wgs84, None)
+    case 5042 => Crs(PolarProj(PolarStereoProjection.variantA(Wgs84,
+      north = false, 0.0, 0.994, 2000000.0, 2000000.0)), Wgs84, None)
+    // Oblique stereographic: Amersfoort / RD New (method 9809's defining
+    // instance; Bessel 1841 + published 7-param Amersfoort shift)
+    case 28992 => Crs(ObliqueProj(new ObliqueStereoProjection(Bessel1841,
+      52.0 + 9.0 / 60.0 + 22.178 / 3600.0, 5.0 + 23.0 / 60.0 + 15.5 / 3600.0,
+      0.9999079, 155000.0, 463000.0)), Bessel1841,
+      Some(Helmert(565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.8774,
+        4.0725)))
+    // OSGB36 / British National Grid: TM on Airy 1830 + published 7-param
+    case 27700 => Crs(TmProj(new TmProjection(Airy1830, 49.0, -2.0,
+      0.9996012717, 400000.0, -100000.0)), Airy1830,
+      Some(Helmert(446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.4894)))
     // geographic datum members
     case 4301 => Crs(GeographicProj, Bessel1841, Some(TokyoShift))
     case 4612 | 6668 | 4737 | 4490 => Crs(GeographicProj, Grs80, None)
-    case other => throw new IllegalArgumentException(s"unsupported EPSG:$other")
+    case 4277 => Crs(GeographicProj, Airy1830,
+      Some(Helmert(446.448, -125.157, 542.06, 0.15, 0.247, 0.842, -20.4894)))
+    case 4289 => Crs(GeographicProj, Bessel1841,
+      Some(Helmert(565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.8774,
+        4.0725)))
+    case other => throw new IllegalArgumentException(
+      s"unsupported EPSG:$other — in-engine registry covers: 4326, 3857, " +
+        "UTM 326xx/327xx, Japan zones 2443-2461/6669-6687/30161-30179, " +
+        "Korea 5179-5188, CGCS2000 GK 4491-4554, Lambert-93 2154, " +
+        "Jamaica LCC-1SP 24200, Albers 5070/3577, polar stereographic " +
+        "3413/3031/3995/3032/5041/5042, RD New 28992, British Grid 27700, " +
+        "geographic 4301/4612/6668/4737/4490/4277/4289. Other codes need " +
+        "the parameterized projection hooks (tmProjection/lccProjection/" +
+        "albersProjection/polarStereo*/obliqueStereoProjection) or an " +
+        "external reprojection before ingest (reference F5 fallback).")
   }
 
   /** Is `epsg` a CRS this engine can transform to/from 4326? */
@@ -365,12 +648,25 @@ object CrsTransform {
   private def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))
   private def asinh(x: Double): Double = math.log(x + math.sqrt(x * x + 1.0))
 
-  // public hooks for anchored tests of the parameterized projections
+  // public hooks for anchored tests of the parameterized projections (and
+  // the escape hatch for EPSG codes outside the registry)
   def tmProjection(ell: Ellipsoid, lat0: Double, lon0: Double, k0: Double,
       fe: Double, fn: Double): TmProjection = new TmProjection(ell, lat0, lon0, k0, fe, fn)
   def lccProjection(ell: Ellipsoid, lat1: Double, lat2: Double, lat0: Double,
-      lon0: Double, fe: Double, fn: Double): LccProjection =
-    new LccProjection(ell, lat1, lat2, lat0, lon0, fe, fn)
+      lon0: Double, fe: Double, fn: Double, k0: Double = 1.0): LccProjection =
+    new LccProjection(ell, lat1, lat2, lat0, lon0, fe, fn, k0)
+  def albersProjection(ell: Ellipsoid, lat1: Double, lat2: Double, lat0: Double,
+      lon0: Double, fe: Double, fn: Double): AlbersProjection =
+    new AlbersProjection(ell, lat1, lat2, lat0, lon0, fe, fn)
+  def polarStereoA(ell: Ellipsoid, north: Boolean, lon0: Double, k0: Double,
+      fe: Double, fn: Double): PolarStereoProjection =
+    PolarStereoProjection.variantA(ell, north, lon0, k0, fe, fn)
+  def polarStereoB(ell: Ellipsoid, latTs: Double, lon0: Double,
+      fe: Double, fn: Double): PolarStereoProjection =
+    PolarStereoProjection.variantB(ell, latTs, lon0, fe, fn)
+  def obliqueStereoProjection(ell: Ellipsoid, lat0: Double, lon0: Double,
+      k0: Double, fe: Double, fn: Double): ObliqueStereoProjection =
+    new ObliqueStereoProjection(ell, lat0, lon0, k0, fe, fn)
 
   /** Transform a single (x, y) from `srcEpsg` to `dstEpsg`. Every path goes
     * projected → geographic-on-source-datum → WGS84 → dst datum → projected;

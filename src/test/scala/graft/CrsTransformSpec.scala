@@ -209,6 +209,149 @@ class CrsTransformSpec extends AnyFunSuite {
     }
   }
 
+  test("LCC-1SP: Jamaica National Grid matches the EPSG GN7-2 worked example") {
+    // method 9801 worked example: φ=17°55'55.8"N λ=76°56'37.26"W →
+    // E=255966.58 N=142493.51 (input is Jamaica-1969 geodetic — projection
+    // only, no datum leg)
+    val lat = 17.0 + 55.0 / 60.0 + 55.8 / 3600.0
+    val lon = -(76.0 + 56.0 / 60.0 + 37.26 / 3600.0)
+    val p = CrsTransform.lccProjection(CrsTransform.Clarke1866,
+      18.0, 18.0, 18.0, -77.0, 250000.0, 150000.0, 1.0)
+    val (e, n) = p.forward(lon, lat)
+    assert(math.abs(e - 255966.58) < 0.05, s"E $e")
+    assert(math.abs(n - 142493.51) < 0.05, s"N $n")
+    val (lon2, lat2) = p.inverse(e, n)
+    assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9)
+    // natural origin lands exactly on the false origin
+    val (e0, n0) = p.forward(-77.0, 18.0)
+    assert(math.abs(e0 - 250000.0) < 1e-6 && math.abs(n0 - 150000.0) < 1e-6)
+  }
+
+  test("polar stereographic B: 3032 matches the GN7-2 method 9829 example") {
+    // Australian Antarctic Polar Stereographic: 75°S 120°E →
+    // E=7255380.79 N=7053389.56 (FE=FN=6000000, latTs=-71, lon0=70)
+    val (e, n) = CrsTransform.transformXY(120.0, -75.0, 4326, 3032)
+    assert(math.abs(e - 7255380.79) < 0.05, s"E $e")
+    assert(math.abs(n - 7053389.56) < 0.05, s"N $n")
+    val (lon2, lat2) = CrsTransform.transformXY(e, n, 3032, 4326)
+    assert(math.abs(lon2 - 120.0) < 1e-8 && math.abs(lat2 - -75.0) < 1e-8)
+  }
+
+  test("polar stereographic: poles map to the false origin; UPS round-trips") {
+    // the projection pole is each grid's exact origin point
+    val (en, nn) = CrsTransform.transformXY(0.0, 90.0, 4326, 3413)
+    assert(math.hypot(en, nn) < 1e-6, s"north pole → ($en,$nn)")
+    val (es, ns) = CrsTransform.transformXY(0.0, -90.0, 4326, 3031)
+    assert(math.hypot(es, ns) < 1e-6, s"south pole → ($es,$ns)")
+    for ((epsg, lat) <- Seq((5041, 84.0), (5042, -84.0), (3413, 75.0),
+        (3031, -70.0), (3995, 80.0))) {
+      for (lon <- Seq(-150.0, -45.0, 0.0, 60.0, 179.0)) {
+        val (e, n) = CrsTransform.transformXY(lon, lat, 4326, epsg)
+        val (lon2, lat2) = CrsTransform.transformXY(e, n, epsg, 4326)
+        assert(math.abs(lon2 - lon) < 1e-6 && math.abs(lat2 - lat) < 1e-6,
+          s"$epsg ($lat,$lon) → ($lat2,$lon2)")
+      }
+    }
+    // UPS scale at the pole is exactly k0 = 0.994: a small meridian step of
+    // s metres on the ellipsoid maps to ~0.994 s grid metres
+    val (e1, n1) = CrsTransform.transformXY(0.0, 89.999, 4326, 5041)
+    val stepM = math.hypot(e1 - 2000000.0, n1 - 2000000.0)
+    val geodM = 0.001 * 111694.0 // metres per degree latitude at the pole
+    assert(math.abs(stepM / geodM - 0.994) < 1e-3, s"UPS pole scale ${stepM / geodM}")
+  }
+
+  test("Albers: Conus and Australian grids round-trip; area signature holds") {
+    for ((epsg, pts) <- Seq(
+        5070 -> Seq((40.0, -100.0), (30.0, -85.0), (47.0, -120.0), (23.0, -96.0)),
+        3577 -> Seq((-25.0, 135.0), (-33.0, 151.0), (-18.0, 122.0), (-43.0, 147.0)))) {
+      for ((lat, lon) <- pts) {
+        val (e, n) = CrsTransform.transformXY(lon, lat, 4326, epsg)
+        val (lon2, lat2) = CrsTransform.transformXY(e, n, epsg, 4326)
+        assert(math.abs(lon2 - lon) < 1e-6 && math.abs(lat2 - lat) < 1e-6,
+          s"$epsg ($lat,$lon) → ($lat2,$lon2)")
+      }
+    }
+    // natural origin of 5070 maps to (0,0)
+    val (e0, n0) = CrsTransform.transformXY(-96.0, 23.0, 4326, 5070)
+    assert(math.hypot(e0, n0) < 1e-6)
+    // equal-area signature: projected quad areas at the top vs bottom of
+    // Conus must match the EXACT ellipsoidal (authalic) area ratio — a
+    // conformal cone would show the ~2% k² deficit between the parallels.
+    // Quad edges are densified to keep polygon discretization below 1e-5.
+    def quadArea(epsg: Int, lat: Double, lon: Double): Double = {
+      val steps = 20
+      val ring = (0 until steps).map(i => (lat, lon + i / (steps / 1.0))) ++
+        (0 until steps).map(i => (lat + i / (steps / 1.0), lon + 1)) ++
+        (0 until steps).map(i => (lat + 1, lon + 1 - i / (steps / 1.0))) ++
+        (0 until steps).map(i => (lat + 1 - i / (steps / 1.0), lon))
+      val c = ring.map { case (la, lo) => CrsTransform.transformXY(lo, la, 4326, epsg) }
+      math.abs(c.indices.map { i =>
+        val (x1, y1) = c(i); val (x2, y2) = c((i + 1) % c.length)
+        x1 * y2 - x2 * y1
+      }.sum / 2.0)
+    }
+    // authalic q on GRS80: exact ellipsoidal area between parallels ∝ Δq
+    val e2 = CrsTransform.Grs80.e2; val e = math.sqrt(e2)
+    def q(latDeg: Double): Double = {
+      val s = math.sin(math.toRadians(latDeg))
+      (1.0 - e2) * (s / (1.0 - e2 * s * s) -
+        (1.0 / (2.0 * e)) * math.log((1.0 - e * s) / (1.0 + e * s)))
+    }
+    val ratioProjected = quadArea(5070, 45.0, -100.0) / quadArea(5070, 30.0, -100.0)
+    val ratioTrue = (q(46.0) - q(45.0)) / (q(31.0) - q(30.0))
+    assert(math.abs(ratioProjected / ratioTrue - 1.0) < 1e-5,
+      s"Albers area ratio $ratioProjected vs authalic $ratioTrue")
+  }
+
+  test("oblique stereographic: RD New origin exact, Netherlands round-trips") {
+    // the natural origin (Amersfoort) is BY DEFINITION (155000, 463000)
+    val lat0 = 52.0 + 9.0 / 60.0 + 22.178 / 3600.0
+    val lon0 = 5.0 + 23.0 / 60.0 + 15.5 / 3600.0
+    val p = CrsTransform.obliqueStereoProjection(CrsTransform.Bessel1841,
+      lat0, lon0, 0.9999079, 155000.0, 463000.0)
+    val (e0, n0) = p.forward(lon0, lat0)
+    assert(math.abs(e0 - 155000.0) < 1e-6 && math.abs(n0 - 463000.0) < 1e-6)
+    // projection-level round-trips across the RD domain
+    for (lat <- Seq(50.8, 51.5, 52.4, 53.3); lon <- Seq(3.4, 4.9, 6.1, 7.1)) {
+      val (e, n) = p.forward(lon, lat)
+      val (lon2, lat2) = p.inverse(e, n)
+      assert(math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9,
+        s"RD ($lat,$lon) → ($lat2,$lon2)")
+    }
+    // full 28992 path (with the published Amersfoort 7-param datum leg):
+    // Amsterdam sits ~121km E / ~487km N on the RD grid
+    val (e, n) = CrsTransform.transformXY(4.9041, 52.3676, 4326, 28992)
+    assert(math.abs(e - 121000) < 2000 && math.abs(n - 487400) < 2000, s"($e,$n)")
+    val (lon2, lat2) = CrsTransform.transformXY(e, n, 28992, 4326)
+    assert(math.abs(lon2 - 4.9041) < 1e-6 && math.abs(lat2 - 52.3676) < 1e-6)
+  }
+
+  test("British National Grid: OS worked example and round-trips") {
+    // OSGB36 geodetic → grid (projection only, Airy 1830):
+    // φ=52°39'27.2531"N λ=1°43'4.5177"E → E=651409.903 N=313177.270
+    val lat = 52.0 + 39.0 / 60.0 + 27.2531 / 3600.0
+    val lon = 1.0 + 43.0 / 60.0 + 4.5177 / 3600.0
+    val p = CrsTransform.tmProjection(CrsTransform.Airy1830,
+      49.0, -2.0, 0.9996012717, 400000.0, -100000.0)
+    val (e, n) = p.forward(lon, lat)
+    assert(math.abs(e - 651409.903) < 0.01, s"E $e")
+    assert(math.abs(n - 313177.270) < 0.01, s"N $n")
+    // 27700 end-to-end with the published OSGB36 7-param leg: London round-trip
+    val (le, ln) = CrsTransform.transformXY(-0.1278, 51.5074, 4326, 27700)
+    assert(math.abs(le - 530000) < 2000 && math.abs(ln - 180500) < 2000, s"($le,$ln)")
+    val (lon2, lat2) = CrsTransform.transformXY(le, ln, 27700, 4326)
+    assert(math.abs(lon2 - -0.1278) < 1e-6 && math.abs(lat2 - 51.5074) < 1e-6)
+  }
+
+  test("unsupported EPSG raises the inventory error naming the registry") {
+    val ex = intercept[IllegalArgumentException] {
+      CrsTransform.transformXY(0.0, 0.0, 4326, 29900)
+    }
+    assert(ex.getMessage.contains("unsupported EPSG:29900"))
+    assert(ex.getMessage.contains("Albers"), "error must inventory the families")
+    assert(ex.getMessage.contains("polar stereographic"))
+  }
+
   test("transformWkb: 4326→32650→4326 point round-trip, unsupported EPSG → null") {
     val p = GeomLib.pointWkb(116.4, 39.9)
     val utm = CrsTransform.transformWkb(p, 4326, 32650)
