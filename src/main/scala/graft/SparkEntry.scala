@@ -1094,13 +1094,36 @@ object SparkEntry {
       // construction) guarantee a non-trivial duplicated-span population on
       // top of the natural near-dups; the oracle regenerates every window
       // with substr arithmetic, so the span strings, doc counts, and
-      // occurrence counts all hash-match.
+      // occurrence counts all hash-match. String mode ships the raw 40-char
+      // windows (40x corpus amplification + a global string sort), so this
+      // byte-exact gate runs on a deterministic quarter of the corpus;
+      // t17b covers the FULL corpus in the production hashed mode.
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") % 4 === 0)
       val corpus = docs.unionByName(
         docs.filter(col("doc_id") < 20)
           .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
       graft.operators.TrainingData.dupSpans(corpus, spanLen = 40)
         .orderBy("span")
+    },
+
+    "t17b_dup_spans_hashed" -> { (s, d) =>
+      // the scale path: the same inventory over the FULL corpus with
+      // hashed=true (8-byte xxhash64 spans through the shuffle instead of
+      // 40-char strings). Engine hash functions differ, so the oracle
+      // verifies the hash-INDEPENDENT aggregate — the number of duplicated
+      // spans, their occurrence mass, and the hottest span's doc count —
+      // which DuckDB recomputes from the raw strings: equality proves
+      // hashed ≡ string end-to-end on this corpus (collisions would merge
+      // spans and shift every column).
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.TrainingData.dupSpans(corpus, spanLen = 40, hashed = true)
+        .agg(count(lit(1)).as("n_dup_spans"),
+          sum(col("n_occ")).cast("long").as("total_occ"),
+          max(col("n_docs")).cast("long").as("max_docs"))
     },
 
     "t18_pack_sequences" -> { (s, d) =>
@@ -2105,10 +2128,11 @@ object SparkEntry {
     // planted corpus (t5's construction): span strings, distinct-doc and
     // occurrence counts are all exact.
     "t17_dup_spans" ->
-      """WITH corpus AS (
-           SELECT doc_id, text FROM documents
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0),
+         corpus AS (
+           SELECT doc_id, text FROM docs
            UNION ALL
-           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20),
+           SELECT doc_id + 1000000 AS doc_id, text FROM docs WHERE doc_id < 20),
          spans AS (
            SELECT doc_id, substr(text, CAST(i AS INTEGER), 40) AS span
            FROM corpus, UNNEST(range(1, len(text) - 38)) AS u(i)
@@ -2118,6 +2142,23 @@ object SparkEntry {
          FROM spans GROUP BY span
          HAVING COUNT(DISTINCT doc_id) >= 2
          ORDER BY span""",
+
+    "t17b_dup_spans_hashed" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20),
+         spans AS (
+           SELECT doc_id, substr(text, CAST(i AS INTEGER), 40) AS span
+           FROM corpus, UNNEST(range(1, len(text) - 38)) AS u(i)
+           WHERE len(text) >= 40),
+         dup AS (
+           SELECT span, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occ
+           FROM spans GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(n_occ) AS BIGINT) AS total_occ,
+           CAST(MAX(n_docs) AS BIGINT) AS max_docs
+         FROM dup""",
 
     // per-shard running token sum + boundary-straddle explode, all integer
     // window/floor arithmetic — replicated exactly.
