@@ -301,6 +301,42 @@ object SparkEntry {
           max(st_y(col("geom"))).as("max_y"))
     },
 
+    "s2d_filegdb_curves" -> { (s, d) =>
+      // FileGDB curve decode (round 5): each sampled point becomes a square
+      // (half-size 1/8) whose top edge is a circular-arc bulge around the
+      // edge midpoint — the curve-flagged general-polygon shape (51) with an
+      // arc descriptor. The densified bulge is exactly the 36-triangle fan
+      // over the semicircle, so per-feature area has the closed form
+      // 4h² + 18h²·sin(π/36) and the top vertex sits at y + 2h exactly
+      // (the 90° sample lands on a grid step). Aggregates quantize to
+      // integer micro-units before summing so both engines' sums are
+      // order-independent.
+      val sample = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          cxCol.as("x"), cyCol.as("y"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .limit(300)
+        .select("x", "y", "l_orderkey").collect()
+      val h = 0.125
+      val rows = sample.toSeq.map { r =>
+        val x = r.getDouble(0); val y = r.getDouble(1)
+        val shell = Seq((x - h, y - h), (x - h, y + h), (x + h, y + h),
+          (x + h, y - h), (x - h, y - h))
+        (Seq[Any](r.getLong(2).toDouble), Seq(shell),
+          Seq(graft.sources.FileGdbCodec.CurveSpec(1, 1, Seq(x, y + h), bits = 0)))
+      }
+      val table = graft.sources.FileGdbCodec.writeCurveShapeTable(
+        Seq("okey" -> 3), polygon = true, rows)
+      val dir = java.nio.file.Files.createTempDirectory("s2dgdb")
+      java.nio.file.Files.write(dir.resolve("a00000014.gdbtable"), table)
+      graft.sources.FileGdb.readLargest(s, dir.toString)
+        .agg(count(lit(1)).as("n"),
+          sum(st_npoints(col("geom"))).cast("long").as("sum_pts"),
+          sum(round(st_area(col("geom")) * 1e6).cast("long")).as("area_q"),
+          sum(round(st_ymax(col("geom")) * 1e6).cast("long")).as("ymax_q"),
+          sum(element_at(col("attrs"), "okey").cast("double")).cast("long").as("sum_okey"))
+    },
+
     "s4_csv_wkt_roundtrip" -> { (s, d) =>
       // the reference's CSV-of-WKT handoff (east_asia.py:57-74): emit WKT
       // rows to CSV, scan them back, parse, and aggregate exactly
@@ -1530,6 +1566,21 @@ object SparkEntry {
             CAST(SUM(okey) AS BIGINT) AS sum_okey,
             MIN(x) - CAST(0.125 AS DOUBLE) AS min_x,
             MAX(y) + CAST(0.125 AS DOUBLE) AS max_y FROM sample""",
+
+    // densified-arc closed form: bulged square = 4h² shoelace + the exact
+    // 36-triangle semicircle fan 18h²·sin(π/36); 40 vertices per feature
+    // (5 ribbon + 35 arc interior); top vertex exactly y + 2h
+    "s2d_filegdb_curves" ->
+      s"""WITH sample AS (
+            SELECT $cxSql AS x, $cySql AS y, l_orderkey AS okey FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 300)
+          SELECT COUNT(*) AS n,
+            CAST(COUNT(*) * 40 AS BIGINT) AS sum_pts,
+            CAST(COUNT(*) AS BIGINT) * CAST(ROUND(
+              (4 * 0.015625 + 18 * 0.015625 * SIN(PI() / 36)) * 1e6) AS BIGINT)
+              AS area_q,
+            CAST(SUM(CAST(ROUND((y + 0.25) * 1e6) AS BIGINT)) AS BIGINT) AS ymax_q,
+            CAST(SUM(okey) AS BIGINT) AS sum_okey FROM sample""",
 
     // s2b arithmetic + sum(row_no): OIDs are 1..500 exactly when every
     // split task numbers from its .gdbtablx range start.

@@ -354,7 +354,11 @@ object FileGdbCodec {
   private val MultipointBases = Set(8L, 18L, 20L, 28L, 53L)
   private val PolylineBases   = Set(3L, 10L, 13L, 23L, 50L)
   private val PolygonBases    = Set(5L, 15L, 19L, 25L, 51L)
-  private val CurveFlag       = 0x20000000L
+  // general-type (50/51/52/53) modifier flags in the type varuint's high
+  // bits, per the public reverse-engineered FGDB spec (GDAL OpenFileGDB)
+  private val CurveFlag = 0x20000000L
+  private val HasZFlag  = 0x80000000L
+  private val HasMFlag  = 0x40000000L
 
   /** Decode one geometry value (positioned after the length varuint). The
     * caller restores the buffer to the record end afterwards, so trailing
@@ -370,8 +374,14 @@ object FileGdbCodec {
       val y = (vy - 1).toDouble / f.xyscale + f.yorigin
       GeomLib.write(gf.createPoint(new Coordinate(x, y)))
     } else if (PolylineBases.contains(base) || PolygonBases.contains(base)) {
-      if ((raw & CurveFlag) != 0) return null // arc segments: out of scope
-      val parts = readRibbonParts(bb, f)
+      val hasCurves = (raw & CurveFlag) != 0
+      // curve descriptors sit AFTER the Z/M streams, which this decoder
+      // skips via the record length prefix; a curved shape that also
+      // carries Z/M would need those streams parsed first — null it
+      // loudly-by-absence (documented in docs/COVERAGE.md) rather than
+      // misread the descriptor bytes
+      if (hasCurves && (raw & (HasZFlag | HasMFlag)) != 0) return null
+      val parts = readRibbonParts(bb, f, hasCurves)
       if (parts == null) null
       else if (PolygonBases.contains(base)) {
         val g = ShapefileCodec.assemblePolygon(parts)
@@ -406,15 +416,25 @@ object FileGdbCodec {
     } else null // multipatch: unsupported, skipped via gEnd
   }
 
-  /** The delta ribbon: varuint total points + part count, scaled bbox
-    * (xmin, ymin, width, height — skipped), per-part counts for all but the
-    * last part, then INTERLEAVED signed varint (dx, dy) per vertex,
-    * accumulating in the scaled integer grid across part boundaries. */
-  private def readRibbonParts(bb: ByteBuffer, f: Field): Seq[Array[Coordinate]] = {
+  /** The delta ribbon: varuint total points + part count (+ curve count for
+    * curve-flagged general shapes), scaled bbox (xmin, ymin, width, height —
+    * skipped), per-part counts for all but the last part, then INTERLEAVED
+    * signed varint (dx, dy) per vertex, accumulating in the scaled integer
+    * grid across part boundaries. For curved shapes the descriptors follow
+    * the XY stream: per curve a start-point index varuint, a segment-type
+    * varuint, and raw little-endian float64 parameters (circular arc:
+    * center x/y + a uint32 flag word; cubic Bézier: two control points;
+    * elliptic arc: five doubles + flags, densified as a straight edge).
+    * Curved segments replace the straight edge [idx, idx+1] with vertices
+    * at ≤5° angular steps (arcs) / 16 subdivisions (Béziers). */
+  private def readRibbonParts(bb: ByteBuffer, f: Field,
+      hasCurves: Boolean = false): Seq[Array[Coordinate]] = {
     val nPoints = readVaruint(bb).toInt
     if (nPoints <= 0 || nPoints > 50_000_000) return null
     val nParts = readVaruint(bb).toInt
     if (nParts <= 0 || nParts > nPoints) return null
+    val nCurves = if (hasCurves) readVaruint(bb).toInt else 0
+    if (nCurves < 0 || nCurves > nPoints) return null
     readVaruint(bb); readVaruint(bb); readVaruint(bb); readVaruint(bb) // bbox
     val counts = new Array[Int](nParts)
     var assigned = 0
@@ -429,23 +449,99 @@ object FileGdbCodec {
     if (counts(nParts - 1) < 0) return null
     var xi = 0L
     var yi = 0L
+    val flat = new Array[Coordinate](nPoints)
+    var j = 0
+    while (j < nPoints) {
+      xi += readVarint(bb)
+      yi += readVarint(bb)
+      flat(j) = new Coordinate(
+        xi.toDouble / f.xyscale + f.xorigin,
+        yi.toDouble / f.xyscale + f.yorigin)
+      j += 1
+    }
+    // curve descriptors: map global start index → densified interior points
+    val curvePts: Map[Int, Array[Coordinate]] =
+      if (nCurves == 0) Map.empty
+      else {
+        val m = scala.collection.mutable.Map[Int, Array[Coordinate]]()
+        var c = 0
+        while (c < nCurves) {
+          val idx = readVaruint(bb).toInt
+          val typ = readVaruint(bb).toInt
+          if (idx < 0 || idx >= nPoints - 1) return null
+          typ match {
+            case 1 => // circular arc: center + flag bits
+              val cx = bb.getDouble; val cy = bb.getDouble; val bits = bb.getInt
+              m(idx) = densifyArc(flat(idx), flat(idx + 1), cx, cy, bits)
+            case 4 => // cubic Bézier: two control points
+              val c1x = bb.getDouble; val c1y = bb.getDouble
+              val c2x = bb.getDouble; val c2y = bb.getDouble
+              m(idx) = densifyBezier(flat(idx), flat(idx + 1), c1x, c1y, c2x, c2y)
+            case 5 => // elliptic arc: consume, densify as the straight edge
+              var d = 0
+              while (d < 5) { bb.getDouble; d += 1 }
+              bb.getInt
+            case _ => return null // unknown descriptor: length unknowable
+          }
+          c += 1
+        }
+        m.toMap
+      }
     val out = new Array[Array[Coordinate]](nParts)
     var p = 0
+    var base = 0
     while (p < nParts) {
-      val coords = new Array[Coordinate](counts(p))
-      var j = 0
-      while (j < counts(p)) {
-        xi += readVarint(bb)
-        yi += readVarint(bb)
-        coords(j) = new Coordinate(
-          xi.toDouble / f.xyscale + f.xorigin,
-          yi.toDouble / f.xyscale + f.yorigin)
-        j += 1
+      if (curvePts.isEmpty) {
+        out(p) = java.util.Arrays.copyOfRange(flat, base, base + counts(p))
+      } else {
+        val buf = scala.collection.mutable.ArrayBuffer[Coordinate]()
+        var v = 0
+        while (v < counts(p)) {
+          buf += flat(base + v)
+          if (v < counts(p) - 1) curvePts.get(base + v).foreach(buf ++= _)
+          v += 1
+        }
+        out(p) = buf.toArray
       }
-      out(p) = coords
+      base += counts(p)
       p += 1
     }
     out.toSeq
+  }
+
+  /** Interior vertices of the circular arc from `s` to `e` around center
+    * (cx, cy), ≤5° per step. Flag bits follow the public extended-shape
+    * spec: 0x1 empty, 0x8 counter-clockwise, 0x20 degenerate straight line. */
+  private def densifyArc(s: Coordinate, e: Coordinate, cx: Double, cy: Double,
+      bits: Int): Array[Coordinate] = {
+    if ((bits & 0x1) != 0 || (bits & 0x20) != 0) return Array.empty
+    val r = math.hypot(s.x - cx, s.y - cy)
+    if (r < 1e-12) return Array.empty
+    val a0 = math.atan2(s.y - cy, s.x - cx)
+    val a1 = math.atan2(e.y - cy, e.x - cx)
+    val ccw = (bits & 0x8) != 0
+    var sweep = if (ccw) a1 - a0 else a0 - a1
+    while (sweep < 1e-9) sweep += 2 * math.Pi // same-angle endpoints: full turn
+    val n = math.max(1, math.ceil(sweep / math.toRadians(5.0)).toInt)
+    val dir = if (ccw) 1.0 else -1.0
+    Array.tabulate(n - 1) { k =>
+      val a = a0 + dir * sweep * (k + 1) / n
+      new Coordinate(cx + r * math.cos(a), cy + r * math.sin(a))
+    }
+  }
+
+  /** Interior vertices of the cubic Bézier s→e with control points c1, c2
+    * (16 parameter steps). */
+  private def densifyBezier(s: Coordinate, e: Coordinate, c1x: Double,
+      c1y: Double, c2x: Double, c2y: Double): Array[Coordinate] = {
+    val n = 16
+    Array.tabulate(n - 1) { k =>
+      val t = (k + 1).toDouble / n
+      val u = 1.0 - t
+      new Coordinate(
+        u * u * u * s.x + 3 * u * u * t * c1x + 3 * u * t * t * c2x + t * t * t * e.x,
+        u * u * u * s.y + 3 * u * u * t * c1y + 3 * u * t * t * c2y + t * t * t * e.y)
+    }
   }
 
   private def readUtf16(bb: ByteBuffer, chars: Int): String = {
@@ -506,6 +602,52 @@ object FileGdbCodec {
       (vals, geom.toByteArray)
     }
     writeTable(attrs, if (isPolygon) 4 else 3, geomRows, xorigin, yorigin, xyscale)
+  }
+
+  /** A curve descriptor for [[writeCurveShapeTable]]: segment starting at
+    * global vertex `idx`. Arc: params = (centerX, centerY) + bits; Bézier:
+    * params = (c1x, c1y, c2x, c2y). */
+  final case class CurveSpec(idx: Int, typ: Int, params: Seq[Double], bits: Int = 0)
+
+  /** Write a curve-flagged general polyline (50) or polygon (51) layer:
+    * the [[writeShapeTable]] ribbon with the curve-count varuint and
+    * trailing curve descriptors (fixture path — no GDAL in this
+    * environment to author real curved GDBs). */
+  def writeCurveShapeTable(attrs: Seq[(String, Int)], polygon: Boolean,
+      rows: Seq[(Seq[Any], Seq[Seq[(Double, Double)]], Seq[CurveSpec])],
+      xorigin: Double = -400.0, yorigin: Double = -400.0,
+      xyscale: Double = 1e9): Array[Byte] = {
+    val baseType = if (polygon) 51L else 50L
+    val geomRows = rows.map { case (vals, parts, curves) =>
+      val geom = new java.io.ByteArrayOutputStream()
+      writeVaruint(geom, baseType | CurveFlag)
+      val all = parts.flatten
+      writeVaruint(geom, all.size.toLong)
+      writeVaruint(geom, parts.size.toLong)
+      writeVaruint(geom, curves.size.toLong)
+      def sx(x: Double) = math.round((x - xorigin) * xyscale)
+      def sy(y: Double) = math.round((y - yorigin) * xyscale)
+      val xs = all.map(p => sx(p._1)); val ys = all.map(p => sy(p._2))
+      writeVaruint(geom, xs.min); writeVaruint(geom, ys.min)
+      writeVaruint(geom, xs.max - xs.min); writeVaruint(geom, ys.max - ys.min)
+      parts.dropRight(1).foreach(p => writeVaruint(geom, p.size.toLong))
+      var xi = 0L; var yi = 0L
+      parts.foreach(_.foreach { case (x, y) =>
+        writeVarint(geom, sx(x) - xi); xi = sx(x)
+        writeVarint(geom, sy(y) - yi); yi = sy(y)
+      })
+      curves.foreach { c =>
+        writeVaruint(geom, c.idx.toLong)
+        writeVaruint(geom, c.typ.toLong)
+        val le = ByteBuffer.allocate(8 * c.params.size + (if (c.typ != 4) 4 else 0))
+          .order(ByteOrder.LITTLE_ENDIAN)
+        c.params.foreach(le.putDouble)
+        if (c.typ != 4) le.putInt(c.bits)
+        geom.write(le.array())
+      }
+      (vals, geom.toByteArray)
+    }
+    writeTable(attrs, if (polygon) 4 else 3, geomRows, xorigin, yorigin, xyscale)
   }
 
   /** Write a multipoint (shapeType 8) layer: count + bbox + the part-less

@@ -237,4 +237,78 @@ class FileGdbSpec extends AnyFunSuite {
     val fb = FileGdb.readLargestSplit(spark, dir2.toString, 10)
     assert(fb.count() == 137)
   }
+
+  test("circular-arc curve densifies onto the circle; sweep direction honored") {
+    // polyline (0,0) -> (2,0) with a CCW arc centered at (1,0): starting at
+    // the circle's west point, counter-clockwise sweeps the LOWER
+    // semicircle, radius 1. Densified at <=5 deg per step -> >=36 segments,
+    // every interior vertex exactly on the circle.
+    val bytes = FileGdbCodec.writeCurveShapeTable(Seq("v" -> 3), polygon = false,
+      Seq((Seq[Any](1.0), Seq(Seq((0.0, 0.0), (2.0, 0.0))),
+        Seq(FileGdbCodec.CurveSpec(0, 1, Seq(1.0, 0.0), bits = 0x8)))))
+    val g = graft.geom.GeomLib.readOrNull(FileGdbCodec.decode(bytes).head._3)
+    assert(g != null && g.getGeometryType == "LineString")
+    assert(g.getNumPoints >= 36, s"densified points ${g.getNumPoints}")
+    val cs = g.getCoordinates
+    cs.foreach { c =>
+      assert(math.abs(math.hypot(c.x - 1.0, c.y - 0.0) - 1.0) < 1e-9, c.toString)
+      assert(c.y <= 1e-9, s"CCW from the west point sweeps the lower half: $c")
+    }
+    assert(g.getLength > math.Pi - 0.01 && g.getLength < math.Pi + 0.001,
+      s"semicircle length ${g.getLength}")
+    // CW (bits=0) over the same endpoints sweeps the UPPER semicircle
+    val cw = FileGdbCodec.writeCurveShapeTable(Seq("v" -> 3), polygon = false,
+      Seq((Seq[Any](1.0), Seq(Seq((0.0, 0.0), (2.0, 0.0))),
+        Seq(FileGdbCodec.CurveSpec(0, 1, Seq(1.0, 0.0), bits = 0)))))
+    val gcw = graft.geom.GeomLib.readOrNull(FileGdbCodec.decode(cw).head._3)
+    gcw.getCoordinates.foreach(c => assert(c.y >= -1e-9, s"CW arc above: $c"))
+  }
+
+  test("curved polygon: circle-ish square has the right area; line-bit arc stays straight") {
+    // square shell with all four edges bulged outward by CCW arcs around the
+    // square center -> a full circle of radius sqrt(2): area ~ 2*pi
+    val r = math.sqrt(2.0)
+    val shell = Seq((-1.0, -1.0), (-1.0, 1.0), (1.0, 1.0), (1.0, -1.0), (-1.0, -1.0))
+    val curves = (0 to 3).map(i => FileGdbCodec.CurveSpec(i, 1, Seq(0.0, 0.0), bits = 0))
+    val bytes = FileGdbCodec.writeCurveShapeTable(Seq("v" -> 3), polygon = true,
+      Seq((Seq[Any](1.0), Seq(shell), curves)))
+    val g = graft.geom.GeomLib.readOrNull(FileGdbCodec.decode(bytes).head._3)
+    assert(g != null && g.getGeometryType == "Polygon", String.valueOf(g))
+    val exact = math.Pi * r * r
+    assert(math.abs(g.getArea - exact) / exact < 2e-3, s"area ${g.getArea} vs $exact")
+    // the 0x20 line bit degrades the arc to the straight chord
+    val straight = FileGdbCodec.writeCurveShapeTable(Seq("v" -> 3), polygon = true,
+      Seq((Seq[Any](1.0), Seq(shell),
+        (0 to 3).map(i => FileGdbCodec.CurveSpec(i, 1, Seq(0.0, 0.0), bits = 0x20)))))
+    val gs = graft.geom.GeomLib.readOrNull(FileGdbCodec.decode(straight).head._3)
+    assert(gs.getArea == 4.0 && gs.getNumPoints == 5, s"${gs.getArea}/${gs.getNumPoints}")
+  }
+
+  test("cubic Bezier curve follows the control polygon; endpoints exact") {
+    val bytes = FileGdbCodec.writeCurveShapeTable(Seq("v" -> 3), polygon = false,
+      Seq((Seq[Any](1.0), Seq(Seq((0.0, 0.0), (3.0, 0.0))),
+        Seq(FileGdbCodec.CurveSpec(0, 4, Seq(1.0, 2.0, 2.0, 2.0))))))
+    val g = graft.geom.GeomLib.readOrNull(FileGdbCodec.decode(bytes).head._3)
+    assert(g != null && g.getNumPoints == 17, s"${g.getNumPoints}") // 2 + 15 interior
+    val cs = g.getCoordinates
+    assert(cs.head.x == 0.0 && cs.head.y == 0.0 && cs.last.x == 3.0 && cs.last.y == 0.0)
+    // t=0.5 point of this cubic: x = 1.5, y = 1.5 (symmetric control points)
+    val mid = cs(8)
+    assert(math.abs(mid.x - 1.5) < 1e-9 && math.abs(mid.y - 1.5) < 1e-9, mid.toString)
+    // the curve bows toward the control points but never above them
+    cs.foreach(c => assert(c.y >= -1e-12 && c.y <= 1.5 + 1e-9, c.toString))
+  }
+
+  test("mixed curved and straight rows decode in one table") {
+    val mixed = FileGdbCodec.writeCurveShapeTable(Seq("v" -> 3), polygon = false,
+      Seq(
+        (Seq[Any](1.0), Seq(Seq((0.0, 0.0), (2.0, 0.0))),
+          Seq(FileGdbCodec.CurveSpec(0, 1, Seq(1.0, 0.0), bits = 0x8))),
+        (Seq[Any](2.0), Seq(Seq((5.0, 5.0), (6.0, 6.0))), Seq.empty)))
+    val rows = FileGdbCodec.decode(mixed)
+    assert(rows.length == 2)
+    val arc = graft.geom.GeomLib.readOrNull(rows.head._3)
+    val straight = graft.geom.GeomLib.readOrNull(rows(1)._3)
+    assert(arc.getNumPoints >= 36 && straight.getNumPoints == 2)
+  }
 }
