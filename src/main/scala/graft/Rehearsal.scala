@@ -40,7 +40,9 @@ object Rehearsal {
       case "jaccard" => jaccardCapSweep(spark, n, headWords = 50, headPct = 3, capOverride)
       case "jaccardHot" => jaccardCapSweep(spark, n, headWords = 10, headPct = 5, capOverride)
       case "hilbert" => hilbertAtScale(spark, n)
-      case other => sys.error(s"unknown mode $other (jaccard|jaccardHot|hilbert)")
+      case "full281" => fullPipeline(spark,
+        if (args.length > 1) n else 281000000L)
+      case other => sys.error(s"unknown mode $other (jaccard|jaccardHot|hilbert|full281)")
     }
     spark.stop()
   }
@@ -149,6 +151,112 @@ object Rehearsal {
       case (tag, total, planted, secs) =>
         println(f"  $tag%-22s pairs=$total%9d plantedRecall=${planted.toDouble / nPlanted}%.4f time=$secs%8.2f s")
     }
+  }
+
+  /** Round-5 capability rehearsal (VERDICT r4 #7): the reference's FULL
+    * 281M-row scale (East-Asia-Building-Footprints.md — 281M building
+    * footprints across ~24 country files) through the engine's actual
+    * pipeline: per-source convert (normalize → Hilbert-clustered ZSTD write,
+    * east_asia.py:286-314) then merge-pqs bin-packing into ≤10M-row
+    * clustered files (east_asia.py:376-419), then the global bbox aggregate
+    * that segfaults DuckDB at this scale (East-Asia-Building-Footprints
+    * .md:223-239). Records wall time per stage, per-file row/byte spreads
+    * against the ~500MB contract, intra-file Hilbert sortedness, and the
+    * bbox. Driver state stays bounded: the only collects are per-file
+    * count manifests (hundreds of rows). */
+  private def fullPipeline(spark: SparkSession, nRows: Long): Unit = {
+    val nSources = 24
+    val perSource = nRows / nSources
+    val base = "/tmp/graft_r281"
+    val srcDir = s"$base/sources"
+    val convDir = s"$base/converted"
+    val mergeDir = s"$base/merged"
+    // a rehearsal is a fresh run by definition: clear any previous outputs
+    // so convertAll's idempotency guard (F4) cannot skip stale converts
+    {
+      val p = new org.apache.hadoop.fs.Path(base)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    // skewed world as hilbertAtScale: 60% of points pile into 12 cities
+    val (_, genSecs) = timed(s"gen $nRows rows as $nSources sources") {
+      (0 until nSources).foreach { srcIdx =>
+        val pts = spark.range(perSource).toDF("i")
+          .withColumn("id", col("i") + srcIdx.toLong * perSource)
+          .withColumn("city", pmod(xxhash64(col("id"), lit(1)), lit(12L)))
+          .withColumn("cityLon", (col("city") * 29 % 343).cast("double") - 171.0)
+          .withColumn("cityLat", (col("city") * 13 % 160).cast("double") - 80.0)
+          .withColumn("u1", (pmod(xxhash64(col("id"), lit(2)), lit(1000000L))).cast("double") / 1000000.0)
+          .withColumn("u2", (pmod(xxhash64(col("id"), lit(3)), lit(1000000L))).cast("double") / 1000000.0)
+          .withColumn("lon",
+            when(pmod(xxhash64(col("id")), lit(10L)) < 6,
+              col("cityLon") + (col("u1") - 0.5))
+            .otherwise(col("u1") * 360.0 - 180.0))
+          .withColumn("lat",
+            when(pmod(xxhash64(col("id")), lit(10L)) < 6,
+              col("cityLat") + (col("u2") - 0.5) * 0.8)
+            .otherwise(col("u2") * 170.0 - 85.0))
+          .select(col("id"), st_point(col("lon"), col("lat")).as("geom"))
+        pts.write.mode("overwrite").parquet(f"$srcDir/country_$srcIdx%02d.parquet")
+      }
+    }
+    val sources = (0 until nSources)
+      .map(i => (f"$srcDir/country_$i%02d.parquet", 4326))
+    // per-source convert: numFilesPerSource=3 → ~3.9M rows per file, so the
+    // merge stage has real bin-packing to do (as the reference's per-country
+    // files do); zstd 22 is the at-rest contract
+    val (failures, convSecs) = timed(s"convertAll ($nSources sources)") {
+      graft.operators.GeoNormalize.convertAll(spark, sources, convDir,
+        numFilesPerSource = 3, maxConcurrent = 8)
+    }
+    require(failures.isEmpty, s"convert failures: $failures")
+    val convFiles = {
+      val p = new org.apache.hadoop.fs.Path(convDir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).filter(_.isDirectory).map(_.getPath.toString).toSeq.sorted
+    }
+    val (outFiles, mergeSecs) = timed(s"merge-pqs (${convFiles.size} converted dirs)") {
+      // each batch's final write is a single repartitionByRange(1) task at
+      // zstd 22 (~2 MB/s core-bound): wide concurrent submission keeps the
+      // cluster busy where 4-at-a-time left 28/32 cores idle
+      graft.operators.MergeParquet.merge(spark, convFiles, mergeDir,
+        maxRows = 10000000L, zstdLevel = 22, maxConcurrent = 8)
+    }
+    // contract audit: rows ≤ 10M per merged file, sizes in the ~500MB class
+    val merged = spark.read.parquet(outFiles: _*)
+    val rowsPerFile = merged.groupBy(input_file_name().as("f")).count()
+      .select(col("count")).collect().map(_.getLong(0)).sorted
+    val fs = new org.apache.hadoop.fs.Path(mergeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = outFiles.flatMap { d =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(d))
+        .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen)
+    }.sorted
+    // the aggregate that segfaults the reference's engine at this scale
+    val ((bbox, total), bboxSecs) = timed("global bbox + count over merged") {
+      val r = merged.agg(
+        min(st_xmin(col("geom"))), min(st_ymin(col("geom"))),
+        max(st_xmax(col("geom"))), max(st_ymax(col("geom"))),
+        count(lit(1))).head()
+      ((r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)), r.getLong(4))
+    }
+    // intra-file Hilbert sortedness across every merged file
+    val (viol, sortSecs) = timed("hilbert sortedness audit") {
+      merged.select(input_file_name().as("f"), hilbert_of_geom(col("geom")).as("hk"))
+        .withColumn("prev", lag("hk", 1).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("f")
+            .orderBy(monotonically_increasing_id())))
+        .filter(col("prev").isNotNull && col("hk") < col("prev"))
+        .count()
+    }
+    println(f"SUMMARY_FULL281 nRows=$nRows gen=$genSecs%.0f s convert=$convSecs%.0f s merge=$mergeSecs%.0f s bbox=$bboxSecs%.0f s sortAudit=$sortSecs%.0f s")
+    println(f"  merged files=${rowsPerFile.length} rows min=${rowsPerFile.head}%,d median=${rowsPerFile(rowsPerFile.length / 2)}%,d max=${rowsPerFile.last}%,d (cap 10,000,000)")
+    println(f"  bytes/file min=${sizes.head}%,d median=${sizes(sizes.length / 2)}%,d max=${sizes.last}%,d")
+    println(f"  total rows=$total%,d bbox=(${bbox._1}%.4f, ${bbox._2}%.4f, ${bbox._3}%.4f, ${bbox._4}%.4f) hilbert violations=$viol")
+    val expected = perSource * nSources // generation floors nRows/nSources
+    require(total == expected, s"row loss: $total != $expected")
+    require(rowsPerFile.last <= 10000000L, "10M-row contract violated")
+    require(viol == 0L, s"hilbert order violations: $viol")
   }
 
   private def hilbertAtScale(spark: SparkSession, nRows: Long): Unit = {

@@ -188,6 +188,9 @@ private[sources] object SqliteMini {
       o.write(payload, 0, payload.length)
       o.toByteArray
     }
+    require(masterCells.map(_.length + 2).sum <= PageSize - 100 - 8,
+      s"sqlite_master overflows page 1 (${masterCells.map(_.length).sum} B of " +
+        "DDL cells): multi-page master b-trees are unsupported")
     val page1 = renderLeaf(masterCells, headerOffset = 100)
     val nPages = pages.length + 1
     val bb = ByteBuffer.wrap(page1).order(ByteOrder.BIG_ENDIAN)
@@ -266,7 +269,8 @@ object GeoPackage {
   def write(df: DataFrame, path: String, tableName: String,
       geomCol: String = "geom", srsId: Int = 4326,
       geometryType: String = "GEOMETRY",
-      maxRows: Long = 5000000L, maxBytes: Long = 2L << 30): Unit = {
+      maxRows: Long = 5000000L, maxBytes: Long = 2L << 30,
+      spatialIndex: Boolean = true): Unit = {
     val schema = df.schema
     val geomIdx = schema.fieldIndex(geomCol)
     val attrs = schema.fields.zipWithIndex.filter(_._2 != geomIdx)
@@ -274,6 +278,7 @@ object GeoPackage {
 
     // feature rows: rowid = running fid; geometry first column after fid
     val rows = new ArrayBuffer[(Long, Array[Byte])]()
+    val envelopes = new ArrayBuffer[(Long, Double, Double, Double, Double)]()
     var fid = 0L
     var bytesBuffered = 0L
     var minX = Double.MaxValue; var minY = Double.MaxValue
@@ -297,6 +302,8 @@ object GeoPackage {
           val e = g.getEnvelopeInternal
           minX = math.min(minX, e.getMinX); minY = math.min(minY, e.getMinY)
           maxX = math.max(maxX, e.getMaxX); maxY = math.max(maxY, e.getMaxY)
+          if (spatialIndex)
+            envelopes += ((fid, e.getMinX, e.getMaxX, e.getMinY, e.getMaxY))
         }
       }
       val vals = Seq[Value](VNull) :+ gv // NULL = INTEGER PRIMARY KEY alias
@@ -328,6 +335,108 @@ object GeoPackage {
       (1L, record(Seq(VText(tableName), VText(geomCol), VText(geometryType),
         VInt(srsId.toLong), VInt(0), VInt(0))))))
 
+    // ---- gpkg_rtree_index extension: SQLite R*Tree shadow tables ----
+    // Node format per the public SQLite rtree module docs: a fixed-size
+    // blob per node — root (always node 1) leads with 2 bytes of tree
+    // depth, others leave them zero; then a 2-byte entry count; then
+    // entries of one big-endian 8-byte integer (rowid in leaves, child
+    // nodeno in internals) + 4 big-endian float32 coords (minx, maxx,
+    // miny, maxy). The module infers the node size from the root blob's
+    // length, so any uniform size works; 2048 keeps rows well under the
+    // one-page ceiling of this writer. float32 bounds round OUTWARD so the
+    // stored rect always contains the float64 envelope.
+    val rtreeName = s"rtree_${tableName}_$geomCol"
+    val rtreeMaster = new ArrayBuffer[(String, String, Int, String)]()
+    if (spatialIndex && envelopes.nonEmpty) {
+      val nodeSize = 2048
+      val cap = (nodeSize - 4) / 24
+      def fDown(d: Double): Float = {
+        val f = d.toFloat
+        if (f.toDouble > d) math.nextAfter(f, Float.NegativeInfinity) else f
+      }
+      def fUp(d: Double): Float = {
+        val f = d.toFloat
+        if (f.toDouble < d) math.nextAfter(f, Float.PositiveInfinity) else f
+      }
+      // bulk load: hilbert-order the entries so leaves are spatially tight
+      final case class Node(entries: Seq[(Long, Float, Float, Float, Float)],
+        leaf: Boolean)
+      val sorted = envelopes.sortBy { case (_, x0, x1, y0, y1) =>
+        graft.geom.GeomLib.hilbertEncode((y0 + y1) / 2, (x0 + x1) / 2)
+      }
+      val leaves = sorted.grouped(cap).map { g =>
+        Node(g.map { case (id, x0, x1, y0, y1) =>
+          (id, fDown(x0), fUp(x1), fDown(y0), fUp(y1))
+        }.toSeq, leaf = true)
+      }.toVector
+      // build internal levels; record children per node for numbering
+      val levels = new ArrayBuffer[Vector[Node]]()
+      val childIdx = scala.collection.mutable.Map[(Int, Int), Seq[Int]]()
+      levels += leaves
+      while (levels.last.length > 1) {
+        val below = levels.last
+        val lvl = levels.length
+        val groups = below.zipWithIndex.grouped(cap).toVector
+        levels += groups.zipWithIndex.map { case (grp, gi) =>
+          childIdx((lvl, gi)) = grp.map(_._2)
+          Node(grp.map { case (n, ci) =>
+            (ci.toLong /* placeholder: child index within level below */,
+              n.entries.map(_._2).min, n.entries.map(_._3).max,
+              n.entries.map(_._4).min, n.entries.map(_._5).max)
+          }, leaf = false)
+        }
+      }
+      // number nodes: root = 1, then top-down level by level
+      val depth = levels.length - 1
+      val nodeNo = scala.collection.mutable.Map[(Int, Int), Long]()
+      var next = 1L
+      for (lvl <- levels.indices.reverse; i <- levels(lvl).indices) {
+        nodeNo((lvl, i)) = next; next += 1
+      }
+      val nodeRows = new ArrayBuffer[(Long, Array[Byte])]()
+      val parentRows = new ArrayBuffer[(Long, Array[Byte])]()
+      val rowidRows = new ArrayBuffer[(Long, Array[Byte])]()
+      for (lvl <- levels.indices; i <- levels(lvl).indices) {
+        val n = levels(lvl)(i)
+        val no = nodeNo((lvl, i))
+        val bb = ByteBuffer.allocate(nodeSize).order(ByteOrder.BIG_ENDIAN)
+        if (no == 1L) bb.putShort(0, depth.toShort)
+        bb.putShort(2, n.entries.length.toShort)
+        n.entries.zipWithIndex.foreach { case ((id, x0, x1, y0, y1), e) =>
+          val off = 4 + e * 24
+          val realId = if (n.leaf) id
+            else nodeNo((lvl - 1, childIdx((lvl, i))(e.toInt)))
+          bb.putLong(off, realId)
+          bb.putFloat(off + 8, x0); bb.putFloat(off + 12, x1)
+          bb.putFloat(off + 16, y0); bb.putFloat(off + 20, y1)
+          if (n.leaf) rowidRows += ((id, record(Seq(VNull, VInt(no)))))
+          else parentRows += ((realId, record(Seq(VNull, VInt(no)))))
+        }
+        nodeRows += ((no, record(Seq(VNull, VBlob(bb.array())))))
+      }
+      val nodeRoot = buildTable(pages, nodeRows.sortBy(_._1).toSeq)
+      val rowidRoot = buildTable(pages, rowidRows.sortBy(_._1).toSeq)
+      val parentRoot = buildTable(pages, parentRows.sortBy(_._1).toSeq)
+      val extRoot = buildTable(pages, Seq(
+        (1L, record(Seq(VText(tableName), VText(geomCol),
+          VText("gpkg_rtree_index"),
+          VText("http://www.geopackage.org/spec120/#extension_rtree"),
+          VText("write-only"))))))
+      rtreeMaster ++= Seq(
+        (rtreeName, rtreeName, 0,
+          s"""CREATE VIRTUAL TABLE "$rtreeName" USING rtree(id, minx, maxx, miny, maxy)"""),
+        (s"${rtreeName}_node", s"${rtreeName}_node", nodeRoot,
+          s"""CREATE TABLE "${rtreeName}_node"(nodeno INTEGER PRIMARY KEY, data)"""),
+        (s"${rtreeName}_rowid", s"${rtreeName}_rowid", rowidRoot,
+          s"""CREATE TABLE "${rtreeName}_rowid"(rowid INTEGER PRIMARY KEY, nodeno)"""),
+        (s"${rtreeName}_parent", s"${rtreeName}_parent", parentRoot,
+          s"""CREATE TABLE "${rtreeName}_parent"(nodeno INTEGER PRIMARY KEY, parentnode)"""),
+        ("gpkg_extensions", "gpkg_extensions", extRoot,
+          "CREATE TABLE gpkg_extensions (table_name TEXT, column_name TEXT, " +
+            "extension_name TEXT NOT NULL, definition TEXT NOT NULL, " +
+            "scope TEXT NOT NULL)"))
+    }
+
     val attrDdl = attrs.map { case (f, _) => s""", "${f.name}" ${sqlType(f.dataType)}""" }.mkString
     val master = Seq(
       ("gpkg_spatial_ref_sys", "gpkg_spatial_ref_sys", srsRoot,
@@ -347,7 +456,8 @@ object GeoPackage {
           "geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, " +
           "m TINYINT NOT NULL)"),
       (tableName, tableName, featureRoot,
-        s"""CREATE TABLE "$tableName" (fid INTEGER PRIMARY KEY, "$geomCol" BLOB$attrDdl"""  + ")"))
+        s"""CREATE TABLE "$tableName" (fid INTEGER PRIMARY KEY, "$geomCol" BLOB$attrDdl"""  + ")")) ++
+      rtreeMaster
 
     val bytes = assemble(pages, master, applicationId = 0x47504B47 /* "GPKG" */,
       userVersion = 10300 /* GeoPackage 1.3 */)

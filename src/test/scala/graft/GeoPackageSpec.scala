@@ -69,6 +69,51 @@ class GeoPackageSpec extends AnyFunSuite {
     assert(rc == 0 && out.toString.contains("SQLITE_OK"), s"external check failed:\n$out")
   }
 
+  test("r-tree spatial index: real SQLite rtreecheck passes, range query matches") {
+    val python = Seq("/usr/bin/python3", "/usr/local/bin/python3")
+      .find(p => new java.io.File(p).canExecute)
+    assume(python.isDefined, "python3 not available for external validation")
+    val path = tmpGpkg()
+    // 3000 points -> a 2-level r-tree (2048-byte nodes hold 85 entries)
+    GeoPackage.write(sampleDf(3000), path, "layer", geomCol = "geom",
+      geometryType = "POINT")
+    val script =
+      s"""import sqlite3
+         |cur = sqlite3.connect('$path').cursor()
+         |assert cur.execute('PRAGMA integrity_check').fetchall() == [('ok',)]
+         |# structural audit by the rtree module itself
+         |chk = cur.execute("SELECT rtreecheck('rtree_layer_geom')").fetchone()[0]
+         |assert chk == 'ok', chk
+         |# extension registered
+         |ext = cur.execute("SELECT extension_name FROM gpkg_extensions").fetchall()
+         |assert ext == [('gpkg_rtree_index',)], ext
+         |# the index is complete: one entry per feature
+         |n = cur.execute('SELECT COUNT(*) FROM rtree_layer_geom').fetchone()[0]
+         |assert n == 3000, n
+         |# range query through the virtual table == brute force over blobs
+         |import struct
+         |def pt(b):
+         |    x, y = struct.unpack('<dd', b[8+5:8+21])
+         |    return x, y
+         |rows = cur.execute('SELECT fid, geom FROM layer').fetchall()
+         |brute = sorted(f for f, g in rows
+         |               if -50 <= pt(g)[0] <= 10 and 0 <= pt(g)[1] <= 40)
+         |idx = sorted(r[0] for r in cur.execute(
+         |    'SELECT id FROM rtree_layer_geom '
+         |    'WHERE maxx >= -50 AND minx <= 10 AND maxy >= 0 AND miny <= 40'))
+         |assert brute == idx, (len(brute), len(idx))
+         |assert len(brute) > 0
+         |print('RTREE_OK')
+         |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("rtreecheck", ".py")
+    java.nio.file.Files.write(f, script.getBytes("UTF-8"))
+    val out = new StringBuilder
+    val rc = scala.sys.process.Process(Seq(python.get, f.toString))
+      .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n'),
+        l => out.append(l).append('\n')))
+    assert(rc == 0 && out.toString.contains("RTREE_OK"), s"rtree check failed:\n$out")
+  }
+
   test("oversized row is rejected instead of silently corrupting the file") {
     val big = Seq((1L, new Array[Byte](5000))).toDF("okey", "geom")
     intercept[IllegalArgumentException] {
