@@ -173,10 +173,10 @@ object Rehearsal {
     val mergeDir = s"$base/merged"
     // a rehearsal is a fresh run by definition: clear any previous outputs
     // so convertAll's idempotency guard (F4) cannot skip stale converts
-    {
+    locally {
       val p = new org.apache.hadoop.fs.Path(base)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
+      if (fs.exists(p)) { fs.delete(p, true); () }
     }
     // skewed world as hilbertAtScale: 60% of points pile into 12 cities
     val (_, genSecs) = timed(s"gen $nRows rows as $nSources sources") {

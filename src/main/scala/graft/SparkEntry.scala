@@ -1359,6 +1359,93 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "mm4_media_variants" -> { (s, d) =>
+      // round-5 codec completeness: palette / 16-bit / Adam7 PNGs and
+      // baseline JPEG luma. Fixtures are authored DRIVER-side by the JDK's
+      // ImageIO (an independent encoder — nothing round-trips through our
+      // own writer), then decoded DISTRIBUTED through the SQL expressions.
+      // Pixel content is arithmetic series, so the palette/16-bit/Adam7
+      // sums have closed forms the oracle recomputes; JPEG is lossy with
+      // decoder-dependent IDCT rounding (T.81 tolerance), so its check is
+      // |our luma sum - ImageIO's| <= 2/pixel, computed against a
+      // driver-precomputed reference column and reduced to a boolean.
+      import java.awt.image.BufferedImage
+      val ids = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).collect().map(_.getLong(0)).toSeq
+      def dims(id: Long) = (8 + (id % 9).toInt, 8 + (id % 7).toInt)
+      def toBytes(img: BufferedImage, fmt: String,
+          progressive: Boolean = false): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        if (!progressive) { javax.imageio.ImageIO.write(img, fmt, bos) }
+        else {
+          val wr = javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+          val p = wr.getDefaultWriteParam
+          p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          wr.setOutput(ios)
+          wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+          ios.close(); wr.dispose()
+        }
+        bos.toByteArray
+      }
+      // NOT a pure gray ramp — ImageIO silently rewrites grayscale palettes
+      // as color-type-0 PNGs; inverting blue keeps it a true type-3 PLTE and
+      // makes the per-pixel RGB sum j + j + (255-j) = j + 255
+      val grays = Array.tabulate[Byte](256)(_.toByte)
+      val blues = Array.tabulate[Byte](256)(j => (255 - j).toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, blues)
+      val fixtures = ids.map { id =>
+        val (w, h) = dims(id)
+        // palette: grayscale 256-entry PLTE, sample i = (id*13+i)%256
+        val pal = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, icm)
+        for (i <- 0 until w * h)
+          pal.getRaster.setSample(i % w, i / w, 0, ((id * 13 + i) % 256).toInt)
+        // 16-bit gray: sample i = ((id*7+i)%256) * 257 → high byte = series
+        val g16 = new BufferedImage(w, h, BufferedImage.TYPE_USHORT_GRAY)
+        for (i <- 0 until w * h)
+          g16.getRaster.setSample(i % w, i / w, 0, ((id * 7 + i) % 256).toInt * 257)
+        // Adam7: same series as mm3 through an interlaced container
+        val a7 = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        for (i <- 0 until w * h)
+          a7.getRaster.setSample(i % w, i / w, 0, ((id * 31 + i) % 256).toInt)
+        // JPEG: smooth gradient (bounded artifacts), reference sum from
+        // ImageIO's own decode of the same bytes
+        val jp = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        for (y <- 0 until h; x <- 0 until w)
+          jp.getRaster.setSample(x, y, 0,
+            math.min(255, math.max(0, 128 + ((id % 50).toInt - 25) + 4 * x + 3 * y)))
+        val jpegBytes = toBytes(jp, "jpg")
+        val ref = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(jpegBytes))
+        var refSum = 0L
+        for (y <- 0 until h; x <- 0 until w)
+          refSum += ref.getRaster.getSample(x, y, 0)
+        (id, toBytes(pal, "png"), toBytes(g16, "png"),
+          toBytes(a7, "png", progressive = true), jpegBytes, refSum,
+          (w * h).toLong)
+      }
+      import s.implicits._
+      val df = fixtures.toDF("id", "pal", "g16", "a7", "jpg", "jpg_ref", "npix")
+        .repartition(8)
+      df.select(col("id"),
+          png_pixel_sum(col("pal")).as("pal_sum"),
+          png_pixel_sum(col("g16")).as("g16_sum"),
+          png_pixel_sum(col("a7")).as("a7_sum"),
+          png_width(col("a7")).as("a7_w"),
+          jpeg_luma_sum(col("jpg")).as("jpg_sum"),
+          jpeg_luma_width(col("jpg")).as("jpg_w"),
+          col("jpg_ref"), col("npix"))
+        .agg(
+          sum(col("pal_sum")).cast("long").as("pal_total"),
+          sum(col("g16_sum")).cast("long").as("g16_total"),
+          sum(col("a7_sum")).cast("long").as("a7_total"),
+          sum(col("a7_w")).cast("long").as("w_total"),
+          (sum(when(abs(col("jpg_sum") - col("jpg_ref")) <= col("npix") * 2, 1L)
+            .otherwise(0L)) === count(lit(1))).as("jpeg_ok"),
+          sum(col("jpg_w")).cast("long").as("jpg_w_total"),
+          count(lit(1)).as("n"))
+    },
+
     "mm2_frame_sample" -> { (s, d) =>
       // frame sampling through the real Dataset pipeline (withMeta →
       // frameSample): 4 evenly spaced byte-range frames per payload. The
@@ -2381,6 +2468,40 @@ object SparkEntry {
     // pixel sum of ((a + i) % 256 for i < n) in closed form: the series
     // wraps at most once because a < 256 and n <= 224; both branches are
     // exact integer arithmetic
+    // per-image pixel sums are the wrap-at-most-once arithmetic series of
+    // mm3, instantiated per variant (series start keys 13/7/31); palette
+    // triples the sum (grayscale PLTE expands each index to 3 channels);
+    // jpeg_ok is an in-engine tolerance proof (T.81 IDCTs are not bit-exact)
+    "mm4_media_variants" ->
+      """WITH e AS (
+           SELECT doc_id,
+             CAST(8 + doc_id % 9 AS BIGINT) AS w,
+             (8 + doc_id % 9) * (8 + doc_id % 7) AS n,
+             (doc_id * 13) % 256 AS a_pal,
+             (doc_id * 7) % 256 AS a_g16,
+             (doc_id * 31) % 256 AS a_a7
+           FROM documents WHERE doc_id < 200),
+         f AS (
+           SELECT w, n,
+             CASE WHEN a_pal + n <= 256 THEN n * a_pal + n * (n - 1) / 2
+               ELSE (256 - a_pal) * a_pal + (256 - a_pal) * (256 - a_pal - 1) / 2
+                 + (n - (256 - a_pal)) * (n - (256 - a_pal) - 1) / 2 END AS s_pal,
+             CASE WHEN a_g16 + n <= 256 THEN n * a_g16 + n * (n - 1) / 2
+               ELSE (256 - a_g16) * a_g16 + (256 - a_g16) * (256 - a_g16 - 1) / 2
+                 + (n - (256 - a_g16)) * (n - (256 - a_g16) - 1) / 2 END AS s_g16,
+             CASE WHEN a_a7 + n <= 256 THEN n * a_a7 + n * (n - 1) / 2
+               ELSE (256 - a_a7) * a_a7 + (256 - a_a7) * (256 - a_a7 - 1) / 2
+                 + (n - (256 - a_a7)) * (n - (256 - a_a7) - 1) / 2 END AS s_a7
+           FROM e)
+         SELECT CAST(SUM(s_pal + 255 * n) AS BIGINT) AS pal_total,
+           CAST(SUM(s_g16) AS BIGINT) AS g16_total,
+           CAST(SUM(s_a7) AS BIGINT) AS a7_total,
+           CAST(SUM(w) AS BIGINT) AS w_total,
+           TRUE AS jpeg_ok,
+           CAST(SUM(w) AS BIGINT) AS jpg_w_total,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM f""",
+
     "mm3_png_pixels" ->
       """WITH e AS (
            SELECT doc_id,

@@ -73,6 +73,9 @@ object GraftFunctions {
   def png_width(payload: Column): Column = col(PngWidth(ex(payload)))
   def png_height(payload: Column): Column = col(PngHeight(ex(payload)))
   def png_pixel_sum(payload: Column): Column = col(PngPixelSum(ex(payload)))
+  def jpeg_luma_width(payload: Column): Column = col(JpegLumaWidth(ex(payload)))
+  def jpeg_luma_height(payload: Column): Column = col(JpegLumaHeight(ex(payload)))
+  def jpeg_luma_sum(payload: Column): Column = col(JpegLumaSum(ex(payload)))
 
   // --- vectors ---
   def cosine_similarity(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
@@ -129,6 +132,9 @@ object GraftFunctions {
     "quality_score" -> { e => QualityScore(e.head) },
     "detect_lang" -> { e => DetectLang(e.head) },
     "png_width" -> { e => PngWidth(e.head) },
+    "jpeg_luma_width" -> { e => JpegLumaWidth(e.head) },
+    "jpeg_luma_height" -> { e => JpegLumaHeight(e.head) },
+    "jpeg_luma_sum" -> { e => JpegLumaSum(e.head) },
     "png_height" -> { e => PngHeight(e.head) },
     "png_pixel_sum" -> { e => PngPixelSum(e.head) },
     "cosine_similarity" -> { e => CosineSimilarity(e(0), e(1)) },

@@ -42,3 +42,31 @@ case class PngPixelSum(child: Expression) extends PngAccessorExpression {
     graft.multimodal.PngCodec.pixelSum(p.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Baseline-JPEG luma accessors over [[graft.multimodal.JpegCodec]]. */
+case class JpegLumaWidth(child: Expression) extends PngAccessorExpression {
+  override def prettyName: String = "jpeg_luma_width"
+  override def dataType: DataType = IntegerType
+  override def staticMethod: String = "graft.multimodal.JpegCodec.lumaWidth"
+  protected override def nullSafeEval(p: Any): Any =
+    graft.multimodal.JpegCodec.lumaWidth(p.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class JpegLumaHeight(child: Expression) extends PngAccessorExpression {
+  override def prettyName: String = "jpeg_luma_height"
+  override def dataType: DataType = IntegerType
+  override def staticMethod: String = "graft.multimodal.JpegCodec.lumaHeight"
+  protected override def nullSafeEval(p: Any): Any =
+    graft.multimodal.JpegCodec.lumaHeight(p.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class JpegLumaSum(child: Expression) extends PngAccessorExpression {
+  override def prettyName: String = "jpeg_luma_sum"
+  override def dataType: DataType = LongType
+  override def staticMethod: String = "graft.multimodal.JpegCodec.lumaSum"
+  protected override def nullSafeEval(p: Any): Any =
+    graft.multimodal.JpegCodec.lumaSum(p.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

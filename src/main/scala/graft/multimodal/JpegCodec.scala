@@ -1,0 +1,331 @@
+package graft.multimodal
+
+/** Zero-dependency baseline-JPEG luma decoder from the public ITU-T T.81
+  * spec: marker parse (DQT/SOF0/DHT/SOS/DRI), canonical Huffman entropy
+  * decode, dequantize + zigzag + separable float IDCT, level shift. Only
+  * the LUMA plane is reconstructed — the multimodal pipeline's feature
+  * extractors run on luminance — but chroma blocks are still entropy-decoded
+  * to keep the bitstream advancing (their IDCT is skipped).
+  *
+  * Scope: baseline sequential DCT (SOF0), 8-bit precision, 1 or 3
+  * components, any sampling factors, restart intervals. Progressive (SOF2),
+  * arithmetic coding, and 12-bit return null — honestly unsupported.
+  * JPEG's IDCT is not bit-exact across decoders (T.81 Annex A tolerance),
+  * so equality checks against other decoders carry a ±2 tolerance, pinned
+  * in MultimodalSpec.
+  */
+object JpegCodec extends Serializable {
+
+  final case class Luma(width: Int, height: Int, pixels: Array[Byte])
+
+  private val zigzag = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  private final class Huff(bits: Array[Int], vals: Array[Int]) {
+    // canonical code tables: mincode/maxcode/valptr per length (T.81 F.2.2.3)
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1)
+        k += bits(l - 1)
+        maxCode(l) = code - 1
+        if (bits(l - 1) == 0) maxCode(l) = -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: BitReader): Int = {
+      var code = br.bit()
+      var l = 1
+      while (l <= 16) {
+        if (maxCode(l) >= 0 && code <= maxCode(l))
+          return vals(valPtr(l) + code - minCode(l))
+        code = (code << 1) | br.bit()
+        l += 1
+      }
+      throw new IllegalStateException("bad huffman code")
+    }
+  }
+
+  private final class BitReader(data: Array[Byte], var pos: Int) {
+    private var cur = 0
+    private var nBits = 0
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (pos >= data.length) throw new IllegalStateException("eof")
+        var b = data(pos) & 0xff
+        pos += 1
+        if (b == 0xff) {
+          val m = if (pos < data.length) data(pos) & 0xff else -1
+          if (m == 0x00) pos += 1 // stuffed
+          else if (m >= 0xd0 && m <= 0xd7) {
+            // restart marker mid-read: should be consumed at MCU boundary
+            throw new IllegalStateException("unexpected RST")
+          } else {
+            // EOI or other marker: treat as padding 1s (T.81 allows)
+            pos -= 1
+            b = 0xff
+            cur = b; nBits = 8
+            nBits -= 1
+            return (cur >> nBits) & 1
+          }
+        }
+        cur = b
+        nBits = 8
+      }
+      nBits -= 1
+      (cur >> nBits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    /** Align to byte and consume a restart marker. */
+    def restart(): Unit = {
+      nBits = 0
+      // scan for FFDn (skip any pad bytes)
+      while (pos + 1 < data.length &&
+        !((data(pos) & 0xff) == 0xff && (data(pos + 1) & 0xff) >= 0xd0 &&
+          (data(pos + 1) & 0xff) <= 0xd7)) pos += 1
+      pos += 2
+    }
+  }
+
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /** Decode the luma plane; null for anything but clean baseline input. */
+  def decodeLuma(p: Array[Byte]): Luma = {
+    if (p == null || p.length < 4 ||
+      (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return null
+    try {
+      val quant = new Array[Array[Int]](4)
+      val dcTabs = new Array[Huff](4)
+      val acTabs = new Array[Huff](4)
+      var width = 0; var height = 0
+      // per component: (id, h, v, qsel); scan selectors (dcSel, acSel)
+      var comps: Array[(Int, Int, Int, Int)] = null
+      var restartInterval = 0
+      var pos = 2
+      var scanStart = -1
+      var compSel: Array[(Int, Int)] = null
+      while (scanStart < 0 && pos + 4 <= p.length) {
+        if ((p(pos) & 0xff) != 0xff) return null
+        val marker = p(pos + 1) & 0xff
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+          pos += 2
+        } else {
+          val len = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+          val seg = pos + 4
+          marker match {
+            case 0xc0 => // SOF0 baseline
+              if ((p(seg) & 0xff) != 8) return null // 12-bit unsupported
+              height = ((p(seg + 1) & 0xff) << 8) | (p(seg + 2) & 0xff)
+              width = ((p(seg + 3) & 0xff) << 8) | (p(seg + 4) & 0xff)
+              val n = p(seg + 5) & 0xff
+              if (n != 1 && n != 3) return null
+              comps = Array.tabulate(n) { i =>
+                val o = seg + 6 + i * 3
+                ((p(o) & 0xff), (p(o + 1) & 0xff) >> 4, p(o + 1) & 0x0f,
+                  p(o + 2) & 0xff)
+              }
+            case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+                 0xcb | 0xcd | 0xce | 0xcf =>
+              return null // progressive / extended / arithmetic: unsupported
+            case 0xdb => // DQT (possibly several tables per segment)
+              var o = seg
+              while (o < pos + 2 + len) {
+                val prec = (p(o) & 0xff) >> 4
+                val id = p(o) & 0x0f
+                if (prec != 0) return null // 16-bit tables: not baseline
+                quant(id) = Array.tabulate(64)(k => p(o + 1 + k) & 0xff)
+                o += 65
+              }
+            case 0xc4 => // DHT
+              var o = seg
+              while (o < pos + 2 + len) {
+                val cls = (p(o) & 0xff) >> 4
+                val id = p(o) & 0x0f
+                val bits = Array.tabulate(16)(k => p(o + 1 + k) & 0xff)
+                val nv = bits.sum
+                val vals = Array.tabulate(nv)(k => p(o + 17 + k) & 0xff)
+                val h = new Huff(bits, vals)
+                if (cls == 0) dcTabs(id) = h else acTabs(id) = h
+                o += 17 + nv
+              }
+            case 0xdd => // DRI
+              restartInterval = ((p(seg) & 0xff) << 8) | (p(seg + 1) & 0xff)
+            case 0xda => // SOS
+              val ns = p(seg) & 0xff
+              if (comps == null || ns != comps.length) return null
+              compSel = Array.tabulate(ns) { i =>
+                val o = seg + 1 + i * 2
+                ((p(o + 1) & 0xff) >> 4, p(o + 1) & 0x0f)
+              }
+              scanStart = pos + 2 + len
+            case _ => () // APPn / COM / others skipped
+          }
+          pos += 2 + len
+        }
+      }
+      if (scanStart < 0 || width <= 0 || height <= 0) return null
+      if (width.toLong * height > 64L * 1024 * 1024) return null
+
+      val maxH = comps.map(_._2).max
+      val maxV = comps.map(_._3).max
+      val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+      val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+      val lumaW = mcusX * 8 * comps(0)._2
+      val lumaH = mcusY * 8 * comps(0)._3
+      val luma = new Array[Byte](lumaW * lumaH)
+
+      val br = new BitReader(p, scanStart)
+      val dcPred = new Array[Int](comps.length)
+      val block = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.restart()
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        val my = mcu / mcusX
+        val mx = mcu % mcusX
+        var ci = 0
+        while (ci < comps.length) {
+          val (_, h, v, qsel) = comps(ci)
+          val (dcSel, acSel) = (compSel(ci)._1, compSel(ci)._2)
+          val q = quant(qsel)
+          var by = 0
+          while (by < v) {
+            var bx = 0
+            while (bx < h) {
+              // entropy-decode one block
+              java.util.Arrays.fill(block, 0)
+              val t = dcTabs(dcSel).decode(br)
+              dcPred(ci) += extend(br.bits(t), t)
+              block(0) = dcPred(ci) * q(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = acTabs(acSel).decode(br)
+                val r = rs >> 4
+                val sz = rs & 0x0f
+                if (sz == 0) {
+                  if (r == 15) k += 16 else eob = true
+                } else {
+                  k += r
+                  if (k > 63) return null
+                  block(zigzag(k)) = extend(br.bits(sz), sz) * q(k)
+                  k += 1
+                }
+              }
+              if (ci == 0) {
+                // IDCT only for luma; chroma blocks just advanced the stream
+                idct8x8(block, tmp)
+                val ox = (mx * h + bx) * 8
+                val oy = (my * v + by) * 8
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    val s = math.round(tmp(yy * 8 + xx) + 128.0).toInt
+                    luma((oy + yy) * lumaW + ox + xx) =
+                      (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+                    xx += 1
+                  }
+                  yy += 1
+                }
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+      // crop the MCU-padded luma plane; when luma sampling < max, the plane
+      // is subsampled relative to the frame — scale indexes accordingly
+      val sx = maxH / comps(0)._2
+      val sy = maxV / comps(0)._3
+      val outW = (width + sx - 1) / sx
+      val outH = (height + sy - 1) / sy
+      val out = new Array[Byte](outW * outH)
+      var y = 0
+      while (y < outH) {
+        System.arraycopy(luma, y * lumaW, out, y * outW, outW)
+        y += 1
+      }
+      Luma(outW, outH, out)
+    } catch { case _: Exception => null }
+  }
+
+  /** Separable 2D inverse DCT (T.81 A.3.3 reference definition). */
+  private def idct8x8(in: Array[Int], out: Array[Double]): Unit = {
+    // rows then columns with the orthonormal DCT-III
+    val row = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) {
+          val cu = if (u == 0) 0.70710678118654752 else 1.0
+          acc += cu * in(y * 8 + u) * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+          u += 1
+        }
+        row(y * 8 + x) = acc / 2.0
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var acc = 0.0
+        var v = 0
+        while (v < 8) {
+          val cv = if (v == 0) 0.70710678118654752 else 1.0
+          acc += cv * row(v * 8 + x) * math.cos((2 * yy + 1) * v * math.Pi / 16.0)
+          v += 1
+        }
+        out(yy * 8 + x) = acc / 2.0
+        yy += 1
+      }
+      x += 1
+    }
+  }
+
+  // --- scalar accessors (SQL expression backends; null = not decodable) --
+  def lumaWidth(p: Array[Byte]): java.lang.Integer = {
+    val l = decodeLuma(p); if (l == null) null else Integer.valueOf(l.width)
+  }
+  def lumaHeight(p: Array[Byte]): java.lang.Integer = {
+    val l = decodeLuma(p); if (l == null) null else Integer.valueOf(l.height)
+  }
+  def lumaSum(p: Array[Byte]): java.lang.Long = {
+    val l = decodeLuma(p)
+    if (l == null) null
+    else {
+      var s = 0L; var i = 0
+      while (i < l.pixels.length) { s += l.pixels(i) & 0xff; i += 1 }
+      java.lang.Long.valueOf(s)
+    }
+  }
+}

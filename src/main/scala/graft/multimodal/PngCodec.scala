@@ -9,9 +9,12 @@ import java.util.zip.{CRC32, Deflater, Inflater}
   * (None/Sub/Up/Average/Paeth) are pure byte arithmetic from the public
   * PNG specification (RFC 2083 / W3C PNG).
   *
-  * Scope: 8-bit depth, color types 0 (gray), 2 (RGB), 4 (gray+alpha),
-  * 6 (RGBA), non-interlaced. Palette (type 3), 16-bit and Adam7 return
-  * null — honestly unsupported rather than mis-decoded. Chunk CRCs are
+  * Scope (round 5 — the full still-image surface): bit depths 1/2/4/8/16,
+  * color types 0 (gray), 2 (RGB), 3 (palette → expanded to RGB),
+  * 4 (gray+alpha), 6 (RGBA), both non-interlaced and Adam7. Sub-byte
+  * grayscale samples scale to 8 bits per the spec's sample-depth rescale;
+  * 16-bit samples take the high byte (the raster >> 8 convention,
+  * asserted against ImageIO's raster in MultimodalSpec). Chunk CRCs are
   * verified on decode (corrupt chunks reject the file). */
 object PngCodec extends Serializable {
 
@@ -38,6 +41,11 @@ object PngCodec extends Serializable {
 
   // --- decode -----------------------------------------------------------
 
+  // Adam7 pass grids: (xStart, yStart, xStep, yStep)
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** Decode a PNG payload to raw pixels; null for non-PNG bytes, CRC
     * corruption, or honestly-unsupported variants. */
   def decode(p: Array[Byte]): Image = {
@@ -45,7 +53,9 @@ object PngCodec extends Serializable {
     var i = 0
     while (i < 8) { if (p(i) != Signature(i)) return null; i += 1 }
     var pos = 8
-    var width = 0; var height = 0; var channels = -1
+    var width = 0; var height = 0
+    var colorType = -1; var depth = 0; var interlace = 0
+    var palette: Array[Byte] = null
     var sawIhdr = false
     val idat = new java.io.ByteArrayOutputStream()
     val crc = new CRC32()
@@ -63,13 +73,22 @@ object PngCodec extends Serializable {
             if (len != 13) return null
             width = u32(p, pos + 8)
             height = u32(p, pos + 12)
-            val bitDepth = p(pos + 16) & 0xff
-            channels = channelsOf(p(pos + 17) & 0xff)
-            val interlace = p(pos + 20) & 0xff
-            if (bitDepth != 8 || channels < 0 || interlace != 0) return null
-            if (width <= 0 || height <= 0 || width.toLong * height * channels > 256L * 1024 * 1024)
-              return null
+            depth = p(pos + 16) & 0xff
+            colorType = p(pos + 17) & 0xff
+            interlace = p(pos + 20) & 0xff
+            val okCombo = colorType match {
+              case 0 => Set(1, 2, 4, 8, 16)(depth)
+              case 3 => Set(1, 2, 4, 8)(depth)
+              case 2 | 4 | 6 => depth == 8 || depth == 16
+              case _ => false
+            }
+            if (!okCombo || interlace > 1) return null
+            if (width <= 0 || height <= 0 ||
+              width.toLong * height * 4 > 256L * 1024 * 1024) return null
             sawIhdr = true
+          case "PLTE" =>
+            if (len % 3 != 0 || len > 256 * 3) return null
+            palette = java.util.Arrays.copyOfRange(p, pos + 8, pos + 8 + len)
           case "IDAT" => idat.write(p, pos + 8, len)
           case "IEND" => done = true
           case _ => () // ancillary chunks skipped
@@ -77,11 +96,26 @@ object PngCodec extends Serializable {
         pos += 12 + len
       }
       if (!sawIhdr || idat.size() == 0) return null
+      if (colorType == 3 && palette == null) return null
 
-      // inflate the concatenated IDAT stream
-      val bpp = channels
-      val stride = width * bpp
-      val raw = new Array[Byte]((stride + 1) * height)
+      // stream channels (palette rows carry 1 index sample per pixel)
+      val srcCh = if (colorType == 3) 1 else channelsOf(colorType)
+      // output channels (palette expands to RGB)
+      val outCh = if (colorType == 3) 3 else srcCh
+      def scanBytes(w: Int): Int = (w * srcCh * depth + 7) / 8
+      val fbpp = math.max(1, srcCh * depth / 8) // filter byte distance
+
+      // total raw size across passes (Adam7 or the single pass)
+      val passes: Seq[(Int, Int, Int, Int)] =
+        if (interlace == 0) Seq((0, 0, 1, 1)) else Adam7.toSeq
+      def passDims(g: (Int, Int, Int, Int)): (Int, Int) = (
+        (width - g._1 + g._3 - 1) / g._3, (height - g._2 + g._4 - 1) / g._4)
+      val rawLen = passes.map { g =>
+        val (pw, ph) = passDims(g)
+        if (pw == 0 || ph == 0) 0L else (scanBytes(pw) + 1).toLong * ph
+      }.sum
+      if (rawLen > 512L * 1024 * 1024) return null
+      val raw = new Array[Byte](rawLen.toInt)
       val inf = new Inflater()
       inf.setInput(idat.toByteArray)
       var off = 0
@@ -93,34 +127,90 @@ object PngCodec extends Serializable {
       inf.end()
       if (off != raw.length) return null
 
-      // un-filter scanlines in place into the output
-      val out = new Array[Byte](stride * height)
-      var y = 0
-      while (y < height) {
-        val filter = raw(y * (stride + 1)) & 0xff
-        val rowIn = y * (stride + 1) + 1
-        val rowOut = y * stride
-        var x = 0
-        while (x < stride) {
-          val rawB = raw(rowIn + x) & 0xff
-          val a = if (x >= bpp) out(rowOut + x - bpp) & 0xff else 0 // left
-          val b = if (y > 0) out(rowOut - stride + x) & 0xff else 0 // up
-          val c = if (x >= bpp && y > 0) out(rowOut - stride + x - bpp) & 0xff else 0
-          val recon = filter match {
-            case 0 => rawB
-            case 1 => rawB + a
-            case 2 => rawB + b
-            case 3 => rawB + ((a + b) >> 1)
-            case 4 => rawB + paeth(a, b, c)
-            case _ => return null
+      val out = new Array[Byte](width * height * outCh)
+      var rawPos = 0
+      passes.foreach { g =>
+        val (pw, ph) = passDims(g)
+        if (pw > 0 && ph > 0) {
+          val sb = scanBytes(pw)
+          // un-filter this pass's scanlines in place (filters act on the
+          // raw byte stream regardless of sample packing)
+          val plane = new Array[Byte](sb * ph)
+          var y = 0
+          while (y < ph) {
+            val filter = raw(rawPos + y * (sb + 1)) & 0xff
+            val rowIn = rawPos + y * (sb + 1) + 1
+            val rowOut = y * sb
+            var x = 0
+            while (x < sb) {
+              val rawB = raw(rowIn + x) & 0xff
+              val a = if (x >= fbpp) plane(rowOut + x - fbpp) & 0xff else 0
+              val b = if (y > 0) plane(rowOut - sb + x) & 0xff else 0
+              val c = if (x >= fbpp && y > 0) plane(rowOut - sb + x - fbpp) & 0xff else 0
+              val recon = filter match {
+                case 0 => rawB
+                case 1 => rawB + a
+                case 2 => rawB + b
+                case 3 => rawB + ((a + b) >> 1)
+                case 4 => rawB + paeth(a, b, c)
+                case _ => return null
+              }
+              plane(rowOut + x) = (recon & 0xff).toByte
+              x += 1
+            }
+            y += 1
           }
-          out(rowOut + x) = (recon & 0xff).toByte
-          x += 1
+          rawPos += (sb + 1) * ph
+          // place pixels: extract samples at this pass's grid positions
+          val maxVal = (1 << depth) - 1
+          var py = 0
+          while (py < ph) {
+            val destY = g._2 + py * g._4
+            var px = 0
+            while (px < pw) {
+              val destX = g._1 + px * g._3
+              val dst = (destY * width + destX) * outCh
+              if (colorType == 3) {
+                val idx = sampleAt(plane, py * sb, px, 0, 1, depth)
+                if (idx * 3 + 2 >= palette.length) return null
+                out(dst) = palette(idx * 3)
+                out(dst + 1) = palette(idx * 3 + 1)
+                out(dst + 2) = palette(idx * 3 + 2)
+              } else {
+                var ch = 0
+                while (ch < srcCh) {
+                  val v = sampleAt(plane, py * sb, px, ch, srcCh, depth)
+                  // rescale to 8 bits: sub-byte gray stretches by 255/max;
+                  // 16-bit takes the high byte
+                  out(dst + ch) =
+                    (if (depth == 16) v >>> 8
+                     else if (depth == 8) v
+                     else v * 255 / maxVal).toByte
+                  ch += 1
+                }
+              }
+              px += 1
+            }
+            py += 1
+          }
         }
-        y += 1
       }
-      Image(width, height, channels, out)
+      Image(width, height, outCh, out)
     } catch { case _: Exception => null }
+  }
+
+  /** Sample `ch` of pixel `px` from a packed scanline starting at `rowOff`. */
+  private def sampleAt(plane: Array[Byte], rowOff: Int, px: Int, ch: Int,
+      nCh: Int, depth: Int): Int = depth match {
+    case 16 =>
+      val o = rowOff + (px * nCh + ch) * 2
+      ((plane(o) & 0xff) << 8) | (plane(o + 1) & 0xff)
+    case 8 => plane(rowOff + px * nCh + ch) & 0xff
+    case d => // 1/2/4-bit packed big-endian within each byte (gray/palette: nCh=1)
+      val bitPos = (px * nCh + ch) * d
+      val b = plane(rowOff + (bitPos >> 3)) & 0xff
+      val shift = 8 - d - (bitPos & 7)
+      (b >> shift) & ((1 << d) - 1)
   }
 
   // --- encode (fixture path; writes real spec-conformant files) ---------

@@ -135,12 +135,88 @@ class MultimodalSpec extends AnyFunSuite {
     assert(PngCodec.decode(corrupt) == null, "CRC mismatch must reject")
     assert(PngCodec.decode(good.take(30)) == null, "truncated must reject")
     assert(PngCodec.decode("not a png at all".getBytes) == null)
-    // palette PNG (color type 3) from ImageIO: honestly unsupported → null
+    // palette PNG (color type 3): decodes as of round 5 (expanded to RGB)
     import java.awt.image.BufferedImage
     val indexed = new BufferedImage(5, 5, BufferedImage.TYPE_BYTE_INDEXED)
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(indexed, "png", bos)
-    assert(PngCodec.decode(bos.toByteArray) == null)
+    val pal = PngCodec.decode(bos.toByteArray)
+    assert(pal != null && pal.channels == 3 && pal.pixels.forall(_ == 0))
+  }
+
+  test("palette PNG expands through PLTE to ImageIO's exact colors") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(16, 9, BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 9; x <- 0 until 16)
+      img.setRGB(x, y, java.awt.Color.HSBtoRGB((x * 9 + y) / 144f, 0.8f, 0.9f))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val ours = PngCodec.decode(bos.toByteArray)
+    assert(ours != null && ours.channels == 3, String.valueOf(ours))
+    for (y <- 0 until 9; x <- 0 until 16) {
+      val rgb = img.getRGB(x, y)
+      val o = (y * 16 + x) * 3
+      assert((ours.pixels(o) & 0xff) == ((rgb >> 16) & 0xff) &&
+        (ours.pixels(o + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+        (ours.pixels(o + 2) & 0xff) == (rgb & 0xff), s"($x,$y)")
+    }
+  }
+
+  test("1-bit PNG scales to 0/255 and matches ImageIO") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(19, 7, BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until 7; x <- 0 until 19)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xFFFFFF else 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val ours = PngCodec.decode(bos.toByteArray)
+    assert(ours != null && ours.channels == 1, String.valueOf(ours))
+    for (y <- 0 until 7; x <- 0 until 19) {
+      val expect = if ((x + y) % 2 == 0) 255 else 0
+      assert((ours.pixels(y * 19 + x) & 0xff) == expect, s"($x,$y)")
+    }
+  }
+
+  test("16-bit grayscale PNG takes the high byte (ImageIO raster >> 8)") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(33, 5, BufferedImage.TYPE_USHORT_GRAY)
+    val r = img.getRaster
+    for (y <- 0 until 5; x <- 0 until 33)
+      r.setSample(x, y, 0, (x * 1999 + y * 13007) % 65536)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val ours = PngCodec.decode(bos.toByteArray)
+    assert(ours != null && ours.channels == 1, String.valueOf(ours))
+    for (y <- 0 until 5; x <- 0 until 33)
+      assert((ours.pixels(y * 33 + x) & 0xff) == (r.getSample(x, y, 0) >> 8),
+        s"($x,$y)")
+  }
+
+  test("Adam7 interlaced PNG de-interlaces to ImageIO's exact pixels") {
+    import java.awt.image.BufferedImage
+    // odd dims exercise the empty/partial pass edge cases
+    val img = new BufferedImage(21, 13, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 13; x <- 0 until 21)
+      img.setRGB(x, y, ((x * 37) % 256 << 16) | ((y * 19) % 256 << 8) | ((x * y) % 256))
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+    val param = wr.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT) // Adam7
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); wr.dispose()
+    val bytes = bos.toByteArray
+    assert((bytes(8 + 8 + 12) & 0xff) == 1, "fixture must actually be interlaced")
+    val ours = PngCodec.decode(bytes)
+    assert(ours != null && ours.channels == 3, String.valueOf(ours))
+    for (y <- 0 until 13; x <- 0 until 21) {
+      val rgb = img.getRGB(x, y)
+      val o = (y * 21 + x) * 3
+      assert((ours.pixels(o) & 0xff) == ((rgb >> 16) & 0xff) &&
+        (ours.pixels(o + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+        (ours.pixels(o + 2) & 0xff) == (rgb & 0xff), s"($x,$y)")
+    }
   }
 
   test("png_width/png_height/png_pixel_sum work from SQL") {
@@ -170,5 +246,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats(1L).decoded && stats(1L).n_pixels == 24 &&
       stats(1L).sum_pixels == expectedSum && stats(1L).channels == 1)
     assert(!stats(2L).decoded && stats(2L).sum_pixels == 0L)
+  }
+
+  test("baseline JPEG grayscale: luma within ±2 of ImageIO's decode") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(40, 25, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 25; x <- 0 until 40) {
+      val g = (128 + 100 * math.sin(x * 0.4) * math.cos(y * 0.3)).toInt
+      img.getRaster.setSample(x, y, 0, math.max(0, math.min(255, g)))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val ours = graft.multimodal.JpegCodec.decodeLuma(bos.toByteArray)
+    assert(ours != null && ours.width == 40 && ours.height == 25, String.valueOf(ours))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    var maxDiff = 0
+    for (y <- 0 until 25; x <- 0 until 40) {
+      val d = math.abs((ours.pixels(y * 40 + x) & 0xff) - ref.getRaster.getSample(x, y, 0))
+      maxDiff = math.max(maxDiff, d)
+    }
+    assert(maxDiff <= 2, s"IDCTs disagree beyond T.81 tolerance: $maxDiff")
+  }
+
+  test("baseline JPEG color (4:2:0): luma matches Y recomputed from ImageIO RGB") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(32, 24, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 24; x <- 0 until 32)
+      img.setRGB(x, y, ((x * 8) % 256 << 16) | ((y * 11) % 256 << 8) | ((x + y) * 5 % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val ours = graft.multimodal.JpegCodec.decodeLuma(bos.toByteArray)
+    assert(ours != null, "color baseline must decode")
+    // ImageIO's default writer may pick 4:2:0 or 4:4:4; either way our luma
+    // plane covers the full frame (luma has the max sampling factor)
+    assert(ours.width == 32 && ours.height == 24, s"${ours.width}x${ours.height}")
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    var off = 0; var n = 0
+    for (y <- 0 until 24; x <- 0 until 32) {
+      val rgb = ref.getRGB(x, y)
+      val yRef = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+        0.114 * (rgb & 0xff)
+      val d = math.abs((ours.pixels(y * 32 + x) & 0xff) - yRef)
+      if (d > 3) off += 1
+      n += 1
+    }
+    assert(off == 0, s"$off/$n luma pixels off by more than 3")
+  }
+
+  test("JPEG restart intervals and non-baseline rejection") {
+    // progressive JPEG must reject honestly
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = wr.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close(); wr.dispose()
+    assert(graft.multimodal.JpegCodec.decodeLuma(bos.toByteArray) == null,
+      "progressive must reject, not mis-decode")
+    assert(graft.multimodal.JpegCodec.decodeLuma("nope".getBytes) == null)
+    assert(graft.multimodal.JpegCodec.decodeLuma(null) == null)
   }
 }
