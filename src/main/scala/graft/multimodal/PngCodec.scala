@@ -269,6 +269,51 @@ object PngCodec extends Serializable {
     out.toByteArray
   }
 
+  // --- BMP (uncompressed BI_RGB) — trivial raw-pixel sibling ------------
+
+  /** Decode an uncompressed 24/32-bit BI_RGB BMP to RGB(A) pixels; rows
+    * are bottom-up and 4-byte padded per the public BMP layout. Null for
+    * compressed/paletted/other-depth files. */
+  def decodeBmp(p: Array[Byte]): Image = {
+    if (p == null || p.length < 54 || p(0) != 'B' || p(1) != 'M') return null
+    try {
+      def i32(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+        ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+      val dataOff = i32(10)
+      val hdrSize = i32(14)
+      if (hdrSize < 40) return null
+      val width = i32(18)
+      val heightRaw = i32(22)
+      val topDown = heightRaw < 0
+      val height = math.abs(heightRaw)
+      val bpp = (p(28) & 0xff) | ((p(29) & 0xff) << 8)
+      val compression = i32(30)
+      if (compression != 0 || (bpp != 24 && bpp != 32)) return null
+      if (width <= 0 || height <= 0 ||
+        width.toLong * height * 4 > 256L * 1024 * 1024) return null
+      val ch = bpp / 8
+      val rowBytes = (width * ch + 3) & ~3
+      if (dataOff.toLong + rowBytes.toLong * height > p.length) return null
+      val out = new Array[Byte](width * height * ch)
+      var y = 0
+      while (y < height) {
+        val srcRow = dataOff + (if (topDown) y else height - 1 - y) * rowBytes
+        var x = 0
+        while (x < width) {
+          val s = srcRow + x * ch
+          val d = (y * width + x) * ch
+          out(d) = p(s + 2) // BGR(A) → RGB(A)
+          out(d + 1) = p(s + 1)
+          out(d + 2) = p(s)
+          if (ch == 4) out(d + 3) = p(s + 3)
+          x += 1
+        }
+        y += 1
+      }
+      Image(width, height, ch, out)
+    } catch { case _: Exception => null }
+  }
+
   // --- scalar accessors (SQL expression backends; null = not decodable) --
 
   def width(p: Array[Byte]): java.lang.Integer = {

@@ -310,4 +310,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(graft.multimodal.JpegCodec.decodeLuma("nope".getBytes) == null)
     assert(graft.multimodal.JpegCodec.decodeLuma(null) == null)
   }
+
+  test("uncompressed BMP decodes to ImageIO's exact pixels (24-bit, bottom-up)") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(13, 6, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 6; x <- 0 until 13)
+      img.setRGB(x, y, ((x * 19) % 256 << 16) | ((y * 41) % 256 << 8) | ((x * y * 7) % 256))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val ours = PngCodec.decodeBmp(bos.toByteArray)
+    assert(ours != null && ours.channels == 3 && ours.width == 13 && ours.height == 6,
+      String.valueOf(ours))
+    for (y <- 0 until 6; x <- 0 until 13) {
+      val rgb = img.getRGB(x, y)
+      val o = (y * 13 + x) * 3
+      assert((ours.pixels(o) & 0xff) == ((rgb >> 16) & 0xff) &&
+        (ours.pixels(o + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+        (ours.pixels(o + 2) & 0xff) == (rgb & 0xff), s"($x,$y)")
+    }
+    assert(PngCodec.decodeBmp("BMnope".getBytes) == null)
+    assert(PngCodec.decodeBmp(null) == null)
+  }
 }
