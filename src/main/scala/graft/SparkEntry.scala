@@ -632,6 +632,36 @@ object SparkEntry {
             GROUP BY 1 ORDER BY cell""")
     },
 
+    "sql3_h3_runbook" -> { (s, d) =>
+      // the reference's heatmap INSERT body nearly verbatim
+      // (East-Asia-Building-Footprints.md:249-252):
+      //   SELECT H3_LATLNG_TO_CELL(ST_Y(ST_CENTROID(geom)),
+      //                            ST_X(ST_CENTROID(geom)), 7), COUNT(*)
+      // through spark.sql over a WKB geometry view, then reduced to the
+      // same invariant row a7h pins (totals, distinct-lattice cell count,
+      // in-engine validity, anchor literals).
+      graft.functions.GraftFunctions.registerAll(s)
+      t(s, d, "lineitem").createOrReplaceTempView("li_h3_sql")
+      s.sql(
+        s"""WITH pts AS (
+              SELECT st_point($cxSql, $cySql) AS geom FROM li_h3_sql
+              WHERE $cxSql < 175.0 AND $cxSql > -175.0
+                AND $cySql < 85.0 AND $cySql > -85.0),
+            hm AS (
+              SELECT h3_latlng_to_cell(st_y(st_centroid(geom)),
+                                       st_x(st_centroid(geom)), 7) AS h3_7,
+                     COUNT(*) AS num_recs
+              FROM pts GROUP BY 1)
+            SELECT CAST(SUM(num_recs) AS BIGINT) AS total_recs,
+              COUNT(*) AS n_cells,
+              SUM(CASE WHEN h3_is_valid_cell(h3_7) THEN 1 ELSE 0 END) = COUNT(*)
+                AS all_valid,
+              h3_latlng_to_cell(37.7752702151959257, -122.418307270836230, 9)
+                AS sf_anchor,
+              h3_latlng_to_cell(37.3615593, -122.0553238, 5) AS ca_anchor
+            FROM hm""")
+    },
+
     "sql2_text_sql" -> { (s, d) =>
       // the text surface through spark.sql (sql1's twin for the training-
       // data functions): token count, quality, lang-id, shingle cardinality
@@ -1826,6 +1856,16 @@ object SparkEntry {
     // parquet, the published anchor cell ids as literals (pinning the
     // absolute H3 numbering inside the correctness gate), and TRUE for the
     // invariants the engine must prove over the full sf-scale input
+    "sql3_h3_runbook" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS total_recs,
+            CAST(COUNT(DISTINCT ($cxSql || '/' || $cySql)) AS BIGINT) AS n_cells,
+            TRUE AS all_valid,
+            CAST(617700169958293503 AS BIGINT) AS sf_anchor,
+            CAST(599686042433355775 AS BIGINT) AS ca_anchor
+          FROM lineitem
+          WHERE $cxSql < 175.0 AND $cxSql > -175.0
+            AND $cySql < 85.0 AND $cySql > -85.0""",
+
     "a7h_h3_heatmap" ->
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS total_recs,
             CAST(COUNT(DISTINCT ($cxSql || '/' || $cySql)) AS BIGINT) AS n_cells,
