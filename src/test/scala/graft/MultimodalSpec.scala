@@ -331,4 +331,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(PngCodec.decodeBmp("BMnope".getBytes) == null)
     assert(PngCodec.decodeBmp(null) == null)
   }
+
+  test("GIF decodes through LZW to ImageIO's exact colors (incl. interlace)") {
+    import java.awt.image.BufferedImage
+    // indexed content with enough variety to exercise dictionary growth
+    val img = new BufferedImage(37, 23, BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 23; x <- 0 until 37)
+      img.setRGB(x, y, java.awt.Color.HSBtoRGB((x * 23 + y * 5) / 851f, 0.7f, 0.95f))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
+    val ours = graft.multimodal.GifCodec.decode(bos.toByteArray)
+    assert(ours != null && ours.channels == 3 && ours.width == 37 && ours.height == 23,
+      String.valueOf(ours))
+    for (y <- 0 until 23; x <- 0 until 37) {
+      val rgb = img.getRGB(x, y)
+      val o = (y * 37 + x) * 3
+      assert((ours.pixels(o) & 0xff) == ((rgb >> 16) & 0xff) &&
+        (ours.pixels(o + 1) & 0xff) == ((rgb >> 8) & 0xff) &&
+        (ours.pixels(o + 2) & 0xff) == (rgb & 0xff), s"($x,$y)")
+    }
+    assert(graft.multimodal.GifCodec.decode("GIF89a".getBytes) == null)
+    assert(graft.multimodal.GifCodec.decode(null) == null)
+  }
 }
