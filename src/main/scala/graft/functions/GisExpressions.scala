@@ -444,6 +444,23 @@ case class H3CellCenterLat(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** h3_cell_to_parent(cell, parentRes) — coarser ancestor cell
+  * (truncate digits; the standard H3 hierarchy roll-up). */
+case class H3CellToParent(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "h3_cell_to_parent"
+  protected override def nullSafeEval(cell: Any, res: Any): Any =
+    H3Lib.cellToParent(cell.asInstanceOf[Number].longValue,
+      res.asInstanceOf[Number].intValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.geom.H3Lib.cellToParent($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** h3_is_valid_cell(cell) — structural validity of an H3 index. */
 case class H3IsValidCell(child: Expression) extends UnaryExpression
     with ImplicitCastInputTypes {

@@ -56,6 +56,8 @@ object GraftFunctions {
   def h3_cell_center_lon(cell: Column): Column = col(H3CellCenterLon(ex(cell)))
   def h3_cell_center_lat(cell: Column): Column = col(H3CellCenterLat(ex(cell)))
   def h3_is_valid_cell(cell: Column): Column = col(H3IsValidCell(ex(cell)))
+  def h3_cell_to_parent(cell: Column, parentRes: Column): Column =
+    col(H3CellToParent(ex(cell), ex(parentRes)))
 
   // --- text / dedup ---
   def shingle_hashes(text: Column, n: Column): Column = col(ShingleHashes(ex(text), ex(n)))
@@ -123,6 +125,7 @@ object GraftFunctions {
     "h3_cell_center_lon" -> { e => H3CellCenterLon(e.head) },
     "h3_cell_center_lat" -> { e => H3CellCenterLat(e.head) },
     "h3_is_valid_cell" -> { e => H3IsValidCell(e.head) },
+    "h3_cell_to_parent" -> { e => H3CellToParent(e(0), e(1)) },
     "shingle_hashes" -> { e => ShingleHashes(e(0), e(1)) },
     "minhash_signature" -> { e => MinHashSignature(e(0), e(1), e(2)) },
     "jaccard_sorted" -> { e => JaccardSorted(e(0), e(1)) },

@@ -937,6 +937,19 @@ object H3Lib {
 
   def hexString(h: Long): String = java.lang.Long.toHexString(h)
 
+  /** Parent cell at coarser `parentRes` (h3api:cellToParent): truncate the
+    * digit path and pad with 7s. Returns 0 (invalid) when parentRes exceeds
+    * the cell's resolution. */
+  def cellToParent(h: Long, parentRes: Int): Long = {
+    val res = getResolution(h)
+    if (parentRes < 0 || parentRes > res) return 0L
+    if (parentRes == res) return h
+    var out = (h & ~(0xFL << 52)) | (parentRes.toLong << 52)
+    var r = parentRes + 1
+    while (r <= MAX_RES) { out = setDigit(out, r, 7); r += 1 }
+    out
+  }
+
   /** Number of pentagon base cells (public H3 invariant: 12). */
   def pentagonCount: Int = pentagonCells.size
 }

@@ -153,4 +153,46 @@ class H3Spec extends AnyFunSuite {
       assert(a != b)
     }
   }
+
+  test("cellToParent: ancestors contain the child center, res-0 is the base cell") {
+    val c9 = H3Lib.latLngToCell(37.7752702151959257, -122.418307270836230, 9)
+    // the SF res-5 published anchor IS the res-9 anchor's ancestor
+    assert(H3Lib.cellToParent(c9, 5) ==
+      H3Lib.latLngToCell(37.7752702151959257, -122.418307270836230, 5))
+    // NOTE: H3 children do NOT nest geometrically (a point near an edge can
+    // coarse-encode outside its fine cell's ancestor — a documented H3
+    // property), so the test pins the hierarchy identities instead:
+    // transitivity, resolution/validity, and the DESCENDANT CENTER lying
+    // within ~1.15 circumradii of the ancestor center (per-level aperture-7
+    // drift compounds geometrically and can just exceed 1R for deep chains).
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 500) {
+      val lat = math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))
+      val lng = rnd.nextDouble() * 360 - 180
+      val c = H3Lib.latLngToCell(lat, lng, 9)
+      val (cla, clo) = H3Lib.cellToLatLng(c)
+      for (pr <- 0 to 9) {
+        val par = H3Lib.cellToParent(c, pr)
+        assert(H3Lib.isValidCell(par), H3Lib.hexString(par))
+        assert(H3Lib.getResolution(par) == pr)
+        // the child's center re-encodes into this exact ancestor
+        assert(par == H3Lib.cellToParent(H3Lib.latLngToCell(cla, clo, 9), pr))
+        // transitivity: parent-of-parent == direct ancestor
+        if (pr >= 1)
+          assert(H3Lib.cellToParent(par, pr - 1) == H3Lib.cellToParent(c, pr - 1))
+        // descendant center sits within the ancestor's own circumradius
+        val (pla, plo) = H3Lib.cellToLatLng(par)
+        val maxR = H3Lib.cellToBoundary(par).map { case (vla, vlo) =>
+          math.acos(math.min(1.0, math.sin(math.toRadians(pla)) * math.sin(math.toRadians(vla)) +
+            math.cos(math.toRadians(pla)) * math.cos(math.toRadians(vla)) *
+              math.cos(math.toRadians(vlo - plo))))
+        }.max
+        val d = math.acos(math.min(1.0, math.sin(math.toRadians(pla)) * math.sin(math.toRadians(cla)) +
+          math.cos(math.toRadians(pla)) * math.cos(math.toRadians(cla)) *
+            math.cos(math.toRadians(clo - plo))))
+        assert(d <= maxR * 1.15, s"res $pr center drift $d vs circumradius $maxR")
+      }
+      assert(H3Lib.cellToParent(c, 10) == 0L)
+    }
+  }
 }
