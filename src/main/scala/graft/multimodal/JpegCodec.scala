@@ -1,11 +1,12 @@
 package graft.multimodal
 
-/** Zero-dependency baseline-JPEG luma decoder from the public ITU-T T.81
-  * spec: marker parse (DQT/SOF0/DHT/SOS/DRI), canonical Huffman entropy
-  * decode, dequantize + zigzag + separable float IDCT, level shift. Only
-  * the LUMA plane is reconstructed — the multimodal pipeline's feature
-  * extractors run on luminance — but chroma blocks are still entropy-decoded
-  * to keep the bitstream advancing (their IDCT is skipped).
+/** Zero-dependency baseline-JPEG decoder from the public ITU-T T.81 spec:
+  * marker parse (DQT/SOF0/DHT/SOS/DRI), canonical Huffman entropy decode,
+  * dequantize + zigzag + separable float IDCT, level shift. `decodeLuma`
+  * reconstructs only the luma plane (the multimodal feature extractors run
+  * on luminance; chroma blocks advance the bitstream without IDCT);
+  * `decodeRgb` IDCTs every component and converts JFIF YCbCr to RGB with
+  * nearest-neighbor chroma upsampling.
   *
   * Scope: baseline sequential DCT (SOF0), 8-bit precision, 1 or 3
   * components, any sampling factors, restart intervals. Progressive (SOF2),
@@ -108,6 +109,59 @@ object JpegCodec extends Serializable {
 
   /** Decode the luma plane; null for anything but clean baseline input. */
   def decodeLuma(p: Array[Byte]): Luma = {
+    val d = decodePlanes(p, wantChroma = false)
+    if (d == null) null else d._1
+  }
+
+  /** Decode to RGB (JFIF YCbCr → RGB with nearest-neighbor chroma
+    * upsampling; grayscale JPEGs replicate the luma). Null for non-baseline
+    * input. Note: decoders using filtered chroma upsampling (libjpeg
+    * "fancy" mode) can differ by tens of units on chroma edges —
+    * flat-chroma content agrees within the IDCT tolerance. */
+  def decodeRgb(p: Array[Byte]): PngCodec.Image = {
+    val d = decodePlanes(p, wantChroma = true)
+    if (d == null) return null
+    val (luma, planes) = d
+    val w = luma.width; val h = luma.height
+    val out = new Array[Byte](w * h * 3)
+    if (planes.length < 3) {
+      var i = 0
+      while (i < w * h) {
+        out(i * 3) = luma.pixels(i); out(i * 3 + 1) = luma.pixels(i)
+        out(i * 3 + 2) = luma.pixels(i)
+        i += 1
+      }
+    } else {
+      val (cbP, cbW, cbSx, cbSy) = planes(1)
+      val (crP, crW, crSx, crSy) = planes(2)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val yy = luma.pixels(y * w + x) & 0xff
+          val cb = (cbP((y / cbSy) * cbW + x / cbSx) & 0xff) - 128
+          val cr = (crP((y / crSy) * crW + x / crSx) & 0xff) - 128
+          def clamp(v: Double): Byte = {
+            val i = math.round(v).toInt
+            (if (i < 0) 0 else if (i > 255) 255 else i).toByte
+          }
+          val o = (y * w + x) * 3
+          out(o) = clamp(yy + 1.402 * cr)
+          out(o + 1) = clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          out(o + 2) = clamp(yy + 1.772 * cb)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    PngCodec.Image(w, h, 3, out)
+  }
+
+  /** Core baseline decode. Returns the cropped luma plane plus, when
+    * `wantChroma`, every component's padded plane as
+    * (pixels, planeWidth, xSubsample, ySubsample). */
+  private def decodePlanes(p: Array[Byte], wantChroma: Boolean)
+      : (Luma, Array[(Array[Byte], Int, Int, Int)]) = {
     if (p == null || p.length < 4 ||
       (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8) return null
     try {
@@ -187,9 +241,16 @@ object JpegCodec extends Serializable {
       val maxV = comps.map(_._3).max
       val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
       val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
-      val lumaW = mcusX * 8 * comps(0)._2
-      val lumaH = mcusY * 8 * comps(0)._3
-      val luma = new Array[Byte](lumaW * lumaH)
+      // one padded plane per decoded component (luma always; chroma when
+      // the caller wants color)
+      val planeW = comps.map(c => mcusX * 8 * c._2)
+      val planeH = comps.map(c => mcusY * 8 * c._3)
+      val planes = Array.tabulate(comps.length) { ci =>
+        if (ci == 0 || wantChroma) new Array[Byte](planeW(ci) * planeH(ci))
+        else null
+      }
+      val lumaW = planeW(0)
+      val luma = planes(0)
 
       val br = new BitReader(p, scanStart)
       val dcPred = new Array[Int](comps.length)
@@ -233,18 +294,20 @@ object JpegCodec extends Serializable {
                   k += 1
                 }
               }
-              if (ci == 0) {
-                // IDCT only for luma; chroma blocks just advanced the stream
+              if (ci == 0 || wantChroma) {
+                // undecoded components just advanced the bitstream
                 idct8x8(block, tmp)
+                val pw = planeW(ci)
+                val plane = planes(ci)
                 val ox = (mx * h + bx) * 8
                 val oy = (my * v + by) * 8
                 var yy = 0
                 while (yy < 8) {
                   var xx = 0
                   while (xx < 8) {
-                    val s = math.round(tmp(yy * 8 + xx) + 128.0).toInt
-                    luma((oy + yy) * lumaW + ox + xx) =
-                      (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+                    val sVal = math.round(tmp(yy * 8 + xx) + 128.0).toInt
+                    plane((oy + yy) * pw + ox + xx) =
+                      (if (sVal < 0) 0 else if (sVal > 255) 255 else sVal).toByte
                     xx += 1
                   }
                   yy += 1
@@ -270,7 +333,10 @@ object JpegCodec extends Serializable {
         System.arraycopy(luma, y * lumaW, out, y * outW, outW)
         y += 1
       }
-      Luma(outW, outH, out)
+      val planeMeta = Array.tabulate(comps.length) { ci =>
+        (planes(ci), planeW(ci), maxH / comps(ci)._2, maxV / comps(ci)._3)
+      }
+      (Luma(outW, outH, out), planeMeta)
     } catch { case _: Exception => null }
   }
 

@@ -353,4 +353,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(graft.multimodal.GifCodec.decode("GIF89a".getBytes) == null)
     assert(graft.multimodal.GifCodec.decode(null) == null)
   }
+
+  test("JPEG RGB decode: grayscale-content color JPEG matches ImageIO within tolerance") {
+    import java.awt.image.BufferedImage
+    // RGB image with R=G=B content: chroma planes are flat 128, so any
+    // chroma upsampling strategy agrees and RGB must match within the
+    // IDCT tolerance
+    val img = new BufferedImage(24, 16, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val g = math.max(0, math.min(255, (96 + 5 * x + 3 * y)))
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val ours = graft.multimodal.JpegCodec.decodeRgb(bos.toByteArray)
+    assert(ours != null && ours.channels == 3 && ours.width == 24, String.valueOf(ours))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    var maxDiff = 0
+    for (y <- 0 until 16; x <- 0 until 24; c <- 0 until 3) {
+      val rc = (ref.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs((ours.pixels((y * 24 + x) * 3 + c) & 0xff) - rc)
+      maxDiff = math.max(maxDiff, d)
+    }
+    assert(maxDiff <= 3, s"flat-chroma RGB disagrees: $maxDiff")
+    // colorful content: channel ordering sanity within a loose band (chroma
+    // upsampling strategies legitimately differ on edges)
+    val col = new BufferedImage(24, 16, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 16; x <- 0 until 24)
+      col.setRGB(x, y, (math.min(255, x * 10) << 16) | (math.min(255, y * 12) << 8) | 60)
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(col, "jpg", bos2)
+    val ours2 = graft.multimodal.JpegCodec.decodeRgb(bos2.toByteArray)
+    val ref2 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos2.toByteArray))
+    var worst = 0
+    for (y <- 2 until 14; x <- 2 until 22; c <- 0 until 3) {
+      val rc = (ref2.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs((ours2.pixels((y * 24 + x) * 3 + c) & 0xff) - rc)
+      worst = math.max(worst, d)
+    }
+    assert(worst <= 32, s"color RGB wildly off (channel swap?): $worst")
+    // grayscale JPEG replicates luma into all three channels
+    val g1 = new BufferedImage(9, 9, BufferedImage.TYPE_BYTE_GRAY)
+    val bos3 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(g1, "jpg", bos3)
+    val og = graft.multimodal.JpegCodec.decodeRgb(bos3.toByteArray)
+    assert(og != null && og.channels == 3)
+  }
 }

@@ -281,6 +281,24 @@ class ScalePlanSpec extends AnyFunSuite {
       s"no-oversized case must not plan the nested-loop fallback:\n$p")
   }
 
+  test("h3 heatmap gates partial-aggregate before the cell exchange") {
+    // the runbook heatmap at 100 TB lives or dies on map-side combine:
+    // every scan task must pre-count its h3_7 cells before the shuffle
+    for (g <- Seq("a7h_h3_heatmap", "sql3_h3_runbook")) {
+      val p = staticPlan(g).toString
+      assert(p.contains("HashAggregate"), s"$g must hash-aggregate:\n$p")
+      val exch = "Exchange hashpartitioning\\((h3_7|_groupingexpression)".r
+        .findFirstIn(p)
+      assert(exch.isDefined, s"$g must shuffle on the cell key:\n$p")
+      // the exchange input is a partial aggregate, not raw rows
+      val idx = p.indexOf("Exchange hashpartitioning")
+      val below = p.substring(idx)
+      assert(below.contains("HashAggregate"),
+        s"$g: no partial aggregate below the cell exchange:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    }
+  }
+
   test("e5 correlate plans an equi-join on user_id — no nested-loop") {
     // the time bound must be a residual filter on a hash join keyed by
     // user_id; a BroadcastNestedLoopJoin here would be quadratic per user
