@@ -413,9 +413,15 @@ case class H3CellToBoundaryWkt(child: Expression) extends UnaryExpression
   override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = StringType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
   override def prettyName: String = "h3_cell_to_boundary_wkt"
-  protected override def nullSafeEval(cell: Any): Any =
-    UTF8String.fromString(H3Lib.cellToBoundaryWkt(cell.asInstanceOf[Number].longValue))
+  protected override def nullSafeEval(cell: Any): Any = {
+    val c = cell.asInstanceOf[Number].longValue
+    // corrupt ids (base cell >= 122, digit 7 mid-path) would index out of
+    // the face tables and fail the whole query; yield null for the bad row
+    if (!H3Lib.isValidCell(c)) null
+    else UTF8String.fromString(H3Lib.cellToBoundaryWkt(c))
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -427,9 +433,12 @@ case class H3CellCenterLon(child: Expression) extends UnaryExpression
   override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
   override def prettyName: String = "h3_cell_center_lon"
-  protected override def nullSafeEval(cell: Any): Any =
-    H3Lib.cellToLatLng(cell.asInstanceOf[Number].longValue)._2
+  protected override def nullSafeEval(cell: Any): Any = {
+    val c = cell.asInstanceOf[Number].longValue
+    if (!H3Lib.isValidCell(c)) null else H3Lib.cellToLatLng(c)._2
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -438,9 +447,12 @@ case class H3CellCenterLat(child: Expression) extends UnaryExpression
   override def inputTypes: Seq[DataType] = Seq(LongType)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
   override def prettyName: String = "h3_cell_center_lat"
-  protected override def nullSafeEval(cell: Any): Any =
-    H3Lib.cellToLatLng(cell.asInstanceOf[Number].longValue)._1
+  protected override def nullSafeEval(cell: Any): Any = {
+    val c = cell.asInstanceOf[Number].longValue
+    if (!H3Lib.isValidCell(c)) null else H3Lib.cellToLatLng(c)._1
+  }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

@@ -321,10 +321,12 @@ object JpegCodec extends Serializable {
         }
         mcu += 1
       }
-      // crop the MCU-padded luma plane; when luma sampling < max, the plane
-      // is subsampled relative to the frame — scale indexes accordingly
+      // crop the MCU-padded luma plane; luma sampled below the frame max
+      // (chroma-supersampled JPEGs, e.g. Y 1x1 with Cb/Cr 2x2) would report
+      // dimensions smaller than the SOF0 frame — honestly unsupported
       val sx = maxH / comps(0)._2
       val sy = maxV / comps(0)._3
+      if (sx != 1 || sy != 1) return null
       val outW = (width + sx - 1) / sx
       val outH = (height + sy - 1) / sy
       val out = new Array[Byte](outW * outH)

@@ -423,8 +423,9 @@ object FileGdbCodec {
     * grid across part boundaries. For curved shapes the descriptors follow
     * the XY stream: per curve a start-point index varuint, a segment-type
     * varuint, and raw little-endian float64 parameters (circular arc:
-    * center x/y + a uint32 flag word; cubic Bézier: two control points;
-    * elliptic arc: five doubles + flags, densified as a straight edge).
+    * center x/y — or, with flag bits 0x40/0x80, an interior point ON the
+    * arc — + a uint32 flag word; cubic Bézier: two control points;
+    * elliptic arc: unsupported, nulls the row).
     * Curved segments replace the straight edge [idx, idx+1] with vertices
     * at ≤5° angular steps (arcs) / 16 subdivisions (Béziers). */
   private def readRibbonParts(bb: ByteBuffer, f: Field,
@@ -477,10 +478,10 @@ object FileGdbCodec {
               val c1x = bb.getDouble; val c1y = bb.getDouble
               val c2x = bb.getDouble; val c2y = bb.getDouble
               m(idx) = densifyBezier(flat(idx), flat(idx + 1), c1x, c1y, c2x, c2y)
-            case 5 => // elliptic arc: consume, densify as the straight edge
-              var d = 0
-              while (d < 5) { bb.getDouble; d += 1 }
-              bb.getInt
+            case 5 => // elliptic arc: honestly unsupported — null the row
+              // (consistent with the curve+Z/M and unknown-descriptor cases;
+              // a silent straight chord would distort geometry with no signal)
+              return null
             case _ => return null // unknown descriptor: length unknowable
           }
           c += 1
@@ -511,10 +512,15 @@ object FileGdbCodec {
 
   /** Interior vertices of the circular arc from `s` to `e` around center
     * (cx, cy), ≤5° per step. Flag bits follow the public extended-shape
-    * spec: 0x1 empty, 0x8 counter-clockwise, 0x20 degenerate straight line. */
+    * spec: 0x1 empty, 0x8 counter-clockwise, 0x20 degenerate straight line,
+    * 0x40/0x80 interior-point form — the two doubles are a point ON the arc
+    * (ArcGIS commonly writes this form; GDAL's OpenFileGDB reader handles
+    * it), so the circle is reconstructed as the circumcircle of the three
+    * points instead of being treated as a center. */
   private def densifyArc(s: Coordinate, e: Coordinate, cx: Double, cy: Double,
       bits: Int): Array[Coordinate] = {
     if ((bits & 0x1) != 0 || (bits & 0x20) != 0) return Array.empty
+    if ((bits & 0xC0) != 0) return densifyArcByInteriorPoint(s, e, cx, cy)
     val r = math.hypot(s.x - cx, s.y - cy)
     if (r < 1e-12) return Array.empty
     val a0 = math.atan2(s.y - cy, s.x - cx)
@@ -524,6 +530,37 @@ object FileGdbCodec {
     while (sweep < 1e-9) sweep += 2 * math.Pi // same-angle endpoints: full turn
     val n = math.max(1, math.ceil(sweep / math.toRadians(5.0)).toInt)
     val dir = if (ccw) 1.0 else -1.0
+    Array.tabulate(n - 1) { k =>
+      val a = a0 + dir * sweep * (k + 1) / n
+      new Coordinate(cx + r * math.cos(a), cy + r * math.sin(a))
+    }
+  }
+
+  /** Interior vertices of the circular arc s→e passing through the interior
+    * point (mx, my): the circle is the circumcircle of the three points and
+    * the traversal direction is the orientation of s→m→e. Collinear points
+    * degenerate to the straight chord (no interior vertices). */
+  private def densifyArcByInteriorPoint(s: Coordinate, e: Coordinate,
+      mx: Double, my: Double): Array[Coordinate] = {
+    val d = 2.0 * (s.x * (my - e.y) + mx * (e.y - s.y) + e.x * (s.y - my))
+    val span = math.max(math.hypot(e.x - s.x, e.y - s.y),
+      math.hypot(mx - s.x, my - s.y))
+    if (math.abs(d) < 1e-12 * math.max(1.0, span * span)) return Array.empty
+    val s2 = s.x * s.x + s.y * s.y
+    val m2 = mx * mx + my * my
+    val e2 = e.x * e.x + e.y * e.y
+    val cx = (s2 * (my - e.y) + m2 * (e.y - s.y) + e2 * (s.y - my)) / d
+    val cy = (s2 * (e.x - mx) + m2 * (s.x - e.x) + e2 * (mx - s.x)) / d
+    // s→m→e orientation: positive cross(m-s, e-s) means the traversal bends
+    // left — counter-clockwise.
+    val ccwTraversal = (mx - s.x) * (e.y - s.y) - (my - s.y) * (e.x - s.x) > 0
+    val r = math.hypot(s.x - cx, s.y - cy)
+    val a0 = math.atan2(s.y - cy, s.x - cx)
+    val a1 = math.atan2(e.y - cy, e.x - cx)
+    var sweep = if (ccwTraversal) a1 - a0 else a0 - a1
+    while (sweep <= 1e-12) sweep += 2 * math.Pi
+    val n = math.max(1, math.ceil(sweep / math.toRadians(5.0)).toInt)
+    val dir = if (ccwTraversal) 1.0 else -1.0
     Array.tabulate(n - 1) { k =>
       val a = a0 + dir * sweep * (k + 1) / n
       new Coordinate(cx + r * math.cos(a), cy + r * math.sin(a))

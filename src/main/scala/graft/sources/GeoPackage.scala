@@ -349,7 +349,11 @@ object GeoPackage {
     val rtreeMaster = new ArrayBuffer[(String, String, Int, String)]()
     if (spatialIndex && envelopes.nonEmpty) {
       val nodeSize = 2048
-      val cap = (nodeSize - 4) / 24
+      // a 2048-byte node physically fits 85 entries, but SQLite's own
+      // write path plans around RTREE_MAXCELLS=51 — stay within the
+      // capacity SQLite itself would ever write so later INSERT/DELETE
+      // through SQLite never sees an over-full node
+      val cap = math.min(51, (nodeSize - 4) / 24)
       def fDown(d: Double): Float = {
         val f = d.toFloat
         if (f.toDouble > d) math.nextAfter(f, Float.NegativeInfinity) else f

@@ -284,6 +284,50 @@ class FileGdbSpec extends AnyFunSuite {
     assert(gs.getArea == 4.0 && gs.getNumPoints == 5, s"${gs.getArea}/${gs.getNumPoints}")
   }
 
+  test("interior-point arc (0x80/0x40 flag bits) reconstructs the circumcircle") {
+    // arc (0,0) -> (2,0) through the interior point (1,1): circumcircle is
+    // centered at (1,0) radius 1; traversal s->m->e bends over the TOP
+    Seq(0x80, 0x40).foreach { ip =>
+      val bytes = FileGdbCodec.writeCurveShapeTable(Seq("v" -> 3), polygon = false,
+        Seq((Seq[Any](1.0), Seq(Seq((0.0, 0.0), (2.0, 0.0))),
+          Seq(FileGdbCodec.CurveSpec(0, 1, Seq(1.0, 1.0), bits = ip)))))
+      val g = graft.geom.GeomLib.readOrNull(FileGdbCodec.decode(bytes).head._3)
+      assert(g != null && g.getGeometryType == "LineString", s"bits=$ip")
+      assert(g.getNumPoints >= 36, s"bits=$ip densified ${g.getNumPoints}")
+      g.getCoordinates.foreach { c =>
+        assert(math.abs(math.hypot(c.x - 1.0, c.y - 0.0) - 1.0) < 1e-9,
+          s"bits=$ip off-circle $c")
+        assert(c.y >= -1e-9, s"bits=$ip arc passes through (1,1), upper half: $c")
+      }
+      assert(math.abs(g.getLength - math.Pi) < 0.01, s"bits=$ip len ${g.getLength}")
+    }
+    // the mirrored interior point (1,-1) sweeps the LOWER half
+    val lower = FileGdbCodec.writeCurveShapeTable(Seq("v" -> 3), polygon = false,
+      Seq((Seq[Any](1.0), Seq(Seq((0.0, 0.0), (2.0, 0.0))),
+        Seq(FileGdbCodec.CurveSpec(0, 1, Seq(1.0, -1.0), bits = 0x80)))))
+    val gl = graft.geom.GeomLib.readOrNull(FileGdbCodec.decode(lower).head._3)
+    gl.getCoordinates.foreach(c => assert(c.y <= 1e-9, s"lower half: $c"))
+    // a collinear interior point degenerates to the straight chord
+    val line = FileGdbCodec.writeCurveShapeTable(Seq("v" -> 3), polygon = false,
+      Seq((Seq[Any](1.0), Seq(Seq((0.0, 0.0), (2.0, 0.0))),
+        Seq(FileGdbCodec.CurveSpec(0, 1, Seq(1.0, 0.0), bits = 0x80)))))
+    val glin = graft.geom.GeomLib.readOrNull(FileGdbCodec.decode(line).head._3)
+    assert(glin.getNumPoints == 2 && glin.getLength == 2.0)
+  }
+
+  test("elliptic arc segments null the row (honestly unsupported)") {
+    val bytes = FileGdbCodec.writeCurveShapeTable(Seq("v" -> 3), polygon = false,
+      Seq(
+        (Seq[Any](1.0), Seq(Seq((0.0, 0.0), (2.0, 0.0))),
+          Seq(FileGdbCodec.CurveSpec(0, 5, Seq(1.0, 0.0, 0.0, 1.0, 0.5)))),
+        (Seq[Any](2.0), Seq(Seq((0.0, 0.0), (3.0, 4.0))), Seq.empty)))
+    val rows = FileGdbCodec.decode(bytes)
+    assert(rows.size == 2)
+    assert(rows.head._3 == null, "elliptic-arc row must be null, not a chord")
+    assert(graft.geom.GeomLib.readOrNull(rows(1)._3).getLength == 5.0,
+      "plain row in the same table still decodes")
+  }
+
   test("cubic Bezier curve follows the control polygon; endpoints exact") {
     val bytes = FileGdbCodec.writeCurveShapeTable(Seq("v" -> 3), polygon = false,
       Seq((Seq[Any](1.0), Seq(Seq((0.0, 0.0), (3.0, 0.0))),

@@ -28,6 +28,29 @@ class H3Spec extends AnyFunSuite {
     assert(math.abs(lng - -121.97637597255124) < 1e-8, lng.toString)
   }
 
+  test("corrupt cell ids yield null from SQL boundary/center exprs, not a crash") {
+    val spark = SparkTestSession.spark
+    graft.functions.GraftFunctions.registerAll(spark)
+    val good = H3Lib.latLngToCell(35.6895, 139.6917, 7)
+    // base cell beyond 121 and a digit-7 mid-path id would both index out of
+    // the face tables without the isValidCell guard
+    val badBase = (good & ~(127L << 45)) | (123L << 45)
+    val badDigit = good | (7L << 36)
+    val rows = spark.sql(
+      s"""SELECT c, h3_cell_to_boundary_wkt(c) AS b,
+         |       h3_cell_center_lon(c) AS lon, h3_cell_center_lat(c) AS lat
+         |FROM VALUES (${good}L), (${badBase}L), (${badDigit}L), (-1L) t(c)
+         |ORDER BY c""".stripMargin).collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val valid = H3Lib.isValidCell(r.getLong(0))
+      assert(r.isNullAt(1) == !valid, s"boundary null mismatch for ${r.getLong(0)}")
+      assert(r.isNullAt(2) == !valid && r.isNullAt(3) == !valid,
+        s"center null mismatch for ${r.getLong(0)}")
+    }
+    assert(rows.count(r => !r.isNullAt(1)) == 1, "exactly the one valid id decodes")
+  }
+
   test("index structure: mode, res, base cell, validity") {
     val c = H3Lib.latLngToCell(35.6895, 139.6917, 7)
     assert(H3Lib.getResolution(c) == 7)
