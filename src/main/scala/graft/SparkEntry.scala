@@ -1299,6 +1299,57 @@ object SparkEntry {
         .crossJoin(overlaps)
     },
 
+    "k1b_geoparquet_meta" -> { (s, d) =>
+      // GeoParquet 1.1 interop on the clustered sink (VERDICT r5 #1): every
+      // written file must carry the public `geo` footer key. The gate
+      // rescans the sink, recomputes each file's EXPECTED footer JSON from
+      // the data it holds (bbox = envelope aggregate, geometry_types from
+      // the WKB type codes), and requires exact string equality with the
+      // stored footer — pinning version, primary column, WKB encoding,
+      // bbox, and types in one check. Content aggregates ride along so the
+      // hash also proves the raw row-group byte copy is lossless.
+      val sample = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          cxCol.as("x"), cyCol.as("y"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .limit(1500)
+        .select(col("x"), col("y"), col("l_orderkey").as("okey"))
+        .withColumn("geom", st_point(col("x"), col("y")))
+      val tmp = java.nio.file.Files.createTempDirectory("k1geo").toString + "/clustered"
+      graft.operators.GeoNormalize.writeClustered(sample, tmp, numFiles = 4, zstdLevel = 3)
+      val conf = s.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(tmp)
+      val files = root.getFileSystem(conf).listStatus(root).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+      val stored: Map[String, Option[String]] = files
+        .map(p => p.getName -> graft.operators.GeoParquetFooter.read(p.toString, conf))
+        .toMap
+      val back = s.read.parquet(tmp)
+      val expected = back
+        .select(input_file_name().as("f"),
+          st_xmin(col("geom")).as("x0"), st_ymin(col("geom")).as("y0"),
+          st_xmax(col("geom")).as("x1"), st_ymax(col("geom")).as("y1"),
+          wkb_shape_type(col("geom")).as("t"))
+        .groupBy(col("f"))
+        .agg(min(col("x0")).as("x0"), min(col("y0")).as("y0"),
+          max(col("x1")).as("x1"), max(col("y1")).as("y1"),
+          collect_set(col("t")).as("types"))
+        .collect()
+        .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName ->
+          graft.operators.GeoNormalize.geoFooterJson("geom",
+            Some((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))),
+            r.getSeq[Int](5)))
+        .toMap
+      val footerExact = stored.count { case (name, got) =>
+        got.isDefined && expected.get(name).contains(got.get)
+      }
+      back.agg(count(lit(1)).as("n"),
+          sum((col("x") * 2).cast("long")).as("sum_2x"),
+          sum(col("okey")).as("sum_okey"))
+        .withColumn("n_files", lit(files.length.toLong))
+        .withColumn("footer_exact", lit(footerExact.toLong))
+    },
+
     "k4_ndjson_sink" -> { (s, d) =>
       // NDJSON interchange sink (reference K4): nation goes out through
       // GeoStats.writeNdjson and back through the JSON scan; the oracle
@@ -2437,6 +2488,17 @@ object SparkEntry {
             CAST(SUM(okey) AS BIGINT) AS sum_okey,
             CAST(4 AS BIGINT) AS n_files,
             CAST(0 AS BIGINT) AS range_violations
+          FROM sample""",
+
+    "k1b_geoparquet_meta" ->
+      s"""WITH sample AS (
+            SELECT $cxSql AS x, $cySql AS y, l_orderkey AS okey FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 1500)
+          SELECT COUNT(*) AS n,
+            CAST(SUM(CAST(x * 2 AS BIGINT)) AS BIGINT) AS sum_2x,
+            CAST(SUM(okey) AS BIGINT) AS sum_okey,
+            CAST(4 AS BIGINT) AS n_files,
+            CAST(4 AS BIGINT) AS footer_exact
           FROM sample""",
 
     "k4_ndjson_sink" ->

@@ -83,6 +83,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_.getName.contains("zstd")))
   }
 
+  test("writeClustered stamps a GeoParquet 1.1 geo footer; Spark metadata preserved") {
+    val dir = tmp() + "/geofooter"
+    val df = GeoNormalize.normalize(fixture(), flipProbe = false)
+    GeoNormalize.writeClustered(df, dir, numFiles = 2, zstdLevel = 1)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).sorted
+    assert(files.length == 2)
+    files.foreach { f =>
+      val geo = graft.operators.GeoParquetFooter.read(f, conf)
+      assert(geo.isDefined, s"missing geo footer in $f")
+      val j = geo.get
+      assert(j.contains("\"version\":\"1.1.0\""), j)
+      assert(j.contains("\"primary_column\":\"geom\""), j)
+      assert(j.contains("\"encoding\":\"WKB\""), j)
+      assert(j.contains("\"bbox\":["), j)
+      // Spark's own schema metadata must survive the footer rewrite —
+      // otherwise readback falls back to parquet-level type inference
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), conf))
+      try {
+        val kv = reader.getFooter.getFileMetaData.getKeyValueMetaData
+        assert(kv.containsKey("org.apache.spark.sql.parquet.row.metadata"))
+      } finally reader.close()
+    }
+    // data pages survived the raw byte copy
+    val back = spark.read.parquet(dir)
+    assert(back.count() == df.count())
+    // footer bbox equals the per-file data envelope exactly
+    val expected = back
+      .select(org.apache.spark.sql.functions.input_file_name().as("f"),
+        st_xmin($"geom").as("x0"), st_ymin($"geom").as("y0"),
+        st_xmax($"geom").as("x1"), st_ymax($"geom").as("y1"))
+      .groupBy($"f")
+      .agg(min($"x0"), min($"y0"), max($"x1"), max($"y1"))
+      .collect()
+      .map(r => new org.apache.hadoop.fs.Path(r.getString(0)).getName ->
+        s""""bbox":[${r.getDouble(1)},${r.getDouble(2)},${r.getDouble(3)},${r.getDouble(4)}]""")
+      .toMap
+    files.foreach { f =>
+      val name = new java.io.File(f).getName
+      val j = graft.operators.GeoParquetFooter.read(f, conf).get
+      assert(j.contains(expected(name)), s"$name: $j vs ${expected(name)}")
+    }
+  }
+
   test("zstd level 22 measurably outcompresses level 1 (the knob takes effect)") {
     // near-duplicate long strings: parquet's dictionary can't dedupe them
     // (all distinct) and zstd's level decides how well the page compresses —
