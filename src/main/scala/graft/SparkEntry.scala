@@ -301,6 +301,73 @@ object SparkEntry {
           max(st_y(col("geom"))).as("max_y"))
     },
 
+    "s1b_shapefile_attrs" -> { (s, d) =>
+      // shapefile .dbf attributes end-to-end (VERDICT r5 #2): the same
+      // deterministic point sample goes out as a .shp PLUS a .dbf sidecar
+      // (public dBASE III layout: OKEY numeric, TAG char); readWithAttrs
+      // joins geometry to the per-record attrs map, and the aggregates are
+      // computed FROM THE ATTRS (sum of OKEY, distinct TAGs) so the gate
+      // proves the attribute path, the way s2 proves FGDB attrs.
+      import java.nio.{ByteBuffer, ByteOrder}
+      val rows = t(s, d, "lineitem")
+        .select(cxCol.as("x"), cyCol.as("y"),
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .limit(1000).select(col("x"), col("y"), col("l_orderkey")).collect()
+      val total = 100 + rows.length * 28
+      val bb = ByteBuffer.allocate(total)
+      bb.order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(0, 9994)
+      bb.putInt(24, total / 2)
+      bb.order(ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(28, 1000)
+      bb.putInt(32, 1)
+      bb.position(100)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        bb.order(ByteOrder.BIG_ENDIAN).putInt(i + 1).putInt(10)
+        bb.order(ByteOrder.LITTLE_ENDIAN).putInt(1)
+          .putDouble(r.getDouble(0)).putDouble(r.getDouble(1))
+      }
+      // dBASE III .dbf: 32-byte header, 32-byte field descriptors, 0x0D,
+      // then fixed-width records with a leading deletion flag
+      val fields = Seq(("OKEY", 'N', 12), ("TAG", 'C', 10))
+      val recLen = 1 + fields.map(_._3).sum
+      val hdrLen = 32 + 32 * fields.length + 1
+      val dbf = ByteBuffer.allocate(hdrLen + recLen * rows.length + 1)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      dbf.put(0, 0x03.toByte)
+      dbf.putInt(4, rows.length)
+      dbf.putShort(8, hdrLen.toShort)
+      dbf.putShort(10, recLen.toShort)
+      dbf.position(32)
+      fields.foreach { case (name, t, len) =>
+        val desc = new Array[Byte](32)
+        name.getBytes("ASCII").copyToArray(desc)
+        desc(11) = t.toByte
+        desc(16) = len.toByte
+        dbf.put(desc)
+      }
+      dbf.put(0x0D.toByte)
+      rows.foreach { r =>
+        val okey = r.getLong(2)
+        dbf.put(0x20.toByte)
+        dbf.put(("%12d").format(okey).getBytes("ASCII"))
+        dbf.put(("r" + (okey % 7)).padTo(10, ' ').getBytes("ASCII"))
+      }
+      dbf.put(0x1A.toByte)
+      val dir = java.nio.file.Files.createTempDirectory("s1battr")
+      java.nio.file.Files.write(dir.resolve("sample.shp"), bb.array())
+      java.nio.file.Files.write(dir.resolve("sample.dbf"), dbf.array())
+      graft.sources.Shapefile.readWithAttrs(s, dir.toString)
+        .select(element_at(col("attrs"), "OKEY").cast("long").as("okey"),
+          element_at(col("attrs"), "TAG").as("tag"),
+          st_x(col("geom")).as("x"), st_y(col("geom")).as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("okey")).as("sum_okey"),
+          countDistinct(col("tag")).as("n_tags"),
+          min(col("x")).as("min_x"), max(col("y")).as("max_y"))
+    },
+
     "s2d_filegdb_curves" -> { (s, d) =>
       // FileGDB curve decode (round 5): each sampled point becomes a square
       // (half-size 1/8) whose top edge is a circular-arc bulge around the
@@ -439,6 +506,25 @@ object SparkEntry {
             (col("s_suppkey") % 17).cast("double") * 10.0 - 80.0,
             lit(3.0)).as("geom"))
       graft.operators.SpatialJoin.pointInPolygon(pts, polys, res = 6)
+        .groupBy(col("polyid")).agg(count(lit(1)).as("n_points"))
+        .orderBy("polyid")
+    },
+
+    "j3h_spatial_join_h3" -> { (s, d) =>
+      // the same spatial join on the TRUE H3 lattice (VERDICT r5 #3): points
+      // bucket to their res-4 H3 cell, polygons to a grid-disk covering of
+      // their envelope — heatmap and join share one lattice. Same exact
+      // range oracle as j3: the prefilter must be a pure superset and the
+      // JTS refine must reduce it to the identical containment set.
+      val pts = t(s, d, "lineitem").select(st_point(cxCol, cyCol).as("geom"))
+      val polys = t(s, d, "supplier")
+        .filter(col("s_suppkey") < 50)
+        .select(col("s_suppkey").as("polyid"),
+          st_make_square(
+            (col("s_suppkey") % 36).cast("double") * 10.0 - 175.0,
+            (col("s_suppkey") % 17).cast("double") * 10.0 - 80.0,
+            lit(3.0)).as("geom"))
+      graft.operators.SpatialJoin.pointInPolygonH3(pts, polys, res = 4)
         .groupBy(col("polyid")).agg(count(lit(1)).as("n_points"))
         .orderBy("polyid")
     },
@@ -1772,6 +1858,14 @@ object SparkEntry {
           SELECT COUNT(*) AS n, CAST(SUM(CAST(x * 2 AS BIGINT)) AS BIGINT) AS sum_2x,
             MIN(x) AS min_x, MAX(y) AS max_y FROM sample""",
 
+    "s1b_shapefile_attrs" ->
+      s"""WITH sample AS (
+            SELECT $cxSql AS x, $cySql AS y, l_orderkey AS okey FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 1000)
+          SELECT COUNT(*) AS n, CAST(SUM(okey) AS BIGINT) AS sum_okey,
+            CAST(COUNT(DISTINCT 'r' || CAST(okey % 7 AS VARCHAR)) AS BIGINT) AS n_tags,
+            MIN(x) AS min_x, MAX(y) AS max_y FROM sample""",
+
     "s4_csv_wkt_roundtrip" ->
       s"""SELECT COUNT(*) AS n,
           CAST(SUM(CAST($cxSql * 2 AS BIGINT)) AS BIGINT) AS sum_2x,
@@ -1823,6 +1917,18 @@ object SparkEntry {
            FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
 
     "j3_spatial_join" ->
+      s"""WITH polys AS (
+            SELECT s_suppkey AS polyid,
+              CAST(s_suppkey % 36 AS DOUBLE) * 10.0 - 175.0 AS sx,
+              CAST(s_suppkey % 17 AS DOUBLE) * 10.0 - 80.0 AS sy
+            FROM supplier WHERE s_suppkey < 50)
+          SELECT polyid, COUNT(*) AS n_points
+          FROM lineitem, polys
+          WHERE $cxSql > sx - 3.0 AND $cxSql < sx + 3.0
+            AND $cySql > sy - 3.0 AND $cySql < sy + 3.0
+          GROUP BY polyid ORDER BY polyid""",
+
+    "j3h_spatial_join_h3" ->
       s"""WITH polys AS (
             SELECT s_suppkey AS polyid,
               CAST(s_suppkey % 36 AS DOUBLE) * 10.0 - 175.0 AS sx,

@@ -303,6 +303,43 @@ case class CellsCovering(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** h3_cells_covering(geom, res) — TRUE-H3 covering of the geometry's
+  * envelope (grid-disk construction, `H3Lib.cellsCoveringEnvelope`): the
+  * H3-lattice polygon bucketing for the spatial join, so the join and the
+  * reference's H3 heatmap share one lattice. Empty array = oversized. */
+case class H3CellsCovering(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "h3_cells_covering"
+  protected override def nullSafeEval(wkb: Any, res: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      GeomLib.h3CellsCovering(wkb.asInstanceOf[Array[Byte]],
+        res.asInstanceOf[Number].intValue))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** h3_grid_disk(cell, k) — every cell within grid distance k (the k-ring,
+  * origin included), sorted; null for structurally invalid cell ids. */
+case class H3GridDisk(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "h3_grid_disk"
+  protected override def nullSafeEval(cell: Any, k: Any): Any = {
+    val c = cell.asInstanceOf[Number].longValue
+    if (!H3Lib.isValidCell(c)) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      H3Lib.gridDisk(c, k.asInstanceOf[Number].intValue))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** st_contains(outer, inner) — JTS containment (spatial-join refine step). */
 case class StContains(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {

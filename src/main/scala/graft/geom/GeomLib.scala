@@ -356,6 +356,17 @@ object GeomLib {
     if (i < 0) 0L else if (i >= n) n - 1 else i
   }
 
+  /** TRUE-H3 covering of the geometry's envelope (the H3-lattice twin of
+    * [[cellsCovering]]): grid disk of the envelope-center cell wide enough
+    * to contain the whole envelope. Empty array = oversized (same signal
+    * as cellsCovering) or null/empty geometry. */
+  def h3CellsCovering(wkb: Array[Byte], res: Int, maxCells: Int = 4096): Array[Long] = {
+    val g = readOrNull(wkb)
+    if (g == null || g.isEmpty) return Array.empty
+    val e = g.getEnvelopeInternal
+    H3Lib.cellsCoveringEnvelope(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY, res, maxCells)
+  }
+
   /** All res-`res` cells intersecting the geometry's envelope — the
     * covering set used to bucket polygons for the spatial-join prefilter.
     * `maxCells` caps degenerate world-spanning geometries (callers coarsen

@@ -952,4 +952,106 @@ object H3Lib {
 
   /** Number of pentagon base cells (public H3 invariant: 12). */
   def pentagonCount: Int = pentagonCells.size
+
+  // ---- neighbors / grid_disk (k-ring) ------------------------------------
+
+  private def toVec3(latDeg: Double, lngDeg: Double): Array[Double] = {
+    val lat = math.toRadians(latDeg); val lng = math.toRadians(lngDeg)
+    Array(math.cos(lat) * math.cos(lng), math.cos(lat) * math.sin(lng), math.sin(lat))
+  }
+
+  private def distDeg(aLat: Double, aLng: Double, bLat: Double, bLng: Double): Double =
+    sphereDist((math.toRadians(aLat), math.toRadians(aLng)),
+      (math.toRadians(bLat), math.toRadians(bLng)))
+
+  /** Edge-adjacent neighbor cells — reconstructed geometrically rather than
+    * via uber/h3's neighbor-rotation tables (algos.c), consistent with this
+    * port's reconstruct-don't-transcribe approach: reflect the cell center
+    * through each boundary-segment midpoint on the unit sphere
+    * (r = 2(c·m)m − c — the point at twice the center→midpoint geodesic
+    * distance), which lands inside the cell sharing that segment; dedupe
+    * and drop self. Hexagons yield 6, pentagons 5; Class III distortion
+    * sub-segments land in the same neighbor and collapse in the dedupe. */
+  def cellNeighbors(h: Long): Array[Long] = {
+    if (!isValidCell(h)) return Array.empty
+    val res = getResolution(h)
+    val (clat, clng) = cellToLatLng(h)
+    val c = toVec3(clat, clng)
+    val bnd = cellToBoundary(h)
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < bnd.length) {
+      val (alat, alng) = bnd(i)
+      val (blat, blng) = bnd((i + 1) % bnd.length)
+      val a = toVec3(alat, alng); val b = toVec3(blat, blng)
+      val m = Array((a(0) + b(0)) / 2, (a(1) + b(1)) / 2, (a(2) + b(2)) / 2)
+      val nrm = math.sqrt(m(0) * m(0) + m(1) * m(1) + m(2) * m(2))
+      if (nrm > 1e-12) {
+        m(0) /= nrm; m(1) /= nrm; m(2) /= nrm
+        val d = c(0) * m(0) + c(1) * m(1) + c(2) * m(2)
+        val r = Array(2 * d * m(0) - c(0), 2 * d * m(1) - c(1), 2 * d * m(2) - c(2))
+        val rl = math.sqrt(r(0) * r(0) + r(1) * r(1) + r(2) * r(2))
+        val rlat = math.toDegrees(math.asin(r(2) / rl))
+        val rlng = math.toDegrees(math.atan2(r(1), r(0)))
+        val n = latLngToCell(rlat, rlng, res)
+        if (n != h) out.add(n)
+      }
+      i += 1
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator; var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    arr
+  }
+
+  /** grid_disk (k-ring): every cell within grid distance `k` of `origin`,
+    * origin included — uber/h3's gridDisk surface, computed as BFS over
+    * edge neighbors. Sorted for deterministic array results in SQL. */
+  def gridDisk(origin: Long, k: Int): Array[Long] = {
+    if (!isValidCell(origin) || k < 0) return Array.empty
+    val seen = scala.collection.mutable.HashSet(origin)
+    var frontier: List[Long] = List(origin)
+    var d = 0
+    while (d < k && frontier.nonEmpty) {
+      val next = scala.collection.mutable.ListBuffer[Long]()
+      frontier.foreach { cell =>
+        cellNeighbors(cell).foreach { n => if (seen.add(n)) next += n }
+      }
+      frontier = next.toList
+      d += 1
+    }
+    val arr = seen.toArray
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  /** H3 covering of a lon-lat envelope: the grid disk of the envelope-center
+    * cell, with radius chosen so every point of the envelope is inside some
+    * disk cell — corner distance over the LOCAL neighbor spacing with a
+    * 0.8 lattice-anisotropy factor (per-move straight-line progress on a hex
+    * lattice is ≥ √3/2 ≈ 0.866 of the spacing) plus 2 cells of slack for the
+    * center/corner cell-center offsets. Returns empty when the disk would
+    * exceed `maxCells` — the spatial join's oversized-polygon signal. */
+  def cellsCoveringEnvelope(minLng: Double, minLat: Double, maxLng: Double,
+      maxLat: Double, res: Int, maxCells: Int = 4096): Array[Long] = {
+    val cLat = (minLat + maxLat) / 2; val cLng = (minLng + maxLng) / 2
+    val center = latLngToCell(cLat, cLng, res)
+    val (hlat, hlng) = cellToLatLng(center)
+    val nbrs = cellNeighbors(center)
+    if (nbrs.isEmpty) return Array.empty
+    var spacing = Double.MaxValue
+    nbrs.foreach { n =>
+      val (nlat, nlng) = cellToLatLng(n)
+      spacing = math.min(spacing, distDeg(hlat, hlng, nlat, nlng))
+    }
+    var corner = 0.0
+    corner = math.max(corner, distDeg(cLat, cLng, minLat, minLng))
+    corner = math.max(corner, distDeg(cLat, cLng, minLat, maxLng))
+    corner = math.max(corner, distDeg(cLat, cLng, maxLat, minLng))
+    corner = math.max(corner, distDeg(cLat, cLng, maxLat, maxLng))
+    val k = math.ceil(corner / (spacing * 0.8)).toInt + 2
+    val cellCount = 3L * k * (k + 1) + 1
+    if (cellCount > maxCells) return Array.empty
+    gridDisk(center, k)
+  }
 }

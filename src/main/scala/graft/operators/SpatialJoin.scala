@@ -58,4 +58,33 @@ object SpatialJoin {
     else fine.unionByName(points.join(broadcast(oversized),
       st_contains(col("__poly_geom"), col(pointGeom))))
   }
+
+  /** [[pointInPolygon]] on the TRUE H3 lattice instead of the rect grid —
+    * the same lattice as the reference's heatmap
+    * (East-Asia-Building-Footprints.md:250-252), so a pipeline can bucket
+    * its join and aggregate its heatmap on one cell id. Identical plan
+    * shape: points map to their res-`res` H3 cell (exactly one cell per
+    * point — no pair produced twice), polygons replicate to a grid-disk
+    * covering of their envelope, the prefilter is a shuffled equi-join on
+    * the cell id, and JTS refines candidates. Polygons whose covering
+    * overflows the disk cap take the same broadcast-refine branch. */
+  def pointInPolygonH3(points: DataFrame, polygons: DataFrame, res: Int = 9,
+      pointGeom: String = "geom", polyGeom: String = "geom"): DataFrame = {
+    val pts = points.withColumn("__cell",
+      h3_latlng_to_cell(centroid_y(col(pointGeom)), centroid_x(col(pointGeom)), lit(res)))
+    val tagged = polygons
+      .withColumnRenamed(polyGeom, "__poly_geom")
+      .withColumn("__cells", h3_cells_covering(col("__poly_geom"), lit(res)))
+    val gridable = tagged.filter(size(col("__cells")) > 0)
+      .withColumn("__cell", explode(col("__cells"))).drop("__cells")
+    val oversized = tagged
+      .filter(size(col("__cells")) === 0 && col("__poly_geom").isNotNull)
+      .drop("__cells")
+    val fine = pts.join(gridable, Seq("__cell"))
+      .filter(st_contains(col("__poly_geom"), col(pointGeom)))
+      .drop("__cell")
+    if (oversized.isEmpty) fine
+    else fine.unionByName(points.join(broadcast(oversized),
+      st_contains(col("__poly_geom"), col(pointGeom))))
+  }
 }

@@ -51,6 +51,68 @@ class H3Spec extends AnyFunSuite {
     assert(rows.count(r => !r.isNullAt(1)) == 1, "exactly the one valid id decodes")
   }
 
+  test("cellNeighbors: 6 edge-sharing hex neighbors, 5 for pentagons, symmetric") {
+    def sharedVertices(a: Long, b: Long): Int = {
+      val ba = H3Lib.cellToBoundary(a); val bb = H3Lib.cellToBoundary(b)
+      ba.count { case (la, ga) =>
+        bb.exists { case (lb, gb) => math.abs(la - lb) < 1e-9 && math.abs(ga - gb) < 1e-9 }
+      }
+    }
+    // Class III (odd res) and Class II cells both
+    for (res <- Seq(8, 9)) {
+      val c = H3Lib.latLngToCell(37.7752702151959257, -122.418307270836230, res)
+      val nbrs = H3Lib.cellNeighbors(c)
+      assert(nbrs.length == 6, s"res $res: ${nbrs.length} neighbors")
+      assert(nbrs.distinct.length == 6 && !nbrs.contains(c))
+      nbrs.foreach { n =>
+        assert(H3Lib.isValidCell(n) && H3Lib.getResolution(n) == res)
+        assert(sharedVertices(c, n) >= 2, s"${H3Lib.hexString(n)} shares an edge")
+        assert(H3Lib.cellNeighbors(n).contains(c), "neighbor relation is symmetric")
+      }
+    }
+    // res-0 pentagon (base cell 4) has exactly 5 neighbors
+    val pent = 0x8009fffffffffffL
+    assert(H3Lib.isPentagon(pent))
+    val pn = H3Lib.cellNeighbors(pent)
+    assert(pn.length == 5, s"pentagon neighbors: ${pn.length}")
+    pn.foreach(n => assert(H3Lib.cellNeighbors(n).contains(pent)))
+  }
+
+  test("gridDisk: k-ring sizes, supersets, validity") {
+    val c = H3Lib.latLngToCell(35.6895, 139.6917, 9)
+    assert(H3Lib.gridDisk(c, 0).toSeq == Seq(c))
+    val d1 = H3Lib.gridDisk(c, 1); val d2 = H3Lib.gridDisk(c, 2); val d3 = H3Lib.gridDisk(c, 3)
+    assert(d1.length == 7 && d2.length == 19 && d3.length == 37,
+      s"${d1.length}/${d2.length}/${d3.length}") // 3k(k+1)+1 away from pentagons
+    assert(d1.forall(d2.contains) && d2.forall(d3.contains))
+    assert(d3.forall(H3Lib.isValidCell))
+    assert(d1.sorted.sameElements(d1), "sorted output for deterministic SQL arrays")
+    // invalid origin → empty
+    assert(H3Lib.gridDisk(-1L, 2).isEmpty)
+    // pentagon disk: 5 neighbors at k=1
+    assert(H3Lib.gridDisk(0x8009fffffffffffL, 1).length == 6)
+  }
+
+  test("cellsCoveringEnvelope covers every member cell of the envelope") {
+    val (minLng, minLat, maxLng, maxLat) = (139.2, 35.3, 139.9, 35.95)
+    val res = 6
+    val cover = H3Lib.cellsCoveringEnvelope(minLng, minLat, maxLng, maxLat, res).toSet
+    assert(cover.nonEmpty)
+    // dense point sample: every point's cell must be in the covering
+    var lat = minLat
+    while (lat <= maxLat) {
+      var lng = minLng
+      while (lng <= maxLng) {
+        val cell = H3Lib.latLngToCell(lat, lng, res)
+        assert(cover.contains(cell), s"($lat,$lng) cell ${H3Lib.hexString(cell)} not covered")
+        lng += 0.02
+      }
+      lat += 0.02
+    }
+    // the oversized signal: a world-spanning envelope returns empty
+    assert(H3Lib.cellsCoveringEnvelope(-170, -80, 170, 80, 9).isEmpty)
+  }
+
   test("index structure: mode, res, base cell, validity") {
     val c = H3Lib.latLngToCell(35.6895, 139.6917, 7)
     assert(H3Lib.getResolution(c) == 7)

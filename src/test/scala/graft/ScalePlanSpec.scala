@@ -252,6 +252,44 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(inSmall == Set(1L))
   }
 
+  test("pointInPolygonH3: equality-join plan, single point scan, oversized branch works") {
+    import org.locationtech.jts.geom.{Coordinate, GeometryFactory}
+    val gf = new GeometryFactory()
+    def polyWkb(minX: Double, minY: Double, maxX: Double, maxY: Double) = {
+      val ring = Array(
+        new Coordinate(minX, minY), new Coordinate(maxX, minY),
+        new Coordinate(maxX, maxY), new Coordinate(minX, maxY),
+        new Coordinate(minX, minY))
+      graft.geom.GeomLib.write(gf.createPolygon(ring))
+    }
+    def pointWkb(x: Double, y: Double) =
+      graft.geom.GeomLib.write(gf.createPoint(new Coordinate(x, y)))
+    val ptsDir = java.nio.file.Files.createTempDirectory("piph3_pts").toString
+    Seq((1L, pointWkb(10.0, 10.0)), (2L, pointWkb(-100.0, 40.0)),
+      (3L, pointWkb(10.4, 10.4)))
+      .toDF("pid", "geom").write.mode("overwrite").parquet(ptsDir)
+    val pts = spark.read.parquet(ptsDir)
+    val smallPoly = Seq((200L, polyWkb(9.0, 9.0, 11.0, 11.0))).toDF("polyid", "geom")
+    // correctness on the H3 lattice
+    val in = SpatialJoin.pointInPolygonH3(pts, smallPoly, res = 5)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(in == Set(1L, 3L), s"H3 prefilter+refine must match containment: $in")
+    // plan shape: equality join only, one point-side scan (VERDICT r5 #3)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try SpatialJoin.pointInPolygonH3(pts, smallPoly, res = 5)
+      .queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val pointScans = "Scan parquet".r.findAllMatchIn(p).size
+    assert(pointScans == 1, s"point side must be scanned exactly once, saw $pointScans:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"must not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"must not cross join:\n$p")
+    // a world-spanning polygon overflows the disk cap → broadcast branch
+    val bigPoly = Seq((100L, polyWkb(-170.0, -80.0, 170.0, 80.0))).toDF("polyid", "geom")
+    val inBig = SpatialJoin.pointInPolygonH3(pts, bigPoly, res = 5)
+      .select("pid").collect().map(_.getLong(0)).toSet
+    assert(inBig == Set(1L, 2L, 3L), s"oversized polygon must still match: $inBig")
+  }
+
   test("pointInPolygon with no oversized polygon scans the point side once") {
     // VERDICT r4 #1: the coarse fallback used to union a second full
     // point-side scan unconditionally. When no polygon overflows the
