@@ -404,6 +404,46 @@ object SparkEntry {
           sum(element_at(col("attrs"), "okey").cast("double")).cast("long").as("sum_okey"))
     },
 
+    "s2e_filegdb_multipatch" -> { (s, d) =>
+      // FileGDB multipatch decode (VERDICT r5 #4 — the last documented FGDB
+      // gap): each sampled point becomes a multipatch of a triangle STRIP
+      // over [x,x+1]² (area 1), a projected-degenerate WALL (drops), a
+      // triangle FAN over [x+4,x+5]×[y,y+1] (area 1), and an OUTER ring
+      // [x+2,x+2.5]... square at y+2 with an INNER-ring hole — closed-form
+      // per-feature area 1 + 1 + (0.25² ... ) = 2.1875, 26 vertices, top
+      // vertex at y + 2.5. Quantized micro-unit sums keep both engines
+      // order-independent and exact (grid steps are 1e-9).
+      val sample = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          cxCol.as("x"), cyCol.as("y"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .limit(300)
+        .select("x", "y", "l_orderkey").collect()
+      val rows = sample.toSeq.map { r =>
+        val x = r.getDouble(0); val y = r.getDouble(1)
+        val parts = Seq(
+          (0, Seq((x, y), (x, y + 1), (x + 1, y), (x + 1, y + 1))),
+          (0, Seq((x + 3, y), (x + 3, y + 0.5), (x + 3, y + 1))), // wall
+          (1, Seq((x + 4, y), (x + 5, y), (x + 5, y + 1), (x + 4, y + 1))),
+          (2, Seq((x + 2, y + 2), (x + 2.5, y + 2), (x + 2.5, y + 2.5),
+            (x + 2, y + 2.5), (x + 2, y + 2))),
+          (3, Seq((x + 2.125, y + 2.125), (x + 2.375, y + 2.125),
+            (x + 2.375, y + 2.375), (x + 2.125, y + 2.375),
+            (x + 2.125, y + 2.125))))
+        (Seq[Any](r.getLong(2).toDouble), parts)
+      }
+      val table = graft.sources.FileGdbCodec.writeMultipatchTable(
+        Seq("okey" -> 3), rows)
+      val dir = java.nio.file.Files.createTempDirectory("s2egdb")
+      java.nio.file.Files.write(dir.resolve("a00000015.gdbtable"), table)
+      graft.sources.FileGdb.readLargest(s, dir.toString)
+        .agg(count(lit(1)).as("n"),
+          sum(st_npoints(col("geom"))).cast("long").as("sum_pts"),
+          sum(round(st_area(col("geom")) * 1e6).cast("long")).as("area_q"),
+          sum(round(st_ymax(col("geom")) * 1e6).cast("long")).as("ymax_q"),
+          sum(element_at(col("attrs"), "okey").cast("double")).cast("long").as("sum_okey"))
+    },
+
     "s4_csv_wkt_roundtrip" -> { (s, d) =>
       // the reference's CSV-of-WKT handoff (east_asia.py:57-74): emit WKT
       // rows to CSV, scan them back, parse, and aggregate exactly
@@ -1834,6 +1874,19 @@ object SparkEntry {
               (4 * 0.015625 + 18 * 0.015625 * SIN(PI() / 36)) * 1e6) AS BIGINT)
               AS area_q,
             CAST(SUM(CAST(ROUND((y + 0.25) * 1e6) AS BIGINT)) AS BIGINT) AS ymax_q,
+            CAST(SUM(okey) AS BIGINT) AS sum_okey FROM sample""",
+
+    // closed forms: area 2.1875 (strip 1 + fan 1 + ring 0.25² outer minus
+    // 0.0625² hole... = 0.1875), 26 vertices (strip 8, fan 8, ring 10,
+    // wall 0), top vertex y + 2.5 — the wall part contributes nothing.
+    "s2e_filegdb_multipatch" ->
+      s"""WITH sample AS (
+            SELECT $cxSql AS x, $cySql AS y, l_orderkey AS okey FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 300)
+          SELECT COUNT(*) AS n,
+            CAST(COUNT(*) * 26 AS BIGINT) AS sum_pts,
+            CAST(COUNT(*) * 2187500 AS BIGINT) AS area_q,
+            CAST(SUM(CAST(ROUND((y + 2.5) * 1e6) AS BIGINT)) AS BIGINT) AS ymax_q,
             CAST(SUM(okey) AS BIGINT) AS sum_okey FROM sample""",
 
     // s2b arithmetic + sum(row_no): OIDs are 1..500 exactly when every

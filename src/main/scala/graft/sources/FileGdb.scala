@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.locationtech.jts.geom.{Coordinate, GeometryFactory, PrecisionModel}
+import org.locationtech.jts.geom.{Coordinate, Geometry, GeometryFactory, PrecisionModel}
 
 import graft.geom.GeomLib
 
@@ -33,16 +33,16 @@ import graft.geom.GeomLib
   * the layer's integer grid (first byte: 6 value bits + sign 0x40 +
   * continuation 0x80; later bytes 7+1). Z/M streams trail the XY ribbon
   * and are skipped wholesale (the record's length prefix bounds the jump) —
-  * the engine's 2D normalization contract (SURVEY.md F6). General shapes
-  * with the curves modifier decode to null (curve segments are out of
-  * scope), never mis-parse. Rings assemble shell/hole by ESRI orientation
+  * the engine's 2D normalization contract (SURVEY.md F6). Multipatch shapes
+  * (31/32/54) decode their part-type array and project to 2D polygons
+  * (strips/fans triangulate, rings take holes). Rings assemble shell/hole by ESRI orientation
   * via the shapefile decoder's shared logic.
   *
   * The `.gdbtablx` row index is decoded too (magic/blocks/rows/entry-width
   * header + packed 4-6 byte offsets): [[FileGdb.readLargestSplit]] uses it
   * to cut one table into row-range splits that decode in parallel tasks —
   * the same intra-file scale move as the shapefile `.shx` path. Remaining
-  * scope bounds (docs/COVERAGE.md): multipatch shapes and sparse indexes
+  * scope bounds (docs/COVERAGE.md): sparse indexes
   * (deleted rows) — those fall back to the sequential whole-file scan,
   * where corrupt length prefixes terminate the scan (the same F10
   * error-isolation contract as the shapefile decoder).
@@ -354,6 +354,7 @@ object FileGdbCodec {
   private val MultipointBases = Set(8L, 18L, 20L, 28L, 53L)
   private val PolylineBases   = Set(3L, 10L, 13L, 23L, 50L)
   private val PolygonBases    = Set(5L, 15L, 19L, 25L, 51L)
+  private val MultipatchBases = Set(31L, 32L, 54L)
   // general-type (50/51/52/53) modifier flags in the type varuint's high
   // bits, per the public reverse-engineered FGDB spec (GDAL OpenFileGDB)
   private val CurveFlag = 0x20000000L
@@ -413,7 +414,125 @@ object FileGdbCodec {
         j += 1
       }
       GeomLib.write(gf.createMultiPointFromCoords(coords))
-    } else null // multipatch: unsupported, skipped via gEnd
+    } else if (MultipatchBases.contains(base)) {
+      // multipatch ribbon (types 31/32/54): varuint point + part counts,
+      // scaled bbox, per-part counts for the first nParts-1 parts (last
+      // inferred), then ONE part-TYPE varuint per part (the public
+      // shapefile multipatch part semantics: 0 strip, 1 fan, 2 outer,
+      // 3 inner, 4 first, 5 ring), then the interleaved (dx, dy) stream.
+      // Trailing Z/M streams are skipped via the record length prefix —
+      // this engine's carrier is 2D, exactly like the reference, which
+      // flattens every 3D source to 2D (east_asia.py:66-68). Patches
+      // project to a 2D MultiPolygon: strips/fans triangulate (degenerate
+      // projected triangles — vertical walls — drop), ring parts assemble
+      // in sequence with inner rings as holes of the preceding shell.
+      val nPoints = readVaruint(bb).toInt
+      if (nPoints <= 0 || nPoints > 50_000_000) return null
+      val nParts = readVaruint(bb).toInt
+      if (nParts <= 0 || nParts > nPoints) return null
+      readVaruint(bb); readVaruint(bb); readVaruint(bb); readVaruint(bb) // bbox
+      val counts = new Array[Int](nParts)
+      var acc = 0
+      var i = 0
+      while (i < nParts - 1) {
+        counts(i) = readVaruint(bb).toInt
+        acc += counts(i)
+        if (counts(i) < 0 || acc > nPoints) return null
+        i += 1
+      }
+      counts(nParts - 1) = nPoints - acc
+      if (counts(nParts - 1) < 0) return null
+      val types = new Array[Int](nParts)
+      i = 0
+      while (i < nParts) { types(i) = readVaruint(bb).toInt; i += 1 }
+      var xi = 0L
+      var yi = 0L
+      val flat = new Array[Coordinate](nPoints)
+      var j = 0
+      while (j < nPoints) {
+        xi += readVarint(bb)
+        yi += readVarint(bb)
+        flat(j) = new Coordinate(
+          xi.toDouble / f.xyscale + f.xorigin,
+          yi.toDouble / f.xyscale + f.yorigin)
+        j += 1
+      }
+      val g = assembleMultipatch(counts, types, flat)
+      if (g == null) null else GeomLib.write(g)
+    } else null // unknown shape class: skipped via gEnd
+  }
+
+  /** Project decoded multipatch parts to 2D polygons. Triangle strips walk
+    * (i, i+1, i+2); fans pivot on the part's first vertex; ring part types
+    * close their vertex run (appending the first vertex if the source
+    * didn't) and assemble sequentially — an inner ring (type 3) punches a
+    * hole in the most recent shell. Projected-degenerate triangles (3D
+    * walls seen from above) are dropped. Returns null only when no part
+    * yields any 2D area. */
+  private def assembleMultipatch(counts: Array[Int], types: Array[Int],
+      flat: Array[Coordinate]): Geometry = {
+    import scala.collection.mutable.ArrayBuffer
+    val tris = ArrayBuffer[org.locationtech.jts.geom.Polygon]()
+    val shells = ArrayBuffer[(Array[Coordinate], ArrayBuffer[Array[Coordinate]])]()
+    def closedRing(base: Int, n: Int): Array[Coordinate] = {
+      if (n < 3) return null
+      val closed = flat(base).equals2D(flat(base + n - 1))
+      if (closed && n < 4) return null
+      val out = new Array[Coordinate](if (closed) n else n + 1)
+      System.arraycopy(flat, base, out, 0, n)
+      if (!closed) out(n) = new Coordinate(flat(base))
+      out
+    }
+    def addTri(a: Coordinate, b: Coordinate, c: Coordinate): Unit = {
+      val area2 = (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x)
+      if (area2 != 0.0) {
+        // CCW shells keep JTS happy for area/union math downstream
+        val ring = if (area2 > 0) Array(a, b, c, new Coordinate(a))
+          else Array(a, c, b, new Coordinate(a))
+        tris += gf.createPolygon(ring)
+      }
+    }
+    var base = 0
+    var p = 0
+    while (p < counts.length) {
+      val n = counts(p)
+      types(p) match {
+        case 0 => // triangle strip
+          var i = 0
+          while (i + 2 < n) {
+            addTri(flat(base + i), flat(base + i + 1), flat(base + i + 2))
+            i += 1
+          }
+        case 1 => // triangle fan
+          var i = 1
+          while (i + 1 < n) {
+            addTri(flat(base), flat(base + i), flat(base + i + 1))
+            i += 1
+          }
+        case 2 | 4 | 5 => // outer / first / generic ring: a new shell
+          val ring = closedRing(base, n)
+          if (ring != null) shells += ((ring, ArrayBuffer.empty))
+        case 3 => // inner ring: hole of the most recent shell
+          val ring = closedRing(base, n)
+          if (ring != null) {
+            if (shells.nonEmpty) shells.last._2 += ring
+            else shells += ((ring, ArrayBuffer.empty)) // orphan hole: keep as shell
+          }
+        case _ => return null // unknown part type: misread risk, null loudly
+      }
+      base += n
+      p += 1
+    }
+    val ringPolys = shells.flatMap { case (shell, holes) =>
+      try {
+        Some(gf.createPolygon(gf.createLinearRing(shell),
+          holes.map(h => gf.createLinearRing(h)).toArray))
+      } catch { case _: IllegalArgumentException => None }
+    }
+    val all = (tris ++ ringPolys).toArray
+    if (all.isEmpty) null
+    else if (all.length == 1) all.head
+    else gf.createMultiPolygon(all)
   }
 
   /** The delta ribbon: varuint total points + part count (+ curve count for
@@ -711,6 +830,40 @@ object FileGdbCodec {
       (vals, geom.toByteArray)
     }
     writeTable(attrs, 2, geomRows, xorigin, yorigin, xyscale)
+  }
+
+  /** Write a multipatch (shapeType 54 | HasZ) layer: point/part counts,
+    * bbox, per-part counts (first nParts-1), part TYPES, the XY delta
+    * ribbon, then a flat zero Z stream (real multipatch always carries Z;
+    * the reader skips it via the record length). `rows` give
+    * (attrValues, parts) with each part (partType, points). Fixture path —
+    * no GDAL in this environment to author real multipatch GDBs. */
+  def writeMultipatchTable(attrs: Seq[(String, Int)],
+      rows: Seq[(Seq[Any], Seq[(Int, Seq[(Double, Double)])])],
+      xorigin: Double = -400.0, yorigin: Double = -400.0,
+      xyscale: Double = 1e9): Array[Byte] = {
+    val geomRows = rows.map { case (vals, parts) =>
+      val geom = new java.io.ByteArrayOutputStream()
+      writeVaruint(geom, 54L | HasZFlag)
+      val all = parts.flatMap(_._2)
+      writeVaruint(geom, all.size.toLong)
+      writeVaruint(geom, parts.size.toLong)
+      def sx(x: Double) = math.round((x - xorigin) * xyscale)
+      def sy(y: Double) = math.round((y - yorigin) * xyscale)
+      val xs = all.map(p => sx(p._1)); val ys = all.map(p => sy(p._2))
+      writeVaruint(geom, xs.min); writeVaruint(geom, ys.min)
+      writeVaruint(geom, xs.max - xs.min); writeVaruint(geom, ys.max - ys.min)
+      parts.dropRight(1).foreach(p => writeVaruint(geom, p._2.size.toLong))
+      parts.foreach(p => writeVaruint(geom, p._1.toLong))
+      var xi = 0L; var yi = 0L
+      parts.foreach(_._2.foreach { case (x, y) =>
+        writeVarint(geom, sx(x) - xi); xi = sx(x)
+        writeVarint(geom, sy(y) - yi); yi = sy(y)
+      })
+      all.indices.foreach(_ => writeVarint(geom, 0L)) // z deltas (flat zero)
+      (vals, geom.toByteArray)
+    }
+    writeTable(attrs, 9, geomRows, xorigin, yorigin, xyscale)
   }
 
   private def writeTable(attrs: Seq[(String, Int)], layerGeomType: Int,

@@ -328,6 +328,35 @@ class FileGdbSpec extends AnyFunSuite {
       "plain row in the same table still decodes")
   }
 
+  test("multipatch: strips/fans triangulate, rings take holes, walls drop") {
+    val parts = Seq(
+      // triangle strip over the unit square [0,1]² -> 2 triangles, area 1
+      (0, Seq((0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0))),
+      // vertical wall (all x equal): projected-degenerate, must vanish
+      (0, Seq((3.0, 0.0), (3.0, 0.5), (3.0, 1.0), (3.0, 1.5))),
+      // triangle fan over the square [4,5]×[0,1] -> 2 triangles, area 1
+      (1, Seq((4.0, 0.0), (5.0, 0.0), (5.0, 1.0), (4.0, 1.0))),
+      // outer ring (closed) with an inner ring hole -> area 4 - 1 = 3
+      (2, Seq((6.0, 0.0), (8.0, 0.0), (8.0, 2.0), (6.0, 2.0), (6.0, 0.0))),
+      (3, Seq((6.5, 0.5), (7.5, 0.5), (7.5, 1.5), (6.5, 1.5), (6.5, 0.5))))
+    val bytes = FileGdbCodec.writeMultipatchTable(Seq("v" -> 3),
+      Seq((Seq[Any](1.0), parts)))
+    val g = graft.geom.GeomLib.readOrNull(FileGdbCodec.decode(bytes).head._3)
+    assert(g != null && g.getGeometryType == "MultiPolygon", String.valueOf(g))
+    assert(g.getNumGeometries == 5, s"2 strip + 2 fan + 1 ring, got ${g.getNumGeometries}")
+    assert(math.abs(g.getArea - 5.0) < 1e-9, s"area ${g.getArea}")
+    assert(g.getNumPoints == 4 + 4 + 4 + 4 + 10, s"points ${g.getNumPoints}")
+    // unclosed ring input gets closed by the decoder
+    val open = FileGdbCodec.writeMultipatchTable(Seq("v" -> 3),
+      Seq((Seq[Any](2.0), Seq((5, Seq((0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)))))))
+    val go = graft.geom.GeomLib.readOrNull(FileGdbCodec.decode(open).head._3)
+    assert(go != null && math.abs(go.getArea - 4.0) < 1e-9, String.valueOf(go))
+    // unknown part type nulls the row (misread risk)
+    val bad = FileGdbCodec.writeMultipatchTable(Seq("v" -> 3),
+      Seq((Seq[Any](3.0), Seq((9, Seq((0.0, 0.0), (1.0, 0.0), (1.0, 1.0)))))))
+    assert(FileGdbCodec.decode(bad).head._3 == null)
+  }
+
   test("cubic Bezier curve follows the control polygon; endpoints exact") {
     val bytes = FileGdbCodec.writeCurveShapeTable(Seq("v" -> 3), polygon = false,
       Seq((Seq[Any](1.0), Seq(Seq((0.0, 0.0), (3.0, 0.0))),
