@@ -8,9 +8,11 @@ package graft.multimodal
   * `decodeRgb` IDCTs every component and converts JFIF YCbCr to RGB with
   * nearest-neighbor chroma upsampling.
   *
-  * Scope: baseline sequential DCT (SOF0), 8-bit precision, 1 or 3
-  * components, any sampling factors, restart intervals. Progressive (SOF2),
-  * arithmetic coding, and 12-bit return null — honestly unsupported.
+  * Scope: baseline sequential DCT (SOF0) and progressive DCT (SOF2, T.81
+  * G.2: spectral selection + successive approximation, DC and AC first +
+  * refinement scans with EOB runs), 8-bit precision, 1 or 3 components,
+  * any sampling factors, restart intervals. Arithmetic coding, lossless,
+  * and 12-bit return null — honestly unsupported.
   * JPEG's IDCT is not bit-exact across decoders (T.81 Annex A tolerance),
   * so equality checks against other decoders carry a ±2 tolerance, pinned
   * in MultimodalSpec.
@@ -195,9 +197,11 @@ object JpegCodec extends Serializable {
                 ((p(o) & 0xff), (p(o + 1) & 0xff) >> 4, p(o + 1) & 0x0f,
                   p(o + 2) & 0xff)
               }
-            case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+            case 0xc2 => // progressive: multi-scan coefficient path
+              return decodeProgressivePlanes(p, wantChroma)
+            case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
                  0xcb | 0xcd | 0xce | 0xcf =>
-              return null // progressive / extended / arithmetic: unsupported
+              return null // extended / lossless / arithmetic: unsupported
             case 0xdb => // DQT (possibly several tables per segment)
               var o = seg
               while (o < pos + 2 + len) {
@@ -249,9 +253,6 @@ object JpegCodec extends Serializable {
         if (ci == 0 || wantChroma) new Array[Byte](planeW(ci) * planeH(ci))
         else null
       }
-      val lumaW = planeW(0)
-      val luma = planes(0)
-
       val br = new BitReader(p, scanStart)
       val dcPred = new Array[Int](comps.length)
       val block = new Array[Int](64)
@@ -296,22 +297,8 @@ object JpegCodec extends Serializable {
               }
               if (ci == 0 || wantChroma) {
                 // undecoded components just advanced the bitstream
-                idct8x8(block, tmp)
-                val pw = planeW(ci)
-                val plane = planes(ci)
-                val ox = (mx * h + bx) * 8
-                val oy = (my * v + by) * 8
-                var yy = 0
-                while (yy < 8) {
-                  var xx = 0
-                  while (xx < 8) {
-                    val sVal = math.round(tmp(yy * 8 + xx) + 128.0).toInt
-                    plane((oy + yy) * pw + ox + xx) =
-                      (if (sVal < 0) 0 else if (sVal > 255) 255 else sVal).toByte
-                    xx += 1
-                  }
-                  yy += 1
-                }
+                writeBlock(block, tmp, planes(ci), planeW(ci),
+                  (mx * h + bx) * 8, (my * v + by) * 8)
               }
               bx += 1
             }
@@ -321,25 +308,354 @@ object JpegCodec extends Serializable {
         }
         mcu += 1
       }
-      // crop the MCU-padded luma plane; luma sampled below the frame max
-      // (chroma-supersampled JPEGs, e.g. Y 1x1 with Cb/Cr 2x2) would report
-      // dimensions smaller than the SOF0 frame — honestly unsupported
-      val sx = maxH / comps(0)._2
-      val sy = maxV / comps(0)._3
-      if (sx != 1 || sy != 1) return null
-      val outW = (width + sx - 1) / sx
-      val outH = (height + sy - 1) / sy
-      val out = new Array[Byte](outW * outH)
-      var y = 0
-      while (y < outH) {
-        System.arraycopy(luma, y * lumaW, out, y * outW, outW)
-        y += 1
-      }
-      val planeMeta = Array.tabulate(comps.length) { ci =>
-        (planes(ci), planeW(ci), maxH / comps(ci)._2, maxV / comps(ci)._3)
-      }
-      (Luma(outW, outH, out), planeMeta)
+      finishPlanes(width, height, comps, maxH, maxV, planes, planeW)
     } catch { case _: Exception => null }
+  }
+
+  /** IDCT one dequantized block and write it (level-shifted, clamped) into
+    * the padded component plane at pixel offset (ox, oy). */
+  private def writeBlock(block: Array[Int], tmp: Array[Double],
+      plane: Array[Byte], pw: Int, ox: Int, oy: Int): Unit = {
+    idct8x8(block, tmp)
+    var yy = 0
+    while (yy < 8) {
+      var xx = 0
+      while (xx < 8) {
+        val sVal = math.round(tmp(yy * 8 + xx) + 128.0).toInt
+        plane((oy + yy) * pw + ox + xx) =
+          (if (sVal < 0) 0 else if (sVal > 255) 255 else sVal).toByte
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
+  /** Crop the MCU-padded luma plane to frame size and package plane
+    * metadata. Luma sampled below the frame max (chroma-supersampled
+    * JPEGs, e.g. Y 1x1 with Cb/Cr 2x2) would report dimensions smaller
+    * than the SOF frame — honestly unsupported, null. */
+  private def finishPlanes(width: Int, height: Int,
+      comps: Array[(Int, Int, Int, Int)], maxH: Int, maxV: Int,
+      planes: Array[Array[Byte]], planeW: Array[Int])
+      : (Luma, Array[(Array[Byte], Int, Int, Int)]) = {
+    if (maxH / comps(0)._2 != 1 || maxV / comps(0)._3 != 1) return null
+    val lumaW = planeW(0)
+    val out = new Array[Byte](width * height)
+    var y = 0
+    while (y < height) {
+      System.arraycopy(planes(0), y * lumaW, out, y * width, width)
+      y += 1
+    }
+    val planeMeta = Array.tabulate(comps.length) { ci =>
+      (planes(ci), planeW(ci), maxH / comps(ci)._2, maxV / comps(ci)._3)
+    }
+    (Luma(width, height, out), planeMeta)
+  }
+
+  /** Progressive (SOF2) decode: coefficients accumulate across scans in
+    * per-component buffers (natural order), then one dequantize + IDCT
+    * pass reconstructs the planes. Scan semantics per T.81 G.2: DC first
+    * scans carry point-transformed diffs (<< Al), DC refinement appends
+    * one bit; AC scans are single-component with a spectral band [Ss, Se],
+    * first scans use EOBRUN run-length coding, refinement scans interleave
+    * correction bits for already-nonzero coefficients. */
+  private def decodeProgressivePlanes(p: Array[Byte], wantChroma: Boolean)
+      : (Luma, Array[(Array[Byte], Int, Int, Int)]) = {
+    try {
+      val quant = new Array[Array[Int]](4)
+      val dcTabs = new Array[Huff](4)
+      val acTabs = new Array[Huff](4)
+      var width = 0; var height = 0
+      var comps: Array[(Int, Int, Int, Int)] = null
+      var restartInterval = 0
+      var maxH = 1; var maxV = 1
+      var mcusX = 0; var mcusY = 0
+      // per component: full (interleave-padded) block grid and the tighter
+      // non-interleaved grid a single-component scan walks (T.81 A.2.2)
+      var coefs: Array[Array[Int]] = null
+      var gridW: Array[Int] = null
+      var soloW: Array[Int] = null
+      var soloH: Array[Int] = null
+      var pos = 2
+      var eoi = false
+      while (!eoi && pos + 2 <= p.length) {
+        if ((p(pos) & 0xff) != 0xff) return null
+        val marker = p(pos + 1) & 0xff
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) pos += 2
+        else if (marker == 0xd9) eoi = true
+        else {
+          if (pos + 4 > p.length) return null
+          val len = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+          val seg = pos + 4
+          var nextPos = pos + 2 + len
+          marker match {
+            case 0xc2 =>
+              if ((p(seg) & 0xff) != 8) return null
+              height = ((p(seg + 1) & 0xff) << 8) | (p(seg + 2) & 0xff)
+              width = ((p(seg + 3) & 0xff) << 8) | (p(seg + 4) & 0xff)
+              if (width <= 0 || height <= 0 ||
+                width.toLong * height > 64L * 1024 * 1024) return null
+              val n = p(seg + 5) & 0xff
+              if (n != 1 && n != 3) return null
+              comps = Array.tabulate(n) { i =>
+                val o = seg + 6 + i * 3
+                ((p(o) & 0xff), (p(o + 1) & 0xff) >> 4, p(o + 1) & 0x0f,
+                  p(o + 2) & 0xff)
+              }
+              maxH = comps.map(_._2).max
+              maxV = comps.map(_._3).max
+              mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+              mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+              gridW = comps.map(c => mcusX * c._2)
+              soloW = comps.map(c => ((width * c._2 + maxH - 1) / maxH + 7) / 8)
+              soloH = comps.map(c => ((height * c._3 + maxV - 1) / maxV + 7) / 8)
+              coefs = comps.map(c => new Array[Int](mcusX * c._2 * mcusY * c._3 * 64))
+            case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+                 0xcb | 0xcd | 0xce | 0xcf =>
+              return null // a second frame / non-progressive SOF: reject
+            case 0xdb =>
+              var o = seg
+              while (o < pos + 2 + len) {
+                val prec = (p(o) & 0xff) >> 4
+                val id = p(o) & 0x0f
+                if (prec != 0) return null
+                quant(id) = Array.tabulate(64)(k => p(o + 1 + k) & 0xff)
+                o += 65
+              }
+            case 0xc4 =>
+              var o = seg
+              while (o < pos + 2 + len) {
+                val cls = (p(o) & 0xff) >> 4
+                val id = p(o) & 0x0f
+                val bits = Array.tabulate(16)(k => p(o + 1 + k) & 0xff)
+                val nv = bits.sum
+                val vals = Array.tabulate(nv)(k => p(o + 17 + k) & 0xff)
+                val h = new Huff(bits, vals)
+                if (cls == 0) dcTabs(id) = h else acTabs(id) = h
+                o += 17 + nv
+              }
+            case 0xdd =>
+              restartInterval = ((p(seg) & 0xff) << 8) | (p(seg + 1) & 0xff)
+            case 0xda =>
+              if (comps == null) return null
+              val ns = p(seg) & 0xff
+              val scanCi = new Array[Int](ns)
+              val scanDc = new Array[Int](ns)
+              val scanAc = new Array[Int](ns)
+              var i = 0
+              while (i < ns) {
+                val o = seg + 1 + i * 2
+                val id = p(o) & 0xff
+                val ci = comps.indexWhere(_._1 == id)
+                if (ci < 0) return null
+                scanCi(i) = ci
+                scanDc(i) = (p(o + 1) & 0xff) >> 4
+                scanAc(i) = p(o + 1) & 0x0f
+                i += 1
+              }
+              val ss = p(seg + 1 + ns * 2) & 0xff
+              val se = p(seg + 2 + ns * 2) & 0xff
+              val ahal = p(seg + 3 + ns * 2) & 0xff
+              val ah = ahal >> 4
+              val al = ahal & 0x0f
+              if (ss > 63 || se > 63 || se < ss) return null
+              if (ss == 0 && se != 0) return null // DC scans are DC-only in SOF2
+              if (ss > 0 && ns != 1) return null  // AC scans: one component
+              val br = new BitReader(p, pos + 2 + len)
+              decodeProgressiveScan(br, p, comps, coefs, gridW, soloW, soloH,
+                mcusX, mcusY, scanCi, scanDc, scanAc, dcTabs, acTabs,
+                ss, se, ah, al, restartInterval)
+              // scan data ends at the next non-RST, non-stuffed marker
+              var q = br.pos
+              while (q + 1 < p.length &&
+                !((p(q) & 0xff) == 0xff && (p(q + 1) & 0xff) != 0x00 &&
+                  !((p(q + 1) & 0xff) >= 0xd0 && (p(q + 1) & 0xff) <= 0xd7)))
+                q += 1
+              nextPos = q
+            case _ => ()
+          }
+          pos = nextPos
+        }
+      }
+      if (coefs == null) return null
+      // reconstruct: dequantize + IDCT every block of every wanted plane
+      val planeW = comps.map(c => mcusX * 8 * c._2)
+      val planes = Array.tabulate(comps.length) { ci =>
+        if (ci == 0 || wantChroma)
+          new Array[Byte](planeW(ci) * mcusY * 8 * comps(ci)._3)
+        else null
+      }
+      val block = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      var ci = 0
+      while (ci < comps.length) {
+        if (planes(ci) != null) {
+          val q = quant(comps(ci)._4)
+          if (q == null) return null
+          val co = coefs(ci)
+          val bw = gridW(ci)
+          val bh = mcusY * comps(ci)._3
+          var by = 0
+          while (by < bh) {
+            var bx = 0
+            while (bx < bw) {
+              val off = (by * bw + bx) * 64
+              var k = 0
+              while (k < 64) {
+                block(zigzag(k)) = co(off + zigzag(k)) * q(k)
+                k += 1
+              }
+              writeBlock(block, tmp, planes(ci), planeW(ci), bx * 8, by * 8)
+              bx += 1
+            }
+            by += 1
+          }
+        }
+        ci += 1
+      }
+      finishPlanes(width, height, comps, maxH, maxV, planes, planeW)
+    } catch { case _: Exception => null }
+  }
+
+  /** Entropy-decode one progressive scan into the coefficient buffers. */
+  private def decodeProgressiveScan(br: BitReader, p: Array[Byte],
+      comps: Array[(Int, Int, Int, Int)], coefs: Array[Array[Int]],
+      gridW: Array[Int], soloW: Array[Int], soloH: Array[Int],
+      mcusX: Int, mcusY: Int,
+      scanCi: Array[Int], scanDc: Array[Int], scanAc: Array[Int],
+      dcTabs: Array[Huff], acTabs: Array[Huff],
+      ss: Int, se: Int, ah: Int, al: Int, restartInterval: Int): Unit = {
+    var eobrun = 0
+    val dcPred = new Array[Int](comps.length)
+
+    def acFirst(co: Array[Int], off: Int, tab: Huff): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      var k = ss
+      while (k <= se) {
+        val rs = tab.decode(br)
+        val r = rs >> 4
+        val sz = rs & 0x0f
+        if (sz == 0) {
+          if (r < 15) {
+            eobrun = (1 << r) - 1
+            if (r > 0) eobrun += br.bits(r)
+            return
+          }
+          k += 16
+        } else {
+          k += r
+          if (k > se) throw new IllegalStateException("AC run past band")
+          co(off + zigzag(k)) = extend(br.bits(sz), sz) << al
+          k += 1
+        }
+      }
+    }
+
+    def acRefine(co: Array[Int], off: Int, tab: Huff): Unit = {
+      val p1 = 1 << al
+      val m1 = -1 << al
+      def correct(z: Int): Unit =
+        if (co(z) != 0 && br.bit() == 1 && (co(z) & p1) == 0)
+          co(z) += (if (co(z) >= 0) p1 else m1)
+      var k = ss
+      if (eobrun == 0) {
+        var atEob = false
+        while (k <= se && !atEob) {
+          val rs = tab.decode(br)
+          var r = rs >> 4
+          val sz = rs & 0x0f
+          var newVal = 0
+          if (sz == 0) {
+            if (r < 15) {
+              eobrun = 1 << r
+              if (r > 0) eobrun += br.bits(r)
+              atEob = true
+            }
+            // r == 15: sixteen zero-history coefficients, no new value
+          } else {
+            // refinement scans only ever introduce magnitude-1 coefficients
+            if (sz != 1) throw new IllegalStateException("bad AC refine size")
+            newVal = if (br.bit() == 1) p1 else m1
+          }
+          if (!atEob) {
+            var placed = false
+            while (k <= se && !placed) {
+              val z = off + zigzag(k)
+              if (co(z) != 0) correct(z)
+              else if (r == 0) { if (newVal != 0) co(z) = newVal; placed = true }
+              else r -= 1
+              k += 1
+            }
+          }
+        }
+      }
+      if (eobrun > 0) {
+        // end-of-band: the rest of this block carries correction bits only
+        while (k <= se) { correct(off + zigzag(k)); k += 1 }
+        eobrun -= 1
+      }
+    }
+
+    def decodeBlockDc(si: Int, co: Array[Int], off: Int): Unit = {
+      if (ah == 0) {
+        val tab = dcTabs(scanDc(si))
+        val t = tab.decode(br)
+        dcPred(scanCi(si)) += extend(br.bits(t), t)
+        co(off) = dcPred(scanCi(si)) << al
+      } else if (br.bit() == 1) co(off) |= 1 << al
+    }
+
+    if (ss == 0 && scanCi.length > 1) {
+      // interleaved DC scan: MCU walk over every component's h×v blocks
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.restart()
+          java.util.Arrays.fill(dcPred, 0)
+          eobrun = 0
+        }
+        val my = mcu / mcusX
+        val mx = mcu % mcusX
+        var si = 0
+        while (si < scanCi.length) {
+          val ci = scanCi(si)
+          val (_, h, v, _) = comps(ci)
+          var by = 0
+          while (by < v) {
+            var bx = 0
+            while (bx < h) {
+              val off = ((my * v + by) * gridW(ci) + mx * h + bx) * 64
+              decodeBlockDc(si, coefs(ci), off)
+              bx += 1
+            }
+            by += 1
+          }
+          si += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // single-component scan (every AC scan; DC scans of 1-comp frames):
+      // raster walk over the component's own (non-interleaved) block grid
+      val ci = scanCi(0)
+      val bw = soloW(ci)
+      val nBlk = bw * soloH(ci)
+      val co = coefs(ci)
+      var blk = 0
+      while (blk < nBlk) {
+        if (restartInterval > 0 && blk > 0 && blk % restartInterval == 0) {
+          br.restart()
+          java.util.Arrays.fill(dcPred, 0)
+          eobrun = 0
+        }
+        val off = ((blk / bw) * gridW(ci) + blk % bw) * 64
+        if (ss == 0) decodeBlockDc(0, co, off)
+        else if (ah == 0) acFirst(co, off, acTabs(scanAc(0)))
+        else acRefine(co, off, acTabs(scanAc(0)))
+        blk += 1
+      }
+    }
   }
 
   /** Separable 2D inverse DCT (T.81 A.3.3 reference definition). */

@@ -293,10 +293,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(off == 0, s"$off/$n luma pixels off by more than 3")
   }
 
-  test("JPEG restart intervals and non-baseline rejection") {
-    // progressive JPEG must reject honestly
-    import java.awt.image.BufferedImage
-    val img = new BufferedImage(16, 16, BufferedImage.TYPE_BYTE_GRAY)
+  private def encodeProgressive(img: java.awt.image.BufferedImage): Array[Byte] = {
     val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
     val param = wr.getDefaultWriteParam
     param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
@@ -305,10 +302,70 @@ class MultimodalSpec extends AnyFunSuite {
     wr.setOutput(ios)
     wr.write(null, new javax.imageio.IIOImage(img, null, null), param)
     ios.close(); wr.dispose()
-    assert(graft.multimodal.JpegCodec.decodeLuma(bos.toByteArray) == null,
-      "progressive must reject, not mis-decode")
+    bos.toByteArray
+  }
+
+  test("progressive JPEG grayscale: luma within ±2 of ImageIO's decode") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(41, 27, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 27; x <- 0 until 41) {
+      val g = (128 + 100 * math.sin(x * 0.37) * math.cos(y * 0.29)).toInt
+      img.getRaster.setSample(x, y, 0, math.max(0, math.min(255, g)))
+    }
+    val bytes = encodeProgressive(img)
+    // confirm the fixture really is SOF2 (ImageIO writes a true progressive
+    // scan script in MODE_DEFAULT), not a silently-baseline re-encode
+    assert(bytes.sliding(2).exists(s => (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2),
+      "fixture must contain an SOF2 marker")
+    val ours = graft.multimodal.JpegCodec.decodeLuma(bytes)
+    assert(ours != null && ours.width == 41 && ours.height == 27, String.valueOf(ours))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until 27; x <- 0 until 41) {
+      val d = math.abs((ours.pixels(y * 41 + x) & 0xff) - ref.getRaster.getSample(x, y, 0))
+      maxDiff = math.max(maxDiff, d)
+    }
+    assert(maxDiff <= 2, s"progressive decode off by $maxDiff vs ImageIO")
+  }
+
+  test("progressive JPEG color: RGB within tolerance of ImageIO on flat-chroma content") {
+    import java.awt.image.BufferedImage
+    // grayscale content through a 3-channel container: chroma is flat, so
+    // chroma-upsampling-filter differences between decoders vanish and the
+    // comparison reduces to the shared T.81 IDCT tolerance
+    val img = new BufferedImage(34, 22, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 22; x <- 0 until 34) {
+      val g = math.max(0, math.min(255,
+        (128 + 90 * math.sin((x + 2 * y) * 0.21)).toInt))
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bytes = encodeProgressive(img)
+    assert(bytes.sliding(2).exists(s => (s(0) & 0xff) == 0xff && (s(1) & 0xff) == 0xc2))
+    val ours = graft.multimodal.JpegCodec.decodeRgb(bytes)
+    assert(ours != null && ours.width == 34 && ours.height == 22, String.valueOf(ours))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var maxDiff = 0
+    for (y <- 0 until 22; x <- 0 until 34; c <- 0 until 3) {
+      val refC = (ref.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+      val d = math.abs((ours.pixels((y * 34 + x) * 3 + c) & 0xff) - refC)
+      maxDiff = math.max(maxDiff, d)
+    }
+    assert(maxDiff <= 4, s"progressive color decode off by $maxDiff vs ImageIO")
+  }
+
+  test("JPEG malformed-input rejection") {
     assert(graft.multimodal.JpegCodec.decodeLuma("nope".getBytes) == null)
     assert(graft.multimodal.JpegCodec.decodeLuma(null) == null)
+    // truncated progressive stream: null, never a throw or a wild decode
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(24, 24, BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 24; x <- 0 until 24)
+      img.getRaster.setSample(x, y, 0, (x * 11 + y * 7) % 256)
+    val whole = encodeProgressive(img)
+    val cut = java.util.Arrays.copyOf(whole, whole.length / 3)
+    val lu = graft.multimodal.JpegCodec.decodeLuma(cut)
+    assert(lu == null || (lu.width == 24 && lu.height == 24),
+      "truncated stream: null or a frame-sized partial decode, never garbage dims")
   }
 
   test("uncompressed BMP decodes to ImageIO's exact pixels (24-bit, bottom-up)") {
