@@ -1533,13 +1533,39 @@ object SparkEntry {
     },
 
     "mm1_binary_meta" -> { (s, d) =>
-      // multimodal plumbing: opaque binary column + typed metadata
-      t(s, d, "documents")
-        .withColumn("payload", col("text").cast("binary"))
-        .groupBy(col("lang"))
-        .agg(sum(length(col("payload")).cast("long")).as("sum_bytes"),
-          count(lit(1)).as("n"))
-        .orderBy("lang")
+      // multimodal plumbing: opaque binary columns + typed metadata.
+      // Round 6 adds the audio/video container kinds (VERDICT r5 #8): a
+      // third of the corpus becomes MP4 headers (ftyp + moov/mvhd,
+      // alternating mvhd v0/v1 layouts), a third FLAC STREAMINFO blocks —
+      // both with closed-form duration/rate/channels the oracle recomputes
+      // — and a third stays raw text (StubDecoder fallback, byte-sum
+      // checked as before). Parsing runs DISTRIBUTED through
+      // Multimodal.withMeta/HeaderDecoder.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val payload: Array[Byte] = (id % 3) match {
+            case 0 => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            case 1 => graft.multimodal.Multimodal.writeMp4Header(
+              1000, 1000L + id % 5000, version = (id % 2).toInt)
+            case _ => graft.multimodal.Multimodal.writeFlacHeader(
+              8000 + (id % 8).toInt * 4000, 1 + (id % 2).toInt,
+              (8000L + (id % 8) * 4000L) * (1L + id % 7))
+          }
+          (id, payload)
+        }.toDF("id", "payload")
+      graft.multimodal.Multimodal.withMeta(s, media).toDF()
+        .select(col("meta.mime").as("mime"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.duration_ms").as("dur"), col("meta.sample_rate").as("rate"),
+          col("meta.channels").as("chans"), col("meta.codec").as("codec"))
+        .groupBy("mime", "codec")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).cast("long").as("sum_bytes"),
+          sum(col("dur")).cast("long").as("dur_total"),
+          sum(col("rate")).cast("long").as("rate_total"),
+          sum(col("chans")).cast("long").as("chan_total"))
+        .orderBy("mime")
     },
 
     "mm3_png_pixels" -> { (s, d) =>
@@ -2782,9 +2808,31 @@ object SparkEntry {
          CAST(1.0 AS DOUBLE) AS cos
          FROM embeddings WHERE vec_id < 10 ORDER BY qid""",
 
+    // per-kind closed forms: MP4 fixtures are 136 bytes (mvhd v0) / 148
+    // (v1) with duration_ms = 1000 + doc_id % 5000 at timescale 1000; FLAC
+    // fixtures are 42 bytes with rate 8000 + (doc_id%8)*4000, channels
+    // 1 + doc_id%2, total samples = rate * (1 + doc_id%7) so duration is
+    // exactly (1 + doc_id%7) seconds; text rows keep the byte-sum check
     "mm1_binary_meta" ->
-      """SELECT lang, CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes, COUNT(*) AS n
-         FROM documents GROUP BY lang ORDER BY lang""",
+      """SELECT * FROM (
+           SELECT 'application/octet-stream' AS mime, '' AS codec,
+             COUNT(*) AS n, CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes,
+             CAST(0 AS BIGINT) AS dur_total, CAST(0 AS BIGINT) AS rate_total,
+             CAST(0 AS BIGINT) AS chan_total
+           FROM documents WHERE doc_id % 3 = 0
+           UNION ALL
+           SELECT 'video/mp4', 'mp42', COUNT(*),
+             CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 136 ELSE 148 END) AS BIGINT),
+             CAST(SUM(1000 + doc_id % 5000) AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+           FROM documents WHERE doc_id % 3 = 1
+           UNION ALL
+           SELECT 'audio/flac', 'flac', COUNT(*), CAST(COUNT(*) * 42 AS BIGINT),
+             CAST(SUM((1 + doc_id % 7) * 1000) AS BIGINT),
+             CAST(SUM(8000 + (doc_id % 8) * 4000) AS BIGINT),
+             CAST(SUM(1 + doc_id % 2) AS BIGINT)
+           FROM documents WHERE doc_id % 3 = 2
+         ) ORDER BY mime""",
 
     // pixel sum of ((a + i) % 256 for i < n) in closed form: the series
     // wraps at most once because a < 256 and n <= 224; both branches are

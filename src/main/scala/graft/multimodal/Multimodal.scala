@@ -22,7 +22,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  case class MediaMeta(mime: String, n_bytes: Long, width: Int, height: Int)
+  /** Typed metadata for an opaque media payload. `width`/`height` carry
+    * pixel dimensions for images and (for backward compatibility) sample
+    * rate / channel count for audio; the dedicated `duration_ms` /
+    * `sample_rate` / `channels` / `codec` fields cover the audio/video
+    * container formats where a 2D size is meaningless. Defaults keep
+    * image-only decoders source-compatible. */
+  case class MediaMeta(mime: String, n_bytes: Long, width: Int, height: Int,
+      duration_ms: Long = 0L, sample_rate: Int = 0, channels: Int = 0,
+      codec: String = "")
   case class MediaRow(id: Long, payload: Array[Byte], meta: MediaMeta)
   case class MediaFeatures(id: Long, width: Int, height: Int, histogram: Array[Long])
 
@@ -55,6 +63,65 @@ object Multimodal {
     private def u32be(b: Array[Byte], o: Int) =
       ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
     private def u16be(b: Array[Byte], o: Int) = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def u64be(b: Array[Byte], o: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < 8) { v = (v << 8) | (b(o + i) & 0xffL); i += 1 }
+      v
+    }
+    private def fourcc(b: Array[Byte], o: Int) =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** ISO-BMFF (MP4/MOV/3GP family) header walk: ftyp's major brand is
+      * the container-level codec tag; moov → mvhd gives timescale +
+      * duration (version 0 and 1 layouts). Box walk only — no mdat or
+      * sample-table decode (headers-only contract). */
+    private def decodeMp4(p: Array[Byte], n: Long): MediaMeta = {
+      val brand = fourcc(p, 8).trim
+      var durMs = 0L
+      var o = 0
+      var guard = 0
+      while (o + 8 <= p.length && guard < 256) {
+        val size = u32be(p, o)
+        if (fourcc(p, o + 4) == "moov") {
+          val end = math.min(p.length.toLong, o.toLong + size).toInt
+          var c = o + 8
+          var cg = 0
+          while (c + 8 <= end && cg < 256) {
+            val cs = u32be(p, c)
+            if (fourcc(p, c + 4) == "mvhd") {
+              val ver = p(c + 8) & 0xff
+              if (ver == 1 && c + 40 <= end) {
+                val ts = u32be(p, c + 28)
+                if (ts > 0) durMs = u64be(p, c + 32) * 1000L / ts
+              } else if (ver == 0 && c + 28 <= end) {
+                val ts = u32be(p, c + 20)
+                val dur = u32be(p, c + 24).toLong & 0xffffffffL
+                if (ts > 0) durMs = dur * 1000L / ts
+              }
+            }
+            if (cs <= 8) c = end else c += cs
+            cg += 1
+          }
+        }
+        if (size <= 8) o = p.length else o += size
+        guard += 1
+      }
+      MediaMeta("video/mp4", n, 0, 0, durMs, 0, 0, brand)
+    }
+
+    /** FLAC STREAMINFO (mandatory first metadata block, 34 bytes): sample
+      * rate 20 bits, channels-1 3 bits, bits-per-sample-1 5 bits, total
+      * samples 36 bits, per the public FLAC format spec. */
+    private def decodeFlac(p: Array[Byte], n: Long): MediaMeta = {
+      if (p.length < 26 || (p(4) & 0x7f) != 0) return StubDecoder.decode(p)
+      val rate = ((p(18) & 0xff) << 12) | ((p(19) & 0xff) << 4) | ((p(20) & 0xff) >> 4)
+      val chans = (((p(20) & 0xff) >> 1) & 0x7) + 1
+      val total = ((p(21) & 0x0fL) << 32) |
+        ((p(22) & 0xffL) << 24) | ((p(23) & 0xffL) << 16) |
+        ((p(24) & 0xffL) << 8) | (p(25) & 0xffL)
+      val durMs = if (rate > 0) total * 1000L / rate else 0L
+      MediaMeta("audio/flac", n, rate, chans, durMs, rate, chans, "flac")
+    }
 
     def decode(p: Array[Byte]): MediaMeta = {
       val n = p.length.toLong
@@ -66,7 +133,13 @@ object Multimodal {
         MediaMeta("image/bmp", n, u32le(p, 18), math.abs(u32le(p, 22)))
       else if (p.length >= 28 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
           p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')
-        MediaMeta("audio/wav", n, u32le(p, 24) /* sample rate */, u16le(p, 22) /* channels */)
+        MediaMeta("audio/wav", n, u32le(p, 24) /* sample rate */, u16le(p, 22) /* channels */,
+          0L, u32le(p, 24), u16le(p, 22),
+          if (u16le(p, 20) == 1) "pcm" else s"wav-fmt-${u16le(p, 20)}")
+      else if (p.length >= 26 && p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C')
+        decodeFlac(p, n)
+      else if (p.length >= 16 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p')
+        decodeMp4(p, n)
       else if (p.length >= 4 && p(0) == 0xff.toByte && p(1) == 0xd8.toByte) {
         // JPEG: walk marker segments to the first SOF0/1/2 frame header
         var i = 2
@@ -82,6 +155,55 @@ object Multimodal {
       }
       else StubDecoder.decode(p)
     }
+  }
+
+  /** Fixture writer: a minimal spec-shaped ISO-BMFF stream — ftyp (major
+    * brand mp42) + moov/mvhd with the given timescale and duration, in the
+    * requested mvhd version (0: 32-bit duration, 1: 64-bit). 136 bytes for
+    * v0, 148 for v1. Test/gate authoring only. */
+  def writeMp4Header(timescale: Int, duration: Long, version: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def u32(v: Long): Unit = { bos.write((v >> 24).toInt); bos.write(((v >> 16) & 0xff).toInt)
+      bos.write(((v >> 8) & 0xff).toInt); bos.write((v & 0xff).toInt) }
+    def u64(v: Long): Unit = { u32(v >>> 32); u32(v & 0xffffffffL) }
+    def tag(s: String): Unit = bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    u32(20); tag("ftyp"); tag("mp42"); u32(0); tag("isom")
+    val mvhdSize = if (version == 0) 108 else 120
+    u32(8 + mvhdSize); tag("moov")
+    u32(mvhdSize); tag("mvhd")
+    bos.write(version); bos.write(0); bos.write(0); bos.write(0) // ver + flags
+    if (version == 0) { u32(0); u32(0); u32(timescale); u32(duration) }
+    else { u64(0); u64(0); u32(timescale); u64(duration) }
+    u32(0x00010000); bos.write(0x01); bos.write(0x00) // rate, volume
+    (0 until 10).foreach(_ => bos.write(0))           // reserved
+    // identity matrix (fixed-point) + 24 predefined zero bytes + next track
+    u32(0x00010000); u32(0); u32(0); u32(0); u32(0x00010000); u32(0)
+    u32(0); u32(0); u32(0x40000000)
+    (0 until 24).foreach(_ => bos.write(0))
+    u32(2)
+    bos.toByteArray
+  }
+
+  /** Fixture writer: FLAC magic + a lone STREAMINFO block (42 bytes) with
+    * the given sample rate, channel count, and total samples. */
+  def writeFlacHeader(sampleRate: Int, channels: Int, totalSamples: Long,
+      bitsPerSample: Int = 16): Array[Byte] = {
+    val b = new Array[Byte](42)
+    b(0) = 'f'; b(1) = 'L'; b(2) = 'a'; b(3) = 'C'
+    b(4) = 0x80.toByte // last-block flag | type 0 (STREAMINFO)
+    b(5) = 0; b(6) = 0; b(7) = 34
+    b(8) = 0x10; b(9) = 0x00; b(10) = 0x10; b(11) = 0x00 // block sizes 4096
+    // min/max frame size (12..17) left 0 = unknown
+    b(18) = (sampleRate >> 12).toByte
+    b(19) = ((sampleRate >> 4) & 0xff).toByte
+    b(20) = (((sampleRate & 0xf) << 4) | ((channels - 1) << 1) |
+      ((bitsPerSample - 1) >> 4)).toByte
+    b(21) = ((((bitsPerSample - 1) & 0xf) << 4) | ((totalSamples >> 32) & 0xf)).toByte
+    b(22) = ((totalSamples >> 24) & 0xff).toByte
+    b(23) = ((totalSamples >> 16) & 0xff).toByte
+    b(24) = ((totalSamples >> 8) & 0xff).toByte
+    b(25) = (totalSamples & 0xff).toByte
+    b
   }
 
   /** Wrap raw binary payloads (e.g. from Spark's binaryFile source) with

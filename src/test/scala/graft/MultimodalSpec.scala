@@ -57,6 +57,7 @@ class MultimodalSpec extends AnyFunSuite {
     // WAV: RIFF/WAVE + fmt chunk with channels at 22, rate at 24
     val wav = ByteBuffer.allocate(44).order(ByteOrder.LITTLE_ENDIAN)
     wav.put(0, "RIFF".getBytes, 0, 4); wav.put(8, "WAVEfmt ".getBytes, 0, 8)
+    wav.putShort(20, 1.toShort) // format code: PCM
     wav.putShort(22, 2.toShort); wav.putInt(24, 44100)
     // JPEG: SOI, APP0 segment, SOF0 with height 240 width 320
     val jpg = ByteBuffer.allocate(32)
@@ -68,10 +69,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.decode(png.array()) == Multimodal.MediaMeta("image/png", 33, 640, 480))
     assert(d.decode(gif.array()) == Multimodal.MediaMeta("image/gif", 13, 320, 200))
     assert(d.decode(bmp.array()) == Multimodal.MediaMeta("image/bmp", 30, 800, 600))
-    assert(d.decode(wav.array()) == Multimodal.MediaMeta("audio/wav", 44, 44100, 2))
+    assert(d.decode(wav.array()) ==
+      Multimodal.MediaMeta("audio/wav", 44, 44100, 2, 0L, 44100, 2, "pcm"))
     assert(d.decode(jpg.array()) == Multimodal.MediaMeta("image/jpeg", 32, 320, 240))
     val unknown = Array.fill[Byte](64)(0x42)
     assert(d.decode(unknown) == Multimodal.StubDecoder.decode(unknown))
+  }
+
+  test("MP4 (ISO-BMFF) mvhd duration: both version layouts; FLAC STREAMINFO fields") {
+    val d = Multimodal.HeaderDecoder
+    val v0 = d.decode(Multimodal.writeMp4Header(600, 3600, version = 0))
+    assert(v0.mime == "video/mp4" && v0.codec == "mp42" && v0.n_bytes == 136, v0)
+    assert(v0.duration_ms == 6000, s"v0 duration ${v0.duration_ms}")
+    val v1 = d.decode(Multimodal.writeMp4Header(90000, 90000L * 7300, version = 1))
+    assert(v1.duration_ms == 7300L * 1000 && v1.n_bytes == 148, v1)
+    // truncated / garbage-sized boxes must not loop or throw
+    val cut = java.util.Arrays.copyOf(Multimodal.writeMp4Header(600, 3600, 0), 24)
+    assert(d.decode(cut).mime == "video/mp4")
+    val flac = d.decode(Multimodal.writeFlacHeader(44100, 2, 44100L * 185))
+    assert(flac.mime == "audio/flac" && flac.codec == "flac", flac)
+    assert(flac.sample_rate == 44100 && flac.channels == 2 &&
+      flac.duration_ms == 185000, flac)
+    // 36-bit total-sample field: top nibble lives in byte 21
+    val big = d.decode(Multimodal.writeFlacHeader(48000, 1, (5L << 32) | 123L))
+    assert(big.duration_ms == ((5L << 32) | 123L) * 1000 / 48000, big)
+    // a FLAC whose first block is not STREAMINFO falls back to the stub
+    val wrong = Multimodal.writeFlacHeader(48000, 1, 1)
+    wrong(4) = 0x84.toByte // type 4 (VORBIS_COMMENT) first: not spec-legal
+    assert(d.decode(wrong).mime == "application/octet-stream")
   }
 
   test("resizeMeta caps dimensions preserving aspect") {
