@@ -24,7 +24,7 @@ object Dedup {
     * pattern), then verified against the full signatures. */
   def minhashPairs(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       k: Int = 64, bands: Int = 16, shingle: Int = 3, minJaccard: Double = 0.5,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucket: Int = Int.MaxValue): DataFrame = {
     require(k % bands == 0,
       s"k ($k) must be a multiple of bands ($bands): a truncated banding would " +
         "silently ignore the last k % bands signature elements")
@@ -34,10 +34,23 @@ object Dedup {
     val bandCols = sigs.select(col("id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows), b))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // bucket-occupancy prefilter (the jaccardPairs `keep` pattern): a band
+    // bucket with a single member emits no pair but still rides through the
+    // self-join's shuffle + sort — and on an LSH banding most buckets ARE
+    // singletons. The count agg is map-side combinable and 20 bytes/row, so
+    // it is far cheaper than what it removes from the join. `maxBucket`
+    // additionally caps degenerate hot buckets (near-identical floods —
+    // quadratic on one reducer); the default keeps exact semantics.
+    val keep = bandCols.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucket)
+      .select("band", "bucket")
+    val bandK = bandCols.select("id", "band", "bucket")
+      .join(keep, Seq("band", "bucket"), "left_semi")
     // dedupe candidates on the id pair alone, then join signatures back —
     // a distinct over wide sig arrays shuffles bands× the bytes for nothing
-    val cand = bandCols.as("a")
-      .join(bandCols.as("b"),
+    val cand = bandK.as("a")
+      .join(bandK.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -196,6 +209,18 @@ object Dedup {
       else if (maxDist <= 7) maxDist + 1        // classic split, blocks ≥ 8 bits
       else math.ceil((maxDist + 1) / 3.0).toInt // smallest m with e ≤ 2
     val e = maxDist / nBlocks // per-block probe radius (generalized pigeonhole)
+    // SPLIT-RADIUS probing (round 6): instead of one side carrying the full
+    // radius-e Hamming ball (|ball| grows ~C(w, e)), BOTH sides expand by
+    // half — ⌈e/2⌉ and ⌊e/2⌋. Masks compose through the join key
+    // (a.bv⊕ma = b.bv⊕mb ⇔ ma⊕mb = a.bv⊕b.bv, wt(ma⊕mb) ≤ e), so the
+    // covered pair set is IDENTICAL, but the exploded shuffle drops from
+    // N·C(w,≤e) to 2N·C(w,≤⌈e/2⌉) — at e=2, w=11 that is 67→24 rows/block.
+    // Duplicate emissions per true pair rise (each weight-d block diff has
+    // several (ma, mb) splits); the hamming filter + distinct already
+    // handle that, and only true/colliding pairs pay it. e ≤ 1 degenerates
+    // to the old one-sided plan (eB = 0).
+    val eA = (e + 1) / 2
+    val eB = e / 2
     // block b covers bits [64*b/n, 64*(b+1)/n) — full 64-bit coverage
     val widths = (0 until nBlocks).map(b => 64 * (b + 1) / nBlocks - 64 * b / nBlocks)
     // Guard the probe-ball size BEFORE enumerating it: an explicit
@@ -204,11 +229,12 @@ object Dedup {
     // masks) — a driver hang/OOM, and a de-facto cross join even if it
     // materialized. 2^16 masks/doc is already far past any useful plan.
     val ballCap = 1L << 16
-    val ballTotal = widths.map { w =>
-      (0 to math.min(e, w)).map(k =>
+    def ballSize(r: Int) = widths.map { w =>
+      (0 to math.min(r, w)).map(k =>
         (BigInt(w - k + 1) to BigInt(w)).product / (BigInt(1) to BigInt(k.max(1))).product)
         .sum
     }.sum
+    val ballTotal = ballSize(eA) + ballSize(eB)
     require(ballTotal <= ballCap,
       s"simhashPairs probe ball too large: $nBlocks blocks at maxDist=$maxDist needs " +
         s"$ballTotal probe masks/doc (cap $ballCap) — use more probeBlocks (smaller " +
@@ -224,20 +250,22 @@ object Dedup {
     val blocks = sigs.select(col("id"), col("sh"),
       posexplode(array(blockCols: _*)))
       .withColumnRenamed("pos", "blk").withColumnRenamed("col", "bv")
-    // probe side: expand each block value by its Hamming ball of radius e.
-    // The masks are per-block-width constants (all XOR patterns with ≤ e
-    // set bits); e == 0 degenerates to a single zero mask — same plan as
-    // the classic pigeonhole join, so there is one code path.
-    def ballMasks(w: Int): Seq[Long] =
-      (0 to e).flatMap(k => (0 until w).combinations(k)
+    // expand a side by its half-radius Hamming ball. The masks are
+    // per-block-width constants (all XOR patterns with ≤ r set bits);
+    // r == 0 degenerates to the unexpanded block values — same plan shape
+    // as the classic pigeonhole join, so there is one code path.
+    def ballMasks(w: Int, r: Int): Seq[Long] =
+      (0 to r).flatMap(k => (0 until w).combinations(k)
         .map(_.foldLeft(0L)((m, bit) => m | (1L << bit))).toSeq)
-    val maskTable: Seq[Seq[Long]] = widths.map(ballMasks)
-    val probes =
-      if (e == 0) blocks.withColumn("bvp", col("bv"))
+    def expand(r: Int): DataFrame =
+      if (r == 0) blocks.withColumn("bvp", col("bv"))
       else blocks
-        .withColumn("xm", explode(element_at(typedLit(maskTable), col("blk") + 1)))
+        .withColumn("xm", explode(element_at(
+          typedLit(widths.map(w => ballMasks(w, r))), col("blk") + 1)))
         .withColumn("bvp", col("bv").bitwiseXOR(col("xm")))
         .drop("xm")
+    val probesA = expand(eA)
+    val probesB = expand(eB)
     // the 8-byte fingerprints ride along into the candidate join: unlike
     // minhashPairs (64-element signature arrays, where re-joining after a
     // narrow distinct wins), carrying sh costs 16 bytes/row and lets the
@@ -249,9 +277,9 @@ object Dedup {
     // distinct's shuffle from |all bucket collisions| (quadratic in bucket
     // occupancy — the dominant cost when blocks are only a few bits wide)
     // down to |true near-dup pairs|
-    probes.as("a")
-      .join(blocks.as("b"),
-        col("a.blk") === col("b.blk") && col("a.bvp") === col("b.bv") && col("a.id") < col("b.id"))
+    probesA.as("a")
+      .join(probesB.as("b"),
+        col("a.blk") === col("b.blk") && col("a.bvp") === col("b.bvp") && col("a.id") < col("b.id"))
       .withColumn("dist", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))))
       .filter(col("dist") <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
