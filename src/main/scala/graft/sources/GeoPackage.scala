@@ -15,9 +15,10 @@ import org.apache.spark.sql.types._
   * `.gpkg`; the environment has no GDAL, so the container format is
   * written directly).
   *
-  * Scope: CREATE-only databases (no journal, no freelist, no indexes, no
-  * overflow pages — a row larger than one page is rejected), built fully
-  * in memory. This is an EXPORT sink for final artifacts, exactly the
+  * Scope: CREATE-only databases (no journal, no freelist, no indexes),
+  * built fully in memory. Rows larger than a page spill to standard
+  * overflow-page chains (round 6), so long TEXT/BLOB values export
+  * correctly. This is an EXPORT sink for final artifacts, exactly the
   * reference's use; it is inherently single-writer (SQLite is a single
   * file), so rows stream through the driver — not a distributed write
   * path, and documented as such.
@@ -96,9 +97,20 @@ private[sources] object SqliteMini {
     out.toByteArray
   }
 
+  // SQLite payload-spill thresholds for table b-tree leaves
+  // (sqlite.org/fileformat2 §B-tree Pages; usable size = PageSize, no
+  // reserved region): payloads over `MaxLocal` spill to overflow pages,
+  // keeping `M + (P - M) % (U - 4)` bytes local when that still fits,
+  // else exactly `MinLocal`.
+  val MaxLocal: Int = PageSize - 35
+  val MinLocal: Int = ((PageSize - 12) * 32 / 255) - 23
+
   /** One table's rows → b-tree pages appended to `pages`; returns the root
     * FILE page number. Page 1 of the file is sqlite_master (prepended by
-    * [[assemble]]), so `pages(i)` lands at file page `i + 2`. */
+    * [[assemble]]), so `pages(i)` lands at file page `i + 2`. Rows larger
+    * than the leaf-local threshold spill to overflow-page chains exactly
+    * per the SQLite spill formula — real SQLite walks the same chain, so
+    * arbitrarily long TEXT/BLOB values round-trip. */
   def buildTable(pages: ArrayBuffer[Array[Byte]], rows: Seq[(Long, Array[Byte])]): Int = {
     // --- leaves ---
     val leaves = new ArrayBuffer[(Int, Long)]() // (filePageNo, maxRowid)
@@ -116,11 +128,30 @@ private[sources] object SqliteMini {
         val o = new java.io.ByteArrayOutputStream()
         val p = varint(payload.length.toLong); o.write(p, 0, p.length)
         val r = varint(rowid); o.write(r, 0, r.length)
-        o.write(payload, 0, payload.length)
+        if (payload.length <= MaxLocal) o.write(payload, 0, payload.length)
+        else {
+          // overflow: local portion per the spill formula, remainder in a
+          // chain of pages each led by a 4-byte next-page pointer (0 ends
+          // the chain). Chain pages are appended BEFORE the leaf that
+          // points at them — file order is free, only numbering matters.
+          val k = MinLocal + (payload.length - MinLocal) % (PageSize - 4)
+          val local = if (k <= MaxLocal) k else MinLocal
+          o.write(payload, 0, local)
+          val step = PageSize - 4
+          val starts = local until payload.length by step
+          val firstNo = pages.length + 2 // next appended page's file number
+          starts.zipWithIndex.foreach { case (s, i) =>
+            val bb = ByteBuffer.allocate(PageSize).order(ByteOrder.BIG_ENDIAN)
+            bb.putInt(0, if (i == starts.length - 1) 0 else firstNo + i + 1)
+            bb.position(4)
+            bb.put(payload, s, math.min(step, payload.length - s))
+            pages += bb.array()
+          }
+          o.write((firstNo >> 24) & 0xff); o.write((firstNo >> 16) & 0xff)
+          o.write((firstNo >> 8) & 0xff); o.write(firstNo & 0xff)
+        }
         o.toByteArray
       }
-      require(cell.length + 2 <= PageSize - 8,
-        s"row too large for one page (${cell.length} B): overflow pages unsupported")
       if (cell.length + 2 > free) flushLeaf(lastRowid)
       cells += cell
       free -= cell.length + 2
@@ -469,7 +500,7 @@ object GeoPackage {
   }
 
   /** Read the feature rows of a table back from a GeoPackage this writer
-    * produced (or any overflow-free SQLite file): returns (rowid, record
+    * produced (or any journal-free SQLite file): returns (rowid, record
     * values) with GPB headers stripped from blobs that carry them. Used by
     * the verification gate; a full SQL engine is out of scope. */
   def readTable(path: String, tableName: String): Seq[(Long, Seq[Any])] = {
@@ -503,7 +534,29 @@ object GeoPackage {
           val off = base + (bb.getShort(base + hdrOff + 8 + i * 2) & 0xffff)
           val (plen, o1) = readVarint(bytes, off)
           val (rowid, o2) = readVarint(bytes, o1)
-          Some((rowid, readRecord(bytes, o2, plen.toInt)))
+          val maxLocal = pageSize - 35
+          if (plen <= maxLocal) Some((rowid, readRecord(bytes, o2, plen.toInt)))
+          else {
+            // spilled payload: local slice + the overflow-page chain (same
+            // spill formula as the writer / SQLite itself)
+            val minLocal = ((pageSize - 12) * 32 / 255) - 23
+            val k = minLocal + ((plen - minLocal) % (pageSize - 4)).toInt
+            val local = if (k <= maxLocal) k else minLocal
+            val full = new Array[Byte](plen.toInt)
+            System.arraycopy(bytes, o2, full, 0, local)
+            var filled = local
+            var pg = bb.getInt(o2 + local)
+            while (pg != 0 && filled < plen) {
+              val pb = (pg - 1) * pageSize
+              val take = math.min(pageSize - 4, plen.toInt - filled)
+              System.arraycopy(bytes, pb + 4, full, filled, take)
+              filled += take
+              pg = bb.getInt(pb)
+            }
+            require(filled == plen,
+              s"broken overflow chain: $filled of $plen payload bytes")
+            Some((rowid, readRecord(full, 0, plen.toInt)))
+          }
         }
       case 5 =>
         val kids = (0 until nCells).map { i =>

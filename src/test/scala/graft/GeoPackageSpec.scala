@@ -114,11 +114,54 @@ class GeoPackageSpec extends AnyFunSuite {
     assert(rc == 0 && out.toString.contains("RTREE_OK"), s"rtree check failed:\n$out")
   }
 
-  test("oversized row is rejected instead of silently corrupting the file") {
-    val big = Seq((1L, new Array[Byte](5000))).toDF("okey", "geom")
-    intercept[IllegalArgumentException] {
-      GeoPackage.write(big, tmpGpkg(), "layer")
-    }
+  test("oversized rows spill to overflow chains; real SQLite reads them back") {
+    // spans the interesting sizes: just past MaxLocal (one overflow page,
+    // and the formerly-miswritten 4062..4084 B band), a multi-page chain,
+    // and a large blob alongside normal rows
+    val longA = "a" * 4070                 // 1 page of overflow
+    val longB = ("xy" * 30000) + "!"       // 15-page chain, odd length
+    val blob = Array.tabulate[Byte](50000)(i => (i * 31 % 251).toByte)
+    val df = Seq(
+      (1L, "short", Array[Byte](1, 2, 3), GeomLib.pointWkb(1.0, 2.0)),
+      (2L, longA, Array[Byte](9), GeomLib.pointWkb(3.0, 4.0)),
+      (3L, longB, blob, GeomLib.pointWkb(5.0, 6.0)),
+      (4L, "tail", Array[Byte](7), GeomLib.pointWkb(7.0, 8.0))
+    ).toDF("okey", "tag", "payload", "geom")
+    val path = tmpGpkg()
+    GeoPackage.write(df, path, "layer", geomCol = "geom", geometryType = "POINT")
+    // own reader follows the chain
+    val back = GeoPackage.readTable(path, "layer")
+    assert(back.length == 4)
+    assert(back(1)._2(3) == longA)
+    assert(back(2)._2(3) == longB)
+    assert(java.util.Arrays.equals(
+      back(2)._2(4).asInstanceOf[Array[Byte]], blob))
+    assert(back(3)._2(3) == "tail") // rows AFTER a spilled row still decode
+    // real SQLite walks the same chain
+    val python = Seq("/usr/bin/python3", "/usr/local/bin/python3")
+      .find(p => new java.io.File(p).canExecute)
+    assume(python.isDefined, "python3 not available for external validation")
+    val blobSum = blob.map(b => (b & 0xff).toLong).sum
+    val script =
+      s"""import sqlite3
+         |cur = sqlite3.connect('$path').cursor()
+         |assert cur.execute('PRAGMA integrity_check').fetchall() == [('ok',)]
+         |a = cur.execute('SELECT tag FROM layer WHERE fid=2').fetchone()[0]
+         |assert a == 'a' * 4070, len(a)
+         |b = cur.execute('SELECT tag FROM layer WHERE fid=3').fetchone()[0]
+         |assert b == 'xy' * 30000 + '!', len(b)
+         |pl = cur.execute('SELECT payload FROM layer WHERE fid=3').fetchone()[0]
+         |assert len(pl) == 50000 and sum(pl) == $blobSum, len(pl)
+         |assert cur.execute('SELECT COUNT(*) FROM layer').fetchone()[0] == 4
+         |print('OVERFLOW_OK')
+         |""".stripMargin
+    val f = java.nio.file.Files.createTempFile("ovfcheck", ".py")
+    java.nio.file.Files.write(f, script.getBytes("UTF-8"))
+    val out = new StringBuilder
+    val rc = scala.sys.process.Process(Seq(python.get, f.toString))
+      .!(scala.sys.process.ProcessLogger(l => out.append(l).append('\n'),
+        l => out.append(l).append('\n')))
+    assert(rc == 0 && out.toString.contains("OVERFLOW_OK"), s"overflow check failed:\n$out")
   }
 
   test("driver-memory budget: exports beyond maxRows/maxBytes fail loudly") {
