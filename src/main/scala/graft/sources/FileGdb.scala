@@ -138,10 +138,19 @@ object FileGdbCodec {
             val flags = bb.get() & 0xff
             val srsChars = bb.getShort().toInt
             readUtf16(bb, srsChars)
-            /* z/m presence */ bb.get()
+            // z/m presence byte (public FGDB layout: &2 = has M, &4 = has
+            // Z); when set, the matching origin/scale pair and tolerance
+            // doubles are interleaved into the grid block and must be
+            // skipped or every later field descriptor misaligns (real 3D
+            // layers — multipatch, curves+Z — always carry these)
+            val zm = bb.get() & 0xff
             val xorigin = bb.getDouble(); val yorigin = bb.getDouble()
             val xyscale = bb.getDouble()
+            if ((zm & 2) != 0) { bb.getDouble(); bb.getDouble() } // m origin/scale
+            if ((zm & 4) != 0) { bb.getDouble(); bb.getDouble() } // z origin/scale
             /* xytolerance */ bb.getDouble()
+            if ((zm & 2) != 0) bb.getDouble() // m tolerance
+            if ((zm & 4) != 0) bb.getDouble() // z tolerance
             /* extent */ bb.getDouble(); bb.getDouble(); bb.getDouble(); bb.getDouble()
             fields += Field(name, ftype, (flags & 1) != 0, xorigin, yorigin, xyscale)
           case _ => ok = false // unsupported field type: stop parsing
@@ -376,13 +385,16 @@ object FileGdbCodec {
       GeomLib.write(gf.createPoint(new Coordinate(x, y)))
     } else if (PolylineBases.contains(base) || PolygonBases.contains(base)) {
       val hasCurves = (raw & CurveFlag) != 0
-      // curve descriptors sit AFTER the Z/M streams, which this decoder
-      // skips via the record length prefix; a curved shape that also
-      // carries Z/M would need those streams parsed first — null it
-      // loudly-by-absence (documented in docs/COVERAGE.md) rather than
-      // misread the descriptor bytes
-      if (hasCurves && (raw & (HasZFlag | HasMFlag)) != 0) return null
-      val parts = readRibbonParts(bb, f, hasCurves)
+      // curve descriptors sit AFTER the Z/M streams. The Z stream is
+      // unambiguous (nPoints signed varints) and is walked past to reach
+      // the descriptors (round 6). The M stream is NOT safely skippable
+      // without GDAL to verify against: real files use a sentinel short
+      // form when every M is NaN, and guessing wrong silently misaligns
+      // the descriptor bytes — so curves+M still nulls honestly
+      // (documented in docs/COVERAGE.md) rather than risk wrong geometry.
+      if (hasCurves && (raw & HasMFlag) != 0) return null
+      val parts = readRibbonParts(bb, f, hasCurves,
+        skipZAfterXY = hasCurves && (raw & HasZFlag) != 0)
       if (parts == null) null
       else if (PolygonBases.contains(base)) {
         val g = ShapefileCodec.assemblePolygon(parts)
@@ -548,7 +560,8 @@ object FileGdbCodec {
     * Curved segments replace the straight edge [idx, idx+1] with vertices
     * at ≤5° angular steps (arcs) / 16 subdivisions (Béziers). */
   private def readRibbonParts(bb: ByteBuffer, f: Field,
-      hasCurves: Boolean = false): Seq[Array[Coordinate]] = {
+      hasCurves: Boolean = false,
+      skipZAfterXY: Boolean = false): Seq[Array[Coordinate]] = {
     val nPoints = readVaruint(bb).toInt
     if (nPoints <= 0 || nPoints > 50_000_000) return null
     val nParts = readVaruint(bb).toInt
@@ -578,6 +591,13 @@ object FileGdbCodec {
         xi.toDouble / f.xyscale + f.xorigin,
         yi.toDouble / f.xyscale + f.yorigin)
       j += 1
+    }
+    // a curved 3D shape's Z stream (one signed varint delta per vertex)
+    // sits between the XY ribbon and the curve descriptors — walk past it
+    // (the engine's carrier is 2D; values are discarded unscaled)
+    if (skipZAfterXY) {
+      var z = 0
+      while (z < nPoints) { readVarint(bb); z += 1 }
     }
     // curve descriptors: map global start index → densified interior points
     val curvePts: Map[Int, Array[Coordinate]] =
@@ -772,11 +792,13 @@ object FileGdbCodec {
   def writeCurveShapeTable(attrs: Seq[(String, Int)], polygon: Boolean,
       rows: Seq[(Seq[Any], Seq[Seq[(Double, Double)]], Seq[CurveSpec])],
       xorigin: Double = -400.0, yorigin: Double = -400.0,
-      xyscale: Double = 1e9): Array[Byte] = {
+      xyscale: Double = 1e9, withZ: Boolean = false,
+      withM: Boolean = false): Array[Byte] = {
     val baseType = if (polygon) 51L else 50L
     val geomRows = rows.map { case (vals, parts, curves) =>
       val geom = new java.io.ByteArrayOutputStream()
-      writeVaruint(geom, baseType | CurveFlag)
+      writeVaruint(geom, baseType | CurveFlag |
+        (if (withZ) HasZFlag else 0L) | (if (withM) HasMFlag else 0L))
       val all = parts.flatten
       writeVaruint(geom, all.size.toLong)
       writeVaruint(geom, parts.size.toLong)
@@ -792,6 +814,16 @@ object FileGdbCodec {
         writeVarint(geom, sx(x) - xi); xi = sx(x)
         writeVarint(geom, sy(y) - yi); yi = sy(y)
       })
+      if (withZ) {
+        // Z deltas between XY and the curve descriptors, exactly where a
+        // real 3D curved shape carries them (varied values, not all zero,
+        // so a skip-miscount cannot accidentally still line up)
+        var zi = 0L
+        all.indices.foreach { i =>
+          val z = (i * 37 % 11).toLong - 5
+          writeVarint(geom, z - zi); zi = z
+        }
+      }
       curves.foreach { c =>
         writeVaruint(geom, c.idx.toLong)
         writeVaruint(geom, c.typ.toLong)
@@ -803,7 +835,8 @@ object FileGdbCodec {
       }
       (vals, geom.toByteArray)
     }
-    writeTable(attrs, if (polygon) 4 else 3, geomRows, xorigin, yorigin, xyscale)
+    writeTable(attrs, if (polygon) 4 else 3, geomRows, xorigin, yorigin, xyscale,
+      zmPresence = (if (withZ) 4 else 0) | (if (withM) 2 else 0))
   }
 
   /** Write a multipoint (shapeType 8) layer: count + bbox + the part-less
@@ -863,12 +896,14 @@ object FileGdbCodec {
       all.indices.foreach(_ => writeVarint(geom, 0L)) // z deltas (flat zero)
       (vals, geom.toByteArray)
     }
-    writeTable(attrs, 9, geomRows, xorigin, yorigin, xyscale)
+    // real multipatch layers always declare Z in the geometry field header
+    writeTable(attrs, 9, geomRows, xorigin, yorigin, xyscale, zmPresence = 4)
   }
 
   private def writeTable(attrs: Seq[(String, Int)], layerGeomType: Int,
       rows: Seq[(Seq[Any], Array[Byte])],
-      xorigin: Double, yorigin: Double, xyscale: Double): Array[Byte] = {
+      xorigin: Double, yorigin: Double, xyscale: Double,
+      zmPresence: Int = 0): Array[Byte] = {
     val body = new java.io.ByteArrayOutputStream()
     // field section payload
     val fsec = new java.io.ByteArrayOutputStream()
@@ -899,9 +934,13 @@ object FileGdbCodec {
     utf16(fsec, "SHAPE"); fsec.write(0); fsec.write(7)
     fsec.write(0); fsec.write(1) // nullable geometry
     leShort(fsec, 0) // empty SRS text
-    fsec.write(0) // no z/m
+    fsec.write(zmPresence) // z/m presence: &2 = M, &4 = Z
     leDouble(fsec, xorigin); leDouble(fsec, yorigin); leDouble(fsec, xyscale)
+    if ((zmPresence & 2) != 0) { leDouble(fsec, 0.0); leDouble(fsec, 1.0) }
+    if ((zmPresence & 4) != 0) { leDouble(fsec, -100.0); leDouble(fsec, 1e4) }
     leDouble(fsec, 0.0) // tolerance
+    if ((zmPresence & 2) != 0) leDouble(fsec, 0.001)
+    if ((zmPresence & 4) != 0) leDouble(fsec, 0.001)
     leDouble(fsec, -180.0); leDouble(fsec, -90.0); leDouble(fsec, 180.0); leDouble(fsec, 90.0)
     fbb.flush()
     val fsecBytes = fsec.toByteArray

@@ -264,6 +264,34 @@ class FileGdbSpec extends AnyFunSuite {
     gcw.getCoordinates.foreach(c => assert(c.y >= -1e-9, s"CW arc above: $c"))
   }
 
+  test("curves with a Z stream decode; curves with M still null honestly") {
+    // same CCW semicircle as above, but the record carries a Z delta
+    // stream between the XY ribbon and the arc descriptor, and the layer
+    // header declares Z (presence byte 4 + zorigin/zscale/ztolerance) —
+    // both must be walked or the descriptor bytes misalign
+    val zBytes = FileGdbCodec.writeCurveShapeTable(Seq("v" -> 3), polygon = false,
+      Seq((Seq[Any](1.0), Seq(Seq((0.0, 0.0), (2.0, 0.0))),
+        Seq(FileGdbCodec.CurveSpec(0, 1, Seq(1.0, 0.0), bits = 0x8)))),
+      withZ = true)
+    val gz = graft.geom.GeomLib.readOrNull(FileGdbCodec.decode(zBytes).head._3)
+    assert(gz != null && gz.getGeometryType == "LineString", String.valueOf(gz))
+    assert(gz.getNumPoints >= 36, s"densified points ${gz.getNumPoints}")
+    gz.getCoordinates.foreach { c =>
+      assert(math.abs(math.hypot(c.x - 1.0, c.y) - 1.0) < 1e-9, c.toString)
+      assert(c.y <= 1e-9, s"CCW from the west point sweeps the lower half: $c")
+    }
+    // attributes around the 3D-declared layer still decode (field-header
+    // z origin/scale/tolerance skipping — misalignment would break this)
+    assert(FileGdbCodec.decode(zBytes).head._2("v") == "1.0")
+    // curves + M: the M stream's short-form sentinel is not safely
+    // parseable without a reference implementation — null, never misread
+    val mBytes = FileGdbCodec.writeCurveShapeTable(Seq("v" -> 3), polygon = false,
+      Seq((Seq[Any](2.0), Seq(Seq((0.0, 0.0), (2.0, 0.0))),
+        Seq(FileGdbCodec.CurveSpec(0, 1, Seq(1.0, 0.0), bits = 0x8)))),
+      withM = true)
+    assert(FileGdbCodec.decode(mBytes).head._3 == null)
+  }
+
   test("curved polygon: circle-ish square has the right area; line-bit arc stays straight") {
     // square shell with all four edges bulged outward by CCW arcs around the
     // square center -> a full circle of radius sqrt(2): area ~ 2*pi
