@@ -744,6 +744,42 @@ object SparkEntry {
           count(lit(1)).as("n_cells"))
     },
 
+    "g13_h3_polyfill" -> { (s, d) =>
+      // TRUE-H3 polyfill (uber polygonToCells center-mode semantics,
+      // round 6): pinned by the EXACT lattice identity — a cell's own
+      // boundary polygon polyfills to exactly that cell, because cell
+      // interiors partition the sphere — asserted over every distinct
+      // res-7 cell of the gate lattice. A fixed equatorial square
+      // additionally proves the multi-cell path: ~area/avg-cell-area
+      // cells, all unique, valid, and center-inside. The identity makes
+      // the polyfill hash-comparable without an independent H3 oracle.
+      val sqWkt = "POLYGON ((10 -0.6, 11.2 -0.6, 11.2 0.6, 10 0.6, 10 -0.6))"
+      val cells = t(s, d, "lineitem")
+        .filter(cxCol < 175.0 && cxCol > -175.0 &&
+          cyCol < 85.0 && cyCol > -85.0)
+        .select(h3_latlng_to_cell(cyCol, cxCol, lit(7)).as("c")).distinct()
+      val ident = cells.withColumn("pf", h3_polygon_to_cells(
+          st_geomfromtext(h3_cell_to_boundary_wkt(col("c"))), lit(7)))
+        .withColumn("ok", size(col("pf")) === 1 &&
+          element_at(col("pf"), 1) === col("c"))
+        .agg(
+          (sum(when(col("ok"), 1L).otherwise(0L)) === count(lit(1)))
+            .as("identity_ok"),
+          count(lit(1)).as("n_cells"))
+      val sq = s.range(1)
+        .select(explode(h3_polygon_to_cells(
+          st_geomfromtext(lit(sqWkt)), lit(7))).as("c"))
+        .agg(
+          count(lit(1)).between(2400, 4800).as("sq_count_band"),
+          (countDistinct(col("c")) === count(lit(1))).as("sq_distinct"),
+          (sum(when(h3_is_valid_cell(col("c")), 1L).otherwise(0L)) ===
+            count(lit(1))).as("sq_valid"),
+          (sum(when(st_contains(st_geomfromtext(lit(sqWkt)),
+            st_point(h3_cell_center_lon(col("c")), h3_cell_center_lat(col("c")))),
+            1L).otherwise(0L)) === count(lit(1))).as("sq_inside"))
+      ident.crossJoin(sq)
+    },
+
     "sql1_spatial_sql" -> { (s, d) =>
       // the SQL surface end-to-end: registered graft functions inside
       // spark.sql text, over a temp view (the engine's INSTALL/LOAD twin)
@@ -2175,6 +2211,18 @@ object SparkEntry {
     "g10h_h3_boundary" ->
       s"""SELECT TRUE AS all_ok, TRUE AS wkts_distinct,
             CAST(COUNT(DISTINCT ($cxSql || '/' || $cySql)) AS BIGINT) AS n_cells
+          FROM lineitem
+          WHERE $cxSql < 175.0 AND $cxSql > -175.0
+            AND $cySql < 85.0 AND $cySql > -85.0""",
+
+    // n_cells inherits a7h's distinct-coordinate ≡ distinct-cell guarantee
+    // (same band, same lattice); every other column is an in-engine
+    // invariant the oracle pins
+    "g13_h3_polyfill" ->
+      s"""SELECT TRUE AS identity_ok,
+            CAST(COUNT(DISTINCT ($cxSql || '/' || $cySql)) AS BIGINT) AS n_cells,
+            TRUE AS sq_count_band, TRUE AS sq_distinct,
+            TRUE AS sq_valid, TRUE AS sq_inside
           FROM lineitem
           WHERE $cxSql < 175.0 AND $cxSql > -175.0
             AND $cySql < 85.0 AND $cySql > -85.0""",

@@ -321,6 +321,24 @@ case class H3CellsCovering(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** h3_polygon_to_cells(geom, res) — TRUE-H3 polyfill with uber/h3
+  * `polygonToCells` center-mode semantics: cells whose center lies inside
+  * the polygon, sorted. Empty for oversized envelopes (loud, like the
+  * coverings), empty/null geometry, or sub-cell polygons. */
+case class H3PolygonToCells(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "h3_polygon_to_cells"
+  protected override def nullSafeEval(wkb: Any, res: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      GeomLib.h3PolygonToCells(wkb.asInstanceOf[Array[Byte]],
+        res.asInstanceOf[Number].intValue))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** h3_grid_disk(cell, k) — every cell within grid distance k (the k-ring,
   * origin included), sorted; null for structurally invalid cell ids. */
 case class H3GridDisk(left: Expression, right: Expression)

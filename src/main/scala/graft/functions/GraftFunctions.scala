@@ -47,6 +47,7 @@ object GraftFunctions {
   def grid_cell_boundary_wkt(cell: Column): Column = col(GridCellBoundaryWkt(ex(cell)))
   def cells_covering(geom: Column, res: Column): Column = col(CellsCovering(ex(geom), ex(res)))
   def h3_cells_covering(geom: Column, res: Column): Column = col(H3CellsCovering(ex(geom), ex(res)))
+  def h3_polygon_to_cells(geom: Column, res: Column): Column = col(H3PolygonToCells(ex(geom), ex(res)))
   def h3_grid_disk(cell: Column, k: Column): Column = col(H3GridDisk(ex(cell), ex(k)))
   def st_contains(outer: Column, inner: Column): Column = col(StContains(ex(outer), ex(inner)))
   def st_intersects(a: Column, b: Column): Column = col(StIntersects(ex(a), ex(b)))
@@ -119,6 +120,7 @@ object GraftFunctions {
     "grid_cell_boundary_wkt" -> { e => GridCellBoundaryWkt(e.head) },
     "cells_covering" -> { e => CellsCovering(e(0), e(1)) },
     "h3_cells_covering" -> { e => H3CellsCovering(e(0), e(1)) },
+    "h3_polygon_to_cells" -> { e => H3PolygonToCells(e(0), e(1)) },
     "h3_grid_disk" -> { e => H3GridDisk(e(0), e(1)) },
     "st_contains" -> { e => StContains(e(0), e(1)) },
     "st_intersects" -> { e => StIntersects(e(0), e(1)) },

@@ -367,6 +367,34 @@ object GeomLib {
     H3Lib.cellsCoveringEnvelope(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY, res, maxCells)
   }
 
+  /** TRUE-H3 polyfill (uber/h3 `polygonToCells` center-mode semantics):
+    * the res-`res` cells whose CENTER lies inside the polygon — the
+    * region-aggregation primitive (heatmap-by-region, area estimates).
+    * Candidates are the envelope grid disk; each candidate's center is
+    * point-in-polygon tested against a prepared geometry, so concave and
+    * multi-part polygons need no connectivity assumptions. Empty array =
+    * oversized envelope (same loud signal as the coverings), null/empty
+    * geometry, or genuinely no cell center inside (a polygon smaller than
+    * a cell — callers wanting guaranteed-nonempty coverage use
+    * [[h3CellsCovering]]). Sorted for deterministic output. */
+  def h3PolygonToCells(wkb: Array[Byte], res: Int, maxCells: Int = 65536): Array[Long] = {
+    val g = readOrNull(wkb)
+    if (g == null || g.isEmpty) return Array.empty
+    val e = g.getEnvelopeInternal
+    val cand = H3Lib.cellsCoveringEnvelope(
+      e.getMinX, e.getMinY, e.getMaxX, e.getMaxY, res, maxCells)
+    if (cand.isEmpty) return Array.empty
+    val prep = org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(g)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](cand.length / 4 + 1)
+    cand.foreach { c =>
+      val (lat, lng) = H3Lib.cellToLatLng(c)
+      if (prep.covers(factory.createPoint(new Coordinate(lng, lat)))) out += c
+    }
+    val arr = out.toArray
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
   /** All res-`res` cells intersecting the geometry's envelope — the
     * covering set used to bucket polygons for the spatial-join prefilter.
     * `maxCells` caps degenerate world-spanning geometries (callers coarsen

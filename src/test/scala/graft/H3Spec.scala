@@ -239,6 +239,49 @@ class H3Spec extends AnyFunSuite {
     }
   }
 
+  test("polygonToCells: exact self-identity, area-consistent tiling, sub-cell empty") {
+    import graft.geom.GeomLib
+    // EXACT identity: a cell's own boundary polygon polyfills to exactly
+    // that cell — its center is the only res-r center inside its hexagon
+    // (cell interiors partition the sphere). Random cells away from the
+    // antimeridian (JTS planar polygons can't wrap).
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 300) {
+      val lat = math.toDegrees(math.asin(rnd.nextDouble() * 1.9 - 0.95))
+      val lng = rnd.nextDouble() * 330 - 165
+      val res = 3 + rnd.nextInt(7)
+      val c = H3Lib.latLngToCell(lat, lng, res)
+      val wkb = GeomLib.fromText(H3Lib.cellToBoundaryWkt(c))
+      val pf = GeomLib.h3PolygonToCells(wkb, res)
+      assert(pf.toSeq == Seq(c),
+        s"identity failed at res $res: ${pf.map(H3Lib.hexString).mkString(",")} vs ${H3Lib.hexString(c)}")
+    }
+    // a 1.2°×1.2° equatorial square tiles ~ area / avg-cell-area cells
+    // (res 7 ≈ 5.16 km² published average; band covers H3's global area
+    // variation), every cell unique and center-inside
+    val sqWkt = "POLYGON ((10 -0.6, 11.2 -0.6, 11.2 0.6, 10 0.6, 10 -0.6))"
+    val sq = GeomLib.fromText(sqWkt)
+    val cells = GeomLib.h3PolygonToCells(sq, 7)
+    assert(cells.length > 2400 && cells.length < 4800, s"${cells.length} cells")
+    assert(cells.distinct.length == cells.length)
+    val poly = GeomLib.readOrNull(sq)
+    cells.foreach { c =>
+      val (la, lo) = H3Lib.cellToLatLng(c)
+      assert(poly.covers(poly.getFactory.createPoint(
+        new org.locationtech.jts.geom.Coordinate(lo, la))), H3Lib.hexString(c))
+    }
+    // a polygon smaller than any cell containing no center: honestly empty
+    val (cla, clo) = H3Lib.cellToLatLng(H3Lib.latLngToCell(20.0, 20.0, 7))
+    val off = 0.0005 // ~50 m square wedged between centers
+    val tinyWkt = f"POLYGON ((${clo + 0.01}%.6f ${cla + 0.01}%.6f, " +
+      f"${clo + 0.01 + off}%.6f ${cla + 0.01}%.6f, " +
+      f"${clo + 0.01 + off}%.6f ${cla + 0.01 + off}%.6f, " +
+      f"${clo + 0.01}%.6f ${cla + 0.01 + off}%.6f, ${clo + 0.01}%.6f ${cla + 0.01}%.6f))"
+    val tiny = GeomLib.h3PolygonToCells(
+      GeomLib.fromText(tinyWkt), 7)
+    assert(tiny.length <= 1) // 0 if no center falls in the 50 m square
+  }
+
   test("cellToParent: ancestors contain the child center, res-0 is the base cell") {
     val c9 = H3Lib.latLngToCell(37.7752702151959257, -122.418307270836230, 9)
     // the SF res-5 published anchor IS the res-9 anchor's ancestor
