@@ -152,6 +152,42 @@ object GeoNormalize {
       s"""{"$geomCol":{"encoding":"WKB","geometry_types":[$types]$bboxStr}}}"""
   }
 
+  /** Consumer-side GeoParquet discovery (the read twin of
+    * [[writeGeoParquetFooter]]): parse the public `geo` footer key and
+    * return the DataFrame plus the discovered primary geometry column and
+    * the dataset bbox merged across files. Jackson-parsed, so ANY
+    * GeoParquet 1.x writer's output works — GDAL/geopandas/DuckDB-spatial
+    * files read back the same way ours do; fails loudly when no file
+    * carries the key (plain parquet → caller names the column itself). */
+  def readGeoParquet(spark: SparkSession, path: String)
+      : (DataFrame, String, Option[(Double, Double, Double, Double)]) = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    var primary: String = null
+    var bbox: Option[(Double, Double, Double, Double)] = None
+    files.foreach { f =>
+      GeoParquetFooter.read(f.toString, conf).foreach { json =>
+        val node = om.readTree(json)
+        if (primary == null) primary = node.path("primary_column").asText(null)
+        if (primary != null) {
+          val b = node.path("columns").path(primary).path("bbox")
+          if (b.isArray && b.size >= 4) {
+            val nb = (b.get(0).asDouble, b.get(1).asDouble,
+              b.get(2).asDouble, b.get(3).asDouble)
+            bbox = Some(bbox.fold(nb)(o => (math.min(o._1, nb._1),
+              math.min(o._2, nb._2), math.max(o._3, nb._3), math.max(o._4, nb._4))))
+          }
+        }
+      }
+    }
+    require(primary != null, s"no GeoParquet 'geo' footer found under $path")
+    (spark.read.parquet(path), primary, bbox)
+  }
+
   /** Hilbert-sorted global order variant: one total sort (range exchange)
     * across the cluster — the exact reference semantics for single-file
     * outputs (east_asia.py:75-82). */

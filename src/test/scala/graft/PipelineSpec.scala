@@ -130,6 +130,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("readGeoParquet discovers the geometry column and merged bbox from the footer") {
+    val dir = tmp() + "/geodisc"
+    val df = GeoNormalize.normalize(fixture(), flipProbe = false)
+    GeoNormalize.writeClustered(df, dir, numFiles = 2, zstdLevel = 1)
+    val (back, geomCol, bbox) = GeoNormalize.readGeoParquet(spark, dir)
+    assert(geomCol == "geom")
+    assert(back.count() == df.count())
+    // merged bbox across files == the whole dataset's envelope
+    val env = back.agg(min(st_xmin(col(geomCol))), min(st_ymin(col(geomCol))),
+      max(st_xmax(col(geomCol))), max(st_ymax(col(geomCol)))).head()
+    val b = bbox.getOrElse(fail("no bbox discovered"))
+    assert(b == ((env.getDouble(0), env.getDouble(1), env.getDouble(2), env.getDouble(3))),
+      s"$b vs $env")
+    // the discovered name drives real column access (not a fixed literal)
+    assert(back.select(st_centroid(col(geomCol)).as("c"))
+      .filter(col("c").isNotNull).count() > 0)
+    // plain parquet without the footer fails loudly
+    val plain = tmp() + "/plainpq"
+    df.write.parquet(plain)
+    intercept[IllegalArgumentException] {
+      GeoNormalize.readGeoParquet(spark, plain)
+    }
+  }
+
   test("zstd level 22 measurably outcompresses level 1 (the knob takes effect)") {
     // near-duplicate long strings: parquet's dictionary can't dedupe them
     // (all distinct) and zstd's level decides how well the page compresses —
