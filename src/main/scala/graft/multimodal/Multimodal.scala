@@ -132,10 +132,27 @@ object Multimodal {
       else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
         MediaMeta("image/bmp", n, u32le(p, 18), math.abs(u32le(p, 22)))
       else if (p.length >= 28 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
-          p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E')
-        MediaMeta("audio/wav", n, u32le(p, 24) /* sample rate */, u16le(p, 22) /* channels */,
-          0L, u32le(p, 24), u16le(p, 22),
-          if (u16le(p, 20) == 1) "pcm" else s"wav-fmt-${u16le(p, 20)}")
+          p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') {
+        // RIFF chunk walk (not fixed offsets): fmt carries format/rate/
+        // channels/byte-rate, data's size over byte-rate gives duration
+        var rate = 0; var chans = 0; var fmtCode = 0; var byteRate = 0
+        var dataLen = -1L
+        var o = 12
+        var run = true
+        while (run && o + 8 <= p.length) {
+          val id = new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+          val sz = u32le(p, o + 4).toLong & 0xffffffffL
+          if (id == "fmt " && o + 24 <= p.length) {
+            fmtCode = u16le(p, o + 8); chans = u16le(p, o + 10)
+            rate = u32le(p, o + 12); byteRate = u32le(p, o + 16)
+          } else if (id == "data") dataLen = sz
+          if (sz > p.length) run = false // corrupt size: stop, keep what we have
+          else o += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+        }
+        val durMs = if (byteRate > 0 && dataLen >= 0) dataLen * 1000L / byteRate else 0L
+        MediaMeta("audio/wav", n, rate, chans, durMs, rate, chans,
+          if (fmtCode == 1) "pcm" else s"wav-fmt-$fmtCode")
+      }
       else if (p.length >= 26 && p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C')
         decodeFlac(p, n)
       else if (p.length >= 16 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p')

@@ -76,6 +76,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.decode(unknown) == Multimodal.StubDecoder.decode(unknown))
   }
 
+  test("WAV duration from a real JDK-authored file (RIFF chunk walk)") {
+    // 1.5 s of 8 kHz mono PCM through javax.sound — an independent
+    // encoder writing real fmt/data chunks, not our fixed-offset fixture
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val samples = new Array[Byte](2 * 12000) // 12000 frames = 1.5 s
+    for (i <- samples.indices) samples(i) = (i * 13 % 251).toByte
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, 12000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val meta = Multimodal.HeaderDecoder.decode(bos.toByteArray)
+    assert(meta.mime == "audio/wav" && meta.codec == "pcm", meta)
+    assert(meta.sample_rate == 8000 && meta.channels == 1, meta)
+    assert(meta.duration_ms == 1500, s"duration ${meta.duration_ms}")
+  }
+
   test("MP4 (ISO-BMFF) mvhd duration: both version layouts; FLAC STREAMINFO fields") {
     val d = Multimodal.HeaderDecoder
     val v0 = d.decode(Multimodal.writeMp4Header(600, 3600, version = 0))
