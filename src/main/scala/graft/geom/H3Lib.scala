@@ -964,15 +964,134 @@ object H3Lib {
     sphereDist((math.toRadians(aLat), math.toRadians(aLng)),
       (math.toRadians(bLat), math.toRadians(bLng)))
 
-  /** Edge-adjacent neighbor cells — reconstructed geometrically rather than
-    * via uber/h3's neighbor-rotation tables (algos.c), consistent with this
-    * port's reconstruct-don't-transcribe approach: reflect the cell center
-    * through each boundary-segment midpoint on the unit sphere
-    * (r = 2(c·m)m − c — the point at twice the center→midpoint geodesic
-    * distance), which lands inside the cell sharing that segment; dedupe
-    * and drop self. Hexagons yield 6, pentagons 5; Class III distortion
-    * sub-segments land in the same neighbor and collapse in the dedupe. */
+  // ---- fast neighbor: aperture-7 digit-transition tables ------------------
+  // Derived at init from this port's own IJK algebra (uber/h3 bakes the
+  // equivalent NEW_DIGIT_II/III + NEW_ADJUSTMENT_II/III literals into
+  // algos.c — reconstructing them keeps the no-transcription discipline):
+  // a cell whose res-r digit is `d`, stepped one cell in direction `dir`,
+  // becomes digit newDigit(p)(d)(dir) of either the same parent
+  // (adj == 0) or the parent's neighbor in direction adj(p)(d)(dir),
+  // where p is the Class-III parity of r. Pure hexagon math: walks in
+  // pentagon base cells, or that carry past res 1 (base-cell crossing),
+  // fall back to the geometric path below. Init cross-validates the two
+  // paths over a deterministic sample sweep and fails loudly on mismatch.
+  private lazy val (digitStepNew, digitStepAdj) = buildDigitStepTables()
+
+  private def buildDigitStepTables(): (Array[Array[Array[Int]]], Array[Array[Array[Int]]]) = {
+    val nd = Array.fill(2, 7, 7)(0)
+    val ad = Array.fill(2, 7, 7)(0)
+    for (p <- 0 to 1; d <- 0 to 6; dir <- 1 to 6) {
+      // child-lattice coords with the parent centered at the origin: the
+      // digit-d child sits at unit(d); step it one cell toward dir
+      val a = Array(unitVecs(d)(0) + unitVecs(dir)(0),
+        unitVecs(d)(1) + unitVecs(dir)(1), unitVecs(d)(2) + unitVecs(dir)(2))
+      ijkNormalize(a)
+      val parent = a.clone()
+      if (p == 1) upAp7(parent) else upAp7r(parent) // p=1 ⇔ Class III res
+      val carry = unitIjkToDigit(parent) // upAp7* leaves coords normalized
+      require(carry >= 0, s"H3 init: digit-step carry not a unit vector (p=$p d=$d dir=$dir)")
+      val base = parent.clone()
+      if (p == 1) downAp7(base) else downAp7r(base)
+      val rel = Array(a(0) - base(0), a(1) - base(1), a(2) - base(2))
+      ijkNormalize(rel)
+      val digit = unitIjkToDigit(rel)
+      require(digit >= 0, s"H3 init: digit-step new digit invalid (p=$p d=$d dir=$dir)")
+      nd(p)(d)(dir) = digit
+      ad(p)(d)(dir) = carry
+    }
+    validateDigitSteps(nd, ad)
+    (nd, ad)
+  }
+
+  /** Cross-validate table walks against the geometric path on a
+    * deterministic lat/lng sweep across resolutions; loud-fail on any
+    * divergence (the same posture as the slot-table round-trip checks). */
+  private def validateDigitSteps(nd: Array[Array[Array[Int]]],
+      ad: Array[Array[Array[Int]]]): Unit = {
+    var seed = 0x9E3779B97F4A7C15L
+    def next(): Double = { // xorshift-ish LCG, deterministic across runs
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 11).toDouble / (1L << 53).toDouble
+    }
+    var checked = 0
+    var trial = 0
+    while (trial < 600) {
+      val lat = next() * 170.0 - 85.0
+      val lng = next() * 360.0 - 180.0
+      val res = 1 + (next() * 15).toInt.min(14)
+      val h = latLngToCell(lat, lng, res)
+      if (!pentagonCells.contains(getBaseCell(h))) {
+        val fast = new Array[Long](6)
+        var ok = true
+        var dir = 1
+        while (dir <= 6 && ok) {
+          val n = neighborWalk(h, dir, nd, ad)
+          if (n == 0L) ok = false else fast(dir - 1) = n
+          dir += 1
+        }
+        if (ok) {
+          val geo = cellNeighborsGeo(h)
+          require(fast.toSet == geo.toSet,
+            s"H3 init: digit-step neighbors diverge from geometric at " +
+              s"cell ${java.lang.Long.toHexString(h)} res $res: " +
+              s"fast=${fast.sorted.mkString(",")} geo=${geo.sorted.mkString(",")}")
+          checked += 1
+        }
+      }
+      trial += 1
+    }
+    require(checked >= 200,
+      s"H3 init: digit-step validation only reached $checked in-base samples")
+  }
+
+  /** Table walk for one direction; 0L = the walk carried past res 1
+    * (base-cell crossing) and the caller must use the geometric path. */
+  private def neighborWalk(h: Long, dirIn: Int,
+      nd: Array[Array[Array[Int]]], ad: Array[Array[Array[Int]]]): Long = {
+    var out = h
+    var dir = dirIn
+    var r = getResolution(h)
+    while (r >= 1) {
+      val old = getDigit(out, r)
+      val p = if (isClassIII(r)) 1 else 0
+      out = setDigit(out, r, nd(p)(old)(dir))
+      val carry = ad(p)(old)(dir)
+      if (carry == 0) return out
+      dir = carry
+      r -= 1
+    }
+    0L
+  }
+
+  /** Edge-adjacent neighbor cells. Fast path: the aperture-7 digit-walk
+    * above — O(res) integer ops, no trig — valid whenever the cell lives in
+    * a hexagon base cell and no walk crosses the base-cell boundary; every
+    * other case (pentagon base cells, boundary cells, res 0) routes to the
+    * geometric reconstruction, so the result set is identical either way
+    * (init proves it on a sample sweep). Hexagons yield 6, pentagons 5. */
   def cellNeighbors(h: Long): Array[Long] = {
+    if (!isValidCell(h)) return Array.empty
+    if (getResolution(h) == 0 || pentagonCells.contains(getBaseCell(h)))
+      return cellNeighborsGeo(h)
+    val out = new Array[Long](6)
+    var dir = 1
+    while (dir <= 6) {
+      val n = neighborWalk(h, dir, digitStepNew, digitStepAdj)
+      if (n == 0L) return cellNeighborsGeo(h)
+      out(dir - 1) = n
+      dir += 1
+    }
+    out
+  }
+
+  /** Geometric neighbor reconstruction — reflect the cell center through
+    * each boundary-segment midpoint on the unit sphere (r = 2(c·m)m − c —
+    * the point at twice the center→midpoint geodesic distance), which lands
+    * inside the cell sharing that segment; dedupe and drop self. Hexagons
+    * yield 6, pentagons 5; Class III distortion sub-segments land in the
+    * same neighbor and collapse in the dedupe. Handles every case (it is
+    * the fast path's fallback and its validation oracle). */
+  def cellNeighborsGeo(h: Long): Array[Long] = {
     if (!isValidCell(h)) return Array.empty
     val res = getResolution(h)
     val (clat, clng) = cellToLatLng(h)

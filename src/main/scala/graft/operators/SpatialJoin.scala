@@ -32,12 +32,25 @@ object SpatialJoin {
     * them against the streamed point side is the scalable fallback. */
   def pointInPolygon(points: DataFrame, polygons: DataFrame, res: Int = 10,
       pointGeom: String = "geom", polyGeom: String = "geom"): DataFrame = {
-    val pts = points.withColumn("__cell",
-      grid_cell(centroid_x(col(pointGeom)), centroid_y(col(pointGeom)), lit(res)))
+    // The join key is wrapped in coalesce(cell, -1): a bare expression key
+    // makes Catalyst infer IsNotNull(key) and push it into the point-side
+    // scan, where the pushed filter plus the project each evaluate the
+    // full WKB-decode + cell-encode chain — doubling the dominant per-row
+    // cost of the whole join. coalesce folds the inferred filter away
+    // (the key is never null), the encode runs once per row, and the -1
+    // sentinel matches no polygon cell, so null/broken geometries still
+    // drop at the join exactly as before.
+    val pts = points.withColumn("__cell", coalesce(
+      grid_cell(centroid_x(col(pointGeom)), centroid_y(col(pointGeom)), lit(res)),
+      lit(-1L)))
     val tagged = polygons
       .withColumnRenamed(polyGeom, "__poly_geom")
       .withColumn("__cells", cells_covering(col("__poly_geom"), lit(res)))
-    val gridable = tagged.filter(size(col("__cells")) > 0)
+    // explode() emits no rows for an empty array, so the oversized filter is
+    // NOT repeated here — a size(...)>0 pre-filter would make Catalyst
+    // evaluate the covering expression a second (and via the inferred
+    // not-null constraint, a third) time per polygon.
+    val gridable = tagged
       .withColumn("__cell", explode(col("__cells"))).drop("__cells")
     // covering came back empty on a non-null geometry ⇒ envelope overflowed
     // the cell cap (null/broken geometry stays dropped — contains() is false)
@@ -70,12 +83,17 @@ object SpatialJoin {
     * overflows the disk cap take the same broadcast-refine branch. */
   def pointInPolygonH3(points: DataFrame, polygons: DataFrame, res: Int = 9,
       pointGeom: String = "geom", polyGeom: String = "geom"): DataFrame = {
-    val pts = points.withColumn("__cell",
-      h3_latlng_to_cell(centroid_y(col(pointGeom)), centroid_x(col(pointGeom)), lit(res)))
+    // coalesce key wrapper: same single-evaluation rationale as
+    // pointInPolygon — the H3 encode (~1 µs/row) is the dominant point-side
+    // cost, so evaluating it once instead of twice matters.
+    val pts = points.withColumn("__cell", coalesce(
+      h3_latlng_to_cell(centroid_y(col(pointGeom)), centroid_x(col(pointGeom)), lit(res)),
+      lit(-1L)))
     val tagged = polygons
       .withColumnRenamed(polyGeom, "__poly_geom")
       .withColumn("__cells", h3_cells_covering(col("__poly_geom"), lit(res)))
-    val gridable = tagged.filter(size(col("__cells")) > 0)
+    // explode() already drops empty-covering rows; see pointInPolygon.
+    val gridable = tagged
       .withColumn("__cell", explode(col("__cells"))).drop("__cells")
     val oversized = tagged
       .filter(size(col("__cells")) === 0 && col("__poly_geom").isNotNull)

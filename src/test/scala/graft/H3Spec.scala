@@ -78,6 +78,32 @@ class H3Spec extends AnyFunSuite {
     pn.foreach(n => assert(H3Lib.cellNeighbors(n).contains(pent)))
   }
 
+  test("cellNeighbors: digit-walk fast path ≡ geometric path everywhere") {
+    // dense sweep so base-cell-edge cells (fallback) and interior cells
+    // (table walk) are both exercised, at Class II and Class III res; the
+    // pentagon base cells go through the geometric path by dispatch
+    val rnd = new scala.util.Random(20260813)
+    var interior = 0
+    for (_ <- 1 to 400) {
+      val lat = rnd.nextDouble() * 170.0 - 85.0
+      val lng = rnd.nextDouble() * 360.0 - 180.0
+      val res = 1 + rnd.nextInt(15)
+      val c = H3Lib.latLngToCell(lat, lng, res)
+      val fast = H3Lib.cellNeighbors(c)
+      val geo = H3Lib.cellNeighborsGeo(c)
+      assert(fast.toSet == geo.toSet,
+        s"cell ${H3Lib.hexString(c)} res $res: fast ${fast.sorted.mkString(",")} " +
+          s"vs geo ${geo.sorted.mkString(",")}")
+      if (fast.length == 6) interior += 1
+    }
+    assert(interior > 300, s"sweep hit only $interior hexagon cells")
+    // pentagons at a fine res keep 5 neighbors through the dispatcher
+    val (plat, plng) = H3Lib.cellToLatLng(0x8009fffffffffffL)
+    val pent5 = H3Lib.latLngToCell(plat, plng, 5)
+    assert(H3Lib.isPentagon(pent5))
+    assert(H3Lib.cellNeighbors(pent5).length == 5)
+  }
+
   test("gridDisk: k-ring sizes, supersets, validity") {
     val c = H3Lib.latLngToCell(35.6895, 139.6917, 9)
     assert(H3Lib.gridDisk(c, 0).toSeq == Seq(c))
