@@ -780,6 +780,41 @@ object SparkEntry {
       ident.crossJoin(sq)
     },
 
+    "g14_h3_compact" -> { (s, d) =>
+      // H3 hierarchy surface (children / compact / uncompact, round 6):
+      // pinned by exact lattice identities over every distinct res-7 cell
+      // of the gate lattice — a cell's complete res-9 children set (a)
+      // counts 49, (b) compacts back to exactly that cell, and (c)
+      // uncompacting the compact form re-yields the children verbatim
+      // (cells partition their children, so these hold with no H3 oracle).
+      // A pentagon-rooted literal proves the 6-child deleted-K chain.
+      val pent = {
+        val (plat, plng) = graft.geom.H3Lib.cellToLatLng(0x8009fffffffffffL)
+        graft.geom.H3Lib.latLngToCell(plat, plng, 3)
+      }
+      val cells = t(s, d, "lineitem")
+        .filter(cxCol < 175.0 && cxCol > -175.0 &&
+          cyCol < 85.0 && cyCol > -85.0)
+        .select(h3_latlng_to_cell(cyCol, cxCol, lit(7)).as("c")).distinct()
+      val ident = cells
+        .withColumn("kids", h3_cell_to_children(col("c"), lit(9)))
+        .withColumn("cp", h3_compact_cells(col("kids")))
+        .withColumn("ok",
+          size(col("kids")) === 49 &&
+            size(col("cp")) === 1 && element_at(col("cp"), 1) === col("c") &&
+            h3_uncompact_cells(col("cp"), lit(9)) === col("kids"))
+        .agg(
+          (sum(when(col("ok"), 1L).otherwise(0L)) === count(lit(1)))
+            .as("hierarchy_ok"),
+          count(lit(1)).as("n_cells"))
+      val pq = s.range(1).select(
+        (size(h3_cell_to_children(lit(pent), lit(4))) === 6 &&
+          size(h3_compact_cells(h3_cell_to_children(lit(pent), lit(5)))) === 1 &&
+          element_at(h3_compact_cells(h3_cell_to_children(lit(pent), lit(5))), 1)
+            === lit(pent)).as("pent_ok"))
+      ident.crossJoin(pq)
+    },
+
     "sql1_spatial_sql" -> { (s, d) =>
       // the SQL surface end-to-end: registered graft functions inside
       // spark.sql text, over a temp view (the engine's INSTALL/LOAD twin)
@@ -2223,6 +2258,14 @@ object SparkEntry {
             CAST(COUNT(DISTINCT ($cxSql || '/' || $cySql)) AS BIGINT) AS n_cells,
             TRUE AS sq_count_band, TRUE AS sq_distinct,
             TRUE AS sq_valid, TRUE AS sq_inside
+          FROM lineitem
+          WHERE $cxSql < 175.0 AND $cxSql > -175.0
+            AND $cySql < 85.0 AND $cySql > -85.0""",
+
+    "g14_h3_compact" ->
+      s"""SELECT TRUE AS hierarchy_ok,
+            CAST(COUNT(DISTINCT ($cxSql || '/' || $cySql)) AS BIGINT) AS n_cells,
+            TRUE AS pent_ok
           FROM lineitem
           WHERE $cxSql < 175.0 AND $cxSql > -175.0
             AND $cySql < 85.0 AND $cySql > -85.0""",

@@ -528,6 +528,64 @@ case class H3CellToParent(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** h3_cell_to_children(cell, res) — all descendants at `res`, sorted; null
+  * for a structurally invalid cell or res outside [cellRes, 15]. */
+case class H3CellToChildren(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "h3_cell_to_children"
+  protected override def nullSafeEval(cell: Any, res: Any): Any = {
+    val out = H3Lib.cellToChildren(cell.asInstanceOf[Number].longValue,
+      res.asInstanceOf[Number].intValue)
+    if (out.isEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** h3_compact_cells(cells) — coarsest equivalent representation of a cell
+  * set (h3api:compactCells); null when any input cell is invalid. */
+case class H3CompactCells(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "h3_compact_cells"
+  protected override def nullSafeEval(cells: Any): Any = {
+    val arr = cells.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    if (arr.exists(!H3Lib.isValidCell(_))) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      H3Lib.compactCells(arr))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** h3_uncompact_cells(cells, res) — expand to the res-`res` descendants;
+  * null when any input is invalid or finer than `res`. */
+case class H3UncompactCells(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "h3_uncompact_cells"
+  protected override def nullSafeEval(cells: Any, res: Any): Any = {
+    val arr = cells.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    val out = H3Lib.uncompactCells(arr, res.asInstanceOf[Number].intValue)
+    if (out.isEmpty && arr.nonEmpty) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** h3_is_valid_cell(cell) — structural validity of an H3 index. */
 case class H3IsValidCell(child: Expression) extends UnaryExpression
     with ImplicitCastInputTypes {

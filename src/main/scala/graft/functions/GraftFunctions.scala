@@ -61,6 +61,11 @@ object GraftFunctions {
   def h3_is_valid_cell(cell: Column): Column = col(H3IsValidCell(ex(cell)))
   def h3_cell_to_parent(cell: Column, parentRes: Column): Column =
     col(H3CellToParent(ex(cell), ex(parentRes)))
+  def h3_cell_to_children(cell: Column, childRes: Column): Column =
+    col(H3CellToChildren(ex(cell), ex(childRes)))
+  def h3_compact_cells(cells: Column): Column = col(H3CompactCells(ex(cells)))
+  def h3_uncompact_cells(cells: Column, res: Column): Column =
+    col(H3UncompactCells(ex(cells), ex(res)))
 
   // --- text / dedup ---
   def shingle_hashes(text: Column, n: Column): Column = col(ShingleHashes(ex(text), ex(n)))
@@ -132,6 +137,9 @@ object GraftFunctions {
     "h3_cell_center_lat" -> { e => H3CellCenterLat(e.head) },
     "h3_is_valid_cell" -> { e => H3IsValidCell(e.head) },
     "h3_cell_to_parent" -> { e => H3CellToParent(e(0), e(1)) },
+    "h3_cell_to_children" -> { e => H3CellToChildren(e(0), e(1)) },
+    "h3_compact_cells" -> { e => H3CompactCells(e.head) },
+    "h3_uncompact_cells" -> { e => H3UncompactCells(e(0), e(1)) },
     "shingle_hashes" -> { e => ShingleHashes(e(0), e(1)) },
     "minhash_signature" -> { e => MinHashSignature(e(0), e(1), e(2)) },
     "jaccard_sorted" -> { e => JaccardSorted(e(0), e(1)) },

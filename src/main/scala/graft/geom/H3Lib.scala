@@ -1173,4 +1173,86 @@ object H3Lib {
     if (cellCount > maxCells) return Array.empty
     gridDisk(center, k)
   }
+
+  // ---- hierarchy: children / compact / uncompact --------------------------
+
+  private def withRes(h: Long, res: Int): Long =
+    (h & ~(0xFL << 52)) | (res.toLong << 52)
+
+  /** All descendants of `h` at `childRes` (h3api:cellToChildren), sorted by
+    * construction (digit enumeration is index order). Pentagon center
+    * chains skip the deleted K (1) digit, so a res-r pentagon has
+    * 1 + 5·(7^n − 1)/6 descendants at res r+n, a hexagon 7^n. Empty for
+    * invalid cells or childRes outside [res, 15]. */
+  def cellToChildren(h: Long, childRes: Int): Array[Long] = {
+    if (!isValidCell(h)) return Array.empty
+    val res = getResolution(h)
+    if (childRes < res || childRes > MAX_RES) return Array.empty
+    if (childRes == res) return Array(h)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def rec(cur: Long, r: Int, pentChain: Boolean): Unit = {
+      if (r == childRes) { out += cur; return }
+      val nr = r + 1
+      var d = 0
+      while (d <= 6) {
+        if (!(pentChain && d == 1))
+          rec(setDigit(withRes(cur, nr), nr, d), nr, pentChain && d == 0)
+        d += 1
+      }
+    }
+    rec(h, res, isPentagon(h))
+    out.toArray
+  }
+
+  /** h3api:compactCells — replace every complete sibling set by its parent,
+    * cascading to the coarsest representation of the same region. Input may
+    * be mixed-resolution; duplicates are dropped. A parent promotes iff all
+    * its children are present (7, or 6 for a pentagon parent — valid
+    * pentagon-chain ids cannot contain the deleted K child, so a distinct
+    * count equal to the expected size is completeness). Sorted output. */
+  def compactCells(cellsIn: Array[Long]): Array[Long] = {
+    if (cellsIn.isEmpty) return Array.empty
+    val pool = new java.util.HashSet[java.lang.Long]()
+    var maxRes = 0
+    cellsIn.foreach { c => pool.add(c); val r = getResolution(c); if (r > maxRes) maxRes = r }
+    var r = maxRes
+    while (r >= 1) {
+      // group this resolution's cells by parent; promote complete families
+      val byParent = new java.util.HashMap[java.lang.Long, Integer]()
+      val it0 = pool.iterator()
+      while (it0.hasNext) {
+        val c = it0.next().longValue
+        if (getResolution(c) == r) {
+          val p = java.lang.Long.valueOf(cellToParent(c, r - 1))
+          byParent.merge(p, 1, (a, b) => a + b)
+        }
+      }
+      val pit = byParent.entrySet().iterator()
+      while (pit.hasNext) {
+        val e = pit.next()
+        val parent = e.getKey.longValue
+        val expected = if (isPentagon(parent)) 6 else 7
+        if (e.getValue.intValue == expected) {
+          cellToChildren(parent, r).foreach(c => pool.remove(java.lang.Long.valueOf(c)))
+          pool.add(java.lang.Long.valueOf(parent))
+        }
+      }
+      r -= 1
+    }
+    val arr = new Array[Long](pool.size)
+    val it = pool.iterator(); var k = 0
+    while (it.hasNext) { arr(k) = it.next().longValue; k += 1 }
+    java.util.Arrays.sort(arr)
+    arr
+  }
+
+  /** h3api:uncompactCells — expand every cell to its `res` descendants.
+    * Empty when any input is invalid or finer than `res` (the loud signal,
+    * matching the covering conventions). Sorted, deduped. */
+  def uncompactCells(cells: Array[Long], res: Int): Array[Long] = {
+    if (cells.exists(c => !isValidCell(c) || getResolution(c) > res)) return Array.empty
+    val out = cells.flatMap(cellToChildren(_, res)).distinct
+    java.util.Arrays.sort(out)
+    out
+  }
 }

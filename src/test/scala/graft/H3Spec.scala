@@ -104,6 +104,40 @@ class H3Spec extends AnyFunSuite {
     assert(H3Lib.cellNeighbors(pent5).length == 5)
   }
 
+  test("cellToChildren / compactCells / uncompactCells: hierarchy round-trips") {
+    val hex = H3Lib.latLngToCell(35.6895, 139.6917, 5)
+    // hexagon: 7^n children, all valid, parent round-trip
+    val kids1 = H3Lib.cellToChildren(hex, 6)
+    val kids2 = H3Lib.cellToChildren(hex, 7)
+    assert(kids1.length == 7 && kids2.length == 49)
+    assert(kids2.forall(c => H3Lib.isValidCell(c) && H3Lib.cellToParent(c, 5) == hex))
+    assert(kids2.distinct.length == 49)
+    // identity: compact of a complete children set is the cell itself
+    assert(H3Lib.compactCells(kids2).toSeq == Seq(hex))
+    // missing one child: nothing compacts
+    val partial = kids1.drop(1)
+    assert(H3Lib.compactCells(partial).sorted.toSeq == partial.sorted.toSeq)
+    // mixed-res input: children of one child + the other six compacts fully
+    val mixed = kids1.drop(1) ++ H3Lib.cellToChildren(kids1.head, 8)
+    assert(H3Lib.compactCells(mixed).toSeq == Seq(hex))
+    // uncompact inverts
+    assert(H3Lib.uncompactCells(Array(hex), 7).toSeq == kids2.sorted.toSeq)
+    assert(H3Lib.uncompactCells(H3Lib.compactCells(kids2), 7).toSeq == kids2.sorted.toSeq)
+    // pentagon: 1 + 5(7^n-1)/6 children, no deleted-K chain, compact identity
+    val (plat, plng) = H3Lib.cellToLatLng(0x8009fffffffffffL)
+    val pent = H3Lib.latLngToCell(plat, plng, 3)
+    assert(H3Lib.isPentagon(pent))
+    val pk1 = H3Lib.cellToChildren(pent, 4)
+    val pk2 = H3Lib.cellToChildren(pent, 5)
+    assert(pk1.length == 6 && pk2.length == 1 + 5 * (49 - 1) / 6)
+    assert(pk2.forall(H3Lib.isValidCell))
+    assert(H3Lib.compactCells(pk2).toSeq == Seq(pent))
+    // loud-empty: invalid input, out-of-range res, finer-than-target cells
+    assert(H3Lib.cellToChildren(hex, 4).isEmpty)
+    assert(H3Lib.cellToChildren(-1L, 9).isEmpty)
+    assert(H3Lib.uncompactCells(Array(hex), 4).isEmpty)
+  }
+
   test("gridDisk: k-ring sizes, supersets, validity") {
     val c = H3Lib.latLngToCell(35.6895, 139.6917, 9)
     assert(H3Lib.gridDisk(c, 0).toSeq == Seq(c))
