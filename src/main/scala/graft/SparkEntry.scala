@@ -1603,6 +1603,68 @@ object SparkEntry {
       }.toDF("case_name", "epsg").orderBy("case_name")
     },
 
+    "s9_geotiff_scan" -> { (s, d) =>
+      // GeoTIFF source (round 6): every doc becomes a GeoTIFF authored by
+      // the from-spec writer across six layout variants — u8/u16/u32
+      // integer and f32/f64 float samples, both byte orders, strip and
+      // tile organization, Deflate and none, horizontal predictor — each
+      // georeferenced (alternating EPSG 4326 / 32633 GeoKeys + pixel
+      // scale + tiepoint). Decode runs DISTRIBUTED through geotiff_meta /
+      // geotiff_band_stats; pixel content is (id*31+i) % 251 so the
+      // oracle recomputes every band sum in closed form, and the meta
+      // invariants (dims, epsg parity, tiling, origin) reduce to all_ok.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 300).as[Long]
+        .map { id =>
+          val w = 8 + (id % 9).toInt
+          val h = 8 + (id % 7).toInt
+          val px = Array.tabulate(w * h)(i => ((id * 31 + i) % 251).toDouble)
+          val epsg = if (id % 2 == 0) 4326 else 32633
+          val scale = if (id % 2 == 0) (0.1, 0.1) else (10.0, 10.0)
+          val origin = ((id % 360).toDouble - 180.0 + 0.5,
+            (id % 180).toDouble - 90.0 + 0.25)
+          val v = (id % 6).toInt
+          import graft.sources.GeoTiff
+          val bytes = v match {
+            case 0 => GeoTiff.write(w, h, 1, 8, 1, px,
+              epsg = epsg, pixelScale = scale, origin = origin)
+            case 1 => GeoTiff.write(w, h, 1, 16, 1, px, deflate = true,
+              predictor = 2, epsg = epsg, pixelScale = scale, origin = origin)
+            case 2 => GeoTiff.write(w, h, 1, 16, 1, px, littleEndian = false,
+              deflate = true, tileSize = 16, epsg = epsg, pixelScale = scale,
+              origin = origin)
+            case 3 => GeoTiff.write(w, h, 1, 32, 1, px, deflate = true,
+              predictor = 2, epsg = epsg, pixelScale = scale, origin = origin)
+            case 4 => GeoTiff.write(w, h, 1, 32, 3, px, littleEndian = false,
+              deflate = true, tileSize = 16, epsg = epsg, pixelScale = scale,
+              origin = origin)
+            case _ => GeoTiff.write(w, h, 1, 64, 3, px,
+              epsg = epsg, pixelScale = scale, origin = origin)
+          }
+          (id, v, bytes)
+        }.toDF("id", "variant", "payload")
+      media
+        .select(col("id"), col("variant"),
+          geotiff_meta(col("payload")).as("m"),
+          geotiff_band_stats(col("payload"), lit(0)).as("st"))
+        .withColumn("ok",
+          col("m.width") === (lit(8) + col("id") % 9).cast("int") &&
+            col("m.height") === (lit(8) + col("id") % 7).cast("int") &&
+            col("m.bands") === 1 &&
+            col("m.epsg") === when(col("id") % 2 === 0, 4326).otherwise(32633) &&
+            col("m.model_type") === when(col("id") % 2 === 0, 2).otherwise(1) &&
+            col("m.tiled") === col("variant").isin(2, 4) &&
+            col("m.origin_x") === (col("id") % 360).cast("double") - 180.0 + 0.5 &&
+            col("st.n") === ((lit(8) + col("id") % 9) * (lit(8) + col("id") % 7)))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("st.sum")).cast("long").as("sum_pix"),
+          sum(col("m.epsg").cast("long")).as("sum_epsg"),
+          (sum(when(col("ok"), 1L).otherwise(0L)) === count(lit(1))).as("all_ok"))
+        .orderBy("variant")
+    },
+
     "mm1_binary_meta" -> { (s, d) =>
       // multimodal plumbing: opaque binary columns + typed metadata.
       // Round 6 adds the audio/video container kinds (VERDICT r5 #8): a
@@ -2898,6 +2960,26 @@ object SparkEntry {
       """SELECT vec_id + 10000 AS qid, vec_id AS nid, CAST(1 AS INTEGER) AS rk,
          CAST(1.0 AS DOUBLE) AS cos
          FROM embeddings WHERE vec_id < 10 ORDER BY qid""",
+
+    // pixel value is (doc_id*31 + i) % 251 over i < w*h with
+    // w = 8 + doc_id%9, h = 8 + doc_id%7 — the oracle replays the same
+    // series per doc; epsg alternates 4326/32633 on doc parity; the meta
+    // invariants are engine-checked and reduce to all_ok = TRUE
+    "s9_geotiff_scan" ->
+      """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+            px AS (SELECT d.doc_id,
+                     SUM((d.doc_id * 31 + r.i) % 251) AS pixsum
+                   FROM docs d JOIN range(0, 224) r(i)
+                     ON r.i < (8 + d.doc_id % 9) * (8 + d.doc_id % 7)
+                   GROUP BY d.doc_id)
+          SELECT CAST(d.doc_id % 6 AS INTEGER) AS variant,
+            COUNT(*) AS n_files,
+            CAST(SUM(p.pixsum) AS BIGINT) AS sum_pix,
+            CAST(SUM(CASE WHEN d.doc_id % 2 = 0 THEN 4326 ELSE 32633 END)
+              AS BIGINT) AS sum_epsg,
+            TRUE AS all_ok
+          FROM docs d JOIN px p USING (doc_id)
+          GROUP BY 1 ORDER BY variant""",
 
     // per-kind closed forms: MP4 fixtures are 136 bytes (mvhd v0) / 148
     // (v1) with duration_ms = 1000 + doc_id % 5000 at timescale 1000; FLAC

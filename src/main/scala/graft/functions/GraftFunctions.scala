@@ -86,6 +86,9 @@ object GraftFunctions {
   def jpeg_luma_width(payload: Column): Column = col(JpegLumaWidth(ex(payload)))
   def jpeg_luma_height(payload: Column): Column = col(JpegLumaHeight(ex(payload)))
   def jpeg_luma_sum(payload: Column): Column = col(JpegLumaSum(ex(payload)))
+  def geotiff_meta(payload: Column): Column = col(GeoTiffMeta(ex(payload)))
+  def geotiff_band_stats(payload: Column, band: Column): Column =
+    col(GeoTiffBandStats(ex(payload), ex(band)))
 
   // --- vectors ---
   def cosine_similarity(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
@@ -152,6 +155,8 @@ object GraftFunctions {
     "jpeg_luma_width" -> { e => JpegLumaWidth(e.head) },
     "jpeg_luma_height" -> { e => JpegLumaHeight(e.head) },
     "jpeg_luma_sum" -> { e => JpegLumaSum(e.head) },
+    "geotiff_meta" -> { e => GeoTiffMeta(e.head) },
+    "geotiff_band_stats" -> { e => GeoTiffBandStats(e(0), e(1)) },
     "png_height" -> { e => PngHeight(e.head) },
     "png_pixel_sum" -> { e => PngPixelSum(e.head) },
     "cosine_similarity" -> { e => CosineSimilarity(e(0), e(1)) },

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.{ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.types._
 
 /** SQL-callable PNG pixel accessors over [[graft.multimodal.PngCodec]] —
@@ -69,4 +69,64 @@ case class JpegLumaSum(child: Expression) extends PngAccessorExpression {
   protected override def nullSafeEval(p: Any): Any =
     graft.multimodal.JpegCodec.lumaSum(p.asInstanceOf[Array[Byte]])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** geotiff_meta(payload) — raster + georeferencing metadata of a GeoTIFF
+  * binary column as a struct; null for non-TIFF bytes. One IFD walk per
+  * row, no pixel decode (header-only contract, like the audio/video
+  * container parses). */
+case class GeoTiffMeta(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "geotiff_meta"
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("bands", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("sample_format", IntegerType, nullable = false),
+    StructField("compression", IntegerType, nullable = false),
+    StructField("tiled", BooleanType, nullable = false),
+    StructField("epsg", IntegerType, nullable = false),
+    StructField("model_type", IntegerType, nullable = false),
+    StructField("px_scale_x", DoubleType, nullable = false),
+    StructField("px_scale_y", DoubleType, nullable = false),
+    StructField("origin_x", DoubleType, nullable = false),
+    StructField("origin_y", DoubleType, nullable = false)))
+  protected override def nullSafeEval(p: Any): Any = {
+    val m = graft.sources.GeoTiff.readMeta(p.asInstanceOf[Array[Byte]])
+    if (m == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](m.width, m.height, m.bands, m.bitsPerSample, m.sampleFormat,
+        m.compression, m.tiled, m.epsg, m.modelType, m.pixelScaleX,
+        m.pixelScaleY, m.originX, m.originY))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** geotiff_band_stats(payload, band) — (n, min, max, sum) over the decoded
+  * samples of one band; null when the payload is not a decodable GeoTIFF
+  * or the band is out of range. Full pixel decode per call. */
+case class GeoTiffBandStats(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "geotiff_band_stats"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("min", DoubleType, nullable = false),
+    StructField("max", DoubleType, nullable = false),
+    StructField("sum", DoubleType, nullable = false)))
+  protected override def nullSafeEval(p: Any, b: Any): Any = {
+    val st = graft.sources.GeoTiff.bandStats(p.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Number].intValue)
+    if (st == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](st(0).toLong, st(1), st(2), st(3)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

@@ -1,0 +1,532 @@
+package graft.sources
+
+/** From-spec GeoTIFF codec (TIFF 6.0 + OGC GeoTIFF 1.1, both public specs):
+  * IFD walk, GeoKey directory → EPSG + affine geotransform, and real pixel
+  * decode for the raster layouts an analytics pipeline meets in practice —
+  * strip or tile organization, none/Deflate compression (the zlib the JDK
+  * ships), horizontal-differencing predictor, chunky planar config, and
+  * uint8/16/32, int8/16/32, float32/64 samples in either byte order.
+  * Anything outside that envelope (JPEG-in-TIFF, LZW, planar, float
+  * predictor) returns null — the same loud-reject posture as the other
+  * from-spec decoders (FileGdb, GeoPackage, JpegCodec).
+  *
+  * Reference surface anchor: the reference pipeline reprojects and loads
+  * raster-derived footprints via GDAL (`East-Asia-Building-Footprints.md`);
+  * GeoTIFF is GDAL's lingua-franca raster container, so consuming it
+  * in-engine removes a shell-out the same way the CRS registry removed
+  * `ogr2ogr` (see `geom/CrsTransform.scala`).
+  */
+object GeoTiff {
+
+  /** Raster + georeferencing metadata. `epsg` 0 = no GeoKey directory;
+    * `pixelScaleX/Y` and `originX/Y` are 0 when untagged. */
+  case class Meta(width: Int, height: Int, bands: Int, bitsPerSample: Int,
+      sampleFormat: Int, compression: Int, tiled: Boolean, epsg: Int,
+      modelType: Int, pixelScaleX: Double, pixelScaleY: Double,
+      originX: Double, originY: Double)
+
+  private final class Reader(b: Array[Byte], le: Boolean) {
+    def u8(o: Int): Int = b(o) & 0xff
+    def u16(o: Int): Int =
+      if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    def u32(o: Int): Long =
+      if (le) (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      else ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def f64(o: Int): Double = {
+      var v = 0L
+      var i = 0
+      while (i < 8) {
+        val idx = if (le) o + 7 - i else o + i
+        v = (v << 8) | (b(idx) & 0xffL)
+        i += 1
+      }
+      java.lang.Double.longBitsToDouble(v)
+    }
+  }
+
+  private case class Entry(tag: Int, typ: Int, count: Long, valOff: Int)
+
+  private val TypeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8, 6 -> 1,
+    7 -> 1, 8 -> 2, 9 -> 4, 10 -> 8, 11 -> 4, 12 -> 8)
+
+  private final class Ifd(r: Reader, entries: Map[Int, Entry]) {
+    def has(tag: Int): Boolean = entries.contains(tag)
+    /** Integer values of a SHORT/LONG/BYTE-typed tag, inline or offsetted. */
+    def longs(tag: Int): Array[Long] = entries.get(tag) match {
+      case None => Array.empty
+      case Some(e) =>
+        val sz = TypeSize.getOrElse(e.typ, 0)
+        if (sz == 0 || e.count > Int.MaxValue) return Array.empty
+        val total = sz * e.count.toInt
+        val base = if (total <= 4) e.valOff else r.u32(e.valOff).toInt
+        Array.tabulate(e.count.toInt) { i =>
+          e.typ match {
+            case 1 | 6 | 7 => r.u8(base + i).toLong
+            case 3 | 8 => r.u16(base + i * 2).toLong
+            case 4 | 9 => r.u32(base + i * 4)
+            case _ => 0L
+          }
+        }
+    }
+    def long1(tag: Int, dflt: Long): Long = {
+      val v = longs(tag)
+      if (v.isEmpty) dflt else v(0)
+    }
+    def doubles(tag: Int): Array[Double] = entries.get(tag) match {
+      case None => Array.empty
+      case Some(e) if e.typ == 12 =>
+        val base = if (e.count * 8 <= 4) e.valOff else r.u32(e.valOff).toInt
+        Array.tabulate(e.count.toInt)(i => r.f64(base + i * 8))
+      case _ => Array.empty
+    }
+  }
+
+  private def parseIfd(bytes: Array[Byte]): (Reader, Ifd) = {
+    if (bytes.length < 8) return null
+    val le = bytes(0) == 'I' && bytes(1) == 'I'
+    val be = bytes(0) == 'M' && bytes(1) == 'M'
+    if (!le && !be) return null
+    val r = new Reader(bytes, le)
+    if (r.u16(2) != 42) return null
+    val ifdOff = r.u32(4).toInt
+    if (ifdOff < 8 || ifdOff + 2 > bytes.length) return null
+    val n = r.u16(ifdOff)
+    if (ifdOff + 2 + n * 12 > bytes.length) return null
+    val entries = (0 until n).map { i =>
+      val o = ifdOff + 2 + i * 12
+      val tag = r.u16(o)
+      tag -> Entry(tag, r.u16(o + 2), r.u32(o + 4), o + 8)
+    }.toMap
+    (r, new Ifd(r, entries))
+  }
+
+  /** Parse raster + geo metadata; null for non-TIFF bytes. */
+  def readMeta(bytes: Array[Byte]): Meta = {
+    val parsed = parseIfd(bytes)
+    if (parsed == null) return null
+    val (r, ifd) = parsed
+    val w = ifd.long1(256, 0).toInt
+    val h = ifd.long1(257, 0).toInt
+    if (w <= 0 || h <= 0) return null
+    val bands = ifd.long1(277, 1).toInt
+    val bps = ifd.long1(258, 1).toInt
+    val fmt = ifd.long1(339, 1).toInt
+    val comp = ifd.long1(259, 1).toInt
+    val tiled = ifd.has(322)
+    // GeoKey directory: shorts (KeyDirectoryVersion, KeyRevision, Minor,
+    // NumberOfKeys, then per key: KeyID, TIFFTagLocation, Count, ValueOffset)
+    var epsg = 0
+    var modelType = 0
+    val gk = ifd.longs(34735)
+    if (gk.length >= 4) {
+      val nk = gk(3).toInt
+      var i = 0
+      while (i < nk && 4 + i * 4 + 3 < gk.length) {
+        val keyId = gk(4 + i * 4).toInt
+        val loc = gk(4 + i * 4 + 1).toInt
+        val v = gk(4 + i * 4 + 3).toInt
+        if (loc == 0) keyId match {
+          case 1024 => modelType = v
+          case 3072 => epsg = v // ProjectedCRSGeoKey
+          case 2048 => if (epsg == 0) epsg = v // GeodeticCRSGeoKey
+          case _ =>
+        }
+        i += 1
+      }
+    }
+    val scale = ifd.doubles(33550)
+    val tie = ifd.doubles(33922)
+    Meta(w, h, bands, bps, fmt, comp, tiled, epsg, modelType,
+      if (scale.length >= 2) scale(0) else 0.0,
+      if (scale.length >= 2) scale(1) else 0.0,
+      if (tie.length >= 6) tie(3) else 0.0,
+      if (tie.length >= 6) tie(4) else 0.0)
+  }
+
+  private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(data)
+    val out = new Array[Byte](expected)
+    var n = 0
+    while (n < expected && !inf.finished()) {
+      val got = inf.inflate(out, n, expected - n)
+      if (got == 0 && inf.needsInput()) { inf.end(); return null }
+      n += got
+    }
+    inf.end()
+    if (n == expected) out else null
+  }
+
+  /** Decode every sample as Double, row-major, bands interleaved
+    * (chunky). Null when the layout is outside the supported envelope or
+    * the payload is inconsistent with its own directory. */
+  def readSamples(bytes: Array[Byte]): Array[Double] = {
+    val parsed = parseIfd(bytes)
+    if (parsed == null) return null
+    val (r, ifd) = parsed
+    val meta = readMeta(bytes)
+    if (meta == null) return null
+    import meta._
+    val comp = compression
+    if (comp != 1 && comp != 8 && comp != 32946) return null
+    if (ifd.long1(284, 1) != 1) return null // planar not supported
+    val predictor = ifd.long1(317, 1).toInt
+    if (predictor != 1 && predictor != 2) return null
+    if (predictor == 2 && sampleFormat == 3) return null // float predictor
+    val okType = (sampleFormat, bitsPerSample) match {
+      case (1 | 2, 8 | 16 | 32) => true
+      case (3, 32 | 64) => true
+      case _ => false
+    }
+    if (!okType) return null
+    val bytesPer = bitsPerSample / 8
+    val out = new Array[Double](width * height * bands)
+
+    // a decoded block of `bw` x `bh` pixels laid at raster position (x0, y0)
+    def place(block: Array[Byte], x0: Int, y0: Int, bw: Int, bh: Int): Boolean = {
+      if (block == null) return false
+      val rowBytes = bw * bands * bytesPer
+      if (block.length < rowBytes * math.min(bh, height - y0)) return false
+      var yy = 0
+      while (yy < bh && y0 + yy < height) {
+        val ro = yy * rowBytes
+        if (predictor == 2) { // horizontal differencing, per band, in-place
+          var x = 1
+          while (x < bw) {
+            var c = 0
+            while (c < bands) {
+              val cur = ro + (x * bands + c) * bytesPer
+              val prev = ro + ((x - 1) * bands + c) * bytesPer
+              bitsPerSample match {
+                case 8 => block(cur) = ((block(cur) + block(prev)) & 0xff).toByte
+                case 16 =>
+                  val le = bytes(0) == 'I'
+                  val v = (readInt(block, cur, 2, le) + readInt(block, prev, 2, le)) & 0xffff
+                  writeInt(block, cur, 2, le, v.toInt)
+                case 32 =>
+                  val le = bytes(0) == 'I'
+                  val v = readInt(block, cur, 4, le) + readInt(block, prev, 4, le)
+                  writeInt(block, cur, 4, le, v.toInt)
+                case _ => return false
+              }
+              c += 1
+            }
+            x += 1
+          }
+        }
+        var x = 0
+        while (x < bw && x0 + x < width) {
+          var c = 0
+          while (c < bands) {
+            val so = ro + (x * bands + c) * bytesPer
+            val le = bytes(0) == 'I'
+            val v: Double = (sampleFormat, bitsPerSample) match {
+              case (1, _) =>
+                (readInt(block, so, bytesPer, le) & ((1L << bitsPerSample) - 1)).toDouble
+              case (2, 8) => block(so).toDouble
+              case (2, 16) => readInt(block, so, 2, le).toShort.toDouble
+              case (2, 32) => readInt(block, so, 4, le).toInt.toDouble
+              case (3, 32) => java.lang.Float.intBitsToFloat(readInt(block, so, 4, le).toInt).toDouble
+              case (3, 64) =>
+                var v2 = 0L
+                var i = 0
+                while (i < 8) { v2 = (v2 << 8) | (block(if (le) so + 7 - i else so + i) & 0xffL); i += 1 }
+                java.lang.Double.longBitsToDouble(v2)
+              case _ => return false
+            }
+            out((y0 + yy) * width * bands + (x0 + x) * bands + c) = v
+            c += 1
+          }
+          x += 1
+        }
+        yy += 1
+      }
+      true
+    }
+
+    def segment(off: Long, len: Long, rawLen: Int): Array[Byte] = {
+      if (off < 0 || len < 0 || off + len > bytes.length) return null
+      if (comp == 1) {
+        if (len < rawLen) return null
+        java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + rawLen)
+      } else inflate(java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt), rawLen)
+    }
+
+    if (tiled) {
+      val tw = ifd.long1(322, 0).toInt
+      val th = ifd.long1(323, 0).toInt
+      if (tw <= 0 || th <= 0) return null
+      val offs = ifd.longs(324)
+      val lens = ifd.longs(325)
+      val tilesAcross = (width + tw - 1) / tw
+      val tilesDown = (height + th - 1) / th
+      if (offs.length < tilesAcross * tilesDown || lens.length < offs.length) return null
+      val rawLen = tw * th * bands * bytesPer
+      var t = 0
+      while (t < tilesAcross * tilesDown) {
+        val block = segment(offs(t), lens(t), rawLen)
+        if (!place(block, (t % tilesAcross) * tw, (t / tilesAcross) * th, tw, th))
+          return null
+        t += 1
+      }
+    } else {
+      val rps = math.min(ifd.long1(278, 0xffffffffL), height.toLong).toInt
+      if (rps <= 0) return null
+      val offs = ifd.longs(273)
+      val lens = ifd.longs(279)
+      val nStrips = (height + rps - 1) / rps
+      if (offs.length < nStrips || lens.length < nStrips) return null
+      var s = 0
+      while (s < nStrips) {
+        val rows = math.min(rps, height - s * rps)
+        val block = segment(offs(s), lens(s), width * rows * bands * bytesPer)
+        if (!place(block, 0, s * rps, width, rows)) return null
+        s += 1
+      }
+    }
+    out
+  }
+
+  private def readInt(b: Array[Byte], o: Int, n: Int, le: Boolean): Long = {
+    var v = 0L
+    var i = 0
+    while (i < n) { v = (v << 8) | (b(if (le) o + n - 1 - i else o + i) & 0xffL); i += 1 }
+    v
+  }
+  private def writeInt(b: Array[Byte], o: Int, n: Int, le: Boolean, v: Int): Unit = {
+    var i = 0
+    while (i < n) {
+      b(if (le) o + i else o + n - 1 - i) = ((v >>> (8 * i)) & 0xff).toByte
+      i += 1
+    }
+  }
+
+  /** Per-band stats over the decoded raster: (n, min, max, sum) for
+    * `band` (0-based). Null payload/band → null. */
+  def bandStats(bytes: Array[Byte], band: Int): Array[Double] = {
+    val meta = readMeta(bytes)
+    if (meta == null || band < 0 || band >= meta.bands) return null
+    val s = readSamples(bytes)
+    if (s == null) return null
+    var mn = Double.MaxValue
+    var mx = -Double.MaxValue
+    var sum = 0.0
+    var n = 0L
+    var i = band
+    while (i < s.length) {
+      val v = s(i)
+      if (v < mn) mn = v
+      if (v > mx) mx = v
+      sum += v
+      n += 1
+      i += meta.bands
+    }
+    Array(n.toDouble, mn, mx, sum)
+  }
+
+  // --------------------------------------------------------------- writer
+  /** Minimal single-IFD GeoTIFF writer for fixtures and sinks: one band
+    * set (chunky), strip or tile layout, none/Deflate compression,
+    * optional horizontal predictor, either byte order, and the GeoKey /
+    * pixel-scale / tiepoint trio. Samples are caller-typed doubles. */
+  def write(width: Int, height: Int, bands: Int, bitsPerSample: Int,
+      sampleFormat: Int, samples: Array[Double], littleEndian: Boolean = true,
+      deflate: Boolean = false, tileSize: Int = 0, predictor: Int = 1,
+      epsg: Int = 0, pixelScale: (Double, Double) = (0.0, 0.0),
+      origin: (Double, Double) = (0.0, 0.0)): Array[Byte] = {
+    require(samples.length == width * height * bands, "sample count mismatch")
+    require(Set(8, 16, 32).contains(bitsPerSample) || (sampleFormat == 3 &&
+      Set(32, 64).contains(bitsPerSample)), "unsupported type")
+    val bytesPer = bitsPerSample / 8
+    val le = littleEndian
+
+    def encodeBlock(x0: Int, y0: Int, bw: Int, bh: Int): Array[Byte] = {
+      val raw = new Array[Byte](bw * bh * bands * bytesPer)
+      var yy = 0
+      while (yy < bh) {
+        var xx = 0
+        while (xx < bw) {
+          var c = 0
+          while (c < bands) {
+            val o = ((yy * bw + xx) * bands + c) * bytesPer
+            val x = x0 + xx
+            val y = y0 + yy
+            val v = if (x < width && y < height)
+              samples((y * width + x) * bands + c) else 0.0
+            (sampleFormat, bitsPerSample) match {
+              case (3, 32) =>
+                writeInt(raw, o, 4, le, java.lang.Float.floatToIntBits(v.toFloat))
+              case (3, 64) =>
+                val bits = java.lang.Double.doubleToLongBits(v)
+                var i = 0
+                while (i < 8) {
+                  raw(if (le) o + i else o + 7 - i) = ((bits >>> (8 * i)) & 0xff).toByte
+                  i += 1
+                }
+              case _ => writeInt(raw, o, bytesPer, le, v.toLong.toInt)
+            }
+            c += 1
+          }
+          xx += 1
+        }
+        yy += 1
+      }
+      if (predictor == 2) {
+        var yy2 = 0
+        while (yy2 < bh) {
+          val ro = yy2 * bw * bands * bytesPer
+          var x = bw - 1
+          while (x >= 1) {
+            var c = 0
+            while (c < bands) {
+              val cur = ro + (x * bands + c) * bytesPer
+              val prev = ro + ((x - 1) * bands + c) * bytesPer
+              val d = (readInt(raw, cur, bytesPer, le) - readInt(raw, prev, bytesPer, le)).toInt
+              writeInt(raw, cur, bytesPer, le, d)
+              c += 1
+            }
+            x -= 1
+          }
+          yy2 += 1
+        }
+      }
+      if (!deflate) raw
+      else {
+        val dfl = new java.util.zip.Deflater()
+        dfl.setInput(raw)
+        dfl.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        val n = dfl.deflate(buf)
+        require(dfl.finished(), "deflate buffer too small")
+        dfl.end()
+        java.util.Arrays.copyOf(buf, n)
+      }
+    }
+
+    val tiled = tileSize > 0
+    val blocks = if (tiled) {
+      val ta = (width + tileSize - 1) / tileSize
+      val td = (height + tileSize - 1) / tileSize
+      (0 until ta * td).map(t =>
+        encodeBlock((t % ta) * tileSize, (t / ta) * tileSize, tileSize, tileSize))
+    } else Seq(encodeBlock(0, 0, width, height))
+
+    // assemble: header + IFD + value arrays + blocks
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (le) { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+      else { bos.write((v >> 8) & 0xff); bos.write(v & 0xff) }
+    def w32(v: Long): Unit =
+      if (le) { var i = 0; while (i < 4) { bos.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 } }
+      else { var i = 3; while (i >= 0) { bos.write(((v >>> (8 * i)) & 0xff).toInt); i -= 1 } }
+    def w64d(v: Double): Unit = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      if (le) { var i = 0; while (i < 8) { bos.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 } }
+      else { var i = 7; while (i >= 0) { bos.write(((bits >>> (8 * i)) & 0xff).toInt); i -= 1 } }
+    }
+    bos.write(if (le) 'I' else 'M'); bos.write(if (le) 'I' else 'M')
+    w16(42)
+    w32(8)
+
+    case class Tag(tag: Int, typ: Int, count: Long, inline: Option[Long],
+        deferred: Option[() => Unit], deferredSize: Int)
+    val geo = epsg != 0
+    val geoKeys: Array[Int] =
+      if (!geo) Array.empty
+      else {
+        val projected = epsg >= 2000 && epsg != 4326 && epsg < 30000 || epsg >= 32000
+        val model = if (projected) 1 else 2
+        val crsKey = if (projected) 3072 else 2048
+        Array(1, 1, 0, 2, 1024, 0, 1, model, crsKey, 0, 1, epsg)
+      }
+    val bpsArr = Array.fill(bands)(bitsPerSample)
+    var tags = scala.collection.mutable.ArrayBuffer[Tag]()
+    def inlineTag(tag: Int, typ: Int, v: Long, count: Long = 1): Tag =
+      Tag(tag, typ, count, Some(v), None, 0)
+    tags += inlineTag(256, 4, width)
+    tags += inlineTag(257, 4, height)
+    if (bands == 1) tags += inlineTag(258, 3, bitsPerSample)
+    tags += inlineTag(259, 3, if (deflate) 8 else 1)
+    tags += inlineTag(262, 3, if (bands >= 3) 2 else 1)
+    tags += inlineTag(277, 3, bands)
+    if (predictor == 2) tags += inlineTag(317, 3, 2)
+    if (sampleFormat != 1) tags += inlineTag(339, 3, sampleFormat)
+    if (!tiled) tags += inlineTag(278, 4, height)
+    // deferred (out-of-line) arrays
+    def deferredTag(tag: Int, typ: Int, count: Long, size: Int, wr: () => Unit): Unit =
+      tags += Tag(tag, typ, count, None, Some(wr), size)
+    if (bands > 1)
+      deferredTag(258, 3, bands, bands * 2, () => bpsArr.foreach(w16))
+    val offTag = if (tiled) 324 else 273
+    val lenTag = if (tiled) 325 else 279
+    // block offsets/lengths (LONG)
+    val blockOffsets = new Array[Long](blocks.length)
+    if (blocks.length == 1) {
+      tags += Tag(offTag, 4, 1, None, Some(() => w32(blockOffsets(0))), 4)
+      tags += inlineTag(lenTag, 4, blocks.head.length)
+    } else {
+      tags += Tag(offTag, 4, blocks.length, None,
+        Some(() => blockOffsets.foreach(w32)), blocks.length * 4)
+      tags += Tag(lenTag, 4, blocks.length, None,
+        Some(() => blocks.foreach(bl => w32(bl.length))), blocks.length * 4)
+    }
+    if (tiled) {
+      tags += inlineTag(322, 4, tileSize)
+      tags += inlineTag(323, 4, tileSize)
+    }
+    if (geo) {
+      deferredTag(33550, 12, 3, 24,
+        () => { w64d(pixelScale._1); w64d(pixelScale._2); w64d(0.0) })
+      deferredTag(33922, 12, 6, 48, () => {
+        w64d(0.0); w64d(0.0); w64d(0.0)
+        w64d(origin._1); w64d(origin._2); w64d(0.0)
+      })
+      deferredTag(34735, 3, geoKeys.length, geoKeys.length * 2,
+        () => geoKeys.foreach(w16))
+    }
+    val sorted = tags.sortBy(_.tag)
+    val ifdStart = 8
+    val ifdSize = 2 + sorted.length * 12 + 4
+    var dataOff = ifdStart + ifdSize
+    val valueOffsets = sorted.map { t =>
+      t.inline match {
+        case Some(_) => 0L
+        case None =>
+          val inlineFits = t.deferredSize <= 4
+          if (inlineFits) 0L
+          else { val o = dataOff; dataOff += t.deferredSize; o.toLong }
+      }
+    }
+    var blockStart = dataOff
+    blocks.zipWithIndex.foreach { case (bl, i) =>
+      blockOffsets(i) = blockStart
+      blockStart += bl.length
+    }
+    // emit IFD
+    w16(sorted.length)
+    sorted.zip(valueOffsets).foreach { case (t, vo) =>
+      w16(t.tag); w16(t.typ); w32(t.count)
+      t.inline match {
+        case Some(v) =>
+          // inline value: left-justified in the 4-byte field per spec
+          if (t.typ == 3) { w16(v.toInt); w16(0) } else w32(v)
+        case None =>
+          if (t.deferredSize <= 4) {
+            val before = bos.size()
+            t.deferred.get.apply()
+            var pad = 4 - (bos.size() - before)
+            while (pad > 0) { bos.write(0); pad -= 1 }
+          } else w32(vo)
+      }
+    }
+    w32(0) // no next IFD
+    // emit deferred arrays in offset order
+    sorted.zip(valueOffsets).filter(_._2 != 0L).foreach(_._1.deferred.get.apply())
+    require(bos.size() == dataOff, s"writer layout drift: ${bos.size()} vs $dataOff")
+    blocks.foreach(bos.write)
+    bos.toByteArray
+  }
+}
