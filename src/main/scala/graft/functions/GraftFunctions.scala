@@ -89,6 +89,8 @@ object GraftFunctions {
   def geotiff_meta(payload: Column): Column = col(GeoTiffMeta(ex(payload)))
   def geotiff_band_stats(payload: Column, band: Column): Column =
     col(GeoTiffBandStats(ex(payload), ex(band)))
+  def geotiff_pixels(payload: Column, band: Column): Column =
+    col(GeoTiffPixels(ex(payload), ex(band)))
 
   // --- vectors ---
   def cosine_similarity(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
@@ -157,6 +159,7 @@ object GraftFunctions {
     "jpeg_luma_sum" -> { e => JpegLumaSum(e.head) },
     "geotiff_meta" -> { e => GeoTiffMeta(e.head) },
     "geotiff_band_stats" -> { e => GeoTiffBandStats(e(0), e(1)) },
+    "geotiff_pixels" -> { e => GeoTiffPixels(e(0), e(1)) },
     "png_height" -> { e => PngHeight(e.head) },
     "png_pixel_sum" -> { e => PngPixelSum(e.head) },
     "cosine_similarity" -> { e => CosineSimilarity(e(0), e(1)) },

@@ -130,3 +130,51 @@ case class GeoTiffBandStats(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** geotiff_pixels(payload, band) — one struct per pixel of `band` with the
+  * pixel-center model coordinates from the GeoTIFF geotransform
+  * (lon = origin_x + (x+0.5)·scale_x, lat = origin_y − (y+0.5)·scale_y —
+  * tiepoint is the top-left corner, north-up) and the sample value. The
+  * raster→vector bridge: explode it and every downstream vector operator
+  * (spatial join, H3 heatmap, zonal aggregation) applies unchanged. Null
+  * for undecodable payloads, out-of-range bands, or untagged rasters
+  * (no pixel scale — there is no model space to place pixels in). */
+case class GeoTiffPixels(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "geotiff_pixels"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("lon", DoubleType, nullable = false),
+    StructField("lat", DoubleType, nullable = false),
+    StructField("value", DoubleType, nullable = false))), containsNull = false)
+  protected override def nullSafeEval(p: Any, b: Any): Any = {
+    val bytes = p.asInstanceOf[Array[Byte]]
+    val band = b.asInstanceOf[Number].intValue
+    val m = graft.sources.GeoTiff.readMeta(bytes)
+    if (m == null || band < 0 || band >= m.bands) return null
+    if (m.pixelScaleX == 0.0 || m.pixelScaleY == 0.0) return null
+    val s = graft.sources.GeoTiff.readSamples(bytes)
+    if (s == null) return null
+    val out = new Array[Any](m.width * m.height)
+    var y = 0
+    var k = 0
+    while (y < m.height) {
+      var x = 0
+      while (x < m.width) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](
+            m.originX + (x + 0.5) * m.pixelScaleX,
+            m.originY - (y + 0.5) * m.pixelScaleY,
+            s((y * m.width + x) * m.bands + band)))
+        k += 1
+        x += 1
+      }
+      y += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
