@@ -1665,6 +1665,46 @@ object SparkEntry {
         .orderBy("variant")
     },
 
+    "s10_geojson_scan" -> { (s, d) =>
+      // GeoJSON source (round 6): the SAME feature corpus lands once as a
+      // whole-file FeatureCollection (even ids) and once as GeoJSONSeq
+      // lines (odd ids), so both file shapes go through the distributed
+      // reader; every 5th feature is a small square polygon, the rest are
+      // points, and properties carry the id. The oracle replays the id
+      // arithmetic (2·lon is integral, so its rounded sum is exact).
+      val ids = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).orderBy("doc_id").collect()
+        .map(_.getLong(0))
+      def lonOf(id: Long) = (id % 360).toDouble - 180.0 + 0.5
+      def latOf(id: Long) = (id % 180).toDouble - 90.0 + 0.25
+      def feat(id: Long): String = {
+        val gj =
+          if (id % 5 == 0) {
+            val x0 = lonOf(id) - 0.25; val x1 = lonOf(id) + 0.25
+            val y0 = latOf(id) - 0.25; val y1 = latOf(id) + 0.25
+            s"""{"type":"Polygon","coordinates":[[[$x0,$y0],[$x1,$y0],[$x1,$y1],[$x0,$y1],[$x0,$y0]]]}"""
+          } else
+            s"""{"type":"Point","coordinates":[${lonOf(id)},${latOf(id)}]}"""
+        s"""{"type":"Feature","geometry":$gj,"properties":{"k":$id}}"""
+      }
+      val dir = java.nio.file.Files.createTempDirectory("s10geojson")
+      val (even, odd) = ids.partition(_ % 2 == 0)
+      java.nio.file.Files.write(dir.resolve("even.geojson"),
+        ("""{"type":"FeatureCollection","features":[""" +
+          even.map(feat).mkString(",") + "]}").getBytes("UTF-8"))
+      java.nio.file.Files.write(dir.resolve("odd.geojsonl"),
+        odd.map(feat).mkString("\n").getBytes("UTF-8"))
+      graft.sources.GeoJson.read(s, dir.toString)
+        .select(wkb_shape_type(col("geom")).as("shape_type"),
+          st_x(st_centroid(col("geom"))).as("x"),
+          col("props")("k").cast("long").as("k"))
+        .groupBy("shape_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x") * 2).cast("long")).as("sum_2x"),
+          sum(col("k")).as("sum_k"))
+        .orderBy("shape_type")
+    },
+
     "j5_zonal_stats" -> { (s, d) =>
       // zonal statistics (round 6): GeoTIFF rasters explode to pixel-center
       // points through the geotiff_pixels geotransform bridge, ride the
@@ -3012,6 +3052,17 @@ object SparkEntry {
             TRUE AS all_ok
           FROM docs d JOIN px p USING (doc_id)
           GROUP BY 1 ORDER BY variant""",
+
+    // both file shapes carry the same id-arithmetic features; 2·lon is
+    // 2·(id%360) − 359 exactly, polygon centroids sit at the same lon
+    "s10_geojson_scan" ->
+      """WITH docs AS (SELECT doc_id AS id FROM documents WHERE doc_id < 200)
+         SELECT CAST(CASE WHEN id % 5 = 0 THEN 3 ELSE 1 END AS INTEGER)
+             AS shape_type,
+           COUNT(*) AS n,
+           CAST(SUM(2 * (id % 360) - 359) AS BIGINT) AS sum_2x,
+           CAST(SUM(id) AS BIGINT) AS sum_k
+         FROM docs GROUP BY 1 ORDER BY shape_type""",
 
     // pixel centers sit at half-integer model coordinates (scale 1, integer
     // origins) and zone edges at integers, so membership is never a

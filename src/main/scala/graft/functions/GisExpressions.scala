@@ -239,6 +239,36 @@ case class StGeomFromText(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** st_geomfromgeojson(json) — RFC 7946 geometry object → WKB; null for
+  * malformed JSON or non-geometry objects. */
+case class StGeomFromGeoJson(child: Expression) extends UnaryExpression
+    with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_geomfromgeojson"
+  protected override def nullSafeEval(json: Any): Any = {
+    val g = graft.sources.GeoJson.toGeometry(json.asInstanceOf[UTF8String].toString)
+    if (g == null) null else GeomLib.write(g)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_asgeojson(geom) — WKB → RFC 7946 geometry object (XY only). */
+case class StAsGeoJson(child: Expression) extends UnaryExpression
+    with CodegenFallback with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_asgeojson"
+  protected override def nullSafeEval(wkb: Any): Any = {
+    val g = GeomLib.readOrNull(wkb.asInstanceOf[Array[Byte]])
+    val s = graft.sources.GeoJson.fromGeometry(g)
+    if (s == null) null else UTF8String.fromString(s)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** st_transform(geom, src_epsg, dst_epsg) — in-engine CRS reprojection
   * (replaces the reference's ogr2ogr subprocess + DuckDB ST_TRANSFORM,
   * east_asia.py:118-137,204-208). */

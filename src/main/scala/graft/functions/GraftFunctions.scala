@@ -37,6 +37,8 @@ object GraftFunctions {
   def st_npoints(geom: Column): Column = col(StNPoints(ex(geom)))
   def st_astext(geom: Column): Column = col(StAsText(ex(geom)))
   def st_geomfromtext(wkt: Column): Column = col(StGeomFromText(ex(wkt)))
+  def st_geomfromgeojson(json: Column): Column = col(StGeomFromGeoJson(ex(json)))
+  def st_asgeojson(geom: Column): Column = col(StAsGeoJson(ex(geom)))
   def st_transform(geom: Column, srcEpsg: Column, dstEpsg: Column): Column =
     col(StTransform(ex(geom), ex(srcEpsg), ex(dstEpsg)))
   def centroid_x(geom: Column): Column = col(CentroidX(ex(geom)))
@@ -122,6 +124,8 @@ object GraftFunctions {
     "st_npoints" -> { e => StNPoints(e.head) },
     "st_astext" -> { e => StAsText(e.head) },
     "st_geomfromtext" -> { e => StGeomFromText(e.head) },
+    "st_geomfromgeojson" -> { e => StGeomFromGeoJson(e.head) },
+    "st_asgeojson" -> { e => StAsGeoJson(e.head) },
     "st_transform" -> { e => StTransform(e(0), e(1), e(2)) },
     "centroid_x" -> { e => CentroidX(e.head) },
     "centroid_y" -> { e => CentroidY(e.head) },
