@@ -127,6 +127,8 @@ object GeomLib {
     * semantics: non-point inputs return the centroid X like DuckDB's
     * ST_X raises; we choose null for non-points). */
   def stX(wkb: Array[Byte]): java.lang.Double = {
+    val fast = pointCoordFast(wkb)
+    if (fast != null) return Double.box(fast.x)
     val g = readOrNull(wkb)
     g match {
       case p: Point if !p.isEmpty => Double.box(p.getX)
@@ -135,6 +137,8 @@ object GeomLib {
   }
 
   def stY(wkb: Array[Byte]): java.lang.Double = {
+    val fast = pointCoordFast(wkb)
+    if (fast != null) return Double.box(fast.y)
     val g = readOrNull(wkb)
     g match {
       case p: Point if !p.isEmpty => Double.box(p.getY)
@@ -193,7 +197,33 @@ object GeomLib {
   // encode) — the hot-path forms GeoSimplify rewrites compositions into.
   // -------------------------------------------------------------------------
 
+  /** Direct coordinate read for a plain 2D WKB point (21 bytes: order,
+    * type word 1, x, y) — the dominant carrier in point-heavy pipelines.
+    * Byte-identical to the JTS path: Centroid of a point returns its sole
+    * coordinate unchanged, and the reader decodes the same two doubles.
+    * Returns null for anything that is not that exact layout. */
+  private def pointCoordFast(wkb: Array[Byte]): Coordinate = {
+    if (wkb == null || wkb.length != 21) return null
+    if (wkb(0) == 1 && wkb(1) == 1 && wkb(2) == 0 && wkb(3) == 0 && wkb(4) == 0)
+      new Coordinate(rawDouble(wkb, 5, true), rawDouble(wkb, 13, true))
+    else if (wkb(0) == 0 && wkb(1) == 0 && wkb(2) == 0 && wkb(3) == 0 && wkb(4) == 1)
+      new Coordinate(rawDouble(wkb, 5, false), rawDouble(wkb, 13, false))
+    else null
+  }
+
+  private def rawDouble(b: Array[Byte], o: Int, le: Boolean): Double = {
+    var bits = 0L
+    var i = 0
+    while (i < 8) {
+      bits = (bits << 8) | (b(if (le) o + 7 - i else o + i) & 0xffL)
+      i += 1
+    }
+    java.lang.Double.longBitsToDouble(bits)
+  }
+
   private def centroidCoord(wkb: Array[Byte]): Coordinate = {
+    val fast = pointCoordFast(wkb)
+    if (fast != null) return fast
     val g = readOrNull(wkb)
     if (g == null || g.isEmpty) null
     else org.locationtech.jts.algorithm.Centroid.getCentroid(g)
