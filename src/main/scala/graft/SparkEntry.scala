@@ -815,6 +815,72 @@ object SparkEntry {
       ident.crossJoin(pq)
     },
 
+    "g15_overlay" -> { (s, d) =>
+      // JTS overlay / measure / constructive surface (round 6): st_union /
+      // st_intersection / st_difference / st_symdifference / st_buffer /
+      // st_simplify / st_convexhull / st_envelope / st_makevalid /
+      // st_perimeter / st_length / st_within / st_dwithin. Per-row
+      // axis-aligned INTEGER squares make every overlay area a closed-form
+      // integer the oracle replays arithmetically; irrational outputs
+      // (buffer octagon area, bowtie-fixer lobes) collapse to boolean
+      // invariants at 1e-9, aggregated as all-rows flags.
+      t(s, d, "lineitem")
+        .select(
+          (col("l_partkey") % 100).cast("double").as("cx"),
+          (col("l_suppkey") % 100).cast("double").as("cy"),
+          (col("l_linenumber") % 4).cast("int").as("dx"),
+          (lit(1.0) + (col("l_linenumber") % 3).cast("double")).as("r"),
+          (lit(2.0) + (col("l_linenumber") % 4).cast("double")).as("len"))
+        .withColumn("a", st_make_square(col("cx"), col("cy"), lit(2.0)))
+        .withColumn("b",
+          st_make_square(col("cx") + col("dx").cast("double"), col("cy"), lit(2.0)))
+        .withColumn("wiggle", concat(lit("LINESTRING (0 0, "),
+          (col("len") / 2).cast("string"), lit(" 0.0001, "),
+          col("len").cast("string"), lit(" 0)")))
+        .withColumn("simp", st_simplify(st_geomfromtext(col("wiggle")), lit(0.01)))
+        .withColumn("bowtie",
+          st_geomfromtext(lit("POLYGON ((-2 -1, 2 1, 2 -1, -2 1, -2 -1))")))
+        .withColumn("ia", st_area(st_intersection(col("a"), col("b"))))
+        .withColumn("ua", st_area(st_union(col("a"), col("b"))))
+        .withColumn("da", st_area(st_difference(col("a"), col("b"))))
+        .withColumn("sa", st_area(st_symdifference(col("a"), col("b"))))
+        .withColumn("measures_row",
+          st_perimeter(col("a")) === 16.0 &&
+            st_area(st_envelope(col("a"))) === 16.0 &&
+            st_length(col("a")) === 0.0 &&
+            st_area(st_convexhull(col("a"))) === 16.0)
+        .withColumn("buffer_row",
+          abs(st_area(st_buffer(st_point(col("cx"), col("cy")), col("r"), lit(2))) -
+            lit(2.0) * sqrt(lit(2.0)) * col("r") * col("r")) < 1e-9 &&
+            st_npoints(st_buffer(st_point(col("cx"), col("cy")), col("r"), lit(2))) === 9)
+        .withColumn("simplify_row",
+          st_npoints(col("simp")) === 2 && st_length(col("simp")) === col("len"))
+        .withColumn("valid_row",
+          st_isvalid(col("a")) && !st_isvalid(col("bowtie")) &&
+            abs(st_area(st_makevalid(col("bowtie"))) - 4.0) < 1e-9)
+        .withColumn("pred_row",
+          st_within(st_point(col("cx"), col("cy")), col("a")) &&
+            st_dwithin(col("a"), st_point(col("cx") + 10.0, col("cy")), lit(8.0)) &&
+            !st_dwithin(col("a"), st_point(col("cx") + 10.0, col("cy")), lit(7.9)))
+        .groupBy(col("dx"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ia").cast("long")).as("sum_inter"),
+          sum(col("ua").cast("long")).as("sum_union"),
+          sum(col("da").cast("long")).as("sum_diff"),
+          sum(col("sa").cast("long")).as("sum_sym"),
+          (sum(when(col("measures_row"), 1L).otherwise(0L)) === count(lit(1)))
+            .as("measures_ok"),
+          (sum(when(col("buffer_row"), 1L).otherwise(0L)) === count(lit(1)))
+            .as("buffer_ok"),
+          (sum(when(col("simplify_row"), 1L).otherwise(0L)) === count(lit(1)))
+            .as("simplify_ok"),
+          (sum(when(col("valid_row"), 1L).otherwise(0L)) === count(lit(1)))
+            .as("valid_ok"),
+          (sum(when(col("pred_row"), 1L).otherwise(0L)) === count(lit(1)))
+            .as("predicates_ok"))
+        .orderBy("dx")
+    },
+
     "sql1_spatial_sql" -> { (s, d) =>
       // the SQL surface end-to-end: registered graft functions inside
       // spark.sql text, over a temp view (the engine's INSTALL/LOAD twin)
@@ -2403,6 +2469,20 @@ object SparkEntry {
           FROM lineitem
           WHERE $cxSql < 175.0 AND $cxSql > -175.0
             AND $cySql < 85.0 AND $cySql > -85.0""",
+
+    "g15_overlay" ->
+      """WITH r AS (
+           SELECT CAST(l_linenumber % 4 AS INT) AS dx,
+                  (4 - l_linenumber % 4) * 4 AS ia
+           FROM lineitem)
+         SELECT dx, COUNT(*) AS n,
+           CAST(SUM(ia) AS BIGINT) AS sum_inter,
+           CAST(SUM(32 - ia) AS BIGINT) AS sum_union,
+           CAST(SUM(16 - ia) AS BIGINT) AS sum_diff,
+           CAST(SUM(32 - 2 * ia) AS BIGINT) AS sum_sym,
+           TRUE AS measures_ok, TRUE AS buffer_ok, TRUE AS simplify_ok,
+           TRUE AS valid_ok, TRUE AS predicates_ok
+         FROM r GROUP BY dx ORDER BY dx""",
 
     "sql1_spatial_sql" ->
       s"""SELECT 2305843009213693952 +

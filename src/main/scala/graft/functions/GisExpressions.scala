@@ -427,6 +427,161 @@ case class StDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_length(geom) — length of lineal parts, 0 for points/polygons
+  * (DuckDB/PostGIS ST_Length semantics). */
+case class StLength(child: Expression) extends WkbToDoubleExpression {
+  override def prettyName: String = "st_length"
+  override def staticMethod: String = "graft.geom.GeomLib.length"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.length(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_perimeter(geom) — boundary length of polygonal parts, 0 otherwise. */
+case class StPerimeter(child: Expression) extends WkbToDoubleExpression {
+  override def prettyName: String = "st_perimeter"
+  override def staticMethod: String = "graft.geom.GeomLib.perimeter"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.perimeter(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_envelope(geom) — envelope as geometry (degenerates to point/line). */
+case class StEnvelopeGeom(child: Expression) extends WkbToWkbExpression {
+  override def prettyName: String = "st_envelope"
+  override def staticMethod: String = "graft.geom.GeomLib.envelopeGeom"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.envelopeGeom(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_convexhull(geom) — JTS convex hull. */
+case class StConvexHull(child: Expression) extends WkbToWkbExpression {
+  override def prettyName: String = "st_convexhull"
+  override def staticMethod: String = "graft.geom.GeomLib.convexHull"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.convexHull(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_makevalid(geom) — repair invalid geometry (JTS GeometryFixer). */
+case class StMakeValid(child: Expression) extends WkbToWkbExpression {
+  override def prettyName: String = "st_makevalid"
+  override def staticMethod: String = "graft.geom.GeomLib.makeValid"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.makeValid(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_isvalid(geom) — OGC validity; null only for undecodable bytes. */
+case class StIsValid(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_isvalid"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.isValid(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_buffer(geom, dist, quadSegs) — JTS round-join buffer; SQL arity 2
+  * defaults quadSegs to 8 (the DuckDB/PostGIS default). */
+case class StBuffer(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType, IntegerType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_buffer"
+  protected override def nullSafeEval(wkb: Any, d: Any, q: Any): Any =
+    GeomLib.buffer(wkb.asInstanceOf[Array[Byte]],
+      d.asInstanceOf[Number].doubleValue, q.asInstanceOf[Number].intValue)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** st_simplify(geom, tolerance) — Douglas–Peucker (topology not preserved). */
+case class StSimplify(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_simplify"
+  protected override def nullSafeEval(wkb: Any, tol: Any): Any =
+    GeomLib.simplify(wkb.asInstanceOf[Array[Byte]], tol.asInstanceOf[Number].doubleValue)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Base for WKB×WKB→WKB JTS overlays (null on broken input / topology
+  * failure). */
+abstract class WkbOverlayExpression extends BinaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+}
+
+case class StUnion(left: Expression, right: Expression) extends WkbOverlayExpression {
+  override def prettyName: String = "st_union"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeomLib.union(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class StIntersection(left: Expression, right: Expression) extends WkbOverlayExpression {
+  override def prettyName: String = "st_intersection"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeomLib.intersection(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class StDifference(left: Expression, right: Expression) extends WkbOverlayExpression {
+  override def prettyName: String = "st_difference"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeomLib.difference(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class StSymDifference(left: Expression, right: Expression) extends WkbOverlayExpression {
+  override def prettyName: String = "st_symdifference"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeomLib.symDifference(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** st_within(a, b) ≡ st_contains(b, a). */
+case class StWithin(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_within"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeomLib.within(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** st_dwithin(a, b, d) — proximity within distance d (envelope
+  * short-circuit via JTS isWithinDistance). */
+case class StDWithin(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType, DoubleType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_dwithin"
+  protected override def nullSafeEval(a: Any, b: Any, d: Any): Any =
+    GeomLib.dwithin(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      d.asInstanceOf[Number].doubleValue)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** grid_cell(lon, lat, res) → hierarchical cell id — capability twin of
   * H3_LATLNG_TO_CELL(lat, lng, res) (East-Asia-Building-Footprints.md:250-252;
   * substitution documented in SURVEY.md §7.5). */

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.graft.SparkInternals
 
 /** DataFrame-API façade + SQL registration for every graft expression.
@@ -54,6 +54,25 @@ object GraftFunctions {
   def st_contains(outer: Column, inner: Column): Column = col(StContains(ex(outer), ex(inner)))
   def st_intersects(a: Column, b: Column): Column = col(StIntersects(ex(a), ex(b)))
   def st_distance(a: Column, b: Column): Column = col(StDistance(ex(a), ex(b)))
+  def st_length(geom: Column): Column = col(StLength(ex(geom)))
+  def st_perimeter(geom: Column): Column = col(StPerimeter(ex(geom)))
+  def st_envelope(geom: Column): Column = col(StEnvelopeGeom(ex(geom)))
+  def st_convexhull(geom: Column): Column = col(StConvexHull(ex(geom)))
+  def st_isvalid(geom: Column): Column = col(StIsValid(ex(geom)))
+  def st_makevalid(geom: Column): Column = col(StMakeValid(ex(geom)))
+  def st_buffer(geom: Column, dist: Column): Column =
+    col(StBuffer(ex(geom), ex(dist), ex(org.apache.spark.sql.functions.lit(8))))
+  def st_buffer(geom: Column, dist: Column, quadSegs: Column): Column =
+    col(StBuffer(ex(geom), ex(dist), ex(quadSegs)))
+  def st_simplify(geom: Column, tolerance: Column): Column =
+    col(StSimplify(ex(geom), ex(tolerance)))
+  def st_union(a: Column, b: Column): Column = col(StUnion(ex(a), ex(b)))
+  def st_intersection(a: Column, b: Column): Column = col(StIntersection(ex(a), ex(b)))
+  def st_difference(a: Column, b: Column): Column = col(StDifference(ex(a), ex(b)))
+  def st_symdifference(a: Column, b: Column): Column = col(StSymDifference(ex(a), ex(b)))
+  def st_within(a: Column, b: Column): Column = col(StWithin(ex(a), ex(b)))
+  def st_dwithin(a: Column, b: Column, d: Column): Column =
+    col(StDWithin(ex(a), ex(b), ex(d)))
   def grid_cell_center_lon(cell: Column): Column = col(GridCellCenterLon(ex(cell)))
   def h3_latlng_to_cell(lat: Column, lng: Column, res: Column): Column =
     col(H3LatLngToCell(ex(lat), ex(lng), ex(res)))
@@ -139,6 +158,23 @@ object GraftFunctions {
     "st_contains" -> { e => StContains(e(0), e(1)) },
     "st_intersects" -> { e => StIntersects(e(0), e(1)) },
     "st_distance" -> { e => StDistance(e(0), e(1)) },
+    "st_length" -> { e => StLength(e.head) },
+    "st_perimeter" -> { e => StPerimeter(e.head) },
+    "st_envelope" -> { e => StEnvelopeGeom(e.head) },
+    "st_convexhull" -> { e => StConvexHull(e.head) },
+    "st_isvalid" -> { e => StIsValid(e.head) },
+    "st_makevalid" -> { e => StMakeValid(e.head) },
+    // SQL arity 2 takes the DuckDB/PostGIS default of 8 segments/quadrant
+    "st_buffer" -> { e =>
+      if (e.length >= 3) StBuffer(e(0), e(1), e(2))
+      else StBuffer(e(0), e(1), Literal(8)) },
+    "st_simplify" -> { e => StSimplify(e(0), e(1)) },
+    "st_union" -> { e => StUnion(e(0), e(1)) },
+    "st_intersection" -> { e => StIntersection(e(0), e(1)) },
+    "st_difference" -> { e => StDifference(e(0), e(1)) },
+    "st_symdifference" -> { e => StSymDifference(e(0), e(1)) },
+    "st_within" -> { e => StWithin(e(0), e(1)) },
+    "st_dwithin" -> { e => StDWithin(e(0), e(1), e(2)) },
     "grid_cell_center_lon" -> { e => GridCellCenterLon(e.head) },
     "h3_latlng_to_cell" -> { e => H3LatLngToCell(e(0), e(1), e(2)) },
     "h3_cell_to_boundary_wkt" -> { e => H3CellToBoundaryWkt(e.head) },

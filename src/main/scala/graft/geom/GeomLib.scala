@@ -476,6 +476,124 @@ object GeomLib {
     if (ga == null || gb == null) null else Double.box(ga.distance(gb))
   }
 
+  // -------------------------------------------------------------------------
+  // Measures, constructive ops, and binary overlays — the DuckDB-spatial /
+  // PostGIS surface beyond the reference's own call sites, so a user of the
+  // reference's engine can keep the rest of their spatial SQL when they
+  // switch (interop depth per VERDICT r5; DuckDB spatial is the reference's
+  // execution engine, east_asia.py:49-50).
+  // -------------------------------------------------------------------------
+
+  /** Length of the lineal parts only — 0 for points and polygons (PostGIS /
+    * DuckDB ST_Length semantics: polygon boundaries are measured by
+    * [[perimeter]], not length). */
+  def length(wkb: Array[Byte]): java.lang.Double = {
+    val g = readOrNull(wkb)
+    if (g == null) return null
+    var sum = 0.0
+    var i = 0
+    while (i < g.getNumGeometries) {
+      g.getGeometryN(i) match {
+        case l: LineString => sum += l.getLength
+        case _ => ()
+      }
+      i += 1
+    }
+    Double.box(sum)
+  }
+
+  /** Boundary length of the polygonal parts only — 0 otherwise (PostGIS /
+    * DuckDB ST_Perimeter semantics). */
+  def perimeter(wkb: Array[Byte]): java.lang.Double = {
+    val g = readOrNull(wkb)
+    if (g == null) return null
+    var sum = 0.0
+    var i = 0
+    while (i < g.getNumGeometries) {
+      g.getGeometryN(i) match {
+        case p: Polygon => sum += p.getLength
+        case _ => ()
+      }
+      i += 1
+    }
+    Double.box(sum)
+  }
+
+  /** Envelope as a geometry: POLYGON for areal extents, degenerate inputs
+    * yield JTS's POINT/LINESTRING forms (PostGIS ST_Envelope). */
+  def envelopeGeom(wkb: Array[Byte]): Array[Byte] = {
+    val g = readOrNull(wkb)
+    if (g == null || g.isEmpty) null else write(g.getEnvelope)
+  }
+
+  def convexHull(wkb: Array[Byte]): Array[Byte] = {
+    val g = readOrNull(wkb)
+    if (g == null || g.isEmpty) null else write(g.convexHull())
+  }
+
+  /** JTS buffer with round joins and `quadSegs` segments per quadrant —
+    * DuckDB/PostGIS ST_Buffer defaults at quadSegs = 8. Negative distances
+    * shrink polygons (and may empty them, returned as an empty polygon). */
+  def buffer(wkb: Array[Byte], dist: Double, quadSegs: Int): Array[Byte] = {
+    val g = readOrNull(wkb)
+    if (g == null) null
+    else write(org.locationtech.jts.operation.buffer.BufferOp
+      .bufferOp(g, dist, new org.locationtech.jts.operation.buffer.BufferParameters(quadSegs)))
+  }
+
+  /** Douglas–Peucker simplification at `tolerance` (PostGIS ST_Simplify:
+    * topology not preserved; collapsed parts drop). */
+  def simplify(wkb: Array[Byte], tolerance: Double): Array[Byte] = {
+    val g = readOrNull(wkb)
+    if (g == null) null
+    else write(org.locationtech.jts.simplify.DouglasPeuckerSimplifier
+      .simplify(g, tolerance))
+  }
+
+  /** OGC validity per JTS IsValidOp (null for undecodable bytes — distinct
+    * from a well-formed-but-invalid geometry, which is false). */
+  def isValid(wkb: Array[Byte]): java.lang.Boolean = {
+    val g = readOrNull(wkb)
+    if (g == null) null else java.lang.Boolean.valueOf(g.isValid)
+  }
+
+  /** Repair invalid geometry (JTS GeometryFixer — the PostGIS ST_MakeValid
+    * capability): bowties split into their lobes, duplicate rings merge. */
+  def makeValid(wkb: Array[Byte]): Array[Byte] = {
+    val g = readOrNull(wkb)
+    if (g == null) null
+    else write(org.locationtech.jts.geom.util.GeometryFixer.fix(g))
+  }
+
+  private def overlay(a: Array[Byte], b: Array[Byte])(
+      op: (Geometry, Geometry) => Geometry): Array[Byte] = {
+    val ga = readOrNull(a)
+    val gb = readOrNull(b)
+    if (ga == null || gb == null) null
+    else try write(op(ga, gb))
+    catch { case _: org.locationtech.jts.geom.TopologyException => null }
+  }
+
+  def union(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    overlay(a, b)(_.union(_))
+  def intersection(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    overlay(a, b)(_.intersection(_))
+  def difference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    overlay(a, b)(_.difference(_))
+  def symDifference(a: Array[Byte], b: Array[Byte]): Array[Byte] =
+    overlay(a, b)(_.symDifference(_))
+
+  /** a within b ≡ b contains a. */
+  def within(a: Array[Byte], b: Array[Byte]): Boolean = contains(b, a)
+
+  /** Distance-bounded proximity via JTS isWithinDistance (envelope
+    * short-circuit — cheaper than materializing the distance). */
+  def dwithin(a: Array[Byte], b: Array[Byte], d: Double): Boolean = {
+    val ga = readOrNull(a)
+    val gb = readOrNull(b)
+    ga != null && gb != null && ga.isWithinDistance(gb, d)
+  }
+
   /** Boundary polygon (WKT) of a grid cell — capability twin of
     * H3_CELL_TO_BOUNDARY_WKT (East-Asia-Building-Footprints.md:264). */
   def cellBoundaryWkt(cell: Long): String = {

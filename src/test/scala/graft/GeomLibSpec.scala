@@ -114,4 +114,94 @@ class GeomLibSpec extends AnyFunSuite {
     assert(GeomLib.cellCenterLon(c12) > GeomLib.xMin(poly))
     assert(GeomLib.cellCenterLon(c12) < GeomLib.xMax(poly))
   }
+
+  test("length vs perimeter: lineal and polygonal parts measured separately") {
+    val line = GeomLib.fromText("LINESTRING (0 0, 3 4)")
+    assert(GeomLib.length(line) == 5.0)
+    assert(GeomLib.perimeter(line) == 0.0)
+    val sq = GeomLib.squareWkb(0.0, 0.0, 1.0) // 2x2 square
+    assert(GeomLib.perimeter(sq) == 8.0)
+    assert(GeomLib.length(sq) == 0.0)
+    val coll = GeomLib.fromText(
+      "GEOMETRYCOLLECTION (LINESTRING (0 0, 0 2), POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))")
+    assert(GeomLib.length(coll) == 2.0)
+    assert(GeomLib.perimeter(coll) == 4.0)
+    assert(GeomLib.length(GeomLib.pointWkb(1, 2)) == 0.0)
+    assert(GeomLib.length(Array[Byte](9)) == null)
+  }
+
+  test("envelope and convex hull") {
+    val diamond = GeomLib.fromText("POLYGON ((0 -1, 1 0, 0 1, -1 0, 0 -1))")
+    val env = GeomLib.envelopeGeom(diamond)
+    assert(GeomLib.area(env) == 4.0) // 2x2 bbox of the unit diamond
+    assert(GeomLib.area(diamond) == 2.0)
+    val zigzag = GeomLib.fromText("LINESTRING (0 0, 1 3, 2 0, 3 3, 4 0)")
+    val hull = GeomLib.convexHull(zigzag)
+    assert(GeomLib.wkbShapeType(hull) == 3)
+    assert(GeomLib.area(hull) == 9.0) // trapezoid (0,0)(4,0)(3,3)(1,3)
+    assert(GeomLib.envelopeGeom(GeomLib.pointWkb(2, 3)) != null)
+  }
+
+  test("buffer: point buffer is a regular 4q-gon of exact circumradius") {
+    val q = 8
+    val b = GeomLib.buffer(GeomLib.pointWkb(10.0, 20.0), 2.0, q)
+    val n = 4 * q
+    // JTS closes the ring: n distinct vertices, all at distance 2 from center
+    assert(GeomLib.nPoints(b) == n + 1)
+    val expected = 0.5 * n * 4.0 * math.sin(2 * math.Pi / n)
+    assert(math.abs(GeomLib.area(b) - expected) < 1e-9)
+    // negative buffer shrinks a polygon: 4x4 square shrunk by 1 -> 2x2
+    val sq = GeomLib.squareWkb(0.0, 0.0, 2.0)
+    assert(math.abs(GeomLib.area(GeomLib.buffer(sq, -1.0, q)) - 4.0) < 1e-9)
+  }
+
+  test("simplify drops collinear and sub-tolerance vertices") {
+    val wiggly = GeomLib.fromText(
+      "LINESTRING (0 0, 1 0.001, 2 -0.001, 3 0.002, 4 0)")
+    val simple = GeomLib.simplify(wiggly, 0.01)
+    assert(GeomLib.nPoints(simple) == 2)
+    assert(GeomLib.length(simple) == 4.0)
+    // tolerance below the wiggle keeps every vertex
+    assert(GeomLib.nPoints(GeomLib.simplify(wiggly, 0.0001)) == 5)
+  }
+
+  test("isValid / makeValid on a bowtie") {
+    val sq = GeomLib.squareWkb(0.0, 0.0, 1.0)
+    assert(GeomLib.isValid(sq) == java.lang.Boolean.TRUE)
+    // figure-eight: ring crosses itself at the origin
+    val bowtie = GeomLib.fromText(
+      "POLYGON ((-2 -1, 2 1, 2 -1, -2 1, -2 -1))")
+    assert(GeomLib.isValid(bowtie) == java.lang.Boolean.FALSE)
+    val fixed = GeomLib.makeValid(bowtie)
+    assert(GeomLib.isValid(fixed) == java.lang.Boolean.TRUE)
+    // two lobes, each a triangle of base 2 and height 2: area 2 + 2
+    assert(math.abs(GeomLib.area(fixed) - 4.0) < 1e-9)
+    assert(GeomLib.isValid(Array[Byte](7)) == null)
+  }
+
+  test("overlays: union / intersection / difference / symDifference exact") {
+    val a = GeomLib.squareWkb(0.0, 0.0, 2.0) // 4x4 at origin, area 16
+    val b = GeomLib.squareWkb(2.0, 0.0, 2.0) // overlaps right half, area 16
+    val inter = GeomLib.intersection(a, b)   // 2x4 strip
+    assert(GeomLib.area(inter) == 8.0)
+    assert(GeomLib.area(GeomLib.union(a, b)) == 24.0)
+    assert(GeomLib.area(GeomLib.difference(a, b)) == 8.0)
+    assert(GeomLib.area(GeomLib.symDifference(a, b)) == 16.0)
+    // disjoint: intersection is empty, union keeps both parts
+    val far = GeomLib.squareWkb(100.0, 0.0, 1.0)
+    assert(GeomLib.area(GeomLib.intersection(a, far)) == 0.0)
+    assert(GeomLib.area(GeomLib.union(a, far)) == 20.0)
+    assert(GeomLib.union(Array[Byte](9), a) == null)
+  }
+
+  test("within and dwithin") {
+    val sq = GeomLib.squareWkb(0.0, 0.0, 1.0)
+    val pt = GeomLib.pointWkb(0.25, 0.25)
+    val out = GeomLib.pointWkb(4.0, 0.0)
+    assert(GeomLib.within(pt, sq))
+    assert(!GeomLib.within(sq, pt))
+    assert(GeomLib.dwithin(sq, out, 3.0))
+    assert(!GeomLib.dwithin(sq, out, 2.9))
+    assert(!GeomLib.dwithin(Array[Byte](9), out, 100.0))
+  }
 }
