@@ -881,6 +881,28 @@ object SparkEntry {
         .orderBy("dx")
     },
 
+    "g16_union_agg" -> { (s, d) =>
+      // aggregate union / dissolve (DuckDB ST_Union_Agg): the partial/final
+      // TypedImperativeAggregate unions map-side before the shuffle. Two
+      // closed forms per group: DISJOINT squares (10-spaced integer centers,
+      // half 2) dissolve to 16 × distinct centers; an OVERLAPPING strip
+      // family ([p-2, p+2] × [-2, 2], p ∈ 0..3) dissolves to the merged
+      // extent (max-min+4) × 4 — both replayed arithmetically in SQL.
+      t(s, d, "lineitem")
+        .select((col("l_suppkey") % 10).cast("int").as("g"),
+          ((col("l_partkey") % 50).cast("double") * 10.0).as("px"),
+          ((col("l_suppkey") % 20).cast("double") * 10.0).as("py"),
+          (col("l_orderkey") % 4).cast("double").as("p"))
+        .withColumn("sq", st_make_square(col("px"), col("py"), lit(2.0)))
+        .withColumn("strip", st_make_square(col("p"), lit(0.0), lit(2.0)))
+        .groupBy(col("g"))
+        .agg(
+          st_area(st_union_agg(col("sq"))).cast("long").as("dissolve_area"),
+          st_area(st_union_agg(col("strip"))).cast("long").as("strip_area"),
+          count(lit(1)).as("n"))
+        .orderBy("g")
+    },
+
     "sql1_spatial_sql" -> { (s, d) =>
       // the SQL surface end-to-end: registered graft functions inside
       // spark.sql text, over a temp view (the engine's INSTALL/LOAD twin)
@@ -2483,6 +2505,19 @@ object SparkEntry {
            TRUE AS measures_ok, TRUE AS buffer_ok, TRUE AS simplify_ok,
            TRUE AS valid_ok, TRUE AS predicates_ok
          FROM r GROUP BY dx ORDER BY dx""",
+
+    "g16_union_agg" ->
+      """WITH r AS (
+           SELECT CAST(l_suppkey % 10 AS INT) AS g,
+                  (l_partkey % 50) * 10 AS px,
+                  (l_suppkey % 20) * 10 AS py,
+                  l_orderkey % 4 AS p
+           FROM lineitem)
+         SELECT g,
+           CAST(16 * COUNT(DISTINCT (px || '/' || py)) AS BIGINT) AS dissolve_area,
+           CAST((MAX(p) - MIN(p) + 4) * 4 AS BIGINT) AS strip_area,
+           COUNT(*) AS n
+         FROM r GROUP BY g ORDER BY g""",
 
     "sql1_spatial_sql" ->
       s"""SELECT 2305843009213693952 +

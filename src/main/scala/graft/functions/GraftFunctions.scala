@@ -73,6 +73,8 @@ object GraftFunctions {
   def st_within(a: Column, b: Column): Column = col(StWithin(ex(a), ex(b)))
   def st_dwithin(a: Column, b: Column, d: Column): Column =
     col(StDWithin(ex(a), ex(b), ex(d)))
+  def st_union_agg(geom: Column): Column =
+    col(StUnionAgg(ex(geom)).toAggregateExpression())
   def grid_cell_center_lon(cell: Column): Column = col(GridCellCenterLon(ex(cell)))
   def h3_latlng_to_cell(lat: Column, lng: Column, res: Column): Column =
     col(H3LatLngToCell(ex(lat), ex(lng), ex(res)))
@@ -175,6 +177,9 @@ object GraftFunctions {
     "st_symdifference" -> { e => StSymDifference(e(0), e(1)) },
     "st_within" -> { e => StWithin(e(0), e(1)) },
     "st_dwithin" -> { e => StDWithin(e(0), e(1), e(2)) },
+    // aggregate: the analyzer wraps a bare AggregateFunction from a
+    // registry builder in its AggregateExpression automatically
+    "st_union_agg" -> { e => StUnionAgg(e.head) },
     "grid_cell_center_lon" -> { e => GridCellCenterLon(e.head) },
     "h3_latlng_to_cell" -> { e => H3LatLngToCell(e(0), e(1), e(2)) },
     "h3_cell_to_boundary_wkt" -> { e => H3CellToBoundaryWkt(e.head) },
