@@ -881,6 +881,35 @@ object SparkEntry {
         .orderBy("dx")
     },
 
+    "g17_h3_distance" -> { (s, d) =>
+      // h3 grid distance (round 6): universal lattice identities over every
+      // distinct res-7 cell of the gate lattice — distance to self is 0,
+      // every ring-1 member sits at distance 1, and the ring-2 population
+      // (disk2 minus disk1) all sits at distance 2. Pentagons included:
+      // the identities hold for 5-neighbor cells too, so no H3 oracle is
+      // needed — the oracle pins the flags TRUE and the cell count.
+      val cells = t(s, d, "lineitem")
+        .filter(cxCol < 175.0 && cxCol > -175.0 &&
+          cyCol < 85.0 && cyCol > -85.0)
+        .select(h3_latlng_to_cell(cyCol, cxCol, lit(7)).as("c")).distinct()
+      cells
+        .withColumn("d1", h3_grid_disk(col("c"), lit(1)))
+        .withColumn("d2", h3_grid_disk(col("c"), lit(2)))
+        .withColumn("ok",
+          h3_grid_distance(col("c"), col("c")) === 0 &&
+            size(filter(col("d1"),
+              x => h3_grid_distance(col("c"), x) === 1)) === size(col("d1")) - 1 &&
+            size(filter(col("d2"),
+              x => h3_grid_distance(col("c"), x) === 2))
+              === size(col("d2")) - size(col("d1")) &&
+            h3_get_resolution(col("c")) === 7 &&
+            h3_is_pentagon(col("c")).isNotNull)
+        .agg(
+          (sum(when(col("ok"), 1L).otherwise(0L)) === count(lit(1)))
+            .as("distance_ok"),
+          count(lit(1)).as("n_cells"))
+    },
+
     "g16_union_agg" -> { (s, d) =>
       // aggregate union / dissolve (DuckDB ST_Union_Agg): the partial/final
       // TypedImperativeAggregate unions map-side before the shuffle. Two
@@ -2505,6 +2534,13 @@ object SparkEntry {
            TRUE AS measures_ok, TRUE AS buffer_ok, TRUE AS simplify_ok,
            TRUE AS valid_ok, TRUE AS predicates_ok
          FROM r GROUP BY dx ORDER BY dx""",
+
+    "g17_h3_distance" ->
+      s"""SELECT TRUE AS distance_ok,
+            CAST(COUNT(DISTINCT ($cxSql || '/' || $cySql)) AS BIGINT) AS n_cells
+          FROM lineitem
+          WHERE $cxSql < 175.0 AND $cxSql > -175.0
+            AND $cySql < 85.0 AND $cySql > -85.0""",
 
     "g16_union_agg" ->
       """WITH r AS (

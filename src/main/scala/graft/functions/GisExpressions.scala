@@ -784,3 +784,51 @@ case class H3IsValidCell(child: Expression) extends UnaryExpression
     defineCodeGen(ctx, ev, c => s"graft.geom.H3Lib.isValidCell($c)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** h3_get_resolution(cell) — resolution bits; null for invalid cells. */
+case class H3GetResolution(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "h3_get_resolution"
+  protected override def nullSafeEval(cell: Any): Any = {
+    val c = cell.asInstanceOf[Number].longValue
+    if (!H3Lib.isValidCell(c)) null else H3Lib.getResolution(c)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** h3_is_pentagon(cell) — true for the 12 pentagon-rooted cells per res;
+  * null for invalid cells. */
+case class H3IsPentagon(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+  override def prettyName: String = "h3_is_pentagon"
+  protected override def nullSafeEval(cell: Any): Any = {
+    val c = cell.asInstanceOf[Number].longValue
+    if (!H3Lib.isValidCell(c)) null else H3Lib.isPentagon(c)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** h3_grid_distance(a, b) — minimum grid steps between same-res cells
+  * (h3api:gridDistance; ring-BFS form). Null where the distance is
+  * undefined: invalid cells, mixed resolutions, or beyond the search
+  * horizon — the cases uber/h3 reports as errors. */
+case class H3GridDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "h3_grid_distance"
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val d = H3Lib.gridDistance(
+      a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
+    if (d < 0) null else d
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

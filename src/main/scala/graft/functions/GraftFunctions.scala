@@ -51,6 +51,9 @@ object GraftFunctions {
   def h3_cells_covering(geom: Column, res: Column): Column = col(H3CellsCovering(ex(geom), ex(res)))
   def h3_polygon_to_cells(geom: Column, res: Column): Column = col(H3PolygonToCells(ex(geom), ex(res)))
   def h3_grid_disk(cell: Column, k: Column): Column = col(H3GridDisk(ex(cell), ex(k)))
+  def h3_grid_distance(a: Column, b: Column): Column = col(H3GridDistance(ex(a), ex(b)))
+  def h3_get_resolution(cell: Column): Column = col(H3GetResolution(ex(cell)))
+  def h3_is_pentagon(cell: Column): Column = col(H3IsPentagon(ex(cell)))
   def st_contains(outer: Column, inner: Column): Column = col(StContains(ex(outer), ex(inner)))
   def st_intersects(a: Column, b: Column): Column = col(StIntersects(ex(a), ex(b)))
   def st_distance(a: Column, b: Column): Column = col(StDistance(ex(a), ex(b)))
@@ -186,6 +189,9 @@ object GraftFunctions {
     "h3_cell_center_lon" -> { e => H3CellCenterLon(e.head) },
     "h3_cell_center_lat" -> { e => H3CellCenterLat(e.head) },
     "h3_is_valid_cell" -> { e => H3IsValidCell(e.head) },
+    "h3_get_resolution" -> { e => H3GetResolution(e.head) },
+    "h3_is_pentagon" -> { e => H3IsPentagon(e.head) },
+    "h3_grid_distance" -> { e => H3GridDistance(e(0), e(1)) },
     "h3_cell_to_parent" -> { e => H3CellToParent(e(0), e(1)) },
     "h3_cell_to_children" -> { e => H3CellToChildren(e(0), e(1)) },
     "h3_compact_cells" -> { e => H3CompactCells(e.head) },

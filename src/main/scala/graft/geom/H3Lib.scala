@@ -1144,6 +1144,34 @@ object H3Lib {
     arr
   }
 
+  /** h3api:gridDistance — minimum grid steps between two cells of the same
+    * resolution; -1 for invalid input, mixed resolutions, or a search past
+    * `maxK`. uber/h3's local-IJ distance fails for distant cells too (the
+    * published contract allows failure across icosahedron edges and
+    * pentagon distortion); this ring BFS is exact wherever it answers. */
+  def gridDistance(a: Long, b: Long, maxK: Int): Int = {
+    if (!isValidCell(a) || !isValidCell(b)) return -1
+    if (getResolution(a) != getResolution(b)) return -1
+    if (a == b) return 0
+    val seen = scala.collection.mutable.HashSet(a)
+    var frontier: List[Long] = List(a)
+    var d = 0
+    while (d < maxK && frontier.nonEmpty) {
+      d += 1
+      val next = scala.collection.mutable.ListBuffer[Long]()
+      frontier.foreach { cell =>
+        cellNeighbors(cell).foreach { n =>
+          if (n == b) return d
+          if (seen.add(n)) next += n
+        }
+      }
+      frontier = next.toList
+    }
+    -1
+  }
+
+  def gridDistance(a: Long, b: Long): Int = gridDistance(a, b, 64)
+
   /** H3 covering of a lon-lat envelope: the grid disk of the envelope-center
     * cell, with radius chosen so every point of the envelope is inside some
     * disk cell — corner distance over the LOCAL neighbor spacing with a

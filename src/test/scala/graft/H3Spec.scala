@@ -383,4 +383,38 @@ class H3Spec extends AnyFunSuite {
       assert(H3Lib.cellToParent(c, 10) == 0L)
     }
   }
+
+  test("gridDistance: ring identities, symmetry, pentagons, error cases") {
+    val rnd = new scala.util.Random(17)
+    for (_ <- 0 until 50) {
+      val lat = math.toDegrees(math.asin(rnd.nextDouble() * 2 - 1))
+      val lng = rnd.nextDouble() * 360 - 180
+      val c = H3Lib.latLngToCell(lat, lng, 6)
+      assert(H3Lib.gridDistance(c, c) == 0)
+      // every disk-k member sits at distance <= k, ring members exactly k
+      val d1 = H3Lib.gridDisk(c, 1)
+      val d2 = H3Lib.gridDisk(c, 2)
+      d1.filter(_ != c).foreach(n => assert(H3Lib.gridDistance(c, n) == 1))
+      d2.filterNot(d1.contains).foreach { n =>
+        assert(H3Lib.gridDistance(c, n) == 2)
+        assert(H3Lib.gridDistance(n, c) == 2) // symmetric
+      }
+    }
+    // pentagon: 5 neighbors, all at distance 1 both ways
+    val pent = H3Lib.latLngToCell(H3Lib.cellToLatLng(0x8009fffffffffffL)._1,
+      H3Lib.cellToLatLng(0x8009fffffffffffL)._2, 4)
+    assert(H3Lib.isPentagon(pent))
+    val pn = H3Lib.cellNeighbors(pent)
+    assert(pn.length == 5)
+    pn.foreach { n =>
+      assert(H3Lib.gridDistance(pent, n) == 1)
+      assert(H3Lib.gridDistance(n, pent) == 1)
+    }
+    // error cases: mixed res, invalid cells, beyond horizon
+    val a = H3Lib.latLngToCell(10, 10, 6)
+    assert(H3Lib.gridDistance(a, H3Lib.cellToParent(a, 5)) == -1)
+    assert(H3Lib.gridDistance(a, 0L) == -1)
+    val far = H3Lib.latLngToCell(-10, -170, 6)
+    assert(H3Lib.gridDistance(a, far, 3) == -1) // horizon cut reports honestly
+  }
 }
