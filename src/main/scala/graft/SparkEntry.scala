@@ -1722,9 +1722,10 @@ object SparkEntry {
 
     "s9_geotiff_scan" -> { (s, d) =>
       // GeoTIFF source (round 6): every doc becomes a GeoTIFF authored by
-      // the from-spec writer across six layout variants — u8/u16/u32
+      // the from-spec writer across seven layout variants — u8/u16/u32
       // integer and f32/f64 float samples, both byte orders, strip and
-      // tile organization, Deflate and none, horizontal predictor — each
+      // tile organization, none/Deflate/LZW compression, horizontal
+      // predictor — each
       // georeferenced (alternating EPSG 4326 / 32633 GeoKeys + pixel
       // scale + tiepoint). Decode runs DISTRIBUTED through geotiff_meta /
       // geotiff_band_stats; pixel content is (id*31+i) % 251 so the
@@ -1741,7 +1742,7 @@ object SparkEntry {
           val scale = if (id % 2 == 0) (0.1, 0.1) else (10.0, 10.0)
           val origin = ((id % 360).toDouble - 180.0 + 0.5,
             (id % 180).toDouble - 90.0 + 0.25)
-          val v = (id % 6).toInt
+          val v = (id % 7).toInt
           import graft.sources.GeoTiff
           val bytes = v match {
             case 0 => GeoTiff.write(w, h, 1, 8, 1, px,
@@ -1756,8 +1757,10 @@ object SparkEntry {
             case 4 => GeoTiff.write(w, h, 1, 32, 3, px, littleEndian = false,
               deflate = true, tileSize = 16, epsg = epsg, pixelScale = scale,
               origin = origin)
-            case _ => GeoTiff.write(w, h, 1, 64, 3, px,
+            case 5 => GeoTiff.write(w, h, 1, 64, 3, px,
               epsg = epsg, pixelScale = scale, origin = origin)
+            case _ => GeoTiff.write(w, h, 1, 16, 1, px, lzw = true,
+              predictor = 2, epsg = epsg, pixelScale = scale, origin = origin)
           }
           (id, v, bytes)
         }.toDF("id", "variant", "payload")
@@ -3195,7 +3198,7 @@ object SparkEntry {
                    FROM docs d JOIN range(0, 224) r(i)
                      ON r.i < (8 + d.doc_id % 9) * (8 + d.doc_id % 7)
                    GROUP BY d.doc_id)
-          SELECT CAST(d.doc_id % 6 AS INTEGER) AS variant,
+          SELECT CAST(d.doc_id % 7 AS INTEGER) AS variant,
             COUNT(*) AS n_files,
             CAST(SUM(p.pixsum) AS BIGINT) AS sum_pix,
             CAST(SUM(CASE WHEN d.doc_id % 2 = 0 THEN 4326 ELSE 32633 END)

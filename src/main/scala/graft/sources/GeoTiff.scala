@@ -3,10 +3,11 @@ package graft.sources
 /** From-spec GeoTIFF codec (TIFF 6.0 + OGC GeoTIFF 1.1, both public specs):
   * IFD walk, GeoKey directory → EPSG + affine geotransform, and real pixel
   * decode for the raster layouts an analytics pipeline meets in practice —
-  * strip or tile organization, none/Deflate compression (the zlib the JDK
+  * strip or tile organization, none/LZW/Deflate compression (LZW per TIFF
+  * 6.0 §13 with the early-change rule; Deflate via the zlib the JDK
   * ships), horizontal-differencing predictor, chunky planar config, and
   * uint8/16/32, int8/16/32, float32/64 samples in either byte order.
-  * Anything outside that envelope (JPEG-in-TIFF, LZW, planar, float
+  * Anything outside that envelope (JPEG-in-TIFF, planar, float
   * predictor) returns null — the same loud-reject posture as the other
   * from-spec decoders (FileGdb, GeoPackage, JpegCodec).
   *
@@ -146,6 +147,133 @@ object GeoTiff {
       if (tie.length >= 6) tie(4) else 0.0)
   }
 
+  /** TIFF 6.0 §13 LZW decode: MSB-first variable-width codes (9→12 bits),
+    * ClearCode 256 / EOI 257, and the EARLY-CHANGE rule as implemented by
+    * the ecosystem (libtiff, JDK ImageIO): BOTH sides widen when the next
+    * free slot reaches 511/1023/2047 — one entry before the power of two.
+    * (Verified empirically against a JDK-ImageIO-authored stream: widening
+    * the decoder one entry earlier desynchronizes at code 254.) Returns
+    * null on any inconsistency (bad code, short output). */
+  private def lzwDecode(data: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var outN = 0
+    val nBits = data.length * 8
+    var bitPos = 0
+    var codeSize = 9
+    val table = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+    var next = 258
+    var prev: Array[Byte] = null
+    def readCode(): Int = {
+      if (bitPos + codeSize > nBits) return 257 // ran out: treat as EOI
+      var v = 0
+      var k = 0
+      while (k < codeSize) {
+        val b = bitPos + k
+        v = (v << 1) | ((data(b >> 3) >> (7 - (b & 7))) & 1)
+        k += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    def emit(s: Array[Byte]): Boolean = {
+      if (outN + s.length > expected) return false
+      System.arraycopy(s, 0, out, outN, s.length)
+      outN += s.length
+      true
+    }
+    def addEntry(s: Array[Byte]): Unit =
+      if (next < 4096) {
+        table(next) = s
+        next += 1
+        if ((next == 511 || next == 1023 || next == 2047) && codeSize < 12)
+          codeSize += 1
+      }
+    var done = false
+    while (!done) {
+      val code = readCode()
+      if (code == 257) done = true
+      else if (code == 256) {
+        java.util.Arrays.fill(table.asInstanceOf[Array[AnyRef]], 258, 4096, null)
+        next = 258
+        codeSize = 9
+        val first = readCode()
+        if (first == 257) done = true
+        else if (first > 255) return null
+        else { if (!emit(table(first))) return null; prev = table(first) }
+      } else {
+        if (prev == null) return null
+        val entry =
+          if (code < next && table(code) != null) table(code)
+          else if (code == next) prev :+ prev(0)
+          else return null
+        if (!emit(entry)) return null
+        addEntry(prev :+ entry(0))
+        prev = entry
+      }
+      if (outN == expected) done = true
+    }
+    if (outN == expected) out else null
+  }
+
+  /** TIFF 6.0 §13 LZW encode, width transitions mirroring the decoder's
+    * convention above (encoder widens at next-slot 512/1024/2048 — the
+    * decoder, one table entry behind, at 511/1023/2047; cross-validated
+    * against JDK ImageIO both directions). Table keyed by (prefix code,
+    * next byte); Clear emitted at start and at slot 4094 per the spec;
+    * EOI terminates. */
+  private[sources] def lzwEncode(raw: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    var codeSize = 9
+    def putCode(c: Int): Unit = {
+      bitBuf = (bitBuf << codeSize) | (c & ((1 << codeSize) - 1))
+      bitCnt += codeSize
+      while (bitCnt >= 8) {
+        bos.write(((bitBuf >>> (bitCnt - 8)) & 0xff).toInt)
+        bitCnt -= 8
+      }
+    }
+    val map = new java.util.HashMap[Integer, Integer]()
+    var next = 258
+    def key(prefix: Int, b: Byte): Integer =
+      Integer.valueOf((prefix << 8) | (b & 0xff))
+    putCode(256)
+    var omega = -1
+    var i = 0
+    while (i < raw.length) {
+      val k = raw(i)
+      if (omega < 0) omega = k & 0xff
+      else {
+        val cand = map.get(key(omega, k))
+        if (cand != null) omega = cand.intValue
+        else {
+          putCode(omega)
+          map.put(key(omega, k), Integer.valueOf(next))
+          next += 1
+          // the decoder is one table entry behind: it widens at 511/1023/
+          // 2047, so the encoder's own transition sits one later
+          if ((next == 512 || next == 1024 || next == 2048) && codeSize < 12)
+            codeSize += 1
+          if (next == 4094) { // spec: restart the dictionary before overflow
+            putCode(256)
+            map.clear()
+            next = 258
+            codeSize = 9
+          }
+          omega = k & 0xff
+        }
+      }
+      i += 1
+    }
+    if (omega >= 0) putCode(omega)
+    putCode(257)
+    if (bitCnt > 0) bos.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    bos.toByteArray
+  }
+
   private def inflate(data: Array[Byte], expected: Int): Array[Byte] = {
     val inf = new java.util.zip.Inflater()
     inf.setInput(data)
@@ -171,7 +299,7 @@ object GeoTiff {
     if (meta == null) return null
     import meta._
     val comp = compression
-    if (comp != 1 && comp != 8 && comp != 32946) return null
+    if (comp != 1 && comp != 5 && comp != 8 && comp != 32946) return null
     if (ifd.long1(284, 1) != 1) return null // planar not supported
     val predictor = ifd.long1(317, 1).toInt
     if (predictor != 1 && predictor != 2) return null
@@ -252,7 +380,9 @@ object GeoTiff {
       if (comp == 1) {
         if (len < rawLen) return null
         java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + rawLen)
-      } else inflate(java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt), rawLen)
+      } else if (comp == 5)
+        lzwDecode(java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt), rawLen)
+      else inflate(java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt), rawLen)
     }
 
     if (tiled) {
@@ -329,14 +459,15 @@ object GeoTiff {
 
   // --------------------------------------------------------------- writer
   /** Minimal single-IFD GeoTIFF writer for fixtures and sinks: one band
-    * set (chunky), strip or tile layout, none/Deflate compression,
+    * set (chunky), strip or tile layout, none/LZW/Deflate compression,
     * optional horizontal predictor, either byte order, and the GeoKey /
     * pixel-scale / tiepoint trio. Samples are caller-typed doubles. */
   def write(width: Int, height: Int, bands: Int, bitsPerSample: Int,
       sampleFormat: Int, samples: Array[Double], littleEndian: Boolean = true,
       deflate: Boolean = false, tileSize: Int = 0, predictor: Int = 1,
       epsg: Int = 0, pixelScale: (Double, Double) = (0.0, 0.0),
-      origin: (Double, Double) = (0.0, 0.0)): Array[Byte] = {
+      origin: (Double, Double) = (0.0, 0.0), lzw: Boolean = false): Array[Byte] = {
+    require(!(deflate && lzw), "pick one compression")
     require(samples.length == width * height * bands, "sample count mismatch")
     require(Set(8, 16, 32).contains(bitsPerSample) || (sampleFormat == 3 &&
       Set(32, 64).contains(bitsPerSample)), "unsupported type")
@@ -393,7 +524,8 @@ object GeoTiff {
           yy2 += 1
         }
       }
-      if (!deflate) raw
+      if (lzw) lzwEncode(raw)
+      else if (!deflate) raw
       else {
         val dfl = new java.util.zip.Deflater()
         dfl.setInput(raw)
@@ -449,7 +581,7 @@ object GeoTiff {
     tags += inlineTag(256, 4, width)
     tags += inlineTag(257, 4, height)
     if (bands == 1) tags += inlineTag(258, 3, bitsPerSample)
-    tags += inlineTag(259, 3, if (deflate) 8 else 1)
+    tags += inlineTag(259, 3, if (lzw) 5 else if (deflate) 8 else 1)
     tags += inlineTag(262, 3, if (bands >= 3) 2 else 1)
     tags += inlineTag(277, 3, bands)
     if (predictor == 2) tags += inlineTag(317, 3, 2)

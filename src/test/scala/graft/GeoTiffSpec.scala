@@ -66,22 +66,62 @@ class GeoTiffSpec extends AnyFunSuite {
     def px(i: Int): Double = (i * 37 % 251).toDouble
     for {
       le <- Seq(true, false)
-      deflate <- Seq(false, true)
+      comp <- Seq("none", "deflate", "lzw")
       tile <- Seq(0, 16)
       (fmt, bits) <- Seq((1, 8), (1, 16), (1, 32), (2, 16), (3, 32), (3, 64))
-      pred <- if (fmt == 3 || deflate == false) Seq(1) else Seq(1, 2)
+      pred <- if (fmt == 3 || comp == "none") Seq(1) else Seq(1, 2)
     } {
       val samples = Array.tabulate(w * h)(px)
       val bytes = GeoTiff.write(w, h, 1, bits, fmt, samples, littleEndian = le,
-        deflate = deflate, tileSize = tile, predictor = pred)
+        deflate = comp == "deflate", lzw = comp == "lzw", tileSize = tile,
+        predictor = pred)
       val meta = GeoTiff.readMeta(bytes)
-      val tag = s"le=$le deflate=$deflate tile=$tile fmt=$fmt bits=$bits pred=$pred"
+      val tag = s"le=$le comp=$comp tile=$tile fmt=$fmt bits=$bits pred=$pred"
       assert(meta != null && meta.width == w && meta.height == h, tag)
       assert(meta.tiled == (tile > 0), tag)
+      assert(meta.compression == (comp match {
+        case "none" => 1; case "lzw" => 5; case _ => 8 }), tag)
       val got = GeoTiff.readSamples(bytes)
       assert(got != null, tag)
       assert(got.toSeq == samples.toSeq, tag)
     }
+  }
+
+  test("LZW: ImageIO-authored stream decodes; width growth + dict reset") {
+    // ImageIO writes LZW with horizontal predictor choices of its own —
+    // an independent encoder implementation cross-checks ours
+    val w = 40; val h = 25
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, (x * 7 + y * 31) % 251)
+    val bos = new java.io.ByteArrayOutputStream()
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType("LZW")
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); wr.dispose()
+    val bytes = bos.toByteArray
+    assert(GeoTiff.readMeta(bytes).compression == 5)
+    val got = GeoTiff.readSamples(bytes)
+    assert(got != null)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(got(y * w + x) == ((x * 7 + y * 31) % 251).toDouble, s"($x,$y)")
+
+    // large pseudo-random raster: the dictionary climbs through the 9->12
+    // bit widths and past the 4094 restart — round-trip must stay exact
+    val rnd = new scala.util.Random(42)
+    val big = Array.fill(300 * 300)(rnd.nextInt(256).toDouble)
+    val enc = GeoTiff.write(300, 300, 1, 8, 1, big, lzw = true)
+    assert(GeoTiff.readSamples(enc).toSeq == big.toSeq)
+    // and a highly repetitive raster (the LZW-friendly case) round-trips
+    val rep = Array.tabulate(300 * 300)(i => ((i / 100) % 7).toDouble)
+    val enc2 = GeoTiff.write(300, 300, 1, 8, 1, rep, lzw = true)
+    assert(enc2.length < rep.length / 4, s"lzw should compress: ${enc2.length}")
+    assert(GeoTiff.readSamples(enc2).toSeq == rep.toSeq)
   }
 
   test("multi-band writer round-trip and band stats") {
@@ -130,19 +170,27 @@ class GeoTiffSpec extends AnyFunSuite {
     val cut = java.util.Arrays.copyOf(ok, ok.length - 40)
     assert(GeoTiff.readMeta(cut) != null)
     assert(GeoTiff.readSamples(cut) == null)
-    // unsupported compression id (LZW=5) rejects in readSamples
-    val lzw = ok.clone()
+    // unsupported compression id (JPEG-in-TIFF=7) rejects in readSamples
+    val jpg = ok.clone()
     // compression tag value: find tag 259 in IFD and overwrite its value
-    var o = 8 + 2
     var found = false
-    val n = (lzw(8) & 0xff) | ((lzw(9) & 0xff) << 8)
+    val n = (jpg(8) & 0xff) | ((jpg(9) & 0xff) << 8)
     for (i <- 0 until n if !found) {
       val off = 10 + i * 12
-      val tag = (lzw(off) & 0xff) | ((lzw(off + 1) & 0xff) << 8)
-      if (tag == 259) { lzw(off + 8) = 5; found = true }
+      val tag = (jpg(off) & 0xff) | ((jpg(off + 1) & 0xff) << 8)
+      if (tag == 259) { jpg(off + 8) = 7; found = true }
     }
     assert(found)
-    assert(GeoTiff.readMeta(lzw).compression == 5)
-    assert(GeoTiff.readSamples(lzw) == null)
+    assert(GeoTiff.readMeta(jpg).compression == 7)
+    assert(GeoTiff.readSamples(jpg) == null)
+    // compression id 5 with a garbage payload rejects instead of mis-decoding
+    val badLzw = ok.clone()
+    var f2 = false
+    for (i <- 0 until n if !f2) {
+      val off = 10 + i * 12
+      val tag = (badLzw(off) & 0xff) | ((badLzw(off + 1) & 0xff) << 8)
+      if (tag == 259) { badLzw(off + 8) = 5; f2 = true }
+    }
+    assert(GeoTiff.readSamples(badLzw) == null)
   }
 }
