@@ -2171,6 +2171,28 @@ object SparkEntry {
         .orderBy("hour_epoch", "event_type")
     },
 
+    "e6_stream_heatmap" -> { (s, d) =>
+      // streaming spatial heatmap batch twin (EventStreams.cellHeatmap —
+      // the signature H3 heatmap over watermarked hourly windows;
+      // StreamingSpec drives the real readStream form). Locations ride a
+      // coarse deterministic lattice (1 degree; res-7 cells ≈ 2 km), so
+      // distinct (hour, lon, lat) triples land in distinct (hour, cell)
+      // groups and the oracle counts them without an H3 implementation;
+      // the SF anchor literal pins absolute numbering as in a7h.
+      val ev = events(s, d)
+        .withColumn("lon", (col("user_id") % 350).cast("double") - 175.0 + 0.5)
+        .withColumn("lat", (col("event_id") % 170).cast("double") - 85.0 + 0.25)
+      graft.streaming.EventStreams.cellHeatmap(ev)
+        .agg(
+          sum(col("n")).cast("long").as("total_recs"),
+          count(lit(1)).as("n_groups"),
+          (sum(when(h3_is_valid_cell(col("cell")), 1L).otherwise(0L)) ===
+            count(lit(1))).as("all_valid"))
+        .select(col("total_recs"), col("n_groups"), col("all_valid"),
+          h3_latlng_to_cell(lit(37.7752702151959257),
+            lit(-122.418307270836230), lit(9)).as("sf_anchor"))
+    },
+
     "e2_sessionize" -> { (s, d) =>
       // 30-minute-gap sessionization per user (session_window built-in)
       events(s, d)
@@ -3367,6 +3389,14 @@ object SparkEntry {
          COUNT(*) AS n,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
          FROM events GROUP BY 1, event_type ORDER BY hour_epoch, event_type""",
+
+    "e6_stream_heatmap" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS total_recs,
+           CAST(COUNT(DISTINCT (epoch(date_trunc('hour', ts)) || '/' ||
+             (user_id % 350) || '/' || (event_id % 170))) AS BIGINT) AS n_groups,
+           TRUE AS all_valid,
+           CAST(617700169958293503 AS BIGINT) AS sf_anchor
+         FROM events""",
 
     "e2_sessionize" ->
       """WITH gaps AS (

@@ -73,6 +73,23 @@ object EventStreams {
         (unix_timestamp(col("r_ts")) - unix_timestamp(col("l_ts"))).as("gap_seconds"))
   }
 
+  /** Streaming spatial heatmap — the reference's signature H3 heatmap (A7,
+    * East-Asia-Building-Footprints.md:243-256) lifted onto an unbounded
+    * stream: watermarked event-time windows × true-H3 cell of each event's
+    * location. Takes lon/lat column names so any geocoded stream (device
+    * pings, geotagged documents) drops in; the aggregate partial-combines
+    * map-side like any Spark agg, and state is bounded by the watermark. */
+  def cellHeatmap(events: DataFrame, res: Int = 7, window_ : String = "1 hour",
+      watermark: String = "2 hours", lonCol: String = "lon",
+      latCol: String = "lat"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_),
+        graft.functions.GraftFunctions.h3_latlng_to_cell(
+          col(latCol), col(lonCol), lit(res)).as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("cell"), col("n"))
+
   case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 
   /** Custom keyed state via flatMapGroupsWithState: a per-user running

@@ -37,6 +37,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.columns.contains("window_start"))
   }
 
+  test("cellHeatmap: streamed H3 heatmap matches its batch twin") {
+    val geo = eventsBatch()
+      .withColumn("lon", (col("user_id") % 350).cast("double") - 175.0 + 0.5)
+      .withColumn("lat", (col("event_id") % 170).cast("double") - 85.0 + 0.25)
+    val dir = java.nio.file.Files.createTempDirectory("geoev").toString + "/data"
+    geo.write.parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    assert(stream.isStreaming)
+    val q = EventStreams.cellHeatmap(stream)
+      .writeStream.format("memory").queryName("hm_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("hm_out").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = EventStreams.cellHeatmap(spark.read.parquet(dir)).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // append mode holds back windows the watermark hasn't closed; every
+    // emitted (window, cell) group must agree with the batch twin exactly
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, n) => assert(batch.get(k).contains(n), s"$k") }
+    // 20h span, 2h watermark: the bulk of the stream must have emitted
+    assert(streamed.values.sum > batch.values.sum / 2)
+    // the lattice makes each (window, cell) group a distinct lattice point
+    assert(batch.keySet.map(_._2).forall(graft.geom.H3Lib.isValidCell))
+  }
+
   test("DocStreams.intake: quality floor + hash dedup on a real stream") {
     import graft.streaming.DocStreams
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
