@@ -1860,23 +1860,30 @@ object SparkEntry {
     "mm1_binary_meta" -> { (s, d) =>
       // multimodal plumbing: opaque binary columns + typed metadata.
       // Round 6 adds the audio/video container kinds (VERDICT r5 #8): a
-      // third of the corpus becomes MP4 headers (ftyp + moov/mvhd,
-      // alternating mvhd v0/v1 layouts), a third FLAC STREAMINFO blocks —
-      // both with closed-form duration/rate/channels the oracle recomputes
-      // — and a third stays raw text (StubDecoder fallback, byte-sum
-      // checked as before). Parsing runs DISTRIBUTED through
-      // Multimodal.withMeta/HeaderDecoder.
+      // quarter of the corpus becomes MP4 headers (ftyp + moov/mvhd,
+      // alternating mvhd v0/v1 layouts), a quarter FLAC STREAMINFO blocks,
+      // a quarter MP3 (ID3v2 skip + Layer-III frame header, MPEG1 AND
+      // MPEG2 tables, CBR duration) — all with closed-form duration/rate/
+      // channels the oracle recomputes — and a quarter stays raw text
+      // (StubDecoder fallback, byte-sum checked as before). Parsing runs
+      // DISTRIBUTED through Multimodal.withMeta/HeaderDecoder.
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .map { case (id, text) =>
-          val payload: Array[Byte] = (id % 3) match {
+          val payload: Array[Byte] = (id % 4) match {
             case 0 => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
             case 1 => graft.multimodal.Multimodal.writeMp4Header(
               1000, 1000L + id % 5000, version = (id % 2).toInt)
-            case _ => graft.multimodal.Multimodal.writeFlacHeader(
+            case 2 => graft.multimodal.Multimodal.writeFlacHeader(
               8000 + (id % 8).toInt * 4000, 1 + (id % 2).toInt,
               (8000L + (id % 8) * 4000L) * (1L + id % 7))
+            case _ =>
+              val q = id / 4
+              graft.multimodal.Multimodal.writeMp3(
+                id3Pad = (q % 50).toInt, v1 = q % 2 == 0,
+                brIdx = Array(2, 8, 14)((q % 3).toInt), srIdx = (q % 3).toInt,
+                mono = q % 5 == 0, audioBytes = 100 + (q % 400).toInt)
           }
           (id, payload)
         }.toDF("id", "payload")
@@ -3274,19 +3281,34 @@ object SparkEntry {
              COUNT(*) AS n, CAST(SUM(strlen(text)) AS BIGINT) AS sum_bytes,
              CAST(0 AS BIGINT) AS dur_total, CAST(0 AS BIGINT) AS rate_total,
              CAST(0 AS BIGINT) AS chan_total
-           FROM documents WHERE doc_id % 3 = 0
+           FROM documents WHERE doc_id % 4 = 0
            UNION ALL
            SELECT 'video/mp4', 'mp42', COUNT(*),
              CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 136 ELSE 148 END) AS BIGINT),
              CAST(SUM(1000 + doc_id % 5000) AS BIGINT),
              CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-           FROM documents WHERE doc_id % 3 = 1
+           FROM documents WHERE doc_id % 4 = 1
            UNION ALL
            SELECT 'audio/flac', 'flac', COUNT(*), CAST(COUNT(*) * 42 AS BIGINT),
              CAST(SUM((1 + doc_id % 7) * 1000) AS BIGINT),
              CAST(SUM(8000 + (doc_id % 8) * 4000) AS BIGINT),
              CAST(SUM(1 + doc_id % 2) AS BIGINT)
-           FROM documents WHERE doc_id % 3 = 2
+           FROM documents WHERE doc_id % 4 = 2
+           UNION ALL
+           SELECT 'audio/mpeg', 'mp3', COUNT(*),
+             CAST(SUM(10 + ((doc_id // 4) % 50) + 100 + ((doc_id // 4) % 400))
+               AS BIGINT),
+             CAST(SUM(((100 + (doc_id // 4) % 400) * 8) //
+               (CASE WHEN (doc_id // 4) % 2 = 0
+                 THEN CASE (doc_id // 4) % 3 WHEN 0 THEN 40 WHEN 1 THEN 112 ELSE 320 END
+                 ELSE CASE (doc_id // 4) % 3 WHEN 0 THEN 16 WHEN 1 THEN 64 ELSE 160 END
+               END)) AS BIGINT),
+             CAST(SUM(CASE WHEN (doc_id // 4) % 2 = 0
+                 THEN CASE (doc_id // 4) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+                 ELSE CASE (doc_id // 4) % 3 WHEN 0 THEN 22050 WHEN 1 THEN 24000 ELSE 16000 END
+               END) AS BIGINT),
+             CAST(SUM(CASE WHEN (doc_id // 4) % 5 = 0 THEN 1 ELSE 2 END) AS BIGINT)
+           FROM documents WHERE doc_id % 4 = 3
          ) ORDER BY mime""",
 
     // pixel sum of ((a + i) % 256 for i < n) in closed form: the series

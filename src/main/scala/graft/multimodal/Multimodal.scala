@@ -123,6 +123,37 @@ object Multimodal {
       MediaMeta("audio/flac", n, rate, chans, durMs, rate, chans, "flac")
     }
 
+    // Layer III bitrate tables (kbps) per the public MPEG audio frame
+    // header layout; index 0 = free, 15 = bad (both rejected)
+    private val V1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    private val V2L3 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+    /** MPEG audio (MP3) frame header at `off`: 11-bit sync, version, layer
+      * III bitrate/sample-rate indices, channel mode. Duration is the CBR
+      * estimate (audio bytes × 8 / bitrate) — the honest headers-only
+      * answer; VBR streams would need a full frame walk or a Xing tag. */
+    private def decodeMp3(p: Array[Byte], n: Long, off: Int): MediaMeta = {
+      if (off + 4 > p.length) return StubDecoder.decode(p)
+      val h1 = p(off + 1) & 0xff
+      val h2 = p(off + 2) & 0xff
+      val h3 = p(off + 3) & 0xff
+      val verBits = (h1 >> 3) & 3 // 0=MPEG2.5, 2=MPEG2, 3=MPEG1
+      val layerBits = (h1 >> 1) & 3 // 1 = Layer III
+      if (layerBits != 1 || verBits == 1) return StubDecoder.decode(p)
+      val brIdx = (h2 >> 4) & 15
+      val srIdx = (h2 >> 2) & 3
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return StubDecoder.decode(p)
+      val kbps = if (verBits == 3) V1L3(brIdx) else V2L3(brIdx)
+      val rate = verBits match {
+        case 3 => Array(44100, 48000, 32000)(srIdx)
+        case 2 => Array(22050, 24000, 16000)(srIdx)
+        case _ => Array(11025, 12000, 8000)(srIdx)
+      }
+      val chans = if (((h3 >> 6) & 3) == 3) 1 else 2
+      val durMs = (n - off) * 8 / kbps
+      MediaMeta("audio/mpeg", n, rate, chans, durMs, rate, chans, "mp3")
+    }
+
     def decode(p: Array[Byte]): MediaMeta = {
       val n = p.length.toLong
       if (p.length >= 24 && p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
@@ -157,6 +188,19 @@ object Multimodal {
         decodeFlac(p, n)
       else if (p.length >= 16 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p')
         decodeMp4(p, n)
+      else if (p.length >= 14 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+        // ID3v2 tag prefix: 10-byte header with a syncsafe (4×7-bit) size,
+        // then the first MPEG audio frame
+        val size = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
+          ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
+        val off = 10 + size
+        if (off + 4 <= p.length && p(off) == 0xff.toByte &&
+            (p(off + 1) & 0xe0) == 0xe0) decodeMp3(p, n, off)
+        else StubDecoder.decode(p)
+      }
+      else if (p.length >= 4 && p(0) == 0xff.toByte && (p(1) & 0xff) != 0xd8 &&
+          (p(1) & 0xe0) == 0xe0)
+        decodeMp3(p, n, 0)
       else if (p.length >= 4 && p(0) == 0xff.toByte && p(1) == 0xd8.toByte) {
         // JPEG: walk marker segments to the first SOF0/1/2 frame header
         var i = 2
@@ -220,6 +264,25 @@ object Multimodal {
     b(23) = ((totalSamples >> 16) & 0xff).toByte
     b(24) = ((totalSamples >> 8) & 0xff).toByte
     b(25) = (totalSamples & 0xff).toByte
+    b
+  }
+
+  /** Deterministic MP3 fixture: ID3v2 header with `id3Pad` bytes of tag
+    * body, then one Layer-III frame header (MPEG1 when `v1`, else MPEG2)
+    * followed by `audioBytes - 4` filler bytes — enough surface for the
+    * CBR headers-only parse (bitrate/rate/channels/duration). */
+  def writeMp3(id3Pad: Int, v1: Boolean, brIdx: Int, srIdx: Int,
+      mono: Boolean, audioBytes: Int): Array[Byte] = {
+    require(id3Pad < 128 && audioBytes >= 4, "fixture bounds")
+    val b = new Array[Byte](10 + id3Pad + audioBytes)
+    b(0) = 'I'; b(1) = 'D'; b(2) = '3'; b(3) = 3 // ID3v2.3
+    b(9) = id3Pad.toByte // syncsafe size, fits one 7-bit byte
+    val off = 10 + id3Pad
+    b(off) = 0xff.toByte
+    b(off + 1) = (0xe0 | ((if (v1) 3 else 2) << 3) | (1 << 1) | 1).toByte
+    b(off + 2) = ((brIdx << 4) | (srIdx << 2)).toByte
+    b(off + 3) = (if (mono) 3 << 6 else 0).toByte
+    java.util.Arrays.fill(b, off + 4, b.length, 0xaa.toByte)
     b
   }
 

@@ -116,6 +116,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(d.decode(wrong).mime == "application/octet-stream")
   }
 
+  test("MP3 frame header: ID3 skip, both version tables, CBR duration") {
+    val d = Multimodal.HeaderDecoder
+    // MPEG1 Layer III, 128 kbps (idx 9), 44100 Hz (idx 0), stereo, ID3 pad
+    val v1 = d.decode(Multimodal.writeMp3(37, v1 = true, brIdx = 9,
+      srIdx = 0, mono = false, audioBytes = 16000))
+    assert(v1.mime == "audio/mpeg" && v1.codec == "mp3", v1)
+    assert(v1.sample_rate == 44100 && v1.channels == 2, v1)
+    assert(v1.duration_ms == 16000L * 8 / 128, v1) // 1000 ms
+    assert(v1.n_bytes == 10 + 37 + 16000, v1)
+    // MPEG2 table: idx 9 is 80 kbps; 16 kHz (idx 2); mono; no ID3 pad
+    val v2 = d.decode(Multimodal.writeMp3(0, v1 = false, brIdx = 9,
+      srIdx = 2, mono = true, audioBytes = 10000))
+    assert(v2.sample_rate == 16000 && v2.channels == 1, v2)
+    assert(v2.duration_ms == 10000L * 8 / 80, v2)
+    // raw sync with no ID3 prefix also parses
+    val raw = java.util.Arrays.copyOfRange(
+      Multimodal.writeMp3(0, v1 = true, brIdx = 9, srIdx = 0,
+        mono = false, audioBytes = 4000), 10, 10 + 4000)
+    val r = d.decode(raw)
+    assert(r.mime == "audio/mpeg" && r.duration_ms == 4000L * 8 / 128, r)
+    // free-format (idx 0) and Layer I reject to the stub, not garbage
+    val free = raw.clone(); free(2) = 0 // bitrate idx 0
+    assert(d.decode(free).mime == "application/octet-stream")
+    val layer1 = raw.clone(); layer1(1) = 0xff.toByte // layer bits 11 = I
+    assert(d.decode(layer1).mime == "application/octet-stream")
+    // ID3 whose declared size overruns the payload falls back to the stub
+    val overrun = Multimodal.writeMp3(100, v1 = true, brIdx = 9, srIdx = 0,
+      mono = false, audioBytes = 100)
+    val cut = java.util.Arrays.copyOf(overrun, 60)
+    assert(d.decode(cut).mime == "application/octet-stream")
+  }
+
   test("resizeMeta caps dimensions preserving aspect") {
     val resized = Multimodal.resizeMeta(Multimodal.withMeta(spark, payloads()), 128)
     assert(resized.collect().forall(r =>
