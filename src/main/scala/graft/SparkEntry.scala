@@ -1176,6 +1176,27 @@ object SparkEntry {
         .orderBy("h")
     },
 
+    "t22_incremental_dedup" -> { (s, d) =>
+      // incremental ingestion dedup (Dedup.incrementalDedup): a synthetic
+      // nightly batch interleaves exact copies of corpus texts (even
+      // batch_id) with prefixed fresh texts (odd); the bloom prefilter +
+      // broadcast verification must drop exactly the rows whose text
+      // exists in the corpus. The oracle replays the batch construction
+      // and a NOT EXISTS against the corpus — collision-proof regardless
+      // of what the texts contain.
+      val corpus = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val seed = corpus.filter(col("doc_id") < 400)
+      val batch = seed
+        .select((col("doc_id") * 2).as("batch_id"), col("text"))
+        .unionByName(seed.select((col("doc_id") * 2 + 1).as("batch_id"),
+          concat(lit("fresh "), col("doc_id").cast("string"), lit(" "),
+            col("text")).as("text")))
+      graft.operators.Dedup.incrementalDedup(batch, corpus,
+          expectedCorpusDocs = 100000L)
+        .select(col("batch_id"))
+        .orderBy("batch_id")
+    },
+
     "t3_ngram_jaccard" -> { (s, d) =>
       // exact 3-gram Jaccard near-dup pairs ≥ 0.5 through the library's
       // inverted-index kernel (Dedup.jaccardPairs): posting-list pair
@@ -3086,6 +3107,17 @@ object SparkEntry {
            FROM documents WHERE source NOT IN ('src7', 'src13'))
          SELECT doc_id, source, CAST(domain_rank AS BIGINT) AS domain_rank
          FROM ranked WHERE domain_rank <= 10 ORDER BY doc_id""",
+
+    "t22_incremental_dedup" ->
+      """WITH seed AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+            batch AS (
+              SELECT doc_id * 2 AS batch_id, text FROM seed
+              UNION ALL
+              SELECT doc_id * 2 + 1,
+                'fresh ' || CAST(doc_id AS VARCHAR) || ' ' || text FROM seed)
+         SELECT b.batch_id FROM batch b
+         WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = b.text)
+         ORDER BY batch_id""",
 
     // per-character brute force over the t17 planted corpus: a char is cut
     // iff covered by a non-first occurrence of a duplicated 40-char window

@@ -331,6 +331,58 @@ object Dedup {
     * one survivor (lowest id) per near-dup cluster; everything else passes
     * through. The shape of a production training-data dedup stage: candidate
     * generation and clustering never touch more than the near-dup pairs. */
+  /** Incremental ingestion dedup: drop rows of `newBatch` whose exact text
+    * already exists in `corpus` — the nightly-crawl-against-existing-corpus
+    * shape, where shuffling the corpus per batch would be absurd.
+    *
+    * Scale shape (the broadcast never carries the corpus):
+    *  1. one corpus scan builds a BLOOM FILTER over xxhash64(text) using
+    *     Spark's own runtime-filter machinery (`BloomFilterAggregate` —
+    *     map-side partial sketches, tiny merge) sized for
+    *     `expectedCorpusDocs` at `fpp`;
+    *  2. the batch probes it map-side (`BloomFilterMightContain`, codegen);
+    *     misses are PROVABLY new (no false negatives) and never join;
+    *  3. the hit set — |true dups| + fpp·|batch| rows — broadcasts to a
+    *     second corpus scan for exact md5 verification (broadcast semi
+    *     join, map-only on the corpus side), and the verified dup hashes
+    *     broadcast back to anti-join the batch.
+    * Neither the corpus nor the batch is ever exchange-shuffled
+    * (ScalePlanSpec pins broadcast-only joins). Within-batch duplicates
+    * are out of scope by design — run [[exact]] on the batch for those.
+    */
+  def incrementalDedup(newBatch: DataFrame, corpus: DataFrame,
+      textCol: String = "text",
+      expectedCorpusDocs: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.SparkInternals.{column, expression}
+    import org.apache.spark.sql.types.BinaryType
+
+    val numBits = math.max(64L,
+      math.ceil(-expectedCorpusDocs * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bloomAgg = new BloomFilterAggregate(
+      expression(xxhash64(col(textCol))),
+      Literal(expectedCorpusDocs), Literal(numBits))
+    val bloomBytes = corpus
+      .select(column(bloomAgg.toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    def mightContain(c: org.apache.spark.sql.Column) =
+      column(BloomFilterMightContain(Literal(bloomBytes, BinaryType),
+        expression(xxhash64(c))))
+
+    val probed = newBatch.withColumn("__maybe", mightContain(col(textCol)))
+    val candHashes = probed.filter(col("__maybe"))
+      .select(md5(col(textCol).cast("binary")).as("__ch")).distinct()
+    val dupHashes = corpus
+      .join(broadcast(candHashes),
+        md5(col(textCol).cast("binary")) === col("__ch"), "left_semi")
+      .select(md5(col(textCol).cast("binary")).as("__dh")).distinct()
+    probed
+      .join(broadcast(dupHashes),
+        md5(col(textCol).cast("binary")) === col("__dh"), "left_anti")
+      .drop("__maybe")
+  }
+
   def dedupeCorpus(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id",
       minJaccard: Double = 0.8): DataFrame = {
     val pairs = minhashPairs(docs, textCol, idCol, minJaccard = minJaccard)

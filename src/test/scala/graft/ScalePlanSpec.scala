@@ -27,6 +27,23 @@ class ScalePlanSpec extends AnyFunSuite {
     finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("incrementalDedup: broadcast-only joins, neither side exchange-shuffled") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      val corpus = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val batch = corpus.limit(50)
+      Dedup.incrementalDedup(batch, corpus, expectedCorpusDocs = 10000L)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(p.contains("might_contain"), s"bloom probe missing:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"broadcast join missing:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus/batch must never exchange-shuffle through a join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"no nested loop:\n$p")
+  }
+
   test("t5 pair generation plans an equality join — no nested-loop, no cartesian") {
     // The gate query wraps simhashPairs in an invariant-oracle summary that
     // deliberately crossJoins two SINGLE-ROW aggregates (1×1 — free at any
