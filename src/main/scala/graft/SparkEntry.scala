@@ -1197,6 +1197,39 @@ object SparkEntry {
         .orderBy("batch_id")
     },
 
+    "t23_bpe_tokenize" -> { (s, d) =>
+      // real BPE (Sennrich et al. 2016, the sentencepiece/GPT-2 family):
+      // merges trained on the DISTRIBUTED word histogram (map-side
+      // combinable groupBy + top-K; the merge loop is bounded driver work
+      // on that histogram — the shape production tokenizer training
+      // actually has), encoding a map-only broadcast-model expression
+      // (graft.functions.BpeEncode). Token VALUES aren't ANSI-expressible,
+      // but the tokenizer's CONTRACT is, and the gate pins it per-row
+      // through the REAL trained merge table: decode∘encode is the
+      // identity on the single-spaced corpus (concatenated tokens must
+      // equal text with every space replaced by the end-of-word marker —
+      // an exact string equality, not a length proxy), every word yields
+      // ≥ 1 token, and merges can only shrink a word below its chars+1
+      // base symbols. Booleans must be TRUE on every row or the hash
+      // mismatches.
+      val docs = t(s, d, "documents")
+      val model = graft.text.Bpe.train(docs, "text",
+        numMerges = 150, maxWords = 20000)
+      val toks = bpe_encode(col("text"), model)
+      val eow = lit(graft.text.Bpe.EOW)
+      val nWords = size(split(col("text"), lit(" ")))
+      val empty = length(col("text")) === 0
+      docs.select(
+          col("doc_id"),
+          nWords.as("n_words"),
+          when(empty, lit(true)).otherwise(
+            concat_ws("", toks) === concat(regexp_replace(col("text"), lit(" "), eow), eow))
+            .as("roundtrip_ok"),
+          when(empty, lit(true)).otherwise(size(toks) >= nWords).as("tok_ge_words"),
+          (size(toks) <= length(col("text")) + 1).as("tok_le_syms"))
+        .orderBy("doc_id")
+    },
+
     "t3_ngram_jaccard" -> { (s, d) =>
       // exact 3-gram Jaccard near-dup pairs ≥ 0.5 through the library's
       // inverted-index kernel (Dedup.jaccardPairs): posting-list pair
@@ -3118,6 +3151,15 @@ object SparkEntry {
          SELECT b.batch_id FROM batch b
          WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = b.text)
          ORDER BY batch_id""",
+
+    // the tokenizer contract (see the t23 query comment): n_words is
+    // recomputed independently; the three invariant booleans must be TRUE
+    // on every row for the hash to match.
+    "t23_bpe_tokenize" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+           TRUE AS roundtrip_ok, TRUE AS tok_ge_words, TRUE AS tok_le_syms
+         FROM documents ORDER BY doc_id""",
 
     // per-character brute force over the t17 planted corpus: a char is cut
     // iff covered by a non-first occurrence of a duplicated 40-char window

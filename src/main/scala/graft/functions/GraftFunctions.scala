@@ -102,6 +102,8 @@ object GraftFunctions {
   def winnow_fingerprint(text: Column, k: Column, w: Column): Column =
     col(WinnowFingerprint(ex(text), ex(k), ex(w)))
   def bpeish_token_count(text: Column): Column = col(BpeIshTokenCount(ex(text)))
+  def bpe_encode(text: Column, model: graft.text.BpeModel): Column =
+    col(BpeEncode(ex(text), model))
   def quality_score(text: Column): Column = col(QualityScore(ex(text)))
   def detect_lang(text: Column): Column = col(DetectLang(ex(text)))
 

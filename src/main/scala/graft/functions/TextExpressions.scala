@@ -213,3 +213,32 @@ case class RhpSignature(first: Expression, second: Expression, third: Expression
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
 }
+
+/** bpe_encode(text) → BPE token array under a trained merge table
+  * ([[graft.text.BpeModel]]). The model is a constructor parameter, not a
+  * child expression: it rides to executors inside the serialized expression
+  * (and codegen embeds it via `addReferenceObj`, the [[NearestCells]]
+  * pattern), so encoding is a map-only broadcast-model pass — the correct
+  * shape for tokenizing a 100 TB corpus. */
+case class BpeEncode(child: Expression, model: graft.text.BpeModel)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_encode"
+  protected override def nullSafeEval(text: Any): Any =
+    new GenericArrayData(BpeEncode.toUtf8(
+      model.encode(text.asInstanceOf[UTF8String].toString)).asInstanceOf[Array[Any]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bpeModel", model, "graft.text.BpeModel")
+    defineCodeGen(ctx, ev, t =>
+      s"$GAD(graft.functions.BpeEncode.toUtf8($mRef.encode($t.toString())))")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object BpeEncode {
+  /** codegen helper: String[] → UTF8String[] (generated Java can't map). */
+  def toUtf8(tokens: Array[String]): Array[UTF8String] =
+    tokens.map(UTF8String.fromString)
+}
