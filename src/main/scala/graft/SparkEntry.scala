@@ -1628,6 +1628,30 @@ object SparkEntry {
         .orderBy("l_returnflag")
     },
 
+    "k7_xml_roundtrip" -> { (s, d) =>
+      // semi-structured interchange via Spark 4's BUILT-IN xml source
+      // (merged into spark-sql core — no extra dependency): raw document
+      // text goes out as element content and back in, and the md5 is
+      // computed AFTER the roundtrip, so any escaping/entity/whitespace
+      // mangling by the writer or reader shifts min/max/distinct md5 and
+      // hash-mismatches the oracle (which computes the same digests from
+      // the original parquet). Interchange matters for crawl-derived
+      // training corpora (sitemaps, RSS, XHTML dumps).
+      val tmp = java.nio.file.Files.createTempDirectory("graft_xml").toString
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .write.mode("overwrite").option("rootTag", "docs").option("rowTag", "doc")
+        .format("xml").save(tmp)
+      s.read.option("rowTag", "doc").format("xml").load(tmp)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("sum_chars"),
+          countDistinct(md5(col("text"))).as("n_md5"),
+          min(md5(col("text"))).as("md5_min"),
+          max(md5(col("text"))).as("md5_max"))
+        .orderBy("source")
+    },
+
     "k1_clustered_sink" -> { (s, d) =>
       // the reference's signature sink (K1/O1, east_asia.py:72-83) as an
       // end-to-end oracled gate: a deterministic lineitem point sample goes
@@ -3034,6 +3058,15 @@ object SparkEntry {
              AS sum_price_cents,
            COUNT(DISTINCT l_orderkey) AS n_orders
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    // content digests recomputed from the original parquet — the Spark side
+    // hashes AFTER the XML roundtrip, so a match proves byte-exact escaping
+    "k7_xml_roundtrip" ->
+      """SELECT source, COUNT(*) AS n,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+           COUNT(DISTINCT md5(text)) AS n_md5,
+           MIN(md5(text)) AS md5_min, MAX(md5(text)) AS md5_max
+         FROM documents GROUP BY source ORDER BY source""",
 
     // C4 line dedup replicated end-to-end: the same line-manufacturing
     // regex (RE2 '\1'||chr(10) ≡ Java "$1\n"), first-occurrence rank via
