@@ -38,15 +38,21 @@ object SparkEntry {
     s.read.parquet(s"$dir/$name.parquet")
   }
 
-  /** events.parquet carries nanosecond timestamps; Spark's parquet reader
-    * rejects TIMESTAMP(NANOS) unless read as raw long — normalize to a
-    * microsecond TimestampType column deterministically. */
+  /** events.parquet has carried three timestamp physical types across
+    * driver-generated datasets: TIMESTAMP(NANOS) (readable only as raw
+    * long), naive TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ since the
+    * parquet value is not UTC-adjusted), and UTC-adjusted micros (plain
+    * TimestampType). Normalize all three to a microsecond TimestampType
+    * column: the session timezone is pinned to UTC by every entrypoint, so
+    * the NTZ→instant cast is the identity mapping DuckDB applies when it
+    * reads the same naive column. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = t(s, dir, "events")
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => df
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
     }
   }
 
