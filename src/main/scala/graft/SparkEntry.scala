@@ -2247,6 +2247,26 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    "v5_ann_ivfpq" -> { (s, d) =>
+      // IVF-PQ ANN (Similarity.ivfPqTopK): coarse cells + per-subspace
+      // residual codebooks trained on a bounded driver sample, m-byte codes
+      // through the candidate join (the 100 TB memory path), ADC-shortlist
+      // then exact-cosine refine. Planted-self-match oracle: a query that
+      // copies a corpus vector probes its twin's cell (shared argmax
+      // tie-break) and the twin's exact re-rank score is cos 1.0 — far
+      // above this corpus's ≤0.6 off-diagonal cosine — so rank-1 recovery
+      // needs only the twin reaching the ADC shortlist (refine=64 vs ≤0.6
+      // rivals; margins asserted adversarially in ScalePlanSpec).
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      graft.operators.Similarity.ivfPqTopK(emb, q, k = 1, nlist = 64,
+          nprobe = 4, m = 8, ksub = 64, refine = 64,
+          trainSample = 1000, iters = 4)
+        .select(col("qid"), col("nid"), col("rk"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid")
+    },
+
     // =====================================================================
     // Event streams (batch-equivalent of the Structured Streaming surface)
     // =====================================================================
@@ -3325,6 +3345,13 @@ object SparkEntry {
     // planted self-match through the IVF cell probe: same argmax tie-break
     // on both sides → twin cell always probed → rank 1 at cos 1.0
     "v4_ann_ivf" ->
+      """SELECT vec_id + 10000 AS qid, vec_id AS nid, CAST(1 AS INTEGER) AS rk,
+         CAST(1.0 AS DOUBLE) AS cos
+         FROM embeddings WHERE vec_id < 10 ORDER BY qid""",
+
+    // planted self-match through the IVF-PQ probe + ADC shortlist + exact
+    // refine: the twin probes its own cell, its exact re-rank cosine is 1.0
+    "v5_ann_ivfpq" ->
       """SELECT vec_id + 10000 AS qid, vec_id AS nid, CAST(1 AS INTEGER) AS rk,
          CAST(1.0 AS DOUBLE) AS cos
          FROM embeddings WHERE vec_id < 10 ORDER BY qid""",

@@ -128,6 +128,15 @@ object GraftFunctions {
     * no SQL-name registration (no literal syntax for float[][]). */
   def nearest_cells(v: Column, centroids: Array[Array[Float]], n: Int): Column =
     col(NearestCells(ex(v), centroids, n))
+  def ivfpq_encode(v: Column, centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]]): Column =
+    col(IvfPqEncode(ex(v), centroids, codebooks))
+  def pq_lut(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    col(PqLut(ex(v), codebooks))
+  def pq_adc(lut: Column, codes: Column, ksub: Int): Column =
+    col(PqAdc(ex(lut), ex(codes), ksub))
+  def cell_dot(v: Column, cell: Column, centroids: Array[Array[Float]]): Column =
+    col(CellDot(ex(v), ex(cell), centroids))
 
   /** All functions, as SQL-callable names. */
   private val builders: Map[String, Seq[Expression] => Expression] = Map(

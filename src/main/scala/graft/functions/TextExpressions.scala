@@ -242,3 +242,98 @@ object BpeEncode {
   def toUtf8(tokens: Array[String]): Array[UTF8String] =
     tokens.map(UTF8String.fromString)
 }
+
+/** ivfpq_encode(vec) → struct(cell INT, codes BINARY): the IVF-PQ index
+  * entry. Coarse centroid assignment + per-subspace residual codeword
+  * bytes in one per-row pass ([[VectorLib.ivfPqAssign]]). The trained
+  * model (coarse centroids + PQ codebooks) rides inside the serialized
+  * expression ([[NearestCells]] pattern) — map-only encode, no shuffle.
+  * The index retains m bytes per vector instead of 4·dim: the memory
+  * contract that lets a 100 TB embedding corpus fit an ANN tier. */
+case class IvfPqEncode(child: Expression, centroids: Array[Array[Float]],
+    codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("codes", BinaryType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ivfpq_encode"
+  protected override def nullSafeEval(v: Any): Any =
+    IvfPqEncode.assignRow(v.asInstanceOf[ArrayData].toFloatArray(), centroids, codebooks)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCentroids", centroids, "float[][]")
+    val bRef = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.IvfPqEncode.assignRow($v.toFloatArray(), $cRef, $bRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object IvfPqEncode {
+  /** shared eval/codegen helper: kernel tuple → InternalRow(cell, codes). */
+  def assignRow(v: Array[Float], centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val (cell, codes) = VectorLib.ivfPqAssign(v, centroids, codebooks)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](cell, codes))
+  }
+}
+
+/** pq_lut(vec) → the query's ADC lookup table (array<float>, m·ksub wide):
+  * ⟨q̂ subvector, codeword⟩ for every (subspace, codeword). Computed once
+  * per query row; every candidate afterwards scores in m table adds
+  * ([[PqAdc]]) instead of a dim-length dot. */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_lut"
+  protected override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(VectorLib.pqLut(v.asInstanceOf[ArrayData].toFloatArray(), codebooks))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("pqCodebooks", codebooks, "float[][][]")
+    defineCodeGen(ctx, ev, v =>
+      s"$GAD(graft.vector.VectorLib.pqLut($v.toFloatArray(), $bRef))")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** pq_adc(lut, codes) → Σ_s lut[s·ksub + code_s]: the per-candidate ADC
+  * residual term — m byte-indexed table adds, no vector math. */
+case class PqAdc(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_adc"
+  protected override def nullSafeEval(lut: Any, codes: Any): Any =
+    VectorLib.pqAdc(lut.asInstanceOf[ArrayData].toFloatArray(), ksub,
+      codes.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, c) =>
+      s"graft.vector.VectorLib.pqAdc($l.toFloatArray(), $ksub, $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** cell_dot(vec, cell) → ⟨q̂, centroids(cell)⟩: the coarse term of the ADC
+  * score (codebooks quantize residuals off the cell centroid). */
+case class CellDot(left: Expression, right: Expression, centroids: Array[Array[Float]])
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType), IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_dot"
+  protected override def nullSafeEval(v: Any, cell: Any): Any =
+    VectorLib.cellDot(v.asInstanceOf[ArrayData].toFloatArray(), centroids,
+      cell.asInstanceOf[Number].intValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCentroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, (v, c) =>
+      s"graft.vector.VectorLib.cellDot($v.toFloatArray(), $cRef, $c)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -118,13 +118,141 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rk"), col("cos"))
   }
 
+  /** IVF-PQ top-k: the memory-bounded ANN path (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 — the faiss
+    * IVFPQ + refine shape).
+    *
+    * Training (driver, bounded sample): spherical k-means coarse codebook
+    * (`nlist` cells), then per-subspace k-means over coarse RESIDUALS
+    * (`m` subspaces × `ksub` codewords). Both are O(sample), independent
+    * of corpus size.
+    *
+    * Index (map-only): each corpus vector stores (cell id, m code bytes) —
+    * `m` bytes instead of 4·dim, a 32× memory cut at dim=64/m=8. That is
+    * what makes the difference between "the embedding corpus fits the ANN
+    * tier" and "it doesn't" at 100 TB.
+    *
+    * Search: a query probes `nprobe` cells (equality join on the cell id,
+    * the IVF shape), scores every candidate with the ADC table — one
+    * `pq_lut` per query row, then m table-adds per candidate instead of a
+    * dim-length dot — keeps the best `refine` by ADC, fetches only those
+    * original vectors back by an id equality join, and exact-cosine
+    * re-ranks to the final top-k. Approximation lives strictly in the
+    * SHORTLIST; every returned (rank, cos) is exact arithmetic, so a
+    * planted identical twin that reaches the shortlist surfaces at
+    * rank 1 / cos 1.0 deterministically. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 64,
+      nprobe: Int = 8, m: Int = 8, ksub: Int = 64, refine: Int = 64,
+      trainSample: Int = 10000, iters: Int = 5,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
+      s"need 1 <= nprobe <= nlist: nlist=$nlist nprobe=$nprobe")
+    require(m >= 1 && ksub >= 1 && ksub <= 256,
+      s"need 1 <= ksub <= 256 (codes are single bytes): m=$m ksub=$ksub")
+    require(refine >= k, s"refine shortlist must cover k: refine=$refine k=$k")
+    val sample = corpus.select(col(idCol), col(vecCol)).sort(col(idCol))
+      .limit(trainSample).collect()
+      .map(_.getSeq[Number](1).map(_.floatValue).toArray)
+    val centroids = trainSpherical(sample, nlist, iters)
+    val residuals = sample.map { v =>
+      val vh = VectorLib.unit(v)
+      val c = centroids(VectorLib.nearestCells(vh, centroids, 1)(0))
+      val r = new Array[Float](vh.length)
+      var i = 0
+      while (i < vh.length) { r(i) = vh(i) - (if (i < c.length) c(i) else 0f); i += 1 }
+      r
+    }
+    val codebooks = trainPq(residuals, m, ksub, iters)
+    val assigned = corpus.select(col(idCol).as("nid"),
+        ivfpq_encode(col(vecCol), centroids, codebooks).as("enc"))
+      .select(col("nid"), col("enc.cell").as("cell"), col("enc.codes").as("codes"))
+    val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("lut", pq_lut(col("qv"), codebooks))
+      .select(col("qid"), col("qv"), col("lut"),
+        explode(nearest_cells(col("qv"), centroids, nprobe)).as("cell"))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("nid"))
+    val shortlist = probed.join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adc", cell_dot(col("qv"), col("cell"), centroids) +
+        pq_adc(col("lut"), col("codes"), ksub))
+      .withColumn("ra", row_number().over(wAdc))
+      .filter(col("ra") <= refine)
+      .select(col("qid"), col("qv"), col("nid"))
+    val orig = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    shortlist.join(orig, Seq("nid"))
+      .withColumn("cos", cosine_similarity(col("qv"), col("nv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("rk"), col("cos"))
+  }
+
+  /** Per-subspace k-means over residual subvectors (plain L2 / mean — PQ
+    * codewords are not unit vectors). Deterministic: codewords init from
+    * the first `ksub` residuals in sample order, argmin scan breaks ties
+    * toward the lower index, fixed iteration order. Empty clusters keep
+    * their previous codeword. Subspace boundaries follow
+    * [[VectorLib.pqSubDim]] so train/encode/LUT agree for any dim. */
+  private[graft] def trainPq(residuals: Array[Array[Float]], m: Int,
+      ksub: Int, iters: Int): Array[Array[Array[Float]]] = {
+    require(residuals.nonEmpty, "PQ training needs a non-empty sample")
+    val dim = residuals(0).length
+    val dsub = VectorLib.pqSubDim(dim, m)
+    Array.tabulate(m) { s =>
+      val lo = s * dsub
+      val hi = math.min(lo + dsub, dim)
+      val w = math.max(hi - lo, 0)
+      val subs = residuals.map { r =>
+        val v = new Array[Float](w)
+        var i = 0
+        while (i < w) { v(i) = if (lo + i < r.length) r(lo + i) else 0f; i += 1 }
+        v
+      }
+      var cents = subs.take(ksub).map(_.clone)
+      if (cents.isEmpty) cents = Array(new Array[Float](w))
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cents.length, w)(0.0)
+        val counts = new Array[Int](cents.length)
+        var p = 0
+        while (p < subs.length) {
+          val v = subs(p)
+          var best = 0
+          var bd = Double.MaxValue
+          var c = 0
+          while (c < cents.length) {
+            val cw = cents(c)
+            var d = 0.0
+            var i = 0
+            while (i < w) { val t = v(i).toDouble - cw(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          var i = 0
+          while (i < w) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+          p += 1
+        }
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else {
+            val nw = new Array[Float](w)
+            var i = 0
+            while (i < w) { nw(i) = (sums(c)(i) / counts(c)).toFloat; i += 1 }
+            nw
+          }
+        }
+      }
+      cents
+    }
+  }
+
   /** Spherical k-means on the driver over a bounded sample: unit-normalize,
     * argmax-dot assignment, mean + renormalize update. Deterministic —
     * centroids init from the first `nlist` sample rows in sample order and
     * every step is argmax/mean arithmetic with fixed iteration order. Empty
     * cells keep their previous centroid. Returns ≤ nlist centroids (fewer
     * only when the sample itself is smaller). */
-  private[operators] def trainSpherical(sample: Array[Array[Float]], nlist: Int,
+  private[graft] def trainSpherical(sample: Array[Array[Float]], nlist: Int,
       iters: Int): Array[Array[Float]] = {
     def normalize(v: Array[Float]): Array[Float] = {
       var s = 0.0; var i = 0

@@ -67,6 +67,112 @@ object VectorLib {
     out
   }
 
+  /** Unit-normalize (copy); zero vectors pass through unchanged. */
+  def unit(v: Array[Float]): Array[Float] = {
+    val n = norm(v)
+    if (n == 0.0) v.clone
+    else {
+      val out = new Array[Float](v.length)
+      var i = 0
+      while (i < v.length) { out(i) = (v(i) / n).toFloat; i += 1 }
+      out
+    }
+  }
+
+  /** Product-quantization subspace boundary: subspace `s` of `m` over `dim`
+    * components covers [s*dsub, min((s+1)*dsub, dim)) with dsub = ⌈dim/m⌉ —
+    * general (dim need not divide m), and encode/LUT/train all share it. */
+  @inline def pqSubDim(dim: Int, m: Int): Int = (dim + m - 1) / m
+
+  /** IVF-PQ corpus-side assignment kernel: unit-normalize, coarse-assign to
+    * the argmax-dot centroid (ties toward the lower index, the planted
+    * self-match guarantee shared with [[nearestCells]]), then encode the
+    * RESIDUAL (v̂ − centroid) per subspace as the argmin-L2 codeword index.
+    * Returns the cell id and the m-byte code array — the only per-vector
+    * state the index retains (m bytes vs 4·dim: the 100 TB memory story).
+    * Codeword count is ≤ 256 so a code is one unsigned byte. */
+  def ivfPqAssign(v: Array[Float], centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]]): (Int, Array[Byte]) = {
+    val vh = unit(v)
+    val cell = nearestCells(vh, centroids, 1)(0)
+    val c = centroids(cell)
+    val m = codebooks.length
+    val dsub = pqSubDim(vh.length, m)
+    val codes = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val lo = s * dsub
+      val hi = math.min(lo + dsub, vh.length)
+      val cb = codebooks(s)
+      var best = 0
+      var bd = Double.MaxValue
+      var j = 0
+      while (j < cb.length) {
+        val cw = cb(j)
+        var d = 0.0
+        var i = lo
+        while (i < hi) {
+          val cc = if (i < c.length) c(i) else 0f
+          val r = (vh(i) - cc).toDouble - cw(i - lo)
+          d += r * r
+          i += 1
+        }
+        if (d < bd) { bd = d; best = j } // strict-less: ties toward lower idx
+        j += 1
+      }
+      codes(s) = best.toByte
+      s += 1
+    }
+    (cell, codes)
+  }
+
+  /** Query-side ADC lookup table: lut[s·ksub + j] = ⟨q̂ sub s, codeword j⟩.
+    * Computed ONCE per query row (m·ksub·dsub ≈ dim·ksub mults), after
+    * which every candidate scores in m adds ([[pqAdc]]) instead of a dim-
+    * length dot — the asymmetric-distance-computation shape from the PQ
+    * paper (Jégou et al., TPAMI 2011). */
+  def pqLut(q: Array[Float], codebooks: Array[Array[Array[Float]]]): Array[Float] = {
+    val qh = unit(q)
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val dsub = pqSubDim(qh.length, m)
+    val lut = new Array[Float](m * ksub)
+    var s = 0
+    while (s < m) {
+      val lo = s * dsub
+      val hi = math.min(lo + dsub, qh.length)
+      val cb = codebooks(s)
+      var j = 0
+      while (j < cb.length) {
+        val cw = cb(j)
+        var d = 0.0
+        var i = lo
+        while (i < hi) { d += qh(i).toDouble * cw(i - lo); i += 1 }
+        lut(s * ksub + j) = d.toFloat
+        j += 1
+      }
+      s += 1
+    }
+    lut
+  }
+
+  /** ADC score of one candidate: Σ_s lut[s·ksub + code_s] — m table adds.
+    * Together with the query·centroid term this approximates ⟨q̂, x̂⟩ =
+    * ⟨q̂, c⟩ + ⟨q̂, x̂−c⟩ with the residual replaced by its codeword. */
+  def pqAdc(lut: Array[Float], ksub: Int, codes: Array[Byte]): Double = {
+    var s = 0
+    var acc = 0.0
+    while (s < codes.length) {
+      acc += lut(s * ksub + (codes(s) & 0xff))
+      s += 1
+    }
+    acc
+  }
+
+  /** ⟨q̂, centroids(cell)⟩ — the coarse term of the ADC score. */
+  def cellDot(q: Array[Float], centroids: Array[Array[Float]], cell: Int): Double =
+    dot(unit(q), centroids(cell))
+
   /** Random-hyperplane LSH signature: `bits` sign bits of projections onto
     * deterministic pseudo-random hyperplanes (splitmix64-seeded, no stored
     * model). Hamming distance on signatures approximates angular distance —

@@ -167,6 +167,61 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK recovers planted identical vectors at rank 1 / cos 1.0") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 8).withColumn("vec_id", $"vec_id" + 10000)
+    val hits = Similarity.ivfPqTopK(emb, q, k = 1, nlist = 16, nprobe = 2,
+        m = 8, ksub = 32, refine = 32, trainSample = 200, iters = 3)
+      .select("qid", "nid", "cos").collect()
+    assert(hits.length == 8, s"all 8 planted queries must self-match: got ${hits.length}")
+    hits.foreach { r =>
+      assert(r.getLong(0) - 10000 == r.getLong(1), s"self-match expected: $r")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+  }
+
+  test("ivfPqTopK ADC shortlist agrees with exact top-1 on real neighbors") {
+    // adversarial margin check: queries are corpus vectors with one
+    // coordinate scaled 1.5× (cos ≈ 0.99 twin, not identical) — the ADC
+    // approximation must still shortlist the true nearest so the exact
+    // refine recovers it; compares against bruteForceTopK ground truth
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 8)
+      .withColumn("vec_id", $"vec_id" + 10000)
+      .withColumn("embedding", expr(
+        "transform(embedding, (x, i) -> IF(i = 0, cast(x * 1.5 as float), x))"))
+    val truth = Similarity.bruteForceTopK(emb, q, k = 1)
+      .select("qid", "nid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pq = Similarity.ivfPqTopK(emb, q, k = 1, nlist = 16, nprobe = 4,
+        m = 8, ksub = 32, refine = 32, trainSample = 200, iters = 3)
+      .select("qid", "nid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agree = truth.count { case (qid, nid) => pq.get(qid).contains(nid) }
+    assert(agree >= 7, s"IVF-PQ should agree with exact top-1 on ≥7/8: $agree (pq=$pq truth=$truth)")
+  }
+
+  test("trainPq is deterministic and codes stay within ksub") {
+    val rnd = new scala.util.Random(11)
+    val residuals = Array.fill(300)(Array.fill(20)(rnd.nextFloat() - 0.5f))
+    val a = Similarity.trainPq(residuals, m = 3, ksub = 16, iters = 4)
+    val b = Similarity.trainPq(residuals.map(_.clone), m = 3, ksub = 16, iters = 4)
+    assert(a.length == 3 && a.forall(_.length == 16))
+    // dim=20, m=3 → dsub=7: subspaces of width 7, 7, 6
+    assert(a(0)(0).length == 7 && a(2)(0).length == 6)
+    (a zip b).foreach { case (sa, sb) =>
+      (sa zip sb).foreach { case (ca, cb) => assert(ca.sameElements(cb)) }
+    }
+    val cents = Similarity.trainSpherical(residuals, 8, 3)
+    val (cell, codes) = graft.vector.VectorLib.ivfPqAssign(residuals(0), cents, a)
+    assert(cell >= 0 && cell < 8 && codes.length == 3)
+    assert(codes.forall(c => (c & 0xff) < 16))
+  }
+
+  test("v5 gate joins by equality — no nested-loop, no cartesian") {
+    val p = staticPlan("v5_ann_ivfpq").toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"v5 must not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"v5 must not cross join:\n$p")
+  }
+
   test("ivfTopK finds perturbed near-neighbors via multi-cell probing") {
     // queries are corpus vectors with one coordinate scaled 1.5× — close
     // (cos ≈ 0.99) but not identical, so the twin's cell is no longer the
