@@ -1203,6 +1203,26 @@ object SparkEntry {
         .orderBy("batch_id")
     },
 
+    "t24_unicode_norm" -> { (s, d) =>
+      // Unicode NFC normalization (unicode_normalize expression, UAX #15) —
+      // the canonical pre-dedup cleanup. Every doc's text is suffixed with
+      // a fixed probe of decomposed/composed-sensitive sequences (combining
+      // acute → é, combining ring → Å, B+cedilla which NFC leaves
+      // decomposed, the ﬁ ligature which NFC must NOT touch), so the
+      // normalizer's behavior is pinned per-row against DuckDB's
+      // independent nfc_normalize — same UAX #15 spec, different
+      // implementation — via codepoint length AND an md5 over the
+      // normalized bytes.
+      val probe = " Cafe\u0301 A\u030A B\u0327 \uFB01ne"
+      t(s, d, "documents")
+        .select(col("doc_id"), concat(col("text"), lit(probe)).as("t2"))
+        .select(col("doc_id"),
+          length(col("t2")).as("len_raw"),
+          length(unicode_normalize(col("t2"), lit("NFC"))).as("len_nfc"),
+          md5(unicode_normalize(col("t2"), lit("NFC")).cast("binary")).as("md5_nfc"))
+        .orderBy("doc_id")
+    },
+
     "t23_bpe_tokenize" -> { (s, d) =>
       // real BPE (Sennrich et al. 2016, the sentencepiece/GPT-2 family):
       // merges trained on the DISTRIBUTED word histogram (map-side
@@ -1400,6 +1420,28 @@ object SparkEntry {
         .groupBy(col("tag"))
         .agg(sum(col("pc")).as("revenue_cents"), count(lit(1)).as("n_items"))
         .orderBy("tag")
+    },
+
+    "x4_bucketed_join" -> { (s, d) =>
+      // co-located bucketed join (Bucketing.colocatedJoin): both sides are
+      // written bucketed+sorted on the join key first, so the recurring
+      // join plans as a SortMergeJoin with ZERO Exchange and ZERO Sort
+      // (plan-asserted in ScalePlanSpec) — the ingest-once/join-many shape
+      // that deletes the per-query fact-table shuffle at 100 TB. The
+      // content oracle is the plain join + aggregate in DuckDB: bucketing
+      // must change the plan, never the result.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bkt").toString
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.Bucketing.colocatedJoin(s, orders, cust,
+          "o_custkey", "c_custkey", buckets = 8, baseDir = tmp,
+          leftName = "graft_x4_orders", rightName = "graft_x4_customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(cents(col("o_totalprice"))).as("sum_price_cents"))
+        .orderBy("c_mktsegment")
     },
 
     "j5_range_join" -> { (s, d) =>
@@ -1656,6 +1698,35 @@ object SparkEntry {
           min(md5(col("text"))).as("md5_min"),
           max(md5(col("text"))).as("md5_max"))
         .orderBy("source")
+    },
+
+    "k8_bloom_sink" -> { (s, d) =>
+      // bloom-filtered parquet sink (ParquetTuning.writeWithBloom): id
+      // probes against a 100 TB corpus prune on per-row-group SBBF bloom
+      // filters instead of scanning every straddling row group. The gate
+      // writes documents with blooms on doc_id and the content md5, pins
+      // the write contract with an engine-checked every-row-group-has-
+      // bloom invariant, and proves the sink is lossless (and the filter
+      // readable by a fresh scan with a point predicate) via content
+      // aggregates the oracle recomputes from the original table.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bloom").toString + "/docs"
+      val out = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("text_md5"),
+          length(col("text")).as("n_chars"))
+      graft.operators.ParquetTuning.writeWithBloom(out, tmp,
+        bloomCols = Seq("doc_id", "text_md5"), ndv = 1000000L)
+      val conf = s.sparkContext.hadoopConfiguration
+      val bloomOk = Seq("doc_id", "text_md5")
+        .forall(graft.operators.ParquetTuning.bloomPresentAll(tmp, conf, _))
+      val back = s.read.parquet(tmp)
+      val probed = back.filter(col("doc_id") === 42L)
+        .agg(count(lit(1)).cast("long").as("n_probe"))
+      back.agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("sum_ids"),
+          countDistinct(col("text_md5")).as("n_md5"),
+          sum(col("n_chars").cast("long")).as("sum_chars"),
+          lit(bloomOk).as("bloom_all_rowgroups"))
+        .crossJoin(probed)
     },
 
     "k1_clustered_sink" -> { (s, d) =>
@@ -2968,6 +3039,15 @@ object SparkEntry {
          SELECT tag, CAST(SUM(pc) AS BIGINT) AS revenue_cents, COUNT(*) AS n_items
          FROM big JOIN dim USING (k) GROUP BY tag ORDER BY tag""",
 
+    // bucketing must change the plan, never the result: the oracle is the
+    // plain join + aggregate over the same parquet inputs
+    "x4_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS sum_price_cents
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
     "j5_range_join" ->
       """SELECT e.event_id, e.user_id, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
            COUNT(r.event_id) AS n_prior_hour
@@ -3094,6 +3174,17 @@ object SparkEntry {
            MIN(md5(text)) AS md5_min, MAX(md5(text)) AS md5_max
          FROM documents GROUP BY source ORDER BY source""",
 
+    // the bloom invariant is engine-checked (parquet-mr footer read) and
+    // reduces to TRUE; content aggregates prove the sink lossless and the
+    // doc_id=42 point probe readable through the filtered scan
+    "k8_bloom_sink" ->
+      """SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           COUNT(DISTINCT md5(text)) AS n_md5,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars,
+           TRUE AS bloom_all_rowgroups,
+           (SELECT COUNT(*) FROM documents WHERE doc_id = 42) AS n_probe
+         FROM documents""",
+
     // C4 line dedup replicated end-to-end: the same line-manufacturing
     // regex (RE2 '\1'||chr(10) ≡ Java "$1\n"), first-occurrence rank via
     // ROW_NUMBER over (doc, position), and ordered string_agg reassembly.
@@ -3210,6 +3301,21 @@ object SparkEntry {
          SELECT b.batch_id FROM batch b
          WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = b.text)
          ORDER BY batch_id""",
+
+    // DuckDB's nfc_normalize is an independent UAX #15 implementation —
+    // the probe suffix (chr codes: 769 combining acute, 778 combining
+    // ring, 807 combining cedilla, 64257 ﬁ ligature) exercises compose,
+    // leave-decomposed, and don't-touch-compatibility paths per row
+    "t24_unicode_norm" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text || ' Cafe' || chr(769) || ' A' || chr(778) || ' B' ||
+               chr(807) || ' ' || chr(64257) || 'ne' AS t2
+           FROM documents)
+         SELECT doc_id, LENGTH(t2) AS len_raw,
+           LENGTH(nfc_normalize(t2)) AS len_nfc,
+           md5(nfc_normalize(t2)) AS md5_nfc
+         FROM aug ORDER BY doc_id""",
 
     // the tokenizer contract (see the t23 query comment): n_words is
     // recomputed independently; the three invariant booleans must be TRUE

@@ -300,6 +300,19 @@ object Stress {
     time("bruteForceTopK (32 queries)") {
       println("    brute hits: " + Similarity.bruteForceTopK(vecs, queries, k = 10).count())
     }
+    time("ivfPqTopK (nlist 1024, m8 ksub256)") {
+      // the memory-bounded path: 8 code bytes per vector through the
+      // candidate join instead of the 256-byte embedding; exact refine on
+      // the 64-candidate shortlist only. Self-match recall doubles as a
+      // correctness canary at this scale (planted copies must surface).
+      val hits = Similarity.ivfPqTopK(vecs, queries, k = 10,
+        nlist = 1024, nprobe = 8, m = 8, ksub = 256, refine = 64,
+        trainSample = 20000, iters = 5)
+      val n = hits.count()
+      val self = hits.filter(col("rk") === 1 &&
+        col("qid") - nVecs === col("nid")).count()
+      println(s"    ivfpq hits: $n (rank-1 self-matches: $self/32)")
+    }
 
     }
     val total = results.values.sum

@@ -106,6 +106,8 @@ object GraftFunctions {
     col(BpeEncode(ex(text), model))
   def quality_score(text: Column): Column = col(QualityScore(ex(text)))
   def detect_lang(text: Column): Column = col(DetectLang(ex(text)))
+  def unicode_normalize(text: Column, form: Column): Column =
+    col(UnicodeNormalize(ex(text), ex(form)))
 
   // --- media ---
   def png_width(payload: Column): Column = col(PngWidth(ex(payload)))
@@ -215,6 +217,7 @@ object GraftFunctions {
     "bpeish_token_count" -> { e => BpeIshTokenCount(e.head) },
     "quality_score" -> { e => QualityScore(e.head) },
     "detect_lang" -> { e => DetectLang(e.head) },
+    "unicode_normalize" -> { e => UnicodeNormalize(e(0), e(1)) },
     "png_width" -> { e => PngWidth(e.head) },
     "jpeg_luma_width" -> { e => JpegLumaWidth(e.head) },
     "jpeg_luma_height" -> { e => JpegLumaHeight(e.head) },

@@ -337,3 +337,21 @@ case class CellDot(left: Expression, right: Expression, centroids: Array[Array[F
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** unicode_normalize(text, form) → UAX #15 normalization (NFC/NFD/NFKC/
+  * NFKD). Per-row codegen'd map — the canonical pre-dedup cleanup pass. */
+case class UnicodeNormalize(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unicode_normalize"
+  protected override def nullSafeEval(text: Any, form: Any): Any =
+    UTF8String.fromString(TextLib.unicodeNormalize(
+      text.asInstanceOf[UTF8String].toString, form.asInstanceOf[UTF8String].toString))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, f) =>
+      s"$UTF8.fromString(graft.text.TextLib.unicodeNormalize($t.toString(), $f.toString()))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -273,4 +273,23 @@ object TextLib {
     }
     bestLang
   }
+
+  /** Unicode normalization (UAX #15) — the canonical first step of corpus
+    * cleaning: visually identical strings with different codepoint
+    * sequences (decomposed accents, compatibility ligatures, width
+    * variants) collapse to one byte form, so exact/near dedup and token
+    * counts stop fracturing on encoding happenstance. Forms: NFC, NFD,
+    * NFKC, NFKD (case-insensitive); unknown forms fail loudly — a typo'd
+    * form silently not normalizing would corrupt every downstream dedup. */
+  def unicodeNormalize(s: String, form: String): String = {
+    val f = form.toUpperCase match {
+      case "NFC"  => java.text.Normalizer.Form.NFC
+      case "NFD"  => java.text.Normalizer.Form.NFD
+      case "NFKC" => java.text.Normalizer.Form.NFKC
+      case "NFKD" => java.text.Normalizer.Form.NFKD
+      case other  => throw new IllegalArgumentException(
+        s"unicode_normalize: unknown form '$other' (want NFC|NFD|NFKC|NFKD)")
+    }
+    java.text.Normalizer.normalize(s, f)
+  }
 }

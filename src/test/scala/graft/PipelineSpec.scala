@@ -344,4 +344,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.1, s"multi-probe LSH recall too low: $recall")
     assert(lsh.nonEmpty)
   }
+
+  test("bloom-filtered parquet sink: SBBF present per row group, lossless") {
+    val tmp = java.nio.file.Files.createTempDirectory("bloomspec").toString + "/t"
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", md5($"text").as("text_md5"), $"source")
+    graft.operators.ParquetTuning.writeWithBloom(docs, tmp,
+      bloomCols = Seq("doc_id", "text_md5"), ndv = 100000L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(graft.operators.ParquetTuning.bloomPresentAll(tmp, conf, "doc_id"),
+      "doc_id must carry a bloom filter in every row group")
+    assert(graft.operators.ParquetTuning.bloomPresentAll(tmp, conf, "text_md5"),
+      "text_md5 must carry a bloom filter in every row group")
+    assert(!graft.operators.ParquetTuning.bloomPresentAll(tmp, conf, "source"),
+      "source was not bloom-enabled and must read as absent")
+    val back = spark.read.parquet(tmp)
+    assert(back.count() == docs.count())
+    assert(back.filter($"doc_id" === 7L).count() ==
+      docs.filter($"doc_id" === 7L).count())
+  }
 }

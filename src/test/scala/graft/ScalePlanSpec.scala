@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Similarity, SpatialJoin}
+import graft.operators.{Bucketing, Dedup, Similarity, SpatialJoin}
 
 /** Plan-shape assertions for the scale-critical gate queries: green outputs
   * are not enough — the PLAN must be the one that survives a 100 TB corpus.
@@ -165,6 +165,30 @@ class ScalePlanSpec extends AnyFunSuite {
       assert(r.getLong(0) - 10000 == r.getLong(1), s"self-match expected: $r")
       assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
     }
+  }
+
+  test("bucketed co-located join: SortMergeJoin with zero Exchange, zero Sort") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bkt_spec").toString
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val cust = spark.read.parquet(s"$sf/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val j = Bucketing.colocatedJoin(spark, orders, cust,
+        "o_custkey", "c_custkey", buckets = 4, baseDir = tmp,
+        leftName = "graft_spec_orders", rightName = "graft_spec_customer")
+      // result must equal the plain join regardless of the plan
+      val expected = orders.join(cust, col("o_custkey") === col("c_custkey")).count()
+      assert(j.count() == expected, "bucketed join must not change the result")
+      j.queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(p.contains("SortMergeJoin"), s"merge join expected:\n$p")
+    assert(!p.contains("Exchange"), s"bucketed join must not shuffle either side:\n$p")
+    // node names render as "+- Sort " / ":- Sort "; SortMergeJoin's own
+    // name must not trip the assert
+    assert(!p.contains("- Sort "), s"single-file sorted buckets must elide the Sort:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"bucketed scan expected:\n$p")
   }
 
   test("ivfPqTopK recovers planted identical vectors at rank 1 / cos 1.0") {

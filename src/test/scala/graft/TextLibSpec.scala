@@ -108,4 +108,51 @@ class TextLibSpec extends AnyFunSuite {
     // single best equals head of multi
     assert(VectorLib.nearestCells(v, cents, 1).head == 1)
   }
+
+  test("unicodeNormalize: UAX #15 forms, loud unknown-form failure") {
+    import TextLib.unicodeNormalize
+    val composed = "Caf\u00e9"
+    val decomposed = "Cafe\u0301"
+    assert(unicodeNormalize(decomposed, "NFC") == composed)
+    assert(unicodeNormalize(composed, "NFD") == decomposed)
+    // NFC must NOT touch compatibility characters; NFKC folds them
+    assert(unicodeNormalize("\uFB01ne", "NFC") == "\uFB01ne")
+    assert(unicodeNormalize("\uFB01ne", "NFKC") == "fine")
+    assert(unicodeNormalize("2\u00B9", "NFKC") == "21")
+    // B + combining cedilla has no precomposed form: NFC leaves it alone
+    assert(unicodeNormalize("B\u0327", "NFC") == "B\u0327")
+    // case-insensitive form names; unknown forms fail loudly
+    assert(unicodeNormalize(decomposed, "nfc") == composed)
+    val ex = intercept[IllegalArgumentException](unicodeNormalize("x", "NFX"))
+    assert(ex.getMessage.contains("unknown form"))
+  }
+
+  test("vector kernel: PQ encode/LUT/ADC approximate the true dot product") {
+    import VectorLib._
+    val rnd = new scala.util.Random(5)
+    val vecs = Array.fill(400)(Array.fill(32)(rnd.nextFloat() - 0.5f))
+    val cents = graft.operators.Similarity.trainSpherical(vecs, 8, 4)
+    val residuals = vecs.map { v =>
+      val vh = unit(v)
+      val c = cents(nearestCells(vh, cents, 1)(0))
+      Array.tabulate(32)(i => vh(i) - (if (i < c.length) c(i) else 0f))
+    }
+    val books = graft.operators.Similarity.trainPq(residuals, m = 4, ksub = 32, iters = 4)
+    val q = vecs(7)
+    val lut = pqLut(q, books)
+    var worst = 0.0
+    vecs.take(100).foreach { x =>
+      val (cell, codes) = ivfPqAssign(x, cents, books)
+      val adc = cellDot(q, cents, cell) + pqAdc(lut, 32, codes)
+      val exact = dot(unit(q), unit(x))
+      worst = math.max(worst, math.abs(adc - exact))
+    }
+    // PQ is lossy by design; the ADC estimate must stay within the
+    // quantization-error band that keeps a refine=64 shortlist reliable
+    assert(worst < 0.35, s"ADC error band too wide: $worst")
+    // the self-match scores near 1.0 (its own quantization error only)
+    val (cell7, codes7) = ivfPqAssign(q, cents, books)
+    val self = cellDot(q, cents, cell7) + pqAdc(lut, 32, codes7)
+    assert(self > 0.8, s"self ADC should approach 1.0: $self")
+  }
 }
