@@ -154,13 +154,16 @@ object Similarity {
       .limit(trainSample).collect()
       .map(_.getSeq[Number](1).map(_.floatValue).toArray)
     val centroids = trainSpherical(sample, nlist, iters)
-    val residuals = sample.map { v =>
-      val vh = VectorLib.unit(v)
+    // residual per sample point needs another full argmax over the coarse
+    // codebook (O(sample·nlist·dim)) — parallelize like the training loops
+    val residuals = new Array[Array[Float]](sample.length)
+    java.util.stream.IntStream.range(0, sample.length).parallel().forEach { p =>
+      val vh = VectorLib.unit(sample(p))
       val c = centroids(VectorLib.nearestCells(vh, centroids, 1)(0))
       val r = new Array[Float](vh.length)
       var i = 0
       while (i < vh.length) { r(i) = vh(i) - (if (i < c.length) c(i) else 0f); i += 1 }
-      r
+      residuals(p) = r
     }
     val codebooks = trainPq(residuals, m, ksub, iters)
     val assigned = corpus.select(col(idCol).as("nid"),
@@ -170,11 +173,13 @@ object Similarity {
       .withColumn("lut", pq_lut(col("qv"), codebooks))
       .select(col("qid"), col("qv"), col("lut"),
         explode(nearest_cells(col("qv"), centroids, nprobe)).as("cell"))
+      // the coarse ⟨q̂, centroid⟩ term depends only on (query, cell): compute
+      // it on the |Q|·nprobe probe rows, NOT per candidate after the join
+      .withColumn("cdot", cell_dot(col("qv"), col("cell"), centroids))
     val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("nid"))
     val shortlist = probed.join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("adc", cell_dot(col("qv"), col("cell"), centroids) +
-        pq_adc(col("lut"), col("codes"), ksub))
+      .withColumn("adc", col("cdot") + pq_adc(col("lut"), col("codes"), ksub))
       .withColumn("ra", row_number().over(wAdc))
       .filter(col("ra") <= refine)
       .select(col("qid"), col("qv"), col("nid"))
@@ -211,22 +216,33 @@ object Similarity {
       var cents = subs.take(ksub).map(_.clone)
       if (cents.isEmpty) cents = Array(new Array[Float](w))
       for (_ <- 0 until iters) {
-        val sums = Array.fill(cents.length, w)(0.0)
-        val counts = new Array[Int](cents.length)
-        var p = 0
-        while (p < subs.length) {
+        // argmin assignment is the O(sample·ksub·dsub) part — parallelize
+        // across cores (the trainSpherical pattern); per-point results are
+        // independent and the strict-less scan stays deterministic.
+        // Accumulation stays sequential (O(sample·dsub), trivial).
+        val cs = cents
+        val assign = new Array[Int](subs.length)
+        java.util.stream.IntStream.range(0, subs.length).parallel().forEach { p =>
           val v = subs(p)
           var best = 0
           var bd = Double.MaxValue
           var c = 0
-          while (c < cents.length) {
-            val cw = cents(c)
+          while (c < cs.length) {
+            val cw = cs(c)
             var d = 0.0
             var i = 0
             while (i < w) { val t = v(i).toDouble - cw(i); d += t * t; i += 1 }
             if (d < bd) { bd = d; best = c }
             c += 1
           }
+          assign(p) = best
+        }
+        val sums = Array.fill(cents.length, w)(0.0)
+        val counts = new Array[Int](cents.length)
+        var p = 0
+        while (p < subs.length) {
+          val v = subs(p)
+          val best = assign(p)
           var i = 0
           while (i < w) { sums(best)(i) += v(i); i += 1 }
           counts(best) += 1
