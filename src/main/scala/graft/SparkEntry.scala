@@ -1468,6 +1468,42 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    "j6_overlap_join" -> { (s, d) =>
+      // interval-OVERLAP join (RangeJoin.overlapJoin): error and click
+      // events become duration intervals per user; the overlap pair set is
+      // produced through the bucketed equality join with first-shared-
+      // bucket dedup — never a nested loop, never a distinct — and the
+      // oracle is DuckDB's raw inequality join, so the hash match proves
+      // bucketing + dedup ≡ textbook overlap semantics, zero-copy per
+      // pair, on real boundary collisions. Exact integer overlap lengths
+      // ride along so partial misses can't hide.
+      val minuteUs = 60000000L
+      val ev = events(s, d).withColumn("ts_us", unix_micros(col("ts")))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts_us").as("ls"),
+          (col("ts_us") + (col("event_id") % 7 + 1) * minuteUs).as("le"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("r_event_id"), col("user_id"),
+          col("ts_us").as("rs"),
+          (col("ts_us") + (col("event_id") % 5 + 1) * minuteUs).as("re"))
+      val pairs = graft.operators.RangeJoin.overlapJoin(errs, clicks,
+          on = Seq("user_id"), leftStart = "ls", leftEnd = "le",
+          rightStart = "rs", rightEnd = "re", bucketWidth = 5 * minuteUs)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          min(col("r_event_id")).as("first_click"),
+          max(col("r_event_id")).as("last_click"),
+          sum(least(col("le"), col("re")) - greatest(col("ls"), col("rs")) + 1)
+            .cast("long").as("sum_overlap_us"))
+      errs.join(pairs, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"),
+          coalesce(col("first_click"), lit(-1L)).as("first_click"),
+          coalesce(col("last_click"), lit(-1L)).as("last_click"),
+          coalesce(col("sum_overlap_us"), lit(0L)).as("sum_overlap_us"))
+        .orderBy("event_id")
+    },
+
     "t15_dup_clusters" -> { (s, d) =>
       // connected-component clustering through Dedup.clusters: edges are a
       // binary TREE inside each n_chars bucket (rank → rank div 2 on the
@@ -2375,6 +2411,22 @@ object SparkEntry {
             lit(-122.418307270836230), lit(9)).as("sf_anchor"))
     },
 
+    "e7_domain_quota" -> { (s, d) =>
+      // per-domain admission quota through transformWithState (DocStreams
+      // .quotaIntake — the arbitrary-state v2 API; StreamingSpec drives the
+      // real checkpointed RocksDB stream). WHICH docs are admitted within a
+      // micro-batch is arrival-order-dependent, but the COUNT per domain is
+      // exactly least(cap, n) and ranks are dense 1..n — both
+      // SQL-expressible, so the batch twin oracles the admission contract.
+      graft.streaming.DocStreams.quotaIntake(t(s, d, "documents"), cap = 40)
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_admitted"),
+          max(col("rank_in_domain")).as("max_rank"),
+          (sum(col("rank_in_domain")) ===
+            count(lit(1)) * (count(lit(1)) + 1) / 2).as("ranks_dense"))
+        .orderBy("domain")
+    },
+
     "e2_sessionize" -> { (s, d) =>
       // 30-minute-gap sessionization per user (session_window built-in)
       events(s, d)
@@ -3039,6 +3091,15 @@ object SparkEntry {
          SELECT tag, CAST(SUM(pc) AS BIGINT) AS revenue_cents, COUNT(*) AS n_items
          FROM big JOIN dim USING (k) GROUP BY tag ORDER BY tag""",
 
+    // transformWithState admission contract: per-domain admitted count is
+    // exactly least(cap, n), ranks are dense 1..n (sum = n(n+1)/2)
+    "e7_domain_quota" ->
+      """SELECT source AS domain,
+           CAST(LEAST(40, COUNT(*)) AS BIGINT) AS n_admitted,
+           CAST(LEAST(40, COUNT(*)) AS BIGINT) AS max_rank,
+           TRUE AS ranks_dense
+         FROM documents GROUP BY source ORDER BY domain""",
+
     // bucketing must change the plan, never the result: the oracle is the
     // plain join + aggregate over the same parquet inputs
     "x4_bucketed_join" ->
@@ -3057,6 +3118,30 @@ object SparkEntry {
          WHERE e.event_type = 'error'
          GROUP BY e.event_id, e.user_id, e.ts
          ORDER BY e.event_id""",
+
+    // raw inequality-join oracle for the bucketed overlap join: bucketing +
+    // first-shared-bucket dedup must reproduce the textbook pair set exactly
+    "j6_overlap_join" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ls,
+             CAST(epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS BIGINT) AS le
+           FROM events WHERE event_type = 'error'),
+         c AS (SELECT event_id AS r_event_id, user_id,
+             CAST(epoch_us(ts) AS BIGINT) AS rs,
+             CAST(epoch_us(ts) + (event_id % 5 + 1) * 60000000 AS BIGINT) AS re
+           FROM events WHERE event_type = 'click'),
+         p AS (SELECT e.event_id, COUNT(*) AS n_overlaps,
+             MIN(c.r_event_id) AS first_click, MAX(c.r_event_id) AS last_click,
+             CAST(SUM(LEAST(e.le, c.re) - GREATEST(e.ls, c.rs) + 1) AS BIGINT)
+               AS sum_overlap_us
+           FROM e JOIN c ON e.user_id = c.user_id
+             AND c.rs <= e.le AND e.ls <= c.re
+           GROUP BY e.event_id)
+         SELECT e.event_id,
+           CAST(COALESCE(p.n_overlaps, 0) AS BIGINT) AS n_overlaps,
+           CAST(COALESCE(p.first_click, -1) AS BIGINT) AS first_click,
+           CAST(COALESCE(p.last_click, -1) AS BIGINT) AS last_click,
+           CAST(COALESCE(p.sum_overlap_us, 0) AS BIGINT) AS sum_overlap_us
+         FROM e LEFT JOIN p USING (event_id) ORDER BY e.event_id""",
 
     // the component label of a tree inside a length bucket is the bucket
     // minimum — a plain window aggregate in SQL

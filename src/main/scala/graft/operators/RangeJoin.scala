@@ -58,4 +58,74 @@ object RangeJoin {
         col(rightTs) <= col(leftTs) + upper)
       .drop("__bkt")
   }
+
+  /** Interval-OVERLAP join: pairs where `[l.start, l.end] ∩ [r.start,
+    * r.end] ≠ ∅` (inclusive bounds) and the equality keys match — the
+    * genomics/temporal-span sibling of [[intervalJoin]] (two interval sets
+    * instead of points against windows).
+    *
+    * Plan shape: both sides explode to the `bucketWidth`-quantized buckets
+    * their interval covers and the join is a plain equality join on
+    * (keys…, bucket). A pair whose intervals share k buckets would emit k
+    * copies; instead of a quadratic-prone distinct, each pair is kept only
+    * in the FIRST bucket both intervals cover — `bucket ==
+    * max(firstBucket(l), firstBucket(r))`, a per-row filter, so every true
+    * pair survives exactly once and dedup costs nothing.
+    *
+    * `bucketWidth` trades replication (rows per interval ≈ span/width + 1)
+    * against bucket collision density — set it near the typical interval
+    * span. Intervals covering more than `maxBucketsPerRow` buckets
+    * (span ≫ width: the chromosome-length outlier among gene reads, the
+    * week-long session among minutes) do NOT ride the explode — each side's
+    * oversized subset is by nature small (bounded total span ÷ huge span),
+    * so it takes a broadcast branch with the raw overlap predicate instead,
+    * the [[SpatialJoin.pointInPolygon]] oversized-polygon pattern. Branches
+    * partition the pair space (big×all, small×big, small×small) — no pair
+    * is produced twice.
+    *
+    * Rows with null/inverted intervals (end < start) match nothing. */
+  def overlapJoin(left: DataFrame, right: DataFrame, on: Seq[String],
+      leftStart: String, leftEnd: String, rightStart: String, rightEnd: String,
+      bucketWidth: Long, maxBucketsPerRow: Int = 1024): DataFrame = {
+    require(on.nonEmpty, "overlap join needs at least one equality key")
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(maxBucketsPerRow >= 1, s"maxBucketsPerRow must be >= 1: $maxBucketsPerRow")
+    val clashes = (left.columns.toSet -- on).intersect(right.columns.toSet -- on)
+    require(clashes.isEmpty, s"non-key columns clash across sides: $clashes")
+    val w = bucketWidth
+    def fdiv(c: org.apache.spark.sql.Column) = {
+      val shifted = (c - pmod(c, lit(w))).cast("long")
+      org.apache.spark.sql.graft.SparkInternals.column(
+        org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+          org.apache.spark.sql.graft.SparkInternals.expression(shifted),
+          org.apache.spark.sql.graft.SparkInternals.expression(lit(w)),
+          org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+    }
+    val overlaps = col(rightStart) <= col(leftEnd) && col(leftStart) <= col(rightEnd)
+    def valid(s: String, e: String) =
+      col(s).isNotNull && col(e).isNotNull && col(e) >= col(s)
+    def spanOk(s: String, e: String) = fdiv(col(e)) - fdiv(col(s)) < maxBucketsPerRow
+    val lOk = left.filter(valid(leftStart, leftEnd))
+    val rOk = right.filter(valid(rightStart, rightEnd))
+    val lSmall = lOk.filter(spanOk(leftStart, leftEnd))
+    val rSmall = rOk.filter(spanOk(rightStart, rightEnd))
+    val lBig = lOk.filter(!spanOk(leftStart, leftEnd))
+    val rBig = rOk.filter(!spanOk(rightStart, rightEnd))
+    val lB = lSmall.withColumn("__bkt",
+      explode(sequence(fdiv(col(leftStart)), fdiv(col(leftEnd)))))
+    val rB = rSmall.withColumn("__bkt",
+      explode(sequence(fdiv(col(rightStart)), fdiv(col(rightEnd)))))
+    val fine = lB.join(rB, on :+ "__bkt")
+      // first-shared-bucket dedup: exactly one surviving copy per true pair
+      .filter(col("__bkt") === greatest(fdiv(col(leftStart)), fdiv(col(rightStart))))
+      .filter(overlaps)
+      .drop("__bkt")
+    // the coarse branches only exist when an oversized interval does —
+    // same probe-once rationale as SpatialJoin.pointInPolygon
+    val withLBig =
+      if (lBig.isEmpty) fine
+      else fine.unionByName(broadcast(lBig).join(rOk, on).filter(overlaps))
+    if (rBig.isEmpty) withLBig
+    else withLBig.unionByName(lSmall.join(broadcast(rBig), on).filter(overlaps))
+  }
 }

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 import graft.functions.GraftFunctions._
 
@@ -41,6 +42,62 @@ object DocStreams {
       .withColumn("content_hash", md5(col(textCol).cast("binary")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Admitted document: what [[quotaIntake]] emits per accepted row. */
+  case class AdmittedDoc(domain: String, doc_id: Long, rank_in_domain: Long)
+
+  /** Per-domain admission quota via `transformWithState` — the arbitrary-
+    * state API v2 (Spark 4), which [[EventStreams]]'s
+    * flatMapGroupsWithState predates: typed per-key [[ValueState]] in the
+    * RocksDB state store with NATIVE TTL, so a domain's counter expires
+    * `ttl` after its last update without timer bookkeeping — the rolling-
+    * window form of the batch `TrainingData.domainCap`. A crawl front that
+    * hammers one domain admits only the first `cap` docs per TTL horizon;
+    * per-key state is one long, the 100 TB-stream shape.
+    *
+    * Requires the RocksDB state store provider on a real stream (the v2
+    * operator's backing store); StreamingSpec drives it so configured. */
+  def quotaIntake(docs: DataFrame, cap: Long, ttl: java.time.Duration = null,
+      domainCol: String = "source", idCol: String = "doc_id"): Dataset[AdmittedDoc] = {
+    val ttlConf = Option(ttl).map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
+    // the v2 operator only loads on the RocksDB provider (stream AND batch
+    // execution) — pin it here so callers can't hit CANNOT_LOAD_STATE_STORE;
+    // RocksDB is the production-grade provider for every other stateful
+    // operator too, so the session-wide setting is safe
+    docs.sparkSession.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // batch execution of the operator has no StateStoreCoordinator RPC
+    // endpoint (only streaming queries register one) and RocksDB's
+    // maintenance path fails the task looking it up — register it
+    // idempotently before planning
+    org.apache.spark.sql.graft.SparkInternals.ensureStateStoreCoordinator()
+    implicit val outEnc = Encoders.product[AdmittedDoc]
+    docs.select(col(domainCol).cast("string"), col(idCol).cast("long"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .groupByKey(_._1)(Encoders.STRING)
+      .transformWithState(new DomainQuotaProcessor(cap, ttlConf),
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** The [[quotaIntake]] processor: admit while the TTL'd counter < cap. */
+  private class DomainQuotaProcessor(cap: Long, ttl: TTLConfig)
+      extends StatefulProcessor[String, (String, Long), AdmittedDoc] {
+    @transient private var admitted: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      admitted = getHandle.getValueState[Long]("admitted", Encoders.scalaLong, ttl)
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+        timerValues: TimerValues): Iterator[AdmittedDoc] = {
+      var n = if (admitted.exists()) admitted.get() else 0L
+      val out = scala.collection.mutable.ArrayBuffer[AdmittedDoc]()
+      while (rows.hasNext && n < cap) {
+        val (_, id) = rows.next()
+        n += 1
+        out += AdmittedDoc(key, id, n)
+      }
+      admitted.update(n)
+      out.iterator
+    }
+  }
 
   /** Windowed corpus telemetry: per-window doc/token counts and mean
     * quality by language — the monitoring aggregate a streaming ingest

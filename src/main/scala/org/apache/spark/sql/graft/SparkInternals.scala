@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object SparkInternals {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Ensure the driver's StateStoreCoordinator RPC endpoint exists. A
+    * stateful STREAMING query registers it on start, but BATCH execution of
+    * a stateful operator (transformWithState on a batch Dataset) skips that
+    * path and executors then fail looking the endpoint up. `forDriver` is
+    * idempotent — it registers the endpoint or returns the existing one. */
+  def ensureStateStoreCoordinator(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStoreCoordinatorRef
+      .forDriver(org.apache.spark.SparkEnv.get,
+        org.apache.spark.sql.internal.SQLConf.get)
 }

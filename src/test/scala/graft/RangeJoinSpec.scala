@@ -83,6 +83,69 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L), (1L, 11L), (2L, 12L)), s"nano-epoch set: $got")
   }
 
+  private def lIv = Seq(
+    // (id, key, start, end) — boundary-touch, containment, disjoint cases
+    (1L, "u", 100L, 200L), (2L, "u", 250L, 250L), (3L, "u", 900L, 1800L),
+    (4L, "v", 0L, 50L)
+  ).toDF("lid", "k", "ls", "le")
+
+  private def rIv = Seq(
+    (10L, "u", 200L, 300L),  // touches 1 at 200 exactly, overlaps 2
+    (11L, "u", 50L, 99L),    // ends 1 short of 1 — must NOT match
+    (12L, "u", 120L, 130L),  // contained in 1
+    (13L, "u", 1000L, 1001L), // inside 3 (multi-bucket left interval)
+    (14L, "v", 51L, 60L),    // 1 past 4's end — must NOT match
+    (15L, "w", 0L, 10000L)   // key with no left rows
+  ).toDF("rid", "k", "rs", "re")
+
+  private def bruteOverlap = lIv.as("l").join(rIv.as("r"),
+      $"l.k" === $"r.k" && $"r.rs" <= $"l.le" && $"l.ls" <= $"r.re")
+    .select($"l.lid", $"r.rid").collect()
+    .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("overlapJoin matches brute force, exactly one copy per pair") {
+    for (width <- Seq(10L, 100L, 1000L)) {
+      val rows = RangeJoin.overlapJoin(lIv, rIv, Seq("k"),
+          "ls", "le", "rs", "re", bucketWidth = width)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length == rows.toSet.size,
+        s"width=$width: first-shared-bucket dedup must emit each pair once: ${rows.toSeq}")
+      assert(rows.toSet == bruteOverlap, s"width=$width: ${rows.toSet} vs $bruteOverlap")
+    }
+    assert(bruteOverlap == Set((1L, 10L), (2L, 10L), (1L, 12L), (3L, 13L)),
+      s"fixture sanity: $bruteOverlap")
+  }
+
+  test("overlapJoin oversized intervals take the broadcast branch, same result") {
+    // width 10 + maxBucketsPerRow 4 ⇒ any span ≥ 40 is oversized: lid=3
+    // (span 900) and rid=15 (span 10000) must route through broadcast and
+    // still produce exactly the brute-force pair set
+    val got = RangeJoin.overlapJoin(lIv, rIv, Seq("k"),
+        "ls", "le", "rs", "re", bucketWidth = 10L, maxBucketsPerRow = 4)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size, s"no duplicate pairs: ${got.toSeq}")
+    assert(got.toSet == bruteOverlap, s"${got.toSet} vs $bruteOverlap")
+  }
+
+  test("overlapJoin drops null and inverted intervals") {
+    val lBad = Seq((1L, "u", 100L, 200L)).toDF("lid", "k", "ls", "le")
+      .unionByName(Seq(("x", 2L)).toDF("k", "lid")
+        .select($"lid", $"k", lit(null).cast("long").as("ls"), lit(50L).as("le")))
+      .unionByName(Seq((3L, "u", 300L, 250L)).toDF("lid", "k", "ls", "le"))
+    val got = RangeJoin.overlapJoin(lBad, rIv, Seq("k"),
+        "ls", "le", "rs", "re", bucketWidth = 100L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (1L, 12L)), s"only the valid interval matches: $got")
+  }
+
+  test("overlapJoin plans equality joins — no nested-loop, no cartesian") {
+    val p = RangeJoin.overlapJoin(lIv, rIv, Seq("k"),
+        "ls", "le", "rs", "re", bucketWidth = 100L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"must not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"must not cross join:\n$p")
+  }
+
   test("rejects empty keys, bad windows, clashing columns") {
     intercept[IllegalArgumentException] {
       RangeJoin.intervalJoin(left, right, Seq.empty, "lt", "rt", -1L, 1L)

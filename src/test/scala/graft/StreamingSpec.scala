@@ -181,4 +181,46 @@ class StreamingSpec extends AnyFunSuite {
     val out = spark.table("dedup_out")
     assert(out.count() == 14) // 7 users × 2 event types
   }
+
+  test("quotaIntake: transformWithState per-domain cap across checkpointed runs") {
+    // the arbitrary-state v2 operator requires the RocksDB provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val root = java.nio.file.Files.createTempDirectory("docsq").toString
+      val dir = root + "/data"
+      val ckpt = root + "/ckpt"
+      def docs(rows: Seq[(String, Long)]) = rows.toDF("source", "doc_id")
+      // wave 1: domain a over cap (5 > 3), b under (2)
+      docs((0L until 5L).map(i => ("a", i)) ++ Seq(("b", 100L), ("b", 101L)))
+        .write.mode("append").parquet(dir)
+      val schema = spark.read.parquet(dir).schema
+      def run(name: String): Map[String, Seq[Long]] = {
+        // memory sink can't recover from a checkpoint; foreachBatch can
+        val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+        val stream = spark.readStream.schema(schema).parquet(dir)
+        val q = graft.streaming.DocStreams.quotaIntake(stream, cap = 3)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.DocStreams.AdmittedDoc], _: Long) =>
+            batch.collect().foreach(d => buf.add((d.domain, d.rank_in_domain)))
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(60000)
+        import scala.jdk.CollectionConverters._
+        buf.asScala.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      }
+      val out1 = run("quota_out1")
+      assert(out1("a") == Seq(1L, 2L, 3L), s"a capped at 3: $out1")
+      assert(out1("b") == Seq(1L, 2L), s"b admits both: $out1")
+      // wave 2: a already exhausted, b has 1 slot left, c fresh — the TTL'd
+      // RocksDB counter must survive the checkpoint restart
+      docs(Seq(("a", 200L), ("a", 201L), ("b", 202L), ("b", 203L), ("c", 204L)))
+        .write.mode("append").parquet(dir)
+      val out2 = run("quota_out2")
+      assert(!out2.contains("a"), s"a is at cap, admits nothing: $out2")
+      assert(out2("b") == Seq(3L), s"b admits exactly one more: $out2")
+      assert(out2("c") == Seq(1L), s"fresh domain admits: $out2")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
 }
