@@ -575,6 +575,29 @@ object SparkEntry {
         .orderBy("polyid")
     },
 
+    "j7_distance_join" -> { (s, d) =>
+      // distance join (ST_DWithin): lineitem points within 2.5 units of
+      // supplier anchor points through SpatialJoin.distanceJoin — radius-
+      // width grid cells, constant 9× replication on the SMALL side only,
+      // equality join on (cx, cy), exact squared-distance refine. The
+      // oracle is DuckDB's raw inequality join on the same IEEE-exact
+      // arithmetic (offsets are constructed so no pair lands exactly on
+      // the radius), so the hash proves the grid prefilter is a lossless
+      // superset and the refine exact.
+      val pts = t(s, d, "lineitem")
+        .select(cxCol.as("x"), cyCol.as("y"), col("l_orderkey"))
+      val anchors = t(s, d, "supplier")
+        .filter(col("s_suppkey") < 50)
+        .select(col("s_suppkey").as("aid"),
+          ((col("s_suppkey") % 36).cast("double") * 10.0 - 175.0).as("rx"),
+          ((col("s_suppkey") % 17).cast("double") * 10.0 - 80.0).as("ry"))
+      graft.operators.SpatialJoin.distanceJoin(pts, anchors, radius = 2.5)
+        .groupBy(col("aid"))
+        .agg(count(lit(1)).as("n_near"),
+          sum(col("l_orderkey")).as("sum_keys"))
+        .orderBy("aid")
+    },
+
     "w3_lag_gap_days" -> { (s, d) =>
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       t(s, d, "orders")
@@ -1733,6 +1756,48 @@ object SparkEntry {
           countDistinct(md5(col("text"))).as("n_md5"),
           min(md5(col("text"))).as("md5_min"),
           max(md5(col("text"))).as("md5_max"))
+        .orderBy("source")
+    },
+
+    "s11_schema_evolution" -> { (s, d) =>
+      // schema evolution across a parquet lake (mergeSchema): generations
+      // of a 100 TB corpus gain columns; a unified scan must widen the
+      // schema and null-fill the old files. Old generation = docs < 250
+      // without n_chars; new generation carries it. The oracle replays the
+      // generational split arithmetically from the source table, so the
+      // hash proves both the union schema and the null semantics.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evo").toString
+      val docs = t(s, d, "documents")
+      docs.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("source"))
+        .write.mode("overwrite").parquet(tmp + "/gen1")
+      docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("source"), length(col("text")).as("n_chars"))
+        .write.mode("overwrite").parquet(tmp + "/gen2")
+      s.read.option("mergeSchema", "true").parquet(tmp + "/gen1", tmp + "/gen2")
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("sum_ids"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L)).cast("long").as("n_nulls"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
+    },
+
+    "s12_partition_pruning" -> { (s, d) =>
+      // hive-style partitioned sink + pruned scan: the lake layout that
+      // turns a per-domain query on 100 TB into a scan of one directory.
+      // Writes documents partitionBy(source), reads back with a 3-source
+      // filter; ScalePlanSpec asserts the scan's partition count is pruned
+      // to 3 (plan-level proof the other 17 directories are never opened),
+      // and the oracle recomputes the filtered aggregate from the original
+      // table, proving the partition columns round-trip losslessly.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), length(col("text")).as("n_chars"))
+        .write.mode("overwrite").partitionBy("source").parquet(tmp)
+      s.read.parquet(tmp)
+        .filter(col("source").isin("src3", "src7", "src11"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"),
+          sum(col("n_chars").cast("long")).as("sum_chars"))
         .orderBy("source")
     },
 
@@ -3119,6 +3184,21 @@ object SparkEntry {
          GROUP BY e.event_id, e.user_id, e.ts
          ORDER BY e.event_id""",
 
+    // raw inequality oracle for the grid-prefiltered distance join; 6.25 is
+    // radius² and every term is IEEE-exact integer-derived arithmetic
+    "j7_distance_join" ->
+      """WITH p AS (SELECT (CAST(l_partkey % 360 AS DOUBLE) - 180.0 + 0.5) AS x,
+             (CAST(l_suppkey % 180 AS DOUBLE) - 90.0 + 0.25) AS y, l_orderkey
+           FROM lineitem),
+         a AS (SELECT s_suppkey AS aid,
+             CAST(s_suppkey % 36 AS DOUBLE) * 10.0 - 175.0 AS rx,
+             CAST(s_suppkey % 17 AS DOUBLE) * 10.0 - 80.0 AS ry
+           FROM supplier WHERE s_suppkey < 50)
+         SELECT aid, COUNT(*) AS n_near, CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+         FROM p JOIN a
+           ON (p.x - a.rx) * (p.x - a.rx) + (p.y - a.ry) * (p.y - a.ry) <= 6.25
+         GROUP BY aid ORDER BY aid""",
+
     // raw inequality-join oracle for the bucketed overlap join: bucketing +
     // first-shared-bucket dedup must reproduce the textbook pair set exactly
     "j6_overlap_join" ->
@@ -3258,6 +3338,23 @@ object SparkEntry {
            COUNT(DISTINCT md5(text)) AS n_md5,
            MIN(md5(text)) AS md5_min, MAX(md5(text)) AS md5_max
          FROM documents GROUP BY source ORDER BY source""",
+
+    // generational split replayed arithmetically: docs < 250 have no
+    // n_chars column, so the merged scan must null-fill exactly those
+    "s11_schema_evolution" ->
+      """SELECT COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(CASE WHEN doc_id < 250 THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(SUM(CASE WHEN doc_id >= 250 THEN LENGTH(text) END) AS BIGINT)
+             AS sum_chars
+         FROM documents""",
+
+    // the pruning itself is plan-asserted in ScalePlanSpec; the oracle pins
+    // that partition-column round-tripping loses nothing
+    "s12_partition_pruning" ->
+      """SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_ids,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+         FROM documents WHERE source IN ('src3', 'src7', 'src11')
+         GROUP BY source ORDER BY source""",
 
     // the bloom invariant is engine-checked (parquet-mr footer read) and
     // reduces to TRUE; content aggregates prove the sink lossless and the

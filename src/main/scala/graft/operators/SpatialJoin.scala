@@ -72,6 +72,37 @@ object SpatialJoin {
       st_contains(col("__poly_geom"), col(pointGeom))))
   }
 
+  /** Distance join (ST_DWithin): pairs of points within `radius` in the
+    * coordinate plane. Grid width = radius, so a true pair's cells differ
+    * by at most one step per axis: the left side keys on its own cell, the
+    * right side replicates to its 3×3 cell neighborhood, the join is a
+    * plain equality join on the cell id, and an exact distance filter
+    * refines. Replication is a constant 9× on ONE side (the smaller —
+    * callers pass it as `right`), never data-dependent; per-cell collision
+    * cost is density-bounded the same way the polygon prefilter is. The
+    * distance test is squared-comparison (no sqrt): `dx² + dy² ≤ r²` is
+    * exact IEEE arithmetic an oracle can replay bit-for-bit. */
+  def distanceJoin(left: DataFrame, right: DataFrame, radius: Double,
+      leftX: String = "x", leftY: String = "y",
+      rightX: String = "rx", rightY: String = "ry"): DataFrame = {
+    require(radius > 0, s"radius must be positive: $radius")
+    val l = left
+      .withColumn("__cx", floor(col(leftX) / radius).cast("long"))
+      .withColumn("__cy", floor(col(leftY) / radius).cast("long"))
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1)
+      yield struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy")))
+      .toSeq: _*)
+    val r = right
+      .withColumn("__o", explode(offsets))
+      .withColumn("__cx", floor(col(rightX) / radius).cast("long") + col("__o.dx"))
+      .withColumn("__cy", floor(col(rightY) / radius).cast("long") + col("__o.dy"))
+      .drop("__o")
+    l.join(r, Seq("__cx", "__cy"))
+      .filter((col(leftX) - col(rightX)) * (col(leftX) - col(rightX)) +
+        (col(leftY) - col(rightY)) * (col(leftY) - col(rightY)) <= lit(radius * radius))
+      .drop("__cx", "__cy")
+  }
+
   /** [[pointInPolygon]] on the TRUE H3 lattice instead of the rect grid —
     * the same lattice as the reference's heatmap
     * (East-Asia-Building-Footprints.md:250-252), so a pipeline can bucket

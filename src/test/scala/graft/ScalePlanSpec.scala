@@ -167,6 +167,55 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("distanceJoin matches brute force incl. exact-radius boundary pairs") {
+    val pts = Seq((1L, 0.0, 0.0), (2L, 5.0, 0.0), (3L, 3.0, 4.0), (4L, 0.1, 0.1),
+        (5L, -5.0, 0.0), (6L, 100.0, 100.0))
+      .toDF("pid", "x", "y")
+    val anchors = Seq((10L, 0.0, 0.0), (11L, 103.0, 104.0)).toDF("aid", "rx", "ry")
+    // radius 5: pid 2 (dist exactly 5.0), 3 (3-4-5 triangle) must BOTH be
+    // included (<=); pid 6 is 5.0 from anchor 11 across cell boundaries
+    val got = SpatialJoin.distanceJoin(pts, anchors, radius = 5.0)
+      .select("pid", "aid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pts.crossJoin(anchors)
+      .filter(($"x" - $"rx") * ($"x" - $"rx") + ($"y" - $"ry") * ($"y" - $"ry") <= 25.0)
+      .select("pid", "aid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"got=$got brute=$brute")
+    assert(got == Set((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 10L), (6L, 11L)),
+      s"boundary fixture: $got")
+    // one emission per pair (a neighbor-cell dup would double-count)
+    val rows = SpatialJoin.distanceJoin(pts, anchors, radius = 5.0).count()
+    assert(rows == got.size.toLong, s"each pair exactly once: $rows vs ${got.size}")
+    val p = SpatialJoin.distanceJoin(pts, anchors, radius = 5.0)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"equality-join plan required:\n$p")
+  }
+
+  test("partitioned sink: scan reads ONLY the filtered partitions' files") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_part_spec").toString + "/docs"
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("source"))
+        .write.mode("overwrite").partitionBy("source").parquet(tmp)
+      val q = spark.read.parquet(tmp)
+        .filter(col("source").isin("src3", "src7"))
+      val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail("expected a FileSourceScanExec leaf"))
+      assert(scan.metadata("PartitionFilters").contains("src3"),
+        s"partition filter must reach the scan: ${scan.metadata("PartitionFilters")}")
+      q.collect()
+      val fs = new java.io.File(tmp).listFiles().filter(_.getName.startsWith("source="))
+      assert(fs.length >= 10, s"fixture should write many partitions: ${fs.length}")
+      val wantedFiles = fs.filter(d => Set("source=src3", "source=src7")(d.getName))
+        .flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+      assert(scan.metrics("numFiles").value == wantedFiles,
+        s"scan must open only the 2 filtered partitions' files: " +
+          s"${scan.metrics("numFiles").value} vs $wantedFiles")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("bucketed co-located join: SortMergeJoin with zero Exchange, zero Sort") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val p = try {
