@@ -27,6 +27,8 @@ object Bucketing {
     * prior registration of `name`. Returns the re-read table (bucketed scan). */
   def writeBucketed(s: SparkSession, df: DataFrame, name: String, key: String,
       buckets: Int, path: String): DataFrame = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    require(name.matches("[A-Za-z0-9_]+"), s"table name must be an identifier: $name")
     s.sql(s"DROP TABLE IF EXISTS $name")
     // repartition on the key into exactly `buckets` tasks first: each bucket
     // then receives rows from ONE task, i.e. one file per bucket — the

@@ -59,6 +59,7 @@ object DocStreams {
     * operator's backing store); StreamingSpec drives it so configured. */
   def quotaIntake(docs: DataFrame, cap: Long, ttl: java.time.Duration = null,
       domainCol: String = "source", idCol: String = "doc_id"): Dataset[AdmittedDoc] = {
+    require(cap > 0, s"cap must be positive: $cap")
     val ttlConf = Option(ttl).map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
     // the v2 operator only loads on the RocksDB provider (stream AND batch
     // execution) — pin it here so callers can't hit CANNOT_LOAD_STATE_STORE;
