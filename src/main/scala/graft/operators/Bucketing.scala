@@ -24,11 +24,21 @@ import org.apache.spark.sql.functions._
 object Bucketing {
 
   /** Write `df` as a bucketed+sorted external parquet table, replacing any
-    * prior registration of `name`. Returns the re-read table (bucketed scan). */
+    * prior registration of `name`. Returns the re-read table (bucketed scan).
+    *
+    * CATALOG SIDE EFFECT: drops any existing table registered under `name`
+    * and leaves the new registration behind after the run (the bucketing
+    * spec lives in the catalog — that persistence is what amortizes the
+    * ingest shuffle across later queries). Names are therefore confined to
+    * a `graft_` namespace so a collision can never drop an unrelated
+    * user table; call [[dropTables]] when the registration is no longer
+    * wanted. */
   def writeBucketed(s: SparkSession, df: DataFrame, name: String, key: String,
       buckets: Int, path: String): DataFrame = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     require(name.matches("[A-Za-z0-9_]+"), s"table name must be an identifier: $name")
+    require(name.startsWith("graft_"),
+      s"bucketed tables are namespaced: name must start with 'graft_': $name")
     s.sql(s"DROP TABLE IF EXISTS $name")
     // repartition on the key into exactly `buckets` tasks first: each bucket
     // then receives rows from ONE task, i.e. one file per bucket — the
@@ -56,5 +66,15 @@ object Bucketing {
     val lt = writeBucketed(s, left, leftName, leftKey, buckets, s"$baseDir/$leftName")
     val rt = writeBucketed(s, right, rightName, rightKey, buckets, s"$baseDir/$rightName")
     lt.hint("merge").join(rt, col(leftKey) === col(rightKey))
+  }
+
+  /** Drop bucketed-table registrations created by [[writeBucketed]] (data
+    * files under the external `path` are left in place — EXTERNAL tables
+    * drop metadata only). Call after the joined result is consumed; the
+    * returned DataFrames read through the catalog, so dropping earlier
+    * breaks them. */
+  def dropTables(s: SparkSession, names: String*): Unit = names.foreach { n =>
+    require(n.startsWith("graft_"), s"refusing to drop non-graft table: $n")
+    s.sql(s"DROP TABLE IF EXISTS $n")
   }
 }

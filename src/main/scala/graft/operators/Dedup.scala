@@ -29,7 +29,9 @@ object Dedup {
       s"k ($k) must be a multiple of bands ($bands): a truncated banding would " +
         "silently ignore the last k % bands signature elements")
     val rows = k / bands
-    val sigs = docs.select(col(idCol).as("id"),
+    // the signature kernel (k hashes × shingles/doc) is the expensive
+    // pre-shuffle stage — guard its parallelism against few-split inputs
+    val sigs = Scatter(docs).select(col(idCol).as("id"),
       minhash_signature(shingle_hashes(col(textCol), lit(shingle)), lit(k), lit(seed)).as("sig"))
     val bandCols = sigs.select(col("id"), col("sig"),
       posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows), b))")))
@@ -79,7 +81,7 @@ object Dedup {
     // the shingle set size rides along with every exploded row (+8 bytes):
     // it removes the separate per-doc size aggregate AND its two joins onto
     // the pair set — two fewer full passes over the corpus text
-    val sh0 = docs
+    val sh0 = Scatter(docs)
       .select(col(idCol).as("id"), shingle_hashes(col(textCol), lit(shingle)).as("shs"))
       .select(col("id"), size(col("shs")).as("nsh"), explode(col("shs")).as("sh"))
     // the exploded frame is consumed three times (posting counts + both
@@ -239,7 +241,10 @@ object Dedup {
       s"simhashPairs probe ball too large: $nBlocks blocks at maxDist=$maxDist needs " +
         s"$ballTotal probe masks/doc (cap $ballCap) — use more probeBlocks (smaller " +
         s"per-block radius e=maxDist/probeBlocks) or the auto split (probeBlocks=0)")
-    val sigs = docs.select(col(idCol).as("id"),
+    // simhash + the downstream broadcast-join probe both inherit the scan's
+    // split count — scatter first or a single-row-group corpus runs the
+    // whole candidate enumeration in one task
+    val sigs = Scatter(docs).select(col(idCol).as("id"),
       simhash64(shingle_hashes(col(textCol), lit(shingle))).as("sh"))
     val blockCols = (0 until nBlocks).map { b =>
       val lo = 64 * b / nBlocks
@@ -310,7 +315,7 @@ object Dedup {
       minCos: Double = 0.95, seed: Long = 7L,
       maxBucket: Int = 10000): DataFrame = {
     require(tables >= 1, s"tables must be >= 1: $tables")
-    val b = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val b = Scatter(embs).select(col(idCol).as("id"), col(vecCol).as("v"),
       posexplode(array((0 until tables).map(t =>
         rhp_signature(col(vecCol), lit(bits), lit(seed + t))): _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")

@@ -78,7 +78,9 @@ object GeoNormalize {
   def writeClustered(df: DataFrame, outPath: String, numFiles: Int = 0,
       zstdLevel: Int = 22, rowGroupBytes: Long = 4L * 1024 * 1024,
       geoFooter: Boolean = true): Unit = {
-    val keyed = df.withColumn("__hk", hilbert_of_geom(col("geom")))
+    // the WKB→Hilbert kernel runs in the pre-exchange stage (twice, for the
+    // range sampling) — scatter a few-split input first (no-op at scale)
+    val keyed = Scatter(df).withColumn("__hk", hilbert_of_geom(col("geom")))
     val arranged =
       if (numFiles > 0) keyed.repartitionByRange(numFiles, col("__hk"))
         .sortWithinPartitions("__hk")
@@ -192,7 +194,7 @@ object GeoNormalize {
     * across the cluster — the exact reference semantics for single-file
     * outputs (east_asia.py:75-82). */
   def writeClusteredSorted(df: DataFrame, outPath: String, zstdLevel: Int = 22): Unit = {
-    val keyed = df.withColumn("__hk", hilbert_of_geom(col("geom")))
+    val keyed = Scatter(df).withColumn("__hk", hilbert_of_geom(col("geom")))
     keyed.orderBy("__hk").drop("__hk")
       .write.mode("overwrite")
       .option("compression", "zstd")

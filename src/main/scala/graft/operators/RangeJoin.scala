@@ -120,12 +120,16 @@ object RangeJoin {
       .filter(col("__bkt") === greatest(fdiv(col(leftStart)), fdiv(col(rightStart))))
       .filter(overlaps)
       .drop("__bkt")
-    // the coarse branches only exist when an oversized interval does —
-    // same probe-once rationale as SpatialJoin.pointInPolygon
-    val withLBig =
-      if (lBig.isEmpty) fine
-      else fine.unionByName(broadcast(lBig).join(rOk, on).filter(overlaps))
-    if (rBig.isEmpty) withLBig
-    else withLBig.unionByName(lSmall.join(broadcast(rBig), on).filter(overlaps))
+    // the coarse branches union UNCONDITIONALLY — they contribute zero rows
+    // when no oversized interval exists, and gating them on an eager
+    // isEmpty probe would cost up to two full-input Spark jobs at plan
+    // construction (the probe scans to exhaustion precisely in the common
+    // no-oversized case). At execution the broadcast side materializes
+    // first and AQE's empty-relation propagation collapses the join (and
+    // the big-side scan under it) when it comes back empty, so the
+    // no-oversized case pays one linear filter pass, not a join.
+    fine
+      .unionByName(broadcast(lBig).join(rOk, on).filter(overlaps))
+      .unionByName(lSmall.join(broadcast(rBig), on).filter(overlaps))
   }
 }

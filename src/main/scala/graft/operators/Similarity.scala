@@ -22,7 +22,9 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    // the corpus-side dot products are the whole cost and run pre-shuffle —
+    // guard the scan's parallelism (no-op when splits >= cores)
+    val c = Scatter(corpus).select(col(idCol).as("nid"), col(vecCol).as("nv"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     c.join(broadcast(q), col("qid") =!= col("nid"))
       .withColumn("cos", cosine_similarity(col("qv"), col("nv")))
@@ -50,7 +52,7 @@ object Similarity {
     require(bits >= 1 && bits <= 62, s"bits must be in [1, 62]: $bits")
     require(tables >= 1, s"tables must be >= 1: $tables")
     val sigT = (t: Int, v: Column) => rhp_signature(v, lit(bits), lit(seed + t))
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"),
+    val c = Scatter(corpus).select(col(idCol).as("nid"), col(vecCol).as("nv"),
       posexplode(array((0 until tables).map(t => sigT(t, col(vecCol))): _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "bucket")
     val qSig = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
@@ -104,7 +106,7 @@ object Similarity {
     // corpus side: argmax cell, map-only; query side: nprobe nearest cells.
     // Both go through the NearestCells kernel (tie-break toward the lower
     // index on both sides — the planted-self-match guarantee).
-    val assigned = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val assigned = Scatter(corpus).select(col(idCol).as("nid"), col(vecCol).as("nv"))
       .withColumn("cell", element_at(nearest_cells(col("nv"), centroids, 1), 1))
     val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
       .select(col("qid"), col("qv"),
@@ -153,6 +155,7 @@ object Similarity {
     val sample = corpus.select(col(idCol), col(vecCol)).sort(col(idCol))
       .limit(trainSample).collect()
       .map(_.getSeq[Number](1).map(_.floatValue).toArray)
+    require(sample.nonEmpty, "IVF-PQ training needs a non-empty corpus")
     val centroids = trainSpherical(sample, nlist, iters)
     // residual per sample point needs another full argmax over the coarse
     // codebook (O(sample·nlist·dim)) — parallelize like the training loops
@@ -166,7 +169,12 @@ object Similarity {
       residuals(p) = r
     }
     val codebooks = trainPq(residuals, m, ksub, iters)
-    val assigned = corpus.select(col(idCol).as("nid"),
+    // a sample smaller than ksub trains codebooks with fewer than ksub
+    // codewords (trainPq inits from subs.take(ksub)); the ADC stride MUST
+    // be the trained codebook length, not the requested ksub, or the LUT
+    // lookups for subspaces >= 1 read other subspaces' entries
+    val ksubEff = codebooks(0).length
+    val assigned = Scatter(corpus).select(col(idCol).as("nid"),
         ivfpq_encode(col(vecCol), centroids, codebooks).as("enc"))
       .select(col("nid"), col("enc.cell").as("cell"), col("enc.codes").as("codes"))
     val probed = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"))
@@ -179,7 +187,7 @@ object Similarity {
     val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("nid"))
     val shortlist = probed.join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("adc", col("cdot") + pq_adc(col("lut"), col("codes"), ksub))
+      .withColumn("adc", col("cdot") + pq_adc(col("lut"), col("codes"), ksubEff))
       .withColumn("ra", row_number().over(wAdc))
       .filter(col("ra") <= refine)
       .select(col("qid"), col("qv"), col("nid"))

@@ -27,7 +27,9 @@ object Skew {
     require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
       s"saltedJoin supports inner/left/left_semi/left_anti joins only, got '$joinType': " +
         "right/full outer would emit each unmatched small-side row salt times")
-    val saltedBig = big.withColumn("__salt",
+    // salt hashing + the shuffle write inherit the scan's split count —
+    // scatter a few-split big side first (no-op when splits >= cores)
+    val saltedBig = Scatter(big).withColumn("__salt",
       pmod(hash(big.columns.map(col).toSeq: _*), lit(salt)))
     val saltedSmall = small
       .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))

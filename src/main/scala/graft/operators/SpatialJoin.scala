@@ -40,10 +40,12 @@ object SpatialJoin {
     // (the key is never null), the encode runs once per row, and the -1
     // sentinel matches no polygon cell, so null/broken geometries still
     // drop at the join exactly as before.
-    val pts = points.withColumn("__cell", coalesce(
+    // the WKB-decode + cell-encode kernel runs pre-shuffle — scatter a
+    // few-split point input or the encode stage is single-threaded
+    val pts = Scatter(points).withColumn("__cell", coalesce(
       grid_cell(centroid_x(col(pointGeom)), centroid_y(col(pointGeom)), lit(res)),
       lit(-1L)))
-    val tagged = polygons
+    val tagged = Scatter(polygons)
       .withColumnRenamed(polyGeom, "__poly_geom")
       .withColumn("__cells", cells_covering(col("__poly_geom"), lit(res)))
     // explode() emits no rows for an empty array, so the oversized filter is
@@ -117,10 +119,10 @@ object SpatialJoin {
     // coalesce key wrapper: same single-evaluation rationale as
     // pointInPolygon — the H3 encode (~1 µs/row) is the dominant point-side
     // cost, so evaluating it once instead of twice matters.
-    val pts = points.withColumn("__cell", coalesce(
+    val pts = Scatter(points).withColumn("__cell", coalesce(
       h3_latlng_to_cell(centroid_y(col(pointGeom)), centroid_x(col(pointGeom)), lit(res)),
       lit(-1L)))
-    val tagged = polygons
+    val tagged = Scatter(polygons)
       .withColumnRenamed(polyGeom, "__poly_geom")
       .withColumn("__cells", h3_cells_covering(col("__poly_geom"), lit(res)))
     // explode() already drops empty-covering rows; see pointInPolygon.

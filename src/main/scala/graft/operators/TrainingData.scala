@@ -61,7 +61,7 @@ object TrainingData {
       df.filter(size(split(col(textCol), " ")) >= n)
         .select(col(idCol).as(outId),
           explode(shingle_hashes(col(textCol), lit(n))).as("gram"))
-    val cg = grams(corpus, "doc_id_c")
+    val cg = grams(Scatter(corpus), "doc_id_c")
     val eg = grams(evalSet, "doc_id_e").distinct()
     val matched = cg.join(broadcast(eg), Seq("gram"))
       .filter(col("doc_id_c") =!= col("doc_id_e"))
@@ -220,7 +220,9 @@ object TrainingData {
       stride: Int = 1, hashed: Boolean = false,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(spanLen > 0 && stride > 0, s"spanLen=$spanLen stride=$stride")
-    val spans = docs
+    // the span explode + hash + partial agg run pre-shuffle — scatter a
+    // few-split corpus first (no-op when splits >= cores)
+    val spans = Scatter(docs)
       .filter(length(col(textCol)) >= spanLen)
       .select(col(idCol).as("__id"),
         explode(expr(

@@ -55,16 +55,21 @@ object DocStreams {
     * hammers one domain admits only the first `cap` docs per TTL horizon;
     * per-key state is one long, the 100 TB-stream shape.
     *
-    * Requires the RocksDB state store provider on a real stream (the v2
-    * operator's backing store); StreamingSpec drives it so configured. */
+    * SESSION SIDE EFFECT: `transformWithState` only loads on the RocksDB
+    * state store provider, so this method sets the session-wide
+    * `spark.sql.streaming.stateStore.providerClass` to RocksDB and does
+    * NOT restore the prior value — the setting must still be in force when
+    * the returned stream actually starts, which happens after this method
+    * returns, so restoring here would break the query. Every later
+    * stateful query in the session inherits RocksDB (the production-grade
+    * provider, so the switch is safe — but it is a visible change; set the
+    * conf back explicitly if a later query must use another provider). */
   def quotaIntake(docs: DataFrame, cap: Long, ttl: java.time.Duration = null,
       domainCol: String = "source", idCol: String = "doc_id"): Dataset[AdmittedDoc] = {
     require(cap > 0, s"cap must be positive: $cap")
     val ttlConf = Option(ttl).map(TTLConfig(_)).getOrElse(TTLConfig.NONE)
-    // the v2 operator only loads on the RocksDB provider (stream AND batch
-    // execution) — pin it here so callers can't hit CANNOT_LOAD_STATE_STORE;
-    // RocksDB is the production-grade provider for every other stateful
-    // operator too, so the session-wide setting is safe
+    // pin the provider (see scaladoc: deliberate, unrestored session-wide
+    // side effect) so callers can't hit CANNOT_LOAD_STATE_STORE
     docs.sparkSession.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // batch execution of the operator has no StateStoreCoordinator RPC

@@ -206,7 +206,7 @@ class StreamingSpec extends AnyFunSuite {
           }
           .option("checkpointLocation", ckpt)
           .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination(60000)
+        assert(q.awaitTermination(60000), s"stream $name timed out after 60s")
         import scala.jdk.CollectionConverters._
         buf.asScala.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
       }
