@@ -646,6 +646,30 @@ case class H3LatLngToCell(first: Expression, second: Expression, third: Expressi
     copy(first = f, second = s, third = t)
 }
 
+/** h3_of_geom(geom, res): fused h3_latlng_to_cell(st_y(st_centroid g),
+  * st_x(st_centroid g), res) — the H3-lattice join/heatmap key in a single
+  * WKB pass (the [[HilbertOfGeom]] pattern; the separate centroid_y /
+  * centroid_x form decodes the WKB twice, the dominant point-side cost). */
+case class H3OfGeom(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "h3_of_geom"
+  protected override def nullSafeEval(wkb: Any, res: Any): Any =
+    GeomLib.h3OfGeom(wkb.asInstanceOf[Array[Byte]], res.asInstanceOf[Number].intValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, r) => {
+      val tmp = ctx.freshName("h3Geo")
+      s"""
+        java.lang.Long $tmp = graft.geom.GeomLib.h3OfGeom($g, $r);
+        if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+      """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** h3_cell_to_boundary_wkt(cell) — twin of H3_CELL_TO_BOUNDARY_WKT
   * (East-Asia-Building-Footprints.md:264). */
 case class H3CellToBoundaryWkt(child: Expression) extends UnaryExpression

@@ -81,6 +81,8 @@ object GraftFunctions {
   def grid_cell_center_lon(cell: Column): Column = col(GridCellCenterLon(ex(cell)))
   def h3_latlng_to_cell(lat: Column, lng: Column, res: Column): Column =
     col(H3LatLngToCell(ex(lat), ex(lng), ex(res)))
+  def h3_of_geom(geom: Column, res: Column): Column =
+    col(H3OfGeom(ex(geom), ex(res)))
   def h3_cell_to_boundary_wkt(cell: Column): Column = col(H3CellToBoundaryWkt(ex(cell)))
   def h3_cell_center_lon(cell: Column): Column = col(H3CellCenterLon(ex(cell)))
   def h3_cell_center_lat(cell: Column): Column = col(H3CellCenterLat(ex(cell)))
@@ -198,6 +200,7 @@ object GraftFunctions {
     "st_union_agg" -> { e => StUnionAgg(e.head) },
     "grid_cell_center_lon" -> { e => GridCellCenterLon(e.head) },
     "h3_latlng_to_cell" -> { e => H3LatLngToCell(e(0), e(1), e(2)) },
+    "h3_of_geom" -> { e => H3OfGeom(e(0), e(1)) },
     "h3_cell_to_boundary_wkt" -> { e => H3CellToBoundaryWkt(e.head) },
     "h3_cell_center_lon" -> { e => H3CellCenterLon(e.head) },
     "h3_cell_center_lat" -> { e => H3CellCenterLat(e.head) },

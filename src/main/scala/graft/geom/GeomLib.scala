@@ -248,6 +248,14 @@ object GeomLib {
     if (c == null) null else Long.box(hilbertEncode(c.y, c.x))
   }
 
+  /** H3 cell of the centroid — equals
+    * h3LatLngToCell(stY(centroid(w)), stX(centroid(w)), res) in one WKB
+    * pass: the spatial-join point-side key without a second decode. */
+  def h3OfGeom(wkb: Array[Byte], res: Int): java.lang.Long = {
+    val c = centroidCoord(wkb)
+    if (c == null) null else Long.box(H3Lib.latLngToCell(c.y, c.x, res))
+  }
+
   /** Planar area (JTS shoelace; 0 for points/lines) — the polygon-payload
     * accessor the FileGDB building-footprint path needs
     * (ORNL-FEMA-Buildings.md:77-87). */

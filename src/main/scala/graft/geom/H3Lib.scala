@@ -111,6 +111,10 @@ object H3Lib {
 
   private val pentagonCells: Set[Int] =
     Set(4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117)
+  // hot-path twin of pentagonCells: a primitive-indexed test (Set[Int]
+  // boxes the probe on every latLngToCell call)
+  private val isPentagonCell: Array[Boolean] =
+    Array.tabulate(122)(pentagonCells.contains)
 
   /** Face neighbor orientation (faceijk.c:faceNeighbors): for each face, the
     * adjacent face across the IJ/KI/JK quadrant plus the ccw-60° rotation
@@ -336,16 +340,28 @@ object H3Lib {
 
   /** (lat,lng) rads → (face, hex2d x, y) at res (faceijk.c:_geoToHex2d). */
   private def geoToHex2d(lat: Double, lng: Double, res: Int): (Int, Double, Double) = {
+    val xy = new Array[Double](2)
+    val face = geoToHex2dInto(lat, lng, res, xy)
+    (face, xy(0), xy(1))
+  }
+
+  /** Allocation-light form of [[geoToHex2d]] for the per-row encode path:
+    * writes (x, y) into `xy` and returns the face — no Tuple3/Double boxes
+    * on the hot loop. */
+  private def geoToHex2dInto(lat: Double, lng: Double, res: Int,
+      xy: Array[Double]): Int = {
     val (face, sqd) = nearestFace(lat, lng)
     var r = math.acos(math.max(-1.0, math.min(1.0, 1.0 - sqd / 2.0)))
-    if (r < EPS) return (face, 0.0, 0.0)
+    if (r < EPS) { xy(0) = 0.0; xy(1) = 0.0; return face }
     val (fLat, fLng) = faceCenterGeo(face)
     var theta = posAngle(faceAxesAz0(face) - posAngle(geoAzimuth(fLat, fLng, lat, lng)))
     if (isClassIII(res)) theta = posAngle(theta - AP7_ROT_RADS)
     r = math.tan(r) / RES0_U_GNOMONIC
     var i = 0
     while (i < res) { r *= SQRT7; i += 1 }
-    (face, r * math.cos(theta), r * math.sin(theta))
+    xy(0) = r * math.cos(theta)
+    xy(1) = r * math.sin(theta)
+    face
   }
 
   /** hex2d on a face (possibly substrate grid) → (lat,lng) rads. */
@@ -631,8 +647,9 @@ object H3Lib {
       cells: Array[Array[Array[Array[Int]]]],
       rots: Array[Array[Array[Array[Int]]]],
       kcw: Array[Array[Array[Array[Boolean]]]]): Long = {
-    val (face, x, y) = geoToHex2d(lat, lng, res)
-    val ijk = hex2dToCoordIJK(x, y)
+    val xy = new Array[Double](2)
+    val face = geoToHex2dInto(lat, lng, res, xy)
+    val ijk = hex2dToCoordIJK(xy(0), xy(1))
     faceIjkToH3(face, ijk, res, cells, rots, kcw)
   }
 
@@ -646,11 +663,14 @@ object H3Lib {
       require(ijk(0) <= 2 && ijk(1) <= 2 && ijk(2) <= 2, "res-0 ijk out of range")
       return h | (cells(face)(ijk(0))(ijk(1))(ijk(2)).toLong << 45)
     }
-    // build digits from finest up; ijk ends as the base-cell slot coords
+    // build digits from finest up; ijk ends as the base-cell slot coords.
+    // scratch arrays hoisted out of the loop — 2·res allocations per encode
+    // otherwise, on the per-row hot path
+    val center = new Array[Int](3)
+    val diff = new Array[Int](3)
     var r = res - 1
     while (r >= 0) {
       val lastI = ijk(0); val lastJ = ijk(1); val lastK = ijk(2)
-      val center = new Array[Int](3)
       if (isClassIII(r + 1)) {
         upAp7(ijk)
         center(0) = ijk(0); center(1) = ijk(1); center(2) = ijk(2)
@@ -660,7 +680,7 @@ object H3Lib {
         center(0) = ijk(0); center(1) = ijk(1); center(2) = ijk(2)
         downAp7r(center)
       }
-      val diff = Array(lastI - center(0), lastJ - center(1), lastK - center(2))
+      diff(0) = lastI - center(0); diff(1) = lastJ - center(1); diff(2) = lastK - center(2)
       ijkNormalize(diff)
       h = setDigit(h, r + 1, unitIjkToDigit(diff))
       r -= 1
@@ -670,7 +690,7 @@ object H3Lib {
     val bc = cells(face)(ijk(0))(ijk(1))(ijk(2))
     val numRots = rots(face)(ijk(0))(ijk(1))(ijk(2))
     h |= bc.toLong << 45
-    if (pentagonCells.contains(bc)) {
+    if (isPentagonCell(bc)) {
       if (leadingNonZeroDigit(h) == 1) { // k axis: rotate out of deleted seq
         h = if (kcw(face)(ijk(0))(ijk(1))(ijk(2))) h3Rotate60(h, digitRotCw)
         else h3Rotate60(h, digitRotCcw)

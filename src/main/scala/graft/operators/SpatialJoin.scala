@@ -117,11 +117,11 @@ object SpatialJoin {
   def pointInPolygonH3(points: DataFrame, polygons: DataFrame, res: Int = 9,
       pointGeom: String = "geom", polyGeom: String = "geom"): DataFrame = {
     // coalesce key wrapper: same single-evaluation rationale as
-    // pointInPolygon — the H3 encode (~1 µs/row) is the dominant point-side
-    // cost, so evaluating it once instead of twice matters.
+    // pointInPolygon. h3_of_geom is the fused kernel — one WKB decode + one
+    // H3 encode per row (the separate centroid_y/centroid_x form decodes
+    // the geometry twice, the dominant point-side cost).
     val pts = Scatter(points).withColumn("__cell", coalesce(
-      h3_latlng_to_cell(centroid_y(col(pointGeom)), centroid_x(col(pointGeom)), lit(res)),
-      lit(-1L)))
+      h3_of_geom(col(pointGeom), lit(res)), lit(-1L)))
     val tagged = Scatter(polygons)
       .withColumnRenamed(polyGeom, "__poly_geom")
       .withColumn("__cells", h3_cells_covering(col("__poly_geom"), lit(res)))
