@@ -2041,6 +2041,88 @@ object SparkEntry {
         .orderBy("variant")
     },
 
+    "s9b_geotiff_jpeg" -> { (s, d) =>
+      // JPEG-in-TIFF source (round 7): the two from-spec codecs compose —
+      // GeoTiff's IFD walk feeds compression-6/7 segments through
+      // JpegCodec. Three layout variants: new-style single strip, tiled
+      // 16x16 with the DQT/DHT tables FACTORED into the shared JPEGTables
+      // tag (the Tech Note 2 form), and old-style 6 via
+      // JPEGInterchangeFormat. Pixels are flat per 8x8 JPEG block
+      // (120 + 2*((bx+by+id)%8)): DC-only blocks whose quantization error
+      // is < 0.5/16 of a level, so the lossy codec round-trips them
+      // EXACTLY and the oracle recomputes every band sum in closed form.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 120).as[Long]
+        .map { id =>
+          val w = 16 + 8 * (id % 3).toInt
+          val h = 16 + 8 * (id % 2).toInt
+          def pxv(x: Int, y: Int): Int =
+            120 + 2 * (((x / 8) + (y / 8) + id) % 8).toInt
+          def jpegGray(gw: Int, gh: Int, f: (Int, Int) => Int): Array[Byte] = {
+            val img = new java.awt.image.BufferedImage(gw, gh,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            var y = 0
+            while (y < gh) {
+              var x = 0
+              while (x < gw) { img.getRaster.setSample(x, y, 0, f(x, y)); x += 1 }
+              y += 1
+            }
+            val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+            val p = wr.getDefaultWriteParam
+            p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            p.setCompressionQuality(0.9f)
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            wr.setOutput(ios)
+            wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+            ios.close(); wr.dispose()
+            bos.toByteArray
+          }
+          val epsg = if (id % 2 == 0) 4326 else 32633
+          val scale = if (id % 2 == 0) (0.1, 0.1) else (10.0, 10.0)
+          val origin = ((id % 360).toDouble - 180.0 + 0.5,
+            (id % 180).toDouble - 90.0 + 0.25)
+          import graft.sources.GeoTiff
+          val v = (id % 3).toInt
+          val bytes = v match {
+            case 0 => GeoTiff.writeJpeg(w, h, 1, Seq(jpegGray(w, h, pxv)),
+              epsg = epsg, pixelScale = scale, origin = origin)
+            case 1 =>
+              val ta = (w + 15) / 16
+              val td = (h + 15) / 16
+              val tiles = for (t <- 0 until ta * td) yield jpegGray(16, 16,
+                (x, y) => pxv((t % ta) * 16 + x, (t / ta) * 16 + y))
+              GeoTiff.writeJpeg(w, h, 1, tiles, tileSize = 16,
+                factorTables = true, epsg = epsg, pixelScale = scale,
+                origin = origin)
+            case _ => GeoTiff.writeJpeg(w, h, 1, Seq(jpegGray(w, h, pxv)),
+              oldStyle = true, epsg = epsg, pixelScale = scale, origin = origin)
+          }
+          (id, v, bytes)
+        }.toDF("id", "variant", "payload")
+      media
+        .select(col("id"), col("variant"),
+          geotiff_meta(col("payload")).as("m"),
+          geotiff_band_stats(col("payload"), lit(0)).as("st"))
+        .withColumn("ok",
+          col("m.width") === (lit(16) + lit(8) * (col("id") % 3)).cast("int") &&
+            col("m.height") === (lit(16) + lit(8) * (col("id") % 2)).cast("int") &&
+            col("m.bands") === 1 &&
+            col("m.compression") === when(col("variant") === 2, 6).otherwise(7) &&
+            col("m.epsg") === when(col("id") % 2 === 0, 4326).otherwise(32633) &&
+            col("m.tiled") === (col("variant") === 1) &&
+            col("m.origin_x") === (col("id") % 360).cast("double") - 180.0 + 0.5 &&
+            col("st.n") === ((lit(16) + lit(8) * (col("id") % 3)) *
+              (lit(16) + lit(8) * (col("id") % 2))))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("st.sum")).cast("long").as("sum_pix"),
+          sum(col("m.epsg").cast("long")).as("sum_epsg"),
+          (sum(when(col("ok"), 1L).otherwise(0L)) === count(lit(1))).as("all_ok"))
+        .orderBy("variant")
+    },
+
     "s10_geojson_scan" -> { (s, d) =>
       // GeoJSON source (round 6): the SAME feature corpus lands once as a
       // whole-file FeatureCollection (even ids) and once as GeoJSONSeq
@@ -3656,6 +3738,26 @@ object SparkEntry {
                      ON r.i < (8 + d.doc_id % 9) * (8 + d.doc_id % 7)
                    GROUP BY d.doc_id)
           SELECT CAST(d.doc_id % 7 AS INTEGER) AS variant,
+            COUNT(*) AS n_files,
+            CAST(SUM(p.pixsum) AS BIGINT) AS sum_pix,
+            CAST(SUM(CASE WHEN d.doc_id % 2 = 0 THEN 4326 ELSE 32633 END)
+              AS BIGINT) AS sum_epsg,
+            TRUE AS all_ok
+          FROM docs d JOIN px p USING (doc_id)
+          GROUP BY 1 ORDER BY variant""",
+
+    // flat 8x8 JPEG blocks round-trip exactly (DC-only, quantization error
+    // rounds away), so the lossy-codec band sums are closed-form
+    "s9b_geotiff_jpeg" ->
+      """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 120),
+            px AS (SELECT d.doc_id,
+                     SUM(64 * (120 + 2 * ((bx.i + byy.i + d.doc_id) % 8)))
+                       AS pixsum
+                   FROM docs d
+                   JOIN range(0, 4) bx(i) ON bx.i < 2 + d.doc_id % 3
+                   JOIN range(0, 3) byy(i) ON byy.i < 2 + d.doc_id % 2
+                   GROUP BY d.doc_id)
+          SELECT CAST(d.doc_id % 3 AS INTEGER) AS variant,
             COUNT(*) AS n_files,
             CAST(SUM(p.pixsum) AS BIGINT) AS sum_pix,
             CAST(SUM(CASE WHEN d.doc_id % 2 = 0 THEN 4326 ELSE 32633 END)

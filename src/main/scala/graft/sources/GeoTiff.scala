@@ -7,8 +7,11 @@ package graft.sources
   * 6.0 §13 with the early-change rule; Deflate via the zlib the JDK
   * ships), horizontal-differencing predictor, chunky planar config, and
   * uint8/16/32, int8/16/32, float32/64 samples in either byte order.
-  * Anything outside that envelope (JPEG-in-TIFF, planar, float
-  * predictor) returns null — the same loud-reject posture as the other
+  * JPEG-in-TIFF (compression 7 per TIFF Tech Note 2, with the JPEGTables
+  * splice, and the whole-image old-style 6 interchange form) decodes
+  * through the from-spec [[graft.multimodal.JpegCodec]]. Anything outside
+  * that envelope (planar config, float predictor, fragmented old-style
+  * JPEG) returns null — the same loud-reject posture as the other
   * from-spec decoders (FileGdb, GeoPackage, JpegCodec).
   *
   * Reference surface anchor: the reference pipeline reprojects and loads
@@ -299,6 +302,7 @@ object GeoTiff {
     if (meta == null) return null
     import meta._
     val comp = compression
+    if (comp == 6 || comp == 7) return readSamplesJpeg(bytes, r, ifd, meta)
     if (comp != 1 && comp != 5 && comp != 8 && comp != 32946) return null
     if (ifd.long1(284, 1) != 1) return null // planar not supported
     val predictor = ifd.long1(317, 1).toInt
@@ -420,6 +424,130 @@ object GeoTiff {
     out
   }
 
+  /** JPEG-in-TIFF decode (the round-6 out-of-scope tail closed): routes
+    * each segment through the from-spec [[graft.multimodal.JpegCodec]] —
+    * the two public-spec codecs compose.
+    *
+    *  - compression 7 (TIFF Tech Note 2, "new-style"): every strip/tile is
+    *    a self-contained JPEG stream, optionally with its DQT/DHT tables
+    *    factored into the JPEGTables tag (347: SOI + table segments + EOI),
+    *    which are spliced back in after each segment's SOI before decoding.
+    *  - compression 6 ("old-style", deprecated): only the common
+    *    whole-image interchange form (tags 513/514 pointing at one complete
+    *    JFIF stream) — the fragmented old-style layouts are null, loudly.
+    *
+    * 8-bit only (JpegCodec scope); 1 band decodes the luma plane, 3 bands
+    * through the YCbCr→RGB path (photometric 6). Per T.81 the IDCT is not
+    * bit-exact across decoders — callers comparing against another decoder
+    * carry MultimodalSpec's ±2 tolerance; flat (DC-only) blocks whose
+    * quantized DC round-trips exactly decode exactly. */
+  private def readSamplesJpeg(bytes: Array[Byte], r: Reader, ifd: Ifd,
+      meta: Meta): Array[Double] = {
+    import meta._
+    if (bitsPerSample != 8 || sampleFormat != 1) return null
+    if (bands != 1 && bands != 3) return null
+    if (ifd.long1(284, 1) != 1) return null // planar not supported
+    val photometric = ifd.long1(262, if (bands >= 3) 6 else 1).toInt
+    if (bands == 3 && photometric != 6) return null // JPEG-native RGB: out of scope
+    val out = new Array[Double](width * height * bands)
+
+    // decoded JPEG → chunky byte block at (x0, y0); cropped like place()
+    def placeJpeg(jpeg: Array[Byte], x0: Int, y0: Int): Boolean = {
+      if (jpeg == null) return false
+      val (bw, bh, px) =
+        if (bands == 1) {
+          val l = graft.multimodal.JpegCodec.decodeLuma(jpeg)
+          if (l == null) return false
+          (l.width, l.height, l.pixels)
+        } else {
+          val img = graft.multimodal.JpegCodec.decodeRgb(jpeg)
+          if (img == null) return false
+          (img.width, img.height, img.pixels)
+        }
+      var yy = 0
+      while (yy < bh && y0 + yy < height) {
+        var x = 0
+        while (x < bw && x0 + x < width) {
+          var c = 0
+          while (c < bands) {
+            out((y0 + yy) * width * bands + (x0 + x) * bands + c) =
+              (px((yy * bw + x) * bands + c) & 0xff).toDouble
+            c += 1
+          }
+          x += 1
+        }
+        yy += 1
+      }
+      true
+    }
+
+    def segmentBytes(off: Long, len: Long): Array[Byte] = {
+      if (off < 0 || len < 2 || off + len > bytes.length) return null
+      java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt)
+    }
+
+    if (compression == 6) {
+      val off = ifd.long1(513, -1)
+      val len = ifd.long1(514, -1)
+      if (off < 0 || len <= 0) return null // fragmented old-style: unsupported
+      if (placeJpeg(segmentBytes(off, len), 0, 0)) out else null
+    } else {
+      // JPEGTables (347): SOI + DQT/DHT/... + EOI. Splice its inner
+      // segments after each strip/tile's SOI (Tech Note 2 merge rule).
+      val tables: Array[Byte] =
+        if (!ifd.has(347)) null
+        else {
+          val e = ifd.longs(347).map(_.toByte)
+          if (e.length < 4 || (e(0) & 0xff) != 0xff || (e(1) & 0xff) != 0xd8) null
+          else e
+        }
+      def merged(seg: Array[Byte]): Array[Byte] = {
+        if (seg.length < 2 || (seg(0) & 0xff) != 0xff || (seg(1) & 0xff) != 0xd8)
+          return null
+        if (tables == null) return seg
+        val outB = new Array[Byte](tables.length - 4 + seg.length)
+        outB(0) = 0xff.toByte; outB(1) = 0xd8.toByte
+        System.arraycopy(tables, 2, outB, 2, tables.length - 4) // drop SOI+EOI
+        System.arraycopy(seg, 2, outB, tables.length - 2, seg.length - 2)
+        outB
+      }
+      if (tiled) {
+        val tw = ifd.long1(322, 0).toInt
+        val th = ifd.long1(323, 0).toInt
+        if (tw <= 0 || th <= 0) return null
+        val offs = ifd.longs(324)
+        val lens = ifd.longs(325)
+        val tilesAcross = (width + tw - 1) / tw
+        val tilesDown = (height + th - 1) / th
+        if (offs.length < tilesAcross * tilesDown || lens.length < offs.length) return null
+        var t = 0
+        while (t < tilesAcross * tilesDown) {
+          val seg = segmentBytes(offs(t), lens(t))
+          if (seg == null) return null
+          if (!placeJpeg(merged(seg), (t % tilesAcross) * tw, (t / tilesAcross) * th))
+            return null
+          t += 1
+        }
+        out
+      } else {
+        val rps = math.min(ifd.long1(278, 0xffffffffL), height.toLong).toInt
+        if (rps <= 0) return null
+        val offs = ifd.longs(273)
+        val lens = ifd.longs(279)
+        val nStrips = (height + rps - 1) / rps
+        if (offs.length < nStrips || lens.length < nStrips) return null
+        var s = 0
+        while (s < nStrips) {
+          val seg = segmentBytes(offs(s), lens(s))
+          if (seg == null) return null
+          if (!placeJpeg(merged(seg), 0, s * rps)) return null
+          s += 1
+        }
+        out
+      }
+    }
+  }
+
   private def readInt(b: Array[Byte], o: Int, n: Int, le: Boolean): Long = {
     var v = 0L
     var i = 0
@@ -458,6 +586,164 @@ object GeoTiff {
   }
 
   // --------------------------------------------------------------- writer
+  /** Assemble a JPEG-compressed TIFF from PRE-ENCODED JPEG streams (little-
+    * endian, 8-bit, `bands` 1 or 3): the [[readSamplesJpeg]] fixture/sink
+    * twin. Layout variants:
+    *  - `tileSize > 0`: new-style tiled (compression 7), one JPEG per tile;
+    *  - `tileSize == 0, oldStyle = false`: new-style, one full-image JPEG
+    *    in a single strip;
+    *  - `oldStyle = true`: compression 6 with the whole-image
+    *    JPEGInterchangeFormat (513/514) tags.
+    * `factorTables = true` splits DQT/DHT segments out of every block into
+    * a shared JPEGTables (347) tag — the Tech Note 2 factored form. */
+  def writeJpeg(width: Int, height: Int, bands: Int, blocks: Seq[Array[Byte]],
+      tileSize: Int = 0, oldStyle: Boolean = false, factorTables: Boolean = false,
+      epsg: Int = 0, pixelScale: (Double, Double) = (0.0, 0.0),
+      origin: (Double, Double) = (0.0, 0.0)): Array[Byte] = {
+    require(bands == 1 || bands == 3, s"bands must be 1 or 3: $bands")
+    require(!(oldStyle && tileSize > 0), "old-style JPEG is whole-image only")
+    require(!(oldStyle && factorTables), "old-style JPEG has no JPEGTables")
+    if (tileSize > 0) {
+      val ta = (width + tileSize - 1) / tileSize
+      val td = (height + tileSize - 1) / tileSize
+      require(blocks.length == ta * td,
+        s"need $ta*$td tiles, got ${blocks.length}")
+    } else require(blocks.length == 1, "strip/old-style form takes one stream")
+
+    // optionally factor DQT (FFDB) / DHT (FFC4) segments into a shared
+    // tables stream; the per-block remainder keeps everything else
+    def splitTables(jpeg: Array[Byte]): (Array[Byte], Array[Byte]) = {
+      val tabs = new java.io.ByteArrayOutputStream()
+      val rest = new java.io.ByteArrayOutputStream()
+      tabs.write(0xff); tabs.write(0xd8)
+      rest.write(0xff); rest.write(0xd8)
+      var p = 2
+      var inScan = false
+      while (p < jpeg.length) {
+        if (!inScan && (jpeg(p) & 0xff) == 0xff && p + 1 < jpeg.length) {
+          val m = jpeg(p + 1) & 0xff
+          if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) {
+            rest.write(jpeg, p, 2); p += 2
+          } else if (m == 0xd9) { rest.write(jpeg, p, 2); p += 2 }
+          else {
+            val len = ((jpeg(p + 2) & 0xff) << 8) | (jpeg(p + 3) & 0xff)
+            val segEnd = p + 2 + len
+            if (m == 0xdb || m == 0xc4) tabs.write(jpeg, p, 2 + len)
+            else rest.write(jpeg, p, 2 + len)
+            if (m == 0xda) inScan = true // entropy data follows SOS header
+            p = segEnd
+          }
+        } else { rest.write(jpeg, p, 1); p += 1 }
+      }
+      tabs.write(0xff); tabs.write(0xd9)
+      (tabs.toByteArray, rest.toByteArray)
+    }
+    val (tables, outBlocks) =
+      if (!factorTables) (null, blocks)
+      else {
+        val split = blocks.map(splitTables)
+        (split.head._1, split.map(_._2))
+      }
+
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      var i = 0; while (i < 4) { bos.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    def w64d(v: Double): Unit = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      var i = 0; while (i < 8) { bos.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    bos.write('I'); bos.write('I'); w16(42); w32(8)
+
+    case class T(tag: Int, typ: Int, count: Long, inline: Option[Long],
+        size: Int, emit: () => Unit)
+    val geo = epsg != 0
+    val geoKeys: Array[Int] =
+      if (!geo) Array.empty
+      else {
+        val projected = epsg >= 2000 && epsg != 4326 && epsg < 30000 || epsg >= 32000
+        Array(1, 1, 0, 2, 1024, 0, 1, if (projected) 1 else 2,
+          if (projected) 3072 else 2048, 0, 1, epsg)
+      }
+    val tiled = tileSize > 0
+    val blockOffsets = new Array[Long](outBlocks.length)
+    var tags = scala.collection.mutable.ArrayBuffer[T]()
+    def inlineT(tag: Int, typ: Int, v: Long): Unit =
+      tags += T(tag, typ, 1, Some(v), 0, null)
+    inlineT(256, 4, width)
+    inlineT(257, 4, height)
+    if (bands == 1) inlineT(258, 3, 8)
+    else tags += T(258, 3, bands, None, bands * 2,
+      () => (0 until bands).foreach(_ => w16(8)))
+    inlineT(259, 3, if (oldStyle) 6 else 7)
+    inlineT(262, 3, if (bands == 3) 6 else 1)
+    inlineT(277, 3, bands)
+    if (oldStyle) {
+      tags += T(513, 4, 1, None, 4, () => w32(blockOffsets(0)))
+      inlineT(514, 4, outBlocks.head.length)
+      inlineT(278, 4, height)
+    } else if (tiled) {
+      inlineT(322, 4, tileSize)
+      inlineT(323, 4, tileSize)
+      if (outBlocks.length == 1) {
+        tags += T(324, 4, 1, None, 4, () => w32(blockOffsets(0)))
+        inlineT(325, 4, outBlocks.head.length)
+      } else {
+        tags += T(324, 4, outBlocks.length, None, outBlocks.length * 4,
+          () => blockOffsets.foreach(w32))
+        tags += T(325, 4, outBlocks.length, None, outBlocks.length * 4,
+          () => outBlocks.foreach(b => w32(b.length)))
+      }
+    } else {
+      inlineT(278, 4, height)
+      tags += T(273, 4, 1, None, 4, () => w32(blockOffsets(0)))
+      inlineT(279, 4, outBlocks.head.length)
+    }
+    if (tables != null)
+      tags += T(347, 7, tables.length, None, tables.length,
+        () => tables.foreach(b => bos.write(b & 0xff)))
+    if (geo) {
+      tags += T(33550, 12, 3, None, 24,
+        () => { w64d(pixelScale._1); w64d(pixelScale._2); w64d(0.0) })
+      tags += T(33922, 12, 6, None, 48, () => {
+        w64d(0.0); w64d(0.0); w64d(0.0)
+        w64d(origin._1); w64d(origin._2); w64d(0.0)
+      })
+      tags += T(34735, 3, geoKeys.length, None, geoKeys.length * 2,
+        () => geoKeys.foreach(w16))
+    }
+    val sorted = tags.sortBy(_.tag)
+    var dataOff = 8 + 2 + sorted.length * 12 + 4
+    val valueOffsets = sorted.map { t =>
+      if (t.inline.isDefined || t.size <= 4) 0L
+      else { val o = dataOff; dataOff += t.size; o.toLong }
+    }
+    var blockStart = dataOff
+    outBlocks.zipWithIndex.foreach { case (b, i) =>
+      blockOffsets(i) = blockStart; blockStart += b.length
+    }
+    w16(sorted.length)
+    sorted.zip(valueOffsets).foreach { case (t, vo) =>
+      w16(t.tag); w16(t.typ); w32(t.count)
+      t.inline match {
+        case Some(v) => if (t.typ == 3) { w16(v.toInt); w16(0) } else w32(v)
+        case None =>
+          if (t.size <= 4) {
+            val before = bos.size()
+            t.emit()
+            var pad = 4 - (bos.size() - before)
+            while (pad > 0) { bos.write(0); pad -= 1 }
+          } else w32(vo)
+      }
+    }
+    w32(0)
+    sorted.zip(valueOffsets).filter(_._2 != 0L).foreach(_._1.emit())
+    require(bos.size() == dataOff, s"jpeg writer layout drift: ${bos.size()} vs $dataOff")
+    outBlocks.foreach(bos.write)
+    bos.toByteArray
+  }
+
   /** Minimal single-IFD GeoTIFF writer for fixtures and sinks: one band
     * set (chunky), strip or tile layout, none/LZW/Deflate compression,
     * optional horizontal predictor, either byte order, and the GeoKey /

@@ -170,7 +170,8 @@ class GeoTiffSpec extends AnyFunSuite {
     val cut = java.util.Arrays.copyOf(ok, ok.length - 40)
     assert(GeoTiff.readMeta(cut) != null)
     assert(GeoTiff.readSamples(cut) == null)
-    // unsupported compression id (JPEG-in-TIFF=7) rejects in readSamples
+    // compression 7 now routes to the JPEG path, which rejects this
+    // payload loudly (16-bit samples / non-JPEG bytes), not mis-decodes
     val jpg = ok.clone()
     // compression tag value: find tag 259 in IFD and overwrite its value
     var found = false
@@ -192,5 +193,93 @@ class GeoTiffSpec extends AnyFunSuite {
       if (tag == 259) { badLzw(off + 8) = 5; f2 = true }
     }
     assert(GeoTiff.readSamples(badLzw) == null)
+  }
+
+  // ---- JPEG-in-TIFF (compression 6/7 through JpegCodec) ----
+
+  /** Encode a gray BufferedImage region as baseline JPEG via ImageIO. */
+  private def jpegGray(w: Int, h: Int, px: (Int, Int) => Int,
+      quality: Float = 0.9f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, px(x, y))
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); wr.dispose()
+    bos.toByteArray
+  }
+
+  // flat 8x8 blocks: DC-only, quantization-exact at any common table
+  private def flatBlocks(id: Int)(x: Int, y: Int): Int =
+    120 + 2 * (((x / 8) + (y / 8) + id) % 8)
+
+  test("JPEG-in-TIFF: new-style strip, flat blocks decode exactly") {
+    val (w, h) = (32, 16)
+    val tiff = GeoTiff.writeJpeg(w, h, 1,
+      Seq(jpegGray(w, h, flatBlocks(3))), epsg = 4326,
+      pixelScale = (0.1, 0.1), origin = (10.0, 20.0))
+    val m = GeoTiff.readMeta(tiff)
+    assert(m.compression == 7 && m.epsg == 4326 && m.width == w)
+    val s = GeoTiff.readSamples(tiff)
+    assert(s != null)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(s(y * w + x) == flatBlocks(3)(x, y).toDouble, s"($x,$y)")
+  }
+
+  test("JPEG-in-TIFF: tiled with factored JPEGTables decodes exactly; crop works") {
+    val (w, h, ts) = (24, 16, 16) // 2x1 tiles, second tile cropped to 8 cols
+    val tiles = for (ty <- 0 until 1; tx <- 0 until 2) yield
+      jpegGray(ts, ts, (x, y) => flatBlocks(5)(tx * ts + x, ty * ts + y))
+    val tiff = GeoTiff.writeJpeg(w, h, 1, tiles, tileSize = ts,
+      factorTables = true)
+    // the factored form really did strip tables from the tile streams
+    val m = GeoTiff.readMeta(tiff)
+    assert(m.tiled && m.compression == 7)
+    val s = GeoTiff.readSamples(tiff)
+    assert(s != null)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(s(y * w + x) == flatBlocks(5)(x, y).toDouble, s"($x,$y)")
+  }
+
+  test("JPEG-in-TIFF: old-style 6 interchange form decodes exactly") {
+    val (w, h) = (16, 24)
+    val tiff = GeoTiff.writeJpeg(w, h, 1, Seq(jpegGray(w, h, flatBlocks(1))),
+      oldStyle = true)
+    assert(GeoTiff.readMeta(tiff).compression == 6)
+    val s = GeoTiff.readSamples(tiff)
+    assert(s != null)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(s(y * w + x) == flatBlocks(1)(x, y).toDouble, s"($x,$y)")
+  }
+
+  test("JPEG-in-TIFF: non-flat content matches ImageIO's own decode within ±2") {
+    val (w, h) = (40, 24)
+    def px(x: Int, y: Int): Int = (x * 7 + y * 13 + (x * y) % 31) % 256
+    val jpeg = jpegGray(w, h, px)
+    val tiff = GeoTiff.writeJpeg(w, h, 1, Seq(jpeg))
+    val ours = GeoTiff.readSamples(tiff)
+    assert(ours != null)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = ref.getRaster.getSample(x, y, 0)
+      assert(math.abs(ours(y * w + x) - want) <= 2.0, s"($x,$y): ${ours(y * w + x)} vs $want")
+    }
+  }
+
+  test("JPEG-in-TIFF loud rejects: fragmented old-style, bad payloads") {
+    val (w, h) = (16, 16)
+    val good = GeoTiff.writeJpeg(w, h, 1, Seq(jpegGray(w, h, flatBlocks(0))))
+    assert(GeoTiff.readSamples(good) != null)
+    // corrupt the JPEG payload: decode must null, not throw
+    val bad = good.clone()
+    java.util.Arrays.fill(bad, bad.length - 40, bad.length, 0x55.toByte)
+    assert(GeoTiff.readSamples(bad) == null)
   }
 }
