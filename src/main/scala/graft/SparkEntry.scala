@@ -2238,6 +2238,45 @@ object SparkEntry {
         .orderBy("mime")
     },
 
+    "mm1b_mp4_tracks" -> { (s, d) =>
+      // MP4 per-track metadata (round 7): every doc becomes an authored
+      // ISO-BMFF stream with a video trak (avc1/hev1, tkhd 16.16 dims)
+      // and, for two thirds, an mp4a audio trak (stsd AudioSampleEntry
+      // rate/channels) — tkhd/mdhd alternate v0/v1 via track-id parity.
+      // Multimodal.mp4TrackRows explodes payload → tracks distributed;
+      // the oracle replays the id arithmetic per (handler, codec).
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 400).as[Long]
+        .map { id =>
+          import graft.multimodal.Multimodal.{TrackSpec, writeMp4}
+          val video = TrackSpec(1 + id % 2,
+            "vide", if (id % 3 == 0) "hev1" else "avc1",
+            width = 320 + 16 * (id % 20).toInt,
+            height = 240 + 16 * (id % 10).toInt,
+            mediaTimescale = 1000, mediaDuration = 1000L + id % 5000)
+          val tracks =
+            if (id % 3 == 2) Seq(video)
+            else {
+              val rate = 8000 + 1000 * (id % 8).toInt
+              Seq(video, TrackSpec(7 + id % 2, "soun", "mp4a",
+                sampleRate = rate, channels = 1 + (id % 2).toInt,
+                mediaTimescale = rate, mediaDuration = rate.toLong * (1L + id % 5)))
+            }
+          (id, writeMp4(1000, 60000L, tracks))
+        }.toDF("id", "payload")
+      graft.multimodal.Multimodal.mp4TrackRows(
+          graft.multimodal.Multimodal.withMeta(s, media)).toDF()
+        .groupBy(col("handler"), col("codec"))
+        .agg(count(lit(1)).as("n_tracks"),
+          sum(col("width").cast("long")).as("w_total"),
+          sum(col("height").cast("long")).as("h_total"),
+          sum(col("sample_rate").cast("long")).as("rate_total"),
+          sum(col("channels").cast("long")).as("chan_total"),
+          sum(col("duration_ms")).cast("long").as("dur_total"))
+        .orderBy("handler", "codec")
+    },
+
     "mm3_png_pixels" -> { (s, d) =>
       // REAL pixel decode (round 4): each doc becomes a grayscale PNG whose
       // pixel i is (doc_id*31 + i) % 256, encoded through PngCodec with
@@ -3889,6 +3928,31 @@ object SparkEntry {
            CAST(SUM(w) AS BIGINT) AS w_total,
            CAST(SUM(h) AS BIGINT) AS h_total
          FROM e""",
+
+    "mm1b_mp4_tracks" ->
+      """SELECT * FROM (
+           SELECT 'soun' AS handler, 'mp4a' AS codec,
+             COUNT(*) AS n_tracks,
+             CAST(0 AS BIGINT) AS w_total, CAST(0 AS BIGINT) AS h_total,
+             CAST(SUM(8000 + 1000 * (doc_id % 8)) AS BIGINT) AS rate_total,
+             CAST(SUM(1 + doc_id % 2) AS BIGINT) AS chan_total,
+             CAST(SUM(1000 * (1 + doc_id % 5)) AS BIGINT) AS dur_total
+           FROM documents WHERE doc_id < 400 AND doc_id % 3 <> 2
+           UNION ALL
+           SELECT 'vide', 'avc1', COUNT(*),
+             CAST(SUM(320 + 16 * (doc_id % 20)) AS BIGINT),
+             CAST(SUM(240 + 16 * (doc_id % 10)) AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(SUM(1000 + doc_id % 5000) AS BIGINT)
+           FROM documents WHERE doc_id < 400 AND doc_id % 3 <> 0
+           UNION ALL
+           SELECT 'vide', 'hev1', COUNT(*),
+             CAST(SUM(320 + 16 * (doc_id % 20)) AS BIGINT),
+             CAST(SUM(240 + 16 * (doc_id % 10)) AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(SUM(1000 + doc_id % 5000) AS BIGINT)
+           FROM documents WHERE doc_id < 400 AND doc_id % 3 = 0
+         ) ORDER BY handler, codec""",
 
     "mm3_png_pixels" ->
       """WITH e AS (

@@ -218,6 +218,228 @@ object Multimodal {
     }
   }
 
+  /** One ISO-BMFF track's metadata (trak → tkhd/mdhd/hdlr/stbl/stsd walk):
+    * `handler` is the hdlr type (vide/soun), `codec` the first stsd sample
+    * entry's fourcc (avc1, hev1, mp4a, ...). Video tracks carry
+    * width/height (tkhd 16.16 fixed point, truncated); audio tracks carry
+    * sample_rate/channels (stsd AudioSampleEntry); `duration_ms` comes
+    * from mdhd's media timescale. */
+  case class TrackMeta(track_id: Long, handler: String, codec: String,
+      width: Int, height: Int, sample_rate: Int, channels: Int,
+      duration_ms: Long)
+
+  /** Per-track ISO-BMFF walk: moov → trak* → tkhd (id, visual dims),
+    * mdia → mdhd (timescale/duration, v0+v1), hdlr (handler type), and
+    * minf → stbl → stsd's FIRST sample entry (codec fourcc; channel
+    * count/sample rate for audio entries). Box walk only, bounded; empty
+    * for anything that is not a parseable ISO-BMFF stream. */
+  def mp4Tracks(p: Array[Byte]): Array[TrackMeta] = {
+    if (p.length < 16 || !(p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'))
+      return Array.empty
+    def u16(o: Int) = ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+    def u32(o: Int): Long = ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+      ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    def fourcc(o: Int) = new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // find child box `name` within [from, end); -1 when absent
+    def child(from: Int, end: Int, name: String): Int = {
+      var c = from
+      var g = 0
+      while (c + 8 <= end && g < 256) {
+        if (fourcc(c + 4) == name) return c
+        val cs = u32(c)
+        if (cs <= 8) return -1
+        c += cs.toInt
+        g += 1
+      }
+      -1
+    }
+    val out = scala.collection.mutable.ArrayBuffer[TrackMeta]()
+    val moov = child(0, p.length, "moov")
+    if (moov < 0) return Array.empty
+    val moovEnd = math.min(p.length.toLong, moov + u32(moov)).toInt
+    var t = moov + 8
+    var guard = 0
+    while (t + 8 <= moovEnd && guard < 64) {
+      val ts = u32(t)
+      if (ts <= 8) { t = moovEnd } else {
+        if (fourcc(t + 4) == "trak") {
+          val tEnd = math.min(moovEnd.toLong, t + ts).toInt
+          var trackId = 0L; var w = 0; var h = 0
+          var handler = ""; var codec = ""
+          var rate = 0; var chans = 0; var durMs = 0L
+          val tkhd = child(t + 8, tEnd, "tkhd")
+          if (tkhd >= 0) {
+            val ver = p(tkhd + 8) & 0xff
+            if (ver == 0 && tkhd + 92 <= tEnd) {
+              trackId = u32(tkhd + 20)
+              w = (u32(tkhd + 84) >> 16).toInt
+              h = (u32(tkhd + 88) >> 16).toInt
+            } else if (ver == 1 && tkhd + 104 <= tEnd) {
+              trackId = u32(tkhd + 28)
+              w = (u32(tkhd + 96) >> 16).toInt
+              h = (u32(tkhd + 100) >> 16).toInt
+            }
+          }
+          val mdia = child(t + 8, tEnd, "mdia")
+          if (mdia >= 0) {
+            val mEnd = math.min(tEnd.toLong, mdia + u32(mdia)).toInt
+            val mdhd = child(mdia + 8, mEnd, "mdhd")
+            if (mdhd >= 0) {
+              val ver = p(mdhd + 8) & 0xff
+              if (ver == 1 && mdhd + 40 <= mEnd) {
+                val mts = u32(mdhd + 28)
+                if (mts > 0) durMs = u64(mdhd + 32) * 1000L / mts
+              } else if (ver == 0 && mdhd + 28 <= mEnd) {
+                val mts = u32(mdhd + 20)
+                if (mts > 0) durMs = u32(mdhd + 24) * 1000L / mts
+              }
+            }
+            val hdlr = child(mdia + 8, mEnd, "hdlr")
+            if (hdlr >= 0 && hdlr + 20 <= mEnd) handler = fourcc(hdlr + 16).trim
+            val minf = child(mdia + 8, mEnd, "minf")
+            if (minf >= 0) {
+              val iEnd = math.min(mEnd.toLong, minf + u32(minf)).toInt
+              val stbl = child(minf + 8, iEnd, "stbl")
+              if (stbl >= 0) {
+                val sEnd = math.min(iEnd.toLong, stbl + u32(stbl)).toInt
+                val stsd = child(stbl + 8, sEnd, "stsd")
+                if (stsd >= 0 && stsd + 24 <= sEnd && u32(stsd + 12) >= 1) {
+                  val e = stsd + 16
+                  codec = fourcc(e + 4).trim
+                  if (handler == "soun" && e + 36 <= sEnd) {
+                    chans = u16(e + 24)
+                    rate = (u32(e + 32) >> 16).toInt
+                  }
+                }
+              }
+            }
+          }
+          out += TrackMeta(trackId, handler, codec, w, h, rate, chans, durMs)
+        }
+        t += ts.toInt
+      }
+      guard += 1
+    }
+    out.toArray
+  }
+
+  case class TrackRow(id: Long, track_id: Long, handler: String, codec: String,
+      width: Int, height: Int, sample_rate: Int, channels: Int,
+      duration_ms: Long)
+
+  /** Explode each MP4 payload into its tracks (one row per track) on the
+    * partition iterator — the metadata a video training pipeline filters
+    * on (codec allowlists, resolution floors, audio presence). Non-BMFF
+    * payloads contribute no rows. */
+  def mp4TrackRows(rows: Dataset[MediaRow]): Dataset[TrackRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        mp4Tracks(r.payload).iterator.map(t => TrackRow(r.id, t.track_id,
+          t.handler, t.codec, t.width, t.height, t.sample_rate, t.channels,
+          t.duration_ms))
+      }
+    }
+  }
+
+  /** Fixture writer: a spec-shaped ISO-BMFF track spec for [[writeMp4]]. */
+  case class TrackSpec(trackId: Long, handler: String, codec: String,
+      width: Int = 0, height: Int = 0, sampleRate: Int = 0, channels: Int = 0,
+      mediaTimescale: Int = 1000, mediaDuration: Long = 0L)
+
+  /** Fixture writer: ftyp + moov { mvhd, trak* { tkhd, mdia { mdhd, hdlr,
+    * minf { stbl { stsd { visual|audio sample entry } } } } } } — the
+    * authored-box twin of [[mp4Tracks]]. tkhd/mdhd use version 0 for even
+    * track ids and version 1 for odd ones, so both layouts stay covered. */
+  def writeMp4(timescale: Int, duration: Long, tracks: Seq[TrackSpec]): Array[Byte] = {
+    def box(name: String, content: Array[Byte]): Array[Byte] = {
+      val b = new Array[Byte](8 + content.length)
+      val sz = b.length
+      b(0) = (sz >> 24).toByte; b(1) = (sz >> 16).toByte
+      b(2) = (sz >> 8).toByte; b(3) = sz.toByte
+      name.getBytes(java.nio.charset.StandardCharsets.US_ASCII).copyToArray(b, 4)
+      content.copyToArray(b, 8)
+      b
+    }
+    class W {
+      val bos = new java.io.ByteArrayOutputStream()
+      def u8(v: Int): W = { bos.write(v & 0xff); this }
+      def u16(v: Int): W = { bos.write((v >> 8) & 0xff); bos.write(v & 0xff); this }
+      def u32(v: Long): W = { var i = 3; while (i >= 0) { bos.write(((v >>> (8 * i)) & 0xff).toInt); i -= 1 }; this }
+      def u64(v: Long): W = { u32(v >>> 32); u32(v & 0xffffffffL) }
+      def tag(s: String): W = { bos.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)); this }
+      def zeros(n: Int): W = { var i = 0; while (i < n) { bos.write(0); i += 1 }; this }
+      def bytes: Array[Byte] = bos.toByteArray
+    }
+    def mvhd: Array[Byte] = {
+      val w = new W
+      w.u8(0).zeros(3).u32(0).u32(0).u32(timescale).u32(duration)
+      w.u32(0x00010000).u16(0x0100).zeros(10)
+      w.u32(0x00010000).u32(0).u32(0).u32(0).u32(0x00010000).u32(0)
+      w.u32(0).u32(0).u32(0x40000000)
+      w.zeros(24).u32(tracks.map(_.trackId).foldLeft(0L)(math.max) + 1)
+      box("mvhd", w.bytes)
+    }
+    def trak(ts: TrackSpec): Array[Byte] = {
+      val v1 = ts.trackId % 2 == 1
+      val tkhd = {
+        val w = new W
+        if (v1) w.u8(1).zeros(3).u64(0).u64(0).u32(ts.trackId).u32(0).u64(0)
+        else w.u8(0).zeros(3).u32(0).u32(0).u32(ts.trackId).u32(0).u32(0)
+        w.zeros(8).u16(0).u16(0).u16(0).u16(0)
+        w.u32(0x00010000).u32(0).u32(0).u32(0).u32(0x00010000).u32(0)
+        w.u32(0).u32(0).u32(0x40000000)
+        w.u32(ts.width.toLong << 16).u32(ts.height.toLong << 16)
+        box("tkhd", w.bytes)
+      }
+      val mdhd = {
+        val w = new W
+        if (v1) w.u8(1).zeros(3).u64(0).u64(0).u32(ts.mediaTimescale).u64(ts.mediaDuration)
+        else w.u8(0).zeros(3).u32(0).u32(0).u32(ts.mediaTimescale).u32(ts.mediaDuration)
+        w.u16(0x55c4).u16(0) // language 'und', pre_defined
+        box("mdhd", w.bytes)
+      }
+      val hdlr = {
+        val w = new W
+        w.u8(0).zeros(3).u32(0).tag(ts.handler).zeros(12).u8(0)
+        box("hdlr", w.bytes)
+      }
+      val entry: Array[Byte] =
+        if (ts.handler == "soun") {
+          val w = new W
+          w.zeros(6).u16(1) // reserved + data_reference_index
+          w.zeros(8).u16(ts.channels).u16(16).u16(0).u16(0)
+          w.u32(ts.sampleRate.toLong << 16)
+          box(ts.codec, w.bytes)
+        } else {
+          val w = new W
+          w.zeros(6).u16(1)
+          w.u16(0).u16(0).zeros(12)
+          w.u16(ts.width).u16(ts.height)
+          w.u32(0x00480000).u32(0x00480000).u32(0).u16(1)
+          w.zeros(32).u16(24).u16(0xffff)
+          box(ts.codec, w.bytes)
+        }
+      val stsd = {
+        val w = new W
+        w.u8(0).zeros(3).u32(1)
+        box("stsd", w.bytes ++ entry)
+      }
+      val stbl = box("stbl", stsd)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      box("trak", tkhd ++ mdia)
+    }
+    val ftyp = {
+      val w = new W
+      w.tag("mp42").u32(0).tag("isom")
+      box("ftyp", w.bytes)
+    }
+    val moov = box("moov", mvhd ++ tracks.flatMap(trak).toArray)
+    ftyp ++ moov
+  }
+
   /** Fixture writer: a minimal spec-shaped ISO-BMFF stream — ftyp (major
     * brand mp42) + moov/mvhd with the given timescale and duration, in the
     * requested mvhd version (0: 32-bit duration, 1: 64-bit). 136 bytes for

@@ -93,6 +93,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.duration_ms == 1500, s"duration ${meta.duration_ms}")
   }
 
+  test("MP4 trak/stsd walk: per-track codec, dims, audio rate/channels, both tkhd/mdhd versions") {
+    import Multimodal.{TrackSpec, writeMp4, mp4Tracks}
+    // trackId 2 → v0 layouts; trackId 7 → v1 layouts
+    val p = writeMp4(1000, 60000, Seq(
+      TrackSpec(2, "vide", "avc1", width = 1920, height = 1080,
+        mediaTimescale = 90000, mediaDuration = 90000L * 42),
+      TrackSpec(7, "soun", "mp4a", sampleRate = 48000, channels = 2,
+        mediaTimescale = 48000, mediaDuration = 48000L * 61)))
+    // the container-level decode still works on the track-bearing stream
+    val meta = Multimodal.HeaderDecoder.decode(p)
+    assert(meta.mime == "video/mp4" && meta.duration_ms == 60000, meta)
+    val ts = mp4Tracks(p)
+    assert(ts.length == 2, ts.mkString(","))
+    val v = ts(0)
+    assert(v.track_id == 2 && v.handler == "vide" && v.codec == "avc1", v)
+    assert(v.width == 1920 && v.height == 1080 && v.duration_ms == 42000, v)
+    val a = ts(1)
+    assert(a.track_id == 7 && a.handler == "soun" && a.codec == "mp4a", a)
+    assert(a.sample_rate == 48000 && a.channels == 2 && a.duration_ms == 61000, a)
+    // v1 video + v0 audio (swapped parities) also parse
+    val p2 = writeMp4(1000, 1000, Seq(
+      TrackSpec(3, "vide", "hev1", width = 640, height = 480,
+        mediaTimescale = 1000, mediaDuration = 5000),
+      TrackSpec(4, "soun", "mp4a", sampleRate = 8000, channels = 1,
+        mediaTimescale = 8000, mediaDuration = 16000)))
+    val ts2 = mp4Tracks(p2)
+    assert(ts2.length == 2 && ts2(0).codec == "hev1" && ts2(0).width == 640, ts2.mkString(","))
+    assert(ts2(1).sample_rate == 8000 && ts2(1).channels == 1 && ts2(1).duration_ms == 2000)
+    // track-free (mvhd-only) streams and garbage yield no tracks, no throw
+    assert(mp4Tracks(Multimodal.writeMp4Header(600, 3600, 0)).isEmpty)
+    assert(mp4Tracks("not a movie".getBytes).isEmpty)
+    assert(mp4Tracks(java.util.Arrays.copyOf(p, 40)).isEmpty)
+  }
+
   test("MP4 (ISO-BMFF) mvhd duration: both version layouts; FLAC STREAMINFO fields") {
     val d = Multimodal.HeaderDecoder
     val v0 = d.decode(Multimodal.writeMp4Header(600, 3600, version = 0))
