@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -25,15 +25,55 @@ object ZonalStats {
     * a binary GeoTIFF `payload` column (plus any lineage columns);
     * `polygons` carries `zoneKey` and a WKB `geom`. Returns one row per
     * zone with n / sum / min / max / mean over all rasters. Zones with no
-    * covered pixel are absent (inner-join semantics, as in rasterio). */
+    * covered pixel are absent (inner-join semantics, as in rasterio).
+    *
+    * TILE PREFILTER (the 100 TB lever): before any pixel explodes, each
+    * raster FILE's envelope — read from its geotransform header, no sample
+    * decode — is covered with res-`res` grid cells and tested against the
+    * zones' cell set (one tiny broadcast array) via `arrays_overlap`. A
+    * raster no zone can claim is dropped at header cost: the per-pixel
+    * amplification (the dominant term — 10^6+ rows per tile) never runs
+    * for it. Conservative by construction: rasters whose covering
+    * overflows the cell cap are kept, and the prefilter disables itself
+    * entirely when any ZONE's covering overflows (an un-coverable zone
+    * could otherwise lose pixels). ScalePlanSpec asserts the filter sits
+    * below the pixel explode and that a zone-free raster feeds it zero
+    * rows. */
   def zonal(rasters: DataFrame, polygons: DataFrame, zoneKey: String,
       band: Int = 0, res: Int = 10, payloadCol: String = "payload",
-      polyGeom: String = "geom"): DataFrame = {
-    val pts = rasters
+      polyGeom: String = "geom", prefilter: Boolean = true): DataFrame = {
+    val zs = polygons.select(col(zoneKey), col(polyGeom))
+    val kept =
+      if (!prefilter) rasters
+      else {
+        val zCover = cells_covering(col(polyGeom), lit(res))
+        val zcells = zs.select(explode(zCover).as("__c"))
+          .agg(collect_set(col("__c")).as("__zcells"))
+        val zover = zs.agg(max(when(size(zCover) === 0 &&
+          col(polyGeom).isNotNull, 1).otherwise(0)).as("__zover"))
+        // raster envelope from the header geotransform, as a WKT ring in
+        // the exact arithmetic geotiff_pixels uses for pixel centers
+        val m = geotiff_meta(col(payloadCol))
+        val x0 = m.getField("origin_x")
+        val y1 = m.getField("origin_y")
+        val x1 = x0 + m.getField("width") * m.getField("px_scale_x")
+        val y0 = y1 - m.getField("height") * m.getField("px_scale_y")
+        def pt(x: Column, y: Column) = concat(x.cast("string"), lit(" "), y.cast("string"))
+        val envWkt = concat(lit("POLYGON(("),
+          pt(x0, y0), lit(","), pt(x1, y0), lit(","),
+          pt(x1, y1), lit(","), pt(x0, y1), lit(","), pt(x0, y0), lit("))"))
+        rasters
+          .withColumn("__rcells", cells_covering(st_geomfromtext(envWkt), lit(res)))
+          .crossJoin(broadcast(zcells.crossJoin(zover)))
+          .filter(col("__zover") === 1 || size(col("__rcells")) === 0 ||
+            arrays_overlap(col("__rcells"), col("__zcells")))
+          .drop("__rcells", "__zcells", "__zover")
+      }
+    val pts = kept
       .select(explode(geotiff_pixels(col(payloadCol), lit(band))).as("px"))
       .select(st_point(col("px.lon"), col("px.lat")).as("geom"),
         col("px.value").as("value"))
-    SpatialJoin.pointInPolygon(pts, polygons.select(col(zoneKey), col(polyGeom)),
+    SpatialJoin.pointInPolygon(pts, zs,
         res = res, pointGeom = "geom", polyGeom = polyGeom)
       .groupBy(col(zoneKey))
       .agg(count(lit(1)).as("n"),

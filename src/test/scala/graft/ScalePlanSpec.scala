@@ -578,6 +578,48 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(p.contains("xxhash64"), s"hashed mode must hash before the shuffle:\n$p")
   }
 
+  test("zonal prefilter: a zone-free raster feeds ZERO rows into the pixel explode") {
+    import graft.sources.GeoTiff
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val near = GeoTiff.write(4, 4, 1, 16, 1, Array.tabulate(16)(_.toDouble),
+        pixelScale = (1.0, 1.0), origin = (0.0, 4.0), epsg = 4326)
+      // identical raster a continent away: no zone can claim it
+      val far = GeoTiff.write(4, 4, 1, 16, 1, Array.tabulate(16)(i => 100.0 + i),
+        pixelScale = (1.0, 1.0), origin = (120.0, 4.0), epsg = 4326)
+      val rasters = Seq((1L, near), (2L, far)).toDF("id", "payload")
+      val zones = Seq(("A", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+        .toDF("zone", "wkt")
+        .select(col("zone"),
+          graft.functions.GraftFunctions.st_geomfromtext(col("wkt")).as("geom"))
+      val df = graft.operators.ZonalStats.zonal(rasters, zones, "zone",
+        band = 0, res = 8)
+      val rows = df.collect()
+      assert(rows.length == 1 && rows(0).getLong(1) == 16L,
+        s"only the near raster's 16 pixels: ${rows.mkString(",")}")
+      // behavioral proof via runtime metrics: the geotiff_pixels Generate
+      // emitted exactly the near raster's pixels — the far raster was
+      // dropped at header cost, its 16 pixels never materialized
+      val gens = df.queryExecution.executedPlan.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec
+          if g.generator.toString.contains("geotiff_pixels") => g
+      }
+      assert(gens.nonEmpty, "pixel explode missing from plan")
+      val emitted = gens.map(_.metrics("numOutputRows").value).sum
+      assert(emitted == 16L, s"zone-free raster exploded pixels: $emitted")
+      // and the envelope prefilter sits BELOW the explode in its subtree
+      // (Catalyst may fold it into the 1-row-broadcast join's condition
+      // rather than a standalone Filter — either node shape is the pruned
+      // plan, as long as it evaluates before the Generate)
+      val hasFilter = gens.exists(_.child.toString.contains("arrays_overlap"))
+      assert(hasFilter, "arrays_overlap prefilter not below the pixel explode")
+      // prefilter = false restores the unpruned shape with identical output
+      val off = graft.operators.ZonalStats.zonal(rasters, zones, "zone",
+        band = 0, res = 8, prefilter = false).collect()
+      assert(off.length == 1 && off(0).getLong(1) == 16L)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("shapefile decode terminates on corrupt record headers") {
     // a .shp whose second record header declares a non-positive content
     // length: round 1 would loop forever (pos never advanced); now it must
