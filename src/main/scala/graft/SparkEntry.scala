@@ -410,6 +410,46 @@ object SparkEntry {
           sum(element_at(col("attrs"), "okey").cast("double")).cast("long").as("sum_okey"))
     },
 
+    "s2f_filegdb_curve_m" -> { (s, d) =>
+      // FileGDB curves + M streams (round 7 — the last documented FGDB
+      // gap): the s2d arc-bulged squares authored WITH an M stream in all
+      // three ecosystem forms — full per-vertex deltas, the absent all-NaN
+      // short form, and the one-varint form (that table also carries a Z
+      // stream, so Z+M+curves compose). The reader resolves the form by
+      // record-length validation, so every row must decode to the same
+      // closed-form geometry as s2d; the oracle is the same arithmetic.
+      val sample = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          cxCol.as("x"), cyCol.as("y"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .limit(300)
+        .select("x", "y", "l_orderkey").collect()
+      val h = 0.125
+      def rowsFor(k: Int) = sample.toSeq.zipWithIndex.collect {
+        case (r, i) if i % 3 == k =>
+          val x = r.getDouble(0); val y = r.getDouble(1)
+          val shell = Seq((x - h, y - h), (x - h, y + h), (x + h, y + h),
+            (x + h, y - h), (x - h, y - h))
+          (Seq[Any](r.getLong(2).toDouble), Seq(shell),
+            Seq(graft.sources.FileGdbCodec.CurveSpec(1, 1, Seq(x, y + h), bits = 0)))
+      }
+      val parts = Seq(("full", false), ("absent", false), ("one", true))
+        .zipWithIndex.map { case ((form, z), k) =>
+          val table = graft.sources.FileGdbCodec.writeCurveShapeTable(
+            Seq("okey" -> 3), polygon = true, rowsFor(k),
+            withZ = z, withM = true, mForm = form)
+          val dir = java.nio.file.Files.createTempDirectory(s"s2fgdb$k")
+          java.nio.file.Files.write(dir.resolve("a00000014.gdbtable"), table)
+          graft.sources.FileGdb.readLargest(s, dir.toString)
+        }
+      parts.reduce(_ unionByName _)
+        .agg(count(lit(1)).as("n"),
+          sum(st_npoints(col("geom"))).cast("long").as("sum_pts"),
+          sum(round(st_area(col("geom")) * 1e6).cast("long")).as("area_q"),
+          sum(round(st_ymax(col("geom")) * 1e6).cast("long")).as("ymax_q"),
+          sum(element_at(col("attrs"), "okey").cast("double")).cast("long").as("sum_okey"))
+    },
+
     "s2e_filegdb_multipatch" -> { (s, d) =>
       // FileGDB multipatch decode (VERDICT r5 #4 — the last documented FGDB
       // gap): each sampled point becomes a multipatch of a triangle STRIP
@@ -2718,6 +2758,19 @@ object SparkEntry {
     // 36-triangle semicircle fan 18h²·sin(π/36); 40 vertices per feature
     // (5 ribbon + 35 arc interior); top vertex exactly y + 2h
     "s2d_filegdb_curves" ->
+      s"""WITH sample AS (
+            SELECT $cxSql AS x, $cySql AS y, l_orderkey AS okey FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 300)
+          SELECT COUNT(*) AS n,
+            CAST(COUNT(*) * 40 AS BIGINT) AS sum_pts,
+            CAST(COUNT(*) AS BIGINT) * CAST(ROUND(
+              (4 * 0.015625 + 18 * 0.015625 * SIN(PI() / 36)) * 1e6) AS BIGINT)
+              AS area_q,
+            CAST(SUM(CAST(ROUND((y + 0.25) * 1e6) AS BIGINT)) AS BIGINT) AS ymax_q,
+            CAST(SUM(okey) AS BIGINT) AS sum_okey FROM sample""",
+
+    // same closed forms as s2d: the M stream must not perturb geometry
+    "s2f_filegdb_curve_m" ->
       s"""WITH sample AS (
             SELECT $cxSql AS x, $cySql AS y, l_orderkey AS okey FROM lineitem
             ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 300)

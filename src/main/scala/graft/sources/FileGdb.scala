@@ -189,7 +189,7 @@ object FileGdbCodec {
         case 7 =>
           val glen = readVaruint(bb)
           val gEnd = bb.position() + glen
-          wkb = try decodeShape(bb, f) catch { case _: Exception => null }
+          wkb = try decodeShape(bb, f, gEnd.toInt) catch { case _: Exception => null }
           bb.position(gEnd.toInt) // Z/M trailing streams and unsupported
                                   // shapes skip via the length prefix
         case _ => ()
@@ -371,9 +371,12 @@ object FileGdbCodec {
   private val HasMFlag  = 0x40000000L
 
   /** Decode one geometry value (positioned after the length varuint). The
-    * caller restores the buffer to the record end afterwards, so trailing
-    * Z/M streams never need parsing here — only the XY ribbon is read. */
-  private def decodeShape(bb: ByteBuffer, f: Field): Array[Byte] = {
+    * caller restores the buffer to `geomEnd` afterwards, so trailing Z/M
+    * streams of non-curved shapes never need parsing — only the XY ribbon
+    * is read. Curved shapes parse past the Z/M streams to reach their
+    * descriptors; `geomEnd` bounds and VALIDATES that walk (see the
+    * curve+M handling in [[readRibbonParts]]). */
+  private def decodeShape(bb: ByteBuffer, f: Field, geomEnd: Int): Array[Byte] = {
     val raw = readVaruint(bb)
     val base = raw & 0xffL
     if (PointBases.contains(base)) {
@@ -386,15 +389,17 @@ object FileGdbCodec {
     } else if (PolylineBases.contains(base) || PolygonBases.contains(base)) {
       val hasCurves = (raw & CurveFlag) != 0
       // curve descriptors sit AFTER the Z/M streams. The Z stream is
-      // unambiguous (nPoints signed varints) and is walked past to reach
-      // the descriptors (round 6). The M stream is NOT safely skippable
-      // without GDAL to verify against: real files use a sentinel short
-      // form when every M is NaN, and guessing wrong silently misaligns
-      // the descriptor bytes — so curves+M still nulls honestly
-      // (documented in docs/COVERAGE.md) rather than risk wrong geometry.
-      if (hasCurves && (raw & HasMFlag) != 0) return null
+      // unambiguous (nPoints signed varints). The M stream has two
+      // ecosystem forms (full per-vertex deltas, and a short form when
+      // every M is the NaN no-value) whose choice is not flagged in the
+      // record — so it is resolved by VALIDATION instead of guessing:
+      // each form is tried and must land the descriptor parse exactly on
+      // the record end from the length prefix (round 7; previously
+      // curves+M nulled wholesale).
       val parts = readRibbonParts(bb, f, hasCurves,
-        skipZAfterXY = hasCurves && (raw & HasZFlag) != 0)
+        skipZAfterXY = hasCurves && (raw & HasZFlag) != 0,
+        skipMAfterXY = hasCurves && (raw & HasMFlag) != 0,
+        geomEnd = geomEnd)
       if (parts == null) null
       else if (PolygonBases.contains(base)) {
         val g = ShapefileCodec.assemblePolygon(parts)
@@ -561,7 +566,9 @@ object FileGdbCodec {
     * at ≤5° angular steps (arcs) / 16 subdivisions (Béziers). */
   private def readRibbonParts(bb: ByteBuffer, f: Field,
       hasCurves: Boolean = false,
-      skipZAfterXY: Boolean = false): Seq[Array[Coordinate]] = {
+      skipZAfterXY: Boolean = false,
+      skipMAfterXY: Boolean = false,
+      geomEnd: Int = -1): Seq[Array[Coordinate]] = {
     val nPoints = readVaruint(bb).toInt
     if (nPoints <= 0 || nPoints > 50_000_000) return null
     val nParts = readVaruint(bb).toInt
@@ -599,33 +606,67 @@ object FileGdbCodec {
       var z = 0
       while (z < nPoints) { readVarint(bb); z += 1 }
     }
+    // descriptor stream parse from the CURRENT position; nulls (without a
+    // position contract) on unknown/unsupported descriptors
+    def parseDescriptors(): Map[Int, Array[Coordinate]] = {
+      val m = scala.collection.mutable.Map[Int, Array[Coordinate]]()
+      var c = 0
+      while (c < nCurves) {
+        val idx = readVaruint(bb).toInt
+        val typ = readVaruint(bb).toInt
+        if (idx < 0 || idx >= nPoints - 1) return null
+        typ match {
+          case 1 => // circular arc: center + flag bits
+            val cx = bb.getDouble; val cy = bb.getDouble; val bits = bb.getInt
+            m(idx) = densifyArc(flat(idx), flat(idx + 1), cx, cy, bits)
+          case 4 => // cubic Bézier: two control points
+            val c1x = bb.getDouble; val c1y = bb.getDouble
+            val c2x = bb.getDouble; val c2y = bb.getDouble
+            m(idx) = densifyBezier(flat(idx), flat(idx + 1), c1x, c1y, c2x, c2y)
+          case 5 => // elliptic arc: honestly unsupported — null the row
+            // (consistent with the unknown-descriptor case; a silent
+            // straight chord would distort geometry with no signal)
+            return null
+          case _ => return null // unknown descriptor: length unknowable
+        }
+        c += 1
+      }
+      m.toMap
+    }
     // curve descriptors: map global start index → densified interior points
     val curvePts: Map[Int, Array[Coordinate]] =
       if (nCurves == 0) Map.empty
-      else {
-        val m = scala.collection.mutable.Map[Int, Array[Coordinate]]()
-        var c = 0
-        while (c < nCurves) {
-          val idx = readVaruint(bb).toInt
-          val typ = readVaruint(bb).toInt
-          if (idx < 0 || idx >= nPoints - 1) return null
-          typ match {
-            case 1 => // circular arc: center + flag bits
-              val cx = bb.getDouble; val cy = bb.getDouble; val bits = bb.getInt
-              m(idx) = densifyArc(flat(idx), flat(idx + 1), cx, cy, bits)
-            case 4 => // cubic Bézier: two control points
-              val c1x = bb.getDouble; val c1y = bb.getDouble
-              val c2x = bb.getDouble; val c2y = bb.getDouble
-              m(idx) = densifyBezier(flat(idx), flat(idx + 1), c1x, c1y, c2x, c2y)
-            case 5 => // elliptic arc: honestly unsupported — null the row
-              // (consistent with the curve+Z/M and unknown-descriptor cases;
-              // a silent straight chord would distort geometry with no signal)
-              return null
-            case _ => return null // unknown descriptor: length unknowable
+      else if (!skipMAfterXY) {
+        val m = parseDescriptors()
+        if (m == null) return null
+        m
+      } else {
+        // curve + M: the M stream between here and the descriptors comes in
+        // two ecosystem forms — full (one signed varint delta per vertex)
+        // or a short all-NaN no-value form (absent, or a single varint).
+        // The record does not flag which, but the record length DOES pin
+        // the total size, so each form is tried and accepted only when the
+        // descriptor parse lands EXACTLY on the record end. No-candidate
+        // or multi-candidate parses null loudly — never a misaligned guess.
+        if (geomEnd < 0) return null
+        val mark = bb.position()
+        def attempt(skipM: () => Unit): Map[Int, Array[Coordinate]] = {
+          bb.position(mark)
+          try {
+            skipM()
+            val m = parseDescriptors()
+            if (m != null && bb.position() == geomEnd) m else null
+          } catch {
+            case _: java.nio.BufferUnderflowException => null
+            case _: IllegalArgumentException => null
           }
-          c += 1
         }
-        m.toMap
+        val full = attempt(() => { var i = 0; while (i < nPoints) { readVarint(bb); i += 1 } })
+        val absent = attempt(() => ())
+        val oneByte = attempt(() => { readVarint(bb); () })
+        val hits = Seq(full, absent, oneByte).filter(_ != null)
+        if (hits.length != 1) return null
+        hits.head
       }
     val out = new Array[Array[Coordinate]](nParts)
     var p = 0
@@ -793,7 +834,9 @@ object FileGdbCodec {
       rows: Seq[(Seq[Any], Seq[Seq[(Double, Double)]], Seq[CurveSpec])],
       xorigin: Double = -400.0, yorigin: Double = -400.0,
       xyscale: Double = 1e9, withZ: Boolean = false,
-      withM: Boolean = false): Array[Byte] = {
+      withM: Boolean = false, mForm: String = "full",
+      extraMVarints: Int = 0): Array[Byte] = {
+    require(Set("full", "absent", "one").contains(mForm), s"mForm: $mForm")
     val baseType = if (polygon) 51L else 50L
     val geomRows = rows.map { case (vals, parts, curves) =>
       val geom = new java.io.ByteArrayOutputStream()
@@ -823,6 +866,20 @@ object FileGdbCodec {
           val z = (i * 37 % 11).toLong - 5
           writeVarint(geom, z - zi); zi = z
         }
+      }
+      if (withM) {
+        mForm match {
+          case "absent" => () // all-NaN short form: no stream at all
+          case "one"    => writeVarint(geom, 0L) // one-varint no-value form
+          case _ => // full stream: one signed varint delta per vertex, varied
+            var mi = 0L
+            all.indices.foreach { i =>
+              val mv = (i * 53 % 17).toLong - 8
+              writeVarint(geom, mv - mi); mi = mv
+            }
+        }
+        // corrupt-fixture knob: pad the stream so NO candidate form fits
+        (0 until extraMVarints).foreach(i => writeVarint(geom, (i + 3).toLong))
       }
       curves.foreach { c =>
         writeVaruint(geom, c.idx.toLong)

@@ -264,7 +264,7 @@ class FileGdbSpec extends AnyFunSuite {
     gcw.getCoordinates.foreach(c => assert(c.y >= -1e-9, s"CW arc above: $c"))
   }
 
-  test("curves with a Z stream decode; curves with M still null honestly") {
+  test("curves with Z and M streams decode; unresolvable M forms null loudly") {
     // same CCW semicircle as above, but the record carries a Z delta
     // stream between the XY ribbon and the arc descriptor, and the layer
     // header declares Z (presence byte 4 + zorigin/zscale/ztolerance) —
@@ -283,13 +283,33 @@ class FileGdbSpec extends AnyFunSuite {
     // attributes around the 3D-declared layer still decode (field-header
     // z origin/scale/tolerance skipping — misalignment would break this)
     assert(FileGdbCodec.decode(zBytes).head._2("v") == "1.0")
-    // curves + M: the M stream's short-form sentinel is not safely
-    // parseable without a reference implementation — null, never misread
-    val mBytes = FileGdbCodec.writeCurveShapeTable(Seq("v" -> 3), polygon = false,
-      Seq((Seq[Any](2.0), Seq(Seq((0.0, 0.0), (2.0, 0.0))),
-        Seq(FileGdbCodec.CurveSpec(0, 1, Seq(1.0, 0.0), bits = 0x8)))),
-      withM = true)
-    assert(FileGdbCodec.decode(mBytes).head._3 == null)
+    // curves + M (round 7): the M stream's form (full per-vertex deltas vs
+    // the all-NaN short forms) is resolved by record-length validation —
+    // every authored form must decode to the SAME arc geometry
+    val mRow = Seq((Seq[Any](2.0), Seq(Seq((0.0, 0.0), (2.0, 0.0))),
+      Seq(FileGdbCodec.CurveSpec(0, 1, Seq(1.0, 0.0), bits = 0x8))))
+    val noM = FileGdbCodec.decode(FileGdbCodec.writeCurveShapeTable(
+      Seq("v" -> 3), polygon = false, mRow)).head._3
+    assert(noM != null)
+    for (form <- Seq("full", "absent", "one")) {
+      val mBytes = FileGdbCodec.writeCurveShapeTable(Seq("v" -> 3),
+        polygon = false, mRow, withM = true, mForm = form)
+      val got = FileGdbCodec.decode(mBytes).head._3
+      assert(got != null, s"curve+M ($form) must decode")
+      assert(java.util.Arrays.equals(got, noM),
+        s"curve+M ($form) must match the no-M geometry")
+    }
+    // curve + M + Z together: Z walked, M validated, same geometry
+    val zmBytes = FileGdbCodec.writeCurveShapeTable(Seq("v" -> 3),
+      polygon = false, mRow, withZ = true, withM = true, mForm = "full")
+    assert(java.util.Arrays.equals(FileGdbCodec.decode(zmBytes).head._3, noM))
+    // an M stream whose length fits NO candidate form (extra varints shift
+    // the descriptors off every attempted offset): null, never a
+    // misaligned guess
+    val extra = FileGdbCodec.writeCurveShapeTable(Seq("v" -> 3),
+      polygon = false, mRow, withM = true, mForm = "full", extraMVarints = 2)
+    assert(FileGdbCodec.decode(extra).head._3 == null,
+      "misaligned M stream must null loudly")
   }
 
   test("curved polygon: circle-ish square has the right area; line-bit arc stays straight") {
