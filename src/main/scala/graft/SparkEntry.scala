@@ -2653,6 +2653,24 @@ object SparkEntry {
         .orderBy("domain")
     },
 
+    "e8_stream_ann_intake" -> { (s, d) =>
+      // incremental ANN intake batch twin (VectorStreams.ivfIntake — new
+      // embeddings probe the EXISTING IVF cells; centroids train once at
+      // plan construction and bake into the plan, the corpus side carries
+      // no Exchange, only the broadcast new batch moves — the t22
+      // incremental shape; StreamingSpec drives the real multi-micro-batch
+      // readStream form). Planted-self-match oracle (v4's contract): each
+      // probe is an exact copy of a corpus vector, so rank-1 / cos-1.0
+      // recovery through the shared argmax tie-break is structural.
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      graft.streaming.VectorStreams.ivfIntake(q, emb, k = 1, nlist = 64,
+          nprobe = 4, trainSample = 1000, iters = 4)
+        .select(col("qid"), col("nid"), col("rk"), round(col("cos"), 6).as("cos"))
+        .orderBy("qid")
+    },
+
     "e2_sessionize" -> { (s, d) =>
       // 30-minute-gap sessionization per user (session_window built-in)
       events(s, d)
@@ -3807,6 +3825,13 @@ object SparkEntry {
     // planted self-match through the IVF cell probe: same argmax tie-break
     // on both sides → twin cell always probed → rank 1 at cos 1.0
     "v4_ann_ivf" ->
+      """SELECT vec_id + 10000 AS qid, vec_id AS nid, CAST(1 AS INTEGER) AS rk,
+         CAST(1.0 AS DOUBLE) AS cos
+         FROM embeddings WHERE vec_id < 10 ORDER BY qid""",
+
+    // planted self-match through the incremental-intake probe: same
+    // contract as v4 — the copy probes its twin's cell, exact cos 1.0
+    "e8_stream_ann_intake" ->
       """SELECT vec_id + 10000 AS qid, vec_id AS nid, CAST(1 AS INTEGER) AS rk,
          CAST(1.0 AS DOUBLE) AS cos
          FROM embeddings WHERE vec_id < 10 ORDER BY qid""",

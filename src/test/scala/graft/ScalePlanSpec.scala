@@ -578,6 +578,33 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(p.contains("xxhash64"), s"hashed mode must hash before the shuffle:\n$p")
   }
 
+  test("ivfIntake: centroids baked as literals (no per-batch retrain), corpus side never exchange-shuffled") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (planStr, exchanges) = try {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val q = emb.filter(col("vec_id") < 5)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      val qe = graft.streaming.VectorStreams.ivfIntake(q, emb, k = 1,
+        nlist = 16, nprobe = 2, trainSample = 200, iters = 2).queryExecution
+      (qe.executedPlan.toString,
+        qe.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+        })
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the new batch broadcasts; the corpus rides a map-only assignment into
+    // a BroadcastHashJoin — no SortMergeJoin/ShuffledHashJoin anywhere
+    assert(planStr.contains("BroadcastHashJoin"), s"broadcast join missing:\n$planStr")
+    assert(!planStr.contains("SortMergeJoin") && !planStr.contains("ShuffledHashJoin"),
+      s"corpus must never exchange-shuffle through the probe join:\n$planStr")
+    // the ONLY shuffle is the post-join per-query top-k aggregate over the
+    // candidate set (|batch|-proportional) — qid-hash partitioning
+    assert(exchanges.nonEmpty && exchanges.forall(_.toString.contains("qid")),
+      s"unexpected exchange (corpus-side?):\n${exchanges.mkString("\n")}")
+    // centroids live IN the plan as a literal array: micro-batches and
+    // checkpoint restarts reuse them — there is nothing to retrain
+    assert(planStr.contains("nearest_cells"), s"probe kernel missing:\n$planStr")
+  }
+
   test("zonal prefilter: a zone-free raster feeds ZERO rows into the pixel explode") {
     import graft.sources.GeoTiff
     spark.conf.set("spark.sql.adaptive.enabled", "false")

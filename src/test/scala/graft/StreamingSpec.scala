@@ -182,6 +182,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() == 14) // 7 users × 2 event types
   }
 
+  test("ivfIntake: new embeddings probe the existing index across micro-batches, no retrain") {
+    // corpus: 40 deterministic 8-dim vectors; new batches are exact copies
+    // (re-id'd), landing in TWO files so maxFilesPerTrigger=1 forces at
+    // least two micro-batches through ONE query — the same baked centroids
+    // serve both (nothing retrains between triggers)
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(8)(j => math.sin(i * 8 + j + 1).toFloat)
+    val corpus = (0 until 40).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("annstream").toString + "/data"
+    (0 until 4).map(i => (i.toLong + 10000, vec(i)))
+      .toDF("vec_id", "embedding").write.parquet(dir)
+    (4 until 8).map(i => (i.toLong + 10000, vec(i)))
+      .toDF("vec_id", "embedding").write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    assert(stream.isStreaming)
+    val q = graft.streaming.VectorStreams.ivfIntake(stream, corpus, k = 1,
+        nlist = 8, nprobe = 2, trainSample = 40, iters = 3)
+      .writeStream.format("memory").queryName("ann_out")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "ann intake stream timed out")
+    val out = spark.table("ann_out").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 8, s"8 probes answered: ${out.size}")
+    (0 until 8).foreach { i =>
+      val (nid, cos) = out(i.toLong + 10000)
+      assert(nid == i.toLong, s"probe ${i + 10000} must find its twin: $nid")
+      assert(math.abs(cos - 1.0) < 1e-9, s"twin cosine: $cos")
+    }
+  }
+
   test("quotaIntake: transformWithState per-domain cap across checkpointed runs") {
     // the arbitrary-state v2 operator requires the RocksDB provider
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
