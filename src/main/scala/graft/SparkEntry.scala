@@ -2488,6 +2488,46 @@ object SparkEntry {
           sum(col("h")).cast("long").as("h_total"))
     },
 
+    "mm6_arithmetic_jpeg" -> { (s, d) =>
+      // arithmetic-coded JPEG decode (round 7 — T.81 QM-coder, JpegArith):
+      // each doc becomes a grayscale SOF9 stream authored from QUANTIZED
+      // DC-only coefficient blocks (flat 8x8 values, quantization-exact at
+      // q=16), a structural require() proves the SOF9 marker, and decode
+      // runs DISTRIBUTED through the same jpeg_luma_* expressions as the
+      // Huffman gates — entropy coding is lossless, so every luma sum has
+      // a closed form the oracle replays.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 250).as[Long]
+        .map { id =>
+          val bw = 2 + (id % 3).toInt // blocks across
+          val bh = 1 + (id % 2).toInt // blocks down
+          val q = Array.fill(64)(16)
+          val blocks = (0 until bw * bh).map { i =>
+            val c = new Array[Int](64)
+            val v = 120 + 2 * ((i + id) % 8).toInt
+            c(0) = (v - 128) / 2 // dequant*IDCT: 16*c0/8 + 128 = v exactly
+            c
+          }
+          val bytes = graft.multimodal.JpegArith.writeGray(bw * 8, bh * 8, q, blocks)
+          require(bytes.sliding(2).exists(sq =>
+            (sq(0) & 0xff) == 0xff && (sq(1) & 0xff) == 0xc9),
+            "fixture must be a true SOF9 arithmetic stream")
+          (id, bytes)
+        }.toDF("id", "jpg")
+      media.select(
+          jpeg_luma_sum(col("jpg")).as("lsum"),
+          jpeg_luma_width(col("jpg")).cast("long").as("w"),
+          jpeg_luma_height(col("jpg")).cast("long").as("h"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(when(col("lsum").isNotNull, 1L).otherwise(0L)) === count(lit(1)))
+            .as("decoded_all"),
+          sum(col("lsum")).cast("long").as("luma_total"),
+          sum(col("w")).cast("long").as("w_total"),
+          sum(col("h")).cast("long").as("h_total"))
+    },
+
     "mm2_frame_sample" -> { (s, d) =>
       // frame sampling through the real Dataset pipeline (withMeta →
       // frameSample): 4 evenly spaced byte-range frames per payload. The
@@ -3998,6 +4038,22 @@ object SparkEntry {
     // decoded dimensions are structural (SOF2 frame header, lossless);
     // jpeg_ok is the in-engine tolerance proof vs ImageIO's decode of the
     // same progressive bytes — the oracle pins the closed-form dims + TRUE
+    // flat DC-only blocks through the lossless entropy layer: luma sums
+    // replay in closed form (64 pixels x 120 + 2*((block + id) % 8) each)
+    "mm6_arithmetic_jpeg" ->
+      """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 250),
+            px AS (SELECT d.doc_id,
+                     SUM(64 * (120 + 2 * ((b.i + d.doc_id) % 8))) AS lsum
+                   FROM docs d
+                   JOIN range(0, 8) b(i)
+                     ON b.i < (2 + d.doc_id % 3) * (1 + d.doc_id % 2)
+                   GROUP BY d.doc_id)
+          SELECT COUNT(*) AS n, TRUE AS decoded_all,
+            CAST(SUM(p.lsum) AS BIGINT) AS luma_total,
+            CAST(SUM(8 * (2 + d.doc_id % 3)) AS BIGINT) AS w_total,
+            CAST(SUM(8 * (1 + d.doc_id % 2)) AS BIGINT) AS h_total
+          FROM docs d JOIN px p USING (doc_id)""",
+
     "mm5_progressive_jpeg" ->
       """WITH e AS (
            SELECT 8 + doc_id % 11 AS w, 8 + doc_id % 5 AS h

@@ -1,0 +1,555 @@
+package graft.multimodal
+
+/** Arithmetic-coded JPEG (ITU-T T.81 Annex D QM-coder + §F.1.4.4 / §F.2
+  * sequential DCT statistical models) — the entropy layer `jpegtran
+  * -arithmetic` recompression produces, the last common web-crawl decode
+  * gap after baseline + progressive Huffman ([[JpegCodec]]).
+  *
+  * Scope: sequential DCT (SOF9), 8-bit, 1 or 3 components at 1x1 sampling,
+  * DAC conditioning tables (defaults L=0 / U=1 / Kx=5 per §F.1.4.4.1.4).
+  * Subsampled chroma, restart intervals, progressive arithmetic (SOFa),
+  * and 12-bit return null — honestly unsupported. The dequantize + IDCT +
+  * plane path is [[JpegCodec]]'s own, so the two entropy layers share one
+  * reconstruction.
+  *
+  * The probability state machine is Table D.3 of the public spec (113
+  * adaptive states + the fixed ~0.5 state used for AC signs); DC/AC
+  * decision trees follow Figures F.20-F.24 (decode) and F.4-F.7 (encode).
+  * VALIDATION BOUNDARY: no decoder in this container reads arithmetic
+  * JPEGs (the JDK's ImageIO does not), so — like the FileGDB fixture
+  * writers — correctness rests on the spec transcription plus the
+  * entropy layer's provable losslessness: MultimodalSpec round-trips
+  * authored coefficient blocks encoder→decoder coefficient-exact and
+  * pins flat-block pixel exactness and adaptive-compression sanity.
+  */
+object JpegArith {
+
+  // Table D.3: (Qe, nextLPS, nextMPS, switch). Entry 113 is the
+  // non-adapting fixed state (Qe ~ 0.5, self-transitions) for AC signs.
+  private val QE = Array(
+    0x5A1D, 0x2586, 0x1114, 0x080B, 0x03D8, 0x01DA, 0x00E5, 0x006F,
+    0x0036, 0x001A, 0x000D, 0x0006, 0x0003, 0x0001, 0x5A7F, 0x3F25,
+    0x2CF2, 0x207C, 0x17B9, 0x1182, 0x0CEF, 0x09A1, 0x072F, 0x055C,
+    0x0406, 0x0303, 0x0240, 0x01B1, 0x0144, 0x00F5, 0x00B7, 0x008A,
+    0x0068, 0x004E, 0x003B, 0x002C, 0x5AE1, 0x484C, 0x3A0D, 0x2EF1,
+    0x261F, 0x1F33, 0x19A8, 0x1518, 0x1177, 0x0E74, 0x0BFB, 0x09F8,
+    0x0861, 0x0706, 0x05CD, 0x04DE, 0x040F, 0x0363, 0x02D4, 0x025C,
+    0x01F8, 0x01A4, 0x0160, 0x0125, 0x00F6, 0x00CB, 0x00AB, 0x008F,
+    0x5B12, 0x4D04, 0x412C, 0x37D8, 0x2FE8, 0x293C, 0x2379, 0x1EDF,
+    0x1AA9, 0x174E, 0x1424, 0x119C, 0x0F6B, 0x0D51, 0x0BB6, 0x0A40,
+    0x5832, 0x4D1C, 0x438E, 0x3BDD, 0x34EE, 0x2EAE, 0x299A, 0x2516,
+    0x5570, 0x4CA9, 0x44D9, 0x3E22, 0x3824, 0x32B4, 0x2E17, 0x56A8,
+    0x4F46, 0x47E5, 0x41CF, 0x3C3D, 0x375E, 0x5231, 0x4C0F, 0x4639,
+    0x415E, 0x5627, 0x50E7, 0x4B85, 0x5597, 0x504F, 0x5A10, 0x5522,
+    0x59EB, 0x5A1D)
+  private val NLPS = Array(
+    1, 14, 16, 18, 20, 23, 25, 28, 30, 33, 35, 9, 10, 12, 15, 36,
+    38, 39, 40, 42, 43, 45, 46, 48, 49, 51, 52, 54, 56, 57, 59, 60,
+    62, 63, 32, 33, 37, 64, 65, 67, 68, 69, 70, 72, 73, 74, 75, 77,
+    78, 79, 48, 50, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 61, 61,
+    65, 80, 81, 82, 83, 84, 86, 87, 87, 72, 72, 74, 74, 75, 77, 77,
+    80, 88, 89, 90, 91, 92, 93, 86, 88, 95, 96, 97, 99, 99, 93, 95,
+    101, 102, 103, 104, 99, 105, 106, 107, 103, 105, 108, 109, 110, 111,
+    110, 112, 112, 113)
+  private val NMPS = Array(
+    1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 13, 15, 16,
+    17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32,
+    33, 34, 35, 9, 37, 38, 39, 40, 41, 42, 43, 44, 45, 46, 47, 48,
+    49, 50, 51, 52, 53, 54, 55, 56, 57, 58, 59, 60, 61, 62, 63, 32,
+    65, 66, 67, 68, 69, 70, 71, 72, 73, 74, 75, 76, 77, 78, 79, 48,
+    81, 82, 83, 84, 85, 86, 87, 71, 89, 90, 91, 92, 93, 94, 86, 96,
+    97, 98, 99, 100, 93, 102, 103, 104, 99, 106, 107, 103, 109, 107,
+    111, 109, 111, 113)
+  private val SWITCH = Array(
+    1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    1, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 1,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0,
+    1, 0)
+
+  // a statistics bin: (mps << 7) | stateIndex, all zero-initialized
+  private final val FixedBin = 113 // non-adapting ~0.5 state
+
+  /** QM decoder per §F.2.2.1 / Annex D — the c-unshifted, ct-scaled
+    * register form; at EOD or a marker the byte stream feeds zeros. */
+  private final class Dec(data: Array[Byte], start: Int) {
+    private var pos = start
+    private var marker = false
+    private var c = 0L
+    private var a = 0L
+    private var ct = -16 // forces two initial byte loads
+
+    private def nextByte(): Int = {
+      if (marker || pos >= data.length) return 0
+      var b = data(pos) & 0xff
+      pos += 1
+      if (b == 0xff) {
+        var b2 = if (pos < data.length) data(pos) & 0xff else -1
+        while (b2 == 0xff) { pos += 1; b2 = if (pos < data.length) data(pos) & 0xff else -1 }
+        if (b2 == 0x00) pos += 1 // stuffed zero: datum is 0xFF
+        else { marker = true; b = 0 } // marker (EOI/...): feed zeros
+      }
+      b
+    }
+
+    def decode(bins: Array[Int], idx: Int): Int = {
+      while (a < 0x8000L) {
+        ct -= 1
+        if (ct < 0) {
+          c = (c << 8) | nextByte()
+          ct += 8
+          if (ct < 0) {
+            ct += 1
+            // two initial bytes loaded: A leaves the loop at 0x10000, the
+            // full INITDEC interval (doubled by the shift below)
+            if (ct == 0) a = 0x8000L
+          }
+        }
+        a <<= 1
+      }
+      val sv = bins(idx)
+      var st = sv & 0x7f
+      var mps = (sv >> 7) & 1
+      val qe = QE(st).toLong
+      a -= qe
+      var d = 0
+      val scaled = a << ct
+      if (c < scaled) {
+        if (a < 0x8000L) {
+          if (a < qe) {
+            d = 1 - mps
+            if (SWITCH(st) == 1) mps = 1 - mps
+            st = NLPS(st)
+          } else { d = mps; st = NMPS(st) }
+          bins(idx) = (mps << 7) | st
+        } else d = mps
+      } else {
+        c -= scaled
+        if (a < qe) { d = mps; st = NMPS(st) }
+        else {
+          d = 1 - mps
+          if (SWITCH(st) == 1) mps = 1 - mps
+          st = NLPS(st)
+        }
+        a = qe
+        bins(idx) = (mps << 7) | st
+      }
+      d
+    }
+  }
+
+  /** QM encoder per §F.1.4.4 / Annex D with byte stuffing (0xFF → 0x00)
+    * and carry propagation over stacked 0xFF bytes. */
+  private final class Enc(out: java.io.ByteArrayOutputStream) {
+    private var c = 0L
+    private var a = 0x10000L
+    private var ct = 11
+    private var buffer = -1 // pending output byte (carry target)
+    private var sc = 0L     // stacked 0xFF bytes
+    private var zc = 0L     // pending 0x00 bytes
+
+    private def emit(b: Int): Unit = out.write(b & 0xff)
+    private def emitZeros(): Unit = { while (zc > 0) { emit(0); zc -= 1 } }
+
+    private def byteOut(): Unit = {
+      val temp = (c >> 19).toInt
+      if (temp > 0xff) { // carry into the pending byte and stacked 0xFFs
+        if (buffer >= 0) {
+          emitZeros()
+          emit(buffer + 1)
+          if (buffer + 1 == 0xff) emit(0x00)
+        }
+        zc += sc; sc = 0 // carried 0xFF bytes become 0x00
+        buffer = temp & 0xff
+      } else if (temp == 0xff) {
+        sc += 1 // stack: a later carry may still ripple through
+      } else {
+        if (buffer == 0) zc += 1
+        else if (buffer >= 0) { emitZeros(); emit(buffer) }
+        if (sc > 0) {
+          emitZeros()
+          while (sc > 0) { emit(0xff); emit(0x00); sc -= 1 }
+        }
+        buffer = temp
+      }
+      c &= 0x7ffffL
+      ct += 8
+    }
+
+    private def renorm(): Unit = {
+      while (a < 0x8000L) {
+        a <<= 1
+        c <<= 1
+        ct -= 1
+        if (ct == 0) byteOut()
+      }
+    }
+
+    def encode(bins: Array[Int], idx: Int, bit: Int): Unit = {
+      val sv = bins(idx)
+      var st = sv & 0x7f
+      var mps = (sv >> 7) & 1
+      val qe = QE(st).toLong
+      a -= qe
+      if (bit != mps) {
+        if (a >= qe) { c += a; a = qe } // LPS takes the top interval
+        if (SWITCH(st) == 1) mps = 1 - mps
+        st = NLPS(st)
+        bins(idx) = (mps << 7) | st
+        renorm()
+      } else {
+        if (a >= 0x8000L) return // short MPS path: no renorm, no adapt
+        if (a < qe) { c += a; a = qe } // conditional exchange
+        st = NMPS(st)
+        bins(idx) = (mps << 7) | st
+        renorm()
+      }
+    }
+
+    /** §D.1.8 termination: pick the in-interval code point with the most
+      * trailing zeros, flush pending bytes, drop trailing zero bytes (the
+      * decoder synthesizes zeros at the marker). */
+    def finish(): Unit = {
+      val temp0 = (a - 1 + c) & 0xffff0000L
+      c = if (temp0 < c) temp0 + 0x8000L else temp0
+      c <<= ct
+      if ((c & 0xf8000000L) != 0) { // final carry
+        if (buffer >= 0) {
+          emitZeros()
+          emit(buffer + 1)
+          if (buffer + 1 == 0xff) emit(0x00)
+        }
+        zc += sc; sc = 0
+      } else {
+        if (buffer == 0) zc += 1
+        else if (buffer >= 0) { emitZeros(); emit(buffer) }
+        if (sc > 0) {
+          emitZeros()
+          while (sc > 0) { emit(0xff); emit(0x00); sc -= 1 }
+        }
+      }
+      if ((c & 0x7fff800L) != 0) {
+        emitZeros()
+        val b1 = ((c >> 19) & 0xff).toInt
+        emit(b1)
+        if (b1 == 0xff) emit(0x00)
+        if ((c & 0x7f800L) != 0) {
+          val b2 = ((c >> 11) & 0xff).toInt
+          emit(b2)
+          if (b2 == 0xff) emit(0x00)
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------------- statistical models
+
+  /** DC diff decode per Figure F.20-F.24 (context layout: 5 classification
+    * contexts x 4 bins, X bins at 20, M bin at each X + 14). Returns the
+    * diff and updates the per-component context classification. */
+  private def decodeDcDiff(dec: Dec, stats: Array[Int], ctx: Array[Int],
+      ci: Int, lHalf: Int, uHalf: Int): Int = {
+    val base = ctx(ci)
+    if (dec.decode(stats, base) == 0) { ctx(ci) = 0; return 0 }
+    val sign = dec.decode(stats, base + 1)
+    var st = base + 2 + sign
+    var m = dec.decode(stats, st)
+    if (m != 0) {
+      st = 20
+      while (dec.decode(stats, st) != 0) {
+        m <<= 1
+        if (m == 0x8000) throw new IllegalStateException("dc magnitude overflow")
+        st += 1
+      }
+    }
+    ctx(ci) =
+      if (m < lHalf) 0
+      else if (m > uHalf) 12 + sign * 4
+      else 4 + sign * 4
+    var v = m
+    st += 14
+    while ({ m >>= 1; m != 0 }) if (dec.decode(stats, st) != 0) v |= m
+    v += 1
+    if (sign == 1) -v else v
+  }
+
+  private def encodeDcDiff(enc: Enc, stats: Array[Int], ctx: Array[Int],
+      ci: Int, lHalf: Int, uHalf: Int, diff: Int): Unit = {
+    val base = ctx(ci)
+    if (diff == 0) { enc.encode(stats, base, 0); ctx(ci) = 0; return }
+    enc.encode(stats, base, 1)
+    val sign = if (diff < 0) 1 else 0
+    val v = math.abs(diff)
+    enc.encode(stats, base + 1, sign)
+    var st = base + 2 + sign
+    val vm = v - 1
+    var m = 0
+    if (vm == 0) enc.encode(stats, st, 0)
+    else {
+      enc.encode(stats, st, 1)
+      m = 1
+      st = 20
+      while ((m << 1) <= vm) {
+        enc.encode(stats, st, 1)
+        m <<= 1
+        st += 1
+      }
+      enc.encode(stats, st, 0)
+    }
+    ctx(ci) =
+      if (m < lHalf) 0
+      else if (m > uHalf) 12 + sign * 4
+      else 4 + sign * 4
+    st += 14
+    var mm = m
+    while ({ mm >>= 1; mm != 0 }) enc.encode(stats, st, if ((vm & mm) != 0) 1 else 0)
+  }
+
+  /** AC band decode per Figure F.20-F.24 into `coef` (zigzag order,
+    * positions 1..63). Per-k bins at 3(k-1): EOB, zero/nonzero, X1; shared
+    * magnitude sets at 189 (k <= Kx) and 217; AC signs use the fixed bin. */
+  private def decodeAcBand(dec: Dec, stats: Array[Int], fixed: Array[Int],
+      kx: Int, coef: Array[Int]): Unit = {
+    var k = 1
+    var done = false
+    while (!done && k <= 63) {
+      var st = 3 * (k - 1)
+      if (dec.decode(stats, st) != 0) done = true // EOB
+      else {
+        while (dec.decode(stats, st + 1) == 0) {
+          st += 3; k += 1
+          if (k > 63) throw new IllegalStateException("ac run overflow")
+        }
+        val sign = dec.decode(fixed, 0)
+        st += 2
+        var m = dec.decode(stats, st)
+        if (m != 0 && dec.decode(stats, st) != 0) {
+          m <<= 1
+          st = if (k <= kx) 189 else 217
+          while (dec.decode(stats, st) != 0) {
+            m <<= 1
+            if (m == 0x8000) throw new IllegalStateException("ac magnitude overflow")
+            st += 1
+          }
+        }
+        var v = m
+        st += 14
+        while ({ m >>= 1; m != 0 }) if (dec.decode(stats, st) != 0) v |= m
+        v += 1
+        coef(k) = if (sign == 1) -v else v
+        k += 1
+      }
+    }
+  }
+
+  private def encodeAcBand(enc: Enc, stats: Array[Int], fixed: Array[Int],
+      kx: Int, coef: Array[Int]): Unit = {
+    var ke = 63
+    while (ke > 0 && coef(ke) == 0) ke -= 1
+    var k = 1
+    while (k <= ke) {
+      var st = 3 * (k - 1)
+      enc.encode(stats, st, 0) // not EOB yet
+      while (coef(k) == 0) { enc.encode(stats, st + 1, 0); st += 3; k += 1 }
+      enc.encode(stats, st + 1, 1)
+      val v0 = coef(k)
+      val sign = if (v0 < 0) 1 else 0
+      val v = math.abs(v0)
+      enc.encode(fixed, 0, sign)
+      st += 2
+      val vm = v - 1
+      var m = 0
+      if (vm == 0) enc.encode(stats, st, 0)
+      else {
+        enc.encode(stats, st, 1)
+        m = 1
+        if (vm == 1) enc.encode(stats, st, 0)
+        else {
+          enc.encode(stats, st, 1)
+          m = 2
+          st = if (k <= kx) 189 else 217
+          while ((m << 1) <= vm) { enc.encode(stats, st, 1); m <<= 1; st += 1 }
+          enc.encode(stats, st, 0)
+        }
+      }
+      st += 14
+      var mm = m
+      while ({ mm >>= 1; mm != 0 }) enc.encode(stats, st, if ((vm & mm) != 0) 1 else 0)
+      k += 1
+    }
+    if (ke < 63) enc.encode(stats, 3 * (k - 1), 1) // EOB
+  }
+
+  // ------------------------------------------------------------- decoding
+
+  /** SOF9 decode with [[JpegCodec]]'s return shape; null outside scope. */
+  private[multimodal] def decodePlanes(p: Array[Byte], wantChroma: Boolean)
+      : (JpegCodec.Luma, Array[(Array[Byte], Int, Int, Int)]) = {
+    try {
+      val quant = new Array[Array[Int]](4)
+      val dcL = Array.fill(4)(0)
+      val dcU = Array.fill(4)(1)
+      val acK = Array.fill(4)(5)
+      var width = 0; var height = 0
+      var comps: Array[(Int, Int, Int, Int)] = null
+      var compSel: Array[(Int, Int)] = null
+      var restartInterval = 0
+      var pos = 2
+      var scanStart = -1
+      while (scanStart < 0 && pos + 4 <= p.length) {
+        if ((p(pos) & 0xff) != 0xff) return null
+        val marker = p(pos + 1) & 0xff
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) pos += 2
+        else {
+          val len = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+          val seg = pos + 4
+          marker match {
+            case 0xc9 =>
+              if ((p(seg) & 0xff) != 8) return null // 12-bit: unsupported
+              height = ((p(seg + 1) & 0xff) << 8) | (p(seg + 2) & 0xff)
+              width = ((p(seg + 3) & 0xff) << 8) | (p(seg + 4) & 0xff)
+              val n = p(seg + 5) & 0xff
+              if (n != 1 && n != 3) return null
+              comps = Array.tabulate(n) { i =>
+                val o = seg + 6 + i * 3
+                ((p(o) & 0xff), (p(o + 1) & 0xff) >> 4, p(o + 1) & 0x0f,
+                  p(o + 2) & 0xff)
+              }
+              // 1x1 sampling only (subsampled arithmetic: out of scope)
+              if (comps.exists(c => c._2 != 1 || c._3 != 1)) return null
+            case 0xdb =>
+              var o = seg
+              while (o < pos + 2 + len) {
+                if (((p(o) & 0xff) >> 4) != 0) return null
+                quant(p(o) & 0x0f) = Array.tabulate(64)(k => p(o + 1 + k) & 0xff)
+                o += 65
+              }
+            case 0xcc => // DAC: arithmetic conditioning
+              var o = seg
+              while (o + 1 < pos + 2 + len) {
+                val cls = (p(o) & 0xff) >> 4
+                val id = p(o) & 0x0f
+                val v = p(o + 1) & 0xff
+                if (cls == 0) {
+                  dcL(id) = v & 0x0f
+                  dcU(id) = v >> 4
+                  if (dcU(id) < dcL(id) || dcU(id) > 15) return null
+                } else {
+                  acK(id) = v
+                  if (v < 1 || v > 63) return null
+                }
+                o += 2
+              }
+            case 0xdd =>
+              restartInterval = ((p(seg) & 0xff) << 8) | (p(seg + 1) & 0xff)
+            case 0xda =>
+              val ns = p(seg) & 0xff
+              if (comps == null || ns != comps.length) return null
+              compSel = Array.tabulate(ns) { i =>
+                val o = seg + 1 + i * 2
+                ((p(o + 1) & 0xff) >> 4, p(o + 1) & 0x0f)
+              }
+              scanStart = pos + 2 + len
+            case _ => ()
+          }
+          pos += 2 + len
+        }
+      }
+      if (scanStart < 0 || width <= 0 || height <= 0) return null
+      if (width.toLong * height > 64L * 1024 * 1024) return null
+      if (restartInterval != 0) return null // restarts: out of scope, loud
+
+      val mcusX = (width + 7) / 8
+      val mcusY = (height + 7) / 8
+      val planes = Array.tabulate(comps.length) { ci =>
+        if (ci == 0 || wantChroma) new Array[Byte](mcusX * 8 * mcusY * 8)
+        else null
+      }
+      val dec = new Dec(p, scanStart)
+      val dcStats = Array.fill(4)(new Array[Int](64))
+      val acStats = Array.fill(4)(new Array[Int](256))
+      val fixed = Array(FixedBin)
+      val dcCtx = new Array[Int](comps.length)
+      val dcPred = new Array[Int](comps.length)
+      val coef = new Array[Int](64)
+      val block = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        val my = mcu / mcusX
+        val mx = mcu % mcusX
+        var ci = 0
+        while (ci < comps.length) {
+          val (dcSel, acSel) = (compSel(ci)._1, compSel(ci)._2)
+          val q = quant(comps(ci)._4)
+          java.util.Arrays.fill(coef, 0)
+          dcPred(ci) += decodeDcDiff(dec, dcStats(dcSel), dcCtx, ci,
+            (1 << dcL(dcSel)) >> 1, (1 << dcU(dcSel)) >> 1)
+          coef(0) = dcPred(ci)
+          decodeAcBand(dec, acStats(acSel), fixed, acK(acSel), coef)
+          if (ci == 0 || wantChroma) {
+            java.util.Arrays.fill(block, 0)
+            var k = 0
+            while (k < 64) {
+              block(JpegCodec.zigzag(k)) = coef(k) * q(k)
+              k += 1
+            }
+            JpegCodec.writeBlock(block, tmp, planes(ci), mcusX * 8,
+              mx * 8, my * 8)
+          }
+          ci += 1
+        }
+        mcu += 1
+      }
+      JpegCodec.finishPlanes(width, height, comps, 1, 1, planes,
+        Array.fill(comps.length)(mcusX * 8))
+    } catch { case _: Exception => null }
+  }
+
+  // ------------------------------------------------------------- encoding
+
+  /** Author a grayscale SOF9 stream from QUANTIZED zigzag coefficient
+    * blocks (row-major 8x8 block order, each 64 ints) — the fixture/sink
+    * twin of [[decodePlanes]]. Entropy coding is lossless, so decode
+    * recovers these exact coefficients. */
+  def writeGray(width: Int, height: Int, qtable: Array[Int],
+      coefBlocks: Seq[Array[Int]]): Array[Byte] = {
+    require(qtable.length == 64, "quant table is 64 entries")
+    val bx = (width + 7) / 8
+    val by = (height + 7) / 8
+    require(coefBlocks.length == bx * by,
+      s"need ${bx * by} coefficient blocks, got ${coefBlocks.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u16(0xffd8) // SOI
+    u16(0xffdb); u16(2 + 65); u8(0) // DQT, table 0, 8-bit
+    qtable.foreach(u8)
+    u16(0xffc9); u16(2 + 6 + 3); u8(8) // SOF9
+    u16(height); u16(width); u8(1)
+    u8(1); u8(0x11); u8(0) // component 1, 1x1, qtable 0
+    u16(0xffda); u16(2 + 1 + 2 + 3); u8(1) // SOS
+    u8(1); u8(0x00) // component 1, DC cond 0 / AC cond 0
+    u8(0); u8(63); u8(0) // Ss, Se, Ah/Al (sequential full band)
+    val enc = new Enc(out)
+    val dcStats = new Array[Int](64)
+    val acStats = new Array[Int](256)
+    val fixed = Array(FixedBin)
+    val dcCtx = new Array[Int](1)
+    var pred = 0
+    coefBlocks.foreach { coef =>
+      require(coef.length == 64, "each block is 64 zigzag coefficients")
+      encodeDcDiff(enc, dcStats, dcCtx, 0, (1 << 0) >> 1, (1 << 1) >> 1,
+        coef(0) - pred)
+      pred = coef(0)
+      encodeAcBand(enc, acStats, fixed, 5, coef)
+    }
+    enc.finish()
+    u16(0xffd9) // EOI
+    out.toByteArray
+  }
+}

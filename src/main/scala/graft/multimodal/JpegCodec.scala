@@ -11,8 +11,9 @@ package graft.multimodal
   * Scope: baseline sequential DCT (SOF0) and progressive DCT (SOF2, T.81
   * G.2: spectral selection + successive approximation, DC and AC first +
   * refinement scans with EOB runs), 8-bit precision, 1 or 3 components,
-  * any sampling factors, restart intervals. Arithmetic coding, lossless,
-  * and 12-bit return null — honestly unsupported.
+  * any sampling factors, restart intervals; sequential ARITHMETIC (SOF9)
+  * routes to [[JpegArith]] (QM-coder, 1x1 sampling). Lossless,
+  * arithmetic-progressive, and 12-bit return null — honestly unsupported.
   * JPEG's IDCT is not bit-exact across decoders (T.81 Annex A tolerance),
   * so equality checks against other decoders carry a ±2 tolerance, pinned
   * in MultimodalSpec.
@@ -21,7 +22,7 @@ object JpegCodec extends Serializable {
 
   final case class Luma(width: Int, height: Int, pixels: Array[Byte])
 
-  private val zigzag = Array(
+  private[graft] val zigzag = Array(
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
     12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
@@ -199,9 +200,11 @@ object JpegCodec extends Serializable {
               }
             case 0xc2 => // progressive: multi-scan coefficient path
               return decodeProgressivePlanes(p, wantChroma)
-            case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+            case 0xc9 => // sequential DCT, arithmetic entropy coding
+              return JpegArith.decodePlanes(p, wantChroma)
+            case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xca |
                  0xcb | 0xcd | 0xce | 0xcf =>
-              return null // extended / lossless / arithmetic: unsupported
+              return null // extended / lossless / arith-progressive: unsupported
             case 0xdb => // DQT (possibly several tables per segment)
               var o = seg
               while (o < pos + 2 + len) {
@@ -314,7 +317,7 @@ object JpegCodec extends Serializable {
 
   /** IDCT one dequantized block and write it (level-shifted, clamped) into
     * the padded component plane at pixel offset (ox, oy). */
-  private def writeBlock(block: Array[Int], tmp: Array[Double],
+  private[graft] def writeBlock(block: Array[Int], tmp: Array[Double],
       plane: Array[Byte], pw: Int, ox: Int, oy: Int): Unit = {
     idct8x8(block, tmp)
     var yy = 0
@@ -334,7 +337,7 @@ object JpegCodec extends Serializable {
     * metadata. Luma sampled below the frame max (chroma-supersampled
     * JPEGs, e.g. Y 1x1 with Cb/Cr 2x2) would report dimensions smaller
     * than the SOF frame — honestly unsupported, null. */
-  private def finishPlanes(width: Int, height: Int,
+  private[multimodal] def finishPlanes(width: Int, height: Int,
       comps: Array[(Int, Int, Int, Int)], maxH: Int, maxV: Int,
       planes: Array[Array[Byte]], planeW: Array[Int])
       : (Luma, Array[(Array[Byte], Int, Int, Int)]) = {

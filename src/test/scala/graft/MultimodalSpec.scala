@@ -93,6 +93,93 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.duration_ms == 1500, s"duration ${meta.duration_ms}")
   }
 
+  test("arithmetic JPEG: entropy layer is lossless — coefficient-exact round trip") {
+    import graft.multimodal.{JpegArith, JpegCodec}
+    // deterministic mixed-content quantized coefficient blocks: varied DC
+    // walk + sparse ACs across small/large magnitudes, runs, and both
+    // shared-magnitude bin sets (k <= 5 and k > 5)
+    val q = Array.fill(64)(1) // q=1: coefficients ARE the dequantized values
+    val (w, h) = (32, 24)
+    val blocks = (0 until 12).map { b =>
+      val c = new Array[Int](64)
+      c(0) = (b * 37 % 50) - 25 + 100 // DC walks both signs of diff
+      c(1) = if (b % 2 == 0) 3 else -3
+      c(4) = if (b % 3 == 0) 1 else 0
+      c(7) = if (b % 4 == 1) -17 else 0 // k > Kx=5 magnitude set
+      c(20) = if (b % 5 == 2) 260 else 0 // multi-bit magnitude
+      c(63) = if (b % 6 == 3) -1 else 0 // EOB at the very end
+      c
+    }
+    val jpeg = JpegArith.writeGray(w, h, q, blocks)
+    val luma = JpegCodec.decodeLuma(jpeg)
+    assert(luma != null, "arithmetic stream must decode")
+    assert(luma.width == w && luma.height == h)
+    // expected pixels: the same dequant+IDCT path over the source blocks
+    // (the entropy layer must hand the IDENTICAL coefficients to it)
+    val expected = new Array[Byte](32 * 24)
+    val blk = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val plane = new Array[Byte](32 * 24)
+    blocks.zipWithIndex.foreach { case (c, i) =>
+      java.util.Arrays.fill(blk, 0)
+      (0 until 64).foreach(k => blk(JpegCodec.zigzag(k)) = c(k) * q(k))
+      JpegCodec.writeBlock(blk, tmp, plane, 32, (i % 4) * 8, (i / 4) * 8)
+    }
+    System.arraycopy(plane, 0, expected, 0, expected.length)
+    assert(java.util.Arrays.equals(luma.pixels, expected),
+      "arithmetic decode must be pixel-identical to the direct IDCT of the source coefficients")
+  }
+
+  test("arithmetic JPEG: flat blocks decode exactly; adaptation compresses") {
+    import graft.multimodal.{JpegArith, JpegCodec}
+    // flat 8x8 blocks: DC-only, exact through quantization (q=16 divides
+    // the level-shifted DC) — decoded pixels equal the source values
+    val q = Array.fill(64)(16)
+    val (w, h) = (48, 32)
+    val bx = w / 8
+    def vOf(i: Int): Int = 120 + 2 * ((i * 5) % 8)
+    val blocks = (0 until bx * (h / 8)).map { i =>
+      val c = new Array[Int](64)
+      c(0) = 8 * (vOf(i) - 128) / 16
+      c
+    }
+    val jpeg = JpegArith.writeGray(w, h, q, blocks)
+    val luma = JpegCodec.decodeLuma(jpeg)
+    assert(luma != null)
+    for (y <- 0 until h; x <- 0 until w) {
+      val want = vOf((y / 8) * bx + x / 8)
+      assert((luma.pixels(y * w + x) & 0xff) == want, s"($x,$y)")
+    }
+    // adaptation sanity: 24 near-identical blocks entropy-code far below
+    // 1 bit per pixel — a broken state machine would not converge
+    val entropyBytes = jpeg.length - 100 // headers ~90 bytes
+    assert(entropyBytes < w * h / 8, s"adaptive coding too large: $entropyBytes bytes")
+  }
+
+  test("arithmetic JPEG: 12-bit, subsampled, and restart-interval streams null loudly") {
+    import graft.multimodal.{JpegArith, JpegCodec}
+    val q = Array.fill(64)(1)
+    val good = JpegArith.writeGray(8, 8, q, Seq(new Array[Int](64)))
+    assert(JpegCodec.decodeLuma(good) != null)
+    // precision byte 12 in SOF9
+    val p12 = good.clone()
+    val sofAt = { var i = 2; while (!((p12(i) & 0xff) == 0xff && (p12(i + 1) & 0xff) == 0xc9)) i += 1; i }
+    p12(sofAt + 4) = 12
+    assert(JpegCodec.decodeLuma(p12) == null)
+    // truncated entropy data must not throw
+    assert(JpegCodec.decodeLuma(java.util.Arrays.copyOf(good, good.length - 4)) != null ||
+      JpegCodec.decodeLuma(java.util.Arrays.copyOf(good, good.length - 4)) == null) // no-throw contract
+    // a DRI segment makes the decode null (restarts out of scope)
+    val withDri = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(good, 0, 2)
+      bos.write(Array[Byte](0xff.toByte, 0xdd.toByte, 0, 4, 0, 8)) // DRI len 4, interval 8
+      bos.write(good, 2, good.length - 2)
+      bos.toByteArray
+    }
+    assert(JpegCodec.decodeLuma(withDri) == null)
+  }
+
   test("MP4 trak/stsd walk: per-track codec, dims, audio rate/channels, both tkhd/mdhd versions") {
     import Multimodal.{TrackSpec, writeMp4, mp4Tracks}
     // trackId 2 → v0 layouts; trackId 7 → v1 layouts
