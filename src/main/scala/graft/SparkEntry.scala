@@ -2163,6 +2163,71 @@ object SparkEntry {
         .orderBy("variant")
     },
 
+    "s9c_geotiff_planar" -> { (s, d) =>
+      // Planar-config + float-predictor GeoTIFF (round 7): the two
+      // remaining documented decode gaps close. Five layout variants mix
+      // planar config 2 (plane-major segment order) with the TechNote-3
+      // floating-point predictor, multi-band chunky float, strip and tile
+      // organization, all three compressions, both byte orders. Samples
+      // are interleaved (id*31 + i) % 251 — integral, so f32/f64 carry
+      // them exactly and the oracle replays band-0 and last-band sums in
+      // closed form from the per-variant band count.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 250).as[Long]
+        .map { id =>
+          val v = (id % 5).toInt
+          val nb = v match { case 0 | 1 => 3; case 2 | 3 => 2; case _ => 1 }
+          val w = 8 + (id % 9).toInt
+          val h = 8 + (id % 7).toInt
+          val px = Array.tabulate(w * h * nb)(i => ((id * 31 + i) % 251).toDouble)
+          val epsg = if (id % 2 == 0) 4326 else 32633
+          val scale = if (id % 2 == 0) (0.1, 0.1) else (10.0, 10.0)
+          val origin = ((id % 360).toDouble - 180.0 + 0.5,
+            (id % 180).toDouble - 90.0 + 0.25)
+          import graft.sources.GeoTiff
+          val bytes = v match {
+            case 0 => GeoTiff.write(w, h, 3, 16, 1, px, deflate = true,
+              predictor = 2, planar = true, epsg = epsg, pixelScale = scale,
+              origin = origin)
+            case 1 => GeoTiff.write(w, h, 3, 32, 3, px, littleEndian = false,
+              deflate = true, tileSize = 16, predictor = 3, planar = true,
+              epsg = epsg, pixelScale = scale, origin = origin)
+            case 2 => GeoTiff.write(w, h, 2, 64, 3, px, deflate = true,
+              predictor = 3, epsg = epsg, pixelScale = scale, origin = origin)
+            case 3 => GeoTiff.write(w, h, 2, 8, 1, px, littleEndian = false,
+              planar = true, epsg = epsg, pixelScale = scale, origin = origin)
+            case _ => GeoTiff.write(w, h, 1, 64, 3, px, lzw = true,
+              predictor = 3, planar = true, epsg = epsg, pixelScale = scale,
+              origin = origin)
+          }
+          (id, v, nb, bytes)
+        }.toDF("id", "variant", "nb", "payload")
+      media
+        .select(col("id"), col("variant"), col("nb"),
+          geotiff_meta(col("payload")).as("m"),
+          geotiff_band_stats(col("payload"), lit(0)).as("st0"),
+          geotiff_band_stats(col("payload"), col("nb") - 1).as("stl"))
+        .withColumn("ok",
+          col("m.width") === (lit(8) + col("id") % 9).cast("int") &&
+            col("m.height") === (lit(8) + col("id") % 7).cast("int") &&
+            col("m.bands") === col("nb") &&
+            col("m.compression") === when(col("variant") === 3, 1)
+              .when(col("variant") === 4, 5).otherwise(8) &&
+            col("m.epsg") === when(col("id") % 2 === 0, 4326).otherwise(32633) &&
+            col("m.tiled") === (col("variant") === 1) &&
+            col("m.origin_x") === (col("id") % 360).cast("double") - 180.0 + 0.5 &&
+            col("st0.n") === ((lit(8) + col("id") % 9) * (lit(8) + col("id") % 7)) &&
+            col("stl.n") === col("st0.n"))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("st0.sum")).cast("long").as("sum_pix0"),
+          sum(col("stl.sum")).cast("long").as("sum_pixl"),
+          sum(col("m.epsg").cast("long")).as("sum_epsg"),
+          (sum(when(col("ok"), 1L).otherwise(0L)) === count(lit(1))).as("all_ok"))
+        .orderBy("variant")
+    },
+
     "s10_geojson_scan" -> { (s, d) =>
       // GeoJSON source (round 6): the SAME feature corpus lands once as a
       // whole-file FeatureCollection (even ids) and once as GeoJSONSeq
@@ -3917,6 +3982,30 @@ object SparkEntry {
           SELECT CAST(d.doc_id % 3 AS INTEGER) AS variant,
             COUNT(*) AS n_files,
             CAST(SUM(p.pixsum) AS BIGINT) AS sum_pix,
+            CAST(SUM(CASE WHEN d.doc_id % 2 = 0 THEN 4326 ELSE 32633 END)
+              AS BIGINT) AS sum_epsg,
+            TRUE AS all_ok
+          FROM docs d JOIN px p USING (doc_id)
+          GROUP BY 1 ORDER BY variant""",
+
+    // interleaved sample i of band b at pixel p is (id*31 + p*nb + b) % 251
+    // with nb bands per variant; integral floats are exact, so band-0 and
+    // last-band sums replay in closed form
+    "s9c_geotiff_planar" ->
+      """WITH docs AS (SELECT doc_id,
+              CASE CAST(doc_id % 5 AS INTEGER) WHEN 0 THEN 3 WHEN 1 THEN 3
+                WHEN 2 THEN 2 WHEN 3 THEN 2 ELSE 1 END AS nb
+            FROM documents WHERE doc_id < 250),
+            px AS (SELECT d.doc_id,
+                     SUM((d.doc_id * 31 + r.i * d.nb) % 251) AS pix0,
+                     SUM((d.doc_id * 31 + r.i * d.nb + d.nb - 1) % 251) AS pixl
+                   FROM docs d JOIN range(0, 224) r(i)
+                     ON r.i < (8 + d.doc_id % 9) * (8 + d.doc_id % 7)
+                   GROUP BY d.doc_id)
+          SELECT CAST(d.doc_id % 5 AS INTEGER) AS variant,
+            COUNT(*) AS n_files,
+            CAST(SUM(p.pix0) AS BIGINT) AS sum_pix0,
+            CAST(SUM(p.pixl) AS BIGINT) AS sum_pixl,
             CAST(SUM(CASE WHEN d.doc_id % 2 = 0 THEN 4326 ELSE 32633 END)
               AS BIGINT) AS sum_epsg,
             TRUE AS all_ok

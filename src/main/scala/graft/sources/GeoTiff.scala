@@ -5,13 +5,15 @@ package graft.sources
   * decode for the raster layouts an analytics pipeline meets in practice —
   * strip or tile organization, none/LZW/Deflate compression (LZW per TIFF
   * 6.0 §13 with the early-change rule; Deflate via the zlib the JDK
-  * ships), horizontal-differencing predictor, chunky planar config, and
-  * uint8/16/32, int8/16/32, float32/64 samples in either byte order.
+  * ships), horizontal-differencing predictor 2 and the TIFF Technical
+  * Note 3 floating-point predictor 3, chunky AND planar (config 2,
+  * plane-major segment order) band layouts, and uint8/16/32, int8/16/32,
+  * float32/64 samples in either byte order.
   * JPEG-in-TIFF (compression 7 per TIFF Tech Note 2, with the JPEGTables
   * splice, and the whole-image old-style 6 interchange form) decodes
   * through the from-spec [[graft.multimodal.JpegCodec]]. Anything outside
-  * that envelope (planar config, float predictor, fragmented old-style
-  * JPEG) returns null — the same loud-reject posture as the other
+  * that envelope (planar JPEG, fragmented old-style JPEG, predictor/format
+  * mismatches) returns null — the same loud-reject posture as the other
   * from-spec decoders (FileGdb, GeoPackage, JpegCodec).
   *
   * Reference surface anchor: the reference pipeline reprojects and loads
@@ -304,10 +306,12 @@ object GeoTiff {
     val comp = compression
     if (comp == 6 || comp == 7) return readSamplesJpeg(bytes, r, ifd, meta)
     if (comp != 1 && comp != 5 && comp != 8 && comp != 32946) return null
-    if (ifd.long1(284, 1) != 1) return null // planar not supported
+    val planar = ifd.long1(284, 1).toInt
+    if (planar != 1 && planar != 2) return null
     val predictor = ifd.long1(317, 1).toInt
-    if (predictor != 1 && predictor != 2) return null
-    if (predictor == 2 && sampleFormat == 3) return null // float predictor
+    if (predictor != 1 && predictor != 2 && predictor != 3) return null
+    if (predictor == 2 && sampleFormat == 3) return null // int predictor on floats
+    if (predictor == 3 && sampleFormat != 3) return null // float predictor on ints
     val okType = (sampleFormat, bitsPerSample) match {
       case (1 | 2, 8 | 16 | 32) => true
       case (3, 32 | 64) => true
@@ -315,12 +319,16 @@ object GeoTiff {
     }
     if (!okType) return null
     val bytesPer = bitsPerSample / 8
+    val le = bytes(0) == 'I'
     val out = new Array[Double](width * height * bands)
 
-    // a decoded block of `bw` x `bh` pixels laid at raster position (x0, y0)
-    def place(block: Array[Byte], x0: Int, y0: Int, bw: Int, bh: Int): Boolean = {
+    // a decoded block of `bw` x `bh` pixels laid at raster position (x0, y0),
+    // carrying `nb` of the raster's bands starting at band `bandLo`
+    // (nb = bands for chunky; nb = 1 per plane for planar config 2)
+    def place(block: Array[Byte], x0: Int, y0: Int, bw: Int, bh: Int,
+        bandLo: Int, nb: Int): Boolean = {
       if (block == null) return false
-      val rowBytes = bw * bands * bytesPer
+      val rowBytes = bw * nb * bytesPer
       if (block.length < rowBytes * math.min(bh, height - y0)) return false
       var yy = 0
       while (yy < bh && y0 + yy < height) {
@@ -329,17 +337,15 @@ object GeoTiff {
           var x = 1
           while (x < bw) {
             var c = 0
-            while (c < bands) {
-              val cur = ro + (x * bands + c) * bytesPer
-              val prev = ro + ((x - 1) * bands + c) * bytesPer
+            while (c < nb) {
+              val cur = ro + (x * nb + c) * bytesPer
+              val prev = ro + ((x - 1) * nb + c) * bytesPer
               bitsPerSample match {
                 case 8 => block(cur) = ((block(cur) + block(prev)) & 0xff).toByte
                 case 16 =>
-                  val le = bytes(0) == 'I'
                   val v = (readInt(block, cur, 2, le) + readInt(block, prev, 2, le)) & 0xffff
                   writeInt(block, cur, 2, le, v.toInt)
                 case 32 =>
-                  val le = bytes(0) == 'I'
                   val v = readInt(block, cur, 4, le) + readInt(block, prev, 4, le)
                   writeInt(block, cur, 4, le, v.toInt)
                 case _ => return false
@@ -348,13 +354,35 @@ object GeoTiff {
             }
             x += 1
           }
+        } else if (predictor == 3) {
+          // TIFF Technical Note 3 floating-point horizontal differencing:
+          // byte-wise delta accumulation with stride = samples-per-pixel,
+          // then the row's MSB-first byte planes reassemble into
+          // file-byte-order samples.
+          var k = ro + nb
+          val end = ro + rowBytes
+          while (k < end) {
+            block(k) = ((block(k) + block(k - nb)) & 0xff).toByte
+            k += 1
+          }
+          val wcount = bw * nb
+          val tmp = java.util.Arrays.copyOfRange(block, ro, end)
+          var i = 0
+          while (i < wcount) {
+            var j = 0
+            while (j < bytesPer) {
+              val plane = if (le) bytesPer - 1 - j else j
+              block(ro + i * bytesPer + j) = tmp(plane * wcount + i)
+              j += 1
+            }
+            i += 1
+          }
         }
         var x = 0
         while (x < bw && x0 + x < width) {
           var c = 0
-          while (c < bands) {
-            val so = ro + (x * bands + c) * bytesPer
-            val le = bytes(0) == 'I'
+          while (c < nb) {
+            val so = ro + (x * nb + c) * bytesPer
             val v: Double = (sampleFormat, bitsPerSample) match {
               case (1, _) =>
                 (readInt(block, so, bytesPer, le) & ((1L << bitsPerSample) - 1)).toDouble
@@ -369,7 +397,7 @@ object GeoTiff {
                 java.lang.Double.longBitsToDouble(v2)
               case _ => return false
             }
-            out((y0 + yy) * width * bands + (x0 + x) * bands + c) = v
+            out((y0 + yy) * width * bands + (x0 + x) * bands + (bandLo + c)) = v
             c += 1
           }
           x += 1
@@ -389,6 +417,11 @@ object GeoTiff {
       else inflate(java.util.Arrays.copyOfRange(bytes, off.toInt, (off + len).toInt), rawLen)
     }
 
+    // planar config 2 stores one segment set per band, plane-major
+    // (TIFF 6.0 §14: all strips/tiles of band 0, then band 1, ...)
+    val planes = if (planar == 2) bands else 1
+    val nbInBlock = if (planar == 2) 1 else bands
+
     if (tiled) {
       val tw = ifd.long1(322, 0).toInt
       val th = ifd.long1(323, 0).toInt
@@ -397,14 +430,20 @@ object GeoTiff {
       val lens = ifd.longs(325)
       val tilesAcross = (width + tw - 1) / tw
       val tilesDown = (height + th - 1) / th
-      if (offs.length < tilesAcross * tilesDown || lens.length < offs.length) return null
-      val rawLen = tw * th * bands * bytesPer
-      var t = 0
-      while (t < tilesAcross * tilesDown) {
-        val block = segment(offs(t), lens(t), rawLen)
-        if (!place(block, (t % tilesAcross) * tw, (t / tilesAcross) * th, tw, th))
-          return null
-        t += 1
+      val perPlane = tilesAcross * tilesDown
+      if (offs.length < perPlane * planes || lens.length < offs.length) return null
+      val rawLen = tw * th * nbInBlock * bytesPer
+      var p = 0
+      while (p < planes) {
+        var t = 0
+        while (t < perPlane) {
+          val block = segment(offs(p * perPlane + t), lens(p * perPlane + t), rawLen)
+          if (!place(block, (t % tilesAcross) * tw, (t / tilesAcross) * th,
+              tw, th, if (planar == 2) p else 0, nbInBlock))
+            return null
+          t += 1
+        }
+        p += 1
       }
     } else {
       val rps = math.min(ifd.long1(278, 0xffffffffL), height.toLong).toInt
@@ -412,13 +451,19 @@ object GeoTiff {
       val offs = ifd.longs(273)
       val lens = ifd.longs(279)
       val nStrips = (height + rps - 1) / rps
-      if (offs.length < nStrips || lens.length < nStrips) return null
-      var s = 0
-      while (s < nStrips) {
-        val rows = math.min(rps, height - s * rps)
-        val block = segment(offs(s), lens(s), width * rows * bands * bytesPer)
-        if (!place(block, 0, s * rps, width, rows)) return null
-        s += 1
+      if (offs.length < nStrips * planes || lens.length < nStrips * planes) return null
+      var p = 0
+      while (p < planes) {
+        var s = 0
+        while (s < nStrips) {
+          val rows = math.min(rps, height - s * rps)
+          val block = segment(offs(p * nStrips + s), lens(p * nStrips + s),
+            width * rows * nbInBlock * bytesPer)
+          if (!place(block, 0, s * rps, width, rows,
+              if (planar == 2) p else 0, nbInBlock)) return null
+          s += 1
+        }
+        p += 1
       }
     }
     out
@@ -744,35 +789,42 @@ object GeoTiff {
     bos.toByteArray
   }
 
-  /** Minimal single-IFD GeoTIFF writer for fixtures and sinks: one band
-    * set (chunky), strip or tile layout, none/LZW/Deflate compression,
-    * optional horizontal predictor, either byte order, and the GeoKey /
+  /** Minimal single-IFD GeoTIFF writer for fixtures and sinks: chunky or
+    * planar band layout, strip or tile organization, none/LZW/Deflate
+    * compression, optional horizontal predictor (2 for ints, TechNote-3
+    * float predictor 3 for floats), either byte order, and the GeoKey /
     * pixel-scale / tiepoint trio. Samples are caller-typed doubles. */
   def write(width: Int, height: Int, bands: Int, bitsPerSample: Int,
       sampleFormat: Int, samples: Array[Double], littleEndian: Boolean = true,
       deflate: Boolean = false, tileSize: Int = 0, predictor: Int = 1,
       epsg: Int = 0, pixelScale: (Double, Double) = (0.0, 0.0),
-      origin: (Double, Double) = (0.0, 0.0), lzw: Boolean = false): Array[Byte] = {
+      origin: (Double, Double) = (0.0, 0.0), lzw: Boolean = false,
+      planar: Boolean = false): Array[Byte] = {
     require(!(deflate && lzw), "pick one compression")
     require(samples.length == width * height * bands, "sample count mismatch")
     require(Set(8, 16, 32).contains(bitsPerSample) || (sampleFormat == 3 &&
       Set(32, 64).contains(bitsPerSample)), "unsupported type")
+    require(predictor != 2 || sampleFormat != 3, "predictor 2 is for ints")
+    require(predictor != 3 || sampleFormat == 3, "predictor 3 is for floats")
     val bytesPer = bitsPerSample / 8
     val le = littleEndian
 
-    def encodeBlock(x0: Int, y0: Int, bw: Int, bh: Int): Array[Byte] = {
-      val raw = new Array[Byte](bw * bh * bands * bytesPer)
+    // one block carries `nb` bands starting at `bandLo` (all bands for
+    // chunky; a single plane's band for planar config 2)
+    def encodeBlock(x0: Int, y0: Int, bw: Int, bh: Int, bandLo: Int,
+        nb: Int): Array[Byte] = {
+      val raw = new Array[Byte](bw * bh * nb * bytesPer)
       var yy = 0
       while (yy < bh) {
         var xx = 0
         while (xx < bw) {
           var c = 0
-          while (c < bands) {
-            val o = ((yy * bw + xx) * bands + c) * bytesPer
+          while (c < nb) {
+            val o = ((yy * bw + xx) * nb + c) * bytesPer
             val x = x0 + xx
             val y = y0 + yy
             val v = if (x < width && y < height)
-              samples((y * width + x) * bands + c) else 0.0
+              samples((y * width + x) * bands + bandLo + c) else 0.0
             (sampleFormat, bitsPerSample) match {
               case (3, 32) =>
                 writeInt(raw, o, 4, le, java.lang.Float.floatToIntBits(v.toFloat))
@@ -794,19 +846,46 @@ object GeoTiff {
       if (predictor == 2) {
         var yy2 = 0
         while (yy2 < bh) {
-          val ro = yy2 * bw * bands * bytesPer
+          val ro = yy2 * bw * nb * bytesPer
           var x = bw - 1
           while (x >= 1) {
             var c = 0
-            while (c < bands) {
-              val cur = ro + (x * bands + c) * bytesPer
-              val prev = ro + ((x - 1) * bands + c) * bytesPer
+            while (c < nb) {
+              val cur = ro + (x * nb + c) * bytesPer
+              val prev = ro + ((x - 1) * nb + c) * bytesPer
               val d = (readInt(raw, cur, bytesPer, le) - readInt(raw, prev, bytesPer, le)).toInt
               writeInt(raw, cur, bytesPer, le, d)
               c += 1
             }
             x -= 1
           }
+          yy2 += 1
+        }
+      } else if (predictor == 3) {
+        // TechNote-3 encode twin: split each row into MSB-first byte
+        // planes, then byte-wise difference with stride = samples/pixel
+        val rowBytes = bw * nb * bytesPer
+        val wcount = bw * nb
+        var yy2 = 0
+        while (yy2 < bh) {
+          val ro = yy2 * rowBytes
+          val tmp = new Array[Byte](rowBytes)
+          var i = 0
+          while (i < wcount) {
+            var j = 0
+            while (j < bytesPer) {
+              val plane = if (le) bytesPer - 1 - j else j
+              tmp(plane * wcount + i) = raw(ro + i * bytesPer + j)
+              j += 1
+            }
+            i += 1
+          }
+          var k = rowBytes - 1
+          while (k >= nb) {
+            tmp(k) = ((tmp(k) - tmp(k - nb)) & 0xff).toByte
+            k -= 1
+          }
+          System.arraycopy(tmp, 0, raw, ro, rowBytes)
           yy2 += 1
         }
       }
@@ -825,12 +904,15 @@ object GeoTiff {
     }
 
     val tiled = tileSize > 0
+    val planeRange = if (planar) 0 until bands else Seq(0)
+    val nbPerBlock = if (planar) 1 else bands
     val blocks = if (tiled) {
       val ta = (width + tileSize - 1) / tileSize
       val td = (height + tileSize - 1) / tileSize
-      (0 until ta * td).map(t =>
-        encodeBlock((t % ta) * tileSize, (t / ta) * tileSize, tileSize, tileSize))
-    } else Seq(encodeBlock(0, 0, width, height))
+      for (p <- planeRange; t <- 0 until ta * td) yield
+        encodeBlock((t % ta) * tileSize, (t / ta) * tileSize, tileSize,
+          tileSize, p, nbPerBlock)
+    } else planeRange.map(p => encodeBlock(0, 0, width, height, p, nbPerBlock))
 
     // assemble: header + IFD + value arrays + blocks
     val bos = new java.io.ByteArrayOutputStream()
@@ -870,7 +952,8 @@ object GeoTiff {
     tags += inlineTag(259, 3, if (lzw) 5 else if (deflate) 8 else 1)
     tags += inlineTag(262, 3, if (bands >= 3) 2 else 1)
     tags += inlineTag(277, 3, bands)
-    if (predictor == 2) tags += inlineTag(317, 3, 2)
+    if (planar) tags += inlineTag(284, 3, 2)
+    if (predictor == 2 || predictor == 3) tags += inlineTag(317, 3, predictor)
     if (sampleFormat != 1) tags += inlineTag(339, 3, sampleFormat)
     if (!tiled) tags += inlineTag(278, 4, height)
     // deferred (out-of-line) arrays
