@@ -1286,6 +1286,37 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t25_ngram_lm" -> { (s, d) =>
+      // CCNet-style corpus quality scoring (Wenzek et al. 2020) with the
+      // smoothing that distributes: Stupid Backoff (Brants et al. 2007).
+      // The trigram LM trains on the en-language slice (the "trusted
+      // reference corpus" role) as ONE hash-keyed count table; every doc
+      // is then scored through a single hash-equality join — five probe
+      // grams per position, no model broadcast or collect anywhere. The
+      // oracle re-derives the same counts/backoff levels from gram
+      // STRINGS (engine joins on xxhash64 keys — independent paths), and
+      // the log score compares via the per-position scaled-long (ln is
+      // correctly rounded in both engines; 1e6-scaling makes the sum
+      // integer-exact).
+      val docs = t(s, d, "documents")
+      val model = graft.text.NgramLm.train(
+        docs.filter(col("lang") === "en"), "text")
+      val scored = graft.text.NgramLm.score(model, docs)
+      docs.select(col("doc_id"), col("lang"))
+        .join(scored, Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_scored").as("n_scored"),
+          sum("n_tri").as("n_tri"),
+          sum("n_bi").as("n_bi"),
+          sum("n_uni").as("n_uni"),
+          sum("n_oov").as("n_oov"),
+          sum("sum_num").as("sum_num"),
+          sum("sum_den").as("sum_den"),
+          sum("score_micro").as("score_micro"))
+        .orderBy("lang")
+    },
+
     "t23_bpe_tokenize" -> { (s, d) =>
       // real BPE (Sennrich et al. 2016, the sentencepiece/GPT-2 family):
       // merges trained on the DISTRIBUTED word histogram (map-side
@@ -3795,6 +3826,82 @@ object SparkEntry {
            LENGTH(nfc_normalize(t2)) AS len_nfc,
            md5(nfc_normalize(t2)) AS md5_nfc
          FROM aug ORDER BY doc_id""",
+
+    // independent replay of the Stupid-Backoff trigram scorer: DuckDB
+    // counts grams as STRINGS (engine: xxhash64 keys), resolves the same
+    // five probes per position via left joins, and re-derives backoff
+    // level, count diagnostics, and the 1e6-scaled log term per position
+    "t25_ngram_lm" ->
+      """WITH toks0 AS (
+           SELECT doc_id, lang, unnest(l) AS tok, generate_subscripts(l, 1) AS i
+           FROM (SELECT doc_id, lang, string_split(text, ' ') AS l
+                 FROM documents)),
+         toks AS (
+           SELECT doc_id, lang, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS ri
+           FROM toks0 WHERE tok <> ''),
+         g AS (
+           SELECT doc_id, lang, ri, tok AS w3,
+             lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY ri) AS w2,
+             lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY ri) AS w1
+           FROM toks),
+         c1 AS (SELECT w3 AS gm, COUNT(*) AS c FROM g WHERE lang = 'en'
+                GROUP BY 1),
+         c2 AS (SELECT w2 || ' ' || w3 AS gm, COUNT(*) AS c FROM g
+                WHERE lang = 'en' AND ri >= 2 GROUP BY 1),
+         c3 AS (SELECT w1 || ' ' || w2 || ' ' || w3 AS gm, COUNT(*) AS c
+                FROM g WHERE lang = 'en' AND ri >= 3 GROUP BY 1),
+         nt AS (SELECT COUNT(*) AS n FROM g WHERE lang = 'en'),
+         sc AS (
+           SELECT gg.doc_id, t3.c AS c3, bc.c AS c2ctx, b2.c AS c2,
+             uc.c AS c1ctx, u1.c AS c1, nt.n
+           FROM g gg
+           LEFT JOIN c3 t3 ON t3.gm = gg.w1 || ' ' || gg.w2 || ' ' || gg.w3
+           LEFT JOIN c2 bc ON bc.gm = gg.w1 || ' ' || gg.w2
+           LEFT JOIN c2 b2 ON b2.gm = gg.w2 || ' ' || gg.w3
+           LEFT JOIN c1 uc ON uc.gm = gg.w2
+           LEFT JOIN c1 u1 ON u1.gm = gg.w3
+           CROSS JOIN nt
+           WHERE gg.ri >= 3),
+         term AS (
+           SELECT doc_id,
+             CASE WHEN c3 IS NOT NULL THEN 3 WHEN c2 IS NOT NULL THEN 2
+                  WHEN c1 IS NOT NULL THEN 1 ELSE 0 END AS lvl,
+             CASE WHEN c3 IS NOT NULL THEN c3 WHEN c2 IS NOT NULL THEN c2
+                  WHEN c1 IS NOT NULL THEN c1 ELSE 0 END AS numc,
+             CASE WHEN c3 IS NOT NULL THEN c2ctx
+                  WHEN c2 IS NOT NULL THEN c1ctx ELSE n END AS denc,
+             CAST(ROUND(1000000 * (
+               ln(CAST(CASE WHEN c3 IS NOT NULL THEN c3
+                    WHEN c2 IS NOT NULL THEN c2
+                    WHEN c1 IS NOT NULL THEN c1 ELSE 1 END AS DOUBLE)
+                  / CAST(CASE WHEN c3 IS NOT NULL THEN c2ctx
+                    WHEN c2 IS NOT NULL THEN c1ctx ELSE n END AS DOUBLE))
+               + (3 - GREATEST(CASE WHEN c3 IS NOT NULL THEN 3
+                    WHEN c2 IS NOT NULL THEN 2 WHEN c1 IS NOT NULL THEN 1
+                    ELSE 0 END, 1)) * ln(CAST(0.4 AS DOUBLE))))
+               AS BIGINT) AS micro
+           FROM sc),
+         perdoc AS (
+           SELECT doc_id, COUNT(*) AS n_scored,
+             SUM(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS n_tri,
+             SUM(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS n_bi,
+             SUM(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS n_uni,
+             SUM(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS n_oov,
+             SUM(numc) AS sum_num, SUM(denc) AS sum_den,
+             SUM(micro) AS score_micro
+           FROM term GROUP BY 1)
+         SELECT d.lang, COUNT(*) AS n_docs,
+           CAST(COALESCE(SUM(p.n_scored), 0) AS BIGINT) AS n_scored,
+           CAST(COALESCE(SUM(p.n_tri), 0) AS BIGINT) AS n_tri,
+           CAST(COALESCE(SUM(p.n_bi), 0) AS BIGINT) AS n_bi,
+           CAST(COALESCE(SUM(p.n_uni), 0) AS BIGINT) AS n_uni,
+           CAST(COALESCE(SUM(p.n_oov), 0) AS BIGINT) AS n_oov,
+           CAST(COALESCE(SUM(p.sum_num), 0) AS BIGINT) AS sum_num,
+           CAST(COALESCE(SUM(p.sum_den), 0) AS BIGINT) AS sum_den,
+           CAST(COALESCE(SUM(p.score_micro), 0) AS BIGINT) AS score_micro
+         FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         GROUP BY 1 ORDER BY lang""",
 
     // the tokenizer contract (see the t23 query comment): n_words is
     // recomputed independently; the three invariant booleans must be TRUE

@@ -605,6 +605,25 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(planStr.contains("nearest_cells"), s"probe kernel missing:\n$planStr")
   }
 
+  test("ngram LM score: one hash-equality join against the counts, no window, no model collect") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val model = graft.text.NgramLm.train(docs)
+      graft.text.NgramLm.score(model, docs)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the five probe kinds resolve through ONE equality join on gram_hash
+    // (sort-merge or shuffled-hash — the counts table is corpus-sized, it
+    // must never broadcast); the only nested-loop is the 1-row total
+    assert(p.contains("gram_hash"), s"hash-keyed join missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    assert(!p.contains("Window"), s"no window functions on the score path:\n$p")
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(bnlj <= 1, s"only the 1-row n_total may nested-loop ($bnlj):\n$p")
+  }
+
   test("zonal prefilter: a zone-free raster feeds ZERO rows into the pixel explode") {
     import graft.sources.GeoTiff
     spark.conf.set("spark.sql.adaptive.enabled", "false")
