@@ -2807,6 +2807,28 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    "e9_stream_neardup" -> { (s, d) =>
+      // streaming near-dup intake batch twin (DocStreams.nearDupIntake —
+      // arriving docs probe the EXISTING corpus's MinHash band lattice;
+      // corpus side exchange-free, only the broadcast batch moves, and the
+      // first-shared-band filter dedups pairs STATELESSLY — no distinct,
+      // which a stream could not run unbounded). Candidates are verified
+      // by EXACT shingle-set Jaccard (the LSH candidates-then-verify
+      // pipeline; this corpus really contains a 0.988-jaccard subset pair,
+      // 8⊃245, whose signatures collide on all 64 hashes — the estimate
+      // alone is not oracle-replayable). At minJaccard 1.0 a pair means
+      // identical shingle sets, which the oracle replays: per-doc
+      // sorted-distinct 3-word-shingle fingerprints joined on equality,
+      // counting corpus twins and taking the least twin id.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") < 60)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      graft.streaming.DocStreams.nearDupIntake(batch, docs, minJaccard = 1.0)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_twins"), min(col("nid")).as("nid_min"))
+        .orderBy("qid")
+    },
+
     "e2_sessionize" -> { (s, d) =>
       // 30-minute-gap sessionization per user (session_window built-in)
       events(s, d)
@@ -4047,6 +4069,34 @@ object SparkEntry {
       """SELECT vec_id + 10000 AS qid, vec_id AS nid, CAST(1 AS INTEGER) AS rk,
          CAST(1.0 AS DOUBLE) AS cos
          FROM embeddings WHERE vec_id < 10 ORDER BY qid""",
+
+    // identical-signature pairs ⟺ identical 3-word-shingle SETS: the
+    // oracle fingerprints each doc's sorted-distinct shingles (the same
+    // whitespace tokenization) and joins fingerprints on equality —
+    // n_twins counts corpus docs sharing the set, nid_min is the least
+    "e9_stream_neardup" ->
+      """WITH toks0 AS (
+           SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS i
+           FROM (SELECT doc_id, string_split_regex(text, '\s+') AS l
+                 FROM documents)),
+         toks AS (
+           SELECT doc_id, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS ri
+           FROM toks0 WHERE tok <> ''),
+         sh AS (
+           SELECT doc_id, w1 || ' ' || w2 || ' ' || w3 AS s
+           FROM (SELECT doc_id, ri, tok AS w3,
+                   lag(tok, 1) OVER win AS w2, lag(tok, 2) OVER win AS w1
+                 FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY ri))
+           WHERE ri >= 3),
+         fp AS (
+           SELECT doc_id, md5(string_agg(DISTINCT s, '|' ORDER BY s)) AS f
+           FROM sh GROUP BY 1)
+         SELECT b.doc_id + 10000 AS qid, COUNT(*) AS n_twins,
+           MIN(c.doc_id) AS nid_min
+         FROM fp b JOIN fp c ON b.f = c.f
+         WHERE b.doc_id < 60
+         GROUP BY 1 ORDER BY qid""",
 
     // planted self-match through the IVF-PQ probe + ADC shortlist + exact
     // refine: the twin probes its own cell, its exact re-rank cosine is 1.0

@@ -105,6 +105,66 @@ object DocStreams {
     }
   }
 
+  /** Streaming near-dup intake: each arriving document probes the EXISTING
+    * corpus's MinHash-LSH band lattice — the streaming sibling of
+    * [[graft.operators.Dedup.minhashPairs]] in the incremental-dedup shape
+    * ([[graft.operators.Dedup.incrementalDedup]] /
+    * [[VectorStreams.ivfIntake]]): the small arriving side does the
+    * moving, the corpus never shuffles.
+    *
+    * Per micro-batch, the batch's signatures band map-side and BROADCAST
+    * onto the corpus's map-only banding — one equality join on
+    * (band, bucket) in which the corpus carries no Exchange at all
+    * (asserted in ScalePlanSpec). A candidate pair surfaces once per
+    * shared band, so the FIRST-SHARED-BAND filter (the
+    * `RangeJoin.overlapJoin` dedup trick) keeps exactly one copy
+    * statelessly — no `distinct`, which on a stream would be an unbounded
+    * state store. Every stage is a stateless map or broadcast join, so the
+    * result is append-mode legal with no watermark.
+    *
+    * LSH bounds recall (a pair must share at least one band), but every
+    * surfaced candidate is verified EXACTLY: both sides carry their
+    * sorted-distinct shingle-hash sets through the join and the pair's
+    * true Jaccard gates the output — the standard candidates-then-verify
+    * LSH pipeline, and (unlike the signature estimate) deterministic for
+    * an oracle to replay. Returns (qid, nid, est_jaccard, jaccard) for
+    * pairs with exact `jaccard >= minJaccard`, banded identically to
+    * `minhashPairs` (same kernels, same seed). */
+  def nearDupIntake(newDocs: DataFrame, corpus: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      k: Int = 64, bands: Int = 16, shingle: Int = 3,
+      minJaccard: Double = 0.5, seed: Long = 42L): DataFrame = {
+    require(k % bands == 0,
+      s"k ($k) must be a multiple of bands ($bands)")
+    val rows = k / bands
+    def banded(df: DataFrame, id: String, sig: String, sh: String) =
+      df.select(col(idCol).as(id),
+        shingle_hashes(col(textCol), lit(shingle)).as(sh))
+        .select(col(id), col(sh),
+          minhash_signature(col(sh), lit(k), lit(seed)).as(sig))
+        .select(col(id), col(sh), col(sig), posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), " +
+            s"b -> hash(slice($sig, b * $rows + 1, $rows), b))")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // deliberately NO Scatter on the corpus: its plan re-executes every
+    // micro-batch and must stay exchange-free (the incremental contract)
+    val corpusBands = banded(corpus, "nid", "nsig", "nsh")
+    val batchBands = banded(newDocs, "qid", "qsig", "qsh")
+    corpusBands.join(broadcast(batchBands), Seq("band", "bucket"))
+      .withColumn("first_band", expr(
+        s"element_at(filter(transform(sequence(0, ${bands - 1}), " +
+          s"b -> IF(hash(slice(qsig, b * $rows + 1, $rows), b) = " +
+          s"hash(slice(nsig, b * $rows + 1, $rows), b), b, -1)), " +
+          "v -> v >= 0), 1)"))
+      .filter(col("band") === col("first_band"))
+      .withColumn("est_jaccard", expr(
+        s"aggregate(zip_with(qsig, nsig, (x, y) -> IF(x = y, 1, 0)), " +
+          s"0, (acc, v) -> acc + v) / $k.0"))
+      .withColumn("jaccard", jaccard_sorted(col("qsh"), col("nsh")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("qid"), col("nid"), col("est_jaccard"), col("jaccard"))
+  }
+
   /** Windowed corpus telemetry: per-window doc/token counts and mean
     * quality by language — the monitoring aggregate a streaming ingest
     * pipeline emits alongside the data. */

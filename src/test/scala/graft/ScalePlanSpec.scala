@@ -605,6 +605,30 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(planStr.contains("nearest_cells"), s"probe kernel missing:\n$planStr")
   }
 
+  test("nearDupIntake: corpus side exchange-free, batch broadcast, no stateful op") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val (planStr, shuffles) = try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      val qe = graft.streaming.DocStreams.nearDupIntake(batch, docs)
+        .queryExecution
+      (qe.executedPlan.toString, qe.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      })
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the whole intake is map-side work + ONE broadcast equality join:
+    // zero shuffle exchanges anywhere (the corpus rescans per micro-batch,
+    // so an Exchange here would re-shuffle 100 TB per trigger)
+    assert(planStr.contains("BroadcastHashJoin"), s"broadcast join missing:\n$planStr")
+    assert(!planStr.contains("SortMergeJoin") && !planStr.contains("ShuffledHashJoin"),
+      s"corpus must never exchange-shuffle:\n$planStr")
+    assert(shuffles.isEmpty, s"map+broadcast only:\n${shuffles.mkString("\n")}")
+    assert(!planStr.contains("CartesianProduct") &&
+      !planStr.contains("BroadcastNestedLoopJoin"), s"no nested loop:\n$planStr")
+  }
+
   test("ngram LM score: one hash-equality join against the counts, no window, no model collect") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     val p = try {

@@ -215,6 +215,46 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDupIntake: stream probes the corpus band lattice; exact verify; one row per pair") {
+    // corpus: 40 docs of 30 tokens over DISJOINT per-doc word ranges —
+    // cross-doc jaccard is 0, exact copies 1.0, perturbed copies 28/30,
+    // so minJaccard 0.8 separates them deterministically
+    def text(i: Int, extra: String = ""): String =
+      (0 until 30).map(j => s"w${i * 40 + j}").mkString(" ") + extra
+    val corpus = (0 until 40).map(i => (i.toLong, text(i)))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ndstream").toString + "/data"
+    // two files → ≥ two micro-batches: exact copies, then perturbed docs
+    (0 until 4).map(i => (i.toLong + 10000, text(i)))
+      .toDF("doc_id", "text").write.parquet(dir)
+    (4 until 8).map(i => (i.toLong + 10000, text(i, " w60 w61")))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    assert(stream.isStreaming)
+    val q = graft.streaming.DocStreams.nearDupIntake(stream, corpus,
+        minJaccard = 0.8)
+      .writeStream.format("memory").queryName("nd_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "neardup intake stream timed out")
+    val rows = spark.table("nd_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // the first-shared-band filter keeps exactly ONE copy per pair
+    assert(rows.map(t => (t._1, t._2)).distinct.length == rows.length,
+      s"duplicate pair rows: ${rows.mkString(",")}")
+    val byQ = rows.groupBy(_._1)
+    (0 until 8).foreach { i =>
+      val hits = byQ.getOrElse(i.toLong + 10000,
+        Array.empty[(Long, Long, Double)]).toSeq
+      assert(hits.map(_._2) == Seq(i.toLong),
+        s"probe ${i + 10000} must hit exactly its source: $hits")
+      val j = hits.head._3
+      if (i < 4) assert(j == 1.0, s"exact copy jaccard: $j")
+      else assert(j >= 0.9 && j < 1.0, s"perturbed jaccard: $j")
+    }
+  }
+
   test("quotaIntake: transformWithState per-domain cap across checkpointed runs") {
     // the arbitrary-state v2 operator requires the RocksDB provider
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
