@@ -1317,6 +1317,38 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    "t26_html_extract" -> { (s, d) =>
+      // HTML text extraction (strip_html / html_title / html_links — the
+      // web-crawl pipeline's first stage). Every doc becomes an authored
+      // page: doctype, elided head (title + script whose body contains
+      // fake tags + style), a comment, id%4 anchors with entity-bearing
+      // hrefs, and a body paragraph whose tag carries a quoted '>' — the
+      // text is the doc's own plus an entity probe (&amp; &lt;tag&gt;
+      // numeric A/B, trailing &nbsp;). The oracle reconstructs the
+      // expected visible text, title, and link list in closed form.
+      val html = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .withColumn("anchors", expr(
+          """case when doc_id % 4 = 0 then ''
+             else concat_ws('', transform(sequence(1, cast(doc_id % 4 as int)),
+               j -> concat('<a href="http://ex.com/', doc_id, '/', j,
+                 '?a=1&amp;b=2">L</a>'))) end"""))
+        .select(col("doc_id"), concat(
+          lit("<!DOCTYPE html><html><head><title>Doc "), col("doc_id"),
+          lit("</title><script>var x = \"<p>not text</p>\";</script>" +
+            "<style>p{color:red}</style></head><body><!-- hidden -->"),
+          col("anchors"),
+          lit("<p class=\"x\" title=\"a>b\">"), col("text"),
+          lit(" &amp; &lt;tag&gt; &#65;&#x42;&nbsp;</p></body></html>"))
+          .as("html"))
+      html.select(col("doc_id"),
+        html_title(col("html")).as("title"),
+        md5(strip_html(col("html")).cast("binary")).as("md5_text"),
+        size(html_links(col("html"))).as("n_links"),
+        md5(concat_ws("|", html_links(col("html"))).cast("binary"))
+          .as("links_md5"))
+        .orderBy("doc_id")
+    },
+
     "t23_bpe_tokenize" -> { (s, d) =>
       // real BPE (Sennrich et al. 2016, the sentencepiece/GPT-2 family):
       // merges trained on the DISTRIBUTED word histogram (map-side
@@ -3924,6 +3956,23 @@ object SparkEntry {
            CAST(COALESCE(SUM(p.score_micro), 0) AS BIGINT) AS score_micro
          FROM documents d LEFT JOIN perdoc p USING (doc_id)
          GROUP BY 1 ORDER BY lang""",
+
+    // closed-form replay of the authored page: visible text = k anchor
+    // 'L's + the doc text + the decoded entity probe; links =
+    // http://ex.com/{id}/{j}?a=1&b=2 for j in 1..id%4
+    "t26_html_extract" ->
+      """SELECT d.doc_id,
+           'Doc ' || d.doc_id AS title,
+           md5(trim(regexp_replace(
+             repeat('L ', CAST(d.doc_id % 4 AS INTEGER)) || d.text ||
+               ' & <tag> AB', '\s+', ' ', 'g'))) AS md5_text,
+           CAST(d.doc_id % 4 AS INTEGER) AS n_links,
+           md5(COALESCE(
+             (SELECT string_agg('http://ex.com/' || d.doc_id || '/' || r.i ||
+                '?a=1&b=2', '|' ORDER BY r.i)
+              FROM range(1, 4) r(i) WHERE r.i <= d.doc_id % 4), ''))
+             AS links_md5
+         FROM documents d ORDER BY doc_id""",
 
     // the tokenizer contract (see the t23 query comment): n_words is
     // recomputed independently; the three invariant booleans must be TRUE

@@ -110,6 +110,9 @@ object GraftFunctions {
   def detect_lang(text: Column): Column = col(DetectLang(ex(text)))
   def unicode_normalize(text: Column, form: Column): Column =
     col(UnicodeNormalize(ex(text), ex(form)))
+  def strip_html(html: Column): Column = col(StripHtml(ex(html)))
+  def html_title(html: Column): Column = col(HtmlTitle(ex(html)))
+  def html_links(html: Column): Column = col(HtmlLinks(ex(html)))
 
   // --- media ---
   def png_width(payload: Column): Column = col(PngWidth(ex(payload)))
@@ -221,6 +224,9 @@ object GraftFunctions {
     "quality_score" -> { e => QualityScore(e.head) },
     "detect_lang" -> { e => DetectLang(e.head) },
     "unicode_normalize" -> { e => UnicodeNormalize(e(0), e(1)) },
+    "strip_html" -> { e => StripHtml(e.head) },
+    "html_title" -> { e => HtmlTitle(e.head) },
+    "html_links" -> { e => HtmlLinks(e.head) },
     "png_width" -> { e => PngWidth(e.head) },
     "jpeg_luma_width" -> { e => JpegLumaWidth(e.head) },
     "jpeg_luma_height" -> { e => JpegLumaHeight(e.head) },

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.text.TextLib
+import graft.text.{HtmlLib, TextLib}
 import graft.vector.VectorLib
 
 /** Catalyst expressions for the text-dedup / quality / similarity surface
@@ -354,4 +354,65 @@ case class UnicodeNormalize(left: Expression, right: Expression)
       s"$UTF8.fromString(graft.text.TextLib.unicodeNormalize($t.toString(), $f.toString()))")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** strip_html(html) → visible text: tags stripped, script/style/title
+  * elided, entities decoded, whitespace collapsed ([[graft.text.HtmlLib]]
+  * — the web-crawl extraction pass). */
+case class StripHtml(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "strip_html"
+  protected override def nullSafeEval(html: Any): Any =
+    UTF8String.fromString(HtmlLib.stripHtml(html.asInstanceOf[UTF8String].toString))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h =>
+      s"$UTF8.fromString(graft.text.HtmlLib.stripHtml($h.toString()))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** html_title(html) → first title element's text, or null. */
+case class HtmlTitle(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "html_title"
+  protected override def nullSafeEval(html: Any): Any = {
+    val t = HtmlLib.htmlTitle(html.asInstanceOf[UTF8String].toString)
+    if (t == null) null else UTF8String.fromString(t)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, h => {
+      val t = ctx.freshName("title")
+      s"""String $t = graft.text.HtmlLib.htmlTitle($h.toString());
+         |if ($t == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $UTF8.fromString($t); }""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** html_links(html) → href values of anchor tags, in document order. */
+case class HtmlLinks(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "html_links"
+  protected override def nullSafeEval(html: Any): Any =
+    new GenericArrayData(
+      HtmlCodegenHelpers.linksUtf8(html.asInstanceOf[UTF8String].toString))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h =>
+      s"$GAD(graft.functions.HtmlCodegenHelpers.linksUtf8($h.toString()))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Static bridge for generated code: UTF8String-ify the kernel's link
+  * array once, outside the Spark-free [[graft.text.HtmlLib]]. */
+object HtmlCodegenHelpers {
+  def linksUtf8(html: String): Array[AnyRef] =
+    graft.text.HtmlLib.htmlLinks(html).map(s => UTF8String.fromString(s): AnyRef)
 }
