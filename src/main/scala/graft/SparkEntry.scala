@@ -2616,6 +2616,39 @@ object SparkEntry {
           sum(col("h")).cast("long").as("h_total"))
     },
 
+    "mm7_wav_spectrum" -> { (s, d) =>
+      // audio feature extraction (wav_spectrum / wav_rms): 16-bit PCM WAV
+      // decode + from-spec radix-2 FFT, per-row codegen'd expressions.
+      // Signals are deterministic integer series; the oracle recomputes
+      // the SAME spectrum by direct O(n²) DFT in SQL — an independent
+      // transform whose agreement with the FFT is the correctness check.
+      // Outputs are scale-free fractions (and an integer-sum-exact RMS)
+      // rounded to 6, where FFT-vs-DFT float drift (~1e-12) cannot flip
+      // a digit.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 100).as[Long]
+        .map { id =>
+          val xs = Array.tabulate(128)(j =>
+            ((id * 7 + j.toLong * j) % 200 - 100).toInt)
+          (id, graft.multimodal.AudioLib.writeWav(8000, 1, xs))
+        }.toDF("id", "payload")
+      media.select(col("id"),
+          wav_spectrum(col("payload"), lit(64)).as("sp"),
+          wav_rms(col("payload")).as("rms"))
+        .select(col("id"),
+          size(col("sp")).as("n_bins"),
+          round(col("rms"), 6).as("rms"),
+          round(element_at(col("sp"), 1), 6).as("f_dc"),
+          round(expr("aggregate(slice(sp, 2, 8), 0D, (a, v) -> a + v)"), 6)
+            .as("f_low"),
+          round(expr("aggregate(slice(sp, 10, 8), 0D, (a, v) -> a + v)"), 6)
+            .as("f_mid"),
+          round(expr("aggregate(slice(sp, 18, 16), 0D, (a, v) -> a + v)"), 6)
+            .as("f_high"))
+        .orderBy("id")
+    },
+
     "mm6_arithmetic_jpeg" -> { (s, d) =>
       // arithmetic-coded JPEG decode (round 7 — T.81 QM-coder, JpegArith):
       // each doc becomes a grayscale SOF9 stream authored from QUANTIZED
@@ -4335,6 +4368,37 @@ object SparkEntry {
     // same progressive bytes — the oracle pins the closed-form dims + TRUE
     // flat DC-only blocks through the lossless entropy layer: luma sums
     // replay in closed form (64 pixels x 120 + 2*((block + id) % 8) each)
+    // the oracle's direct DFT replays the FFT's normalized band fractions:
+    // x_j = (id*7 + j*j) % 200 - 100 over the first 64 samples; RMS over
+    // all 128 (integer-exact square sum)
+    "mm7_wav_spectrum" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+            s AS (SELECT d.doc_id, j.i AS j,
+                    CAST((d.doc_id * 7 + j.i * j.i) % 200 - 100 AS DOUBLE) AS x
+                  FROM d CROSS JOIN range(0, 64) j(i)),
+            sq AS (SELECT d.doc_id,
+                     SUM(CAST(((d.doc_id * 7 + j.i * j.i) % 200 - 100) *
+                              ((d.doc_id * 7 + j.i * j.i) % 200 - 100)
+                         AS DOUBLE)) AS ss
+                   FROM d CROSS JOIN range(0, 128) j(i) GROUP BY 1),
+            bins AS (SELECT doc_id, k.i AS k,
+                POWER(SUM(x * cos(2 * pi() * j * k.i / 64)), 2) +
+                POWER(SUM(x * sin(2 * pi() * j * k.i / 64)), 2) AS p
+              FROM s CROSS JOIN range(0, 33) k(i) GROUP BY 1, 2),
+            tot AS (SELECT doc_id, SUM(p) AS t FROM bins GROUP BY 1)
+         SELECT b.doc_id AS id, CAST(33 AS INTEGER) AS n_bins,
+           ROUND(sqrt(MAX(sq.ss) / 128), 6) AS rms,
+           ROUND(SUM(CASE WHEN b.k = 0 THEN b.p ELSE 0 END) / MAX(t.t), 6)
+             AS f_dc,
+           ROUND(SUM(CASE WHEN b.k BETWEEN 1 AND 8 THEN b.p ELSE 0 END)
+             / MAX(t.t), 6) AS f_low,
+           ROUND(SUM(CASE WHEN b.k BETWEEN 9 AND 16 THEN b.p ELSE 0 END)
+             / MAX(t.t), 6) AS f_mid,
+           ROUND(SUM(CASE WHEN b.k BETWEEN 17 AND 32 THEN b.p ELSE 0 END)
+             / MAX(t.t), 6) AS f_high
+         FROM bins b JOIN tot t USING (doc_id) JOIN sq USING (doc_id)
+         GROUP BY 1 ORDER BY id""",
+
     "mm6_arithmetic_jpeg" ->
       """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 250),
             px AS (SELECT d.doc_id,

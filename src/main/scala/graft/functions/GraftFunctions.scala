@@ -126,6 +126,9 @@ object GraftFunctions {
     col(GeoTiffBandStats(ex(payload), ex(band)))
   def geotiff_pixels(payload: Column, band: Column): Column =
     col(GeoTiffPixels(ex(payload), ex(band)))
+  def wav_rms(payload: Column): Column = col(WavRms(ex(payload)))
+  def wav_spectrum(payload: Column, nfft: Column): Column =
+    col(WavSpectrum(ex(payload), ex(nfft)))
 
   // --- vectors ---
   def cosine_similarity(a: Column, b: Column): Column = col(CosineSimilarity(ex(a), ex(b)))
@@ -234,6 +237,8 @@ object GraftFunctions {
     "geotiff_meta" -> { e => GeoTiffMeta(e.head) },
     "geotiff_band_stats" -> { e => GeoTiffBandStats(e(0), e(1)) },
     "geotiff_pixels" -> { e => GeoTiffPixels(e(0), e(1)) },
+    "wav_rms" -> { e => WavRms(e.head) },
+    "wav_spectrum" -> { e => WavSpectrum(e(0), e(1)) },
     "png_height" -> { e => PngHeight(e.head) },
     "png_pixel_sum" -> { e => PngPixelSum(e.head) },
     "cosine_similarity" -> { e => CosineSimilarity(e(0), e(1)) },

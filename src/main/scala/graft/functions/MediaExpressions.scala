@@ -178,3 +178,49 @@ case class GeoTiffPixels(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** wav_rms(payload) — RMS level over every first-channel sample of a
+  * 16-bit PCM WAV; null for undecodable payloads. */
+case class WavRms(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes with WkbStaticCodegen {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_rms"
+  override def dataType: DataType = DoubleType
+  override def staticMethod: String = "graft.multimodal.AudioLib.wavRms"
+  protected override def nullSafeEval(p: Any): Any =
+    graft.multimodal.AudioLib.wavRms(p.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** wav_spectrum(payload, nfft) — normalized power-spectrum fractions
+  * (bins 0..nfft/2) of the first nfft first-channel samples, via the
+  * from-spec radix-2 FFT; null for undecodable payloads, non-power-of-two
+  * nfft, or clips shorter than nfft. */
+case class WavSpectrum(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "wav_spectrum"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  protected override def nullSafeEval(p: Any, n: Any): Any = {
+    val s = graft.multimodal.AudioLib.wavSpectrum(
+      p.asInstanceOf[Array[Byte]], n.asInstanceOf[Number].intValue)
+    if (s == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(s)
+  }
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (p, n) => {
+      val tmp = ctx.freshName("spec")
+      s"""double[] $tmp = graft.multimodal.AudioLib.wavSpectrum($p, $n);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($tmp); }
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
