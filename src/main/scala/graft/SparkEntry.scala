@@ -2291,6 +2291,94 @@ object SparkEntry {
         .orderBy("variant")
     },
 
+    "s9d_geotiff_bigtiff" -> { (s, d) =>
+      // BigTIFF + COG-style overview chains (round 7): the containers
+      // large rasters actually ship in. v0: BigTIFF strip u16/deflate/
+      // pred2; v1: BigTIFF tiled f32 with the float predictor AND planar
+      // config (every round-7 raster feature composes under the 8-byte
+      // format); v2: a classic TWO-IFD chain authored by ImageIO (an
+      // independent encoder) — the engine counts IFDs and reads the
+      // OVERVIEW level's stats, the decimated-query path of a raster
+      // lake. Samples are (id*31 + ...) % 251 series, closed-form for
+      // the oracle per variant.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 150).as[Long]
+        .map { id =>
+          val v = (id % 3).toInt
+          val w = 8 + (id % 9).toInt
+          val h = 8 + (id % 7).toInt
+          val epsg = if (id % 2 == 0) 4326 else 32633
+          val scale = if (id % 2 == 0) (0.1, 0.1) else (10.0, 10.0)
+          val origin = ((id % 360).toDouble - 180.0 + 0.5,
+            (id % 180).toDouble - 90.0 + 0.25)
+          import graft.sources.GeoTiff
+          // (nb, last-band, level-for-stl)
+          val (nb, lb, ll) = v match {
+            case 0 => (1, 0, 0)
+            case 1 => (3, 2, 0)
+            case _ => (1, 0, 1)
+          }
+          val bytes = v match {
+            case 0 =>
+              val px = Array.tabulate(w * h)(i => ((id * 31 + i) % 251).toDouble)
+              GeoTiff.write(w, h, 1, 16, 1, px, deflate = true, predictor = 2,
+                bigTiff = true, epsg = epsg, pixelScale = scale, origin = origin)
+            case 1 =>
+              val px = Array.tabulate(w * h * 3)(i => ((id * 31 + i) % 251).toDouble)
+              GeoTiff.write(w, h, 3, 32, 3, px, littleEndian = false,
+                deflate = true, tileSize = 16, predictor = 3, planar = true,
+                bigTiff = true, epsg = epsg, pixelScale = scale, origin = origin)
+            case _ =>
+              val wr = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+              val bos = new java.io.ByteArrayOutputStream()
+              val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+              wr.setOutput(ios)
+              wr.prepareWriteSequence(null)
+              def page(lw: Int, lh: Int, f: Int => Int): Unit = {
+                val img = new java.awt.image.BufferedImage(lw, lh,
+                  java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+                var y = 0
+                while (y < lh) {
+                  var x = 0
+                  while (x < lw) {
+                    img.getRaster.setSample(x, y, 0, f(y * lw + x)); x += 1
+                  }
+                  y += 1
+                }
+                wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+              }
+              page(16, 12, i => ((id * 31 + i) % 251).toInt)
+              page(8, 6, i => ((id * 31 + i * 3 + 1) % 251).toInt)
+              wr.endWriteSequence(); ios.close(); wr.dispose()
+              bos.toByteArray
+          }
+          (id, v, nb, lb, ll, bytes)
+        }.toDF("id", "variant", "nb", "lb", "ll", "payload")
+      media
+        .select(col("id"), col("variant"), col("nb"),
+          geotiff_meta(col("payload")).as("m"),
+          geotiff_ifd_count(col("payload")).as("n_ifds"),
+          geotiff_band_stats(col("payload"), lit(0)).as("st0"),
+          geotiff_band_stats_at(col("payload"), col("lb"), col("ll")).as("stl"))
+        .withColumn("ok",
+          col("m.width") === when(col("variant") === 2, 16)
+            .otherwise((lit(8) + col("id") % 9).cast("int")) &&
+            col("m.bands") === col("nb") &&
+            col("n_ifds") === when(col("variant") === 2, 2).otherwise(1) &&
+            col("m.epsg") === when(col("variant") === 2, 0)
+              .when(col("id") % 2 === 0, 4326).otherwise(32633) &&
+            col("stl.n") === when(col("variant") === 2, 48)
+              .otherwise((lit(8) + col("id") % 9) * (lit(8) + col("id") % 7)))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("st0.sum")).cast("long").as("sum_pix0"),
+          sum(col("stl.sum")).cast("long").as("sum_pixl"),
+          sum(col("m.epsg").cast("long")).as("sum_epsg"),
+          (sum(when(col("ok"), 1L).otherwise(0L)) === count(lit(1))).as("all_ok"))
+        .orderBy("variant")
+    },
+
     "s10_geojson_scan" -> { (s, d) =>
       // GeoJSON source (round 6): the SAME feature corpus lands once as a
       // whole-file FeatureCollection (even ids) and once as GeoJSONSeq
@@ -4249,6 +4337,41 @@ object SparkEntry {
               AS BIGINT) AS sum_epsg,
             TRUE AS all_ok
           FROM docs d JOIN px p USING (doc_id)
+          GROUP BY 1 ORDER BY variant""",
+
+    // per-variant closed forms: v0 strip u16 (1 band), v1 planar f32
+    // (3 bands, band 0 / band 2 sums), v2 two-page chain (level-0 sum for
+    // pix0, the 8x6 overview's (id*31 + i*3 + 1) % 251 series for pixl)
+    "s9d_geotiff_bigtiff" ->
+      """WITH docs AS (SELECT doc_id, CAST(doc_id % 3 AS INTEGER) AS v
+              FROM documents WHERE doc_id < 150),
+            px AS (SELECT d.doc_id,
+                     SUM(CASE d.v
+                       WHEN 0 THEN (d.doc_id * 31 + r.i) % 251
+                       WHEN 1 THEN (d.doc_id * 31 + r.i * 3) % 251
+                       ELSE (d.doc_id * 31 + r.i) % 251 END) AS pix0,
+                     SUM(CASE d.v
+                       WHEN 0 THEN (d.doc_id * 31 + r.i) % 251
+                       WHEN 1 THEN (d.doc_id * 31 + r.i * 3 + 2) % 251
+                       ELSE NULL END) AS pixl_full
+                   FROM docs d JOIN range(0, 224) r(i)
+                     ON r.i < CASE WHEN d.v = 2 THEN 192
+                       ELSE (8 + d.doc_id % 9) * (8 + d.doc_id % 7) END
+                   GROUP BY d.doc_id),
+            ov AS (SELECT d.doc_id,
+                     SUM((d.doc_id * 31 + r.i * 3 + 1) % 251) AS pixl_ov
+                   FROM docs d JOIN range(0, 48) r(i) ON d.v = 2
+                   GROUP BY d.doc_id)
+          SELECT d.v AS variant, COUNT(*) AS n_files,
+            CAST(SUM(p.pix0) AS BIGINT) AS sum_pix0,
+            CAST(SUM(CASE WHEN d.v = 2 THEN o.pixl_ov
+              ELSE p.pixl_full END) AS BIGINT) AS sum_pixl,
+            CAST(SUM(CASE WHEN d.v = 2 THEN 0
+              WHEN d.doc_id % 2 = 0 THEN 4326 ELSE 32633 END) AS BIGINT)
+              AS sum_epsg,
+            TRUE AS all_ok
+          FROM docs d JOIN px p USING (doc_id)
+          LEFT JOIN ov o USING (doc_id)
           GROUP BY 1 ORDER BY variant""",
 
     // both file shapes carry the same id-arithmetic features; 2·lon is

@@ -126,6 +126,9 @@ object GraftFunctions {
     col(GeoTiffBandStats(ex(payload), ex(band)))
   def geotiff_pixels(payload: Column, band: Column): Column =
     col(GeoTiffPixels(ex(payload), ex(band)))
+  def geotiff_ifd_count(payload: Column): Column = col(GeoTiffIfdCount(ex(payload)))
+  def geotiff_band_stats_at(payload: Column, band: Column, level: Column): Column =
+    col(GeoTiffBandStatsAt(ex(payload), ex(band), ex(level)))
   def wav_rms(payload: Column): Column = col(WavRms(ex(payload)))
   def wav_spectrum(payload: Column, nfft: Column): Column =
     col(WavSpectrum(ex(payload), ex(nfft)))
@@ -237,6 +240,8 @@ object GraftFunctions {
     "geotiff_meta" -> { e => GeoTiffMeta(e.head) },
     "geotiff_band_stats" -> { e => GeoTiffBandStats(e(0), e(1)) },
     "geotiff_pixels" -> { e => GeoTiffPixels(e(0), e(1)) },
+    "geotiff_ifd_count" -> { e => GeoTiffIfdCount(e.head) },
+    "geotiff_band_stats_at" -> { e => GeoTiffBandStatsAt(e(0), e(1), e(2)) },
     "wav_rms" -> { e => WavRms(e.head) },
     "wav_spectrum" -> { e => WavSpectrum(e(0), e(1)) },
     "png_height" -> { e => PngHeight(e.head) },

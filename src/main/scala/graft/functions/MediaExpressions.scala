@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ImplicitCastInputTypes, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.types._
 
 /** SQL-callable PNG pixel accessors over [[graft.multimodal.PngCodec]] —
@@ -223,4 +223,54 @@ case class WavSpectrum(left: Expression, right: Expression)
     })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** geotiff_ifd_count(payload) — number of IFDs in the chain (COG overview
+  * levels / pages); null for non-TIFF payloads. */
+case class GeoTiffIfdCount(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "geotiff_ifd_count"
+  override def dataType: DataType = IntegerType
+  protected override def nullSafeEval(p: Any): Any = {
+    val n = graft.sources.GeoTiff.ifdCount(p.asInstanceOf[Array[Byte]])
+    if (n == 0) null else n
+  }
+  override def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, p => {
+      val n = ctx.freshName("nifd")
+      s"""int $n = graft.sources.GeoTiff.ifdCount($p);
+         |if ($n == 0) { ${ev.isNull} = true; } else { ${ev.value} = $n; }
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** geotiff_band_stats_at(payload, band, level) — band stats of the
+  * `level`-th IFD: reading a COG overview level instead of full
+  * resolution is how a raster lake answers decimated queries cheaply. */
+case class GeoTiffBandStatsAt(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType, IntegerType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "geotiff_band_stats_at"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("min", DoubleType, nullable = false),
+    StructField("max", DoubleType, nullable = false),
+    StructField("sum", DoubleType, nullable = false)))
+  protected override def nullSafeEval(p: Any, b: Any, l: Any): Any = {
+    val st = graft.sources.GeoTiff.bandStats(p.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Number].intValue, l.asInstanceOf[Number].intValue)
+    if (st == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](st(0).toLong, st(1), st(2), st(3)))
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
 }

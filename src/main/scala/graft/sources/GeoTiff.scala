@@ -1,8 +1,12 @@
 package graft.sources
 
-/** From-spec GeoTIFF codec (TIFF 6.0 + OGC GeoTIFF 1.1, both public specs):
-  * IFD walk, GeoKey directory → EPSG + affine geotransform, and real pixel
-  * decode for the raster layouts an analytics pipeline meets in practice —
+/** From-spec GeoTIFF codec (TIFF 6.0 + BigTIFF + OGC GeoTIFF 1.1, all
+  * public specs): classic and BigTIFF (version 43: 8-byte counts/offsets,
+  * LONG8 types — the container large rasters actually ship in) headers,
+  * multi-IFD chains (COG-style overview levels / multi-page files,
+  * addressable per level), IFD walk, GeoKey directory → EPSG + affine
+  * geotransform, and real pixel decode for the raster layouts an
+  * analytics pipeline meets in practice —
   * strip or tile organization, none/LZW/Deflate compression (LZW per TIFF
   * 6.0 §13 with the early-change rule; Deflate via the zlib the JDK
   * ships), horizontal-differencing predictor 2 and the TIFF Technical
@@ -51,28 +55,47 @@ object GeoTiff {
       }
       java.lang.Double.longBitsToDouble(v)
     }
+    def u64(o: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 8) {
+        val idx = if (le) o + 7 - i else o + i
+        v = (v << 8) | (b(idx) & 0xffL)
+        i += 1
+      }
+      v
+    }
   }
 
   private case class Entry(tag: Int, typ: Int, count: Long, valOff: Int)
 
+  // TIFF 6.0 types plus the BigTIFF LONG8/SLONG8/IFD8 trio (16/17/18)
   private val TypeSize = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8, 6 -> 1,
-    7 -> 1, 8 -> 2, 9 -> 4, 10 -> 8, 11 -> 4, 12 -> 8)
+    7 -> 1, 8 -> 2, 9 -> 4, 10 -> 8, 11 -> 4, 12 -> 8, 16 -> 8, 17 -> 8,
+    18 -> 8)
 
-  private final class Ifd(r: Reader, entries: Map[Int, Entry]) {
+  /** `big`: BigTIFF (version 43) — 8-byte counts/offsets, 8-byte inline
+    * value fields. */
+  private final class Ifd(r: Reader, entries: Map[Int, Entry], big: Boolean) {
+    private val inlineSz = if (big) 8 else 4
     def has(tag: Int): Boolean = entries.contains(tag)
-    /** Integer values of a SHORT/LONG/BYTE-typed tag, inline or offsetted. */
+    private def base(e: Entry, total: Long): Int =
+      if (total <= inlineSz) e.valOff
+      else if (big) r.u64(e.valOff).toInt
+      else r.u32(e.valOff).toInt
+    /** Integer values of a BYTE/SHORT/LONG/LONG8-typed tag. */
     def longs(tag: Int): Array[Long] = entries.get(tag) match {
       case None => Array.empty
       case Some(e) =>
         val sz = TypeSize.getOrElse(e.typ, 0)
         if (sz == 0 || e.count > Int.MaxValue) return Array.empty
-        val total = sz * e.count.toInt
-        val base = if (total <= 4) e.valOff else r.u32(e.valOff).toInt
+        val b0 = base(e, sz.toLong * e.count)
         Array.tabulate(e.count.toInt) { i =>
           e.typ match {
-            case 1 | 6 | 7 => r.u8(base + i).toLong
-            case 3 | 8 => r.u16(base + i * 2).toLong
-            case 4 | 9 => r.u32(base + i * 4)
+            case 1 | 6 | 7 => r.u8(b0 + i).toLong
+            case 3 | 8 => r.u16(b0 + i * 2).toLong
+            case 4 | 9 => r.u32(b0 + i * 4)
+            case 16 | 17 | 18 => r.u64(b0 + i * 8)
             case _ => 0L
           }
         }
@@ -84,34 +107,66 @@ object GeoTiff {
     def doubles(tag: Int): Array[Double] = entries.get(tag) match {
       case None => Array.empty
       case Some(e) if e.typ == 12 =>
-        val base = if (e.count * 8 <= 4) e.valOff else r.u32(e.valOff).toInt
-        Array.tabulate(e.count.toInt)(i => r.f64(base + i * 8))
+        val b0 = base(e, e.count * 8)
+        Array.tabulate(e.count.toInt)(i => r.f64(b0 + i * 8))
       case _ => Array.empty
     }
   }
 
-  private def parseIfd(bytes: Array[Byte]): (Reader, Ifd) = {
+  /** Parse the `index`-th IFD of the chain (classic or BigTIFF); null when
+    * the header is alien or the chain is shorter than `index + 1`. */
+  private def parseIfdAt(bytes: Array[Byte], index: Int): (Reader, Ifd) = {
     if (bytes.length < 8) return null
     val le = bytes(0) == 'I' && bytes(1) == 'I'
     val be = bytes(0) == 'M' && bytes(1) == 'M'
     if (!le && !be) return null
     val r = new Reader(bytes, le)
-    if (r.u16(2) != 42) return null
-    val ifdOff = r.u32(4).toInt
-    if (ifdOff < 8 || ifdOff + 2 > bytes.length) return null
-    val n = r.u16(ifdOff)
-    if (ifdOff + 2 + n * 12 > bytes.length) return null
-    val entries = (0 until n).map { i =>
-      val o = ifdOff + 2 + i * 12
-      val tag = r.u16(o)
-      tag -> Entry(tag, r.u16(o + 2), r.u32(o + 4), o + 8)
-    }.toMap
-    (r, new Ifd(r, entries))
+    val version = r.u16(2)
+    val big = version == 43
+    if (version != 42 && !big) return null
+    if (big && (bytes.length < 16 || r.u16(4) != 8 || r.u16(6) != 0)) return null
+    var ifdOff = if (big) r.u64(8) else r.u32(4)
+    val entrySz = if (big) 20 else 12
+    val headSz = if (big) 8 else 2
+    var level = 0
+    while (true) {
+      if (ifdOff < 8 || ifdOff + headSz > bytes.length) return null
+      val n = (if (big) r.u64(ifdOff.toInt) else r.u16(ifdOff.toInt).toLong).toInt
+      if (n < 0 || ifdOff + headSz + n.toLong * entrySz + (if (big) 8 else 4) >
+        bytes.length) return null
+      if (level == index) {
+        val entries = (0 until n).map { i =>
+          val o = ifdOff.toInt + headSz + i * entrySz
+          val tag = r.u16(o)
+          val count = if (big) r.u64(o + 4) else r.u32(o + 4)
+          tag -> Entry(tag, r.u16(o + 2), count, o + (if (big) 12 else 8))
+        }.toMap
+        return (r, new Ifd(r, entries, big))
+      }
+      val nextOff = ifdOff.toInt + headSz + n * entrySz
+      ifdOff = if (big) r.u64(nextOff) else r.u32(nextOff)
+      if (ifdOff == 0) return null // chain ended before `index`
+      level += 1
+    }
+    null
+  }
+
+  private def parseIfd(bytes: Array[Byte]): (Reader, Ifd) = parseIfdAt(bytes, 0)
+
+  /** Number of IFDs in the chain (overview/page count); 0 for non-TIFF. */
+  def ifdCount(bytes: Array[Byte]): Int = {
+    var n = 0
+    while (parseIfdAt(bytes, n) != null) n += 1
+    n
   }
 
   /** Parse raster + geo metadata; null for non-TIFF bytes. */
-  def readMeta(bytes: Array[Byte]): Meta = {
-    val parsed = parseIfd(bytes)
+  def readMeta(bytes: Array[Byte]): Meta = readMeta(bytes, 0)
+
+  /** Metadata of the `level`-th IFD — overview levels in a COG-style
+    * chain, pages in a multi-page TIFF. */
+  def readMeta(bytes: Array[Byte], level: Int): Meta = {
+    val parsed = parseIfdAt(bytes, level)
     if (parsed == null) return null
     val (r, ifd) = parsed
     val w = ifd.long1(256, 0).toInt
@@ -296,11 +351,14 @@ object GeoTiff {
   /** Decode every sample as Double, row-major, bands interleaved
     * (chunky). Null when the layout is outside the supported envelope or
     * the payload is inconsistent with its own directory. */
-  def readSamples(bytes: Array[Byte]): Array[Double] = {
-    val parsed = parseIfd(bytes)
+  def readSamples(bytes: Array[Byte]): Array[Double] = readSamples(bytes, 0)
+
+  /** Samples of the `level`-th IFD (overview level / page). */
+  def readSamples(bytes: Array[Byte], level: Int): Array[Double] = {
+    val parsed = parseIfdAt(bytes, level)
     if (parsed == null) return null
     val (r, ifd) = parsed
-    val meta = readMeta(bytes)
+    val meta = readMeta(bytes, level)
     if (meta == null) return null
     import meta._
     val comp = compression
@@ -609,10 +667,16 @@ object GeoTiff {
 
   /** Per-band stats over the decoded raster: (n, min, max, sum) for
     * `band` (0-based). Null payload/band → null. */
-  def bandStats(bytes: Array[Byte], band: Int): Array[Double] = {
-    val meta = readMeta(bytes)
+  def bandStats(bytes: Array[Byte], band: Int): Array[Double] =
+    bandStats(bytes, band, 0)
+
+  /** Band stats of the `level`-th IFD — reading an overview level instead
+    * of the full-resolution raster is the COG trick that lets a 100 TB
+    * raster lake answer decimated queries at a fraction of the decode. */
+  def bandStats(bytes: Array[Byte], band: Int, level: Int): Array[Double] = {
+    val meta = readMeta(bytes, level)
     if (meta == null || band < 0 || band >= meta.bands) return null
-    val s = readSamples(bytes)
+    val s = readSamples(bytes, level)
     if (s == null) return null
     var mn = Double.MaxValue
     var mx = -Double.MaxValue
@@ -799,7 +863,7 @@ object GeoTiff {
       deflate: Boolean = false, tileSize: Int = 0, predictor: Int = 1,
       epsg: Int = 0, pixelScale: (Double, Double) = (0.0, 0.0),
       origin: (Double, Double) = (0.0, 0.0), lzw: Boolean = false,
-      planar: Boolean = false): Array[Byte] = {
+      planar: Boolean = false, bigTiff: Boolean = false): Array[Byte] = {
     require(!(deflate && lzw), "pick one compression")
     require(samples.length == width * height * bands, "sample count mismatch")
     require(Set(8, 16, 32).contains(bitsPerSample) || (sampleFormat == 3 &&
@@ -927,9 +991,16 @@ object GeoTiff {
       if (le) { var i = 0; while (i < 8) { bos.write(((bits >>> (8 * i)) & 0xff).toInt); i += 1 } }
       else { var i = 7; while (i >= 0) { bos.write(((bits >>> (8 * i)) & 0xff).toInt); i -= 1 } }
     }
+    def w64(v: Long): Unit =
+      if (le) { var i = 0; while (i < 8) { bos.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 } }
+      else { var i = 7; while (i >= 0) { bos.write(((v >>> (8 * i)) & 0xff).toInt); i -= 1 } }
+    // classic: 12-byte entries, 4-byte value fields; BigTIFF (version 43):
+    // 20-byte entries, 8-byte counts/offsets/value fields
+    val inlineField = if (bigTiff) 8 else 4
+    val entrySz = if (bigTiff) 20 else 12
     bos.write(if (le) 'I' else 'M'); bos.write(if (le) 'I' else 'M')
-    w16(42)
-    w32(8)
+    if (bigTiff) { w16(43); w16(8); w16(0); w64(16) }
+    else { w16(42); w32(8) }
 
     case class Tag(tag: Int, typ: Int, count: Long, inline: Option[Long],
         deferred: Option[() => Unit], deferredSize: Int)
@@ -963,14 +1034,17 @@ object GeoTiff {
       deferredTag(258, 3, bands, bands * 2, () => bpsArr.foreach(w16))
     val offTag = if (tiled) 324 else 273
     val lenTag = if (tiled) 325 else 279
-    // block offsets/lengths (LONG)
+    // block offsets: LONG classic, LONG8 in BigTIFF (the format's point)
+    val offTyp = if (bigTiff) 16 else 4
+    val offSz = if (bigTiff) 8 else 4
+    def wOff(v: Long): Unit = if (bigTiff) w64(v) else w32(v)
     val blockOffsets = new Array[Long](blocks.length)
     if (blocks.length == 1) {
-      tags += Tag(offTag, 4, 1, None, Some(() => w32(blockOffsets(0))), 4)
+      tags += Tag(offTag, offTyp, 1, None, Some(() => wOff(blockOffsets(0))), offSz)
       tags += inlineTag(lenTag, 4, blocks.head.length)
     } else {
-      tags += Tag(offTag, 4, blocks.length, None,
-        Some(() => blockOffsets.foreach(w32)), blocks.length * 4)
+      tags += Tag(offTag, offTyp, blocks.length, None,
+        Some(() => blockOffsets.foreach(wOff)), blocks.length * offSz)
       tags += Tag(lenTag, 4, blocks.length, None,
         Some(() => blocks.foreach(bl => w32(bl.length))), blocks.length * 4)
     }
@@ -989,14 +1063,15 @@ object GeoTiff {
         () => geoKeys.foreach(w16))
     }
     val sorted = tags.sortBy(_.tag)
-    val ifdStart = 8
-    val ifdSize = 2 + sorted.length * 12 + 4
+    val ifdStart = if (bigTiff) 16 else 8
+    val ifdSize = (if (bigTiff) 8 else 2) + sorted.length * entrySz +
+      (if (bigTiff) 8 else 4)
     var dataOff = ifdStart + ifdSize
     val valueOffsets = sorted.map { t =>
       t.inline match {
         case Some(_) => 0L
         case None =>
-          val inlineFits = t.deferredSize <= 4
+          val inlineFits = t.deferredSize <= inlineField
           if (inlineFits) 0L
           else { val o = dataOff; dataOff += t.deferredSize; o.toLong }
       }
@@ -1007,23 +1082,33 @@ object GeoTiff {
       blockStart += bl.length
     }
     // emit IFD
-    w16(sorted.length)
+    if (bigTiff) w64(sorted.length) else w16(sorted.length)
     sorted.zip(valueOffsets).foreach { case (t, vo) =>
-      w16(t.tag); w16(t.typ); w32(t.count)
+      w16(t.tag); w16(t.typ)
+      if (bigTiff) w64(t.count) else w32(t.count)
+      def pad(from: Int): Unit = {
+        var p = inlineField - (bos.size() - from)
+        while (p > 0) { bos.write(0); p -= 1 }
+      }
       t.inline match {
         case Some(v) =>
-          // inline value: left-justified in the 4-byte field per spec
-          if (t.typ == 3) { w16(v.toInt); w16(0) } else w32(v)
+          // inline value: left-justified in the value field per spec
+          val before = bos.size()
+          t.typ match {
+            case 3 => w16(v.toInt)
+            case 16 => w64(v)
+            case _ => w32(v)
+          }
+          pad(before)
         case None =>
-          if (t.deferredSize <= 4) {
+          if (t.deferredSize <= inlineField) {
             val before = bos.size()
             t.deferred.get.apply()
-            var pad = 4 - (bos.size() - before)
-            while (pad > 0) { bos.write(0); pad -= 1 }
-          } else w32(vo)
+            pad(before)
+          } else if (bigTiff) w64(vo) else w32(vo)
       }
     }
-    w32(0) // no next IFD
+    if (bigTiff) w64(0) else w32(0) // no next IFD
     // emit deferred arrays in offset order
     sorted.zip(valueOffsets).filter(_._2 != 0L).foreach(_._1.deferred.get.apply())
     require(bos.size() == dataOff, s"writer layout drift: ${bos.size()} vs $dataOff")

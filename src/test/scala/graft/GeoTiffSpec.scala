@@ -167,6 +167,75 @@ class GeoTiffSpec extends AnyFunSuite {
     }
   }
 
+  test("BigTIFF: full round-trip matrix, header fields, classic equivalence") {
+    val w = 21; val h = 13
+    def px(i: Int): Double = (i * 37 % 251).toDouble
+    for {
+      le <- Seq(true, false)
+      comp <- Seq("none", "deflate", "lzw")
+      tile <- Seq(0, 16)
+      (fmt, bits, pred, pl) <- Seq((1, 16, 2, false), (3, 32, 3, true), (1, 8, 1, false))
+    } {
+      val bands = if (pl) 3 else 1
+      val samples = Array.tabulate(w * h * bands)(px)
+      val bytes = GeoTiff.write(w, h, bands, bits, fmt, samples,
+        littleEndian = le, deflate = comp == "deflate", lzw = comp == "lzw",
+        tileSize = tile, predictor = pred, planar = pl, bigTiff = true)
+      val tag = s"big le=$le comp=$comp tile=$tile fmt=$fmt pred=$pred pl=$pl"
+      assert((bytes(2) == 43 && le) || (bytes(3) == 43 && !le), tag) // version
+      val meta = GeoTiff.readMeta(bytes)
+      assert(meta != null && meta.width == w && meta.bands == bands, tag)
+      val got = GeoTiff.readSamples(bytes)
+      assert(got != null && got.toSeq == samples.toSeq, tag)
+    }
+    // classic and BigTIFF encodings of the same raster decode identically
+    val s = Array.tabulate(64)(_.toDouble)
+    val classic = GeoTiff.write(8, 8, 1, 16, 1, s, epsg = 32633,
+      pixelScale = (10.0, 10.0), origin = (500000.0, 0.0))
+    val big = GeoTiff.write(8, 8, 1, 16, 1, s, epsg = 32633,
+      pixelScale = (10.0, 10.0), origin = (500000.0, 0.0), bigTiff = true)
+    assert(GeoTiff.readSamples(big).toSeq == GeoTiff.readSamples(classic).toSeq)
+    val mb = GeoTiff.readMeta(big)
+    assert(mb.epsg == 32633 && mb.originX == 500000.0 && mb.pixelScaleX == 10.0)
+    // truncated BigTIFF headers reject
+    assert(GeoTiff.readMeta(java.util.Arrays.copyOf(big, 12)) == null)
+    val badOffSz = big.clone(); badOffSz(4) = 4 // offset size must be 8
+    assert(GeoTiff.readMeta(badOffSz) == null)
+  }
+
+  test("multi-IFD chain: ImageIO-authored pages read per level") {
+    // ImageIO writes multi-page TIFFs (writeToSequence) — an independent
+    // encoder for the COG-style overview-chain layout
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    for (level <- 0 until 3) {
+      val lw = 16 >> level; val lh = 12 >> level
+      val img = new java.awt.image.BufferedImage(lw, lh,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until lh; x <- 0 until lw)
+        img.getRaster.setSample(x, y, 0, (x * 5 + y * 11 + level * 7) % 251)
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    wr.endWriteSequence(); ios.close(); wr.dispose()
+    val bytes = bos.toByteArray
+    assert(GeoTiff.ifdCount(bytes) == 3)
+    for (level <- 0 until 3) {
+      val lw = 16 >> level; val lh = 12 >> level
+      val m = GeoTiff.readMeta(bytes, level)
+      assert(m.width == lw && m.height == lh, s"level $level")
+      val s = GeoTiff.readSamples(bytes, level)
+      for (y <- 0 until lh; x <- 0 until lw)
+        assert(s(y * lw + x) == ((x * 5 + y * 11 + level * 7) % 251).toDouble,
+          s"level $level ($x,$y)")
+      val st = GeoTiff.bandStats(bytes, 0, level)
+      assert(st(0) == lw * lh, s"level $level stats")
+    }
+    assert(GeoTiff.readMeta(bytes, 3) == null) // past the chain end
+  }
+
   test("LZW: ImageIO-authored stream decodes; width growth + dict reset") {
     // ImageIO writes LZW with horizontal predictor choices of its own —
     // an independent encoder implementation cross-checks ours
