@@ -1349,6 +1349,22 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t27_dsir_select" -> { (s, d) =>
+      // DSIR importance resampling (TrainingData.dsirWeights, Xie et al.
+      // NeurIPS 2023): hashed unigram+bigram log-likelihood ratio of
+      // target (lang='en') vs raw over 4096 md5-hex buckets, add-one
+      // smoothing; top-50 by weight. Selection orders by the ROUNDED
+      // weight (6 dp) with doc_id tie-break so the boundary is stable
+      // across engines' summation orders.
+      val docs = t(s, d, "documents")
+      graft.operators.TrainingData.dsirWeights(
+          docs, docs.filter(col("lang") === "en"))
+        .select(col("doc_id"), col("n_feats"),
+          round(col("logw"), 6).as("logw6"))
+        .orderBy(col("logw6").desc, col("doc_id"))
+        .limit(50)
+    },
+
     "t23_bpe_tokenize" -> { (s, d) =>
       // real BPE (Sennrich et al. 2016, the sentencepiece/GPT-2 family):
       // merges trained on the DISTRIBUTED word histogram (map-side
@@ -2942,6 +2958,23 @@ object SparkEntry {
         .orderBy("domain")
     },
 
+    "v6_semdedup" -> { (s, d) =>
+      // SemDeDup semantic dedup (Similarity.semDedup): k-means cluster,
+      // within-cluster cosine >= tau drops every vector with a lower-id
+      // near-identical cluster-mate. Planted-twin oracle: 20 exact copies
+      // (vec_id+10000) land in their twins' cells structurally (identical
+      // argmax) at cos 1.0 >= 0.95, while this corpus's max natural
+      // off-diagonal cosine is ~0.60 (measured sf0.01/sf0.1) — so the
+      // survivor set is exactly the original corpus.
+      val emb = t(s, d, "embeddings")
+      val planted = emb.filter(col("vec_id") < 20)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      graft.operators.Similarity.semDedup(emb.unionByName(planted),
+          tau = 0.95, nlist = 64, trainSample = 1000, iters = 4)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    },
+
     "e8_stream_ann_intake" -> { (s, d) =>
       // incremental ANN intake batch twin (VectorStreams.ivfIntake — new
       // embeddings probe the EXISTING IVF cells; centroids train once at
@@ -4095,6 +4128,51 @@ object SparkEntry {
              AS links_md5
          FROM documents d ORDER BY doc_id""",
 
+    // full DSIR replay: same whitespace tokens, same unigram+bigram
+    // stream, same 3-hex-char md5 buckets (hashSplit's instr arithmetic),
+    // same add-one smoothing and ln ratio — ranked by the 6-dp-rounded
+    // weight with doc_id tie-break
+    "t27_dsir_select" ->
+      """WITH base AS (
+           SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\s+'), t -> t <> '') AS l
+           FROM documents),
+         tk AS (
+           SELECT doc_id, lang, unnest(l) AS tok,
+             generate_subscripts(l, 1) AS i
+           FROM base),
+         bi0 AS (
+           SELECT doc_id, lang, tok,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY i) AS p
+           FROM tk),
+         feats AS (
+           SELECT doc_id, lang, tok FROM tk
+           UNION ALL
+           SELECT doc_id, lang, p || ' ' || tok AS tok FROM bi0
+           WHERE p IS NOT NULL),
+         fb AS (
+           SELECT doc_id, lang,
+             (((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
+               (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) * 16 +
+               (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1)) AS b
+           FROM feats),
+         rh AS (SELECT b, count(*) AS cr FROM fb GROUP BY 1),
+         th AS (SELECT b, count(*) AS ct FROM fb WHERE lang = 'en' GROUP BY 1),
+         tot AS (SELECT (SELECT count(*) FROM fb) AS nr,
+                        (SELECT count(*) FROM fb WHERE lang = 'en') AS nt),
+         ratio AS (
+           SELECT rh.b,
+             ln((coalesce(th.ct, 0) + 1) / CAST(tot.nt + 4096 AS DOUBLE)) -
+             ln((rh.cr + 1) / CAST(tot.nr + 4096 AS DOUBLE)) AS lr
+           FROM rh LEFT JOIN th ON rh.b = th.b CROSS JOIN tot),
+         sc AS (
+           SELECT fb.doc_id, count(*) AS n_feats, sum(r.lr) AS logw
+           FROM fb JOIN ratio r ON fb.b = r.b GROUP BY 1)
+         SELECT d.doc_id, coalesce(sc.n_feats, 0) AS n_feats,
+           round(coalesce(sc.logw, 0.0), 6) AS logw6
+         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         ORDER BY logw6 DESC, d.doc_id LIMIT 50""",
+
     // the tokenizer contract (see the t23 query comment): n_words is
     // recomputed independently; the three invariant booleans must be TRUE
     // on every row for the hash to match.
@@ -4274,6 +4352,12 @@ object SparkEntry {
       """SELECT vec_id + 10000 AS qid, vec_id AS nid, CAST(1 AS INTEGER) AS rk,
          CAST(1.0 AS DOUBLE) AS cos
          FROM embeddings WHERE vec_id < 10 ORDER BY qid""",
+
+    // SemDeDup survivor contract: every planted exact copy (vec_id+10000,
+    // cos 1.0 to its lower-id twin in the twin's own cluster) is dropped;
+    // every original survives (max natural pairwise cosine ~0.60 << 0.95)
+    "v6_semdedup" ->
+      """SELECT vec_id, label FROM embeddings ORDER BY vec_id""",
 
     // pixel value is (doc_id*31 + i) % 251 over i < w*h with
     // w = 8 + doc_id%9, h = 8 + doc_id%7 — the oracle replays the same

@@ -200,6 +200,55 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rk"), col("cos"))
   }
 
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540):
+    * embedding-space near-duplicate REMOVAL — cluster the corpus with a
+    * bounded-sample spherical k-means, then compare cosines only WITHIN a
+    * cluster and drop every vector that has a lower-id cluster-mate with
+    * cos >= tau.
+    *
+    * Semantics (the paper's sorted-dominance rule, not transitive
+    * closure): row b is dropped iff SOME lower-id vector a in the same
+    * cluster has cos(a,b) >= tau — whether or not a itself survives. That
+    * makes the drop decision a per-row predicate over its own cluster,
+    * embarrassingly parallel, rather than a connected-components pass;
+    * for true duplicate groups the two rules agree (the lowest id always
+    * survives and dominates the rest).
+    *
+    * Scale shape: training is O(trainSample) on the driver; assignment is
+    * map-only ([[graft.functions.GraftFunctions.nearest_cells]] argmax,
+    * codegen); the only shuffle is the cluster-key equality self-join,
+    * whose cost is sum of squared CLUSTER sizes, not corpus². `maxCluster`
+    * caps a degenerate cluster (embedding collapse — everything lands in
+    * one cell): oversized clusters pass through UNDEDUPED with a warning
+    * column rather than detonating the join; at 100 TB you re-run those
+    * few cells with a larger nlist. Identical vectors always share a cell
+    * (same argmax), so exact duplicates are structurally inside one
+    * cluster — the planted-twin gate contract. */
+  def semDedup(embs: DataFrame, tau: Double, nlist: Int = 64,
+      trainSample: Int = 10000, iters: Int = 5,
+      maxCluster: Long = 1000000L,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"need 0 < tau <= 1: $tau")
+    val sample = embs.select(col(idCol), col(vecCol)).sort(col(idCol))
+      .limit(trainSample).collect()
+      .map(_.getSeq[Number](1).map(_.floatValue).toArray)
+    require(sample.nonEmpty, "semDedup training needs a non-empty corpus")
+    val centroids = trainSpherical(sample, nlist, iters)
+    val assigned = Scatter(embs)
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("cell", element_at(nearest_cells(col("v"), centroids, 1), 1))
+    // oversized-cell guard: a cell past maxCluster never enters the join
+    val big = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCluster).select("cell")
+    val small = assigned.join(broadcast(big), Seq("cell"), "left_anti")
+    val dropped = small.as("a").join(small.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(cosine_similarity(col("a.v"), col("b.v")) >= tau)
+      .select(col("b.id").as("id")).distinct()
+    embs.join(dropped, col(idCol) === dropped("id"), "left_anti")
+  }
+
   /** Per-subspace k-means over residual subvectors (plain L2 / mean — PQ
     * codewords are not unit vectors). Deterministic: codewords init from
     * the first `ksub` residuals in sample order, argmin scan breaks ties

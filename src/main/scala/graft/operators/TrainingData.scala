@@ -437,4 +437,101 @@ object TrainingData {
     }
     df.filter(pmod(keyExpr, lit(100)) < keep)
   }
+
+  /** Feature-hash bucket of a token expression: the first `hexChars` hex
+    * digits of md5, decoded by the same portable `instr` arithmetic as
+    * [[hashSplit]] so SQL engines agree bit-for-bit (4096 buckets at 3
+    * hex chars). Pure codegen'd string arithmetic — no UDF. */
+  private def md5Bucket(tok: String, hexChars: Int): Column = {
+    val hexVal = (c: Int) =>
+      s"(instr('0123456789abcdef', substr(md5(cast($tok AS binary)), $c, 1)) - 1)"
+    expr((1 to hexChars).map(hexVal)
+      .reduceLeft((acc, h) => s"($acc * 16 + $h)")).cast("int")
+  }
+
+  /** DSIR importance weights (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023): score every raw
+    * document by how much more likely its hashed-n-gram bag is under the
+    * TARGET distribution than under the RAW distribution,
+    * `logw(x) = Σ_tokens [ln p̂_target(b(tok)) − ln p̂_raw(b(tok))]`,
+    * with unigram+bigram features hashed into `nBuckets` buckets and
+    * add-one smoothing on both histograms. Resampling by these weights
+    * shifts a web-scale crawl toward a quality target domain without
+    * training a classifier.
+    *
+    * Scale shape: the two histograms are ≤`nBuckets`-row aggregates
+    * (map-side combinable counts over the exploded token stream); the
+    * per-bucket log-ratio table — at most `nBuckets` rows regardless of
+    * corpus size — BROADCASTS to the raw-side token stream, and the
+    * per-doc score is one map-side-combinable sum. Two scans of the raw
+    * corpus (histogram + score), one of the target, no shuffle wider than
+    * doc_id. Feature hashing is the portable md5-hex arithmetic of
+    * [[hashSplit]], so the whole pipeline — buckets, smoothing, log
+    * ratios — replays exactly in any SQL engine.
+    *
+    * Returns `(idCol, n_feats, logw)`: feature count and raw importance
+    * log-weight per raw document (docs with zero features score 0). */
+  def dsirWeights(raw: DataFrame, target: DataFrame, nBuckets: Int = 4096,
+      bigrams: Boolean = true, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val hexChars = (math.log(nBuckets.toDouble) / math.log(16)).toInt
+    require(nBuckets == math.pow(16, hexChars).toInt,
+      s"nBuckets must be a power of 16 (md5 hex prefix): $nBuckets")
+    // unigram + bigram feature stream: array ops + explode, per-row codegen
+    def feats(df: DataFrame, outId: String): DataFrame = {
+      val toks = s"filter(split($textCol, '\\\\s+'), t -> t <> '')"
+      val grams =
+        if (bigrams)
+          s"""concat($toks, zip_with($toks, slice($toks, 2, size($toks)),
+                (a, b) -> concat(a, ' ', b)))"""
+        else toks
+      df.select(col(idCol).as(outId), explode(expr(grams)).as("tok"))
+        .filter(col("tok").isNotNull)
+        .select(col(outId), md5Bucket("tok", hexChars).as("b"))
+    }
+    val rawF = feats(Scatter(raw), "rid")
+    val tgtF = feats(target, "tid")
+    // histograms + scalar totals ride 1-row/bucket-row aggregates; the
+    // log-ratio table is <= nBuckets rows however large the corpus is
+    val rawHist = rawF.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgtHist = tgtF.groupBy("b").agg(count(lit(1)).as("ct"))
+    val rawTot = rawF.agg(count(lit(1)).as("nr"))
+    val tgtTot = tgtF.agg(count(lit(1)).as("nt"))
+    val ratio = rawHist.join(tgtHist, Seq("b"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(rawTot).crossJoin(tgtTot)
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + nBuckets)) -
+          log((col("cr") + 1).cast("double") / (col("nr") + nBuckets)))
+          .as("lr"))
+    val scored = rawF.join(broadcast(ratio), Seq("b"))
+      .groupBy(col("rid").as(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lr")).as("logw"))
+    raw.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_feats")).na.fill(0.0, Seq("logw"))
+  }
+
+  /** DSIR selection: keep the `k` raw documents with the largest
+    * importance weights. `gumbelSeed` switches from deterministic top-k to
+    * the paper's Gumbel-top-k resampling — equivalent to sampling without
+    * replacement ∝ exp(logw) — using a HASH-derived uniform (md5 of
+    * seed‖doc id), so the "randomness" is reproducible and replayable in
+    * SQL, never a nondeterministic rand(). Ordering ties break by id.
+    * The top-k itself is TakeOrdered (sort-free at any corpus size). */
+  def dsirSelect(raw: DataFrame, target: DataFrame, k: Int,
+      nBuckets: Int = 4096, bigrams: Boolean = true,
+      gumbelSeed: Option[String] = None, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = dsirWeights(raw, target, nBuckets, bigrams, textCol, idCol)
+    val keyed = gumbelSeed match {
+      case None => w.withColumn("key", col("logw"))
+      case Some(seed) =>
+        // u in (0,1): 6 md5 hex chars -> (v + 0.5) / 16^6; gumbel = -ln(-ln u)
+        val u = (md5Bucket(s"concat('$seed', $idCol)", 6).cast("double") +
+          0.5) / math.pow(16, 6)
+        w.withColumn("key", col("logw") - log(-log(u)))
+    }
+    keyed.orderBy(col("key").desc, col(idCol)).limit(k)
+      .select(col(idCol), col("n_feats"), col("logw"))
+  }
 }

@@ -312,6 +312,32 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(recovered >= 7, s"multi-probe should recover ≥7/8 perturbed twins: $recovered ($hits)")
   }
 
+  test("v6 semDedup joins by cluster equality — no nested-loop, no cartesian") {
+    val p = staticPlan("v6_semdedup").toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"v6 must not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"v6 must not cross join:\n$p")
+  }
+
+  test("semDedup maxCluster passes an oversized cell through undeduped") {
+    // 8 identical vectors collapse into one cell; with the cap below 8
+    // that cell skips the self-join entirely (no detonated pair set), so
+    // all 8 survive. A small 2-copy group in a different direction still
+    // dedupes to its lowest id.
+    val hot = (0 until 8).map(i => (i.toLong, Seq.fill(16)(1.0f)))
+    val pair = Seq((100L, Seq.tabulate(16)(j => (j + 1).toFloat)),
+      (101L, Seq.tabulate(16)(j => (j + 1).toFloat)))
+    val embs = (hot ++ pair).toDF("vec_id", "embedding")
+    val survivors = Similarity.semDedup(embs, tau = 0.99, nlist = 4,
+        trainSample = 10, iters = 3, maxCluster = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == (0 until 8).map(_.toLong).toSet + 100L,
+      s"hot cell passes through, small group dedupes: $survivors")
+    val capless = Similarity.semDedup(embs, tau = 0.99, nlist = 4,
+        trainSample = 10, iters = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(capless == Set(0L, 100L), s"uncapped keeps one per group: $capless")
+  }
+
   test("embeddingPairs multi-table finds planted dups and only planted dups") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val planted = emb.filter($"vec_id" < 8).withColumn("vec_id", $"vec_id" + 10000)

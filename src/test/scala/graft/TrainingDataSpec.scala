@@ -264,4 +264,45 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(cleaned.toSet == Set((false, "abcdefgh"), (true, "abcdefgh")),
       s"no pair counted across the null id: ${cleaned.toSeq}")
   }
+
+  test("dsirWeights ranks target-like docs above off-target docs") {
+    // target speaks {alpha beta gamma}; raw mixes target-like docs with
+    // docs from a disjoint vocabulary — the importance weight must rank
+    // every target-like doc above every off-target doc
+    val target = (0 until 20).map(i =>
+      (100L + i, s"alpha beta gamma alpha beta")).toDF("doc_id", "text")
+    val raw = ((0 until 5).map(i => (i.toLong, "alpha beta gamma beta")) ++
+      (5 until 10).map(i => (i.toLong, "delta epsilon zeta delta epsilon")))
+      .toDF("doc_id", "text")
+    val w = TrainingData.dsirWeights(raw, target)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w.size == 10)
+    val likeMin = (0 until 5).map(i => w(i.toLong)).min
+    val offMax = (5 until 10).map(i => w(i.toLong)).max
+    assert(likeMin > offMax,
+      s"target-like docs must outscore off-target: $likeMin <= $offMax ($w)")
+    // zero-token doc scores 0 with 0 features
+    val z = TrainingData.dsirWeights(
+        Seq((1L, "")).toDF("doc_id", "text"), target)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(z.toSeq == Seq((1L, 0L, 0.0)), s"empty doc: ${z.toSeq}")
+  }
+
+  test("dsirSelect: top-k deterministic; gumbel reproducible, weight-biased") {
+    val target = (0 until 10).map(i =>
+      (200L + i, "alpha beta gamma")).toDF("doc_id", "text")
+    val raw = ((0 until 6).map(i => (i.toLong, "alpha beta gamma")) ++
+      (6 until 30).map(i => (i.toLong, "delta epsilon zeta")))
+      .toDF("doc_id", "text")
+    val top = TrainingData.dsirSelect(raw, target, k = 6)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == (0 until 6).map(_.toLong).toSet, s"plain top-k: $top")
+    val g1 = TrainingData.dsirSelect(raw, target, k = 10,
+      gumbelSeed = Some("s1")).collect().map(_.getLong(0)).toSeq
+    val g2 = TrainingData.dsirSelect(raw, target, k = 10,
+      gumbelSeed = Some("s1")).collect().map(_.getLong(0)).toSeq
+    assert(g1 == g2, "hash-gumbel must be reproducible across runs")
+    // the 6 high-weight docs dominate a k=10 gumbel draw
+    assert(g1.count(_ < 6L) >= 5, s"gumbel draw should favor weight: $g1")
+  }
 }
