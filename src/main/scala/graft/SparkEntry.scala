@@ -1365,6 +1365,36 @@ object SparkEntry {
         .limit(50)
     },
 
+    "t28_temperature_mix" -> { (s, d) =>
+      // temperature-scaled domain mixing (TrainingData.temperatureMix):
+      // per-source quota ∝ n^(1/T) at T=2, filled in seeded md5-id order.
+      // The oracle replays quota arithmetic and hash ranking verbatim.
+      graft.operators.TrainingData.temperatureMix(
+          t(s, d, "documents"), "source", total = 200, temperature = 2.0)
+        .select(col("doc_id"), col("source"), col("n_domain"),
+          col("quota"), col("domain_rank"))
+        .orderBy("doc_id")
+    },
+
+    "t29_bm25_topk" -> { (s, d) =>
+      // BM25 retrieval (Retrieval.bm25Scores, Robertson-Zaragoza 2009 with
+      // Lucene idf): three authored queries over the corpus vocabulary;
+      // ranking by the 6-dp-ROUNDED score with doc_id tie-break so the
+      // cut line is stable across engines' summation orders.
+      import s.implicits._
+      val queries = Seq((1L, "spark table scan"), (2L, "hash join merge"),
+        (3L, "window sort fast")).toDF("query_id", "qtext")
+      val w = Window.partitionBy("qid")
+        .orderBy(col("score6").desc, col("did"))
+      graft.operators.Retrieval.bm25Scores(t(s, d, "documents"), queries)
+        .withColumn("score6", round(col("score"), 6))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 10)
+        .select(col("qid"), col("did"), col("rk"), col("n_hit"),
+          col("score6"))
+        .orderBy("qid", "rk")
+    },
+
     "t23_bpe_tokenize" -> { (s, d) =>
       // real BPE (Sennrich et al. 2016, the sentencepiece/GPT-2 family):
       // merges trained on the DISTRIBUTED word histogram (map-side
@@ -4172,6 +4202,71 @@ object SparkEntry {
            round(coalesce(sc.logw, 0.0), 6) AS logw6
          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          ORDER BY logw6 DESC, d.doc_id LIMIT 50""",
+
+    // temperature-mix replay: quota = floor(200 * n^(1/2) / sum n^(1/2)),
+    // fill order = md5(doc_id || ':temp-mix') with doc_id tie-break
+    "t28_temperature_mix" ->
+      """WITH c AS (
+           SELECT source, count(*) AS n_domain FROM documents GROUP BY 1),
+         w AS (SELECT source, n_domain,
+                 pow(CAST(n_domain AS DOUBLE), 0.5) AS w FROM c),
+         q AS (SELECT source, n_domain,
+                 CAST(floor(200.0 * w / (SELECT sum(w) FROM w)) AS BIGINT)
+                   AS quota
+               FROM w),
+         r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5(doc_id || ':temp-mix'), doc_id) AS rk
+               FROM documents)
+         SELECT r.doc_id, r.source, q.n_domain, q.quota,
+           CAST(r.rk AS BIGINT) AS domain_rank
+         FROM r JOIN q USING (source) WHERE r.rk <= q.quota
+         ORDER BY r.doc_id""",
+
+    // BM25 replay: whitespace tokens, tf/dl/df/avgdl aggregates, Lucene
+    // idf ln(1+(N-df+.5)/(df+.5)), k1=1.2 b=0.75; rank on the rounded
+    // score with doc tie-break, top 10 per query
+    "t29_bm25_topk" ->
+      """WITH queries(qid, qtext) AS (
+           VALUES (1, 'spark table scan'), (2, 'hash join merge'),
+                  (3, 'window sort fast')),
+         dt AS (
+           SELECT doc_id AS did,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+               t -> t <> '')) AS term
+           FROM documents),
+         tf AS (SELECT did, term, count(*) AS tf FROM dt GROUP BY 1, 2),
+         dl AS (SELECT did, count(*) AS dl FROM dt GROUP BY 1),
+         qt AS (
+           SELECT DISTINCT qid,
+             unnest(list_filter(string_split_regex(qtext, '\s+'),
+               t -> t <> '')) AS term
+           FROM queries),
+         df AS (
+           SELECT tf.term, count(*) AS df FROM tf
+           WHERE tf.term IN (SELECT term FROM qt) GROUP BY 1),
+         s AS (
+           SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT CAST(sum(dl) AS DOUBLE) FROM dl) /
+               (SELECT count(*) FROM documents) AS avgdl),
+         sc AS (
+           SELECT qt.qid, tf.did, count(*) AS n_hit,
+             sum(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                 (tf.tf * 2.2) /
+                 (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+           FROM tf
+           JOIN qt ON tf.term = qt.term
+           JOIN df ON tf.term = df.term
+           JOIN dl ON tf.did = dl.did
+           CROSS JOIN s
+           GROUP BY 1, 2),
+         rk AS (
+           SELECT qid, did, n_hit, round(score, 6) AS score6,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY round(score, 6) DESC, did) AS rk
+           FROM sc)
+         SELECT qid, did, CAST(rk AS INTEGER) AS rk, n_hit, score6
+         FROM rk WHERE rk <= 10 ORDER BY qid, rk""",
 
     // the tokenizer contract (see the t23 query comment): n_words is
     // recomputed independently; the three invariant booleans must be TRUE

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse lexical retrieval over the document corpus — the search half of
+  * training-data curation: seeding quality subsets from exemplar queries,
+  * auditing what a filter kept, and benchmark leakage triage beyond exact
+  * n-gram contamination (`TrainingData.contamination`).
+  *
+  * BM25 per Robertson & Zaragoza, "The Probabilistic Relevance Framework:
+  * BM25 and Beyond" (Found. Trends IR 2009), with the Lucene-style
+  * non-negative idf `ln(1 + (N - df + 0.5)/(df + 0.5))`.
+  */
+object Retrieval {
+
+  /** Per-(query, doc) BM25 scores for every doc sharing at least one term
+    * with the query.
+    *
+    * Scale shape: the inverted index is the (doc, term, tf) aggregate —
+    * map-side combinable, one shuffle keyed by (doc, term). The query set
+    * is small by definition: its distinct terms BROADCAST to semi-filter
+    * the index, so `df` is computed only for query terms (a ≤|terms|-row
+    * aggregate, broadcast back), and candidate scoring touches only
+    * postings of query terms — never the full corpus per query. Doc
+    * length and the global `avgdl`/`N` scalars ride 1-row aggregates.
+    * Nothing driver-side, no UDFs, no cartesian.
+    *
+    * Returns `(qid, did, n_hit, score)` — `n_hit` = how many of the
+    * query's distinct terms the doc contains. */
+  def bm25Scores(docs: DataFrame, queries: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id",
+      qIdCol: String = "query_id", qTextCol: String = "qtext"): DataFrame = {
+    require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0, 0 <= b <= 1: $k1 $b")
+    def toks(c: String) = s"filter(split($c, '\\\\s+'), t -> t <> '')"
+    val docTerms = Scatter(docs)
+      .select(col(idCol).as("did"), explode(expr(toks(textCol))).as("term"))
+    val tf = docTerms.groupBy("did", "term").agg(count(lit(1)).as("tf"))
+    val dl = docTerms.groupBy("did").agg(count(lit(1)).as("dl"))
+    val scalars = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(dl.agg(sum("dl").as("tot_dl")))
+      .select(col("n_docs"),
+        (col("tot_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val qterms = queries
+      .select(col(qIdCol).as("qid"), explode(expr(toks(qTextCol))).as("term"))
+      .distinct()
+    val tfq = tf.join(broadcast(qterms.select("term").distinct()),
+      Seq("term"), "left_semi")
+    val df = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+    tfq.join(broadcast(qterms), Seq("term"))
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("did"))
+      .crossJoin(broadcast(scalars))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib", col("idf") *
+        (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("qid", "did")
+      .agg(count(lit(1)).as("n_hit"), sum("contrib").as("score"))
+  }
+
+  /** BM25 top-`k` per query: [[bm25Scores]] ranked by (score desc, did).
+    * The per-query window is rank-limit-pushed (WindowGroupLimit) — map
+    * tasks keep a local top-`k` per query before the shuffle. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id",
+      qIdCol: String = "query_id", qTextCol: String = "qtext"): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("did"))
+    bm25Scores(docs, queries, k1, b, textCol, idCol, qIdCol, qTextCol)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+}

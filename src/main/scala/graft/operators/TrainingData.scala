@@ -438,6 +438,45 @@ object TrainingData {
     df.filter(pmod(keyExpr, lit(100)) < keep)
   }
 
+  /** Temperature-scaled domain mixing (the multilingual/multi-corpus
+    * sampling rule of Arivazhagan et al. 2019 §4.2 / GPT-3 Table 2.2 /
+    * PaLM): domain `d` gets a quota `⌊total · n_d^(1/T) / Σ_e n_e^(1/T)⌋`
+    * — T=1 is proportional sampling, T→∞ uniform across domains — and the
+    * quota is filled deterministically by seeded id-hash order, so the
+    * drawn mix is stable under re-ingestion and replayable in SQL.
+    *
+    * Scale shape: the quota table is one tiny per-domain aggregate
+    * (broadcast back); ranking is a domain-partitioned window whose
+    * `row_number ≤ total` CONSTANT pre-filter lets Catalyst push a
+    * WindowGroupLimit (map tasks keep their local top-`total` per domain
+    * before the shuffle), then the per-domain `rank ≤ quota` filter
+    * applies the real cap. Output rows carry `n_domain`, `quota`, and
+    * `domain_rank` for audit. */
+  def temperatureMix(docs: DataFrame, domainCol: String, total: Int,
+      temperature: Double, seed: String = "temp-mix",
+      idCol: String = "doc_id"): DataFrame = {
+    require(total > 0, s"total must be positive: $total")
+    require(temperature > 0, s"temperature must be positive: $temperature")
+    val cnts = docs.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_domain"))
+      .withColumn("w", pow(col("n_domain").cast("double"),
+        lit(1.0 / temperature)))
+    val quota = cnts.crossJoin(cnts.agg(sum("w").as("sw")))
+      .select(col(domainCol), col("n_domain"),
+        floor(lit(total.toDouble) * col("w") / col("sw")).cast("long")
+          .as("quota"))
+    val key = md5(concat(coalesce(col(idCol).cast("string"), lit("")),
+      lit(":" + seed)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col("__key"), col(idCol))
+    docs.withColumn("__key", key)
+      .withColumn("domain_rank", row_number().over(w).cast("long"))
+      .filter(col("domain_rank") <= total)
+      .join(broadcast(quota), Seq(domainCol))
+      .filter(col("domain_rank") <= col("quota"))
+      .drop("__key")
+  }
+
   /** Feature-hash bucket of a token expression: the first `hexChars` hex
     * digits of md5, decoded by the same portable `instr` arithmetic as
     * [[hashSplit]] so SQL engines agree bit-for-bit (4096 buckets at 3

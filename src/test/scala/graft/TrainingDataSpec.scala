@@ -265,6 +265,33 @@ class TrainingDataSpec extends AnyFunSuite {
       s"no pair counted across the null id: ${cleaned.toSeq}")
   }
 
+  test("temperatureMix: quotas follow n^(1/T), fill deterministic") {
+    // domains 64/16/4 docs; T=2 -> weights 8/4/2, shares 8/14, 4/14, 2/14
+    val docs = ((0 until 64).map(i => (i.toLong, "a")) ++
+      (100 until 116).map(i => (i.toLong, "b")) ++
+      (200 until 204).map(i => (i.toLong, "c"))).toDF("doc_id", "source")
+    val out = TrainingData.temperatureMix(docs, "source", total = 14,
+      temperature = 2.0).collect()
+    val byDom = out.groupBy(_.getAs[String]("source")).view.mapValues(_.length)
+    assert(byDom.toMap == Map("a" -> 8, "b" -> 4, "c" -> 2),
+      s"sqrt-scaled quotas: ${byDom.toMap}")
+    // deterministic under re-run and domain-local rank is dense from 1
+    val again = TrainingData.temperatureMix(docs, "source", total = 14,
+      temperature = 2.0).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).sorted.toSeq ==
+      again.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+    out.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("domain_rank")).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+    }
+    // T -> infinity flattens toward uniform: c's share grows
+    val flat = TrainingData.temperatureMix(docs, "source", total = 12,
+      temperature = 100.0).collect()
+    val flatByDom = flat.groupBy(_.getAs[String]("source")).view
+      .mapValues(_.length).toMap
+    assert(flatByDom("c") >= 3, s"high T approaches uniform: $flatByDom")
+  }
+
   test("dsirWeights ranks target-like docs above off-target docs") {
     // target speaks {alpha beta gamma}; raw mixes target-like docs with
     // docs from a disjoint vocabulary — the importance weight must rank
