@@ -2988,6 +2988,50 @@ object SparkEntry {
         .orderBy("domain")
     },
 
+    "mm8_lossless_jpeg" -> { (s, d) =>
+      // lossless JPEG (SOF3, T.81 Annex H) + 12-bit extended sequential
+      // (SOF1): per doc, a lossless stream at rotating precision 8/12/16
+      // and predictor 1-7 over a deterministic sample series (losslessness
+      // makes the sum closed-form), plus a DC-only 12-bit SOF1 stream with
+      // a 16-bit DQT whose flat blocks are quantization-exact. Decode runs
+      // DISTRIBUTED through the jpeg_lossless_*/jpeg12_* expressions.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .map { id =>
+          val w = 8 + (id % 5).toInt
+          val h = 6 + (id % 3).toInt
+          val prec = Seq(8, 12, 16)((id % 3).toInt)
+          val pred = 1 + (id % 7).toInt
+          val plane = Array.tabulate(w * h)(i =>
+            ((id * 31 + i * 7) % (1L << prec)).toInt)
+          val ll = graft.multimodal.JpegLossless.write(
+            w, h, prec, pred, 0, Array(plane))
+          val q = Array.fill(64)(8) // q0=8: pixel = c0 + 2048 exactly
+          val bw = 1 + (id % 2).toInt
+          val blocks = (0 until bw).map { b =>
+            val c = new Array[Int](64)
+            c(0) = (8 * ((id + b) % 200)).toInt - 800
+            c
+          }
+          val j12 = graft.multimodal.Jpeg12.writeGray(bw * 8, 8, 12, q, blocks)
+          (id, ll, j12)
+        }.toDF("id", "ll", "j12")
+      media.select(
+          jpeg_lossless_sum(col("ll")).as("lsum"),
+          jpeg_lossless_precision(col("ll")).cast("long").as("lprec"),
+          jpeg12_sum(col("j12")).as("jsum"))
+        .agg(
+          count(lit(1)).as("n"),
+          ((sum(when(col("lsum").isNotNull, 1L).otherwise(0L)) ===
+            count(lit(1))) &&
+           (sum(when(col("jsum").isNotNull, 1L).otherwise(0L)) ===
+            count(lit(1)))).as("decoded_all"),
+          sum(col("lsum")).cast("long").as("lossless_total"),
+          sum(col("lprec")).cast("long").as("prec_total"),
+          sum(col("jsum")).cast("long").as("j12_total"))
+    },
+
     "v6_semdedup" -> { (s, d) =>
       // SemDeDup semantic dedup (Similarity.semDedup): k-means cluster,
       // within-cluster cosine >= tau drops every vector with a lower-id
@@ -4447,6 +4491,34 @@ object SparkEntry {
       """SELECT vec_id + 10000 AS qid, vec_id AS nid, CAST(1 AS INTEGER) AS rk,
          CAST(1.0 AS DOUBLE) AS cos
          FROM embeddings WHERE vec_id < 10 ORDER BY qid""",
+
+    // lossless + 12-bit JPEG replay: the SOF3 sample series and the SOF1
+    // DC closed form recomputed arithmetically (entropy layers are
+    // lossless; DC-only flat blocks are quantization-exact at q0=8)
+    "mm8_lossless_jpeg" ->
+      """WITH d AS (
+           SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 256 WHEN 1 THEN 4096 ELSE 65536 END AS m
+           FROM documents WHERE doc_id < 200),
+         ls AS (
+           SELECT d.doc_id,
+             sum((d.doc_id * 31 + r.i * 7) % d.m) AS lsum,
+             CASE d.m WHEN 256 THEN 8 WHEN 4096 THEN 12 ELSE 16 END AS lprec
+           FROM d, range(0, 96) r(i) WHERE r.i < d.w * d.h
+           GROUP BY 1, 3),
+         js AS (
+           SELECT d2.doc_id,
+             sum((8 * ((d2.doc_id + b.i) % 200) - 800 + 2048) * 64) AS jsum
+           FROM (SELECT doc_id, 1 + doc_id % 2 AS bw FROM documents
+                 WHERE doc_id < 200) d2,
+             range(0, 2) b(i) WHERE b.i < d2.bw
+           GROUP BY 1)
+         SELECT count(*) AS n, TRUE AS decoded_all,
+           CAST(sum(ls.lsum) AS BIGINT) AS lossless_total,
+           CAST(sum(ls.lprec) AS BIGINT) AS prec_total,
+           CAST(sum(js.jsum) AS BIGINT) AS j12_total
+         FROM ls JOIN js ON ls.doc_id = js.doc_id""",
 
     // SemDeDup survivor contract: every planted exact copy (vec_id+10000,
     // cos 1.0 to its lower-id twin in the twin's own cluster) is dropped;

@@ -121,6 +121,11 @@ object GraftFunctions {
   def jpeg_luma_width(payload: Column): Column = col(JpegLumaWidth(ex(payload)))
   def jpeg_luma_height(payload: Column): Column = col(JpegLumaHeight(ex(payload)))
   def jpeg_luma_sum(payload: Column): Column = col(JpegLumaSum(ex(payload)))
+  def jpeg_lossless_precision(payload: Column): Column =
+    col(JpegLosslessPrecision(ex(payload)))
+  def jpeg_lossless_sum(payload: Column): Column = col(JpegLosslessSum(ex(payload)))
+  def jpeg12_precision(payload: Column): Column = col(Jpeg12Precision(ex(payload)))
+  def jpeg12_sum(payload: Column): Column = col(Jpeg12Sum(ex(payload)))
   def geotiff_meta(payload: Column): Column = col(GeoTiffMeta(ex(payload)))
   def geotiff_band_stats(payload: Column, band: Column): Column =
     col(GeoTiffBandStats(ex(payload), ex(band)))
@@ -237,6 +242,10 @@ object GraftFunctions {
     "jpeg_luma_width" -> { e => JpegLumaWidth(e.head) },
     "jpeg_luma_height" -> { e => JpegLumaHeight(e.head) },
     "jpeg_luma_sum" -> { e => JpegLumaSum(e.head) },
+    "jpeg_lossless_precision" -> { e => JpegLosslessPrecision(e.head) },
+    "jpeg_lossless_sum" -> { e => JpegLosslessSum(e.head) },
+    "jpeg12_precision" -> { e => Jpeg12Precision(e.head) },
+    "jpeg12_sum" -> { e => Jpeg12Sum(e.head) },
     "geotiff_meta" -> { e => GeoTiffMeta(e.head) },
     "geotiff_band_stats" -> { e => GeoTiffBandStats(e(0), e(1)) },
     "geotiff_pixels" -> { e => GeoTiffPixels(e(0), e(1)) },

@@ -71,6 +71,47 @@ case class JpegLumaSum(child: Expression) extends PngAccessorExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Lossless-JPEG (SOF3) accessors over [[graft.multimodal.JpegLossless]]
+  * — up-to-16-bit sample planes, so sums ride their own expressions
+  * rather than the byte-plane luma path (which 8-bit SOF3 also joins). */
+case class JpegLosslessPrecision(child: Expression) extends PngAccessorExpression {
+  override def prettyName: String = "jpeg_lossless_precision"
+  override def dataType: DataType = IntegerType
+  override def staticMethod: String = "graft.multimodal.JpegLossless.precisionOf"
+  protected override def nullSafeEval(p: Any): Any =
+    graft.multimodal.JpegLossless.precisionOf(p.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class JpegLosslessSum(child: Expression) extends PngAccessorExpression {
+  override def prettyName: String = "jpeg_lossless_sum"
+  override def dataType: DataType = LongType
+  override def staticMethod: String = "graft.multimodal.JpegLossless.sampleSum"
+  protected override def nullSafeEval(p: Any): Any =
+    graft.multimodal.JpegLossless.sampleSum(p.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 12-bit extended-sequential (SOF1) accessors over
+  * [[graft.multimodal.Jpeg12]]. */
+case class Jpeg12Precision(child: Expression) extends PngAccessorExpression {
+  override def prettyName: String = "jpeg12_precision"
+  override def dataType: DataType = IntegerType
+  override def staticMethod: String = "graft.multimodal.Jpeg12.precisionOf"
+  protected override def nullSafeEval(p: Any): Any =
+    graft.multimodal.Jpeg12.precisionOf(p.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class Jpeg12Sum(child: Expression) extends PngAccessorExpression {
+  override def prettyName: String = "jpeg12_sum"
+  override def dataType: DataType = LongType
+  override def staticMethod: String = "graft.multimodal.Jpeg12.sampleSum"
+  protected override def nullSafeEval(p: Any): Any =
+    graft.multimodal.Jpeg12.sampleSum(p.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** geotiff_meta(payload) — raster + georeferencing metadata of a GeoTIFF
   * binary column as a struct; null for non-TIFF bytes. One IFD walk per
   * row, no pixel decode (header-only contract, like the audio/video

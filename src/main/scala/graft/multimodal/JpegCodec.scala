@@ -28,7 +28,7 @@ object JpegCodec extends Serializable {
     35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
 
-  private final class Huff(bits: Array[Int], vals: Array[Int]) {
+  private[multimodal] final class Huff(bits: Array[Int], vals: Array[Int]) {
     // canonical code tables: mincode/maxcode/valptr per length (T.81 F.2.2.3)
     val minCode = new Array[Int](17)
     val maxCode = new Array[Int](17)
@@ -61,7 +61,7 @@ object JpegCodec extends Serializable {
     }
   }
 
-  private final class BitReader(data: Array[Byte], var pos: Int) {
+  private[multimodal] final class BitReader(data: Array[Byte], var pos: Int) {
     private var cur = 0
     private var nBits = 0
     def bit(): Int = {
@@ -202,9 +202,11 @@ object JpegCodec extends Serializable {
               return decodeProgressivePlanes(p, wantChroma)
             case 0xc9 => // sequential DCT, arithmetic entropy coding
               return JpegArith.decodePlanes(p, wantChroma)
-            case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xca |
+            case 0xc3 => // lossless sequential: 8-bit frames adapt here
+              return JpegLossless.asPlanes(p, wantChroma)
+            case 0xc1 | 0xc5 | 0xc6 | 0xc7 | 0xca |
                  0xcb | 0xcd | 0xce | 0xcf =>
-              return null // extended / lossless / arith-progressive: unsupported
+              return null // extended(8-bit here) / arith-progressive: unsupported
             case 0xdb => // DQT (possibly several tables per segment)
               var o = seg
               while (o < pos + 2 + len) {
@@ -662,7 +664,7 @@ object JpegCodec extends Serializable {
   }
 
   /** Separable 2D inverse DCT (T.81 A.3.3 reference definition). */
-  private def idct8x8(in: Array[Int], out: Array[Double]): Unit = {
+  private[multimodal] def idct8x8(in: Array[Int], out: Array[Double]): Unit = {
     // rows then columns with the orthonormal DCT-III
     val row = new Array[Double](64)
     var y = 0

@@ -651,4 +651,73 @@ class MultimodalSpec extends AnyFunSuite {
     val og = graft.multimodal.JpegCodec.decodeRgb(bos3.toByteArray)
     assert(og != null && og.channels == 3)
   }
+
+  test("lossless JPEG: decode∘encode sample-exact over predictors/precisions") {
+    import graft.multimodal.JpegLossless
+    val rnd = new scala.util.Random(11)
+    for (precision <- Seq(8, 12, 16); predictor <- 1 to 7) {
+      val w = 13; val h = 9
+      val maxV = (1 << precision) - 1
+      val plane = Array.fill(w * h)(rnd.nextInt(maxV + 1))
+      val bytes = JpegLossless.write(w, h, precision, predictor, 0,
+        Array(plane))
+      val f = JpegLossless.decode(bytes)
+      assert(f != null, s"p=$precision pred=$predictor must decode")
+      assert(f.width == w && f.height == h && f.precision == precision)
+      assert(f.samples(0).sameElements(plane),
+        s"p=$precision pred=$predictor not lossless")
+    }
+  }
+
+  test("lossless JPEG: multi-component, point transform, restarts") {
+    import graft.multimodal.JpegLossless
+    val rnd = new scala.util.Random(12)
+    val w = 10; val h = 6
+    // 3 components, 12-bit, predictor 4 (Ra+Rb-Rc)
+    val planes = Array.fill(3)(Array.fill(w * h)(rnd.nextInt(4096)))
+    val f3 = JpegLossless.decode(JpegLossless.write(w, h, 12, 4, 0, planes))
+    assert(f3 != null && f3.samples.length == 3)
+    (0 until 3).foreach(ci => assert(f3.samples(ci).sameElements(planes(ci))))
+    // point transform pt=2: samples multiples of 4 survive exactly
+    val pt = Array.fill(w * h)(rnd.nextInt(1024) * 4)
+    val fp = JpegLossless.decode(JpegLossless.write(w, h, 12, 1, 2, Array(pt)))
+    assert(fp != null && fp.samples(0).sameElements(pt), "pt=2 exact")
+    // restart interval mid-rows
+    val r = Array.fill(w * h)(rnd.nextInt(256))
+    val fr = JpegLossless.decode(
+      JpegLossless.write(w, h, 8, 7, 0, Array(r), restartInterval = 17))
+    assert(fr != null && fr.samples(0).sameElements(r), "restart-interval exact")
+    // 8-bit lossless joins the jpeg_luma_* path
+    val luma = graft.multimodal.JpegCodec.decodeLuma(
+      JpegLossless.write(w, h, 8, 1, 0, Array(r)))
+    assert(luma != null && luma.width == w &&
+      luma.pixels.map(_ & 0xff).sameElements(r), "SOF3 via decodeLuma")
+  }
+
+  test("12-bit SOF1: DC-only closed form, 16-bit DQT, marker honesty") {
+    import graft.multimodal.Jpeg12
+    val q = Array.fill(64)(8) // q0=8 -> pixel = c0 + 2048 exactly
+    val blocks = (0 until 6).map { i =>
+      val c = new Array[Int](64); c(0) = 100 * i - 200; c
+    }
+    val bytes = Jpeg12.writeGray(24, 16, 12, q, blocks)
+    val f = Jpeg12.decode(bytes)
+    assert(f != null && f.width == 24 && f.height == 16 && f.precision == 12)
+    // every 8x8 block is flat at c0*8/8 + 2048 = c0 + 2048
+    for (by <- 0 until 2; bx <- 0 until 3) {
+      val expect = 100 * (by * 3 + bx) - 200 + 2048
+      for (yy <- 0 until 8; xx <- 0 until 8)
+        assert(f.plane((by * 8 + yy) * 24 + bx * 8 + xx) == expect,
+          s"block ($bx,$by) expected $expect")
+    }
+    val sum = graft.multimodal.Jpeg12.sampleSum(bytes)
+    val closed = (0 until 6).map(i => (100 * i - 200 + 2048).toLong * 64).sum
+    assert(sum == closed, s"closed-form sum: $sum vs $closed")
+    // values past 12 bits clamp
+    val hot = (0 until 6).map { i => val c = new Array[Int](64); c(0) = 3000; c }
+    val fh = Jpeg12.decode(Jpeg12.writeGray(24, 16, 12, q, hot))
+    assert(fh.plane.forall(_ == 4095), "clamp to 2^12-1")
+    // the baseline decoder must NOT claim SOF1 streams
+    assert(graft.multimodal.JpegCodec.decodeLuma(bytes) == null)
+  }
 }
