@@ -409,8 +409,13 @@ object Dedup {
     * ever decrease — the sum is stable iff no label moved. Decimal(38)
     * accumulation cannot overflow on 64-bit ids. */
   def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // pre-shuffle the (bigger) edge side by the per-round join key ONCE:
+    // localCheckpoint preserves outputPartitioning into the LogicalRDD, so
+    // every propagation round reuses this layout instead of re-exchanging
+    // 2|E| rows per iteration
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .repartition(col("id_b"))
       .localCheckpoint(true)
     def checksum(df: DataFrame): java.math.BigDecimal = {
       val r = df.agg(sum(col("label").cast("decimal(38,0)")).as("ls")).head()
@@ -427,11 +432,20 @@ object Dedup {
         .groupBy(col("id_a").as("id")).agg(min(col("label")).as("nlabel"))
       val merged = labels.join(next, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // pointer jumping: also adopt the label OF my label (path doubling —
+      // Shiloach-Vishkin style), so propagation distance doubles per round
+      // and the loop converges in O(log diameter) rounds instead of
+      // O(diameter). `least` keeps labels monotonically decreasing, so the
+      // checksum convergence test stays valid.
+      val parents = merged.select(col("id").as("pid"), col("label").as("plabel"))
+      val jumped = merged.join(parents, col("label") === col("pid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
         .localCheckpoint(true) // truncate lineage: plan depth stays O(1)
-      val cur = checksum(merged)
+      val cur = checksum(jumped)
       changed = cur != prev
       prev = cur
-      labels = merged
+      labels = jumped
       iter += 1
     }
     labels
