@@ -2988,6 +2988,77 @@ object SparkEntry {
         .orderBy("domain")
     },
 
+    "s9e_geotiff_lossless" -> { (s, d) =>
+      // high-bit-depth JPEG-in-TIFF (round 7): lossless SOF3 and 12-bit
+      // SOF1 segments through the GeoTiff IFD walk — the DNG/raw shape.
+      // Variants: (0) 16-bit gray lossless, tiled 16x16, predictor 4;
+      // (1) 8-bit THREE-band lossless RGB strip (no YCbCr transform —
+      // lossless components are stored planes); (2) 12-bit SOF1 DC-only
+      // strip (quantization-exact at q0=8). All pixel series are
+      // closed-form, so the oracle recomputes every band-0 sum.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 120).as[Long]
+        .map { id =>
+          import graft.multimodal.{Jpeg12, JpegLossless}
+          import graft.sources.GeoTiff
+          val w = 16 + 8 * (id % 3).toInt
+          val h = 16 + 8 * (id % 2).toInt
+          val v = (id % 3).toInt
+          val bytes = v match {
+            case 0 =>
+              val ta = (w + 15) / 16
+              val td = (h + 15) / 16
+              val tiles = for (t <- 0 until ta * td) yield {
+                val plane = Array.tabulate(16 * 16) { i =>
+                  val x = (t % ta) * 16 + i % 16
+                  val y = (t / ta) * 16 + i / 16
+                  if (x >= w || y >= h) 0 // cropped region, never read back
+                  else ((id * 37 + x * 5 + y * 11) % 65536).toInt
+                }
+                JpegLossless.write(16, 16, 16, 4, 0, Array(plane))
+              }
+              GeoTiff.writeJpeg(w, h, 1, tiles, tileSize = 16, precision = 16)
+            case 1 =>
+              val planes = Array.tabulate(3)(c => Array.tabulate(w * h) { i =>
+                ((id + (i % w) * 3 + (i / w) * 7 + c * 40) % 256).toInt
+              })
+              GeoTiff.writeJpeg(w, h, 3,
+                Seq(JpegLossless.write(w, h, 8, 1, 0, planes)))
+            case _ =>
+              val q = Array.fill(64)(8)
+              val bxs = w / 8; val bys = h / 8
+              val blocks = (0 until bxs * bys).map { b =>
+                val c = new Array[Int](64)
+                c(0) = (8 * ((id + (b % bxs) + (b / bxs) * 3) % 200)).toInt - 800
+                c
+              }
+              GeoTiff.writeJpeg(w, h, 1,
+                Seq(Jpeg12.writeGray(w, h, 12, q, blocks)), precision = 12)
+          }
+          (id, v, bytes)
+        }.toDF("id", "variant", "payload")
+      media
+        .select(col("id"), col("variant"),
+          geotiff_meta(col("payload")).as("m"),
+          geotiff_band_stats(col("payload"), lit(0)).as("st"))
+        .withColumn("ok",
+          col("m.width") === (lit(16) + lit(8) * (col("id") % 3)).cast("int") &&
+            col("m.height") === (lit(16) + lit(8) * (col("id") % 2)).cast("int") &&
+            col("m.bands") === when(col("variant") === 1, 3).otherwise(1) &&
+            col("m.bits") === when(col("variant") === 0, 16)
+              .when(col("variant") === 1, 8).otherwise(12) &&
+            col("m.compression") === 7 &&
+            col("m.tiled") === (col("variant") === 0) &&
+            col("st.n") === ((lit(16) + lit(8) * (col("id") % 3)) *
+              (lit(16) + lit(8) * (col("id") % 2))))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("st.sum")).cast("long").as("sum_pix"),
+          (sum(when(col("ok"), 1L).otherwise(0L)) === count(lit(1))).as("all_ok"))
+        .orderBy("variant")
+    },
+
     "mm8_lossless_jpeg" -> { (s, d) =>
       // lossless JPEG (SOF3, T.81 Annex H) + 12-bit extended sequential
       // (SOF1): per doc, a lossless stream at rotating precision 8/12/16
@@ -4491,6 +4562,34 @@ object SparkEntry {
       """SELECT vec_id + 10000 AS qid, vec_id AS nid, CAST(1 AS INTEGER) AS rk,
          CAST(1.0 AS DOUBLE) AS cos
          FROM embeddings WHERE vec_id < 10 ORDER BY qid""",
+
+    // high-bit-depth JPEG-in-TIFF replay: per-variant pixel series
+    // recomputed arithmetically (v=id%3 pins variant↔width: 16/24/32)
+    "s9e_geotiff_lossless" ->
+      """WITH d AS (
+           SELECT doc_id AS id, CAST(doc_id % 3 AS INTEGER) AS v,
+             16 + 8 * (doc_id % 3) AS w, 16 + 8 * (doc_id % 2) AS h
+           FROM documents WHERE doc_id < 120),
+         v0 AS (
+           SELECT d.id, sum((d.id * 37 + x.i * 5 + y.i * 11) % 65536) AS s
+           FROM d, range(0, 32) x(i), range(0, 24) y(i)
+           WHERE d.v = 0 AND x.i < d.w AND y.i < d.h GROUP BY 1),
+         v1 AS (
+           SELECT d.id, sum((d.id + x.i * 3 + y.i * 7) % 256) AS s
+           FROM d, range(0, 32) x(i), range(0, 24) y(i)
+           WHERE d.v = 1 AND x.i < d.w AND y.i < d.h GROUP BY 1),
+         v2 AS (
+           SELECT d.id,
+             sum((8 * ((d.id + bx.i + 3 * byy.i) % 200) - 800 + 2048) * 64) AS s
+           FROM d, range(0, 4) bx(i), range(0, 3) byy(i)
+           WHERE d.v = 2 AND bx.i < d.w // 8 AND byy.i < d.h // 8 GROUP BY 1),
+         u AS (
+           SELECT id, s FROM v0 UNION ALL
+           SELECT id, s FROM v1 UNION ALL
+           SELECT id, s FROM v2)
+         SELECT d.v AS variant, count(*) AS n_files,
+           CAST(sum(u.s) AS BIGINT) AS sum_pix, TRUE AS all_ok
+         FROM d JOIN u ON d.id = u.id GROUP BY 1 ORDER BY 1""",
 
     // lossless + 12-bit JPEG replay: the SOF3 sample series and the SOF1
     // DC closed form recomputed arithmetically (entropy layers are

@@ -547,16 +547,58 @@ object GeoTiff {
   private def readSamplesJpeg(bytes: Array[Byte], r: Reader, ifd: Ifd,
       meta: Meta): Array[Double] = {
     import meta._
-    if (bitsPerSample != 8 || sampleFormat != 1) return null
+    if (sampleFormat != 1) return null
+    // 8-bit rides the DCT family; 12/16-bit ride lossless SOF3 (the
+    // DNG/raw shape) or, for 12-bit gray, extended-sequential SOF1
+    if (bitsPerSample != 8 && bitsPerSample != 12 && bitsPerSample != 16)
+      return null
     if (bands != 1 && bands != 3) return null
     if (ifd.long1(284, 1) != 1) return null // planar not supported
     val photometric = ifd.long1(262, if (bands >= 3) 6 else 1).toInt
-    if (bands == 3 && photometric != 6) return null // JPEG-native RGB: out of scope
     val out = new Array[Double](width * height * bands)
 
-    // decoded JPEG → chunky byte block at (x0, y0); cropped like place()
+    // decoded JPEG → chunky block at (x0, y0); cropped like place()
     def placeJpeg(jpeg: Array[Byte], x0: Int, y0: Int): Boolean = {
       if (jpeg == null) return false
+      // lossless first: no color transform (SOF3 components are stored
+      // planes — RGB stays RGB, raw stays raw), any supported precision
+      val lf = graft.multimodal.JpegLossless.decode(jpeg)
+      if (lf != null) {
+        if (lf.precision != bitsPerSample || lf.samples.length != bands)
+          return false
+        var yy = 0
+        while (yy < lf.height && y0 + yy < height) {
+          var x = 0
+          while (x < lf.width && x0 + x < width) {
+            var c = 0
+            while (c < bands) {
+              out((y0 + yy) * width * bands + (x0 + x) * bands + c) =
+                lf.samples(c)(yy * lf.width + x).toDouble
+              c += 1
+            }
+            x += 1
+          }
+          yy += 1
+        }
+        return true
+      }
+      if (bitsPerSample == 12) { // 12-bit DCT: SOF1 grayscale
+        if (bands != 1) return false
+        val f = graft.multimodal.Jpeg12.decode(jpeg)
+        if (f == null) return false
+        var yy = 0
+        while (yy < f.height && y0 + yy < height) {
+          var x = 0
+          while (x < f.width && x0 + x < width) {
+            out((y0 + yy) * width + x0 + x) = f.plane(yy * f.width + x).toDouble
+            x += 1
+          }
+          yy += 1
+        }
+        return true
+      }
+      if (bitsPerSample != 8) return false
+      if (bands == 3 && photometric != 6) return false // DCT RGB: out of scope
       val (bw, bh, px) =
         if (bands == 1) {
           val l = graft.multimodal.JpegCodec.decodeLuma(jpeg)
@@ -708,8 +750,10 @@ object GeoTiff {
   def writeJpeg(width: Int, height: Int, bands: Int, blocks: Seq[Array[Byte]],
       tileSize: Int = 0, oldStyle: Boolean = false, factorTables: Boolean = false,
       epsg: Int = 0, pixelScale: (Double, Double) = (0.0, 0.0),
-      origin: (Double, Double) = (0.0, 0.0)): Array[Byte] = {
+      origin: (Double, Double) = (0.0, 0.0), precision: Int = 8): Array[Byte] = {
     require(bands == 1 || bands == 3, s"bands must be 1 or 3: $bands")
+    require(precision == 8 || precision == 12 || precision == 16,
+      s"precision 8/12/16: $precision")
     require(!(oldStyle && tileSize > 0), "old-style JPEG is whole-image only")
     require(!(oldStyle && factorTables), "old-style JPEG has no JPEGTables")
     if (tileSize > 0) {
@@ -782,11 +826,11 @@ object GeoTiff {
       tags += T(tag, typ, 1, Some(v), 0, null)
     inlineT(256, 4, width)
     inlineT(257, 4, height)
-    if (bands == 1) inlineT(258, 3, 8)
+    if (bands == 1) inlineT(258, 3, precision)
     else tags += T(258, 3, bands, None, bands * 2,
-      () => (0 until bands).foreach(_ => w16(8)))
+      () => (0 until bands).foreach(_ => w16(precision)))
     inlineT(259, 3, if (oldStyle) 6 else 7)
-    inlineT(262, 3, if (bands == 3) 6 else 1)
+    inlineT(262, 3, if (bands == 3 && precision == 8) 6 else 1)
     inlineT(277, 3, bands)
     if (oldStyle) {
       tags += T(513, 4, 1, None, 4, () => w32(blockOffsets(0)))

@@ -397,6 +397,49 @@ class GeoTiffSpec extends AnyFunSuite {
       assert(s(y * w + x) == flatBlocks(5)(x, y).toDouble, s"($x,$y)")
   }
 
+  test("lossless-JPEG-in-TIFF: 16-bit tiles sample-exact (the DNG shape)") {
+    import graft.multimodal.JpegLossless
+    val (w, h, ts) = (24, 16, 16)
+    def px(x: Int, y: Int): Int = (x * 2311 + y * 7919) % 65536
+    val tiles = for (ty <- 0 until 1; tx <- 0 until 2) yield {
+      val plane = Array.tabulate(ts * ts)(i =>
+        px(tx * ts + i % ts, ty * ts + i / ts))
+      JpegLossless.write(ts, ts, 16, 4, 0, Array(plane))
+    }
+    val tiff = GeoTiff.writeJpeg(w, h, 1, tiles, tileSize = ts, precision = 16)
+    val m = GeoTiff.readMeta(tiff)
+    assert(m.compression == 7 && m.bitsPerSample == 16)
+    val s = GeoTiff.readSamples(tiff)
+    assert(s != null)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(s(y * w + x) == px(x, y).toDouble, s"($x,$y)")
+    // 3-band 8-bit lossless: RGB stays RGB (no YCbCr transform applied)
+    val rgb = Array.tabulate(3)(c =>
+      Array.tabulate(8 * 8)(i => (i * 3 + c * 40) % 256))
+    val t3 = GeoTiff.writeJpeg(8, 8, 3,
+      Seq(JpegLossless.write(8, 8, 8, 1, 0, rgb)))
+    val s3 = GeoTiff.readSamples(t3)
+    assert(s3 != null)
+    for (i <- 0 until 64; c <- 0 until 3)
+      assert(s3(i * 3 + c) == rgb(c)(i).toDouble, s"band $c px $i")
+  }
+
+  test("12-bit-SOF1-in-TIFF: DC-only strip decodes to the closed form") {
+    import graft.multimodal.Jpeg12
+    val (w, h) = (16, 8)
+    val q = Array.fill(64)(8)
+    val blocks = (0 until 2).map { i =>
+      val c = new Array[Int](64); c(0) = 300 * i - 150; c
+    }
+    val tiff = GeoTiff.writeJpeg(w, h, 1,
+      Seq(Jpeg12.writeGray(w, h, 12, q, blocks)), precision = 12)
+    assert(GeoTiff.readMeta(tiff).bitsPerSample == 12)
+    val s = GeoTiff.readSamples(tiff)
+    assert(s != null)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(s(y * w + x) == (300 * (x / 8) - 150 + 2048).toDouble, s"($x,$y)")
+  }
+
   test("JPEG-in-TIFF: old-style 6 interchange form decodes exactly") {
     val (w, h) = (16, 24)
     val tiff = GeoTiff.writeJpeg(w, h, 1, Seq(jpegGray(w, h, flatBlocks(1))),
