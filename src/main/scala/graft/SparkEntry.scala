@@ -3059,6 +3059,38 @@ object SparkEntry {
         .orderBy("variant")
     },
 
+    "mm2b_mp4_keyframes" -> { (s, d) =>
+      // MP4 sample tables (round 7): stbl stts/stsz/stss parsed into a
+      // keyframe seek index — the rows a video pipeline cuts clips on.
+      // Per doc: a video trak with two stts runs (100- then 150-unit
+      // deltas at timescale 1000), per-sample stsz sizes 500+7*no, and
+      // stss marking every 3rd sample. Decode-time expansion and sizes
+      // are pure arithmetic the oracle replays per keyframe.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 150).as[Long]
+        .map { id =>
+          import graft.multimodal.Multimodal.{TrackSpec, writeMp4}
+          val n = 10 + (id % 5).toInt
+          val h = n / 2
+          val video = TrackSpec(1, "vide", "avc1",
+            width = 640, height = 360, mediaTimescale = 1000,
+            mediaDuration = (h * 100 + (n - h) * 150).toLong,
+            sttsRuns = Seq((h, 100), (n - h, 150)),
+            sizes = (1 to n).map(i => 500 + 7 * i),
+            sync = 1 to n by 3)
+          // an audio trak WITHOUT sample tables contributes no keyframes
+          val audio = TrackSpec(2, "soun", "mp4a", sampleRate = 48000,
+            channels = 2, mediaTimescale = 48000)
+          (id, writeMp4(1000, 60000L, Seq(video, audio)))
+        }.toDF("id", "payload")
+      graft.multimodal.Multimodal.mp4KeyframeRows(
+          graft.multimodal.Multimodal.withMeta(s, media)).toDF()
+        .select(col("id"), col("track_id"), col("sample_no"),
+          col("time_ms"), col("size"))
+        .orderBy("id", "sample_no")
+    },
+
     "mm8_lossless_jpeg" -> { (s, d) =>
       // lossless JPEG (SOF3, T.81 Annex H) + 12-bit extended sequential
       // (SOF1): per doc, a lossless stream at rotating precision 8/12/16
@@ -4590,6 +4622,23 @@ object SparkEntry {
          SELECT d.v AS variant, count(*) AS n_files,
            CAST(sum(u.s) AS BIGINT) AS sum_pix, TRUE AS all_ok
          FROM d JOIN u ON d.id = u.id GROUP BY 1 ORDER BY 1""",
+
+    // keyframe seek-index replay: stts two-run decode-time expansion,
+    // stsz size series, stss every-3rd sync set — all id arithmetic
+    "mm2b_mp4_keyframes" ->
+      """WITH d AS (
+           SELECT doc_id AS id, 10 + CAST(doc_id % 5 AS INTEGER) AS n,
+             (10 + CAST(doc_id % 5 AS INTEGER)) // 2 AS h
+           FROM documents WHERE doc_id < 150),
+         k AS (
+           SELECT d.id, 1 + 3 * j.i AS no, d.n, d.h
+           FROM d, range(0, 5) j(i) WHERE 1 + 3 * j.i <= d.n)
+         SELECT id, CAST(1 AS BIGINT) AS track_id,
+           CAST(no AS INTEGER) AS sample_no,
+           CAST(CASE WHEN no - 1 < h THEN (no - 1) * 100
+                ELSE h * 100 + (no - 1 - h) * 150 END AS BIGINT) AS time_ms,
+           CAST(500 + 7 * no AS BIGINT) AS size
+         FROM k ORDER BY id, sample_no""",
 
     // lossless + 12-bit JPEG replay: the SOF3 sample series and the SOF1
     // DC closed form recomputed arithmetically (entropy layers are

@@ -343,10 +343,142 @@ object Multimodal {
     }
   }
 
-  /** Fixture writer: a spec-shaped ISO-BMFF track spec for [[writeMp4]]. */
+  /** Fixture writer: a spec-shaped ISO-BMFF track spec for [[writeMp4]].
+    * `sttsRuns` ((count, delta) pairs), `sizes`, and `sync` (1-based
+    * keyframe sample numbers) author the stbl sample tables when
+    * non-empty. */
   case class TrackSpec(trackId: Long, handler: String, codec: String,
       width: Int = 0, height: Int = 0, sampleRate: Int = 0, channels: Int = 0,
-      mediaTimescale: Int = 1000, mediaDuration: Long = 0L)
+      mediaTimescale: Int = 1000, mediaDuration: Long = 0L,
+      sttsRuns: Seq[(Int, Int)] = Nil, sizes: Seq[Int] = Nil,
+      sync: Seq[Int] = Nil)
+
+  /** One sync sample (keyframe) of an ISO-BMFF track: decode time from the
+    * stts run expansion in media-timescale units and milliseconds, byte
+    * size from stsz. The rows a video pipeline seeks/cuts on. */
+  case class KeySample(track_id: Long, sample_no: Int, time_units: Long,
+      time_ms: Long, size: Long)
+
+  /** Keyframe inventory via the sample tables (stbl → stts/stsz/stss):
+    * stts runs give each sample's decode time, stsz its size, stss the
+    * sync set (absent stss = every sample is sync, per ISO 14496-12).
+    * Box walk only; empty for non-BMFF bytes. Capped at 4096 keyframes
+    * per track (fixture/probe scale — a real lake stores these rows once
+    * at ingest, not per query). */
+  def mp4Keyframes(p: Array[Byte]): Array[KeySample] = {
+    if (p.length < 16 || !(p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'))
+      return Array.empty
+    def u32(o: Int): Long = ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+      ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+    def fourcc(o: Int) = new String(p, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def child(from: Int, end: Int, name: String): Int = {
+      var c = from
+      var g = 0
+      while (c + 8 <= end && g < 256) {
+        if (fourcc(c + 4) == name) return c
+        val cs = u32(c)
+        if (cs <= 8) return -1
+        c += cs.toInt
+        g += 1
+      }
+      -1
+    }
+    val out = scala.collection.mutable.ArrayBuffer[KeySample]()
+    val moov = child(0, p.length, "moov")
+    if (moov < 0) return Array.empty
+    val moovEnd = math.min(p.length.toLong, moov + u32(moov)).toInt
+    var t = moov + 8
+    var guard = 0
+    while (t + 8 <= moovEnd && guard < 64) {
+      val ts = u32(t)
+      if (ts <= 8) { t = moovEnd } else {
+        if (fourcc(t + 4) == "trak") {
+          val tEnd = math.min(moovEnd.toLong, t + ts).toInt
+          var trackId = 0L
+          val tkhd = child(t + 8, tEnd, "tkhd")
+          if (tkhd >= 0) {
+            val ver = p(tkhd + 8) & 0xff
+            trackId = if (ver == 1) u32(tkhd + 28) else u32(tkhd + 20)
+          }
+          val mdia = child(t + 8, tEnd, "mdia")
+          if (mdia >= 0) {
+            val mEnd = math.min(tEnd.toLong, mdia + u32(mdia)).toInt
+            var timescale = 0L
+            val mdhd = child(mdia + 8, mEnd, "mdhd")
+            if (mdhd >= 0) {
+              val ver = p(mdhd + 8) & 0xff
+              timescale = if (ver == 1) u32(mdhd + 28) else u32(mdhd + 20)
+            }
+            val minf = child(mdia + 8, mEnd, "minf")
+            val stbl = if (minf < 0) -1
+              else child(minf + 8, math.min(mEnd.toLong, minf + u32(minf)).toInt, "stbl")
+            if (stbl >= 0 && timescale > 0) {
+              val sEnd = math.min(mEnd.toLong, stbl + u32(stbl)).toInt
+              val stts = child(stbl + 8, sEnd, "stts")
+              val stsz = child(stbl + 8, sEnd, "stsz")
+              val stss = child(stbl + 8, sEnd, "stss")
+              if (stts >= 0 && stsz >= 0) {
+                // stts run expansion: per-sample decode time
+                val nRuns = u32(stts + 12).toInt
+                val runs = Array.tabulate(nRuns)(i =>
+                  (u32(stts + 16 + i * 8), u32(stts + 20 + i * 8)))
+                val nSamples = runs.foldLeft(0L)(_ + _._1)
+                val constSize = u32(stsz + 12)
+                val szCount = u32(stsz + 16)
+                def sizeOf(no1: Int): Long =
+                  if (constSize != 0) constSize
+                  else if (no1 <= szCount) u32(stsz + 20 + (no1 - 1) * 4)
+                  else 0L
+                def timeOf(no1: Int): Long = {
+                  var left = no1 - 1L
+                  var acc = 0L
+                  var r = 0
+                  while (r < runs.length) {
+                    val (c, dl) = runs(r)
+                    if (left < c) return acc + left * dl
+                    acc += c * dl
+                    left -= c
+                    r += 1
+                  }
+                  acc
+                }
+                val keys: Seq[Int] =
+                  if (stss >= 0) {
+                    val n = math.min(u32(stss + 12), 4096L).toInt
+                    (0 until n).map(i => u32(stss + 16 + i * 4).toInt)
+                  } else (1 to math.min(nSamples, 4096L).toInt)
+                keys.foreach { no =>
+                  if (no >= 1 && no <= nSamples) {
+                    val tu = timeOf(no)
+                    out += KeySample(trackId, no, tu, tu * 1000L / timescale,
+                      sizeOf(no))
+                  }
+                }
+              }
+            }
+          }
+        }
+        t += ts.toInt
+      }
+      guard += 1
+    }
+    out.toArray
+  }
+
+  case class KeyframeRow(id: Long, track_id: Long, sample_no: Int,
+      time_units: Long, time_ms: Long, size: Long)
+
+  /** Explode each payload's keyframes (one row per sync sample) on the
+    * partition iterator — the seek index a video pipeline cuts clips on. */
+  def mp4KeyframeRows(rows: Dataset[MediaRow]): Dataset[KeyframeRow] = {
+    import rows.sparkSession.implicits._
+    rows.mapPartitions { it =>
+      it.flatMap { r =>
+        mp4Keyframes(r.payload).iterator.map(k => KeyframeRow(r.id,
+          k.track_id, k.sample_no, k.time_units, k.time_ms, k.size))
+      }
+    }
+  }
 
   /** Fixture writer: ftyp + moov { mvhd, trak* { tkhd, mdia { mdhd, hdlr,
     * minf { stbl { stsd { visual|audio sample entry } } } } } } — the
@@ -426,7 +558,32 @@ object Multimodal {
         w.u8(0).zeros(3).u32(1)
         box("stsd", w.bytes ++ entry)
       }
-      val stbl = box("stbl", stsd)
+      val sampleBoxes: Array[Byte] =
+        if (ts.sttsRuns.isEmpty) Array.empty
+        else {
+          val stts = {
+            val w = new W
+            w.u8(0).zeros(3).u32(ts.sttsRuns.length)
+            ts.sttsRuns.foreach { case (c, dl) => w.u32(c); w.u32(dl) }
+            box("stts", w.bytes)
+          }
+          val stsz = {
+            val w = new W
+            w.u8(0).zeros(3).u32(0).u32(ts.sizes.length)
+            ts.sizes.foreach(w.u32(_))
+            box("stsz", w.bytes)
+          }
+          val stss =
+            if (ts.sync.isEmpty) Array.empty[Byte]
+            else {
+              val w = new W
+              w.u8(0).zeros(3).u32(ts.sync.length)
+              ts.sync.foreach(w.u32(_))
+              box("stss", w.bytes)
+            }
+          stts ++ stsz ++ stss
+        }
+      val stbl = box("stbl", stsd ++ sampleBoxes)
       val minf = box("minf", stbl)
       val mdia = box("mdia", mdhd ++ hdlr ++ minf)
       box("trak", tkhd ++ mdia)

@@ -652,6 +652,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(og != null && og.channels == 3)
   }
 
+  test("mp4Keyframes: stts expansion, stss subset, absent-stss = all sync") {
+    import graft.multimodal.Multimodal.{KeySample, TrackSpec, mp4Keyframes, writeMp4}
+    val v = TrackSpec(3, "vide", "avc1", width = 320, height = 240,
+      mediaTimescale = 600, mediaDuration = 2400,
+      sttsRuns = Seq((4, 100), (2, 400)), sizes = Seq(10, 20, 30, 40, 50, 60),
+      sync = Seq(1, 5))
+    val ks = mp4Keyframes(writeMp4(600, 2400, Seq(v)))
+    // sample 1 -> t=0; sample 5 -> 4*100 + 0*400 = 400 units = 666 ms
+    assert(ks.toSeq == Seq(
+      KeySample(3, 1, 0, 0, 10), KeySample(3, 5, 400, 666, 50)), ks.toSeq)
+    // absent stss: every sample is a sync sample
+    val all = TrackSpec(4, "vide", "avc1", mediaTimescale = 1000,
+      sttsRuns = Seq((3, 500)), sizes = Seq(7, 8, 9))
+    val ka = mp4Keyframes(writeMp4(1000, 1500, Seq(all)))
+    assert(ka.map(_.sample_no).toSeq == Seq(1, 2, 3) &&
+      ka.map(_.time_ms).toSeq == Seq(0, 500, 1000) &&
+      ka.map(_.size).toSeq == Seq(7, 8, 9), ka.toSeq)
+    // a track with no sample tables contributes nothing; non-BMFF is empty
+    val bare = TrackSpec(5, "soun", "mp4a", sampleRate = 8000, channels = 1)
+    assert(mp4Keyframes(writeMp4(1000, 1000, Seq(bare))).isEmpty)
+    assert(mp4Keyframes(Array[Byte](1, 2, 3)).isEmpty)
+    // out-of-range stss sample numbers are dropped, in-range kept
+    val oob = TrackSpec(6, "vide", "avc1", mediaTimescale = 1000,
+      sttsRuns = Seq((2, 100)), sizes = Seq(1, 2), sync = Seq(2, 9))
+    assert(mp4Keyframes(writeMp4(1000, 200, Seq(oob))).map(_.sample_no).toSeq
+      == Seq(2))
+  }
+
   test("lossless JPEG: decode∘encode sample-exact over predictors/precisions") {
     import graft.multimodal.JpegLossless
     val rnd = new scala.util.Random(11)
