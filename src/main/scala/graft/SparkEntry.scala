@@ -1395,6 +1395,31 @@ object SparkEntry {
         .orderBy("qid", "rk")
     },
 
+    "t30_unigram_tokenize" -> { (s, d) =>
+      // unigram-LM tokenizer (Kudo 2018, the sentencepiece-unigram
+      // family): substring-seeded vocabulary + hard-EM on the distributed
+      // word histogram, Viterbi encode as a map-only broadcast-model
+      // expression. Same oracle contract as t23: decode∘encode is EXACT
+      // string identity through the REAL trained model, every word yields
+      // ≥ 1 token, and no word needs more pieces than characters.
+      val docs = t(s, d, "documents")
+      val model = graft.text.Unigram.train(docs, "text",
+        vocabSize = 300, maxWords = 20000, seedSize = 1500, emIters = 3)
+      val toks = unigram_encode(col("text"), model)
+      val eow = lit(graft.text.Bpe.EOW)
+      val nWords = size(split(col("text"), lit(" ")))
+      val empty = length(col("text")) === 0
+      docs.select(
+          col("doc_id"),
+          nWords.as("n_words"),
+          when(empty, lit(true)).otherwise(
+            concat_ws("", toks) === concat(regexp_replace(col("text"), lit(" "), eow), eow))
+            .as("roundtrip_ok"),
+          when(empty, lit(true)).otherwise(size(toks) >= nWords).as("tok_ge_words"),
+          (size(toks) <= length(col("text")) + 1).as("tok_le_syms"))
+        .orderBy("doc_id")
+    },
+
     "t23_bpe_tokenize" -> { (s, d) =>
       // real BPE (Sennrich et al. 2016, the sentencepiece/GPT-2 family):
       // merges trained on the DISTRIBUTED word histogram (map-side
@@ -4419,6 +4444,15 @@ object SparkEntry {
     // recomputed independently; the three invariant booleans must be TRUE
     // on every row for the hash to match.
     "t23_bpe_tokenize" ->
+      """SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+           TRUE AS roundtrip_ok, TRUE AS tok_ge_words, TRUE AS tok_le_syms
+         FROM documents ORDER BY doc_id""",
+
+    // the unigram tokenizer pins the SAME per-row contract through the
+    // real trained model: exact roundtrip, >=1 token per word, never more
+    // pieces than base symbols
+    "t30_unigram_tokenize" ->
       """SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
            TRUE AS roundtrip_ok, TRUE AS tok_ge_words, TRUE AS tok_le_syms

@@ -106,6 +106,8 @@ object GraftFunctions {
   def bpeish_token_count(text: Column): Column = col(BpeIshTokenCount(ex(text)))
   def bpe_encode(text: Column, model: graft.text.BpeModel): Column =
     col(BpeEncode(ex(text), model))
+  def unigram_encode(text: Column, model: graft.text.UnigramModel): Column =
+    col(UnigramEncode(ex(text), model))
   def quality_score(text: Column): Column = col(QualityScore(ex(text)))
   def detect_lang(text: Column): Column = col(DetectLang(ex(text)))
   def unicode_normalize(text: Column, form: Column): Column =

@@ -243,6 +243,27 @@ object BpeEncode {
     tokens.map(UTF8String.fromString)
 }
 
+/** unigram_encode(text) → unigram-LM token array under a trained
+  * [[graft.text.UnigramModel]] — the [[BpeEncode]] broadcast-model shape
+  * (model inside the serialized expression, `addReferenceObj` codegen,
+  * map-only, per-executor Viterbi cache). */
+case class UnigramEncode(child: Expression, model: graft.text.UnigramModel)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "unigram_encode"
+  protected override def nullSafeEval(text: Any): Any =
+    new GenericArrayData(BpeEncode.toUtf8(
+      model.encode(text.asInstanceOf[UTF8String].toString)).asInstanceOf[Array[Any]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("unigramModel", model, "graft.text.UnigramModel")
+    defineCodeGen(ctx, ev, t =>
+      s"$GAD(graft.functions.BpeEncode.toUtf8($mRef.encode($t.toString())))")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** ivfpq_encode(vec) → struct(cell INT, codes BINARY): the IVF-PQ index
   * entry. Coarse centroid assignment + per-subspace residual codeword
   * bytes in one per-row pass ([[VectorLib.ivfPqAssign]]). The trained
