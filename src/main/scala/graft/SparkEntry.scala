@@ -1395,6 +1395,23 @@ object SparkEntry {
         .orderBy("qid", "rk")
     },
 
+    "t31_pagerank" -> { (s, d) =>
+      // PageRank power iteration (Graph.pageRank) over a deterministic
+      // synthetic link graph: every doc links to (7id+3)%N and (13id+5)%N
+      // — no dangling nodes, so the oracle's 3 unrolled iterations replay
+      // the exact recurrence (damping written as 1-0.85 to keep the
+      // float literal bit-identical across engines).
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % n).as("dst"))
+        .unionByName(docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 13 + 5) % n).as("dst")))
+      graft.operators.Graph.pageRank(e, iters = 3, damping = 0.85)
+        .select(col("id"), round(col("rank"), 6).as("rank6"))
+        .orderBy("id")
+    },
+
     "t30_unigram_tokenize" -> { (s, d) =>
       // unigram-LM tokenizer (Kudo 2018, the sentencepiece-unigram
       // family): substring-seeded vocabulary + hard-EM on the distributed
@@ -4448,6 +4465,34 @@ object SparkEntry {
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
            TRUE AS roundtrip_ok, TRUE AS tok_ge_words, TRUE AS tok_le_syms
          FROM documents ORDER BY doc_id""",
+
+    // PageRank replay: the same 2-out-edge graph, three unrolled power
+    // iterations of r' = (1-d)/N + d*sum(r_in/2); no dangling nodes by
+    // construction, sum(rank) stays 1
+    "t31_pagerank" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e AS (
+           SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+           FROM documents, nn
+           UNION ALL
+           SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn),
+         r0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) / nn.n AS r FROM documents, nn),
+         i1 AS (SELECT e.dst AS id, sum(r0.r / 2) AS x
+                FROM e JOIN r0 ON e.src = r0.id GROUP BY 1),
+         r1 AS (SELECT r0.id,
+                  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n + CAST(0.85 AS DOUBLE) * (coalesce(i1.x, CAST(0.0 AS DOUBLE)) + CAST(0.0 AS DOUBLE) / nn.n) AS r
+                FROM r0 LEFT JOIN i1 ON r0.id = i1.id, nn),
+         i2 AS (SELECT e.dst AS id, sum(r1.r / 2) AS x
+                FROM e JOIN r1 ON e.src = r1.id GROUP BY 1),
+         r2 AS (SELECT r1.id,
+                  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n + CAST(0.85 AS DOUBLE) * (coalesce(i2.x, CAST(0.0 AS DOUBLE)) + CAST(0.0 AS DOUBLE) / nn.n) AS r
+                FROM r1 LEFT JOIN i2 ON r1.id = i2.id, nn),
+         i3 AS (SELECT e.dst AS id, sum(r2.r / 2) AS x
+                FROM e JOIN r2 ON e.src = r2.id GROUP BY 1),
+         r3 AS (SELECT r2.id,
+                  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n + CAST(0.85 AS DOUBLE) * (coalesce(i3.x, CAST(0.0 AS DOUBLE)) + CAST(0.0 AS DOUBLE) / nn.n) AS r
+                FROM r2 LEFT JOIN i3 ON r2.id = i3.id, nn)
+         SELECT id, round(r, 6) AS rank6 FROM r3 ORDER BY id""",
 
     // the unigram tokenizer pins the SAME per-row contract through the
     // real trained model: exact roundtrip, >=1 token per word, never more

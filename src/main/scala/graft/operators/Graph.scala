@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for corpus curation. Web-scale quality filtering
+  * weighs documents by the authority of their source (the
+  * CommonCrawl-lineage pipelines rank hosts by link centrality before
+  * sampling), and [[graft.text.HtmlLib]]'s `html_links` already surfaces
+  * the raw edges — this is the aggregation that turns them into a signal.
+  */
+object Graph {
+
+  /** PageRank (Page et al. 1999) by power iteration.
+    *
+    * Scale shape: out-degrees are one map-side-combinable aggregate,
+    * joined back once and CHECKPOINTED with the edge list pre-partitioned
+    * by source — each iteration is then one equality join (contribution
+    * scatter, reusing the edge layout), one combinable sum by dst, and a
+    * left join back to the node set; `localCheckpoint` truncates lineage
+    * so plan depth stays O(1) across iterations (the [[Dedup.clusters]]
+    * discipline). Dangling mass (nodes with no out-links) is summed in a
+    * 1-row aggregate per iteration and redistributed uniformly, keeping
+    * Σ rank = 1 exactly — the invariant the spec pins.
+    *
+    * Returns `(id, rank)` over every node appearing as source OR target. */
+  def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    val n = nodes.count().toDouble
+    val odeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("odeg"))
+    var ranks = nodes.join(odeg, Seq("id"), "left")
+      .na.fill(0L, Seq("odeg"))
+      .withColumn("rank", lit(1.0 / n))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val dangling = ranks.filter(col("odeg") === 0)
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      val contrib = e.join(ranks.select(col("id").as("src"),
+          (col("rank") / col("odeg")).as("c")), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("c")).as("inflow"))
+      val next = ranks.select(col("id"), col("odeg"))
+        .join(contrib, Seq("id"), "left")
+        .crossJoin(dangling)
+        .withColumn("rank",
+          lit((1 - damping) / n) +
+            lit(damping) * (coalesce(col("inflow"), lit(0.0)) + col("dm") / n))
+        .select(col("id"), col("odeg"), col("rank"))
+        .localCheckpoint(true)
+      ranks = next
+      it += 1
+    }
+    ranks.select(col("id"), col("rank"))
+  }
+}
