@@ -1395,6 +1395,31 @@ object SparkEntry {
         .orderBy("qid", "rk")
     },
 
+    "t32_auc" -> { (s, d) =>
+      // ROC AUC (Eval.auc, Mann-Whitney with 0.5 tie credit): scores are
+      // the 6-dp-rounded first embedding coordinate, labels the parity of
+      // the cluster label. The oracle replays the distinct-score
+      // histogram + running-sum formula exactly.
+      val emb = t(s, d, "embeddings")
+        .select(round(element_at(col("embedding"), 1).cast("double"), 6)
+          .as("score"), (col("label") % 2).as("y"))
+      graft.operators.Eval.auc(emb, "score", "y")
+        .select(col("n_pos"), col("n_neg"), round(col("auc"), 6).as("auc6"))
+    },
+
+    "t33_psi" -> { (s, d) =>
+      // PSI drift monitor (Eval.psi): even-id docs are the baseline
+      // snapshot, odd-id the current one; score = n_chars over 10
+      // fixed-width buckets on [0, 400). Bucket shares, the eps floor,
+      // and the Σ(pc-pb)·ln(pc/pb) sum all replay in SQL.
+      val docs = t(s, d, "documents")
+      graft.operators.Eval.psi(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "n_chars", lo = 0.0, hi = 400.0, nBuckets = 10)
+        .select(col("n_base"), col("n_cur"), round(col("psi"), 6).as("psi6"))
+    },
+
     "t31_pagerank" -> { (s, d) =>
       // PageRank power iteration (Graph.pageRank) over a deterministic
       // synthetic link graph: every doc links to (7id+3)%N and (13id+5)%N
@@ -4465,6 +4490,56 @@ object SparkEntry {
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
            TRUE AS roundtrip_ok, TRUE AS tok_ge_words, TRUE AS tok_le_syms
          FROM documents ORDER BY doc_id""",
+
+    // AUC replay: distinct-score histogram, cumulative negatives below,
+    // wins = np*(cum_below + 0.5*nn), auc = wins/(P*N)
+    "t32_auc" ->
+      """WITH sc AS (
+           SELECT round(CAST(embedding[1] AS DOUBLE), 6) AS s,
+             CAST(label % 2 AS BIGINT) AS y
+           FROM embeddings),
+         h AS (
+           SELECT s, sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS np,
+             sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn
+           FROM sc GROUP BY 1),
+         st AS (
+           SELECT np, nn,
+             sum(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nn
+               AS cum_nn
+           FROM h)
+         SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           round(sum(CAST(np AS DOUBLE) *
+             (cum_nn + CAST(0.5 AS DOUBLE) * nn)) /
+             CAST(sum(np) * sum(nn) AS DOUBLE), 6) AS auc6
+         FROM st""",
+
+    // PSI replay: identical bucket arithmetic (fixed width 40 on [0,400),
+    // edge clamp), eps floor 1e-4 on both shares, same ln-ratio sum
+    "t33_psi" ->
+      """WITH b AS (
+           SELECT least(9, greatest(0, CAST(floor((n_chars -
+               CAST(0.0 AS DOUBLE)) / CAST(40.0 AS DOUBLE)) AS INTEGER)))
+               AS bk,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS is_base
+           FROM documents),
+         hb AS (SELECT bk, count(*) AS nb FROM b WHERE is_base = 1 GROUP BY 1),
+         hc AS (SELECT bk, count(*) AS nc FROM b WHERE is_base = 0 GROUP BY 1),
+         j AS (
+           SELECT coalesce(hb.bk, hc.bk) AS bk,
+             coalesce(hb.nb, 0) AS nb, coalesce(hc.nc, 0) AS nc
+           FROM hb FULL OUTER JOIN hc ON hb.bk = hc.bk),
+         t AS (SELECT (SELECT sum(nb) FROM j) AS tb,
+                      (SELECT sum(nc) FROM j) AS tc)
+         SELECT CAST(t.tb AS BIGINT) AS n_base, CAST(t.tc AS BIGINT) AS n_cur,
+           round(sum((greatest(CAST(0.0001 AS DOUBLE),
+               CAST(nc AS DOUBLE) / t.tc) -
+             greatest(CAST(0.0001 AS DOUBLE), CAST(nb AS DOUBLE) / t.tb)) *
+             ln(greatest(CAST(0.0001 AS DOUBLE), CAST(nc AS DOUBLE) / t.tc) /
+               greatest(CAST(0.0001 AS DOUBLE), CAST(nb AS DOUBLE) / t.tb))),
+             6) AS psi6
+         FROM j, t GROUP BY t.tb, t.tc""",
 
     // PageRank replay: the same 2-out-edge graph, three unrolled power
     // iterations of r' = (1-d)/N + d*sum(r_in/2); no dangling nodes by
