@@ -3158,6 +3158,38 @@ object SparkEntry {
         .orderBy("id", "sample_no")
     },
 
+    "mm9_cdc_dedup" -> { (s, d) =>
+      // FastCDC content-defined chunking (Cdc.chunks, min 64 / avg 256 /
+      // max 1024): per doc a deterministic ~2-5 KB byte blob; ids < 20
+      // get planted exact copies at id+10000 built from the SAME series.
+      // Contract: fingerprint twins are EXACTLY the planted pairs (chunk
+      // hashing is content-pure), and chunk counts respect the hard
+      // min/max bounds on every doc.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200).as[Long]
+        .flatMap { id =>
+          def blob(seed: Long): Array[Byte] = {
+            val len = 2000 + (seed % 7).toInt * 500
+            Array.tabulate(len)(i =>
+              ((seed * 131 + i * 7 + (i * i) % 251) % 256).toByte)
+          }
+          val self = Seq((id, blob(id)))
+          if (id < 20) self :+ ((id + 10000, blob(id))) else self
+        }.toDF("id", "payload")
+      val fp = media.select(col("id"),
+        cdc_fingerprint(col("payload")).as("f"),
+        cdc_n_chunks(col("payload")).as("nc"),
+        length(col("payload")).as("len"))
+      fp.as("a").join(fp.as("b"), col("a.f") === col("b.f")).groupBy(col("a.id").as("id"))
+        .agg(count(lit(1)).as("n_twins"), min(col("b.id")).as("twin_min"))
+        .join(fp.select(col("id"), col("nc"), col("len")), Seq("id"))
+        .select(col("id"), col("n_twins"), col("twin_min"),
+          (col("nc") >= ceil(col("len") / 1024.0).cast("int") &&
+            col("nc") <= col("len") / 64 + 1).as("bounds_ok"))
+        .orderBy("id")
+    },
+
     "mm8_lossless_jpeg" -> { (s, d) =>
       // lossless JPEG (SOF3, T.81 Annex H) + 12-bit extended sequential
       // (SOF1): per doc, a lossless stream at rotating precision 8/12/16
@@ -4793,6 +4825,21 @@ object SparkEntry {
                 ELSE h * 100 + (no - 1 - h) * 150 END AS BIGINT) AS time_ms,
            CAST(500 + 7 * no AS BIGINT) AS size
          FROM k ORDER BY id, sample_no""",
+
+    // CDC planted-twin replay: identical byte series ⇒ identical chunk
+    // fingerprints, distinct series ⇒ distinct (content-pure hashing);
+    // bounds booleans must be TRUE everywhere
+    "mm9_cdc_dedup" ->
+      """WITH d AS (
+           SELECT doc_id AS id FROM documents WHERE doc_id < 200
+           UNION ALL
+           SELECT doc_id + 10000 FROM documents WHERE doc_id < 20)
+         SELECT id,
+           CASE WHEN id >= 10000 OR id < 20 THEN 2 ELSE 1 END AS n_twins,
+           CASE WHEN id >= 10000 THEN id - 10000
+                ELSE id END AS twin_min,
+           TRUE AS bounds_ok
+         FROM d ORDER BY id""",
 
     // lossless + 12-bit JPEG replay: the SOF3 sample series and the SOF1
     // DC closed form recomputed arithmetically (entropy layers are

@@ -112,6 +112,29 @@ case class Jpeg12Sum(child: Expression) extends PngAccessorExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Content-defined-chunking accessors over [[graft.multimodal.Cdc]]
+  * (FastCDC) — binary-level dedup signals for blob columns. */
+case class CdcNChunks(child: Expression) extends PngAccessorExpression {
+  override def prettyName: String = "cdc_n_chunks"
+  override def dataType: DataType = IntegerType
+  override def staticMethod: String = "graft.multimodal.Cdc.nChunks"
+  protected override def nullSafeEval(p: Any): Any =
+    graft.multimodal.Cdc.nChunks(p.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class CdcFingerprint(child: Expression) extends PngAccessorExpression {
+  override def prettyName: String = "cdc_fingerprint"
+  override def dataType: DataType = StringType
+  override def staticMethod: String = "graft.multimodal.Cdc.fingerprint"
+  protected override def nullSafeEval(p: Any): Any = {
+    val s = graft.multimodal.Cdc.fingerprint(p.asInstanceOf[Array[Byte]])
+    if (s == null) null
+    else org.apache.spark.unsafe.types.UTF8String.fromString(s)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** geotiff_meta(payload) — raster + georeferencing metadata of a GeoTIFF
   * binary column as a struct; null for non-TIFF bytes. One IFD walk per
   * row, no pixel decode (header-only contract, like the audio/video

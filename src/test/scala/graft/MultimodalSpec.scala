@@ -652,6 +652,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(og != null && og.channels == 3)
   }
 
+  test("FastCDC: determinism, bounds, and edit locality") {
+    import graft.multimodal.Cdc
+    val rnd = new scala.util.Random(31)
+    val data = Array.fill(20000)(rnd.nextInt(256).toByte)
+    val a = Cdc.chunks(data)
+    val b = Cdc.chunks(data)
+    assert(a.toSeq == b.toSeq, "deterministic")
+    // cover the whole input contiguously, respect hard bounds
+    assert(a.head.offset == 0 && a.map(_.length).sum == data.length)
+    a.sliding(2).foreach { case Array(x, y) =>
+      assert(y.offset == x.offset + x.length)
+    case _ => }
+    a.dropRight(1).foreach(c => assert(c.length >= 64 && c.length <= 1024,
+      s"bounds: ${c.length}"))
+    // edit locality: insert one byte near the front; most chunk HASHES
+    // survive even though every offset after the edit shifts
+    val edited = (data.take(100) :+ 0x55.toByte) ++ data.drop(100)
+    val ae = Cdc.chunks(edited)
+    val shared = a.map(_.hash).toSet.intersect(ae.map(_.hash).toSet).size
+    assert(shared >= a.length * 2 / 3,
+      s"CDC must localize the edit: $shared of ${a.length} chunks survive")
+    // a fixed-size chunker would lose everything after offset 100:
+    val fixedShared = data.grouped(256).map(_.toSeq).toSet
+      .intersect(edited.grouped(256).map(_.toSeq).toSet).size
+    assert(shared > fixedShared, "CDC must beat fixed-size blocks")
+    // content-pure hashing: same bytes at different positions, same hash
+    assert(Cdc.chunks(data.slice(a(2).offset, a(2).offset + a(2).length))
+      .map(_.hash).headOption.isDefined)
+    // empty + tiny inputs
+    assert(Cdc.chunks(Array.empty[Byte]).isEmpty)
+    val tiny = Cdc.chunks(Array[Byte](1, 2, 3))
+    assert(tiny.length == 1 && tiny(0).length == 3)
+    intercept[IllegalArgumentException](Cdc.chunks(data, 100, 50, 200))
+  }
+
   test("mp4Keyframes: stts expansion, stss subset, absent-stss = all sync") {
     import graft.multimodal.Multimodal.{KeySample, TrackSpec, mp4Keyframes, writeMp4}
     val v = TrackSpec(3, "vide", "avc1", width = 320, height = 240,
