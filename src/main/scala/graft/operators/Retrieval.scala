@@ -38,7 +38,9 @@ object Retrieval {
     val docTerms = Scatter(docs)
       .select(col(idCol).as("did"), explode(expr(toks(textCol))).as("term"))
     val tf = docTerms.groupBy("did", "term").agg(count(lit(1)).as("tf"))
-    val dl = docTerms.groupBy("did").agg(count(lit(1)).as("dl"))
+    // doc length folds out of tf (Σ tf per doc) — one tokenization pass,
+    // and the second-level aggregate is tiny
+    val dl = tf.groupBy("did").agg(sum(col("tf")).as("dl"))
     val scalars = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(dl.agg(sum("dl").as("tot_dl")))
       .select(col("n_docs"),

@@ -530,12 +530,14 @@ object TrainingData {
     }
     val rawF = feats(Scatter(raw), "rid")
     val tgtF = feats(target, "tid")
-    // histograms + scalar totals ride 1-row/bucket-row aggregates; the
-    // log-ratio table is <= nBuckets rows however large the corpus is
+    // histograms ride bucket-row aggregates (<= nBuckets rows however
+    // large the corpus is); the scalar totals are SUMS OF THE HISTOGRAMS,
+    // not separate corpus scans — the token streams are read exactly
+    // twice for raw (histogram + scoring) and once for target
     val rawHist = rawF.groupBy("b").agg(count(lit(1)).as("cr"))
     val tgtHist = tgtF.groupBy("b").agg(count(lit(1)).as("ct"))
-    val rawTot = rawF.agg(count(lit(1)).as("nr"))
-    val tgtTot = tgtF.agg(count(lit(1)).as("nt"))
+    val rawTot = rawHist.agg(sum(col("cr")).as("nr"))
+    val tgtTot = tgtHist.agg(coalesce(sum(col("ct")), lit(0L)).as("nt"))
     val ratio = rawHist.join(tgtHist, Seq("b"), "left")
       .na.fill(0L, Seq("ct"))
       .crossJoin(rawTot).crossJoin(tgtTot)
