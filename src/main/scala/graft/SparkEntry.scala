@@ -3269,6 +3269,24 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    "e10_stream_drift" -> { (s, d) =>
+      // windowed PSI drift monitor batch twin (EventStreams.driftMonitor
+      // — ONE stateful windowed aggregation, per-bucket conditional sums,
+      // PSI as a stateless projection with baseline shares baked as
+      // literals; StreamingSpec drives the readStream form). Baseline =
+      // even event ids, current = odd, score = value over 10 buckets on
+      // [0, 500). The oracle replays shares, eps floor, and the ln-ratio
+      // sum per hour window.
+      val ev = events(s, d)
+      val shares = graft.streaming.EventStreams.baselineShares(
+        ev.filter(col("event_id") % 2 === 0), "value", 0.0, 500.0, 10)
+      graft.streaming.EventStreams.driftMonitor(
+          ev.filter(col("event_id") % 2 === 1), shares, 0.0, 500.0)
+        .select(unix_timestamp(col("window_start")).as("hour_epoch"),
+          col("n"), round(col("psi"), 6).as("psi6"))
+        .orderBy("hour_epoch")
+    },
+
     "e9_stream_neardup" -> { (s, d) =>
       // streaming near-dup intake batch twin (DocStreams.nearDupIntake —
       // arriving docs probe the EXISTING corpus's MinHash band lattice;
@@ -4522,6 +4540,38 @@ object SparkEntry {
            CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
            TRUE AS roundtrip_ok, TRUE AS tok_ge_words, TRUE AS tok_le_syms
          FROM documents ORDER BY doc_id""",
+
+    // windowed-PSI replay: baseline shares from even ids, per-hour bucket
+    // histograms from odd ids, same eps floor and ln-ratio sum
+    "e10_stream_drift" ->
+      """WITH b AS (
+           SELECT least(9, greatest(0,
+             CAST(floor(value / CAST(50.0 AS DOUBLE)) AS INTEGER))) AS bk
+           FROM events WHERE event_id % 2 = 0),
+         bs AS (SELECT bk, count(*) AS n FROM b GROUP BY 1),
+         bt AS (SELECT sum(n) AS t FROM bs),
+         pb AS (
+           SELECT r.i AS bk, greatest(CAST(0.0001 AS DOUBLE),
+             CAST(coalesce(bs.n, 0) AS DOUBLE) / bt.t) AS p
+           FROM range(0, 10) r(i) LEFT JOIN bs ON r.i = bs.bk, bt),
+         c AS (
+           SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             least(9, greatest(0,
+               CAST(floor(value / CAST(50.0 AS DOUBLE)) AS INTEGER))) AS bk
+           FROM events WHERE event_id % 2 = 1),
+         cw AS (SELECT h, bk, count(*) AS n FROM c GROUP BY 1, 2),
+         ct AS (SELECT h, sum(n) AS t FROM cw GROUP BY 1),
+         grid AS (SELECT ct.h, r.i AS bk, ct.t FROM ct, range(0, 10) r(i)),
+         j AS (
+           SELECT g.h, g.bk, g.t, coalesce(cw.n, 0) AS n
+           FROM grid g LEFT JOIN cw ON g.h = cw.h AND g.bk = cw.bk)
+         SELECT j.h AS hour_epoch, CAST(max(j.t) AS BIGINT) AS n,
+           round(sum(
+             (greatest(CAST(0.0001 AS DOUBLE), CAST(j.n AS DOUBLE) / j.t)
+               - pb.p) *
+             ln(greatest(CAST(0.0001 AS DOUBLE), CAST(j.n AS DOUBLE) / j.t)
+               / pb.p)), 6) AS psi6
+         FROM j JOIN pb ON j.bk = pb.bk GROUP BY 1 ORDER BY 1""",
 
     // AUC replay: distinct-score histogram, cumulative negatives below,
     // wins = np*(cum_below + 0.5*nn), auc = wins/(P*N)

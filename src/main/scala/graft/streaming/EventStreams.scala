@@ -90,6 +90,56 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("cell"), col("n"))
 
+  /** Windowed PSI drift monitor: per event-time window, the Population
+    * Stability Index of a score column against a FIXED baseline share
+    * vector ([[graft.operators.Eval.psi]]'s formula, streaming form) —
+    * the ingest-pipeline alarm that fires when the incoming score
+    * distribution walks away from the distribution the filters were tuned
+    * on.
+    *
+    * Streaming-safe by construction: ONE stateful aggregation. The bucket
+    * histogram folds into per-bucket conditional sums inside a single
+    * windowed groupBy (nBuckets = |baselineShares| bounded columns), and
+    * the PSI is a stateless projection over them with the baseline shares
+    * baked in as literals. Works identically on a batch frame — the gate's
+    * batch twin IS this function. */
+  def driftMonitor(events: DataFrame, baselineShares: Array[Double],
+      lo: Double, hi: Double, scoreCol: String = "value",
+      window_ : String = "1 hour", watermark: String = "2 hours",
+      eps: Double = 1e-4): DataFrame = {
+    val nBuckets = baselineShares.length
+    require(nBuckets >= 2, s"need >= 2 baseline buckets: $nBuckets")
+    require(hi > lo, s"need hi > lo: [$lo, $hi)")
+    val bucket = least(lit(nBuckets - 1), greatest(lit(0),
+      floor((col(scoreCol) - lo) / ((hi - lo) / nBuckets)).cast("int")))
+    val cnts = (0 until nBuckets).map(i =>
+      sum(when(col("b") === i, 1L).otherwise(0L)).as(s"c$i"))
+    val agged = events
+      .withWatermark("ts", watermark)
+      .withColumn("b", bucket)
+      .groupBy(window(col("ts"), window_))
+      .agg(count(lit(1)).as("n"), cnts: _*)
+    val psiExpr = (0 until nBuckets).map { i =>
+      val pb = math.max(eps, baselineShares(i))
+      val pc = greatest(lit(eps), col(s"c$i").cast("double") / col("n"))
+      (pc - pb) * log(pc / lit(pb))
+    }.reduce(_ + _)
+    agged.select(col("window.start").as("window_start"), col("n"),
+      psiExpr.as("psi"))
+  }
+
+  /** Driver-side baseline histogram shares for [[driftMonitor]]: one
+    * bounded nBuckets-row aggregate collect. */
+  def baselineShares(df: DataFrame, scoreCol: String, lo: Double, hi: Double,
+      nBuckets: Int = 10): Array[Double] = {
+    val bucket = least(lit(nBuckets - 1), greatest(lit(0),
+      floor((col(scoreCol) - lo) / ((hi - lo) / nBuckets)).cast("int")))
+    val rows = df.groupBy(bucket.as("b")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = rows.values.sum.toDouble
+    Array.tabulate(nBuckets)(i => rows.getOrElse(i, 0L) / total)
+  }
+
   case class UserRunning(user_id: Long, n_events: Long, sum_value: Double)
 
   /** Custom keyed state via flatMapGroupsWithState: a per-user running

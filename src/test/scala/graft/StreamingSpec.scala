@@ -63,6 +63,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.keySet.map(_._2).forall(graft.geom.H3Lib.isValidCell))
   }
 
+  test("driftMonitor: streamed windowed PSI matches its batch twin") {
+    val ev = eventsBatch()
+    val base = ev.filter(col("event_id") % 2 === 0)
+    val cur = ev.filter(col("event_id") % 2 === 1)
+    val shares = EventStreams.baselineShares(base, "value", 0.0, 500.0, 10)
+    assert(math.abs(shares.sum - 1.0) < 1e-12, s"shares sum ${shares.sum}")
+    val dir = java.nio.file.Files.createTempDirectory("driftev").toString + "/data"
+    cur.write.parquet(dir)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = EventStreams.driftMonitor(stream, shares, 0.0, 500.0)
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "stream timed out")
+    val streamed = spark.table("drift_out").collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = EventStreams.driftMonitor(
+        spark.read.parquet(dir), shares, 0.0, 500.0).collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (w, (n, psi)) =>
+      val (bn, bpsi) = batch(w)
+      assert(n == bn && math.abs(psi - bpsi) < 1e-12, s"window $w")
+    }
+    // direction check: a genuinely shifted current (all mass pushed into
+    // the top bucket) must alarm well above the same-distribution halves
+    // (whose per-window PSI is only small-sample noise)
+    val shifted = EventStreams.driftMonitor(
+        spark.read.parquet(dir).withColumn("value", col("value") + 450.0),
+        shares, 0.0, 500.0, window_ = "1 day").collect().map(_.getDouble(2))
+    val sameDay = EventStreams.driftMonitor(
+        spark.read.parquet(dir), shares, 0.0, 500.0, window_ = "1 day")
+      .collect().map(_.getDouble(2))
+    assert(shifted.min > sameDay.max,
+      s"shifted must dominate: ${shifted.min} vs ${sameDay.max}")
+  }
+
   test("DocStreams.intake: quality floor + hash dedup on a real stream") {
     import graft.streaming.DocStreams
     val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
