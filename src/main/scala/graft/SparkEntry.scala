@@ -2085,6 +2085,34 @@ object SparkEntry {
         .crossJoin(overlaps)
     },
 
+    "k1c_geoparquet_prune" -> { (s, d) =>
+      // bbox-pruned GeoParquet read (round 7): the k1 clustered sink read
+      // back through readGeoParquetPruned with a SW-quadrant query box —
+      // per-file footer bboxes decide which files Spark even opens, an
+      // EXACT coordinate predicate then pins correctness independently of
+      // pruning. The oracle replays the sample arithmetic + box filter;
+      // `pruned` asserts at least one file was skipped at this layout.
+      val sample = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          cxCol.as("x"), cyCol.as("y"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .limit(2000)
+        .select(col("x"), col("y"), col("l_orderkey").as("okey"))
+        .withColumn("geom", st_point(col("x"), col("y")))
+      val tmp = java.nio.file.Files.createTempDirectory("k1prune").toString + "/clustered"
+      graft.operators.GeoNormalize.writeClustered(sample, tmp, numFiles = 4, zstdLevel = 3)
+      val (pruned, nKept, nTot) = graft.operators.GeoNormalize
+        .readGeoParquetPruned(s, tmp, (-180.0, -90.0, -90.0, 0.0))
+      pruned
+        .filter(col("x") >= -180.0 && col("x") < -90.0 &&
+          col("y") >= -90.0 && col("y") < 0.0)
+        .agg(count(lit(1)).as("n"),
+          sum((col("x") * 2).cast("long")).as("sum_2x"),
+          sum(col("okey")).as("sum_okey"))
+        .withColumn("n_files_total", lit(nTot.toLong))
+        .withColumn("pruned", lit(nKept < nTot))
+    },
+
     "k1b_geoparquet_meta" -> { (s, d) =>
       // GeoParquet 1.1 interop on the clustered sink (VERDICT r5 #1): every
       // written file must carry the public `geo` footer key. The gate
@@ -4715,6 +4743,21 @@ object SparkEntry {
             CAST(4 AS BIGINT) AS n_files,
             CAST(0 AS BIGINT) AS range_violations
           FROM sample""",
+
+    // bbox-prune replay: the exact coordinate predicate over the same
+    // deterministic sample; pruned=TRUE pins that the footer path really
+    // skipped at least one of the 4 Hilbert files for this box
+    "k1c_geoparquet_prune" ->
+      s"""WITH sample AS (
+            SELECT $cxSql AS x, $cySql AS y, l_orderkey AS okey FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 2000)
+          SELECT COUNT(*) AS n,
+            CAST(SUM(CAST(x * 2 AS BIGINT)) AS BIGINT) AS sum_2x,
+            CAST(SUM(okey) AS BIGINT) AS sum_okey,
+            CAST(4 AS BIGINT) AS n_files_total,
+            TRUE AS pruned
+          FROM sample
+          WHERE x >= -180 AND x < -90 AND y >= -90 AND y < 0""",
 
     "k1b_geoparquet_meta" ->
       s"""WITH sample AS (

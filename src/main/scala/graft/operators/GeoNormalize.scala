@@ -190,6 +190,48 @@ object GeoNormalize {
     (spark.read.parquet(path), primary, bbox)
   }
 
+  /** Bbox-pruned GeoParquet scan: list the lake's files, read each one's
+    * GeoParquet `geo` footer (a KB-sized driver read per file — the same
+    * planning cost every GeoParquet reader pays), and hand Spark ONLY the
+    * files whose stored per-file bbox intersects the query box. On a
+    * Hilbert-clustered lake ([[writeClustered]]) file bboxes are compact,
+    * so a small query box reads a small fraction of a 100 TB lake before
+    * a single row is scanned. Files without a footer (or without a bbox)
+    * are conservatively kept — pruning is an optimization, never a
+    * filter; combine with an exact predicate downstream.
+    *
+    * Returns (pruned frame, files kept, files total). */
+  def readGeoParquetPruned(spark: SparkSession, path: String,
+      bbox: (Double, Double, Double, Double)): (DataFrame, Int, Int) = {
+    val (minx, miny, maxx, maxy) = bbox
+    require(minx <= maxx && miny <= maxy, s"invalid query bbox: $bbox")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val kept = files.filter { f =>
+      GeoParquetFooter.read(f.toString, conf) match {
+        case None => true // no footer: keep, never silently drop data
+        case Some(json) =>
+          val node = om.readTree(json)
+          val primary = node.path("primary_column").asText(null)
+          val b =
+            if (primary == null) null
+            else node.path("columns").path(primary).path("bbox")
+          if (b == null || !b.isArray || b.size < 4) true
+          else !(b.get(2).asDouble < minx || b.get(0).asDouble > maxx ||
+            b.get(3).asDouble < miny || b.get(1).asDouble > maxy)
+      }
+    }
+    val df =
+      if (kept.isEmpty)
+        spark.read.parquet(path).limit(0) // schema-preserving empty frame
+      else spark.read.parquet(kept.map(_.toString): _*)
+    (df, kept.length, files.length)
+  }
+
   /** Hilbert-sorted global order variant: one total sort (range exchange)
     * across the cluster — the exact reference semantics for single-file
     * outputs (east_asia.py:75-82). */

@@ -154,6 +154,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("readGeoParquetPruned skips non-intersecting files, keeps footerless ones") {
+    import org.apache.spark.sql.functions.{col => c}
+    val dir = tmp() + "/geoprune"
+    // two spatial clusters far apart -> Hilbert clustering puts them in
+    // different files with disjoint footer bboxes
+    val rows = (1 to 200).map(i => (i.toLong, s"w$i",
+      graft.geom.GeomLib.pointWkb(10.0 + (i % 10) * 0.01, 10.0 + (i % 7) * 0.01))) ++
+      (201 to 400).map(i => (i.toLong, s"e$i",
+        graft.geom.GeomLib.pointWkb(120.0 + (i % 10) * 0.01, -40.0 + (i % 7) * 0.01)))
+    val df = spark.createDataFrame(rows).toDF("id", "name", "geom")
+    GeoNormalize.writeClustered(df, dir, numFiles = 2, zstdLevel = 1)
+    // query box around the western cluster only
+    val (west, kept, total) = GeoNormalize.readGeoParquetPruned(spark, dir,
+      (9.0, 9.0, 11.0, 11.0))
+    assert(total == 2 && kept == 1, s"one of two files must prune: $kept/$total")
+    assert(west.count() == 200)
+    // a box missing everything reads zero rows but keeps the schema
+    val (none, k0, _) = GeoNormalize.readGeoParquetPruned(spark, dir,
+      (-10.0, -10.0, -5.0, -5.0))
+    assert(k0 == 0 && none.count() == 0 && none.columns.contains("geom"))
+    // footerless plain parquet is conservatively kept, never dropped
+    val plain = tmp() + "/plainprune"
+    df.write.parquet(plain)
+    val (all, kp, tp) = GeoNormalize.readGeoParquetPruned(spark, plain,
+      (-10.0, -10.0, -5.0, -5.0))
+    assert(kp == tp && all.count() == 400, "no footer => keep everything")
+    intercept[IllegalArgumentException] {
+      GeoNormalize.readGeoParquetPruned(spark, dir, (5.0, 5.0, 1.0, 1.0))
+    }
+  }
+
   test("zstd level 22 measurably outcompresses level 1 (the knob takes effect)") {
     // near-duplicate long strings: parquet's dictionary can't dedupe them
     // (all distinct) and zstd's level decides how well the page compresses —
