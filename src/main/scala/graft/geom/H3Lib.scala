@@ -1219,7 +1219,26 @@ object H3Lib {
     val k = math.ceil(corner / (spacing * 0.8)).toInt + 2
     val cellCount = 3L * k * (k + 1) + 1
     if (cellCount > maxCells) return Array.empty
-    gridDisk(center, k)
+    // the raw disk circumscribes the envelope's CORNER circle — for a
+    // rectangle that is ~2.5-4x more cells (and downstream join
+    // candidates) than the envelope itself needs. Trim: keep a cell iff
+    // its center is within maxSpacing of the envelope (clamped-point
+    // distance in the same degree metric). Superset-safe: any cell
+    // intersecting the envelope has its center within one circumradius
+    // (~0.58·neighbor spacing) of it, and maxSpacing over the center's
+    // neighbors bounds that with margin even under icosahedron
+    // distortion.
+    var maxSpacing = 0.0
+    nbrs.foreach { n =>
+      val (nlat, nlng) = cellToLatLng(n)
+      maxSpacing = math.max(maxSpacing, distDeg(hlat, hlng, nlat, nlng))
+    }
+    gridDisk(center, k).filter { c =>
+      val (clat, clng) = cellToLatLng(c)
+      val qlat = math.max(minLat, math.min(maxLat, clat))
+      val qlng = math.max(minLng, math.min(maxLng, clng))
+      distDeg(clat, clng, qlat, qlng) <= maxSpacing
+    }
   }
 
   // ---- hierarchy: children / compact / uncompact --------------------------

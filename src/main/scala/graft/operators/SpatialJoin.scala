@@ -126,9 +126,16 @@ object SpatialJoin {
     val tagged = Scatter(polygons)
       .withColumnRenamed(polyGeom, "__poly_geom")
       .withColumn("__cells", h3_cells_covering(col("__poly_geom"), lit(res)))
-    // explode() already drops empty-covering rows; see pointInPolygon.
+    // explode_OUTER on purpose: plain explode makes the optimizer infer
+    // `isnotnull(covering) AND size(covering) > 0` filters that INLINE
+    // the covering expression and re-evaluate it per polygon in the same
+    // stage (InferFiltersFromGenerate + project collapse — measured 3
+    // extra coverings/row on the j3h gate). The outer form infers no
+    // generate filters; the attribute-level isNotNull after it drops the
+    // same empty-covering rows for free.
     val gridable = tagged
-      .withColumn("__cell", explode(col("__cells"))).drop("__cells")
+      .withColumn("__cell", explode_outer(col("__cells"))).drop("__cells")
+      .filter(col("__cell").isNotNull)
     val oversized = tagged
       .filter(size(col("__cells")) === 0 && col("__poly_geom").isNotNull)
       .drop("__cells")
