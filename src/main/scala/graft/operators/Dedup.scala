@@ -33,8 +33,12 @@ object Dedup {
     // pre-shuffle stage — guard its parallelism against few-split inputs
     val sigs = Scatter(docs).select(col(idCol).as("id"),
       minhash_signature(shingle_hashes(col(textCol), lit(shingle)), lit(k), lit(seed)).as("sig"))
+    // posexplode_outer: plain posexplode infers size/isnotnull generate
+    // filters that inline the band-hash transform (and through it the
+    // signature) into an extra per-doc evaluation; the array here is
+    // always non-empty, so the outer form changes nothing else
     val bandCols = sigs.select(col("id"), col("sig"),
-      posexplode(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows), b))")))
+      posexplode_outer(expr(s"transform(sequence(0, ${bands - 1}), b -> hash(slice(sig, b * $rows + 1, $rows), b))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     // bucket-occupancy prefilter (the jaccardPairs `keep` pattern): a band
     // bucket with a single member emits no pair but still rides through the
@@ -81,9 +85,14 @@ object Dedup {
     // the shingle set size rides along with every exploded row (+8 bytes):
     // it removes the separate per-doc size aggregate AND its two joins onto
     // the pair set — two fewer full passes over the corpus text
+    // explode_OUTER + isNotNull, not plain explode: the inferred generate
+    // filters (size > 0, isnotnull) INLINE the shingle_hashes expression
+    // and re-run the text kernel up to 2 extra times per doc (the
+    // SpatialJoin.pointInPolygonH3 finding, docs/NOTES.md round 7)
     val sh0 = Scatter(docs)
       .select(col(idCol).as("id"), shingle_hashes(col(textCol), lit(shingle)).as("shs"))
-      .select(col("id"), size(col("shs")).as("nsh"), explode(col("shs")).as("sh"))
+      .select(col("id"), size(col("shs")).as("nsh"), explode_outer(col("shs")).as("sh"))
+      .filter(col("sh").isNotNull)
     // the exploded frame is consumed three times (posting counts + both
     // self-join sides); `materialize = true` buffers it once in executor
     // storage so the text kernel runs a single pass. Default OFF: measured
