@@ -27,7 +27,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = EventStreams.windowedCounts(stream, "1 hour")
       .writeStream.format("memory").queryName("win_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream timed out")
     val out = spark.table("win_out")
     // 300 events * 4 min = 20h span; append mode emits watermark-closed
     // windows (the final ones stay open) — expect most hours present
@@ -48,7 +48,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = EventStreams.cellHeatmap(stream)
       .writeStream.format("memory").queryName("hm_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream timed out")
     val streamed = spark.table("hm_out").collect()
       .map(r => (r.getTimestamp(0), r.getLong(1)) -> r.getLong(2)).toMap
     val batch = EventStreams.cellHeatmap(spark.read.parquet(dir)).collect()
@@ -118,7 +118,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = DocStreams.intake(stream, minQuality = 0.5)
       .writeStream.format("memory").queryName("doc_intake")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream timed out")
     val out = spark.table("doc_intake")
     // 20 distinct good texts survive; dups and junk are gone
     assert(out.count() == 20, s"got ${out.count()}")
@@ -152,7 +152,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = EventStreams.correlate(sl, sr, within = "1 hour")
       .writeStream.format("memory").queryName("corr_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream timed out")
     val streamed = spark.table("corr_out")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     // batch twin must agree exactly (same code path, no watermark effects
@@ -195,7 +195,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = EventStreams.statefulUserTotals(stream)
       .writeStream.format("memory").queryName("state_out")
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream timed out")
     val out = spark.table("state_out")
     // last update per user must equal the full batch totals
     val fin = out.groupBy("user_id").agg(max("n_events").as("n"))
@@ -213,7 +213,7 @@ class StreamingSpec extends AnyFunSuite {
     val q = EventStreams.dedupWithinWatermark(stream)
       .writeStream.format("memory").queryName("dedup_out")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream timed out")
     val out = spark.table("dedup_out")
     assert(out.count() == 14) // 7 users × 2 event types
   }
