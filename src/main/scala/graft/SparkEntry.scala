@@ -1395,6 +1395,33 @@ object SparkEntry {
         .orderBy("qid", "rk")
     },
 
+    "t34_chat_validate" -> { (s, d) =>
+      // chat-format validation (TrainingData.validateChat): each doc
+      // becomes an authored SFT conversation JSON; id%6 plants one
+      // structural defect per class — assistant-first (start), adjacent
+      // same roles (alternate), empty content (empty), trailing user
+      // (end) — or a valid shape with/without a system turn. The parser
+      // and rule chain run distributed; the oracle replays the expected
+      // verdicts and per-role length arithmetic from the id.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          def m(role: String, i: Int, empty: Boolean = false): String =
+            s"""{"role":"$role","content":"${if (empty) "" else s"c$i-$id"}"}"""
+          val msgs = (id % 6) match {
+            case 0 => Seq(m("user", 0), m("assistant", 1), m("user", 2), m("assistant", 3))
+            case 1 => Seq(m("system", 0), m("user", 1), m("assistant", 2), m("user", 3), m("assistant", 4))
+            case 2 => Seq(m("assistant", 0), m("user", 1), m("assistant", 2), m("user", 3))
+            case 3 => Seq(m("user", 0), m("user", 1), m("assistant", 2), m("assistant", 3))
+            case 4 => Seq(m("user", 0), m("assistant", 1, empty = true), m("user", 2), m("assistant", 3))
+            case _ => Seq(m("user", 0), m("assistant", 1), m("user", 2))
+          }
+          (id, msgs.mkString("[", ",", "]"))
+        }.toDF("doc_id", "messages")
+      graft.operators.TrainingData.validateChat(media)
+        .orderBy("doc_id")
+    },
+
     "t32_auc" -> { (s, d) =>
       // ROC AUC (Eval.auc, Mann-Whitney with 0.5 tie credit): scores are
       // the 6-dp-rounded first embedding coordinate, labels the parity of
@@ -4600,6 +4627,24 @@ object SparkEntry {
              ln(greatest(CAST(0.0001 AS DOUBLE), CAST(j.n AS DOUBLE) / j.t)
                / pb.p)), 6) AS psi6
          FROM j JOIN pb ON j.bk = pb.bk GROUP BY 1 ORDER BY 1""",
+
+    // chat-validation replay: expected verdicts and per-role length
+    // arithmetic per planted-defect class; content 'c<i>-<id>' is
+    // 3 + digits(id) chars
+    "t34_chat_validate" ->
+      """SELECT doc_id,
+           CASE CAST(doc_id % 6 AS INTEGER)
+             WHEN 1 THEN 5 WHEN 5 THEN 3 ELSE 4 END AS n_turns,
+           CAST(2 * (3 + length(CAST(doc_id AS VARCHAR))) AS BIGINT)
+             AS n_chars_user,
+           CAST(CASE WHEN doc_id % 6 IN (4, 5) THEN 1 ELSE 2 END *
+             (3 + length(CAST(doc_id AS VARCHAR))) AS BIGINT)
+             AS n_chars_assistant,
+           doc_id % 6 IN (0, 1) AS valid,
+           CASE CAST(doc_id % 6 AS INTEGER)
+             WHEN 2 THEN 'start' WHEN 3 THEN 'alternate'
+             WHEN 4 THEN 'empty' WHEN 5 THEN 'end' ELSE 'ok' END AS reason
+         FROM documents ORDER BY doc_id""",
 
     // AUC replay: distinct-score histogram, cumulative negatives below,
     // wins = np*(cum_below + 0.5*nn), auc = wins/(P*N)

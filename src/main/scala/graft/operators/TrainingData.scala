@@ -477,6 +477,63 @@ object TrainingData {
       .drop("__key")
   }
 
+  /** Chat-format (SFT/RLHF example) validation: parse a JSON `messages`
+    * array — `[{"role": ..., "content": ...}, ...]` — and check the
+    * structural contract instruction-tuning pipelines enforce before a
+    * conversation may enter a training mix:
+    *   1. parseable, ≥ 2 turns;
+    *   2. starts with `user` (or a `system` turn followed by `user`);
+    *   3. after the optional system turn, roles are exactly
+    *      user/assistant strictly alternating;
+    *   4. every content non-empty;
+    *   5. ends with an `assistant` turn (the example is complete).
+    * `reason` is the FIRST failed rule in that order ("ok" when valid) —
+    * a stable triage key for ingest dashboards. Per-role content lengths
+    * ride along for token budgeting.
+    *
+    * Pure per-row work: `from_json` + higher-order functions, codegen, no
+    * UDF, no shuffle — fuses into the scan at any scale. */
+  def validateChat(df: DataFrame, msgsCol: String = "messages",
+      idCol: String = "doc_id"): DataFrame = {
+    val msgSchema = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("role",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.StringType))))
+    df.withColumn("__m", from_json(col(msgsCol), msgSchema))
+      .withColumn("n_turns", coalesce(size(col("__m")), lit(-1)))
+      .withColumn("__roles", expr("transform(__m, x -> x.role)"))
+      .withColumn("__ofs", expr("IF(__roles[0] = 'system', 1, 0)"))
+      .withColumn("__starts_ok", expr(
+        "__roles[0] IN ('user', 'system') AND element_at(__roles, __ofs + 1) = 'user'"))
+      .withColumn("__alt_ok", expr(
+        """forall(IF(n_turns - 1 < __ofs + 1, array(),
+             sequence(__ofs + 1, n_turns - 1)),
+           i -> __roles[i] != __roles[i - 1] AND
+             __roles[i] IN ('user', 'assistant'))"""))
+      .withColumn("__nonempty", expr(
+        "forall(__m, x -> x.content IS NOT NULL AND length(x.content) > 0)"))
+      .withColumn("__ends_ok", expr("__roles[n_turns - 1] = 'assistant'"))
+      .withColumn("reason",
+        when(col("__m").isNull, "parse")
+          .when(col("n_turns") < 2, "short")
+          .when(!col("__starts_ok"), "start")
+          .when(!col("__alt_ok"), "alternate")
+          .when(!col("__nonempty"), "empty")
+          .when(!col("__ends_ok"), "end")
+          .otherwise("ok"))
+      .withColumn("valid", col("reason") === "ok")
+      .withColumn("n_chars_user", coalesce(expr(
+        """aggregate(filter(__m, x -> x.role = 'user'), CAST(0 AS BIGINT),
+           (acc, x) -> acc + coalesce(length(x.content), 0))"""), lit(0L)))
+      .withColumn("n_chars_assistant", coalesce(expr(
+        """aggregate(filter(__m, x -> x.role = 'assistant'), CAST(0 AS BIGINT),
+           (acc, x) -> acc + coalesce(length(x.content), 0))"""), lit(0L)))
+      .select(col(idCol), col("n_turns"), col("n_chars_user"),
+        col("n_chars_assistant"), col("valid"), col("reason"))
+  }
+
   /** Feature-hash bucket of a token expression: the first `hexChars` hex
     * digits of md5, decoded by the same portable `instr` arithmetic as
     * [[hashSplit]] so SQL engines agree bit-for-bit (4096 buckets at 3

@@ -292,6 +292,39 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(flatByDom("c") >= 3, s"high T approaches uniform: $flatByDom")
   }
 
+  test("validateChat: rule order, edge shapes, length accounting") {
+    def run(js: String): (Int, Long, Long, Boolean, String) = {
+      val r = TrainingData.validateChat(
+        Seq((1L, js)).toDF("doc_id", "messages")).collect()(0)
+      (r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getString(5))
+    }
+    // canonical valid example
+    assert(run("""[{"role":"user","content":"hi"},
+      {"role":"assistant","content":"hello"}]""") == (2, 2L, 5L, true, "ok"))
+    // malformed JSON / non-array
+    assert(run("""not json""")._5 == "parse")
+    // single turn
+    assert(run("""[{"role":"user","content":"hi"}]""")._5 == "short")
+    // system must be followed by user
+    assert(run("""[{"role":"system","content":"s"},
+      {"role":"assistant","content":"a"}]""")._5 == "start")
+    // unknown role mid-conversation fails alternation
+    assert(run("""[{"role":"user","content":"u"},
+      {"role":"tool","content":"t"},{"role":"assistant","content":"a"}]""")._5
+      == "alternate")
+    // null content counts as empty
+    assert(run("""[{"role":"user","content":"u"},
+      {"role":"assistant"}]""")._5 == "empty")
+    // trailing user
+    assert(run("""[{"role":"user","content":"u"},
+      {"role":"assistant","content":"a"},{"role":"user","content":"u2"}]""")
+      ._5 == "end")
+    // system content not counted in either per-role sum
+    val sys = run("""[{"role":"system","content":"syssys"},
+      {"role":"user","content":"abc"},{"role":"assistant","content":"de"}]""")
+    assert(sys == (3, 3L, 2L, true, "ok"), sys)
+  }
+
   test("dsirWeights ranks target-like docs above off-target docs") {
     // target speaks {alpha beta gamma}; raw mixes target-like docs with
     // docs from a disjoint vocabulary — the importance weight must rank
