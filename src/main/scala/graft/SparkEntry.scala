@@ -1464,6 +1464,25 @@ object SparkEntry {
         .orderBy("id")
     },
 
+    "t35_hits" -> { (s, d) =>
+      // HITS hubs/authorities (Graph.hits, 2 iterations): every doc links
+      // to the bijection (7id+3)%N, every third doc also to the quadratic
+      // (id²+1)%N — varying in/out degrees, so hub and authority vectors
+      // separate instead of collapsing to the uniform fixed point. The
+      // oracle unrolls both iterations (norms included) in SQL.
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val e = docs.select(col("doc_id").as("src"),
+          ((col("doc_id") * 7 + 3) % n).as("dst"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") * col("doc_id") + 1) % n).as("dst")))
+      graft.operators.Graph.hits(e, iters = 2)
+        .select(col("id"), round(col("hub"), 6).as("hub6"),
+          round(col("auth"), 6).as("auth6"))
+        .orderBy("id")
+    },
+
     "t30_unigram_tokenize" -> { (s, d) =>
       // unigram-LM tokenizer (Kudo 2018, the sentencepiece-unigram
       // family): substring-seeded vocabulary + hard-EM on the distributed
@@ -4695,6 +4714,49 @@ object SparkEntry {
                greatest(CAST(0.0001 AS DOUBLE), CAST(nb AS DOUBLE) / t.tb))),
              6) AS psi6
          FROM j, t GROUP BY t.tb, t.tc""",
+
+    // HITS replay: two unrolled half-step pairs (authority from hubs,
+    // hub from authorities, L2 norm after each) over the same graph
+    "t35_hits" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e AS (
+           SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+           FROM documents, nn
+           UNION ALL
+           SELECT doc_id, (doc_id * doc_id + 1) % nn.n FROM documents, nn
+           WHERE doc_id % 3 = 0),
+         nodes AS (SELECT doc_id AS id FROM documents),
+         h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+         a1r AS (
+           SELECT nodes.id, coalesce(s.x, CAST(0.0 AS DOUBLE)) AS ar
+           FROM nodes LEFT JOIN (
+             SELECT e.dst AS id, sum(h0.hub) AS x
+             FROM e JOIN h0 ON e.src = h0.id GROUP BY 1) s USING (id)),
+         a1 AS (SELECT id, ar / (SELECT sqrt(sum(ar * ar)) FROM a1r) AS auth
+                FROM a1r),
+         h1r AS (
+           SELECT nodes.id, coalesce(s.x, CAST(0.0 AS DOUBLE)) AS hr
+           FROM nodes LEFT JOIN (
+             SELECT e.src AS id, sum(a1.auth) AS x
+             FROM e JOIN a1 ON e.dst = a1.id GROUP BY 1) s USING (id)),
+         h1 AS (SELECT id, hr / (SELECT sqrt(sum(hr * hr)) FROM h1r) AS hub
+                FROM h1r),
+         a2r AS (
+           SELECT nodes.id, coalesce(s.x, CAST(0.0 AS DOUBLE)) AS ar
+           FROM nodes LEFT JOIN (
+             SELECT e.dst AS id, sum(h1.hub) AS x
+             FROM e JOIN h1 ON e.src = h1.id GROUP BY 1) s USING (id)),
+         a2 AS (SELECT id, ar / (SELECT sqrt(sum(ar * ar)) FROM a2r) AS auth
+                FROM a2r),
+         h2r AS (
+           SELECT nodes.id, coalesce(s.x, CAST(0.0 AS DOUBLE)) AS hr
+           FROM nodes LEFT JOIN (
+             SELECT e.src AS id, sum(a2.auth) AS x
+             FROM e JOIN a2 ON e.dst = a2.id GROUP BY 1) s USING (id)),
+         h2 AS (SELECT id, hr / (SELECT sqrt(sum(hr * hr)) FROM h2r) AS hub
+                FROM h2r)
+         SELECT h2.id, round(h2.hub, 6) AS hub6, round(a2.auth, 6) AS auth6
+         FROM h2 JOIN a2 USING (id) ORDER BY h2.id""",
 
     // PageRank replay: the same 2-out-edge graph, three unrolled power
     // iterations of r' = (1-d)/N + d*sum(r_in/2); no dangling nodes by

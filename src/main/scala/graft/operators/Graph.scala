@@ -11,6 +11,59 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** HITS (Kleinberg 1999): mutually-reinforcing hub and authority
+    * scores — `a = Aᵀh`, `h = Aa`, L2-normalized each half-step. Where
+    * PageRank measures global endorsement, HITS separates "links to good
+    * pages" (hub — a crawl frontier signal) from "is linked by good hubs"
+    * (authority — a content-quality signal).
+    *
+    * Scale shape per iteration: two equality joins against the
+    * pre-partitioned edge list + two combinable sums + two 1-row norm
+    * aggregates; lineage truncated per iteration ([[pageRank]]'s
+    * discipline). Nodes with no in-links get authority 0, no out-links
+    * hub 0 — the standard convention. */
+  def hits(edges: DataFrame, iters: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    var scores = nodes
+      .withColumn("hub", lit(1.0)).withColumn("auth", lit(1.0))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      // authority update: sum of in-neighbor hubs, then L2 normalize
+      val aRaw = nodes.join(
+        e.join(scores.select(col("id").as("src"), col("hub")), Seq("src"))
+          .groupBy(col("dst").as("id")).agg(sum(col("hub")).as("ar")),
+        Seq("id"), "left").na.fill(0.0, Seq("ar"))
+      val aNorm = aRaw.agg(sqrt(sum(col("ar") * col("ar"))).as("n"))
+      val withAuth = aRaw.crossJoin(aNorm)
+        .withColumn("auth", when(col("n") > 0, col("ar") / col("n"))
+          .otherwise(0.0))
+        .select(col("id"), col("auth"))
+      // hub update: sum of out-neighbor authorities, normalize
+      val hRaw = nodes.join(
+        e.join(withAuth.select(col("id").as("dst"), col("auth")), Seq("dst"))
+          .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hr")),
+        Seq("id"), "left").na.fill(0.0, Seq("hr"))
+      val hNorm = hRaw.agg(sqrt(sum(col("hr") * col("hr"))).as("n"))
+      scores = hRaw.crossJoin(hNorm)
+        .withColumn("hub", when(col("n") > 0, col("hr") / col("n"))
+          .otherwise(0.0))
+        .select(col("id"), col("hub"))
+        .join(withAuth, Seq("id"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    scores.select(col("id"), col("hub"), col("auth"))
+  }
+
   /** PageRank (Page et al. 1999) by power iteration.
     *
     * Scale shape: out-degrees are one map-side-combinable aggregate,

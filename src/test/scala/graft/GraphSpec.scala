@@ -35,6 +35,29 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(r.values.sum - 1.0) < 1e-9, s"sum ${r.values.sum}")
   }
 
+  test("hits: authority concentrates on the linked-to node, norms are unit") {
+    // 5 hubs all link to node 0; node 0 links to node 1
+    val e = ((1L to 5L).map(i => (i, 0L)) :+ ((0L, 1L))).toDF("src", "dst")
+    val r = Graph.hits(e, iters = 3).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    // node 0 is the sole heavily-linked target: max authority
+    assert(r(0L)._2 > 0.9, s"authority hub: $r")
+    // nodes 1..5 are the hubs pointing at it; node 0's own hub score is
+    // tiny (it links only to the weak node 1)
+    assert(r(2L)._1 > r(0L)._1, s"pure hubs outrank: $r")
+    // L2 norms of both vectors are 1
+    val hn = math.sqrt(r.values.map(v => v._1 * v._1).sum)
+    val an = math.sqrt(r.values.map(v => v._2 * v._2).sum)
+    assert(math.abs(hn - 1.0) < 1e-9 && math.abs(an - 1.0) < 1e-9, s"$hn $an")
+    // nodes 2..5 have no in-links -> authority exactly 0
+    assert((2L to 5L).forall(i => r(i)._2 == 0.0), s"leaf authorities: $r")
+    // a genuinely sink-only node: add 6 with an in-link and no out-link
+    val e2 = e.unionByName(Seq((0L, 6L)).toDF("src", "dst"))
+    val r2 = Graph.hits(e2, iters = 2).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r2(6L)._1 == 0.0, s"no out-links -> hub 0: $r2")
+  }
+
   test("pageRank: null edges dropped, validation is loud") {
     val e = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(2L), None))
       .toDF("src", "dst")
