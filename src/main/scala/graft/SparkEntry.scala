@@ -1422,6 +1422,33 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t36_chat_pack" -> { (s, d) =>
+      // chat → training record (TrainingData.chatToTraining): the VALID
+      // conversations from the t34 fixture flatten into role-tagged text
+      // with assistant loss-mask spans. The oracle reconstructs the FULL
+      // text string per variant (md5-compared) and the span arithmetic in
+      // closed form — the strongest possible packing contract.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+        .filter(id => id % 6 == 0 || id % 6 == 1)
+        .map { id =>
+          def m(role: String, i: Int): String =
+            s"""{"role":"$role","content":"c$i-$id"}"""
+          val msgs = (id % 6) match {
+            case 0 => Seq(m("user", 0), m("assistant", 1), m("user", 2), m("assistant", 3))
+            case _ => Seq(m("system", 0), m("user", 1), m("assistant", 2), m("user", 3), m("assistant", 4))
+          }
+          (id, msgs.mkString("[", ",", "]"))
+        }.toDF("doc_id", "messages")
+      graft.operators.TrainingData.chatToTraining(media)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"),
+          length(col("text")).as("text_len"), col("n_spans"),
+          col("mask_chars"),
+          element_at(col("mask_spans"), 1).getField("s").as("s1"),
+          element_at(col("mask_spans"), -1).getField("e").as("last_e"))
+        .orderBy("doc_id")
+    },
+
     "t32_auc" -> { (s, d) =>
       // ROC AUC (Eval.auc, Mann-Whitney with 0.5 tie credit): scores are
       // the 6-dp-rounded first embedding coordinate, labels the parity of
@@ -4646,6 +4673,35 @@ object SparkEntry {
              ln(greatest(CAST(0.0001 AS DOUBLE), CAST(j.n AS DOUBLE) / j.t)
                / pb.p)), 6) AS psi6
          FROM j JOIN pb ON j.bk = pb.bk GROUP BY 1 ORDER BY 1""",
+
+    // chat-pack replay: the full role-tagged text reconstructed per
+    // variant and md5-compared; span arithmetic closed-form with
+    // L = 3 + digits(id)
+    "t36_chat_pack" ->
+      """WITH d AS (
+           SELECT doc_id, CAST(doc_id % 6 AS INTEGER) AS v,
+             3 + length(CAST(doc_id AS VARCHAR)) AS L,
+             CAST(doc_id AS VARCHAR) AS i
+           FROM documents WHERE doc_id % 6 IN (0, 1)),
+         t AS (
+           SELECT doc_id, v, L,
+             CASE v WHEN 0 THEN
+               '<|user|>c0-' || i || '<|assistant|>c1-' || i ||
+               '<|user|>c2-' || i || '<|assistant|>c3-' || i
+             ELSE
+               '<|system|>c0-' || i || '<|user|>c1-' || i ||
+               '<|assistant|>c2-' || i || '<|user|>c3-' || i ||
+               '<|assistant|>c4-' || i
+             END AS txt
+           FROM d)
+         SELECT doc_id, md5(txt) AS text_md5,
+           CAST(length(txt) AS INTEGER) AS text_len,
+           CAST(2 AS INTEGER) AS n_spans,
+           CAST(2 * L AS BIGINT) AS mask_chars,
+           CAST(CASE v WHEN 0 THEN 21 + L ELSE 31 + 2 * L END AS INTEGER) AS s1,
+           CAST(CASE v WHEN 0 THEN 42 + 4 * L ELSE 52 + 5 * L END AS INTEGER)
+             AS last_e
+         FROM t ORDER BY doc_id""",
 
     // chat-validation replay: expected verdicts and per-role length
     // arithmetic per planted-defect class; content 'c<i>-<id>' is

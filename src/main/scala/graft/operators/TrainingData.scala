@@ -534,6 +534,48 @@ object TrainingData {
         col("n_chars_assistant"), col("valid"), col("reason"))
   }
 
+  /** Chat → training record: flatten a validated conversation into one
+    * role-tagged text (`<|role|>content` per turn, the chat-template
+    * shape) plus LOSS-MASK SPANS — the [start, end) character ranges of
+    * assistant turns, which are the only tokens an SFT loss should
+    * backpropagate through. Downstream tokenization maps char spans to
+    * token masks.
+    *
+    * One `aggregate` higher-order function builds text and spans in a
+    * single left fold over the turns — per-row codegen, no UDF, no
+    * shuffle. Returns `(idCol, text, mask_spans array<struct<s,e>>,
+    * n_spans, mask_chars)`; unparseable rows yield null text and empty
+    * spans (filter on [[validateChat]] upstream). */
+  def chatToTraining(df: DataFrame, msgsCol: String = "messages",
+      idCol: String = "doc_id"): DataFrame = {
+    val msgSchema = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("role",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.StringType))))
+    df.withColumn("__m", from_json(col(msgsCol), msgSchema))
+      .withColumn("__acc", expr(
+        """aggregate(
+             coalesce(__m, CAST(array() AS ARRAY<STRUCT<role STRING, content STRING>>)),
+             struct(CAST('' AS STRING) AS txt,
+               CAST(array() AS ARRAY<STRUCT<s INT, e INT>>) AS spans),
+             (acc, x) -> struct(
+               concat(acc.txt, '<|', x.role, '|>', coalesce(x.content, '')) AS txt,
+               IF(x.role = 'assistant',
+                 array_append(acc.spans, struct(
+                   CAST(length(acc.txt) + length(x.role) + 4 AS INT) AS s,
+                   CAST(length(acc.txt) + length(x.role) + 4 +
+                     length(coalesce(x.content, '')) AS INT) AS e)),
+                 acc.spans) AS spans))"""))
+      .select(col(idCol),
+        when(col("__m").isNotNull, col("__acc.txt")).as("text"),
+        col("__acc.spans").as("mask_spans"),
+        size(col("__acc.spans")).as("n_spans"),
+        expr("aggregate(__acc.spans, CAST(0 AS BIGINT), (a, sp) -> a + (sp.e - sp.s))")
+          .as("mask_chars"))
+  }
+
   /** Feature-hash bucket of a token expression: the first `hexChars` hex
     * digits of md5, decoded by the same portable `instr` arithmetic as
     * [[hashSplit]] so SQL engines agree bit-for-bit (4096 buckets at 3

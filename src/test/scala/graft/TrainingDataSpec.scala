@@ -325,6 +325,29 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(sys == (3, 3L, 2L, true, "ok"), sys)
   }
 
+  test("chatToTraining: role-tagged text, exact assistant mask spans") {
+    val js = """[{"role":"system","content":"be brief"},
+      {"role":"user","content":"hi"},
+      {"role":"assistant","content":"hello there"},
+      {"role":"user","content":"more"},
+      {"role":"assistant","content":"ok"}]"""
+    val r = TrainingData.chatToTraining(
+      Seq((1L, js)).toDF("doc_id", "messages")).collect()(0)
+    val text = r.getString(1)
+    assert(text ==
+      "<|system|>be brief<|user|>hi<|assistant|>hello there<|user|>more<|assistant|>ok")
+    val spans = r.getSeq[org.apache.spark.sql.Row](2)
+      .map(s => (s.getInt(0), s.getInt(1)))
+    // spans must slice exactly the assistant contents out of the text
+    assert(spans.map { case (s, e) => text.substring(s, e) } ==
+      Seq("hello there", "ok"), spans)
+    assert(r.getInt(3) == 2 && r.getLong(4) == 13L)
+    // unparseable input: null text, empty spans
+    val bad = TrainingData.chatToTraining(
+      Seq((2L, "nope")).toDF("doc_id", "messages")).collect()(0)
+    assert(bad.isNullAt(1) && bad.getInt(3) == 0 && bad.getLong(4) == 0L)
+  }
+
   test("dsirWeights ranks target-like docs above off-target docs") {
     // target speaks {alpha beta gamma}; raw mixes target-like docs with
     // docs from a disjoint vocabulary — the importance weight must rank
