@@ -1395,6 +1395,26 @@ object SparkEntry {
         .orderBy("qid", "rk")
     },
 
+    "t37_blocklist_ac" -> { (s, d) =>
+      // Aho-Corasick multi-pattern blocklist (text/AhoCorasick + the
+      // ac_contains/ac_find broadcast-model expressions): one O(text)
+      // automaton scan per doc for the whole pattern set — the shape a
+      // 10k-term filter needs where an alternation regex is per-pattern
+      // work. Patterns include overlapping/nested terms ('spark', 'park',
+      // 'ark row') so failure links genuinely fire; the oracle replays
+      // containment with independent LIKE predicates.
+      val patterns = Array("spark", "park", "ark row", "window", "zzz-never")
+      val ac = new graft.text.AhoCorasick(patterns)
+      val docs = t(s, d, "documents")
+      docs.select(col("doc_id"),
+          ac_contains(col("text"), ac).as("blocked"),
+          ac_find(col("text"), ac).as("hits"))
+        .select(col("doc_id"), col("blocked"),
+          size(col("hits")).as("n_hits"),
+          concat_ws(",", col("hits").cast("array<string>")).as("hit_idx"))
+        .orderBy("doc_id")
+    },
+
     "t34_chat_validate" -> { (s, d) =>
       // chat-format validation (TrainingData.validateChat): each doc
       // becomes an authored SFT conversation JSON; id%6 plants one
@@ -4673,6 +4693,27 @@ object SparkEntry {
              ln(greatest(CAST(0.0001 AS DOUBLE), CAST(j.n AS DOUBLE) / j.t)
                / pb.p)), 6) AS psi6
          FROM j JOIN pb ON j.bk = pb.bk GROUP BY 1 ORDER BY 1""",
+
+    // blocklist replay: independent LIKE containment per pattern; the
+    // hit-index list is rebuilt in pattern order
+    "t37_blocklist_ac" ->
+      """SELECT doc_id,
+           (text LIKE '%spark%' OR text LIKE '%park%' OR
+            text LIKE '%ark row%' OR text LIKE '%window%' OR
+            text LIKE '%zzz-never%') AS blocked,
+           CAST((CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) +
+             (CASE WHEN text LIKE '%park%' THEN 1 ELSE 0 END) +
+             (CASE WHEN text LIKE '%ark row%' THEN 1 ELSE 0 END) +
+             (CASE WHEN text LIKE '%window%' THEN 1 ELSE 0 END) +
+             (CASE WHEN text LIKE '%zzz-never%' THEN 1 ELSE 0 END)
+             AS INTEGER) AS n_hits,
+           concat_ws(',',
+             CASE WHEN text LIKE '%spark%' THEN '0' END,
+             CASE WHEN text LIKE '%park%' THEN '1' END,
+             CASE WHEN text LIKE '%ark row%' THEN '2' END,
+             CASE WHEN text LIKE '%window%' THEN '3' END,
+             CASE WHEN text LIKE '%zzz-never%' THEN '4' END) AS hit_idx
+         FROM documents ORDER BY doc_id""",
 
     // chat-pack replay: the full role-tagged text reconstructed per
     // variant and md5-compared; span arithmetic closed-form with

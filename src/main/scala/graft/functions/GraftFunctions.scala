@@ -108,6 +108,10 @@ object GraftFunctions {
     col(BpeEncode(ex(text), model))
   def unigram_encode(text: Column, model: graft.text.UnigramModel): Column =
     col(UnigramEncode(ex(text), model))
+  def ac_contains(text: Column, model: graft.text.AhoCorasick): Column =
+    col(AcContains(ex(text), model))
+  def ac_find(text: Column, model: graft.text.AhoCorasick): Column =
+    col(AcFind(ex(text), model))
   def quality_score(text: Column): Column = col(QualityScore(ex(text)))
   def detect_lang(text: Column): Column = col(DetectLang(ex(text)))
   def unicode_normalize(text: Column, form: Column): Column =

@@ -243,6 +243,49 @@ object BpeEncode {
     tokens.map(UTF8String.fromString)
 }
 
+/** ac_contains(text) → does ANY blocklist pattern occur? The
+  * [[graft.text.AhoCorasick]] automaton rides inside the serialized
+  * expression (the [[BpeEncode]] broadcast-model shape): one O(text) scan
+  * per row regardless of pattern count — the term-blocklist filter at
+  * 10k+ patterns where an alternation regex dies. */
+case class AcContains(child: Expression, model: graft.text.AhoCorasick)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ac_contains"
+  protected override def nullSafeEval(text: Any): Any =
+    model.containsAny(text.asInstanceOf[UTF8String].toString)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("acModel", model, "graft.text.AhoCorasick")
+    defineCodeGen(ctx, ev, t => s"$mRef.containsAny($t.toString())")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** ac_find(text) → ascending distinct indexes of the blocklist patterns
+  * occurring in the text (which rules fired, for triage/reporting). */
+case class AcFind(child: Expression, model: graft.text.AhoCorasick)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ac_find"
+  protected override def nullSafeEval(text: Any): Any =
+    new GenericArrayData(
+      AcFind.box(model.findAll(text.asInstanceOf[UTF8String].toString)))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("acModel", model, "graft.text.AhoCorasick")
+    defineCodeGen(ctx, ev, t => s"$GAD(graft.functions.AcFind.box($mRef.findAll($t.toString())))")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object AcFind {
+  /** codegen helper: int[] → Object[] for GenericArrayData. */
+  def box(a: Array[Int]): Array[Any] = a.map(i => i: Any)
+}
+
 /** unigram_encode(text) → unigram-LM token array under a trained
   * [[graft.text.UnigramModel]] — the [[BpeEncode]] broadcast-model shape
   * (model inside the serialized expression, `addReferenceObj` codegen,
