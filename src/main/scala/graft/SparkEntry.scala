@@ -1395,6 +1395,26 @@ object SparkEntry {
         .orderBy("qid", "rk")
     },
 
+    "t38_url_domain" -> { (s, d) =>
+      // URL host + registrable-domain extraction (url_host/url_domain):
+      // six authored URL shapes per doc — mixed-case scheme/host,
+      // userinfo, explicit ports, co.uk/com.au multi-label suffixes,
+      // fragments, single-label hosts. The oracle states the EXPECTED
+      // host/domain per variant from the id (independent of the parser).
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val url = expr("""CASE CAST(doc_id % 6 AS INTEGER)
+        WHEN 0 THEN concat('https://www.ex', doc_id, '.com/path?q=1')
+        WHEN 1 THEN concat('HTTP://User@Sub.EX', doc_id, '.CO.UK:8080/p#frag')
+        WHEN 2 THEN concat('https://ex', doc_id, '.org:443/')
+        WHEN 3 THEN concat('ftp://files.ex', doc_id, '.net')
+        WHEN 4 THEN concat('https://ex', doc_id, '.com.au/x')
+        ELSE 'http://localhost:9000/x' END""")
+      docs.select(col("doc_id"),
+          url_host(url).as("host"),
+          url_domain(url).as("domain"))
+        .orderBy("doc_id")
+    },
+
     "t37_blocklist_ac" -> { (s, d) =>
       // Aho-Corasick multi-pattern blocklist (text/AhoCorasick + the
       // ac_contains/ac_find broadcast-model expressions): one O(text)
@@ -4693,6 +4713,26 @@ object SparkEntry {
              ln(greatest(CAST(0.0001 AS DOUBLE), CAST(j.n AS DOUBLE) / j.t)
                / pb.p)), 6) AS psi6
          FROM j JOIN pb ON j.bk = pb.bk GROUP BY 1 ORDER BY 1""",
+
+    // URL replay: expected host/domain per variant stated directly from
+    // the id — independent of the engine's parser
+    "t38_url_domain" ->
+      """SELECT doc_id,
+           CASE CAST(doc_id % 6 AS INTEGER)
+             WHEN 0 THEN 'www.ex' || doc_id || '.com'
+             WHEN 1 THEN 'sub.ex' || doc_id || '.co.uk'
+             WHEN 2 THEN 'ex' || doc_id || '.org'
+             WHEN 3 THEN 'files.ex' || doc_id || '.net'
+             WHEN 4 THEN 'ex' || doc_id || '.com.au'
+             ELSE 'localhost' END AS host,
+           CASE CAST(doc_id % 6 AS INTEGER)
+             WHEN 0 THEN 'ex' || doc_id || '.com'
+             WHEN 1 THEN 'ex' || doc_id || '.co.uk'
+             WHEN 2 THEN 'ex' || doc_id || '.org'
+             WHEN 3 THEN 'ex' || doc_id || '.net'
+             WHEN 4 THEN 'ex' || doc_id || '.com.au'
+             ELSE 'localhost' END AS domain
+         FROM documents ORDER BY doc_id""",
 
     // blocklist replay: independent LIKE containment per pattern; the
     // hit-index list is rebuilt in pattern order

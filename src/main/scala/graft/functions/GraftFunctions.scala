@@ -108,6 +108,8 @@ object GraftFunctions {
     col(BpeEncode(ex(text), model))
   def unigram_encode(text: Column, model: graft.text.UnigramModel): Column =
     col(UnigramEncode(ex(text), model))
+  def url_host(url: Column): Column = col(UrlHost(ex(url)))
+  def url_domain(url: Column): Column = col(UrlDomain(ex(url)))
   def ac_contains(text: Column, model: graft.text.AhoCorasick): Column =
     col(AcContains(ex(text), model))
   def ac_find(text: Column, model: graft.text.AhoCorasick): Column =
@@ -244,6 +246,8 @@ object GraftFunctions {
     "detect_lang" -> { e => DetectLang(e.head) },
     "unicode_normalize" -> { e => UnicodeNormalize(e(0), e(1)) },
     "strip_html" -> { e => StripHtml(e.head) },
+    "url_host" -> { e => UrlHost(e.head) },
+    "url_domain" -> { e => UrlDomain(e.head) },
     "html_title" -> { e => HtmlTitle(e.head) },
     "html_links" -> { e => HtmlLinks(e.head) },
     "png_width" -> { e => PngWidth(e.head) },

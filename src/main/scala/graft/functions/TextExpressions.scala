@@ -243,6 +243,56 @@ object BpeEncode {
     tokens.map(UTF8String.fromString)
 }
 
+/** url_host(url) → lowercased authority host (userinfo/port stripped);
+  * null for non-URL strings. */
+case class UrlHost(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "url_host"
+  protected override def nullSafeEval(url: Any): Any = {
+    val h = TextLib.urlHost(url.asInstanceOf[UTF8String].toString)
+    if (h == null) null else UTF8String.fromString(h)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, u => {
+      val tmp = ctx.freshName("host")
+      s"""
+        java.lang.String $tmp = graft.text.TextLib.urlHost($u.toString());
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $UTF8.fromString($tmp); }
+      """
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** url_domain(url) → registrable (pay-level) domain of the URL's host —
+  * the key domain caps and temperature mixes group on. */
+case class UrlDomain(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "url_domain"
+  protected override def nullSafeEval(url: Any): Any = {
+    val d = TextLib.registrableDomain(
+      TextLib.urlHost(url.asInstanceOf[UTF8String].toString))
+    if (d == null) null else UTF8String.fromString(d)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, u => {
+      val tmp = ctx.freshName("dom")
+      s"""
+        java.lang.String $tmp = graft.text.TextLib.registrableDomain(
+          graft.text.TextLib.urlHost($u.toString()));
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $UTF8.fromString($tmp); }
+      """
+    })
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** ac_contains(text) → does ANY blocklist pattern occur? The
   * [[graft.text.AhoCorasick]] automaton rides inside the serialized
   * expression (the [[BpeEncode]] broadcast-model shape): one O(text) scan

@@ -292,4 +292,64 @@ object TextLib {
     }
     java.text.Normalizer.normalize(s, f)
   }
+
+  /** Lowercased host of a URL: after the scheme, skipping userinfo,
+    * stopping at port/path/query/fragment; trailing dot stripped. Null
+    * for strings without a scheme://host shape. The key a crawl pipeline
+    * extracts before any domain-level capping or mixing. */
+  def urlHost(url: String): String = {
+    if (url == null) return null
+    val at = url.indexOf("://")
+    if (at <= 0) return null
+    var i = at + 3
+    // userinfo ends at the LAST '@' before the authority ends
+    val authEnd = {
+      var j = i
+      while (j < url.length && "/?#".indexOf(url.charAt(j)) < 0) j += 1
+      j
+    }
+    val lastAt = url.lastIndexOf('@', authEnd - 1)
+    if (lastAt >= i) i = lastAt + 1
+    // bracketed IPv6 literal: [..] verbatim (colons inside are not ports)
+    if (i < authEnd && url.charAt(i) == '[') {
+      val close = url.indexOf(']', i)
+      if (close < 0 || close >= authEnd) return null
+      return url.substring(i, close + 1).toLowerCase
+    }
+    var e = i
+    while (e < authEnd && url.charAt(e) != ':') e += 1
+    if (e == i) return null
+    var host = url.substring(i, e).toLowerCase
+    if (host.endsWith(".")) host = host.substring(0, host.length - 1)
+    if (host.isEmpty) null else host
+  }
+
+  /** Common multi-label public suffixes (a small, cited subset of the
+    * Mozilla Public Suffix List — publicsuffix.org; the full list is a
+    * drop-in replacement). Registrable domain = one label above the
+    * public suffix. */
+  private val multiSuffixes: Set[String] = Set(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.kr", "or.kr", "go.kr", "ne.kr",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.za", "co.nz", "co.id", "co.th")
+
+  /** Registrable ("pay-level") domain of a host: the label above the
+    * public suffix — two labels normally, three over a multi-label suffix
+    * (co.uk family). Single-label hosts (localhost, intranet names)
+    * return themselves. */
+  def registrableDomain(host: String): String = {
+    if (host == null) return null
+    val labels = host.split("\\.")
+    if (labels.length <= 1) return host
+    val last2 = labels.takeRight(2).mkString(".")
+    if (labels.length >= 3 && multiSuffixes.contains(last2))
+      labels.takeRight(3).mkString(".")
+    else last2
+  }
 }

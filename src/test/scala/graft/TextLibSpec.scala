@@ -155,4 +155,20 @@ class TextLibSpec extends AnyFunSuite {
     val self = cellDot(q, cents, cell7) + pqAdc(lut, 32, codes7)
     assert(self > 0.8, s"self ADC should approach 1.0: $self")
   }
+
+  test("urlHost / registrableDomain edge shapes") {
+    import graft.text.TextLib.{registrableDomain => rd, urlHost => uh}
+    assert(uh("https://www.Example.COM/p?q#f") == "www.example.com")
+    assert(uh("http://user:pw@host.net:8080/x") == "host.net")
+    assert(uh("ftp://a.b.c.") == "a.b.c") // trailing dot stripped
+    assert(uh("https://[2001:DB8::1]:443/x") == "[2001:db8::1]")
+    assert(uh("no-scheme.com/x") == null)
+    assert(uh("https:///path") == null)
+    assert(uh(null) == null)
+    assert(rd("www.example.com") == "example.com")
+    assert(rd("a.b.sub.example.co.uk") == "example.co.uk")
+    assert(rd("example.com.au") == "example.com.au") // already registrable
+    assert(rd("localhost") == "localhost")
+    assert(rd(null) == null)
+  }
 }
