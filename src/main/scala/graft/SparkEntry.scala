@@ -3392,6 +3392,28 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    "v7_pca_whiten" -> { (s, d) =>
+      // PCA whitening (vector/Pca): one-pass distributed moment
+      // accumulation, driver Jacobi eigensolve, map-only broadcast-model
+      // projection to 16 whitened dims. Planted-self-match oracle (the v1
+      // pattern): identical vectors project identically, so exact-cosine
+      // top-1 over the PROJECTED corpus recovers every planted twin at
+      // cos 1.0 — proving the projection is a well-defined function and
+      // the pipeline end-to-end; spectrum properties live in PcaSpec.
+      val emb = t(s, d, "embeddings")
+      val planted = emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      val all = emb.unionByName(planted)
+      val model = graft.vector.Pca.fit(all, k = 16, whiten = true)
+      val proj = all.select(col("vec_id"),
+        pca_project(col("embedding"), model).as("embedding"))
+      graft.operators.Similarity.bruteForceTopK(
+          proj, proj.filter(col("vec_id") >= 10000), k = 1)
+        .select(col("qid"), col("nid"), col("rk"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("qid")
+    },
+
     "e8_stream_ann_intake" -> { (s, d) =>
       // incremental ANN intake batch twin (VectorStreams.ivfIntake — new
       // embeddings probe the EXISTING IVF cells; centroids train once at
@@ -5205,6 +5227,13 @@ object SparkEntry {
            CAST(sum(ls.lprec) AS BIGINT) AS prec_total,
            CAST(sum(js.jsum) AS BIGINT) AS j12_total
          FROM ls JOIN js ON ls.doc_id = js.doc_id""",
+
+    // planted self-match through the whitened projection: identical
+    // vectors project identically, exact top-1 recovers each twin
+    "v7_pca_whiten" ->
+      """SELECT vec_id + 10000 AS qid, vec_id AS nid, CAST(1 AS INTEGER) AS rk,
+         CAST(1.0 AS DOUBLE) AS cos
+         FROM embeddings WHERE vec_id < 10 ORDER BY qid""",
 
     // SemDeDup survivor contract: every planted exact copy (vec_id+10000,
     // cos 1.0 to its lower-id twin in the twin's own cluster) is dropped;

@@ -243,6 +243,32 @@ object BpeEncode {
     tokens.map(UTF8String.fromString)
 }
 
+/** pca_project(vec) → k-dim (optionally whitened) PCA projection under a
+  * trained [[graft.vector.Pca.PcaModel]] — the [[BpeEncode]]
+  * broadcast-model shape: map-only, codegen, no shuffle. */
+case class PcaProject(child: Expression, model: graft.vector.Pca.PcaModel)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pca_project"
+  protected override def nullSafeEval(vec: Any): Any =
+    new GenericArrayData(PcaProject.box(
+      model.project(vec.asInstanceOf[ArrayData].toFloatArray())))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("pcaModel", model,
+      "graft.vector.Pca.PcaModel")
+    defineCodeGen(ctx, ev, v =>
+      s"$GAD(graft.functions.PcaProject.box($mRef.project($v.toFloatArray())))")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object PcaProject {
+  /** codegen helper: float[] → Object[] for GenericArrayData. */
+  def box(a: Array[Float]): Array[Any] = a.map(f => f: Any)
+}
+
 /** url_host(url) → lowercased authority host (userinfo/port stripped);
   * null for non-URL strings. */
 case class UrlHost(child: Expression)
