@@ -1395,6 +1395,45 @@ object SparkEntry {
         .orderBy("qid", "rk")
     },
 
+    "t40_compress_filter" -> { (s, d) =>
+      // deflate-compressibility quality signal (compress_ratio): per doc,
+      // three authored variants — the doc text repeated 20x (degenerate
+      // boilerplate), the text itself (prose), and an md5-chain hex blob
+      // (high-entropy). Repetition must compress strictly below BOTH
+      // others (hex at 4 bits/char is too close to short prose for a
+      // strict prose<hex ordering) and ratios stay in (0, 1.5].
+      val docs = t(s, d, "documents")
+        .withColumn("rep", expr("repeat(concat(text, ' '), 20)"))
+        .withColumn("rand", expr(
+          """concat_ws('', transform(sequence(0, 7),
+               i -> md5(concat(text, CAST(i AS STRING)))))"""))
+      docs.select(col("doc_id"),
+          compress_ratio(col("rep")).as("r_rep"),
+          compress_ratio(col("text")).as("r_plain"),
+          compress_ratio(col("rand")).as("r_rand"))
+        .select(col("doc_id"),
+          (col("r_rep") < col("r_plain")).as("rep_lt_plain"),
+          (col("r_rep") < col("r_rand")).as("rep_lt_rand"),
+          (col("r_rep") > 0.0 && col("r_rand") <= 1.5 &&
+            col("r_plain") <= 1.5).as("bounds_ok"))
+        .orderBy("doc_id")
+    },
+
+    "t39_corpus_diff" -> { (s, d) =>
+      // corpus snapshot diff (TrainingData.corpusDiff): old = docs with
+      // id%7 != 0 (so id%7==0 rows read as 'added'); new = all docs minus
+      // id%7==1 ('removed'), with id%7==2 texts mutated ('changed').
+      // Pure id arithmetic the oracle replays.
+      val docs = t(s, d, "documents")
+      val oldDf = docs.filter(col("doc_id") % 7 =!= 0)
+      val newDf = docs.filter(col("doc_id") % 7 =!= 1)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 2, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      graft.operators.TrainingData.corpusDiff(oldDf, newDf)
+        .orderBy("id")
+    },
+
     "t38_url_domain" -> { (s, d) =>
       // URL host + registrable-domain extraction (url_host/url_domain):
       // six authored URL shapes per doc — mixed-case scheme/host,
@@ -4735,6 +4774,22 @@ object SparkEntry {
              ln(greatest(CAST(0.0001 AS DOUBLE), CAST(j.n AS DOUBLE) / j.t)
                / pb.p)), 6) AS psi6
          FROM j JOIN pb ON j.bk = pb.bk GROUP BY 1 ORDER BY 1""",
+
+    // compressibility contract: strict ordering boilerplate < prose <
+    // random and sane bounds must hold on every row
+    "t40_compress_filter" ->
+      """SELECT doc_id, TRUE AS rep_lt_plain, TRUE AS rep_lt_rand,
+           TRUE AS bounds_ok
+         FROM documents ORDER BY doc_id""",
+
+    // diff replay: status from id arithmetic (0 added, 1 removed,
+    // 2 changed, else same)
+    "t39_corpus_diff" ->
+      """SELECT doc_id AS id,
+           CASE CAST(doc_id % 7 AS INTEGER)
+             WHEN 0 THEN 'added' WHEN 1 THEN 'removed'
+             WHEN 2 THEN 'changed' ELSE 'same' END AS status
+         FROM documents ORDER BY id""",
 
     // URL replay: expected host/domain per variant stated directly from
     // the id — independent of the engine's parser

@@ -112,6 +112,7 @@ object GraftFunctions {
     col(PcaProject(ex(vec), model))
   def url_host(url: Column): Column = col(UrlHost(ex(url)))
   def url_domain(url: Column): Column = col(UrlDomain(ex(url)))
+  def compress_ratio(text: Column): Column = col(CompressRatio(ex(text)))
   def ac_contains(text: Column, model: graft.text.AhoCorasick): Column =
     col(AcContains(ex(text), model))
   def ac_find(text: Column, model: graft.text.AhoCorasick): Column =
@@ -250,6 +251,7 @@ object GraftFunctions {
     "strip_html" -> { e => StripHtml(e.head) },
     "url_host" -> { e => UrlHost(e.head) },
     "url_domain" -> { e => UrlDomain(e.head) },
+    "compress_ratio" -> { e => CompressRatio(e.head) },
     "html_title" -> { e => HtmlTitle(e.head) },
     "html_links" -> { e => HtmlLinks(e.head) },
     "png_width" -> { e => PngWidth(e.head) },

@@ -243,6 +243,22 @@ object BpeEncode {
     tokens.map(UTF8String.fromString)
 }
 
+/** compress_ratio(text) → deflate bytes / raw bytes (zlib level 6): the
+  * cheap junk detector — boilerplate compresses far below prose, random
+  * blobs sit near 1.0. */
+case class CompressRatio(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "compress_ratio"
+  protected override def nullSafeEval(text: Any): Any =
+    TextLib.compressRatio(text.asInstanceOf[UTF8String].toString)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.text.TextLib.compressRatio($t.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** pca_project(vec) → k-dim (optionally whitened) PCA projection under a
   * trained [[graft.vector.Pca.PcaModel]] — the [[BpeEncode]]
   * broadcast-model shape: map-only, codegen, no shuffle. */

@@ -477,6 +477,28 @@ object TrainingData {
       .drop("__key")
   }
 
+  /** Corpus snapshot diff — the incremental-curation audit between two
+    * versions of a corpus: per document id, `added` (new id), `removed`
+    * (id gone), `changed` (same id, different content hash), or `same`.
+    * One full-outer equality join on the id with map-side content hashes;
+    * nothing else shuffles. Run it before promoting a rebuilt corpus to
+    * answer "what did this pipeline change?" at 100 TB without diffing
+    * bytes. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"),
+      md5(col(textCol).cast("binary")).as("__oh"))
+    val n = newDf.select(col(idCol).as("id"),
+      md5(col(textCol).cast("binary")).as("__nh"))
+    o.join(n, Seq("id"), "full")
+      .withColumn("status",
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed")
+          .otherwise("same"))
+      .select(col("id"), col("status"))
+  }
+
   /** Chat-format (SFT/RLHF example) validation: parse a JSON `messages`
     * array — `[{"role": ..., "content": ...}, ...]` — and check the
     * structural contract instruction-tuning pipelines enforce before a

@@ -352,4 +352,23 @@ object TextLib {
       labels.takeRight(3).mkString(".")
     else last2
   }
+
+  /** Deflate compressibility ratio (compressed bytes / raw bytes, zlib
+    * level 6): the classic cheap junk detector — boilerplate and
+    * keyword-stuffed pages compress far below normal prose, while
+    * random/encrypted blobs sit near (or slightly above) 1.0. Empty or
+    * null text reports 1.0 (nothing to judge). */
+  def compressRatio(text: String): Double = {
+    if (text == null || text.isEmpty) return 1.0
+    val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / raw.length
+    } finally d.end()
+  }
 }

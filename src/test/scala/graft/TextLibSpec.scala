@@ -171,4 +171,16 @@ class TextLibSpec extends AnyFunSuite {
     assert(rd("localhost") == "localhost")
     assert(rd(null) == null)
   }
+
+  test("compressRatio orders repetition < prose, bounded, null-safe") {
+    import graft.text.TextLib.compressRatio
+    val prose = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val rep = (prose + " ") * 30
+    val rnd = new scala.util.Random(3)
+    val noise = Array.fill(2000)((rnd.nextInt(94) + 33).toChar).mkString
+    assert(compressRatio(rep) < compressRatio(prose))
+    assert(compressRatio(rep) < 0.1, s"30x repetition: ${compressRatio(rep)}")
+    assert(compressRatio(noise) > 0.8, s"printable noise: ${compressRatio(noise)}")
+    assert(compressRatio("") == 1.0 && compressRatio(null) == 1.0)
+  }
 }

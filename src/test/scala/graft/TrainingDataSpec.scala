@@ -348,6 +348,15 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(bad.isNullAt(1) && bad.getInt(3) == 0 && bad.getLong(4) == 0L)
   }
 
+  test("corpusDiff classifies added/removed/changed/same") {
+    val oldDf = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newDf = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("doc_id", "text")
+    val m = TrainingData.corpusDiff(oldDf, newDf).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "removed", 2L -> "same", 3L -> "changed",
+      4L -> "added"), m)
+  }
+
   test("dsirWeights ranks target-like docs above off-target docs") {
     // target speaks {alpha beta gamma}; raw mixes target-like docs with
     // docs from a disjoint vocabulary — the importance weight must rank
