@@ -3338,6 +3338,58 @@ object SparkEntry {
         .orderBy("id", "sample_no")
     },
 
+    "mm10_image_dhash" -> { (s, d) =>
+      // perceptual image hash (ImageHash.dhash): per doc a deterministic
+      // noise PNG plus three probes — +10 uniform brightness (no clamp by
+      // construction: dHash must be IDENTICAL, relative gradients only),
+      // 2x pixel-replication upscale at cell-aligned dimensions (36x24 →
+      // 72x48: 9 | width and 8 | height on both, so box cells cover the
+      // SAME source pixels and the hash is exactly equal), and the NEXT
+      // doc's independent noise (Hamming >= 10 — binomial(64,1/2) makes
+      // anything less astronomically unlikely, pinned deterministically).
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 150).as[Long]
+        .map { id =>
+          def noise(seed: Long)(x: Int, y: Int): Int = {
+            var z = seed * 0x9e3779b97f4a7c15L + x * 0xbf58476d1ce4e5b9L +
+              y * 0x94d049bb133111ebL
+            z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+            (20 + math.floorMod(z ^ (z >>> 31), 200L)).toInt
+          }
+          def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { img.getRaster.setSample(x, y, 0, f(x, y)); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            bos.toByteArray
+          }
+          val base = noise(id) _
+          (id, png(36, 24, base),
+            png(36, 24, (x, y) => base(x, y) + 10),
+            png(72, 48, (x, y) => base(x / 2, y / 2)),
+            png(36, 24, noise(id + 1)))
+        }.toDF("id", "img", "bright", "up2", "other")
+      media.select(col("id"),
+          image_dhash(col("img")).as("h"),
+          image_dhash(col("bright")).as("hb"),
+          image_dhash(col("up2")).as("hu"),
+          image_dhash(col("other")).as("ho"))
+        .select(col("id"),
+          col("h").isNotNull.as("decoded"),
+          (col("h") === col("hb")).as("brightness_invariant"),
+          (col("h") === col("hu")).as("scale_stable"),
+          (expr("bit_count(h ^ ho)") >= 10).as("distinct_far"))
+        .orderBy("id")
+    },
+
     "mm9_cdc_dedup" -> { (s, d) =>
       // FastCDC content-defined chunking (Cdc.chunks, min 64 / avg 256 /
       // max 1024): per doc a deterministic ~2-5 KB byte blob; ids < 20
@@ -5239,6 +5291,13 @@ object SparkEntry {
                 ELSE h * 100 + (no - 1 - h) * 150 END AS BIGINT) AS time_ms,
            CAST(500 + 7 * no AS BIGINT) AS size
          FROM k ORDER BY id, sample_no""",
+
+    // dHash invariance contract: brightness-identical, scale-stable,
+    // independent-noise-far must all hold on every doc
+    "mm10_image_dhash" ->
+      """SELECT doc_id AS id, TRUE AS decoded, TRUE AS brightness_invariant,
+           TRUE AS scale_stable, TRUE AS distinct_far
+         FROM documents WHERE doc_id < 150 ORDER BY id""",
 
     // CDC planted-twin replay: identical byte series ⇒ identical chunk
     // fingerprints, distinct series ⇒ distinct (content-pure hashing);

@@ -112,6 +112,18 @@ case class Jpeg12Sum(child: Expression) extends PngAccessorExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** image_dhash(payload) — 64-bit perceptual difference hash over the
+  * from-spec still-image decoders (PNG/JPEG/GIF/BMP): the visual SimHash
+  * for image near-dup joins. Null for undecodable bytes. */
+case class ImageDhash(child: Expression) extends PngAccessorExpression {
+  override def prettyName: String = "image_dhash"
+  override def dataType: DataType = LongType
+  override def staticMethod: String = "graft.multimodal.ImageHash.dhash"
+  protected override def nullSafeEval(p: Any): Any =
+    graft.multimodal.ImageHash.dhash(p.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Content-defined-chunking accessors over [[graft.multimodal.Cdc]]
   * (FastCDC) — binary-level dedup signals for blob columns. */
 case class CdcNChunks(child: Expression) extends PngAccessorExpression {

@@ -652,6 +652,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(og != null && og.channels == 3)
   }
 
+  test("image dHash: format-independent, brightness-invariant, JPEG-robust") {
+    import graft.multimodal.ImageHash
+    def gray(w: Int, h: Int, f: (Int, Int) => Int, fmt: String): Array[Byte] = {
+      // 24-bit carrier for BMP (ImageIO writes gray BMPs as 8-bit palette,
+      // which decodeBmp honestly rejects); gray carrier otherwise
+      val img =
+        if (fmt == "bmp") new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        else new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) {
+        if (fmt == "bmp") { val v = f(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v) }
+        else img.getRaster.setSample(x, y, 0, f(x, y))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    // smooth structured content: block gradient
+    def f(x: Int, y: Int): Int = 40 + (x / 6) * 20 + (y / 6) * 5
+    val hPng = ImageHash.dhash(gray(36, 24, f, "png"))
+    val hBmp = ImageHash.dhash(gray(36, 24, f, "bmp"))
+    assert(hPng != null && hPng == hBmp, "lossless formats agree exactly")
+    // the SAME content through lossy JPEG stays within a few bits
+    val hJpg = ImageHash.dhash(gray(36, 24, f, "jpg"))
+    assert(hJpg != null &&
+      ImageHash.hamming(hPng, hJpg) <= 6,
+      s"JPEG drift: ${ImageHash.hamming(hPng, hJpg)}")
+    // brightness shift: identical
+    assert(hPng == ImageHash.dhash(gray(36, 24, (x, y) => f(x, y) + 15, "png")))
+    // inverted gradient: far away
+    val hInv = ImageHash.dhash(gray(36, 24, (x, y) => 240 - f(x, y), "png"))
+    assert(ImageHash.hamming(hPng, hInv) >= 20)
+    // undecodable bytes
+    assert(ImageHash.dhash(Array[Byte](1, 2, 3, 4)) == null)
+  }
+
   test("FastCDC: determinism, bounds, and edit locality") {
     import graft.multimodal.Cdc
     val rnd = new scala.util.Random(31)
