@@ -3338,6 +3338,35 @@ object SparkEntry {
         .orderBy("id", "sample_no")
     },
 
+    "mm11_audio_fingerprint" -> { (s, d) =>
+      // peak-constellation audio fingerprint (AudioLib.fingerprint): per
+      // doc an 8-frame tone sequence WAV; a 0.3x volume re-encode must
+      // fingerprint IDENTICALLY (argmax peaks ignore amplitude) and the
+      // next doc's tone sequence must land >= 10 Hamming bits away.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 150).as[Long]
+        .map { id =>
+          def tones(seed: Long, amp: Double): Array[Int] =
+            Array.tabulate(8 * 512) { i =>
+              val j = i / 512
+              val bin = 5 + ((seed + j * 7) % 40).toInt
+              (amp * math.sin(2 * math.Pi * bin * (i % 512) / 512.0)).toInt
+            }
+          val w = graft.multimodal.AudioLib.writeWav(8000, 1, _: Array[Int])
+          (id, w(tones(id, 8000)), w(tones(id, 2400)), w(tones(id + 1, 8000)))
+        }.toDF("id", "wav", "quiet", "other")
+      media.select(col("id"),
+          audio_fingerprint(col("wav")).as("f"),
+          audio_fingerprint(col("quiet")).as("fq"),
+          audio_fingerprint(col("other")).as("fo"))
+        .select(col("id"),
+          col("f").isNotNull.as("decoded"),
+          (col("f") === col("fq")).as("volume_invariant"),
+          (expr("bit_count(f ^ fo)") >= 10).as("distinct_far"))
+        .orderBy("id")
+    },
+
     "mm10_image_dhash" -> { (s, d) =>
       // perceptual image hash (ImageHash.dhash): per doc a deterministic
       // noise PNG plus three probes — +10 uniform brightness (no clamp by
@@ -5291,6 +5320,12 @@ object SparkEntry {
                 ELSE h * 100 + (no - 1 - h) * 150 END AS BIGINT) AS time_ms,
            CAST(500 + 7 * no AS BIGINT) AS size
          FROM k ORDER BY id, sample_no""",
+
+    // audio-fingerprint invariance: volume-identical, different-tones-far
+    "mm11_audio_fingerprint" ->
+      """SELECT doc_id AS id, TRUE AS decoded, TRUE AS volume_invariant,
+           TRUE AS distinct_far
+         FROM documents WHERE doc_id < 150 ORDER BY id""",
 
     // dHash invariance contract: brightness-identical, scale-stable,
     // independent-noise-far must all hold on every doc

@@ -138,6 +138,7 @@ object GraftFunctions {
   def jpeg12_precision(payload: Column): Column = col(Jpeg12Precision(ex(payload)))
   def jpeg12_sum(payload: Column): Column = col(Jpeg12Sum(ex(payload)))
   def image_dhash(payload: Column): Column = col(ImageDhash(ex(payload)))
+  def audio_fingerprint(payload: Column): Column = col(AudioFingerprint(ex(payload)))
   def cdc_n_chunks(payload: Column): Column = col(CdcNChunks(ex(payload)))
   def cdc_fingerprint(payload: Column): Column = col(CdcFingerprint(ex(payload)))
   def geotiff_meta(payload: Column): Column = col(GeoTiffMeta(ex(payload)))
@@ -264,6 +265,7 @@ object GraftFunctions {
     "jpeg12_precision" -> { e => Jpeg12Precision(e.head) },
     "jpeg12_sum" -> { e => Jpeg12Sum(e.head) },
     "image_dhash" -> { e => ImageDhash(e.head) },
+    "audio_fingerprint" -> { e => AudioFingerprint(e.head) },
     "cdc_n_chunks" -> { e => CdcNChunks(e.head) },
     "cdc_fingerprint" -> { e => CdcFingerprint(e.head) },
     "geotiff_meta" -> { e => GeoTiffMeta(e.head) },

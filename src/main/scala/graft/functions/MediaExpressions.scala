@@ -112,6 +112,17 @@ case class Jpeg12Sum(child: Expression) extends PngAccessorExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** audio_fingerprint(payload) — 64-bit peak-constellation fingerprint of
+  * a PCM WAV (amplitude-invariant; the audio twin of image_dhash). */
+case class AudioFingerprint(child: Expression) extends PngAccessorExpression {
+  override def prettyName: String = "audio_fingerprint"
+  override def dataType: DataType = LongType
+  override def staticMethod: String = "graft.multimodal.AudioLib.fingerprintDefault"
+  protected override def nullSafeEval(p: Any): Any =
+    graft.multimodal.AudioLib.fingerprint(p.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** image_dhash(payload) — 64-bit perceptual difference hash over the
   * from-spec still-image decoders (PNG/JPEG/GIF/BMP): the visual SimHash
   * for image near-dup joins. Null for undecodable bytes. */

@@ -168,4 +168,62 @@ object AudioLib extends Serializable {
     samples.foreach(s => w16(s & 0xffff))
     bos.toByteArray
   }
+
+  /** Peak-constellation audio fingerprint (the Shazam-family shape, Wang
+    * ISMIR 2003, reduced to one 64-bit code): frame the first channel
+    * into `nfft`-sample windows (hop = nfft), take each frame's dominant
+    * FFT bin, and SimHash the (frame-index-delta, peak-bin) pair stream.
+    * Amplitude-invariant by construction (argmax ignores scale), so a
+    * volume-normalized re-encode fingerprints identically; different
+    * tonal content lands far away in Hamming space — joinable with the
+    * same pigeonhole machinery as text SimHash and image dHash.
+    * Null for undecodable audio or fewer than 2 frames. */
+  def fingerprint(payload: Array[Byte], nfft: Int = 512): java.lang.Long = {
+    val pcm = readPcm16(payload)
+    if (pcm == null) return null
+    val n = pcm.samples.length / nfft
+    if (n < 2) return null
+    val peaks = new Array[Int](n)
+    val re = new Array[Double](nfft)
+    val im = new Array[Double](nfft)
+    var f = 0
+    while (f < n) {
+      var i = 0
+      while (i < nfft) {
+        re(i) = pcm.samples(f * nfft + i); im(i) = 0.0; i += 1
+      }
+      fft(re, im)
+      var best = 1 // skip DC: silence/offset should not dominate
+      var bestP = -1.0
+      var k = 1
+      while (k < nfft / 2) {
+        val p = re(k) * re(k) + im(k) * im(k)
+        if (p > bestP) { bestP = p; best = k }
+        k += 1
+      }
+      peaks(f) = best
+      f += 1
+    }
+    // SimHash over consecutive peak pairs: robust to a few corrupted
+    // frames (one bad frame flips a minority of votes, not the code)
+    val votes = new Array[Int](64)
+    f = 0
+    while (f < n - 1) {
+      val h = graft.text.TextLib.hash64((peaks(f).toLong << 20) | peaks(f + 1))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      f += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= 1L << b; b += 1 }
+    Long.box(out)
+  }
+
+  /** codegen entry point (generated Java cannot pass Scala defaults). */
+  def fingerprintDefault(payload: Array[Byte]): java.lang.Long =
+    fingerprint(payload)
 }

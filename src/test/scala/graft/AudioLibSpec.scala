@@ -63,4 +63,31 @@ class AudioLibSpec extends AnyFunSuite {
     assert(AudioLib.wavSpectrum(ok, 48) == null, "non-power-of-two nfft")
     assert(AudioLib.wavSpectrum(ok, 32) != null)
   }
+
+  test("fingerprint: volume-invariant, tone-sensitive, frame-corruption-robust") {
+    import graft.multimodal.AudioLib
+    def tones(bins: Seq[Int], amp: Double): Array[Int] =
+      bins.zipWithIndex.flatMap { case (b, j) =>
+        (0 until 512).map(i => (amp * math.sin(2 * math.Pi * b * i / 512.0)).toInt)
+      }.toArray
+    val a = Seq(7, 12, 19, 25, 31, 9, 14, 22)
+    val fA = AudioLib.fingerprint(AudioLib.writeWav(8000, 1, tones(a, 9000)))
+    assert(fA != null)
+    // volume invariance (0.2x) — exact
+    assert(fA == AudioLib.fingerprint(AudioLib.writeWav(8000, 1, tones(a, 1800))))
+    // a different tone sequence lands far away
+    val b = a.map(_ + 3)
+    val fB = AudioLib.fingerprint(AudioLib.writeWav(8000, 1, tones(b, 9000)))
+    assert(java.lang.Long.bitCount(fA ^ fB) >= 10)
+    // corrupting ONE of 8 frames moves only a minority of bits
+    val corrupted = tones(a, 9000)
+    val rnd = new scala.util.Random(4)
+    (0 until 512).foreach(i => corrupted(3 * 512 + i) = rnd.nextInt(8000) - 4000)
+    val fC = AudioLib.fingerprint(AudioLib.writeWav(8000, 1, corrupted))
+    assert(java.lang.Long.bitCount(fA ^ fC) <= 24,
+      s"one bad frame must not rewrite the code: ${java.lang.Long.bitCount(fA ^ fC)}")
+    // too-short audio and junk bytes are null
+    assert(AudioLib.fingerprint(AudioLib.writeWav(8000, 1, new Array[Int](600))) == null)
+    assert(AudioLib.fingerprint(Array[Byte](1, 2, 3)) == null)
+  }
 }
