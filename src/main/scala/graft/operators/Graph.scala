@@ -96,17 +96,25 @@ object Graph {
       .na.fill(0L, Seq("odeg"))
       .withColumn("rank", lit(1.0 / n))
       .localCheckpoint(true)
+    // graphs with no dangling nodes (every node links out — common for
+    // synthetic/link-complete graphs) skip the per-iteration dangling-mass
+    // aggregate entirely: one cheap probe instead of `iters` 1-row jobs
+    val hasDangling = ranks.filter(col("odeg") === 0).limit(1).count() > 0
     var it = 0
     while (it < iters) {
-      val dangling = ranks.filter(col("odeg") === 0)
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
       val contrib = e.join(ranks.select(col("id").as("src"),
           (col("rank") / col("odeg")).as("c")), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("c")).as("inflow"))
-      val next = ranks.select(col("id"), col("odeg"))
+      val base = ranks.select(col("id"), col("odeg"))
         .join(contrib, Seq("id"), "left")
-        .crossJoin(dangling)
+      val withDm =
+        if (hasDangling) {
+          val dangling = ranks.filter(col("odeg") === 0)
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+          base.crossJoin(dangling)
+        } else base.withColumn("dm", lit(0.0))
+      val next = withDm
         .withColumn("rank",
           lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("inflow"), lit(0.0)) + col("dm") / n))
