@@ -645,9 +645,15 @@ object TrainingData {
           s"""concat($toks, zip_with($toks, slice($toks, 2, size($toks)),
                 (a, b) -> concat(a, ' ', b)))"""
         else toks
-      df.select(col(idCol).as(outId), explode(expr(grams)).as("tok"))
+      // coalesce makes `b` non-nullable so the downstream equality join
+      // infers NO isnotnull(bucket-expr) filter — without it the whole
+      // 3-hex md5 arithmetic is inlined into a pushed filter and runs
+      // twice per token (the j3 coalesce-key fix, docs/NOTES.md round 7);
+      // -1 can never collide with a real bucket
+      df.select(col(idCol).as(outId), explode_outer(expr(grams)).as("tok"))
         .filter(col("tok").isNotNull)
-        .select(col(outId), md5Bucket("tok", hexChars).as("b"))
+        .select(col(outId), coalesce(md5Bucket("tok", hexChars), lit(-1))
+          .as("b"))
     }
     val rawF = feats(Scatter(raw), "rid")
     val tgtF = feats(target, "tid")
