@@ -312,6 +312,27 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(recovered >= 7, s"multi-probe should recover ≥7/8 perturbed twins: $recovered ($hits)")
   }
 
+  test("round-7 operator plans: broadcast sides, window push, no cartesians") {
+    // DSIR: the log-ratio table must BROADCAST to the token stream and
+    // nothing may nested-loop; the bucket join key is coalesce-wrapped so
+    // no isnotnull(bucket-expr) filter is inferred (md5 once per token)
+    val p27 = staticPlan("t27_dsir_select").toString
+    assert(p27.contains("BroadcastHashJoin"), s"ratio must broadcast:\n$p27")
+    // 1-row scalar totals ride BroadcastNestedLoopJoin by design; a true
+    // cartesian over data rows must never appear
+    assert(!p27.contains("CartesianProduct"))
+    assert(!p27.contains("isnotnull((((("), s"bucket expr must not inline into filters:\n$p27")
+    // BM25: query terms + df are broadcast; corpus never cartesians
+    val p29 = staticPlan("t29_bm25_topk").toString
+    assert(p29.contains("BroadcastHashJoin"), s"query side must broadcast:\n$p29")
+    assert(!p29.contains("CartesianProduct") ||
+      p29.contains("BroadcastNestedLoopJoin"), "scalars may broadcast, corpus must not cartesian")
+    // temperatureMix: the constant row_number <= total pre-filter keeps
+    // WindowGroupLimit pushdown so hot domains never ship full row sets
+    val p28 = staticPlan("t28_temperature_mix").toString
+    assert(p28.contains("WindowGroupLimit"), s"rank-limit push expected:\n$p28")
+  }
+
   test("v6 semDedup joins by cluster equality — no nested-loop, no cartesian") {
     val p = staticPlan("v6_semdedup").toString
     assert(!p.contains("BroadcastNestedLoopJoin"), s"v6 must not nested-loop:\n$p")
