@@ -1419,6 +1419,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t41_curate_e2e" -> { (s, d) =>
+      // end-to-end curation (TrainingData.curate): planted exact copies →
+      // dedup; token floor; per-domain cap in seeded-hash order; content
+      // split. Every surviving row's (domain_rank, bucket, split) is
+      // hash-verified — the stages COMPOSE, not just pass individually.
+      val docs = t(s, d, "documents")
+      val planted = docs.filter(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      graft.operators.TrainingData.curate(
+          docs.unionByName(planted), minTokens = 20, cap = 12)
+        .orderBy("doc_id")
+    },
+
     "t39_corpus_diff" -> { (s, d) =>
       // corpus snapshot diff (TrainingData.corpusDiff): old = docs with
       // id%7 != 0 (so id%7==0 rows read as 'added'); new = all docs minus
@@ -4862,6 +4875,42 @@ object SparkEntry {
       """SELECT doc_id, TRUE AS rep_lt_plain, TRUE AS rep_lt_rand,
            TRUE AS bounds_ok
          FROM documents ORDER BY doc_id""",
+
+    // e2e curation replay: dedup (min id per md5), token floor,
+    // seeded-md5 per-domain rank <= 12, md5-bucket split — the four
+    // independently-proven oracle fragments composed
+    "t41_curate_e2e" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text, source FROM documents
+           WHERE doc_id < 40),
+         keep AS (
+           SELECT min(doc_id) AS doc_id FROM all_docs GROUP BY md5(text)),
+         kept AS (
+           SELECT a.doc_id, a.text, a.source
+           FROM all_docs a JOIN keep USING (doc_id)),
+         tok AS (
+           SELECT * FROM kept
+           WHERE 1 + length(text) - length(replace(text, ' ', '')) >= 20),
+         ranked AS (
+           SELECT doc_id, text, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':curate'), doc_id)
+               AS domain_rank
+           FROM tok)
+         SELECT doc_id, source AS domain,
+           CAST(domain_rank AS BIGINT) AS domain_rank,
+           CAST((instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 +
+                (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1)
+                AS INTEGER) AS bucket,
+           CASE WHEN (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 +
+                     (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) < 205
+                THEN 'train'
+                WHEN (instr('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16 +
+                     (instr('0123456789abcdef', substr(md5(text), 2, 1)) - 1) < 230
+                THEN 'val' ELSE 'test' END AS split
+         FROM ranked WHERE domain_rank <= 12 ORDER BY doc_id""",
 
     // diff replay: status from id arithmetic (0 added, 1 removed,
     // 2 changed, else same)

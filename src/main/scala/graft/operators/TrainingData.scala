@@ -477,6 +477,34 @@ object TrainingData {
       .drop("__key")
   }
 
+  /** End-to-end curation: the canonical stage chain a raw crawl passes
+    * before training — exact dedup (lowest id survives), a token-count
+    * floor, per-domain capping in seeded-hash order, and the
+    * content-stable train/val/test split — as ONE composed call whose
+    * whole output is SQL-replayable (every stage reuses an
+    * independently-oracled primitive). Token counting uses the
+    * space-count+1 arithmetic so multi-space behavior matches the SQL
+    * replay exactly.
+    *
+    * Scale shape: one hash aggregate (dedup), a map-side filter, one
+    * rank-limit-pushed window (cap), and a map-side split — two shuffles
+    * total, nothing driver-side. */
+  def curate(docs: DataFrame, minTokens: Int = 20,
+      domainCol: String = "source", cap: Int = 15, seed: String = "curate",
+      trainUpto: Int = 205, valUpto: Int = 230,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val keep = Dedup.exact(docs, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    val deduped = docs.join(keep, Seq(idCol), "left_semi")
+    val filtered = deduped.filter(
+      expr(s"1 + length($textCol) - length(replace($textCol, ' ', ''))")
+        >= minTokens)
+    val capped = domainCap(filtered, domainCol, cap, seed)
+    hashSplit(capped, textCol, trainUpto, valUpto)
+      .select(col(idCol), col(domainCol).as("domain"), col("domain_rank"),
+        col("bucket"), col("split"))
+  }
+
   /** Corpus snapshot diff — the incremental-curation audit between two
     * versions of a corpus: per document id, `added` (new id), `removed`
     * (id gone), `changed` (same id, different content hash), or `same`.
