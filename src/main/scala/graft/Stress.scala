@@ -271,6 +271,49 @@ object Stress {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     }
 
+    // ---- round-7 operators at corpus scale --------------------------------
+    if (sec("r7")) {
+      time("dsirWeights (1M raw, 100k target)") {
+        val target = docs.filter(col("doc_id") % 10 === 0)
+        val w = TrainingData.dsirWeights(docs, target)
+        println("    dsir rows: " + w.count())
+      }
+      time("bm25 (4 queries over 1M docs)") {
+        val queries = Seq((1L, "w3 w17"), (2L, "w42 w7"), (3L, "w100 w205"),
+          (4L, "w9 w31")).toDF("query_id", "qtext")
+        println("    bm25 hits: " + graft.operators.Retrieval
+          .bm25TopK(docs, queries, k = 20).count())
+      }
+      time("pageRank (1M nodes, 2M edges, 3 iters)") {
+        val n = nDocs
+        val e = docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * 7 + 3) % n).as("dst"))
+          .unionByName(docs.select(col("doc_id").as("src"),
+            ((col("doc_id") * 13 + 5) % n).as("dst")))
+        val pr = graft.operators.Graph.pageRank(e, iters = 3)
+        println("    pr sum: " + pr.agg(sum(col("rank"))).head().getDouble(0))
+      }
+      time("temperatureMix (1M docs, 100 domains)") {
+        val dom = docs.withColumn("source",
+          concat(lit("d"), col("doc_id") % 100))
+        println("    mixed: " + TrainingData.temperatureMix(
+          dom, "source", total = 100000, temperature = 2.0).count())
+      }
+      time("AC blocklist (100 patterns x 1M docs)") {
+        val pats = Array.tabulate(100)(i => s"w$i w${(i * 7) % 50}")
+        val ac = new graft.text.AhoCorasick(pats)
+        println("    blocked: " + docs
+          .filter(ac_contains(col("text"), ac)).count())
+      }
+      time("curate e2e (1M docs)") {
+        val dom = docs.withColumn("source",
+          concat(lit("d"), col("doc_id") % 100))
+        println("    curated: " + TrainingData.curate(
+          dom, minTokens = 20, cap = 5000).count())
+      }
+    }
+
+
     // ---- embeddings -------------------------------------------------------
     if (sec("vecs")) {
     time("gen+write vecs") {
