@@ -343,6 +343,19 @@ object Stress {
     time("bruteForceTopK (32 queries)") {
       println("    brute hits: " + Similarity.bruteForceTopK(vecs, queries, k = 10).count())
     }
+    time("semDedup (200k vecs, tau .95)") {
+      // planted exact copies are recovered; the cluster self-join cost is
+      // bounded by per-cell occupancy, never corpus^2
+      val n = Similarity.semDedup(vecs, tau = 0.95, nlist = 256,
+        trainSample = 20000, iters = 5).count()
+      println(s"    semDedup survivors: $n of $nVecs")
+    }
+    time("pca fit+project (200k x 256d -> 32)") {
+      val m = graft.vector.Pca.fit(vecs, k = 32, whiten = true)
+      println("    projected: " + vecs.select(
+        pca_project(col("embedding"), m).as("p"))
+        .agg(sum(element_at(col("p"), 1))).head().getDouble(0).isNaN.unary_!)
+    }
     time("ivfPqTopK (nlist 1024, m8 ksub256)") {
       // the memory-bounded path: 8 code bytes per vector through the
       // candidate join instead of the 256-byte embedding; exact refine on
