@@ -1419,6 +1419,32 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t42_mojibake" -> { (s, d) =>
+      // mojibake repair (fix_mojibake — the ftfy core move): each doc
+      // gains a unicode suffix, is mangled through the real
+      // UTF-8-bytes-decoded-as-CP1252 chain (and DOUBLE-mangled), and the
+      // repair must restore the exact original (md5 replayed in SQL),
+      // repair the double mangling, and pass clean text through
+      // untouched.
+      import s.implicits._
+      val fixtures = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val cp1252 = java.nio.charset.Charset.forName("windows-1252")
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          val orig = text + " café – désolé™"
+          val mangled = new String(orig.getBytes(utf8), cp1252)
+          val doubled = new String(mangled.getBytes(utf8), cp1252)
+          (id, orig, mangled, doubled)
+        }.toDF("doc_id", "orig", "mangled", "doubled")
+      fixtures.select(col("doc_id"),
+          md5(fix_mojibake(col("mangled")).cast("binary")).as("repaired_md5"),
+          (fix_mojibake(col("doubled")) === col("orig")).as("double_repaired"),
+          (fix_mojibake(col("orig")) === col("orig")).as("clean_passthrough"),
+          (col("mangled") =!= col("orig")).as("mangled_differs"))
+        .orderBy("doc_id")
+    },
+
     "t41_curate_e2e" -> { (s, d) =>
       // end-to-end curation (TrainingData.curate): planted exact copies →
       // dedup; token floor; per-domain cap in seeded-hash order; content
@@ -4874,6 +4900,14 @@ object SparkEntry {
     "t40_compress_filter" ->
       """SELECT doc_id, TRUE AS rep_lt_plain, TRUE AS rep_lt_rand,
            TRUE AS bounds_ok
+         FROM documents ORDER BY doc_id""",
+
+    // mojibake replay: the repair must restore text + the exact unicode
+    // suffix — md5 recomputed over the UTF-8 original in SQL
+    "t42_mojibake" ->
+      """SELECT doc_id, md5(text || ' café – désolé™') AS repaired_md5,
+           TRUE AS double_repaired, TRUE AS clean_passthrough,
+           TRUE AS mangled_differs
          FROM documents ORDER BY doc_id""",
 
     // e2e curation replay: dedup (min id per md5), token floor,

@@ -113,6 +113,7 @@ object GraftFunctions {
   def url_host(url: Column): Column = col(UrlHost(ex(url)))
   def url_domain(url: Column): Column = col(UrlDomain(ex(url)))
   def compress_ratio(text: Column): Column = col(CompressRatio(ex(text)))
+  def fix_mojibake(text: Column): Column = col(FixMojibake(ex(text)))
   def ac_contains(text: Column, model: graft.text.AhoCorasick): Column =
     col(AcContains(ex(text), model))
   def ac_find(text: Column, model: graft.text.AhoCorasick): Column =
@@ -254,6 +255,7 @@ object GraftFunctions {
     "url_host" -> { e => UrlHost(e.head) },
     "url_domain" -> { e => UrlDomain(e.head) },
     "compress_ratio" -> { e => CompressRatio(e.head) },
+    "fix_mojibake" -> { e => FixMojibake(e.head) },
     "html_title" -> { e => HtmlTitle(e.head) },
     "html_links" -> { e => HtmlLinks(e.head) },
     "png_width" -> { e => PngWidth(e.head) },

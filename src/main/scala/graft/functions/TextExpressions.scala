@@ -243,6 +243,23 @@ object BpeEncode {
     tokens.map(UTF8String.fromString)
 }
 
+/** fix_mojibake(text) → undo UTF-8-mis-decoded-as-CP1252 mangling
+  * (the ftfy core repair); clean text passes through unchanged. */
+case class FixMojibake(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fix_mojibake"
+  protected override def nullSafeEval(text: Any): Any =
+    UTF8String.fromString(
+      TextLib.fixMojibake(text.asInstanceOf[UTF8String].toString))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"$UTF8.fromString(graft.text.TextLib.fixMojibake($t.toString()))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** compress_ratio(text) → deflate bytes / raw bytes (zlib level 6): the
   * cheap junk detector — boilerplate compresses far below prose, random
   * blobs sit near 1.0. */

@@ -365,7 +365,15 @@ object Multimodal {
     * Box walk only; empty for non-BMFF bytes. Capped at 4096 keyframes
     * per track (fixture/probe scale — a real lake stores these rows once
     * at ingest, not per query). */
-  def mp4Keyframes(p: Array[Byte]): Array[KeySample] = {
+  def mp4Keyframes(p: Array[Byte]): Array[KeySample] = try {
+    mp4KeyframesUnsafe(p)
+  } catch {
+    // truncated sample tables (stts/stsz entry counts pointing past the
+    // buffer) surface as bounds errors — honest empty, never a task kill
+    case _: IndexOutOfBoundsException => Array.empty
+  }
+
+  private def mp4KeyframesUnsafe(p: Array[Byte]): Array[KeySample] = {
     if (p.length < 16 || !(p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'))
       return Array.empty
     def u32(o: Int): Long = ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |

@@ -371,4 +371,68 @@ object TextLib {
       total.toDouble / raw.length
     } finally d.end()
   }
+
+  /** Mojibake repair (the ftfy core move): text that went UTF-8 →
+    * mis-decoded as Latin-1/Windows-1252 → re-encoded shows as "Ã©"-style
+    * runs. If re-encoding the string as Latin-1/CP1252 yields bytes that
+    * decode as STRICTLY VALID UTF-8 and that decoding is shorter, the
+    * original encoding chain is unambiguous — undo it (repeatedly, for
+    * double-mangled text). Text that does not round-trip is returned
+    * unchanged: the repair can never corrupt clean input, because clean
+    * non-ASCII text re-encoded as CP1252 almost never forms valid UTF-8
+    * multi-byte sequences by accident. */
+  def fixMojibake(text: String): String = {
+    if (text == null || text.isEmpty) return text
+    var cur = text
+    var rounds = 0
+    while (rounds < 3) { // double-mangling is real; deeper is pathological
+      val repaired = demojibakeOnce(cur)
+      if (repaired == null) return cur
+      cur = repaired
+      rounds += 1
+    }
+    cur
+  }
+
+  private def demojibakeOnce(t: String): String = {
+    // fast reject: pure ASCII cannot be mojibake
+    var i = 0
+    var hasHigh = false
+    while (i < t.length && !hasHigh) { if (t.charAt(i) > 127) hasHigh = true; i += 1 }
+    if (!hasHigh) return null
+    // map chars back to the bytes a CP1252 mis-decode produced; chars
+    // outside CP1252's image mean this is NOT mojibake of that kind
+    val bytes = new Array[Byte](t.length)
+    i = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      val b =
+        if (c <= 0xff) c.toInt
+        else Cp1252Back.getOrElse(c, -1)
+      if (b < 0) return null
+      bytes(i) = b.toByte
+      i += 1
+    }
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try {
+      val out = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      // a genuine repair SHRINKS (multi-byte sequences collapse); an
+      // ASCII-identical "decode" is a no-op, not evidence
+      if (out.length < t.length) out else null
+    } catch { case _: java.nio.charset.CharacterCodingException => null }
+  }
+
+  /** The 27 CP1252 codepoints that differ from Latin-1 in 0x80-0x9F
+    * (public Windows-1252 table) — mojibake routinely carries these
+    * (e.g. \u20AC for byte 0x80, \u2019 for 0x92). */
+  private val Cp1252Back: Map[Char, Int] = Map(
+    '\u20AC' -> 0x80, '\u201A' -> 0x82, '\u0192' -> 0x83, '\u201E' -> 0x84,
+    '\u2026' -> 0x85, '\u2020' -> 0x86, '\u2021' -> 0x87, '\u02C6' -> 0x88,
+    '\u2030' -> 0x89, '\u0160' -> 0x8A, '\u2039' -> 0x8B, '\u0152' -> 0x8C,
+    '\u017D' -> 0x8E, '\u2018' -> 0x91, '\u2019' -> 0x92, '\u201C' -> 0x93,
+    '\u201D' -> 0x94, '\u2022' -> 0x95, '\u2013' -> 0x96, '\u2014' -> 0x97,
+    '\u02DC' -> 0x98, '\u2122' -> 0x99, '\u0161' -> 0x9A, '\u203A' -> 0x9B,
+    '\u0153' -> 0x9C, '\u017E' -> 0x9E, '\u0178' -> 0x9F)
 }

@@ -183,4 +183,35 @@ class TextLibSpec extends AnyFunSuite {
     assert(compressRatio(noise) > 0.8, s"printable noise: ${compressRatio(noise)}")
     assert(compressRatio("") == 1.0 && compressRatio(null) == 1.0)
   }
+
+  test("fixMojibake: single and double mangling repaired, clean text safe") {
+    import graft.text.TextLib.fixMojibake
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    // "sloppy" CP1252 decode (what real-world mojibake pipelines do):
+    // undefined bytes 0x81/0x8D/0x8F/0x90/0x9D pass through as C1 chars
+    // instead of being destroyed into U+FFFD the way Java's strict
+    // charset does — fixMojibake's back-map handles both
+    val fwd: Map[Int, Char] = Map(0x80 -> '\u20AC', 0x82 -> '\u201A',
+      0x83 -> '\u0192', 0x84 -> '\u201E', 0x85 -> '\u2026', 0x86 -> '\u2020',
+      0x87 -> '\u2021', 0x88 -> '\u02C6', 0x89 -> '\u2030', 0x8A -> '\u0160',
+      0x8B -> '\u2039', 0x8C -> '\u0152', 0x8E -> '\u017D', 0x91 -> '\u2018',
+      0x92 -> '\u2019', 0x93 -> '\u201C', 0x94 -> '\u201D', 0x95 -> '\u2022',
+      0x96 -> '\u2013', 0x97 -> '\u2014', 0x98 -> '\u02DC', 0x99 -> '\u2122',
+      0x9A -> '\u0161', 0x9B -> '\u203A', 0x9C -> '\u0153', 0x9E -> '\u017E',
+      0x9F -> '\u0178')
+    def mangle(s: String): String = s.getBytes(utf8)
+      .map(b => fwd.getOrElse(b & 0xff, (b & 0xff).toChar)).mkString
+    for (orig <- Seq("café", "naïve — déjà vu™", "Füße größer",
+        "euro € quote \u2019 dash \u2013", "日本語テキスト")) {
+      assert(fixMojibake(mangle(orig)) == orig, s"single: $orig")
+      assert(fixMojibake(mangle(mangle(orig))) == orig, s"double: $orig")
+      // clean text must pass through untouched
+      assert(fixMojibake(orig) == orig, s"clean: $orig")
+    }
+    // ASCII and empty are identity
+    assert(fixMojibake("plain ascii") == "plain ascii")
+    assert(fixMojibake("") == "" && fixMojibake(null) == null)
+    // lone high-bit chars that are NOT valid UTF-8 sequences stay as-is
+    assert(fixMojibake("a\u00e9b") == "a\u00e9b")
+  }
 }
