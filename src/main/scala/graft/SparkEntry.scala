@@ -3377,6 +3377,37 @@ object SparkEntry {
         .orderBy("id", "sample_no")
     },
 
+    "s14_warc_scan" -> { (s, d) =>
+      // WARC source (sources/Warc, ISO 28500 — the Common Crawl
+      // container): each doc becomes a .warc blob (gzipped
+      // one-member-per-record for odd ids, the conventional form) holding
+      // a warcinfo record plus 1+id%3 HTTP response records whose bodies
+      // derive from the doc text. warc_records explodes them distributed;
+      // the oracle replays counts, statuses, URIs, and body md5s from the
+      // same arithmetic.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val n = 1 + (id % 3).toInt
+          val info = ("warcinfo", "", 0, "",
+            s"software: graft $id".getBytes("UTF-8"))
+          val resps = (0 until n).map { r =>
+            ("response", s"http://ex$id.com/p$r", 200 + (r % 2) * 104,
+              "text/html",
+              s"<html>$text r$r</html>".getBytes("UTF-8"))
+          }
+          (id, graft.sources.Warc.write(info +: resps,
+            gzipPerRecord = id % 2 == 1))
+        }.toDF("doc_id", "warc")
+      media.select(col("doc_id"),
+          explode(warc_records(col("warc"))).as("r"))
+        .select(col("doc_id"), col("r.warc_type"), col("r.uri"),
+          col("r.http_status"), col("r.content_type"),
+          md5(col("r.body")).as("body_md5"))
+        .orderBy("doc_id", "uri")
+    },
+
     "mm11_audio_fingerprint" -> { (s, d) =>
       // peak-constellation audio fingerprint (AudioLib.fingerprint): per
       // doc an 8-frame tone sequence WAV; a 0.3x volume re-encode must
@@ -5403,6 +5434,26 @@ object SparkEntry {
                 ELSE h * 100 + (no - 1 - h) * 150 END AS BIGINT) AS time_ms,
            CAST(500 + 7 * no AS BIGINT) AS size
          FROM k ORDER BY id, sample_no""",
+
+    // WARC replay: the warcinfo record plus 1+id%3 responses with
+    // status 200/304 alternation, URIs and body md5s from the id/text
+    "s14_warc_scan" ->
+      """WITH d AS (
+           SELECT doc_id, text, 1 + CAST(doc_id % 3 AS INTEGER) AS n
+           FROM documents),
+         recs AS (
+           SELECT doc_id, 'warcinfo' AS warc_type, '' AS uri,
+             0 AS http_status, '' AS content_type,
+             md5('software: graft ' || doc_id) AS body_md5
+           FROM d
+           UNION ALL
+           SELECT d.doc_id, 'response', 'http://ex' || d.doc_id || '.com/p' || r.i,
+             200 + CAST(r.i % 2 AS INTEGER) * 104, 'text/html',
+             md5('<html>' || d.text || ' r' || r.i || '</html>')
+           FROM d, range(0, 3) r(i) WHERE r.i < d.n)
+         SELECT doc_id, warc_type, uri,
+           CAST(http_status AS INTEGER) AS http_status, content_type, body_md5
+         FROM recs ORDER BY doc_id, uri""",
 
     // audio-fingerprint invariance: volume-identical, different-tones-far
     "mm11_audio_fingerprint" ->

@@ -140,6 +140,7 @@ object GraftFunctions {
   def jpeg12_sum(payload: Column): Column = col(Jpeg12Sum(ex(payload)))
   def image_dhash(payload: Column): Column = col(ImageDhash(ex(payload)))
   def audio_fingerprint(payload: Column): Column = col(AudioFingerprint(ex(payload)))
+  def warc_records(payload: Column): Column = col(WarcRecords(ex(payload)))
   def cdc_n_chunks(payload: Column): Column = col(CdcNChunks(ex(payload)))
   def cdc_fingerprint(payload: Column): Column = col(CdcFingerprint(ex(payload)))
   def geotiff_meta(payload: Column): Column = col(GeoTiffMeta(ex(payload)))
@@ -268,6 +269,7 @@ object GraftFunctions {
     "jpeg12_sum" -> { e => Jpeg12Sum(e.head) },
     "image_dhash" -> { e => ImageDhash(e.head) },
     "audio_fingerprint" -> { e => AudioFingerprint(e.head) },
+    "warc_records" -> { e => WarcRecords(e.head) },
     "cdc_n_chunks" -> { e => CdcNChunks(e.head) },
     "cdc_fingerprint" -> { e => CdcFingerprint(e.head) },
     "geotiff_meta" -> { e => GeoTiffMeta(e.head) },

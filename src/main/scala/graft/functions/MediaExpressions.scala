@@ -112,6 +112,36 @@ case class Jpeg12Sum(child: Expression) extends PngAccessorExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** warc_records(payload) — parse a .warc / .warc.gz blob (ISO 28500, the
+  * Common Crawl container) into its records: type, target URI, HTTP
+  * status/content-type, and the entity body bytes. One per-blob kernel;
+  * corrupt tails yield the good prefix. */
+case class WarcRecords(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "warc_records"
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("warc_type", StringType, nullable = false),
+    StructField("uri", StringType, nullable = false),
+    StructField("http_status", IntegerType, nullable = false),
+    StructField("content_type", StringType, nullable = false),
+    StructField("body", BinaryType, nullable = false))), containsNull = false)
+  protected override def nullSafeEval(p: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val recs = graft.sources.Warc.parse(p.asInstanceOf[Array[Byte]])
+    new GenericArrayData(recs.map { r =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(r.warcType),
+          UTF8String.fromString(r.targetUri), r.httpStatus,
+          UTF8String.fromString(r.httpContentType), r.body))
+    }.asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** audio_fingerprint(payload) — 64-bit peak-constellation fingerprint of
   * a PCM WAV (amplitude-invariant; the audio twin of image_dhash). */
 case class AudioFingerprint(child: Expression) extends PngAccessorExpression {
