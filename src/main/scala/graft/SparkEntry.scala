@@ -3408,6 +3408,45 @@ object SparkEntry {
         .orderBy("doc_id", "uri")
     },
 
+    "s15_archive_scan" -> { (s, d) =>
+      // TAR + ZIP enumeration/extraction (sources/Archives): per doc a
+      // ustar tarball (our from-spec writer) and a zip authored by the
+      // JDK's OWN ZipOutputStream (independent writer; STORED entries so
+      // sizes live in the local headers) holding the same two members.
+      // Both explode distributed; paths, sizes, and content md5s replay
+      // from the construction arithmetic.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val members = Seq(
+            (s"doc$id/a.txt", text.getBytes("UTF-8")),
+            (s"doc$id/b.txt", s"meta $id".getBytes("UTF-8")))
+          val tar = graft.sources.Archives.writeTar(members)
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new java.util.zip.ZipOutputStream(bos)
+          members.foreach { case (p, b) =>
+            val e = new java.util.zip.ZipEntry(p)
+            e.setMethod(java.util.zip.ZipEntry.STORED)
+            e.setSize(b.length)
+            val crc = new java.util.zip.CRC32()
+            crc.update(b)
+            e.setCrc(crc.getValue)
+            z.putNextEntry(e); z.write(b); z.closeEntry()
+          }
+          z.close()
+          (id, tar, bos.toByteArray)
+        }.toDF("doc_id", "tar", "zip")
+      val tarRows = media.select(col("doc_id"), lit("tar").as("kind"),
+        explode(tar_entries(col("tar"))).as("e"))
+      val zipRows = media.select(col("doc_id"), lit("zip").as("kind"),
+        explode(zip_entries(col("zip"))).as("e"))
+      tarRows.unionByName(zipRows)
+        .select(col("doc_id"), col("kind"), col("e.path"), col("e.size"),
+          md5(col("e.content")).as("content_md5"))
+        .orderBy("doc_id", "kind", "path")
+    },
+
     "mm11_audio_fingerprint" -> { (s, d) =>
       // peak-constellation audio fingerprint (AudioLib.fingerprint): per
       // doc an 8-frame tone sequence WAV; a 0.3x volume re-encode must
@@ -5434,6 +5473,20 @@ object SparkEntry {
                 ELSE h * 100 + (no - 1 - h) * 150 END AS BIGINT) AS time_ms,
            CAST(500 + 7 * no AS BIGINT) AS size
          FROM k ORDER BY id, sample_no""",
+
+    // archive replay: both containers carry the same two members per doc
+    "s15_archive_scan" ->
+      """SELECT doc_id, kind, path, size, content_md5 FROM (
+           SELECT doc_id, k.kind,
+             'doc' || doc_id || '/a.txt' AS path,
+             CAST(length(text) AS BIGINT) AS size, md5(text) AS content_md5
+           FROM documents, (VALUES ('tar'), ('zip')) k(kind)
+           UNION ALL
+           SELECT doc_id, k.kind, 'doc' || doc_id || '/b.txt',
+             CAST(length('meta ' || doc_id) AS BIGINT),
+             md5('meta ' || doc_id)
+           FROM documents, (VALUES ('tar'), ('zip')) k(kind))
+         ORDER BY doc_id, kind, path""",
 
     // WARC replay: the warcinfo record plus 1+id%3 responses with
     // status 200/304 alternation, URIs and body md5s from the id/text

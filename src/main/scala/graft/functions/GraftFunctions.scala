@@ -141,6 +141,8 @@ object GraftFunctions {
   def image_dhash(payload: Column): Column = col(ImageDhash(ex(payload)))
   def audio_fingerprint(payload: Column): Column = col(AudioFingerprint(ex(payload)))
   def warc_records(payload: Column): Column = col(WarcRecords(ex(payload)))
+  def tar_entries(payload: Column): Column = col(TarEntries(ex(payload)))
+  def zip_entries(payload: Column): Column = col(ZipEntries(ex(payload)))
   def cdc_n_chunks(payload: Column): Column = col(CdcNChunks(ex(payload)))
   def cdc_fingerprint(payload: Column): Column = col(CdcFingerprint(ex(payload)))
   def geotiff_meta(payload: Column): Column = col(GeoTiffMeta(ex(payload)))
@@ -270,6 +272,8 @@ object GraftFunctions {
     "image_dhash" -> { e => ImageDhash(e.head) },
     "audio_fingerprint" -> { e => AudioFingerprint(e.head) },
     "warc_records" -> { e => WarcRecords(e.head) },
+    "tar_entries" -> { e => TarEntries(e.head) },
+    "zip_entries" -> { e => ZipEntries(e.head) },
     "cdc_n_chunks" -> { e => CdcNChunks(e.head) },
     "cdc_fingerprint" -> { e => CdcFingerprint(e.head) },
     "geotiff_meta" -> { e => GeoTiffMeta(e.head) },

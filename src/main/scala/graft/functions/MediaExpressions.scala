@@ -112,6 +112,44 @@ case class Jpeg12Sum(child: Expression) extends PngAccessorExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** tar_entries(payload) / zip_entries(payload) — enumerate + extract an
+  * archive blob's members: (path, size, content). Directories and
+  * unsupported members carry null content; corrupt tails yield the
+  * parsed prefix. */
+abstract class ArchiveEntriesExpression extends UnaryExpression
+    with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("content", BinaryType, nullable = true))), containsNull = false)
+  protected def run(p: Array[Byte]): Array[graft.sources.Archives.Entry]
+  protected override def nullSafeEval(p: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    new GenericArrayData(run(p.asInstanceOf[Array[Byte]]).map { e =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.path), e.size, e.content))
+    }.asInstanceOf[Array[Any]])
+  }
+}
+
+case class TarEntries(child: Expression) extends ArchiveEntriesExpression {
+  override def prettyName: String = "tar_entries"
+  protected def run(p: Array[Byte]): Array[graft.sources.Archives.Entry] =
+    graft.sources.Archives.tarEntries(p)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class ZipEntries(child: Expression) extends ArchiveEntriesExpression {
+  override def prettyName: String = "zip_entries"
+  protected def run(p: Array[Byte]): Array[graft.sources.Archives.Entry] =
+    graft.sources.Archives.zipEntries(p)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** warc_records(payload) — parse a .warc / .warc.gz blob (ISO 28500, the
   * Common Crawl container) into its records: type, target URI, HTTP
   * status/content-type, and the entity body bytes. One per-blob kernel;

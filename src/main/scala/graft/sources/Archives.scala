@@ -1,0 +1,155 @@
+package graft.sources
+
+/** TAR and ZIP enumeration/extraction from the public specs — the
+  * containers code and document datasets actually ship in (source
+  * tarballs, dataset zips). Both parsers are per-blob kernels with the
+  * crawl posture: corrupt tails yield the entries parsed so far.
+  *
+  *  - TAR (POSIX ustar): 512-byte headers — name at 0 (100 B,
+  *    NUL-padded), size at 124 (12 B octal), typeflag at 156; data padded
+  *    to 512. Long names via the ustar prefix field (345, 155 B).
+  *  - ZIP (APPNOTE.TXT): walk LOCAL file headers (PK\x03\x04) — name and
+  *    sizes from each header, payload stored (method 0) or deflated
+  *    (method 8, raw `Inflater`). Data-descriptor entries (bit 3: sizes
+  *    deferred) are skipped honestly — they need the central directory of
+  *    a seekable file, not a streamed blob.
+  */
+object Archives extends Serializable {
+
+  /** One archive member: path, uncompressed size, and content (null when
+    * the member is a directory or could not be extracted). */
+  final case class Entry(path: String, size: Long, content: Array[Byte])
+
+  // ---- TAR --------------------------------------------------------------
+
+  def tarEntries(blob: Array[Byte]): Array[Entry] = {
+    if (blob == null || blob.length < 512) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    var pos = 0
+    try {
+      while (pos + 512 <= blob.length) {
+        if (blob(pos) == 0) return out.toArray // end-of-archive zero block
+        val name0 = cstr(blob, pos, 100)
+        val prefix = if (isUstar(blob, pos)) cstr(blob, pos + 345, 155) else ""
+        val name = if (prefix.isEmpty) name0 else prefix + "/" + name0
+        val size = java.lang.Long.parseLong(
+          cstr(blob, pos + 124, 12).trim, 8)
+        val typeflag = blob(pos + 156).toChar
+        val dataStart = pos + 512
+        if (size < 0 || dataStart + size > blob.length) return out.toArray
+        val content =
+          if (typeflag == '0' || typeflag == 0.toChar)
+            java.util.Arrays.copyOfRange(blob, dataStart, (dataStart + size).toInt)
+          else null // directories, links, extensions: enumerated, not extracted
+        out += Entry(name, size, content)
+        pos = dataStart + (((size + 511) / 512) * 512).toInt
+      }
+      out.toArray
+    } catch { case _: Exception => out.toArray }
+  }
+
+  private def isUstar(b: Array[Byte], base: Int): Boolean =
+    b(base + 257) == 'u' && b(base + 258) == 's' && b(base + 259) == 't' &&
+      b(base + 260) == 'a' && b(base + 261) == 'r'
+
+  private def cstr(b: Array[Byte], off: Int, len: Int): String = {
+    var e = off
+    val max = off + len
+    while (e < max && b(e) != 0) e += 1
+    new String(b, off, e - off, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** From-spec ustar writer for fixtures: (path, bytes) members. */
+  def writeTar(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    members.foreach { case (path, data) =>
+      val h = new Array[Byte](512)
+      val nameB = path.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      require(nameB.length <= 100, s"fixture name too long: $path")
+      System.arraycopy(nameB, 0, h, 0, nameB.length)
+      def oct(v: Long, off: Int, len: Int): Unit = {
+        val s = java.lang.Long.toOctalString(v)
+        val pad = "0" * (len - 1 - s.length) + s
+        System.arraycopy(pad.getBytes, 0, h, off, len - 1)
+      }
+      oct(420, 100, 8) // mode 0644
+      oct(0, 108, 8); oct(0, 116, 8) // uid/gid
+      oct(data.length, 124, 12)
+      oct(0, 136, 12) // mtime
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum spaces
+      h(156) = '0'
+      System.arraycopy("ustar".getBytes, 0, h, 257, 5)
+      h(263) = '0'; h(264) = '0'
+      var sum = 0L
+      var i = 0
+      while (i < 512) { sum += h(i) & 0xff; i += 1 }
+      val cs = java.lang.Long.toOctalString(sum)
+      val csPad = "0" * (6 - cs.length) + cs
+      System.arraycopy(csPad.getBytes, 0, h, 148, 6)
+      h(154) = 0; h(155) = ' '
+      out.write(h)
+      out.write(data)
+      val pad = (512 - data.length % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024)) // two zero blocks
+    out.toByteArray
+  }
+
+  // ---- ZIP --------------------------------------------------------------
+
+  def zipEntries(blob: Array[Byte]): Array[Entry] = {
+    if (blob == null || blob.length < 4) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    var pos = 0
+    try {
+      while (pos + 30 <= blob.length &&
+        u32(blob, pos) == 0x04034b50L) {
+        val flags = u16(blob, pos + 6)
+        val method = u16(blob, pos + 8)
+        val csize = u32(blob, pos + 18)
+        val usize = u32(blob, pos + 22)
+        val nameLen = u16(blob, pos + 26)
+        val extraLen = u16(blob, pos + 28)
+        val name = new String(blob, pos + 30, nameLen,
+          java.nio.charset.StandardCharsets.UTF_8)
+        val dataStart = pos + 30 + nameLen + extraLen
+        if ((flags & 0x8) != 0) return out.toArray // streamed sizes: honest stop
+        if (dataStart + csize > blob.length) return out.toArray
+        val raw = java.util.Arrays.copyOfRange(blob, dataStart,
+          (dataStart + csize).toInt)
+        val content: Array[Byte] =
+          if (name.endsWith("/")) null
+          else if (method == 0) raw
+          else if (method == 8) inflateRaw(raw, usize.toInt)
+          else null // other methods: enumerated, not extracted
+        out += Entry(name, usize, content)
+        pos = (dataStart + csize).toInt
+      }
+      out.toArray
+    } catch { case _: Exception => out.toArray }
+  }
+
+  private def inflateRaw(data: Array[Byte], expected: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(true)
+    try {
+      inf.setInput(data)
+      val out = new Array[Byte](expected)
+      var off = 0
+      while (off < expected && !inf.finished()) {
+        val n = inf.inflate(out, off, expected - off)
+        if (n == 0 && inf.needsInput()) return null
+        off += n
+      }
+      if (off == expected) out else null
+    } catch {
+      case _: java.util.zip.DataFormatException => null
+    } finally inf.end()
+  }
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], o: Int): Long =
+    (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+      ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+}
