@@ -3408,6 +3408,36 @@ object SparkEntry {
         .orderBy("doc_id", "uri")
     },
 
+    "s16_warc_to_text" -> { (s, d) =>
+      // the Common Crawl WET flow end-to-end: WARC blobs → response
+      // records → HTML entity bodies → strip_html visible text — one
+      // composed distributed pipeline (warc_records + explode +
+      // strip_html), each piece already independently oracled. Bodies
+      // carry entity probes and markup the stripper must fold; the
+      // oracle reconstructs the expected visible text per record.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val pages = (0 until 1 + (id % 2).toInt).map { r =>
+            val html = s"<html><head><title>p$r</title>" +
+              s"<script>var x = 1;</script></head>" +
+              s"<body><p>$text</p><b>r$r</b> &amp; fin</body></html>"
+            ("response", s"http://ex$id.com/p$r", 200, "text/html",
+              html.getBytes("UTF-8"))
+          }
+          (id, graft.sources.Warc.write(pages, gzipPerRecord = id % 3 == 0))
+        }.toDF("doc_id", "warc")
+      media.select(col("doc_id"),
+          explode(warc_records(col("warc"))).as("r"))
+        .filter(col("r.warc_type") === "response" &&
+          col("r.content_type") === "text/html")
+        .select(col("doc_id"), col("r.uri"),
+          md5(strip_html(col("r.body").cast("string")).cast("binary"))
+            .as("text_md5"))
+        .orderBy("doc_id", "uri")
+    },
+
     "s15_archive_scan" -> { (s, d) =>
       // TAR + ZIP enumeration/extraction (sources/Archives): per doc a
       // ustar tarball (our from-spec writer) and a zip authored by the
@@ -5473,6 +5503,16 @@ object SparkEntry {
                 ELSE h * 100 + (no - 1 - h) * 150 END AS BIGINT) AS time_ms,
            CAST(500 + 7 * no AS BIGINT) AS size
          FROM k ORDER BY id, sample_no""",
+
+    // WET replay: per response record the expected visible text — body
+    // markup folded to separators, entities decoded, title/script gone
+    "s16_warc_to_text" ->
+      """SELECT d.doc_id, 'http://ex' || d.doc_id || '.com/p' || r.i AS uri,
+           md5(trim(regexp_replace(d.text || ' r' || r.i || ' & fin',
+             '\s+', ' ', 'g'))) AS text_md5
+         FROM documents d, range(0, 2) r(i)
+         WHERE r.i < 1 + d.doc_id % 2
+         ORDER BY d.doc_id, uri""",
 
     // archive replay: both containers carry the same two members per doc
     "s15_archive_scan" ->
