@@ -1419,6 +1419,29 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t43_robots" -> { (s, d) =>
+      // robots.txt evaluation (robots_allowed, RFC 9309): per doc an
+      // authored policy with a star group (disallow /private/ but allow
+      // the longer-match /private/ok$) and a graftbot group disallowing
+      // /doc<id%5>/. Five probes pin group selection (specific agent
+      // beats *), longest-match precedence, allow-on-tie, end anchors,
+      // and the fail-open default.
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val robots = concat(
+        lit("User-agent: *\nDisallow: /private/\nAllow: /private/ok$\n\n" +
+          "User-agent: graftbot\nDisallow: /doc"),
+        col("doc_id") % 5, lit("/\n"))
+      docs.select(col("doc_id"),
+          (!robots_allowed(robots, lit("graftbot/1.0"),
+            concat(lit("/doc"), col("doc_id") % 5, lit("/page")))).as("bot_blocked"),
+          robots_allowed(robots, lit("graftbot/1.0"),
+            concat(lit("/doc"), (col("doc_id") + 1) % 5, lit("/page"))).as("bot_other_ok"),
+          (!robots_allowed(robots, lit("mozilla"), lit("/private/x"))).as("star_blocked"),
+          robots_allowed(robots, lit("mozilla"), lit("/private/ok")).as("star_allow_anchor"),
+          robots_allowed(robots, lit("graftbot/1.0"), lit("/private/x")).as("bot_ignores_star"))
+        .orderBy("doc_id")
+    },
+
     "t42_mojibake" -> { (s, d) =>
       // mojibake repair (fix_mojibake — the ftfy core move): each doc
       // gains a unicode suffix, is mangled through the real
@@ -5000,6 +5023,13 @@ object SparkEntry {
     "t40_compress_filter" ->
       """SELECT doc_id, TRUE AS rep_lt_plain, TRUE AS rep_lt_rand,
            TRUE AS bounds_ok
+         FROM documents ORDER BY doc_id""",
+
+    // robots replay: the five verdicts are construction constants
+    "t43_robots" ->
+      """SELECT doc_id, TRUE AS bot_blocked, TRUE AS bot_other_ok,
+           TRUE AS star_blocked, TRUE AS star_allow_anchor,
+           TRUE AS bot_ignores_star
          FROM documents ORDER BY doc_id""",
 
     // mojibake replay: the repair must restore text + the exact unicode

@@ -114,6 +114,8 @@ object GraftFunctions {
   def url_domain(url: Column): Column = col(UrlDomain(ex(url)))
   def compress_ratio(text: Column): Column = col(CompressRatio(ex(text)))
   def fix_mojibake(text: Column): Column = col(FixMojibake(ex(text)))
+  def robots_allowed(robotsTxt: Column, userAgent: Column, path: Column): Column =
+    col(RobotsAllowed(ex(robotsTxt), ex(userAgent), ex(path)))
   def ac_contains(text: Column, model: graft.text.AhoCorasick): Column =
     col(AcContains(ex(text), model))
   def ac_find(text: Column, model: graft.text.AhoCorasick): Column =
@@ -259,6 +261,7 @@ object GraftFunctions {
     "url_domain" -> { e => UrlDomain(e.head) },
     "compress_ratio" -> { e => CompressRatio(e.head) },
     "fix_mojibake" -> { e => FixMojibake(e.head) },
+    "robots_allowed" -> { e => RobotsAllowed(e(0), e(1), e(2)) },
     "html_title" -> { e => HtmlTitle(e.head) },
     "html_links" -> { e => HtmlLinks(e.head) },
     "png_width" -> { e => PngWidth(e.head) },

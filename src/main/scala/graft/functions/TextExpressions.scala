@@ -243,6 +243,24 @@ object BpeEncode {
     tokens.map(UTF8String.fromString)
 }
 
+/** robots_allowed(robots_txt, user_agent, path) → RFC 9309 fetchability:
+  * longest-match allow/disallow under the most specific agent group. */
+case class RobotsAllowed(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType, StringType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "robots_allowed"
+  protected override def nullSafeEval(r: Any, ua: Any, p: Any): Any =
+    graft.text.Robots.isAllowed(r.asInstanceOf[UTF8String].toString,
+      ua.asInstanceOf[UTF8String].toString, p.asInstanceOf[UTF8String].toString)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (r, ua, p) =>
+      s"graft.text.Robots.isAllowed($r.toString(), $ua.toString(), $p.toString())")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** fix_mojibake(text) → undo UTF-8-mis-decoded-as-CP1252 mangling
   * (the ftfy core repair); clean text passes through unchanged. */
 case class FixMojibake(child: Expression)
