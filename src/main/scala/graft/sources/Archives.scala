@@ -98,8 +98,70 @@ object Archives extends Serializable {
 
   // ---- ZIP --------------------------------------------------------------
 
+  /** ZIP entries. Strategy: prefer the CENTRAL DIRECTORY (found via the
+    * end-of-central-directory record in the final 64 KB) — it carries
+    * authoritative sizes even for data-descriptor entries, which is how
+    * real-world streamed zips (java's ZipOutputStream with DEFLATED, most
+    * zip tools) are written. A blob whose tail is cut falls back to the
+    * local-header walk, which recovers every entry with in-header sizes
+    * (bit 3 clear) before the corruption point. */
   def zipEntries(blob: Array[Byte]): Array[Entry] = {
-    if (blob == null || blob.length < 4) return Array.empty
+    if (blob == null || blob.length < 22) return Array.empty
+    try {
+      val viaCd = zipViaCentralDirectory(blob)
+      if (viaCd != null) viaCd else zipViaLocalWalk(blob)
+    } catch { case _: Exception => zipViaLocalWalk(blob) }
+  }
+
+  private def zipViaCentralDirectory(blob: Array[Byte]): Array[Entry] = {
+    // EOCD signature scan from the end (covers trailing comments)
+    var e = blob.length - 22
+    val floor = math.max(0, blob.length - 22 - 65535)
+    while (e >= floor && u32(blob, e) != 0x06054b50L) e -= 1
+    if (e < floor) return null
+    val n = u16(blob, e + 10)
+    val cdOff = u32(blob, e + 16)
+    if (cdOff + 46 > blob.length) return null
+    val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
+    var pos = cdOff.toInt
+    var i = 0
+    while (i < n) {
+      if (pos + 46 > blob.length || u32(blob, pos) != 0x02014b50L)
+        return out.toArray
+      val method = u16(blob, pos + 10)
+      val csize = u32(blob, pos + 20)
+      val usize = u32(blob, pos + 24)
+      val nameLen = u16(blob, pos + 28)
+      val extraLen = u16(blob, pos + 30)
+      val commentLen = u16(blob, pos + 32)
+      val lho = u32(blob, pos + 42)
+      val name = new String(blob, pos + 46, nameLen,
+        java.nio.charset.StandardCharsets.UTF_8)
+      // local header gives the true data offset (its name/extra lengths
+      // can differ from the central directory's)
+      var content: Array[Byte] = null
+      if (!name.endsWith("/") && lho + 30 <= blob.length &&
+        u32(blob, lho.toInt) == 0x04034b50L) {
+        val lNameLen = u16(blob, lho.toInt + 26)
+        val lExtraLen = u16(blob, lho.toInt + 28)
+        val dataStart = lho + 30 + lNameLen + lExtraLen
+        if (dataStart + csize <= blob.length) {
+          val raw = java.util.Arrays.copyOfRange(blob, dataStart.toInt,
+            (dataStart + csize).toInt)
+          content =
+            if (method == 0) raw
+            else if (method == 8) inflateRaw(raw, usize.toInt)
+            else null
+        }
+      }
+      out += Entry(name, usize, content)
+      pos += 46 + nameLen + extraLen + commentLen
+      i += 1
+    }
+    out.toArray
+  }
+
+  private def zipViaLocalWalk(blob: Array[Byte]): Array[Entry] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
     var pos = 0
     try {

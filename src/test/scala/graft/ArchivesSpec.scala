@@ -68,6 +68,28 @@ class ArchivesSpec extends AnyFunSuite {
       s"deflated extract: ${ds.toSeq.map(_.path)}")
   }
 
+  test("zip: DEFLATED via real ZipOutputStream (data descriptors) extracts") {
+    // the common real-world form: streamed DEFLATED entries whose sizes
+    // live only in data descriptors + the central directory
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    val bodies = Seq("first entry body " * 10, "second!").map(_.getBytes)
+    bodies.zipWithIndex.foreach { case (b, i) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(s"f$i.txt"))
+      z.write(b); z.closeEntry()
+    }
+    z.close()
+    val es = Archives.zipEntries(bos.toByteArray)
+    assert(es.length == 2, s"got ${es.map(_.path).toSeq}")
+    es.zip(bodies).foreach { case (e, b) =>
+      assert(java.util.Arrays.equals(e.content, b), e.path)
+    }
+    // a cut tail (no central directory) falls back to the local walk:
+    // bit-3 entries stop honestly, nothing throws
+    val cut = bos.toByteArray.take(bos.size - 30)
+    Archives.zipEntries(cut)
+  }
+
   test("corrupt tails and junk yield parsed prefixes, never throw") {
     val tar = Archives.writeTar(Seq(("a", "xx".getBytes), ("b", "yy".getBytes)))
     (1 until 20).foreach { i =>
