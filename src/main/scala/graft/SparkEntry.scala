@@ -3431,6 +3431,27 @@ object SparkEntry {
         .orderBy("doc_id", "uri")
     },
 
+    "s17_sitemap" -> { (s, d) =>
+      // sitemap.xml ingestion (the crawl-frontier companion to robots/
+      // WARC) through Spark 4's BUILT-IN from_xml — no custom parser:
+      // per doc an authored urlset whose <url> entries carry loc/lastmod/
+      // priority; schema'd parse + explode, arithmetic replayed in SQL.
+      val n = (col("doc_id") % 3 + 1).cast("int")
+      val urls = expr(
+        """concat_ws('', transform(sequence(0, cast(doc_id % 3 as int)),
+             j -> concat('<url><loc>http://ex', doc_id, '.com/p', j,
+               '</loc><lastmod>2024-0', j + 1, '-01</lastmod><priority>0.',
+               j + 1, '</priority></url>')))""")
+      val xml = concat(lit("<urlset>"), urls, lit("</urlset>"))
+      val schema = "STRUCT<url: ARRAY<STRUCT<loc: STRING, lastmod: STRING, priority: DOUBLE>>>"
+      t(s, d, "documents").select(col("doc_id"), xml.as("xml"))
+        .select(col("doc_id"),
+          explode(expr(s"from_xml(xml, '$schema').url")).as("u"))
+        .select(col("doc_id"), col("u.loc"), col("u.lastmod"),
+          col("u.priority"))
+        .orderBy("doc_id", "loc")
+    },
+
     "s16_warc_to_text" -> { (s, d) =>
       // the Common Crawl WET flow end-to-end: WARC blobs → response
       // records → HTML entity bodies → strip_html visible text — one
@@ -5533,6 +5554,16 @@ object SparkEntry {
                 ELSE h * 100 + (no - 1 - h) * 150 END AS BIGINT) AS time_ms,
            CAST(500 + 7 * no AS BIGINT) AS size
          FROM k ORDER BY id, sample_no""",
+
+    // sitemap replay: url entries from the id arithmetic
+    "s17_sitemap" ->
+      """SELECT d.doc_id,
+           'http://ex' || d.doc_id || '.com/p' || r.i AS loc,
+           '2024-0' || (r.i + 1) || '-01' AS lastmod,
+           CAST(('0.' || (r.i + 1)) AS DOUBLE) AS priority
+         FROM documents d, range(0, 3) r(i)
+         WHERE r.i <= d.doc_id % 3
+         ORDER BY d.doc_id, loc""",
 
     // WET replay: per response record the expected visible text — body
     // markup folded to separators, entities decoded, title/script gone
