@@ -1233,6 +1233,11 @@ object H3Lib {
       val (nlat, nlng) = cellToLatLng(n)
       maxSpacing = math.max(maxSpacing, distDeg(hlat, hlng, nlat, nlng))
     }
+    // 1.5x safety factor: cells far out in the disk can have larger local
+    // spacing than the CENTER cell's neighbors (icosahedron distortion,
+    // degree-metric stretch toward the poles), so the keep-threshold must
+    // over-approximate or the covering stops being a superset.
+    maxSpacing *= 1.5
     gridDisk(center, k).filter { c =>
       val (clat, clng) = cellToLatLng(c)
       val qlat = math.max(minLat, math.min(maxLat, clat))

@@ -830,7 +830,25 @@ object GeoTiff {
     else tags += T(258, 3, bands, None, bands * 2,
       () => (0 until bands).foreach(_ => w16(precision)))
     inlineT(259, 3, if (oldStyle) 6 else 7)
-    inlineT(262, 3, if (bands == 3 && precision == 8) 6 else 1)
+    // lossless-family JPEG (SOF3/7/11/15) carries untransformed component
+    // planes, so 3-band lossless blocks are RGB (photometric 2); tagging
+    // them YCbCr (6) would make conformant readers apply a YCbCr->RGB
+    // conversion and decode wrong colors. Reserve 6 for the DCT family.
+    val losslessJpeg = {
+      val b = blocks.head
+      var i = 2; var found = false
+      while (!found && i + 3 < b.length && (b(i) & 0xff) == 0xff) {
+        val m = b(i + 1) & 0xff
+        if (m == 0xc3 || m == 0xc7 || m == 0xcb || m == 0xcf) found = true
+        else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i += 2
+        else if (m == 0xda) i = b.length
+        else i += 2 + (((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff))
+      }
+      found
+    }
+    inlineT(262, 3,
+      if (bands == 3 && precision == 8 && !losslessJpeg) 6
+      else if (bands == 3) 2 else 1)
     inlineT(277, 3, bands)
     if (oldStyle) {
       tags += T(513, 4, 1, None, 4, () => w32(blockOffsets(0)))

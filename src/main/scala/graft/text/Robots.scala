@@ -66,9 +66,16 @@ object Robots extends Serializable {
     var i = 0
     while (i < parts.length) {
       val part = parts(i)
+      val isLast = i == parts.length - 1
       if (i == 0) {
         if (!path.startsWith(part)) return -1
         pos = part.length
+      } else if (anchored && isLast && part.nonEmpty) {
+        // RFC 9309: with a `$` anchor the final literal must match at the
+        // END of the path, not at its leftmost occurrence after pos —
+        // '/p*x$' matches '/pxax' even though 'x' also occurs earlier.
+        if (!path.endsWith(part) || path.length - part.length < pos) return -1
+        pos = path.length
       } else {
         val at = path.indexOf(part, pos)
         if (at < 0) return -1

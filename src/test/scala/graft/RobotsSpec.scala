@@ -61,4 +61,20 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.matchLen("/*.php$", "/x/y.php?q=1") == -1)
     assert(Robots.matchLen("/p", "/q") == -1)
   }
+
+  test("$-anchored final literal matches at END of path, not leftmost") {
+    // '/pxax' ends with 'x' — leftmost-occurrence matching would bind the
+    // final 'x' at index 2 and falsely reject (RFC 9309 glob semantics)
+    assert(Robots.matchLen("/p*x$", "/pxax") == 5)
+    assert(Robots.matchLen("/p*x$", "/pxay") == -1)
+    // the final-literal end match must still start at/after the preceding
+    // parts' match end — '/ab$' tail can't overlap the '/a' prefix
+    assert(Robots.matchLen("/ab*b$", "/ab") == -1)
+    assert(Robots.matchLen("/ab*b$", "/abzb") == 6)
+    // multi-wildcard with $: middle parts stay leftmost, tail end-anchored
+    assert(Robots.matchLen("/a*b*c$", "/aXbYcZc") == 7)
+    assert(Robots.matchLen("/a*b*c$", "/aXbYcZd") == -1)
+    // trailing * before $ still matches any tail
+    assert(Robots.matchLen("/a*$", "/aXYZ") == 4)
+  }
 }
