@@ -108,6 +108,8 @@ object GraftFunctions {
     col(BpeEncode(ex(text), model))
   def unigram_encode(text: Column, model: graft.text.UnigramModel): Column =
     col(UnigramEncode(ex(text), model))
+  def classifier_score(text: Column, model: graft.text.TextClassifier.ClfModel): Column =
+    col(ClassifierScore(ex(text), model))
   def pca_project(vec: Column, model: graft.vector.Pca.PcaModel): Column =
     col(PcaProject(ex(vec), model))
   def url_host(url: Column): Column = col(UrlHost(ex(url)))

@@ -243,6 +243,28 @@ object BpeEncode {
     tokens.map(UTF8String.fromString)
 }
 
+/** classifier_score(text) → raw logit of a trained hashed-n-gram quality
+  * classifier ([[graft.text.TextClassifier.ClfModel]]). Broadcast-model
+  * shape: the model rides inside the serialized expression (codegen embeds
+  * it via `addReferenceObj`, the [[BpeEncode]] pattern), so scoring a
+  * 100 TB corpus is a map-only pass that fuses into the scan. */
+case class ClassifierScore(child: Expression,
+    model: graft.text.TextClassifier.ClfModel)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "classifier_score"
+  protected override def nullSafeEval(text: Any): Any =
+    model.score(text.asInstanceOf[UTF8String].toString)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("clfModel", model,
+      "graft.text.TextClassifier.ClfModel")
+    defineCodeGen(ctx, ev, t => s"$mRef.score($t.toString())")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** robots_allowed(robots_txt, user_agent, path) → RFC 9309 fetchability:
   * longest-match allow/disallow under the most specific agent group. */
 case class RobotsAllowed(first: Expression, second: Expression, third: Expression)
