@@ -119,22 +119,56 @@ object Archives extends Serializable {
     val floor = math.max(0, blob.length - 22 - 65535)
     while (e >= floor && u32(blob, e) != 0x06054b50L) e -= 1
     if (e < floor) return null
-    val n = u16(blob, e + 10)
-    val cdOff = u32(blob, e + 16)
-    if (cdOff + 46 > blob.length) return null
+    var n: Long = u16(blob, e + 10)
+    var cdOff: Long = u32(blob, e + 16)
+    // ZIP64 (APPNOTE 4.3.14-15): a maxed EOCD field defers to the zip64
+    // EOCD record, found through its 20-byte locator sitting immediately
+    // before the EOCD. Archives >4 GB or >65,535 entries — routine at
+    // dataset scale — are unreadable without this.
+    if (n == 0xffff || cdOff == 0xffffffffL) {
+      val loc = e - 20
+      if (loc >= 0 && u32(blob, loc) == 0x07064b50L) {
+        val z64 = u64(blob, loc + 8)
+        if (z64 >= 0 && z64 + 56 <= blob.length &&
+          u32(blob, z64.toInt) == 0x06064b50L) {
+          n = u64(blob, z64.toInt + 32)
+          cdOff = u64(blob, z64.toInt + 48)
+        }
+      }
+    }
+    if (cdOff < 0 || cdOff + 46 > blob.length) return null
     val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
     var pos = cdOff.toInt
-    var i = 0
+    var i = 0L
     while (i < n) {
       if (pos + 46 > blob.length || u32(blob, pos) != 0x02014b50L)
         return out.toArray
       val method = u16(blob, pos + 10)
-      val csize = u32(blob, pos + 20)
-      val usize = u32(blob, pos + 24)
+      var csize = u32(blob, pos + 20)
+      var usize = u32(blob, pos + 24)
       val nameLen = u16(blob, pos + 28)
       val extraLen = u16(blob, pos + 30)
       val commentLen = u16(blob, pos + 32)
-      val lho = u32(blob, pos + 42)
+      var lho = u32(blob, pos + 42)
+      // ZIP64 extended info (extra id 0x0001): 8-byte fields present only
+      // for the maxed 32-bit values, in usize, csize, lho order
+      if (csize == 0xffffffffL || usize == 0xffffffffL || lho == 0xffffffffL) {
+        var x = pos + 46 + nameLen
+        val xEnd = math.min(x + extraLen, blob.length)
+        var found = false
+        while (!found && x + 4 <= xEnd) {
+          val id = u16(blob, x)
+          val sz = u16(blob, x + 2)
+          if (id == 0x0001) {
+            var f = x + 4
+            val fEnd = math.min(x + 4 + sz, xEnd)
+            if (usize == 0xffffffffL && f + 8 <= fEnd) { usize = u64(blob, f); f += 8 }
+            if (csize == 0xffffffffL && f + 8 <= fEnd) { csize = u64(blob, f); f += 8 }
+            if (lho == 0xffffffffL && f + 8 <= fEnd) { lho = u64(blob, f) }
+            found = true
+          } else x += 4 + sz
+        }
+      }
       val name = new String(blob, pos + 46, nameLen,
         java.nio.charset.StandardCharsets.UTF_8)
       // local header gives the true data offset (its name/extra lengths
@@ -214,4 +248,6 @@ object Archives extends Serializable {
   private def u32(b: Array[Byte], o: Int): Long =
     (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def u64(b: Array[Byte], o: Int): Long =
+    u32(b, o) | (u32(b, o + 4) << 32)
 }

@@ -100,4 +100,65 @@ class ArchivesSpec extends AnyFunSuite {
     assert(Archives.zipEntries("PK no real header".getBytes).isEmpty)
     assert(Archives.tarEntries(null).isEmpty && Archives.zipEntries(null).isEmpty)
   }
+
+  test("zip64: JDK-forced (>65535 entries) archive reads every entry") {
+    // past 65,535 entries the JDK writes a zip64 EOCD record + locator and
+    // maxes the EOCD count field — without the zip64 path the reader sees
+    // 65,535 of 70,000
+    val n = 70000
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    (0 until n).foreach { i =>
+      val b = s"c$i".getBytes
+      val e = new java.util.zip.ZipEntry(f"e$i%06d")
+      e.setMethod(java.util.zip.ZipEntry.STORED)
+      e.setSize(b.length)
+      val crc = new java.util.zip.CRC32(); crc.update(b)
+      e.setCrc(crc.getValue)
+      z.putNextEntry(e); z.write(b); z.closeEntry()
+    }
+    z.close()
+    val es = Archives.zipEntries(bos.toByteArray)
+    assert(es.length == n, s"zip64 count: ${es.length}")
+    for (i <- Seq(0, 1, 65534, 65535, 65536, n - 1)) {
+      assert(es(i).path == f"e$i%06d")
+      assert(new String(es(i).content) == s"c$i", es(i).path)
+    }
+  }
+
+  test("zip64: per-entry extended-info extra field (maxed 32-bit CD sizes)") {
+    // hand-authored from APPNOTE 4.5.3: one STORED member whose central
+    // directory sizes and local-header offset are all 0xFFFFFFFF, the real
+    // values living in a zip64 extra field (usize, csize, lho order)
+    val body = "zip64 extra body".getBytes
+    val name = "x.bin".getBytes
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = (0 until 4).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    def w64(v: Long): Unit = (0 until 8).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
+    // local header (true sizes — the reader takes data offsets from here)
+    w32(0x04034b50L); w16(20); w16(0); w16(0); w16(0); w16(0); w32(0)
+    w32(body.length); w32(body.length); w16(name.length); w16(0)
+    out.write(name); out.write(body)
+    val cdStart = out.size
+    // central directory entry with maxed fields + zip64 extra (id 0x0001)
+    w32(0x02014b50L); w16(45); w16(45); w16(0); w16(0); w16(0); w16(0); w32(0)
+    w32(0xffffffffL); w32(0xffffffffL) // csize, usize -> deferred
+    w16(name.length); w16(4 + 24); w16(0); w16(0); w16(0); w32(0)
+    w32(0xffffffffL) // local header offset -> deferred
+    out.write(name)
+    w16(0x0001); w16(24); w64(body.length); w64(body.length); w64(0L) // usize, csize, lho
+    val cdLen = out.size - cdStart
+    // EOCD with maxed count/offset + zip64 EOCD record + locator
+    val z64Start = out.size
+    w32(0x06064b50L); w64(44); w16(45); w16(45); w32(0); w32(0)
+    w64(1); w64(1); w64(cdLen); w64(cdStart)
+    w32(0x07064b50L); w32(0); w64(z64Start); w32(1)
+    w32(0x06054b50L); w16(0); w16(0); w16(0xffff); w16(0xffff)
+    w32(0xffffffffL); w32(0xffffffffL); w16(0)
+    val es = Archives.zipEntries(out.toByteArray)
+    assert(es.length == 1, s"zip64 extra entries: ${es.length}")
+    assert(es(0).path == "x.bin" && es(0).size == body.length)
+    assert(java.util.Arrays.equals(es(0).content, body), "zip64 extra content")
+  }
 }
