@@ -406,33 +406,45 @@ object Dedup {
   }
 
   /** Collapse near-dup pairs into clusters: iterative min-label propagation
-    * (connected components) on the driver-controlled loop; converges in
-    * O(log n) rounds on realistic dup-cluster sizes (dup clusters are tiny —
-    * the iteration count is bounded by cluster diameter, not corpus size).
+    * (connected components) on the driver-controlled loop; the iteration
+    * count is bounded by cluster diameter, not corpus size (dup clusters
+    * are tiny), with adaptive pointer jumping as the deep-chain escape —
+    * see the in-loop comment for the measured rationale.
     *
-    * Each iteration `localCheckpoint`s the label frame so the plan stays one
+    * Each iteration checkpoints the label frame so the plan stays one
     * join deep — without it, lineage doubles per round and deep chains
-    * re-execute the whole upstream every iteration. Convergence is detected
-    * by the total label sum (one cheap aggregate per round) instead of a
-    * join + count: each step takes an elementwise `least`, so labels only
-    * ever decrease — the sum is stable iff no label moved. Decimal(38)
-    * accumulation cannot overflow on 64-bit ids. */
-  def clusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * re-execute the whole upstream every iteration; `checkpointDir`
+    * upgrades executor-local checkpoint blocks to reliable storage for
+    * fault-tolerant cluster runs (results are identical either way —
+    * spec-pinned). Convergence is detected by the total label sum (one
+    * cheap aggregate per round) instead of a join + count: each step takes
+    * an elementwise `least`, so labels only ever decrease — the sum is
+    * stable iff no label moved. Decimal(38) accumulation cannot overflow
+    * on 64-bit ids. */
+  def clusters(pairs: DataFrame, maxIter: Int = 10,
+      pointerJump: Option[Boolean] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // checkpointDir opts into RELIABLE checkpoints (HDFS/object store):
+    // localCheckpoint blocks live only on executors, so an executor loss
+    // mid-iteration on a real cluster kills the job (no lineage left to
+    // recompute). local[k] development keeps the default.
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
     // pre-shuffle the (bigger) edge side by the per-round join key ONCE:
-    // localCheckpoint preserves outputPartitioning into the LogicalRDD, so
+    // checkpointing preserves outputPartitioning into the LogicalRDD, so
     // every propagation round reuses this layout instead of re-exchanging
     // 2|E| rows per iteration
-    val edges = pairs.select(col("id_a"), col("id_b"))
+    val edges = truncate(pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .repartition(col("id_b"))
-      .localCheckpoint(true)
+      .repartition(col("id_b")))
     def checksum(df: DataFrame): java.math.BigDecimal = {
       val r = df.agg(sum(col("label").cast("decimal(38,0)")).as("ls")).head()
       if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
     }
-    var labels = edges.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
+    var labels = truncate(edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id")))
     var prev = checksum(labels)
     var changed = true
     var iter = 0
@@ -445,12 +457,24 @@ object Dedup {
       // Shiloach-Vishkin style), so propagation distance doubles per round
       // and the loop converges in O(log diameter) rounds instead of
       // O(diameter). `least` keeps labels monotonically decreasing, so the
-      // checksum convergence test stays valid.
-      val parents = merged.select(col("id").as("pid"), col("label").as("plabel"))
-      val jumped = merged.join(parents, col("label") === col("pid"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
-        .localCheckpoint(true) // truncate lineage: plan depth stays O(1)
+      // checksum convergence test stays valid. The ADAPTIVE default
+      // (None) runs PLAIN propagation first and starts jumping only if the
+      // loop hasn't converged by round 4 (a de-facto diameter probe): the
+      // jump join doubles per-round cost, and on the REALISTIC dup-graph
+      // shape — star clusters, diameter 1 — always-jumping measured 3.4x
+      // slower than plain at 1M nodes (9.2 s vs 2.7 s), while on deep
+      // trees jumping wins (t15 gate graph: 1.7 s vs 2.4 s) and on a
+      // 4096-hop chain plain alone would never finish in maxIter
+      // (docs/NOTES.md round 8 A/B). Some(true/false) forces a mode.
+      val jump = pointerJump.getOrElse(iter >= 4)
+      val jumped =
+        if (!jump) truncate(merged)
+        else {
+          val parents = merged.select(col("id").as("pid"), col("label").as("plabel"))
+          truncate(merged.join(parents, col("label") === col("pid"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("plabel"), col("label"))).as("label")))
+        }
       val cur = checksum(jumped)
       changed = cur != prev
       prev = cur

@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Lineage truncation for the iterative loops: executor-local
+    * checkpoint blocks by default (fast, the right call on local[k]);
+    * `checkpointDir` opts into RELIABLE checkpoints so an executor loss
+    * mid-iteration on a real cluster recomputes from storage instead of
+    * killing the job. Results are identical either way (spec-pinned). */
+  private def truncator(any: DataFrame, checkpointDir: Option[String])
+      : DataFrame => DataFrame = {
+    checkpointDir.foreach(any.sparkSession.sparkContext.setCheckpointDir)
+    df => if (checkpointDir.isDefined) df.checkpoint(true)
+          else df.localCheckpoint(true)
+  }
+
   /** HITS (Kleinberg 1999): mutually-reinforcing hub and authority
     * scores — `a = Aᵀh`, `h = Aa`, L2-normalized each half-step. Where
     * PageRank measures global endorsement, HITS separates "links to good
@@ -23,18 +35,17 @@ object Graph {
     * discipline). Nodes with no in-links get authority 0, no out-links
     * hub 0 — the standard convention. */
   def hits(edges: DataFrame, iters: Int = 3,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
+    val truncate = truncator(edges, checkpointDir)
+    val e = truncate(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull))
+    val nodes = truncate(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
-      .distinct()
-      .localCheckpoint(true)
-    var scores = nodes
-      .withColumn("hub", lit(1.0)).withColumn("auth", lit(1.0))
-      .localCheckpoint(true)
+      .distinct())
+    var scores = truncate(nodes
+      .withColumn("hub", lit(1.0)).withColumn("auth", lit(1.0)))
     var it = 0
     while (it < iters) {
       // authority update: sum of in-neighbor hubs, then L2 normalize
@@ -53,12 +64,11 @@ object Graph {
           .groupBy(col("src").as("id")).agg(sum(col("auth")).as("hr")),
         Seq("id"), "left").na.fill(0.0, Seq("hr"))
       val hNorm = hRaw.agg(sqrt(sum(col("hr") * col("hr"))).as("n"))
-      scores = hRaw.crossJoin(hNorm)
+      scores = truncate(hRaw.crossJoin(hNorm)
         .withColumn("hub", when(col("n") > 0, col("hr") / col("n"))
           .otherwise(0.0))
         .select(col("id"), col("hub"))
-        .join(withAuth, Seq("id"))
-        .localCheckpoint(true)
+        .join(withAuth, Seq("id")))
       it += 1
     }
     scores.select(col("id"), col("hub"), col("auth"))
@@ -78,24 +88,23 @@ object Graph {
     *
     * Returns `(id, rank)` over every node appearing as source OR target. */
   def pageRank(edges: DataFrame, iters: Int = 3, damping: Double = 0.85,
-      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+      srcCol: String = "src", dstCol: String = "dst",
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val truncate = truncator(edges, checkpointDir)
+    val e = truncate(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .repartition(col("src"))
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("id"))
+      .repartition(col("src")))
+    val nodes = truncate(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     val n = nodes.count().toDouble
     val odeg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("odeg"))
-    var ranks = nodes.join(odeg, Seq("id"), "left")
+    var ranks = truncate(nodes.join(odeg, Seq("id"), "left")
       .na.fill(0L, Seq("odeg"))
-      .withColumn("rank", lit(1.0 / n))
-      .localCheckpoint(true)
+      .withColumn("rank", lit(1.0 / n)))
     // graphs with no dangling nodes (every node links out — common for
     // synthetic/link-complete graphs) skip the per-iteration dangling-mass
     // aggregate entirely: one cheap probe instead of `iters` 1-row jobs
@@ -119,8 +128,7 @@ object Graph {
           lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("inflow"), lit(0.0)) + col("dm") / n))
         .select(col("id"), col("odeg"), col("rank"))
-        .localCheckpoint(true)
-      ranks = next
+      ranks = truncate(next)
       it += 1
     }
     ranks.select(col("id"), col("rank"))

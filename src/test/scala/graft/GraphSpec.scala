@@ -66,4 +66,34 @@ class GraphSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Graph.pageRank(e, iters = 0))
     intercept[IllegalArgumentException](Graph.pageRank(e, damping = 1.0))
   }
+
+  test("reliable checkpointDir mode: identical results to localCheckpoint") {
+    // the fault-tolerance opt-in must be a pure execution-strategy swap:
+    // every rank/hub/auth/label bit-identical under both modes
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val e = (0L until 60L).flatMap(i =>
+      Seq((i, (i * 7 + 3) % 60), (i, (i * i + 1) % 60))).toDF("src", "dst")
+    def key(r: org.apache.spark.sql.Row) = r.getLong(0)
+    val prLocal = Graph.pageRank(e, iters = 3).collect().map(r => key(r) -> r.getDouble(1)).toMap
+    val prRel = Graph.pageRank(e, iters = 3, checkpointDir = Some(dir))
+      .collect().map(r => key(r) -> r.getDouble(1)).toMap
+    assert(prLocal == prRel, "pageRank results differ across checkpoint modes")
+    val hLocal = Graph.hits(e, iters = 2).collect()
+      .map(r => key(r) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val hRel = Graph.hits(e, iters = 2, checkpointDir = Some(dir)).collect()
+      .map(r => key(r) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(hLocal == hRel, "hits results differ across checkpoint modes")
+    // clusters: a 7-hop chain exercises >1 iteration (and the adaptive
+    // pointer-jump probe) under both modes
+    val pairs = (0L until 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cLocal = graft.operators.Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cRel = graft.operators.Dedup.clusters(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cLocal == cRel && cLocal.values.forall(_ == 0L),
+      s"clusters results differ or unconverged: $cLocal vs $cRel")
+    // reliable mode actually wrote checkpoint data
+    assert(new java.io.File(dir).listFiles() != null &&
+      new java.io.File(dir).listFiles().nonEmpty, "no reliable checkpoint written")
+  }
 }
