@@ -350,6 +350,19 @@ object Stress {
         trainSample = 20000, iters = 5).count()
       println(s"    semDedup survivors: $n of $nVecs")
     }
+    time("semDedup COLLAPSED corpus (200k identical vecs, cap binds)") {
+      // adversarial embedding collapse: every vector lands in ONE cell,
+      // Σ|cluster|² = 4·10¹⁰ pairs if the join ran — the default
+      // maxCluster (100k) must bind BEFORE the join reads a pair, so the
+      // whole corpus passes through undeduped in O(n)
+      val collapsed = spark.range(nVecs)
+        .select(col("id").as("vec_id"),
+          expr("transform(sequence(1, 64), i -> CAST(1.0 AS FLOAT))")
+            .as("embedding"))
+      val n = Similarity.semDedup(collapsed, tau = 0.95, nlist = 16,
+        trainSample = 2000, iters = 2).count()
+      println(s"    collapsed survivors: $n of $nVecs (cap bound: ${n == nVecs})")
+    }
     time("pca fit+project (200k x 256d -> 32)") {
       val m = graft.vector.Pca.fit(vecs, k = 32, whiten = true)
       println("    projected: " + vecs.select(

@@ -224,17 +224,32 @@ object Similarity {
     * column rather than detonating the join; at 100 TB you re-run those
     * few cells with a larger nlist. Identical vectors always share a cell
     * (same argmax), so exact duplicates are structurally inside one
-    * cluster — the planted-twin gate contract. */
-  def semDedup(embs: DataFrame, tau: Double, nlist: Int = 64,
+    * cluster — the planted-twin gate contract.
+    *
+    * SIZING (the 100 TB rule): the in-cell join does Σ|cluster|² cosine
+    * work, ≈ n²/nlist when balanced — so nlist must GROW with the corpus
+    * for per-cell cost to stay bounded. `nlist <= 0` (the default) derives
+    * `nlist = clamp(n/10000, 64, trainSample)` — ~10k vectors per cell,
+    * ~10⁸ in-cell pairs each, cells derived from an actual corpus count,
+    * never a fixed constant that silently admits billion-row cells at
+    * scale. Past `trainSample` cells the k-means sample is the binding
+    * constraint: raise `trainSample` together with nlist (the paper
+    * trains on a sample too). `maxCluster` (default 100k = 10x the
+    * balanced size) is the independent escape hatch for SKEWED cells:
+    * it binds BEFORE the join reads a single oversized pair (the cap is
+    * enforced on cell counts, Stress `semdedup-collapse` proves a fully
+    * collapsed corpus passes through in O(n)). */
+  def semDedup(embs: DataFrame, tau: Double, nlist: Int = 0,
       trainSample: Int = 10000, iters: Int = 5,
-      maxCluster: Long = 1000000L,
+      maxCluster: Long = 100000L,
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"need 0 < tau <= 1: $tau")
+    val cells = if (nlist > 0) nlist else derivedNlist(embs.count(), trainSample)
     val sample = embs.select(col(idCol), col(vecCol)).sort(col(idCol))
       .limit(trainSample).collect()
       .map(_.getSeq[Number](1).map(_.floatValue).toArray)
     require(sample.nonEmpty, "semDedup training needs a non-empty corpus")
-    val centroids = trainSpherical(sample, nlist, iters)
+    val centroids = trainSpherical(sample, cells, iters)
     val assigned = Scatter(embs)
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("cell", element_at(nearest_cells(col("v"), centroids, 1), 1))
@@ -248,6 +263,12 @@ object Similarity {
       .select(col("b.id").as("id")).distinct()
     embs.join(dropped, col(idCol) === dropped("id"), "left_anti")
   }
+
+  /** SemDeDup nlist derivation: one cell per ~10k vectors, floored at 64,
+    * capped at trainSample (a k-means sample can't support more centroids
+    * than points — raise trainSample together for bigger corpora). */
+  private[graft] def derivedNlist(n: Long, trainSample: Int): Int =
+    math.max(64L, math.min(trainSample.toLong, n / 10000L)).toInt
 
   /** Per-subspace k-means over residual subvectors (plain L2 / mean — PQ
     * codewords are not unit vectors). Deterministic: codewords init from

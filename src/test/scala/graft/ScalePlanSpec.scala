@@ -359,6 +359,24 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(capless == Set(0L, 100L), s"uncapped keeps one per group: $capless")
   }
 
+  test("semDedup nlist derivation follows the ~10k-per-cell sizing rule") {
+    import graft.operators.Similarity.derivedNlist
+    assert(derivedNlist(1000L, 10000) == 64) // floor for small corpora
+    assert(derivedNlist(5000000L, 10000) == 500) // n / 10k
+    assert(derivedNlist(1000000000L, 10000) == 10000) // trainSample cap
+    assert(derivedNlist(1000000000L, 50000) == 50000) // bigger sample → more cells
+    // default call (nlist unset) derives and still dedupes: 3 direction
+    // groups of identical vectors each collapse to their lowest id
+    import spark.implicits._
+    val embs = (0 until 30).map(i =>
+      (i.toLong, Seq.tabulate(8)(j => ((i % 3) * 8 + j + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val survivors = Similarity.semDedup(embs, tau = 0.99, trainSample = 30,
+        iters = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(0L, 1L, 2L), s"one per direction group: $survivors")
+  }
+
   test("embeddingPairs multi-table finds planted dups and only planted dups") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val planted = emb.filter($"vec_id" < 8).withColumn("vec_id", $"vec_id" + 10000)
@@ -754,5 +772,42 @@ class ScalePlanSpec extends AnyFunSuite {
     val decoded = graft.sources.ShapefileCodec.decode(buf.array())
     assert(decoded.length == 1, s"one good record then stop: ${decoded.length}")
     assert(decoded.head._1 == 1 && decoded.head._2 == 1)
+  }
+
+  test("classifier training never shuffles: zero shuffle-write across all epochs") {
+    // the per-epoch gradient is a combinable per-partition aggregate
+    // (mapPartitions + driver reduce) over a cached featurized RDD — any
+    // Exchange/shuffle stage here would re-scan-and-exchange the corpus
+    // once per epoch, the anti-pattern the trainer exists to avoid
+    import spark.implicits._
+    val rows = (0 until 300).map { i =>
+      (i.toLong, i % 2, s"filler tokens ${i % 11} " +
+        (if (i % 2 == 1) "qgood" else "qbad") + (i % 3))
+    }
+    // parallelize (narrow) into 8 partitions — proves the gradient is
+    // combinable across partitions without introducing a repartition
+    // Exchange that would itself count as a shuffle
+    val docs = spark.createDataset(spark.sparkContext.parallelize(rows, 8))
+      .toDF("doc_id", "label", "text")
+    @volatile var shuffleWrites = 0L
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffleWrites += sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val m = graft.text.TextClassifier.train(docs, "text", "label",
+        nBuckets = 256, bigrams = true, epochs = 10)
+      // listener events are async; poll briefly for the bus to drain
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (System.nanoTime() < deadline && shuffleWrites == 0L &&
+        spark.sparkContext.statusTracker.getActiveStageIds.nonEmpty)
+        Thread.sleep(50)
+      Thread.sleep(500)
+      assert(shuffleWrites == 0L,
+        s"training wrote $shuffleWrites shuffle bytes — epochs must be map-only")
+      assert(m.score("qgood") > m.score("qbad"))
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
