@@ -56,6 +56,28 @@ object SparkEntry {
     }
   }
 
+  // --- t44 quality-classifier fixture: planted separable corpus + model.
+  // The model is cached PER SF DIR so the oracle twins can embed the same
+  // learned weights the Spark result was scored with (Verify runs queries
+  // before dumping oracle_sql.json, so the cache is always warm there).
+  private val clfModels = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.text.TextClassifier.ClfModel]()
+
+  private def clfCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), (col("doc_id") % 2).cast("int").as("y"),
+      concat(col("text"), lit(" "),
+        when(col("doc_id") % 2 === 1, lit("qgood")).otherwise(lit("qbad")),
+        (col("doc_id") % 5).cast("string")).as("qtext"))
+
+  private def clfTrained(s: SparkSession, d: String)
+      : (DataFrame, graft.text.TextClassifier.ClfModel) = {
+    val corpus = clfCorpus(t(s, d, "documents"))
+    val m = clfModels.computeIfAbsent(d, _ =>
+      graft.text.TextClassifier.train(corpus, "qtext", "y",
+        nBuckets = 4096, bigrams = false, epochs = 40))
+    (corpus, m)
+  }
+
   /** Flagship (sf0.001 smoke): the reference's universal pipeline shape —
     * normalize + filter broken geometry + Hilbert spatial clustering
     * (ORNL-FEMA-Buildings.md:78-93) over synthesized WKB geometry. */
@@ -1600,6 +1622,36 @@ object SparkEntry {
           .as("score"), (col("label") % 2).as("y"))
       graft.operators.Eval.auc(emb, "score", "y")
         .select(col("n_pos"), col("n_neg"), round(col("auc"), 6).as("auc6"))
+    },
+
+    "t44_quality_classifier" -> { (s, d) =>
+      // fastText-shape quality classifier (TextClassifier.train, Joulin
+      // 2016 / CCNet's pipeline role): logistic regression over md5-hashed
+      // unigram buckets with AdaGrad full-batch GD — one combinable
+      // per-partition gradient aggregate per epoch, driver update, scoring
+      // a broadcast-model codegen expression. Corpus: documents with
+      // doc_id-parity labels and a per-class marker token appended
+      // (separable by construction). The oracle replays SCORING
+      // occurrence-for-occurrence from the LEARNED weight table (embedded
+      // as literals once training has run — see clfOracle).
+      val (corpus, m) = clfTrained(s, d)
+      corpus.select(col("doc_id"), col("y"),
+          round(classifier_score(col("qtext"), m), 6).as("score6"))
+        .orderBy("doc_id")
+    },
+
+    "t44b_classifier_auc" -> { (s, d) =>
+      // training-outcome gate: AUC of the trained classifier over its
+      // corpus through the oracled Mann-Whitney arithmetic (t32's form,
+      // over the 6-dp-rounded scores so both engines rank identical
+      // values). The oracle pins auc_ge95 to literal TRUE — an
+      // under-trained model hash-mismatches instead of silently passing.
+      val (corpus, m) = clfTrained(s, d)
+      val scored = corpus.select(
+        round(classifier_score(col("qtext"), m), 6).as("s"), col("y"))
+      graft.operators.Eval.auc(scored, "s", "y")
+        .select(col("n_pos"), col("n_neg"), round(col("auc"), 6).as("auc6"),
+          (col("auc") >= 0.95).as("auc_ge95"))
     },
 
     "t33_psi" -> { (s, d) =>
@@ -3519,6 +3571,36 @@ object SparkEntry {
         .select(col("doc_id"), col("kind"), col("e.path"), col("e.size"),
           md5(col("e.content")).as("content_md5"))
         .orderBy("doc_id", "kind", "path")
+    },
+
+    "s15b_zip64_scan" -> { (s, d) =>
+      // ZIP64 (APPNOTE 4.3.14-15): a single JDK-authored zip with 65,600
+      // entries — past the 16-bit EOCD count, so the JDK maxes the EOCD
+      // fields and writes a zip64 EOCD record + locator. A reader without
+      // the zip64 path would surface 65,535 entries and hash-mismatch.
+      // Paths, sizes, and content md5s replay from construction.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") === 0).as[Long]
+        .map { id =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val z = new java.util.zip.ZipOutputStream(bos)
+          (0 until 65600).foreach { i =>
+            val b = s"$id:$i".getBytes("UTF-8")
+            val e = new java.util.zip.ZipEntry(f"e$i%06d")
+            e.setMethod(java.util.zip.ZipEntry.STORED)
+            e.setSize(b.length)
+            val crc = new java.util.zip.CRC32(); crc.update(b)
+            e.setCrc(crc.getValue)
+            z.putNextEntry(e); z.write(b); z.closeEntry()
+          }
+          z.close()
+          (id, bos.toByteArray)
+        }.toDF("doc_id", "zip")
+      media.select(col("doc_id"), explode(zip_entries(col("zip"))).as("e"))
+        .select(col("doc_id"), col("e.path"), col("e.size"),
+          md5(col("e.content")).as("content_md5"))
+        .orderBy("path")
     },
 
     "mm11_audio_fingerprint" -> { (s, d) =>
@@ -5589,6 +5671,19 @@ object SparkEntry {
            FROM documents, (VALUES ('tar'), ('zip')) k(kind))
          ORDER BY doc_id, kind, path""",
 
+    // zip64 replay: 65,600 constructed entries of doc 0 — path, size, and
+    // md5 all derive from the construction arithmetic
+    "s15b_zip64_scan" ->
+      """SELECT d.doc_id,
+           'e' || lpad(CAST(r.i AS VARCHAR), 6, '0') AS path,
+           CAST(length(CAST(d.doc_id AS VARCHAR) || ':' ||
+             CAST(r.i AS VARCHAR)) AS BIGINT) AS size,
+           md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(r.i AS VARCHAR))
+             AS content_md5
+         FROM (SELECT doc_id FROM documents WHERE doc_id = 0) d,
+           range(0, 65600) r(i)
+         ORDER BY path""",
+
     // WARC replay: the warcinfo record plus 1+id%3 responses with
     // status 200/304 alternation, URIs and body md5s from the id/text
     "s14_warc_scan" ->
@@ -6068,5 +6163,76 @@ object SparkEntry {
          FROM c JOIN p ON c.user_id = r_user
            AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL 1 HOUR
          ORDER BY c.user_id, l_id, r_id"""
-  )
+  ) ++ clfOracle
+
+  /** t44 oracle twins are derivable only from the TRAINED weights, so they
+    * are emitted once a model exists in this process (Verify runs queries
+    * before dumping oracle_sql.json — the driver's flow; without a trained
+    * model the driver records the weaker rows-only check). The weight
+    * table rides as VALUES literals (Double.toString round-trips exactly
+    * through DuckDB's strtod); scoring replays occurrence-for-occurrence
+    * over the same md5-bucket arithmetic as t27; the AUC twin replays the
+    * t32 Mann-Whitney form over the replayed scores and pins auc_ge95 to
+    * literal TRUE. */
+  private def clfOracle: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    clfModels.values().asScala.headOption match {
+      case None => Map.empty
+      case Some(m) =>
+        val ws = m.weights.zipWithIndex.filter(_._1 != 0.0)
+          .map { case (w, b) => s"($b, CAST('$w' AS DOUBLE))" }
+          .mkString(", ")
+        val bias = s"CAST('${m.bias}' AS DOUBLE)"
+        val scores =
+          raw"""WITH corpus AS (
+                SELECT doc_id, CAST(doc_id % 2 AS INTEGER) AS y,
+                  text || ' ' ||
+                  (CASE WHEN doc_id % 2 = 1 THEN 'qgood' ELSE 'qbad' END) ||
+                  CAST(doc_id % 5 AS VARCHAR) AS qtext
+                FROM documents),
+              tk AS (
+                SELECT doc_id,
+                  unnest(list_filter(string_split_regex(qtext, '\s+'),
+                    t -> t <> '')) AS tok
+                FROM corpus),
+              fb AS (
+                SELECT doc_id,
+                  (((instr('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16 +
+                    (instr('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)) * 16 +
+                    (instr('0123456789abcdef', substr(md5(tok), 3, 1)) - 1)) AS b
+                FROM tk),
+              w(b, wt) AS (VALUES $ws),
+              sw AS (
+                SELECT fb.doc_id, sum(coalesce(w.wt, CAST(0.0 AS DOUBLE))) AS sw
+                FROM fb LEFT JOIN w ON fb.b = w.b GROUP BY 1),
+              sc AS (
+                SELECT c.doc_id, c.y,
+                  round($bias + coalesce(sw.sw, CAST(0.0 AS DOUBLE)), 6) AS score6
+                FROM corpus c LEFT JOIN sw ON c.doc_id = sw.doc_id)"""
+        Map(
+          "t44_quality_classifier" ->
+            raw"""$scores
+               SELECT doc_id, y, score6 FROM sc ORDER BY doc_id""",
+          "t44b_classifier_auc" ->
+            raw"""$scores,
+              h AS (
+                SELECT score6 AS s,
+                  sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS np,
+                  sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS nn
+                FROM sc GROUP BY 1),
+              st AS (
+                SELECT np, nn,
+                  sum(nn) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nn
+                    AS cum_nn
+                FROM h)
+              SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+                CAST(sum(nn) AS BIGINT) AS n_neg,
+                round(sum(CAST(np AS DOUBLE) *
+                  (cum_nn + CAST(0.5 AS DOUBLE) * nn)) /
+                  CAST(sum(np) * sum(nn) AS DOUBLE), 6) AS auc6,
+                TRUE AS auc_ge95
+              FROM st""")
+    }
+  }
 }
