@@ -20,6 +20,22 @@ object AudioLib extends Serializable {
     (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
 
+  /** Decode WAV or FLAC to first-channel PCM — every AudioLib feature
+    * (spectrum, RMS, fingerprint) accepts both transparently, so the
+    * audio-dedup story covers the format audio corpora actually ship. */
+  def readPcm(b: Array[Byte]): Pcm = {
+    if (b != null && b.length > 4 &&
+      b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C') {
+      val a = Flac.decode(b)
+      if (a == null || a.samples.isEmpty || a.samples(0).isEmpty) return null
+      val s = a.samples(0)
+      val out = new Array[Double](s.length)
+      var i = 0
+      while (i < s.length) { out(i) = s(i).toDouble; i += 1 }
+      Pcm(a.sampleRate, a.channels, out)
+    } else readPcm16(b)
+  }
+
   /** Decode a 16-bit PCM WAV: RIFF walk to fmt + data, first channel
     * only (deterministic; mixing policy belongs to the caller). Null for
     * non-WAV, non-PCM, or non-16-bit payloads — the loud-reject posture. */
@@ -117,7 +133,7 @@ object AudioLib extends Serializable {
     * yields all-zero fractions. */
   def wavSpectrum(payload: Array[Byte], nfft: Int): Array[Double] = {
     if (nfft < 2 || (nfft & (nfft - 1)) != 0) return null
-    val pcm = readPcm16(payload)
+    val pcm = readPcm(payload)
     if (pcm == null || pcm.samples.length < nfft) return null
     val re = java.util.Arrays.copyOf(pcm.samples, nfft)
     val im = new Array[Double](nfft)
@@ -141,7 +157,7 @@ object AudioLib extends Serializable {
   /** RMS level over every sample of the first channel; null when not
     * decodable. */
   def wavRms(payload: Array[Byte]): java.lang.Double = {
-    val pcm = readPcm16(payload)
+    val pcm = readPcm(payload)
     if (pcm == null || pcm.samples.isEmpty) return null
     var s = 0.0
     var i = 0
@@ -179,7 +195,7 @@ object AudioLib extends Serializable {
     * same pigeonhole machinery as text SimHash and image dHash.
     * Null for undecodable audio or fewer than 2 frames. */
   def fingerprint(payload: Array[Byte], nfft: Int = 512): java.lang.Long = {
-    val pcm = readPcm16(payload)
+    val pcm = readPcm(payload)
     if (pcm == null) return null
     val n = pcm.samples.length / nfft
     if (n < 2) return null
