@@ -5,9 +5,10 @@ package graft.multimodal
   * -arithmetic` recompression produces, the last common web-crawl decode
   * gap after baseline + progressive Huffman ([[JpegCodec]]).
   *
-  * Scope: sequential DCT (SOF9), 8-bit, 1 or 3 components at 1x1 sampling,
-  * DAC conditioning tables (defaults L=0 / U=1 / Kx=5 per §F.1.4.4.1.4).
-  * Subsampled chroma, restart intervals, progressive arithmetic (SOFa),
+  * Scope: sequential DCT (SOF9) and progressive DCT (SOF10, "SOFa" —
+  * spectral selection + successive approximation per §G.2), 8-bit, 1 or 3
+  * components at 1x1 sampling, DAC conditioning tables (defaults L=0 /
+  * U=1 / Kx=5 per §F.1.4.4.1.4). Subsampled chroma, restart intervals,
   * and 12-bit return null — honestly unsupported. The dequantize + IDCT +
   * plane path is [[JpegCodec]]'s own, so the two entropy layers share one
   * reconstruction.
@@ -551,5 +552,407 @@ object JpegArith {
     enc.finish()
     u16(0xffd9) // EOI
     out.toByteArray
+  }
+
+  // ----------------------------------------- progressive (SOF10 / "SOFa")
+
+  /** AC first scan (T.81 §G.2 / Figure G.x): the sequential band decode
+    * restricted to [ss, se] with decoded values scaled up by the point
+    * transform `al`. Statistics layout is decodeAcBand's. */
+  private def decodeAcFirst(dec: Dec, stats: Array[Int], fixed: Array[Int],
+      kx: Int, coef: Array[Int], ss: Int, se: Int, al: Int): Unit = {
+    var k = ss
+    var done = false
+    while (!done && k <= se) {
+      var st = 3 * (k - 1)
+      if (dec.decode(stats, st) != 0) done = true // EOB
+      else {
+        while (dec.decode(stats, st + 1) == 0) {
+          st += 3; k += 1
+          if (k > se) throw new IllegalStateException("ac run overflow")
+        }
+        val sign = dec.decode(fixed, 0)
+        st += 2
+        var m = dec.decode(stats, st)
+        if (m != 0 && dec.decode(stats, st) != 0) {
+          m <<= 1
+          st = if (k <= kx) 189 else 217
+          while (dec.decode(stats, st) != 0) {
+            m <<= 1
+            if (m == 0x8000) throw new IllegalStateException("ac magnitude overflow")
+            st += 1
+          }
+        }
+        var v = m
+        st += 14
+        while ({ m >>= 1; m != 0 }) if (dec.decode(stats, st) != 0) v |= m
+        v += 1
+        coef(k) = (if (sign == 1) -v else v) << al
+        k += 1
+      }
+    }
+  }
+
+  /** AC successive-approximation refinement (§G.2): correction bits for
+    * previously-nonzero coefficients at st+2, newly-nonzero decisions at
+    * st+1 with the fixed-bin sign, EOB decision only past the previous
+    * stage's end-of-block index. */
+  private def decodeAcRefine(dec: Dec, stats: Array[Int], fixed: Array[Int],
+      coef: Array[Int], ss: Int, se: Int, al: Int): Unit = {
+    val p1 = 1 << al
+    val m1 = -1 << al
+    var kex = se
+    while (kex > 0 && coef(kex) == 0) kex -= 1
+    var k = ss
+    var eob = false
+    while (!eob && k <= se) {
+      var st = 3 * (k - 1)
+      if (k > kex && dec.decode(stats, st) != 0) eob = true
+      else {
+        var inner = true
+        while (inner) {
+          if (coef(k) != 0) {
+            if (dec.decode(stats, st + 2) != 0)
+              coef(k) += (if (coef(k) < 0) m1 else p1)
+            inner = false
+          } else if (dec.decode(stats, st + 1) != 0) {
+            coef(k) = if (dec.decode(fixed, 0) != 0) m1 else p1
+            inner = false
+          } else {
+            st += 3; k += 1
+            if (k > se) throw new IllegalStateException("ac refine overflow")
+          }
+        }
+        k += 1
+      }
+    }
+  }
+
+  /** SOF10 (progressive DCT, arithmetic entropy coding) decode with
+    * [[JpegCodec]]'s return shape. Coefficients accumulate across scans
+    * (DC first/refine, AC first/refine per §G.2); statistics reset at
+    * every scan start; the next scan's marker is found as the first
+    * 0xFF byte followed by a high-bit byte (arithmetic bit stuffing
+    * keeps entropy bytes after 0xFF below 0x80). Same scope bounds as
+    * [[decodePlanes]]: 8-bit, 1x1 sampling, 1 or 3 components, no
+    * restart intervals. */
+  private[multimodal] def decodeProgressivePlanes(p: Array[Byte],
+      wantChroma: Boolean)
+      : (JpegCodec.Luma, Array[(Array[Byte], Int, Int, Int)]) = {
+    try {
+      val quant = new Array[Array[Int]](4)
+      val dcL = Array.fill(4)(0)
+      val dcU = Array.fill(4)(1)
+      val acK = Array.fill(4)(5)
+      var width = 0; var height = 0
+      var comps: Array[(Int, Int, Int, Int)] = null
+      var coefs: Array[Array[Array[Int]]] = null // comp -> block -> 64 zigzag
+      var mcusX = 0; var mcusY = 0
+      val dcPred = new Array[Int](4)
+      var pos = 2
+      var eoi = false
+      while (!eoi && pos + 2 <= p.length) {
+        if ((p(pos) & 0xff) != 0xff) return null
+        val marker = p(pos + 1) & 0xff
+        if (marker == 0xd8) pos += 2
+        else if (marker == 0xd9) eoi = true
+        else {
+          if (pos + 4 > p.length) return null
+          val len = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+          val seg = pos + 4
+          marker match {
+            case 0xca =>
+              if ((p(seg) & 0xff) != 8) return null // 12-bit: unsupported
+              height = ((p(seg + 1) & 0xff) << 8) | (p(seg + 2) & 0xff)
+              width = ((p(seg + 3) & 0xff) << 8) | (p(seg + 4) & 0xff)
+              if (width <= 0 || height <= 0 ||
+                width.toLong * height > 64L * 1024 * 1024) return null
+              val n = p(seg + 5) & 0xff
+              if (n != 1 && n != 3) return null
+              comps = Array.tabulate(n) { i =>
+                val o = seg + 6 + i * 3
+                ((p(o) & 0xff), (p(o + 1) & 0xff) >> 4, p(o + 1) & 0x0f,
+                  p(o + 2) & 0xff)
+              }
+              if (comps.exists(c => c._2 != 1 || c._3 != 1)) return null
+              mcusX = (width + 7) / 8
+              mcusY = (height + 7) / 8
+              coefs = Array.fill(n, mcusX * mcusY)(new Array[Int](64))
+            case 0xdb =>
+              var o = seg
+              while (o < pos + 2 + len) {
+                if (((p(o) & 0xff) >> 4) != 0) return null
+                quant(p(o) & 0x0f) = Array.tabulate(64)(k => p(o + 1 + k) & 0xff)
+                o += 65
+              }
+            case 0xcc =>
+              var o = seg
+              while (o + 1 < pos + 2 + len) {
+                val cls = (p(o) & 0xff) >> 4
+                val id = p(o) & 0x0f
+                val v = p(o + 1) & 0xff
+                if (cls == 0) {
+                  dcL(id) = v & 0x0f
+                  dcU(id) = v >> 4
+                  if (dcU(id) < dcL(id) || dcU(id) > 15) return null
+                } else {
+                  acK(id) = v
+                  if (v < 1 || v > 63) return null
+                }
+                o += 2
+              }
+            case 0xdd =>
+              if ((((p(seg) & 0xff) << 8) | (p(seg + 1) & 0xff)) != 0)
+                return null // restarts: out of scope, loud
+            case 0xda =>
+              if (comps == null) return null
+              val ns = p(seg) & 0xff
+              val sel = Array.tabulate(ns) { i =>
+                val o = seg + 1 + i * 2
+                (p(o) & 0xff, (p(o + 1) & 0xff) >> 4, p(o + 1) & 0x0f)
+              }
+              val o2 = seg + 1 + ns * 2
+              val ss = p(o2) & 0xff
+              val se = p(o2 + 1) & 0xff
+              val ah = (p(o2 + 2) & 0xff) >> 4
+              val al = p(o2 + 2) & 0x0f
+              if (ss > 63 || se > 63 || se < ss) return null
+              if (ss > 0 && ns != 1) return null // AC scans: one component
+              // map scan component ids to frame component indices
+              val cidx = sel.map { case (id, _, _) =>
+                val ix = comps.indexWhere(_._1 == id)
+                if (ix < 0) return null
+                ix
+              }
+              val scanStart = pos + 2 + len
+              val dec = new Dec(p, scanStart)
+              val dcStats = Array.fill(4)(new Array[Int](64))
+              val acStats = Array.fill(4)(new Array[Int](256))
+              val fixed = Array(FixedBin)
+              if (ss == 0) {
+                if (se != 0) return null // DC scans carry only coefficient 0
+                if (ah == 0) {
+                  val dcCtx = new Array[Int](ns)
+                  java.util.Arrays.fill(dcPred, 0)
+                  var mcu = 0
+                  val nMcus = mcusX * mcusY
+                  while (mcu < nMcus) {
+                    var i = 0
+                    while (i < ns) {
+                      val dcSel = sel(i)._2
+                      dcPred(i) += decodeDcDiff(dec, dcStats(dcSel), dcCtx, i,
+                        (1 << dcL(dcSel)) >> 1, (1 << dcU(dcSel)) >> 1)
+                      coefs(cidx(i))(mcu)(0) = dcPred(i) << al
+                      i += 1
+                    }
+                    mcu += 1
+                  }
+                } else {
+                  var mcu = 0
+                  val nMcus = mcusX * mcusY
+                  while (mcu < nMcus) {
+                    var i = 0
+                    while (i < ns) {
+                      if (dec.decode(fixed, 0) != 0)
+                        coefs(cidx(i))(mcu)(0) |= (1 << al)
+                      i += 1
+                    }
+                    mcu += 1
+                  }
+                }
+              } else {
+                val acSel = sel(0)._3
+                val blocks = coefs(cidx(0))
+                var b = 0
+                while (b < blocks.length) {
+                  if (ah == 0)
+                    decodeAcFirst(dec, acStats(acSel), fixed, acK(acSel),
+                      blocks(b), ss, se, al)
+                  else
+                    decodeAcRefine(dec, acStats(acSel), fixed,
+                      blocks(b), ss, se, al)
+                  b += 1
+                }
+              }
+              // next marker: first 0xFF followed by a high-bit byte
+              var np = scanStart
+              while (np + 1 < p.length &&
+                !((p(np) & 0xff) == 0xff && (p(np + 1) & 0x80) != 0)) np += 1
+              pos = np
+            case _ => ()
+          }
+          if (marker != 0xda) pos += 2 + len
+        }
+      }
+      if (coefs == null || width <= 0) return null
+      // reconstruct: dequantize + IDCT through JpegCodec's shared path
+      val planes = Array.tabulate(comps.length) { ci =>
+        if (ci == 0 || wantChroma) new Array[Byte](mcusX * 8 * mcusY * 8)
+        else null
+      }
+      val block = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      var ci = 0
+      while (ci < comps.length) {
+        if (ci == 0 || wantChroma) {
+          val q = quant(comps(ci)._4)
+          if (q == null) return null
+          var b = 0
+          while (b < coefs(ci).length) {
+            val coef = coefs(ci)(b)
+            java.util.Arrays.fill(block, 0)
+            var k = 0
+            while (k < 64) {
+              block(JpegCodec.zigzag(k)) = coef(k) * q(k)
+              k += 1
+            }
+            JpegCodec.writeBlock(block, tmp, planes(ci), mcusX * 8,
+              (b % mcusX) * 8, (b / mcusX) * 8)
+            b += 1
+          }
+        }
+        ci += 1
+      }
+      JpegCodec.finishPlanes(width, height, comps, 1, 1, planes,
+        Array.fill(comps.length)(mcusX * 8))
+    } catch { case _: Exception => null }
+  }
+
+  /** Author a grayscale SOF10 progressive-arithmetic stream from QUANTIZED
+    * zigzag coefficient blocks and a scan script `(ss, se, ah, al)` — the
+    * fixture/sink twin of [[decodeProgressivePlanes]]. A complete script
+    * (every coefficient reaching al = 0) makes the entropy layer fully
+    * lossless: decode recovers the exact coefficients. */
+  def writeGrayProgressive(width: Int, height: Int, qtable: Array[Int],
+      coefBlocks: Seq[Array[Int]],
+      scans: Seq[(Int, Int, Int, Int)]): Array[Byte] = {
+    require(qtable.length == 64, "quant table is 64 entries")
+    val bx = (width + 7) / 8
+    val by = (height + 7) / 8
+    require(coefBlocks.length == bx * by,
+      s"need ${bx * by} coefficient blocks, got ${coefBlocks.length}")
+    require(scans.nonEmpty, "at least one scan")
+    scans.foreach { case (ss, se, ah, al) =>
+      require(ss >= 0 && se <= 63 && ss <= se, s"band [$ss,$se]")
+      require((ss == 0) == (se == 0), "DC scans are exactly [0,0]")
+      require(ah == 0 || ah == al + 1, s"successive approximation: ah=$ah al=$al")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u16(0xffd8)
+    u16(0xffdb); u16(2 + 65); u8(0)
+    qtable.foreach(u8)
+    u16(0xffca); u16(2 + 6 + 3); u8(8) // SOF10
+    u16(height); u16(width); u8(1)
+    u8(1); u8(0x11); u8(0)
+    val fixed = Array(FixedBin)
+    scans.foreach { case (ss, se, ah, al) =>
+      u16(0xffda); u16(2 + 1 + 2 + 3); u8(1)
+      u8(1); u8(0x00)
+      u8(ss); u8(se); u8((ah << 4) | al)
+      val enc = new Enc(out)
+      val dcStats = new Array[Int](64)
+      val acStats = new Array[Int](256)
+      if (ss == 0) {
+        if (ah == 0) {
+          val dcCtx = new Array[Int](1)
+          var pred = 0
+          coefBlocks.foreach { coef =>
+            val scaled = coef(0) >> al
+            encodeDcDiff(enc, dcStats, dcCtx, 0, (1 << 0) >> 1, (1 << 1) >> 1,
+              scaled - pred)
+            pred = scaled
+          }
+        } else {
+          coefBlocks.foreach { coef =>
+            enc.encode(fixed, 0, (coef(0) >> al) & 1)
+          }
+        }
+      } else {
+        coefBlocks.foreach { coef =>
+          if (ah == 0) encodeAcFirst(enc, acStats, fixed, 5, coef, ss, se, al)
+          else encodeAcRefine(enc, acStats, fixed, coef, ss, se, ah, al)
+        }
+      }
+      enc.finish()
+    }
+    u16(0xffd9)
+    out.toByteArray
+  }
+
+  private def encodeAcFirst(enc: Enc, stats: Array[Int], fixed: Array[Int],
+      kx: Int, coef: Array[Int], ss: Int, se: Int, al: Int): Unit = {
+    def mag(k: Int): Int = math.abs(coef(k)) >> al
+    var ke = se
+    while (ke >= ss && mag(ke) == 0) ke -= 1
+    var k = ss
+    while (k <= ke) {
+      var st = 3 * (k - 1)
+      enc.encode(stats, st, 0) // not EOB yet
+      while (mag(k) == 0) { enc.encode(stats, st + 1, 0); st += 3; k += 1 }
+      enc.encode(stats, st + 1, 1)
+      val sign = if (coef(k) < 0) 1 else 0
+      val v = mag(k)
+      enc.encode(fixed, 0, sign)
+      st += 2
+      val vm = v - 1
+      var m = 0
+      if (vm == 0) enc.encode(stats, st, 0)
+      else {
+        enc.encode(stats, st, 1)
+        m = 1
+        if (vm == 1) enc.encode(stats, st, 0)
+        else {
+          enc.encode(stats, st, 1)
+          m = 2
+          st = if (k <= kx) 189 else 217
+          while ((m << 1) <= vm) { enc.encode(stats, st, 1); m <<= 1; st += 1 }
+          enc.encode(stats, st, 0)
+        }
+      }
+      st += 14
+      var mm = m
+      while ({ mm >>= 1; mm != 0 }) enc.encode(stats, st, if ((vm & mm) != 0) 1 else 0)
+      k += 1
+    }
+    if (ke < se) enc.encode(stats, 3 * (math.max(k, ss) - 1), 1) // EOB
+  }
+
+  private def encodeAcRefine(enc: Enc, stats: Array[Int], fixed: Array[Int],
+      coef: Array[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+    def magAl(k: Int): Int = math.abs(coef(k)) >> al
+    def magAh(k: Int): Int = math.abs(coef(k)) >> ah
+    var ke = se
+    while (ke >= ss && magAl(ke) == 0) ke -= 1
+    var kex = se
+    while (kex >= ss && magAh(kex) == 0) kex -= 1
+    if (kex < ss) kex = 0
+    var k = ss
+    var done = false
+    while (!done && k <= se) {
+      var st = 3 * (k - 1)
+      if (k > kex) {
+        if (k > ke) { enc.encode(stats, st, 1); done = true } // EOB
+        else enc.encode(stats, st, 0)
+      }
+      if (!done) {
+        var inner = true
+        while (inner) {
+          if (magAh(k) != 0) { // previously nonzero: correction bit
+            enc.encode(stats, st + 2, magAl(k) & 1)
+            inner = false
+          } else if (magAl(k) != 0) { // newly nonzero this stage
+            enc.encode(stats, st + 1, 1)
+            enc.encode(fixed, 0, if (coef(k) < 0) 1 else 0)
+            inner = false
+          } else {
+            enc.encode(stats, st + 1, 0)
+            st += 3; k += 1
+          }
+        }
+        k += 1
+      }
+    }
   }
 }

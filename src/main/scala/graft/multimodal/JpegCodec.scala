@@ -202,11 +202,13 @@ object JpegCodec extends Serializable {
               return decodeProgressivePlanes(p, wantChroma)
             case 0xc9 => // sequential DCT, arithmetic entropy coding
               return JpegArith.decodePlanes(p, wantChroma)
+            case 0xca => // progressive DCT, arithmetic entropy coding
+              return JpegArith.decodeProgressivePlanes(p, wantChroma)
             case 0xc3 => // lossless sequential: 8-bit frames adapt here
               return JpegLossless.asPlanes(p, wantChroma)
-            case 0xc1 | 0xc5 | 0xc6 | 0xc7 | 0xca |
+            case 0xc1 | 0xc5 | 0xc6 | 0xc7 |
                  0xcb | 0xcd | 0xce | 0xcf =>
-              return null // extended(8-bit here) / arith-progressive: unsupported
+              return null // extended(8-bit here) / hierarchical: unsupported
             case 0xdb => // DQT (possibly several tables per segment)
               var o = seg
               while (o < pos + 2 + len) {

@@ -156,6 +156,77 @@ class MultimodalSpec extends AnyFunSuite {
     assert(entropyBytes < w * h / 8, s"adaptive coding too large: $entropyBytes bytes")
   }
 
+  test("progressive-arithmetic JPEG (SOF10): scan ladders decode pixel-identical to SOF9") {
+    import graft.multimodal.{JpegArith, JpegCodec}
+    // mixed-content blocks exercising DC sign walks, both AC magnitude
+    // bin sets, long runs, band boundaries, and low bits that only a
+    // complete successive-approximation ladder recovers
+    val q = Array.fill(64)(1)
+    val (w, h) = (32, 24)
+    val blocks = (0 until 12).map { b =>
+      val c = new Array[Int](64)
+      c(0) = (b * 37 % 50) - 25 + 101 // odd values: DC refine bit matters
+      c(1) = if (b % 2 == 0) 3 else -5
+      c(4) = if (b % 3 == 0) 1 else 0
+      c(5) = if (b % 4 == 2) 7 else 0 // band-edge coefficient
+      c(6) = if (b % 4 == 0) -2 else 0
+      c(7) = if (b % 4 == 1) -17 else 0
+      c(20) = if (b % 5 == 2) 261 else 0
+      c(63) = if (b % 6 == 3) -1 else 0
+      c
+    }
+    // the reference pixels: the SEQUENTIAL arithmetic stream of the same
+    // coefficients (shared dequant+IDCT path — identical coefficients
+    // must give identical bytes)
+    val seq = JpegCodec.decodeLuma(JpegArith.writeGray(w, h, q, blocks))
+    assert(seq != null)
+    val scripts = Seq(
+      // pure spectral selection, no successive approximation
+      Seq((0, 0, 0, 0), (1, 5, 0, 0), (6, 63, 0, 0)),
+      // full SA ladder: DC and two AC bands refined down to al = 0
+      Seq((0, 0, 0, 2), (1, 5, 0, 2), (6, 63, 0, 2),
+        (0, 0, 2, 1), (1, 5, 2, 1), (6, 63, 2, 1),
+        (0, 0, 1, 0), (1, 5, 1, 0), (6, 63, 1, 0)),
+      // single full-band AC scan after a DC ladder
+      Seq((0, 0, 0, 1), (0, 0, 1, 0), (1, 63, 0, 0)))
+    scripts.zipWithIndex.foreach { case (script, si) =>
+      val prog = JpegArith.writeGrayProgressive(w, h, q, blocks, script)
+      assert(prog.sliding(2).exists(sq =>
+        (sq(0) & 0xff) == 0xff && (sq(1) & 0xff) == 0xca),
+        "fixture must be a true SOF10 stream")
+      val luma = JpegCodec.decodeLuma(prog)
+      assert(luma != null, s"script $si must decode")
+      assert(luma.width == w && luma.height == h)
+      assert(java.util.Arrays.equals(luma.pixels, seq.pixels),
+        s"script $si must be pixel-identical to the sequential decode")
+    }
+  }
+
+  test("progressive-arithmetic JPEG: incomplete ladder differs; corrupt tails null-safe") {
+    import graft.multimodal.{JpegArith, JpegCodec}
+    // q=8 amplifies the missing low bit to 8 dequantized units so the
+    // IDCT difference survives byte rounding
+    val q = Array.fill(64)(8)
+    val blocks = (0 until 2).map { b =>
+      val c = new Array[Int](64)
+      c(0) = 13 + b; c(3) = 9; c(10) = -13
+      c
+    }
+    val full = JpegArith.writeGrayProgressive(8 * 2, 8, q, blocks,
+      Seq((0, 0, 0, 1), (0, 0, 1, 0), (1, 63, 0, 1), (1, 63, 1, 0)))
+    val coarse = JpegArith.writeGrayProgressive(8 * 2, 8, q, blocks,
+      Seq((0, 0, 0, 1), (0, 0, 1, 0), (1, 63, 0, 1))) // AC stops at al=1
+    val lf = JpegCodec.decodeLuma(full)
+    val lc = JpegCodec.decodeLuma(coarse)
+    assert(lf != null && lc != null)
+    assert(!java.util.Arrays.equals(lf.pixels, lc.pixels),
+      "dropping the last refinement scan must change the image")
+    // truncation anywhere must never throw
+    (1 until full.length by 7).foreach { cut =>
+      JpegCodec.decodeLuma(java.util.Arrays.copyOf(full, cut))
+    }
+  }
+
   test("arithmetic JPEG: 12-bit, subsampled, and restart-interval streams null loudly") {
     import graft.multimodal.{JpegArith, JpegCodec}
     val q = Array.fill(64)(1)
