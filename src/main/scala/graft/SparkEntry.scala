@@ -1503,6 +1503,58 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t45_crawl_to_corpus" -> { (s, d) =>
+      // the full crawl-to-corpus composition in ONE pipeline: authored
+      // WARCs (robots.txt + HTML page per doc, planted exact-dup pages)
+      // → warc_records → robots_allowed (RFC 9309 against the fetched
+      // robots body) → strip_html → langid codomain + quality floor →
+      // curate (dedup → token floor → domain cap) → packSequences. Every
+      // stage is independently oracled elsewhere (s14/s16/t43/t8/t41/
+      // t18); this gate proves they COMPOSE — the oracle replays the
+      // entire chain: robots drops are id arithmetic (path /blocked iff
+      // id%5=0), visible text is the s16 reconstruction, quality is t8's
+      // arithmetic, curation t41's, packing t18's.
+      import s.implicits._
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
+        col("source"))
+      val withDups = docs.unionByName(docs.filter(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + 10000))
+      val crawl = withDups.as[(Long, String, String)].map { case (id, text, src) =>
+        val path = if (id % 5 == 0) s"/blocked/d$id" else s"/d$id"
+        val robots = "User-agent: *\nDisallow: /blocked"
+        val html = "<html><head><script>var x=1;</script></head><body><p>" +
+          text + "</p> &amp; crawl</body></html>"
+        (id, graft.sources.Warc.write(Seq(
+          ("response", s"http://$src.ex.com/robots.txt", 200, "text/plain",
+            robots.getBytes("UTF-8")),
+          ("response", s"http://$src.ex.com$path", 200, "text/html",
+            html.getBytes("UTF-8"))), gzipPerRecord = id % 3 == 0))
+      }.toDF("doc_id", "warc")
+      val recs = crawl.select(col("doc_id"),
+          explode(warc_records(col("warc"))).as("r"))
+        .filter(col("r.warc_type") === "response")
+      val pages = recs.groupBy("doc_id").agg(
+        max(when(col("r.content_type") === "text/plain",
+          col("r.body").cast("string"))).as("robots"),
+        max(when(col("r.content_type") === "text/html",
+          col("r.body").cast("string"))).as("html"),
+        max(when(col("r.content_type") === "text/html", col("r.uri"))).as("uri"))
+      val cleaned = pages
+        .filter(robots_allowed(col("robots"), lit("graftbot"),
+          regexp_replace(col("uri"), "^http://[^/]+", "")))
+        .withColumn("text", strip_html(col("html")))
+        .withColumn("source", regexp_extract(col("uri"), "^http://([^.]+)\\.", 1))
+        .filter(detect_lang(col("text")).isin("en", "de", "fr", "es", "it", "und"))
+        .filter(quality_score(col("text")) >= 0.15)
+        .select(col("doc_id"), col("text"), col("source"))
+      val curated = graft.operators.TrainingData.curate(cleaned,
+        minTokens = 20, cap = 12)
+      graft.operators.TrainingData.packSequences(
+          curated.select(col("doc_id")).join(cleaned, Seq("doc_id")),
+          budget = 512, nShards = 8)
+        .orderBy("shard", "seq_id", "doc_id")
+    },
+
     "t39_corpus_diff" -> { (s, d) =>
       // corpus snapshot diff (TrainingData.corpusDiff): old = docs with
       // id%7 != 0 (so id%7==0 rows read as 'added'); new = all docs minus
@@ -3184,6 +3236,67 @@ object SparkEntry {
           sum(col("h")).cast("long").as("h_total"))
     },
 
+    "mm6b_progressive_arith_jpeg" -> { (s, d) =>
+      // progressive-arithmetic JPEG (SOF10/"SOFa", T.81 §G.2 scans over
+      // the Annex D QM-coder — the last DCT entropy combo): per doc a
+      // full successive-approximation ladder (DC first+refine, AC
+      // first+refine) over the mm6 flat blocks (closed-form luma) PLUS a
+      // mixed-coefficient SOF10 stream whose decoded luma sum must EQUAL
+      // its sequential SOF9 twin's — both entropy layers are lossless, so
+      // identical coefficients must reconstruct identical pixels.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 250).as[Long]
+        .map { id =>
+          val bw = 2 + (id % 3).toInt
+          val bh = 1 + (id % 2).toInt
+          val ladder = Seq((0, 0, 0, 1), (0, 0, 1, 0),
+            (1, 5, 0, 1), (6, 63, 0, 1), (1, 5, 1, 0), (6, 63, 1, 0))
+          val q16 = Array.fill(64)(16)
+          val flat = (0 until bw * bh).map { i =>
+            val c = new Array[Int](64)
+            c(0) = (120 + 2 * ((i + id) % 8).toInt - 128) / 2
+            c
+          }
+          val prog = graft.multimodal.JpegArith.writeGrayProgressive(
+            bw * 8, bh * 8, q16, flat, ladder)
+          require(prog.sliding(2).exists(sq =>
+            (sq(0) & 0xff) == 0xff && (sq(1) & 0xff) == 0xca),
+            "fixture must be a true SOF10 progressive-arithmetic stream")
+          val q1 = Array.fill(64)(1)
+          val mixed = (0 until bw * bh).map { i =>
+            val c = new Array[Int](64)
+            c(0) = ((i + id) % 11).toInt * 9 - 40
+            c(1) = if (i % 2 == 0) 3 else -5
+            c(7) = if (i % 3 == 1) -17 else 0
+            c(20) = if (i % 4 == 2) 261 else 0
+            c(63) = if (i % 5 == 3) -1 else 0
+            c
+          }
+          val progM = graft.multimodal.JpegArith.writeGrayProgressive(
+            bw * 8, bh * 8, q1, mixed, ladder)
+          val seqM = graft.multimodal.JpegArith.writeGray(
+            bw * 8, bh * 8, q1, mixed)
+          (id, prog, progM, seqM)
+        }.toDF("id", "prog", "progm", "seqm")
+      media.select(
+          jpeg_luma_sum(col("prog")).as("lsum"),
+          jpeg_luma_width(col("prog")).cast("long").as("w"),
+          jpeg_luma_height(col("prog")).cast("long").as("h"),
+          (jpeg_luma_sum(col("progm")).isNotNull &&
+            jpeg_luma_sum(col("progm")) === jpeg_luma_sum(col("seqm")))
+            .as("eq_seq"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(when(col("lsum").isNotNull, 1L).otherwise(0L)) === count(lit(1)))
+            .as("decoded_all"),
+          sum(col("lsum")).cast("long").as("luma_total"),
+          sum(col("w")).cast("long").as("w_total"),
+          sum(col("h")).cast("long").as("h_total"),
+          (sum(when(col("eq_seq"), 1L).otherwise(0L)) === count(lit(1)))
+            .as("prog_eq_seq"))
+    },
+
     "mm2_frame_sample" -> { (s, d) =>
       // frame sampling through the real Dataset pipeline (withMeta →
       // frameSample): 4 evenly spaced byte-range frames per payload. The
@@ -3629,6 +3742,46 @@ object SparkEntry {
           col("f").isNotNull.as("decoded"),
           (col("f") === col("fq")).as("volume_invariant"),
           (expr("bit_count(f ^ fo)") >= 10).as("distinct_far"))
+        .orderBy("id")
+    },
+
+    "mm12_flac_decode" -> { (s, d) =>
+      // FLAC frame decode (multimodal/Flac, RFC 9639): per doc the mm11
+      // tone PCM encoded THREE ways — PCM WAV, default FLAC (fixed
+      // predictors), and a cross-variant FLAC (LPC + Rice2 + partitioned
+      // residuals + mid-side-eligible block sizes). Losslessness is
+      // checked sample-exact in the builder (decode∘encode ≡ identity);
+      // the feature contract pins that fingerprint and RMS are IDENTICAL
+      // across all three containers — the invariance that makes FLAC
+      // corpora dedup-joinable against WAV.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 150).as[Long]
+        .map { id =>
+          val pcm = Array.tabulate(8 * 512) { i =>
+            val j = i / 512
+            val bin = 5 + ((id + j * 7) % 40).toInt
+            (8000 * math.sin(2 * math.Pi * bin * (i % 512) / 512.0)).toInt
+          }
+          val wav = graft.multimodal.AudioLib.writeWav(8000, 1, pcm)
+          val fa = graft.multimodal.Flac.encode(8000, 16, Array(pcm), 1024)
+          val fb = graft.multimodal.Flac.encode(8000, 16, Array(pcm), 256,
+            opts = graft.multimodal.Flac.EncodeOpts(lpc = true, rice2 = true,
+              partitionOrder = 1))
+          val dec = graft.multimodal.Flac.decode(fa)
+          val lossless = dec != null && dec.sampleRate == 8000 &&
+            java.util.Arrays.equals(dec.samples(0), pcm)
+          (id, wav, fa, fb, lossless)
+        }.toDF("id", "wav", "fa", "fb", "lossless")
+      media.select(col("id"), col("lossless"),
+          audio_fingerprint(col("wav")).as("fw"),
+          audio_fingerprint(col("fa")).as("ffa"),
+          audio_fingerprint(col("fb")).as("ffb"),
+          wav_rms(col("wav")).as("rw"), wav_rms(col("fa")).as("ra"))
+        .select(col("id"), col("lossless"),
+          (col("ffa").isNotNull && col("ffa") === col("fw")).as("fp_match_wav"),
+          (col("ffa") === col("ffb")).as("variant_invariant"),
+          (abs(col("rw") - col("ra")) < 1e-9).as("rms_match"))
         .orderBy("id")
     },
 
@@ -5179,6 +5332,69 @@ object SparkEntry {
                 THEN 'val' ELSE 'test' END AS split
          FROM ranked WHERE domain_rank <= 12 ORDER BY doc_id""",
 
+    // the whole crawl-to-corpus chain replayed: planted dups, robots
+    // drops by id arithmetic, s16's visible-text reconstruction, t8's
+    // quality arithmetic, t41's curation stages, t18's packing windows
+    "t45_crawl_to_corpus" ->
+      """WITH all_docs AS (
+           SELECT doc_id, text, source FROM documents
+           UNION ALL
+           SELECT doc_id + 10000, text, source FROM documents
+           WHERE doc_id < 40),
+         fetched AS (
+           SELECT doc_id, source,
+             trim(regexp_replace(text || ' & crawl', '\s+', ' ', 'g')) AS vtext
+           FROM all_docs WHERE doc_id % 5 <> 0),
+         s AS (
+           SELECT doc_id, source, vtext,
+             CAST(1 + LENGTH(vtext) - LENGTH(REPLACE(vtext, ' ', '')) AS BIGINT) AS ntok,
+             CAST(LENGTH(vtext) AS BIGINT) AS nch,
+             CAST(LENGTH(REGEXP_REPLACE(vtext, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS npunct,
+             CAST(len(list_filter(string_split(vtext, ' '), x -> x IN
+               ('the','a','an','and','or','of','to','in','is','it','that',
+                'for','on','with','as','was','at','by','be','this'))) AS BIGINT) AS nstop
+           FROM fetched),
+         q AS (
+           SELECT doc_id, source, vtext, ntok FROM s
+           WHERE CAST(0.35 AS DOUBLE) *
+                   LEAST(CAST(1.0 AS DOUBLE), CAST(ntok AS DOUBLE) / CAST(50.0 AS DOUBLE))
+               + CAST(0.2 AS DOUBLE) *
+                   (CASE WHEN (CAST(nch - ntok + 1 AS DOUBLE) / CAST(ntok AS DOUBLE)) >= CAST(2.0 AS DOUBLE)
+                          AND (CAST(nch - ntok + 1 AS DOUBLE) / CAST(ntok AS DOUBLE)) <= CAST(12.0 AS DOUBLE)
+                         THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+               + CAST(0.2 AS DOUBLE) *
+                   (CASE WHEN (CAST(npunct AS DOUBLE) / CAST(nch AS DOUBLE)) < CAST(0.2 AS DOUBLE)
+                         THEN CAST(1.0 AS DOUBLE)
+                         ELSE GREATEST(CAST(0.0 AS DOUBLE),
+                              CAST(1.0 AS DOUBLE) - (CAST(npunct AS DOUBLE) / CAST(nch AS DOUBLE))) END)
+               + CAST(0.25 AS DOUBLE) *
+                   LEAST(CAST(1.0 AS DOUBLE),
+                     (CAST(nstop AS DOUBLE) / CAST(ntok AS DOUBLE)) * CAST(5.0 AS DOUBLE))
+               >= CAST(0.15 AS DOUBLE)),
+         keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(vtext)),
+         kept AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+         tok AS (SELECT * FROM kept WHERE ntok >= 20),
+         ranked AS (
+           SELECT doc_id, vtext, ntok,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':curate'), doc_id)
+               AS domain_rank
+           FROM tok),
+         cur AS (SELECT doc_id, ntok FROM ranked WHERE domain_rank <= 12),
+         d2 AS (SELECT doc_id, doc_id % 8 AS shard, ntok AS n_tok FROM cur),
+         c2 AS (SELECT doc_id, shard, n_tok,
+                 CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+                FROM d2),
+         e2 AS (SELECT doc_id, shard, st, st + n_tok AS en,
+                 st // 512 AS s0, (st + n_tok - 1) // 512 AS s1 FROM c2)
+         SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(u.s AS BIGINT) AS seq_id,
+           CAST(LEAST(en, (u.s + 1) * 512) - GREATEST(st, u.s * 512) AS BIGINT)
+             AS n_tok_in_seq
+         FROM e2, UNNEST(range(s0, s1 + 1)) AS u(s)
+         ORDER BY shard, seq_id, doc_id""",
+
     // diff replay: status from id arithmetic (0 added, 1 removed,
     // 2 changed, else same)
     "t39_corpus_diff" ->
@@ -5710,6 +5926,13 @@ object SparkEntry {
            TRUE AS distinct_far
          FROM documents WHERE doc_id < 150 ORDER BY id""",
 
+    // FLAC contract: sample-exact losslessness plus WAV/FLAC/variant
+    // feature invariance must hold on every doc
+    "mm12_flac_decode" ->
+      """SELECT doc_id AS id, TRUE AS lossless, TRUE AS fp_match_wav,
+           TRUE AS variant_invariant, TRUE AS rms_match
+         FROM documents WHERE doc_id < 150 ORDER BY id""",
+
     // dHash invariance contract: brightness-identical, scale-stable,
     // independent-noise-far must all hold on every doc
     "mm10_image_dhash" ->
@@ -6032,6 +6255,23 @@ object SparkEntry {
             CAST(SUM(p.lsum) AS BIGINT) AS luma_total,
             CAST(SUM(8 * (2 + d.doc_id % 3)) AS BIGINT) AS w_total,
             CAST(SUM(8 * (1 + d.doc_id % 2)) AS BIGINT) AS h_total
+          FROM docs d JOIN px p USING (doc_id)""",
+
+    // SOF10 ladder replay: the flat fixture decodes to mm6's closed form;
+    // the sequential-equality contract is TRUE on every doc
+    "mm6b_progressive_arith_jpeg" ->
+      """WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < 250),
+            px AS (SELECT d.doc_id,
+                     SUM(64 * (120 + 2 * ((b.i + d.doc_id) % 8))) AS lsum
+                   FROM docs d
+                   JOIN range(0, 8) b(i)
+                     ON b.i < (2 + d.doc_id % 3) * (1 + d.doc_id % 2)
+                   GROUP BY d.doc_id)
+          SELECT COUNT(*) AS n, TRUE AS decoded_all,
+            CAST(SUM(p.lsum) AS BIGINT) AS luma_total,
+            CAST(SUM(8 * (2 + d.doc_id % 3)) AS BIGINT) AS w_total,
+            CAST(SUM(8 * (1 + d.doc_id % 2)) AS BIGINT) AS h_total,
+            TRUE AS prog_eq_seq
           FROM docs d JOIN px p USING (doc_id)""",
 
     "mm5_progressive_jpeg" ->
