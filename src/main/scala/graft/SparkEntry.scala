@@ -3647,6 +3647,41 @@ object SparkEntry {
         .orderBy("doc_id", "uri")
     },
 
+    "s18_compressed_containers" -> { (s, d) =>
+      // transparent container codecs (sources/Codecs): the SAME ustar
+      // bytes per doc wrapped in gzip/zstd/xz/lz4/bzip2 (every codec from
+      // a library already on Spark's own classpath), plus a zstd-wrapped
+      // WARC — tar_entries / warc_records must read every wrapping
+      // identically. Paths, sizes, and content md5s replay from
+      // construction; a broken codec dispatch yields zero rows for its
+      // residue class and hash-mismatches.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .filter(col("doc_id") < 150).as[(Long, String)]
+        .map { case (id, text) =>
+          val tar = graft.sources.Archives.writeTar(Seq(
+            (s"doc$id/a.txt", text.getBytes("UTF-8")),
+            (s"doc$id/b.txt", s"meta $id".getBytes("UTF-8"))))
+          val codec = Seq("gzip", "zstd", "xz", "lz4", "bzip2")((id % 5).toInt)
+          val warc = graft.sources.Warc.write(Seq(
+            ("response", s"http://ex$id.com/p", 200, "text/plain",
+              text.getBytes("UTF-8"))))
+          (id, codec, graft.sources.Codecs.compress(tar, codec),
+            graft.sources.Codecs.compress(warc, "zstd"))
+        }.toDF("doc_id", "codec", "ctar", "zwarc")
+      val tarRows = media.select(col("doc_id"), col("codec"),
+          explode(tar_entries(col("ctar"))).as("e"))
+        .select(col("doc_id"), col("codec"), col("e.path"), col("e.size"),
+          md5(col("e.content")).as("content_md5"))
+      val warcRows = media.select(col("doc_id"), col("codec"),
+          explode(warc_records(col("zwarc"))).as("r"))
+        .filter(col("r.warc_type") === "response")
+        .select(col("doc_id"), col("codec"), col("r.uri").as("path"),
+          length(col("r.body")).cast("long").as("size"),
+          md5(col("r.body")).as("content_md5"))
+      tarRows.unionByName(warcRows).orderBy("doc_id", "path")
+    },
+
     "s15_archive_scan" -> { (s, d) =>
       // TAR + ZIP enumeration/extraction (sources/Archives): per doc a
       // ustar tarball (our from-spec writer) and a zip authored by the
@@ -5872,6 +5907,29 @@ object SparkEntry {
          FROM documents d, range(0, 2) r(i)
          WHERE r.i < 1 + d.doc_id % 2
          ORDER BY d.doc_id, uri""",
+
+    // codec replay: the tar members + the zstd-WARC response per doc,
+    // codec name from the id residue
+    "s18_compressed_containers" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+             CASE CAST(doc_id % 5 AS INTEGER)
+               WHEN 0 THEN 'gzip' WHEN 1 THEN 'zstd' WHEN 2 THEN 'xz'
+               WHEN 3 THEN 'lz4' ELSE 'bzip2' END AS codec
+           FROM documents WHERE doc_id < 150)
+         SELECT doc_id, codec, path, size, content_md5 FROM (
+           SELECT doc_id, codec, 'doc' || doc_id || '/a.txt' AS path,
+             CAST(length(text) AS BIGINT) AS size, md5(text) AS content_md5
+           FROM d
+           UNION ALL
+           SELECT doc_id, codec, 'doc' || doc_id || '/b.txt',
+             CAST(length('meta ' || doc_id) AS BIGINT), md5('meta ' || doc_id)
+           FROM d
+           UNION ALL
+           SELECT doc_id, codec, 'http://ex' || doc_id || '.com/p',
+             CAST(length(text) AS BIGINT), md5(text)
+           FROM d)
+         ORDER BY doc_id, path""",
 
     // archive replay: both containers carry the same two members per doc
     "s15_archive_scan" ->

@@ -22,7 +22,11 @@ object Archives extends Serializable {
 
   // ---- TAR --------------------------------------------------------------
 
-  def tarEntries(blob: Array[Byte]): Array[Entry] = {
+  def tarEntries(blobIn: Array[Byte]): Array[Entry] = {
+    // .tar.gz / .tar.zst / .tar.xz / .tar.bz2 / .tar.lz4 unwrap first
+    val blob =
+      try Codecs.decompress(blobIn)
+      catch { case _: Exception => return Array.empty }
     if (blob == null || blob.length < 512) return Array.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[Entry]
     var pos = 0

@@ -7,10 +7,10 @@ package graft.sources
   * headers, and entity body are split out — the entity body is the web
   * page a text pipeline actually wants.
   *
-  * Gzip: WARC files are conventionally one gzip MEMBER PER RECORD,
-  * concatenated; `java.util.zip.GZIPInputStream` consumes concatenated
-  * members natively, so `parse` transparently handles `.warc` and
-  * `.warc.gz` bytes alike (magic-sniffed).
+  * Compression: WARC files are conventionally one gzip MEMBER PER RECORD,
+  * concatenated; gzip and zstd readers consume concatenated members/frames
+  * natively, so `parse` transparently handles `.warc`, `.warc.gz`, and any
+  * other [[Codecs]]-sniffed wrapping (zstd/xz/lz4/bzip2) alike.
   *
   * Scale shape: parsing is a per-blob kernel (expression/mapPartitions
   * over binary payloads — one task per archive segment, the Common Crawl
@@ -27,24 +27,13 @@ object Warc extends Serializable {
       contentLength: Long, httpStatus: Int, httpContentType: String,
       body: Array[Byte])
 
-  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(b), 1 << 16)
-    val out = new java.io.ByteArrayOutputStream(b.length * 4)
-    val buf = new Array[Byte](1 << 16)
-    var n = in.read(buf)
-    while (n > 0) { out.write(buf, 0, n); n = in.read(buf) }
-    out.toByteArray
-  }
-
-  /** Parse a `.warc` / `.warc.gz` blob into its records. */
+  /** Parse a `.warc` / `.warc.gz` / `.warc.zst` (any [[Codecs]] magic)
+    * blob into its records. */
   def parse(blob: Array[Byte]): Array[WarcRecord] = {
     if (blob == null || blob.length < 4) return Array.empty
     val data =
-      try {
-        if ((blob(0) & 0xff) == 0x1f && (blob(1) & 0xff) == 0x8b) gunzipAll(blob)
-        else blob
-      } catch { case _: Exception => return Array.empty }
+      try Codecs.decompress(blob)
+      catch { case _: Exception => return Array.empty }
     val out = scala.collection.mutable.ArrayBuffer.empty[WarcRecord]
     var pos = 0
     try {

@@ -101,6 +101,34 @@ class ArchivesSpec extends AnyFunSuite {
     assert(Archives.tarEntries(null).isEmpty && Archives.zipEntries(null).isEmpty)
   }
 
+  test("codecs: every wrapping round-trips; tar/warc read them transparently") {
+    import graft.sources.{Codecs, Warc}
+    val body = Array.tabulate(5000)(i => (i * 31 % 251).toByte)
+    for (c <- Seq("gzip", "zstd", "xz", "lz4", "bzip2")) {
+      val z = Codecs.compress(body, c)
+      assert(Codecs.sniff(z) == c, s"sniff($c)")
+      assert(java.util.Arrays.equals(Codecs.decompress(z), body), c)
+    }
+    assert(Codecs.sniff(body) == "none")
+    assert(Codecs.decompress(body) eq body) // pass-through, no copy
+    // tar.zst through tarEntries
+    val tar = Archives.writeTar(Seq(("a.txt", "hello".getBytes)))
+    val es = Archives.tarEntries(Codecs.compress(tar, "zstd"))
+    assert(es.length == 1 && new String(es(0).content) == "hello")
+    // warc.xz through Warc.parse
+    val warc = Warc.write(Seq(("response", "http://x/p", 200, "text/plain",
+      "w body".getBytes)))
+    val recs = Warc.parse(Codecs.compress(warc, "xz"))
+    assert(recs.exists(r => r.warcType == "response" &&
+      new String(r.body) == "w body"))
+    // the decompression-bomb cap throws instead of inflating
+    val bomb = Codecs.compress(new Array[Byte](1 << 20), "gzip")
+    intercept[java.io.IOException](Codecs.decompress(bomb, maxOut = 1000))
+    // corrupt compressed tails still yield empty, never throw, via callers
+    val cut = java.util.Arrays.copyOf(Codecs.compress(tar, "xz"), 20)
+    Archives.tarEntries(cut) // no-throw contract
+  }
+
   test("zip64: JDK-forced (>65535 entries) archive reads every entry") {
     // past 65,535 entries the JDK writes a zip64 EOCD record + locator and
     // maxes the EOCD count field — without the zip64 path the reader sees
