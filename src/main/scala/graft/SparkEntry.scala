@@ -4005,6 +4005,22 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    "e11_stream_quality" -> { (s, d) =>
+      // classifier-scored streaming intake batch twin (DocStreams
+      // .classifierIntake — the TRAINED t44 model rides the expression as
+      // broadcast state, so the stream stage is STATELESS map-only;
+      // StreamingSpec drives the multi-micro-batch readStream form and
+      // asserts no state store). Keep docs the classifier scores
+      // positive: on the planted corpus that is exactly the qgood class,
+      // and the oracle replays both the scores and the cut from the
+      // learned weight table.
+      val (corpus, m) = clfTrained(s, d)
+      graft.streaming.DocStreams.classifierIntake(
+          corpus.withColumnRenamed("qtext", "text"), m, minScore = 0.0)
+        .select(col("doc_id"), col("y"), round(col("clf_score"), 6).as("score6"))
+        .orderBy("doc_id")
+    },
+
     "e10_stream_drift" -> { (s, d) =>
       // windowed PSI drift monitor batch twin (EventStreams.driftMonitor
       // — ONE stateful windowed aggregation, per-bucket conditional sums,
@@ -6511,6 +6527,16 @@ object SparkEntry {
           "t44_quality_classifier" ->
             raw"""$scores
                SELECT doc_id, y, score6 FROM sc ORDER BY doc_id""",
+          // streaming-intake twin: same scores, plus the positive-logit cut
+          // replayed on the unrounded sum
+          "e11_stream_quality" ->
+            raw"""$scores,
+              raw AS (
+                SELECT c.doc_id, c.y,
+                  $bias + coalesce(sw.sw, CAST(0.0 AS DOUBLE)) AS z
+                FROM corpus c LEFT JOIN sw ON c.doc_id = sw.doc_id)
+              SELECT doc_id, y, round(z, 6) AS score6 FROM raw
+              WHERE z >= CAST(0.0 AS DOUBLE) ORDER BY doc_id""",
           "t44b_classifier_auc" ->
             raw"""$scores,
               h AS (

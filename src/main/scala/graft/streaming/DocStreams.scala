@@ -28,6 +28,19 @@ object DocStreams {
       .withColumn("quality", quality_score(col(textCol)))
       .withColumn("lang", detect_lang(col(textCol)))
 
+  /** Classifier-scored intake: the TRAINED fastText-shape quality model
+    * ([[graft.text.TextClassifier]]) rides inside the expression
+    * (broadcast-model codegen), so scoring an unbounded stream is
+    * STATELESS — no state store, no shuffle, no per-batch retrain; the
+    * streaming twin of the curate quality stage with a LEARNED score
+    * instead of the heuristic. Emits `clf_score` (raw logit) and keeps
+    * rows at or above `minScore`. */
+  def classifierIntake(docs: DataFrame,
+      model: graft.text.TextClassifier.ClfModel, minScore: Double,
+      textCol: String = "text"): DataFrame =
+    docs.withColumn("clf_score", classifier_score(col(textCol), model))
+      .filter(col("clf_score") >= minScore)
+
   /** Streaming corpus intake: quality floor + exact-dup suppression within
     * the watermark horizon. Dedup keys on the 128-bit content hash, not the
     * text, so the state store holds 16 bytes per doc rather than documents;

@@ -332,4 +332,45 @@ class StreamingSpec extends AnyFunSuite {
       assert(out2("c") == Seq(1L), s"fresh domain admits: $out2")
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
+
+  test("classifierIntake: broadcast-model scoring is stateless across micro-batches") {
+    import spark.implicits._
+    // train once on a planted separable corpus; the model rides the
+    // expression, so the stream stage must report ZERO state rows
+    val train = (0 until 120).map { i =>
+      (i.toLong, i % 2, s"common filler words ${i % 7} " +
+        (if (i % 2 == 1) "qgood" else "qbad") + (i % 3))
+    }.toDF("doc_id", "label", "text")
+    val m = graft.text.TextClassifier.train(train, "text", "label",
+      nBuckets = 256, bigrams = false, epochs = 40)
+    val dir = java.nio.file.Files.createTempDirectory("clfstream").toString + "/d"
+    // two files → maxFilesPerTrigger=1 forces two micro-batches
+    // stream docs reuse TRAINING vocabulary (class-balanced filler whose
+    // weights cancel + the class marker) so the cut is decided by the
+    // learned marker weights, not by hash collisions of unseen tokens
+    (0 until 30).map(i => (i.toLong, s"common filler qgood${i % 3}"))
+      .toDF("doc_id", "text").write.parquet(dir)
+    (30 until 60).map(i => (i.toLong, s"common filler qbad${i % 3}"))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    assert(stream.isStreaming)
+    val q = graft.streaming.DocStreams.classifierIntake(stream, m, minScore = 0.0)
+      .writeStream.format("memory").queryName("clf_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "classifier intake stream timed out")
+    // stateless: no stateful operator ran in any progress event
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.isEmpty,
+      s"stateless stage grew state: ${q.lastProgress}")
+    val kept = spark.table("clf_out").collect().map(_.getLong(0)).toSet
+    // only the qgood micro-batch survives the positive-logit cut
+    assert(kept == (0 until 30).map(_.toLong).toSet, s"kept: $kept")
+    // stream results ≡ batch results through the same call
+    val batchKept = graft.streaming.DocStreams.classifierIntake(
+        spark.read.parquet(dir), m, minScore = 0.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(batchKept == kept, "stream must equal batch")
+  }
 }
