@@ -3217,7 +3217,11 @@ object SparkEntry {
             c(0) = (v - 128) / 2 // dequant*IDCT: 16*c0/8 + 128 = v exactly
             c
           }
-          val bytes = graft.multimodal.JpegArith.writeGray(bw * 8, bh * 8, q, blocks)
+          // every fourth doc codes with restart interval 2 (round 8):
+          // flush + RSTm + statistics/prediction reset mid-stream — the
+          // closed-form sums only survive if the restart path is exact
+          val bytes = graft.multimodal.JpegArith.writeGray(bw * 8, bh * 8, q,
+            blocks, restartInterval = if (id % 4 == 0) 2 else 0)
           require(bytes.sliding(2).exists(sq =>
             (sq(0) & 0xff) == 0xff && (sq(1) & 0xff) == 0xc9),
             "fixture must be a true SOF9 arithmetic stream")

@@ -8,8 +8,9 @@ package graft.multimodal
   * Scope: sequential DCT (SOF9) and progressive DCT (SOF10, "SOFa" —
   * spectral selection + successive approximation per §G.2), 8-bit, 1 or 3
   * components at 1x1 sampling, DAC conditioning tables (defaults L=0 /
-  * U=1 / Kx=5 per §F.1.4.4.1.4). Subsampled chroma, restart intervals,
-  * and 12-bit return null — honestly unsupported. The dequantize + IDCT +
+  * U=1 / Kx=5 per §F.1.4.4.1.4), restart intervals (sequential: flush +
+  * RSTm + full statistics/prediction reset per §F.1.4). Subsampled
+  * chroma and 12-bit return null — honestly unsupported. The dequantize + IDCT +
   * plane path is [[JpegCodec]]'s own, so the two entropy layers share one
   * reconstruction.
   *
@@ -79,6 +80,10 @@ object JpegArith {
   private final class Dec(data: Array[Byte], start: Int) {
     private var pos = start
     private var marker = false
+    /** Current read position — used by the restart handler to scan
+      * forward for the RSTm marker (entropy bytes never contain
+      * 0xFF + high-bit thanks to bit stuffing, so the scan is safe). */
+    def position: Int = pos
     private var c = 0L
     private var a = 0L
     private var ct = -16 // forces two initial byte loads
@@ -461,7 +466,6 @@ object JpegArith {
       }
       if (scanStart < 0 || width <= 0 || height <= 0) return null
       if (width.toLong * height > 64L * 1024 * 1024) return null
-      if (restartInterval != 0) return null // restarts: out of scope, loud
 
       val mcusX = (width + 7) / 8
       val mcusY = (height + 7) / 8
@@ -469,7 +473,7 @@ object JpegArith {
         if (ci == 0 || wantChroma) new Array[Byte](mcusX * 8 * mcusY * 8)
         else null
       }
-      val dec = new Dec(p, scanStart)
+      var dec = new Dec(p, scanStart)
       val dcStats = Array.fill(4)(new Array[Int](64))
       val acStats = Array.fill(4)(new Array[Int](256))
       val fixed = Array(FixedBin)
@@ -479,8 +483,31 @@ object JpegArith {
       val block = new Array[Int](64)
       val tmp = new Array[Double](64)
       var mcu = 0
+      var restartsToGo = restartInterval
+      var rstIdx = 0
       val nMcus = mcusX * mcusY
       while (mcu < nMcus) {
+        // restart boundary (T.81 F.1.4/F.2.3): the encoder flushed and
+        // emitted RSTm; scan to it, verify the modulo-8 index, then
+        // reinitialize the decoder, statistics, and DC predictions
+        if (restartInterval > 0 && restartsToGo == 0) {
+          // the decoder reads ahead; if it already consumed the marker's
+          // 0xFF (marker-detected state), position sits one past it —
+          // back up two bytes so the scan can't skip to the NEXT marker
+          var np = math.max(scanStart, dec.position - 2)
+          while (np + 1 < p.length &&
+            !((p(np) & 0xff) == 0xff && (p(np + 1) & 0xf8) == 0xd0)) np += 1
+          if (np + 1 >= p.length || (p(np + 1) & 0x07) != rstIdx)
+            throw new IllegalStateException("restart marker mismatch")
+          dec = new Dec(p, np + 2)
+          dcStats.foreach(java.util.Arrays.fill(_, 0))
+          acStats.foreach(java.util.Arrays.fill(_, 0))
+          java.util.Arrays.fill(dcCtx, 0)
+          java.util.Arrays.fill(dcPred, 0)
+          rstIdx = (rstIdx + 1) & 7
+          restartsToGo = restartInterval
+        }
+        if (restartInterval > 0) restartsToGo -= 1
         val my = mcu / mcusX
         val mx = mcu % mcusX
         var ci = 0
@@ -518,8 +545,9 @@ object JpegArith {
     * twin of [[decodePlanes]]. Entropy coding is lossless, so decode
     * recovers these exact coefficients. */
   def writeGray(width: Int, height: Int, qtable: Array[Int],
-      coefBlocks: Seq[Array[Int]]): Array[Byte] = {
+      coefBlocks: Seq[Array[Int]], restartInterval: Int = 0): Array[Byte] = {
     require(qtable.length == 64, "quant table is 64 entries")
+    require(restartInterval >= 0, s"restartInterval: $restartInterval")
     val bx = (width + 7) / 8
     val by = (height + 7) / 8
     require(coefBlocks.length == bx * by,
@@ -533,21 +561,37 @@ object JpegArith {
     u16(0xffc9); u16(2 + 6 + 3); u8(8) // SOF9
     u16(height); u16(width); u8(1)
     u8(1); u8(0x11); u8(0) // component 1, 1x1, qtable 0
+    if (restartInterval > 0) { u16(0xffdd); u16(4); u16(restartInterval) }
     u16(0xffda); u16(2 + 1 + 2 + 3); u8(1) // SOS
     u8(1); u8(0x00) // component 1, DC cond 0 / AC cond 0
     u8(0); u8(63); u8(0) // Ss, Se, Ah/Al (sequential full band)
-    val enc = new Enc(out)
-    val dcStats = new Array[Int](64)
-    val acStats = new Array[Int](256)
+    var enc = new Enc(out)
+    var dcStats = new Array[Int](64)
+    var acStats = new Array[Int](256)
     val fixed = Array(FixedBin)
     val dcCtx = new Array[Int](1)
     var pred = 0
+    var sinceRestart = 0
+    var rstIdx = 0
     coefBlocks.foreach { coef =>
       require(coef.length == 64, "each block is 64 zigzag coefficients")
+      if (restartInterval > 0 && sinceRestart == restartInterval) {
+        // flush, emit RSTm, reset coder + statistics + DC prediction
+        enc.finish()
+        u16(0xffd0 + rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        enc = new Enc(out)
+        dcStats = new Array[Int](64)
+        acStats = new Array[Int](256)
+        dcCtx(0) = 0
+        pred = 0
+        sinceRestart = 0
+      }
       encodeDcDiff(enc, dcStats, dcCtx, 0, (1 << 0) >> 1, (1 << 1) >> 1,
         coef(0) - pred)
       pred = coef(0)
       encodeAcBand(enc, acStats, fixed, 5, coef)
+      sinceRestart += 1
     }
     enc.finish()
     u16(0xffd9) // EOI

@@ -240,7 +240,7 @@ class MultimodalSpec extends AnyFunSuite {
     // truncated entropy data must not throw
     assert(JpegCodec.decodeLuma(java.util.Arrays.copyOf(good, good.length - 4)) != null ||
       JpegCodec.decodeLuma(java.util.Arrays.copyOf(good, good.length - 4)) == null) // no-throw contract
-    // a DRI segment makes the decode null (restarts out of scope)
+    // a DRI whose interval never triggers (8 > 1 MCU) decodes unchanged
     val withDri = {
       val bos = new java.io.ByteArrayOutputStream()
       bos.write(good, 0, 2)
@@ -248,7 +248,42 @@ class MultimodalSpec extends AnyFunSuite {
       bos.write(good, 2, good.length - 2)
       bos.toByteArray
     }
-    assert(JpegCodec.decodeLuma(withDri) == null)
+    assert(JpegCodec.decodeLuma(withDri) != null)
+  }
+
+  test("arithmetic JPEG: restart intervals — flush/RSTm/reset round-trips exactly") {
+    import graft.multimodal.{JpegArith, JpegCodec}
+    // mixed-content blocks; interval 3 over 12 MCUs → 3 restarts with
+    // full statistics + DC-prediction resets at each boundary
+    val q = Array.fill(64)(1)
+    val (w, h) = (32, 24)
+    val blocks = (0 until 12).map { b =>
+      val c = new Array[Int](64)
+      c(0) = (b * 37 % 50) - 25 + 100
+      c(1) = if (b % 2 == 0) 3 else -3
+      c(20) = if (b % 5 == 2) 260 else 0
+      c
+    }
+    val plain = JpegCodec.decodeLuma(JpegArith.writeGray(w, h, q, blocks))
+    val withRst = JpegArith.writeGray(w, h, q, blocks, restartInterval = 3)
+    // the stream really contains RST0..RST2 markers
+    val rsts = withRst.sliding(2).count(sq =>
+      (sq(0) & 0xff) == 0xff && (sq(1) & 0xff) >= 0xd0 && (sq(1) & 0xff) <= 0xd7)
+    assert(rsts == 3, s"expected 3 restart markers, found $rsts")
+    val luma = JpegCodec.decodeLuma(withRst)
+    assert(luma != null, "restart stream must decode")
+    assert(java.util.Arrays.equals(luma.pixels, plain.pixels),
+      "restart decode must be pixel-identical to the unrestarted stream")
+    // a wrong restart index (RST0 corrupted to RST5) rejects loudly
+    val bad = withRst.clone()
+    var i = 0
+    while (!((bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xd0)) i += 1
+    bad(i + 1) = 0xd5.toByte
+    assert(JpegCodec.decodeLuma(bad) == null, "restart index mismatch must null")
+    // interval 1 (restart after every MCU) also round-trips
+    val one = JpegCodec.decodeLuma(
+      JpegArith.writeGray(w, h, q, blocks, restartInterval = 1))
+    assert(one != null && java.util.Arrays.equals(one.pixels, plain.pixels))
   }
 
   test("MP4 trak/stsd walk: per-track codec, dims, audio rate/channels, both tkhd/mdhd versions") {
