@@ -3935,12 +3935,20 @@ object SparkEntry {
             c
           }
           val j12 = graft.multimodal.Jpeg12.writeGray(bw * 8, 8, 12, q, blocks)
-          (id, ll, j12)
-        }.toDF("id", "ll", "j12")
+          // round 8: the 12-bit ARITHMETIC twin of the same blocks (SOF9
+          // precision 12, QM-coder; even ids restart after every MCU) —
+          // both entropy layers are lossless, so its sum must EQUAL the
+          // SOF1 Huffman stream's
+          val ja12 = graft.multimodal.JpegArith.writeGray12(bw * 8, 8, q,
+            blocks, restartInterval = if (id % 2 == 0) 1 else 0)
+          (id, ll, j12, ja12)
+        }.toDF("id", "ll", "j12", "ja12")
       media.select(
           jpeg_lossless_sum(col("ll")).as("lsum"),
           jpeg_lossless_precision(col("ll")).cast("long").as("lprec"),
-          jpeg12_sum(col("j12")).as("jsum"))
+          jpeg12_sum(col("j12")).as("jsum"),
+          (jpeg12_sum(col("ja12")).isNotNull &&
+            jpeg12_sum(col("ja12")) === jpeg12_sum(col("j12"))).as("aeq"))
         .agg(
           count(lit(1)).as("n"),
           ((sum(when(col("lsum").isNotNull, 1L).otherwise(0L)) ===
@@ -3949,7 +3957,9 @@ object SparkEntry {
             count(lit(1)))).as("decoded_all"),
           sum(col("lsum")).cast("long").as("lossless_total"),
           sum(col("lprec")).cast("long").as("prec_total"),
-          sum(col("jsum")).cast("long").as("j12_total"))
+          sum(col("jsum")).cast("long").as("j12_total"),
+          (sum(when(col("aeq"), 1L).otherwise(0L)) === count(lit(1)))
+            .as("arith12_eq_huff"))
     },
 
     "v6_semdedup" -> { (s, d) =>
@@ -6058,7 +6068,8 @@ object SparkEntry {
          SELECT count(*) AS n, TRUE AS decoded_all,
            CAST(sum(ls.lsum) AS BIGINT) AS lossless_total,
            CAST(sum(ls.lprec) AS BIGINT) AS prec_total,
-           CAST(sum(js.jsum) AS BIGINT) AS j12_total
+           CAST(sum(js.jsum) AS BIGINT) AS j12_total,
+           TRUE AS arith12_eq_huff
          FROM ls JOIN js ON ls.doc_id = js.doc_id""",
 
     // planted self-match through the whitened projection: identical

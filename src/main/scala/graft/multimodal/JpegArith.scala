@@ -9,8 +9,10 @@ package graft.multimodal
   * spectral selection + successive approximation per §G.2), 8-bit, 1 or 3
   * components at 1x1 sampling, DAC conditioning tables (defaults L=0 /
   * U=1 / Kx=5 per §F.1.4.4.1.4), restart intervals (sequential: flush +
-  * RSTm + full statistics/prediction reset per §F.1.4). Subsampled
-  * chroma and 12-bit return null — honestly unsupported. The dequantize + IDCT +
+  * RSTm + full statistics/prediction reset per §F.1.4), and 12-bit
+  * grayscale SOF9 ([[decode12]], surfacing through [[Jpeg12]]'s
+  * expressions). Subsampled chroma returns null — honestly unsupported.
+  * The dequantize + IDCT +
   * plane path is [[JpegCodec]]'s own, so the two entropy layers share one
   * reconstruction.
   *
@@ -595,6 +597,206 @@ object JpegArith {
     }
     enc.finish()
     u16(0xffd9) // EOI
+    out.toByteArray
+  }
+
+  // ------------------------------------------------ 12-bit SOF9 (gray)
+
+  /** 12-bit sequential arithmetic (SOF9 with precision 12), grayscale —
+    * the arithmetic twin of [[Jpeg12]]'s SOF1 path and the LAST
+    * T.81 precision/entropy combination. Same statistical models as the
+    * 8-bit path (the magnitude trees already span 15 bins), 16-bit DQT
+    * entries accepted, restart intervals supported. Returns [[Jpeg12]]'s
+    * Frame12 surface so the `jpeg12_*` expressions accept both entropy
+    * layers. */
+  private[multimodal] def decode12(p: Array[Byte]): Jpeg12.Frame12 = {
+    try {
+      val quant = new Array[Array[Int]](4)
+      val dcL = Array.fill(4)(0)
+      val dcU = Array.fill(4)(1)
+      val acK = Array.fill(4)(5)
+      var width = 0; var height = 0
+      var restartInterval = 0
+      var dcSel = 0; var acSel = 0
+      var qsel = 0
+      var pos = 2
+      var scanStart = -1
+      while (scanStart < 0 && pos + 4 <= p.length) {
+        if ((p(pos) & 0xff) != 0xff) return null
+        val marker = p(pos + 1) & 0xff
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) pos += 2
+        else {
+          val len = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+          val seg = pos + 4
+          marker match {
+            case 0xc9 =>
+              if ((p(seg) & 0xff) != 12) return null
+              height = ((p(seg + 1) & 0xff) << 8) | (p(seg + 2) & 0xff)
+              width = ((p(seg + 3) & 0xff) << 8) | (p(seg + 4) & 0xff)
+              if ((p(seg + 5) & 0xff) != 1) return null // grayscale scope
+              if ((p(seg + 7) & 0xff) != 0x11) return null // 1x1
+              qsel = p(seg + 8) & 0x0f
+            case 0xdb =>
+              var o = seg
+              while (o < pos + 2 + len) {
+                val prec = (p(o) & 0xff) >> 4
+                val id = p(o) & 0x0f
+                if (prec == 0) {
+                  quant(id) = Array.tabulate(64)(k => p(o + 1 + k) & 0xff)
+                  o += 65
+                } else {
+                  quant(id) = Array.tabulate(64)(k =>
+                    ((p(o + 1 + 2 * k) & 0xff) << 8) | (p(o + 2 + 2 * k) & 0xff))
+                  o += 129
+                }
+              }
+            case 0xcc =>
+              var o = seg
+              while (o + 1 < pos + 2 + len) {
+                val cls = (p(o) & 0xff) >> 4
+                val id = p(o) & 0x0f
+                val v = p(o + 1) & 0xff
+                if (cls == 0) { dcL(id) = v & 0x0f; dcU(id) = v >> 4 }
+                else acK(id) = v
+                o += 2
+              }
+            case 0xdd =>
+              restartInterval = ((p(seg) & 0xff) << 8) | (p(seg + 1) & 0xff)
+            case 0xda =>
+              if ((p(seg) & 0xff) != 1) return null
+              dcSel = (p(seg + 2) & 0xff) >> 4
+              acSel = p(seg + 2) & 0x0f
+              scanStart = pos + 2 + len
+            case _ => ()
+          }
+          pos += 2 + len
+        }
+      }
+      if (scanStart < 0 || width <= 0 || height <= 0) return null
+      if (width.toLong * height > 64L * 1024 * 1024) return null
+      val q = quant(qsel)
+      if (q == null) return null
+      val mcusX = (width + 7) / 8
+      val mcusY = (height + 7) / 8
+      val planeW = mcusX * 8
+      val plane = new Array[Int](planeW * mcusY * 8)
+      var dec = new Dec(p, scanStart)
+      var dcStats = new Array[Int](64)
+      var acStats = new Array[Int](256)
+      val fixed = Array(FixedBin)
+      val dcCtx = new Array[Int](1)
+      var pred = 0
+      val coef = new Array[Int](64)
+      val block = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      var restartsToGo = restartInterval
+      var rstIdx = 0
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && restartsToGo == 0) {
+          var np = math.max(scanStart, dec.position - 2)
+          while (np + 1 < p.length &&
+            !((p(np) & 0xff) == 0xff && (p(np + 1) & 0xf8) == 0xd0)) np += 1
+          if (np + 1 >= p.length || (p(np + 1) & 0x07) != rstIdx)
+            throw new IllegalStateException("restart marker mismatch")
+          dec = new Dec(p, np + 2)
+          dcStats = new Array[Int](64)
+          acStats = new Array[Int](256)
+          dcCtx(0) = 0
+          pred = 0
+          rstIdx = (rstIdx + 1) & 7
+          restartsToGo = restartInterval
+        }
+        if (restartInterval > 0) restartsToGo -= 1
+        java.util.Arrays.fill(coef, 0)
+        pred += decodeDcDiff(dec, dcStats, dcCtx, 0,
+          (1 << dcL(dcSel)) >> 1, (1 << dcU(dcSel)) >> 1)
+        coef(0) = pred
+        decodeAcBand(dec, acStats, fixed, acK(acSel), coef)
+        java.util.Arrays.fill(block, 0)
+        var k = 0
+        while (k < 64) {
+          block(JpegCodec.zigzag(k)) = coef(k) * q(k)
+          k += 1
+        }
+        JpegCodec.idct8x8(block, tmp)
+        val my = mcu / mcusX
+        val mx = mcu % mcusX
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            val v = math.round(tmp(yy * 8 + xx) + 2048).toInt
+            plane((my * 8 + yy) * planeW + mx * 8 + xx) =
+              if (v < 0) 0 else if (v > 4095) 4095 else v
+            xx += 1
+          }
+          yy += 1
+        }
+        mcu += 1
+      }
+      val outP = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        System.arraycopy(plane, y * planeW, outP, y * width, width)
+        y += 1
+      }
+      Jpeg12.Frame12(width, height, 12, outP)
+    } catch { case _: Exception => null }
+  }
+
+  /** Author a 12-bit grayscale SOF9 stream (16-bit DQT, precision 12) from
+    * quantized zigzag coefficient blocks — [[decode12]]'s fixture twin. */
+  def writeGray12(width: Int, height: Int, qtable: Array[Int],
+      coefBlocks: Seq[Array[Int]], restartInterval: Int = 0): Array[Byte] = {
+    require(qtable.length == 64, "quant table is 64 entries")
+    val bx = (width + 7) / 8
+    val by = (height + 7) / 8
+    require(coefBlocks.length == bx * by,
+      s"need ${bx * by} coefficient blocks, got ${coefBlocks.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u16(0xffd8)
+    u16(0xffdb); u16(2 + 1 + 128); u8(0x10) // DQT prec 1 (16-bit), table 0
+    qtable.foreach(u16)
+    u16(0xffc9); u16(2 + 6 + 3); u8(12) // SOF9, precision 12
+    u16(height); u16(width); u8(1)
+    u8(1); u8(0x11); u8(0)
+    if (restartInterval > 0) { u16(0xffdd); u16(4); u16(restartInterval) }
+    u16(0xffda); u16(2 + 1 + 2 + 3); u8(1)
+    u8(1); u8(0x00)
+    u8(0); u8(63); u8(0)
+    var enc = new Enc(out)
+    var dcStats = new Array[Int](64)
+    var acStats = new Array[Int](256)
+    val fixed = Array(FixedBin)
+    val dcCtx = new Array[Int](1)
+    var pred = 0
+    var sinceRestart = 0
+    var rstIdx = 0
+    coefBlocks.foreach { coef =>
+      require(coef.length == 64, "each block is 64 zigzag coefficients")
+      if (restartInterval > 0 && sinceRestart == restartInterval) {
+        enc.finish()
+        u16(0xffd0 + rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        enc = new Enc(out)
+        dcStats = new Array[Int](64)
+        acStats = new Array[Int](256)
+        dcCtx(0) = 0
+        pred = 0
+        sinceRestart = 0
+      }
+      encodeDcDiff(enc, dcStats, dcCtx, 0, (1 << 0) >> 1, (1 << 1) >> 1,
+        coef(0) - pred)
+      pred = coef(0)
+      encodeAcBand(enc, acStats, fixed, 5, coef)
+      sinceRestart += 1
+    }
+    enc.finish()
+    u16(0xffd9)
     out.toByteArray
   }
 

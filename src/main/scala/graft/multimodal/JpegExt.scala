@@ -391,7 +391,9 @@ object Jpeg12 extends Serializable {
                 ((p(o + 1) & 0xff) >> 4, p(o + 1) & 0x0f)
               }
               scanStart = pos + 2 + len
-            case 0xc0 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+            case 0xc9 => // 12-bit arithmetic twin: JpegArith's QM path
+              return JpegArith.decode12(p)
+            case 0xc0 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xca |
                  0xcb | 0xcd | 0xce | 0xcf =>
               return null
             case _ => ()

@@ -251,6 +251,52 @@ class MultimodalSpec extends AnyFunSuite {
     assert(JpegCodec.decodeLuma(withDri) != null)
   }
 
+  test("12-bit arithmetic JPEG (SOF9 p12): exact vs the SOF1 Huffman twin") {
+    import graft.multimodal.{Jpeg12, JpegArith}
+    // DC-only blocks with 16-bit quant entries: closed-form pixels
+    // value = round(c0*q0/8) + 2048, exact when 8 | c0*q0 — and the
+    // SAME coefficients through the SOF1 Huffman path must give the
+    // IDENTICAL plane (shared IDCT, both entropy layers lossless)
+    val q = Array.fill(64)(1)
+    q(0) = 400 // 16-bit DQT entry range
+    val (w, h) = (24, 16)
+    val blocks = (0 until 6).map { i =>
+      val c = new Array[Int](64)
+      c(0) = (i - 3) * 2 // c0*q0 = ±800k range, 8 | 800
+      c(5) = if (i % 2 == 0) 321 else 0 // 12-bit-scale AC magnitude
+      c(40) = if (i % 3 == 1) -1500 else 0
+      c
+    }
+    val arith = Jpeg12.decode(JpegArith.writeGray12(w, h, q, blocks))
+    assert(arith != null && arith.precision == 12, "12-bit arithmetic decodes")
+    assert(arith.width == w && arith.height == h)
+    val huff = Jpeg12.decode(Jpeg12.writeGray(w, h, 12, q,
+      blocks.map { c => val d = new Array[Int](64); d(0) = c(0); d }))
+    // DC-only comparison (the SOF1 fixture writer is DC-only): rebuild the
+    // arithmetic stream DC-only too and compare planes exactly
+    val arithDc = Jpeg12.decode(JpegArith.writeGray12(w, h, q,
+      blocks.map { c => val d = new Array[Int](64); d(0) = c(0); d }))
+    assert(java.util.Arrays.equals(arithDc.plane, huff.plane),
+      "12-bit arithmetic DC plane must equal the SOF1 Huffman twin")
+    // full blocks: spot-check the closed-form flat regions are exact
+    (0 until 6).foreach { i =>
+      if (i % 2 != 0 && i % 3 != 1) { // truly DC-only block
+        val v = math.round((i - 3) * 2 * 400 / 8.0).toInt + 2048
+        val px = arith.plane((i % 3) * 8 + (i / 3) * 8 * w)
+        assert(px == v, s"block $i corner: $px vs $v")
+      }
+    }
+    // restart intervals work at 12-bit too
+    val rst = Jpeg12.decode(JpegArith.writeGray12(w, h, q, blocks,
+      restartInterval = 2))
+    assert(rst != null && java.util.Arrays.equals(rst.plane, arith.plane),
+      "12-bit restart stream must decode identically")
+    // jpeg12 expression entry points accept the arithmetic stream
+    assert(Jpeg12.precisionOf(JpegArith.writeGray12(w, h, q, blocks)) == 12)
+    assert(Jpeg12.sampleSum(JpegArith.writeGray12(w, h, q, blocks)) ==
+      arith.plane.map(_.toLong).sum)
+  }
+
   test("arithmetic JPEG: restart intervals — flush/RSTm/reset round-trips exactly") {
     import graft.multimodal.{JpegArith, JpegCodec}
     // mixed-content blocks; interval 3 over 12 MCUs → 3 restarts with
