@@ -3203,7 +3203,9 @@ object SparkEntry {
       // q=16), a structural require() proves the SOF9 marker, and decode
       // runs DISTRIBUTED through the same jpeg_luma_* expressions as the
       // Huffman gates — entropy coding is lossless, so every luma sum has
-      // a closed form the oracle replays.
+      // a closed form the oracle replays. Round 8: every third doc authors
+      // the SAME flat image as a 4:2:0 SUBSAMPLED 3-component stream
+      // (neutral chroma), whose luma sum must equal the grayscale one.
       import s.implicits._
       val media = t(s, d, "documents").select(col("doc_id"))
         .filter(col("doc_id") < 250).as[Long]
@@ -3225,19 +3227,42 @@ object SparkEntry {
           require(bytes.sliding(2).exists(sq =>
             (sq(0) & 0xff) == 0xff && (sq(1) & 0xff) == 0xc9),
             "fixture must be a true SOF9 arithmetic stream")
-          (id, bytes)
-        }.toDF("id", "jpg")
+          val sub: Array[Byte] =
+            if (id % 3 != 0) null
+            else {
+              // the same flat luma as one 4:2:0 MCU grid: pad the block
+              // grid up to even dimensions with repeats of the last block
+              val mx = (bw + 1) / 2
+              val my = (bh + 1) / 2
+              val lumaBlocks = (0 until mx * my * 4).map { i =>
+                val mcu = i / 4
+                val lx = math.min((mcu % mx) * 2 + i % 2, bw - 1)
+                val ly = math.min(((mcu / mx) * 2 + (i % 4) / 2), bh - 1)
+                blocks(ly * bw + lx)
+              }
+              val cBlocks = (0 until mx * my).map(_ => new Array[Int](64))
+              graft.multimodal.JpegArith.writeSampled(bw * 8, bh * 8, q,
+                Seq((2, 2), (1, 1), (1, 1)), Seq(lumaBlocks, cBlocks, cBlocks))
+            }
+          (id, bytes, sub)
+        }.toDF("id", "jpg", "sub")
       media.select(
           jpeg_luma_sum(col("jpg")).as("lsum"),
           jpeg_luma_width(col("jpg")).cast("long").as("w"),
-          jpeg_luma_height(col("jpg")).cast("long").as("h"))
+          jpeg_luma_height(col("jpg")).cast("long").as("h"),
+          (col("sub").isNull ||
+            (jpeg_luma_sum(col("sub")).isNotNull &&
+              jpeg_luma_sum(col("sub")) === jpeg_luma_sum(col("jpg"))))
+            .as("sub_eq"))
         .agg(
           count(lit(1)).as("n"),
           (sum(when(col("lsum").isNotNull, 1L).otherwise(0L)) === count(lit(1)))
             .as("decoded_all"),
           sum(col("lsum")).cast("long").as("luma_total"),
           sum(col("w")).cast("long").as("w_total"),
-          sum(col("h")).cast("long").as("h_total"))
+          sum(col("h")).cast("long").as("h_total"),
+          (sum(when(col("sub_eq"), 1L).otherwise(0L)) === count(lit(1)))
+            .as("sub420_eq_gray"))
     },
 
     "mm6b_progressive_arith_jpeg" -> { (s, d) =>
@@ -6343,7 +6368,8 @@ object SparkEntry {
           SELECT COUNT(*) AS n, TRUE AS decoded_all,
             CAST(SUM(p.lsum) AS BIGINT) AS luma_total,
             CAST(SUM(8 * (2 + d.doc_id % 3)) AS BIGINT) AS w_total,
-            CAST(SUM(8 * (1 + d.doc_id % 2)) AS BIGINT) AS h_total
+            CAST(SUM(8 * (1 + d.doc_id % 2)) AS BIGINT) AS h_total,
+            TRUE AS sub420_eq_gray
           FROM docs d JOIN px p USING (doc_id)""",
 
     // SOF10 ladder replay: the flat fixture decodes to mm6's closed form;

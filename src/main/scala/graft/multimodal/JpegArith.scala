@@ -9,9 +9,10 @@ package graft.multimodal
   * spectral selection + successive approximation per §G.2), 8-bit, 1 or 3
   * components at 1x1 sampling, DAC conditioning tables (defaults L=0 /
   * U=1 / Kx=5 per §F.1.4.4.1.4), restart intervals (sequential: flush +
-  * RSTm + full statistics/prediction reset per §F.1.4), and 12-bit
-  * grayscale SOF9 ([[decode12]], surfacing through [[Jpeg12]]'s
-  * expressions). Subsampled chroma returns null — honestly unsupported.
+  * RSTm + full statistics/prediction reset per §F.1.4), subsampled
+  * chroma (4:2:0/4:2:2 — the sampling jpegtran preserves when
+  * recompressing web JPEGs), and 12-bit grayscale SOF9 ([[decode12]],
+  * surfacing through [[Jpeg12]]'s expressions).
   * The dequantize + IDCT +
   * plane path is [[JpegCodec]]'s own, so the two entropy layers share one
   * reconstruction.
@@ -426,8 +427,10 @@ object JpegArith {
                 ((p(o) & 0xff), (p(o + 1) & 0xff) >> 4, p(o + 1) & 0x0f,
                   p(o + 2) & 0xff)
               }
-              // 1x1 sampling only (subsampled arithmetic: out of scope)
-              if (comps.exists(c => c._2 != 1 || c._3 != 1)) return null
+              // any sampling factors (4:2:0/4:2:2/4:4:4 — jpegtran keeps
+              // the source's sampling when recompressing to arithmetic)
+              if (comps.exists(c => c._2 < 1 || c._2 > 4 || c._3 < 1 || c._3 > 4))
+                return null
             case 0xdb =>
               var o = seg
               while (o < pos + 2 + len) {
@@ -469,10 +472,14 @@ object JpegArith {
       if (scanStart < 0 || width <= 0 || height <= 0) return null
       if (width.toLong * height > 64L * 1024 * 1024) return null
 
-      val mcusX = (width + 7) / 8
-      val mcusY = (height + 7) / 8
+      val maxH = comps.map(_._2).max
+      val maxV = comps.map(_._3).max
+      val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+      val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+      val planeW = comps.map(c => mcusX * 8 * c._2)
+      val planeH = comps.map(c => mcusY * 8 * c._3)
       val planes = Array.tabulate(comps.length) { ci =>
-        if (ci == 0 || wantChroma) new Array[Byte](mcusX * 8 * mcusY * 8)
+        if (ci == 0 || wantChroma) new Array[Byte](planeW(ci) * planeH(ci))
         else null
       }
       var dec = new Dec(p, scanStart)
@@ -514,29 +521,37 @@ object JpegArith {
         val mx = mcu % mcusX
         var ci = 0
         while (ci < comps.length) {
+          val (_, hS, vS, qsel) = comps(ci)
           val (dcSel, acSel) = (compSel(ci)._1, compSel(ci)._2)
-          val q = quant(comps(ci)._4)
-          java.util.Arrays.fill(coef, 0)
-          dcPred(ci) += decodeDcDiff(dec, dcStats(dcSel), dcCtx, ci,
-            (1 << dcL(dcSel)) >> 1, (1 << dcU(dcSel)) >> 1)
-          coef(0) = dcPred(ci)
-          decodeAcBand(dec, acStats(acSel), fixed, acK(acSel), coef)
-          if (ci == 0 || wantChroma) {
-            java.util.Arrays.fill(block, 0)
-            var k = 0
-            while (k < 64) {
-              block(JpegCodec.zigzag(k)) = coef(k) * q(k)
-              k += 1
+          val q = quant(qsel)
+          var by = 0
+          while (by < vS) {
+            var bx = 0
+            while (bx < hS) {
+              java.util.Arrays.fill(coef, 0)
+              dcPred(ci) += decodeDcDiff(dec, dcStats(dcSel), dcCtx, ci,
+                (1 << dcL(dcSel)) >> 1, (1 << dcU(dcSel)) >> 1)
+              coef(0) = dcPred(ci)
+              decodeAcBand(dec, acStats(acSel), fixed, acK(acSel), coef)
+              if (ci == 0 || wantChroma) {
+                java.util.Arrays.fill(block, 0)
+                var k = 0
+                while (k < 64) {
+                  block(JpegCodec.zigzag(k)) = coef(k) * q(k)
+                  k += 1
+                }
+                JpegCodec.writeBlock(block, tmp, planes(ci), planeW(ci),
+                  (mx * hS + bx) * 8, (my * vS + by) * 8)
+              }
+              bx += 1
             }
-            JpegCodec.writeBlock(block, tmp, planes(ci), mcusX * 8,
-              mx * 8, my * 8)
+            by += 1
           }
           ci += 1
         }
         mcu += 1
       }
-      JpegCodec.finishPlanes(width, height, comps, 1, 1, planes,
-        Array.fill(comps.length)(mcusX * 8))
+      JpegCodec.finishPlanes(width, height, comps, maxH, maxV, planes, planeW)
     } catch { case _: Exception => null }
   }
 
@@ -597,6 +612,89 @@ object JpegArith {
     }
     enc.finish()
     u16(0xffd9) // EOI
+    out.toByteArray
+  }
+
+  /** Author a multi-component SOF9 stream with per-component sampling
+    * factors (the 4:2:0 web shape) from quantized zigzag blocks —
+    * `coefBlocks(ci)` holds component ci's blocks in MCU-walk order
+    * (per MCU: v·h blocks row-major). Component 0 uses DC/AC conditioning
+    * tables 0, the rest table 1 (the conventional luma/chroma split). */
+  def writeSampled(width: Int, height: Int, qtable: Array[Int],
+      sampling: Seq[(Int, Int)], coefBlocks: Seq[Seq[Array[Int]]],
+      restartInterval: Int = 0): Array[Byte] = {
+    require(qtable.length == 64, "quant table is 64 entries")
+    require(sampling.nonEmpty && sampling.length == coefBlocks.length)
+    val maxH = sampling.map(_._1).max
+    val maxV = sampling.map(_._2).max
+    val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+    val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+    sampling.zip(coefBlocks).foreach { case ((h, v), blocks) =>
+      require(blocks.length == mcusX * mcusY * h * v,
+        s"component needs ${mcusX * mcusY * h * v} blocks, got ${blocks.length}")
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u16(0xffd8)
+    u16(0xffdb); u16(2 + 65); u8(0)
+    qtable.foreach(u8)
+    u16(0xffc9); u16(2 + 6 + 3 * sampling.length); u8(8)
+    u16(height); u16(width); u8(sampling.length)
+    sampling.zipWithIndex.foreach { case ((h, v), i) =>
+      u8(i + 1); u8((h << 4) | v); u8(0)
+    }
+    if (restartInterval > 0) { u16(0xffdd); u16(4); u16(restartInterval) }
+    u16(0xffda); u16(2 + 1 + 2 * sampling.length + 3); u8(sampling.length)
+    sampling.indices.foreach { i =>
+      u8(i + 1); u8(if (i == 0) 0x00 else 0x11)
+    }
+    u8(0); u8(63); u8(0)
+    var enc = new Enc(out)
+    var dcStats = Array.fill(2)(new Array[Int](64))
+    var acStats = Array.fill(2)(new Array[Int](256))
+    val fixed = Array(FixedBin)
+    val dcCtx = new Array[Int](sampling.length)
+    val pred = new Array[Int](sampling.length)
+    val cursor = new Array[Int](sampling.length)
+    var sinceRestart = 0
+    var rstIdx = 0
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && sinceRestart == restartInterval) {
+        enc.finish()
+        u16(0xffd0 + rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        enc = new Enc(out)
+        dcStats = Array.fill(2)(new Array[Int](64))
+        acStats = Array.fill(2)(new Array[Int](256))
+        java.util.Arrays.fill(dcCtx, 0)
+        java.util.Arrays.fill(pred, 0)
+        sinceRestart = 0
+      }
+      var ci = 0
+      while (ci < sampling.length) {
+        val (h, v) = sampling(ci)
+        val tbl = if (ci == 0) 0 else 1
+        var b = 0
+        while (b < h * v) {
+          val coef = coefBlocks(ci)(cursor(ci))
+          require(coef.length == 64, "each block is 64 zigzag coefficients")
+          cursor(ci) += 1
+          encodeDcDiff(enc, dcStats(tbl), dcCtx, ci, (1 << 0) >> 1,
+            (1 << 1) >> 1, coef(0) - pred(ci))
+          pred(ci) = coef(0)
+          encodeAcBand(enc, acStats(tbl), fixed, 5, coef)
+          b += 1
+        }
+        ci += 1
+      }
+      sinceRestart += 1
+      mcu += 1
+    }
+    enc.finish()
+    u16(0xffd9)
     out.toByteArray
   }
 

@@ -227,7 +227,7 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("arithmetic JPEG: 12-bit, subsampled, and restart-interval streams null loudly") {
+  test("arithmetic JPEG: the byte-plane surface rejects 12-bit; truncation is safe") {
     import graft.multimodal.{JpegArith, JpegCodec}
     val q = Array.fill(64)(1)
     val good = JpegArith.writeGray(8, 8, q, Seq(new Array[Int](64)))
@@ -249,6 +249,62 @@ class MultimodalSpec extends AnyFunSuite {
       bos.toByteArray
     }
     assert(JpegCodec.decodeLuma(withDri) != null)
+  }
+
+  test("4:2:0 arithmetic JPEG: subsampled MCU walk decodes exactly") {
+    import graft.multimodal.{JpegArith, JpegCodec}
+    // 32x16 at 2x2/1x1/1x1 → 2 MCUs: 8 luma + 2 Cb + 2 Cr blocks. Luma is
+    // mixed content; chroma is zero (neutral 128), so with flat chroma the
+    // RGB conversion must return the luma value exactly on every pixel.
+    val q = Array.fill(64)(1)
+    val (w, h) = (32, 16)
+    val luma = (0 until 8).map { b =>
+      val c = new Array[Int](64)
+      c(0) = (b * 29 % 60) - 30 + 64
+      c(3) = if (b % 2 == 0) 7 else -9
+      c(17) = if (b % 3 == 1) 130 else 0
+      c
+    }
+    val zeroC = (0 until 2).map(_ => new Array[Int](64))
+    val jpg = JpegArith.writeSampled(w, h, q,
+      Seq((2, 2), (1, 1), (1, 1)), Seq(luma, zeroC, zeroC))
+    val lout = JpegCodec.decodeLuma(jpg)
+    assert(lout != null && lout.width == w && lout.height == h,
+      "4:2:0 arithmetic must decode")
+    // expected luma: direct IDCT with the MCU placement ((mx*2+bx, by))
+    val expected = new Array[Byte](w * h)
+    val blk = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    luma.zipWithIndex.foreach { case (c, i) =>
+      val mcu = i / 4
+      val bx = i % 2
+      val by = (i % 4) / 2
+      java.util.Arrays.fill(blk, 0)
+      (0 until 64).foreach(k => blk(JpegCodec.zigzag(k)) = c(k))
+      JpegCodec.writeBlock(blk, tmp, expected, w, (mcu * 2 + bx) * 8, by * 8)
+    }
+    assert(java.util.Arrays.equals(lout.pixels, expected),
+      "subsampled arithmetic luma must match the direct IDCT placement")
+    // flat neutral chroma: RGB == luma on every pixel
+    val rgb = JpegCodec.decodeRgb(jpg)
+    assert(rgb != null, "RGB path must handle 4:2:0 arithmetic")
+    (0 until w * h).foreach { i =>
+      val y = expected(i) & 0xff
+      assert((rgb.pixels(3 * i) & 0xff) == y &&
+        (rgb.pixels(3 * i + 1) & 0xff) == y &&
+        (rgb.pixels(3 * i + 2) & 0xff) == y, s"pixel $i")
+    }
+    // restart interval at the MCU granularity round-trips identically
+    val rst = JpegCodec.decodeLuma(JpegArith.writeSampled(w, h, q,
+      Seq((2, 2), (1, 1), (1, 1)), Seq(luma, zeroC, zeroC), restartInterval = 1))
+    assert(rst != null && java.util.Arrays.equals(rst.pixels, expected),
+      "4:2:0 restart stream must decode identically")
+    // 4:2:2 (2x1) also walks correctly
+    val jpg422 = JpegArith.writeSampled(w, h, q, Seq((2, 1), (1, 1), (1, 1)),
+      Seq(luma, (0 until 4).map(_ => new Array[Int](64)),
+        (0 until 4).map(_ => new Array[Int](64))))
+    val l422 = JpegCodec.decodeLuma(jpg422)
+    assert(l422 != null && l422.width == w && l422.height == h)
   }
 
   test("12-bit arithmetic JPEG (SOF9 p12): exact vs the SOF1 Huffman twin") {
