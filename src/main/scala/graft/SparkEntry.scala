@@ -1371,6 +1371,22 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t46_perplexity_buckets" -> { (s, d) =>
+      // CCNet head/middle/tail bucketing (NgramLm.perplexityBuckets,
+      // Wenzek 2020 §4.3): the en-slice trigram LM scores every doc, and
+      // equal-population cuts on the per-token micro-scaled log-prob
+      // (with id tie-break, unscored docs last) assign buckets via
+      // broadcast cutoff literals — map-only after the scoring join. The
+      // sample covers the whole gate corpus, so the oracle replays the
+      // exact order statistics and the lexicographic bucket arithmetic.
+      val docs = t(s, d, "documents")
+      val model = graft.text.NgramLm.train(
+        docs.filter(col("lang") === "en"), "text")
+      graft.text.NgramLm.perplexityBuckets(model, docs, nBuckets = 3,
+          sampleSize = 1000000)
+        .orderBy("doc_id")
+    },
+
     "t27_dsir_select" -> { (s, d) =>
       // DSIR importance resampling (TrainingData.dsirWeights, Xie et al.
       // NeurIPS 2023): hashed unigram+bigram log-likelihood ratio of
@@ -5124,6 +5140,87 @@ object SparkEntry {
     // counts grams as STRINGS (engine: xxhash64 keys), resolves the same
     // five probes per position via left joins, and re-derives backoff
     // level, count diagnostics, and the 1e6-scaled log term per position
+    // CCNet bucketing replay: the t25 LM chain down to per-doc micro
+    // sums, then the order statistics at rank k·n/3 and the lexicographic
+    // past-the-cut arithmetic
+    "t46_perplexity_buckets" ->
+      """WITH toks0 AS (
+           SELECT doc_id, lang, unnest(l) AS tok, generate_subscripts(l, 1) AS i
+           FROM (SELECT doc_id, lang, string_split(text, ' ') AS l
+                 FROM documents)),
+         toks AS (
+           SELECT doc_id, lang, tok,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) AS ri
+           FROM toks0 WHERE tok <> ''),
+         g AS (
+           SELECT doc_id, lang, ri, tok AS w3,
+             lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY ri) AS w2,
+             lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY ri) AS w1
+           FROM toks),
+         c1 AS (SELECT w3 AS gm, COUNT(*) AS c FROM g WHERE lang = 'en'
+                GROUP BY 1),
+         c2 AS (SELECT w2 || ' ' || w3 AS gm, COUNT(*) AS c FROM g
+                WHERE lang = 'en' AND ri >= 2 GROUP BY 1),
+         c3 AS (SELECT w1 || ' ' || w2 || ' ' || w3 AS gm, COUNT(*) AS c
+                FROM g WHERE lang = 'en' AND ri >= 3 GROUP BY 1),
+         nt AS (SELECT COUNT(*) AS n FROM g WHERE lang = 'en'),
+         sc AS (
+           SELECT gg.doc_id, t3.c AS c3, bc.c AS c2ctx, b2.c AS c2,
+             uc.c AS c1ctx, u1.c AS c1, nt.n
+           FROM g gg
+           LEFT JOIN c3 t3 ON t3.gm = gg.w1 || ' ' || gg.w2 || ' ' || gg.w3
+           LEFT JOIN c2 bc ON bc.gm = gg.w1 || ' ' || gg.w2
+           LEFT JOIN c2 b2 ON b2.gm = gg.w2 || ' ' || gg.w3
+           LEFT JOIN c1 uc ON uc.gm = gg.w2
+           LEFT JOIN c1 u1 ON u1.gm = gg.w3
+           CROSS JOIN nt
+           WHERE gg.ri >= 3),
+         term AS (
+           SELECT doc_id,
+             CAST(ROUND(1000000 * (
+               ln(CAST(CASE WHEN c3 IS NOT NULL THEN c3
+                    WHEN c2 IS NOT NULL THEN c2
+                    WHEN c1 IS NOT NULL THEN c1 ELSE 1 END AS DOUBLE)
+                  / CAST(CASE WHEN c3 IS NOT NULL THEN c2ctx
+                    WHEN c2 IS NOT NULL THEN c1ctx ELSE n END AS DOUBLE))
+               + (3 - GREATEST(CASE WHEN c3 IS NOT NULL THEN 3
+                    WHEN c2 IS NOT NULL THEN 2 WHEN c1 IS NOT NULL THEN 1
+                    ELSE 0 END, 1)) * ln(CAST(0.4 AS DOUBLE))))
+               AS BIGINT) AS micro
+           FROM sc),
+         perdoc AS (
+           SELECT doc_id, COUNT(*) AS n_scored, SUM(micro) AS score_micro
+           FROM term GROUP BY 1),
+         rated AS (
+           SELECT d.doc_id,
+             CAST(coalesce(p.n_scored, 0) AS BIGINT) AS n_scored,
+             CAST(coalesce(p.score_micro, 0) AS BIGINT) AS score_micro
+           FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id),
+         ord AS (
+           SELECT doc_id, n_scored, score_micro,
+             row_number() OVER (ORDER BY (n_scored = 0),
+               CASE WHEN n_scored = 0 THEN CAST(0.0 AS DOUBLE)
+                    ELSE -(CAST(score_micro AS DOUBLE) / n_scored) END,
+               doc_id) AS rk,
+             COUNT(*) OVER () AS n
+           FROM rated),
+         cuts AS (
+           SELECT o.n_scored AS nc, o.score_micro AS microc, o.doc_id AS idc
+           FROM (VALUES (1), (2)) k(k)
+           JOIN ord o ON o.rk = (k.k * o.n) // 3)
+         SELECT r.doc_id, r.n_scored, r.score_micro,
+           CAST(1 + SUM(CASE
+             WHEN c.nc = 0 THEN
+               CASE WHEN r.n_scored = 0 AND r.doc_id > c.idc THEN 1 ELSE 0 END
+             WHEN r.n_scored = 0 THEN 1
+             WHEN CAST(r.score_micro AS DOUBLE) / r.n_scored <
+                  CAST(c.microc AS DOUBLE) / c.nc THEN 1
+             WHEN CAST(r.score_micro AS DOUBLE) / r.n_scored =
+                  CAST(c.microc AS DOUBLE) / c.nc AND r.doc_id > c.idc THEN 1
+             ELSE 0 END) AS INTEGER) AS bucket
+         FROM rated r CROSS JOIN cuts c
+         GROUP BY 1, 2, 3 ORDER BY r.doc_id""",
+
     "t25_ngram_lm" ->
       """WITH toks0 AS (
            SELECT doc_id, lang, unnest(l) AS tok, generate_subscripts(l, 1) AS i

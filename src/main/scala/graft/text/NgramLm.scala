@@ -149,4 +149,67 @@ object NgramLm {
         coalesce(col("score_micro"), lit(0L)).as("score_micro"),
         col("logprob"))
   }
+
+  /** CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020 §4.3):
+    * rank every document by its trusted-LM per-token log-probability and
+    * cut into `nBuckets` equal-population buckets — bucket 1 (head) is the
+    * most reference-like slice, the one CCNet keeps for pretraining.
+    *
+    * Determinism & replayability: the per-doc key is
+    * `score_micro / n_scored` (a double computed from two integer-exact
+    * longs — IEEE division is identical across engines) with doc-id
+    * tie-break; unscored docs (< 3 tokens) sort last (worst bucket).
+    * Threshold docs are the order statistics at rank `floor(k·n/nBuckets)`
+    * over the SAMPLE, and a document's bucket is `1 + #(thresholds
+    * lexicographically below it)` — all SQL-replayable arithmetic.
+    *
+    * Scale shape: CCNet computes its percentile cutoffs from a sample, and
+    * so does this — `sampleSize` lowest-id docs (deterministic) sort ON THE
+    * DRIVER (bounded; two longs + an id per row), the nBuckets-1 cutoffs
+    * broadcast as plan literals, and assignment is MAP-ONLY over the
+    * scored frame. No global sort, no unpartitioned window — the shuffle
+    * cost is exactly [[score]]'s one hash join. Per-language corpora call
+    * this per language, the paper's layout. */
+  def perplexityBuckets(model: Model, docs: DataFrame, nBuckets: Int = 3,
+      sampleSize: Int = 100000, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 100, s"nBuckets: $nBuckets")
+    require(sampleSize >= nBuckets, s"sampleSize: $sampleSize")
+    val scored = score(model, docs, idCol, textCol)
+      .select(col(idCol), col("n_scored"), col("score_micro"))
+    val sample = scored.orderBy(col(idCol)).limit(sampleSize)
+      .select(col(idCol), col("n_scored"), col("score_micro")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+    require(sample.nonEmpty, "perplexityBuckets needs a non-empty corpus")
+    // best first: (scored?, per-token log-prob DESC, id) — a higher
+    // log-probability is MORE reference-like (lower perplexity);
+    // unscored docs sort last
+    val ordered = sample.sortBy { case (n, micro, id) =>
+      (n == 0L, if (n == 0L) 0.0 else -micro.toDouble / n, id)
+    }
+    val n = ordered.length
+    val cuts = (1 until nBuckets).map { k =>
+      ordered(math.max(0, (k.toLong * n / nBuckets).toInt - 1) + 0)
+    }
+    // a doc is past cut (nc, microc, idc) iff it sorts strictly after it
+    // in the best-first order above
+    def after(cut: (Long, Long, Long)): Column = {
+      val (nc, microc, idc) = cut
+      val unscored = col("n_scored") === 0L
+      // ANSI mode evaluates both OR branches: guard the division
+      val r = when(unscored, lit(0.0))
+        .otherwise(col("score_micro").cast("double") / col("n_scored"))
+      if (nc == 0L) {
+        // cut is an unscored doc: only unscored docs with larger id follow
+        unscored && col(idCol) > idc
+      } else {
+        val rc = microc.toDouble / nc
+        unscored || (r < rc) || (r === rc && col(idCol) > idc)
+      }
+    }
+    val bucket = cuts.map(c => when(after(c), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    scored.select(col(idCol), col("n_scored"), col("score_micro"),
+      bucket.cast("int").as("bucket"))
+  }
 }

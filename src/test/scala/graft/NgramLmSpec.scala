@@ -71,4 +71,38 @@ class NgramLmSpec extends AnyFunSuite {
     // S(x|x x) = c(xxx)/c(xx) = 1/2
     assert(math.abs(scored.getAs[Double]("logprob") - math.log(0.5)) < 1e-12)
   }
+
+  test("perplexityBuckets: equal-population CCNet cuts, head most reference-like") {
+    // reference corpus: pure "alpha beta gamma" prose; docs range from
+    // pure reference text (head) to pure OOV noise (tail)
+    val ref = (0 until 50).map(i => s"alpha beta gamma alpha beta gamma a$i")
+      .toDF("text")
+    val m = NgramLm.train(ref)
+    val docs = (0 until 90).map { i =>
+      val text =
+        if (i % 3 == 0) "alpha beta gamma alpha beta gamma"
+        else if (i % 3 == 1) "alpha beta zork quux alpha mixed"
+        else s"zz$i qq$i ww$i ee$i rr$i tt$i"
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val out = NgramLm.perplexityBuckets(m, docs, nBuckets = 3,
+      sampleSize = 1000)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    // equal population: 30 docs per bucket
+    assert((1 to 3).forall(b => out.values.count(_ == b) == 30),
+      s"bucket sizes: ${out.values.groupBy(identity).view.mapValues(_.size).toMap}")
+    // the reference-like class is the head, the OOV class the tail
+    (0 until 90).foreach { i =>
+      val want = i % 3 + 1
+      assert(out(i.toLong) == want, s"doc $i: ${out(i.toLong)} vs $want")
+    }
+    // short/unscored docs land in the worst bucket
+    val withShort = docs.unionByName(Seq((1000L, "xy")).toDF("doc_id", "text"))
+    val out2 = NgramLm.perplexityBuckets(m, withShort, nBuckets = 3,
+      sampleSize = 1000).collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(out2(1000L) == 3, s"unscored doc bucket: ${out2(1000L)}")
+    // loud validation
+    intercept[IllegalArgumentException](
+      NgramLm.perplexityBuckets(m, docs, nBuckets = 1))
+  }
 }
