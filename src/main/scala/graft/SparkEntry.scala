@@ -3692,6 +3692,35 @@ object SparkEntry {
         .orderBy("doc_id", "uri")
     },
 
+    "s19_variant_json" -> { (s, d) =>
+      // Spark 4 VARIANT ingestion (the built-in semi-structured column
+      // type — the Spark-first answer to schema-drifting crawl metadata):
+      // per-doc JSON whose SHAPE drifts (every third doc carries extra
+      // keys) parses into ONE variant column via parse_json, and typed
+      // extraction runs through variant_get / try_variant_get path
+      // expressions — no UDF, no fixed schema, absent paths null cleanly.
+      // The oracle replays each extraction from the construction
+      // arithmetic.
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val js = docs.select(col("doc_id"), concat(
+          lit("{\"url\":\"http://ex"), col("doc_id").cast("string"),
+          lit(".com\",\"fetch\":{\"status\":"),
+          ((col("doc_id") % 2) * 104 + 200).cast("string"),
+          lit(",\"ms\":"), (col("doc_id") % 500).cast("string"), lit("}"),
+          when(col("doc_id") % 3 === 0, concat(
+            lit(",\"tags\":[\"a\",\"b\"],\"score\":"),
+            (col("doc_id") % 7).cast("string"))).otherwise(lit("")),
+          lit("}")).as("meta_json"))
+      js.select(col("doc_id"), parse_json(col("meta_json")).as("v"))
+        .select(col("doc_id"),
+          expr("variant_get(v, '$.url', 'string')").as("url"),
+          expr("variant_get(v, '$.fetch.status', 'int')").as("status"),
+          expr("variant_get(v, '$.fetch.ms', 'long')").as("ms"),
+          expr("try_variant_get(v, '$.score', 'long')").as("score"),
+          expr("try_variant_get(v, '$.tags[1]', 'string')").as("tag2"))
+        .orderBy("doc_id")
+    },
+
     "s18_compressed_containers" -> { (s, d) =>
       // transparent container codecs (sources/Codecs): the SAME ustar
       // bytes per doc wrapped in gzip/zstd/xz/lz4/bzip2 (every codec from
@@ -6059,6 +6088,17 @@ object SparkEntry {
          FROM documents d, range(0, 2) r(i)
          WHERE r.i < 1 + d.doc_id % 2
          ORDER BY d.doc_id, uri""",
+
+    // variant replay: every extraction from the construction arithmetic;
+    // drifting keys null where absent
+    "s19_variant_json" ->
+      """SELECT doc_id,
+           'http://ex' || doc_id || '.com' AS url,
+           CAST(200 + (doc_id % 2) * 104 AS INTEGER) AS status,
+           CAST(doc_id % 500 AS BIGINT) AS ms,
+           CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 7 AS BIGINT) END AS score,
+           CASE WHEN doc_id % 3 = 0 THEN 'b' END AS tag2
+         FROM documents ORDER BY doc_id""",
 
     // codec replay: the tar members + the zstd-WARC response per doc,
     // codec name from the id residue
