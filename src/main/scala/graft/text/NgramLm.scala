@@ -67,7 +67,12 @@ object NgramLm {
           "xxhash64(3, toks[i - 2], toks[i - 1], toks[i])) " +
           "else cast(array() as array<bigint>) end")
       ).as("hs"))
-      .select(explode(col("hs")).as("gram_hash"))
+      // explode_OUTER + isNotNull, not plain explode: the inferred
+      // generate filters (size > 0) INLINE the whole gram-array transform
+      // — with the tokenizer re-evaluated per element access, O(n²) per
+      // doc (the InferFiltersFromGenerate finding, docs/NOTES.md round 7)
+      .select(explode_outer(col("hs")).as("gram_hash"))
+      .filter(col("gram_hash").isNotNull)
     val counts = grams.groupBy("gram_hash").agg(count(lit(1)).as("cnt"))
     val total = toks.select(sum(size(col("toks"))).cast("long").as("n_total"))
     Model(counts, total)
@@ -95,7 +100,12 @@ object NgramLm {
              struct(i as ri, 0 as tag, xxhash64(1, toks[i-1]) as gram_hash),
              struct(i as ri, -1 as tag, xxhash64(1, toks[i]) as gram_hash))))
         """).as("ps"))
-      .select(col(idCol), explode(col("ps")).as("p"))
+      // explode_OUTER + isNotNull (see train): the inferred size(ps) > 0
+      // filter would rebuild the five-probe struct array with the
+      // tokenizer inlined per subscript — measured 22 s vs 1.5 s on the
+      // sf0.1 corpus
+      .select(col(idCol), explode_outer(col("ps")).as("p"))
+      .filter(col("p").isNotNull)
       .select(col(idCol), col("p.ri"), col("p.tag"), col("p.gram_hash"))
     // ONE equality join resolves all five probe kinds
     val resolved = probes.join(model.counts, Seq("gram_hash"), "left")
@@ -175,11 +185,19 @@ object NgramLm {
       textCol: String = "text"): DataFrame = {
     require(nBuckets >= 2 && nBuckets <= 100, s"nBuckets: $nBuckets")
     require(sampleSize >= nBuckets, s"sampleSize: $sampleSize")
+    // snapshot the scored frame once (3 longs/row): the sample action,
+    // the count, and the returned assignment all reuse the materialized
+    // result instead of re-running the scoring join per action
     val scored = score(model, docs, idCol, textCol)
       .select(col(idCol), col("n_scored"), col("score_micro"))
-    val sample = scored.orderBy(col(idCol)).limit(sampleSize)
-      .select(col(idCol), col("n_scored"), col("score_micro")).collect()
-      .map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
+      .localCheckpoint(true)
+    val total = scored.count()
+    // TakeOrdered allocates a k-entry heap PER TASK — only pay it when
+    // the corpus actually exceeds the sample budget
+    val sampleRows =
+      if (total <= sampleSize) scored.collect()
+      else scored.orderBy(col(idCol)).limit(sampleSize).collect()
+    val sample = sampleRows.map(r => (r.getLong(1), r.getLong(2), r.getLong(0)))
     require(sample.nonEmpty, "perplexityBuckets needs a non-empty corpus")
     // best first: (scored?, per-token log-prob DESC, id) — a higher
     // log-probability is MORE reference-like (lower perplexity);
