@@ -34,6 +34,27 @@ object Bench {
     runs(2)
   }
 
+  /** Multi-core sentinel: the same chain on every core simultaneously,
+    * wall-clock for ALL to finish. Round-8 finding: the single-thread
+    * sentinel stayed flat at ~198 ms across runs whose suite totals
+    * spanned 69–121 s — hypervisor CPU-steal under PARALLEL load is what
+    * actually moves, and only a saturating measurement sees it. */
+  private def sentinelMtMs(): Double = {
+    val n = Runtime.getRuntime.availableProcessors
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { ti =>
+      val th = new Thread(() => {
+        var h = 0x9e3779b97f4a7c15L + ti
+        var i = 0
+        while (i < 100000000) { h = (h ^ (h >>> 27)) * 0x100000001b3L; h ^= i; i += 1 }
+        if (h == 42L) print("")
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e6
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -61,6 +82,7 @@ object Bench {
     }
 
     val sentinelPre = sentinelMs()
+    val sentinelMtPre = sentinelMtMs()
     // best-of-2 per query (back-to-back, so both passes sit in the same
     // host band): the min discards one-off GC/scheduler interference the
     // way isolated RunOne measurements do, making the recorded artifact
@@ -81,11 +103,13 @@ object Bench {
       name -> times.min
     }
     val sentinelPost = sentinelMs()
+    val sentinelMtPost = sentinelMtMs()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sentinel = (sentinelPre + sentinelPost) / 2
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sentinel_ms":$sentinel,"sentinel_pre_ms":$sentinelPre,"sentinel_post_ms":$sentinelPost,"passes":$passes}"""
+    val sentinelMt = (sentinelMtPre + sentinelMtPost) / 2
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sentinel_ms":$sentinel,"sentinel_pre_ms":$sentinelPre,"sentinel_post_ms":$sentinelPost,"sentinel_mt_ms":$sentinelMt,"sentinel_mt_pre_ms":$sentinelMtPre,"sentinel_mt_post_ms":$sentinelMtPost,"passes":$passes}"""
     println(json)
     // stdout is interleaved with sbt/log4j noise; also write the line to a
     // file so machine parsers never miss it
