@@ -774,6 +774,23 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(decoded.head._1 == 1 && decoded.head._2 == 1)
   }
 
+  test("perplexityBuckets assignment is map-only over the scored snapshot") {
+    import spark.implicits._
+    val ref = (0 until 40).map(i => s"alpha beta gamma delta e$i").toDF("text")
+    val m = graft.text.NgramLm.train(ref)
+    val docs = (0 until 60).map(i => (i.toLong,
+      if (i % 2 == 0) "alpha beta gamma delta" else s"q$i w$i e$i r$i"))
+      .toDF("doc_id", "text")
+    val out = graft.text.NgramLm.perplexityBuckets(m, docs, nBuckets = 2,
+      sampleSize = 1000)
+    val plan = out.queryExecution.executedPlan.toString
+    // the scoring work is snapshotted; bucket assignment must add NO
+    // shuffle, NO global sort, NO TakeOrdered on top of it
+    assert(!plan.contains("Exchange") && !plan.contains("TakeOrdered") &&
+      !plan.contains("Sort"), s"assignment must be map-only:\n$plan")
+    assert(out.collect().length == 60)
+  }
+
   test("classifier training never shuffles: zero shuffle-write across all epochs") {
     // the per-epoch gradient is a combinable per-partition aggregate
     // (mapPartitions + driver reduce) over a cached featurized RDD — any
