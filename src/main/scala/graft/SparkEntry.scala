@@ -1387,6 +1387,23 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t47_token_budget" -> { (s, d) =>
+      // Token-budget greedy selection (TrainingData.tokenBudgetSelect):
+      // rank best-first by a replayable quality proxy (length % 101,
+      // integer-exact as double, id tie-break) and keep the maximal
+      // prefix whose whitespace-token running sum fits a 12k budget.
+      // The sample covers the gate corpus, so the oracle's running-sum
+      // window replays the exact boundary doc.
+      val docs = t(s, d, "documents")
+        .withColumn("score", (length(col("text")) % 101).cast("double"))
+        .withColumn("tokens",
+          expr("1 + length(text) - length(replace(text, ' ', ''))")
+            .cast("long"))
+      graft.operators.TrainingData.tokenBudgetSelect(docs, budget = 12000L,
+          scoreCol = "score", tokensCol = "tokens", nBuckets = 16)
+        .orderBy("doc_id")
+    },
+
     "t27_dsir_select" -> { (s, d) =>
       // DSIR importance resampling (TrainingData.dsirWeights, Xie et al.
       // NeurIPS 2023): hashed unigram+bigram log-likelihood ratio of
@@ -5249,6 +5266,21 @@ object SparkEntry {
              ELSE 0 END) AS INTEGER) AS bucket
          FROM rated r CROSS JOIN cuts c
          GROUP BY 1, 2, 3 ORDER BY r.doc_id""",
+
+    "t47_token_budget" ->
+      """WITH scored AS (
+           SELECT doc_id,
+             CAST(length(text) % 101 AS DOUBLE) AS score,
+             CAST(1 + length(text) - length(replace(text, ' ', ''))
+               AS BIGINT) AS tokens
+           FROM documents),
+         cum AS (
+           SELECT doc_id, score, tokens,
+             SUM(tokens) OVER (ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+           FROM scored)
+         SELECT doc_id, score, tokens FROM cum
+         WHERE c <= 12000 ORDER BY doc_id""",
 
     "t25_ngram_lm" ->
       """WITH toks0 AS (

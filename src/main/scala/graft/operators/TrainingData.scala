@@ -730,4 +730,88 @@ object TrainingData {
     keyed.orderBy(col("key").desc, col(idCol)).limit(k)
       .select(col(idCol), col("n_feats"), col("logw"))
   }
+
+  /** Token-budget greedy selection: order the corpus best-first by
+    * (`scoreCol` DESC, id ASC) and keep the maximal prefix whose running
+    * token sum stays within `budget` — the stage that turns "scored,
+    * deduped corpus" into "the N-token training set" of a
+    * compute-budgeted pretraining run. Token counts must be positive
+    * non-null longs, so the running sum is strictly monotone and the
+    * selected set is exactly `WHERE cum_tokens <= budget` in SQL.
+    *
+    * Scale shape: a global running sum needs a total order but never a
+    * global sort. `sampleSize` lowest-id docs sort ON THE DRIVER to give
+    * `nBuckets-1` order-statistic cuts along the best-first order (the
+    * [[graft.text.NgramLm.perplexityBuckets]] pattern — cuts broadcast
+    * as plan literals); one tiny per-bucket token-mass aggregate
+    * (≤ nBuckets rows collected) locates the single bucket the budget
+    * boundary lands in; every earlier bucket is kept MAP-ONLY, and only
+    * the boundary slice (~n/nBuckets rows when the sample is
+    * representative) pays a single-partition running-sum window. At
+    * 100 TB with nBuckets=4096 the windowed slice is ~0.02% of the
+    * corpus; size nBuckets so corpus/nBuckets fits one task. Scores must
+    * be non-null and NaN-free (NaN has no total order against cuts). */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long, scoreCol: String,
+      tokensCol: String, idCol: String = "doc_id", nBuckets: Int = 256,
+      sampleSize: Int = 100000): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    require(nBuckets >= 2 && nBuckets <= 65536, s"nBuckets: $nBuckets")
+    require(sampleSize >= nBuckets, s"sampleSize: $sampleSize")
+    // snapshot the slim frame once (double + 2 longs/row): the sample
+    // action, the mass aggregate, and the returned selection all reuse
+    // the materialized result instead of re-running upstream per action
+    val slim = docs.select(col(idCol).cast("long").as(idCol),
+      col(scoreCol).cast("double").as("__s"),
+      col(tokensCol).cast("long").as("__t")).localCheckpoint(true)
+    val total = slim.count()
+    val sampleRows =
+      if (total <= sampleSize) slim.collect()
+      else slim.orderBy(col(idCol)).limit(sampleSize).collect()
+    require(sampleRows.nonEmpty, "tokenBudgetSelect needs a non-empty corpus")
+    // best first: (score DESC, id ASC)
+    val ordered = sampleRows.map(r => (r.getDouble(1), r.getLong(0)))
+      .sortBy { case (s, id) => (-s, id) }
+    val n = ordered.length
+    val cuts = (1 until nBuckets).map { k =>
+      ordered(math.max(0, (k.toLong * n / nBuckets).toInt - 1))
+    }
+    // a doc is past cut (sc, idc) iff it sorts strictly after it in the
+    // best-first order; bucket = #cuts passed (0-based, order-respecting:
+    // every row of bucket i precedes every row of bucket i+1 globally)
+    def after(cut: (Double, Long)): Column = {
+      val (sc, idc) = cut
+      (col("__s") < sc) || (col("__s") === sc && col(idCol) > idc)
+    }
+    val bucket = cuts.map(c => when(after(c), 1).otherwise(0))
+      .reduce(_ + _)
+    val withB = slim.withColumn("__b", bucket)
+    val mass = withB.groupBy(col("__b")).agg(sum(col("__t")).as("m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // driver prefix-scan over <= nBuckets rows: find the boundary bucket
+    var acc = 0L
+    var boundary = -1
+    var offset = 0L
+    for ((b, m) <- mass if boundary < 0) {
+      if (acc + m > budget) { boundary = b; offset = acc } else acc += m
+    }
+    val selected =
+      if (boundary < 0) withB // the whole corpus fits the budget
+      else {
+        val below = withB.filter(col("__b") < boundary)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("__s").desc, col(idCol))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, org.apache.spark.sql.expressions.Window
+            .currentRow)
+        // single-partition window over the boundary slice ONLY — bounded
+        // by the bucket width, never the corpus (see scaladoc)
+        val edge = withB.filter(col("__b") === boundary)
+          .withColumn("__c", sum(col("__t")).over(w))
+          .filter(col("__c") + lit(offset) <= budget)
+          .drop("__c")
+        below.unionByName(edge)
+      }
+    selected.select(col(idCol), col("__s").as(scoreCol),
+      col("__t").as(tokensCol))
+  }
 }

@@ -791,6 +791,25 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(out.collect().length == 60)
   }
 
+  test("tokenBudgetSelect: map-only below the boundary, window only on the slice") {
+    import spark.implicits._
+    val df = (0 until 400).map { i =>
+      (i.toLong, ((i * 31) % 17).toDouble, 1L + i % 5)
+    }.toDF("doc_id", "score", "tokens")
+    val out = graft.operators.TrainingData.tokenBudgetSelect(df, 300L,
+      "score", "tokens", nBuckets = 8, sampleSize = 100)
+    val plan = out.queryExecution.executedPlan.toString
+    // the selection over the snapshot must never repartition the corpus:
+    // below-boundary buckets are a plain filter, and the only exchange
+    // allowed is the SinglePartition one feeding the boundary-slice window
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"no corpus repartition allowed:\n$plan")
+    assert("(?s)Window".r.findAllIn(plan).size <= 1,
+      s"at most the one boundary window:\n$plan")
+    assert(out.count() > 0)
+  }
+
   test("classifier training never shuffles: zero shuffle-write across all epochs") {
     // the per-epoch gradient is a combinable per-partition aggregate
     // (mapPartitions + driver reduce) over a cached featurized RDD — any

@@ -397,4 +397,41 @@ class TrainingDataSpec extends AnyFunSuite {
     // the 6 high-weight docs dominate a k=10 gumbel draw
     assert(g1.count(_ < 6L) >= 5, s"gumbel draw should favor weight: $g1")
   }
+
+  test("tokenBudgetSelect matches the brute-force greedy prefix") {
+    // deterministic pseudo-random frame with heavy score ties so the
+    // boundary regularly lands mid-tie (id tie-break must decide)
+    val rows = (0 until 500).map { i =>
+      val score = ((i * 7919) % 13).toDouble
+      val tokens = 1L + (i * 104729) % 9
+      (i.toLong, score, tokens)
+    }
+    val df = rows.toDF("doc_id", "score", "tokens")
+    // brute force: sort best-first, walk the prefix
+    def greedy(budget: Long): Set[Long] = {
+      var acc = 0L
+      rows.sortBy { case (id, s, _) => (-s, id) }.iterator
+        .takeWhile { case (_, _, t) => { acc += t; acc <= budget } }
+        .map(_._1).toSet
+    }
+    for (budget <- Seq(0L, 1L, 137L, 1000L, 2499L, 100000L)) {
+      val got = TrainingData.tokenBudgetSelect(df, budget, "score",
+        "tokens", nBuckets = 8, sampleSize = 100)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == greedy(budget), s"budget=$budget")
+    }
+    // a budget past the total keeps everything; zero keeps nothing
+    assert(TrainingData.tokenBudgetSelect(df, 100000L, "score", "tokens",
+      nBuckets = 8).count() == 500)
+    assert(TrainingData.tokenBudgetSelect(df, 0L, "score", "tokens",
+      nBuckets = 8).count() == 0)
+    // output carries the caller's column names and exact values
+    val out = TrainingData.tokenBudgetSelect(df, 137L, "score", "tokens",
+      nBuckets = 8).collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    out.foreach { r =>
+      val (_, s, t) = byId(r.getLong(0))
+      assert(r.getDouble(1) == s && r.getLong(2) == t)
+    }
+  }
 }
