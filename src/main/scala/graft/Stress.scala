@@ -314,6 +314,55 @@ object Stress {
     }
 
 
+    // ---- round-8 operators at corpus scale --------------------------------
+    if (sec("r8")) {
+      // CCNet layout: a trusted reference slice trains the LM, then the
+      // whole 1M-doc corpus is scored + bucketed against it. Cutoffs come
+      // from the bounded driver sample; assignment is map-only over the
+      // scored snapshot (plan-asserted in specs).
+      val lm = time("ngramLm train (100k ref docs)") {
+        graft.text.NgramLm.train(docs.filter(col("doc_id") % 10 === 0))
+      }
+      time("perplexityBuckets (1M docs)") {
+        val b = graft.text.NgramLm.perplexityBuckets(lm, docs,
+          nBuckets = 3, sampleSize = 100000)
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        println(s"    bucket sizes: $b")
+      }
+      // planted separable signal: docs whose token stream contains 'w3'
+      // are the positive class — one unigram feature carries the label,
+      // so AUC doubles as a correctness canary at this scale
+      val labeled = docs.withColumn("label",
+        array_contains(split(col("text"), " "), "w3").cast("int"))
+      val clf = time("classifier train (1M docs, 20 ep)") {
+        graft.text.TextClassifier.train(labeled, epochs = 20)
+      }
+      time("classifier score+AUC (1M docs)") {
+        // 6-dp quantization bounds the AUC histogram (Eval.auc scaladoc)
+        val scored = labeled.select(col("label"),
+          round(classifier_score(col("text"), clf), 6).as("score"))
+        val auc = graft.operators.Eval.auc(scored, "score", "label")
+          .head().getDouble(2)
+        println(f"    AUC: $auc%.4f (planted signal, must be ~1)")
+        require(auc > 0.95, s"planted-signal AUC regressed: $auc")
+      }
+      time("tokenBudgetSelect (1M docs, 30%)") {
+        val scoredDocs = docs
+          .withColumn("score", quality_score(col("text")))
+          .withColumn("tokens", bpeish_token_count(col("text")).cast("long"))
+        val totalTok = scoredDocs.agg(sum("tokens")).head().getLong(0)
+        val sel = TrainingData.tokenBudgetSelect(scoredDocs,
+          budget = (totalTok * 3) / 10, scoreCol = "score",
+          tokensCol = "tokens", nBuckets = 1024)
+        val kept = sel.agg(count(lit(1)), sum("tokens")).head()
+        println(s"    kept ${kept.getLong(0)} docs, " +
+          s"${kept.getLong(1)} of $totalTok tokens (budget ${(totalTok * 3) / 10})")
+        require(kept.getLong(1) <= (totalTok * 3) / 10,
+          "selection exceeded the token budget")
+      }
+    }
+
     // ---- embeddings -------------------------------------------------------
     if (sec("vecs")) {
     time("gen+write vecs") {

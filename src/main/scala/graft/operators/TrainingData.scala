@@ -777,13 +777,17 @@ object TrainingData {
     }
     // a doc is past cut (sc, idc) iff it sorts strictly after it in the
     // best-first order; bucket = #cuts passed (0-based, order-respecting:
-    // every row of bucket i precedes every row of bucket i+1 globally)
-    def after(cut: (Double, Long)): Column = {
-      val (sc, idc) = cut
-      (col("__s") < sc) || (col("__s") === sc && col(idCol) > idc)
-    }
-    val bucket = cuts.map(c => when(after(c), 1).otherwise(0))
-      .reduce(_ + _)
+    // every row of bucket i precedes every row of bucket i+1 globally).
+    // The count is a zip_with/aggregate HOF over literal cut arrays — a
+    // SHALLOW expression tree at any nBuckets (a reduced when-chain
+    // overflows Catalyst's recursion past ~1k cuts); per-row cost is
+    // O(nBuckets) comparisons, negligible next to upstream scoring
+    val cutS = array(cuts.map(c => lit(c._1)): _*)
+    val cutI = array(cuts.map(c => lit(c._2)): _*)
+    val passed = zip_with(cutS, cutI, (cs, ci) =>
+      when((col("__s") < cs) || (col("__s") === cs && col(idCol) > ci), 1)
+        .otherwise(0))
+    val bucket = aggregate(passed, lit(0), (acc, x) => acc + x)
     val withB = slim.withColumn("__b", bucket)
     val mass = withB.groupBy(col("__b")).agg(sum(col("__t")).as("m"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
