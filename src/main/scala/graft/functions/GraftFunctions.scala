@@ -112,6 +112,8 @@ object GraftFunctions {
     col(ClassifierScore(ex(text), model))
   def pca_project(vec: Column, model: graft.vector.Pca.PcaModel): Column =
     col(PcaProject(ex(vec), model))
+  def cut_rank(score: Column, id: Column, table: CutTable): Column =
+    col(CutRank(ex(score), ex(id), table))
   def url_host(url: Column): Column = col(UrlHost(ex(url)))
   def url_domain(url: Column): Column = col(UrlDomain(ex(url)))
   def compress_ratio(text: Column): Column = col(CompressRatio(ex(text)))

@@ -342,6 +342,49 @@ object PcaProject {
   def box(a: Array[Float]): Array[Any] = a.map(f => f: Any)
 }
 
+/** Order-statistic cut table for [[CutRank]]: parallel arrays sorted
+  * best-first (score DESC, id ASC). Serializable — rides the expression
+  * to executors like the other broadcast models. */
+case class CutTable(scores: Array[Double], ids: Array[Long]) {
+  require(scores.length == ids.length, "parallel cut arrays must align")
+  /** Number of cuts the row (s, id) sorts strictly AFTER in best-first
+    * order — `after` is monotone along the sorted cuts, so this is an
+    * allocation-free O(log n) binary search. */
+  def rank(s: Double, id: Long): Int = {
+    var lo = 0
+    var hi = scores.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (s < scores(mid) || (s == scores(mid) && id > ids(mid))) lo = mid + 1
+      else hi = mid
+    }
+    lo
+  }
+}
+
+/** cut_rank(score, id) → how many order-statistic cuts the row has passed
+  * in best-first (score DESC, id ASC) order — the bucket index used by
+  * quantile-style partitioners ([[graft.operators.TrainingData
+  * .tokenBudgetSelect]]). A reduced when-chain over the cuts overflows
+  * Catalyst past ~1k entries and a zip_with HOF allocates a struct array
+  * per row; this is one codegen'd binary search per row. */
+case class CutRank(left: Expression, right: Expression, table: CutTable)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, LongType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cut_rank"
+  protected override def nullSafeEval(s: Any, id: Any): Any =
+    table.rank(s.asInstanceOf[Double], id.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("cutTable", table,
+      "graft.functions.CutTable")
+    defineCodeGen(ctx, ev, (s, id) => s"$tRef.rank($s, $id)")
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}
+
 /** url_host(url) → lowercased authority host (userinfo/port stripped);
   * null for non-URL strings. */
 case class UrlHost(child: Expression)

@@ -778,16 +778,12 @@ object TrainingData {
     // a doc is past cut (sc, idc) iff it sorts strictly after it in the
     // best-first order; bucket = #cuts passed (0-based, order-respecting:
     // every row of bucket i precedes every row of bucket i+1 globally).
-    // The count is a zip_with/aggregate HOF over literal cut arrays — a
-    // SHALLOW expression tree at any nBuckets (a reduced when-chain
-    // overflows Catalyst's recursion past ~1k cuts); per-row cost is
-    // O(nBuckets) comparisons, negligible next to upstream scoring
-    val cutS = array(cuts.map(c => lit(c._1)): _*)
-    val cutI = array(cuts.map(c => lit(c._2)): _*)
-    val passed = zip_with(cutS, cutI, (cs, ci) =>
-      when((col("__s") < cs) || (col("__s") === cs && col(idCol) > ci), 1)
-        .otherwise(0))
-    val bucket = aggregate(passed, lit(0), (acc, x) => acc + x)
+    // cut_rank is one codegen'd binary search per row — O(log nBuckets),
+    // allocation-free (a reduced when-chain overflows Catalyst past ~1k
+    // cuts; a zip_with HOF allocates a struct array per row)
+    val table = graft.functions.CutTable(cuts.map(_._1).toArray,
+      cuts.map(_._2).toArray)
+    val bucket = cut_rank(col("__s"), col(idCol), table)
     val withB = slim.withColumn("__b", bucket)
     val mass = withB.groupBy(col("__b")).agg(sum(col("__t")).as("m"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
