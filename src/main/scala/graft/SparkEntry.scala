@@ -1404,6 +1404,49 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t48_gopher_rules" -> { (s, d) =>
+      // Gopher quality-rule battery (QualityRules.gopher, Rae 2021 A1.1):
+      // the corpus has no newlines or symbol marks, so the gate
+      // manufactures deterministic 6-word lines plus doc_id-keyed bullet
+      // / ellipsis / # variants both engines replicate byte-for-byte;
+      // every threshold is integer cross-multiplication, so the whole
+      // battery (8 evidence counts + 7 flags + pass) hashes exactly.
+      val lined = regexp_replace(col("text"), "((\\S+ ){5}\\S+) ", "$1\n")
+      val marked = when(col("doc_id") % 7 === 0,
+        concat(lit("- bullet intro\n"), lined)).otherwise(lined)
+      val txt = when(col("doc_id") % 5 === 0,
+          concat(marked, lit("\nand so it trails off...")))
+        .otherwise(when(col("doc_id") % 11 === 3,
+          concat(marked, lit(" ## #"))).otherwise(marked))
+      graft.text.QualityRules.gopher(
+          t(s, d, "documents").withColumn("txt", txt), "txt")
+        .select(col("doc_id"), col("n_words"), col("sum_len"),
+          col("n_sym"), col("n_lines"), col("n_bullet"), col("n_ellip"),
+          col("n_alpha"), col("n_stop"), col("g_words"), col("g_mean"),
+          col("g_sym"), col("g_bullet"), col("g_ellip"), col("g_alpha"),
+          col("g_stop"), col("pass"))
+        .orderBy("doc_id")
+    },
+
+    "t49_c4_filters" -> { (s, d) =>
+      // C4 line filters (QualityRules.c4, Raffel 2020 §2.2): manufacture
+      // terminal-punctuated 6-word sentences, then plant lorem-ipsum and
+      // code-brace tails by doc_id arithmetic; the oracle replays the
+      // line-keep predicate, the rejoined clean text, and the three
+      // document verdicts.
+      val lined = regexp_replace(col("text"), "((\\S+ ){5}\\S+) ", "$1.\n")
+      val t1 = when(col("doc_id") % 9 === 0,
+          concat(lined, lit("\nlorem ipsum dolor sit amet.")))
+        .otherwise(lined)
+      val txt = when(col("doc_id") % 4 === 1,
+        concat(t1, lit("\nif (x) { return; }"))).otherwise(t1)
+      graft.text.QualityRules.c4(
+          t(s, d, "documents").withColumn("txt", txt), "txt")
+        .select(col("doc_id"), col("clean_text"), col("n_kept"),
+          col("c_sentences"), col("c_lorem"), col("c_brace"), col("keep"))
+        .orderBy("doc_id")
+    },
+
     "t27_dsir_select" -> { (s, d) =>
       // DSIR importance resampling (TrainingData.dsirWeights, Xie et al.
       // NeurIPS 2023): hashed unigram+bigram log-likelihood ratio of
@@ -5281,6 +5324,128 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, score, tokens FROM cum
          WHERE c <= 12000 ORDER BY doc_id""",
+
+    "t48_gopher_rules" ->
+      """WITH made AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN
+               (CASE WHEN doc_id % 7 = 0
+                  THEN '- bullet intro' || chr(10) ||
+                    regexp_replace(text, '((\S+ ){5}\S+) ', '\1' || chr(10), 'g')
+                  ELSE regexp_replace(text, '((\S+ ){5}\S+) ', '\1' || chr(10), 'g')
+                END) || chr(10) || 'and so it trails off...'
+             WHEN doc_id % 11 = 3 THEN
+               (CASE WHEN doc_id % 7 = 0
+                  THEN '- bullet intro' || chr(10) ||
+                    regexp_replace(text, '((\S+ ){5}\S+) ', '\1' || chr(10), 'g')
+                  ELSE regexp_replace(text, '((\S+ ){5}\S+) ', '\1' || chr(10), 'g')
+                END) || ' ## #'
+             ELSE
+               CASE WHEN doc_id % 7 = 0
+                 THEN '- bullet intro' || chr(10) ||
+                   regexp_replace(text, '((\S+ ){5}\S+) ', '\1' || chr(10), 'g')
+                 ELSE regexp_replace(text, '((\S+ ){5}\S+) ', '\1' || chr(10), 'g')
+               END
+             END AS t
+           FROM documents),
+         ev AS (
+           SELECT doc_id, t,
+             list_filter(string_split_regex(t, '[ \n]'), w -> w <> '') AS ws,
+             string_split(t, chr(10)) AS ls
+           FROM made),
+         cnt AS (
+           SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)
+               AS BIGINT) AS sum_len,
+             CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) +
+               CAST((length(t) - length(replace(t, '...', ''))) / 3
+                 AS BIGINT) AS n_sym,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %'))
+               AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT)
+               AS n_ellip,
+             CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+               AS BIGINT) AS n_alpha,
+             CAST((CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_stop
+           FROM ev),
+         fl AS (
+           SELECT doc_id, n_words, sum_len, n_sym, n_lines, n_bullet,
+             n_ellip, n_alpha, n_stop,
+             CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+               THEN 1 ELSE 0 END AS INTEGER) AS g_words,
+             CAST(CASE WHEN 3 * n_words <= sum_len
+               AND sum_len <= 10 * n_words THEN 1 ELSE 0 END AS INTEGER)
+               AS g_mean,
+             CAST(CASE WHEN 10 * n_sym <= n_words THEN 1 ELSE 0 END
+               AS INTEGER) AS g_sym,
+             CAST(CASE WHEN 10 * n_bullet <= n_lines THEN 1 ELSE 0 END
+               AS INTEGER) AS g_bullet,
+             CAST(CASE WHEN 10 * n_ellip <= 3 * n_lines THEN 1 ELSE 0 END
+               AS INTEGER) AS g_ellip,
+             CAST(CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END
+               AS INTEGER) AS g_alpha,
+             CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INTEGER)
+               AS g_stop
+           FROM cnt)
+         SELECT doc_id, n_words, sum_len, n_sym, n_lines, n_bullet,
+           n_ellip, n_alpha, n_stop, g_words, g_mean, g_sym, g_bullet,
+           g_ellip, g_alpha, g_stop,
+           g_words * g_mean * g_sym * g_bullet * g_ellip * g_alpha * g_stop
+             AS pass
+         FROM fl ORDER BY doc_id""",
+
+    "t49_c4_filters" ->
+      """WITH made AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 4 = 1 THEN
+               (CASE WHEN doc_id % 9 = 0
+                  THEN regexp_replace(text, '((\S+ ){5}\S+) ',
+                         '\1.' || chr(10), 'g') || chr(10) ||
+                       'lorem ipsum dolor sit amet.'
+                  ELSE regexp_replace(text, '((\S+ ){5}\S+) ',
+                         '\1.' || chr(10), 'g')
+                END) || chr(10) || 'if (x) { return; }'
+             ELSE
+               CASE WHEN doc_id % 9 = 0
+                 THEN regexp_replace(text, '((\S+ ){5}\S+) ',
+                        '\1.' || chr(10), 'g') || chr(10) ||
+                      'lorem ipsum dolor sit amet.'
+                 ELSE regexp_replace(text, '((\S+ ){5}\S+) ',
+                        '\1.' || chr(10), 'g')
+               END
+             END AS t
+           FROM documents),
+         keptl AS (
+           SELECT doc_id, t,
+             list_filter(string_split(t, chr(10)), l ->
+               (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+               AND len(list_filter(string_split(l, ' '), w -> w <> ''))
+                 >= 5) AS kept
+           FROM made),
+         fl AS (
+           SELECT doc_id,
+             array_to_string(kept, chr(10)) AS clean_text,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             CAST(CASE WHEN len(kept) >= 3 THEN 1 ELSE 0 END AS INTEGER)
+               AS c_sentences,
+             CAST(CASE WHEN contains(lower(t), 'lorem ipsum') THEN 0
+               ELSE 1 END AS INTEGER) AS c_lorem,
+             CAST(CASE WHEN contains(t, '{') THEN 0 ELSE 1 END AS INTEGER)
+               AS c_brace
+           FROM keptl)
+         SELECT doc_id, clean_text, n_kept, c_sentences, c_lorem, c_brace,
+           c_sentences * c_lorem * c_brace AS keep
+         FROM fl ORDER BY doc_id""",
 
     "t25_ngram_lm" ->
       """WITH toks0 AS (
