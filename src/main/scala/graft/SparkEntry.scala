@@ -1404,6 +1404,22 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t50_token_mix" -> { (s, d) =>
+      // token-budgeted temperature mixing (TrainingData
+      // .temperatureMixTokens): per-source quota ∝ tok^(1/T) at T=2 in
+      // TOKENS, filled greedily in seeded md5-id order under a running
+      // token sum. The oracle replays the quota arithmetic, the hash
+      // ranking, and the cumulative-sum cut verbatim.
+      val docs = t(s, d, "documents").withColumn("tokens",
+        expr("1 + length(text) - length(replace(text, ' ', ''))")
+          .cast("long"))
+      graft.operators.TrainingData.temperatureMixTokens(docs, "source",
+          totalTokens = 8000L, temperature = 2.0)
+        .select(col("doc_id"), col("source"), col("tok_domain"),
+          col("quota"), col("domain_rank"), col("cum_tokens"))
+        .orderBy("doc_id")
+    },
+
     "t48_gopher_rules" -> { (s, d) =>
       // Gopher quality-rule battery (QualityRules.gopher, Rae 2021 A1.1):
       // the corpus has no newlines or symbol marks, so the gate
@@ -5324,6 +5340,34 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, score, tokens FROM cum
          WHERE c <= 12000 ORDER BY doc_id""",
+
+    "t50_token_mix" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             CAST(1 + length(text) - length(replace(text, ' ', ''))
+               AS BIGINT) AS tokens
+           FROM documents),
+         c AS (SELECT source, CAST(SUM(tokens) AS BIGINT) AS tok_domain
+               FROM tk GROUP BY 1),
+         w AS (SELECT source, tok_domain,
+                 pow(CAST(tok_domain AS DOUBLE), 0.5) AS w FROM c),
+         q AS (SELECT source, tok_domain,
+                 CAST(floor(8000.0 * w / (SELECT sum(w) FROM w)) AS BIGINT)
+                   AS quota
+               FROM w),
+         r AS (SELECT doc_id, source, tokens,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5(doc_id || ':temp-mix-tok'), doc_id) AS rk,
+                 SUM(tokens) OVER (PARTITION BY source
+                   ORDER BY md5(doc_id || ':temp-mix-tok'), doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM tk)
+         SELECT r.doc_id, r.source, q.tok_domain, q.quota,
+           CAST(r.rk AS BIGINT) AS domain_rank,
+           CAST(r.cum AS BIGINT) AS cum_tokens
+         FROM r JOIN q USING (source)
+         WHERE r.rk <= 8000 AND r.cum <= q.quota
+         ORDER BY r.doc_id""",
 
     "t48_gopher_rules" ->
       """WITH made AS (

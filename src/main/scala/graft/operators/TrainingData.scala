@@ -477,6 +477,52 @@ object TrainingData {
       .drop("__key")
   }
 
+  /** Token-budgeted temperature mixing — [[temperatureMix]]'s quota rule
+    * applied to TOKEN mass instead of document counts, the form real
+    * pretraining mixes are specified in ("X billion tokens of web, Y of
+    * code at T=2"): domain `d` gets `⌊total · tok_d^(1/T) / Σ_e
+    * tok_e^(1/T)⌋` tokens and fills it greedily in seeded id-hash order
+    * (deterministic, SQL-replayable; the boundary doc that would overflow
+    * the quota is excluded). Token counts must be positive non-null.
+    *
+    * Scale shape: the quota table is one tiny per-domain aggregate
+    * (broadcast back); the fill is a domain-partitioned running-sum
+    * window — parallel across domains, with a `row_number ≤ total`
+    * constant prefilter (valid because tokens ≥ 1 ⇒ rank ≤ cum ≤ quota ≤
+    * total) so map tasks can shed deep tails before the shuffle. Caveat:
+    * one domain's rows land on one reducer; if a single domain is itself
+    * corpus-scale, run [[tokenBudgetSelect]] per hot domain instead (its
+    * boundary-bucket machinery avoids the monolithic window). */
+  def temperatureMixTokens(docs: DataFrame, domainCol: String,
+      totalTokens: Long, temperature: Double,
+      seed: String = "temp-mix-tok", idCol: String = "doc_id",
+      tokensCol: String = "tokens"): DataFrame = {
+    require(totalTokens > 0, s"totalTokens must be positive: $totalTokens")
+    require(temperature > 0, s"temperature must be positive: $temperature")
+    val cnts = docs.groupBy(col(domainCol))
+      .agg(sum(col(tokensCol)).as("tok_domain"))
+      .withColumn("w", pow(col("tok_domain").cast("double"),
+        lit(1.0 / temperature)))
+    val quota = cnts.crossJoin(cnts.agg(sum("w").as("sw")))
+      .select(col(domainCol), col("tok_domain"),
+        floor(lit(totalTokens.toDouble) * col("w") / col("sw"))
+          .cast("long").as("quota"))
+    val key = md5(concat(coalesce(col(idCol).cast("string"), lit("")),
+      lit(":" + seed)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol)).orderBy(col("__key"), col(idCol))
+    docs.withColumn("__key", key)
+      .withColumn("domain_rank", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum(col(tokensCol)).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)))
+      .filter(col("domain_rank") <= totalTokens)
+      .join(broadcast(quota), Seq(domainCol))
+      .filter(col("cum_tokens") <= col("quota"))
+      .drop("__key")
+  }
+
   /** End-to-end curation: the canonical stage chain a raw crawl passes
     * before training — exact dedup (lowest id survives), a token-count
     * floor, per-domain capping in seeded-hash order, and the

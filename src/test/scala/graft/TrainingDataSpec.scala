@@ -398,6 +398,31 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(g1.count(_ < 6L) >= 5, s"gumbel draw should favor weight: $g1")
   }
 
+  test("temperatureMixTokens: token quotas ∝ tok^(1/T), greedy fill exact") {
+    // domain A: 100 docs x 10 tokens (1000 tok); B: 10 docs x 10 (100 tok)
+    val docs = ((0 until 100).map(i => (i.toLong, "A", 10L)) ++
+      (100 until 110).map(i => (i.toLong, "B", 10L)))
+      .toDF("doc_id", "source", "tokens")
+    val out = TrainingData.temperatureMixTokens(docs, "source",
+      totalTokens = 400L, temperature = 2.0).collect()
+    // quotas: w_A = sqrt(1000), w_B = sqrt(100) -> A 302, B 95 tokens
+    val wA = math.sqrt(1000.0); val wB = math.sqrt(100.0)
+    val qA = math.floor(400.0 * wA / (wA + wB)).toLong
+    val qB = math.floor(400.0 * wB / (wA + wB)).toLong
+    val byDom = out.groupBy(_.getAs[String]("source"))
+    assert(byDom("A").forall(_.getAs[Long]("quota") == qA))
+    assert(byDom("B").forall(_.getAs[Long]("quota") == qB))
+    // greedy 10-token fills: exactly floor(quota/10) docs per domain
+    assert(byDom("A").length == qA / 10, s"A got ${byDom("A").length}")
+    assert(byDom("B").length == qB / 10, s"B got ${byDom("B").length}")
+    assert(byDom("A").map(_.getAs[Long]("cum_tokens")).max <= qA)
+    // deterministic under re-run
+    val again = TrainingData.temperatureMixTokens(docs, "source",
+      totalTokens = 400L, temperature = 2.0)
+      .collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(again.toSeq == out.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
   test("tokenBudgetSelect matches the brute-force greedy prefix") {
     // deterministic pseudo-random frame with heavy score ties so the
     // boundary regularly lands mid-tie (id tie-break must decide)
