@@ -4165,6 +4165,29 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    "e12_stream_rules" -> { (s, d) =>
+      // rule-gated streaming intake batch twin (DocStreams.rulesIntake —
+      // the Gopher battery + C4 line filters as stateless map-only
+      // projections; StreamingSpec drives the readStream form and
+      // asserts no state store). Manufacture: terminal-punctuated
+      // 6-word sentences, a stop-word line on even ids (the corpus
+      // vocabulary alone trips g_stop), lorem/brace kills by doc_id
+      // arithmetic. Admitted rows carry their evidence counts.
+      val lined = regexp_replace(col("text"), "((\\S+ ){5}\\S+) ", "$1.\n")
+      val t1 = when(col("doc_id") % 2 === 0,
+          concat(lined, lit("\nand that with more words here.")))
+        .otherwise(lined)
+      val t2 = when(col("doc_id") % 9 === 0,
+        concat(t1, lit("\nlorem ipsum dolor sit amet."))).otherwise(t1)
+      val txt = when(col("doc_id") % 4 === 1,
+        concat(t2, lit("\nif (x) { return; }"))).otherwise(t2)
+      graft.streaming.DocStreams.rulesIntake(
+          t(s, d, "documents").withColumn("txt", txt), "txt")
+        .select(col("doc_id"), col("n_words"), col("n_stop"),
+          col("n_kept"))
+        .orderBy("doc_id")
+    },
+
     "e11_stream_quality" -> { (s, d) =>
       // classifier-scored streaming intake batch twin (DocStreams
       // .classifierIntake — the TRAINED t44 model rides the expression as
@@ -5368,6 +5391,68 @@ object SparkEntry {
          FROM r JOIN q USING (source)
          WHERE r.rk <= 8000 AND r.cum <= q.quota
          ORDER BY r.doc_id""",
+
+    "e12_stream_rules" ->
+      """WITH l0 AS (
+           SELECT doc_id,
+             regexp_replace(text, '((\S+ ){5}\S+) ', '\1.' || chr(10), 'g')
+               AS t
+           FROM documents),
+         l1 AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+             THEN t || chr(10) || 'and that with more words here.'
+             ELSE t END AS t FROM l0),
+         l2 AS (SELECT doc_id, CASE WHEN doc_id % 9 = 0
+             THEN t || chr(10) || 'lorem ipsum dolor sit amet.'
+             ELSE t END AS t FROM l1),
+         made AS (SELECT doc_id, CASE WHEN doc_id % 4 = 1
+             THEN t || chr(10) || 'if (x) { return; }'
+             ELSE t END AS t FROM l2),
+         ev AS (
+           SELECT doc_id, t,
+             list_filter(string_split_regex(t, '[ \n]'), w -> w <> '') AS ws,
+             string_split(t, chr(10)) AS ls
+           FROM made),
+         cnt AS (
+           SELECT doc_id, t,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)
+               AS BIGINT) AS sum_len,
+             CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) +
+               CAST((length(t) - length(replace(t, '...', ''))) / 3
+                 AS BIGINT) AS n_sym,
+             CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(ls, l -> l LIKE '- %' OR l LIKE '* %'))
+               AS BIGINT) AS n_bullet,
+             CAST(len(list_filter(ls, l -> l LIKE '%...')) AS BIGINT)
+               AS n_ellip,
+             CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+               AS BIGINT) AS n_alpha,
+             CAST((CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END) +
+               (CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_stop,
+             CAST(len(list_filter(ls, l ->
+               (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"')
+               AND len(list_filter(string_split(l, ' '), w -> w <> ''))
+                 >= 5)) AS BIGINT) AS n_kept
+           FROM ev)
+         SELECT doc_id, n_words, n_stop, n_kept FROM cnt
+         WHERE n_words >= 50 AND n_words <= 100000
+           AND 3 * n_words <= sum_len AND sum_len <= 10 * n_words
+           AND 10 * n_sym <= n_words
+           AND 10 * n_bullet <= n_lines
+           AND 10 * n_ellip <= 3 * n_lines
+           AND 5 * n_alpha >= 4 * n_words
+           AND n_stop >= 2
+           AND n_kept >= 3
+           AND NOT contains(lower(t), 'lorem ipsum')
+           AND NOT contains(t, '{')
+         ORDER BY doc_id""",
 
     "t48_gopher_rules" ->
       """WITH made AS (

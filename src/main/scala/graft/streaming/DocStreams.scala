@@ -41,6 +41,18 @@ object DocStreams {
     docs.withColumn("clf_score", classifier_score(col(textCol), model))
       .filter(col("clf_score") >= minScore)
 
+  /** Rule-gated streaming intake: the named Gopher battery + C4 line
+    * filters ([[graft.text.QualityRules]]) applied to an unbounded
+    * stream. Both batteries are stateless map-only projections — no
+    * state store, no shuffle, no model — so a crawl front is gated by
+    * the SAME named rules the batch pipeline audits on, with every
+    * per-rule verdict retained on the admitted rows for routing and
+    * debugging ("which rule nearly killed this"). */
+  def rulesIntake(docs: DataFrame, textCol: String = "text"): DataFrame =
+    graft.text.QualityRules.c4(
+        graft.text.QualityRules.gopher(docs, textCol), textCol)
+      .filter(col("pass") === 1 && col("keep") === 1)
+
   /** Streaming corpus intake: quality floor + exact-dup suppression within
     * the watermark horizon. Dedup keys on the 128-bit content hash, not the
     * text, so the state store holds 16 bytes per doc rather than documents;

@@ -373,4 +373,35 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(batchKept == kept, "stream must equal batch")
   }
+
+  test("rulesIntake: Gopher+C4 gating is stateless across micro-batches") {
+    import spark.implicits._
+    // good docs: 60 punctuated 6-word lines with stop-words; bad docs
+    // trip g_words (too short) or c_brace (code tell)
+    def goodText(i: Int) = (1 to 12).map(k =>
+      s"the words of line $k go on and that way here$i.").mkString("\n")
+    val dir = java.nio.file.Files.createTempDirectory("rulestream")
+      .toString + "/d"
+    ((0 until 10).map(i => (i.toLong, goodText(i))) ++
+      (10 until 15).map(i => (i.toLong, "the short one.")))
+      .toDF("doc_id", "text").write.parquet(dir)
+    (15 until 20).map(i => (i.toLong, goodText(i) + "\ncode { x }."))
+      .toDF("doc_id", "text").write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = graft.streaming.DocStreams.rulesIntake(stream)
+      .select("doc_id", "pass", "keep")
+      .writeStream.format("memory").queryName("rules_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "rules intake stream timed out")
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.isEmpty,
+      s"stateless stage grew state: ${q.lastProgress}")
+    val kept = spark.table("rules_out").collect().map(_.getLong(0)).toSet
+    assert(kept == (0 until 10).map(_.toLong).toSet, s"kept: $kept")
+    val batchKept = graft.streaming.DocStreams.rulesIntake(
+      spark.read.parquet(dir)).collect().map(_.getLong(0)).toSet
+    assert(batchKept == kept, "stream must equal batch")
+  }
 }
