@@ -1404,6 +1404,16 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t51_tfidf_keywords" -> { (s, d) =>
+      // per-doc top-5 tf-idf keywords (Retrieval.tfidfKeywords): smoothed
+      // ln((N+1)/(df+1)) idf, 6-dp-rounded score with term tie-break so
+      // the rank cut replays; WindowGroupLimit pushes the k=5 rank filter
+      // map-side. The oracle recomputes tf/df/N and the ranking verbatim.
+      graft.operators.Retrieval.tfidfKeywords(
+          t(s, d, "documents").select(col("doc_id"), col("text")), k = 5)
+        .orderBy("doc_id", "rk")
+    },
+
     "t50_token_mix" -> { (s, d) =>
       // token-budgeted temperature mixing (TrainingData
       // .temperatureMixTokens): per-source quota ∝ tok^(1/T) at T=2 in
@@ -5363,6 +5373,29 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, score, tokens FROM cum
          WHERE c <= 12000 ORDER BY doc_id""",
+
+    "t51_tfidf_keywords" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+               t -> t <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM toks GROUP BY 1, 2),
+         dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+                 FROM tf GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         sc AS (
+           SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             round(tf.tf * ln((n.n_docs + CAST(1.0 AS DOUBLE)) /
+               (dfq.df + CAST(1.0 AS DOUBLE))), 6) AS score6
+           FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY score6 DESC, term) AS rk
+           FROM sc)
+         SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df, score6
+         FROM r WHERE rk <= 5 ORDER BY doc_id, rk""",
 
     "t50_token_mix" ->
       """WITH tk AS (

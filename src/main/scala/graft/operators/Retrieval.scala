@@ -81,4 +81,39 @@ object Retrieval {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
   }
+
+  /** Per-document top-`k` keywords by tf-idf — corpus auditing ("what is
+    * this slice about"), labeling dedup/semantic clusters, and
+    * topic-balance checks. idf is the smoothed `ln((N+1)/(df+1))` (never
+    * negative, never divides by zero); ties on the 6-dp-rounded score
+    * break by term so the cut line replays across engines.
+    *
+    * Scale shape: one (doc, term) combinable tf aggregate over the
+    * exploded token stream; `df` is a term-keyed aggregate OF THE TF
+    * TABLE (no second corpus pass); `N` rides a broadcast 1-row
+    * aggregate; the top-k is a doc-partitioned rank window whose
+    * `row_number ≤ k` CONSTANT filter pushes a WindowGroupLimit, so map
+    * tasks keep k rows per doc before the shuffle. The tf↔df join is a
+    * plain term-keyed hash join — the vocabulary can exceed broadcast
+    * size at corpus scale. */
+  def tfidfKeywords(docs: DataFrame, k: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be positive: $k")
+    def toks(c: String) = s"filter(split($c, '\\\\s+'), t -> t <> '')"
+    val terms = Scatter(docs)
+      .select(col(idCol).as("did"), explode(expr(toks(textCol))).as("term"))
+    val tf = terms.groupBy("did", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score6", round(col("tf") *
+        log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+    val w = Window.partitionBy("did").orderBy(col("score6").desc,
+      col("term"))
+    scored.withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+      .select(col("did").as(idCol), col("rk"), col("term"), col("tf"),
+        col("df"), col("score6"))
+  }
 }

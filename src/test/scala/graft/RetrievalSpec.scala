@@ -46,6 +46,25 @@ class RetrievalSpec extends AnyFunSuite {
     assert(nh(1L) == 2L && !nh.contains(4L), s"n_hit: $nh")
   }
 
+  test("tfidfKeywords: rare terms outrank common, k cut, term tie-break") {
+    val kw = Retrieval.tfidfKeywords(corpus, k = 2).collect()
+      .groupBy(_.getLong(0)).map { case (d, rs) =>
+        d -> rs.sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+      }
+    // doc 1: 'spark' (tf 3) beats 'table' despite spark's higher df
+    assert(kw(1L) == Seq("spark", "table"), kw(1L).toString)
+    // doc 2: 'scan' tf=8 and df=1 dominates
+    assert(kw(2L).head == "scan")
+    // doc 5: unique terms, idf equal -> alphabetical tie-break
+    assert(kw(5L) == Seq("brown", "fox"), kw(5L).toString)
+    // every doc emits at most k rows, ranks contiguous from 1
+    assert(kw.values.forall(_.length <= 2))
+    // rank filter pushes a WindowGroupLimit (map-side top-k per doc)
+    val plan = Retrieval.tfidfKeywords(corpus, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
   test("bm25 query terms absent from the corpus contribute nothing") {
     val q = Seq((1L, "spark zzzznotaword")).toDF("query_id", "qtext")
     val rows = Retrieval.bm25Scores(corpus, q).collect()
