@@ -39,7 +39,7 @@ object Bench {
     * sentinel stayed flat at ~198 ms across runs whose suite totals
     * spanned 69–121 s — hypervisor CPU-steal under PARALLEL load is what
     * actually moves, and only a saturating measurement sees it. */
-  private def sentinelMtMs(): Double = {
+  private[graft] def sentinelMtMs(): Double = {
     val n = Runtime.getRuntime.availableProcessors
     val t0 = System.nanoTime()
     val threads = (0 until n).map { ti =>

@@ -41,6 +41,11 @@ object Stress {
     def sec(name: String): Boolean =
       sections == "all" || sections.split(",").contains(name)
 
+    // host-band probe (docs/NOTES.md round 8): stress numbers from
+    // different runs are only comparable after normalizing by the
+    // saturating multi-core sentinel, recorded before and after
+    val sentinelPre = Bench.sentinelMtMs()
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     def time[T](tag: String)(f: => T): T = {
       // stage quiescence (same rationale as Bench): without it, a heavy
@@ -347,6 +352,29 @@ object Stress {
         println(f"    AUC: $auc%.4f (planted signal, must be ~1)")
         require(auc > 0.95, s"planted-signal AUC regressed: $auc")
       }
+      time("gopher+c4 rule batteries (1M docs)") {
+        // the full named-rule battery as a map-only pass; HOFs are
+        // CodegenFallback, so this measures the honest interpreted cost
+        val gated = graft.text.QualityRules.c4(
+          graft.text.QualityRules.gopher(docs))
+        val r = gated.agg(sum("pass"), sum("keep"),
+          sum("n_words")).head()
+        println(s"    pass: ${r.getLong(0)}, keep: ${r.getLong(1)}, " +
+          s"tokens seen: ${r.getLong(2)}")
+      }
+      time("tfidfKeywords (1M docs, k=5)") {
+        // 60M-token explode -> (doc,term) tf agg -> vocab df join ->
+        // WindowGroupLimit top-5 per doc
+        println("    keyword rows: " + graft.operators.Retrieval
+          .tfidfKeywords(docs, k = 5).count())
+      }
+      time("temperatureMixTokens (1M, 100 dom)") {
+        val dom = docs
+          .withColumn("source", concat(lit("d"), col("doc_id") % 100))
+          .withColumn("tokens", bpeish_token_count(col("text")).cast("long"))
+        println("    mixed docs: " + TrainingData.temperatureMixTokens(
+          dom, "source", totalTokens = 10000000L, temperature = 2.0).count())
+      }
       time("tokenBudgetSelect (1M docs, 30%)") {
         val scoredDocs = docs
           .withColumn("score", quality_score(col("text")))
@@ -433,9 +461,10 @@ object Stress {
     }
 
     }
+    val sentinelPost = Bench.sentinelMtMs()
     val total = results.values.sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"stress_total","value":$total,"unit":"sec","nDocs":$nDocs,"nVecs":$nVecs,"stages":$qs}""")
+    println(s"""{"metric":"stress_total","value":$total,"unit":"sec","nDocs":$nDocs,"nVecs":$nVecs,"sentinel_mt_pre_ms":$sentinelPre,"sentinel_mt_post_ms":$sentinelPost,"stages":$qs}""")
     spark.stop()
   }
 }
