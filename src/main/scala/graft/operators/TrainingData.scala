@@ -487,12 +487,16 @@ object TrainingData {
     *
     * Scale shape: the quota table is one tiny per-domain aggregate
     * (broadcast back); the fill is a domain-partitioned running-sum
-    * window — parallel across domains, with a `row_number ≤ total`
-    * constant prefilter (valid because tokens ≥ 1 ⇒ rank ≤ cum ≤ quota ≤
-    * total) so map tasks can shed deep tails before the shuffle. Caveat:
-    * one domain's rows land on one reducer; if a single domain is itself
-    * corpus-scale, run [[tokenBudgetSelect]] per hot domain instead (its
-    * boundary-bucket machinery avoids the monolithic window). */
+    * window — parallel across domains. A `row_number ≤ total` constant
+    * prefilter (valid because tokens ≥ 1 ⇒ rank ≤ cum ≤ quota ≤ total)
+    * sits on its own rank-only window so Catalyst CAN turn it into a
+    * map-side WindowGroupLimit — but note the optimizer only does so
+    * when `total` is below `spark.sql.optimizer.windowGroupLimitThreshold`
+    * (default 1000); token-scale budgets exceed that, where the filter
+    * is just a cheap reducer-side guard. Caveat: one domain's rows land
+    * on one reducer; if a single domain is itself corpus-scale, run
+    * [[tokenBudgetSelect]] per hot domain instead (its boundary-bucket
+    * machinery avoids the monolithic window). */
   def temperatureMixTokens(docs: DataFrame, domainCol: String,
       totalTokens: Long, temperature: Double,
       seed: String = "temp-mix-tok", idCol: String = "doc_id",
@@ -511,13 +515,21 @@ object TrainingData {
       lit(":" + seed)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(domainCol)).orderBy(col("__key"), col(idCol))
+    // TWO windows on the same (domain, key) spec: a mixed rank+sum
+    // window disqualifies InsertWindowGroupLimit outright, while the
+    // rank-only window qualifies whenever `total` is under the
+    // configured threshold; the running sum then rides the SAME
+    // partitioning+ordering — no second exchange or sort. Filtering
+    // between them is exact: rank ≤ total keeps a PREFIX of each
+    // domain's order (and a dropped row has cum ≥ rank > total ≥ quota),
+    // so the prefix sums are unchanged.
     docs.withColumn("__key", key)
       .withColumn("domain_rank", row_number().over(w).cast("long"))
+      .filter(col("domain_rank") <= totalTokens)
       .withColumn("cum_tokens", sum(col(tokensCol)).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, org.apache.spark.sql.expressions.Window
           .currentRow)))
-      .filter(col("domain_rank") <= totalTokens)
       .join(broadcast(quota), Seq(domainCol))
       .filter(col("cum_tokens") <= col("quota"))
       .drop("__key")

@@ -810,6 +810,26 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("temperatureMixTokens: split windows share one exchange+sort; rank window can group-limit") {
+    import spark.implicits._
+    val docs = (0 until 4000).map(i =>
+      (i.toLong, s"d${i % 5}", 10L)).toDF("doc_id", "source", "tokens")
+    val out = graft.operators.TrainingData.temperatureMixTokens(
+      docs, "source", totalTokens = 400L, temperature = 2.0)
+    val plan = out.queryExecution.executedPlan.toString
+    // the rank-only window qualifies for InsertWindowGroupLimit when the
+    // budget is under the optimizer threshold (a mixed rank+sum window
+    // never does — the reason the operator splits them)
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // the sum window rides the rank window's partitioning+ordering: the
+    // corpus side pays exactly ONE hashpartitioning exchange and the
+    // quota side only tiny aggregate exchanges
+    val fillSide = plan.split("BroadcastExchange").head
+    assert("Exchange hashpartitioning".r.findAllIn(fillSide).size == 1,
+      s"fill side must shuffle once:\n$plan")
+    assert(out.count() > 0)
+  }
+
   test("classifier training never shuffles: zero shuffle-write across all epochs") {
     // the per-epoch gradient is a combinable per-partition aggregate
     // (mapPartitions + driver reduce) over a cached featurized RDD — any
