@@ -1404,6 +1404,28 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t52_dedup_priority" -> { (s, d) =>
+      // priority survivor election (Dedup.dedupeByClusters): the t15
+      // engineered components (binary tree inside each n_chars bucket —
+      // real multi-round propagation) but the kept member is the one
+      // maximizing a replayable priority (doc_id·37 mod 101, min-id
+      // tie-break) instead of the minimum id — the keep-the-best-copy
+      // dedup knob. Survivors = all singletons + one elected doc per
+      // component, all SQL-expressible over the n_chars partition.
+      val docs = t(s, d, "documents")
+      val w = Window.partitionBy(col("n_chars")).orderBy(col("doc_id"))
+      val ranked = docs.select(col("doc_id"), col("n_chars"),
+        (row_number().over(w) - 1).as("r"))
+      val pairs = ranked.as("c").join(ranked.as("p"),
+          col("c.n_chars") === col("p.n_chars") &&
+            expr("c.r div 2") === col("p.r") && col("c.r") > 0)
+        .select(col("p.doc_id").as("id_a"), col("c.doc_id").as("id_b"))
+      graft.operators.Dedup.dedupeByClusters(
+          docs, pairs, pmod(col("doc_id") * 37, lit(101)))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     "t51_tfidf_keywords" -> { (s, d) =>
       // per-doc top-5 tf-idf keywords (Retrieval.tfidfKeywords): smoothed
       // ln((N+1)/(df+1)) idf, 6-dp-rounded score with term tie-break so
@@ -5373,6 +5395,16 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, score, tokens FROM cum
          WHERE c <= 12000 ORDER BY doc_id""",
+
+    "t52_dedup_priority" ->
+      """WITH g AS (
+           SELECT doc_id, n_chars,
+             COUNT(*) OVER (PARTITION BY n_chars) AS n_in_group,
+             row_number() OVER (PARTITION BY n_chars
+               ORDER BY (doc_id * 37) % 101 DESC, doc_id) AS rk
+           FROM documents)
+         SELECT doc_id, n_chars FROM g
+         WHERE n_in_group = 1 OR rk = 1 ORDER BY doc_id""",
 
     "t51_tfidf_keywords" ->
       """WITH toks AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -404,6 +404,43 @@ object Dedup {
     val drop = labels.filter(col("id") =!= col("label")).select(col("id"))
     docs.join(drop, docs(idCol) === drop("id"), "left_anti")
   }
+
+  /** Survivor election over candidate-pair clusters by PRIORITY: cluster
+    * the `pairs`, then keep ONE member per cluster — the one maximizing
+    * `priority` (ties break to the LOWEST id) — instead of
+    * [[dedupeCorpus]]'s lowest-id member. This is the CCNet/Dolma-style
+    * knob: among near-duplicates keep the longest / highest-quality /
+    * most-recent copy, not an arbitrary one. Docs absent from `pairs`
+    * (singletons) always survive. `priority` must be non-null on every
+    * clustered doc and ids non-negative (the election negates the id
+    * inside a struct-max).
+    *
+    * Scale shape: label propagation is [[clusters]]'s bounded loop; the
+    * election is ONE combinable struct-max aggregate per cluster plus
+    * two equality joins (priorities in, survivors anti-joined out) — no
+    * windows, no skew-sensitive ordering. */
+  def dedupeByClusters(docs: DataFrame, pairs: DataFrame, priority: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val labels = clusters(pairs)
+    val pr = docs.select(col(idCol).as("id"), priority.as("__pr"))
+    val members = labels.join(pr, Seq("id"))
+    val keep = members.groupBy(col("label"))
+      .agg(max(struct(col("__pr").as("p"), (-col("id")).as("ni"))).as("m"))
+      .select((-col("m.ni")).as("keep_id"))
+    val drops = labels.join(keep, labels("id") === keep("keep_id"),
+      "left_anti").select(col("id"))
+    docs.join(drops, docs(idCol) === drops("id"), "left_anti")
+  }
+
+  /** [[dedupeCorpus]] with priority-based survivor election: MinHash
+    * candidates → connected components → keep the best-priority member
+    * of each cluster. */
+  def dedupeCorpusBy(docs: DataFrame, priority: Column,
+      textCol: String = "text", idCol: String = "doc_id",
+      minJaccard: Double = 0.8): DataFrame =
+    dedupeByClusters(docs,
+      minhashPairs(docs, textCol, idCol, minJaccard = minJaccard),
+      priority, idCol)
 
   /** Collapse near-dup pairs into clusters: iterative min-label propagation
     * (connected components) on the driver-controlled loop; the iteration

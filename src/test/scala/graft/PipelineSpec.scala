@@ -350,6 +350,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept == Set(0L, 2L, 3L))
   }
 
+  test("dedupeCorpusBy elects the best-priority survivor, not the lowest id") {
+    val text = (1 to 60).map(i => s"w${i % 31}").mkString(" ")
+    val docs = Seq(
+      (0L, text, 1.0), (1L, text, 9.0), (2L, text, 9.0), // one dup cluster
+      (3L, (1 to 60).map(i => s"m$i k${i * 7}").mkString(" "), 0.0) // single
+    ).toDF("doc_id", "text", "quality")
+    // priority election: highest quality wins, ties to the LOWEST id —
+    // doc 1 beats 0 (quality) and 2 (tie-break); singleton 3 survives
+    val kept = Dedup.dedupeCorpusBy(docs, col("quality"), minJaccard = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"kept: $kept")
+    // degenerate: constant priority reduces to lowest-id survivor
+    val keptFlat = Dedup.dedupeCorpusBy(docs, lit(1), minJaccard = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptFlat == Set(0L, 3L), s"kept: $keptFlat")
+  }
+
   test("simhash pigeonhole join finds near-identical docs") {
     val docs = Seq(
       (0L, (1 to 100).map(i => s"tok${i % 37}").mkString(" ")),
