@@ -154,6 +154,26 @@ class ScalePlanSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupeCorpusBy: election is equality joins + one aggregate, no window") {
+    import spark.implicits._
+    val text = (1 to 60).map(i => s"w${i % 31}").mkString(" ")
+    val docs = (0 until 50).map(i =>
+      (i.toLong, if (i < 3) text else s"unique $i " + (1 to 50)
+        .map(j => s"u${i}_$j").mkString(" "), i.toDouble))
+      .toDF("doc_id", "text", "q")
+    val out = graft.operators.Dedup.dedupeCorpusBy(docs, col("q"),
+      minJaccard = 0.8)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"no all-pairs path:\n$p")
+    // the survivor election adds NO window (a per-cluster rank would ship
+    // every cluster to one reducer ordering); it is a struct-max aggregate
+    assert(!p.contains("Window"), s"election must not use a window:\n$p")
+    // the 3 exact dups collapse to the max-priority member (id 2)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(2L) && !kept.contains(0L) && !kept.contains(1L))
+  }
+
   test("ivfTopK recovers planted identical vectors at rank 1") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val q = emb.filter($"vec_id" < 8).withColumn("vec_id", $"vec_id" + 10000)
