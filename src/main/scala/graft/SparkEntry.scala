@@ -1404,6 +1404,14 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t53_corpus_report" -> { (s, d) =>
+      // one-row dataset card (TrainingData.corpusReport): totals,
+      // lang/domain cardinalities, exact interpolated token percentiles
+      // (the a9-established percentile ≡ quantile_cont bridge), count-
+      // argmax dominant domain, md5 exact-dup rate — all replayed.
+      graft.operators.TrainingData.corpusReport(t(s, d, "documents"))
+    },
+
     "t52_dedup_priority" -> { (s, d) =>
       // priority survivor election (Dedup.dedupeByClusters): the t15
       // engineered components (binary tree inside each n_chars bucket —
@@ -5395,6 +5403,31 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, score, tokens FROM cum
          WHERE c <= 12000 ORDER BY doc_id""",
+
+    "t53_corpus_report" ->
+      """WITH b AS (
+           SELECT source AS d, lang AS l,
+             CAST(1 + length(text) - length(replace(text, ' ', ''))
+               AS BIGINT) AS t,
+             md5(text) AS h
+           FROM documents),
+         g AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(t) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT l) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT d) AS BIGINT) AS n_domains,
+             CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts,
+             quantile_cont(t, 0.5) AS median_tokens,
+             quantile_cont(t, 0.9) AS p90_tokens
+           FROM b),
+         dc AS (SELECT d, COUNT(*) AS c FROM b GROUP BY 1),
+         top AS (SELECT d AS top_domain, CAST(c AS BIGINT)
+                   AS top_domain_docs
+                 FROM dc ORDER BY c DESC, d DESC LIMIT 1)
+         SELECT g.*, top.top_domain, top.top_domain_docs,
+           round(CAST(1.0 AS DOUBLE) -
+             CAST(n_unique_texts AS DOUBLE) / n_docs, 6) AS dup_doc_rate6
+         FROM g CROSS JOIN top""",
 
     "t52_dedup_priority" ->
       """WITH g AS (

@@ -535,6 +535,41 @@ object TrainingData {
       .drop("__key")
   }
 
+  /** One-row dataset card — the summary every corpus release ships:
+    * doc/token totals, language and domain cardinalities, token-length
+    * order statistics (exact interpolated percentiles), the dominant
+    * domain (count argmax, ties to the lexicographically greatest name —
+    * deterministic and SQL-replayable), and the exact-duplicate rate
+    * from 128-bit content hashes.
+    *
+    * Scale shape: one map pass (token count + md5), one combinable
+    * global aggregate (the percentiles are Spark's exact `percentile`,
+    * a sort-based but single-column aggregate), one tiny per-domain
+    * count aggregate reduced by a struct-max, broadcast back. Nothing
+    * driver-side, no windows. */
+  def corpusReport(docs: DataFrame, domainCol: String = "source",
+      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val toks = expr(
+      s"1 + length($textCol) - length(replace($textCol, ' ', ''))")
+      .cast("long")
+    val base = docs.select(col(domainCol).as("__d"), col(langCol).as("__l"),
+      toks.as("__t"), md5(col(textCol).cast("binary")).as("__h"))
+    val global = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum("__t").as("n_tokens"),
+      countDistinct(col("__l")).as("n_langs"),
+      countDistinct(col("__d")).as("n_domains"),
+      countDistinct(col("__h")).as("n_unique_texts"),
+      expr("percentile(__t, 0.5)").as("median_tokens"),
+      expr("percentile(__t, 0.9)").as("p90_tokens"))
+    val top = base.groupBy(col("__d")).agg(count(lit(1)).as("c"))
+      .agg(max(struct(col("c"), col("__d"))).as("m"))
+      .select(col("m.__d").as("top_domain"), col("m.c").as("top_domain_docs"))
+    global.crossJoin(broadcast(top))
+      .withColumn("dup_doc_rate6", round(lit(1.0) -
+        col("n_unique_texts").cast("double") / col("n_docs"), 6))
+  }
+
   /** End-to-end curation: the canonical stage chain a raw crawl passes
     * before training — exact dedup (lowest id survives), a token-count
     * floor, per-domain capping in seeded-hash order, and the

@@ -398,6 +398,30 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(g1.count(_ < 6L) >= 5, s"gumbel draw should favor weight: $g1")
   }
 
+  test("corpusReport: one-row card with exact counts and percentiles") {
+    val docs = Seq(
+      (1L, "a b c", "en", "web"),        // 3 tokens
+      (2L, "a b c", "en", "web"),        // exact dup of 1
+      (3L, "d e f g h", "fr", "web"),    // 5 tokens
+      (4L, "i j k l m n o", "en", "wiki")// 7 tokens
+    ).toDF("doc_id", "text", "lang", "source")
+    val r = TrainingData.corpusReport(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == 4 && r.getAs[Long]("n_tokens") == 18)
+    assert(r.getAs[Long]("n_langs") == 2 && r.getAs[Long]("n_domains") == 2)
+    assert(r.getAs[Long]("n_unique_texts") == 3)
+    // tokens sorted: 3,3,5,7 → median (3+5)/2 = 4.0, p90 interpolated
+    assert(r.getAs[Double]("median_tokens") == 4.0)
+    assert(r.getAs[String]("top_domain") == "web" &&
+      r.getAs[Long]("top_domain_docs") == 3)
+    assert(r.getAs[Double]("dup_doc_rate6") == 0.25)
+    // tie on domain counts breaks to the lexicographically greatest name
+    val tied = TrainingData.corpusReport(docs.limit(2)
+      .union(docs.filter(col("doc_id") === 4L))
+      .union(Seq((5L, "x y", "en", "wiki")).toDF("doc_id", "text", "lang", "source")))
+      .collect().head
+    assert(tied.getAs[String]("top_domain") == "wiki")
+  }
+
   test("temperatureMixTokens: token quotas ∝ tok^(1/T), greedy fill exact") {
     // domain A: 100 docs x 10 tokens (1000 tok); B: 10 docs x 10 (100 tok)
     val docs = ((0 until 100).map(i => (i.toLong, "A", 10L)) ++
