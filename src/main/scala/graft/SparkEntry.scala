@@ -1404,6 +1404,33 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t54_url_canonical" -> { (s, d) =>
+      // URL canonicalization (Urls.canonicalize): fragment / case /
+      // default-port / utm / trailing-slash rules over doc_id-keyed
+      // manufactured URLs hitting every rule; the oracle replays the
+      // identical RE2 regex chain with 'g' flags. n_urls-per-canon
+      // proves the dedup effect (variants collapse).
+      val url = concat(
+        when(col("doc_id") % 2 === 0, lit("HTTP://Example"))
+          .otherwise(lit("http://example")),
+        (col("doc_id") % 7).cast("string"), lit(".COM"),
+        when(col("doc_id") % 3 === 0, lit(":80")).otherwise(lit("")),
+        lit("/Path"), (col("doc_id") % 11).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("?utm_source=x&q=1"))
+          .otherwise(when(col("doc_id") % 5 === 1, lit("?q=1&utm_campaign=z"))
+          .otherwise(lit(""))),
+        when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit("")))
+      val canon = t(s, d, "documents")
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("canon", graft.text.Urls.canonicalize(col("url")))
+      val groups = canon.groupBy(col("canon"))
+        .agg(count(lit(1)).as("n_urls"))
+      canon.join(groups, Seq("canon"))
+        .select(col("doc_id"), col("url"), col("canon"), col("n_urls"))
+        .orderBy("doc_id")
+    },
+
     "t53_corpus_report" -> { (s, d) =>
       // one-row dataset card (TrainingData.corpusReport): totals,
       // lang/domain cardinalities, exact interpolated token percentiles
@@ -5403,6 +5430,46 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, score, tokens FROM cum
          WHERE c <= 12000 ORDER BY doc_id""",
+
+    "t54_url_canonical" ->
+      """WITH u0 AS (
+           SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://Example'
+                   ELSE 'http://example' END)
+             || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+             || (CASE WHEN doc_id % 3 = 0 THEN ':80' ELSE '' END)
+             || '/Path' || CAST(doc_id % 11 AS VARCHAR)
+             || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 5 = 0 THEN '?utm_source=x&q=1'
+                      WHEN doc_id % 5 = 1 THEN '?q=1&utm_campaign=z'
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END) AS url
+           FROM documents),
+         c1 AS (SELECT doc_id, url,
+             regexp_replace(url, '#.*', '', 'g') AS s FROM u0),
+         c2 AS (SELECT doc_id, url,
+             lower(COALESCE(regexp_extract(s,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*'), ''))
+             || regexp_replace(s,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '') AS s
+           FROM c1),
+         c3 AS (SELECT doc_id, url,
+             regexp_replace(regexp_replace(s,
+               '^(http://[^/:?]+):80([/?]|$)', '\1\2', 'g'),
+               '^(https://[^/:?]+):443([/?]|$)', '\1\2', 'g') AS s
+           FROM c2),
+         c4 AS (SELECT doc_id, url,
+             regexp_replace(regexp_replace(regexp_replace(s,
+               '&utm_[^&]*', '', 'g'),
+               '\?utm_[^&]*&', '?', 'g'),
+               '\?utm_[^&]*$', '', 'g') AS s
+           FROM c3),
+         cc AS (SELECT doc_id, url,
+             regexp_replace(s, '([^/])/$', '\1', 'g') AS canon FROM c4),
+         grp AS (SELECT canon, CAST(COUNT(*) AS BIGINT) AS n_urls
+                 FROM cc GROUP BY 1)
+         SELECT cc.doc_id, cc.url, cc.canon, grp.n_urls
+         FROM cc JOIN grp USING (canon) ORDER BY cc.doc_id""",
 
     "t53_corpus_report" ->
       """WITH b AS (
