@@ -1404,6 +1404,31 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t55_countmin" -> { (s, d) =>
+      // count-min sketch (Sketch.countMinTable/Estimate, Cormode 2005):
+      // 4×4096 md5-bucket counters over the corpus token stream;
+      // estimates for the top-50 true-frequency terms, with the
+      // over-count invariant pinned per row. The oracle rebuilds the
+      // IDENTICAL sketch (portable md5-hex arithmetic) and replays the
+      // min-over-rows estimate.
+      val toks = t(s, d, "documents")
+        .select(explode(filter(split(col("text"), " "),
+          w => w =!= "")).as("term"))
+      val tab = graft.operators.Sketch.countMinTable(toks, "term")
+      val trueCnt = toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+      val est = graft.operators.Sketch.countMinEstimate(
+        tab, trueCnt.select("term"), "term")
+      val w = Window.orderBy(col("true_cnt").desc, col("term"))
+      trueCnt.join(est, Seq("term"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .filter(col("rk") <= 50)
+        .withColumn("over_ok",
+          (col("est") >= col("true_cnt")).cast("int"))
+        .select(col("rk"), col("term"), col("true_cnt"), col("est"),
+          col("over_ok"))
+        .orderBy("rk")
+    },
+
     "t54_url_canonical" -> { (s, d) =>
       // URL canonicalization (Urls.canonicalize): fragment / case /
       // default-port / utm / trailing-slash rules over doc_id-keyed
@@ -5430,6 +5455,36 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, score, tokens FROM cum
          WHERE c <= 12000 ORDER BY doc_id""",
+
+    "t55_countmin" ->
+      """WITH toks AS (
+           SELECT unnest(list_filter(string_split(text, ' '),
+             t -> t <> '')) AS term
+           FROM documents),
+         hs AS (
+           SELECT term, i,
+             (instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)
+               || ':' || term), 1, 1)) - 1) * 256 +
+             (instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)
+               || ':' || term), 2, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(md5(CAST(i AS VARCHAR)
+               || ':' || term), 3, 1)) - 1) AS bucket
+           FROM toks CROSS JOIN (VALUES (0), (1), (2), (3)) k(i)),
+         tab AS (SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM hs GROUP BY 1, 2),
+         tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS true_cnt
+                FROM toks GROUP BY 1),
+         pr AS (SELECT DISTINCT term, i, bucket FROM hs),
+         est AS (SELECT pr.term, CAST(MIN(tab.cnt) AS BIGINT) AS est
+                 FROM pr JOIN tab USING (i, bucket) GROUP BY 1),
+         r AS (SELECT tc.term, tc.true_cnt, est.est,
+                 row_number() OVER (ORDER BY tc.true_cnt DESC, tc.term)
+                   AS rk
+               FROM tc JOIN est USING (term))
+         SELECT CAST(rk AS INTEGER) AS rk, term, true_cnt, est,
+           CAST(CASE WHEN est >= true_cnt THEN 1 ELSE 0 END AS INTEGER)
+             AS over_ok
+         FROM r WHERE rk <= 50 ORDER BY rk""",
 
     "t54_url_canonical" ->
       """WITH u0 AS (

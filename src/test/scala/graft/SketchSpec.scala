@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketch
+
+/** Count-min sketch: over-count invariant, exactness when buckets are
+  * uncontended, bounded table size, absent-key behavior. */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("estimates over-count, never under; skewed keys are near-exact") {
+    // zipf-ish stream: key k appears 2^(10-k) times, k in 1..10
+    val rows = (1 to 10).flatMap(k => Seq.fill(1 << (10 - k))(s"key$k"))
+    val df = rows.toDF("k")
+    val tab = Sketch.countMinTable(df, "k", d = 4, hexChars = 3)
+    val trueCnt = rows.groupBy(identity).map { case (k, v) => k -> v.size }
+    val est = Sketch.countMinEstimate(tab,
+      trueCnt.keys.toSeq.toDF("k"), "k", d = 4, hexChars = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    trueCnt.foreach { case (k, t) =>
+      assert(est(k) >= t, s"$k under-counted: ${est(k)} < $t")
+      // 4096 buckets for 10 keys: collisions essentially impossible on
+      // all 4 rows at once — estimates are exact here
+      assert(est(k) == t, s"$k over-counted in an uncontended sketch")
+    }
+  }
+
+  test("table size is bounded by d*w regardless of key cardinality") {
+    val df = (0 until 20000).map(i => s"k$i").toDF("k")
+    val tab = Sketch.countMinTable(df, "k", d = 2, hexChars = 2)
+    assert(tab.count() <= 2 * 256)
+    // 20k keys in 256 buckets: totals conserved across each row i
+    val sums = tab.groupBy("i").agg(sum("cnt").as("s"))
+      .collect().map(_.getLong(1))
+    assert(sums.forall(_ == 20000L))
+  }
+
+  test("absent keys estimate from collision mass only (possibly zero)") {
+    val tab = Sketch.countMinTable(Seq("a", "a", "b").toDF("k"), "k")
+    val est = Sketch.countMinEstimate(tab, Seq("zzz-never-seen").toDF("k"), "k")
+      .collect().head.getLong(1)
+    assert(est >= 0L && est <= 3L)
+  }
+}
