@@ -853,9 +853,15 @@ object TrainingData {
     // snapshot the slim frame once (double + 2 longs/row): the sample
     // action, the mass aggregate, and the returned selection all reuse
     // the materialized result instead of re-running upstream per action
+    // null score/id/tokens rows cannot participate in the total order —
+    // exclude them explicitly (a null bucket would otherwise poison the
+    // driver's mass scan), matching the scaladoc contract
     val slim = docs.select(col(idCol).cast("long").as(idCol),
       col(scoreCol).cast("double").as("__s"),
-      col(tokensCol).cast("long").as("__t")).localCheckpoint(true)
+      col(tokensCol).cast("long").as("__t"))
+      .filter(col(idCol).isNotNull && col("__s").isNotNull &&
+        !isnan(col("__s")) && col("__t").isNotNull)
+      .localCheckpoint(true)
     val total = slim.count()
     val sampleRows =
       if (total <= sampleSize) slim.collect()

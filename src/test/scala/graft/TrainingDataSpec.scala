@@ -482,5 +482,15 @@ class TrainingDataSpec extends AnyFunSuite {
       val (_, s, t) = byId(r.getLong(0))
       assert(r.getDouble(1) == s && r.getLong(2) == t)
     }
+    // null-score/token rows are excluded, never a driver crash
+    val withNulls = df.unionByName(Seq(
+      (9001L, Option.empty[Double], Option(5L)),
+      (9002L, Option(3.0), Option.empty[Long]))
+      .toDF("doc_id", "score", "tokens"))
+    val sel = TrainingData.tokenBudgetSelect(withNulls, 137L, "score",
+      "tokens", nBuckets = 8).collect().map(_.getLong(0)).toSet
+    assert(!sel.contains(9001L) && !sel.contains(9002L))
+    assert(sel == TrainingData.tokenBudgetSelect(df, 137L, "score",
+      "tokens", nBuckets = 8).collect().map(_.getLong(0)).toSet)
   }
 }
