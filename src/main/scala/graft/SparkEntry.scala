@@ -672,6 +672,29 @@ object SparkEntry {
         .orderBy("o_custkey")
     },
 
+    "w4_session_stats" -> { (s, d) =>
+      // batch gaps-and-islands sessionization (Sessions.sessionStats) —
+      // the backfill twin of e2's streaming session_window: one keyed
+      // exchange, per-key windows, per-session bounds/counts/cents. The
+      // oracle replays the lag/flag/running-sum recurrence in SQL.
+      graft.operators.Sessions.sessionStats(events(s, d), "user_id", "ts",
+          gapSeconds = 1800L, tieCol = "event_id", valueCol = "value")
+        .orderBy("user_id", "session_seq")
+    },
+
+    "w5_resample_ffill" -> { (s, d) =>
+      // time-series regularization (Sessions.resampleFfill): each user's
+      // event series lands on an hourly grid spanning ITS OWN range,
+      // holes forward-filled from the last observation (cents-exact).
+      // Per-key grids keep the explode proportional to each key's span —
+      // the property that survives a 100 TB events lake. The oracle
+      // rebuilds grid + election + IGNORE NULLS fill in SQL.
+      graft.operators.Sessions.resampleFfill(
+          events(s, d).filter(col("user_id") < 50), "user_id", "ts",
+          valueCol = "value", stepSeconds = 3600L, tieCol = "event_id")
+        .orderBy("user_id", "bucket_us")
+    },
+
     "x1_set_except" -> { (s, d) =>
       // customers that never ordered: EXCEPT (set op) — then count
       val with_ = t(s, d, "orders").select(col("o_custkey").as("k"))
@@ -4594,6 +4617,59 @@ object SparkEntry {
            CAST(MAX(gap_days) AS INTEGER) AS max_gap_days
          FROM g WHERE gap_days IS NOT NULL
          GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "w4_session_stats" ->
+      """WITH gaps AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us, value,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                       >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         sess AS (
+           SELECT user_id, us, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_seq
+           FROM gaps)
+         SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(us) AS start_us, MAX(us) AS end_us,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           MAX(us) - MIN(us) AS duration_us
+         FROM sess GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "w5_resample_ffill" ->
+      """WITH obs0 AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us
+           FROM events WHERE user_id < 50),
+         obs AS (
+           SELECT user_id, bucket_us, cents FROM (
+             SELECT user_id, bucket_us, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket_us
+                 ORDER BY us DESC, event_id DESC) AS rn
+             FROM obs0) WHERE rn = 1),
+         span AS (
+           SELECT user_id, MIN(bucket_us) // 3600000000 AS b0,
+                  MAX(bucket_us) // 3600000000 AS b1
+           FROM obs0 GROUP BY 1),
+         grid AS (
+           SELECT user_id, CAST(u.bi * 3600000000 AS BIGINT) AS bucket_us
+           FROM span, UNNEST(range(b0, b1 + 1)) AS u(bi)),
+         j AS (
+           SELECT g.user_id, g.bucket_us, o.cents
+           FROM grid g LEFT JOIN obs o USING (user_id, bucket_us))
+         SELECT user_id, bucket_us,
+           LAST_VALUE(cents IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS value_cents,
+           cents IS NULL AS filled
+         FROM j ORDER BY user_id, bucket_us""",
 
     "x1_set_except" ->
       """SELECT COUNT(*) AS n_never_ordered FROM (

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch sessionization and time-series regularization over event tables.
+  *
+  * The streaming side of this surface lives in `streaming/EventStreams`
+  * (watermarked `session_window`); these are the BATCH twins a backfill or
+  * historical-analysis job runs over the same parquet events — the classic
+  * gaps-and-islands formulation (reference analogue: ad-hoc SQL over event
+  * exports, east_asia.py's DuckDB-session idiom).
+  *
+  * Scale shape: every operator here shuffles ONCE on the key column and
+  * then stays inside per-key windows (`Window.partitionBy(key)`) — no
+  * global window, no cross-key traffic. `resampleFfill`'s grid explode is
+  * bounded per key by that key's own observed time span divided by the
+  * step, so a 100 TB events lake resamples with map-side grid generation
+  * plus the one keyed exchange it already paid for sessionization.
+  */
+object Sessions {
+
+  /** Assign gaps-and-islands session sequence numbers per key: a new
+    * session starts at the first event of the key or whenever the gap from
+    * the previous event is >= `gapSeconds`. Adds `session_seq` (1-based,
+    * per key, in (ts, tie) order). One shuffle on `keyCol`. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 gapSeconds: Long, tieCol: String): DataFrame = {
+    val ord = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val us = unix_micros(col(tsCol))
+    val prev = lag(us, 1).over(ord)
+    val newS = when(prev.isNull || us - prev >= gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    df.withColumn("session_seq",
+      sum(newS).over(ord.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+  }
+
+  /** One row per (key, session): start/end in epoch micros, event count and
+    * an integer-exact cents sum of `valueCol` (IEEE-safe across engines).
+    * Built on `sessionize`, so the plan is one keyed exchange + window +
+    * partial-aggregated groupBy on the same key (no second shuffle under
+    * AQE: the groupBy keys extend the window's partitioning). */
+  def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
+                   gapSeconds: Long, tieCol: String,
+                   valueCol: String): DataFrame =
+    sessionize(df, keyCol, tsCol, gapSeconds, tieCol)
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col(tsCol))).as("start_us"),
+        max(unix_micros(col(tsCol))).as("end_us"),
+        sum(round(col(valueCol) * 100).cast("long")).as("value_cents"))
+      .withColumn("duration_us", col("end_us") - col("start_us"))
+
+  /** Resample each key's series onto a regular `stepSeconds` grid spanning
+    * that key's observed range, forward-filling buckets with no
+    * observation from the last observed value (cents-encoded so the fill
+    * is bit-exact). Per (key, bucket) the elected observation is the LAST
+    * in (ts, tie) order. Emits (key, bucket_us, value_cents, filled).
+    *
+    * The grid is generated per key from a 2-column span aggregate — the
+    * explode multiplies rows by span/step for that key only, never by the
+    * global range, so sparse long-lived keys and dense short-lived keys
+    * both stay proportional to their own data. */
+  def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, stepSeconds: Long,
+                    tieCol: String): DataFrame = {
+    val stepUs = stepSeconds * 1000000L
+    // floor-aligned bucket start in micros, integer-exact (us - us mod step)
+    def bucketStart(us: Column): Column = us - pmod(us, lit(stepUs))
+    def bucketIdx(us: Column): Column =
+      (bucketStart(us) / stepUs).cast("long") // exactly divisible -> exact
+    val bucket = bucketStart(unix_micros(col(tsCol))).as("bucket_us")
+    // elect the last observation of each (key, bucket)
+    val perBucket = Window.partitionBy(col(keyCol), col("bucket_us"))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    val obs = df.select(col(keyCol), bucket,
+        round(col(valueCol) * 100).cast("long").as("obs_cents"),
+        col(tsCol), col(tieCol))
+      .withColumn("rn", row_number().over(perBucket))
+      .filter(col("rn") === 1)
+      .select(col(keyCol), col("bucket_us"), col("obs_cents"))
+    // per-key grid: one row per step between the key's first and last bucket
+    val grid = df.groupBy(col(keyCol))
+      .agg(min(bucketIdx(unix_micros(col(tsCol)))).as("b0"),
+        max(bucketIdx(unix_micros(col(tsCol)))).as("b1"))
+      .select(col(keyCol), explode(sequence(col("b0"), col("b1"))).as("bi"))
+      .select(col(keyCol), (col("bi") * stepUs).as("bucket_us"))
+    val ffill = Window.partitionBy(keyCol).orderBy("bucket_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq(keyCol, "bucket_us"), "left")
+      .withColumn("value_cents",
+        last(col("obs_cents"), ignoreNulls = true).over(ffill))
+      .withColumn("filled", col("obs_cents").isNull)
+      .drop("obs_cents")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sessions
+
+class SessionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ev(id: Long, user: Long, sec: Long, v: Double) =
+    (id, user, new java.sql.Timestamp(sec * 1000L), v)
+
+  // user 1: events at 0s, 10s, 2000s (gap 1990 >= 1800 -> new session), 2100s
+  // user 2: single event
+  private def events = Seq(
+    ev(1, 1, 0, 1.0), ev(2, 1, 10, 2.0),
+    ev(3, 1, 2000, 3.0), ev(4, 1, 2100, 4.5),
+    ev(5, 2, 50, 7.25)
+  ).toDF("event_id", "user_id", "ts", "value")
+
+  test("sessionize: gap >= threshold opens a new session") {
+    val got = Sessions.sessionize(events, "user_id", "ts", 1800L, "event_id")
+      .select($"event_id", $"session_seq").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("sessionize: gap exactly at threshold starts a new session") {
+    val df = Seq(ev(1, 9, 0, 0.0), ev(2, 9, 1800, 0.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Sessions.sessionize(df, "user_id", "ts", 1800L, "event_id")
+      .select($"event_id", $"session_seq").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L))
+  }
+
+  test("sessionStats: bounds, counts, cents sums per session") {
+    val got = Sessions.sessionStats(events, "user_id", "ts", 1800L,
+        "event_id", "value")
+      .orderBy("user_id", "session_seq")
+      .select($"user_id", $"session_seq", $"n_events", $"start_us",
+        $"end_us", $"value_cents", $"duration_us")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 1L, 2L, 0L, 10000000L, 300L, 10000000L),
+      (1L, 2L, 2L, 2000000000L, 2100000000L, 750L, 100000000L),
+      (2L, 1L, 1L, 50000000L, 50000000L, 725L, 0L)))
+  }
+
+  test("resampleFfill: holes forward-fill, grid spans per key only") {
+    // user 1 observed in buckets 0,0,2 (step 1000s): bucket 1 must be
+    // filled with bucket 0's LAST value; user 2 has a single-bucket grid.
+    val got = Sessions.resampleFfill(events, "user_id", "ts", "value",
+        1000L, "event_id")
+      .orderBy("user_id", "bucket_us")
+      .select($"user_id", $"bucket_us", $"value_cents", $"filled")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 0L, 200L, false),             // last obs in bucket 0 is event 2
+      (1L, 1000000000L, 200L, true),     // hole -> forward-filled
+      (1L, 2000000000L, 450L, false),    // last obs in bucket 2 is event 4
+      (2L, 0L, 725L, false)))
+  }
+
+  test("resampleFfill: within-bucket election takes the last (ts, tie)") {
+    val df = Seq(ev(1, 3, 100, 1.0), ev(2, 3, 100, 9.0), ev(3, 3, 50, 5.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Sessions.resampleFfill(df, "user_id", "ts", "value",
+        1000L, "event_id")
+      .select($"value_cents").as[Long].collect()
+    assert(got.toSeq == Seq(900L)) // ts ties break by event_id desc
+  }
+}
