@@ -1479,6 +1479,26 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    "t56_fuzzy_editdist" -> { (s, d) =>
+      // edit-distance fuzzy dedup (Dedup.editDistancePairs): docs < 40 get
+      // a planted twin with one middle-character substitution — inside the
+      // blocking's recall contract (prefix+suffix blocks intact) — and the
+      // oracle replays blocking + length prefilter + DuckDB's independent
+      // levenshtein. Distances are exact (threshold form returns the true
+      // distance when <= maxDist), so the hash pins both candidate set and
+      // refine arithmetic.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val mutated = docs.filter(col("doc_id") < 40 && length(col("text")) >= 20)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          expr("""concat(substring(text, 1, (length(text) div 2) - 1), '~',
+                  substring(text, (length(text) div 2) + 1, length(text)))""")
+            .as("text"))
+      graft.operators.Dedup.editDistancePairs(
+          docs.unionByName(mutated), "text", "doc_id", maxDist = 2,
+          blockLen = 8)
+        .orderBy("id_a", "id_b")
+    },
+
     "t53_corpus_report" -> { (s, d) =>
       // one-row dataset card (TrainingData.corpusReport): totals,
       // lang/domain cardinalities, exact interpolated token percentiles
@@ -5601,6 +5621,35 @@ object SparkEntry {
                  FROM cc GROUP BY 1)
          SELECT cc.doc_id, cc.url, cc.canon, grp.n_urls
          FROM cc JOIN grp USING (canon) ORDER BY cc.doc_id""",
+
+    "t56_fuzzy_editdist" ->
+      """WITH corpus AS (
+           SELECT doc_id AS id, text AS txt FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+             substr(text, 1, (length(text) // 2) - 1) || '~' ||
+               substr(text, (length(text) // 2) + 1, length(text))
+           FROM documents WHERE doc_id < 40 AND length(text) >= 20),
+         base AS (SELECT id, txt, length(txt) AS len FROM corpus),
+         blocks AS (
+           SELECT id, len, blk FROM base, UNNEST([
+             'p:' || substr(txt, 1, 8),
+             's:' || (CASE WHEN len <= 8 THEN txt
+                           ELSE substr(txt, len - 7, 8) END)]) AS u(blk)),
+         keep AS (SELECT blk FROM blocks GROUP BY 1 HAVING COUNT(*) >= 2),
+         cand AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM blocks a
+           JOIN keep USING (blk)
+           JOIN blocks b ON a.blk = b.blk AND a.id < b.id
+           WHERE abs(a.len - b.len) <= 2),
+         pairs AS (
+           SELECT c.id_a, c.id_b, levenshtein(ta.txt, tb.txt) AS dist
+           FROM cand c
+           JOIN base ta ON ta.id = c.id_a
+           JOIN base tb ON tb.id = c.id_b)
+         SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist
+         FROM pairs WHERE dist <= 2 ORDER BY id_a, id_b""",
 
     "t53_corpus_report" ->
       """WITH b AS (

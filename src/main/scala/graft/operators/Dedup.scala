@@ -520,4 +520,58 @@ object Dedup {
     }
     labels
   }
+
+  /** Edit-distance (Levenshtein) near-dup pairs with distance ≤ `maxDist`
+    * — the fuzzy-dedup form for short fields (titles, URLs, names) where
+    * shingle Jaccard is too coarse. Candidate generation is
+    * prefix+suffix+length blocking: each doc emits its first and last
+    * `blockLen` characters as block keys; candidates are pairs sharing
+    * EITHER block with |len_a − len_b| ≤ maxDist, refined by a
+    * threshold-bounded Levenshtein (early-exits past maxDist, so the
+    * refine is O(maxDist·min_len) per pair, not O(len²)).
+    *
+    * Recall contract (documented heuristic): a pair is found iff its edits
+    * leave the first OR the last `blockLen` characters untouched. Edits
+    * confined to the middle — the dominant near-dup shape for boilerplate
+    * text — always survive; pairs edited at BOTH ends are missed. The
+    * exact-cover upgrade path is PassJoin-style segment blocking (Li et
+    * al., ICDE'11: maxDist+1 segments, any match must contain one
+    * exactly); this blocking is its cheap two-segment special case.
+    *
+    * Scale shape (the minhashPairs pattern): equality self-join on block
+    * keys only, occupancy prefilter drops singleton blocks before the
+    * join, `maxBucket` caps degenerate hot blocks (shared boilerplate
+    * prefixes), pair `distinct` runs on bare ids BEFORE texts join back —
+    * the wide text column never rides the candidate shuffle. */
+  def editDistancePairs(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxDist: Int = 2, blockLen: Int = 8,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    require(blockLen >= 1, s"blockLen must be >= 1: $blockLen")
+    val base = Scatter(docs).select(col(idCol).as("id"),
+      col(textCol).as("txt"), length(col(textCol)).as("len"))
+    // prefix / suffix block keys, tagged so a prefix never equi-joins a
+    // suffix; short texts (len <= blockLen) key on the whole string twice
+    val blocks = base.select(col("id"), col("len"), explode(array(
+        concat(lit("p:"), expr(s"substring(txt, 1, $blockLen)")),
+        concat(lit("s:"), when(col("len") <= blockLen, col("txt"))
+          .otherwise(expr(s"substring(txt, len - ${blockLen - 1}, $blockLen)")))
+      )).as("blk"))
+    val keep = blocks.groupBy("blk").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2 && col("n") <= maxBucket)
+      .select("blk")
+    val b = blocks.join(keep, Seq("blk"), "left_semi")
+    val cand = b.as("a")
+      .join(b.as("b"), col("a.blk") === col("b.blk") &&
+        col("a.id") < col("b.id") &&
+        abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("id").as("id_a"), col("txt").as("txt_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("txt").as("txt_b")), "id_b")
+      .withColumn("dist", levenshtein(col("txt_a"), col("txt_b"), maxDist))
+      .filter(col("dist") >= 0) // threshold form returns -1 past maxDist
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }
