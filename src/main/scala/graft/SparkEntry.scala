@@ -1499,6 +1499,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    "t59_group_report" -> { (s, d) =>
+      // per-(domain, lang) dataset-card table (TrainingData.groupReport):
+      // counts, token mass, dup rate, exact interpolated quantiles — the
+      // percentile ≡ quantile_cont bridge t53 pins, replayed per group.
+      graft.operators.TrainingData.groupReport(t(s, d, "documents"))
+        .orderBy("domain", "lang")
+    },
+
     "t53_corpus_report" -> { (s, d) =>
       // one-row dataset card (TrainingData.corpusReport): totals,
       // lang/domain cardinalities, exact interpolated token percentiles
@@ -5650,6 +5658,27 @@ object SparkEntry {
            JOIN base tb ON tb.id = c.id_b)
          SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist
          FROM pairs WHERE dist <= 2 ORDER BY id_a, id_b""",
+
+    "t59_group_report" ->
+      """WITH b AS (
+           SELECT source AS domain, lang,
+             CAST(1 + length(text) - length(replace(text, ' ', ''))
+               AS BIGINT) AS t,
+             md5(text) AS h
+           FROM documents)
+         SELECT domain, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts,
+           ROUND(quantile_cont(t, 0.25), 6) AS p25_tokens,
+           ROUND(quantile_cont(t, 0.5), 6) AS p50_tokens,
+           ROUND(quantile_cont(t, 0.75), 6) AS p75_tokens,
+           ROUND(quantile_cont(t, 0.95), 6) AS p95_tokens,
+           MIN(t) AS min_tokens, MAX(t) AS max_tokens,
+           ROUND(CAST(1.0 AS DOUBLE) -
+             CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6)
+             AS dup_doc_rate6
+         FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "t53_corpus_report" ->
       """WITH b AS (

@@ -570,6 +570,41 @@ object TrainingData {
         col("n_unique_texts").cast("double") / col("n_docs"), 6))
   }
 
+  /** Per-group dataset-card slice: one row per (domain, lang) with doc
+    * count, token mass, dup rate, and EXACT interpolated token-count
+    * quantiles (p25/p50/p75/p95 — `percentile`, the same ≡ quantile_cont
+    * bridge `corpusReport` pins). The grouped companion to the one-row
+    * card: this is the table a mixture designer reads before setting
+    * per-domain caps/temperatures.
+    *
+    * Scale shape: one hash aggregate keyed by the group; the exact
+    * percentile gathers each GROUP's token-count multiset on its reducer
+    * (bounded by docs-per-group, never the corpus). Groups here are
+    * (domain, lang) slices — thousands of rows out. If a single group
+    * were corpus-sized, swap `percentile` for `approx_percentile` — the
+    * report is advisory, the quantile is its only non-combinable leg. */
+  def groupReport(docs: DataFrame, domainCol: String = "source",
+      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val toks = expr(
+      s"1 + length($textCol) - length(replace($textCol, ' ', ''))")
+      .cast("long")
+    docs.select(col(domainCol).as("domain"), col(langCol).as("lang"),
+        toks.as("__t"), md5(col(textCol).cast("binary")).as("__h"))
+      .groupBy(col("domain"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("__t").as("n_tokens"),
+        countDistinct(col("__h")).as("n_unique_texts"),
+        round(expr("percentile(__t, 0.25)"), 6).as("p25_tokens"),
+        round(expr("percentile(__t, 0.5)"), 6).as("p50_tokens"),
+        round(expr("percentile(__t, 0.75)"), 6).as("p75_tokens"),
+        round(expr("percentile(__t, 0.95)"), 6).as("p95_tokens"),
+        min("__t").as("min_tokens"),
+        max("__t").as("max_tokens"))
+      .withColumn("dup_doc_rate6", round(lit(1.0) -
+        col("n_unique_texts").cast("double") / col("n_docs"), 6))
+  }
+
   /** End-to-end curation: the canonical stage chain a raw crawl passes
     * before training — exact dedup (lowest id survives), a token-count
     * floor, per-domain capping in seeded-hash order, and the

@@ -493,4 +493,25 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(sel == TrainingData.tokenBudgetSelect(df, 137L, "score",
       "tokens", nBuckets = 8).collect().map(_.getLong(0)).toSet)
   }
+
+  test("groupReport: per-group counts, interpolated quantiles, dup rate") {
+    // group (web, en): token counts {1,2,3,4,4} -> p50 = 3 exact; one
+    // exact dup pair -> dup rate 1 - 4/5 = 0.2
+    val df = Seq(
+      (1L, "a", "en", "web"), (2L, "a b", "en", "web"),
+      (3L, "a b c", "en", "web"), (4L, "a b c d", "en", "web"),
+      (5L, "a b c d", "en", "web"),
+      (6L, "x y", "de", "web")).toDF("doc_id", "text", "lang", "source")
+    val rows = TrainingData.groupReport(df).orderBy("domain", "lang")
+      .collect()
+    assert(rows.length == 2)
+    val en = rows.find(_.getString(1) == "en").get
+    assert(en.getLong(2) == 5 && en.getLong(3) == 14) // n_docs, n_tokens
+    assert(en.getLong(4) == 4) // unique texts (two "a b c d")
+    assert(en.getDouble(6) == 3.0) // p50 of {1,2,3,4,4}
+    assert(en.getLong(9) == 1 && en.getLong(10) == 4) // min/max tokens
+    assert(en.getDouble(11) == 0.2) // dup rate
+    val de = rows.find(_.getString(1) == "de").get
+    assert(de.getLong(2) == 1 && de.getDouble(6) == 2.0)
+  }
 }
