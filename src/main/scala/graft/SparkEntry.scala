@@ -1499,6 +1499,30 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    "t58_hll_distinct" -> { (s, d) =>
+      // HyperLogLog distinct sketch (Sketch.hllRegisters/hllEstimate,
+      // Flajolet 2007): the fixed-256-row mergeable companion to t55's
+      // count-min — portable md5 register arithmetic, so the oracle
+      // rebuilds the IDENTICAL register table and replays the integer-
+      // exact power sum + the engine-identical alpha division. Keys are
+      // l_orderkey strings (~15k distinct: raw-formula regime, no
+      // transcendental on the replayed path); err_ok pins the estimate
+      // inside 15% of exact (standard error is 6.5%).
+      val keys = t(s, d, "lineitem")
+        .select(col("l_orderkey").cast("string").as("k"))
+      val regs = graft.operators.Sketch.hllRegisters(keys, "k")
+      val est = graft.operators.Sketch.hllEstimate(regs)
+      val chk = regs.agg(
+        sum((col("reg") + 1).cast("long") * col("mx")).as("reg_checksum"))
+      val exact = keys.agg(countDistinct(col("k")).as("n_exact"))
+      est.crossJoin(chk).crossJoin(exact)
+        .select(col("n_present"), col("n_zero").cast("long").as("n_zero"),
+          round(col("est"), 4).as("est4"), col("reg_checksum"),
+          col("n_exact"),
+          (abs(col("est") - col("n_exact")) / col("n_exact")
+            <= lit(0.15)).as("err_ok"))
+    },
+
     "t59_group_report" -> { (s, d) =>
       // per-(domain, lang) dataset-card table (TrainingData.groupReport):
       // counts, token mass, dup rate, exact interpolated quantiles — the
@@ -5658,6 +5682,49 @@ object SparkEntry {
            JOIN base tb ON tb.id = c.id_b)
          SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist
          FROM pairs WHERE dist <= 2 ORDER BY id_a, id_b""",
+
+    "t58_hll_distinct" ->
+      """WITH h AS (
+           SELECT md5(CAST(l_orderkey AS VARCHAR)) AS hx FROM lineitem),
+         rr AS (SELECT
+             (instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) AS reg,
+             trim(LEADING '0' FROM substr(hx, 3, 12)) AS rest
+           FROM h),
+         rho AS (SELECT reg,
+             CASE WHEN length(rest) = 0 THEN 49
+                  ELSE 4 * (12 - length(rest)) +
+                    (CASE WHEN hv >= 8 THEN 0 WHEN hv >= 4 THEN 1
+                          WHEN hv >= 2 THEN 2 ELSE 3 END) + 1 END AS rho
+           FROM (SELECT reg, rest,
+                   instr('0123456789abcdef', substr(rest, 1, 1)) - 1 AS hv
+                 FROM rr)),
+         regs AS (SELECT reg, MAX(rho) AS mx FROM rho GROUP BY 1),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+                   CAST(SUM(CAST(1 AS BIGINT) << (49 - mx)) AS BIGINT)
+                     AS sp,
+                   CAST(SUM((reg + 1) * mx) AS BIGINT) AS reg_checksum
+                 FROM regs),
+         e0 AS (SELECT n_present, 256 - n_present AS n_zero, reg_checksum,
+                  (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+                     CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)) *
+                     CAST(65536.0 AS DOUBLE) *
+                     CAST(562949953421312.0 AS DOUBLE))
+                    / (sp + (256 - n_present) *
+                       (CAST(1 AS BIGINT) << 49)) AS raw
+                FROM agg),
+         e1 AS (SELECT n_present, n_zero, reg_checksum,
+                  CASE WHEN raw <= CAST(2.5 AS DOUBLE) * 256
+                         AND n_zero > 0
+                       THEN 256 * ln(CAST(256.0 AS DOUBLE) / n_zero)
+                       ELSE raw END AS est
+                FROM e0),
+         x AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+                 AS n_exact FROM lineitem)
+         SELECT n_present, n_zero, ROUND(est, 4) AS est4, reg_checksum,
+           n_exact,
+           abs(est - n_exact) / n_exact <= CAST(0.15 AS DOUBLE) AS err_ok
+         FROM e1, x""",
 
     "t59_group_report" ->
       """WITH b AS (

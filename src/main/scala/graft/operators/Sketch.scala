@@ -46,6 +46,65 @@ object Sketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  // ---- HyperLogLog (Flajolet, Fusy, Gandouet, Meunier, AofA 2007) ------
+
+  /** `alpha_256 · m² · 2^49` as identical CAST-explicit double arithmetic
+    * in BOTH engines (bare decimal literals are DECIMAL in Spark AND
+    * DuckDB — the casts force the same IEEE double op sequence, so the
+    * constant, and every estimate derived from it, is bit-identical). */
+  private val hllASql =
+    "(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + " +
+      "CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)) * " +
+      "CAST(65536.0 AS DOUBLE) * CAST(562949953421312.0 AS DOUBLE))"
+
+  /** HyperLogLog register table over a STRING key column: 256 registers
+    * (p = 8) from the first two md5 hex chars, rank = leading-zero count
+    * of the next 48 hash bits + 1 (∈ [1, 49]). Returns `(reg, mx)` — only
+    * touched registers, ≤ 256 rows. Same portability contract as
+    * [[countMinTable]]: md5-hex arithmetic, so the oracle rebuilds the
+    * register table bucket-for-bucket.
+    *
+    * Scale shape: map-only projection + a combinable 256-group MAX —
+    * partials collapse to ≤ 256 rows per task before the one tiny
+    * exchange. Mergeable by construction: union two register tables and
+    * re-MAX to sketch the union of the inputs (SketchSpec pins it). */
+  def hllRegisters(df: DataFrame, keyCol: String): DataFrame = {
+    val h = s"md5(cast($keyCol AS binary))"
+    val reg = expr(
+      s"(instr('0123456789abcdef', substr($h, 1, 1)) - 1) * 16 + " +
+        s"(instr('0123456789abcdef', substr($h, 2, 1)) - 1)").cast("int")
+    // rank: 4 bits per leading-zero nibble + the partial nibble's high bits
+    val rest = s"trim(LEADING '0' FROM substr($h, 3, 12))"
+    val hv = s"(instr('0123456789abcdef', substr($rest, 1, 1)) - 1)"
+    val rho = expr(
+      s"""CASE WHEN length($rest) = 0 THEN 49
+          ELSE 4 * (12 - length($rest)) +
+            (CASE WHEN $hv >= 8 THEN 0 WHEN $hv >= 4 THEN 1
+                  WHEN $hv >= 2 THEN 2 ELSE 3 END) + 1 END""").cast("int")
+    df.select(reg.as("reg"), rho.as("rho"))
+      .groupBy("reg").agg(max("rho").as("mx"))
+  }
+
+  /** One-row distinct-count estimate from a [[hllRegisters]] table:
+    * `(n_present, n_zero, est)`. The power sum runs integer-exact
+    * (Σ 2^(49−mx) as BIGINT — absent registers contribute 2^49), the raw
+    * estimate is ONE double division by the engine-identical alpha
+    * constant, and the standard small-range correction (`E ≤ 2.5m`,
+    * zeros present → linear counting `m·ln(m/V)`) applies. The 48-bit
+    * hash space makes the large-range correction irrelevant below ~10^13
+    * distincts. Standard error ≈ 1.04/√256 = 6.5%. */
+  def hllEstimate(registers: DataFrame): DataFrame =
+    registers.agg(
+        count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(cast(1 AS bigint), 49 - mx)")).as("sp"))
+      .select(col("n_present"), (lit(256) - col("n_present")).as("n_zero"),
+        expr(s"$hllASql / (coalesce(sp, cast(0 AS bigint)) + " +
+          "(256 - n_present) * shiftleft(cast(1 AS bigint), 49))").as("raw"))
+      .select(col("n_present"), col("n_zero"),
+        expr("""CASE WHEN raw <= CAST(2.5 AS DOUBLE) * 256 AND n_zero > 0
+                THEN 256 * ln(CAST(256.0 AS DOUBLE) / n_zero)
+                ELSE raw END""").as("est"))
+
   /** Estimate the count of each key in `keys` from a [[countMinTable]]
     * built with the SAME (d, hexChars): `est = min_i table[i][h_i(key)]`
     * (0 for rows whose bucket was never touched). Returns the `keys`

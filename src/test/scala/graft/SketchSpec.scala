@@ -44,4 +44,41 @@ class SketchSpec extends AnyFunSuite {
       .collect().head.getLong(1)
     assert(est >= 0L && est <= 3L)
   }
+
+  test("hll: estimate within 10% on 10k distinct keys, multiset-invariant") {
+    val keys = (0 until 10000).map(i => s"key-$i")
+    val est = Sketch.hllEstimate(
+      Sketch.hllRegisters(keys.toDF("k"), "k"))
+      .collect().head.getDouble(2)
+    assert(math.abs(est - 10000) / 10000 < 0.10, s"est=$est")
+    // duplicates never move a register (MAX absorbs them)
+    val est2 = Sketch.hllEstimate(
+      Sketch.hllRegisters((keys ++ keys ++ keys.take(100)).toDF("k"), "k"))
+      .collect().head.getDouble(2)
+    assert(est2 == est)
+  }
+
+  test("hll: register tables merge by union+MAX to the union sketch") {
+    val a = (0 until 3000).map(i => s"a-$i")
+    val b = (1500 until 4500).map(i => s"a-$i") // overlaps a
+    val whole = Sketch.hllRegisters((a ++ b).toDF("k"), "k")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val merged = Sketch.hllRegisters(a.toDF("k"), "k")
+      .unionByName(Sketch.hllRegisters(b.toDF("k"), "k"))
+      .groupBy("reg").agg(max("mx").as("mx"))
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(merged == whole)
+  }
+
+  test("hll: small-range correction — tiny and empty sets stay sane") {
+    val est3 = Sketch.hllEstimate(
+      Sketch.hllRegisters(Seq("x", "y", "z", "x").toDF("k"), "k"))
+      .collect().head
+    assert(est3.getLong(0) == 3) // 3 touched registers
+    assert(math.abs(est3.getDouble(2) - 3.0) < 0.1) // linear counting regime
+    val empty = Sketch.hllEstimate(
+      Sketch.hllRegisters(Seq.empty[String].toDF("k"), "k"))
+      .collect().head
+    assert(empty.getLong(0) == 0 && empty.getDouble(2) == 0.0)
+  }
 }
