@@ -1499,6 +1499,33 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    "t57_link_graph" -> { (s, d) =>
+      // crawl link-graph composition: authored pages carry two anchors on
+      // the t31 formulas (mixed quote styles + case), html_links extracts
+      // them, the parsed edges dedup, and Graph.pageRank runs 2 damped
+      // iterations. The oracle reconstructs the EXPECTED edge set in
+      // closed form and unrolls the recurrence with real out-degrees —
+      // any extraction or graph defect shifts every rank. Both anchor
+      // formulas are bijections mod N (7, 13 coprime to N), so each node
+      // has ≤ 2 in-edges and the per-node double sums stay order-free.
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val html = docs.select(col("doc_id"), concat(
+        lit("<html><body><p>intro</p><a href=\"/doc/"),
+        (col("doc_id") * 7 + 3) % n,
+        lit("\">x</a><A HREF='/doc/"), (col("doc_id") * 13 + 5) % n,
+        lit("'>y</A></body></html>")).as("html"))
+      val edges = html.select(col("doc_id").as("src"),
+          explode(html_links(col("html"))).as("link"))
+        .select(col("src"),
+          regexp_extract(col("link"), "/doc/([0-9]+)", 1)
+            .cast("long").as("dst"))
+        .distinct()
+      graft.operators.Graph.pageRank(edges, iters = 2, damping = 0.85)
+        .select(col("id"), round(col("rank"), 6).as("rank6"))
+        .orderBy("id")
+    },
+
     "t58_hll_distinct" -> { (s, d) =>
       // HyperLogLog distinct sketch (Sketch.hllRegisters/hllEstimate,
       // Flajolet 2007): the fixed-256-row mergeable companion to t55's
@@ -5682,6 +5709,34 @@ object SparkEntry {
            JOIN base tb ON tb.id = c.id_b)
          SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist
          FROM pairs WHERE dist <= 2 ORDER BY id_a, id_b""",
+
+    "t57_link_graph" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+         e AS (
+           SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+           FROM documents, nn
+           UNION
+           SELECT doc_id, (doc_id * 13 + 5) % nn.n FROM documents, nn),
+         od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+         r0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) / nn.n AS r
+                FROM documents, nn),
+         i1 AS (SELECT e.dst AS id, SUM(r0.r / od.od) AS x
+                FROM e JOIN r0 ON e.src = r0.id
+                JOIN od ON od.src = e.src GROUP BY 1),
+         r1 AS (SELECT r0.id,
+                  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+                  CAST(0.85 AS DOUBLE) * (coalesce(i1.x,
+                    CAST(0.0 AS DOUBLE)) + CAST(0.0 AS DOUBLE) / nn.n) AS r
+                FROM r0 LEFT JOIN i1 ON r0.id = i1.id, nn),
+         i2 AS (SELECT e.dst AS id, SUM(r1.r / od.od) AS x
+                FROM e JOIN r1 ON e.src = r1.id
+                JOIN od ON od.src = e.src GROUP BY 1),
+         r2 AS (SELECT r1.id,
+                  (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n +
+                  CAST(0.85 AS DOUBLE) * (coalesce(i2.x,
+                    CAST(0.0 AS DOUBLE)) + CAST(0.0 AS DOUBLE) / nn.n) AS r
+                FROM r1 LEFT JOIN i2 ON r1.id = i2.id, nn)
+         SELECT id, round(r, 6) AS rank6 FROM r2 ORDER BY id""",
 
     "t58_hll_distinct" ->
       """WITH h AS (
