@@ -1499,6 +1499,27 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    "v8_sq8_quant" -> { (s, d) =>
+      // int8 scalar quantization (Similarity.sq8Scales/Quantize/TopK, the
+      // faiss SQ8 shape): per-dim max-abs scales -> round(x/s*127) codes
+      // -> reconstructed-cosine top-5 for the first 10 queries, plus a
+      // per-query code checksum pinning the quantization bit-for-bit. The
+      // oracle re-derives the scales, codes, reconstruction, cosines and
+      // ranks from the raw embeddings — the whole compression path
+      // replayed in SQL.
+      val emb = t(s, d, "embeddings")
+      val scales = graft.operators.Similarity.sq8Scales(emb, "embedding")
+      val q = emb.filter(col("vec_id") < 10)
+      val top = graft.operators.Similarity.sq8TopK(emb, q, k = 5,
+        scales = Some(scales))
+      val chk = graft.operators.Similarity.sq8Quantize(q, "embedding", scales)
+        .select(col("vec_id").as("qid"),
+          expr("""aggregate(zip_with(codes, sequence(1, size(codes)),
+                  (q, i) -> cast(q * i AS bigint)), cast(0 AS bigint),
+                  (a, v) -> a + v)""").as("q_checksum"))
+      top.join(chk, "qid").orderBy("qid", "rk")
+    },
+
     "t57_link_graph" -> { (s, d) =>
       // crawl link-graph composition: authored pages carry two anchors on
       // the t31 formulas (mixed quote styles + case), html_links extracts
@@ -5709,6 +5730,44 @@ object SparkEntry {
            JOIN base tb ON tb.id = c.id_b)
          SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist
          FROM pairs WHERE dist <= 2 ORDER BY id_a, id_b""",
+
+    "v8_sq8_quant" ->
+      """WITH ex AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+                       UNNEST(range(len(embedding))) AS i FROM embeddings),
+         sc AS (SELECT i,
+                  CASE WHEN MAX(abs(v)) = CAST(0.0 AS DOUBLE)
+                       THEN CAST(1.0 AS DOUBLE) ELSE MAX(abs(v)) END AS s
+                FROM ex GROUP BY i),
+         qz AS (SELECT vec_id, i,
+                  CAST(LEAST(CAST(127.0 AS DOUBLE),
+                    GREATEST(CAST(-127.0 AS DOUBLE),
+                      ROUND(v / s * 127))) AS INTEGER) AS q, s
+                FROM ex JOIN sc USING (i)),
+         rec AS (SELECT vec_id, i, q * s / 127 AS r FROM qz),
+         norms AS (SELECT vec_id, SQRT(SUM(r * r)) AS nrm
+                   FROM rec GROUP BY 1),
+         dots AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                    SUM(a.r * b.r) AS dot
+                  FROM rec a JOIN rec b ON a.i = b.i AND a.vec_id < 10
+                    AND a.vec_id <> b.vec_id
+                  GROUP BY 1, 2),
+         cos AS (SELECT qid, nid,
+                   ROUND(CASE WHEN na.nrm = CAST(0.0 AS DOUBLE)
+                           OR nb.nrm = CAST(0.0 AS DOUBLE)
+                         THEN CAST(0.0 AS DOUBLE)
+                         ELSE dot / (na.nrm * nb.nrm) END, 6) AS cos
+                 FROM dots JOIN norms na ON na.vec_id = qid
+                   JOIN norms nb ON nb.vec_id = nid),
+         ranked AS (SELECT qid, nid, cos, ROW_NUMBER() OVER
+                      (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+                    FROM cos),
+         chk AS (SELECT vec_id AS qid,
+                   CAST(SUM(q * (i + 1)) AS BIGINT) AS q_checksum
+                 FROM qz WHERE vec_id < 10 GROUP BY 1)
+         SELECT r.qid, r.nid, CAST(r.rk AS INTEGER) AS rk, r.cos,
+           c.q_checksum
+         FROM ranked r JOIN chk c USING (qid)
+         WHERE rk <= 5 ORDER BY qid, rk""",
 
     "t57_link_graph" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),

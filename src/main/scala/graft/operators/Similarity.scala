@@ -383,4 +383,76 @@ object Similarity {
     }
     cents
   }
+
+  // ---- int8 scalar quantization (the faiss SQ8 shape) -------------------
+
+  /** Per-dimension symmetric int8 scales: `s_d = max |x_d|` over the
+    * corpus (1.0 for all-zero dims — their codes are 0 regardless).
+    * Scale shape: a dim-keyed combinable MAX (≤ `maxDim` rows — the same
+    * bounded-driver-fetch contract as `Pca.fit`), never a row collect. */
+  def sq8Scales(corpus: DataFrame, vecCol: String = "embedding",
+      maxDim: Int = 512): Array[Double] = {
+    val dims = corpus
+      .select(posexplode_outer(col(vecCol)).as(Seq("d", "x")))
+      .filter(col("x").isNotNull)
+      .groupBy("d").agg(max(abs(col("x").cast("double"))).as("mx"))
+      .collect()
+    require(dims.nonEmpty, "sq8Scales: empty corpus or all-null vectors")
+    val dim = dims.map(_.getInt(0)).max + 1
+    require(dim <= maxDim,
+      s"sq8Scales: dim $dim exceeds maxDim $maxDim (driver holds one " +
+        "double per dimension — raise maxDim deliberately)")
+    val out = Array.fill(dim)(1.0)
+    dims.foreach(r => if (r.getDouble(1) != 0.0) out(r.getInt(0)) = r.getDouble(1))
+    out
+  }
+
+  /** Map-only int8 encode: `q_d = round(x_d / s_d · 127)` clamped to
+    * [−127, 127] (the clamp binds only for vectors outside the corpus the
+    * scales were fit on). Scales ride the plan as literals — no join, no
+    * shuffle, 4× memory cut per vector before any index build. */
+  def sq8Quantize(df: DataFrame, vecCol: String, scales: Array[Double],
+      outCol: String = "codes"): DataFrame = {
+    val sLit = array(scales.map(lit): _*)
+    df.withColumn(outCol, zip_with(col(vecCol), sLit, (x, s) =>
+      least(lit(127.0), greatest(lit(-127.0),
+        round(x.cast("double") / s * 127))).cast("int")))
+  }
+
+  /** Dequantize codes back to doubles: `q_d · s_d / 127`. */
+  def sq8Reconstruct(codes: Column, scales: Array[Double]): Column =
+    zip_with(codes, array(scales.map(lit): _*),
+      (q, s) => q.cast("double") * s / 127)
+
+  /** Brute-force cosine top-k over RECONSTRUCTED int8 vectors — the
+    * quantization-quality harness (compare against [[bruteForceTopK]] to
+    * read the recall cost of 4× compression). Same orientation contract:
+    * queries broadcast, corpus streams map-only until the per-query rank.
+    * Cosines are rounded to 6 dp BEFORE ranking so ties break identically
+    * in the SQL replay. */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      scales: Option[Array[Double]] = None): DataFrame = {
+    val s = scales.getOrElse(sq8Scales(corpus, vecCol))
+    def rcos(a: Column, b: Column): Column = {
+      def dot(x: Column, y: Column) = aggregate(
+        zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+      val d = dot(a, b)
+      val na = sqrt(dot(a, a))
+      val nb = sqrt(dot(b, b))
+      when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
+    }
+    val c = sq8Quantize(Scatter(corpus), vecCol, s)
+      .select(col(idCol).as("nid"),
+        sq8Reconstruct(col("codes"), s).as("nr"))
+    val q = sq8Quantize(queries, vecCol, s)
+      .select(col(idCol).as("qid"),
+        sq8Reconstruct(col("codes"), s).as("qr"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    c.join(broadcast(q), col("qid") =!= col("nid"))
+      .withColumn("cos", round(rcos(col("qr"), col("nr")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("rk"), col("cos"))
+  }
 }

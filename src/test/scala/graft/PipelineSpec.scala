@@ -393,6 +393,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("sq8: codes bounded, reconstruction close, top-k recall vs brute") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val scales = Similarity.sq8Scales(emb, "embedding")
+    assert(scales.forall(s => s > 0.0))
+    // every code in [-127, 127]; max-abs dims hit exactly +/-127 somewhere
+    val codes = Similarity.sq8Quantize(emb, "embedding", scales)
+      .select("codes").collect().map(_.getSeq[Int](0))
+    assert(codes.flatten.forall(q => q >= -127 && q <= 127))
+    assert(codes.flatten.exists(q => math.abs(q) == 127))
+    // 8-bit reconstruction keeps top-5 cosine neighbors nearly intact
+    val queries = emb.filter($"vec_id" < 5)
+    val bf = Similarity.bruteForceTopK(emb, queries, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sq = Similarity.sq8TopK(emb, queries, 5, scales = Some(scales))
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bf.intersect(sq).size.toDouble / bf.size
+    assert(recall >= 0.8, s"sq8 top-k recall too low: $recall")
+    // out-of-range query vectors clamp instead of overflowing
+    val wild = Seq((99L, Array.fill(scales.length)(1e6f)))
+      .toDF("vec_id", "embedding")
+    val wc = Similarity.sq8Quantize(wild, "embedding", scales)
+      .select("codes").collect().head.getSeq[Int](0)
+    assert(wc.forall(_ == 127))
+  }
+
   test("bloom-filtered parquet sink: SBBF present per row group, lossless") {
     val tmp = java.nio.file.Files.createTempDirectory("bloomspec").toString + "/t"
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
