@@ -1547,6 +1547,28 @@ object SparkEntry {
         .orderBy("id")
     },
 
+    "a10_hll_by_group" -> { (s, d) =>
+      // grouped HLL (Sketch.hllRegistersBy/hllEstimateBy): distinct
+      // event_ids per event_type from 256 registers per group — the
+      // combinable "distinct per group" shape that replaces per-group
+      // distinct sets at 100 TB. Keys are chosen so every group sits in
+      // the raw-formula regime (no transcendental on the replayed path);
+      // the ln small-range branch is spec-covered Scala-side.
+      val ev = events(s, d).select(col("event_type"),
+        col("event_id").cast("string").as("k"))
+      val regs = graft.operators.Sketch.hllRegistersBy(ev, "event_type", "k")
+      val est = graft.operators.Sketch.hllEstimateBy(regs, "event_type")
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("k")).as("n_exact"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n_present"),
+          col("n_zero").cast("long").as("n_zero"),
+          round(col("est"), 4).as("est4"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) / col("n_exact")
+            <= lit(0.15)).as("err_ok"))
+        .orderBy("event_type")
+    },
+
     "t58_hll_distinct" -> { (s, d) =>
       // HyperLogLog distinct sketch (Sketch.hllRegisters/hllEstimate,
       // Flajolet 2007): the fixed-256-row mergeable companion to t55's
@@ -5796,6 +5818,54 @@ object SparkEntry {
                     CAST(0.0 AS DOUBLE)) + CAST(0.0 AS DOUBLE) / nn.n) AS r
                 FROM r1 LEFT JOIN i2 ON r1.id = i2.id, nn)
          SELECT id, round(r, 6) AS rank6 FROM r2 ORDER BY id""",
+
+    "a10_hll_by_group" ->
+      """WITH h AS (
+           SELECT event_type,
+             md5(CAST(event_id AS VARCHAR)) AS hx FROM events),
+         rr AS (SELECT event_type,
+             (instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) AS reg,
+             trim(LEADING '0' FROM substr(hx, 3, 12)) AS rest
+           FROM h),
+         rho AS (SELECT event_type, reg,
+             CASE WHEN length(rest) = 0 THEN 49
+                  ELSE 4 * (12 - length(rest)) +
+                    (CASE WHEN hv >= 8 THEN 0 WHEN hv >= 4 THEN 1
+                          WHEN hv >= 2 THEN 2 ELSE 3 END) + 1 END AS rho
+           FROM (SELECT event_type, reg, rest,
+                   instr('0123456789abcdef', substr(rest, 1, 1)) - 1 AS hv
+                 FROM rr)),
+         regs AS (SELECT event_type, reg, MAX(rho) AS mx
+                  FROM rho GROUP BY 1, 2),
+         agg AS (SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_present,
+                   CAST(SUM(CAST(1 AS BIGINT) << (49 - mx)) AS BIGINT)
+                     AS sp
+                 FROM regs GROUP BY 1),
+         e0 AS (SELECT event_type, n_present,
+                  256 - n_present AS n_zero,
+                  (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+                     CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE)) *
+                     CAST(65536.0 AS DOUBLE) *
+                     CAST(562949953421312.0 AS DOUBLE))
+                    / (sp + (256 - n_present) *
+                       (CAST(1 AS BIGINT) << 49)) AS raw
+                FROM agg),
+         e1 AS (SELECT event_type, n_present, n_zero,
+                  CASE WHEN raw <= CAST(2.5 AS DOUBLE) * 256
+                         AND n_zero > 0
+                       THEN 256 * ln(CAST(256.0 AS DOUBLE) / n_zero)
+                       ELSE raw END AS est
+                FROM e0),
+         x AS (SELECT event_type,
+                 CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_exact
+               FROM events GROUP BY 1)
+         SELECT e1.event_type, n_present, n_zero, ROUND(est, 4) AS est4,
+           n_exact,
+           abs(est - n_exact) / n_exact <= CAST(0.15 AS DOUBLE) AS err_ok
+         FROM e1 JOIN x ON e1.event_type = x.event_type
+         ORDER BY e1.event_type""",
 
     "t58_hll_distinct" ->
       """WITH h AS (

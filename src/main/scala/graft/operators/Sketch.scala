@@ -105,6 +105,43 @@ object Sketch {
                 THEN 256 * ln(CAST(256.0 AS DOUBLE) / n_zero)
                 ELSE raw END""").as("est"))
 
+  /** Grouped [[hllRegisters]]: `(group, reg, mx)` — ≤ 256 rows per group.
+    * The scalable "distinct keys per group" shape: per-(group, reg) MAX is
+    * combinable, so a billion-row group costs its 256 partial rows per
+    * task, never a per-group distinct set. */
+  def hllRegistersBy(df: DataFrame, grpCol: String,
+      keyCol: String): DataFrame = {
+    val h = s"md5(cast($keyCol AS binary))"
+    val reg = expr(
+      s"(instr('0123456789abcdef', substr($h, 1, 1)) - 1) * 16 + " +
+        s"(instr('0123456789abcdef', substr($h, 2, 1)) - 1)").cast("int")
+    val rest = s"trim(LEADING '0' FROM substr($h, 3, 12))"
+    val hv = s"(instr('0123456789abcdef', substr($rest, 1, 1)) - 1)"
+    val rho = expr(
+      s"""CASE WHEN length($rest) = 0 THEN 49
+          ELSE 4 * (12 - length($rest)) +
+            (CASE WHEN $hv >= 8 THEN 0 WHEN $hv >= 4 THEN 1
+                  WHEN $hv >= 2 THEN 2 ELSE 3 END) + 1 END""").cast("int")
+    df.select(col(grpCol), reg.as("reg"), rho.as("rho"))
+      .groupBy(col(grpCol), col("reg")).agg(max("rho").as("mx"))
+  }
+
+  /** Per-group estimates from an [[hllRegistersBy]] table: one row per
+    * group with `(n_present, n_zero, est)` — same arithmetic as
+    * [[hllEstimate]], grouped. */
+  def hllEstimateBy(registers: DataFrame, grpCol: String): DataFrame =
+    registers.groupBy(col(grpCol))
+      .agg(count(lit(1)).as("n_present"),
+        sum(expr("shiftleft(cast(1 AS bigint), 49 - mx)")).as("sp"))
+      .select(col(grpCol), col("n_present"),
+        (lit(256) - col("n_present")).as("n_zero"),
+        expr(s"$hllASql / (sp + (256 - n_present) * " +
+          "shiftleft(cast(1 AS bigint), 49))").as("raw"))
+      .select(col(grpCol), col("n_present"), col("n_zero"),
+        expr("""CASE WHEN raw <= CAST(2.5 AS DOUBLE) * 256 AND n_zero > 0
+                THEN 256 * ln(CAST(256.0 AS DOUBLE) / n_zero)
+                ELSE raw END""").as("est"))
+
   /** Estimate the count of each key in `keys` from a [[countMinTable]]
     * built with the SAME (d, hexChars): `est = min_i table[i][h_i(key)]`
     * (0 for rows whose bucket was never touched). Returns the `keys`

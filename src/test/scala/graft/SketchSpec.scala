@@ -70,6 +70,26 @@ class SketchSpec extends AnyFunSuite {
     assert(merged == whole)
   }
 
+  test("hll grouped: per-group estimates match per-group solo sketches") {
+    val rows = (0 until 2000).map(i => (s"g${i % 3}", s"k-${i % 700}"))
+    val byG = Sketch.hllEstimateBy(
+      Sketch.hllRegistersBy(rows.toDF("g", "k"), "g", "k"), "g")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(byG.keySet == Set("g0", "g1", "g2"))
+    // each group alone must estimate identically to the grouped path
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Sketch.hllEstimate(Sketch.hllRegisters(
+        rows.filter(_._1 == g).map(_._2).toDF("k"), "k"))
+        .collect().head.getDouble(2)
+      assert(byG(g) == solo, s"group $g: ${byG(g)} vs solo $solo")
+    }
+    // small groups take the linear-counting branch and stay accurate
+    val tiny = Sketch.hllEstimateBy(Sketch.hllRegistersBy(
+      Seq(("a", "x"), ("a", "y"), ("b", "z")).toDF("g", "k"), "g", "k"), "g")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(tiny("a") - 2.0) < 0.1 && math.abs(tiny("b") - 1.0) < 0.1)
+  }
+
   test("hll: small-range correction — tiny and empty sets stay sane") {
     val est3 = Sketch.hllEstimate(
       Sketch.hllRegisters(Seq("x", "y", "z", "x").toDF("k"), "k"))
