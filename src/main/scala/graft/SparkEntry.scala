@@ -695,6 +695,19 @@ object SparkEntry {
         .orderBy("user_id", "bucket_us")
     },
 
+    "w6_rolling_mean" -> { (s, d) =>
+      // trailing 24-bucket rolling mean composed on the w5 resampled grid
+      // (Sessions.rollingMean): regular grid -> ROWS frame IS the time
+      // frame; sum/count legs integer-exact, one replayed division.
+      val grid = graft.operators.Sessions.resampleFfill(
+        events(s, d).filter(col("user_id") < 50), "user_id", "ts",
+        valueCol = "value", stepSeconds = 3600L, tieCol = "event_id")
+      graft.operators.Sessions.rollingMean(grid, "user_id", 24)
+        .select(col("user_id"), col("bucket_us"), col("roll_sum_cents"),
+          col("roll_n"), col("roll_mean6"))
+        .orderBy("user_id", "bucket_us")
+    },
+
     "x1_set_except" -> { (s, d) =>
       // customers that never ordered: EXCEPT (set op) — then count
       val with_ = t(s, d, "orders").select(col("o_custkey").as("k"))
@@ -4792,6 +4805,45 @@ object SparkEntry {
              AS value_cents,
            cents IS NULL AS filled
          FROM j ORDER BY user_id, bucket_us""",
+
+    "w6_rolling_mean" ->
+      """WITH obs0 AS (
+           SELECT user_id, epoch_us(ts) AS us, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) - epoch_us(ts) % 3600000000 AS bucket_us
+           FROM events WHERE user_id < 50),
+         obs AS (
+           SELECT user_id, bucket_us, cents FROM (
+             SELECT user_id, bucket_us, cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id, bucket_us
+                 ORDER BY us DESC, event_id DESC) AS rn
+             FROM obs0) WHERE rn = 1),
+         span AS (
+           SELECT user_id, MIN(bucket_us) // 3600000000 AS b0,
+                  MAX(bucket_us) // 3600000000 AS b1
+           FROM obs0 GROUP BY 1),
+         grid AS (
+           SELECT user_id, CAST(u.bi * 3600000000 AS BIGINT) AS bucket_us
+           FROM span, UNNEST(range(b0, b1 + 1)) AS u(bi)),
+         j AS (
+           SELECT g.user_id, g.bucket_us, o.cents
+           FROM grid g LEFT JOIN obs o USING (user_id, bucket_us)),
+         f AS (
+           SELECT user_id, bucket_us,
+             LAST_VALUE(cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY bucket_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value_cents
+           FROM j)
+         SELECT user_id, bucket_us,
+           CAST(SUM(value_cents) OVER w AS BIGINT) AS roll_sum_cents,
+           CAST(COUNT(value_cents) OVER w AS BIGINT) AS roll_n,
+           ROUND(CAST(SUM(value_cents) OVER w AS DOUBLE) /
+             COUNT(value_cents) OVER w / 100.0, 6) AS roll_mean6
+         FROM f
+         WINDOW w AS (PARTITION BY user_id ORDER BY bucket_us
+           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+         ORDER BY user_id, bucket_us""",
 
     "x1_set_except" ->
       """SELECT COUNT(*) AS n_never_ordered FROM (

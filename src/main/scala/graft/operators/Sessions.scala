@@ -96,4 +96,23 @@ object Sessions {
       .withColumn("filled", col("obs_cents").isNull)
       .drop("obs_cents")
   }
+
+  /** Trailing rolling mean over a REGULAR series (a [[resampleFfill]]
+    * output): per (key, bucket), the mean of `value_cents` over the last
+    * `windowBuckets` buckets including the current one. Because the grid
+    * is regular, a ROWS frame IS a time frame — no RANGE window needed.
+    * Emits the integer-exact `roll_sum_cents`/`roll_n` legs plus the one
+    * derived division (`roll_mean6`), so replays stay bit-stable.
+    * Same scale posture as everything here: per-key window only. */
+  def rollingMean(resampled: DataFrame, keyCol: String,
+      windowBuckets: Int): DataFrame = {
+    require(windowBuckets >= 1, s"windowBuckets must be >= 1: $windowBuckets")
+    val w = Window.partitionBy(keyCol).orderBy("bucket_us")
+      .rowsBetween(-(windowBuckets - 1L), Window.currentRow)
+    resampled
+      .withColumn("roll_sum_cents", sum(col("value_cents")).over(w))
+      .withColumn("roll_n", count(col("value_cents")).over(w))
+      .withColumn("roll_mean6", round(
+        col("roll_sum_cents").cast("double") / col("roll_n") / 100.0, 6))
+  }
 }

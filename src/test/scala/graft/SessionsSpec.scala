@@ -62,6 +62,24 @@ class SessionsSpec extends AnyFunSuite {
       (2L, 0L, 725L, false)))
   }
 
+  test("rollingMean: trailing frame, partial head windows, per key only") {
+    val grid = Seq(
+      (1L, 0L, 100L, false), (1L, 1000L, 200L, true),
+      (1L, 2000L, 300L, false), (1L, 3000L, 400L, false),
+      (2L, 0L, 50L, false)
+    ).toDF("user_id", "bucket_us", "value_cents", "filled")
+    val got = Sessions.rollingMean(grid, "user_id", 2)
+      .orderBy("user_id", "bucket_us")
+      .select($"user_id", $"roll_sum_cents", $"roll_n", $"roll_mean6")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      (1L, 100L, 1L, 1.0),  // head window is partial
+      (1L, 300L, 2L, 1.5),
+      (1L, 500L, 2L, 2.5),
+      (1L, 700L, 2L, 3.5),
+      (2L, 50L, 1L, 0.5))) // other keys never leak into the frame
+  }
+
   test("resampleFfill: within-bucket election takes the last (ts, tie)") {
     val df = Seq(ev(1, 3, 100, 1.0), ev(2, 3, 100, 9.0), ev(3, 3, 50, 5.0))
       .toDF("event_id", "user_id", "ts", "value")
