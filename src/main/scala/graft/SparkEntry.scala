@@ -1533,6 +1533,22 @@ object SparkEntry {
       top.join(chk, "qid").orderBy("qid", "rk")
     },
 
+    "t60_weighted_sample" -> { (s, d) =>
+      // weighted sampling without replacement (TrainingData.weightedSample,
+      // Efraimidis-Spirakis via Gumbel-top-k): weights derived from
+      // n_chars, noise from the hash-uniform — the oracle replays
+      // ln(w) - ln(-ln(u)) and the top-100 cut exactly, so membership,
+      // order keys and the exclusion of non-positive weights all pin.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          ((col("n_chars") % 97) + 1).cast("double").as("weight"))
+      graft.operators.TrainingData.weightedSample(docs, "weight",
+          n = 100, seed = "t60")
+        .select(col("doc_id"), col("weight"),
+          round(col("samp_key"), 6).as("key6"))
+        .orderBy("doc_id")
+    },
+
     "t57_link_graph" -> { (s, d) =>
       // crawl link-graph composition: authored pages carry two anchors on
       // the t31 formulas (mixed quote styles + case), html_links extracts
@@ -5842,6 +5858,34 @@ object SparkEntry {
            c.q_checksum
          FROM ranked r JOIN chk c USING (qid)
          WHERE rk <= 5 ORDER BY qid, rk""",
+
+    "t60_weighted_sample" ->
+      """WITH hx AS (
+           SELECT doc_id,
+             CAST((n_chars % 97) + 1 AS DOUBLE) AS weight,
+             md5('t60' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         uu AS (
+           SELECT doc_id, weight,
+             (CAST((((((
+               (instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+               (instr('0123456789abcdef', substr(h, 2, 1)) - 1)) * 16 +
+               (instr('0123456789abcdef', substr(h, 3, 1)) - 1)) * 16 +
+               (instr('0123456789abcdef', substr(h, 4, 1)) - 1)) * 16 +
+               (instr('0123456789abcdef', substr(h, 5, 1)) - 1)) * 16 +
+               (instr('0123456789abcdef', substr(h, 6, 1)) - 1))
+               AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+               CAST(16777216.0 AS DOUBLE) AS u
+           FROM hx WHERE weight > 0),
+         keyed AS (
+           SELECT doc_id, weight, ln(weight) - ln(-ln(u)) AS k
+           FROM uu),
+         topn AS (
+           SELECT doc_id, weight, k,
+             ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS rn
+           FROM keyed)
+         SELECT doc_id, weight, ROUND(k, 6) AS key6
+         FROM topn WHERE rn <= 100 ORDER BY doc_id""",
 
     "t57_link_graph" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),

@@ -948,4 +948,26 @@ object TrainingData {
     selected.select(col(idCol), col("__s").as(scoreCol),
       col("__t").as(tokensCol))
   }
+
+  /** Weighted sampling WITHOUT replacement, ∝ `weightCol` (Efraimidis &
+    * Spirakis, IPL 2006, via the equivalent Gumbel-top-k form): key =
+    * ln(w) + Gumbel(0,1), keep the n largest keys. The Gumbel noise is
+    * the repo's HASH-DERIVED uniform (md5 of seed ∥ id — the
+    * [[dsirSelect]] trick), so the sample is deterministic given the
+    * seed, reproducible across runs/partitionings, and SQL-replayable.
+    *
+    * Scale shape: map-only key projection + TakeOrderedAndProject (per-
+    * partition top-n, combined on the driver — never a global sort).
+    * Weights must be strictly positive; null/zero/negative rows are
+    * excluded (ln undefined), matching the SQL replay's WHERE. */
+  def weightedSample(docs: DataFrame, weightCol: String, n: Int,
+      seed: String, idCol: String = "doc_id"): DataFrame = {
+    require(n >= 0, s"n must be non-negative: $n")
+    val u = (md5Bucket(s"concat('$seed', $idCol)", 6).cast("double") +
+      0.5) / math.pow(16, 6)
+    docs.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("samp_key",
+        log(col(weightCol).cast("double")) - log(-log(u)))
+      .orderBy(col("samp_key").desc, col(idCol)).limit(n)
+  }
 }

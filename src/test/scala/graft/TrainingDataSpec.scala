@@ -494,6 +494,30 @@ class TrainingDataSpec extends AnyFunSuite {
       "tokens", nBuckets = 8).collect().map(_.getLong(0)).toSet)
   }
 
+  test("weightedSample: deterministic, weight-biased, excludes w <= 0") {
+    val df = (1L to 400L).map(i =>
+      (i, if (i <= 20) 1000.0 else 1.0)).toDF("doc_id", "weight")
+    val a = TrainingData.weightedSample(df, "weight", 50, "s1")
+      .collect().map(_.getLong(0)).toSet
+    val b = TrainingData.weightedSample(df, "weight", 50, "s1")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "same seed must reproduce the same sample")
+    val c = TrainingData.weightedSample(df, "weight", 50, "s2")
+      .collect().map(_.getLong(0)).toSet
+    assert(a != c, "a different seed must move the sample")
+    // the 20 heavy docs (1000x weight) are essentially always all in
+    assert((1L to 20L).count(a) >= 18, s"heavy docs under-sampled: $a")
+    // without replacement: size is exactly n, no repeats by construction
+    assert(a.size == 50)
+    // non-positive / null weights are excluded even at n >= count
+    val bad = Seq((1L, 2.0), (2L, 0.0), (3L, -1.0))
+      .toDF("doc_id", "weight")
+      .unionByName(Seq((4L, Option.empty[Double])).toDF("doc_id", "weight"))
+    val kept = TrainingData.weightedSample(bad, "weight", 10, "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L))
+  }
+
   test("groupReport: per-group counts, interpolated quantiles, dup rate") {
     // group (web, en): token counts {1,2,3,4,4} -> p50 = 3 exact; one
     // exact dup pair -> dup rate 1 - 4/5 = 0.2
