@@ -1533,6 +1533,21 @@ object SparkEntry {
       top.join(chk, "qid").orderBy("qid", "rk")
     },
 
+    "o3_zorder_keys" -> { (s, d) =>
+      // multi-column Z-order clustering key (ZOrder.zorderEncode): 3
+      // bounded dims bit-interleaved; unlike the Hilbert key the Morton
+      // key IS ANSI-expressible, so the oracle replays every interleaved
+      // bit exactly over the first 1000 rows of the clustered order.
+      val z = graft.operators.ZOrder.zorderEncode(Seq(
+        col("l_partkey") % 64, col("l_suppkey") % 64,
+        col("l_linenumber") % 8), bits = 6)
+      val w = Window.orderBy("zkey", "l_orderkey", "l_linenumber")
+      t(s, d, "lineitem").withColumn("zkey", z)
+        .select(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy("zkey", "l_orderkey", "l_linenumber").limit(1000)
+        .withColumn("rn", row_number().over(w).cast("int"))
+    },
+
     "t60_weighted_sample" -> { (s, d) =>
       // weighted sampling without replacement (TrainingData.weightedSample,
       // Efraimidis-Spirakis via Gumbel-top-k): weights derived from
@@ -5858,6 +5873,21 @@ object SparkEntry {
            c.q_checksum
          FROM ranked r JOIN chk c USING (qid)
          WHERE rk <= 5 ORDER BY qid, rk""",
+
+    "o3_zorder_keys" -> {
+      val zs = graft.operators.ZOrder.zorderSql(Seq(
+        "l_partkey % 64", "l_suppkey % 64", "l_linenumber % 8"), 6)
+      s"""WITH z AS (
+            SELECT $zs AS zkey, l_orderkey, l_linenumber FROM lineitem),
+          r AS (
+            SELECT zkey, l_orderkey, l_linenumber,
+              ROW_NUMBER() OVER (ORDER BY zkey, l_orderkey, l_linenumber)
+                AS rn
+            FROM z)
+          SELECT CAST(zkey AS BIGINT) AS zkey, l_orderkey, l_linenumber,
+            CAST(rn AS INTEGER) AS rn
+          FROM r WHERE rn <= 1000 ORDER BY rn"""
+    },
 
     "t60_weighted_sample" ->
       """WITH hx AS (
