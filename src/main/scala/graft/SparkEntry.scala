@@ -1533,6 +1533,32 @@ object SparkEntry {
       top.join(chk, "qid").orderBy("qid", "rk")
     },
 
+    "mm13_exif_meta" -> { (s, d) =>
+      // EXIF metadata (Exif.parse, CIPA DC-008 / TIFF 6.0): authored
+      // APP1 fixtures with formula-derived make/model/orientation/
+      // timestamps, alternating byte order per doc (II/MM), strings both
+      // inline (<= 4 bytes incl NUL) and offset-area. The oracle
+      // reconstructs every expected field in closed form — a parse
+      // failure in either endianness or either value encoding breaks the
+      // hash. Parsing runs distributed as a per-row kernel.
+      import s.implicits._
+      t(s, d, "documents").select(col("doc_id")).as[Long]
+        .map { id =>
+          val make = s"Maker${id % 7}"
+          val model = s"Cam${id % 5}"
+          val orient = (id % 8).toInt + 1
+          val dt = f"2024:01:${id % 28 + 1}%02d 10:30:00"
+          val dto = f"2023:12:${id % 28 + 1}%02d 09:15:30"
+          val bytes = graft.multimodal.Exif.writeExifJpeg(
+            make, model, orient, dt, dto, littleEndian = id % 2 == 0)
+          val m = graft.multimodal.Exif.parse(bytes)
+          (id, m.make, m.model, m.orientation, m.datetime, m.dt_original)
+        }
+        .toDF("doc_id", "make", "model", "orientation", "datetime",
+          "dt_original")
+        .orderBy("doc_id")
+    },
+
     "o3_zorder_keys" -> { (s, d) =>
       // multi-column Z-order clustering key (ZOrder.zorderEncode): 3
       // bounded dims bit-interleaved; unlike the Hilbert key the Morton
@@ -5873,6 +5899,17 @@ object SparkEntry {
            c.q_checksum
          FROM ranked r JOIN chk c USING (qid)
          WHERE rk <= 5 ORDER BY qid, rk""",
+
+    "mm13_exif_meta" ->
+      """SELECT doc_id,
+           'Maker' || CAST(doc_id % 7 AS VARCHAR) AS make,
+           'Cam' || CAST(doc_id % 5 AS VARCHAR) AS model,
+           CAST(doc_id % 8 + 1 AS INTEGER) AS orientation,
+           '2024:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || ' 10:30:00' AS datetime,
+           '2023:12:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+             || ' 09:15:30' AS dt_original
+         FROM documents ORDER BY doc_id""",
 
     "o3_zorder_keys" -> {
       val zs = graft.operators.ZOrder.zorderSql(Seq(
