@@ -391,6 +391,63 @@ object Stress {
       }
     }
 
+    if (sec("r8s3")) {
+      time("editDistancePairs (1M docs)") {
+        // planted near-dups differ at word 0 only -> prefix block broken,
+        // SUFFIX block intact (the blocking's recall contract); zipf head
+        // vocab makes genuinely hot prefix blocks, so the maxBucket cap
+        // engages instead of detonating the self-join
+        val pairs = Dedup.editDistancePairs(docs, maxDist = 8,
+          blockLen = 16, maxBucket = 500)
+        val n = pairs.count()
+        val planted = pairs.filter(col("id_b") - col("id_a") === 1 &&
+          col("id_b") % 100 === 99).count()
+        println(s"    pairs: $n (planted neighbors recovered: $planted)")
+        require(planted > 8000, s"planted fuzzy pairs under-recovered: $planted")
+      }
+      time("sessionize+resample (5M events, 10k users)") {
+        val ev = spark.range(5000000L).toDF("event_id")
+          .withColumn("user_id", col("event_id") % 10000)
+          .withColumn("ts", timestamp_seconds(
+            lit(1700000000L) + (col("event_id") / 10000).cast("long") * 30 +
+              pmod(xxhash64(col("event_id")), lit(20))))
+          .withColumn("value", (pmod(xxhash64(col("event_id"), lit(1)),
+            lit(10000)).cast("double")) / 100.0)
+        val sess = graft.operators.Sessions.sessionStats(ev, "user_id",
+          "ts", gapSeconds = 120L, tieCol = "event_id", valueCol = "value")
+        println("    sessions: " + sess.count())
+        val grid = graft.operators.Sessions.resampleFfill(ev, "user_id",
+          "ts", valueCol = "value", stepSeconds = 600L, tieCol = "event_id")
+        val g = grid.agg(count(lit(1)), sum(col("filled").cast("long"))).head()
+        println(s"    grid rows: ${g.getLong(0)} (filled: ${g.getLong(1)})")
+      }
+      time("hll (50M keys + grouped 100x500k)") {
+        val keys = spark.range(50000000L)
+          .select(col("id").cast("string").as("k"),
+            concat(lit("g"), col("id") % 100).as("g"))
+        val est = graft.operators.Sketch.hllEstimate(
+          graft.operators.Sketch.hllRegisters(keys, "k")).head().getDouble(2)
+        println(f"    hll est: $est%.0f of 50M (${est / 5e7 * 100}%.1f%%)")
+        require(math.abs(est - 5e7) / 5e7 < 0.10, s"hll drifted: $est")
+        val grouped = graft.operators.Sketch.hllEstimateBy(
+          graft.operators.Sketch.hllRegistersBy(keys, "g", "k"), "g")
+        println("    grouped rows: " + grouped.count())
+      }
+      time("weightedSample (1M docs, n=10k)") {
+        val w = docs.withColumn("weight",
+          (pmod(xxhash64(col("doc_id")), lit(100)) + 1).cast("double"))
+        println("    sampled: " + TrainingData.weightedSample(
+          w, "weight", 10000, "stress").count())
+      }
+      time("zorder keys (10M rows)") {
+        val z = spark.range(10000000L)
+          .select(graft.operators.ZOrder.zorderEncode(Seq(
+            col("id") % 1024, (col("id") / 1024) % 1024,
+            (col("id") / 1048576) % 16), 10).as("z"))
+        println("    distinct z: " + z.agg(countDistinct("z")).head().getLong(0))
+      }
+    }
+
     // ---- embeddings -------------------------------------------------------
     if (sec("vecs")) {
     time("gen+write vecs") {
@@ -439,6 +496,15 @@ object Stress {
       val n = Similarity.semDedup(collapsed, tau = 0.95, nlist = 16,
         trainSample = 2000, iters = 2).count()
       println(s"    collapsed survivors: $n of $nVecs (cap bound: ${n == nVecs})")
+    }
+    time("sq8 quantize+topk (200k vecs)") {
+      val scales = Similarity.sq8Scales(vecs, "embedding")
+      val hits = Similarity.sq8TopK(vecs, queries, k = 10,
+        scales = Some(scales))
+      val self = hits.filter(col("rk") === 1 &&
+        col("qid") - nVecs === col("nid")).count()
+      println(s"    sq8 rank-1 self-matches: $self/32")
+      require(self >= 30, s"sq8 self-recall regressed: $self")
     }
     time("pca fit+project (200k x 256d -> 32)") {
       val m = graft.vector.Pca.fit(vecs, k = 32, whiten = true)

@@ -886,4 +886,48 @@ class ScalePlanSpec extends AnyFunSuite {
       assert(m.score("qgood") > m.score("qbad"))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("editDistancePairs: equality joins only, wide texts off the " +
+      "candidate shuffle") {
+    val docs = (0 until 40).map(i => (i.toLong, s"prefix shared $i tail"))
+      .toDF("doc_id", "text")
+    val p = Dedup.editDistancePairs(docs, maxDist = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"no all-pairs path:\n$p")
+    // the pair distinct must run on bare ids: no 'txt' attribute may
+    // appear in any HashAggregate grouping (texts join back after)
+    val aggLines = p.linesIterator.filter(_.contains("HashAggregate")).toSeq
+    assert(aggLines.nonEmpty &&
+      !aggLines.exists(l => l.contains("txt_a") || l.contains("txt_b")),
+      s"candidate distinct must not carry texts:\n${aggLines.mkString("\n")}")
+  }
+
+  test("sq8TopK: corpus side streams, queries broadcast") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val p = Similarity.sq8TopK(emb, q, k = 2)
+      .queryExecution.executedPlan.toString
+    // brute-force top-k is inherently a non-equi product — the scale
+    // contract (the v1 orientation) is that the SMALL query side is the
+    // broadcast build side while the corpus streams
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight"),
+      s"queries must be the broadcast build side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no shuffled cartesian:\n$p")
+  }
+
+  test("sessions/resample: every window and join is keyed (no global window)") {
+    val ev = Seq((1L, 1L, new java.sql.Timestamp(0L), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    for (df <- Seq(
+      graft.operators.Sessions.sessionStats(ev, "user_id", "ts", 60L,
+        "event_id", "value"),
+      graft.operators.Sessions.resampleFfill(ev, "user_id", "ts", "value",
+        60L, "event_id"))) {
+      val p = df.queryExecution.executedPlan.toString
+      p.linesIterator.filter(_.contains("Window")).foreach { l =>
+        assert(l.contains("user_id"), s"window must be user-keyed: $l")
+      }
+    }
+  }
 }
