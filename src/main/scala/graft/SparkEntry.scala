@@ -695,6 +695,48 @@ object SparkEntry {
         .orderBy("user_id", "bucket_us")
     },
 
+    "a11_grouping_sets" -> { (s, d) =>
+      // GROUPING SETS + grouping_id: the multi-rollup report shape (a8
+      // covers ROLLUP; this pins arbitrary set lists + the grouping
+      // marker the consumer uses to tell subtotal rows apart)
+      t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")),
+            Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("sum_cents"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy(asc_nulls_first("o_orderstatus"),
+          asc_nulls_first("o_orderpriority"))
+    },
+
+    "w7_ntile_deciles" -> { (s, d) =>
+      // ntile decile assignment per status + per-decile aggregates: the
+      // score-banding shape (monitoring dashboards, calibration tables)
+      val w = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("decile", ntile(10).over(w).cast("int"))
+        .groupBy(col("o_orderstatus"), col("decile"))
+        .agg(count(lit(1)).as("n"),
+          sum(cents(col("o_totalprice"))).as("sum_cents"))
+        .orderBy("o_orderstatus", "decile")
+    },
+
+    "w8_pivot" -> { (s, d) =>
+      // pivot events wide: one row per user, one column per event type —
+      // the feature-matrix export shape; the oracle replays it as
+      // conditional aggregation (the portable form of PIVOT)
+      events(s, d).filter(col("user_id") < 100)
+        .groupBy(col("user_id"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(coalesce(count(lit(1)), lit(0L)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
     "w6_rolling_mean" -> { (s, d) =>
       // trailing 24-bucket rolling mean composed on the w5 resampled grid
       // (Sessions.rollingMean): regular grid -> ROWS frame IS the time
@@ -4862,6 +4904,40 @@ object SparkEntry {
              AS value_cents,
            cents IS NULL AS filled
          FROM j ORDER BY user_id, bucket_us""",
+
+    "a11_grouping_sets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus ASC NULLS FIRST,
+           o_orderpriority ASC NULLS FIRST""",
+
+    "w7_ntile_deciles" ->
+      s"""WITH t AS (
+           SELECT o_orderstatus, o_totalprice, o_orderkey,
+             NTILE(10) OVER (PARTITION BY o_orderstatus
+               ORDER BY o_totalprice DESC, o_orderkey) AS decile
+           FROM orders)
+         SELECT o_orderstatus, CAST(decile AS INTEGER) AS decile,
+           COUNT(*) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents
+         FROM t GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "w8_pivot" ->
+      """SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+             AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             AS BIGINT) AS view
+         FROM events WHERE user_id < 100 GROUP BY 1 ORDER BY 1""",
 
     "w6_rolling_mean" ->
       """WITH obs0 AS (
