@@ -695,6 +695,41 @@ object SparkEntry {
         .orderBy("user_id", "bucket_us")
     },
 
+    "s20_corrupt_quarantine" -> { (s, d) =>
+      // malformed-record quarantine: the crawl-ingest contract that bad
+      // lines NEVER kill the job and NEVER silently vanish. An authored
+      // NDJSON fixture corrupts every 7th line (unterminated string);
+      // PERMISSIVE parse routes them to _corrupt_record, good rows parse
+      // typed, and quarantine triage salvages ids from the raw line. The
+      // oracle derives all four legs in closed form — a dropped or
+      // double-counted line breaks the hash. (The parsed frame is cached:
+      // Spark refuses raw-only queries over an uncached corrupt column.)
+      val dir = java.nio.file.Files.createTempDirectory("graft_s20")
+        .toString + "/docs.jsonl"
+      t(s, d, "documents").select(
+          when(col("doc_id") % 7 === 0,
+            concat(lit("{\"doc_id\": "), col("doc_id"),
+              lit(", \"text\": \"broken")))
+          .otherwise(concat(lit("{\"doc_id\": "), col("doc_id"),
+            lit(", \"text\": \"line"), col("doc_id"), lit("\"}")))
+          .as("value"))
+        .write.mode("overwrite").text(dir)
+      val parsed = s.read
+        .schema("doc_id LONG, text STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(dir).cache()
+      val good = parsed.filter(col("_corrupt_record").isNull)
+        .agg(count(lit(1)).as("n_good"),
+          sum(col("doc_id")).as("sum_good_ids"))
+      val bad = parsed.filter(col("_corrupt_record").isNotNull)
+        .select(regexp_extract(col("_corrupt_record"),
+          "\"doc_id\": ([0-9]+)", 1).cast("long").as("sid"))
+        .agg(count(lit(1)).as("n_quarantined"),
+          sum(col("sid")).as("sum_salvaged_ids"))
+      good.crossJoin(bad)
+    },
+
     "a11_grouping_sets" -> { (s, d) =>
       // GROUPING SETS + grouping_id: the multi-rollup report shape (a8
       // covers ROLLUP; this pins arbitrary set lists + the grouping
@@ -4904,6 +4939,17 @@ object SparkEntry {
              AS value_cents,
            cents IS NULL AS filled
          FROM j ORDER BY user_id, bucket_us""",
+
+    "s20_corrupt_quarantine" ->
+      """SELECT
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 <> 0)
+             AS BIGINT) AS n_good,
+           CAST((SELECT SUM(doc_id) FROM documents WHERE doc_id % 7 <> 0)
+             AS BIGINT) AS sum_good_ids,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 0)
+             AS BIGINT) AS n_quarantined,
+           CAST((SELECT SUM(doc_id) FROM documents WHERE doc_id % 7 = 0)
+             AS BIGINT) AS sum_salvaged_ids""",
 
     "a11_grouping_sets" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
