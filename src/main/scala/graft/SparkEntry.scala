@@ -695,6 +695,23 @@ object SparkEntry {
         .orderBy("user_id", "bucket_us")
     },
 
+    "e13_stream_distinct" -> { (s, d) =>
+      // streaming approximate distinct (EventStreams.hllWindowRegisters):
+      // HLL registers as watermarked per-day window state — MAX is
+      // monotone, so the sketch streams through an ordinary aggregation
+      // with 256-row-per-window state. The batch twin's register tables
+      // are replayed bucket-for-bucket (integer-only legs, regime-free);
+      // estimates are covered by Sketch specs and StreamingSpec drives
+      // the real readStream form.
+      graft.streaming.EventStreams.hllWindowRegisters(
+          events(s, d), "event_id")
+        .groupBy(unix_micros(col("window_start")).as("day_us"))
+        .agg(count(lit(1)).as("n_present"),
+          sum(col("mx")).cast("long").as("sum_mx"),
+          max(col("mx")).cast("int").as("max_mx"))
+        .orderBy("day_us")
+    },
+
     "s20_corrupt_quarantine" -> { (s, d) =>
       // malformed-record quarantine: the crawl-ingest contract that bad
       // lines NEVER kill the job and NEVER silently vanish. An authored
@@ -4939,6 +4956,30 @@ object SparkEntry {
              AS value_cents,
            cents IS NULL AS filled
          FROM j ORDER BY user_id, bucket_us""",
+
+    "e13_stream_distinct" ->
+      """WITH h AS (
+           SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+             md5(CAST(event_id AS VARCHAR)) AS hx FROM events),
+         rr AS (SELECT day_us,
+             (instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) AS reg,
+             trim(LEADING '0' FROM substr(hx, 3, 12)) AS rest
+           FROM h),
+         rho AS (SELECT day_us, reg,
+             CASE WHEN length(rest) = 0 THEN 49
+                  ELSE 4 * (12 - length(rest)) +
+                    (CASE WHEN hv >= 8 THEN 0 WHEN hv >= 4 THEN 1
+                          WHEN hv >= 2 THEN 2 ELSE 3 END) + 1 END AS rho
+           FROM (SELECT day_us, reg, rest,
+                   instr('0123456789abcdef', substr(rest, 1, 1)) - 1 AS hv
+                 FROM rr)),
+         regs AS (SELECT day_us, reg, MAX(rho) AS mx
+                  FROM rho GROUP BY 1, 2)
+         SELECT day_us, CAST(COUNT(*) AS BIGINT) AS n_present,
+           CAST(SUM(mx) AS BIGINT) AS sum_mx,
+           CAST(MAX(mx) AS INTEGER) AS max_mx
+         FROM regs GROUP BY 1 ORDER BY 1""",
 
     "s20_corrupt_quarantine" ->
       """SELECT

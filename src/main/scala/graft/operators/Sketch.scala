@@ -68,7 +68,10 @@ object Sketch {
     * partials collapse to ≤ 256 rows per task before the one tiny
     * exchange. Mergeable by construction: union two register tables and
     * re-MAX to sketch the union of the inputs (SketchSpec pins it). */
-  def hllRegisters(df: DataFrame, keyCol: String): DataFrame = {
+  /** The (register, rank) column pair for a STRING key column — the
+    * building block [[hllRegisters]]/[[hllRegistersBy]] and the streaming
+    * form (`streaming/EventStreams.hllWindowRegisters`) all share. */
+  def hllRegRho(keyCol: String): (Column, Column) = {
     val h = s"md5(cast($keyCol AS binary))"
     val reg = expr(
       s"(instr('0123456789abcdef', substr($h, 1, 1)) - 1) * 16 + " +
@@ -81,6 +84,11 @@ object Sketch {
           ELSE 4 * (12 - length($rest)) +
             (CASE WHEN $hv >= 8 THEN 0 WHEN $hv >= 4 THEN 1
                   WHEN $hv >= 2 THEN 2 ELSE 3 END) + 1 END""").cast("int")
+    (reg, rho)
+  }
+
+  def hllRegisters(df: DataFrame, keyCol: String): DataFrame = {
+    val (reg, rho) = hllRegRho(keyCol)
     df.select(reg.as("reg"), rho.as("rho"))
       .groupBy("reg").agg(max("rho").as("mx"))
   }
@@ -111,17 +119,7 @@ object Sketch {
     * task, never a per-group distinct set. */
   def hllRegistersBy(df: DataFrame, grpCol: String,
       keyCol: String): DataFrame = {
-    val h = s"md5(cast($keyCol AS binary))"
-    val reg = expr(
-      s"(instr('0123456789abcdef', substr($h, 1, 1)) - 1) * 16 + " +
-        s"(instr('0123456789abcdef', substr($h, 2, 1)) - 1)").cast("int")
-    val rest = s"trim(LEADING '0' FROM substr($h, 3, 12))"
-    val hv = s"(instr('0123456789abcdef', substr($rest, 1, 1)) - 1)"
-    val rho = expr(
-      s"""CASE WHEN length($rest) = 0 THEN 49
-          ELSE 4 * (12 - length($rest)) +
-            (CASE WHEN $hv >= 8 THEN 0 WHEN $hv >= 4 THEN 1
-                  WHEN $hv >= 2 THEN 2 ELSE 3 END) + 1 END""").cast("int")
+    val (reg, rho) = hllRegRho(keyCol)
     df.select(col(grpCol), reg.as("reg"), rho.as("rho"))
       .groupBy(col(grpCol), col("reg")).agg(max("rho").as("mx"))
   }

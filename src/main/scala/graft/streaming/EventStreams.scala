@@ -90,6 +90,27 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("cell"), col("n"))
 
+  /** Windowed approximate-distinct registers — HyperLogLog as STREAMING
+    * state: the register MAX is monotone, so the sketch folds into one
+    * ordinary watermarked window aggregation (no custom state store), and
+    * each window's state is bounded at 256 rows no matter how many
+    * distinct keys flow through it. Downstream,
+    * [[graft.operators.Sketch.hllEstimateBy]] turns a window's registers
+    * into the distinct estimate — the streaming answer to "distinct
+    * users/urls per window" that never materializes a distinct set.
+    * Works identically on a batch frame (the gate's batch twin). */
+  def hllWindowRegisters(events: DataFrame, keyCol: String,
+      window_ : String = "1 day",
+      watermark: String = "2 hours"): DataFrame = {
+    val (reg, rho) = graft.operators.Sketch.hllRegRho("__k")
+    events
+      .withColumn("__k", col(keyCol).cast("string"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), reg.as("reg"))
+      .agg(max(rho).as("mx"))
+      .select(col("window.start").as("window_start"), col("reg"), col("mx"))
+  }
+
   /** Windowed PSI drift monitor: per event-time window, the Population
     * Stability Index of a score column against a FIXED baseline share
     * vector ([[graft.operators.Eval.psi]]'s formula, streaming form) —

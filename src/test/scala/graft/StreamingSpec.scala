@@ -63,6 +63,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.keySet.map(_._2).forall(graft.geom.H3Lib.isValidCell))
   }
 
+  test("hllWindowRegisters: streamed sketch registers match the batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("hllev").toString + "/data"
+    eventsBatch().write.parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    assert(stream.isStreaming)
+    val q = EventStreams.hllWindowRegisters(stream, "event_id",
+        window_ = "4 hours", watermark = "1 hour")
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "stream timed out")
+    val streamed = spark.table("hll_out").collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val batch = EventStreams.hllWindowRegisters(eventsBatch(), "event_id",
+        window_ = "4 hours", watermark = "1 hour").collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1)) -> r.getInt(2)).toMap
+    // every emitted (window, register) MAX must agree with batch exactly
+    // (monotone MAX makes the sketch safe under any micro-batch split)
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, mx) =>
+      assert(batch.get(k).contains(mx), s"register $k diverged") }
+    // per-window state is bounded at 256 registers
+    assert(batch.groupBy(_._1._1).forall(_._2.size <= 256))
+    // and the estimate from a closed window's registers is sane: 60
+    // distinct event_ids per full 4h window (4-min cadence)
+    val firstWin = batch.keys.map(_._1).minBy(_.getTime)
+    val regs = batch.collect { case ((w, reg), mx) if w == firstWin =>
+      (reg, mx) }.toSeq
+    val est = graft.operators.Sketch.hllEstimate(
+      regs.toDF("reg", "mx")).collect().head.getDouble(2)
+    assert(math.abs(est - 60.0) / 60.0 < 0.25, s"window est: $est")
+  }
+
   test("driftMonitor: streamed windowed PSI matches its batch twin") {
     val ev = eventsBatch()
     val base = ev.filter(col("event_id") % 2 === 0)
