@@ -1910,6 +1910,25 @@ object SparkEntry {
         .orderBy("qid", "rk")
     },
 
+    "t61_hybrid_rrf" -> { (s, d) =>
+      // hybrid sparse+dense retrieval (Retrieval.hybridTopK): t29's three
+      // lexical queries fused with dense cosine legs whose query vectors
+      // are corpus members (vec_id 1..3), reciprocal-rank fusion at
+      // kRrf=60 (Cormack SIGIR'09). Both legs rank on 6-dp-rounded
+      // scores; the oracle replays BM25, cosine, and the 1/(60+rk) sum
+      // independently, so a lexical, dense, or fusion defect all break
+      // the hash. Dense self-matches (qid==did at cos 1.0) are kept —
+      // they pin the leg alignment.
+      import s.implicits._
+      val queries = Seq((1L, "spark table scan"), (2L, "hash join merge"),
+        (3L, "window sort fast")).toDF("query_id", "qtext")
+      val qv = t(s, d, "embeddings").filter(col("vec_id").isin(1L, 2L, 3L))
+      graft.operators.Retrieval.hybridTopK(
+          t(s, d, "documents"), queries, t(s, d, "embeddings"), qv,
+          k = 10, topNPerLeg = 20)
+        .orderBy("qid", "rk")
+    },
+
     "t40_compress_filter" -> { (s, d) =>
       // deflate-compressibility quality signal (compress_ratio): per doc,
       // three authored variants — the doc text repeated 20x (degenerate
@@ -6725,6 +6744,74 @@ object SparkEntry {
            FROM sc)
          SELECT qid, did, CAST(rk AS INTEGER) AS rk, n_hit, score6
          FROM rk WHERE rk <= 10 ORDER BY qid, rk""",
+
+    "t61_hybrid_rrf" ->
+      """WITH queries(qid, qtext) AS (
+           VALUES (1, 'spark table scan'), (2, 'hash join merge'),
+                  (3, 'window sort fast')),
+         dt AS (
+           SELECT doc_id AS did,
+             unnest(list_filter(string_split_regex(text, '\s+'),
+               t -> t <> '')) AS term
+           FROM documents),
+         tf AS (SELECT did, term, count(*) AS tf FROM dt GROUP BY 1, 2),
+         dl AS (SELECT did, count(*) AS dl FROM dt GROUP BY 1),
+         qt AS (
+           SELECT DISTINCT qid,
+             unnest(list_filter(string_split_regex(qtext, '\s+'),
+               t -> t <> '')) AS term
+           FROM queries),
+         df AS (
+           SELECT tf.term, count(*) AS df FROM tf
+           WHERE tf.term IN (SELECT term FROM qt) GROUP BY 1),
+         s AS (
+           SELECT (SELECT count(*) FROM documents) AS n_docs,
+             (SELECT CAST(sum(dl) AS DOUBLE) FROM dl) /
+               (SELECT count(*) FROM documents) AS avgdl),
+         sc AS (
+           SELECT qt.qid, tf.did,
+             sum(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+                 (tf.tf * 2.2) /
+                 (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+           FROM tf
+           JOIN qt ON tf.term = qt.term
+           JOIN df ON tf.term = df.term
+           JOIN dl ON tf.did = dl.did
+           CROSS JOIN s
+           GROUP BY 1, 2),
+         lex AS (
+           SELECT qid, did, row_number() OVER (PARTITION BY qid
+             ORDER BY round(score, 6) DESC, did) AS rk
+           FROM sc QUALIFY rk <= 20),
+         ex AS (SELECT vec_id, UNNEST(embedding)::DOUBLE AS v,
+                  UNNEST(range(len(embedding))) AS i FROM embeddings),
+         norms AS (SELECT vec_id, SQRT(SUM(v * v)) AS nrm
+                   FROM ex GROUP BY vec_id),
+         dots AS (SELECT a.vec_id AS qid, b.vec_id AS did,
+                    SUM(a.v * b.v) AS dot
+                  FROM ex a JOIN ex b ON a.i = b.i
+                  WHERE a.vec_id IN (1, 2, 3)
+                  GROUP BY 1, 2),
+         cos AS (SELECT qid, did,
+                   ROUND(dot / (na.nrm * nb.nrm), 6) AS c6
+                 FROM dots JOIN norms na ON na.vec_id = qid
+                   JOIN norms nb ON nb.vec_id = did),
+         den AS (
+           SELECT qid, did, row_number() OVER (PARTITION BY qid
+             ORDER BY c6 DESC, did) AS rk
+           FROM cos QUALIFY rk <= 20),
+         legs AS (SELECT * FROM lex UNION ALL SELECT * FROM den),
+         fused AS (
+           SELECT qid, did, CAST(count(*) AS INTEGER) AS n_legs,
+             round(sum(CAST(1.0 AS DOUBLE) / (60 + rk)), 9) AS rrf9
+           FROM legs GROUP BY 1, 2),
+         rkd AS (
+           SELECT qid, did, n_legs, rrf9,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY rrf9 DESC, did) AS INTEGER) AS rk
+           FROM fused)
+         SELECT qid, did, n_legs, rrf9, rk FROM rkd
+         WHERE rk <= 10 ORDER BY qid, rk""",
 
     // the tokenizer contract (see the t23 query comment): n_words is
     // recomputed independently; the three invariant booleans must be TRUE

@@ -116,4 +116,78 @@ object Retrieval {
       .select(col("did").as(idCol), col("rk"), col("term"), col("tf"),
         col("df"), col("score6"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    * fuse per-query top-N lists from independent retrievers by
+    * `score(q, d) = Σ_legs 1 / (kRrf + rank_leg(q, d))`, missing legs
+    * contributing nothing. Rank-based fusion needs no score calibration
+    * between legs — the standard way to combine sparse (BM25) and dense
+    * (embedding) retrieval in a RAG / curation pipeline.
+    *
+    * Each leg is a `(qid, did, rk)` frame (1-based ranks, typically the
+    * output of [[bm25TopK]] or `Similarity.bruteForceTopK`-shaped dense
+    * ranking). Scale shape: legs union WITHOUT a shuffle, the fusion is
+    * one combinable (qid, did) aggregate, and the final top-`k` is a
+    * qid-partitioned rank window whose constant `rk <= k` filter pushes a
+    * WindowGroupLimit. Leg inputs are already top-N-bounded per query, so
+    * every post-union structure is O(|queries| · N · legs).
+    *
+    * Determinism: the fused score is rounded to 9 dp and ties break by
+    * `did`, so the cut line replays across engines. With two legs the
+    * double sum is order-independent (IEEE addition is commutative);
+    * three-plus legs introduce association order — keep an eye on
+    * sub-1e-9 ties there (the discrete 1/(kRrf+rk) value space makes
+    * them practically impossible for N ≤ 1000).
+    *
+    * Returns `(qid, did, n_legs, rrf9, rk)` with `rk <= k`. */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "need at least one leg")
+    require(k >= 1, s"k must be positive: $k")
+    require(kRrf >= 1, s"kRrf must be positive: $kRrf")
+    val all = legs.map(_.select(col("qid"), col("did"), col("rk")))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy("qid").orderBy(col("rrf9").desc, col("did"))
+    all.groupBy("qid", "did")
+      .agg(count(lit(1)).cast("int").as("n_legs"),
+        round(sum(lit(1.0) / (lit(kRrf) + col("rk"))), 9).as("rrf9"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Hybrid sparse+dense retrieval: BM25 over `docs` fused with cosine
+    * similarity over `corpusVecs` via [[rrfFuse]]. `queries` carries the
+    * lexical side (`query_id`, `qtext`); `queryVecs` the dense side
+    * (same id space: `vec_id`, `embedding`); docs and vectors share the
+    * document id space.
+    *
+    * Both legs rank on 6-dp-rounded scores with doc-id tie-breaks so
+    * fused output replays bit-for-bit across engines. The dense leg
+    * broadcasts the (small) query set and streams the corpus — no
+    * corpus shuffle; the lexical leg inherits [[bm25Scores]]'s
+    * query-vocabulary semi-filter. */
+  def hybridTopK(docs: DataFrame, queries: DataFrame,
+      corpusVecs: DataFrame, queryVecs: DataFrame, k: Int,
+      topNPerLeg: Int = 20, kRrf: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(topNPerLeg >= k, s"topNPerLeg must be >= k: $topNPerLeg < $k")
+    val wLex = Window.partitionBy("qid").orderBy(col("s6").desc, col("did"))
+    val lex = bm25Scores(docs, queries, k1, b)
+      .withColumn("s6", round(col("score"), 6))
+      .withColumn("rk", row_number().over(wLex))
+      .filter(col("rk") <= topNPerLeg)
+      .select("qid", "did", "rk")
+    val q = queryVecs.select(col("vec_id").as("qid"),
+      col("embedding").as("qv"))
+    val wDen = Window.partitionBy("qid").orderBy(col("c6").desc, col("did"))
+    val dense = Scatter(corpusVecs)
+      .select(col("vec_id").as("did"), col("embedding").as("nv"))
+      .crossJoin(broadcast(q))
+      .withColumn("c6", round(
+        graft.functions.GraftFunctions.cosine_similarity(
+          col("qv"), col("nv")), 6))
+      .withColumn("rk", row_number().over(wDen))
+      .filter(col("rk") <= topNPerLeg)
+      .select("qid", "did", "rk")
+    rrfFuse(Seq(lex, dense), k, kRrf)
+  }
 }

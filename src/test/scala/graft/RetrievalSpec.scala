@@ -65,6 +65,50 @@ class RetrievalSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("rrfFuse: both-leg docs beat single-leg, math exact, k cut") {
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("qid", "did", "rk")
+    val den = Seq((1L, 10L, 2), (1L, 13L, 1), (1L, 11L, 3))
+      .toDF("qid", "did", "rk")
+    val out = Retrieval.rrfFuse(Seq(lex, den), k = 3)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3), r.getInt(4)))
+    // doc 10: 1/(60+1) + 1/(60+2) — both legs, top fused
+    assert(out(0)._1 == 10L && out(0)._2 == 2, out.toSeq.toString)
+    assert(math.abs(out(0)._3 - (1.0 / 61 + 1.0 / 62)) < 1e-9)
+    // doc 11 (ranks 2+3) beats the single-leg rank-1 doc 13 (1/61 alone)
+    assert(out(1)._1 == 11L, out.toSeq.toString)
+    assert(out(2)._1 == 13L && out(2)._2 == 1)
+    // k cut: doc 12 (single leg, rank 3) fell off
+    assert(out.length == 3 && !out.exists(_._1 == 12L))
+    // fused top-k is WindowGroupLimit-pushed
+    val plan = Retrieval.rrfFuse(Seq(lex, den), k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("hybridTopK: fuses lexical and dense legs over a shared id space") {
+    // corpus: doc 1 is the lexical hit for 'spark table'; vectors make
+    // doc 4 the dense hit; doc 3 is mid in both -> fusion favors 3
+    val vecs = Seq(
+      (1L, Array(0.0f, 1.0f)), (2L, Array(0.3f, 0.7f)),
+      (3L, Array(0.8f, 0.6f)), (4L, Array(1.0f, 0.0f)),
+      (5L, Array(-1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val q = Seq((1L, "spark table")).toDF("query_id", "qtext")
+    val qv = Seq((1L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val out = Retrieval.hybridTopK(corpus, q, vecs, qv, k = 5,
+        topNPerLeg = 5)
+      .orderBy("rk").collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    // doc 4: dense rank 1 but NO lexical leg ('hash join merge sort');
+    // doc 3: lexical rank 1 (short, both terms) + dense rank 2 -> wins
+    assert(out.head._1 == 3L && out.head._2 == 2, out.toSeq.toString)
+    assert(out.map(_._1).contains(4L))
+    // doc 5 never matched lexically; dense-only legs still surface it
+    val d5 = out.find(_._1 == 5L)
+    assert(d5.exists(_._2 == 1), out.toSeq.toString)
+  }
+
   test("bm25 query terms absent from the corpus contribute nothing") {
     val q = Seq((1L, "spark zzzznotaword")).toDF("query_id", "qtext")
     val rows = Retrieval.bm25Scores(corpus, q).collect()
