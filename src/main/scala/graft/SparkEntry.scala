@@ -4291,6 +4291,68 @@ object SparkEntry {
         .orderBy("doc_id", "kind", "path")
     },
 
+    "s21_avro_scan" -> { (s, d) =>
+      // Avro object-container scan (sources/Avro, from the public Avro
+      // 1.12 spec): per doc a container authored by the APACHE AVRO JAVA
+      // writer (independent implementation) holding 1+id%3 records —
+      // nullable unions, arrays, enums, bytes — under a codec cycling
+      // null/deflate/snappy by id. Our from-spec decoder explodes them
+      // distributed; every field and the schema probe replay from the
+      // construction arithmetic.
+      import s.implicits._
+      val schemaJson =
+        """{"type":"record","name":"DocRec","fields":[
+             {"name":"rid","type":"long"},
+             {"name":"title","type":["null","string"]},
+             {"name":"score","type":"double"},
+             {"name":"tags","type":{"type":"array","items":"string"}},
+             {"name":"kind","type":{"type":"enum","name":"K",
+                "symbols":["A","B","C"]}},
+             {"name":"blob","type":"bytes"}]}"""
+      val media = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          import org.apache.avro.Schema
+          import org.apache.avro.file.{CodecFactory, DataFileWriter}
+          import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+          val schema = new Schema.Parser().parse(schemaJson)
+          val kindS = schema.getField("kind").schema()
+          val w = new DataFileWriter[GenericRecord](
+            new GenericDatumWriter[GenericRecord](schema))
+          (id % 3) match {
+            case 1 => w.setCodec(CodecFactory.deflateCodec(6))
+            case 2 => w.setCodec(CodecFactory.snappyCodec())
+            case _ => ()
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          w.create(schema, bos)
+          (0 until (1 + (id % 3)).toInt).foreach { j =>
+            val rid = id * 10 + j
+            val r = new GenericData.Record(schema)
+            r.put("rid", rid)
+            r.put("title", if (j == 0) null else s"title $rid")
+            r.put("score", rid * 0.25)
+            val tags = new java.util.ArrayList[CharSequence]()
+            (0 to j).foreach(k => tags.add(s"t$k"))
+            r.put("tags", tags)
+            r.put("kind", new GenericData.EnumSymbol(kindS,
+              Seq("A", "B", "C")((rid % 3).toInt)))
+            r.put("blob", java.nio.ByteBuffer.wrap(text.getBytes("UTF-8")))
+            w.append(r)
+          }
+          w.close()
+          (id, bos.toByteArray)
+        }.toDF("doc_id", "avro")
+      media.select(col("doc_id"),
+          avro_schema(col("avro")).contains("DocRec").as("schema_ok"),
+          explode(avro_records(col("avro"), schemaJson)).as("r"))
+        .select(col("doc_id"), col("schema_ok"), col("r.rid"),
+          coalesce(col("r.title"), lit("-")).as("title"),
+          col("r.score"), size(col("r.tags")).cast("int").as("n_tags"),
+          col("r.kind"), md5(col("r.blob")).as("blob_md5"))
+        .orderBy("rid")
+    },
+
     "s15b_zip64_scan" -> { (s, d) =>
       // ZIP64 (APPNOTE 4.3.14-15): a single JDK-authored zip with 65,600
       // entries — past the 16-bit EOCD count, so the JDK maxes the EOCD
@@ -7500,6 +7562,23 @@ object SparkEntry {
              md5('meta ' || doc_id)
            FROM documents, (VALUES ('tar'), ('zip')) k(kind))
          ORDER BY doc_id, kind, path""",
+
+    // avro replay: 1+id%3 constructed records per doc — every decoded
+    // field derives from the construction arithmetic; scores are dyadic
+    // (rid*0.25) so the doubles are IEEE-exact in both engines
+    "s21_avro_scan" ->
+      """SELECT d.doc_id, TRUE AS schema_ok,
+           d.doc_id * 10 + r.j AS rid,
+           CASE WHEN r.j = 0 THEN '-'
+                ELSE 'title ' || (d.doc_id * 10 + r.j) END AS title,
+           (d.doc_id * 10 + r.j) * CAST(0.25 AS DOUBLE) AS score,
+           CAST(r.j + 1 AS INTEGER) AS n_tags,
+           CASE (d.doc_id * 10 + r.j) % 3 WHEN 0 THEN 'A'
+                WHEN 1 THEN 'B' ELSE 'C' END AS kind,
+           md5(d.text) AS blob_md5
+         FROM documents d, range(0, 3) r(j)
+         WHERE r.j < 1 + d.doc_id % 3
+         ORDER BY rid""",
 
     // zip64 replay: 65,600 constructed entries of doc 0 — path, size, and
     // md5 all derive from the construction arithmetic

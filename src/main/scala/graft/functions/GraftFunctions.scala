@@ -149,6 +149,9 @@ object GraftFunctions {
   def warc_records(payload: Column): Column = col(WarcRecords(ex(payload)))
   def tar_entries(payload: Column): Column = col(TarEntries(ex(payload)))
   def zip_entries(payload: Column): Column = col(ZipEntries(ex(payload)))
+  def avro_schema(payload: Column): Column = col(AvroSchemaOf(ex(payload)))
+  def avro_records(payload: Column, schemaJson: String): Column =
+    col(AvroRecords(ex(payload), schemaJson))
   def cdc_n_chunks(payload: Column): Column = col(CdcNChunks(ex(payload)))
   def cdc_fingerprint(payload: Column): Column = col(CdcFingerprint(ex(payload)))
   def geotiff_meta(payload: Column): Column = col(GeoTiffMeta(ex(payload)))
@@ -281,6 +284,17 @@ object GraftFunctions {
     "warc_records" -> { e => WarcRecords(e.head) },
     "tar_entries" -> { e => TarEntries(e.head) },
     "zip_entries" -> { e => ZipEntries(e.head) },
+    "avro_schema" -> { e => AvroSchemaOf(e.head) },
+    "avro_records" -> { e =>
+      e(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+            s: org.apache.spark.unsafe.types.UTF8String,
+            org.apache.spark.sql.types.StringType) =>
+          AvroRecords(e(0), s.toString)
+        case other => throw new IllegalArgumentException(
+          s"avro_records schema must be a string literal: $other")
+      }
+    },
     "cdc_n_chunks" -> { e => CdcNChunks(e.head) },
     "cdc_fingerprint" -> { e => CdcFingerprint(e.head) },
     "geotiff_meta" -> { e => GeoTiffMeta(e.head) },

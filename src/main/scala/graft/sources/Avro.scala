@@ -1,0 +1,382 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Apache Avro Object Container File reader, from the public Avro 1.12
+  * specification ("Object Container Files" + "Binary Encoding" sections;
+  * reference behavior: gis-etl reads whatever GDAL/DuckDB hand it —
+  * `reference/east_asia.py` never names Avro, so this is extension
+  * surface for the row-oriented format large pipelines actually exchange
+  * (Kafka dumps, dataset interchange)).
+  *
+  * Layout per spec: magic `Obj\x01`, a string→bytes metadata map
+  * (`avro.schema` JSON, `avro.codec`), a 16-byte sync marker, then data
+  * blocks of (record count, byte length, payload, sync). Payload codecs:
+  * `null`, `deflate` (raw DEFLATE), `snappy` (with a 4-byte big-endian
+  * CRC32 suffix).
+  *
+  * Scale shape: one per-blob kernel (a Catalyst expression, no shuffle)
+  * — each task decodes its own files, the Common Crawl / archive-scan
+  * posture shared with [[Warc]] and [[Archives]]. Corrupt tails and sync
+  * mismatches yield the records decoded so far, never an exception.
+  *
+  * Supported schema subset (documented, fail-fast on the rest): all
+  * primitives, record / array / map / enum (→ string) / fixed (→ bytes),
+  * and nullable 2-branch unions `[null, T]` / `[T, null]`. Arbitrary
+  * unions and recursive named types are rejected at schema-parse time.
+  * Logical types ride their carrier primitive (timestamp-micros stays
+  * long) — annotate downstream, the bytes are lossless. */
+object Avro extends Serializable {
+
+  // ---- schema model ------------------------------------------------------
+
+  sealed trait AvType extends Serializable
+  case object ANull extends AvType
+  case object ABool extends AvType
+  case object AInt extends AvType
+  case object ALong extends AvType
+  case object AFloat extends AvType
+  case object ADouble extends AvType
+  case object AString extends AvType
+  case object ABytes extends AvType
+  final case class AFixed(size: Int) extends AvType
+  final case class AEnum(symbols: Vector[String]) extends AvType
+  final case class AArray(item: AvType) extends AvType
+  final case class AMap(value: AvType) extends AvType
+  final case class ARecord(fields: Vector[(String, AvType)]) extends AvType
+  /** Nullable `[null, T]` union; `tIndex` is T's branch position. */
+  final case class ANullable(t: AvType, tIndex: Int) extends AvType
+
+  def parseSchema(json: String): AvType = {
+    val node = new ObjectMapper().readTree(json)
+    parseNode(node, Map.empty)._1
+  }
+
+  /** (type, named-type registry after this definition). */
+  private def parseNode(n: JsonNode,
+      reg: Map[String, AvType]): (AvType, Map[String, AvType]) = {
+    if (n.isTextual) {
+      val s = n.asText
+      primitives.get(s) match {
+        case Some(t) => (t, reg)
+        case None => reg.get(s) match {
+          case Some(t) => (t, reg)
+          case None =>
+            throw new IllegalArgumentException(s"unknown avro type: $s")
+        }
+      }
+    } else if (n.isArray) { // union
+      val branches = (0 until n.size).map(i => n.get(i))
+      if (n.size == 2 && branches.exists(b =>
+          b.isTextual && b.asText == "null")) {
+        val ti = if (branches.head.isTextual &&
+          branches.head.asText == "null") 1 else 0
+        val (t, r2) = parseNode(n.get(ti), reg)
+        (ANullable(t, ti), r2)
+      } else throw new IllegalArgumentException(
+        s"unsupported avro union (only [null, T]): $n")
+    } else if (n.isObject) {
+      val tp = Option(n.get("type")).map(_.asText).getOrElse(
+        throw new IllegalArgumentException(s"avro object without type: $n"))
+      tp match {
+        case "record" =>
+          var r = reg
+          val fieldsNode = n.get("fields")
+          val fields = (0 until fieldsNode.size).map { i =>
+            val f = fieldsNode.get(i)
+            val (t, r2) = parseNode(f.get("type"), r)
+            r = r2
+            f.get("name").asText -> t
+          }.toVector
+          val rec = ARecord(fields)
+          (rec, r + (fullName(n) -> rec))
+        case "enum" =>
+          val symsNode = n.get("symbols")
+          val syms = (0 until symsNode.size).map(symsNode.get(_).asText)
+            .toVector
+          val e = AEnum(syms)
+          (e, reg + (fullName(n) -> e))
+        case "fixed" =>
+          val f = AFixed(n.get("size").asInt)
+          (f, reg + (fullName(n) -> f))
+        case "array" =>
+          val (t, r2) = parseNode(n.get("items"), reg)
+          (AArray(t), r2)
+        case "map" =>
+          val (t, r2) = parseNode(n.get("values"), reg)
+          (AMap(t), r2)
+        case other => // {"type": "string", "logicalType": ...} carrier form
+          primitives.get(other) match {
+            case Some(t) => (t, reg)
+            case None =>
+              throw new IllegalArgumentException(s"unknown avro type: $other")
+          }
+      }
+    } else throw new IllegalArgumentException(s"bad avro schema node: $n")
+  }
+
+  private val primitives: Map[String, AvType] = Map(
+    "null" -> ANull, "boolean" -> ABool, "int" -> AInt, "long" -> ALong,
+    "float" -> AFloat, "double" -> ADouble, "string" -> AString,
+    "bytes" -> ABytes)
+
+  private def fullName(n: JsonNode): String = {
+    val name = n.get("name").asText
+    Option(n.get("namespace")).map(_.asText + "." + name).getOrElse(name)
+  }
+
+  /** Avro type → Spark type. Nullability is carried by the FIELD in
+    * [[sparkSchema]]; a bare ANullable maps to its inner type. */
+  def sparkType(t: AvType): DataType = t match {
+    case ANull => NullType
+    case ABool => BooleanType
+    case AInt => IntegerType
+    case ALong => LongType
+    case AFloat => FloatType
+    case ADouble => DoubleType
+    case AString | AEnum(_) => StringType
+    case ABytes | AFixed(_) => BinaryType
+    case AArray(i) =>
+      ArrayType(sparkType(i), containsNull = i.isInstanceOf[ANullable])
+    case AMap(v) =>
+      MapType(StringType, sparkType(v),
+        valueContainsNull = v.isInstanceOf[ANullable])
+    case ARecord(fs) => StructType(fs.map { case (name, ft) =>
+      StructField(name, sparkType(ft), nullable = ft.isInstanceOf[ANullable])
+    })
+    case ANullable(inner, _) => sparkType(inner)
+  }
+
+  /** Top-level record schema of a container's rows. */
+  def sparkSchema(schemaJson: String): StructType =
+    parseSchema(schemaJson) match {
+      case r: ARecord => sparkType(r).asInstanceOf[StructType]
+      case other => throw new IllegalArgumentException(
+        s"container schema must be a record, got $other")
+    }
+
+  // ---- binary decoding ---------------------------------------------------
+
+  private final class In(val b: Array[Byte], var pos: Int) {
+    def u8(): Int = { val v = b(pos) & 0xff; pos += 1; v }
+    def varLong(): Long = { // zigzag varint per spec
+      var shift = 0
+      var acc = 0L
+      var byte = 0
+      do {
+        byte = u8()
+        acc |= (byte & 0x7fL) << shift
+        shift += 7
+        if (shift > 70) throw new IllegalArgumentException("varint overrun")
+      } while ((byte & 0x80) != 0)
+      (acc >>> 1) ^ -(acc & 1)
+    }
+    def bytes(n: Int): Array[Byte] = {
+      if (n < 0 || pos + n > b.length)
+        throw new IllegalArgumentException("length out of range")
+      val out = java.util.Arrays.copyOfRange(b, pos, pos + n)
+      pos += n
+      out
+    }
+    def skip(n: Int): Unit = {
+      if (n < 0 || pos + n > b.length)
+        throw new IllegalArgumentException("skip out of range")
+      pos += n
+    }
+  }
+
+  /** Decode one value into CATALYST representation (UTF8String /
+    * GenericInternalRow / GenericArrayData / ArrayBasedMapData) so the
+    * expression emits rows with zero re-conversion. */
+  private def decode(in: In, t: AvType): Any = t match {
+    case ANull => null
+    case ABool => in.u8() != 0
+    case AInt => in.varLong().toInt
+    case ALong => in.varLong()
+    case AFloat =>
+      java.lang.Float.intBitsToFloat(
+        in.u8() | (in.u8() << 8) | (in.u8() << 16) | (in.u8() << 24))
+    case ADouble =>
+      var acc = 0L
+      var i = 0
+      while (i < 8) { acc |= (in.u8().toLong << (8 * i)); i += 1 }
+      java.lang.Double.longBitsToDouble(acc)
+    case AString =>
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(
+        in.bytes(in.varLong().toInt))
+    case ABytes => in.bytes(in.varLong().toInt)
+    case AFixed(n) => in.bytes(n)
+    case AEnum(syms) =>
+      val i = in.varLong().toInt
+      if (i < 0 || i >= syms.length)
+        throw new IllegalArgumentException(s"enum index $i")
+      org.apache.spark.unsafe.types.UTF8String.fromString(syms(i))
+    case AArray(item) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var n = in.varLong()
+      while (n != 0) {
+        if (n < 0) { in.varLong(); n = -n } // negative count: block size follows
+        var i = 0L
+        while (i < n) { out += decode(in, item); i += 1 }
+        n = in.varLong()
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    case AMap(value) =>
+      val keys = scala.collection.mutable.ArrayBuffer.empty[Any]
+      val vals = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var n = in.varLong()
+      while (n != 0) {
+        if (n < 0) { in.varLong(); n = -n }
+        var i = 0L
+        while (i < n) {
+          keys += decode(in, AString)
+          vals += decode(in, value)
+          i += 1
+        }
+        n = in.varLong()
+      }
+      org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+        keys.toArray, vals.toArray)
+    case ARecord(fields) =>
+      val vals = new Array[Any](fields.length)
+      var i = 0
+      while (i < fields.length) {
+        vals(i) = decode(in, fields(i)._2)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+    case ANullable(inner, tIndex) =>
+      val branch = in.varLong().toInt
+      if (branch == tIndex) decode(in, inner)
+      else null
+  }
+
+  // ---- container ---------------------------------------------------------
+
+  final case class Header(schemaJson: String, codec: String, sync: Array[Byte],
+      dataStart: Int)
+
+  /** Parse the container header; null when the blob is not an Avro OCF. */
+  def header(blob: Array[Byte]): Header = {
+    if (blob == null || blob.length < 20 || blob(0) != 'O' ||
+      blob(1) != 'b' || blob(2) != 'j' || blob(3) != 1) return null
+    try {
+      val in = new In(blob, 4)
+      var schema: String = null
+      var codec = "null"
+      var n = in.varLong()
+      while (n != 0) {
+        if (n < 0) { in.varLong(); n = -n }
+        var i = 0L
+        while (i < n) {
+          val key = new String(in.bytes(in.varLong().toInt),
+            StandardCharsets.UTF_8)
+          val value = in.bytes(in.varLong().toInt)
+          key match {
+            case "avro.schema" =>
+              schema = new String(value, StandardCharsets.UTF_8)
+            case "avro.codec" =>
+              codec = new String(value, StandardCharsets.UTF_8)
+            case _ => ()
+          }
+          i += 1
+        }
+        n = in.varLong()
+      }
+      if (schema == null) return null
+      val sync = in.bytes(16)
+      Header(schema, codec, sync, in.pos)
+    } catch { case _: Exception => null }
+  }
+
+  /** Schema JSON of a container blob; null for non-Avro input. */
+  def schemaOf(blob: Array[Byte]): String = {
+    val h = header(blob)
+    if (h == null) null else h.schemaJson
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    // avro.codec=deflate is RAW deflate (no zlib wrapper)
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 3 + 64)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished()) {
+      val k = inf.inflate(buf)
+      if (k == 0 && inf.needsInput()) {
+        // truncated stream: surface what inflated so far
+        inf.end()
+        return out.toByteArray
+      }
+      out.write(buf, 0, k)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** All records of a container as Catalyst rows (the expression body).
+    * Corrupt tails / sync mismatches / unknown codecs end the walk with
+    * the rows decoded so far. */
+  def records(blob: Array[Byte])
+      : Array[org.apache.spark.sql.catalyst.expressions.GenericInternalRow] = {
+    val h = header(blob)
+    if (h == null) return Array.empty
+    val schema =
+      try parseSchema(h.schemaJson)
+      catch { case _: Exception => return Array.empty }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+    val in = new In(blob, h.dataStart)
+    try {
+      while (in.pos < blob.length) {
+        val count = in.varLong()
+        val byteLen = in.varLong().toInt
+        val raw = in.bytes(byteLen)
+        val sync = in.bytes(16)
+        if (!java.util.Arrays.equals(sync, h.sync)) return out.toArray
+        val payload = h.codec match {
+          case "null" => raw
+          case "deflate" => inflate(raw)
+          case "snappy" => // 4-byte big-endian CRC32 suffix per spec
+            if (raw.length < 4) return out.toArray
+            org.xerial.snappy.Snappy.uncompress(
+              java.util.Arrays.copyOfRange(raw, 0, raw.length - 4))
+          case _ => return out.toArray // unknown codec: honest stop
+        }
+        val bin = new In(payload, 0)
+        var i = 0L
+        while (i < count) {
+          out += decode(bin, schema)
+            .asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+          i += 1
+        }
+      }
+      out.toArray
+    } catch { case _: Exception => out.toArray }
+  }
+
+  // ---- DataFrame read ----------------------------------------------------
+
+  /** Read a glob of Avro container files. Schema discovery reads ONE
+    * file's header on the driver (bounded metadata bytes, the
+    * Shapefile/.shx posture); decode then runs distributed, one per-blob
+    * kernel per file. At 100 TB the unit of parallelism is the file —
+    * the Kafka-dump / interchange layout (many moderate files), matching
+    * how the WARC scan treats Common Crawl segments. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import graft.functions.GraftFunctions.avro_records
+    val bin = spark.read.format("binaryFile").load(path)
+    val schemaJson = schemaOf(
+      bin.select("content").head().getAs[Array[Byte]](0))
+    require(schemaJson != null, s"not an Avro object container: $path")
+    bin.select(col("path"),
+        explode(avro_records(col("content"), schemaJson)).as("r"))
+      .select(col("path"), col("r.*"))
+  }
+}

@@ -1,0 +1,168 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Avro
+
+/** From-spec Avro reader vs the Apache Avro JAVA writer (independent
+  * implementation, on the Spark classpath) — every fixture here is
+  * authored by `org.apache.avro`, never by our code. */
+class AvroSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val schemaJson =
+    """{"type":"record","name":"Doc","fields":[
+         {"name":"id","type":"long"},
+         {"name":"title","type":["null","string"]},
+         {"name":"score","type":"double"},
+         {"name":"flag","type":"boolean"},
+         {"name":"tags","type":{"type":"array","items":"string"}},
+         {"name":"props","type":{"type":"map","values":"long"}},
+         {"name":"kind","type":{"type":"enum","name":"Kind",
+            "symbols":["A","B","C"]}},
+         {"name":"blob","type":"bytes"},
+         {"name":"pin","type":{"type":"fixed","name":"Pin","size":4}},
+         {"name":"sub","type":{"type":"record","name":"Sub","fields":[
+            {"name":"x","type":"int"},{"name":"y","type":"float"}]}}
+       ]}""".stripMargin
+
+  private def writeFixture(codec: String, n: Int): Array[Byte] = {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.{CodecFactory, DataFileWriter}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = new Schema.Parser().parse(schemaJson)
+    val sub = schema.getField("sub").schema()
+    val kind = schema.getField("kind").schema()
+    val pin = schema.getField("pin").schema()
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](schema))
+    codec match {
+      case "null" => ()
+      case "deflate" => w.setCodec(CodecFactory.deflateCodec(6))
+      case "snappy" => w.setCodec(CodecFactory.snappyCodec())
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    w.create(schema, bos)
+    (0 until n).foreach { i =>
+      val r = new GenericData.Record(schema)
+      r.put("id", i.toLong)
+      r.put("title", if (i % 3 == 0) null else s"title $i")
+      r.put("score", i * 0.5)
+      r.put("flag", i % 2 == 0)
+      val tags = new java.util.ArrayList[CharSequence]()
+      (0 until i % 4).foreach(j => tags.add(s"t$j"))
+      r.put("tags", tags)
+      val props = new java.util.HashMap[CharSequence, java.lang.Long]()
+      props.put("n", i.toLong * 7)
+      r.put("props", props)
+      r.put("kind", new GenericData.EnumSymbol(kind, Seq("A", "B", "C")(i % 3)))
+      r.put("blob", java.nio.ByteBuffer.wrap(Array[Byte](i.toByte, 2, 3)))
+      r.put("pin", new GenericData.Fixed(pin,
+        Array[Byte](i.toByte, 0, 0, 1)))
+      val s = new GenericData.Record(sub)
+      s.put("x", i * 3)
+      s.put("y", i * 1.5f)
+      r.put("sub", s)
+      w.append(r)
+    }
+    w.close()
+    bos.toByteArray
+  }
+
+  test("header/schemaOf: magic, codec, schema metadata") {
+    val blob = writeFixture("deflate", 5)
+    val h = Avro.header(blob)
+    assert(h != null && h.codec == "deflate")
+    assert(h.schemaJson.contains("\"Doc\""))
+    assert(Avro.schemaOf("not avro".getBytes) == null)
+    assert(Avro.schemaOf(null) == null)
+  }
+
+  test("sparkSchema: full type mapping incl. nullable union") {
+    val st = Avro.sparkSchema(schemaJson)
+    import org.apache.spark.sql.types._
+    assert(st.fieldNames.toSeq == Seq("id", "title", "score", "flag",
+      "tags", "props", "kind", "blob", "pin", "sub"))
+    assert(st("id").dataType == LongType && !st("id").nullable)
+    assert(st("title").dataType == StringType && st("title").nullable)
+    assert(st("tags").dataType == ArrayType(StringType, containsNull = false))
+    assert(st("props").dataType ==
+      MapType(StringType, LongType, valueContainsNull = false))
+    assert(st("kind").dataType == StringType)
+    assert(st("blob").dataType == BinaryType)
+    assert(st("pin").dataType == BinaryType)
+    assert(st("sub").dataType == StructType(Seq(
+      StructField("x", IntegerType, nullable = false),
+      StructField("y", FloatType, nullable = false))))
+  }
+
+  test("records: decode the Java-written container, all three codecs") {
+    Seq("null", "deflate", "snappy").foreach { codec =>
+      val rows = Avro.records(writeFixture(codec, 10))
+      assert(rows.length == 10, s"$codec: ${rows.length}")
+      val r7 = rows(7)
+      assert(r7.getLong(0) == 7L)
+      assert(r7.getUTF8String(1).toString == "title 7")
+      assert(r7.getDouble(2) == 3.5)
+      assert(!r7.getBoolean(3))
+      assert(r7.getArray(4).numElements == 3)
+      assert(r7.getArray(4).getUTF8String(0).toString == "t0")
+      val m = r7.getMap(5)
+      assert(m.keyArray.getUTF8String(0).toString == "n" &&
+        m.valueArray.getLong(0) == 49L)
+      assert(r7.getUTF8String(6).toString == "B")
+      assert(r7.getBinary(7).toSeq == Seq[Byte](7, 2, 3))
+      assert(r7.getBinary(8).toSeq == Seq[Byte](7, 0, 0, 1))
+      val sub = r7.getStruct(9, 2)
+      assert(sub.getInt(0) == 21 && sub.getFloat(1) == 10.5f)
+      // null branch of the union
+      assert(rows(6).isNullAt(1))
+    }
+  }
+
+  test("corrupt tail yields the good prefix; sync mismatch stops") {
+    val blob = writeFixture("null", 100)
+    // truncate mid-blocks: never throws, yields a prefix
+    Seq(blob.length / 2, blob.length - 3, 21, 4, 0).foreach { cut =>
+      val rows = Avro.records(java.util.Arrays.copyOfRange(blob, 0, cut))
+      assert(rows.length <= 100)
+    }
+    // flip a sync byte in the tail: decoded rows stop at the bad block
+    val mangled = blob.clone()
+    mangled(blob.length - 5) = (mangled(blob.length - 5) ^ 0x55).toByte
+    assert(Avro.records(mangled).length < 100)
+  }
+
+  test("unsupported schemas fail fast at parse, not at decode") {
+    intercept[IllegalArgumentException] {
+      Avro.parseSchema("""["int","string"]""") // non-null union
+    }
+    intercept[IllegalArgumentException] {
+      Avro.sparkSchema(""""long"""") // not a record at top level
+    }
+  }
+
+  test("read: distributed decode over files, schema from one header") {
+    val dir = java.nio.file.Files.createTempDirectory("avro").toString
+    (0 until 3).foreach { f =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/part$f.avro"),
+        writeFixture(if (f == 1) "deflate" else "null", 4))
+    }
+    val df = Avro.read(spark, s"$dir/*.avro")
+    assert(df.count() == 12)
+    assert(df.columns.toSeq.take(3) == Seq("path", "id", "title"))
+    import org.apache.spark.sql.functions._
+    val sums = df.agg(sum("id"), sum("sub.x")).collect().head
+    assert(sums.getLong(0) == 18L && sums.getLong(1) == 54L)
+    // 300-mutation fuzz on a real container: never throws
+    val blob = writeFixture("deflate", 6)
+    val rnd = new scala.util.Random(42)
+    (0 until 300).foreach { _ =>
+      val m = blob.clone()
+      m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte
+      Avro.records(m)
+      Avro.schemaOf(m)
+    }
+  }
+}
