@@ -3465,6 +3465,41 @@ object SparkEntry {
         .orderBy("mime")
     },
 
+    "mm14_mkv_tracks" -> { (s, d) =>
+      // Matroska/WebM track walk (multimodal/Ebml, RFC 8794 + the public
+      // Matroska registry): per doc an authored container — doctype by
+      // id parity, a VP9/AVC video track, an Opus audio track for two
+      // thirds, and every fifth doc written with an UNKNOWN-size Segment
+      // (the streamed form). Ebml.mkvTrackRows explodes distributed; all
+      // fields replay from the construction arithmetic (duration ticks
+      // at the 1 ms default scale, dyadic sample rates).
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 400).as[Long]
+        .map { id =>
+          import graft.multimodal.Ebml.{MkvTrackSpec, writeMkv}
+          val video = MkvTrackSpec(1, isVideo = true,
+            if (id % 2 == 0) "V_VP9" else "V_MPEG4/ISO/AVC",
+            width = 320 + 16 * (id % 20).toInt,
+            height = 240 + 16 * (id % 10).toInt)
+          val tracks =
+            if (id % 3 == 2) Seq(video)
+            else Seq(video, MkvTrackSpec(2, isVideo = false, "A_OPUS",
+              sampleRate = (8000 + 1000 * (id % 8)).toDouble,
+              channels = 1 + (id % 2).toInt))
+          (id, writeMkv(if (id % 2 == 0) "matroska" else "webm",
+            1000000L, (1000 + id % 5000).toDouble, tracks,
+            unknownSegmentSize = id % 5 == 0))
+        }
+      graft.multimodal.Ebml.mkvTrackRows(media).toDF()
+        .select(col("id").as("doc_id"), col("doctype"),
+          col("track_number"), col("track_type"), col("codec"),
+          col("width"), col("height"),
+          col("sample_rate").cast("long").as("rate"), col("channels"),
+          col("duration_ms").cast("long").as("dur_ms"))
+        .orderBy("doc_id", "track_number")
+    },
+
     "mm1b_mp4_tracks" -> { (s, d) =>
       // MP4 per-track metadata (round 7): every doc becomes an authored
       // ISO-BMFF stream with a video trak (avc1/hev1, tkhd 16.16 dims)
@@ -7977,6 +8012,33 @@ object SparkEntry {
            CAST(SUM(w) AS BIGINT) AS w_total,
            CAST(SUM(h) AS BIGINT) AS h_total
          FROM e""",
+
+    // mkv replay: per doc a video TrackEntry and, for doc_id % 3 <> 2, an
+    // audio TrackEntry — every field from the construction arithmetic
+    "mm14_mkv_tracks" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 400),
+         rows_ AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'matroska' ELSE 'webm' END
+               AS doctype,
+             CAST(1 AS BIGINT) AS track_number, 'video' AS track_type,
+             CASE WHEN doc_id % 2 = 0 THEN 'V_VP9'
+                  ELSE 'V_MPEG4/ISO/AVC' END AS codec,
+             CAST(320 + 16 * (doc_id % 20) AS INTEGER) AS width,
+             CAST(240 + 16 * (doc_id % 10) AS INTEGER) AS height,
+             CAST(0 AS BIGINT) AS rate, CAST(0 AS INTEGER) AS channels,
+             CAST(1000 + doc_id % 5000 AS BIGINT) AS dur_ms
+           FROM d
+           UNION ALL
+           SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN 'matroska' ELSE 'webm' END,
+             CAST(2 AS BIGINT), 'audio', 'A_OPUS',
+             CAST(0 AS INTEGER), CAST(0 AS INTEGER),
+             CAST(8000 + 1000 * (doc_id % 8) AS BIGINT),
+             CAST(1 + doc_id % 2 AS INTEGER),
+             CAST(1000 + doc_id % 5000 AS BIGINT)
+           FROM d WHERE doc_id % 3 <> 2)
+         SELECT * FROM rows_ ORDER BY doc_id, track_number""",
 
     "mm1b_mp4_tracks" ->
       """SELECT * FROM (
