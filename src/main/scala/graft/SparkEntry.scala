@@ -712,6 +712,21 @@ object SparkEntry {
         .orderBy("day_us")
     },
 
+    "e14_stream_heavyhitters" -> { (s, d) =>
+      // streaming count-min (EventStreams.countMinWindowTable): the d×w
+      // frequency table as watermarked per-day window state — counts are
+      // SUM-mergeable, so the sketch streams through an ordinary
+      // aggregation with ≤ d·256 rows per window. The batch twin's table
+      // is replayed BUCKET-FOR-BUCKET (portable md5 hashing, t55's
+      // contract); StreamingSpec drives the real readStream form and the
+      // heavy-hitter estimate off a closed window.
+      graft.streaming.EventStreams.countMinWindowTable(
+          events(s, d), "event_type", d = 2, hexChars = 2)
+        .select(unix_micros(col("window_start")).as("day_us"), col("i"),
+          col("bucket"), col("cnt"))
+        .orderBy("day_us", "i", "bucket")
+    },
+
     "s20_corrupt_quarantine" -> { (s, d) =>
       // malformed-record quarantine: the crawl-ingest contract that bad
       // lines NEVER kill the job and NEVER silently vanish. An authored
@@ -5096,6 +5111,17 @@ object SparkEntry {
            CAST(SUM(mx) AS BIGINT) AS sum_mx,
            CAST(MAX(mx) AS INTEGER) AS max_mx
          FROM regs GROUP BY 1 ORDER BY 1""",
+
+    "e14_stream_heavyhitters" ->
+      """WITH h AS (
+           SELECT epoch_us(date_trunc('day', ts)) AS day_us, k.i,
+             (instr('0123456789abcdef', substr(md5(CAST(k.i AS VARCHAR)
+               || ':' || event_type), 1, 1)) - 1) * 16 +
+             (instr('0123456789abcdef', substr(md5(CAST(k.i AS VARCHAR)
+               || ':' || event_type), 2, 1)) - 1) AS bucket
+           FROM events CROSS JOIN (VALUES (0), (1)) k(i))
+         SELECT day_us, i, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM h GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     "s20_corrupt_quarantine" ->
       """SELECT

@@ -31,6 +31,12 @@ object Sketch {
       .reduceLeft((acc, h) => s"($acc * 16 + $h)")).cast("int")
   }
 
+  /** The d-way (row, bucket) entry array for one key — the building
+    * block [[countMinTable]] and the streaming form
+    * (`streaming/EventStreams.countMinWindowTable`) share. */
+  private[graft] def cmEntries(keyCol: String, d: Int,
+      hexChars: Int): Column = entries(keyCol, d, hexChars)
+
   private def entries(keyCol: String, d: Int, hexChars: Int): Column =
     array((0 until d).map(i => struct(lit(i).as("i"),
       md5Bucket(s"concat('$i:', $keyCol)", hexChars).as("bucket"))): _*)

@@ -111,6 +111,30 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("reg"), col("mx"))
   }
 
+  /** Windowed count-min sketch as STREAMING state — the heavy-hitters /
+    * frequency primitive over an unbounded key stream: counts are
+    * SUM-mergeable, so the d×w table folds into one ordinary watermarked
+    * window aggregation whose per-window state is bounded at d·16^hexChars
+    * rows no matter how many distinct keys flow through. Downstream,
+    * [[graft.operators.Sketch.countMinEstimate]] answers "how often did
+    * key k appear in window W" from a closed window's table — without
+    * ever holding per-key state. Works identically on a batch frame (the
+    * gate's batch twin); same portable md5 hashing as the batch sketch,
+    * so the table is SQL-replayable bucket-for-bucket. */
+  def countMinWindowTable(events: DataFrame, keyCol: String,
+      d: Int = 4, hexChars: Int = 3, window_ : String = "1 day",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("__k", col(keyCol).cast("string"))
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        explode(graft.operators.Sketch.cmEntries("__k", d, hexChars)).as("e"))
+      .groupBy(window(col("ts"), window_),
+        col("e.i").as("i"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"), col("i"),
+        col("bucket"), col("cnt"))
+
   /** Windowed PSI drift monitor: per event-time window, the Population
     * Stability Index of a score column against a FIXED baseline share
     * vector ([[graft.operators.Eval.psi]]'s formula, streaming form) —

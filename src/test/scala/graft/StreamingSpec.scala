@@ -96,6 +96,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(est - 60.0) / 60.0 < 0.25, s"window est: $est")
   }
 
+  test("countMinWindowTable: streamed sketch matches the batch twin") {
+    val dir = java.nio.file.Files.createTempDirectory("cmev").toString + "/data"
+    eventsBatch().write.parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val q = EventStreams.countMinWindowTable(stream, "event_type",
+        d = 2, hexChars = 2, window_ = "4 hours", watermark = "1 hour")
+      .writeStream.format("memory").queryName("cm_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "stream timed out")
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getTimestamp(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)
+    val streamed = spark.table("cm_out").collect().map(key).toMap
+    val batch = EventStreams.countMinWindowTable(eventsBatch(), "event_type",
+      d = 2, hexChars = 2, window_ = "4 hours", watermark = "1 hour")
+      .collect().map(key).toMap
+    // SUM-mergeable counts: every emitted cell must equal the batch twin
+    // exactly under any micro-batch split
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (k, c) =>
+      assert(batch.get(k).contains(c), s"cell $k diverged") }
+    // per-window state bounded at d * 16^hexChars cells
+    assert(batch.groupBy(_._1._1).forall(_._2.size <= 2 * 256))
+    // heavy-hitter probe on one closed window: est >= true, and for
+    // d=2/w=256 over 2 keys, exact (no collisions to inflate)
+    val firstWin = batch.keys.map(_._1).minBy(_.getTime)
+    val tab = batch.collect { case ((w, i, b), c) if w == firstWin =>
+      (i, b, c) }.toSeq.toDF("i", "bucket", "cnt")
+    val probe = Seq("click", "view").toDF("k")
+    val est = graft.operators.Sketch.countMinEstimate(tab, probe, "k",
+        d = 2, hexChars = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // first 4h window: 60 events, alternating types -> 30 each
+    assert(est("click") == 30L && est("view") == 30L, est.toString)
+  }
+
   test("driftMonitor: streamed windowed PSI matches its batch twin") {
     val ev = eventsBatch()
     val base = ev.filter(col("event_id") % 2 === 0)
