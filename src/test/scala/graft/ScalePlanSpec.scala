@@ -916,6 +916,72 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"no shuffled cartesian:\n$p")
   }
 
+  test("hybridTopK: legs union shuffle-free, fused top-k group-limited, " +
+      "dense corpus streams") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val q = Seq((1L, "spark table")).toDF("query_id", "qtext")
+      val qv = emb.filter(col("vec_id") === 1L)
+      graft.operators.Retrieval.hybridTopK(docs, q, emb, qv, k = 5,
+        topNPerLeg = 5).queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // per-query rank windows push WindowGroupLimit (map-side top-N)
+    assert(p.contains("WindowGroupLimit"), s"leg top-N not pushed:\n$p")
+    // the dense leg keeps the v1 orientation: queries broadcast, corpus
+    // streams — no shuffled cartesian anywhere
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), s"no shuffled cartesian:\n$p")
+  }
+
+  test("avro scan: per-blob kernel only — no shuffle in the decode path") {
+    val dir = java.nio.file.Files.createTempDirectory("avroplan").toString
+    spark.range(1).selectExpr("id").write.mode("overwrite").json(dir) // dummy
+    // plan the decode over an in-memory blob column: explode of
+    // avro_records must sit directly on the scan/localtablescan with no
+    // Exchange between
+    val blob = {
+      import org.apache.avro.Schema
+      import org.apache.avro.file.DataFileWriter
+      import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+      val schema = new Schema.Parser().parse(
+        """{"type":"record","name":"R","fields":[{"name":"x","type":"long"}]}""")
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      val bos = new java.io.ByteArrayOutputStream()
+      w.create(schema, bos)
+      val r = new GenericData.Record(schema)
+      r.put("x", 7L)
+      w.append(r); w.close()
+      bos.toByteArray
+    }
+    val df = Seq((1L, blob)).toDF("id", "avro").select(col("id"),
+      explode(graft.functions.GraftFunctions.avro_records(col("avro"),
+        """{"type":"record","name":"R","fields":[{"name":"x","type":"long"}]}"""))
+        .as("r"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"avro decode must not shuffle:\n$p")
+    assert(df.select("r.x").collect().map(_.getLong(0)).toSeq == Seq(7L))
+  }
+
+  test("countMinWindowTable (batch twin): one combinable aggregate, " +
+      "partial before the exchange") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      val ev = Seq((1L, new java.sql.Timestamp(0L), "a"))
+        .toDF("event_id", "ts", "event_type")
+      graft.streaming.EventStreams.countMinWindowTable(ev, "event_type",
+        d = 2, hexChars = 2).queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // partial_count before the exchange = map-side combine; exactly one
+    // exchange total (the (window, i, bucket) agg)
+    assert(p.contains("partial_count") || p.contains("partial count"),
+      s"map-side combine missing:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"count-min twin must shuffle exactly once:\n$p")
+  }
+
   test("sessions/resample: every window and join is keyed (no global window)") {
     val ev = Seq((1L, 1L, new java.sql.Timestamp(0L), 1.0))
       .toDF("event_id", "user_id", "ts", "value")
