@@ -58,8 +58,9 @@ object WebP extends Serializable {
         val tag = fourcc(p, off)
         val size = u32le(p, off + 4).toInt
         val data = off + 8
-        if (size < 0 || data + size > p.length) return
-          WebpMeta(format, w, h, alpha, anim, n)
+        if (size < 0 || data + size > p.length) {
+          return WebpMeta(format, w, h, alpha, anim, n)
+        }
         n += 1
         tag match {
           case "VP8 " => // lossy: 3-byte frame tag, 0x9d012a, 14-bit dims
