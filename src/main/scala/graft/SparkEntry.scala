@@ -1642,6 +1642,68 @@ object SparkEntry {
       top.join(chk, "qid").orderBy("qid", "rk")
     },
 
+    "mm15_webp_meta" -> { (s, d) =>
+      // WebP (RFC 9649, multimodal/WebP): per doc a deterministic ARGB
+      // image VP8L-encoded with an option combo cycling by id (plain /
+      // subtract-green / predictor / cache+LZ77 / meta groups / stacked
+      // transforms), decoded back in the builder (lossless round-trip
+      // boolean) AND through the webp_pixel_sum expression (the
+      // distributed decode path); plus a hand-built lossy VP8 container
+      // whose dims the chunk walk must read. The oracle reconstructs
+      // format, dims and the booleans in closed form.
+      import s.implicits._
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 150).as[Long]
+        .map { id =>
+          import graft.multimodal.WebP
+          val w = 16 + (id % 5).toInt
+          val h = 8 + (id % 3).toInt
+          val px = Array.tabulate(w * h) { i =>
+            var z = id * 0x9e3779b97f4a7c15L + i * 0xbf58476d1ce4e5b9L
+            z = (z ^ (z >>> 31)) * 0x94d049bb133111ebL
+            0xff000000 | ((z >>> 17) & 0xffffff).toInt
+          }
+          val opts = (id % 6) match {
+            case 0 => WebP.Vp8lEncodeOpts()
+            case 1 => WebP.Vp8lEncodeOpts(subtractGreen = true)
+            case 2 => WebP.Vp8lEncodeOpts(predictor = true, predictorBits = 2)
+            case 3 => WebP.Vp8lEncodeOpts(cacheBits = 4, lz77 = true)
+            case 4 => WebP.Vp8lEncodeOpts(metaBits = 2)
+            case _ => WebP.Vp8lEncodeOpts(subtractGreen = true,
+              colorTransform = true, colorBits = 2, predictor = true)
+          }
+          val webp = WebP.writeWebpLossless(w, h, px, opts)
+          val dec = WebP.vp8lDecode(webp)
+          val lossless = dec != null && dec.width == w && dec.height == h &&
+            java.util.Arrays.equals(dec.argb, px)
+          val rawSum = px.map(p => ((p >>> 24) & 0xff).toLong +
+            ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).sum
+          // hand-built lossy container: VP8 chunk, 0x9d012a sync code
+          val lw = 320 + (id % 7).toInt
+          val vp8 = new Array[Byte](12)
+          vp8(3) = 0x9d.toByte; vp8(4) = 0x01; vp8(5) = 0x2a
+          vp8(6) = (lw & 0xff).toByte; vp8(7) = ((lw >> 8) & 0x3f).toByte
+          vp8(8) = (240 & 0xff).toByte; vp8(9) = 0
+          val out = new java.io.ByteArrayOutputStream()
+          def w32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+            out.write((v >> 16) & 0xff); out.write((v >>> 24) & 0xff) }
+          out.write("RIFF".getBytes("US-ASCII")); w32(4 + 8 + vp8.length)
+          out.write("WEBP".getBytes("US-ASCII"))
+          out.write("VP8 ".getBytes("US-ASCII")); w32(vp8.length); out.write(vp8)
+          (id, webp, rawSum, out.toByteArray, lossless)
+        }.toDF("id", "webp", "raw_sum", "lossy", "lossless")
+      media.select(col("id"), col("lossless"),
+          webp_meta(col("webp")).as("m"),
+          webp_pixel_sum(col("webp")).as("ps"),
+          webp_meta(col("lossy")).as("lm"), col("raw_sum"))
+        .select(col("id"), col("lossless"),
+          col("m.format").as("fmt"), col("m.width").as("w"),
+          col("m.height").as("h"),
+          (col("ps") === col("raw_sum")).as("sum_match"),
+          col("lm.format").as("lossy_fmt"), col("lm.width").as("lossy_w"))
+        .orderBy("id")
+    },
+
     "mm13_exif_meta" -> { (s, d) =>
       // EXIF metadata (Exif.parse, CIPA DC-008 / TIFF 6.0): authored
       // APP1 fixtures with formula-derived make/model/orientation/
@@ -6204,6 +6266,16 @@ object SparkEntry {
            c.q_checksum
          FROM ranked r JOIN chk c USING (qid)
          WHERE rk <= 5 ORDER BY qid, rk""",
+
+    // WebP contract: VP8L round-trip lossless, chunk-walk dims in closed
+    // form, expression pixel sum equals the builder's fold
+    "mm15_webp_meta" ->
+      """SELECT doc_id AS id, TRUE AS lossless, 'lossless' AS fmt,
+           CAST(16 + doc_id % 5 AS INTEGER) AS w,
+           CAST(8 + doc_id % 3 AS INTEGER) AS h,
+           TRUE AS sum_match, 'lossy' AS lossy_fmt,
+           CAST(320 + doc_id % 7 AS INTEGER) AS lossy_w
+         FROM documents WHERE doc_id < 150 ORDER BY id""",
 
     "mm13_exif_meta" ->
       """SELECT doc_id,

@@ -27,7 +27,10 @@ case class AvroSchemaOf(child: Expression) extends UnaryExpression
   * constant (it fixes the expression's dataType); `Avro.read` discovers
   * it from one file header and threads it here. Blobs whose embedded
   * schema fails to parse, non-Avro blobs, and corrupt tails yield the
-  * rows decoded so far (possibly empty) — the crawl posture. */
+  * rows decoded so far (possibly empty) — the crawl posture. A blob
+  * whose embedded writer schema maps to a different Catalyst shape than
+  * the plan-time schema yields an EMPTY array: a mixed-schema glob
+  * degrades to the matching files instead of mis-typed rows. */
 case class AvroRecords(child: Expression, schemaJson: String)
     extends UnaryExpression with ImplicitCastInputTypes with CodegenFallback {
   override def prettyName: String = "avro_records"
@@ -38,7 +41,7 @@ case class AvroRecords(child: Expression, schemaJson: String)
       containsNull = false)
   protected override def nullSafeEval(p: Any): Any =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      graft.sources.Avro.records(p.asInstanceOf[Array[Byte]])
+      graft.sources.Avro.records(p.asInstanceOf[Array[Byte]], schemaJson)
         .asInstanceOf[Array[Any]])
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)

@@ -152,6 +152,8 @@ object GraftFunctions {
   def avro_schema(payload: Column): Column = col(AvroSchemaOf(ex(payload)))
   def avro_records(payload: Column, schemaJson: String): Column =
     col(AvroRecords(ex(payload), schemaJson))
+  def webp_meta(payload: Column): Column = col(WebpMetaExpr(ex(payload)))
+  def webp_pixel_sum(payload: Column): Column = col(WebpPixelSum(ex(payload)))
   def cdc_n_chunks(payload: Column): Column = col(CdcNChunks(ex(payload)))
   def cdc_fingerprint(payload: Column): Column = col(CdcFingerprint(ex(payload)))
   def geotiff_meta(payload: Column): Column = col(GeoTiffMeta(ex(payload)))
@@ -284,6 +286,8 @@ object GraftFunctions {
     "warc_records" -> { e => WarcRecords(e.head) },
     "tar_entries" -> { e => TarEntries(e.head) },
     "zip_entries" -> { e => ZipEntries(e.head) },
+    "webp_meta" -> { e => WebpMetaExpr(e.head) },
+    "webp_pixel_sum" -> { e => WebpPixelSum(e.head) },
     "avro_schema" -> { e => AvroSchemaOf(e.head) },
     "avro_records" -> { e =>
       e(1) match {

@@ -226,6 +226,45 @@ case class CdcFingerprint(child: Expression) extends PngAccessorExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** webp_meta(payload) — RIFF chunk-walk metadata of a WebP blob as a
+  * struct (format lossy/lossless/extended, canvas dims, alpha/animation
+  * flags, chunk count); null for non-WebP bytes. Header-only contract —
+  * no pixel decode ([[graft.multimodal.WebP.webpMeta]]). */
+case class WebpMetaExpr(child: Expression) extends UnaryExpression
+    with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def prettyName: String = "webp_meta"
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("has_alpha", BooleanType, nullable = false),
+    StructField("has_anim", BooleanType, nullable = false),
+    StructField("n_chunks", IntegerType, nullable = false)))
+  protected override def nullSafeEval(p: Any): Any = {
+    val m = graft.multimodal.WebP.webpMeta(p.asInstanceOf[Array[Byte]])
+    if (m == null) null
+    else new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(m.format),
+        m.width, m.height, m.has_alpha, m.has_anim, m.n_chunks))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** webp_pixel_sum(payload) — Σ(alpha+red+green+blue) over the fully
+  * decoded VP8L (lossless) pixels; null when the blob has no decodable
+  * VP8L payload. The decode-proving probe (png_pixel_sum's WebP twin). */
+case class WebpPixelSum(child: Expression) extends PngAccessorExpression {
+  override def prettyName: String = "webp_pixel_sum"
+  override def dataType: DataType = LongType
+  override def staticMethod: String = "graft.multimodal.WebP.vp8lPixelSum"
+  protected override def nullSafeEval(p: Any): Any =
+    graft.multimodal.WebP.vp8lPixelSum(p.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** geotiff_meta(payload) — raster + georeferencing metadata of a GeoTIFF
   * binary column as a struct; null for non-TIFF bytes. One IFD walk per
   * row, no pixel decode (header-only contract, like the audio/video

@@ -632,6 +632,457 @@ object WebP extends Serializable {
     } catch { case _: Exception => null }
   }
 
+  // ---- VP8L encode (fixture-grade, from the same spec) ---------------------
+
+  /** Encoder options — each flag routes pixels through one decode path so
+    * WebPSpec's round-trips cover the whole decoder. Transform stream
+    * order when combined: subtract-green, color transform, predictor
+    * (palette is exclusive of the other transforms). */
+  final case class Vp8lEncodeOpts(
+      subtractGreen: Boolean = false,
+      predictor: Boolean = false, predictorBits: Int = 4,
+      colorTransform: Boolean = false, colorBits: Int = 4,
+      palette: Boolean = false,
+      cacheBits: Int = 0,
+      lz77: Boolean = false,
+      metaBits: Int = 0)
+
+  /** Length-limited canonical Huffman code lengths (limit <= 15): plain
+    * Huffman then clamp + Kraft repair (lengthen the longest sub-limit
+    * code until Kraft(sum) <= 1 — incomplete codes are fine, the decoder
+    * only ever sees codes we actually emit). */
+  private def huffmanLengths(freq: Array[Long], limit: Int): Array[Int] = {
+    val n = freq.length
+    val lengths = new Array[Int](n)
+    val used = (0 until n).filter(freq(_) > 0)
+    if (used.isEmpty) return lengths
+    if (used.size == 1) { lengths(used.head) = 1; return lengths }
+    // Huffman tree via two-queue merge on symbols sorted by weight
+    final class Node(val w: Long, val sym: Int, val l: Node, val r: Node)
+    val leaves = used.map(s => new Node(freq(s), s, null, null))
+      .sortBy(_.w).toBuffer
+    val merged = scala.collection.mutable.Queue.empty[Node]
+    def popMin(): Node =
+      if (leaves.nonEmpty && (merged.isEmpty || leaves.head.w <= merged.head.w))
+        leaves.remove(0)
+      else merged.dequeue()
+    var remaining = used.size
+    while (remaining > 1) {
+      val a = popMin(); val b = popMin()
+      merged.enqueue(new Node(a.w + b.w, -1, a, b))
+      remaining -= 1
+    }
+    def depth(nd: Node, d: Int): Unit =
+      if (nd.sym >= 0) lengths(nd.sym) = math.max(1, d)
+      else { depth(nd.l, d + 1); depth(nd.r, d + 1) }
+    depth(popMin(), 0)
+    // clamp + repair
+    var kraft = 0L
+    used.foreach { s =>
+      if (lengths(s) > limit) lengths(s) = limit
+      kraft += 1L << (limit - lengths(s))
+    }
+    while (kraft > (1L << limit)) {
+      // lengthen the deepest code still below the limit
+      var pick = -1
+      used.foreach(s => if (lengths(s) < limit &&
+        (pick < 0 || lengths(s) > lengths(pick))) pick = s)
+      kraft -= 1L << (limit - lengths(pick) - 1)
+      lengths(pick) += 1
+    }
+    lengths
+  }
+
+  /** Canonical code table (encoder twin of [[PrefixCode]]): codes are
+    * written MSB-first (the decoder walks bits into the high end). A
+    * table with <= 1 used symbol writes ZERO bits per symbol. */
+  private final class CodeTable(val lengths: Array[Int]) {
+    val codes = new Array[Int](lengths.length)
+    private var nUsed = 0
+    locally {
+      val blCount = new Array[Int](16)
+      lengths.foreach(l => if (l > 0) { blCount(l) += 1; nUsed += 1 })
+      val nextCode = new Array[Int](16)
+      var code = 0
+      var l = 1
+      while (l <= 15) {
+        code = (code + blCount(l - 1)) << 1
+        nextCode(l) = code
+        l += 1
+      }
+      var s = 0
+      while (s < lengths.length) {
+        if (lengths(s) > 0) { codes(s) = nextCode(lengths(s)); nextCode(lengths(s)) += 1 }
+        s += 1
+      }
+    }
+    def write(bw: BitWriter, sym: Int): Unit = {
+      if (nUsed <= 1) return
+      val len = lengths(sym)
+      require(len > 0, s"symbol $sym has no code")
+      var i = len - 1
+      while (i >= 0) { bw.writeBits((codes(sym) >> i) & 1, 1); i -= 1 }
+    }
+  }
+
+  /** Emit one prefix code (simple form when <= 2 used symbols all < 256,
+    * else normal form with a code-length code and 17/18 zero runs). */
+  private def writePrefixCode(bw: BitWriter, lengths: Array[Int]): CodeTable = {
+    val used = lengths.indices.filter(lengths(_) > 0)
+    if (used.isEmpty) { // trivial: simple form, single symbol 0
+      bw.writeBits(1, 1); bw.writeBits(0, 1); bw.writeBits(0, 1)
+      bw.writeBits(0, 1)
+      return new CodeTable(lengths)
+    }
+    if (used.size <= 2 && used.forall(_ < 256) &&
+      used.forall(lengths(_) == 1)) {
+      bw.writeBits(1, 1) // simple
+      bw.writeBits(used.size - 1, 1)
+      val s0 = used.head
+      val first8 = s0 > 1
+      bw.writeBits(if (first8) 1 else 0, 1)
+      bw.writeBits(s0, if (first8) 8 else 1)
+      if (used.size == 2) bw.writeBits(used(1), 8)
+      return new CodeTable(lengths)
+    }
+    bw.writeBits(0, 1) // normal form
+    // RLE the length array into cl symbols (literal 0-15, 17/18 zero runs)
+    val toks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var i = 0
+    while (i < lengths.length) {
+      if (lengths(i) == 0) {
+        var z = 0
+        while (i + z < lengths.length && lengths(i + z) == 0) z += 1
+        var left = z
+        while (left > 0) {
+          if (left >= 11) { val take = math.min(left, 138)
+            toks += ((18, take - 11, 7)); left -= take }
+          else if (left >= 3) { toks += ((17, left - 3, 3)); left = 0 }
+          else { toks += ((0, 0, 0)); left -= 1 }
+        }
+        i += z
+      } else { toks += ((lengths(i), 0, 0)); i += 1 }
+    }
+    val clFreq = new Array[Long](19)
+    toks.foreach(t => clFreq(t._1) += 1)
+    val clLengths = huffmanLengths(clFreq, 7)
+    var lastUsed = 0
+    var k = 0
+    while (k < 19) { if (clLengths(CodeLengthOrder(k)) > 0) lastUsed = k; k += 1 }
+    val numCodeLengths = math.max(4, lastUsed + 1)
+    bw.writeBits(numCodeLengths - 4, 4)
+    k = 0
+    while (k < numCodeLengths) {
+      bw.writeBits(clLengths(CodeLengthOrder(k)), 3)
+      k += 1
+    }
+    bw.writeBits(0, 1) // no max_symbol cap: every symbol is coded
+    val clTable = new CodeTable(clLengths)
+    toks.foreach { case (sym, extra, eb) =>
+      clTable.write(bw, sym)
+      if (eb > 0) bw.writeBits(extra, eb)
+    }
+    new CodeTable(lengths)
+  }
+
+  /** One pixel token: literal, LZ77 copy, or color-cache reference. */
+  private sealed trait Tok
+  private final case class TLit(px: Int) extends Tok
+  private final case class TCopy(len: Int, dist: Int) extends Tok
+  private final case class TCache(idx: Int) extends Tok
+
+  /** Tokenize a pixel array mirroring the decoder's cache/copy state
+    * machine exactly (copies insert every covered pixel into the cache;
+    * cache hits read only). Greedy: prefer the longer of a dist-1 run and
+    * a dist-w row copy when >= 3; then a cache hit; else a literal. */
+  private def tokenize(pixels: Array[Int], w: Int, cacheBits: Int,
+      lz77: Boolean): Array[Tok] = {
+    val n = pixels.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    val cache = if (cacheBits > 0) new Array[Int](1 << cacheBits) else null
+    var i = 0
+    while (i < n) {
+      var emitted = false
+      if (lz77 && i >= 1) {
+        def runLen(dist: Int): Int = {
+          if (dist > i) return 0
+          var l = 0
+          while (i + l < n && l < 4096 && pixels(i + l) == pixels(i + l - dist)) l += 1
+          l
+        }
+        val r1 = runLen(1)
+        val rw = if (w > 1) runLen(w) else 0
+        val best = math.max(r1, rw)
+        if (best >= 3) {
+          val dist = if (rw >= r1) w else 1
+          val len = math.max(if (rw >= r1) rw else r1, 3)
+          out += TCopy(len, dist)
+          if (cache != null) {
+            var k = 0
+            while (k < len) {
+              val px = pixels(i + k)
+              cache(cacheKey(px, cacheBits)) = px
+              k += 1
+            }
+          }
+          i += len
+          emitted = true
+        }
+      }
+      if (!emitted) {
+        val px = pixels(i)
+        if (cache != null && cache(cacheKey(px, cacheBits)) == px && i > 0) {
+          out += TCache(cacheKey(px, cacheBits))
+        } else {
+          out += TLit(px)
+          if (cache != null) cache(cacheKey(px, cacheBits)) = px
+        }
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Encode one spatially-coded image (encoder twin of
+    * [[decodeImageStream]]). Sub-streams (transforms, meta image,
+    * palette) call with level0=false: no meta-group bit is written. */
+  private def encodeImageStream(bw: BitWriter, pixels: Array[Int], w: Int,
+      h: Int, level0: Boolean, cacheBits: Int = 0, lz77: Boolean = false,
+      metaBits: Int = 0): Unit = {
+    // color cache
+    if (cacheBits > 0) { bw.writeBits(1, 1); bw.writeBits(cacheBits, 4) }
+    else bw.writeBits(0, 1)
+    // meta prefix groups: checkerboard of 2 groups over metaBits blocks
+    var metaImage: Array[Int] = null
+    var metaW = 0
+    var nGroups = 1
+    if (level0) {
+      if (metaBits >= 2) {
+        bw.writeBits(1, 1)
+        bw.writeBits(metaBits - 2, 3)
+        metaW = (w + (1 << metaBits) - 1) >> metaBits
+        val metaH = (h + (1 << metaBits) - 1) >> metaBits
+        metaImage = Array.tabulate(metaW * metaH) { j =>
+          (j % metaW + j / metaW) & 1
+        }
+        // the decoder derives nGroups from the meta image's max — mirror
+        // it so a single-block meta image degrades to one group
+        nGroups = metaImage.max + 1
+        val metaPixels = metaImage.map(g => 0xff000000 | (g << 8))
+        encodeImageStream(bw, metaPixels, metaW, metaH, level0 = false)
+      } else bw.writeBits(0, 1)
+    }
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val greenAlphabet = 256 + 24 + cacheSize
+    def groupOf(i: Int): Int =
+      if (metaImage == null) 0
+      else metaImage(((i / w) >> metaBits) * metaW + ((i % w) >> metaBits))
+    // pass 1: tokens + per-group histograms
+    val toks = tokenize(pixels, w, cacheBits, lz77)
+    val gF = Array.fill(nGroups)(new Array[Long](greenAlphabet))
+    val rF = Array.fill(nGroups)(new Array[Long](256))
+    val bF = Array.fill(nGroups)(new Array[Long](256))
+    val aF = Array.fill(nGroups)(new Array[Long](256))
+    val dF = Array.fill(nGroups)(new Array[Long](40))
+    var pos = 0
+    toks.foreach {
+      case TLit(px) =>
+        val g = groupOf(pos)
+        gF(g)((px >> 8) & 0xff) += 1
+        rF(g)((px >> 16) & 0xff) += 1
+        bF(g)(px & 0xff) += 1
+        aF(g)((px >>> 24) & 0xff) += 1
+        pos += 1
+      case TCopy(len, dist) =>
+        val g = groupOf(pos)
+        gF(g)(256 + prefixEncode(len)._1) += 1
+        dF(g)(prefixEncode(dist + 120)._1) += 1
+        pos += len
+      case TCache(idx) =>
+        gF(groupOf(pos))(256 + 24 + idx) += 1
+        pos += 1
+    }
+    // pass 2: write code tables then the token stream
+    val tables = (0 until nGroups).map { g =>
+      Array(writePrefixCode(bw, huffmanLengths(gF(g), 15)),
+        writePrefixCode(bw, huffmanLengths(rF(g), 15)),
+        writePrefixCode(bw, huffmanLengths(bF(g), 15)),
+        writePrefixCode(bw, huffmanLengths(aF(g), 15)),
+        writePrefixCode(bw, huffmanLengths(dF(g), 15)))
+    }
+    pos = 0
+    toks.foreach {
+      case TLit(px) =>
+        val t = tables(groupOf(pos))
+        t(0).write(bw, (px >> 8) & 0xff)
+        t(1).write(bw, (px >> 16) & 0xff)
+        t(2).write(bw, px & 0xff)
+        t(3).write(bw, (px >>> 24) & 0xff)
+        pos += 1
+      case TCopy(len, dist) =>
+        val t = tables(groupOf(pos))
+        val (lc, le, lb) = prefixEncode(len)
+        t(0).write(bw, 256 + lc)
+        if (lb > 0) bw.writeBits(le, lb)
+        val (dc, de, db) = prefixEncode(dist + 120)
+        t(4).write(bw, dc)
+        if (db > 0) bw.writeBits(de, db)
+        pos += len
+      case TCache(idx) =>
+        tables(groupOf(pos))(0).write(bw, 256 + 24 + idx)
+        pos += 1
+    }
+  }
+
+  private def subPixels(a: Int, b: Int): Int = {
+    var r = 0
+    var sh = 0
+    while (sh < 32) {
+      r |= (((a >>> sh) - (b >>> sh)) & 0xff) << sh
+      sh += 8
+    }
+    r
+  }
+
+  /** From-spec VP8L encoder producing a complete RIFF/WebP file that
+    * [[vp8lDecode]] round-trips losslessly. Fixture-grade: the option
+    * set exists to exercise every decode path (the JpegArith validation
+    * pattern), not to compress well. */
+  def writeWebpLossless(width: Int, height: Int, argb: Array[Int],
+      opts: Vp8lEncodeOpts = Vp8lEncodeOpts()): Array[Byte] = {
+    require(width >= 1 && width <= 16384 && height >= 1 && height <= 16384,
+      s"dims out of VP8L range: ${width}x$height")
+    require(argb.length == width * height, "pixel count mismatch")
+    require(!opts.palette ||
+      !(opts.subtractGreen || opts.predictor || opts.colorTransform),
+      "palette is exclusive of the arithmetic transforms")
+    val bw = new BitWriter
+    bw.writeBits(0x2f, 8)
+    bw.writeBits(width - 1, 14)
+    bw.writeBits(height - 1, 14)
+    bw.writeBits(if (argb.exists(p => (p >>> 24) != 0xff)) 1 else 0, 1)
+    bw.writeBits(0, 3) // version
+    var data = argb.clone()
+    var xsize = width
+    if (opts.palette) {
+      val distinct = scala.collection.mutable.LinkedHashMap.empty[Int, Int]
+      data.foreach(px => if (!distinct.contains(px)) distinct(px) = distinct.size)
+      val ctSize = distinct.size
+      require(ctSize <= 256, s"palette needs <= 256 colors: $ctSize")
+      bw.writeBits(1, 1); bw.writeBits(3, 2) // transform: color indexing
+      bw.writeBits(ctSize - 1, 8)
+      val palette = distinct.keys.toArray
+      val deltas = Array.tabulate(ctSize)(i =>
+        if (i == 0) palette(0) else subPixels(palette(i), palette(i - 1)))
+      encodeImageStream(bw, deltas, ctSize, 1, level0 = false)
+      val widthBits =
+        if (ctSize <= 2) 3 else if (ctSize <= 4) 2
+        else if (ctSize <= 16) 1 else 0
+      val bpp = 8 >> widthBits
+      val perByte = 1 << widthBits
+      xsize = (width + perByte - 1) >> widthBits
+      val packed = new Array[Int](xsize * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val idx = distinct(data(y * width + x))
+          val j = y * xsize + (x >> widthBits)
+          packed(j) |= idx << ((x & (perByte - 1)) * bpp) << 8
+          x += 1
+        }
+        y += 1
+      }
+      var j = 0
+      while (j < packed.length) { packed(j) |= 0xff000000; j += 1 }
+      data = packed
+    }
+    if (opts.subtractGreen) {
+      bw.writeBits(1, 1); bw.writeBits(2, 2)
+      var i = 0
+      while (i < data.length) {
+        val px = data(i)
+        val g = (px >> 8) & 0xff
+        val r = (((px >> 16) & 0xff) - g) & 0xff
+        val b = ((px & 0xff) - g) & 0xff
+        data(i) = (px & 0xff00ff00.toInt) | (r << 16) | b
+        i += 1
+      }
+    }
+    if (opts.colorTransform) {
+      val bits = opts.colorBits
+      require(bits >= 2 && bits <= 9, s"colorBits in [2,9]: $bits")
+      bw.writeBits(1, 1); bw.writeBits(1, 2)
+      bw.writeBits(bits - 2, 3)
+      val bwd = (xsize + (1 << bits) - 1) >> bits
+      val bhd = (height + (1 << bits) - 1) >> bits
+      val elems = Array.tabulate(bwd * bhd) { j =>
+        val r2b = (j * 7 + 3) & 0xff
+        val g2b = (j * 13 + 5) & 0xff
+        val g2r = (j * 29 + 11) & 0xff
+        0xff000000 | (r2b << 16) | (g2b << 8) | g2r
+      }
+      encodeImageStream(bw, elems, bwd, bhd, level0 = false)
+      var i = 0
+      while (i < data.length) {
+        val x = i % xsize
+        val y = i / xsize
+        val cte = elems((y >> bits) * bwd + (x >> bits))
+        val r2b = (cte >> 16) & 0xff
+        val g2b = (cte >> 8) & 0xff
+        val g2r = cte & 0xff
+        val px = data(i)
+        val g = (px >> 8) & 0xff
+        val origR = (px >> 16) & 0xff
+        val r = (origR - colorDelta(g2r, g)) & 0xff
+        val b = ((px & 0xff) - colorDelta(g2b, g) - colorDelta(r2b, origR)) & 0xff
+        data(i) = (px & 0xff00ff00.toInt) | (r << 16) | b
+        i += 1
+      }
+    }
+    if (opts.predictor) {
+      val bits = opts.predictorBits
+      require(bits >= 2 && bits <= 9, s"predictorBits in [2,9]: $bits")
+      bw.writeBits(1, 1); bw.writeBits(0, 2)
+      bw.writeBits(bits - 2, 3)
+      val bwd = (xsize + (1 << bits) - 1) >> bits
+      val bhd = (height + (1 << bits) - 1) >> bits
+      val modes = Array.tabulate(bwd * bhd)(j => (j % 14))
+      val modeImg = modes.map(m => 0xff000000 | (m << 8))
+      encodeImageStream(bw, modeImg, bwd, bhd, level0 = false)
+      val orig = data // predictions read RECONSTRUCTED = original pixels
+      val res = new Array[Int](data.length)
+      var i = 0
+      while (i < data.length) {
+        val x = i % xsize
+        val y = i / xsize
+        val mode = modes((y >> bits) * bwd + (x >> bits))
+        res(i) = subPixels(orig(i), predict(mode, orig, i, xsize))
+        i += 1
+      }
+      data = res
+    }
+    bw.writeBits(0, 1) // end of transforms
+    encodeImageStream(bw, data, xsize, height, level0 = true,
+      cacheBits = opts.cacheBits, lz77 = opts.lz77, metaBits = opts.metaBits)
+    val payload = bw.bytes
+    // RIFF wrap
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >>> 24) & 0xff)
+    }
+    out.write("RIFF".getBytes("US-ASCII"))
+    val chunkLen = payload.length + (payload.length & 1)
+    w32(4 + 8 + chunkLen)
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write("VP8L".getBytes("US-ASCII"))
+    w32(payload.length)
+    out.write(payload)
+    if ((payload.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
   /** Σ over pixels of (alpha + red + green + blue); null when the blob
     * has no decodable VP8L payload. */
   def vp8lPixelSum(p: Array[Byte]): java.lang.Long = {

@@ -51,6 +51,7 @@ object Similarity {
       vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
     require(bits >= 1 && bits <= 62, s"bits must be in [1, 62]: $bits")
     require(tables >= 1, s"tables must be >= 1: $tables")
+    require(probes >= 0, s"probes must be >= 0: $probes")
     val sigT = (t: Int, v: Column) => rhp_signature(v, lit(bits), lit(seed + t))
     val c = Scatter(corpus).select(col(idCol).as("nid"), col(vecCol).as("nv"),
       posexplode(array((0 until tables).map(t => sigT(t, col(vecCol))): _*)))
@@ -58,10 +59,16 @@ object Similarity {
     val qSig = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       posexplode(array((0 until tables).map(t => sigT(t, col(vecCol))): _*)))
       .withColumnRenamed("pos", "tbl").withColumnRenamed("col", "qb")
-    // query-side fan-out: own bucket + single-bit flips (bounded by `probes`)
+    // query-side fan-out: own bucket + single-bit flips (bounded by
+    // `probes`; probes=0 must probe ONLY the query's own bucket — an
+    // empty flip list, not a descending sequence() artifact)
+    val nFlips = math.min(probes, bits)
+    val flipSql =
+      if (nFlips <= 0) "array(qb)"
+      else s"concat(array(qb), transform(sequence(0, ${nFlips - 1}), " +
+        "b -> qb ^ shiftleft(cast(1 as bigint), b)))"
     val probed = qSig.select(col("qid"), col("qv"), col("tbl"),
-      explode(expr(s"concat(array(qb), transform(sequence(0, ${math.min(probes, bits) - 1}), " +
-        s"b -> qb ^ shiftleft(cast(1 as bigint), b)))")).as("bucket"))
+      explode(expr(flipSql)).as("bucket"))
       .dropDuplicates("qid", "tbl", "bucket")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
     probed.join(c, Seq("tbl", "bucket"))

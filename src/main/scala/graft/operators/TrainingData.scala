@@ -758,6 +758,11 @@ object TrainingData {
     * digits of md5, decoded by the same portable `instr` arithmetic as
     * [[hashSplit]] so SQL engines agree bit-for-bit (4096 buckets at 3
     * hex chars). Pure codegen'd string arithmetic — no UDF. */
+  /** SQL string literal with single quotes doubled — caller-provided
+    * seeds go through [[md5Bucket]] as raw SQL text and must not be able
+    * to break expression parsing. */
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
   private def md5Bucket(tok: String, hexChars: Int): Column = {
     val hexVal = (c: Int) =>
       s"(instr('0123456789abcdef', substr(md5(cast($tok AS binary)), $c, 1)) - 1)"
@@ -851,8 +856,8 @@ object TrainingData {
       case None => w.withColumn("key", col("logw"))
       case Some(seed) =>
         // u in (0,1): 6 md5 hex chars -> (v + 0.5) / 16^6; gumbel = -ln(-ln u)
-        val u = (md5Bucket(s"concat('$seed', $idCol)", 6).cast("double") +
-          0.5) / math.pow(16, 6)
+        val u = (md5Bucket(s"concat(${sqlLit(seed)}, $idCol)", 6)
+          .cast("double") + 0.5) / math.pow(16, 6)
         w.withColumn("key", col("logw") - log(-log(u)))
     }
     keyed.orderBy(col("key").desc, col(idCol)).limit(k)
@@ -963,8 +968,8 @@ object TrainingData {
   def weightedSample(docs: DataFrame, weightCol: String, n: Int,
       seed: String, idCol: String = "doc_id"): DataFrame = {
     require(n >= 0, s"n must be non-negative: $n")
-    val u = (md5Bucket(s"concat('$seed', $idCol)", 6).cast("double") +
-      0.5) / math.pow(16, 6)
+    val u = (md5Bucket(s"concat(${sqlLit(seed)}, $idCol)", 6)
+      .cast("double") + 0.5) / math.pow(16, 6)
     docs.filter(col(weightCol).isNotNull && col(weightCol) > 0)
       .withColumn("samp_key",
         log(col(weightCol).cast("double")) - log(-log(u)))

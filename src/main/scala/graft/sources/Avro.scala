@@ -322,14 +322,21 @@ object Avro extends Serializable {
 
   /** All records of a container as Catalyst rows (the expression body).
     * Corrupt tails / sync mismatches / unknown codecs end the walk with
-    * the rows decoded so far. */
-  def records(blob: Array[Byte])
+    * the rows decoded so far. When `expectedSchemaJson` is given (the
+    * plan-time schema that fixed the expression's dataType), a blob whose
+    * embedded writer schema maps to a DIFFERENT Catalyst shape yields an
+    * empty array — a mixed-schema glob must not produce rows whose
+    * physical layout contradicts the declared type. */
+  def records(blob: Array[Byte], expectedSchemaJson: String = null)
       : Array[org.apache.spark.sql.catalyst.expressions.GenericInternalRow] = {
     val h = header(blob)
     if (h == null) return Array.empty
     val schema =
       try parseSchema(h.schemaJson)
       catch { case _: Exception => return Array.empty }
+    if (expectedSchemaJson != null &&
+      (try sparkSchema(h.schemaJson) != sparkSchema(expectedSchemaJson)
+       catch { case _: Exception => true })) return Array.empty
     val out = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
     val in = new In(blob, h.dataStart)
@@ -372,8 +379,9 @@ object Avro extends Serializable {
   def read(spark: SparkSession, path: String): DataFrame = {
     import graft.functions.GraftFunctions.avro_records
     val bin = spark.read.format("binaryFile").load(path)
-    val schemaJson = schemaOf(
-      bin.select("content").head().getAs[Array[Byte]](0))
+    val probe = bin.select("content").take(1)
+    require(probe.nonEmpty, s"no files matched Avro glob: $path")
+    val schemaJson = schemaOf(probe(0).getAs[Array[Byte]](0))
     require(schemaJson != null, s"not an Avro object container: $path")
     bin.select(col("path"),
         explode(avro_records(col("content"), schemaJson)).as("r"))

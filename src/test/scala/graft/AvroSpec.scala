@@ -133,6 +133,20 @@ class AvroSpec extends AnyFunSuite {
     assert(Avro.records(mangled).length < 100)
   }
 
+  test("mixed-schema glob: blob with a different writer schema yields " +
+      "zero rows instead of mis-typed ones") {
+    val blob = writeFixture("null", 5)
+    // same schema (even re-serialized by the Java writer) decodes
+    assert(Avro.records(blob, Avro.schemaOf(blob)).length == 5)
+    assert(Avro.records(blob, schemaJson).length == 5)
+    // a structurally different plan-time schema must refuse the blob
+    val other = """{"type":"record","name":"Doc","fields":[
+         {"name":"id","type":"long"},{"name":"title","type":"string"}]}"""
+    assert(Avro.records(blob, other).isEmpty)
+    // unparseable expected schema also refuses rather than mis-decodes
+    assert(Avro.records(blob, "not json").isEmpty)
+  }
+
   test("unsupported schemas fail fast at parse, not at decode") {
     intercept[IllegalArgumentException] {
       Avro.parseSchema("""["int","string"]""") // non-null union

@@ -391,6 +391,17 @@ class PipelineSpec extends AnyFunSuite {
     // limited signal, so only a loose recall floor is meaningful
     assert(recall >= 0.1, s"multi-probe LSH recall too low: $recall")
     assert(lsh.nonEmpty)
+    // probes=0 probes ONLY the query's own bucket per table. With k
+    // large enough that top-k = all candidates, the probes=0 candidate
+    // set must be a strict subset of the multi-probe one (the old
+    // sequence(0,-1) artifact instead probed a garbage flip bucket)
+    val all0 = Similarity.lshTopK(emb, queries, 100000, bits = 4, probes = 0)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all4 = Similarity.lshTopK(emb, queries, 100000, bits = 4, probes = 4)
+      .select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all0.subsetOf(all4), "probes=0 candidates must be a subset of probes=4")
   }
 
   test("sq8: codes bounded, reconstruction close, top-k recall vs brute") {

@@ -516,6 +516,10 @@ class TrainingDataSpec extends AnyFunSuite {
     val kept = TrainingData.weightedSample(bad, "weight", 10, "s")
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L))
+    // a seed containing a single quote must not break expression parsing
+    val q = TrainingData.weightedSample(df, "weight", 5, "o'brien's seed")
+      .collect().map(_.getLong(0)).toSet
+    assert(q.size == 5)
   }
 
   test("groupReport: per-group counts, interpolated quantiles, dup rate") {
