@@ -33,6 +33,22 @@ object SparkEntry {
   private def cents(c: Column): Column = round(c * 100).cast("long")
   private def centsSql(e: String) = s"CAST(ROUND($e * 100) AS BIGINT)"
 
+  /** DuckDB replay of Sketch.hv48 / Sampling.sampleHash: the first 12
+    * hex chars of an md5 HEX STRING column `hx` as a BIGINT, via the
+    * same instr chain both engines evaluate digit-for-digit. */
+  private def duckHv48(hx: String): String =
+    (2 to 12).map(c =>
+      s"(instr('0123456789abcdef', substr($hx, $c, 1)) - 1)")
+      .foldLeft(s"CAST((instr('0123456789abcdef', substr($hx, 1, 1)) - 1) AS BIGINT)")(
+        (acc, h) => s"($acc * 16 + $h)")
+
+  /** DuckDB replay of the count-min/bloom bucket: `hexChars` md5 hex
+    * digits of token expression `tok` as an INT. */
+  private def duckBucket(tok: String, hexChars: Int): String =
+    (1 to hexChars).map(c =>
+      s"(instr('0123456789abcdef', substr(md5($tok), $c, 1)) - 1)")
+      .reduceLeft((acc, h) => s"($acc * 16 + $h)")
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GeoSimplify.install(s) // idempotent; fuses geometry chains
     s.read.parquet(s"$dir/$name.parquet")
@@ -776,6 +792,74 @@ object SparkEntry {
           grouping_id().cast("int").as("gid"))
         .orderBy(asc_nulls_first("o_orderstatus"),
           asc_nulls_first("o_orderpriority"))
+    },
+
+    "a12_theta_distinct" -> { (s, d) =>
+      // KMV theta sketch (Sketch.thetaSketch, Beyer 2007 / DataSketches):
+      // the k=512 smallest distinct 48-bit hashes of ~15k order keys —
+      // full regime, so est = (k-1)/θ. The sketch is EXACTLY
+      // `DISTINCT hv ORDER BY hv LIMIT k`, so the oracle rebuilds it
+      // hash-for-hash: kv, the checksum over members, and the
+      // CAST-explicit division all pin; err_ok bounds the estimate
+      // within 15% of exact (σ ≈ 1/√(k−2) ≈ 4.4%).
+      val keys = t(s, d, "lineitem")
+        .select(col("l_orderkey").cast("string").as("k"))
+      val sk = graft.operators.Sketch.thetaSketch(keys, "k", 512)
+      val est = graft.operators.Sketch.thetaEstimate(sk, 512)
+      val chk = sk.agg(sum("hv").as("hv_checksum"), min("hv").as("hv_min"))
+      val exact = keys.agg(countDistinct(col("k")).as("n_exact"))
+      est.crossJoin(chk).crossJoin(exact)
+        .select(col("n_sk"), col("kv"), round(col("est"), 4).as("est4"),
+          col("hv_checksum"), col("hv_min"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) / col("n_exact")
+            <= lit(0.15)).as("err_ok"))
+    },
+
+    "a13_theta_intersect" -> { (s, d) =>
+      // theta-sketch set INTERSECTION (the estimate HLL cannot give):
+      // A = order custkeys, B = customers with custkey % 3 <> 0 — true
+      // overlap is 1000 of 1500. k=256 keeps both sketches in the full
+      // regime; θ, the shared-hash count below θ, and the estimate all
+      // replay exactly; err_ok bounds within 30% (σ ≈ 1/√(k·J) ≈ 9%).
+      val a = t(s, d, "orders")
+        .select(col("o_custkey").cast("string").as("k"))
+      val b = t(s, d, "customer").filter(col("c_custkey") % 3 =!= 0)
+        .select(col("c_custkey").cast("string").as("k"))
+      val skA = graft.operators.Sketch.thetaSketch(a, "k", 256)
+      val skB = graft.operators.Sketch.thetaSketch(b, "k", 256)
+      val est = graft.operators.Sketch.thetaIntersectEstimate(skA, skB, 256)
+      val exact = a.distinct().join(b.distinct(), Seq("k"))
+        .agg(count(lit(1)).as("n_exact_int"))
+      est.crossJoin(exact)
+        .select(col("n_common"), col("theta"), round(col("est"), 4).as("est4"),
+          col("n_exact_int"),
+          (abs(col("est") - col("n_exact_int")) / col("n_exact_int")
+            <= lit(0.3)).as("err_ok"))
+    },
+
+    "a14_bloom_prune" -> { (s, d) =>
+      // Bloom-filter join pruning (Sketch.bloomTable/bloomBitmaps/
+      // bloomMightContain): the filter over order custkeys collapses to
+      // THREE 64 Kbit hex bitmaps, and the probe is a MAP-ONLY expression
+      // — the 100 TB semi-join-prune shape (no shuffle, no join on the
+      // probe side; ScalePlanSpec pins the exchange-free plan). Probes
+      // are every customer key (all present → TRUE, no false negatives)
+      // plus shifted absent keys whose rare false positives are
+      // deterministic — the oracle replays the same bucket arithmetic
+      // through the (i, bucket) table, so every boolean matches.
+      val keys = t(s, d, "orders")
+        .select(col("o_custkey").cast("string").as("k"))
+      val tab = graft.operators.Sketch.bloomTable(keys, "k",
+        d = 3, hexChars = 4)
+      val bitmaps = graft.operators.Sketch.bloomBitmaps(tab, 3, 4)
+      val probes = t(s, d, "customer").select(col("c_custkey").as("probe"))
+        .union(t(s, d, "customer")
+          .select((col("c_custkey") + 1000000L).as("probe")))
+      probes.withColumn("k", col("probe").cast("string"))
+        .withColumn("might_contain",
+          graft.operators.Sketch.bloomMightContain("k", bitmaps, 4))
+        .select(col("probe"), col("might_contain"))
+        .orderBy("probe")
     },
 
     "w7_ntile_deciles" -> { (s, d) =>
@@ -1759,6 +1843,32 @@ object SparkEntry {
         .select(col("doc_id"), col("weight"),
           round(col("samp_key"), 6).as("key6"))
         .orderBy("doc_id")
+    },
+
+    "t62_reservoir_group" -> { (s, d) =>
+      // deterministic per-group reservoir (Sampling.reservoirByGroup):
+      // exactly 5 docs per language by hash order — reproducible across
+      // runs, partitionings and engines (the md5-hex sampling key), so
+      // the oracle replays membership AND rank exactly. One window over
+      // a hash partition by group — the per-stratum sampling shape.
+      graft.operators.Sampling.reservoirByGroup(
+          t(s, d, "documents"), "lang", 5, "t62")
+        .select(col("doc_id"), col("lang"), col("samp_rk"))
+        .orderBy("lang", "samp_rk")
+    },
+
+    "t63_sample_quantiles" -> { (s, d) =>
+      // quantiles from a deterministic bottom-k sample (Sampling
+      // .sampleQuantiles, Cohen-Kaplan bottom-k): a fixed-2000-row answer
+      // to a 100 TB ORDER BY — plans as TakeOrderedAndProject, never a
+      // full sort. Sample membership, the rank arithmetic (including the
+      // double-precision ceil), and every quantile value replay exactly.
+      val li = t(s, d, "lineitem").withColumn("rid",
+        concat(col("l_orderkey"), lit(":"), col("l_linenumber")))
+      graft.operators.Sampling.sampleQuantiles(li, "l_extendedprice",
+          Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99), k = 2000, seed = "t63",
+          idCol = "rid")
+        .orderBy("q")
     },
 
     "t57_link_graph" -> { (s, d) =>
@@ -6330,6 +6440,132 @@ object SparkEntry {
            FROM keyed)
          SELECT doc_id, weight, ROUND(k, 6) AS key6
          FROM topn WHERE rn <= 100 ORDER BY doc_id""",
+
+    // KMV theta sketch: DISTINCT hv ORDER BY LIMIT k, then the same
+    // CAST-explicit estimate division
+    "a12_theta_distinct" -> {
+      val hv = duckHv48("md5(CAST(l_orderkey AS VARCHAR))")
+      s"""WITH h AS (SELECT DISTINCT $hv AS hv FROM lineitem),
+         sk AS (SELECT hv FROM h ORDER BY hv LIMIT 512),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sk, MAX(hv) AS kv,
+                   CAST(SUM(hv) AS BIGINT) AS hv_checksum,
+                   MIN(hv) AS hv_min
+                 FROM sk),
+         e AS (SELECT n_sk, kv, hv_checksum, hv_min,
+                 CASE WHEN n_sk < 512 THEN CAST(n_sk AS DOUBLE)
+                      ELSE CAST(511 AS DOUBLE) *
+                        CAST(281474976710656.0 AS DOUBLE) /
+                        CAST(kv AS DOUBLE) END AS est
+               FROM agg),
+         x AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_exact
+               FROM lineitem)
+         SELECT n_sk, kv, ROUND(est, 4) AS est4, hv_checksum, hv_min,
+           n_exact,
+           abs(est - n_exact) / n_exact <= CAST(0.15 AS DOUBLE) AS err_ok
+         FROM e, x"""
+    },
+
+    // theta intersection: shared hashes below min(θA, θB), scaled by θ
+    "a13_theta_intersect" -> {
+      val hvA = duckHv48("md5(CAST(o_custkey AS VARCHAR))")
+      val hvB = duckHv48("md5(CAST(c_custkey AS VARCHAR))")
+      s"""WITH ska AS (SELECT hv FROM (
+             SELECT DISTINCT $hvA AS hv FROM orders)
+           ORDER BY hv LIMIT 256),
+         skb AS (SELECT hv FROM (
+             SELECT DISTINCT $hvB AS hv FROM customer
+             WHERE c_custkey % 3 <> 0)
+           ORDER BY hv LIMIT 256),
+         ta AS (SELECT CASE WHEN COUNT(*) < 256
+                  THEN CAST(281474976710656 AS BIGINT)
+                  ELSE MAX(hv) END AS theta_a FROM ska),
+         tb AS (SELECT CASE WHEN COUNT(*) < 256
+                  THEN CAST(281474976710656 AS BIGINT)
+                  ELSE MAX(hv) END AS theta_b FROM skb),
+         th AS (SELECT LEAST(theta_a, theta_b) AS theta FROM ta, tb),
+         cm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+                FROM ska JOIN skb USING (hv), th
+                WHERE ska.hv < th.theta),
+         est AS (SELECT n_common, theta,
+                   CAST(n_common AS DOUBLE) *
+                     CAST(281474976710656.0 AS DOUBLE) /
+                     CAST(theta AS DOUBLE) AS est
+                 FROM cm, th),
+         x AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_int FROM
+                 (SELECT DISTINCT o_custkey FROM orders) a
+                 JOIN (SELECT DISTINCT c_custkey FROM customer
+                       WHERE c_custkey % 3 <> 0) b
+                 ON a.o_custkey = b.c_custkey)
+         SELECT n_common, theta, ROUND(est, 4) AS est4, n_exact_int,
+           abs(est - n_exact_int) / n_exact_int <= CAST(0.3 AS DOUBLE)
+             AS err_ok
+         FROM est, x"""
+    },
+
+    // bloom probe: replay the (i, bucket) table and require all 3 row
+    // hits — identical md5 bucket arithmetic, so booleans (including
+    // the rare deterministic false positives) match exactly
+    "a14_bloom_prune" -> {
+      def b(i: Int, key: String) =
+        duckBucket(s"'$i:' || $key", 4)
+      s"""WITH kk AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k
+                      FROM orders),
+         tab AS (SELECT 0 AS i, ${b(0, "k")} AS bucket FROM kk
+                 UNION SELECT 1, ${b(1, "k")} FROM kk
+                 UNION SELECT 2, ${b(2, "k")} FROM kk),
+         prb AS (SELECT c_custkey AS probe FROM customer
+                 UNION ALL
+                 SELECT c_custkey + 1000000 FROM customer),
+         pe AS (SELECT probe, 0 AS i,
+                  ${b(0, "CAST(probe AS VARCHAR)")} AS bucket FROM prb
+                UNION ALL SELECT probe, 1,
+                  ${b(1, "CAST(probe AS VARCHAR)")} FROM prb
+                UNION ALL SELECT probe, 2,
+                  ${b(2, "CAST(probe AS VARCHAR)")} FROM prb),
+         hits AS (SELECT probe, CAST(COUNT(*) AS BIGINT) AS nh
+                  FROM pe JOIN tab USING (i, bucket) GROUP BY 1)
+         SELECT p.probe, COALESCE(h.nh, 0) = 3 AS might_contain
+         FROM prb p LEFT JOIN hits h USING (probe)
+         ORDER BY probe"""
+    },
+
+    // per-group reservoir: row_number over the replayed hash order
+    "t62_reservoir_group" -> {
+      val hv = duckHv48("md5('t62' || CAST(doc_id AS VARCHAR))")
+      s"""WITH r AS (
+           SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY $hv, doc_id) AS rk
+           FROM documents)
+         SELECT doc_id, lang, CAST(rk AS INTEGER) AS samp_rk
+         FROM r WHERE rk <= 5 ORDER BY lang, samp_rk"""
+    },
+
+    // bottom-k sample quantiles: the sample, the rank arithmetic
+    // (double-precision ceil included) and the values replay exactly
+    "t63_sample_quantiles" -> {
+      val hv = duckHv48(
+        "md5('t63' || CAST(l_orderkey AS VARCHAR) || ':' || " +
+          "CAST(l_linenumber AS VARCHAR))")
+      s"""WITH h AS (
+           SELECT l_extendedprice AS v,
+             CAST(l_orderkey AS VARCHAR) || ':' ||
+               CAST(l_linenumber AS VARCHAR) AS rid,
+             $hv AS samp_h
+           FROM lineitem),
+         s AS (SELECT v, samp_h FROM h ORDER BY samp_h, rid LIMIT 2000),
+         r AS (SELECT v, samp_h,
+                 ROW_NUMBER() OVER (ORDER BY v, samp_h) AS rk
+               FROM s),
+         n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s),
+         q AS (SELECT CAST(q AS DOUBLE) AS q FROM (VALUES (0.1), (0.25),
+                 (0.5), (0.75), (0.9), (0.99)) t(q)),
+         tgt AS (SELECT q, GREATEST(1,
+                   CAST(CEIL(q * n.n) AS INTEGER)) AS target
+                 FROM q, n)
+         SELECT tgt.q, r.v AS value
+         FROM tgt JOIN r ON r.rk = tgt.target ORDER BY q"""
+    },
 
     "t57_link_graph" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),

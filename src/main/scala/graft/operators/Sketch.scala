@@ -24,12 +24,13 @@ import org.apache.spark.sql.functions._
   * anywhere. */
 object Sketch {
 
-  private def md5Bucket(tok: String, hexChars: Int): Column = {
-    val hexVal = (c: Int) =>
-      s"(instr('0123456789abcdef', substr(md5(cast($tok AS binary)), $c, 1)) - 1)"
-    expr((1 to hexChars).map(hexVal)
-      .reduceLeft((acc, h) => s"($acc * 16 + $h)")).cast("int")
-  }
+  private def bucketSql(tok: String, hexChars: Int): String =
+    (1 to hexChars).map(c =>
+      s"(instr('0123456789abcdef', substr(md5(cast($tok AS binary)), $c, 1)) - 1)")
+      .reduceLeft((acc, h) => s"($acc * 16 + $h)")
+
+  private def md5Bucket(tok: String, hexChars: Int): Column =
+    expr(bucketSql(tok, hexChars)).cast("int")
 
   /** The d-way (row, bucket) entry array for one key — the building
     * block [[countMinTable]] and the streaming form
@@ -145,6 +146,135 @@ object Sketch {
         expr("""CASE WHEN raw <= CAST(2.5 AS DOUBLE) * 256 AND n_zero > 0
                 THEN 256 * ln(CAST(256.0 AS DOUBLE) / n_zero)
                 ELSE raw END""").as("est"))
+
+  // ---- Theta / KMV sketch (Beyer et al., SIGMOD 2007; the
+  // ---- DataSketches theta family) --------------------------------------
+
+  /** 48-bit hash value of a key column: the first 12 md5 hex chars as a
+    * BIGINT in [0, 2^48) — the same portable instr arithmetic as
+    * [[countMinTable]], so a DuckDB oracle rebuilds hash-for-hash. */
+  private[graft] def hv48(keyCol: String): Column = {
+    val hexVal = (c: Int) =>
+      s"(instr('0123456789abcdef', substr(md5(cast($keyCol AS binary)), $c, 1)) - 1)"
+    expr((2 to 12).map(hexVal).foldLeft(s"CAST(${hexVal(1)} AS BIGINT)")(
+      (acc, h) => s"($acc * 16 + $h)"))
+  }
+
+  /** KMV ("k minimum values") theta sketch: the k SMALLEST DISTINCT
+    * 48-bit hashes of a key column — a fixed-k mergeable distinct-count
+    * summary that, unlike HLL, also supports set INTERSECTION estimates
+    * (the contamination-overlap question at corpus scale).
+    *
+    * Scale shape: a bounded per-partition TreeSet (≤ k entries) keeps
+    * each task's k smallest distinct hashes — the only imperative step,
+    * the same bounded-state build the DataSketches library uses — then
+    * the global k-smallest-distinct reduces over ≤ k·partitions rows.
+    * Any global top-k hash is necessarily in its partition's top-k, so
+    * the result is EXACTLY `SELECT DISTINCT hv ORDER BY hv LIMIT k` —
+    * which is how the oracle replays it. Merge two sketches by unioning
+    * and re-taking the k smallest ([[thetaUnion]]). */
+  def thetaSketch(df: DataFrame, keyCol: String, k: Int = 1024): DataFrame = {
+    require(k >= 16 && k <= 65536, s"k in [16, 65536]: $k")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val partial = df.select(hv48(keyCol).as("hv")).as[Long]
+      .mapPartitions { it =>
+        val set = new java.util.TreeSet[java.lang.Long]()
+        it.foreach { h =>
+          if (set.size < k) set.add(h)
+          else if (h < set.last()) { if (set.add(h)) set.pollLast() }
+        }
+        scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
+          .asScala.map(_.longValue())
+      }
+    partial.toDF("hv").distinct().orderBy("hv").limit(k)
+  }
+
+  /** Merge two [[thetaSketch]] tables built with the same k. */
+  def thetaUnion(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.union(b).distinct().orderBy("hv").limit(k)
+
+  /** One-row distinct estimate from a [[thetaSketch]]: when the sketch
+    * is not full the count IS exact; otherwise `est = (k-1) / θ` with
+    * `θ = kv / 2^48` (the kth smallest hash, exclusive). CAST-explicit
+    * double arithmetic so the oracle's division is bit-identical. */
+  def thetaEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch.agg(count(lit(1)).as("n_sk"), max("hv").as("kv"))
+      .select(col("n_sk"), col("kv"),
+        expr(s"""CASE WHEN n_sk < $k THEN CAST(n_sk AS DOUBLE)
+                 ELSE CAST($k - 1 AS DOUBLE) *
+                   CAST(281474976710656.0 AS DOUBLE) / CAST(kv AS DOUBLE)
+                 END""").as("est"))
+
+  /** Intersection estimate from two [[thetaSketch]] tables (same k):
+    * θ = min of the two kth-value bounds (2^48 when a sketch holds its
+    * whole set), candidates are shared hashes below θ, and
+    * `est = |shared| · 2^48 / θ`. One tiny broadcast per side. */
+  def thetaIntersectEstimate(a: DataFrame, b: DataFrame,
+      k: Int): DataFrame = {
+    val full = "CAST(281474976710656 AS BIGINT)"
+    def bound(df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n"), max("hv").as("kv"))
+        .select(expr(s"CASE WHEN n < $k THEN $full ELSE kv END").as("theta"))
+    val th = bound(a).crossJoin(bound(b).withColumnRenamed("theta", "tb"))
+      .select(least(col("theta"), col("tb")).as("theta"))
+    val common = a.join(b, Seq("hv")).crossJoin(broadcast(th))
+      .filter(col("hv") < col("theta"))
+      .agg(count(lit(1)).as("n_common"))
+    common.crossJoin(broadcast(th))
+      .select(col("n_common"), col("theta"),
+        expr("""CAST(n_common AS DOUBLE) *
+          CAST(281474976710656.0 AS DOUBLE) / CAST(theta AS DOUBLE)""")
+          .as("est"))
+  }
+
+  // ---- Bloom filter (Bloom, CACM 1970) ---------------------------------
+
+  /** Bloom filter as a distinct `(i, bucket)` table: d hash rows over
+    * `m = 16^hexChars` buckets — at most `d·m` rows regardless of key
+    * count (the count-min layout with set-bits instead of counters).
+    * Build is one pass with map-side combine; same md5 arithmetic, so
+    * the oracle rebuilds the table bit-for-bit. */
+  def bloomTable(df: DataFrame, keyCol: String, d: Int = 3,
+      hexChars: Int = 4): DataFrame = {
+    require(d >= 1 && d <= 8, s"d in [1,8]: $d")
+    require(hexChars >= 1 && hexChars <= 5, s"hexChars in [1,5]: $hexChars")
+    df.select(explode(entries(keyCol, d, hexChars)).as("e"))
+      .select(col("e.i").as("i"), col("e.bucket").as("bucket"))
+      .distinct()
+  }
+
+  /** Collapse a [[bloomTable]] to d hex-string bitmaps (bounded driver
+    * state: d · 16^hexChars bits). Row i's bitmap has hex digit
+    * `bucket >> 2` carrying bit `bucket & 3` — the big-endian-nibble
+    * layout `substr` can probe in both engines. */
+  def bloomBitmaps(table: DataFrame, d: Int, hexChars: Int): Array[String] = {
+    val m = math.pow(16, hexChars).toInt
+    val bits = Array.fill(d)(new Array[Int](m / 4))
+    table.collect().foreach { r =>
+      val i = r.getInt(0); val b = r.getInt(1)
+      bits(i)(b >> 2) |= 1 << (b & 3)
+    }
+    bits.map(_.map("0123456789abcdef".charAt(_)).mkString)
+  }
+
+  /** MAP-ONLY membership probe against [[bloomBitmaps]]: a pure
+    * expression over the key column — the 100 TB join-prune shape (no
+    * shuffle, no join; the filter rides into the scan). False positives
+    * possible, false negatives impossible. */
+  def bloomMightContain(keyCol: String, bitmaps: Array[String],
+      hexChars: Int): Column = {
+    val tests = bitmaps.indices.map { i =>
+      val bucket = bucketSql(s"concat('$i:', $keyCol)", hexChars)
+      // hex digit at bucket>>2 (1-based substr), test bit bucket&3 —
+      // integer-only arithmetic (div is double division in SQL)
+      s"""((instr('0123456789abcdef', substr('${bitmaps(i)}',
+            CAST($bucket AS INT) div 4 + 1, 1)) - 1)
+          & (CASE ($bucket % 4) WHEN 0 THEN 1 WHEN 1 THEN 2
+             WHEN 2 THEN 4 ELSE 8 END)) > 0"""
+    }
+    expr(tests.mkString("(", ") AND (", ")"))
+  }
 
   /** Estimate the count of each key in `keys` from a [[countMinTable]]
     * built with the SAME (d, hexChars): `est = min_i table[i][h_i(key)]`

@@ -982,6 +982,33 @@ class ScalePlanSpec extends AnyFunSuite {
       s"count-min twin must shuffle exactly once:\n$p")
   }
 
+  test("bloom bitmap probe is map-only: no exchange, no join, no window") {
+    import graft.operators.Sketch
+    val keys = (0 until 500).map(i => s"k$i").toDF("k")
+    val bitmaps = Sketch.bloomBitmaps(
+      Sketch.bloomTable(keys, "k", d = 3, hexChars = 4), 3, 4)
+    val probe = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").cast("string").as("k"))
+      .filter(Sketch.bloomMightContain("k", bitmaps, 4))
+    val p = probe.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"bloom probe must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"bloom probe must not join:\n$p")
+    // the filter rides directly over the scan inside codegen
+    assert(p.contains("Filter"), s"probe should be a filter over the scan:\n$p")
+  }
+
+  test("theta sketch reduce is bounded: partial top-k before the single merge") {
+    import graft.operators.Sketch
+    val sk = Sketch.thetaSketch(
+      spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey").cast("string").as("k")), "k", 256)
+    val p = sk.queryExecution.executedPlan.toString
+    // the global k-smallest runs as TakeOrdered over the distinct of the
+    // per-partition bounded sets — never a full global sort of raw keys
+    assert(p.contains("TakeOrderedAndProject"), s"expect TakeOrdered:\n$p")
+    assert(!p.contains("Sort ["), s"no full sort allowed:\n$p")
+  }
+
   test("sessions/resample: every window and join is keyed (no global window)") {
     val ev = Seq((1L, 1L, new java.sql.Timestamp(0L), 1.0))
       .toDF("event_id", "user_id", "ts", "value")

@@ -101,4 +101,69 @@ class SketchSpec extends AnyFunSuite {
       .collect().head
     assert(empty.getLong(0) == 0 && empty.getDouble(2) == 0.0)
   }
+
+  test("theta: non-full sketch is the exact distinct set; full sketch " +
+      "estimates within 15% of 20k distinct") {
+    val small = (0 until 100).map(i => s"s$i").toDF("k")
+    val skS = Sketch.thetaSketch(small.union(small), "k", k = 256)
+    assert(skS.count() == 100) // duplicates collapse, set not truncated
+    val eS = Sketch.thetaEstimate(skS, 256).collect().head
+    assert(eS.getLong(0) == 100 && eS.getDouble(2) == 100.0)
+    // full regime: 20k distinct through a k=1024 sketch
+    val big = (0 until 20000).map(i => s"key-$i").toDF("k")
+      .repartition(8) // sketch must not depend on partitioning
+    val sk = Sketch.thetaSketch(big, "k", k = 1024)
+    assert(sk.count() == 1024)
+    val e = Sketch.thetaEstimate(sk, 1024).collect().head.getDouble(2)
+    assert(math.abs(e - 20000) / 20000 < 0.15, s"theta est off: $e")
+  }
+
+  test("theta: sketch is partitioning-invariant and union-mergeable") {
+    val rows = (0 until 5000).map(i => s"u$i")
+    val a1 = Sketch.thetaSketch(rows.toDF("k").repartition(2), "k", 512)
+      .collect().map(_.getLong(0)).toSeq
+    val a2 = Sketch.thetaSketch(rows.toDF("k").repartition(13), "k", 512)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a1 == a2, "sketch must be independent of partitioning")
+    // union(sketch(A), sketch(B)) == sketch(A ∪ B)
+    val xs = (0 until 3000).map(i => s"u$i").toDF("k")
+    val ys = (1500 until 5000).map(i => s"u$i").toDF("k")
+    val merged = Sketch.thetaUnion(
+      Sketch.thetaSketch(xs, "k", 512), Sketch.thetaSketch(ys, "k", 512), 512)
+      .collect().map(_.getLong(0)).toSeq
+    assert(merged == a1, "merged sketch must equal the whole-set sketch")
+  }
+
+  test("theta: intersection estimate recovers a planted overlap") {
+    // |A| = 6000, |B| = 6000, |A ∩ B| = 3000
+    val a = (0 until 6000).map(i => s"d$i").toDF("k")
+    val b = (3000 until 9000).map(i => s"d$i").toDF("k")
+    val skA = Sketch.thetaSketch(a, "k", 1024)
+    val skB = Sketch.thetaSketch(b, "k", 1024)
+    val est = Sketch.thetaIntersectEstimate(skA, skB, 1024)
+      .collect().head.getDouble(2)
+    assert(math.abs(est - 3000) / 3000 < 0.25, s"intersect est off: $est")
+    // disjoint sets estimate (near) zero
+    val skC = Sketch.thetaSketch(
+      (0 until 6000).map(i => s"z$i").toDF("k"), "k", 1024)
+    val zero = Sketch.thetaIntersectEstimate(skA, skC, 1024)
+      .collect().head.getDouble(2)
+    assert(zero < 150.0, s"disjoint estimate should be ~0: $zero")
+  }
+
+  test("bloom: no false negatives; false-positive rate near theory; " +
+      "bitmap probe agrees with the table") {
+    val present = (0 until 2000).map(i => s"in$i")
+    val tab = Sketch.bloomTable(present.toDF("k"), "k", d = 3, hexChars = 4)
+    assert(tab.count() <= 3 * 65536)
+    val bitmaps = Sketch.bloomBitmaps(tab, d = 3, hexChars = 4)
+    assert(bitmaps.length == 3 && bitmaps.forall(_.length == 16384))
+    val probe = (present ++ (0 until 2000).map(i => s"out$i")).toDF("k")
+      .withColumn("hit", Sketch.bloomMightContain("k", bitmaps, 4))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    present.foreach(k => assert(probe(k), s"false negative on $k"))
+    val fp = (0 until 2000).map(i => s"out$i").count(probe)
+    // (1 - e^(-3*2000/65536))^3 ≈ 6.3e-4 → expect ~1.3 fps in 2000
+    assert(fp <= 20, s"false-positive rate too high: $fp / 2000")
+  }
 }
