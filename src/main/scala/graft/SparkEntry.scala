@@ -711,6 +711,25 @@ object SparkEntry {
         .orderBy("user_id", "bucket_us")
     },
 
+    "e15_stream_blocklist" -> { (s, d) =>
+      // bloom-blocklist intake (DocStreams.bloomBlocklistIntake): the a14
+      // map-only bitmap probe lifted onto the corpus stream — blocklist =
+      // every 9th doc, baked into the plan as three hex bitmaps; nothing
+      // blocked can leak (no false negatives), rare false positives drop
+      // deterministically. The oracle replays the bloom build AND probe
+      // through the (i, bucket) table, so the admitted id set matches
+      // exactly. StreamingSpec drives the same call on a real readStream
+      // and pins zero state operators.
+      val bad = t(s, d, "documents").filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id").cast("string").as("k"))
+      val bitmaps = graft.operators.Sketch.bloomBitmaps(
+        graft.operators.Sketch.bloomTable(bad, "k", d = 3, hexChars = 4),
+        3, 4)
+      graft.streaming.DocStreams.bloomBlocklistIntake(
+          t(s, d, "documents"), bitmaps, 4)
+        .select(col("doc_id")).orderBy("doc_id")
+    },
+
     "e13_stream_distinct" -> { (s, d) =>
       // streaming approximate distinct (EventStreams.hllWindowRegisters):
       // HLL registers as watermarked per-day window state — MAX is
@@ -5259,6 +5278,28 @@ object SparkEntry {
              AS value_cents,
            cents IS NULL AS filled
          FROM j ORDER BY user_id, bucket_us""",
+
+    // bloom blocklist: rebuild the (i, bucket) table over the bad keys,
+    // admit ids missing at least one of their 3 bucket hits
+    "e15_stream_blocklist" -> {
+      def b(i: Int, key: String) = duckBucket(s"'$i:' || $key", 4)
+      s"""WITH bk AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS k
+                      FROM documents WHERE doc_id % 9 = 0),
+         tab AS (SELECT 0 AS i, ${b(0, "k")} AS bucket FROM bk
+                 UNION SELECT 1, ${b(1, "k")} FROM bk
+                 UNION SELECT 2, ${b(2, "k")} FROM bk),
+         prb AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS k
+                 FROM documents),
+         pe AS (SELECT doc_id, 0 AS i, ${b(0, "k")} AS bucket FROM prb
+                UNION ALL SELECT doc_id, 1, ${b(1, "k")} FROM prb
+                UNION ALL SELECT doc_id, 2, ${b(2, "k")} FROM prb),
+         hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nh
+                  FROM pe JOIN tab USING (i, bucket) GROUP BY 1)
+         SELECT d.doc_id FROM documents d
+         LEFT JOIN hits h ON d.doc_id = h.doc_id
+         WHERE COALESCE(h.nh, 0) < 3
+         ORDER BY d.doc_id"""
+    },
 
     "e13_stream_distinct" ->
       """WITH h AS (

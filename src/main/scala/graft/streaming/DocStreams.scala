@@ -41,6 +41,24 @@ object DocStreams {
     docs.withColumn("clf_score", classifier_score(col(textCol), model))
       .filter(col("clf_score") >= minScore)
 
+  /** Bloom-blocklist streaming intake: drop documents whose key hits a
+    * baked [[graft.operators.Sketch.bloomBitmaps]] set (seen-before ids,
+    * known-bad URLs) — the a14 join-prune shape lifted onto an unbounded
+    * stream. The bitmaps ride the plan as literals, so the gate is a
+    * STATELESS map-only filter: no state store, no shuffle, no join, and
+    * the blocklist never reshuffles per batch (the e11 broadcast-model
+    * posture). Bloom false positives DROP a rare clean row (deterministic
+    * which ones); false negatives are impossible, so nothing blocked ever
+    * leaks through — the right asymmetry for a blocklist. */
+  def bloomBlocklistIntake(docs: DataFrame, bitmaps: Array[String],
+      hexChars: Int, keyCol: String = "doc_id"): DataFrame =
+    docs.withColumn("blocked",
+        // string-normalize the key so stream probes hash identically to
+        // the string-keyed bloom build (and its oracle replay)
+        graft.operators.Sketch.bloomMightContain(
+          s"CAST($keyCol AS STRING)", bitmaps, hexChars))
+      .filter(!col("blocked")).drop("blocked")
+
   /** Rule-gated streaming intake: the named Gopher battery + C4 line
     * filters ([[graft.text.QualityRules]]) applied to an unbounded
     * stream. Both batteries are stateless map-only projections — no

@@ -443,6 +443,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchKept == kept, "stream must equal batch")
   }
 
+  test("bloomBlocklistIntake: baked-bitmap gate is stateless, no false leaks") {
+    import spark.implicits._
+    import graft.operators.Sketch
+    // blocklist = every 5th id; the bitmaps bake into the plan as literals
+    val bad = (0 until 200 by 5).map(i => s"$i").toDF("k")
+    val bitmaps = Sketch.bloomBitmaps(
+      Sketch.bloomTable(bad, "k", d = 3, hexChars = 4), 3, 4)
+    val dir = java.nio.file.Files.createTempDirectory("bloomstream")
+      .toString + "/d"
+    (0 until 100).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+      .write.parquet(dir)
+    (100 until 200).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = graft.streaming.DocStreams.bloomBlocklistIntake(
+        stream, bitmaps, 4)
+      .writeStream.format("memory").queryName("bloom_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "bloom intake stream timed out")
+    assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty,
+      s"stateless stage grew state: ${q.lastProgress}")
+    val kept = spark.table("bloom_out").collect().map(_.getLong(0)).toSet
+    // no false negatives in the filter sense: every blocklisted id is out
+    (0 until 200 by 5).foreach(i =>
+      assert(!kept(i.toLong), s"blocked id $i leaked through"))
+    // false positives are rare: nearly all clean ids survive
+    val clean = (0 until 200).filterNot(_ % 5 == 0)
+    assert(clean.count(i => kept(i.toLong)) >= clean.size - 3,
+      s"too many clean ids dropped: ${clean.count(i => !kept(i.toLong))}")
+    // stream ≡ batch through the same call
+    val batchKept = graft.streaming.DocStreams.bloomBlocklistIntake(
+        spark.read.parquet(dir), bitmaps, 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(batchKept == kept, "stream must equal batch")
+  }
+
   test("rulesIntake: Gopher+C4 gating is stateless across micro-batches") {
     import spark.implicits._
     // good docs: 60 punctuated 6-word lines with stop-words; bad docs
