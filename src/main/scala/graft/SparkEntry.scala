@@ -634,6 +634,28 @@ object SparkEntry {
         .orderBy("polyid")
     },
 
+    "j7_spatial_rule" -> { (s, d) =>
+      // the NAIVE declarative spatial join — no operator call, no hint,
+      // just `JOIN ON st_contains(...)`, which Catalyst alone can only
+      // plan as an |points|·|polys| nested loop. The SpatialJoinRewrite
+      // optimizer rule must decompose it into j3's grid-bucketed
+      // equi-join + JTS refine (+ broadcast coarse branch) automatically;
+      // the oracle is j3's exact range replay, so a rewrite defect that
+      // loses or duplicates a containment pair breaks the hash.
+      // SpatialJoinRuleSpec pins the plan shape and the oversized branch.
+      val pts = t(s, d, "lineitem").select(st_point(cxCol, cyCol).as("geom"))
+      val polys = t(s, d, "supplier")
+        .filter(col("s_suppkey") < 50)
+        .select(col("s_suppkey").as("polyid"),
+          st_make_square(
+            (col("s_suppkey") % 36).cast("double") * 10.0 - 175.0,
+            (col("s_suppkey") % 17).cast("double") * 10.0 - 80.0,
+            lit(3.0)).as("pgeom"))
+      pts.join(polys, st_contains(col("pgeom"), col("geom")))
+        .groupBy(col("polyid")).agg(count(lit(1)).as("n_points"))
+        .orderBy("polyid")
+    },
+
     "j3h_spatial_join_h3" -> { (s, d) =>
       // the same spatial join on the TRUE H3 lattice (VERDICT r5 #3): points
       // bucket to their res-4 H3 cell, polygons to a grid-disk covering of
@@ -5190,6 +5212,20 @@ object SparkEntry {
            FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
 
     "j3_spatial_join" ->
+      s"""WITH polys AS (
+            SELECT s_suppkey AS polyid,
+              CAST(s_suppkey % 36 AS DOUBLE) * 10.0 - 175.0 AS sx,
+              CAST(s_suppkey % 17 AS DOUBLE) * 10.0 - 80.0 AS sy
+            FROM supplier WHERE s_suppkey < 50)
+          SELECT polyid, COUNT(*) AS n_points
+          FROM lineitem, polys
+          WHERE $cxSql > sx - 3.0 AND $cxSql < sx + 3.0
+            AND $cySql > sy - 3.0 AND $cySql < sy + 3.0
+          GROUP BY polyid ORDER BY polyid""",
+
+    // the naive-join form must produce j3's exact containment counts —
+    // the optimizer rule owns the plan, the oracle owns the semantics
+    "j7_spatial_rule" ->
       s"""WITH polys AS (
             SELECT s_suppkey AS polyid,
               CAST(s_suppkey % 36 AS DOUBLE) * 10.0 - 175.0 AS sx,

@@ -236,14 +236,17 @@ object GeoSimplify extends Rule[LogicalPlan] {
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(GeoSimplify)) {
-      spark.experimental.extraOptimizations = cur :+ GeoSimplify
+      spark.experimental.extraOptimizations =
+        cur :+ GeoSimplify :+ SpatialJoinRewrite
     }
   }
 }
 
-/** `SparkSessionExtensions` hook: register the optimizer rule (and nothing
+/** `SparkSessionExtensions` hook: register the optimizer rules (and nothing
   * else — functions register per-session via GraftFunctions.registerAll). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => GeoSimplify)
+    e.injectOptimizerRule(_ => SpatialJoinRewrite)
+  }
 }
