@@ -215,6 +215,16 @@ object Rehearsal {
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.listStatus(p).filter(_.isDirectory).map(_.getPath.toString).toSeq.sorted
     }
+    // F4 idempotency: a SECOND convertAll over the same sources must
+    // skip every already-converted output (the rerun-after-crash
+    // contract) — it returns in seconds, not the convert wall-time
+    val (refail, reconvSecs) = timed("convertAll rerun (F4 idempotent skip)") {
+      graft.operators.GeoNormalize.convertAll(spark, sources, convDir,
+        numFilesPerSource = 3, maxConcurrent = 8)
+    }
+    require(refail.isEmpty, s"rerun failures: $refail")
+    require(reconvSecs < convSecs / 4,
+      f"F4 rerun should skip, not reconvert: $reconvSecs%.1f s vs $convSecs%.1f s")
     val (outFiles, mergeSecs) = timed(s"merge-pqs (${convFiles.size} converted dirs)") {
       // each batch's final write is a single repartitionByRange(1) task at
       // zstd 22 (~2 MB/s core-bound): wide concurrent submission keeps the
@@ -249,7 +259,7 @@ object Rehearsal {
         .filter(col("prev").isNotNull && col("hk") < col("prev"))
         .count()
     }
-    println(f"SUMMARY_FULL281 nRows=$nRows gen=$genSecs%.0f s convert=$convSecs%.0f s merge=$mergeSecs%.0f s bbox=$bboxSecs%.0f s sortAudit=$sortSecs%.0f s")
+    println(f"SUMMARY_FULL281 nRows=$nRows gen=$genSecs%.0f s convert=$convSecs%.0f s f4rerun=$reconvSecs%.1f s merge=$mergeSecs%.0f s bbox=$bboxSecs%.0f s sortAudit=$sortSecs%.0f s")
     println(f"  merged files=${rowsPerFile.length} rows min=${rowsPerFile.head}%,d median=${rowsPerFile(rowsPerFile.length / 2)}%,d max=${rowsPerFile.last}%,d (cap 10,000,000)")
     println(f"  bytes/file min=${sizes.head}%,d median=${sizes(sizes.length / 2)}%,d max=${sizes.last}%,d")
     println(f"  total rows=$total%,d bbox=(${bbox._1}%.4f, ${bbox._2}%.4f, ${bbox._3}%.4f, ${bbox._4}%.4f) hilbert violations=$viol")
