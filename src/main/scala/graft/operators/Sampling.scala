@@ -67,15 +67,16 @@ object Sampling {
       s"quantiles in (0, 1]: $qs")
     val sp = df.sparkSession
     import sp.implicits._
-    val samp = bottomK(df, k, seed, idCol)
+    // rank and sample size ride ONE window pass over the k-row sample —
+    // a separate count() aggregate would re-execute the bottom-k scan of
+    // the raw data (the sample is tiny; the scan it comes from is not)
+    val ranked = bottomK(df, k, seed, idCol)
       .select(col(valueCol).as("v"), col("samp_h"))
-    val ranked = samp.withColumn("rk",
-      row_number().over(Window.orderBy(col("v"), col("samp_h"))))
-    val n = samp.agg(count(lit(1)).as("n"))
-    qs.toDF("q").crossJoin(broadcast(n))
-      .withColumn("target",
-        greatest(lit(1), ceil(col("q") * col("n")).cast("int")))
-      .join(ranked, col("rk") === col("target"))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("v"), col("samp_h"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+    qs.toDF("q").join(ranked,
+        col("rk") === greatest(lit(1), ceil(col("q") * col("n")).cast("int")))
       .select(col("q"), col("v").as("value"))
   }
 }
