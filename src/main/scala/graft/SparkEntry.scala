@@ -4616,6 +4616,78 @@ object SparkEntry {
         .orderBy("rid")
     },
 
+    "k9_avro_sink" -> { (s, d) =>
+      // Avro SINK cross-validated by the independent APACHE Avro Java
+      // reader (the mirror image of s21): per doc our from-spec writer
+      // (sources/Avro.writeBlob) authors a container of 1+id%3 records —
+      // nullable unions, arrays, maps, enums, bytes — codec cycling
+      // null/deflate/snappy by id, blockRows=2 forcing multi-block files;
+      // DataFileReader decodes them and every field replays from the
+      // construction arithmetic. Scale shape: one per-row write kernel,
+      // no shuffle (the directory sink Avro.write is the per-partition
+      // variant, spec-covered).
+      import s.implicits._
+      val schemaJson =
+        """{"type":"record","name":"DocSink","fields":[
+             {"name":"rid","type":"long"},
+             {"name":"title","type":["null","string"]},
+             {"name":"score","type":"double"},
+             {"name":"tags","type":{"type":"array","items":"string"}},
+             {"name":"kind","type":{"type":"enum","name":"KS",
+                "symbols":["A","B","C"]}},
+             {"name":"meta","type":{"type":"map","values":"long"}},
+             {"name":"blob","type":"bytes"}]}"""
+      val media = t(s, d, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val codec = Seq("null", "deflate", "snappy")((id % 3).toInt)
+          val rows = (0 until (1 + (id % 3)).toInt).map { j =>
+            val rid = id * 10 + j
+            Seq[Any](rid,
+              if (j == 0) null else s"title $rid",
+              rid * 0.25,
+              (0 to j).map(k => s"t$k"),
+              Seq("A", "B", "C")((rid % 3).toInt),
+              Map("len" -> text.getBytes("UTF-8").length.toLong),
+              text.getBytes("UTF-8"))
+          }
+          (id, graft.sources.Avro.writeBlob(schemaJson, rows.iterator,
+            codec, blockRows = 2, syncSalt = id.toString))
+        }.toDF("doc_id", "avro")
+      media.as[(Long, Array[Byte])].flatMap { case (id, blob) =>
+        import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+        import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+        val r = new DataFileReader[GenericRecord](
+          new SeekableByteArrayInput(blob),
+          new GenericDatumReader[GenericRecord]())
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, String, Double, Int, String, Long, Array[Byte])]
+        while (r.hasNext) {
+          val rec = r.next()
+          val title = Option(rec.get("title")).map(_.toString).getOrElse("-")
+          val tags = rec.get("tags")
+            .asInstanceOf[java.util.List[_]]
+          val meta = rec.get("meta")
+            .asInstanceOf[java.util.Map[_, _]]
+          val blobBuf = rec.get("blob")
+            .asInstanceOf[java.nio.ByteBuffer]
+          val bytes = new Array[Byte](blobBuf.remaining())
+          blobBuf.get(bytes)
+          out += ((id, rec.get("rid").asInstanceOf[Long], title,
+            rec.get("score").asInstanceOf[Double], tags.size,
+            rec.get("kind").toString,
+            meta.values.iterator.next().asInstanceOf[Long], bytes))
+        }
+        r.close()
+        out
+      }.toDF("doc_id", "rid", "title", "score", "n_tags", "kind",
+          "meta_len", "blob")
+        .select(col("doc_id"), col("rid"), col("title"), col("score"),
+          col("n_tags"), col("kind"), col("meta_len"),
+          md5(col("blob")).as("blob_md5"))
+        .orderBy("rid")
+    },
+
     "s15b_zip64_scan" -> { (s, d) =>
       // ZIP64 (APPNOTE 4.3.14-15): a single JDK-authored zip with 65,600
       // entries — past the 16-bit EOCD count, so the JDK maxes the EOCD
@@ -8021,6 +8093,23 @@ object SparkEntry {
            CAST(r.j + 1 AS INTEGER) AS n_tags,
            CASE (d.doc_id * 10 + r.j) % 3 WHEN 0 THEN 'A'
                 WHEN 1 THEN 'B' ELSE 'C' END AS kind,
+           md5(d.text) AS blob_md5
+         FROM documents d, range(0, 3) r(j)
+         WHERE r.j < 1 + d.doc_id % 3
+         ORDER BY rid""",
+
+    // Avro sink replay: the Apache reader's view of our writer's
+    // containers — every field from the construction arithmetic
+    "k9_avro_sink" ->
+      """SELECT d.doc_id,
+           d.doc_id * 10 + r.j AS rid,
+           CASE WHEN r.j = 0 THEN '-'
+                ELSE 'title ' || (d.doc_id * 10 + r.j) END AS title,
+           (d.doc_id * 10 + r.j) * CAST(0.25 AS DOUBLE) AS score,
+           CAST(r.j + 1 AS INTEGER) AS n_tags,
+           CASE (d.doc_id * 10 + r.j) % 3 WHEN 0 THEN 'A'
+                WHEN 1 THEN 'B' ELSE 'C' END AS kind,
+           CAST(octet_length(CAST(d.text AS BLOB)) AS BIGINT) AS meta_len,
            md5(d.text) AS blob_md5
          FROM documents d, range(0, 3) r(j)
          WHERE r.j < 1 + d.doc_id % 3

@@ -368,6 +368,197 @@ object Avro extends Serializable {
     } catch { case _: Exception => out.toArray }
   }
 
+  // ---- binary encoding (writer) ------------------------------------------
+
+  private final class Out {
+    val buf = new java.io.ByteArrayOutputStream(4096)
+    def u8(v: Int): Unit = buf.write(v & 0xff)
+    def varLong(n: Long): Unit = { // zigzag varint per spec
+      var z = (n << 1) ^ (n >> 63)
+      while ((z & ~0x7fL) != 0) { u8(((z & 0x7f) | 0x80).toInt); z >>>= 7 }
+      u8(z.toInt)
+    }
+    def raw(b: Array[Byte]): Unit = buf.write(b, 0, b.length)
+    def lenBytes(b: Array[Byte]): Unit = { varLong(b.length.toLong); raw(b) }
+    def toBytes: Array[Byte] = buf.toByteArray
+  }
+
+  /** Encode one value from EXTERNAL Scala representation (String, Long,
+    * Seq, Map, Array[Byte], Row/Seq for nested records) — the shapes a
+    * `df.foreachPartition`/`.map` hands us. Exact inverse of [[decode]]. */
+  private def encode(out: Out, t: AvType, v: Any): Unit = t match {
+    case ANull => ()
+    case ABool => out.u8(if (v.asInstanceOf[Boolean]) 1 else 0)
+    case AInt => out.varLong(v.asInstanceOf[Number].intValue.toLong)
+    case ALong => out.varLong(v.asInstanceOf[Number].longValue)
+    case AFloat =>
+      val bits =
+        java.lang.Float.floatToIntBits(v.asInstanceOf[Number].floatValue)
+      var i = 0
+      while (i < 4) { out.u8(bits >>> (8 * i)); i += 1 }
+    case ADouble =>
+      val bits =
+        java.lang.Double.doubleToLongBits(v.asInstanceOf[Number].doubleValue)
+      var i = 0
+      while (i < 8) { out.u8((bits >>> (8 * i)).toInt); i += 1 }
+    case AString =>
+      out.lenBytes(v.asInstanceOf[String].getBytes(StandardCharsets.UTF_8))
+    case ABytes => out.lenBytes(v.asInstanceOf[Array[Byte]])
+    case AFixed(n) =>
+      val b = v.asInstanceOf[Array[Byte]]
+      require(b.length == n, s"fixed($n) got ${b.length} bytes")
+      out.raw(b)
+    case AEnum(syms) =>
+      val i = syms.indexOf(v.asInstanceOf[String])
+      require(i >= 0, s"enum symbol ${v} not in $syms")
+      out.varLong(i.toLong)
+    case AArray(item) =>
+      val xs = v.asInstanceOf[scala.collection.Seq[Any]]
+      if (xs.nonEmpty) {
+        out.varLong(xs.length.toLong)
+        xs.foreach(encode(out, item, _))
+      }
+      out.varLong(0L)
+    case AMap(value) =>
+      val m = v.asInstanceOf[scala.collection.Map[String, Any]]
+      if (m.nonEmpty) {
+        out.varLong(m.size.toLong)
+        // sorted for byte-determinism across runs/partitionings
+        m.toSeq.sortBy(_._1).foreach { case (k, mv) =>
+          out.lenBytes(k.getBytes(StandardCharsets.UTF_8))
+          encode(out, value, mv)
+        }
+      }
+      out.varLong(0L)
+    case ARecord(fields) =>
+      val vals: Seq[Any] = v match {
+        case r: org.apache.spark.sql.Row => r.toSeq
+        case s: scala.collection.Seq[_] => s.toSeq
+        case other => throw new IllegalArgumentException(
+          s"record value must be Row or Seq, got ${other.getClass}")
+      }
+      require(vals.length == fields.length,
+        s"record arity ${vals.length} != schema ${fields.length}")
+      fields.indices.foreach(i => encode(out, fields(i)._2, vals(i)))
+    case ANullable(inner, tIndex) =>
+      if (v == null) { out.varLong((1 - tIndex).toLong) }
+      else { out.varLong(tIndex.toLong); encode(out, inner, v) }
+  }
+
+  /** Spark type → Avro schema JSON (inverse of [[sparkType]] over the
+    * supported subset). Nullable fields become `["null", T]`. */
+  def avroSchemaJson(schema: StructType, name: String = "SparkRow"): String = {
+    def tpe(dt: DataType, nullable: Boolean, path: String): String = {
+      val base = dt match {
+        case BooleanType => "\"boolean\""
+        case IntegerType | ShortType | ByteType => "\"int\""
+        case LongType => "\"long\""
+        case FloatType => "\"float\""
+        case DoubleType => "\"double\""
+        case StringType => "\"string\""
+        case BinaryType => "\"bytes\""
+        case ArrayType(item, cn) =>
+          s"""{"type":"array","items":${tpe(item, cn, path + "_i")}}"""
+        case MapType(StringType, v, vn) =>
+          s"""{"type":"map","values":${tpe(v, vn, path + "_v")}}"""
+        case st: StructType => recJson(st, path)
+        case other => throw new IllegalArgumentException(
+          s"unsupported Spark type for Avro write: $other")
+      }
+      if (nullable) s"""["null",$base]""" else base
+    }
+    def recJson(st: StructType, recName: String): String = {
+      val fields = st.fields.map { f =>
+        s"""{"name":"${f.name}","type":${
+          tpe(f.dataType, f.nullable, recName + "_" + f.name)}}"""
+      }.mkString(",")
+      s"""{"type":"record","name":"$recName","fields":[$fields]}"""
+    }
+    recJson(schema, name)
+  }
+
+  private def deflateRaw(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true) // raw, no zlib
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** One Avro Object Container File from external-representation rows
+    * (each a `Seq[Any]` in schema-field order, or a `Row`). Codecs:
+    * `null`, `deflate` (raw DEFLATE), `snappy` (+ big-endian CRC32 of
+    * the uncompressed block, per spec). The 16-byte sync marker derives
+    * from md5(schema ∥ salt) so output bytes are deterministic —
+    * reruns produce identical files (the idempotent-sink posture). */
+  def writeBlob(schemaJson: String, rows: Iterator[Any],
+      codec: String = "null", blockRows: Int = 1000,
+      syncSalt: String = ""): Array[Byte] = {
+    val schema = parseSchema(schemaJson)
+    val out = new Out
+    out.raw(Array[Byte]('O', 'b', 'j', 1))
+    out.varLong(2L)
+    out.lenBytes("avro.schema".getBytes(StandardCharsets.UTF_8))
+    out.lenBytes(schemaJson.getBytes(StandardCharsets.UTF_8))
+    out.lenBytes("avro.codec".getBytes(StandardCharsets.UTF_8))
+    out.lenBytes(codec.getBytes(StandardCharsets.UTF_8))
+    out.varLong(0L)
+    val sync = java.security.MessageDigest.getInstance("MD5")
+      .digest((schemaJson + " " + syncSalt)
+        .getBytes(StandardCharsets.UTF_8))
+    out.raw(sync)
+    rows.grouped(blockRows).foreach { block =>
+      val body = new Out
+      block.foreach(encode(body, schema, _))
+      val plain = body.toBytes
+      val payload = codec match {
+        case "null" => plain
+        case "deflate" => deflateRaw(plain)
+        case "snappy" =>
+          val c = org.xerial.snappy.Snappy.compress(plain)
+          val crc = new java.util.zip.CRC32
+          crc.update(plain)
+          val v = crc.getValue
+          c ++ Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+            (v >>> 8).toByte, v.toByte)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported codec: $other")
+      }
+      out.varLong(block.length.toLong)
+      out.varLong(payload.length.toLong)
+      out.raw(payload)
+      out.raw(sync)
+    }
+    out.toBytes
+  }
+
+  /** Avro sink: one container file per partition, written executor-side
+    * (no driver materialization — the unit of parallelism is the
+    * partition, symmetric with [[read]]'s file-per-task). Schema derives
+    * from `df.schema`; unsupported Catalyst types fail fast on the
+    * driver before any task runs. */
+  def write(df: DataFrame, dir: String, codec: String = "deflate",
+      blockRows: Int = 1000): String = {
+    val schemaJson = avroSchemaJson(df.schema)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      if (it.hasNext) {
+        val first = it.next()
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val blob = writeBlob(schemaJson,
+          (Iterator(first) ++ it).map(_.toSeq), codec, blockRows,
+          syncSalt = s"part-$pid")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"part-$pid%05d.avro"), blob)
+        ()
+      }
+    }
+    schemaJson
+  }
+
   // ---- DataFrame read ----------------------------------------------------
 
   /** Read a glob of Avro container files. Schema discovery reads ONE

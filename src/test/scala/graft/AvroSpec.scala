@@ -179,4 +179,116 @@ class AvroSpec extends AnyFunSuite {
       Avro.schemaOf(m)
     }
   }
+
+  // ---- writer ------------------------------------------------------------
+
+  /** External-representation rows matching `schemaJson` field order. */
+  private def extRows(n: Int): Seq[Seq[Any]] = (0 until n).map { i =>
+    Seq[Any](i.toLong,
+      if (i % 3 == 0) null else s"title $i",
+      i * 0.5, i % 2 == 0,
+      (0 until i % 4).map(j => s"t$j"),
+      Map("n" -> i.toLong * 7),
+      Seq("A", "B", "C")(i % 3),
+      Array[Byte](i.toByte, 2, 3),
+      Array[Byte](9, 9, 9, i.toByte),
+      Seq[Any](i * 3, i * 1.5f))
+  }
+
+  test("writeBlob: our reader round-trips all three codecs, multi-block") {
+    for (codec <- Seq("null", "deflate", "snappy")) {
+      val blob = Avro.writeBlob(schemaJson, extRows(7).iterator,
+        codec, blockRows = 3)
+      val h = Avro.header(blob)
+      assert(h.codec == codec)
+      val back = Avro.records(blob)
+      assert(back.length == 7)
+      (0 until 7).foreach { i =>
+        val r = back(i)
+        assert(r.getLong(0) == i.toLong)
+        if (i % 3 == 0) assert(r.isNullAt(1))
+        else assert(r.getUTF8String(1).toString == s"title $i")
+        assert(r.getDouble(2) == i * 0.5)
+        assert(r.getBoolean(3) == (i % 2 == 0))
+        assert(r.getArray(4).numElements() == i % 4)
+        assert(r.getMap(5).valueArray().getLong(0) == i.toLong * 7)
+        assert(r.getUTF8String(6).toString == Seq("A", "B", "C")(i % 3))
+        assert(r.getBinary(7).toSeq == Seq[Byte](i.toByte, 2, 3))
+        assert(r.getBinary(8).toSeq == Seq[Byte](9, 9, 9, i.toByte))
+        assert(r.getStruct(9, 2).getInt(0) == i * 3)
+        assert(r.getStruct(9, 2).getFloat(1) == i * 1.5f)
+      }
+    }
+  }
+
+  test("writeBlob: the independent Apache reader decodes our containers") {
+    import org.apache.avro.file.{DataFileReader, SeekableByteArrayInput}
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    for (codec <- Seq("null", "deflate", "snappy")) {
+      val blob = Avro.writeBlob(schemaJson, extRows(5).iterator,
+        codec, blockRows = 2)
+      val r = new DataFileReader[GenericRecord](
+        new SeekableByteArrayInput(blob),
+        new GenericDatumReader[GenericRecord]())
+      var i = 0
+      while (r.hasNext) {
+        val rec = r.next()
+        assert(rec.get("id").asInstanceOf[Long] == i.toLong)
+        if (i % 3 == 0) assert(rec.get("title") == null)
+        else assert(rec.get("title").toString == s"title $i")
+        assert(rec.get("score").asInstanceOf[Double] == i * 0.5)
+        assert(rec.get("tags").asInstanceOf[java.util.List[_]].size == i % 4)
+        assert(rec.get("props").asInstanceOf[java.util.Map[_, _]]
+          .values.iterator.next().asInstanceOf[Long] == i.toLong * 7)
+        assert(rec.get("kind").toString == Seq("A", "B", "C")(i % 3))
+        assert(rec.get("sub").asInstanceOf[GenericRecord]
+          .get("x").asInstanceOf[Int] == i * 3)
+        i += 1
+      }
+      r.close()
+      assert(i == 5)
+    }
+  }
+
+  test("writeBlob: deterministic bytes — reruns produce identical files") {
+    val a = Avro.writeBlob(schemaJson, extRows(6).iterator, "deflate")
+    val b = Avro.writeBlob(schemaJson, extRows(6).iterator, "deflate")
+    assert(java.util.Arrays.equals(a, b))
+    val c = Avro.writeBlob(schemaJson, extRows(6).iterator, "deflate",
+      syncSalt = "other")
+    assert(!java.util.Arrays.equals(a, c)) // salt reaches the sync marker
+  }
+
+  test("write/read: executor-side directory sink round-trips a DataFrame") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = (0 until 40).map { i =>
+      (i.toLong, if (i % 5 == 0) None else Some(s"n$i"), i * 0.25,
+        (0 until i % 3).map(_.toString), Map("k" -> i.toLong))
+    }.toDF("id", "name", "score", "tags", "props").repartition(4)
+    val dir = java.nio.file.Files.createTempDirectory("avrosink").toString
+    val schemaJson = Avro.write(df, dir, codec = "deflate")
+    assert(schemaJson.contains("\"name\":\"SparkRow\""))
+    val files = new java.io.File(dir).listFiles().filter(
+      _.getName.endsWith(".avro"))
+    assert(files.length >= 2) // one file per non-empty partition
+    val back = Avro.read(spark, s"$dir/*.avro").drop("path")
+    assert(back.count() == 40)
+    val agg = back.agg(sum("id"), sum("score"),
+      count(when(col("name").isNull, 1)), sum(size(col("tags")))).collect().head
+    assert(agg.getLong(0) == 780L && agg.getDouble(1) == 195.0)
+    assert(agg.getLong(2) == 8L && agg.getLong(3) == 39L)
+  }
+
+  test("avroSchemaJson: unsupported Catalyst types fail fast") {
+    import org.apache.spark.sql.types._
+    intercept[IllegalArgumentException] {
+      Avro.avroSchemaJson(StructType(Seq(
+        StructField("t", TimestampType))))
+    }
+    intercept[IllegalArgumentException] { // non-string map keys
+      Avro.avroSchemaJson(StructType(Seq(
+        StructField("m", MapType(LongType, LongType)))))
+    }
+  }
 }
