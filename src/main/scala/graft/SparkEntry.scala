@@ -784,6 +784,29 @@ object SparkEntry {
         .orderBy("day_us", "i", "bucket")
     },
 
+    "e16_stream_upsert" -> { (s, d) =>
+      // streaming CDC upsert (EventStreams.cdcLatestState): keyed
+      // flatMapGroupsWithState keeps the highest-seq change per key, so a
+      // late lower-seq arrival can never overwrite newer state and a
+      // winning 'D' tombstones the key. Exercised here in the shared-code
+      // batch form (each key's full iterator in one call — identical
+      // semantics); StreamingSpec drives the real two-micro-batch
+      // readStream with out-of-order arrivals. The changelog folds orders
+      // into 2000 keys (~7 versions each from the orderkey arithmetic,
+      // seq = orderkey, unique → tiebreak-free); the oracle replays
+      // latest-per-key with a window and drops tombstones.
+      import s.implicits._
+      val ch = t(s, d, "orders").select(
+        (col("o_orderkey") % 2000).as("id"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 11 === 0, "D").otherwise("U").as("op"),
+        cents(col("o_totalprice")).as("value"))
+      graft.streaming.EventStreams.cdcLatestState(ch)
+        .filter(_.op != "D").toDF()
+        .select(col("id"), col("seq"), col("value"))
+        .orderBy("id")
+    },
+
     "s20_corrupt_quarantine" -> { (s, d) =>
       // malformed-record quarantine: the crawl-ingest contract that bad
       // lines NEVER kill the job and NEVER silently vanish. An authored
@@ -901,6 +924,93 @@ object SparkEntry {
           graft.operators.Sketch.bloomMightContain("k", bitmaps, 4))
         .select(col("probe"), col("might_contain"))
         .orderBy("probe")
+    },
+
+    "a15_heavy_hitters" -> { (s, d) =>
+      // exact heavy hitters via the two-pass Misra-Gries candidate /
+      // recount shape (Sketch.heavyHitters): pass 1 bounds memory at k
+      // counters per partition and shuffles only the tiny candidate set;
+      // pass 2 recounts candidates exactly behind a broadcast semi-join.
+      // Keys are (user, event_type) pairs whose per-key depth is
+      // SF-invariant in this datagen (cardinality grows, counts don't),
+      // so the threshold is absolute (18 ≈ the p90 depth — a ~10% heavy
+      // set at every SF) and k=8192 honours the runtime-enforced MG
+      // superset bound threshold > N/(k+1) through sf0.1. The oracle is
+      // the plain exact GROUP BY ... HAVING — the operator must reproduce
+      // it key-for-key, count-for-count.
+      val ev = events(s, d).select(
+        concat(col("user_id"), lit(":"), col("event_type")).as("uk"))
+      graft.operators.Sketch.heavyHitters(ev, "uk", threshold = 18L,
+          k = 8192)
+        .orderBy("uk")
+    },
+
+    "j6_cdc_apply" -> { (s, d) =>
+      // CDC MERGE (Changelog.applyChangelog): a changelog of updates,
+      // deletes, inserts, and update-after-delete sequences derived
+      // arithmetically from orders is applied to a snapshot. Latest seq
+      // per key wins; 'D' removes, 'I'/'U' replaces-or-inserts, untouched
+      // keys pass through. Plan shape: the window runs on the SMALL
+      // changelog only; the snapshot pays one key-partitioned full-outer
+      // join and is never windowed — the asymmetry that matters when the
+      // snapshot is 100 TB and the changelog is a day's changes. The
+      // oracle replays the identical resolution in SQL.
+      val o = t(s, d, "orders")
+      val snap = o.filter(col("o_orderkey") % 4 =!= 3)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("price_cents"),
+          col("o_orderstatus").as("status"))
+      def ch(f: Column, price: Column, st: String, seq: Column, op: String) =
+        o.filter(f).select(col("o_orderkey"), col("o_custkey"),
+          price.as("price_cents"), lit(st).as("status"),
+          seq.cast("long").as("seq"), lit(op).as("op"))
+      val changes =
+        ch(col("o_orderkey") % 3 === 0, cents(col("o_totalprice")) * 2,
+          "U", lit(10) + col("o_orderkey") % 5, "U")
+        .union(ch(col("o_orderkey") % 6 === 0, lit(0L), "-", lit(20), "D"))
+        .union(ch(col("o_orderkey") % 4 === 3,
+          cents(col("o_totalprice")) + 55, "I", lit(5), "I"))
+        .union(ch(col("o_orderkey") % 9 === 0, cents(col("o_totalprice")) * 3,
+          "V", lit(30), "U"))
+      graft.operators.Changelog.applyChangelog(snap, changes,
+          Seq("o_orderkey"), "seq", "op")
+        .orderBy("o_orderkey")
+    },
+
+    "w9_scd2_history" -> { (s, d) =>
+      // SCD type-2 history (Changelog.scd2): per key the changelog's
+      // versions become validity intervals — each 'U' opens at its seq,
+      // the next change (including the tombstoning 'D') closes it via
+      // lead(), open intervals are current. One keyed window over the
+      // changelog only. Versions and the delete placement derive from
+      // the orderkey arithmetic, so the oracle rebuilds the same
+      // changelog and replays the same lead() in SQL.
+      val o = t(s, d, "orders")
+      val ch = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("base"),
+          explode(sequence(lit(0L), col("o_orderkey") % 3)).as("j"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("base") + col("j") * 10).as("price_cents"),
+          col("j").as("seq"),
+          when(col("o_orderkey") % 7 === 0 &&
+            col("j") === col("o_orderkey") % 3, "D")
+            .otherwise("U").as("op"))
+      graft.operators.Changelog.scd2(ch, Seq("o_orderkey"), "seq", "op")
+        .orderBy("o_orderkey", "valid_from")
+    },
+
+    "t64_phrase_match" -> { (s, d) =>
+      // exact phrase search (Retrieval.phraseMatch): positional postings
+      // filtered to the phrase's own terms (the shuffle carries only
+      // those postings), candidate starts per slot, one groupBy counting
+      // distinct slots — m slots present at a start = a verbatim
+      // occurrence. No self-join chain, no window. The oracle replays the
+      // same tokenization and slot arithmetic in SQL, so every doc,
+      // match count, and first position hash-matches.
+      graft.operators.Retrieval.phraseMatch(t(s, d, "documents"),
+          Seq("slow", "hash", "batch"))
+        .orderBy("doc_id")
     },
 
     "w7_ntile_deciles" -> { (s, d) =>
@@ -5409,6 +5519,23 @@ object SparkEntry {
          ORDER BY d.doc_id"""
     },
 
+    // streaming upsert replay: latest-per-key over the same changelog,
+    // tombstones dropped
+    "e16_stream_upsert" ->
+      s"""WITH ch AS (
+           SELECT o_orderkey % 2000 AS id, o_orderkey AS seq,
+             CASE WHEN o_orderkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+             ${centsSql("o_totalprice")} AS value
+           FROM orders),
+         latest AS (
+           SELECT * FROM (
+             SELECT ch.*, ROW_NUMBER() OVER (PARTITION BY id
+               ORDER BY seq DESC) AS rn FROM ch)
+           WHERE rn = 1)
+         SELECT id, seq, value FROM latest
+         WHERE op <> 'D'
+         ORDER BY id""",
+
     "e13_stream_distinct" ->
       """WITH h AS (
            SELECT epoch_us(date_trunc('day', ts)) AS day_us,
@@ -6677,6 +6804,99 @@ object SparkEntry {
          FROM prb p LEFT JOIN hits h USING (probe)
          ORDER BY probe"""
     },
+
+    // heavy hitters: the sketch pipeline must equal the exact GROUP BY
+    "a15_heavy_hitters" ->
+      """SELECT uk, CAST(COUNT(*) AS BIGINT) AS cnt
+         FROM (SELECT CAST(user_id AS VARCHAR) || ':' || event_type AS uk
+               FROM events)
+         GROUP BY uk
+         HAVING COUNT(*) >= 18
+         ORDER BY uk""",
+
+    // CDC merge replay: same changelog construction, same latest-wins
+    // window, same full-outer resolution
+    "j6_cdc_apply" ->
+      s"""WITH snap AS (
+           SELECT o_orderkey, o_custkey,
+             ${centsSql("o_totalprice")} AS price_cents,
+             o_orderstatus AS status
+           FROM orders WHERE o_orderkey % 4 <> 3),
+         chg AS (
+           SELECT o_orderkey, o_custkey,
+             ${centsSql("o_totalprice")} * 2 AS price_cents,
+             'U' AS status, 10 + o_orderkey % 5 AS seq, 'U' AS op
+           FROM orders WHERE o_orderkey % 3 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, 0, '-', 20, 'D'
+           FROM orders WHERE o_orderkey % 6 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey,
+             ${centsSql("o_totalprice")} + 55, 'I', 5, 'I'
+           FROM orders WHERE o_orderkey % 4 = 3
+           UNION ALL
+           SELECT o_orderkey, o_custkey,
+             ${centsSql("o_totalprice")} * 3, 'V', 30, 'U'
+           FROM orders WHERE o_orderkey % 9 = 0),
+         latest AS (
+           SELECT * FROM (
+             SELECT chg.*, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+               ORDER BY seq DESC, op DESC) AS rn FROM chg)
+           WHERE rn = 1)
+         SELECT COALESCE(l.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN l.op IS NOT NULL THEN l.o_custkey
+                ELSE s.o_custkey END AS o_custkey,
+           CASE WHEN l.op IS NOT NULL THEN l.price_cents
+                ELSE s.price_cents END AS price_cents,
+           CASE WHEN l.op IS NOT NULL THEN l.status
+                ELSE s.status END AS status
+         FROM snap s FULL OUTER JOIN latest l
+           ON s.o_orderkey = l.o_orderkey
+         WHERE l.op IS NULL OR l.op <> 'D'
+         ORDER BY o_orderkey""",
+
+    // SCD2 replay: same changelog, same lead() interval close
+    "w9_scd2_history" ->
+      s"""WITH ch AS (
+           SELECT o.o_orderkey, o.o_custkey,
+             ${centsSql("o.o_totalprice")} + r.j * 10 AS price_cents,
+             r.j AS seq,
+             CASE WHEN o.o_orderkey % 7 = 0 AND r.j = o.o_orderkey % 3
+                  THEN 'D' ELSE 'U' END AS op
+           FROM orders o, range(0, 3) r(j)
+           WHERE o.o_orderkey % 5 = 0 AND r.j <= o.o_orderkey % 3),
+         iv AS (
+           SELECT *, seq AS valid_from,
+             LEAD(seq) OVER (PARTITION BY o_orderkey
+               ORDER BY seq, op) AS valid_to
+           FROM ch)
+         SELECT o_orderkey, o_custkey, price_cents,
+           valid_from, valid_to, valid_to IS NULL AS is_current
+         FROM iv WHERE op <> 'D'
+         ORDER BY o_orderkey, valid_from""",
+
+    // phrase search replay: same tokenization, same slot arithmetic
+    "t64_phrase_match" ->
+      """WITH toks AS (
+           SELECT doc_id, string_split(regexp_replace(trim(lower(text)),
+             '\s+', ' ', 'g'), ' ') AS ws
+           FROM documents),
+         p AS (
+           SELECT doc_id, CAST(i AS BIGINT) - 1 AS p, ws[CAST(i AS INT)] AS tok
+           FROM toks, LATERAL UNNEST(range(1, len(ws) + 1)) t(i)),
+         cand AS (
+           SELECT doc_id, p - 0 AS start, 0 AS slot FROM p WHERE tok = 'slow'
+           UNION ALL
+           SELECT doc_id, p - 1, 1 FROM p WHERE tok = 'hash'
+           UNION ALL
+           SELECT doc_id, p - 2, 2 FROM p WHERE tok = 'batch'),
+         st AS (
+           SELECT doc_id, start FROM cand WHERE start >= 0
+           GROUP BY doc_id, start HAVING COUNT(DISTINCT slot) = 3)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MIN(start) AS first_start
+         FROM st GROUP BY doc_id
+         ORDER BY doc_id""",
 
     // per-group reservoir: row_number over the replayed hash order
     "t62_reservoir_group" -> {

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture application: turn a changelog (insert/update/delete
+  * events with a monotone sequence) into a current snapshot or an SCD-2
+  * validity-interval history — the lakehouse MERGE/upsert surface a
+  * 100 TB curation pipeline needs once its inputs arrive as change
+  * streams instead of full re-exports (reference analogue: gis-etl
+  * re-ingests whole extracts per run, `east_asia.py:145`; this is the
+  * incremental twin).
+  *
+  * Scale shape, deliberately asymmetric: the changelog is orders of
+  * magnitude smaller than the snapshot, so [[applyChangelog]] windows
+  * ONLY the changelog (latest op per key — a shuffle of the small side)
+  * and then resolves against the snapshot with a single full-outer
+  * equality join on the key. The big side is shuffled once on the key it
+  * would be bucketed/partitioned by in a real lake (with bucketed inputs
+  * Catalyst elides that exchange entirely); it never enters a window and
+  * is never re-sorted. [[scd2]] touches only the changelog: one keyed
+  * window for the `lead` that closes each interval.
+  */
+object Changelog {
+
+  /** Latest change per key: row_number over (seq desc, op desc) — op is
+    * the deterministic tiebreak so equal-seq I/U vs D resolves stably
+    * ('U' > 'I' > 'D' lexicographically reversed means D loses ties). */
+  private def latestPerKey(changes: DataFrame, keyCols: Seq[String],
+      seqCol: String, opCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc, col(opCol).desc)
+    changes.withColumn("_cdc_rn", row_number().over(w))
+      .filter(col("_cdc_rn") === 1).drop("_cdc_rn")
+  }
+
+  /** Apply a changelog to a snapshot (MERGE INTO semantics).
+    *
+    * `changes` must carry every snapshot column plus `seqCol` (monotone
+    * per key: commit LSN, binlog offset, event time) and `opCol` with
+    * values 'I' | 'U' | 'D'. Per key the highest-`seqCol` change wins
+    * (ties break toward the later op letter, so make seqs unique per key
+    * for full determinism); a winning 'D' removes the key, a winning
+    * 'I'/'U' replaces (or inserts) the row, keys without changes pass
+    * through. Output schema = snapshot schema. */
+  def applyChangelog(snapshot: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], seqCol: String, opCol: String): DataFrame = {
+    val dataCols = snapshot.columns.filterNot(keyCols.contains)
+    require(dataCols.nonEmpty || keyCols.nonEmpty, "empty snapshot schema")
+    val latest = latestPerKey(
+      changes.select((keyCols ++ dataCols).map(col) :+
+        col(seqCol).as("_cdc_seq") :+ col(opCol).as("_cdc_op"): _*),
+      keyCols, "_cdc_seq", "_cdc_op")
+    val s = snapshot.as("s")
+    val c = latest.as("c")
+    val resolved = s.join(c, keyCols, "full_outer")
+      .filter(col("_cdc_op").isNull || col("_cdc_op") =!= "D")
+    val out = keyCols.map(col) ++ dataCols.map { dc =>
+      when(col("_cdc_op").isNotNull, col(s"c.$dc"))
+        .otherwise(col(s"s.$dc")).as(dc)
+    }
+    resolved.select(out: _*)
+  }
+
+  /** SCD type-2 history from a changelog: one validity interval per
+    * surviving change. Each 'I'/'U' opens an interval at its `seqCol`
+    * value; the NEXT change on the same key (any op, including the 'D'
+    * that tombstones it) closes it exclusively via `lead`. Output =
+    * key + data columns + `valid_from`, `valid_to` (null = open) and
+    * `is_current`. One keyed window over the changelog only. */
+  def scd2(changes: DataFrame, keyCols: Seq[String], seqCol: String,
+      opCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol), col(opCol))
+    changes
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .filter(col(opCol) =!= "D")
+      .withColumn("is_current", col("valid_to").isNull)
+      .drop(seqCol, opCol)
+  }
+}

@@ -190,4 +190,46 @@ object Retrieval {
       .select("qid", "did", "rk")
     rrfFuse(Seq(lex, dense), k, kRrf)
   }
+
+  /** Exact phrase search via positional postings — the operator BM25's
+    * bag-of-words scoring cannot express (finding literal quotes,
+    * benchmark prompts, or license sentences verbatim in a corpus).
+    *
+    * Plan: tokenize map-only, keep ONLY positions of the phrase's own
+    * terms (an isin pushdown — at 100 TB the shuffle carries the phrase
+    * terms' postings, a vanishing fraction of the corpus), emit one
+    * (start = pos − slot, slot) candidate per matching phrase slot, and a
+    * single groupBy(doc, start) counts distinct slots — a start where all
+    * `m` slots check in is a verbatim occurrence. `countDistinct(slot)`
+    * (not count) makes repeated phrase terms ("buffalo buffalo") exact.
+    * One aggregate, no self-join chain, no window.
+    *
+    * Returns one row per matching doc: (`idCol`, n_matches, first_start)
+    * with token-index starts. Matching is whitespace-token exact,
+    * lowercased — the tokenization the oracle replays. */
+  def phraseMatch(docs: DataFrame, phrase: Seq[String],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "phrase must have at least one term")
+    require(phrase.forall(_.matches("[\\p{L}\\p{N}_-]+")),
+      s"phrase terms must be bare tokens: $phrase")
+    val m = phrase.length
+    val phraseSql = phrase.map(w => s"'$w'").mkString(", ")
+    val pos = Scatter(docs).select(col(idCol).as("id"),
+        posexplode(split(
+          regexp_replace(trim(lower(col(textCol))), "\\s+", " "), " ")))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "tok")
+      .filter(col("tok").isin(phrase.distinct: _*))
+    val cand = pos.select(col("id"), explode(expr(
+        s"transform(filter(sequence(0, ${m - 1}), " +
+          s"i -> element_at(array($phraseSql), i + 1) = tok), " +
+          "i -> named_struct('start', p - i, 'slot', i))")).as("e"))
+      .select(col("id"), col("e.start").as("start"), col("e.slot").as("slot"))
+      .filter(col("start") >= 0)
+    cand.groupBy("id", "start")
+      .agg(countDistinct("slot").as("nslots"))
+      .filter(col("nslots") === m)
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_matches"), min("start").as("first_start"))
+      .select(col("id").as(idCol), col("n_matches"), col("first_start"))
+  }
 }

@@ -290,4 +290,77 @@ object Sketch {
       .na.fill(0L, Seq("cnt"))
       .groupBy(col(keyCol)).agg(min(col("cnt")).as("est"))
   }
+
+  // ---- heavy hitters (Misra-Gries / space-saving) --------------------------
+
+  /** Exact heavy hitters — every key with global count >= `threshold` and
+    * its exact count — via the two-pass candidate/recount shape that makes
+    * the problem tractable at 100 TB cardinality:
+    *
+    *  pass 1: each partition runs a bounded-memory Misra-Gries summary of
+    *    `k` counters (`mapPartitions`, no pre-shuffle). The MG guarantee:
+    *    a key can only be absent from a partition's summary if its local
+    *    count <= n_p / (k+1), so summing over partitions any key with
+    *    GLOBAL count > N/(k+1) survives in at least one summary. The
+    *    emitted candidates (<= k per partition) shuffle as a tiny set.
+    *  pass 2: exact recount of only the candidate keys — a broadcast
+    *    semi-join filter on the corpus, then groupBy count. The shuffle
+    *    carries only rows whose key is a candidate.
+    *
+    * Result is EXACT (candidates are a superset; the recount filter takes
+    * `>= threshold`) provided `threshold > N/(k+1)`; the operator
+    * validates that bound at runtime from the observed row count and
+    * fails loudly instead of silently under-reporting. Output:
+    * (`keyCol`, `cnt`), one row per heavy hitter. */
+  def heavyHitters(df: DataFrame, keyCol: String, threshold: Long,
+      k: Int = 1024): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(threshold >= 1, s"threshold must be >= 1: $threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(keyCol).cast("string").as("k"))
+    // pass 1: per-partition Misra-Gries. Decrement phase subtracts 1 from
+    // every counter when a new key arrives at capacity — the classical
+    // frequent-items algorithm (Misra & Gries 1982), bounded at k entries.
+    val perPart = keyed.as[String].mapPartitions { it =>
+      val counters = new scala.collection.mutable.HashMap[String, Long]
+      var n = 0L
+      it.foreach { key =>
+        n += 1
+        if (key != null) {
+          counters.get(key) match {
+            case Some(c) => counters.update(key, c + 1)
+            case None =>
+              if (counters.size < k) counters.update(key, 1L)
+              else {
+                // decrement all; drop zeros (amortized O(1) per arrival)
+                val dead = new scala.collection.mutable.ArrayBuffer[String]
+                counters.foreach { case (kk, c) =>
+                  if (c == 1L) dead += kk else counters.update(kk, c - 1)
+                }
+                dead.foreach(counters.remove)
+              }
+          }
+        }
+      }
+      // candidates plus ONE total row per partition (null key) — N for the
+      // exactness bound comes from the summaries, no extra corpus pass
+      counters.keysIterator.map(kk => (kk, 0L)) ++
+        Iterator((null: String, n))
+    }.toDF("k", "part_n")
+      .localCheckpoint(true) // tiny (<= k+1 rows/partition); both consumers
+    val totalN = perPart.filter(col("k").isNull)
+      .agg(coalesce(sum("part_n"), lit(0L))).first().getLong(0)
+    // the MG exactness bound: threshold must exceed N/(k+1), else the
+    // candidate set is not a guaranteed superset — fail loudly instead of
+    // silently under-reporting heavy hitters
+    require(threshold.toDouble > totalN.toDouble / (k + 1).toDouble,
+      s"threshold=$threshold is not > N/(k+1) = ${totalN.toDouble / (k + 1)}" +
+        s" (N=$totalN, k=$k): raise k or threshold")
+    val cands = perPart.filter(col("k").isNotNull).select("k").distinct()
+    keyed.join(broadcast(cands), Seq("k"), "left_semi")
+      .groupBy("k").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .select(col("k").as(keyCol), col("cnt"))
+  }
 }

@@ -210,4 +210,40 @@ object EventStreams {
           Iterator(next)
       }
   }
+
+  case class ChangeRow(id: Long, seq: Long, op: String, value: Long)
+
+  /** Streaming CDC upsert state (the streaming twin of
+    * `operators/Changelog.applyChangelog`): per key, keep the
+    * highest-sequence change across micro-batches via
+    * flatMapGroupsWithState — late, lower-seq arrivals can NOT overwrite
+    * newer state (the out-of-order guard CDC intake needs), a winning 'D'
+    * is retained as a tombstone (so a straggler update older than the
+    * delete stays dead) and consumers filter `op != 'D'` for the live
+    * view. Tie on seq breaks toward the later op letter, matching the
+    * batch operator. Update mode; state is one 4-field case class per
+    * key. Works identically on a batch frame (each group's full iterator
+    * in one call) — the shared-code contract the e-gates verify. */
+  def cdcLatestState(changes: DataFrame): org.apache.spark.sql.Dataset[ChangeRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = changes.sparkSession
+    import spark.implicits._
+    val typed = changes.select(col("id").cast("long"),
+        col("seq").cast("long"), col("op").cast("string"),
+        col("value").cast("long"))
+      .as[(Long, Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[ChangeRow, ChangeRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, rows: Iterator[(Long, Long, String, Long)],
+         state: GroupState[ChangeRow]) =>
+          var cur = state.getOption.orNull
+          rows.foreach { case (_, seq, op, v) =>
+            if (cur == null || seq > cur.seq ||
+              (seq == cur.seq && op > cur.op)) cur = ChangeRow(id, seq, op, v)
+          }
+          state.update(cur)
+          Iterator(cur)
+      }
+  }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Changelog
+
+/** CDC semantics: latest-seq-wins resolution, delete/insert/update paths,
+  * update-after-delete resurrection, pass-through of untouched keys, SCD2
+  * interval chaining, and the plan asymmetry (no window over the snapshot
+  * side). */
+class ChangelogSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def snap = Seq(
+    (1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)
+  ).toDF("id", "name", "v")
+
+  test("applyChangelog: update, delete, insert, pass-through") {
+    val ch = Seq(
+      (2L, "b2", 21L, 1L, "U"),  // update key 2
+      (3L, "-", 0L, 1L, "D"),    // delete key 3
+      (9L, "i", 90L, 1L, "I")    // insert new key 9
+    ).toDF("id", "name", "v", "seq", "op")
+    val out = Changelog.applyChangelog(snap, ch, Seq("id"), "seq", "op")
+      .orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "a", 10L), (2L, "b2", 21L),
+      (4L, "d", 40L), (9L, "i", 90L)))
+  }
+
+  test("applyChangelog: latest seq wins, including update-after-delete") {
+    val ch = Seq(
+      (2L, "b1", 21L, 1L, "U"),
+      (2L, "b2", 22L, 5L, "U"),  // later update wins
+      (2L, "b0", 20L, 3L, "U"),
+      (3L, "-", 0L, 1L, "D"),
+      (3L, "c9", 99L, 2L, "U"),  // resurrected after delete
+      (4L, "d1", 41L, 1L, "U"),
+      (4L, "-", 0L, 2L, "D")     // deleted after update
+    ).toDF("id", "name", "v", "seq", "op")
+    val out = Changelog.applyChangelog(snap, ch, Seq("id"), "seq", "op")
+      .orderBy("id").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "a", 10L), (2L, "b2", 22L),
+      (3L, "c9", 99L)))
+  }
+
+  test("applyChangelog: delete of an absent key is a no-op; composite keys") {
+    val snap2 = Seq((1L, "x", 10L), (1L, "y", 11L)).toDF("k1", "k2", "v")
+    val ch = Seq(
+      (1L, "y", 12L, 1L, "U"),
+      (7L, "z", 0L, 1L, "D")  // not in snapshot
+    ).toDF("k1", "k2", "v", "seq", "op")
+    val out = Changelog.applyChangelog(snap2, ch, Seq("k1", "k2"),
+        "seq", "op")
+      .orderBy("k1", "k2").collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, "x", 10L), (1L, "y", 12L)))
+  }
+
+  test("applyChangelog: output schema equals snapshot schema") {
+    val ch = Seq((2L, "b2", 21L, 1L, "U")).toDF("id", "name", "v", "seq", "op")
+    val out = Changelog.applyChangelog(snap, ch, Seq("id"), "seq", "op")
+    assert(out.columns.toSeq == snap.columns.toSeq)
+    assert(out.schema.map(_.dataType) == snap.schema.map(_.dataType))
+  }
+
+  test("applyChangelog plan: no window over the snapshot side") {
+    // the window (latest-per-key) must run on the changelog subtree only —
+    // the snapshot is joined, never sorted under a Window operator
+    val ch = Seq((2L, "b2", 21L, 1L, "U")).toDF("id", "name", "v", "seq", "op")
+    val out = Changelog.applyChangelog(snap, ch, Seq("id"), "seq", "op")
+    val plan = out.queryExecution.optimizedPlan.toString
+    // exactly one Window, and it sits above the changelog's projection
+    // (seq/op columns), not above the snapshot relation
+    val winCount = "(?m)^.*Window".r.findAllIn(plan).length
+    assert(winCount == 1, s"expected 1 Window in:\n$plan")
+    assert(plan.contains("_cdc_seq"), plan)
+  }
+
+  test("scd2: intervals chain per key; delete closes without emitting") {
+    val ch = Seq(
+      (1L, 100L, 1L, "I"),
+      (1L, 101L, 3L, "U"),
+      (1L, 102L, 7L, "U"),   // current
+      (2L, 200L, 1L, "I"),
+      (2L, 0L, 4L, "D"),     // key 2 fully tombstoned
+      (3L, 300L, 2L, "U")    // single open interval
+    ).toDF("id", "v", "seq", "op")
+    val out = Changelog.scd2(ch, Seq("id"), "seq", "op")
+      .orderBy("id", "valid_from")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      (1L, 100L, 1L, Some(3L), false),
+      (1L, 101L, 3L, Some(7L), false),
+      (1L, 102L, 7L, None, true),
+      (2L, 200L, 1L, Some(4L), false), // closed by the delete, not current
+      (3L, 300L, 2L, None, true)))
+  }
+
+  test("scd2: columns = key + data + validity; seq/op dropped") {
+    val ch = Seq((1L, 100L, 1L, "I")).toDF("id", "v", "seq", "op")
+    val out = Changelog.scd2(ch, Seq("id"), "seq", "op")
+    assert(out.columns.toSeq ==
+      Seq("id", "v", "valid_from", "valid_to", "is_current"))
+  }
+}

@@ -115,4 +115,44 @@ class RetrievalSpec extends AnyFunSuite {
     // only docs containing 'spark' score, all with n_hit 1
     assert(rows.nonEmpty && rows.forall(_.getLong(2) == 1L))
   }
+
+  test("phraseMatch: exact positions, counts, and misses") {
+    val docs = Seq(
+      (1L, "the quick brown fox the quick brown cat"),  // 2 matches of 2-gram
+      (2L, "quick the brown"),                          // terms, wrong order
+      (3L, "THE  Quick   brown"),                       // case + multi-space
+      (4L, "nothing here"),
+      (5L, "the quick")                                 // prefix only for 3-gram
+    ).toDF("doc_id", "text")
+    val out2 = Retrieval.phraseMatch(docs, Seq("the", "quick"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out2 == Map(1L -> ((2L, 0)), 3L -> ((1L, 0)), 5L -> ((1L, 0))))
+    val out3 = Retrieval.phraseMatch(docs, Seq("the", "quick", "brown"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // doc 1 holds the trigram twice: "the quick brown fox the quick brown"
+    assert(out3 == Map(1L -> ((2L, 0)), 3L -> ((1L, 0))))
+  }
+
+  test("phraseMatch: repeated phrase terms and overlapping occurrences") {
+    val docs = Seq(
+      (1L, "buffalo buffalo buffalo"), // "buffalo buffalo" at starts 0 AND 1
+      (2L, "a b a b a")                // "a b a" at starts 0 AND 2 (overlap)
+    ).toDF("doc_id", "text")
+    val r1 = Retrieval.phraseMatch(docs, Seq("buffalo", "buffalo"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(r1 == Map(1L -> ((2L, 0))), r1.toString)
+    val r2 = Retrieval.phraseMatch(docs, Seq("a", "b", "a"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(r2 == Map(2L -> ((2L, 0))), r2.toString)
+  }
+
+  test("phraseMatch: rejects non-token phrase terms") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseMatch(docs, Seq("has space"))
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseMatch(docs, Seq("quote'd"))
+    }
+  }
 }

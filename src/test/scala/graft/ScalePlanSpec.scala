@@ -1023,4 +1023,35 @@ class ScalePlanSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("phraseMatch: the term filter runs BEFORE any exchange — the " +
+    "shuffle carries only the phrase terms' postings") {
+    val p = staticPlan("t64_phrase_match").toString
+    // no join at all (slot counting replaces the posting self-join chain),
+    // no window; the posting filter is pre-exchange by construction of the
+    // single aggregate pipeline
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"phrase match must not join:\n$p")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+    // the isin filter on tok must exist (pre-shuffle posting cut)
+    assert(p.contains("INSET") || p.contains("tok#") && p.contains("Filter"),
+      s"posting term filter missing:\n$p")
+  }
+
+  test("heavyHitters: candidates broadcast; the exact recount is the only " +
+    "wide aggregate") {
+    val p = staticPlan("a15_heavy_hitters").toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate semi-join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the corpus must never exchange through a join:\n$p")
+  }
+
+  test("applyChangelog (j6): one window, over the changelog side only; " +
+    "the snapshot joins without sorting under a Window") {
+    val p = staticPlan("j6_cdc_apply").toString
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.nonEmpty && winLines.forall(_.contains("_cdc_seq")),
+      s"window must run on the changelog's seq only:\n$p")
+  }
 }

@@ -166,4 +166,39 @@ class SketchSpec extends AnyFunSuite {
     // (1 - e^(-3*2000/65536))^3 ≈ 6.3e-4 → expect ~1.3 fps in 2000
     assert(fp <= 20, s"false-positive rate too high: $fp / 2000")
   }
+
+  test("heavy hitters: exact set and counts on a zipf stream where " +
+    "cardinality crushes the counter budget") {
+    // 20k distinct tail keys (one occurrence each) + 12 planted heavies:
+    // heavy h appears 300 + 20*h times. k = 64 counters << 20k distinct,
+    // so the Misra-Gries decrement path is exercised hard; N ≈ 23.9k,
+    // N/(k+1) ≈ 368 — threshold 400 honours the bound.
+    val heavies = (0 until 12).flatMap(h =>
+      Seq.fill(300 + 20 * h)(s"hot$h"))
+    val tail = (0 until 20000).map(i => s"tail$i")
+    // interleave deterministically so heavies aren't clumped in one split
+    val rows = new scala.util.Random(7).shuffle(heavies ++ tail)
+    val df = rows.toDF("k").repartition(8)
+    val got = Sketch.heavyHitters(df, "k", threshold = 400L, k = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = (0 until 12).map(h => s"hot$h" -> (300L + 20 * h))
+      .filter(_._2 >= 400L).toMap
+    assert(got == expect, s"got $got expected $expect")
+  }
+
+  test("heavy hitters: threshold below the N/(k+1) bound fails loudly") {
+    val df = (0 until 5000).map(i => s"k${i % 50}").toDF("k")
+    intercept[IllegalArgumentException] {
+      Sketch.heavyHitters(df, "k", threshold = 10L, k = 16)
+    }
+  }
+
+  test("heavy hitters: null keys are ignored, not counted or crashed on") {
+    val df = (0 until 600).map(i =>
+      if (i % 3 == 0) null else "hot").toDF("k")
+    val got = Sketch.heavyHitters(df, "k", threshold = 100L, k = 8)
+      .collect()
+    assert(got.length == 1 && got(0).getString(0) == "hot" &&
+      got(0).getLong(1) == 400L)
+  }
 }

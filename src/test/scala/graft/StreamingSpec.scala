@@ -274,6 +274,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin == expect, s"$fin vs $expect")
   }
 
+  test("cdcLatestState: upsert state across micro-batches; late lower-seq " +
+    "arrivals never overwrite, tombstones persist") {
+    val dir = java.nio.file.Files.createTempDirectory("cdc").toString + "/data"
+    // batch 1: key 1 v@seq2, key 2 v@seq5, key 3 delete@seq4
+    Seq((1L, 2L, "U", 12L), (2L, 5L, "U", 25L), (3L, 4L, "D", 0L))
+      .toDF("id", "seq", "op", "value").write.parquet(dir)
+    // batch 2 (later micro-batch, out-of-order seqs): key 1 NEWER update
+    // (wins), key 2 OLDER update (must lose), key 3 straggler update older
+    // than the tombstone (must stay dead), key 4 fresh insert
+    Seq((1L, 7L, "U", 17L), (2L, 3L, "U", 23L), (3L, 1L, "U", 31L),
+      (4L, 1L, "I", 41L))
+      .toDF("id", "seq", "op", "value").write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = EventStreams.cdcLatestState(stream)
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "stream timed out")
+    // final state = the last update emitted per key
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+      .orderBy(col("seq").desc)
+    val fin = spark.table("cdc_out")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getLong(3)))).toMap
+    assert(fin(1L) == ((7L, "U", 17L)), s"newer update must win: $fin")
+    assert(fin(2L) == ((5L, "U", 25L)), s"late lower seq must lose: $fin")
+    assert(fin(3L) == ((4L, "D", 0L)), s"tombstone must persist: $fin")
+    assert(fin(4L) == ((1L, "I", 41L)), s"fresh insert: $fin")
+  }
+
   test("dedupWithinWatermark on a stream keeps one row per key") {
     val dir = java.nio.file.Files.createTempDirectory("events2").toString + "/data"
     eventsBatch().write.parquet(dir)
