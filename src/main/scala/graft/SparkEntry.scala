@@ -1000,6 +1000,44 @@ object SparkEntry {
         .orderBy("o_orderkey", "valid_from")
     },
 
+    "a16_incremental_agg" -> { (s, d) =>
+      // incremental aggregate maintenance (Changelog.incrementalAgg): a
+      // materialized per-group (count, sum-cents) rollup is updated from
+      // a before/after-image changelog (inserts, deletes, value updates —
+      // the Debezium envelope) WITHOUT rescanning the snapshot: deltas
+      // collapse through one small combinable groupBy and the rollup pays
+      // a single keyed outer join. The oracle computes the post-change
+      // rollup from scratch — the incrementally-maintained table must
+      // equal the full recompute group-for-group, cent-for-cent.
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        (col("o_custkey") % 500).as("g"),
+        cents(col("o_totalprice")).as("v"))
+      val agg0 = o.filter(col("k") % 4 =!= 3).groupBy("g")
+        .agg(count(lit(1)).as("n"), sum("v").as("total"))
+      val ins = o.filter(col("k") % 4 === 3).select(col("g"),
+        lit("I").as("op"), lit(0L).as("before"), col("v").as("after"))
+      val del = o.filter(col("k") % 6 === 0).select(col("g"),
+        lit("D").as("op"), col("v").as("before"), lit(0L).as("after"))
+      val upd = o.filter(col("k") % 5 === 1 && col("k") % 6 =!= 0 &&
+          col("k") % 4 =!= 3)
+        .select(col("g"), lit("U").as("op"), col("v").as("before"),
+          (col("v") + 37).as("after"))
+      graft.operators.Changelog.incrementalAgg(agg0,
+          ins.union(del).union(upd), "g", "op", "before", "after")
+        .orderBy("g")
+    },
+
+    "w10_funnel" -> { (s, d) =>
+      // ordered funnel (Sessions.funnel): per user the earliest strictly
+      // ordered view → click → purchase chain. No window, no per-user
+      // event collection — each stage is a type-filtered min-aggregate
+      // joined on the user key, every stage hashing on the same key. The
+      // oracle replays the same chained min-after-previous logic.
+      graft.operators.Sessions.funnel(events(s, d),
+          Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    },
+
     "t64_phrase_match" -> { (s, d) =>
       // exact phrase search (Retrieval.phraseMatch): positional postings
       // filtered to the phrase's own terms (the shuffle carries only
@@ -6874,6 +6912,48 @@ object SparkEntry {
            valid_from, valid_to, valid_to IS NULL AS is_current
          FROM iv WHERE op <> 'D'
          ORDER BY o_orderkey, valid_from""",
+
+    // incremental-agg replay: the maintained rollup must equal the
+    // from-scratch post-change aggregate
+    "a16_incremental_agg" ->
+      s"""WITH base AS (
+           SELECT o_orderkey AS k, o_custkey % 500 AS g,
+             ${centsSql("o_totalprice")} AS v
+           FROM orders),
+         fin AS (
+           SELECT g, CASE WHEN k % 5 = 1 AND k % 6 <> 0 THEN v + 37
+                          ELSE v END AS v
+           FROM base WHERE k % 4 <> 3 AND k % 6 <> 0
+           UNION ALL
+           SELECT g, v FROM base WHERE k % 4 = 3)
+         SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS total
+         FROM fin GROUP BY g
+         ORDER BY g""",
+
+    // funnel replay: chained min-after-previous stage times
+    "w10_funnel" ->
+      """WITH s0 AS (
+           SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+         s1 AS (
+           SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+           FROM events e JOIN s0 ON e.user_id = s0.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t0
+           GROUP BY 1),
+         s2 AS (
+           SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+           FROM events e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t1
+           GROUP BY 1)
+         SELECT s0.user_id, s0.t0, s1.t1, s2.t2,
+           CAST(1 + CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+             AS INTEGER) AS steps_completed
+         FROM s0
+         LEFT JOIN s1 ON s0.user_id = s1.user_id
+         LEFT JOIN s2 ON s0.user_id = s2.user_id
+         ORDER BY s0.user_id""",
 
     // phrase search replay: same tokenization, same slot arithmetic
     "t64_phrase_match" ->

@@ -63,6 +63,41 @@ object Changelog {
     resolved.select(out: _*)
   }
 
+  /** Incremental aggregate maintenance: update a materialized per-group
+    * (count, sum) table from a changelog carrying BEFORE/AFTER images (the
+    * Debezium envelope shape) — the pattern that keeps a 100 TB-derived
+    * rollup fresh without ever rescanning the snapshot. Each change
+    * contributes an abelian delta:
+    * 'I' → (+1, +after), 'D' → (−1, −before), 'U' → (0, after − before);
+    * an update that MOVES a row between groups must be encoded as a
+    * 'D' in the old group plus an 'I' in the new one (the Debezium
+    * convention for key changes).
+    *
+    * Plan: deltas are map-only, collapse through one combinable groupBy
+    * of the SMALL changelog, and full-outer-join the existing agg table
+    * on the group key; groups whose count reaches 0 drop out. The big
+    * side (the agg table) is touched once, join-only. Output schema:
+    * (`groupCol`, n, total). */
+  def incrementalAgg(agg: DataFrame, changes: DataFrame, groupCol: String,
+      opCol: String, beforeCol: String, afterCol: String): DataFrame = {
+    require(agg.columns.toSeq == Seq(groupCol, "n", "total"),
+      s"agg table must be ($groupCol, n, total): ${agg.columns.toSeq}")
+    val dn = when(col(opCol) === "I", 1L)
+      .when(col(opCol) === "D", -1L).otherwise(0L)
+    val dv = when(col(opCol) === "I", col(afterCol))
+      .when(col(opCol) === "D", -col(beforeCol))
+      .otherwise(col(afterCol) - col(beforeCol))
+    val deltas = changes.groupBy(col(groupCol))
+      .agg(sum(dn).as("_dn"), sum(dv).as("_dv"))
+    agg.join(deltas, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
+          .as("n"),
+        (coalesce(col("total"), lit(0L)) + coalesce(col("_dv"), lit(0L)))
+          .as("total"))
+      .filter(col("n") > 0)
+  }
+
   /** SCD type-2 history from a changelog: one validity interval per
     * surviving change. Each 'I'/'U' opens an interval at its `seqCol`
     * value; the NEXT change on the same key (any op, including the 'D'

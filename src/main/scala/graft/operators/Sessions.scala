@@ -115,4 +115,39 @@ object Sessions {
       .withColumn("roll_mean6", round(
         col("roll_sum_cents").cast("double") / col("roll_n") / 100.0, 6))
   }
+
+  /** Ordered funnel analysis: per key, the earliest strictly-ordered
+    * completion chain of `steps` — `t0` = first occurrence of step 0,
+    * `t1` = first step-1 event strictly after `t0`, and so on (the
+    * product-analytics conversion query). Returns one row per key that
+    * reached step 0: epoch-micro times `t0..t{m-1}` (null once the chain
+    * stalls) plus `steps_completed`.
+    *
+    * Scale shape: NO per-key event collection and no window — each stage
+    * filters the events to ONE step type (a vanishing fraction, filter
+    * pushed to the scan), aggregates min-after-previous per key, and
+    * joins keyed on `keyCol`; all m−1 joins and aggregates hash on the
+    * same key, so AQE/bucketing reuses one partitioning end to end. */
+  def funnel(events: DataFrame, steps: Seq[String],
+      keyCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val base = events.select(col(keyCol).as("k"), col(typeCol).as("et"),
+      unix_micros(col(tsCol)).as("us"))
+    var acc = base.filter(col("et") === steps.head)
+      .groupBy("k").agg(min("us").as("t0"))
+    for (i <- 1 until steps.length) {
+      val prev = s"t${i - 1}"
+      val st = base.filter(col("et") === steps(i))
+        .join(acc.select(col("k"), col(prev)), Seq("k"))
+        .filter(col("us") > col(prev))
+        .groupBy("k").agg(min("us").as(s"t$i"))
+      acc = acc.join(st, Seq("k"), "left")
+    }
+    val completed = steps.indices.drop(1).map(i =>
+      when(col(s"t$i").isNotNull, 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _)
+    acc.withColumn("steps_completed", completed.cast("int"))
+      .withColumnRenamed("k", keyCol)
+  }
 }

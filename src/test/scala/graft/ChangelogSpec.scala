@@ -108,4 +108,47 @@ class ChangelogSpec extends AnyFunSuite {
     assert(out.columns.toSeq ==
       Seq("id", "v", "valid_from", "valid_to", "is_current"))
   }
+
+  test("incrementalAgg: insert/delete/update deltas equal a full recompute; " +
+    "emptied groups drop; untouched groups pass through") {
+    // group A: 2 rows (10, 20); group B: 1 row (5); group C: 1 row (7)
+    val agg0 = Seq(("A", 2L, 30L), ("B", 1L, 5L), ("C", 1L, 7L))
+      .toDF("g", "n", "total")
+    val ch = Seq(
+      ("A", "U", 10L, 13L),  // A: 10 -> 13
+      ("A", "I", 0L, 100L),  // A: +100
+      ("B", "D", 5L, 0L),    // B emptied -> drops
+      ("D", "I", 0L, 50L),   // brand-new group
+      ("D", "I", 0L, 60L)
+    ).toDF("g", "op", "before", "after")
+    val out = Changelog.incrementalAgg(agg0, ch, "g", "op",
+        "before", "after")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("A", 3L, 133L), ("C", 1L, 7L),
+      ("D", 2L, 110L)))
+  }
+
+  test("incrementalAgg: applying a changelog then its inverse is identity") {
+    val agg0 = Seq(("A", 2L, 30L), ("B", 1L, 5L)).toDF("g", "n", "total")
+    val ch = Seq(("A", "U", 10L, 99L), ("B", "I", 0L, 11L))
+      .toDF("g", "op", "before", "after")
+    val inv = Seq(("A", "U", 99L, 10L), ("B", "D", 11L, 0L))
+      .toDF("g", "op", "before", "after")
+    val once = Changelog.incrementalAgg(agg0, ch, "g", "op",
+      "before", "after")
+    val back = Changelog.incrementalAgg(once, inv, "g", "op",
+        "before", "after")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(back.toSeq == Seq(("A", 2L, 30L), ("B", 1L, 5L)))
+  }
+
+  test("incrementalAgg: rejects a malformed agg-table schema") {
+    val bad = Seq(("A", 1L)).toDF("g", "n")
+    val ch = Seq(("A", "I", 0L, 1L)).toDF("g", "op", "before", "after")
+    intercept[IllegalArgumentException] {
+      Changelog.incrementalAgg(bad, ch, "g", "op", "before", "after")
+    }
+  }
 }

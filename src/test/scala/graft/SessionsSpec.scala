@@ -88,4 +88,47 @@ class SessionsSpec extends AnyFunSuite {
       .select($"value_cents").as[Long].collect()
     assert(got.toSeq == Seq(900L)) // ts ties break by event_id desc
   }
+
+  private def fev(id: Long, user: Long, sec: Long, et: String) =
+    (id, user, new java.sql.Timestamp(sec * 1000L), et)
+
+  test("funnel: strict ordering, stalls, out-of-order steps, full chain") {
+    val df = Seq(
+      // user 1: full chain in order
+      fev(1, 1, 10, "view"), fev(2, 1, 20, "click"), fev(3, 1, 30, "buy"),
+      // user 2: its only click is BEFORE the first view -> stalls at step 0
+      fev(4, 2, 10, "click"), fev(5, 2, 20, "view"),
+      // user 3: view then buy but never click -> stalls at step 1
+      fev(6, 3, 10, "view"), fev(7, 3, 30, "buy"),
+      // user 4: never views -> absent from output
+      fev(8, 4, 10, "click"), fev(9, 4, 20, "buy"),
+      // user 5: click at the SAME second as view (not strictly after),
+      // a later click completes step 1
+      fev(10, 5, 10, "view"), fev(11, 5, 10, "click"),
+      fev(12, 5, 40, "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Sessions.funnel(df, Seq("view", "click", "buy"))
+      .orderBy("user_id").collect().map { r =>
+        (r.getLong(0), r.getInt(4),
+          Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))
+      }
+    assert(out.map(o => (o._1, o._2)).toSeq ==
+      Seq((1L, 3), (2L, 1), (3L, 1), (5L, 2)), out.mkString(", "))
+    // user 1 times: 10s, 20s, 30s in micros
+    assert(out(0)._3 == Some(10000000L) && out(0)._4 == Some(20000000L) &&
+      out(0)._5 == Some(30000000L))
+    // user 5: the tied click is rejected, the 40s click counts
+    assert(out(3)._4 == Some(40000000L))
+  }
+
+  test("funnel: earliest chain, not any chain — t1 is the FIRST click " +
+    "after the FIRST view") {
+    val df = Seq(
+      fev(1, 7, 10, "view"), fev(2, 7, 50, "view"),
+      fev(3, 7, 20, "click"), fev(4, 7, 60, "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = Sessions.funnel(df, Seq("view", "click"))
+      .collect().head
+    assert(out.getLong(1) == 10000000L && out.getLong(2) == 20000000L)
+  }
 }
