@@ -945,7 +945,7 @@ object SparkEntry {
         .orderBy("uk")
     },
 
-    "j6_cdc_apply" -> { (s, d) =>
+    "j8_cdc_apply" -> { (s, d) =>
       // CDC MERGE (Changelog.applyChangelog): a changelog of updates,
       // deletes, inserts, and update-after-delete sequences derived
       // arithmetically from orders is applied to a snapshot. Latest seq
@@ -6854,7 +6854,7 @@ object SparkEntry {
 
     // CDC merge replay: same changelog construction, same latest-wins
     // window, same full-outer resolution
-    "j6_cdc_apply" ->
+    "j8_cdc_apply" ->
       s"""WITH snap AS (
            SELECT o_orderkey, o_custkey,
              ${centsSql("o_totalprice")} AS price_cents,

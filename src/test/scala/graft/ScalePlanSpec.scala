@@ -1047,9 +1047,9 @@ class ScalePlanSpec extends AnyFunSuite {
       s"the corpus must never exchange through a join:\n$p")
   }
 
-  test("applyChangelog (j6): one window, over the changelog side only; " +
+  test("applyChangelog (j8): one window, over the changelog side only; " +
     "the snapshot joins without sorting under a Window") {
-    val p = staticPlan("j6_cdc_apply").toString
+    val p = staticPlan("j8_cdc_apply").toString
     val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
     assert(winLines.nonEmpty && winLines.forall(_.contains("_cdc_seq")),
       s"window must run on the changelog's seq only:\n$p")
