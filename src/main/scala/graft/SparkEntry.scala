@@ -1000,6 +1000,40 @@ object SparkEntry {
         .orderBy("o_orderkey", "valid_from")
     },
 
+    "k10_lake_upsert" -> { (s, d) =>
+      // partition-targeted CDC apply on a hive-partitioned lake
+      // (Changelog.applyToLake): the changelog touches partitions 0
+      // (in-place update), 1 (full delete -> empty partition) and 3
+      // (fresh partition from inserts); partitions 2,4..7 are never read
+      // or written — the targeted-rewrite shape that makes CDC apply
+      // affordable at 100 TB. The gate re-reads the WHOLE lake after the
+      // swap; the oracle computes the final state closed-form, so an
+      // over-rewrite, under-delete, or lost insert all break the hash.
+      // (ChangelogSpec additionally pins untouched partitions
+      // byte-identical.)
+      val dir = java.nio.file.Files.createTempDirectory("graft_k10")
+        .toString + "/lake"
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_cents"),
+        (col("o_orderkey") % 8).as("part"))
+      o.filter(col("o_orderkey") % 4 =!= 3)
+        .write.partitionBy("part").parquet(dir)
+      def ch(f: Column, price: Column, op: String) =
+        o.filter(f).select(col("o_orderkey"), col("o_custkey"),
+          price.as("price_cents"), col("part"),
+          lit(10L).as("seq"), lit(op).as("op"))
+      val changes =
+        ch(col("part") === 0, col("price_cents") * 2, "U")
+          .union(ch(col("part") === 1, lit(0L), "D"))
+          .union(ch(col("part") === 3, col("price_cents") + 55, "I"))
+      graft.operators.Changelog.applyToLake(dir, changes, "part",
+        Seq("o_orderkey"), "seq", "op")
+      s.read.parquet(dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("price_cents"),
+          col("part").cast("long").as("part"))
+        .orderBy("o_orderkey")
+    },
+
     "a16_incremental_agg" -> { (s, d) =>
       // incremental aggregate maintenance (Changelog.incrementalAgg): a
       // materialized per-group (count, sum-cents) rollup is updated from
@@ -6912,6 +6946,26 @@ object SparkEntry {
            valid_from, valid_to, valid_to IS NULL AS is_current
          FROM iv WHERE op <> 'D'
          ORDER BY o_orderkey, valid_from""",
+
+    // lake-upsert replay: final lake state closed-form — partition 0
+    // doubled, partition 1 gone, partition 3 born from inserts
+    "k10_lake_upsert" ->
+      s"""WITH base AS (
+           SELECT o_orderkey, o_custkey,
+             ${centsSql("o_totalprice")} AS price_cents,
+             o_orderkey % 8 AS part
+           FROM orders),
+         fin AS (
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN part = 0 THEN price_cents * 2
+                  ELSE price_cents END AS price_cents,
+             part
+           FROM base WHERE o_orderkey % 4 <> 3 AND part <> 1
+           UNION ALL
+           SELECT o_orderkey, o_custkey, price_cents + 55, part
+           FROM base WHERE part = 3)
+         SELECT o_orderkey, o_custkey, price_cents, part
+         FROM fin ORDER BY o_orderkey""",
 
     // incremental-agg replay: the maintained rollup must equal the
     // from-scratch post-change aggregate

@@ -63,6 +63,53 @@ object Changelog {
     resolved.select(out: _*)
   }
 
+  /** Apply a changelog to a hive-partitioned parquet lake, rewriting ONLY
+    * the partitions the changelog touches — the targeted-rewrite shape
+    * that makes CDC apply affordable on a 100 TB lake (a day's changes
+    * touch a handful of partitions; everything else is untouched bytes,
+    * not recomputed bytes).
+    *
+    * Steps: (1) the affected partition values are the changelog's
+    * distinct `partCol`s (a bounded driver collect — one value per
+    * touched partition); (2) ONLY those partitions are read back
+    * (`partCol isin ...` prunes at planning time — PartitionFilters, no
+    * other directory is opened); (3) [[applyChangelog]] resolves them
+    * against the changes; (4) results land in a staging directory and
+    * each partition directory swaps in with filesystem renames (the
+    * commit pattern: readers never see a half-written partition;
+    * the previous content of replaced partitions is dropped only after
+    * its replacement is complete). Partitions whose rows were all
+    * deleted swap to an empty directory honestly.
+    *
+    * Returns the affected partition values (as strings). Local-fs
+    * renames; object-store deployments swap manifests instead — the
+    * partition-targeting logic is the part that transfers. */
+  def applyToLake(dir: String, changes: DataFrame, partCol: String,
+      keyCols: Seq[String], seqCol: String, opCol: String): Seq[String] = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val spark = changes.sparkSession
+    val affected = changes.select(col(partCol)).distinct()
+      .collect().map(_.get(0))
+    require(affected.nonEmpty, "changelog touches no partition")
+    val snapshot = spark.read.parquet(dir)
+      .filter(col(partCol).isin(affected: _*))
+    val updated = applyChangelog(snapshot, changes, keyCols, seqCol, opCol)
+    val staging = Files.createTempDirectory("graft_lake_staging").toString
+    updated.write.mode("overwrite").partitionBy(partCol).parquet(staging)
+    affected.map { v =>
+      val leaf = s"$partCol=$v"
+      val src = Paths.get(staging, leaf)
+      val dst = Paths.get(dir, leaf)
+      if (!Files.exists(src)) Files.createDirectories(src) // all-deleted
+      if (Files.exists(dst)) { // drop the replaced partition's old files
+        Files.walk(dst).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      v.toString
+    }.toSeq
+  }
+
   /** Incremental aggregate maintenance: update a materialized per-group
     * (count, sum) table from a changelog carrying BEFORE/AFTER images (the
     * Debezium envelope shape) — the pattern that keeps a 100 TB-derived

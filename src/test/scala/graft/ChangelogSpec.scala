@@ -151,4 +151,48 @@ class ChangelogSpec extends AnyFunSuite {
       Changelog.incrementalAgg(bad, ch, "g", "op", "before", "after")
     }
   }
+
+  test("applyToLake: only touched partitions rewrite — untouched files " +
+    "byte-identical; deletes empty a partition; inserts create one") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("laketest").toString + "/lake"
+    Seq((1L, 10L, "p0"), (2L, 20L, "p0"), (3L, 30L, "p1"), (4L, 40L, "p2"))
+      .toDF("id", "v", "part").write.partitionBy("part").parquet(dir)
+    def filesOf(leaf: String): Map[String, Array[Byte]] = {
+      val p = Paths.get(dir, leaf)
+      if (!Files.exists(p)) Map.empty
+      else {
+        val s = Files.list(p)
+        val out = scala.jdk.CollectionConverters.IteratorHasAsScala(
+          s.iterator).asScala
+          .filter(f => f.toString.endsWith(".parquet"))
+          .map(f => f.getFileName.toString -> Files.readAllBytes(f)).toMap
+        s.close(); out
+      }
+    }
+    val p2Before = filesOf("part=p2")
+    assert(p2Before.nonEmpty)
+    val ch = Seq(
+      (1L, 11L, "p0", 1L, "U"),   // update in p0
+      (3L, 0L, "p1", 1L, "D"),    // p1 fully deleted
+      (9L, 90L, "p9", 1L, "I")    // brand-new partition p9
+    ).toDF("id", "v", "part", "seq", "op")
+    val touched = Changelog.applyToLake(dir, ch, "part",
+      Seq("id"), "seq", "op")
+    assert(touched.toSet == Set("p0", "p1", "p9"))
+    // untouched partition: same file names, same bytes
+    val p2After = filesOf("part=p2")
+    assert(p2After.keySet == p2Before.keySet)
+    p2Before.foreach { case (n, b) =>
+      assert(java.util.Arrays.equals(b, p2After(n)),
+        s"untouched partition file $n changed")
+    }
+    // p1 exists but is empty; p9 exists with the insert
+    assert(Files.exists(Paths.get(dir, "part=p1")) &&
+      filesOf("part=p1").isEmpty)
+    val back = spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(back.toSeq == Seq((1L, 11L, "p0"), (2L, 20L, "p0"),
+      (4L, 40L, "p2"), (9L, 90L, "p9")))
+  }
 }
