@@ -1000,6 +1000,36 @@ object SparkEntry {
         .orderBy("o_orderkey", "valid_from")
     },
 
+    "k11_zonemap_prune" -> { (s, d) =>
+      // external zone-map file skipping (ParquetTuning.zoneMapIndex /
+      // readZonePruned — the Delta/Iceberg statistics-table pattern): the
+      // lake is range-clustered on l_orderkey into 8 files, the index is
+      // built from parquet FOOTERS only (no data pages, one footer per
+      // task), and a 1/8th-keyspace range query opens only intersecting
+      // files. The exact predicate re-applies after pruning (zone maps
+      // prune files, not rows), so the aggregates must equal the
+      // full-scan oracle; `pruned` pins that at least one file was
+      // actually skipped.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k11")
+        .toString + "/lake"
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        cents(col("l_extendedprice")).as("price_cents"))
+      li.repartitionByRange(8, col("l_orderkey")).write.parquet(dir)
+      val bounds = li.agg(min("l_orderkey"), max("l_orderkey")).first()
+      val lo = bounds.getLong(0)
+      val hi = lo + (bounds.getLong(1) - lo) / 8
+      val idx = graft.operators.ParquetTuning.zoneMapIndex(s, dir,
+        "l_orderkey")
+      val (pr, opened, total) = graft.operators.ParquetTuning
+        .readZonePruned(s, idx, lo, hi)
+      pr.filter(col("l_orderkey").between(lo, hi))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("l_orderkey")).as("min_k"),
+          max(col("l_orderkey")).as("max_k"))
+        .withColumn("pruned", lit(opened < total))
+    },
+
     "k10_lake_upsert" -> { (s, d) =>
       // partition-targeted CDC apply on a hive-partitioned lake
       // (Changelog.applyToLake): the changelog touches partitions 0
@@ -6946,6 +6976,20 @@ object SparkEntry {
            valid_from, valid_to, valid_to IS NULL AS is_current
          FROM iv WHERE op <> 'D'
          ORDER BY o_orderkey, valid_from""",
+
+    // zone-map replay: full-scan aggregates over the same derived range;
+    // TRUE pins that the pruned path skipped at least one file
+    "k11_zonemap_prune" ->
+      s"""WITH b AS (
+           SELECT MIN(l_orderkey) AS lo,
+             MIN(l_orderkey) + (MAX(l_orderkey) - MIN(l_orderkey)) // 8 AS hi
+           FROM lineitem)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("l_extendedprice")}) AS BIGINT) AS sum_cents,
+           MIN(l_orderkey) AS min_k, MAX(l_orderkey) AS max_k,
+           TRUE AS pruned
+         FROM lineitem, b
+         WHERE l_orderkey BETWEEN b.lo AND b.hi""",
 
     // lake-upsert replay: final lake state closed-form — partition 0
     // doubled, partition 1 gone, partition 3 born from inserts

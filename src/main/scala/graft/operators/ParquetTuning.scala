@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Parquet physical-layout tuning beyond codec/row-group size: split-block
   * bloom filters on high-cardinality lookup keys.
@@ -31,6 +32,77 @@ object ParquetTuning {
         .option(s"parquet.bloom.filter.fpp#$c", fpp.toString)
     }
     w.save(path)
+  }
+
+  /** Per-file zone-map index over a numeric column — (file, zmin, zmax,
+    * n_rows) from the parquet FOOTERS only (the Delta/Iceberg
+    * file-skipping statistic, maintained externally so planning a point
+    * or range query on a 100 TB lake reads one small index table instead
+    * of opening millions of footers).
+    *
+    * Build: file names list on the driver (one string per file — the
+    * MergeParquet planning posture), footer statistics read DISTRIBUTED
+    * (one footer per task, no data pages touched). Files lacking stats
+    * for the column get a null-bounds row — [[readZonePruned]] keeps them
+    * conservatively. */
+  def zoneMapIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      column: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val files = root.getFileSystem(conf).listStatus(root).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    files.toDS().mapPartitions { it =>
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      it.map { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), serConf.value))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          var mn: Option[Long] = None
+          var mx: Option[Long] = None
+          var n = 0L
+          var statsOk = true
+          blocks.foreach { rg =>
+            n += rg.getRowCount
+            rg.getColumns.asScala.find(_.getPath.toDotString == column) match {
+              case Some(cc) if cc.getStatistics != null &&
+                  !cc.getStatistics.isEmpty =>
+                val st = cc.getStatistics
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (a: Number, b: Number) =>
+                    mn = Some(mn.fold(a.longValue)(math.min(_, a.longValue)))
+                    mx = Some(mx.fold(b.longValue)(math.max(_, b.longValue)))
+                  case _ => statsOk = false
+                }
+              case _ => statsOk = false
+            }
+          }
+          if (statsOk) (f, mn, mx, n)
+          else (f, None: Option[Long], None: Option[Long], n)
+        } finally reader.close()
+      }
+    }.toDF("file", "zmin", "zmax", "n_rows")
+  }
+
+  /** Range-pruned lake read off a [[zoneMapIndex]]: opens ONLY files whose
+    * [zmin, zmax] intersects [lo, hi] (null-bounds files kept
+    * conservatively — skipping may lose rows, keeping never does).
+    * Returns (frame, filesOpened, filesTotal); the caller re-applies the
+    * exact predicate — zone maps prune files, they don't filter rows. */
+  def readZonePruned(spark: org.apache.spark.sql.SparkSession,
+      index: DataFrame, lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val total = index.count().toInt
+    val keep = index.filter(col("zmin").isNull || col("zmax").isNull ||
+        (col("zmin") <= hi && col("zmax") >= lo))
+      .select("file").collect().map(_.getString(0))
+    val df =
+      if (keep.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    (df, keep.length, total)
   }
 
   /** True iff EVERY row group of every parquet file under `dir` carries a
