@@ -1000,6 +1000,19 @@ object SparkEntry {
         .orderBy("o_orderkey", "valid_from")
     },
 
+    "v9_random_projection" -> { (s, d) =>
+      // Johnson-Lindenstrauss random projection (Similarity.randomProject,
+      // Achlioptas ±1 variant): 64 -> 16 dims with a DERIVED sign matrix —
+      // md5 arithmetic baked into the plan as literals, so the projection
+      // is map-only (no training pass, no model table, no shuffle; the
+      // cheap front-end for downstream LSH/IVF). The oracle rebuilds the
+      // identical sign matrix from the same md5 rule and replays every
+      // projected component at 6 dp.
+      graft.operators.Similarity.randomProject(t(s, d, "embeddings"),
+          inDim = 64, outDim = 16, seed = "v9")
+        .orderBy("vec_id", "j")
+    },
+
     "k11_zonemap_prune" -> { (s, d) =>
       // external zone-map file skipping (ParquetTuning.zoneMapIndex /
       // readZonePruned — the Delta/Iceberg statistics-table pattern): the
@@ -1100,6 +1113,17 @@ object SparkEntry {
       graft.operators.Sessions.funnel(events(s, d),
           Seq("view", "click", "purchase"))
         .orderBy("user_id")
+    },
+
+    "t65_collocations" -> { (s, d) =>
+      // PMI collocation mining (TrainingData.collocations): adjacent
+      // bigrams scored ln((n_ab/B)/((n_a/T)(n_b/T))) — map-only bigram
+      // build (no window), combinable counts, token-keyed joins for the
+      // unigram lookups, broadcast 1-row totals. The oracle recomputes
+      // every count and the PMI formula verbatim at 6 dp.
+      graft.operators.TrainingData.collocations(
+          t(s, d, "documents"), minCount = 5)
+        .orderBy("w1", "w2")
     },
 
     "t64_phrase_match" -> { (s, d) =>
@@ -6977,6 +7001,24 @@ object SparkEntry {
          FROM iv WHERE op <> 'D'
          ORDER BY o_orderkey, valid_from""",
 
+    // random-projection replay: the same md5-derived sign matrix, every
+    // component re-summed and rounded
+    "v9_random_projection" ->
+      """WITH d AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS j),
+         ii AS (SELECT CAST(unnest(range(0, 64)) AS INT) AS i),
+         sg AS (
+           SELECT j, i,
+             CASE WHEN substr(md5('v9:' || i || ':' || j), 1, 1) <= '7'
+                  THEN 1.0 ELSE -1.0 END AS s
+           FROM d, ii),
+         proj AS (
+           SELECT e.vec_id, sg.j,
+             SUM(e.embedding[sg.i + 1] * sg.s) AS dot
+           FROM embeddings e, sg
+           GROUP BY 1, 2)
+         SELECT vec_id, j, round(dot / sqrt(16.0), 6) AS y6
+         FROM proj ORDER BY vec_id, j""",
+
     // zone-map replay: full-scan aggregates over the same derived range;
     // TRUE pins that the pruned path skipped at least one file
     "k11_zonemap_prune" ->
@@ -7052,6 +7094,33 @@ object SparkEntry {
          LEFT JOIN s1 ON s0.user_id = s1.user_id
          LEFT JOIN s2 ON s0.user_id = s2.user_id
          ORDER BY s0.user_id""",
+
+    // collocation replay: same tokenization, counts, and PMI formula
+    "t65_collocations" ->
+      """WITH toks AS (
+           SELECT string_split(regexp_replace(trim(lower(text)),
+             '\s+', ' ', 'g'), ' ') AS ws
+           FROM documents),
+         uni AS (
+           SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok
+           FROM (SELECT unnest(ws) AS tok FROM toks) GROUP BY tok),
+         tt AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t_total FROM uni),
+         bi AS (
+           SELECT ws[CAST(i AS INT)] AS w1, ws[CAST(i AS INT) + 1] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+           FROM toks, LATERAL UNNEST(range(1, len(ws))) t(i)
+           WHERE len(ws) >= 2
+           GROUP BY 1, 2),
+         bt AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS b_total FROM bi)
+         SELECT b.w1, b.w2, b.n_ab,
+           round(ln((CAST(b.n_ab AS DOUBLE) / bt.b_total) /
+             ((CAST(ua.n_tok AS DOUBLE) / tt.t_total) *
+              (CAST(ub.n_tok AS DOUBLE) / tt.t_total))), 6) AS pmi6
+         FROM bi b
+         JOIN uni ua ON b.w1 = ua.tok
+         JOIN uni ub ON b.w2 = ub.tok, tt, bt
+         WHERE b.n_ab >= 5
+         ORDER BY b.w1, b.w2""",
 
     // phrase search replay: same tokenization, same slot arithmetic
     "t64_phrase_match" ->

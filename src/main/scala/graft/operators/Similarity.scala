@@ -462,4 +462,47 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"), col("rk"), col("cos"))
   }
+
+  // ---- random projection (Johnson-Lindenstrauss) ---------------------------
+
+  /** The deterministic ±1 sign matrix (outDim × inDim) for [[randomProject]]:
+    * sign(j, i) = +1 iff the first hex char of md5("seed:i:j") is ≤ '7' —
+    * portable arithmetic both engines can replay. */
+  def rpSigns(inDim: Int, outDim: Int, seed: String): Array[Array[Int]] =
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$i:$j".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xf) <= 7) 1 else -1
+    }
+
+  /** Random-projection dimensionality reduction (Achlioptas 2003 ±1
+    * variant of Johnson-Lindenstrauss): y_j = Σ_i x_i·sign(j,i) / √outDim.
+    * Pairwise distances and inner products are preserved within
+    * ε ≈ √(ln n / outDim) with no training pass at all — the cheap
+    * alternative to PCA when the goal is just a narrower vector for
+    * downstream LSH/IVF.
+    *
+    * Scale shape: the sign matrix is derived (not learned), built
+    * DRIVER-side from md5 arithmetic (outDim·inDim ints) and baked into
+    * the plan as array literals, so projection is a MAP-ONLY
+    * zip_with/aggregate chain — no shuffle, no model table, no per-row
+    * hashing. Output is long form (`idCol`, j, y6) with the 6-dp rounding
+    * the repo's cosine legs use (double-sum order independence). */
+  def randomProject(df: DataFrame, inDim: Int, outDim: Int,
+      seed: String = "rp", vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(inDim >= 1 && outDim >= 1, s"dims: $inDim -> $outDim")
+    val signs = rpSigns(inDim, outDim, seed)
+    val scale = math.sqrt(outDim.toDouble)
+    val comps = (0 until outDim).map { j =>
+      val sArr = array(signs(j).map(s => lit(s.toDouble)): _*)
+      val dot = aggregate(
+        zip_with(col(vecCol).cast("array<double>"), sArr,
+          (x, s) => x * s),
+        lit(0.0), (acc, v) => acc + v)
+      struct(lit(j).as("j"), round(dot / scale, 6).as("y6"))
+    }
+    df.select(col(idCol), explode(array(comps: _*)).as("c"))
+      .select(col(idCol), col("c.j").as("j"), col("c.y6").as("y6"))
+  }
 }

@@ -975,4 +975,44 @@ object TrainingData {
         log(col(weightCol).cast("double")) - log(-log(u)))
       .orderBy(col("samp_key").desc, col(idCol)).limit(n)
   }
+
+  /** PMI collocation mining (Church & Hanks 1990): adjacent-token bigrams
+    * scored by pointwise mutual information,
+    * pmi = ln( (n_ab/B) / ((n_a/T)·(n_b/T)) ) — the signal behind
+    * multi-word-expression vocab induction and tokenizer merge seeding
+    * ("new york" is a unit; "of the" is chance).
+    *
+    * Scale shape: bigram build is map-only (adjacent pairs from the token
+    * array — no window, no self-join); unigram and bigram counts are
+    * combinable hash aggregates; the two n_a/n_b lookups are plain
+    * token-keyed equality joins (the vocab can exceed broadcast size at
+    * corpus scale); T and B ride broadcast 1-row aggregates. `minCount`
+    * drops the unstable low-count tail BEFORE the joins. */
+  def collocations(docs: DataFrame, minCount: Int = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val toks = Scatter(docs).select(split(
+      regexp_replace(trim(lower(col(textCol))), "\\s+", " "), " ").as("w"))
+    val uni = toks.select(explode(col("w")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n_tok"))
+    val tTotal = uni.agg(sum("n_tok").as("t_total"))
+    val biAll = toks.filter(size(col("w")) >= 2) // sequence(0,<0) descends
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> " +
+          "named_struct('w1', element_at(w, i + 1), " +
+          "'w2', element_at(w, i + 2)))")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+    val bTotal = biAll.agg(sum("n_ab").as("b_total"))
+    biAll.filter(col("n_ab") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("n_tok").as("n_a")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("n_tok").as("n_b")), "w2")
+      .crossJoin(broadcast(tTotal))
+      .crossJoin(broadcast(bTotal))
+      .withColumn("pmi6", round(log(
+        (col("n_ab").cast("double") / col("b_total")) /
+          ((col("n_a").cast("double") / col("t_total")) *
+            (col("n_b").cast("double") / col("t_total")))), 6))
+      .select(col("w1"), col("w2"), col("n_ab"), col("pmi6"))
+  }
 }

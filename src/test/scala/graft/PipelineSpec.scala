@@ -379,6 +379,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("random projection: JL cosine preservation, determinism, balance") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val proj = Similarity.randomProject(emb, inDim = 64, outDim = 32,
+      seed = "jl")
+    val vecs = proj.groupBy("vec_id")
+      .agg(sort_array(collect_list(struct($"j", $"y6"))).as("c"))
+      .select($"vec_id", expr("transform(c, s -> s.y6)").as("y"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray).toMap
+    val orig = emb.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    // pairwise cosine error across 40 pairs stays within the JL band
+    val ids = orig.keys.toSeq.sorted.take(10)
+    val errs = for (a <- ids; b <- ids if a < b) yield {
+      val cOrig = cos(orig(a).map(_.toDouble), orig(b).map(_.toDouble))
+      val cProj = cos(vecs(a), vecs(b))
+      math.abs(cOrig - cProj)
+    }
+    // per-pair std ≈ 1/√32 ≈ 0.18; max over 45 pairs sits near 2.5σ
+    assert(errs.max < 0.55 && errs.sum / errs.size < 0.16,
+      s"JL cosine drift too large: max=${errs.max} " +
+        s"mean=${errs.sum / errs.size}")
+    // deterministic: same seed → identical output; different seed → not
+    val again = Similarity.randomProject(emb, 64, 32, seed = "jl")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val first = proj.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(again == first)
+    val other = Similarity.randomProject(emb, 64, 32, seed = "other")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(other != first)
+    // sign matrix is near-balanced (md5 nibbles are uniform)
+    val signs = Similarity.rpSigns(64, 32, "jl").flatten
+    val plus = signs.count(_ == 1)
+    assert(math.abs(plus - signs.length / 2) < signs.length / 10)
+  }
+
   test("similarity: lsh top-k recall vs brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)

@@ -306,6 +306,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin(4L) == ((1L, "I", 41L)), s"fresh insert: $fin")
   }
 
+  test("streaming materialized view: incrementalAgg inside foreachBatch " +
+    "maintains a rollup across micro-batches equal to a full recompute") {
+    import graft.operators.Changelog
+    val dir = java.nio.file.Files.createTempDirectory("mv").toString + "/data"
+    // micro-batch 1: inserts into groups A and B
+    Seq(("A", "I", 0L, 10L), ("A", "I", 0L, 20L), ("B", "I", 0L, 5L))
+      .toDF("g", "op", "before", "after").write.parquet(dir)
+    // micro-batch 2: update in A, delete empties B, insert opens C
+    Seq(("A", "U", 10L, 13L), ("B", "D", 5L, 0L), ("C", "I", 0L, 7L))
+      .toDF("g", "op", "before", "after")
+      .write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    // the maintained view: starts empty, folds each micro-batch through
+    // incrementalAgg (the stream IS the changelog — no snapshot rescan)
+    var rollup = Seq.empty[(String, Long, Long)].toDF("g", "n", "total")
+    var batches = 0
+    val q = stream.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        rollup = Changelog.incrementalAgg(rollup, b, "g", "op",
+          "before", "after").localCheckpoint(true)
+        batches += 1
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "stream timed out")
+    assert(batches >= 2, s"expected >= 2 micro-batches, got $batches")
+    val got = rollup.orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("A", 2L, 33L), ("C", 1L, 7L)), got.toSeq)
+  }
+
   test("dedupWithinWatermark on a stream keeps one row per key") {
     val dir = java.nio.file.Files.createTempDirectory("events2").toString + "/data"
     eventsBatch().write.parquet(dir)

@@ -542,4 +542,37 @@ class TrainingDataSpec extends AnyFunSuite {
     val de = rows.find(_.getString(1) == "de").get
     assert(de.getLong(2) == 1 && de.getDouble(6) == 2.0)
   }
+
+  test("collocations: PMI separates a planted unit from chance pairs") {
+    // "new york" always adjacent (5×); "of the" co-occurs but both words
+    // are everywhere; singleton docs contribute unigrams, no bigrams
+    val docs = Seq(
+      (1L, "new york of the new york"),
+      (2L, "the of new york of the"),
+      (3L, "new york of the off"),
+      (4L, "of the new york the of"),
+      (5L, "solo")
+    ).toDF("doc_id", "text")
+    val out = TrainingData.collocations(docs, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val ny = out(("new", "york"))
+    val ofThe = out(("of", "the"))
+    // hand-check "new york": n_ab=5, n_new=5, n_york=5, T=24, B=19
+    assert(ny._1 == 5L)
+    val expected = math.log((5.0 / 19) / ((5.0 / 24) * (5.0 / 24)))
+    assert(math.abs(ny._2 - (math.rint(expected * 1e6) / 1e6)) < 1e-9,
+      s"${ny._2} vs $expected")
+    assert(ny._2 > ofThe._2, s"planted unit must outscore chance: $out")
+    // below minCount drops
+    assert(!out.contains(("the", "off")) && !out.contains(("york", "of"))
+      || out(("york", "of"))._1 >= 2)
+  }
+
+  test("collocations: tokenization folds case and runs of whitespace") {
+    val docs = Seq((1L, "  New   YORK new york  ")).toDF("doc_id", "text")
+    val out = TrainingData.collocations(docs, minCount = 2).collect()
+    assert(out.length == 1 && out.head.getString(0) == "new" &&
+      out.head.getString(1) == "york" && out.head.getLong(2) == 2L)
+  }
 }
