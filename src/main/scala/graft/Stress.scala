@@ -448,6 +448,65 @@ object Stress {
       }
     }
 
+    // ---- round-9 session-2 surface (CDC, heavy hitters, funnel, phrase) ---
+    if (sec("r9s2")) {
+      time("heavyHitters (10M rows, ~5M distinct, 20 planted heavies)") {
+        // 10% of rows land on 20 hot keys (~50k each); the rest spread
+        // over ~5M tail keys (~2 each) — the cardinality regime where a
+        // plain groupBy-count materializes 5M groups but the MG pass
+        // shuffles only candidates
+        val n = 10000000L
+        val rows = spark.range(n).select(
+          when(pmod(xxhash64(col("id")), lit(100L)) < 10,
+            concat(lit("hot"), pmod(xxhash64(col("id"), lit(1L)), lit(20L))))
+            .otherwise(concat(lit("tail"),
+              pmod(xxhash64(col("id"), lit(2L)), lit(5000000L)))).as("k"))
+        val got = graft.operators.Sketch.heavyHitters(rows, "k",
+          threshold = 20000L, k = 1024).count()
+        val exact = rows.groupBy("k").count()
+          .filter(col("count") >= 20000L).count()
+        println(s"    heavy hitters: $got (exact $exact)")
+        require(got == exact, s"heavy hitters $got != exact $exact")
+      }
+      time("applyChangelog (10M snapshot, 200k changes)") {
+        val snap = spark.range(10000000L)
+          .select(col("id"), (col("id") * 3).as("v"))
+        val ch = spark.range(200000L).select((col("id") * 50).as("id"),
+          (col("id") % 1000).as("v"), lit(1L).as("seq"),
+          when(col("id") % 10 === 0, "D").otherwise("U").as("op"))
+        val c = graft.operators.Changelog.applyChangelog(
+          snap, ch, Seq("id"), "seq", "op").count()
+        require(c == 10000000L - 20000L, s"post-apply count $c")
+      }
+      time("funnel (10M events, 100k users, 3 steps)") {
+        val ev = spark.range(10000000L).select(
+          pmod(xxhash64(col("id")), lit(100000L)).as("user_id"),
+          timestamp_micros(col("id") * 1000L).as("ts"),
+          element_at(array(lit("view"), lit("click"), lit("buy"),
+            lit("other")),
+            (pmod(xxhash64(col("id"), lit(3L)), lit(4L)) + 1).cast("int"))
+            .as("event_type"))
+        val f = graft.operators.Sessions.funnel(ev,
+          Seq("view", "click", "buy"))
+        val full = f.filter(col("steps_completed") === 3).count()
+        val total = f.count()
+        println(s"    funnel: $total users reached step 0, $full completed")
+        require(total > 90000 && full > 0)
+      }
+      time("phraseMatch (1M docs, head-vocab trigram)") {
+        // head-vocab words appear in ~30% of positions — the phrase terms'
+        // postings are a large minority slice, the worst realistic case
+        val m = graft.operators.Retrieval.phraseMatch(docs,
+          Seq("w1", "w2", "w3"))
+        println("    phrase docs: " + m.count())
+      }
+      time("collocations (1M docs, 60M bigrams)") {
+        val c = graft.operators.TrainingData.collocations(docs,
+          minCount = 100)
+        println("    collocations >= 100: " + c.count())
+      }
+    }
+
     // ---- embeddings -------------------------------------------------------
     if (sec("vecs")) {
     time("gen+write vecs") {
