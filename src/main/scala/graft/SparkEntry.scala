@@ -1013,6 +1013,37 @@ object SparkEntry {
         .orderBy("vec_id", "j")
     },
 
+    "k12_table_log" -> { (s, d) =>
+      // versioned table log (TableLog — the Delta/Iceberg transaction-log
+      // core): v1 appends a snapshot, v2 OVERWRITES with a transformed
+      // state (old files stay, still referenced by v1), v3 appends
+      // inserts. Readers resolve a version from ONE log json — never by
+      // listing data files — so every historical version stays exactly
+      // readable (time travel). The gate reads all three versions back
+      // and the oracle recomputes each version's aggregates closed-form;
+      // TableLogSpec pins vacuum, commit conflicts, and isolation.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k12")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        cents(col("o_totalprice")).as("pc"))
+      val a = o.filter(col("k") % 4 =!= 3)
+      graft.operators.TableLog.append(a, dir)
+      graft.operators.TableLog.overwrite(
+        a.filter(col("k") % 6 =!= 0).select(col("k"),
+          when(col("k") % 3 === 0, col("pc") * 2)
+            .otherwise(col("pc")).as("pc")), dir)
+      graft.operators.TableLog.append(
+        o.filter(col("k") % 4 === 3).select(col("k"),
+          (col("pc") + 55).as("pc")), dir)
+      val cur = graft.operators.TableLog.currentVersion(dir)
+      (1 to 3).map { v =>
+        graft.operators.TableLog.read(s, dir, v)
+          .agg(count(lit(1)).as("n"), sum("pc").as("sum_cents"))
+          .select(lit(v).as("version"), col("n"), col("sum_cents"),
+            lit(cur).as("current"))
+      }.reduce(_ union _).orderBy("version")
+    },
+
     "k11_zonemap_prune" -> { (s, d) =>
       // external zone-map file skipping (ParquetTuning.zoneMapIndex /
       // readZonePruned — the Delta/Iceberg statistics-table pattern): the
@@ -7018,6 +7049,30 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT vec_id, j, round(dot / sqrt(16.0), 6) AS y6
          FROM proj ORDER BY vec_id, j""",
+
+    // table-log replay: each version's aggregates recomputed closed-form
+    "k12_table_log" ->
+      s"""WITH o AS (
+           SELECT o_orderkey AS k, ${centsSql("o_totalprice")} AS pc
+           FROM orders),
+         v2rows AS (
+           SELECT CASE WHEN k % 3 = 0 THEN pc * 2 ELSE pc END AS pc
+           FROM o WHERE k % 4 <> 3 AND k % 6 <> 0),
+         v3rows AS (
+           SELECT pc FROM v2rows
+           UNION ALL SELECT pc + 55 FROM o WHERE k % 4 = 3),
+         per AS (
+           SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pc) AS BIGINT) AS sum_cents
+           FROM o WHERE k % 4 <> 3
+           UNION ALL
+           SELECT 2, CAST(COUNT(*) AS BIGINT), CAST(SUM(pc) AS BIGINT)
+           FROM v2rows
+           UNION ALL
+           SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(pc) AS BIGINT)
+           FROM v3rows)
+         SELECT version, n, sum_cents, 3 AS current
+         FROM per ORDER BY version""",
 
     // zone-map replay: full-scan aggregates over the same derived range;
     // TRUE pins that the pruned path skipped at least one file

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TableLog
+
+/** Transaction-log semantics: version resolution from the log only (not
+  * directory listing), time travel, overwrite isolation, vacuum retention,
+  * and optimistic-commit conflicts. */
+class TableLogSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("tlspec").toString + "/t"
+
+  test("append/overwrite/append: every version time-travels exactly") {
+    val dir = freshDir()
+    assert(TableLog.currentVersion(dir) == 0)
+    TableLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    TableLog.append(Seq((3L, "c")).toDF("id", "s"), dir)
+    TableLog.overwrite(Seq((9L, "z")).toDF("id", "s"), dir)
+    TableLog.append(Seq((10L, "y")).toDF("id", "s"), dir)
+    assert(TableLog.currentVersion(dir) == 4)
+    def ids(v: Int) = TableLog.read(spark, dir, v)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(1) == Set(1L, 2L))
+    assert(ids(2) == Set(1L, 2L, 3L))
+    assert(ids(3) == Set(9L))   // overwrite hides, does not delete
+    assert(ids(4) == Set(9L, 10L))
+    assert(ids(-1) == Set(9L, 10L)) // latest
+  }
+
+  test("readers see only committed files: orphans in data/ are invisible") {
+    val dir = freshDir()
+    TableLog.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    // plant an orphan parquet (e.g. a crashed writer's leftover)
+    Seq((666L, "orphan")).toDF("id", "s").write.mode("overwrite")
+      .parquet(dir + "/orphan_stage")
+    val orphan = new java.io.File(dir + "/orphan_stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(orphan.toPath,
+      java.nio.file.Paths.get(dir, "data", "v99999-orphan.parquet"))
+    val got = TableLog.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L), s"orphan leaked into a committed read: $got")
+  }
+
+  test("vacuum drops unreferenced files and pre-keepFrom versions; " +
+    "retained versions stay readable") {
+    val dir = freshDir()
+    TableLog.append(Seq((1L, "a")).toDF("id", "s"), dir)   // v1
+    TableLog.overwrite(Seq((2L, "b")).toDF("id", "s"), dir) // v2
+    TableLog.append(Seq((3L, "c")).toDF("id", "s"), dir)   // v3
+    val deleted = TableLog.vacuum(dir, keepFrom = 2)
+    assert(deleted.nonEmpty && deleted.forall(_.startsWith("data/v00001")),
+      s"vacuum must delete exactly v1's files: $deleted")
+    // v1 is gone loudly; v2 and v3 read exactly
+    intercept[IllegalArgumentException] { TableLog.snapshot(dir, 1) }
+    assert(TableLog.read(spark, dir, 2).count() == 1)
+    assert(TableLog.read(spark, dir, 3).select("id")
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("optimistic concurrency: a racing commit to the same version " +
+    "loses loudly") {
+    val dir = freshDir()
+    TableLog.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    // simulate a racer that already published v2 after our writer had
+    // planned its own commit against v1
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_graft_log", "v00002.json"),
+      """{"version":2,"files":[]}""".getBytes("UTF-8"))
+    intercept[IllegalStateException] {
+      TableLog.commit(dir, Seq("data/whatever.parquet"),
+        expectedVersion = 2)
+    }
+    // the table is still consistent at the racer's v2
+    assert(TableLog.currentVersion(dir) == 2)
+  }
+
+  test("empty table and missing versions fail loudly, not mysteriously") {
+    val dir = freshDir()
+    intercept[IllegalArgumentException] { TableLog.snapshot(dir) }
+    TableLog.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    intercept[IllegalArgumentException] { TableLog.snapshot(dir, 7) }
+  }
+}
