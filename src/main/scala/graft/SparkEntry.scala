@@ -1135,6 +1135,42 @@ object SparkEntry {
         .orderBy("g")
     },
 
+    "j9_scd2_lookup" -> { (s, d) =>
+      // point-in-time dimension lookup (SCD2 ∘ as-of join): facts probe
+      // the w9 validity-interval dimension at event time — the backward
+      // as-of picks the latest version OPENED at or before t, and the
+      // validity filter nulls probes past a tombstone (a key whose last
+      // interval closed at the delete). Keys whose ONLY version was the
+      // delete have no dimension rows at all; asofJoin's left semantics
+      // carry those probes through as nulls. The oracle replays the
+      // lookup as a raw inequality join + ROW_NUMBER.
+      val o = t(s, d, "orders")
+      val ch = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          cents(col("o_totalprice")).as("base"),
+          explode(sequence(lit(0L), col("o_orderkey") % 3)).as("j"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("base") + col("j") * 10).as("price_cents"),
+          col("j").as("seq"),
+          when(col("o_orderkey") % 7 === 0 &&
+            col("j") === col("o_orderkey") % 3, "D")
+            .otherwise("U").as("op"))
+      val dim = graft.operators.Changelog.scd2(ch,
+          Seq("o_orderkey"), "seq", "op")
+        .select(col("o_orderkey"), col("valid_from"), col("valid_to"),
+          col("price_cents"))
+      val facts = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"),
+          explode(sequence(lit(0L), lit(3L))).as("t"))
+      graft.operators.AsofJoin.asofJoin(facts, dim,
+          Seq("o_orderkey"), "t", "valid_from",
+          Seq("price_cents", "valid_to"))
+        .select(col("o_orderkey"), col("t"),
+          when(col("valid_to").isNull || col("t") < col("valid_to"),
+            col("price_cents")).as("price_valid"))
+        .orderBy("o_orderkey", "t")
+    },
+
     "w10_funnel" -> { (s, d) =>
       // ordered funnel (Sessions.funnel): per user the earliest strictly
       // ordered view → click → purchase chain. No window, no per-user
@@ -7125,6 +7161,39 @@ object SparkEntry {
            CAST(SUM(v) AS BIGINT) AS total
          FROM fin GROUP BY g
          ORDER BY g""",
+
+    // SCD2 lookup replay: raw inequality join + ROW_NUMBER over the same
+    // rebuilt dimension
+    "j9_scd2_lookup" ->
+      s"""WITH ch AS (
+           SELECT o.o_orderkey,
+             ${centsSql("o.o_totalprice")} + r.j * 10 AS price_cents,
+             r.j AS seq,
+             CASE WHEN o.o_orderkey % 7 = 0 AND r.j = o.o_orderkey % 3
+                  THEN 'D' ELSE 'U' END AS op
+           FROM orders o, range(0, 3) r(j)
+           WHERE o.o_orderkey % 5 = 0 AND r.j <= o.o_orderkey % 3),
+         dim AS (
+           SELECT o_orderkey, price_cents, valid_from, valid_to FROM (
+             SELECT o_orderkey, price_cents, op, seq AS valid_from,
+               LEAD(seq) OVER (PARTITION BY o_orderkey
+                 ORDER BY seq, op) AS valid_to
+             FROM ch)
+           WHERE op <> 'D'),
+         f AS (
+           SELECT o_orderkey, r.t FROM orders, range(0, 4) r(t)
+           WHERE o_orderkey % 5 = 0),
+         m AS (
+           SELECT f.o_orderkey, f.t, d.price_cents, d.valid_to,
+             ROW_NUMBER() OVER (PARTITION BY f.o_orderkey, f.t
+               ORDER BY d.valid_from DESC) AS rn
+           FROM f LEFT JOIN dim d
+             ON f.o_orderkey = d.o_orderkey AND d.valid_from <= f.t)
+         SELECT o_orderkey, t,
+           CASE WHEN valid_to IS NULL OR t < valid_to
+                THEN price_cents ELSE NULL END AS price_valid
+         FROM m WHERE rn = 1
+         ORDER BY o_orderkey, t""",
 
     // funnel replay: chained min-after-previous stage times
     "w10_funnel" ->
