@@ -102,6 +102,32 @@ class TableLogSpec extends AnyFunSuite {
       .count() == 1)
   }
 
+  test("real commit race: 16 threads, exactly one winner per version") {
+    val dir = freshDir()
+    TableLog.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    // all 16 racers plan against v1 and try to publish v2 simultaneously
+    val barrier = new java.util.concurrent.CyclicBarrier(16)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val conflicts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 16).map { i =>
+      new Thread(() => {
+        barrier.await()
+        try {
+          TableLog.commit(dir, Seq(s"data/racer-$i.parquet"),
+            expectedVersion = 2)
+          wins.incrementAndGet()
+        } catch {
+          case _: IllegalStateException => conflicts.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get() == 1 && conflicts.get() == 15,
+      s"wins=${wins.get()} conflicts=${conflicts.get()}")
+    assert(TableLog.currentVersion(dir) == 2)
+    assert(TableLog.snapshot(dir, 2).files.length == 1)
+  }
+
   test("empty table and missing versions fail loudly, not mysteriously") {
     val dir = freshDir()
     intercept[IllegalArgumentException] { TableLog.snapshot(dir) }
