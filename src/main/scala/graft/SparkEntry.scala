@@ -1013,6 +1013,32 @@ object SparkEntry {
         .orderBy("vec_id", "j")
     },
 
+    "k13_arrow_roundtrip" -> { (s, d) =>
+      // Arrow IPC stream interchange (sources/ArrowIpc): documents write
+      // as one stream file per partition (executor-side, via the Arrow
+      // Java library Spark already ships for pandas-UDF transport) and
+      // read back distributed through binaryFile — the zero-copy handoff
+      // format PyTorch/Polars/DuckDB consume natively. long/string/bool/
+      // binary columns all ride; per-language aggregates INCLUDING md5
+      // extrema over the round-tripped text and binary legs prove the
+      // interchange byte-lossless against the parquet-computed oracle.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k13")
+        .toString + "/arrow"
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"),
+        col("lang"), col("n_chars"),
+        (col("doc_id") % 2 === 0).as("flag"),
+        col("text").cast("binary").as("blob"))
+      graft.sources.ArrowIpc.write(docs.repartition(4), dir)
+      graft.sources.ArrowIpc.read(s, dir + "/*.arrows")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(when(col("flag"), 1L).otherwise(0L)).as("n_flag"),
+          min(md5(col("text").cast("binary"))).as("min_md5"),
+          max(md5(col("blob"))).as("max_md5"))
+        .orderBy("lang")
+    },
+
     "k12_table_log" -> { (s, d) =>
       // versioned table log (TableLog — the Delta/Iceberg transaction-log
       // core): v1 appends a snapshot, v2 OVERWRITES with a transformed
@@ -7085,6 +7111,18 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT vec_id, j, round(dot / sqrt(16.0), 6) AS y6
          FROM proj ORDER BY vec_id, j""",
+
+    // Arrow roundtrip replay: the same aggregates straight off parquet —
+    // any interchange loss breaks a count, a sum, or an md5 extremum
+    "k13_arrow_roundtrip" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flag,
+           MIN(md5(text)) AS min_md5,
+           MAX(md5(text)) AS max_md5
+         FROM documents GROUP BY lang
+         ORDER BY lang""",
 
     // table-log replay: each version's aggregates recomputed closed-form
     "k12_table_log" ->
