@@ -1054,4 +1054,16 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(winLines.nonEmpty && winLines.forall(_.contains("_cdc_seq")),
       s"window must run on the changelog's seq only:\n$p")
   }
+
+  test("scd2 lookup (j9): the as-of is one keyed union-window — no " +
+    "inequality join, no nested loop") {
+    val p = staticPlan("j9_scd2_lookup").toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the point-in-time lookup must never plan a nested loop:\n$p")
+    // every window is keyed on the dimension key
+    p.linesIterator.filter(_.contains("Window")).foreach { l =>
+      assert(l.contains("o_orderkey"), s"window must be key-partitioned: $l")
+    }
+  }
 }
