@@ -1134,6 +1134,70 @@ object SparkEntry {
         .orderBy("o_orderkey")
     },
 
+    "k10b_lake_upsert_versioned" -> { (s, d) =>
+      // the same CDC apply routed through the TableLog — the READER-ATOMIC
+      // lake upsert (Changelog.applyToLakeVersioned): data files carry
+      // partition tags in the log, untouched partitions ride into the new
+      // version by reference (zero bytes moved), and visibility flips on
+      // ONE log commit, so a reader sees exactly the old or the new
+      // snapshot — never the half-swapped directory state applyToLake's
+      // rename window allows. The gate reads the post-apply version AND
+      // pins the pre-apply version still time-travels (v1_n); the final
+      // state must hash-match the same closed-form oracle as k10.
+      // (ChangelogSpec races real reader threads against the apply.)
+      val dir = java.nio.file.Files.createTempDirectory("graft_k10b")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        cents(col("o_totalprice")).as("price_cents"),
+        (col("o_orderkey") % 8).as("part"))
+      graft.operators.TableLog.appendPartitioned(
+        o.filter(col("o_orderkey") % 4 =!= 3), dir, "part")
+      def ch(f: Column, price: Column, op: String) =
+        o.filter(f).select(col("o_orderkey"), col("o_custkey"),
+          price.as("price_cents"), col("part"),
+          lit(10L).as("seq"), lit(op).as("op"))
+      val changes =
+        ch(col("part") === 0, col("price_cents") * 2, "U")
+          .union(ch(col("part") === 1, lit(0L), "D"))
+          .union(ch(col("part") === 3, col("price_cents") + 55, "I"))
+      graft.operators.Changelog.applyToLakeVersioned(dir, changes, "part",
+        Seq("o_orderkey"), "seq", "op")
+      val v1n = graft.operators.TableLog.read(s, dir, 1).count()
+      graft.operators.TableLog.read(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("price_cents"),
+          col("part"))
+        .withColumn("v1_n", lit(v1n))
+        .orderBy("o_orderkey")
+    },
+
+    "k14_table_optimize" -> { (s, d) =>
+      // table-log compaction (TableLog.optimize): 6 small appends leave a
+      // fragmented file set; OPTIMIZE greedy-bin-packs them (the
+      // MergeParquet planning logic) into few rewritten files committed as
+      // a NEW version — same rows (the aggregates must hash-match the
+      // closed-form oracle), file count collapsed (`collapsed` pins
+      // files_after < files_before), and the PRE-optimize version still
+      // time-travels exactly (n_pre) because its files are untouched
+      // until vacuum.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k14")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        cents(col("o_totalprice")).as("pc"))
+      (0 until 6).foreach { i =>
+        graft.operators.TableLog.append(
+          o.filter(col("k") % 6 === i).repartition(2), dir)
+      }
+      val pre = graft.operators.TableLog.currentVersion(dir)
+      val (ver, before, after) =
+        graft.operators.TableLog.optimize(s, dir, maxRows = 10000000L)
+      val nPre = graft.operators.TableLog.read(s, dir, pre).count()
+      graft.operators.TableLog.read(s, dir, ver)
+        .agg(count(lit(1)).as("n"), sum("pc").as("sum_cents"))
+        .select(col("n"), col("sum_cents"),
+          lit(nPre).as("n_pre"), lit(after < before).as("collapsed"),
+          lit(ver - pre).as("dv"))
+    },
+
     "a16_incremental_agg" -> { (s, d) =>
       // incremental aggregate maintenance (Changelog.incrementalAgg): a
       // materialized per-group (count, sum-cents) rollup is updated from
@@ -7181,6 +7245,38 @@ object SparkEntry {
            FROM base WHERE part = 3)
          SELECT o_orderkey, o_custkey, price_cents, part
          FROM fin ORDER BY o_orderkey""",
+
+    // versioned lake-upsert replay: identical final state, plus v1_n =
+    // the pre-apply version's row count (time travel must still work)
+    "k10b_lake_upsert_versioned" ->
+      s"""WITH base AS (
+           SELECT o_orderkey, o_custkey,
+             ${centsSql("o_totalprice")} AS price_cents,
+             o_orderkey % 8 AS part
+           FROM orders),
+         fin AS (
+           SELECT o_orderkey, o_custkey,
+             CASE WHEN part = 0 THEN price_cents * 2
+                  ELSE price_cents END AS price_cents,
+             part
+           FROM base WHERE o_orderkey % 4 <> 3 AND part <> 1
+           UNION ALL
+           SELECT o_orderkey, o_custkey, price_cents + 55, part
+           FROM base WHERE part = 3)
+         SELECT o_orderkey, o_custkey, price_cents, part,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM base
+            WHERE o_orderkey % 4 <> 3) AS v1_n
+         FROM fin ORDER BY o_orderkey""",
+
+    // optimize replay: compaction must preserve every row and cent; the
+    // pre-optimize version count equals the full set; TRUE pins the file
+    // count actually collapsed and 1 pins exactly one new version
+    "k14_table_optimize" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_pre,
+           TRUE AS collapsed, 1 AS dv
+         FROM orders""",
 
     // incremental-agg replay: the maintained rollup must equal the
     // from-scratch post-change aggregate

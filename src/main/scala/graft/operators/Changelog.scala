@@ -75,11 +75,22 @@ object Changelog {
     * (`partCol isin ...` prunes at planning time — PartitionFilters, no
     * other directory is opened); (3) [[applyChangelog]] resolves them
     * against the changes; (4) results land in a staging directory and
-    * each partition directory swaps in with filesystem renames (the
-    * commit pattern: readers never see a half-written partition;
-    * the previous content of replaced partitions is dropped only after
-    * its replacement is complete). Partitions whose rows were all
+    * each partition swaps in rename-aside: the old directory moves to a
+    * dot-prefixed tombstone (invisible to Spark's path filter), the
+    * staged one ATOMIC_MOVEs into place, and only then is the tombstone
+    * deleted. Partition leaves use Spark's own Hive path escaping, so
+    * values containing `=`/`/`/`%` etc. address the directories
+    * `partitionBy` actually wrote. Partitions whose rows were all
     * deleted swap to an empty directory honestly.
+    *
+    * Consistency posture, stated honestly: this is a SINGLE-WRITER
+    * directory lake. A crash can no longer lose the partition (the old
+    * content survives as the tombstone until the replacement is in
+    * place), but a concurrent reader listing the directory between the
+    * two renames can still plan against a missing partition — one
+    * syscall of exposure, not a guarantee. Readers needing old-or-new
+    * atomicity use [[applyToLakeVersioned]], where visibility flips on a
+    * [[TableLog]] commit instead of directory state.
     *
     * Returns the affected partition values (as strings). Local-fs
     * renames; object-store deployments swap manifests instead — the
@@ -87,27 +98,115 @@ object Changelog {
   def applyToLake(dir: String, changes: DataFrame, partCol: String,
       keyCols: Seq[String], seqCol: String, opCol: String): Seq[String] = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val spark = changes.sparkSession
     val affected = changes.select(col(partCol)).distinct()
       .collect().map(_.get(0))
     require(affected.nonEmpty, "changelog touches no partition")
+    require(!affected.contains(null), "null partition value in changelog")
     val snapshot = spark.read.parquet(dir)
       .filter(col(partCol).isin(affected: _*))
     val updated = applyChangelog(snapshot, changes, keyCols, seqCol, opCol)
     val staging = Files.createTempDirectory("graft_lake_staging").toString
     updated.write.mode("overwrite").partitionBy(partCol).parquet(staging)
     affected.map { v =>
-      val leaf = s"$partCol=$v"
+      // Spark Hive-escapes special chars in partition paths; build the
+      // leaf the same way or the swap addresses a directory partitionBy
+      // never wrote
+      val leaf = ExternalCatalogUtils.escapePathName(partCol) + "=" +
+        ExternalCatalogUtils.escapePathName(v.toString)
       val src = Paths.get(staging, leaf)
       val dst = Paths.get(dir, leaf)
       if (!Files.exists(src)) Files.createDirectories(src) // all-deleted
-      if (Files.exists(dst)) { // drop the replaced partition's old files
-        Files.walk(dst).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-      }
+      val tomb = Paths.get(dir, s".graft_old_$leaf")
+      if (Files.exists(dst)) // hide, don't delete: old rows survive a crash
+        Files.move(dst, tomb, StandardCopyOption.ATOMIC_MOVE)
       Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(tomb)) // replacement visible — drop the tombstone
+        Files.walk(tomb).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
       v.toString
     }.toSeq
+  }
+
+  /** [[applyToLake]] with reader-atomic visibility: the table is a
+    * [[TableLog]] table whose data files carry partition tags (written
+    * by [[TableLog.appendPartitioned]]), and the rewrite publishes as
+    * ONE log commit — a reader resolving any version sees exactly the
+    * pre-apply or the post-apply file set, never a half-swapped
+    * directory, and every prior version still time-travels. This is the
+    * real lakehouse shape (Delta MERGE = rewrite touched files + commit).
+    *
+    * Same targeted-rewrite economics: untouched partitions' files are
+    * carried into the new version by REFERENCE (zero bytes moved); only
+    * files tagged with an affected partition value are read, merged
+    * against the changes, and rewritten. Concurrency is the log's
+    * optimistic protocol — a racing writer makes this commit conflict
+    * loudly rather than lose updates. Returns the committed version. */
+  def applyToLakeVersioned(dir: String, changes: DataFrame, partCol: String,
+      keyCols: Seq[String], seqCol: String, opCol: String): Int = {
+    val spark = changes.sparkSession
+    val cur = TableLog.currentVersion(dir)
+    require(cur >= 1, s"no committed version in $dir")
+    val snap = TableLog.snapshot(dir, cur)
+    require(snap.files.nonEmpty, s"empty table $dir")
+    val untagged = snap.files.filterNot(snap.parts.contains)
+    require(untagged.isEmpty,
+      s"table has ${untagged.size} files without partition tags " +
+        "(write with TableLog.appendPartitioned)")
+    val affected = changes.select(col(partCol)).distinct()
+      .collect().map(_.get(0))
+    require(affected.nonEmpty, "changelog touches no partition")
+    require(!affected.contains(null), "null partition value in changelog")
+    val affectedStr = affected.map(_.toString).toSet
+    val (touched, untouched) =
+      snap.files.partition(f => affectedStr.contains(snap.parts(f)))
+    val base = java.nio.file.Paths.get(dir)
+    val snapshotDf =
+      if (touched.nonEmpty)
+        spark.read.parquet(touched.map(f => base.resolve(f).toString): _*)
+      else // fresh partitions only: empty snapshot with the table schema
+        spark.read.parquet(base.resolve(snap.files.head).toString).limit(0)
+    val updated = applyChangelog(snapshotDf, changes, keyCols, seqCol, opCol)
+    // stage new files partition-split (shadow-column trick keeps partCol
+    // in the data files), then commit untouched ∪ new in one log entry
+    val v = cur + 1
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft_lake_versioned")
+    updated.withColumn("__graft_part", col(partCol))
+      .write.mode("overwrite").partitionBy("__graft_part")
+      .parquet(staging.toString)
+    java.nio.file.Files.createDirectories(base.resolve("data"))
+    val moved = Seq.newBuilder[(String, String)]
+    val leaves = java.nio.file.Files.list(staging)
+    try {
+      import scala.jdk.CollectionConverters._
+      leaves.iterator.asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("__graft_part="))
+        .foreach { leaf =>
+          val value = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.unescapePathName(
+              leaf.getFileName.toString.stripPrefix("__graft_part="))
+          val fs = java.nio.file.Files.list(leaf)
+          try fs.iterator.asScala
+            .filter(_.getFileName.toString.endsWith(".parquet"))
+            .foreach { p =>
+              val rel = f"data/v$v%05d-p${math.abs(value.hashCode)}%08x-${
+                p.getFileName.toString}"
+              java.nio.file.Files.move(p, base.resolve(rel),
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              moved += rel -> value
+            }
+          finally fs.close()
+        }
+    } finally leaves.close()
+    val newFiles = moved.result()
+    TableLog.commit(dir, untouched ++ newFiles.map(_._1),
+      expectedVersion = v,
+      parts = untouched.map(f => f -> snap.parts(f)).toMap ++
+        newFiles.toMap,
+      txn = snap.txn)
   }
 
   /** Incremental aggregate maintenance: update a materialized per-group

@@ -9,22 +9,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** A minimal versioned table log — the transaction-log core of the
   * Delta/Iceberg table formats, reduced to what a single-writer pipeline
   * needs: atomic version commits, snapshot-isolated reads, time travel,
-  * and vacuum. Pairs with [[Changelog]]: CDC apply produces the new file
-  * set, the log makes it visible atomically.
+  * compaction, and vacuum. Pairs with [[Changelog]]: CDC apply produces
+  * the new file set, the log makes it visible atomically.
   *
   * Layout under the table root:
   * {{{
   *   data/v00001-part-*.parquet     -- immutable data files
-  *   _graft_log/v00001.json         -- {"version":1,"files":[...]}
+  *   _graft_log/v00001.json         -- {"version":1,"files":[...],
+  *                                  --  "parts":{file:partValue},
+  *                                  --  "txn":{txnId:batchId}}
   * }}}
   * Each log entry lists the COMPLETE file set visible at that version
   * (relative paths) — O(files) per commit, the simple-correct form; the
   * manifest-delta encoding real formats use is an optimization of this.
+  * `parts` tags data files with the partition value they hold (set by
+  * [[appendPartitioned]]) so CDC apply can rewrite only touched
+  * partitions; `txn` carries the highest applied batch id per writer
+  * stream (set by [[appendExactlyOnce]]) so a replayed streaming batch
+  * is recognized and skipped — both are carried forward commit to
+  * commit, so ONE json read answers both questions.
   *
   * Concurrency: a commit stages its JSON and publishes it with an atomic
-  * rename to `v{N}.json`; two writers racing to the same N — one wins,
+  * hard-link to `v{N}.json`; two writers racing to the same N — one wins,
   * the loser gets a loud conflict (optimistic concurrency, the Delta
-  * protocol's essence). Readers resolve a version by reading ONE json —
+  * protocol's essence). [[append]]/[[overwrite]] plan their version FIRST
+  * and pass it through as `expectedVersion`, so a racer landing between
+  * their snapshot read and publish triggers the conflict instead of a
+  * silent lost update. Readers resolve a version by reading ONE json —
   * never by listing data files, so stale/orphaned files are invisible
   * until vacuumed.
   *
@@ -33,7 +44,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * object stores swap via conditional PUT, same logic. */
 object TableLog {
 
-  final case class Snapshot(version: Int, files: Seq[String])
+  final case class Snapshot(version: Int, files: Seq[String],
+      parts: Map[String, String] = Map.empty,
+      txn: Map[String, Long] = Map.empty)
 
   private def logDir(dir: String) = Paths.get(dir, "_graft_log")
   private def vJson(v: Int) = f"v$v%05d.json"
@@ -61,24 +74,47 @@ object TableLog {
     val node = m.readTree(Files.readAllBytes(p))
     val files = node.get("files").elements().asScala
       .map(_.asText()).toSeq
-    Snapshot(node.get("version").asInt(), files)
+    val parts = Option(node.get("parts")).map { pn =>
+      pn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+    val txn = Option(node.get("txn")).map { tn =>
+      tn.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
+    Snapshot(node.get("version").asInt(), files, parts, txn)
   }
 
+  private def jsonStr(s: String) = "\"" + s.replace("\\", "\\\\")
+    .replace("\"", "\\\"") + "\""
+
   /** Publish `files` (relative paths) as the next version. Atomic:
-    * stage + rename; a concurrent committer to the same version makes
+    * stage + hard-link; a concurrent committer to the same version makes
     * exactly one winner and one loud conflict. `expectedVersion` is the
     * optimistic-concurrency handle: a writer that planned its commit
     * against version N−1 passes N and conflicts if someone else
-    * published N first; -1 re-reads the log at publish time. Returns
-    * the committed version. */
+    * published N first; -1 re-reads the log at publish time (only safe
+    * when the file list was derived in the same instant — the managed
+    * writers above never use it). `parts` and `txn` are the carried
+    * metadata maps (see class doc). Returns the committed version. */
   def commit(dir: String, files: Seq[String],
-      expectedVersion: Int = -1): Int = {
+      expectedVersion: Int = -1,
+      parts: Map[String, String] = Map.empty,
+      txn: Map[String, Long] = Map.empty): Int = {
     val ld = logDir(dir)
     Files.createDirectories(ld)
     val v = if (expectedVersion > 0) expectedVersion
             else currentVersion(dir) + 1
+    val partsJson =
+      if (parts.isEmpty) ""
+      else parts.toSeq.sortBy(_._1)
+        .map { case (f, p) => s"${jsonStr(f)}:${jsonStr(p)}" }
+        .mkString(""","parts":{""", ",", "}")
+    val txnJson =
+      if (txn.isEmpty) ""
+      else txn.toSeq.sortBy(_._1)
+        .map { case (id, b) => s"${jsonStr(id)}:$b" }
+        .mkString(""","txn":{""", ",", "}")
     val json = s"""{"version":$v,"files":[${
-      files.map(f => "\"" + f.replace("\"", "\\\"") + "\"").mkString(",")}]}"""
+      files.map(jsonStr).mkString(",")}]$partsJson$txnJson}"""
     val tmp = Files.createTempFile(ld, s".tmp-v$v-", ".json")
     Files.write(tmp, json.getBytes("UTF-8"))
     // createLink, not move: POSIX rename() REPLACES an existing target
@@ -117,19 +153,102 @@ object TableLog {
     finally s.close()
   }
 
+  /** Prior state to build the next commit on: (snapshot-or-empty,
+    * planned version). The planned version is ALWAYS passed to commit as
+    * `expectedVersion` so a racer conflicts loudly. */
+  private def planNext(dir: String): (Snapshot, Int) = {
+    val cur = currentVersion(dir)
+    val snap = if (cur >= 1) snapshot(dir, cur) else Snapshot(0, Nil)
+    (snap, cur + 1)
+  }
+
   /** Append `df` as a new version (previous files + the new ones). */
   def append(df: DataFrame, dir: String): Int = {
-    val prev = if (currentVersion(dir) >= 1) snapshot(dir).files
-               else Seq.empty[String]
-    val v = currentVersion(dir) + 1
-    commit(dir, prev ++ writeData(df, dir, v))
+    val (prev, v) = planNext(dir)
+    commit(dir, prev.files ++ writeData(df, dir, v),
+      expectedVersion = v, parts = prev.parts, txn = prev.txn)
   }
 
   /** Replace the table contents with `df` as a new version. Old files
     * stay on disk (still referenced by older versions) until [[vacuum]]. */
   def overwrite(df: DataFrame, dir: String): Int = {
-    val v = currentVersion(dir) + 1
-    commit(dir, writeData(df, dir, v))
+    val (prev, v) = planNext(dir)
+    commit(dir, writeData(df, dir, v), expectedVersion = v, txn = prev.txn)
+  }
+
+  /** Write `df` split by `partCol` and append the files with partition
+    * tags, so [[Changelog.applyToLakeVersioned]] can later rewrite only
+    * touched partitions. One distributed write job: the split rides a
+    * duplicated shadow column through `partitionBy` (Spark drops the
+    * partitioning column from data files — the shadow keeps the real
+    * column in every file, so log-resolved reads keep the full schema).
+    * Null partition values are rejected (they cannot round-trip through
+    * a changelog `isin` filter). */
+  def appendPartitioned(df: DataFrame, dir: String, partCol: String): Int = {
+    import org.apache.spark.sql.functions.col
+    require(df.columns.contains(partCol), s"no column $partCol")
+    val (prev, v) = planNext(dir)
+    val staging = Files.createTempDirectory("graft_tablelog_part")
+    df.withColumn("__graft_part", col(partCol))
+      .write.mode("overwrite").partitionBy("__graft_part")
+      .parquet(staging.toString)
+    val dataDir = Paths.get(dir, "data")
+    Files.createDirectories(dataDir)
+    val moved = Seq.newBuilder[(String, String)]
+    val leaves = Files.list(staging)
+    try leaves.iterator.asScala
+      .filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("__graft_part="))
+      .foreach { leaf =>
+        val escaped = leaf.getFileName.toString.stripPrefix("__graft_part=")
+        require(escaped != "__HIVE_DEFAULT_PARTITION__",
+          s"null $partCol value cannot be partition-tagged")
+        val value = org.apache.spark.sql.catalyst.catalog
+          .ExternalCatalogUtils.unescapePathName(escaped)
+        val fs = Files.list(leaf)
+        try fs.iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .foreach { p =>
+            val rel = f"data/v$v%05d-p${math.abs(value.hashCode)}%08x-${
+              p.getFileName.toString}"
+            Files.move(p, Paths.get(dir).resolve(rel),
+              StandardCopyOption.ATOMIC_MOVE)
+            moved += rel -> value
+          }
+        finally fs.close()
+      }
+    finally leaves.close()
+    val newFiles = moved.result()
+    commit(dir, prev.files ++ newFiles.map(_._1), expectedVersion = v,
+      parts = prev.parts ++ newFiles.toMap, txn = prev.txn)
+  }
+
+  /** Exactly-once append for a streaming writer (`foreachBatch`): the
+    * highest batch id already applied for `txnId` rides the log, so a
+    * REPLAYED batch (Structured Streaming re-runs the last batch after
+    * recovery) is recognized and skipped — Some(version) on apply, None
+    * on replay. A conflict with a DIFFERENT writer retries (bounded):
+    * the batch-id check re-runs against the fresh snapshot each attempt,
+    * so the at-most-once-per-batch guarantee holds under interleaving.
+    * Orphaned data files from a lost race stay invisible (never
+    * committed) until [[vacuum]] removes them. */
+  def appendExactlyOnce(df: DataFrame, dir: String, txnId: String,
+      batchId: Long, maxRetries: Int = 5): Option[Int] = {
+    var attempt = 0
+    while (true) {
+      val (prev, v) = planNext(dir)
+      if (prev.txn.get(txnId).exists(_ >= batchId)) return None
+      try {
+        return Some(commit(dir, prev.files ++ writeData(df, dir, v),
+          expectedVersion = v, parts = prev.parts,
+          txn = prev.txn + (txnId -> batchId)))
+      } catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    None // unreachable
   }
 
   /** Snapshot-isolated read at `version` (latest if -1): resolves the
@@ -138,6 +257,93 @@ object TableLog {
     val snap = snapshot(dir, version)
     val abs = snap.files.map(f => Paths.get(dir).resolve(f).toString)
     spark.read.parquet(abs: _*)
+  }
+
+  /** Partition-pruned read: only files tagged with one of `values`.
+    * Untagged files are kept conservatively (they may hold any
+    * partition — skipping could lose rows, keeping never does). */
+  def readPartitions(spark: SparkSession, dir: String,
+      values: Seq[String], version: Int = -1): DataFrame = {
+    val snap = snapshot(dir, version)
+    val keep = snap.files.filter(f =>
+      snap.parts.get(f).forall(values.contains))
+    require(keep.nonEmpty, s"no files for partitions $values in $dir")
+    spark.read.parquet(keep.map(f =>
+      Paths.get(dir).resolve(f).toString): _*)
+  }
+
+  /** Compaction (OPTIMIZE): greedy bin-pack of the current version's
+    * small files into ≤ `maxRows` rewritten files, committed as a NEW
+    * version — readers of every prior version are untouched (their
+    * files stay until [[vacuum]]), the new version reads the same rows
+    * from far fewer files. Files sharing a partition tag compact only
+    * with each other (the tag survives); single-file bins are kept
+    * as-is, not rewritten. Returns (newVersion, filesBefore,
+    * filesAfter); a no-op (nothing to merge) commits nothing and
+    * returns the current version.
+    *
+    * Scale: row counts come from one distributed footer-only pass; each
+    * merged bin is one distributed read+write. The greedy plan itself is
+    * the [[MergeParquet.planBatches]] driver logic over (file, count)
+    * pairs — bounded metadata. */
+  def optimize(spark: SparkSession, dir: String,
+      maxRows: Long = 10000000L): (Int, Int, Int) = {
+    val cur = currentVersion(dir)
+    val snap = snapshot(dir, cur)
+    val v = cur + 1
+    if (snap.files.size <= 1) return (cur, snap.files.size, snap.files.size)
+    // per-file row counts from footers only, distributed (one task/file)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    val base = dir
+    val counts = snap.files.toDS().map { rel =>
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val p = new org.apache.hadoop.fs.Path(
+        Paths.get(base).resolve(rel).toString)
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf.value))
+      try rel -> r.getRecordCount finally r.close()
+    }.collect().toMap
+    // bin-pack within each partition-tag group so tags stay exact
+    val groups = snap.files.groupBy(f => snap.parts.get(f)).toSeq
+      .sortBy(_._1.getOrElse(""))
+    val kept = Seq.newBuilder[String]
+    val merged = Seq.newBuilder[(String, Option[String])]
+    var binIdx = 0
+    groups.foreach { case (tag, fs) =>
+      val plan = MergeParquet.planBatches(
+        fs.sorted.map(f => f -> counts(f)), maxRows)
+      plan.foreach { bin =>
+        if (bin.size == 1) kept += bin.head
+        else {
+          val abs = bin.map(f => Paths.get(base).resolve(f).toString)
+          val staging = Files.createTempDirectory("graft_optimize").toString
+          spark.read.parquet(abs: _*).coalesce(1)
+            .write.mode("overwrite").parquet(staging)
+          val part = Files.list(Paths.get(staging))
+          val f0 =
+            try part.iterator.asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+            finally part.close()
+          val rel = f"data/v$v%05d-opt$binIdx%04d.parquet"
+          Files.move(f0, Paths.get(base).resolve(rel),
+            StandardCopyOption.ATOMIC_MOVE)
+          merged += rel -> tag
+          binIdx += 1
+        }
+      }
+    }
+    val keptFiles = kept.result()
+    val mergedFiles = merged.result()
+    if (mergedFiles.isEmpty) return (cur, snap.files.size, snap.files.size)
+    val newFiles = keptFiles ++ mergedFiles.map(_._1)
+    val newParts = keptFiles.flatMap(f =>
+      snap.parts.get(f).map(f -> _)).toMap ++
+      mergedFiles.collect { case (f, Some(t)) => f -> t }.toMap
+    commit(dir, newFiles, expectedVersion = v, parts = newParts,
+      txn = snap.txn)
+    (v, snap.files.size, newFiles.size)
   }
 
   /** Drop versions < `keepFrom` and delete data files no retained

@@ -195,4 +195,97 @@ class ChangelogSpec extends AnyFunSuite {
     assert(back.toSeq == Seq((1L, 11L, "p0"), (2L, 20L, "p0"),
       (4L, 40L, "p2"), (9L, 90L, "p9")))
   }
+
+  test("applyToLake: partition values needing Hive escaping swap the " +
+    "directories partitionBy actually wrote") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("lakeesc").toString + "/lake"
+    // ':' and ' ' are Hive-escaped in partition paths (%3A, %20)
+    Seq((1L, 10L, "a:b c"), (2L, 20L, "plain"))
+      .toDF("id", "v", "part").write.partitionBy("part").parquet(dir)
+    val ch = Seq((1L, 11L, "a:b c", 1L, "U"))
+      .toDF("id", "v", "part", "seq", "op")
+    Changelog.applyToLake(dir, ch, "part", Seq("id"), "seq", "op")
+    val back = spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(back.toSeq == Seq((1L, 11L, "a:b c"), (2L, 20L, "plain")))
+    // exactly one escaped directory for that partition — no fabricated
+    // unescaped sibling
+    val leaves = Files.list(Paths.get(dir))
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      leaves.iterator).asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("part=")).toSet
+    leaves.close()
+    assert(names == Set("part=a%3Ab c", "part=plain"), names.toString)
+  }
+
+  test("applyToLakeVersioned: untouched partitions carried by reference; " +
+    "old version time-travels; final state equals the directory-lake " +
+    "semantics") {
+    import graft.operators.TableLog
+    val dir = java.nio.file.Files.createTempDirectory("lakever")
+      .toString + "/table"
+    TableLog.appendPartitioned(
+      Seq((1L, 10L, "p0"), (2L, 20L, "p0"), (3L, 30L, "p1"),
+        (4L, 40L, "p2")).toDF("id", "v", "part"), dir, "part")
+    val filesV1 = TableLog.snapshot(dir).files.toSet
+    val p2FilesV1 = TableLog.snapshot(dir).files
+      .filter(f => TableLog.snapshot(dir).parts(f) == "p2").toSet
+    val ch = Seq(
+      (1L, 11L, "p0", 1L, "U"),
+      (3L, 0L, "p1", 1L, "D"),
+      (9L, 90L, "p9", 1L, "I")
+    ).toDF("id", "v", "part", "seq", "op")
+    val v2 = Changelog.applyToLakeVersioned(dir, ch, "part",
+      Seq("id"), "seq", "op")
+    assert(v2 == 2)
+    val snap2 = TableLog.snapshot(dir, 2)
+    // p2's files ride into v2 untouched, by reference
+    assert(p2FilesV1.subsetOf(snap2.files.toSet))
+    // rewritten partitions got NEW files (old ones only in v1)
+    assert(snap2.files.toSet.intersect(filesV1) == p2FilesV1)
+    val now = TableLog.read(spark, dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(now.toSeq == Seq((1L, 11L, "p0"), (2L, 20L, "p0"),
+      (4L, 40L, "p2"), (9L, 90L, "p9")))
+    val before = TableLog.read(spark, dir, 1).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(before.toSeq == Seq((1L, 10L, "p0"), (2L, 20L, "p0"),
+      (3L, 30L, "p1"), (4L, 40L, "p2")))
+  }
+
+  test("applyToLakeVersioned: a reader concurrent with the apply sees " +
+    "exactly the old or the new snapshot, never a partial one") {
+    import graft.operators.TableLog
+    val dir = java.nio.file.Files.createTempDirectory("lakerace")
+      .toString + "/table"
+    // old state: 40 rows, sum(v) = 40*41/2 = 820, across 4 partitions
+    val rows = (1L to 40L).map(i => (i, i, s"p${i % 4}"))
+    TableLog.appendPartitioned(rows.toDF("id", "v", "part"), dir, "part")
+    val oldSum = 820L
+    // changes: delete every row of p0 (ids ≡ 0 mod 4: 4+8+...+40 = 220),
+    // double... keep it simple: newSum = 600
+    val ch = rows.filter(_._3 == "p0")
+      .map { case (i, v, p) => (i, 0L, p, 1L, "D") }
+      .toDF("id", "v", "part", "seq", "op")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val readers = (0 until 4).map { _ =>
+      new Thread(() => {
+        while (!stop.get()) {
+          val s = TableLog.read(spark, dir)
+            .agg(org.apache.spark.sql.functions.sum("v")).first().getLong(0)
+          if (s != oldSum && s != 600L)
+            bad.compareAndSet(null, s"saw partial sum $s")
+        }
+      })
+    }
+    readers.foreach(_.start())
+    try Changelog.applyToLakeVersioned(dir, ch, "part",
+      Seq("id"), "seq", "op")
+    finally { Thread.sleep(50); stop.set(true); readers.foreach(_.join()) }
+    assert(bad.get() == null, s"${bad.get()}")
+    assert(TableLog.read(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("v")).first().getLong(0) == 600L)
+  }
 }

@@ -134,4 +134,112 @@ class TableLogSpec extends AnyFunSuite {
     TableLog.append(Seq((1L, "a")).toDF("id", "s"), dir)
     intercept[IllegalArgumentException] { TableLog.snapshot(dir, 7) }
   }
+
+  test("concurrent append()s never lose an update: every committed " +
+    "version contains all previously committed files") {
+    // regression for the planNext/commit race: append must pass its
+    // planned version as expectedVersion so a racer conflicts loudly
+    // instead of silently dropping the other writer's files
+    val dir = freshDir()
+    TableLog.append(Seq((0L, "base")).toDF("id", "s"), dir)
+    val barrier = new java.util.concurrent.CyclicBarrier(8)
+    val ok = new java.util.concurrent.atomic.AtomicInteger(0)
+    val lost = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        barrier.await()
+        try { TableLog.append(Seq((i.toLong + 1, s"w$i")).toDF("id", "s"), dir)
+              ok.incrementAndGet(); () }
+        catch { case _: IllegalStateException => lost.incrementAndGet(); () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(ok.get() + lost.get() == 8)
+    assert(ok.get() >= 1)
+    // no lost update: the final row count equals base + every success
+    assert(TableLog.read(spark, dir).count() == 1L + ok.get(),
+      s"lost update: ${ok.get()} successful appends")
+  }
+
+  test("appendExactlyOnce: a replayed streaming batch commits nothing") {
+    val dir = freshDir()
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+    val b1 = Seq((3L, "c")).toDF("id", "s")
+    assert(TableLog.appendExactlyOnce(b0, dir, "streamA", 0L) == Some(1))
+    assert(TableLog.appendExactlyOnce(b1, dir, "streamA", 1L) == Some(2))
+    // recovery replays the last batch — must be a no-op, loudly None
+    assert(TableLog.appendExactlyOnce(b1, dir, "streamA", 1L).isEmpty)
+    assert(TableLog.currentVersion(dir) == 2)
+    assert(TableLog.read(spark, dir).count() == 3)
+    // a different writer stream has its own batch counter
+    assert(TableLog.appendExactlyOnce(b1, dir, "streamB", 0L) == Some(3))
+    assert(TableLog.snapshot(dir).txn ==
+      Map("streamA" -> 1L, "streamB" -> 0L))
+  }
+
+  test("appendExactlyOnce: contending writer streams retry through " +
+    "conflicts; per-stream batches land exactly once") {
+    val dir = freshDir()
+    TableLog.append(Seq((0L, "base")).toDF("id", "s"), dir)
+    val barrier = new java.util.concurrent.CyclicBarrier(4)
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        barrier.await()
+        (0 to 1).foreach { b =>
+          TableLog.appendExactlyOnce(
+            Seq((i * 10L + b, s"w$i-$b")).toDF("id", "s"),
+            dir, s"stream$i", b.toLong, maxRetries = 50)
+          ()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(TableLog.read(spark, dir).count() == 1L + 8L)
+    val txn = TableLog.snapshot(dir).txn
+    assert((0 until 4).forall(i => txn(s"stream$i") == 1L), txn.toString)
+  }
+
+  test("optimize: file count collapses, rows and cents identical, the " +
+    "pre-optimize version still time-travels") {
+    val dir = freshDir()
+    (0 until 5).foreach { i =>
+      TableLog.append(Seq((i * 2L, i * 100L), (i * 2L + 1, i * 100L + 1))
+        .toDF("id", "v").repartition(2), dir)
+    }
+    val pre = TableLog.currentVersion(dir)
+    val filesPre = TableLog.snapshot(dir).files.size
+    val (ver, before, after) = TableLog.optimize(spark, dir)
+    assert(ver == pre + 1 && before == filesPre && after < before,
+      s"($ver, $before, $after) vs pre=$pre/$filesPre")
+    def state(v: Int) = TableLog.read(spark, dir, v)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(state(ver) == state(pre))
+    assert(state(ver).size == 10)
+    // vacuum to the optimized version: old fragments deleted, new reads
+    TableLog.vacuum(dir, keepFrom = ver)
+    assert(state(ver).size == 10)
+    intercept[IllegalArgumentException] { TableLog.snapshot(dir, pre) }
+  }
+
+  test("appendPartitioned + readPartitions: tags prune to the asked " +
+    "partitions; optimize preserves tags") {
+    val dir = freshDir()
+    val df = Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "x", 30L),
+      (4L, "z", 40L)).toDF("id", "part", "v")
+    TableLog.appendPartitioned(df, dir, "part")
+    TableLog.appendPartitioned(
+      Seq((5L, "x", 50L)).toDF("id", "part", "v"), dir, "part")
+    val xs = TableLog.readPartitions(spark, dir, Seq("x"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(xs == Set(1L, 3L, 5L))
+    // the partition column survives in the data files (shadow-col write)
+    assert(TableLog.read(spark, dir).columns.contains("part"))
+    val (_, _, _) = TableLog.optimize(spark, dir)
+    val xs2 = TableLog.readPartitions(spark, dir, Seq("x"))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(xs2 == Set(1L, 3L, 5L), "tags lost through optimize")
+    val snap = TableLog.snapshot(dir)
+    assert(snap.files.nonEmpty &&
+      snap.files.forall(snap.parts.contains), "untagged file appeared")
+  }
 }
