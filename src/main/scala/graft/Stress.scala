@@ -586,6 +586,50 @@ object Stress {
     }
 
     }
+    if (sec("r10")) {
+      // streamed interchange sinks (round-9 verdict: whole-partition
+      // Array[Byte] buffering hard-caps at 2 GB and costs ≥2× partition
+      // size in heap). The proof: ONE partition whose encoded container
+      // exceeds Int.MaxValue bytes — impossible for the old sink by
+      // construction, routine for the block-streaming one.
+      time("avro sink: single >2GB partition (streamed)") {
+        val bigPath = "/tmp/graft_stress_avro"
+        val big = spark.range(10000000L).select(col("id"),
+          expr("repeat(concat('x', CAST(id % 97 AS STRING), '-'), 64)")
+            .as("s")).coalesce(1)
+        graft.sources.Avro.write(big, bigPath, codec = "null",
+          blockRows = 4096)
+        val f = new java.io.File(bigPath).listFiles()
+          .filter(_.getName.endsWith(".avro")).head
+        println(s"    container bytes: ${f.length()}")
+        require(f.length() > Int.MaxValue.toLong,
+          s"expected a >2GB container, got ${f.length()}")
+        // header + first blocks decode from a bounded prefix: the stream
+        // is a valid container, not just big
+        val prefix = new Array[Byte](4 << 20)
+        val in = new java.io.FileInputStream(f)
+        try { in.read(prefix); () } finally in.close()
+        require(graft.sources.Avro.header(prefix) != null,
+          "container header unreadable")
+        val rows = graft.sources.Avro.records(prefix)
+        println(s"    prefix-decoded rows: ${rows.length}")
+        require(rows.length >= 4096, "no complete block decoded")
+        f.delete()
+      }
+      time("arrow sink: 1GB-class partition roundtrip (streamed)") {
+        val dir = "/tmp/graft_stress_arrow"
+        val big = spark.range(5000000L).select(col("id"),
+          expr("repeat(concat('y', CAST(id % 89 AS STRING)), 64)").as("s"))
+          .coalesce(1)
+        graft.sources.ArrowIpc.write(big, dir, batchRows = 8192)
+        val r = graft.sources.ArrowIpc.read(spark, dir + "/*.arrows")
+          .agg(count(lit(1)), sum(length(col("s")))).head()
+        println(s"    roundtrip rows: ${r.getLong(0)} sumlen: ${r.getLong(1)}")
+        require(r.getLong(0) == 5000000L, s"lost rows: ${r.getLong(0)}")
+        new java.io.File(dir).listFiles().foreach(_.delete())
+      }
+    }
+
     val sentinelPost = Bench.sentinelMtMs()
     val total = results.values.sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

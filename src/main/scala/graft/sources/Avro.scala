@@ -488,28 +488,32 @@ object Avro extends Serializable {
     out.toByteArray
   }
 
-  /** One Avro Object Container File from external-representation rows
-    * (each a `Seq[Any]` in schema-field order, or a `Row`). Codecs:
-    * `null`, `deflate` (raw DEFLATE), `snappy` (+ big-endian CRC32 of
-    * the uncompressed block, per spec). The 16-byte sync marker derives
-    * from md5(schema ∥ salt) so output bytes are deterministic —
-    * reruns produce identical files (the idempotent-sink posture). */
-  def writeBlob(schemaJson: String, rows: Iterator[Any],
-      codec: String = "null", blockRows: Int = 1000,
-      syncSalt: String = ""): Array[Byte] = {
+  /** Write one Avro Object Container File THROUGH `os` from
+    * external-representation rows (each a `Seq[Any]` in schema-field
+    * order, or a `Row`) — one ≤`blockRows` block in memory at a time,
+    * flushed as it completes, so peak memory is a block, never the
+    * partition. Codecs: `null`, `deflate` (raw DEFLATE), `snappy`
+    * (+ big-endian CRC32 of the uncompressed block, per spec). The
+    * 16-byte sync marker derives from md5(schema ∥ salt) so output
+    * bytes are deterministic — reruns produce identical files (the
+    * idempotent-sink posture). */
+  def writeTo(os: java.io.OutputStream, schemaJson: String,
+      rows: Iterator[Any], codec: String = "null", blockRows: Int = 1000,
+      syncSalt: String = ""): Unit = {
     val schema = parseSchema(schemaJson)
-    val out = new Out
-    out.raw(Array[Byte]('O', 'b', 'j', 1))
-    out.varLong(2L)
-    out.lenBytes("avro.schema".getBytes(StandardCharsets.UTF_8))
-    out.lenBytes(schemaJson.getBytes(StandardCharsets.UTF_8))
-    out.lenBytes("avro.codec".getBytes(StandardCharsets.UTF_8))
-    out.lenBytes(codec.getBytes(StandardCharsets.UTF_8))
-    out.varLong(0L)
+    val head = new Out
+    head.raw(Array[Byte]('O', 'b', 'j', 1))
+    head.varLong(2L)
+    head.lenBytes("avro.schema".getBytes(StandardCharsets.UTF_8))
+    head.lenBytes(schemaJson.getBytes(StandardCharsets.UTF_8))
+    head.lenBytes("avro.codec".getBytes(StandardCharsets.UTF_8))
+    head.lenBytes(codec.getBytes(StandardCharsets.UTF_8))
+    head.varLong(0L)
     val sync = java.security.MessageDigest.getInstance("MD5")
       .digest((schemaJson + " " + syncSalt)
         .getBytes(StandardCharsets.UTF_8))
-    out.raw(sync)
+    head.raw(sync)
+    os.write(head.toBytes)
     rows.grouped(blockRows).foreach { block =>
       val body = new Out
       block.foreach(encode(body, schema, _))
@@ -527,33 +531,43 @@ object Avro extends Serializable {
         case other =>
           throw new IllegalArgumentException(s"unsupported codec: $other")
       }
-      out.varLong(block.length.toLong)
-      out.varLong(payload.length.toLong)
-      out.raw(payload)
-      out.raw(sync)
+      val blk = new Out
+      blk.varLong(block.length.toLong)
+      blk.varLong(payload.length.toLong)
+      os.write(blk.toBytes)
+      os.write(payload)
+      os.write(sync) // block flushed — it leaves the heap
     }
-    out.toBytes
   }
 
-  /** Avro sink: one container file per partition, written executor-side
-    * (no driver materialization — the unit of parallelism is the
-    * partition, symmetric with [[read]]'s file-per-task). Schema derives
-    * from `df.schema`; unsupported Catalyst types fail fast on the
-    * driver before any task runs. */
+  /** [[writeTo]] into a byte array (tests / single-blob callers). */
+  def writeBlob(schemaJson: String, rows: Iterator[Any],
+      codec: String = "null", blockRows: Int = 1000,
+      syncSalt: String = ""): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(1 << 16)
+    writeTo(bos, schemaJson, rows, codec, blockRows, syncSalt)
+    bos.toByteArray
+  }
+
+  /** Avro sink: one container file per partition, STREAMED executor-side
+    * block by block (no driver materialization, no whole-partition
+    * buffer — the unit of parallelism is the partition, symmetric with
+    * [[read]]'s file-per-task; the unit of memory is one block). Schema
+    * derives from `df.schema`; unsupported Catalyst types fail fast on
+    * the driver before any task runs. */
   def write(df: DataFrame, dir: String, codec: String = "deflate",
       blockRows: Int = 1000): String = {
     val schemaJson = avroSchemaJson(df.schema)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     df.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       if (it.hasNext) {
-        val first = it.next()
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        val blob = writeBlob(schemaJson,
-          (Iterator(first) ++ it).map(_.toSeq), codec, blockRows,
+        val os = new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(
+            java.nio.file.Paths.get(dir, f"part-$pid%05d.avro")), 1 << 16)
+        try writeTo(os, schemaJson, it.map(_.toSeq), codec, blockRows,
           syncSalt = s"part-$pid")
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(dir, f"part-$pid%05d.avro"), blob)
-        ()
+        finally os.close()
       }
     }
     schemaJson

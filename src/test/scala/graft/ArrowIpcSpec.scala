@@ -56,12 +56,69 @@ class ArrowIpcSpec extends AnyFunSuite {
   }
 
   test("unsupported Catalyst types fail fast on the driver") {
-    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
-      .toDF("id", "ts")
+    val df = Seq((1L, Map("k" -> 1L))).toDF("id", "m")
     intercept[IllegalArgumentException] {
       ArrowIpc.write(df, java.nio.file.Files
         .createTempDirectory("arrowspec3").toString)
     }
+    // unsupported list ELEMENT types fail fast too
+    val df2 = Seq((1L, Seq("a", "b"))).toDF("id", "xs")
+    intercept[IllegalArgumentException] {
+      ArrowIpc.write(df2, java.nio.file.Files
+        .createTempDirectory("arrowspec3b").toString)
+    }
+  }
+
+  test("timestamp/date/array columns roundtrip exactly, nulls included") {
+    val dir = java.nio.file.Files.createTempDirectory("arrowspec5")
+      .toString + "/a"
+    val df = (0 until 40).map { i =>
+      (i.toLong,
+        if (i % 5 == 0) None
+        else Some(java.sql.Timestamp.valueOf(f"2024-03-0${i % 9 + 1}%d " +
+          f"0${i % 9}%d:15:${i % 60}%02d.${i * 1237 % 1000000}%06d")),
+        if (i % 7 == 0) None
+        else Some(java.sql.Date.valueOf(f"2024-0${i % 9 + 1}%d-1${i % 9}%d")),
+        if (i % 11 == 0) None else Some(Seq(i * 0.5f, -i * 0.25f)),
+        Seq(i.toLong, i * 2L))
+    }.toDF("id", "ts", "dt", "vecf", "vecl")
+    ArrowIpc.write(df.repartition(2), dir, batchRows = 7)
+    val back = ArrowIpc.read(spark, s"$dir/*.arrows").drop("path")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    val a = df.orderBy("id").collect()
+    val b = back.orderBy("id").collect()
+    assert(b.length == 40)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.get(1) == y.get(1), s"ts mismatch at id ${x.getLong(0)}")
+      assert(x.get(2) == y.get(2), s"date mismatch at id ${x.getLong(0)}")
+      assert(Option(x.getSeq[Float](3)).map(_.toSeq) ==
+        Option(y.getSeq[Float](3)).map(_.toSeq), s"vecf at ${x.getLong(0)}")
+      assert(x.getSeq[Long](4).toSeq == y.getSeq[Long](4).toSeq)
+    }
+  }
+
+  test("a file whose schema differs from the plan schema yields no rows " +
+    "instead of corrupt ones") {
+    val dir = java.nio.file.Files.createTempDirectory("arrowspec6")
+      .toString + "/a"
+    ArrowIpc.write(sample.coalesce(1), dir)
+    // plant a second stream with a DIFFERENT schema into the same glob;
+    // name it so binaryFile lists it first (schema probe may hit either)
+    val alien = Seq((1.5, "x")).toDF("score", "name").coalesce(1)
+    val alienDir = java.nio.file.Files.createTempDirectory("arrowspec6b")
+      .toString + "/b"
+    ArrowIpc.write(alien, alienDir)
+    val alienFile = new java.io.File(alienDir).listFiles()
+      .filter(_.getName.endsWith(".arrows")).head
+    java.nio.file.Files.copy(alienFile.toPath,
+      java.nio.file.Paths.get(dir, "zz-alien.arrows"))
+    val back = ArrowIpc.read(spark, s"$dir/*.arrows")
+    // exactly one of the two schemas was chosen; only its file's rows ride
+    val n = back.count()
+    assert(n == 50 || n == 1, s"mixed-schema read leaked rows: $n")
+    assert(back.na.drop("all", back.columns.filter(_ != "path")).count() == n,
+      "schema-mismatched file produced all-null or misaligned rows")
   }
 
   test("empty glob fails loudly") {
