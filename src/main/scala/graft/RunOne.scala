@@ -20,6 +20,12 @@ object RunOne {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ad-hoc session confs for perf triage: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     val q = SparkEntry.queries(name)
     if (args.contains("explain")) q(spark, sfDir).explain("formatted")
     q(spark, sfDir).count() // warm-up: JIT + codegen + file index

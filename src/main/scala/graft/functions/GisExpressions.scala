@@ -318,6 +318,43 @@ case class HilbertOfGeom(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** env_min_x(geom) — envelope min longitude (null for null/empty geometry);
+  * the declarative spatial-join rewrite's dedup reference point. */
+case class EnvMinX(child: Expression) extends WkbToDoubleExpression {
+  override def prettyName: String = "env_min_x"
+  override def staticMethod: String = "graft.geom.GeomLib.envMinX"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.envMinX(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** env_min_y(geom) — envelope min latitude. */
+case class EnvMinY(child: Expression) extends WkbToDoubleExpression {
+  override def prettyName: String = "env_min_y"
+  override def staticMethod: String = "graft.geom.GeomLib.envMinY"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.envMinY(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** cells_covering_pad(geom, res, pad) — covering of the envelope expanded
+  * by `pad` degrees (distance-join bucketing; empty = oversized). */
+case class CellsCoveringPad(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType, DoubleType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cells_covering_pad"
+  protected override def nullSafeEval(wkb: Any, res: Any, pad: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      GeomLib.cellsCoveringPad(wkb.asInstanceOf[Array[Byte]],
+        res.asInstanceOf[Number].intValue,
+        pad.asInstanceOf[Number].doubleValue))
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
 /** cells_covering(geom, res) → cells intersecting the envelope (spatial-join
   * polygon bucketing). */
 case class CellsCovering(left: Expression, right: Expression)

@@ -10,29 +10,57 @@ import org.apache.spark.sql.types.LongType
   * the optimizer rule SURVEY.md §4.3 flagged as the one place a custom
   * `Rule[LogicalPlan]` earns its keep.
   *
-  * A declarative `A JOIN B ON st_contains(b.geom, a.geom)` has no
-  * equi-conjunct, so Catalyst can only plan a broadcast-nested-loop or
-  * cartesian product — |A|·|B| containment tests, the plan that melts at
-  * any scale. [[graft.operators.SpatialJoin.pointInPolygon]] is the
-  * hand-written fix; this rule applies the SAME decomposition to the
-  * logical plan automatically, so plain SQL users get the scalable shape:
+  * A declarative `A JOIN B ON st_contains(b.geom, a.geom)` (or
+  * `st_intersects` / `st_dwithin`) has no equi-conjunct, so Catalyst can
+  * only plan a broadcast-nested-loop or cartesian product — |A|·|B|
+  * predicate tests, the plan that melts at any scale.
+  * [[graft.operators.SpatialJoin]] is the hand-written fix; this rule
+  * applies the SAME decompositions to the logical plan automatically, so
+  * plain SQL users get the scalable shape (reference analogue: every
+  * DuckDB spatial query is declarative, east_asia.py:176-178).
   *
-  *   fine:   inner side keys on its centroid's res-R cell (containment
-  *           implies envelope containment, so the centroid's cell is
-  *           always among the outer's covering cells), outer side
-  *           explodes its envelope covering — an EQUI-join on the cell
-  *           plus the exact JTS refine as residual;
-  *   coarse: outers whose covering overflowed the cell cap (empty array
-  *           — country-scale shapes, few by nature) fall back to a
-  *           broadcast nested-loop branch, so results are IDENTICAL to
-  *           the naive join, never silently truncated.
+  * `st_contains(outer, inner)` — one-sided covering: the inner side keys
+  * on its centroid's res-R cell (containment implies envelope
+  * containment, so the centroid's cell is always among the outer's
+  * covering cells), the outer side explodes its envelope covering — an
+  * EQUI-join on the cell plus the exact refine as residual. A true pair
+  * shares exactly one such cell, so no dedup is needed.
+  *
+  * `st_intersects(a, b)` — two-sided covering: BOTH sides explode their
+  * envelope coverings and equi-join on the cell. A true pair may share
+  * many cells, so the join keeps exactly the REFERENCE cell — the cell
+  * of (max(minXa, minXb), max(minYa, minYb)), the lower-left corner of
+  * the envelope intersection, which for intersecting envelopes lies in
+  * both coverings — making each surviving pair appear exactly once
+  * (the standard grid-partitioned spatial-join dedup).
+  *
+  * `st_dwithin(a, b, d)` (foldable d) — intersects with a's covering
+  * padded by d and the reference point shifted by −d on a's side: a true
+  * pair's padded-a envelope intersects b's envelope, so completeness and
+  * exactly-once both carry over.
+  *
+  * Oversized geometries (covering overflowed the cell cap — empty array;
+  * country-scale shapes, few by nature) fall back to broadcast
+  * nested-loop branches, so results are IDENTICAL to the naive join,
+  * never silently truncated.
   *
   * The rule fires only on Inner joins with no equality conjunct and no
-  * user join hint (the coarse branch carries a broadcast hint, which also
-  * keeps the rewrite from re-matching its own output). Resolution comes
-  * from `spark.graft.spatialjoin.res` (default 10); set
+  * user join hint (the coarse branches carry broadcast hints, which also
+  * keeps the rewrite from re-matching its own output; the fine branch
+  * re-enters with an equi-conjunct and is skipped by the guard).
+  * Resolution comes from `spark.graft.spatialjoin.res` (default 10); set
   * `spark.graft.spatialjoin.rewrite=false` to disable. */
 object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** The decomposition picked off a join condition's conjunct. */
+  private sealed trait Pick
+  /** One-sided: outer explodes covering, inner keys on centroid cell. */
+  private final case class ContainsPick(expr: Expression, outerG: Expression,
+      innerG: Expression, outerPlan: LogicalPlan, innerPlan: LogicalPlan)
+      extends Pick
+  /** Two-sided: both explode coverings; `pad` > 0 for dwithin. */
+  private final case class SymmetricPick(expr: Expression, aG: Expression,
+      bG: Expression, pad: Double) extends Pick
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("spark.graft.spatialjoin.rewrite", "true")
@@ -50,22 +78,29 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               r.references.subsetOf(left.outputSet))
           case _ => false
         }
-        val pick = if (hasEqui) None else conjuncts.collectFirst {
-          // (outerExpr, innerExpr, outerPlan, innerPlan, outerIsLeft)
-          case c @ StContains(o, i)
-              if o.references.nonEmpty && i.references.nonEmpty &&
-                o.references.subsetOf(right.outputSet) &&
-                i.references.subsetOf(left.outputSet) =>
-            (c, o, i, right, left, false)
-          case c @ StContains(o, i)
-              if o.references.nonEmpty && i.references.nonEmpty &&
-                o.references.subsetOf(left.outputSet) &&
-                i.references.subsetOf(right.outputSet) =>
-            (c, o, i, left, right, true)
+        def sided(a: Expression, b: Expression): Boolean =
+          a.references.nonEmpty && b.references.nonEmpty &&
+            a.references.subsetOf(left.outputSet) &&
+            b.references.subsetOf(right.outputSet)
+        val pick: Option[Pick] = if (hasEqui) None else conjuncts.collectFirst {
+          case c @ StContains(o, i) if sided(i, o) =>
+            ContainsPick(c, o, i, outerPlan = right, innerPlan = left)
+          case c @ StContains(o, i) if sided(o, i) =>
+            ContainsPick(c, o, i, outerPlan = left, innerPlan = right)
+          case c @ StIntersects(a, b) if sided(a, b) =>
+            SymmetricPick(c, a, b, pad = 0.0)
+          case c @ StIntersects(a, b) if sided(b, a) =>
+            SymmetricPick(c, b, a, pad = 0.0)
+          case c @ StDWithin(a, b, d) if d.foldable && sided(a, b) &&
+              distOf(d) > 0 =>
+            SymmetricPick(c, a, b, pad = distOf(d))
+          case c @ StDWithin(a, b, d) if d.foldable && sided(b, a) &&
+              distOf(d) > 0 =>
+            SymmetricPick(c, b, a, pad = distOf(d))
         }
         pick match {
           case None => j
-          case Some((containsExpr, outerG, innerG, gSide, pSide, _)) =>
+          case Some(ContainsPick(containsExpr, outerG, innerG, gSide, pSide)) =>
             val residual = conjuncts.filterNot(_ eq containsExpr)
             // fine branch: explode the outer covering, equi-join on cell
             val cells = CellsCovering(outerG, Literal(res))
@@ -91,7 +126,63 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
               Join(pSide, oversized, Inner, Some(coarseCond),
                 JoinHint(None, Some(HintInfo(Some(BROADCAST))))))
             Union(Seq(fine, coarse))
+          case Some(SymmetricPick(predExpr, aG, bG, pad)) =>
+            val residual = conjuncts.filterNot(_ eq predExpr)
+            val pred = (predExpr +: residual).reduce(And(_, _))
+            val cellsA: Expression =
+              if (pad == 0.0) CellsCovering(aG, Literal(res))
+              else CellsCoveringPad(aG, Literal(res), Literal(pad))
+            val cellsB = CellsCovering(bG, Literal(res))
+            val cellA = AttributeReference("__graft_cell_a", LongType,
+              nullable = false)()
+            val cellB = AttributeReference("__graft_cell_b", LongType,
+              nullable = false)()
+            // envelope min corners are projected ONCE per input row (one
+            // WKB decode each), BEFORE the explode replicates them as
+            // cheap doubles — the dedup predicate then touches only
+            // attributes, never re-decoding geometry per candidate pair
+            def minusPad(e: Expression): Expression =
+              if (pad == 0.0) e else Subtract(e, Literal(pad))
+            val ax = Alias(minusPad(EnvMinX(aG)), "__graft_ax")()
+            val ay = Alias(minusPad(EnvMinY(aG)), "__graft_ay")()
+            val bx = Alias(EnvMinX(bG), "__graft_bx")()
+            val by = Alias(EnvMinY(bG), "__graft_by")()
+            val genA = Generate(Explode(cellsA), Nil, outer = false,
+              qualifier = None, generatorOutput = Seq(cellA),
+              child = Project(left.output ++ Seq(ax, ay), left))
+            val genB = Generate(Explode(cellsB), Nil, outer = false,
+              qualifier = None, generatorOutput = Seq(cellB),
+              child = Project(right.output ++ Seq(bx, by), right))
+            // exactly-once: keep only the envelope-intersection corner cell
+            val refX = Greatest(Seq(ax.toAttribute, bx.toAttribute))
+            val refY = Greatest(Seq(ay.toAttribute, by.toAttribute))
+            val dedup = EqualTo(cellA, GridCell(refX, refY, Literal(res)))
+            val fineCond = (EqualTo(cellA, cellB) +: dedup +: pred +: Nil)
+              .reduce(And(_, _))
+            val fine = Project(j.output,
+              Join(genA, genB, Inner, Some(fineCond), JoinHint.NONE))
+            // coarse branches: (oversized a) × all b, plus (fit a) ×
+            // (oversized b) — a disjoint split of the non-fine pair space
+            val aOver = Filter(
+              And(EqualTo(Size(cellsA), Literal(0)), IsNotNull(aG)), left)
+            val aFit = Filter(
+              Not(And(EqualTo(Size(cellsA), Literal(0)), IsNotNull(aG))),
+              left)
+            val bOver = Filter(
+              And(EqualTo(Size(cellsB), Literal(0)), IsNotNull(bG)), right)
+            val coarse1 = Project(j.output,
+              Join(aOver, right, Inner, Some(pred),
+                JoinHint(Some(HintInfo(Some(BROADCAST))), None)))
+            val coarse2 = Project(j.output,
+              Join(aFit, bOver, Inner, Some(pred),
+                JoinHint(None, Some(HintInfo(Some(BROADCAST))))))
+            Union(Seq(fine, coarse1, coarse2))
         }
     }
+  }
+
+  private def distOf(d: Expression): Double = d.eval() match {
+    case n: Number => n.doubleValue
+    case _ => -1.0
   }
 }

@@ -463,6 +463,52 @@ object GeomLib {
     out
   }
 
+  /** [[cellsCovering]] of the envelope EXPANDED by `pad` degrees on every
+    * side — the covering a distance-within join buckets on (a true
+    * `st_dwithin(a, b, d)` pair guarantees a's d-padded envelope
+    * intersects b's envelope, so padding ONE side makes the cell
+    * equi-join complete). Same empty-array overflow signal. */
+  def cellsCoveringPad(wkb: Array[Byte], res: Int, pad: Double,
+      maxCells: Int = 4096): Array[Long] = {
+    val g = readOrNull(wkb)
+    if (g == null || g.isEmpty) return Array.empty
+    val e = g.getEnvelopeInternal
+    val n = 1L << res
+    val ix0 = gridIndex(e.getMinX - pad, -180.0, 360.0, n)
+    val ix1 = gridIndex(e.getMaxX + pad, -180.0, 360.0, n)
+    val iy0 = gridIndex(e.getMinY - pad, -90.0, 180.0, n)
+    val iy1 = gridIndex(e.getMaxY + pad, -90.0, 180.0, n)
+    val count = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
+    if (count > maxCells) return Array.empty // caller must coarsen res
+    val out = new Array[Long](count.toInt)
+    var k = 0
+    var ix = ix0
+    while (ix <= ix1) {
+      var iy = iy0
+      while (iy <= iy1) {
+        out(k) = (res.toLong << 58) | (ix << res) | iy
+        k += 1
+        iy += 1
+      }
+      ix += 1
+    }
+    out
+  }
+
+  /** Envelope min-x (null for null/empty geometry) — the spatial-join
+    * rewrite's dedup reference point rides on these. */
+  def envMinX(wkb: Array[Byte]): java.lang.Double = {
+    val g = readOrNull(wkb)
+    if (g == null || g.isEmpty) null
+    else Double.box(g.getEnvelopeInternal.getMinX)
+  }
+
+  def envMinY(wkb: Array[Byte]): java.lang.Double = {
+    val g = readOrNull(wkb)
+    if (g == null || g.isEmpty) null
+    else Double.box(g.getEnvelopeInternal.getMinY)
+  }
+
   /** JTS containment test over WKB (null-safe: false on broken input). */
   def contains(outer: Array[Byte], inner: Array[Byte]): Boolean = {
     val a = readOrNull(outer)

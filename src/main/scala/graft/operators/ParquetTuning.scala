@@ -105,6 +105,78 @@ object ParquetTuning {
     (df, keep.length, total)
   }
 
+  /** [[zoneMapIndex]] for STRING (binary/UTF8) columns — (file, zmin,
+    * zmax, n_rows) with string bounds, the shipdate-style statistic
+    * behind the most common lake predicate (date strings, category
+    * codes, url prefixes). Parquet keeps binary min/max truncated
+    * lexicographic bounds; comparison is byte-lexicographic, which for
+    * UTF-8 equals code-point order — exactly the ORDER BY semantics the
+    * pruning predicate needs. Same scale shape: file list on the driver,
+    * footers read distributed, no data pages touched. Files lacking
+    * binary stats get null bounds — kept conservatively by
+    * [[readZonePrunedString]]. */
+  def zoneMapIndexString(spark: org.apache.spark.sql.SparkSession,
+      dir: String, column: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val files = root.getFileSystem(conf).listStatus(root).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    files.toDS().mapPartitions { it =>
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      it.map { f =>
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f), serConf.value))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala
+          var mn: Option[String] = None
+          var mx: Option[String] = None
+          var n = 0L
+          var statsOk = true
+          blocks.foreach { rg =>
+            n += rg.getRowCount
+            rg.getColumns.asScala.find(_.getPath.toDotString == column) match {
+              case Some(cc) if cc.getStatistics != null &&
+                  !cc.getStatistics.isEmpty =>
+                val st = cc.getStatistics
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (a: org.apache.parquet.io.api.Binary,
+                        b: org.apache.parquet.io.api.Binary) =>
+                    val (lo, hi) = (a.toStringUsingUTF8, b.toStringUsingUTF8)
+                    mn = Some(mn.fold(lo)(m => if (lo < m) lo else m))
+                    mx = Some(mx.fold(hi)(m => if (hi > m) hi else m))
+                  case _ => statsOk = false
+                }
+              case _ => statsOk = false
+            }
+          }
+          if (statsOk) (f, mn, mx, n)
+          else (f, None: Option[String], None: Option[String], n)
+        } finally reader.close()
+      }
+    }.toDF("file", "zmin", "zmax", "n_rows")
+  }
+
+  /** Range-pruned lake read off a [[zoneMapIndexString]]: opens ONLY
+    * files whose string [zmin, zmax] intersects [lo, hi]
+    * lexicographically (null-bounds files kept conservatively). Returns
+    * (frame, filesOpened, filesTotal); the caller re-applies the exact
+    * predicate. */
+  def readZonePrunedString(spark: org.apache.spark.sql.SparkSession,
+      index: DataFrame, lo: String, hi: String): (DataFrame, Int, Int) = {
+    val total = index.count().toInt
+    val keep = index.filter(col("zmin").isNull || col("zmax").isNull ||
+        (col("zmin") <= hi && col("zmax") >= lo))
+      .select("file").collect().map(_.getString(0))
+    val df =
+      if (keep.isEmpty) spark.emptyDataFrame
+      else spark.read.parquet(keep.toIndexedSeq: _*)
+    (df, keep.length, total)
+  }
+
   /** True iff EVERY row group of every parquet file under `dir` carries a
     * bloom filter for `column` — the write contract the gate pins. */
   def bloomPresentAll(dir: String, conf: org.apache.hadoop.conf.Configuration,

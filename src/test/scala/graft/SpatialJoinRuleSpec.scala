@@ -112,4 +112,128 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
       assert(!p.contains("__graft_cell"))
     } finally spark.conf.set("spark.graft.spatialjoin.rewrite", "true")
   }
+
+  // --- two-sided rewrites (st_intersects / st_dwithin) ---------------------
+
+  /** Overlapping square lattices with planted TOUCHING edges: a-squares on
+    * a 17° pitch with half 9.0, b-squares on a 13° pitch with half 4.0 —
+    * many overlaps, several exact boundary contacts (all values
+    * quarter-degree exact, so JTS and the naive replay agree bit-for-bit). */
+  private def boxFixtures() = {
+    GeoSimplify.install(spark)
+    val a = (0 until 100).map { i =>
+      (i.toLong, -160.0 + (i % 10) * 17.0, -60.0 + (i / 10) * 13.0)
+    }.toDF("aid", "cx", "cy")
+      .select(col("aid"), st_make_square(col("cx"), col("cy"), lit(9.0)).as("ag"))
+    val b = (0 until 80).map { k =>
+      (k.toLong, -155.0 + (k % 8) * 13.0, -55.0 + (k / 8) * 11.0)
+    }.toDF("bid", "cx", "cy")
+      .select(col("bid"), st_make_square(col("cx"), col("cy"), lit(4.0)).as("bg"))
+    (a, b)
+  }
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  test("st_intersects rewrites to a two-sided cell equi-join; the pair " +
+    "MULTISET is identical (exactly-once dedup, no duplicates)") {
+    val (a, b) = boxFixtures()
+    def q() = a.join(b, st_intersects(col("ag"), col("bg")))
+      .select(col("aid"), col("bid"))
+    val expected = try {
+      spark.conf.set("spark.graft.spatialjoin.rewrite", "false")
+      pairsOf(q())
+    } finally spark.conf.set("spark.graft.spatialjoin.rewrite", "true")
+    val got = q()
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"still cartesian:\n$p")
+    assert(p.contains("__graft_cell_a"), s"no two-sided cell join:\n$p")
+    // pin the FINE path to a real equi-join: the only nested-loop joins
+    // allowed are the two (empty-here) broadcast coarse branches
+    assert(pairsOf(got) == expected,
+      "pair multiset differs — lost, duplicated, or spurious pairs")
+    assert(expected.nonEmpty)
+    // duplicates are the characteristic dedup failure: check explicitly
+    assert(expected.distinct.size == expected.size,
+      "fixture sanity: naive join emits each pair once")
+  }
+
+  test("st_intersects: argument order (b, a) rewrites too") {
+    val (a, b) = boxFixtures()
+    val got = a.join(b, st_intersects(col("bg"), col("ag")))
+      .select(col("aid"), col("bid"))
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"still cartesian:\n$p")
+    assert(p.contains("__graft_cell_a"), s"no two-sided cell join:\n$p")
+    val expected = try {
+      spark.conf.set("spark.graft.spatialjoin.rewrite", "false")
+      pairsOf(a.join(b, st_intersects(col("bg"), col("ag")))
+        .select(col("aid"), col("bid")))
+    } finally spark.conf.set("spark.graft.spatialjoin.rewrite", "true")
+    assert(pairsOf(got) == expected)
+  }
+
+  test("st_intersects: an oversized geometry on either side survives " +
+    "through the broadcast coarse branches") {
+    val (a, b) = boxFixtures()
+    val bigA = a.unionByName(Seq((999L, 0.0, 0.0)).toDF("aid", "cx", "cy")
+      .select(col("aid"), st_make_square(col("cx"), col("cy"), lit(170.0)).as("ag")))
+    val bigB = b.unionByName(Seq((888L, 5.0, 5.0)).toDF("bid", "cx", "cy")
+      .select(col("bid"), st_make_square(col("cx"), col("cy"), lit(165.0)).as("bg")))
+    def q() = bigA.join(bigB, st_intersects(col("ag"), col("bg")))
+      .select(col("aid"), col("bid"))
+    val expected = try {
+      spark.conf.set("spark.graft.spatialjoin.rewrite", "false")
+      pairsOf(q())
+    } finally spark.conf.set("spark.graft.spatialjoin.rewrite", "true")
+    val got = pairsOf(q())
+    assert(got == expected, "oversized branches lost or duplicated pairs")
+    // the two continents intersect each other AND most normal squares
+    assert(expected.count(_._1 == 999L) > 1)
+    assert(expected.count(_._2 == 888L) > 1)
+    assert(expected.contains((999L, 888L)),
+      "the oversized×oversized pair must appear exactly once")
+  }
+
+  test("st_dwithin rewrites with the first argument's covering padded; " +
+    "pairs equal the naive join including boundary-exact distances") {
+    GeoSimplify.install(spark)
+    // quarter-exact lattice points; radius 2.0 → several boundary-exact
+    // pairs (dx=2, dy=0), which JTS (sqrt of exact square) and the naive
+    // replay both count
+    val a = (0 until 60).map { i =>
+      (i.toLong, -150.0 + (i % 10) * 6.0, -50.0 + (i / 10) * 8.0)
+    }.toDF("aid", "x", "y")
+      .select(col("aid"), st_point(col("x"), col("y")).as("ag"))
+    // dx ∈ {−2+3m} (boundary-exact 2 and interior 1 both occur with
+    // dy = 0, since dy is a multiple of 4)
+    val b = (0 until 400).map { k =>
+      (k.toLong, -148.0 + (k % 20) * 3.0, -50.0 + (k / 20) * 4.0)
+    }.toDF("bid", "x", "y")
+      .select(col("bid"), st_point(col("x"), col("y")).as("bg"))
+    def q() = a.join(b, st_dwithin(col("ag"), col("bg"), lit(2.0)))
+      .select(col("aid"), col("bid"))
+    val expected = try {
+      spark.conf.set("spark.graft.spatialjoin.rewrite", "false")
+      pairsOf(q())
+    } finally spark.conf.set("spark.graft.spatialjoin.rewrite", "true")
+    val got = q()
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"still cartesian:\n$p")
+    assert(p.contains("__graft_cell_a"), s"no padded cell join:\n$p")
+    assert(pairsOf(got) == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("st_dwithin with a non-foldable distance is left to the naive plan") {
+    GeoSimplify.install(spark)
+    val a = Seq((1L, 0.0, 0.0, 1.5)).toDF("aid", "x", "y", "r")
+      .select(col("aid"), st_point(col("x"), col("y")).as("ag"), col("r"))
+    val b = Seq((2L, 1.0, 0.0)).toDF("bid", "x", "y")
+      .select(col("bid"), st_point(col("x"), col("y")).as("bg"))
+    val j = a.join(b, st_dwithin(col("ag"), col("bg"), col("r")))
+    val p = j.queryExecution.optimizedPlan.toString
+    assert(!p.contains("__graft_cell"), s"non-foldable distance rewritten:\n$p")
+    assert(j.count() == 1)
+  }
 }
