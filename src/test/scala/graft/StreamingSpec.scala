@@ -576,4 +576,61 @@ class StreamingSpec extends AnyFunSuite {
       spark.read.parquet(dir)).collect().map(_.getLong(0)).toSet
     assert(batchKept == kept, "stream must equal batch")
   }
+
+  test("TableLogSink: a REPLAYED micro-batch (checkpoint recovery) commits " +
+    "exactly one version — no double rows, version count unchanged") {
+    import graft.operators.TableLog
+    val root = java.nio.file.Files.createTempDirectory("tlsink").toString
+    val dataDir = root + "/data"
+    val ckpt = root + "/ckpt"
+    val table = root + "/table"
+    (0L until 10L).map(i => (i, s"d$i")).toDF("id", "s")
+      .write.mode("append").parquet(dataDir)
+    val schema = spark.read.parquet(dataDir).schema
+    def run(): Unit = {
+      val q = graft.streaming.TableLogSink.start(
+        spark.readStream.schema(schema).parquet(dataDir),
+        table, txnId = "ingest", checkpoint = ckpt)
+      assert(q.awaitTermination(60000), "stream timed out")
+    }
+    run()
+    assert(TableLog.currentVersion(table) == 1)
+    assert(TableLog.read(spark, table).count() == 10)
+    assert(TableLog.snapshot(table).txn == Map("ingest" -> 0L))
+    // REAL crash-between-sink-and-checkpoint-commit: wave 2 arrives, the
+    // sink applies batch 1 to the table, then the query dies BEFORE the
+    // streaming commit marker lands — the at-least-once window
+    (10L until 15L).map(i => (i, s"d$i")).toDF("id", "s")
+      .write.mode("append").parquet(dataDir)
+    val crashing = spark.readStream.schema(schema).parquet(dataDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        TableLog.appendExactlyOnce(batch, table, "ingest", id)
+        throw new RuntimeException("injected crash after sink write")
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      crashing.awaitTermination(60000); crashing.stop()
+    }
+    assert(TableLog.currentVersion(table) == 2,
+      "the crashed run had already applied batch 1")
+    assert(TableLog.snapshot(table).txn == Map("ingest" -> 1L))
+    // recovery re-executes batch 1 (same id, same offsets) — the sink
+    // must recognize it against the log and commit NOTHING new
+    run()
+    assert(TableLog.currentVersion(table) == 2,
+      "replayed batch must not commit a second version")
+    assert(TableLog.read(spark, table).count() == 15, "rows doubled")
+    assert(TableLog.snapshot(table).txn == Map("ingest" -> 1L))
+    // fresh data still advances normally after the recovery
+    (15L until 18L).map(i => (i, s"d$i")).toDF("id", "s")
+      .write.mode("append").parquet(dataDir)
+    run()
+    assert(TableLog.currentVersion(table) == 3)
+    assert(TableLog.read(spark, table).count() == 18)
+    assert(TableLog.snapshot(table).txn == Map("ingest" -> 2L))
+    // the feed is incremental: version 1 still reads the first wave only
+    assert(TableLog.read(spark, table, 1).count() == 10)
+  }
 }
