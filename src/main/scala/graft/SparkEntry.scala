@@ -1309,6 +1309,37 @@ object SparkEntry {
           lit(ver - pre).as("dv"))
     },
 
+    "k15_exactly_once_append" -> { (s, d) =>
+      // exactly-once ingest (TableLog.appendExactlyOnce — the foreachBatch
+      // sink's core): three batches land, batch 1 is REPLAYED in between
+      // (the at-least-once recovery case), and the replay must commit
+      // nothing — final rows equal the clean union, version count is
+      // exactly 3, and the recorded per-stream batch id is the last
+      // applied one. A dedup defect (replay applied) doubles a third of
+      // the table and breaks the hash; an over-eager skip drops one.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k15")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        cents(col("o_totalprice")).as("pc"))
+      def batch(i: Int) = o.filter(col("k") % 3 === i)
+      val v0 = graft.operators.TableLog.appendExactlyOnce(
+        batch(0), dir, "ingest", 0L)
+      val v1 = graft.operators.TableLog.appendExactlyOnce(
+        batch(1), dir, "ingest", 1L)
+      val replay = graft.operators.TableLog.appendExactlyOnce(
+        batch(1), dir, "ingest", 1L) // recovery replays the last batch
+      val v2 = graft.operators.TableLog.appendExactlyOnce(
+        batch(2), dir, "ingest", 2L)
+      val txn = graft.operators.TableLog.snapshot(dir).txn("ingest")
+      graft.operators.TableLog.read(s, dir)
+        .agg(count(lit(1)).as("n"), sum("pc").as("sum_cents"))
+        .select(col("n"), col("sum_cents"),
+          lit(graft.operators.TableLog.currentVersion(dir)).as("versions"),
+          lit(replay.isEmpty && v0 == Some(1) && v1 == Some(2) &&
+            v2 == Some(3)).as("replay_skipped"),
+          lit(txn).as("last_batch"))
+    },
+
     "a16_incremental_agg" -> { (s, d) =>
       // incremental aggregate maintenance (Changelog.incrementalAgg): a
       // materialized per-group (count, sum-cents) rollup is updated from
@@ -7453,6 +7484,16 @@ object SparkEntry {
            CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
            CAST(COUNT(*) AS BIGINT) AS n_pre,
            TRUE AS collapsed, 1 AS dv
+         FROM orders""",
+
+    // exactly-once replay: the clean union of the three batches — a
+    // replay applied would double the k%3=1 third; 3 pins one version
+    // per DISTINCT batch, 2 pins the recorded last-applied batch id
+    "k15_exactly_once_append" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           3 AS versions, TRUE AS replay_skipped,
+           CAST(2 AS BIGINT) AS last_batch
          FROM orders""",
 
     // incremental-agg replay: the maintained rollup must equal the

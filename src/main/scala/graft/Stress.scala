@@ -616,16 +616,25 @@ object Stress {
         require(rows.length >= 4096, "no complete block decoded")
         f.delete()
       }
-      time("arrow sink: 1GB-class partition roundtrip (streamed)") {
+      time("arrow sink+source: single >2GB stream roundtrip") {
+        // both directions now stream (write: batch-flushing channel;
+        // read: filesystem stream, no binaryFile blob) — so a single
+        // stream FILE beyond Int.MaxValue bytes round-trips, which the
+        // old blob-based source could not even load
         val dir = "/tmp/graft_stress_arrow"
-        val big = spark.range(5000000L).select(col("id"),
-          expr("repeat(concat('y', CAST(id % 89 AS STRING)), 64)").as("s"))
-          .coalesce(1)
+        val big = spark.range(9000000L).select(col("id"),
+          expr("repeat(concat('y', CAST(id % 89 AS STRING), '-'), 64)")
+            .as("s")).coalesce(1)
         graft.sources.ArrowIpc.write(big, dir, batchRows = 8192)
+        val f = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".arrows")).head
+        println(s"    stream bytes: ${f.length()}")
+        require(f.length() > Int.MaxValue.toLong,
+          s"expected a >2GB stream, got ${f.length()}")
         val r = graft.sources.ArrowIpc.read(spark, dir + "/*.arrows")
           .agg(count(lit(1)), sum(length(col("s")))).head()
         println(s"    roundtrip rows: ${r.getLong(0)} sumlen: ${r.getLong(1)}")
-        require(r.getLong(0) == 5000000L, s"lost rows: ${r.getLong(0)}")
+        require(r.getLong(0) == 9000000L, s"lost rows: ${r.getLong(0)}")
         new java.io.File(dir).listFiles().foreach(_.delete())
       }
     }

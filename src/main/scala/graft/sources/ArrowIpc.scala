@@ -194,17 +194,19 @@ object ArrowIpc {
     StructType(fs.toSeq)
   }
 
-  /** Read the Spark schema from one stream's header bytes. */
-  def schemaOf(blob: Array[Byte]): StructType = {
+  /** Read the Spark schema from one stream's header. */
+  def schemaOf(in: java.io.InputStream): StructType = {
     import org.apache.arrow.vector.ipc.ArrowStreamReader
     val alloc = allocator()
     try {
-      val rd = new ArrowStreamReader(
-        new java.io.ByteArrayInputStream(blob), alloc)
+      val rd = new ArrowStreamReader(in, alloc)
       try sparkSchemaOf(rd.getVectorSchemaRoot.getSchema)
       finally rd.close()
     } finally alloc.close()
   }
+
+  def schemaOf(blob: Array[Byte]): StructType =
+    schemaOf(new java.io.ByteArrayInputStream(blob))
 
   /** Lazy per-batch row iterator over one stream blob: only the current
     * batch's rows are materialized. Files whose header schema maps to a
@@ -212,7 +214,7 @@ object ArrowIpc {
     * tail ends the walk with the prefix decoded so far (never a throw).
     * Resources close at exhaustion AND at task completion (so an early
     * `limit` cannot leak the allocator). */
-  private def rowIterator(blob: Array[Byte], expected: StructType,
+  private def rowIterator(in: java.io.InputStream, expected: StructType,
       path: String): Iterator[Row] = {
     import org.apache.arrow.vector._
     import org.apache.arrow.vector.complex.ListVector
@@ -222,12 +224,13 @@ object ArrowIpc {
     val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
     def closeAll(): Unit = if (closed.compareAndSet(false, true)) {
       try { if (rd != null) rd.close() } catch { case _: Exception => () }
+      try in.close() catch { case _: Exception => () }
       try alloc.close() catch { case _: Exception => () }
     }
     val tc = org.apache.spark.TaskContext.get()
     if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeAll())
     try {
-      rd = new ArrowStreamReader(new java.io.ByteArrayInputStream(blob), alloc)
+      rd = new ArrowStreamReader(in, alloc)
       val root = rd.getVectorSchemaRoot // parses the header; throws if not Arrow
       val fileSchema = sparkSchemaOf(root.getSchema)
       val sameShape = fileSchema.length == expected.length &&
@@ -330,26 +333,36 @@ object ArrowIpc {
   }
 
   /** Source: read a glob of Arrow IPC stream files — schema from ONE
-    * file's header (driver), batches decoded lazily and distributed,
-    * one task per file. */
+    * file's header (driver, bounded header bytes), batches decoded
+    * lazily and distributed, one task per file. Files stream straight
+    * off the filesystem (no whole-file blob), so a single stream can
+    * exceed 2 GB and peak task memory is one Arrow batch. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val bin =
-      try spark.read.format("binaryFile").load(path)
-        .select(col("path"), col("content"))
-      catch {
-        case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalArgumentException(
-            s"no files matched Arrow glob: $path", e)
-      }
-    val probe = bin.select("content").take(1)
-    require(probe.nonEmpty, s"no files matched Arrow glob: $path")
-    val schema = schemaOf(probe(0).getAs[Array[Byte]](0))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val statuses = Option(fs.globStatus(p)).map(_.toSeq)
+      .getOrElse(Seq.empty).filter(_.isFile)
+    require(statuses.nonEmpty, s"no files matched Arrow glob: $path")
+    val schema = {
+      val in = fs.open(statuses.head.getPath)
+      try schemaOf(in) finally in.close()
+    }
     val outSchema = StructType(StructField("path", StringType) +:
       schema.fields.toIndexedSeq)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
       .encoderFor(outSchema)
-    bin.flatMap { row =>
-      rowIterator(row.getAs[Array[Byte]](1), schema, row.getString(0))
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    import spark.implicits._
+    val files = spark.createDataset(statuses.map(_.getPath.toString))
+    files.flatMap { f =>
+      val fp = new org.apache.hadoop.fs.Path(f)
+      val stream = try {
+        val raw = fp.getFileSystem(serConf.value).open(fp)
+        new java.io.BufferedInputStream(raw, 1 << 16): java.io.InputStream
+      } catch { case _: Exception => null }
+      if (stream == null) Iterator.empty
+      else rowIterator(stream, schema, f)
     }(enc)
   }
 }

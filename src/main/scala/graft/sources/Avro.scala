@@ -573,23 +573,254 @@ object Avro extends Serializable {
     schemaJson
   }
 
+  // ---- streamed decoding (DataFrame source path) -------------------------
+
+  /** Bounded-read stream cursor: the streamed twin of [[In]]. Block
+    * payloads are the only allocations — a container is never whole in
+    * memory, so files beyond 2 GB stream through. */
+  private final class SIn(in: java.io.InputStream) {
+    def u8(): Int = {
+      val v = in.read()
+      if (v < 0) throw new IllegalStateException("EOF")
+      v
+    }
+    def varLong(): Long = {
+      var shift = 0
+      var acc = 0L
+      var byte = 0
+      do {
+        byte = u8()
+        acc |= (byte & 0x7fL) << shift
+        shift += 7
+        if (shift > 70) throw new IllegalArgumentException("varint overrun")
+      } while ((byte & 0x80) != 0)
+      (acc >>> 1) ^ -(acc & 1)
+    }
+    def bytes(n: Int): Array[Byte] = {
+      if (n < 0 || n > (1 << 30))
+        throw new IllegalArgumentException(s"length out of range: $n")
+      val b = new Array[Byte](n)
+      var off = 0
+      while (off < n) {
+        val k = in.read(b, off, n - off)
+        if (k < 0) throw new IllegalStateException("EOF in block")
+        off += k
+      }
+      b
+    }
+  }
+
+  /** Container header off a stream; null when not an Avro OCF. Consumes
+    * exactly the header bytes, leaving the cursor at the first block. */
+  private def headerFrom(s: SIn): Header = {
+    try {
+      if (s.u8() != 'O' || s.u8() != 'b' || s.u8() != 'j' || s.u8() != 1)
+        return null
+      var schema: String = null
+      var codec = "null"
+      var n = s.varLong()
+      while (n != 0) {
+        if (n < 0) { s.varLong(); n = -n }
+        var i = 0L
+        while (i < n) {
+          val key = new String(s.bytes(s.varLong().toInt),
+            StandardCharsets.UTF_8)
+          val value = s.bytes(s.varLong().toInt)
+          key match {
+            case "avro.schema" =>
+              schema = new String(value, StandardCharsets.UTF_8)
+            case "avro.codec" =>
+              codec = new String(value, StandardCharsets.UTF_8)
+            case _ => ()
+          }
+          i += 1
+        }
+        n = s.varLong()
+      }
+      if (schema == null) return null
+      Header(schema, codec, s.bytes(16), 0)
+    } catch { case _: Exception => null }
+  }
+
+  /** Decode one value into EXTERNAL Scala representation (String / Seq /
+    * Map / Row / Array[Byte]) — the DataFrame-source twin of [[decode]]
+    * (which emits Catalyst values for the expression path). */
+  private def decodeExt(in: In, t: AvType): Any = t match {
+    case ANull => null
+    case ABool => in.u8() != 0
+    case AInt => in.varLong().toInt
+    case ALong => in.varLong()
+    case AFloat =>
+      java.lang.Float.intBitsToFloat(
+        in.u8() | (in.u8() << 8) | (in.u8() << 16) | (in.u8() << 24))
+    case ADouble =>
+      var acc = 0L
+      var i = 0
+      while (i < 8) { acc |= (in.u8().toLong << (8 * i)); i += 1 }
+      java.lang.Double.longBitsToDouble(acc)
+    case AString =>
+      new String(in.bytes(in.varLong().toInt), StandardCharsets.UTF_8)
+    case ABytes => in.bytes(in.varLong().toInt)
+    case AFixed(n) => in.bytes(n)
+    case AEnum(syms) =>
+      val i = in.varLong().toInt
+      if (i < 0 || i >= syms.length)
+        throw new IllegalArgumentException(s"enum index $i")
+      syms(i)
+    case AArray(item) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var n = in.varLong()
+      while (n != 0) {
+        if (n < 0) { in.varLong(); n = -n }
+        var i = 0L
+        while (i < n) { out += decodeExt(in, item); i += 1 }
+        n = in.varLong()
+      }
+      out.toSeq
+    case AMap(value) =>
+      val out = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+      var n = in.varLong()
+      while (n != 0) {
+        if (n < 0) { in.varLong(); n = -n }
+        var i = 0L
+        while (i < n) {
+          val k = new String(in.bytes(in.varLong().toInt),
+            StandardCharsets.UTF_8)
+          out(k) = decodeExt(in, value)
+          i += 1
+        }
+        n = in.varLong()
+      }
+      out.toMap
+    case ARecord(fields) =>
+      val vals = new Array[Any](fields.length)
+      var i = 0
+      while (i < fields.length) {
+        vals(i) = decodeExt(in, fields(i)._2)
+        i += 1
+      }
+      org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+    case ANullable(inner, tIndex) =>
+      val branch = in.varLong().toInt
+      if (branch == tIndex) decodeExt(in, inner)
+      else null
+  }
+
+  /** Lazy per-block row iterator off a container stream: only the
+    * current block's payload and rows are in memory. A file whose
+    * writer schema maps to a different Catalyst shape than
+    * `expectedSchemaJson` yields no rows; corrupt tails / sync
+    * mismatches / unknown codecs end the walk with the prefix decoded
+    * so far. Closes the stream at exhaustion AND at task completion. */
+  def rowIterator(in: java.io.InputStream, expectedSchemaJson: String,
+      path: String): Iterator[org.apache.spark.sql.Row] = {
+    val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def closeAll(): Unit = if (closed.compareAndSet(false, true)) {
+      try in.close() catch { case _: Exception => () }
+    }
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => closeAll())
+    val s = new SIn(in)
+    val h = headerFrom(s)
+    if (h == null) { closeAll(); return Iterator.empty }
+    val schema =
+      try parseSchema(h.schemaJson)
+      catch { case _: Exception => closeAll(); return Iterator.empty }
+    if (expectedSchemaJson != null &&
+      (try sparkSchema(h.schemaJson) != sparkSchema(expectedSchemaJson)
+       catch { case _: Exception => true })) {
+      closeAll(); return Iterator.empty
+    }
+    if (!schema.isInstanceOf[ARecord]) { closeAll(); return Iterator.empty }
+    new Iterator[org.apache.spark.sql.Row] {
+      private var batch: IndexedSeq[org.apache.spark.sql.Row] = IndexedSeq.empty
+      private var i = 0
+      private var done = false
+      private def loadBlock(): Unit = {
+        val count = s.varLong()
+        val raw = s.bytes(s.varLong().toInt)
+        val sync = s.bytes(16)
+        if (!java.util.Arrays.equals(sync, h.sync)) { done = true; return }
+        val payload = h.codec match {
+          case "null" => raw
+          case "deflate" => inflate(raw)
+          case "snappy" =>
+            if (raw.length < 4) { done = true; return }
+            org.xerial.snappy.Snappy.uncompress(
+              java.util.Arrays.copyOfRange(raw, 0, raw.length - 4))
+          case _ => done = true; return
+        }
+        val bin = new In(payload, 0)
+        val out = new Array[org.apache.spark.sql.Row](count.toInt)
+        var r = 0
+        while (r < count) {
+          val rec = decodeExt(bin, schema)
+            .asInstanceOf[org.apache.spark.sql.Row]
+          out(r) = org.apache.spark.sql.Row.fromSeq(path +: rec.toSeq)
+          r += 1
+        }
+        batch = out.toIndexedSeq
+        i = 0
+      }
+      private def advance(): Unit =
+        while (i >= batch.size && !done) {
+          try loadBlock()
+          catch { case _: Exception => done = true } // corrupt tail: stop
+          if (done) closeAll()
+        }
+      override def hasNext: Boolean = { advance(); i < batch.size }
+      override def next(): org.apache.spark.sql.Row = {
+        if (!hasNext) throw new NoSuchElementException
+        val r = batch(i); i += 1; r
+      }
+    }
+  }
+
   // ---- DataFrame read ----------------------------------------------------
 
   /** Read a glob of Avro container files. Schema discovery reads ONE
     * file's header on the driver (bounded metadata bytes, the
-    * Shapefile/.shx posture); decode then runs distributed, one per-blob
-    * kernel per file. At 100 TB the unit of parallelism is the file —
+    * Shapefile/.shx posture); decode then runs distributed, one file per
+    * task, blocks STREAMED off the filesystem — peak task memory is one
+    * block, and files beyond 2 GB read through (the binaryFile-blob cap
+    * no longer applies). At 100 TB the unit of parallelism is the file —
     * the Kafka-dump / interchange layout (many moderate files), matching
-    * how the WARC scan treats Common Crawl segments. */
+    * how the WARC scan treats Common Crawl segments. The per-blob
+    * expression path ([[records]] / `avro_records`) remains for
+    * containers embedded in other sources. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    import graft.functions.GraftFunctions.avro_records
-    val bin = spark.read.format("binaryFile").load(path)
-    val probe = bin.select("content").take(1)
-    require(probe.nonEmpty, s"no files matched Avro glob: $path")
-    val schemaJson = schemaOf(probe(0).getAs[Array[Byte]](0))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val statuses = Option(fs.globStatus(p)).map(_.toSeq)
+      .getOrElse(Seq.empty).filter(_.isFile)
+    require(statuses.nonEmpty, s"no files matched Avro glob: $path")
+    val schemaJson = {
+      val in = fs.open(statuses.head.getPath)
+      try {
+        val h = headerFrom(new SIn(new java.io.BufferedInputStream(in, 1 << 16)))
+        if (h == null) null else h.schemaJson
+      } finally in.close()
+    }
     require(schemaJson != null, s"not an Avro object container: $path")
-    bin.select(col("path"),
-        explode(avro_records(col("content"), schemaJson)).as("r"))
-      .select(col("path"), col("r.*"))
+    val sch = sparkSchema(schemaJson)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType) +: sch.fields.toIndexedSeq)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+    import spark.implicits._
+    val files = spark.createDataset(statuses.map(_.getPath.toString))
+    files.flatMap { f =>
+      val fp = new org.apache.hadoop.fs.Path(f)
+      val stream = try {
+        new java.io.BufferedInputStream(
+          fp.getFileSystem(serConf.value).open(fp), 1 << 16)
+          : java.io.InputStream
+      } catch { case _: Exception => null }
+      if (stream == null) Iterator.empty
+      else rowIterator(stream, schemaJson, f)
+    }(enc)
   }
 }

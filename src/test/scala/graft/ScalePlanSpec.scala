@@ -1066,4 +1066,33 @@ class ScalePlanSpec extends AnyFunSuite {
       assert(l.contains("o_orderkey"), s"window must be key-partitioned: $l")
     }
   }
+
+  test("declarative st_intersects (sql4): the fine path is an equi-join " +
+    "on the covering cell and the dedup predicate touches only projected " +
+    "bounds — no WKB re-decode per candidate pair, no cartesian") {
+    val p = staticPlan("sql4_intersects_sql").toString
+    assert(!p.contains("CartesianProduct"), s"cartesian survived:\n$p")
+    assert(p.contains("__graft_cell_a"), s"no two-sided cell join:\n$p")
+    // the join condition must reference the pre-explode bound attributes,
+    // not recompute env_min_x per pair: every env_min_x call site must sit
+    // in a Project/Generate line, never a join-condition line
+    p.linesIterator.filter(_.contains("env_min_x")).foreach { l =>
+      assert(!l.contains("Join"),
+        s"envelope bounds recomputed inside the join condition: $l")
+    }
+  }
+
+  test("declarative st_dwithin (sql5): padded covering rides the SMALL " +
+    "anchor side; the point side explodes its own single cell only") {
+    val p = staticPlan("sql5_dwithin_rule").toString
+    assert(!p.contains("CartesianProduct"), s"cartesian survived:\n$p")
+    assert(p.contains("cells_covering_pad"),
+      s"distance pad missing from the covering:\n$p")
+    // the pad must be on the anchor (supplier) side: the padded covering
+    // expression must never appear on a lineitem scan's subtree line
+    p.linesIterator.filter(_.contains("cells_covering_pad")).foreach { l =>
+      assert(!l.contains("l_orderkey"),
+        s"pad landed on the corpus side: $l")
+    }
+  }
 }
