@@ -690,11 +690,12 @@ object SparkEntry {
 
     "sql5_dwithin_rule" -> { (s, d) =>
       // declarative `JOIN ON st_dwithin(a, b, 2.5)` — rewritten as
-      // intersects with the FIRST argument's covering padded by the
-      // distance (a true pair's padded envelope must intersect the
-      // other's, so completeness carries over; the pad rides the small
-      // anchor side by argument order). Must reproduce j7's hand-written
-      // distance join answer exactly — same oracle.
+      // intersects with ONE side's covering padded by the distance (a
+      // true pair's padded envelope must intersect the other's, so
+      // completeness carries over; plan stats put the pad on the smaller
+      // input — here the 50 anchors — so the corpus side stays
+      // one-cell-per-row). Must reproduce j7's hand-written distance
+      // join answer exactly — same oracle.
       val pts = t(s, d, "lineitem")
         .select(st_point(cxCol, cyCol).as("pgeom"), col("l_orderkey"))
       val anchors = t(s, d, "supplier")

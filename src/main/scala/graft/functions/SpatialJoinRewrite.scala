@@ -34,10 +34,12 @@ import org.apache.spark.sql.types.LongType
   * both coverings — making each surviving pair appear exactly once
   * (the standard grid-partitioned spatial-join dedup).
   *
-  * `st_dwithin(a, b, d)` (foldable d) — intersects with a's covering
-  * padded by d and the reference point shifted by −d on a's side: a true
-  * pair's padded-a envelope intersects b's envelope, so completeness and
-  * exactly-once both carry over.
+  * `st_dwithin(a, b, d)` (foldable d) — intersects with ONE side's
+  * covering padded by d and that side's reference corner shifted by −d:
+  * a true pair's padded envelope intersects the other's, so completeness
+  * and exactly-once both carry over. Plan statistics choose the padded
+  * side (the smaller input — its fan-out multiplies by ~(1+2d/cell)²,
+  * so the corpus side stays one covering cell per row).
   *
   * Oversized geometries (covering overflowed the cell cap — empty array;
   * country-scale shapes, few by nature) fall back to broadcast
@@ -129,10 +131,20 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           case Some(SymmetricPick(predExpr, aG, bG, pad)) =>
             val residual = conjuncts.filterNot(_ eq predExpr)
             val pred = (predExpr +: residual).reduce(And(_, _))
+            // the d-pad multiplies ONE side's covering by ~(1 + 2d/cell)²;
+            // put it on the smaller input (by plan stats) so the cheap
+            // side fans out and the corpus side stays one-cell-per-row —
+            // the predicate is symmetric, so the choice is free
+            val padLeft = pad == 0.0 ||
+              left.stats.sizeInBytes <= right.stats.sizeInBytes
+            def padded(g: Expression): Expression =
+              CellsCoveringPad(g, Literal(res), Literal(pad))
             val cellsA: Expression =
-              if (pad == 0.0) CellsCovering(aG, Literal(res))
-              else CellsCoveringPad(aG, Literal(res), Literal(pad))
-            val cellsB = CellsCovering(bG, Literal(res))
+              if (pad == 0.0 || !padLeft) CellsCovering(aG, Literal(res))
+              else padded(aG)
+            val cellsB: Expression =
+              if (pad == 0.0 || padLeft) CellsCovering(bG, Literal(res))
+              else padded(bG)
             val cellA = AttributeReference("__graft_cell_a", LongType,
               nullable = false)()
             val cellB = AttributeReference("__graft_cell_b", LongType,
@@ -140,13 +152,15 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             // envelope min corners are projected ONCE per input row (one
             // WKB decode each), BEFORE the explode replicates them as
             // cheap doubles — the dedup predicate then touches only
-            // attributes, never re-decoding geometry per candidate pair
-            def minusPad(e: Expression): Expression =
-              if (pad == 0.0) e else Subtract(e, Literal(pad))
-            val ax = Alias(minusPad(EnvMinX(aG)), "__graft_ax")()
-            val ay = Alias(minusPad(EnvMinY(aG)), "__graft_ay")()
-            val bx = Alias(EnvMinX(bG), "__graft_bx")()
-            val by = Alias(EnvMinY(bG), "__graft_by")()
+            // attributes, never re-decoding geometry per candidate pair.
+            // The −pad shift follows whichever side carries the padded
+            // covering (its effective envelope is the expanded one).
+            def minusPad(e: Expression, on: Boolean): Expression =
+              if (pad == 0.0 || !on) e else Subtract(e, Literal(pad))
+            val ax = Alias(minusPad(EnvMinX(aG), padLeft), "__graft_ax")()
+            val ay = Alias(minusPad(EnvMinY(aG), padLeft), "__graft_ay")()
+            val bx = Alias(minusPad(EnvMinX(bG), !padLeft), "__graft_bx")()
+            val by = Alias(minusPad(EnvMinY(bG), !padLeft), "__graft_by")()
             val genA = Generate(Explode(cellsA), Nil, outer = false,
               qualifier = None, generatorOutput = Seq(cellA),
               child = Project(left.output ++ Seq(ax, ay), left))

@@ -225,6 +225,36 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     assert(expected.nonEmpty)
   }
 
+  test("st_dwithin pads the SMALLER side regardless of argument order " +
+    "(plan-stats choice)") {
+    GeoSimplify.install(spark)
+    val small = (0 until 30).map { i =>
+      (i.toLong, -100.0 + i * 5.0, 10.0)
+    }.toDF("aid", "x", "y")
+      .select(col("aid"), st_point(col("x"), col("y")).as("ag"))
+    val big = (0 until 2000).map { k =>
+      (k.toLong, -101.0 + (k % 200) * 1.0, 9.0 + (k / 200) * 0.5)
+    }.toDF("bid", "x", "y")
+      .select(col("bid"), st_point(col("x"), col("y")).as("bg"))
+    // BIG side is the left plan AND the first predicate argument — the
+    // stats heuristic must still land the pad on the 30-row side
+    val q = big.join(small, st_dwithin(col("bg"), col("ag"), lit(2.0)))
+      .select(col("aid"), col("bid"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("cells_covering_pad"), s"no padded covering:\n$p")
+    p.linesIterator.filter(_.contains("cells_covering_pad")).foreach { l =>
+      assert(l.contains("ag#"), s"pad landed on the big side: $l")
+      assert(!l.contains("bg#"), s"pad landed on the big side: $l")
+    }
+    val expected = try {
+      spark.conf.set("spark.graft.spatialjoin.rewrite", "false")
+      pairsOf(big.join(small, st_dwithin(col("bg"), col("ag"), lit(2.0)))
+        .select(col("aid"), col("bid")))
+    } finally spark.conf.set("spark.graft.spatialjoin.rewrite", "true")
+    assert(pairsOf(q) == expected)
+    assert(expected.nonEmpty)
+  }
+
   test("st_dwithin with a non-foldable distance is left to the naive plan") {
     GeoSimplify.install(spark)
     val a = Seq((1L, 0.0, 0.0, 1.5)).toDF("aid", "x", "y", "r")
