@@ -341,7 +341,7 @@ case class EnvMinY(child: Expression) extends WkbToDoubleExpression {
   * by `pad` degrees (distance-join bucketing; empty = oversized). */
 case class CellsCoveringPad(first: Expression, second: Expression,
     third: Expression)
-    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends TernaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType, DoubleType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -351,6 +351,9 @@ case class CellsCoveringPad(first: Expression, second: Expression,
       GeomLib.cellsCoveringPad(wkb.asInstanceOf[Array[Byte]],
         res.asInstanceOf[Number].intValue,
         pad.asInstanceOf[Number].doubleValue))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (w, r, p) => s"graft.geom.GeomLib.cellsCoveringPadData($w, $r, $p)")
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
 }
@@ -358,7 +361,7 @@ case class CellsCoveringPad(first: Expression, second: Expression,
 /** cells_covering(geom, res) → cells intersecting the envelope (spatial-join
   * polygon bucketing). */
 case class CellsCovering(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -366,6 +369,9 @@ case class CellsCovering(left: Expression, right: Expression)
   protected override def nullSafeEval(wkb: Any, res: Any): Any =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       GeomLib.cellsCovering(wkb.asInstanceOf[Array[Byte]], res.asInstanceOf[Number].intValue))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (w, r) => s"graft.geom.GeomLib.cellsCoveringData($w, $r)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -375,7 +381,7 @@ case class CellsCovering(left: Expression, right: Expression)
   * H3-lattice polygon bucketing for the spatial join, so the join and the
   * reference's H3 heatmap share one lattice. Empty array = oversized. */
 case class H3CellsCovering(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(BinaryType, IntegerType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -384,6 +390,9 @@ case class H3CellsCovering(left: Expression, right: Expression)
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
       GeomLib.h3CellsCovering(wkb.asInstanceOf[Array[Byte]],
         res.asInstanceOf[Number].intValue))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (w, r) => s"graft.geom.GeomLib.h3CellsCoveringData($w, $r)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -425,41 +434,56 @@ case class H3GridDisk(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** st_contains(outer, inner) — JTS containment (spatial-join refine step). */
+/** st_contains(outer, inner) — JTS containment (spatial-join refine step).
+  * Codegen'd as one static call: join conditions and refine filters stay
+  * inside the generated stage (no interpreted fallback per candidate). */
 case class StContains(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "st_contains"
   protected override def nullSafeEval(a: Any, b: Any): Any =
     GeomLib.contains(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.geom.GeomLib.contains($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
-/** st_intersects(a, b) — JTS intersection test. */
+/** st_intersects(a, b) — JTS intersection test (codegen'd static call). */
 case class StIntersects(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "st_intersects"
   protected override def nullSafeEval(a: Any, b: Any): Any =
     GeomLib.intersects(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.geom.GeomLib.intersects($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
 
 /** st_distance(a, b) — planar (degree-space) distance. */
 case class StDistance(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "st_distance"
   protected override def nullSafeEval(a: Any, b: Any): Any =
     GeomLib.distance(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dist")
+      s"""
+        java.lang.Double $tmp = graft.geom.GeomLib.distance($a, $b);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp.doubleValue(); }
+      """
+    })
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -593,13 +617,15 @@ case class StSymDifference(left: Expression, right: Expression) extends WkbOverl
 
 /** st_within(a, b) ≡ st_contains(b, a). */
 case class StWithin(left: Expression, right: Expression)
-    extends BinaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends BinaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "st_within"
   protected override def nullSafeEval(a: Any, b: Any): Any =
     GeomLib.within(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.geom.GeomLib.within($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -607,7 +633,7 @@ case class StWithin(left: Expression, right: Expression)
 /** st_dwithin(a, b, d) — proximity within distance d (envelope
   * short-circuit via JTS isWithinDistance). */
 case class StDWithin(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with ImplicitCastInputTypes with CodegenFallback {
+    extends TernaryExpression with ImplicitCastInputTypes {
   override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType, DoubleType)
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
@@ -615,6 +641,9 @@ case class StDWithin(first: Expression, second: Expression, third: Expression)
   protected override def nullSafeEval(a: Any, b: Any, d: Any): Any =
     GeomLib.dwithin(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
       d.asInstanceOf[Number].doubleValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, d) => s"graft.geom.GeomLib.dwithin($a, $b, $d)")
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(first = f, second = s, third = t)
 }

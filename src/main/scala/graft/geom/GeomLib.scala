@@ -495,6 +495,25 @@ object GeomLib {
     out
   }
 
+  // Catalyst-ArrayData forwarders: single static call sites for the
+  // covering expressions' generated code (whole-stage codegen keeps the
+  // spatial-join probe side in one generated function instead of
+  // interpreted fallback per row).
+  def cellsCoveringData(wkb: Array[Byte], res: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      cellsCovering(wkb, res))
+
+  def cellsCoveringPadData(wkb: Array[Byte], res: Int, pad: Double)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      cellsCoveringPad(wkb, res, pad))
+
+  def h3CellsCoveringData(wkb: Array[Byte], res: Int)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      h3CellsCovering(wkb, res))
+
   /** Envelope min-x (null for null/empty geometry) — the spatial-join
     * rewrite's dedup reference point rides on these. */
   def envMinX(wkb: Array[Byte]): java.lang.Double = {
