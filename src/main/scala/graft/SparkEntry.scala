@@ -1310,6 +1310,43 @@ object SparkEntry {
           lit(ver - pre).as("dv"))
     },
 
+    "k16_tablelog_skipping" -> { (s, d) =>
+      // log-integrated data skipping (TableLog.readZonePruned +
+      // optimize(clusterBy)): six UNCLUSTERED appends leave every file
+      // spanning the whole key range (zone maps can skip nothing —
+      // unpruned_before pins that honestly); a clustering OPTIMIZE
+      // rewrites each group globally range-sorted into ≤maxRows files,
+      // after which a 1/8th-keyspace query opens only intersecting
+      // files. The index is built from the COMMITTED snapshot's footers
+      // only — orphans and old versions never pollute it. Aggregates
+      // must equal the closed-form full-scan oracle.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k16")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      (0 until 6).foreach { i =>
+        graft.operators.TableLog.append(
+          o.filter(col("o_orderkey") % 6 === i).repartition(2), dir)
+      }
+      val b = o.agg(min("o_orderkey"), max("o_orderkey"),
+        count(lit(1))).first()
+      val lo = b.getLong(0)
+      val hi = lo + (b.getLong(1) - lo) / 8
+      val (_, ob, tb) = graft.operators.TableLog.readZonePruned(
+        s, dir, "o_orderkey", lo, hi)
+      graft.operators.TableLog.optimize(s, dir,
+        maxRows = (b.getLong(2) + 7) / 8, clusterBy = Seq("o_orderkey"))
+      val (pr, opened, total) = graft.operators.TableLog.readZonePruned(
+        s, dir, "o_orderkey", lo, hi)
+      pr.filter(col("o_orderkey").between(lo, hi))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_k"),
+          max(col("o_orderkey")).as("max_k"))
+        .withColumn("pruned", lit(opened < total))
+        .withColumn("unpruned_before", lit(ob == tb))
+    },
+
     "k15_exactly_once_append" -> { (s, d) =>
       // exactly-once ingest (TableLog.appendExactlyOnce — the foreachBatch
       // sink's core): three batches land, batch 1 is REPLAYED in between
@@ -7486,6 +7523,20 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS n_pre,
            TRUE AS collapsed, 1 AS dv
          FROM orders""",
+
+    // log data-skipping replay: the same 1/8th-range full-scan; TRUE
+    // pins both the post-cluster skip and the honest pre-cluster no-skip
+    "k16_tablelog_skipping" ->
+      s"""WITH b AS (
+           SELECT MIN(o_orderkey) AS lo,
+             MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 8 AS hi
+           FROM orders)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k,
+           TRUE AS pruned, TRUE AS unpruned_before
+         FROM orders, b
+         WHERE o_orderkey BETWEEN b.lo AND b.hi""",
 
     // exactly-once replay: the clean union of the three batches — a
     // replay applied would double the k%3=1 third; 3 pins one version

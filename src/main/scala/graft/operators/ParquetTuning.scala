@@ -47,11 +47,20 @@ object ParquetTuning {
     * conservatively. */
   def zoneMapIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
       column: String): DataFrame = {
-    import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(dir)
     val files = root.getFileSystem(conf).listStatus(root).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    zoneMapIndexFiles(spark, files, column)
+  }
+
+  /** [[zoneMapIndex]] over an EXPLICIT file list — the [[TableLog]]
+    * data-skipping shape: stats for exactly the committed snapshot's
+    * files (orphans and other versions' files never enter the index). */
+  def zoneMapIndexFiles(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String], column: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
     files.toDS().mapPartitions { it =>
       import org.apache.parquet.hadoop.ParquetFileReader
@@ -117,11 +126,18 @@ object ParquetTuning {
     * [[readZonePrunedString]]. */
   def zoneMapIndexString(spark: org.apache.spark.sql.SparkSession,
       dir: String, column: String): DataFrame = {
-    import spark.implicits._
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(dir)
     val files = root.getFileSystem(conf).listStatus(root).map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    zoneMapIndexStringFiles(spark, files, column)
+  }
+
+  /** [[zoneMapIndexString]] over an explicit file list (TableLog twin). */
+  def zoneMapIndexStringFiles(spark: org.apache.spark.sql.SparkSession,
+      files: Seq[String], column: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
     val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
     files.toDS().mapPartitions { it =>
       import org.apache.parquet.hadoop.ParquetFileReader

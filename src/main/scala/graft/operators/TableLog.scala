@@ -272,26 +272,45 @@ object TableLog {
       Paths.get(dir).resolve(f).toString): _*)
   }
 
+  /** Zone-map-pruned read: footer min/max stats of EXACTLY the committed
+    * snapshot's files (an orphan or another version's file never enters
+    * the index — the Delta data-skipping contract), opening only files
+    * whose [zmin, zmax] intersects [lo, hi]. The caller re-applies the
+    * exact predicate (zone maps prune files, not rows). Returns
+    * (frame, filesOpened, filesTotal). Pair with [[optimize]]
+    * (`clusterBy` the same column) so file ranges are tight. */
+  def readZonePruned(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long, version: Int = -1): (DataFrame, Int, Int) = {
+    val snap = snapshot(dir, version)
+    val abs = snap.files.map(f => Paths.get(dir).resolve(f).toString)
+    val idx = ParquetTuning.zoneMapIndexFiles(spark, abs, column)
+    ParquetTuning.readZonePruned(spark, idx, lo, hi)
+  }
+
   /** Compaction (OPTIMIZE): greedy bin-pack of the current version's
     * small files into ≤ `maxRows` rewritten files, committed as a NEW
     * version — readers of every prior version are untouched (their
     * files stay until [[vacuum]]), the new version reads the same rows
     * from far fewer files. Files sharing a partition tag compact only
     * with each other (the tag survives); single-file bins are kept
-    * as-is, not rewritten. Returns (newVersion, filesBefore,
-    * filesAfter); a no-op (nothing to merge) commits nothing and
-    * returns the current version.
+    * as-is, not rewritten. `clusterBy` sorts each rewritten file on the
+    * given columns (the OPTIMIZE ZORDER/cluster shape) so footer min/max
+    * ranges tighten and [[readZonePruned]] skips harder. Returns
+    * (newVersion, filesBefore, filesAfter); a no-op (nothing to merge)
+    * commits nothing and returns the current version.
     *
     * Scale: row counts come from one distributed footer-only pass; each
     * merged bin is one distributed read+write. The greedy plan itself is
     * the [[MergeParquet.planBatches]] driver logic over (file, count)
     * pairs — bounded metadata. */
   def optimize(spark: SparkSession, dir: String,
-      maxRows: Long = 10000000L): (Int, Int, Int) = {
+      maxRows: Long = 10000000L,
+      clusterBy: Seq[String] = Nil): (Int, Int, Int) = {
     val cur = currentVersion(dir)
     val snap = snapshot(dir, cur)
     val v = cur + 1
-    if (snap.files.size <= 1) return (cur, snap.files.size, snap.files.size)
+    if (snap.files.size <= 1 && clusterBy.isEmpty)
+      return (cur, snap.files.size, snap.files.size)
     // per-file row counts from footers only, distributed (one task/file)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -305,32 +324,49 @@ object TableLog {
       val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf.value))
       try rel -> r.getRecordCount finally r.close()
     }.collect().toMap
-    // bin-pack within each partition-tag group so tags stay exact
+    // work within each partition-tag group so tags stay exact
     val groups = snap.files.groupBy(f => snap.parts.get(f)).toSeq
       .sortBy(_._1.getOrElse(""))
     val kept = Seq.newBuilder[String]
     val merged = Seq.newBuilder[(String, Option[String])]
     var binIdx = 0
+    def writeMerged(df: DataFrame, tag: Option[String]): Unit = {
+      val staging = Files.createTempDirectory("graft_optimize").toString
+      df.write.mode("overwrite").parquet(staging)
+      val part = Files.list(Paths.get(staging))
+      val outs =
+        try part.iterator.asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+        finally part.close()
+      outs.foreach { f0 =>
+        val rel = f"data/v$v%05d-opt$binIdx%04d-${f0.getFileName.toString}"
+        Files.move(f0, Paths.get(base).resolve(rel),
+          StandardCopyOption.ATOMIC_MOVE)
+        merged += rel -> tag
+        binIdx += 1
+      }
+    }
     groups.foreach { case (tag, fs) =>
-      val plan = MergeParquet.planBatches(
-        fs.sorted.map(f => f -> counts(f)), maxRows)
-      plan.foreach { bin =>
+      if (clusterBy.nonEmpty) {
+        // clustering rewrite: the whole group re-sorts GLOBALLY on the
+        // cluster columns into range-disjoint ≤maxRows files — the
+        // OPTIMIZE ZORDER shape that makes readZonePruned skip hard
+        // (per-bin local sorts would leave file ranges overlapping)
+        val total = fs.iterator.map(counts).sum
+        val nOut = math.max(1L, (total + maxRows - 1) / maxRows).toInt
+        val abs = fs.map(f => Paths.get(base).resolve(f).toString)
+        val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+        writeMerged(
+          spark.read.parquet(abs: _*)
+            .repartitionByRange(nOut, cols: _*)
+            .sortWithinPartitions(cols: _*),
+          tag)
+      } else MergeParquet.planBatches(
+        fs.sorted.map(f => f -> counts(f)), maxRows).foreach { bin =>
         if (bin.size == 1) kept += bin.head
         else {
           val abs = bin.map(f => Paths.get(base).resolve(f).toString)
-          val staging = Files.createTempDirectory("graft_optimize").toString
-          spark.read.parquet(abs: _*).coalesce(1)
-            .write.mode("overwrite").parquet(staging)
-          val part = Files.list(Paths.get(staging))
-          val f0 =
-            try part.iterator.asScala
-              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
-            finally part.close()
-          val rel = f"data/v$v%05d-opt$binIdx%04d.parquet"
-          Files.move(f0, Paths.get(base).resolve(rel),
-            StandardCopyOption.ATOMIC_MOVE)
-          merged += rel -> tag
-          binIdx += 1
+          writeMerged(spark.read.parquet(abs: _*).coalesce(1), tag)
         }
       }
     }

@@ -221,6 +221,36 @@ class TableLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TableLog.snapshot(dir, pre) }
   }
 
+  test("optimize(clusterBy) range-sorts globally; readZonePruned skips " +
+    "files and never reads orphans") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshDir()
+    // 3 unclustered appends, keys interleaved across the range
+    (0 until 3).foreach { i =>
+      TableLog.append((0L until 300L).filter(_ % 3 == i)
+        .map(k => (k, k * 10)).toDF("k", "v").repartition(2), dir)
+    }
+    val (before, _, _) = TableLog.readZonePruned(spark, dir, "k", 0L, 49L)
+    assert(before.filter(col("k") <= 49).count() == 50)
+    val (ver, _, after) =
+      TableLog.optimize(spark, dir, maxRows = 60, clusterBy = Seq("k"))
+    assert(after >= 5, s"expected ~5 range files, got $after")
+    // plant an orphan with extreme keys: the log-resolved index must
+    // never open it, and the pruned read must not see its rows
+    Seq((0L, 999999L)).toDF("k", "v").write.mode("overwrite")
+      .parquet(dir + "/orphan_stage")
+    val orphan = new java.io.File(dir + "/orphan_stage").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(orphan.toPath,
+      java.nio.file.Paths.get(dir, "data", f"v$ver%05d-orphan.parquet"))
+    val (pr, opened, total) = TableLog.readZonePruned(spark, dir, "k", 0L, 49L)
+    assert(opened < total, s"no skip: $opened/$total")
+    val got = pr.filter(col("k") <= 49)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L until 50L).map(k => (k, k * 10)).toSet,
+      "pruned read lost rows or leaked the orphan")
+  }
+
   test("appendPartitioned + readPartitions: tags prune to the asked " +
     "partitions; optimize preserves tags") {
     val dir = freshDir()
