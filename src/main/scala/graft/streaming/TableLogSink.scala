@@ -25,12 +25,24 @@ object TableLogSink {
 
   /** Start the sink. `txnId` names this writer stream (one counter per
     * id — two different streams appending to one table don't interfere);
-    * `checkpoint` is the Structured Streaming checkpoint location. */
+    * `checkpoint` is the Structured Streaming checkpoint location.
+    * `optimizeEvery` > 0 runs [[TableLog.optimize]] after every Nth
+    * applied batch (small-file compaction keeps pace with the stream;
+    * a replayed batch skips its append AND its compaction — the
+    * version chain stays deterministic). Old pre-compaction versions
+    * remain readable until an explicit vacuum. */
   def start(df: DataFrame, dir: String, txnId: String, checkpoint: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow(),
+      optimizeEvery: Int = 0,
+      optimizeMaxRows: Long = 10000000L): StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        TableLog.appendExactlyOnce(batch, dir, txnId, batchId)
+        val applied = TableLog.appendExactlyOnce(batch, dir, txnId, batchId)
+        if (applied.isDefined && optimizeEvery > 0 &&
+          batchId % optimizeEvery == (optimizeEvery - 1).toLong) {
+          TableLog.optimize(batch.sparkSession, dir,
+            maxRows = optimizeMaxRows)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)
