@@ -711,6 +711,31 @@ object SparkEntry {
         .orderBy("aid")
     },
 
+    "j10_dbscan" -> { (s, d) =>
+      // density clustering (SpatialCluster.dbscan — PostGIS
+      // ST_ClusterDBSCAN semantics, deterministic label contract):
+      // customers land on 64 jittered 5×5 lattice sites (spacing 0.3,
+      // eps 0.5 → sites form dense clusters with corner/edge border
+      // points where slots are vacant), while every 17th point shifts
+      // into the inter-site void (too sparse → noise). Candidate pairs
+      // come from the radius-width grid equi-join, the core graph
+      // collapses through bounded label propagation, border points take
+      // the smallest core-neighbor label. The oracle replays the exact
+      // semantics: quadratic neighbor join, core counts including self,
+      // a RECURSIVE component closure over the core graph, and the same
+      // min-label border rule — per-point cluster ids and core flags
+      // hash-match or the operator is wrong.
+      val pts = t(s, d, "customer").select(col("c_custkey").as("id"),
+        ((col("c_custkey") % 64 % 8).cast("double") * 10.0 +
+          (col("c_custkey") % 5).cast("double") * 0.3 +
+          when(col("c_custkey") % 17 === 0, 5.0).otherwise(0.0)).as("x"),
+        (expr("(c_custkey % 64) div 8").cast("double") * 10.0 +
+          expr("(c_custkey div 5) % 5").cast("double") * 0.3).as("y"))
+      graft.operators.SpatialCluster.dbscan(pts, eps = 0.5, minPts = 4)
+        .select(col("id").as("c_custkey"), col("cluster"), col("is_core"))
+        .orderBy("c_custkey")
+    },
+
     "j3h_spatial_join_h3" -> { (s, d) =>
       // the same spatial join on the TRUE H3 lattice (VERDICT r5 #3): points
       // bucket to their res-4 H3 cell, polygons to a grid-disk covering of
@@ -5900,6 +5925,48 @@ object SparkEntry {
           FROM a JOIN b
             ON abs(ax - bx) <= ah + bh AND abs(ay - byy) <= ah + bh
           GROUP BY aid ORDER BY aid""",
+
+    // DBSCAN replay: exact semantics via a quadratic neighbor join and a
+    // recursive component closure over the core graph
+    "j10_dbscan" ->
+      """WITH RECURSIVE p AS (
+           SELECT c_custkey AS id,
+             CAST((c_custkey % 64) % 8 AS DOUBLE) * 10.0
+               + CAST(c_custkey % 5 AS DOUBLE) * 0.3
+               + CASE WHEN c_custkey % 17 = 0 THEN 5.0 ELSE 0.0 END AS x,
+             CAST((c_custkey % 64) // 8 AS DOUBLE) * 10.0
+               + CAST((c_custkey // 5) % 5 AS DOUBLE) * 0.3 AS y
+           FROM customer),
+         nbr AS (
+           SELECT a.id AS ia, b.id AS ib
+           FROM p a JOIN p b
+             ON a.id <> b.id
+            AND (a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y) <= 0.25),
+         cnt AS (SELECT ia AS id, COUNT(*) + 1 AS n FROM nbr GROUP BY ia),
+         core AS (
+           SELECT p.id FROM p LEFT JOIN cnt ON p.id = cnt.id
+           WHERE COALESCE(cnt.n, 1) >= 4),
+         ce AS (
+           SELECT n.ia, n.ib FROM nbr n
+           JOIN core c1 ON n.ia = c1.id
+           JOIN core c2 ON n.ib = c2.id),
+         reach AS (
+           SELECT id, id AS r FROM core
+           UNION
+           SELECT ce.ia, reach.r FROM ce JOIN reach ON ce.ib = reach.id),
+         lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+         bord AS (
+           SELECT n.ia AS id, MIN(l.label) AS blabel
+           FROM nbr n JOIN lab l ON n.ib = l.id
+           WHERE n.ia NOT IN (SELECT id FROM core)
+           GROUP BY n.ia)
+         SELECT p.id AS c_custkey,
+           COALESCE(l.label, b.blabel) AS cluster,
+           (l.id IS NOT NULL) AS is_core
+         FROM p LEFT JOIN lab l ON p.id = l.id
+                LEFT JOIN bord b ON p.id = b.id
+         ORDER BY c_custkey""",
 
     // the declarative dwithin must equal the hand-written distance join:
     // same raw inequality oracle as j7_distance_join

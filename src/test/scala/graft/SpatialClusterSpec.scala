@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SpatialCluster
+
+/** DBSCAN semantics (PostGIS ST_ClusterDBSCAN contract): core = ≥minPts
+  * inputs within eps INCLUDING itself; border joins the smallest-label
+  * core neighbor; labels are the minimum core id; noise is null. */
+class SpatialClusterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def run(pts: Seq[(Long, Double, Double)], eps: Double,
+      minPts: Int): Map[Long, (Option[Long], Boolean)] =
+    SpatialCluster.dbscan(pts.toDF("id", "x", "y"), eps, minPts)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2)))
+      .toMap
+
+  test("chain: middle point core, ends are border; noise isolated") {
+    // 0 --0.4-- 1 --0.4-- 2, plus a far point 9. Only the middle point
+    // has 3 neighbors (incl itself) → the cluster label is ITS id (the
+    // minimum CORE id), not the minimum member id.
+    val out = run(Seq((0L, 0.0, 0.0), (1L, 0.4, 0.0), (2L, 0.8, 0.0),
+      (9L, 50.0, 50.0)), eps = 0.5, minPts = 3)
+    assert(out(1L) == (Some(1L), true), out.toString)
+    assert(out(0L) == (Some(1L), false), out.toString)
+    assert(out(2L) == (Some(1L), false), out.toString)
+    assert(out(9L) == (None, false), out.toString)
+  }
+
+  test("labels are the minimum CORE id; border takes the smallest " +
+    "core-neighbor label; boundary-exact eps distances count") {
+    // two cores 10 and 20 exactly 1.0 apart; border 15 sits EXACTLY eps
+    // (0.5) from both — within per the <= contract — and must take the
+    // smaller cluster label
+    val pts = Seq(
+      (10L, 0.0, 0.0), (11L, 0.0, 0.3), (12L, 0.0, -0.3),
+      (20L, 1.0, 0.0), (21L, 1.3, 0.0), (22L, 1.0, 0.3),
+      (15L, 0.5, 0.0)
+    )
+    val out = run(pts, eps = 0.5, minPts = 4)
+    // counts incl self: 10 → {10,11,12,15}=4 core; 20 → {20,21,22,15}=4
+    // core; 15 → {15,10,20}=3 border of both; satellites ≤3 border
+    assert(out(10L) == (Some(10L), true))
+    assert(out(20L) == (Some(20L), true))
+    assert(out(11L)._1 == Some(10L) && !out(11L)._2)
+    assert(out(12L)._1 == Some(10L) && !out(12L)._2)
+    assert(out(21L)._1 == Some(20L) && !out(21L)._2)
+    assert(out(22L)._1 == Some(20L) && !out(22L)._2)
+    assert(out(15L)._1 == Some(10L) && !out(15L)._2,
+      s"shared border must take the smaller label: ${out(15L)}")
+  }
+
+  test("minPts=1: every point is core; clusters are eps-components") {
+    val out = run(Seq((1L, 0.0, 0.0), (2L, 0.4, 0.0), (3L, 10.0, 0.0)),
+      eps = 0.5, minPts = 1)
+    assert(out(1L) == (Some(1L), true))
+    assert(out(2L) == (Some(1L), true))
+    assert(out(3L) == (Some(3L), true), "isolated core forms a singleton")
+  }
+
+  test("duplicate coordinates count as neighbors (GPS-pile collapse)") {
+    val pts = (0L until 5L).map(i => (i, 1.0, 2.0)) :+ (99L, 30.0, 30.0)
+    val out = run(pts, eps = 0.1, minPts = 5)
+    (0L until 5L).foreach(i => assert(out(i) == (Some(0L), true)))
+    assert(out(99L) == (None, false), "lone point is noise")
+  }
+
+  test("eps-chained cores merge transitively into one cluster") {
+    // cores at 0, 0.4, 0.8, 1.2 — consecutive within eps, ends not
+    val pts = (0 until 4).flatMap { i =>
+      val x = i * 0.4
+      // each core gets 3 coincident satellites so everyone is core
+      (0 until 4).map(j => (i * 10L + j, x, 0.0))
+    }
+    val out = run(pts, eps = 0.5, minPts = 4)
+    assert(out.values.forall(_._2), "all points must be core")
+    assert(out.values.map(_._1).toSet == Set(Some(0L)),
+      s"one transitive cluster expected: $out")
+  }
+}
