@@ -736,6 +736,28 @@ object SparkEntry {
         .orderBy("c_custkey")
     },
 
+    "j11_knn_join" -> { (s, d) =>
+      // exact k-nearest-neighbor self-join (KnnJoin.knnJoin — PostGIS
+      // `<->` KNN semantics with a deterministic (dist, rid) tie order):
+      // the j10 lattice WITHOUT the noise shift, k=3, starting radius
+      // 0.5 — dense 5×5 sites resolve in round one, sites whose slot
+      // occupancy leaves a corner short of 3 neighbors double their
+      // radius and retry alone, so the gate exercises the multi-round
+      // exactness path. The oracle is the quadratic ground truth: every
+      // pair's distance, ranked per probe by (dist, rid), top 3 — any
+      // probe the doubling loop resolved too early (with a candidate set
+      // missing a true neighbor) hash-mismatches on dist or rid.
+      val pts = t(s, d, "customer").select(col("c_custkey").as("id"),
+        ((col("c_custkey") % 64 % 8).cast("double") * 10.0 +
+          (col("c_custkey") % 5).cast("double") * 0.3).as("x"),
+        (expr("(c_custkey % 64) div 8").cast("double") * 10.0 +
+          expr("(c_custkey div 5) % 5").cast("double") * 0.3).as("y"))
+      graft.operators.KnnJoin.knnJoin(pts, pts, k = 3, r0 = 0.5)
+        .select(col("lid").as("c_custkey"), col("rn"), col("rid"),
+          col("dist"))
+        .orderBy("c_custkey", "rn")
+    },
+
     "j3h_spatial_join_h3" -> { (s, d) =>
       // the same spatial join on the TRUE H3 lattice (VERDICT r5 #3): points
       // bucket to their res-4 H3 cell, polygons to a grid-disk covering of
@@ -2508,6 +2530,28 @@ object SparkEntry {
           Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99), k = 2000, seed = "t63",
           idCol = "rid")
         .orderBy("q")
+    },
+
+    "t66_triangles" -> { (s, d) =>
+      // per-vertex triangle counts (Graph.triangles — degree-ordered
+      // orientation, each triangle generated once at its (deg, id)-least
+      // vertex): a ring over the customer keys with +1/+2 chords plus a
+      // ×7 long-range chord, which seeds consecutive-triple triangles,
+      // {i, i+2, i+4} chord triangles, and irregular ones where the ×7
+      // chord closes a wedge. The oracle canonicalizes the undirected
+      // edge set (LEAST/GREATEST + DISTINCT, self-loops dropped) and
+      // counts via the textbook a<b<c three-way join — orientation
+      // bookkeeping errors (an edge counted twice, a wedge closed by a
+      // non-edge) shift per-vertex counts and hash-mismatch.
+      val n = t(s, d, "customer").count()
+      val keys = t(s, d, "customer").select(col("c_custkey"))
+      val edges = keys.select(col("c_custkey").as("src"),
+          ((col("c_custkey") + 1) % n).as("dst"))
+        .union(keys.select(col("c_custkey"), (col("c_custkey") + 2) % n))
+        .union(keys.select(col("c_custkey"), (col("c_custkey") * 7 + 3) % n))
+      graft.operators.Graph.triangles(edges)
+        .select(col("id"), col("tri_count"))
+        .orderBy("id")
     },
 
     "t57_link_graph" -> { (s, d) =>
@@ -5926,6 +5970,30 @@ object SparkEntry {
             ON abs(ax - bx) <= ah + bh AND abs(ay - byy) <= ah + bh
           GROUP BY aid ORDER BY aid""",
 
+    // KNN ground truth: quadratic distances, ranked per probe by
+    // (dist, rid), top 3 — same coordinate and distance expressions as
+    // the Spark side so doubles match bitwise
+    "j11_knn_join" ->
+      """WITH p AS (
+           SELECT c_custkey AS id,
+             CAST((c_custkey % 64) % 8 AS DOUBLE) * 10.0
+               + CAST(c_custkey % 5 AS DOUBLE) * 0.3 AS x,
+             CAST((c_custkey % 64) // 8 AS DOUBLE) * 10.0
+               + CAST((c_custkey // 5) % 5 AS DOUBLE) * 0.3 AS y
+           FROM customer),
+         d AS (
+           SELECT a.id AS lid, b.id AS rid,
+             sqrt((a.x - b.x) * (a.x - b.x)
+                + (a.y - b.y) * (a.y - b.y)) AS dist
+           FROM p a CROSS JOIN p b),
+         r AS (
+           SELECT lid, rid, dist,
+             CAST(row_number() OVER
+               (PARTITION BY lid ORDER BY dist, rid) AS INT) AS rn
+           FROM d)
+         SELECT lid AS c_custkey, rn, rid, dist FROM r
+         WHERE rn <= 3 ORDER BY c_custkey, rn""",
+
     // DBSCAN replay: exact semantics via a quadratic neighbor join and a
     // recursive component closure over the core graph
     "j10_dbscan" ->
@@ -7777,6 +7845,37 @@ object SparkEntry {
          SELECT tgt.q, r.v AS value
          FROM tgt JOIN r ON r.rk = tgt.target ORDER BY q"""
     },
+
+    // triangle ground truth: canonical undirected edges, textbook
+    // a<b<c three-way join, per-vertex via a 3-way endpoint union
+    "t66_triangles" ->
+      """WITH nn AS (SELECT count(*) AS n FROM customer),
+         raw AS (
+           SELECT c_custkey AS a, (c_custkey + 1) % nn.n AS b
+           FROM customer, nn
+           UNION ALL
+           SELECT c_custkey, (c_custkey + 2) % nn.n FROM customer, nn
+           UNION ALL
+           SELECT c_custkey, (c_custkey * 7 + 3) % nn.n FROM customer, nn),
+         e AS (
+           SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+           FROM raw WHERE a <> b),
+         tri AS (
+           SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           FROM e e1
+           JOIN e e2 ON e2.a = e1.b
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         pv AS (
+           SELECT x AS id FROM tri
+           UNION ALL SELECT y FROM tri
+           UNION ALL SELECT z FROM tri),
+         nodes AS (SELECT a AS id FROM e UNION SELECT b FROM e)
+         SELECT nodes.id,
+           CAST(COALESCE(c.c, 0) AS BIGINT) AS tri_count
+         FROM nodes LEFT JOIN
+           (SELECT id, COUNT(*) AS c FROM pv GROUP BY 1) c
+           ON nodes.id = c.id
+         ORDER BY nodes.id""",
 
     "t57_link_graph" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),

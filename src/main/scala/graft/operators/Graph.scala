@@ -74,6 +74,64 @@ object Graph {
     scores.select(col("id"), col("hub"), col("auth"))
   }
 
+  /** Per-vertex triangle counting by degree-ordered edge orientation
+    * (Cohen 2009, "Graph twiddling in a MapReduce world"; the same
+    * orientation GraphX's TriangleCount and Trino's graph extensions
+    * use). A triangle's link-graph reading: mutually-citing page triples,
+    * the unit of the local clustering coefficient that separates organic
+    * link neighborhoods from link-farm stars (stars have none).
+    *
+    * Scale shape — the naive 3-way edge self-join explodes on the
+    * high-degree vertices every web graph has (a hub of degree d yields
+    * d² wedges). Orienting each undirected edge from its (degree, id)-
+    * smaller endpoint to its larger caps every oriented out-degree at
+    * O(√m), so the wedge join materializes O(m^{3/2}) rows worst case —
+    * the sort-by-degree bound of Schank & Wagner 2005 — and each triangle
+    * is generated EXACTLY once (its vertices totally ordered by
+    * (degree, id), the wedge pivots at the smallest). Three shuffles
+    * total: degree aggregate, wedge self-join on the pivot, existence
+    * semi-join on the closing edge.
+    *
+    * Input edges are read as undirected (direction, duplicates, and
+    * self-loops are normalized away). Returns `(id, tri_count)` for every
+    * vertex incident to an edge, zeros included. */
+  def triangles(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    // symmetric closure so degree = undirected degree and each endpoint
+    // sees every incident edge exactly once
+    val und = raw.union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // orient u→v iff (deg_u, u) < (deg_v, v): one direction per edge
+    val oriented = und
+      .join(deg.select(col("id").as("src"), col("deg").as("du")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("dv")), Seq("dst"))
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("src") < col("dst")))
+      .select(col("src").as("u"), col("dst").as("v"),
+        col("dv").as("degv"))
+    // wedges pivoted at u with the two far ends themselves ordered, so
+    // the closing edge (v,w) is oriented exactly v→w
+    val wedges = oriented.select(col("u"), col("v"), col("degv"))
+      .join(oriented.select(col("u"), col("v").as("w"),
+        col("degv").as("degw")), Seq("u"))
+      .filter(col("degv") < col("degw") ||
+        (col("degv") === col("degw") && col("v") < col("w")))
+      .select(col("u"), col("v"), col("w"))
+    val tris = wedges.join(oriented.select(col("u").as("v"),
+      col("v").as("w")), Seq("v", "w"), "left_semi")
+    val perVertex = tris
+      .select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("_tc"))
+    deg.select(col("id"))
+      .join(perVertex, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("_tc"), lit(0L)).as("tri_count"))
+  }
+
   /** PageRank (Page et al. 1999) by power iteration.
     *
     * Scale shape: out-degrees are one map-side-combinable aggregate,

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** k-nearest-neighbor join — PostGIS `<->`-operator KNN semantics
+  * (`ORDER BY geom <-> target LIMIT k` per probe row), distributed. The
+  * reference's engine family exposes this through its spatial SQL; a
+  * curation pipeline uses it to attach each point of interest to its k
+  * closest reference sites (reverse geocoding, venue conflation, sensor
+  * gap-fill).
+  *
+  * Exact, not approximate: a probe is RESOLVED at radius r once it has
+  * at least k candidates within true distance ≤ r — every unexamined
+  * point is then strictly farther than its current k-th neighbor, so the
+  * top-k within r is the global top-k. Unresolved probes retry at 2r
+  * (grid-cell side tracks the radius, so the 3×3 neighborhood replication
+  * stays constant-factor at every scale); a probe whose candidate set
+  * already spans the whole right side resolves regardless of k, which
+  * bounds the loop even when k exceeds the right-side row count.
+  *
+  * Scale shape: each round is one [[SpatialJoin.distanceJoin]] (shuffled
+  * grid equi-join, never quadratic) over ONLY the still-unresolved
+  * probes + one per-probe window top-k; doubling means geometric
+  * progress, and dense regions resolve in the first round while sparse
+  * stragglers retry alone. Lineage is truncated per round
+  * ([[Graph.pageRank]]'s discipline).
+  *
+  * Determinism contract (PostGIS leaves tie order unspecified): neighbors
+  * rank by `(distance, right id)`, so output is a pure function of the
+  * input and an oracle can replay it.
+  *
+  * Returns one row per (probe, neighbor): `(lid, rid, dist, rn)` with
+  * `rn` in 1..k — fewer than k rows for a probe only when the right side
+  * itself has fewer than k rows. */
+object KnnJoin {
+
+  def knnJoin(left: DataFrame, right: DataFrame, k: Int, r0: Double,
+      leftId: String = "id", leftX: String = "x", leftY: String = "y",
+      rightId: String = "id", rightX: String = "x", rightY: String = "y",
+      maxIter: Int = 40,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(r0 > 0, s"r0 must be positive: $r0")
+    checkpointDir.foreach(left.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+
+    val probes0 = left.select(col(leftId).as("lid"),
+      col(leftX).cast("double").as("x"), col(leftY).cast("double").as("y"))
+    val sites = truncate(right.select(col(rightId).as("rid"),
+      col(rightX).cast("double").as("rx"),
+      col(rightY).cast("double").as("ry")))
+    // a probe with every site in hand is done no matter what k asked for
+    val nSites = sites.count()
+    val need = math.min(k.toLong, nSites)
+
+    val spark = left.sparkSession
+    import spark.implicits._
+    var resolved: DataFrame = Seq.empty[(Long, Long, Double, Int)]
+      .toDF("lid", "rid", "dist", "rn")
+      .select(col("lid").cast(probes0.schema("lid").dataType).as("lid"),
+        col("rid").cast(sites.schema("rid").dataType).as("rid"),
+        col("dist"), col("rn"))
+    if (nSites == 0) return resolved
+    var probes = truncate(probes0)
+    var r = r0
+    var it = 0
+    while (it < maxIter && !probes.isEmpty) {
+      require(r.isFinite, s"radius overflow after $it doublings from $r0")
+      val cand = SpatialJoin.distanceJoin(probes, sites, r,
+          leftX = "x", leftY = "y", rightX = "rx", rightY = "ry")
+        .withColumn("dist", sqrt(
+          (col("x") - col("rx")) * (col("x") - col("rx")) +
+          (col("y") - col("ry")) * (col("y") - col("ry"))))
+      val w = Window.partitionBy(col("lid"))
+      val ranked = cand
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("dist"), col("rid"))))
+        .withColumn("_cnt", count(lit(1)).over(w))
+      val doneRows = truncate(ranked
+        .filter(col("_cnt") >= need && col("rn") <= k)
+        .select(col("lid"), col("rid"), col("dist"), col("rn")))
+      resolved = resolved.union(doneRows)
+      probes = truncate(probes.join(
+        doneRows.select(col("lid")).distinct(), Seq("lid"), "left_anti"))
+      r *= 2
+      it += 1
+    }
+    require(probes.isEmpty,
+      s"knnJoin did not converge in $maxIter doublings from r0=$r0")
+    resolved
+  }
+}

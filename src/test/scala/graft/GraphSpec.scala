@@ -8,6 +8,47 @@ class GraphSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("triangles: K4 — every vertex in 3, brute force agrees") {
+    val edges = (for (a <- 0L to 3L; b <- 0L to 3L if a < b)
+      yield (a, b)).toDF("src", "dst")
+    val out = Graph.triangles(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), out.toString)
+  }
+
+  test("triangles: star has none; zeros are present, not absent") {
+    val edges = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    val out = Graph.triangles(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 6 && out.values.forall(_ == 0L), out.toString)
+  }
+
+  test("triangles: duplicates, reversed edges, self-loops normalize away") {
+    val edges = Seq((0L, 1L), (1L, 0L), (0L, 1L), (1L, 2L), (2L, 0L),
+      (2L, 2L)).toDF("src", "dst")
+    val out = Graph.triangles(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), out.toString)
+  }
+
+  test("triangles: ring with chords matches an in-test brute force") {
+    val n = 12L
+    val edges = (0L until n).flatMap(i =>
+      Seq((i, (i + 1) % n), (i, (i + 2) % n))).toDF("src", "dst")
+    val und = (0L until n).flatMap(i =>
+        Seq(Set(i, (i + 1) % n), Set(i, (i + 2) % n)))
+      .filter(_.size == 2).distinct
+    val verts = (0L until n)
+    val brute = verts.map { v =>
+      v -> (for (a <- verts; b <- verts if a < b && a != v && b != v
+        if und.contains(Set(v, a)) && und.contains(Set(v, b)) &&
+           und.contains(Set(a, b))) yield 1).size.toLong
+    }.toMap
+    val out = Graph.triangles(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == brute, s"got $out want $brute")
+  }
+
   test("pageRank: hand-computed 3-node chain with a dangling sink") {
     // 1 -> 2, 1 -> 3, 2 -> 3; 3 dangles. One iteration by hand (d=0.85):
     // r0 = 1/3 each; dangling mass dm = 1/3
