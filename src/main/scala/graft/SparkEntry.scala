@@ -758,6 +758,27 @@ object SparkEntry {
         .orderBy("c_custkey", "rn")
     },
 
+    "j12_kmeans" -> { (s, d) =>
+      // deterministic Lloyd's k-means (SpatialCluster.kmeans): customers
+      // on an 8×8 lattice of integer-valued blobs (coords exactly
+      // representable → the sum/count centroid updates are bitwise
+      // order-independent, so distributed partial sums can't drift from
+      // the oracle's sequential ones), k=8 seeded at the 8 smallest ids,
+      // 2 assign/update rounds then a final labeling. The oracle unrolls
+      // the exact same recurrence in SQL: seed CTE, argmin-by-(d², cid)
+      // assignment via row_number, sum/count updates with empty clusters
+      // keeping their previous centroid. Any seeding, tie-break, or
+      // update divergence relabels points and hash-mismatches.
+      val pts = t(s, d, "customer").select(col("c_custkey").as("id"),
+        ((col("c_custkey") % 64 % 8).cast("double") * 100.0 +
+          (col("c_custkey") % 10).cast("double")).as("x"),
+        (expr("(c_custkey % 64) div 8").cast("double") * 100.0 +
+          expr("(c_custkey div 10) % 10").cast("double")).as("y"))
+      graft.operators.SpatialCluster.kmeans(pts, k = 8, iters = 2)
+        .select(col("id").as("c_custkey"), col("cluster"))
+        .orderBy("c_custkey")
+    },
+
     "j3h_spatial_join_h3" -> { (s, d) =>
       // the same spatial join on the TRUE H3 lattice (VERDICT r5 #3): points
       // bucket to their res-4 H3 cell, polygons to a grid-disk covering of
@@ -5969,6 +5990,51 @@ object SparkEntry {
           FROM a JOIN b
             ON abs(ax - bx) <= ah + bh AND abs(ay - byy) <= ah + bh
           GROUP BY aid ORDER BY aid""",
+
+    // k-means replay: the exact recurrence unrolled — seeds, two
+    // argmin/update rounds, final labeling; integer-valued coords keep
+    // every double op bitwise identical
+    "j12_kmeans" ->
+      """WITH p AS (
+           SELECT c_custkey AS id,
+             CAST((c_custkey % 64) % 8 AS DOUBLE) * 100.0
+               + CAST(c_custkey % 10 AS DOUBLE) AS x,
+             CAST((c_custkey % 64) // 8 AS DOUBLE) * 100.0
+               + CAST((c_custkey // 10) % 10 AS DOUBLE) AS y
+           FROM customer),
+         c0 AS (SELECT id AS cid, x AS cx, y AS cy FROM p
+                ORDER BY id LIMIT 8),
+         a1 AS (SELECT id, x, y, cid AS cluster FROM (
+             SELECT p.id, p.x, p.y, c.cid, row_number() OVER (
+               PARTITION BY p.id ORDER BY
+                 (p.x - c.cx) * (p.x - c.cx)
+                   + (p.y - c.cy) * (p.y - c.cy), c.cid) AS rn
+             FROM p CROSS JOIN c0 c) WHERE rn = 1),
+         c1 AS (SELECT c0.cid,
+             COALESCE(u.sx / u.n, c0.cx) AS cx,
+             COALESCE(u.sy / u.n, c0.cy) AS cy
+           FROM c0 LEFT JOIN (
+             SELECT cluster, SUM(x) AS sx, SUM(y) AS sy, COUNT(*) AS n
+             FROM a1 GROUP BY 1) u ON c0.cid = u.cluster),
+         a2 AS (SELECT id, x, y, cid AS cluster FROM (
+             SELECT p.id, p.x, p.y, c.cid, row_number() OVER (
+               PARTITION BY p.id ORDER BY
+                 (p.x - c.cx) * (p.x - c.cx)
+                   + (p.y - c.cy) * (p.y - c.cy), c.cid) AS rn
+             FROM p CROSS JOIN c1 c) WHERE rn = 1),
+         c2 AS (SELECT c1.cid,
+             COALESCE(u.sx / u.n, c1.cx) AS cx,
+             COALESCE(u.sy / u.n, c1.cy) AS cy
+           FROM c1 LEFT JOIN (
+             SELECT cluster, SUM(x) AS sx, SUM(y) AS sy, COUNT(*) AS n
+             FROM a2 GROUP BY 1) u ON c1.cid = u.cluster)
+         SELECT id AS c_custkey, cid AS cluster FROM (
+             SELECT p.id, c.cid, row_number() OVER (
+               PARTITION BY p.id ORDER BY
+                 (p.x - c.cx) * (p.x - c.cx)
+                   + (p.y - c.cy) * (p.y - c.cy), c.cid) AS rn
+             FROM p CROSS JOIN c2 c) WHERE rn = 1
+         ORDER BY c_custkey""",
 
     // KNN ground truth: quadratic distances, ranked per probe by
     // (dist, rid), top 3 — same coordinate and distance expressions as

@@ -29,6 +29,59 @@ import org.apache.spark.sql.functions._
   * only in per-cell density, which `eps` controls. */
 object SpatialCluster {
 
+  /** Lloyd's k-means (PostGIS `ST_ClusterKMeans` surface) with every
+    * source of nondeterminism pinned so a fixed-iteration run is a pure
+    * function of the input: seeds are the k points with the SMALLEST ids
+    * (not a random sample), a point joins the centroid minimizing
+    * `(dist², centroid id)` lexicographically (ties can't flip), an
+    * empty cluster keeps its previous centroid, and centroid updates are
+    * `sum/count` (so inputs with exactly-representable coordinates —
+    * integer-valued lattices, fixed-point grids — update bitwise
+    * reproducibly regardless of partition order; see the j12 gate).
+    *
+    * Scale shape per iteration: the candidate set is a broadcast
+    * crossJoin against the k-row centroid table, collapsed by a
+    * map-side-combinable `min(struct)` — one shuffle of (id → cluster)
+    * per iteration, never a quadratic pair set; the update is a k-group
+    * combinable aggregate. Labels are seed ids, stable across runs.
+    * Runs `iters` assign/update rounds, then labels against the final
+    * centroids. Returns one row per input: (id, cluster). */
+  def kmeans(points: DataFrame, k: Int, iters: Int = 2,
+      idCol: String = "id", xCol: String = "x", yCol: String = "y",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    checkpointDir.foreach(points.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
+    val base = points.select(col(idCol).as("id"),
+      col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    def assign(cents: DataFrame): DataFrame = base
+      .crossJoin(broadcast(cents))
+      .withColumn("_d2",
+        (col("x") - col("cx")) * (col("x") - col("cx")) +
+        (col("y") - col("cy")) * (col("y") - col("cy")))
+      .groupBy(col("id"), col("x"), col("y"))
+      .agg(min(struct(col("_d2"), col("cid"))).as("_m"))
+      .select(col("id"), col("x"), col("y"), col("_m.cid").as("cluster"))
+    var cents = truncate(base.orderBy(col("id")).limit(k)
+      .select(col("id").as("cid"), col("x").as("cx"), col("y").as("cy")))
+    var it = 0
+    while (it < iters) {
+      val upd = assign(cents)
+        .groupBy(col("cluster").as("cid"))
+        .agg((sum(col("x")) / count(lit(1))).as("ux"),
+          (sum(col("y")) / count(lit(1))).as("uy"))
+      cents = truncate(cents.join(upd, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("ux"), col("cx")).as("cx"),
+          coalesce(col("uy"), col("cy")).as("cy")))
+      it += 1
+    }
+    assign(cents).select(col("id"), col("cluster"))
+  }
+
   /** DBSCAN over planar points `(idCol, xCol, yCol)`. Returns one row per
     * input: (id, cluster, is_core) with `cluster` null for noise.
     * `maxIter`/`checkpointDir` pass through to the component collapse. */

@@ -69,6 +69,44 @@ class SpatialClusterSpec extends AnyFunSuite {
     assert(out(99L) == (None, false), "lone point is noise")
   }
 
+  private def runKm(pts: Seq[(Long, Double, Double)], k: Int,
+      iters: Int): Map[Long, Long] =
+    SpatialCluster.kmeans(pts.toDF("id", "x", "y"), k, iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kmeans: two blobs, seeds are the two smallest ids, labels stable") {
+    val blobA = Seq((0L, 0.0, 0.0), (2L, 1.0, 0.0), (4L, 0.0, 1.0))
+    val blobB = Seq((1L, 100.0, 100.0), (3L, 101.0, 100.0), (5L, 100.0, 101.0))
+    val out = runKm(blobA ++ blobB, k = 2, iters = 2)
+    blobA.foreach { case (id, _, _) => assert(out(id) == 0L, out.toString) }
+    blobB.foreach { case (id, _, _) => assert(out(id) == 1L, out.toString) }
+  }
+
+  test("kmeans: equidistant point joins the smaller centroid id") {
+    // seeds 0@(0,0) and 1@(2,0); point 7@(1,0) is exactly between and
+    // must join cluster 0 every run
+    val out = runKm(Seq((0L, 0.0, 0.0), (1L, 2.0, 0.0), (7L, 1.0, 0.0)),
+      k = 2, iters = 0)
+    assert(out(7L) == 0L, out.toString)
+  }
+
+  test("kmeans: empty cluster keeps its previous centroid") {
+    // coincident seeds: every point ties to cid 0 in round 1, cluster 1
+    // goes empty and must KEEP (0,0); after c0 moves to the mean (1/3,0),
+    // point 0 at (0,0) flips to the parked centroid 1
+    val out = runKm(Seq((0L, 0.0, 0.0), (1L, 0.0, 0.0), (2L, 1.0, 0.0)),
+      k = 2, iters = 1)
+    assert(out(0L) == 1L, out.toString)
+    assert(out(1L) == 1L, out.toString)
+    assert(out(2L) == 0L, out.toString)
+  }
+
+  test("kmeans: iters=0 labels directly against the seeds") {
+    val out = runKm(Seq((5L, 0.0, 0.0), (6L, 10.0, 0.0), (9L, 9.0, 0.0)),
+      k = 2, iters = 0)
+    assert(out == Map(5L -> 5L, 6L -> 6L, 9L -> 6L), out.toString)
+  }
+
   test("eps-chained cores merge transitively into one cluster") {
     // cores at 0, 0.4, 0.8, 1.2 — consecutive within eps, ends not
     val pts = (0 until 4).flatMap { i =>
