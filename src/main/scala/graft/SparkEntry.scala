@@ -2575,6 +2575,39 @@ object SparkEntry {
         .orderBy("id")
     },
 
+    "t67_label_prop" -> { (s, d) =>
+      // determinized synchronous LPA (Graph.labelPropagation — most
+      // frequent neighbor label, ties to the smallest, 2 fixed rounds)
+      // over the t66 ring-with-chords graph. The oracle unrolls both
+      // rounds in SQL with the identical argmax rule — a wrong tie-break,
+      // a missed symmetric edge, or an asynchronous update leaks into
+      // some vertex's label and hash-mismatches.
+      val n = t(s, d, "customer").count()
+      val keys = t(s, d, "customer").select(col("c_custkey"))
+      val edges = keys.select(col("c_custkey").as("src"),
+          ((col("c_custkey") + 1) % n).as("dst"))
+        .union(keys.select(col("c_custkey"), (col("c_custkey") + 2) % n))
+        .union(keys.select(col("c_custkey"), (col("c_custkey") * 7 + 3) % n))
+      graft.operators.Graph.labelPropagation(edges, iters = 2)
+        .select(col("id"), col("label"))
+        .orderBy("id")
+    },
+
+    "t68_cooccur" -> { (s, d) =>
+      // market-basket co-occurrence (CoOccur.topCoOccur): orders are
+      // baskets, parts are items, top-3 partners per part by exact pair
+      // count with (cnt desc, partner asc) rank order; the hub-basket
+      // cap (the 100 TB guard) is present but non-binding at TPC-H
+      // basket sizes, so the oracle replays the whole population.
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.operators.CoOccur.topCoOccur(li, "l_orderkey", "l_partkey",
+          topK = 3, maxBasketSize = 100L)
+        .select(col("item").as("l_partkey"), col("rn"), col("other"),
+          col("cnt"))
+        .orderBy("l_partkey", "rn")
+    },
+
     "t57_link_graph" -> { (s, d) =>
       // crawl link-graph composition: authored pages carry two anchors on
       // the t31 formulas (mixed quote styles + case), html_links extracts
@@ -7911,6 +7944,58 @@ object SparkEntry {
          SELECT tgt.q, r.v AS value
          FROM tgt JOIN r ON r.rk = tgt.target ORDER BY q"""
     },
+
+    // LPA replay: symmetric edge set, two unrolled synchronous rounds,
+    // argmax by (count desc, label asc) via row_number
+    "t67_label_prop" ->
+      """WITH nn AS (SELECT count(*) AS n FROM customer),
+         raw AS (
+           SELECT c_custkey AS a, (c_custkey + 1) % nn.n AS b
+           FROM customer, nn
+           UNION ALL
+           SELECT c_custkey, (c_custkey + 2) % nn.n FROM customer, nn
+           UNION ALL
+           SELECT c_custkey, (c_custkey * 7 + 3) % nn.n FROM customer, nn),
+         und AS (
+           SELECT DISTINCT s, d FROM (
+             SELECT a AS s, b AS d FROM raw WHERE a <> b
+             UNION ALL
+             SELECT b, a FROM raw WHERE a <> b)),
+         l0 AS (SELECT DISTINCT s AS id, s AS label FROM und),
+         r1 AS (
+           SELECT u.d AS id, l.label, COUNT(*) AS c
+           FROM und u JOIN l0 l ON u.s = l.id GROUP BY 1, 2),
+         l1 AS (SELECT id, label FROM (
+             SELECT id, label, row_number() OVER (
+               PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+             FROM r1) WHERE rn = 1),
+         r2 AS (
+           SELECT u.d AS id, l.label, COUNT(*) AS c
+           FROM und u JOIN l1 l ON u.s = l.id GROUP BY 1, 2),
+         l2 AS (SELECT id, label FROM (
+             SELECT id, label, row_number() OVER (
+               PARTITION BY id ORDER BY c DESC, label ASC) AS rn
+             FROM r2) WHERE rn = 1)
+         SELECT id, label FROM l2 ORDER BY id""",
+
+    // co-occurrence ground truth: set-collapsed basket-item pairs,
+    // per-basket self-join, exact counts, windowed top-3
+    "t68_cooccur" ->
+      """WITH bi AS (
+           SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+         sz AS (SELECT b FROM bi GROUP BY b HAVING COUNT(*) <= 100),
+         kept AS (SELECT bi.b, bi.i FROM bi JOIN sz ON bi.b = sz.b),
+         pr AS (
+           SELECT a.i AS i, c.i AS j, COUNT(*) AS cnt
+           FROM kept a JOIN kept c ON a.b = c.b AND a.i <> c.i
+           GROUP BY 1, 2)
+         SELECT i AS l_partkey, CAST(rn AS INT) AS rn, j AS other,
+           CAST(cnt AS BIGINT) AS cnt
+         FROM (
+           SELECT i, j, cnt, row_number() OVER (
+             PARTITION BY i ORDER BY cnt DESC, j ASC) AS rn
+           FROM pr)
+         WHERE rn <= 3 ORDER BY l_partkey, rn""",
 
     // triangle ground truth: canonical undirected edges, textbook
     // a<b<c three-way join, per-vertex via a 3-way endpoint union

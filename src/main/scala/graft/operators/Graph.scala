@@ -74,6 +74,59 @@ object Graph {
     scores.select(col("id"), col("hub"), col("auth"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007), determinized: labels start as vertex ids; each round every
+    * vertex adopts the MOST FREQUENT label among its neighbors, ties
+    * broken by the smallest label (classic LPA breaks ties randomly —
+    * that, and asynchronous update order, are exactly the two
+    * nondeterminism sources this pins down so an oracle can replay the
+    * run). Fixed `iters` rounds, no convergence test: synchronous LPA
+    * can 2-cycle on bipartite structure, so a fixed-round contract is
+    * the honest one (GraphX's LabelPropagation ships the same caveat).
+    *
+    * Scale shape per round: one equality join of the symmetric edge list
+    * (pre-partitioned by src, layout reused every round) against the
+    * k→label map, a combinable (dst, label) count, and a per-vertex
+    * max(struct) collapse — all map-side combinable, lineage truncated
+    * per round. Isolated vertices never appear (edges define the vertex
+    * set); a vertex keeps its label only through self-reinforcement.
+    *
+    * Vertex ids must be numeric (the tie-break argmax rides a negated
+    * label inside a combinable `max(struct)`; string ids would need the
+    * two-pass min-label variant). Returns `(id, label)` for every vertex
+    * incident to an edge. */
+  def labelPropagation(edges: DataFrame, iters: Int = 2,
+      srcCol: String = "src", dstCol: String = "dst",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    val truncate = truncator(edges, checkpointDir)
+    val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+    val und = truncate(raw
+      .union(raw.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src")))
+    var labels = truncate(und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
+    var it = 0
+    while (it < iters) {
+      // neighbor labels arrive over the reused src-partitioned layout;
+      // the (count desc, label asc) argmax is a max on (count, -label)
+      // — combinable, no per-vertex window sort
+      val next = und
+        .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("id"), col("label"))
+        .agg(count(lit(1)).as("_c"))
+        .groupBy(col("id"))
+        .agg(max(struct(col("_c"), (-col("label")).as("_nl"))).as("_m"))
+        .select(col("id"), (-col("_m._nl")).as("label"))
+      labels = truncate(next)
+      it += 1
+    }
+    labels.select(col("id"), col("label"))
+  }
+
   /** Per-vertex triangle counting by degree-ordered edge orientation
     * (Cohen 2009, "Graph twiddling in a MapReduce world"; the same
     * orientation GraphX's TriangleCount and Trino's graph extensions

@@ -8,6 +8,37 @@ class GraphSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  private def lpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst"), iters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("labelPropagation: two triangles with a bridge, hand-unrolled 2 rounds") {
+    val edges = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L))
+    assert(lpa(edges, 1) == Map(0L -> 1L, 1L -> 0L, 2L -> 0L,
+      10L -> 2L, 11L -> 10L, 12L -> 10L))
+    assert(lpa(edges, 2) == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 2L, 12L -> 2L))
+  }
+
+  test("labelPropagation: iters=0 returns identity labels over the vertex set") {
+    val out = lpa(Seq((5L, 6L), (6L, 7L)), 0)
+    assert(out == Map(5L -> 5L, 6L -> 6L, 7L -> 7L))
+  }
+
+  test("labelPropagation: star — hub adopts min leaf, leaves adopt hub") {
+    val out = lpa((1L to 4L).map(l => (0L, l)), 1)
+    assert(out == Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("labelPropagation: clique converges to the min id; normalization holds") {
+    // duplicates, reversed edges and a self-loop must not change counts
+    val ids = Seq(3L, 5L, 7L, 9L)
+    val clique = for (a <- ids; b <- ids if a != b) yield (a, b)
+    val noisy = clique ++ Seq((3L, 3L), (5L, 3L), (5L, 3L))
+    assert(lpa(noisy, 2) == ids.map(_ -> 3L).toMap)
+  }
+
   test("triangles: K4 — every vertex in 3, brute force agrees") {
     val edges = (for (a <- 0L to 3L; b <- 0L to 3L if a < b)
       yield (a, b)).toDF("src", "dst")
