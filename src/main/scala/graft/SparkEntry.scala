@@ -1883,6 +1883,27 @@ object SparkEntry {
         .orderBy("dx")
     },
 
+    "g18_geohash" -> { (s, d) =>
+      // geohash encode + center decode (GeomLib — Niemeyer's public
+      // spec, floor-index formulation): customers scatter over the world
+      // range at fractional coordinates, precision 6 (15 lon bits, 15
+      // lat bits). The oracle rebuilds the SAME cells arithmetically in
+      // SQL — floor indices, Morton bit-spread via the magic-mask
+      // cascade, base-32 chars by substring — and the centers by the
+      // identical (idx + 0.5) scaling, so an off-by-one in any bit
+      // position, an alphabet slip, or a wrong interleave parity breaks
+      // the string hash; no string parsing happens oracle-side.
+      t(s, d, "customer").select(col("c_custkey"),
+          ((col("c_custkey") % 170).cast("double") - 85.0 + 0.37).as("lat"),
+          ((col("c_custkey") % 350).cast("double") - 175.0 +
+            (col("c_custkey") % 7).cast("double") * 0.01).as("lon"))
+        .select(col("c_custkey"),
+          geohash_encode(col("lat"), col("lon"), lit(6)).as("gh"))
+        .withColumn("clat", geohash_lat(col("gh")))
+        .withColumn("clon", geohash_lon(col("gh")))
+        .orderBy("c_custkey")
+    },
+
     "g17_h3_distance" -> { (s, d) =>
       // h3 grid distance (round 6): universal lattice identities over every
       // distinct res-7 cell of the gate lattice — distance to self is 0,
@@ -6506,6 +6527,51 @@ object SparkEntry {
            TRUE AS measures_ok, TRUE AS buffer_ok, TRUE AS simplify_ok,
            TRUE AS valid_ok, TRUE AS predicates_ok
          FROM r GROUP BY dx ORDER BY dx""",
+
+    // geohash replay: floor indices → Morton spread (magic masks) →
+    // base-32 substring assembly; centers from the same indices
+    "g18_geohash" ->
+      """WITH p AS (
+           SELECT c_custkey,
+             CAST(c_custkey % 170 AS DOUBLE) - 85.0 + 0.37 AS lat,
+             CAST(c_custkey % 350 AS DOUBLE) - 175.0
+               + CAST(c_custkey % 7 AS DOUBLE) * 0.01 AS lon
+           FROM customer),
+         ix AS (
+           SELECT c_custkey, lat, lon,
+             LEAST(GREATEST(CAST(floor((lon + 180.0) / 360.0 * 32768.0)
+               AS BIGINT), 0), 32767) AS li,
+             LEAST(GREATEST(CAST(floor((lat + 90.0) / 180.0 * 32768.0)
+               AS BIGINT), 0), 32767) AS ai
+           FROM p),
+         s1 AS (SELECT *, (li | (li << 8)) & 16711935 AS lx,
+                          (ai | (ai << 8)) & 16711935 AS ax FROM ix),
+         s2 AS (SELECT * REPLACE ((lx | (lx << 4)) & 252645135 AS lx,
+                                  (ax | (ax << 4)) & 252645135 AS ax)
+                FROM s1),
+         s3 AS (SELECT * REPLACE ((lx | (lx << 2)) & 858993459 AS lx,
+                                  (ax | (ax << 2)) & 858993459 AS ax)
+                FROM s2),
+         s4 AS (SELECT * REPLACE ((lx | (lx << 1)) & 1431655765 AS lx,
+                                  (ax | (ax << 1)) & 1431655765 AS ax)
+                FROM s3),
+         m AS (SELECT c_custkey, li, ai, (lx * 2) | ax AS code FROM s4)
+         SELECT c_custkey,
+           substr('0123456789bcdefghjkmnpqrstuvwxyz',
+             CAST((code // 33554432) % 32 AS INT) + 1, 1)
+           || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+             CAST((code // 1048576) % 32 AS INT) + 1, 1)
+           || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+             CAST((code // 32768) % 32 AS INT) + 1, 1)
+           || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+             CAST((code // 1024) % 32 AS INT) + 1, 1)
+           || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+             CAST((code // 32) % 32 AS INT) + 1, 1)
+           || substr('0123456789bcdefghjkmnpqrstuvwxyz',
+             CAST(code % 32 AS INT) + 1, 1) AS gh,
+           -90.0 + (CAST(ai AS DOUBLE) + 0.5) * 180.0 / 32768.0 AS clat,
+           -180.0 + (CAST(li AS DOUBLE) + 0.5) * 360.0 / 32768.0 AS clon
+         FROM m ORDER BY c_custkey""",
 
     "g17_h3_distance" ->
       s"""SELECT TRUE AS distance_ok,

@@ -34,6 +34,72 @@ case class HilbertEncode(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** geohash_encode(lat, lon, precision) → base-32 cell id (Niemeyer's
+  * public spec). Prefix-hierarchical: `geohash_encode(lat, lon, 4)` is a
+  * prefix of `geohash_encode(lat, lon, 6)`, so string range scans and
+  * LIKE-prefix predicates prune cells — the property the zone-map string
+  * stats (k11b) already exploit. */
+case class GeohashEncode(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(DoubleType, DoubleType, IntegerType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "geohash_encode"
+  protected override def nullSafeEval(lat: Any, lon: Any, p: Any): Any =
+    UTF8String.fromString(GeomLib.geohashEncode(
+      lat.asInstanceOf[Number].doubleValue,
+      lon.asInstanceOf[Number].doubleValue,
+      p.asInstanceOf[Number].intValue))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.geom.GeomLib.geohashEncode($a, $b, $c))")
+  override protected def withNewChildrenInternal(a: Expression,
+      b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
+/** Shared shape of geohash_lat / geohash_lon: UTF8String in, boxed
+  * Double out with null meaning "malformed geohash", mapped onto the
+  * codegen null flag (the [[WkbStaticCodegen]] discipline, string
+  * input). */
+abstract class GeohashToDouble extends UnaryExpression
+    with ImplicitCastInputTypes {
+  def staticMethod: String
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("ghRes")
+      s"""java.lang.Double $tmp = $staticMethod($c.toString());
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin
+    })
+}
+
+/** geohash_lat(hash) → cell-center latitude; null if malformed. */
+case class GeohashLat(child: Expression) extends GeohashToDouble {
+  override def staticMethod: String = "graft.geom.GeomLib.geohashLat"
+  override def prettyName: String = "geohash_lat"
+  protected override def nullSafeEval(h: Any): Any =
+    GeomLib.geohashLat(h.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** geohash_lon(hash) → cell-center longitude; null if malformed. */
+case class GeohashLon(child: Expression) extends GeohashToDouble {
+  override def staticMethod: String = "graft.geom.GeomLib.geohashLon"
+  override def prettyName: String = "geohash_lon"
+  protected override def nullSafeEval(h: Any): Any =
+    GeomLib.geohashLon(h.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** wkb_shape_type(geom) → Int: low byte of the WKB geometry-type word —
   * the reference's core-7 predicate input (east_asia.py:176,248). */
 case class WkbShapeType(child: Expression)

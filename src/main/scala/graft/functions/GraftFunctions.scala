@@ -18,6 +18,10 @@ object GraftFunctions {
 
   // --- spatial ---
   def hilbert_encode(lat: Column, lon: Column): Column = col(HilbertEncode(ex(lat), ex(lon)))
+  def geohash_encode(lat: Column, lon: Column, precision: Column): Column =
+    col(GeohashEncode(ex(lat), ex(lon), ex(precision)))
+  def geohash_lat(hash: Column): Column = col(GeohashLat(ex(hash)))
+  def geohash_lon(hash: Column): Column = col(GeohashLon(ex(hash)))
   def wkb_shape_type(geom: Column): Column = col(WkbShapeType(ex(geom)))
   def st_point(x: Column, y: Column): Column = col(StPoint(ex(x), ex(y)))
   def st_point_z(x: Column, y: Column, z: Column): Column = col(StPointZ(ex(x), ex(y), ex(z)))
@@ -189,6 +193,9 @@ object GraftFunctions {
   /** All functions, as SQL-callable names. */
   private val builders: Map[String, Seq[Expression] => Expression] = Map(
     "hilbert_encode" -> { e => HilbertEncode(e(0), e(1)) },
+    "geohash_encode" -> { e => GeohashEncode(e(0), e(1), e(2)) },
+    "geohash_lat" -> { e => GeohashLat(e.head) },
+    "geohash_lon" -> { e => GeohashLon(e.head) },
     "wkb_shape_type" -> { e => WkbShapeType(e.head) },
     "st_point" -> { e => StPoint(e(0), e(1)) },
     "st_point_z" -> { e => StPointZ(e(0), e(1), e(2)) },

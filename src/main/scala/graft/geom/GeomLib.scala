@@ -367,6 +367,97 @@ object GeomLib {
   }
 
   // -------------------------------------------------------------------------
+  // Geohash (Niemeyer 2008, public-domain spec): base-32 text cells over
+  // an interleaved-bit lat/lon grid — the third spatial index alongside
+  // the Hilbert key and H3 (geohashes are PREFIX-hierarchical, so string
+  // range predicates prune them, which neither of the other two offers)
+  // -------------------------------------------------------------------------
+
+  private val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Geohash cell id at `precision` chars (clamped to 1..12 — 12 chars =
+    * 60 bits, the most a Long carries). Equivalent to the textbook
+    * bisection, computed directly: the bit string of a coordinate IS the
+    * binary expansion of its position in the world range, so
+    * `floor((v - lo) / range * 2^bits)` yields all bits at once; lon
+    * takes the even interleave positions (MSB first). Out-of-range
+    * coordinates clamp to the edge cell; NaN clamps low (matching
+    * [[hilbertEncode]]'s posture: a sort/bucket key must stay total). */
+  def geohashEncode(lat: Double, lon: Double, precision: Int): String = {
+    val p = if (precision < 1) 1 else if (precision > 12) 12 else precision
+    val bits = 5 * p
+    val lonBits = (bits + 1) / 2
+    val latBits = bits / 2
+    val lonI = geohashIdx(lon, -180.0, 360.0, lonBits)
+    val latI = geohashIdx(lat, -90.0, 180.0, latBits)
+    var acc = 0L
+    var i = 0
+    while (i < bits) {
+      val b =
+        if ((i & 1) == 0) (lonI >>> (lonBits - 1 - (i >> 1))) & 1L
+        else (latI >>> (latBits - 1 - (i >> 1))) & 1L
+      acc = (acc << 1) | b
+      i += 1
+    }
+    val out = new Array[Char](p)
+    var c = 0
+    while (c < p) {
+      out(c) = GeohashAlphabet.charAt(((acc >>> (5 * (p - 1 - c))) & 31L).toInt)
+      c += 1
+    }
+    new String(out)
+  }
+
+  private def geohashIdx(v: Double, lo: Double, range: Double,
+      nbits: Int): Long = {
+    val n = 1L << nbits
+    if (v.isNaN) return 0L
+    val i = math.floor((v - lo) / range * n.toDouble).toLong
+    if (i < 0) 0L else if (i >= n) n - 1 else i
+  }
+
+  /** (lonIdx, latIdx, lonBits, latBits) de-interleaved from a geohash;
+    * null on any character outside the base-32 alphabet. */
+  private def geohashIndices(hash: String): (Long, Long, Int, Int) = {
+    val p = hash.length
+    if (p < 1 || p > 12) return null
+    var acc = 0L
+    var c = 0
+    while (c < p) {
+      val v = GeohashAlphabet.indexOf(hash.charAt(c).toLower)
+      if (v < 0) return null
+      acc = (acc << 5) | v.toLong
+      c += 1
+    }
+    val bits = 5 * p
+    val lonBits = (bits + 1) / 2
+    val latBits = bits / 2
+    var lonI = 0L
+    var latI = 0L
+    var i = 0
+    while (i < bits) {
+      val b = (acc >>> (bits - 1 - i)) & 1L
+      if ((i & 1) == 0) lonI = (lonI << 1) | b else latI = (latI << 1) | b
+      i += 1
+    }
+    (lonI, latI, lonBits, latBits)
+  }
+
+  /** Cell-center latitude of a geohash; null for malformed input. */
+  def geohashLat(hash: String): java.lang.Double = {
+    val ix = geohashIndices(hash)
+    if (ix == null) null
+    else -90.0 + (ix._2.toDouble + 0.5) * 180.0 / (1L << ix._4).toDouble
+  }
+
+  /** Cell-center longitude of a geohash; null for malformed input. */
+  def geohashLon(hash: String): java.lang.Double = {
+    val ix = geohashIndices(hash)
+    if (ix == null) null
+    else -180.0 + (ix._1.toDouble + 0.5) * 360.0 / (1L << ix._3).toDouble
+  }
+
+  // -------------------------------------------------------------------------
   // Hierarchical grid cells (capability substitute for DuckDB's H3 ext —
   // SURVEY.md §7.4.2 / §7.5: honest equal-capability discretizer)
   // -------------------------------------------------------------------------

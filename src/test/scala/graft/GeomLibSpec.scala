@@ -204,4 +204,43 @@ class GeomLibSpec extends AnyFunSuite {
     assert(!GeomLib.dwithin(sq, out, 2.9))
     assert(!GeomLib.dwithin(Array[Byte](9), out, 100.0))
   }
+
+  test("geohash: published reference cells") {
+    // the two canonical worked examples of Niemeyer's spec
+    assert(GeomLib.geohashEncode(57.64911, 10.40744, 11) == "u4pruydqqvj")
+    assert(GeomLib.geohashEncode(42.605, -5.603, 5) == "ezs42")
+  }
+
+  test("geohash: prefix hierarchy and precision clamp") {
+    val p8 = GeomLib.geohashEncode(48.8584, 2.2945, 8)
+    (1 to 8).foreach { p =>
+      assert(GeomLib.geohashEncode(48.8584, 2.2945, p) == p8.take(p))
+    }
+    assert(GeomLib.geohashEncode(1, 1, 0) ==
+      GeomLib.geohashEncode(1, 1, 1), "precision clamps up to 1")
+    assert(GeomLib.geohashEncode(1, 1, 99) ==
+      GeomLib.geohashEncode(1, 1, 12), "precision clamps down to 12")
+  }
+
+  test("geohash: decode returns the cell center, within half a cell") {
+    for ((lat, lon) <- Seq((57.64911, 10.40744), (-33.8688, 151.2093),
+        (0.0, 0.0), (89.9, -179.9))) {
+      val h = GeomLib.geohashEncode(lat, lon, 7)
+      // precision 7: lon 18 bits, lat 17 bits
+      assert(math.abs(GeomLib.geohashLat(h) - lat) <= 180.0 / (1 << 17) / 2)
+      assert(math.abs(GeomLib.geohashLon(h) - lon) <= 360.0 / (1 << 18) / 2)
+      assert(GeomLib.geohashEncode(GeomLib.geohashLat(h),
+        GeomLib.geohashLon(h), 7) == h, "center re-encodes to its cell")
+    }
+  }
+
+  test("geohash: edges clamp, NaN stays total, bad chars decode to null") {
+    assert(GeomLib.geohashEncode(90.0, 180.0, 6) ==
+      GeomLib.geohashEncode(89.9999999, 179.9999999, 6))
+    assert(GeomLib.geohashEncode(-90.0, -180.0, 6) == "000000")
+    assert(GeomLib.geohashEncode(Double.NaN, Double.NaN, 6).length == 6)
+    assert(GeomLib.geohashLat("abc") == null, "'a' is not base-32-gh")
+    assert(GeomLib.geohashLon("") == null)
+    assert(GeomLib.geohashLat("EZS42") != null, "case-insensitive decode")
+  }
 }

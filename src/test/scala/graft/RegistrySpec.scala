@@ -38,4 +38,16 @@ class RegistrySpec extends AnyFunSuite {
     val r = spark.sql("SELECT st_x(st_point(3.0, 4.0)) AS x").head()
     assert(r.getDouble(0) == 3.0)
   }
+
+  test("geohash family is SQL-callable, casts DECIMAL literals, codegens") {
+    GraftFunctions.registerAll(spark)
+    // 57.64911 parses as DECIMAL — ImplicitCastInputTypes must coerce
+    val r = spark.sql(
+      """SELECT geohash_encode(57.64911, 10.40744, 11) AS h,
+               geohash_lat(geohash_encode(57.64911, 10.40744, 11)) AS la,
+               geohash_lon('not-a-hash') AS bad""").head()
+    assert(r.getString(0) == "u4pruydqqvj")
+    assert(math.abs(r.getDouble(1) - 57.64911) < 1e-5)
+    assert(r.isNullAt(2), "malformed hash maps to SQL NULL")
+  }
 }
