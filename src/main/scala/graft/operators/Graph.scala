@@ -86,15 +86,12 @@ object Graph {
     *
     * Scale shape per round: one equality join of the symmetric edge list
     * (pre-partitioned by src, layout reused every round) against the
-    * k→label map, a combinable (dst, label) count, and a per-vertex
-    * max(struct) collapse — all map-side combinable, lineage truncated
+    * k→label map, a combinable (dst, label) count, and a two-pass
+    * argmax collapse (primitive max, vertex-scale join-back, min-label
+    * tie-break) — every aggregate map-side combinable, lineage truncated
     * per round. Isolated vertices never appear (edges define the vertex
     * set); a vertex keeps its label only through self-reinforcement.
-    *
-    * Vertex ids must be numeric (the tie-break argmax rides a negated
-    * label inside a combinable `max(struct)`; string ids would need the
-    * two-pass min-label variant). Returns `(id, label)` for every vertex
-    * incident to an edge. */
+    * Returns `(id, label)` for every vertex incident to an edge. */
   def labelPropagation(edges: DataFrame, iters: Int = 2,
       srcCol: String = "src", dstCol: String = "dst",
       checkpointDir: Option[String] = None): DataFrame = {
@@ -112,15 +109,21 @@ object Graph {
     var it = 0
     while (it < iters) {
       // neighbor labels arrive over the reused src-partitioned layout;
-      // the (count desc, label asc) argmax is a max on (count, -label)
-      // — combinable, no per-vertex window sort
-      val next = und
+      // two-pass argmax: a struct-ordered max/max_by would SortAggregate
+      // the edge-scale neighbor-label table (struct buffers are not
+      // hash-aggregable in Spark 4.1); primitive max + join-back + min
+      // keeps every aggregate a combinable HashAggregate, with the
+      // join-back at vertex scale on the partitioning the count
+      // aggregate already established
+      val cnt = und
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("id"), col("label"))
         .agg(count(lit(1)).as("_c"))
+      val top = cnt.groupBy(col("id")).agg(max(col("_c")).as("_mc"))
+      val next = cnt.join(top, Seq("id"))
+        .filter(col("_c") === col("_mc"))
         .groupBy(col("id"))
-        .agg(max(struct(col("_c"), (-col("label")).as("_nl"))).as("_m"))
-        .select(col("id"), (-col("_m._nl")).as("label"))
+        .agg(min(col("label")).as("label"))
       labels = truncate(next)
       it += 1
     }

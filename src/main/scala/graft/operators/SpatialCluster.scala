@@ -39,47 +39,65 @@ object SpatialCluster {
     * integer-valued lattices, fixed-point grids — update bitwise
     * reproducibly regardless of partition order; see the j12 gate).
     *
-    * Scale shape per iteration: the candidate set is a broadcast
-    * crossJoin against the k-row centroid table, collapsed by a
-    * map-side-combinable `min(struct)` — one shuffle of (id → cluster)
-    * per iteration, never a quadratic pair set; the update is a k-group
-    * combinable aggregate. Labels are seed ids, stable across runs.
+    * Scale shape per iteration (the MLlib discipline: centroids live on
+    * the driver, k rows, bounded): assignment is a PURE PROJECTION — the
+    * k distances inline as a flat `least(...)` and the argmin as a flat
+    * `coalesce(when(d_i = best, cid_i))` scanned in ascending-cid order
+    * (= the lexicographic (d², cid) tie contract), all inside one
+    * whole-stage-codegen span with ZERO shuffle; the update is one
+    * k-group map-side-combinable aggregate collected back to the driver
+    * (k rows). No per-point candidate table ever materializes and plan
+    * depth stays O(1) without checkpoints — each round's frame derives
+    * from `base` plus literal centroids. Flat, not folded: a
+    * `when`-chain that rewrote best-so-far would double the expression
+    * tree per centroid (2^k nodes); `least` + `coalesce` stay O(k).
+    * `k` is capped at 4096 to bound the driver state and the generated
+    * code size.
+    *
     * Runs `iters` assign/update rounds, then labels against the final
     * centroids. Returns one row per input: (id, cluster). */
   def kmeans(points: DataFrame, k: Int, iters: Int = 2,
-      idCol: String = "id", xCol: String = "x", yCol: String = "y",
-      checkpointDir: Option[String] = None): DataFrame = {
-    require(k >= 1, s"k must be >= 1: $k")
+      idCol: String = "id", xCol: String = "x", yCol: String = "y"): DataFrame = {
+    require(k >= 1 && k <= 4096, s"k must be in 1..4096: $k")
     require(iters >= 0, s"iters must be >= 0: $iters")
-    checkpointDir.foreach(points.sparkSession.sparkContext.setCheckpointDir)
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
     val base = points.select(col(idCol).as("id"),
       col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
-    def assign(cents: DataFrame): DataFrame = base
-      .crossJoin(broadcast(cents))
-      .withColumn("_d2",
-        (col("x") - col("cx")) * (col("x") - col("cx")) +
-        (col("y") - col("cy")) * (col("y") - col("cy")))
-      .groupBy(col("id"), col("x"), col("y"))
-      .agg(min(struct(col("_d2"), col("cid"))).as("_m"))
-      .select(col("id"), col("x"), col("y"), col("_m.cid").as("cluster"))
-    var cents = truncate(base.orderBy(col("id")).limit(k)
-      .select(col("id").as("cid"), col("x").as("cx"), col("y").as("cy")))
+    // seeds: the k smallest ids (TakeOrdered — never a full sort)
+    var cents: Array[(Any, Double, Double)] = base.orderBy(col("id"))
+      .limit(k).collect()
+      .map(r => (r.get(0), r.getDouble(1), r.getDouble(2)))
+    if (cents.isEmpty)
+      return base.select(col("id"), col("id").as("cluster"))
+    def d2(c: (Any, Double, Double)) =
+      (col("x") - lit(c._2)) * (col("x") - lit(c._2)) +
+        (col("y") - lit(c._3)) * (col("y") - lit(c._3))
+    def assigned: DataFrame = {
+      val best =
+        if (cents.length == 1) d2(cents(0))
+        else least(cents.map(d2).toIndexedSeq: _*)
+      val cluster = coalesce(cents.map(c =>
+        when(d2(c) === best, lit(c._1))).toIndexedSeq: _*)
+      base.withColumn("cluster", cluster)
+    }
     var it = 0
     while (it < iters) {
-      val upd = assign(cents)
-        .groupBy(col("cluster").as("cid"))
-        .agg((sum(col("x")) / count(lit(1))).as("ux"),
-          (sum(col("y")) / count(lit(1))).as("uy"))
-      cents = truncate(cents.join(upd, Seq("cid"), "left")
-        .select(col("cid"),
-          coalesce(col("ux"), col("cx")).as("cx"),
-          coalesce(col("uy"), col("cy")).as("cy")))
+      val upd = assigned.groupBy(col("cluster"))
+        .agg(sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.get(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        .toMap
+      // empty clusters keep their previous centroid; map preserves the
+      // ascending-cid order the coalesce scan relies on
+      cents = cents.map { case (cid, cx, cy) =>
+        upd.get(cid) match {
+          case Some((sx, sy, n)) => (cid, sx / n, sy / n)
+          case None => (cid, cx, cy)
+        }
+      }
       it += 1
     }
-    assign(cents).select(col("id"), col("cluster"))
+    assigned.select(col("id"), col("cluster"))
   }
 
   /** DBSCAN over planar points `(idCol, xCol, yCol)`. Returns one row per

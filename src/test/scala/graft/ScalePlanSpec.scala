@@ -353,6 +353,31 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(p28.contains("WindowGroupLimit"), s"rank-limit push expected:\n$p28")
   }
 
+  test("round-10 clustering/graph plans: equality joins, k-row-only broadcast loops") {
+    // triangles: the wedge join and the closing-edge semi-join are both
+    // equality joins — a nested loop here is the hub-degree blowup the
+    // degree orientation exists to prevent
+    val pt = staticPlan("t66_triangles").toString
+    assert(!pt.contains("BroadcastNestedLoopJoin"), s"t66 must not nested-loop:\n$pt")
+    assert(!pt.contains("CartesianProduct"), s"t66 must not cross join:\n$pt")
+    // co-occurrence: per-basket self-join is an equality join on the
+    // basket id; the hub cap bounds its output, a cartesian would not
+    val pc = staticPlan("t68_cooccur").toString
+    assert(!pc.contains("BroadcastNestedLoopJoin"), s"t68 must not nested-loop:\n$pc")
+    assert(!pc.contains("CartesianProduct"), s"t68 must not cross join:\n$pc")
+    // KNN gate: candidate generation must ride the grid equality join
+    val pk = staticPlan("j11_knn_join").toString
+    assert(!pk.contains("CartesianProduct"), s"j11 must not cross join:\n$pk")
+    // k-means: with driver-held centroids the final labeling is a pure
+    // projection — no join of any kind, no aggregate, no per-point
+    // candidate table; the only exchange is the gate's output orderBy
+    val pm = staticPlan("j12_kmeans").toString
+    assert(!pm.contains("Join"), s"j12 labeling must be a projection:\n$pm")
+    assert(!pm.contains("Aggregate"), s"j12 labeling must not aggregate:\n$pm")
+    assert(pm.contains("*(1) Project"),
+      s"j12 labeling must be one codegen'd projection stage:\n$pm")
+  }
+
   test("v6 semDedup joins by cluster equality — no nested-loop, no cartesian") {
     val p = staticPlan("v6_semdedup").toString
     assert(!p.contains("BroadcastNestedLoopJoin"), s"v6 must not nested-loop:\n$p")
