@@ -1446,6 +1446,94 @@ object SparkEntry {
           lit(txn).as("last_batch"))
     },
 
+    "k17_merge" -> { (s, d) =>
+      // general MERGE INTO (Changelog.merge): a source resolves against a
+      // target on key equality with the full clause ladder exercised —
+      // matched+cheap deletes, matched+expensive updates (SET *), the
+      // mid-band stays unchanged (clause order matters: delete is
+      // checked before update), and only big-ticket unmatched source
+      // rows insert. ONE full-outer equality join; the target side is
+      // never windowed (plan pinned in ScalePlanSpec).
+      val o = t(s, d, "orders")
+      val target = o.filter(col("o_orderkey") <= 20000)
+        .select(col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_cents"),
+          col("o_orderstatus"))
+      val source = o.filter(col("o_orderkey").between(15001, 25000))
+        .select(col("o_orderkey"),
+          (cents(col("o_totalprice")) * 2).as("price_cents"),
+          lit("M").as("o_orderstatus"))
+      graft.operators.Changelog.merge(target, source, Seq("o_orderkey"),
+        deleteCondition = Some("s.price_cents < 10000000"),
+        updateCondition = Some("s.price_cents >= 20000000"),
+        insertCondition = Some("s.price_cents >= 30000000"))
+        .orderBy("o_orderkey")
+    },
+
+    "k18_evolved_read" -> { (s, d) =>
+      // schema evolution over the table log (TableLog.readEvolved): v1's
+      // files predate the `status` column, v2's carry it; the evolved
+      // read merges per-file schemas so old files surface the new column
+      // as NULL — the lakehouse add-column contract, with the log (not a
+      // directory listing) choosing which files participate.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k18")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        cents(col("o_totalprice")).as("pc"), col("o_orderstatus"))
+      graft.operators.TableLog.append(
+        o.filter(col("k") % 3 === 0).select(col("k"), col("pc")), dir)
+      graft.operators.TableLog.append(
+        o.filter(col("k") % 3 =!= 0)
+          .select(col("k"), col("pc"), col("o_orderstatus").as("status")),
+        dir)
+      graft.operators.TableLog.readEvolved(s, dir)
+        .select(col("k"), col("pc"), col("status"))
+        .orderBy("k")
+    },
+
+    "k19_version_diff" -> { (s, d) =>
+      // row-level change feed between versions (TableLog.changes): the
+      // CDF read derived from file-set diffs alone — an append surfaces
+      // as pure inserts, an overwrite as full delete+insert, and only
+      // TOUCHED files are ever read (never either snapshot). Aggregated
+      // per (step, change type) against the closed-form modulo oracle.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k19")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        cents(col("o_totalprice")).as("pc"))
+      graft.operators.TableLog.append(o.filter(col("k") % 6 === 0), dir)
+      graft.operators.TableLog.append(o.filter(col("k") % 6 === 1), dir)
+      graft.operators.TableLog.overwrite(o.filter(col("k") % 6 === 2), dir)
+      def diff(a: Int, b: Int, step: String) =
+        graft.operators.TableLog.changes(s, dir, a, b)
+          .groupBy(col("_change_type"))
+          .agg(count(lit(1)).as("n"), sum("pc").as("sum_cents"))
+          .withColumn("step", lit(step))
+      diff(1, 2, "v1_v2").union(diff(2, 3, "v2_v3"))
+        .orderBy("step", "_change_type")
+    },
+
+    "a17_expectations" -> { (s, d) =>
+      // declarative data-quality expectations (Expectations.check): six
+      // named constraints — four row checks (null-safe: a NULL predicate
+      // counts as a violation) and two uniqueness checks — evaluated in
+      // ONE combinable aggregate pass over one scan; the verdict table
+      // must match the per-constraint closed-form oracle, including the
+      // checks that FAIL (priority_urgent, unique_custkey) with exact
+      // violation counts.
+      val o = t(s, d, "orders")
+      graft.operators.Expectations.check(o,
+        rowChecks = Seq(
+          "price_positive" -> "o_totalprice > 0",
+          "status_domain" -> "o_orderstatus IN ('F','O','P')",
+          "priority_urgent" -> "o_orderpriority LIKE '1-%'",
+          "date_not_null" -> "o_orderdate IS NOT NULL"),
+        uniqueKeys = Seq(
+          "unique_orderkey" -> Seq("o_orderkey"),
+          "unique_custkey" -> Seq("o_custkey")))
+        .orderBy("check")
+    },
+
     "a16_incremental_agg" -> { (s, d) =>
       // incremental aggregate maintenance (Changelog.incrementalAgg): a
       // materialized per-group (count, sum-cents) rollup is updated from
@@ -7823,6 +7911,102 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS n_pre,
            TRUE AS collapsed, 1 AS dv
          FROM orders""",
+
+    // MERGE replay: the clause ladder in closed form — matched rows
+    // (both sides present) delete under 10M cents, update at 20M+ (SET *
+    // takes the doubled source price and status 'M'), stay put in the
+    // 10–20M band; source-only rows insert at 30M+ only
+    "k17_merge" ->
+      s"""WITH t AS (
+           SELECT o_orderkey, ${centsSql("o_totalprice")} AS pc,
+             o_orderstatus
+           FROM orders WHERE o_orderkey <= 20000),
+         s AS (
+           SELECT o_orderkey, ${centsSql("o_totalprice")} * 2 AS pc,
+             'M' AS st
+           FROM orders WHERE o_orderkey BETWEEN 15001 AND 25000)
+         SELECT COALESCE(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+           CASE WHEN t.o_orderkey IS NULL THEN s.pc
+                WHEN s.o_orderkey IS NOT NULL AND s.pc >= 20000000
+                  THEN s.pc
+                ELSE t.pc END AS price_cents,
+           CASE WHEN t.o_orderkey IS NULL THEN s.st
+                WHEN s.o_orderkey IS NOT NULL AND s.pc >= 20000000
+                  THEN s.st
+                ELSE t.o_orderstatus END AS o_orderstatus
+         FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+         WHERE NOT (t.o_orderkey IS NOT NULL AND s.o_orderkey IS NOT NULL
+                    AND s.pc < 10000000)
+           AND (t.o_orderkey IS NOT NULL OR s.pc >= 30000000)
+         ORDER BY o_orderkey""",
+
+    // evolved-read replay: files written before the status column existed
+    // surface it as NULL; newer files carry it
+    "k18_evolved_read" ->
+      s"""SELECT o_orderkey AS k, ${centsSql("o_totalprice")} AS pc,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE o_orderstatus END AS status
+         FROM orders ORDER BY k""",
+
+    // change-feed replay: append v1→v2 is pure inserts of the k%6=1
+    // family; overwrite v2→v3 deletes both prior families and inserts
+    // the k%6=2 family
+    "k19_version_diff" ->
+      s"""WITH base AS (
+           SELECT o_orderkey AS k, ${centsSql("o_totalprice")} AS pc
+           FROM orders)
+         SELECT 'insert' AS _change_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pc) AS BIGINT) AS sum_cents, 'v1_v2' AS step
+         FROM base WHERE k % 6 = 1
+         UNION ALL
+         SELECT 'delete', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(pc) AS BIGINT), 'v2_v3'
+         FROM base WHERE k % 6 <= 1
+         UNION ALL
+         SELECT 'insert', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(pc) AS BIGINT), 'v2_v3'
+         FROM base WHERE k % 6 = 2
+         ORDER BY step, _change_type""",
+
+    // expectations replay: per-constraint violation counts in closed
+    // form — the two failing checks must fail with exact counts
+    "a17_expectations" ->
+      s"""WITH c AS (
+           SELECT 'price_positive' AS "check",
+             CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+               AS BIGINT) AS violations,
+             CAST(COUNT(*) AS BIGINT) AS total
+           FROM orders
+           UNION ALL
+           SELECT 'status_domain',
+             CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0
+               ELSE 1 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'priority_urgent',
+             CAST(SUM(CASE WHEN o_orderpriority LIKE '1-%' THEN 0
+               ELSE 1 END) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'date_not_null',
+             CAST(SUM(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END)
+               AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'unique_orderkey',
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+           FROM orders
+           UNION ALL
+           SELECT 'unique_custkey',
+             CAST(COUNT(*) - COUNT(DISTINCT o_custkey) AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+           FROM orders)
+         SELECT "check", violations, total, violations = 0 AS passed
+         FROM c ORDER BY "check"""",
 
     // log data-skipping replay: the same 1/8th-range full-scan; TRUE
     // pins both the post-cluster skip and the honest pre-cluster no-skip

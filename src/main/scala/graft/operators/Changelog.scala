@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -242,6 +242,92 @@ object Changelog {
         (coalesce(col("total"), lit(0L)) + coalesce(col("_dv"), lit(0L)))
           .as("total"))
       .filter(col("n") > 0)
+  }
+
+  /** General `MERGE INTO` (the Delta/Iceberg upsert statement): resolve
+    * `source` against `target` on key equality and apply, per row and in
+    * this fixed order (the ANSI/Delta clause order):
+    *
+    *   1. matched  && `deleteCondition`  → row removed
+    *   2. matched  && `updateCondition`  → row updated: with `updateSet`
+    *      empty every data column takes the source value (UPDATE SET *);
+    *      otherwise only the listed columns update (expressions over the
+    *      `t.`/`s.` namespaces), the rest keep their target values
+    *   3. matched otherwise              → target row unchanged
+    *   4. source-only && `insert` && `insertCondition` → row inserted
+    *      (source must carry every target column)
+    *   5. target-only                    → target row unchanged
+    *
+    * Conditions and `updateSet` values are SQL expressions over `t.col`
+    * (target) and `s.col` (source); a condition evaluating to NULL is
+    * false (the SQL WHERE contract). Output schema = target schema.
+    *
+    * Source keys must be unique — a key matched by several source rows
+    * would apply an arbitrary one (the same contract Delta enforces;
+    * collapse a changelog with [[applyChangelog]]'s latest-per-key window
+    * first). Deliberately NOT runtime-checked: the check would cost an
+    * extra aggregate pass over the source every merge.
+    *
+    * Scale shape: ONE full-outer equality join on the key — the target
+    * (the 100 TB side) is never windowed or re-sorted, every clause is a
+    * projection/filter riding the join output, and with the target
+    * bucketed on the key the big-side exchange disappears. For a
+    * partitioned lake, feed this through [[applyToLakeVersioned]]-style
+    * targeting instead of merging the whole table. */
+  def merge(target: DataFrame, source: DataFrame, keyCols: Seq[String],
+      updateSet: Map[String, String] = Map.empty,
+      updateCondition: Option[String] = None,
+      deleteCondition: Option[String] = None,
+      insert: Boolean = true,
+      insertCondition: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val dataCols = target.columns.filterNot(keyCols.contains).toSeq
+    require(keyCols.forall(target.columns.contains),
+      s"target lacks key column(s): ${keyCols.filterNot(target.columns.contains)}")
+    require(keyCols.forall(source.columns.contains),
+      s"source lacks key column(s): ${keyCols.filterNot(source.columns.contains)}")
+    val updAll = updateSet.isEmpty
+    if (insert || updAll) {
+      val missing = dataCols.filterNot(source.columns.contains)
+      require(missing.isEmpty,
+        s"source lacks target column(s) needed for ${
+          if (insert) "insert" else "UPDATE SET *"}: $missing")
+    }
+    require(updateSet.keySet.forall(dataCols.contains),
+      s"updateSet names non-data column(s): ${
+        updateSet.keySet.filterNot(dataCols.contains)}")
+    // presence markers: a side's data columns may be all-null, so matched
+    // cannot be inferred from them
+    val t = target.withColumn("_m_tgt", lit(true)).as("t")
+    val s = source.withColumn("_m_src", lit(true)).as("s")
+    val joined = t.join(s,
+      keyCols.map(k => col(s"t.$k") === col(s"s.$k")).reduce(_ && _),
+      "full_outer")
+    val matched = col("_m_tgt").isNotNull && col("_m_src").isNotNull
+    val srcOnly = col("_m_tgt").isNull
+    // NULL condition = false, so a null never deletes and never inserts
+    def cond(c: Option[String], base: Column): Column =
+      c.map(x => coalesce(base && expr(x), lit(false))).getOrElse(base)
+    val doDelete = deleteCondition
+      .map(x => coalesce(matched && expr(x), lit(false)))
+      .getOrElse(lit(false))
+    val doUpdate = cond(updateCondition, matched)
+    val doInsert = if (insert) cond(insertCondition, srcOnly) else lit(false)
+    val keep = !doDelete && (col("_m_tgt").isNotNull || doInsert)
+    val outKeys = keyCols.map(k =>
+      coalesce(col(s"t.$k"), col(s"s.$k")).as(k))
+    val outData = dataCols.map { c =>
+      val updated =
+        if (updAll) col(s"s.$c")
+        else updateSet.get(c).map(expr).getOrElse(col(s"t.$c"))
+      val base = when(doUpdate, updated).otherwise(col(s"t.$c"))
+      // with insert=false the source may legitimately omit data columns
+      // (delete-only merges) — never reference s.<data> then
+      val full = if (insert) when(srcOnly, col(s"s.$c")).otherwise(base)
+                 else base
+      full.as(c)
+    }
+    joined.filter(keep).select(outKeys ++ outData: _*)
   }
 
   /** SCD type-2 history from a changelog: one validity interval per

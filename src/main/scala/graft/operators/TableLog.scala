@@ -259,6 +259,54 @@ object TableLog {
     spark.read.parquet(abs: _*)
   }
 
+  /** Snapshot read with schema evolution: per-file schemas are merged
+    * (`mergeSchema`), so files appended before a column existed read it
+    * back as NULL — the add-column evolution contract of the lakehouse
+    * formats. Costs a footer read per file at planning; use [[read]]
+    * when the schema is known stable. */
+  def readEvolved(spark: SparkSession, dir: String,
+      version: Int = -1): DataFrame = {
+    val snap = snapshot(dir, version)
+    val abs = snap.files.map(f => Paths.get(dir).resolve(f).toString)
+    spark.read.option("mergeSchema", "true").parquet(abs: _*)
+  }
+
+  /** Row-level change feed between two committed versions (the
+    * `table_changes` / CDF read), derived purely from file-set diffs:
+    * data files are immutable, so every row of a file present in `toV`
+    * but not `fromV` is an insert, and every row of a file dropped
+    * between them is a delete — an UPDATE surfaces as its delete+insert
+    * pair. Reads ONLY touched files, never either snapshot: the cost is
+    * proportional to the change, not the table (compaction rewrites
+    * files without changing rows, so run [[changes]] across optimize
+    * boundaries knowing the rewritten rows appear on both sides).
+    * Output = table schema + `_change_type` ('insert' | 'delete'). */
+  def changes(spark: SparkSession, dir: String,
+      fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV >= 1 && toV >= fromV,
+      s"need 1 <= fromV <= toV: $fromV, $toV")
+    val a = snapshot(dir, fromV)
+    val b = snapshot(dir, toV)
+    val aSet = a.files.toSet
+    val bSet = b.files.toSet
+    val added = b.files.filterNot(aSet)
+    val removed = a.files.filterNot(bSet)
+    def readFiles(fs: Seq[String], tag: String): Option[DataFrame] =
+      if (fs.isEmpty) None
+      else Some(spark.read
+        .parquet(fs.map(f => Paths.get(dir).resolve(f).toString): _*)
+        .withColumn("_change_type", lit(tag)))
+    (readFiles(added, "insert"), readFiles(removed, "delete")) match {
+      case (Some(i), Some(d)) => i.unionByName(d)
+      case (Some(i), None) => i
+      case (None, Some(d)) => d
+      case (None, None) => // no file changed: empty frame, table schema
+        read(spark, dir, toV).limit(0)
+          .withColumn("_change_type", lit("insert"))
+    }
+  }
+
   /** Partition-pruned read: only files tagged with one of `values`.
     * Untagged files are kept conservatively (they may hold any
     * partition — skipping could lose rows, keeping never does). */

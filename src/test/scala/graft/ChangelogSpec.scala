@@ -288,4 +288,81 @@ class ChangelogSpec extends AnyFunSuite {
     assert(TableLog.read(spark, dir)
       .agg(org.apache.spark.sql.functions.sum("v")).first().getLong(0) == 600L)
   }
+
+  private def mergeOut(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+  test("merge: SET * upsert — update every match, insert every non-match") {
+    val src = Seq((2L, "B", 200L), (9L, "I", 900L)).toDF("id", "name", "v")
+    val out = mergeOut(Changelog.merge(snap, src, Seq("id")))
+    assert(out == Seq((1L, "a", 10L), (2L, "B", 200L), (3L, "c", 30L),
+      (4L, "d", 40L), (9L, "I", 900L)))
+  }
+
+  test("merge: clause order — delete wins over update; mid-band unchanged") {
+    // delete v<15, update v>=35, 15<=v<35 matched-but-unchanged
+    val src = Seq((1L, "X", 1L), (2L, "Y", 2L), (4L, "Z", 4L))
+      .toDF("id", "name", "v")
+    val out = mergeOut(Changelog.merge(snap, src, Seq("id"),
+      deleteCondition = Some("t.v < 15"),
+      updateCondition = Some("t.v >= 35")))
+    // 1 deleted (t.v=10), 2 matched-unchanged (t.v=20 in the band),
+    // 4 updated to source (t.v=40)
+    assert(out == Seq((2L, "b", 20L), (3L, "c", 30L), (4L, "Z", 4L)))
+  }
+
+  test("merge: partial updateSet — listed columns update, others keep target") {
+    val src = Seq((2L, "B", 200L)).toDF("id", "name", "v")
+    val out = mergeOut(Changelog.merge(snap, src, Seq("id"),
+      updateSet = Map("v" -> "s.v + t.v")))
+    assert(out == Seq((1L, "a", 10L), (2L, "b", 220L), (3L, "c", 30L),
+      (4L, "d", 40L)))
+  }
+
+  test("merge: insert=false drops unmatched source; insertCondition filters") {
+    val src = Seq((8L, "H", 80L), (9L, "I", 90L)).toDF("id", "name", "v")
+    val noIns = mergeOut(Changelog.merge(snap, src, Seq("id"),
+      insert = false))
+    assert(noIns == Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L)))
+    val condIns = mergeOut(Changelog.merge(snap, src, Seq("id"),
+      insertCondition = Some("s.v >= 85")))
+    assert(condIns == Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L), (9L, "I", 90L)))
+  }
+
+  test("merge: NULL conditions are false — never delete, never insert") {
+    val src = Seq((2L, null.asInstanceOf[String], 200L),
+      (9L, null.asInstanceOf[String], 900L)).toDF("id", "name", "v")
+    // s.name is null → both conditions evaluate NULL → false
+    val out = mergeOut(Changelog.merge(snap, src, Seq("id"),
+      deleteCondition = Some("s.name = 'kill'"),
+      updateCondition = Some("s.name = 'upd'"),
+      insertCondition = Some("s.name = 'ins'")))
+    assert(out == Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L)))
+  }
+
+  test("merge: delete-only source may omit data columns via updateSet guard") {
+    // a source carrying only keys works when no SET * / insert needs data
+    val src = Seq(Tuple1(2L), Tuple1(9L)).toDF("id")
+    val out = mergeOut(Changelog.merge(snap, src, Seq("id"),
+      updateSet = Map("v" -> "t.v"), // no-op update: explicit, not SET *
+      deleteCondition = Some("t.v >= 15"),
+      insert = false))
+    assert(out == Seq((1L, "a", 10L), (3L, "c", 30L), (4L, "d", 40L)))
+  }
+
+  test("merge: composite keys resolve correctly") {
+    val tgt = Seq((1L, "x", "a", 10L), (1L, "y", "b", 20L))
+      .toDF("k1", "k2", "name", "v")
+    val src = Seq((1L, "y", "B", 200L), (2L, "z", "C", 300L))
+      .toDF("k1", "k2", "name", "v")
+    val out = Changelog.merge(tgt, src, Seq("k1", "k2"))
+      .orderBy("k1", "k2").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, "x", "a", 10L), (1L, "y", "B", 200L),
+      (2L, "z", "C", 300L)))
+  }
 }

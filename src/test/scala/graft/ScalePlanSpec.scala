@@ -378,6 +378,28 @@ class ScalePlanSpec extends AnyFunSuite {
       s"j12 labeling must be one codegen'd projection stage:\n$pm")
   }
 
+  test("k17 merge: one equality join, target side never windowed or sorted early") {
+    val p = staticPlan("k17_merge").toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"merge must not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"merge must not cross join:\n$p")
+    // every clause is a projection/filter on the join output — exactly one
+    // join in the whole plan
+    val joins = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r
+      .findAllIn(p).size
+    assert(joins == 1, s"merge must be ONE equality join, saw $joins:\n$p")
+    assert(!p.contains("Window"), s"merge must not window either side:\n$p")
+  }
+
+  test("a17 expectations: no joins and no generators — one aggregate pipeline") {
+    val p = staticPlan("a17_expectations").toString
+    assert(!p.contains("Join"), s"expectations must not join:\n$p")
+    // the verdict frame is driver-local rows; the distributed part is the
+    // aggregate that already ran inside check() — the returned plan must
+    // be a LocalTableScan, proving no re-execution per downstream read
+    assert(p.contains("LocalTableScan") || p.contains("Scan ExistingRDD"),
+      s"verdicts must be local rows:\n$p")
+  }
+
   test("v6 semDedup joins by cluster equality — no nested-loop, no cartesian") {
     val p = staticPlan("v6_semdedup").toString
     assert(!p.contains("BroadcastNestedLoopJoin"), s"v6 must not nested-loop:\n$p")

@@ -272,4 +272,58 @@ class TableLogSpec extends AnyFunSuite {
     assert(snap.files.nonEmpty &&
       snap.files.forall(snap.parts.contains), "untagged file appeared")
   }
+
+  test("changes: append = inserts only; overwrite = full delete+insert") {
+    val dir = freshDir()
+    TableLog.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), dir)
+    TableLog.append(Seq((3L, 30L)).toDF("id", "v"), dir)
+    val d12 = TableLog.changes(spark, dir, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(d12 == Set((3L, "insert")))
+    TableLog.overwrite(Seq((9L, 90L)).toDF("id", "v"), dir)
+    val d23 = TableLog.changes(spark, dir, 2, 3)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(d23 == Set((1L, "delete"), (2L, "delete"), (3L, "delete"),
+      (9L, "insert")))
+    // spanning diff v1→v3: v1 files all dropped, v3 files all new
+    val d13 = TableLog.changes(spark, dir, 1, 3)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(d13 == Set((1L, "delete"), (2L, "delete"), (9L, "insert")))
+  }
+
+  test("changes: same version or untouched file set is an empty feed") {
+    val dir = freshDir()
+    TableLog.append(Seq((1L, 10L)).toDF("id", "v"), dir)
+    val d = TableLog.changes(spark, dir, 1, 1)
+    assert(d.count() == 0L)
+    assert(d.columns.toSeq == Seq("id", "v", "_change_type"))
+  }
+
+  test("changes: only touched files are read, never either snapshot") {
+    val dir = freshDir()
+    // v1: large base; v2: one small append — the diff must read only the
+    // appended file(s), which the scanned-file count exposes
+    TableLog.append((1L to 1000L).map(i => (i, i)).toDF("id", "v")
+      .repartition(4), dir)
+    TableLog.append(Seq((2000L, 1L)).toDF("id", "v"), dir)
+    val df = TableLog.changes(spark, dir, 1, 2)
+    val scanned = df.queryExecution.executedPlan.collectLeaves().map {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+      case _ => 0
+    }.sum
+    assert(scanned == 1, s"diff read $scanned files, expected 1")
+    assert(df.count() == 1L)
+  }
+
+  test("readEvolved: files predating a column read it as null") {
+    val dir = freshDir()
+    TableLog.append(Seq((1L, 10L)).toDF("id", "v"), dir)
+    TableLog.append(Seq((2L, 20L, "fresh")).toDF("id", "v", "note"), dir)
+    val rows = TableLog.readEvolved(spark, dir)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("-")))
+    assert(rows.toSeq == Seq((1L, 10L, "-"), (2L, 20L, "fresh")))
+  }
 }
