@@ -639,6 +639,62 @@ object Stress {
       }
     }
 
+    if (sec("r10b")) {
+      time("merge (10M target, 200k source, full clause ladder)") {
+        val target = spark.range(10000000L)
+          .select(col("id"), (col("id") * 3).as("v"), lit("keep").as("tag"))
+        val source = spark.range(200000L).select((col("id") * 50).as("id"),
+          (col("id") % 1000).as("v"), lit("merged").as("tag"))
+        val out = graft.operators.Changelog.merge(target, source, Seq("id"),
+          deleteCondition = Some("s.v < 100"),        // 10% of source
+          updateCondition = Some("s.v >= 500"),       // half of source
+          insertCondition = Some("s.v % 2 = 0"))
+        val n = out.count()
+        // matched = all 200k source keys (id*50 < 10M); deletes = v<100
+        val expected = 10000000L - 200000L / 10L
+        require(n == expected, s"merge count $n != $expected")
+      }
+      time("tablelog change feed (10M base, 100k append — touched files only)") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_stress_log").toString + "/t"
+        graft.operators.TableLog.append(
+          spark.range(10000000L).select(col("id"), (col("id") * 7).as("v"))
+            .repartition(32), dir)
+        graft.operators.TableLog.append(
+          spark.range(100000L).select((col("id") + 20000000L).as("id"),
+            col("id").as("v")).coalesce(2), dir)
+        val feed = graft.operators.TableLog.changes(spark, dir, 1, 2)
+        val scanned = feed.queryExecution.executedPlan.collectLeaves().map {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.relation.location.inputFiles.length
+          case _ => 0
+        }.sum
+        val n = feed.count()
+        println(s"    feed rows: $n from $scanned files (base has 32)")
+        require(n == 100000L, s"feed rows $n")
+        require(scanned <= 2, s"diff read $scanned files — snapshot leak")
+      }
+      time("expectations (10M rows, 6 checks, one pass)") {
+        val rows = spark.range(10000000L).select(col("id"),
+          (col("id") % 1000000L).as("g"),
+          when(col("id") % 1000 === 0, lit(null).cast("long"))
+            .otherwise(col("id") % 97).as("v"))
+        val out = graft.operators.Expectations.check(rows,
+          rowChecks = Seq(
+            "v_not_null" -> "v IS NOT NULL",      // 10k violations
+            "v_domain" -> "v < 97",
+            "id_positive" -> "id >= 0",
+            "g_domain" -> "g < 1000000"),
+          uniqueKeys = Seq("unique_id" -> Seq("id"),
+            "unique_g" -> Seq("g")))              // 9M duplicates
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        println(s"    verdicts: $out")
+        require(out("v_not_null") == 10000L && out("unique_id") == 0L &&
+          out("unique_g") == 9000000L && out("v_domain") == 10000L,
+          s"unexpected verdicts $out")
+      }
+    }
+
     val sentinelPost = Bench.sentinelMtMs()
     val total = results.values.sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
