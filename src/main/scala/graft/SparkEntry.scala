@@ -1608,6 +1608,40 @@ object SparkEntry {
         .orderBy("user_id")
     },
 
+    "w11_anomaly_zscore" -> { (s, d) =>
+      // trailing-baseline anomaly scoring (Sessions.anomalyZScore): each
+      // event's value z-scored against the mean/stddev of its user's 24
+      // PRECEDING events — the current value never contaminates its own
+      // baseline; short (<8) or zero-variance baselines emit null, not 0.
+      // All window legs are exact integer cents; the oracle replays the
+      // identical closed-form double math, so a drifted formula (current
+      // row included, population vs sample variance, wrong tie order)
+      // hash-mismatches.
+      graft.operators.Sessions.anomalyZScore(
+          events(s, d).filter(col("user_id") < 50),
+          "user_id", "ts", "value")
+        .select(col("user_id"), col("event_id"), col("baseline_n"),
+          col("z6"), col("is_anomaly"))
+        .orderBy("user_id", "event_id")
+    },
+
+    "w12_interval_islands" -> { (s, d) =>
+      // gaps-and-islands (Sessions.intervalIslands): per-user event
+      // intervals (deterministic value-derived durations) coalesce into
+      // maximal overlapping spans via ONE keyed window (running max end)
+      // + one combinable aggregate — never the quadratic per-key
+      // inequality self-join. The oracle replays the same running-max
+      // island assignment in SQL.
+      val iv = events(s, d).filter(col("user_id") < 100)
+        .select(col("user_id"), unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            (pmod(cents(col("value")), lit(360L)) + 60L) * 1000000L)
+            .as("e_us"))
+      graft.operators.Sessions.intervalIslands(iv, "user_id",
+          "s_us", "e_us")
+        .orderBy("user_id", "island_start_us")
+    },
+
     "t65_collocations" -> { (s, d) =>
       // PMI collocation mining (TrainingData.collocations): adjacent
       // bigrams scored ln((n_ab/B)/((n_a/T)(n_b/T))) — map-only bigram
@@ -2715,6 +2749,23 @@ object SparkEntry {
         .select(col("item").as("l_partkey"), col("rn"), col("other"),
           col("cnt"))
         .orderBy("l_partkey", "rn")
+    },
+
+    "t69_khop_reach" -> { (s, d) =>
+      // 2-hop reachability counts (Graph.kHopReach) on the directed
+      // ring-with-chords graph (out-degree ≤ 3): per vertex the number
+      // of DISTINCT vertices reachable in 1..2 hops, origin excluded
+      // even via cycles. Frontier expansion is one equality join + one
+      // distinct per extra hop; the oracle unrolls the two hops in SQL —
+      // double-counted multi-paths or a leaked self-reach hash-mismatch.
+      val n = t(s, d, "customer").count()
+      val keys = t(s, d, "customer").select(col("c_custkey"))
+      val edges = keys.select(col("c_custkey").as("src"),
+          ((col("c_custkey") + 1) % n).as("dst"))
+        .union(keys.select(col("c_custkey"), (col("c_custkey") + 2) % n))
+        .union(keys.select(col("c_custkey"), (col("c_custkey") * 7 + 3) % n))
+      graft.operators.Graph.kHopReach(edges, k = 2)
+        .orderBy("id")
     },
 
     "t57_link_graph" -> { (s, d) =>
@@ -8107,6 +8158,66 @@ object SparkEntry {
          LEFT JOIN s2 ON s0.user_id = s2.user_id
          ORDER BY s0.user_id""",
 
+    // anomaly replay: the identical integer-leg closed form — preceding
+    // 24 rows, sample variance, null under 8 obs or zero variance
+    "w11_anomaly_zscore" ->
+      s"""WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+             ${centsSql("value")} AS c
+           FROM events WHERE user_id < 50),
+         w AS (
+           SELECT user_id, event_id, c,
+             COUNT(c) OVER wnd AS bn,
+             CAST(SUM(c) OVER wnd AS BIGINT) AS bs,
+             CAST(SUM(c * c) OVER wnd AS BIGINT) AS bq
+           FROM e
+           WINDOW wnd AS (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         z AS (
+           SELECT user_id, event_id, bn, c,
+             (CAST(bq AS DOUBLE) - CAST(bs AS DOUBLE) *
+                (CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE))) /
+               (CAST(bn AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS var,
+             CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE) AS mean
+           FROM w)
+         SELECT user_id, event_id, bn AS baseline_n,
+           CASE WHEN bn >= 8 AND var > CAST(0.0 AS DOUBLE)
+             THEN ROUND((CAST(c AS DOUBLE) - mean) / SQRT(var), 6)
+             END AS z6,
+           CASE WHEN bn >= 8 AND var > CAST(0.0 AS DOUBLE)
+             THEN ABS(ROUND((CAST(c AS DOUBLE) - mean) / SQRT(var), 6))
+                  >= CAST(3.0 AS DOUBLE)
+             END AS is_anomaly
+         FROM z ORDER BY user_id, event_id""",
+
+    // islands replay: the same running-max island assignment (ROWS
+    // frames, ties broken by end time) and per-island aggregate
+    "w12_interval_islands" ->
+      s"""WITH iv AS (
+           SELECT user_id, epoch_us(ts) AS s_us,
+             epoch_us(ts) +
+               (${centsSql("value")} % 360 + 60) * 1000000 AS e_us
+           FROM events WHERE user_id < 100),
+         m AS (
+           SELECT user_id, s_us, e_us,
+             MAX(e_us) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           FROM iv),
+         f AS (
+           SELECT user_id, s_us, e_us,
+             CASE WHEN pmax IS NULL OR s_us > pmax THEN 1 ELSE 0 END AS nw
+           FROM m),
+         g AS (
+           SELECT user_id, s_us, e_us,
+             SUM(nw) OVER (PARTITION BY user_id ORDER BY s_us, e_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+           FROM f)
+         SELECT user_id, MIN(s_us) AS island_start_us,
+           MAX(e_us) AS island_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+         FROM g GROUP BY user_id, isl
+         ORDER BY user_id, island_start_us""",
+
     // collocation replay: same tokenization, counts, and PMI formula
     "t65_collocations" ->
       """WITH toks AS (
@@ -8277,6 +8388,30 @@ object SparkEntry {
            (SELECT id, COUNT(*) AS c FROM pv GROUP BY 1) c
            ON nodes.id = c.id
          ORDER BY nodes.id""",
+
+    // k-hop replay: the two frontier rounds unrolled — DIRECTED edges,
+    // distinct per round, origin excluded even when a cycle returns
+    "t69_khop_reach" ->
+      """WITH nn AS (SELECT count(*) AS n FROM customer),
+         raw AS (
+           SELECT c_custkey AS src, (c_custkey + 1) % nn.n AS dst
+           FROM customer, nn
+           UNION ALL
+           SELECT c_custkey, (c_custkey + 2) % nn.n FROM customer, nn
+           UNION ALL
+           SELECT c_custkey, (c_custkey * 7 + 3) % nn.n FROM customer, nn),
+         e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+         r1 AS (SELECT src AS origin, dst AS v FROM e),
+         r2 AS (
+           SELECT r1.origin, e2.dst AS v
+           FROM r1 JOIN e e2 ON e2.src = r1.v
+           WHERE e2.dst <> r1.origin),
+         r AS (
+           SELECT DISTINCT origin, v FROM (
+             SELECT origin, v FROM r1
+             UNION ALL SELECT origin, v FROM r2))
+         SELECT origin AS id, CAST(COUNT(*) AS BIGINT) AS reach_count
+         FROM r GROUP BY 1 ORDER BY 1""",
 
     "t57_link_graph" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),

@@ -188,6 +188,49 @@ object Graph {
         coalesce(col("_tc"), lit(0L)).as("tri_count"))
   }
 
+  /** k-hop reachability counts on a DIRECTED graph: for every vertex
+    * with at least one out-edge, the number of DISTINCT vertices
+    * reachable in 1..k hops, the origin itself always excluded (a cycle
+    * back to it does not count). The neighborhood-size profile is the standard
+    * link-graph feature for hub/spam scoring a crawl pipeline computes
+    * next to PageRank.
+    *
+    * Scale shape: k−1 frontier-expansion equality joins on the edge
+    * list, each followed by a distinct on (origin, reached) — the honest
+    * cost of exact neighborhoods, bounded by keeping k small (2..3 in
+    * practice; the frontier table is O(Σ |N_k(v)|), which is what you
+    * asked to count). The per-round distinct keeps the frontier a SET,
+    * so multiplicity never compounds across rounds — paths are
+    * deduplicated as they form, not at the end. Lineage is truncated per
+    * round on a cluster via `checkpointDir` ([[pageRank]] discipline). */
+  def kHopReach(edges: DataFrame, k: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    checkpointDir.foreach(
+      edges.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    // reached(origin, v): v reachable from origin in <= current hops
+    var reached = e.select(col("src").as("origin"), col("dst").as("v"))
+    var hop = 1
+    while (hop < k) {
+      val expanded = reached
+        .join(e.select(col("src").as("v"), col("dst").as("v2")), Seq("v"))
+        .select(col("origin"), col("v2").as("v"))
+        .filter(col("origin") =!= col("v")) // self via cycle: drop
+      reached = truncate(reached.union(expanded).distinct())
+      hop += 1
+    }
+    reached.groupBy(col("origin").as("id"))
+      .agg(count(lit(1)).as("reach_count"))
+  }
+
   /** PageRank (Page et al. 1999) by power iteration.
     *
     * Scale shape: out-degrees are one map-side-combinable aggregate,

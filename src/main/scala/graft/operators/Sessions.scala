@@ -116,6 +116,90 @@ object Sessions {
         col("roll_sum_cents").cast("double") / col("roll_n") / 100.0, 6))
   }
 
+  /** Trailing-baseline z-score anomaly flags over an irregular series:
+    * per (key, ts-ordered row), the z-score of `valueCol` (in exact
+    * integer cents) against the mean/stddev of the PRECEDING
+    * `baselineRows` observations — the current value never contaminates
+    * its own baseline, the standard monitoring contract. Rows whose
+    * baseline has fewer than `minBaseline` observations or zero variance
+    * emit a null z (not a 0 — insufficient evidence is not normality).
+    *
+    * Determinism: the window carries only integer legs (sum, sum of
+    * squares, count); mean/variance/z derive from them in one fixed
+    * closed form, and `z6` is the 6-dp-rounded score — bit-stable
+    * replays, same contract as [[rollingMean]]. Caller contract (not
+    * range-checked): |value| ≲ 6e6, so cents² sums fit a long at any
+    * sane window size.
+    *
+    * Scale shape: ONE keyed window (partitionBy key, orderBy ts) — no
+    * self-join, no global sort; skewed keys are bounded by their own
+    * event counts, the same posture as [[sessionize]]. */
+  def anomalyZScore(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, baselineRows: Int = 24, minBaseline: Int = 8,
+      zThreshold: Double = 3.0, tieCol: String = "event_id"): DataFrame = {
+    require(baselineRows >= 2, s"baselineRows must be >= 2: $baselineRows")
+    require(minBaseline >= 2 && minBaseline <= baselineRows,
+      s"minBaseline must be in 2..$baselineRows: $minBaseline")
+    val cents = round(col(valueCol) * 100).cast("long")
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-baselineRows.toLong, -1L)
+    val base = df
+      .withColumn("_c", cents)
+      .withColumn("_bn", count(col("_c")).over(w))
+      .withColumn("_bs", sum(col("_c")).over(w))
+      .withColumn("_bq", sum(col("_c") * col("_c")).over(w))
+    // fixed-form double math from integer legs:
+    // mean = bs/bn ; var = (bq - bs*mean)/(bn-1) ; z = (c - mean)/sqrt(var)
+    val mean = col("_bs").cast("double") / col("_bn").cast("double")
+    val variance = (col("_bq").cast("double") -
+      col("_bs").cast("double") * mean) /
+      (col("_bn").cast("double") - 1.0)
+    val z = (col("_c").cast("double") - mean) / sqrt(variance)
+    base
+      .withColumn("baseline_n", col("_bn"))
+      .withColumn("z6",
+        when(col("_bn") >= minBaseline && variance > 0.0, round(z, 6)))
+      .withColumn("is_anomaly",
+        when(col("z6").isNotNull, abs(col("z6")) >= zThreshold))
+      .drop("_c", "_bn", "_bs", "_bq")
+  }
+
+  /** Gaps-and-islands: coalesce overlapping-or-touching intervals per
+    * key into maximal merged spans (the classic warehouse interval-merge:
+    * sessions → coverage windows, maintenance spans, validity ranges).
+    * Intervals are `[startCol, endCol]` in epoch micros (longs); two
+    * intervals belong to one island when the later one starts at or
+    * before the running max end of everything before it.
+    *
+    * Output: one row per island — (key, island_start_us, island_end_us,
+    * n_intervals). Deterministic for any input: ties on start order by
+    * end then start (the running max makes the island partition itself
+    * order-insensitive).
+    *
+    * Scale shape: ONE keyed window (running max + running island count)
+    * plus one combinable groupBy — no self-join, no global sort; the
+    * inequality-join formulation this replaces is quadratic per key. */
+  def intervalIslands(df: DataFrame, keyCol: String,
+      startCol: String, endCol: String): DataFrame = {
+    val wOrd = Window.partitionBy(keyCol)
+      .orderBy(col(startCol), col(endCol))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1L)
+    df
+      .withColumn("_pmax", max(col(endCol)).over(wPrev))
+      .withColumn("_new",
+        when(col("_pmax").isNull || col(startCol) > col("_pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("_island",
+        sum(col("_new")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("_island"))
+      .agg(min(col(startCol)).as("island_start_us"),
+        max(col(endCol)).as("island_end_us"),
+        count(lit(1)).as("n_intervals"))
+      .drop("_island")
+  }
+
   /** Ordered funnel analysis: per key, the earliest strictly-ordered
     * completion chain of `steps` — `t0` = first occurrence of step 0,
     * `t1` = first step-1 event strictly after `t0`, and so on (the

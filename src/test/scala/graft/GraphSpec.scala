@@ -168,4 +168,24 @@ class GraphSpec extends AnyFunSuite {
     assert(new java.io.File(dir).listFiles() != null &&
       new java.io.File(dir).listFiles().nonEmpty, "no reliable checkpoint written")
   }
+
+  test("kHopReach: hand-checked 2-hop counts, cycles excluded, multi-paths deduped") {
+    // directed: 1→2, 2→3, 3→1 (a 3-cycle), 1→3 (shortcut), 4→1
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L))
+      .toDF("src", "dst")
+    val out = Graph.kHopReach(e, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1: {2,3} 1-hop; 2-hop adds 3 (via 2, dup) and 1 (cycle, excluded) → 2
+    // 2: {3} then {1} → 2 ; 3: {1} then {2,3→self excluded} → 2
+    // 4: {1} then {2,3} → 3
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 3L), out.toString)
+  }
+
+  test("kHopReach: k=1 is plain out-neighbor counts; duplicate edges collapse") {
+    val e = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 2L)).toDF("src", "dst")
+    val out = Graph.kHopReach(e, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // self-loop 2→2 dropped entirely: vertex 2 has no surviving out-edge
+    assert(out == Map(1L -> 2L), out.toString)
+  }
 }

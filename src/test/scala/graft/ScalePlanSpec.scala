@@ -1069,6 +1069,25 @@ class ScalePlanSpec extends AnyFunSuite {
         assert(l.contains("user_id"), s"window must be user-keyed: $l")
       }
     }
+    // the round-10 additions are pure keyed-window pipelines: no join at
+    // all (the islands op specifically replaces the quadratic per-key
+    // inequality self-join)
+    for (df <- Seq(
+      graft.operators.Sessions.anomalyZScore(ev, "user_id", "ts", "value"),
+      graft.operators.Sessions.intervalIslands(
+        Seq((1L, 0L, 1L)).toDF("user_id", "s", "e"), "user_id", "s", "e"))) {
+      val p = df.queryExecution.executedPlan.toString
+      p.linesIterator.filter(_.contains("Window")).foreach { l =>
+        assert(l.contains("user_id"), s"window must be user-keyed: $l")
+      }
+      assert(!p.contains("Join"), s"keyed-window op must not join:\n$p")
+    }
+  }
+
+  test("t69 kHopReach: equality joins only — frontier never cross-joins") {
+    val p = staticPlan("t69_khop_reach").toString
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"t69 must not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"t69 must not cross join:\n$p")
   }
 
   test("phraseMatch: the term filter runs BEFORE any exchange — the " +

@@ -131,4 +131,74 @@ class SessionsSpec extends AnyFunSuite {
       .collect().head
     assert(out.getLong(1) == 10000000L && out.getLong(2) == 20000000L)
   }
+
+  test("anomalyZScore: preceding-only baseline, min-obs and zero-variance nulls") {
+    // user 1: nine 10.00s then one 50.00 — the spike's baseline is the
+    // nine 10s (zero variance → null z!), so plant variance: alternate
+    // 10.00/12.00; user 2: only 3 events (under minBaseline → null)
+    val rows =
+      (0 until 9).map(i =>
+        ev(i.toLong, 1L, i * 60L, if (i % 2 == 0) 10.0 else 12.0)) ++
+      Seq(ev(9L, 1L, 540L, 50.0)) ++
+      (0 until 3).map(i => ev(100L + i, 2L, i * 60L, 10.0 + i))
+    val df = rows.toDF("event_id", "user_id", "ts", "value")
+    val out = Sessions.anomalyZScore(df, "user_id", "ts", "value",
+      baselineRows = 24, minBaseline = 8, zThreshold = 3.0)
+      .orderBy("user_id", "event_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[Long]("baseline_n"), Option(r.getAs[Any]("z6")),
+        Option(r.getAs[Any]("is_anomaly"))))
+    // first 8 events of user 1: baseline < 8 → null
+    assert(out.take(8).forall(o => o._4.isEmpty && o._5.isEmpty))
+    // 9th event (id 8): baseline n=8, alternating 10/12 → variance > 0,
+    // value 10 is in-band
+    val ninth = out(8)
+    assert(ninth._3 == 8L && ninth._4.nonEmpty &&
+      ninth._5 == Some(false), ninth.toString)
+    // the spike: baseline the 9 alternating values, z far above 3
+    val spike = out(9)
+    assert(spike._3 == 9L &&
+      spike._4.exists(_.asInstanceOf[Double] > 3.0) &&
+      spike._5 == Some(true), spike.toString)
+    // user 2: 3 events, all under minBaseline
+    assert(out.drop(10).forall(o => o._4.isEmpty))
+  }
+
+  test("anomalyZScore: zero-variance baseline yields null, not infinity") {
+    val rows = (0 until 10).map(i => ev(i.toLong, 1L, i * 60L, 10.0)) :+
+      ev(10L, 1L, 600L, 99.0)
+    val out = Sessions.anomalyZScore(rows.toDF("event_id", "user_id",
+      "ts", "value"), "user_id", "ts", "value")
+      .orderBy("event_id").collect()
+    // the spike's baseline is ten constant 10s → variance 0 → null z
+    assert(out.last.isNullAt(out.last.fieldIndex("z6")))
+  }
+
+  test("intervalIslands: overlap merges, touch merges, gap splits") {
+    val iv = Seq(
+      // user 1: [0,10] [5,20] [20,30] one island; [40,50] another
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 20L, 30L), (1L, 40L, 50L),
+      // user 2: containment — [0,100] swallows [10,20] and [30,40]
+      (2L, 0L, 100L), (2L, 10L, 20L), (2L, 30L, 40L),
+      // user 3: single interval
+      (3L, 7L, 9L)
+    ).toDF("user_id", "s_us", "e_us")
+    val out = Sessions.intervalIslands(iv, "user_id", "s_us", "e_us")
+      .orderBy("user_id", "island_start_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 30L, 3L), (1L, 40L, 50L, 1L),
+      (2L, 0L, 100L, 3L),
+      (3L, 7L, 9L, 1L)))
+  }
+
+  test("intervalIslands: an early long interval isn't escaped by a short successor") {
+    // [0,100] then [10,20] then [90,110]: the running MAX end keeps the
+    // island open past the short interval's end — naive lag(e) splits it
+    val iv = Seq((1L, 0L, 100L), (1L, 10L, 20L), (1L, 90L, 110L))
+      .toDF("k", "s", "e")
+    val out = Sessions.intervalIslands(iv, "k", "s", "e").collect()
+    assert(out.length == 1 && out.head.getLong(1) == 0L &&
+      out.head.getLong(2) == 110L)
+  }
 }
