@@ -111,40 +111,68 @@ object SpatialCluster {
     require(minPts >= 1, s"minPts must be >= 1: $minPts")
     val base = points.select(col(idCol).as("id"),
       col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
-    val l = base.select(col("id").as("lid"), col("x"), col("y"))
-    val r = base.select(col("id").as("rid"),
-      col("x").as("rx"), col("y").as("ry"))
-    // both directions present; drop the self-pair the join produces
-    val pairs = SpatialJoin.distanceJoin(l, r, eps,
+    // EXACT coordinate dedup first: co-located points have IDENTICAL
+    // eps-neighborhoods, so the whole algorithm runs on coordinate
+    // representatives (rep id = min point id of the group, carrying the
+    // group weight) and fans back out at the end. Real spatial data
+    // snaps to grids/centroids heavily — on the j10 lattice this cuts
+    // the pair join and the component collapse ~10x each, and it is
+    // semantics-preserving: neighbor counts weight by group size, a
+    // rep's is_core is every member's is_core, and the min-core-id label
+    // contract survives because the global-min core id is its own
+    // group's rep id. Non-repeating data pays one groupBy + one
+    // join-back — noise against the O(pairs) core.
+    val reps = base.groupBy(col("x"), col("y"))
+      .agg(min(col("id")).as("rid"), count(lit(1)).as("w"))
+    val l = reps.select(col("rid").as("lid"), col("x"), col("y"))
+    val r = reps.select(col("rid").as("rid2"),
+      col("x").as("rx"), col("y").as("ry"), col("w").as("rw"))
+    // both directions present; drop the self-pair the join produces.
+    // Materialized ONCE: the eps-join feeds three consumers (core
+    // counts, the core graph, border labeling) — without the checkpoint
+    // each would replay the grid join. Reliable checkpoints when
+    // checkpointDir is set (cluster posture), executor-local otherwise —
+    // the Dedup.clusters discipline.
+    checkpointDir.foreach(points.sparkSession.sparkContext.setCheckpointDir)
+    val pairs0 = SpatialJoin.distanceJoin(l, r, eps,
         leftX = "x", leftY = "y", rightX = "rx", rightY = "ry")
-      .filter(col("lid") =!= col("rid"))
-      .select(col("lid"), col("rid"))
-    // neighbor count INCLUDES the point itself (the PostGIS contract)
-    val counts = pairs.groupBy(col("lid")).agg(count(lit(1)).as("_n"))
-    val flagged = base.join(counts, base("id") === counts("lid"), "left")
-      .select(col("id"),
-        (coalesce(col("_n"), lit(0L)) + 1L >= minPts).as("is_core"))
-    val coreIds = flagged.filter(col("is_core")).select(col("id"))
+      .filter(col("lid") =!= col("rid2"))
+      .select(col("lid"), col("rid2").as("rid"), col("rw"))
+    val pairs =
+      if (checkpointDir.isDefined) pairs0.checkpoint(true)
+      else pairs0.localCheckpoint(true)
+    // neighbor count INCLUDES the point itself (the PostGIS contract):
+    // own group's weight covers self + co-located others
+    val nbrW = pairs.groupBy(col("lid")).agg(sum(col("rw")).as("_nw"))
+    val repFlagged = reps
+      .join(nbrW, reps("rid") === nbrW("lid"), "left")
+      .select(col("x"), col("y"), col("rid"),
+        (col("w") + coalesce(col("_nw"), lit(0L)) >= minPts).as("is_core"))
+    val coreReps = repFlagged.filter(col("is_core")).select(col("rid"))
     // core graph: core–core eps-edges plus self-edges (so an isolated
-    // core still forms its singleton cluster)
+    // core group still forms its singleton cluster)
     val coreEdges = pairs
-      .join(coreIds.withColumnRenamed("id", "lid"), Seq("lid"))
-      .join(coreIds.withColumnRenamed("id", "rid"), Seq("rid"))
+      .join(coreReps.withColumnRenamed("rid", "lid"), Seq("lid"))
+      .join(coreReps, Seq("rid"))
       .select(col("lid").as("id_a"), col("rid").as("id_b"))
-      .union(coreIds.select(col("id").as("id_a"), col("id").as("id_b")))
+      .union(coreReps.select(col("rid").as("id_a"), col("rid").as("id_b")))
     val coreLabels = Dedup.clusters(coreEdges, maxIter = maxIter,
         checkpointDir = checkpointDir)
       .select(col("id").as("_cid"), col("label").as("_clabel"))
-    // border points: smallest core-neighbor label wins (deterministic)
+    // border groups: smallest core-neighbor label wins (deterministic)
     val borderLabels = pairs
       .join(coreLabels, pairs("rid") === coreLabels("_cid"))
       .groupBy(col("lid")).agg(min(col("_clabel")).as("_blabel"))
-    flagged
-      .join(coreLabels, flagged("id") === coreLabels("_cid"), "left")
-      .join(borderLabels, flagged("id") === borderLabels("lid"), "left")
-      .select(col("id"),
+    val repOut = repFlagged
+      .join(coreLabels, repFlagged("rid") === coreLabels("_cid"), "left")
+      .join(borderLabels, repFlagged("rid") === borderLabels("lid"), "left")
+      .select(col("x"), col("y"),
         when(col("is_core"), col("_clabel"))
           .otherwise(col("_blabel")).as("cluster"),
         col("is_core"))
+    // fan back out to every input point (exact double equality — the
+    // same keys the groupBy built the groups with)
+    base.join(repOut, Seq("x", "y"))
+      .select(col("id"), col("cluster"), col("is_core"))
   }
 }
