@@ -1608,6 +1608,25 @@ object SparkEntry {
         .orderBy("user_id")
     },
 
+    "e17_stream_anomaly" -> { (s, d) =>
+      // streaming anomaly twin (EventStreams.anomalyLegsState +
+      // Sessions.zFromLegs): per user an EXPANDING baseline carried as
+      // 3-long keyed state — each event emits its prior-history legs,
+      // then folds itself in; scores derive through the exact batch
+      // closed form. Exercised in the shared-code batch form (whole
+      // group per call); StreamingSpec drives real micro-batches and
+      // pins state carry-over. The oracle is the unbounded-preceding
+      // window replay of the same integer legs.
+      val ev = events(s, d).filter(col("user_id") < 50)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      val legs = graft.streaming.EventStreams.anomalyLegsState(ev).toDF()
+      graft.operators.Sessions.zFromLegs(legs, minBaseline = 8,
+          zThreshold = 3.0)
+        .select(col("user_id"), col("event_id"), col("baseline_n"),
+          col("z6"), col("is_anomaly"))
+        .orderBy("user_id", "event_id")
+    },
+
     "w11_anomaly_zscore" -> { (s, d) =>
       // trailing-baseline anomaly scoring (Sessions.anomalyZScore): each
       // event's value z-scored against the mean/stddev of its user's 24
@@ -8157,6 +8176,38 @@ object SparkEntry {
          LEFT JOIN s1 ON s0.user_id = s1.user_id
          LEFT JOIN s2 ON s0.user_id = s2.user_id
          ORDER BY s0.user_id""",
+
+    // streaming-anomaly replay: the expanding baseline is the
+    // unbounded-preceding window over the same integer legs
+    "e17_stream_anomaly" ->
+      s"""WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS us,
+             ${centsSql("value")} AS c
+           FROM events WHERE user_id < 50),
+         w AS (
+           SELECT user_id, event_id, c,
+             COUNT(c) OVER wnd AS bn,
+             CAST(SUM(c) OVER wnd AS BIGINT) AS bs,
+             CAST(SUM(c * c) OVER wnd AS BIGINT) AS bq
+           FROM e
+           WINDOW wnd AS (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         z AS (
+           SELECT user_id, event_id, bn, c,
+             (CAST(bq AS DOUBLE) - CAST(bs AS DOUBLE) *
+                (CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE))) /
+               (CAST(bn AS DOUBLE) - CAST(1.0 AS DOUBLE)) AS var,
+             CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE) AS mean
+           FROM w)
+         SELECT user_id, event_id, bn AS baseline_n,
+           CASE WHEN bn >= 8 AND var > CAST(0.0 AS DOUBLE)
+             THEN ROUND((CAST(c AS DOUBLE) - mean) / SQRT(var), 6)
+             END AS z6,
+           CASE WHEN bn >= 8 AND var > CAST(0.0 AS DOUBLE)
+             THEN ABS(ROUND((CAST(c AS DOUBLE) - mean) / SQRT(var), 6))
+                  >= CAST(3.0 AS DOUBLE)
+             END AS is_anomaly
+         FROM z ORDER BY user_id, event_id""",
 
     // anomaly replay: the identical integer-leg closed form — preceding
     // 24 rows, sample variance, null under 8 obs or zero variance

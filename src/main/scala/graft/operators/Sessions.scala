@@ -149,14 +149,24 @@ object Sessions {
       .withColumn("_bn", count(col("_c")).over(w))
       .withColumn("_bs", sum(col("_c")).over(w))
       .withColumn("_bq", sum(col("_c") * col("_c")).over(w))
-    // fixed-form double math from integer legs:
-    // mean = bs/bn ; var = (bq - bs*mean)/(bn-1) ; z = (c - mean)/sqrt(var)
+    zFromLegs(base, minBaseline, zThreshold)
+  }
+
+  /** The leg→score step of [[anomalyZScore]], shared with the streaming
+    * twin ([[graft.streaming.EventStreams.anomalyLegsState]]): given
+    * integer baseline legs `_c` (the value in cents), `_bn`/`_bs`/`_bq`
+    * (count/sum/sum-of-squares of the baseline observations), append
+    * `baseline_n`, `z6`, `is_anomaly` in the one fixed closed form —
+    * mean = bs/bn ; var = (bq − bs·mean)/(bn−1) ; z = (c − mean)/√var —
+    * so batch and streaming scores are bit-identical from equal legs. */
+  private[graft] def zFromLegs(df: DataFrame, minBaseline: Int,
+      zThreshold: Double): DataFrame = {
     val mean = col("_bs").cast("double") / col("_bn").cast("double")
     val variance = (col("_bq").cast("double") -
       col("_bs").cast("double") * mean) /
       (col("_bn").cast("double") - 1.0)
     val z = (col("_c").cast("double") - mean) / sqrt(variance)
-    base
+    df
       .withColumn("baseline_n", col("_bn"))
       .withColumn("z6",
         when(col("_bn") >= minBaseline && variance > 0.0, round(z, 6)))

@@ -211,6 +211,53 @@ object EventStreams {
       }
   }
 
+  case class AnomalyLegs(user_id: Long, event_id: Long,
+      _c: Long, _bn: Long, _bs: Long, _bq: Long)
+  case class BaselineState(n: Long, s: Long, q: Long)
+
+  /** Streaming twin of [[graft.operators.Sessions.anomalyZScore]] with an
+    * EXPANDING baseline: per user, each event emits the integer baseline
+    * legs (count/sum/sum-of-squares of every PRIOR event's cents) and
+    * then folds itself into the state — feed the output through
+    * `Sessions.zFromLegs` for scores bit-identical to the batch formula.
+    * Within one invocation (a micro-batch's group, or the whole group in
+    * batch form) events process in (ts, event_id) order; across
+    * micro-batches the state carries, so a batch-2 event is scored
+    * against everything batch 1 folded in. Late events score against the
+    * state as of their ARRIVAL (the honest online contract — an online
+    * scorer cannot rewrite history).
+    *
+    * Scale: state is 3 longs per user; the per-invocation sort buffers
+    * one user's micro-batch slice. For offline scoring of a full history
+    * prefer [[graft.operators.Sessions.anomalyZScore]]'s window (this
+    * batch form sorts each user's entire history in one task). Append
+    * mode. */
+  def anomalyLegsState(events: DataFrame): org.apache.spark.sql.Dataset[AnomalyLegs] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id").cast("long"),
+        col("event_id").cast("long"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("c"))
+      .as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[BaselineState, AnomalyLegs](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Long)],
+         state: GroupState[BaselineState]) =>
+          var st = state.getOption.getOrElse(BaselineState(0L, 0L, 0L))
+          val out = rows.toIndexedSeq.sortBy(r => (r._3, r._2)).map {
+            case (_, eid, _, c) =>
+              val legs = AnomalyLegs(uid, eid, c, st.n, st.s, st.q)
+              st = BaselineState(st.n + 1L, st.s + c, st.q + c * c)
+              legs
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class ChangeRow(id: Long, seq: Long, op: String, value: Long)
 
   /** Streaming CDC upsert state (the streaming twin of

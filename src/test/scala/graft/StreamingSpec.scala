@@ -633,4 +633,39 @@ class StreamingSpec extends AnyFunSuite {
     // the feed is incremental: version 1 still reads the first wave only
     assert(TableLog.read(spark, table, 1).count() == 10)
   }
+
+  test("anomalyLegsState: baseline state carries across micro-batches and " +
+    "matches the batch form") {
+    val dir = java.nio.file.Files.createTempDirectory("anom").toString + "/ev"
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    // batch 1: ten alternating 10.00/12.00 observations for user 1
+    val wave1 = (0 until 10).map(i =>
+      (1L, i.toLong, ts(i), if (i % 2 == 0) 10.0 else 12.0))
+    wave1.toDF("user_id", "event_id", "ts", "value")
+      .coalesce(1).write.parquet(dir)
+    // batch 2: the spike — its baseline must be the TEN batch-1 legs
+    Seq((1L, 10L, ts(10), 50.0))
+      .toDF("user_id", "event_id", "ts", "value")
+      .coalesce(1).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false").parquet(dir)
+    val q = EventStreams.anomalyLegsState(stream)
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "stream timed out")
+    val streamed = spark.table("anom_out").collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(streamed.size == 11, s"expected 11 scored events: $streamed")
+    // spike legs: n=10, sum = 5*1000 + 5*1200, sumsq from the alternation
+    assert(streamed(10L) == ((5000L, 10L, 11000L,
+      5L * 1000L * 1000L + 5L * 1200L * 1200L)), streamed(10L).toString)
+    // batch form over the union produces the identical legs
+    val batch = EventStreams.anomalyLegsState(
+      spark.read.parquet(dir)).collect()
+      .map(r => r.event_id -> ((r._c, r._bn, r._bs, r._bq))).toMap
+    assert(batch == streamed, s"batch/stream legs differ:\n$batch\n$streamed")
+  }
 }
