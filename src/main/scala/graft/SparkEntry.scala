@@ -1534,6 +1534,23 @@ object SparkEntry {
         .orderBy("check")
     },
 
+    "a18_referential" -> { (s, d) =>
+      // referential-containment expectations (Expectations.referential):
+      // the intact lineitem→orders FK passes with zero violations; the
+      // planted check against a beheaded supplier dimension (keys ≤ 50
+      // only) fails with the exact count of orphaned references — one
+      // broadcast anti-join each, null references pass by the SQL FK
+      // contract.
+      val li = t(s, d, "lineitem")
+      val intact = graft.operators.Expectations.referential(
+        li, "l_orderkey", t(s, d, "orders"), "o_orderkey")
+      val broken = graft.operators.Expectations.referential(
+        li, "l_suppkey",
+        t(s, d, "supplier").filter(col("s_suppkey") <= 50), "s_suppkey",
+        name = "ref_suppkey_head")
+      intact.union(broken).orderBy("check")
+    },
+
     "a16_incremental_agg" -> { (s, d) =>
       // incremental aggregate maintenance (Changelog.incrementalAgg): a
       // materialized per-group (count, sum-cents) rollup is updated from
@@ -8037,6 +8054,28 @@ object SparkEntry {
            CAST(SUM(pc) AS BIGINT), 'v2_v3'
          FROM base WHERE k % 6 = 2
          ORDER BY step, _change_type""",
+
+    // referential replay: NOT EXISTS anti-semantics per check — the
+    // intact FK is zero, the beheaded dimension counts exact orphans
+    "a18_referential" ->
+      """WITH c AS (
+           SELECT 'ref_l_orderkey_in_o_orderkey' AS "check",
+             CAST((SELECT COUNT(*) FROM lineitem l
+                   WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+                     (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+               AS violations,
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS total
+           UNION ALL
+           SELECT 'ref_suppkey_head',
+             CAST((SELECT COUNT(*) FROM lineitem l
+                   WHERE l.l_suppkey IS NOT NULL AND NOT EXISTS
+                     (SELECT 1 FROM supplier s
+                      WHERE s.s_suppkey <= 50
+                        AND s.s_suppkey = l.l_suppkey)) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT))
+         SELECT "check", violations, total, violations = 0 AS passed
+         FROM c ORDER BY "check"""",
 
     // expectations replay: per-constraint violation counts in closed
     // form — the two failing checks must fail with exact counts

@@ -80,4 +80,29 @@ object Expectations {
     verdicts.map { case (n, v) => (n, v, total, v == 0L) }
       .toDF("check", "violations", "total", "passed")
   }
+
+  /** Referential-containment check (the FK constraint): every NON-NULL
+    * value of `df.column` must appear in `dim.dimCol`; null references
+    * pass (the SQL foreign-key contract). The one check family that
+    * cannot ride [[check]]'s single aggregate — it needs the dimension —
+    * so it costs one left-anti equality join plus the row count (two
+    * jobs, honestly). Same verdict schema as [[check]].
+    *
+    * Scale shape: the anti-join broadcasts when the dimension is small
+    * (the typical FK target), hash-joins on the key otherwise; duplicates
+    * in the dimension are fine (anti-join semantics need no distinct). */
+  def referential(df: DataFrame, column: String, dim: DataFrame,
+      dimCol: String, name: String = ""): DataFrame = {
+    require(df.columns.contains(column), s"missing column $column")
+    require(dim.columns.contains(dimCol), s"dimension lacks $dimCol")
+    val nm = if (name.nonEmpty) name else s"ref_${column}_in_$dimCol"
+    val total = df.count()
+    val violations = df.select(col(column))
+      .filter(col(column).isNotNull)
+      .join(dim.select(col(dimCol).as(column)), Seq(column), "left_anti")
+      .count()
+    import df.sparkSession.implicits._
+    Seq((nm, violations, total, violations == 0L))
+      .toDF("check", "violations", "total", "passed")
+  }
 }

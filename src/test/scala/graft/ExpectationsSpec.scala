@@ -79,6 +79,30 @@ class ExpectationsSpec extends AnyFunSuite {
     }
   }
 
+  test("referential: null FKs pass, duplicate dim keys are fine, orphans count") {
+    val facts = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, None),
+      (4L, Some(99L))).toDF("id", "fk")
+    val dim = Seq(10L, 10L, 20L).toDF("k") // dup key must not double-count
+    val out = Expectations.referential(facts, "fk", dim, "k").collect().head
+    assert(out.getString(0) == "ref_fk_in_k")
+    assert(out.getLong(1) == 1L, s"only the 99 orphan violates: $out")
+    assert(out.getLong(2) == 4L && !out.getBoolean(3))
+    val clean = Expectations.referential(
+      facts.filter($"id" =!= 4L), "fk", dim, "k", name = "clean")
+    val c = clean.collect().head
+    assert(c.getString(0) == "clean" && c.getLong(1) == 0L && c.getBoolean(3))
+  }
+
+  test("referential: the anti-join broadcasts a small dimension") {
+    val facts = Seq((1L, 10L)).toDF("id", "fk")
+    val dim = Seq(10L).toDF("k")
+    // same plan shape the operator builds
+    val plan = facts.select($"fk").filter($"fk".isNotNull)
+      .join(dim.select($"k".as("fk")), Seq("fk"), "left_anti")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast anti:\n$plan")
+  }
+
   test("one pass: adding checks adds expressions, not jobs") {
     val sc = spark.sparkContext
     def jobsFor(group: String)(body: => Unit): Int = {
