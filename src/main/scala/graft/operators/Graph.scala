@@ -115,10 +115,13 @@ object Graph {
       // keeps every aggregate a combinable HashAggregate, with the
       // join-back at vertex scale on the partitioning the count
       // aggregate already established
-      val cnt = und
+      // cnt feeds BOTH the max pass and the join-back — materialize it
+      // per round, or the edge-scale join+aggregate runs twice (exchange
+      // reuse only dedups the shuffle, not the probe)
+      val cnt = truncate(und
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("id"), col("label"))
-        .agg(count(lit(1)).as("_c"))
+        .agg(count(lit(1)).as("_c")))
       val top = cnt.groupBy(col("id")).agg(max(col("_c")).as("_mc"))
       val next = cnt.join(top, Seq("id"))
         .filter(col("_c") === col("_mc"))
