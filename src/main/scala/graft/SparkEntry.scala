@@ -1513,6 +1513,28 @@ object SparkEntry {
         .orderBy("step", "_change_type")
     },
 
+    "k20_history" -> { (s, d) =>
+      // commit audit trail + timestamp time travel (TableLog.history /
+      // versionAtTime): three tagged commits (append/append/overwrite)
+      // and a read AS OF v1's wall-clock instant, which must resolve to
+      // exactly the v1 row set — the op column and the time-travel count
+      // replay in closed form; n_files is host-dependent and excluded.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k20")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey").as("k"),
+        cents(col("o_totalprice")).as("pc"))
+      graft.operators.TableLog.append(o.filter(col("k") % 6 === 0), dir)
+      val t1 = graft.operators.TableLog.snapshot(dir, 1).ts
+      graft.operators.TableLog.append(o.filter(col("k") % 6 === 1), dir)
+      graft.operators.TableLog.overwrite(o.filter(col("k") % 6 === 2), dir)
+      val vAt = graft.operators.TableLog.versionAtTime(dir, t1)
+      val nAt = graft.operators.TableLog.read(s, dir, vAt).count()
+      graft.operators.TableLog.history(s, dir)
+        .select(col("version"), col("op"))
+        .withColumn("n_at_t1", lit(nAt))
+        .orderBy("version")
+    },
+
     "a17_expectations" -> { (s, d) =>
       // declarative data-quality expectations (Expectations.check): six
       // named constraints — four row checks (null-safe: a NULL predicate
@@ -8076,6 +8098,22 @@ object SparkEntry {
              CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT))
          SELECT "check", violations, total, violations = 0 AS passed
          FROM c ORDER BY "check"""",
+
+    // history replay: the op sequence in closed form; AS-OF v1's instant
+    // must count exactly the k%6=0 family
+    "k20_history" ->
+      """SELECT 1 AS version, 'append' AS op,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 6 = 0) AS n_at_t1
+         UNION ALL
+         SELECT 2, 'append',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 6 = 0)
+         UNION ALL
+         SELECT 3, 'overwrite',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 6 = 0)
+         ORDER BY version""",
 
     // expectations replay: per-constraint violation counts in closed
     // form — the two failing checks must fail with exact counts

@@ -206,7 +206,7 @@ object Changelog {
       expectedVersion = v,
       parts = untouched.map(f => f -> snap.parts(f)).toMap ++
         newFiles.toMap,
-      txn = snap.txn)
+      txn = snap.txn, op = "merge")
   }
 
   /** Incremental aggregate maintenance: update a materialized per-group

@@ -46,7 +46,8 @@ object TableLog {
 
   final case class Snapshot(version: Int, files: Seq[String],
       parts: Map[String, String] = Map.empty,
-      txn: Map[String, Long] = Map.empty)
+      txn: Map[String, Long] = Map.empty,
+      op: String = "write", ts: Long = 0L)
 
   private def logDir(dir: String) = Paths.get(dir, "_graft_log")
   private def vJson(v: Int) = f"v$v%05d.json"
@@ -80,7 +81,9 @@ object TableLog {
     val txn = Option(node.get("txn")).map { tn =>
       tn.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
     }.getOrElse(Map.empty[String, Long])
-    Snapshot(node.get("version").asInt(), files, parts, txn)
+    val op = Option(node.get("op")).map(_.asText()).getOrElse("write")
+    val ts = Option(node.get("ts")).map(_.asLong()).getOrElse(0L)
+    Snapshot(node.get("version").asInt(), files, parts, txn, op, ts)
   }
 
   private def jsonStr(s: String) = "\"" + s.replace("\\", "\\\\")
@@ -98,7 +101,8 @@ object TableLog {
   def commit(dir: String, files: Seq[String],
       expectedVersion: Int = -1,
       parts: Map[String, String] = Map.empty,
-      txn: Map[String, Long] = Map.empty): Int = {
+      txn: Map[String, Long] = Map.empty,
+      op: String = "write"): Int = {
     val ld = logDir(dir)
     Files.createDirectories(ld)
     val v = if (expectedVersion > 0) expectedVersion
@@ -114,7 +118,8 @@ object TableLog {
         .map { case (id, b) => s"${jsonStr(id)}:$b" }
         .mkString(""","txn":{""", ",", "}")
     val json = s"""{"version":$v,"files":[${
-      files.map(jsonStr).mkString(",")}]$partsJson$txnJson}"""
+      files.map(jsonStr).mkString(",")}]$partsJson$txnJson,"op":${
+      jsonStr(op)},"ts":${System.currentTimeMillis()}}"""
     val tmp = Files.createTempFile(ld, s".tmp-v$v-", ".json")
     Files.write(tmp, json.getBytes("UTF-8"))
     // createLink, not move: POSIX rename() REPLACES an existing target
@@ -166,14 +171,48 @@ object TableLog {
   def append(df: DataFrame, dir: String): Int = {
     val (prev, v) = planNext(dir)
     commit(dir, prev.files ++ writeData(df, dir, v),
-      expectedVersion = v, parts = prev.parts, txn = prev.txn)
+      expectedVersion = v, parts = prev.parts, txn = prev.txn,
+      op = "append")
   }
 
   /** Replace the table contents with `df` as a new version. Old files
     * stay on disk (still referenced by older versions) until [[vacuum]]. */
   def overwrite(df: DataFrame, dir: String): Int = {
     val (prev, v) = planNext(dir)
-    commit(dir, writeData(df, dir, v), expectedVersion = v, txn = prev.txn)
+    commit(dir, writeData(df, dir, v), expectedVersion = v, txn = prev.txn,
+      op = "overwrite")
+  }
+
+  /** Commit audit trail (DESCRIBE HISTORY): one row per retained version —
+    * (version, op, n_files, ts). Driver-built from the log jsons (O(1)
+    * metadata reads each, no data file touched). */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val cur = currentVersion(dir)
+    require(cur >= 1, s"no committed version in $dir")
+    val rows = (1 to cur).flatMap { v =>
+      if (Files.exists(logDir(dir).resolve(vJson(v)))) {
+        val s = snapshot(dir, v)
+        Some((s.version, s.op, s.files.size, s.ts))
+      } else None // vacuumed
+    }
+    import spark.implicits._
+    rows.toDF("version", "op", "n_files", "ts")
+  }
+
+  /** Timestamp time travel (VERSION AS OF a wall-clock instant): the
+    * LATEST version whose commit ts is <= `tsMillis` (the Delta
+    * contract — commits in the same millisecond resolve to the later
+    * version). Loud error when the instant predates the table. */
+  def versionAtTime(dir: String, tsMillis: Long): Int = {
+    val cur = currentVersion(dir)
+    require(cur >= 1, s"no committed version in $dir")
+    val vs = (1 to cur).filter { v =>
+      Files.exists(logDir(dir).resolve(vJson(v))) &&
+        snapshot(dir, v).ts <= tsMillis
+    }
+    require(vs.nonEmpty,
+      s"no version at or before ts $tsMillis in $dir (vacuumed or too early)")
+    vs.max
   }
 
   /** Write `df` split by `partCol` and append the files with partition
@@ -220,7 +259,7 @@ object TableLog {
     finally leaves.close()
     val newFiles = moved.result()
     commit(dir, prev.files ++ newFiles.map(_._1), expectedVersion = v,
-      parts = prev.parts ++ newFiles.toMap, txn = prev.txn)
+      parts = prev.parts ++ newFiles.toMap, txn = prev.txn, op = "append")
   }
 
   /** Exactly-once append for a streaming writer (`foreachBatch`): the
@@ -241,7 +280,7 @@ object TableLog {
       try {
         return Some(commit(dir, prev.files ++ writeData(df, dir, v),
           expectedVersion = v, parts = prev.parts,
-          txn = prev.txn + (txnId -> batchId)))
+          txn = prev.txn + (txnId -> batchId), op = "append"))
       } catch {
         case e: IllegalStateException =>
           attempt += 1
@@ -426,7 +465,7 @@ object TableLog {
       snap.parts.get(f).map(f -> _)).toMap ++
       mergedFiles.collect { case (f, Some(t)) => f -> t }.toMap
     commit(dir, newFiles, expectedVersion = v, parts = newParts,
-      txn = snap.txn)
+      txn = snap.txn, op = "optimize")
     (v, snap.files.size, newFiles.size)
   }
 

@@ -316,6 +316,48 @@ class TableLogSpec extends AnyFunSuite {
     assert(df.count() == 1L)
   }
 
+  test("history records tagged ops; versionAtTime resolves instants") {
+    val dir = freshDir()
+    TableLog.append(Seq((1L, 10L)).toDF("id", "v"), dir)
+    TableLog.append(Seq((2L, 20L)).toDF("id", "v"), dir)
+    TableLog.overwrite(Seq((9L, 90L)).toDF("id", "v"), dir)
+    TableLog.append(Seq((3L, 30L)).toDF("id", "v"), dir)
+    TableLog.optimize(spark, dir)
+    val h = TableLog.history(spark, dir).orderBy("version").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    assert(h.map(x => (x._1, x._2)).toSeq == Seq((1, "append"),
+      (2, "append"), (3, "overwrite"), (4, "append"), (5, "optimize")), h.toSeq)
+    // optimize collapsed the 2 post-overwrite files into 1
+    assert(h.last._3 < h(3)._3 || h(3)._3 == 1, h.toSeq)
+    // timestamps are monotone non-decreasing and set
+    val ts = TableLog.history(spark, dir).orderBy("version")
+      .collect().map(_.getLong(3))
+    assert(ts.forall(_ > 0L) && ts.sliding(2).forall(p => p(0) <= p(1)))
+    // instant resolution: v2's ts resolves to >= 2, < first-commit errors
+    val v2ts = TableLog.snapshot(dir, 2).ts
+    assert(TableLog.versionAtTime(dir, v2ts) >= 2)
+    val t0 = TableLog.snapshot(dir, 1).ts - 1
+    intercept[IllegalArgumentException] {
+      TableLog.versionAtTime(dir, t0)
+    }
+    // the latest instant resolves to the latest version
+    assert(TableLog.versionAtTime(dir, Long.MaxValue) ==
+      TableLog.currentVersion(dir))
+  }
+
+  test("merge through applyToLakeVersioned is tagged in history") {
+    val dir = freshDir()
+    val rows = (1L to 8L).map(i => (i, i, s"p${i % 2}"))
+    TableLog.appendPartitioned(rows.toDF("id", "v", "part"), dir, "part")
+    val ch = Seq((2L, 0L, "p0", 1L, "D"))
+      .toDF("id", "v", "part", "seq", "op")
+    graft.operators.Changelog.applyToLakeVersioned(dir, ch, "part",
+      Seq("id"), "seq", "op")
+    val ops = TableLog.history(spark, dir).orderBy("version")
+      .collect().map(_.getString(1)).toSeq
+    assert(ops == Seq("append", "merge"), ops)
+  }
+
   test("readEvolved: files predating a column read it as null") {
     val dir = freshDir()
     TableLog.append(Seq((1L, 10L)).toDF("id", "v"), dir)
