@@ -354,6 +354,40 @@ class ChangelogSpec extends AnyFunSuite {
     assert(out == Seq((1L, "a", 10L), (3L, "c", 30L), (4L, "d", 40L)))
   }
 
+  test("merge reproduces applyChangelog on seeded random changelogs") {
+    // MERGE with deleteCondition = "op is D", insert for non-D, SET * is
+    // definitionally equivalent to applyChangelog over a key-collapsed
+    // changelog — 20 seeded trials with overlapping keys, all three ops,
+    // and keys absent from either side
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { trial =>
+      val snapRows = (1L to 30L).filter(_ => rnd.nextBoolean())
+        .map(i => (i, s"n$i", rnd.nextInt(100).toLong))
+      val snapDf = snapRows.toDF("id", "name", "v")
+      // unique keys with a random op each (the collapsed-changelog shape)
+      val chRows = (1L to 40L).filter(_ => rnd.nextBoolean()).map { i =>
+        val op = rnd.nextInt(3) match {
+          case 0 => "I"; case 1 => "U"; case 2 => "D"
+        }
+        (i, s"c$i", rnd.nextInt(100).toLong, 1L, op)
+      }
+      if (snapRows.nonEmpty && chRows.nonEmpty) {
+        val chDf = chRows.toDF("id", "name", "v", "seq", "op")
+        val viaApply = Changelog.applyChangelog(
+          snapDf, chDf, Seq("id"), "seq", "op")
+          .orderBy("id").collect().map(_.toSeq).toSeq
+        val viaMerge = Changelog.merge(snapDf,
+            chDf.drop("seq").withColumnRenamed("op", "_op"),
+            Seq("id"),
+            deleteCondition = Some("s._op = 'D'"),
+            insertCondition = Some("s._op <> 'D'"))
+          .orderBy("id").collect().map(_.toSeq).toSeq
+        assert(viaApply == viaMerge,
+          s"trial $trial:\napply=$viaApply\nmerge=$viaMerge")
+      }
+    }
+  }
+
   test("merge: composite keys resolve correctly") {
     val tgt = Seq((1L, "x", "a", 10L), (1L, "y", "b", 20L))
       .toDF("k1", "k2", "name", "v")

@@ -192,6 +192,38 @@ class SessionsSpec extends AnyFunSuite {
       (3L, 7L, 9L, 1L)))
   }
 
+  test("intervalIslands matches a brute-force union on seeded random intervals") {
+    val rnd = new scala.util.Random(7)
+    (1 to 10).foreach { trial =>
+      val iv = (1 to 60).map { _ =>
+        val k = rnd.nextInt(3).toLong
+        val s = rnd.nextInt(100).toLong
+        (k, s, s + rnd.nextInt(12).toLong)
+      }
+      // reference: per key, sort and sweep
+      val expected = iv.groupBy(_._1).flatMap { case (k, xs) =>
+        val sorted = xs.map(x => (x._2, x._3)).sortBy(identity)
+        val islands = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long)] // (start, end, n)
+        sorted.foreach { case (s, e) =>
+          if (islands.nonEmpty && s <= islands.last._2) {
+            val (ps, pe, pn) = islands.last
+            islands(islands.size - 1) = (ps, math.max(pe, e), pn + 1)
+          } else islands += ((s, e, 1L))
+        }
+        islands.map(i => (k, i._1, i._2, i._3))
+      }.toSet
+      val got = Sessions.intervalIslands(
+          iv.toDF("k", "s", "e"), "k", "s", "e")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(got == expected, s"trial $trial:\n${
+        (expected -- got).toSeq.sorted} missing\n${
+        (got -- expected).toSeq.sorted} extra")
+    }
+  }
+
   test("intervalIslands: an early long interval isn't escaped by a short successor") {
     // [0,100] then [10,20] then [90,110]: the running MAX end keeps the
     // island open past the short interval's end — naive lag(e) splits it
