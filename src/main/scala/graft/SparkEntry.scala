@@ -1666,6 +1666,17 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     },
 
+    "w13_cohort_retention" -> { (s, d) =>
+      // cohort retention matrix (Sessions.cohortRetention): users
+      // cohorted by first-event week, each (cohort, offset) cell an
+      // exact distinct-active count — one keyed min aggregate, one
+      // user-key join-back, one combinable distinct aggregate; no
+      // window, no self-join. The oracle replays the identical integral
+      // bucketing.
+      graft.operators.Sessions.cohortRetention(events(s, d))
+        .orderBy("cohort_b", "offset")
+    },
+
     "w11_anomaly_zscore" -> { (s, d) =>
       // trailing-baseline anomaly scoring (Sessions.anomalyZScore): each
       // event's value z-scored against the mean/stddev of its user's 24
@@ -8285,6 +8296,17 @@ object SparkEntry {
                   >= CAST(3.0 AS DOUBLE)
              END AS is_anomaly
          FROM z ORDER BY user_id, event_id""",
+
+    // cohort replay: identical integral week bucketing of epoch micros
+    "w13_cohort_retention" ->
+      """WITH b AS (
+           SELECT user_id AS k, epoch_us(ts) // 604800000000 AS b
+           FROM events),
+         f AS (SELECT k, MIN(b) AS cohort_b FROM b GROUP BY k)
+         SELECT f.cohort_b, b.b - f.cohort_b AS "offset",
+           CAST(COUNT(DISTINCT b.k) AS BIGINT) AS n_active
+         FROM b JOIN f USING (k)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // anomaly replay: the identical integer-leg closed form — preceding
     // 24 rows, sample variance, null under 8 obs or zero variance

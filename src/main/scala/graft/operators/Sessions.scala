@@ -210,6 +210,30 @@ object Sessions {
       .drop("_island")
   }
 
+  /** Cohort retention matrix (the product-analytics staple): users are
+    * cohorted by the time bucket of their FIRST event; each cell
+    * (cohort_bucket, bucket_offset) counts the distinct users of that
+    * cohort active `offset` buckets later. Buckets are integral
+    * `bucketSeconds` divisions of epoch time (weeks by default) —
+    * offset 0 is the cohort itself, so `n_active` at offset 0 is the
+    * cohort size.
+    *
+    * Scale shape: one user-keyed min aggregate (the cohort table), one
+    * equality join back on the user key — same key, same hash
+    * partitioning, AQE/bucketing reuses the exchange — and one
+    * combinable distinct-count aggregate. No window, no self-join. */
+  def cohortRetention(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", bucketSeconds: Long = 604800L): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1: $bucketSeconds")
+    val div = 1000000L * bucketSeconds
+    val base = events.select(col(keyCol).as("k"),
+      expr(s"unix_micros($tsCol) div $div").as("b"))
+    val cohorts = base.groupBy(col("k")).agg(min(col("b")).as("cohort_b"))
+    base.join(cohorts, Seq("k"))
+      .groupBy(col("cohort_b"), (col("b") - col("cohort_b")).as("offset"))
+      .agg(countDistinct(col("k")).as("n_active"))
+  }
+
   /** Ordered funnel analysis: per key, the earliest strictly-ordered
     * completion chain of `steps` — `t0` = first occurrence of step 0,
     * `t1` = first step-1 event strictly after `t0`, and so on (the

@@ -192,6 +192,26 @@ class SessionsSpec extends AnyFunSuite {
       (3L, 7L, 9L, 1L)))
   }
 
+  test("cohortRetention: hand-checked matrix; offset 0 is the cohort size") {
+    def e(id: Long, user: Long, week: Long) =
+      (id, user, new java.sql.Timestamp(week * 604800000L), 1.0)
+    // users 1,2 cohort week 0 (1 returns at w1 and w2, 2 only at w2);
+    // user 3 cohort week 1, never returns; duplicate events collapse
+    val df = Seq(e(1, 1, 0), e(2, 2, 0), e(3, 1, 1), e(4, 1, 2),
+      e(5, 2, 2), e(6, 3, 1), e(7, 3, 1))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = Sessions.cohortRetention(df)
+      .orderBy("cohort_b", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 2L),
+      (1L, 0L, 1L)), out.toSeq.toString)
+    // plan: no window, no nested loop; the join is keyed on the user
+    val p = Sessions.cohortRetention(df)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cohort plan:\n$p")
+  }
+
   test("intervalIslands matches a brute-force union on seeded random intervals") {
     val rnd = new scala.util.Random(7)
     (1 to 10).foreach { trial =>
