@@ -1666,6 +1666,37 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     },
 
+    "w14_rfm_segments" -> { (s, d) =>
+      // RFM segmentation (recency/frequency/monetary quintiles): the
+      // classic customer-analytics composition — one per-customer
+      // aggregate, the corpus max date as a broadcast 1-row scalar, and
+      // three deterministic ntile rankings (unique custkey tiebreak).
+      // The quintile windows are global by definition (a ranking over
+      // the customer TABLE, already 3-4 orders of magnitude smaller
+      // than the fact table).
+      val o = t(s, d, "orders")
+      // o_orderdate may read as TIMESTAMP_NTZ; under the UTC session the
+      // cast treats the naive value as UTC — exactly DuckDB's epoch_us
+      val odUs = unix_micros(col("o_orderdate").cast("timestamp"))
+      val per = o.groupBy(col("o_custkey")).agg(
+        max(odUs).as("last_us"),
+        count(lit(1)).as("f"),
+        sum(cents(col("o_totalprice"))).as("m_cents"))
+      val mx = o.agg(max(odUs).as("mx_us"))
+      val base = per.crossJoin(broadcast(mx))
+        .withColumn("r_days",
+          expr("(mx_us - last_us) div 86400000000"))
+        .drop("mx_us", "last_us")
+      def q(orderCol: Column) = ntile(5).over(
+        Window.orderBy(orderCol, col("o_custkey"))).cast("int")
+      base
+        .withColumn("rq", q(col("r_days")))
+        .withColumn("fq", q(col("f").desc))
+        .withColumn("mq", q(col("m_cents").desc))
+        .withColumn("segment", col("rq") * 100 + col("fq") * 10 + col("mq"))
+        .orderBy("o_custkey")
+    },
+
     "w13_cohort_retention" -> { (s, d) =>
       // cohort retention matrix (Sessions.cohortRetention): users
       // cohorted by first-event week, each (cohort, offset) cell an
@@ -8296,6 +8327,33 @@ object SparkEntry {
                   >= CAST(3.0 AS DOUBLE)
              END AS is_anomaly
          FROM z ORDER BY user_id, event_id""",
+
+    // RFM replay: identical aggregates + NTILE(5) with the unique
+    // custkey tiebreak on every ranking
+    "w14_rfm_segments" ->
+      s"""WITH per AS (
+           SELECT o_custkey,
+             MAX(epoch_us(o_orderdate)) AS last_us,
+             CAST(COUNT(*) AS BIGINT) AS f,
+             CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS m_cents
+           FROM orders GROUP BY o_custkey),
+         mx AS (SELECT MAX(epoch_us(o_orderdate)) AS mx_us FROM orders),
+         base AS (
+           SELECT o_custkey, f, m_cents,
+             (mx.mx_us - per.last_us) // 86400000000 AS r_days
+           FROM per, mx),
+         ranked AS (
+           SELECT o_custkey, r_days, f, m_cents,
+             CAST(NTILE(5) OVER (ORDER BY r_days, o_custkey) AS INTEGER)
+               AS rq,
+             CAST(NTILE(5) OVER (ORDER BY f DESC, o_custkey) AS INTEGER)
+               AS fq,
+             CAST(NTILE(5) OVER (ORDER BY m_cents DESC, o_custkey)
+               AS INTEGER) AS mq
+           FROM base)
+         SELECT o_custkey, f, m_cents, r_days, rq, fq, mq,
+           rq * 100 + fq * 10 + mq AS segment
+         FROM ranked ORDER BY o_custkey""",
 
     // cohort replay: identical integral week bucketing of epoch micros
     "w13_cohort_retention" ->
