@@ -1525,6 +1525,10 @@ object SparkEntry {
         cents(col("o_totalprice")).as("pc"))
       graft.operators.TableLog.append(o.filter(col("k") % 6 === 0), dir)
       val t1 = graft.operators.TableLog.snapshot(dir, 1).ts
+      // AS-OF resolves ties toward the LATER version (the Delta rule),
+      // so v2 must commit in a strictly later millisecond than t1 for
+      // the replay to be deterministic
+      while (System.currentTimeMillis() <= t1) Thread.sleep(1)
       graft.operators.TableLog.append(o.filter(col("k") % 6 === 1), dir)
       graft.operators.TableLog.overwrite(o.filter(col("k") % 6 === 2), dir)
       val vAt = graft.operators.TableLog.versionAtTime(dir, t1)

@@ -314,20 +314,23 @@ object Changelog {
     val doUpdate = cond(updateCondition, matched)
     val doInsert = if (insert) cond(insertCondition, srcOnly) else lit(false)
     val keep = !doDelete && (col("_m_tgt").isNotNull || doInsert)
-    val outKeys = keyCols.map(k =>
-      coalesce(col(s"t.$k"), col(s"s.$k")).as(k))
-    val outData = dataCols.map { c =>
-      val updated =
-        if (updAll) col(s"s.$c")
-        else updateSet.get(c).map(expr).getOrElse(col(s"t.$c"))
-      val base = when(doUpdate, updated).otherwise(col(s"t.$c"))
-      // with insert=false the source may legitimately omit data columns
-      // (delete-only merges) — never reference s.<data> then
-      val full = if (insert) when(srcOnly, col(s"s.$c")).otherwise(base)
-                 else base
-      full.as(c)
+    // output columns in TARGET order (the documented contract), not
+    // keys-first
+    val out = target.columns.toSeq.map { c =>
+      if (keyCols.contains(c)) coalesce(col(s"t.$c"), col(s"s.$c")).as(c)
+      else {
+        val updated =
+          if (updAll) col(s"s.$c")
+          else updateSet.get(c).map(expr).getOrElse(col(s"t.$c"))
+        val base = when(doUpdate, updated).otherwise(col(s"t.$c"))
+        // with insert=false the source may legitimately omit data columns
+        // (delete-only merges) — never reference s.<data> then
+        val full = if (insert) when(srcOnly, col(s"s.$c")).otherwise(base)
+                   else base
+        full.as(c)
+      }
     }
-    joined.filter(keep).select(outKeys ++ outData: _*)
+    joined.filter(keep).select(out: _*)
   }
 
   /** SCD type-2 history from a changelog: one validity interval per

@@ -210,11 +210,7 @@ object Graph {
       srcCol: String = "src", dstCol: String = "dst",
       checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
-    checkpointDir.foreach(
-      edges.sparkSession.sparkContext.setCheckpointDir)
-    def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true)
-      else df
+    val truncate = truncator(edges, checkpointDir)
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))

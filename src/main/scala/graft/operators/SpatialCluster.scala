@@ -62,12 +62,17 @@ object SpatialCluster {
     require(iters >= 0, s"iters must be >= 0: $iters")
     val base = points.select(col(idCol).as("id"),
       col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
-    // seeds: the k smallest ids (TakeOrdered — never a full sort)
-    var cents: Array[(Any, Double, Double)] = base.orderBy(col("id"))
-      .limit(k).collect()
+    // null/NaN coordinates have no defined distance: such rows get a
+    // null cluster, never seed, and never move a centroid
+    val valid = col("x").isNotNull && col("y").isNotNull &&
+      !isnan(col("x")) && !isnan(col("y"))
+    // seeds: the k smallest valid ids (TakeOrdered — never a full sort)
+    var cents: Array[(Any, Double, Double)] = base.filter(valid)
+      .orderBy(col("id")).limit(k).collect()
       .map(r => (r.get(0), r.getDouble(1), r.getDouble(2)))
     if (cents.isEmpty)
-      return base.select(col("id"), col("id").as("cluster"))
+      return base.select(col("id"),
+        when(lit(false), col("id")).as("cluster"))
     // assignment rides the NearestCentroid2 codegen kernel (a tight
     // primitive loop over reference-object centroid arrays, ties to the
     // lowest index = the lexicographic (d², cid) contract with centroids
@@ -83,11 +88,13 @@ object SpatialCluster {
           org.apache.spark.sql.graft.SparkInternals.expression(col("y")),
           cents.map(_._2), cents.map(_._3)))
       val cidArr = array(cents.map(c => lit(c._1)).toIndexedSeq: _*)
-      base.withColumn("cluster", element_at(cidArr, idx + 1))
+      base.withColumn("cluster",
+        when(valid, element_at(cidArr, idx + 1)))
     }
     var it = 0
     while (it < iters) {
-      val upd = assigned.groupBy(col("cluster"))
+      val upd = assigned.filter(col("cluster").isNotNull)
+        .groupBy(col("cluster"))
         .agg(sum(col("x")).as("sx"), sum(col("y")).as("sy"),
           count(lit(1)).as("n"))
         .collect()
@@ -115,8 +122,18 @@ object SpatialCluster {
       checkpointDir: Option[String] = None): DataFrame = {
     require(eps > 0, s"eps must be positive: $eps")
     require(minPts >= 1, s"minPts must be >= 1: $minPts")
-    val base = points.select(col(idCol).as("id"),
+    val all = points.select(col(idCol).as("id"),
       col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+    // null/NaN coordinates have no defined eps-neighborhood: noise by
+    // contract (cluster null, is_core false) — they must not co-cluster
+    // through the coordinate groupBy's null/NaN bucket, and the null-
+    // unsafe fan-out join below would silently drop them otherwise
+    val validCoords = col("x").isNotNull && col("y").isNotNull &&
+      !isnan(col("x")) && !isnan(col("y"))
+    val noise = all.filter(!validCoords)
+      .select(col("id"), when(lit(false), col("id")).as("cluster"),
+        lit(false).as("is_core"))
+    val base = all.filter(validCoords)
     // EXACT coordinate dedup first: co-located points have IDENTICAL
     // eps-neighborhoods, so the whole algorithm runs on coordinate
     // representatives (rep id = min point id of the group, carrying the
@@ -176,9 +193,11 @@ object SpatialCluster {
         when(col("is_core"), col("_clabel"))
           .otherwise(col("_blabel")).as("cluster"),
         col("is_core"))
-    // fan back out to every input point (exact double equality — the
-    // same keys the groupBy built the groups with)
+    // fan back out to every valid point (exact double equality — the
+    // same keys the groupBy built the groups with), then append the
+    // noise-by-contract rows so the output stays one row per input
     base.join(repOut, Seq("x", "y"))
       .select(col("id"), col("cluster"), col("is_core"))
+      .unionByName(noise)
   }
 }

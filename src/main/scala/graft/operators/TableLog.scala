@@ -331,17 +331,22 @@ object TableLog {
     val bSet = b.files.toSet
     val added = b.files.filterNot(aSet)
     val removed = a.files.filterNot(bSet)
+    // mergeSchema + allowMissingColumns: the touched files may straddle
+    // an add-column evolution (see [[readEvolved]]) — files predating the
+    // column surface it as NULL instead of dropping it or failing the
+    // union
     def readFiles(fs: Seq[String], tag: String): Option[DataFrame] =
       if (fs.isEmpty) None
-      else Some(spark.read
+      else Some(spark.read.option("mergeSchema", "true")
         .parquet(fs.map(f => Paths.get(dir).resolve(f).toString): _*)
         .withColumn("_change_type", lit(tag)))
     (readFiles(added, "insert"), readFiles(removed, "delete")) match {
-      case (Some(i), Some(d)) => i.unionByName(d)
+      case (Some(i), Some(d)) =>
+        i.unionByName(d, allowMissingColumns = true)
       case (Some(i), None) => i
       case (None, Some(d)) => d
       case (None, None) => // no file changed: empty frame, table schema
-        read(spark, dir, toV).limit(0)
+        readEvolved(spark, dir, toV).limit(0)
           .withColumn("_change_type", lit("insert"))
     }
   }

@@ -388,6 +388,16 @@ class ChangelogSpec extends AnyFunSuite {
     }
   }
 
+  test("merge: output columns keep TARGET order even with a non-leading key") {
+    val tgt = Seq(("a", 1L, 10L)).toDF("name", "id", "v")
+    val src = Seq(("B", 2L, 20L)).toDF("name", "id", "v")
+    val out = Changelog.merge(tgt, src, Seq("id"))
+    assert(out.columns.toSeq == Seq("name", "id", "v"), out.columns.toSeq)
+    val rows = out.orderBy("id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("a", 1L, 10L), ("B", 2L, 20L)))
+  }
+
   test("merge: composite keys resolve correctly") {
     val tgt = Seq((1L, "x", "a", 10L), (1L, "y", "b", 20L))
       .toDF("k1", "k2", "name", "v")

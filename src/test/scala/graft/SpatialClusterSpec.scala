@@ -107,6 +107,47 @@ class SpatialClusterSpec extends AnyFunSuite {
     assert(out == Map(5L -> 5L, 6L -> 6L, 9L -> 6L), out.toString)
   }
 
+  test("dbscan: null/NaN coordinates are noise, never dropped, never co-clustered") {
+    val pts = Seq(
+      (1L, Some(0.0), Some(0.0)), (2L, Some(0.1), Some(0.0)),
+      (3L, Some(0.2), Some(0.0)), (4L, Some(0.3), Some(0.0)),
+      // four null-coordinate rows — enough to fake a core if they
+      // wrongly co-clustered through the groupBy null bucket
+      (5L, None, Some(1.0)), (6L, None, Some(1.0)),
+      (7L, Some(1.0), None), (8L, None, None)
+    )
+    val df = pts.map { case (id, x, y) =>
+      (id, x.map(Double.box).orNull, y.map(Double.box).orNull)
+    }.toDF("id", "x", "y")
+      .selectExpr("id", "CAST(x AS DOUBLE) x", "CAST(y AS DOUBLE) y")
+    val out = SpatialCluster.dbscan(df, eps = 0.5, minPts = 4)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]), r.getBoolean(2)))
+      .toMap
+    assert(out.size == 8, s"every input row must come back: $out")
+    assert((5L to 8L).forall(i => out(i) == (None, false)),
+      s"null-coordinate rows must be noise: $out")
+    assert((1L to 4L).forall(i => out(i)._1 == Some(1L)), out.toString)
+    // NaN coordinates likewise
+    val nan = SpatialCluster.dbscan(
+      Seq((1L, 0.0, 0.0), (2L, Double.NaN, 0.0)).toDF("id", "x", "y"),
+      eps = 0.5, minPts = 1).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(nan(2L).isEmpty && nan(1L).nonEmpty, nan.toString)
+  }
+
+  test("kmeans: null/NaN coordinates get a null cluster and never move centroids") {
+    val df = Seq((1L, "0.0", "0.0"), (2L, "4.0", "0.0"),
+      (3L, null, "0.0"), (4L, "NaN", "1.0"))
+      .toDF("id", "xs", "ys")
+      .selectExpr("id", "CAST(xs AS DOUBLE) x", "CAST(ys AS DOUBLE) y")
+    val out = SpatialCluster.kmeans(df, k = 2, iters = 2)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out.size == 4)
+    assert(out(3L).isEmpty && out(4L).isEmpty, out.toString)
+    assert(out(1L) == Some(1L) && out(2L) == Some(2L), out.toString)
+  }
+
   test("eps-chained cores merge transitively into one cluster") {
     // cores at 0, 0.4, 0.8, 1.2 — consecutive within eps, ends not
     val pts = (0 until 4).flatMap { i =>

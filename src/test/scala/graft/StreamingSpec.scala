@@ -643,10 +643,22 @@ class StreamingSpec extends AnyFunSuite {
       (1L, i.toLong, ts(i), if (i % 2 == 0) 10.0 else 12.0))
     wave1.toDF("user_id", "event_id", "ts", "value")
       .coalesce(1).write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSet
+    val firstFiles = parquetFiles
     // batch 2: the spike — its baseline must be the TEN batch-1 legs
     Seq((1L, 10L, ts(10), 50.0))
       .toDF("user_id", "event_id", "ts", "value")
       .coalesce(1).write.mode("append").parquet(dir)
+    // FileStreamSource orders files by modification time; back-to-back
+    // writes can tie on coarse-mtime filesystems, which would let the
+    // spike process first — pin the order explicitly
+    val t0 = java.nio.file.attribute.FileTime.fromMillis(1000000000000L)
+    val t1 = java.nio.file.attribute.FileTime.fromMillis(1000000005000L)
+    firstFiles.foreach(f => java.nio.file.Files
+      .setLastModifiedTime(f.toPath, t0))
+    (parquetFiles -- firstFiles).foreach(f => java.nio.file.Files
+      .setLastModifiedTime(f.toPath, t1))
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")

@@ -358,6 +358,21 @@ class TableLogSpec extends AnyFunSuite {
     assert(ops == Seq("append", "merge"), ops)
   }
 
+  test("changes spans an add-column evolution without dropping the column") {
+    val dir = freshDir()
+    TableLog.append(Seq((1L, 10L)).toDF("id", "v"), dir)
+    TableLog.append(Seq((2L, 20L, "new")).toDF("id", "v", "note"), dir)
+    TableLog.overwrite(Seq((9L, 90L, "ow")).toDF("id", "v", "note"), dir)
+    // v2→v3: deletes straddle the evolution (v1 file has no note column)
+    val d = TableLog.changes(spark, dir, 2, 3)
+    assert(d.columns.contains("note"), d.columns.toSeq.toString)
+    val rows = d.collect().map(r => (r.getLong(0),
+      Option(r.getAs[String]("note")).getOrElse("-"),
+      r.getAs[String]("_change_type"))).toSet
+    assert(rows == Set((1L, "-", "delete"), (2L, "new", "delete"),
+      (9L, "ow", "insert")), rows.toString)
+  }
+
   test("readEvolved: files predating a column read it as null") {
     val dir = freshDir()
     TableLog.append(Seq((1L, 10L)).toDF("id", "v"), dir)
