@@ -528,31 +528,11 @@ object GeomLib {
     * covering set used to bucket polygons for the spatial-join prefilter.
     * `maxCells` caps degenerate world-spanning geometries (callers coarsen
     * resolution instead of exploding). */
-  def cellsCovering(wkb: Array[Byte], res: Int, maxCells: Int = 4096): Array[Long] = {
-    val g = readOrNull(wkb)
-    if (g == null || g.isEmpty) return Array.empty
-    val e = g.getEnvelopeInternal
-    val n = 1L << res
-    val ix0 = gridIndex(e.getMinX, -180.0, 360.0, n)
-    val ix1 = gridIndex(e.getMaxX, -180.0, 360.0, n)
-    val iy0 = gridIndex(e.getMinY, -90.0, 180.0, n)
-    val iy1 = gridIndex(e.getMaxY, -90.0, 180.0, n)
-    val count = (ix1 - ix0 + 1) * (iy1 - iy0 + 1)
-    if (count > maxCells) return Array.empty // caller must coarsen res
-    val out = new Array[Long](count.toInt)
-    var k = 0
-    var ix = ix0
-    while (ix <= ix1) {
-      var iy = iy0
-      while (iy <= iy1) {
-        out(k) = (res.toLong << 58) | (ix << res) | iy
-        k += 1
-        iy += 1
-      }
-      ix += 1
-    }
-    out
-  }
+  def cellsCovering(wkb: Array[Byte], res: Int, maxCells: Int = 4096): Array[Long] =
+    // the zero-pad case of the padded covering: ONE copy of the
+    // index-clamp / cap-check / packing loop, so the spatial-join
+    // rewrite's dedup cell can never drift between the two
+    cellsCoveringPad(wkb, res, 0.0, maxCells)
 
   /** [[cellsCovering]] of the envelope EXPANDED by `pad` degrees on every
     * side — the covering a distance-within join buckets on (a true

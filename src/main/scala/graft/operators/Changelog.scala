@@ -86,11 +86,13 @@ object Changelog {
     * Consistency posture, stated honestly: this is a SINGLE-WRITER
     * directory lake. A crash can no longer lose the partition (the old
     * content survives as the tombstone until the replacement is in
-    * place), but a concurrent reader listing the directory between the
-    * two renames can still plan against a missing partition — one
-    * syscall of exposure, not a guarantee. Readers needing old-or-new
-    * atomicity use [[applyToLakeVersioned]], where visibility flips on a
-    * [[TableLog]] commit instead of directory state.
+    * place, and the NEXT apply restores or finishes any stale tombstone
+    * it finds before planning), but a concurrent reader listing the
+    * directory between the two renames can still plan against a missing
+    * partition — one syscall of exposure, not a guarantee. Readers
+    * needing old-or-new atomicity use [[applyToLakeVersioned]], where
+    * visibility flips on a [[TableLog]] commit instead of directory
+    * state.
     *
     * Returns the affected partition values (as strings). Local-fs
     * renames; object-store deployments swap manifests instead — the
@@ -104,6 +106,34 @@ object Changelog {
       .collect().map(_.get(0))
     require(affected.nonEmpty, "changelog touches no partition")
     require(!affected.contains(null), "null partition value in changelog")
+    // crash recovery BEFORE planning: a stale `.graft_old_<leaf>`
+    // tombstone with no live partition dir means a prior run died between
+    // hide and swap — restore it, or this run's snapshot silently reads
+    // zero pre-existing rows for that partition and then deletes the only
+    // surviving copy. A tombstone WITH a live dir means the swap finished
+    // but the cleanup didn't — finish the delete so the next hide's
+    // ATOMIC_MOVE doesn't collide with it.
+    locally { val root = Paths.get(dir)
+      if (Files.exists(root)) {
+        val l = Files.list(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          l.iterator.asScala
+            .filter(_.getFileName.toString.startsWith(".graft_old_"))
+            .toSeq.foreach { tomb =>
+              val leaf = tomb.getFileName.toString
+                .stripPrefix(".graft_old_")
+              val dst = root.resolve(leaf)
+              if (!Files.exists(dst))
+                Files.move(tomb, dst, StandardCopyOption.ATOMIC_MOVE)
+              else
+                Files.walk(tomb)
+                  .sorted(java.util.Comparator.reverseOrder())
+                  .forEach(p => Files.delete(p))
+            }
+        } finally l.close()
+      }
+    }
     val snapshot = spark.read.parquet(dir)
       .filter(col(partCol).isin(affected: _*))
     val updated = applyChangelog(snapshot, changes, keyCols, seqCol, opCol)
@@ -168,40 +198,11 @@ object Changelog {
       else // fresh partitions only: empty snapshot with the table schema
         spark.read.parquet(base.resolve(snap.files.head).toString).limit(0)
     val updated = applyChangelog(snapshotDf, changes, keyCols, seqCol, opCol)
-    // stage new files partition-split (shadow-column trick keeps partCol
-    // in the data files), then commit untouched ∪ new in one log entry
+    // stage new files partition-split through the SHARED TableLog helper
+    // (identical leaf parsing / unescaping / naming as appendPartitioned),
+    // then commit untouched ∪ new in one log entry
     val v = cur + 1
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft_lake_versioned")
-    updated.withColumn("__graft_part", col(partCol))
-      .write.mode("overwrite").partitionBy("__graft_part")
-      .parquet(staging.toString)
-    java.nio.file.Files.createDirectories(base.resolve("data"))
-    val moved = Seq.newBuilder[(String, String)]
-    val leaves = java.nio.file.Files.list(staging)
-    try {
-      import scala.jdk.CollectionConverters._
-      leaves.iterator.asScala
-        .filter(p => java.nio.file.Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("__graft_part="))
-        .foreach { leaf =>
-          val value = org.apache.spark.sql.catalyst.catalog
-            .ExternalCatalogUtils.unescapePathName(
-              leaf.getFileName.toString.stripPrefix("__graft_part="))
-          val fs = java.nio.file.Files.list(leaf)
-          try fs.iterator.asScala
-            .filter(_.getFileName.toString.endsWith(".parquet"))
-            .foreach { p =>
-              val rel = f"data/v$v%05d-p${math.abs(value.hashCode)}%08x-${
-                p.getFileName.toString}"
-              java.nio.file.Files.move(p, base.resolve(rel),
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              moved += rel -> value
-            }
-          finally fs.close()
-        }
-    } finally leaves.close()
-    val newFiles = moved.result()
+    val newFiles = TableLog.stagePartitioned(updated, dir, v, partCol)
     TableLog.commit(dir, untouched ++ newFiles.map(_._1),
       expectedVersion = v,
       parts = untouched.map(f => f -> snap.parts(f)).toMap ++

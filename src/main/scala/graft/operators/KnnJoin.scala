@@ -33,7 +33,9 @@ import org.apache.spark.sql.functions._
   *
   * Returns one row per (probe, neighbor): `(lid, rid, dist, rn)` with
   * `rn` in 1..k — fewer than k rows for a probe only when the right side
-  * itself has fewer than k rows. */
+  * itself has fewer than k rows. Rows with null/NaN coordinates or a
+  * null id are excluded on both sides (the inner-join contract: no
+  * defined neighborhood, no output). */
 object KnnJoin {
 
   def knnJoin(left: DataFrame, right: DataFrame, k: Int, r0: Double,
@@ -48,11 +50,20 @@ object KnnJoin {
       if (checkpointDir.isDefined) df.checkpoint(true)
       else df.localCheckpoint(true)
 
+    // null/NaN coordinates (or a null id — the probe-retirement anti-join
+    // is null-unsafe) have no defined neighborhood: dropped up front on
+    // BOTH sides, the inner-join contract — one dirty row must not burn
+    // all maxIter rounds and then abort the job as "not converged"
+    def valid(idc: String, xc: String, yc: String) =
+      col(idc).isNotNull && col(xc).isNotNull && col(yc).isNotNull &&
+        !isnan(col(xc)) && !isnan(col(yc))
     val probes0 = left.select(col(leftId).as("lid"),
       col(leftX).cast("double").as("x"), col(leftY).cast("double").as("y"))
+      .filter(valid("lid", "x", "y"))
     val sites = truncate(right.select(col(rightId).as("rid"),
       col(rightX).cast("double").as("rx"),
-      col(rightY).cast("double").as("ry")))
+      col(rightY).cast("double").as("ry"))
+      .filter(valid("rid", "rx", "ry")))
     // a probe with every site in hand is done no matter what k asked for
     val nSites = sites.count()
     val need = math.min(k.toLong, nSites)

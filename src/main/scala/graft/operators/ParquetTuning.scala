@@ -143,6 +143,23 @@ object ParquetTuning {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
       import scala.jdk.CollectionConverters._
+      // fold bounds in UTF-8 BYTE order — the order the parquet stats
+      // and Spark's UTF8String pruning filter use. Java String <
+      // compares UTF-16 code units, which DISAGREES beyond the BMP (a
+      // supplementary char sorts below U+E000..U+FFFF in UTF-16 but
+      // above in UTF-8), and a wrongly-folded max prunes files that
+      // hold matching rows.
+      def utf8Lt(a: String, b: String): Boolean = {
+        val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c < 0
+          i += 1
+        }
+        x.length < y.length
+      }
       it.map { f =>
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(f), serConf.value))
@@ -162,8 +179,8 @@ object ParquetTuning {
                   case (a: org.apache.parquet.io.api.Binary,
                         b: org.apache.parquet.io.api.Binary) =>
                     val (lo, hi) = (a.toStringUsingUTF8, b.toStringUsingUTF8)
-                    mn = Some(mn.fold(lo)(m => if (lo < m) lo else m))
-                    mx = Some(mx.fold(hi)(m => if (hi > m) hi else m))
+                    mn = Some(mn.fold(lo)(m => if (utf8Lt(lo, m)) lo else m))
+                    mx = Some(mx.fold(hi)(m => if (utf8Lt(m, hi)) hi else m))
                   case _ => statsOk = false
                 }
               case _ => statsOk = false

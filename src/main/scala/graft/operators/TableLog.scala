@@ -86,8 +86,18 @@ object TableLog {
     Snapshot(node.get("version").asInt(), files, parts, txn, op, ts)
   }
 
-  private def jsonStr(s: String) = "\"" + s.replace("\\", "\\\\")
-    .replace("\"", "\\\"") + "\""
+  // escapes control chars too: a partition VALUE containing \n or \t
+  // would otherwise write a log entry Jackson refuses to parse back —
+  // bricking every later read of the table
+  private def jsonStr(s: String) = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   /** Publish `files` (relative paths) as the next version. Atomic:
     * stage + hard-link; a concurrent committer to the same version makes
@@ -215,24 +225,26 @@ object TableLog {
     vs.max
   }
 
-  /** Write `df` split by `partCol` and append the files with partition
-    * tags, so [[Changelog.applyToLakeVersioned]] can later rewrite only
-    * touched partitions. One distributed write job: the split rides a
-    * duplicated shadow column through `partitionBy` (Spark drops the
-    * partitioning column from data files — the shadow keeps the real
-    * column in every file, so log-resolved reads keep the full schema).
-    * Null partition values are rejected (they cannot round-trip through
-    * a changelog `isin` filter). */
-  def appendPartitioned(df: DataFrame, dir: String, partCol: String): Int = {
+  /** Stage `df` split by `partCol` into `dir`/data as version `v`'s
+    * files and return (relative path, partition value) pairs — NOT yet
+    * committed. One distributed write job: the split rides a duplicated
+    * shadow column through `partitionBy` (Spark drops the partitioning
+    * column from data files — the shadow keeps the real column in every
+    * file, so log-resolved reads keep the full schema). Null partition
+    * values are rejected (they cannot round-trip through a changelog
+    * `isin` filter). Shared by [[appendPartitioned]] and
+    * [[Changelog.applyToLakeVersioned]] — the leaf parsing, Hive
+    * unescaping, and file naming must stay identical between the two
+    * write paths or they produce inconsistent lakes. */
+  private[operators] def stagePartitioned(df: DataFrame, dir: String,
+      v: Int, partCol: String): Seq[(String, String)] = {
     import org.apache.spark.sql.functions.col
     require(df.columns.contains(partCol), s"no column $partCol")
-    val (prev, v) = planNext(dir)
     val staging = Files.createTempDirectory("graft_tablelog_part")
     df.withColumn("__graft_part", col(partCol))
       .write.mode("overwrite").partitionBy("__graft_part")
       .parquet(staging.toString)
-    val dataDir = Paths.get(dir, "data")
-    Files.createDirectories(dataDir)
+    Files.createDirectories(Paths.get(dir, "data"))
     val moved = Seq.newBuilder[(String, String)]
     val leaves = Files.list(staging)
     try leaves.iterator.asScala
@@ -257,7 +269,15 @@ object TableLog {
         finally fs.close()
       }
     finally leaves.close()
-    val newFiles = moved.result()
+    moved.result()
+  }
+
+  /** Write `df` split by `partCol` and append the files with partition
+    * tags, so [[Changelog.applyToLakeVersioned]] can later rewrite only
+    * touched partitions. */
+  def appendPartitioned(df: DataFrame, dir: String, partCol: String): Int = {
+    val (prev, v) = planNext(dir)
+    val newFiles = stagePartitioned(df, dir, v, partCol)
     commit(dir, prev.files ++ newFiles.map(_._1), expectedVersion = v,
       parts = prev.parts ++ newFiles.toMap, txn = prev.txn, op = "append")
   }
@@ -399,6 +419,7 @@ object TableLog {
       maxRows: Long = 10000000L,
       clusterBy: Seq[String] = Nil): (Int, Int, Int) = {
     val cur = currentVersion(dir)
+    if (cur == 0) return (0, 0, 0) // empty table: clean no-op
     val snap = snapshot(dir, cur)
     val v = cur + 1
     if (snap.files.size <= 1 && clusterBy.isEmpty)

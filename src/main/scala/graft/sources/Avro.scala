@@ -597,7 +597,12 @@ object Avro extends Serializable {
       (acc >>> 1) ^ -(acc & 1)
     }
     def bytes(n: Int): Array[Byte] = {
-      if (n < 0 || n > (1 << 30))
+      // cap at the JVM array limit (minus header slack), not an
+      // arbitrary 1 GiB: a VALID container block between 1 and 2 GiB
+      // must decode rather than be silently truncated as a "corrupt
+      // tail" by the block loop's catch; anything beyond 2 GiB is
+      // unrepresentable in a byte[] and is a hard format bound
+      if (n < 0 || n > (Int.MaxValue - 64))
         throw new IllegalArgumentException(s"length out of range: $n")
       val b = new Array[Byte](n)
       var off = 0

@@ -40,8 +40,13 @@ object TableLogSink {
         val applied = TableLog.appendExactlyOnce(batch, dir, txnId, batchId)
         if (applied.isDefined && optimizeEvery > 0 &&
           batchId % optimizeEvery == (optimizeEvery - 1).toLong) {
-          TableLog.optimize(batch.sparkSession, dir,
+          // compaction is best-effort: a concurrent writer landing
+          // between optimize's plan and commit raises the optimistic
+          // conflict — skip this round (the next period retries) instead
+          // of killing the streaming query the append just succeeded for
+          try TableLog.optimize(batch.sparkSession, dir,
             maxRows = optimizeMaxRows)
+          catch { case _: IllegalStateException => () }
         }
         ()
       }

@@ -219,6 +219,32 @@ class ChangelogSpec extends AnyFunSuite {
     assert(names == Set("part=a%3Ab c", "part=plain"), names.toString)
   }
 
+  test("applyToLake: a stale crash tombstone is restored before planning " +
+    "and a completed-swap leftover is cleaned") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Files.createTempDirectory("lakecrash").toString + "/lake"
+    Seq((1L, 10L, "p0"), (2L, 20L, "p1"))
+      .toDF("id", "v", "part").write.partitionBy("part").parquet(dir)
+    // simulate a crash BETWEEN hide and swap: p0's live dir became the
+    // tombstone and nothing replaced it
+    Files.move(Paths.get(dir, "part=p0"),
+      Paths.get(dir, ".graft_old_part=p0"), StandardCopyOption.ATOMIC_MOVE)
+    // and a crash AFTER a completed p1 swap: stale tombstone beside the
+    // live dir
+    Files.createDirectories(Paths.get(dir, ".graft_old_part=p1"))
+    val ch = Seq((1L, 11L, "p0", 1L, "U"))
+      .toDF("id", "v", "part", "seq", "op")
+    Changelog.applyToLake(dir, ch, "part", Seq("id"), "seq", "op")
+    // the update applied AGAINST THE RESTORED ROW (a lost tombstone
+    // would have made this an insert-only partition and dropped id 1's
+    // history); the leftover p1 tombstone is gone
+    val back = spark.read.parquet(dir).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(back.toSeq == Seq((1L, 11L, "p0"), (2L, 20L, "p1")), back.toSeq)
+    assert(!Files.exists(Paths.get(dir, ".graft_old_part=p0")))
+    assert(!Files.exists(Paths.get(dir, ".graft_old_part=p1")))
+  }
+
   test("applyToLakeVersioned: untouched partitions carried by reference; " +
     "old version time-travels; final state equals the directory-lake " +
     "semantics") {
