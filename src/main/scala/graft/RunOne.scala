@@ -23,8 +23,11 @@ object RunOne {
     // ad-hoc session confs for perf triage: SPARK_GRAFT_CONF="k=v;k=v"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => sys.error(
+            s"SPARK_GRAFT_CONF token missing '=': '$kv' (expected k=v;k=v)")
+        }
       })
     val q = SparkEntry.queries(name)
     if (args.contains("explain")) q(spark, sfDir).explain("formatted")

@@ -68,13 +68,13 @@ object KnnJoin {
     val nSites = sites.count()
     val need = math.min(k.toLong, nSites)
 
-    val spark = left.sparkSession
-    import spark.implicits._
-    var resolved: DataFrame = Seq.empty[(Long, Long, Double, Int)]
-      .toDF("lid", "rid", "dist", "rn")
-      .select(col("lid").cast(probes0.schema("lid").dataType).as("lid"),
-        col("rid").cast(sites.schema("rid").dataType).as("rid"),
-        col("dist"), col("rn"))
+    // empty seed built from the ACTUAL id schemas (limit(0) cross of the
+    // two inputs), not from Long-typed literals cast over — id columns
+    // whose type is not castable from BIGINT (binary, struct) would fail
+    // analysis up front even though the algorithm is id-type-agnostic
+    var resolved: DataFrame = probes0.select(col("lid")).limit(0)
+      .crossJoin(sites.select(col("rid")).limit(0))
+      .withColumn("dist", lit(0.0)).withColumn("rn", lit(0))
     if (nSites == 0) return resolved
     var probes = truncate(probes0)
     var r = r0

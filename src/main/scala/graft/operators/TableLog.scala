@@ -177,16 +177,58 @@ object TableLog {
     (snap, cur + 1)
   }
 
-  /** Append `df` as a new version (previous files + the new ones). */
-  def append(df: DataFrame, dir: String): Int = {
+  /** Rebase-retrying commit for APPEND-shaped writers. An append's new
+    * files are disjoint from every other commit by construction (freshly
+    * staged unique paths), so losing the optimistic race means only
+    * "someone else advanced the head" — a NON-conflict: reload the head,
+    * re-derive the file list on top of it, and retry (bounded, jittered
+    * backoff), instead of aborting a commit that cannot actually
+    * conflict. True write-write conflicts don't exist on this path;
+    * [[overwrite]] and [[optimize]] (which CAN conflict) handle their
+    * own semantics. `txnPut` re-checks the exactly-once batch marker
+    * against each fresh head, so a racing replay still applies at most
+    * once (None = marker already present, nothing committed). */
+  private def commitAppendRebasing(dir: String, newFiles: Seq[String],
+      newParts: Map[String, String], txnPut: Option[(String, Long)],
+      firstPlan: (Snapshot, Int), maxRetries: Int): Option[Int] = {
+    var attempt = 0
+    var plan = firstPlan
+    while (true) {
+      val (prev, v) = plan
+      if (txnPut.exists { case (id, b) => prev.txn.get(id).exists(_ >= b) })
+        return None
+      try {
+        return Some(commit(dir, prev.files ++ newFiles, expectedVersion = v,
+          parts = prev.parts ++ newParts,
+          txn = txnPut.fold(prev.txn)(prev.txn + _), op = "append"))
+      } catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(1L, 5L * attempt))
+          plan = planNext(dir)
+      }
+    }
+    None // unreachable
+  }
+
+  /** Append `df` as a new version (previous files + the new ones). Data
+    * is staged ONCE; a lost commit race rebases onto the new head and
+    * retries — N concurrent appenders all succeed with N versions. */
+  def append(df: DataFrame, dir: String, maxRetries: Int = 20): Int = {
     val (prev, v) = planNext(dir)
-    commit(dir, prev.files ++ writeData(df, dir, v),
-      expectedVersion = v, parts = prev.parts, txn = prev.txn,
-      op = "append")
+    val files = writeData(df, dir, v)
+    commitAppendRebasing(dir, files, Map.empty, None, (prev, v),
+      maxRetries).get
   }
 
   /** Replace the table contents with `df` as a new version. Old files
-    * stay on disk (still referenced by older versions) until [[vacuum]]. */
+    * stay on disk (still referenced by older versions) until [[vacuum]].
+    * Deliberately NOT rebase-retried: an overwrite that lost a race to a
+    * concurrent append cannot rebase without silently dropping that
+    * append's rows — the loud first-committer-wins conflict is the
+    * correct outcome (the Delta protocol's overwrite-vs-append rule). */
   def overwrite(df: DataFrame, dir: String): Int = {
     val (prev, v) = planNext(dir)
     commit(dir, writeData(df, dir, v), expectedVersion = v, txn = prev.txn,
@@ -247,39 +289,49 @@ object TableLog {
     Files.createDirectories(Paths.get(dir, "data"))
     val moved = Seq.newBuilder[(String, String)]
     val leaves = Files.list(staging)
-    try leaves.iterator.asScala
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("__graft_part="))
-      .foreach { leaf =>
-        val escaped = leaf.getFileName.toString.stripPrefix("__graft_part=")
-        require(escaped != "__HIVE_DEFAULT_PARTITION__",
-          s"null $partCol value cannot be partition-tagged")
-        val value = org.apache.spark.sql.catalyst.catalog
-          .ExternalCatalogUtils.unescapePathName(escaped)
-        val fs = Files.list(leaf)
-        try fs.iterator.asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .foreach { p =>
-            val rel = f"data/v$v%05d-p${math.abs(value.hashCode)}%08x-${
-              p.getFileName.toString}"
-            Files.move(p, Paths.get(dir).resolve(rel),
-              StandardCopyOption.ATOMIC_MOVE)
-            moved += rel -> value
-          }
-        finally fs.close()
-      }
-    finally leaves.close()
+    // leaf ORDINAL, not abs(value.hashCode): two partition values with
+    // colliding hashes written by one job share the Spark part basename,
+    // so a hash-keyed prefix made both leaves resolve to the SAME target
+    // path — rename(2) silently replaced the first file (lost rows) and
+    // the survivor entered the commit twice. Leaves sort by escaped name
+    // so the ordinal is deterministic; the move still fails loudly if a
+    // target somehow exists (rename would otherwise replace it silently).
+    val leafDirs =
+      try leaves.iterator.asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("__graft_part="))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally leaves.close()
+    leafDirs.zipWithIndex.foreach { case (leaf, leafIdx) =>
+      val escaped = leaf.getFileName.toString.stripPrefix("__graft_part=")
+      require(escaped != "__HIVE_DEFAULT_PARTITION__",
+        s"null $partCol value cannot be partition-tagged")
+      val value = org.apache.spark.sql.catalyst.catalog
+        .ExternalCatalogUtils.unescapePathName(escaped)
+      val fs = Files.list(leaf)
+      try fs.iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach { p =>
+          val rel = f"data/v$v%05d-p$leafIdx%04d-${p.getFileName.toString}"
+          val target = Paths.get(dir).resolve(rel)
+          require(!Files.exists(target), s"staged-file collision: $rel")
+          Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+          moved += rel -> value
+        }
+      finally fs.close()
+    }
     moved.result()
   }
 
   /** Write `df` split by `partCol` and append the files with partition
     * tags, so [[Changelog.applyToLakeVersioned]] can later rewrite only
     * touched partitions. */
-  def appendPartitioned(df: DataFrame, dir: String, partCol: String): Int = {
+  def appendPartitioned(df: DataFrame, dir: String, partCol: String,
+      maxRetries: Int = 20): Int = {
     val (prev, v) = planNext(dir)
     val newFiles = stagePartitioned(df, dir, v, partCol)
-    commit(dir, prev.files ++ newFiles.map(_._1), expectedVersion = v,
-      parts = prev.parts ++ newFiles.toMap, txn = prev.txn, op = "append")
+    commitAppendRebasing(dir, newFiles.map(_._1), newFiles.toMap, None,
+      (prev, v), maxRetries).get
   }
 
   /** Exactly-once append for a streaming writer (`foreachBatch`): the
@@ -292,22 +344,14 @@ object TableLog {
     * Orphaned data files from a lost race stay invisible (never
     * committed) until [[vacuum]] removes them. */
   def appendExactlyOnce(df: DataFrame, dir: String, txnId: String,
-      batchId: Long, maxRetries: Int = 5): Option[Int] = {
-    var attempt = 0
-    while (true) {
-      val (prev, v) = planNext(dir)
-      if (prev.txn.get(txnId).exists(_ >= batchId)) return None
-      try {
-        return Some(commit(dir, prev.files ++ writeData(df, dir, v),
-          expectedVersion = v, parts = prev.parts,
-          txn = prev.txn + (txnId -> batchId), op = "append"))
-      } catch {
-        case e: IllegalStateException =>
-          attempt += 1
-          if (attempt > maxRetries) throw e
-      }
-    }
-    None // unreachable
+      batchId: Long, maxRetries: Int = 20): Option[Int] = {
+    val (prev, v) = planNext(dir)
+    if (prev.txn.get(txnId).exists(_ >= batchId)) return None
+    // stage ONCE, then rebase-retry the metadata commit — the old
+    // write-per-attempt loop re-ran the distributed job on every race
+    val files = writeData(df, dir, v)
+    commitAppendRebasing(dir, files, Map.empty, Some(txnId -> batchId),
+      (prev, v), maxRetries)
   }
 
   /** Snapshot-isolated read at `version` (latest if -1): resolves the
@@ -417,7 +461,8 @@ object TableLog {
     * pairs — bounded metadata. */
   def optimize(spark: SparkSession, dir: String,
       maxRows: Long = 10000000L,
-      clusterBy: Seq[String] = Nil): (Int, Int, Int) = {
+      clusterBy: Seq[String] = Nil,
+      maxRetries: Int = 20): (Int, Int, Int) = {
     val cur = currentVersion(dir)
     if (cur == 0) return (0, 0, 0) // empty table: clean no-op
     val snap = snapshot(dir, cur)
@@ -461,18 +506,61 @@ object TableLog {
     }
     groups.foreach { case (tag, fs) =>
       if (clusterBy.nonEmpty) {
-        // clustering rewrite: the whole group re-sorts GLOBALLY on the
-        // cluster columns into range-disjoint ≤maxRows files — the
-        // OPTIMIZE ZORDER shape that makes readZonePruned skip hard
-        // (per-bin local sorts would leave file ranges overlapping)
+        // clustering rewrite: the whole group re-sorts GLOBALLY into
+        // range-disjoint ≤maxRows files — the OPTIMIZE ZORDER shape that
+        // makes readZonePruned skip hard (per-bin local sorts would
+        // leave file ranges overlapping).
+        //
+        // ONE column (or any non-numeric column): lexicographic sort —
+        // optimal for a single column, the only general order for
+        // strings. TWO+ numeric columns: a Morton z-key over
+        // min/max-scaled values ([[ZOrder.zorderEncode]]), so zone maps
+        // prune on EVERY cluster column — a lexicographic multi-column
+        // sort gives the 2nd+ columns full-range min/max in every file
+        // and prunes on the leading column only. Uniform min/max scaling
+        // is one cheap aggregate; heavily skewed columns would prefer
+        // quantile cuts (range_partition_id, the Delta form) — the
+        // uniform key stays CORRECT (pruning is best-effort, reads
+        // re-check footers), it just prunes less on skew.
+        import org.apache.spark.sql.functions.{col, greatest, least, lit,
+          max => fmax, min => fmin}
         val total = fs.iterator.map(counts).sum
         val nOut = math.max(1L, (total + maxRows - 1) / maxRows).toInt
         val abs = fs.map(f => Paths.get(base).resolve(f).toString)
-        val cols = clusterBy.map(org.apache.spark.sql.functions.col)
+        val df0 = spark.read.parquet(abs: _*)
+        val numeric = clusterBy.forall(c => df0.schema(c).dataType match {
+          case _: org.apache.spark.sql.types.NumericType => true
+          case _ => false
+        })
+        val cols = clusterBy.map(col)
+        val sortKey: Seq[org.apache.spark.sql.Column] =
+          if (clusterBy.size < 2 || !numeric) cols
+          else {
+            val bits = 16
+            val lim = (1 << bits) - 1
+            val aggs = clusterBy.flatMap(c =>
+              Seq(fmin(col(c)).cast("double"), fmax(col(c)).cast("double")))
+            val mm = df0.agg(aggs.head, aggs.tail: _*).head()
+            val scaled = clusterBy.zipWithIndex.map { case (c, i) =>
+              val lo = if (mm.isNullAt(2 * i)) 0.0 else mm.getDouble(2 * i)
+              val hi = if (mm.isNullAt(2 * i + 1)) 1.0
+                       else mm.getDouble(2 * i + 1)
+              val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+              least(lit(lim.toLong), greatest(lit(0L),
+                ((col(c).cast("double") - lit(lo)) / lit(span) * lit(
+                  lim.toDouble)).cast("long")))
+            }
+            Seq(ZOrder.zorderEncode(scaled, bits))
+          }
+        val keyed = df0.withColumn("__graft_zsort", sortKey.head)
+        val extraKeys = sortKey.tail
         writeMerged(
-          spark.read.parquet(abs: _*)
-            .repartitionByRange(nOut, cols: _*)
-            .sortWithinPartitions(cols: _*),
+          keyed
+            .repartitionByRange(nOut,
+              (col("__graft_zsort") +: extraKeys): _*)
+            .sortWithinPartitions(
+              (col("__graft_zsort") +: extraKeys): _*)
+            .drop("__graft_zsort"),
           tag)
       } else MergeParquet.planBatches(
         fs.sorted.map(f => f -> counts(f)), maxRows).foreach { bin =>
@@ -486,29 +574,83 @@ object TableLog {
     val keptFiles = kept.result()
     val mergedFiles = merged.result()
     if (mergedFiles.isEmpty) return (cur, snap.files.size, snap.files.size)
-    val newFiles = keptFiles ++ mergedFiles.map(_._1)
-    val newParts = keptFiles.flatMap(f =>
+    val outputs = keptFiles ++ mergedFiles.map(_._1)
+    val outputParts = keptFiles.flatMap(f =>
       snap.parts.get(f).map(f -> _)).toMap ++
       mergedFiles.collect { case (f, Some(t)) => f -> t }.toMap
-    commit(dir, newFiles, expectedVersion = v, parts = newParts,
-      txn = snap.txn, op = "optimize")
-    (v, snap.files.size, newFiles.size)
+    // Rebase-retrying commit: a compaction only CONFLICTS with a commit
+    // that removed one of its input files (another rewrite); an append
+    // that landed meanwhile is a non-conflict — reload the head, carry
+    // the appended files through unchanged, and retry. This is what lets
+    // a streaming writer and a compaction loop share one table with
+    // guaranteed progress on both sides.
+    val inputs = snap.files.toSet
+    var attempt = 0
+    var headSnap = snap
+    var vNext = v
+    while (true) {
+      val files = headSnap.files.filterNot(inputs) ++ outputs
+      val parts = (headSnap.parts -- inputs) ++ outputParts
+      try {
+        commit(dir, files, expectedVersion = vNext, parts = parts,
+          txn = headSnap.txn, op = "optimize")
+        return (vNext, snap.files.size, files.size)
+      } catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(1L, 5L * attempt))
+          val head = snapshot(dir, currentVersion(dir))
+          val gone = inputs.filterNot(head.files.toSet)
+          if (gone.nonEmpty) throw new IllegalStateException(
+            s"optimize conflict on $dir: input files rewritten by a " +
+              s"concurrent commit (${gone.take(3).mkString(", ")}...); " +
+              "re-run optimize against the new head", e)
+          headSnap = head
+          vNext = head.version + 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Drop versions < `keepFrom` and delete data files no retained
-    * version references. Returns the deleted file paths (relative). */
-  def vacuum(dir: String, keepFrom: Int): Seq[String] = {
+    * version references. Returns the deleted file paths (relative).
+    *
+    * Safe under live writers via two guards: a file whose `v{N}` name
+    * prefix exceeds the current version belongs to an in-flight commit
+    * (writers stage data BEFORE publishing the log json) and is never
+    * touched; and `graceMs` > 0 additionally spares any data file
+    * modified within the last `graceMs` (the Delta retention-window
+    * discipline — covers a staged file whose writer was forced to rebase
+    * past its planned version). With the default `graceMs = 0` the
+    * version-prefix guard still protects the common race, but a rebasing
+    * writer can lose staged files — run grace-less vacuum only with
+    * writers quiesced. */
+  def vacuum(dir: String, keepFrom: Int, graceMs: Long = 0L): Seq[String] = {
     val cur = currentVersion(dir)
     require(keepFrom >= 1 && keepFrom <= cur,
       s"keepFrom $keepFrom out of range [1, $cur]")
     val referenced = (keepFrom to cur)
       .flatMap(v => snapshot(dir, v).files).toSet
     val dataDir = Paths.get(dir, "data")
+    val vPrefix = "v(\\d{5})-.*".r
+    val cutoff = System.currentTimeMillis() - graceMs
+    def inFlight(p: java.nio.file.Path): Boolean = {
+      val future = p.getFileName.toString match {
+        case vPrefix(n) => n.toInt > cur
+        case _ => false
+      }
+      future || (graceMs > 0L &&
+        Files.getLastModifiedTime(p).toMillis >= cutoff)
+    }
     val doomed =
       if (!Files.exists(dataDir)) Seq.empty[String]
       else {
         val s = Files.list(dataDir)
-        try s.iterator.asScala.map(p => "data/" + p.getFileName.toString)
+        try s.iterator.asScala
+          .filterNot(inFlight)
+          .map(p => "data/" + p.getFileName.toString)
           .filterNot(referenced).toSeq
         finally s.close()
       }

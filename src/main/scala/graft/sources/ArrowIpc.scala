@@ -357,12 +357,15 @@ object ArrowIpc {
     val files = spark.createDataset(statuses.map(_.getPath.toString))
     files.flatMap { f =>
       val fp = new org.apache.hadoop.fs.Path(f)
-      val stream = try {
-        val raw = fp.getFileSystem(serConf.value).open(fp)
-        new java.io.BufferedInputStream(raw, 1 << 16): java.io.InputStream
-      } catch { case _: Exception => null }
-      if (stream == null) Iterator.empty
-      else rowIterator(stream, schema, f)
+      // open failures PROPAGATE (Spark retries the task): a transient
+      // filesystem/permission error must not silently drop a whole
+      // file's rows. The swallow-and-yield-nothing tolerance is reserved
+      // for content-level problems (bad header, schema mismatch, corrupt
+      // tail) inside rowIterator.
+      val raw = fp.getFileSystem(serConf.value).open(fp)
+      val stream: java.io.InputStream =
+        new java.io.BufferedInputStream(raw, 1 << 16)
+      rowIterator(stream, schema, f)
     }(enc)
   }
 }

@@ -819,13 +819,13 @@ object Avro extends Serializable {
     val files = spark.createDataset(statuses.map(_.getPath.toString))
     files.flatMap { f =>
       val fp = new org.apache.hadoop.fs.Path(f)
-      val stream = try {
-        new java.io.BufferedInputStream(
-          fp.getFileSystem(serConf.value).open(fp), 1 << 16)
-          : java.io.InputStream
-      } catch { case _: Exception => null }
-      if (stream == null) Iterator.empty
-      else rowIterator(stream, schemaJson, f)
+      // open failures PROPAGATE (Spark retries the task) — the
+      // swallow-and-continue tolerance is only for content-level
+      // problems (non-Avro header, schema mismatch, corrupt tail)
+      // inside rowIterator
+      val stream: java.io.InputStream = new java.io.BufferedInputStream(
+        fp.getFileSystem(serConf.value).open(fp), 1 << 16)
+      rowIterator(stream, schemaJson, f)
     }(enc)
   }
 }

@@ -40,10 +40,13 @@ object TableLogSink {
         val applied = TableLog.appendExactlyOnce(batch, dir, txnId, batchId)
         if (applied.isDefined && optimizeEvery > 0 &&
           batchId % optimizeEvery == (optimizeEvery - 1).toLong) {
-          // compaction is best-effort: a concurrent writer landing
-          // between optimize's plan and commit raises the optimistic
-          // conflict — skip this round (the next period retries) instead
-          // of killing the streaming query the append just succeeded for
+          // compaction has guaranteed progress against concurrent
+          // APPENDS: optimize rebases its commit over them internally
+          // (appended files carry through untouched, never dropped).
+          // The one remaining IllegalStateException is a TRUE conflict —
+          // another compaction rewrote our input files first. Its work
+          // is done for us; skip this round rather than kill the query
+          // whose append already succeeded.
           try TableLog.optimize(batch.sparkSession, dir,
             maxRows = optimizeMaxRows)
           catch { case _: IllegalStateException => () }

@@ -135,30 +135,107 @@ class TableLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TableLog.snapshot(dir, 7) }
   }
 
-  test("concurrent append()s never lose an update: every committed " +
-    "version contains all previously committed files") {
-    // regression for the planNext/commit race: append must pass its
-    // planned version as expectedVersion so a racer conflicts loudly
-    // instead of silently dropping the other writer's files
+  test("concurrent append()s ALL succeed: N appenders, N new versions, " +
+    "zero aborts (rebase-retry: appends are disjoint, never a conflict)") {
     val dir = freshDir()
     TableLog.append(Seq((0L, "base")).toDF("id", "s"), dir)
     val barrier = new java.util.concurrent.CyclicBarrier(8)
     val ok = new java.util.concurrent.atomic.AtomicInteger(0)
-    val lost = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failed = new java.util.concurrent.atomic.AtomicReference[Throwable]
     val threads = (0 until 8).map { i =>
       new Thread(() => {
         barrier.await()
-        try { TableLog.append(Seq((i.toLong + 1, s"w$i")).toDF("id", "s"), dir)
+        try { TableLog.append(Seq((i.toLong + 1, s"w$i")).toDF("id", "s"),
+                dir, maxRetries = 100)
               ok.incrementAndGet(); () }
-        catch { case _: IllegalStateException => lost.incrementAndGet(); () }
+        catch { case t: Throwable => failed.compareAndSet(null, t); () }
       })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
-    assert(ok.get() + lost.get() == 8)
-    assert(ok.get() >= 1)
-    // no lost update: the final row count equals base + every success
-    assert(TableLog.read(spark, dir).count() == 1L + ok.get(),
-      s"lost update: ${ok.get()} successful appends")
+    assert(failed.get() == null, s"an append aborted: ${failed.get()}")
+    assert(ok.get() == 8)
+    assert(TableLog.currentVersion(dir) == 9, "one version per appender")
+    assert(TableLog.read(spark, dir).count() == 9L, "lost update")
+    // every intermediate version is a superset chain: nothing dropped
+    val sizes = (1 to 9).map(v => TableLog.snapshot(dir, v).files.size)
+    assert(sizes == sizes.sorted, s"file sets must only grow: $sizes")
+  }
+
+  test("optimize racing concurrent appends rebases: appended rows are " +
+    "never dropped, compaction still lands") {
+    val dir = freshDir()
+    (0 until 6).foreach(i =>
+      TableLog.append(Seq((i.toLong, s"seed$i")).toDF("id", "s"), dir))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val optErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val optDone = new java.util.concurrent.atomic.AtomicInteger(0)
+    val optimizer = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          TableLog.optimize(spark, dir, maxRows = 1000000L,
+            maxRetries = 200)
+          optDone.incrementAndGet()
+        }
+      } catch { case t: Throwable => optErr.compareAndSet(null, t) }
+    })
+    optimizer.start()
+    // appends land while the optimizer loops — rebase must carry every
+    // one of them through the compaction commits
+    (0 until 10).foreach { i =>
+      TableLog.append(Seq((100L + i, s"live$i")).toDF("id", "s"), dir,
+        maxRetries = 200)
+    }
+    stop.set(true); optimizer.join()
+    assert(optErr.get() == null, s"optimize aborted: ${optErr.get()}")
+    assert(optDone.get() >= 1, "the optimizer never completed a pass")
+    assert(TableLog.read(spark, dir).count() == 16L,
+      "an appended row was dropped by a rebasing optimize")
+    // a final quiesced pass collapses whatever small files remain
+    TableLog.optimize(spark, dir, maxRows = 1000000L)
+    assert(TableLog.snapshot(dir).files.size <= 2)
+    assert(TableLog.read(spark, dir).count() == 16L)
+  }
+
+  test("stagePartitioned: partition values with colliding hashCodes " +
+    "land in distinct files (regression: abs(hashCode) prefix collided)") {
+    val dir = freshDir()
+    // "Aa" and "BB" have the SAME java hashCode — the old naming scheme
+    // mapped both leaves to one target path and rename() silently
+    // replaced the first file
+    assert("Aa".hashCode == "BB".hashCode)
+    TableLog.appendPartitioned(
+      Seq((1L, "Aa"), (2L, "BB")).toDF("id", "p"), dir, "p")
+    val snap = TableLog.snapshot(dir)
+    assert(snap.files.distinct.size == snap.files.size)
+    assert(snap.parts.values.toSet == Set("Aa", "BB"))
+    assert(TableLog.read(spark, dir).count() == 2L)
+    assert(TableLog.readPartitions(spark, dir, Seq("Aa"))
+      .where($"p" === "Aa").count() == 1L)
+  }
+
+  test("vacuum guards: future-version staged files and files inside the " +
+    "grace window survive; stale orphans still go") {
+    val dir = freshDir()
+    TableLog.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    TableLog.append(Seq((2L, "b")).toDF("id", "s"), dir)
+    val data = java.nio.file.Paths.get(dir, "data")
+    // an in-flight commit's staged file: version prefix beyond the head
+    val inflight = data.resolve("v00099-part-inflight.parquet")
+    java.nio.file.Files.write(inflight, Array[Byte](1, 2, 3))
+    // a stale orphan (lost race, old version prefix)
+    val orphan = data.resolve("v00001-part-orphan.parquet")
+    java.nio.file.Files.write(orphan, Array[Byte](1, 2, 3))
+    // grace window: NOTHING young is deleted, even the stale-prefix orphan
+    val none = TableLog.vacuum(dir, keepFrom = 2, graceMs = 3600000L)
+    assert(none.isEmpty, s"grace window violated: $none")
+    assert(java.nio.file.Files.exists(orphan))
+    // grace-less vacuum reclaims the stale orphan (and v1's data file)
+    // but never the future-version staged file
+    val gone = TableLog.vacuum(dir, keepFrom = 2).toSet
+    assert(gone.contains("data/v00001-part-orphan.parquet"))
+    assert(java.nio.file.Files.exists(inflight),
+      "vacuum deleted an in-flight commit's staged file")
+    assert(TableLog.read(spark, dir).count() == 2L)
   }
 
   test("appendExactlyOnce: a replayed streaming batch commits nothing") {
