@@ -1378,6 +1378,46 @@ object SparkEntry {
           lit(ver - pre).as("dv"))
     },
 
+    "k16b_zorder_skipping" -> { (s, d) =>
+      // multi-column OPTIMIZE clustering via the Morton z-key
+      // (TableLog.optimize(clusterBy = 2 cols) → ZOrder.zorderEncode):
+      // a lexicographic 2-column sort leaves the SECOND column with
+      // full-range min/max in every file — zone maps then prune on the
+      // leading column only. The interleaved key bounds every cluster
+      // column's per-file range, so a predicate on the SECOND column
+      // ALONE opens fewer files than the snapshot holds (pinned by
+      // pruned_second). Six unclustered appends first pin the honest
+      // no-skip baseline; aggregates must equal the closed-form
+      // full-scan oracle.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k16b")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      (0 until 6).foreach { i =>
+        graft.operators.TableLog.append(
+          o.filter(col("o_orderkey") % 6 === i).repartition(2), dir)
+      }
+      val b = o.agg(min("o_orderkey"), max("o_orderkey"),
+        count(lit(1))).first()
+      val lo = b.getLong(0)
+      val hi = lo + (b.getLong(1) - lo) / 8
+      val (_, ob, tb) = graft.operators.TableLog.readZonePruned(
+        s, dir, "o_orderkey", lo, hi)
+      graft.operators.TableLog.optimize(s, dir,
+        maxRows = (b.getLong(2) + 7) / 8,
+        clusterBy = Seq("o_custkey", "o_orderkey"))
+      val (pr, opened, total) = graft.operators.TableLog.readZonePruned(
+        s, dir, "o_orderkey", lo, hi)
+      pr.filter(col("o_orderkey").between(lo, hi))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_k"),
+          max(col("o_orderkey")).as("max_k"),
+          sum(col("o_custkey")).as("sum_cust"))
+        .withColumn("pruned_second", lit(opened < total))
+        .withColumn("unpruned_before", lit(ob == tb))
+    },
+
     "k16_tablelog_skipping" -> { (s, d) =>
       // log-integrated data skipping (TableLog.readZonePruned +
       // optimize(clusterBy)): six UNCLUSTERED appends leave every file
@@ -8200,6 +8240,22 @@ object SparkEntry {
            FROM orders)
          SELECT "check", violations, total, violations = 0 AS passed
          FROM c ORDER BY "check"""",
+
+    // z-order skipping replay: the same 1/8th-range full-scan keyed on
+    // the SECOND cluster column; pruned_second TRUE pins that the
+    // interleaved layout skipped files on a non-leading column
+    "k16b_zorder_skipping" ->
+      s"""WITH b AS (
+           SELECT MIN(o_orderkey) AS lo,
+             MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 8 AS hi
+           FROM orders)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           TRUE AS pruned_second, TRUE AS unpruned_before
+         FROM orders, b
+         WHERE o_orderkey BETWEEN b.lo AND b.hi""",
 
     // log data-skipping replay: the same 1/8th-range full-scan; TRUE
     // pins both the post-cluster skip and the honest pre-cluster no-skip
