@@ -711,6 +711,40 @@ object SparkEntry {
         .orderBy("aid")
     },
 
+    "sql6_not_exists_spatial" -> { (s, d) =>
+      // the reference's own validation idiom, declaratively: "points NOT
+      // in any polygon" via `WHERE NOT EXISTS (… st_contains(…))`
+      // (East-Asia-Building-Footprints.md:127-141 runs the equivalent
+      // set-difference check). Catalyst turns the subquery into a
+      // LeftAnti join only in the RewriteSubquery batch — AFTER the
+      // optimizer batch hosting SpatialJoinRewrite — so this gate rides
+      // SpatialJoinStrategy: the planner-time twin keys the probe on its
+      // centroid cell (scalar — probe multiplicity untouched), explodes
+      // the polygon coverings, and chains hash anti joins; a
+      // BroadcastNestedLoopJoin over |points|·|polys| never appears
+      // (pinned in SpatialJoinRuleSpec). The oracle replays contains as
+      // strict interval arithmetic (JTS contains excludes the boundary),
+      // same as j3.
+      graft.functions.GraftFunctions.registerAll(s)
+      t(s, d, "lineitem")
+        .select(st_point(cxCol, cyCol).as("geom"), col("l_orderkey"))
+        .createOrReplaceTempView("pts_sql6")
+      t(s, d, "supplier").filter(col("s_suppkey") < 50)
+        .select(col("s_suppkey").as("polyid"),
+          st_make_square(
+            (col("s_suppkey") % 36).cast("double") * 10.0 - 175.0,
+            (col("s_suppkey") % 17).cast("double") * 10.0 - 80.0,
+            lit(3.0)).as("pgeom"))
+        .createOrReplaceTempView("polys_sql6")
+      s.sql(
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_outside,
+             CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+           FROM pts_sql6 p
+           WHERE NOT EXISTS (
+             SELECT 1 FROM polys_sql6 r
+             WHERE st_contains(r.pgeom, p.geom))""")
+    },
+
     "j10_dbscan" -> { (s, d) =>
       // density clustering (SpatialCluster.dbscan — PostGIS
       // ST_ClusterDBSCAN semantics, deterministic label contract):
@@ -6438,6 +6472,22 @@ object SparkEntry {
          FROM p LEFT JOIN lab l ON p.id = l.id
                 LEFT JOIN bord b ON p.id = b.id
          ORDER BY c_custkey""",
+
+    // NOT EXISTS spatial replay: strict interval arithmetic (JTS
+    // contains excludes the boundary — same contract as j3's oracle)
+    "sql6_not_exists_spatial" ->
+      s"""WITH p AS (SELECT $cxSql AS x, $cySql AS y, l_orderkey
+             FROM lineitem),
+           a AS (SELECT CAST(s_suppkey % 36 AS DOUBLE) * 10.0 - 175.0 AS sx,
+                   CAST(s_suppkey % 17 AS DOUBLE) * 10.0 - 80.0 AS sy
+                 FROM supplier WHERE s_suppkey < 50)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_outside,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+         FROM p
+         WHERE NOT EXISTS (
+           SELECT 1 FROM a
+           WHERE p.x > a.sx - 3.0 AND p.x < a.sx + 3.0
+             AND p.y > a.sy - 3.0 AND p.y < a.sy + 3.0)""",
 
     // the declarative dwithin must equal the hand-written distance join:
     // same raw inequality oracle as j7_distance_join

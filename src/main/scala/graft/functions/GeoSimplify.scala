@@ -239,6 +239,13 @@ object GeoSimplify extends Rule[LogicalPlan] {
       spark.experimental.extraOptimizations =
         cur :+ GeoSimplify :+ SpatialJoinRewrite
     }
+    // planner-time twin for WHERE [NOT] EXISTS spatial predicates — the
+    // semi/anti join they become only exists after the optimizer batch
+    // hosting SpatialJoinRewrite (see SpatialJoinStrategy scaladoc)
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(SpatialJoinStrategy)) {
+      spark.experimental.extraStrategies = strategies :+ SpatialJoinStrategy
+    }
   }
 }
 
@@ -248,5 +255,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => GeoSimplify)
     e.injectOptimizerRule(_ => SpatialJoinRewrite)
+    e.injectPlannerStrategy(_ => SpatialJoinStrategy)
   }
 }

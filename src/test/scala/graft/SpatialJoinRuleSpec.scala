@@ -266,4 +266,132 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     assert(!p.contains("__graft_cell"), s"non-foldable distance rewritten:\n$p")
     assert(j.count() == 1)
   }
+
+  // --- semi / anti rewrites ------------------------------------------------
+
+  private def semiAnti(pts: org.apache.spark.sql.DataFrame,
+      polys: org.apache.spark.sql.DataFrame, how: String) =
+    pts.join(polys, st_contains(col("ggeom"), col("pgeom")), how)
+
+  private def naiveSet(df: => org.apache.spark.sql.DataFrame): Set[Long] = {
+    try {
+      spark.conf.set("spark.graft.spatialjoin.rewrite", "false")
+      df.collect().map(_.getLong(0)).toSet
+    } finally spark.conf.set("spark.graft.spatialjoin.rewrite", "true")
+  }
+
+  private def countOf(hay: String, needle: String): Int =
+    if (needle.isEmpty) 0 else hay.sliding(needle.length).count(_ == needle)
+
+  /** Every BroadcastNestedLoopJoin in a rewritten plan must be a BOUNDED
+    * coarse branch — one whose build side filters on an overflowed
+    * covering (`size(cells_covering…) = 0`), by nature few rows — never
+    * the |probe|·|corpus| loop. The naive plan has a nested loop and NO
+    * coarse filter, so this also proves the rewrite fired. */
+  private def assertOnlyBoundedNestedLoops(p: String): Unit = {
+    val bnl = countOf(p, "BroadcastNestedLoopJoin")
+    val coarse = countOf(p, "size(cells_covering")
+    assert(bnl <= coarse, s"unbounded nested loop ($bnl loops, " +
+      s"$coarse coarse filters):\n$p")
+    assert(countOf(p, "CartesianProduct") == 0, s"cartesian:\n$p")
+  }
+
+  test("LEFT ANTI contains join (probe contained) rewrites to chained " +
+    "hash anti joins — no nested loop, result identical") {
+    val (pts, polys) = fixtures()
+    val expected = naiveSet(semiAnti(pts, polys, "left_anti"))
+    val got = semiAnti(pts, polys, "left_anti")
+    val p = got.queryExecution.executedPlan.toString
+    assertOnlyBoundedNestedLoops(p)
+    assert(p.contains("__graft_cell"), s"no cell equi anti join:\n$p")
+    assert(got.collect().map(_.getLong(0)).toSet == expected)
+    assert(expected.nonEmpty && expected.size < 400,
+      "fixture must keep the anti join non-trivial")
+  }
+
+  test("LEFT SEMI contains join rewrites; fine/coarse branches partition " +
+    "the probe rows exactly (oversized polygon included)") {
+    val (pts, polys) = fixtures()
+    val continent = Seq((99L, 0.0, 0.0)).toDF("polyid", "cx", "cy")
+      .select(col("polyid"),
+        st_make_square(col("cx"), col("cy"), lit(160.0)).as("ggeom"))
+    val all = polys.unionByName(continent)
+    val expectedSemi = naiveSet(semiAnti(pts, all, "left_semi"))
+    val expectedAnti = naiveSet(semiAnti(pts, all, "left_anti"))
+    val gotSemi = semiAnti(pts, all, "left_semi")
+      .collect().map(_.getLong(0)).toSet
+    val gotAnti = semiAnti(pts, all, "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotSemi == expectedSemi)
+    assert(gotAnti == expectedAnti)
+    // disjoint exact partition of the probe side
+    assert((gotSemi & gotAnti).isEmpty && gotSemi.size + gotAnti.size == 400)
+  }
+
+  test("WHERE NOT EXISTS (st_contains) — the subquery becomes a LeftAnti " +
+    "join after the rule's batch; the planner strategy still kills the " +
+    "nested loop") {
+    val (pts, polys) = fixtures()
+    graft.functions.GraftFunctions.registerAll(spark) // SQL-text names
+    pts.createOrReplaceTempView("sjr_pts")
+    polys.createOrReplaceTempView("sjr_polys")
+    val sql = """SELECT pid FROM sjr_pts p WHERE NOT EXISTS
+                   (SELECT 1 FROM sjr_polys r
+                    WHERE st_contains(r.ggeom, p.pgeom))"""
+    val expected = naiveSet(spark.sql(sql))
+    val got = spark.sql(sql)
+    val p = got.queryExecution.executedPlan.toString
+    assertOnlyBoundedNestedLoops(p)
+    assert(p.contains("__graft_cell"), s"strategy did not fire:\n$p")
+    assert(got.collect().map(_.getLong(0)).toSet == expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("symmetric semi (st_intersects, left_semi): value-based membership " +
+    "preserves probe multiplicity, no cartesian") {
+    GeoSimplify.install(spark)
+    val boxesA = (0 until 40).flatMap { i =>
+      val rep = 1 + (i % 3) // duplicate probe rows on purpose
+      Seq.fill(rep)((i.toLong, -170.0 + (i % 10) * 30.0, -60.0 + (i / 10) * 40.0))
+    }.toDF("aid", "x", "y")
+      .select(col("aid"), st_make_square(col("x"), col("y"), lit(6.0)).as("ag"))
+    val boxesB = (0 until 15).map { k =>
+      (k.toLong, -168.0 + (k % 5) * 30.0, -58.0 + (k / 5) * 40.0)
+    }.toDF("bid", "x", "y")
+      .select(col("bid"), st_make_square(col("x"), col("y"), lit(5.0)).as("bg"))
+    def q = boxesA.join(boxesB, st_intersects(col("ag"), col("bg")), "left_semi")
+    val expected = {
+      try {
+        spark.conf.set("spark.graft.spatialjoin.rewrite", "false")
+        q.collect().map(_.getLong(0)).toSeq.sorted
+      } finally spark.conf.set("spark.graft.spatialjoin.rewrite", "true")
+    }
+    val got = q
+    val p = got.queryExecution.executedPlan.toString
+    assertOnlyBoundedNestedLoops(p)
+    assert(p.contains("__graft_cell"), s"value-based rewrite did not fire:\n$p")
+    // multiplicity: duplicated probe rows survive with their duplicates
+    assert(got.collect().map(_.getLong(0)).toSeq.sorted == expected)
+    assert(expected.nonEmpty)
+    // and the anti complement partitions the multiset exactly
+    def qa = boxesA.join(boxesB, st_intersects(col("ag"), col("bg")), "left_anti")
+    val expectedAnti = {
+      try {
+        spark.conf.set("spark.graft.spatialjoin.rewrite", "false")
+        qa.collect().map(_.getLong(0)).toSeq.sorted
+      } finally spark.conf.set("spark.graft.spatialjoin.rewrite", "true")
+    }
+    assert(qa.collect().map(_.getLong(0)).toSeq.sorted == expectedAnti)
+    assert(expected.size + expectedAnti.size == boxesA.count())
+  }
+
+  test("semi/anti joins with an equality conjunct are left alone") {
+    val (pts, polys) = fixtures()
+    val j = pts.join(polys,
+      col("pid") === col("polyid") &&
+        st_contains(col("ggeom"), col("pgeom")), "left_semi")
+    val p = j.queryExecution.optimizedPlan.toString
+    assert(!p.contains("__graft_cell"), s"equi semi join was rewritten:\n$p")
+    j.collect() // must stay executable
+  }
 }
