@@ -855,6 +855,34 @@ object SparkEntry {
         .orderBy("aid")
     },
 
+    "j7s_geodesic_join" -> { (s, d) =>
+      // GEODETIC ST_DWithin (SpatialJoin.distanceJoinGeodetic): pairs
+      // within 250 km GREAT-CIRCLE distance on EPSG:4326 lon/lat — the
+      // reference's own coordinate contract (east_asia.py:55,245-246),
+      // where planar degree distance (j7/sql5) is the wrong ruler: a
+      // longitude degree at lat 46° is 0.69× a latitude degree. The grid
+      // buckets on constant-height latitude bands whose longitude cells
+      // stretch by 1/cos(band), so candidate generation stays a
+      // ≤9×-replication equi-join at EVERY latitude (anchors at ±80°
+      // included); polar bands collapse to whole-ring cells. The refine
+      // and the oracle share one haversine formula (R = 6371008.8, the
+      // PostGIS ST_DistanceSphere sphere) — integer aggregates make the
+      // comparison immune to last-ulp libm differences.
+      val pts = t(s, d, "lineitem")
+        .select(cxCol.as("x"), cyCol.as("y"), col("l_orderkey"))
+      val anchors = t(s, d, "supplier")
+        .filter(col("s_suppkey") < 50)
+        .select(col("s_suppkey").as("aid"),
+          ((col("s_suppkey") % 36).cast("double") * 10.0 - 175.0).as("rx"),
+          ((col("s_suppkey") % 17).cast("double") * 10.0 - 80.0).as("ry"))
+      graft.operators.SpatialJoin
+        .distanceJoinGeodetic(pts, anchors, radiusMeters = 250000.0)
+        .groupBy(col("aid"))
+        .agg(count(lit(1)).as("n_near"),
+          sum(col("l_orderkey")).as("sum_keys"))
+        .orderBy("aid")
+    },
+
     "w3_lag_gap_days" -> { (s, d) =>
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       t(s, d, "orders")
@@ -6472,6 +6500,26 @@ object SparkEntry {
          FROM p LEFT JOIN lab l ON p.id = l.id
                 LEFT JOIN bord b ON p.id = b.id
          ORDER BY c_custkey""",
+
+    // geodesic replay: the closed-form haversine inequality join — the
+    // SAME formula text as SpatialJoin.haversineMeters (R = 6371008.8);
+    // integer aggregates absorb last-ulp libm differences
+    "j7s_geodesic_join" ->
+      s"""WITH p AS (SELECT $cxSql AS x, $cySql AS y, l_orderkey
+             FROM lineitem),
+           a AS (SELECT s_suppkey AS aid,
+                   CAST(s_suppkey % 36 AS DOUBLE) * 10.0 - 175.0 AS rx,
+                   CAST(s_suppkey % 17 AS DOUBLE) * 10.0 - 80.0 AS ry
+                 FROM supplier WHERE s_suppkey < 50)
+         SELECT aid, CAST(COUNT(*) AS BIGINT) AS n_near,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+         FROM p JOIN a ON
+           2.0 * 6371008.8 * ASIN(SQRT(
+             SIN(RADIANS(ry - y) / 2) * SIN(RADIANS(ry - y) / 2)
+             + COS(RADIANS(y)) * COS(RADIANS(ry))
+               * SIN(RADIANS(rx - x) / 2) * SIN(RADIANS(rx - x) / 2)
+           )) <= 250000.0
+         GROUP BY aid ORDER BY aid""",
 
     // NOT EXISTS spatial replay: strict interval arithmetic (JTS
     // contains excludes the boundary — same contract as j3's oracle)

@@ -554,6 +554,34 @@ case class StDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** st_distance_sphere(a, b) — great-circle meters between centroids on
+  * the mean-Earth sphere (PostGIS ST_DistanceSphere; haversine, R =
+  * 6371008.8). The reference's data is EPSG:4326 lon/lat
+  * (east_asia.py:55,245-246) spanning lat 18–46°, where a longitude
+  * degree is 0.70–0.95× a latitude degree — planar [[StDistance]] is the
+  * wrong ruler there. */
+case class StDistanceSphere(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "st_distance_sphere"
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    GeomLib.distanceSphere(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("sphdist")
+      s"""
+        java.lang.Double $tmp = graft.geom.GeomLib.distanceSphere($a, $b);
+        if ($tmp == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $tmp.doubleValue(); }
+      """
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** st_length(geom) — length of lineal parts, 0 for points/polygons
   * (DuckDB/PostGIS ST_Length semantics). */
 case class StLength(child: Expression) extends WkbToDoubleExpression {

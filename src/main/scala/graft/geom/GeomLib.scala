@@ -620,6 +620,38 @@ object GeomLib {
     if (ga == null || gb == null) null else Double.box(ga.distance(gb))
   }
 
+  /** Mean Earth radius in meters — the PostGIS ST_DistanceSphere sphere. */
+  final val EarthRadiusM = 6371008.8
+
+  /** Great-circle (haversine) distance in METERS between two point
+    * coordinates given as EPSG:4326 (lon, lat) degrees. This exact
+    * formula — sin²(Δφ/2) + cosφ₁·cosφ₂·sin²(Δλ/2) through asin — is the
+    * replay contract shared with the SQL oracles and with
+    * [[graft.operators.SpatialJoin.haversineMeters]]; keep the three in
+    * lockstep. */
+  def haversine(lat1: Double, lon1: Double,
+      lat2: Double, lon2: Double): Double = {
+    val sLat = math.sin(math.toRadians(lat2 - lat1) / 2)
+    val sLon = math.sin(math.toRadians(lon2 - lon1) / 2)
+    2.0 * EarthRadiusM * math.asin(math.sqrt(
+      sLat * sLat + math.cos(math.toRadians(lat1)) *
+        math.cos(math.toRadians(lat2)) * sLon * sLon))
+  }
+
+  /** Geodetic (sphere) distance in meters between the centroids of two
+    * WKB geometries interpreted as EPSG:4326 lon/lat — the
+    * ST_DistanceSphere point semantics. Null on broken input. The
+    * reference's data contract is 4326 (east_asia.py:55,245-246), where
+    * planar degree distance is wrong away from the equator. */
+  def distanceSphere(a: Array[Byte], b: Array[Byte]): java.lang.Double = {
+    val ga = readOrNull(a)
+    val gb = readOrNull(b)
+    if (ga == null || gb == null || ga.isEmpty || gb.isEmpty) return null
+    val ca = ga.getCentroid
+    val cb = gb.getCentroid
+    Double.box(haversine(ca.getY, ca.getX, cb.getY, cb.getX))
+  }
+
   // -------------------------------------------------------------------------
   // Measures, constructive ops, and binary overlays — the DuckDB-spatial /
   // PostGIS surface beyond the reference's own call sites, so a user of the

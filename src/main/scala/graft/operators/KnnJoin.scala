@@ -38,11 +38,19 @@ import org.apache.spark.sql.functions._
   * defined neighborhood, no output). */
 object KnnJoin {
 
+  /** `geodetic = true` switches the metric to great-circle METERS over
+    * EPSG:4326 lon/lat columns (x = lon, y = lat): candidates come from
+    * [[SpatialJoin.distanceJoinGeodetic]]'s lat-band grid (lon cells
+    * stretched by 1/cos(band) — a constant 9× replication at every
+    * latitude) and `dist`/`r0` are meters via the haversine contract.
+    * The radius-doubling exactness argument is metric-agnostic, so the
+    * loop is unchanged. */
   def knnJoin(left: DataFrame, right: DataFrame, k: Int, r0: Double,
       leftId: String = "id", leftX: String = "x", leftY: String = "y",
       rightId: String = "id", rightX: String = "x", rightY: String = "y",
       maxIter: Int = 40,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      geodetic: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(r0 > 0, s"r0 must be positive: $r0")
     checkpointDir.foreach(left.sparkSession.sparkContext.setCheckpointDir)
@@ -81,11 +89,31 @@ object KnnJoin {
     var it = 0
     while (it < maxIter && !probes.isEmpty) {
       require(r.isFinite, s"radius overflow after $it doublings from $r0")
-      val cand = SpatialJoin.distanceJoin(probes, sites, r,
-          leftX = "x", leftY = "y", rightX = "rx", rightY = "ry")
-        .withColumn("dist", sqrt(
-          (col("x") - col("rx")) * (col("x") - col("rx")) +
-          (col("y") - col("ry")) * (col("y") - col("ry"))))
+      // once the doubled radius outgrows the lat-band grid (10° of
+      // latitude ≈ 1112 km), the still-unresolved probes are the sparse
+      // stragglers — a direct refine of (stragglers × sites) is the
+      // bounded correct fallback, and at r ≥ half the circumference it
+      // resolves every probe unconditionally
+      val geodeticBandMax = 10.0 * graft.geom.GeomLib.EarthRadiusM *
+        math.Pi / 180.0
+      val cand =
+        if (geodetic && r >= geodeticBandMax)
+          probes.crossJoin(sites)
+            .withColumn("dist", SpatialJoin.haversineMeters(
+              col("y"), col("x"), col("ry"), col("rx")))
+            .filter(col("dist") <= lit(math.min(r, 2.1e7)))
+        else if (geodetic)
+          SpatialJoin.distanceJoinGeodetic(probes, sites, r,
+              leftLon = "x", leftLat = "y",
+              rightLon = "rx", rightLat = "ry")
+            .withColumn("dist", SpatialJoin.haversineMeters(
+              col("y"), col("x"), col("ry"), col("rx")))
+        else
+          SpatialJoin.distanceJoin(probes, sites, r,
+              leftX = "x", leftY = "y", rightX = "rx", rightY = "ry")
+            .withColumn("dist", sqrt(
+              (col("x") - col("rx")) * (col("x") - col("rx")) +
+              (col("y") - col("ry")) * (col("y") - col("ry"))))
       val w = Window.partitionBy(col("lid"))
       val ranked = cand
         .withColumn("rn", row_number().over(

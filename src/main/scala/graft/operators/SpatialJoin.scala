@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
@@ -104,6 +104,99 @@ object SpatialJoin {
       .filter((col(leftX) - col(rightX)) * (col(leftX) - col(rightX)) +
         (col(leftY) - col(rightY)) * (col(leftY) - col(rightY)) <= lit(radius * radius))
       .drop("__cx", "__cy")
+  }
+
+  /** Great-circle distance in METERS between two EPSG:4326 (lat, lon)
+    * coordinate pairs — haversine on the mean-Earth sphere (R =
+    * 6371008.8, the PostGIS ST_DistanceSphere radius). EXACTLY this
+    * formula is the oracle-replay contract; keep it in lockstep with
+    * [[graft.geom.GeomLib.haversine]] and the gate SQL. */
+  def haversineMeters(lat1: Column, lon1: Column,
+      lat2: Column, lon2: Column): Column = {
+    val sLat = sin(radians(lat2 - lat1) / 2)
+    val sLon = sin(radians(lon2 - lon1) / 2)
+    lit(2.0 * graft.geom.GeomLib.EarthRadiusM) * asin(sqrt(
+      sLat * sLat + cos(radians(lat1)) * cos(radians(lat2)) * sLon * sLon))
+  }
+
+  /** GEODETIC distance join (ST_DWithin over meters on EPSG:4326
+    * lon/lat): pairs within `radiusMeters` great-circle distance. The
+    * planar [[distanceJoin]] is the wrong ruler on 4326 data — the
+    * reference's own contract (east_asia.py:55,245-246) spans lat
+    * 18–46°, where a longitude degree is 0.70–0.95× a latitude degree
+    * and "within 2.5 km" in degrees is off by up to 40%.
+    *
+    * Grid shape: latitude bands of height `radius` (one degree of
+    * latitude is a constant 111.19 km, so a true pair differs by at most
+    * one band); within each band, longitude cells are stretched by
+    * 1/cos(band's poleward edge, one band of slack, ×1.02 for the
+    * asin-vs-linear excess), so a true pair also differs by at most one
+    * lon cell IN THE MATCHED BAND'S QUANTIZATION — the right side
+    * replicates to the 3×3 neighborhood computing the lon cell with each
+    * TARGET band's own width. Bands whose edge reaches past 85° collapse
+    * to one whole-ring cell (the polar caps hold negligible data; an
+    * all-pairs refine inside a cap is bounded by the cap). Longitude
+    * cells wrap modulo the ring, so anti-meridian pairs meet; the dx
+    * offsets shrink when the ring has <3 cells so no pair is produced
+    * twice. Replication stays a constant ≤9× on ONE side (pass the
+    * smaller input as `right`) at every latitude — the same 100 TB shape
+    * as the planar join. The refine (and any oracle) is
+    * [[haversineMeters]]. */
+  def distanceJoinGeodetic(left: DataFrame, right: DataFrame,
+      radiusMeters: Double,
+      leftLon: String = "x", leftLat: String = "y",
+      rightLon: String = "rx", rightLat: String = "ry"): DataFrame = {
+    require(radiusMeters > 0, s"radius must be positive: $radiusMeters")
+    val mPerDeg = graft.geom.GeomLib.EarthRadiusM * math.Pi / 180.0
+    val h = radiusMeters / mPerDeg // band height in degrees
+    require(h <= 10.0,
+      s"radius $radiusMeters m spans ${h}° of latitude — beyond 10° the " +
+        "band grid degenerates; use a coarser operator")
+    // lon cell width for band b: one band of slack poleward (the pair's
+    // other point may sit one band beyond), clamped at 85°, stretched by
+    // 1.02 for the asin excess; past 85° the band is one whole-ring cell
+    def bandW(cy: Column): Column = {
+      val edge = (greatest(abs(cy), abs(cy + 1)) + lit(1L)).cast("double") * h
+      when(edge >= 85.0, lit(360.0))
+        .otherwise(lit(1.02 * h) / cos(radians(edge)))
+    }
+    // ring = FLOOR(360/w): the last cell widens to absorb the remainder
+    // (a ceil ring leaves an EMPTY trailing cell, putting the two seam
+    // cells 2 apart — anti-meridian pairs would be lost); the index is
+    // clamped into that last cell so the seam neighbors are exactly
+    // ring−1 and 0
+    def ringOf(w: Column): Column =
+      greatest(floor(lit(360.0) / w).cast("long"), lit(1L))
+    def cellOf(lon: Column, w: Column, ring: Column): Column =
+      least(floor((lon + 180.0) / w).cast("long"), ring - 1)
+    val l = left
+      .withColumn("__cy", floor(col(leftLat) / h).cast("long"))
+      .withColumn("__w", bandW(col("__cy")))
+      .withColumn("__ring", ringOf(col("__w")))
+      .withColumn("__cx",
+        cellOf(col(leftLon), col("__w"), col("__ring")))
+      .drop("__w", "__ring")
+    val r = right
+      .withColumn("__dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+      .withColumn("__cy",
+        floor(col(rightLat) / h).cast("long") + col("__dy"))
+      .drop("__dy")
+      .withColumn("__w", bandW(col("__cy")))
+      .withColumn("__ring", ringOf(col("__w")))
+      // dx offsets shrink with the ring so a wrap never double-produces
+      // a pair: ring 1 → {0}, ring 2 → {0,1}, else {-1,0,1}
+      .withColumn("__dx", explode(
+        when(col("__ring") >= 3, array(lit(-1L), lit(0L), lit(1L)))
+          .when(col("__ring") === 2, array(lit(0L), lit(1L)))
+          .otherwise(array(lit(0L)))))
+      .withColumn("__cx", pmod(
+        cellOf(col(rightLon), col("__w"), col("__ring")) + col("__dx"),
+        col("__ring")))
+      .drop("__dx", "__w", "__ring")
+    l.join(r, Seq("__cy", "__cx"))
+      .filter(haversineMeters(col(leftLat), col(leftLon),
+        col(rightLat), col(rightLon)) <= lit(radiusMeters))
+      .drop("__cy", "__cx")
   }
 
   /** [[pointInPolygon]] on the TRUE H3 lattice instead of the rect grid —
