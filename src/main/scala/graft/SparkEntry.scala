@@ -1224,6 +1224,51 @@ object SparkEntry {
         .orderBy("lang")
     },
 
+    "k13c_arrow_chat_struct" -> { (s, d) =>
+      // Arrow interchange for NESTED types (round-10 verdict gap: lists
+      // stopped at numeric elements): a chat-transcript table —
+      // `array<struct<role:string, content:string>>` with null contents
+      // and empty transcripts — plus a decimal128 column round-trips
+      // through the streamed Arrow sink and the lazy per-batch reader.
+      // Aggregates replay closed-form from the base table: element
+      // counts, per-message content lengths (nulls = 0), role-order
+      // integrity, and the exact decimal sum — a dropped element,
+      // reordered struct field, or scale slip breaks the hash.
+      val base = java.nio.file.Files.createTempDirectory("graft_k13c")
+        .toString
+      val arr = array(
+        struct(lit("user").as("role"), col("o_orderstatus").as("content")),
+        struct(lit("assistant").as("role"),
+          col("o_orderpriority").as("content")),
+        struct(lit("system").as("role"),
+          when(col("o_orderkey") % 7 === 0, lit(null).cast("string"))
+            .otherwise(concat(col("o_orderstatus"), lit("-"),
+              col("o_orderpriority"))).as("content")))
+      val chats = t(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_orderkey") % 13 === 0, slice(arr, 1, 0))
+          .otherwise(arr).as("messages"),
+        (col("o_orderkey") % 100000).cast("decimal(12,2)").as("price_dec"))
+      graft.sources.ArrowIpc.write(chats.repartition(3), base + "/chat")
+      val back = graft.sources.ArrowIpc.read(s, base + "/chat/*.arrows")
+      back.agg(
+        count(lit(1)).as("n"),
+        sum(size(col("messages"))).cast("long").as("sum_msgs"),
+        sum(aggregate(col("messages"), lit(0L), (acc, m) =>
+          acc + coalesce(length(m.getField("content")).cast("long"),
+            lit(0L)))).as("sum_content_len"),
+        sum(when(
+          try_element_at(col("messages"), lit(1)).getField("role")
+            === "user" &&
+          try_element_at(col("messages"), lit(2)).getField("role")
+            === "assistant" &&
+          try_element_at(col("messages"), lit(3)).getField("role")
+            === "system",
+          1L).otherwise(0L)).as("n_roles_intact"),
+        sum(col("price_dec")).cast("long").as("sum_dec"),
+        sum(col("o_orderkey")).as("sum_keys"))
+    },
+
     "k13b_arrow_temporal_vector" -> { (s, d) =>
       // Arrow interchange for the TEMPORAL and VECTOR shapes (round-9
       // verdict gap: type coverage stopped at 7 scalars): events ride
@@ -8082,6 +8127,25 @@ object SparkEntry {
            MAX(md5(text)) AS max_md5
          FROM documents GROUP BY lang
          ORDER BY lang""",
+
+    // chat/struct/decimal Arrow replay: closed-form from orders — the
+    // roundtrip must preserve element counts, struct field order, null
+    // contents, empty transcripts, and the exact decimal sum
+    "k13c_arrow_chat_struct" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 0 ELSE 3 END)
+             AS BIGINT) AS sum_msgs,
+           CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 0
+             ELSE LENGTH(o_orderstatus) + LENGTH(o_orderpriority) +
+               CASE WHEN o_orderkey % 7 = 0 THEN 0
+                    ELSE LENGTH(o_orderstatus) + 1 +
+                         LENGTH(o_orderpriority) END END) AS BIGINT)
+             AS sum_content_len,
+           CAST(SUM(CASE WHEN o_orderkey % 13 = 0 THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_roles_intact,
+           CAST(SUM(o_orderkey % 100000) AS BIGINT) AS sum_dec,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys
+         FROM orders""",
 
     // temporal/vector Arrow replay: ts to the microsecond, dates, and the
     // exact per-vector quantized element fold straight off parquet

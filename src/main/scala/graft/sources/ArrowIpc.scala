@@ -27,56 +27,145 @@ import org.apache.spark.sql.types._
   * prefix.
   *
   * Supported Catalyst types: long/int/double/float/boolean/string/binary,
-  * timestamp (Arrow micros, UTC), date (Arrow day), and arrays of
-  * long/int/double/float (Arrow list) — the `events` and `embeddings`
-  * shapes ride natively; anything else fails fast on the driver. */
+  * timestamp (Arrow micros, UTC), date (Arrow day), decimal (Arrow
+  * decimal128), plus ARBITRARILY NESTED lists and structs —
+  * `array<struct<role,content>>` (the chat-transcript shape) rides the
+  * interchange natively alongside the `events` and `embeddings` shapes.
+  * Maps fail fast on the driver. */
 object ArrowIpc {
 
   private def allocator() =
     new org.apache.arrow.memory.RootAllocator(Long.MaxValue)
 
-  private def arrowField(f: StructField): org.apache.arrow.vector.types.pojo.Field = {
+  /** Spark → Arrow field, RECURSIVE: scalars (incl. decimal128), structs,
+    * and lists nest arbitrarily — `array<struct<role,content>>` (the
+    * chat-transcript shape) rides the interchange natively. Maps and
+    * anything else still fail fast on the driver. */
+  private def arrowField(f: StructField): org.apache.arrow.vector.types.pojo.Field =
+    arrowFieldOf(f.name, f.dataType, f.nullable)
+
+  private def arrowFieldOf(name: String, dt: DataType, nullable: Boolean)
+      : org.apache.arrow.vector.types.pojo.Field = {
     import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType}
     import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
-    def scalar(dt: DataType, where: String): ArrowType = dt match {
-      case LongType => new ArrowType.Int(64, true)
-      case IntegerType => new ArrowType.Int(32, true)
-      case DoubleType =>
-        new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
-      case FloatType =>
-        new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
-      case BooleanType => ArrowType.Bool.INSTANCE
-      case StringType => ArrowType.Utf8.INSTANCE
-      case BinaryType => ArrowType.Binary.INSTANCE
-      case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
-      case DateType => new ArrowType.Date(DateUnit.DAY)
-      case other => throw new IllegalArgumentException(
-        s"unsupported Spark type for Arrow IPC: $other ($where)")
-    }
-    f.dataType match {
+    dt match {
       case ArrayType(elem, containsNull) =>
-        elem match {
-          case LongType | IntegerType | DoubleType | FloatType => ()
+        new Field(name, new FieldType(nullable, ArrowType.List.INSTANCE,
+          null), Seq(arrowFieldOf("item", elem, containsNull)).asJava)
+      case StructType(fields) =>
+        new Field(name, new FieldType(nullable, ArrowType.Struct.INSTANCE,
+          null),
+          fields.map(c => arrowFieldOf(c.name, c.dataType, c.nullable))
+            .toSeq.asJava)
+      case scalarDt =>
+        val t: ArrowType = scalarDt match {
+          case LongType => new ArrowType.Int(64, true)
+          case IntegerType => new ArrowType.Int(32, true)
+          case DoubleType =>
+            new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+          case FloatType =>
+            new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+          case BooleanType => ArrowType.Bool.INSTANCE
+          case StringType => ArrowType.Utf8.INSTANCE
+          case BinaryType => ArrowType.Binary.INSTANCE
+          case TimestampType =>
+            new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+          case DateType => new ArrowType.Date(DateUnit.DAY)
+          case d: DecimalType => new ArrowType.Decimal(d.precision, d.scale, 128)
           case other => throw new IllegalArgumentException(
-            s"unsupported Arrow list element: $other (column ${f.name})")
+            s"unsupported Spark type for Arrow IPC: $other (field $name)")
         }
-        val child = new Field("item",
-          new FieldType(containsNull, scalar(elem, s"column ${f.name}"), null),
-          null)
-        new Field(f.name, new FieldType(f.nullable, ArrowType.List.INSTANCE,
-          null), Seq(child).asJava)
-      case dt =>
-        new Field(f.name, new FieldType(f.nullable,
-          scalar(dt, s"column ${f.name}"), null), null)
+        new Field(name, new FieldType(nullable, t, null), null)
     }
   }
 
   /** Encode one partition's rows as an Arrow IPC stream written THROUGH
     * `channel` — one batch in memory at a time, flushed as it completes. */
+  /** Recursive value writer: scalars, decimal128, lists, and structs
+    * nest arbitrarily (list elements and struct children are themselves
+    * vectors, so one dispatch covers every depth). */
+  private def setValue(v: org.apache.arrow.vector.ValueVector, at: Int,
+      e: Any): Unit = {
+    import org.apache.arrow.vector._
+    import org.apache.arrow.vector.complex.{ListVector, StructVector}
+    v match {
+      case fv: BigIntVector =>
+        if (e == null) fv.setNull(at)
+        else fv.setSafe(at, e.asInstanceOf[Number].longValue)
+      case fv: IntVector =>
+        if (e == null) fv.setNull(at)
+        else fv.setSafe(at, e.asInstanceOf[Number].intValue)
+      case fv: Float8Vector =>
+        if (e == null) fv.setNull(at)
+        else fv.setSafe(at, e.asInstanceOf[Number].doubleValue)
+      case fv: Float4Vector =>
+        if (e == null) fv.setNull(at)
+        else fv.setSafe(at, e.asInstanceOf[Number].floatValue)
+      case fv: BitVector =>
+        if (e == null) fv.setNull(at)
+        else fv.setSafe(at, if (e.asInstanceOf[Boolean]) 1 else 0)
+      case fv: VarCharVector =>
+        if (e == null) fv.setNull(at)
+        else fv.setSafe(at, e.asInstanceOf[String].getBytes("UTF-8"))
+      case fv: VarBinaryVector =>
+        if (e == null) fv.setNull(at)
+        else fv.setSafe(at, e.asInstanceOf[Array[Byte]])
+      case fv: TimeStampMicroTZVector =>
+        if (e == null) fv.setNull(at)
+        else {
+          val inst = e match {
+            case t: java.sql.Timestamp => t.toInstant
+            case i: java.time.Instant => i
+          }
+          fv.setSafe(at, inst.getEpochSecond * 1000000L +
+            inst.getNano / 1000L)
+        }
+      case fv: DateDayVector =>
+        if (e == null) fv.setNull(at)
+        else {
+          val days = e match {
+            case d: java.sql.Date => d.toLocalDate.toEpochDay
+            case d: java.time.LocalDate => d.toEpochDay
+          }
+          fv.setSafe(at, days.toInt)
+        }
+      case fv: DecimalVector =>
+        if (e == null) fv.setNull(at)
+        else {
+          val bd = e match {
+            case d: java.math.BigDecimal => d
+            case d: scala.math.BigDecimal => d.bigDecimal
+          }
+          fv.setSafe(at, bd.setScale(fv.getScale))
+        }
+      case fv: ListVector =>
+        if (e == null) fv.setNull(at)
+        else {
+          val seq = e.asInstanceOf[scala.collection.Seq[Any]]
+          val start = fv.startNewValue(at)
+          val dv = fv.getDataVector
+          var k = 0
+          seq.foreach { el => setValue(dv, start + k, el); k += 1 }
+          fv.endValue(at, seq.length)
+        }
+      case fv: StructVector =>
+        if (e == null) fv.setNull(at)
+        else {
+          fv.setIndexDefined(at)
+          val row = e.asInstanceOf[Row]
+          val children = fv.getChildrenFromFields
+          var c = 0
+          while (c < children.size) {
+            setValue(children.get(c), at, row.get(c))
+            c += 1
+          }
+        }
+    }
+  }
+
   private def encodePartition(schema: StructType, rows: Iterator[Row],
       batchRows: Int, channel: java.nio.channels.WritableByteChannel): Unit = {
     import org.apache.arrow.vector._
-    import org.apache.arrow.vector.complex.ListVector
     import org.apache.arrow.vector.ipc.ArrowStreamWriter
     val alloc = allocator()
     val fields = schema.fields.map(arrowField).toSeq
@@ -84,20 +173,6 @@ object ArrowIpc {
       new org.apache.arrow.vector.types.pojo.Schema(fields.asJava)
     val root = VectorSchemaRoot.create(arrowSchema, alloc)
     val w = new ArrowStreamWriter(root, null, channel)
-    def setElem(dv: ValueVector, at: Int, e: Any): Unit = dv match {
-      case v: Float8Vector =>
-        if (e == null) v.setNull(at)
-        else v.setSafe(at, e.asInstanceOf[Number].doubleValue)
-      case v: Float4Vector =>
-        if (e == null) v.setNull(at)
-        else v.setSafe(at, e.asInstanceOf[Number].floatValue)
-      case v: BigIntVector =>
-        if (e == null) v.setNull(at)
-        else v.setSafe(at, e.asInstanceOf[Number].longValue)
-      case v: IntVector =>
-        if (e == null) v.setNull(at)
-        else v.setSafe(at, e.asInstanceOf[Number].intValue)
-    }
     try {
       w.start()
       rows.grouped(batchRows).foreach { batch =>
@@ -106,50 +181,8 @@ object ArrowIpc {
         batch.foreach { row =>
           var c = 0
           while (c < schema.length) {
-            val v = root.getVector(c)
-            if (row.isNullAt(c)) v match {
-              case fv: BigIntVector => fv.setNull(r)
-              case fv: IntVector => fv.setNull(r)
-              case fv: Float8Vector => fv.setNull(r)
-              case fv: Float4Vector => fv.setNull(r)
-              case fv: BitVector => fv.setNull(r)
-              case fv: VarCharVector => fv.setNull(r)
-              case fv: VarBinaryVector => fv.setNull(r)
-              case fv: TimeStampMicroTZVector => fv.setNull(r)
-              case fv: DateDayVector => fv.setNull(r)
-              case fv: ListVector => fv.setNull(r)
-            } else v match {
-              case fv: BigIntVector => fv.setSafe(r, row.getLong(c))
-              case fv: IntVector => fv.setSafe(r, row.getInt(c))
-              case fv: Float8Vector => fv.setSafe(r, row.getDouble(c))
-              case fv: Float4Vector => fv.setSafe(r, row.getFloat(c))
-              case fv: BitVector =>
-                fv.setSafe(r, if (row.getBoolean(c)) 1 else 0)
-              case fv: VarCharVector =>
-                fv.setSafe(r, row.getString(c).getBytes("UTF-8"))
-              case fv: VarBinaryVector =>
-                fv.setSafe(r, row.getAs[Array[Byte]](c))
-              case fv: TimeStampMicroTZVector =>
-                val inst = row.get(c) match {
-                  case t: java.sql.Timestamp => t.toInstant
-                  case i: java.time.Instant => i
-                }
-                fv.setSafe(r, inst.getEpochSecond * 1000000L +
-                  inst.getNano / 1000L)
-              case fv: DateDayVector =>
-                val days = row.get(c) match {
-                  case d: java.sql.Date => d.toLocalDate.toEpochDay
-                  case d: java.time.LocalDate => d.toEpochDay
-                }
-                fv.setSafe(r, days.toInt)
-              case fv: ListVector =>
-                val seq = row.getSeq[Any](c)
-                val start = fv.startNewValue(r)
-                val dv = fv.getDataVector
-                var k = 0
-                seq.foreach { e => setElem(dv, start + k, e); k += 1 }
-                fv.endValue(r, seq.length)
-            }
+            setValue(root.getVector(c), r,
+              if (row.isNullAt(c)) null else row.get(c))
             c += 1
           }
           r += 1
@@ -161,12 +194,20 @@ object ArrowIpc {
     } finally { w.close(); root.close(); alloc.close() }
   }
 
-  /** Spark schema of an Arrow schema (inverse of [[arrowField]]). */
-  private def sparkSchemaOf(
-      s: org.apache.arrow.vector.types.pojo.Schema): StructType = {
+  /** Spark schema of an Arrow schema (recursive inverse of
+    * [[arrowFieldOf]]). */
+  private def sparkTypeOf(
+      f: org.apache.arrow.vector.types.pojo.Field): DataType = {
     import org.apache.arrow.vector.types.pojo.ArrowType
     import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit}
-    def scalar(t: ArrowType, name: String): DataType = t match {
+    f.getType match {
+      case _: ArrowType.List =>
+        val child = f.getChildren.get(0)
+        ArrayType(sparkTypeOf(child), child.isNullable)
+      case _: ArrowType.Struct =>
+        StructType(f.getChildren.asScala.map(c =>
+          StructField(c.getName, sparkTypeOf(c), c.isNullable)).toSeq)
+      case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
       case i: ArrowType.Int if i.getBitWidth == 64 => LongType
       case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
       case fp: ArrowType.FloatingPoint
@@ -180,19 +221,14 @@ object ArrowIpc {
         if ts.getUnit == TimeUnit.MICROSECOND => TimestampType
       case _: ArrowType.Date => DateType
       case other => throw new IllegalArgumentException(
-        s"unsupported Arrow type: $other (field $name)")
+        s"unsupported Arrow type: $other (field ${f.getName})")
     }
-    val fs = s.getFields.asScala.map { f =>
-      val dt = f.getType match {
-        case _: ArrowType.List =>
-          val child = f.getChildren.get(0)
-          ArrayType(scalar(child.getType, f.getName), child.isNullable)
-        case t => scalar(t, f.getName)
-      }
-      StructField(f.getName, dt, f.isNullable)
-    }
-    StructType(fs.toSeq)
   }
+
+  private def sparkSchemaOf(
+      s: org.apache.arrow.vector.types.pojo.Schema): StructType =
+    StructType(s.getFields.asScala.map(f =>
+      StructField(f.getName, sparkTypeOf(f), f.isNullable)).toSeq)
 
   /** Read the Spark schema from one stream's header. */
   def schemaOf(in: java.io.InputStream): StructType = {
@@ -237,13 +273,35 @@ object ArrowIpc {
         fileSchema.fields.zip(expected.fields).forall { case (a, b) =>
           a.name == b.name && a.dataType == b.dataType }
       if (!sameShape) { closeAll(); return Iterator.empty }
-      def elemAt(dv: ValueVector, at: Int): Any =
-        if (dv.isNull(at)) null
-        else dv match {
-          case v: Float8Vector => v.get(at)
-          case v: Float4Vector => v.get(at)
-          case v: BigIntVector => v.get(at)
-          case v: IntVector => v.get(at)
+      // recursive value reader — the mirror of the writer's setValue
+      def readValue(v: ValueVector, at: Int): Any =
+        if (v.isNull(at)) null
+        else v match {
+          case fv: BigIntVector => fv.get(at)
+          case fv: IntVector => fv.get(at)
+          case fv: Float8Vector => fv.get(at)
+          case fv: Float4Vector => fv.get(at)
+          case fv: BitVector => fv.get(at) == 1
+          case fv: VarCharVector => new String(fv.get(at), "UTF-8")
+          case fv: VarBinaryVector => fv.get(at)
+          case fv: TimeStampMicroTZVector =>
+            val us = fv.get(at)
+            java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+              Math.floorDiv(us, 1000000L),
+              Math.floorMod(us, 1000000L) * 1000L))
+          case fv: DateDayVector =>
+            java.sql.Date.valueOf(
+              java.time.LocalDate.ofEpochDay(fv.get(at).toLong))
+          case fv: DecimalVector => fv.getObject(at) // java BigDecimal
+          case fv: ListVector =>
+            val s = fv.getElementStartIndex(at)
+            val e = fv.getElementEndIndex(at)
+            val dv = fv.getDataVector
+            (s until e).map(readValue(dv, _))
+          case fv: org.apache.arrow.vector.complex.StructVector =>
+            val children = fv.getChildrenFromFields
+            Row.fromSeq((0 until children.size)
+              .map(c => readValue(children.get(c), at)))
         }
       def decodeBatch(): IndexedSeq[Row] = {
         val n = root.getRowCount
@@ -254,31 +312,7 @@ object ArrowIpc {
           vals(0) = path
           var c = 0
           while (c < expected.length) {
-            val v = root.getVector(c)
-            vals(c + 1) =
-              if (v.isNull(r)) null
-              else v match {
-                case fv: BigIntVector => fv.get(r)
-                case fv: IntVector => fv.get(r)
-                case fv: Float8Vector => fv.get(r)
-                case fv: Float4Vector => fv.get(r)
-                case fv: BitVector => fv.get(r) == 1
-                case fv: VarCharVector => new String(fv.get(r), "UTF-8")
-                case fv: VarBinaryVector => fv.get(r)
-                case fv: TimeStampMicroTZVector =>
-                  val us = fv.get(r)
-                  java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
-                    Math.floorDiv(us, 1000000L),
-                    Math.floorMod(us, 1000000L) * 1000L))
-                case fv: DateDayVector =>
-                  java.sql.Date.valueOf(
-                    java.time.LocalDate.ofEpochDay(fv.get(r).toLong))
-                case fv: ListVector =>
-                  val s = fv.getElementStartIndex(r)
-                  val e = fv.getElementEndIndex(r)
-                  val dv = fv.getDataVector
-                  (s until e).map(elemAt(dv, _))
-              }
+            vals(c + 1) = readValue(root.getVector(c), r)
             c += 1
           }
           out(r) = Row.fromSeq(vals.toIndexedSeq)

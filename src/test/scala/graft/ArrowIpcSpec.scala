@@ -61,12 +61,41 @@ class ArrowIpcSpec extends AnyFunSuite {
       ArrowIpc.write(df, java.nio.file.Files
         .createTempDirectory("arrowspec3").toString)
     }
-    // unsupported list ELEMENT types fail fast too
-    val df2 = Seq((1L, Seq("a", "b"))).toDF("id", "xs")
+    // maps fail even when buried inside a list element
+    val df2 = Seq((1L, Seq(Map("k" -> 1L)))).toDF("id", "xs")
     intercept[IllegalArgumentException] {
       ArrowIpc.write(df2, java.nio.file.Files
         .createTempDirectory("arrowspec3b").toString)
     }
+  }
+
+  test("nested struct / string-list / decimal roundtrip: chat shape with " +
+    "null contents, empty transcripts, and null rows") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("arrowspec5").toString
+    val base = Seq(
+      (1L, Seq(("user", "hi"), ("assistant", "hello")), "12.34",
+        Seq("a", "b")),
+      (2L, Seq(("user", null.asInstanceOf[String])), "0.01", Seq("c")),
+      (3L, Seq.empty[(String, String)], "99999.99", Seq.empty[String]),
+      (4L, null.asInstanceOf[Seq[(String, String)]], null, null))
+      .toDF("id", "msgs0", "dec0", "tags")
+      .select(col("id"),
+        col("msgs0").cast("array<struct<role:string,content:string>>")
+          .as("messages"),
+        col("dec0").cast("decimal(12,2)").as("price"),
+        col("tags"))
+    ArrowIpc.write(base.repartition(2), dir)
+    val back = ArrowIpc.read(spark, s"$dir/*.arrows").drop("path")
+    assert(back.schema("messages").dataType ==
+      base.schema("messages").dataType)
+    assert(back.schema("price").dataType == base.schema("price").dataType)
+    val got = back.collect().map(r => (r.getLong(0), r.get(1), r.get(2),
+      r.get(3))).sortBy(_._1)
+    val want = base.collect().map(r => (r.getLong(0), r.get(1), r.get(2),
+      r.get(3))).sortBy(_._1)
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"$g != $w") }
   }
 
   test("timestamp/date/array columns roundtrip exactly, nulls included") {
