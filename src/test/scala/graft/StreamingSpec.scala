@@ -634,6 +634,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(TableLog.read(spark, table, 1).count() == 10)
   }
 
+  test("TableLogSink + concurrent OPTIMIZE loop: no appended row is ever " +
+    "lost, file count stays bounded (guaranteed-progress compaction)") {
+    import graft.operators.TableLog
+    val root = java.nio.file.Files.createTempDirectory("tlsinkopt").toString
+    val srcDir = root + "/src"
+    val ckpt = root + "/ckpt"
+    val table = root + "/table"
+    // wave 0 establishes the table so the optimizer loop has a head
+    (0L until 20L).map(i => (i, s"d$i")).toDF("id", "s")
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    def runSink(): Unit = {
+      val q = graft.streaming.TableLogSink.start(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir),
+        table, txnId = "ingest", checkpoint = ckpt,
+        optimizeEvery = 2, optimizeMaxRows = 1000000L)
+      assert(q.awaitTermination(120000), "stream timed out")
+    }
+    runSink()
+    // an EXTERNAL compaction loop races the streaming writer: the
+    // sink's appendExactlyOnce must rebase through the optimizer's
+    // commits (never lose a batch), and the optimizer must rebase
+    // through the appends (never abort on a non-conflict); a true
+    // conflict (two optimizes racing) may skip a round, never a row
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val optErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val optimizer = new Thread(() => {
+      try {
+        while (!stop.get()) {
+          try TableLog.optimize(spark, table, maxRows = 1000000L,
+            maxRetries = 200)
+          catch { case _: IllegalStateException => () } // true conflict: skip
+          Thread.sleep(50)
+        }
+      } catch { case t: Throwable => optErr.compareAndSet(null, t) }
+    })
+    optimizer.start()
+    try {
+      (1 to 4).foreach { wave =>
+        (0L until 10L).map(i => (wave * 1000L + i, s"w$wave-$i"))
+          .toDF("id", "s")
+          .write.mode("append").parquet(srcDir)
+        runSink() // several micro-batches, sink-side optimize every 2nd
+      }
+    } finally { stop.set(true); optimizer.join() }
+    assert(optErr.get() == null, s"optimizer loop died: ${optErr.get()}")
+    // row set EXACT: 20 seed + 4 waves x 10, each exactly once
+    val got = TableLog.read(spark, table).select("id")
+      .collect().map(_.getLong(0)).sorted
+    val want = ((0L until 20L) ++
+      (1 to 4).flatMap(w => (0L until 10L).map(w * 1000L + _))).sorted
+    assert(got.toSeq == want.toSeq,
+      s"rows lost/duplicated: got ${got.length}, want ${want.length}")
+    // file count bounded: one quiesced pass collapses the tail
+    TableLog.optimize(spark, table, maxRows = 1000000L)
+    assert(TableLog.snapshot(table).files.size <= 2,
+      s"compaction never caught up: ${TableLog.snapshot(table).files.size}")
+  }
+
   test("anomalyLegsState: baseline state carries across micro-batches and " +
     "matches the batch form") {
     val dir = java.nio.file.Files.createTempDirectory("anom").toString + "/ev"
