@@ -745,6 +745,50 @@ object SparkEntry {
              WHERE st_contains(r.pgeom, p.geom))""")
     },
 
+    "sql7_dbscan_sql" -> { (s, d) =>
+      // the j10 DBSCAN scenario run PURELY through SQL text — the
+      // spatial-ML surface exposed as a SQL-callable table function
+      // (SqlTableFunctions.graft_dbscan): the view, the coordinates, and
+      // the clustering call are all spark.sql statements; the oracle is
+      // j10's exact recursive-closure replay. Coordinate SQL mirrors
+      // j10's Column expressions operation-for-operation so the doubles
+      // are bitwise identical.
+      graft.functions.GraftFunctions.registerAll(s)
+      t(s, d, "customer").createOrReplaceTempView("cust_sql7")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW pts_sql7 AS
+           SELECT c_custkey AS id,
+             CAST((c_custkey % 64) % 8 AS DOUBLE) * 10.0
+               + CAST(c_custkey % 5 AS DOUBLE) * 0.3
+               + CASE WHEN c_custkey % 17 = 0 THEN 5.0 ELSE 0.0 END AS x,
+             CAST((c_custkey % 64) DIV 8 AS DOUBLE) * 10.0
+               + CAST((c_custkey DIV 5) % 5 AS DOUBLE) * 0.3 AS y
+           FROM cust_sql7""")
+      s.sql(
+        """SELECT id AS c_custkey, cluster, is_core
+           FROM graft_dbscan('pts_sql7', 'id', 'x', 'y', 0.5, 4)
+           ORDER BY c_custkey""")
+    },
+
+    "sql8_kmeans_sql" -> { (s, d) =>
+      // the j12 k-means scenario through SQL text (graft_kmeans table
+      // function), same unrolled-recurrence oracle as j12
+      graft.functions.GraftFunctions.registerAll(s)
+      t(s, d, "customer").createOrReplaceTempView("cust_sql8")
+      s.sql(
+        """CREATE OR REPLACE TEMPORARY VIEW pts_sql8 AS
+           SELECT c_custkey AS id,
+             CAST((c_custkey % 64) % 8 AS DOUBLE) * 100.0
+               + CAST(c_custkey % 10 AS DOUBLE) AS x,
+             CAST((c_custkey % 64) DIV 8 AS DOUBLE) * 100.0
+               + CAST((c_custkey DIV 10) % 10 AS DOUBLE) AS y
+           FROM cust_sql8""")
+      s.sql(
+        """SELECT id AS c_custkey, cluster
+           FROM graft_kmeans('pts_sql8', 'id', 'x', 'y', 8, 2)
+           ORDER BY c_custkey""")
+    },
+
     "j10_dbscan" -> { (s, d) =>
       // density clustering (SpatialCluster.dbscan — PostGIS
       // ST_ClusterDBSCAN semantics, deterministic label contract):
@@ -6204,7 +6248,8 @@ object SparkEntry {
     }
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
          CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
@@ -10787,7 +10832,12 @@ object SparkEntry {
          FROM c JOIN p ON c.user_id = r_user
            AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL 1 HOUR
          ORDER BY c.user_id, l_id, r_id"""
-  ) ++ clfOracle
+    ) ++ clfOracle
+    // the SQL-table-function gates run the SAME scenarios as j10/j12, so
+    // their oracles are those entries verbatim — one source of truth
+    base ++ Map("sql7_dbscan_sql" -> base("j10_dbscan"),
+      "sql8_kmeans_sql" -> base("j12_kmeans"))
+  }
 
   /** t44 oracle twins are derivable only from the TRAINED weights, so they
     * are emitted once a model exists in this process (Verify runs queries

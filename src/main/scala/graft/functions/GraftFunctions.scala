@@ -340,6 +340,12 @@ object GraftFunctions {
         registry.createOrReplaceTempFunction(name, builder, "built-in")
       }
     }
+    val tfSentinel =
+      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dbscan")
+    if (!org.apache.spark.sql.graft.SparkInternals
+      .tableFunctionRegistry(spark).functionExists(tfSentinel)) {
+      SqlTableFunctions.register(spark)
+    }
     GeoSimplify.install(spark)
   }
 

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** SQL-callable TABLE functions for the spatial-ML operators — parity
+  * with the reference's everything-is-SQL stance (its engine runs every
+  * step as declarative DuckDB SQL, east_asia.py:176-178): a SQL-only user
+  * gets the clustering operators as
+  *
+  * {{{
+  *   SELECT * FROM graft_dbscan('pts_view', 'id', 'x', 'y', 0.5, 4)
+  *   SELECT * FROM graft_kmeans('pts_view', 'id', 'x', 'y', 8, 2)
+  * }}}
+  *
+  * The builder resolves the named table/view against the ACTIVE session
+  * and runs the operator's iterative driver-side planning EAGERLY (both
+  * operators train/collapse with bounded driver state and truncate
+  * lineage via checkpoints — they cannot be a static plan), then hands
+  * the result's analyzed plan back to the analyzer: the table-function
+  * call site behaves like a UDTF over a materialized computation.
+  * Arguments parameterize PLANNING, not per-row evaluation, so they must
+  * be literals. Scale posture is the operators' own (see
+  * `docs/SCALING.md` on SpatialCluster): nothing extra is collected for
+  * the SQL surface. */
+object SqlTableFunctions {
+
+  private def scalarOf(e: Expression, what: String): Any = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval()
+  }
+
+  private def str(e: Expression, what: String): String =
+    String.valueOf(scalarOf(e, what))
+
+  private def num(e: Expression, what: String): Double =
+    scalarOf(e, what) match {
+      case n: Number => n.doubleValue
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what must be numeric, got: $other")
+    }
+
+  private def dbscanBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 6,
+      "usage: graft_dbscan(table, idCol, xCol, yCol, eps, minPts)")
+    val spark = SparkSession.active
+    val df = spark.table(str(args(0), "table"))
+    graft.operators.SpatialCluster.dbscan(df,
+        eps = num(args(4), "eps"),
+        minPts = num(args(5), "minPts").toInt,
+        idCol = str(args(1), "idCol"), xCol = str(args(2), "xCol"),
+        yCol = str(args(3), "yCol"))
+      .queryExecution.analyzed
+  }
+
+  private def kmeansBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 6,
+      "usage: graft_kmeans(table, idCol, xCol, yCol, k, iters)")
+    val spark = SparkSession.active
+    val df = spark.table(str(args(0), "table"))
+    graft.operators.SpatialCluster.kmeans(df,
+        k = num(args(4), "k").toInt,
+        iters = num(args(5), "iters").toInt,
+        idCol = str(args(1), "idCol"), xCol = str(args(2), "xCol"),
+        yCol = str(args(3), "yCol"))
+      .queryExecution.analyzed
+  }
+
+  /** SQL-callable table-function names (for collision audits). */
+  val names: Seq[String] = Seq("graft_dbscan", "graft_kmeans")
+
+  def register(spark: SparkSession): Unit = {
+    val reg = org.apache.spark.sql.graft.SparkInternals
+      .tableFunctionRegistry(spark)
+    reg.createOrReplaceTempFunction("graft_dbscan", dbscanBuilder,
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_kmeans", kmeansBuilder,
+      "built-in")
+  }
+}

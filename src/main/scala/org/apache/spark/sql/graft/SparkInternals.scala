@@ -13,6 +13,13 @@ object SparkInternals {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** The session's TABLE-function registry (`SELECT * FROM fn(...)`) —
+    * `SessionState` is `private[sql]`, so the accessor lives here. */
+  def tableFunctionRegistry(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.catalyst.analysis.TableFunctionRegistry =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.tableFunctionRegistry
+
   /** Ensure the driver's StateStoreCoordinator RPC endpoint exists. A
     * stateful STREAMING query registers it on start, but BATCH execution of
     * a stateful operator (transformWithState on a batch Dataset) skips that
