@@ -745,6 +745,27 @@ object SparkEntry {
              WHERE st_contains(r.pgeom, p.geom))""")
     },
 
+    "sql9_geodesic_sql" -> { (s, d) =>
+      // the j7s geodesic scenario through SQL text (graft_geodesic_join
+      // table function — pure plan construction, no eager work): same
+      // haversine-inequality oracle as j7s
+      graft.functions.GraftFunctions.registerAll(s)
+      t(s, d, "lineitem")
+        .select(cxCol.as("x"), cyCol.as("y"), col("l_orderkey"))
+        .createOrReplaceTempView("pts_sql9")
+      t(s, d, "supplier").filter(col("s_suppkey") < 50)
+        .select(col("s_suppkey").as("aid"),
+          ((col("s_suppkey") % 36).cast("double") * 10.0 - 175.0).as("rx"),
+          ((col("s_suppkey") % 17).cast("double") * 10.0 - 80.0).as("ry"))
+        .createOrReplaceTempView("anchors_sql9")
+      s.sql(
+        """SELECT aid, COUNT(*) AS n_near,
+             CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+           FROM graft_geodesic_join('pts_sql9', 'anchors_sql9', 250000.0,
+                                    'x', 'y', 'rx', 'ry')
+           GROUP BY aid ORDER BY aid""")
+    },
+
     "sql7_dbscan_sql" -> { (s, d) =>
       // the j10 DBSCAN scenario run PURELY through SQL text — the
       // spatial-ML surface exposed as a SQL-callable table function
@@ -1527,6 +1548,37 @@ object SparkEntry {
         .select(col("n"), col("sum_cents"),
           lit(nPre).as("n_pre"), lit(after < before).as("collapsed"),
           lit(ver - pre).as("dv"))
+    },
+
+    "k21_restore" -> { (s, d) =>
+      // RESTORE TABLE ... TO VERSION AS OF (TableLog.restore — the Delta
+      // restore semantics): two appends build v1/v2, an overwrite
+      // replaces everything at v3, the restore commits v2's exact file
+      // set FORWARD as v4 — zero data bytes move (files are immutable
+      // and shared), the overwritten state stays time-travelable at v3,
+      // and history records the restore op. Aggregates of the restored
+      // head and of v3 both replay closed-form.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k21")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.append(
+        o.filter(col("o_orderkey") % 3 === 0), dir) // v1
+      graft.operators.TableLog.append(
+        o.filter(col("o_orderkey") % 3 === 1), dir) // v2
+      graft.operators.TableLog.overwrite(
+        o.filter(col("o_orderkey") % 3 === 2), dir) // v3
+      val headV = graft.operators.TableLog.restore(dir, 2) // v4 = v2 state
+      val ops = graft.operators.TableLog.history(s, dir)
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+      val head = graft.operators.TableLog.read(s, dir)
+        .agg(count(lit(1)).as("n_head"),
+          sum(col("price_cents")).as("sum_head"))
+      val atV3 = graft.operators.TableLog.read(s, dir, 3)
+        .agg(count(lit(1)).as("n_v3"), sum(col("price_cents")).as("sum_v3"))
+      head.crossJoin(broadcast(atV3)) // two 1-row aggregates
+        .withColumn("head_version", lit(headV))
+        .withColumn("restore_in_history", lit(ops.get(4).contains("restore")))
     },
 
     "k16b_zorder_skipping" -> { (s, d) =>
@@ -8448,6 +8500,24 @@ object SparkEntry {
          SELECT "check", violations, total, violations = 0 AS passed
          FROM c ORDER BY "check"""",
 
+    // restore replay: the head equals v2's state (k%3 in {0,1}), the
+    // overwritten v3 still time-travels (k%3=2), head version is the
+    // forward commit 4, and history tags it as a restore
+    "k21_restore" ->
+      s"""SELECT
+           CAST(SUM(CASE WHEN o_orderkey % 3 <> 2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_head,
+           CAST(SUM(CASE WHEN o_orderkey % 3 <> 2
+             THEN ${centsSql("o_totalprice")} ELSE 0 END) AS BIGINT)
+             AS sum_head,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_v3,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 2
+             THEN ${centsSql("o_totalprice")} ELSE 0 END) AS BIGINT)
+             AS sum_v3,
+           4 AS head_version, TRUE AS restore_in_history
+         FROM orders""",
+
     // z-order skipping replay: the same 1/8th-range full-scan keyed on
     // the SECOND cluster column; pruned_second TRUE pins that the
     // interleaved layout skipped files on a non-leading column
@@ -10833,10 +10903,12 @@ object SparkEntry {
            AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL 1 HOUR
          ORDER BY c.user_id, l_id, r_id"""
     ) ++ clfOracle
-    // the SQL-table-function gates run the SAME scenarios as j10/j12, so
-    // their oracles are those entries verbatim — one source of truth
+    // the SQL-table-function gates run the SAME scenarios as
+    // j10/j12/j7s, so their oracles are those entries verbatim — one
+    // source of truth
     base ++ Map("sql7_dbscan_sql" -> base("j10_dbscan"),
-      "sql8_kmeans_sql" -> base("j12_kmeans"))
+      "sql8_kmeans_sql" -> base("j12_kmeans"),
+      "sql9_geodesic_sql" -> base("j7s_geodesic_join"))
   }
 
   /** t44 oracle twins are derivable only from the TRAINED weights, so they

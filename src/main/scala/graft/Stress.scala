@@ -726,6 +726,75 @@ object Stress {
       }
     }
 
+    if (sec("r11")) {
+      time("geodetic distance join (10M pts x 500 anchors, 100 km)") {
+        // points spread across lat -80..80 (hot mid-lat bands AND the
+        // stretched high-lat bands), anchors on a 500-site lattice; the
+        // stage proves candidate generation stays the bounded 9x
+        // equi-join at every latitude — a quadratic or per-row-degenerate
+        // plan would not finish
+        val pts = spark.range(10000000L).select(col("id"),
+          ((pmod(xxhash64(col("id")), lit(360000L)).cast("double") / 1000.0)
+            - 180.0).as("x"),
+          ((pmod(xxhash64(col("id"), lit(1L)), lit(160000L)).cast("double")
+            / 1000.0) - 80.0).as("y"))
+        val anchors = spark.range(500L).select(col("id").as("aid"),
+          ((col("id") % 25).cast("double") * 14.0 - 170.0).as("rx"),
+          ((col("id") / 25).cast("double") * 8.0 - 78.0).as("ry"))
+        val n = graft.operators.SpatialJoin
+          .distanceJoinGeodetic(pts, anchors, 100000.0).count()
+        println(s"    pairs within 100 km: $n")
+        // ~500 caps of pi*(100km)^2 over a lon/lat rectangle of ~2.2e8
+        // km^2 at these densities => order 1e6 pairs; zero means the
+        // grid lost everything, 1e8 means it multiplied
+        require(n > 100000L && n < 20000000L, s"implausible pair count $n")
+      }
+      time("spatial anti join (10M pts vs 200 polys, rewrite)") {
+        // the LeftSemi/LeftAnti rewrite at scale: semi + anti must
+        // partition the probe side EXACTLY (a lost or duplicated probe
+        // breaks the sum), and neither may plan the |A|x|B| nested loop
+        import graft.functions.GraftFunctions._
+        graft.functions.GraftFunctions.registerAll(spark)
+        val pts = spark.range(10000000L).select(col("id"),
+          st_point(
+            (pmod(xxhash64(col("id")), lit(3600L)).cast("double") / 10.0)
+              - 180.0,
+            (pmod(xxhash64(col("id"), lit(1L)), lit(1700L)).cast("double")
+              / 10.0) - 85.0).as("geom"))
+        val polys = spark.range(200L).select(col("id").as("pid"),
+          st_make_square(
+            (col("id") % 20).cast("double") * 18.0 - 171.0,
+            (col("id") / 20).cast("double") * 16.0 - 72.0,
+            lit(4.0)).as("pgeom"))
+        val semi = pts.join(polys,
+          st_contains(col("pgeom"), col("geom")), "left_semi")
+        val pSemi = semi.queryExecution.executedPlan.toString
+        require(pSemi.contains("__graft_cell"), "semi rewrite did not fire")
+        val nSemi = semi.count()
+        val nAnti = pts.join(polys,
+          st_contains(col("pgeom"), col("geom")), "left_anti").count()
+        println(s"    semi: $nSemi anti: $nAnti")
+        require(nSemi + nAnti == 10000000L,
+          s"semi+anti must partition the probe side: $nSemi + $nAnti")
+        require(nSemi > 0L && nAnti > 0L, "degenerate fixture")
+      }
+      time("restore under churn (50-version table, metadata-only)") {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_stress_restore").toString + "/t"
+        (0 until 50).foreach { i =>
+          graft.operators.TableLog.append(
+            spark.range(i * 1000L, i * 1000L + 1000L).toDF("id")
+              .coalesce(1), dir)
+        }
+        val t0 = System.nanoTime()
+        graft.operators.TableLog.restore(dir, 25)
+        val restoreMs = (System.nanoTime() - t0) / 1e6
+        println(f"    restore commit: $restoreMs%.1f ms (zero data moved)")
+        require(graft.operators.TableLog.read(spark, dir).count() == 25000L)
+        require(restoreMs < 5000.0, s"restore moved data? $restoreMs ms")
+      }
+    }
+
     val sentinelPost = Bench.sentinelMtMs()
     val total = results.values.sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -68,8 +68,41 @@ object SqlTableFunctions {
       .queryExecution.analyzed
   }
 
+  /** `graft_geodesic_join(left, right, radiusMeters, lon, lat, rlon,
+    * rlat)` — the lat-band great-circle distance join from SQL. Pure
+    * plan construction (no eager work): the builder returns the join's
+    * analyzed plan directly. */
+  private def geodesicJoinBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 7,
+      "usage: graft_geodesic_join(leftTable, rightTable, radiusMeters, " +
+        "lonCol, latCol, rightLonCol, rightLatCol)")
+    val spark = SparkSession.active
+    graft.operators.SpatialJoin.distanceJoinGeodetic(
+        spark.table(str(args(0), "leftTable")),
+        spark.table(str(args(1), "rightTable")),
+        radiusMeters = num(args(2), "radiusMeters"),
+        leftLon = str(args(3), "lonCol"), leftLat = str(args(4), "latCol"),
+        rightLon = str(args(5), "rightLonCol"),
+        rightLat = str(args(6), "rightLatCol"))
+      .queryExecution.analyzed
+  }
+
+  /** `graft_knn(left, right, k, r0)` over (id, x, y) tables — the exact
+    * KNN join from SQL (iterative: runs eagerly, like dbscan/kmeans). */
+  private def knnBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 4,
+      "usage: graft_knn(leftTable, rightTable, k, r0) over (id, x, y)")
+    val spark = SparkSession.active
+    graft.operators.KnnJoin.knnJoin(
+        spark.table(str(args(0), "leftTable")),
+        spark.table(str(args(1), "rightTable")),
+        k = num(args(2), "k").toInt, r0 = num(args(3), "r0"))
+      .queryExecution.analyzed
+  }
+
   /** SQL-callable table-function names (for collision audits). */
-  val names: Seq[String] = Seq("graft_dbscan", "graft_kmeans")
+  val names: Seq[String] =
+    Seq("graft_dbscan", "graft_kmeans", "graft_geodesic_join", "graft_knn")
 
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.graft.SparkInternals
@@ -78,5 +111,8 @@ object SqlTableFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("graft_kmeans", kmeansBuilder,
       "built-in")
+    reg.createOrReplaceTempFunction("graft_geodesic_join",
+      geodesicJoinBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_knn", knnBuilder, "built-in")
   }
 }

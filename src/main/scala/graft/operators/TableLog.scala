@@ -614,6 +614,39 @@ object TableLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** RESTORE TABLE ... TO VERSION AS OF `toVersion` (the Delta restore
+    * semantics): commit the OLD version's exact file set — and its
+    * partition tags — as the NEW head. History is preserved (restore is
+    * a forward commit, never a rewind), the restored-over versions stay
+    * time-travelable until [[vacuum]], and `txn` markers carry forward
+    * so a streaming writer's exactly-once dedup survives the restore.
+    * Data files are immutable and shared, so a restore moves ZERO data
+    * bytes — one metadata commit. Rebase-retries like [[append]]: a
+    * racing append wins its spot and the restore lands after it (the
+    * restore's snapshot intent is explicit, so later-arriving appends
+    * before the restore commit are superseded by design — loudly visible
+    * in history). */
+  def restore(dir: String, toVersion: Int, maxRetries: Int = 20): Int = {
+    val old = snapshot(dir, toVersion) // loud if vacuumed/missing
+    var attempt = 0
+    while (true) {
+      val (prev, v) = planNext(dir)
+      require(toVersion <= prev.version,
+        s"cannot restore $dir to future version $toVersion (head ${prev.version})")
+      try {
+        return commit(dir, old.files, expectedVersion = v,
+          parts = old.parts, txn = prev.txn, op = "restore")
+      } catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(1L, 5L * attempt))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Drop versions < `keepFrom` and delete data files no retained
     * version references. Returns the deleted file paths (relative).
     *

@@ -211,6 +211,24 @@ class ScalePlanSpec extends AnyFunSuite {
       s"equality-join plan required:\n$p")
   }
 
+  test("distanceJoinGeodetic plans an equality join — no nested loop; " +
+    "replication is the bounded 3x3 band/cell explode") {
+    val pts = Seq((1L, 0.0, 0.0), (2L, 139.7, 35.7), (3L, 179.9, 46.0),
+      (4L, -179.9, 46.0)).toDF("pid", "x", "y")
+    val anchors = Seq((10L, 139.6, 35.6), (11L, 179.95, 46.01))
+      .toDF("aid", "rx", "ry")
+    val j = SpatialJoin.distanceJoinGeodetic(pts, anchors, 50000.0)
+    val p = j.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"equality-join plan required:\n$p")
+    val got = j.select("pid", "aid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Tokyo pair (~16 km) and the anti-meridian pair (~7 km) match; the
+    // equator origin matches nothing within 50 km
+    assert(got == Set((2L, 10L), (3L, 11L), (4L, 11L)), got.toString)
+    assert(j.count() == 3L, "each pair exactly once")
+  }
+
   test("partitioned sink: scan reads ONLY the filtered partitions' files") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

@@ -238,6 +238,34 @@ class TableLogSpec extends AnyFunSuite {
     assert(TableLog.read(spark, dir).count() == 2L)
   }
 
+  test("restore commits an old version's file set FORWARD: overwritten " +
+    "state stays time-travelable, txn markers survive, zero data moved") {
+    val dir = freshDir()
+    TableLog.append(Seq((1L, "a")).toDF("id", "s"), dir) // v1
+    TableLog.appendExactlyOnce(Seq((2L, "b")).toDF("id", "s"),
+      dir, "w", 0L) // v2
+    val filesBefore = TableLog.snapshot(dir, 2).files
+    TableLog.overwrite(Seq((9L, "z")).toDF("id", "s"), dir) // v3
+    val v = TableLog.restore(dir, 2)
+    assert(v == 4)
+    // the head is v2's exact file set — restore moved no data bytes
+    assert(TableLog.snapshot(dir).files == filesBefore)
+    assert(TableLog.read(spark, dir).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L))
+    // the overwritten state still time-travels
+    assert(TableLog.read(spark, dir, 3).collect().map(_.getLong(0))
+      .toSet == Set(9L))
+    // exactly-once markers carried through overwrite AND restore: the
+    // replayed batch is still recognized
+    assert(TableLog.appendExactlyOnce(Seq((2L, "b")).toDF("id", "s"),
+      dir, "w", 0L).isEmpty)
+    val hist = TableLog.history(spark, dir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(hist(4) == "restore" && hist(3) == "overwrite")
+    // restoring to a version that never existed fails loudly
+    intercept[IllegalArgumentException] { TableLog.restore(dir, 99) }
+  }
+
   test("appendExactlyOnce: a replayed streaming batch commits nothing") {
     val dir = freshDir()
     val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
