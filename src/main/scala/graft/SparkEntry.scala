@@ -745,6 +745,31 @@ object SparkEntry {
              WHERE st_contains(r.pgeom, p.geom))""")
     },
 
+    "sql10_dwithin_sphere_sql" -> { (s, d) =>
+      // declarative `JOIN ON st_dwithin_sphere(a, b, meters)` through
+      // plain SQL — SpatialJoinRewrite decomposes the geodetic predicate
+      // into the lat-band grid equi-join (GeodeticPick), so a SQL user
+      // writing great-circle proximity gets the scalable shape
+      // automatically. Same scenario and haversine oracle as j7s.
+      graft.functions.GraftFunctions.registerAll(s)
+      t(s, d, "lineitem")
+        .select(st_point(cxCol, cyCol).as("pgeom"), col("l_orderkey"))
+        .createOrReplaceTempView("pts_sql10")
+      t(s, d, "supplier").filter(col("s_suppkey") < 50)
+        .select(col("s_suppkey").as("aid"),
+          st_point(
+            (col("s_suppkey") % 36).cast("double") * 10.0 - 175.0,
+            (col("s_suppkey") % 17).cast("double") * 10.0 - 80.0)
+            .as("ageom"))
+        .createOrReplaceTempView("anchors_sql10")
+      s.sql(
+        """SELECT aid, COUNT(*) AS n_near,
+             CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
+           FROM anchors_sql10 a JOIN pts_sql10 p
+             ON st_dwithin_sphere(a.ageom, p.pgeom, CAST(250000.0 AS DOUBLE))
+           GROUP BY aid ORDER BY aid""")
+    },
+
     "sql9_geodesic_sql" -> { (s, d) =>
       // the j7s geodesic scenario through SQL text (graft_geodesic_join
       // table function — pure plan construction, no eager work): same
@@ -10908,7 +10933,8 @@ object SparkEntry {
     // source of truth
     base ++ Map("sql7_dbscan_sql" -> base("j10_dbscan"),
       "sql8_kmeans_sql" -> base("j12_kmeans"),
-      "sql9_geodesic_sql" -> base("j7s_geodesic_join"))
+      "sql9_geodesic_sql" -> base("j7s_geodesic_join"),
+      "sql10_dwithin_sphere_sql" -> base("j7s_geodesic_join"))
   }
 
   /** t44 oracle twins are derivable only from the TRAINED weights, so they

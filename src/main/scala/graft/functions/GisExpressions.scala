@@ -742,6 +742,28 @@ case class StDWithin(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** st_dwithin_sphere(a, b, meters) — great-circle proximity on the
+  * mean-Earth sphere (centroid haversine ≤ meters; R = 6371008.8).
+  * [[graft.functions.SpatialJoinRewrite]] decomposes a join on this
+  * predicate into the lat-band grid equi-join, so the declarative form
+  * scales like [[graft.operators.SpatialJoin.distanceJoinGeodetic]]. */
+case class StDWithinSphere(first: Expression, second: Expression,
+    third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType, DoubleType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_dwithin_sphere"
+  protected override def nullSafeEval(a: Any, b: Any, d: Any): Any =
+    GeomLib.dwithinSphere(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]], d.asInstanceOf[Number].doubleValue)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b, d) => s"graft.geom.GeomLib.dwithinSphere($a, $b, $d)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
 /** grid_cell(lon, lat, res) → hierarchical cell id — capability twin of
   * H3_LATLNG_TO_CELL(lat, lng, res) (East-Asia-Building-Footprints.md:250-252;
   * substitution documented in SURVEY.md §7.5). */

@@ -63,6 +63,8 @@ object GraftFunctions {
   def st_distance(a: Column, b: Column): Column = col(StDistance(ex(a), ex(b)))
   def st_distance_sphere(a: Column, b: Column): Column =
     col(StDistanceSphere(ex(a), ex(b)))
+  def st_dwithin_sphere(a: Column, b: Column, meters: Column): Column =
+    col(StDWithinSphere(ex(a), ex(b), ex(meters)))
   def st_length(geom: Column): Column = col(StLength(ex(geom)))
   def st_perimeter(geom: Column): Column = col(StPerimeter(ex(geom)))
   def st_envelope(geom: Column): Column = col(StEnvelopeGeom(ex(geom)))
@@ -232,6 +234,7 @@ object GraftFunctions {
     "st_intersects" -> { e => StIntersects(e(0), e(1)) },
     "st_distance" -> { e => StDistance(e(0), e(1)) },
     "st_distance_sphere" -> { e => StDistanceSphere(e(0), e(1)) },
+    "st_dwithin_sphere" -> { e => StDWithinSphere(e(0), e(1), e(2)) },
     "st_length" -> { e => StLength(e.head) },
     "st_perimeter" -> { e => StPerimeter(e.head) },
     "st_envelope" -> { e => StEnvelopeGeom(e.head) },

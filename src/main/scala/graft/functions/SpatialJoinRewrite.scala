@@ -91,6 +91,9 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   /** Two-sided: both explode coverings; `pad` > 0 for dwithin. */
   private final case class SymmetricPick(expr: Expression, aG: Expression,
       bG: Expression, pad: Double) extends Pick
+  /** Geodetic: lat-band grid (st_dwithin_sphere, meters on 4326). */
+  private final case class GeodeticPick(expr: Expression, aG: Expression,
+      bG: Expression, meters: Double) extends Pick
 
   private def enabled: Boolean =
     org.apache.spark.sql.internal.SQLConf.get
@@ -131,8 +134,19 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case c @ StDWithin(a, b, d) if d.foldable && sided(b, a) &&
           distOf(d) > 0 =>
         SymmetricPick(c, b, a, pad = distOf(d))
+      // geodetic: only while one lat band stays ≤10° (the grid's
+      // contract) — a continent-scale radius keeps the naive plan
+      case c @ StDWithinSphere(a, b, d) if d.foldable && sided(a, b) &&
+          distOf(d) > 0 && geodeticBandOk(distOf(d)) =>
+        GeodeticPick(c, a, b, meters = distOf(d))
+      case c @ StDWithinSphere(a, b, d) if d.foldable && sided(b, a) &&
+          distOf(d) > 0 && geodeticBandOk(distOf(d)) =>
+        GeodeticPick(c, b, a, meters = distOf(d))
     }
   }
+
+  private def geodeticBandOk(meters: Double): Boolean =
+    meters / (graft.geom.GeomLib.EarthRadiusM * math.Pi / 180.0) <= 10.0
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
@@ -184,6 +198,32 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         Join(pSide, oversized, Inner, Some(coarseCond),
           JoinHint(None, Some(HintInfo(Some(BROADCAST))))))
       Union(Seq(fine, coarse))
+    case GeodeticPick(predExpr, aG, bG, meters) =>
+      // built with the DataFrame API over the SAME child plans
+      // (SparkInternals.ofRows preserves attribute identity), so the
+      // lat-band logic lives in exactly one place —
+      // SpatialJoin.distanceJoinGeodeticCols. Coordinates are the
+      // centroid lon/lat (ST_DistanceSphere point semantics), projected
+      // once per row before the band explode.
+      import org.apache.spark.sql.graft.SparkInternals
+      val spark = org.apache.spark.sql.SparkSession.active
+      val residual = conjuncts.filterNot(_ eq predExpr)
+      // the band join replicates its SECOND frame ≤9× — put the smaller
+      // input there (plan stats), same discipline as the dwithin pad
+      val rightSmaller = right.stats.sizeInBytes <= left.stats.sizeInBytes
+      val (bigP, bigG, smallP, smallG) =
+        if (rightSmaller) (left, aG, right, bG) else (right, bG, left, aG)
+      val joined = graft.operators.SpatialJoin.distanceJoinGeodeticCols(
+        SparkInternals.ofRows(spark, bigP),
+        SparkInternals.ofRows(spark, smallP), meters,
+        SparkInternals.column(CentroidX(bigG)),
+        SparkInternals.column(CentroidY(bigG)),
+        SparkInternals.column(CentroidX(smallG)),
+        SparkInternals.column(CentroidY(smallG)))
+      val withResidual = residual.foldLeft(joined)((df, e) =>
+        df.filter(SparkInternals.column(e)))
+      withResidual.select(output.map(a =>
+        SparkInternals.column(a)): _*).queryExecution.analyzed
     case SymmetricPick(predExpr, aG, bG, pad) =>
       val residual = conjuncts.filterNot(_ eq predExpr)
       val pred = (predExpr +: residual).reduce(And(_, _))

@@ -638,6 +638,14 @@ object GeomLib {
         math.cos(math.toRadians(lat2)) * sLon * sLon))
   }
 
+  /** st_dwithin_sphere refine: great-circle proximity in meters between
+    * centroids; false on broken input (a broken geometry is within
+    * distance of nothing — the same contract as the planar predicates). */
+  def dwithinSphere(a: Array[Byte], b: Array[Byte], m: Double): Boolean = {
+    val d = distanceSphere(a, b)
+    d != null && d.doubleValue <= m
+  }
+
   /** Geodetic (sphere) distance in meters between the centroids of two
     * WKB geometries interpreted as EPSG:4326 lon/lat — the
     * ST_DistanceSphere point semantics. Null on broken input. The

@@ -145,7 +145,21 @@ object SpatialJoin {
   def distanceJoinGeodetic(left: DataFrame, right: DataFrame,
       radiusMeters: Double,
       leftLon: String = "x", leftLat: String = "y",
-      rightLon: String = "rx", rightLat: String = "ry"): DataFrame = {
+      rightLon: String = "rx", rightLat: String = "ry"): DataFrame =
+    distanceJoinGeodeticCols(left, right, radiusMeters,
+      col(leftLon), col(leftLat), col(rightLon), col(rightLat))
+
+  /** [[distanceJoinGeodetic]] over arbitrary lon/lat COLUMN EXPRESSIONS
+    * (e.g. `centroid_x(geom)`): each side's coordinates are projected
+    * ONCE per input row before the band explode, so an expensive
+    * coordinate expression (a WKB decode) is never re-evaluated per
+    * candidate pair. This is the entry [[graft.functions
+    * .SpatialJoinRewrite]] uses to decompose declarative
+    * `st_dwithin_sphere` joins. */
+  def distanceJoinGeodeticCols(left: DataFrame, right: DataFrame,
+      radiusMeters: Double,
+      leftLonC: Column, leftLatC: Column,
+      rightLonC: Column, rightLatC: Column): DataFrame = {
     require(radiusMeters > 0, s"radius must be positive: $radiusMeters")
     val mPerDeg = graft.geom.GeomLib.EarthRadiusM * math.Pi / 180.0
     val h = radiusMeters / mPerDeg // band height in degrees
@@ -170,16 +184,20 @@ object SpatialJoin {
     def cellOf(lon: Column, w: Column, ring: Column): Column =
       least(floor((lon + 180.0) / w).cast("long"), ring - 1)
     val l = left
-      .withColumn("__cy", floor(col(leftLat) / h).cast("long"))
+      .withColumn("__glon_l", leftLonC)
+      .withColumn("__glat_l", leftLatC)
+      .withColumn("__cy", floor(col("__glat_l") / h).cast("long"))
       .withColumn("__w", bandW(col("__cy")))
       .withColumn("__ring", ringOf(col("__w")))
       .withColumn("__cx",
-        cellOf(col(leftLon), col("__w"), col("__ring")))
+        cellOf(col("__glon_l"), col("__w"), col("__ring")))
       .drop("__w", "__ring")
     val r = right
+      .withColumn("__glon_r", rightLonC)
+      .withColumn("__glat_r", rightLatC)
       .withColumn("__dy", explode(array(lit(-1L), lit(0L), lit(1L))))
       .withColumn("__cy",
-        floor(col(rightLat) / h).cast("long") + col("__dy"))
+        floor(col("__glat_r") / h).cast("long") + col("__dy"))
       .drop("__dy")
       .withColumn("__w", bandW(col("__cy")))
       .withColumn("__ring", ringOf(col("__w")))
@@ -190,13 +208,13 @@ object SpatialJoin {
           .when(col("__ring") === 2, array(lit(0L), lit(1L)))
           .otherwise(array(lit(0L)))))
       .withColumn("__cx", pmod(
-        cellOf(col(rightLon), col("__w"), col("__ring")) + col("__dx"),
+        cellOf(col("__glon_r"), col("__w"), col("__ring")) + col("__dx"),
         col("__ring")))
       .drop("__dx", "__w", "__ring")
     l.join(r, Seq("__cy", "__cx"))
-      .filter(haversineMeters(col(leftLat), col(leftLon),
-        col(rightLat), col(rightLon)) <= lit(radiusMeters))
-      .drop("__cy", "__cx")
+      .filter(haversineMeters(col("__glat_l"), col("__glon_l"),
+        col("__glat_r"), col("__glon_r")) <= lit(radiusMeters))
+      .drop("__cy", "__cx", "__glon_l", "__glat_l", "__glon_r", "__glat_r")
   }
 
   /** [[pointInPolygon]] on the TRUE H3 lattice instead of the rect grid —

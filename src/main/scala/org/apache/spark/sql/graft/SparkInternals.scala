@@ -13,6 +13,17 @@ object SparkInternals {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap an (analyzed) LogicalPlan as a DataFrame — `Dataset.ofRows` is
+    * `private[sql]`. Lets an optimizer rule build its replacement plan
+    * with the DataFrame API over the SAME child plans (attribute
+    * identity is preserved: the wrapped plan's output attributes ARE the
+    * originals). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** The session's TABLE-function registry (`SELECT * FROM fn(...)`) —
     * `SessionState` is `private[sql]`, so the accessor lives here. */
   def tableFunctionRegistry(spark: org.apache.spark.sql.SparkSession)

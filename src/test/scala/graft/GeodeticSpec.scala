@@ -88,6 +88,44 @@ class GeodeticSpec extends AnyFunSuite {
     }
   }
 
+  test("declarative st_dwithin_sphere join rewrites to the lat-band " +
+    "equi-join; results equal the naive plan (anti-meridian included)") {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.functions._
+    graft.functions.GeoSimplify.install(spark)
+    val l = pts.toDF("lid", "lx", "ly")
+      .select(col("lid"), st_point(col("lx"), col("ly")).as("lg"))
+    val r = pts.filter(_._1 % 4 == 0).toDF("rid", "rx", "ry")
+      .select(col("rid"), st_point(col("rx"), col("ry")).as("rg"))
+    def q = l.join(r, st_dwithin_sphere(col("lg"), col("rg"),
+      lit(250000.0))).select("lid", "rid")
+    val expected = try {
+      spark.conf.set("spark.graft.spatialjoin.rewrite", "false")
+      q.collect().map(row => (row.getLong(0), row.getLong(1))).toSeq.sorted
+    } finally spark.conf.set("spark.graft.spatialjoin.rewrite", "true")
+    val got = q
+    val p = got.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"still nested loop:\n$p")
+    assert(got.collect().map(row => (row.getLong(0), row.getLong(1)))
+      .toSeq.sorted == expected)
+    assert(expected.nonEmpty)
+    // semi/anti ride the value-based membership path
+    def qs = l.join(r, st_dwithin_sphere(col("lg"), col("rg"),
+      lit(250000.0)), "left_semi")
+    val expSemi = try {
+      spark.conf.set("spark.graft.spatialjoin.rewrite", "false")
+      qs.collect().map(_.getLong(0)).toSeq.sorted
+    } finally spark.conf.set("spark.graft.spatialjoin.rewrite", "true")
+    assert(qs.collect().map(_.getLong(0)).toSeq.sorted == expSemi)
+    // a continent-scale radius keeps the naive plan (band contract)
+    val big = l.join(r, st_dwithin_sphere(col("lg"), col("rg"),
+      lit(5000000.0)))
+    assert(!big.queryExecution.optimizedPlan.toString.contains("__glat_l"),
+      "over-wide radius must not rewrite")
+    assert(big.count() > 0)
+  }
+
   test("st_distance_sphere: one degree of latitude is R*pi/180 meters; " +
     "nulls and broken WKB stay null") {
     import graft.functions.GraftFunctions._
