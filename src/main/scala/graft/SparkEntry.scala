@@ -882,6 +882,28 @@ object SparkEntry {
         .orderBy("c_custkey", "rn")
     },
 
+    "j11s_knn_geodetic" -> { (s, d) =>
+      // exact KNN in GREAT-CIRCLE METERS (KnnJoin geodetic mode): the
+      // j11 lattice read as EPSG:4326 lon/lat spanning 0–71° of latitude
+      // — where the planar j11 ranking is wrong (an E-W step shrinks by
+      // cos(lat), so nearest-by-degrees ≠ nearest-by-meters at the
+      // northern sites). Candidates come from the lat-band grid join,
+      // distances and ties replay the shared haversine contract; dist is
+      // emitted rounded to the millimeter so last-ulp libm differences
+      // between JVMs and the oracle's engine can't flip a digit (the
+      // RANKING uses unrounded values on both sides).
+      val pts = t(s, d, "customer").select(col("c_custkey").as("id"),
+        ((col("c_custkey") % 64 % 8).cast("double") * 10.0 +
+          (col("c_custkey") % 5).cast("double") * 0.3).as("x"),
+        (expr("(c_custkey % 64) div 8").cast("double") * 10.0 +
+          expr("(c_custkey div 5) % 5").cast("double") * 0.3).as("y"))
+      graft.operators.KnnJoin.knnJoin(pts, pts, k = 3, r0 = 50000.0,
+          geodetic = true)
+        .select(col("lid").as("c_custkey"), col("rn"), col("rid"),
+          round(col("dist"), 3).as("dist_m"))
+        .orderBy("c_custkey", "rn")
+    },
+
     "j12_kmeans" -> { (s, d) =>
       // deterministic Lloyd's k-means (SpatialCluster.kmeans): customers
       // on an 8×8 lattice of integer-valued blobs (coords exactly
@@ -1573,6 +1595,69 @@ object SparkEntry {
         .select(col("n"), col("sum_cents"),
           lit(nPre).as("n_pre"), lit(after < before).as("collapsed"),
           lit(ver - pre).as("dv"))
+    },
+
+    "k22_delete" -> { (s, d) =>
+      // DELETE FROM ... WHERE (TableLog.delete — copy-on-write): five
+      // range-split appends put each orderkey quintile in its own
+      // file(s); a predicate confined to the FIRST quintile must rewrite
+      // only that quintile's files (cow_pruned pins filesRewritten <
+      // filesTotal), the surviving rows replay closed-form, NULL-
+      // predicate rows are kept (SQL three-valued DELETE), and the
+      // pre-delete version still time-travels (n_before).
+      val dir = java.nio.file.Files.createTempDirectory("graft_k22")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).first()
+      val lo = b.getLong(0)
+      val w = (b.getLong(1) - lo + 1) / 5
+      (0 until 5).foreach { i =>
+        val loI = lo + i * w
+        val f = if (i == 4) col("o_orderkey") >= loI
+          else col("o_orderkey") >= loI && col("o_orderkey") < loI + w
+        graft.operators.TableLog.append(o.filter(f), dir)
+      }
+      val preV = graft.operators.TableLog.currentVersion(dir)
+      val (_, nDel, rew, tot) = graft.operators.TableLog.delete(s, dir,
+        s"o_orderkey % 7 = 0 AND o_orderkey < ${lo + w}")
+      val after = graft.operators.TableLog.read(s, dir)
+        .agg(count(lit(1)).as("n_after"),
+          sum(col("price_cents")).as("sum_after"))
+      val before = graft.operators.TableLog.read(s, dir, preV)
+        .agg(count(lit(1)).as("n_before"))
+      after.crossJoin(broadcast(before)) // two 1-row aggregates
+        .withColumn("rows_deleted", lit(nDel))
+        .withColumn("cow_pruned", lit(rew < tot))
+    },
+
+    "k23_update" -> { (s, d) =>
+      // UPDATE ... SET ... WHERE (TableLog.update — copy-on-write):
+      // same range-split layout; the first-quintile update rewrites only
+      // its files, every SET expression evaluates against the OLD row,
+      // and non-matching rows in touched files survive byte-identical.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k23")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).first()
+      val lo = b.getLong(0)
+      val w = (b.getLong(1) - lo + 1) / 5
+      (0 until 5).foreach { i =>
+        val loI = lo + i * w
+        val f = if (i == 4) col("o_orderkey") >= loI
+          else col("o_orderkey") >= loI && col("o_orderkey") < loI + w
+        graft.operators.TableLog.append(o.filter(f), dir)
+      }
+      val (_, nUpd, rew, tot) = graft.operators.TableLog.update(s, dir,
+        s"o_orderkey < ${lo + w}",
+        Map("price_cents" -> "price_cents + 7"))
+      graft.operators.TableLog.read(s, dir)
+        .agg(count(lit(1)).as("n_after"),
+          sum(col("price_cents")).as("sum_after"),
+          sum(col("o_orderkey")).as("sum_keys"))
+        .withColumn("rows_updated", lit(nUpd))
+        .withColumn("cow_pruned", lit(rew < tot))
     },
 
     "k21_restore" -> { (s, d) =>
@@ -6626,6 +6711,33 @@ object SparkEntry {
          SELECT lid AS c_custkey, rn, rid, dist FROM r
          WHERE rn <= 3 ORDER BY c_custkey, rn""",
 
+    // geodetic KNN ground truth: quadratic haversine distances (the
+    // shared formula), ranked per probe by (unrounded dist, rid), top 3,
+    // dist emitted at millimeter precision
+    "j11s_knn_geodetic" ->
+      """WITH p AS (
+           SELECT c_custkey AS id,
+             CAST((c_custkey % 64) % 8 AS DOUBLE) * 10.0
+               + CAST(c_custkey % 5 AS DOUBLE) * 0.3 AS x,
+             CAST((c_custkey % 64) // 8 AS DOUBLE) * 10.0
+               + CAST((c_custkey // 5) % 5 AS DOUBLE) * 0.3 AS y
+           FROM customer),
+         d AS (
+           SELECT a.id AS lid, b.id AS rid,
+             2.0 * 6371008.8 * ASIN(SQRT(
+               SIN(RADIANS(b.y - a.y) / 2) * SIN(RADIANS(b.y - a.y) / 2)
+               + COS(RADIANS(a.y)) * COS(RADIANS(b.y))
+                 * SIN(RADIANS(b.x - a.x) / 2)
+                 * SIN(RADIANS(b.x - a.x) / 2))) AS dist
+           FROM p a CROSS JOIN p b),
+         r AS (
+           SELECT lid, rid, dist,
+             CAST(row_number() OVER
+               (PARTITION BY lid ORDER BY dist, rid) AS INT) AS rn
+           FROM d)
+         SELECT lid AS c_custkey, rn, rid, ROUND(dist, 3) AS dist_m
+         FROM r WHERE rn <= 3 ORDER BY c_custkey, rn""",
+
     // DBSCAN replay: exact semantics via a quadratic neighbor join and a
     // recursive component closure over the core graph
     "j10_dbscan" ->
@@ -8524,6 +8636,43 @@ object SparkEntry {
            FROM orders)
          SELECT "check", violations, total, violations = 0 AS passed
          FROM c ORDER BY "check"""",
+
+    // copy-on-write DELETE replay: survivors and the deleted count are
+    // closed-form; TRUE pins that only the touched quintile was
+    // rewritten and that the pre-delete version still reads in full
+    "k22_delete" ->
+      s"""WITH b AS (SELECT MIN(o_orderkey) AS lo,
+             (MAX(o_orderkey) - MIN(o_orderkey) + 1) // 5 AS w FROM orders)
+         SELECT
+           CAST(SUM(CASE WHEN NOT (o_orderkey % 7 = 0
+             AND o_orderkey < b.lo + b.w) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after,
+           CAST(SUM(CASE WHEN NOT (o_orderkey % 7 = 0
+             AND o_orderkey < b.lo + b.w)
+             THEN ${centsSql("o_totalprice")} ELSE 0 END) AS BIGINT)
+             AS sum_after,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN o_orderkey % 7 = 0
+             AND o_orderkey < b.lo + b.w THEN 1 ELSE 0 END) AS BIGINT)
+             AS rows_deleted,
+           TRUE AS cow_pruned
+         FROM orders, b""",
+
+    // copy-on-write UPDATE replay: the +7 lands exactly on the matched
+    // rows, everything else byte-identical
+    "k23_update" ->
+      s"""WITH b AS (SELECT MIN(o_orderkey) AS lo,
+             (MAX(o_orderkey) - MIN(o_orderkey) + 1) // 5 AS w FROM orders)
+         SELECT
+           CAST(COUNT(*) AS BIGINT) AS n_after,
+           CAST(SUM(${centsSql("o_totalprice")}
+             + CASE WHEN o_orderkey < b.lo + b.w THEN 7 ELSE 0 END)
+             AS BIGINT) AS sum_after,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+           CAST(SUM(CASE WHEN o_orderkey < b.lo + b.w THEN 1 ELSE 0 END)
+             AS BIGINT) AS rows_updated,
+           TRUE AS cow_pruned
+         FROM orders, b""",
 
     // restore replay: the head equals v2's state (k%3 in {0,1}), the
     // overwritten v3 still time-travels (k%3=2), head version is the

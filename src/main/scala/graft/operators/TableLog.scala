@@ -614,6 +614,136 @@ object TableLog {
     throw new IllegalStateException("unreachable")
   }
 
+  /** DELETE FROM ... WHERE `predicate` — copy-on-write, the Delta DML
+    * shape: ONE distributed scan finds the files that actually contain
+    * matching rows (per-file match counts via `input_file_name`), only
+    * those files are rewritten with the matches filtered out (one job
+    * per touched partition-tag group, NEVER per file), untouched files
+    * carry over by reference, and the swap commits atomically with the
+    * same rebase-retry discipline as [[optimize]] (concurrent appends
+    * carry through; a concurrent rewrite of a touched file aborts
+    * loudly). Prior versions still time-travel to the pre-delete state.
+    * Returns (newVersion, rowsDeleted, filesRewritten, filesTotal);
+    * a predicate matching nothing commits nothing.
+    *
+    * Scale: cost is proportional to the TOUCHED data — pair with
+    * [[optimize]]`(clusterBy = predicate column)` so the match
+    * concentrates in few files. */
+  def delete(spark: SparkSession, dir: String, predicate: String,
+      maxRetries: Int = 20): (Int, Long, Int, Int) =
+    rewriteMatched(spark, dir, predicate, maxRetries, op = "delete",
+      // keep every row whose predicate is not TRUE — a NULL predicate
+      // row survives a DELETE (SQL three-valued semantics)
+      rewrite = (df, pred) => df.filter(org.apache.spark.sql.functions
+        .not(org.apache.spark.sql.functions.coalesce(pred,
+          org.apache.spark.sql.functions.lit(false)))))
+
+  /** UPDATE ... SET col = expr WHERE `predicate` — copy-on-write like
+    * [[delete]]: only files containing matching rows are rewritten, with
+    * every `set` expression evaluated against the OLD row (simultaneous
+    * assignment, the SQL UPDATE contract). Returns (newVersion,
+    * rowsUpdated, filesRewritten, filesTotal). */
+  def update(spark: SparkSession, dir: String, predicate: String,
+      set: Map[String, String], maxRetries: Int = 20): (Int, Long, Int, Int) = {
+    require(set.nonEmpty, "UPDATE needs at least one assignment")
+    rewriteMatched(spark, dir, predicate, maxRetries, op = "update",
+      rewrite = (df, pred) => {
+        import org.apache.spark.sql.functions.{col, expr, when}
+        set.keys.foreach(c => require(df.columns.contains(c),
+          s"UPDATE SET targets unknown column $c"))
+        df.select(df.columns.map { c =>
+          if (set.contains(c)) when(pred, expr(set(c))).otherwise(col(c)).as(c)
+          else col(c)
+        }.toSeq: _*)
+      })
+  }
+
+  /** Shared copy-on-write core of [[delete]]/[[update]]: find touched
+    * files, rewrite them per partition-tag group via `rewrite`, commit
+    * with rebase over concurrent appends. */
+  private def rewriteMatched(spark: SparkSession, dir: String,
+      predicate: String, maxRetries: Int, op: String,
+      rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame)
+      : (Int, Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, count, expr, input_file_name, lit}
+    val snap = snapshot(dir)
+    val pred = expr(predicate)
+    val byName = snap.files.map(f =>
+      Paths.get(f).getFileName.toString -> f).toMap
+    require(byName.size == snap.files.size,
+      s"duplicate data-file basenames in $dir") // never true by naming
+    val abs = snap.files.map(f => Paths.get(dir).resolve(f).toString)
+    // ONE distributed scan: which files hold matches, and how many rows
+    val matchedCounts = spark.read.parquet(abs: _*)
+      .filter(pred)
+      .groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"))
+      .collect() // bounded: one row per TOUCHED file
+      .map { r =>
+        val base = Paths.get(new java.net.URI(r.getString(0)).getPath)
+          .getFileName.toString
+        byName.getOrElse(base,
+          sys.error(s"scanned file $base not in snapshot")) -> r.getLong(1)
+      }.toMap
+    if (matchedCounts.isEmpty)
+      return (snap.version, 0L, 0, snap.files.size)
+    val touched = matchedCounts.keySet
+    val rowsMatched = matchedCounts.values.sum
+    // rewrite per partition-tag group (a file holds ONE tag), one
+    // distributed job per touched tag — never a per-file driver loop
+    val v = snap.version + 1
+    val outputs = Seq.newBuilder[(String, Option[String])]
+    var grp = 0
+    touched.groupBy(f => snap.parts.get(f)).foreach { case (tag, fs) =>
+      val fabs = fs.toSeq.sorted.map(f => Paths.get(dir).resolve(f).toString)
+      val rewritten = rewrite(spark.read.parquet(fabs: _*), pred)
+      val staging = Files.createTempDirectory("graft_cow").toString
+      rewritten.write.mode("overwrite").parquet(staging)
+      val s = Files.list(Paths.get(staging))
+      try s.iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach { p =>
+          val rel = f"data/v$v%05d-$op$grp%04d-${p.getFileName.toString}"
+          val target = Paths.get(dir).resolve(rel)
+          require(!Files.exists(target), s"staged-file collision: $rel")
+          Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+          outputs += rel -> tag
+        }
+      finally s.close()
+      grp += 1
+    }
+    val outs = outputs.result()
+    // commit with rebase over concurrent appends; abort if a TOUCHED
+    // file was rewritten underneath us (same contract as optimize)
+    var attempt = 0
+    var headSnap = snap
+    var vNext = v
+    while (true) {
+      val files = headSnap.files.filterNot(touched) ++ outs.map(_._1)
+      val parts = (headSnap.parts -- touched) ++
+        outs.collect { case (f, Some(t)) => f -> t }
+      try {
+        commit(dir, files, expectedVersion = vNext, parts = parts,
+          txn = headSnap.txn, op = op)
+        return (vNext, rowsMatched, touched.size, snap.files.size)
+      } catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(1L, 5L * attempt))
+          val head = snapshot(dir, currentVersion(dir))
+          val gone = touched.filterNot(head.files.toSet)
+          if (gone.nonEmpty) throw new IllegalStateException(
+            s"$op conflict on $dir: touched files rewritten by a " +
+              s"concurrent commit (${gone.take(3).mkString(", ")})", e)
+          headSnap = head
+          vNext = head.version + 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** RESTORE TABLE ... TO VERSION AS OF `toVersion` (the Delta restore
     * semantics): commit the OLD version's exact file set — and its
     * partition tags — as the NEW head. History is preserved (restore is

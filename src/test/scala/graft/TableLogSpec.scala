@@ -266,6 +266,50 @@ class TableLogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { TableLog.restore(dir, 99) }
   }
 
+  test("delete: copy-on-write touches only files with matches, keeps " +
+    "NULL-predicate rows, and the old version still time-travels") {
+    val dir = freshDir()
+    // three files by id range; s is NULL for id 2 (three-valued check)
+    TableLog.append(Seq((1L, Some("a")), (2L, None: Option[String]))
+      .toDF("id", "s"), dir)
+    TableLog.append(Seq((10L, Some("b")), (11L, Some("bb")))
+      .toDF("id", "s"), dir)
+    TableLog.append(Seq((20L, Some("c"))).toDF("id", "s"), dir)
+    // predicate TRUE for id=1; NULL for id=2 (s IS NULL -> length(s)
+    // comparison is NULL) -> id=2 must SURVIVE
+    val (v, n, rew, tot) = TableLog.delete(spark, dir,
+      "id < 5 AND length(s) > 0")
+    assert(v == 4 && n == 1L, s"v=$v n=$n")
+    assert(rew == 1 && rew < tot,
+      s"only the matching file rewrites: $rew of $tot")
+    assert(TableLog.read(spark, dir).collect().map(_.getLong(0)).toSet ==
+      Set(2L, 10L, 11L, 20L))
+    assert(TableLog.read(spark, dir, 3).count() == 5L, "time travel broken")
+    // no-match delete commits nothing
+    val (v2, n2, rew2, _) = TableLog.delete(spark, dir, "id = 999")
+    assert(v2 == 4 && n2 == 0L && rew2 == 0)
+  }
+
+  test("update: simultaneous SET against the OLD row; partition tags " +
+    "survive the rewrite") {
+    val dir = freshDir()
+    TableLog.appendPartitioned(
+      Seq((1L, 10L, "p1"), (2L, 20L, "p1"), (3L, 30L, "p2"))
+        .toDF("id", "v", "p"), dir, "p")
+    // swap-style simultaneous assignment: v := id, id := v — UPDATE
+    // semantics require both RHS to see the OLD row
+    val (_, n, _, _) = TableLog.update(spark, dir, "p = 'p1'",
+      Map("id" -> "v", "v" -> "id"))
+    assert(n == 2L)
+    val rows = TableLog.read(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set((10L, 1L, "p1"), (20L, 2L, "p1"), (3L, 30L, "p2")),
+      rows.toString)
+    // the p1 partition tag survived the copy-on-write
+    assert(TableLog.readPartitions(spark, dir, Seq("p1")).count() == 2L)
+    assert(TableLog.readPartitions(spark, dir, Seq("p2")).count() == 1L)
+  }
+
   test("appendExactlyOnce: a replayed streaming batch commits nothing") {
     val dir = freshDir()
     val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
