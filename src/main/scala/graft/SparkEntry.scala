@@ -32,6 +32,16 @@ object SparkEntry {
 
   private def cents(c: Column): Column = round(c * 100).cast("long")
   private def centsSql(e: String) = s"CAST(ROUND($e * 100) AS BIGINT)"
+  /** The haversine replay shared by every geodesic oracle — keep in
+    * lockstep with GeomLib.haversine / SpatialJoin.haversineMeters. */
+  private def havSql(lat1: String, lon1: String,
+      lat2: String, lon2: String) =
+    s"""(2.0 * 6371008.8 * ASIN(SQRT(
+       SIN(RADIANS(($lat2) - ($lat1)) / 2)
+         * SIN(RADIANS(($lat2) - ($lat1)) / 2)
+       + COS(RADIANS($lat1)) * COS(RADIANS($lat2))
+         * SIN(RADIANS(($lon2) - ($lon1)) / 2)
+         * SIN(RADIANS(($lon2) - ($lon1)) / 2))))"""
 
   /** DuckDB replay of Sketch.hv48 / Sampling.sampleHash: the first 12
     * hex chars of an md5 HEX STRING column `hx` as a BIGINT, via the
@@ -880,6 +890,31 @@ object SparkEntry {
         .select(col("lid").as("c_custkey"), col("rn"), col("rid"),
           col("dist"))
         .orderBy("c_custkey", "rn")
+    },
+
+    "g19_sphere_measures" -> { (s, d) =>
+      // geodetic measures over 4326 squares: st_area_sphere (trapezoid
+      // spherical form, replayed TERM FOR TERM in the oracle),
+      // st_perimeter_sphere (ring-ordered haversine walk),
+      // st_length_sphere (0 for areal geometry — the ST_Length
+      // geography contract), and st_distance_sphere center→corner.
+      // Planar st_area on these squares returns square DEGREES — the
+      // wrong unit for the reference's building-footprint corpus.
+      val sq = t(s, d, "supplier").filter(col("s_suppkey") < 50)
+        .select(col("s_suppkey").as("aid"),
+          ((col("s_suppkey") % 36).cast("double") * 10.0 - 175.0).as("sx"),
+          ((col("s_suppkey") % 17).cast("double") * 10.0 - 80.0).as("sy"),
+          ((((col("s_suppkey") % 3).cast("double")) + 1.0) * 0.5).as("h"))
+      val g = st_make_square(col("sx"), col("sy"), col("h"))
+      sq.select(col("aid"),
+          round(st_area_sphere(g), 0).cast("long").as("area_m2"),
+          round(st_perimeter_sphere(g), 3).as("perim_m"),
+          st_length_sphere(g).as("len_zero"),
+          round(st_distance_sphere(
+            st_point(col("sx"), col("sy")),
+            st_point(col("sx") + col("h"), col("sy") + col("h"))), 3)
+            .as("corner_dist_m"))
+        .orderBy("aid")
     },
 
     "j11s_knn_geodetic" -> { (s, d) =>
@@ -6710,6 +6745,37 @@ object SparkEntry {
            FROM d)
          SELECT lid AS c_custkey, rn, rid, dist FROM r
          WHERE rn <= 3 ORDER BY c_custkey, rn""",
+
+    // spherical-measure replay: the trapezoid area form term for term
+    // (the two meridian edges contribute exact zeros), the ring-ordered
+    // perimeter walk, and the center→corner haversine; len_zero pins the
+    // lineal-vs-areal contract
+    "g19_sphere_measures" -> {
+      val area =
+        """((RADIANS(x1) - RADIANS(x0))
+             * (2.0 + SIN(RADIANS(y0)) + SIN(RADIANS(y0)))
+           + (RADIANS(x0) - RADIANS(x1))
+             * (2.0 + SIN(RADIANS(y1)) + SIN(RADIANS(y1))))"""
+      val perim = s"""(${havSql("y0", "x0", "y0", "x1")}
+          + ${havSql("y0", "x1", "y1", "x1")}
+          + ${havSql("y1", "x1", "y1", "x0")}
+          + ${havSql("y1", "x0", "y0", "x0")})"""
+      s"""WITH a AS (SELECT s_suppkey AS aid,
+             CAST(s_suppkey % 36 AS DOUBLE) * 10.0 - 175.0 AS sx,
+             CAST(s_suppkey % 17 AS DOUBLE) * 10.0 - 80.0 AS sy,
+             (CAST(s_suppkey % 3 AS DOUBLE) + 1.0) * 0.5 AS h
+           FROM supplier WHERE s_suppkey < 50),
+         v AS (SELECT aid, sx, sy, h,
+             sx - h AS x0, sx + h AS x1, sy - h AS y0, sy + h AS y1
+           FROM a)
+         SELECT aid,
+           CAST(ROUND(ABS($area) * 6371008.8 * 6371008.8 / 2.0, 0)
+             AS BIGINT) AS area_m2,
+           ROUND($perim, 3) AS perim_m,
+           CAST(0.0 AS DOUBLE) AS len_zero,
+           ROUND(${havSql("sy", "sx", "y1", "x1")}, 3) AS corner_dist_m
+         FROM v ORDER BY aid"""
+    },
 
     // geodetic KNN ground truth: quadratic haversine distances (the
     // shared formula), ranked per probe by (unrounded dist, rid), top 3,

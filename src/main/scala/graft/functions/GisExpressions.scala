@@ -742,6 +742,36 @@ case class StDWithin(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** st_area_sphere(geom) — polygon area in m² on the mean-Earth sphere
+  * (shells − holes; 0 for non-areal geometry). Planar [[StArea]] returns
+  * square DEGREES on 4326 data — the wrong unit for the reference's
+  * building-footprint corpus. */
+case class StAreaSphere(child: Expression) extends WkbToDoubleExpression {
+  override def prettyName: String = "st_area_sphere"
+  override def staticMethod: String = "graft.geom.GeomLib.areaSphere"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.areaSphere(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_perimeter_sphere(geom) — great-circle meters around polygon rings. */
+case class StPerimeterSphere(child: Expression) extends WkbToDoubleExpression {
+  override def prettyName: String = "st_perimeter_sphere"
+  override def staticMethod: String = "graft.geom.GeomLib.perimeterSphere"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.perimeterSphere(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** st_length_sphere(geom) — great-circle meters along lineal parts. */
+case class StLengthSphere(child: Expression) extends WkbToDoubleExpression {
+  override def prettyName: String = "st_length_sphere"
+  override def staticMethod: String = "graft.geom.GeomLib.lengthSphere"
+  protected override def nullSafeEval(wkb: Any): Any =
+    GeomLib.lengthSphere(wkb.asInstanceOf[Array[Byte]])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** st_dwithin_sphere(a, b, meters) — great-circle proximity on the
   * mean-Earth sphere (centroid haversine ≤ meters; R = 6371008.8).
   * [[graft.functions.SpatialJoinRewrite]] decomposes a join on this

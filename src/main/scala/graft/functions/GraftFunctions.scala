@@ -65,6 +65,11 @@ object GraftFunctions {
     col(StDistanceSphere(ex(a), ex(b)))
   def st_dwithin_sphere(a: Column, b: Column, meters: Column): Column =
     col(StDWithinSphere(ex(a), ex(b), ex(meters)))
+  def st_area_sphere(geom: Column): Column = col(StAreaSphere(ex(geom)))
+  def st_perimeter_sphere(geom: Column): Column =
+    col(StPerimeterSphere(ex(geom)))
+  def st_length_sphere(geom: Column): Column =
+    col(StLengthSphere(ex(geom)))
   def st_length(geom: Column): Column = col(StLength(ex(geom)))
   def st_perimeter(geom: Column): Column = col(StPerimeter(ex(geom)))
   def st_envelope(geom: Column): Column = col(StEnvelopeGeom(ex(geom)))
@@ -235,6 +240,9 @@ object GraftFunctions {
     "st_distance" -> { e => StDistance(e(0), e(1)) },
     "st_distance_sphere" -> { e => StDistanceSphere(e(0), e(1)) },
     "st_dwithin_sphere" -> { e => StDWithinSphere(e(0), e(1), e(2)) },
+    "st_area_sphere" -> { e => StAreaSphere(e.head) },
+    "st_perimeter_sphere" -> { e => StPerimeterSphere(e.head) },
+    "st_length_sphere" -> { e => StLengthSphere(e.head) },
     "st_length" -> { e => StLength(e.head) },
     "st_perimeter" -> { e => StPerimeter(e.head) },
     "st_envelope" -> { e => StEnvelopeGeom(e.head) },

@@ -638,6 +638,104 @@ object GeomLib {
         math.cos(math.toRadians(lat2)) * sLon * sLon))
   }
 
+  /** Spherical ring area (the turf.js / geographiclib-lite trapezoid
+    * form): R²/2 · |Σ (λ₂−λ₁)(2 + sinφ₁ + sinφ₂)| over consecutive
+    * vertices — exact for meridian/parallel-bounded shapes, a
+    * second-order approximation for arbitrary geodesic edges. The sum
+    * runs in RING ORDER so SQL oracles can replay it term for term. */
+  private def ringAreaSphere(
+      cs: Array[org.locationtech.jts.geom.Coordinate]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < cs.length - 1) {
+      s += (math.toRadians(cs(i + 1).x) - math.toRadians(cs(i).x)) *
+        (2.0 + math.sin(math.toRadians(cs(i).y)) +
+          math.sin(math.toRadians(cs(i + 1).y)))
+      i += 1
+    }
+    math.abs(s) * EarthRadiusM * EarthRadiusM / 2.0
+  }
+
+  private def ringLengthSphere(
+      cs: Array[org.locationtech.jts.geom.Coordinate]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < cs.length - 1) {
+      s += haversine(cs(i).y, cs(i).x, cs(i + 1).y, cs(i + 1).x)
+      i += 1
+    }
+    s
+  }
+
+  /** st_area_sphere: polygon area in m² on the mean-Earth sphere —
+    * shells minus holes, every ring through [[ringAreaSphere]]. Null on
+    * broken input; 0 for points/lines (area semantics). The reference's
+    * corpus is building footprints in 4326 — "area in m²" is ITS
+    * canonical measure, and planar [[area]] returns square DEGREES. */
+  def areaSphere(wkb: Array[Byte]): java.lang.Double = {
+    val g = readOrNull(wkb)
+    if (g == null) return null
+    var total = 0.0
+    var i = 0
+    while (i < g.getNumGeometries) {
+      g.getGeometryN(i) match {
+        case p: org.locationtech.jts.geom.Polygon =>
+          total += ringAreaSphere(p.getExteriorRing.getCoordinates)
+          var h = 0
+          while (h < p.getNumInteriorRing) {
+            total -= ringAreaSphere(p.getInteriorRingN(h).getCoordinates)
+            h += 1
+          }
+        case _ => ()
+      }
+      i += 1
+    }
+    Double.box(total)
+  }
+
+  /** st_perimeter_sphere: great-circle meters around every polygon ring
+    * (exterior + holes, PostGIS perimeter semantics); 0 for non-areal
+    * geometry. Null on broken input. */
+  def perimeterSphere(wkb: Array[Byte]): java.lang.Double = {
+    val g = readOrNull(wkb)
+    if (g == null) return null
+    var total = 0.0
+    var i = 0
+    while (i < g.getNumGeometries) {
+      g.getGeometryN(i) match {
+        case p: org.locationtech.jts.geom.Polygon =>
+          total += ringLengthSphere(p.getExteriorRing.getCoordinates)
+          var h = 0
+          while (h < p.getNumInteriorRing) {
+            total += ringLengthSphere(p.getInteriorRingN(h).getCoordinates)
+            h += 1
+          }
+        case _ => ()
+      }
+      i += 1
+    }
+    Double.box(total)
+  }
+
+  /** st_length_sphere: great-circle meters along lineal parts only
+    * (ST_Length geography semantics — polygons measure 0; use
+    * [[perimeterSphere]] for ring length). Null on broken input. */
+  def lengthSphere(wkb: Array[Byte]): java.lang.Double = {
+    val g = readOrNull(wkb)
+    if (g == null) return null
+    var total = 0.0
+    var i = 0
+    while (i < g.getNumGeometries) {
+      g.getGeometryN(i) match {
+        case l: org.locationtech.jts.geom.LineString =>
+          total += ringLengthSphere(l.getCoordinates)
+        case _ => ()
+      }
+      i += 1
+    }
+    Double.box(total)
+  }
+
   /** st_dwithin_sphere refine: great-circle proximity in meters between
     * centroids; false on broken input (a broken geometry is within
     * distance of nothing — the same contract as the planar predicates). */

@@ -126,6 +126,38 @@ class GeodeticSpec extends AnyFunSuite {
     assert(big.count() > 0)
   }
 
+  test("spherical measures: meridian length, equator-square area, holes " +
+    "subtract from area and add to perimeter, areal length is 0") {
+    import graft.functions.GraftFunctions._
+    import org.apache.spark.sql.functions._
+    val oneDegM = GeomLib.EarthRadiusM * math.Pi / 180.0
+    def wkt(s: String) = st_geomfromtext(lit(s))
+    val row = spark.range(1).select(
+      st_length_sphere(wkt("LINESTRING (10 20, 10 21)")).as("meridian"),
+      st_area_sphere(wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+        .as("eq_sq"),
+      st_area_sphere(wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), " +
+        "(1 1, 2 1, 2 2, 1 2, 1 1))")).as("holed"),
+      st_area_sphere(wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+        .as("shell"),
+      st_area_sphere(wkt("POLYGON ((1 1, 2 1, 2 2, 1 2, 1 1))"))
+        .as("hole"),
+      st_perimeter_sphere(wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), " +
+        "(1 1, 2 1, 2 2, 1 2, 1 1))")).as("perimHoled"),
+      st_perimeter_sphere(wkt("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))
+        .as("perimShell"),
+      st_length_sphere(wkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+        .as("arealLen")).head()
+    assert(math.abs(row.getDouble(0) - oneDegM) < 1e-4, s"meridian ${row.getDouble(0)}")
+    // a 1°x1° equator square is ~oneDeg² to first order (< 0.01% off)
+    assert(math.abs(row.getDouble(1) / (oneDegM * oneDegM) - 1.0) < 1e-4,
+      s"equator square ${row.getDouble(1)}")
+    assert(math.abs(row.getDouble(2) - (row.getDouble(3) - row.getDouble(4)))
+      < 1e-3, "hole must subtract exactly")
+    assert(row.getDouble(5) > row.getDouble(6), "holes add to perimeter")
+    assert(row.getDouble(7) == 0.0, "areal geometry has zero length")
+  }
+
   test("st_distance_sphere: one degree of latitude is R*pi/180 meters; " +
     "nulls and broken WKB stay null") {
     import graft.functions.GraftFunctions._
