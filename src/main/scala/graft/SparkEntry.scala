@@ -917,6 +917,27 @@ object SparkEntry {
         .orderBy("aid")
     },
 
+    "j10s_dbscan_geodetic" -> { (s, d) =>
+      // density clustering in GREAT-CIRCLE METERS (dbscan geodetic
+      // mode): the j10 lattice read as lon/lat, eps = 50 km. At the
+      // northern sites (lat ≈ 70°) an E-W lattice step is only ~11 km
+      // while N-S stays ~33 km — the geodetic neighborhoods genuinely
+      // differ from planar-degree ones, so this is NOT a re-badged j10.
+      // The oracle replays the exact semantics with the shared haversine
+      // inequality: quadratic neighbor join, weighted core counts,
+      // recursive closure, min-label border rule.
+      val pts = t(s, d, "customer").select(col("c_custkey").as("id"),
+        ((col("c_custkey") % 64 % 8).cast("double") * 10.0 +
+          (col("c_custkey") % 5).cast("double") * 0.3 +
+          when(col("c_custkey") % 17 === 0, 5.0).otherwise(0.0)).as("x"),
+        (expr("(c_custkey % 64) div 8").cast("double") * 10.0 +
+          expr("(c_custkey div 5) % 5").cast("double") * 0.3).as("y"))
+      graft.operators.SpatialCluster.dbscan(pts, eps = 50000.0,
+          minPts = 4, geodetic = true)
+        .select(col("id").as("c_custkey"), col("cluster"), col("is_core"))
+        .orderBy("c_custkey")
+    },
+
     "j11s_knn_geodetic" -> { (s, d) =>
       // exact KNN in GREAT-CIRCLE METERS (KnnJoin geodetic mode): the
       // j11 lattice read as EPSG:4326 lon/lat spanning 0–71° of latitude
@@ -6776,6 +6797,47 @@ object SparkEntry {
            ROUND(${havSql("sy", "sx", "y1", "x1")}, 3) AS corner_dist_m
          FROM v ORDER BY aid"""
     },
+
+    // geodetic DBSCAN replay: j10's exact recursive semantics with the
+    // shared haversine neighbor inequality (50 km)
+    "j10s_dbscan_geodetic" ->
+      s"""WITH RECURSIVE p AS (
+           SELECT c_custkey AS id,
+             CAST((c_custkey % 64) % 8 AS DOUBLE) * 10.0
+               + CAST(c_custkey % 5 AS DOUBLE) * 0.3
+               + CASE WHEN c_custkey % 17 = 0 THEN 5.0 ELSE 0.0 END AS x,
+             CAST((c_custkey % 64) // 8 AS DOUBLE) * 10.0
+               + CAST((c_custkey // 5) % 5 AS DOUBLE) * 0.3 AS y
+           FROM customer),
+         nbr AS (
+           SELECT a.id AS ia, b.id AS ib
+           FROM p a JOIN p b
+             ON a.id <> b.id
+            AND ${havSql("a.y", "a.x", "b.y", "b.x")} <= 50000.0),
+         cnt AS (SELECT ia AS id, COUNT(*) + 1 AS n FROM nbr GROUP BY ia),
+         core AS (
+           SELECT p.id FROM p LEFT JOIN cnt ON p.id = cnt.id
+           WHERE COALESCE(cnt.n, 1) >= 4),
+         ce AS (
+           SELECT n.ia, n.ib FROM nbr n
+           JOIN core c1 ON n.ia = c1.id
+           JOIN core c2 ON n.ib = c2.id),
+         reach AS (
+           SELECT id, id AS r FROM core
+           UNION
+           SELECT ce.ia, reach.r FROM ce JOIN reach ON ce.ib = reach.id),
+         lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+         bord AS (
+           SELECT n.ia AS id, MIN(l.label) AS blabel
+           FROM nbr n JOIN lab l ON n.ib = l.id
+           WHERE n.ia NOT IN (SELECT id FROM core)
+           GROUP BY n.ia)
+         SELECT p.id AS c_custkey,
+           COALESCE(l.label, b.blabel) AS cluster,
+           (l.id IS NOT NULL) AS is_core
+         FROM p LEFT JOIN lab l ON p.id = l.id
+                LEFT JOIN bord b ON p.id = b.id
+         ORDER BY c_custkey""",
 
     // geodetic KNN ground truth: quadratic haversine distances (the
     // shared formula), ranked per probe by (unrounded dist, rid), top 3,

@@ -116,10 +116,16 @@ object SpatialCluster {
   /** DBSCAN over planar points `(idCol, xCol, yCol)`. Returns one row per
     * input: (id, cluster, is_core) with `cluster` null for noise.
     * `maxIter`/`checkpointDir` pass through to the component collapse. */
+  /** `geodetic = true` reads (x, y) as EPSG:4326 (lon, lat) and `eps` in
+    * great-circle METERS: the eps-join swaps to the lat-band grid
+    * ([[SpatialJoin.distanceJoinGeodetic]]); everything downstream —
+    * weighted core counts, component collapse, border labeling — is
+    * metric-agnostic and unchanged. */
   def dbscan(points: DataFrame, eps: Double, minPts: Int,
       idCol: String = "id", xCol: String = "x", yCol: String = "y",
       maxIter: Int = 10,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      geodetic: Boolean = false): DataFrame = {
     require(eps > 0, s"eps must be positive: $eps")
     require(minPts >= 1, s"minPts must be >= 1: $minPts")
     val all = points.select(col(idCol).as("id"),
@@ -157,8 +163,12 @@ object SpatialCluster {
     // checkpointDir is set (cluster posture), executor-local otherwise —
     // the Dedup.clusters discipline.
     checkpointDir.foreach(points.sparkSession.sparkContext.setCheckpointDir)
-    val pairs0 = SpatialJoin.distanceJoin(l, r, eps,
+    val epsJoin =
+      if (geodetic) SpatialJoin.distanceJoinGeodetic(l, r, eps,
+        leftLon = "x", leftLat = "y", rightLon = "rx", rightLat = "ry")
+      else SpatialJoin.distanceJoin(l, r, eps,
         leftX = "x", leftY = "y", rightX = "rx", rightY = "ry")
+    val pairs0 = epsJoin
       .filter(col("lid") =!= col("rid2"))
       .select(col("lid"), col("rid2").as("rid"), col("rw"))
     val pairs =
