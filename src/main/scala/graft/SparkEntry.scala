@@ -780,6 +780,42 @@ object SparkEntry {
            GROUP BY aid ORDER BY aid""")
     },
 
+    "sql11_lake_sql" -> { (s, d) =>
+      // the lakehouse introspection surface from SQL TEXT: DESCRIBE
+      // HISTORY and the change feed as table functions
+      // (graft_table_history / graft_table_changes). Two appends then an
+      // overwrite; the history op counts and the CDF's insert/delete
+      // split replay closed-form. Scalar subqueries over the TVFs keep
+      // the whole check one SQL statement.
+      graft.functions.GraftFunctions.registerAll(s)
+      val dir = java.nio.file.Files.createTempDirectory("graft_sql11")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.append(
+        o.filter(col("o_orderkey") % 3 === 0), dir)
+      graft.operators.TableLog.append(
+        o.filter(col("o_orderkey") % 3 === 1), dir)
+      graft.operators.TableLog.overwrite(
+        o.filter(col("o_orderkey") % 3 === 2), dir)
+      s.sql(
+        s"""SELECT
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM graft_table_history('$dir')) AS n_versions,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM graft_table_history('$dir')
+              WHERE op = 'append') AS n_appends,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM graft_table_changes('$dir', 1, 3)
+              WHERE _change_type = 'insert') AS n_ins,
+             (SELECT CAST(SUM(price_cents) AS BIGINT)
+              FROM graft_table_changes('$dir', 1, 3)
+              WHERE _change_type = 'insert') AS cents_ins,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM graft_table_changes('$dir', 1, 3)
+              WHERE _change_type = 'delete') AS n_del""")
+    },
+
     "sql9_geodesic_sql" -> { (s, d) =>
       // the j7s geodesic scenario through SQL text (graft_geodesic_join
       // table function — pure plan construction, no eager work): same
@@ -8801,6 +8837,22 @@ object SparkEntry {
              AS BIGINT) AS rows_updated,
            TRUE AS cow_pruned
          FROM orders, b""",
+
+    // SQL lake-introspection replay: 3 versions (2 appends + overwrite).
+    // The 1→3 change feed is the NET diff of the two snapshots: inserts
+    // are the overwrite's rows (k%3=2), deletes are only v1's rows
+    // (k%3=0) — the k%3=1 third appeared at v2 AND vanished at v3, so it
+    // is invisible to a 1→3 feed (file-set diff semantics)
+    "sql11_lake_sql" ->
+      s"""SELECT 3 AS n_versions, 2 AS n_appends,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 2 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_ins,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 2
+             THEN ${centsSql("o_totalprice")} ELSE 0 END) AS BIGINT)
+             AS cents_ins,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_del
+         FROM orders""",
 
     // restore replay: the head equals v2's state (k%3 in {0,1}), the
     // overwritten v3 still time-travels (k%3=2), head version is the

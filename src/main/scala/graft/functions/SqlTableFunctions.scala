@@ -100,9 +100,30 @@ object SqlTableFunctions {
       .queryExecution.analyzed
   }
 
+  /** `graft_table_history('dir')` — DESCRIBE HISTORY of a [[graft
+    * .operators.TableLog]] table from SQL (version, op, n_files, ts). */
+  private def historyBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1, "usage: graft_table_history(dir)")
+    graft.operators.TableLog
+      .history(SparkSession.active, str(args(0), "dir"))
+      .queryExecution.analyzed
+  }
+
+  /** `graft_table_changes('dir', fromV, toV)` — the row-level change
+    * feed (CDF) between two committed versions, from SQL. */
+  private def changesBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3,
+      "usage: graft_table_changes(dir, fromVersion, toVersion)")
+    graft.operators.TableLog.changes(SparkSession.active,
+        str(args(0), "dir"),
+        num(args(1), "fromVersion").toInt, num(args(2), "toVersion").toInt)
+      .queryExecution.analyzed
+  }
+
   /** SQL-callable table-function names (for collision audits). */
   val names: Seq[String] =
-    Seq("graft_dbscan", "graft_kmeans", "graft_geodesic_join", "graft_knn")
+    Seq("graft_dbscan", "graft_kmeans", "graft_geodesic_join", "graft_knn",
+      "graft_table_history", "graft_table_changes")
 
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.graft.SparkInternals
@@ -114,5 +135,9 @@ object SqlTableFunctions {
     reg.createOrReplaceTempFunction("graft_geodesic_join",
       geodesicJoinBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_knn", knnBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_table_history", historyBuilder,
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_table_changes", changesBuilder,
+      "built-in")
   }
 }
