@@ -5633,6 +5633,27 @@ object SparkEntry {
         .orderBy("hour_epoch", "event_type")
     },
 
+    "e18_stream_geofence" -> { (s, d) =>
+      // streaming geofence intake batch twin (EventStreams.geofenceIntake
+      // — StreamingSpec drives the real readStream form): every event
+      // within 250 km great-circle distance of a fence center, the
+      // stateless stream-static shape of the geodetic grid join. The
+      // oracle replays the haversine inequality join of events against
+      // the supplier fence lattice.
+      val ev = events(s, d)
+        .withColumn("lon", (col("user_id") % 350).cast("double") - 175.0 + 0.5)
+        .withColumn("lat", (col("event_id") % 170).cast("double") - 85.0 + 0.25)
+      val fences = t(s, d, "supplier").filter(col("s_suppkey") < 50)
+        .select(col("s_suppkey").as("fid"),
+          ((col("s_suppkey") % 36).cast("double") * 10.0 - 175.0).as("flon"),
+          ((col("s_suppkey") % 17).cast("double") * 10.0 - 80.0).as("flat"))
+      graft.streaming.EventStreams.geofenceIntake(ev, fences, 250000.0)
+        .groupBy(col("fid"))
+        .agg(count(lit(1)).as("n_hits"),
+          sum(col("event_id")).as("sum_ids"))
+        .orderBy("fid")
+    },
+
     "e6_stream_heatmap" -> { (s, d) =>
       // streaming spatial heatmap batch twin (EventStreams.cellHeatmap —
       // the signature H3 heatmap over watermarked hourly windows;
@@ -11212,6 +11233,25 @@ object SparkEntry {
          COUNT(*) AS n,
          CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
          FROM events GROUP BY 1, event_type ORDER BY hour_epoch, event_type""",
+
+    // streaming geofence replay: the haversine inequality join of the
+    // event lattice against the supplier fence lattice
+    "e18_stream_geofence" ->
+      s"""WITH p AS (
+           SELECT CAST(user_id % 350 AS DOUBLE) - 175.0 + 0.5 AS lon,
+             CAST(event_id % 170 AS DOUBLE) - 85.0 + 0.25 AS lat,
+             event_id
+           FROM events),
+         f AS (
+           SELECT s_suppkey AS fid,
+             CAST(s_suppkey % 36 AS DOUBLE) * 10.0 - 175.0 AS flon,
+             CAST(s_suppkey % 17 AS DOUBLE) * 10.0 - 80.0 AS flat
+           FROM supplier WHERE s_suppkey < 50)
+         SELECT fid, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(SUM(event_id) AS BIGINT) AS sum_ids
+         FROM p JOIN f
+           ON ${havSql("lat", "lon", "flat", "flon")} <= 250000.0
+         GROUP BY fid ORDER BY fid""",
 
     "e6_stream_heatmap" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS total_recs,

@@ -90,6 +90,24 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("window_start"), col("cell"), col("n"))
 
+  /** Streaming geofence enrichment — every event matched to the fences
+    * within `radiusMeters` GREAT-CIRCLE distance (the canonical
+    * streaming spatial shape: device pings against store/zone centers).
+    * STATELESS stream-static join: the event side only gains its
+    * lat-band grid keys (scalar projections), the small static fence
+    * side carries the ≤9× replication, and the equi-join + haversine
+    * refine run per micro-batch with no state store — so the batch form
+    * is bit-equal by construction. Adds `dist_m` (the shared haversine
+    * contract). */
+  def geofenceIntake(events: DataFrame, fences: DataFrame,
+      radiusMeters: Double,
+      lonCol: String = "lon", latCol: String = "lat",
+      fenceLon: String = "flon", fenceLat: String = "flat"): DataFrame =
+    graft.operators.SpatialJoin.distanceJoinGeodetic(events, fences,
+        radiusMeters, lonCol, latCol, fenceLon, fenceLat)
+      .withColumn("dist_m", graft.operators.SpatialJoin.haversineMeters(
+        col(latCol), col(lonCol), col(fenceLat), col(fenceLon)))
+
   /** Windowed approximate-distinct registers — HyperLogLog as STREAMING
     * state: the register MAX is monotone, so the sketch folds into one
     * ordinary watermarked window aggregation (no custom state store), and

@@ -508,6 +508,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchKept == kept, "stream must equal batch")
   }
 
+  test("geofenceIntake: stream-static geodetic join is stateless; " +
+    "stream equals batch (anti-meridian fence included)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("geofence")
+      .toString + "/pts"
+    // two files → two micro-batches; points straddle the anti-meridian
+    // and a high-lat band so the geodetic keys do real work
+    (0 until 40).map(i =>
+      (i.toLong, -179.8 + (i % 8) * 51.3, -60.0 + (i / 8) * 27.0))
+      .toDF("id", "lon", "lat").write.parquet(dir)
+    (40 until 80).map(i =>
+      (i.toLong, 179.9 - (i % 5) * 0.05, 46.0 + (i % 7) * 0.1))
+      .toDF("id", "lon", "lat").write.mode("append").parquet(dir)
+    val fences = Seq((1L, 179.95, 46.2), (2L, -179.8, -60.0),
+      (3L, 0.0, 0.0)).toDF("fid", "flon", "flat")
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    assert(stream.isStreaming)
+    val q = graft.streaming.EventStreams.geofenceIntake(
+        stream, fences, 100000.0)
+      .writeStream.format("memory").queryName("geofence_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(60000), "geofence stream timed out")
+    // stateless: stream-static join must not grow a state store
+    assert(q.lastProgress == null ||
+      q.lastProgress.stateOperators.isEmpty,
+      s"stateless stage grew state: ${q.lastProgress}")
+    val got = spark.table("geofence_out")
+      .select("id", "fid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.streaming.EventStreams.geofenceIntake(
+        spark.read.parquet(dir), fences, 100000.0)
+      .select("id", "fid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch, "stream must equal batch")
+    // the wrap fence matched second-file points across the seam
+    assert(got.exists { case (_, f) => f == 1L }, "no wrap match")
+    assert(got.exists { case (_, f) => f == 2L })
+    assert(got.nonEmpty && got.size < 80 * 3, "degenerate fixture")
+  }
+
   test("bloomBlocklistIntake: baked-bitmap gate is stateless, no false leaks") {
     import spark.implicits._
     import graft.operators.Sketch
