@@ -124,6 +124,12 @@ object SpatialJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         ContainsPick(c, o, i, outerPlan = right, innerPlan = left)
       case c @ StContains(o, i) if sided(o, i) =>
         ContainsPick(c, o, i, outerPlan = left, innerPlan = right)
+      // st_within(a, b) ≡ st_contains(b, a): the original expression
+      // refines identically, only the covering/centroid roles swap
+      case c @ StWithin(i, o) if sided(i, o) =>
+        ContainsPick(c, o, i, outerPlan = right, innerPlan = left)
+      case c @ StWithin(i, o) if sided(o, i) =>
+        ContainsPick(c, o, i, outerPlan = left, innerPlan = right)
       case c @ StIntersects(a, b) if sided(a, b) =>
         SymmetricPick(c, a, b, pad = 0.0)
       case c @ StIntersects(a, b) if sided(b, a) =>

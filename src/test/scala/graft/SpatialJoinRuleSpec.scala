@@ -385,6 +385,35 @@ class SpatialJoinRuleSpec extends AnyFunSuite {
     assert(expected.size + expectedAnti.size == boxesA.count())
   }
 
+  test("st_within rewrites like the flipped contains — both argument " +
+    "orders, inner and anti") {
+    val (pts, polys) = fixtures()
+    def q = pts.join(polys, st_within(col("pgeom"), col("ggeom")))
+      .select(col("pid"), col("polyid"))
+    val expected = {
+      try {
+        spark.conf.set("spark.graft.spatialjoin.rewrite", "false")
+        q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally spark.conf.set("spark.graft.spatialjoin.rewrite", "true")
+    }
+    val got = q
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("__graft_cell"), s"st_within not rewritten:\n$p")
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == expected)
+    assert(expected.nonEmpty)
+    // anti: points not within any polygon (the curation filter, within-
+    // spelled) — probe contained, direct chained path
+    def qa = pts.join(polys, st_within(col("pgeom"), col("ggeom")),
+      "left_anti")
+    val expAnti = naiveSet(qa)
+    val gotAnti = qa
+    assertOnlyBoundedNestedLoops(
+      gotAnti.queryExecution.executedPlan.toString)
+    assert(gotAnti.collect().map(_.getLong(0)).toSet == expAnti)
+    assert(expAnti.size + expected.map(_._1).size >= 400)
+  }
+
   test("semi/anti joins with an equality conjunct are left alone") {
     val (pts, polys) = fixtures()
     val j = pts.join(polys,
