@@ -64,6 +64,40 @@ class GeodeticSpec extends AnyFunSuite {
     assert(got.toSet == brutePairs(1000000.0))
   }
 
+  test("grid join equals brute force on seeded random points — global " +
+    "scatter plus dense clusters at band edges and the seam") {
+    val rnd = new scala.util.Random(20260815L)
+    val centers = Seq((179.9, 84.9), (-179.95, -84.9), (0.0, 0.0),
+      (139.7, 35.7), (5.0, 60.0))
+    val rpts: Seq[(Long, Double, Double)] = (0 until 300).map { i =>
+      if (i % 2 == 0) {
+        val (cx, cy) = centers(i % centers.length)
+        val lon0 = cx + (rnd.nextDouble() - 0.5) * 4.0
+        val lon = if (lon0 > 180) lon0 - 360
+                  else if (lon0 < -180) lon0 + 360 else lon0
+        val lat = math.max(-89.95, math.min(89.95,
+          cy + (rnd.nextDouble() - 0.5) * 4.0))
+        (i.toLong, lon, lat)
+      } else (i.toLong, rnd.nextDouble() * 360.0 - 180.0,
+        rnd.nextDouble() * 179.8 - 89.9)
+    }
+    val l = rpts.toDF("lid", "x", "y")
+    val r = rpts.toDF("rid", "rx", "ry")
+    Seq(200000.0, 800000.0).foreach { radius =>
+      val got = SpatialJoin.distanceJoinGeodetic(l, r, radius)
+        .select("lid", "rid").collect()
+        .map(row => (row.getLong(0), row.getLong(1))).toSeq
+      assert(got.size == got.distinct.size, s"dup pair at $radius")
+      val expected = (for {
+        (a, ax, ay) <- rpts; (b, bx, by) <- rpts
+        if GeomLib.haversine(ay, ax, by, bx) <= radius
+      } yield (a, b)).toSet
+      assert(got.toSet == expected,
+        s"radius $radius: missing=${(expected -- got.toSet).take(5)} " +
+          s"spurious=${(got.toSet -- expected).take(5)}")
+    }
+  }
+
   test("geodetic KNN ranks by great-circle meters, ties by rid") {
     val sample = pts.filter(_._1 % 3 == 0)
     val df = sample.map { case (id, lo, la) => (id, lo, la) }

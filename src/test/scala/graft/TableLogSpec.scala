@@ -310,6 +310,38 @@ class TableLogSpec extends AnyFunSuite {
     assert(TableLog.readPartitions(spark, dir, Seq("p2")).count() == 1L)
   }
 
+  test("delete/update cross-validate against recomputed frames on a " +
+    "seeded random table (chunked appends, null values included)") {
+    val rnd = new scala.util.Random(11L)
+    val dir = freshDir()
+    val rows = (0 until 400).map { i =>
+      (i.toLong, rnd.nextInt(1000).toLong,
+        if (rnd.nextInt(10) == 0) null else s"t${rnd.nextInt(5)}")
+    }
+    rows.grouped(100).foreach(chunk =>
+      TableLog.append(chunk.toDF("id", "v", "s"), dir))
+    def state(): Map[Long, (Long, String)] =
+      TableLog.read(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    var expected = rows.map { case (id, v, s) => id -> (v, s) }.toMap
+    // DELETE: predicate over v; NULL s rows must follow plain SQL rules
+    TableLog.delete(spark, dir, "v % 7 = 3")
+    expected = expected.filterNot { case (_, (v, _)) => v % 7 == 3 }
+    assert(state() == expected, "delete diverged")
+    // UPDATE touching a string predicate (NULL s -> predicate NULL ->
+    // row untouched)
+    TableLog.update(spark, dir, "s = 't1'", Map("v" -> "v + 10000"))
+    expected = expected.map { case (id, (v, s)) =>
+      id -> (if (s == "t1") v + 10000 else v, s)
+    }
+    assert(state() == expected, "update diverged")
+    // second DELETE over the updated values
+    TableLog.delete(spark, dir, "v >= 10000")
+    expected = expected.filterNot { case (_, (v, _)) => v >= 10000 }
+    assert(state() == expected, "post-update delete diverged")
+    assert(expected.nonEmpty, "degenerate fixture")
+  }
+
   test("appendExactlyOnce: a replayed streaming batch commits nothing") {
     val dir = freshDir()
     val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
