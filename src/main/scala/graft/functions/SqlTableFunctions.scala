@@ -87,16 +87,22 @@ object SqlTableFunctions {
       .queryExecution.analyzed
   }
 
-  /** `graft_knn(left, right, k, r0)` over (id, x, y) tables — the exact
-    * KNN join from SQL (iterative: runs eagerly, like dbscan/kmeans). */
+  /** `graft_knn(left, right, k, r0[, geodetic])` over (id, x, y) tables
+    * — the exact KNN join from SQL (iterative: runs eagerly, like
+    * dbscan/kmeans). With `geodetic` true, x/y are 4326 lon/lat and
+    * r0/dist are great-circle meters. */
   private def knnBuilder(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 4,
-      "usage: graft_knn(leftTable, rightTable, k, r0) over (id, x, y)")
+    require(args.length == 4 || args.length == 5,
+      "usage: graft_knn(leftTable, rightTable, k, r0[, geodetic]) " +
+        "over (id, x, y)")
     val spark = SparkSession.active
+    val geo = args.length == 5 &&
+      (scalarOf(args(4), "geodetic") == true)
     graft.operators.KnnJoin.knnJoin(
         spark.table(str(args(0), "leftTable")),
         spark.table(str(args(1), "rightTable")),
-        k = num(args(2), "k").toInt, r0 = num(args(3), "r0"))
+        k = num(args(2), "k").toInt, r0 = num(args(3), "r0"),
+        geodetic = geo)
       .queryExecution.analyzed
   }
 
