@@ -6900,7 +6900,7 @@ object SparkEntry {
     // shared formula), ranked per probe by (unrounded dist, rid), top 3,
     // dist emitted at millimeter precision
     "j11s_knn_geodetic" ->
-      """WITH p AS (
+      s"""WITH p AS (
            SELECT c_custkey AS id,
              CAST((c_custkey % 64) % 8 AS DOUBLE) * 10.0
                + CAST(c_custkey % 5 AS DOUBLE) * 0.3 AS x,
@@ -6909,11 +6909,7 @@ object SparkEntry {
            FROM customer),
          d AS (
            SELECT a.id AS lid, b.id AS rid,
-             2.0 * 6371008.8 * ASIN(SQRT(
-               SIN(RADIANS(b.y - a.y) / 2) * SIN(RADIANS(b.y - a.y) / 2)
-               + COS(RADIANS(a.y)) * COS(RADIANS(b.y))
-                 * SIN(RADIANS(b.x - a.x) / 2)
-                 * SIN(RADIANS(b.x - a.x) / 2))) AS dist
+             ${havSql("a.y", "a.x", "b.y", "b.x")} AS dist
            FROM p a CROSS JOIN p b),
          r AS (
            SELECT lid, rid, dist,
@@ -6977,12 +6973,8 @@ object SparkEntry {
                  FROM supplier WHERE s_suppkey < 50)
          SELECT aid, CAST(COUNT(*) AS BIGINT) AS n_near,
            CAST(SUM(l_orderkey) AS BIGINT) AS sum_keys
-         FROM p JOIN a ON
-           2.0 * 6371008.8 * ASIN(SQRT(
-             SIN(RADIANS(ry - y) / 2) * SIN(RADIANS(ry - y) / 2)
-             + COS(RADIANS(y)) * COS(RADIANS(ry))
-               * SIN(RADIANS(rx - x) / 2) * SIN(RADIANS(rx - x) / 2)
-           )) <= 250000.0
+         FROM p JOIN a
+           ON ${havSql("y", "x", "ry", "rx")} <= 250000.0
          GROUP BY aid ORDER BY aid""",
 
     // NOT EXISTS spatial replay: strict interval arithmetic (JTS

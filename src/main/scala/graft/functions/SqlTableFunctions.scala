@@ -96,8 +96,14 @@ object SqlTableFunctions {
       "usage: graft_knn(leftTable, rightTable, k, r0[, geodetic]) " +
         "over (id, x, y)")
     val spark = SparkSession.active
-    val geo = args.length == 5 &&
-      (scalarOf(args(4), "geodetic") == true)
+    // a non-boolean flag must fail LOUDLY: silently coercing '1' or
+    // 'true' (string) to false would run the planar metric and return
+    // wrong neighbors for a meters radius
+    val geo = args.length == 5 && (scalarOf(args(4), "geodetic") match {
+      case b: java.lang.Boolean => b.booleanValue
+      case other => throw new IllegalArgumentException(
+        s"graft_knn geodetic flag must be a BOOLEAN literal, got: $other")
+    })
     graft.operators.KnnJoin.knnJoin(
         spark.table(str(args(0), "leftTable")),
         spark.table(str(args(1), "rightTable")),

@@ -49,6 +49,14 @@ object TableLog {
       txn: Map[String, Long] = Map.empty,
       op: String = "write", ts: Long = 0L)
 
+  /** Thrown by [[commit]] on the optimistic version race — the ONLY
+    * conflict the rebase loops retry. TRUE conflicts (a rewrite's input
+    * files gone, a restore target vacuumed) raise plain
+    * IllegalStateException/IllegalArgumentException and propagate.
+    * Subclasses IllegalStateException so callers' existing catch
+    * contracts are unchanged. */
+  final class CommitConflict(msg: String) extends IllegalStateException(msg)
+
   private def logDir(dir: String) = Paths.get(dir, "_graft_log")
   private def vJson(v: Int) = f"v$v%05d.json"
 
@@ -143,9 +151,32 @@ object TableLog {
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
-        throw new IllegalStateException(
+        throw new CommitConflict(
           s"concurrent commit conflict on version $v of $dir")
     }
+  }
+
+  /** Bounded rebase-retry shared by every committing writer: re-plan
+    * against the fresh head and re-run `attempt` until it commits (Some),
+    * decides to skip (None), or exhausts `maxRetries`. ONLY the
+    * optimistic [[CommitConflict]] retries (with jittered backoff);
+    * anything else the attempt raises — including its own true-conflict
+    * aborts — propagates immediately. */
+  private def retryCommit(dir: String, maxRetries: Int)(
+      attempt: (Snapshot, Int) => Option[Int]): Option[Int] = {
+    var n = 0
+    while (true) {
+      val (prev, v) = planNext(dir)
+      try return attempt(prev, v)
+      catch {
+        case e: CommitConflict =>
+          n += 1
+          if (n > maxRetries) throw e
+          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+            .nextLong(1L, 5L * n))
+      }
+    }
+    None // unreachable
   }
 
   /** Write `df` as this version's new data files (staged, then moved
@@ -190,37 +221,22 @@ object TableLog {
     * once (None = marker already present, nothing committed). */
   private def commitAppendRebasing(dir: String, newFiles: Seq[String],
       newParts: Map[String, String], txnPut: Option[(String, Long)],
-      firstPlan: (Snapshot, Int), maxRetries: Int): Option[Int] = {
-    var attempt = 0
-    var plan = firstPlan
-    while (true) {
-      val (prev, v) = plan
+      maxRetries: Int): Option[Int] =
+    retryCommit(dir, maxRetries) { (prev, v) =>
       if (txnPut.exists { case (id, b) => prev.txn.get(id).exists(_ >= b) })
-        return None
-      try {
-        return Some(commit(dir, prev.files ++ newFiles, expectedVersion = v,
-          parts = prev.parts ++ newParts,
-          txn = txnPut.fold(prev.txn)(prev.txn + _), op = "append"))
-      } catch {
-        case e: IllegalStateException =>
-          attempt += 1
-          if (attempt > maxRetries) throw e
-          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
-            .nextLong(1L, 5L * attempt))
-          plan = planNext(dir)
-      }
+        None
+      else Some(commit(dir, prev.files ++ newFiles, expectedVersion = v,
+        parts = prev.parts ++ newParts,
+        txn = txnPut.fold(prev.txn)(prev.txn + _), op = "append"))
     }
-    None // unreachable
-  }
 
   /** Append `df` as a new version (previous files + the new ones). Data
     * is staged ONCE; a lost commit race rebases onto the new head and
     * retries — N concurrent appenders all succeed with N versions. */
   def append(df: DataFrame, dir: String, maxRetries: Int = 20): Int = {
-    val (prev, v) = planNext(dir)
+    val (_, v) = planNext(dir)
     val files = writeData(df, dir, v)
-    commitAppendRebasing(dir, files, Map.empty, None, (prev, v),
-      maxRetries).get
+    commitAppendRebasing(dir, files, Map.empty, None, maxRetries).get
   }
 
   /** Replace the table contents with `df` as a new version. Old files
@@ -328,10 +344,10 @@ object TableLog {
     * touched partitions. */
   def appendPartitioned(df: DataFrame, dir: String, partCol: String,
       maxRetries: Int = 20): Int = {
-    val (prev, v) = planNext(dir)
+    val (_, v) = planNext(dir)
     val newFiles = stagePartitioned(df, dir, v, partCol)
     commitAppendRebasing(dir, newFiles.map(_._1), newFiles.toMap, None,
-      (prev, v), maxRetries).get
+      maxRetries).get
   }
 
   /** Exactly-once append for a streaming writer (`foreachBatch`): the
@@ -351,7 +367,7 @@ object TableLog {
     // write-per-attempt loop re-ran the distributed job on every race
     val files = writeData(df, dir, v)
     commitAppendRebasing(dir, files, Map.empty, Some(txnId -> batchId),
-      (prev, v), maxRetries)
+      maxRetries)
   }
 
   /** Snapshot-isolated read at `version` (latest if -1): resolves the
@@ -536,7 +552,10 @@ object TableLog {
         val sortKey: Seq[org.apache.spark.sql.Column] =
           if (clusterBy.size < 2 || !numeric) cols
           else {
-            val bits = 16
+            // bits shrink with the column count so n*bits stays within
+            // zorderEncode's 62-bit budget (4+ cluster columns would
+            // otherwise crash mid-compaction)
+            val bits = math.max(1, math.min(16, 62 / clusterBy.size))
             val lim = (1 << bits) - 1
             val aggs = clusterBy.flatMap(c =>
               Seq(fmin(col(c)).cast("double"), fmax(col(c)).cast("double")))
@@ -585,33 +604,20 @@ object TableLog {
     // a streaming writer and a compaction loop share one table with
     // guaranteed progress on both sides.
     val inputs = snap.files.toSet
-    var attempt = 0
-    var headSnap = snap
-    var vNext = v
-    while (true) {
-      val files = headSnap.files.filterNot(inputs) ++ outputs
-      val parts = (headSnap.parts -- inputs) ++ outputParts
-      try {
-        commit(dir, files, expectedVersion = vNext, parts = parts,
-          txn = headSnap.txn, op = "optimize")
-        return (vNext, snap.files.size, files.size)
-      } catch {
-        case e: IllegalStateException =>
-          attempt += 1
-          if (attempt > maxRetries) throw e
-          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
-            .nextLong(1L, 5L * attempt))
-          val head = snapshot(dir, currentVersion(dir))
-          val gone = inputs.filterNot(head.files.toSet)
-          if (gone.nonEmpty) throw new IllegalStateException(
-            s"optimize conflict on $dir: input files rewritten by a " +
-              s"concurrent commit (${gone.take(3).mkString(", ")}...); " +
-              "re-run optimize against the new head", e)
-          headSnap = head
-          vNext = head.version + 1
-      }
+    var committedFiles = 0
+    val committed = retryCommit(dir, maxRetries) { (head, vNext) =>
+      val gone = inputs.filterNot(head.files.toSet)
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"optimize conflict on $dir: input files rewritten by a " +
+          s"concurrent commit (${gone.take(3).mkString(", ")}...); " +
+          "re-run optimize against the new head")
+      val files = head.files.filterNot(inputs) ++ outputs
+      val parts = (head.parts -- inputs) ++ outputParts
+      committedFiles = files.size
+      Some(commit(dir, files, expectedVersion = vNext, parts = parts,
+        txn = head.txn, op = "optimize"))
     }
-    throw new IllegalStateException("unreachable")
+    (committed.get, snap.files.size, committedFiles)
   }
 
   /** DELETE FROM ... WHERE `predicate` — copy-on-write, the Delta DML
@@ -652,7 +658,14 @@ object TableLog {
         set.keys.foreach(c => require(df.columns.contains(c),
           s"UPDATE SET targets unknown column $c"))
         df.select(df.columns.map { c =>
-          if (set.contains(c)) when(pred, expr(set(c))).otherwise(col(c)).as(c)
+          if (set.contains(c))
+            // cast back to the column's ORIGINAL type (the Delta UPDATE
+            // contract): a widening SET expression (v * 1.1 on a LONG)
+            // would otherwise rewrite the touched files with a different
+            // Parquet physical type and brick plain reads of the mixed
+            // snapshot
+            when(pred, expr(set(c)).cast(df.schema(c).dataType))
+              .otherwise(col(c)).as(c)
           else col(c)
         }.toSeq: _*)
       })
@@ -673,8 +686,13 @@ object TableLog {
     require(byName.size == snap.files.size,
       s"duplicate data-file basenames in $dir") // never true by naming
     val abs = snap.files.map(f => Paths.get(dir).resolve(f).toString)
+    // mergeSchema on BOTH copy-on-write scans: the touched files may
+    // straddle an add-column evolution (see [[readEvolved]]) — without
+    // it the rewrite could resolve one footer's narrower schema and
+    // silently DROP the evolved column from the surviving rows
     // ONE distributed scan: which files hold matches, and how many rows
-    val matchedCounts = spark.read.parquet(abs: _*)
+    val matchedCounts = spark.read.option("mergeSchema", "true")
+      .parquet(abs: _*)
       .filter(pred)
       .groupBy(input_file_name().as("f"))
       .agg(count(lit(1)).as("n"))
@@ -696,7 +714,8 @@ object TableLog {
     var grp = 0
     touched.groupBy(f => snap.parts.get(f)).foreach { case (tag, fs) =>
       val fabs = fs.toSeq.sorted.map(f => Paths.get(dir).resolve(f).toString)
-      val rewritten = rewrite(spark.read.parquet(fabs: _*), pred)
+      val rewritten = rewrite(
+        spark.read.option("mergeSchema", "true").parquet(fabs: _*), pred)
       val staging = Files.createTempDirectory("graft_cow").toString
       rewritten.write.mode("overwrite").parquet(staging)
       val s = Files.list(Paths.get(staging))
@@ -715,33 +734,18 @@ object TableLog {
     val outs = outputs.result()
     // commit with rebase over concurrent appends; abort if a TOUCHED
     // file was rewritten underneath us (same contract as optimize)
-    var attempt = 0
-    var headSnap = snap
-    var vNext = v
-    while (true) {
-      val files = headSnap.files.filterNot(touched) ++ outs.map(_._1)
-      val parts = (headSnap.parts -- touched) ++
+    val committed = retryCommit(dir, maxRetries) { (head, vNext) =>
+      val gone = touched.filterNot(head.files.toSet)
+      if (gone.nonEmpty) throw new IllegalStateException(
+        s"$op conflict on $dir: touched files rewritten by a " +
+          s"concurrent commit (${gone.take(3).mkString(", ")})")
+      val files = head.files.filterNot(touched) ++ outs.map(_._1)
+      val parts = (head.parts -- touched) ++
         outs.collect { case (f, Some(t)) => f -> t }
-      try {
-        commit(dir, files, expectedVersion = vNext, parts = parts,
-          txn = headSnap.txn, op = op)
-        return (vNext, rowsMatched, touched.size, snap.files.size)
-      } catch {
-        case e: IllegalStateException =>
-          attempt += 1
-          if (attempt > maxRetries) throw e
-          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
-            .nextLong(1L, 5L * attempt))
-          val head = snapshot(dir, currentVersion(dir))
-          val gone = touched.filterNot(head.files.toSet)
-          if (gone.nonEmpty) throw new IllegalStateException(
-            s"$op conflict on $dir: touched files rewritten by a " +
-              s"concurrent commit (${gone.take(3).mkString(", ")})", e)
-          headSnap = head
-          vNext = head.version + 1
-      }
+      Some(commit(dir, files, expectedVersion = vNext, parts = parts,
+        txn = head.txn, op = op))
     }
-    throw new IllegalStateException("unreachable")
+    (committed.get, rowsMatched, touched.size, snap.files.size)
   }
 
   /** RESTORE TABLE ... TO VERSION AS OF `toVersion` (the Delta restore
@@ -758,23 +762,13 @@ object TableLog {
     * in history). */
   def restore(dir: String, toVersion: Int, maxRetries: Int = 20): Int = {
     val old = snapshot(dir, toVersion) // loud if vacuumed/missing
-    var attempt = 0
-    while (true) {
-      val (prev, v) = planNext(dir)
+    retryCommit(dir, maxRetries) { (prev, v) =>
       require(toVersion <= prev.version,
-        s"cannot restore $dir to future version $toVersion (head ${prev.version})")
-      try {
-        return commit(dir, old.files, expectedVersion = v,
-          parts = old.parts, txn = prev.txn, op = "restore")
-      } catch {
-        case e: IllegalStateException =>
-          attempt += 1
-          if (attempt > maxRetries) throw e
-          Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
-            .nextLong(1L, 5L * attempt))
-      }
-    }
-    throw new IllegalStateException("unreachable")
+        s"cannot restore $dir to future version $toVersion " +
+          s"(head ${prev.version})")
+      Some(commit(dir, old.files, expectedVersion = v,
+        parts = old.parts, txn = prev.txn, op = "restore"))
+    }.get
   }
 
   /** Drop versions < `keepFrom` and delete data files no retained

@@ -342,6 +342,55 @@ class TableLogSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "degenerate fixture")
   }
 
+  test("update casts SET expressions back to the column type — a " +
+    "widening assignment must not change the table's physical schema") {
+    val dir = freshDir()
+    TableLog.append(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), dir)
+    TableLog.append(Seq((3L, 30L)).toDF("id", "v"), dir)
+    // v * 1.1 is DOUBLE; without the cast the touched file commits with
+    // v: double while the untouched file keeps v: bigint and plain
+    // reads of the mixed snapshot break
+    TableLog.update(spark, dir, "id = 1", Map("v" -> "v * 1.1"))
+    val out = TableLog.read(spark, dir)
+    assert(out.schema("v").dataType ==
+      org.apache.spark.sql.types.LongType, "schema drifted")
+    assert(out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 11L, 2L -> 20L, 3L -> 30L))
+  }
+
+  test("copy-on-write across an add-column evolution keeps the evolved " +
+    "column (mergeSchema on both scans)") {
+    val dir = freshDir()
+    TableLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), dir)
+    TableLog.append(Seq((3L, "c", 33L), (4L, "d", 44L))
+      .toDF("id", "s", "extra"), dir)
+    // predicate touches BOTH files; the rewrite group's scan must merge
+    // schemas or the evolved `extra` silently vanishes from survivors
+    val (_, n, _, _) = TableLog.delete(spark, dir, "id IN (1, 3)")
+    assert(n == 2L)
+    val rows = TableLog.readEvolved(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    assert(rows == Set((2L, "b", null), (4L, "d", 44L)), rows.toString)
+    // a predicate on the evolved column alone also plans (mergeSchema
+    // on the matched-files scan)
+    val (_, n2, _, _) = TableLog.delete(spark, dir, "extra = 44")
+    assert(n2 == 1L)
+    assert(TableLog.readEvolved(spark, dir).count() == 1L)
+  }
+
+  test("optimize(clusterBy) with 4+ numeric columns shrinks the z-order " +
+    "bits instead of crashing") {
+    val dir = freshDir()
+    (0 until 3).foreach(i => TableLog.append(
+      (0 until 200).map(j => (i * 200L + j, j % 7L, j % 11L, j % 13L))
+        .toDF("a", "b", "c", "d"), dir))
+    val (v, before, after) = TableLog.optimize(spark, dir,
+      maxRows = 1000L, clusterBy = Seq("a", "b", "c", "d"))
+    assert(v >= 1 && after <= before)
+    assert(TableLog.read(spark, dir).count() == 600L)
+  }
+
   test("appendExactlyOnce: a replayed streaming batch commits nothing") {
     val dir = freshDir()
     val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
