@@ -1723,6 +1723,124 @@ object SparkEntry {
         .withColumn("cow_pruned", lit(rew < tot))
     },
 
+    "k24_dv_delete" -> { (s, d) =>
+      // DELETE FROM ... WHERE — merge-on-read (TableLog.deleteVectored,
+      // the Delta deletion-vector / Iceberg position-delete shape): the
+      // same five-file layout as k22, but the delete rewrites ZERO data
+      // files — matching positions land in a dv/ sidecar and readers
+      // anti-join it. mor_no_rewrite pins that the file set is
+      // byte-identical and vectors exist; survivors, the hidden-row
+      // count, and pre-delete time travel all replay closed-form.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k24")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).first()
+      val lo = b.getLong(0)
+      val w = (b.getLong(1) - lo + 1) / 5
+      (0 until 5).foreach { i =>
+        val loI = lo + i * w
+        val f = if (i == 4) col("o_orderkey") >= loI
+          else col("o_orderkey") >= loI && col("o_orderkey") < loI + w
+        graft.operators.TableLog.append(o.filter(f), dir)
+      }
+      val preV = graft.operators.TableLog.currentVersion(dir)
+      val preFiles = graft.operators.TableLog.snapshot(dir).files
+      val (_, nDel, _, _) = graft.operators.TableLog.deleteVectored(s, dir,
+        "o_orderkey % 7 = 3")
+      val snap = graft.operators.TableLog.snapshot(dir)
+      val after = graft.operators.TableLog.read(s, dir)
+        .agg(count(lit(1)).as("n_after"),
+          sum(col("price_cents")).as("sum_after"))
+      val before = graft.operators.TableLog.read(s, dir, preV)
+        .agg(count(lit(1)).as("n_before"))
+      after.crossJoin(broadcast(before)) // two 1-row aggregates
+        .withColumn("rows_deleted", lit(nDel))
+        .withColumn("mor_no_rewrite",
+          lit(snap.files == preFiles && snap.dvs.nonEmpty))
+    },
+
+    "k24b_dv_materialize" -> { (s, d) =>
+      // OPTIMIZE after a vectored delete materializes the deletion
+      // vectors: the compacted version carries NO dvs, its files hold
+      // exactly the surviving rows physically (raw footer counts equal
+      // the logical count), and the aggregates replay closed-form.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k24b")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      (0 until 4).foreach(i =>
+        graft.operators.TableLog.append(
+          o.filter(col("o_orderkey") % 4 === i), dir))
+      graft.operators.TableLog.deleteVectored(s, dir, "o_orderkey % 9 = 2")
+      graft.operators.TableLog.optimize(s, dir,
+        clusterBy = Seq("o_orderkey"))
+      val snap = graft.operators.TableLog.snapshot(dir)
+      val raw = snap.files.map(f => s.read.parquet(
+        java.nio.file.Paths.get(dir).resolve(f).toString).count()).sum
+      graft.operators.TableLog.read(s, dir)
+        .agg(count(lit(1)).as("n_after"),
+          sum(col("price_cents")).as("sum_after"))
+        .withColumn("dv_cleared", lit(snap.dvs.isEmpty))
+        .withColumn("physical_equals_logical",
+          col("n_after") === lit(raw))
+    },
+
+    "k25_dv_changes" -> { (s, d) =>
+      // Change feed across a deletion-vector commit: the CDF is exactly
+      // the newly-hidden rows tagged 'delete' — no file was added or
+      // removed, so the feed derives purely from the vector diff (cost
+      // proportional to the change, the CDF contract held even for
+      // merge-on-read).
+      val dir = java.nio.file.Files.createTempDirectory("graft_k25")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      (0 until 3).foreach(i =>
+        graft.operators.TableLog.append(
+          o.filter(col("o_orderkey") % 3 === i), dir))
+      val preV = graft.operators.TableLog.currentVersion(dir)
+      graft.operators.TableLog.deleteVectored(s, dir,
+        "o_orderkey % 11 = 5")
+      graft.operators.TableLog.changes(s, dir, preV, preV + 1)
+        .select(col("o_orderkey"), col("price_cents"),
+          col("_change_type").as("change_type"))
+        .orderBy("o_orderkey")
+    },
+
+    "k26_bloom_skipping" -> { (s, d) =>
+      // Per-file bloom-filter data skipping (TableLog.computeBlooms +
+      // readBloomPruned): orders split into 8 custkey-band files, so a
+      // point lookup on o_orderkey — a column the layout does NOT
+      // cluster — hits exactly one file; zone maps can't prune it (every
+      // band spans the full orderkey range) but the bloom index opens
+      // only the file(s) whose bitmap might hold the key.
+      // bloom_pruned pins filesOpened < filesTotal (with fp slack); the
+      // looked-up row replays closed-form via a min-over-threshold key
+      // both engines can compute.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k26")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), cents(col("o_totalprice")).as("price_cents"))
+      val b = o.agg(min("o_custkey"), max("o_custkey")).first()
+      val lo = b.getLong(0)
+      val w = math.max(1L, (b.getLong(1) - lo + 1) / 8)
+      (0 until 8).foreach { i =>
+        val loI = lo + i * w
+        val f = if (i == 7) col("o_custkey") >= loI
+          else col("o_custkey") >= loI && col("o_custkey") < loI + w
+        graft.operators.TableLog.append(o.filter(f).coalesce(1), dir)
+      }
+      graft.operators.TableLog.computeBlooms(s, dir, "o_orderkey")
+      val key = o.filter(col("o_orderkey") >= 1000)
+        .agg(min("o_orderkey")).first().getLong(0)
+      val (pruned, opened, total) = graft.operators.TableLog
+        .readBloomPruned(s, dir, "o_orderkey", Seq(key))
+      pruned.filter(col("o_orderkey") === key)
+        .select(col("o_orderkey"), col("o_custkey"), col("price_cents"))
+        .withColumn("bloom_pruned", lit(opened < total))
+    },
+
     "k23_update" -> { (s, d) =>
       // UPDATE ... SET ... WHERE (TableLog.update — copy-on-write):
       // same range-split layout; the first-quintile update rewrites only
@@ -8834,6 +8952,55 @@ object SparkEntry {
              AS rows_deleted,
            TRUE AS cow_pruned
          FROM orders, b""",
+
+    // merge-on-read DELETE replay: survivors and the hidden-row count
+    // are closed-form; TRUE pins that no data file was rewritten (the
+    // deletion-vector contract) and the pre-delete version read in full
+    "k24_dv_delete" ->
+      s"""SELECT
+           CAST(SUM(CASE WHEN NOT (o_orderkey % 7 = 3)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+           CAST(SUM(CASE WHEN NOT (o_orderkey % 7 = 3)
+             THEN ${centsSql("o_totalprice")} ELSE 0 END) AS BIGINT)
+             AS sum_after,
+           CAST(COUNT(*) AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN o_orderkey % 7 = 3 THEN 1 ELSE 0 END)
+             AS BIGINT) AS rows_deleted,
+           TRUE AS mor_no_rewrite
+         FROM orders""",
+
+    // OPTIMIZE materializes deletion vectors: survivors replay
+    // closed-form, TRUE pins no vector remains and that physical row
+    // counts equal the logical count after compaction
+    "k24b_dv_materialize" ->
+      s"""SELECT
+           CAST(SUM(CASE WHEN NOT (o_orderkey % 9 = 2)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+           CAST(SUM(CASE WHEN NOT (o_orderkey % 9 = 2)
+             THEN ${centsSql("o_totalprice")} ELSE 0 END) AS BIGINT)
+             AS sum_after,
+           TRUE AS dv_cleared,
+           TRUE AS physical_equals_logical
+         FROM orders""",
+
+    // change feed across a DV commit: exactly the newly-hidden rows,
+    // tagged 'delete'
+    "k25_dv_changes" ->
+      s"""SELECT o_orderkey, ${centsSql("o_totalprice")} AS price_cents,
+           'delete' AS change_type
+         FROM orders WHERE o_orderkey % 11 = 5
+         ORDER BY o_orderkey""",
+
+    // bloom-skipping replay: the looked-up row is closed-form (min
+    // orderkey >= 1000); TRUE pins that the bloom index opened fewer
+    // files than the table holds
+    "k26_bloom_skipping" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+           TRUE AS bloom_pruned
+         FROM orders
+         WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders
+                             WHERE o_orderkey >= 1000)""",
 
     // copy-on-write UPDATE replay: the +7 lands exactly on the matched
     // rows, everything else byte-identical

@@ -192,9 +192,13 @@ object Changelog {
     val (touched, untouched) =
       snap.files.partition(f => affectedStr.contains(snap.parts(f)))
     val base = java.nio.file.Paths.get(dir)
+    val touchedSet = touched.toSet
     val snapshotDf =
-      if (touched.nonEmpty)
-        spark.read.parquet(touched.map(f => base.resolve(f).toString): _*)
+      if (touched.nonEmpty) // deletion vectors apply before the merge —
+        // a DV-deleted row must not resurface through the rewrite
+        TableLog.applyDv(spark, dir,
+          spark.read.parquet(touched.map(f => base.resolve(f).toString): _*),
+          snap.dvs.filter { case (f, _) => touchedSet(f) })
       else // fresh partitions only: empty snapshot with the table schema
         spark.read.parquet(base.resolve(snap.files.head).toString).limit(0)
     val updated = applyChangelog(snapshotDf, changes, keyCols, seqCol, opCol)
@@ -207,7 +211,9 @@ object Changelog {
       expectedVersion = v,
       parts = untouched.map(f => f -> snap.parts(f)).toMap ++
         newFiles.toMap,
-      txn = snap.txn, op = "merge")
+      txn = snap.txn, op = "merge",
+      dvs = snap.dvs -- touched, // rewritten partitions materialize DVs
+      bloomCol = snap.bloomCol, blooms = snap.blooms -- touched)
   }
 
   /** Incremental aggregate maintenance: update a materialized per-group

@@ -9,8 +9,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** A minimal versioned table log — the transaction-log core of the
   * Delta/Iceberg table formats, reduced to what a single-writer pipeline
   * needs: atomic version commits, snapshot-isolated reads, time travel,
-  * compaction, and vacuum. Pairs with [[Changelog]]: CDC apply produces
-  * the new file set, the log makes it visible atomically.
+  * compaction, deletion vectors (merge-on-read DELETE), and vacuum.
+  * Pairs with [[Changelog]]: CDC apply produces the new file set, the
+  * log makes it visible atomically.
   *
   * Layout under the table root:
   * {{{
@@ -47,7 +48,11 @@ object TableLog {
   final case class Snapshot(version: Int, files: Seq[String],
       parts: Map[String, String] = Map.empty,
       txn: Map[String, Long] = Map.empty,
-      op: String = "write", ts: Long = 0L)
+      op: String = "write", ts: Long = 0L,
+      dvs: Map[String, String] = Map.empty,
+      bloomCol: Option[String] = None,
+      blooms: Map[String, String] = Map.empty,
+      bloomBits: Int = 8192)
 
   /** Thrown by [[commit]] on the optimistic version race — the ONLY
     * conflict the rebase loops retry. TRUE conflicts (a rewrite's input
@@ -91,7 +96,17 @@ object TableLog {
     }.getOrElse(Map.empty[String, Long])
     val op = Option(node.get("op")).map(_.asText()).getOrElse("write")
     val ts = Option(node.get("ts")).map(_.asLong()).getOrElse(0L)
-    Snapshot(node.get("version").asInt(), files, parts, txn, op, ts)
+    val dvs = Option(node.get("dvs")).map { dn =>
+      dn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+    val bloomCol = Option(node.get("bloomcol")).map(_.asText())
+    val blooms = Option(node.get("blooms")).map { bn =>
+      bn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+    val bloomBits = Option(node.get("bloombits")).map(_.asInt())
+      .getOrElse(8192)
+    Snapshot(node.get("version").asInt(), files, parts, txn, op, ts, dvs,
+      bloomCol, blooms, bloomBits)
   }
 
   // escapes control chars too: a partition VALUE containing \n or \t
@@ -120,7 +135,11 @@ object TableLog {
       expectedVersion: Int = -1,
       parts: Map[String, String] = Map.empty,
       txn: Map[String, Long] = Map.empty,
-      op: String = "write"): Int = {
+      op: String = "write",
+      dvs: Map[String, String] = Map.empty,
+      bloomCol: Option[String] = None,
+      blooms: Map[String, String] = Map.empty,
+      bloomBits: Int = 8192): Int = {
     val ld = logDir(dir)
     Files.createDirectories(ld)
     val v = if (expectedVersion > 0) expectedVersion
@@ -135,8 +154,21 @@ object TableLog {
       else txn.toSeq.sortBy(_._1)
         .map { case (id, b) => s"${jsonStr(id)}:$b" }
         .mkString(""","txn":{""", ",", "}")
+    val dvsJson =
+      if (dvs.isEmpty) ""
+      else dvs.toSeq.sortBy(_._1)
+        .map { case (f, p) => s"${jsonStr(f)}:${jsonStr(p)}" }
+        .mkString(""","dvs":{""", ",", "}")
+    val bloomJson = bloomCol.fold("") { c =>
+      s""","bloomcol":${jsonStr(c)},"bloombits":$bloomBits""" + (
+        if (blooms.isEmpty) ""
+        else blooms.toSeq.sortBy(_._1)
+          .map { case (f, b) => s"${jsonStr(f)}:${jsonStr(b)}" }
+          .mkString(""","blooms":{""", ",", "}"))
+    }
     val json = s"""{"version":$v,"files":[${
-      files.map(jsonStr).mkString(",")}]$partsJson$txnJson,"op":${
+      files.map(jsonStr).mkString(",")
+      }]$partsJson$txnJson$dvsJson$bloomJson,"op":${
       jsonStr(op)},"ts":${System.currentTimeMillis()}}"""
     val tmp = Files.createTempFile(ld, s".tmp-v$v-", ".json")
     Files.write(tmp, json.getBytes("UTF-8"))
@@ -227,8 +259,144 @@ object TableLog {
         None
       else Some(commit(dir, prev.files ++ newFiles, expectedVersion = v,
         parts = prev.parts ++ newParts,
-        txn = txnPut.fold(prev.txn)(prev.txn + _), op = "append"))
+        txn = txnPut.fold(prev.txn)(prev.txn + _), op = "append",
+        dvs = prev.dvs, bloomCol = prev.bloomCol, blooms = prev.blooms,
+        bloomBits = prev.bloomBits))
     }
+
+  // ===== deletion vectors (merge-on-read position deletes) =============
+  //
+  // Sidecar encoding: one parquet per DV commit under `dv/`, columns
+  // (f: the data file's log-relative path, ridx: physical row index in
+  // that file). A touched file's map entry always points at the sidecar
+  // holding its FULL accumulated vector (each new DV delete rewrites the
+  // touched files' unions), so a reader resolves one sidecar per file.
+  // Sidecars are shared between files of one commit; a stale sidecar row
+  // is either a subset of the file's current vector (vectors only grow)
+  // or keyed to a basename that no longer exists (rewritten files get
+  // fresh version-prefixed names) — both are no-ops in the anti-join.
+
+  /** The (f, ridx) pairs of the given dv map's sidecars; None if no DVs. */
+  private def dvPairs(spark: SparkSession, dir: String,
+      dvs: Map[String, String]): Option[DataFrame] =
+    if (dvs.isEmpty) None
+    else Some(spark.read.parquet(dvs.values.toSeq.distinct.sorted
+      .map(p => Paths.get(dir).resolve(p).toString): _*))
+
+  /** Tag a parquet scan with its physical row identity — the join key
+    * deletion vectors address rows by. */
+  private def tagPhys(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("__graft_fn", col("_metadata.file_name"))
+      .withColumn("__graft_ridx", col("_metadata.row_index"))
+  }
+
+  /** Anti-join a tagged scan against the deletion vectors (tags kept). */
+  private def antiDv(spark: SparkSession, dir: String, tagged: DataFrame,
+      dvs: Map[String, String]): DataFrame =
+    dvPairs(spark, dir, dvs) match {
+      case None => tagged
+      case Some(pairs) =>
+        import org.apache.spark.sql.functions.{broadcast, col, element_at,
+          split}
+        val dv = pairs.select(
+          element_at(split(col("f"), "/"), -1).as("__graft_dv_fn"),
+          col("ridx").as("__graft_dv_ridx"))
+        // broadcast by contract: DVs hold SELECTIVE deletes (the Delta
+        // guidance — bulk deletes take the copy-on-write [[delete]]);
+        // readers pay O(deleted), never a shuffle of the table
+        tagged.join(broadcast(dv),
+          col("__graft_fn") === col("__graft_dv_fn") &&
+            col("__graft_ridx") === col("__graft_dv_ridx"), "left_anti")
+    }
+
+  /** Apply `dvs` to a plain parquet scan of this table's files. */
+  private[operators] def applyDv(spark: SparkSession, dir: String,
+      df: DataFrame, dvs: Map[String, String]): DataFrame =
+    if (dvs.isEmpty) df
+    else antiDv(spark, dir, tagPhys(df), dvs)
+      .drop("__graft_fn", "__graft_ridx")
+
+  /** DELETE FROM ... WHERE `predicate` — merge-on-read (deletion
+    * vectors, the Delta DV / Iceberg position-delete shape): NO data
+    * file is rewritten. One distributed scan finds the matching rows'
+    * physical positions, they land in a small sidecar under `dv/`, and
+    * the new version maps each touched file to its vector — an O(change)
+    * metadata commit where copy-on-write [[delete]] would rewrite every
+    * touched GB. Readers anti-join the vectors; prior versions still
+    * time-travel to the pre-delete state; [[optimize]] materializes the
+    * vectors back into clean files. NULL-predicate rows survive (SQL
+    * three-valued DELETE). Concurrent appends rebase through; a
+    * concurrent rewrite of — or racing DV on — a touched file aborts
+    * loudly. Returns (newVersion, rowsDeleted, filesWithNewDv,
+    * filesTotal); a predicate matching nothing commits nothing. */
+  def deleteVectored(spark: SparkSession, dir: String, predicate: String,
+      maxRetries: Int = 20): (Int, Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr}
+    import spark.implicits._
+    val snap = snapshot(dir)
+    val abs = snap.files.map(f => Paths.get(dir).resolve(f).toString)
+    val byName = snap.files.map(f =>
+      Paths.get(f).getFileName.toString -> f).toMap
+    require(byName.size == snap.files.size,
+      s"duplicate data-file basenames in $dir") // never true by naming
+    // visible rows only: a row already in a DV can't be deleted twice
+    val visible = antiDv(spark, dir,
+      tagPhys(spark.read.option("mergeSchema", "true").parquet(abs: _*)),
+      snap.dvs)
+    val lookup = byName.toSeq.toDF("__graft_fn", "f")
+    val matches = visible.filter(expr(predicate))
+      .join(broadcast(lookup), "__graft_fn")
+      .select(col("f"), col("__graft_ridx").as("ridx"))
+      .persist() // counted once, then written — never scan twice
+    try {
+      // bounded: one row per TOUCHED file
+      val perFile = matches.groupBy("f").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (perFile.isEmpty) return (snap.version, 0L, 0, snap.files.size)
+      val touched = perFile.keySet
+      val nDel = perFile.values.sum
+      // the touched files' FULL vectors: new positions + existing
+      val existing = dvPairs(spark, dir,
+        snap.dvs.filter { case (f, _) => touched(f) })
+        .map(_.select("f", "ridx")
+          .filter(col("f").isin(touched.toSeq: _*)))
+      val full = existing.fold(matches)(matches.unionByName(_))
+      val (_, v) = planNext(dir)
+      val staging = Files.createTempDirectory("graft_dv").toString
+      full.repartition(1).write.mode("overwrite").parquet(staging)
+      Files.createDirectories(Paths.get(dir, "dv"))
+      val s = Files.list(Paths.get(staging))
+      val dvRel = try {
+        val p = s.iterator.asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error("empty dv staging"))
+        val rel = f"dv/v$v%05d-${p.getFileName.toString}"
+        Files.move(p, Paths.get(dir).resolve(rel),
+          StandardCopyOption.ATOMIC_MOVE)
+        rel
+      } finally s.close()
+      val committed = retryCommit(dir, maxRetries) { (head, vNext) =>
+        val headSet = head.files.toSet
+        val gone = touched.filterNot(headSet)
+        if (gone.nonEmpty) throw new IllegalStateException(
+          s"delete-dv conflict on $dir: touched files rewritten by a " +
+            s"concurrent commit (${gone.take(3).mkString(", ")})")
+        val raced = touched.filter(f => head.dvs.get(f) != snap.dvs.get(f))
+        if (raced.nonEmpty) throw new IllegalStateException(
+          s"delete-dv conflict on $dir: concurrent deletion vectors on " +
+            s"(${raced.take(3).mkString(", ")})")
+        // blooms survive a DV delete: hiding rows can only ADD false
+        // positives, never lose a row the bloom must find
+        Some(commit(dir, head.files, expectedVersion = vNext,
+          parts = head.parts, txn = head.txn, op = "delete-dv",
+          dvs = head.dvs ++ touched.map(_ -> dvRel),
+          bloomCol = head.bloomCol, blooms = head.blooms,
+          bloomBits = head.bloomBits))
+      }
+      (committed.get, nDel, touched.size, snap.files.size)
+    } finally matches.unpersist()
+  }
 
   /** Append `df` as a new version (previous files + the new ones). Data
     * is staged ONCE; a lost commit race rebases onto the new head and
@@ -375,7 +543,7 @@ object TableLog {
   def read(spark: SparkSession, dir: String, version: Int = -1): DataFrame = {
     val snap = snapshot(dir, version)
     val abs = snap.files.map(f => Paths.get(dir).resolve(f).toString)
-    spark.read.parquet(abs: _*)
+    applyDv(spark, dir, spark.read.parquet(abs: _*), snap.dvs)
   }
 
   /** Snapshot read with schema evolution: per-file schemas are merged
@@ -387,7 +555,8 @@ object TableLog {
       version: Int = -1): DataFrame = {
     val snap = snapshot(dir, version)
     val abs = snap.files.map(f => Paths.get(dir).resolve(f).toString)
-    spark.read.option("mergeSchema", "true").parquet(abs: _*)
+    applyDv(spark, dir,
+      spark.read.option("mergeSchema", "true").parquet(abs: _*), snap.dvs)
   }
 
   /** Row-level change feed between two committed versions (the
@@ -402,7 +571,8 @@ object TableLog {
     * Output = table schema + `_change_type` ('insert' | 'delete'). */
   def changes(spark: SparkSession, dir: String,
       fromV: Int, toV: Int): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{broadcast, col, element_at,
+      lit, split}
     require(fromV >= 1 && toV >= fromV,
       s"need 1 <= fromV <= toV: $fromV, $toV")
     val a = snapshot(dir, fromV)
@@ -414,21 +584,62 @@ object TableLog {
     // mergeSchema + allowMissingColumns: the touched files may straddle
     // an add-column evolution (see [[readEvolved]]) — files predating the
     // column surface it as NULL instead of dropping it or failing the
-    // union
-    def readFiles(fs: Seq[String], tag: String): Option[DataFrame] =
+    // union. Each side applies ITS version's deletion vectors, so a row
+    // already DV-deleted at fromV never re-surfaces as a CDF delete and
+    // a row inserted-then-DV-deleted inside the window nets out.
+    def readFiles(fs: Seq[String], tag: String,
+        dvs: Map[String, String]): Option[DataFrame] =
       if (fs.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(fs.map(f => Paths.get(dir).resolve(f).toString): _*)
-        .withColumn("_change_type", lit(tag)))
-    (readFiles(added, "insert"), readFiles(removed, "delete")) match {
-      case (Some(i), Some(d)) =>
-        i.unionByName(d, allowMissingColumns = true)
-      case (Some(i), None) => i
-      case (None, Some(d)) => d
-      case (None, None) => // no file changed: empty frame, table schema
-        readEvolved(spark, dir, toV).limit(0)
-          .withColumn("_change_type", lit("insert"))
+      else {
+        val fsSet = fs.toSet
+        Some(applyDv(spark, dir,
+          spark.read.option("mergeSchema", "true")
+            .parquet(fs.map(f => Paths.get(dir).resolve(f).toString): _*),
+          dvs.filter { case (f, _) => fsSet(f) })
+          .withColumn("_change_type", lit(tag)))
+      }
+    // DV-only changes on files live at BOTH versions: positions added to
+    // a vector are deletes; positions dropped (a restore past a DV
+    // commit) are inserts. Pairs flow through except() — never the data.
+    val common = b.files.filter(aSet).toSet
+    val dvChanged = (a.dvs.keySet ++ b.dvs.keySet)
+      .filter(f => common(f) && a.dvs.get(f) != b.dvs.get(f))
+    def pairsAt(dvs: Map[String, String]): Option[DataFrame] =
+      dvPairs(spark, dir,
+        dvs.filter { case (f, _) => dvChanged(f) })
+        .map(_.select("f", "ridx")
+          .filter(col("f").isin(dvChanged.toSeq: _*)))
+    def rowsFor(pairs: DataFrame, tag: String): Option[DataFrame] = {
+      // bounded: one row per dv-changed file
+      val fs = pairs.select("f").distinct().collect().map(_.getString(0))
+      if (fs.isEmpty) None
+      else {
+        val key = pairs.select(
+          element_at(split(col("f"), "/"), -1).as("__graft_fn"),
+          col("ridx").as("__graft_ridx"))
+        Some(tagPhys(spark.read.option("mergeSchema", "true")
+          .parquet(fs.map(f => Paths.get(dir).resolve(f).toString): _*))
+          .join(broadcast(key), Seq("__graft_fn", "__graft_ridx"),
+            "left_semi")
+          .drop("__graft_fn", "__graft_ridx")
+          .withColumn("_change_type", lit(tag)))
+      }
     }
+    val (dvDeletes, dvInserts) =
+      if (dvChanged.isEmpty) (None, None)
+      else (pairsAt(a.dvs), pairsAt(b.dvs)) match {
+        case (None, None) => (None, None)
+        case (ap, bp) => // except() on either side tolerates None
+          val aP = ap.getOrElse(bp.get.limit(0))
+          val bP = bp.getOrElse(ap.get.limit(0))
+          (rowsFor(bP.except(aP), "delete"), rowsFor(aP.except(bP), "insert"))
+      }
+    val parts = Seq(readFiles(added, "insert", b.dvs), dvInserts,
+      readFiles(removed, "delete", a.dvs), dvDeletes).flatten
+    if (parts.isEmpty) // no file or vector changed: empty, table schema
+      readEvolved(spark, dir, toV).limit(0)
+        .withColumn("_change_type", lit("insert"))
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** Partition-pruned read: only files tagged with one of `values`.
@@ -440,8 +651,11 @@ object TableLog {
     val keep = snap.files.filter(f =>
       snap.parts.get(f).forall(values.contains))
     require(keep.nonEmpty, s"no files for partitions $values in $dir")
-    spark.read.parquet(keep.map(f =>
-      Paths.get(dir).resolve(f).toString): _*)
+    val keepSet = keep.toSet
+    applyDv(spark, dir,
+      spark.read.parquet(keep.map(f =>
+        Paths.get(dir).resolve(f).toString): _*),
+      snap.dvs.filter { case (f, _) => keepSet(f) })
   }
 
   /** Zone-map-pruned read: footer min/max stats of EXACTLY the committed
@@ -456,7 +670,128 @@ object TableLog {
     val snap = snapshot(dir, version)
     val abs = snap.files.map(f => Paths.get(dir).resolve(f).toString)
     val idx = ParquetTuning.zoneMapIndexFiles(spark, abs, column)
-    ParquetTuning.readZonePruned(spark, idx, lo, hi)
+    val (df, opened, total) = ParquetTuning.readZonePruned(spark, idx, lo, hi)
+    (applyDv(spark, dir, df, snap.dvs), opened, total)
+  }
+
+  // ===== per-file bloom filters (equality data skipping) ===============
+  //
+  // Zone maps prune RANGE predicates on clustered columns; a point
+  // lookup on a column the table is NOT clustered by (the needle-in-
+  // 100TB key fetch) opens every file whose [min,max] straddles the
+  // value — usually all of them. A small per-file bloom bitmap answers
+  // "definitely absent" for equality, so the lookup opens ~1 file + the
+  // false-positive tail. Bitmaps live in the log entry keyed by file
+  // (the Delta per-file-stats shape); at `mBits` = 8192 that is ~1.4 KB
+  // of base64 per file — a 100k-file table would move them to a stats
+  // sidecar parquet, same logic. Hashing runs through Spark's own
+  // xxhash64 on the CANONICAL STRING form of the value (build and probe
+  // must agree bit-for-bit; casting both sides to string makes the
+  // contract type-independent). NULLs are never indexed: `col = x`
+  // can't match a NULL row.
+
+  private def bloomK = 6 // hash count; fp ≈ 0.6^k at 50% occupancy
+
+  private def bloomPosCols(v: org.apache.spark.sql.Column, mBits: Int) = {
+    import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+    (0 until bloomK).map(i =>
+      pmod(xxhash64(lit(i), v), lit(mBits.toLong)).cast("int"))
+  }
+
+  /** Index `column` with per-file bloom bitmaps: ONE distributed pass
+    * over the files not yet indexed (new appends since the last call),
+    * committed as metadata (op "bloom-stats"). Re-running after appends
+    * tops up incrementally; switching columns rebuilds from scratch.
+    * Returns the committed version (current version if nothing new). */
+  def computeBlooms(spark: SparkSession, dir: String, column: String,
+      mBits: Int = 8192, maxRetries: Int = 20): Int = {
+    import org.apache.spark.sql.functions.{array, col, collect_set, explode}
+    require(Integer.bitCount(mBits) == 1, s"mBits must be a power of 2")
+    val snap = snapshot(dir)
+    val prior =
+      if (snap.bloomCol.contains(column) && snap.bloomBits == mBits)
+        snap.blooms
+      else Map.empty[String, String]
+    val need = snap.files.filterNot(prior.contains)
+    if (need.isEmpty) return snap.version
+    val scanned = spark.read.option("mergeSchema", "true")
+      .parquet(need.map(f => Paths.get(dir).resolve(f).toString): _*)
+      .select(col("_metadata.file_name").as("fn"),
+        col(column).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+    // distinct (fn, pos) pairs bound the collect at files × mBits
+    val posSets = scanned
+      .select(col("fn"), explode(array(
+        bloomPosCols(col("v"), mBits): _*)).as("pos"))
+      .distinct()
+      .groupBy("fn").agg(collect_set("pos").as("ps"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    val byName = need.map(f => Paths.get(f).getFileName.toString -> f).toMap
+    val fresh = posSets.map { case (fn, ps) =>
+      val bits = new java.util.BitSet(mBits)
+      ps.foreach(bits.set)
+      byName.getOrElse(fn, sys.error(s"scanned $fn not in snapshot")) ->
+        java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
+    }
+    // an all-null or empty file yields no pairs: an EMPTY bitmap is the
+    // correct index for it (every probe reads "definitely absent")
+    val empty = java.util.Base64.getEncoder
+      .encodeToString(Array.empty[Byte])
+    val newBlooms = need.map(f => f -> fresh.getOrElse(f, empty)).toMap
+    retryCommit(dir, maxRetries) { (head, vNext) =>
+      // index only files still live at the head; keep the head's own
+      // blooms for files it rewrote since our snapshot
+      val headSet = head.files.toSet
+      val base =
+        if (head.bloomCol.contains(column) && head.bloomBits == mBits)
+          head.blooms
+        else Map.empty[String, String]
+      Some(commit(dir, head.files, expectedVersion = vNext,
+        parts = head.parts, txn = head.txn, op = "bloom-stats",
+        dvs = head.dvs, bloomCol = Some(column),
+        blooms = base ++ newBlooms.filter { case (f, _) => headSet(f) },
+        bloomBits = mBits))
+    }.get
+  }
+
+  /** Equality-pruned read: open only files whose bloom bitmap might
+    * contain one of `values` (unindexed files are kept conservatively —
+    * skipping could lose rows, keeping never does). The caller
+    * re-applies the exact predicate. Returns (frame, filesOpened,
+    * filesTotal). */
+  def readBloomPruned(spark: SparkSession, dir: String, column: String,
+      values: Seq[Any], version: Int = -1): (DataFrame, Int, Int) = {
+    import org.apache.spark.sql.functions.lit
+    require(values.nonEmpty, "readBloomPruned needs at least one value")
+    val snap = snapshot(dir, version)
+    require(snap.bloomCol.contains(column),
+      s"no bloom index on $column in $dir (run computeBlooms first)")
+    // probe positions through Spark's own hash kernel — ONE local 1-row
+    // job, so build and probe can never drift
+    val mBits = snap.bloomBits
+    val probes = spark.range(1).select(values.flatMap(v =>
+      bloomPosCols(lit(v.toString), mBits)): _*).head()
+    val posPerValue = values.indices.map(i =>
+      (0 until bloomK).map(j => probes.getInt(i * bloomK + j)))
+    val keep = snap.files.filter { f =>
+      snap.blooms.get(f) match {
+        case None => true // unindexed: conservative
+        case Some(b64) =>
+          val bits = java.util.BitSet.valueOf(
+            java.util.Base64.getDecoder.decode(b64))
+          posPerValue.exists(_.forall(bits.get))
+      }
+    }
+    val keepSet = keep.toSet
+    val df =
+      if (keep.isEmpty) // provably absent everywhere: empty, table schema
+        readEvolved(spark, dir, snap.version).limit(0)
+      else applyDv(spark, dir,
+        spark.read.option("mergeSchema", "true").parquet(
+          keep.map(f => Paths.get(dir).resolve(f).toString): _*),
+        snap.dvs.filter { case (f, _) => keepSet(f) })
+    (df, keep.size, snap.files.size)
   }
 
   /** Compaction (OPTIMIZE): greedy bin-pack of the current version's
@@ -483,7 +818,7 @@ object TableLog {
     if (cur == 0) return (0, 0, 0) // empty table: clean no-op
     val snap = snapshot(dir, cur)
     val v = cur + 1
-    if (snap.files.size <= 1 && clusterBy.isEmpty)
+    if (snap.files.size <= 1 && clusterBy.isEmpty && snap.dvs.isEmpty)
       return (cur, snap.files.size, snap.files.size)
     // per-file row counts from footers only, distributed (one task/file)
     val conf = new org.apache.spark.util.SerializableConfiguration(
@@ -543,7 +878,9 @@ object TableLog {
         val total = fs.iterator.map(counts).sum
         val nOut = math.max(1L, (total + maxRows - 1) / maxRows).toInt
         val abs = fs.map(f => Paths.get(base).resolve(f).toString)
-        val df0 = spark.read.parquet(abs: _*)
+        // rewrites MATERIALIZE deletion vectors: the deleted rows are
+        // dropped here and the outputs carry no vector
+        val df0 = applyDv(spark, dir, spark.read.parquet(abs: _*), snap.dvs)
         val numeric = clusterBy.forall(c => df0.schema(c).dataType match {
           case _: org.apache.spark.sql.types.NumericType => true
           case _ => false
@@ -583,10 +920,13 @@ object TableLog {
           tag)
       } else MergeParquet.planBatches(
         fs.sorted.map(f => f -> counts(f)), maxRows).foreach { bin =>
-        if (bin.size == 1) kept += bin.head
+        // a single-file bin with a deletion vector still rewrites — the
+        // point of compaction is to materialize the vector away
+        if (bin.size == 1 && !snap.dvs.contains(bin.head)) kept += bin.head
         else {
           val abs = bin.map(f => Paths.get(base).resolve(f).toString)
-          writeMerged(spark.read.parquet(abs: _*).coalesce(1), tag)
+          writeMerged(applyDv(spark, dir, spark.read.parquet(abs: _*),
+            snap.dvs).coalesce(1), tag)
         }
       }
     }
@@ -611,11 +951,19 @@ object TableLog {
         s"optimize conflict on $dir: input files rewritten by a " +
           s"concurrent commit (${gone.take(3).mkString(", ")}...); " +
           "re-run optimize against the new head")
+      // a DV landed on an input AFTER our rewrite read it: committing
+      // would resurrect those deleted rows — abort loudly
+      val dvRaced = inputs.filter(f => head.dvs.get(f) != snap.dvs.get(f))
+      if (dvRaced.nonEmpty) throw new IllegalStateException(
+        s"optimize conflict on $dir: concurrent deletion vectors on " +
+          s"(${dvRaced.take(3).mkString(", ")}); re-run optimize")
       val files = head.files.filterNot(inputs) ++ outputs
       val parts = (head.parts -- inputs) ++ outputParts
       committedFiles = files.size
       Some(commit(dir, files, expectedVersion = vNext, parts = parts,
-        txn = head.txn, op = "optimize"))
+        txn = head.txn, op = "optimize", dvs = head.dvs -- inputs,
+        bloomCol = head.bloomCol, blooms = head.blooms -- inputs,
+        bloomBits = head.bloomBits))
     }
     (committed.get, snap.files.size, committedFiles)
   }
@@ -678,7 +1026,7 @@ object TableLog {
       predicate: String, maxRetries: Int, op: String,
       rewrite: (DataFrame, org.apache.spark.sql.Column) => DataFrame)
       : (Int, Long, Int, Int) = {
-    import org.apache.spark.sql.functions.{col, count, expr, input_file_name, lit}
+    import org.apache.spark.sql.functions.{col, count, expr, lit}
     val snap = snapshot(dir)
     val pred = expr(predicate)
     val byName = snap.files.map(f =>
@@ -689,17 +1037,19 @@ object TableLog {
     // mergeSchema on BOTH copy-on-write scans: the touched files may
     // straddle an add-column evolution (see [[readEvolved]]) — without
     // it the rewrite could resolve one footer's narrower schema and
-    // silently DROP the evolved column from the surviving rows
+    // silently DROP the evolved column from the surviving rows.
+    // Deletion vectors apply FIRST: a row already DV-deleted is not
+    // visible, cannot match, and never re-enters through the rewrite.
     // ONE distributed scan: which files hold matches, and how many rows
-    val matchedCounts = spark.read.option("mergeSchema", "true")
-      .parquet(abs: _*)
+    val matchedCounts = antiDv(spark, dir,
+        tagPhys(spark.read.option("mergeSchema", "true").parquet(abs: _*)),
+        snap.dvs)
       .filter(pred)
-      .groupBy(input_file_name().as("f"))
+      .groupBy(col("__graft_fn").as("f"))
       .agg(count(lit(1)).as("n"))
       .collect() // bounded: one row per TOUCHED file
       .map { r =>
-        val base = Paths.get(new java.net.URI(r.getString(0)).getPath)
-          .getFileName.toString
+        val base = r.getString(0)
         byName.getOrElse(base,
           sys.error(s"scanned file $base not in snapshot")) -> r.getLong(1)
       }.toMap
@@ -715,7 +1065,9 @@ object TableLog {
     touched.groupBy(f => snap.parts.get(f)).foreach { case (tag, fs) =>
       val fabs = fs.toSeq.sorted.map(f => Paths.get(dir).resolve(f).toString)
       val rewritten = rewrite(
-        spark.read.option("mergeSchema", "true").parquet(fabs: _*), pred)
+        applyDv(spark, dir,
+          spark.read.option("mergeSchema", "true").parquet(fabs: _*),
+          snap.dvs), pred)
       val staging = Files.createTempDirectory("graft_cow").toString
       rewritten.write.mode("overwrite").parquet(staging)
       val s = Files.list(Paths.get(staging))
@@ -739,11 +1091,17 @@ object TableLog {
       if (gone.nonEmpty) throw new IllegalStateException(
         s"$op conflict on $dir: touched files rewritten by a " +
           s"concurrent commit (${gone.take(3).mkString(", ")})")
+      val dvRaced = touched.filter(f => head.dvs.get(f) != snap.dvs.get(f))
+      if (dvRaced.nonEmpty) throw new IllegalStateException(
+        s"$op conflict on $dir: concurrent deletion vectors on " +
+          s"(${dvRaced.take(3).mkString(", ")})")
       val files = head.files.filterNot(touched) ++ outs.map(_._1)
       val parts = (head.parts -- touched) ++
         outs.collect { case (f, Some(t)) => f -> t }
       Some(commit(dir, files, expectedVersion = vNext, parts = parts,
-        txn = head.txn, op = op))
+        txn = head.txn, op = op, dvs = head.dvs -- touched,
+        bloomCol = head.bloomCol, blooms = head.blooms -- touched,
+        bloomBits = head.bloomBits))
     }
     (committed.get, rowsMatched, touched.size, snap.files.size)
   }
@@ -767,7 +1125,9 @@ object TableLog {
         s"cannot restore $dir to future version $toVersion " +
           s"(head ${prev.version})")
       Some(commit(dir, old.files, expectedVersion = v,
-        parts = old.parts, txn = prev.txn, op = "restore"))
+        parts = old.parts, txn = prev.txn, op = "restore",
+        dvs = old.dvs, bloomCol = old.bloomCol, blooms = old.blooms,
+        bloomBits = old.bloomBits))
     }.get
   }
 
@@ -788,9 +1148,9 @@ object TableLog {
     val cur = currentVersion(dir)
     require(keepFrom >= 1 && keepFrom <= cur,
       s"keepFrom $keepFrom out of range [1, $cur]")
-    val referenced = (keepFrom to cur)
-      .flatMap(v => snapshot(dir, v).files).toSet
-    val dataDir = Paths.get(dir, "data")
+    val retained = (keepFrom to cur).map(v => snapshot(dir, v))
+    val referenced = retained.flatMap(_.files).toSet ++
+      retained.flatMap(_.dvs.values)
     val vPrefix = "v(\\d{5})-.*".r
     val cutoff = System.currentTimeMillis() - graceMs
     def inFlight(p: java.nio.file.Path): Boolean = {
@@ -801,16 +1161,19 @@ object TableLog {
       future || (graceMs > 0L &&
         Files.getLastModifiedTime(p).toMillis >= cutoff)
     }
-    val doomed =
-      if (!Files.exists(dataDir)) Seq.empty[String]
+    def sweep(sub: String): Seq[String] = {
+      val d = Paths.get(dir, sub)
+      if (!Files.exists(d)) Seq.empty[String]
       else {
-        val s = Files.list(dataDir)
+        val s = Files.list(d)
         try s.iterator.asScala
           .filterNot(inFlight)
-          .map(p => "data/" + p.getFileName.toString)
+          .map(p => s"$sub/" + p.getFileName.toString)
           .filterNot(referenced).toSeq
         finally s.close()
       }
+    }
+    val doomed = sweep("data") ++ sweep("dv")
     doomed.foreach(f => Files.deleteIfExists(Paths.get(dir).resolve(f)))
     (1 until keepFrom).foreach(v =>
       Files.deleteIfExists(logDir(dir).resolve(vJson(v))))
