@@ -1841,6 +1841,33 @@ object SparkEntry {
         .withColumn("bloom_pruned", lit(opened < total))
     },
 
+    "k27_incr_view" -> { (s, d) =>
+      // Incremental materialized view (MaterializedView.refresh): a
+      // per-group (count, sum) rollup of a lake table is brought up to
+      // date from the table's own row-level CHANGE FEED — a vectored
+      // delete and a copy-on-write update land in the view WITHOUT
+      // rescanning the snapshot (`incremental` pins the mode). The final
+      // view must equal the from-scratch recompute group-for-group.
+      val dir0 = java.nio.file.Files.createTempDirectory("graft_k27")
+        .toString
+      val src = dir0 + "/src"
+      val view = dir0 + "/view"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        (col("o_custkey") % 100).as("g"),
+        cents(col("o_totalprice")).as("v"))
+      (0 until 3).foreach(i => graft.operators.TableLog.append(
+        o.filter(col("o_orderkey") % 3 === i), src))
+      graft.operators.MaterializedView.refresh(s, view, src, "g", "v")
+      graft.operators.TableLog.deleteVectored(s, src, "o_orderkey % 7 = 3")
+      graft.operators.TableLog.update(s, src, "o_orderkey % 5 = 1",
+        Map("v" -> "v + 9"))
+      val (_, _, _, mode) =
+        graft.operators.MaterializedView.refresh(s, view, src, "g", "v")
+      graft.operators.TableLog.read(s, view)
+        .withColumn("incremental", lit(mode == "incremental"))
+        .orderBy("g")
+    },
+
     "k23_update" -> { (s, d) =>
       // UPDATE ... SET ... WHERE (TableLog.update — copy-on-write):
       // same range-split layout; the first-quintile update rewrites only
@@ -9001,6 +9028,18 @@ object SparkEntry {
          FROM orders
          WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders
                              WHERE o_orderkey >= 1000)""",
+
+    // incremental-view replay: the rollup after a vectored delete and a
+    // copy-on-write update is closed-form per group; TRUE pins that the
+    // second refresh ran off the change feed, not a rescan
+    "k27_incr_view" ->
+      s"""SELECT o_custkey % 100 AS g, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}
+             + CASE WHEN o_orderkey % 5 = 1 THEN 9 ELSE 0 END)
+             AS BIGINT) AS total,
+           TRUE AS incremental
+         FROM orders WHERE NOT (o_orderkey % 7 = 3)
+         GROUP BY 1 ORDER BY 1""",
 
     // copy-on-write UPDATE replay: the +7 lands exactly on the matched
     // rows, everything else byte-identical

@@ -538,6 +538,20 @@ object TableLog {
       maxRetries)
   }
 
+  /** Exactly-once OVERWRITE for a derived-table writer (the refresh
+    * counterpart of [[appendExactlyOnce]]): replaces the table contents
+    * and records `batchId` under `txnId`; a replay (batchId already
+    * recorded as applied) commits nothing and returns None. Like
+    * [[overwrite]], a lost race is a loud conflict — a rebase could
+    * silently clobber a concurrent writer's state. */
+  def overwriteExactlyOnce(df: DataFrame, dir: String, txnId: String,
+      batchId: Long): Option[Int] = {
+    val (prev, v) = planNext(dir)
+    if (prev.txn.get(txnId).exists(_ >= batchId)) return None
+    Some(commit(dir, writeData(df, dir, v), expectedVersion = v,
+      txn = prev.txn + (txnId -> batchId), op = "overwrite"))
+  }
+
   /** Snapshot-isolated read at `version` (latest if -1): resolves the
     * file set from ONE log json, never from directory listing. */
   def read(spark: SparkSession, dir: String, version: Int = -1): DataFrame = {
