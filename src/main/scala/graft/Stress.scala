@@ -795,6 +795,80 @@ object Stress {
       }
     }
 
+    if (sec("r11b")) {
+      time("deletion vectors (10M rows: DV delete, read, materialize)") {
+        // merge-on-read at scale: a selective delete on a 10M-row /
+        // 8-file table must move only the deleted positions (sidecar),
+        // the DV-applied read must not lose whole-stage parallelism,
+        // and OPTIMIZE must fold the vector away exactly
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_stress_dv").toString + "/t"
+        (0 until 8).foreach(i => graft.operators.TableLog.append(
+          spark.range(i * 1250000L, (i + 1) * 1250000L)
+            .select(col("id"), (col("id") * 3L).as("v")), dir))
+        val preFiles = graft.operators.TableLog.snapshot(dir).files.size
+        val (_, nDel, _, _) = graft.operators.TableLog.deleteVectored(
+          spark, dir, "id % 1000 = 7") // 10k positions
+        require(nDel == 10000L, s"dv matched $nDel")
+        require(graft.operators.TableLog.snapshot(dir).files.size ==
+          preFiles, "dv delete rewrote data files")
+        val visible = graft.operators.TableLog.read(spark, dir).count()
+        require(visible == 9990000L, s"visible $visible")
+        graft.operators.TableLog.optimize(spark, dir)
+        require(graft.operators.TableLog.snapshot(dir).dvs.isEmpty)
+        require(graft.operators.TableLog.read(spark, dir).count()
+          == 9990000L)
+      }
+      time("bloom skipping (10M rows, 40 files: point lookup)") {
+        // the needle-in-the-lake fetch: 40 files none of which zone maps
+        // can prune (every file spans the full key range via bit-mixed
+        // keys); the bloom index must open ~1 file, not 40
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_stress_bloom").toString + "/t"
+        (0 until 40).foreach(i => graft.operators.TableLog.append(
+          spark.range(250000L).select(
+            xxhash64(col("id"), lit(i)).as("k"),
+            col("id").as("v")).coalesce(1), dir))
+        graft.operators.TableLog.computeBlooms(spark, dir, "k")
+        // pick a real key from file 17 and fetch it
+        val key = spark.range(99L, 100L)
+          .select(xxhash64(col("id"), lit(17))).head().getLong(0)
+        val (df, opened, total) = graft.operators.TableLog
+          .readBloomPruned(spark, dir, "k", Seq(key))
+        require(total == 40 && opened <= 4,
+          s"bloom opened $opened of $total")
+        require(df.filter(col("k") === key).count() >= 1L)
+        println(s"    opened $opened of $total files")
+      }
+      time("incremental view refresh (10M-row source, 1k-row change)") {
+        // the rollup-freshness path at scale: the second refresh must be
+        // driven by the change feed (reads the DV sidecar diff + no data
+        // file), never a rescan of the 10M rows
+        val base = java.nio.file.Files
+          .createTempDirectory("graft_stress_mv").toString
+        val src = base + "/src"
+        val view = base + "/view"
+        (0 until 4).foreach(i => graft.operators.TableLog.append(
+          spark.range(i * 2500000L, (i + 1) * 2500000L)
+            .select(col("id"), (col("id") % 1000L).as("g"),
+              (col("id") % 97L).as("v")), src))
+        val (_, _, _, m1) = graft.operators.MaterializedView.refresh(
+          spark, view, src, "g", "v")
+        require(m1 == "full")
+        graft.operators.TableLog.deleteVectored(spark, src,
+          "id % 10000 = 3") // 1k-row change on a 10M table
+        val t0 = System.nanoTime()
+        val (_, _, _, m2) = graft.operators.MaterializedView.refresh(
+          spark, view, src, "g", "v")
+        val incS = (System.nanoTime() - t0) / 1e9
+        require(m2 == "incremental")
+        println(f"    incremental refresh: $incS%.2f s")
+        val n = graft.operators.TableLog.read(spark, view)
+          .agg(sum(col("n"))).head().getLong(0)
+        require(n == 9999000L, s"view row-mass $n")
+      }
+    }
+
     val sentinelPost = Bench.sentinelMtMs()
     val total = results.values.sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -51,8 +51,7 @@ object TableLog {
       op: String = "write", ts: Long = 0L,
       dvs: Map[String, String] = Map.empty,
       bloomCol: Option[String] = None,
-      blooms: Map[String, String] = Map.empty,
-      bloomBits: Int = 8192)
+      blooms: Map[String, String] = Map.empty)
 
   /** Thrown by [[commit]] on the optimistic version race — the ONLY
     * conflict the rebase loops retry. TRUE conflicts (a rewrite's input
@@ -103,10 +102,8 @@ object TableLog {
     val blooms = Option(node.get("blooms")).map { bn =>
       bn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
-    val bloomBits = Option(node.get("bloombits")).map(_.asInt())
-      .getOrElse(8192)
     Snapshot(node.get("version").asInt(), files, parts, txn, op, ts, dvs,
-      bloomCol, blooms, bloomBits)
+      bloomCol, blooms)
   }
 
   // escapes control chars too: a partition VALUE containing \n or \t
@@ -138,8 +135,7 @@ object TableLog {
       op: String = "write",
       dvs: Map[String, String] = Map.empty,
       bloomCol: Option[String] = None,
-      blooms: Map[String, String] = Map.empty,
-      bloomBits: Int = 8192): Int = {
+      blooms: Map[String, String] = Map.empty): Int = {
     val ld = logDir(dir)
     Files.createDirectories(ld)
     val v = if (expectedVersion > 0) expectedVersion
@@ -160,7 +156,7 @@ object TableLog {
         .map { case (f, p) => s"${jsonStr(f)}:${jsonStr(p)}" }
         .mkString(""","dvs":{""", ",", "}")
     val bloomJson = bloomCol.fold("") { c =>
-      s""","bloomcol":${jsonStr(c)},"bloombits":$bloomBits""" + (
+      s""","bloomcol":${jsonStr(c)}""" + (
         if (blooms.isEmpty) ""
         else blooms.toSeq.sortBy(_._1)
           .map { case (f, b) => s"${jsonStr(f)}:${jsonStr(b)}" }
@@ -260,8 +256,7 @@ object TableLog {
       else Some(commit(dir, prev.files ++ newFiles, expectedVersion = v,
         parts = prev.parts ++ newParts,
         txn = txnPut.fold(prev.txn)(prev.txn + _), op = "append",
-        dvs = prev.dvs, bloomCol = prev.bloomCol, blooms = prev.blooms,
-        bloomBits = prev.bloomBits))
+        dvs = prev.dvs, bloomCol = prev.bloomCol, blooms = prev.blooms))
     }
 
   // ===== deletion vectors (merge-on-read position deletes) =============
@@ -391,8 +386,7 @@ object TableLog {
         Some(commit(dir, head.files, expectedVersion = vNext,
           parts = head.parts, txn = head.txn, op = "delete-dv",
           dvs = head.dvs ++ touched.map(_ -> dvRel),
-          bloomCol = head.bloomCol, blooms = head.blooms,
-          bloomBits = head.bloomBits))
+          bloomCol = head.bloomCol, blooms = head.blooms))
       }
       (committed.get, nDel, touched.size, snap.files.size)
     } finally matches.unpersist()
@@ -693,18 +687,21 @@ object TableLog {
   // Zone maps prune RANGE predicates on clustered columns; a point
   // lookup on a column the table is NOT clustered by (the needle-in-
   // 100TB key fetch) opens every file whose [min,max] straddles the
-  // value — usually all of them. A small per-file bloom bitmap answers
-  // "definitely absent" for equality, so the lookup opens ~1 file + the
-  // false-positive tail. Bitmaps live in the log entry keyed by file
-  // (the Delta per-file-stats shape); at `mBits` = 8192 that is ~1.4 KB
-  // of base64 per file — a 100k-file table would move them to a stats
-  // sidecar parquet, same logic. Hashing runs through Spark's own
-  // xxhash64 on the CANONICAL STRING form of the value (build and probe
-  // must agree bit-for-bit; casting both sides to string makes the
-  // contract type-independent). NULLs are never indexed: `col = x`
-  // can't match a NULL row.
+  // value — usually all of them. A per-file bloom bitmap answers
+  // "definitely absent" for equality, so the lookup opens ~1 file plus
+  // the false-positive tail. Bitmaps are auto-sized from the build
+  // batch's largest file (~10 bits/row, fp ≈ 1.6% at k = 6) and live in
+  // a stats/ sidecar parquet — (file, bitmap) rows, one sidecar per
+  // [[computeBlooms]] call; the log entry maps each indexed file to its
+  // sidecar (the shape deletion vectors use), so the log stays O(files)
+  // however large the bitmaps grow. Hashing runs through Spark's own
+  // xxhash64 over the CANONICAL STRING form of the value — build and
+  // probe must agree bit-for-bit, and casting both sides to string
+  // makes the contract type-independent. NULLs are never indexed:
+  // `col = x` can't match a NULL row. An indexed file with no sidecar
+  // row held only NULLs — "definitely absent" for every probe.
 
-  private def bloomK = 6 // hash count; fp ≈ 0.6^k at 50% occupancy
+  private def bloomK = 6
 
   private def bloomPosCols(v: org.apache.spark.sql.Column, mBits: Int) = {
     import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
@@ -712,68 +709,111 @@ object TableLog {
       pmod(xxhash64(lit(i), v), lit(mBits.toLong)).cast("int"))
   }
 
-  /** Index `column` with per-file bloom bitmaps: ONE distributed pass
-    * over the files not yet indexed (new appends since the last call),
-    * committed as metadata (op "bloom-stats"). Re-running after appends
-    * tops up incrementally; switching columns rebuilds from scratch.
-    * Returns the committed version (current version if nothing new). */
+  /** Per-file row counts from parquet footers only — one distributed
+    * task per file, no data pages read. */
+  private def footerCounts(spark: SparkSession, dir: String,
+      files: Seq[String]): Map[String, Long] = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
+    val base = dir
+    files.toDS().map { rel =>
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val p = new org.apache.hadoop.fs.Path(
+        Paths.get(base).resolve(rel).toString)
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf.value))
+      try rel -> r.getRecordCount finally r.close()
+    }.collect().toMap
+  }
+
+  /** Index `column` with per-file bloom bitmaps: one footer pass to size
+    * the bitmap, ONE distributed scan of the files not yet indexed (new
+    * appends since the last call) building per-file bitmaps with
+    * map-side partial OR — shuffle volume is O(tasks × bitmap), never
+    * the position stream — then a sidecar write and a metadata commit
+    * (op "bloom-stats"). Re-running after appends tops up
+    * incrementally; switching columns rebuilds from scratch. Returns
+    * the committed version (current version if nothing new). */
   def computeBlooms(spark: SparkSession, dir: String, column: String,
-      mBits: Int = 8192, maxRetries: Int = 20): Int = {
-    import org.apache.spark.sql.functions.{array, col, collect_set, explode}
-    require(Integer.bitCount(mBits) == 1, s"mBits must be a power of 2")
+      bitsPerRow: Int = 10, maxRetries: Int = 20): Int = {
+    import org.apache.spark.sql.functions.{array, col}
+    import spark.implicits._
+    require(bitsPerRow >= 1, s"bitsPerRow must be positive: $bitsPerRow")
     val snap = snapshot(dir)
-    val prior =
-      if (snap.bloomCol.contains(column) && snap.bloomBits == mBits)
-        snap.blooms
-      else Map.empty[String, String]
+    val prior = if (snap.bloomCol.contains(column)) snap.blooms
+                else Map.empty[String, String]
     val need = snap.files.filterNot(prior.contains)
     if (need.isEmpty) return snap.version
+    val maxRows = footerCounts(spark, dir, need).values
+      .foldLeft(1L)(math.max)
+    // power-of-two bits, clamped to [8 Kbit, 512 Mbit (64 MB)]
+    val want = math.min(maxRows * bitsPerRow, 1L << 29).toInt
+    val mBits = if (Integer.bitCount(want) == 1) math.max(want, 8192)
+                else math.max(Integer.highestOneBit(want) << 1, 8192)
+    val mBytes = mBits / 8
     val scanned = spark.read.option("mergeSchema", "true")
       .parquet(need.map(f => Paths.get(dir).resolve(f).toString): _*)
       .select(col("_metadata.file_name").as("fn"),
-        col(column).cast("string").as("v"))
-      .filter(col("v").isNotNull)
-    // distinct (fn, pos) pairs bound the collect at files × mBits
-    val posSets = scanned
-      .select(col("fn"), explode(array(
-        bloomPosCols(col("v"), mBits): _*)).as("pos"))
-      .distinct()
-      .groupBy("fn").agg(collect_set("pos").as("ps"))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+        array(bloomPosCols(col(column).cast("string"), mBits): _*)
+          .as("ps"))
+      .filter(col(column).cast("string").isNotNull)
+      .as[(String, Seq[Int])]
+    // map-side partial bitmaps (one per file per task), OR-merged per file
+    val bitmapDs = scanned.mapPartitions { it =>
+      val acc = scala.collection.mutable.HashMap.empty[String, Array[Byte]]
+      it.foreach { case (fn, ps) =>
+        val b = acc.getOrElseUpdate(fn, new Array[Byte](mBytes))
+        ps.foreach(p => b(p >>> 3) = (b(p >>> 3) | (1 << (p & 7))).toByte)
+      }
+      acc.iterator
+    }.groupByKey(_._1).reduceGroups { (a, b) =>
+      val ba = a._2; val bb = b._2
+      var i = 0
+      while (i < ba.length) { ba(i) = (ba(i) | bb(i)).toByte; i += 1 }
+      a
+    }.map(_._2)
+    // sidecar rows carry the log-relative path (the DV convention)
     val byName = need.map(f => Paths.get(f).getFileName.toString -> f).toMap
-    val fresh = posSets.map { case (fn, ps) =>
-      val bits = new java.util.BitSet(mBits)
-      ps.foreach(bits.set)
-      byName.getOrElse(fn, sys.error(s"scanned $fn not in snapshot")) ->
-        java.util.Base64.getEncoder.encodeToString(bits.toByteArray)
-    }
-    // an all-null or empty file yields no pairs: an EMPTY bitmap is the
-    // correct index for it (every probe reads "definitely absent")
-    val empty = java.util.Base64.getEncoder
-      .encodeToString(Array.empty[Byte])
-    val newBlooms = need.map(f => f -> fresh.getOrElse(f, empty)).toMap
+    val lookup = byName.toSeq.toDF("fn", "f")
+    import org.apache.spark.sql.functions.broadcast
+    val sidecarDf = bitmapDs.toDF("fn", "bits")
+      .join(broadcast(lookup), "fn").select("f", "bits")
+    val (_, v) = planNext(dir)
+    val staging = Files.createTempDirectory("graft_bloom").toString
+    sidecarDf.repartition(1).write.mode("overwrite").parquet(staging)
+    Files.createDirectories(Paths.get(dir, "stats"))
+    val sl = Files.list(Paths.get(staging))
+    val sidecarRel = try {
+      val p0 = sl.iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error("empty bloom staging"))
+      val rel = f"stats/v$v%05d-bloom-${p0.getFileName.toString}"
+      Files.move(p0, Paths.get(dir).resolve(rel),
+        StandardCopyOption.ATOMIC_MOVE)
+      rel
+    } finally sl.close()
     retryCommit(dir, maxRetries) { (head, vNext) =>
       // index only files still live at the head; keep the head's own
       // blooms for files it rewrote since our snapshot
       val headSet = head.files.toSet
-      val base =
-        if (head.bloomCol.contains(column) && head.bloomBits == mBits)
-          head.blooms
-        else Map.empty[String, String]
+      val base = if (head.bloomCol.contains(column)) head.blooms
+                 else Map.empty[String, String]
       Some(commit(dir, head.files, expectedVersion = vNext,
         parts = head.parts, txn = head.txn, op = "bloom-stats",
         dvs = head.dvs, bloomCol = Some(column),
-        blooms = base ++ newBlooms.filter { case (f, _) => headSet(f) },
-        bloomBits = mBits))
+        blooms = base ++
+          need.filter(headSet).map(_ -> sidecarRel)))
     }.get
   }
 
   /** Equality-pruned read: open only files whose bloom bitmap might
     * contain one of `values` (unindexed files are kept conservatively —
-    * skipping could lose rows, keeping never does). The caller
-    * re-applies the exact predicate. Returns (frame, filesOpened,
-    * filesTotal). */
+    * skipping could lose rows, keeping never does). Probe values hash
+    * through their `toString` form, which must equal Spark's
+    * cast-to-string of the column (true for long/int/string keys). The
+    * caller re-applies the exact predicate. Returns (frame,
+    * filesOpened, filesTotal). */
   def readBloomPruned(spark: SparkSession, dir: String, column: String,
       values: Seq[Any], version: Int = -1): (DataFrame, Int, Int) = {
     import org.apache.spark.sql.functions.lit
@@ -781,20 +821,35 @@ object TableLog {
     val snap = snapshot(dir, version)
     require(snap.bloomCol.contains(column),
       s"no bloom index on $column in $dir (run computeBlooms first)")
-    // probe positions through Spark's own hash kernel — ONE local 1-row
-    // job, so build and probe can never drift
-    val mBits = snap.bloomBits
-    val probes = spark.range(1).select(values.flatMap(v =>
-      bloomPosCols(lit(v.toString), mBits)): _*).head()
-    val posPerValue = values.indices.map(i =>
-      (0 until bloomK).map(j => probes.getInt(i * bloomK + j)))
+    // bitmaps of the CURRENT mapping only: a sidecar row counts iff the
+    // snapshot still maps that file to that sidecar (a column switch or
+    // rewrite leaves stale sidecar rows for other versions)
+    val bitmaps = scala.collection.mutable.HashMap.empty[String, Array[Byte]]
+    snap.blooms.groupBy(_._2).foreach { case (sidecar, m) =>
+      val fs = m.keySet
+      spark.read.parquet(Paths.get(dir).resolve(sidecar).toString)
+        .collect().foreach { r =>
+          val f = r.getString(0)
+          if (fs(f)) bitmaps(f) = r.getAs[Array[Byte]](1)
+        }
+    }
+    // probe positions through Spark's own hash kernel — one local 1-row
+    // job per distinct bitmap size, so build and probe can never drift
+    val posCache = scala.collection.mutable.HashMap.empty[Int, Seq[Seq[Int]]]
+    def positions(mBits: Int): Seq[Seq[Int]] =
+      posCache.getOrElseUpdate(mBits, {
+        val probes = spark.range(1).select(values.flatMap(v =>
+          bloomPosCols(lit(v.toString), mBits)): _*).head()
+        values.indices.map(i =>
+          (0 until bloomK).map(j => probes.getInt(i * bloomK + j)))
+      })
     val keep = snap.files.filter { f =>
-      snap.blooms.get(f) match {
-        case None => true // unindexed: conservative
-        case Some(b64) =>
-          val bits = java.util.BitSet.valueOf(
-            java.util.Base64.getDecoder.decode(b64))
-          posPerValue.exists(_.forall(bits.get))
+      if (!snap.blooms.contains(f)) true // unindexed: conservative
+      else bitmaps.get(f) match {
+        case None => false // indexed, all-NULL file: definitely absent
+        case Some(bytes) =>
+          positions(bytes.length * 8).exists(_.forall(p =>
+            (bytes(p >>> 3) & (1 << (p & 7))) != 0))
       }
     }
     val keepSet = keep.toSet
@@ -835,18 +890,8 @@ object TableLog {
     if (snap.files.size <= 1 && clusterBy.isEmpty && snap.dvs.isEmpty)
       return (cur, snap.files.size, snap.files.size)
     // per-file row counts from footers only, distributed (one task/file)
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    import spark.implicits._
     val base = dir
-    val counts = snap.files.toDS().map { rel =>
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      val p = new org.apache.hadoop.fs.Path(
-        Paths.get(base).resolve(rel).toString)
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf.value))
-      try rel -> r.getRecordCount finally r.close()
-    }.collect().toMap
+    val counts = footerCounts(spark, dir, snap.files)
     // work within each partition-tag group so tags stay exact
     val groups = snap.files.groupBy(f => snap.parts.get(f)).toSeq
       .sortBy(_._1.getOrElse(""))
@@ -976,8 +1021,7 @@ object TableLog {
       committedFiles = files.size
       Some(commit(dir, files, expectedVersion = vNext, parts = parts,
         txn = head.txn, op = "optimize", dvs = head.dvs -- inputs,
-        bloomCol = head.bloomCol, blooms = head.blooms -- inputs,
-        bloomBits = head.bloomBits))
+        bloomCol = head.bloomCol, blooms = head.blooms -- inputs))
     }
     (committed.get, snap.files.size, committedFiles)
   }
@@ -1114,8 +1158,7 @@ object TableLog {
         outs.collect { case (f, Some(t)) => f -> t }
       Some(commit(dir, files, expectedVersion = vNext, parts = parts,
         txn = head.txn, op = op, dvs = head.dvs -- touched,
-        bloomCol = head.bloomCol, blooms = head.blooms -- touched,
-        bloomBits = head.bloomBits))
+        bloomCol = head.bloomCol, blooms = head.blooms -- touched))
     }
     (committed.get, rowsMatched, touched.size, snap.files.size)
   }
@@ -1140,8 +1183,7 @@ object TableLog {
           s"(head ${prev.version})")
       Some(commit(dir, old.files, expectedVersion = v,
         parts = old.parts, txn = prev.txn, op = "restore",
-        dvs = old.dvs, bloomCol = old.bloomCol, blooms = old.blooms,
-        bloomBits = old.bloomBits))
+        dvs = old.dvs, bloomCol = old.bloomCol, blooms = old.blooms))
     }.get
   }
 
@@ -1164,7 +1206,7 @@ object TableLog {
       s"keepFrom $keepFrom out of range [1, $cur]")
     val retained = (keepFrom to cur).map(v => snapshot(dir, v))
     val referenced = retained.flatMap(_.files).toSet ++
-      retained.flatMap(_.dvs.values)
+      retained.flatMap(_.dvs.values) ++ retained.flatMap(_.blooms.values)
     val vPrefix = "v(\\d{5})-.*".r
     val cutoff = System.currentTimeMillis() - graceMs
     def inFlight(p: java.nio.file.Path): Boolean = {
@@ -1187,7 +1229,7 @@ object TableLog {
         finally s.close()
       }
     }
-    val doomed = sweep("data") ++ sweep("dv")
+    val doomed = sweep("data") ++ sweep("dv") ++ sweep("stats")
     doomed.foreach(f => Files.deleteIfExists(Paths.get(dir).resolve(f)))
     (1 until keepFrom).foreach(v =>
       Files.deleteIfExists(logDir(dir).resolve(vJson(v))))
