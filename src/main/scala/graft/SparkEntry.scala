@@ -1841,6 +1841,47 @@ object SparkEntry {
         .withColumn("bloom_pruned", lit(opened < total))
     },
 
+    "k26b_bloom_maintained" -> { (s, d) =>
+      // bloom-index auto-maintenance across rewrites (round-11 verdict
+      // item 3): the banded table is indexed ONCE; two later unindexed
+      // appends then OPTIMIZE — the compaction tops up bitmaps for its
+      // rewrite outputs INSIDE the optimize commit (carried-through
+      // files keep theirs), so the point lookup prunes again with NO
+      // manual computeBlooms re-run. `maintained` pins every live file
+      // indexed; `bloom_pruned` pins filesOpened < filesTotal.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k26b")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), cents(col("o_totalprice")).as("price_cents"))
+      val b = o.agg(min("o_custkey"), max("o_custkey")).first()
+      val lo = b.getLong(0)
+      val w = math.max(1L, (b.getLong(1) - lo + 1) / 8)
+      val banded = o.withColumn("band",
+        least(lit(7L), floor((col("o_custkey") - lit(lo)) / lit(w))
+          .cast("long")))
+      graft.operators.TableLog.appendPartitioned(
+        banded.repartition(8, col("band")), dir, "band")
+      graft.operators.TableLog.computeBlooms(s, dir, "o_orderkey")
+      // unindexed late arrivals (disjoint key space, +1 cent marker)
+      def extra(m: Int) = o.filter(col("o_orderkey") % 97 === m)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), (col("price_cents") + 1).as("price_cents"),
+          lit(-1L).as("band")).coalesce(1)
+      graft.operators.TableLog.append(extra(0), dir)
+      graft.operators.TableLog.append(extra(1), dir)
+      graft.operators.TableLog.optimize(s, dir) // tops up blooms itself
+      val snap = graft.operators.TableLog.snapshot(dir)
+      val maintained = snap.blooms.keySet == snap.files.toSet
+      val key = o.filter(col("o_orderkey") >= 1000)
+        .agg(min("o_orderkey")).first().getLong(0)
+      val (pruned, opened, total) = graft.operators.TableLog
+        .readBloomPruned(s, dir, "o_orderkey", Seq(key))
+      pruned.filter(col("o_orderkey") === key)
+        .select(col("o_orderkey"), col("o_custkey"), col("price_cents"))
+        .withColumn("bloom_pruned", lit(opened < total))
+        .withColumn("maintained", lit(maintained))
+    },
+
     "k27_incr_view" -> { (s, d) =>
       // Incremental materialized view (MaterializedView.refresh): a
       // per-group (count, sum) rollup of a lake table is brought up to
@@ -9025,6 +9066,18 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey,
            CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
            TRUE AS bloom_pruned
+         FROM orders
+         WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders
+                             WHERE o_orderkey >= 1000)""",
+
+    // bloom auto-maintenance replay: the probed row is untouched by the
+    // late-arrival appends (disjoint +10M key space), so it replays
+    // closed-form; TRUE pins pruning resumed post-OPTIMIZE with no
+    // manual recompute and every live file indexed
+    "k26b_bloom_maintained" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents,
+           TRUE AS bloom_pruned, TRUE AS maintained
          FROM orders
          WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders
                              WHERE o_orderkey >= 1000)""",

@@ -242,8 +242,12 @@ object Changelog {
       .otherwise(col(afterCol) - col(beforeCol))
     val deltas = changes.groupBy(col(groupCol))
       .agg(sum(dn).as("_dn"), sum(dv).as("_dv"))
-    agg.join(deltas, Seq(groupCol), "full_outer")
-      .select(col(groupCol),
+      .withColumnRenamed(groupCol, "_g")
+    // NULL-SAFE key equality (<=>): a plain equi-join never matches NULL
+    // group keys, so the view would accumulate a duplicate null-group row
+    // per refresh instead of merging the delta
+    agg.join(deltas, col(groupCol) <=> col("_g"), "full_outer")
+      .select(coalesce(col(groupCol), col("_g")).as(groupCol),
         (coalesce(col("n"), lit(0L)) + coalesce(col("_dn"), lit(0L)))
           .as("n"),
         (coalesce(col("total"), lit(0L)) + coalesce(col("_dv"), lit(0L)))

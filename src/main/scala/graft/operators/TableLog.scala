@@ -679,7 +679,12 @@ object TableLog {
     val abs = snap.files.map(f => Paths.get(dir).resolve(f).toString)
     val idx = ParquetTuning.zoneMapIndexFiles(spark, abs, column)
     val (df, opened, total) = ParquetTuning.readZonePruned(spark, idx, lo, hi)
-    (applyDv(spark, dir, df, snap.dvs), opened, total)
+    // zero kept files: return an empty frame WITH the table schema —
+    // applyDv's _metadata tag does not exist on an empty local relation,
+    // so routing spark.emptyDataFrame through it crashes the analyzer
+    if (opened == 0) (readEvolved(spark, dir, snap.version).limit(0),
+      opened, total)
+    else (applyDv(spark, dir, df, snap.dvs), opened, total)
   }
 
   // ===== per-file bloom filters (equality data skipping) ===============
@@ -727,25 +732,25 @@ object TableLog {
     }.collect().toMap
   }
 
-  /** Index `column` with per-file bloom bitmaps: one footer pass to size
-    * the bitmap, ONE distributed scan of the files not yet indexed (new
-    * appends since the last call) building per-file bitmaps with
-    * map-side partial OR — shuffle volume is O(tasks × bitmap), never
-    * the position stream — then a sidecar write and a metadata commit
-    * (op "bloom-stats"). Re-running after appends tops up
-    * incrementally; switching columns rebuilds from scratch. Returns
-    * the committed version (current version if nothing new). */
-  def computeBlooms(spark: SparkSession, dir: String, column: String,
-      bitsPerRow: Int = 10, maxRetries: Int = 20): Int = {
-    import org.apache.spark.sql.functions.{array, col}
+  /** Build per-file bloom bitmaps for `files` and stage them as ONE
+    * stats/ sidecar parquet (NOT yet committed); returns its relative
+    * path. Shared by [[computeBlooms]] and the rewrite top-ups inside
+    * [[optimize]]/[[rewriteMatched]]. One footer pass sizes the bitmap,
+    * ONE distributed scan builds per-file bitmaps with map-side partial
+    * OR — shuffle volume is O(tasks × bitmap), never the position
+    * stream. */
+  private def stageBloomSidecar(spark: SparkSession, dir: String,
+      column: String, files: Seq[String], v: Int,
+      bitsPerRow: Int): String = {
+    import org.apache.spark.sql.functions.{array, broadcast, col}
     import spark.implicits._
     require(bitsPerRow >= 1, s"bitsPerRow must be positive: $bitsPerRow")
-    val snap = snapshot(dir)
-    val prior = if (snap.bloomCol.contains(column)) snap.blooms
-                else Map.empty[String, String]
-    val need = snap.files.filterNot(prior.contains)
-    if (need.isEmpty) return snap.version
-    val maxRows = footerCounts(spark, dir, need).values
+    // same basename-uniqueness guard deleteVectored carries: a collision
+    // would OR two files' positions into one bitmap row and misattribute
+    // the sidecar mapping (never true under v-prefixed naming)
+    require(files.map(f => Paths.get(f).getFileName.toString).distinct.size
+      == files.size, s"duplicate data-file basenames in $dir")
+    val maxRows = footerCounts(spark, dir, files).values
       .foldLeft(1L)(math.max)
     // power-of-two bits, clamped to [8 Kbit, 512 Mbit (64 MB)]
     val want = math.min(maxRows * bitsPerRow, 1L << 29).toInt
@@ -753,7 +758,7 @@ object TableLog {
                 else math.max(Integer.highestOneBit(want) << 1, 8192)
     val mBytes = mBits / 8
     val scanned = spark.read.option("mergeSchema", "true")
-      .parquet(need.map(f => Paths.get(dir).resolve(f).toString): _*)
+      .parquet(files.map(f => Paths.get(dir).resolve(f).toString): _*)
       .select(col("_metadata.file_name").as("fn"),
         array(bloomPosCols(col(column).cast("string"), mBits): _*)
           .as("ps"))
@@ -774,17 +779,15 @@ object TableLog {
       a
     }.map(_._2)
     // sidecar rows carry the log-relative path (the DV convention)
-    val byName = need.map(f => Paths.get(f).getFileName.toString -> f).toMap
+    val byName = files.map(f => Paths.get(f).getFileName.toString -> f).toMap
     val lookup = byName.toSeq.toDF("fn", "f")
-    import org.apache.spark.sql.functions.broadcast
     val sidecarDf = bitmapDs.toDF("fn", "bits")
       .join(broadcast(lookup), "fn").select("f", "bits")
-    val (_, v) = planNext(dir)
     val staging = Files.createTempDirectory("graft_bloom").toString
     sidecarDf.repartition(1).write.mode("overwrite").parquet(staging)
     Files.createDirectories(Paths.get(dir, "stats"))
     val sl = Files.list(Paths.get(staging))
-    val sidecarRel = try {
+    try {
       val p0 = sl.iterator.asScala
         .find(_.getFileName.toString.endsWith(".parquet"))
         .getOrElse(sys.error("empty bloom staging"))
@@ -793,6 +796,25 @@ object TableLog {
         StandardCopyOption.ATOMIC_MOVE)
       rel
     } finally sl.close()
+  }
+
+  /** Index `column` with per-file bloom bitmaps: builds a sidecar for
+    * the files not yet indexed (new appends since the last call) and
+    * commits the mapping (op "bloom-stats"). Re-running after appends
+    * tops up incrementally; switching columns rebuilds from scratch;
+    * [[optimize]] and copy-on-write DML top up rewrite outputs
+    * automatically, so the index never silently decays. Returns the
+    * committed version (current version if nothing new). */
+  def computeBlooms(spark: SparkSession, dir: String, column: String,
+      bitsPerRow: Int = 10, maxRetries: Int = 20): Int = {
+    val snap = snapshot(dir)
+    val prior = if (snap.bloomCol.contains(column)) snap.blooms
+                else Map.empty[String, String]
+    val need = snap.files.filterNot(prior.contains)
+    if (need.isEmpty) return snap.version
+    val (_, v) = planNext(dir)
+    val sidecarRel = stageBloomSidecar(spark, dir, column, need, v,
+      bitsPerRow)
     retryCommit(dir, maxRetries) { (head, vNext) =>
       // index only files still live at the head; keep the head's own
       // blooms for files it rewrote since our snapshot
@@ -813,44 +835,59 @@ object TableLog {
     * through their `toString` form, which must equal Spark's
     * cast-to-string of the column (true for long/int/string keys). The
     * caller re-applies the exact predicate. Returns (frame,
-    * filesOpened, filesTotal). */
+    * filesOpened, filesTotal).
+    *
+    * Scale: the probe runs as ONE distributed job over the sidecar rows —
+    * each task evaluates its bitmaps in place and emits (file, hit), so
+    * driver residency is O(indexed files) BOOLEANS, never the bitmaps
+    * themselves (at 100 TB / ~10¹¹ indexed rows the bitmaps total
+    * ~10 GB+ — collecting them was the one driver scale-killer on
+    * exactly the needle-in-100TB path this index exists for). */
   def readBloomPruned(spark: SparkSession, dir: String, column: String,
       values: Seq[Any], version: Int = -1): (DataFrame, Int, Int) = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{lit, xxhash64}
     require(values.nonEmpty, "readBloomPruned needs at least one value")
     val snap = snapshot(dir, version)
     require(snap.bloomCol.contains(column),
       s"no bloom index on $column in $dir (run computeBlooms first)")
-    // bitmaps of the CURRENT mapping only: a sidecar row counts iff the
-    // snapshot still maps that file to that sidecar (a column switch or
-    // rewrite leaves stale sidecar rows for other versions)
-    val bitmaps = scala.collection.mutable.HashMap.empty[String, Array[Byte]]
-    snap.blooms.groupBy(_._2).foreach { case (sidecar, m) =>
-      val fs = m.keySet
-      spark.read.parquet(Paths.get(dir).resolve(sidecar).toString)
-        .collect().foreach { r =>
-          val f = r.getString(0)
-          if (fs(f)) bitmaps(f) = r.getAs[Array[Byte]](1)
-        }
-    }
-    // probe positions through Spark's own hash kernel — one local 1-row
-    // job per distinct bitmap size, so build and probe can never drift
-    val posCache = scala.collection.mutable.HashMap.empty[Int, Seq[Seq[Int]]]
-    def positions(mBits: Int): Seq[Seq[Int]] =
-      posCache.getOrElseUpdate(mBits, {
-        val probes = spark.range(1).select(values.flatMap(v =>
-          bloomPosCols(lit(v.toString), mBits)): _*).head()
-        values.indices.map(i =>
-          (0 until bloomK).map(j => probes.getInt(i * bloomK + j)))
-      })
+    // raw 64-bit probe hashes through Spark's OWN hash kernel (one local
+    // 1-row job) so build and probe can never drift; the per-bitmap
+    // modulo folds in executor-side, where the bitmap length is known
+    val hashRow = spark.range(1).select(values.flatMap(v =>
+      (0 until bloomK).map(i => xxhash64(lit(i), lit(v.toString)))): _*)
+      .head()
+    val probeHashes: Array[Array[Long]] = values.indices.map(i =>
+      (0 until bloomK).map(j => hashRow.getLong(i * bloomK + j)).toArray)
+      .toArray
+    // distributed probe over the CURRENT mapping's sidecar rows only: a
+    // sidecar row counts iff the snapshot still maps that file to that
+    // sidecar (a column switch or rewrite leaves stale rows behind)
+    val hitByFile: Map[String, Boolean] =
+      if (snap.blooms.isEmpty) Map.empty
+      else {
+        import spark.implicits._
+        val parts = snap.blooms.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (sidecar, m) =>
+            val fs = m.keySet.toSeq
+            spark.read
+              .parquet(Paths.get(dir).resolve(sidecar).toString)
+              .filter(org.apache.spark.sql.functions.col("f")
+                .isin(fs: _*))
+          }
+        parts.reduce(_.unionByName(_)).as[(String, Array[Byte])]
+          .map { case (f, bytes) =>
+            val m = bytes.length.toLong * 8L
+            val hit = probeHashes.exists(_.forall { h =>
+              val p = (((h % m) + m) % m).toInt
+              (bytes(p >>> 3) & (1 << (p & 7))) != 0
+            })
+            (f, hit)
+          }.collect().toMap // bounded: ONE boolean per indexed file
+      }
     val keep = snap.files.filter { f =>
       if (!snap.blooms.contains(f)) true // unindexed: conservative
-      else bitmaps.get(f) match {
-        case None => false // indexed, all-NULL file: definitely absent
-        case Some(bytes) =>
-          positions(bytes.length * 8).exists(_.forall(p =>
-            (bytes(p >>> 3) & (1 << (p & 7))) != 0))
-      }
+      // indexed but no sidecar row: all-NULL file — definitely absent
+      else hitByFile.getOrElse(f, false)
     }
     val keepSet = keep.toSet
     val df =
@@ -996,6 +1033,17 @@ object TableLog {
     val outputParts = keptFiles.flatMap(f =>
       snap.parts.get(f).map(f -> _)).toMap ++
       mergedFiles.collect { case (f, Some(t)) => f -> t }.toMap
+    // auto-maintain the bloom index across the rewrite: one sidecar for
+    // the rewritten outputs, committed atomically with them — without
+    // this the index silently decays (conservative unpruned opens) until
+    // a manual computeBlooms re-run
+    val bloomTopUp: Map[String, String] = snap.bloomCol match {
+      case Some(c) if mergedFiles.nonEmpty =>
+        val rel = stageBloomSidecar(spark, dir, c,
+          mergedFiles.map(_._1), v, bitsPerRow = 10)
+        mergedFiles.map(_._1 -> rel).toMap
+      case _ => Map.empty
+    }
     // Rebase-retrying commit: a compaction only CONFLICTS with a commit
     // that removed one of its input files (another rewrite); an append
     // that landed meanwhile is a non-conflict — reload the head, carry
@@ -1019,9 +1067,18 @@ object TableLog {
       val files = head.files.filterNot(inputs) ++ outputs
       val parts = (head.parts -- inputs) ++ outputParts
       committedFiles = files.size
+      // drop bloom entries only for files actually REWRITTEN — a kept
+      // (carried-through) file's bitmap is still byte-valid; add the
+      // top-up sidecar for the rewrite outputs (same column only — a
+      // racer that switched the indexed column wins)
+      val rewritten = inputs -- keptFiles
+      val blooms =
+        if (head.bloomCol == snap.bloomCol)
+          (head.blooms -- rewritten) ++ bloomTopUp
+        else head.blooms -- rewritten
       Some(commit(dir, files, expectedVersion = vNext, parts = parts,
         txn = head.txn, op = "optimize", dvs = head.dvs -- inputs,
-        bloomCol = head.bloomCol, blooms = head.blooms -- inputs))
+        bloomCol = head.bloomCol, blooms = blooms))
     }
     (committed.get, snap.files.size, committedFiles)
   }
@@ -1142,6 +1199,15 @@ object TableLog {
       grp += 1
     }
     val outs = outputs.result()
+    // auto-maintain the bloom index: the touched files' bitmaps die with
+    // them — index their replacements in the same commit (see optimize)
+    val bloomTopUp: Map[String, String] = snap.bloomCol match {
+      case Some(c) if outs.nonEmpty =>
+        val rel = stageBloomSidecar(spark, dir, c, outs.map(_._1), v,
+          bitsPerRow = 10)
+        outs.map(_._1 -> rel).toMap
+      case _ => Map.empty
+    }
     // commit with rebase over concurrent appends; abort if a TOUCHED
     // file was rewritten underneath us (same contract as optimize)
     val committed = retryCommit(dir, maxRetries) { (head, vNext) =>
@@ -1156,9 +1222,13 @@ object TableLog {
       val files = head.files.filterNot(touched) ++ outs.map(_._1)
       val parts = (head.parts -- touched) ++
         outs.collect { case (f, Some(t)) => f -> t }
+      val blooms =
+        if (head.bloomCol == snap.bloomCol)
+          (head.blooms -- touched) ++ bloomTopUp
+        else head.blooms -- touched
       Some(commit(dir, files, expectedVersion = vNext, parts = parts,
         txn = head.txn, op = op, dvs = head.dvs -- touched,
-        bloomCol = head.bloomCol, blooms = head.blooms -- touched))
+        bloomCol = head.bloomCol, blooms = blooms))
     }
     (committed.get, rowsMatched, touched.size, snap.files.size)
   }
@@ -1187,6 +1257,13 @@ object TableLog {
     }.get
   }
 
+  /** Default vacuum retention grace: 10 minutes. Long enough that a
+    * rebasing writer's staged-but-not-yet-committed files (staged
+    * seconds before their commit lands) are never swept; short enough
+    * that space reclaim is still prompt. Object-store deployments with
+    * long-running jobs should raise it toward the Delta-style hours. */
+  val DefaultVacuumGraceMs: Long = 600000L
+
   /** Drop versions < `keepFrom` and delete data files no retained
     * version references. Returns the deleted file paths (relative).
     *
@@ -1195,12 +1272,13 @@ object TableLog {
     * (writers stage data BEFORE publishing the log json) and is never
     * touched; and `graceMs` > 0 additionally spares any data file
     * modified within the last `graceMs` (the Delta retention-window
-    * discipline — covers a staged file whose writer was forced to rebase
-    * past its planned version). With the default `graceMs = 0` the
-    * version-prefix guard still protects the common race, but a rebasing
-    * writer can lose staged files — run grace-less vacuum only with
-    * writers quiesced. */
-  def vacuum(dir: String, keepFrom: Int, graceMs: Long = 0L): Seq[String] = {
+    * discipline — covers a staged file whose writer was forced to
+    * rebase past its planned version). The grace is ON BY DEFAULT
+    * ([[DefaultVacuumGraceMs]]); pass `graceMs = 0` only with writers
+    * quiesced — a grace-less vacuum racing a rebasing writer can sweep
+    * its staged files. */
+  def vacuum(dir: String, keepFrom: Int,
+      graceMs: Long = DefaultVacuumGraceMs): Seq[String] = {
     val cur = currentVersion(dir)
     require(keepFrom >= 1 && keepFrom <= cur,
       s"keepFrom $keepFrom out of range [1, $cur]")

@@ -76,11 +76,43 @@ class MaterializedViewSpec extends AnyFunSuite {
     TableLog.append((101L to 150L).map(i => (i, i % 5, i))
       .toDF("id", "g", "v"), src)
     TableLog.overwrite(TableLog.read(spark, src), src) // v3
-    TableLog.vacuum(src, keepFrom = TableLog.currentVersion(src))
+    TableLog.vacuum(src, keepFrom = TableLog.currentVersion(src),
+      graceMs = 0L)
     val (_, _, _, mode) = MaterializedView.refresh(spark, view, src, "g", "v")
     assert(mode == "full", s"expected rebuild, got $mode")
     assert(viewState(view) == recompute(src))
     val (_, _, _, again) = MaterializedView.refresh(spark, view, src, "g", "v")
     assert(again == "noop")
+  }
+
+  test("NULL group keys merge through incremental refresh instead of " +
+    "accumulating duplicate null-group rows") {
+    val src = fresh("srcnull")
+    val view = fresh("viewnull")
+    def rows(ids: Seq[Long]) = ids.map(i =>
+      (i, if (i % 3 == 0) None else Some(i % 5), i))
+      .toDF("id", "g", "v")
+    TableLog.append(rows(1L to 60L), src)
+    MaterializedView.refresh(spark, view, src, "g", "v")
+    // two incremental refreshes, each adding null-group rows
+    TableLog.append(rows(61L to 90L), src)
+    val (_, _, _, m1) = MaterializedView.refresh(spark, view, src, "g", "v")
+    assert(m1 == "incremental")
+    TableLog.append(rows(91L to 120L), src)
+    val (_, _, _, m2) = MaterializedView.refresh(spark, view, src, "g", "v")
+    assert(m2 == "incremental")
+    val state = TableLog.read(spark, view).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        (r.getLong(1), r.getLong(2)))
+    assert(state.length == state.map(_._1).distinct.length,
+      s"duplicate group rows: ${state.toSeq.sortBy(_._1)}")
+    val expected = TableLog.read(spark, src).groupBy("g")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"v").as("total"))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(state.toMap == expected)
   }
 }

@@ -52,7 +52,7 @@ class TableLogSpec extends AnyFunSuite {
     TableLog.append(Seq((1L, "a")).toDF("id", "s"), dir)   // v1
     TableLog.overwrite(Seq((2L, "b")).toDF("id", "s"), dir) // v2
     TableLog.append(Seq((3L, "c")).toDF("id", "s"), dir)   // v3
-    val deleted = TableLog.vacuum(dir, keepFrom = 2)
+    val deleted = TableLog.vacuum(dir, keepFrom = 2, graceMs = 0L)
     assert(deleted.nonEmpty && deleted.forall(_.startsWith("data/v00001")),
       s"vacuum must delete exactly v1's files: $deleted")
     // v1 is gone loudly; v2 and v3 read exactly
@@ -231,7 +231,7 @@ class TableLogSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(orphan))
     // grace-less vacuum reclaims the stale orphan (and v1's data file)
     // but never the future-version staged file
-    val gone = TableLog.vacuum(dir, keepFrom = 2).toSet
+    val gone = TableLog.vacuum(dir, keepFrom = 2, graceMs = 0L).toSet
     assert(gone.contains("data/v00001-part-orphan.parquet"))
     assert(java.nio.file.Files.exists(inflight),
       "vacuum deleted an in-flight commit's staged file")
@@ -463,7 +463,7 @@ class TableLogSpec extends AnyFunSuite {
     assert(state(ver) == state(pre))
     assert(state(ver).size == 10)
     // vacuum to the optimized version: old fragments deleted, new reads
-    TableLog.vacuum(dir, keepFrom = ver)
+    TableLog.vacuum(dir, keepFrom = ver, graceMs = 0L)
     assert(state(ver).size == 10)
     intercept[IllegalArgumentException] { TableLog.snapshot(dir, pre) }
   }
@@ -743,7 +743,7 @@ class TableLogSpec extends AnyFunSuite {
     TableLog.deleteVectored(spark, dir, "id = 7")   // v3: sidecar A
     TableLog.deleteVectored(spark, dir, "id = 8")   // v4: sidecar B (union)
     val keepV = TableLog.currentVersion(dir)
-    val deleted = TableLog.vacuum(dir, keepFrom = keepV)
+    val deleted = TableLog.vacuum(dir, keepFrom = keepV, graceMs = 0L)
     // sidecar A only served v3 — swept; B is referenced by the head
     assert(deleted.count(_.startsWith("dv/")) == 1, deleted.toString)
     assert(ids(dir) == (1L to 100L).filterNot(Set(7L, 8L)).toSet)
@@ -777,8 +777,9 @@ class TableLogSpec extends AnyFunSuite {
     assert(df3.filter($"id".isin(42L, 3042L)).count() == 2)
   }
 
-  test("blooms top up incrementally on append, survive DV deletes, drop " +
-    "with rewritten files, and unindexed files read conservatively") {
+  test("blooms top up incrementally on append, survive DV deletes, are " +
+    "auto-rebuilt across optimize, and unindexed files read " +
+    "conservatively") {
     val dir = freshDir()
     TableLog.append((1L to 100L).map(i => (i, i * 2L)).toDF("id", "v")
       .coalesce(1), dir)
@@ -800,13 +801,109 @@ class TableLogSpec extends AnyFunSuite {
     val (df3, _, _) = TableLog.readBloomPruned(spark, dir, "id", Seq(150L))
     assert(df3.filter($"id" === 150L).count() == 0)
     assert(TableLog.snapshot(dir).blooms.size == 2)
-    // compaction drops the rewritten inputs' bitmaps
-    TableLog.optimize(spark, dir, clusterBy = Seq("id"))
-    assert(TableLog.snapshot(dir).blooms.isEmpty)
-    val (df4, opened4, total4) =
-      TableLog.readBloomPruned(spark, dir, "id", Seq(7L))
-    assert(opened4 == total4, "unindexed files must be kept")
+    // compaction AUTO-MAINTAINS the index: rewritten inputs' bitmaps are
+    // dropped and the rewrite outputs get fresh bitmaps in the SAME
+    // commit — no manual computeBlooms re-run, no silent decay
+    val (_, _, nAfter) = TableLog.optimize(spark, dir,
+      clusterBy = Seq("id"))
+    val snapOpt = TableLog.snapshot(dir)
+    assert(snapOpt.blooms.keySet == snapOpt.files.toSet,
+      s"every post-optimize file must stay indexed: ${snapOpt.blooms}")
+    assert(nAfter == snapOpt.files.size)
+    val (df4, _, _) = TableLog.readBloomPruned(spark, dir, "id", Seq(7L))
     assert(df4.filter($"id" === 7L).count() == 1)
+    // a definite miss still opens zero files post-optimize
+    val (_, openedMiss, _) =
+      TableLog.readBloomPruned(spark, dir, "id", Seq(987654L))
+    assert(openedMiss == 0, s"post-optimize miss opened $openedMiss")
+    // an UNINDEXED appended file reads conservatively
+    TableLog.append((201L to 210L).map(i => (i, i * 2L)).toDF("id", "v")
+      .coalesce(1), dir)
+    val (df5, opened5, total5) =
+      TableLog.readBloomPruned(spark, dir, "id", Seq(205L))
+    assert(opened5 >= 1 && opened5 < total5 + 1 &&
+      df5.filter($"id" === 205L).count() == 1)
+  }
+
+  test("bloom auto-maintenance: optimize keeps carried-through files' " +
+    "bitmaps and copy-on-write DML re-indexes its outputs") {
+    val dir = freshDir()
+    // two small files that will bin-pack together + one big kept file
+    TableLog.append((1L to 50L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1), dir)
+    TableLog.append((51L to 100L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1), dir)
+    TableLog.append((1001L to 1400L).map(i => (i, i)).toDF("id", "v")
+      .coalesce(1), dir)
+    TableLog.computeBlooms(spark, dir, "id")
+    val before = TableLog.snapshot(dir)
+    // bin-pack so the two 50-row files merge and the 400-row file is
+    // KEPT: its bitmap must survive the commit untouched
+    TableLog.optimize(spark, dir, maxRows = 120L)
+    val after = TableLog.snapshot(dir)
+    val keptFile = before.files.find(after.files.contains)
+    assert(keptFile.nonEmpty, "expected a carried-through file")
+    assert(after.blooms.get(keptFile.get) == before.blooms.get(keptFile.get),
+      "kept file must retain its original bitmap entry")
+    assert(after.blooms.keySet == after.files.toSet)
+    // copy-on-write DELETE re-indexes the rewritten file in-commit
+    TableLog.delete(spark, dir, "id = 25")
+    val postDel = TableLog.snapshot(dir)
+    assert(postDel.blooms.keySet == postDel.files.toSet,
+      s"DML must top up blooms: ${postDel.blooms.keySet}")
+    val (_, openedMiss, _) =
+      TableLog.readBloomPruned(spark, dir, "id", Seq(25L))
+    assert(openedMiss == 0, "deleted key must be definitely-absent again")
+    val (df, _, _) = TableLog.readBloomPruned(spark, dir, "id", Seq(1200L))
+    assert(df.filter($"id" === 1200L).count() == 1)
+  }
+
+  test("readBloomPruned probe is distributed and scales to many files " +
+    "without driver bitmap residency") {
+    val dir = freshDir()
+    (0 until 24).foreach { c =>
+      TableLog.append((1L to 40L).map(i => (c * 100L + i, i))
+        .toDF("id", "v").coalesce(1), dir)
+    }
+    TableLog.computeBlooms(spark, dir, "id")
+    // the probe is one Spark job over sidecar rows returning (file, hit)
+    // booleans — never the bitmaps; assert exact pruning over 24 files
+    val (df, opened, total) =
+      TableLog.readBloomPruned(spark, dir, "id", Seq(512L))
+    assert(total == 24 && opened <= 2, s"opened $opened of $total")
+    assert(df.filter($"id" === 512L).count() == 1)
+    val (_, openedMiss, _) =
+      TableLog.readBloomPruned(spark, dir, "id", Seq(99999L))
+    assert(openedMiss <= 1)
+  }
+
+  test("readZonePruned returns an empty schema'd frame when pruning " +
+    "keeps zero files — even with deletion vectors present") {
+    val dir = freshDir()
+    TableLog.append((1L to 100L).map(i => (i, s"r$i")).toDF("id", "s")
+      .coalesce(1), dir)
+    TableLog.deleteVectored(spark, dir, "id = 5")
+    val (df, opened, total) =
+      TableLog.readZonePruned(spark, dir, "id", 5000L, 6000L)
+    assert(opened == 0 && total == 1)
+    assert(df.columns.toSeq == Seq("id", "s"))
+    assert(df.count() == 0)
+  }
+
+  test("vacuum with DEFAULT args never sweeps a rebasing writer's " +
+    "freshly staged files") {
+    val dir = freshDir()
+    TableLog.append(Seq((1L, "a")).toDF("id", "s"), dir)
+    TableLog.append(Seq((2L, "b")).toDF("id", "s"), dir)
+    val data = java.nio.file.Paths.get(dir, "data")
+    // a rebasing writer staged this under its ORIGINALLY planned version
+    // (v1, already taken) seconds ago — the default grace must spare it
+    val staged = data.resolve("v00001-part-rebasing.parquet")
+    java.nio.file.Files.write(staged, Array[Byte](1, 2, 3))
+    val deleted = TableLog.vacuum(dir, keepFrom = 2)
+    assert(java.nio.file.Files.exists(staged),
+      "default-grace vacuum swept a freshly staged file")
+    assert(!deleted.contains("data/v00001-part-rebasing.parquet"))
   }
 
   test("string bloom column and null values: nulls are never indexed, " +
