@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TableLog
+
+/** SQL-text lake DML surface (SqlTableFunctions): every TableLog
+  * mutation callable from `spark.sql` text, receipts as 1-row relations,
+  * reads via graft_table — the parity the reference's all-SQL stance
+  * requires. */
+class SqlLakeDmlSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = SparkTestSession.spark
+    graft.functions.GraftFunctions.registerAll(s)
+    s
+  }
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("sqldml").toString + "/t"
+
+  private def ids(dir: String): Set[Long] =
+    spark.sql(s"SELECT id FROM graft_table('$dir')")
+      .collect().map(_.getLong(0)).toSet
+
+  test("graft_delete / graft_delete_vectored / graft_update receipts " +
+    "and effects; graft_table reads any version") {
+    val dir = freshDir()
+    TableLog.append((1L to 100L).map(i => (i, i)).toDF("id", "v"), dir)
+    val del = spark.sql(
+      s"SELECT * FROM graft_delete('$dir', 'id > 90')").first()
+    assert(del.getAs[Long]("rows_deleted") == 10L)
+    assert(ids(dir) == (1L to 90L).toSet)
+    val dv = spark.sql(
+      s"SELECT * FROM graft_delete_vectored('$dir', 'id = 5')").first()
+    assert(dv.getAs[Long]("rows_deleted") == 1L)
+    assert(ids(dir) == (1L to 90L).toSet - 5L)
+    // assignment expression CONTAINING '=' (CASE WHEN) parses: only the
+    // FIRST '=' splits target from expression
+    spark.sql(s"""SELECT * FROM graft_update('$dir', 'id <= 2',
+      'v = CASE WHEN id = 1 THEN 100 ELSE 200 END')""").collect()
+    val got = spark.sql(
+      s"SELECT id, v FROM graft_table('$dir') WHERE id <= 2 ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 100L), (2L, 200L)))
+    // time travel through the TVF's version argument
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_table('$dir', 1)")
+      .first().getLong(0) == 100L)
+  }
+
+  test("graft_optimize collapses files, graft_restore rewinds forward, " +
+    "graft_vacuum reports the sweep") {
+    val dir = freshDir()
+    (0 until 4).foreach(i => TableLog.append(
+      (1L to 25L).map(j => (i * 25L + j, j)).toDF("id", "v")
+        .coalesce(1), dir))
+    val preV = TableLog.currentVersion(dir)
+    val opt = spark.sql(s"SELECT * FROM graft_optimize('$dir')").first()
+    assert(opt.getAs[Int]("files_after") < opt.getAs[Int]("files_before"))
+    spark.sql(s"SELECT * FROM graft_delete('$dir', 'id <= 50')").collect()
+    assert(ids(dir) == (51L to 100L).toSet)
+    val res = spark.sql(
+      s"SELECT * FROM graft_restore('$dir', $preV)").first()
+    assert(res.getAs[Int]("version") > preV)
+    assert(ids(dir) == (1L to 100L).toSet)
+    // grace-less vacuum (writers quiesced) sweeps the pre-restore litter
+    val vac = spark.sql(s"""SELECT * FROM graft_vacuum('$dir',
+      ${TableLog.currentVersion(dir)}, 0)""").first()
+    assert(vac.getAs[Int]("files_deleted") > 0)
+    assert(ids(dir) == (1L to 100L).toSet)
+  }
+
+  test("graft_merge runs the clause ladder over views; malformed " +
+    "update assignments fail loudly") {
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      .createOrReplaceTempView("tgt_dml")
+    Seq((2L, 99L), (4L, 40L)).toDF("k", "v")
+      .createOrReplaceTempView("src_dml")
+    val merged = spark.sql(
+      """SELECT * FROM graft_merge('tgt_dml', 'src_dml', 'k')
+         ORDER BY k""").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(merged.toSeq == Seq((1L, 10L), (2L, 99L), (3L, 30L), (4L, 40L)))
+    val dir = freshDir()
+    TableLog.append(Seq((1L, 2L)).toDF("id", "v"), dir)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_update('$dir', 'id = 1', 'vee 7')")
+        .collect()
+    }
+    assert(e.getMessage.contains("missing '='"), e.getMessage)
+  }
+}
