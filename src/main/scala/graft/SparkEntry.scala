@@ -1981,6 +1981,47 @@ object SparkEntry {
         .orderBy("g")
     },
 
+    "k27b_multi_view" -> { (s, d) =>
+      // generalized materialized view (MaterializedView.refreshMulti —
+      // round-11 verdict gap: one group column, count+sum only): an
+      // avg+min rollup over TWO group columns maintains incrementally
+      // through an insert-only window (avg via exactly-stored sum/count)
+      // and falls back to a REBUILD when a delete removes a stored
+      // minimum — the non-invertible-aggregate contract, both modes
+      // pinned. The final view must equal the closed-form recompute;
+      // avg is quantized (×1e4, rounded) for the cross-engine hash.
+      val dir0 = java.nio.file.Files.createTempDirectory("graft_k27b")
+        .toString
+      val src = dir0 + "/src"
+      val view = dir0 + "/view"
+      import graft.operators.MaterializedView
+      import graft.operators.MaterializedView.AggSpec
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        (col("o_custkey") % 10).as("g1"),
+        (col("o_orderkey") % 3).as("g2"),
+        cents(col("o_totalprice")).as("v"))
+      val specs = Seq(AggSpec("avg", "v", "mean"), AggSpec("min", "v", "lo"))
+      graft.operators.TableLog.append(
+        o.filter(col("o_orderkey") % 2 === 0), src)
+      MaterializedView.refreshMulti(s, view, src, Seq("g1", "g2"), specs)
+      graft.operators.TableLog.append(
+        o.filter(col("o_orderkey") % 2 === 1), src)
+      val (_, _, _, m2) =
+        MaterializedView.refreshMulti(s, view, src, Seq("g1", "g2"), specs)
+      val mn = graft.operators.TableLog.read(s, src)
+        .agg(min("v")).first().getLong(0)
+      graft.operators.TableLog.delete(s, src, s"v = $mn")
+      val (_, _, _, m3) =
+        MaterializedView.refreshMulti(s, view, src, Seq("g1", "g2"), specs)
+      MaterializedView.readView(s, view, Seq("g1", "g2"), specs)
+        .select(col("g1"), col("g2"), col("n"),
+          round(col("mean") * 10000).cast("long").as("mean_q"),
+          col("lo"),
+          lit(m2 == "incremental").as("ins_incremental"),
+          lit(m3 == "rebuild").as("rebuilt"))
+        .orderBy("g1", "g2")
+    },
+
     "k23_update" -> { (s, d) =>
       // UPDATE ... SET ... WHERE (TableLog.update — copy-on-write):
       // same range-split layout; the first-quintile update rewrites only
@@ -9165,6 +9206,24 @@ object SparkEntry {
            TRUE AS incremental
          FROM orders WHERE NOT (o_orderkey % 7 = 3)
          GROUP BY 1 ORDER BY 1""",
+
+    // generalized-view replay: the post-delete recompute closed-form;
+    // the avg rides as ROUND(sum/count * 1e4) computed with the SAME
+    // IEEE op sequence both engines use; TRUE/TRUE pin the incremental
+    // insert window and the min-invalidation rebuild
+    "k27b_multi_view" ->
+      s"""WITH src AS (
+           SELECT o_custkey % 10 AS g1, o_orderkey % 3 AS g2,
+             ${centsSql("o_totalprice")} AS v
+           FROM orders),
+         fin AS (SELECT * FROM src
+                 WHERE v <> (SELECT MIN(v) FROM src))
+         SELECT g1, g2, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(v) * 10000, 0)
+             AS BIGINT) AS mean_q,
+           MIN(v) AS lo,
+           TRUE AS ins_incremental, TRUE AS rebuilt
+         FROM fin GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // SQL-text DML replay: delete+update+optimize, a RESTORE rewind,
     // then the same DML replayed — the final state is the single-pass
