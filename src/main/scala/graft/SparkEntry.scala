@@ -2122,6 +2122,47 @@ object SparkEntry {
         .withColumn("unpruned_before", lit(ob == tb))
     },
 
+    "k16c_quantile_zorder" -> { (s, d) =>
+      // quantile-cut z-order for SKEW (round-11 verdict gap: uniform
+      // min/max scaling): a zipf-shaped column — dense mass in [0, 997)
+      // plus 1% outliers a million-fold larger — collapses under uniform
+      // scaling (every dense value lands in z-cell 0, so files sort by
+      // the other column only and a dense-range query opens everything);
+      // the SAME table re-optimized with quantileCluster spreads the
+      // dense mass across equi-populated ranks and the query opens a
+      // strict subset. `beats_uniform` pins openedQ < openedU; the
+      // aggregates replay closed-form against the full-scan oracle.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k16c")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_custkey"),
+        when(col("o_orderkey") % 100 === 0,
+          lit(1000000000L) + col("o_orderkey"))
+          .otherwise(col("o_orderkey") % 997).as("skew"),
+        cents(col("o_totalprice")).as("price_cents"))
+      (0 until 6).foreach { i =>
+        graft.operators.TableLog.append(
+          o.filter(col("o_custkey") % 6 === i).repartition(2), dir)
+      }
+      val nRows = o.count()
+      val maxRows = (nRows + 7) / 8
+      graft.operators.TableLog.optimize(s, dir, maxRows = maxRows,
+        clusterBy = Seq("o_custkey", "skew"))
+      val (_, openedU, totalU) = graft.operators.TableLog.readZonePruned(
+        s, dir, "skew", 100L, 300L)
+      graft.operators.TableLog.optimize(s, dir, maxRows = maxRows,
+        clusterBy = Seq("o_custkey", "skew"), quantileCluster = true)
+      val (pr, openedQ, totalQ) = graft.operators.TableLog.readZonePruned(
+        s, dir, "skew", 100L, 300L)
+      pr.filter(col("skew").between(100L, 300L))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_cents"),
+          sum(col("o_custkey")).as("sum_cust"),
+          min(col("skew")).as("min_s"), max(col("skew")).as("max_s"))
+        .withColumn("beats_uniform", lit(openedQ < openedU))
+        .withColumn("pruned", lit(openedQ < totalQ))
+        .withColumn("uniform_collapsed", lit(openedU == totalU))
+    },
+
     "k16_tablelog_skipping" -> { (s, d) =>
       // log-integrated data skipping (TableLog.readZonePruned +
       // optimize(clusterBy)): six UNCLUSTERED appends leave every file
@@ -9224,6 +9265,22 @@ object SparkEntry {
            MIN(v) AS lo,
            TRUE AS ins_incremental, TRUE AS rebuilt
          FROM fin GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // quantile z-order replay: dense-band rows (the modulo form excludes
+    // the outliers by construction); the three booleans pin the skew
+    // story — uniform collapsed to a full scan, quantile pruned and beat
+    // it
+    "k16c_quantile_zorder" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           MIN(o_orderkey % 997) AS min_s,
+           MAX(o_orderkey % 997) AS max_s,
+           TRUE AS beats_uniform, TRUE AS pruned,
+           TRUE AS uniform_collapsed
+         FROM orders
+         WHERE o_orderkey % 100 <> 0
+           AND o_orderkey % 997 BETWEEN 100 AND 300""",
 
     // SQL-text DML replay: delete+update+optimize, a RESTORE rewind,
     // then the same DML replayed — the final state is the single-pass

@@ -204,20 +204,27 @@ object SqlTableFunctions {
       "files_rewritten" -> rew, "files_total" -> tot)
   }
 
-  /** `graft_optimize('dir'[, maxRows[, 'col,col2']])` — compaction /
-    * clustering rewrite (OPTIMIZE [ZORDER BY]). */
+  /** `graft_optimize('dir'[, maxRows[, 'col,col2'[, quantile]]])` —
+    * compaction / clustering rewrite (OPTIMIZE [ZORDER BY]); the
+    * boolean 4th argument picks quantile-cut z-keys for skewed
+    * columns. */
   private def optimizeBuilder(args: Seq[Expression]): LogicalPlan = {
-    require(args.length >= 1 && args.length <= 3,
-      "usage: graft_optimize(dir[, maxRows[, clusterCols]])")
+    require(args.length >= 1 && args.length <= 4,
+      "usage: graft_optimize(dir[, maxRows[, clusterCols[, quantile]]])")
     val maxRows = if (args.length >= 2) num(args(1), "maxRows").toLong
                   else 10000000L
-    val clusterBy = if (args.length == 3)
+    val clusterBy = if (args.length >= 3)
       str(args(2), "clusterCols").split(",").toSeq.map(_.trim)
         .filter(_.nonEmpty)
     else Nil
+    val quantile = args.length == 4 && (scalarOf(args(3), "quantile") match {
+      case b: java.lang.Boolean => b.booleanValue
+      case other => throw new IllegalArgumentException(
+        s"graft_optimize quantile flag must be a BOOLEAN literal: $other")
+    })
     val (v, before, after) = graft.operators.TableLog.optimize(
       SparkSession.active, str(args(0), "dir"), maxRows = maxRows,
-      clusterBy = clusterBy)
+      clusterBy = clusterBy, quantileCluster = quantile)
     receipt("version" -> v, "files_before" -> before,
       "files_after" -> after)
   }

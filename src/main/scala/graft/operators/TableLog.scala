@@ -919,7 +919,8 @@ object TableLog {
   def optimize(spark: SparkSession, dir: String,
       maxRows: Long = 10000000L,
       clusterBy: Seq[String] = Nil,
-      maxRetries: Int = 20): (Int, Int, Int) = {
+      maxRetries: Int = 20,
+      quantileCluster: Boolean = false): (Int, Int, Int) = {
     val cur = currentVersion(dir)
     if (cur == 0) return (0, 0, 0) // empty table: clean no-op
     val snap = snapshot(dir, cur)
@@ -984,7 +985,32 @@ object TableLog {
         val cols = clusterBy.map(col)
         val sortKey: Seq[org.apache.spark.sql.Column] =
           if (clusterBy.size < 2 || !numeric) cols
-          else {
+          else if (quantileCluster) {
+            // QUANTILE-cut z-key (the Delta range_partition_id form) for
+            // SKEWED cluster columns: uniform min/max scaling maps a
+            // zipf column's dense mass to one z-cell (a single outlier
+            // stretches the range a million-fold), collapsing pruning to
+            // the other columns. Sampled quantile cuts give each column
+            // an equi-POPULATED rank in [0, 255] instead; the rank rides
+            // zorderEncode exactly like the uniform key. Rank evaluation
+            // is a codegen'd fold over the ≤255-element cut array —
+            // O(cuts) per row, amortized into the one-time rewrite sort.
+            // approxQuantile is sampling-based and distributed (one pass
+            // per column); pruning stays best-effort-correct (reads
+            // re-check footers), so approximation cannot lose rows.
+            import org.apache.spark.sql.functions.{aggregate, lit, when}
+            val qBits = math.max(1, math.min(8, 62 / clusterBy.size))
+            val lim = (1 << qBits) - 1
+            val probs = (1 to lim).map(_.toDouble / (lim + 1)).toArray
+            val scaled = clusterBy.map { c =>
+              val cuts = df0.stat.approxQuantile(c, probs, 0.001)
+                .filter(d => !d.isNaN && !d.isInfinite).distinct.sorted
+              if (cuts.isEmpty) lit(0L)
+              else aggregate(lit(cuts), lit(0L), (acc, cut) =>
+                acc + when(col(c).cast("double") >= cut, 1L).otherwise(0L))
+            }
+            Seq(ZOrder.zorderEncode(scaled, qBits))
+          } else {
             // bits shrink with the column count so n*bits stays within
             // zorderEncode's 62-bit budget (4+ cluster columns would
             // otherwise crash mid-compaction)

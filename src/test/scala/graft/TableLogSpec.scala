@@ -877,6 +877,23 @@ class TableLogSpec extends AnyFunSuite {
     assert(openedMiss <= 1)
   }
 
+  test("optimize(quantileCluster) survives constant and null-heavy " +
+    "cluster columns (empty-cuts fallback) with rows intact") {
+    val dir = freshDir()
+    val df = (1L to 300L).map(i =>
+      (i, 7L, if (i % 3 == 0) None else Some(i % 10))).toDF("a", "c", "x")
+      .selectExpr("a", "c", "x")
+    TableLog.append(df, dir)
+    TableLog.append(df.selectExpr("a + 300 AS a", "c", "x"), dir)
+    val (_, before, after) = TableLog.optimize(spark, dir,
+      maxRows = 200L, clusterBy = Seq("c", "x"), quantileCluster = true)
+    assert(after >= 1 && before >= 2)
+    val back = TableLog.read(spark, dir)
+    assert(back.count() == 600L)
+    assert(back.agg(org.apache.spark.sql.functions.sum("a")).first()
+      .getLong(0) == (1L to 600L).sum)
+  }
+
   test("readZonePruned returns an empty schema'd frame when pruning " +
     "keeps zero files — even with deletion vectors present") {
     val dir = freshDir()
