@@ -5,6 +5,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** A minimal versioned table log — the transaction-log core of the
   * Delta/Iceberg table formats, reduced to what a single-writer pipeline
@@ -210,9 +211,12 @@ object TableLog {
   /** Write `df` as this version's new data files (staged, then moved
     * under `data/` with version-prefixed names) and return their
     * relative paths — not yet committed. */
-  private def writeData(df: DataFrame, dir: String, v: Int): Seq[String] = {
+  private def writeData(df: DataFrame, dir: String, v: Int,
+      options: Map[String, String] = Map.empty): Seq[String] = {
     val staging = Files.createTempDirectory("graft_tablelog").toString
-    df.write.mode("overwrite").parquet(staging)
+    options.foldLeft(df.write.mode("overwrite")) {
+      case (w, (k, v0)) => w.option(k, v0)
+    }.parquet(staging)
     val dataDir = Paths.get(dir, "data")
     Files.createDirectories(dataDir)
     val s = Files.list(Paths.get(staging))
@@ -395,9 +399,10 @@ object TableLog {
   /** Append `df` as a new version (previous files + the new ones). Data
     * is staged ONCE; a lost commit race rebases onto the new head and
     * retries — N concurrent appenders all succeed with N versions. */
-  def append(df: DataFrame, dir: String, maxRetries: Int = 20): Int = {
+  def append(df: DataFrame, dir: String, maxRetries: Int = 20,
+      options: Map[String, String] = Map.empty): Int = {
     val (_, v) = planNext(dir)
-    val files = writeData(df, dir, v)
+    val files = writeData(df, dir, v, options)
     commitAppendRebasing(dir, files, Map.empty, None, maxRetries).get
   }
 
@@ -685,6 +690,92 @@ object TableLog {
     if (opened == 0) (readEvolved(spark, dir, snap.version).limit(0),
       opened, total)
     else (applyDv(spark, dir, df, snap.dvs), opened, total)
+  }
+
+  /** ROW-GROUP-level zone-pruned read — [[readZonePruned]] at the
+    * granularity the reference's physical layout is built around (15k-row
+    * groups, ref east_asia.py:82): per-row-group footer min/max feed a
+    * selective scan ([[RowGroupScan]]) that reads ONLY the row groups
+    * whose [zmin, zmax] intersects [lo, hi], so a narrow predicate over a
+    * clustered 500 MB file reads a few row groups instead of the whole
+    * file. The caller re-applies the exact predicate. Returns (frame,
+    * rgOpened, rgTotal, filesOpened, filesTotal).
+    *
+    * Files carrying deletion vectors are read WHOLE (DV positions are
+    * file-ordinal row indexes — a partial-row-group read would misalign
+    * them); they still prune at FILE level, and [[optimize]] materializes
+    * their vectors away, restoring row-group pruning. rgOpened/rgTotal
+    * count the DV-free files only (the honest pruning report). */
+  def readRowGroupPruned(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long, version: Int = -1)
+      : (DataFrame, Long, Long, Int, Int) =
+    readRowGroupPrunedCore(spark, dir, version,
+      abs => RowGroupScan.rowGroupIndexFiles(spark, abs, column),
+      idx => RowGroupScan.readRowGroupsPruned(spark, idx, lo, hi),
+      abs => ParquetTuning.zoneMapIndexFiles(spark, abs, column),
+      org.apache.spark.sql.functions.lit(lo),
+      org.apache.spark.sql.functions.lit(hi))
+
+  /** [[readRowGroupPruned]] for STRING columns — lexicographic [lo, hi]
+    * in UTF-8 byte order (ORDER BY / BETWEEN semantics), the date-string
+    * / category-code predicate shape. */
+  def readRowGroupPrunedString(spark: SparkSession, dir: String,
+      column: String, lo: String, hi: String, version: Int = -1)
+      : (DataFrame, Long, Long, Int, Int) =
+    readRowGroupPrunedCore(spark, dir, version,
+      abs => RowGroupScan.rowGroupIndexStringFiles(spark, abs, column),
+      idx => RowGroupScan.readRowGroupsPrunedString(spark, idx, lo, hi),
+      abs => ParquetTuning.zoneMapIndexStringFiles(spark, abs, column),
+      org.apache.spark.sql.functions.lit(lo),
+      org.apache.spark.sql.functions.lit(hi))
+
+  private def readRowGroupPrunedCore(spark: SparkSession, dir: String,
+      version: Int,
+      rgIndex: Seq[String] => DataFrame,
+      rgScan: DataFrame => (DataFrame, Long, Long, Int),
+      fileIndex: Seq[String] => DataFrame,
+      loLit: org.apache.spark.sql.Column,
+      hiLit: org.apache.spark.sql.Column)
+      : (DataFrame, Long, Long, Int, Int) = {
+    val snap = snapshot(dir, version)
+    val (dvFiles, cleanFiles) = snap.files.partition(snap.dvs.contains)
+    var rgOpened = 0L
+    var rgTotal = 0L
+    var filesOpened = 0
+    val cleanPart: Option[DataFrame] =
+      if (cleanFiles.isEmpty) None
+      else {
+        val abs = cleanFiles.map(f => Paths.get(dir).resolve(f).toString)
+        val (df, o, tot, fo) = rgScan(rgIndex(abs))
+        rgOpened = o; rgTotal = tot; filesOpened += fo
+        if (o == 0L) None else Some(df)
+      }
+    val dvPart: Option[DataFrame] =
+      if (dvFiles.isEmpty) None
+      else {
+        val abs = dvFiles.map(f => Paths.get(dir).resolve(f).toString)
+        val keepAbs = fileIndex(abs)
+          .filter(col("zmin").isNull || col("zmax").isNull
+            || (col("zmin") <= hiLit && col("zmax") >= loLit))
+          .select("file").collect().map(_.getString(0)).toSeq
+        filesOpened += keepAbs.size
+        if (keepAbs.isEmpty) None
+        else {
+          val keptRel = dvFiles.filter(f =>
+            keepAbs.contains(Paths.get(dir).resolve(f).toString)).toSet
+          Some(applyDv(spark, dir,
+            spark.read.option("mergeSchema", "true")
+              .parquet(keepAbs: _*),
+            snap.dvs.filter { case (f, _) => keptRel(f) }))
+        }
+      }
+    val df = (cleanPart, dvPart) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => readEvolved(spark, dir, snap.version).limit(0)
+    }
+    (df, rgOpened, rgTotal, filesOpened, snap.files.size)
   }
 
   // ===== per-file bloom filters (equality data skipping) ===============
