@@ -780,6 +780,47 @@ object SparkEntry {
            GROUP BY aid ORDER BY aid""")
     },
 
+    "sql13_lake_select" -> { (s, d) =>
+      // index-accelerated declarative reads from SQL TEXT (graft_select →
+      // LakeSelect.readWhere): the SQL user writes a bare predicate; the
+      // engine routes it through the most selective index the log
+      // carries — here a bloom point lookup and a row-group-pruned range
+      // on a key-sorted small-row-group table. Results must equal the
+      // closed-form full-scan oracle (LakeSelectSpec pins the routing
+      // and pruning; this gate pins the SQL surface end-to-end).
+      graft.functions.GraftFunctions.registerAll(s)
+      val dir = java.nio.file.Files.createTempDirectory("graft_sql13")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.append(
+        o.repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        dir, options = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      graft.operators.TableLog.computeBlooms(s, dir, "o_orderkey")
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).first()
+      val lo = b.getLong(0)
+      val span = b.getLong(1) - lo
+      val k1 = lo + span / 16
+      val hi = lo + span / 8
+      s.sql(
+        s"""SELECT
+             (SELECT CAST(SUM(price_cents) AS BIGINT)
+              FROM graft_select('$dir', 'o_orderkey = $k1'))
+               AS cents_point,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM graft_select('$dir',
+                'o_orderkey BETWEEN $lo AND $hi')) AS n_range,
+             (SELECT CAST(SUM(price_cents) AS BIGINT)
+              FROM graft_select('$dir',
+                'o_orderkey BETWEEN $lo AND $hi')) AS cents_range,
+             (SELECT CAST(COUNT(*) AS BIGINT)
+              FROM graft_select('$dir',
+                'o_orderkey IN ($k1, $hi) AND price_cents >= 0'))
+               AS n_inlist""")
+    },
+
     "sql11_lake_sql" -> { (s, d) =>
       // the lakehouse introspection surface from SQL TEXT: DESCRIBE
       // HISTORY and the change feed as table functions
@@ -2223,6 +2264,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("price_cents")).as("sum_cents"),
           min(col("day")).as("min_d"), max(col("day")).as("max_d"))
+        .withColumn("rg_pruned", lit(rgOpened < rgTotal))
+        .withColumn("file_pruned", lit(fOpened < fTotal))
+    },
+
+    "k29_point_lookup" -> { (s, d) =>
+      // composed point lookup (TableLog.readPointLookup — the
+      // needle-in-100TB id fetch): bloom bitmaps prune FILES, the
+      // per-row-group index prunes ROW GROUPS inside the kept files, the
+      // selective scan reads only those. Three keys from the first
+      // eighth of a 4-file key-sorted table: blooms reject the other
+      // files (file_pruned), the row-group index narrows inside the hit
+      // file (rg_pruned), and the fetched rows replay closed-form
+      // against the IN-list oracle.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k29")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.append(
+        o.repartitionByRange(4, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        dir, options = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      graft.operators.TableLog.computeBlooms(s, dir, "o_orderkey")
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).first()
+      val lo = b.getLong(0)
+      val span = b.getLong(1) - lo
+      val keys = Seq(lo, lo + span / 16, lo + span / 8)
+      val (pr, rgOpened, rgTotal, fOpened, fTotal) =
+        graft.operators.TableLog.readPointLookup(
+          s, dir, "o_orderkey", keys)
+      pr.filter(col("o_orderkey").isin(keys: _*))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_k"),
+          max(col("o_orderkey")).as("max_k"))
         .withColumn("rg_pruned", lit(rgOpened < rgTotal))
         .withColumn("file_pruned", lit(fOpened < fTotal))
     },
@@ -9490,6 +9566,46 @@ object SparkEntry {
            TRUE AS rg_pruned, TRUE AS file_pruned
          FROM orders, r
          WHERE strftime(o_orderdate, '%Y-%m-%d') BETWEEN r.lo AND r.hi""",
+
+    // declarative-select replay: the same derived point/range/IN-list
+    // predicates as plain full scans
+    "sql13_lake_select" ->
+      s"""WITH b AS (
+           SELECT MIN(o_orderkey) AS lo,
+             MAX(o_orderkey) - MIN(o_orderkey) AS span
+           FROM orders),
+         p AS (SELECT lo, lo + span // 16 AS k1, lo + span // 8 AS hi
+               FROM b)
+         SELECT
+           (SELECT CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT)
+            FROM orders, p WHERE o_orderkey = p.k1) AS cents_point,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM orders, p WHERE o_orderkey BETWEEN p.lo AND p.hi)
+             AS n_range,
+           (SELECT CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT)
+            FROM orders, p WHERE o_orderkey BETWEEN p.lo AND p.hi)
+             AS cents_range,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM orders, p WHERE o_orderkey IN (p.k1, p.hi)
+              AND ${centsSql("o_totalprice")} >= 0) AS n_inlist""",
+
+    // point-lookup replay: the same three derived keys as an IN-list
+    // full scan; rg_pruned/file_pruned pin the composed index path
+    "k29_point_lookup" ->
+      s"""WITH b AS (
+           SELECT MIN(o_orderkey) AS lo,
+             MAX(o_orderkey) - MIN(o_orderkey) AS span
+           FROM orders),
+         k AS (
+           SELECT lo AS k FROM b
+           UNION ALL SELECT lo + span // 16 FROM b
+           UNION ALL SELECT lo + span // 8 FROM b)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k,
+           TRUE AS rg_pruned, TRUE AS file_pruned
+         FROM orders
+         WHERE o_orderkey IN (SELECT k FROM k)""",
 
     // log data-skipping replay: the same 1/8th-range full-scan; TRUE
     // pins both the post-cluster skip and the honest pre-cluster no-skip

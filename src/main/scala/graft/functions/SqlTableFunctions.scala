@@ -272,12 +272,30 @@ object SqlTableFunctions {
       .queryExecution.analyzed
   }
 
+  /** `graft_select('dir', 'predicate'[, version])` — index-accelerated
+    * lake read: [[graft.operators.LakeSelect.readWhere]] routes the
+    * predicate through the most selective index the log carries (bloom
+    * point lookup → row-group IN-prune → row-group range-prune → full
+    * scan) and re-applies it exactly. The SQL user writes a filter; the
+    * engine owns the physical pruning — the declarative stance the
+    * whole skipping stack exists for. */
+  private def selectBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      "usage: graft_select(dir, predicate[, version])")
+    val v = if (args.length == 3) num(args(2), "version").toInt else -1
+    val (df, _) = graft.operators.LakeSelect.readWhere(
+      SparkSession.active, str(args(0), "dir"),
+      str(args(1), "predicate"), v)
+    df.queryExecution.analyzed
+  }
+
   /** SQL-callable table-function names (for collision audits). */
   val names: Seq[String] =
     Seq("graft_dbscan", "graft_kmeans", "graft_geodesic_join", "graft_knn",
       "graft_table_history", "graft_table_changes", "graft_table",
       "graft_delete", "graft_delete_vectored", "graft_update",
-      "graft_optimize", "graft_restore", "graft_vacuum", "graft_merge")
+      "graft_optimize", "graft_restore", "graft_vacuum", "graft_merge",
+      "graft_select")
 
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.graft.SparkInternals
@@ -307,5 +325,7 @@ object SqlTableFunctions {
     reg.createOrReplaceTempFunction("graft_vacuum", vacuumBuilder,
       "built-in")
     reg.createOrReplaceTempFunction("graft_merge", mergeBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_select", selectBuilder,
+      "built-in")
   }
 }

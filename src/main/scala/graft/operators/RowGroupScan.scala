@@ -135,8 +135,33 @@ object RowGroupScan {
     * strings. */
   def readRowGroupsPrunedString(spark: SparkSession, index: DataFrame,
       lo: String, hi: String): (DataFrame, Long, Long, Int) =
+    readRowGroupsPrunedStringBounds(spark, index, Some(lo), Some(hi))
+
+  /** [[readRowGroupsPrunedString]] with OPTIONAL bounds: `None` skips
+    * that side of the comparison, so `col >= lo` predicates prune
+    * exactly without inventing a fake top string. */
+  def readRowGroupsPrunedStringBounds(spark: SparkSession,
+      index: DataFrame, lo: Option[String], hi: Option[String])
+      : (DataFrame, Long, Long, Int) =
     prunedScan(spark, index, r =>
-      !utf8Gt(r.getString(2), hi) && !utf8Gt(lo, r.getString(3)))
+      hi.forall(h => !utf8Gt(r.getString(2), h)) &&
+        lo.forall(l => !utf8Gt(l, r.getString(3))))
+
+  /** IN-list-pruned read off a numeric index: keeps a row group iff ANY
+    * probe value falls inside its [zmin, zmax] — the point-lookup shape
+    * ([[graft.operators.TableLog.readPointLookup]] composes it with the
+    * bloom file prune). */
+  def readRowGroupsPrunedIn(spark: SparkSession, index: DataFrame,
+      values: Seq[Long]): (DataFrame, Long, Long, Int) =
+    prunedScan(spark, index, r =>
+      values.exists(v => r.getLong(2) <= v && r.getLong(3) >= v))
+
+  /** [[readRowGroupsPrunedIn]] for a STRING index (UTF-8 byte order). */
+  def readRowGroupsPrunedInString(spark: SparkSession, index: DataFrame,
+      values: Seq[String]): (DataFrame, Long, Long, Int) =
+    prunedScan(spark, index, r =>
+      values.exists(v =>
+        !utf8Gt(r.getString(2), v) && !utf8Gt(v, r.getString(3))))
 
   /** Shared prune+scan core: `intersects` judges a non-null-bounds index
     * row; null-bounds rows are always kept. */

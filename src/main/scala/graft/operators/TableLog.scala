@@ -713,29 +713,71 @@ object TableLog {
       abs => RowGroupScan.rowGroupIndexFiles(spark, abs, column),
       idx => RowGroupScan.readRowGroupsPruned(spark, idx, lo, hi),
       abs => ParquetTuning.zoneMapIndexFiles(spark, abs, column),
-      org.apache.spark.sql.functions.lit(lo),
-      org.apache.spark.sql.functions.lit(hi))
+      dvIntersect(Some(lo), Some(hi)))
 
   /** [[readRowGroupPruned]] for STRING columns — lexicographic [lo, hi]
     * in UTF-8 byte order (ORDER BY / BETWEEN semantics), the date-string
-    * / category-code predicate shape. */
+    * / category-code predicate shape. Open bounds (`None`) skip that
+    * side of the comparison — there is no finite top string, so
+    * `lo`-only predicates stay exactly prunable. */
   def readRowGroupPrunedString(spark: SparkSession, dir: String,
       column: String, lo: String, hi: String, version: Int = -1)
       : (DataFrame, Long, Long, Int, Int) =
+    readRowGroupPrunedStringBounds(spark, dir, column, Some(lo), Some(hi),
+      version)
+
+  /** [[readRowGroupPrunedString]] with optional bounds. */
+  def readRowGroupPrunedStringBounds(spark: SparkSession, dir: String,
+      column: String, lo: Option[String], hi: Option[String],
+      version: Int = -1): (DataFrame, Long, Long, Int, Int) =
     readRowGroupPrunedCore(spark, dir, version,
       abs => RowGroupScan.rowGroupIndexStringFiles(spark, abs, column),
-      idx => RowGroupScan.readRowGroupsPrunedString(spark, idx, lo, hi),
+      idx => RowGroupScan.readRowGroupsPrunedStringBounds(spark, idx,
+        lo, hi),
       abs => ParquetTuning.zoneMapIndexStringFiles(spark, abs, column),
-      org.apache.spark.sql.functions.lit(lo),
-      org.apache.spark.sql.functions.lit(hi))
+      dvIntersect(lo, hi))
+
+  /** IN-list row-group-pruned read WITHOUT a bloom index: keeps row
+    * groups whose [zmin, zmax] contains ANY probe value. DV-carrying
+    * files prune on the conservative [min(values), max(values)]
+    * envelope and read whole. Prefer [[readPointLookup]] when the
+    * column carries a bloom index (it also prunes whole files). */
+  def readRowGroupPrunedIn(spark: SparkSession, dir: String,
+      column: String, values: Seq[Long], version: Int = -1)
+      : (DataFrame, Long, Long, Int, Int) =
+    readRowGroupPrunedCore(spark, dir, version,
+      abs => RowGroupScan.rowGroupIndexFiles(spark, abs, column),
+      idx => RowGroupScan.readRowGroupsPrunedIn(spark, idx, values),
+      abs => ParquetTuning.zoneMapIndexFiles(spark, abs, column),
+      dvIntersect(Some(values.min), Some(values.max)))
+
+  /** [[readRowGroupPrunedIn]] for STRING probes (UTF-8 order). */
+  def readRowGroupPrunedInString(spark: SparkSession, dir: String,
+      column: String, values: Seq[String], version: Int = -1)
+      : (DataFrame, Long, Long, Int, Int) =
+    readRowGroupPrunedCore(spark, dir, version,
+      abs => RowGroupScan.rowGroupIndexStringFiles(spark, abs, column),
+      idx => RowGroupScan.readRowGroupsPrunedInString(spark, idx, values),
+      abs => ParquetTuning.zoneMapIndexStringFiles(spark, abs, column),
+      dvIntersect(Some(values.min), Some(values.max)))
+
+  /** File-level [zmin, zmax] ∩ [lo, hi] condition for the DV-file leg;
+    * open bounds drop that side (Spark string `<=` compares UTF8String
+    * bytes — the same order the indexes fold in). */
+  private def dvIntersect(lo: Option[Any], hi: Option[Any])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    val conds = hi.map(h => col("zmin") <= lit(h)).toSeq ++
+      lo.map(l => col("zmax") >= lit(l)).toSeq
+    conds.reduceOption(_ && _).getOrElse(lit(true))
+  }
 
   private def readRowGroupPrunedCore(spark: SparkSession, dir: String,
       version: Int,
       rgIndex: Seq[String] => DataFrame,
       rgScan: DataFrame => (DataFrame, Long, Long, Int),
       fileIndex: Seq[String] => DataFrame,
-      loLit: org.apache.spark.sql.Column,
-      hiLit: org.apache.spark.sql.Column)
+      dvCond: org.apache.spark.sql.Column)
       : (DataFrame, Long, Long, Int, Int) = {
     val snap = snapshot(dir, version)
     val (dvFiles, cleanFiles) = snap.files.partition(snap.dvs.contains)
@@ -755,8 +797,7 @@ object TableLog {
       else {
         val abs = dvFiles.map(f => Paths.get(dir).resolve(f).toString)
         val keepAbs = fileIndex(abs)
-          .filter(col("zmin").isNull || col("zmax").isNull
-            || (col("zmin") <= hiLit && col("zmax") >= loLit))
+          .filter(col("zmin").isNull || col("zmax").isNull || dvCond)
           .select("file").collect().map(_.getString(0)).toSeq
         filesOpened += keepAbs.size
         if (keepAbs.isEmpty) None
@@ -936,11 +977,29 @@ object TableLog {
     * exactly the needle-in-100TB path this index exists for). */
   def readBloomPruned(spark: SparkSession, dir: String, column: String,
       values: Seq[Any], version: Int = -1): (DataFrame, Int, Int) = {
-    import org.apache.spark.sql.functions.{lit, xxhash64}
     require(values.nonEmpty, "readBloomPruned needs at least one value")
     val snap = snapshot(dir, version)
     require(snap.bloomCol.contains(column),
       s"no bloom index on $column in $dir (run computeBlooms first)")
+    val keep = bloomKeepFiles(spark, dir, snap, values)
+    val keepSet = keep.toSet
+    val df =
+      if (keep.isEmpty) // provably absent everywhere: empty, table schema
+        readEvolved(spark, dir, snap.version).limit(0)
+      else applyDv(spark, dir,
+        spark.read.option("mergeSchema", "true").parquet(
+          keep.map(f => Paths.get(dir).resolve(f).toString): _*),
+        snap.dvs.filter { case (f, _) => keepSet(f) })
+    (df, keep.size, snap.files.size)
+  }
+
+  /** The bloom probe behind [[readBloomPruned]]/[[readPointLookup]]:
+    * which of the snapshot's files MIGHT contain one of `values`
+    * (unindexed files kept conservatively, indexed-but-no-sidecar-row =
+    * all-NULL file = definitely absent). */
+  private def bloomKeepFiles(spark: SparkSession, dir: String,
+      snap: Snapshot, values: Seq[Any]): Seq[String] = {
+    import org.apache.spark.sql.functions.{lit, xxhash64}
     // raw 64-bit probe hashes through Spark's OWN hash kernel (one local
     // 1-row job) so build and probe can never drift; the per-bitmap
     // modulo folds in executor-side, where the bitmap length is known
@@ -975,20 +1034,84 @@ object TableLog {
             (f, hit)
           }.collect().toMap // bounded: ONE boolean per indexed file
       }
-    val keep = snap.files.filter { f =>
+    snap.files.filter { f =>
       if (!snap.blooms.contains(f)) true // unindexed: conservative
       // indexed but no sidecar row: all-NULL file — definitely absent
       else hitByFile.getOrElse(f, false)
     }
-    val keepSet = keep.toSet
-    val df =
-      if (keep.isEmpty) // provably absent everywhere: empty, table schema
-        readEvolved(spark, dir, snap.version).limit(0)
-      else applyDv(spark, dir,
-        spark.read.option("mergeSchema", "true").parquet(
-          keep.map(f => Paths.get(dir).resolve(f).toString): _*),
-        snap.dvs.filter { case (f, _) => keepSet(f) })
-    (df, keep.size, snap.files.size)
+  }
+
+  /** Point / IN-list lookup composing EVERY index the log carries — the
+    * needle-in-100TB read path: the bloom probe prunes FILES
+    * (definitely-absent), the per-row-group min/max index prunes ROW
+    * GROUPS inside the kept files, and the selective scan
+    * ([[RowGroupScan]]) reads only those. A clustered table answers an
+    * id fetch by opening ~1 row group plus the bloom false-positive
+    * tail. The caller re-applies the exact `isin` predicate. Returns
+    * (frame, rgOpened, rgTotal, filesOpened, filesTotal); rgOpened /
+    * rgTotal count the bloom-kept DV-free files (the honest report of
+    * what the row-group stage had to work with).
+    *
+    * Probe values must be all integral (Long-widened zone check) or all
+    * strings (UTF-8 order) — matching the bloom contract that the
+    * column's cast-to-string equals `v.toString`. Files carrying
+    * deletion vectors read whole (DV positions are file ordinals), as
+    * in [[readRowGroupPruned]]. */
+  def readPointLookup(spark: SparkSession, dir: String, column: String,
+      values: Seq[Any], version: Int = -1)
+      : (DataFrame, Long, Long, Int, Int) = {
+    require(values.nonEmpty, "readPointLookup needs at least one value")
+    val snap = snapshot(dir, version)
+    require(snap.bloomCol.contains(column),
+      s"no bloom index on $column in $dir (run computeBlooms first)")
+    val longs: Option[Seq[Long]] =
+      if (values.forall {
+        case _: Byte | _: Short | _: Int | _: Long => true
+        case _ => false
+      }) Some(values.map {
+        case b: Byte => b.toLong
+        case s: Short => s.toLong
+        case i: Int => i.toLong
+        case l: Long => l
+      }) else None
+    require(longs.isDefined || values.forall(_.isInstanceOf[String]),
+      "readPointLookup probes must be all-integral or all-string")
+    val keep = bloomKeepFiles(spark, dir, snap, values)
+    val (dvFiles, cleanFiles) = keep.partition(snap.dvs.contains)
+    var rgOpened = 0L
+    var rgTotal = 0L
+    var filesOpened = 0
+    val cleanPart: Option[DataFrame] =
+      if (cleanFiles.isEmpty) None
+      else {
+        val abs = cleanFiles.map(f => Paths.get(dir).resolve(f).toString)
+        val (df, o, tot, fo) = longs match {
+          case Some(ls) => RowGroupScan.readRowGroupsPrunedIn(spark,
+            RowGroupScan.rowGroupIndexFiles(spark, abs, column), ls)
+          case None => RowGroupScan.readRowGroupsPrunedInString(spark,
+            RowGroupScan.rowGroupIndexStringFiles(spark, abs, column),
+            values.map(_.asInstanceOf[String]))
+        }
+        rgOpened = o; rgTotal = tot; filesOpened += fo
+        if (o == 0L) None else Some(df)
+      }
+    val dvPart: Option[DataFrame] =
+      if (dvFiles.isEmpty) None
+      else {
+        filesOpened += dvFiles.size
+        val keptSet = dvFiles.toSet
+        Some(applyDv(spark, dir,
+          spark.read.option("mergeSchema", "true").parquet(
+            dvFiles.map(f => Paths.get(dir).resolve(f).toString): _*),
+          snap.dvs.filter { case (f, _) => keptSet(f) }))
+      }
+    val df = (cleanPart, dvPart) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => readEvolved(spark, dir, snap.version).limit(0)
+    }
+    (df, rgOpened, rgTotal, filesOpened, snap.files.size)
   }
 
   /** Compaction (OPTIMIZE): greedy bin-pack of the current version's

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{LakeSelect, TableLog}
+
+/** Declarative index routing: predicate analysis picks the most
+  * selective index, the full predicate always re-applies, and results
+  * match a plain filtered read for every strategy. */
+class LakeSelectSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val smallRg = Map(
+    "parquet.block.size" -> "16384", "parquet.page.size" -> "4096")
+
+  private def freshTable(withBloom: Boolean): String = {
+    val dir = java.nio.file.Files.createTempDirectory("lsel")
+      .toString + "/t"
+    val df = spark.range(16000).selectExpr(
+      "id as k",
+      "concat('d-', lpad(cast(id % 500 as string), 4, '0')) as tag",
+      "id * 3 as v")
+    TableLog.append(
+      df.repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      dir, options = smallRg)
+    if (withBloom) TableLog.computeBlooms(spark, dir, "k")
+    dir
+  }
+
+  private def expectSame(dir: String, pred: String, strategy: String,
+      prunes: Boolean): Unit = {
+    val (got, stats) = LakeSelect.readWhere(spark, dir, pred)
+    assert(stats.strategy == strategy,
+      s"$pred routed to ${stats.strategy}, wanted $strategy ($stats)")
+    if (prunes)
+      assert(stats.filesOpened < stats.filesTotal ||
+        stats.rgOpened < stats.rgTotal, s"$pred did not prune: $stats")
+    val want = TableLog.read(spark, dir).where(pred)
+    assert(got.orderBy("k").collect().toSeq ==
+      want.orderBy("k").collect().toSeq, s"$pred result drift")
+  }
+
+  test("equality on the bloom-indexed column routes to point_lookup") {
+    val dir = freshTable(withBloom = true)
+    expectSame(dir, "k = 12345", "point_lookup", prunes = true)
+    expectSame(dir, "k IN (5, 7777, 15999)", "point_lookup",
+      prunes = true)
+    // extra unprunable conjunct rides along, result still exact
+    expectSame(dir, "k = 200 AND v % 2 = 0", "point_lookup",
+      prunes = true)
+  }
+
+  test("equality without a bloom index routes to rowgroup_in") {
+    val dir = freshTable(withBloom = false)
+    expectSame(dir, "k = 9000", "rowgroup_in", prunes = true)
+    expectSame(dir, "tag = 'd-0042' AND k = 9000", "rowgroup_in",
+      prunes = true)
+  }
+
+  test("ranges route to rowgroup_range; BETWEEN desugars; bounds merge") {
+    val dir = freshTable(withBloom = false)
+    expectSame(dir, "k BETWEEN 100 AND 900", "rowgroup_range",
+      prunes = true)
+    expectSame(dir, "k >= 100 AND k <= 900", "rowgroup_range",
+      prunes = true)
+    expectSame(dir, "k >= 100 AND k < 900 AND k >= 200",
+      "rowgroup_range", prunes = true)
+    // reversed operand order
+    expectSame(dir, "100 <= k AND 900 >= k", "rowgroup_range",
+      prunes = true)
+    // lo-only numeric range
+    expectSame(dir, "k > 15500", "rowgroup_range", prunes = true)
+  }
+
+  test("string lo-only range prunes without a fake top string") {
+    val dir = java.nio.file.Files.createTempDirectory("lsel_s")
+      .toString + "/t"
+    val df = spark.range(12000).selectExpr(
+      "concat('u-', lpad(cast(id as string), 6, '0')) as key",
+      "id as k", "id as v")
+    TableLog.append(
+      df.repartitionByRange(3, col("key")).sortWithinPartitions("key"),
+      dir, options = smallRg)
+    val (got, stats) = LakeSelect.readWhere(spark, dir,
+      "key >= 'u-011500'")
+    assert(stats.strategy == "rowgroup_range" &&
+      stats.column.contains("key"))
+    assert(stats.rgOpened < stats.rgTotal, s"no pruning: $stats")
+    assert(got.count() == 500L)
+  }
+
+  test("unprunable predicates fall back to full_scan, still exact") {
+    val dir = freshTable(withBloom = false)
+    expectSame(dir, "k = 5 OR k = 9000", "full_scan", prunes = false)
+    expectSame(dir, "v % 7 = 3", "full_scan", prunes = false)
+    expectSame(dir, "k + 1 = 10", "full_scan", prunes = false)
+  }
+
+  test("equality beats range when both are present; priority is " +
+    "bloom > eq > range") {
+    val dir = freshTable(withBloom = true)
+    // range on k plus equality on k: equality (point lookup) wins
+    expectSame(dir, "k >= 0 AND k = 4242", "point_lookup", prunes = true)
+    // equality on unindexed tag + range on bloom'd k: no bloom eq, so
+    // plain equality on tag wins over the range
+    val (_, st) = LakeSelect.readWhere(spark, dir,
+      "tag = 'd-0042' AND k <= 15999")
+    assert(st.strategy == "rowgroup_in" && st.column.contains("tag"))
+  }
+
+  test("contradictory equalities intersect to an empty probe set " +
+    "→ full scan fallback stays exact") {
+    val dir = freshTable(withBloom = false)
+    val (got, _) = LakeSelect.readWhere(spark, dir, "k = 5 AND k = 6")
+    assert(got.count() == 0L)
+  }
+}

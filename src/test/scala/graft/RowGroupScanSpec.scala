@@ -185,6 +185,51 @@ class RowGroupScanSpec extends AnyFunSuite {
     assert(got.getLong(0) > 0L)
   }
 
+  test("point lookup composes bloom file-prune with row-group prune; " +
+    "absent keys read nothing") {
+    val dir = tmp("rgpoint") + "/table"
+    val df = spark.range(20000).selectExpr("id as k", "id * 11 as v")
+    TableLog.append(
+      df.repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+      dir, options = smallRg)
+    TableLog.computeBlooms(spark, dir, "k")
+    // three present keys in the first file's range
+    val keys = Seq(10L, 777L, 2400L)
+    val (pr, rgOpened, rgTotal, fOpened, fTotal) =
+      TableLog.readPointLookup(spark, dir, "k", keys)
+    assert(fOpened < fTotal, s"bloom must reject files: $fOpened/$fTotal")
+    assert(rgOpened < rgTotal, s"no rg pruning: $rgOpened/$rgTotal")
+    val got = pr.filter(col("k").isin(keys: _*))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == keys.sorted.map(k => (k, k * 11)))
+    // absent everywhere: bloom answers definitely-absent, zero opens
+    val (none, _, _, fo2, _) =
+      TableLog.readPointLookup(spark, dir, "k", Seq(900000L))
+    assert(fo2 == 0 && none.count() == 0L)
+    assert(none.columns.toSeq == Seq("k", "v"))
+  }
+
+  test("point lookup on strings and with deletion vectors: DV'd file " +
+    "reads whole, deleted key stays invisible") {
+    val dir = tmp("rgpstr") + "/table"
+    val df = spark.range(9000).selectExpr(
+      "concat('id-', lpad(cast(id as string), 6, '0')) as key",
+      "id as v")
+    TableLog.append(
+      df.repartitionByRange(3, col("key")).sortWithinPartitions("key"),
+      dir, options = smallRg)
+    TableLog.computeBlooms(spark, dir, "key")
+    TableLog.deleteVectored(spark, dir, "key = 'id-000500'")
+    val keys = Seq("id-000500", "id-000501", "id-008000")
+    val (pr, _, _, fOpened, fTotal) =
+      TableLog.readPointLookup(spark, dir, "key", keys)
+    assert(fOpened <= fTotal)
+    val got = pr.filter(col("key").isin(keys: _*))
+      .select("key").as[String].collect().toSet
+    assert(got == Set("id-000501", "id-008000"),
+      s"deleted key must stay invisible: $got")
+  }
+
   test("schema drift across files fails loudly") {
     val dir = tmp("rgdrift")
     spark.range(100).selectExpr("id as k", "id as v")
