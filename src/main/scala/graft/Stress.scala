@@ -869,6 +869,83 @@ object Stress {
       }
     }
 
+    if (sec("r12")) {
+      val rgOpts = Map("parquet.block.size" -> "262144",
+        "parquet.page.size" -> "65536")
+      time("row-group skipping (10M rows, ~200 row groups)") {
+        // the intra-file pruning path at scale: a key-sorted 4-file
+        // table written with 256 KB row groups; a 1/200th-keyspace range
+        // must read a handful of row groups, never a whole file, and
+        // match the full-scan count exactly
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_stress_rg").toString + "/t"
+        graft.operators.TableLog.append(
+          spark.range(10000000L).select(col("id").as("k"),
+              (col("id") * 3L).as("v"))
+            .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+          dir, options = rgOpts)
+        val (pr, rgOpened, rgTotal, fOpened, fTotal) =
+          graft.operators.TableLog.readRowGroupPruned(
+            spark, dir, "k", 4000000L, 4050000L)
+        require(rgTotal > 50, s"stress wants many row groups: $rgTotal")
+        require(rgOpened * 20 < rgTotal,
+          s"row groups opened $rgOpened of $rgTotal")
+        require(fOpened == 1 && fTotal == 4)
+        val n = pr.filter(col("k").between(4000000L, 4050000L)).count()
+        require(n == 50001L, s"range count $n")
+        println(s"    opened $rgOpened of $rgTotal row groups")
+      }
+      time("composed point lookup (10M rows, 40 interleaved files)") {
+        // bloom × row-group composition: every file spans the FULL key
+        // range (k = 40*j + i — zone maps cannot prune files), but keys
+        // are sorted within each file; the bloom probe must pick ~1
+        // file, then the row-group index must open ~1 group inside it
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_stress_pl").toString + "/t"
+        (0 until 40).foreach(i => graft.operators.TableLog.append(
+          spark.range(250000L).select(
+            (col("id") * 40L + i).as("k"), col("id").as("v"))
+            .coalesce(1), dir, options = rgOpts))
+        graft.operators.TableLog.computeBlooms(spark, dir, "k")
+        val key = 40L * 123456L + 17L // lives in file 17 only
+        val (df, rgOpened, rgTotal, fOpened, fTotal) =
+          graft.operators.TableLog.readPointLookup(
+            spark, dir, "k", Seq(key))
+        require(fTotal == 40 && fOpened <= 4,
+          s"bloom opened $fOpened of $fTotal files")
+        require(rgOpened <= fOpened.toLong * 3 && rgTotal > rgOpened * 3,
+          s"row groups opened $rgOpened of $rgTotal")
+        require(df.filter(col("k") === key).count() == 1L)
+        println(s"    opened $fOpened of $fTotal files, " +
+          s"$rgOpened of $rgTotal row groups")
+      }
+      time("declarative readWhere (10M rows: range + equality routing)") {
+        // LakeSelect at scale: the same sorted table answered through
+        // predicate TEXT — the range routes to the row-group path, the
+        // equality (no bloom here) to the IN-prune path; both exact
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_stress_ls").toString + "/t"
+        graft.operators.TableLog.append(
+          spark.range(10000000L).select(col("id").as("k"),
+              (col("id") % 9973L).as("v"))
+            .repartitionByRange(4, col("k")).sortWithinPartitions("k"),
+          dir, options = rgOpts)
+        val (r1, s1) = graft.operators.LakeSelect.readWhere(spark, dir,
+          "k BETWEEN 7000000 AND 7100000 AND v % 2 = 0")
+        require(s1.strategy == "rowgroup_range" && s1.rgOpened * 10
+          < s1.rgTotal, s"range routing: $s1")
+        val n1 = r1.count()
+        require(n1 > 0 && n1 < 100001L, s"filtered count $n1")
+        val (r2, s2) = graft.operators.LakeSelect.readWhere(spark, dir,
+          "k = 9999999")
+        require(s2.strategy == "rowgroup_in" && s2.rgOpened * 10
+          < s2.rgTotal, s"eq routing: $s2")
+        require(r2.count() == 1L)
+        println(s"    range ${s1.rgOpened}/${s1.rgTotal} rgs, " +
+          s"eq ${s2.rgOpened}/${s2.rgTotal} rgs")
+      }
+    }
+
     val sentinelPost = Bench.sentinelMtMs()
     val total = results.values.sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
