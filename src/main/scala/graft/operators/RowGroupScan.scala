@@ -123,50 +123,61 @@ object RowGroupScan {
     * The caller re-applies the exact predicate. Returns (frame,
     * rgOpened, rgTotal, filesOpened). Zero kept groups returns an empty
     * frame WITH the table schema (from the first indexed file's footer),
-    * so downstream plans analyze cleanly. */
+    * so downstream plans analyze cleanly. `columns` non-empty = a
+    * PROJECTION pushed into the scan: only those columns' pages are
+    * read (a point fetch on a wide table reads 2 column chunks, not
+    * 200 — the custom scan materializes rows eagerly, so Catalyst's own
+    * column pruning cannot reach inside it). */
   def readRowGroupsPruned(spark: SparkSession, index: DataFrame,
-      lo: Long, hi: Long): (DataFrame, Long, Long, Int) =
+      lo: Long, hi: Long, columns: Seq[String] = Nil)
+      : (DataFrame, Long, Long, Int) =
     prunedScan(spark, index, r =>
-      r.getLong(2) <= hi && r.getLong(3) >= lo)
+      r.getLong(2) <= hi && r.getLong(3) >= lo, columns)
 
   /** [[readRowGroupsPruned]] for a STRING index ([[
     * rowGroupIndexStringFiles]]): lexicographic [lo, hi] intersection in
     * UTF-8 byte order — matching ORDER BY / BETWEEN semantics on
     * strings. */
   def readRowGroupsPrunedString(spark: SparkSession, index: DataFrame,
-      lo: String, hi: String): (DataFrame, Long, Long, Int) =
-    readRowGroupsPrunedStringBounds(spark, index, Some(lo), Some(hi))
+      lo: String, hi: String, columns: Seq[String] = Nil)
+      : (DataFrame, Long, Long, Int) =
+    readRowGroupsPrunedStringBounds(spark, index, Some(lo), Some(hi),
+      columns)
 
   /** [[readRowGroupsPrunedString]] with OPTIONAL bounds: `None` skips
     * that side of the comparison, so `col >= lo` predicates prune
     * exactly without inventing a fake top string. */
   def readRowGroupsPrunedStringBounds(spark: SparkSession,
-      index: DataFrame, lo: Option[String], hi: Option[String])
-      : (DataFrame, Long, Long, Int) =
+      index: DataFrame, lo: Option[String], hi: Option[String],
+      columns: Seq[String] = Nil): (DataFrame, Long, Long, Int) =
     prunedScan(spark, index, r =>
       hi.forall(h => !utf8Gt(r.getString(2), h)) &&
-        lo.forall(l => !utf8Gt(l, r.getString(3))))
+        lo.forall(l => !utf8Gt(l, r.getString(3))), columns)
 
   /** IN-list-pruned read off a numeric index: keeps a row group iff ANY
     * probe value falls inside its [zmin, zmax] — the point-lookup shape
     * ([[graft.operators.TableLog.readPointLookup]] composes it with the
     * bloom file prune). */
   def readRowGroupsPrunedIn(spark: SparkSession, index: DataFrame,
-      values: Seq[Long]): (DataFrame, Long, Long, Int) =
+      values: Seq[Long], columns: Seq[String] = Nil)
+      : (DataFrame, Long, Long, Int) =
     prunedScan(spark, index, r =>
-      values.exists(v => r.getLong(2) <= v && r.getLong(3) >= v))
+      values.exists(v => r.getLong(2) <= v && r.getLong(3) >= v), columns)
 
   /** [[readRowGroupsPrunedIn]] for a STRING index (UTF-8 byte order). */
   def readRowGroupsPrunedInString(spark: SparkSession, index: DataFrame,
-      values: Seq[String]): (DataFrame, Long, Long, Int) =
+      values: Seq[String], columns: Seq[String] = Nil)
+      : (DataFrame, Long, Long, Int) =
     prunedScan(spark, index, r =>
       values.exists(v =>
-        !utf8Gt(r.getString(2), v) && !utf8Gt(v, r.getString(3))))
+        !utf8Gt(r.getString(2), v) && !utf8Gt(v, r.getString(3))),
+      columns)
 
   /** Shared prune+scan core: `intersects` judges a non-null-bounds index
     * row; null-bounds rows are always kept. */
   private def prunedScan(spark: SparkSession, index: DataFrame,
-      intersects: Row => Boolean): (DataFrame, Long, Long, Int) = {
+      intersects: Row => Boolean, columns: Seq[String] = Nil)
+      : (DataFrame, Long, Long, Int) = {
     val rows = index.select("file", "rg", "zmin", "zmax").collect()
     require(rows.nonEmpty, "row-group pruned read needs a non-empty index")
     val keep = rows.filter(r => r.isNullAt(2) || r.isNullAt(3) ||
@@ -177,12 +188,20 @@ object RowGroupScan {
     val df =
       if (keep.isEmpty) {
         val conf = spark.sparkContext.hadoopConfiguration
-        spark.createDataFrame(
+        callerOrder(spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row],
-          sparkSchemaOf(parquetSchemaOf(rows.head.getString(0), conf)))
-      } else readRowGroups(spark, byFile)
+          sparkSchemaOf(project(
+            parquetSchemaOf(rows.head.getString(0), conf), columns))),
+          columns)
+      } else readRowGroups(spark, byFile, columns)
     (df, keep.length.toLong, rows.length.toLong, byFile.size)
   }
+
+  /** Projected frames come back in the CALLER's column order (the
+    * parquet-side subset stays in table order for the readers). */
+  private def callerOrder(df: DataFrame, columns: Seq[String]): DataFrame =
+    if (columns.isEmpty) df
+    else df.select(columns.map(org.apache.spark.sql.functions.col): _*)
 
   /** UTF-8 byte-order > — mirrors [[ParquetTuning]]'s string zone-map
     * comparison so file- and row-group-level pruning can never
@@ -202,24 +221,48 @@ object RowGroupScan {
   /** Scan exactly the given (file, row-group indices) — one distributed
     * job, ≤ [[rgsPerTask]] row groups per task. All files must carry the
     * SAME parquet schema (the committed-snapshot contract; schema drift
-    * fails loudly rather than silently dropping columns). */
+    * fails loudly rather than silently dropping columns). A non-empty
+    * `columns` projection reads ONLY those columns' pages — a point
+    * fetch on a wide table touches 2 column chunks, not 200; the custom
+    * scan materializes rows eagerly, so Catalyst's own column pruning
+    * cannot reach inside it. */
   def readRowGroups(spark: SparkSession,
-      plan: Seq[(String, Seq[Int])]): DataFrame = {
+      plan: Seq[(String, Seq[Int])],
+      columns: Seq[String] = Nil): DataFrame = {
     require(plan.nonEmpty, "readRowGroups needs a non-empty plan")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     val msg = parquetSchemaOf(plan.head._1,
       spark.sparkContext.hadoopConfiguration)
-    val schema = sparkSchemaOf(msg)
+    val schema = sparkSchemaOf(project(msg, columns))
     val expect = msg.toString
     val tasks = plan.flatMap { case (f, rgs) =>
       rgs.sorted.grouped(rgsPerTask).map(f -> _.toSeq)
     }
+    val cols = columns // stable local for the task closure
     val rdd = spark.sparkContext
       .parallelize(tasks, math.max(1, tasks.size))
-      .flatMap { case (f, rgs) => taskRows(f, rgs, conf.value, expect) }
-    spark.createDataFrame(rdd, schema)
+      .flatMap { case (f, rgs) =>
+        taskRows(f, rgs, conf.value, expect, cols)
+      }
+    callerOrder(spark.createDataFrame(rdd, schema), columns)
   }
+
+  /** Field subset of `msg` in TABLE order (empty `columns` = all);
+    * unknown names fail loudly. */
+  private def project(msg: org.apache.parquet.schema.MessageType,
+      columns: Seq[String]): org.apache.parquet.schema.MessageType =
+    if (columns.isEmpty) msg
+    else {
+      import scala.jdk.CollectionConverters._
+      val want = columns.toSet
+      val known = msg.getFields.asScala.map(_.getName).toSet
+      val missing = want -- known
+      require(missing.isEmpty,
+        s"projection names unknown columns: ${missing.mkString(", ")}")
+      new org.apache.parquet.schema.MessageType(msg.getName,
+        msg.getFields.asScala.filter(f => want(f.getName)).asJava)
+    }
 
   // ===== executor-side selective scan ==================================
 
@@ -228,7 +271,7 @@ object RowGroupScan {
     * exhaustion). */
   private def taskRows(file: String, rgs: Seq[Int],
       conf: org.apache.hadoop.conf.Configuration,
-      expectSchema: String): Iterator[Row] = {
+      expectSchema: String, columns: Seq[String]): Iterator[Row] = {
     import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -239,9 +282,13 @@ object RowGroupScan {
     def close(): Unit = if (!closed) { closed = true; reader.close() }
     val tc = org.apache.spark.TaskContext.get()
     if (tc != null) tc.addTaskCompletionListener[Unit](_ => close())
-    val msg = reader.getFooter.getFileMetaData.getSchema
-    require(msg.toString == expectSchema,
+    val full = reader.getFooter.getFileMetaData.getSchema
+    require(full.toString == expectSchema,
       s"schema drift: $file does not match the plan's first file")
+    // projection pushdown: the reader then fetches ONLY these columns'
+    // chunks per readRowGroup — unread pages never leave disk
+    val msg = project(full, columns)
+    if (columns.nonEmpty) reader.setRequestedSchema(msg)
     val nRgs = reader.getFooter.getBlocks.size
     val convs = Array.tabulate(msg.getFieldCount)(i =>
       fieldConverter(msg.getType(i), i))

@@ -707,13 +707,15 @@ object TableLog {
     * their vectors away, restoring row-group pruning. rgOpened/rgTotal
     * count the DV-free files only (the honest pruning report). */
   def readRowGroupPruned(spark: SparkSession, dir: String, column: String,
-      lo: Long, hi: Long, version: Int = -1)
+      lo: Long, hi: Long, version: Int = -1,
+      columns: Seq[String] = Nil)
       : (DataFrame, Long, Long, Int, Int) =
     readRowGroupPrunedCore(spark, dir, version,
       abs => RowGroupScan.rowGroupIndexFiles(spark, abs, column),
-      idx => RowGroupScan.readRowGroupsPruned(spark, idx, lo, hi),
+      idx => RowGroupScan.readRowGroupsPruned(spark, idx, lo, hi,
+        columns),
       abs => ParquetTuning.zoneMapIndexFiles(spark, abs, column),
-      dvIntersect(Some(lo), Some(hi)))
+      dvIntersect(Some(lo), Some(hi)), columns)
 
   /** [[readRowGroupPruned]] for STRING columns — lexicographic [lo, hi]
     * in UTF-8 byte order (ORDER BY / BETWEEN semantics), the date-string
@@ -721,21 +723,23 @@ object TableLog {
     * side of the comparison — there is no finite top string, so
     * `lo`-only predicates stay exactly prunable. */
   def readRowGroupPrunedString(spark: SparkSession, dir: String,
-      column: String, lo: String, hi: String, version: Int = -1)
+      column: String, lo: String, hi: String, version: Int = -1,
+      columns: Seq[String] = Nil)
       : (DataFrame, Long, Long, Int, Int) =
     readRowGroupPrunedStringBounds(spark, dir, column, Some(lo), Some(hi),
-      version)
+      version, columns)
 
   /** [[readRowGroupPrunedString]] with optional bounds. */
   def readRowGroupPrunedStringBounds(spark: SparkSession, dir: String,
       column: String, lo: Option[String], hi: Option[String],
-      version: Int = -1): (DataFrame, Long, Long, Int, Int) =
+      version: Int = -1, columns: Seq[String] = Nil)
+      : (DataFrame, Long, Long, Int, Int) =
     readRowGroupPrunedCore(spark, dir, version,
       abs => RowGroupScan.rowGroupIndexStringFiles(spark, abs, column),
       idx => RowGroupScan.readRowGroupsPrunedStringBounds(spark, idx,
-        lo, hi),
+        lo, hi, columns),
       abs => ParquetTuning.zoneMapIndexStringFiles(spark, abs, column),
-      dvIntersect(lo, hi))
+      dvIntersect(lo, hi), columns)
 
   /** IN-list row-group-pruned read WITHOUT a bloom index: keeps row
     * groups whose [zmin, zmax] contains ANY probe value. DV-carrying
@@ -743,23 +747,27 @@ object TableLog {
     * envelope and read whole. Prefer [[readPointLookup]] when the
     * column carries a bloom index (it also prunes whole files). */
   def readRowGroupPrunedIn(spark: SparkSession, dir: String,
-      column: String, values: Seq[Long], version: Int = -1)
+      column: String, values: Seq[Long], version: Int = -1,
+      columns: Seq[String] = Nil)
       : (DataFrame, Long, Long, Int, Int) =
     readRowGroupPrunedCore(spark, dir, version,
       abs => RowGroupScan.rowGroupIndexFiles(spark, abs, column),
-      idx => RowGroupScan.readRowGroupsPrunedIn(spark, idx, values),
+      idx => RowGroupScan.readRowGroupsPrunedIn(spark, idx, values,
+        columns),
       abs => ParquetTuning.zoneMapIndexFiles(spark, abs, column),
-      dvIntersect(Some(values.min), Some(values.max)))
+      dvIntersect(Some(values.min), Some(values.max)), columns)
 
   /** [[readRowGroupPrunedIn]] for STRING probes (UTF-8 order). */
   def readRowGroupPrunedInString(spark: SparkSession, dir: String,
-      column: String, values: Seq[String], version: Int = -1)
+      column: String, values: Seq[String], version: Int = -1,
+      columns: Seq[String] = Nil)
       : (DataFrame, Long, Long, Int, Int) =
     readRowGroupPrunedCore(spark, dir, version,
       abs => RowGroupScan.rowGroupIndexStringFiles(spark, abs, column),
-      idx => RowGroupScan.readRowGroupsPrunedInString(spark, idx, values),
+      idx => RowGroupScan.readRowGroupsPrunedInString(spark, idx, values,
+        columns),
       abs => ParquetTuning.zoneMapIndexStringFiles(spark, abs, column),
-      dvIntersect(Some(values.min), Some(values.max)))
+      dvIntersect(Some(values.min), Some(values.max)), columns)
 
   /** File-level [zmin, zmax] ∩ [lo, hi] condition for the DV-file leg;
     * open bounds drop that side (Spark string `<=` compares UTF8String
@@ -777,8 +785,13 @@ object TableLog {
       rgIndex: Seq[String] => DataFrame,
       rgScan: DataFrame => (DataFrame, Long, Long, Int),
       fileIndex: Seq[String] => DataFrame,
-      dvCond: org.apache.spark.sql.Column)
+      dvCond: org.apache.spark.sql.Column,
+      columns: Seq[String] = Nil)
       : (DataFrame, Long, Long, Int, Int) = {
+    // DV-leg / fallback projection twin of the rg-scan's pushdown, so
+    // the two legs always union on identical schemas
+    def proj(df: DataFrame): DataFrame =
+      if (columns.isEmpty) df else df.select(columns.map(col): _*)
     val snap = snapshot(dir, version)
     val (dvFiles, cleanFiles) = snap.files.partition(snap.dvs.contains)
     var rgOpened = 0L
@@ -804,17 +817,18 @@ object TableLog {
         else {
           val keptRel = dvFiles.filter(f =>
             keepAbs.contains(Paths.get(dir).resolve(f).toString)).toSet
-          Some(applyDv(spark, dir,
+          Some(proj(applyDv(spark, dir,
             spark.read.option("mergeSchema", "true")
               .parquet(keepAbs: _*),
-            snap.dvs.filter { case (f, _) => keptRel(f) }))
+            snap.dvs.filter { case (f, _) => keptRel(f) })))
         }
       }
     val df = (cleanPart, dvPart) match {
       case (Some(a), Some(b)) => a.unionByName(b)
       case (Some(a), None) => a
       case (None, Some(b)) => b
-      case (None, None) => readEvolved(spark, dir, snap.version).limit(0)
+      case (None, None) =>
+        proj(readEvolved(spark, dir, snap.version).limit(0))
     }
     (df, rgOpened, rgTotal, filesOpened, snap.files.size)
   }
@@ -1058,9 +1072,12 @@ object TableLog {
     * deletion vectors read whole (DV positions are file ordinals), as
     * in [[readRowGroupPruned]]. */
   def readPointLookup(spark: SparkSession, dir: String, column: String,
-      values: Seq[Any], version: Int = -1)
+      values: Seq[Any], version: Int = -1,
+      columns: Seq[String] = Nil)
       : (DataFrame, Long, Long, Int, Int) = {
     require(values.nonEmpty, "readPointLookup needs at least one value")
+    def proj(df: DataFrame): DataFrame =
+      if (columns.isEmpty) df else df.select(columns.map(col): _*)
     val snap = snapshot(dir, version)
     require(snap.bloomCol.contains(column),
       s"no bloom index on $column in $dir (run computeBlooms first)")
@@ -1087,10 +1104,11 @@ object TableLog {
         val abs = cleanFiles.map(f => Paths.get(dir).resolve(f).toString)
         val (df, o, tot, fo) = longs match {
           case Some(ls) => RowGroupScan.readRowGroupsPrunedIn(spark,
-            RowGroupScan.rowGroupIndexFiles(spark, abs, column), ls)
+            RowGroupScan.rowGroupIndexFiles(spark, abs, column), ls,
+            columns)
           case None => RowGroupScan.readRowGroupsPrunedInString(spark,
             RowGroupScan.rowGroupIndexStringFiles(spark, abs, column),
-            values.map(_.asInstanceOf[String]))
+            values.map(_.asInstanceOf[String]), columns)
         }
         rgOpened = o; rgTotal = tot; filesOpened += fo
         if (o == 0L) None else Some(df)
@@ -1100,16 +1118,17 @@ object TableLog {
       else {
         filesOpened += dvFiles.size
         val keptSet = dvFiles.toSet
-        Some(applyDv(spark, dir,
+        Some(proj(applyDv(spark, dir,
           spark.read.option("mergeSchema", "true").parquet(
             dvFiles.map(f => Paths.get(dir).resolve(f).toString): _*),
-          snap.dvs.filter { case (f, _) => keptSet(f) }))
+          snap.dvs.filter { case (f, _) => keptSet(f) })))
       }
     val df = (cleanPart, dvPart) match {
       case (Some(a), Some(b)) => a.unionByName(b)
       case (Some(a), None) => a
       case (None, Some(b)) => b
-      case (None, None) => readEvolved(spark, dir, snap.version).limit(0)
+      case (None, None) =>
+        proj(readEvolved(spark, dir, snap.version).limit(0))
     }
     (df, rgOpened, rgTotal, filesOpened, snap.files.size)
   }

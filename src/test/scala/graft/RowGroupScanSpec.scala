@@ -230,6 +230,41 @@ class RowGroupScanSpec extends AnyFunSuite {
       s"deleted key must stay invisible: $got")
   }
 
+  test("projection pushdown: the selective scan reads only the wanted " +
+    "columns and both DV and fallback legs match its schema") {
+    val dir = tmp("rgproj") + "/table"
+    val wide = spark.range(8000).selectExpr(
+      "id as k", "id * 2 as a", "id * 3 as b",
+      "concat('x', id) as s", "id * 5 as c")
+    TableLog.append(
+      wide.repartitionByRange(2, col("k")).sortWithinPartitions("k"),
+      dir, options = smallRg)
+    val (pr, rgOpened, rgTotal, _, _) = TableLog.readRowGroupPruned(
+      spark, dir, "k", 100L, 300L, columns = Seq("k", "s"))
+    assert(rgOpened < rgTotal)
+    assert(pr.columns.toSeq == Seq("k", "s"))
+    val got = pr.filter(col("k").between(100, 300))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == 201 && got.head == ((100L, "x100")))
+    // with a DV: projected union across the two legs stays consistent
+    TableLog.deleteVectored(spark, dir, "k = 150")
+    val (pr2, _, _, _, _) = TableLog.readRowGroupPruned(
+      spark, dir, "k", 100L, 300L, columns = Seq("k", "s"))
+    assert(pr2.columns.toSeq == Seq("k", "s"))
+    assert(pr2.filter(col("k").between(100, 300)).count() == 200L)
+    // point lookup with projection
+    TableLog.computeBlooms(spark, dir, "k")
+    val (pl, _, _, _, _) = TableLog.readPointLookup(
+      spark, dir, "k", Seq(4242L), columns = Seq("s", "k"))
+    assert(pl.columns.toSeq == Seq("s", "k"))
+    assert(pl.filter(col("k") === 4242L).head().getString(0) == "x4242")
+    // unknown projected column fails loudly
+    intercept[IllegalArgumentException] {
+      TableLog.readRowGroupPruned(spark, dir, "k", 0L, 1L,
+        columns = Seq("nope"))
+    }
+  }
+
   test("schema drift across files fails loudly") {
     val dir = tmp("rgdrift")
     spark.range(100).selectExpr("id as k", "id as v")
