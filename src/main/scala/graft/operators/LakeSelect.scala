@@ -51,11 +51,20 @@ object LakeSelect {
     * selective index available. Returns the FILTERED frame plus the
     * pruning stats. */
   def readWhere(spark: SparkSession, dir: String, predicate: String,
-      version: Int = -1): (DataFrame, Stats) = {
-    import org.apache.spark.sql.functions.expr
+      version: Int = -1, columns: Seq[String] = Nil)
+      : (DataFrame, Stats) = {
+    import org.apache.spark.sql.functions.{col, expr}
     val constraints = analyze(spark, predicate)
     val snap = TableLog.snapshot(dir, version)
     val bloomed = snap.bloomCol
+    // projection pushdown: the SCAN must still carry every column the
+    // predicate references (the exact filter re-applies on top), so
+    // widen the pushed set by the predicate's attributes and trim back
+    // to the caller's columns at the end
+    val predCols = referencedColumns(spark, predicate)
+    val scanCols =
+      if (columns.isEmpty) Nil
+      else (columns ++ predCols.filterNot(columns.contains)).toList
 
     def isStringVals(vs: Seq[Any]) = vs.forall(_.isInstanceOf[String])
     def isLongVals(vs: Seq[Any]) = vs.forall(_.isInstanceOf[Long])
@@ -84,36 +93,54 @@ object LakeSelect {
     val (df0, stats) = (bloomEq, anyEq, anyRange) match {
       case (Some((c, e)), _, _) =>
         val (df, rgo, rgt, fo, ft) =
-          TableLog.readPointLookup(spark, dir, c, e.values, version)
+          TableLog.readPointLookup(spark, dir, c, e.values, version,
+            scanCols)
         (df, Stats("point_lookup", Some(c), rgo, rgt, fo, ft))
       case (None, Some((c, e)), _) if isLongVals(e.values) =>
         val (df, rgo, rgt, fo, ft) = TableLog.readRowGroupPrunedIn(
-          spark, dir, c, e.values.map(_.asInstanceOf[Long]), version)
+          spark, dir, c, e.values.map(_.asInstanceOf[Long]), version,
+          scanCols)
         (df, Stats("rowgroup_in", Some(c), rgo, rgt, fo, ft))
       case (None, Some((c, e)), _) =>
         val (df, rgo, rgt, fo, ft) = TableLog.readRowGroupPrunedInString(
-          spark, dir, c, e.values.map(_.asInstanceOf[String]), version)
+          spark, dir, c, e.values.map(_.asInstanceOf[String]), version,
+          scanCols)
         (df, Stats("rowgroup_in", Some(c), rgo, rgt, fo, ft))
       case (None, None, Some((c, r)))
           if r.lo.orElse(r.hi).exists(_.isInstanceOf[Long]) =>
         val lo = r.lo.map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
         val hi = r.hi.map(_.asInstanceOf[Long]).getOrElse(Long.MaxValue)
         val (df, rgo, rgt, fo, ft) =
-          TableLog.readRowGroupPruned(spark, dir, c, lo, hi, version)
+          TableLog.readRowGroupPruned(spark, dir, c, lo, hi, version,
+            scanCols)
         (df, Stats("rowgroup_range", Some(c), rgo, rgt, fo, ft))
       case (None, None, Some((c, r)))
           if r.lo.orElse(r.hi).exists(_.isInstanceOf[String]) =>
         val (df, rgo, rgt, fo, ft) =
           TableLog.readRowGroupPrunedStringBounds(spark, dir, c,
             r.lo.map(_.asInstanceOf[String]),
-            r.hi.map(_.asInstanceOf[String]), version)
+            r.hi.map(_.asInstanceOf[String]), version, scanCols)
         (df, Stats("rowgroup_range", Some(c), rgo, rgt, fo, ft))
       case _ =>
         val df = TableLog.read(spark, dir, version)
         (df, Stats("full_scan", None, 0L, 0L,
           snap.files.size, snap.files.size))
     }
-    (df0.where(expr(predicate)), stats)
+    val filtered = df0.where(expr(predicate))
+    (if (columns.isEmpty) filtered
+     else filtered.select(columns.map(col): _*), stats)
+  }
+
+  /** Single-part column names the predicate references — what a pushed
+    * projection must additionally carry so the exact re-filter can
+    * evaluate. */
+  private def referencedColumns(spark: SparkSession,
+      predicate: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    spark.sessionState.sqlParser.parseExpression(predicate).collect {
+      case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+        a.nameParts.head
+    }.distinct
   }
 
   /** Driver-side conjunct analysis: top-level ANDs of parse-time

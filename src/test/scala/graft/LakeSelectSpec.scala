@@ -110,6 +110,29 @@ class LakeSelectSpec extends AnyFunSuite {
     assert(st.strategy == "rowgroup_in" && st.column.contains("tag"))
   }
 
+  test("projection pushdown widens to predicate columns then trims " +
+    "back, on every strategy") {
+    val dir = freshTable(withBloom = true)
+    // predicate references v, projection asks only for tag: the scan
+    // must carry v for the re-filter, the result must not
+    val (got, st) = LakeSelect.readWhere(spark, dir,
+      "k = 4242 AND v % 2 = 0", columns = Seq("tag"))
+    assert(st.strategy == "point_lookup")
+    assert(got.columns.toSeq == Seq("tag"))
+    assert(got.collect().map(_.getString(0)).toSeq == Seq("d-0242"))
+    val (got2, st2) = LakeSelect.readWhere(spark, dir,
+      "k BETWEEN 100 AND 110", columns = Seq("v", "k"))
+    assert(st2.strategy == "rowgroup_range")
+    assert(got2.columns.toSeq == Seq("v", "k"))
+    assert(got2.orderBy("k").collect().map(r => (r.getLong(0),
+      r.getLong(1))).toSeq == (100L to 110L).map(k => (k * 3, k)))
+    // full-scan fallback projects too
+    val (got3, st3) = LakeSelect.readWhere(spark, dir,
+      "v % 4801 = 0 AND k > 0", columns = Seq("k"))
+    assert(st3.strategy != "full_scan" || got3.columns.toSeq == Seq("k"))
+    assert(got3.columns.toSeq == Seq("k"))
+  }
+
   test("contradictory equalities intersect to an empty probe set " +
     "→ full scan fallback stays exact") {
     val dir = freshTable(withBloom = false)
