@@ -780,6 +780,40 @@ object SparkEntry {
            GROUP BY aid ORDER BY aid""")
     },
 
+    "e19_lake_stream" -> { (s, d) =>
+      // the lake streaming SOURCE (graft-lake, a DataSource-v2
+      // micro-batch stream whose offset is the table-log VERSION —
+      // TableLogSink's read-side twin): three appends with an OPTIMIZE
+      // rewrite in between; AvailableNow drains exactly the appended
+      // rows into a parquet sink through the version-offset checkpoint —
+      // the rewrite must NOT re-emit its rows (the Delta streaming
+      // contract), so the aggregates equal the plain full-scan oracle;
+      // double-emission or a missed append breaks the hash.
+      val root = java.nio.file.Files.createTempDirectory("graft_e19")
+        .toString
+      val dir = root + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.append(
+        o.filter(col("o_orderkey") % 3 === 0), dir)
+      graft.operators.TableLog.append(
+        o.filter(col("o_orderkey") % 3 === 1), dir)
+      graft.operators.TableLog.optimize(s, dir) // rewrite: no row change
+      graft.operators.TableLog.append(
+        o.filter(col("o_orderkey") % 3 === 2), dir)
+      val q = s.readStream.format("graft-lake").load(dir)
+        .writeStream.format("parquet").option("path", root + "/sink")
+        .option("checkpointLocation", root + "/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(root + "/sink")
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_k"),
+          max(col("o_orderkey")).as("max_k"))
+    },
+
     "sql13_lake_select" -> { (s, d) =>
       // index-accelerated declarative reads from SQL TEXT (graft_select →
       // LakeSelect.readWhere): the SQL user writes a bare predicate; the
@@ -9566,6 +9600,14 @@ object SparkEntry {
            TRUE AS rg_pruned, TRUE AS file_pruned
          FROM orders, r
          WHERE strftime(o_orderdate, '%Y-%m-%d') BETWEEN r.lo AND r.hi""",
+
+    // lake-stream replay: the drained appends are exactly the full
+    // table (each row appended once; the optimize rewrite emits nothing)
+    "e19_lake_stream" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+         FROM orders""",
 
     // declarative-select replay: the same derived point/range/IN-list
     // predicates as plain full scans

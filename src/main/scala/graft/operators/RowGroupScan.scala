@@ -375,6 +375,69 @@ object RowGroupScan {
     }
   }
 
+  /** [[fieldConverter]]'s CATALYST twin: values in InternalRow
+    * representation (UTF8String, epoch-day ints, micros longs,
+    * sql.types.Decimal) — what a DataSource-v2 PartitionReader emits
+    * ([[graft.sources.LakeStreamProvider]]) without dragging encoder
+    * machinery onto the executors. */
+  private[graft] def catalystConverter(t: org.apache.parquet.schema.Type,
+      idx: Int): org.apache.parquet.example.data.Group => Any = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.Type.Repetition
+    require(t.isPrimitive && t.getRepetition != Repetition.REPEATED,
+      s"row-group scan supports flat scalar schemas only: $t")
+    val p = t.asPrimitiveType()
+    val ann = p.getLogicalTypeAnnotation
+    p.getPrimitiveTypeName match {
+      case BOOLEAN => g => g.getBoolean(idx, 0)
+      case INT32 => ann match {
+        case _: DateLogicalTypeAnnotation => g => g.getInteger(idx, 0)
+        case d: DecimalLogicalTypeAnnotation => g =>
+          org.apache.spark.sql.types.Decimal(
+            java.math.BigDecimal.valueOf(g.getInteger(idx, 0).toLong,
+              d.getScale))
+        case i: IntLogicalTypeAnnotation if i.getBitWidth == 8 => g =>
+          g.getInteger(idx, 0).toByte
+        case i: IntLogicalTypeAnnotation if i.getBitWidth == 16 => g =>
+          g.getInteger(idx, 0).toShort
+        case _ => g => g.getInteger(idx, 0)
+      }
+      case INT64 => ann match {
+        case ts: TimestampLogicalTypeAnnotation =>
+          val toUs: Long => Long = ts.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS => _ * 1000L
+            case LogicalTypeAnnotation.TimeUnit.MICROS => identity
+            case _ => Math.floorDiv(_, 1000L) // NANOS
+          }
+          g => toUs(g.getLong(idx, 0)) // micros either way (TZ and NTZ)
+        case d: DecimalLogicalTypeAnnotation => g =>
+          org.apache.spark.sql.types.Decimal(
+            java.math.BigDecimal.valueOf(g.getLong(idx, 0), d.getScale))
+        case _ => g => g.getLong(idx, 0)
+      }
+      case FLOAT => g => g.getFloat(idx, 0)
+      case DOUBLE => g => g.getDouble(idx, 0)
+      case BINARY | FIXED_LEN_BYTE_ARRAY => ann match {
+        case _: StringLogicalTypeAnnotation |
+             _: EnumLogicalTypeAnnotation |
+             _: JsonLogicalTypeAnnotation => g =>
+          org.apache.spark.unsafe.types.UTF8String.fromBytes(
+            g.getBinary(idx, 0).getBytes)
+        case d: DecimalLogicalTypeAnnotation => g =>
+          org.apache.spark.sql.types.Decimal(
+            new java.math.BigDecimal(
+              new java.math.BigInteger(g.getBinary(idx, 0).getBytes),
+              d.getScale))
+        case _ => g => g.getBinary(idx, 0).getBytes
+      }
+      case INT96 => g => int96ToMicros(g.getInt96(idx, 0))
+      case other => sys.error(s"row-group scan: unsupported primitive " +
+        s"$other for field ${t.getName}")
+    }
+  }
+
   private def int96ToMicros(b: org.apache.parquet.io.api.Binary): Long = {
     val buf = java.nio.ByteBuffer.wrap(b.getBytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -409,7 +472,7 @@ object RowGroupScan {
   /** Spark schema for a flat scalar parquet message — the same mapping
     * [[fieldConverter]] materializes, so created frames union cleanly
     * with `spark.read.parquet` frames of sibling files. */
-  private[operators] def sparkSchemaOf(
+  private[graft] def sparkSchemaOf(
       msg: org.apache.parquet.schema.MessageType): StructType = {
     import org.apache.parquet.schema.LogicalTypeAnnotation._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
