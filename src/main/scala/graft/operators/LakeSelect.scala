@@ -12,12 +12,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  1. equality/IN on the bloom-indexed column → [[TableLog.
   *     readPointLookup]] (bloom prunes FILES, row-group stats prune
   *     inside the kept ones);
-  *  2. equality/IN on any column → [[TableLog.readRowGroupPrunedIn]]
+  *  2. TWO OR MORE prunable conjuncts → [[TableLog.
+  *     readRowGroupPrunedMulti]]: every constraint's keep set
+  *     intersects and the scan runs once — the z-order payoff (a
+  *     2-column clustered table prunes on both predicate columns);
+  *  3. equality/IN on any column → [[TableLog.readRowGroupPrunedIn]]
   *     (row-group zone stats only);
-  *  3. range on any column → [[TableLog.readRowGroupPruned]] /
+  *  4. range on any column → [[TableLog.readRowGroupPruned]] /
   *     `...String` (single-bound numeric ranges widen the missing side;
-  *     single-bound STRING ranges prune only when the lower bound is
-  *     present — there is no finite top string).
+  *     string bounds stay exact through optional-bound scans).
   *
   * Only top-level AND-ed conjuncts of the forms `col = lit`,
   * `col IN (lits…)`, `col <cmp> lit` (either operand order, integral or
@@ -35,8 +38,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object LakeSelect {
 
   /** What a [[readWhere]] actually did — for plan assertions and ops
-    * introspection. `strategy` ∈ point_lookup | rowgroup_in |
-    * rowgroup_range | full_scan. */
+    * introspection. `strategy` ∈ point_lookup | rowgroup_multi |
+    * rowgroup_in | rowgroup_range | full_scan. */
   final case class Stats(strategy: String, column: Option[String],
       rgOpened: Long, rgTotal: Long, filesOpened: Int, filesTotal: Int)
 
@@ -90,12 +93,42 @@ object LakeSelect {
       } => (c, r)
     }
 
+    // every prunable conjunct as a row-group constraint — when two or
+    // more columns prune, their keep sets INTERSECT and the scan runs
+    // once (the z-order payoff: a 2-column clustered table prunes on
+    // both predicate columns)
+    val rgConstraints: Seq[TableLog.RgConstraint] =
+      constraints.flatMap {
+        case (c, e: EqIn) if e.values.nonEmpty && isLongVals(e.values) =>
+          Some(TableLog.NumIn(c, e.values.map(_.asInstanceOf[Long])))
+        case (c, e: EqIn)
+            if e.values.nonEmpty && isStringVals(e.values) =>
+          Some(TableLog.StrIn(c, e.values.map(_.asInstanceOf[String])))
+        case (c, r: Range) =>
+          val bs = r.lo.toSeq ++ r.hi.toSeq
+          if (bs.isEmpty) None
+          else if (bs.forall(_.isInstanceOf[Long]))
+            Some(TableLog.NumRange(c, r.lo.map(_.asInstanceOf[Long]),
+              r.hi.map(_.asInstanceOf[Long])))
+          else if (bs.forall(_.isInstanceOf[String]))
+            Some(TableLog.StrRange(c, r.lo.map(_.asInstanceOf[String]),
+              r.hi.map(_.asInstanceOf[String])))
+          else None
+        case _ => None
+      }
+
     val (df0, stats) = (bloomEq, anyEq, anyRange) match {
       case (Some((c, e)), _, _) =>
         val (df, rgo, rgt, fo, ft) =
           TableLog.readPointLookup(spark, dir, c, e.values, version,
             scanCols)
         (df, Stats("point_lookup", Some(c), rgo, rgt, fo, ft))
+      case (None, _, _) if rgConstraints.size >= 2 =>
+        val (df, rgo, rgt, fo, ft) = TableLog.readRowGroupPrunedMulti(
+          spark, dir, rgConstraints, version, scanCols)
+        (df, Stats("rowgroup_multi",
+          Some(rgConstraints.map(_.column).distinct.mkString(",")),
+          rgo, rgt, fo, ft))
       case (None, Some((c, e)), _) if isLongVals(e.values) =>
         val (df, rgo, rgt, fo, ft) = TableLog.readRowGroupPrunedIn(
           spark, dir, c, e.values.map(_.asInstanceOf[Long]), version,

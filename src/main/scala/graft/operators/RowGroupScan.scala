@@ -173,29 +173,64 @@ object RowGroupScan {
         !utf8Gt(r.getString(2), v) && !utf8Gt(v, r.getString(3))),
       columns)
 
-  /** Shared prune+scan core: `intersects` judges a non-null-bounds index
-    * row; null-bounds rows are always kept. */
-  private def prunedScan(spark: SparkSession, index: DataFrame,
-      intersects: Row => Boolean, columns: Seq[String] = Nil)
-      : (DataFrame, Long, Long, Int) = {
+  /** Kept (file, rowGroup) set judged by `intersects` over an index
+    * (null-bounds rows always kept) plus the index's total row-group
+    * count and one file path for empty-schema recovery — the
+    * composition point for multi-constraint pruning (intersect several
+    * constraints' keep sets, scan once). */
+  private[operators] def keepSet(index: DataFrame,
+      intersects: Row => Boolean): (Set[(String, Int)], Long, String) = {
     val rows = index.select("file", "rg", "zmin", "zmax").collect()
     require(rows.nonEmpty, "row-group pruned read needs a non-empty index")
     val keep = rows.filter(r => r.isNullAt(2) || r.isNullAt(3) ||
         intersects(r))
-      .map(r => (r.getString(0), r.getInt(1)))
-    val byFile = keep.groupBy(_._1).view
-      .mapValues(_.map(_._2).sorted.toSeq).toSeq.sortBy(_._1)
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    (keep, rows.length.toLong, rows.head.getString(0))
+  }
+
+  /** Scan a keep set computed by [[keepSet]] (possibly intersected
+    * across constraints). Returns (frame, rgOpened, rgTotal,
+    * filesOpened). */
+  private[operators] def scanKeep(spark: SparkSession,
+      keep: Set[(String, Int)], total: Long, anyFile: String,
+      columns: Seq[String] = Nil): (DataFrame, Long, Long, Int) = {
+    val byFile = keep.toSeq.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted).toSeq.sortBy(_._1)
     val df =
       if (keep.isEmpty) {
         val conf = spark.sparkContext.hadoopConfiguration
         callerOrder(spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row],
           sparkSchemaOf(project(
-            parquetSchemaOf(rows.head.getString(0), conf), columns))),
-          columns)
+            parquetSchemaOf(anyFile, conf), columns))), columns)
       } else readRowGroups(spark, byFile, columns)
-    (df, keep.length.toLong, rows.length.toLong, byFile.size)
+    (df, keep.size.toLong, total, byFile.size)
   }
+
+  /** Shared prune+scan core: `intersects` judges a non-null-bounds index
+    * row; null-bounds rows are always kept. */
+  private def prunedScan(spark: SparkSession, index: DataFrame,
+      intersects: Row => Boolean, columns: Seq[String] = Nil)
+      : (DataFrame, Long, Long, Int) = {
+    val (keep, total, anyFile) = keepSet(index, intersects)
+    scanKeep(spark, keep, total, anyFile, columns)
+  }
+
+  // index-row predicates for the public constraint shapes — shared by
+  // the single-constraint readers above and TableLog's multi-constraint
+  // intersection
+  private[operators] def numRangePred(lo: Option[Long],
+      hi: Option[Long]): Row => Boolean = r =>
+    hi.forall(h => r.getLong(2) <= h) && lo.forall(l => r.getLong(3) >= l)
+  private[operators] def numInPred(values: Seq[Long]): Row => Boolean =
+    r => values.exists(v => r.getLong(2) <= v && r.getLong(3) >= v)
+  private[operators] def strRangePred(lo: Option[String],
+      hi: Option[String]): Row => Boolean = r =>
+    hi.forall(h => !utf8Gt(r.getString(2), h)) &&
+      lo.forall(l => !utf8Gt(l, r.getString(3)))
+  private[operators] def strInPred(values: Seq[String]): Row => Boolean =
+    r => values.exists(v =>
+      !utf8Gt(r.getString(2), v) && !utf8Gt(v, r.getString(3)))
 
   /** Projected frames come back in the CALLER's column order (the
     * parquet-side subset stays in table order for the readers). */

@@ -769,6 +769,108 @@ object TableLog {
       abs => ParquetTuning.zoneMapIndexStringFiles(spark, abs, column),
       dvIntersect(Some(values.min), Some(values.max)), columns)
 
+  /** One prunable conjunct for [[readRowGroupPrunedMulti]]. */
+  sealed trait RgConstraint { def column: String }
+  final case class NumRange(column: String, lo: Option[Long],
+      hi: Option[Long]) extends RgConstraint
+  final case class NumIn(column: String, values: Seq[Long])
+    extends RgConstraint
+  final case class StrRange(column: String, lo: Option[String],
+      hi: Option[String]) extends RgConstraint
+  final case class StrIn(column: String, values: Seq[String])
+    extends RgConstraint
+
+  /** MULTI-constraint row-group pruning: intersect every constraint's
+    * keep set and scan ONCE — the z-order payoff (a 2-column clustered
+    * table prunes on BOTH predicate columns, where any single-column
+    * read over-keeps). Each constraint costs one distributed footer
+    * pass over the DV-free files; a constraint on a stats-less column
+    * keeps everything (conservative). DV-carrying files read whole when
+    * they pass EVERY constraint's file-level bounds. The caller
+    * re-applies the exact predicate. */
+  def readRowGroupPrunedMulti(spark: SparkSession, dir: String,
+      constraints: Seq[RgConstraint], version: Int = -1,
+      columns: Seq[String] = Nil)
+      : (DataFrame, Long, Long, Int, Int) = {
+    require(constraints.nonEmpty, "readRowGroupPrunedMulti needs " +
+      "at least one constraint")
+    val snap = snapshot(dir, version)
+    val (dvFiles, cleanFiles) = snap.files.partition(snap.dvs.contains)
+    var rgOpened = 0L
+    var rgTotal = 0L
+    var filesOpened = 0
+    def proj(df: DataFrame): DataFrame =
+      if (columns.isEmpty) df else df.select(columns.map(col): _*)
+    def rgIndex(abs: Seq[String], c: RgConstraint): DataFrame = c match {
+      case _: NumRange | _: NumIn =>
+        RowGroupScan.rowGroupIndexFiles(spark, abs, c.column)
+      case _ => RowGroupScan.rowGroupIndexStringFiles(spark, abs,
+        c.column)
+    }
+    def pred(c: RgConstraint): org.apache.spark.sql.Row => Boolean =
+      c match {
+        case NumRange(_, lo, hi) => RowGroupScan.numRangePred(lo, hi)
+        case NumIn(_, vs) => RowGroupScan.numInPred(vs)
+        case StrRange(_, lo, hi) => RowGroupScan.strRangePred(lo, hi)
+        case StrIn(_, vs) => RowGroupScan.strInPred(vs)
+      }
+    def dvCond(c: RgConstraint): org.apache.spark.sql.Column = c match {
+      case NumRange(_, lo, hi) => dvIntersect(lo, hi)
+      case NumIn(_, vs) => dvIntersect(Some(vs.min), Some(vs.max))
+      case StrRange(_, lo, hi) => dvIntersect(lo, hi)
+      case StrIn(_, vs) => dvIntersect(Some(vs.min), Some(vs.max))
+    }
+    val cleanPart: Option[DataFrame] =
+      if (cleanFiles.isEmpty) None
+      else {
+        val abs = cleanFiles.map(f => Paths.get(dir).resolve(f).toString)
+        val sets = constraints.map { c =>
+          RowGroupScan.keepSet(rgIndex(abs, c), pred(c))
+        }
+        val keep = sets.map(_._1).reduce(_ intersect _)
+        val (df, o, tot, fo) = RowGroupScan.scanKeep(spark, keep,
+          sets.head._2, sets.head._3, columns)
+        rgOpened = o; rgTotal = tot; filesOpened += fo
+        if (o == 0L) None else Some(df)
+      }
+    val dvPart: Option[DataFrame] =
+      if (dvFiles.isEmpty) None
+      else {
+        val abs = dvFiles.map(f => Paths.get(dir).resolve(f).toString)
+        // one file-level zone pass per constraint; a file survives iff
+        // it passes every constraint's bounds (null bounds pass)
+        val keepAbs = constraints.map { c =>
+          val idx = c match {
+            case _: NumRange | _: NumIn =>
+              ParquetTuning.zoneMapIndexFiles(spark, abs, c.column)
+            case _ =>
+              ParquetTuning.zoneMapIndexStringFiles(spark, abs, c.column)
+          }
+          idx.filter(col("zmin").isNull || col("zmax").isNull ||
+              dvCond(c))
+            .select("file").collect().map(_.getString(0)).toSet
+        }.reduce(_ intersect _).toSeq.sorted
+        filesOpened += keepAbs.size
+        if (keepAbs.isEmpty) None
+        else {
+          val keptRel = dvFiles.filter(f =>
+            keepAbs.contains(Paths.get(dir).resolve(f).toString)).toSet
+          Some(proj(applyDv(spark, dir,
+            spark.read.option("mergeSchema", "true")
+              .parquet(keepAbs: _*),
+            snap.dvs.filter { case (f, _) => keptRel(f) })))
+        }
+      }
+    val df = (cleanPart, dvPart) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        proj(readEvolved(spark, dir, snap.version).limit(0))
+    }
+    (df, rgOpened, rgTotal, filesOpened, snap.files.size)
+  }
+
   /** File-level [zmin, zmax] ∩ [lo, hi] condition for the DV-file leg;
     * open bounds drop that side (Spark string `<=` compares UTF8String
     * bytes — the same order the indexes fold in). */

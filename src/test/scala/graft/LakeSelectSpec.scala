@@ -55,7 +55,8 @@ class LakeSelectSpec extends AnyFunSuite {
   test("equality without a bloom index routes to rowgroup_in") {
     val dir = freshTable(withBloom = false)
     expectSame(dir, "k = 9000", "rowgroup_in", prunes = true)
-    expectSame(dir, "tag = 'd-0042' AND k = 9000", "rowgroup_in",
+    // two prunable equalities: keep sets intersect, one scan
+    expectSame(dir, "tag = 'd-0042' AND k = 9000", "rowgroup_multi",
       prunes = true)
   }
 
@@ -103,11 +104,12 @@ class LakeSelectSpec extends AnyFunSuite {
     val dir = freshTable(withBloom = true)
     // range on k plus equality on k: equality (point lookup) wins
     expectSame(dir, "k >= 0 AND k = 4242", "point_lookup", prunes = true)
-    // equality on unindexed tag + range on bloom'd k: no bloom eq, so
-    // plain equality on tag wins over the range
+    // equality on unindexed tag + range on k: both prune — the keep
+    // sets intersect (strategy rowgroup_multi over both columns)
     val (_, st) = LakeSelect.readWhere(spark, dir,
       "tag = 'd-0042' AND k <= 15999")
-    assert(st.strategy == "rowgroup_in" && st.column.contains("tag"))
+    assert(st.strategy == "rowgroup_multi" &&
+      st.column.contains("k,tag")) // constraints sort by column name
   }
 
   test("projection pushdown widens to predicate columns then trims " +
@@ -131,6 +133,25 @@ class LakeSelectSpec extends AnyFunSuite {
       "v % 4801 = 0 AND k > 0", columns = Seq("k"))
     assert(st3.strategy != "full_scan" || got3.columns.toSeq == Seq("k"))
     assert(got3.columns.toSeq == Seq("k"))
+  }
+
+  test("rowgroup_multi beats single-column pruning on a z-ordered " +
+    "table — the clustering payoff") {
+    val dir = java.nio.file.Files.createTempDirectory("lsel_z")
+      .toString + "/t"
+    val df = spark.range(16384).selectExpr(
+      "id % 128 as x", "cast(id / 128 as long) as y", "id as v")
+    TableLog.append(df.repartition(4), dir)
+    TableLog.optimize(spark, dir, maxRows = 1024,
+      clusterBy = Seq("x", "y"))
+    val (_, sx) = LakeSelect.readWhere(spark, dir,
+      "x BETWEEN 10 AND 20")
+    val (got, sm) = LakeSelect.readWhere(spark, dir,
+      "x BETWEEN 10 AND 20 AND y BETWEEN 10 AND 20")
+    assert(sm.strategy == "rowgroup_multi")
+    assert(sm.rgOpened < sx.rgOpened,
+      s"intersection must out-prune one column: $sm vs $sx")
+    assert(got.count() == 121L)
   }
 
   test("contradictory equalities intersect to an empty probe set " +
