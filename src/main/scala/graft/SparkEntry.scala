@@ -780,6 +780,44 @@ object SparkEntry {
            GROUP BY aid ORDER BY aid""")
     },
 
+    "k30_multi_skipping" -> { (s, d) =>
+      // MULTI-constraint data skipping (LakeSelect.readWhere →
+      // TableLog.readRowGroupPrunedMulti): orders z-order-clustered on
+      // (o_custkey, o_orderkey), then a conjunctive predicate over BOTH
+      // cluster columns — each constraint's keep set computed from the
+      // row-group index and INTERSECTED before one scan. On a z-layout
+      // the intersection must open strictly fewer row groups than the
+      // single-column predicate alone (multi_beats_single), while the
+      // aggregates replay the middle-quarter box closed-form.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k30")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_custkey"),
+        col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.append(o.repartition(4), dir)
+      val b = o.agg(min("o_custkey"), max("o_custkey"),
+        min("o_orderkey"), max("o_orderkey"), count(lit(1))).first()
+      graft.operators.TableLog.optimize(s, dir,
+        maxRows = (b.getLong(4) + 15) / 16,
+        clusterBy = Seq("o_custkey", "o_orderkey"))
+      val clo = b.getLong(0) + (b.getLong(1) - b.getLong(0)) * 3 / 8
+      val chi = b.getLong(0) + (b.getLong(1) - b.getLong(0)) * 5 / 8
+      val olo = b.getLong(2) + (b.getLong(3) - b.getLong(2)) * 3 / 8
+      val ohi = b.getLong(2) + (b.getLong(3) - b.getLong(2)) * 5 / 8
+      val (_, stSingle) = graft.operators.LakeSelect.readWhere(s, dir,
+        s"o_custkey BETWEEN $clo AND $chi")
+      val (pr, st) = graft.operators.LakeSelect.readWhere(s, dir,
+        s"o_custkey BETWEEN $clo AND $chi AND " +
+          s"o_orderkey BETWEEN $olo AND $ohi")
+      pr.agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_custkey")).as("min_c"),
+          max(col("o_orderkey")).as("max_k"))
+        .withColumn("multi", lit(st.strategy == "rowgroup_multi"))
+        .withColumn("multi_beats_single",
+          lit(st.rgOpened < stSingle.rgOpened))
+        .withColumn("pruned", lit(st.rgOpened < st.rgTotal))
+    },
+
     "e19_lake_stream" -> { (s, d) =>
       // the lake streaming SOURCE (graft-lake, a DataSource-v2
       // micro-batch stream whose offset is the table-log VERSION —
@@ -9600,6 +9638,26 @@ object SparkEntry {
            TRUE AS rg_pruned, TRUE AS file_pruned
          FROM orders, r
          WHERE strftime(o_orderdate, '%Y-%m-%d') BETWEEN r.lo AND r.hi""",
+
+    // multi-skip replay: the middle-quarter box on both cluster columns
+    // as a plain full scan; the three flags pin the intersection plan
+    "k30_multi_skipping" ->
+      s"""WITH b AS (
+           SELECT MIN(o_custkey) AS cl, MAX(o_custkey) AS ch,
+             MIN(o_orderkey) AS ol, MAX(o_orderkey) AS oh
+           FROM orders),
+         p AS (SELECT cl + (ch - cl) * 3 // 8 AS clo,
+             cl + (ch - cl) * 5 // 8 AS chi,
+             ol + (oh - ol) * 3 // 8 AS olo,
+             ol + (oh - ol) * 5 // 8 AS ohi
+           FROM b)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           MIN(o_custkey) AS min_c, MAX(o_orderkey) AS max_k,
+           TRUE AS multi, TRUE AS multi_beats_single, TRUE AS pruned
+         FROM orders, p
+         WHERE o_custkey BETWEEN p.clo AND p.chi
+           AND o_orderkey BETWEEN p.olo AND p.ohi""",
 
     // lake-stream replay: the drained appends are exactly the full
     // table (each row appended once; the optimize rewrite emits nothing)

@@ -919,6 +919,32 @@ object Stress {
         println(s"    opened $fOpened of $fTotal files, " +
           s"$rgOpened of $rgTotal row groups")
       }
+      time("lake stream drain (10M rows, 8 appends + optimize)") {
+        // the graft-lake streaming source at scale: 8 appends with a
+        // compaction in the middle; one AvailableNow drain must emit
+        // exactly the 10M appended rows (the rewrite emits nothing),
+        // through version offsets in the checkpoint
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stress_stream").toString
+        val dir = root + "/t"
+        (0 until 4).foreach(i => graft.operators.TableLog.append(
+          spark.range(i * 1250000L, (i + 1) * 1250000L)
+            .select(col("id"), (col("id") * 7L).as("v")), dir))
+        graft.operators.TableLog.optimize(spark, dir)
+        (4 until 8).foreach(i => graft.operators.TableLog.append(
+          spark.range(i * 1250000L, (i + 1) * 1250000L)
+            .select(col("id"), (col("id") * 7L).as("v")), dir))
+        val q = spark.readStream.format("graft-lake").load(dir)
+          .writeStream.format("parquet").option("path", root + "/sink")
+          .option("checkpointLocation", root + "/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val drained = spark.read.parquet(root + "/sink")
+        require(drained.count() == 10000000L, "drain must be exact")
+        require(drained.agg(sum(col("id"))).head().getLong(0)
+          == 10000000L * 9999999L / 2)
+      }
       time("declarative readWhere (10M rows: range + equality routing)") {
         // LakeSelect at scale: the same sorted table answered through
         // predicate TEXT — the range routes to the row-group path, the
