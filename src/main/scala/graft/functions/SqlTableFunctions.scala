@@ -280,12 +280,19 @@ object SqlTableFunctions {
     * engine owns the physical pruning — the declarative stance the
     * whole skipping stack exists for. */
   private def selectBuilder(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 2 || args.length == 3,
-      "usage: graft_select(dir, predicate[, version])")
-    val v = if (args.length == 3) num(args(2), "version").toInt else -1
+    require(args.length >= 2 && args.length <= 4,
+      "usage: graft_select(dir, predicate[, version[, 'col,col2']])")
+    val v = if (args.length >= 3) num(args(2), "version").toInt else -1
+    // the 4th arg pushes a PROJECTION into the selective scan — a
+    // SELECT over the TVF prunes only the plan above the scan, which
+    // materializes rows eagerly, so the column list must ride along
+    val cols = if (args.length == 4)
+      str(args(3), "columns").split(",").toSeq.map(_.trim)
+        .filter(_.nonEmpty)
+    else Nil
     val (df, _) = graft.operators.LakeSelect.readWhere(
       SparkSession.active, str(args(0), "dir"),
-      str(args(1), "predicate"), v)
+      str(args(1), "predicate"), v, cols)
     df.queryExecution.analyzed
   }
 

@@ -88,4 +88,25 @@ class SqlLakeDmlSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("missing '='"), e.getMessage)
   }
+  test("graft_select routes predicates through the indexes from SQL " +
+    "text; the 4th argument pushes a projection into the scan") {
+    val dir = freshDir()
+    TableLog.append(
+      spark.range(8000).selectExpr("id", "id * 3 as v",
+          "concat('t', id % 7) as tag")
+        .repartitionByRange(2, org.apache.spark.sql.functions.col("id"))
+        .sortWithinPartitions("id"),
+      dir, options = Map("parquet.block.size" -> "16384",
+        "parquet.page.size" -> "4096"))
+    val got = spark.sql(
+      s"SELECT id, v FROM graft_select('$dir', 'id BETWEEN 100 AND 105')")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == (100L to 105L).map(k => (k, k * 3)))
+    // projected form: only the listed columns come back
+    val proj = spark.sql(s"SELECT * FROM graft_select('$dir', " +
+      "'id = 4242', -1, 'tag,id')")
+    assert(proj.columns.toSeq == Seq("tag", "id"))
+    assert(proj.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("t" + (4242 % 7), 4242L)))
+  }
 }
