@@ -36,7 +36,10 @@ import graft.operators.{RowGroupScan, TableLog}
   *    miss a rewrite.
   *
   * Options: `startingVersion` (default 0 = from the table's beginning;
-  * N streams commits AFTER version N), `skipChangeCommits`.
+  * N streams commits AFTER version N), `skipChangeCommits`,
+  * `maxVersionsPerTrigger` (rate control: cap each micro-batch's
+  * version span so catching up on a long-lived table runs in bounded
+  * batches; AvailableNow walks to a pinned target under the same cap).
   *
   * Scale: planning is driver-side log-json diffing — O(files-per-commit)
   * strings per micro-batch, never data bytes. Each added file is one
@@ -76,12 +79,14 @@ private[sources] class LakeStreamTable(dir: String, tableSchema: StructType)
       : ScanBuilder = {
     val skipChange = options.getBoolean("skipChangeCommits", false)
     val startV = options.getInt("startingVersion", 0)
+    val maxV = options.getInt("maxVersionsPerTrigger", 0)
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String)
             : MicroBatchStream =
-          new LakeMicroBatchStream(dir, tableSchema, skipChange, startV)
+          new LakeMicroBatchStream(dir, tableSchema, skipChange, startV,
+            maxV)
       }
     }
   }
@@ -95,8 +100,39 @@ private[sources] case class LakeFilePartition(path: String)
   extends InputPartition
 
 private[sources] class LakeMicroBatchStream(dir: String,
-    schema: StructType, skipChangeCommits: Boolean, startingVersion: Int)
-    extends MicroBatchStream {
+    schema: StructType, skipChangeCommits: Boolean, startingVersion: Int,
+    maxVersionsPerTrigger: Int)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+
+  // rate control: maxVersionsPerTrigger caps each micro-batch's version
+  // span, so a stream starting against a long-lived table catches up in
+  // bounded batches instead of one giant first batch; AvailableNow pins
+  // the catch-up target ONCE (prepareForTriggerAvailableNow) and the
+  // admission-controlled latestOffset walks to it
+  @volatile private var availableNowTarget: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(math.max(startingVersion,
+      TableLog.currentVersion(dir)))
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val s = start.asInstanceOf[LakeVersionOffset].version
+    val head = availableNowTarget.getOrElse(math.max(startingVersion,
+      TableLog.currentVersion(dir)))
+    val capped =
+      if (maxVersionsPerTrigger > 0)
+        math.min(head, s + maxVersionsPerTrigger)
+      else head
+    LakeVersionOffset(math.max(s, capped))
+  }
 
   override def initialOffset(): Offset =
     LakeVersionOffset(startingVersion)

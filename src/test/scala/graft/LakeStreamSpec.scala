@@ -73,6 +73,29 @@ class LakeStreamSpec extends AnyFunSuite {
       s"append rows stream as appended (DV not replayed): $got")
   }
 
+  test("maxVersionsPerTrigger bounds catch-up batches under " +
+    "AvailableNow, result still exact") {
+    val root = base()
+    val dir = root + "/t"
+    (1 to 4).foreach(i =>
+      TableLog.append(Seq((i.toLong, i * 10L)).toDF("id", "v"), dir))
+    val sink = s"$root/sink"
+    val q = spark.readStream.format("graft-lake")
+      .option("maxVersionsPerTrigger", "1").load(dir)
+      .writeStream.format("parquet")
+      .option("path", sink)
+      .option("checkpointLocation", s"$root/cp")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress
+      .count(_.sources.exists(_.numInputRows > 0))
+    assert(dataBatches >= 4,
+      s"4 versions at 1/trigger must take >=4 data batches: $dataBatches")
+    assert(spark.read.parquet(sink).select("id").as[Long]
+      .collect().sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("startingVersion skips history; schema evolution null-fills " +
     "old files") {
     val root = base()
