@@ -852,6 +852,42 @@ object SparkEntry {
           max(col("o_orderkey")).as("max_k"))
     },
 
+    "e20_lake_to_lake" -> { (s, d) =>
+      // lake-to-lake streaming pipeline: graft-lake SOURCE → transform →
+      // exactly-once TableLogSink, version offsets on the read side and
+      // txn batch markers on the write side. Three source appends drain
+      // in run 1; a replayed run with the same checkpoint applies
+      // NOTHING (doubled rows break the hash); a fourth append then
+      // drains incrementally in run 3. The destination must hold every
+      // source row exactly once, with the derived column intact.
+      val root = java.nio.file.Files.createTempDirectory("graft_e20")
+        .toString
+      val src = root + "/src"
+      val dst = root + "/dst"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      (0 until 3).foreach(i => graft.operators.TableLog.append(
+        o.filter(col("o_orderkey") % 4 === i), dir = src))
+      def run(): Unit = {
+        val q = graft.streaming.TableLogSink.start(
+          s.readStream.format("graft-lake").load(src)
+            .withColumn("cents2", col("price_cents") * 2),
+          dst, "e20", root + "/cp")
+        q.awaitTermination()
+      }
+      run()
+      run() // pure replay: must apply nothing
+      graft.operators.TableLog.append(
+        o.filter(col("o_orderkey") % 4 === 3), dir = src)
+      run() // incremental: only the 4th slice
+      graft.operators.TableLog.read(s, dst)
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_cents"),
+          sum(col("cents2")).as("sum_cents2"),
+          min(col("o_orderkey")).as("min_k"),
+          max(col("o_orderkey")).as("max_k"))
+    },
+
     "sql13_lake_select" -> { (s, d) =>
       // index-accelerated declarative reads from SQL TEXT (graft_select →
       // LakeSelect.readWhere): the SQL user writes a bare predicate; the
@@ -9664,6 +9700,17 @@ object SparkEntry {
     "e19_lake_stream" ->
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+         FROM orders""",
+
+    // lake-to-lake replay: the destination equals the full table with
+    // the doubled-cents derivation — a replayed or dropped batch breaks
+    // n and both sums
+    "e20_lake_to_lake" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           CAST(SUM(${centsSql("o_totalprice")} * 2) AS BIGINT)
+             AS sum_cents2,
            MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
          FROM orders""",
 

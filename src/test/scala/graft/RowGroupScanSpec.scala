@@ -265,6 +265,46 @@ class RowGroupScanSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random tables × random ranges — the selective scan " +
+    "always equals Spark's own filtered reader") {
+    val rnd = new scala.util.Random(0x512L)
+    (0 until 6).foreach { round =>
+      val n = 1000 + rnd.nextInt(7000)
+      val nullEvery = 11 + rnd.nextInt(90)
+      val valueCol = rnd.nextInt(5) match {
+        case 0 => "cast(id as double) / 7 as v"
+        case 1 => "concat('s', id % 97) as v"
+        case 2 => "cast(id as int) as v"
+        case 3 => "cast(cast(id as decimal(14,3)) / 9 as decimal(14,3)) as v"
+        case _ => "id % 2 = 0 as v"
+      }
+      val blockSize = 8192 << rnd.nextInt(3)
+      val dir = tmp(s"rgprop$round")
+      spark.range(n.toLong).selectExpr(
+          "id as k", valueCol,
+          s"case when id % $nullEvery = 0 then null else id * 2 end " +
+            "as maybe")
+        .repartitionByRange(1 + rnd.nextInt(3), col("k"))
+        .sortWithinPartitions("k")
+        .write.mode("overwrite")
+        .option("parquet.block.size", blockSize.toString)
+        .option("parquet.page.size", "4096").parquet(dir)
+      val files = parquets(dir)
+      val idx = RowGroupScan.rowGroupIndexFiles(spark, files, "k")
+      val a = rnd.nextInt(n).toLong
+      val b = a + rnd.nextInt(n / 3 + 1)
+      val (sel, opened, total, _) =
+        RowGroupScan.readRowGroupsPruned(spark, idx, a, b)
+      assert(opened <= total)
+      val got = sel.filter(col("k").between(a, b))
+        .orderBy("k").collect().toSeq
+      val want = spark.read.parquet(files: _*)
+        .filter(col("k").between(a, b)).orderBy("k").collect().toSeq
+      assert(got == want,
+        s"round $round drift (n=$n block=$blockSize range=[$a,$b])")
+    }
+  }
+
   test("schema drift across files fails loudly") {
     val dir = tmp("rgdrift")
     spark.range(100).selectExpr("id as k", "id as v")
