@@ -852,6 +852,49 @@ object SparkEntry {
           max(col("o_orderkey")).as("max_k"))
     },
 
+    "k31_check_constraints" -> { (s, d) =>
+      // CHECK constraints (TableLog.addCheck — the Delta ALTER TABLE ADD
+      // CONSTRAINT shape): the constraint validates existing data when
+      // added, every later write enforces it in one aggregate pass, and
+      // a violating append fails LOUDLY with nothing committed — so the
+      // final table equals exactly the two valid appends (a leaked
+      // violating row breaks n and the sum; a lost valid row too).
+      // add_rejected pins that a constraint today's data violates cannot
+      // be added; write_rejected pins the failed append.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k31")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.append(
+        o.filter(col("o_orderkey") % 2 === 0), dir)
+      graft.operators.TableLog.addCheck(s, dir, "pos_price",
+        "price_cents >= 0")
+      graft.operators.TableLog.append(
+        o.filter(col("o_orderkey") % 2 === 1), dir)
+      val writeRejected =
+        try {
+          graft.operators.TableLog.append(
+            o.limit(50).select(col("o_orderkey"),
+              (col("price_cents") * -1).as("price_cents")), dir)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      val addRejected =
+        try {
+          graft.operators.TableLog.addCheck(s, dir, "impossible",
+            "price_cents > 99999999999")
+          false
+        } catch { case _: IllegalArgumentException => true }
+      graft.operators.TableLog.read(s, dir)
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_k"),
+          max(col("o_orderkey")).as("max_k"))
+        .withColumn("write_rejected", lit(writeRejected))
+        .withColumn("add_rejected", lit(addRejected))
+        .withColumn("check_present", lit(graft.operators.TableLog
+          .snapshot(dir).checks.contains("pos_price")))
+    },
+
     "e20_lake_to_lake" -> { (s, d) =>
       // lake-to-lake streaming pipeline: graft-lake SOURCE → transform →
       // exactly-once TableLogSink, version offsets on the read side and
@@ -9701,6 +9744,17 @@ object SparkEntry {
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
            MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k
+         FROM orders""",
+
+    // check-constraint replay: exactly the two valid appends survive —
+    // the rejected write leaked nothing, the rejected constraint
+    // committed nothing
+    "k31_check_constraints" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k,
+           TRUE AS write_rejected, TRUE AS add_rejected,
+           TRUE AS check_present
          FROM orders""",
 
     // lake-to-lake replay: the destination equals the full table with

@@ -296,13 +296,32 @@ object SqlTableFunctions {
     df.queryExecution.analyzed
   }
 
+  /** `graft_add_check('dir', 'name', 'boolean expr')` — ALTER TABLE ADD
+    * CONSTRAINT: validates existing data, then every later write
+    * enforces it. `graft_drop_check('dir', 'name')` removes it. */
+  private def addCheckBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3,
+      "usage: graft_add_check(dir, name, expression)")
+    val v = graft.operators.TableLog.addCheck(SparkSession.active,
+      str(args(0), "dir"), str(args(1), "name"),
+      str(args(2), "expression"))
+    receipt("version" -> v)
+  }
+
+  private def dropCheckBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2, "usage: graft_drop_check(dir, name)")
+    val v = graft.operators.TableLog.dropCheck(str(args(0), "dir"),
+      str(args(1), "name"))
+    receipt("version" -> v)
+  }
+
   /** SQL-callable table-function names (for collision audits). */
   val names: Seq[String] =
     Seq("graft_dbscan", "graft_kmeans", "graft_geodesic_join", "graft_knn",
       "graft_table_history", "graft_table_changes", "graft_table",
       "graft_delete", "graft_delete_vectored", "graft_update",
       "graft_optimize", "graft_restore", "graft_vacuum", "graft_merge",
-      "graft_select")
+      "graft_select", "graft_add_check", "graft_drop_check")
 
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.graft.SparkInternals
@@ -333,6 +352,10 @@ object SqlTableFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("graft_merge", mergeBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_select", selectBuilder,
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_add_check", addCheckBuilder,
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_drop_check", dropCheckBuilder,
       "built-in")
   }
 }

@@ -213,7 +213,8 @@ object Changelog {
         newFiles.toMap,
       txn = snap.txn, op = "merge",
       dvs = snap.dvs -- touched, // rewritten partitions materialize DVs
-      bloomCol = snap.bloomCol, blooms = snap.blooms -- touched)
+      bloomCol = snap.bloomCol, blooms = snap.blooms -- touched,
+      checks = snap.checks)
   }
 
   /** Incremental aggregate maintenance: update a materialized per-group

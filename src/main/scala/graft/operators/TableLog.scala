@@ -52,7 +52,8 @@ object TableLog {
       op: String = "write", ts: Long = 0L,
       dvs: Map[String, String] = Map.empty,
       bloomCol: Option[String] = None,
-      blooms: Map[String, String] = Map.empty)
+      blooms: Map[String, String] = Map.empty,
+      checks: Map[String, String] = Map.empty)
 
   /** Thrown by [[commit]] on the optimistic version race — the ONLY
     * conflict the rebase loops retry. TRUE conflicts (a rewrite's input
@@ -103,8 +104,11 @@ object TableLog {
     val blooms = Option(node.get("blooms")).map { bn =>
       bn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    val checks = Option(node.get("checks")).map { cn =>
+      cn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
     Snapshot(node.get("version").asInt(), files, parts, txn, op, ts, dvs,
-      bloomCol, blooms)
+      bloomCol, blooms, checks)
   }
 
   // escapes control chars too: a partition VALUE containing \n or \t
@@ -136,7 +140,8 @@ object TableLog {
       op: String = "write",
       dvs: Map[String, String] = Map.empty,
       bloomCol: Option[String] = None,
-      blooms: Map[String, String] = Map.empty): Int = {
+      blooms: Map[String, String] = Map.empty,
+      checks: Map[String, String] = Map.empty): Int = {
     val ld = logDir(dir)
     Files.createDirectories(ld)
     val v = if (expectedVersion > 0) expectedVersion
@@ -163,9 +168,14 @@ object TableLog {
           .map { case (f, b) => s"${jsonStr(f)}:${jsonStr(b)}" }
           .mkString(""","blooms":{""", ",", "}"))
     }
+    val checksJson =
+      if (checks.isEmpty) ""
+      else checks.toSeq.sortBy(_._1)
+        .map { case (n, e) => s"${jsonStr(n)}:${jsonStr(e)}" }
+        .mkString(""","checks":{""", ",", "}")
     val json = s"""{"version":$v,"files":[${
       files.map(jsonStr).mkString(",")
-      }]$partsJson$txnJson$dvsJson$bloomJson,"op":${
+      }]$partsJson$txnJson$dvsJson$bloomJson$checksJson,"op":${
       jsonStr(op)},"ts":${System.currentTimeMillis()}}"""
     val tmp = Files.createTempFile(ld, s".tmp-v$v-", ".json")
     Files.write(tmp, json.getBytes("UTF-8"))
@@ -213,6 +223,7 @@ object TableLog {
     * relative paths — not yet committed. */
   private def writeData(df: DataFrame, dir: String, v: Int,
       options: Map[String, String] = Map.empty): Seq[String] = {
+    enforceChecks(df, headChecks(dir), s"write into $dir")
     val staging = Files.createTempDirectory("graft_tablelog").toString
     options.foldLeft(df.write.mode("overwrite")) {
       case (w, (k, v0)) => w.option(k, v0)
@@ -260,7 +271,8 @@ object TableLog {
       else Some(commit(dir, prev.files ++ newFiles, expectedVersion = v,
         parts = prev.parts ++ newParts,
         txn = txnPut.fold(prev.txn)(prev.txn + _), op = "append",
-        dvs = prev.dvs, bloomCol = prev.bloomCol, blooms = prev.blooms))
+        dvs = prev.dvs, bloomCol = prev.bloomCol, blooms = prev.blooms,
+        checks = prev.checks))
     }
 
   // ===== deletion vectors (merge-on-read position deletes) =============
@@ -390,7 +402,8 @@ object TableLog {
         Some(commit(dir, head.files, expectedVersion = vNext,
           parts = head.parts, txn = head.txn, op = "delete-dv",
           dvs = head.dvs ++ touched.map(_ -> dvRel),
-          bloomCol = head.bloomCol, blooms = head.blooms))
+          bloomCol = head.bloomCol, blooms = head.blooms,
+          checks = head.checks))
       }
       (committed.get, nDel, touched.size, snap.files.size)
     } finally matches.unpersist()
@@ -415,7 +428,7 @@ object TableLog {
   def overwrite(df: DataFrame, dir: String): Int = {
     val (prev, v) = planNext(dir)
     commit(dir, writeData(df, dir, v), expectedVersion = v, txn = prev.txn,
-      op = "overwrite")
+      op = "overwrite", checks = prev.checks)
   }
 
   /** Commit audit trail (DESCRIBE HISTORY): one row per retained version —
@@ -465,6 +478,7 @@ object TableLog {
       v: Int, partCol: String): Seq[(String, String)] = {
     import org.apache.spark.sql.functions.col
     require(df.columns.contains(partCol), s"no column $partCol")
+    enforceChecks(df, headChecks(dir), s"partitioned write into $dir")
     val staging = Files.createTempDirectory("graft_tablelog_part")
     df.withColumn("__graft_part", col(partCol))
       .write.mode("overwrite").partitionBy("__graft_part")
@@ -548,7 +562,8 @@ object TableLog {
     val (prev, v) = planNext(dir)
     if (prev.txn.get(txnId).exists(_ >= batchId)) return None
     Some(commit(dir, writeData(df, dir, v), expectedVersion = v,
-      txn = prev.txn + (txnId -> batchId), op = "overwrite"))
+      txn = prev.txn + (txnId -> batchId), op = "overwrite",
+      checks = prev.checks))
   }
 
   /** Snapshot-isolated read at `version` (latest if -1): resolves the
@@ -871,6 +886,77 @@ object TableLog {
     (df, rgOpened, rgTotal, filesOpened, snap.files.size)
   }
 
+  // ===== CHECK constraints (write-path data quality) ===================
+  //
+  // The Delta ALTER TABLE ADD CONSTRAINT shape: named boolean SQL
+  // expressions carried in the log and enforced on EVERY path that
+  // writes new row values (append, partitioned append, overwrite,
+  // exactly-once variants, CDC apply, UPDATE rewrites) with one
+  // distributed aggregate pass per write; rewrites of already-committed
+  // rows (optimize, DV materialization, DELETE survivors) skip the pass
+  // — committed data is valid by induction from addCheck's full
+  // validation. A row violates when its expression is FALSE or NULL
+  // (strict: an unknown is not proof of validity). Restore revalidates
+  // because it can resurrect pre-constraint rows. Known race (same as
+  // Delta's): a write validating against version N and a concurrent
+  // addCheck validating version N miss each other's rows.
+
+  /** The head's CHECK constraints (empty for an empty table). */
+  private def headChecks(dir: String): Map[String, String] = {
+    val cur = currentVersion(dir)
+    if (cur == 0) Map.empty else snapshot(dir, cur).checks
+  }
+
+  /** One aggregate pass counting violations of every check; loud
+    * IllegalArgumentException naming the first violated constraint. */
+  private def enforceChecks(df: DataFrame, checks: Map[String, String],
+      what: String): Unit = {
+    if (checks.isEmpty) return
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not,
+      sum, when}
+    val names = checks.keys.toSeq.sorted
+    val aggs = names.map(n => sum(when(
+      not(coalesce(expr(checks(n)), lit(false))), 1L).otherwise(0L))
+      .as(n))
+    val row = df.agg(aggs.head, aggs.tail: _*).first()
+    names.zipWithIndex.foreach { case (n, i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i)
+      require(bad == 0L, s"CHECK constraint '$n' (${checks(n)}) " +
+        s"violated by $bad row(s) in $what")
+    }
+  }
+
+  /** ALTER TABLE ADD CONSTRAINT: validate the CURRENT snapshot against
+    * `expression` (one scan — existing data must already satisfy it,
+    * the Delta contract), then commit the named check into the log.
+    * Every later write enforces it. Returns the committed version. */
+  def addCheck(spark: SparkSession, dir: String, name: String,
+      expression: String, maxRetries: Int = 20): Int = {
+    require(name.nonEmpty, "constraint name must be non-empty")
+    val cur = currentVersion(dir)
+    require(cur >= 1, s"no committed version in $dir")
+    enforceChecks(readEvolved(spark, dir, cur),
+      Map(name -> expression), s"existing data in $dir")
+    retryCommit(dir, maxRetries) { (head, v) =>
+      Some(commit(dir, head.files, expectedVersion = v,
+        parts = head.parts, txn = head.txn, op = "add-check",
+        dvs = head.dvs, bloomCol = head.bloomCol, blooms = head.blooms,
+        checks = head.checks + (name -> expression)))
+    }.get
+  }
+
+  /** ALTER TABLE DROP CONSTRAINT (loud on an unknown name). */
+  def dropCheck(dir: String, name: String, maxRetries: Int = 20): Int =
+    retryCommit(dir, maxRetries) { (head, v) =>
+      require(head.checks.contains(name),
+        s"no CHECK constraint '$name' on $dir " +
+          s"(has: ${head.checks.keys.toSeq.sorted.mkString(", ")})")
+      Some(commit(dir, head.files, expectedVersion = v,
+        parts = head.parts, txn = head.txn, op = "drop-check",
+        dvs = head.dvs, bloomCol = head.bloomCol, blooms = head.blooms,
+        checks = head.checks - name))
+    }.get
+
   /** File-level [zmin, zmax] ∩ [lo, hi] condition for the DV-file leg;
     * open bounds drop that side (Spark string `<=` compares UTF8String
     * bytes — the same order the indexes fold in). */
@@ -1073,7 +1159,8 @@ object TableLog {
         parts = head.parts, txn = head.txn, op = "bloom-stats",
         dvs = head.dvs, bloomCol = Some(column),
         blooms = base ++
-          need.filter(headSet).map(_ -> sidecarRel)))
+          need.filter(headSet).map(_ -> sidecarRel),
+        checks = head.checks))
     }.get
   }
 
@@ -1439,7 +1526,7 @@ object TableLog {
         else head.blooms -- rewritten
       Some(commit(dir, files, expectedVersion = vNext, parts = parts,
         txn = head.txn, op = "optimize", dvs = head.dvs -- inputs,
-        bloomCol = head.bloomCol, blooms = blooms))
+        bloomCol = head.bloomCol, blooms = blooms, checks = head.checks))
     }
     (committed.get, snap.files.size, committedFiles)
   }
@@ -1544,6 +1631,10 @@ object TableLog {
         applyDv(spark, dir,
           spark.read.option("mergeSchema", "true").parquet(fabs: _*),
           snap.dvs), pred)
+      // UPDATE writes NEW row values — they must satisfy the table's
+      // CHECK constraints (a DELETE's survivors were committed valid)
+      if (op == "update") enforceChecks(rewritten, snap.checks,
+        s"UPDATE rewrite of $dir")
       val staging = Files.createTempDirectory("graft_cow").toString
       rewritten.write.mode("overwrite").parquet(staging)
       val s = Files.list(Paths.get(staging))
@@ -1589,7 +1680,7 @@ object TableLog {
         else head.blooms -- touched
       Some(commit(dir, files, expectedVersion = vNext, parts = parts,
         txn = head.txn, op = op, dvs = head.dvs -- touched,
-        bloomCol = head.bloomCol, blooms = blooms))
+        bloomCol = head.bloomCol, blooms = blooms, checks = head.checks))
     }
     (committed.get, rowsMatched, touched.size, snap.files.size)
   }
@@ -1608,13 +1699,22 @@ object TableLog {
     * in history). */
   def restore(dir: String, toVersion: Int, maxRetries: Int = 20): Int = {
     val old = snapshot(dir, toVersion) // loud if vacuumed/missing
+    // CHECK constraints persist through a restore; the restored state
+    // may RESURRECT rows deleted before the constraint was added, so it
+    // revalidates (one scan) — a violating restore fails loudly with
+    // nothing committed
+    val headCks = headChecks(dir)
+    if (headCks.nonEmpty)
+      enforceChecks(readEvolved(SparkSession.active, dir, toVersion),
+        headCks, s"restore of $dir to v$toVersion")
     retryCommit(dir, maxRetries) { (prev, v) =>
       require(toVersion <= prev.version,
         s"cannot restore $dir to future version $toVersion " +
           s"(head ${prev.version})")
       Some(commit(dir, old.files, expectedVersion = v,
         parts = old.parts, txn = prev.txn, op = "restore",
-        dvs = old.dvs, bloomCol = old.bloomCol, blooms = old.blooms))
+        dvs = old.dvs, bloomCol = old.bloomCol, blooms = old.blooms,
+        checks = prev.checks))
     }.get
   }
 

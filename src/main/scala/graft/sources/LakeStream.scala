@@ -171,7 +171,8 @@ private[sources] class LakeMicroBatchStream(dir: String,
             parts += LakeFilePartition(
               java.nio.file.Paths.get(dir).resolve(f).toString)
           }
-        case "optimize" | "bloom-stats" => // rewrites/index: no row change
+        case "optimize" | "bloom-stats" | "add-check" | "drop-check" =>
+          // rewrites / index sidecars / constraint metadata: no row change
         case other =>
           if (!skipChangeCommits) throw new IllegalStateException(
             s"graft-lake stream hit a change commit (op '$other' at " +
