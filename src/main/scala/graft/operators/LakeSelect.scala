@@ -204,7 +204,32 @@ object LakeSelect {
         Some(a.nameParts.head)
       case _ => None
     }
+    // an OR tree whose every leaf is `col = lit` on ONE column is an
+    // IN-list (the "k = 5 OR k = 9000" shape) — prunable; OR over
+    // different columns or non-equalities stays unprunable
+    def orAsIn(e: Expression): Option[(String, Constraint)] = {
+      def leaves(x: Expression): Seq[Expression] = x match {
+        case Or(a, b) => leaves(a) ++ leaves(b)
+        case l => Seq(l)
+      }
+      val pairs = leaves(e).map {
+        case EqualTo(a, l: Literal) =>
+          for (c <- colName(a); v <- litVal(l)) yield (c, v)
+        case EqualTo(l: Literal, a) =>
+          for (c <- colName(a); v <- litVal(l)) yield (c, v)
+        case _ => None
+      }
+      if (pairs.exists(_.isEmpty)) None
+      else {
+        val ps = pairs.map(_.get)
+        if (ps.map(_._1).distinct.size == 1)
+          Some((ps.head._1, EqIn(ps.map(_._2).distinct)))
+        else None
+      }
+    }
+
     val raw = conjuncts(parsed).flatMap {
+      case o: Or => orAsIn(o)
       // BETWEEN survives parsing as an unresolved 'between' function
       // call (the analyzer, which never runs on a bare
       // parseExpression, would rewrite it to >= AND <=)

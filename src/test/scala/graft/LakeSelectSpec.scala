@@ -92,9 +92,16 @@ class LakeSelectSpec extends AnyFunSuite {
     assert(got.count() == 500L)
   }
 
-  test("unprunable predicates fall back to full_scan, still exact") {
+  test("single-column OR of equalities is an IN-list; everything else " +
+    "unprunable falls back to full_scan, still exact") {
     val dir = freshTable(withBloom = false)
-    expectSame(dir, "k = 5 OR k = 9000", "full_scan", prunes = false)
+    // "k = a OR k = b" on one column prunes like k IN (a, b)
+    expectSame(dir, "k = 5 OR k = 9000", "rowgroup_in", prunes = true)
+    expectSame(dir, "k = 5 OR 9000 = k OR k = 5", "rowgroup_in",
+      prunes = true)
+    // OR across columns or over non-equalities stays a full scan
+    expectSame(dir, "k = 5 OR v = 3", "full_scan", prunes = false)
+    expectSame(dir, "k = 5 OR k > 100", "full_scan", prunes = false)
     expectSame(dir, "v % 7 = 3", "full_scan", prunes = false)
     expectSame(dir, "k + 1 = 10", "full_scan", prunes = false)
   }
