@@ -1179,4 +1179,40 @@ class ScalePlanSpec extends AnyFunSuite {
         s"pad landed on the corpus side: $l")
     }
   }
+  test("LakeSelect full-scan fallback: the re-applied predicate pushes " +
+    "into the parquet scan (Catalyst still owns the fallback plan)") {
+    import graft.operators.{LakeSelect, TableLog}
+    val dir = java.nio.file.Files.createTempDirectory("spplan")
+      .toString + "/t"
+    TableLog.append(spark.range(5000)
+      .selectExpr("id as k", "id * 3 as v"), dir)
+    val (df, st) = LakeSelect.readWhere(spark, dir, "v % 7 = 3")
+    assert(st.strategy == "full_scan")
+    val plan = df.queryExecution.executedPlan.toString
+    // the modulo filter itself is not a pushable source filter, but the
+    // implied IsNotNull must reach the scan — proof the where sits
+    // directly over the file source, not over an opaque barrier
+    assert(plan.contains("PushedFilters: [IsNotNull(v)]"),
+      s"predicate did not reach the parquet scan:\n$plan")
+  }
+
+  test("selective row-group scan: bounded tasks per hot file (a file " +
+    "with many kept groups fans out, never one straggler task)") {
+    import graft.operators.RowGroupScan
+    val dir = java.nio.file.Files.createTempDirectory("spplan2").toString
+    spark.range(200000).selectExpr("id as k", "id as v")
+      .repartitionByRange(1, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite")
+      .option("parquet.block.size", "16384")
+      .option("parquet.page.size", "4096").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).toSeq
+    val idx = RowGroupScan.rowGroupIndexFiles(spark, files, "k")
+    val (df, opened, _, filesOpened) = RowGroupScan
+      .readRowGroupsPruned(spark, idx, Long.MinValue, Long.MaxValue)
+    assert(filesOpened == 1 && opened > 16, s"fixture wants many groups")
+    val parts = df.rdd.getNumPartitions
+    assert(parts >= (opened / 8).toInt,
+      s"one hot file must fan out: $parts tasks for $opened groups")
+  }
 }
