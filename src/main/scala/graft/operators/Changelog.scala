@@ -214,7 +214,11 @@ object Changelog {
       txn = snap.txn, op = "merge",
       dvs = snap.dvs -- touched, // rewritten partitions materialize DVs
       bloomCol = snap.bloomCol, blooms = snap.blooms -- touched,
-      checks = snap.checks)
+      checks = snap.checks,
+      // rewritten partitions' index entries die with their files; the
+      // surviving mapping stays exact (files are immutable) and
+      // computeRowGroupIndex tops the new files up on its next run
+      rgidx = snap.rgidx -- touched)
   }
 
   /** Incremental aggregate maintenance: update a materialized per-group

@@ -167,7 +167,7 @@ object LakeSelect {
   /** Single-part column names the predicate references — what a pushed
     * projection must additionally carry so the exact re-filter can
     * evaluate. */
-  private def referencedColumns(spark: SparkSession,
+  private[operators] def referencedColumns(spark: SparkSession,
       predicate: String): Seq[String] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     spark.sessionState.sqlParser.parseExpression(predicate).collect {

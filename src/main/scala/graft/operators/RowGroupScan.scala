@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
 /** Row-group-level data skipping: a footer index at ROW-GROUP granularity
@@ -14,27 +14,43 @@ import org.apache.spark.sql.types._
   * east_asia.py:82, SURVEY §1.3): the pruning unit is the row group, not
   * the file. This object extends the log's own index to that granularity:
   *
-  *  - [[rowGroupIndexFiles]] — (file, rg, zmin, zmax, n_rows) from the
-  *    parquet footers only, one distributed task per file, no data pages
-  *    touched (the same scale shape as the file-level index).
-  *  - [[readRowGroupsPruned]] — keeps only row groups whose [zmin, zmax]
-  *    intersects [lo, hi] (null-bounds groups kept conservatively) and
-  *    scans EXACTLY those via parquet-mr's `readRowGroup(i)`, fanned out
-  *    over bounded-size tasks so one hot file still parallelizes.
+  *  - [[buildWideIndex]] — one row per (file, row group, COLUMN) from the
+  *    parquet footers only: min/max (numeric AND string), null counts,
+  *    row counts, and the column's Spark type. One distributed task per
+  *    file, no data pages touched. The log persists it as a stats/
+  *    sidecar ([[TableLog.computeRowGroupIndex]]) so repeated reads open
+  *    ZERO footers.
+  *  - [[prunePairs]] — the DISTRIBUTED prune: every constraint becomes a
+  *    Catalyst Column filter over the index rows (IN-lists via
+  *    `functions.exists` over a literal array — never an O(|index|·|values|)
+  *    driver loop), the per-(file, rg) verdicts fold in one metadata-sized
+  *    aggregation, and the driver collects ONLY the kept slices. Null
+  *    bounds keep conservatively (skipping may lose rows; keeping never
+  *    does).
+  *  - [[scanSlices]] — scans EXACTLY the kept row groups via parquet-mr's
+  *    `readRowGroup(i)`, fanned out over bounded-size tasks so one hot
+  *    file still parallelizes. Optionally emits each row's FILE-ORDINAL
+  *    position (`__graft_fn`, `__graft_ridx`) — rebased from the index's
+  *    per-group row counts — so deletion vectors apply to a PARTIAL read
+  *    (DV positions are file ordinals; without the rebase a DV-carrying
+  *    file would degrade to a whole-file scan).
   *
   * The selective scan materializes records through parquet-mr's example
-  * Group reader and converts them to Spark rows with a schema-driven
-  * converter covering the flat scalar shape lake tables use (boolean,
-  * int8/16/32/64, float, double, decimal, date, timestamp — INT64 and
-  * legacy INT96 — string, binary). Nested/repeated schemas are rejected
-  * loudly: for those the file-level path plus parquet's own pushdown
-  * remains the route.
+  * Group reader and converts them with a schema-driven converter covering
+  * scalars (boolean, int8/16/32/64, float, double, decimal, date,
+  * timestamp — INT64 and legacy INT96 — string, binary) AND the nested
+  * shapes Spark writes (3-level LIST, 3-level MAP, struct — the
+  * `array<struct<role,content>>` training-data chat shape included).
+  * Schema evolution across files is tolerated the way the log's own
+  * readers tolerate it: the plan's UNION schema comes from the index's
+  * per-file column types, files missing a trailing column null-fill it,
+  * and a TYPE conflict on a shared column fails loudly.
   *
-  * Scale: driver residency is one (file, rowGroup) pair per indexed row
-  * group — the same O(metadata) footprint as the snapshot's file list
-  * (100 TB at 128 MB row groups ≈ 10⁶ pairs). Each scan task opens one
-  * footer and reads at most [[rgsPerTask]] row groups' pages; nothing
-  * reads a page outside the keep set.
+  * Scale: driver residency is the KEPT (file, rowGroup) slices only —
+  * bounded by the query's selectivity, never the table (100 TB at 128 MB
+  * row groups ≈ 10⁶ index rows, all filtered where they live). Each scan
+  * task opens one footer and reads at most [[rgsPerTask]] row groups'
+  * pages; nothing reads a page outside the keep set.
   */
 object RowGroupScan {
 
@@ -42,79 +58,411 @@ object RowGroupScan {
     * many kept row groups fans out instead of serializing on one task. */
   private val rgsPerTask = 8
 
+  /** Footer opens performed by INDEX BUILDS (not data scans) — a
+    * local-mode diagnostic counter: with the index served from the log's
+    * persisted sidecar a declarative read must not open any footer just
+    * to plan (the gate contract for `computeRowGroupIndex`). Executors
+    * share the JVM under local[*]; on a real cluster this is advisory. */
+  private[graft] val indexFooterOpens =
+    new java.util.concurrent.atomic.LongAdder
+
+  /** One wide-index row: per-(file, row group, top-level column) stats.
+    * `rg == -1` marks a zero-row-group file (schema carrier only, never
+    * scanned). Numeric bounds fold through `longValue` (safe for pruning:
+    * truncation can only widen the kept set for integral probes); string
+    * bounds only for string-annotated BINARY columns, in UTF-8 byte order
+    * (what parquet stats and Spark's string comparison both use). */
+  private[operators] final case class IdxRow(file: String, rg: Int,
+      column: String, ord: Int, dtype: String, n_rows: Long,
+      n_nulls: Option[Long], lmin: Option[Long], lmax: Option[Long],
+      smin: Option[String], smax: Option[String])
+
+  /** One kept row group: `start` is the row group's first row's
+    * FILE-ORDINAL index (prefix sum of preceding groups' row counts) —
+    * what deletion-vector positions are keyed by. */
+  private[operators] final case class RgSlice(file: String, rg: Int,
+      start: Long, nRows: Long)
+
+  /** The WIDE per-row-group stats index over EVERY top-level column —
+    * (file, rg, column, ord, dtype, n_rows, n_nulls, lmin, lmax, smin,
+    * smax), one distributed footer-only task per file. `files` pairs the
+    * path to OPEN with the label to EMIT (the log's sidecar stores
+    * table-relative labels; ad-hoc builds pass the path twice). */
+  private[operators] def buildWideIndex(spark: SparkSession,
+      files: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    files.toDS().mapPartitions { it =>
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      it.flatMap { case (abs, label) =>
+        indexFooterOpens.increment()
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(abs), conf.value))
+        try {
+          val msg = reader.getFooter.getFileMetaData.getSchema
+          val fields = (0 until msg.getFieldCount).map { i =>
+            val t = msg.getType(i)
+            (t, i, sparkTypeOf(t).catalogString)
+          }
+          val blocks = reader.getFooter.getBlocks.asScala.toList
+          if (blocks.isEmpty)
+            fields.map { case (t, i, dt) =>
+              IdxRow(label, -1, t.getName, i, dt, 0L, None, None, None,
+                None, None)
+            }
+          else blocks.zipWithIndex.flatMap { case (rg, rgIdx) =>
+            val chunks = rg.getColumns.asScala
+            fields.map { case (t, i, dt) =>
+              var nNulls: Option[Long] = None
+              var lmin: Option[Long] = None
+              var lmax: Option[Long] = None
+              var smin: Option[String] = None
+              var smax: Option[String] = None
+              if (t.isPrimitive) {
+                val stringish = t.asPrimitiveType()
+                  .getLogicalTypeAnnotation match {
+                  case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .StringLogicalTypeAnnotation => true
+                  case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .EnumLogicalTypeAnnotation => true
+                  case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                      .JsonLogicalTypeAnnotation => true
+                  case _ => false
+                }
+                chunks.find(_.getPath.toDotString == t.getName)
+                  .map(_.getStatistics).filter(_ != null).foreach { st =>
+                    if (st.isNumNullsSet) nNulls = Some(st.getNumNulls)
+                    if (!st.isEmpty)
+                      (st.genericGetMin, st.genericGetMax) match {
+                        case (a: Number, b: Number) =>
+                          lmin = Some(a.longValue); lmax = Some(b.longValue)
+                        case (a: org.apache.parquet.io.api.Binary,
+                              b: org.apache.parquet.io.api.Binary)
+                            if stringish =>
+                          smin = Some(a.toStringUsingUTF8)
+                          smax = Some(b.toStringUsingUTF8)
+                        case _ =>
+                      }
+                  }
+              }
+              IdxRow(label, rgIdx, t.getName, i, dt, rg.getRowCount,
+                nNulls, lmin, lmax, smin, smax)
+            }
+          }
+        } finally reader.close()
+      }
+    }.toDF()
+  }
+
+  // ===== distributed prune =============================================
+
+  /** An index-row DISPROOF for one constraint: TRUE iff this (file, rg,
+    * column) row's bounds PROVE no row can satisfy the constraint. Null
+    * or missing bounds never reject (conservative keep). Spark's string
+    * comparison is UTF-8 byte order — the same order the stats fold in,
+    * so string pruning can never disagree with the scan's re-filter. */
+  private[operators] def rejectCond(c: TableLog.RgConstraint): Column = {
+    import org.apache.spark.sql.functions.{col, exists, lit}
+    c match {
+      case TableLog.NumRange(_, lo, hi) =>
+        val sides = lo.map(l => col("lmax") < lit(l)).toSeq ++
+          hi.map(h => col("lmin") > lit(h)).toSeq
+        col("lmin").isNotNull && col("lmax").isNotNull &&
+          sides.reduceOption(_ || _).getOrElse(lit(false))
+      case TableLog.NumIn(_, vs) =>
+        col("lmin").isNotNull && col("lmax").isNotNull &&
+          !exists(lit(vs.toArray),
+            v => col("lmin") <= v && v <= col("lmax"))
+      case TableLog.StrRange(_, lo, hi, hiExcl) =>
+        val sides = lo.map(l => col("smax") < lit(l)).toSeq ++
+          hi.map(h => if (hiExcl) col("smin") >= lit(h)
+                      else col("smin") > lit(h)).toSeq
+        col("smin").isNotNull && col("smax").isNotNull &&
+          sides.reduceOption(_ || _).getOrElse(lit(false))
+      case TableLog.StrIn(_, vs) =>
+        col("smin").isNotNull && col("smax").isNotNull &&
+          !exists(lit(vs.toArray),
+            v => col("smin") <= v && v <= col("smax"))
+    }
+  }
+
+  /** An index-row PROOF for one constraint: TRUE iff the bounds prove
+    * EVERY row of the group satisfies it — the metadata-only COUNT path.
+    * Demands exact stats: zero nulls, and a dtype whose parquet min/max
+    * are not truncated (integral/date for numeric, string for string —
+    * float/double bounds fold through longValue and cannot prove
+    * containment). */
+  private[operators] def fullMatchCond(c: TableLog.RgConstraint): Column = {
+    import org.apache.spark.sql.functions.{array_contains, col, lit}
+    val exactNum = col("dtype").isin("tinyint", "smallint", "int",
+      "bigint", "date")
+    c match {
+      case TableLog.NumRange(_, lo, hi) =>
+        exactNum && col("n_nulls") === 0L &&
+          col("lmin").isNotNull && col("lmax").isNotNull &&
+          lo.map(l => col("lmin") >= lit(l)).getOrElse(lit(true)) &&
+          hi.map(h => col("lmax") <= lit(h)).getOrElse(lit(true))
+      case TableLog.NumIn(_, vs) =>
+        exactNum && col("n_nulls") === 0L &&
+          col("lmin").isNotNull && col("lmin") === col("lmax") &&
+          array_contains(lit(vs.toArray), col("lmin"))
+      case TableLog.StrRange(_, lo, hi, hiExcl) =>
+        col("dtype") === "string" && col("n_nulls") === 0L &&
+          col("smin").isNotNull && col("smax").isNotNull &&
+          lo.map(l => col("smin") >= lit(l)).getOrElse(lit(true)) &&
+          hi.map(h => if (hiExcl) col("smax") < lit(h)
+                      else col("smax") <= lit(h)).getOrElse(lit(true))
+      case TableLog.StrIn(_, vs) =>
+        col("dtype") === "string" && col("n_nulls") === 0L &&
+          col("smin").isNotNull && col("smin") === col("smax") &&
+          array_contains(lit(vs.toArray), col("smin"))
+    }
+  }
+
+  /** DISTRIBUTED prune of a wide index by every constraint at once:
+    * per-(file, rg) reject verdicts fold in one metadata aggregation
+    * (a constraint rejects a group iff ITS column's bounds disprove it;
+    * a column with no stats — or absent from an evolved file — never
+    * rejects), file-ordinal start offsets ride a window over the same
+    * rows, and the driver collects ONLY the kept slices plus the total
+    * group count. Caller should have the index persisted (two jobs). */
+  private[operators] def prunePairs(spark: SparkSession, wide: DataFrame,
+      constraints: Seq[TableLog.RgConstraint]): (Seq[RgSlice], Long) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{coalesce, col, first, lit, max,
+      sum, when}
+    val real = wide.filter(col("rg") >= 0)
+    val rejFlags = constraints.zipWithIndex.map { case (c, i) =>
+      max(when(col("column") === c.column && rejectCond(c), 1)
+        .otherwise(0)).as(s"__rej$i")
+    }
+    val aggs = first(col("n_rows")).as("n_rows") +: rejFlags
+    val pairs0 = real.groupBy(col("file"), col("rg"))
+      .agg(aggs.head, aggs.tail: _*)
+    val rej = constraints.indices.map(i => col(s"__rej$i"))
+      .reduceOption(_ + _).map(_ > 0)
+      .getOrElse(lit(false))
+    val w = Window.partitionBy("file").orderBy("rg")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pairs = pairs0
+      .withColumn("__start", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+      .withColumn("__rej", rej)
+    val kept = pairs.filter(!col("__rej"))
+      .select("file", "rg", "__start", "n_rows").collect()
+      .map(r => RgSlice(r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3)))
+      .sortBy(s => (s.file, s.rg)).toSeq
+    val total = pairs.count()
+    (kept, total)
+  }
+
+  /** The UNION schema a wide index implies: every column it has seen,
+    * ordered by first field position then name (the mergeSchema order —
+    * evolved trailing columns append), as (name, catalogString). A
+    * column carrying TWO types across files fails loudly — the same
+    * contract as the log's own evolved reads. */
+  private[operators] def unionColsOf(wide: DataFrame): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions.{col, min}
+    val rows = wide.groupBy(col("column"), col("dtype"))
+      .agg(min(col("ord")).as("o")).collect()
+    rows.groupBy(_.getString(0)).foreach { case (c, rs) =>
+      require(rs.length == 1, s"type drift on column $c: " +
+        rs.map(_.getString(1)).sorted.mkString(" vs "))
+    }
+    rows.sortBy(r => (r.getInt(2), r.getString(0)))
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  /** Empty frame carrying the (projected) union schema — what a fully
+    * pruned read returns so downstream plans analyze cleanly. */
+  private[operators] def emptyFrame(spark: SparkSession,
+      unionCols: Seq[(String, String)], columns: Seq[String]): DataFrame = {
+    val wanted = wantedCols(unionCols, columns)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(wanted.map { case (n, dt) =>
+        StructField(n, DataType.fromDDL(dt), nullable = true)
+      }))
+  }
+
+  /** Projection resolution: caller order, loud on unknown names. */
+  private def wantedCols(unionCols: Seq[(String, String)],
+      columns: Seq[String]): Seq[(String, String)] =
+    if (columns.isEmpty) unionCols
+    else {
+      val m = unionCols.toMap
+      columns.map { c =>
+        require(m.contains(c), s"projection names unknown columns: $c")
+        c -> m(c)
+      }
+    }
+
+  /** Scan exactly the given slices — one distributed job, ≤
+    * [[rgsPerTask]] row groups per task. Schema evolution across files
+    * null-fills (a file missing a union column emits nulls for it); a
+    * TYPE conflict fails loudly in the task. `emitPos` appends
+    * `__graft_fn` (file basename) and `__graft_ridx` (file-ordinal row
+    * index, rebased from the slice's start offset) — the join identity
+    * deletion vectors use, so a DV-carrying file can be read
+    * PARTIALLY. A non-empty `columns` projection reads only those
+    * columns' pages (a point fetch on a wide table touches 2 column
+    * chunks, not 200 — the custom scan materializes rows eagerly, so
+    * Catalyst's own column pruning cannot reach inside it). */
+  private[operators] def scanSlices(spark: SparkSession,
+      slices: Seq[RgSlice], unionCols: Seq[(String, String)],
+      columns: Seq[String] = Nil, emitPos: Boolean = false): DataFrame = {
+    val wanted = wantedCols(unionCols, columns)
+    val base = StructType(wanted.map { case (n, dt) =>
+      StructField(n, DataType.fromDDL(dt), nullable = true)
+    })
+    val schema =
+      if (!emitPos) base
+      else StructType(base.fields :+
+        StructField("__graft_fn", StringType, nullable = false) :+
+        StructField("__graft_ridx", LongType, nullable = false))
+    if (slices.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val tasks = slices.groupBy(_.file).toSeq.sortBy(_._1)
+      .flatMap { case (f, ss) =>
+        ss.sortBy(_.rg).grouped(rgsPerTask)
+          .map(g => (f, g.map(s => (s.rg, s.start))))
+      }
+    val wantedLocal = wanted
+    val emitPosLocal = emitPos
+    val rdd = spark.sparkContext
+      .parallelize(tasks, math.max(1, tasks.size))
+      .flatMap { case (f, parts) =>
+        taskSliceRows(f, parts, conf.value, wantedLocal, emitPosLocal)
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Executor-side selective scan of `parts` (rg index, start offset) in
+    * `file`, emitting rows in `wanted` order with nulls for columns the
+    * file predates. The reader closes on task completion (and eagerly on
+    * exhaustion). */
+  private def taskSliceRows(file: String, parts: Seq[(Int, Long)],
+      conf: org.apache.hadoop.conf.Configuration,
+      wanted: Seq[(String, String)], emitPos: Boolean): Iterator[Row] = {
+    import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.ColumnIOFactory
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), conf))
+    var closed = false
+    def close(): Unit = if (!closed) { closed = true; reader.close() }
+    val tc = org.apache.spark.TaskContext.get()
+    if (tc != null) tc.addTaskCompletionListener[Unit](_ => close())
+    val full = reader.getFooter.getFileMetaData.getSchema
+    val fileCols = full.getFields.asScala.map(_.getName).toSet
+    val have = wanted.filter(w => fileCols(w._1))
+    have.foreach { case (n, dt) =>
+      val got = sparkTypeOf(full.getType(full.getFieldIndex(n)))
+        .catalogString
+      require(got == dt,
+        s"type drift on column $n in $file: $got, plan wants $dt")
+    }
+    val blocks = reader.getFooter.getBlocks
+    val nRgs = blocks.size
+    val fname = new org.apache.hadoop.fs.Path(file).getName
+    if (have.isEmpty) {
+      // nothing to decode from this file: emit null rows by count only
+      // (no data page leaves disk)
+      val out = parts.iterator.flatMap { case (i, start) =>
+        require(i >= 0 && i < nRgs, s"row group $i out of range in $file")
+        val n = blocks.get(i).getRowCount
+        Iterator.range(0L, n).map { r =>
+          val base: Seq[Any] = wanted.map(_ => null)
+          Row.fromSeq(if (emitPos) base :+ fname :+ (start + r) else base)
+        }
+      }
+      return new Iterator[Row] {
+        def hasNext: Boolean = { val h = out.hasNext; if (!h) close(); h }
+        def next(): Row = out.next()
+      }
+    }
+    val haveSet = have.map(_._1).toSet
+    val msg = new org.apache.parquet.schema.MessageType(full.getName,
+      full.getFields.asScala.filter(f => haveSet(f.getName)).asJava)
+    reader.setRequestedSchema(msg)
+    val msgIdx = (0 until msg.getFieldCount)
+      .map(j => msg.getType(j).getName -> j).toMap
+    val convs = Array.tabulate(msg.getFieldCount)(j =>
+      fieldConverter(msg.getType(j), j))
+    val io = new ColumnIOFactory().getColumnIO(msg)
+    val inner = parts.iterator.flatMap { case (i, start) =>
+      require(i >= 0 && i < nRgs, s"row group $i out of range in $file")
+      val pages = reader.readRowGroup(i)
+      val rr = io.getRecordReader(pages, new GroupRecordConverter(msg))
+      Iterator.range(0L, pages.getRowCount).map { r =>
+        val g = rr.read()
+        val base: Seq[Any] = wanted.map { case (n, _) =>
+          msgIdx.get(n) match {
+            case Some(j) =>
+              if (g.getFieldRepetitionCount(j) == 0) null else convs(j)(g)
+            case None => null
+          }
+        }
+        Row.fromSeq(if (emitPos) base :+ fname :+ (start + r) else base)
+      }
+    }
+    new Iterator[Row] {
+      def hasNext: Boolean = {
+        val h = inner.hasNext
+        if (!h) close()
+        h
+      }
+      def next(): Row = inner.next()
+    }
+  }
+
+  // ===== legacy single-column index API ================================
+  //
+  // The wide index above is what the log's readers use; these per-column
+  // builders and pruned readers remain as the standalone surface for
+  // ad-hoc parquet directories (and the specs that pin the index shape).
+  // Their prune is the same DISTRIBUTED filter, never a driver loop.
+
   /** Per-ROW-GROUP zone-map index over a numeric column — (file, rg,
     * zmin, zmax, n_rows) from the parquet footers only, distributed one
     * file per task. Row groups lacking stats for `column` (or whose
     * min/max is non-numeric) get null bounds — [[readRowGroupsPruned]]
     * keeps them conservatively. */
   def rowGroupIndexFiles(spark: SparkSession, files: Seq[String],
-      column: String): DataFrame = {
-    import spark.implicits._
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    files.toDS().mapPartitions { it =>
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      import scala.jdk.CollectionConverters._
-      it.flatMap { f =>
-        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f), conf.value))
-        try {
-          reader.getFooter.getBlocks.asScala.toList.zipWithIndex.map {
-            case (rg, i) =>
-              val st = rg.getColumns.asScala
-                .find(_.getPath.toDotString == column)
-                .map(_.getStatistics).filter(s => s != null && !s.isEmpty)
-              (st.map(_.genericGetMin), st.map(_.genericGetMax)) match {
-                case (Some(a: Number), Some(b: Number)) =>
-                  (f, i, Some(a.longValue), Some(b.longValue),
-                    rg.getRowCount)
-                case _ =>
-                  (f, i, None: Option[Long], None: Option[Long],
-                    rg.getRowCount)
-              }
-          }
-        } finally reader.close()
-      }
-    }.toDF("file", "rg", "zmin", "zmax", "n_rows")
-  }
+      column: String): DataFrame =
+    narrowView(buildWideIndex(spark, files.map(f => (f, f))), column,
+      "lmin", "lmax")
 
   /** Per-ROW-GROUP zone-map index over a STRING column — the
     * [[rowGroupIndexFiles]] twin for the most common lake predicate
     * shape (date strings, category codes, url prefixes). Bounds fold in
-    * UTF-8 BYTE order (the order parquet stats and Spark's pruning
-    * filters use — Java String `<` disagrees beyond the BMP). */
+    * UTF-8 BYTE order (the order parquet stats and Spark's string
+    * comparison use — Java String `<` disagrees beyond the BMP). */
   def rowGroupIndexStringFiles(spark: SparkSession, files: Seq[String],
-      column: String): DataFrame = {
-    import spark.implicits._
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    files.toDS().mapPartitions { it =>
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      import scala.jdk.CollectionConverters._
-      it.flatMap { f =>
-        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f), conf.value))
-        try {
-          reader.getFooter.getBlocks.asScala.toList.zipWithIndex.map {
-            case (rg, i) =>
-              val st = rg.getColumns.asScala
-                .find(_.getPath.toDotString == column)
-                .map(_.getStatistics).filter(s => s != null && !s.isEmpty)
-              (st.map(_.genericGetMin), st.map(_.genericGetMax)) match {
-                case (Some(a: org.apache.parquet.io.api.Binary),
-                      Some(b: org.apache.parquet.io.api.Binary)) =>
-                  (f, i, Some(a.toStringUsingUTF8),
-                    Some(b.toStringUsingUTF8), rg.getRowCount)
-                case _ =>
-                  (f, i, None: Option[String], None: Option[String],
-                    rg.getRowCount)
-              }
-          }
-        } finally reader.close()
-      }
-    }.toDF("file", "rg", "zmin", "zmax", "n_rows")
+      column: String): DataFrame =
+    narrowView(buildWideIndex(spark, files.map(f => (f, f))), column,
+      "smin", "smax")
+
+  /** Single-column (file, rg, zmin, zmax, n_rows) view of a wide index.
+    * EVERY (file, rg) appears — a file that predates the column (or a
+    * column with no stats) carries null bounds and is kept
+    * conservatively by the pruned readers. */
+  private def narrowView(wide: DataFrame, column: String,
+      minCol: String, maxCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val pairs = wide.filter(col("rg") >= 0)
+      .select("file", "rg", "n_rows").distinct()
+    val stats = wide.filter(col("column") === column && col("rg") >= 0)
+      .select(col("file"), col("rg"), col(minCol).as("zmin"),
+        col(maxCol).as("zmax"))
+    pairs.join(stats, Seq("file", "rg"), "left")
+      .select("file", "rg", "zmin", "zmax", "n_rows")
   }
 
   /** Range-pruned read off a [[rowGroupIndexFiles]] index: scans ONLY row
@@ -122,17 +470,16 @@ object RowGroupScan {
     * kept conservatively — skipping may lose rows, keeping never does).
     * The caller re-applies the exact predicate. Returns (frame,
     * rgOpened, rgTotal, filesOpened). Zero kept groups returns an empty
-    * frame WITH the table schema (from the first indexed file's footer),
-    * so downstream plans analyze cleanly. `columns` non-empty = a
-    * PROJECTION pushed into the scan: only those columns' pages are
-    * read (a point fetch on a wide table reads 2 column chunks, not
-    * 200 — the custom scan materializes rows eagerly, so Catalyst's own
-    * column pruning cannot reach inside it). */
+    * frame WITH the table schema, so downstream plans analyze cleanly.
+    * `columns` non-empty = a PROJECTION pushed into the scan: only those
+    * columns' pages are read. */
   def readRowGroupsPruned(spark: SparkSession, index: DataFrame,
       lo: Long, hi: Long, columns: Seq[String] = Nil)
-      : (DataFrame, Long, Long, Int) =
-    prunedScan(spark, index, r =>
-      r.getLong(2) <= hi && r.getLong(3) >= lo, columns)
+      : (DataFrame, Long, Long, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    prunedScanNarrow(spark, index,
+      col("zmin") <= lit(hi) && col("zmax") >= lit(lo), columns)
+  }
 
   /** [[readRowGroupsPruned]] for a STRING index ([[
     * rowGroupIndexStringFiles]]): lexicographic [lo, hi] intersection in
@@ -149,48 +496,63 @@ object RowGroupScan {
     * exactly without inventing a fake top string. */
   def readRowGroupsPrunedStringBounds(spark: SparkSession,
       index: DataFrame, lo: Option[String], hi: Option[String],
-      columns: Seq[String] = Nil): (DataFrame, Long, Long, Int) =
-    prunedScan(spark, index, r =>
-      hi.forall(h => !utf8Gt(r.getString(2), h)) &&
-        lo.forall(l => !utf8Gt(l, r.getString(3))), columns)
+      columns: Seq[String] = Nil): (DataFrame, Long, Long, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val conds = lo.map(l => col("zmax") >= lit(l)).toSeq ++
+      hi.map(h => col("zmin") <= lit(h)).toSeq
+    prunedScanNarrow(spark, index,
+      conds.reduceOption(_ && _).getOrElse(lit(true)), columns)
+  }
 
   /** IN-list-pruned read off a numeric index: keeps a row group iff ANY
     * probe value falls inside its [zmin, zmax] — the point-lookup shape
     * ([[graft.operators.TableLog.readPointLookup]] composes it with the
-    * bloom file prune). */
+    * bloom file prune). The probe runs DISTRIBUTED as an `exists` over a
+    * literal array — never an O(|index|·|values|) driver loop. */
   def readRowGroupsPrunedIn(spark: SparkSession, index: DataFrame,
       values: Seq[Long], columns: Seq[String] = Nil)
-      : (DataFrame, Long, Long, Int) =
-    prunedScan(spark, index, r =>
-      values.exists(v => r.getLong(2) <= v && r.getLong(3) >= v), columns)
+      : (DataFrame, Long, Long, Int) = {
+    import org.apache.spark.sql.functions.{col, exists, lit}
+    prunedScanNarrow(spark, index,
+      exists(lit(values.toArray),
+        v => col("zmin") <= v && v <= col("zmax")), columns)
+  }
 
   /** [[readRowGroupsPrunedIn]] for a STRING index (UTF-8 byte order). */
   def readRowGroupsPrunedInString(spark: SparkSession, index: DataFrame,
       values: Seq[String], columns: Seq[String] = Nil)
-      : (DataFrame, Long, Long, Int) =
-    prunedScan(spark, index, r =>
-      values.exists(v =>
-        !utf8Gt(r.getString(2), v) && !utf8Gt(v, r.getString(3))),
-      columns)
-
-  /** Kept (file, rowGroup) set judged by `intersects` over an index
-    * (null-bounds rows always kept) plus the index's total row-group
-    * count and one file path for empty-schema recovery — the
-    * composition point for multi-constraint pruning (intersect several
-    * constraints' keep sets, scan once). */
-  private[operators] def keepSet(index: DataFrame,
-      intersects: Row => Boolean): (Set[(String, Int)], Long, String) = {
-    val rows = index.select("file", "rg", "zmin", "zmax").collect()
-    require(rows.nonEmpty, "row-group pruned read needs a non-empty index")
-    val keep = rows.filter(r => r.isNullAt(2) || r.isNullAt(3) ||
-        intersects(r))
-      .map(r => (r.getString(0), r.getInt(1))).toSet
-    (keep, rows.length.toLong, rows.head.getString(0))
+      : (DataFrame, Long, Long, Int) = {
+    import org.apache.spark.sql.functions.{col, exists, lit}
+    prunedScanNarrow(spark, index,
+      exists(lit(values.toArray),
+        v => col("zmin") <= v && v <= col("zmax")), columns)
   }
 
-  /** Scan a keep set computed by [[keepSet]] (possibly intersected
-    * across constraints). Returns (frame, rgOpened, rgTotal,
-    * filesOpened). */
+  /** Shared narrow prune+scan core: `keepCond` judges a non-null-bounds
+    * index row DISTRIBUTED (Column filter, not a collected loop);
+    * null-bounds rows are always kept. The driver receives only the kept
+    * (file, rg) pairs. */
+  private def prunedScanNarrow(spark: SparkSession, index: DataFrame,
+      keepCond: Column, columns: Seq[String] = Nil)
+      : (DataFrame, Long, Long, Int) = {
+    import org.apache.spark.sql.functions.col
+    val cached = index.persist()
+    try {
+      val kept = cached
+        .filter(col("zmin").isNull || col("zmax").isNull || keepCond)
+        .select("file", "rg").collect()
+        .map(r => (r.getString(0), r.getInt(1))).toSet
+      val total = cached.count()
+      val anyFile = cached.select("file").limit(1).collect()
+        .headOption.map(_.getString(0))
+      require(anyFile.isDefined,
+        "row-group pruned read needs a non-empty index")
+      scanKeep(spark, kept, total, anyFile.get, columns)
+    } finally cached.unpersist()
+  }
+
+  /** Scan a keep set (possibly intersected across constraints). Returns
+    * (frame, rgOpened, rgTotal, filesOpened). */
   private[operators] def scanKeep(spark: SparkSession,
       keep: Set[(String, Int)], total: Long, anyFile: String,
       columns: Seq[String] = Nil): (DataFrame, Long, Long, Int) = {
@@ -207,60 +569,18 @@ object RowGroupScan {
     (df, keep.size.toLong, total, byFile.size)
   }
 
-  /** Shared prune+scan core: `intersects` judges a non-null-bounds index
-    * row; null-bounds rows are always kept. */
-  private def prunedScan(spark: SparkSession, index: DataFrame,
-      intersects: Row => Boolean, columns: Seq[String] = Nil)
-      : (DataFrame, Long, Long, Int) = {
-    val (keep, total, anyFile) = keepSet(index, intersects)
-    scanKeep(spark, keep, total, anyFile, columns)
-  }
-
-  // index-row predicates for the public constraint shapes — shared by
-  // the single-constraint readers above and TableLog's multi-constraint
-  // intersection
-  private[operators] def numRangePred(lo: Option[Long],
-      hi: Option[Long]): Row => Boolean = r =>
-    hi.forall(h => r.getLong(2) <= h) && lo.forall(l => r.getLong(3) >= l)
-  private[operators] def numInPred(values: Seq[Long]): Row => Boolean =
-    r => values.exists(v => r.getLong(2) <= v && r.getLong(3) >= v)
-  private[operators] def strRangePred(lo: Option[String],
-      hi: Option[String]): Row => Boolean = r =>
-    hi.forall(h => !utf8Gt(r.getString(2), h)) &&
-      lo.forall(l => !utf8Gt(l, r.getString(3)))
-  private[operators] def strInPred(values: Seq[String]): Row => Boolean =
-    r => values.exists(v =>
-      !utf8Gt(r.getString(2), v) && !utf8Gt(v, r.getString(3)))
-
   /** Projected frames come back in the CALLER's column order (the
     * parquet-side subset stays in table order for the readers). */
   private def callerOrder(df: DataFrame, columns: Seq[String]): DataFrame =
     if (columns.isEmpty) df
     else df.select(columns.map(org.apache.spark.sql.functions.col): _*)
 
-  /** UTF-8 byte-order > — mirrors [[ParquetTuning]]'s string zone-map
-    * comparison so file- and row-group-level pruning can never
-    * disagree. */
-  private def utf8Gt(a: String, b: String): Boolean = {
-    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
-    val n = math.min(x.length, y.length)
-    var i = 0
-    while (i < n) {
-      val c = (x(i) & 0xff) - (y(i) & 0xff)
-      if (c != 0) return c > 0
-      i += 1
-    }
-    x.length > y.length
-  }
-
   /** Scan exactly the given (file, row-group indices) — one distributed
     * job, ≤ [[rgsPerTask]] row groups per task. All files must carry the
-    * SAME parquet schema (the committed-snapshot contract; schema drift
-    * fails loudly rather than silently dropping columns). A non-empty
-    * `columns` projection reads ONLY those columns' pages — a point
-    * fetch on a wide table touches 2 column chunks, not 200; the custom
-    * scan materializes rows eagerly, so Catalyst's own column pruning
-    * cannot reach inside it. */
+    * SAME parquet schema (the strict ad-hoc contract; the log's own
+    * reads go through [[scanSlices]], which tolerates add-column
+    * evolution). A non-empty `columns` projection reads ONLY those
+    * columns' pages. */
   def readRowGroups(spark: SparkSession,
       plan: Seq[(String, Seq[Int])],
       columns: Seq[String] = Nil): DataFrame = {
@@ -348,17 +668,73 @@ object RowGroupScan {
     }
   }
 
-  /** Value converter for one flat scalar field, mirroring Spark's own
-    * parquet type mapping so a selective scan unions cleanly with a
-    * `spark.read.parquet` of sibling files. */
+  /** Value converter for one field — scalars mirror Spark's own parquet
+    * type mapping (so a selective scan unions cleanly with a
+    * `spark.read.parquet` of sibling files); nested shapes cover what
+    * Spark WRITES: 3-level LIST, 3-level MAP, struct. The converter
+    * assumes the field is PRESENT (repetition count > 0) — the caller
+    * null-checks. */
   private def fieldConverter(t: org.apache.parquet.schema.Type,
+      idx: Int): org.apache.parquet.example.data.Group => Any =
+    if (t.isPrimitive) primitiveConverter(t, idx)
+    else {
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val gt = t.asGroupType()
+      t.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
+          val rep = listRepeated(gt)
+          val elemT = rep.getType(0)
+          val ec = fieldConverter(elemT, 0)
+          g => {
+            val lg = g.getGroup(idx, 0)
+            val n = lg.getFieldRepetitionCount(0)
+            val out = new Array[Any](n)
+            var i = 0
+            while (i < n) {
+              val entry = lg.getGroup(0, i)
+              out(i) =
+                if (entry.getFieldRepetitionCount(0) == 0) null
+                else ec(entry)
+              i += 1
+            }
+            out.toSeq
+          }
+        case _: LogicalTypeAnnotation.MapLogicalTypeAnnotation =>
+          val kv = mapKeyValue(gt)
+          val kc = fieldConverter(kv.getType(0), 0)
+          val vc = fieldConverter(kv.getType(1), 1)
+          g => {
+            val mg = g.getGroup(idx, 0)
+            val n = mg.getFieldRepetitionCount(0)
+            (0 until n).map { i =>
+              val e = mg.getGroup(0, i)
+              val v = if (e.getFieldRepetitionCount(1) == 0) null
+                      else vc(e)
+              kc(e) -> v
+            }.toMap
+          }
+        case _ => // plain group = struct
+          requireStruct(t)
+          val convs = Array.tabulate(gt.getFieldCount)(j =>
+            fieldConverter(gt.getType(j), j))
+          g => {
+            val sg = g.getGroup(idx, 0)
+            Row.fromSeq((0 until gt.getFieldCount).map(j =>
+              if (sg.getFieldRepetitionCount(j) == 0) null
+              else convs(j)(sg)))
+          }
+      }
+    }
+
+  /** Scalar converter (shared by flat and nested paths). */
+  private def primitiveConverter(t: org.apache.parquet.schema.Type,
       idx: Int): org.apache.parquet.example.data.Group => Any = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.LogicalTypeAnnotation._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.Type.Repetition
-    require(t.isPrimitive && t.getRepetition != Repetition.REPEATED,
-      s"row-group scan supports flat scalar schemas only: $t")
+    require(t.getRepetition != Repetition.REPEATED,
+      s"row-group scan: legacy 2-level repeated field unsupported: $t")
     val p = t.asPrimitiveType()
     val ann = p.getLogicalTypeAnnotation
     p.getPrimitiveTypeName match {
@@ -410,11 +786,12 @@ object RowGroupScan {
     }
   }
 
-  /** [[fieldConverter]]'s CATALYST twin: values in InternalRow
+  /** [[primitiveConverter]]'s CATALYST twin: values in InternalRow
     * representation (UTF8String, epoch-day ints, micros longs,
     * sql.types.Decimal) — what a DataSource-v2 PartitionReader emits
     * ([[graft.sources.LakeStreamProvider]]) without dragging encoder
-    * machinery onto the executors. */
+    * machinery onto the executors. Flat scalars only (the stream
+    * source's contract). */
   private[graft] def catalystConverter(t: org.apache.parquet.schema.Type,
       idx: Int): org.apache.parquet.example.data.Group => Any = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -494,37 +871,57 @@ object RowGroupScan {
 
   // ===== schema bridging ===============================================
 
-  private def parquetSchemaOf(file: String,
-      conf: org.apache.hadoop.conf.Configuration)
-      : org.apache.parquet.schema.MessageType = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(file), conf))
-    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  /** The repeated "list" group of a 3-level parquet LIST (what Spark
+    * writes); legacy 2-level shapes fail loudly. */
+  private def listRepeated(gt: org.apache.parquet.schema.GroupType)
+      : org.apache.parquet.schema.GroupType = {
+    import org.apache.parquet.schema.Type.Repetition
+    require(gt.getFieldCount == 1 && !gt.getType(0).isPrimitive &&
+      gt.getType(0).getRepetition == Repetition.REPEATED &&
+      gt.getType(0).asGroupType().getFieldCount == 1,
+      s"row-group scan supports 3-level LIST only: $gt")
+    gt.getType(0).asGroupType()
   }
 
-  /** Spark schema for a flat scalar parquet message — the same mapping
-    * [[fieldConverter]] materializes, so created frames union cleanly
-    * with `spark.read.parquet` frames of sibling files. */
-  private[graft] def sparkSchemaOf(
-      msg: org.apache.parquet.schema.MessageType): StructType = {
-    import org.apache.parquet.schema.LogicalTypeAnnotation._
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+  /** The repeated key_value group of a 3-level parquet MAP. */
+  private def mapKeyValue(gt: org.apache.parquet.schema.GroupType)
+      : org.apache.parquet.schema.GroupType = {
     import org.apache.parquet.schema.Type.Repetition
-    StructType((0 until msg.getFieldCount).map { i =>
-      val t = msg.getType(i)
-      require(t.isPrimitive && t.getRepetition != Repetition.REPEATED,
-        s"row-group scan supports flat scalar schemas only: $t")
+    require(gt.getFieldCount == 1 && !gt.getType(0).isPrimitive &&
+      gt.getType(0).getRepetition == Repetition.REPEATED &&
+      gt.getType(0).asGroupType().getFieldCount == 2,
+      s"row-group scan supports 3-level MAP only: $gt")
+    gt.getType(0).asGroupType()
+  }
+
+  private def requireStruct(t: org.apache.parquet.schema.Type): Unit = {
+    import org.apache.parquet.schema.Type.Repetition
+    require(t.getRepetition != Repetition.REPEATED,
+      s"row-group scan: legacy repeated group unsupported: $t")
+  }
+
+  /** Spark type for one parquet field — scalars as
+    * [[primitiveConverter]] materializes them, nested via the 3-level
+    * LIST/MAP and struct shapes, so created frames union cleanly with
+    * `spark.read.parquet` frames of sibling files. */
+  private[operators] def sparkTypeOf(
+      t: org.apache.parquet.schema.Type): DataType =
+    if (t.isPrimitive) {
+      import org.apache.parquet.schema.LogicalTypeAnnotation._
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      import org.apache.parquet.schema.Type.Repetition
+      require(t.getRepetition != Repetition.REPEATED,
+        s"row-group scan: legacy 2-level repeated field unsupported: $t")
       val p = t.asPrimitiveType()
       val ann = p.getLogicalTypeAnnotation
-      val dt: DataType = p.getPrimitiveTypeName match {
+      p.getPrimitiveTypeName match {
         case BOOLEAN => BooleanType
         case INT32 => ann match {
           case _: DateLogicalTypeAnnotation => DateType
           case d: DecimalLogicalTypeAnnotation =>
             DecimalType(d.getPrecision, d.getScale)
-          case a: IntLogicalTypeAnnotation if a.getBitWidth == 8 => ByteType
+          case a: IntLogicalTypeAnnotation if a.getBitWidth == 8 =>
+            ByteType
           case a: IntLogicalTypeAnnotation if a.getBitWidth == 16 =>
             ShortType
           case _ => IntegerType
@@ -550,9 +947,44 @@ object RowGroupScan {
         case other => sys.error(s"row-group scan: unsupported primitive " +
           s"$other for field ${t.getName}")
       }
+    } else {
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val gt = t.asGroupType()
+      t.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
+          ArrayType(sparkTypeOf(listRepeated(gt).getType(0)),
+            containsNull = true)
+        case _: LogicalTypeAnnotation.MapLogicalTypeAnnotation =>
+          val kv = mapKeyValue(gt)
+          MapType(sparkTypeOf(kv.getType(0)), sparkTypeOf(kv.getType(1)),
+            valueContainsNull = true)
+        case _ =>
+          requireStruct(t)
+          StructType((0 until gt.getFieldCount).map(j =>
+            StructField(gt.getType(j).getName, sparkTypeOf(gt.getType(j)),
+              nullable = true)))
+      }
+    }
+
+  private def parquetSchemaOf(file: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.parquet.schema.MessageType = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
+  /** Spark schema for a parquet message — the same mapping the
+    * converters materialize, so created frames union cleanly with
+    * `spark.read.parquet` frames of sibling files. */
+  private[graft] def sparkSchemaOf(
+      msg: org.apache.parquet.schema.MessageType): StructType =
+    StructType((0 until msg.getFieldCount).map { i =>
+      val t = msg.getType(i)
       // always nullable: Spark's file sources relax REQUIRED to nullable
       // on read, and this schema must union cleanly with theirs
-      StructField(t.getName, dt, nullable = true)
+      StructField(t.getName, sparkTypeOf(t), nullable = true)
     })
-  }
 }

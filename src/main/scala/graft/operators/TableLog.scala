@@ -53,7 +53,8 @@ object TableLog {
       dvs: Map[String, String] = Map.empty,
       bloomCol: Option[String] = None,
       blooms: Map[String, String] = Map.empty,
-      checks: Map[String, String] = Map.empty)
+      checks: Map[String, String] = Map.empty,
+      rgidx: Map[String, String] = Map.empty)
 
   /** Thrown by [[commit]] on the optimistic version race — the ONLY
     * conflict the rebase loops retry. TRUE conflicts (a rewrite's input
@@ -107,8 +108,11 @@ object TableLog {
     val checks = Option(node.get("checks")).map { cn =>
       cn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    val rgidx = Option(node.get("rgidx")).map { rn =>
+      rn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
     Snapshot(node.get("version").asInt(), files, parts, txn, op, ts, dvs,
-      bloomCol, blooms, checks)
+      bloomCol, blooms, checks, rgidx)
   }
 
   // escapes control chars too: a partition VALUE containing \n or \t
@@ -141,7 +145,8 @@ object TableLog {
       dvs: Map[String, String] = Map.empty,
       bloomCol: Option[String] = None,
       blooms: Map[String, String] = Map.empty,
-      checks: Map[String, String] = Map.empty): Int = {
+      checks: Map[String, String] = Map.empty,
+      rgidx: Map[String, String] = Map.empty): Int = {
     val ld = logDir(dir)
     Files.createDirectories(ld)
     val v = if (expectedVersion > 0) expectedVersion
@@ -173,9 +178,14 @@ object TableLog {
       else checks.toSeq.sortBy(_._1)
         .map { case (n, e) => s"${jsonStr(n)}:${jsonStr(e)}" }
         .mkString(""","checks":{""", ",", "}")
+    val rgidxJson =
+      if (rgidx.isEmpty) ""
+      else rgidx.toSeq.sortBy(_._1)
+        .map { case (f, p) => s"${jsonStr(f)}:${jsonStr(p)}" }
+        .mkString(""","rgidx":{""", ",", "}")
     val json = s"""{"version":$v,"files":[${
       files.map(jsonStr).mkString(",")
-      }]$partsJson$txnJson$dvsJson$bloomJson$checksJson,"op":${
+      }]$partsJson$txnJson$dvsJson$bloomJson$checksJson$rgidxJson,"op":${
       jsonStr(op)},"ts":${System.currentTimeMillis()}}"""
     val tmp = Files.createTempFile(ld, s".tmp-v$v-", ".json")
     Files.write(tmp, json.getBytes("UTF-8"))
@@ -264,7 +274,8 @@ object TableLog {
     * once (None = marker already present, nothing committed). */
   private def commitAppendRebasing(dir: String, newFiles: Seq[String],
       newParts: Map[String, String], txnPut: Option[(String, Long)],
-      maxRetries: Int): Option[Int] =
+      maxRetries: Int, rgidxPut: Map[String, String] = Map.empty)
+      : Option[Int] =
     retryCommit(dir, maxRetries) { (prev, v) =>
       if (txnPut.exists { case (id, b) => prev.txn.get(id).exists(_ >= b) })
         None
@@ -272,7 +283,21 @@ object TableLog {
         parts = prev.parts ++ newParts,
         txn = txnPut.fold(prev.txn)(prev.txn + _), op = "append",
         dvs = prev.dvs, bloomCol = prev.bloomCol, blooms = prev.blooms,
-        checks = prev.checks))
+        checks = prev.checks, rgidx = prev.rgidx ++ rgidxPut))
+    }
+
+  /** Auto-maintenance of the persisted row-group index on the APPEND
+    * family: once a table has opted in ([[computeRowGroupIndex]] left a
+    * non-empty `rgidx`), every new file gets its footer stats staged into
+    * a sidecar committed atomically with the data — one footer-only task
+    * per new file, so declarative reads keep opening ZERO footers. */
+  private def rgidxTopUp(spark: SparkSession, dir: String,
+      prior: Snapshot, files: Seq[String], v: Int)
+      : Map[String, String] =
+    if (prior.rgidx.isEmpty || files.isEmpty) Map.empty
+    else {
+      val rel = stageRgIndexSidecar(spark, dir, files, v)
+      files.map(_ -> rel).toMap
     }
 
   // ===== deletion vectors (merge-on-read position deletes) =============
@@ -397,13 +422,14 @@ object TableLog {
         if (raced.nonEmpty) throw new IllegalStateException(
           s"delete-dv conflict on $dir: concurrent deletion vectors on " +
             s"(${raced.take(3).mkString(", ")})")
-        // blooms survive a DV delete: hiding rows can only ADD false
-        // positives, never lose a row the bloom must find
+        // blooms and the row-group index survive a DV delete: file bytes
+        // are untouched (stats stay exact), and hiding rows can only ADD
+        // false positives, never lose a row an index must find
         Some(commit(dir, head.files, expectedVersion = vNext,
           parts = head.parts, txn = head.txn, op = "delete-dv",
           dvs = head.dvs ++ touched.map(_ -> dvRel),
           bloomCol = head.bloomCol, blooms = head.blooms,
-          checks = head.checks))
+          checks = head.checks, rgidx = head.rgidx))
       }
       (committed.get, nDel, touched.size, snap.files.size)
     } finally matches.unpersist()
@@ -414,9 +440,10 @@ object TableLog {
     * retries — N concurrent appenders all succeed with N versions. */
   def append(df: DataFrame, dir: String, maxRetries: Int = 20,
       options: Map[String, String] = Map.empty): Int = {
-    val (_, v) = planNext(dir)
+    val (prev, v) = planNext(dir)
     val files = writeData(df, dir, v, options)
-    commitAppendRebasing(dir, files, Map.empty, None, maxRetries).get
+    commitAppendRebasing(dir, files, Map.empty, None, maxRetries,
+      rgidxTopUp(df.sparkSession, dir, prev, files, v)).get
   }
 
   /** Replace the table contents with `df` as a new version. Old files
@@ -427,8 +454,10 @@ object TableLog {
     * correct outcome (the Delta protocol's overwrite-vs-append rule). */
   def overwrite(df: DataFrame, dir: String): Int = {
     val (prev, v) = planNext(dir)
-    commit(dir, writeData(df, dir, v), expectedVersion = v, txn = prev.txn,
-      op = "overwrite", checks = prev.checks)
+    val files = writeData(df, dir, v)
+    commit(dir, files, expectedVersion = v, txn = prev.txn,
+      op = "overwrite", checks = prev.checks,
+      rgidx = rgidxTopUp(df.sparkSession, dir, prev, files, v))
   }
 
   /** Commit audit trail (DESCRIBE HISTORY): one row per retained version —
@@ -525,10 +554,11 @@ object TableLog {
     * touched partitions. */
   def appendPartitioned(df: DataFrame, dir: String, partCol: String,
       maxRetries: Int = 20): Int = {
-    val (_, v) = planNext(dir)
+    val (prev, v) = planNext(dir)
     val newFiles = stagePartitioned(df, dir, v, partCol)
     commitAppendRebasing(dir, newFiles.map(_._1), newFiles.toMap, None,
-      maxRetries).get
+      maxRetries,
+      rgidxTopUp(df.sparkSession, dir, prev, newFiles.map(_._1), v)).get
   }
 
   /** Exactly-once append for a streaming writer (`foreachBatch`): the
@@ -548,7 +578,7 @@ object TableLog {
     // write-per-attempt loop re-ran the distributed job on every race
     val files = writeData(df, dir, v)
     commitAppendRebasing(dir, files, Map.empty, Some(txnId -> batchId),
-      maxRetries)
+      maxRetries, rgidxTopUp(df.sparkSession, dir, prev, files, v))
   }
 
   /** Exactly-once OVERWRITE for a derived-table writer (the refresh
@@ -561,9 +591,11 @@ object TableLog {
       batchId: Long): Option[Int] = {
     val (prev, v) = planNext(dir)
     if (prev.txn.get(txnId).exists(_ >= batchId)) return None
-    Some(commit(dir, writeData(df, dir, v), expectedVersion = v,
+    val files = writeData(df, dir, v)
+    Some(commit(dir, files, expectedVersion = v,
       txn = prev.txn + (txnId -> batchId), op = "overwrite",
-      checks = prev.checks))
+      checks = prev.checks,
+      rgidx = rgidxTopUp(df.sparkSession, dir, prev, files, v)))
   }
 
   /** Snapshot-isolated read at `version` (latest if -1): resolves the
@@ -716,21 +748,19 @@ object TableLog {
     * file. The caller re-applies the exact predicate. Returns (frame,
     * rgOpened, rgTotal, filesOpened, filesTotal).
     *
-    * Files carrying deletion vectors are read WHOLE (DV positions are
-    * file-ordinal row indexes — a partial-row-group read would misalign
-    * them); they still prune at FILE level, and [[optimize]] materializes
-    * their vectors away, restoring row-group pruning. rgOpened/rgTotal
-    * count the DV-free files only (the honest pruning report). */
+    * The prune is DISTRIBUTED (a Column filter over the index — the
+    * driver collects only the kept slices) and the index is served from
+    * the log's persisted sidecar when [[computeRowGroupIndex]] has run
+    * (zero footer opens to plan; unmapped files fall back to a footer
+    * pass). Files carrying deletion vectors are read PARTIALLY too: the
+    * selective scan emits file-ordinal row positions rebased from the
+    * index's per-group row counts, and the vectors anti-join as usual. */
   def readRowGroupPruned(spark: SparkSession, dir: String, column: String,
       lo: Long, hi: Long, version: Int = -1,
       columns: Seq[String] = Nil)
       : (DataFrame, Long, Long, Int, Int) =
-    readRowGroupPrunedCore(spark, dir, version,
-      abs => RowGroupScan.rowGroupIndexFiles(spark, abs, column),
-      idx => RowGroupScan.readRowGroupsPruned(spark, idx, lo, hi,
-        columns),
-      abs => ParquetTuning.zoneMapIndexFiles(spark, abs, column),
-      dvIntersect(Some(lo), Some(hi)), columns)
+    prunedCore(spark, dir, snapshot(dir, version),
+      Seq(NumRange(column, Some(lo), Some(hi))), columns)
 
   /** [[readRowGroupPruned]] for STRING columns — lexicographic [lo, hi]
     * in UTF-8 byte order (ORDER BY / BETWEEN semantics), the date-string
@@ -749,59 +779,51 @@ object TableLog {
       column: String, lo: Option[String], hi: Option[String],
       version: Int = -1, columns: Seq[String] = Nil)
       : (DataFrame, Long, Long, Int, Int) =
-    readRowGroupPrunedCore(spark, dir, version,
-      abs => RowGroupScan.rowGroupIndexStringFiles(spark, abs, column),
-      idx => RowGroupScan.readRowGroupsPrunedStringBounds(spark, idx,
-        lo, hi, columns),
-      abs => ParquetTuning.zoneMapIndexStringFiles(spark, abs, column),
-      dvIntersect(lo, hi), columns)
+    prunedCore(spark, dir, snapshot(dir, version),
+      Seq(StrRange(column, lo, hi)), columns)
 
   /** IN-list row-group-pruned read WITHOUT a bloom index: keeps row
-    * groups whose [zmin, zmax] contains ANY probe value. DV-carrying
-    * files prune on the conservative [min(values), max(values)]
-    * envelope and read whole. Prefer [[readPointLookup]] when the
-    * column carries a bloom index (it also prunes whole files). */
+    * groups whose [zmin, zmax] contains ANY probe value (the probe is a
+    * distributed `exists` over a literal array — never a per-row driver
+    * loop). Prefer [[readPointLookup]] when the column carries a bloom
+    * index (it also prunes whole files). */
   def readRowGroupPrunedIn(spark: SparkSession, dir: String,
       column: String, values: Seq[Long], version: Int = -1,
       columns: Seq[String] = Nil)
       : (DataFrame, Long, Long, Int, Int) =
-    readRowGroupPrunedCore(spark, dir, version,
-      abs => RowGroupScan.rowGroupIndexFiles(spark, abs, column),
-      idx => RowGroupScan.readRowGroupsPrunedIn(spark, idx, values,
-        columns),
-      abs => ParquetTuning.zoneMapIndexFiles(spark, abs, column),
-      dvIntersect(Some(values.min), Some(values.max)), columns)
+    prunedCore(spark, dir, snapshot(dir, version),
+      Seq(NumIn(column, values)), columns)
 
   /** [[readRowGroupPrunedIn]] for STRING probes (UTF-8 order). */
   def readRowGroupPrunedInString(spark: SparkSession, dir: String,
       column: String, values: Seq[String], version: Int = -1,
       columns: Seq[String] = Nil)
       : (DataFrame, Long, Long, Int, Int) =
-    readRowGroupPrunedCore(spark, dir, version,
-      abs => RowGroupScan.rowGroupIndexStringFiles(spark, abs, column),
-      idx => RowGroupScan.readRowGroupsPrunedInString(spark, idx, values,
-        columns),
-      abs => ParquetTuning.zoneMapIndexStringFiles(spark, abs, column),
-      dvIntersect(Some(values.min), Some(values.max)), columns)
+    prunedCore(spark, dir, snapshot(dir, version),
+      Seq(StrIn(column, values)), columns)
 
-  /** One prunable conjunct for [[readRowGroupPrunedMulti]]. */
+  /** One prunable conjunct for [[readRowGroupPrunedMulti]]. A
+    * [[StrRange]] with `hiExcl` treats `hi` as EXCLUSIVE — the prefix
+    * predicate shape (`substr(col, 1, 7) = 'p'` ⟺ `col >= 'p' AND
+    * col < nextPrefix('p')`), which keeps prefix slices exactly
+    * prunable AND exactly countable. */
   sealed trait RgConstraint { def column: String }
   final case class NumRange(column: String, lo: Option[Long],
       hi: Option[Long]) extends RgConstraint
   final case class NumIn(column: String, values: Seq[Long])
     extends RgConstraint
   final case class StrRange(column: String, lo: Option[String],
-      hi: Option[String]) extends RgConstraint
+      hi: Option[String], hiExcl: Boolean = false) extends RgConstraint
   final case class StrIn(column: String, values: Seq[String])
     extends RgConstraint
 
-  /** MULTI-constraint row-group pruning: intersect every constraint's
-    * keep set and scan ONCE — the z-order payoff (a 2-column clustered
-    * table prunes on BOTH predicate columns, where any single-column
-    * read over-keeps). Each constraint costs one distributed footer
-    * pass over the DV-free files; a constraint on a stats-less column
-    * keeps everything (conservative). DV-carrying files read whole when
-    * they pass EVERY constraint's file-level bounds. The caller
+  /** MULTI-constraint row-group pruning: every constraint's disproof is
+    * a Column filter over ONE wide index, the per-(file, row-group)
+    * verdicts fold in a single distributed aggregation, and the scan
+    * runs once over the intersection — the z-order payoff (a 2-column
+    * clustered table prunes on BOTH predicate columns, where any
+    * single-column read over-keeps). A constraint on a stats-less (or
+    * evolved-away) column keeps everything (conservative). The caller
     * re-applies the exact predicate. */
   def readRowGroupPrunedMulti(spark: SparkSession, dir: String,
       constraints: Seq[RgConstraint], version: Int = -1,
@@ -809,81 +831,269 @@ object TableLog {
       : (DataFrame, Long, Long, Int, Int) = {
     require(constraints.nonEmpty, "readRowGroupPrunedMulti needs " +
       "at least one constraint")
-    val snap = snapshot(dir, version)
-    val (dvFiles, cleanFiles) = snap.files.partition(snap.dvs.contains)
-    var rgOpened = 0L
-    var rgTotal = 0L
-    var filesOpened = 0
+    prunedCore(spark, dir, snapshot(dir, version), constraints, columns)
+  }
+
+  /** Shared pruned-read core: serve the wide row-group index (sidecar
+    * first, footers for unmapped files), prune DISTRIBUTED by all
+    * constraints at once, scan exactly the kept slices. DV-carrying
+    * files scan with file-ordinal positions and anti-join their vectors
+    * — a deletion no longer degrades the file to a whole read. `files`
+    * narrows the snapshot (the bloom prune passes its keep set). */
+  private def prunedCore(spark: SparkSession, dir: String, snap: Snapshot,
+      constraints: Seq[RgConstraint], columns: Seq[String],
+      fileSubset: Option[Seq[String]] = None)
+      : (DataFrame, Long, Long, Int, Int) = {
     def proj(df: DataFrame): DataFrame =
       if (columns.isEmpty) df else df.select(columns.map(col): _*)
-    def rgIndex(abs: Seq[String], c: RgConstraint): DataFrame = c match {
-      case _: NumRange | _: NumIn =>
-        RowGroupScan.rowGroupIndexFiles(spark, abs, c.column)
-      case _ => RowGroupScan.rowGroupIndexStringFiles(spark, abs,
-        c.column)
-    }
-    def pred(c: RgConstraint): org.apache.spark.sql.Row => Boolean =
-      c match {
-        case NumRange(_, lo, hi) => RowGroupScan.numRangePred(lo, hi)
-        case NumIn(_, vs) => RowGroupScan.numInPred(vs)
-        case StrRange(_, lo, hi) => RowGroupScan.strRangePred(lo, hi)
-        case StrIn(_, vs) => RowGroupScan.strInPred(vs)
-      }
-    def dvCond(c: RgConstraint): org.apache.spark.sql.Column = c match {
-      case NumRange(_, lo, hi) => dvIntersect(lo, hi)
-      case NumIn(_, vs) => dvIntersect(Some(vs.min), Some(vs.max))
-      case StrRange(_, lo, hi) => dvIntersect(lo, hi)
-      case StrIn(_, vs) => dvIntersect(Some(vs.min), Some(vs.max))
-    }
-    val cleanPart: Option[DataFrame] =
-      if (cleanFiles.isEmpty) None
-      else {
-        val abs = cleanFiles.map(f => Paths.get(dir).resolve(f).toString)
-        val sets = constraints.map { c =>
-          RowGroupScan.keepSet(rgIndex(abs, c), pred(c))
-        }
-        val keep = sets.map(_._1).reduce(_ intersect _)
-        val (df, o, tot, fo) = RowGroupScan.scanKeep(spark, keep,
-          sets.head._2, sets.head._3, columns)
-        rgOpened = o; rgTotal = tot; filesOpened += fo
-        if (o == 0L) None else Some(df)
-      }
-    val dvPart: Option[DataFrame] =
-      if (dvFiles.isEmpty) None
-      else {
-        val abs = dvFiles.map(f => Paths.get(dir).resolve(f).toString)
-        // one file-level zone pass per constraint; a file survives iff
-        // it passes every constraint's bounds (null bounds pass)
-        val keepAbs = constraints.map { c =>
-          val idx = c match {
-            case _: NumRange | _: NumIn =>
-              ParquetTuning.zoneMapIndexFiles(spark, abs, c.column)
-            case _ =>
-              ParquetTuning.zoneMapIndexStringFiles(spark, abs, c.column)
-          }
-          idx.filter(col("zmin").isNull || col("zmax").isNull ||
-              dvCond(c))
-            .select("file").collect().map(_.getString(0)).toSet
-        }.reduce(_ intersect _).toSeq.sorted
-        filesOpened += keepAbs.size
-        if (keepAbs.isEmpty) None
+    val files = fileSubset.getOrElse(snap.files)
+    if (files.isEmpty)
+      return (proj(readEvolved(spark, dir, snap.version).limit(0)),
+        0L, 0L, 0, snap.files.size)
+    val prefix = Paths.get(dir).toString + "/"
+    val wide = rgIndexFor(spark, dir, snap, files).persist()
+    try {
+      val unionCols = RowGroupScan.unionColsOf(wide)
+      val (slices, total) = RowGroupScan.prunePairs(spark, wide,
+        constraints)
+      val dvRel = snap.dvs.keySet
+      val (dvSlices, cleanSlices) = slices.partition(s =>
+        dvRel.contains(s.file.stripPrefix(prefix)))
+      val filesOpened = slices.map(_.file).distinct.size
+      val cleanPart =
+        if (cleanSlices.isEmpty) None
+        else Some(RowGroupScan.scanSlices(spark, cleanSlices, unionCols,
+          columns))
+      val dvPart =
+        if (dvSlices.isEmpty) None
         else {
-          val keptRel = dvFiles.filter(f =>
-            keepAbs.contains(Paths.get(dir).resolve(f).toString)).toSet
-          Some(proj(applyDv(spark, dir,
-            spark.read.option("mergeSchema", "true")
-              .parquet(keepAbs: _*),
-            snap.dvs.filter { case (f, _) => keptRel(f) })))
+          val kept = dvSlices.map(_.file.stripPrefix(prefix)).toSet
+          val scanned = RowGroupScan.scanSlices(spark, dvSlices,
+            unionCols, columns, emitPos = true)
+          Some(antiDv(spark, dir, scanned,
+            snap.dvs.filter { case (f, _) => kept(f) })
+            .drop("__graft_fn", "__graft_ridx"))
         }
+      val df = (cleanPart, dvPart) match {
+        case (Some(a), Some(b)) => a.unionByName(b)
+        case (Some(a), None) => a
+        case (None, Some(b)) => b
+        case (None, None) =>
+          RowGroupScan.emptyFrame(spark, unionCols, columns)
       }
-    val df = (cleanPart, dvPart) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None) => a
-      case (None, Some(b)) => b
-      case (None, None) =>
-        proj(readEvolved(spark, dir, snap.version).limit(0))
+      (df, slices.size.toLong, total, filesOpened, snap.files.size)
+    } finally wide.unpersist()
+  }
+
+  // ===== persisted row-group index (stats/ sidecar) ====================
+  //
+  // The wide per-row-group stats index ([[RowGroupScan.buildWideIndex]])
+  // persisted the way the blooms are: one parquet sidecar per build
+  // under stats/, the log mapping each data file to its sidecar. Data
+  // files are immutable, so an entry stays exact for the file's
+  // lifetime; rewrites drop their inputs' entries and top up their
+  // outputs in the same commit (optimize / copy-on-write DML), appends
+  // top up their new files once the table has opted in — so after ONE
+  // computeRowGroupIndex call, every declarative read plans from the
+  // sidecar and opens ZERO data-file footers.
+
+  /** Build the wide index for `files` (relative paths) and stage it as
+    * ONE stats/ sidecar parquet (NOT yet committed); returns its
+    * relative path. */
+  private def stageRgIndexSidecar(spark: SparkSession, dir: String,
+      files: Seq[String], v: Int): String = {
+    val labeled = files.map(f =>
+      (Paths.get(dir).resolve(f).toString, f))
+    val idx = RowGroupScan.buildWideIndex(spark, labeled)
+    val staging = Files.createTempDirectory("graft_rgidx").toString
+    idx.repartition(1).write.mode("overwrite").parquet(staging)
+    Files.createDirectories(Paths.get(dir, "stats"))
+    val sl = Files.list(Paths.get(staging))
+    try {
+      val p0 = sl.iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error("empty rgidx staging"))
+      val rel = f"stats/v$v%05d-rgidx-${p0.getFileName.toString}"
+      Files.move(p0, Paths.get(dir).resolve(rel),
+        StandardCopyOption.ATOMIC_MOVE)
+      rel
+    } finally sl.close()
+  }
+
+  /** Persist the row-group stats index for every not-yet-indexed file
+    * and commit the mapping (op "rgidx-stats") — after this, pruned and
+    * declarative reads plan from the sidecar (zero footer opens) and
+    * every later write maintains the index automatically. Re-running
+    * after an un-indexed writer (e.g. a partitioned CDC merge) tops up
+    * incrementally. Returns the committed version (current version if
+    * nothing new). */
+  def computeRowGroupIndex(spark: SparkSession, dir: String,
+      maxRetries: Int = 20): Int = {
+    val snap = snapshot(dir)
+    val need = snap.files.filterNot(snap.rgidx.contains)
+    if (need.isEmpty) return snap.version
+    val (_, v) = planNext(dir)
+    val sidecarRel = stageRgIndexSidecar(spark, dir, need, v)
+    retryCommit(dir, maxRetries) { (head, vNext) =>
+      val headSet = head.files.toSet
+      Some(commit(dir, head.files, expectedVersion = vNext,
+        parts = head.parts, txn = head.txn, op = "rgidx-stats",
+        dvs = head.dvs, bloomCol = head.bloomCol, blooms = head.blooms,
+        checks = head.checks,
+        rgidx = head.rgidx ++
+          need.filter(headSet).map(_ -> sidecarRel)))
+    }.get
+  }
+
+  /** The wide row-group index for `files` (relative), file column
+    * resolved to ABSOLUTE paths: sidecar-served for mapped files (no
+    * footer opened), footer-built for the rest (conservative fallback —
+    * correctness never depends on the sidecar being complete). */
+  private def rgIndexFor(spark: SparkSession, dir: String,
+      snap: Snapshot, files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, lit}
+    val prefix = Paths.get(dir).toString + "/"
+    val (mapped, unmapped) = files.partition(snap.rgidx.contains)
+    val parts = Seq.newBuilder[DataFrame]
+    if (mapped.nonEmpty) {
+      val mappedSet = mapped.toSet
+      snap.rgidx.view.filterKeys(mappedSet).toSeq.groupBy(_._2)
+        .toSeq.sortBy(_._1).foreach { case (sidecar, m) =>
+          val fs = m.map(_._1)
+          parts += spark.read
+            .parquet(Paths.get(dir).resolve(sidecar).toString)
+            .filter(col("file").isin(fs: _*))
+            .withColumn("file", concat(lit(prefix), col("file")))
+        }
     }
-    (df, rgOpened, rgTotal, filesOpened, snap.files.size)
+    if (unmapped.nonEmpty)
+      parts += RowGroupScan.buildWideIndex(spark,
+        unmapped.map(f => {
+          val abs = Paths.get(dir).resolve(f).toString
+          (abs, abs)
+        }))
+    parts.result().reduce(_.unionByName(_))
+  }
+
+  /** Metadata-only / metadata-mostly COUNT: classify every row group by
+    * the wide index — DISPROVEN groups contribute 0, PROVEN-full groups
+    * (only when `exact` says the constraints ARE the whole predicate,
+    * and only on DV-free files) contribute their footer row count
+    * without touching a data page, and only the straddlers scan
+    * (selectively, predicate columns only). With no predicate the
+    * count is pure metadata even under deletion vectors (footer row
+    * counts minus the vectors' position counts). Returns
+    * (count, metaRows, scannedRgs, rgTotal, filesTotal). */
+  def countPruned(spark: SparkSession, dir: String,
+      constraints: Seq[RgConstraint], exact: Boolean,
+      predicate: Option[String], version: Int = -1)
+      : (Long, Long, Long, Long, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, expr, first, lit,
+      max, min, sum, when}
+    val snap = snapshot(dir, version)
+    if (snap.files.isEmpty) return (0L, 0L, 0L, 0L, 0)
+    val prefix = Paths.get(dir).toString + "/"
+    require(predicate.isDefined || constraints.isEmpty,
+      "constraints without a predicate")
+    if (predicate.isEmpty) {
+      // pure metadata: footer row counts minus DV position counts
+      val total = footerCountsIndexed(spark, dir, snap).values.sum
+      val dvDel = dvPairs(spark, dir, snap.dvs).map { pairs =>
+        val live = snap.dvs.keySet.toSeq
+        pairs.filter(col("f").isin(live: _*)).count()
+      }.getOrElse(0L)
+      return (total - dvDel, total, 0L, 0L, snap.files.size)
+    }
+    val wide = rgIndexFor(spark, dir, snap, snap.files).persist()
+    try {
+      val unionCols = RowGroupScan.unionColsOf(wide)
+      val real = wide.filter(col("rg") >= 0)
+      val rejFlags = constraints.zipWithIndex.map { case (c, i) =>
+        max(when(col("column") === c.column &&
+          RowGroupScan.rejectCond(c), 1).otherwise(0)).as(s"__rej$i")
+      }
+      val fullFlags = constraints.zipWithIndex.map { case (c, i) =>
+        max(when(col("column") === c.column &&
+          RowGroupScan.fullMatchCond(c), 1).otherwise(0)).as(s"__full$i")
+      }
+      val aggs = (first(col("n_rows")).as("n_rows") +: rejFlags) ++
+        fullFlags
+      val pairs0 = real.groupBy(col("file"), col("rg"))
+        .agg(aggs.head, aggs.tail: _*)
+      val rej = constraints.indices.map(i => col(s"__rej$i"))
+        .reduceOption(_ + _).map(_ > 0).getOrElse(lit(false))
+      val isFull =
+        if (!exact || constraints.isEmpty) lit(false)
+        else constraints.indices.map(i => col(s"__full$i") === 1)
+          .reduce(_ && _)
+      // DV files can never meta-count (deleted rows are invisible to
+      // footer stats) — their non-rejected groups always scan
+      val dvAbs = snap.dvs.keySet.toSeq.sorted.map(prefix + _)
+      import spark.implicits._
+      val dvDf = broadcast(dvAbs.toDF("file")
+        .withColumn("__isdv", lit(true)))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("file").orderBy("rg")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val pairs = pairs0
+        .join(dvDf, Seq("file"), "left")
+        .withColumn("__start", org.apache.spark.sql.functions
+          .coalesce(sum(col("n_rows")).over(w), lit(0L)))
+        .withColumn("__rej", rej)
+        .withColumn("__full", isFull && col("__isdv").isNull)
+        .persist()
+      try {
+        val agg = pairs.agg(
+          sum(when(col("__full") && !col("__rej"), col("n_rows"))
+            .otherwise(0L)),
+          sum(lit(1L))).first()
+        val metaRows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+        val rgTotal = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+        val straddle = pairs
+          .filter(!col("__rej") && !col("__full"))
+          .select("file", "rg", "__start", "n_rows").collect()
+          .map(r => RowGroupScan.RgSlice(r.getString(0), r.getInt(1),
+            r.getLong(2), r.getLong(3))).toSeq
+        val predCols = LakeSelect.referencedColumns(spark, predicate.get)
+          .filter(c => unionCols.exists(_._1 == c))
+        val dvRel = snap.dvs.keySet
+        val (dvSlices, cleanSlices) = straddle.partition(s =>
+          dvRel.contains(s.file.stripPrefix(prefix)))
+        val cleanCount =
+          if (cleanSlices.isEmpty) 0L
+          else RowGroupScan.scanSlices(spark, cleanSlices, unionCols,
+            predCols).where(expr(predicate.get)).count()
+        val dvCount =
+          if (dvSlices.isEmpty) 0L
+          else {
+            val kept = dvSlices.map(_.file.stripPrefix(prefix)).toSet
+            antiDv(spark, dir,
+              RowGroupScan.scanSlices(spark, dvSlices, unionCols,
+                predCols, emitPos = true),
+              snap.dvs.filter { case (f, _) => kept(f) })
+              .where(expr(predicate.get)).count()
+          }
+        (metaRows + cleanCount + dvCount, metaRows,
+          straddle.size.toLong, rgTotal, snap.files.size)
+      } finally pairs.unpersist()
+    } finally wide.unpersist()
+  }
+
+  /** Per-file row counts, from the persisted index when available
+    * (zero footer opens for mapped files). */
+  private def footerCountsIndexed(spark: SparkSession, dir: String,
+      snap: Snapshot): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{first, sum}
+    val wide = rgIndexFor(spark, dir, snap, snap.files)
+    val prefix = Paths.get(dir).toString + "/"
+    wide.filter(col("rg") >= 0)
+      .groupBy(col("file"), col("rg"))
+      .agg(first(col("n_rows")).as("n"))
+      .groupBy(col("file")).agg(sum(col("n")).as("n"))
+      .collect()
+      .map(r => r.getString(0).stripPrefix(prefix) -> r.getLong(1))
+      .toMap
   }
 
   // ===== CHECK constraints (write-path data quality) ===================
@@ -941,7 +1151,8 @@ object TableLog {
       Some(commit(dir, head.files, expectedVersion = v,
         parts = head.parts, txn = head.txn, op = "add-check",
         dvs = head.dvs, bloomCol = head.bloomCol, blooms = head.blooms,
-        checks = head.checks + (name -> expression)))
+        checks = head.checks + (name -> expression),
+        rgidx = head.rgidx))
     }.get
   }
 
@@ -954,72 +1165,8 @@ object TableLog {
       Some(commit(dir, head.files, expectedVersion = v,
         parts = head.parts, txn = head.txn, op = "drop-check",
         dvs = head.dvs, bloomCol = head.bloomCol, blooms = head.blooms,
-        checks = head.checks - name))
+        checks = head.checks - name, rgidx = head.rgidx))
     }.get
-
-  /** File-level [zmin, zmax] ∩ [lo, hi] condition for the DV-file leg;
-    * open bounds drop that side (Spark string `<=` compares UTF8String
-    * bytes — the same order the indexes fold in). */
-  private def dvIntersect(lo: Option[Any], hi: Option[Any])
-      : org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.lit
-    val conds = hi.map(h => col("zmin") <= lit(h)).toSeq ++
-      lo.map(l => col("zmax") >= lit(l)).toSeq
-    conds.reduceOption(_ && _).getOrElse(lit(true))
-  }
-
-  private def readRowGroupPrunedCore(spark: SparkSession, dir: String,
-      version: Int,
-      rgIndex: Seq[String] => DataFrame,
-      rgScan: DataFrame => (DataFrame, Long, Long, Int),
-      fileIndex: Seq[String] => DataFrame,
-      dvCond: org.apache.spark.sql.Column,
-      columns: Seq[String] = Nil)
-      : (DataFrame, Long, Long, Int, Int) = {
-    // DV-leg / fallback projection twin of the rg-scan's pushdown, so
-    // the two legs always union on identical schemas
-    def proj(df: DataFrame): DataFrame =
-      if (columns.isEmpty) df else df.select(columns.map(col): _*)
-    val snap = snapshot(dir, version)
-    val (dvFiles, cleanFiles) = snap.files.partition(snap.dvs.contains)
-    var rgOpened = 0L
-    var rgTotal = 0L
-    var filesOpened = 0
-    val cleanPart: Option[DataFrame] =
-      if (cleanFiles.isEmpty) None
-      else {
-        val abs = cleanFiles.map(f => Paths.get(dir).resolve(f).toString)
-        val (df, o, tot, fo) = rgScan(rgIndex(abs))
-        rgOpened = o; rgTotal = tot; filesOpened += fo
-        if (o == 0L) None else Some(df)
-      }
-    val dvPart: Option[DataFrame] =
-      if (dvFiles.isEmpty) None
-      else {
-        val abs = dvFiles.map(f => Paths.get(dir).resolve(f).toString)
-        val keepAbs = fileIndex(abs)
-          .filter(col("zmin").isNull || col("zmax").isNull || dvCond)
-          .select("file").collect().map(_.getString(0)).toSeq
-        filesOpened += keepAbs.size
-        if (keepAbs.isEmpty) None
-        else {
-          val keptRel = dvFiles.filter(f =>
-            keepAbs.contains(Paths.get(dir).resolve(f).toString)).toSet
-          Some(proj(applyDv(spark, dir,
-            spark.read.option("mergeSchema", "true")
-              .parquet(keepAbs: _*),
-            snap.dvs.filter { case (f, _) => keptRel(f) })))
-        }
-      }
-    val df = (cleanPart, dvPart) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None) => a
-      case (None, Some(b)) => b
-      case (None, None) =>
-        proj(readEvolved(spark, dir, snap.version).limit(0))
-    }
-    (df, rgOpened, rgTotal, filesOpened, snap.files.size)
-  }
 
   // ===== per-file bloom filters (equality data skipping) ===============
   //
@@ -1160,7 +1307,7 @@ object TableLog {
         dvs = head.dvs, bloomCol = Some(column),
         blooms = base ++
           need.filter(headSet).map(_ -> sidecarRel),
-        checks = head.checks))
+        checks = head.checks, rgidx = head.rgidx))
     }.get
   }
 
@@ -1252,17 +1399,20 @@ object TableLog {
     * id fetch by opening ~1 row group plus the bloom false-positive
     * tail. The caller re-applies the exact `isin` predicate. Returns
     * (frame, rgOpened, rgTotal, filesOpened, filesTotal); rgOpened /
-    * rgTotal count the bloom-kept DV-free files (the honest report of
-    * what the row-group stage had to work with).
+    * rgTotal count the bloom-kept files (the honest report of what the
+    * row-group stage had to work with).
     *
     * Probe values must be all integral (Long-widened zone check) or all
     * strings (UTF-8 order) — matching the bloom contract that the
     * column's cast-to-string equals `v.toString`. Files carrying
-    * deletion vectors read whole (DV positions are file ordinals), as
-    * in [[readRowGroupPruned]]. */
+    * deletion vectors scan selectively too (positions rebase, as in
+    * [[readRowGroupPruned]]). `extra` composes ADDITIONAL prunable
+    * conjuncts into the same scan — the keep sets intersect, so a
+    * bloom-routed query with a range rider prunes on both. */
   def readPointLookup(spark: SparkSession, dir: String, column: String,
       values: Seq[Any], version: Int = -1,
-      columns: Seq[String] = Nil)
+      columns: Seq[String] = Nil,
+      extra: Seq[RgConstraint] = Nil)
       : (DataFrame, Long, Long, Int, Int) = {
     require(values.nonEmpty, "readPointLookup needs at least one value")
     def proj(df: DataFrame): DataFrame =
@@ -1283,43 +1433,15 @@ object TableLog {
     require(longs.isDefined || values.forall(_.isInstanceOf[String]),
       "readPointLookup probes must be all-integral or all-string")
     val keep = bloomKeepFiles(spark, dir, snap, values)
-    val (dvFiles, cleanFiles) = keep.partition(snap.dvs.contains)
-    var rgOpened = 0L
-    var rgTotal = 0L
-    var filesOpened = 0
-    val cleanPart: Option[DataFrame] =
-      if (cleanFiles.isEmpty) None
-      else {
-        val abs = cleanFiles.map(f => Paths.get(dir).resolve(f).toString)
-        val (df, o, tot, fo) = longs match {
-          case Some(ls) => RowGroupScan.readRowGroupsPrunedIn(spark,
-            RowGroupScan.rowGroupIndexFiles(spark, abs, column), ls,
-            columns)
-          case None => RowGroupScan.readRowGroupsPrunedInString(spark,
-            RowGroupScan.rowGroupIndexStringFiles(spark, abs, column),
-            values.map(_.asInstanceOf[String]), columns)
-        }
-        rgOpened = o; rgTotal = tot; filesOpened += fo
-        if (o == 0L) None else Some(df)
-      }
-    val dvPart: Option[DataFrame] =
-      if (dvFiles.isEmpty) None
-      else {
-        filesOpened += dvFiles.size
-        val keptSet = dvFiles.toSet
-        Some(proj(applyDv(spark, dir,
-          spark.read.option("mergeSchema", "true").parquet(
-            dvFiles.map(f => Paths.get(dir).resolve(f).toString): _*),
-          snap.dvs.filter { case (f, _) => keptSet(f) })))
-      }
-    val df = (cleanPart, dvPart) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None) => a
-      case (None, Some(b)) => b
-      case (None, None) =>
-        proj(readEvolved(spark, dir, snap.version).limit(0))
+    if (keep.isEmpty) // provably absent everywhere: empty, table schema
+      return (proj(readEvolved(spark, dir, snap.version).limit(0)),
+        0L, 0L, 0, snap.files.size)
+    val eq: RgConstraint = longs match {
+      case Some(ls) => NumIn(column, ls)
+      case None => StrIn(column, values.map(_.asInstanceOf[String]))
     }
-    (df, rgOpened, rgTotal, filesOpened, snap.files.size)
+    prunedCore(spark, dir, snap,
+      eq +: extra.filterNot(_ == eq), columns, Some(keep))
   }
 
   /** Compaction (OPTIMIZE): greedy bin-pack of the current version's
@@ -1492,6 +1614,9 @@ object TableLog {
         mergedFiles.map(_._1 -> rel).toMap
       case _ => Map.empty
     }
+    // likewise the persisted row-group index: index the rewrite outputs
+    // in the same commit so later declarative reads still open no footer
+    val rgTopUp = rgidxTopUp(spark, dir, snap, mergedFiles.map(_._1), v)
     // Rebase-retrying commit: a compaction only CONFLICTS with a commit
     // that removed one of its input files (another rewrite); an append
     // that landed meanwhile is a non-conflict — reload the head, carry
@@ -1526,7 +1651,8 @@ object TableLog {
         else head.blooms -- rewritten
       Some(commit(dir, files, expectedVersion = vNext, parts = parts,
         txn = head.txn, op = "optimize", dvs = head.dvs -- inputs,
-        bloomCol = head.bloomCol, blooms = blooms, checks = head.checks))
+        bloomCol = head.bloomCol, blooms = blooms, checks = head.checks,
+        rgidx = (head.rgidx -- rewritten) ++ rgTopUp))
     }
     (committed.get, snap.files.size, committedFiles)
   }
@@ -1660,6 +1786,7 @@ object TableLog {
         outs.map(_._1 -> rel).toMap
       case _ => Map.empty
     }
+    val rgTopUp = rgidxTopUp(spark, dir, snap, outs.map(_._1), v)
     // commit with rebase over concurrent appends; abort if a TOUCHED
     // file was rewritten underneath us (same contract as optimize)
     val committed = retryCommit(dir, maxRetries) { (head, vNext) =>
@@ -1680,7 +1807,8 @@ object TableLog {
         else head.blooms -- touched
       Some(commit(dir, files, expectedVersion = vNext, parts = parts,
         txn = head.txn, op = op, dvs = head.dvs -- touched,
-        bloomCol = head.bloomCol, blooms = blooms, checks = head.checks))
+        bloomCol = head.bloomCol, blooms = blooms, checks = head.checks,
+        rgidx = (head.rgidx -- touched) ++ rgTopUp))
     }
     (committed.get, rowsMatched, touched.size, snap.files.size)
   }
@@ -1714,7 +1842,7 @@ object TableLog {
       Some(commit(dir, old.files, expectedVersion = v,
         parts = old.parts, txn = prev.txn, op = "restore",
         dvs = old.dvs, bloomCol = old.bloomCol, blooms = old.blooms,
-        checks = prev.checks))
+        checks = prev.checks, rgidx = old.rgidx))
     }.get
   }
 
@@ -1745,7 +1873,9 @@ object TableLog {
       s"keepFrom $keepFrom out of range [1, $cur]")
     val retained = (keepFrom to cur).map(v => snapshot(dir, v))
     val referenced = retained.flatMap(_.files).toSet ++
-      retained.flatMap(_.dvs.values) ++ retained.flatMap(_.blooms.values)
+      retained.flatMap(_.dvs.values) ++
+      retained.flatMap(_.blooms.values) ++
+      retained.flatMap(_.rgidx.values)
     val vPrefix = "v(\\d{5})-.*".r
     val cutoff = System.currentTimeMillis() - graceMs
     def inFlight(p: java.nio.file.Path): Boolean = {
