@@ -818,6 +818,224 @@ object SparkEntry {
         .withColumn("pruned", lit(st.rgOpened < st.rgTotal))
     },
 
+    "k32_rgidx_sidecar" -> { (s, d) =>
+      // PERSISTED row-group index (TableLog.computeRowGroupIndex — the
+      // Delta/Iceberg stats-in-metadata shape, round-12 verdict item 2):
+      // once the index is committed as a stats/ sidecar, a declarative
+      // read plans from it and opens ZERO data-file footers
+      // (sidecar_served pins the index-build footer counter at zero);
+      // an OPTIMIZE rewrite then invalidates the rewritten files'
+      // entries and tops up its outputs IN THE SAME COMMIT, so the next
+      // read is still footer-free (maintained). Aggregates replay the
+      // 1/8th slice closed-form.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k32")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.append(
+        o.repartitionByRange(2, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        dir, options = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      graft.operators.TableLog.computeRowGroupIndex(s, dir)
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).first()
+      val lo = b.getLong(0)
+      val hi = lo + (b.getLong(1) - lo) / 8
+      def opensOf[A](body: => A): (A, Long) = {
+        val before = graft.operators.RowGroupScan.indexFooterOpens.sum()
+        val a = body
+        (a, graft.operators.RowGroupScan.indexFooterOpens.sum() - before)
+      }
+      val ((_, st1), opens1) = opensOf(graft.operators.LakeSelect
+        .readWhere(s, dir, s"o_orderkey BETWEEN $lo AND $hi"))
+      graft.operators.TableLog.optimize(s, dir, maxRows = 100000000L,
+        clusterBy = Seq("o_orderkey"))
+      val ((pr2, st2), opens2) = opensOf(graft.operators.LakeSelect
+        .readWhere(s, dir, s"o_orderkey BETWEEN $lo AND $hi"))
+      pr2.agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_k"),
+          max(col("o_orderkey")).as("max_k"))
+        .withColumn("sidecar_served",
+          lit(opens1 == 0L && st1.rgOpened < st1.rgTotal))
+        .withColumn("maintained",
+          lit(opens2 == 0L && st2.rgOpened > 0L))
+    },
+
+    "k33_count_meta" -> { (s, d) =>
+      // METADATA-ONLY COUNT (LakeSelect.countWhere — round-12 verdict
+      // item 6, "the most common lake query there is"): an unfiltered
+      // count and a full-coverage prunable predicate answer purely from
+      // the persisted index's per-group row counts — ZERO row groups
+      // scanned, zero footers opened (meta_all / zero_scan) — while a
+      // mid-range slice scans only the straddling groups
+      // (straddle_pruned) and still replays closed-form.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k33")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.append(
+        o.repartitionByRange(2, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        dir, options = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      graft.operators.TableLog.computeRowGroupIndex(s, dir)
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).first()
+      val lo = b.getLong(0)
+      val mlo = lo + (b.getLong(1) - lo) * 3 / 8
+      val mhi = lo + (b.getLong(1) - lo) * 5 / 8
+      val before = graft.operators.RowGroupScan.indexFooterOpens.sum()
+      val (nAll, stAll) = graft.operators.LakeSelect.countWhere(s, dir)
+      val (nLo, stLo) = graft.operators.LakeSelect.countWhere(s, dir,
+        s"o_orderkey >= $lo")
+      val opens =
+        graft.operators.RowGroupScan.indexFooterOpens.sum() - before
+      val (nMid, stMid) = graft.operators.LakeSelect.countWhere(s, dir,
+        s"o_orderkey BETWEEN $mlo AND $mhi")
+      s.range(1).select(
+        lit(nAll).as("n_all"), lit(nLo).as("n_lo"), lit(nMid).as("n_mid"),
+        lit(stAll.scannedRgs == 0L && stLo.scannedRgs == 0L &&
+          opens == 0L).as("meta_only"),
+        lit(stLo.exact && stLo.metaRows == nLo).as("zero_scan"),
+        lit(stMid.scannedRgs < stMid.rgTotal && stMid.exact)
+          .as("straddle_pruned"))
+    },
+
+    "k34_nested_rowgroup" -> { (s, d) =>
+      // row-group skipping over a NESTED schema (round-12 verdict item
+      // 3): a lake table carrying the chat shape training-data tables
+      // use — array<struct<role,content>> plus a map — scans
+      // selectively through the same Group-converter path as flat
+      // scalars (the old engine rejected nested schemas loudly and fell
+      // back to full files). A doc_id slice must prune row groups while
+      // the nested fields replay closed-form against `documents`.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k34")
+        .toString + "/table"
+      val docs = t(s, d, "documents").select(
+        col("doc_id"),
+        array(
+          struct(lit("user").as("role"),
+            substring(col("text"), 1, 40).as("content")),
+          struct(lit("assistant").as("role"),
+            col("lang").as("content"))).as("msgs"),
+        map(lit("source"), col("source")).as("meta"),
+        col("n_chars"))
+      graft.operators.TableLog.append(
+        docs.repartitionByRange(2, col("doc_id"))
+          .sortWithinPartitions("doc_id"),
+        dir, options = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      val b = docs.agg(min("doc_id"), max("doc_id")).first()
+      val lo = b.getLong(0)
+      val hi = lo + (b.getLong(1) - lo) / 8
+      val (pr, rgOpened, rgTotal, _, _) =
+        graft.operators.TableLog.readRowGroupPruned(
+          s, dir, "doc_id", lo, hi)
+      pr.filter(col("doc_id").between(lo, hi))
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("msgs").getItem(0).getField("content")))
+            .as("sum_q_len"),
+          countDistinct(col("msgs").getItem(1).getField("content"))
+            .as("n_langs"),
+          countDistinct(col("meta").getItem("source")).as("n_sources"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("rg_pruned", lit(rgOpened < rgTotal))
+    },
+
+    "k35_dv_rowgroup" -> { (s, d) =>
+      // DV-aware SELECTIVE scans (round-12 verdict item 5): a file
+      // carrying a deletion vector no longer reads whole — the slice
+      // scan emits file-ordinal positions rebased from the index's
+      // per-group row counts and anti-joins the vector, so the same
+      // read both prunes row groups INSIDE the DV'd file (dv_rg_pruned)
+      // and keeps the deleted keys invisible. Replay: the slice minus
+      // the two deleted keys, closed-form.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k35")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.append(
+        o.repartitionByRange(2, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        dir, options = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).first()
+      val lo = b.getLong(0)
+      val hi = lo + (b.getLong(1) - lo) / 8
+      // two real keys INSIDE the queried slice (the slice lives in the
+      // first file, which therefore carries the vector)
+      val ks = o.filter(col("o_orderkey").between(lo, hi))
+        .select("o_orderkey").orderBy("o_orderkey")
+        .limit(2).collect().map(_.getLong(0))
+      val (_, nDel, _, _) = graft.operators.TableLog.deleteVectored(
+        s, dir, s"o_orderkey IN (${ks.mkString(",")})")
+      val (pr, rgOpened, rgTotal, fOpened, fTotal) =
+        graft.operators.TableLog.readRowGroupPruned(
+          s, dir, "o_orderkey", lo, hi)
+      pr.filter(col("o_orderkey").between(lo, hi))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("o_orderkey")).as("min_k"),
+          max(col("o_orderkey")).as("max_k"))
+        .withColumn("dv_rg_pruned",
+          lit(nDel == 2L && rgOpened < rgTotal && fOpened < fTotal))
+    },
+
+    "sql14_prefix_select" -> { (s, d) =>
+      // FUNCTION-WRAPPED predicate routing (round-12 verdict item 8):
+      // the month-slice shapes users actually write — substr(day, 1, 7)
+      // = 'yyyy-MM' and day LIKE 'yyyy-MM%' — are recognized as exact
+      // half-open string ranges [p, nextPrefix(p)) and route to
+      // rowgroup_range instead of full_scan; to_date(d) = '...' and a
+      // DATE literal route on the date column's epoch-day stats. All
+      // four replay the same calendar slices closed-form, and the
+      // prefix COUNT answers exactly.
+      val dir = java.nio.file.Files.createTempDirectory("graft_sql14")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+        col("o_orderdate").cast("date").as("d"),
+        cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.append(
+        o.repartitionByRange(2, col("day")).sortWithinPartitions("day"),
+        dir, options = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      val month = o.agg(min("day")).first().getString(0).substring(0, 7)
+      val day0 = month + "-15"
+      val (m1, st1) = graft.operators.LakeSelect.readWhere(s, dir,
+        s"substr(day, 1, 7) = '$month'")
+      val (m2, st2) = graft.operators.LakeSelect.readWhere(s, dir,
+        s"day LIKE '$month%'")
+      val (d1, st3) = graft.operators.LakeSelect.readWhere(s, dir,
+        s"to_date(d) = '$day0'")
+      val (d2, st4) = graft.operators.LakeSelect.readWhere(s, dir,
+        s"d = DATE'$day0'")
+      val (nCnt, stCnt) = graft.operators.LakeSelect.countWhere(s, dir,
+        s"substr(day, 1, 7) = '$month'")
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)),
+          coalesce(sum("price_cents"), lit(0L))).first()
+      val agg1 = aggOf(m1)
+      val agg2 = aggOf(m2)
+      val agg3 = aggOf(d1)
+      val agg4 = aggOf(d2)
+      s.range(1).select(
+        lit(agg1.getLong(0)).as("n_month"),
+        lit(agg1.getLong(1)).as("cents_month"),
+        lit(agg3.getLong(0)).as("n_day"),
+        lit(agg3.getLong(1)).as("cents_day"),
+        lit(nCnt).as("n_count"),
+        lit(st1.strategy == "rowgroup_range" &&
+          st2.strategy == "rowgroup_range" &&
+          st1.rgOpened < st1.rgTotal &&
+          agg2 == agg1).as("prefix_routed"),
+        lit(st3.strategy == "rowgroup_in" &&
+          st4.strategy == "rowgroup_in" &&
+          st3.rgOpened < st3.rgTotal &&
+          agg4 == agg3).as("date_routed"),
+        lit(stCnt.exact).as("count_exact"))
+    },
+
     "e19_lake_stream" -> { (s, d) =>
       // the lake streaming SOURCE (graft-lake, a DataSource-v2
       // micro-batch stream whose offset is the table-log VERSION —
@@ -9789,6 +10007,104 @@ object SparkEntry {
            (SELECT CAST(COUNT(*) AS BIGINT)
             FROM orders, p WHERE o_orderkey IN (p.k1, p.hi)
               AND ${centsSql("o_totalprice")} >= 0) AS n_inlist""",
+
+    // persisted-index replay: the 1/8th slice closed-form; the two TRUE
+    // flags pin zero-footer planning before and after the OPTIMIZE
+    "k32_rgidx_sidecar" ->
+      s"""WITH b AS (
+           SELECT MIN(o_orderkey) AS lo,
+             MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 8
+               AS hi
+           FROM orders)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k,
+           TRUE AS sidecar_served, TRUE AS maintained
+         FROM orders, b
+         WHERE o_orderkey BETWEEN b.lo AND b.hi""",
+
+    // metadata-count replay: three plain COUNTs; the flags pin that the
+    // first two touched zero data pages and the third scanned only
+    // straddling row groups
+    "k33_count_meta" ->
+      s"""WITH b AS (
+           SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi
+           FROM orders),
+         p AS (SELECT lo, lo + (hi - lo) * 3 // 8 AS mlo,
+             lo + (hi - lo) * 5 // 8 AS mhi FROM b)
+         SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_all,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, p
+            WHERE o_orderkey >= p.lo) AS n_lo,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, p
+            WHERE o_orderkey BETWEEN p.mlo AND p.mhi) AS n_mid,
+           TRUE AS meta_only, TRUE AS zero_scan,
+           TRUE AS straddle_pruned""",
+
+    // nested-schema replay: the doc_id slice over `documents` with the
+    // chat-shape derivations inlined (substr length, lang/source
+    // distincts) — a dropped or duplicated nested row breaks every sum
+    "k34_nested_rowgroup" ->
+      s"""WITH b AS (
+           SELECT MIN(doc_id) AS lo,
+             MIN(doc_id) + (MAX(doc_id) - MIN(doc_id)) // 8 AS hi
+           FROM documents)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(length(substr(text, 1, 40))) AS BIGINT) AS sum_q_len,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           TRUE AS rg_pruned
+         FROM documents, b
+         WHERE doc_id BETWEEN b.lo AND b.hi""",
+
+    // DV-selective replay: the slice minus its two smallest keys (the
+    // vectored deletes); the flag pins that the DV'd file still pruned
+    // at row-group level instead of reading whole
+    "k35_dv_rowgroup" ->
+      s"""WITH b AS (
+           SELECT MIN(o_orderkey) AS lo,
+             MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 8
+               AS hi
+           FROM orders),
+         del AS (
+           SELECT o_orderkey AS k FROM orders, b
+           WHERE o_orderkey BETWEEN b.lo AND b.hi
+           ORDER BY o_orderkey LIMIT 2)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k,
+           TRUE AS dv_rg_pruned
+         FROM orders, b
+         WHERE o_orderkey BETWEEN b.lo AND b.hi
+           AND o_orderkey NOT IN (SELECT k FROM del)""",
+
+    // prefix/date routing replay: the first calendar month and its
+    // 15th, closed-form; the flags pin the rowgroup_range /
+    // rowgroup_in routes and the exact prefix count
+    "sql14_prefix_select" ->
+      s"""WITH b AS (
+           SELECT substr(MIN(strftime(o_orderdate, '%Y-%m-%d')), 1, 7)
+             AS m
+           FROM orders)
+         SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
+            WHERE substr(strftime(o_orderdate, '%Y-%m-%d'), 1, 7) = b.m)
+             AS n_month,
+           (SELECT COALESCE(CAST(SUM(${centsSql("o_totalprice")})
+              AS BIGINT), 0) FROM orders, b
+            WHERE substr(strftime(o_orderdate, '%Y-%m-%d'), 1, 7) = b.m)
+             AS cents_month,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
+            WHERE o_orderdate = CAST(b.m || '-15' AS DATE)) AS n_day,
+           (SELECT COALESCE(CAST(SUM(${centsSql("o_totalprice")})
+              AS BIGINT), 0) FROM orders, b
+            WHERE o_orderdate = CAST(b.m || '-15' AS DATE)) AS cents_day,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
+            WHERE substr(strftime(o_orderdate, '%Y-%m-%d'), 1, 7) = b.m)
+             AS n_count,
+           TRUE AS prefix_routed, TRUE AS date_routed,
+           TRUE AS count_exact""",
 
     // point-lookup replay: the same three derived keys as an IN-list
     // full scan; rg_pruned/file_pruned pin the composed index path

@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType,
+  IntegerType, LongType, ShortType, StringType, StructType}
 
 /** Declarative index-accelerated lake reads: give [[readWhere]] a table
   * and a SQL predicate, and it picks the best pruning path the log's
@@ -11,7 +13,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Strategy order, most selective first:
   *  1. equality/IN on the bloom-indexed column → [[TableLog.
   *     readPointLookup]] (bloom prunes FILES, row-group stats prune
-  *     inside the kept ones);
+  *     inside the kept ones) — and every OTHER prunable conjunct rides
+  *     into the same scan, so a bloom fetch with a range rider prunes on
+  *     both. The bloom route is TYPE-GUARDED: integral probes demand an
+  *     integral column, string probes a string column — a double column
+  *     hashed as "4.0" must never be probed with "4" (Spark's implicit
+  *     cast would match rows the bloom pruned away); mistyped conjuncts
+  *     fall through to the conservative zone-map paths instead.
   *  2. TWO OR MORE prunable conjuncts → [[TableLog.
   *     readRowGroupPrunedMulti]]: every constraint's keep set
   *     intersects and the scan runs once — the z-order payoff (a
@@ -22,18 +30,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     `...String` (single-bound numeric ranges widen the missing side;
   *     string bounds stay exact through optional-bound scans).
   *
-  * Only top-level AND-ed conjuncts of the forms `col = lit`,
-  * `col IN (lits…)`, `col <cmp> lit` (either operand order, integral or
-  * string literals) contribute to pruning; everything else — OR trees,
-  * casts, functions, floating-point literals — is simply not prunable
-  * and rides along. The FULL predicate is always re-applied on top of
-  * the pruned frame, so an unprunable (or mis-typed) conjunct can never
-  * change results, only pruning power: the conservative-keep contract
-  * every skipping path in this engine follows.
+  * Prunable conjunct shapes: top-level ANDs of `col = lit`,
+  * `col IN (lits…)`, `col <cmp> lit` (either operand order; integral,
+  * string, or DATE literals — a date literal's epoch-day form is exactly
+  * what parquet DATE stats fold), single-column OR-of-equalities
+  * ("k = 5 OR k = 9"), BETWEEN, and the PREFIX family —
+  * `col LIKE 'p%'`, `startswith(col, 'p')`, `substr/substring(col, 1,
+  * n) = 'p'`, `to_date(col) = 'yyyy-MM-dd'` — which become exact
+  * half-open string ranges [p, nextPrefix(p)). Everything else — OR
+  * across columns, casts, arithmetic, floating-point literals — is
+  * simply not prunable and rides along. The FULL predicate is always
+  * re-applied on top of the pruned frame, so an unprunable (or
+  * mis-typed) conjunct can never change results, only pruning power:
+  * the conservative-keep contract every skipping path in this engine
+  * follows.
+  *
+  * [[countWhere]] is the aggregate twin: COUNT answered from footer
+  * metadata wherever the index PROVES a whole row group in or out, with
+  * only the straddling groups scanned — the most common lake query
+  * without touching a data page when the predicate aligns with the
+  * clustering.
   *
   * Scale shape: everything here is driver-side predicate analysis over
   * O(conjuncts); the heavy lifting stays in the underlying pruned reads
-  * (footer-only distributed indexes, selective row-group scans).
+  * (sidecar-served distributed indexes, selective row-group scans).
   */
 object LakeSelect {
 
@@ -43,11 +63,18 @@ object LakeSelect {
   final case class Stats(strategy: String, column: Option[String],
       rgOpened: Long, rgTotal: Long, filesOpened: Int, filesTotal: Int)
 
+  /** What a [[countWhere]] did: `metaRows` answered from footer stats
+    * alone, `scannedRgs` row groups actually read (straddlers),
+    * `exact` whether the predicate was fully index-expressible (when
+    * false, every non-disproven group scans — still correct). */
+  final case class CountStats(metaRows: Long, scannedRgs: Long,
+      rgTotal: Long, filesTotal: Int, exact: Boolean)
+
   private[operators] sealed trait Constraint
   private[operators] final case class EqIn(values: Seq[Any])
     extends Constraint
   private[operators] final case class Range(lo: Option[Any],
-      hi: Option[Any]) extends Constraint
+      hi: Option[Any], hiExcl: Boolean = false) extends Constraint
 
   /** Read `dir` filtered by `predicate` (any Spark SQL boolean
     * expression over the table's columns), routed through the most
@@ -57,8 +84,9 @@ object LakeSelect {
       version: Int = -1, columns: Seq[String] = Nil)
       : (DataFrame, Stats) = {
     import org.apache.spark.sql.functions.{col, expr}
-    val constraints = analyze(spark, predicate)
+    val (constraints, _) = analyzeFull(spark, predicate)
     val snap = TableLog.snapshot(dir, version)
+    val schema = tableSchemaOf(spark, dir, snap)
     val bloomed = snap.bloomCol
     // projection pushdown: the SCAN must still carry every column the
     // predicate references (the exact filter re-applies on top), so
@@ -71,6 +99,19 @@ object LakeSelect {
 
     def isStringVals(vs: Seq[Any]) = vs.forall(_.isInstanceOf[String])
     def isLongVals(vs: Seq[Any]) = vs.forall(_.isInstanceOf[Long])
+    // the bloom build hashes Spark's cast-to-string of the COLUMN; a
+    // probe may only use it when its `toString` provably equals that
+    // cast — integral probes on integral columns, string probes on
+    // string columns. Anything else (double column probed with "4",
+    // string column "05" probed with "5") could prune files that match
+    // under Spark's implicit-cast equality.
+    def bloomSafe(c: String, vs: Seq[Any]): Boolean =
+      schema.get(c).exists {
+        case ByteType | ShortType | IntegerType | LongType =>
+          isLongVals(vs)
+        case StringType => isStringVals(vs)
+        case _ => false
+      }
 
     // candidate = (column, constraint) in priority order; contradictory
     // equalities intersect to an EMPTY probe set — not a usable index
@@ -79,89 +120,126 @@ object LakeSelect {
       case (c, e: EqIn) if e.values.nonEmpty => (c, e)
     }
     val bloomEq = eqCols.find { case (c, e) =>
-      bloomed.contains(c) &&
-        (isLongVals(e.values) || isStringVals(e.values))
-    }
-    val anyEq = eqCols.find { case (_, e) =>
-      isLongVals(e.values) || isStringVals(e.values)
-    }
-    val anyRange = constraints.collectFirst {
-      case (c, r: Range) if {
-        val bs = r.lo.toSeq ++ r.hi.toSeq
-        bs.nonEmpty && (bs.forall(_.isInstanceOf[Long]) ||
-          bs.forall(_.isInstanceOf[String]))
-      } => (c, r)
+      bloomed.contains(c) && bloomSafe(c, e.values)
     }
 
     // every prunable conjunct as a row-group constraint — when two or
     // more columns prune, their keep sets INTERSECT and the scan runs
     // once (the z-order payoff: a 2-column clustered table prunes on
     // both predicate columns)
-    val rgConstraints: Seq[TableLog.RgConstraint] =
-      constraints.flatMap {
-        case (c, e: EqIn) if e.values.nonEmpty && isLongVals(e.values) =>
-          Some(TableLog.NumIn(c, e.values.map(_.asInstanceOf[Long])))
-        case (c, e: EqIn)
-            if e.values.nonEmpty && isStringVals(e.values) =>
-          Some(TableLog.StrIn(c, e.values.map(_.asInstanceOf[String])))
-        case (c, r: Range) =>
-          val bs = r.lo.toSeq ++ r.hi.toSeq
-          if (bs.isEmpty) None
-          else if (bs.forall(_.isInstanceOf[Long]))
-            Some(TableLog.NumRange(c, r.lo.map(_.asInstanceOf[Long]),
-              r.hi.map(_.asInstanceOf[Long])))
-          else if (bs.forall(_.isInstanceOf[String]))
-            Some(TableLog.StrRange(c, r.lo.map(_.asInstanceOf[String]),
-              r.hi.map(_.asInstanceOf[String])))
-          else None
-        case _ => None
-      }
+    val (rgConstraints, _) = toRgConstraints(constraints, schema)
 
-    val (df0, stats) = (bloomEq, anyEq, anyRange) match {
-      case (Some((c, e)), _, _) =>
+    val (df0, stats) =
+      if (bloomEq.isDefined) {
+        val (c, e) = bloomEq.get
+        // every other prunable conjunct rides into the bloom-kept scan
+        val extra = rgConstraints.filter(_.column != c)
         val (df, rgo, rgt, fo, ft) =
           TableLog.readPointLookup(spark, dir, c, e.values, version,
-            scanCols)
+            scanCols, extra)
         (df, Stats("point_lookup", Some(c), rgo, rgt, fo, ft))
-      case (None, _, _) if rgConstraints.size >= 2 =>
+      } else if (rgConstraints.size >= 2) {
         val (df, rgo, rgt, fo, ft) = TableLog.readRowGroupPrunedMulti(
           spark, dir, rgConstraints, version, scanCols)
         (df, Stats("rowgroup_multi",
           Some(rgConstraints.map(_.column).distinct.mkString(",")),
           rgo, rgt, fo, ft))
-      case (None, Some((c, e)), _) if isLongVals(e.values) =>
-        val (df, rgo, rgt, fo, ft) = TableLog.readRowGroupPrunedIn(
-          spark, dir, c, e.values.map(_.asInstanceOf[Long]), version,
-          scanCols)
-        (df, Stats("rowgroup_in", Some(c), rgo, rgt, fo, ft))
-      case (None, Some((c, e)), _) =>
-        val (df, rgo, rgt, fo, ft) = TableLog.readRowGroupPrunedInString(
-          spark, dir, c, e.values.map(_.asInstanceOf[String]), version,
-          scanCols)
-        (df, Stats("rowgroup_in", Some(c), rgo, rgt, fo, ft))
-      case (None, None, Some((c, r)))
-          if r.lo.orElse(r.hi).exists(_.isInstanceOf[Long]) =>
-        val lo = r.lo.map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
-        val hi = r.hi.map(_.asInstanceOf[Long]).getOrElse(Long.MaxValue)
-        val (df, rgo, rgt, fo, ft) =
-          TableLog.readRowGroupPruned(spark, dir, c, lo, hi, version,
-            scanCols)
-        (df, Stats("rowgroup_range", Some(c), rgo, rgt, fo, ft))
-      case (None, None, Some((c, r)))
-          if r.lo.orElse(r.hi).exists(_.isInstanceOf[String]) =>
-        val (df, rgo, rgt, fo, ft) =
-          TableLog.readRowGroupPrunedStringBounds(spark, dir, c,
-            r.lo.map(_.asInstanceOf[String]),
-            r.hi.map(_.asInstanceOf[String]), version, scanCols)
-        (df, Stats("rowgroup_range", Some(c), rgo, rgt, fo, ft))
-      case _ =>
+      } else if (rgConstraints.size == 1) {
+        val cons = rgConstraints.head
+        val label = cons match {
+          case _: TableLog.NumIn | _: TableLog.StrIn => "rowgroup_in"
+          case _ => "rowgroup_range"
+        }
+        val (df, rgo, rgt, fo, ft) = TableLog.readRowGroupPrunedMulti(
+          spark, dir, rgConstraints, version, scanCols)
+        (df, Stats(label, Some(cons.column), rgo, rgt, fo, ft))
+      } else {
         val df = TableLog.read(spark, dir, version)
         (df, Stats("full_scan", None, 0L, 0L,
           snap.files.size, snap.files.size))
-    }
+      }
     val filtered = df0.where(expr(predicate))
     (if (columns.isEmpty) filtered
      else filtered.select(columns.map(col): _*), stats)
+  }
+
+  /** COUNT(*) with the predicate answered from footer METADATA wherever
+    * the index proves a row group fully in (exact constraints, zero
+    * nulls, un-truncatable stats) or fully out; only straddling groups
+    * scan, selectively, predicate columns only. An EMPTY predicate is a
+    * pure metadata count — footer row counts minus deletion-vector
+    * cardinalities, zero data pages even on a DV-carrying table. */
+  def countWhere(spark: SparkSession, dir: String, predicate: String = "",
+      version: Int = -1): (Long, CountStats) = {
+    if (predicate == null || predicate.trim.isEmpty) {
+      val (n, meta, scanned, total, files) =
+        TableLog.countPruned(spark, dir, Nil, exact = true, None, version)
+      return (n, CountStats(meta, scanned, total, files, exact = true))
+    }
+    val (constraints, exactConjuncts) = analyzeFull(spark, predicate)
+    val snap = TableLog.snapshot(dir, version)
+    val schema = tableSchemaOf(spark, dir, snap)
+    val (rgConstraints, lossless) = toRgConstraints(constraints, schema)
+    val exact = exactConjuncts && lossless
+    val (n, meta, scanned, total, files) = TableLog.countPruned(spark,
+      dir, rgConstraints, exact, Some(predicate), version)
+    (n, CountStats(meta, scanned, total, files, exact))
+  }
+
+  /** The table's top-level column types, from ONE footer (the newest
+    * file — the widest schema under add-column evolution). Used only to
+    * GUARD routing (bloom type safety, date-constraint eligibility);
+    * a column missing here just loses its index candidacy. */
+  private def tableSchemaOf(spark: SparkSession, dir: String,
+      snap: TableLog.Snapshot): Map[String, DataType] =
+    snap.files.lastOption.map { f =>
+      val abs = java.nio.file.Paths.get(dir).resolve(f).toString
+      spark.read.parquet(abs).schema
+        .map(fd => fd.name -> fd.dataType).toMap
+    }.getOrElse(Map.empty)
+
+  /** Lower (column, Constraint) pairs onto the physical index constraint
+    * types, schema-aware: LocalDate values (from `to_date` rewrites)
+    * become epoch-day numerics ONLY on a DateType column (where parquet
+    * stats ARE epoch days); anything unconvertible drops. Returns the
+    * constraints plus whether the lowering was LOSSLESS (false = a
+    * conjunct was dropped, so a metadata count may not trust
+    * full-containment proofs). */
+  private[operators] def toRgConstraints(
+      constraints: Seq[(String, Constraint)],
+      schema: Map[String, DataType])
+      : (Seq[TableLog.RgConstraint], Boolean) = {
+    var lossless = true
+    def day(v: Any): Long =
+      v.asInstanceOf[java.time.LocalDate].toEpochDay
+    val out = constraints.flatMap {
+      case (c, e: EqIn) if e.values.nonEmpty &&
+          e.values.forall(_.isInstanceOf[Long]) =>
+        Some(TableLog.NumIn(c, e.values.map(_.asInstanceOf[Long])))
+      case (c, e: EqIn) if e.values.nonEmpty &&
+          e.values.forall(_.isInstanceOf[String]) =>
+        Some(TableLog.StrIn(c, e.values.map(_.asInstanceOf[String])))
+      case (c, e: EqIn) if e.values.nonEmpty &&
+          e.values.forall(_.isInstanceOf[java.time.LocalDate]) =>
+        if (schema.get(c).contains(DateType))
+          Some(TableLog.NumIn(c, e.values.map(day)))
+        else { lossless = false; None }
+      case (c, r: Range) =>
+        val bs = r.lo.toSeq ++ r.hi.toSeq
+        if (bs.isEmpty) { lossless = false; None }
+        else if (bs.forall(_.isInstanceOf[Long]))
+          Some(TableLog.NumRange(c, r.lo.map(_.asInstanceOf[Long]),
+            r.hi.map(_.asInstanceOf[Long])))
+        else if (bs.forall(_.isInstanceOf[String]))
+          Some(TableLog.StrRange(c, r.lo.map(_.asInstanceOf[String]),
+            r.hi.map(_.asInstanceOf[String]), r.hiExcl))
+        else if (bs.forall(_.isInstanceOf[java.time.LocalDate]) &&
+            schema.get(c).contains(DateType))
+          Some(TableLog.NumRange(c, r.lo.map(day), r.hi.map(day)))
+        else { lossless = false; None }
+      case _ => lossless = false; None
+    }
+    (out, lossless)
   }
 
   /** Single-part column names the predicate references — what a pushed
@@ -176,20 +254,36 @@ object LakeSelect {
     }.distinct
   }
 
-  /** Driver-side conjunct analysis: top-level ANDs of parse-time
-    * comparisons between a bare column and integral/string literals.
-    * Everything else contributes no constraint (conservative). */
+  /** [[analyzeFull]]'s constraint list alone. */
   private[operators] def analyze(spark: SparkSession,
-      predicate: String): Seq[(String, Constraint)] = {
+      predicate: String): Seq[(String, Constraint)] =
+    analyzeFull(spark, predicate)._1
+
+  /** Driver-side conjunct analysis: top-level ANDs of parse-time
+    * comparisons between a bare column and integral/string/date
+    * literals, plus the prefix family. Everything else contributes no
+    * constraint (conservative). The Boolean is TRUE iff every conjunct
+    * was captured EXACTLY — the row set the constraints select equals
+    * the predicate's — which is what licenses metadata-only counting. */
+  private[operators] def analyzeFull(spark: SparkSession,
+      predicate: String): (Seq[(String, Constraint)], Boolean) = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions._
     val parsed = spark.sessionState.sqlParser.parseExpression(predicate)
+    var exact = true
+    def inexact[A](a: A): A = { exact = false; a }
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(a, b) => conjuncts(a) ++ conjuncts(b)
       case x => Seq(x)
     }
     def litVal(l: Literal): Option[Any] = l.value match {
       case null => None
+      case i: Int if l.dataType == DateType =>
+        // DATE literal: kept in DATE space (LocalDate) so the lowering
+        // can demand a DateType COLUMN before pruning on epoch days —
+        // against a timestamp column the comparison space is micros,
+        // and a raw epoch-day bound would prune away every match
+        Some(java.time.LocalDate.ofEpochDay(i.toLong))
       case b: Byte => Some(b.toLong)
       case s: Short => Some(s.toLong)
       case i: Int => Some(i.toLong)
@@ -197,12 +291,22 @@ object LakeSelect {
       case u: org.apache.spark.unsafe.types.UTF8String =>
         Some(u.toString)
       case s: String => Some(s)
-      case _ => None // doubles/decimals/dates: not prunable here
+      case _ => None // doubles/decimals/timestamps: not prunable here
     }
     def colName(e: Expression): Option[String] = e match {
       case a: UnresolvedAttribute if a.nameParts.size == 1 =>
         Some(a.nameParts.head)
       case _ => None
+    }
+    def isFn(e: Expression, names: String*): Boolean = e match {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        names.contains(f.nameParts.map(_.toLowerCase).mkString("."))
+      case _ => false
+    }
+    def fnArgs(e: Expression): Seq[Expression] = e match {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+        f.arguments
+      case _ => Nil
     }
     // an OR tree whose every leaf is `col = lit` on ONE column is an
     // IN-list (the "k = 5 OR k = 9000" shape) — prunable; OR over
@@ -227,83 +331,207 @@ object LakeSelect {
         else None
       }
     }
-
-    val raw = conjuncts(parsed).flatMap {
-      case o: Or => orAsIn(o)
-      // BETWEEN survives parsing as an unresolved 'between' function
-      // call (the analyzer, which never runs on a bare
-      // parseExpression, would rewrite it to >= AND <=)
-      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-          if f.nameParts.map(_.toLowerCase) == Seq("between") &&
-            f.arguments.size == 3 =>
-        (f.arguments(0), f.arguments(1), f.arguments(2)) match {
-          case (a, lo: Literal, hi: Literal) =>
-            for (c <- colName(a); l <- litVal(lo); h <- litVal(hi))
-              yield (c, Range(Some(l), Some(h)))
-          case _ => None
-        }
-      case EqualTo(a, l: Literal) => for (c <- colName(a); v <- litVal(l))
-        yield (c, EqIn(Seq(v)))
-      case EqualTo(l: Literal, a) => for (c <- colName(a); v <- litVal(l))
-        yield (c, EqIn(Seq(v)))
-      case In(a, ls) if ls.forall(_.isInstanceOf[Literal]) =>
-        colName(a).flatMap { c =>
-          val vs = ls.map(l => litVal(l.asInstanceOf[Literal]))
-          if (vs.forall(_.isDefined) && vs.nonEmpty)
-            Some((c, EqIn(vs.map(_.get)))) else None
-        }
-      case GreaterThanOrEqual(a, l: Literal) =>
-        for (c <- colName(a); v <- litVal(l))
-          yield (c, Range(Some(v), None))
-      case GreaterThan(a, l: Literal) =>
-        for (c <- colName(a); v <- litVal(l))
-          yield (c, Range(Some(v), None))
-      case LessThanOrEqual(a, l: Literal) =>
-        for (c <- colName(a); v <- litVal(l))
-          yield (c, Range(None, Some(v)))
-      case LessThan(a, l: Literal) =>
-        for (c <- colName(a); v <- litVal(l))
-          yield (c, Range(None, Some(v)))
-      case GreaterThanOrEqual(l: Literal, a) =>
-        for (c <- colName(a); v <- litVal(l))
-          yield (c, Range(None, Some(v)))
-      case GreaterThan(l: Literal, a) =>
-        for (c <- colName(a); v <- litVal(l))
-          yield (c, Range(None, Some(v)))
-      case LessThanOrEqual(l: Literal, a) =>
-        for (c <- colName(a); v <- litVal(l))
-          yield (c, Range(Some(v), None))
-      case LessThan(l: Literal, a) =>
-        for (c <- colName(a); v <- litVal(l))
-          yield (c, Range(Some(v), None))
-      case _ => None
+    // prefix `p` as an exact half-open range [p, bump(p)): exact when
+    // the LAST char is ASCII-bumpable (byte order stays consistent);
+    // otherwise bump an earlier char — over-keeps (safe), marked
+    // inexact — or, all-non-ASCII, a lo-only range.
+    def prefixRange(c: String, p: String): (String, Constraint) = {
+      val i = p.lastIndexWhere(_ < '\u007f')
+      if (i < 0) inexact((c, Range(Some(p), None)))
+      else {
+        val hi = p.substring(0, i) + (p.charAt(i) + 1).toChar
+        if (i != p.length - 1) { exact = false }
+        (c, Range(Some(p), Some(hi), hiExcl = true))
+      }
     }
-    // merge per column: ranges intersect; equality wins over range
-    raw.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, cs) =>
+    // `substr(col, 1, n) = 'p'` with n == p.length is the prefix
+    // predicate; n < length can never equal; n > length pins the whole
+    // value (col = 'p' exactly, since substring stops at the end)
+    def substrEq(args: Seq[Expression], l: Literal)
+        : Option[(String, Constraint)] =
+      (args, litVal(l)) match {
+        case (Seq(a, p1: Literal, pn: Literal), Some(p: String)) =>
+          (colName(a), p1.value, pn.value) match {
+            case (Some(c), one: Int, n: Int) if one == 1 =>
+              if (n == p.length) Some(prefixRange(c, p))
+              else if (n > p.length) Some((c, EqIn(Seq(p))))
+              else Some(inexact((c, EqIn(Nil)))) // provably false
+            case _ => None
+          }
+        case _ => None
+      }
+    // `to_date(col) = 'yyyy-MM-dd'` (or a DATE literal): an equality in
+    // DATE space — valid only on a DateType column (to_date is identity
+    // there), which toRgConstraints checks against the schema
+    def toDateEq(args: Seq[Expression], l: Literal)
+        : Option[(String, Constraint)] =
+      args match {
+        case Seq(a) => colName(a).flatMap { c =>
+          (l.value, l.dataType) match {
+            case (i: Int, DateType) =>
+              Some((c, EqIn(Seq(java.time.LocalDate.ofEpochDay(
+                i.toLong)))))
+            case (u: org.apache.spark.unsafe.types.UTF8String, _)
+                if u.toString.matches("\\d{4}-\\d{2}-\\d{2}") =>
+              Some((c, EqIn(Seq(java.time.LocalDate.parse(u.toString)))))
+            case _ => None
+          }
+        }
+        case _ => None
+      }
+
+    val raw = conjuncts(parsed).flatMap { cj =>
+      val got: Option[(String, Constraint)] = cj match {
+        case o: Or => orAsIn(o)
+        // BETWEEN survives parsing as an unresolved 'between' function
+        // call (the analyzer, which never runs on a bare
+        // parseExpression, would rewrite it to >= AND <=)
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.nameParts.map(_.toLowerCase) == Seq("between") &&
+              f.arguments.size == 3 =>
+          (f.arguments(0), f.arguments(1), f.arguments(2)) match {
+            case (a, lo: Literal, hi: Literal) =>
+              for (c <- colName(a); l <- litVal(lo); h <- litVal(hi))
+                yield (c, Range(Some(l), Some(h)))
+            case _ => None
+          }
+        case Like(a, l: Literal, _) =>
+          (colName(a), litVal(l)) match {
+            case (Some(c), Some(p: String))
+                if p.nonEmpty && p.endsWith("%") &&
+                  !p.dropRight(1).exists(ch => ch == '%' || ch == '_' ||
+                    ch == '\\') =>
+              Some(prefixRange(c, p.dropRight(1)))
+            case _ => None
+          }
+        case EqualTo(a, l: Literal) if isFn(a, "substr", "substring") =>
+          substrEq(fnArgs(a), l)
+        case EqualTo(l: Literal, a) if isFn(a, "substr", "substring") =>
+          substrEq(fnArgs(a), l)
+        case EqualTo(a, l: Literal) if isFn(a, "to_date") =>
+          toDateEq(fnArgs(a), l)
+        case EqualTo(l: Literal, a) if isFn(a, "to_date") =>
+          toDateEq(fnArgs(a), l)
+        case f if isFn(f, "startswith") && fnArgs(f).size == 2 =>
+          (colName(fnArgs(f).head), fnArgs(f)(1)) match {
+            case (Some(c), l: Literal) => litVal(l) match {
+              case Some(p: String) => Some(prefixRange(c, p))
+              case _ => None
+            }
+            case _ => None
+          }
+        case EqualTo(a, l: Literal) =>
+          for (c <- colName(a); v <- litVal(l)) yield (c, EqIn(Seq(v)))
+        case EqualTo(l: Literal, a) =>
+          for (c <- colName(a); v <- litVal(l)) yield (c, EqIn(Seq(v)))
+        case In(a, ls) if ls.forall(_.isInstanceOf[Literal]) =>
+          colName(a).flatMap { c =>
+            val vs = ls.map(l => litVal(l.asInstanceOf[Literal]))
+            if (vs.forall(_.isDefined) && vs.nonEmpty)
+              Some((c, EqIn(vs.map(_.get)))) else None
+          }
+        case GreaterThanOrEqual(a, l: Literal) =>
+          for (c <- colName(a); v <- litVal(l))
+            yield (c, Range(Some(v), None))
+        case GreaterThan(a, l: Literal) =>
+          for (c <- colName(a); v <- litVal(l))
+            yield inexact((c, Range(Some(v), None)))
+        case LessThanOrEqual(a, l: Literal) =>
+          for (c <- colName(a); v <- litVal(l))
+            yield (c, Range(None, Some(v)))
+        case LessThan(a, l: Literal) =>
+          for (c <- colName(a); v <- litVal(l))
+            yield (c, Range(None, Some(v), hiExcl = true))
+        case GreaterThanOrEqual(l: Literal, a) =>
+          for (c <- colName(a); v <- litVal(l))
+            yield (c, Range(None, Some(v)))
+        case GreaterThan(l: Literal, a) =>
+          for (c <- colName(a); v <- litVal(l))
+            yield (c, Range(None, Some(v), hiExcl = true))
+        case LessThanOrEqual(l: Literal, a) =>
+          for (c <- colName(a); v <- litVal(l))
+            yield (c, Range(Some(v), None))
+        case LessThan(l: Literal, a) =>
+          for (c <- colName(a); v <- litVal(l))
+            yield inexact((c, Range(Some(v), None)))
+        case _ => None
+      }
+      if (got.isEmpty) exact = false
+      got
+    }
+    // merge per column: ranges intersect; equality values FILTER by the
+    // merged range (k = 5 AND k < 3 → empty probe set), staying exact
+    val merged = raw.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, cs) =>
       val eqs = cs.collect { case (_, e: EqIn) => e }
+      val ranges = cs.collect { case (_, r: Range) => r }
+      def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+        case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+        case (x: String, y: String) => Some(utf8Compare(x, y))
+        case (x: java.time.LocalDate, y: java.time.LocalDate) =>
+          Some(x.compareTo(y))
+        case _ => None
+      }
       if (eqs.nonEmpty) {
-        // several equality conjuncts on one column: intersect value sets
-        (c, EqIn(eqs.map(_.values.toSet).reduce(_ intersect _).toSeq))
+        // several equality conjuncts on one column: intersect value
+        // sets, then filter by any range conjuncts on the same column
+        var vs = eqs.map(_.values.toSet).reduce(_ intersect _).toSeq
+        ranges.foreach { r =>
+          vs = vs.filter { v =>
+            r.lo.forall(l => cmp(v, l) match {
+              case Some(x) => x >= 0
+              case None => exact = false; true
+            }) &&
+            r.hi.forall(h => cmp(v, h) match {
+              case Some(x) => if (r.hiExcl) x < 0 else x <= 0
+              case None => exact = false; true
+            })
+          }
+        }
+        (c, EqIn(vs))
       } else {
-        val ranges = cs.collect { case (_, r: Range) => r }
-        def maxOf(vs: Seq[Any]): Any = vs.head match {
-          case _: Long => vs.map(_.asInstanceOf[Long]).max
-          case _ => vs.map(_.asInstanceOf[String]).max
-        }
-        def minOf(vs: Seq[Any]): Any = vs.head match {
-          case _: Long => vs.map(_.asInstanceOf[Long]).min
-          case _ => vs.map(_.asInstanceOf[String]).min
-        }
+        def maxOf(vs: Seq[Any]): Any =
+          vs.reduce((a, b) => if (cmp(a, b).exists(_ >= 0)) a else b)
+        def minOf(vs: Seq[Any]): Any =
+          vs.reduce((a, b) => if (cmp(a, b).exists(_ <= 0)) a else b)
         val los = ranges.flatMap(_.lo)
         val his = ranges.flatMap(_.hi)
         // mixed-type bounds on one column: not prunable, drop to Range
         // with no bounds (harmless — selection requires a defined side)
         val consistent = (los ++ his).map(_.getClass).distinct.size <= 1
-        if (!consistent) (c, Range(None, None))
-        else (c, Range(
-          if (los.isEmpty) None else Some(maxOf(los)),
-          if (his.isEmpty) None else Some(minOf(his))))
+        if (!consistent) inexact((c, Range(None, None)))
+        else {
+          // hi side: an exclusive bound equal to an inclusive one is
+          // TIGHTER; keep exclusivity only when the winning hi is
+          // exclusive-only (conservative: mixed same-value → inclusive
+          // keeps more, marked inexact for counting)
+          val hi = if (his.isEmpty) None else Some(minOf(his))
+          val hiExcl = hi.exists(h => {
+            val cands = ranges.filter(_.hi.contains(h))
+            val excl = cands.forall(_.hiExcl) && cands.nonEmpty
+            if (!excl && cands.exists(_.hiExcl)) exact = false
+            excl
+          })
+          (c, Range(
+            if (los.isEmpty) None else Some(maxOf(los)),
+            hi, hiExcl))
+        }
       }
     }
+    (merged, exact)
+  }
+
+  /** UTF-8 byte-order comparison — the order parquet string stats and
+    * Spark's own string comparison use (Java String compareTo disagrees
+    * beyond the BMP). */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
   }
 }

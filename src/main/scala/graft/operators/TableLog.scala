@@ -233,11 +233,20 @@ object TableLog {
     * relative paths — not yet committed. */
   private def writeData(df: DataFrame, dir: String, v: Int,
       options: Map[String, String] = Map.empty): Seq[String] = {
-    enforceChecks(df, headChecks(dir), s"write into $dir")
+    val checks = headChecks(dir)
+    // a NON-DETERMINISTIC plan (rand(), non-deterministic UDF) could
+    // pass a pre-write validation and then materialize DIFFERENT,
+    // violating rows — for those, validate the STAGED files (the rows
+    // that will actually commit) before anything moves into the table
+    val postValidate = checks.nonEmpty && nonDeterministic(df)
+    if (!postValidate) enforceChecks(df, checks, s"write into $dir")
     val staging = Files.createTempDirectory("graft_tablelog").toString
     options.foldLeft(df.write.mode("overwrite")) {
       case (w, (k, v0)) => w.option(k, v0)
     }.parquet(staging)
+    if (postValidate)
+      enforceChecks(df.sparkSession.read.parquet(staging), checks,
+        s"write into $dir")
     val dataDir = Paths.get(dir, "data")
     Files.createDirectories(dataDir)
     val s = Files.list(Paths.get(staging))
@@ -507,11 +516,17 @@ object TableLog {
       v: Int, partCol: String): Seq[(String, String)] = {
     import org.apache.spark.sql.functions.col
     require(df.columns.contains(partCol), s"no column $partCol")
-    enforceChecks(df, headChecks(dir), s"partitioned write into $dir")
+    val checks = headChecks(dir)
+    val postValidate = checks.nonEmpty && nonDeterministic(df)
+    if (!postValidate)
+      enforceChecks(df, checks, s"partitioned write into $dir")
     val staging = Files.createTempDirectory("graft_tablelog_part")
     df.withColumn("__graft_part", col(partCol))
       .write.mode("overwrite").partitionBy("__graft_part")
       .parquet(staging.toString)
+    if (postValidate) // the data files carry the real column (shadow)
+      enforceChecks(df.sparkSession.read.parquet(staging.toString),
+        checks, s"partitioned write into $dir")
     Files.createDirectories(Paths.get(dir, "data"))
     val moved = Seq.newBuilder[(String, String)]
     val leaves = Files.list(staging)
@@ -951,7 +966,8 @@ object TableLog {
     * correctness never depends on the sidecar being complete). */
   private def rgIndexFor(spark: SparkSession, dir: String,
       snap: Snapshot, files: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{concat, lit}
+    import org.apache.spark.sql.functions.{broadcast, concat, lit}
+    import spark.implicits._
     val prefix = Paths.get(dir).toString + "/"
     val (mapped, unmapped) = files.partition(snap.rgidx.contains)
     val parts = Seq.newBuilder[DataFrame]
@@ -959,10 +975,13 @@ object TableLog {
       val mappedSet = mapped.toSet
       snap.rgidx.view.filterKeys(mappedSet).toSeq.groupBy(_._2)
         .toSeq.sortBy(_._1).foreach { case (sidecar, m) =>
-          val fs = m.map(_._1)
+          // membership via broadcast semi-join, not isin: a snapshot can
+          // map 10⁵ files to one sidecar, and an isin of that arity is a
+          // pathological expression tree
+          val fs = m.map(_._1).toDF("file")
           parts += spark.read
             .parquet(Paths.get(dir).resolve(sidecar).toString)
-            .filter(col("file").isin(fs: _*))
+            .join(broadcast(fs), Seq("file"), "left_semi")
             .withColumn("file", concat(lit(prefix), col("file")))
         }
     }
@@ -1116,6 +1135,13 @@ object TableLog {
     val cur = currentVersion(dir)
     if (cur == 0) Map.empty else snapshot(dir, cur).checks
   }
+
+  /** True when the plan contains a non-deterministic expression: a
+    * pre-write CHECK pass would validate a DIFFERENT evaluation of the
+    * rows than the write materializes. */
+  private def nonDeterministic(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.exists(p =>
+      p.expressions.exists(e => e.exists(!_.deterministic)))
 
   /** One aggregate pass counting violations of every check; loud
     * IllegalArgumentException naming the first violated constraint. */
@@ -1758,11 +1784,18 @@ object TableLog {
           spark.read.option("mergeSchema", "true").parquet(fabs: _*),
           snap.dvs), pred)
       // UPDATE writes NEW row values — they must satisfy the table's
-      // CHECK constraints (a DELETE's survivors were committed valid)
-      if (op == "update") enforceChecks(rewritten, snap.checks,
-        s"UPDATE rewrite of $dir")
+      // CHECK constraints (a DELETE's survivors were committed valid).
+      // Non-deterministic SET expressions validate the STAGED files,
+      // the rows that will actually commit (see writeData).
+      val postValidate = op == "update" && snap.checks.nonEmpty &&
+        nonDeterministic(rewritten)
+      if (op == "update" && !postValidate)
+        enforceChecks(rewritten, snap.checks, s"UPDATE rewrite of $dir")
       val staging = Files.createTempDirectory("graft_cow").toString
       rewritten.write.mode("overwrite").parquet(staging)
+      if (postValidate)
+        enforceChecks(spark.read.parquet(staging), snap.checks,
+          s"UPDATE rewrite of $dir")
       val s = Files.list(Paths.get(staging))
       try s.iterator.asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))

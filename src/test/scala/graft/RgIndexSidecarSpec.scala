@@ -1,0 +1,356 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{LakeSelect, RowGroupScan, TableLog}
+
+/** The persisted row-group index (stats/ sidecar): zero-footer planning,
+  * automatic maintenance across every write kind, DV-selective scans,
+  * nested and evolved schemas, metadata-only counts, and the
+  * type-guarded bloom routing. */
+class RgIndexSidecarSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val smallRg = Map(
+    "parquet.block.size" -> "16384", "parquet.page.size" -> "4096")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  /** Index-build footer opens during `body` (local-mode counter). */
+  private def footerOpens[A](body: => A): (A, Long) = {
+    val before = RowGroupScan.indexFooterOpens.sum()
+    val a = body
+    (a, RowGroupScan.indexFooterOpens.sum() - before)
+  }
+
+  private def sortedTable(dir: String, n: Int, parts: Int = 2): Unit =
+    TableLog.append(
+      spark.range(n.toLong).selectExpr("id as k", "id * 7 as v")
+        .repartitionByRange(parts, col("k")).sortWithinPartitions("k"),
+      dir, options = smallRg)
+
+  test("computeRowGroupIndex persists the index; pruned reads then plan " +
+    "with ZERO footer opens and stay correct") {
+    val dir = tmp("rgsc")
+    sortedTable(dir, 20000)
+    val v = TableLog.computeRowGroupIndex(spark, dir)
+    val snap = TableLog.snapshot(dir)
+    assert(snap.version == v && snap.op == "rgidx-stats")
+    assert(snap.files.forall(snap.rgidx.contains), "all files mapped")
+    val ((pr, rgOpened, rgTotal, _, _), opens) = footerOpens {
+      TableLog.readRowGroupPruned(spark, dir, "k", 100L, 700L)
+    }
+    assert(opens == 0L, s"index must serve from the sidecar: $opens")
+    assert(rgOpened < rgTotal)
+    assert(pr.filter(col("k").between(100, 700)).count() == 601L)
+    // idempotent: nothing new to index
+    assert(TableLog.computeRowGroupIndex(spark, dir) == v)
+  }
+
+  test("appends, optimize, and copy-on-write DML maintain the sidecar: " +
+    "every file stays mapped, planning stays footer-free, results exact") {
+    val dir = tmp("rgsm")
+    sortedTable(dir, 8000)
+    TableLog.computeRowGroupIndex(spark, dir)
+    // append after opt-in: new files indexed in the same commit
+    TableLog.append(
+      spark.range(8000L, 12000L).selectExpr("id as k", "id * 7 as v")
+        .repartitionByRange(1, col("k")).sortWithinPartitions("k"),
+      dir, options = smallRg)
+    val s1 = TableLog.snapshot(dir)
+    assert(s1.files.forall(s1.rgidx.contains), "append must top up")
+    // copy-on-write UPDATE rewrites touched files and re-indexes them
+    TableLog.update(spark, dir, "k = 11000", Map("v" -> "v + 1"))
+    val s2 = TableLog.snapshot(dir)
+    assert(s2.files.forall(s2.rgidx.contains), "update must top up")
+    // OPTIMIZE drops rewritten inputs' entries, maps its outputs
+    TableLog.optimize(spark, dir, maxRows = 3000, clusterBy = Seq("k"))
+    val s3 = TableLog.snapshot(dir)
+    assert(s3.files.forall(s3.rgidx.contains), "optimize must top up")
+    assert(s3.rgidx.keySet.subsetOf(s3.files.toSet ++ s2.rgidx.keySet))
+    val ((pr, _, _, _, _), opens) = footerOpens {
+      TableLog.readRowGroupPruned(spark, dir, "k", 10900L, 11100L)
+    }
+    assert(opens == 0L, s"post-maintenance planning opened $opens footers")
+    val got = pr.filter(col("k").between(10900, 11100))
+      .agg(sum("v")).first().getLong(0)
+    val want = (10900L to 11100L).map(k =>
+      if (k == 11000L) k * 7 + 1 else k * 7).sum
+    assert(got == want)
+  }
+
+  test("vacuum keeps referenced rgidx sidecars and sweeps orphaned ones") {
+    val dir = tmp("rgsv")
+    sortedTable(dir, 4000)
+    TableLog.computeRowGroupIndex(spark, dir)
+    TableLog.optimize(spark, dir, maxRows = 1000, clusterBy = Seq("k"))
+    val head = TableLog.snapshot(dir)
+    val live = head.rgidx.values.toSet
+    val swept = TableLog.vacuum(dir, head.version, graceMs = 0L)
+    live.foreach(s => assert(
+      java.nio.file.Files.exists(java.nio.file.Paths.get(dir, s)),
+      s"live sidecar $s swept"))
+    // the pre-optimize sidecar is no longer referenced by any retained
+    // version → swept
+    assert(swept.exists(_.contains("rgidx")),
+      s"orphaned rgidx sidecar must sweep: $swept")
+    val (pr, _, _, _, _) =
+      TableLog.readRowGroupPruned(spark, dir, "k", 0L, 100L)
+    assert(pr.filter(col("k") <= 100).count() == 101L)
+  }
+
+  test("deletion vectors: the DV'd file scans SELECTIVELY (positions " +
+    "rebase per row group) and deleted rows stay hidden") {
+    val dir = tmp("rgsd")
+    sortedTable(dir, 10000)
+    // delete a narrow slice inside the SECOND half
+    val (_, nDel, _, _) = TableLog.deleteVectored(spark, dir,
+      "k >= 9000 AND k < 9100")
+    assert(nDel == 100L)
+    // a range that TOUCHES the DV'd file must still row-group-prune
+    // inside it (the old engine read DV files whole)
+    val (pr, rgOpened, rgTotal, fOpened, fTotal) =
+      TableLog.readRowGroupPruned(spark, dir, "k", 8900L, 9200L)
+    assert(rgOpened < rgTotal,
+      s"DV file must prune at row-group level: $rgOpened/$rgTotal")
+    assert(fOpened == 1 && fTotal == 2)
+    val ks = pr.filter(col("k").between(8900, 9200))
+      .select("k").as[Long].collect().toSet
+    assert(ks == ((8900L to 9200L).toSet -- (9000L until 9100L)))
+    // and the composed point lookup: deleted key invisible, present key
+    // fetched from a partial scan of the same file
+    TableLog.computeBlooms(spark, dir, "k")
+    val (pl, plOpened, plTotal, _, _) =
+      TableLog.readPointLookup(spark, dir, "k", Seq(9050L, 9150L))
+    assert(plOpened < plTotal)
+    assert(pl.filter(col("k").isin(9050L, 9150L))
+      .select("k").as[Long].collect().toSet == Set(9150L))
+  }
+
+  test("countWhere: empty predicate is pure metadata even under DVs; " +
+    "aligned predicates count without scanning; straddlers stay exact") {
+    val dir = tmp("rgcc")
+    sortedTable(dir, 12000)
+    TableLog.computeRowGroupIndex(spark, dir)
+    // DV-delete inside the SECOND file only — the first file's groups
+    // stay eligible for metadata-only counting
+    TableLog.deleteVectored(spark, dir, "k IN (9017, 10017, 11017)")
+    // unfiltered: footer counts minus DV cardinality, zero scans
+    val ((n0, st0), opens0) = footerOpens {
+      LakeSelect.countWhere(spark, dir)
+    }
+    assert(n0 == 12000L - 3L && st0.scannedRgs == 0L && opens0 == 0L)
+    // lo-only predicate covering everything: all groups prove full…
+    // except the DV'd ones, which scan (deleted rows are invisible to
+    // footer stats)
+    val (n1, st1) = LakeSelect.countWhere(spark, dir, "k >= 0")
+    assert(n1 == 12000L - 3L)
+    assert(st1.exact && st1.metaRows > 0L)
+    assert(st1.scannedRgs < st1.rgTotal)
+    // a mid-range slice: disproven groups skip, straddlers scan, total
+    // matches the filtered read
+    val (n2, st2) = LakeSelect.countWhere(spark, dir,
+      "k BETWEEN 3000 AND 8999")
+    assert(n2 == TableLog.read(spark, dir)
+      .filter(col("k").between(3000, 8999)).count())
+    assert(st2.scannedRgs < st2.rgTotal)
+    // non-index-expressible predicate: still correct, marked inexact
+    val (n3, st3) = LakeSelect.countWhere(spark, dir, "k % 7 = 0")
+    assert(!st3.exact)
+    assert(n3 == TableLog.read(spark, dir).filter("k % 7 = 0").count())
+  }
+
+  test("nested columns (array<struct>, map) ride the selective scan " +
+    "and point lookup — the training-data chat shape") {
+    val dir = tmp("rgsn")
+    val df = spark.range(6000).selectExpr(
+      "id as k",
+      "array(named_struct('role', 'user', 'content', concat('q', id))," +
+        " named_struct('role', 'assistant', 'content', concat('a', id)))" +
+        " as msgs",
+      "map('lang', concat('l', id % 5)) as meta",
+      "id * 3 as v")
+    TableLog.append(
+      df.repartitionByRange(2, col("k")).sortWithinPartitions("k"),
+      dir, options = smallRg)
+    val (pr, rgOpened, rgTotal, _, _) =
+      TableLog.readRowGroupPruned(spark, dir, "k", 100L, 200L)
+    assert(rgOpened < rgTotal)
+    val got = pr.filter(col("k").between(100, 200))
+      .selectExpr("k", "msgs[1].content", "meta['lang']")
+      .orderBy("k").collect()
+    assert(got.length == 101)
+    assert(got.head.getString(1) == "a100" &&
+      got.head.getString(2) == "l0")
+    val want = TableLog.read(spark, dir)
+      .filter(col("k").between(100, 200))
+      .selectExpr("k", "msgs[1].content", "meta['lang']")
+      .orderBy("k").collect()
+    assert(got.toSeq == want.toSeq)
+    // point lookup over the nested table
+    TableLog.computeBlooms(spark, dir, "k")
+    val (pl, plo, plt, _, _) =
+      TableLog.readPointLookup(spark, dir, "k", Seq(4242L))
+    assert(plo < plt)
+    assert(pl.filter(col("k") === 4242)
+      .selectExpr("msgs[0].content").head().getString(0) == "q4242")
+  }
+
+  test("add-column schema evolution: old files null-fill through the " +
+    "selective scan instead of failing") {
+    val dir = tmp("rgse")
+    TableLog.append(
+      spark.range(3000).selectExpr("id as k", "id * 2 as v")
+        .repartitionByRange(1, col("k")).sortWithinPartitions("k"),
+      dir, options = smallRg)
+    TableLog.append(
+      spark.range(3000L, 6000L)
+        .selectExpr("id as k", "id * 2 as v", "concat('t', id) as tag")
+        .repartitionByRange(1, col("k")).sortWithinPartitions("k"),
+      dir, options = smallRg)
+    // range straddling both schema generations
+    val (pr, _, _, fo, _) =
+      TableLog.readRowGroupPruned(spark, dir, "k", 2900L, 3100L)
+    assert(fo == 2)
+    val rows = pr.filter(col("k").between(2900, 3100))
+      .orderBy("k").select("k", "tag").collect()
+    assert(rows.length == 201)
+    assert(rows.take(100).forall(_.isNullAt(1)), "old files null-fill")
+    assert(rows.last.getString(1) == "t3100")
+    // declarative read over the evolved table
+    val (got, st) = LakeSelect.readWhere(spark, dir,
+      "k BETWEEN 2900 AND 3100 AND tag IS NULL")
+    assert(st.strategy == "rowgroup_range")
+    assert(got.count() == 100L)
+  }
+
+  test("zero-row-group files (empty append) neither crash nor pollute " +
+    "pruned reads") {
+    val dir = tmp("rgsz")
+    sortedTable(dir, 2000, parts = 1)
+    TableLog.append(spark.range(0).selectExpr("id as k", "id as v"),
+      dir) // may stage zero files or a schema-only file
+    val (pr, _, _, _, _) =
+      TableLog.readRowGroupPruned(spark, dir, "k", 100L, 110L)
+    assert(pr.filter(col("k").between(100, 110)).count() == 11L)
+    // fully-pruned read returns an empty frame WITH the schema
+    val (none, o, _, _, _) =
+      TableLog.readRowGroupPruned(spark, dir, "k", 900000L, 990000L)
+    assert(o == 0L && none.columns.toSeq == Seq("k", "v"))
+    assert(none.count() == 0L)
+  }
+
+  test("bloom routing is type-guarded: a double column and a " +
+    "string-of-digits column never lose rows to a mistyped probe") {
+    val dir = tmp("rgsb")
+    val df = spark.range(4000).selectExpr(
+      "cast(id as double) as d",
+      "lpad(cast(id as string), 5, '0') as s", // '00042' ≠ '42'
+      "id as k")
+    TableLog.append(
+      df.repartitionByRange(2, col("k")).sortWithinPartitions("k"),
+      dir, options = smallRg)
+    TableLog.computeBlooms(spark, dir, "d")
+    // `d = 4` under Spark implicit cast matches d=4.0; the bloom hashed
+    // "4.0" — the guard must route AWAY from point_lookup
+    val (got, st) = LakeSelect.readWhere(spark, dir, "d = 4")
+    assert(st.strategy != "point_lookup", s"unsafe bloom route: $st")
+    assert(got.count() == 1L)
+    // string column holding zero-padded digits probed with an integer
+    val dir2 = tmp("rgsb2")
+    TableLog.append(
+      df.repartitionByRange(2, col("k")).sortWithinPartitions("k"),
+      dir2, options = smallRg)
+    TableLog.computeBlooms(spark, dir2, "s")
+    val (got2, st2) = LakeSelect.readWhere(spark, dir2, "s = 42")
+    assert(st2.strategy != "point_lookup", s"unsafe bloom route: $st2")
+    assert(got2.count() == 1L) // '00042' = 42 under implicit cast
+    // the WELL-typed probe still uses the bloom
+    val (got3, st3) = LakeSelect.readWhere(spark, dir2, "s = '00042'")
+    assert(st3.strategy == "point_lookup")
+    assert(got3.count() == 1L)
+  }
+
+  test("prefix and date predicates route to range pruning: LIKE, " +
+    "substr, startswith, to_date, DATE literals") {
+    val dir = tmp("rgsp")
+    val df = spark.range(12000).selectExpr(
+      "date_format(date_add(date'2024-01-01', cast(id % 366 as int)), " +
+        "'yyyy-MM-dd') as day",
+      "date_add(date'2024-01-01', cast(id % 366 as int)) as d",
+      "id as v")
+    TableLog.append(
+      df.repartitionByRange(3, col("day")).sortWithinPartitions("day"),
+      dir, options = smallRg)
+    def check(pred: String, strategy: String): Long = {
+      val (got, st) = LakeSelect.readWhere(spark, dir, pred)
+      assert(st.strategy == strategy, s"$pred → $st")
+      if (strategy != "full_scan")
+        assert(st.rgOpened < st.rgTotal, s"$pred did not prune: $st")
+      val want = TableLog.read(spark, dir).where(pred)
+      assert(got.orderBy("v").collect().toSeq ==
+        want.orderBy("v").collect().toSeq, s"$pred drift")
+      got.count()
+    }
+    assert(check("day LIKE '2024-03%'", "rowgroup_range") > 0L)
+    assert(check("substr(day, 1, 7) = '2024-03'", "rowgroup_range") > 0L)
+    assert(check("substring(day, 1, 7) = '2024-03'",
+      "rowgroup_range") > 0L)
+    assert(check("startswith(day, '2024-03-1')", "rowgroup_range") > 0L)
+    assert(check("to_date(d) = '2024-03-15'", "rowgroup_in") > 0L)
+    assert(check("d = DATE'2024-03-15'", "rowgroup_in") > 0L)
+    assert(check("d BETWEEN DATE'2024-03-01' AND DATE'2024-03-31'",
+      "rowgroup_range") > 0L)
+    // non-prefix LIKE stays unprunable (conservative)
+    assert(check("day LIKE '%03-15'", "full_scan") > 0L)
+    // a DATE literal against a NON-date column must never prune (the
+    // comparison space differs — e.g. micros for a timestamp column);
+    // conservative full_scan keeps the rows Spark's implicit cast finds
+    val dirTs = tmp("rgspt")
+    TableLog.append(
+      spark.range(2000).selectExpr(
+        "timestamp_millis(1500000000000 + id * 86400000) as ts",
+        "id as v"),
+      dirTs, options = smallRg)
+    val (gotTs, stTs) = LakeSelect.readWhere(spark, dirTs,
+      "ts >= DATE'2021-01-01'")
+    assert(stTs.strategy == "full_scan", s"must not prune: $stTs")
+    assert(gotTs.count() ==
+      TableLog.read(spark, dirTs).where("ts >= DATE'2021-01-01'").count())
+    // countWhere through a prefix predicate: exact, mostly metadata
+    val (n, st) = LakeSelect.countWhere(spark, dir,
+      "substr(day, 1, 7) = '2024-03'")
+    assert(st.exact)
+    assert(n == TableLog.read(spark, dir)
+      .where("substr(day, 1, 7) = '2024-03'").count())
+  }
+
+  test("CHECK constraints on a non-deterministic write validate the " +
+    "MATERIALIZED rows (staged files), not the plan") {
+    val dir = tmp("rgnd")
+    TableLog.append(spark.range(100).selectExpr("id as k", "id as v"),
+      dir)
+    TableLog.addCheck(spark, dir, "v_small", "v < 1000000")
+    // deterministic violating write still fails pre-write
+    intercept[IllegalArgumentException] {
+      TableLog.append(spark.range(5)
+        .selectExpr("id as k", "id + 2000000 as v"), dir)
+    }
+    // non-deterministic plan: any evaluation may violate — the staged
+    // rows are what must be checked. rand() < 0 never violates; a
+    // shifted rand always does.
+    val okRows = TableLog.append(spark.range(50)
+      .selectExpr("id as k", "cast(rand() * 100 as long) as v"), dir)
+    assert(okRows >= 1)
+    intercept[IllegalArgumentException] {
+      TableLog.append(spark.range(5)
+        .selectExpr("id as k",
+          "cast(rand() * 100 as long) + 2000000 as v"), dir)
+    }
+    // nothing from the failed write leaked into the table
+    assert(TableLog.read(spark, dir).filter("v >= 1000000").count() == 0L)
+  }
+}

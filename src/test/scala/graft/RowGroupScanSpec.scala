@@ -109,8 +109,8 @@ class RowGroupScanSpec extends AnyFunSuite {
       want.orderBy("k").collect().toSeq, s"row drift on $key")
   }
 
-  test("TableLog.readRowGroupPruned: prunes row groups, DV files read " +
-    "whole with deletes applied, aggregates match the full read") {
+  test("TableLog.readRowGroupPruned: prunes row groups, DV files scan " +
+    "selectively with deletes applied, aggregates match the full read") {
     val dir = tmp("rgdv") + "/table"
     val d1 = spark.range(10000).selectExpr("id as k", "id * 3 as v")
     TableLog.append(
@@ -210,7 +210,7 @@ class RowGroupScanSpec extends AnyFunSuite {
   }
 
   test("point lookup on strings and with deletion vectors: DV'd file " +
-    "reads whole, deleted key stays invisible") {
+    "scans selectively, deleted key stays invisible") {
     val dir = tmp("rgpstr") + "/table"
     val df = spark.range(9000).selectExpr(
       "concat('id-', lpad(cast(id as string), 6, '0')) as key",
