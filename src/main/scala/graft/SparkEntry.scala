@@ -1190,6 +1190,44 @@ object SparkEntry {
                AS n_inlist""")
     },
 
+    "sql15_count_sql" -> { (s, d) =>
+      // metadata-first COUNT from SQL text (graft_build_index +
+      // graft_count → LakeSelect.countWhere): the index persists as a
+      // log sidecar from one SQL call, an unfiltered count and a
+      // key-range count then answer without scanning a single row group
+      // beyond the range's straddlers, and an unprunable predicate
+      // still counts exactly through the selective-scan fallback. The
+      // flags pin the scan accounting; the three counts replay
+      // closed-form.
+      graft.functions.GraftFunctions.registerAll(s)
+      val dir = java.nio.file.Files.createTempDirectory("graft_sql15")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.append(
+        o.repartitionByRange(2, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        dir, options = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      s.sql(s"SELECT * FROM graft_build_index('$dir')").collect()
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).first()
+      val lo = b.getLong(0)
+      val mid = lo + (b.getLong(1) - lo) / 2
+      val all = s.sql(s"SELECT * FROM graft_count('$dir')").head()
+      val rng = s.sql(s"SELECT * FROM graft_count('$dir', " +
+        s"'o_orderkey BETWEEN $lo AND $mid')").head()
+      val mod = s.sql(s"SELECT * FROM graft_count('$dir', " +
+        "'o_orderkey % 3 = 0')").head()
+      s.range(1).select(
+        lit(all.getLong(0)).as("n_all"),
+        lit(rng.getLong(0)).as("n_range"),
+        lit(mod.getLong(0)).as("n_mod"),
+        lit(all.getLong(2) == 0L).as("all_meta"),
+        lit(rng.getInt(4) == 1 && rng.getLong(2) < rng.getLong(3))
+          .as("range_straddle_only"),
+        lit(mod.getInt(4) == 0).as("mod_inexact"))
+    },
+
     "sql11_lake_sql" -> { (s, d) =>
       // the lakehouse introspection surface from SQL TEXT: DESCRIBE
       // HISTORY and the change feed as table functions
@@ -10105,6 +10143,24 @@ object SparkEntry {
              AS n_count,
            TRUE AS prefix_routed, TRUE AS date_routed,
            TRUE AS count_exact""",
+
+    // SQL metadata-count replay: three plain COUNTs; the flags pin that
+    // the unfiltered count touched nothing, the range scanned only
+    // straddlers, and the unprunable modulo fell back to exact scanning
+    "sql15_count_sql" ->
+      s"""WITH b AS (
+           SELECT MIN(o_orderkey) AS lo,
+             MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 2
+               AS mid
+           FROM orders)
+         SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_all,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
+            WHERE o_orderkey BETWEEN b.lo AND b.mid) AS n_range,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 3 = 0) AS n_mod,
+           TRUE AS all_meta, TRUE AS range_straddle_only,
+           TRUE AS mod_inexact""",
 
     // point-lookup replay: the same three derived keys as an IN-list
     // full scan; rg_pruned/file_pruned pin the composed index path

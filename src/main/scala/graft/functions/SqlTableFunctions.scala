@@ -315,13 +315,43 @@ object SqlTableFunctions {
     receipt("version" -> v)
   }
 
+  /** `graft_count('dir'[, 'predicate'[, version]])` — metadata-first
+    * COUNT ([[graft.operators.LakeSelect.countWhere]]): row groups the
+    * index disproves contribute 0, groups it PROVES fully matching
+    * count from footer stats without touching a data page, straddlers
+    * scan selectively. Returns one row (n, meta_rows, scanned_rgs,
+    * rg_total, exact). */
+  private def countBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 1 && args.length <= 3,
+      "usage: graft_count(dir[, predicate[, version]])")
+    val pred = if (args.length >= 2) str(args(1), "predicate") else ""
+    val v = if (args.length == 3) num(args(2), "version").toInt else -1
+    val (n, st) = graft.operators.LakeSelect.countWhere(
+      SparkSession.active, str(args(0), "dir"), pred, v)
+    receipt("n" -> n, "meta_rows" -> st.metaRows,
+      "scanned_rgs" -> st.scannedRgs, "rg_total" -> st.rgTotal,
+      "exact" -> (if (st.exact) 1 else 0))
+  }
+
+  /** `graft_build_index('dir')` — persist the row-group stats index as
+    * a log sidecar ([[graft.operators.TableLog.computeRowGroupIndex]]);
+    * afterwards declarative reads and counts plan with zero footer
+    * opens and every write maintains the index automatically. */
+  private def buildIndexBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1, "usage: graft_build_index(dir)")
+    val v = graft.operators.TableLog.computeRowGroupIndex(
+      SparkSession.active, str(args(0), "dir"))
+    receipt("version" -> v)
+  }
+
   /** SQL-callable table-function names (for collision audits). */
   val names: Seq[String] =
     Seq("graft_dbscan", "graft_kmeans", "graft_geodesic_join", "graft_knn",
       "graft_table_history", "graft_table_changes", "graft_table",
       "graft_delete", "graft_delete_vectored", "graft_update",
       "graft_optimize", "graft_restore", "graft_vacuum", "graft_merge",
-      "graft_select", "graft_add_check", "graft_drop_check")
+      "graft_select", "graft_add_check", "graft_drop_check",
+      "graft_count", "graft_build_index")
 
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.graft.SparkInternals
@@ -357,5 +387,9 @@ object SqlTableFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("graft_drop_check", dropCheckBuilder,
       "built-in")
+    reg.createOrReplaceTempFunction("graft_count", countBuilder,
+      "built-in")
+    reg.createOrReplaceTempFunction("graft_build_index",
+      buildIndexBuilder, "built-in")
   }
 }

@@ -86,7 +86,7 @@ object LakeSelect {
     import org.apache.spark.sql.functions.{col, expr}
     val (constraints, _) = analyzeFull(spark, predicate)
     val snap = TableLog.snapshot(dir, version)
-    val schema = tableSchemaOf(spark, dir, snap)
+    lazy val schema = tableSchemaOf(spark, dir, snap)
     val bloomed = snap.bloomCol
     // projection pushdown: the SCAN must still carry every column the
     // predicate references (the exact filter re-applies on top), so
@@ -178,7 +178,7 @@ object LakeSelect {
     }
     val (constraints, exactConjuncts) = analyzeFull(spark, predicate)
     val snap = TableLog.snapshot(dir, version)
-    val schema = tableSchemaOf(spark, dir, snap)
+    lazy val schema = tableSchemaOf(spark, dir, snap)
     val (rgConstraints, lossless) = toRgConstraints(constraints, schema)
     val exact = exactConjuncts && lossless
     val (n, meta, scanned, total, files) = TableLog.countPruned(spark,
@@ -189,14 +189,24 @@ object LakeSelect {
   /** The table's top-level column types, from ONE footer (the newest
     * file — the widest schema under add-column evolution). Used only to
     * GUARD routing (bloom type safety, date-constraint eligibility);
-    * a column missing here just loses its index candidacy. */
+    * a column missing here just loses its index candidacy. Memoized per
+    * (dir, version) — a committed snapshot's files are immutable — and
+    * resolved LAZILY by the callers, so predicates that need no guard
+    * (the common long/string, bloom-less case) never pay the footer. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int),
+      Map[String, DataType]]()
+
   private def tableSchemaOf(spark: SparkSession, dir: String,
-      snap: TableLog.Snapshot): Map[String, DataType] =
-    snap.files.lastOption.map { f =>
-      val abs = java.nio.file.Paths.get(dir).resolve(f).toString
-      spark.read.parquet(abs).schema
-        .map(fd => fd.name -> fd.dataType).toMap
-    }.getOrElse(Map.empty)
+      snap: TableLog.Snapshot): Map[String, DataType] = {
+    if (schemaMemo.size > 512) schemaMemo.clear()
+    schemaMemo.computeIfAbsent((dir, snap.version), _ =>
+      snap.files.lastOption.map { f =>
+        val abs = java.nio.file.Paths.get(dir).resolve(f).toString
+        spark.read.parquet(abs).schema
+          .map(fd => fd.name -> fd.dataType).toMap
+      }.getOrElse(Map.empty))
+  }
 
   /** Lower (column, Constraint) pairs onto the physical index constraint
     * types, schema-aware: LocalDate values (from `to_date` rewrites)
@@ -207,9 +217,13 @@ object LakeSelect {
     * full-containment proofs). */
   private[operators] def toRgConstraints(
       constraints: Seq[(String, Constraint)],
-      schema: Map[String, DataType])
+      schema: => Map[String, DataType])
       : (Seq[TableLog.RgConstraint], Boolean) = {
     var lossless = true
+    // by-name + lazy: only date-space constraints need the schema guard,
+    // so the common long/string predicate never reads a footer
+    lazy val s = schema
+    def isDateCol(c: String): Boolean = s.get(c).contains(DateType)
     def day(v: Any): Long =
       v.asInstanceOf[java.time.LocalDate].toEpochDay
     val out = constraints.flatMap {
@@ -221,7 +235,7 @@ object LakeSelect {
         Some(TableLog.StrIn(c, e.values.map(_.asInstanceOf[String])))
       case (c, e: EqIn) if e.values.nonEmpty &&
           e.values.forall(_.isInstanceOf[java.time.LocalDate]) =>
-        if (schema.get(c).contains(DateType))
+        if (isDateCol(c))
           Some(TableLog.NumIn(c, e.values.map(day)))
         else { lossless = false; None }
       case (c, r: Range) =>
@@ -234,7 +248,7 @@ object LakeSelect {
           Some(TableLog.StrRange(c, r.lo.map(_.asInstanceOf[String]),
             r.hi.map(_.asInstanceOf[String]), r.hiExcl))
         else if (bs.forall(_.isInstanceOf[java.time.LocalDate]) &&
-            schema.get(c).contains(DateType))
+            isDateCol(c))
           Some(TableLog.NumRange(c, r.lo.map(day), r.hi.map(day)))
         else { lossless = false; None }
       case _ => lossless = false; None

@@ -232,8 +232,8 @@ object RowGroupScan {
   private[operators] def prunePairs(spark: SparkSession, wide: DataFrame,
       constraints: Seq[TableLog.RgConstraint]): (Seq[RgSlice], Long) = {
     import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions.{coalesce, col, first, lit, max,
-      sum, when}
+    import org.apache.spark.sql.functions.{coalesce, col, collect_list,
+      count, first, lit, max, struct, sum, when}
     val real = wide.filter(col("rg") >= 0)
     val rejFlags = constraints.zipWithIndex.map { case (c, i) =>
       max(when(col("column") === c.column && rejectCond(c), 1)
@@ -250,13 +250,20 @@ object RowGroupScan {
     val pairs = pairs0
       .withColumn("__start", coalesce(sum(col("n_rows")).over(w), lit(0L)))
       .withColumn("__rej", rej)
-    val kept = pairs.filter(!col("__rej"))
-      .select("file", "rg", "__start", "n_rows").collect()
+    // ONE action: total group count + the kept slices gathered through
+    // collect_list (when() without otherwise emits null on rejects and
+    // collect_list skips nulls) — the driver receives O(kept), and the
+    // read plans in a single job instead of collect-then-count
+    val row = pairs.agg(
+      count(lit(1)).as("total"),
+      collect_list(when(!col("__rej"),
+        struct(col("file"), col("rg"), col("__start"), col("n_rows"))))
+        .as("kept")).first()
+    val kept = row.getSeq[Row](1)
       .map(r => RgSlice(r.getString(0), r.getInt(1), r.getLong(2),
         r.getLong(3)))
-      .sortBy(s => (s.file, s.rg)).toSeq
-    val total = pairs.count()
-    (kept, total)
+      .sortBy(s => (s.file, s.rg))
+    (kept, row.getLong(0))
   }
 
   /** The UNION schema a wide index implies: every column it has seen,

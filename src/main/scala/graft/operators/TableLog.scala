@@ -868,7 +868,7 @@ object TableLog {
     val prefix = Paths.get(dir).toString + "/"
     val wide = rgIndexFor(spark, dir, snap, files).persist()
     try {
-      val unionCols = RowGroupScan.unionColsOf(wide)
+      val unionCols = unionColsCached(dir, snap, fileSubset, wide)
       val (slices, total) = RowGroupScan.prunePairs(spark, wide,
         constraints)
       val dvRel = snap.dvs.keySet
@@ -899,6 +899,27 @@ object TableLog {
       (df, slices.size.toLong, total, filesOpened, snap.files.size)
     } finally wide.unpersist()
   }
+
+  /** Per-(dir, version) memo of the union schema a snapshot's index
+    * implies — a committed version's file set is immutable, so the
+    * answer never changes; repeated declarative reads of one snapshot
+    * (the SQL pattern) skip the metadata job entirely. Only FULL
+    * snapshots memoize (a bloom-pruned file subset has the same union
+    * under add-column evolution, but stays conservative and skips the
+    * cache). Bounded: cleared wholesale past 512 snapshots. */
+  private val unionColsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int),
+      Seq[(String, String)]]()
+
+  private def unionColsCached(dir: String, snap: Snapshot,
+      fileSubset: Option[Seq[String]], wide: DataFrame)
+      : Seq[(String, String)] =
+    if (fileSubset.isDefined) RowGroupScan.unionColsOf(wide)
+    else {
+      if (unionColsMemo.size > 512) unionColsMemo.clear()
+      unionColsMemo.computeIfAbsent((dir, snap.version),
+        _ => RowGroupScan.unionColsOf(wide))
+    }
 
   // ===== persisted row-group index (stats/ sidecar) ====================
   //
@@ -1025,7 +1046,7 @@ object TableLog {
     }
     val wide = rgIndexFor(spark, dir, snap, snap.files).persist()
     try {
-      val unionCols = RowGroupScan.unionColsOf(wide)
+      val unionCols = unionColsCached(dir, snap, None, wide)
       val real = wide.filter(col("rg") >= 0)
       val rejFlags = constraints.zipWithIndex.map { case (c, i) =>
         max(when(col("column") === c.column &&
@@ -1061,41 +1082,45 @@ object TableLog {
           .coalesce(sum(col("n_rows")).over(w), lit(0L)))
         .withColumn("__rej", rej)
         .withColumn("__full", isFull && col("__isdv").isNull)
-        .persist()
-      try {
-        val agg = pairs.agg(
-          sum(when(col("__full") && !col("__rej"), col("n_rows"))
-            .otherwise(0L)),
-          sum(lit(1L))).first()
-        val metaRows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
-        val rgTotal = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-        val straddle = pairs
-          .filter(!col("__rej") && !col("__full"))
-          .select("file", "rg", "__start", "n_rows").collect()
-          .map(r => RowGroupScan.RgSlice(r.getString(0), r.getInt(1),
-            r.getLong(2), r.getLong(3))).toSeq
-        val predCols = LakeSelect.referencedColumns(spark, predicate.get)
-          .filter(c => unionCols.exists(_._1 == c))
-        val dvRel = snap.dvs.keySet
-        val (dvSlices, cleanSlices) = straddle.partition(s =>
-          dvRel.contains(s.file.stripPrefix(prefix)))
-        val cleanCount =
-          if (cleanSlices.isEmpty) 0L
-          else RowGroupScan.scanSlices(spark, cleanSlices, unionCols,
-            predCols).where(expr(predicate.get)).count()
-        val dvCount =
-          if (dvSlices.isEmpty) 0L
-          else {
-            val kept = dvSlices.map(_.file.stripPrefix(prefix)).toSet
-            antiDv(spark, dir,
-              RowGroupScan.scanSlices(spark, dvSlices, unionCols,
-                predCols, emitPos = true),
-              snap.dvs.filter { case (f, _) => kept(f) })
-              .where(expr(predicate.get)).count()
-          }
-        (metaRows + cleanCount + dvCount, metaRows,
-          straddle.size.toLong, rgTotal, snap.files.size)
-      } finally pairs.unpersist()
+      // ONE action classifies every group: meta-provable row sum, total
+      // group count, and the straddling slices (collect_list skips the
+      // null rows when() emits for non-straddlers) — driver residency
+      // is O(straddlers)
+      import org.apache.spark.sql.functions.{collect_list, struct}
+      val agg = pairs.agg(
+        sum(when(col("__full") && !col("__rej"), col("n_rows"))
+          .otherwise(0L)),
+        sum(lit(1L)),
+        collect_list(when(!col("__rej") && !col("__full"),
+          struct(col("file"), col("rg"), col("__start"),
+            col("n_rows"))))).first()
+      val metaRows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+      val rgTotal = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+      val straddle = agg.getSeq[org.apache.spark.sql.Row](2)
+        .map(r => RowGroupScan.RgSlice(r.getString(0), r.getInt(1),
+          r.getLong(2), r.getLong(3)))
+        .sortBy(s => (s.file, s.rg))
+      val predCols = LakeSelect.referencedColumns(spark, predicate.get)
+        .filter(c => unionCols.exists(_._1 == c))
+      val dvRel = snap.dvs.keySet
+      val (dvSlices, cleanSlices) = straddle.partition(s =>
+        dvRel.contains(s.file.stripPrefix(prefix)))
+      val cleanCount =
+        if (cleanSlices.isEmpty) 0L
+        else RowGroupScan.scanSlices(spark, cleanSlices, unionCols,
+          predCols).where(expr(predicate.get)).count()
+      val dvCount =
+        if (dvSlices.isEmpty) 0L
+        else {
+          val kept = dvSlices.map(_.file.stripPrefix(prefix)).toSet
+          antiDv(spark, dir,
+            RowGroupScan.scanSlices(spark, dvSlices, unionCols,
+              predCols, emitPos = true),
+            snap.dvs.filter { case (f, _) => kept(f) })
+            .where(expr(predicate.get)).count()
+        }
+      (metaRows + cleanCount + dvCount, metaRows,
+        straddle.size.toLong, rgTotal, snap.files.size)
     } finally wide.unpersist()
   }
 

@@ -328,6 +328,31 @@ class RgIndexSidecarSpec extends AnyFunSuite {
       .where("substr(day, 1, 7) = '2024-03'").count())
   }
 
+  test("scale shape: a narrow read over a many-row-group table keeps " +
+    "O(selectivity) slices — never the index — and a 1000-value " +
+    "IN-list probes distributed, staying exact") {
+    val dir = tmp("rgsc2")
+    // one sorted file with MANY small row groups
+    TableLog.append(
+      spark.range(200000).selectExpr("id as k", "id as v")
+        .repartitionByRange(1, col("k")).sortWithinPartitions("k"),
+      dir, options = smallRg)
+    TableLog.computeRowGroupIndex(spark, dir)
+    val (pr, rgOpened, rgTotal, _, _) =
+      TableLog.readRowGroupPruned(spark, dir, "k", 1000L, 1050L)
+    assert(rgTotal > 50L, s"want many row groups, got $rgTotal")
+    assert(rgOpened <= 2L,
+      s"driver must hold only the KEPT slices: $rgOpened of $rgTotal")
+    assert(pr.filter(col("k").between(1000, 1050)).count() == 51L)
+    // wide IN-list: the probe is a distributed exists() over a literal
+    // array — correctness over 1000 probes, pruning still strict
+    val keys = (0 until 1000).map(i => i.toLong * 199)
+    val (inPr, inOpened, inTotal, _, _) =
+      TableLog.readRowGroupPrunedIn(spark, dir, "k", keys)
+    assert(inOpened < inTotal)
+    assert(inPr.filter(col("k").isin(keys: _*)).count() == 1000L)
+  }
+
   test("CHECK constraints on a non-deterministic write validate the " +
     "MATERIALIZED rows (staged files), not the plan") {
     val dir = tmp("rgnd")

@@ -109,4 +109,28 @@ class SqlLakeDmlSpec extends AnyFunSuite {
     assert(proj.collect().map(r => (r.getString(0), r.getLong(1)))
       .toSeq == Seq(("t" + (4242 % 7), 4242L)))
   }
+  test("graft_build_index + graft_count: metadata-first COUNT from SQL " +
+    "text — exact, and zero scans when the index proves every group") {
+    val dir = freshDir()
+    TableLog.append(
+      spark.range(9000).selectExpr("id", "id * 3 as v")
+        .repartitionByRange(2, org.apache.spark.sql.functions.col("id"))
+        .sortWithinPartitions("id"),
+      dir, options = Map("parquet.block.size" -> "16384",
+        "parquet.page.size" -> "4096"))
+    val v = spark.sql(s"SELECT * FROM graft_build_index('$dir')")
+      .head().getInt(0)
+    assert(v == TableLog.currentVersion(dir))
+    val all = spark.sql(s"SELECT * FROM graft_count('$dir')").head()
+    assert(all.getLong(0) == 9000L && all.getLong(2) == 0L)
+    val mid = spark.sql(
+      s"SELECT * FROM graft_count('$dir', 'id BETWEEN 3000 AND 5999')")
+      .head()
+    assert(mid.getLong(0) == 3000L)
+    assert(mid.getInt(4) == 1, "prunable predicate must count exactly")
+    assert(mid.getLong(2) < mid.getLong(3), "straddlers only")
+    val odd = spark.sql(
+      s"SELECT * FROM graft_count('$dir', 'id % 2 = 1')").head()
+    assert(odd.getLong(0) == 4500L && odd.getInt(4) == 0)
+  }
 }
