@@ -1070,6 +1070,46 @@ object SparkEntry {
           max(col("o_orderkey")).as("max_k"))
     },
 
+    "e21_chat_stream" -> { (s, d) =>
+      // NESTED schemas through the lake streaming source: a chat-shaped
+      // table (array<struct<role,content>> + map metadata — the
+      // training-data shape) streams through graft-lake's DSv2 reader
+      // bit-equal to the batch read. Two appends drain under
+      // AvailableNow; the nested-field aggregates replay closed-form
+      // against `documents` — a dropped element, mangled struct field,
+      // or lost map entry breaks the sums.
+      val root = java.nio.file.Files.createTempDirectory("graft_e21")
+        .toString
+      val dir = root + "/table"
+      val docs = t(s, d, "documents").select(
+        col("doc_id"),
+        array(
+          struct(lit("user").as("role"),
+            substring(col("text"), 1, 40).as("content")),
+          struct(lit("assistant").as("role"),
+            col("lang").as("content"))).as("msgs"),
+        map(lit("source"), col("source")).as("meta"),
+        col("n_chars"))
+      graft.operators.TableLog.append(
+        docs.filter(col("doc_id") % 2 === 0), dir)
+      graft.operators.TableLog.append(
+        docs.filter(col("doc_id") % 2 === 1), dir)
+      val q = s.readStream.format("graft-lake").load(dir)
+        .writeStream.format("parquet").option("path", root + "/sink")
+        .option("checkpointLocation", root + "/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(root + "/sink")
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("msgs").getItem(0).getField("content")))
+            .as("sum_q_len"),
+          countDistinct(col("msgs").getItem(1).getField("content"))
+            .as("n_langs"),
+          countDistinct(col("meta").getItem("source")).as("n_sources"),
+          sum(col("n_chars")).as("sum_chars"))
+    },
+
     "k31_check_constraints" -> { (s, d) =>
       // CHECK constraints (TableLog.addCheck — the Delta ALTER TABLE ADD
       // CONSTRAINT shape): the constraint validates existing data when
@@ -10095,6 +10135,16 @@ object SparkEntry {
            TRUE AS rg_pruned
          FROM documents, b
          WHERE doc_id BETWEEN b.lo AND b.hi""",
+
+    // chat-stream replay: the whole documents-derived nested table (two
+    // appends, each row exactly once) aggregated over the nested fields
+    "e21_chat_stream" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(length(substr(text, 1, 40))) AS BIGINT) AS sum_q_len,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM documents""",
 
     // DV-selective replay: the slice minus its two smallest keys (the
     // vectored deletes); the flag pins that the DV'd file still pruned

@@ -972,6 +972,49 @@ object Stress {
       }
     }
 
+    if (sec("r13")) {
+      val rgOpts = Map("parquet.block.size" -> "262144",
+        "parquet.page.size" -> "65536")
+      time("persisted rg-index (40 files, 10M rows, 0-footer plans)") {
+        // the round-13 sidecar contract at file-count scale: 40 appended
+        // files, ONE computeRowGroupIndex, then declarative reads and
+        // metadata counts must plan with ZERO index footer opens and
+        // stay exact — through an OPTIMIZE rewrite (auto top-up) too
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_stress_rgidx").toString + "/t"
+        (0 until 40).foreach(i => graft.operators.TableLog.append(
+          spark.range(i * 250000L, (i + 1) * 250000L)
+            .select(col("id").as("k"), (col("id") * 3L).as("v"))
+            .coalesce(1), dir, options = rgOpts))
+        graft.operators.TableLog.computeRowGroupIndex(spark, dir)
+        def opens[T](f: => T): (T, Long) = {
+          val b = graft.operators.RowGroupScan.indexFooterOpens.sum()
+          val r = f
+          (r, graft.operators.RowGroupScan.indexFooterOpens.sum() - b)
+        }
+        val ((r1, s1), o1) = opens(graft.operators.LakeSelect.readWhere(
+          spark, dir, "k BETWEEN 5000000 AND 5001000"))
+        require(o1 == 0L, s"sidecar-served read opened $o1 footers")
+        require(s1.rgOpened * 10 < s1.rgTotal && r1.count() == 1001L,
+          s"$s1")
+        val ((cnt, cs), o2) = opens(graft.operators.LakeSelect
+          .countWhere(spark, dir, "k >= 2500000"))
+        require(o2 == 0L && cnt == 7500000L && cs.exact,
+          s"meta count: $cnt, $cs, opens $o2")
+        require(cs.scannedRgs <= 1L,
+          s"aligned count must not scan: ${cs.scannedRgs}")
+        graft.operators.TableLog.optimize(spark, dir,
+          maxRows = 2500000L, clusterBy = Seq("k"))
+        val ((r3, s3), o3) = opens(graft.operators.LakeSelect.readWhere(
+          spark, dir, "k BETWEEN 5000000 AND 5001000"))
+        require(o3 == 0L,
+          s"post-OPTIMIZE read opened $o3 footers (top-up broken)")
+        require(r3.count() == 1001L && s3.rgOpened < s3.rgTotal, s"$s3")
+        println(s"    pre-opt ${s1.rgOpened}/${s1.rgTotal} rgs, " +
+          s"post-opt ${s3.rgOpened}/${s3.rgTotal} rgs, 0 footer opens")
+      }
+    }
+
     val sentinelPost = Bench.sentinelMtMs()
     val total = results.values.sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

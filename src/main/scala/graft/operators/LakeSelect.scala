@@ -59,7 +59,7 @@ object LakeSelect {
 
   /** What a [[readWhere]] actually did — for plan assertions and ops
     * introspection. `strategy` ∈ point_lookup | rowgroup_multi |
-    * rowgroup_in | rowgroup_range | full_scan. */
+    * rowgroup_in | rowgroup_range | rowgroup_null | full_scan. */
   final case class Stats(strategy: String, column: Option[String],
       rgOpened: Long, rgTotal: Long, filesOpened: Int, filesTotal: Int)
 
@@ -75,6 +75,8 @@ object LakeSelect {
     extends Constraint
   private[operators] final case class Range(lo: Option[Any],
       hi: Option[Any], hiExcl: Boolean = false) extends Constraint
+  private[operators] final case class NullC(isNull: Boolean)
+    extends Constraint
 
   /** Read `dir` filtered by `predicate` (any Spark SQL boolean
     * expression over the table's columns), routed through the most
@@ -148,6 +150,7 @@ object LakeSelect {
         val cons = rgConstraints.head
         val label = cons match {
           case _: TableLog.NumIn | _: TableLog.StrIn => "rowgroup_in"
+          case _: TableLog.NullCheck => "rowgroup_null"
           case _ => "rowgroup_range"
         }
         val (df, rgo, rgt, fo, ft) = TableLog.readRowGroupPrunedMulti(
@@ -238,6 +241,8 @@ object LakeSelect {
         if (isDateCol(c))
           Some(TableLog.NumIn(c, e.values.map(day)))
         else { lossless = false; None }
+      case (c, NullC(isNull)) =>
+        Some(TableLog.NullCheck(c, isNull))
       case (c, r: Range) =>
         val bs = r.lo.toSeq ++ r.hi.toSeq
         if (bs.isEmpty) { lossless = false; None }
@@ -444,6 +449,10 @@ object LakeSelect {
             if (vs.forall(_.isDefined) && vs.nonEmpty)
               Some((c, EqIn(vs.map(_.get)))) else None
           }
+        case IsNull(a) =>
+          colName(a).map(c => (c, NullC(isNull = true)))
+        case IsNotNull(a) =>
+          colName(a).map(c => (c, NullC(isNull = false)))
         case GreaterThanOrEqual(a, l: Literal) =>
           for (c <- colName(a); v <- litVal(l))
             yield (c, Range(Some(v), None))
@@ -473,9 +482,12 @@ object LakeSelect {
       if (got.isEmpty) exact = false
       got
     }
+    // null checks ride beside the valued constraints (k IS NOT NULL AND
+    // k > 5 contributes BOTH conjuncts to the intersection)
+    val (nullChecks, valued) = raw.partition(_._2.isInstanceOf[NullC])
     // merge per column: ranges intersect; equality values FILTER by the
     // merged range (k = 5 AND k < 3 → empty probe set), staying exact
-    val merged = raw.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, cs) =>
+    val merged = valued.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, cs) =>
       val eqs = cs.collect { case (_, e: EqIn) => e }
       val ranges = cs.collect { case (_, r: Range) => r }
       def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
@@ -531,7 +543,7 @@ object LakeSelect {
         }
       }
     }
-    (merged, exact)
+    (merged ++ nullChecks.distinct, exact)
   }
 
   /** UTF-8 byte-order comparison — the order parquet string stats and

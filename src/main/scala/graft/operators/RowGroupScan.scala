@@ -186,6 +186,9 @@ object RowGroupScan {
         col("smin").isNotNull && col("smax").isNotNull &&
           !exists(lit(vs.toArray),
             v => col("smin") <= v && v <= col("smax"))
+      case TableLog.NullCheck(_, isNull) =>
+        if (isNull) col("n_nulls") === 0L // no nulls → IS NULL disproven
+        else col("n_nulls") === col("n_rows") // all null → no non-null
     }
   }
 
@@ -219,6 +222,9 @@ object RowGroupScan {
         col("dtype") === "string" && col("n_nulls") === 0L &&
           col("smin").isNotNull && col("smin") === col("smax") &&
           array_contains(lit(vs.toArray), col("smin"))
+      case TableLog.NullCheck(_, isNull) =>
+        if (isNull) col("n_nulls") === col("n_rows")
+        else col("n_nulls") === 0L
     }
   }
 
@@ -230,7 +236,8 @@ object RowGroupScan {
     * rows, and the driver collects ONLY the kept slices plus the total
     * group count. Caller should have the index persisted (two jobs). */
   private[operators] def prunePairs(spark: SparkSession, wide: DataFrame,
-      constraints: Seq[TableLog.RgConstraint]): (Seq[RgSlice], Long) = {
+      constraints: Seq[TableLog.RgConstraint],
+      withStarts: Boolean = true): (Seq[RgSlice], Long) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{coalesce, col, collect_list,
       count, first, lit, max, struct, sum, when}
@@ -245,10 +252,16 @@ object RowGroupScan {
     val rej = constraints.indices.map(i => col(s"__rej$i"))
       .reduceOption(_ + _).map(_ > 0)
       .getOrElse(lit(false))
+    // file-ordinal start offsets exist to rebase DELETION-VECTOR
+    // positions; a snapshot without vectors skips the window (one fewer
+    // shuffle per read)
     val w = Window.partitionBy("file").orderBy("rg")
       .rowsBetween(Window.unboundedPreceding, -1)
+    val startCol =
+      if (withStarts) coalesce(sum(col("n_rows")).over(w), lit(0L))
+      else lit(0L)
     val pairs = pairs0
-      .withColumn("__start", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+      .withColumn("__start", startCol)
       .withColumn("__rej", rej)
     // ONE action: total group count + the kept slices gathered through
     // collect_list (when() without otherwise emits null on rejects and
@@ -793,20 +806,86 @@ object RowGroupScan {
     }
   }
 
-  /** [[primitiveConverter]]'s CATALYST twin: values in InternalRow
+  /** [[fieldConverter]]'s CATALYST twin: values in InternalRow
     * representation (UTF8String, epoch-day ints, micros longs,
-    * sql.types.Decimal) — what a DataSource-v2 PartitionReader emits
-    * ([[graft.sources.LakeStreamProvider]]) without dragging encoder
-    * machinery onto the executors. Flat scalars only (the stream
-    * source's contract). */
+    * sql.types.Decimal, GenericArrayData / ArrayBasedMapData /
+    * GenericInternalRow for the nested shapes) — what a DataSource-v2
+    * PartitionReader emits ([[graft.sources.LakeStreamProvider]])
+    * without dragging encoder machinery onto the executors. */
   private[graft] def catalystConverter(t: org.apache.parquet.schema.Type,
+      idx: Int): org.apache.parquet.example.data.Group => Any =
+    if (t.isPrimitive) catalystPrimitive(t, idx)
+    else {
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData,
+        GenericArrayData}
+      val gt = t.asGroupType()
+      t.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
+          val rep = listRepeated(gt)
+          val ec = catalystConverter(rep.getType(0), 0)
+          g => {
+            val lg = g.getGroup(idx, 0)
+            val n = lg.getFieldRepetitionCount(0)
+            val out = new Array[Any](n)
+            var i = 0
+            while (i < n) {
+              val entry = lg.getGroup(0, i)
+              out(i) =
+                if (entry.getFieldRepetitionCount(0) == 0) null
+                else ec(entry)
+              i += 1
+            }
+            new GenericArrayData(out)
+          }
+        case _: LogicalTypeAnnotation.MapLogicalTypeAnnotation =>
+          val kv = mapKeyValue(gt)
+          val kc = catalystConverter(kv.getType(0), 0)
+          val vc = catalystConverter(kv.getType(1), 1)
+          g => {
+            val mg = g.getGroup(idx, 0)
+            val n = mg.getFieldRepetitionCount(0)
+            val ks = new Array[Any](n)
+            val vs = new Array[Any](n)
+            var i = 0
+            while (i < n) {
+              val e = mg.getGroup(0, i)
+              ks(i) = kc(e)
+              vs(i) = if (e.getFieldRepetitionCount(1) == 0) null
+                      else vc(e)
+              i += 1
+            }
+            new ArrayBasedMapData(new GenericArrayData(ks),
+              new GenericArrayData(vs))
+          }
+        case _ => // plain group = struct
+          requireStruct(t)
+          val convs = Array.tabulate(gt.getFieldCount)(j =>
+            catalystConverter(gt.getType(j), j))
+          g => {
+            val sg = g.getGroup(idx, 0)
+            val vals = new Array[Any](gt.getFieldCount)
+            var j = 0
+            while (j < gt.getFieldCount) {
+              vals(j) =
+                if (sg.getFieldRepetitionCount(j) == 0) null
+                else convs(j)(sg)
+              j += 1
+            }
+            new GenericInternalRow(vals)
+          }
+      }
+    }
+
+  private def catalystPrimitive(t: org.apache.parquet.schema.Type,
       idx: Int): org.apache.parquet.example.data.Group => Any = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.LogicalTypeAnnotation._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.Type.Repetition
-    require(t.isPrimitive && t.getRepetition != Repetition.REPEATED,
-      s"row-group scan supports flat scalar schemas only: $t")
+    require(t.getRepetition != Repetition.REPEATED,
+      s"row-group scan: legacy 2-level repeated field unsupported: $t")
     val p = t.asPrimitiveType()
     val ann = p.getLogicalTypeAnnotation
     p.getPrimitiveTypeName match {

@@ -831,6 +831,10 @@ object TableLog {
       hi: Option[String], hiExcl: Boolean = false) extends RgConstraint
   final case class StrIn(column: String, values: Seq[String])
     extends RgConstraint
+  /** `col IS [NOT] NULL` — pruned (and exactly counted) from the
+    * index's per-group null counts alone, any column type. */
+  final case class NullCheck(column: String, isNull: Boolean)
+    extends RgConstraint
 
   /** MULTI-constraint row-group pruning: every constraint's disproof is
     * a Column filter over ONE wide index, the per-(file, row-group)
@@ -870,7 +874,7 @@ object TableLog {
     try {
       val unionCols = unionColsCached(dir, snap, fileSubset, wide)
       val (slices, total) = RowGroupScan.prunePairs(spark, wide,
-        constraints)
+        constraints, withStarts = files.exists(snap.dvs.contains))
       val dvRel = snap.dvs.keySet
       val (dvSlices, cleanSlices) = slices.partition(s =>
         dvRel.contains(s.file.stripPrefix(prefix)))
@@ -1076,10 +1080,13 @@ object TableLog {
         .partitionBy("file").orderBy("rg")
         .rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, -1)
+      val startCol =
+        if (dvAbs.isEmpty) lit(0L) // starts only rebase DV positions
+        else org.apache.spark.sql.functions
+          .coalesce(sum(col("n_rows")).over(w), lit(0L))
       val pairs = pairs0
         .join(dvDf, Seq("file"), "left")
-        .withColumn("__start", org.apache.spark.sql.functions
-          .coalesce(sum(col("n_rows")).over(w), lit(0L)))
+        .withColumn("__start", startCol)
         .withColumn("__rej", rej)
         .withColumn("__full", isFull && col("__isdv").isNull)
       // ONE action classifies every group: meta-provable row sum, total

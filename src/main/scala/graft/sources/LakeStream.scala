@@ -44,9 +44,11 @@ import graft.operators.{RowGroupScan, TableLog}
   * Scale: planning is driver-side log-json diffing — O(files-per-commit)
   * strings per micro-batch, never data bytes. Each added file is one
   * input partition; executors read their file's pages directly through
-  * the [[graft.operators.RowGroupScan]] converters (flat scalar schemas;
-  * schema-evolved files fill missing trailing columns with nulls), no
-  * SparkSession or encoder machinery on the reader path. Vacuuming a
+  * the [[graft.operators.RowGroupScan]] converters (scalars plus the
+  * nested 3-level LIST/MAP and struct shapes — chat-shaped training
+  * tables stream as-is; schema-evolved files fill missing trailing
+  * columns with nulls), no SparkSession or encoder machinery on the
+  * reader path. Vacuuming a
   * version the stream has not consumed yet fails the replay loudly
   * rather than dropping rows. */
 class LakeStreamProvider extends TableProvider with DataSourceRegister {

@@ -52,6 +52,34 @@ class LakeStreamSpec extends AnyFunSuite {
     assert(ids() == Seq(1L, 2L, 3L, 4L), "restart must emit ONLY v4")
   }
 
+  test("nested columns (array<struct>, map) stream bit-equal to the " +
+    "batch read — the chat-shaped training table") {
+    val root = base()
+    val dir = root + "/t"
+    val df = spark.range(500).selectExpr(
+      "id as k",
+      "array(named_struct('role', 'user', 'content', concat('q', id))," +
+        " named_struct('role', 'assistant', 'content', concat('a', id)))" +
+        " as msgs",
+      "map('lang', concat('l', id % 3)) as meta")
+    TableLog.append(df, dir)
+    TableLog.append(
+      spark.range(500L, 700L).selectExpr(
+        "id as k",
+        "array(named_struct('role', 'user', 'content', concat('q', id)))" +
+          " as msgs",
+        "cast(null as map<string,string>) as meta"),
+      dir)
+    val sink = drain(dir, root)
+    val got = spark.read.parquet(sink)
+      .selectExpr("k", "msgs[0].content", "size(msgs)", "meta['lang']")
+      .orderBy("k").collect()
+    val want = TableLog.read(spark, dir)
+      .selectExpr("k", "msgs[0].content", "size(msgs)", "meta['lang']")
+      .orderBy("k").collect()
+    assert(got.length == 700 && got.toSeq == want.toSeq)
+  }
+
   test("change commits fail loudly; skipChangeCommits streams around " +
     "them") {
     val root = base()

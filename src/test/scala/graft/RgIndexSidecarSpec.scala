@@ -220,10 +220,12 @@ class RgIndexSidecarSpec extends AnyFunSuite {
     assert(rows.length == 201)
     assert(rows.take(100).forall(_.isNullAt(1)), "old files null-fill")
     assert(rows.last.getString(1) == "t3100")
-    // declarative read over the evolved table
+    // declarative read over the evolved table: the range AND the null
+    // check both prune (evolved-away columns keep conservatively on the
+    // old files, reject the no-null new-file groups)
     val (got, st) = LakeSelect.readWhere(spark, dir,
       "k BETWEEN 2900 AND 3100 AND tag IS NULL")
-    assert(st.strategy == "rowgroup_range")
+    assert(st.strategy == "rowgroup_multi")
     assert(got.count() == 100L)
   }
 
@@ -326,6 +328,37 @@ class RgIndexSidecarSpec extends AnyFunSuite {
     assert(st.exact)
     assert(n == TableLog.read(spark, dir)
       .where("substr(day, 1, 7) = '2024-03'").count())
+  }
+
+  test("IS NULL / IS NOT NULL prune and COUNT from the index's null " +
+    "counts alone") {
+    val dir = tmp("rgnl")
+    // m is null for the whole first key-block: sorted row groups are
+    // all-null or no-null except the boundary straddler
+    TableLog.append(
+      spark.range(12000).selectExpr("id as k",
+        "case when id < 3000 then null else id end as m"),
+      dir, options = smallRg)
+    TableLog.computeRowGroupIndex(spark, dir)
+    val (got, st) = LakeSelect.readWhere(spark, dir, "m IS NOT NULL")
+    assert(st.strategy == "rowgroup_null", s"$st")
+    assert(st.rgOpened < st.rgTotal, s"must prune all-null groups: $st")
+    assert(got.count() == 9000L)
+    val (gotN, stN) = LakeSelect.readWhere(spark, dir, "m IS NULL")
+    assert(stN.rgOpened < stN.rgTotal)
+    assert(gotN.count() == 3000L)
+    // exact metadata counting off null stats
+    val (n1, c1) = LakeSelect.countWhere(spark, dir, "m IS NULL")
+    assert(n1 == 3000L && c1.exact && c1.metaRows > 0L &&
+      c1.scannedRgs < c1.rgTotal)
+    val (n2, c2) = LakeSelect.countWhere(spark, dir,
+      "m IS NOT NULL AND k >= 6000")
+    assert(n2 == 6000L && c2.exact)
+    // composes with a range conjunct into one intersected scan
+    val (got3, st3) = LakeSelect.readWhere(spark, dir,
+      "m IS NULL AND k < 100")
+    assert(st3.strategy == "rowgroup_multi")
+    assert(got3.count() == 100L)
   }
 
   test("scale shape: a narrow read over a many-row-group table keeps " +
