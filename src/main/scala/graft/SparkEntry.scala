@@ -1268,6 +1268,52 @@ object SparkEntry {
         lit(mod.getInt(4) == 0).as("mod_inexact"))
     },
 
+    "sql16_or_not_routing" -> { (s, d) =>
+      // DISJUNCTION and NEGATION routing (round-12 verdict gap #5: "OR
+      // across columns, NOT ... ride to full_scan"): a two-island OR
+      // prunes as an RgOr (a row group survives only if SOME branch
+      // might match), NOT inverts comparisons three-valued-safely, and
+      // De Morgan splits ¬(A ∨ B) into two prunable conjuncts. All
+      // three replay closed-form; the flags pin the routing and the
+      // pruning.
+      val dir = java.nio.file.Files.createTempDirectory("graft_sql16")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.append(
+        o.repartitionByRange(2, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        dir, options = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).first()
+      val lo = b.getLong(0)
+      val span = b.getLong(1) - lo
+      val (a1, a2) = (lo + span / 16, lo + span / 8) // island 1
+      val (b1, b2) = (lo + span * 6 / 8, lo + span * 7 / 8) // island 2
+      val (orDf, orSt) = graft.operators.LakeSelect.readWhere(s, dir,
+        s"o_orderkey BETWEEN $a1 AND $a2 OR " +
+          s"o_orderkey BETWEEN $b1 AND $b2")
+      val (notDf, notSt) = graft.operators.LakeSelect.readWhere(s, dir,
+        s"NOT (o_orderkey > $a2)")
+      val (dmDf, dmSt) = graft.operators.LakeSelect.readWhere(s, dir,
+        s"NOT (o_orderkey < $b1 OR o_orderkey >= $b2)")
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)),
+          coalesce(sum("price_cents"), lit(0L))).first()
+      val (oa, na, da) = (aggOf(orDf), aggOf(notDf), aggOf(dmDf))
+      s.range(1).select(
+        lit(oa.getLong(0)).as("n_or"), lit(oa.getLong(1)).as("cents_or"),
+        lit(na.getLong(0)).as("n_not"),
+        lit(na.getLong(1)).as("cents_not"),
+        lit(da.getLong(0)).as("n_dm"), lit(da.getLong(1)).as("cents_dm"),
+        lit(orSt.strategy == "rowgroup_or" &&
+          orSt.rgOpened < orSt.rgTotal).as("or_routed"),
+        lit(notSt.strategy == "rowgroup_range" &&
+          notSt.rgOpened < notSt.rgTotal).as("not_routed"),
+        lit(dmSt.strategy == "rowgroup_range" &&
+          dmSt.rgOpened < dmSt.rgTotal).as("demorgan_routed"))
+    },
+
     "sql11_lake_sql" -> { (s, d) =>
       // the lakehouse introspection surface from SQL TEXT: DESCRIBE
       // HISTORY and the change feed as table functions
@@ -10211,6 +10257,37 @@ object SparkEntry {
             WHERE o_orderkey % 3 = 0) AS n_mod,
            TRUE AS all_meta, TRUE AS range_straddle_only,
            TRUE AS mod_inexact""",
+
+    // OR/NOT routing replay: the two-island disjunction, the inverted
+    // comparison, and the De-Morganed band as plain full scans
+    "sql16_or_not_routing" ->
+      s"""WITH b AS (
+           SELECT MIN(o_orderkey) AS lo,
+             MAX(o_orderkey) - MIN(o_orderkey) AS span
+           FROM orders),
+         p AS (SELECT lo + span // 16 AS a1, lo + span // 8 AS a2,
+             lo + span * 6 // 8 AS b1, lo + span * 7 // 8 AS b2
+           FROM b)
+         SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, p
+            WHERE o_orderkey BETWEEN p.a1 AND p.a2
+               OR o_orderkey BETWEEN p.b1 AND p.b2) AS n_or,
+           (SELECT COALESCE(CAST(SUM(${centsSql("o_totalprice")})
+              AS BIGINT), 0) FROM orders, p
+            WHERE o_orderkey BETWEEN p.a1 AND p.a2
+               OR o_orderkey BETWEEN p.b1 AND p.b2) AS cents_or,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, p
+            WHERE NOT (o_orderkey > p.a2)) AS n_not,
+           (SELECT COALESCE(CAST(SUM(${centsSql("o_totalprice")})
+              AS BIGINT), 0) FROM orders, p
+            WHERE NOT (o_orderkey > p.a2)) AS cents_not,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, p
+            WHERE o_orderkey >= p.b1 AND o_orderkey < p.b2) AS n_dm,
+           (SELECT COALESCE(CAST(SUM(${centsSql("o_totalprice")})
+              AS BIGINT), 0) FROM orders, p
+            WHERE o_orderkey >= p.b1 AND o_orderkey < p.b2) AS cents_dm,
+           TRUE AS or_routed, TRUE AS not_routed,
+           TRUE AS demorgan_routed""",
 
     // point-lookup replay: the same three derived keys as an IN-list
     // full scan; rg_pruned/file_pruned pin the composed index path

@@ -77,6 +77,8 @@ object LakeSelect {
       hi: Option[Any], hiExcl: Boolean = false) extends Constraint
   private[operators] final case class NullC(isNull: Boolean)
     extends Constraint
+  private[operators] final case class OrC(
+      branches: Seq[(String, Constraint)]) extends Constraint
 
   /** Read `dir` filtered by `predicate` (any Spark SQL boolean
     * expression over the table's columns), routed through the most
@@ -151,6 +153,7 @@ object LakeSelect {
         val label = cons match {
           case _: TableLog.NumIn | _: TableLog.StrIn => "rowgroup_in"
           case _: TableLog.NullCheck => "rowgroup_null"
+          case _: TableLog.RgOr => "rowgroup_or"
           case _ => "rowgroup_range"
         }
         val (df, rgo, rgt, fo, ft) = TableLog.readRowGroupPrunedMulti(
@@ -229,35 +232,45 @@ object LakeSelect {
     def isDateCol(c: String): Boolean = s.get(c).contains(DateType)
     def day(v: Any): Long =
       v.asInstanceOf[java.time.LocalDate].toEpochDay
-    val out = constraints.flatMap {
-      case (c, e: EqIn) if e.values.nonEmpty &&
-          e.values.forall(_.isInstanceOf[Long]) =>
-        Some(TableLog.NumIn(c, e.values.map(_.asInstanceOf[Long])))
-      case (c, e: EqIn) if e.values.nonEmpty &&
-          e.values.forall(_.isInstanceOf[String]) =>
-        Some(TableLog.StrIn(c, e.values.map(_.asInstanceOf[String])))
-      case (c, e: EqIn) if e.values.nonEmpty &&
-          e.values.forall(_.isInstanceOf[java.time.LocalDate]) =>
-        if (isDateCol(c))
-          Some(TableLog.NumIn(c, e.values.map(day)))
-        else { lossless = false; None }
-      case (c, NullC(isNull)) =>
-        Some(TableLog.NullCheck(c, isNull))
-      case (c, r: Range) =>
-        val bs = r.lo.toSeq ++ r.hi.toSeq
-        if (bs.isEmpty) { lossless = false; None }
-        else if (bs.forall(_.isInstanceOf[Long]))
-          Some(TableLog.NumRange(c, r.lo.map(_.asInstanceOf[Long]),
-            r.hi.map(_.asInstanceOf[Long])))
-        else if (bs.forall(_.isInstanceOf[String]))
-          Some(TableLog.StrRange(c, r.lo.map(_.asInstanceOf[String]),
-            r.hi.map(_.asInstanceOf[String]), r.hiExcl))
-        else if (bs.forall(_.isInstanceOf[java.time.LocalDate]) &&
-            isDateCol(c))
-          Some(TableLog.NumRange(c, r.lo.map(day), r.hi.map(day)))
-        else { lossless = false; None }
-      case _ => lossless = false; None
-    }
+    def lower(p: (String, Constraint)): Option[TableLog.RgConstraint] =
+      p match {
+        case (c, e: EqIn) if e.values.nonEmpty &&
+            e.values.forall(_.isInstanceOf[Long]) =>
+          Some(TableLog.NumIn(c, e.values.map(_.asInstanceOf[Long])))
+        case (c, e: EqIn) if e.values.nonEmpty &&
+            e.values.forall(_.isInstanceOf[String]) =>
+          Some(TableLog.StrIn(c, e.values.map(_.asInstanceOf[String])))
+        case (c, e: EqIn) if e.values.nonEmpty &&
+            e.values.forall(_.isInstanceOf[java.time.LocalDate]) =>
+          if (isDateCol(c))
+            Some(TableLog.NumIn(c, e.values.map(day)))
+          else { lossless = false; None }
+        case (c, NullC(isNull)) =>
+          Some(TableLog.NullCheck(c, isNull))
+        case (_, OrC(bs)) =>
+          // every branch must lower, or the whole disjunction drops —
+          // a partially-expressible OR cannot prune (the missing branch
+          // could match anywhere)
+          val lbs = bs.map(lower)
+          if (lbs.exists(_.isEmpty) || lbs.isEmpty) {
+            lossless = false; None
+          } else Some(TableLog.RgOr(lbs.flatten))
+        case (c, r: Range) =>
+          val bs = r.lo.toSeq ++ r.hi.toSeq
+          if (bs.isEmpty) { lossless = false; None }
+          else if (bs.forall(_.isInstanceOf[Long]))
+            Some(TableLog.NumRange(c, r.lo.map(_.asInstanceOf[Long]),
+              r.hi.map(_.asInstanceOf[Long])))
+          else if (bs.forall(_.isInstanceOf[String]))
+            Some(TableLog.StrRange(c, r.lo.map(_.asInstanceOf[String]),
+              r.hi.map(_.asInstanceOf[String]), r.hiExcl))
+          else if (bs.forall(_.isInstanceOf[java.time.LocalDate]) &&
+              isDateCol(c))
+            Some(TableLog.NumRange(c, r.lo.map(day), r.hi.map(day)))
+          else { lossless = false; None }
+        case _ => lossless = false; None
+      }
+    val out = constraints.flatMap(lower)
     (out, lossless)
   }
 
@@ -293,6 +306,8 @@ object LakeSelect {
     def inexact[A](a: A): A = { exact = false; a }
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case Not(Or(a, b)) => // De Morgan: ¬(A ∨ B) = ¬A ∧ ¬B
+        conjuncts(Not(a)) ++ conjuncts(Not(b))
       case x => Seq(x)
     }
     def litVal(l: Literal): Option[Any] = l.value match {
@@ -399,9 +414,46 @@ object LakeSelect {
         case _ => None
       }
 
-    val raw = conjuncts(parsed).flatMap { cj =>
-      val got: Option[(String, Constraint)] = cj match {
-        case o: Or => orAsIn(o)
+    // ¬ rewriting (three-valued-logic safe under WHERE: ¬(k > 5) and
+    // k <= 5 select the same rows — both drop NULLs): comparisons flip,
+    // null checks toggle, De Morgan splits, BETWEEN opens out
+    def invertNot(x: Expression): Option[Expression] = x match {
+      case Not(inner) => Some(inner) // double negation
+      case GreaterThan(a, b) => Some(LessThanOrEqual(a, b))
+      case GreaterThanOrEqual(a, b) => Some(LessThan(a, b))
+      case LessThan(a, b) => Some(GreaterThanOrEqual(a, b))
+      case LessThanOrEqual(a, b) => Some(GreaterThan(a, b))
+      case IsNull(a) => Some(IsNotNull(a))
+      case IsNotNull(a) => Some(IsNull(a))
+      case And(a, b) => Some(Or(Not(a), Not(b)))
+      case f if isFn(f, "between") && fnArgs(f).size == 3 =>
+        val as = fnArgs(f)
+        Some(Or(LessThan(as(0), as(1)), GreaterThan(as(0), as(2))))
+      case _ => None
+    }
+    def one(cj: Expression): Option[(String, Constraint)] = cj match {
+      case o: Or => orAsIn(o).orElse(orAcross(o))
+      case Not(x) => invertNot(x).flatMap(one)
+      case other => oneSimple(other)
+    }
+    // a disjunction whose EVERY flattened leaf is index-expressible —
+    // possibly across columns (`a < 10 OR b = 'x'`) — prunes as an
+    // [[OrC]]: a group survives unless every branch is disproven
+    def orAcross(o: Or): Option[(String, Constraint)] = {
+      def leaves(x: Expression): Seq[Expression] = x match {
+        case Or(a, b) => leaves(a) ++ leaves(b)
+        case l => Seq(l)
+      }
+      val bs = leaves(o).map {
+        case Not(x) => invertNot(x).flatMap(oneSimple)
+        case l => oneSimple(l)
+      }
+      if (bs.exists(_.isEmpty) || bs.isEmpty) None
+      else Some((bs.flatten.map(_._1).distinct.sorted.mkString("|"),
+        OrC(bs.flatten)))
+    }
+    lazy val oneSimple: Expression => Option[(String, Constraint)] = {
+      cj => cj match {
         // BETWEEN survives parsing as an unresolved 'between' function
         // call (the analyzer, which never runs on a bare
         // parseExpression, would rewrite it to >= AND <=)
@@ -479,12 +531,17 @@ object LakeSelect {
             yield inexact((c, Range(Some(v), None)))
         case _ => None
       }
+    }
+    val raw = conjuncts(parsed).flatMap { cj =>
+      val got = one(cj)
       if (got.isEmpty) exact = false
       got
     }
-    // null checks ride beside the valued constraints (k IS NOT NULL AND
-    // k > 5 contributes BOTH conjuncts to the intersection)
-    val (nullChecks, valued) = raw.partition(_._2.isInstanceOf[NullC])
+    // null checks and disjunctions ride beside the valued constraints
+    // (k IS NOT NULL AND k > 5 contributes BOTH conjuncts to the
+    // intersection; a disjunction is its own conjunct)
+    val (nullChecks, valued) = raw.partition(p =>
+      p._2.isInstanceOf[NullC] || p._2.isInstanceOf[OrC])
     // merge per column: ranges intersect; equality values FILTER by the
     // merged range (k = 5 AND k < 3 → empty probe set), staying exact
     val merged = valued.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, cs) =>

@@ -189,7 +189,65 @@ object RowGroupScan {
       case TableLog.NullCheck(_, isNull) =>
         if (isNull) col("n_nulls") === 0L // no nulls → IS NULL disproven
         else col("n_nulls") === col("n_rows") // all null → no non-null
+      case or: TableLog.RgOr => sys.error(
+        s"RgOr must be expanded before leaf evaluation: $or")
     }
+  }
+
+  /** Flag machinery shared by [[prunePairs]] and the metadata count:
+    * one (reject, full) flag pair per LEAF constraint folded in the
+    * per-(file, rg) aggregation, then boolean trees over the flags —
+    * a top-level conjunct disproves the group when its flag fires, a
+    * DISJUNCTION ([[TableLog.RgOr]]) only when EVERY branch's does
+    * (`a OR b` has no matching row iff neither side can match); dually
+    * a disjunction PROVES the group when any branch proves it. Returns
+    * (agg expressions, group-rejected, group-fully-matching). */
+  private[operators] def constraintFlags(
+      constraints: Seq[TableLog.RgConstraint])
+      : (Seq[Column], Column, Column) = {
+    import org.apache.spark.sql.functions.{col, lit, max, when}
+    def leavesOf(c: TableLog.RgConstraint): Seq[TableLog.RgConstraint] =
+      c match {
+        case TableLog.RgOr(bs) =>
+          bs.foreach {
+            case _: TableLog.RgOr =>
+              sys.error("nested RgOr unsupported (flatten the branches)")
+            case _ =>
+          }
+          bs
+        case x => Seq(x)
+      }
+    var next = 0
+    val topLeafIds: Seq[(TableLog.RgConstraint, Seq[Int])] =
+      constraints.map { c =>
+        val ls = leavesOf(c)
+        val ids = ls.indices.map(_ + next)
+        next += ls.size
+        (c, ids)
+      }
+    val leaves = constraints.flatMap(leavesOf)
+    val aggs = leaves.zipWithIndex.flatMap { case (l, i) =>
+      Seq(
+        max(when(col("column") === l.column && rejectCond(l), 1)
+          .otherwise(0)).as(s"__rej$i"),
+        max(when(col("column") === l.column && fullMatchCond(l), 1)
+          .otherwise(0)).as(s"__full$i"))
+    }
+    val rej = topLeafIds.map { case (c, ids) =>
+      c match {
+        case _: TableLog.RgOr =>
+          ids.map(i => col(s"__rej$i") === 1).reduce(_ && _)
+        case _ => col(s"__rej${ids.head}") === 1
+      }
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val full = topLeafIds.map { case (c, ids) =>
+      c match {
+        case _: TableLog.RgOr =>
+          ids.map(i => col(s"__full$i") === 1).reduce(_ || _)
+        case _ => col(s"__full${ids.head}") === 1
+      }
+    }.reduceOption(_ && _).getOrElse(lit(false))
+    (aggs, rej, full)
   }
 
   /** An index-row PROOF for one constraint: TRUE iff the bounds prove
@@ -225,6 +283,8 @@ object RowGroupScan {
       case TableLog.NullCheck(_, isNull) =>
         if (isNull) col("n_nulls") === col("n_rows")
         else col("n_nulls") === 0L
+      case or: TableLog.RgOr => sys.error(
+        s"RgOr must be expanded before leaf evaluation: $or")
     }
   }
 
@@ -242,16 +302,10 @@ object RowGroupScan {
     import org.apache.spark.sql.functions.{coalesce, col, collect_list,
       count, first, lit, max, struct, sum, when}
     val real = wide.filter(col("rg") >= 0)
-    val rejFlags = constraints.zipWithIndex.map { case (c, i) =>
-      max(when(col("column") === c.column && rejectCond(c), 1)
-        .otherwise(0)).as(s"__rej$i")
-    }
-    val aggs = first(col("n_rows")).as("n_rows") +: rejFlags
+    val (flagAggs, rej, _) = constraintFlags(constraints)
+    val aggs = first(col("n_rows")).as("n_rows") +: flagAggs
     val pairs0 = real.groupBy(col("file"), col("rg"))
       .agg(aggs.head, aggs.tail: _*)
-    val rej = constraints.indices.map(i => col(s"__rej$i"))
-      .reduceOption(_ + _).map(_ > 0)
-      .getOrElse(lit(false))
     // file-ordinal start offsets exist to rebase DELETION-VECTOR
     // positions; a snapshot without vectors skips the window (one fewer
     // shuffle per read)

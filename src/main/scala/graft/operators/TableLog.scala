@@ -835,6 +835,13 @@ object TableLog {
     * index's per-group null counts alone, any column type. */
   final case class NullCheck(column: String, isNull: Boolean)
     extends RgConstraint
+  /** A DISJUNCTION of simple constraints, possibly across columns
+    * (`a < 10 OR b = 'x'`): a row group is disproven only when EVERY
+    * branch is, proven-full when ANY branch is. Branches must be
+    * non-[[RgOr]] leaves. */
+  final case class RgOr(branches: Seq[RgConstraint]) extends RgConstraint {
+    def column: String = branches.map(_.column).distinct.mkString("|")
+  }
 
   /** MULTI-constraint row-group pruning: every constraint's disproof is
     * a Column filter over ONE wide index, the per-(file, row-group)
@@ -918,7 +925,15 @@ object TableLog {
   private def unionColsCached(dir: String, snap: Snapshot,
       fileSubset: Option[Seq[String]], wide: DataFrame)
       : Seq[(String, String)] =
-    if (fileSubset.isDefined) RowGroupScan.unionColsOf(wide)
+    if (fileSubset.isDefined)
+      // a subset read (bloom-kept files) may REUSE the full snapshot's
+      // union — the scan null-fills columns a file lacks, so a wider
+      // schema stays correct (and keeps the output shape independent of
+      // the bloom outcome) — but a miss computes from the subset only
+      // (never open more footers than the read needs) and stays
+      // uncached
+      Option(unionColsMemo.get((dir, snap.version)))
+        .getOrElse(RowGroupScan.unionColsOf(wide))
     else {
       if (unionColsMemo.size > 512) unionColsMemo.clear()
       unionColsMemo.computeIfAbsent((dir, snap.version),
@@ -1052,24 +1067,13 @@ object TableLog {
     try {
       val unionCols = unionColsCached(dir, snap, None, wide)
       val real = wide.filter(col("rg") >= 0)
-      val rejFlags = constraints.zipWithIndex.map { case (c, i) =>
-        max(when(col("column") === c.column &&
-          RowGroupScan.rejectCond(c), 1).otherwise(0)).as(s"__rej$i")
-      }
-      val fullFlags = constraints.zipWithIndex.map { case (c, i) =>
-        max(when(col("column") === c.column &&
-          RowGroupScan.fullMatchCond(c), 1).otherwise(0)).as(s"__full$i")
-      }
-      val aggs = (first(col("n_rows")).as("n_rows") +: rejFlags) ++
-        fullFlags
+      val (flagAggs, rej, fullCol) =
+        RowGroupScan.constraintFlags(constraints)
+      val aggs = first(col("n_rows")).as("n_rows") +: flagAggs
       val pairs0 = real.groupBy(col("file"), col("rg"))
         .agg(aggs.head, aggs.tail: _*)
-      val rej = constraints.indices.map(i => col(s"__rej$i"))
-        .reduceOption(_ + _).map(_ > 0).getOrElse(lit(false))
       val isFull =
-        if (!exact || constraints.isEmpty) lit(false)
-        else constraints.indices.map(i => col(s"__full$i") === 1)
-          .reduce(_ && _)
+        if (!exact || constraints.isEmpty) lit(false) else fullCol
       // DV files can never meta-count (deleted rows are invisible to
       // footer stats) — their non-rejected groups always scan
       val dvAbs = snap.dvs.keySet.toSeq.sorted.map(prefix + _)

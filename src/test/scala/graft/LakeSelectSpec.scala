@@ -99,11 +99,37 @@ class LakeSelectSpec extends AnyFunSuite {
     expectSame(dir, "k = 5 OR k = 9000", "rowgroup_in", prunes = true)
     expectSame(dir, "k = 5 OR 9000 = k OR k = 5", "rowgroup_in",
       prunes = true)
-    // OR across columns or over non-equalities stays a full scan
-    expectSame(dir, "k = 5 OR v = 3", "full_scan", prunes = false)
-    expectSame(dir, "k = 5 OR k > 100", "full_scan", prunes = false)
+    // OR across columns (or over non-equalities) prunes as a
+    // DISJUNCTION when every branch is index-expressible: a group
+    // survives unless all branches are disproven
+    expectSame(dir, "k = 5 OR v = 3", "rowgroup_or", prunes = false)
+    expectSame(dir, "k = 5 OR k > 100", "rowgroup_or", prunes = false)
+    // a branch that is NOT expressible drops the whole disjunction
+    expectSame(dir, "k = 5 OR v % 7 = 3", "full_scan", prunes = false)
     expectSame(dir, "v % 7 = 3", "full_scan", prunes = false)
     expectSame(dir, "k + 1 = 10", "full_scan", prunes = false)
+  }
+
+  test("disjunctions prune when both branches reject; NOT inverts " +
+    "comparisons and De Morgan splits") {
+    val dir = freshTable(withBloom = false)
+    // two narrow k-islands: every group outside both ranges rejects
+    val (got, st) = LakeSelect.readWhere(spark, dir,
+      "k BETWEEN 100 AND 110 OR k BETWEEN 15000 AND 15010")
+    assert(st.strategy == "rowgroup_or", s"$st")
+    assert(st.rgOpened < st.rgTotal, s"no pruning: $st")
+    assert(got.count() == 22L)
+    // NOT over a comparison inverts exactly (three-valued safe)
+    expectSame(dir, "NOT (k > 100)", "rowgroup_range", prunes = true)
+    expectSame(dir, "NOT (k BETWEEN 100 AND 15900)", "rowgroup_or",
+      prunes = true)
+    // De Morgan: ¬(A ∨ B) becomes two prunable conjuncts (¬(tag = x)
+    // is a not-equal — unprunable — so use an invertible comparison)
+    expectSame(dir, "NOT (k < 15900 OR tag >= 'd-0100')",
+      "rowgroup_multi", prunes = true)
+    // ¬(A ∧ B) becomes a disjunction
+    expectSame(dir, "NOT (k >= 100 AND k <= 15900)", "rowgroup_or",
+      prunes = true)
   }
 
   test("equality beats range when both are present; priority is " +
