@@ -297,14 +297,22 @@ object RowGroupScan {
     * group count. Caller should have the index persisted (two jobs). */
   private[operators] def prunePairs(spark: SparkSession, wide: DataFrame,
       constraints: Seq[TableLog.RgConstraint],
-      withStarts: Boolean = true): (Seq[RgSlice], Long) = {
+      withStarts: Boolean = true,
+      needCols: Boolean = false)
+      : (Seq[RgSlice], Long, Option[Seq[(String, String)]]) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{coalesce, col, collect_list,
-      count, first, lit, max, struct, sum, when}
-    val real = wide.filter(col("rg") >= 0)
+      collect_set, first, lit, sort_array, struct, sum, when}
+    // rg == -1 rows (zero-row-group schema carriers) ride through the
+    // grouping so the union schema below sees them, but never become
+    // slices and never count
     val (flagAggs, rej, _) = constraintFlags(constraints)
-    val aggs = first(col("n_rows")).as("n_rows") +: flagAggs
-    val pairs0 = real.groupBy(col("file"), col("rg"))
+    val aggs = (first(col("n_rows")).as("n_rows") +: flagAggs) ++
+      (if (needCols)
+        Seq(sort_array(collect_set(struct(col("ord"), col("column"),
+          col("dtype")))).as("__cols"))
+      else Nil)
+    val pairs0 = wide.groupBy(col("file"), col("rg"))
       .agg(aggs.head, aggs.tail: _*)
     // file-ordinal start offsets exist to rebase DELETION-VECTOR
     // positions; a snapshot without vectors skips the window (one fewer
@@ -317,38 +325,49 @@ object RowGroupScan {
     val pairs = pairs0
       .withColumn("__start", startCol)
       .withColumn("__rej", rej)
-    // ONE action: total group count + the kept slices gathered through
-    // collect_list (when() without otherwise emits null on rejects and
-    // collect_list skips nulls) — the driver receives O(kept), and the
-    // read plans in a single job instead of collect-then-count
-    val row = pairs.agg(
-      count(lit(1)).as("total"),
-      collect_list(when(!col("__rej"),
+    // ONE action: total group count, the kept slices (collect_list
+    // skips the nulls when() emits for rejects), and — when no memo had
+    // the union schema — the DISTINCT per-group column descriptors
+    // (files share schemas, so the set of sets stays O(distinct
+    // schemas), never O(groups))
+    val globalAggs = Seq(
+      sum(when(col("rg") >= 0, 1L).otherwise(0L)).as("total"),
+      collect_list(when(!col("__rej") && col("rg") >= 0,
         struct(col("file"), col("rg"), col("__start"), col("n_rows"))))
-        .as("kept")).first()
+        .as("kept")) ++
+      (if (needCols) Seq(collect_set(col("__cols")).as("colsets"))
+       else Nil)
+    val row = pairs.agg(globalAggs.head, globalAggs.tail: _*).first()
     val kept = row.getSeq[Row](1)
       .map(r => RgSlice(r.getString(0), r.getInt(1), r.getLong(2),
         r.getLong(3)))
       .sortBy(s => (s.file, s.rg))
-    (kept, row.getLong(0))
+    val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val cols =
+      if (!needCols) None
+      else Some(unionColsFromSets(row.getSeq[scala.collection.Seq[Row]](2)))
+    (kept, total, cols)
   }
 
-  /** The UNION schema a wide index implies: every column it has seen,
-    * ordered by first field position then name (the mergeSchema order —
-    * evolved trailing columns append), as (name, catalogString). A
-    * column carrying TWO types across files fails loudly — the same
-    * contract as the log's own evolved reads. */
-  private[operators] def unionColsOf(wide: DataFrame): Seq[(String, String)] = {
-    import org.apache.spark.sql.functions.{col, min}
-    val rows = wide.groupBy(col("column"), col("dtype"))
-      .agg(min(col("ord")).as("o")).collect()
-    rows.groupBy(_.getString(0)).foreach { case (c, rs) =>
-      require(rs.length == 1, s"type drift on column $c: " +
-        rs.map(_.getString(1)).sorted.mkString(" vs "))
+  /** Fold the collected per-group column-descriptor sets into the
+    * union schema: mergeSchema order (first field position, then name),
+    * loud on a type conflict — the driver-side twin of what a separate
+    * metadata job used to compute. */
+  private[operators] def unionColsFromSets(
+      sets: scala.collection.Seq[scala.collection.Seq[Row]])
+      : Seq[(String, String)] = {
+    val all = sets.flatten
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).distinct
+    all.groupBy(_._2).foreach { case (c, rs) =>
+      require(rs.map(_._3).distinct.size == 1,
+        s"type drift on column $c: " +
+          rs.map(_._3).distinct.sorted.mkString(" vs "))
     }
-    rows.sortBy(r => (r.getInt(2), r.getString(0)))
-      .map(r => (r.getString(0), r.getString(1))).toSeq
+    all.groupBy(_._2).map { case (c, rs) =>
+      (rs.map(_._1).min, c, rs.head._3)
+    }.toSeq.sortBy(t => (t._1, t._2)).map(t => (t._2, t._3))
   }
+
 
   /** Empty frame carrying the (projected) union schema — what a fully
     * pruned read returns so downstream plans analyze cleanly. */

@@ -877,11 +877,23 @@ object TableLog {
       return (proj(readEvolved(spark, dir, snap.version).limit(0)),
         0L, 0L, 0, snap.files.size)
     val prefix = Paths.get(dir).toString + "/"
-    val wide = rgIndexFor(spark, dir, snap, files).persist()
-    try {
-      val unionCols = unionColsCached(dir, snap, fileSubset, wide)
-      val (slices, total) = RowGroupScan.prunePairs(spark, wide,
-        constraints, withStarts = files.exists(snap.dvs.contains))
+    val wide = rgIndexFor(spark, dir, snap, files)
+    locally {
+      // ONE metadata action plans the whole read: kept slices, total
+      // group count, and (on a memo miss) the union schema — so an
+      // un-indexed table pays exactly one footer pass + one aggregation,
+      // and a sidecar-indexed one a single small-parquet aggregation
+      val memoHit = Option(unionColsMemo.get((dir, snap.version)))
+      val (slices, total, colsOpt) = RowGroupScan.prunePairs(spark, wide,
+        constraints, withStarts = files.exists(snap.dvs.contains),
+        needCols = memoHit.isEmpty)
+      val unionCols = memoHit.getOrElse(colsOpt.get)
+      // only a FULL snapshot's union memoizes (a bloom-kept subset may
+      // be narrower under add-column evolution)
+      if (memoHit.isEmpty && fileSubset.isEmpty) {
+        if (unionColsMemo.size > 512) unionColsMemo.clear()
+        unionColsMemo.put((dir, snap.version), unionCols)
+      }
       val dvRel = snap.dvs.keySet
       val (dvSlices, cleanSlices) = slices.partition(s =>
         dvRel.contains(s.file.stripPrefix(prefix)))
@@ -908,7 +920,7 @@ object TableLog {
           RowGroupScan.emptyFrame(spark, unionCols, columns)
       }
       (df, slices.size.toLong, total, filesOpened, snap.files.size)
-    } finally wide.unpersist()
+    }
   }
 
   /** Per-(dir, version) memo of the union schema a snapshot's index
@@ -922,23 +934,6 @@ object TableLog {
     new java.util.concurrent.ConcurrentHashMap[(String, Int),
       Seq[(String, String)]]()
 
-  private def unionColsCached(dir: String, snap: Snapshot,
-      fileSubset: Option[Seq[String]], wide: DataFrame)
-      : Seq[(String, String)] =
-    if (fileSubset.isDefined)
-      // a subset read (bloom-kept files) may REUSE the full snapshot's
-      // union — the scan null-fills columns a file lacks, so a wider
-      // schema stays correct (and keeps the output shape independent of
-      // the bloom outcome) — but a miss computes from the subset only
-      // (never open more footers than the read needs) and stays
-      // uncached
-      Option(unionColsMemo.get((dir, snap.version)))
-        .getOrElse(RowGroupScan.unionColsOf(wide))
-    else {
-      if (unionColsMemo.size > 512) unionColsMemo.clear()
-      unionColsMemo.computeIfAbsent((dir, snap.version),
-        _ => RowGroupScan.unionColsOf(wide))
-    }
 
   // ===== persisted row-group index (stats/ sidecar) ====================
   //
@@ -1063,14 +1058,20 @@ object TableLog {
       }.getOrElse(0L)
       return (total - dvDel, total, 0L, 0L, snap.files.size)
     }
-    val wide = rgIndexFor(spark, dir, snap, snap.files).persist()
-    try {
-      val unionCols = unionColsCached(dir, snap, None, wide)
-      val real = wide.filter(col("rg") >= 0)
+    val wide = rgIndexFor(spark, dir, snap, snap.files)
+    locally {
+      val memoHit = Option(unionColsMemo.get((dir, snap.version)))
+      val needCols = memoHit.isEmpty
       val (flagAggs, rej, fullCol) =
         RowGroupScan.constraintFlags(constraints)
-      val aggs = first(col("n_rows")).as("n_rows") +: flagAggs
-      val pairs0 = real.groupBy(col("file"), col("rg"))
+      val aggs = (first(col("n_rows")).as("n_rows") +: flagAggs) ++
+        (if (needCols)
+          Seq(org.apache.spark.sql.functions.sort_array(
+            org.apache.spark.sql.functions.collect_set(
+              org.apache.spark.sql.functions.struct(col("ord"),
+                col("column"), col("dtype")))).as("__cols"))
+        else Nil)
+      val pairs0 = wide.groupBy(col("file"), col("rg"))
         .agg(aggs.head, aggs.tail: _*)
       val isFull =
         if (!exact || constraints.isEmpty) lit(false) else fullCol
@@ -1094,23 +1095,35 @@ object TableLog {
         .withColumn("__rej", rej)
         .withColumn("__full", isFull && col("__isdv").isNull)
       // ONE action classifies every group: meta-provable row sum, total
-      // group count, and the straddling slices (collect_list skips the
-      // null rows when() emits for non-straddlers) — driver residency
-      // is O(straddlers)
-      import org.apache.spark.sql.functions.{collect_list, struct}
-      val agg = pairs.agg(
-        sum(when(col("__full") && !col("__rej"), col("n_rows"))
-          .otherwise(0L)),
-        sum(lit(1L)),
-        collect_list(when(!col("__rej") && !col("__full"),
+      // group count, the straddling slices (collect_list skips the null
+      // rows when() emits for non-straddlers), and on a memo miss the
+      // union schema — driver residency is O(straddlers). rg == -1
+      // schema carriers ride for the schema but never classify.
+      import org.apache.spark.sql.functions.{collect_list, collect_set,
+        struct}
+      val gAggs = Seq(
+        sum(when(col("__full") && !col("__rej") && col("rg") >= 0,
+          col("n_rows")).otherwise(0L)),
+        sum(when(col("rg") >= 0, 1L).otherwise(0L)),
+        collect_list(when(!col("__rej") && !col("__full") &&
+          col("rg") >= 0,
           struct(col("file"), col("rg"), col("__start"),
-            col("n_rows"))))).first()
+            col("n_rows"))))) ++
+        (if (needCols) Seq(collect_set(col("__cols"))) else Nil)
+      val agg = pairs.agg(gAggs.head, gAggs.tail: _*).first()
       val metaRows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
       val rgTotal = if (agg.isNullAt(1)) 0L else agg.getLong(1)
       val straddle = agg.getSeq[org.apache.spark.sql.Row](2)
         .map(r => RowGroupScan.RgSlice(r.getString(0), r.getInt(1),
           r.getLong(2), r.getLong(3)))
         .sortBy(s => (s.file, s.rg))
+      val unionCols = memoHit.getOrElse(
+        RowGroupScan.unionColsFromSets(
+          agg.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](3)))
+      if (memoHit.isEmpty) {
+        if (unionColsMemo.size > 512) unionColsMemo.clear()
+        unionColsMemo.put((dir, snap.version), unionCols)
+      }
       val predCols = LakeSelect.referencedColumns(spark, predicate.get)
         .filter(c => unionCols.exists(_._1 == c))
       val dvRel = snap.dvs.keySet
@@ -1132,7 +1145,7 @@ object TableLog {
         }
       (metaRows + cleanCount + dvCount, metaRows,
         straddle.size.toLong, rgTotal, snap.files.size)
-    } finally wide.unpersist()
+    }
   }
 
   /** Per-file row counts, from the persisted index when available
