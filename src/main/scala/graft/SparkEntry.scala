@@ -1268,6 +1268,43 @@ object SparkEntry {
         lit(mod.getInt(4) == 0).as("mod_inexact"))
     },
 
+    "k36_minmax_meta" -> { (s, d) =>
+      // metadata-only MIN/MAX (TableLog.columnMinMax / graft_minmax —
+      // countWhere's aggregate twin): a clean indexed table answers the
+      // extremes from the sidecar with ZERO row groups scanned and ZERO
+      // footers opened; after a deletion vector hides the top keys the
+      // answer must come from a single-column selective scan of just
+      // the DV'd file — stale stats would report the hidden max.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k36")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.append(
+        o.repartitionByRange(2, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        dir, options = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      graft.operators.TableLog.computeRowGroupIndex(s, dir)
+      val before = graft.operators.RowGroupScan.indexFooterOpens.sum()
+      val Some((mn1, mx1, sc1)) =
+        graft.operators.TableLog.columnMinMax(s, dir, "o_orderkey")
+      val opens =
+        graft.operators.RowGroupScan.indexFooterOpens.sum() - before
+      // hide the top 3 keys behind a vector; the max must move
+      val top3 = o.orderBy(col("o_orderkey").desc).limit(3)
+        .collect().map(_.getLong(0))
+      graft.operators.TableLog.deleteVectored(s, dir,
+        s"o_orderkey IN (${top3.mkString(",")})")
+      val Some((_, mx2, sc2)) =
+        graft.operators.TableLog.columnMinMax(s, dir, "o_orderkey")
+      s.range(1).select(
+        lit(mn1.get.asInstanceOf[Long]).as("min_k"),
+        lit(mx1.get.asInstanceOf[Long]).as("max_k"),
+        lit(mx2.get.asInstanceOf[Long]).as("max_k_after"),
+        lit(sc1 == 0L && opens == 0L).as("meta_only"),
+        lit(sc2 > 0L && mx2 != mx1).as("dv_scanned"))
+    },
+
     "sql16_or_not_routing" -> { (s, d) =>
       // DISJUNCTION and NEGATION routing (round-12 verdict gap #5: "OR
       // across columns, NOT ... ride to full_scan"): a two-island OR
@@ -10257,6 +10294,19 @@ object SparkEntry {
             WHERE o_orderkey % 3 = 0) AS n_mod,
            TRUE AS all_meta, TRUE AS range_straddle_only,
            TRUE AS mod_inexact""",
+
+    // metadata min/max replay: the plain extremes, plus the max with
+    // the top-3 keys excluded (the vectored deletes); the flags pin the
+    // zero-scan metadata path and the DV-forced scan
+    "k36_minmax_meta" ->
+      s"""WITH del AS (
+           SELECT o_orderkey AS k FROM orders
+           ORDER BY o_orderkey DESC LIMIT 3)
+         SELECT MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k,
+           (SELECT MAX(o_orderkey) FROM orders
+            WHERE o_orderkey NOT IN (SELECT k FROM del)) AS max_k_after,
+           TRUE AS meta_only, TRUE AS dv_scanned
+         FROM orders""",
 
     // OR/NOT routing replay: the two-island disjunction, the inverted
     // comparison, and the De-Morganed band as plain full scans

@@ -344,6 +344,27 @@ object SqlTableFunctions {
     receipt("version" -> v)
   }
 
+  /** `graft_minmax('dir', 'column'[, version])` — metadata-only
+    * MIN/MAX ([[graft.operators.TableLog.columnMinMax]]): exact index
+    * bounds for clean files, a single-column selective scan for
+    * DV-carrying ones. Loud on column types whose stats cannot prove
+    * bounds (float/double/binary) — fall back to a plain aggregate
+    * there. Returns one row (min_v, max_v, scanned_rgs) with the
+    * extremes cast to string. */
+  private def minMaxBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      "usage: graft_minmax(dir, column[, version])")
+    val v = if (args.length == 3) num(args(2), "version").toInt else -1
+    val got = graft.operators.TableLog.columnMinMax(SparkSession.active,
+      str(args(0), "dir"), str(args(1), "column"), v)
+    val (mn, mx, scanned) = got.getOrElse(sys.error(
+      s"graft_minmax: column type cannot prove bounds from stats " +
+        "(float/double/binary) — use a plain aggregate"))
+    receipt("min_v" -> mn.map(_.toString).orNull,
+      "max_v" -> mx.map(_.toString).orNull,
+      "scanned_rgs" -> scanned)
+  }
+
   /** SQL-callable table-function names (for collision audits). */
   val names: Seq[String] =
     Seq("graft_dbscan", "graft_kmeans", "graft_geodesic_join", "graft_knn",
@@ -351,7 +372,7 @@ object SqlTableFunctions {
       "graft_delete", "graft_delete_vectored", "graft_update",
       "graft_optimize", "graft_restore", "graft_vacuum", "graft_merge",
       "graft_select", "graft_add_check", "graft_drop_check",
-      "graft_count", "graft_build_index")
+      "graft_count", "graft_build_index", "graft_minmax")
 
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.graft.SparkInternals
@@ -391,5 +412,7 @@ object SqlTableFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("graft_build_index",
       buildIndexBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_minmax", minMaxBuilder,
+      "built-in")
   }
 }

@@ -135,7 +135,10 @@ object RowGroupScan {
                 chunks.find(_.getPath.toDotString == t.getName)
                   .map(_.getStatistics).filter(_ != null).foreach { st =>
                     if (st.isNumNullsSet) nNulls = Some(st.getNumNulls)
-                    if (!st.isEmpty)
+                    // hasNonNullValue guards an ALL-NULL chunk, whose
+                    // min/max fields are uninitialized primitives (0) —
+                    // taking them would fabricate bounds
+                    if (!st.isEmpty && st.hasNonNullValue)
                       (st.genericGetMin, st.genericGetMax) match {
                         case (a: Number, b: Number) =>
                           lmin = Some(a.longValue); lmax = Some(b.longValue)

@@ -1148,6 +1148,88 @@ object TableLog {
     }
   }
 
+  /** Metadata-only MIN/MAX of `column` — the other most common lake
+    * aggregate: clean files answer from the index's exact bounds
+    * (integral and string dtypes; float/double bounds fold truncated
+    * and binary has no order contract, so those return None — caller
+    * falls back to a full aggregate), while files carrying deletion
+    * vectors scan JUST that column selectively (a hidden row might
+    * hold the extreme) and combine. Returns None when the column's
+    * type cannot prove bounds; Some((None, None, scanned)) when every
+    * value is null (SQL MIN/MAX = NULL). Longs come back widened
+    * (int8/16/32 → Long). */
+  def columnMinMax(spark: SparkSession, dir: String, column: String,
+      version: Int = -1): Option[(Option[Any], Option[Any], Long)] = {
+    import org.apache.spark.sql.functions.{coalesce, collect_list, expr,
+      first, lit, max, min, struct, sum, when}
+    val snap = snapshot(dir, version)
+    if (snap.files.isEmpty) return Some((None, None, 0L))
+    val prefix = Paths.get(dir).toString + "/"
+    val dvAbs = snap.dvs.keySet.map(prefix + _)
+    val wide = rgIndexFor(spark, dir, snap, snap.files)
+    val rows = wide.filter(col("column") === column)
+    val isDv = col("file").isin(dvAbs.toSeq: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("file").orderBy("rg")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val startCol =
+      if (dvAbs.isEmpty) lit(0L)
+      else coalesce(sum(when(col("rg") >= 0, col("n_rows"))
+        .otherwise(0L)).over(w), lit(0L))
+    val agg = rows.withColumn("__start", startCol).agg(
+      first(col("dtype")).as("dtype"),
+      min(when(!isDv, col("lmin"))), max(when(!isDv, col("lmax"))),
+      min(when(!isDv, col("smin"))), max(when(!isDv, col("smax"))),
+      collect_list(when(isDv && col("rg") >= 0,
+        struct(col("file"), col("rg"), col("__start"),
+          col("n_rows"))))).first()
+    val dtype = agg.getString(0)
+    val isLongT =
+      Seq("tinyint", "smallint", "int", "bigint").contains(dtype)
+    if (!isLongT && dtype != "string") return None
+    def statOf(i: Int): Option[Any] =
+      if (agg.isNullAt(i)) None else Some(agg.get(i))
+    val (cleanMin, cleanMax) =
+      if (isLongT) (statOf(1), statOf(2)) else (statOf(3), statOf(4))
+    val dvSlices = agg.getSeq[org.apache.spark.sql.Row](5)
+      .map(r => RowGroupScan.RgSlice(r.getString(0), r.getInt(1),
+        r.getLong(2), r.getLong(3)))
+    val (dvMin, dvMax, scanned) =
+      if (dvSlices.isEmpty) (None, None, 0L)
+      else {
+        val kept = dvSlices.map(_.file.stripPrefix(prefix)).toSet
+        val scannedDf = antiDv(spark, dir,
+          RowGroupScan.scanSlices(spark, dvSlices,
+            Seq(column -> dtype), Seq(column), emitPos = true),
+          snap.dvs.filter { case (f, _) => kept(f) })
+        val target = if (isLongT) "long" else "string"
+        val r = scannedDf.agg(
+          min(expr(s"`$column`").cast(target)),
+          max(expr(s"`$column`").cast(target))).first()
+        (if (r.isNullAt(0)) None else Some(r.get(0)),
+         if (r.isNullAt(1)) None else Some(r.get(1)),
+         dvSlices.size.toLong)
+      }
+    def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Number, y: Number) => x.longValue < y.longValue
+      case (x: String, y: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String
+            .fromString(y)) < 0
+      case _ => sys.error(s"incomparable min/max parts: $a vs $b")
+    }
+    def norm(v: Any): Any = v match {
+      case n: Number if isLongT => n.longValue
+      case x => x
+    }
+    val mn = (cleanMin.map(norm).toSeq ++ dvMin.map(norm).toSeq)
+      .reduceOption((a, b) => if (lt(a, b)) a else b)
+    val mx = (cleanMax.map(norm).toSeq ++ dvMax.map(norm).toSeq)
+      .reduceOption((a, b) => if (lt(a, b)) b else a)
+    Some((mn, mx, scanned))
+  }
+
   /** Per-file row counts, from the persisted index when available
     * (zero footer opens for mapped files). */
   private def footerCountsIndexed(spark: SparkSession, dir: String,

@@ -386,6 +386,40 @@ class RgIndexSidecarSpec extends AnyFunSuite {
     assert(inPr.filter(col("k").isin(keys: _*)).count() == 1000L)
   }
 
+  test("columnMinMax: metadata-only extremes; a DV hiding the max " +
+    "forces a single-column scan of just the vectored files") {
+    val dir = tmp("rgmm")
+    TableLog.append(
+      spark.range(9000).selectExpr("id as k",
+        "concat('s', lpad(cast(id as string), 5, '0')) as s",
+        "cast(null as long) as empty",
+        "cast(id as double) as d"),
+      dir, options = smallRg)
+    TableLog.computeRowGroupIndex(spark, dir)
+    // clean table: pure metadata, zero row groups scanned
+    val ((Some((mn, mx, sc)), _)) =
+      (TableLog.columnMinMax(spark, dir, "k"), ())
+    assert(mn.contains(0L) && mx.contains(8999L) && sc == 0L)
+    val Some((smn, smx, _)) = TableLog.columnMinMax(spark, dir, "s")
+    assert(smn.contains("s00000") && smx.contains("s08999"))
+    // all-null column: SQL MIN/MAX = NULL, still metadata-only
+    val Some((nmn, nmx, nsc)) = TableLog.columnMinMax(spark, dir, "empty")
+    assert(nmn.isEmpty && nmx.isEmpty && nsc == 0L)
+    // double: stats fold truncated — refuse, caller aggregates
+    assert(TableLog.columnMinMax(spark, dir, "d").isEmpty)
+    // hide the max behind a deletion vector: the answer must come from
+    // scanning the DV'd file's column, not the (stale-looking) stats
+    TableLog.deleteVectored(spark, dir, "k >= 8998")
+    val Some((mn2, mx2, sc2)) = TableLog.columnMinMax(spark, dir, "k")
+    assert(mn2.contains(0L) && mx2.contains(8997L))
+    assert(sc2 > 0L, "DV'd file must scan")
+    // SQL surface — the DV delete above also hid s08998/s08999, so the
+    // string extremes must reflect the scan, not the stale file stats
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(s"SELECT * FROM graft_minmax('$dir', 's')").head()
+    assert(r.getString(0) == "s00000" && r.getString(1) == "s08997")
+  }
+
   test("CHECK constraints on a non-deterministic write validate the " +
     "MATERIALIZED rows (staged files), not the plan") {
     val dir = tmp("rgnd")
