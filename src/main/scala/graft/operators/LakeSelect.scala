@@ -257,16 +257,29 @@ object LakeSelect {
           } else Some(TableLog.RgOr(lbs.flatten))
         case (c, r: Range) =>
           val bs = r.lo.toSeq ++ r.hi.toSeq
+          // NumRange has no exclusive-hi form; in INTEGRAL space the
+          // exclusive bound lowers EXACTLY by decrement (k < 5 ⟺
+          // k <= 4, same for epoch days). MinValue cannot decrement
+          // (k < MIN is vacuously false) — keep it inclusive and drop
+          // losslessness so full-containment proofs (metadata COUNT)
+          // never trust the widened bound.
+          def exclLong(hi: Option[Long]): Option[Long] =
+            if (!r.hiExcl) hi
+            else hi.map {
+              case Long.MinValue => lossless = false; Long.MinValue
+              case h => h - 1
+            }
           if (bs.isEmpty) { lossless = false; None }
           else if (bs.forall(_.isInstanceOf[Long]))
             Some(TableLog.NumRange(c, r.lo.map(_.asInstanceOf[Long]),
-              r.hi.map(_.asInstanceOf[Long])))
+              exclLong(r.hi.map(_.asInstanceOf[Long]))))
           else if (bs.forall(_.isInstanceOf[String]))
             Some(TableLog.StrRange(c, r.lo.map(_.asInstanceOf[String]),
               r.hi.map(_.asInstanceOf[String]), r.hiExcl))
           else if (bs.forall(_.isInstanceOf[java.time.LocalDate]) &&
               isDateCol(c))
-            Some(TableLog.NumRange(c, r.lo.map(day), r.hi.map(day)))
+            Some(TableLog.NumRange(c, r.lo.map(day),
+              exclLong(r.hi.map(day))))
           else { lossless = false; None }
         case _ => lossless = false; None
       }
@@ -466,7 +479,12 @@ object LakeSelect {
                 yield (c, Range(Some(l), Some(h)))
             case _ => None
           }
-        case Like(a, l: Literal, _) =>
+        // only the DEFAULT escape char qualifies: under `ESCAPE '#'`
+        // the pattern 'a#b%' matches prefix 'ab', so routing the raw
+        // 'a#b' prefix would prune away every matching row group — an
+        // unrecoverable miss (the re-applied predicate can't restore
+        // pruned groups). Custom escapes fall through to unprunable.
+        case Like(a, l: Literal, '\\') =>
           (colName(a), litVal(l)) match {
             case (Some(c), Some(p: String))
                 if p.nonEmpty && p.endsWith("%") &&

@@ -406,7 +406,10 @@ object TableLog {
         snap.dvs.filter { case (f, _) => touched(f) })
         .map(_.select("f", "ridx")
           .filter(col("f").isin(touched.toSeq: _*)))
-      val full = existing.fold(matches)(matches.unionByName(_))
+      // distinct so a sidecar never persists duplicate positions (new
+      // matches are visible rows, disjoint from the existing vector —
+      // this is defense in depth for the metadata-count subtraction)
+      val full = existing.fold(matches)(matches.unionByName(_)).distinct()
       val (_, v) = planNext(dir)
       val staging = Files.createTempDirectory("graft_dv").toString
       full.repartition(1).write.mode("overwrite").parquet(staging)
@@ -886,10 +889,16 @@ object TableLog {
       val memoHit = Option(unionColsMemo.get((dir, snap.version)))
       val (slices, total, colsOpt) = RowGroupScan.prunePairs(spark, wide,
         constraints, withStarts = files.exists(snap.dvs.contains),
-        needCols = memoHit.isEmpty)
-      val unionCols = memoHit.getOrElse(colsOpt.get)
-      // only a FULL snapshot's union memoizes (a bloom-kept subset may
-      // be narrower under add-column evolution)
+        needCols = memoHit.isEmpty && fileSubset.isEmpty)
+      // the union schema must cover the FULL snapshot even when a bloom
+      // prune narrowed the file set: under add-column evolution a
+      // predicate/projection column can live only in files the bloom
+      // dropped, and a subset-derived union would fail its resolution
+      // (AnalysisException) instead of null-filling like readEvolved
+      val unionCols = memoHit.getOrElse {
+        if (fileSubset.isEmpty) colsOpt.get
+        else snapshotUnionCols(spark, dir, snap)
+      }
       if (memoHit.isEmpty && fileSubset.isEmpty) {
         if (unionColsMemo.size > 512) unionColsMemo.clear()
         unionColsMemo.put((dir, snap.version), unionCols)
@@ -923,13 +932,31 @@ object TableLog {
     }
   }
 
+  /** The FULL snapshot's union schema from its row-group index (sidecar
+    * -served where mapped — one small-parquet aggregation, no footers)
+    * — what the bloom-narrowed path needs when the memo is cold. The
+    * answer memoizes like the in-line computation does. */
+  private def snapshotUnionCols(spark: SparkSession, dir: String,
+      snap: Snapshot): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions.{col, collect_set, sort_array,
+      struct}
+    val wide = rgIndexFor(spark, dir, snap, snap.files)
+    val row = wide.agg(sort_array(collect_set(struct(col("ord"),
+      col("column"), col("dtype"))))).first()
+    val cols = RowGroupScan.unionColsFromSets(
+      Seq(row.getSeq[org.apache.spark.sql.Row](0)))
+    if (unionColsMemo.size > 512) unionColsMemo.clear()
+    unionColsMemo.put((dir, snap.version), cols)
+    cols
+  }
+
   /** Per-(dir, version) memo of the union schema a snapshot's index
     * implies — a committed version's file set is immutable, so the
     * answer never changes; repeated declarative reads of one snapshot
-    * (the SQL pattern) skip the metadata job entirely. Only FULL
-    * snapshots memoize (a bloom-pruned file subset has the same union
-    * under add-column evolution, but stays conservative and skips the
-    * cache). Bounded: cleared wholesale past 512 snapshots. */
+    * (the SQL pattern) skip the metadata job entirely. Every entry is
+    * the FULL snapshot's union (the bloom-narrowed path computes it via
+    * [[snapshotUnionCols]] rather than from its file subset). Bounded:
+    * cleared wholesale past 512 snapshots. */
   private val unionColsMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Int),
       Seq[(String, String)]]()
@@ -1050,11 +1077,16 @@ object TableLog {
     require(predicate.isDefined || constraints.isEmpty,
       "constraints without a predicate")
     if (predicate.isEmpty) {
-      // pure metadata: footer row counts minus DV position counts
+      // pure metadata: footer row counts minus DV position counts.
+      // DISTINCT positions: one commit's sidecar is shared across its
+      // touched files, so a later delete re-pointing file B to a new
+      // sidecar leaves B's STALE subset in the old one — counting raw
+      // sidecar rows would double-count those positions.
       val total = footerCountsIndexed(spark, dir, snap).values.sum
       val dvDel = dvPairs(spark, dir, snap.dvs).map { pairs =>
         val live = snap.dvs.keySet.toSeq
-        pairs.filter(col("f").isin(live: _*)).count()
+        pairs.filter(col("f").isin(live: _*))
+          .select("f", "ridx").distinct().count()
       }.getOrElse(0L)
       return (total - dvDel, total, 0L, 0L, snap.files.size)
     }

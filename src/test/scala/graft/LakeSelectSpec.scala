@@ -193,4 +193,28 @@ class LakeSelectSpec extends AnyFunSuite {
     val (got, _) = LakeSelect.readWhere(spark, dir, "k = 5 AND k = 6")
     assert(got.count() == 0L)
   }
+
+  test("LIKE with a custom ESCAPE never prefix-routes: the raw pattern " +
+    "is not the prefix, and pruning on it would lose rows silently") {
+    // tags contain a literal '#': pattern 'a##-%' ESCAPE '#' (a doubled
+    // escape) matches prefix 'a#-' — its RAW body 'a##-' contains no
+    // %/_/\\, so a route that ignores the escape would prune on the
+    // wrong prefix and silently drop every matching row group
+    val dir = java.nio.file.Files.createTempDirectory("lsel_esc")
+      .toString + "/t"
+    TableLog.append(
+      spark.range(8000).selectExpr("id as k",
+        "concat('a#-', lpad(cast(id as string), 5, '0')) as tag"),
+      dir, options = smallRg)
+    val pred = "tag LIKE 'a##-0004%' ESCAPE '#'"
+    val (got, st) = LakeSelect.readWhere(spark, dir, pred)
+    assert(st.strategy == "full_scan", s"custom escape must not route: $st")
+    val want = TableLog.read(spark, dir).where(pred).count()
+    assert(want > 0L && got.count() == want)
+    // the default escape still prefix-routes the same slice
+    val (got2, st2) = LakeSelect.readWhere(spark, dir,
+      "tag LIKE 'a#-0004%'")
+    assert(st2.strategy == "rowgroup_range", s"$st2")
+    assert(got2.count() == want)
+  }
 }

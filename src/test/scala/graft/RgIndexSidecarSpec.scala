@@ -445,4 +445,95 @@ class RgIndexSidecarSpec extends AnyFunSuite {
     // nothing from the failed write leaked into the table
     assert(TableLog.read(spark, dir).filter("v >= 1000000").count() == 0L)
   }
+
+  test("exclusive upper bounds stay exclusive through the metadata " +
+    "count: k < N on a group whose max IS N never counts k = N") {
+    val dir = tmp("rgex")
+    // ONE row group (default block size) whose lmax == 6000 — the
+    // full-containment proof must not treat `k < 6000` as `k <= 6000`
+    TableLog.append(spark.range(6001L).coalesce(1)
+      .selectExpr("id as k",
+        "date_add(DATE'2020-01-01', cast(id as int)) as d"), dir)
+    TableLog.computeRowGroupIndex(spark, dir)
+    val (n, st) = LakeSelect.countWhere(spark, dir, "k < 6000")
+    assert(n == 6000L, s"exclusive bound overcounted: $n")
+    assert(st.exact, s"k < N should stay exactly countable: $st")
+    // same in DATE space (epoch-day stats)
+    val dMax = "2036-06-05" // 2020-01-01 + 6000 days = the max d
+    val (nd, std) = LakeSelect.countWhere(spark, dir, s"d < DATE'$dMax'")
+    assert(nd == 6000L, s"exclusive date bound overcounted: $nd")
+    assert(std.exact)
+    // k < Long.MinValue is vacuous — must never wrap to keep-all-exact
+    val (nm, stm) = LakeSelect.countWhere(spark, dir,
+      s"k < ${Long.MinValue}L")
+    assert(nm == 0L && !stm.exact || nm == 0L)
+  }
+
+  test("pure-metadata COUNT deduplicates shared DV sidecars: a second " +
+    "delete re-pointing one file must not double-count its stale rows") {
+    val dir = tmp("rgdv2")
+    sortedTable(dir, 12000) // two files: k 0..~5999 and ~6000..11999
+    // first DV touches BOTH files → one shared sidecar S1
+    TableLog.deleteVectored(spark, dir, "k IN (10, 6010)")
+    // second touches only the second file → S2 holds its FULL vector
+    // {6010, 6020}; S1 still holds the stale (file2, 6010) row
+    TableLog.deleteVectored(spark, dir, "k = 6020")
+    val (n, st) = LakeSelect.countWhere(spark, dir)
+    assert(n == 12000L - 3L, s"stale sidecar rows double-counted: $n")
+    assert(st.scannedRgs == 0L) // still pure metadata
+    // the filtered read agrees
+    assert(TableLog.read(spark, dir).count() == 12000L - 3L)
+  }
+
+  test("bloom point lookups resolve add-column-evolved columns even " +
+    "when every bloom-kept file predates the column") {
+    val dir = tmp("rgbe")
+    TableLog.append(
+      spark.range(6000).selectExpr("id as k", "id * 7 as v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k"),
+      dir, options = smallRg)
+    TableLog.computeBlooms(spark, dir, "k")
+    // evolved append: new column `extra` lives only in the new file
+    TableLog.append(
+      spark.range(6000, 12000).selectExpr("id as k", "id * 7 as v",
+        "concat('x', id) as extra"),
+      dir, options = smallRg)
+    // k = 100 lives in an OLD file; the bloom prunes the new one, so
+    // the kept subset has no `extra` — the union must still carry it
+    val (got, st) = LakeSelect.readWhere(spark, dir,
+      "k = 100 AND extra IS NULL", columns = Seq("k", "extra"))
+    assert(st.strategy == "point_lookup", s"expected bloom route: $st")
+    val rows = got.collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 100L &&
+      rows.head.isNullAt(1))
+    // projection-only shape too
+    val (got2, _) = LakeSelect.readWhere(spark, dir, "k = 100",
+      columns = Seq("k", "v", "extra"))
+    assert(got2.collect().map(r => (r.getLong(0), r.isNullAt(2)))
+      .toSeq == Seq((100L, true)))
+  }
+
+  test("an all-null leading row group in the probed column never " +
+    "fabricates [0,0] bounds: pruned reads keep the real matches") {
+    val dir = tmp("rgnull")
+    // file/groups where v is ALL NULL for the first half of the key
+    // space — uninitialized parquet min/max primitives must be ignored
+    TableLog.append(
+      spark.range(12000).selectExpr("id as k",
+        "if(id < 6000, cast(null as bigint), id) as v")
+        .repartitionByRange(2, col("k")).sortWithinPartitions("k"),
+      dir, options = smallRg)
+    TableLog.computeRowGroupIndex(spark, dir)
+    val (got, st) = LakeSelect.readWhere(spark, dir,
+      "v BETWEEN 8000 AND 8999")
+    assert(got.count() == 1000L)
+    assert(st.rgOpened < st.rgTotal, s"expected pruning: $st")
+    // and the all-null groups are NOT kept by a v-range that would
+    // match a fabricated [0,0]
+    val (got0, _) = LakeSelect.readWhere(spark, dir, "v = 0")
+    assert(got0.count() == 0L)
+    // metadata count over the null column stays right
+    val (nn, _) = LakeSelect.countWhere(spark, dir, "v IS NULL")
+    assert(nn == 6000L)
+  }
 }
