@@ -1036,6 +1036,56 @@ object SparkEntry {
         lit(stCnt.exact).as("count_exact"))
     },
 
+    "sql17_datetime_routing" -> { (s, d) =>
+      // DATETIME-FUNCTION predicate routing (round-13 verdict item 3):
+      // year(d) = y, year(d) BETWEEN a AND b, trunc(d,'MM') = DATE'…',
+      // and date_trunc('month', d) = TIMESTAMP'…' all rewrite to EXACT
+      // epoch-day ranges over the existing stats — strategy ≠
+      // full_scan, row groups prune, and the year COUNT answers from
+      // metadata. Replay: the same calendar slices closed-form.
+      val dir = java.nio.file.Files.createTempDirectory("graft_sql17")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(
+        col("o_orderdate").cast("date").as("dt"),
+        cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.append(
+        o.repartitionByRange(2, col("dt")).sortWithinPartitions("dt"),
+        dir, options = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      val y = o.agg(min(year(col("dt")))).first().getInt(0) + 2
+      val (y1, st1) = graft.operators.LakeSelect.readWhere(s, dir,
+        s"year(dt) = $y")
+      val (y2, st2) = graft.operators.LakeSelect.readWhere(s, dir,
+        s"year(dt) BETWEEN $y AND ${y + 1}")
+      val (m1, st3) = graft.operators.LakeSelect.readWhere(s, dir,
+        s"trunc(dt, 'MM') = DATE'$y-03-01'")
+      val (m2, st4) = graft.operators.LakeSelect.readWhere(s, dir,
+        s"date_trunc('month', dt) = TIMESTAMP'$y-05-01 00:00:00'")
+      val (nCnt, stC) = graft.operators.LakeSelect.countWhere(s, dir,
+        s"year(dt) = $y")
+      def aggOf(df: DataFrame) =
+        df.agg(count(lit(1)), coalesce(sum("price_cents"), lit(0L)))
+          .first()
+      val a1 = aggOf(y1); val a2 = aggOf(y2)
+      val a3 = aggOf(m1); val a4 = aggOf(m2)
+      val routed = Seq(st1, st2, st3, st4)
+        .forall(st => st.strategy == "rowgroup_range" &&
+          st.rgOpened < st.rgTotal)
+      s.range(1).select(
+        lit(a1.getLong(0)).as("n_year"),
+        lit(a1.getLong(1)).as("cents_year"),
+        lit(a2.getLong(0)).as("n_span"),
+        lit(a2.getLong(1)).as("cents_span"),
+        lit(a3.getLong(0)).as("n_mar"),
+        lit(a3.getLong(1)).as("cents_mar"),
+        lit(a4.getLong(0)).as("n_may"),
+        lit(a4.getLong(1)).as("cents_may"),
+        lit(nCnt).as("n_count"),
+        lit(routed).as("datetime_routed"),
+        lit(stC.exact && stC.scannedRgs < stC.rgTotal &&
+          nCnt == a1.getLong(0)).as("count_exact"))
+    },
+
     "e19_lake_stream" -> { (s, d) =>
       // the lake streaming SOURCE (graft-lake, a DataSource-v2
       // micro-batch stream whose offset is the table-log VERSION —
@@ -10294,6 +10344,42 @@ object SparkEntry {
             WHERE o_orderkey % 3 = 0) AS n_mod,
            TRUE AS all_meta, TRUE AS range_straddle_only,
            TRUE AS mod_inexact""",
+
+    // datetime routing replay: the year / year-span / two month slices
+    // closed-form from min(year)+2; the flags pin the rowgroup_range
+    // routes and the metadata-exact year count
+    "sql17_datetime_routing" ->
+      s"""WITH b AS (
+           SELECT year(MIN(o_orderdate)) + 2 AS y FROM orders)
+         SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
+            WHERE year(o_orderdate) = b.y) AS n_year,
+           (SELECT COALESCE(CAST(SUM(${centsSql("o_totalprice")})
+              AS BIGINT), 0) FROM orders, b
+            WHERE year(o_orderdate) = b.y) AS cents_year,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
+            WHERE year(o_orderdate) BETWEEN b.y AND b.y + 1) AS n_span,
+           (SELECT COALESCE(CAST(SUM(${centsSql("o_totalprice")})
+              AS BIGINT), 0) FROM orders, b
+            WHERE year(o_orderdate) BETWEEN b.y AND b.y + 1)
+             AS cents_span,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
+            WHERE year(o_orderdate) = b.y
+              AND month(o_orderdate) = 3) AS n_mar,
+           (SELECT COALESCE(CAST(SUM(${centsSql("o_totalprice")})
+              AS BIGINT), 0) FROM orders, b
+            WHERE year(o_orderdate) = b.y
+              AND month(o_orderdate) = 3) AS cents_mar,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
+            WHERE year(o_orderdate) = b.y
+              AND month(o_orderdate) = 5) AS n_may,
+           (SELECT COALESCE(CAST(SUM(${centsSql("o_totalprice")})
+              AS BIGINT), 0) FROM orders, b
+            WHERE year(o_orderdate) = b.y
+              AND month(o_orderdate) = 5) AS cents_may,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
+            WHERE year(o_orderdate) = b.y) AS n_count,
+           TRUE AS datetime_routed, TRUE AS count_exact""",
 
     // metadata min/max replay: the plain extremes, plus the max with
     // the top-3 keys excluded (the vectored deletes); the flags pin the

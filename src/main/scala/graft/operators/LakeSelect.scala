@@ -427,6 +427,106 @@ object LakeSelect {
         case _ => None
       }
 
+    // ===== datetime function routing =================================
+    // `year(c) <cmp> y`, `year(c) BETWEEN a AND b`, `trunc(c, unit) =
+    // d`, `date_trunc(unit, c) = ts` all rewrite to EXACT ranges in
+    // DATE space (LocalDate bounds the lowering converts to epoch days
+    // on a DateType column): year(c) = 2024 ⟺ c ∈ [2024-01-01,
+    // 2025-01-01). A truncation equality whose literal is NOT aligned
+    // to the unit start is provably false (empty probe set, marked
+    // inexact — the re-applied predicate returns nothing anyway).
+    import java.time.LocalDate
+    def yearOk(y: Long): Boolean = y > -999999L && y < 999999L
+    def jan1(y: Long): LocalDate = LocalDate.of(y.toInt, 1, 1)
+    // year(c) <cmp> y in every operand order → a date Range
+    def yearCmp(c: String, y: Long, op: String)
+        : Option[(String, Constraint)] =
+      if (!yearOk(y)) None
+      else Some(op match {
+        case "=" => (c, Range(Some(jan1(y)), Some(jan1(y + 1)),
+          hiExcl = true))
+        case ">=" => (c, Range(Some(jan1(y)), None))
+        case ">" => (c, Range(Some(jan1(y + 1)), None))
+        case "<=" => (c, Range(None, Some(jan1(y + 1)), hiExcl = true))
+        case "<" => (c, Range(None, Some(jan1(y)), hiExcl = true))
+      })
+    def yearArg(e: Expression): Option[String] =
+      if (isFn(e, "year") && fnArgs(e).size == 1)
+        colName(fnArgs(e).head)
+      else None
+    // one truncated-unit window [start, next(start)) — None when the
+    // literal is not aligned to the unit start (provably false)
+    def truncWindow(unit: String, d: LocalDate)
+        : Option[(LocalDate, LocalDate)] = unit.toLowerCase match {
+      case "year" | "yyyy" | "yy" =>
+        if (d.getDayOfYear == 1) Some((d, d.plusYears(1))) else None
+      case "quarter" =>
+        if (d.getDayOfMonth == 1 && (d.getMonthValue - 1) % 3 == 0)
+          Some((d, d.plusMonths(3)))
+        else None
+      case "month" | "mon" | "mm" =>
+        if (d.getDayOfMonth == 1) Some((d, d.plusMonths(1))) else None
+      case "week" => // ISO: weeks start Monday
+        if (d.getDayOfWeek == java.time.DayOfWeek.MONDAY)
+          Some((d, d.plusDays(7)))
+        else None
+      case "day" | "dd" => Some((d, d.plusDays(1)))
+      case _ => None // hour/minute/…: not a date-space window
+    }
+    // the literal a truncation compares against, as (LocalDate,
+    // midnight?) — DATE, midnight-string, and TIMESTAMP[_NTZ] literals
+    // (timestamps resolve through the SESSION time zone, the zone
+    // date_trunc itself evaluates in)
+    def dateOf(l: Literal): Option[(LocalDate, Boolean)] = l.value match {
+      case i: Int if l.dataType == DateType =>
+        Some((LocalDate.ofEpochDay(i.toLong), true))
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        val s = u.toString
+        if (s.matches("\\d{4}-\\d{2}-\\d{2}"))
+          Some((LocalDate.parse(s), true))
+        else if (s.matches("\\d{4}-\\d{2}-\\d{2}[ T]00:00(:00(\\.0+)?)?"))
+          Some((LocalDate.parse(s.substring(0, 10)), true))
+        else if (s.matches("\\d{4}-\\d{2}-\\d{2}[ T].*"))
+          Some((LocalDate.parse(s.substring(0, 10)), false))
+        else None
+      case micros: Long
+          if l.dataType == org.apache.spark.sql.types.TimestampType =>
+        val zone = java.time.ZoneId.of(
+          spark.sessionState.conf.sessionLocalTimeZone)
+        val ldt = java.time.Instant.EPOCH
+          .plus(micros, java.time.temporal.ChronoUnit.MICROS)
+          .atZone(zone).toLocalDateTime
+        Some((ldt.toLocalDate, ldt.toLocalTime == java.time.LocalTime
+          .MIDNIGHT))
+      case micros: Long
+          if l.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+        Some((ldt.toLocalDate, ldt.toLocalTime == java.time.LocalTime
+          .MIDNIGHT))
+      case _ => None
+    }
+    // trunc(c, unit) = lit  /  date_trunc(unit, c) = lit → the unit
+    // window, or a provably-false empty probe when misaligned
+    def truncEq(f: Expression, l: Literal): Option[(String, Constraint)] = {
+      val (unitArg, colArg) =
+        if (isFn(f, "trunc")) (fnArgs(f).lift(1), fnArgs(f).lift(0))
+        else (fnArgs(f).lift(0), fnArgs(f).lift(1))
+      for {
+        u <- unitArg.collect {
+          case ul: Literal => Option(ul.value).map(_.toString)
+        }.flatten
+        c <- colArg.flatMap(colName)
+        (d, midnight) <- dateOf(l)
+      } yield truncWindow(u, d) match {
+        case Some((lo, hi)) if midnight =>
+          (c, Range(Some(lo), Some(hi), hiExcl = true))
+        case _ => inexact((c, EqIn(Nil))) // provably false
+      }
+    }
+
     // ¬ rewriting (three-valued-logic safe under WHERE: ¬(k > 5) and
     // k <= 5 select the same rows — both drop NULLs): comparisons flip,
     // null checks toggle, De Morgan splits, BETWEEN opens out
@@ -474,11 +574,58 @@ object LakeSelect {
             if f.nameParts.map(_.toLowerCase) == Seq("between") &&
               f.arguments.size == 3 =>
           (f.arguments(0), f.arguments(1), f.arguments(2)) match {
+            // year(c) BETWEEN a AND b ⟺ c ∈ [a-01-01, (b+1)-01-01)
+            case (a, lo: Literal, hi: Literal)
+                if yearArg(a).isDefined =>
+              (litVal(lo), litVal(hi)) match {
+                case (Some(l: Long), Some(h: Long))
+                    if yearOk(l) && yearOk(h) =>
+                  Some((yearArg(a).get,
+                    Range(Some(jan1(l)), Some(jan1(h + 1)),
+                      hiExcl = true)))
+                case _ => None
+              }
             case (a, lo: Literal, hi: Literal) =>
               for (c <- colName(a); l <- litVal(lo); h <- litVal(hi))
                 yield (c, Range(Some(l), Some(h)))
             case _ => None
           }
+        // year(c) <cmp> y → exact calendar-year date ranges
+        case EqualTo(f, l: Literal) if yearArg(f).isDefined =>
+          litVal(l).collect { case y: Long => y }
+            .flatMap(yearCmp(yearArg(f).get, _, "="))
+        case EqualTo(l: Literal, f) if yearArg(f).isDefined =>
+          litVal(l).collect { case y: Long => y }
+            .flatMap(yearCmp(yearArg(f).get, _, "="))
+        case GreaterThanOrEqual(f, l: Literal) if yearArg(f).isDefined =>
+          litVal(l).collect { case y: Long => y }
+            .flatMap(yearCmp(yearArg(f).get, _, ">="))
+        case GreaterThan(f, l: Literal) if yearArg(f).isDefined =>
+          litVal(l).collect { case y: Long => y }
+            .flatMap(yearCmp(yearArg(f).get, _, ">"))
+        case LessThanOrEqual(f, l: Literal) if yearArg(f).isDefined =>
+          litVal(l).collect { case y: Long => y }
+            .flatMap(yearCmp(yearArg(f).get, _, "<="))
+        case LessThan(f, l: Literal) if yearArg(f).isDefined =>
+          litVal(l).collect { case y: Long => y }
+            .flatMap(yearCmp(yearArg(f).get, _, "<"))
+        case GreaterThanOrEqual(l: Literal, f) if yearArg(f).isDefined =>
+          litVal(l).collect { case y: Long => y }
+            .flatMap(yearCmp(yearArg(f).get, _, "<="))
+        case GreaterThan(l: Literal, f) if yearArg(f).isDefined =>
+          litVal(l).collect { case y: Long => y }
+            .flatMap(yearCmp(yearArg(f).get, _, "<"))
+        case LessThanOrEqual(l: Literal, f) if yearArg(f).isDefined =>
+          litVal(l).collect { case y: Long => y }
+            .flatMap(yearCmp(yearArg(f).get, _, ">="))
+        case LessThan(l: Literal, f) if yearArg(f).isDefined =>
+          litVal(l).collect { case y: Long => y }
+            .flatMap(yearCmp(yearArg(f).get, _, ">"))
+        // trunc(c, unit) = d / date_trunc(unit, c) = ts → unit window
+        case EqualTo(f, l: Literal) if isFn(f, "trunc", "date_trunc") =>
+          truncEq(f, l)
+        case EqualTo(l: Literal, f) if isFn(f, "trunc", "date_trunc") =>
+          truncEq(f, l)
         // only the DEFAULT escape char qualifies: under `ESCAPE '#'`
         // the pattern 'a#b%' matches prefix 'ab', so routing the raw
         // 'a#b' prefix would prune away every matching row group — an

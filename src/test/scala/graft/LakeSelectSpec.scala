@@ -194,6 +194,56 @@ class LakeSelectSpec extends AnyFunSuite {
     assert(got.count() == 0L)
   }
 
+  test("datetime function predicates route to exact date ranges: " +
+    "year comparisons, year BETWEEN, trunc and date_trunc equalities") {
+    val dir = java.nio.file.Files.createTempDirectory("lsel_dt")
+      .toString + "/t"
+    // ~11 years of days, date-sorted so calendar slices cluster
+    TableLog.append(
+      spark.range(4000).selectExpr("id as k",
+        "date_add(DATE'2018-01-01', cast(id as int)) as d",
+        "date_format(date_add(DATE'2018-01-01', cast(id as int)), " +
+          "'yyyy-MM-dd') as ds"),
+      dir, options = smallRg)
+    def sameAs(pred: String, wantPrune: Boolean = true): Unit = {
+      val (got, st) = LakeSelect.readWhere(spark, dir, pred)
+      assert(st.strategy != "full_scan", s"$pred did not route: $st")
+      if (wantPrune)
+        assert(st.rgOpened < st.rgTotal, s"$pred did not prune: $st")
+      val want = TableLog.read(spark, dir).where(pred)
+      assert(got.orderBy("k").collect().toSeq ==
+        want.orderBy("k").collect().toSeq, s"$pred result drift")
+    }
+    sameAs("year(d) = 2020")
+    sameAs("2022 = year(d)")
+    sameAs("year(d) >= 2027")
+    sameAs("year(d) < 2019")
+    sameAs("year(d) BETWEEN 2025 AND 2026")
+    sameAs("NOT (year(d) > 2018)")
+    sameAs("trunc(d, 'MM') = DATE'2021-06-01'")
+    sameAs("trunc(d, 'YEAR') = DATE'2024-01-01'")
+    sameAs("date_trunc('month', d) = TIMESTAMP'2023-03-01 00:00:00'")
+    sameAs("date_trunc('week', d) = '2020-02-03'") // a Monday
+    // exactness: the year slice meta-counts without scanning row
+    // groups that prove fully inside the year
+    val (n, st) = LakeSelect.countWhere(spark, dir, "year(d) = 2020")
+    assert(n == 366L, s"leap-year count: $n") // 2020 is a leap year
+    assert(st.exact && st.metaRows > 0L, s"$st")
+    // misaligned truncation literal is provably false — correct, no rows
+    val (got0, _) = LakeSelect.readWhere(spark, dir,
+      "trunc(d, 'MM') = DATE'2021-06-15'")
+    assert(got0.count() == 0L)
+    // a non-midnight timestamp can never equal a month truncation
+    val (got1, _) = LakeSelect.readWhere(spark, dir,
+      "date_trunc('month', d) = TIMESTAMP'2023-03-01 07:30:00'")
+    assert(got1.count() == 0L)
+    // year() on a NON-date (string) column must not prune on epoch-day
+    // stats (lowering guard) — it falls back and stays correct
+    val (gotK, stK) = LakeSelect.readWhere(spark, dir, "year(ds) = 2020")
+    assert(stK.strategy == "full_scan", s"string year must not route: $stK")
+    assert(gotK.count() == 366L)
+  }
+
   test("LIKE with a custom ESCAPE never prefix-routes: the raw pattern " +
     "is not the prefix, and pruning on it would lose rows silently") {
     // tags contain a literal '#': pattern 'a##-%' ESCAPE '#' (a doubled
