@@ -1086,6 +1086,50 @@ object SparkEntry {
           nCnt == a1.getLong(0)).as("count_exact"))
     },
 
+    "sql18_partition_routing" -> { (s, d) =>
+      // PARTITION pruning composed into declarative reads (round-13
+      // verdict item 5): a table written by appendPartitioned carries
+      // the partition column + per-file tags in the log; a conjunct on
+      // that column drops whole files BEFORE any index math — on this
+      // un-indexed table the eliminated files' footers are never even
+      // opened to plan (opens < filesTotal), and filesOpened <
+      // filesTotal pins the prune. Replay: per-segment aggregates
+      // closed-form over orders' o_orderpriority.
+      val dir = java.nio.file.Files.createTempDirectory("graft_sql18")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).as("seg"),
+        cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.appendPartitioned(o, dir, "seg")
+      val snap = graft.operators.TableLog.snapshot(dir)
+      val before = graft.operators.RowGroupScan.indexFooterOpens.sum()
+      val (p1, st1) = graft.operators.LakeSelect.readWhere(s, dir,
+        "seg = '1' AND price_cents >= 0")
+      val opens =
+        graft.operators.RowGroupScan.indexFooterOpens.sum() - before
+      val (p2, st2) = graft.operators.LakeSelect.readWhere(s, dir,
+        "seg IN ('2', '3')")
+      val (n3, st3) = graft.operators.LakeSelect.countWhere(s, dir,
+        "seg = '4'")
+      val a1 = p1.agg(count(lit(1)),
+        coalesce(sum("price_cents"), lit(0L)),
+        coalesce(min("o_orderkey"), lit(0L))).first()
+      val a2 = p2.agg(count(lit(1)),
+        coalesce(sum("price_cents"), lit(0L))).first()
+      s.range(1).select(
+        lit(a1.getLong(0)).as("n_seg1"),
+        lit(a1.getLong(1)).as("cents_seg1"),
+        lit(a1.getLong(2)).as("min_k_seg1"),
+        lit(a2.getLong(0)).as("n_seg23"),
+        lit(a2.getLong(1)).as("cents_seg23"),
+        lit(n3).as("n_seg4"),
+        lit(st1.filesOpened < st1.filesTotal &&
+          st2.filesOpened < st2.filesTotal &&
+          opens < snap.files.size).as("partition_pruned"),
+        lit(st3.exact && st3.scannedRgs < st3.rgTotal)
+          .as("count_partitioned"))
+    },
+
     "e19_lake_stream" -> { (s, d) =>
       // the lake streaming SOURCE (graft-lake, a DataSource-v2
       // micro-batch stream whose offset is the table-log VERSION —
@@ -10380,6 +10424,29 @@ object SparkEntry {
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
             WHERE year(o_orderdate) = b.y) AS n_count,
            TRUE AS datetime_routed, TRUE AS count_exact""",
+
+    // partition routing replay: per-priority-segment aggregates
+    // closed-form; the flags pin file-level elimination before index
+    // math and the partition-exact metadata count
+    "sql18_partition_routing" ->
+      s"""SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE substr(o_orderpriority, 1, 1) = '1') AS n_seg1,
+           (SELECT COALESCE(CAST(SUM(${centsSql("o_totalprice")})
+              AS BIGINT), 0) FROM orders
+            WHERE substr(o_orderpriority, 1, 1) = '1') AS cents_seg1,
+           (SELECT COALESCE(MIN(o_orderkey), 0) FROM orders
+            WHERE substr(o_orderpriority, 1, 1) = '1') AS min_k_seg1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE substr(o_orderpriority, 1, 1) IN ('2', '3'))
+             AS n_seg23,
+           (SELECT COALESCE(CAST(SUM(${centsSql("o_totalprice")})
+              AS BIGINT), 0) FROM orders
+            WHERE substr(o_orderpriority, 1, 1) IN ('2', '3'))
+             AS cents_seg23,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE substr(o_orderpriority, 1, 1) = '4') AS n_seg4,
+           TRUE AS partition_pruned, TRUE AS count_partitioned""",
 
     // metadata min/max replay: the plain extremes, plus the max with
     // the top-3 keys excluded (the vectored deletes); the flags pin the

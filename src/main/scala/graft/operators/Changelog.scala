@@ -218,7 +218,11 @@ object Changelog {
       // rewritten partitions' index entries die with their files; the
       // surviving mapping stays exact (files are immutable) and
       // computeRowGroupIndex tops the new files up on its next run
-      rgidx = snap.rgidx -- touched)
+      rgidx = snap.rgidx -- touched,
+      partCol = (snap.partCol match {
+        case Some(c) if c != partCol => None // ambiguous tags: disable
+        case _ => Some(partCol)
+      }))
   }
 
   /** Incremental aggregate maintenance: update a materialized per-group

@@ -132,6 +132,9 @@ object LakeSelect {
     // once (the z-order payoff: a 2-column clustered table prunes on
     // both predicate columns)
     val (rgConstraints, _) = toRgConstraints(constraints, schema)
+    // a conjunct on the partition column drops whole FILES before any
+    // index math (zero index rows consulted for eliminated files)
+    val partKeep = partitionKeep(snap, constraints, schema)
 
     val (df0, stats) =
       if (bloomEq.isDefined) {
@@ -140,11 +143,11 @@ object LakeSelect {
         val extra = rgConstraints.filter(_.column != c)
         val (df, rgo, rgt, fo, ft) =
           TableLog.readPointLookup(spark, dir, c, e.values, version,
-            scanCols, extra)
+            scanCols, extra, partKeep)
         (df, Stats("point_lookup", Some(c), rgo, rgt, fo, ft))
       } else if (rgConstraints.size >= 2) {
         val (df, rgo, rgt, fo, ft) = TableLog.readRowGroupPrunedMulti(
-          spark, dir, rgConstraints, version, scanCols)
+          spark, dir, rgConstraints, version, scanCols, partKeep)
         (df, Stats("rowgroup_multi",
           Some(rgConstraints.map(_.column).distinct.mkString(",")),
           rgo, rgt, fo, ft))
@@ -157,7 +160,7 @@ object LakeSelect {
           case _ => "rowgroup_range"
         }
         val (df, rgo, rgt, fo, ft) = TableLog.readRowGroupPrunedMulti(
-          spark, dir, rgConstraints, version, scanCols)
+          spark, dir, rgConstraints, version, scanCols, partKeep)
         (df, Stats(label, Some(cons.column), rgo, rgt, fo, ft))
       } else {
         val df = TableLog.read(spark, dir, version)
@@ -188,8 +191,72 @@ object LakeSelect {
     val (rgConstraints, lossless) = toRgConstraints(constraints, schema)
     val exact = exactConjuncts && lossless
     val (n, meta, scanned, total, files) = TableLog.countPruned(spark,
-      dir, rgConstraints, exact, Some(predicate), version)
+      dir, rgConstraints, exact, Some(predicate), version,
+      partitionKeep(snap, constraints, schema))
     (n, CountStats(meta, scanned, total, files, exact))
+  }
+
+  /** PARTITION pruning composed into the declarative reads: when the
+    * table was written by `appendPartitioned` (the log carries the
+    * partition COLUMN and per-file tag VALUES), a conjunct on that
+    * column drops whole files from the snapshot BEFORE any index math —
+    * zero index rows consulted, zero footers opened for eliminated
+    * files. Type-guarded like the bloom route: a tag only disproves a
+    * constraint whose literal space provably matches the column's type
+    * (integral tags parse to Long, DATE tags to LocalDate, strings
+    * compare raw in UTF-8 order); anything else keeps the file.
+    * Untagged files (plain appends into a partitioned table) always
+    * keep. Returns None when nothing can be eliminated — callers skip
+    * the subset path entirely. */
+  private[operators] def partitionKeep(snap: TableLog.Snapshot,
+      constraints: Seq[(String, Constraint)],
+      schema: => Map[String, DataType]): Option[Seq[String]] = {
+    val pc = snap.partCol.getOrElse(return None)
+    if (snap.parts.isEmpty) return None
+    val relevant = constraints.filter {
+      case (c, _: EqIn | _: Range | _: NullC) => c == pc
+      case (_, OrC(bs)) => bs.forall(_._1 == pc)
+      case _ => false
+    }
+    if (relevant.isEmpty) return None
+    // the tag in the COLUMN's value space (None = unparseable → keep)
+    val typedTag: String => Option[Any] = schema.get(pc) match {
+      case Some(ByteType | ShortType | IntegerType | LongType) =>
+        t => t.toLongOption
+      case Some(DateType) =>
+        t => scala.util.Try(java.time.LocalDate.parse(t)).toOption
+      case Some(StringType) => t => Some(t)
+      case _ => _ => None
+    }
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+      case (x: String, y: String) => Some(utf8Compare(x, y))
+      case (x: java.time.LocalDate, y: java.time.LocalDate) =>
+        Some(x.compareTo(y))
+      case _ => None
+    }
+    // TRUE iff no row tagged `t` can satisfy the constraint
+    def disproves(con: Constraint, t: Any): Boolean = con match {
+      case EqIn(vs) =>
+        vs.forall(v => cmp(v, t).exists(_ != 0)) // Nil = provably false
+      case Range(lo, hi, hiExcl) =>
+        lo.exists(l => cmp(t, l).exists(_ < 0)) ||
+          hi.exists(h => cmp(t, h).exists(c =>
+            if (hiExcl) c >= 0 else c > 0))
+      case NullC(isNull) => isNull // tag values are non-null by contract
+      case OrC(bs) => bs.forall { case (c, b) =>
+        c == pc && disproves(b, t) }
+    }
+    val kept = snap.files.filter { f =>
+      snap.parts.get(f) match {
+        case None => true // untagged: may hold any partition
+        case Some(tag) => typedTag(tag) match {
+          case None => true
+          case Some(t) => !relevant.exists(r => disproves(r._2, t))
+        }
+      }
+    }
+    if (kept.size == snap.files.size) None else Some(kept)
   }
 
   /** The table's top-level column types, from ONE footer (the newest

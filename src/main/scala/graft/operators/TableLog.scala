@@ -54,7 +54,8 @@ object TableLog {
       bloomCol: Option[String] = None,
       blooms: Map[String, String] = Map.empty,
       checks: Map[String, String] = Map.empty,
-      rgidx: Map[String, String] = Map.empty)
+      rgidx: Map[String, String] = Map.empty,
+      partCol: Option[String] = None)
 
   /** Thrown by [[commit]] on the optimistic version race — the ONLY
     * conflict the rebase loops retry. TRUE conflicts (a rewrite's input
@@ -111,8 +112,9 @@ object TableLog {
     val rgidx = Option(node.get("rgidx")).map { rn =>
       rn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    val partCol = Option(node.get("partcol")).map(_.asText())
     Snapshot(node.get("version").asInt(), files, parts, txn, op, ts, dvs,
-      bloomCol, blooms, checks, rgidx)
+      bloomCol, blooms, checks, rgidx, partCol)
   }
 
   // escapes control chars too: a partition VALUE containing \n or \t
@@ -146,7 +148,8 @@ object TableLog {
       bloomCol: Option[String] = None,
       blooms: Map[String, String] = Map.empty,
       checks: Map[String, String] = Map.empty,
-      rgidx: Map[String, String] = Map.empty): Int = {
+      rgidx: Map[String, String] = Map.empty,
+      partCol: Option[String] = None): Int = {
     val ld = logDir(dir)
     Files.createDirectories(ld)
     val v = if (expectedVersion > 0) expectedVersion
@@ -183,9 +186,11 @@ object TableLog {
       else rgidx.toSeq.sortBy(_._1)
         .map { case (f, p) => s"${jsonStr(f)}:${jsonStr(p)}" }
         .mkString(""","rgidx":{""", ",", "}")
+    val partColJson =
+      partCol.fold("")(c => s""","partcol":${jsonStr(c)}""")
     val json = s"""{"version":$v,"files":[${
       files.map(jsonStr).mkString(",")
-      }]$partsJson$txnJson$dvsJson$bloomJson$checksJson$rgidxJson,"op":${
+      }]$partsJson$txnJson$dvsJson$bloomJson$checksJson$rgidxJson$partColJson,"op":${
       jsonStr(op)},"ts":${System.currentTimeMillis()}}"""
     val tmp = Files.createTempFile(ld, s".tmp-v$v-", ".json")
     Files.write(tmp, json.getBytes("UTF-8"))
@@ -283,7 +288,8 @@ object TableLog {
     * once (None = marker already present, nothing committed). */
   private def commitAppendRebasing(dir: String, newFiles: Seq[String],
       newParts: Map[String, String], txnPut: Option[(String, Long)],
-      maxRetries: Int, rgidxPut: Map[String, String] = Map.empty)
+      maxRetries: Int, rgidxPut: Map[String, String] = Map.empty,
+      partColPut: Option[String] = None)
       : Option[Int] =
     retryCommit(dir, maxRetries) { (prev, v) =>
       if (txnPut.exists { case (id, b) => prev.txn.get(id).exists(_ >= b) })
@@ -292,7 +298,14 @@ object TableLog {
         parts = prev.parts ++ newParts,
         txn = txnPut.fold(prev.txn)(prev.txn + _), op = "append",
         dvs = prev.dvs, bloomCol = prev.bloomCol, blooms = prev.blooms,
-        checks = prev.checks, rgidx = prev.rgidx ++ rgidxPut))
+        checks = prev.checks, rgidx = prev.rgidx ++ rgidxPut,
+        // two different partition columns in one table make the tag map
+        // ambiguous — the routing metadata drops (pruning disabled,
+        // never wrong) while the tags themselves stay for CDC rewrites
+        partCol = (prev.partCol, partColPut) match {
+          case (Some(a), Some(b)) if a != b => None
+          case (a, b) => b.orElse(a)
+        }))
     }
 
   /** Auto-maintenance of the persisted row-group index on the APPEND
@@ -441,7 +454,8 @@ object TableLog {
           parts = head.parts, txn = head.txn, op = "delete-dv",
           dvs = head.dvs ++ touched.map(_ -> dvRel),
           bloomCol = head.bloomCol, blooms = head.blooms,
-          checks = head.checks, rgidx = head.rgidx))
+          checks = head.checks, rgidx = head.rgidx,
+          partCol = head.partCol))
       }
       (committed.get, nDel, touched.size, snap.files.size)
     } finally matches.unpersist()
@@ -576,7 +590,8 @@ object TableLog {
     val newFiles = stagePartitioned(df, dir, v, partCol)
     commitAppendRebasing(dir, newFiles.map(_._1), newFiles.toMap, None,
       maxRetries,
-      rgidxTopUp(df.sparkSession, dir, prev, newFiles.map(_._1), v)).get
+      rgidxTopUp(df.sparkSession, dir, prev, newFiles.map(_._1), v),
+      partColPut = Some(partCol)).get
   }
 
   /** Exactly-once append for a streaming writer (`foreachBatch`): the
@@ -856,11 +871,13 @@ object TableLog {
     * re-applies the exact predicate. */
   def readRowGroupPrunedMulti(spark: SparkSession, dir: String,
       constraints: Seq[RgConstraint], version: Int = -1,
-      columns: Seq[String] = Nil)
+      columns: Seq[String] = Nil,
+      fileSubset: Option[Seq[String]] = None)
       : (DataFrame, Long, Long, Int, Int) = {
     require(constraints.nonEmpty, "readRowGroupPrunedMulti needs " +
       "at least one constraint")
-    prunedCore(spark, dir, snapshot(dir, version), constraints, columns)
+    prunedCore(spark, dir, snapshot(dir, version), constraints, columns,
+      fileSubset)
   }
 
   /** Shared pruned-read core: serve the wide row-group index (sidecar
@@ -889,15 +906,21 @@ object TableLog {
       val memoHit = Option(unionColsMemo.get((dir, snap.version)))
       val (slices, total, colsOpt) = RowGroupScan.prunePairs(spark, wide,
         constraints, withStarts = files.exists(snap.dvs.contains),
-        needCols = memoHit.isEmpty && fileSubset.isEmpty)
+        needCols = memoHit.isEmpty)
       // the union schema must cover the FULL snapshot even when a bloom
-      // prune narrowed the file set: under add-column evolution a
-      // predicate/projection column can live only in files the bloom
-      // dropped, and a subset-derived union would fail its resolution
-      // (AnalysisException) instead of null-filling like readEvolved
+      // or partition prune narrowed the file set: under add-column
+      // evolution a predicate/projection column can live only in files
+      // the prune dropped, and a subset-derived union would fail its
+      // resolution (AnalysisException) instead of null-filling like
+      // readEvolved. Fully sidecar-mapped snapshots widen from the
+      // index (no footers); others widen from the NEWEST file's footer
+      // (one open — the widest schema under add-column evolution), so
+      // eliminated files still cost zero footer opens.
       val unionCols = memoHit.getOrElse {
         if (fileSubset.isEmpty) colsOpt.get
-        else snapshotUnionCols(spark, dir, snap)
+        else if (snap.files.forall(snap.rgidx.contains))
+          snapshotUnionCols(spark, dir, snap)
+        else mergeUnionCols(colsOpt.get, newestFileCols(spark, dir, snap))
       }
       if (memoHit.isEmpty && fileSubset.isEmpty) {
         if (unionColsMemo.size > 512) unionColsMemo.clear()
@@ -930,6 +953,35 @@ object TableLog {
       }
       (df, slices.size.toLong, total, filesOpened, snap.files.size)
     }
+  }
+
+  /** Widen a subset-derived union with columns only the rest of the
+    * snapshot carries (subset order first — identical to the subset
+    * union when schemas never evolved). */
+  private def mergeUnionCols(subset: Seq[(String, String)],
+      extra: Seq[(Int, String, String)]): Seq[(String, String)] = {
+    val have = subset.map(_._1).toSet
+    subset ++ extra.sortBy(_._1).collect {
+      case (_, n, t) if !have(n) => (n, t)
+    }
+  }
+
+  /** The NEWEST data file's columns (ord, name, catalog type) — the
+    * widest schema under add-column evolution, at the cost of ONE
+    * footer. Memoized per committed snapshot. */
+  private val newestColsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int),
+      Seq[(Int, String, String)]]()
+  private def newestFileCols(spark: SparkSession, dir: String,
+      snap: Snapshot): Seq[(Int, String, String)] = {
+    if (newestColsMemo.size > 512) newestColsMemo.clear()
+    newestColsMemo.computeIfAbsent((dir, snap.version), _ =>
+      snap.files.lastOption.map { f =>
+        spark.read.parquet(Paths.get(dir).resolve(f).toString)
+          .schema.fields.zipWithIndex.map { case (fd, i) =>
+            (i, fd.name, fd.dataType.catalogString)
+          }.toSeq
+      }.getOrElse(Nil))
   }
 
   /** The FULL snapshot's union schema from its row-group index (sidecar
@@ -1018,7 +1070,8 @@ object TableLog {
         dvs = head.dvs, bloomCol = head.bloomCol, blooms = head.blooms,
         checks = head.checks,
         rgidx = head.rgidx ++
-          need.filter(headSet).map(_ -> sidecarRel)))
+          need.filter(headSet).map(_ -> sidecarRel),
+        partCol = head.partCol))
     }.get
   }
 
@@ -1067,7 +1120,8 @@ object TableLog {
     * (count, metaRows, scannedRgs, rgTotal, filesTotal). */
   def countPruned(spark: SparkSession, dir: String,
       constraints: Seq[RgConstraint], exact: Boolean,
-      predicate: Option[String], version: Int = -1)
+      predicate: Option[String], version: Int = -1,
+      fileSubset: Option[Seq[String]] = None)
       : (Long, Long, Long, Long, Int) = {
     import org.apache.spark.sql.functions.{broadcast, expr, first, lit,
       max, min, sum, when}
@@ -1090,7 +1144,12 @@ object TableLog {
       }.getOrElse(0L)
       return (total - dvDel, total, 0L, 0L, snap.files.size)
     }
-    val wide = rgIndexFor(spark, dir, snap, snap.files)
+    // partition-eliminated files never enter the index math: their rows
+    // provably fail the predicate (every row carries the tag value), so
+    // they contribute neither meta rows nor straddlers
+    val cFiles = fileSubset.getOrElse(snap.files)
+    if (cFiles.isEmpty) return (0L, 0L, 0L, 0L, snap.files.size)
+    val wide = rgIndexFor(spark, dir, snap, cFiles)
     locally {
       val memoHit = Option(unionColsMemo.get((dir, snap.version)))
       val needCols = memoHit.isEmpty
@@ -1149,10 +1208,15 @@ object TableLog {
         .map(r => RowGroupScan.RgSlice(r.getString(0), r.getInt(1),
           r.getLong(2), r.getLong(3)))
         .sortBy(s => (s.file, s.rg))
-      val unionCols = memoHit.getOrElse(
-        RowGroupScan.unionColsFromSets(
-          agg.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](3)))
-      if (memoHit.isEmpty) {
+      val unionCols = memoHit.getOrElse {
+        val subsetCols = RowGroupScan.unionColsFromSets(
+          agg.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](3))
+        if (fileSubset.isEmpty) subsetCols
+        else if (snap.files.forall(snap.rgidx.contains))
+          snapshotUnionCols(spark, dir, snap)
+        else mergeUnionCols(subsetCols, newestFileCols(spark, dir, snap))
+      }
+      if (memoHit.isEmpty && fileSubset.isEmpty) {
         if (unionColsMemo.size > 512) unionColsMemo.clear()
         unionColsMemo.put((dir, snap.version), unionCols)
       }
@@ -1341,7 +1405,7 @@ object TableLog {
         parts = head.parts, txn = head.txn, op = "add-check",
         dvs = head.dvs, bloomCol = head.bloomCol, blooms = head.blooms,
         checks = head.checks + (name -> expression),
-        rgidx = head.rgidx))
+        rgidx = head.rgidx, partCol = head.partCol))
     }.get
   }
 
@@ -1354,7 +1418,8 @@ object TableLog {
       Some(commit(dir, head.files, expectedVersion = v,
         parts = head.parts, txn = head.txn, op = "drop-check",
         dvs = head.dvs, bloomCol = head.bloomCol, blooms = head.blooms,
-        checks = head.checks - name, rgidx = head.rgidx))
+        checks = head.checks - name, rgidx = head.rgidx,
+        partCol = head.partCol))
     }.get
 
   // ===== per-file bloom filters (equality data skipping) ===============
@@ -1496,7 +1561,8 @@ object TableLog {
         dvs = head.dvs, bloomCol = Some(column),
         blooms = base ++
           need.filter(headSet).map(_ -> sidecarRel),
-        checks = head.checks, rgidx = head.rgidx))
+        checks = head.checks, rgidx = head.rgidx,
+        partCol = head.partCol))
     }.get
   }
 
@@ -1601,7 +1667,8 @@ object TableLog {
   def readPointLookup(spark: SparkSession, dir: String, column: String,
       values: Seq[Any], version: Int = -1,
       columns: Seq[String] = Nil,
-      extra: Seq[RgConstraint] = Nil)
+      extra: Seq[RgConstraint] = Nil,
+      fileSubset: Option[Seq[String]] = None)
       : (DataFrame, Long, Long, Int, Int) = {
     require(values.nonEmpty, "readPointLookup needs at least one value")
     def proj(df: DataFrame): DataFrame =
@@ -1621,7 +1688,9 @@ object TableLog {
       }) else None
     require(longs.isDefined || values.forall(_.isInstanceOf[String]),
       "readPointLookup probes must be all-integral or all-string")
-    val keep = bloomKeepFiles(spark, dir, snap, values)
+    val keep0 = bloomKeepFiles(spark, dir, snap, values)
+    // partition-eliminated files intersect OUT of the bloom keep set
+    val keep = fileSubset.fold(keep0)(fs => keep0.filter(fs.toSet))
     if (keep.isEmpty) // provably absent everywhere: empty, table schema
       return (proj(readEvolved(spark, dir, snap.version).limit(0)),
         0L, 0L, 0, snap.files.size)
@@ -1841,7 +1910,8 @@ object TableLog {
       Some(commit(dir, files, expectedVersion = vNext, parts = parts,
         txn = head.txn, op = "optimize", dvs = head.dvs -- inputs,
         bloomCol = head.bloomCol, blooms = blooms, checks = head.checks,
-        rgidx = (head.rgidx -- rewritten) ++ rgTopUp))
+        rgidx = (head.rgidx -- rewritten) ++ rgTopUp,
+        partCol = head.partCol))
     }
     (committed.get, snap.files.size, committedFiles)
   }
@@ -2004,7 +2074,8 @@ object TableLog {
       Some(commit(dir, files, expectedVersion = vNext, parts = parts,
         txn = head.txn, op = op, dvs = head.dvs -- touched,
         bloomCol = head.bloomCol, blooms = blooms, checks = head.checks,
-        rgidx = (head.rgidx -- touched) ++ rgTopUp))
+        rgidx = (head.rgidx -- touched) ++ rgTopUp,
+        partCol = head.partCol))
     }
     (committed.get, rowsMatched, touched.size, snap.files.size)
   }
@@ -2038,7 +2109,8 @@ object TableLog {
       Some(commit(dir, old.files, expectedVersion = v,
         parts = old.parts, txn = prev.txn, op = "restore",
         dvs = old.dvs, bloomCol = old.bloomCol, blooms = old.blooms,
-        checks = prev.checks, rgidx = old.rgidx))
+        checks = prev.checks, rgidx = old.rgidx,
+        partCol = old.partCol))
     }.get
   }
 

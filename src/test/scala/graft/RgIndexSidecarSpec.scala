@@ -513,6 +513,54 @@ class RgIndexSidecarSpec extends AnyFunSuite {
       .toSeq == Seq((100L, true)))
   }
 
+  test("partition tags compose into declarative reads: a conjunct on " +
+    "the partition column drops files before any index math") {
+    val dir = tmp("rgpart")
+    val df = spark.range(12000).selectExpr("id as k",
+      "concat('g', cast(id % 4 as string)) as grp", "id * 7 as v")
+    TableLog.appendPartitioned(df, dir, "grp")
+    val snap0 = TableLog.snapshot(dir)
+    assert(snap0.partCol.contains("grp"))
+    assert(snap0.parts.size == snap0.files.size)
+    // NOT rgidx-indexed: eliminated files would each cost a footer open
+    // in the planning pass — zero-footer proof that they never entered
+    // the index math at all
+    val ((got, st), opens) = footerOpens {
+      LakeSelect.readWhere(spark, dir, "grp = 'g1' AND v >= 0")
+    }
+    assert(got.count() == 3000L)
+    assert(st.filesOpened < st.filesTotal, s"no partition prune: $st")
+    assert(opens < snap0.files.size,
+      s"eliminated files still footer-planned: $opens of ${snap0.files.size}")
+    // IN-lists and ranges on the tag prune too; results stay exact
+    val (g2, st2) = LakeSelect.readWhere(spark, dir,
+      "grp IN ('g0', 'g2')")
+    assert(g2.count() == 6000L && st2.filesOpened < st2.filesTotal)
+    // metadata COUNT sees the same elimination
+    val (n3, st3) = LakeSelect.countWhere(spark, dir, "grp = 'g3'")
+    assert(n3 == 3000L && st3.exact)
+    // a mistyped probe must not eliminate: string tags probed with a
+    // number keep every file (conservative), result still right
+    val (g4, _) = LakeSelect.readWhere(spark, dir, "grp IS NOT NULL")
+    assert(g4.count() == 12000L)
+    // LONG partition column: tags parse back to the numeric space
+    val dir2 = tmp("rgpart2")
+    TableLog.appendPartitioned(
+      spark.range(8000).selectExpr("id as k", "id % 4 as bucket"),
+      dir2, "bucket")
+    val (h1, hs1) = LakeSelect.readWhere(spark, dir2, "bucket = 2")
+    assert(h1.count() == 2000L && hs1.filesOpened < hs1.filesTotal)
+    val (h2, hs2) = LakeSelect.readWhere(spark, dir2, "bucket >= 2")
+    assert(h2.count() == 4000L && hs2.filesOpened < hs2.filesTotal)
+    // plain (untagged) append into a partitioned table: new file always
+    // kept, partCol survives, results stay exact
+    TableLog.append(spark.range(8000, 8100)
+      .selectExpr("id as k", "id % 4 as bucket"), dir2)
+    val (h3, _) = LakeSelect.readWhere(spark, dir2, "bucket = 2")
+    assert(h3.count() == 2025L)
+    assert(TableLog.snapshot(dir2).partCol.contains("bucket"))
+  }
+
   test("an all-null leading row group in the probed column never " +
     "fabricates [0,0] bounds: pruned reads keep the real matches") {
     val dir = tmp("rgnull")
