@@ -1086,6 +1086,44 @@ object SparkEntry {
           nCnt == a1.getLong(0)).as("count_exact"))
     },
 
+    "k18b_widened_read" -> { (s, d) =>
+      // READ-SIDE TYPE WIDENING (round-13 verdict item 4): a table whose
+      // early files hold INT keys and later files BIGINT reads through
+      // the declarative selective scan as one bigint column — the union
+      // schema resolves to the lossless LUB, each file's values upcast
+      // at emit, and the zone stats (already Long-folded) keep pruning
+      // across the seam. Replay: a mid-slice straddling the int/long
+      // boundary, closed-form.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k18b")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).first()
+      val lo = b.getLong(0); val hi = b.getLong(1)
+      val mid = lo + (hi - lo) / 2
+      val opts = Map("parquet.block.size" -> "16384",
+        "parquet.page.size" -> "4096")
+      graft.operators.TableLog.append(
+        o.filter(col("o_orderkey") <= mid)
+          .select(col("o_orderkey").cast("int").as("k"),
+            col("price_cents"))
+          .coalesce(1).sortWithinPartitions("k"), dir, options = opts)
+      graft.operators.TableLog.append(
+        o.filter(col("o_orderkey") > mid)
+          .select(col("o_orderkey").as("k"), col("price_cents"))
+          .coalesce(1).sortWithinPartitions("k"), dir, options = opts)
+      val qlo = lo + (hi - lo) * 3 / 8
+      val qhi = lo + (hi - lo) * 5 / 8
+      val (pr, st) = graft.operators.LakeSelect.readWhere(s, dir,
+        s"k BETWEEN $qlo AND $qhi")
+      val widened = pr.schema("k").dataType.typeName == "long"
+      pr.agg(count(lit(1)).as("n"),
+          sum(col("price_cents")).as("sum_cents"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .withColumn("widened", lit(widened))
+        .withColumn("rg_pruned", lit(st.rgOpened < st.rgTotal))
+    },
+
     "sql18_partition_routing" -> { (s, d) =>
       // PARTITION pruning composed into declarative reads (round-13
       // verdict item 5): a table written by appendPartitioned carries
@@ -10424,6 +10462,22 @@ object SparkEntry {
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
             WHERE year(o_orderdate) = b.y) AS n_count,
            TRUE AS datetime_routed, TRUE AS count_exact""",
+
+    // widened-read replay: the mid-slice straddling the int/long file
+    // seam, closed-form; the flags pin the widened schema and pruning
+    "k18b_widened_read" ->
+      s"""WITH b AS (
+           SELECT MIN(o_orderkey) AS lo,
+             MAX(o_orderkey) - MIN(o_orderkey) AS span
+           FROM orders),
+         p AS (SELECT lo + span * 3 // 8 AS qlo, lo + span * 5 // 8
+             AS qhi FROM b)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k,
+           TRUE AS widened, TRUE AS rg_pruned
+         FROM orders, p
+         WHERE o_orderkey BETWEEN p.qlo AND p.qhi""",
 
     // partition routing replay: per-priority-segment aggregates
     // closed-form; the flags pin file-level elimination before index

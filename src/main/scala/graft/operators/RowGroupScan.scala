@@ -352,22 +352,75 @@ object RowGroupScan {
     (kept, total, cols)
   }
 
+  // ===== read-side type widening =======================================
+  //
+  // Files written before an int→long / float→double / decimal-precision
+  // evolution stay readable through the selective scan: the union
+  // schema resolves to the WIDEST type and each file's values upcast at
+  // emit time. Only lossless scalar widenings qualify; anything else is
+  // still a loud type-drift error (a silent narrow or cross-family cast
+  // could corrupt data).
+
+  private val intWidths = Seq("tinyint", "smallint", "int", "bigint")
+  private val DecimalRe = """decimal\((\d+),(\d+)\)""".r
+
+  /** Least upper bound of two catalog types under lossless widening;
+    * None when they don't widen into each other. */
+  private[operators] def widenType(a: String, b: String)
+      : Option[String] = {
+    if (a == b) return Some(a)
+    val ia = intWidths.indexOf(a); val ib = intWidths.indexOf(b)
+    if (ia >= 0 && ib >= 0) return Some(intWidths(math.max(ia, ib)))
+    if (Set(a, b) == Set("float", "double")) return Some("double")
+    (a, b) match {
+      case (DecimalRe(p1, s1), DecimalRe(p2, s2)) =>
+        // scale-up keeps every value exact iff both the fractional and
+        // the integral digit budgets grow monotonically
+        val (ip1, is1) = (p1.toInt, s1.toInt)
+        val (ip2, is2) = (p2.toInt, s2.toInt)
+        val s = math.max(is1, is2)
+        val p = math.max(ip1 - is1, ip2 - is2) + s
+        if (p <= 38) Some(s"decimal($p,$s)") else None
+      case _ => None
+    }
+  }
+
+  /** Value upcast into catalog type `to` (applied only when the file's
+    * type is strictly narrower — identity otherwise). */
+  private def upcastTo(to: String): Any => Any = to match {
+    case "smallint" => {
+      case b: java.lang.Byte => b.shortValue(); case v => v }
+    case "int" => {
+      case b: java.lang.Byte => b.intValue()
+      case s: java.lang.Short => s.intValue(); case v => v }
+    case "bigint" => {
+      case b: java.lang.Byte => b.longValue()
+      case s: java.lang.Short => s.longValue()
+      case i: java.lang.Integer => i.longValue(); case v => v }
+    case "double" => {
+      case f: java.lang.Float => f.doubleValue(); case v => v }
+    case DecimalRe(_, s) => {
+      case d: java.math.BigDecimal => d.setScale(s.toInt); case v => v }
+    case _ => identity
+  }
+
   /** Fold the collected per-group column-descriptor sets into the
     * union schema: mergeSchema order (first field position, then name),
-    * loud on a type conflict — the driver-side twin of what a separate
+    * widening scalar types to their lossless LUB, loud on any other
+    * type conflict — the driver-side twin of what a separate
     * metadata job used to compute. */
   private[operators] def unionColsFromSets(
       sets: scala.collection.Seq[scala.collection.Seq[Row]])
       : Seq[(String, String)] = {
     val all = sets.flatten
       .map(r => (r.getInt(0), r.getString(1), r.getString(2))).distinct
-    all.groupBy(_._2).foreach { case (c, rs) =>
-      require(rs.map(_._3).distinct.size == 1,
-        s"type drift on column $c: " +
-          rs.map(_._3).distinct.sorted.mkString(" vs "))
-    }
     all.groupBy(_._2).map { case (c, rs) =>
-      (rs.map(_._1).min, c, rs.head._3)
+      val t = rs.map(_._3).distinct.reduceLeft { (x, y) =>
+        widenType(x, y).getOrElse(sys.error(
+          s"type drift on column $c: " +
+            rs.map(_._3).distinct.sorted.mkString(" vs ")))
+      }
+      (rs.map(_._1).min, c, t)
     }.toSeq.sortBy(t => (t._1, t._2)).map(t => (t._2, t._3))
   }
 
@@ -458,12 +511,15 @@ object RowGroupScan {
     val full = reader.getFooter.getFileMetaData.getSchema
     val fileCols = full.getFields.asScala.map(_.getName).toSet
     val have = wanted.filter(w => fileCols(w._1))
-    have.foreach { case (n, dt) =>
+    // per-column upcast into the plan's (possibly widened) type; a file
+    // whose type neither equals nor widens into the plan's fails loudly
+    val adapters: Map[String, Any => Any] = have.map { case (n, dt) =>
       val got = sparkTypeOf(full.getType(full.getFieldIndex(n)))
         .catalogString
-      require(got == dt,
+      require(got == dt || widenType(got, dt).contains(dt),
         s"type drift on column $n in $file: $got, plan wants $dt")
-    }
+      n -> (if (got == dt) identity[Any] _ else upcastTo(dt))
+    }.toMap
     val blocks = reader.getFooter.getBlocks
     val nRgs = blocks.size
     val fname = new org.apache.hadoop.fs.Path(file).getName
@@ -501,7 +557,8 @@ object RowGroupScan {
         val base: Seq[Any] = wanted.map { case (n, _) =>
           msgIdx.get(n) match {
             case Some(j) =>
-              if (g.getFieldRepetitionCount(j) == 0) null else convs(j)(g)
+              if (g.getFieldRepetitionCount(j) == 0) null
+              else adapters(n)(convs(j)(g))
             case None => null
           }
         }

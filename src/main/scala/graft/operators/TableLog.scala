@@ -961,7 +961,13 @@ object TableLog {
   private def mergeUnionCols(subset: Seq[(String, String)],
       extra: Seq[(Int, String, String)]): Seq[(String, String)] = {
     val have = subset.map(_._1).toSet
-    subset ++ extra.sortBy(_._1).collect {
+    val extraT = extra.map(e => e._2 -> e._3).toMap
+    subset.map { case (n, t) =>
+      // the newest file may carry the WIDER type (int→long evolution) —
+      // resolve to the lossless LUB so its values fit the plan schema
+      n -> extraT.get(n).flatMap(RowGroupScan.widenType(t, _))
+        .getOrElse(t)
+    } ++ extra.sortBy(_._1).collect {
       case (_, n, t) if !have(n) => (n, t)
     }
   }

@@ -561,6 +561,51 @@ class RgIndexSidecarSpec extends AnyFunSuite {
     assert(TableLog.snapshot(dir2).partCol.contains("bucket"))
   }
 
+  test("read-side type widening: int→long, float→double, and decimal " +
+    "scale-up evolutions read through the selective scan") {
+    val dir = tmp("rgwide")
+    TableLog.append(
+      spark.range(6000).selectExpr("cast(id as int) as k",
+        "cast(id as float) as x", "cast(id as decimal(10,2)) as m")
+        .coalesce(1).sortWithinPartitions("k"),
+      dir, options = smallRg)
+    TableLog.append(
+      spark.range(6000, 12000).selectExpr("id as k",
+        "cast(id as double) as x", "cast(id as decimal(14,4)) as m")
+        .coalesce(1).sortWithinPartitions("k"),
+      dir, options = smallRg)
+    val (got, st) = LakeSelect.readWhere(spark, dir,
+      "k BETWEEN 5500 AND 6499")
+    assert(got.schema("k").dataType.typeName == "long")
+    assert(got.schema("x").dataType.typeName == "double")
+    assert(got.schema("m").dataType.typeName == "decimal(14,4)")
+    val r = got.agg(count(lit(1)), sum("k"), min("k"), max("k"),
+      sum("x"), sum("m")).first()
+    assert(r.getLong(0) == 1000L)
+    assert(r.getLong(2) == 5500L && r.getLong(3) == 6499L)
+    assert(r.getLong(1) == (5500L to 6499L).sum)
+    assert(r.getDouble(4) == (5500L to 6499L).sum.toDouble)
+    assert(r.getDecimal(5).longValue == (5500L to 6499L).sum)
+    assert(st.rgOpened < st.rgTotal, s"widened read did not prune: $st")
+    // metadata count stays exact across the int/long seam
+    val (n, stc) = LakeSelect.countWhere(spark, dir, "k < 6000")
+    assert(n == 6000L && stc.exact)
+    // the persisted sidecar (per-file dtypes) widens identically
+    TableLog.computeRowGroupIndex(spark, dir)
+    val ((got2, _), opens) = footerOpens {
+      LakeSelect.readWhere(spark, dir, "k BETWEEN 5500 AND 6499")
+    }
+    assert(opens == 0L && got2.count() == 1000L)
+    // a genuine conflict (long vs string) still fails loudly
+    val dir2 = tmp("rgwide2")
+    TableLog.append(spark.range(100).selectExpr("id as k"), dir2)
+    TableLog.append(spark.range(100)
+      .selectExpr("cast(id as string) as k"), dir2)
+    intercept[RuntimeException] {
+      LakeSelect.readWhere(spark, dir2, "k IS NOT NULL")._1.count()
+    }
+  }
+
   test("an all-null leading row group in the probed column never " +
     "fabricates [0,0] bounds: pruned reads keep the real matches") {
     val dir = tmp("rgnull")
