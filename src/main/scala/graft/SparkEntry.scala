@@ -1086,6 +1086,57 @@ object SparkEntry {
           nCnt == a1.getLong(0)).as("count_exact"))
     },
 
+    "k37_rgidx_maintained" -> { (s, d) =>
+      // AUTO-MAINTAINED row-group index on plain appends (round-13
+      // verdict item 1): after ONE computeRowGroupIndex opt-in, later
+      // appends stage their new files' footer stats into a sidecar
+      // committed atomically with the data — so a declarative read
+      // AFTER two appends plans from sidecars alone: every file mapped,
+      // indexFooterOpens == 0, and row groups still prune. Replay: the
+      // 1/8th slice over the reassembled table, closed-form.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k37")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      val b = o.agg(min("o_orderkey"), max("o_orderkey")).first()
+      val lo = b.getLong(0); val hi0 = b.getLong(1)
+      val t1 = lo + (hi0 - lo) / 3; val t2 = lo + (hi0 - lo) * 2 / 3
+      val opts = Map("parquet.block.size" -> "16384",
+        "parquet.page.size" -> "4096")
+      def slice(c: Column) = o.filter(c)
+        .repartitionByRange(1, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      graft.operators.TableLog.append(
+        slice(col("o_orderkey") <= t1), dir, options = opts)
+      graft.operators.TableLog.computeRowGroupIndex(s, dir)
+      // two PLAIN appends — no graft_build_index afterwards
+      graft.operators.TableLog.append(
+        slice(col("o_orderkey") > t1 && col("o_orderkey") <= t2),
+        dir, options = opts)
+      graft.operators.TableLog.append(
+        slice(col("o_orderkey") > t2), dir, options = opts)
+      val snap = graft.operators.TableLog.snapshot(dir)
+      val unmapped = snap.files.count(f => !snap.rgidx.contains(f))
+      val hi = lo + (hi0 - lo) / 8
+      val before = graft.operators.RowGroupScan.indexFooterOpens.sum()
+      val (pr, st) = graft.operators.LakeSelect.readWhere(s, dir,
+        s"o_orderkey BETWEEN $lo AND $hi")
+      val agg = pr.agg(count(lit(1)).as("n"),
+        sum(col("price_cents")).as("sum_cents"),
+        min(col("o_orderkey")).as("min_k"),
+        max(col("o_orderkey")).as("max_k")).first()
+      val opens =
+        graft.operators.RowGroupScan.indexFooterOpens.sum() - before
+      s.range(1).select(
+        lit(agg.getLong(0)).as("n"),
+        lit(agg.getLong(1)).as("sum_cents"),
+        lit(agg.getLong(2)).as("min_k"),
+        lit(agg.getLong(3)).as("max_k"),
+        lit(unmapped == 0 && opens == 0L).as("maintained"),
+        lit(st.rgOpened < st.rgTotal &&
+          st.filesOpened < st.filesTotal).as("pruned"))
+    },
+
     "k18b_widened_read" -> { (s, d) =>
       // READ-SIDE TYPE WIDENING (round-13 verdict item 4): a table whose
       // early files hold INT keys and later files BIGINT reads through
@@ -10462,6 +10513,22 @@ object SparkEntry {
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
             WHERE year(o_orderdate) = b.y) AS n_count,
            TRUE AS datetime_routed, TRUE AS count_exact""",
+
+    // maintained-index replay: the 1/8th slice over the whole table
+    // (three range-split appends reassemble orders); the flags pin
+    // zero-footer planning after plain appends and the pruned scan
+    "k37_rgidx_maintained" ->
+      s"""WITH b AS (
+           SELECT MIN(o_orderkey) AS lo,
+             MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey)) // 8
+               AS hi
+           FROM orders)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           MIN(o_orderkey) AS min_k, MAX(o_orderkey) AS max_k,
+           TRUE AS maintained, TRUE AS pruned
+         FROM orders, b
+         WHERE o_orderkey BETWEEN b.lo AND b.hi""",
 
     // widened-read replay: the mid-slice straddling the int/long file
     // seam, closed-form; the flags pin the widened schema and pruning
