@@ -291,6 +291,185 @@ object RowGroupScan {
     }
   }
 
+  // ===== driver-side prune (memoized small snapshots) ==================
+  //
+  // The Delta/Iceberg planning model: when a snapshot's whole index is
+  // already resident on the driver (the bounded memo — ≤512 files), the
+  // prune is plain Scala over the rows, ZERO Spark jobs. The scalar
+  // predicates below are exact twins of [[rejectCond]] /
+  // [[fullMatchCond]] (including three-valued null handling: a missing
+  // bound never rejects and never proves). Large snapshots keep the
+  // distributed aggregation.
+
+  /** One (file, rg) planning verdict. `start` is the file-ordinal first
+    * row (deletion-vector rebasing); `full` = every row provably
+    * satisfies ALL constraints. */
+  private[operators] final case class RgVerdict(file: String, rg: Int,
+      nRows: Long, start: Long, rejected: Boolean, full: Boolean)
+
+  private[operators] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Scalar [[rejectCond]]: bounds of THIS (file, rg, column) row
+    * disprove the constraint. */
+  private def leafReject(l: TableLog.RgConstraint, r: Row,
+      ix: Map[String, Int]): Boolean = {
+    def lng(c: String): Option[Long] =
+      if (r.isNullAt(ix(c))) None else Some(r.getLong(ix(c)))
+    def str(c: String): Option[String] =
+      if (r.isNullAt(ix(c))) None else Some(r.getString(ix(c)))
+    l match {
+      case TableLog.NumRange(_, lo, hi) =>
+        (lng("lmin"), lng("lmax")) match {
+          case (Some(lmin), Some(lmax)) =>
+            lo.exists(lmax < _) || hi.exists(lmin > _)
+          case _ => false
+        }
+      case TableLog.NumIn(_, vs) =>
+        (lng("lmin"), lng("lmax")) match {
+          case (Some(lmin), Some(lmax)) =>
+            !vs.exists(v => lmin <= v && v <= lmax)
+          case _ => false
+        }
+      case TableLog.StrRange(_, lo, hi, hiExcl) =>
+        (str("smin"), str("smax")) match {
+          case (Some(smin), Some(smax)) =>
+            lo.exists(utf8Cmp(smax, _) < 0) ||
+              hi.exists(h => if (hiExcl) utf8Cmp(smin, h) >= 0
+                             else utf8Cmp(smin, h) > 0)
+          case _ => false
+        }
+      case TableLog.StrIn(_, vs) =>
+        (str("smin"), str("smax")) match {
+          case (Some(smin), Some(smax)) =>
+            !vs.exists(v => utf8Cmp(smin, v) <= 0 && utf8Cmp(v, smax) <= 0)
+          case _ => false
+        }
+      case TableLog.NullCheck(_, isNull) =>
+        lng("n_nulls") match {
+          case Some(nn) =>
+            if (isNull) nn == 0L else nn == r.getLong(ix("n_rows"))
+          case None => false
+        }
+      case or: TableLog.RgOr => sys.error(
+        s"RgOr must be expanded before leaf evaluation: $or")
+    }
+  }
+
+  /** Scalar [[fullMatchCond]]: bounds prove EVERY row satisfies it. */
+  private def leafFull(l: TableLog.RgConstraint, r: Row,
+      ix: Map[String, Int]): Boolean = {
+    def lng(c: String): Option[Long] =
+      if (r.isNullAt(ix(c))) None else Some(r.getLong(ix(c)))
+    def str(c: String): Option[String] =
+      if (r.isNullAt(ix(c))) None else Some(r.getString(ix(c)))
+    val dtype = r.getString(ix("dtype"))
+    val exactNum = Set("tinyint", "smallint", "int", "bigint",
+      "date")(dtype)
+    val noNulls = lng("n_nulls").contains(0L)
+    l match {
+      case TableLog.NumRange(_, lo, hi) =>
+        exactNum && noNulls && ((lng("lmin"), lng("lmax")) match {
+          case (Some(lmin), Some(lmax)) =>
+            lo.forall(lmin >= _) && hi.forall(lmax <= _)
+          case _ => false
+        })
+      case TableLog.NumIn(_, vs) =>
+        exactNum && noNulls && ((lng("lmin"), lng("lmax")) match {
+          case (Some(lmin), Some(lmax)) =>
+            lmin == lmax && vs.contains(lmin)
+          case _ => false
+        })
+      case TableLog.StrRange(_, lo, hi, hiExcl) =>
+        dtype == "string" && noNulls &&
+          ((str("smin"), str("smax")) match {
+            case (Some(smin), Some(smax)) =>
+              lo.forall(utf8Cmp(smin, _) >= 0) &&
+                hi.forall(h => if (hiExcl) utf8Cmp(smax, h) < 0
+                               else utf8Cmp(smax, h) <= 0)
+            case _ => false
+          })
+      case TableLog.StrIn(_, vs) =>
+        dtype == "string" && noNulls &&
+          ((str("smin"), str("smax")) match {
+            case (Some(smin), Some(smax)) =>
+              smin == smax && vs.contains(smin)
+            case _ => false
+          })
+      case TableLog.NullCheck(_, isNull) =>
+        lng("n_nulls") match {
+          case Some(nn) =>
+            if (isNull) nn == r.getLong(ix("n_rows")) else nn == 0L
+          case None => false
+        }
+      case or: TableLog.RgOr => sys.error(
+        s"RgOr must be expanded before leaf evaluation: $or")
+    }
+  }
+
+  /** Driver-side twin of [[prunePairs]]'s per-group aggregation: fold
+    * the index rows into one [[RgVerdict]] per (file, rg) — reject =
+    * any top-level conjunct disproves (a disjunction only when EVERY
+    * branch does), full = every conjunct proves (a disjunction when ANY
+    * branch does) — plus the union column descriptors. rg == -1 schema
+    * carriers contribute descriptors but no verdicts. */
+  private[operators] def classifyLocal(rows: Array[Row],
+      schema: org.apache.spark.sql.types.StructType,
+      constraints: Seq[TableLog.RgConstraint])
+      : (Seq[RgVerdict], Seq[(Int, String, String)]) = {
+    val ix = schema.fieldNames.zipWithIndex.toMap
+    val (iFile, iRg, iCol) = (ix("file"), ix("rg"), ix("column"))
+    val (iOrd, iDtype, iNRows) = (ix("ord"), ix("dtype"), ix("n_rows"))
+    def leavesOf(c: TableLog.RgConstraint): Seq[TableLog.RgConstraint] =
+      c match { case TableLog.RgOr(bs) => bs; case x => Seq(x) }
+    val cols = scala.collection.mutable.LinkedHashSet[(Int, String,
+      String)]()
+    // group rows by (file, rg), keeping encounter order
+    val groups = scala.collection.mutable.LinkedHashMap[(String, Int),
+      scala.collection.mutable.Map[String, Row]]()
+    rows.foreach { r =>
+      cols += ((r.getInt(iOrd), r.getString(iCol), r.getString(iDtype)))
+      groups.getOrElseUpdate((r.getString(iFile), r.getInt(iRg)),
+        scala.collection.mutable.Map.empty)
+        .update(r.getString(iCol), r)
+    }
+    def flag(byCol: scala.collection.Map[String, Row],
+        l: TableLog.RgConstraint,
+        f: (TableLog.RgConstraint, Row, Map[String, Int]) => Boolean)
+        : Boolean = byCol.get(l.column).exists(f(l, _, ix))
+    val verdicts = groups.iterator.map { case ((f, rg), byCol) =>
+      val rej = constraints.exists {
+        case TableLog.RgOr(bs) =>
+          bs.nonEmpty && bs.forall(flag(byCol, _, leafReject))
+        case leaf => flag(byCol, leaf, leafReject)
+      }
+      val full = constraints.nonEmpty && constraints.forall {
+        case TableLog.RgOr(bs) => bs.exists(flag(byCol, _, leafFull))
+        case leaf => flag(byCol, leaf, leafFull)
+      }
+      val n = byCol.valuesIterator.next().getLong(iNRows)
+      RgVerdict(f, rg, n, 0L, rej, full)
+    }.toSeq
+    // file-ordinal start offsets: prefix sums per file in rg order
+    val withStarts = verdicts.groupBy(_.file).toSeq.sortBy(_._1)
+      .flatMap { case (_, vs) =>
+        var acc = 0L
+        vs.filter(_.rg >= 0).sortBy(_.rg).map { v =>
+          val out = v.copy(start = acc); acc += v.nRows; out
+        } ++ vs.filter(_.rg < 0)
+      }
+    (withStarts, cols.toSeq)
+  }
+
   /** DISTRIBUTED prune of a wide index by every constraint at once:
     * per-(file, rg) reject verdicts fold in one metadata aggregation
     * (a constraint rejects a group iff ITS column's bounds disprove it;
@@ -411,9 +590,13 @@ object RowGroupScan {
     * metadata job used to compute. */
   private[operators] def unionColsFromSets(
       sets: scala.collection.Seq[scala.collection.Seq[Row]])
-      : Seq[(String, String)] = {
-    val all = sets.flatten
-      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).distinct
+      : Seq[(String, String)] =
+    unionColsFromTuples(sets.flatten
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq)
+
+  private[operators] def unionColsFromTuples(
+      all0: Seq[(Int, String, String)]): Seq[(String, String)] = {
+    val all = all0.distinct
     all.groupBy(_._2).map { case (c, rs) =>
       val t = rs.map(_._3).distinct.reduceLeft { (x, y) =>
         widenType(x, y).getOrElse(sys.error(

@@ -897,30 +897,56 @@ object TableLog {
       return (proj(readEvolved(spark, dir, snap.version).limit(0)),
         0L, 0L, 0, snap.files.size)
     val prefix = Paths.get(dir).toString + "/"
-    val wide = rgIndexFor(spark, dir, snap, files)
     locally {
-      // ONE metadata action plans the whole read: kept slices, total
-      // group count, and (on a memo miss) the union schema — so an
-      // un-indexed table pays exactly one footer pass + one aggregation,
-      // and a sidecar-indexed one a single small-parquet aggregation
+      // Planning: small/memoized snapshots plan entirely ON THE DRIVER
+      // (the Delta manifest model — zero Spark jobs); large snapshots
+      // run ONE distributed metadata action (kept slices, total group
+      // count, and on a memo miss the union schema) — so an un-indexed
+      // table pays exactly one footer pass + one aggregation, and a
+      // sidecar-indexed one a single small-parquet aggregation.
       val memoHit = Option(unionColsMemo.get((dir, snap.version)))
-      val (slices, total, colsOpt) = RowGroupScan.prunePairs(spark, wide,
-        constraints, withStarts = files.exists(snap.dvs.contains),
-        needCols = memoHit.isEmpty)
+      val (slices, total, colsOpt)
+          : (Seq[RowGroupScan.RgSlice], Long,
+             Option[Seq[(String, String)]]) =
+        rgIndexLocal(spark, dir, snap, files) match {
+          case Some((rows, schema)) =>
+            val (verdicts, colTuples) =
+              RowGroupScan.classifyLocal(rows, schema, constraints)
+            val kept = verdicts.filter(v => !v.rejected && v.rg >= 0)
+              .map(v => RowGroupScan.RgSlice(v.file, v.rg, v.start,
+                v.nRows))
+              .sortBy(s => (s.file, s.rg))
+            (kept, verdicts.count(_.rg >= 0).toLong,
+              if (memoHit.isEmpty)
+                Some(RowGroupScan.unionColsFromTuples(colTuples))
+              else None)
+          case None =>
+            val wide = rgIndexForUncached(spark, dir, snap, files)
+            RowGroupScan.prunePairs(spark, wide, constraints,
+              withStarts = files.exists(snap.dvs.contains),
+              needCols = memoHit.isEmpty)
+        }
       // the union schema must cover the FULL snapshot even when a bloom
       // or partition prune narrowed the file set: under add-column
       // evolution a predicate/projection column can live only in files
       // the prune dropped, and a subset-derived union would fail its
       // resolution (AnalysisException) instead of null-filling like
-      // readEvolved. Fully sidecar-mapped snapshots widen from the
+      // readEvolved. A retained full-index memo answers exactly from
+      // driver rows; fully sidecar-mapped snapshots widen from the
       // index (no footers); others widen from the NEWEST file's footer
       // (one open — the widest schema under add-column evolution), so
       // eliminated files still cost zero footer opens.
       val unionCols = memoHit.getOrElse {
         if (fileSubset.isEmpty) colsOpt.get
-        else if (snap.files.forall(snap.rgidx.contains))
-          snapshotUnionCols(spark, dir, snap)
-        else mergeUnionCols(colsOpt.get, newestFileCols(spark, dir, snap))
+        else Option(wideIdxMemo.get((dir, snap.version))) match {
+          case Some((fullRows, fullSchema)) =>
+            RowGroupScan.unionColsFromTuples(
+              colsOfRows(fullRows, fullSchema))
+          case None if snap.files.forall(snap.rgidx.contains) =>
+            snapshotUnionCols(spark, dir, snap)
+          case None =>
+            mergeUnionCols(colsOpt.get, newestFileCols(spark, dir, snap))
+        }
       }
       if (memoHit.isEmpty && fileSubset.isEmpty) {
         if (unionColsMemo.size > 512) unionColsMemo.clear()
@@ -953,6 +979,17 @@ object TableLog {
       }
       (df, slices.size.toLong, total, filesOpened, snap.files.size)
     }
+  }
+
+  /** Distinct (ord, column, dtype) descriptors of driver-resident index
+    * rows. */
+  private def colsOfRows(rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType)
+      : Seq[(Int, String, String)] = {
+    val ix = schema.fieldNames.zipWithIndex.toMap
+    val (io, ic, id) = (ix("ord"), ix("column"), ix("dtype"))
+    rows.map(r => (r.getInt(io), r.getString(ic), r.getString(id)))
+      .distinct.toSeq
   }
 
   /** Widen a subset-derived union with columns only the rest of the
@@ -1081,11 +1118,72 @@ object TableLog {
     }.get
   }
 
+  /** Driver memo of a snapshot's FULL wide index — a committed
+    * version's stats never change, so repeated declarative reads of one
+    * snapshot (the SQL pattern: several readWhere/countWhere against
+    * one version) pay the footer pass (un-indexed) or sidecar read
+    * (indexed) exactly ONCE; later reads plan from a LocalRelation with
+    * zero footer opens and zero scan jobs. Bounded twice over: entries
+    * above [[wideIdxMemoMaxRows]] rows never memoize (a 100 TB table's
+    * index belongs in the persisted sidecar, not driver memory), and
+    * the map clears wholesale past 64 snapshots. */
+  private val wideIdxMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int),
+      (Array[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType)]()
+  private val wideIdxMemoMaxRows = 200000
+
+  /** The snapshot's index ROWS when they are (or can become) driver-
+    * resident: a memo hit serves (a file subset of) the retained full
+    * index; a miss on a small snapshot (≤512 files — the collect-cost
+    * guard) builds once, memoizes under the row cap, and returns the
+    * rows. None = big snapshot, caller uses the distributed path. */
+  private def rgIndexLocal(spark: SparkSession, dir: String,
+      snap: Snapshot, files: Seq[String])
+      : Option[(Array[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType)] = {
+    val key = (dir, snap.version)
+    val prefixM = Paths.get(dir).toString + "/"
+    def subset(rows: Array[org.apache.spark.sql.Row])
+        : Array[org.apache.spark.sql.Row] =
+      if (files.size == snap.files.size) rows
+      else {
+        val want = files.map(prefixM + _).toSet
+        rows.filter(r => want(r.getString(0)))
+      }
+    Option(wideIdxMemo.get(key)) match {
+      case Some((rows, schema)) => Some((subset(rows), schema))
+      case None if snap.files.size <= 512 =>
+        // a SUBSET request (bloom/partition prune) must never open the
+        // eliminated files' footers just to warm the memo — build (and
+        // memoize) the full index only when the full snapshot is asked
+        val buildFiles =
+          if (files.size == snap.files.size) snap.files else files
+        val built = rgIndexForUncached(spark, dir, snap, buildFiles)
+        val rows = built.collect()
+        if (files.size == snap.files.size &&
+            rows.length <= wideIdxMemoMaxRows) {
+          if (wideIdxMemo.size > 64) wideIdxMemo.clear()
+          wideIdxMemo.put(key, (rows, built.schema))
+        }
+        Some((rows, built.schema))
+      case None => None
+    }
+  }
+
   /** The wide row-group index for `files` (relative), file column
     * resolved to ABSOLUTE paths: sidecar-served for mapped files (no
     * footer opened), footer-built for the rest (conservative fallback —
     * correctness never depends on the sidecar being complete). */
   private def rgIndexFor(spark: SparkSession, dir: String,
+      snap: Snapshot, files: Seq[String]): DataFrame =
+    rgIndexLocal(spark, dir, snap, files) match {
+      case Some((rows, schema)) =>
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      case None => rgIndexForUncached(spark, dir, snap, files)
+    }
+
+  private def rgIndexForUncached(spark: SparkSession, dir: String,
       snap: Snapshot, files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, concat, lit}
     import spark.implicits._
@@ -1155,72 +1253,103 @@ object TableLog {
     // they contribute neither meta rows nor straddlers
     val cFiles = fileSubset.getOrElse(snap.files)
     if (cFiles.isEmpty) return (0L, 0L, 0L, 0L, snap.files.size)
-    val wide = rgIndexFor(spark, dir, snap, cFiles)
     locally {
       val memoHit = Option(unionColsMemo.get((dir, snap.version)))
       val needCols = memoHit.isEmpty
-      val (flagAggs, rej, fullCol) =
-        RowGroupScan.constraintFlags(constraints)
-      val aggs = (first(col("n_rows")).as("n_rows") +: flagAggs) ++
-        (if (needCols)
-          Seq(org.apache.spark.sql.functions.sort_array(
-            org.apache.spark.sql.functions.collect_set(
-              org.apache.spark.sql.functions.struct(col("ord"),
-                col("column"), col("dtype")))).as("__cols"))
-        else Nil)
-      val pairs0 = wide.groupBy(col("file"), col("rg"))
-        .agg(aggs.head, aggs.tail: _*)
-      val isFull =
-        if (!exact || constraints.isEmpty) lit(false) else fullCol
       // DV files can never meta-count (deleted rows are invisible to
       // footer stats) — their non-rejected groups always scan
       val dvAbs = snap.dvs.keySet.toSeq.sorted.map(prefix + _)
-      import spark.implicits._
-      val dvDf = broadcast(dvAbs.toDF("file")
-        .withColumn("__isdv", lit(true)))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("file").orderBy("rg")
-        .rowsBetween(org.apache.spark.sql.expressions.Window
-          .unboundedPreceding, -1)
-      val startCol =
-        if (dvAbs.isEmpty) lit(0L) // starts only rebase DV positions
-        else org.apache.spark.sql.functions
-          .coalesce(sum(col("n_rows")).over(w), lit(0L))
-      val pairs = pairs0
-        .join(dvDf, Seq("file"), "left")
-        .withColumn("__start", startCol)
-        .withColumn("__rej", rej)
-        .withColumn("__full", isFull && col("__isdv").isNull)
-      // ONE action classifies every group: meta-provable row sum, total
-      // group count, the straddling slices (collect_list skips the null
-      // rows when() emits for non-straddlers), and on a memo miss the
-      // union schema — driver residency is O(straddlers). rg == -1
-      // schema carriers ride for the schema but never classify.
-      import org.apache.spark.sql.functions.{collect_list, collect_set,
-        struct}
-      val gAggs = Seq(
-        sum(when(col("__full") && !col("__rej") && col("rg") >= 0,
-          col("n_rows")).otherwise(0L)),
-        sum(when(col("rg") >= 0, 1L).otherwise(0L)),
-        collect_list(when(!col("__rej") && !col("__full") &&
-          col("rg") >= 0,
-          struct(col("file"), col("rg"), col("__start"),
-            col("n_rows"))))) ++
-        (if (needCols) Seq(collect_set(col("__cols"))) else Nil)
-      val agg = pairs.agg(gAggs.head, gAggs.tail: _*).first()
-      val metaRows = if (agg.isNullAt(0)) 0L else agg.getLong(0)
-      val rgTotal = if (agg.isNullAt(1)) 0L else agg.getLong(1)
-      val straddle = agg.getSeq[org.apache.spark.sql.Row](2)
-        .map(r => RowGroupScan.RgSlice(r.getString(0), r.getInt(1),
-          r.getLong(2), r.getLong(3)))
-        .sortBy(s => (s.file, s.rg))
+      // classification: driver-local for small/memoized snapshots
+      // (zero Spark jobs), ONE distributed action otherwise — meta-
+      // provable row sum, total group count, straddling slices, and on
+      // a memo miss the union schema; driver residency is
+      // O(straddlers). rg == -1 schema carriers never classify.
+      val (metaRows, rgTotal, straddle, subsetColsOpt)
+          : (Long, Long, Seq[RowGroupScan.RgSlice],
+             Option[Seq[(String, String)]]) =
+        rgIndexLocal(spark, dir, snap, cFiles) match {
+          case Some((rows, schemaT)) =>
+            val (verdicts, colTuples) =
+              RowGroupScan.classifyLocal(rows, schemaT, constraints)
+            val dvSet = dvAbs.toSet
+            val gate = exact && constraints.nonEmpty
+            def isFull(v: RowGroupScan.RgVerdict): Boolean =
+              gate && v.full && !dvSet(v.file)
+            val vs = verdicts.filter(_.rg >= 0)
+            (vs.filter(v => !v.rejected && isFull(v)).map(_.nRows).sum,
+              vs.size.toLong,
+              vs.filter(v => !v.rejected && !isFull(v))
+                .map(v => RowGroupScan.RgSlice(v.file, v.rg, v.start,
+                  v.nRows)).sortBy(s => (s.file, s.rg)),
+              if (needCols)
+                Some(RowGroupScan.unionColsFromTuples(colTuples))
+              else None)
+          case None =>
+            val wide = rgIndexForUncached(spark, dir, snap, cFiles)
+            val (flagAggs, rej, fullCol) =
+              RowGroupScan.constraintFlags(constraints)
+            val aggs = (first(col("n_rows")).as("n_rows") +: flagAggs) ++
+              (if (needCols)
+                Seq(org.apache.spark.sql.functions.sort_array(
+                  org.apache.spark.sql.functions.collect_set(
+                    org.apache.spark.sql.functions.struct(col("ord"),
+                      col("column"), col("dtype")))).as("__cols"))
+              else Nil)
+            val pairs0 = wide.groupBy(col("file"), col("rg"))
+              .agg(aggs.head, aggs.tail: _*)
+            val isFull =
+              if (!exact || constraints.isEmpty) lit(false) else fullCol
+            import spark.implicits._
+            val dvDf = broadcast(dvAbs.toDF("file")
+              .withColumn("__isdv", lit(true)))
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("file").orderBy("rg")
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, -1)
+            val startCol =
+              if (dvAbs.isEmpty) lit(0L) // starts only rebase DVs
+              else org.apache.spark.sql.functions
+                .coalesce(sum(col("n_rows")).over(w), lit(0L))
+            val pairs = pairs0
+              .join(dvDf, Seq("file"), "left")
+              .withColumn("__start", startCol)
+              .withColumn("__rej", rej)
+              .withColumn("__full", isFull && col("__isdv").isNull)
+            import org.apache.spark.sql.functions.{collect_list,
+              collect_set, struct}
+            val gAggs = Seq(
+              sum(when(col("__full") && !col("__rej") && col("rg") >= 0,
+                col("n_rows")).otherwise(0L)),
+              sum(when(col("rg") >= 0, 1L).otherwise(0L)),
+              collect_list(when(!col("__rej") && !col("__full") &&
+                col("rg") >= 0,
+                struct(col("file"), col("rg"), col("__start"),
+                  col("n_rows"))))) ++
+              (if (needCols) Seq(collect_set(col("__cols"))) else Nil)
+            val agg = pairs.agg(gAggs.head, gAggs.tail: _*).first()
+            (if (agg.isNullAt(0)) 0L else agg.getLong(0),
+              if (agg.isNullAt(1)) 0L else agg.getLong(1),
+              agg.getSeq[org.apache.spark.sql.Row](2)
+                .map(r => RowGroupScan.RgSlice(r.getString(0),
+                  r.getInt(1), r.getLong(2), r.getLong(3)))
+                .sortBy(s => (s.file, s.rg)),
+              if (needCols)
+                Some(RowGroupScan.unionColsFromSets(agg.getSeq[
+                  scala.collection.Seq[org.apache.spark.sql.Row]](3)))
+              else None)
+        }
       val unionCols = memoHit.getOrElse {
-        val subsetCols = RowGroupScan.unionColsFromSets(
-          agg.getSeq[scala.collection.Seq[org.apache.spark.sql.Row]](3))
+        val subsetCols = subsetColsOpt.get
         if (fileSubset.isEmpty) subsetCols
-        else if (snap.files.forall(snap.rgidx.contains))
-          snapshotUnionCols(spark, dir, snap)
-        else mergeUnionCols(subsetCols, newestFileCols(spark, dir, snap))
+        else Option(wideIdxMemo.get((dir, snap.version))) match {
+          case Some((fullRows, fullSchema)) =>
+            RowGroupScan.unionColsFromTuples(
+              colsOfRows(fullRows, fullSchema))
+          case None if snap.files.forall(snap.rgidx.contains) =>
+            snapshotUnionCols(spark, dir, snap)
+          case None =>
+            mergeUnionCols(subsetCols, newestFileCols(spark, dir, snap))
+        }
       }
       if (memoHit.isEmpty && fileSubset.isEmpty) {
         if (unionColsMemo.size > 512) unionColsMemo.clear()
