@@ -1737,42 +1737,98 @@ object TableLog {
     * which of the snapshot's files MIGHT contain one of `values`
     * (unindexed files kept conservatively, indexed-but-no-sidecar-row =
     * all-NULL file = definitely absent). */
+  /** Driver memo of a small snapshot's bloom bitmaps — like the wide-
+    * index memo, repeated point lookups against one version then plan
+    * without any Spark job. Bounded: ≤512 indexed files collect at all,
+    * ≥32 MB of bitmaps are not RETAINED (None marks "served once, too
+    * big to keep"), 64 snapshots LRU. Big tables keep the distributed
+    * probe (one boolean per file comes back, never the bitmaps). */
+  private val bloomBitsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int),
+      Option[Map[String, Array[Byte]]]]()
+
+  private def bloomBitsLocal(spark: SparkSession, dir: String,
+      snap: Snapshot): Option[Map[String, Array[Byte]]] = {
+    if (snap.blooms.isEmpty || snap.blooms.size > 512) return None
+    val key = (dir, snap.version)
+    Option(bloomBitsMemo.get(key)).getOrElse {
+      import spark.implicits._
+      val parts = snap.blooms.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (sidecar, m) =>
+          val fs = m.keySet.toSeq
+          spark.read
+            .parquet(Paths.get(dir).resolve(sidecar).toString)
+            .filter(org.apache.spark.sql.functions.col("f")
+              .isin(fs: _*))
+        }
+      val bits = parts.reduce(_.unionByName(_))
+        .as[(String, Array[Byte])].collect().toMap
+      val retained =
+        if (bits.valuesIterator.map(_.length.toLong).sum <= (32L << 20))
+          Some(bits)
+        else None
+      if (bloomBitsMemo.size > 64) bloomBitsMemo.clear()
+      bloomBitsMemo.put(key, retained)
+      Some(bits)
+    }
+  }
+
+  /** The probe's raw 64-bit hashes through Spark's OWN hash kernel —
+    * the same XxHash64 EXPRESSION the build side folds (interpreted
+    * eval and codegen share one XXH64 implementation), evaluated on the
+    * driver so a point lookup plans without a hashing job. */
+  private[graft] def probeHashesLocal(values: Seq[Any])
+      : Array[Array[Long]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit,
+      XxHash64}
+    values.map { v =>
+      (0 until bloomK).map { i =>
+        XxHash64(Seq(CLit(i), CLit(v.toString)), 42L)
+          .eval(null).asInstanceOf[Long]
+      }.toArray
+    }.toArray
+  }
+
   private def bloomKeepFiles(spark: SparkSession, dir: String,
       snap: Snapshot, values: Seq[Any]): Seq[String] = {
-    import org.apache.spark.sql.functions.{lit, xxhash64}
-    // raw 64-bit probe hashes through Spark's OWN hash kernel (one local
-    // 1-row job) so build and probe can never drift; the per-bitmap
-    // modulo folds in executor-side, where the bitmap length is known
-    val hashRow = spark.range(1).select(values.flatMap(v =>
-      (0 until bloomK).map(i => xxhash64(lit(i), lit(v.toString)))): _*)
-      .head()
-    val probeHashes: Array[Array[Long]] = values.indices.map(i =>
-      (0 until bloomK).map(j => hashRow.getLong(i * bloomK + j)).toArray)
-      .toArray
-    // distributed probe over the CURRENT mapping's sidecar rows only: a
-    // sidecar row counts iff the snapshot still maps that file to that
-    // sidecar (a column switch or rewrite leaves stale rows behind)
+    val probeHashes: Array[Array[Long]] = probeHashesLocal(values)
+    def probe(bytes: Array[Byte]): Boolean = {
+      val m = bytes.length.toLong * 8L
+      probeHashes.exists(_.forall { h =>
+        val p = (((h % m) + m) % m).toInt
+        (bytes(p >>> 3) & (1 << (p & 7))) != 0
+      })
+    }
+    // small snapshots probe DRIVER-RESIDENT bitmaps (zero jobs);
+    // otherwise a distributed probe over the CURRENT mapping's sidecar
+    // rows only — a sidecar row counts iff the snapshot still maps that
+    // file to that sidecar (a column switch or rewrite leaves stale
+    // rows behind) — returning one boolean per indexed file
     val hitByFile: Map[String, Boolean] =
       if (snap.blooms.isEmpty) Map.empty
-      else {
-        import spark.implicits._
-        val parts = snap.blooms.groupBy(_._2).toSeq.sortBy(_._1)
-          .map { case (sidecar, m) =>
-            val fs = m.keySet.toSeq
-            spark.read
-              .parquet(Paths.get(dir).resolve(sidecar).toString)
-              .filter(org.apache.spark.sql.functions.col("f")
-                .isin(fs: _*))
-          }
-        parts.reduce(_.unionByName(_)).as[(String, Array[Byte])]
-          .map { case (f, bytes) =>
-            val m = bytes.length.toLong * 8L
-            val hit = probeHashes.exists(_.forall { h =>
-              val p = (((h % m) + m) % m).toInt
-              (bytes(p >>> 3) & (1 << (p & 7))) != 0
-            })
-            (f, hit)
-          }.collect().toMap // bounded: ONE boolean per indexed file
+      else bloomBitsLocal(spark, dir, snap) match {
+        case Some(bits) =>
+          bits.map { case (f, bytes) => f -> probe(bytes) }
+        case None =>
+          import spark.implicits._
+          val parts = snap.blooms.groupBy(_._2).toSeq.sortBy(_._1)
+            .map { case (sidecar, m) =>
+              val fs = m.keySet.toSeq
+              spark.read
+                .parquet(Paths.get(dir).resolve(sidecar).toString)
+                .filter(org.apache.spark.sql.functions.col("f")
+                  .isin(fs: _*))
+            }
+          val ph = probeHashes
+          parts.reduce(_.unionByName(_)).as[(String, Array[Byte])]
+            .map { case (f, bytes) =>
+              val m = bytes.length.toLong * 8L
+              val hit = ph.exists(_.forall { h =>
+                val p = (((h % m) + m) % m).toInt
+                (bytes(p >>> 3) & (1 << (p & 7))) != 0
+              })
+              (f, hit)
+            }.collect().toMap // bounded: ONE boolean per indexed file
       }
     snap.files.filter { f =>
       if (!snap.blooms.contains(f)) true // unindexed: conservative

@@ -606,6 +606,22 @@ class RgIndexSidecarSpec extends AnyFunSuite {
     }
   }
 
+  test("driver-side bloom probe hashes are bit-identical to the " +
+    "distributed xxhash64 kernel the build folds") {
+    val vals: Seq[Any] = Seq("0", "hello", "00042", "4.0", 12345L,
+      "élève", "")
+    val local = graft.operators.TableLog.probeHashesLocal(vals)
+    val row = spark.range(1).select(vals.flatMap(v =>
+      (0 until 6).map(i => xxhash64(lit(i), lit(v.toString)))): _*)
+      .head()
+    vals.indices.foreach { i =>
+      (0 until 6).foreach { j =>
+        assert(local(i)(j) == row.getLong(i * 6 + j),
+          s"hash drift at value $i hash $j")
+      }
+    }
+  }
+
   test("an all-null leading row group in the probed column never " +
     "fabricates [0,0] bounds: pruned reads keep the real matches") {
     val dir = tmp("rgnull")
