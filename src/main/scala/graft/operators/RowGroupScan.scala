@@ -631,6 +631,137 @@ object RowGroupScan {
       }
     }
 
+  // ===== page-level pruning (parquet ColumnIndex) ======================
+  //
+  // Under the row-group keep set, surviving groups can still skip
+  // PAGES: the constraint conjuncts translate to a parquet
+  // FilterPredicate built against the FILE's physical types (so type
+  // validation can never fail), the ColumnIndex computes the surviving
+  // row ranges, and the slice scan decodes only those pages. Emitted
+  // rows stay a SUPERSET of the matches (the exact predicate re-applies
+  // on top) and positions rebase through the store's row indexes, so
+  // deletion vectors keep working. Any unconvertible conjunct simply
+  // drops from the page filter — conservative, like every skip layer.
+
+  /** The constraints as a parquet FilterPredicate over `full`'s
+    * physical schema; None when nothing converts. */
+  private def pageFilterFor(full: org.apache.parquet.schema.MessageType,
+      constraints: Seq[TableLog.RgConstraint])
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.{FilterApi,
+      FilterPredicate}
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import scala.jdk.CollectionConverters._
+    def isStringish(p: org.apache.parquet.schema.PrimitiveType): Boolean =
+      p.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => true
+        case _: LogicalTypeAnnotation.EnumLogicalTypeAnnotation => true
+        case _: LogicalTypeAnnotation.JsonLogicalTypeAnnotation => true
+        case _ => false
+      }
+    def leaf(c: TableLog.RgConstraint): Option[FilterPredicate] = {
+      if (!full.containsField(c.column)) return None
+      val t = full.getType(full.getFieldIndex(c.column))
+      if (!t.isPrimitive) return None
+      val p = t.asPrimitiveType()
+      val inIntRange = (v: Long) =>
+        v >= Int.MinValue.toLong && v <= Int.MaxValue.toLong
+      (c, p.getPrimitiveTypeName) match {
+        case (TableLog.NumRange(n, lo, hi), INT64) =>
+          val col = FilterApi.longColumn(n)
+          (lo.map(l => FilterApi.gtEq(col,
+              java.lang.Long.valueOf(l)): FilterPredicate).toSeq ++
+            hi.map(h => FilterApi.ltEq(col,
+              java.lang.Long.valueOf(h)): FilterPredicate))
+            .reduceOption(FilterApi.and(_, _))
+        case (TableLog.NumRange(n, lo, hi), INT32) =>
+          // bounds outside int space: a too-high hi / too-low lo drops
+          // its side (no constraint); a too-high lo / too-low hi cannot
+          // convert exactly — drop the conjunct (conservative)
+          if (lo.exists(_ > Int.MaxValue.toLong) ||
+              hi.exists(_ < Int.MinValue.toLong)) None
+          else {
+            val col = FilterApi.intColumn(n)
+            (lo.filter(inIntRange).map(l => FilterApi.gtEq(col,
+                java.lang.Integer.valueOf(l.toInt)): FilterPredicate)
+              .toSeq ++
+              hi.filter(inIntRange).map(h => FilterApi.ltEq(col,
+                java.lang.Integer.valueOf(h.toInt)): FilterPredicate))
+              .reduceOption(FilterApi.and(_, _))
+          }
+        case (TableLog.NumIn(n, vs), INT64) if vs.nonEmpty =>
+          Some(FilterApi.in(FilterApi.longColumn(n),
+            vs.map(java.lang.Long.valueOf).toSet.asJava))
+        case (TableLog.NumIn(n, vs), INT32) if vs.nonEmpty =>
+          val ints = vs.filter(inIntRange)
+          if (ints.isEmpty) None
+          else Some(FilterApi.in(FilterApi.intColumn(n),
+            ints.map(v => java.lang.Integer.valueOf(v.toInt))
+              .toSet.asJava))
+        case (TableLog.StrRange(n, lo, hi, hiExcl), BINARY)
+            if isStringish(p) =>
+          val col = FilterApi.binaryColumn(n)
+          (lo.map(l => FilterApi.gtEq(col,
+              Binary.fromString(l)): FilterPredicate).toSeq ++
+            hi.map(h => (if (hiExcl)
+                FilterApi.lt(col, Binary.fromString(h))
+              else FilterApi.ltEq(col,
+                Binary.fromString(h))): FilterPredicate))
+            .reduceOption(FilterApi.and(_, _))
+        case (TableLog.StrIn(n, vs), BINARY)
+            if isStringish(p) && vs.nonEmpty =>
+          Some(FilterApi.in(FilterApi.binaryColumn(n),
+            vs.map(Binary.fromString).toSet.asJava))
+        case (TableLog.NullCheck(n, isNull), INT64) =>
+          val col = FilterApi.longColumn(n)
+          Some(if (isNull) FilterApi.eq(col,
+              null.asInstanceOf[java.lang.Long]): FilterPredicate
+            else FilterApi.notEq(col,
+              null.asInstanceOf[java.lang.Long]))
+        case (TableLog.NullCheck(n, isNull), INT32) =>
+          val col = FilterApi.intColumn(n)
+          Some(if (isNull) FilterApi.eq(col,
+              null.asInstanceOf[java.lang.Integer]): FilterPredicate
+            else FilterApi.notEq(col,
+              null.asInstanceOf[java.lang.Integer]))
+        case (TableLog.NullCheck(n, isNull), BINARY) =>
+          val col = FilterApi.binaryColumn(n)
+          Some(if (isNull) FilterApi.eq(col,
+              null.asInstanceOf[Binary]): FilterPredicate
+            else FilterApi.notEq(col, null.asInstanceOf[Binary]))
+        case _ => None
+      }
+    }
+    def top(c: TableLog.RgConstraint): Option[FilterPredicate] = c match {
+      case TableLog.RgOr(bs) =>
+        // every branch must convert, or the disjunction drops whole
+        val ps = bs.map(leaf)
+        if (ps.isEmpty || ps.exists(_.isEmpty)) None
+        else ps.flatten.reduceOption(FilterApi.or(_, _))
+      case l => leaf(l)
+    }
+    constraints.flatMap(top).reduceOption(FilterApi.and(_, _))
+  }
+
+  /** Page-skip accounting (local-mode diagnostic, like
+    * [[indexFooterOpens]]): rows decoded vs rows the kept row groups
+    * hold. */
+  private[graft] val pageFilteredRows =
+    new java.util.concurrent.atomic.LongAdder
+  private[graft] val pageTotalRows =
+    new java.util.concurrent.atomic.LongAdder
+
+  /** `ParquetFileReader.readFilteredRowGroup(Int, RowRanges)` — its
+    * declared return type is a package-private class, so the call goes
+    * through reflection and upcasts to the public interface. */
+  private lazy val filteredRowGroupMh =
+    classOf[org.apache.parquet.hadoop.ParquetFileReader]
+      .getMethod("readFilteredRowGroup", classOf[Int],
+        classOf[org.apache.parquet.internal.filter2.columnindex
+          .RowRanges])
+
   /** Scan exactly the given slices — one distributed job, ≤
     * [[rgsPerTask]] row groups per task. Schema evolution across files
     * null-fills (a file missing a union column emits nulls for it); a
@@ -644,7 +775,8 @@ object RowGroupScan {
     * Catalyst's own column pruning cannot reach inside it). */
   private[operators] def scanSlices(spark: SparkSession,
       slices: Seq[RgSlice], unionCols: Seq[(String, String)],
-      columns: Seq[String] = Nil, emitPos: Boolean = false): DataFrame = {
+      columns: Seq[String] = Nil, emitPos: Boolean = false,
+      constraints: Seq[TableLog.RgConstraint] = Nil): DataFrame = {
     val wanted = wantedCols(unionCols, columns)
     val base = StructType(wanted.map { case (n, dt) =>
       StructField(n, DataType.fromDDL(dt), nullable = true)
@@ -665,10 +797,12 @@ object RowGroupScan {
       }
     val wantedLocal = wanted
     val emitPosLocal = emitPos
+    val constraintsLocal = constraints
     val rdd = spark.sparkContext
       .parallelize(tasks, math.max(1, tasks.size))
       .flatMap { case (f, parts) =>
-        taskSliceRows(f, parts, conf.value, wantedLocal, emitPosLocal)
+        taskSliceRows(f, parts, conf.value, wantedLocal, emitPosLocal,
+          constraintsLocal)
       }
     spark.createDataFrame(rdd, schema)
   }
@@ -679,7 +813,8 @@ object RowGroupScan {
     * exhaustion). */
   private def taskSliceRows(file: String, parts: Seq[(Int, Long)],
       conf: org.apache.hadoop.conf.Configuration,
-      wanted: Seq[(String, String)], emitPos: Boolean): Iterator[Row] = {
+      wanted: Seq[(String, String)], emitPos: Boolean,
+      constraints: Seq[TableLog.RgConstraint] = Nil): Iterator[Row] = {
     import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -731,12 +866,50 @@ object RowGroupScan {
     val convs = Array.tabulate(msg.getFieldCount)(j =>
       fieldConverter(msg.getType(j), j))
     val io = new ColumnIOFactory().getColumnIO(msg)
+    // page-level pruning: constraints → FilterPredicate over the FILE
+    // schema → ColumnIndex row ranges; a group whose ranges cover every
+    // row reads plain (no synchronization overhead). Failures fall back
+    // to the whole group — skipping may lose rows, reading more never.
+    val pageFilter =
+      if (constraints.isEmpty) None
+      else pageFilterFor(full, constraints)
+        .map(org.apache.parquet.filter2.compat.FilterCompat.get)
     val inner = parts.iterator.flatMap { case (i, start) =>
       require(i >= 0 && i < nRgs, s"row group $i out of range in $file")
-      val pages = reader.readRowGroup(i)
+      val block = blocks.get(i)
+      val (pages, rowIdx) = pageFilter match {
+        case Some(filter) =>
+          try {
+            import scala.jdk.CollectionConverters._
+            val ranges = org.apache.parquet.internal.filter2.columnindex
+              .ColumnIndexFilter.calculateRowRanges(filter,
+                reader.getColumnIndexStore(i),
+                block.getColumns.asScala.map(_.getPath).toSet.asJava,
+                block.getRowCount)
+            pageTotalRows.add(block.getRowCount)
+            if (ranges.rowCount() >= block.getRowCount)
+              (reader.readRowGroup(i), None)
+            else {
+              // the 2-arg readFilteredRowGroup's declared return class
+              // is package-private; go through the public interface
+              val ps = filteredRowGroupMh.invoke(reader,
+                Int.box(i), ranges)
+                .asInstanceOf[org.apache.parquet.column.page
+                  .PageReadStore]
+              pageFilteredRows.add(block.getRowCount - ps.getRowCount)
+              (ps, Option(ps.getRowIndexes.orElse(null)))
+            }
+          } catch {
+            case _: Exception => (reader.readRowGroup(i), None)
+          }
+        case None => (reader.readRowGroup(i), None)
+      }
       val rr = io.getRecordReader(pages, new GroupRecordConverter(msg))
       Iterator.range(0L, pages.getRowCount).map { r =>
         val g = rr.read()
+        // positions rebase through the filtered store's row indexes so
+        // deletion vectors keep addressing the right rows
+        val pos = rowIdx.map(_.nextLong()).getOrElse(r)
         val base: Seq[Any] = wanted.map { case (n, _) =>
           msgIdx.get(n) match {
             case Some(j) =>
@@ -745,7 +918,7 @@ object RowGroupScan {
             case None => null
           }
         }
-        Row.fromSeq(if (emitPos) base :+ fname :+ (start + r) else base)
+        Row.fromSeq(if (emitPos) base :+ fname :+ (start + pos) else base)
       }
     }
     new Iterator[Row] {

@@ -959,13 +959,14 @@ object TableLog {
       val cleanPart =
         if (cleanSlices.isEmpty) None
         else Some(RowGroupScan.scanSlices(spark, cleanSlices, unionCols,
-          columns))
+          columns, constraints = constraints))
       val dvPart =
         if (dvSlices.isEmpty) None
         else {
           val kept = dvSlices.map(_.file.stripPrefix(prefix)).toSet
           val scanned = RowGroupScan.scanSlices(spark, dvSlices,
-            unionCols, columns, emitPos = true)
+            unionCols, columns, emitPos = true,
+            constraints = constraints)
           Some(antiDv(spark, dir, scanned,
             snap.dvs.filter { case (f, _) => kept(f) })
             .drop("__graft_fn", "__graft_ridx"))
@@ -1363,14 +1364,15 @@ object TableLog {
       val cleanCount =
         if (cleanSlices.isEmpty) 0L
         else RowGroupScan.scanSlices(spark, cleanSlices, unionCols,
-          predCols).where(expr(predicate.get)).count()
+          predCols, constraints = constraints)
+          .where(expr(predicate.get)).count()
       val dvCount =
         if (dvSlices.isEmpty) 0L
         else {
           val kept = dvSlices.map(_.file.stripPrefix(prefix)).toSet
           antiDv(spark, dir,
             RowGroupScan.scanSlices(spark, dvSlices, unionCols,
-              predCols, emitPos = true),
+              predCols, emitPos = true, constraints = constraints),
             snap.dvs.filter { case (f, _) => kept(f) })
             .where(expr(predicate.get)).count()
         }

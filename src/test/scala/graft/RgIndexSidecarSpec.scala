@@ -606,6 +606,50 @@ class RgIndexSidecarSpec extends AnyFunSuite {
     }
   }
 
+  test("page-level pruning under the row-group keep set: straddling " +
+    "groups decode only the surviving pages, DV positions stay exact") {
+    val dir = tmp("rgpage")
+    // ONE big sorted row group with many small pages: the row-group
+    // index can't skip anything, but the ColumnIndex can
+    TableLog.append(
+      spark.range(100000).selectExpr("id as k", "id * 7 as v")
+        .coalesce(1).sortWithinPartitions("k"),
+      dir, options = Map("parquet.block.size" -> (64 << 20).toString,
+        "parquet.page.size" -> "4096",
+        "parquet.page.row.count.limit" -> "1000"))
+    def pageSkips[A](body: => A): (A, Long, Long) = {
+      val f0 = RowGroupScan.pageFilteredRows.sum()
+      val t0 = RowGroupScan.pageTotalRows.sum()
+      val a = body
+      (a, RowGroupScan.pageFilteredRows.sum() - f0,
+        RowGroupScan.pageTotalRows.sum() - t0)
+    }
+    val (n1, skipped, total) = pageSkips {
+      // count INSIDE the measured block — the read is lazy
+      LakeSelect.readWhere(spark, dir, "k BETWEEN 40000 AND 40999")
+        ._1.count()
+    }
+    assert(n1 == 1000L)
+    assert(total >= 100000L, s"filter never consulted: $total")
+    assert(skipped > 90000L, s"pages not skipped: $skipped of $total")
+    // a DV delete inside the slice: positions must rebase through the
+    // filtered store's row indexes, not a 0-based counter
+    TableLog.deleteVectored(spark, dir, "k IN (40010, 40020)")
+    val (got2, skipped2, _) = pageSkips {
+      LakeSelect.readWhere(spark, dir, "k BETWEEN 40000 AND 40999")._1
+        .agg(count(lit(1)), sum("k")).first()
+    }
+    assert(got2.getLong(0) == 998L, s"DV under page filter: $got2")
+    assert(got2.getLong(1) ==
+      (40000L to 40999L).sum - 40010L - 40020L)
+    assert(skipped2 > 90000L)
+    // countWhere's straddler scan rides the same page filter
+    val ((n3, _), skipped3, _) = pageSkips {
+      LakeSelect.countWhere(spark, dir, "k BETWEEN 50000 AND 50499")
+    }
+    assert(n3 == 500L && skipped3 > 90000L)
+  }
+
   test("driver-side bloom probe hashes are bit-identical to the " +
     "distributed xxhash64 kernel the build folds") {
     val vals: Seq[Any] = Seq("0", "hello", "00042", "4.0", 12345L,
