@@ -1086,6 +1086,48 @@ object SparkEntry {
           nCnt == a1.getLong(0)).as("count_exact"))
     },
 
+    "sql19_ne_routing" -> { (s, d) =>
+      // NOT-EQUAL / NOT IN routing: on a table clustered by a low-
+      // cardinality segment, most row groups are CONSTANT in it — a
+      // `seg != v` / `seg NOT IN (…)` conjunct disproves exactly those
+      // groups (rowgroup_ne), and the metadata COUNT proves clean
+      // covered groups full (exact, straddlers-only scan). Replay:
+      // complement aggregates over o_orderpriority's leading digit.
+      val dir = java.nio.file.Files.createTempDirectory("graft_sql19")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(
+        substring(col("o_orderpriority"), 1, 1).as("seg"),
+        col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.append(
+        o.repartitionByRange(2, col("seg"), col("o_orderkey"))
+          .sortWithinPartitions("seg", "o_orderkey"),
+        dir, options = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      val (g1, st1) = graft.operators.LakeSelect.readWhere(s, dir,
+        "seg != '3'")
+      val (g2, st2) = graft.operators.LakeSelect.readWhere(s, dir,
+        "seg NOT IN ('1', '5')")
+      val (n3, st3) = graft.operators.LakeSelect.countWhere(s, dir,
+        "seg != '3'")
+      val a1 = g1.agg(count(lit(1)),
+        coalesce(sum("price_cents"), lit(0L))).first()
+      val a2 = g2.agg(count(lit(1)),
+        coalesce(sum("price_cents"), lit(0L))).first()
+      s.range(1).select(
+        lit(a1.getLong(0)).as("n_ne"),
+        lit(a1.getLong(1)).as("cents_ne"),
+        lit(a2.getLong(0)).as("n_notin"),
+        lit(a2.getLong(1)).as("cents_notin"),
+        lit(n3).as("n_count"),
+        lit(st1.strategy == "rowgroup_ne" &&
+          st2.strategy == "rowgroup_ne" &&
+          st1.rgOpened < st1.rgTotal &&
+          st2.rgOpened < st2.rgTotal).as("ne_routed"),
+        lit(st3.exact && st3.scannedRgs < st3.rgTotal &&
+          n3 == a1.getLong(0)).as("count_exact"))
+    },
+
     "k37_rgidx_maintained" -> { (s, d) =>
       // AUTO-MAINTAINED row-group index on plain appends (round-13
       // verdict item 1): after ONE computeRowGroupIndex opt-in, later
@@ -10513,6 +10555,27 @@ object SparkEntry {
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
             WHERE year(o_orderdate) = b.y) AS n_count,
            TRUE AS datetime_routed, TRUE AS count_exact""",
+
+    // not-equal routing replay: complement slices over the priority
+    // segment, closed-form; flags pin the rowgroup_ne routes and the
+    // exact metadata count
+    "sql19_ne_routing" ->
+      s"""SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE substr(o_orderpriority, 1, 1) <> '3') AS n_ne,
+           (SELECT COALESCE(CAST(SUM(${centsSql("o_totalprice")})
+              AS BIGINT), 0) FROM orders
+            WHERE substr(o_orderpriority, 1, 1) <> '3') AS cents_ne,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE substr(o_orderpriority, 1, 1) NOT IN ('1', '5'))
+             AS n_notin,
+           (SELECT COALESCE(CAST(SUM(${centsSql("o_totalprice")})
+              AS BIGINT), 0) FROM orders
+            WHERE substr(o_orderpriority, 1, 1) NOT IN ('1', '5'))
+             AS cents_notin,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE substr(o_orderpriority, 1, 1) <> '3') AS n_count,
+           TRUE AS ne_routed, TRUE AS count_exact""",
 
     // maintained-index replay: the 1/8th slice over the whole table
     // (three range-split appends reassemble orders); the flags pin

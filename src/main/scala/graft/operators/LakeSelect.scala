@@ -77,6 +77,9 @@ object LakeSelect {
       hi: Option[Any], hiExcl: Boolean = false) extends Constraint
   private[operators] final case class NullC(isNull: Boolean)
     extends Constraint
+  /** `col != v` / `col NOT IN (…)` — excluded values. */
+  private[operators] final case class NeC(values: Seq[Any])
+    extends Constraint
   private[operators] final case class OrC(
       branches: Seq[(String, Constraint)]) extends Constraint
 
@@ -156,6 +159,8 @@ object LakeSelect {
         val label = cons match {
           case _: TableLog.NumIn | _: TableLog.StrIn => "rowgroup_in"
           case _: TableLog.NullCheck => "rowgroup_null"
+          case _: TableLog.NumNotIn | _: TableLog.StrNotIn =>
+            "rowgroup_ne"
           case _: TableLog.RgOr => "rowgroup_or"
           case _ => "rowgroup_range"
         }
@@ -214,7 +219,7 @@ object LakeSelect {
     val pc = snap.partCol.getOrElse(return None)
     if (snap.parts.isEmpty) return None
     val relevant = constraints.filter {
-      case (c, _: EqIn | _: Range | _: NullC) => c == pc
+      case (c, _: EqIn | _: Range | _: NullC | _: NeC) => c == pc
       case (_, OrC(bs)) => bs.forall(_._1 == pc)
       case _ => false
     }
@@ -244,6 +249,8 @@ object LakeSelect {
           hi.exists(h => cmp(t, h).exists(c =>
             if (hiExcl) c >= 0 else c > 0))
       case NullC(isNull) => isNull // tag values are non-null by contract
+      case NeC(vs) => // every row carries the tag value exactly
+        vs.exists(v => cmp(v, t).exists(_ == 0))
       case OrC(bs) => bs.forall { case (c, b) =>
         c == pc && disproves(b, t) }
     }
@@ -314,6 +321,17 @@ object LakeSelect {
           else { lossless = false; None }
         case (c, NullC(isNull)) =>
           Some(TableLog.NullCheck(c, isNull))
+        case (c, e: NeC) if e.values.nonEmpty &&
+            e.values.forall(_.isInstanceOf[Long]) =>
+          Some(TableLog.NumNotIn(c, e.values.map(_.asInstanceOf[Long])))
+        case (c, e: NeC) if e.values.nonEmpty &&
+            e.values.forall(_.isInstanceOf[String]) =>
+          Some(TableLog.StrNotIn(c, e.values.map(_.asInstanceOf[String])))
+        case (c, e: NeC) if e.values.nonEmpty &&
+            e.values.forall(_.isInstanceOf[java.time.LocalDate]) =>
+          if (isDateCol(c))
+            Some(TableLog.NumNotIn(c, e.values.map(day)))
+          else { lossless = false; None }
         case (_, OrC(bs)) =>
           // every branch must lower, or the whole disjunction drops —
           // a partially-expressible OR cannot prune (the missing branch
@@ -613,6 +631,21 @@ object LakeSelect {
     }
     def one(cj: Expression): Option[(String, Constraint)] = cj match {
       case o: Or => orAsIn(o).orElse(orAcross(o))
+      // col != v / col NOT IN (…): exact — both the predicate and the
+      // constraint drop NULL rows, and a constant excluded group has
+      // provably no matching row
+      case Not(EqualTo(a, l: Literal)) =>
+        (for (c <- colName(a); v <- litVal(l)) yield (c, NeC(Seq(v))))
+          .orElse(invertNot(Not(EqualTo(a, l))).flatMap(one))
+      case Not(EqualTo(l: Literal, a)) =>
+        (for (c <- colName(a); v <- litVal(l)) yield (c, NeC(Seq(v))))
+          .orElse(invertNot(Not(EqualTo(l, a))).flatMap(one))
+      case Not(In(a, ls)) if ls.forall(_.isInstanceOf[Literal]) =>
+        colName(a).flatMap { c =>
+          val vs = ls.map(l => litVal(l.asInstanceOf[Literal]))
+          if (vs.forall(_.isDefined) && vs.nonEmpty)
+            Some((c, NeC(vs.map(_.get)))) else None
+        }
       case Not(x) => invertNot(x).flatMap(one)
       case other => oneSimple(other)
     }
@@ -727,6 +760,18 @@ object LakeSelect {
           for (c <- colName(a); v <- litVal(l)) yield (c, EqIn(Seq(v)))
         case EqualTo(l: Literal, a) =>
           for (c <- colName(a); v <- litVal(l)) yield (c, EqIn(Seq(v)))
+        case In(f, ls) if yearArg(f).isDefined &&
+            ls.forall(_.isInstanceOf[Literal]) =>
+          val c = yearArg(f).get
+          val ys = ls.map(l => litVal(l.asInstanceOf[Literal]))
+          if (ys.forall(_.exists(v =>
+              v.isInstanceOf[Long] && yearOk(v.asInstanceOf[Long]))) &&
+              ys.nonEmpty) {
+            val branches = ys.map(_.get.asInstanceOf[Long]).distinct
+              .map(y => (c, Range(Some(jan1(y)), Some(jan1(y + 1)),
+                hiExcl = true): Constraint))
+            Some((c, OrC(branches)))
+          } else None
         case In(a, ls) if ls.forall(_.isInstanceOf[Literal]) =>
           colName(a).flatMap { c =>
             val vs = ls.map(l => litVal(l.asInstanceOf[Literal]))
@@ -773,7 +818,8 @@ object LakeSelect {
     // (k IS NOT NULL AND k > 5 contributes BOTH conjuncts to the
     // intersection; a disjunction is its own conjunct)
     val (nullChecks, valued) = raw.partition(p =>
-      p._2.isInstanceOf[NullC] || p._2.isInstanceOf[OrC])
+      p._2.isInstanceOf[NullC] || p._2.isInstanceOf[OrC] ||
+        p._2.isInstanceOf[NeC])
     // merge per column: ranges intersect; equality values FILTER by the
     // merged range (k = 5 AND k < 3 → empty probe set), staying exact
     val merged = valued.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, cs) =>

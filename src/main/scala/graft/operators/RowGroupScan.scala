@@ -192,6 +192,15 @@ object RowGroupScan {
       case TableLog.NullCheck(_, isNull) =>
         if (isNull) col("n_nulls") === 0L // no nulls → IS NULL disproven
         else col("n_nulls") === col("n_rows") // all null → no non-null
+      case TableLog.NumNotIn(_, vs) =>
+        // only a CONSTANT group disproves: its one value is excluded.
+        // Any null row satisfies nothing (WHERE semantics drop nulls),
+        // so nulls don't block the disproof.
+        col("lmin").isNotNull && col("lmin") === col("lmax") &&
+          exists(lit(vs.toArray), v => col("lmin") === v)
+      case TableLog.StrNotIn(_, vs) =>
+        col("smin").isNotNull && col("smin") === col("smax") &&
+          exists(lit(vs.toArray), v => col("smin") === v)
       case or: TableLog.RgOr => sys.error(
         s"RgOr must be expanded before leaf evaluation: $or")
     }
@@ -260,7 +269,8 @@ object RowGroupScan {
     * float/double bounds fold through longValue and cannot prove
     * containment). */
   private[operators] def fullMatchCond(c: TableLog.RgConstraint): Column = {
-    import org.apache.spark.sql.functions.{array_contains, col, lit}
+    import org.apache.spark.sql.functions.{array_contains, col, exists,
+      lit}
     val exactNum = col("dtype").isin("tinyint", "smallint", "int",
       "bigint", "date")
     c match {
@@ -286,6 +296,18 @@ object RowGroupScan {
       case TableLog.NullCheck(_, isNull) =>
         if (isNull) col("n_nulls") === col("n_rows")
         else col("n_nulls") === 0L
+      case TableLog.NumNotIn(_, vs) =>
+        // full iff every excluded value lies OUTSIDE [min, max] (no
+        // value in the group can equal one) and the group has no nulls
+        exactNum && col("n_nulls") === 0L &&
+          col("lmin").isNotNull && col("lmax").isNotNull &&
+          !exists(lit(vs.toArray),
+            v => col("lmin") <= v && v <= col("lmax"))
+      case TableLog.StrNotIn(_, vs) =>
+        col("dtype") === "string" && col("n_nulls") === 0L &&
+          col("smin").isNotNull && col("smax").isNotNull &&
+          !exists(lit(vs.toArray),
+            v => col("smin") <= v && v <= col("smax"))
       case or: TableLog.RgOr => sys.error(
         s"RgOr must be expanded before leaf evaluation: $or")
     }
@@ -360,6 +382,16 @@ object RowGroupScan {
             if (isNull) nn == 0L else nn == r.getLong(ix("n_rows"))
           case None => false
         }
+      case TableLog.NumNotIn(_, vs) =>
+        (lng("lmin"), lng("lmax")) match {
+          case (Some(lmin), Some(lmax)) => lmin == lmax && vs.contains(lmin)
+          case _ => false
+        }
+      case TableLog.StrNotIn(_, vs) =>
+        (str("smin"), str("smax")) match {
+          case (Some(smin), Some(smax)) => smin == smax && vs.contains(smin)
+          case _ => false
+        }
       case or: TableLog.RgOr => sys.error(
         s"RgOr must be expanded before leaf evaluation: $or")
     }
@@ -411,6 +443,19 @@ object RowGroupScan {
             if (isNull) nn == r.getLong(ix("n_rows")) else nn == 0L
           case None => false
         }
+      case TableLog.NumNotIn(_, vs) =>
+        exactNum && noNulls && ((lng("lmin"), lng("lmax")) match {
+          case (Some(lmin), Some(lmax)) =>
+            !vs.exists(v => lmin <= v && v <= lmax)
+          case _ => false
+        })
+      case TableLog.StrNotIn(_, vs) =>
+        dtype == "string" && noNulls &&
+          ((str("smin"), str("smax")) match {
+            case (Some(smin), Some(smax)) =>
+              !vs.exists(v => utf8Cmp(smin, v) <= 0 && utf8Cmp(v, smax) <= 0)
+            case _ => false
+          })
       case or: TableLog.RgOr => sys.error(
         s"RgOr must be expanded before leaf evaluation: $or")
     }
@@ -731,6 +776,23 @@ object RowGroupScan {
           Some(if (isNull) FilterApi.eq(col,
               null.asInstanceOf[Binary]): FilterPredicate
             else FilterApi.notEq(col, null.asInstanceOf[Binary]))
+        case (TableLog.NumNotIn(n, vs), INT64) if vs.nonEmpty =>
+          val col = FilterApi.longColumn(n)
+          vs.map(v => FilterApi.notEq(col,
+            java.lang.Long.valueOf(v)): FilterPredicate)
+            .reduceOption(FilterApi.and(_, _))
+        case (TableLog.NumNotIn(n, vs), INT32) if vs.nonEmpty =>
+          val ints = vs.filter(inIntRange) // out-of-range can't match
+          val col = FilterApi.intColumn(n)
+          ints.map(v => FilterApi.notEq(col,
+            java.lang.Integer.valueOf(v.toInt)): FilterPredicate)
+            .reduceOption(FilterApi.and(_, _))
+        case (TableLog.StrNotIn(n, vs), BINARY)
+            if isStringish(p) && vs.nonEmpty =>
+          val col = FilterApi.binaryColumn(n)
+          vs.map(v => FilterApi.notEq(col,
+            Binary.fromString(v)): FilterPredicate)
+            .reduceOption(FilterApi.and(_, _))
         case _ => None
       }
     }

@@ -853,6 +853,15 @@ object TableLog {
     * index's per-group null counts alone, any column type. */
   final case class NullCheck(column: String, isNull: Boolean)
     extends RgConstraint
+  /** `col NOT IN (values…)` / `col != v`: disproves a CONSTANT group
+    * whose single value is excluded (the clustered low-cardinality
+    * shape — month/segment sorted tables have mostly-constant groups);
+    * proves full when every excluded value lies outside [min, max] and
+    * the group has no nulls. */
+  final case class NumNotIn(column: String, values: Seq[Long])
+    extends RgConstraint
+  final case class StrNotIn(column: String, values: Seq[String])
+    extends RgConstraint
   /** A DISJUNCTION of simple constraints, possibly across columns
     * (`a < 10 OR b = 'x'`): a row group is disproven only when EVERY
     * branch is, proven-full when ANY branch is. Branches must be

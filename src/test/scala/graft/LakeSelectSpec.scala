@@ -244,6 +244,46 @@ class LakeSelectSpec extends AnyFunSuite {
     assert(gotK.count() == 366L)
   }
 
+  test("not-equal and NOT IN route: constant excluded groups disprove, " +
+    "clean covered groups meta-count, year IN prunes as a disjunction") {
+    // low-cardinality clustered column: sorted by month-code, so most
+    // row groups are CONSTANT in it — exactly what != can eliminate
+    val dir = java.nio.file.Files.createTempDirectory("lsel_ne")
+      .toString + "/t"
+    TableLog.append(
+      spark.range(16000).selectExpr("id as k",
+        "concat('m', lpad(cast(id DIV 2000 as string), 2, '0')) as seg",
+        "date_add(DATE'2019-01-01', cast(id % 3000 as int)) as d")
+        .repartitionByRange(2, org.apache.spark.sql.functions.col("seg"))
+        .sortWithinPartitions("seg", "k"),
+      dir, options = smallRg)
+    val (g1, st1) = LakeSelect.readWhere(spark, dir, "seg != 'm03'")
+    assert(st1.strategy == "rowgroup_ne", s"$st1")
+    assert(st1.rgOpened < st1.rgTotal, s"!= did not prune: $st1")
+    assert(g1.count() == 14000L)
+    val (g2, st2) = LakeSelect.readWhere(spark, dir,
+      "seg NOT IN ('m00', 'm07')")
+    assert(st2.strategy == "rowgroup_ne" &&
+      st2.rgOpened < st2.rgTotal, s"$st2")
+    assert(g2.count() == 12000L)
+    // metadata COUNT: groups whose [min,max] excludes the value prove
+    // full without scanning
+    val (n3, st3) = LakeSelect.countWhere(spark, dir, "seg != 'm03'")
+    assert(n3 == 14000L && st3.exact, s"$st3")
+    assert(st3.scannedRgs < st3.rgTotal, s"$st3")
+    // numeric NOT IN on the long column stays exact
+    val (n4, st4) = LakeSelect.countWhere(spark, dir,
+      "k NOT IN (10, 20, 30)")
+    assert(n4 == 15997L && st4.exact)
+    // year(d) IN (…) prunes as a disjunction of calendar-year ranges
+    val (g5, st5) = LakeSelect.readWhere(spark, dir,
+      "year(d) IN (2019, 2026)")
+    assert(st5.strategy != "full_scan", s"year IN did not route: $st5")
+    val want5 = TableLog.read(spark, dir)
+      .where("year(d) IN (2019, 2026)").count()
+    assert(g5.count() == want5 && want5 > 0L)
+  }
+
   test("LIKE with a custom ESCAPE never prefix-routes: the raw pattern " +
     "is not the prefix, and pruning on it would lose rows silently") {
     // tags contain a literal '#': pattern 'a##-%' ESCAPE '#' (a doubled
