@@ -1142,6 +1142,12 @@ object TableLog {
       (Array[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType)]()
   private val wideIdxMemoMaxRows = 200000
+  // GLOBAL row budget across entries — 64 × 200k rows would be GBs of
+  // driver heap; past the budget the map clears wholesale (same policy
+  // as the count-based LRU, which stays as a second bound)
+  private val wideIdxMemoBudgetRows = 1000000L
+  private def wideIdxMemoRows: Long =
+    wideIdxMemo.values.iterator.asScala.map(_._1.length.toLong).sum
 
   /** The snapshot's index ROWS when they are (or can become) driver-
     * resident: a memo hit serves (a file subset of) the retained full
@@ -1173,7 +1179,9 @@ object TableLog {
         val rows = built.collect()
         if (files.size == snap.files.size &&
             rows.length <= wideIdxMemoMaxRows) {
-          if (wideIdxMemo.size > 64) wideIdxMemo.clear()
+          if (wideIdxMemo.size > 64 ||
+              wideIdxMemoRows + rows.length > wideIdxMemoBudgetRows)
+            wideIdxMemo.clear()
           wideIdxMemo.put(key, (rows, built.schema))
         }
         Some((rows, built.schema))
@@ -1774,11 +1782,14 @@ object TableLog {
         }
       val bits = parts.reduce(_.unionByName(_))
         .as[(String, Array[Byte])].collect().toMap
-      val retained =
-        if (bits.valuesIterator.map(_.length.toLong).sum <= (32L << 20))
-          Some(bits)
-        else None
-      if (bloomBitsMemo.size > 64) bloomBitsMemo.clear()
+      val newBytes = bits.valuesIterator.map(_.length.toLong).sum
+      val retained = if (newBytes <= (32L << 20)) Some(bits) else None
+      // global byte budget across snapshots (64 × 32 MB would be GBs)
+      val heldBytes = bloomBitsMemo.values.iterator.asScala
+        .flatMap(_.iterator)
+        .map(_.valuesIterator.map(_.length.toLong).sum).sum
+      if (bloomBitsMemo.size > 64 ||
+          heldBytes + newBytes > (64L << 20)) bloomBitsMemo.clear()
       bloomBitsMemo.put(key, retained)
       Some(bits)
     }
