@@ -1015,6 +1015,100 @@ object Stress {
       }
     }
 
+    if (sec("r14")) {
+      time("page pruning (10M rows, 1M-row groups, 64K pages)") {
+        // round-14 page-level pruning at scale: WIDE row groups (the
+        // production shape where row-group skipping alone is coarse) —
+        // a 1000-key slice must decode a small fraction of the kept
+        // group's rows, positions staying DV-exact
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_stress_page").toString + "/t"
+        graft.operators.TableLog.append(
+          spark.range(10000000L)
+            .select(col("id").as("k"), (col("id") * 3L).as("v"))
+            .coalesce(4),
+          dir, options = Map("parquet.block.size" -> (256 << 20).toString,
+            "parquet.page.size" -> "65536"))
+        def skips[T](f: => T): (T, Long, Long) = {
+          val f0 = graft.operators.RowGroupScan.pageFilteredRows.sum()
+          val t0 = graft.operators.RowGroupScan.pageTotalRows.sum()
+          val r = f
+          (r, graft.operators.RowGroupScan.pageFilteredRows.sum() - f0,
+            graft.operators.RowGroupScan.pageTotalRows.sum() - t0)
+        }
+        val (n1, skipped, total) = skips {
+          graft.operators.LakeSelect.readWhere(spark, dir,
+            "k BETWEEN 5000000 AND 5000999")._1.count()
+        }
+        require(n1 == 1000L, s"page-pruned slice: $n1")
+        require(total > 0L && skipped * 10 >= total * 9,
+          s"pages must skip >=90%: $skipped of $total")
+        graft.operators.TableLog.deleteVectored(spark, dir,
+          "k IN (5000010, 5000020)")
+        val (agg, skipped2, _) = skips {
+          graft.operators.LakeSelect.readWhere(spark, dir,
+            "k BETWEEN 5000000 AND 5000999")._1
+            .agg(count(lit(1)), sum("k")).first()
+        }
+        require(agg.getLong(0) == 998L &&
+          agg.getLong(1) ==
+            (5000000L to 5000999L).sum - 5000010L - 5000020L,
+          s"DV under page filter at scale: $agg")
+        require(skipped2 > 0L, "post-DV read lost the page filter")
+        println(f"    skipped $skipped of $total rows' decode " +
+          f"(${skipped * 100.0 / total}%.1f%%), DV-exact")
+      }
+      time("partition routing (10M rows, 16 partitions)") {
+        // round-14 partition-tag elimination at scale: a conjunct on
+        // the partition column drops 15/16 of the files before any
+        // index math; the metadata count stays partition-exact
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_stress_part").toString + "/t"
+        graft.operators.TableLog.appendPartitioned(
+          spark.range(10000000L).select(col("id").as("k"),
+            (col("id") % 16L).as("bucket")),
+          dir, "bucket")
+        val (g, st) = graft.operators.LakeSelect.readWhere(spark, dir,
+          "bucket = 7 AND k >= 0")
+        require(g.count() == 625000L, "partition slice count")
+        require(st.filesOpened * 4 <= st.filesTotal,
+          s"files must drop before index math: $st")
+        val (n, cs) = graft.operators.LakeSelect.countWhere(spark, dir,
+          "bucket = 7")
+        require(n == 625000L && cs.exact, s"partition count: $n, $cs")
+        println(s"    ${st.filesOpened}/${st.filesTotal} files opened, " +
+          s"count exact with ${cs.scannedRgs} straddlers")
+      }
+      time("driver-planned repeated reads (20 readWhere, one version)") {
+        // round-14 planning memo: after the first read of a version,
+        // 19 more declarative reads plan from driver-resident rows —
+        // zero footer opens, sub-linear total time vs 20 cold plans
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_stress_memo").toString + "/t"
+        graft.operators.TableLog.append(
+          spark.range(10000000L)
+            .select(col("id").as("k"), (col("id") * 3L).as("v"))
+            .coalesce(8),
+          dir, options = Map("parquet.block.size" -> "1048576",
+            "parquet.page.size" -> "65536"))
+        val warm = graft.operators.LakeSelect.readWhere(spark, dir,
+          "k BETWEEN 0 AND 999")._1.count() // builds + memoizes
+        val b = graft.operators.RowGroupScan.indexFooterOpens.sum()
+        var rows = 0L
+        (1 to 19).foreach { i =>
+          val lo = i * 500000L
+          rows += graft.operators.LakeSelect.readWhere(spark, dir,
+            s"k BETWEEN $lo AND ${lo + 999}")._1.count()
+        }
+        val opens =
+          graft.operators.RowGroupScan.indexFooterOpens.sum() - b
+        require(warm == 1000L && rows == 19000L, s"$warm/$rows")
+        require(opens == 0L,
+          s"memoized reads re-opened $opens footers")
+        println(s"    19 memo-planned reads, 0 footer opens")
+      }
+    }
+
     val sentinelPost = Bench.sentinelMtMs()
     val total = results.values.sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
