@@ -1086,6 +1086,47 @@ object SparkEntry {
           nCnt == a1.getLong(0)).as("count_exact"))
     },
 
+    "sql20_timestamp_routing" -> { (s, d) =>
+      // TIMESTAMP predicate routing: lake writes emit INT64 MICROS (not
+      // the unusable-stats INT96 default), the index folds timestamp
+      // stats micros-normalized, and TIMESTAMP'…' ranges, exclusive
+      // bounds, and to_date(ts) day windows all prune row groups and
+      // meta-count exactly — the log-table predicate shape. Replay:
+      // the same windows over raw `events`, closed-form.
+      val dir = java.nio.file.Files.createTempDirectory("graft_sql20")
+        .toString + "/table"
+      val e = events(s, d).select(col("event_id"), col("ts"),
+        cents(col("value")).as("value_cents"))
+      graft.operators.TableLog.append(
+        e.repartitionByRange(2, col("ts")).sortWithinPartitions("ts"),
+        dir, options = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      val (w1, st1) = graft.operators.LakeSelect.readWhere(s, dir,
+        "ts >= TIMESTAMP'2024-01-10 00:00:00' AND " +
+          "ts < TIMESTAMP'2024-01-12 00:00:00'")
+      val (nc, stc) = graft.operators.LakeSelect.countWhere(s, dir,
+        "ts < TIMESTAMP'2024-01-15 00:00:00'")
+      val (w2, st2) = graft.operators.LakeSelect.readWhere(s, dir,
+        "to_date(ts) = '2024-01-20'")
+      val a1 = w1.agg(count(lit(1)),
+        coalesce(sum("value_cents"), lit(0L)),
+        coalesce(min("event_id"), lit(0L))).first()
+      val a2 = w2.agg(count(lit(1)),
+        coalesce(sum("value_cents"), lit(0L))).first()
+      s.range(1).select(
+        lit(a1.getLong(0)).as("n_win"),
+        lit(a1.getLong(1)).as("cents_win"),
+        lit(a1.getLong(2)).as("min_id_win"),
+        lit(a2.getLong(0)).as("n_day"),
+        lit(a2.getLong(1)).as("cents_day"),
+        lit(nc).as("n_count"),
+        lit(st1.strategy == "rowgroup_range" &&
+          st1.rgOpened < st1.rgTotal &&
+          st2.rgOpened < st2.rgTotal).as("ts_routed"),
+        lit(stc.exact && stc.scannedRgs < stc.rgTotal)
+          .as("count_exact"))
+    },
+
     "sql19_ne_routing" -> { (s, d) =>
       // NOT-EQUAL / NOT IN routing: on a table clustered by a low-
       // cardinality segment, most row groups are CONSTANT in it — a
@@ -10555,6 +10596,30 @@ object SparkEntry {
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders, b
             WHERE year(o_orderdate) = b.y) AS n_count,
            TRUE AS datetime_routed, TRUE AS count_exact""",
+
+    // timestamp routing replay: the two-day window, a day window, and
+    // the half-open count over raw events; flags pin the micros-stat
+    // routes and the exact metadata count
+    "sql20_timestamp_routing" ->
+      s"""SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts < TIMESTAMP '2024-01-12 00:00:00') AS n_win,
+           (SELECT COALESCE(CAST(SUM(${centsSql("value")})
+              AS BIGINT), 0) FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts < TIMESTAMP '2024-01-12 00:00:00') AS cents_win,
+           (SELECT COALESCE(MIN(event_id), 0) FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts < TIMESTAMP '2024-01-12 00:00:00') AS min_id_win,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+            WHERE CAST(ts AS DATE) = DATE '2024-01-20') AS n_day,
+           (SELECT COALESCE(CAST(SUM(${centsSql("value")})
+              AS BIGINT), 0) FROM events
+            WHERE CAST(ts AS DATE) = DATE '2024-01-20') AS cents_day,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events
+            WHERE ts < TIMESTAMP '2024-01-15 00:00:00') AS n_count,
+           TRUE AS ts_routed, TRUE AS count_exact""",
 
     // not-equal routing replay: complement slices over the priority
     // segment, closed-form; flags pin the rowgroup_ne routes and the

@@ -80,6 +80,10 @@ object LakeSelect {
   /** `col != v` / `col NOT IN (…)` — excluded values. */
   private[operators] final case class NeC(values: Seq[Any])
     extends Constraint
+  /** A TIMESTAMP[_NTZ] literal in micros — kept tagged so the lowering
+    * can demand a matching timestamp COLUMN (micros zone stats) and
+    * never cross the TZ/NTZ boundary. */
+  private[operators] final case class TsLit(micros: Long, ntz: Boolean)
   private[operators] final case class OrC(
       branches: Seq[(String, Constraint)]) extends Constraint
 
@@ -134,7 +138,8 @@ object LakeSelect {
     // more columns prune, their keep sets INTERSECT and the scan runs
     // once (the z-order payoff: a 2-column clustered table prunes on
     // both predicate columns)
-    val (rgConstraints, _) = toRgConstraints(constraints, schema)
+    val (rgConstraints, _) = toRgConstraints(constraints, schema,
+      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
     // a conjunct on the partition column drops whole FILES before any
     // index math (zero index rows consulted for eliminated files)
     val partKeep = partitionKeep(snap, constraints, schema)
@@ -193,7 +198,8 @@ object LakeSelect {
     val (constraints, exactConjuncts) = analyzeFull(spark, predicate)
     val snap = TableLog.snapshot(dir, version)
     lazy val schema = tableSchemaOf(spark, dir, snap)
-    val (rgConstraints, lossless) = toRgConstraints(constraints, schema)
+    val (rgConstraints, lossless) = toRgConstraints(constraints, schema,
+      java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
     val exact = exactConjuncts && lossless
     val (n, meta, scanned, total, files) = TableLog.countPruned(spark,
       dir, rgConstraints, exact, Some(predicate), version,
@@ -297,13 +303,31 @@ object LakeSelect {
     * full-containment proofs). */
   private[operators] def toRgConstraints(
       constraints: Seq[(String, Constraint)],
-      schema: => Map[String, DataType])
+      schema: => Map[String, DataType],
+      zone: => java.time.ZoneId = java.time.ZoneOffset.UTC)
       : (Seq[TableLog.RgConstraint], Boolean) = {
     var lossless = true
     // by-name + lazy: only date-space constraints need the schema guard,
     // so the common long/string predicate never reads a footer
     lazy val s = schema
     def isDateCol(c: String): Boolean = s.get(c).contains(DateType)
+    def tsKind(c: String): Option[Boolean] = s.get(c) match {
+      case Some(org.apache.spark.sql.types.TimestampType) => Some(false)
+      case Some(org.apache.spark.sql.types.TimestampNTZType) => Some(true)
+      case _ => None
+    }
+    def isTsVals(vs: Seq[Any], c: String): Boolean =
+      vs.nonEmpty && vs.forall(_.isInstanceOf[TsLit]) &&
+        tsKind(c).exists(k => vs.forall(_.asInstanceOf[TsLit].ntz == k))
+    def micros(v: Any): Long = v.asInstanceOf[TsLit].micros
+    // a calendar day's start instant in MICROS, in the space the
+    // timestamp COLUMN compares in (session zone for TIMESTAMP,
+    // zone-free for TIMESTAMP_NTZ) — local-date extraction is monotonic
+    // over instants, so [start(d), start(d+1)) captures the day exactly
+    def dayStartUs(d: java.time.LocalDate, ntz: Boolean): Long =
+      if (ntz) d.atStartOfDay.toEpochSecond(java.time.ZoneOffset.UTC) *
+        1000000L
+      else d.atStartOfDay(zone).toInstant.getEpochSecond * 1000000L
     def day(v: Any): Long =
       v.asInstanceOf[java.time.LocalDate].toEpochDay
     def lower(p: (String, Constraint)): Option[TableLog.RgConstraint] =
@@ -314,11 +338,25 @@ object LakeSelect {
         case (c, e: EqIn) if e.values.nonEmpty &&
             e.values.forall(_.isInstanceOf[String]) =>
           Some(TableLog.StrIn(c, e.values.map(_.asInstanceOf[String])))
+        case (c, e: EqIn) if isTsVals(e.values, c) =>
+          Some(TableLog.NumIn(c, e.values.map(micros)))
         case (c, e: EqIn) if e.values.nonEmpty &&
             e.values.forall(_.isInstanceOf[java.time.LocalDate]) =>
           if (isDateCol(c))
             Some(TableLog.NumIn(c, e.values.map(day)))
-          else { lossless = false; None }
+          else tsKind(c) match {
+            case Some(ntz) =>
+              // DATE equality on a TIMESTAMP column (the to_date shape)
+              // is a day WINDOW per value: [start(d), start(d+1))
+              val ranges = e.values
+                .map(_.asInstanceOf[java.time.LocalDate]).distinct
+                .map(d => TableLog.NumRange(c,
+                  Some(dayStartUs(d, ntz)),
+                  Some(dayStartUs(d.plusDays(1), ntz) - 1L)))
+              if (ranges.size == 1) Some(ranges.head)
+              else Some(TableLog.RgOr(ranges))
+            case None => lossless = false; None
+          }
         case (c, NullC(isNull)) =>
           Some(TableLog.NullCheck(c, isNull))
         case (c, e: NeC) if e.values.nonEmpty &&
@@ -332,6 +370,8 @@ object LakeSelect {
           if (isDateCol(c))
             Some(TableLog.NumNotIn(c, e.values.map(day)))
           else { lossless = false; None }
+        case (c, e: NeC) if isTsVals(e.values, c) =>
+          Some(TableLog.NumNotIn(c, e.values.map(micros)))
         case (_, OrC(bs)) =>
           // every branch must lower, or the whole disjunction drops —
           // a partially-expressible OR cannot prune (the missing branch
@@ -365,6 +405,23 @@ object LakeSelect {
               isDateCol(c))
             Some(TableLog.NumRange(c, r.lo.map(day),
               exclLong(r.hi.map(day))))
+          else if (isTsVals(bs, c))
+            Some(TableLog.NumRange(c, r.lo.map(micros),
+              exclLong(r.hi.map(micros))))
+          else if (bs.forall(_.isInstanceOf[java.time.LocalDate]) &&
+              tsKind(c).isDefined) {
+            // DATE bounds on a TIMESTAMP column: d <= hi means
+            // ts < start(hi + 1); d < hi means ts < start(hi) — both
+            // land inclusive on start − 1 in micros space (exact)
+            val ntz = tsKind(c).get
+            def ld(v: Any) = v.asInstanceOf[java.time.LocalDate]
+            val lo = r.lo.map(v => dayStartUs(ld(v), ntz))
+            val hi = r.hi.map { v =>
+              val d = if (r.hiExcl) ld(v) else ld(v).plusDays(1)
+              dayStartUs(d, ntz) - 1L
+            }
+            Some(TableLog.NumRange(c, lo, hi))
+          }
           else { lossless = false; None }
         case _ => lossless = false; None
       }
@@ -419,6 +476,12 @@ object LakeSelect {
       case b: Byte => Some(b.toLong)
       case s: Short => Some(s.toLong)
       case i: Int => Some(i.toLong)
+      case micros: Long
+          if l.dataType == org.apache.spark.sql.types.TimestampType =>
+        Some(TsLit(micros, ntz = false))
+      case micros: Long if l.dataType ==
+          org.apache.spark.sql.types.TimestampNTZType =>
+        Some(TsLit(micros, ntz = true))
       case l2: Long => Some(l2)
       case u: org.apache.spark.unsafe.types.UTF8String =>
         Some(u.toString)
@@ -830,6 +893,8 @@ object LakeSelect {
         case (x: String, y: String) => Some(utf8Compare(x, y))
         case (x: java.time.LocalDate, y: java.time.LocalDate) =>
           Some(x.compareTo(y))
+        case (x: TsLit, y: TsLit) if x.ntz == y.ntz =>
+          Some(java.lang.Long.compare(x.micros, y.micros))
         case _ => None
       }
       if (eqs.nonEmpty) {

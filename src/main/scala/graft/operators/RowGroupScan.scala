@@ -122,15 +122,32 @@ object RowGroupScan {
               var smin: Option[String] = None
               var smax: Option[String] = None
               if (t.isPrimitive) {
+                import org.apache.parquet.schema.LogicalTypeAnnotation
                 val stringish = t.asPrimitiveType()
                   .getLogicalTypeAnnotation match {
-                  case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                  case _: LogicalTypeAnnotation
                       .StringLogicalTypeAnnotation => true
-                  case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                  case _: LogicalTypeAnnotation
                       .EnumLogicalTypeAnnotation => true
-                  case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                  case _: LogicalTypeAnnotation
                       .JsonLogicalTypeAnnotation => true
                   case _ => false
+                }
+                // INT64 timestamps normalize to MICROS — the unit the
+                // CONVERTER emits (floorDiv for nanos truncates stats
+                // and values identically, so bounds stay exact)
+                val tsToUs: Long => Long = t.asPrimitiveType()
+                  .getLogicalTypeAnnotation match {
+                  case ts: LogicalTypeAnnotation
+                      .TimestampLogicalTypeAnnotation =>
+                    ts.getUnit match {
+                      case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                        _ * 1000L
+                      case LogicalTypeAnnotation.TimeUnit.MICROS =>
+                        identity
+                      case _ => Math.floorDiv(_, 1000L) // NANOS
+                    }
+                  case _ => identity
                 }
                 chunks.find(_.getPath.toDotString == t.getName)
                   .map(_.getStatistics).filter(_ != null).foreach { st =>
@@ -140,6 +157,9 @@ object RowGroupScan {
                     // taking them would fabricate bounds
                     if (!st.isEmpty && st.hasNonNullValue)
                       (st.genericGetMin, st.genericGetMax) match {
+                        case (a: java.lang.Long, b: java.lang.Long) =>
+                          lmin = Some(tsToUs(a.longValue))
+                          lmax = Some(tsToUs(b.longValue))
                         case (a: Number, b: Number) =>
                           lmin = Some(a.longValue); lmax = Some(b.longValue)
                         case (a: org.apache.parquet.io.api.Binary,
@@ -271,8 +291,10 @@ object RowGroupScan {
   private[operators] def fullMatchCond(c: TableLog.RgConstraint): Column = {
     import org.apache.spark.sql.functions.{array_contains, col, exists,
       lit}
+    // micros-normalized timestamps are exact integers too (INT96 and
+    // unit-drift files carry NULL bounds, so they can never prove)
     val exactNum = col("dtype").isin("tinyint", "smallint", "int",
-      "bigint", "date")
+      "bigint", "date", "timestamp", "timestamp_ntz")
     c match {
       case TableLog.NumRange(_, lo, hi) =>
         exactNum && col("n_nulls") === 0L &&
@@ -406,7 +428,7 @@ object RowGroupScan {
       if (r.isNullAt(ix(c))) None else Some(r.getString(ix(c)))
     val dtype = r.getString(ix("dtype"))
     val exactNum = Set("tinyint", "smallint", "int", "bigint",
-      "date")(dtype)
+      "date", "timestamp", "timestamp_ntz")(dtype)
     val noNulls = lng("n_nulls").contains(0L)
     l match {
       case TableLog.NumRange(_, lo, hi) =>
@@ -706,13 +728,32 @@ object RowGroupScan {
         case _: LogicalTypeAnnotation.JsonLogicalTypeAnnotation => true
         case _ => false
       }
+    // an INT64 numeric filter is sound iff the file's physical values
+    // ARE the constraint's space: plain longs, or MICROS timestamps
+    // (the constraint side is micros-normalized; millis/nanos files
+    // would compare in the wrong unit — they just skip page filtering)
+    def int64Comparable(p: org.apache.parquet.schema.PrimitiveType)
+        : Boolean = p.getLogicalTypeAnnotation match {
+      case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+        ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+      case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => false
+      case _ => true
+    }
     def leaf(c: TableLog.RgConstraint): Option[FilterPredicate] = {
       if (!full.containsField(c.column)) return None
       val t = full.getType(full.getFieldIndex(c.column))
       if (!t.isPrimitive) return None
       val p = t.asPrimitiveType()
+      if (p.getPrimitiveTypeName ==
+          org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+            .INT64 && !int64Comparable(p)) return None
       val inIntRange = (v: Long) =>
         v >= Int.MinValue.toLong && v <= Int.MaxValue.toLong
+      p.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+          return None // unscaled-vs-scaled spaces never compare raw
+        case _ => ()
+      }
       (c, p.getPrimitiveTypeName) match {
         case (TableLog.NumRange(n, lo, hi), INT64) =>
           val col = FilterApi.longColumn(n)

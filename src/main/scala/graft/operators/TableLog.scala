@@ -233,6 +233,21 @@ object TableLog {
     None // unreachable
   }
 
+  /** Lake writes emit INT64 MICROS timestamps, not the INT96 default:
+    * INT96 statistics are unusable (Binary), so timestamp predicates
+    * could never prune; micros is also what Delta/Iceberg write. The
+    * session conf is saved and restored around the write. */
+  private def withMicrosTimestamps[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** Write `df` as this version's new data files (staged, then moved
     * under `data/` with version-prefixed names) and return their
     * relative paths — not yet committed. */
@@ -246,9 +261,11 @@ object TableLog {
     val postValidate = checks.nonEmpty && nonDeterministic(df)
     if (!postValidate) enforceChecks(df, checks, s"write into $dir")
     val staging = Files.createTempDirectory("graft_tablelog").toString
-    options.foldLeft(df.write.mode("overwrite")) {
-      case (w, (k, v0)) => w.option(k, v0)
-    }.parquet(staging)
+    withMicrosTimestamps(df.sparkSession) {
+      options.foldLeft(df.write.mode("overwrite")) {
+        case (w, (k, v0)) => w.option(k, v0)
+      }.parquet(staging)
+    }
     if (postValidate)
       enforceChecks(df.sparkSession.read.parquet(staging), checks,
         s"write into $dir")
@@ -538,9 +555,11 @@ object TableLog {
     if (!postValidate)
       enforceChecks(df, checks, s"partitioned write into $dir")
     val staging = Files.createTempDirectory("graft_tablelog_part")
-    df.withColumn("__graft_part", col(partCol))
-      .write.mode("overwrite").partitionBy("__graft_part")
-      .parquet(staging.toString)
+    withMicrosTimestamps(df.sparkSession) {
+      df.withColumn("__graft_part", col(partCol))
+        .write.mode("overwrite").partitionBy("__graft_part")
+        .parquet(staging.toString)
+    }
     if (postValidate) // the data files carry the real column (shadow)
       enforceChecks(df.sparkSession.read.parquet(staging.toString),
         checks, s"partitioned write into $dir")

@@ -308,9 +308,10 @@ class RgIndexSidecarSpec extends AnyFunSuite {
       "rowgroup_range") > 0L)
     // non-prefix LIKE stays unprunable (conservative)
     assert(check("day LIKE '%03-15'", "full_scan") > 0L)
-    // a DATE literal against a NON-date column must never prune (the
-    // comparison space differs — e.g. micros for a timestamp column);
-    // conservative full_scan keeps the rows Spark's implicit cast finds
+    // a DATE literal against a TIMESTAMP column prunes EXACTLY since
+    // round 14: the bound lowers to session-zone midnight in the same
+    // micros space Spark's implicit cast compares in (pre-r14 this was
+    // conservatively unprunable)
     val dirTs = tmp("rgspt")
     TableLog.append(
       spark.range(2000).selectExpr(
@@ -319,7 +320,8 @@ class RgIndexSidecarSpec extends AnyFunSuite {
       dirTs, options = smallRg)
     val (gotTs, stTs) = LakeSelect.readWhere(spark, dirTs,
       "ts >= DATE'2021-01-01'")
-    assert(stTs.strategy == "full_scan", s"must not prune: $stTs")
+    assert(stTs.strategy == "rowgroup_range" &&
+      stTs.rgOpened < stTs.rgTotal, s"date-on-ts must prune: $stTs")
     assert(gotTs.count() ==
       TableLog.read(spark, dirTs).where("ts >= DATE'2021-01-01'").count())
     // countWhere through a prefix predicate: exact, mostly metadata
@@ -648,6 +650,57 @@ class RgIndexSidecarSpec extends AnyFunSuite {
       LakeSelect.countWhere(spark, dir, "k BETWEEN 50000 AND 50499")
     }
     assert(n3 == 500L && skipped3 > 90000L)
+  }
+
+  test("timestamp predicates route on micros-normalized zone stats: " +
+    "ranges, exact counts, day windows, year slices, NTZ — and the " +
+    "TZ/NTZ boundary never crosses") {
+    val dir = tmp("rgts")
+    // hourly timestamps spanning ~2.3 years from 2020-09-13T12:26:40Z
+    TableLog.append(
+      spark.range(20000).selectExpr("id as k",
+        "timestamp_seconds(1600000000 + id * 3600) as ts",
+        "cast(timestamp_seconds(1600000000 + id * 3600) " +
+          "as timestamp_ntz) as tsn")
+        .coalesce(1).sortWithinPartitions("k"),
+      dir, options = smallRg)
+    def sameAs(pred: String): LakeSelect.Stats = {
+      val (got, st) = LakeSelect.readWhere(spark, dir, pred)
+      val want = TableLog.read(spark, dir).where(pred)
+      assert(got.orderBy("k").collect().toSeq ==
+        want.orderBy("k").collect().toSeq, s"$pred result drift")
+      st
+    }
+    val st1 = sameAs("ts >= TIMESTAMP'2021-03-01 00:00:00' AND " +
+      "ts < TIMESTAMP'2021-03-08 00:00:00'")
+    assert(st1.strategy != "full_scan" && st1.rgOpened < st1.rgTotal,
+      s"timestamp range did not prune: $st1")
+    // metadata-exact count on the micros stats, exclusive bound honored
+    val (n2, st2) = LakeSelect.countWhere(spark, dir,
+      "ts < TIMESTAMP'2021-01-01 00:00:00'")
+    assert(n2 == TableLog.read(spark, dir)
+      .where("ts < TIMESTAMP'2021-01-01 00:00:00'").count())
+    assert(st2.exact && st2.metaRows > 0L, s"$st2")
+    // day window (to_date on a timestamp) and a calendar-year slice
+    val st3 = sameAs("to_date(ts) = '2021-06-15'")
+    assert(st3.strategy != "full_scan" && st3.rgOpened < st3.rgTotal,
+      s"day window did not prune: $st3")
+    val st4 = sameAs("year(ts) = 2022")
+    assert(st4.strategy != "full_scan" && st4.rgOpened < st4.rgTotal,
+      s"year slice did not prune: $st4")
+    val (n4, st4c) = LakeSelect.countWhere(spark, dir, "year(ts) = 2021")
+    assert(n4 == 365L * 24L && st4c.exact, s"$n4 $st4c")
+    // NTZ column with an NTZ literal routes the same way
+    val st5 = sameAs("tsn >= TIMESTAMP_NTZ'2021-03-01 00:00:00' AND " +
+      "tsn < TIMESTAMP_NTZ'2021-03-08 00:00:00'")
+    assert(st5.strategy != "full_scan" && st5.rgOpened < st5.rgTotal,
+      s"NTZ range did not prune: $st5")
+    // a TZ literal against the NTZ column must NOT prune on raw micros
+    // (coercion changes the comparison space) — the kind guard drops
+    // the conjunct, the result stays exact via the re-applied predicate
+    val st6 = sameAs("tsn >= TIMESTAMP'2021-03-01 00:00:00'")
+    assert(st6.strategy == "full_scan",
+      s"cross-kind timestamp literal must not route: $st6")
   }
 
   test("driver-side bloom probe hashes are bit-identical to the " +
