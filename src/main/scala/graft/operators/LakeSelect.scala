@@ -32,18 +32,26 @@ import org.apache.spark.sql.types.{ByteType, DataType, DateType,
   *
   * Prunable conjunct shapes: top-level ANDs of `col = lit`,
   * `col IN (lits…)`, `col <cmp> lit` (either operand order; integral,
-  * string, or DATE literals — a date literal's epoch-day form is exactly
-  * what parquet DATE stats fold), single-column OR-of-equalities
-  * ("k = 5 OR k = 9"), BETWEEN, and the PREFIX family —
-  * `col LIKE 'p%'`, `startswith(col, 'p')`, `substr/substring(col, 1,
-  * n) = 'p'`, `to_date(col) = 'yyyy-MM-dd'` — which become exact
-  * half-open string ranges [p, nextPrefix(p)). Everything else — OR
-  * across columns, casts, arithmetic, floating-point literals — is
-  * simply not prunable and rides along. The FULL predicate is always
-  * re-applied on top of the pruned frame, so an unprunable (or
-  * mis-typed) conjunct can never change results, only pruning power:
-  * the conservative-keep contract every skipping path in this engine
-  * follows.
+  * string, DATE, or TIMESTAMP[_NTZ] literals — date bounds fold as
+  * epoch days, timestamp bounds as micros against the index's
+  * micros-normalized stats, kind-guarded so TZ and NTZ never cross),
+  * `col != lit` / `col NOT IN (…)` (constant excluded groups disprove
+  * — the clustered low-cardinality shape), single-column
+  * OR-of-equalities ("k = 5 OR k = 9"), BETWEEN, the PREFIX family —
+  * `col LIKE 'p%'` (default escape only), `startswith(col, 'p')`,
+  * `substr/substring(col, 1, n) = 'p'` — and the DATETIME family:
+  * `to_date(col) = d`, `year(col) <cmp> y`, `year(col) BETWEEN/IN`,
+  * `trunc(col, unit) = d`, `date_trunc(unit, col) = ts`, each an exact
+  * half-open window over DATE or (through the session zone) TIMESTAMP
+  * columns. Everything else — OR across columns with an inexpressible
+  * branch, casts, arithmetic, floating-point literals — is simply not
+  * prunable and rides along. The FULL predicate is always re-applied
+  * on top of the pruned frame, so an unprunable (or mis-typed)
+  * conjunct can never change results, only pruning power: the
+  * conservative-keep contract every skipping path in this engine
+  * follows. Under the row-group keep set, surviving groups also skip
+  * PAGES via the parquet ColumnIndex (constraints re-expressed as a
+  * FilterPredicate over each file's physical types).
   *
   * [[countWhere]] is the aggregate twin: COUNT answered from footer
   * metadata wherever the index PROVES a whole row group in or out, with
@@ -59,7 +67,8 @@ object LakeSelect {
 
   /** What a [[readWhere]] actually did — for plan assertions and ops
     * introspection. `strategy` ∈ point_lookup | rowgroup_multi |
-    * rowgroup_in | rowgroup_range | rowgroup_null | full_scan. */
+    * rowgroup_in | rowgroup_range | rowgroup_null | rowgroup_ne |
+    * rowgroup_or | full_scan. */
   final case class Stats(strategy: String, column: Option[String],
       rgOpened: Long, rgTotal: Long, filesOpened: Int, filesTotal: Int)
 
