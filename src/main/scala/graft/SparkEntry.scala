@@ -1258,6 +1258,77 @@ object SparkEntry {
         .withColumn("rg_pruned", lit(st.rgOpened < st.rgTotal))
     },
 
+    "k38_log_checkpoint" -> { (s, d) =>
+      // DELTA-ENCODED LOG WITH CHECKPOINTS (round-14 verdict item 2):
+      // 20 appends cross the 16-commit checkpoint boundary. Pins that
+      // (a) v17 is a full checkpoint and v20 a cumulative delta on it
+      // (per-commit log bytes O(commit), not O(table)), (b) reads and
+      // mid-interval time travel hash-match across the boundary, and
+      // (c) a vacuum that drops the base checkpoint leaves retained
+      // deltas readable via rescue checkpoints. Replay: closed-form
+      // mod-20 slices of orders.
+      val dir = java.nio.file.Files.createTempDirectory("graft_k38")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      // ONE distributed job writes all 20 slice files; the 20 commits
+      // are then metadata-only (the shape under test is the LOG, not
+      // the writer)
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft_k38_stage").toString
+      o.withColumn("slice", pmod(col("o_orderkey"), lit(20)))
+        .repartition(col("slice"))
+        .write.mode("overwrite").partitionBy("slice").parquet(staging)
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(dir, "data"))
+      (0 until 20).foreach { i =>
+        val leafDir = java.nio.file.Paths.get(staging, s"slice=$i")
+        val ls = java.nio.file.Files.list(leafDir)
+        val part = try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator.asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"empty k38 slice $i"))
+        } finally ls.close()
+        val v = i + 1
+        val rel = f"data/v$v%05d-s$i%02d.parquet"
+        java.nio.file.Files.move(part,
+          java.nio.file.Paths.get(dir).resolve(rel))
+        val prevFiles =
+          if (v == 1) Seq.empty[String]
+          else graft.operators.TableLog.snapshot(dir).files
+        graft.operators.TableLog.commit(dir, prevFiles :+ rel,
+          expectedVersion = v, op = "append")
+      }
+      val ld = java.nio.file.Paths.get(dir, "_graft_log")
+      def node(n: String) =
+        new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readAllBytes(ld.resolve(n)))
+      val v17 = node("v00017.json"); val v20 = node("v00020.json")
+      val deltaEncoded = v17.has("files") && !v17.has("base") &&
+        v20.has("base") && v20.get("base").asInt() == 17 &&
+        !v20.has("files")
+      val deltaSmall =
+        java.nio.file.Files.size(ld.resolve("v00020.json")) * 2 <
+          java.nio.file.Files.size(ld.resolve("v00017.json"))
+      val n16 = graft.operators.TableLog.read(s, dir, 16).count()
+      def aggLatest() = graft.operators.TableLog.read(s, dir)
+        .agg(count(lit(1)), sum(col("price_cents"))).first()
+      val preVacuum = aggLatest()
+      graft.operators.TableLog.vacuum(dir, keepFrom = 18, graceMs = 0L)
+      val postVacuum = aggLatest()
+      val rescueOk = preVacuum == postVacuum &&
+        (try { graft.operators.TableLog.snapshot(dir, 17); false }
+         catch { case _: IllegalArgumentException => true })
+      s.range(1).select(
+        lit(postVacuum.getLong(0)).as("n"),
+        lit(postVacuum.getLong(1)).as("sum_cents"),
+        lit(n16).as("n_v16"),
+        lit(deltaEncoded).as("delta_encoded"),
+        lit(deltaSmall).as("delta_small"),
+        lit(rescueOk).as("rescue_ok"))
+    },
+
     "sql18_partition_routing" -> { (s, d) =>
       // PARTITION pruning composed into declarative reads (round-13
       // verdict item 5): a table written by appendPartitioned carries
@@ -1494,6 +1565,91 @@ object SparkEntry {
               FROM graft_select('$dir',
                 'o_orderkey IN ($k1, $hi) AND price_cents >= 0'))
                AS n_inlist""")
+    },
+
+    "sql21_join_routing" -> { (s, d) =>
+      // JOIN-DRIVEN FILE PRUNING (round-14 verdict item 3): the filter
+      // arrives through the DIMENSION side — `orders ⋈ customer ON
+      // custkey` with a narrow customer slice leaves no scalar orders
+      // predicate for readWhere to route. readJoinPruned collects the
+      // bounded distinct dim keys driver-side and routes them through
+      // the fact indexes as an IN probe: zone-pruned before blooms
+      // exist, bloom point-lookup after, both hash-matching the
+      // unpruned join. Replay: the plain SQL join.
+      val dir = java.nio.file.Files.createTempDirectory("graft_sql21")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_custkey"), cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.append(
+        o.repartitionByRange(8, col("o_custkey"))
+          .sortWithinPartitions("o_custkey"),
+        dir, options = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      val c = t(s, d, "customer")
+      val b = c.agg(min("c_custkey"), max("c_custkey")).first()
+      val lo = b.getLong(0); val span = b.getLong(1) - lo
+      val dim = c.filter(col("c_custkey") <= lo + span / 50)
+        .select(col("c_custkey"))
+      def aggOf(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)), sum(col("price_cents")),
+          countDistinct(col("o_custkey"))).first()
+      val (df1, st1) = graft.operators.LakeSelect.readJoinPruned(
+        s, dir, "o_custkey", dim, "c_custkey")
+      val a1 = aggOf(df1)
+      graft.operators.TableLog.computeBlooms(s, dir, "o_custkey")
+      val (df2, st2) = graft.operators.LakeSelect.readJoinPruned(
+        s, dir, "o_custkey", dim, "c_custkey")
+      val a2 = aggOf(df2)
+      s.range(1).select(
+        lit(a1.getLong(0)).as("n"),
+        lit(a1.getLong(1)).as("sum_cents"),
+        lit(a1.getLong(2)).as("n_cust"),
+        lit(st1.strategy == "join_rowgroup_in" &&
+          st1.filesOpened < st1.filesTotal).as("zone_routed"),
+        lit(st2.strategy == "join_point_lookup" &&
+          st2.filesOpened < st2.filesTotal).as("bloom_routed"),
+        lit(a1 == a2).as("paths_agree"))
+    },
+
+    "sql22_case_routing" -> { (s, d) =>
+      // CASE-MAPPED STRING ROUTING (round-14 verdict item 5):
+      // `lower(col) = 'x'` / `upper(col) IN (…)` route through the
+      // exact case-variant probe over the raw zone stats — no
+      // write-side normalized stats needed: a row group is kept iff
+      // some per-char case variant of the target fits its [smin,
+      // smax] (RowGroupScan.variantInRange), so a priority-sorted
+      // table prunes case-insensitive lookups as tightly as exact
+      // ones. Replay: the same predicates as plain filters.
+      val dir = java.nio.file.Files.createTempDirectory("graft_sql22")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_cents"))
+      graft.operators.TableLog.append(
+        o.repartitionByRange(4, col("o_orderpriority"),
+            col("o_orderkey"))
+          .sortWithinPartitions("o_orderpriority", "o_orderkey"),
+        dir, options = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      val (df1, st1) = graft.operators.LakeSelect.readWhere(s, dir,
+        "lower(o_orderpriority) = '3-medium'")
+      val a1 = df1.agg(count(lit(1)), sum(col("price_cents"))).first()
+      val (df2, st2) = graft.operators.LakeSelect.readWhere(s, dir,
+        "upper(o_orderpriority) IN ('1-URGENT', '5-LOW')")
+      val a2 = df2.agg(count(lit(1)), sum(col("price_cents"))).first()
+      val (nc, cs) = graft.operators.LakeSelect.countWhere(s, dir,
+        "lower(o_orderpriority) = '3-medium'")
+      s.range(1).select(
+        lit(a1.getLong(0)).as("n_med"),
+        lit(a1.getLong(1)).as("cents_med"),
+        lit(a2.getLong(0)).as("n_ul"),
+        lit(a2.getLong(1)).as("cents_ul"),
+        lit(nc).as("n_count"),
+        lit(st1.strategy == "rowgroup_case" &&
+          st1.rgOpened < st1.rgTotal).as("med_routed"),
+        lit(st2.strategy == "rowgroup_case" &&
+          st2.rgOpened < st2.rgTotal).as("in_routed"),
+        lit(!cs.exact).as("count_conservative"))
     },
 
     "sql15_count_sql" -> { (s, d) =>
@@ -6874,6 +7030,45 @@ object SparkEntry {
         .orderBy("qid")
     },
 
+    "v10_ivf_persisted" -> { (s, d) =>
+      // PERSISTED IVF INDEX (round-14 verdict item 4): buildIvfIndex
+      // trains ONCE and commits codebook + per-file assignments as
+      // maintained table-log sidecars; repeated queries and append
+      // top-ups run ZERO training jobs (flag-pinned), appends stay
+      // covered, and the result is the planted-self-match contract of
+      // v4 — rank-1 / cos 1.0 twin recovery through the stored index.
+      val dir = java.nio.file.Files.createTempDirectory("graft_v10")
+        .toString + "/table"
+      val emb = t(s, d, "embeddings")
+      graft.operators.TableLog.append(emb.repartition(4), dir)
+      graft.operators.Similarity.buildIvfIndex(s, dir, nlist = 64,
+        trainSample = 1000, iters = 4)
+      val q = emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      def run() = graft.operators.Similarity
+        .ivfTopKPersisted(s, dir, q, k = 1, nprobe = 4)
+        .select(col("qid"), col("nid"), col("rk"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("qid")
+      val r1 = run().collect()
+      // append between the two queries: topped up from the stored
+      // codebook, still zero training
+      val before = graft.operators.Similarity.trainingJobs.sum()
+      graft.operators.TableLog.append(
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+          .withColumn("vec_id", col("vec_id") + 20000), dir)
+      val rows2 = run().collect()
+      val zeroTraining =
+        graft.operators.Similarity.trainingJobs.sum() == before
+      val snap = graft.operators.TableLog.snapshot(dir)
+      val covered = snap.files.forall(snap.vecidx.contains)
+      val agree = rows2.toSeq == r1.toSeq
+      run()
+        .withColumn("zero_training", lit(zeroTraining))
+        .withColumn("covered_all", lit(covered))
+        .withColumn("paths_agree", lit(agree))
+    },
+
     "v5_ann_ivfpq" -> { (s, d) =>
       // IVF-PQ ANN (Similarity.ivfPqTopK): coarse cells + per-subspace
       // residual codebooks trained on a bounded driver sample, m-byte codes
@@ -10435,6 +10630,45 @@ object SparkEntry {
             FROM orders, p WHERE o_orderkey IN (p.k1, p.hi)
               AND ${centsSql("o_totalprice")} >= 0) AS n_inlist""",
 
+    // join-routing replay: the dim-filtered join as plain SQL; the
+    // flags pin zone elimination before blooms exist, bloom
+    // point-lookup after, and agreement between the two pruned paths
+    "sql21_join_routing" ->
+      s"""WITH b AS (
+           SELECT MIN(c_custkey) +
+             (MAX(c_custkey) - MIN(c_custkey)) // 50 AS hi
+           FROM customer),
+         dim AS (SELECT c_custkey FROM customer, b
+                 WHERE c_custkey <= b.hi)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+           TRUE AS zone_routed, TRUE AS bloom_routed,
+           TRUE AS paths_agree
+         FROM orders JOIN dim ON o_custkey = dim.c_custkey""",
+
+    // case-routing replay: the same case-insensitive predicates as
+    // plain filters; the flags pin the variant-probe strategy, its
+    // pruning, and that the aggregate twin never claims exactness
+    "sql22_case_routing" ->
+      s"""SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE lower(o_orderpriority) = '3-medium') AS n_med,
+           (SELECT CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT)
+            FROM orders
+            WHERE lower(o_orderpriority) = '3-medium') AS cents_med,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE upper(o_orderpriority) IN ('1-URGENT', '5-LOW'))
+             AS n_ul,
+           (SELECT CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT)
+            FROM orders
+            WHERE upper(o_orderpriority) IN ('1-URGENT', '5-LOW'))
+             AS cents_ul,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE lower(o_orderpriority) = '3-medium') AS n_count,
+           TRUE AS med_routed, TRUE AS in_routed,
+           TRUE AS count_conservative""",
+
     // persisted-index replay: the 1/8th slice closed-form; the two TRUE
     // flags pin zero-footer planning before and after the OPTIMIZE
     "k32_rgidx_sidecar" ->
@@ -10673,6 +10907,18 @@ object SparkEntry {
            TRUE AS widened, TRUE AS rg_pruned
          FROM orders, p
          WHERE o_orderkey BETWEEN p.qlo AND p.qhi""",
+
+    // checkpointed-delta-log replay: the 20 mod-slices reassemble
+    // orders exactly; v16 holds slices 0..15; the flags pin the delta
+    // encoding, its O(commit) size, and post-vacuum rescue reads
+    "k38_log_checkpoint" ->
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 20 <= 15) AS n_v16,
+           TRUE AS delta_encoded, TRUE AS delta_small,
+           TRUE AS rescue_ok
+         FROM orders""",
 
     // partition routing replay: per-priority-segment aggregates
     // closed-form; the flags pin file-level elimination before index
@@ -12427,6 +12673,17 @@ object SparkEntry {
          FROM fp b JOIN fp c ON b.f = c.f
          WHERE b.doc_id < 60
          GROUP BY 1 ORDER BY qid""",
+
+    // planted self-match through the PERSISTED index: same contract as
+    // v4; the flags pin zero-training queries/top-ups, full sidecar
+    // coverage after the mid-gate append, and first-vs-second query
+    // agreement
+    "v10_ivf_persisted" ->
+      """SELECT vec_id + 10000 AS qid, vec_id AS nid,
+         CAST(1 AS INTEGER) AS rk, CAST(1.0 AS DOUBLE) AS cos,
+         TRUE AS zero_training, TRUE AS covered_all,
+         TRUE AS paths_agree
+         FROM embeddings WHERE vec_id < 10 ORDER BY qid""",
 
     // planted self-match through the IVF-PQ probe + ADC shortlist + exact
     // refine: the twin probes its own cell, its exact re-rank cosine is 1.0

@@ -1109,6 +1109,84 @@ object Stress {
       }
     }
 
+    if (sec("r15")) {
+      time("checkpointed log (50k files, 200 commits)") {
+        // round-15 delta-log scaling: a ~50k-file table takes 200
+        // single-file appends. Per-commit log bytes must be O(changes
+        // since the last checkpoint), never O(table), and any snapshot
+        // must resolve from at most TWO log reads (entry + base
+        // checkpoint). Data files are hard links of one real parquet
+        // file: the log layer never reads data, but every listed path
+        // stays a genuine stat-able file (vacuum lists them).
+        import graft.operators.TableLog
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_stress_log").toString + "/t"
+        TableLog.append(
+          spark.range(1000L).select(col("id").as("k")).coalesce(1), root)
+        val real = java.nio.file.Paths.get(root)
+          .resolve(TableLog.snapshot(root).files.head)
+        def link(rel: String): String = {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(root).resolve(rel), real)
+          rel
+        }
+        val pads = (0 until 49999)
+          .map(i => link(f"data/v00002-pad$i%05d.parquet"))
+        TableLog.commit(root, TableLog.snapshot(root).files ++ pads,
+          expectedVersion = 2, op = "pad")
+        require(TableLog.snapshot(root).files.size == 50000)
+        val t0 = System.nanoTime()
+        (3 to 202).foreach { v =>
+          val prev = TableLog.snapshot(root)
+          val rel = link(f"data/v$v%05d-one.parquet")
+          TableLog.commit(root, prev.files :+ rel,
+            expectedVersion = v, op = "append")
+        }
+        val commitSec = (System.nanoTime() - t0) / 1e9
+        val ld = java.nio.file.Paths.get(root, "_graft_log")
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        def entry(v: Int) = {
+          val p = ld.resolve(f"v$v%05d.json")
+          (java.nio.file.Files.size(p),
+            om.readTree(java.nio.file.Files.readAllBytes(p)))
+        }
+        // steady state (past the startup interval, whose cumulative
+        // deltas ride the tiny v1 base): deltas must be a vanishing
+        // fraction of the checkpoints they ride on
+        val steady = (18 to 202).map(entry)
+        val deltaSizes = steady.filter(_._2.has("base")).map(_._1)
+        val ckptSizes = steady.filterNot(_._2.has("base")).map(_._1)
+        require(deltaSizes.nonEmpty && ckptSizes.nonEmpty,
+          s"expected both forms: ${deltaSizes.size}/${ckptSizes.size}")
+        require(deltaSizes.max * 100 < ckptSizes.min,
+          s"delta entries not O(commit): max delta ${deltaSizes.max} " +
+            s"vs min checkpoint ${ckptSizes.min}")
+        // any snapshot = at most 2 log reads: head delta → full base
+        val (_, head) = entry(202)
+        require(head.has("base"), "head should be mid-interval")
+        val (_, headBase) = entry(head.get("base").asInt())
+        require(headBase.has("files") && !headBase.has("base"),
+          "delta's base is not a full checkpoint")
+        // bytes written across 200 commits vs the O(table) encoding
+        val written = (3 to 202).map(entry(_)._1).sum
+        val naive = ckptSizes.min * 200L
+        require(written * 2 < naive,
+          s"log bytes not sublinear: $written vs O(table) $naive")
+        // time travel + vacuum on the 50k-file state
+        require(TableLog.read(spark, root, 1).count() == 1000L)
+        require(TableLog.snapshot(root, 150).files.size == 50148)
+        TableLog.vacuum(root, keepFrom = 190, graceMs = 0L)
+        require(TableLog.snapshot(root, 190).files.size == 50188,
+          "post-vacuum rescue read wrong")
+        require(TableLog.snapshot(root, 202).files.size == 50200)
+        println(f"    200 commits in $commitSec%.2f s, " +
+          f"log bytes $written%,d vs O(table) $naive%,d " +
+          f"(${naive.toDouble / written}%.0fx), " +
+          f"max delta ${deltaSizes.max}%,d B vs checkpoint " +
+          f"${ckptSizes.min}%,d B")
+      }
+    }
+
     val sentinelPost = Bench.sentinelMtMs()
     val total = results.values.sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")

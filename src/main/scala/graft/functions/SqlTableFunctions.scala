@@ -365,6 +365,57 @@ object SqlTableFunctions {
       "scanned_rgs" -> scanned)
   }
 
+  /** `graft_select_join('dir', 'factKey', 'dimView', 'dimKey'[,
+    * maxKeys])` — join-driven file pruning ([[graft.operators.
+    * LakeSelect.readJoinPruned]]): the dimension side is a registered
+    * view/table name (TVF arguments are scalars, not relations); its
+    * bounded distinct keys route through the fact table's indexes
+    * before the broadcast equality join. */
+  private def selectJoinBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 4 && args.length <= 5,
+      "usage: graft_select_join(dir, factKey, dimView, dimKey" +
+        "[, maxKeys])")
+    val spark = SparkSession.active
+    val dim = spark.table(str(args(2), "dimView"))
+    val maxKeys =
+      if (args.length == 5) num(args(4), "maxKeys").toInt else 100000
+    val (df, _) = graft.operators.LakeSelect.readJoinPruned(spark,
+      str(args(0), "dir"), str(args(1), "factKey"), dim,
+      str(args(3), "dimKey"), maxKeys = maxKeys)
+    df.queryExecution.analyzed
+  }
+
+  /** `graft_build_vecindex('dir'[, vecCol, idCol, nlist])` — train and
+    * persist the IVF vector index as maintained table-log sidecars
+    * ([[graft.operators.Similarity.buildIvfIndex]]); later
+    * `graft_ann` calls (and append top-ups) run zero training jobs. */
+  private def buildVecIndexBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 1 && args.length <= 4,
+      "usage: graft_build_vecindex(dir[, vecCol[, idCol[, nlist]]])")
+    val vecCol = if (args.length >= 2) str(args(1), "vecCol")
+                 else "embedding"
+    val idCol = if (args.length >= 3) str(args(2), "idCol") else "vec_id"
+    val nlist = if (args.length == 4) num(args(3), "nlist").toInt else 64
+    val v = graft.operators.Similarity.buildIvfIndex(SparkSession.active,
+      str(args(0), "dir"), vecCol, idCol, nlist)
+    receipt("version" -> v)
+  }
+
+  /** `graft_ann('dir', 'queryView', k[, nprobe])` — ANN top-k through
+    * the PERSISTED index ([[graft.operators.Similarity.
+    * ivfTopKPersisted]]); queries come from a registered view with the
+    * indexed (id, embedding) columns. */
+  private def annBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length >= 3 && args.length <= 4,
+      "usage: graft_ann(dir, queryView, k[, nprobe])")
+    val spark = SparkSession.active
+    val q = spark.table(str(args(1), "queryView"))
+    val nprobe = if (args.length == 4) num(args(3), "nprobe").toInt else 8
+    graft.operators.Similarity.ivfTopKPersisted(spark,
+        str(args(0), "dir"), q, num(args(2), "k").toInt, nprobe)
+      .queryExecution.analyzed
+  }
+
   /** SQL-callable table-function names (for collision audits). */
   val names: Seq[String] =
     Seq("graft_dbscan", "graft_kmeans", "graft_geodesic_join", "graft_knn",
@@ -372,7 +423,8 @@ object SqlTableFunctions {
       "graft_delete", "graft_delete_vectored", "graft_update",
       "graft_optimize", "graft_restore", "graft_vacuum", "graft_merge",
       "graft_select", "graft_add_check", "graft_drop_check",
-      "graft_count", "graft_build_index", "graft_minmax")
+      "graft_count", "graft_build_index", "graft_minmax",
+      "graft_select_join", "graft_build_vecindex", "graft_ann")
 
   def register(spark: SparkSession): Unit = {
     val reg = org.apache.spark.sql.graft.SparkInternals
@@ -414,5 +466,10 @@ object SqlTableFunctions {
       buildIndexBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_minmax", minMaxBuilder,
       "built-in")
+    reg.createOrReplaceTempFunction("graft_select_join",
+      selectJoinBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_build_vecindex",
+      buildVecIndexBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_ann", annBuilder, "built-in")
   }
 }

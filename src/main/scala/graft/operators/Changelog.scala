@@ -215,6 +215,8 @@ object Changelog {
       dvs = snap.dvs -- touched, // rewritten partitions materialize DVs
       bloomCol = snap.bloomCol, blooms = snap.blooms -- touched,
       checks = snap.checks,
+      vecidx = TableLog.vecCarry(snap, untouched ++ newFiles.map(_._1)),
+      vecCol = snap.vecCol,
       // rewritten partitions' index entries die with their files; the
       // surviving mapping stays exact (files are immutable) and
       // computeRowGroupIndex tops the new files up on its next run

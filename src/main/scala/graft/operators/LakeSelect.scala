@@ -95,6 +95,10 @@ object LakeSelect {
   private[operators] final case class TsLit(micros: Long, ntz: Boolean)
   private[operators] final case class OrC(
       branches: Seq[(String, Constraint)]) extends Constraint
+  /** `upper(col) = 'X'` / `lower(col) IN (…)`: ASCII case-folded
+    * targets, matched by the exact variant-in-range test. */
+  private[operators] final case class CaseEq(values: Seq[String],
+      toUpper: Boolean) extends Constraint
 
   /** Read `dir` filtered by `predicate` (any Spark SQL boolean
     * expression over the table's columns), routed through the most
@@ -172,6 +176,7 @@ object LakeSelect {
         val cons = rgConstraints.head
         val label = cons match {
           case _: TableLog.NumIn | _: TableLog.StrIn => "rowgroup_in"
+          case _: TableLog.CaseIn => "rowgroup_case"
           case _: TableLog.NullCheck => "rowgroup_null"
           case _: TableLog.NumNotIn | _: TableLog.StrNotIn =>
             "rowgroup_ne"
@@ -381,6 +386,13 @@ object LakeSelect {
           else { lossless = false; None }
         case (c, e: NeC) if isTsVals(e.values, c) =>
           Some(TableLog.NumNotIn(c, e.values.map(micros)))
+        case (c, CaseEq(vs, up)) =>
+          // variant-set probes demand raw STRING stats; on any other
+          // column type the folded literals say nothing about the
+          // stats space
+          if (s.get(c).contains(StringType))
+            Some(TableLog.CaseIn(c, vs, up))
+          else { lossless = false; None }
         case (_, OrC(bs)) =>
           // every branch must lower, or the whole disjunction drops —
           // a partially-expressible OR cannot prune (the missing branch
@@ -564,6 +576,40 @@ object LakeSelect {
           }
         case _ => None
       }
+    // ===== case-mapped equality routing ==============================
+    // `upper(c) = 'X'` / `lower(c) = 'x'` / `... IN (lits)`: for an
+    // ASCII literal the matching raw strings are exactly the per-char
+    // case VARIANTS of the target, so a [[CaseEq]] constraint routes
+    // through the variant-in-range test against raw zone stats
+    // (RowGroupScan.variantInRange -- an exact membership check over
+    // the variant set, far tighter than any single bounding range on
+    // single-case data). Marked inexact: zone stats can disprove a
+    // group but never prove one fully matching, so metadata counts
+    // must not trust containment. A literal that is not a fixed point
+    // of its own mapping (`upper(c) = 'x'`) is provably false and
+    // drops from the probe set. Non-ASCII literals fall through to
+    // unprunable: Unicode case mapping is not per-character (eszett
+    // to SS, dotted I, locale-dependent maps), so no sound variant
+    // set exists.
+    def caseFold(f: Expression, ls: Seq[Literal])
+        : Option[(String, Constraint)] = {
+      val vals = ls.map(litVal)
+      if (ls.isEmpty ||
+          vals.exists(!_.exists(_.isInstanceOf[String]))) return None
+      val strs = vals.map(_.get.asInstanceOf[String])
+      if (strs.exists(s => !s.forall(_.toInt < 128))) return None
+      val up = isFn(f, "upper", "ucase")
+      fnArgs(f) match {
+        case Seq(a) => colName(a).map { c =>
+          val keep = strs.filter(s =>
+            (if (up) s.toUpperCase else s.toLowerCase) == s).distinct
+          if (keep.isEmpty) inexact((c, EqIn(Nil))) // provably false
+          else inexact((c, CaseEq(keep, up)))
+        }
+        case _ => None
+      }
+    }
+
     // `to_date(col) = 'yyyy-MM-dd'` (or a DATE literal): an equality in
     // DATE space — valid only on a DateType column (to_date is identity
     // there), which toRgConstraints checks against the schema
@@ -812,6 +858,17 @@ object LakeSelect {
               Some(prefixRange(c, p.dropRight(1)))
             case _ => None
           }
+        // upper/lower equality and IN → exact variant-set probes
+        case EqualTo(f, l: Literal)
+            if isFn(f, "upper", "ucase", "lower", "lcase") =>
+          caseFold(f, Seq(l))
+        case EqualTo(l: Literal, f)
+            if isFn(f, "upper", "ucase", "lower", "lcase") =>
+          caseFold(f, Seq(l))
+        case In(f, ls)
+            if isFn(f, "upper", "ucase", "lower", "lcase") &&
+              ls.nonEmpty && ls.forall(_.isInstanceOf[Literal]) =>
+          caseFold(f, ls.map(_.asInstanceOf[Literal]))
         case EqualTo(a, l: Literal) if isFn(a, "substr", "substring") =>
           substrEq(fnArgs(a), l)
         case EqualTo(l: Literal, a) if isFn(a, "substr", "substring") =>
@@ -891,7 +948,7 @@ object LakeSelect {
     // intersection; a disjunction is its own conjunct)
     val (nullChecks, valued) = raw.partition(p =>
       p._2.isInstanceOf[NullC] || p._2.isInstanceOf[OrC] ||
-        p._2.isInstanceOf[NeC])
+        p._2.isInstanceOf[NeC] || p._2.isInstanceOf[CaseEq])
     // merge per column: ranges intersect; equality values FILTER by the
     // merged range (k = 5 AND k < 3 → empty probe set), staying exact
     val merged = valued.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, cs) =>
@@ -953,6 +1010,87 @@ object LakeSelect {
       }
     }
     (merged ++ nullChecks.distinct, exact)
+  }
+
+  /** JOIN-DRIVEN file pruning (dynamic file skipping): the warehouse
+    * pattern `fact JOIN dim ON k WHERE dim.attr = x` where the filter
+    * arrives through the DIMENSION — no scalar predicate on the fact
+    * table exists for [[readWhere]] to route. Collects the dim side's
+    * distinct join keys driver-side (BOUNDED, the planning-memo
+    * discipline: past `maxKeys` distinct keys the collect aborts and
+    * the join runs unpruned — a dim that wide wouldn't prune anyway)
+    * and routes them through the fact table's existing indexes as an
+    * IN probe: bloom point-lookup when the join key is bloom-indexed,
+    * zone/partition elimination otherwise. The join itself re-applies
+    * exact equality, so pruning stays conservative-keep; the dim side
+    * is broadcast (it fit in the driver), so the joined plan adds no
+    * shuffle on the fact side.
+    *
+    * Returns (fact ⋈ dim, pruning stats). `strategy` gains a `join_`
+    * prefix; `join_full` = key set too wide or untyped, nothing
+    * pruned. */
+  def readJoinPruned(spark: SparkSession, dir: String, factKey: String,
+      dim: DataFrame, dimKey: String, version: Int = -1,
+      maxKeys: Int = 100000): (DataFrame, Stats) = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val snap = TableLog.snapshot(dir, version)
+    def joined(fact: DataFrame) =
+      fact.join(broadcast(dim), fact(factKey) === dim(dimKey))
+    def full(label: String) = {
+      val df = TableLog.read(spark, dir, version)
+      (joined(df), Stats(label, Some(factKey), 0L, 0L,
+        snap.files.size, snap.files.size))
+    }
+    // bounded driver collect of the probe keys; limit(maxKeys+1) keeps
+    // the overflow check one row cheap instead of counting the dim
+    val keyRows = dim.select(dimKey).distinct().limit(maxKeys + 1)
+      .collect()
+    if (keyRows.length > maxKeys) return full("join_full")
+    // probe values in the index's value space: integrals fold to Long,
+    // strings stay raw; any other key type (double joins, decimals)
+    // cannot probe the indexes soundly — unpruned join, still exact
+    val keys: Seq[Any] = keyRows.iterator.map(_.get(0))
+      .filter(_ != null).map {
+        case b: Byte => b.toLong
+        case s: Short => s.toLong
+        case i: Int => i.toLong
+        case l: Long => l
+        case s: String => s
+        case other => return full("join_full")
+      }.toSeq.distinct
+    if (keys.isEmpty) {
+      // dim side is empty (or all-null keys): the join is empty with
+      // zero fact files read
+      val empty = TableLog.read(spark, dir, version).where(lit(false))
+      return (joined(empty),
+        Stats("join_pruned_empty", Some(factKey), 0L, 0L, 0,
+          snap.files.size))
+    }
+    val eq = Seq(factKey -> EqIn(keys))
+    lazy val schema = tableSchemaOf(spark, dir, snap)
+    val bloomOk = snap.bloomCol.contains(factKey) &&
+      schema.get(factKey).exists {
+        case ByteType | ShortType | IntegerType | LongType =>
+          keys.forall(_.isInstanceOf[Long])
+        case StringType => keys.forall(_.isInstanceOf[String])
+        case _ => false
+      }
+    val partKeep = partitionKeep(snap, eq, schema)
+    val (df0, st) =
+      if (bloomOk) {
+        val (df, rgo, rgt, fo, ft) = TableLog.readPointLookup(spark,
+          dir, factKey, keys, version, Nil, Nil, partKeep)
+        (df, Stats("join_point_lookup", Some(factKey), rgo, rgt, fo, ft))
+      } else {
+        val (rg, _) = toRgConstraints(eq, schema,
+          java.time.ZoneId.of(
+            spark.sessionState.conf.sessionLocalTimeZone))
+        if (rg.isEmpty) return full("join_full")
+        val (df, rgo, rgt, fo, ft) = TableLog.readRowGroupPrunedMulti(
+          spark, dir, rg, version, Nil, partKeep)
+        (df, Stats("join_rowgroup_in", Some(factKey), rgo, rgt, fo, ft))
+      }
+    (joined(df0), st)
   }
 
   /** UTF-8 byte-order comparison — the order parquet string stats and

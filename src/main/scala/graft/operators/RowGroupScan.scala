@@ -182,6 +182,51 @@ object RowGroupScan {
 
   // ===== distributed prune =============================================
 
+  /** TRUE iff some ASCII case VARIANT v of `x` (each char independently
+    * upper- or lower-cased; non-letters fixed) lies in [lo, hi] under
+    * UTF-8 byte order — the exact row-group keep test for case-mapped
+    * equalities (`lower(c) = x` matches exactly the variants of x).
+    * Digit-DP over v's positions with lo/hi tightness flags: O(|x|)
+    * states, each trying the (at most two) case forms of that char.
+    * Caller guarantees `x` is pure ASCII, so each variant char is one
+    * byte and byte order equals the stats' comparator. */
+  private[operators] def variantInRange(x: String, lo: String,
+      hi: String): Boolean = {
+    val lob = lo.getBytes("UTF-8"); val hib = hi.getBytes("UTF-8")
+    val n = x.length
+    // memo per (pos, loTight, hiTight): 0 unknown, 1 true, 2 false
+    val memo = new Array[Byte]((n + 1) * 4)
+    def rec(i: Int, loT: Boolean, hiT: Boolean): Boolean = {
+      val key = i * 4 + (if (loT) 1 else 0) + (if (hiT) 2 else 0)
+      if (memo(key) != 0) return memo(key) == 1
+      val r =
+        if (i == n)
+          // v complete: a still-tight lo means v equals lo's first n
+          // bytes, so v >= lo iff lo has no tail; dually a still-tight
+          // hi admits v iff hi is at least as long
+          (!loT || lob.length <= n) && (!hiT || hib.length >= n)
+        else {
+          val ch = x.charAt(i)
+          val up = Character.toUpperCase(ch).toByte
+          val dn = Character.toLowerCase(ch).toByte
+          val cands = if (up == dn) Seq(up) else Seq(up, dn)
+          cands.exists { b =>
+            val vb = b & 0xff
+            // an exhausted tight lo (v extends lo) is already > lo;
+            // an exhausted tight hi (v extends hi) is already > hi
+            val loOk = !loT || i >= lob.length || vb >= (lob(i) & 0xff)
+            val hiOk = !hiT || (i < hib.length && vb <= (hib(i) & 0xff))
+            loOk && hiOk && rec(i + 1,
+              loT && i < lob.length && vb == (lob(i) & 0xff),
+              hiT && vb == (hib(i) & 0xff))
+          }
+        }
+      memo(key) = if (r) 1 else 2
+      r
+    }
+    rec(0, loT = true, hiT = true)
+  }
+
   /** An index-row DISPROOF for one constraint: TRUE iff this (file, rg,
     * column) row's bounds PROVE no row can satisfy the constraint. Null
     * or missing bounds never reject (conservative keep). Spark's string
@@ -221,6 +266,14 @@ object RowGroupScan {
       case TableLog.StrNotIn(_, vs) =>
         col("smin").isNotNull && col("smin") === col("smax") &&
           exists(lit(vs.toArray), v => col("smin") === v)
+      case TableLog.CaseIn(_, vs, _) =>
+        // non-codegen, but evaluated over the tiny index frame, never
+        // data rows
+        val anyVariant = org.apache.spark.sql.functions.udf(
+          (lo: String, hi: String) =>
+            vs.exists(variantInRange(_, lo, hi)))
+        col("smin").isNotNull && col("smax").isNotNull &&
+          !anyVariant(col("smin"), col("smax"))
       case or: TableLog.RgOr => sys.error(
         s"RgOr must be expanded before leaf evaluation: $or")
     }
@@ -325,6 +378,16 @@ object RowGroupScan {
           col("lmin").isNotNull && col("lmax").isNotNull &&
           !exists(lit(vs.toArray),
             v => col("lmin") <= v && v <= col("lmax"))
+      case TableLog.CaseIn(_, vs, up) =>
+        // only a CONSTANT no-null group proves: its single value's
+        // case-fold (Spark's own upper/lower, so semantics match the
+        // re-applied predicate exactly) must be one of the targets
+        val folded =
+          if (up) org.apache.spark.sql.functions.upper(col("smin"))
+          else org.apache.spark.sql.functions.lower(col("smin"))
+        col("dtype") === "string" && col("n_nulls") === 0L &&
+          col("smin").isNotNull && col("smin") === col("smax") &&
+          array_contains(lit(vs.toArray), folded)
       case TableLog.StrNotIn(_, vs) =>
         col("dtype") === "string" && col("n_nulls") === 0L &&
           col("smin").isNotNull && col("smax").isNotNull &&
@@ -414,6 +477,12 @@ object RowGroupScan {
           case (Some(smin), Some(smax)) => smin == smax && vs.contains(smin)
           case _ => false
         }
+      case TableLog.CaseIn(_, vs, _) =>
+        (str("smin"), str("smax")) match {
+          case (Some(smin), Some(smax)) =>
+            !vs.exists(variantInRange(_, smin, smax))
+          case _ => false
+        }
       case or: TableLog.RgOr => sys.error(
         s"RgOr must be expanded before leaf evaluation: $or")
     }
@@ -476,6 +545,18 @@ object RowGroupScan {
           ((str("smin"), str("smax")) match {
             case (Some(smin), Some(smax)) =>
               !vs.exists(v => utf8Cmp(smin, v) <= 0 && utf8Cmp(v, smax) <= 0)
+            case _ => false
+          })
+      case TableLog.CaseIn(_, vs, up) =>
+        // driver-side fold restricted to pure-ASCII group values, where
+        // Java and Spark case mapping provably agree; anything wider
+        // simply doesn't prove (conservative)
+        dtype == "string" && noNulls &&
+          ((str("smin"), str("smax")) match {
+            case (Some(smin), Some(smax)) =>
+              smin == smax && smin.forall(_.toInt < 128) &&
+                vs.contains(if (up) smin.toUpperCase(java.util.Locale.ROOT)
+                            else smin.toLowerCase(java.util.Locale.ROOT))
             case _ => false
           })
       case or: TableLog.RgOr => sys.error(

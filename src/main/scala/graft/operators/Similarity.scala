@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -353,8 +355,14 @@ object Similarity {
     * every step is argmax/mean arithmetic with fixed iteration order. Empty
     * cells keep their previous centroid. Returns ≤ nlist centroids (fewer
     * only when the sample itself is smaller). */
+  /** Codebook-training invocations — the diagnostic the persisted-index
+    * gate pins to ZERO on repeated queries (a per-call ANN retrains
+    * every time; the stored index never does). */
+  val trainingJobs = new java.util.concurrent.atomic.LongAdder
+
   private[graft] def trainSpherical(sample: Array[Array[Float]], nlist: Int,
       iters: Int): Array[Array[Float]] = {
+    trainingJobs.increment()
     def normalize(v: Array[Float]): Array[Float] = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
@@ -504,5 +512,164 @@ object Similarity {
     }
     df.select(col(idCol), explode(array(comps: _*)).as("c"))
       .select(col(idCol), col("c.j").as("j"), col("c.y6").as("y6"))
+  }
+
+  // ---- persisted IVF index (table-log sidecar) --------------------------
+  //
+  // The serving pattern for semantic search is MANY queries against ONE
+  // slowly-growing corpus — per-call ivfTopK repays codebook training on
+  // every invocation. buildIvfIndex trains ONCE and persists both halves
+  // of the index as table-log sidecars under stats/ (the bloom/rgidx
+  // pattern): a codebook parquet (cell, centroid) and one assignment
+  // parquet per data file carrying (vid, cell, vec) sorted by cell, so a
+  // probe's `cell IN (…)` pushes down to row-group pruning inside the
+  // sidecar. The log maps data file → sidecar; appends top up
+  // automatically (TableLog.vecidxTopUp — map-only assignment against
+  // the STORED codebook, zero training), rewrites drop their inputs'
+  // entries and the query path assigns uncovered files on the fly (zero
+  // training), and deletion vectors are honored by a candidate-id
+  // semi-join against the live table.
+
+  /** Assign `files`' rows to their nearest stored centroid and stage one
+    * assignment sidecar per file under stats/ (NOT yet committed);
+    * returns file → sidecar entries. One distributed job for all files
+    * (the rows carry their file index through a shadow partition
+    * column), so append top-ups and bulk builds share the same shape. */
+  private[operators] def stageIvfAssignments(spark: org.apache.spark.sql
+        .SparkSession, dir: String, codebookRel: String, meta: String,
+      files: Seq[String], v: Int): Map[String, String] = {
+    import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
+    val Array(vecCol, idCol) = meta.split(",", 2)
+    val centroids = loadCodebook(spark, dir, codebookRel)
+    val base = JP.get(dir)
+    // one job: every file tagged with its index via a per-file union of
+    // narrow selects would blow the plan at 100k files — instead read
+    // all files at once and derive the index from input_file_name
+    val byName = files.zipWithIndex
+      .map { case (f, i) => base.resolve(f).toUri.getPath -> i }.toMap
+    val bName = spark.sparkContext.broadcast(byName)
+    val fidx = udf((p: String) =>
+      bName.value.getOrElse(java.net.URI.create(p).getPath, -1))
+    val assigned = spark.read.parquet(files.map(f =>
+        base.resolve(f).toString): _*)
+      .select(col(idCol).as("vid"), col(vecCol).as("vec"),
+        fidx(input_file_name()).as("__fidx"))
+      .withColumn("cell",
+        element_at(nearest_cells(col("vec"), centroids, 1), 1))
+      .repartition(col("__fidx"))
+      .sortWithinPartitions("__fidx", "cell")
+    val staging = JF.createTempDirectory("graft_ivfasg").toString
+    assigned.write.mode("overwrite").partitionBy("__fidx")
+      .parquet(staging)
+    JF.createDirectories(JP.get(dir, "stats"))
+    files.zipWithIndex.map { case (f, i) =>
+      val leaf = JP.get(staging, s"__fidx=$i")
+      val s = JF.list(leaf)
+      val part = try s.iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"empty IVF assignment leaf for $f"))
+        finally s.close()
+      val rel = f"stats/v$v%05d-ivfasg$i%05d-${part.getFileName}"
+      JF.move(part, base.resolve(rel), StandardCopyOption.ATOMIC_MOVE)
+      f -> rel
+    }.toMap
+  }
+
+  private def loadCodebook(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rel: String): Array[Array[Float]] =
+    spark.read.parquet(
+        java.nio.file.Paths.get(dir).resolve(rel).toString)
+      .orderBy("cell").collect()
+      .map(_.getSeq[Number](1).map(_.floatValue).toArray)
+
+  /** Train the codebook ONCE over the table's current snapshot and
+    * commit it plus per-file assignments as maintained sidecars.
+    * Returns the committed version. Training is the only
+    * [[trainingJobs]] increment this index ever costs — every later
+    * query and append top-up reuses the stored centroids. */
+  def buildIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, vecCol: String = "embedding",
+      idCol: String = "vec_id", nlist: Int = 64,
+      trainSample: Int = 10000, iters: Int = 5,
+      maxRetries: Int = 20): Int = {
+    import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
+    val snap = TableLog.snapshot(dir)
+    val corpus = TableLog.read(spark, dir)
+    val sample = corpus.select(col(idCol), col(vecCol)).sort(col(idCol))
+      .limit(trainSample).collect()
+      .map(_.getSeq[Number](1).map(_.floatValue).toArray)
+    require(sample.nonEmpty, "IVF index build needs a non-empty table")
+    val centroids = trainSpherical(sample, nlist, iters)
+    // stage the codebook sidecar
+    val staging = JF.createTempDirectory("graft_ivfcb").toString
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    JF.createDirectories(JP.get(dir, "stats"))
+    val s0 = JF.list(JP.get(staging))
+    val cbFile = try s0.iterator.asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(sys.error("empty codebook staging"))
+      finally s0.close()
+    val cbRel = f"stats/v${snap.version + 1}%05d-ivfcb-${cbFile.getFileName}"
+    JF.move(cbFile, JP.get(dir).resolve(cbRel),
+      StandardCopyOption.ATOMIC_MOVE)
+    val meta = s"$vecCol,$idCol"
+    val asg = stageIvfAssignments(spark, dir, cbRel, meta,
+      snap.files, snap.version + 1)
+    TableLog.retryIvfCommit(dir, maxRetries, cbRel, meta, asg)
+  }
+
+  /** ANN top-k THROUGH the persisted index: zero training jobs, the
+    * codebook read from its sidecar, candidates from the assignment
+    * sidecars' probed cells (uncovered files — post-rewrite outputs —
+    * assigned on the fly from the stored centroids), deletion vectors
+    * honored by a live-id semi-join. Result contract matches
+    * [[ivfTopK]] row for row when run against the same snapshot the
+    * index (or its top-ups) covered. */
+  def ivfTopKPersisted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, k: Int, nprobe: Int = 8,
+      version: Int = -1): DataFrame = {
+    val snap = TableLog.snapshot(dir, version)
+    val meta = snap.vecCol.getOrElse(sys.error(
+      s"no persisted IVF index on $dir (run buildIvfIndex first)"))
+    val Array(vecCol, idCol) = meta.split(",", 2)
+    val cbRel = snap.vecidx.getOrElse("codebook", sys.error(
+      s"IVF index on $dir lost its codebook sidecar"))
+    val centroids = loadCodebook(spark, dir, cbRel)
+    val base = java.nio.file.Paths.get(dir)
+    val covered = snap.files.filter(snap.vecidx.contains)
+    val uncovered = snap.files.filterNot(snap.vecidx.contains)
+    val fromSidecars =
+      if (covered.isEmpty) None
+      else Some(spark.read.parquet(covered.map(f =>
+          base.resolve(snap.vecidx(f)).toString): _*)
+        .select(col("vid"), col("vec"), col("cell")))
+    val fromData =
+      if (uncovered.isEmpty) None
+      else Some(spark.read.parquet(uncovered.map(f =>
+          base.resolve(f).toString): _*)
+        .select(col(idCol).as("vid"), col(vecCol).as("vec"))
+        .withColumn("cell",
+          element_at(nearest_cells(col("vec"), centroids, 1), 1)))
+    var cand = (fromSidecars.toSeq ++ fromData.toSeq)
+      .reduce(_ unionByName _)
+    if (snap.dvs.nonEmpty) {
+      val live = TableLog.read(spark, dir, version)
+        .select(col(idCol).as("vid"))
+      cand = cand.join(live, Seq("vid"), "left_semi")
+    }
+    val probed = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"), col("qv"),
+        explode(nearest_cells(col("qv"), centroids, nprobe)).as("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
+    probed.join(cand.withColumnRenamed("vid", "nid"), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine_similarity(col("qv"), col("vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("rk"), col("cos"))
   }
 }

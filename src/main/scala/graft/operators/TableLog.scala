@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions.col
   *                                  --  "parts":{file:partValue},
   *                                  --  "txn":{txnId:batchId}}
   * }}}
-  * Each log entry lists the COMPLETE file set visible at that version
-  * (relative paths) — O(files) per commit, the simple-correct form; the
-  * manifest-delta encoding real formats use is an optimization of this.
+  * Log entries come in two forms, invisible to writers and readers
+  * (both always see complete [[Snapshot]] state): FULL checkpoints
+  * listing the complete file set, and DELTA entries carrying
+  * `"base":B` plus the CUMULATIVE add/remove/sidecar diff against
+  * checkpoint B — so per-commit log bytes are O(changes since the
+  * last checkpoint), never O(table), and any snapshot resolves in at
+  * most two log reads (entry + base). A checkpoint is written every
+  * [[CheckpointInterval]] commits, or whenever the cumulative churn
+  * outgrows the full list (overwrites checkpoint naturally).
   * `parts` tags data files with the partition value they hold (set by
   * [[appendPartitioned]]) so CDC apply can rewrite only touched
   * partitions; `txn` carries the highest applied batch id per writer
@@ -55,7 +61,14 @@ object TableLog {
       blooms: Map[String, String] = Map.empty,
       checks: Map[String, String] = Map.empty,
       rgidx: Map[String, String] = Map.empty,
-      partCol: Option[String] = None)
+      partCol: Option[String] = None,
+      // persisted IVF vector index (Similarity.buildIvfIndex): data
+      // file → assignment sidecar under stats/, plus the reserved key
+      // "codebook" → the centroid sidecar ("codebook" can never
+      // collide with a data path — those live under data/). `vecCol`
+      // = "embeddingCol,idCol" of the indexed columns.
+      vecidx: Map[String, String] = Map.empty,
+      vecCol: Option[String] = None)
 
   /** Thrown by [[commit]] on the optimistic version race — the ONLY
     * conflict the rebase loops retry. TRUE conflicts (a rewrite's input
@@ -67,54 +80,162 @@ object TableLog {
 
   private def logDir(dir: String) = Paths.get(dir, "_graft_log")
   private def vJson(v: Int) = f"v$v%05d.json"
+  // rescue checkpoint vacuum writes when it drops a delta entry's base
+  // (full state AT v, same schema as a checkpoint vJson)
+  private def cJson(v: Int) = f"c$v%05d.json"
+
+  /** Commits between full checkpoints. Delta entries carry the
+    * CUMULATIVE add/remove vs their base checkpoint (not vs v−1), so
+    * resolving ANY snapshot costs at most TWO log reads — entry + base —
+    * never a replay of the interval. Per-commit log bytes are
+    * O(changes since last checkpoint), not O(table): the last
+    * O(table-size) cost on the write path (Delta's checkpointed-delta
+    * manifest model). 16 balances commit size (a busy streaming sink
+    * accumulates ≤16 micro-batches of adds per entry) against
+    * checkpoint frequency (one full rewrite per 16 commits). */
+  private val CheckpointInterval = 16
 
   /** Latest committed version; 0 = empty table (no commits). */
   def currentVersion(dir: String): Int = {
     val ld = logDir(dir)
     if (!Files.exists(ld)) 0
     else {
+      // v\d{5,}, NOT v\d{5}: %05d is a MINIMUM width, so version
+      // 100000 prints six digits — a fixed-width parse would make
+      // v100000.json invisible (readers pin to v99999, committers
+      // loop on conflict, and vacuum sweeps the live v100000 data
+      // files as unreferenced). Parse by delimiter, not substring.
       val s = Files.list(ld)
       try s.iterator.asScala.map(_.getFileName.toString)
-        .filter(_.matches("v\\d{5}\\.json"))
-        .map(_.substring(1, 6).toInt).foldLeft(0)(math.max)
+        .filter(_.matches("v\\d{5,}\\.json"))
+        .map(n => n.substring(1, n.length - 5).toInt)
+        .foldLeft(0)(math.max)
       finally s.close()
     }
   }
 
-  /** The file set visible at `version` (time travel); latest if -1. */
+  private type JNode = com.fasterxml.jackson.databind.JsonNode
+
+  private def readNode(p: java.nio.file.Path): JNode =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(p))
+
+  private def strMap(node: JNode, key: String): Map[String, String] =
+    Option(node.get(key)).map { n =>
+      n.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+
+  private def strSeq(node: JNode, key: String): Seq[String] =
+    Option(node.get(key)).map(_.elements().asScala.map(_.asText()).toSeq)
+      .getOrElse(Seq.empty[String])
+
+  /** Build a Snapshot from a FULL (checkpoint) entry — one that lists
+    * the complete file set. Delta entries go through [[applyDelta]]. */
+  private def parseFull(node: JNode): Snapshot = {
+    val files = strSeq(node, "files")
+    val txn = Option(node.get("txn")).map { tn =>
+      tn.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
+    Snapshot(node.get("version").asInt(), files,
+      strMap(node, "parts"), txn,
+      Option(node.get("op")).map(_.asText()).getOrElse("write"),
+      Option(node.get("ts")).map(_.asLong()).getOrElse(0L),
+      strMap(node, "dvs"),
+      Option(node.get("bloomcol")).map(_.asText()),
+      strMap(node, "blooms"), strMap(node, "checks"),
+      strMap(node, "rgidx"),
+      Option(node.get("partcol")).map(_.asText()),
+      strMap(node, "vecidx"),
+      Option(node.get("veccol")).map(_.asText()))
+  }
+
+  /** Apply a delta entry's cumulative diff onto its base checkpoint.
+    * Per-file maps (parts/dvs/blooms/rgidx) merge: keys of removed
+    * files drop implicitly, `*_rm` lists drop entries whose file
+    * survives, the named map overlays sets/changes. Writer-level state
+    * (txn/checks/bloomcol/partcol/op/ts) is tiny and carried in FULL
+    * in every entry, so it reads straight off the delta node. */
+  private def applyDelta(base: Snapshot, node: JNode): Snapshot = {
+    val add = strSeq(node, "add")
+    val remove = strSeq(node, "remove").toSet
+    def merge(bm: Map[String, String], key: String) =
+      (bm -- remove -- strSeq(node, key + "_rm")) ++ strMap(node, key)
+    val txn = Option(node.get("txn")).map { tn =>
+      tn.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
+    Snapshot(node.get("version").asInt(),
+      base.files.filterNot(remove) ++ add,
+      merge(base.parts, "parts"), txn,
+      Option(node.get("op")).map(_.asText()).getOrElse("write"),
+      Option(node.get("ts")).map(_.asLong()).getOrElse(0L),
+      merge(base.dvs, "dvs"),
+      Option(node.get("bloomcol")).map(_.asText()),
+      merge(base.blooms, "blooms"), strMap(node, "checks"),
+      merge(base.rgidx, "rgidx"),
+      Option(node.get("partcol")).map(_.asText()),
+      merge(base.vecidx, "vecidx"),
+      Option(node.get("veccol")).map(_.asText()))
+  }
+
+  /** Driver memo of parsed FULL (checkpoint) entries: a published
+    * entry is immutable, so (dir, version) → Snapshot is safe to
+    * retain. Every snapshot/commit inside one checkpoint interval
+    * re-resolves the same base checkpoint — the memo turns that
+    * repeated O(table) JSON parse into a hit. Bounded by a global
+    * file-entry budget (cleared wholesale past it, same discipline as
+    * the planning memos). Callers still require the base file to
+    * EXIST before consulting the memo, so a vacuumed base falls to
+    * the rescue path exactly as a fresh JVM would. */
+  private val fullEntryMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Snapshot]()
+  private val fullEntryMemoBudgetFiles = 2000000L
+  private def memoPutFull(dir: String, v: Int, s: Snapshot): Snapshot = {
+    val held = fullEntryMemo.values.iterator.asScala
+      .map(_.files.size.toLong).sum
+    if (held + s.files.size > fullEntryMemoBudgetFiles)
+      fullEntryMemo.clear()
+    fullEntryMemo.put((dir, v), s)
+    s
+  }
+  /** The base checkpoint `b`, memo-first, IF its entry still exists on
+    * disk and is full; None otherwise. */
+  private def fullEntryAt(dir: String, b: Int): Option[Snapshot] = {
+    val bp = logDir(dir).resolve(vJson(b))
+    if (!Files.exists(bp)) None
+    else Option(fullEntryMemo.get((dir, b))).orElse {
+      val bn = readNode(bp)
+      if (bn.has("base")) None
+      else Some(memoPutFull(dir, b, parseFull(bn)))
+    }
+  }
+
+  /** The file set visible at `version` (time travel); latest if -1.
+    * At most TWO log reads: the entry, plus — for a delta entry — its
+    * base checkpoint (or the rescue checkpoint [[vacuum]] left when it
+    * dropped the base). */
   def snapshot(dir: String, version: Int = -1): Snapshot = {
     val v = if (version == -1) currentVersion(dir) else version
     require(v >= 1, s"no committed version in $dir (asked $version)")
     val p = logDir(dir).resolve(vJson(v))
     require(Files.exists(p), s"version $v not found in $dir (vacuumed?)")
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-    val node = m.readTree(Files.readAllBytes(p))
-    val files = node.get("files").elements().asScala
-      .map(_.asText()).toSeq
-    val parts = Option(node.get("parts")).map { pn =>
-      pn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-    }.getOrElse(Map.empty[String, String])
-    val txn = Option(node.get("txn")).map { tn =>
-      tn.fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
-    }.getOrElse(Map.empty[String, Long])
-    val op = Option(node.get("op")).map(_.asText()).getOrElse("write")
-    val ts = Option(node.get("ts")).map(_.asLong()).getOrElse(0L)
-    val dvs = Option(node.get("dvs")).map { dn =>
-      dn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-    }.getOrElse(Map.empty[String, String])
-    val bloomCol = Option(node.get("bloomcol")).map(_.asText())
-    val blooms = Option(node.get("blooms")).map { bn =>
-      bn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-    }.getOrElse(Map.empty[String, String])
-    val checks = Option(node.get("checks")).map { cn =>
-      cn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-    }.getOrElse(Map.empty[String, String])
-    val rgidx = Option(node.get("rgidx")).map { rn =>
-      rn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
-    }.getOrElse(Map.empty[String, String])
-    val partCol = Option(node.get("partcol")).map(_.asText())
-    Snapshot(node.get("version").asInt(), files, parts, txn, op, ts, dvs,
-      bloomCol, blooms, checks, rgidx, partCol)
+    Option(fullEntryMemo.get((dir, v))).getOrElse {
+      val node = readNode(p)
+      if (!node.has("base")) memoPutFull(dir, v, parseFull(node))
+      else {
+        val b = node.get("base").asInt()
+        fullEntryAt(dir, b) match {
+          case Some(base) => applyDelta(base, node)
+          case None =>
+            // vacuum dropped the base but left a self-contained rescue
+            // checkpoint with the full state AT v
+            val cp = logDir(dir).resolve(cJson(v))
+            require(Files.exists(cp),
+              s"version $v unresolvable in $dir: base checkpoint v$b " +
+                "vacuumed and no rescue checkpoint")
+            parseFull(readNode(cp))
+        }
+      }
+    }
   }
 
   // escapes control chars too: a partition VALUE containing \n or \t
@@ -130,74 +251,60 @@ object TableLog {
     case c => c.toString
   } + "\""
 
-  /** Publish `files` (relative paths) as the next version. Atomic:
-    * stage + hard-link; a concurrent committer to the same version makes
-    * exactly one winner and one loud conflict. `expectedVersion` is the
-    * optimistic-concurrency handle: a writer that planned its commit
-    * against version N−1 passes N and conflicts if someone else
-    * published N first; -1 re-reads the log at publish time (only safe
-    * when the file list was derived in the same instant — the managed
-    * writers above never use it). `parts` and `txn` are the carried
-    * metadata maps (see class doc). Returns the committed version. */
-  def commit(dir: String, files: Seq[String],
-      expectedVersion: Int = -1,
-      parts: Map[String, String] = Map.empty,
-      txn: Map[String, Long] = Map.empty,
-      op: String = "write",
-      dvs: Map[String, String] = Map.empty,
-      bloomCol: Option[String] = None,
-      blooms: Map[String, String] = Map.empty,
-      checks: Map[String, String] = Map.empty,
-      rgidx: Map[String, String] = Map.empty,
-      partCol: Option[String] = None): Int = {
-    val ld = logDir(dir)
-    Files.createDirectories(ld)
-    val v = if (expectedVersion > 0) expectedVersion
-            else currentVersion(dir) + 1
-    val partsJson =
-      if (parts.isEmpty) ""
-      else parts.toSeq.sortBy(_._1)
-        .map { case (f, p) => s"${jsonStr(f)}:${jsonStr(p)}" }
-        .mkString(""","parts":{""", ",", "}")
+  private def mapJson(key: String, m: Map[String, String]): String =
+    if (m.isEmpty) ""
+    else m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+      .mkString(s""","$key":{""", ",", "}")
+
+  private def arrJson(key: String, xs: Seq[String]): String =
+    if (xs.isEmpty) "" else xs.map(jsonStr).mkString(
+      s""","$key":[""", ",", "]")
+
+  /** The writer-level fields every entry (full or delta) carries whole:
+    * txn markers, check constraints, index/partition column names —
+    * all O(writers + constraints), never O(files). */
+  private def carriedJson(txn: Map[String, Long], op: String,
+      bloomCol: Option[String], checks: Map[String, String],
+      partCol: Option[String], vecCol: Option[String],
+      ts: Long): String = {
     val txnJson =
       if (txn.isEmpty) ""
       else txn.toSeq.sortBy(_._1)
         .map { case (id, b) => s"${jsonStr(id)}:$b" }
         .mkString(""","txn":{""", ",", "}")
-    val dvsJson =
-      if (dvs.isEmpty) ""
-      else dvs.toSeq.sortBy(_._1)
-        .map { case (f, p) => s"${jsonStr(f)}:${jsonStr(p)}" }
-        .mkString(""","dvs":{""", ",", "}")
-    val bloomJson = bloomCol.fold("") { c =>
-      s""","bloomcol":${jsonStr(c)}""" + (
-        if (blooms.isEmpty) ""
-        else blooms.toSeq.sortBy(_._1)
-          .map { case (f, b) => s"${jsonStr(f)}:${jsonStr(b)}" }
-          .mkString(""","blooms":{""", ",", "}"))
-    }
-    val checksJson =
-      if (checks.isEmpty) ""
-      else checks.toSeq.sortBy(_._1)
-        .map { case (n, e) => s"${jsonStr(n)}:${jsonStr(e)}" }
-        .mkString(""","checks":{""", ",", "}")
-    val rgidxJson =
-      if (rgidx.isEmpty) ""
-      else rgidx.toSeq.sortBy(_._1)
-        .map { case (f, p) => s"${jsonStr(f)}:${jsonStr(p)}" }
-        .mkString(""","rgidx":{""", ",", "}")
-    val partColJson =
-      partCol.fold("")(c => s""","partcol":${jsonStr(c)}""")
-    val json = s"""{"version":$v,"files":[${
-      files.map(jsonStr).mkString(",")
-      }]$partsJson$txnJson$dvsJson$bloomJson$checksJson$rgidxJson$partColJson,"op":${
-      jsonStr(op)},"ts":${System.currentTimeMillis()}}"""
+    txnJson +
+      bloomCol.fold("")(c => s""","bloomcol":${jsonStr(c)}""") +
+      mapJson("checks", checks) +
+      partCol.fold("")(c => s""","partcol":${jsonStr(c)}""") +
+      vecCol.fold("")(c => s""","veccol":${jsonStr(c)}""") +
+      s""","op":${jsonStr(op)},"ts":$ts}"""
+  }
+
+  /** A full (checkpoint) entry: the complete state at `v`. Also the
+    * format of vacuum's rescue checkpoints. */
+  private def fullEntryJson(v: Int, files: Seq[String],
+      parts: Map[String, String], txn: Map[String, Long], op: String,
+      dvs: Map[String, String], bloomCol: Option[String],
+      blooms: Map[String, String], checks: Map[String, String],
+      rgidx: Map[String, String], partCol: Option[String],
+      vecidx: Map[String, String], vecCol: Option[String],
+      ts: Long): String =
+    s"""{"version":$v,"files":[${files.map(jsonStr).mkString(",")}]""" +
+      mapJson("parts", parts) + mapJson("dvs", dvs) +
+      mapJson("blooms", blooms) + mapJson("rgidx", rgidx) +
+      mapJson("vecidx", vecidx) +
+      carriedJson(txn, op, bloomCol, checks, partCol, vecCol, ts)
+
+  /** Stage + hard-link publish. createLink, not move: POSIX rename()
+    * REPLACES an existing target (ATOMIC_MOVE included —
+    * last-writer-wins, the wrong winner), while hard-link creation is
+    * atomic AND fails with EEXIST — exactly the first-committer-wins
+    * primitive optimistic concurrency needs. */
+  private def publish(dir: String, v: Int, json: String): Int = {
+    val ld = logDir(dir)
     val tmp = Files.createTempFile(ld, s".tmp-v$v-", ".json")
     Files.write(tmp, json.getBytes("UTF-8"))
-    // createLink, not move: POSIX rename() REPLACES an existing target
-    // (ATOMIC_MOVE included — last-writer-wins, the wrong winner), while
-    // hard-link creation is atomic AND fails with EEXIST — exactly the
-    // first-committer-wins primitive optimistic concurrency needs.
     try {
       Files.createLink(ld.resolve(vJson(v)), tmp)
       Files.deleteIfExists(tmp)
@@ -208,6 +315,88 @@ object TableLog {
         throw new CommitConflict(
           s"concurrent commit conflict on version $v of $dir")
     }
+  }
+
+  /** Publish `files` (relative paths) as the next version. Atomic:
+    * stage + hard-link; a concurrent committer to the same version makes
+    * exactly one winner and one loud conflict. `expectedVersion` is the
+    * optimistic-concurrency handle: a writer that planned its commit
+    * against version N−1 passes N and conflicts if someone else
+    * published N first; -1 re-reads the log at publish time (only safe
+    * when the file list was derived in the same instant — the managed
+    * writers above never use it). `parts` and `txn` are the carried
+    * metadata maps (see class doc). Returns the committed version.
+    *
+    * Callers always pass the COMPLETE desired state; the log encoding —
+    * full checkpoint vs cumulative delta against the last checkpoint —
+    * is decided here, invisibly to writers and readers. A delta is
+    * written only when its base checkpoint is within
+    * [[CheckpointInterval]] AND the cumulative file churn is smaller
+    * than the full list (an overwrite therefore checkpoints
+    * naturally). */
+  def commit(dir: String, files: Seq[String],
+      expectedVersion: Int = -1,
+      parts: Map[String, String] = Map.empty,
+      txn: Map[String, Long] = Map.empty,
+      op: String = "write",
+      dvs: Map[String, String] = Map.empty,
+      bloomCol: Option[String] = None,
+      blooms: Map[String, String] = Map.empty,
+      checks: Map[String, String] = Map.empty,
+      rgidx: Map[String, String] = Map.empty,
+      partCol: Option[String] = None,
+      vecidx: Map[String, String] = Map.empty,
+      vecCol: Option[String] = None): Int = {
+    val ld = logDir(dir)
+    Files.createDirectories(ld)
+    val v = if (expectedVersion > 0) expectedVersion
+            else currentVersion(dir) + 1
+    // resolve the previous entry's base checkpoint (v−1 itself when
+    // full); None → this commit writes a checkpoint. A gap below v−1
+    // (mocked version jumps, partial logs) also checkpoints.
+    val base: Option[Snapshot] = {
+      val pp = ld.resolve(vJson(v - 1))
+      if (v == 1 || !Files.exists(pp)) None
+      else {
+        val prevNode = readNode(pp)
+        val b = if (prevNode.has("base")) prevNode.get("base").asInt()
+                else v - 1
+        if (v - b >= CheckpointInterval) None
+        else fullEntryAt(dir, b)
+      }
+    }
+    val json = base match {
+      case Some(bs) =>
+        val baseSet = bs.files.toSet
+        val newSet = files.toSet
+        val add = files.filterNot(baseSet)
+        val remove = bs.files.filterNot(newSet)
+        if (add.size + remove.size >= files.size)
+          fullEntryJson(v, files, parts, txn, op, dvs, bloomCol, blooms,
+            checks, rgidx, partCol, vecidx, vecCol,
+            System.currentTimeMillis())
+        else {
+          def diff(bm: Map[String, String], nm: Map[String, String],
+              key: String): String = {
+            val set = nm.filter { case (k, x) => !bm.get(k).contains(x) }
+            val rm = (bm.keySet -- nm.keySet -- remove).toSeq.sorted
+            mapJson(key, set) + arrJson(key + "_rm", rm)
+          }
+          s"""{"version":$v,"base":${bs.version}""" +
+            arrJson("add", add) + arrJson("remove", remove) +
+            diff(bs.parts, parts, "parts") + diff(bs.dvs, dvs, "dvs") +
+            diff(bs.blooms, blooms, "blooms") +
+            diff(bs.rgidx, rgidx, "rgidx") +
+            diff(bs.vecidx, vecidx, "vecidx") +
+            carriedJson(txn, op, bloomCol, checks, partCol, vecCol,
+              System.currentTimeMillis())
+        }
+      case None =>
+        fullEntryJson(v, files, parts, txn, op, dvs, bloomCol, blooms,
+          checks, rgidx, partCol, vecidx, vecCol,
+          System.currentTimeMillis())
+    }
+    publish(dir, v, json)
   }
 
   /** Bounded rebase-retry shared by every committing writer: re-plan
@@ -306,7 +495,8 @@ object TableLog {
   private def commitAppendRebasing(dir: String, newFiles: Seq[String],
       newParts: Map[String, String], txnPut: Option[(String, Long)],
       maxRetries: Int, rgidxPut: Map[String, String] = Map.empty,
-      partColPut: Option[String] = None)
+      partColPut: Option[String] = None,
+      vecidxPut: Map[String, String] = Map.empty)
       : Option[Int] =
     retryCommit(dir, maxRetries) { (prev, v) =>
       if (txnPut.exists { case (id, b) => prev.txn.get(id).exists(_ >= b) })
@@ -322,7 +512,8 @@ object TableLog {
         partCol = (prev.partCol, partColPut) match {
           case (Some(a), Some(b)) if a != b => None
           case (a, b) => b.orElse(a)
-        }))
+        },
+        vecidx = prev.vecidx ++ vecidxPut, vecCol = prev.vecCol))
     }
 
   /** Auto-maintenance of the persisted row-group index on the APPEND
@@ -338,6 +529,54 @@ object TableLog {
       val rel = stageRgIndexSidecar(spark, dir, files, v)
       files.map(_ -> rel).toMap
     }
+
+  /** Commit a freshly built IVF index (codebook + per-file assignment
+    * sidecars) onto the CURRENT head, rebase-retried like the other
+    * stats commits: entries keep only files still live at the head —
+    * files appended mid-build stay uncovered (the query path assigns
+    * them on the fly from the stored codebook), files rewritten
+    * mid-build drop their stale entries. */
+  private[operators] def retryIvfCommit(dir: String, maxRetries: Int,
+      codebookRel: String, meta: String,
+      asg: Map[String, String]): Int =
+    retryCommit(dir, maxRetries) { (head, v) =>
+      val headSet = head.files.toSet
+      Some(commit(dir, head.files, expectedVersion = v,
+        parts = head.parts, txn = head.txn, op = "ivf-index",
+        dvs = head.dvs, bloomCol = head.bloomCol, blooms = head.blooms,
+        checks = head.checks, rgidx = head.rgidx,
+        partCol = head.partCol,
+        vecidx = asg.filter { case (f, _) => headSet(f) } +
+          ("codebook" -> codebookRel),
+        vecCol = Some(meta)))
+    }.get
+
+  /** Rewriting commits (optimize / copy-on-write DML / CDC apply) keep
+    * only the IVF entries whose data files survive, plus the reserved
+    * codebook — dropped files' assignment sidecars become unreferenced
+    * and vacuum sweeps them. */
+  private[operators] def vecCarry(prior: Snapshot,
+      files: Seq[String]): Map[String, String] = {
+    if (prior.vecidx.isEmpty) prior.vecidx
+    else {
+      val fs = files.toSet
+      prior.vecidx.filter { case (k, _) => k == "codebook" || fs(k) }
+    }
+  }
+
+  /** Auto-maintenance of the persisted IVF index on the APPEND family
+    * (mirrors [[rgidxTopUp]]): once [[Similarity.buildIvfIndex]] left a
+    * codebook in the log, every appended file's rows are assigned to
+    * their nearest stored centroid (map-only, ZERO training jobs) and
+    * staged as an assignment sidecar committed atomically with the
+    * data — so persisted-index queries keep covering the whole table. */
+  private def vecidxTopUp(spark: SparkSession, dir: String,
+      prior: Snapshot, files: Seq[String], v: Int)
+      : Map[String, String] =
+    if (files.isEmpty || !prior.vecidx.contains("codebook")) Map.empty
+    else Similarity.stageIvfAssignments(spark, dir,
+      prior.vecidx("codebook"), prior.vecCol.getOrElse(return Map.empty),
+      files, v)
 
   // ===== deletion vectors (merge-on-read position deletes) =============
   //
@@ -472,7 +711,10 @@ object TableLog {
           dvs = head.dvs ++ touched.map(_ -> dvRel),
           bloomCol = head.bloomCol, blooms = head.blooms,
           checks = head.checks, rgidx = head.rgidx,
-          partCol = head.partCol))
+          partCol = head.partCol,
+          // assignments stay byte-valid (files untouched); the query
+          // path DV-filters candidate ids
+          vecidx = head.vecidx, vecCol = head.vecCol))
       }
       (committed.get, nDel, touched.size, snap.files.size)
     } finally matches.unpersist()
@@ -486,7 +728,8 @@ object TableLog {
     val (prev, v) = planNext(dir)
     val files = writeData(df, dir, v, options)
     commitAppendRebasing(dir, files, Map.empty, None, maxRetries,
-      rgidxTopUp(df.sparkSession, dir, prev, files, v)).get
+      rgidxTopUp(df.sparkSession, dir, prev, files, v),
+      vecidxPut = vecidxTopUp(df.sparkSession, dir, prev, files, v)).get
   }
 
   /** Replace the table contents with `df` as a new version. Old files
@@ -610,7 +853,9 @@ object TableLog {
     commitAppendRebasing(dir, newFiles.map(_._1), newFiles.toMap, None,
       maxRetries,
       rgidxTopUp(df.sparkSession, dir, prev, newFiles.map(_._1), v),
-      partColPut = Some(partCol)).get
+      partColPut = Some(partCol),
+      vecidxPut = vecidxTopUp(df.sparkSession, dir, prev,
+        newFiles.map(_._1), v)).get
   }
 
   /** Exactly-once append for a streaming writer (`foreachBatch`): the
@@ -630,7 +875,8 @@ object TableLog {
     // write-per-attempt loop re-ran the distributed job on every race
     val files = writeData(df, dir, v)
     commitAppendRebasing(dir, files, Map.empty, Some(txnId -> batchId),
-      maxRetries, rgidxTopUp(df.sparkSession, dir, prev, files, v))
+      maxRetries, rgidxTopUp(df.sparkSession, dir, prev, files, v),
+      vecidxPut = vecidxTopUp(df.sparkSession, dir, prev, files, v))
   }
 
   /** Exactly-once OVERWRITE for a derived-table writer (the refresh
@@ -881,6 +1127,15 @@ object TableLog {
     extends RgConstraint
   final case class StrNotIn(column: String, values: Seq[String])
     extends RgConstraint
+  /** `upper(col) = 'X'` / `lower(col) IN (…)` on a string column:
+    * `folded` holds the ASCII case-folded targets; a group is disproven
+    * when NO per-char case variant of any target lies within its raw
+    * [smin, smax] (RowGroupScan.variantInRange — exact over the variant
+    * set, so single-case data prunes as tightly as a plain equality),
+    * and proven full only for a constant no-null group whose folded
+    * value is a target. */
+  final case class CaseIn(column: String, folded: Seq[String],
+      toUpper: Boolean) extends RgConstraint
   /** A DISJUNCTION of simple constraints, possibly across columns
     * (`a < 10 OR b = 'x'`): a row group is disproven only when EVERY
     * branch is, proven-full when ANY branch is. Branches must be
@@ -1143,7 +1398,8 @@ object TableLog {
         checks = head.checks,
         rgidx = head.rgidx ++
           need.filter(headSet).map(_ -> sidecarRel),
-        partCol = head.partCol))
+        partCol = head.partCol,
+        vecidx = head.vecidx, vecCol = head.vecCol))
     }.get
   }
 
@@ -1578,7 +1834,8 @@ object TableLog {
         parts = head.parts, txn = head.txn, op = "add-check",
         dvs = head.dvs, bloomCol = head.bloomCol, blooms = head.blooms,
         checks = head.checks + (name -> expression),
-        rgidx = head.rgidx, partCol = head.partCol))
+        rgidx = head.rgidx, partCol = head.partCol,
+        vecidx = head.vecidx, vecCol = head.vecCol))
     }.get
   }
 
@@ -1592,7 +1849,8 @@ object TableLog {
         parts = head.parts, txn = head.txn, op = "drop-check",
         dvs = head.dvs, bloomCol = head.bloomCol, blooms = head.blooms,
         checks = head.checks - name, rgidx = head.rgidx,
-        partCol = head.partCol))
+        partCol = head.partCol,
+        vecidx = head.vecidx, vecCol = head.vecCol))
     }.get
 
   // ===== per-file bloom filters (equality data skipping) ===============
@@ -1735,7 +1993,8 @@ object TableLog {
         blooms = base ++
           need.filter(headSet).map(_ -> sidecarRel),
         checks = head.checks, rgidx = head.rgidx,
-        partCol = head.partCol))
+        partCol = head.partCol,
+        vecidx = head.vecidx, vecCol = head.vecCol))
     }.get
   }
 
@@ -2143,7 +2402,12 @@ object TableLog {
         txn = head.txn, op = "optimize", dvs = head.dvs -- inputs,
         bloomCol = head.bloomCol, blooms = blooms, checks = head.checks,
         rgidx = (head.rgidx -- rewritten) ++ rgTopUp,
-        partCol = head.partCol))
+        partCol = head.partCol,
+        // rewritten files' assignments die with their files; the
+        // rewrite outputs stay UNindexed (the persisted-IVF query path
+        // assigns uncovered files on the fly from the stored codebook,
+        // zero training jobs)
+        vecidx = vecCarry(head, files), vecCol = head.vecCol))
     }
     (committed.get, snap.files.size, committedFiles)
   }
@@ -2307,7 +2571,8 @@ object TableLog {
         txn = head.txn, op = op, dvs = head.dvs -- touched,
         bloomCol = head.bloomCol, blooms = blooms, checks = head.checks,
         rgidx = (head.rgidx -- touched) ++ rgTopUp,
-        partCol = head.partCol))
+        partCol = head.partCol,
+        vecidx = vecCarry(head, files), vecCol = head.vecCol))
     }
     (committed.get, rowsMatched, touched.size, snap.files.size)
   }
@@ -2342,7 +2607,8 @@ object TableLog {
         parts = old.parts, txn = prev.txn, op = "restore",
         dvs = old.dvs, bloomCol = old.bloomCol, blooms = old.blooms,
         checks = prev.checks, rgidx = old.rgidx,
-        partCol = old.partCol))
+        partCol = old.partCol,
+        vecidx = old.vecidx, vecCol = old.vecCol))
     }.get
   }
 
@@ -2375,8 +2641,12 @@ object TableLog {
     val referenced = retained.flatMap(_.files).toSet ++
       retained.flatMap(_.dvs.values) ++
       retained.flatMap(_.blooms.values) ++
-      retained.flatMap(_.rgidx.values)
-    val vPrefix = "v(\\d{5})-.*".r
+      retained.flatMap(_.rgidx.values) ++
+      retained.flatMap(_.vecidx.values)
+    // \d{5,}: version prefixes print >5 digits past v99999 (%05d is a
+    // minimum width) — a fixed-width group would parse "v100000-…" as
+    // 10000 and mis-classify live in-flight files as ancient.
+    val vPrefix = "v(\\d{5,})-.*".r
     val cutoff = System.currentTimeMillis() - graceMs
     def inFlight(p: java.nio.file.Path): Boolean = {
       val future = p.getFileName.toString match {
@@ -2400,8 +2670,31 @@ object TableLog {
     }
     val doomed = sweep("data") ++ sweep("dv") ++ sweep("stats")
     doomed.foreach(f => Files.deleteIfExists(Paths.get(dir).resolve(f)))
-    (1 until keepFrom).foreach(v =>
-      Files.deleteIfExists(logDir(dir).resolve(vJson(v))))
+    // a retained DELTA entry whose base checkpoint falls below keepFrom
+    // must become self-contained before that base is dropped: write a
+    // rescue checkpoint (full state AT v, original op/ts preserved so
+    // timestamp time travel stays exact) that snapshot() falls back to
+    (keepFrom to cur).foreach { v =>
+      val node = readNode(logDir(dir).resolve(vJson(v)))
+      if (node.has("base") && node.get("base").asInt() < keepFrom) {
+        val cp = logDir(dir).resolve(cJson(v))
+        if (!Files.exists(cp)) {
+          val s0 = retained(v - keepFrom)
+          val tmp = Files.createTempFile(logDir(dir), s".tmp-c$v-",
+            ".json")
+          Files.write(tmp, fullEntryJson(v, s0.files, s0.parts, s0.txn,
+            s0.op, s0.dvs, s0.bloomCol, s0.blooms, s0.checks, s0.rgidx,
+            s0.partCol, s0.vecidx, s0.vecCol, s0.ts).getBytes("UTF-8"))
+          try Files.createLink(cp, tmp)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          Files.deleteIfExists(tmp)
+        }
+      }
+    }
+    (1 until keepFrom).foreach { v =>
+      Files.deleteIfExists(logDir(dir).resolve(vJson(v)))
+      Files.deleteIfExists(logDir(dir).resolve(cJson(v)))
+    }
     doomed
   }
 }

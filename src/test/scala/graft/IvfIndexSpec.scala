@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Similarity, TableLog}
+
+/** Persisted IVF vector index as a maintained table-log sidecar:
+  * ONE training job at build, zero on every query; appends top up
+  * assignments from the stored codebook; rewrites fall back to
+  * on-the-fly assignment (still zero training); deletion vectors are
+  * honored; results match the per-call IVF row for row. */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def vecs(n: Int, dim: Int = 16): DataFrame =
+    spark.range(n).selectExpr("id as vec_id",
+      s"transform(sequence(0, ${dim - 1}), " +
+        "j -> cast(sin(id * 37 + j * 11) as float)) as embedding")
+
+  private def queriesOf(df: DataFrame, pred: String): DataFrame =
+    df.filter(pred)
+      .selectExpr("vec_id + 10000 as vec_id", "embedding")
+
+  test("build once, query many: zero training jobs, per-call parity, " +
+    "append top-up, rewrite fallback, DV exactness") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx")
+      .toString + "/t"
+    TableLog.append(vecs(2000).repartition(4), dir)
+    Similarity.buildIvfIndex(spark, dir, nlist = 16,
+      trainSample = 500, iters = 3)
+    val snap = TableLog.snapshot(dir)
+    assert(snap.vecidx.contains("codebook"))
+    assert(snap.vecCol.contains("embedding,vec_id"))
+    assert(snap.files.forall(snap.vecidx.contains),
+      "build left data files unassigned")
+
+    // planted self-match through the stored index, zero training
+    val q = queriesOf(vecs(2000), "vec_id < 5")
+    val before = Similarity.trainingJobs.sum()
+    val r1 = Similarity.ivfTopKPersisted(spark, dir, q, k = 1,
+      nprobe = 4).collect().sortBy(_.getLong(0))
+    assert(Similarity.trainingJobs.sum() == before,
+      "persisted query ran a training job")
+    r1.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - 10000, r.toString)
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-9, r.toString)
+    }
+    // row-for-row parity with the per-call path on the same snapshot
+    val pc = Similarity.ivfTopK(TableLog.read(spark, dir), q, k = 1,
+        nlist = 16, nprobe = 4, trainSample = 500, iters = 3)
+      .collect().sortBy(_.getLong(0))
+    assert(r1.toSeq == pc.toSeq, "persisted vs per-call drift")
+
+    // append tops up from the STORED codebook — still zero training,
+    // the new file is covered, and its planted twin is findable
+    val b2 = Similarity.trainingJobs.sum()
+    TableLog.append(vecs(2500).filter("vec_id >= 2000").coalesce(1), dir)
+    assert(Similarity.trainingJobs.sum() == b2, "append retrained")
+    val snap2 = TableLog.snapshot(dir)
+    assert(snap2.files.forall(snap2.vecidx.contains),
+      "append did not top up the assignment sidecars")
+    val q2 = queriesOf(vecs(2500), "vec_id = 2100")
+    val r2 = Similarity.ivfTopKPersisted(spark, dir, q2, k = 1,
+      nprobe = 4).collect()
+    assert(r2.length == 1 && r2.head.getLong(1) == 2100L, r2.toSeq)
+
+    // a DV delete hides the twin from the index's candidates
+    TableLog.deleteVectored(spark, dir, "vec_id = 2100")
+    val r3 = Similarity.ivfTopKPersisted(spark, dir, q2, k = 1,
+      nprobe = 4).collect()
+    assert(r3.head.getLong(1) != 2100L,
+      s"DV-deleted row resurfaced: ${r3.toSeq}")
+
+    // OPTIMIZE rewrites every file → entries drop, the query path
+    // assigns the rewrite outputs on the fly — zero training, exact
+    TableLog.optimize(spark, dir, maxRows = 1000000L)
+    val snap3 = TableLog.snapshot(dir)
+    assert(snap3.files.forall(f => !snap3.vecidx.contains(f)),
+      "rewritten files kept stale assignment entries")
+    assert(snap3.vecidx.contains("codebook"))
+    val b3 = Similarity.trainingJobs.sum()
+    val r4 = Similarity.ivfTopKPersisted(spark, dir, q, k = 1,
+      nprobe = 4).collect().sortBy(_.getLong(0))
+    assert(Similarity.trainingJobs.sum() == b3, "fallback retrained")
+    r4.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - 10000, r.toString)
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-9, r.toString)
+    }
+
+    // vacuum keeps the codebook (referenced) and sweeps the orphaned
+    // assignment sidecars of the pre-optimize versions
+    val deleted = TableLog.vacuum(dir,
+      keepFrom = TableLog.currentVersion(dir), graceMs = 0L)
+    assert(deleted.exists(_.contains("-ivfasg")),
+      s"orphaned assignment sidecars not swept: $deleted")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)
+      .resolve(TableLog.snapshot(dir).vecidx("codebook"))),
+      "live codebook swept")
+  }
+}

@@ -307,4 +307,110 @@ class LakeSelectSpec extends AnyFunSuite {
     assert(st2.strategy == "rowgroup_range", s"$st2")
     assert(got2.count() == want)
   }
+
+  test("case-mapped equalities route through the variant probe: " +
+    "upper/lower =/IN prune, non-ASCII and non-fixed-points stay safe") {
+    val dir = java.nio.file.Files.createTempDirectory("lsel_case")
+      .toString + "/t"
+    // two single-case clusters sorted apart: uppercase SEGnn rows then
+    // lowercase segnn rows — a case-insensitive equality must keep both
+    // clusters' matching groups and prune the rest
+    val df = spark.range(16000).selectExpr(
+      "id as k",
+      "case when id % 2 = 0 " +
+        "then concat('SEG', lpad(cast(id % 8 as string), 2, '0')) " +
+        "else concat('seg', lpad(cast(id % 8 as string), 2, '0')) " +
+        "end as tag")
+    TableLog.append(
+      df.repartitionByRange(4, col("tag"), col("k"))
+        .sortWithinPartitions("tag", "k"),
+      dir, options = smallRg)
+    def same(pred: String, strategy: String, prunes: Boolean): Unit = {
+      val (got, st) = LakeSelect.readWhere(spark, dir, pred)
+      assert(st.strategy == strategy,
+        s"$pred routed ${st.strategy}, wanted $strategy ($st)")
+      if (prunes) assert(st.rgOpened < st.rgTotal, s"$pred: $st")
+      val want = TableLog.read(spark, dir).where(pred)
+      assert(got.orderBy("k").collect().toSeq ==
+        want.orderBy("k").collect().toSeq, s"$pred result drift")
+      assert(got.count() > 0L, s"$pred unexpectedly empty")
+    }
+    same("lower(tag) = 'seg03'", "rowgroup_case", prunes = true)
+    same("upper(tag) IN ('SEG01', 'SEG05')", "rowgroup_case",
+      prunes = true)
+    same("ucase(tag) = 'SEG07'", "rowgroup_case", prunes = true)
+    // a literal that is not a fixed point of its mapping is provably
+    // false — empty result, nothing scanned beyond the empty probe
+    val (gotF, _) = LakeSelect.readWhere(spark, dir,
+      "upper(tag) = 'seg01'")
+    assert(gotF.count() == 0L)
+    // non-ASCII literals must NOT route (Unicode case mapping is not
+    // per-character) — conservative full scan, exact result
+    val (gotU, stU) = LakeSelect.readWhere(spark, dir,
+      "lower(tag) = 'ség03'")
+    assert(stU.strategy == "full_scan", s"$stU")
+    assert(gotU.count() == 0L)
+    // the aggregate twin stays correct and never claims exactness
+    val (n, cs) = LakeSelect.countWhere(spark, dir,
+      "lower(tag) = 'seg03'")
+    assert(n == TableLog.read(spark, dir)
+      .where("lower(tag) = 'seg03'").count())
+    assert(!cs.exact, s"case-mapped count must not claim exact: $cs")
+    // constant-group full proof: a one-value table proves containment
+    // through the folded constant, so the straddle count stays 0
+    val dir2 = java.nio.file.Files.createTempDirectory("lsel_case2")
+      .toString + "/t"
+    TableLog.append(
+      spark.range(4000).selectExpr("id as k", "'BUILDING' as tag")
+        .coalesce(1),
+      dir2, options = smallRg)
+    val (n2, cs2) = LakeSelect.countWhere(spark, dir2,
+      "lower(tag) = 'building'")
+    assert(n2 == 4000L, s"$n2")
+  }
+
+  test("readJoinPruned: dim keys route through zone stats and blooms, " +
+    "wide/empty/untyped dims fall back safely") {
+    val dir = java.nio.file.Files.createTempDirectory("lsel_join")
+      .toString + "/t"
+    val fact = spark.range(32000).selectExpr("id as fk",
+      "id * 7 as v")
+    TableLog.append(
+      fact.repartitionByRange(8, col("fk")).sortWithinPartitions("fk"),
+      dir, options = smallRg)
+    import spark.implicits._
+    def expect(dim: org.apache.spark.sql.DataFrame, dimKey: String,
+        strategy: String, wantRows: Long, prunes: Boolean): Unit = {
+      val (df, st) = LakeSelect.readJoinPruned(spark, dir, "fk",
+        dim, dimKey)
+      assert(st.strategy == strategy,
+        s"routed ${st.strategy}, wanted $strategy ($st)")
+      if (prunes) assert(st.filesOpened < st.filesTotal, s"$st")
+      assert(df.count() == wantRows, s"$strategy join rows")
+    }
+    // a narrow dim slice prunes most fact files via zone stats
+    val dim = (100L to 180L).map(k => (k, s"d$k")).toDF("dk", "attr")
+    expect(dim, "dk", "join_rowgroup_in", 81L, prunes = true)
+    // blooms take over once built
+    TableLog.computeBlooms(spark, dir, "fk")
+    expect(dim, "dk", "join_point_lookup", 81L, prunes = true)
+    // join multiplicity is preserved (duplicate dim keys)
+    val dup = dim.union(dim.limit(3))
+    expect(dup, "dk", "join_point_lookup", 84L, prunes = true)
+    // empty dim → empty join, zero fact files
+    expect(dim.where("dk < 0"), "dk", "join_pruned_empty", 0L,
+      prunes = false)
+    // over-wide key set falls back to the plain broadcast join
+    val wide = spark.range(32000).selectExpr("id as dk")
+    val (dfW, stW) = LakeSelect.readJoinPruned(spark, dir, "fk",
+      wide, "dk", maxKeys = 1000)
+    assert(stW.strategy == "join_full", s"$stW")
+    assert(dfW.count() == 32000L)
+    // untyped (double) keys cannot probe soundly → unpruned, exact
+    val dbl = Seq(100.0, 101.0).toDF("dk")
+    val (dfD, stD) = LakeSelect.readJoinPruned(spark, dir, "fk",
+      dbl, "dk")
+    assert(stD.strategy == "join_full", s"$stD")
+    assert(dfD.count() == 2L)
+  }
 }

@@ -133,4 +133,46 @@ class SqlLakeDmlSpec extends AnyFunSuite {
       s"SELECT * FROM graft_count('$dir', 'id % 2 = 1')").head()
     assert(odd.getLong(0) == 4500L && odd.getInt(4) == 0)
   }
+
+  test("graft_select_join prunes through a dim view; " +
+    "graft_build_vecindex + graft_ann serve zero-training ANN") {
+    val dir = freshDir()
+    TableLog.append(
+      spark.range(16000).selectExpr("id as fk", "id * 3 as v")
+        .repartitionByRange(8, org.apache.spark.sql.functions.col("fk"))
+        .sortWithinPartitions("fk"),
+      dir, options = Map("parquet.block.size" -> "16384"))
+    spark.range(100, 160).selectExpr("id as dk")
+      .createOrReplaceTempView("dml_dim")
+    val joined = spark.sql(
+      s"SELECT * FROM graft_select_join('$dir', 'fk', 'dml_dim', 'dk')")
+    assert(joined.count() == 60L)
+    assert(joined.selectExpr("sum(v)").first().getLong(0) ==
+      (100L until 160L).map(_ * 3).sum)
+
+    // ANN through SQL text: build once, query through the stored index
+    val vdir = freshDir()
+    TableLog.append(
+      spark.range(500).selectExpr("id as vec_id",
+        "transform(sequence(0, 15), " +
+          "j -> cast(sin(id * 37 + j * 11) as float)) as embedding")
+        .repartition(2), vdir)
+    val ver = spark.sql(
+      s"SELECT * FROM graft_build_vecindex('$vdir')").first()
+    assert(ver.getAs[Int]("version") >= 2)
+    spark.range(3).selectExpr("id + 10000 as vec_id",
+      "transform(sequence(0, 15), " +
+        "j -> cast(sin(id * 37 + j * 11) as float)) as embedding")
+      .createOrReplaceTempView("dml_q")
+    val before = graft.operators.Similarity.trainingJobs.sum()
+    val ann = spark.sql(
+      s"SELECT * FROM graft_ann('$vdir', 'dml_q', 1, 4) ORDER BY qid")
+      .collect()
+    assert(graft.operators.Similarity.trainingJobs.sum() == before)
+    assert(ann.length == 3)
+    ann.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - 10000, r.toString)
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-9, r.toString)
+    }
+  }
 }

@@ -951,4 +951,78 @@ class TableLogSpec extends AnyFunSuite {
     assert(n == 3) // 99, 100, 101
     assert(ids(dir) == (1L to 98L).toSet)
   }
+
+  test("v99999→v100000 boundary: version parse is width-independent — " +
+    "reads see v100000, writers rebase past it, vacuum spares its files") {
+    val dir = freshDir()
+    TableLog.append(Seq((1L, "a")).toDF("id", "s"), dir) // v1
+    val s1 = TableLog.snapshot(dir)
+    // mock ~12 days of a 10 s-trigger streaming sink: publish v99999
+    // directly, reusing v1's files (the log never requires dense
+    // versions below head once older entries are vacuumed)
+    TableLog.commit(dir, s1.files, expectedVersion = 99999)
+    assert(TableLog.currentVersion(dir) == 99999)
+    TableLog.append(Seq((2L, "b")).toDF("id", "s"), dir) // v100000
+    assert(TableLog.currentVersion(dir) == 100000,
+      "six-digit version invisible: reader pinned to v99999")
+    def ids() = TableLog.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids() == Set(1L, 2L))
+    // the next writer must plan v100001 on top, not loop on conflict
+    TableLog.append(Seq((3L, "c")).toDF("id", "s"), dir) // v100001
+    assert(TableLog.currentVersion(dir) == 100001)
+    assert(ids() == Set(1L, 2L, 3L))
+    // a racer who already took a version still conflicts loudly there
+    intercept[IllegalStateException] {
+      TableLog.commit(dir, s1.files, expectedVersion = 100001)
+    }
+    // overwrite → v100002; vacuum to it: the six-digit-prefixed live
+    // files must NOT be classified as unreferenced (the data-loss mode
+    // of the fixed-width parse), while v1/v100000/v100001 files go
+    TableLog.overwrite(Seq((9L, "z")).toDF("id", "s"), dir) // v100002
+    val deleted = TableLog.vacuum(dir, keepFrom = 100002, graceMs = 0L)
+    assert(deleted.nonEmpty && deleted.forall { f =>
+      f.startsWith("data/v00001-") || f.startsWith("data/v100000-") ||
+        f.startsWith("data/v100001-")
+    }, s"vacuum touched live v100002 files: $deleted")
+    assert(ids() == Set(9L), "post-vacuum read lost live data")
+  }
+
+  test("delta-encoded log: checkpoints every 16 commits, two-read " +
+    "snapshots, vacuum mid-interval rescues retained deltas") {
+    val dir = freshDir()
+    (1 to 24).foreach { i =>
+      TableLog.append(Seq((i.toLong, s"row$i")).toDF("id", "s")
+        .coalesce(1), dir)
+    }
+    val ld = java.nio.file.Paths.get(dir, "_graft_log")
+    def node(name: String) =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(ld.resolve(name)))
+    // v1 and v17 are checkpoints (full file list); the rest of the
+    // interval is cumulative deltas against them — O(commit) bytes
+    assert(node("v00001.json").has("files"))
+    assert(node("v00017.json").has("files") &&
+      !node("v00017.json").has("base"))
+    assert(node("v00016.json").get("base").asInt() == 1)
+    assert(node("v00024.json").get("base").asInt() == 17)
+    assert(!node("v00024.json").has("files"),
+      "delta entry re-listed the full file set")
+    // reads across the checkpoint boundary are exact
+    def count(v: Int) = TableLog.read(spark, dir, v).count()
+    assert(count(16) == 16 && count(17) == 17 && count(18) == 18)
+    assert(count(24) == 24)
+    // vacuum mid-interval: v20..v24 are deltas on v17 (< keepFrom) —
+    // rescue checkpoints must keep them readable after v17 drops
+    TableLog.vacuum(dir, keepFrom = 20, graceMs = 0L)
+    intercept[IllegalArgumentException] { TableLog.snapshot(dir, 19) }
+    assert(count(20) == 20 && count(24) == 24,
+      "retained delta lost its base with no rescue checkpoint")
+    // a commit after vacuum finds its base gone → starts a fresh
+    // checkpoint instead of failing
+    TableLog.append(Seq((25L, "row25")).toDF("id", "s"), dir) // v25
+    assert(node("v00025.json").has("files") &&
+      !node("v00025.json").has("base"))
+    assert(count(25) == 25)
+  }
 }
