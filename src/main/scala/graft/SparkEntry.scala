@@ -1637,6 +1637,9 @@ object SparkEntry {
       val (df2, st2) = graft.operators.LakeSelect.readWhere(s, dir,
         "upper(o_orderpriority) IN ('1-URGENT', '5-LOW')")
       val a2 = df2.agg(count(lit(1)), sum(col("price_cents"))).first()
+      val (df3, st3) = graft.operators.LakeSelect.readWhere(s, dir,
+        "o_orderpriority ILIKE '2-h%'")
+      val a3 = df3.agg(count(lit(1)), sum(col("price_cents"))).first()
       val (nc, cs) = graft.operators.LakeSelect.countWhere(s, dir,
         "lower(o_orderpriority) = '3-medium'")
       s.range(1).select(
@@ -1644,11 +1647,15 @@ object SparkEntry {
         lit(a1.getLong(1)).as("cents_med"),
         lit(a2.getLong(0)).as("n_ul"),
         lit(a2.getLong(1)).as("cents_ul"),
+        lit(a3.getLong(0)).as("n_ilike"),
+        lit(a3.getLong(1)).as("cents_ilike"),
         lit(nc).as("n_count"),
         lit(st1.strategy == "rowgroup_case" &&
           st1.rgOpened < st1.rgTotal).as("med_routed"),
         lit(st2.strategy == "rowgroup_case" &&
           st2.rgOpened < st2.rgTotal).as("in_routed"),
+        lit(st3.strategy == "rowgroup_case" &&
+          st3.rgOpened < st3.rgTotal).as("ilike_routed"),
         lit(!cs.exact).as("count_conservative"))
     },
 
@@ -10665,9 +10672,14 @@ object SparkEntry {
             WHERE upper(o_orderpriority) IN ('1-URGENT', '5-LOW'))
              AS cents_ul,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderpriority ILIKE '2-h%') AS n_ilike,
+           (SELECT CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT)
+            FROM orders
+            WHERE o_orderpriority ILIKE '2-h%') AS cents_ilike,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
             WHERE lower(o_orderpriority) = '3-medium') AS n_count,
            TRUE AS med_routed, TRUE AS in_routed,
-           TRUE AS count_conservative""",
+           TRUE AS ilike_routed, TRUE AS count_conservative""",
 
     // persisted-index replay: the 1/8th slice closed-form; the two TRUE
     // flags pin zero-footer planning before and after the OPTIMIZE

@@ -95,10 +95,12 @@ object LakeSelect {
   private[operators] final case class TsLit(micros: Long, ntz: Boolean)
   private[operators] final case class OrC(
       branches: Seq[(String, Constraint)]) extends Constraint
-  /** `upper(col) = 'X'` / `lower(col) IN (…)`: ASCII case-folded
-    * targets, matched by the exact variant-in-range test. */
+  /** `upper(col) = 'X'` / `lower(col) IN (…)` — and, with `prefix`,
+    * the case-insensitive prefix family (`col ILIKE 'p%'`,
+    * `lower(col) LIKE 'p%'`, `startswith(lower(col), 'p')`): ASCII
+    * case-folded targets, matched by the exact variant-in-range test. */
   private[operators] final case class CaseEq(values: Seq[String],
-      toUpper: Boolean) extends Constraint
+      toUpper: Boolean, prefix: Boolean = false) extends Constraint
 
   /** Read `dir` filtered by `predicate` (any Spark SQL boolean
     * expression over the table's columns), routed through the most
@@ -386,12 +388,12 @@ object LakeSelect {
           else { lossless = false; None }
         case (c, e: NeC) if isTsVals(e.values, c) =>
           Some(TableLog.NumNotIn(c, e.values.map(micros)))
-        case (c, CaseEq(vs, up)) =>
+        case (c, CaseEq(vs, up, pfx)) =>
           // variant-set probes demand raw STRING stats; on any other
           // column type the folded literals say nothing about the
           // stats space
           if (s.get(c).contains(StringType))
-            Some(TableLog.CaseIn(c, vs, up))
+            Some(TableLog.CaseIn(c, vs, up, pfx))
           else { lossless = false; None }
         case (_, OrC(bs)) =>
           // every branch must lower, or the whole disjunction drops —
@@ -591,24 +593,41 @@ object LakeSelect {
     // unprunable: Unicode case mapping is not per-character (eszett
     // to SS, dotted I, locale-dependent maps), so no sound variant
     // set exists.
-    def caseFold(f: Expression, ls: Seq[Literal])
-        : Option[(String, Constraint)] = {
+    def caseConstraint(c: String, strs: Seq[String], up: Boolean,
+        pfx: Boolean): Option[(String, Constraint)] = {
+      if (strs.isEmpty ||
+          strs.exists(s => !s.forall(_.toInt < 128))) None
+      else {
+        // a target that is not a fixed point of the fold can never
+        // match the folded column (provably false) and drops; all
+        // dropped → empty probe
+        val keep = strs.filter(s =>
+          (if (up) s.toUpperCase else s.toLowerCase) == s).distinct
+        Some(
+          if (keep.isEmpty) inexact((c, EqIn(Nil)))
+          else inexact((c, CaseEq(keep, up, pfx))))
+      }
+    }
+    def caseFold(f: Expression, ls: Seq[Literal],
+        pfx: Boolean = false): Option[(String, Constraint)] = {
       val vals = ls.map(litVal)
       if (ls.isEmpty ||
           vals.exists(!_.exists(_.isInstanceOf[String]))) return None
       val strs = vals.map(_.get.asInstanceOf[String])
-      if (strs.exists(s => !s.forall(_.toInt < 128))) return None
       val up = isFn(f, "upper", "ucase")
       fnArgs(f) match {
-        case Seq(a) => colName(a).map { c =>
-          val keep = strs.filter(s =>
-            (if (up) s.toUpperCase else s.toLowerCase) == s).distinct
-          if (keep.isEmpty) inexact((c, EqIn(Nil))) // provably false
-          else inexact((c, CaseEq(keep, up)))
-        }
+        case Seq(a) =>
+          colName(a).flatMap(caseConstraint(_, strs, up, pfx))
         case _ => None
       }
     }
+    // a LIKE/ILIKE pattern that is a plain prefix under the DEFAULT
+    // escape: 'p%' with no other wildcard or escape in the body
+    def plainPrefix(p: String): Option[String] =
+      if (p.nonEmpty && p.endsWith("%") &&
+          !p.dropRight(1).exists(ch => ch == '%' || ch == '_' ||
+            ch == '\\')) Some(p.dropRight(1))
+      else None
 
     // `to_date(col) = 'yyyy-MM-dd'` (or a DATE literal): an equality in
     // DATE space — valid only on a DateType column (to_date is identity
@@ -844,6 +863,48 @@ object LakeSelect {
           truncEq(f, l)
         case EqualTo(l: Literal, f) if isFn(f, "trunc", "date_trunc") =>
           truncEq(f, l)
+        // case-insensitive prefix family → variant-set PREFIX probes:
+        // `lower(col) LIKE 'p%'` (default escape, plain prefix only)
+        case Like(f, l: Literal, '\\')
+            if isFn(f, "upper", "ucase", "lower", "lcase") =>
+          (fnArgs(f), litVal(l)) match {
+            case (Seq(a), Some(p: String)) =>
+              for {
+                pre <- plainPrefix(p)
+                c <- colName(a)
+                r <- caseConstraint(c, Seq(pre),
+                  isFn(f, "upper", "ucase"), pfx = true)
+              } yield r
+            case _ => None
+          }
+        // `col ILIKE 'x'` (no wildcards → case-insensitive equality)
+        // and `col ILIKE 'p%'` (plain prefix). ILIKE lowercases both
+        // sides, so the folded target is lower(pattern) — always a
+        // fixed point by construction.
+        case ILike(a, l: Literal, '\\') =>
+          (colName(a), litVal(l)) match {
+            case (Some(c), Some(p: String)) =>
+              if (!p.exists(ch => ch == '%' || ch == '_' || ch == '\\'))
+                caseConstraint(c, Seq(p.toLowerCase), up = false,
+                  pfx = false)
+              else plainPrefix(p).flatMap(pre =>
+                caseConstraint(c, Seq(pre.toLowerCase), up = false,
+                  pfx = true))
+            case _ => None
+          }
+        // `startswith(upper/lower(col), 'p')`
+        case g if isFn(g, "startswith") && fnArgs(g).size == 2 &&
+            isFn(fnArgs(g).head, "upper", "ucase", "lower", "lcase") =>
+          val inner = fnArgs(g).head
+          (fnArgs(inner), fnArgs(g)(1)) match {
+            case (Seq(a), l: Literal) => litVal(l) match {
+              case Some(p: String) => colName(a).flatMap(
+                caseConstraint(_, Seq(p),
+                  isFn(inner, "upper", "ucase"), pfx = true))
+              case _ => None
+            }
+            case _ => None
+          }
         // only the DEFAULT escape char qualifies: under `ESCAPE '#'`
         // the pattern 'a#b%' matches prefix 'ab', so routing the raw
         // 'a#b' prefix would prune away every matching row group — an

@@ -191,7 +191,7 @@ object RowGroupScan {
     * Caller guarantees `x` is pure ASCII, so each variant char is one
     * byte and byte order equals the stats' comparator. */
   private[operators] def variantInRange(x: String, lo: String,
-      hi: String): Boolean = {
+      hi: String, prefix: Boolean = false): Boolean = {
     val lob = lo.getBytes("UTF-8"); val hib = hi.getBytes("UTF-8")
     val n = x.length
     // memo per (pos, loTight, hiTight): 0 unknown, 1 true, 2 false
@@ -203,8 +203,13 @@ object RowGroupScan {
         if (i == n)
           // v complete: a still-tight lo means v equals lo's first n
           // bytes, so v >= lo iff lo has no tail; dually a still-tight
-          // hi admits v iff hi is at least as long
-          (!loT || lob.length <= n) && (!hiT || hib.length >= n)
+          // hi admits v iff hi is at least as long. PREFIX mode asks a
+          // different question — can [lo, hi] contain some string
+          // STARTING WITH v? — and reaching i == n already proves it:
+          // tight-lo means lo itself starts with v; tight-hi means hi
+          // does; non-tight sides are strictly inside the bound.
+          prefix ||
+            ((!loT || lob.length <= n) && (!hiT || hib.length >= n))
         else {
           val ch = x.charAt(i)
           val up = Character.toUpperCase(ch).toByte
@@ -266,12 +271,12 @@ object RowGroupScan {
       case TableLog.StrNotIn(_, vs) =>
         col("smin").isNotNull && col("smin") === col("smax") &&
           exists(lit(vs.toArray), v => col("smin") === v)
-      case TableLog.CaseIn(_, vs, _) =>
+      case TableLog.CaseIn(_, vs, _, pfx) =>
         // non-codegen, but evaluated over the tiny index frame, never
         // data rows
         val anyVariant = org.apache.spark.sql.functions.udf(
           (lo: String, hi: String) =>
-            vs.exists(variantInRange(_, lo, hi)))
+            vs.exists(variantInRange(_, lo, hi, pfx)))
         col("smin").isNotNull && col("smax").isNotNull &&
           !anyVariant(col("smin"), col("smax"))
       case or: TableLog.RgOr => sys.error(
@@ -378,16 +383,20 @@ object RowGroupScan {
           col("lmin").isNotNull && col("lmax").isNotNull &&
           !exists(lit(vs.toArray),
             v => col("lmin") <= v && v <= col("lmax"))
-      case TableLog.CaseIn(_, vs, up) =>
+      case TableLog.CaseIn(_, vs, up, pfx) =>
         // only a CONSTANT no-null group proves: its single value's
         // case-fold (Spark's own upper/lower, so semantics match the
-        // re-applied predicate exactly) must be one of the targets
+        // re-applied predicate exactly) must be (prefix mode: start
+        // with) one of the targets
         val folded =
           if (up) org.apache.spark.sql.functions.upper(col("smin"))
           else org.apache.spark.sql.functions.lower(col("smin"))
+        val hit =
+          if (pfx) exists(lit(vs.toArray),
+            p => folded.startsWith(p))
+          else array_contains(lit(vs.toArray), folded)
         col("dtype") === "string" && col("n_nulls") === 0L &&
-          col("smin").isNotNull && col("smin") === col("smax") &&
-          array_contains(lit(vs.toArray), folded)
+          col("smin").isNotNull && col("smin") === col("smax") && hit
       case TableLog.StrNotIn(_, vs) =>
         col("dtype") === "string" && col("n_nulls") === 0L &&
           col("smin").isNotNull && col("smax").isNotNull &&
@@ -477,10 +486,10 @@ object RowGroupScan {
           case (Some(smin), Some(smax)) => smin == smax && vs.contains(smin)
           case _ => false
         }
-      case TableLog.CaseIn(_, vs, _) =>
+      case TableLog.CaseIn(_, vs, _, pfx) =>
         (str("smin"), str("smax")) match {
           case (Some(smin), Some(smax)) =>
-            !vs.exists(variantInRange(_, smin, smax))
+            !vs.exists(variantInRange(_, smin, smax, pfx))
           case _ => false
         }
       case or: TableLog.RgOr => sys.error(
@@ -547,16 +556,18 @@ object RowGroupScan {
               !vs.exists(v => utf8Cmp(smin, v) <= 0 && utf8Cmp(v, smax) <= 0)
             case _ => false
           })
-      case TableLog.CaseIn(_, vs, up) =>
+      case TableLog.CaseIn(_, vs, up, pfx) =>
         // driver-side fold restricted to pure-ASCII group values, where
         // Java and Spark case mapping provably agree; anything wider
         // simply doesn't prove (conservative)
         dtype == "string" && noNulls &&
           ((str("smin"), str("smax")) match {
             case (Some(smin), Some(smax)) =>
-              smin == smax && smin.forall(_.toInt < 128) &&
-                vs.contains(if (up) smin.toUpperCase(java.util.Locale.ROOT)
-                            else smin.toLowerCase(java.util.Locale.ROOT))
+              smin == smax && smin.forall(_.toInt < 128) && {
+                val f = if (up) smin.toUpperCase(java.util.Locale.ROOT)
+                        else smin.toLowerCase(java.util.Locale.ROOT)
+                if (pfx) vs.exists(f.startsWith) else vs.contains(f)
+              }
             case _ => false
           })
       case or: TableLog.RgOr => sys.error(

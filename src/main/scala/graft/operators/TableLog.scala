@@ -1133,9 +1133,13 @@ object TableLog {
     * [smin, smax] (RowGroupScan.variantInRange — exact over the variant
     * set, so single-case data prunes as tightly as a plain equality),
     * and proven full only for a constant no-null group whose folded
-    * value is a target. */
+    * value is a target. `prefix` = the case-INSENSITIVE prefix family
+    * (`col ILIKE 'p%'`, `lower(col) LIKE 'p%'`,
+    * `startswith(lower(col), 'p')`): the variant test asks instead
+    * whether [smin, smax] can contain a string STARTING WITH a variant
+    * of a target. */
   final case class CaseIn(column: String, folded: Seq[String],
-      toUpper: Boolean) extends RgConstraint
+      toUpper: Boolean, prefix: Boolean = false) extends RgConstraint
   /** A DISJUNCTION of simple constraints, possibly across columns
     * (`a < 10 OR b = 'x'`): a row group is disproven only when EVERY
     * branch is, proven-full when ANY branch is. Branches must be
@@ -2366,6 +2370,7 @@ object TableLog {
     // likewise the persisted row-group index: index the rewrite outputs
     // in the same commit so later declarative reads still open no footer
     val rgTopUp = rgidxTopUp(spark, dir, snap, mergedFiles.map(_._1), v)
+    val vecTopUp = vecidxTopUp(spark, dir, snap, mergedFiles.map(_._1), v)
     // Rebase-retrying commit: a compaction only CONFLICTS with a commit
     // that removed one of its input files (another rewrite); an append
     // that landed meanwhile is a non-conflict — reload the head, carry
@@ -2404,10 +2409,11 @@ object TableLog {
         rgidx = (head.rgidx -- rewritten) ++ rgTopUp,
         partCol = head.partCol,
         // rewritten files' assignments die with their files; the
-        // rewrite outputs stay UNindexed (the persisted-IVF query path
-        // assigns uncovered files on the fly from the stored codebook,
-        // zero training jobs)
-        vecidx = vecCarry(head, files), vecCol = head.vecCol))
+        // rewrite OUTPUTS are re-assigned from the stored codebook in
+        // the same commit (map-only, zero training), so persisted-IVF
+        // queries stay fully sidecar-served through an OPTIMIZE
+        vecidx = vecCarry(head, files) ++ vecTopUp,
+        vecCol = head.vecCol))
     }
     (committed.get, snap.files.size, committedFiles)
   }
@@ -2549,6 +2555,7 @@ object TableLog {
       case _ => Map.empty
     }
     val rgTopUp = rgidxTopUp(spark, dir, snap, outs.map(_._1), v)
+    val vecTopUp = vecidxTopUp(spark, dir, snap, outs.map(_._1), v)
     // commit with rebase over concurrent appends; abort if a TOUCHED
     // file was rewritten underneath us (same contract as optimize)
     val committed = retryCommit(dir, maxRetries) { (head, vNext) =>
@@ -2572,7 +2579,8 @@ object TableLog {
         bloomCol = head.bloomCol, blooms = blooms, checks = head.checks,
         rgidx = (head.rgidx -- touched) ++ rgTopUp,
         partCol = head.partCol,
-        vecidx = vecCarry(head, files), vecCol = head.vecCol))
+        vecidx = vecCarry(head, files) ++ vecTopUp,
+        vecCol = head.vecCol))
     }
     (committed.get, rowsMatched, touched.size, snap.files.size)
   }

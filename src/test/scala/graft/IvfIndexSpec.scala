@@ -72,21 +72,38 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(r3.head.getLong(1) != 2100L,
       s"DV-deleted row resurfaced: ${r3.toSeq}")
 
-    // OPTIMIZE rewrites every file → entries drop, the query path
-    // assigns the rewrite outputs on the fly — zero training, exact
+    // OPTIMIZE rewrites every file → the rewrite outputs are
+    // re-assigned from the STORED codebook in the same commit: still
+    // zero training, full coverage, exact results
+    val bOpt = Similarity.trainingJobs.sum()
     TableLog.optimize(spark, dir, maxRows = 1000000L)
     val snap3 = TableLog.snapshot(dir)
-    assert(snap3.files.forall(f => !snap3.vecidx.contains(f)),
-      "rewritten files kept stale assignment entries")
+    assert(Similarity.trainingJobs.sum() == bOpt, "optimize retrained")
+    assert(snap3.files.forall(snap3.vecidx.contains),
+      "optimize outputs not re-assigned")
     assert(snap3.vecidx.contains("codebook"))
     val b3 = Similarity.trainingJobs.sum()
     val r4 = Similarity.ivfTopKPersisted(spark, dir, q, k = 1,
       nprobe = 4).collect().sortBy(_.getLong(0))
-    assert(Similarity.trainingJobs.sum() == b3, "fallback retrained")
+    assert(Similarity.trainingJobs.sum() == b3, "post-opt retrained")
     r4.foreach { r =>
       assert(r.getLong(1) == r.getLong(0) - 10000, r.toString)
       assert(math.abs(r.getDouble(3) - 1.0) < 1e-9, r.toString)
     }
+
+    // an UNCOVERED file (a writer that dropped an entry — e.g. the CDC
+    // merge path carries without topping up) falls back to on-the-fly
+    // assignment from the stored codebook: zero training, same answer
+    val dropFile = snap3.files.head
+    TableLog.commit(dir, snap3.files,
+      expectedVersion = snap3.version + 1, txn = snap3.txn,
+      dvs = snap3.dvs, checks = snap3.checks, rgidx = snap3.rgidx,
+      vecidx = snap3.vecidx - dropFile, vecCol = snap3.vecCol)
+    val b4 = Similarity.trainingJobs.sum()
+    val r5 = Similarity.ivfTopKPersisted(spark, dir, q, k = 1,
+      nprobe = 4).collect().sortBy(_.getLong(0))
+    assert(Similarity.trainingJobs.sum() == b4, "fallback retrained")
+    assert(r5.toSeq == r4.toSeq, "uncovered-file fallback drifted")
 
     // vacuum keeps the codebook (referenced) and sweeps the orphaned
     // assignment sidecars of the pre-optimize versions

@@ -350,6 +350,20 @@ class LakeSelectSpec extends AnyFunSuite {
       "lower(tag) = 'ség03'")
     assert(stU.strategy == "full_scan", s"$stU")
     assert(gotU.count() == 0L)
+    // case-insensitive PREFIX family: ILIKE (prefix and no-wildcard),
+    // lower() LIKE, startswith(upper())
+    same("tag ILIKE 'seg03%'", "rowgroup_case", prunes = true)
+    same("tag ILIKE 'SeG05'", "rowgroup_case", prunes = true)
+    same("lower(tag) LIKE 'seg07%'", "rowgroup_case", prunes = true)
+    same("startswith(upper(tag), 'SEG01')", "rowgroup_case",
+      prunes = true)
+    // ILIKE under a custom escape must not route (same contract as
+    // LIKE): conservative full scan, exact result
+    val (gotE, stE) = LakeSelect.readWhere(spark, dir,
+      "tag ILIKE 'seg03%' ESCAPE '#'")
+    assert(stE.strategy == "full_scan", s"$stE")
+    assert(gotE.count() ==
+      TableLog.read(spark, dir).where("lower(tag) = 'seg03'").count())
     // the aggregate twin stays correct and never claims exactness
     val (n, cs) = LakeSelect.countWhere(spark, dir,
       "lower(tag) = 'seg03'")
