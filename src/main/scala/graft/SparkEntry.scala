@@ -1600,6 +1600,11 @@ object SparkEntry {
       val (df2, st2) = graft.operators.LakeSelect.readJoinPruned(
         s, dir, "o_custkey", dim, "c_custkey")
       val a2 = aggOf(df2)
+      // the SQL surface routes identically (dim passed as a view name)
+      graft.functions.GraftFunctions.registerAll(s)
+      dim.createOrReplaceTempView("sql21_dim")
+      val a3 = aggOf(s.sql(s"SELECT * FROM graft_select_join('$dir', " +
+        "'o_custkey', 'sql21_dim', 'c_custkey')"))
       s.range(1).select(
         lit(a1.getLong(0)).as("n"),
         lit(a1.getLong(1)).as("sum_cents"),
@@ -1608,7 +1613,7 @@ object SparkEntry {
           st1.filesOpened < st1.filesTotal).as("zone_routed"),
         lit(st2.strategy == "join_point_lookup" &&
           st2.filesOpened < st2.filesTotal).as("bloom_routed"),
-        lit(a1 == a2).as("paths_agree"))
+        lit(a1 == a2 && a1 == a3).as("paths_agree"))
     },
 
     "sql22_case_routing" -> { (s, d) =>
