@@ -95,11 +95,49 @@ object TableLog {
     * checkpoint frequency (one full rewrite per 16 commits). */
   private val CheckpointInterval = 16
 
+  // Advisory head hint (the Delta `_last_checkpoint` idea): every
+  // publish overwrites `_graft_log/_head` with its version, so a read
+  // resolves the head with ONE small read + a short forward probe
+  // instead of LISTING the whole log directory — the O(retained
+  // versions) listing is the dominant metadata cost on object stores
+  // once a table accumulates 10⁵+ commits between vacuums. The hint is
+  // ADVISORY: last-writer-wins races can leave it low (the probe walks
+  // forward over the dense versions managed writers always produce),
+  // and a missing/garbled/vacuumed hint falls back to the full
+  // listing. The one shape the fast path does not see through is a
+  // crashed RAW commit that jumped versions (explicit expectedVersion
+  // far above head) and died between publishing its json and writing
+  // the hint — managed writers never jump, so their crash window is a
+  // hint exactly one behind, which the probe covers.
+  private def headHint(dir: String) = logDir(dir).resolve("_head")
+
+  private def writeHeadHint(dir: String, v: Int): Unit =
+    try {
+      val ld = logDir(dir)
+      val tmp = Files.createTempFile(ld, ".tmp-head-", "")
+      Files.write(tmp, v.toString.getBytes("UTF-8"))
+      Files.move(tmp, headHint(dir), StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    } catch { case _: Exception => () } // best-effort, readers fall back
+
   /** Latest committed version; 0 = empty table (no commits). */
   def currentVersion(dir: String): Int = {
     val ld = logDir(dir)
-    if (!Files.exists(ld)) 0
-    else {
+    if (!Files.exists(ld)) return 0
+    val hinted =
+      try {
+        val h = headHint(dir)
+        if (!Files.exists(h)) -1
+        else new String(Files.readAllBytes(h), "UTF-8").trim.toInt
+      } catch { case _: Exception => -1 }
+    if (hinted >= 1 && Files.exists(ld.resolve(vJson(hinted)))) {
+      // probe past commits the hint hasn't caught up to (racers,
+      // crash-before-hint): managed writers commit densely, so the
+      // gap is the number of in-flight writers, not the table age
+      var v = hinted
+      while (Files.exists(ld.resolve(vJson(v + 1)))) v += 1
+      v
+    } else {
       // v\d{5,}, NOT v\d{5}: %05d is a MINIMUM width, so version
       // 100000 prints six digits — a fixed-width parse would make
       // v100000.json invisible (readers pin to v99999, committers
@@ -308,6 +346,7 @@ object TableLog {
     try {
       Files.createLink(ld.resolve(vJson(v)), tmp)
       Files.deleteIfExists(tmp)
+      writeHeadHint(dir, v)
       v
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>

@@ -988,6 +988,29 @@ class TableLogSpec extends AnyFunSuite {
     assert(ids() == Set(9L), "post-vacuum read lost live data")
   }
 
+  test("head hint: one-read resolution, stale hints probe forward, " +
+    "garbled/missing hints fall back to listing, commits restore it") {
+    val dir = freshDir()
+    (1 to 5).foreach(i =>
+      TableLog.append(Seq((i.toLong, "x")).toDF("id", "s"), dir))
+    val hint = java.nio.file.Paths.get(dir, "_graft_log", "_head")
+    assert(java.nio.file.Files.exists(hint))
+    assert(new String(java.nio.file.Files.readAllBytes(hint))
+      .trim == "5")
+    // stale-low hint (a losing racer's late write): probe walks forward
+    java.nio.file.Files.write(hint, "2".getBytes("UTF-8"))
+    assert(TableLog.currentVersion(dir) == 5)
+    // garbled hint: full-listing fallback
+    java.nio.file.Files.write(hint, "bogus".getBytes("UTF-8"))
+    assert(TableLog.currentVersion(dir) == 5)
+    // missing hint: fallback too; the next commit restores it
+    java.nio.file.Files.delete(hint)
+    assert(TableLog.currentVersion(dir) == 5)
+    TableLog.append(Seq((9L, "z")).toDF("id", "s"), dir)
+    assert(new String(java.nio.file.Files.readAllBytes(hint))
+      .trim == "6")
+  }
+
   test("delta-encoded log: checkpoints every 16 commits, two-read " +
     "snapshots, vacuum mid-interval rescues retained deltas") {
     val dir = freshDir()
