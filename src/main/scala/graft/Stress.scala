@@ -1147,8 +1147,16 @@ object Stress {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         def entry(v: Int) = {
           val p = ld.resolve(f"v$v%05d.json")
-          (java.nio.file.Files.size(p),
-            om.readTree(java.nio.file.Files.readAllBytes(p)))
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          // big entries are gzipped on disk (magic-detected)
+          val body =
+            if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+                (bytes(1) & 0xff) == 0x8b) {
+              val in = new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try in.readAllBytes() finally in.close()
+            } else bytes
+          (java.nio.file.Files.size(p), om.readTree(body))
         }
         // steady state (past the startup interval, whose cumulative
         // deltas ride the tiny v1 base): deltas must be a vanishing
@@ -1158,9 +1166,12 @@ object Stress {
         val ckptSizes = steady.filterNot(_._2.has("base")).map(_._1)
         require(deltaSizes.nonEmpty && ckptSizes.nonEmpty,
           s"expected both forms: ${deltaSizes.size}/${ckptSizes.size}")
-        require(deltaSizes.max * 100 < ckptSizes.min,
+        require(deltaSizes.max < 2048,
+          s"delta entries not O(commit): max ${deltaSizes.max} B " +
+            "for single-file appends")
+        require(deltaSizes.max * 20 < ckptSizes.min,
           s"delta entries not O(commit): max delta ${deltaSizes.max} " +
-            s"vs min checkpoint ${ckptSizes.min}")
+            s"vs min checkpoint ${ckptSizes.min} (gzipped)")
         // any snapshot = at most 2 log reads: head delta → full base
         val (_, head) = entry(202)
         require(head.has("base"), "head should be mid-interval")

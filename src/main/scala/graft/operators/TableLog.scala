@@ -154,9 +154,35 @@ object TableLog {
 
   private type JNode = com.fasterxml.jackson.databind.JsonNode
 
-  private def readNode(p: java.nio.file.Path): JNode =
-    new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(Files.readAllBytes(p))
+  // Entries above this many raw bytes are written gzipped (filename
+  // unchanged; readers detect the 0x1f8b magic). A checkpoint's file
+  // list is highly repetitive path text — gzip cuts the big-table
+  // checkpoint, the one remaining O(table) byte cost, ~10-30x; small
+  // entries stay raw for zero-cost reads and debuggability.
+  private val GzipThreshold = 262144
+
+  private def entryBytes(json: String): Array[Byte] = {
+    val raw = json.getBytes("UTF-8")
+    if (raw.length <= GzipThreshold) raw
+    else {
+      val bos = new java.io.ByteArrayOutputStream(raw.length / 8)
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(raw); gz.close()
+      bos.toByteArray
+    }
+  }
+
+  private def readNode(p: java.nio.file.Path): JNode = {
+    val bytes = Files.readAllBytes(p)
+    val body =
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+          (bytes(1) & 0xff) == 0x8b) {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try in.readAllBytes() finally in.close()
+      } else bytes
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+  }
 
   private def strMap(node: JNode, key: String): Map[String, String] =
     Option(node.get(key)).map { n =>
@@ -342,7 +368,7 @@ object TableLog {
   private def publish(dir: String, v: Int, json: String): Int = {
     val ld = logDir(dir)
     val tmp = Files.createTempFile(ld, s".tmp-v$v-", ".json")
-    Files.write(tmp, json.getBytes("UTF-8"))
+    Files.write(tmp, entryBytes(json))
     try {
       Files.createLink(ld.resolve(vJson(v)), tmp)
       Files.deleteIfExists(tmp)
@@ -2729,9 +2755,10 @@ object TableLog {
           val s0 = retained(v - keepFrom)
           val tmp = Files.createTempFile(logDir(dir), s".tmp-c$v-",
             ".json")
-          Files.write(tmp, fullEntryJson(v, s0.files, s0.parts, s0.txn,
-            s0.op, s0.dvs, s0.bloomCol, s0.blooms, s0.checks, s0.rgidx,
-            s0.partCol, s0.vecidx, s0.vecCol, s0.ts).getBytes("UTF-8"))
+          Files.write(tmp, entryBytes(fullEntryJson(v, s0.files,
+            s0.parts, s0.txn, s0.op, s0.dvs, s0.bloomCol, s0.blooms,
+            s0.checks, s0.rgidx, s0.partCol, s0.vecidx, s0.vecCol,
+            s0.ts)))
           try Files.createLink(cp, tmp)
           catch { case _: java.nio.file.FileAlreadyExistsException => () }
           Files.deleteIfExists(tmp)

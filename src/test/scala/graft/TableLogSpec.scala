@@ -988,6 +988,30 @@ class TableLogSpec extends AnyFunSuite {
     assert(ids() == Set(9L), "post-vacuum read lost live data")
   }
 
+  test("large checkpoints gzip transparently: magic-detected on read, " +
+    "small entries stay raw") {
+    val dir = freshDir()
+    TableLog.append(Seq((1L, "a")).toDF("id", "s"), dir) // v1, small
+    val ld = java.nio.file.Paths.get(dir, "_graft_log")
+    val v1 = java.nio.file.Files.readAllBytes(ld.resolve("v00001.json"))
+    assert(v1(0) == '{', "small entry must stay raw JSON")
+    // a 20k-file overwrite-shaped commit forces a big FULL checkpoint
+    // (fabricated paths — the log layer never opens data files)
+    val pads = (0 until 20000).map(i => f"data/v00002-pad$i%05d.parquet")
+    TableLog.commit(dir, pads, expectedVersion = 2)
+    val v2 = java.nio.file.Files.readAllBytes(ld.resolve("v00002.json"))
+    assert((v2(0) & 0xff) == 0x1f && (v2(1) & 0xff) == 0x8b,
+      s"big checkpoint not gzipped (${v2.length} B)")
+    assert(v2.length * 5 < pads.mkString.length,
+      "gzip bought no real compression")
+    assert(TableLog.snapshot(dir).files.size == 20000)
+    assert(TableLog.snapshot(dir, 2).files.size == 20000)
+    // deltas on top of the gzipped base still reconstruct
+    TableLog.commit(dir, TableLog.snapshot(dir).files :+
+      "data/v00003-one.parquet", expectedVersion = 3)
+    assert(TableLog.snapshot(dir).files.size == 20001)
+  }
+
   test("head hint: one-read resolution, stale hints probe forward, " +
     "garbled/missing hints fall back to listing, commits restore it") {
     val dir = freshDir()
