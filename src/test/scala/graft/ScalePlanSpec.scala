@@ -1215,4 +1215,54 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(parts >= (opened / 8).toInt,
       s"one hot file must fan out: $parts tasks for $opened groups")
   }
+
+  test("readJoinPruned: dim broadcasts, fact side never exchange-" +
+    "shuffles through the join") {
+    import graft.operators.{LakeSelect, TableLog}
+    val dir = java.nio.file.Files.createTempDirectory("splan_join")
+      .toString + "/t"
+    TableLog.append(
+      spark.range(20000).selectExpr("id as fk", "id * 3 as v")
+        .repartitionByRange(4, col("fk")).sortWithinPartitions("fk"),
+      dir, options = Map("parquet.block.size" -> "16384"))
+    val dim = spark.range(500, 700).selectExpr("id as dk")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      LakeSelect.readJoinPruned(spark, dir, "fk", dim, "dk")._1
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(p.contains("BroadcastHashJoin"), s"dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the fact side must not shuffle through the join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"no nested loop:\n$p")
+  }
+
+  test("ivfTopKPersisted: candidate generation is a cell equality " +
+    "join — no nested-loop, no cartesian, corpus never broadcast") {
+    import graft.operators.{Similarity, TableLog}
+    val dir = java.nio.file.Files.createTempDirectory("splan_ivf")
+      .toString + "/t"
+    TableLog.append(
+      spark.range(3000).selectExpr("id as vec_id",
+        "transform(sequence(0, 15), " +
+          "j -> cast(sin(id * 37 + j * 11) as float)) as embedding")
+        .repartition(2), dir)
+    Similarity.buildIvfIndex(spark, dir, nlist = 16, trainSample = 500,
+      iters = 3)
+    val q = spark.range(4).selectExpr("id + 10000 as vec_id",
+      "transform(sequence(0, 15), " +
+        "j -> cast(sin(id * 37 + j * 11) as float)) as embedding")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val p = try {
+      Similarity.ivfTopKPersisted(spark, dir, q, k = 1, nprobe = 4)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"no nested loop:\n$p")
+    // the sidecar scan must serve the candidates (vid/cell/vec), not
+    // the base table
+    assert(p.contains("ivfasg"), s"candidates must come from the " +
+      s"assignment sidecars:\n$p")
+  }
 }
