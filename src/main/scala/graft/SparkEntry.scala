@@ -1664,6 +1664,59 @@ object SparkEntry {
         lit(!cs.exact).as("count_conservative"))
     },
 
+    "sql23_trim_routing" -> { (s, d) =>
+      // TRIM-MAPPED STRING ROUTING (round-14 missing item 4's last
+      // family): `trim(col) = 'x'` / `ltrim`/`rtrim` `... IN (…)`
+      // route through the exact padded-variant probe over the raw
+      // zone stats (RowGroupScan.paddedVariantInRange) — a row group
+      // is kept iff some space-padded variant of the target fits its
+      // [smin, smax], so on a sorted table the space-free clusters
+      // prune trim lookups as tightly as exact equalities and only
+      // the leading-padded cluster conservatively keeps. Replay: the
+      // same predicates as plain filters over the same derived
+      // padded column.
+      val dir = java.nio.file.Files.createTempDirectory("graft_sql23")
+        .toString + "/table"
+      val o = t(s, d, "orders").selectExpr("o_orderkey",
+        "case when o_orderkey % 3 = 0 " +
+          "then concat(' ', o_orderpriority) " +
+          "when o_orderkey % 3 = 1 " +
+          "then concat(o_orderpriority, '  ') " +
+          "else o_orderpriority end as p",
+        "cast(round(o_totalprice * 100) as bigint) as price_cents")
+      graft.operators.TableLog.append(
+        o.repartitionByRange(4, col("p"), col("o_orderkey"))
+          .sortWithinPartitions("p", "o_orderkey"),
+        dir, options = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      val (df1, st1) = graft.operators.LakeSelect.readWhere(s, dir,
+        "trim(p) = '3-MEDIUM'")
+      val a1 = df1.agg(count(lit(1)), sum(col("price_cents"))).first()
+      val (df2, st2) = graft.operators.LakeSelect.readWhere(s, dir,
+        "rtrim(p) IN ('1-URGENT', '5-LOW')")
+      val a2 = df2.agg(count(lit(1)), sum(col("price_cents"))).first()
+      val (df3, st3) = graft.operators.LakeSelect.readWhere(s, dir,
+        "ltrim(p) = '2-HIGH'")
+      val a3 = df3.agg(count(lit(1)), sum(col("price_cents"))).first()
+      val (nc, cs) = graft.operators.LakeSelect.countWhere(s, dir,
+        "trim(p) = '3-MEDIUM'")
+      s.range(1).select(
+        lit(a1.getLong(0)).as("n_med"),
+        lit(a1.getLong(1)).as("cents_med"),
+        lit(a2.getLong(0)).as("n_ul"),
+        lit(a2.getLong(1)).as("cents_ul"),
+        lit(a3.getLong(0)).as("n_high"),
+        lit(a3.getLong(1)).as("cents_high"),
+        lit(nc).as("n_count"),
+        lit(st1.strategy == "rowgroup_trim" &&
+          st1.rgOpened < st1.rgTotal).as("trim_routed"),
+        lit(st2.strategy == "rowgroup_trim" &&
+          st2.rgOpened < st2.rgTotal).as("rtrim_routed"),
+        lit(st3.strategy == "rowgroup_trim" &&
+          st3.rgOpened < st3.rgTotal).as("ltrim_routed"),
+        lit(!cs.exact).as("count_conservative"))
+    },
+
     "sql15_count_sql" -> { (s, d) =>
       // metadata-first COUNT from SQL text (graft_build_index +
       // graft_count → LakeSelect.countWhere): the index persists as a
@@ -10685,6 +10738,36 @@ object SparkEntry {
             WHERE lower(o_orderpriority) = '3-medium') AS n_count,
            TRUE AS med_routed, TRUE AS in_routed,
            TRUE AS ilike_routed, TRUE AS count_conservative""",
+
+    // trim-routing replay: the same trim-mapped predicates as plain
+    // filters over the same derived padded column; the flags pin the
+    // padded-variant strategy, its pruning, and the conservative count
+    "sql23_trim_routing" ->
+      s"""WITH padded AS (
+           SELECT CASE WHEN o_orderkey % 3 = 0
+               THEN ' ' || o_orderpriority
+             WHEN o_orderkey % 3 = 1
+               THEN o_orderpriority || '  '
+             ELSE o_orderpriority END AS p,
+             ${centsSql("o_totalprice")} AS price_cents
+           FROM orders)
+         SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM padded
+            WHERE trim(p) = '3-MEDIUM') AS n_med,
+           (SELECT CAST(SUM(price_cents) AS BIGINT) FROM padded
+            WHERE trim(p) = '3-MEDIUM') AS cents_med,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM padded
+            WHERE rtrim(p) IN ('1-URGENT', '5-LOW')) AS n_ul,
+           (SELECT CAST(SUM(price_cents) AS BIGINT) FROM padded
+            WHERE rtrim(p) IN ('1-URGENT', '5-LOW')) AS cents_ul,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM padded
+            WHERE ltrim(p) = '2-HIGH') AS n_high,
+           (SELECT CAST(SUM(price_cents) AS BIGINT) FROM padded
+            WHERE ltrim(p) = '2-HIGH') AS cents_high,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM padded
+            WHERE trim(p) = '3-MEDIUM') AS n_count,
+           TRUE AS trim_routed, TRUE AS rtrim_routed,
+           TRUE AS ltrim_routed, TRUE AS count_conservative""",
 
     // persisted-index replay: the 1/8th slice closed-form; the two TRUE
     // flags pin zero-footer planning before and after the OPTIMIZE

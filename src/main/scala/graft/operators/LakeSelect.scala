@@ -101,6 +101,11 @@ object LakeSelect {
     * case-folded targets, matched by the exact variant-in-range test. */
   private[operators] final case class CaseEq(values: Seq[String],
       toUpper: Boolean, prefix: Boolean = false) extends Constraint
+  /** `trim(col) = 'x'` / `ltrim`/`rtrim` `... IN (…)` (default
+    * one-arg forms, SPACE-only trimming): targets matched by the
+    * exact padded-variant-in-range test. `mode` ∈ 'b' | 'l' | 'r'. */
+  private[operators] final case class TrimEq(values: Seq[String],
+      mode: Char) extends Constraint
 
   /** Read `dir` filtered by `predicate` (any Spark SQL boolean
     * expression over the table's columns), routed through the most
@@ -179,6 +184,7 @@ object LakeSelect {
         val label = cons match {
           case _: TableLog.NumIn | _: TableLog.StrIn => "rowgroup_in"
           case _: TableLog.CaseIn => "rowgroup_case"
+          case _: TableLog.TrimIn => "rowgroup_trim"
           case _: TableLog.NullCheck => "rowgroup_null"
           case _: TableLog.NumNotIn | _: TableLog.StrNotIn =>
             "rowgroup_ne"
@@ -241,7 +247,8 @@ object LakeSelect {
     val pc = snap.partCol.getOrElse(return None)
     if (snap.parts.isEmpty) return None
     val relevant = constraints.filter {
-      case (c, _: EqIn | _: Range | _: NullC | _: NeC) => c == pc
+      case (c, _: EqIn | _: Range | _: NullC | _: NeC | _: CaseEq |
+          _: TrimEq) => c == pc
       case (_, OrC(bs)) => bs.forall(_._1 == pc)
       case _ => false
     }
@@ -273,6 +280,25 @@ object LakeSelect {
       case NullC(isNull) => isNull // tag values are non-null by contract
       case NeC(vs) => // every row carries the tag value exactly
         vs.exists(v => cmp(v, t).exists(_ == 0))
+      case CaseEq(vs, up, pfx) => t match {
+        // the tag IS the value, so the fold evaluates exactly —
+        // restricted to pure-ASCII tags where Java and Spark case
+        // mapping provably agree (anything wider keeps)
+        case ts: String if ts.forall(_.toInt < 128) =>
+          val f = if (up) ts.toUpperCase(java.util.Locale.ROOT)
+                  else ts.toLowerCase(java.util.Locale.ROOT)
+          if (pfx) !vs.exists(f.startsWith) else !vs.contains(f)
+        case _ => false
+      }
+      case TrimEq(vs, mode) => t match {
+        // SPACE-only strip of the exact tag value
+        case ts: String =>
+          var a = 0; var b = ts.length
+          if (mode != 'r') while (a < b && ts.charAt(a) == ' ') a += 1
+          if (mode != 'l') while (b > a && ts.charAt(b - 1) == ' ') b -= 1
+          !vs.contains(ts.substring(a, b))
+        case _ => false
+      }
       case OrC(bs) => bs.forall { case (c, b) =>
         c == pc && disproves(b, t) }
     }
@@ -394,6 +420,10 @@ object LakeSelect {
           // stats space
           if (s.get(c).contains(StringType))
             Some(TableLog.CaseIn(c, vs, up, pfx))
+          else { lossless = false; None }
+        case (c, TrimEq(vs, mode)) =>
+          if (s.get(c).contains(StringType))
+            Some(TableLog.TrimIn(c, vs, mode))
           else { lossless = false; None }
         case (_, OrC(bs)) =>
           // every branch must lower, or the whole disjunction drops —
@@ -618,6 +648,37 @@ object LakeSelect {
       fnArgs(f) match {
         case Seq(a) =>
           colName(a).flatMap(caseConstraint(_, strs, up, pfx))
+        case _ => None
+      }
+    }
+    // ===== trim-mapped equality routing ==============================
+    // `trim(c) = 'x'` / `ltrim`/`rtrim` / `... IN (lits)` (the default
+    // ONE-ARG forms — SPACE-only trimming; the two-arg custom-charset
+    // forms fall through to unprunable): the matching raw strings are
+    // exactly the space-padded variants of the target, so a [[TrimEq]]
+    // constraint routes through the padded-variant-in-range test
+    // against raw zone stats (RowGroupScan.paddedVariantInRange — on
+    // space-free data as tight as a plain equality). Marked inexact
+    // for counting, like [[CaseEq]]. A target that is not a fixed
+    // point of its own trim (`trim(c) = ' x'`) is provably false and
+    // drops from the probe set; all dropped → empty probe.
+    def trimFold(f: Expression, ls: Seq[Literal])
+        : Option[(String, Constraint)] = {
+      val vals = ls.map(litVal)
+      if (ls.isEmpty ||
+          vals.exists(!_.exists(_.isInstanceOf[String]))) return None
+      val strs = vals.map(_.get.asInstanceOf[String])
+      val mode = if (isFn(f, "ltrim")) 'l'
+                 else if (isFn(f, "rtrim")) 'r' else 'b'
+      fnArgs(f) match {
+        case Seq(a) => colName(a).map { c =>
+          val keep = strs.filter { s =>
+            (mode == 'r' || !s.startsWith(" ")) &&
+              (mode == 'l' || !s.endsWith(" "))
+          }.distinct
+          if (keep.isEmpty) inexact((c, EqIn(Nil)))
+          else inexact((c, TrimEq(keep, mode)))
+        }
         case _ => None
       }
     }
@@ -930,6 +991,17 @@ object LakeSelect {
             if isFn(f, "upper", "ucase", "lower", "lcase") &&
               ls.nonEmpty && ls.forall(_.isInstanceOf[Literal]) =>
           caseFold(f, ls.map(_.asInstanceOf[Literal]))
+        // trim/ltrim/rtrim/btrim equality and IN → padded-variant probes
+        case EqualTo(f, l: Literal)
+            if isFn(f, "trim", "btrim", "ltrim", "rtrim") =>
+          trimFold(f, Seq(l))
+        case EqualTo(l: Literal, f)
+            if isFn(f, "trim", "btrim", "ltrim", "rtrim") =>
+          trimFold(f, Seq(l))
+        case In(f, ls)
+            if isFn(f, "trim", "btrim", "ltrim", "rtrim") &&
+              ls.nonEmpty && ls.forall(_.isInstanceOf[Literal]) =>
+          trimFold(f, ls.map(_.asInstanceOf[Literal]))
         case EqualTo(a, l: Literal) if isFn(a, "substr", "substring") =>
           substrEq(fnArgs(a), l)
         case EqualTo(l: Literal, a) if isFn(a, "substr", "substring") =>
@@ -1009,7 +1081,8 @@ object LakeSelect {
     // intersection; a disjunction is its own conjunct)
     val (nullChecks, valued) = raw.partition(p =>
       p._2.isInstanceOf[NullC] || p._2.isInstanceOf[OrC] ||
-        p._2.isInstanceOf[NeC] || p._2.isInstanceOf[CaseEq])
+        p._2.isInstanceOf[NeC] || p._2.isInstanceOf[CaseEq] ||
+        p._2.isInstanceOf[TrimEq])
     // merge per column: ranges intersect; equality values FILTER by the
     // merged range (k = 5 AND k < 3 → empty probe set), staying exact
     val merged = valued.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, cs) =>

@@ -232,6 +232,61 @@ object RowGroupScan {
     rec(0, loT = true, hiT = true)
   }
 
+  /** TRUE iff some SPACE-PADDED variant of `x` (`' '^i + x + ' '^j`;
+    * sides per `mode`: 'b' both, 'l' leading-only, 'r' trailing-only;
+    * i = j = 0 included) lies in [lo, hi] under UTF-8 byte order — the
+    * row-group keep test for trim-mapped equalities (`trim(c) = x`
+    * matches exactly the padded variants of x). The trailing-pad
+    * family {x + ' '^j} is tested EXACTLY: its minimum is x, so a
+    * member ≥ lo exists iff lo ≤ x, or lo = x ++ t where the minimal
+    * witness x + ' '^j ≥ lo (t all spaces → lo itself; first non-space
+    * byte of t below 0x20 → one pad past it) also clears hi. Leading
+    * pads (i ≥ 1) are tested conservatively: every such variant starts
+    * with byte 0x20, so they all sort below a lo whose first byte
+    * exceeds 0x20 and above a hi that is empty or starts below 0x20 —
+    * anything else keeps. On space-free data (the overwhelmingly
+    * common case: smin's first byte > 0x20) the leading test rejects
+    * and pruning is driven by the exact trailing test, as tight as a
+    * plain equality. */
+  private[operators] def paddedVariantInRange(x: String, lo: String,
+      hi: String, mode: Char): Boolean = {
+    val xb = x.getBytes("UTF-8")
+    val lob = lo.getBytes("UTF-8"); val hib = hi.getBytes("UTF-8")
+    def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+    def trailing: Boolean =
+      if (cmp(xb, hib) > 0) false            // even x exceeds hi
+      else if (cmp(lob, xb) <= 0) true       // witness: x itself
+      else if (lob.length > xb.length &&
+          xb.indices.forall(i => lob(i) == xb(i))) {
+        var i = xb.length                    // lo = x ++ t; scan t
+        while (i < lob.length && lob(i) == 0x20.toByte) i += 1
+        if (i == lob.length) true            // t all spaces: witness lo
+        else if ((lob(i) & 0xff) < 0x20) {
+          // minimal witness: x padded one space past t's low byte
+          val w = xb ++ Array.fill(i - xb.length + 1)(0x20.toByte)
+          cmp(w, hib) <= 0
+        } else false                         // every pad sorts below lo
+      } else false
+    def leading: Boolean =
+      !(lob.nonEmpty && (lob(0) & 0xff) > 0x20) &&
+        !(hib.isEmpty || (hib(0) & 0xff) < 0x20)
+    def point: Boolean = cmp(lob, xb) <= 0 && cmp(xb, hib) <= 0
+    mode match {
+      case 'r' => trailing
+      case 'l' => point || leading
+      case _ => trailing || leading
+    }
+  }
+
   /** An index-row DISPROOF for one constraint: TRUE iff this (file, rg,
     * column) row's bounds PROVE no row can satisfy the constraint. Null
     * or missing bounds never reject (conservative keep). Spark's string
@@ -279,6 +334,15 @@ object RowGroupScan {
             vs.exists(variantInRange(_, lo, hi, pfx)))
         col("smin").isNotNull && col("smax").isNotNull &&
           !anyVariant(col("smin"), col("smax"))
+      case TableLog.TrimIn(_, vs, mode) =>
+        if (vs.isEmpty) lit(true) // provably-false predicate: all drop
+        else {
+          val anyPadded = org.apache.spark.sql.functions.udf(
+            (lo: String, hi: String) =>
+              vs.exists(paddedVariantInRange(_, lo, hi, mode)))
+          col("smin").isNotNull && col("smax").isNotNull &&
+            !anyPadded(col("smin"), col("smax"))
+        }
       case or: TableLog.RgOr => sys.error(
         s"RgOr must be expanded before leaf evaluation: $or")
     }
@@ -397,6 +461,21 @@ object RowGroupScan {
           else array_contains(lit(vs.toArray), folded)
         col("dtype") === "string" && col("n_nulls") === 0L &&
           col("smin").isNotNull && col("smin") === col("smax") && hit
+      case TableLog.TrimIn(_, vs, mode) =>
+        // only a CONSTANT no-null group proves: its single value's
+        // trim (Spark's own, so semantics match the re-applied
+        // predicate exactly) must be a target
+        if (vs.isEmpty) lit(false)
+        else {
+          val f = mode match {
+            case 'l' => org.apache.spark.sql.functions.ltrim(col("smin"))
+            case 'r' => org.apache.spark.sql.functions.rtrim(col("smin"))
+            case _ => org.apache.spark.sql.functions.trim(col("smin"))
+          }
+          col("dtype") === "string" && col("n_nulls") === 0L &&
+            col("smin").isNotNull && col("smin") === col("smax") &&
+            array_contains(lit(vs.toArray), f)
+        }
       case TableLog.StrNotIn(_, vs) =>
         col("dtype") === "string" && col("n_nulls") === 0L &&
           col("smin").isNotNull && col("smax").isNotNull &&
@@ -492,6 +571,12 @@ object RowGroupScan {
             !vs.exists(variantInRange(_, smin, smax, pfx))
           case _ => false
         }
+      case TableLog.TrimIn(_, vs, mode) =>
+        vs.isEmpty || ((str("smin"), str("smax")) match {
+          case (Some(smin), Some(smax)) =>
+            !vs.exists(paddedVariantInRange(_, smin, smax, mode))
+          case _ => false
+        })
       case or: TableLog.RgOr => sys.error(
         s"RgOr must be expanded before leaf evaluation: $or")
     }
@@ -568,6 +653,20 @@ object RowGroupScan {
                         else smin.toLowerCase(java.util.Locale.ROOT)
                 if (pfx) vs.exists(f.startsWith) else vs.contains(f)
               }
+            case _ => false
+          })
+      case TableLog.TrimIn(_, vs, mode) =>
+        // strip SPACES only (0x20) — Spark's trim family semantics
+        def strip(s: String): String = {
+          var a = 0; var b = s.length
+          if (mode != 'r') while (a < b && s.charAt(a) == ' ') a += 1
+          if (mode != 'l') while (b > a && s.charAt(b - 1) == ' ') b -= 1
+          s.substring(a, b)
+        }
+        dtype == "string" && noNulls && vs.nonEmpty &&
+          ((str("smin"), str("smax")) match {
+            case (Some(smin), Some(smax)) =>
+              smin == smax && vs.contains(strip(smin))
             case _ => false
           })
       case or: TableLog.RgOr => sys.error(

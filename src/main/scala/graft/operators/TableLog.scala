@@ -1205,6 +1205,21 @@ object TableLog {
     * of a target. */
   final case class CaseIn(column: String, folded: Seq[String],
       toUpper: Boolean, prefix: Boolean = false) extends RgConstraint
+  /** `trim(col) = 'x'` / `ltrim`/`rtrim` `... IN (…)` on a string
+    * column (default one-arg forms — SPACE-only trimming, Spark and
+    * ANSI semantics). The raw values matching `trim(col) = x` are
+    * exactly the space-padded variants `' '^i + x + ' '^j` (both
+    * sides for `mode='b'`, leading-only `'l'`, trailing-only `'r'`);
+    * a group is disproven when no padded variant of any target can
+    * lie within its raw [smin, smax]
+    * (RowGroupScan.paddedVariantInRange — exact on the trailing-pad
+    * family, conservative on leading pads, which only exist in range
+    * when smin itself sorts at-or-below the space prefix). Targets
+    * are pre-filtered to fixed points of the trim (a target with
+    * leading/trailing spaces can never match); an EMPTY target set
+    * means the predicate is provably false and every group drops. */
+  final case class TrimIn(column: String, targets: Seq[String],
+      mode: Char) extends RgConstraint
   /** A DISJUNCTION of simple constraints, possibly across columns
     * (`a < 10 OR b = 'x'`): a row group is disproven only when EVERY
     * branch is, proven-full when ANY branch is. Branches must be

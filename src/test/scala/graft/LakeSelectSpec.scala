@@ -383,6 +383,73 @@ class LakeSelectSpec extends AnyFunSuite {
     assert(n2 == 4000L, s"$n2")
   }
 
+  test("trim-mapped equalities route through the padded-variant probe: " +
+    "trim/ltrim/rtrim =/IN prune, non-fixed-points are provably false") {
+    val dir = java.nio.file.Files.createTempDirectory("lsel_trim")
+      .toString + "/t"
+    // a mix of clean, right-padded, and left-padded tag values, sorted
+    // so the left-padded rows (which keep every 'b'/'l' probe) cluster
+    // in their own leading groups and the rest prune on the exact
+    // trailing-pad test
+    val df = spark.range(16000).selectExpr(
+      "id as k",
+      "case when id % 3 = 0 " +
+        "then concat(' ', 'tag', lpad(cast(id % 8 as string), 2, '0')) " +
+        "when id % 3 = 1 " +
+        "then concat('tag', lpad(cast(id % 8 as string), 2, '0'), '  ') " +
+        "else concat('tag', lpad(cast(id % 8 as string), 2, '0')) " +
+        "end as tag")
+    TableLog.append(
+      df.repartitionByRange(4, col("tag"), col("k"))
+        .sortWithinPartitions("tag", "k"),
+      dir, options = smallRg)
+    def same(pred: String, strategy: String, prunes: Boolean): Unit = {
+      val (got, st) = LakeSelect.readWhere(spark, dir, pred)
+      assert(st.strategy == strategy,
+        s"$pred routed ${st.strategy}, wanted $strategy ($st)")
+      if (prunes) assert(st.rgOpened < st.rgTotal, s"$pred: $st")
+      val want = TableLog.read(spark, dir).where(pred)
+      assert(got.orderBy("k").collect().toSeq ==
+        want.orderBy("k").collect().toSeq, s"$pred result drift")
+      assert(got.count() > 0L, s"$pred unexpectedly empty")
+    }
+    same("trim(tag) = 'tag03'", "rowgroup_trim", prunes = true)
+    same("btrim(tag) IN ('tag01', 'tag05')", "rowgroup_trim",
+      prunes = true)
+    same("rtrim(tag) = 'tag07'", "rowgroup_trim", prunes = true)
+    same("ltrim(tag) = 'tag02  '", "rowgroup_trim", prunes = true)
+    // a target that is not a fixed point of its trim is provably
+    // false — empty result, nothing scanned beyond the empty probe
+    val (gotF, _) = LakeSelect.readWhere(spark, dir,
+      "trim(tag) = ' tag01'")
+    assert(gotF.count() == 0L)
+    // the two-arg custom-charset form must NOT route (different
+    // variant set) — conservative full scan, exact result
+    val (gotC, stC) = LakeSelect.readWhere(spark, dir,
+      "btrim(tag, ' t') = 'ag03'")
+    assert(stC.strategy == "full_scan", s"$stC")
+    assert(gotC.orderBy("k").collect().toSeq ==
+      TableLog.read(spark, dir).where("btrim(tag, ' t') = 'ag03'")
+        .orderBy("k").collect().toSeq)
+    // the aggregate twin stays correct and never claims exactness
+    val (n, cs) = LakeSelect.countWhere(spark, dir,
+      "trim(tag) = 'tag03'")
+    assert(n == TableLog.read(spark, dir)
+      .where("trim(tag) = 'tag03'").count())
+    assert(!cs.exact, s"trim-mapped count must not claim exact: $cs")
+    // constant-group full proof: a one-value padded table proves
+    // containment through the stripped constant
+    val dir2 = java.nio.file.Files.createTempDirectory("lsel_trim2")
+      .toString + "/t"
+    TableLog.append(
+      spark.range(4000).selectExpr("id as k", "'  padded  ' as tag")
+        .coalesce(1),
+      dir2, options = smallRg)
+    val (n2, _) = LakeSelect.countWhere(spark, dir2,
+      "trim(tag) = 'padded'")
+    assert(n2 == 4000L, s"$n2")
+  }
+
   test("readJoinPruned: dim keys route through zone stats and blooms, " +
     "wide/empty/untyped dims fall back safely") {
     val dir = java.nio.file.Files.createTempDirectory("lsel_join")
