@@ -7134,6 +7134,59 @@ object SparkEntry {
         .withColumn("paths_agree", lit(agree))
     },
 
+    "v11_ivfpq_persisted" -> { (s, d) =>
+      // PERSISTED IVF-PQ INDEX: buildIvfIndex(pq = true) additionally
+      // fits the residual PQ codebooks from the SAME training sample
+      // and stores the m-byte code per row in the assignment sidecars
+      // — ivfPqTopKPersisted then ADC-scans (vid, cell, codes) without
+      // reading a single full vector until the refine join, with zero
+      // training jobs (flag-pinned across a mid-gate append). At the
+      // build snapshot the result is row-for-row the per-call
+      // ivfPqTopK (identical training inputs), and the answer is v5's
+      // planted-self-match contract.
+      val dir = java.nio.file.Files.createTempDirectory("graft_v11")
+        .toString + "/table"
+      val emb = t(s, d, "embeddings")
+      graft.operators.TableLog.append(emb.repartition(4), dir)
+      graft.operators.Similarity.buildIvfIndex(s, dir, nlist = 64,
+        trainSample = 1000, iters = 4, pq = true, m = 8, ksub = 64)
+      val q = emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      def run() = graft.operators.Similarity
+        .ivfPqTopKPersisted(s, dir, q, k = 1, nprobe = 4, refine = 64)
+        .select(col("qid"), col("nid"), col("rk"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("qid")
+      val r1 = run().collect()
+      // per-call parity at the build snapshot (before the append)
+      val pc = graft.operators.Similarity.ivfPqTopK(
+          graft.operators.TableLog.read(s, dir), q, k = 1, nlist = 64,
+          nprobe = 4, m = 8, ksub = 64, refine = 64,
+          trainSample = 1000, iters = 4)
+        .select(col("qid"), col("nid"), col("rk"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("qid").collect()
+      val percallAgree = r1.toSeq == pc.toSeq
+      // append between the two queries: codes topped up from the
+      // stored books, still zero training
+      val before = graft.operators.Similarity.trainingJobs.sum()
+      graft.operators.TableLog.append(
+        emb.filter(col("vec_id") >= 100 && col("vec_id") < 110)
+          .withColumn("vec_id", col("vec_id") + 20000), dir)
+      val rows2 = run().collect()
+      val zeroTraining =
+        graft.operators.Similarity.trainingJobs.sum() == before
+      val snap = graft.operators.TableLog.snapshot(dir)
+      val covered = snap.files.forall(snap.vecidx.contains) &&
+        snap.vecidx.contains("pqbook")
+      val agree = rows2.toSeq == r1.toSeq
+      run()
+        .withColumn("zero_training", lit(zeroTraining))
+        .withColumn("covered_all", lit(covered))
+        .withColumn("percall_agree", lit(percallAgree))
+        .withColumn("paths_agree", lit(agree))
+    },
+
     "v5_ann_ivfpq" -> { (s, d) =>
       // IVF-PQ ANN (Similarity.ivfPqTopK): coarse cells + per-subspace
       // residual codebooks trained on a bounded driver sample, m-byte codes
@@ -12783,6 +12836,17 @@ object SparkEntry {
          CAST(1 AS INTEGER) AS rk, CAST(1.0 AS DOUBLE) AS cos,
          TRUE AS zero_training, TRUE AS covered_all,
          TRUE AS paths_agree
+         FROM embeddings WHERE vec_id < 10 ORDER BY qid""",
+
+    // persisted IVF-PQ replay: v5's planted-self-match closed form; the
+    // flags pin zero training across an append, full (codes-bearing)
+    // coverage, per-call parity at the build snapshot, and append
+    // stability
+    "v11_ivfpq_persisted" ->
+      """SELECT vec_id + 10000 AS qid, vec_id AS nid,
+         CAST(1 AS INTEGER) AS rk, CAST(1.0 AS DOUBLE) AS cos,
+         TRUE AS zero_training, TRUE AS covered_all,
+         TRUE AS percall_agree, TRUE AS paths_agree
          FROM embeddings WHERE vec_id < 10 ORDER BY qid""",
 
     // planted self-match through the IVF-PQ probe + ADC shortlist + exact

@@ -537,7 +537,8 @@ object Similarity {
     * column), so append top-ups and bulk builds share the same shape. */
   private[operators] def stageIvfAssignments(spark: org.apache.spark.sql
         .SparkSession, dir: String, codebookRel: String, meta: String,
-      files: Seq[String], v: Int): Map[String, String] = {
+      files: Seq[String], v: Int,
+      pqRel: Option[String] = None): Map[String, String] = {
     import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
     val Array(vecCol, idCol) = meta.split(",", 2)
     val centroids = loadCodebook(spark, dir, codebookRel)
@@ -550,12 +551,24 @@ object Similarity {
     val bName = spark.sparkContext.broadcast(byName)
     val fidx = udf((p: String) =>
       bName.value.getOrElse(java.net.URI.create(p).getPath, -1))
-    val assigned = spark.read.parquet(files.map(f =>
+    val raw = spark.read.parquet(files.map(f =>
         base.resolve(f).toString): _*)
       .select(col(idCol).as("vid"), col(vecCol).as("vec"),
         fidx(input_file_name()).as("__fidx"))
-      .withColumn("cell",
-        element_at(nearest_cells(col("vec"), centroids, 1), 1))
+    // a PQ-enabled index additionally carries the m-byte code per row
+    // (ivfpq_encode shares the coarse argmax with nearest_cells, so the
+    // cell column is identical either way)
+    val encoded = pqRel match {
+      case Some(rel) =>
+        val books = loadPqBook(spark, dir, rel)
+        raw.withColumn("enc", ivfpq_encode(col("vec"), centroids, books))
+          .select(col("vid"), col("vec"), col("__fidx"),
+            col("enc.cell").as("cell"), col("enc.codes").as("codes"))
+      case None =>
+        raw.withColumn("cell",
+          element_at(nearest_cells(col("vec"), centroids, 1), 1))
+    }
+    val assigned = encoded
       .repartition(col("__fidx"))
       .sortWithinPartitions("__fidx", "cell")
     val staging = JF.createTempDirectory("graft_ivfasg").toString
@@ -582,16 +595,38 @@ object Similarity {
       .orderBy("cell").collect()
       .map(_.getSeq[Number](1).map(_.floatValue).toArray)
 
+  /** The PQ codebook sidecar, (sub, code, centroid) rows →
+    * books(sub)(code) = sub-centroid. Row counts are m·ksub (≤ 256·256
+    * by the encode contract), driver-bounded like the coarse
+    * codebook. */
+  private def loadPqBook(spark: org.apache.spark.sql.SparkSession,
+      dir: String, rel: String): Array[Array[Array[Float]]] =
+    spark.read.parquet(
+        java.nio.file.Paths.get(dir).resolve(rel).toString)
+      .orderBy("sub", "code").collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Number](2).map(_.floatValue).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2).toArray).toArray
+
   /** Train the codebook ONCE over the table's current snapshot and
     * commit it plus per-file assignments as maintained sidecars.
     * Returns the committed version. Training is the only
     * [[trainingJobs]] increment this index ever costs — every later
-    * query and append top-up reuses the stored centroids. */
+    * query and append top-up reuses the stored centroids. With
+    * `pq = true` the same training sample additionally fits the
+    * per-subspace residual codebooks (exactly [[ivfPqTopK]]'s
+    * training, so a persisted-PQ query at the build snapshot matches
+    * the per-call path row for row) and every assignment sidecar
+    * carries the m-byte code per row — [[ivfPqTopKPersisted]] then
+    * ADC-scans codes without touching a single full vector until the
+    * refine join. */
   def buildIvfIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, vecCol: String = "embedding",
       idCol: String = "vec_id", nlist: Int = 64,
       trainSample: Int = 10000, iters: Int = 5,
-      maxRetries: Int = 20): Int = {
+      maxRetries: Int = 20, pq: Boolean = false, m: Int = 8,
+      ksub: Int = 64): Int = {
     import java.nio.file.{Files => JF, Paths => JP, StandardCopyOption}
     val snap = TableLog.snapshot(dir)
     val corpus = TableLog.read(spark, dir)
@@ -600,25 +635,55 @@ object Similarity {
       .map(_.getSeq[Number](1).map(_.floatValue).toArray)
     require(sample.nonEmpty, "IVF index build needs a non-empty table")
     val centroids = trainSpherical(sample, nlist, iters)
-    // stage the codebook sidecar
-    val staging = JF.createTempDirectory("graft_ivfcb").toString
     import spark.implicits._
-    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(staging)
     JF.createDirectories(JP.get(dir, "stats"))
-    val s0 = JF.list(JP.get(staging))
-    val cbFile = try s0.iterator.asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
-      .getOrElse(sys.error("empty codebook staging"))
-      finally s0.close()
-    val cbRel = f"stats/v${snap.version + 1}%05d-ivfcb-${cbFile.getFileName}"
-    JF.move(cbFile, JP.get(dir).resolve(cbRel),
-      StandardCopyOption.ATOMIC_MOVE)
+    def stageOne(df: DataFrame, tag: String): String = {
+      val staging = JF.createTempDirectory(s"graft_ivf$tag").toString
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val s0 = JF.list(JP.get(staging))
+      val f = try s0.iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error(s"empty $tag staging"))
+        finally s0.close()
+      val rel =
+        f"stats/v${snap.version + 1}%05d-ivf$tag-${f.getFileName}"
+      JF.move(f, JP.get(dir).resolve(rel),
+        StandardCopyOption.ATOMIC_MOVE)
+      rel
+    }
+    val cbRel = stageOne(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid"), "cb")
+    val pqRel =
+      if (!pq) None
+      else {
+        require(m >= 1 && ksub >= 1 && ksub <= 256,
+          s"need 1 <= ksub <= 256 (codes are single bytes): m=$m " +
+            s"ksub=$ksub")
+        // residuals of the SAME sample against the coarse centroids —
+        // byte-identical to ivfPqTopK's training inputs
+        val residuals = new Array[Array[Float]](sample.length)
+        java.util.stream.IntStream.range(0, sample.length).parallel()
+          .forEach { p =>
+            val vh = VectorLib.unit(sample(p))
+            val c = centroids(VectorLib.nearestCells(vh, centroids, 1)(0))
+            val r = new Array[Float](vh.length)
+            var i = 0
+            while (i < vh.length) {
+              r(i) = vh(i) - (if (i < c.length) c(i) else 0f); i += 1
+            }
+            residuals(p) = r
+          }
+        val books = trainPq(residuals, m, ksub, iters)
+        Some(stageOne(
+          books.zipWithIndex.flatMap { case (book, s) =>
+            book.zipWithIndex.map { case (cw, c) => (s, c, cw.toSeq) }
+          }.toSeq.toDF("sub", "code", "centroid"), "pq"))
+      }
     val meta = s"$vecCol,$idCol"
     val asg = stageIvfAssignments(spark, dir, cbRel, meta,
-      snap.files, snap.version + 1)
-    TableLog.retryIvfCommit(dir, maxRetries, cbRel, meta, asg)
+      snap.files, snap.version + 1, pqRel)
+    TableLog.retryIvfCommit(dir, maxRetries, cbRel, meta, asg, pqRel)
   }
 
   /** ANN top-k THROUGH the persisted index: zero training jobs, the
@@ -668,6 +733,85 @@ object Similarity {
     probed.join(cand.withColumnRenamed("vid", "nid"), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosine_similarity(col("qv"), col("vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("rk"), col("cos"))
+  }
+
+  /** IVF-PQ ANN THROUGH the persisted index (built with
+    * `buildIvfIndex(pq = true)`): zero training jobs, and the ADC
+    * candidate stage reads ONLY (vid, cell, codes) from the assignment
+    * sidecars — m bytes per candidate, the full `vec` column stays
+    * unread until the refine join (the memory shape that matters at
+    * 100 TB: the shortlist join moves codes, not embeddings).
+    * Uncovered files (post-rewrite outputs) are encoded on the fly
+    * from the stored codebooks; deletion vectors are honored by a
+    * live-id semi-join; the exact-cosine refine reads vectors from the
+    * LIVE table read. Row-for-row equal to [[ivfPqTopK]] with the same
+    * (nlist, m, ksub, trainSample, iters) against the snapshot the
+    * index was built on — the training inputs are byte-identical. */
+  def ivfPqTopKPersisted(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, k: Int, nprobe: Int = 8,
+      refine: Int = 64, version: Int = -1): DataFrame = {
+    require(refine >= k,
+      s"refine shortlist must cover k: refine=$refine k=$k")
+    val snap = TableLog.snapshot(dir, version)
+    val meta = snap.vecCol.getOrElse(sys.error(
+      s"no persisted IVF index on $dir (run buildIvfIndex first)"))
+    val Array(vecCol, idCol) = meta.split(",", 2)
+    val cbRel = snap.vecidx.getOrElse("codebook", sys.error(
+      s"IVF index on $dir lost its codebook sidecar"))
+    val pqRel = snap.vecidx.getOrElse("pqbook", sys.error(
+      s"IVF index on $dir has no PQ codebooks " +
+        "(rebuild with buildIvfIndex(pq = true))"))
+    val centroids = loadCodebook(spark, dir, cbRel)
+    val books = loadPqBook(spark, dir, pqRel)
+    val ksubEff = books(0).length
+    val base = java.nio.file.Paths.get(dir)
+    val covered = snap.files.filter(snap.vecidx.contains)
+    val uncovered = snap.files.filterNot(snap.vecidx.contains)
+    val fromSidecars =
+      if (covered.isEmpty) None
+      else Some(spark.read.parquet(covered.map(f =>
+          base.resolve(snap.vecidx(f)).toString): _*)
+        .select(col("vid"), col("cell"), col("codes")))
+    val fromData =
+      if (uncovered.isEmpty) None
+      else Some(spark.read.parquet(uncovered.map(f =>
+          base.resolve(f).toString): _*)
+        .select(col(idCol).as("vid"),
+          ivfpq_encode(col(vecCol), centroids, books).as("enc"))
+        .select(col("vid"), col("enc.cell").as("cell"),
+          col("enc.codes").as("codes")))
+    var cand = (fromSidecars.toSeq ++ fromData.toSeq)
+      .reduce(_ unionByName _)
+    if (snap.dvs.nonEmpty) {
+      val live = TableLog.read(spark, dir, version)
+        .select(col(idCol).as("vid"))
+      cand = cand.join(live, Seq("vid"), "left_semi")
+    }
+    val probed = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("lut", pq_lut(col("qv"), books))
+      .select(col("qid"), col("qv"), col("lut"),
+        explode(nearest_cells(col("qv"), centroids, nprobe)).as("cell"))
+      .withColumn("cdot", cell_dot(col("qv"), col("cell"), centroids))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc,
+      col("nid"))
+    val shortlist = probed
+      .join(cand.withColumnRenamed("vid", "nid"), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adc",
+        col("cdot") + pq_adc(col("lut"), col("codes"), ksubEff))
+      .withColumn("ra", row_number().over(wAdc))
+      .filter(col("ra") <= refine)
+      .select(col("qid"), col("qv"), col("nid"))
+    val orig = TableLog.read(spark, dir, version)
+      .select(col(idCol).as("nid"), col(vecCol).as("nv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc,
+      col("nid"))
+    shortlist.join(orig, Seq("nid"))
+      .withColumn("cos", cosine_similarity(col("qv"), col("nv")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"), col("rk"), col("cos"))

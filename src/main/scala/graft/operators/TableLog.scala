@@ -64,9 +64,10 @@ object TableLog {
       partCol: Option[String] = None,
       // persisted IVF vector index (Similarity.buildIvfIndex): data
       // file → assignment sidecar under stats/, plus the reserved key
-      // "codebook" → the centroid sidecar ("codebook" can never
-      // collide with a data path — those live under data/). `vecCol`
-      // = "embeddingCol,idCol" of the indexed columns.
+      // "codebook" → the centroid sidecar and, for a PQ-enabled index,
+      // "pqbook" → the product-quantizer codebook sidecar (reserved
+      // keys can never collide with a data path — those live under
+      // data/). `vecCol` = "embeddingCol,idCol" of the indexed columns.
       vecidx: Map[String, String] = Map.empty,
       vecCol: Option[String] = None)
 
@@ -603,7 +604,7 @@ object TableLog {
     * mid-build drop their stale entries. */
   private[operators] def retryIvfCommit(dir: String, maxRetries: Int,
       codebookRel: String, meta: String,
-      asg: Map[String, String]): Int =
+      asg: Map[String, String], pqRel: Option[String] = None): Int =
     retryCommit(dir, maxRetries) { (head, v) =>
       val headSet = head.files.toSet
       Some(commit(dir, head.files, expectedVersion = v,
@@ -612,7 +613,8 @@ object TableLog {
         checks = head.checks, rgidx = head.rgidx,
         partCol = head.partCol,
         vecidx = asg.filter { case (f, _) => headSet(f) } +
-          ("codebook" -> codebookRel),
+          ("codebook" -> codebookRel) ++
+          pqRel.map("pqbook" -> _),
         vecCol = Some(meta)))
     }.get
 
@@ -625,7 +627,8 @@ object TableLog {
     if (prior.vecidx.isEmpty) prior.vecidx
     else {
       val fs = files.toSet
-      prior.vecidx.filter { case (k, _) => k == "codebook" || fs(k) }
+      prior.vecidx.filter { case (k, _) =>
+        k == "codebook" || k == "pqbook" || fs(k) }
     }
   }
 
@@ -641,7 +644,7 @@ object TableLog {
     if (files.isEmpty || !prior.vecidx.contains("codebook")) Map.empty
     else Similarity.stageIvfAssignments(spark, dir,
       prior.vecidx("codebook"), prior.vecCol.getOrElse(return Map.empty),
-      files, v)
+      files, v, prior.vecidx.get("pqbook"))
 
   // ===== deletion vectors (merge-on-read position deletes) =============
   //

@@ -115,4 +115,108 @@ class IvfIndexSpec extends AnyFunSuite {
       .resolve(TableLog.snapshot(dir).vecidx("codebook"))),
       "live codebook swept")
   }
+
+  // the sin(a*id + b*j) corpus is a 1-D phase curve — EVERY vector has
+  // near-twins at cos ~ 0.99999, which exact-cosine ranking separates
+  // from a planted 1.0 twin but m-byte ADC cannot (quantization noise
+  // exceeds the gap). The PQ test needs genuine high-dimensional
+  // spread: a per-coordinate id*(j+3) phase makes two distinct ids
+  // differ in every subspace.
+  private def dvecs(n: Int, dim: Int = 16): DataFrame =
+    spark.range(n).selectExpr("id as vec_id",
+      s"transform(sequence(0, ${dim - 1}), " +
+        "j -> cast(sin(id * (j + 3) * 0.7001 + j) as float)) " +
+        "as embedding")
+
+  test("PQ-enabled index: codes persist in the sidecars, per-call " +
+    "parity at the build snapshot, append/rewrite/DV stay zero-training") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqidx")
+      .toString + "/t"
+    TableLog.append(dvecs(2000).repartition(4), dir)
+    Similarity.buildIvfIndex(spark, dir, nlist = 16,
+      trainSample = 500, iters = 3, pq = true, m = 8, ksub = 64)
+    val snap = TableLog.snapshot(dir)
+    assert(snap.vecidx.contains("codebook"))
+    assert(snap.vecidx.contains("pqbook"))
+    assert(snap.files.forall(snap.vecidx.contains))
+    // the assignment sidecars physically carry the m-byte codes —
+    // the ADC stage's (vid, cell, codes) read never touches `vec`
+    val side = spark.read.parquet(java.nio.file.Paths.get(dir)
+      .resolve(snap.vecidx(snap.files.head)).toString)
+    assert(side.columns.contains("codes"), side.columns.mkString(","))
+
+    val q = queriesOf(dvecs(2000), "vec_id < 5")
+    val before = Similarity.trainingJobs.sum()
+    val r1 = Similarity.ivfPqTopKPersisted(spark, dir, q, k = 1,
+      nprobe = 4, refine = 64).collect().sortBy(_.getLong(0))
+    assert(Similarity.trainingJobs.sum() == before,
+      "persisted PQ query ran a training job")
+    r1.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - 10000, r.toString)
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-9, r.toString)
+    }
+    // row-for-row parity with per-call IVF-PQ on the same snapshot:
+    // identical training inputs → identical codebooks, codes, ADC
+    // ranks, and refine scores
+    val pc = Similarity.ivfPqTopK(TableLog.read(spark, dir), q, k = 1,
+        nlist = 16, nprobe = 4, m = 8, ksub = 64, refine = 64,
+        trainSample = 500, iters = 3)
+      .collect().sortBy(_.getLong(0))
+    assert(r1.toSeq == pc.toSeq, "persisted vs per-call PQ drift")
+
+    // append: topped up WITH codes, zero training, twin findable
+    val b2 = Similarity.trainingJobs.sum()
+    TableLog.append(dvecs(2500).filter("vec_id >= 2000").coalesce(1), dir)
+    assert(Similarity.trainingJobs.sum() == b2, "append retrained")
+    val snap2 = TableLog.snapshot(dir)
+    assert(snap2.files.forall(snap2.vecidx.contains))
+    val newFile = snap2.files.filterNot(snap.files.contains).head
+    val side2 = spark.read.parquet(java.nio.file.Paths.get(dir)
+      .resolve(snap2.vecidx(newFile)).toString)
+    assert(side2.columns.contains("codes"),
+      "append top-up lost the codes column")
+    val q2 = queriesOf(dvecs(2500), "vec_id = 2100")
+    val r2 = Similarity.ivfPqTopKPersisted(spark, dir, q2, k = 1,
+      nprobe = 4, refine = 64).collect()
+    assert(r2.length == 1 && r2.head.getLong(1) == 2100L, r2.toSeq)
+
+    // DV delete hides the twin; optimize re-encodes outputs from the
+    // STORED books; an uncovered file falls back on the fly
+    TableLog.deleteVectored(spark, dir, "vec_id = 2100")
+    val r3 = Similarity.ivfPqTopKPersisted(spark, dir, q2, k = 1,
+      nprobe = 4, refine = 64).collect()
+    assert(r3.head.getLong(1) != 2100L, s"DV row resurfaced: ${r3.toSeq}")
+    val bOpt = Similarity.trainingJobs.sum()
+    TableLog.optimize(spark, dir, maxRows = 1000000L)
+    assert(Similarity.trainingJobs.sum() == bOpt, "optimize retrained")
+    val snap3 = TableLog.snapshot(dir)
+    assert(snap3.vecidx.contains("pqbook"),
+      "rewrite dropped the PQ codebook entry")
+    assert(snap3.files.forall(snap3.vecidx.contains))
+    val r4 = Similarity.ivfPqTopKPersisted(spark, dir, q, k = 1,
+      nprobe = 4, refine = 64).collect().sortBy(_.getLong(0))
+    r4.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - 10000, r.toString)
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-9, r.toString)
+    }
+    val dropFile = snap3.files.head
+    TableLog.commit(dir, snap3.files,
+      expectedVersion = snap3.version + 1, txn = snap3.txn,
+      dvs = snap3.dvs, checks = snap3.checks, rgidx = snap3.rgidx,
+      vecidx = snap3.vecidx - dropFile, vecCol = snap3.vecCol)
+    val b4 = Similarity.trainingJobs.sum()
+    val r5 = Similarity.ivfPqTopKPersisted(spark, dir, q, k = 1,
+      nprobe = 4, refine = 64).collect().sortBy(_.getLong(0))
+    assert(Similarity.trainingJobs.sum() == b4, "fallback retrained")
+    assert(r5.toSeq == r4.toSeq, "uncovered-file PQ fallback drifted")
+
+    // vacuum keeps BOTH referenced codebooks
+    TableLog.vacuum(dir, keepFrom = TableLog.currentVersion(dir),
+      graceMs = 0L)
+    val fin = TableLog.snapshot(dir)
+    Seq("codebook", "pqbook").foreach { kk =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir)
+        .resolve(fin.vecidx(kk))), s"live $kk swept")
+    }
+  }
 }
