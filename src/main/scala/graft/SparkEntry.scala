@@ -7187,6 +7187,61 @@ object SparkEntry {
         .withColumn("paths_agree", lit(agree))
     },
 
+    "v12_ann_filtered" -> { (s, d) =>
+      // FILTERED VECTOR SEARCH (the vector-serving pattern `top-k
+      // WHERE pred`): Similarity.ivfTopKPersistedWhere routes the
+      // predicate through the lake's scalar indexes (readWhere:
+      // zone/partition pruning + exact re-filter) and semi-joins the
+      // ANN candidates down to matching ids BEFORE any cosine math —
+      // zero training, only-matching results, and with an exhaustive
+      // probe exactly the brute-force top-k of the filtered subset.
+      // Replay: the planted-self-match closed form over the matching
+      // twins plus the pinned flags.
+      val dir = java.nio.file.Files.createTempDirectory("graft_v12")
+        .toString + "/table"
+      val emb = t(s, d, "embeddings")
+        .withColumn("cat", col("vec_id") % 4)
+      graft.operators.TableLog.append(
+        emb.repartitionByRange(4, col("cat"), col("vec_id"))
+          .sortWithinPartitions("cat", "vec_id"), dir)
+      graft.operators.Similarity.buildIvfIndex(s, dir, nlist = 64,
+        trainSample = 1000, iters = 4)
+      val before = graft.operators.Similarity.trainingJobs.sum()
+      val qMatch = emb.filter(col("vec_id") < 40 &&
+          col("vec_id") % 4 === 2)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      val (r1, st1) = graft.operators.Similarity.ivfTopKPersistedWhere(
+        s, dir, qMatch, k = 1, "cat = 2", nprobe = 8)
+      val out = r1.select(col("qid"), col("nid"), col("rk"),
+        round(col("cos"), 6).as("cos")).orderBy("qid")
+      val zeroTraining =
+        graft.operators.Similarity.trainingJobs.sum() == before
+      // twins of NON-matching rows: every neighbor satisfies the filter
+      val qMiss = emb.filter(col("vec_id") < 40 &&
+          col("vec_id") % 4 === 1)
+        .withColumn("vec_id", col("vec_id") + 10000)
+      val (r2, _) = graft.operators.Similarity.ivfTopKPersistedWhere(
+        s, dir, qMiss, k = 2, "cat = 2", nprobe = 64)
+      val miss = r2.collect()
+      val onlyMatching = miss.nonEmpty && miss.forall(r =>
+        r.getLong(1) % 4 == 2 && r.getLong(1) != r.getLong(0) - 10000)
+      // exhaustive probe == brute force over the filtered subset
+      val (r3, _) = graft.operators.Similarity.ivfTopKPersistedWhere(
+        s, dir, qMatch, k = 3, "cat = 2", nprobe = 64)
+      val brute = graft.operators.Similarity.bruteForceTopK(
+        graft.operators.TableLog.read(s, dir).where("cat = 2"),
+        qMatch, k = 3)
+      val bruteAgree = r3.orderBy("qid", "rk").collect().toSeq ==
+        brute.orderBy("qid", "rk").collect().toSeq
+      out
+        .withColumn("zero_training", lit(zeroTraining))
+        .withColumn("filter_pruned",
+          lit(st1.filesOpened < st1.filesTotal ||
+            st1.rgOpened < st1.rgTotal))
+        .withColumn("only_matching", lit(onlyMatching))
+        .withColumn("brute_agree", lit(bruteAgree))
+    },
+
     "v5_ann_ivfpq" -> { (s, d) =>
       // IVF-PQ ANN (Similarity.ivfPqTopK): coarse cells + per-subspace
       // residual codebooks trained on a bounded driver sample, m-byte codes
@@ -12837,6 +12892,18 @@ object SparkEntry {
          TRUE AS zero_training, TRUE AS covered_all,
          TRUE AS paths_agree
          FROM embeddings WHERE vec_id < 10 ORDER BY qid""",
+
+    // filtered-ANN replay: self-match closed form over the MATCHING
+    // twins; the flags pin zero training, index-routed filter pruning,
+    // only-matching results for non-matching twins, and exhaustive-
+    // probe parity with the brute-force filtered top-k
+    "v12_ann_filtered" ->
+      """SELECT vec_id + 10000 AS qid, vec_id AS nid,
+         CAST(1 AS INTEGER) AS rk, CAST(1.0 AS DOUBLE) AS cos,
+         TRUE AS zero_training, TRUE AS filter_pruned,
+         TRUE AS only_matching, TRUE AS brute_agree
+         FROM embeddings WHERE vec_id < 40 AND vec_id % 4 = 2
+         ORDER BY qid""",
 
     // persisted IVF-PQ replay: v5's planted-self-match closed form; the
     // flags pin zero training across an append, full (codes-bearing)

@@ -738,6 +738,68 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rk"), col("cos"))
   }
 
+  /** FILTERED ANN through the persisted index — the vector-serving
+    * pattern `top-k of rows WHERE pred`: the predicate routes through
+    * the table's scalar indexes ([[LakeSelect.readWhere]]:
+    * bloom/zone/partition pruning plus the exact re-filter, projected
+    * to the id column only), and the ANN candidate set is semi-joined
+    * down to matching ids BEFORE any cosine math — selectivity cuts
+    * the ranking work proportionally, and at 100 TB the filter scan
+    * itself only opens the straddler row groups its indexes keep.
+    * Deletion vectors are subsumed (a deleted row is absent from the
+    * filtered read). Zero training jobs, like every persisted-index
+    * query. With `nprobe = nlist` the probe is exhaustive, so the
+    * result is EXACTLY the brute-force cosine top-k of the filtered
+    * subset (IvfIndexSpec pins the equivalence). Returns the ranked
+    * frame plus the filtered read's pruning stats. */
+  def ivfTopKPersistedWhere(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, k: Int, predicate: String,
+      nprobe: Int = 8, version: Int = -1)
+      : (DataFrame, LakeSelect.Stats) = {
+    val snap = TableLog.snapshot(dir, version)
+    val meta = snap.vecCol.getOrElse(sys.error(
+      s"no persisted IVF index on $dir (run buildIvfIndex first)"))
+    val Array(vecCol, idCol) = meta.split(",", 2)
+    val cbRel = snap.vecidx.getOrElse("codebook", sys.error(
+      s"IVF index on $dir lost its codebook sidecar"))
+    val centroids = loadCodebook(spark, dir, cbRel)
+    val base = java.nio.file.Paths.get(dir)
+    val covered = snap.files.filter(snap.vecidx.contains)
+    val uncovered = snap.files.filterNot(snap.vecidx.contains)
+    val (filtered, stats) = LakeSelect.readWhere(spark, dir, predicate,
+      version, Seq(idCol))
+    val keep = filtered.select(col(idCol).as("vid"))
+    val fromSidecars =
+      if (covered.isEmpty) None
+      else Some(spark.read.parquet(covered.map(f =>
+          base.resolve(snap.vecidx(f)).toString): _*)
+        .select(col("vid"), col("vec"), col("cell")))
+    val fromData =
+      if (uncovered.isEmpty) None
+      else Some(spark.read.parquet(uncovered.map(f =>
+          base.resolve(f).toString): _*)
+        .select(col(idCol).as("vid"), col(vecCol).as("vec"))
+        .withColumn("cell",
+          element_at(nearest_cells(col("vec"), centroids, 1), 1)))
+    val cand = (fromSidecars.toSeq ++ fromData.toSeq)
+      .reduce(_ unionByName _)
+      .join(keep, Seq("vid"), "left_semi")
+    val probed = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .select(col("qid"), col("qv"),
+        explode(nearest_cells(col("qv"), centroids, nprobe)).as("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc,
+      col("nid"))
+    val ranked = probed
+      .join(cand.withColumnRenamed("vid", "nid"), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosine_similarity(col("qv"), col("vec")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("rk"), col("cos"))
+    (ranked, stats)
+  }
+
   /** IVF-PQ ANN THROUGH the persisted index (built with
     * `buildIvfIndex(pq = true)`): zero training jobs, and the ADC
     * candidate stage reads ONLY (vid, cell, codes) from the assignment

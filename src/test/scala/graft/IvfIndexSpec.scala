@@ -219,4 +219,75 @@ class IvfIndexSpec extends AnyFunSuite {
         .resolve(fin.vecidx(kk))), s"live $kk swept")
     }
   }
+
+  test("filtered ANN: the predicate routes through the scalar indexes, " +
+    "results come only from matching rows, exhaustive probe equals " +
+    "brute force over the filtered subset") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("ivffilt")
+      .toString + "/t"
+    // an attribute column clustered by sort so the filter zone-prunes
+    val df = dvecs(2000).selectExpr("vec_id", "embedding",
+      "vec_id % 4 as cat")
+    TableLog.append(
+      df.repartitionByRange(4, col("cat"), col("vec_id"))
+        .sortWithinPartitions("cat", "vec_id"),
+      dir, options = Map("parquet.block.size" -> "16384",
+        "parquet.page.size" -> "4096"))
+    Similarity.buildIvfIndex(spark, dir, nlist = 16,
+      trainSample = 500, iters = 3)
+
+    // twins of MATCHING rows self-match at rank 1 / cos 1.0, zero
+    // training, and the filter read prunes
+    val qMatch = dvecs(2000)
+      .filter("vec_id % 4 = 2 and vec_id < 40")
+      .selectExpr("vec_id + 10000 as vec_id", "embedding")
+    val before = Similarity.trainingJobs.sum()
+    val (r1, st1) = Similarity.ivfTopKPersistedWhere(spark, dir,
+      qMatch, k = 1, "cat = 2", nprobe = 4)
+    val rows1 = r1.collect().sortBy(_.getLong(0))
+    assert(Similarity.trainingJobs.sum() == before,
+      "filtered query ran a training job")
+    assert(rows1.length == 10, rows1.length.toString)
+    rows1.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - 10000, r.toString)
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-9, r.toString)
+    }
+    assert(st1.filesOpened < st1.filesTotal || st1.rgOpened < st1.rgTotal,
+      s"filter read did not prune: $st1")
+
+    // twins of NON-matching rows: the twin itself is filtered out, so
+    // every returned neighbor still satisfies the predicate
+    val qMiss = dvecs(2000)
+      .filter("vec_id % 4 = 1 and vec_id < 40")
+      .selectExpr("vec_id + 10000 as vec_id", "embedding")
+    val (r2, _) = Similarity.ivfTopKPersistedWhere(spark, dir,
+      qMiss, k = 2, "cat = 2", nprobe = 16)
+    val rows2 = r2.collect()
+    assert(rows2.nonEmpty)
+    rows2.foreach { r =>
+      assert(r.getLong(1) % 4 == 2, s"non-matching neighbor: $r")
+      assert(r.getLong(1) != r.getLong(0) - 10000, r.toString)
+    }
+
+    // nprobe = nlist is exhaustive: exactly the brute-force cosine
+    // top-k of the filtered subset
+    val qMix = dvecs(2000).filter("vec_id < 12")
+      .selectExpr("vec_id + 10000 as vec_id", "embedding")
+    val (r3, _) = Similarity.ivfTopKPersistedWhere(spark, dir,
+      qMix, k = 3, "cat = 2", nprobe = 16)
+    val brute = Similarity.bruteForceTopK(
+      TableLog.read(spark, dir).where("cat = 2"), qMix, k = 3)
+    assert(r3.orderBy("qid", "rk").collect().toSeq ==
+      brute.orderBy("qid", "rk").collect().toSeq,
+      "exhaustive filtered probe drifted from brute force")
+
+    // a DV delete removes the row from the filtered candidates too
+    TableLog.deleteVectored(spark, dir, "vec_id = 2")
+    val (r4, _) = Similarity.ivfTopKPersistedWhere(spark, dir,
+      qMatch, k = 1, "cat = 2", nprobe = 4)
+    val hit2 = r4.collect().find(_.getLong(0) == 10002L)
+    assert(hit2.forall(_.getLong(1) != 2L),
+      s"DV-deleted row resurfaced through the filter: $hit2")
+  }
 }
