@@ -1258,6 +1258,54 @@ object SparkEntry {
         .withColumn("rg_pruned", lit(st.rgOpened < st.rgTotal))
     },
 
+    "k39_rgidx_compact" -> { (s, d) =>
+      // STATS-SIDECAR COMPACTION: a long-lived append stream maps each
+      // commit's files to that commit's own rg-index sidecar, so after
+      // N appends planning reads a union of N small parquets — an
+      // O(commits) plan cost. graft_compact_index consolidates the
+      // live mapping into ONE sidecar; reads hash-match across the
+      // compaction and post-compaction planning still opens ZERO
+      // footers. Replay: the closed-form key-range aggregate.
+      graft.functions.GraftFunctions.registerAll(s)
+      val dir = java.nio.file.Files.createTempDirectory("graft_k39")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      (0 until 6).foreach { i =>
+        graft.operators.TableLog.append(
+          o.filter(col("o_orderkey") % 6 === i).repartition(1), dir)
+        if (i == 0)
+          graft.operators.TableLog.computeRowGroupIndex(s, dir)
+      }
+      val snap0 = graft.operators.TableLog.snapshot(dir)
+      val pre = snap0.files.flatMap(snap0.rgidx.get).distinct.size
+      val mm = o.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+        .first()
+      val hi = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 4
+      val pred = s"o_orderkey <= $hi"
+      def run() = {
+        val (df, _) = graft.operators.LakeSelect.readWhere(s, dir, pred)
+        df.agg(count(lit(1)), sum(col("price_cents"))).first()
+      }
+      val a1 = run()
+      s.sql(s"SELECT * FROM graft_compact_index('$dir')").collect()
+      val snap1 = graft.operators.TableLog.snapshot(dir)
+      val post = snap1.files.flatMap(snap1.rgidx.get).distinct.size
+      val fo0 = graft.operators.RowGroupScan.indexFooterOpens.sum()
+      val a2 = run()
+      val (nc, _) = graft.operators.LakeSelect.countWhere(s, dir, pred)
+      val zeroFooters =
+        graft.operators.RowGroupScan.indexFooterOpens.sum() == fo0
+      s.range(1).select(
+        lit(a2.getLong(0)).as("n"),
+        lit(a2.getLong(1)).as("sum_cents"),
+        lit(nc).as("n_count"),
+        lit(pre > 1).as("pre_multi"),
+        lit(post == 1).as("post_single"),
+        lit(zeroFooters).as("zero_footers"),
+        lit(a1 == a2).as("reads_agree"))
+    },
+
     "k38_log_checkpoint" -> { (s, d) =>
       // DELTA-ENCODED LOG WITH CHECKPOINTS (round-14 verdict item 2):
       // 20 appends cross the 16-commit checkpoint boundary. Pins that
@@ -11115,6 +11163,21 @@ object SparkEntry {
            TRUE AS widened, TRUE AS rg_pruned
          FROM orders, p
          WHERE o_orderkey BETWEEN p.qlo AND p.qhi""",
+
+    // sidecar-compaction replay: the closed-form key-range aggregate;
+    // the flags pin one-sidecar consolidation, zero-footer planning
+    // after it, and read stability across the compaction
+    "k39_rgidx_compact" ->
+      s"""WITH b AS (
+           SELECT MIN(o_orderkey) +
+             (MAX(o_orderkey) - MIN(o_orderkey)) // 4 AS hi
+           FROM orders)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(${centsSql("o_totalprice")}) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_count,
+           TRUE AS pre_multi, TRUE AS post_single,
+           TRUE AS zero_footers, TRUE AS reads_agree
+         FROM orders, b WHERE o_orderkey <= b.hi""",
 
     // checkpointed-delta-log replay: the 20 mod-slices reassemble
     // orders exactly; v16 holds slices 0..15; the flags pin the delta

@@ -344,6 +344,17 @@ object SqlTableFunctions {
     receipt("version" -> v)
   }
 
+  /** `graft_compact_index('dir')` — consolidate the row-group index
+    * into one sidecar ([[graft.operators.TableLog
+    * .compactRowGroupIndex]]): an appended-to table otherwise plans
+    * from one sidecar per commit. */
+  private def compactIndexBuilder(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1, "usage: graft_compact_index(dir)")
+    val v = graft.operators.TableLog.compactRowGroupIndex(
+      SparkSession.active, str(args(0), "dir"))
+    receipt("version" -> v)
+  }
+
   /** `graft_minmax('dir', 'column'[, version])` — metadata-only
     * MIN/MAX ([[graft.operators.TableLog.columnMinMax]]): exact index
     * bounds for clean files, a single-column selective scan for
@@ -423,7 +434,8 @@ object SqlTableFunctions {
       "graft_delete", "graft_delete_vectored", "graft_update",
       "graft_optimize", "graft_restore", "graft_vacuum", "graft_merge",
       "graft_select", "graft_add_check", "graft_drop_check",
-      "graft_count", "graft_build_index", "graft_minmax",
+      "graft_count", "graft_build_index", "graft_compact_index",
+      "graft_minmax",
       "graft_select_join", "graft_build_vecindex", "graft_ann")
 
   def register(spark: SparkSession): Unit = {
@@ -464,6 +476,8 @@ object SqlTableFunctions {
       "built-in")
     reg.createOrReplaceTempFunction("graft_build_index",
       buildIndexBuilder, "built-in")
+    reg.createOrReplaceTempFunction("graft_compact_index",
+      compactIndexBuilder, "built-in")
     reg.createOrReplaceTempFunction("graft_minmax", minMaxBuilder,
       "built-in")
     reg.createOrReplaceTempFunction("graft_select_join",

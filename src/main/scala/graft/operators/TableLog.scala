@@ -1490,6 +1490,61 @@ object TableLog {
     }.get
   }
 
+  /** Consolidate the row-group index into ONE sidecar. A long-lived
+    * append stream maps each commit's files to that commit's own
+    * sidecar, so after N appends planning reads a UNION of N small
+    * parquets — an O(commits) plan (and O(commits) file opens) that
+    * dwarfs the actual stats volume long before data size matters.
+    * Compaction reads every live mapped entry once, writes a single
+    * combined sidecar, and remaps all mapped files to it; unmapped
+    * files stay unmapped (the footer fallback is still correct), and
+    * the old sidecars become unreferenced once no retained version
+    * maps them — vacuum sweeps them. Rebase-safe: files appended
+    * concurrently keep their fresh mapping, files rewritten
+    * concurrently drop out of the remap. No-op (returns the current
+    * version) when the live mapping already resolves to one sidecar. */
+  def compactRowGroupIndex(spark: SparkSession, dir: String,
+      maxRetries: Int = 20): Int = {
+    import org.apache.spark.sql.functions.broadcast
+    import spark.implicits._
+    val snap = snapshot(dir)
+    val mapped = snap.files.filter(snap.rgidx.contains)
+    if (mapped.isEmpty ||
+        mapped.map(snap.rgidx).distinct.size <= 1) return snap.version
+    val (_, v) = planNext(dir)
+    val mappedSet = mapped.toSet
+    val combined = snap.rgidx.view.filterKeys(mappedSet).toSeq
+      .groupBy(_._2).toSeq.sortBy(_._1).map { case (sidecar, m) =>
+        spark.read.parquet(Paths.get(dir).resolve(sidecar).toString)
+          .join(broadcast(m.map(_._1).toDF("file")), Seq("file"),
+            "left_semi")
+      }.reduce(_ unionByName _)
+    val staging = Files.createTempDirectory("graft_rgcmp").toString
+    combined.repartition(1).write.mode("overwrite").parquet(staging)
+    Files.createDirectories(Paths.get(dir, "stats"))
+    val sl = Files.list(Paths.get(staging))
+    val rel = try {
+      val p0 = sl.iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error("empty rgidx compaction staging"))
+      val r = f"stats/v$v%05d-rgidx-${p0.getFileName.toString}"
+      Files.move(p0, Paths.get(dir).resolve(r),
+        StandardCopyOption.ATOMIC_MOVE)
+      r
+    } finally sl.close()
+    retryCommit(dir, maxRetries) { (head, vNext) =>
+      val headSet = head.files.toSet
+      Some(commit(dir, head.files, expectedVersion = vNext,
+        parts = head.parts, txn = head.txn, op = "rgidx-compact",
+        dvs = head.dvs, bloomCol = head.bloomCol, blooms = head.blooms,
+        checks = head.checks,
+        rgidx = head.rgidx ++
+          mapped.filter(headSet).map(_ -> rel),
+        partCol = head.partCol,
+        vecidx = head.vecidx, vecCol = head.vecCol))
+    }.get
+  }
+
   /** Driver memo of a snapshot's FULL wide index — a committed
     * version's stats never change, so repeated declarative reads of one
     * snapshot (the SQL pattern: several readWhere/countWhere against

@@ -742,4 +742,56 @@ class RgIndexSidecarSpec extends AnyFunSuite {
     val (nn, _) = LakeSelect.countWhere(spark, dir, "v IS NULL")
     assert(nn == 6000L)
   }
+
+  test("compactRowGroupIndex consolidates an append stream's sidecars " +
+    "into one: reads agree, planning opens zero footers, vacuum sweeps " +
+    "the old sidecars") {
+    val dir = tmp("rgcmp")
+    sortedTable(dir, 4000)
+    TableLog.computeRowGroupIndex(spark, dir)
+    // five more appends: each auto-top-up maps its files to a fresh
+    // sidecar
+    (1 to 5).foreach { i =>
+      TableLog.append(
+        spark.range(4000L * i, 4000L * (i + 1))
+          .selectExpr("id as k", "id * 7 as v").coalesce(1),
+        dir, options = smallRg)
+    }
+    val snap0 = TableLog.snapshot(dir)
+    assert(snap0.files.forall(snap0.rgidx.contains))
+    val pre = snap0.files.flatMap(snap0.rgidx.get).distinct
+    assert(pre.size > 1, s"expected several sidecars, got $pre")
+    val (r1, st1) = LakeSelect.readWhere(spark, dir,
+      "k between 3900 and 8100")
+    val rows1 = r1.orderBy("k").collect().toSeq
+    val v = TableLog.compactRowGroupIndex(spark, dir)
+    assert(v > snap0.version)
+    assert(TableLog.compactRowGroupIndex(spark, dir) == v,
+      "compaction must be idempotent")
+    val snap1 = TableLog.snapshot(dir)
+    assert(snap1.op == "rgidx-compact")
+    val post = snap1.files.flatMap(snap1.rgidx.get).distinct
+    assert(post.size == 1, s"expected one sidecar, got $post")
+    val ((r2, st2), opens) = footerOpens {
+      LakeSelect.readWhere(spark, dir, "k between 3900 and 8100")
+    }
+    assert(opens == 0L, s"compacted planning opened footers: $opens")
+    assert(r2.orderBy("k").collect().toSeq == rows1,
+      "reads drifted across compaction")
+    assert(st2.rgOpened < st2.rgTotal, s"$st2")
+    assert(st2.rgTotal == st1.rgTotal, s"$st1 vs $st2")
+    // the pre-compaction sidecars orphan once history is vacuumed
+    val deleted = TableLog.vacuum(dir,
+      keepFrom = TableLog.currentVersion(dir), graceMs = 0L)
+    pre.foreach { old =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir).resolve(old)),
+        s"orphaned sidecar survived vacuum: $old ($deleted)")
+    }
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir).resolve(post.head)),
+      "live compacted sidecar swept")
+    val (n, _) = LakeSelect.countWhere(spark, dir, "k < 4000")
+    assert(n == 4000L)
+  }
 }
