@@ -344,15 +344,18 @@ object SqlTableFunctions {
     receipt("version" -> v)
   }
 
-  /** `graft_compact_index('dir')` — consolidate the row-group index
-    * into one sidecar ([[graft.operators.TableLog
-    * .compactRowGroupIndex]]): an appended-to table otherwise plans
-    * from one sidecar per commit. */
+  /** `graft_compact_index('dir')` — consolidate the table's stats
+    * sidecars (row-group index AND bloom index, [[graft.operators
+    * .TableLog.compactRowGroupIndex]] / [[graft.operators.TableLog
+    * .compactBloomIndex]]) into one sidecar each: an appended-to
+    * table otherwise plans from one sidecar per commit. */
   private def compactIndexBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 1, "usage: graft_compact_index(dir)")
-    val v = graft.operators.TableLog.compactRowGroupIndex(
-      SparkSession.active, str(args(0), "dir"))
-    receipt("version" -> v)
+    val spark = SparkSession.active
+    val d = str(args(0), "dir")
+    val v1 = graft.operators.TableLog.compactRowGroupIndex(spark, d)
+    val v2 = graft.operators.TableLog.compactBloomIndex(spark, d)
+    receipt("version" -> math.max(v1, v2))
   }
 
   /** `graft_minmax('dir', 'column'[, version])` — metadata-only

@@ -1545,6 +1545,58 @@ object TableLog {
     }.get
   }
 
+  /** Consolidate the bloom index into ONE sidecar — the
+    * [[compactRowGroupIndex]] story for point lookups: each
+    * `computeBlooms` top-up (and every auto-maintained rewrite) maps
+    * its files to a fresh sidecar, so a long-appended table's
+    * distributed bloom probe unions O(commits) parquet reads.
+    * Compaction also drops stale rows (files remapped by a rewrite or
+    * column switch leave dead rows in old sidecars) because each old
+    * sidecar is read trimmed to the files the CURRENT snapshot still
+    * maps to it. No-op when the live mapping already resolves to one
+    * sidecar. */
+  def compactBloomIndex(spark: SparkSession, dir: String,
+      maxRetries: Int = 20): Int = {
+    import org.apache.spark.sql.functions.broadcast
+    import spark.implicits._
+    val snap = snapshot(dir)
+    val mapped = snap.files.filter(snap.blooms.contains)
+    if (mapped.isEmpty ||
+        mapped.map(snap.blooms).distinct.size <= 1) return snap.version
+    val (_, v) = planNext(dir)
+    val mappedSet = mapped.toSet
+    val combined = snap.blooms.view.filterKeys(mappedSet).toSeq
+      .groupBy(_._2).toSeq.sortBy(_._1).map { case (sidecar, m) =>
+        spark.read.parquet(Paths.get(dir).resolve(sidecar).toString)
+          .join(broadcast(m.map(_._1).toDF("f")), Seq("f"),
+            "left_semi")
+      }.reduce(_ unionByName _)
+    val staging = Files.createTempDirectory("graft_blcmp").toString
+    combined.repartition(1).write.mode("overwrite").parquet(staging)
+    Files.createDirectories(Paths.get(dir, "stats"))
+    val sl = Files.list(Paths.get(staging))
+    val rel = try {
+      val p0 = sl.iterator.asScala
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(sys.error("empty bloom compaction staging"))
+      val r = f"stats/v$v%05d-bloom-${p0.getFileName.toString}"
+      Files.move(p0, Paths.get(dir).resolve(r),
+        StandardCopyOption.ATOMIC_MOVE)
+      r
+    } finally sl.close()
+    retryCommit(dir, maxRetries) { (head, vNext) =>
+      val headSet = head.files.toSet
+      Some(commit(dir, head.files, expectedVersion = vNext,
+        parts = head.parts, txn = head.txn, op = "bloom-compact",
+        dvs = head.dvs, bloomCol = head.bloomCol,
+        blooms = head.blooms ++
+          mapped.filter(headSet).map(_ -> rel),
+        checks = head.checks, rgidx = head.rgidx,
+        partCol = head.partCol,
+        vecidx = head.vecidx, vecCol = head.vecCol))
+    }.get
+  }
+
   /** Driver memo of a snapshot's FULL wide index — a committed
     * version's stats never change, so repeated declarative reads of one
     * snapshot (the SQL pattern: several readWhere/countWhere against

@@ -794,4 +794,53 @@ class RgIndexSidecarSpec extends AnyFunSuite {
     val (n, _) = LakeSelect.countWhere(spark, dir, "k < 4000")
     assert(n == 4000L)
   }
+
+  test("compactBloomIndex consolidates the bloom sidecars: point " +
+    "lookups agree, absent probes stay provably absent, vacuum sweeps " +
+    "the old sidecars") {
+    val dir = tmp("blcmp")
+    sortedTable(dir, 4000)
+    TableLog.computeBlooms(spark, dir, "k")
+    // each re-run after an append tops up into a FRESH sidecar
+    (1 to 2).foreach { i =>
+      TableLog.append(
+        spark.range(4000L * i, 4000L * (i + 1))
+          .selectExpr("id as k", "id * 7 as v").coalesce(1),
+        dir, options = smallRg)
+      TableLog.computeBlooms(spark, dir, "k")
+    }
+    val snap0 = TableLog.snapshot(dir)
+    assert(snap0.files.forall(snap0.blooms.contains))
+    val pre = snap0.files.flatMap(snap0.blooms.get).distinct
+    assert(pre.size > 1, s"expected several bloom sidecars, got $pre")
+    val (df1, st1) = LakeSelect.readWhere(spark, dir, "k = 9002")
+    assert(st1.strategy == "point_lookup", s"$st1")
+    val rows1 = df1.collect().toSeq
+    assert(rows1.nonEmpty)
+    val v = TableLog.compactBloomIndex(spark, dir)
+    assert(TableLog.compactBloomIndex(spark, dir) == v,
+      "bloom compaction must be idempotent")
+    val snap1 = TableLog.snapshot(dir)
+    assert(snap1.op == "bloom-compact")
+    val post = snap1.files.flatMap(snap1.blooms.get).distinct
+    assert(post.size == 1, s"expected one bloom sidecar, got $post")
+    val (df2, st2) = LakeSelect.readWhere(spark, dir, "k = 9002")
+    assert(st2.strategy == "point_lookup", s"$st2")
+    assert(df2.collect().toSeq == rows1,
+      "point lookup drifted across bloom compaction")
+    assert(st2.filesOpened < st2.filesTotal, s"$st2")
+    // a provably-absent probe still prunes every file
+    val (dfA, stA) = LakeSelect.readWhere(spark, dir, "k = 999999")
+    assert(dfA.count() == 0L && stA.filesOpened == 0, s"$stA")
+    TableLog.vacuum(dir, keepFrom = TableLog.currentVersion(dir),
+      graceMs = 0L)
+    pre.foreach { old =>
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir).resolve(old)),
+        s"orphaned bloom sidecar survived vacuum: $old")
+    }
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir).resolve(post.head)),
+      "live compacted bloom sidecar swept")
+  }
 }
