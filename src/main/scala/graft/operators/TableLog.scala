@@ -562,7 +562,8 @@ object TableLog {
       newParts: Map[String, String], txnPut: Option[(String, Long)],
       maxRetries: Int, rgidxPut: Map[String, String] = Map.empty,
       partColPut: Option[String] = None,
-      vecidxPut: Map[String, String] = Map.empty)
+      vecidxPut: Map[String, String] = Map.empty,
+      bloomPut: Map[String, String] = Map.empty)
       : Option[Int] =
     retryCommit(dir, maxRetries) { (prev, v) =>
       if (txnPut.exists { case (id, b) => prev.txn.get(id).exists(_ >= b) })
@@ -570,7 +571,8 @@ object TableLog {
       else Some(commit(dir, prev.files ++ newFiles, expectedVersion = v,
         parts = prev.parts ++ newParts,
         txn = txnPut.fold(prev.txn)(prev.txn + _), op = "append",
-        dvs = prev.dvs, bloomCol = prev.bloomCol, blooms = prev.blooms,
+        dvs = prev.dvs, bloomCol = prev.bloomCol,
+        blooms = prev.blooms ++ bloomPut,
         checks = prev.checks, rgidx = prev.rgidx ++ rgidxPut,
         // two different partition columns in one table make the tag map
         // ambiguous — the routing metadata drops (pruning disabled,
@@ -594,6 +596,29 @@ object TableLog {
     else {
       val rel = stageRgIndexSidecar(spark, dir, files, v)
       files.map(_ -> rel).toMap
+    }
+
+  /** Auto-maintenance of the bloom index on the APPEND family: once a
+    * table has opted in ([[computeBlooms]] left a `bloomCol`), every
+    * new file's bitmap is staged and committed atomically with the
+    * data — point lookups never silently decay to conservative keeps
+    * on appended files (the same incremental cost a computeBlooms
+    * re-run would pay, without the operational burden of remembering
+    * to re-run it). An append whose files lack the indexed column
+    * (schema evolution) stays unindexed — conservative, never wrong. */
+  private def bloomTopUpAppend(spark: SparkSession, dir: String,
+      prior: Snapshot, files: Seq[String], v: Int)
+      : Map[String, String] =
+    prior.bloomCol match {
+      case Some(c) if files.nonEmpty =>
+        val paths = files.map(f => Paths.get(dir).resolve(f).toString)
+        if (!spark.read.parquet(paths: _*).schema.fieldNames.contains(c))
+          Map.empty
+        else {
+          val rel = stageBloomSidecar(spark, dir, c, files, v, 10)
+          files.map(_ -> rel).toMap
+        }
+      case _ => Map.empty
     }
 
   /** Commit a freshly built IVF index (codebook + per-file assignment
@@ -797,7 +822,9 @@ object TableLog {
     val files = writeData(df, dir, v, options)
     commitAppendRebasing(dir, files, Map.empty, None, maxRetries,
       rgidxTopUp(df.sparkSession, dir, prev, files, v),
-      vecidxPut = vecidxTopUp(df.sparkSession, dir, prev, files, v)).get
+      vecidxPut = vecidxTopUp(df.sparkSession, dir, prev, files, v),
+      bloomPut = bloomTopUpAppend(df.sparkSession, dir, prev, files,
+        v)).get
   }
 
   /** Replace the table contents with `df` as a new version. Old files
@@ -923,6 +950,8 @@ object TableLog {
       rgidxTopUp(df.sparkSession, dir, prev, newFiles.map(_._1), v),
       partColPut = Some(partCol),
       vecidxPut = vecidxTopUp(df.sparkSession, dir, prev,
+        newFiles.map(_._1), v),
+      bloomPut = bloomTopUpAppend(df.sparkSession, dir, prev,
         newFiles.map(_._1), v)).get
   }
 
@@ -944,7 +973,8 @@ object TableLog {
     val files = writeData(df, dir, v)
     commitAppendRebasing(dir, files, Map.empty, Some(txnId -> batchId),
       maxRetries, rgidxTopUp(df.sparkSession, dir, prev, files, v),
-      vecidxPut = vecidxTopUp(df.sparkSession, dir, prev, files, v))
+      vecidxPut = vecidxTopUp(df.sparkSession, dir, prev, files, v),
+      bloomPut = bloomTopUpAppend(df.sparkSession, dir, prev, files, v))
   }
 
   /** Exactly-once OVERWRITE for a derived-table writer (the refresh

@@ -801,13 +801,12 @@ class RgIndexSidecarSpec extends AnyFunSuite {
     val dir = tmp("blcmp")
     sortedTable(dir, 4000)
     TableLog.computeBlooms(spark, dir, "k")
-    // each re-run after an append tops up into a FRESH sidecar
+    // each append auto-tops-up into a FRESH sidecar
     (1 to 2).foreach { i =>
       TableLog.append(
         spark.range(4000L * i, 4000L * (i + 1))
           .selectExpr("id as k", "id * 7 as v").coalesce(1),
         dir, options = smallRg)
-      TableLog.computeBlooms(spark, dir, "k")
     }
     val snap0 = TableLog.snapshot(dir)
     assert(snap0.files.forall(snap0.blooms.contains))
@@ -842,5 +841,32 @@ class RgIndexSidecarSpec extends AnyFunSuite {
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(dir).resolve(post.head)),
       "live compacted bloom sidecar swept")
+  }
+
+  test("bloom auto-top-up is schema-evolution safe: an append without " +
+    "the indexed column stays unindexed and probes keep it " +
+    "conservatively") {
+    val dir = tmp("blevo")
+    sortedTable(dir, 2000)
+    TableLog.computeBlooms(spark, dir, "k")
+    // evolved append: no `k` column at all — must not fail the append
+    TableLog.append(
+      spark.range(5).selectExpr("id + 1000000 as w").coalesce(1),
+      dir, options = smallRg)
+    val snap = TableLog.snapshot(dir)
+    val newFile = snap.files.filterNot(snap.blooms.contains)
+    assert(newFile.size == 1,
+      s"evolved file must stay bloom-unindexed: ${snap.blooms.keySet}")
+    // a probe keeps the unindexed file (conservative) and results are
+    // exact through the re-applied predicate. Routing note: the type
+    // guard reads the NEWEST file's schema, which no longer carries
+    // `k`, so the bloom route declines and the zone route serves — a
+    // safe fallback, never a wrong answer
+    val (df, st) = LakeSelect.readWhere(spark, dir, "k = 700")
+    assert(Set("point_lookup", "rowgroup_in").contains(st.strategy),
+      s"$st")
+    assert(df.count() == 1L)
+    val (dfA, _) = LakeSelect.readWhere(spark, dir, "k = 999999999")
+    assert(dfA.count() == 0L)
   }
 }

@@ -784,14 +784,19 @@ class TableLogSpec extends AnyFunSuite {
     TableLog.append((1L to 100L).map(i => (i, i * 2L)).toDF("id", "v")
       .coalesce(1), dir)
     TableLog.computeBlooms(spark, dir, "id")
-    // appended file is unindexed -> kept conservatively in every probe
+    // the append AUTO-tops-up the bloom index (same contract as rgidx):
+    // the new file is covered in the same commit and the probe prunes
+    // exactly, with no manual computeBlooms re-run
     TableLog.append((101L to 200L).map(i => (i, i * 2L)).toDF("id", "v")
       .coalesce(1), dir)
+    val snapA = TableLog.snapshot(dir)
+    assert(snapA.files.forall(snapA.blooms.contains),
+      s"append did not top up the bloom index: ${snapA.blooms.keySet}")
     val (df1, opened1, total1) =
       TableLog.readBloomPruned(spark, dir, "id", Seq(150L))
-    assert(total1 == 2 && opened1 >= 1 &&
+    assert(total1 == 2 && opened1 == 1 &&
       df1.filter($"id" === 150L).count() == 1)
-    // top-up indexes ONLY the new file, then the probe prunes exactly
+    // a computeBlooms re-run is now a no-op (nothing unindexed)
     TableLog.computeBlooms(spark, dir, "id")
     val (df2, opened2, _) =
       TableLog.readBloomPruned(spark, dir, "id", Seq(150L))
