@@ -1198,6 +1198,61 @@ object Stress {
       }
     }
 
+    if (sec("r15b")) {
+      time("sidecar compaction (80 commits -> 1 sidecar each)") {
+        // round-15 stats-compaction scaling: 80 appends to a bloom- and
+        // rg-indexed table auto-top-up one sidecar PER COMMIT per
+        // family, so first-plan cost is an 80-legged union. Compaction
+        // must collapse both families to ONE sidecar, keep results
+        // bit-identical, and keep planning footer-free.
+        import graft.operators.{LakeSelect, RowGroupScan, TableLog}
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_stress_cmp").toString + "/t"
+        TableLog.append(spark.range(1000L)
+          .select(col("id").as("k"), (col("id") * 3L).as("v"))
+          .coalesce(1), dir)
+        TableLog.computeRowGroupIndex(spark, dir)
+        TableLog.computeBlooms(spark, dir, "k")
+        val tA = System.nanoTime()
+        (1 until 80).foreach { i =>
+          TableLog.append(spark.range(i * 1000L, (i + 1) * 1000L)
+            .select(col("id").as("k"), (col("id") * 3L).as("v"))
+            .coalesce(1), dir)
+        }
+        val appendSec = (System.nanoTime() - tA) / 1e9
+        val snap0 = TableLog.snapshot(dir)
+        val preRg = snap0.files.flatMap(snap0.rgidx.get).distinct.size
+        val preBl = snap0.files.flatMap(snap0.blooms.get).distinct.size
+        require(preRg >= 80 && preBl >= 80,
+          s"expected one sidecar per commit: rg=$preRg bloom=$preBl")
+        def firstPlanMs(): (Long, Double) = {
+          val t0 = System.nanoTime()
+          val (df, _) = LakeSelect.readWhere(spark, dir, "k = 40123")
+          val n = df.count()
+          (n, (System.nanoTime() - t0) / 1e6)
+        }
+        val (n1, ms1) = firstPlanMs() // unions preRg/preBl sidecars
+        require(n1 == 1L, s"pre-compaction lookup: $n1")
+        TableLog.compactRowGroupIndex(spark, dir)
+        TableLog.compactBloomIndex(spark, dir)
+        val snap1 = TableLog.snapshot(dir)
+        require(snap1.files.flatMap(snap1.rgidx.get).distinct.size == 1,
+          "rg-index not compacted")
+        require(snap1.files.flatMap(snap1.blooms.get).distinct.size == 1,
+          "bloom index not compacted")
+        val fo0 = RowGroupScan.indexFooterOpens.sum()
+        val (n2, ms2) = firstPlanMs() // fresh version: one sidecar each
+        require(n2 == 1L, s"post-compaction lookup: $n2")
+        require(RowGroupScan.indexFooterOpens.sum() == fo0,
+          "post-compaction planning opened footers")
+        val (cnt, cs) = LakeSelect.countWhere(spark, dir, "k < 40000")
+        require(cnt == 40000L && cs.exact, s"$cnt $cs")
+        println(f"    80 auto-indexed appends in $appendSec%.1f s; " +
+          f"first plan $ms1%.0f ms over $preRg+$preBl sidecars -> " +
+          f"$ms2%.0f ms over 1+1")
+      }
+    }
+
     val sentinelPost = Bench.sentinelMtMs()
     val total = results.values.sum
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
