@@ -1208,6 +1208,11 @@ object Stress {
         import graft.operators.{LakeSelect, RowGroupScan, TableLog}
         val dir = java.nio.file.Files
           .createTempDirectory("graft_stress_cmp").toString + "/t"
+        // this stage measures the UNCOMPACTED cliff — hold off the
+        // appenders' automatic consolidation until the manual calls
+        val thr0 = TableLog.autoCompactThreshold
+        TableLog.autoCompactThreshold = Int.MaxValue
+        try {
         TableLog.append(spark.range(1000L)
           .select(col("id").as("k"), (col("id") * 3L).as("v"))
           .coalesce(1), dir)
@@ -1250,6 +1255,7 @@ object Stress {
         println(f"    80 auto-indexed appends in $appendSec%.1f s; " +
           f"first plan $ms1%.0f ms over $preRg+$preBl sidecars -> " +
           f"$ms2%.0f ms over 1+1")
+        } finally TableLog.autoCompactThreshold = thr0
       }
     }
 

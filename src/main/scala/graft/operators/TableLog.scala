@@ -598,6 +598,36 @@ object TableLog {
       files.map(_ -> rel).toMap
     }
 
+  /** Auto-compaction threshold: after an append commits, if either
+    * stats family's LIVE mapping spans more distinct sidecars than
+    * this, the appender consolidates it (the checkpoint model the
+    * delta log itself uses — the exactly-once streaming sink commits
+    * per micro-batch and would otherwise grow one sidecar per batch
+    * forever, reaching an 8,640-legged planning union per day at a
+    * 10 s trigger). Amortized O(1/threshold) compactions per append;
+    * a compaction failure never fails the append (stats stay correct,
+    * just un-consolidated). Test-visible to exercise the trigger
+    * cheaply. */
+  @volatile private[graft] var autoCompactThreshold: Int = 64
+
+  /** Fire-and-forget stats compaction after an append when a family's
+    * distinct-sidecar count crossed [[autoCompactThreshold]]. */
+  private def maybeCompactStats(spark: SparkSession, dir: String): Unit =
+    try {
+      val snap = snapshot(dir)
+      def distinctOf(m: Map[String, String]): Int =
+        snap.files.flatMap(m.get).distinct.size
+      if (distinctOf(snap.rgidx) > autoCompactThreshold)
+        compactRowGroupIndex(spark, dir)
+      if (distinctOf(snap.blooms) > autoCompactThreshold)
+        compactBloomIndex(spark, dir)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // the append already committed; stay loud but non-fatal
+        System.err.println(
+          s"[graft] auto stats compaction on $dir failed: ${e.getMessage}")
+    }
+
   /** Auto-maintenance of the bloom index on the APPEND family: once a
     * table has opted in ([[computeBlooms]] left a `bloomCol`), every
     * new file's bitmap is staged and committed atomically with the
@@ -820,11 +850,14 @@ object TableLog {
       options: Map[String, String] = Map.empty): Int = {
     val (prev, v) = planNext(dir)
     val files = writeData(df, dir, v, options)
-    commitAppendRebasing(dir, files, Map.empty, None, maxRetries,
+    val out = commitAppendRebasing(dir, files, Map.empty, None,
+      maxRetries,
       rgidxTopUp(df.sparkSession, dir, prev, files, v),
       vecidxPut = vecidxTopUp(df.sparkSession, dir, prev, files, v),
       bloomPut = bloomTopUpAppend(df.sparkSession, dir, prev, files,
         v)).get
+    maybeCompactStats(df.sparkSession, dir)
+    out
   }
 
   /** Replace the table contents with `df` as a new version. Old files
@@ -945,14 +978,16 @@ object TableLog {
       maxRetries: Int = 20): Int = {
     val (prev, v) = planNext(dir)
     val newFiles = stagePartitioned(df, dir, v, partCol)
-    commitAppendRebasing(dir, newFiles.map(_._1), newFiles.toMap, None,
-      maxRetries,
+    val ver = commitAppendRebasing(dir, newFiles.map(_._1),
+      newFiles.toMap, None, maxRetries,
       rgidxTopUp(df.sparkSession, dir, prev, newFiles.map(_._1), v),
       partColPut = Some(partCol),
       vecidxPut = vecidxTopUp(df.sparkSession, dir, prev,
         newFiles.map(_._1), v),
       bloomPut = bloomTopUpAppend(df.sparkSession, dir, prev,
         newFiles.map(_._1), v)).get
+    maybeCompactStats(df.sparkSession, dir)
+    ver
   }
 
   /** Exactly-once append for a streaming writer (`foreachBatch`): the
@@ -971,10 +1006,13 @@ object TableLog {
     // stage ONCE, then rebase-retry the metadata commit — the old
     // write-per-attempt loop re-ran the distributed job on every race
     val files = writeData(df, dir, v)
-    commitAppendRebasing(dir, files, Map.empty, Some(txnId -> batchId),
+    val got = commitAppendRebasing(dir, files, Map.empty,
+      Some(txnId -> batchId),
       maxRetries, rgidxTopUp(df.sparkSession, dir, prev, files, v),
       vecidxPut = vecidxTopUp(df.sparkSession, dir, prev, files, v),
       bloomPut = bloomTopUpAppend(df.sparkSession, dir, prev, files, v))
+    if (got.isDefined) maybeCompactStats(df.sparkSession, dir)
+    got
   }
 
   /** Exactly-once OVERWRITE for a derived-table writer (the refresh

@@ -843,6 +843,37 @@ class RgIndexSidecarSpec extends AnyFunSuite {
       "live compacted bloom sidecar swept")
   }
 
+  test("appends auto-compact the stats sidecars past the threshold: " +
+    "the streaming-sink shape never accumulates unbounded plan legs") {
+    val dir = tmp("autocmp")
+    val thr0 = TableLog.autoCompactThreshold
+    TableLog.autoCompactThreshold = 6
+    try {
+      sortedTable(dir, 1000)
+      TableLog.computeRowGroupIndex(spark, dir)
+      TableLog.computeBlooms(spark, dir, "k")
+      (1 to 14).foreach { i =>
+        TableLog.append(
+          spark.range(1000L * i, 1000L * (i + 1))
+            .selectExpr("id as k", "id * 7 as v").coalesce(1),
+          dir, options = smallRg)
+      }
+      val snap = TableLog.snapshot(dir)
+      val rg = snap.files.flatMap(snap.rgidx.get).distinct.size
+      val bl = snap.files.flatMap(snap.blooms.get).distinct.size
+      // without the trigger this would be 15 sidecars per family; with
+      // threshold 6 the count stays bounded by threshold + a partial
+      // interval
+      assert(rg <= 7, s"rg-index never auto-compacted: $rg sidecars")
+      assert(bl <= 7, s"bloom index never auto-compacted: $bl sidecars")
+      // data and indexes stay exact through the interleaved compactions
+      val (df, st) = LakeSelect.readWhere(spark, dir, "k = 13500")
+      assert(st.strategy == "point_lookup" && df.count() == 1L, s"$st")
+      val (n, cs) = LakeSelect.countWhere(spark, dir, "k < 15000")
+      assert(n == 15000L && cs.exact, s"$n $cs")
+    } finally TableLog.autoCompactThreshold = thr0
+  }
+
   test("bloom auto-top-up is schema-evolution safe: an append without " +
     "the indexed column stays unindexed and probes keep it " +
     "conservatively") {
