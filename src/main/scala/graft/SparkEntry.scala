@@ -1765,6 +1765,52 @@ object SparkEntry {
         lit(!cs.exact).as("count_conservative"))
     },
 
+    "sql24_double_routing" -> { (s, d) =>
+      // FLOAT/DOUBLE ZONE ROUTING: range and equality predicates on an
+      // FP measure column (the most common analytic filter shape —
+      // `o_totalprice < x`) prune row groups on the index's new
+      // dmin/dmax stats (NaN bounds dropped at extraction, -0.0
+      // collapsed to 0.0, containment never proven). Decimal literals
+      // promote with the same toDouble Spark's comparison uses, so
+      // the probe space is exact. Replay: the same predicates as
+      // plain filters.
+      val dir = java.nio.file.Files.createTempDirectory("graft_sql24")
+        .toString + "/table"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_totalprice"))
+      graft.operators.TableLog.append(
+        o.repartitionByRange(4, col("o_totalprice"), col("o_orderkey"))
+          .sortWithinPartitions("o_totalprice", "o_orderkey"),
+        dir, options = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      val (df1, st1) = graft.operators.LakeSelect.readWhere(s, dir,
+        "o_totalprice < 50000.0")
+      val a1 = df1.agg(count(lit(1)), sum(col("o_orderkey"))).first()
+      val (df2, st2) = graft.operators.LakeSelect.readWhere(s, dir,
+        "o_totalprice >= 100000.0 AND o_totalprice < 150000.5")
+      val a2 = df2.agg(count(lit(1)), sum(col("o_orderkey"))).first()
+      val maxP = o.agg(max(col("o_totalprice"))).first().getDouble(0)
+      val (df3, st3) = graft.operators.LakeSelect.readWhere(s, dir,
+        s"o_totalprice = $maxP")
+      val n3 = df3.count()
+      val (nc, cs) = graft.operators.LakeSelect.countWhere(s, dir,
+        "o_totalprice < 50000.0")
+      s.range(1).select(
+        lit(a1.getLong(0)).as("n_lo"),
+        lit(a1.getLong(1)).as("sum_lo"),
+        lit(a2.getLong(0)).as("n_band"),
+        lit(a2.getLong(1)).as("sum_band"),
+        lit(n3).as("n_max"),
+        lit(nc).as("n_count"),
+        lit(st1.strategy == "rowgroup_range" &&
+          st1.rgOpened < st1.rgTotal).as("lo_routed"),
+        lit(st2.strategy == "rowgroup_range" &&
+          st2.rgOpened < st2.rgTotal).as("band_routed"),
+        lit(st3.strategy == "rowgroup_in" &&
+          st3.rgOpened < st3.rgTotal).as("eq_routed"),
+        lit(!cs.exact).as("count_conservative"))
+    },
+
     "sql15_count_sql" -> { (s, d) =>
       // metadata-first COUNT from SQL text (graft_build_index +
       // graft_count → LakeSelect.countWhere): the index persists as a
@@ -11163,6 +11209,29 @@ object SparkEntry {
            TRUE AS widened, TRUE AS rg_pruned
          FROM orders, p
          WHERE o_orderkey BETWEEN p.qlo AND p.qhi""",
+
+    // FP-routing replay: the same double predicates as plain filters;
+    // the flags pin the dmin/dmax routing, its pruning, and the
+    // conservative count
+    "sql24_double_routing" ->
+      """SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_totalprice < 50000.0) AS n_lo,
+           (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+            WHERE o_totalprice < 50000.0) AS sum_lo,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_totalprice >= 100000.0 AND o_totalprice < 150000.5)
+             AS n_band,
+           (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+            WHERE o_totalprice >= 100000.0 AND o_totalprice < 150000.5)
+             AS sum_band,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_totalprice =
+              (SELECT MAX(o_totalprice) FROM orders)) AS n_max,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_totalprice < 50000.0) AS n_count,
+           TRUE AS lo_routed, TRUE AS band_routed, TRUE AS eq_routed,
+           TRUE AS count_conservative""",
 
     // sidecar-compaction replay: the closed-form key-range aggregate;
     // the flags pin one-sidecar consolidation, zero-footer planning

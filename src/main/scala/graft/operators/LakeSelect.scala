@@ -182,7 +182,8 @@ object LakeSelect {
       } else if (rgConstraints.size == 1) {
         val cons = rgConstraints.head
         val label = cons match {
-          case _: TableLog.NumIn | _: TableLog.StrIn => "rowgroup_in"
+          case _: TableLog.NumIn | _: TableLog.StrIn |
+              _: TableLog.DblIn => "rowgroup_in"
           case _: TableLog.CaseIn => "rowgroup_case"
           case _: TableLog.TrimIn => "rowgroup_trim"
           case _: TableLog.NullCheck => "rowgroup_null"
@@ -353,6 +354,9 @@ object LakeSelect {
     // so the common long/string predicate never reads a footer
     lazy val s = schema
     def isDateCol(c: String): Boolean = s.get(c).contains(DateType)
+    def isFpCol(c: String): Boolean = s.get(c).exists(t =>
+      t == org.apache.spark.sql.types.FloatType ||
+        t == org.apache.spark.sql.types.DoubleType)
     def tsKind(c: String): Option[Boolean] = s.get(c) match {
       case Some(org.apache.spark.sql.types.TimestampType) => Some(false)
       case Some(org.apache.spark.sql.types.TimestampNTZType) => Some(true)
@@ -382,6 +386,15 @@ object LakeSelect {
           Some(TableLog.StrIn(c, e.values.map(_.asInstanceOf[String])))
         case (c, e: EqIn) if isTsVals(e.values, c) =>
           Some(TableLog.NumIn(c, e.values.map(micros)))
+        case (c, e: EqIn) if e.values.nonEmpty &&
+            e.values.forall(_.isInstanceOf[Double]) =>
+          // FP probes only against an FP column (a decimal literal on
+          // an integral or decimal column compares in a different
+          // space); always lossy — FP stats never prove containment
+          lossless = false
+          if (isFpCol(c))
+            Some(TableLog.DblIn(c, e.values.map(_.asInstanceOf[Double])))
+          else None
         case (c, e: EqIn) if e.values.nonEmpty &&
             e.values.forall(_.isInstanceOf[java.time.LocalDate]) =>
           if (isDateCol(c))
@@ -454,6 +467,14 @@ object LakeSelect {
           else if (bs.forall(_.isInstanceOf[String]))
             Some(TableLog.StrRange(c, r.lo.map(_.asInstanceOf[String]),
               r.hi.map(_.asInstanceOf[String]), r.hiExcl))
+          else if (bs.forall(_.isInstanceOf[Double])) {
+            lossless = false
+            if (isFpCol(c))
+              Some(TableLog.DblRange(c,
+                r.lo.map(_.asInstanceOf[Double]),
+                r.hi.map(_.asInstanceOf[Double]), r.hiExcl))
+            else None
+          }
           else if (bs.forall(_.isInstanceOf[java.time.LocalDate]) &&
               isDateCol(c))
             Some(TableLog.NumRange(c, r.lo.map(day),
@@ -539,7 +560,22 @@ object LakeSelect {
       case u: org.apache.spark.unsafe.types.UTF8String =>
         Some(u.toString)
       case s: String => Some(s)
-      case _ => None // doubles/decimals/timestamps: not prunable here
+      case d: Double =>
+        // Spark compares FP with NaN greatest and -0.0 = 0.0; the
+        // stats space is normalized the same way. NaN probes stay
+        // unroutable (conservative).
+        if (d.isNaN) None else Some(if (d == 0.0) 0.0 else d)
+      case f: Float =>
+        if (f.isNaN) None
+        else Some(if (f == 0.0f) 0.0 else f.toDouble)
+      case dec: org.apache.spark.sql.types.Decimal =>
+        // a bare `950.0` parses as DECIMAL; against an FP column Spark
+        // promotes it with the SAME toDouble cast, so the bound is
+        // exact in the comparison space. The lowering's schema guard
+        // keeps decimal probes off integral/decimal columns.
+        val d = dec.toDouble
+        if (d.isNaN) None else Some(if (d == 0.0) 0.0 else d)
+      case _ => None // timestamps/binary: not prunable here
     }
     def colName(e: Expression): Option[String] = e match {
       case a: UnresolvedAttribute if a.nameParts.size == 1 =>
@@ -1091,6 +1127,8 @@ object LakeSelect {
       def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
         case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
         case (x: String, y: String) => Some(utf8Compare(x, y))
+        case (x: Double, y: Double) =>
+          Some(java.lang.Double.compare(x, y)) // normalized, no NaN
         case (x: java.time.LocalDate, y: java.time.LocalDate) =>
           Some(x.compareTo(y))
         case (x: TsLit, y: TsLit) if x.ntz == y.ntz =>

@@ -75,7 +75,8 @@ object RowGroupScan {
   private[operators] final case class IdxRow(file: String, rg: Int,
       column: String, ord: Int, dtype: String, n_rows: Long,
       n_nulls: Option[Long], lmin: Option[Long], lmax: Option[Long],
-      smin: Option[String], smax: Option[String])
+      smin: Option[String], smax: Option[String],
+      dmin: Option[Double] = None, dmax: Option[Double] = None)
 
   /** One kept row group: `start` is the row group's first row's
     * FILE-ORDINAL index (prefix sum of preceding groups' row counts) —
@@ -111,7 +112,7 @@ object RowGroupScan {
           if (blocks.isEmpty)
             fields.map { case (t, i, dt) =>
               IdxRow(label, -1, t.getName, i, dt, 0L, None, None, None,
-                None, None)
+                None, None, None, None)
             }
           else blocks.zipWithIndex.flatMap { case (rg, rgIdx) =>
             val chunks = rg.getColumns.asScala
@@ -121,6 +122,8 @@ object RowGroupScan {
               var lmax: Option[Long] = None
               var smin: Option[String] = None
               var smax: Option[String] = None
+              var dmin: Option[Double] = None
+              var dmax: Option[Double] = None
               if (t.isPrimitive) {
                 import org.apache.parquet.schema.LogicalTypeAnnotation
                 val stringish = t.asPrimitiveType()
@@ -160,6 +163,28 @@ object RowGroupScan {
                         case (a: java.lang.Long, b: java.lang.Long) =>
                           lmin = Some(tsToUs(a.longValue))
                           lmax = Some(tsToUs(b.longValue))
+                        case (a: java.lang.Float, b: java.lang.Float) =>
+                          val (x, y) = (a.doubleValue, b.doubleValue)
+                          // NaN in FP stats is writer-dependent
+                          // (PARQUET-1222): a NaN max means "unbounded
+                          // above" under Spark's NaN-greatest order, a
+                          // NaN min drops the stats entirely. -0.0
+                          // collapses to 0.0 so plain comparisons agree
+                          // with Spark's -0.0 = 0.0 semantics.
+                          if (!x.isNaN) {
+                            dmin = Some(if (x == 0.0) 0.0 else x)
+                            if (!y.isNaN)
+                              dmax = Some(if (y == 0.0) 0.0 else y)
+                          }
+                          lmin = Some(a.longValue); lmax = Some(b.longValue)
+                        case (a: java.lang.Double, b: java.lang.Double) =>
+                          val (x, y) = (a.doubleValue, b.doubleValue)
+                          if (!x.isNaN) {
+                            dmin = Some(if (x == 0.0) 0.0 else x)
+                            if (!y.isNaN)
+                              dmax = Some(if (y == 0.0) 0.0 else y)
+                          }
+                          lmin = Some(a.longValue); lmax = Some(b.longValue)
                         case (a: Number, b: Number) =>
                           lmin = Some(a.longValue); lmax = Some(b.longValue)
                         case (a: org.apache.parquet.io.api.Binary,
@@ -172,7 +197,7 @@ object RowGroupScan {
                   }
               }
               IdxRow(label, rgIdx, t.getName, i, dt, rg.getRowCount,
-                nNulls, lmin, lmax, smin, smax)
+                nNulls, lmin, lmax, smin, smax, dmin, dmax)
             }
           }
         } finally reader.close()
@@ -304,6 +329,21 @@ object RowGroupScan {
         col("lmin").isNotNull && col("lmax").isNotNull &&
           !exists(lit(vs.toArray),
             v => col("lmin") <= v && v <= col("lmax"))
+      case TableLog.DblRange(_, lo, hi, hiExcl) =>
+        // sides reject independently: a NaN max drops dmax (unbounded
+        // above), but a present dmin can still disprove the hi side
+        val loRej = lo.map(l =>
+          col("dmax").isNotNull && col("dmax") < lit(l))
+        val hiRej = hi.map(h =>
+          col("dmin").isNotNull &&
+            (if (hiExcl) col("dmin") >= lit(h)
+             else col("dmin") > lit(h)))
+        (loRej.toSeq ++ hiRej.toSeq)
+          .reduceOption(_ || _).getOrElse(lit(false))
+      case TableLog.DblIn(_, vs) =>
+        col("dmin").isNotNull && col("dmax").isNotNull &&
+          !exists(lit(vs.toArray),
+            v => col("dmin") <= v && v <= col("dmax"))
       case TableLog.StrRange(_, lo, hi, hiExcl) =>
         val sides = lo.map(l => col("smax") < lit(l)).toSeq ++
           hi.map(h => if (hiExcl) col("smin") >= lit(h)
@@ -427,6 +467,10 @@ object RowGroupScan {
         exactNum && col("n_nulls") === 0L &&
           col("lmin").isNotNull && col("lmin") === col("lmax") &&
           array_contains(lit(vs.toArray), col("lmin"))
+      case _: TableLog.DblRange | _: TableLog.DblIn =>
+        // FP stats may silently exclude NaN rows (writer-dependent),
+        // and a NaN row fails any range — containment never proves
+        lit(false)
       case TableLog.StrRange(_, lo, hi, hiExcl) =>
         col("dtype") === "string" && col("n_nulls") === 0L &&
           col("smin").isNotNull && col("smax").isNotNull &&
@@ -522,11 +566,25 @@ object RowGroupScan {
       if (r.isNullAt(ix(c))) None else Some(r.getLong(ix(c)))
     def str(c: String): Option[String] =
       if (r.isNullAt(ix(c))) None else Some(r.getString(ix(c)))
+    // defensive get: rows memoized before the dmin/dmax columns
+    // existed simply never disprove FP constraints
+    def dbl(c: String): Option[Double] =
+      ix.get(c).filter(i => !r.isNullAt(i)).map(r.getDouble)
     l match {
       case TableLog.NumRange(_, lo, hi) =>
         (lng("lmin"), lng("lmax")) match {
           case (Some(lmin), Some(lmax)) =>
             lo.exists(lmax < _) || hi.exists(lmin > _)
+          case _ => false
+        }
+      case TableLog.DblRange(_, lo, hi, hiExcl) =>
+        lo.exists(l0 => dbl("dmax").exists(_ < l0)) ||
+          hi.exists(h => dbl("dmin").exists(m =>
+            if (hiExcl) m >= h else m > h))
+      case TableLog.DblIn(_, vs) =>
+        (dbl("dmin"), dbl("dmax")) match {
+          case (Some(mn), Some(mx)) =>
+            !vs.exists(v => mn <= v && v <= mx)
           case _ => false
         }
       case TableLog.NumIn(_, vs) =>
@@ -606,6 +664,8 @@ object RowGroupScan {
             lmin == lmax && vs.contains(lmin)
           case _ => false
         })
+      case _: TableLog.DblRange | _: TableLog.DblIn =>
+        false // FP stats never prove containment (NaN rows invisible)
       case TableLog.StrRange(_, lo, hi, hiExcl) =>
         dtype == "string" && noNulls &&
           ((str("smin"), str("smax")) match {

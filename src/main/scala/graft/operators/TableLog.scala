@@ -1244,6 +1244,19 @@ object TableLog {
   sealed trait RgConstraint { def column: String }
   final case class NumRange(column: String, lo: Option[Long],
       hi: Option[Long]) extends RgConstraint
+  /** Range/IN probes on FLOAT/DOUBLE columns against the index's
+    * `dmin`/`dmax` stats (normalized at extraction: -0.0 collapsed to
+    * 0.0, NaN bounds dropped — a NaN max leaves the group unbounded
+    * above, matching Spark's NaN-greatest order). Disproof only:
+    * these never prove full containment (a writer may skip NaN when
+    * folding FP stats, so bounded stats do not bound NaN rows), so
+    * metadata counts always scan the straddlers. `lo` is always
+    * inclusive — an exclusive lower bound keeps the boundary
+    * (conservative) and the re-applied predicate trims it. */
+  final case class DblRange(column: String, lo: Option[Double],
+      hi: Option[Double], hiExcl: Boolean = false) extends RgConstraint
+  final case class DblIn(column: String, values: Seq[Double])
+    extends RgConstraint
   final case class NumIn(column: String, values: Seq[Long])
     extends RgConstraint
   final case class StrRange(column: String, lo: Option[String],
@@ -1753,10 +1766,16 @@ object TableLog {
           // map 10⁵ files to one sidecar, and an isin of that arity is a
           // pathological expression tree
           val fs = m.map(_._1).toDF("file")
-          parts += spark.read
+          val raw = spark.read
             .parquet(Paths.get(dir).resolve(sidecar).toString)
             .join(broadcast(fs), Seq("file"), "left_semi")
             .withColumn("file", concat(lit(prefix), col("file")))
+          // sidecars written before the FP stats columns existed
+          // null-fill them (FP constraints then keep conservatively)
+          parts += Seq("dmin", "dmax").foldLeft(raw)((d, c) =>
+            if (d.columns.contains(c)) d
+            else d.withColumn(c,
+              lit(null).cast(org.apache.spark.sql.types.DoubleType)))
         }
     }
     if (unmapped.nonEmpty)

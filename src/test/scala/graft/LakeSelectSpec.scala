@@ -450,6 +450,70 @@ class LakeSelectSpec extends AnyFunSuite {
     assert(n2 == 4000L, s"$n2")
   }
 
+  test("float/double predicates route on FP zone stats: ranges and " +
+    "equalities prune, NaN stays safe, -0.0 = 0.0, counts never exact") {
+    val dir = java.nio.file.Files.createTempDirectory("lsel_dbl")
+      .toString + "/t"
+    // doubles + floats sorted by price; a few NaN and -0.0 rows ride
+    // along (NaN sorts greatest in Spark, so they cluster in the last
+    // groups)
+    val df = spark.range(16000).selectExpr("id as k",
+      "cast(id as double) / 10.0 as price",
+      "cast(cast(id as float) / 5.0 as float) as fprice")
+      .unionByName(spark.sql(
+        "SELECT 100001L as k, double('NaN') as price, " +
+          "float('NaN') as fprice " +
+          "UNION ALL SELECT 100002L, double('NaN'), float('NaN') " +
+          "UNION ALL SELECT 100003L, double('-0.0'), float('-0.0')"))
+    TableLog.append(
+      df.repartitionByRange(4, col("price"), col("k"))
+        .sortWithinPartitions("price", "k"),
+      dir, options = smallRg)
+    def same(pred: String, strategy: String, prunes: Boolean): Unit = {
+      val (got, st) = LakeSelect.readWhere(spark, dir, pred)
+      assert(st.strategy == strategy,
+        s"$pred routed ${st.strategy}, wanted $strategy ($st)")
+      if (prunes) assert(st.rgOpened < st.rgTotal, s"$pred: $st")
+      val want = TableLog.read(spark, dir).where(pred)
+      assert(got.orderBy("k").collect().toSeq ==
+        want.orderBy("k").collect().toSeq, s"$pred result drift")
+    }
+    same("price < 100.5", "rowgroup_range", prunes = true)
+    same("price >= 1500.0 and price <= 1550.2", "rowgroup_range",
+      prunes = true)
+    same("price > 1590.0", "rowgroup_range", prunes = true)
+    // equality: the decimal literal promotes with the same toDouble
+    // Spark's comparison uses, so the probe lands on the exact value
+    same("price = 123.4", "rowgroup_in", prunes = true)
+    // float column: stats widen exactly to double space
+    same("fprice < 50.2", "rowgroup_range", prunes = true)
+    // NaN-matching predicates keep the NaN rows (NaN is greatest):
+    // the result check inside same() proves the NaN rows survive
+    // whatever this writer folded into the last groups' stats
+    val (gotN, _) = LakeSelect.readWhere(spark, dir, "price > 1599.9")
+    assert(gotN.count() ==
+      TableLog.read(spark, dir).where("price > 1599.9").count())
+    assert(gotN.filter(col("k") >= 100001L && col("k") <= 100002L)
+      .count() == 2, "NaN rows pruned away")
+    // an explicit NaN probe is unroutable (conservative full scan)
+    val (gotNaN, stNaN) = LakeSelect.readWhere(spark, dir,
+      "price = double('NaN')")
+    assert(stNaN.strategy == "full_scan", s"$stNaN")
+    assert(gotNaN.count() == 2L)
+    // -0.0 equals 0.0 in Spark: the 0.0 probe must keep the -0.0 row
+    val (gotZ, _) = LakeSelect.readWhere(spark, dir, "price = 0.0")
+    assert(gotZ.count() == 2L, // id 0 and the planted -0.0 row
+      s"${gotZ.count()}")
+    // a decimal literal against a BIGINT column stays unrouted on the
+    // FP path (different comparison space)
+    val (gotI, _) = LakeSelect.readWhere(spark, dir, "k = 55.0")
+    assert(gotI.count() == 1L)
+    // FP counts never claim exactness (stats may not bound NaN rows)
+    val (n, cs) = LakeSelect.countWhere(spark, dir, "price < 100.5")
+    assert(n == TableLog.read(spark, dir).where("price < 100.5").count())
+    assert(!cs.exact, s"FP count must stay conservative: $cs")
+  }
+
   test("readJoinPruned: dim keys route through zone stats and blooms, " +
     "wide/empty/untyped dims fall back safely") {
     val dir = java.nio.file.Files.createTempDirectory("lsel_join")
