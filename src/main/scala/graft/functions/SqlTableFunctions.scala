@@ -361,10 +361,11 @@ object SqlTableFunctions {
   /** `graft_minmax('dir', 'column'[, version])` — metadata-only
     * MIN/MAX ([[graft.operators.TableLog.columnMinMax]]): exact index
     * bounds for clean files, a single-column selective scan for
-    * DV-carrying ones. Loud on column types whose stats cannot prove
-    * bounds (float/double/binary) — fall back to a plain aggregate
-    * there. Returns one row (min_v, max_v, scanned_rgs) with the
-    * extremes cast to string. */
+    * DV-carrying ones and for FP groups whose stats dropped a bound
+    * (NaN). Loud on column types whose stats cannot prove bounds
+    * (binary/decimal) — fall back to a plain aggregate there. Returns
+    * one row (min_v, max_v, scanned_rgs) with the extremes cast to
+    * string. */
   private def minMaxBuilder(args: Seq[Expression]): LogicalPlan = {
     require(args.length == 2 || args.length == 3,
       "usage: graft_minmax(dir, column[, version])")

@@ -1956,12 +1956,16 @@ object TableLog {
 
   /** Metadata-only MIN/MAX of `column` — the other most common lake
     * aggregate: clean files answer from the index's exact bounds
-    * (integral and string dtypes; float/double bounds fold truncated
-    * and binary has no order contract, so those return None — caller
-    * falls back to a full aggregate), while files carrying deletion
-    * vectors scan JUST that column selectively (a hidden row might
-    * hold the extreme) and combine. Returns None when the column's
-    * type cannot prove bounds; Some((None, None, scanned)) when every
+    * (integral, string, and — via the dmin/dmax stats — float/double
+    * dtypes; binary has no order contract and decimal compares in a
+    * scaled space, so those return None — caller falls back to a full
+    * aggregate), while files carrying deletion vectors, and FP groups
+    * whose stats dropped a bound (NaN folded in, or a pre-FP-stats
+    * sidecar), scan JUST that column selectively (a hidden row might
+    * hold the extreme) and combine — so an FP max under NaN rows
+    * correctly comes back NaN (Spark's NaN-greatest order). Returns
+    * None when the column's type cannot prove bounds;
+    * Some((None, None, scanned)) when every
     * value is null (SQL MIN/MAX = NULL). Longs come back widened
     * (int8/16/32 → Long). */
   def columnMinMax(spark: SparkSession, dir: String, column: String,
@@ -1983,22 +1987,34 @@ object TableLog {
       if (dvAbs.isEmpty) lit(0L)
       else coalesce(sum(when(col("rg") >= 0, col("n_rows"))
         .otherwise(0L)).over(w), lit(0L))
+    // an FP group with non-null rows but a missing bound (NaN folded
+    // into the stats, or no stats at all) cannot prove its extreme —
+    // it scans selectively, exactly like a DV'd group
+    val fpIncomplete = col("dtype").isin("float", "double") &&
+      coalesce(col("n_nulls"), lit(1L)) =!= col("n_rows") &&
+      (col("dmin").isNull || col("dmax").isNull)
+    val needsScan = isDv || fpIncomplete
     val agg = rows.withColumn("__start", startCol).agg(
       first(col("dtype")).as("dtype"),
       min(when(!isDv, col("lmin"))), max(when(!isDv, col("lmax"))),
       min(when(!isDv, col("smin"))), max(when(!isDv, col("smax"))),
-      collect_list(when(isDv && col("rg") >= 0,
+      min(when(!needsScan, col("dmin"))),
+      max(when(!needsScan, col("dmax"))),
+      collect_list(when(needsScan && col("rg") >= 0,
         struct(col("file"), col("rg"), col("__start"),
           col("n_rows"))))).first()
     val dtype = agg.getString(0)
     val isLongT =
       Seq("tinyint", "smallint", "int", "bigint").contains(dtype)
-    if (!isLongT && dtype != "string") return None
+    val isFpT = dtype == "float" || dtype == "double"
+    if (!isLongT && dtype != "string" && !isFpT) return None
     def statOf(i: Int): Option[Any] =
       if (agg.isNullAt(i)) None else Some(agg.get(i))
     val (cleanMin, cleanMax) =
-      if (isLongT) (statOf(1), statOf(2)) else (statOf(3), statOf(4))
-    val dvSlices = agg.getSeq[org.apache.spark.sql.Row](5)
+      if (isLongT) (statOf(1), statOf(2))
+      else if (isFpT) (statOf(5), statOf(6))
+      else (statOf(3), statOf(4))
+    val dvSlices = agg.getSeq[org.apache.spark.sql.Row](7)
       .map(r => RowGroupScan.RgSlice(r.getString(0), r.getInt(1),
         r.getLong(2), r.getLong(3)))
     val (dvMin, dvMax, scanned) =
@@ -2009,7 +2025,8 @@ object TableLog {
           RowGroupScan.scanSlices(spark, dvSlices,
             Seq(column -> dtype), Seq(column), emitPos = true),
           snap.dvs.filter { case (f, _) => kept(f) })
-        val target = if (isLongT) "long" else "string"
+        val target = if (isLongT) "long"
+                     else if (isFpT) "double" else "string"
         val r = scannedDf.agg(
           min(expr(s"`$column`").cast(target)),
           max(expr(s"`$column`").cast(target))).first()
@@ -2018,6 +2035,10 @@ object TableLog {
          dvSlices.size.toLong)
       }
     def lt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: java.lang.Double, y: java.lang.Double) =>
+        // Spark order: NaN greatest (compare agrees); stats are
+        // -0.0-normalized, scanned values normalize below
+        java.lang.Double.compare(x, y) < 0
       case (x: Number, y: Number) => x.longValue < y.longValue
       case (x: String, y: String) =>
         org.apache.spark.unsafe.types.UTF8String.fromString(x)
@@ -2027,6 +2048,9 @@ object TableLog {
     }
     def norm(v: Any): Any = v match {
       case n: Number if isLongT => n.longValue
+      case n: Number if isFpT =>
+        val d = n.doubleValue
+        if (d == 0.0) 0.0 else d // collapse -0.0 like the stats space
       case x => x
     }
     val mn = (cleanMin.map(norm).toSeq ++ dvMin.map(norm).toSeq)

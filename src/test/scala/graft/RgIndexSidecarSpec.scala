@@ -407,8 +407,10 @@ class RgIndexSidecarSpec extends AnyFunSuite {
     // all-null column: SQL MIN/MAX = NULL, still metadata-only
     val Some((nmn, nmx, nsc)) = TableLog.columnMinMax(spark, dir, "empty")
     assert(nmn.isEmpty && nmx.isEmpty && nsc == 0L)
-    // double: stats fold truncated — refuse, caller aggregates
-    assert(TableLog.columnMinMax(spark, dir, "d").isEmpty)
+    // double: served from the FP stats — metadata-only on clean files
+    val Some((dmn, dmx, dsc)) = TableLog.columnMinMax(spark, dir, "d")
+    assert(dmn.contains(0.0) && dmx.contains(8999.0) && dsc == 0L,
+      s"$dmn $dmx $dsc")
     // hide the max behind a deletion vector: the answer must come from
     // scanning the DV'd file's column, not the (stale-looking) stats
     TableLog.deleteVectored(spark, dir, "k >= 8998")
@@ -420,6 +422,19 @@ class RgIndexSidecarSpec extends AnyFunSuite {
     graft.functions.GraftFunctions.registerAll(spark)
     val r = spark.sql(s"SELECT * FROM graft_minmax('$dir', 's')").head()
     assert(r.getString(0) == "s00000" && r.getString(1) == "s08997")
+    // FP extremes under NaN: the NaN-bearing group's stats drop a
+    // bound, so it scans selectively — and the true max IS NaN
+    // (Spark's NaN-greatest order), with the clean groups still
+    // answering from metadata
+    TableLog.append(spark.sql(
+      "SELECT 20000L as k, 'zz' as s, cast(null as long) as empty, " +
+        "double('NaN') as d " +
+        "UNION ALL SELECT 20001L, 'zz', cast(null as long), " +
+        "double(-5.0)"), dir, options = smallRg)
+    val Some((fmn, fmx, fsc)) = TableLog.columnMinMax(spark, dir, "d")
+    assert(fmn.contains(-5.0), s"$fmn")
+    assert(fmx.exists(v => v.asInstanceOf[Double].isNaN), s"$fmx")
+    assert(fsc > 0L, "NaN-bearing group must scan")
   }
 
   test("CHECK constraints on a non-deterministic write validate the " +
