@@ -800,6 +800,81 @@ object Similarity {
     (ranked, stats)
   }
 
+  /** [[ivfTopKPersistedWhere]] × [[ivfPqTopKPersisted]]: filtered
+    * serving through the PQ codes — the predicate routes through the
+    * scalar indexes, candidates semi-join to matching ids BEFORE the
+    * ADC scan (codes only, no full vectors until refine), and the
+    * exact refine reads from the filtered live frame so non-matching
+    * and DV'd rows can never surface. Zero training. Returns the
+    * ranked frame plus the filtered read's pruning stats. */
+  def ivfPqTopKPersistedWhere(spark: org.apache.spark.sql.SparkSession,
+      dir: String, queries: DataFrame, k: Int, predicate: String,
+      nprobe: Int = 8, refine: Int = 64, version: Int = -1)
+      : (DataFrame, LakeSelect.Stats) = {
+    require(refine >= k,
+      s"refine shortlist must cover k: refine=$refine k=$k")
+    val snap = TableLog.snapshot(dir, version)
+    val meta = snap.vecCol.getOrElse(sys.error(
+      s"no persisted IVF index on $dir (run buildIvfIndex first)"))
+    val Array(vecCol, idCol) = meta.split(",", 2)
+    val cbRel = snap.vecidx.getOrElse("codebook", sys.error(
+      s"IVF index on $dir lost its codebook sidecar"))
+    val pqRel = snap.vecidx.getOrElse("pqbook", sys.error(
+      s"IVF index on $dir has no PQ codebooks " +
+        "(rebuild with buildIvfIndex(pq = true))"))
+    val centroids = loadCodebook(spark, dir, cbRel)
+    val books = loadPqBook(spark, dir, pqRel)
+    val ksubEff = books(0).length
+    val base = java.nio.file.Paths.get(dir)
+    val covered = snap.files.filter(snap.vecidx.contains)
+    val uncovered = snap.files.filterNot(snap.vecidx.contains)
+    val (filtered, stats) = LakeSelect.readWhere(spark, dir, predicate,
+      version, Seq(idCol, vecCol))
+    val keep = filtered.select(col(idCol).as("vid"))
+    val fromSidecars =
+      if (covered.isEmpty) None
+      else Some(spark.read.parquet(covered.map(f =>
+          base.resolve(snap.vecidx(f)).toString): _*)
+        .select(col("vid"), col("cell"), col("codes")))
+    val fromData =
+      if (uncovered.isEmpty) None
+      else Some(spark.read.parquet(uncovered.map(f =>
+          base.resolve(f).toString): _*)
+        .select(col(idCol).as("vid"),
+          ivfpq_encode(col(vecCol), centroids, books).as("enc"))
+        .select(col("vid"), col("enc.cell").as("cell"),
+          col("enc.codes").as("codes")))
+    val cand = (fromSidecars.toSeq ++ fromData.toSeq)
+      .reduce(_ unionByName _)
+      .join(keep, Seq("vid"), "left_semi")
+    val probed = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+      .withColumn("lut", pq_lut(col("qv"), books))
+      .select(col("qid"), col("qv"), col("lut"),
+        explode(nearest_cells(col("qv"), centroids, nprobe)).as("cell"))
+      .withColumn("cdot", cell_dot(col("qv"), col("cell"), centroids))
+    val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc,
+      col("nid"))
+    val shortlist = probed
+      .join(cand.withColumnRenamed("vid", "nid"), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adc",
+        col("cdot") + pq_adc(col("lut"), col("codes"), ksubEff))
+      .withColumn("ra", row_number().over(wAdc))
+      .filter(col("ra") <= refine)
+      .select(col("qid"), col("qv"), col("nid"))
+    val orig = filtered.select(col(idCol).as("nid"),
+      col(vecCol).as("nv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc,
+      col("nid"))
+    val ranked = shortlist.join(orig, Seq("nid"))
+      .withColumn("cos", cosine_similarity(col("qv"), col("nv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("rk"), col("cos"))
+    (ranked, stats)
+  }
+
   /** IVF-PQ ANN THROUGH the persisted index (built with
     * `buildIvfIndex(pq = true)`): zero training jobs, and the ADC
     * candidate stage reads ONLY (vid, cell, codes) from the assignment

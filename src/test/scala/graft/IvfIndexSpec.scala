@@ -289,5 +289,32 @@ class IvfIndexSpec extends AnyFunSuite {
     val hit2 = r4.collect().find(_.getLong(0) == 10002L)
     assert(hit2.forall(_.getLong(1) != 2L),
       s"DV-deleted row resurfaced through the filter: $hit2")
+
+    // the PQ variant: rebuild with codes, then filtered ADC serving —
+    // matching twins self-match (except the DV'd one), non-matching
+    // twins get only matching neighbors, zero training on the query
+    Similarity.buildIvfIndex(spark, dir, nlist = 16,
+      trainSample = 500, iters = 3, pq = true, m = 8, ksub = 64)
+    val b5 = Similarity.trainingJobs.sum()
+    val (r5, st5) = Similarity.ivfPqTopKPersistedWhere(spark, dir,
+      qMatch, k = 1, "cat = 2", nprobe = 4, refine = 64)
+    assert(Similarity.trainingJobs.sum() == b5,
+      "filtered PQ query ran a training job")
+    val rows5 = r5.collect().sortBy(_.getLong(0))
+    rows5.filter(_.getLong(0) != 10002L).foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) - 10000, r.toString)
+      assert(math.abs(r.getDouble(3) - 1.0) < 1e-9, r.toString)
+    }
+    assert(rows5.find(_.getLong(0) == 10002L)
+      .forall(_.getLong(1) != 2L), "DV'd twin resurfaced via PQ filter")
+    assert(st5.filesOpened < st5.filesTotal ||
+      st5.rgOpened < st5.rgTotal, s"$st5")
+    val (r6, _) = Similarity.ivfPqTopKPersistedWhere(spark, dir,
+      qMiss, k = 2, "cat = 2", nprobe = 16, refine = 64)
+    val rows6 = r6.collect()
+    assert(rows6.nonEmpty)
+    rows6.foreach { r =>
+      assert(r.getLong(1) % 4 == 2, s"non-matching PQ neighbor: $r")
+    }
   }
 }
