@@ -1811,6 +1811,57 @@ object SparkEntry {
         lit(!cs.exact).as("count_conservative"))
     },
 
+    "sql25_decimal_routing" -> { (s, d) =>
+      // DECIMAL ZONE ROUTING (the money type): predicates on a
+      // DECIMAL(14,2) measure rescale to EXACT unscaled-integer
+      // bounds against the index's int stats (ceil/floor semantics
+      // for unrepresentable bounds; unrepresentable equalities prune
+      // to empty; precision > 18 would fall back conservatively).
+      // The decimal column is string-built from integer cents so both
+      // engines construct bit-identical values. Replay: the same
+      // predicates as plain filters.
+      val dir = java.nio.file.Files.createTempDirectory("graft_sql25")
+        .toString + "/table"
+      val o = t(s, d, "orders").selectExpr("o_orderkey",
+        "cast(round(o_totalprice * 100) as bigint) as cents")
+        .selectExpr("o_orderkey",
+          "cast(concat(cast(cents div 100 as string), '.', " +
+            "lpad(cast(cents % 100 as string), 2, '0')) " +
+            "as decimal(14,2)) as price_dec")
+      graft.operators.TableLog.append(
+        o.repartitionByRange(4, col("price_dec"), col("o_orderkey"))
+          .sortWithinPartitions("price_dec", "o_orderkey"),
+        dir, options = Map("parquet.block.size" -> "16384",
+          "parquet.page.size" -> "4096"))
+      val (df1, st1) = graft.operators.LakeSelect.readWhere(s, dir,
+        "price_dec < 50000.00")
+      val a1 = df1.agg(count(lit(1)), sum(col("o_orderkey"))).first()
+      val (df2, st2) = graft.operators.LakeSelect.readWhere(s, dir,
+        "price_dec >= 100000.00 AND price_dec < 150000.505")
+      val a2 = df2.agg(count(lit(1)), sum(col("o_orderkey"))).first()
+      val maxDec = o.agg(max(col("price_dec"))).first()
+        .getDecimal(0).toPlainString
+      val (df3, st3) = graft.operators.LakeSelect.readWhere(s, dir,
+        s"price_dec = $maxDec")
+      val n3 = df3.count()
+      val (nc, cs) = graft.operators.LakeSelect.countWhere(s, dir,
+        "price_dec < 50000.00")
+      s.range(1).select(
+        lit(a1.getLong(0)).as("n_lo"),
+        lit(a1.getLong(1)).as("sum_lo"),
+        lit(a2.getLong(0)).as("n_band"),
+        lit(a2.getLong(1)).as("sum_band"),
+        lit(n3).as("n_max"),
+        lit(nc).as("n_count"),
+        lit(st1.strategy == "rowgroup_range" &&
+          st1.rgOpened < st1.rgTotal).as("lo_routed"),
+        lit(st2.strategy == "rowgroup_range" &&
+          st2.rgOpened < st2.rgTotal).as("band_routed"),
+        lit(st3.strategy == "rowgroup_in" &&
+          st3.rgOpened < st3.rgTotal).as("eq_routed"),
+        lit(!cs.exact).as("count_conservative"))
+    },
+
     "sql15_count_sql" -> { (s, d) =>
       // metadata-first COUNT from SQL text (graft_build_index +
       // graft_count → LakeSelect.countWhere): the index persists as a
@@ -11230,6 +11281,36 @@ object SparkEntry {
               (SELECT MAX(o_totalprice) FROM orders)) AS n_max,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
             WHERE o_totalprice < 50000.0) AS n_count,
+           TRUE AS lo_routed, TRUE AS band_routed, TRUE AS eq_routed,
+           TRUE AS count_conservative""",
+
+    // decimal-routing replay: the same decimal predicates as plain
+    // filters over the same string-built cents decimal; the flags pin
+    // the unscaled-bound routing and the conservative count
+    "sql25_decimal_routing" ->
+      s"""WITH dec AS (
+           SELECT o_orderkey,
+             CAST(CAST(c.cents // 100 AS VARCHAR) || '.' ||
+               lpad(CAST(c.cents % 100 AS VARCHAR), 2, '0')
+               AS DECIMAL(14,2)) AS price_dec
+           FROM (SELECT o_orderkey,
+               ${centsSql("o_totalprice")} AS cents FROM orders) c)
+         SELECT
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dec
+            WHERE price_dec < 50000.00) AS n_lo,
+           (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM dec
+            WHERE price_dec < 50000.00) AS sum_lo,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dec
+            WHERE price_dec >= 100000.00 AND price_dec < 150000.505)
+             AS n_band,
+           (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM dec
+            WHERE price_dec >= 100000.00 AND price_dec < 150000.505)
+             AS sum_band,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dec
+            WHERE price_dec = (SELECT MAX(price_dec) FROM dec))
+             AS n_max,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dec
+            WHERE price_dec < 50000.00) AS n_count,
            TRUE AS lo_routed, TRUE AS band_routed, TRUE AS eq_routed,
            TRUE AS count_conservative""",
 

@@ -93,6 +93,13 @@ object LakeSelect {
     * can demand a matching timestamp COLUMN (micros zone stats) and
     * never cross the TZ/NTZ boundary. */
   private[operators] final case class TsLit(micros: Long, ntz: Boolean)
+  /** A DECIMAL literal kept exact — the lowering dispatches by the
+    * COLUMN's type: toDouble against an FP column (the same promotion
+    * Spark's comparison applies), exact unscaled-integer bounds
+    * against a DECIMAL column of foldable precision, unprunable
+    * elsewhere. */
+  private[operators] final case class DecLit(
+      dec: org.apache.spark.sql.types.Decimal)
   private[operators] final case class OrC(
       branches: Seq[(String, Constraint)]) extends Constraint
   /** `upper(col) = 'X'` / `lower(col) IN (…)` — and, with `prefix`,
@@ -357,6 +364,33 @@ object LakeSelect {
     def isFpCol(c: String): Boolean = s.get(c).exists(t =>
       t == org.apache.spark.sql.types.FloatType ||
         t == org.apache.spark.sql.types.DoubleType)
+    // a DECIMAL column whose parquet stats fold as unscaled ints
+    // (precision <= 18: INT32/INT64 physical; wider is binary)
+    def decScale(c: String): Option[Int] = s.get(c) match {
+      case Some(t: org.apache.spark.sql.types.DecimalType)
+          if t.precision <= 18 => Some(t.scale)
+      case _ => None
+    }
+    // DecLit -> normalized double (a decimal is never NaN), the same
+    // toDouble Spark's double-vs-decimal promotion applies
+    def fpD(v: Any): Double = {
+      val d = v.asInstanceOf[DecLit].dec.toDouble
+      if (d == 0.0) 0.0 else d
+    }
+    // DecLit at the COLUMN's scale: None when equality cannot be
+    // represented (provably false) or the unscaled value overflows
+    def unscaledExact(v: Any, sc: Int): Option[Long] =
+      try {
+        Some(v.asInstanceOf[DecLit].dec.toJavaBigDecimal
+          .setScale(sc).unscaledValue.longValueExact)
+      } catch { case _: ArithmeticException => None }
+    def unscaledDir(v: Any, sc: Int,
+        mode: java.math.RoundingMode): (Long, Boolean) = {
+      val bd = v.asInstanceOf[DecLit].dec.toJavaBigDecimal
+      val r = bd.setScale(sc, mode)
+      (r.unscaledValue.longValueExact,
+        r.compareTo(bd) == 0) // exact <=> no rounding happened
+    }
     def tsKind(c: String): Option[Boolean] = s.get(c) match {
       case Some(org.apache.spark.sql.types.TimestampType) => Some(false)
       case Some(org.apache.spark.sql.types.TimestampNTZType) => Some(true)
@@ -386,6 +420,21 @@ object LakeSelect {
           Some(TableLog.StrIn(c, e.values.map(_.asInstanceOf[String])))
         case (c, e: EqIn) if isTsVals(e.values, c) =>
           Some(TableLog.NumIn(c, e.values.map(micros)))
+        case (c, e: EqIn) if e.values.nonEmpty &&
+            e.values.forall(_.isInstanceOf[DecLit]) =>
+          lossless = false
+          if (isFpCol(c)) Some(TableLog.DblIn(c, e.values.map(fpD)))
+          else decScale(c) match {
+            case Some(sc) =>
+              try {
+                // values the column's scale cannot represent are
+                // provably false and drop from the probe set (an
+                // empty set rejects every stats-bearing group)
+                Some(TableLog.NumIn(c,
+                  e.values.flatMap(unscaledExact(_, sc))))
+              } catch { case _: ArithmeticException => None }
+            case None => None
+          }
         case (c, e: EqIn) if e.values.nonEmpty &&
             e.values.forall(_.isInstanceOf[Double]) =>
           // FP probes only against an FP column (a decimal literal on
@@ -474,6 +523,32 @@ object LakeSelect {
                 r.lo.map(_.asInstanceOf[Double]),
                 r.hi.map(_.asInstanceOf[Double]), r.hiExcl))
             else None
+          }
+          else if (bs.forall(_.isInstanceOf[DecLit])) {
+            lossless = false
+            if (isFpCol(c))
+              Some(TableLog.DblRange(c, r.lo.map(fpD), r.hi.map(fpD),
+                r.hiExcl))
+            else decScale(c) match {
+              case Some(sc) =>
+                try {
+                  // bounds rescale EXACTLY in integer semantics:
+                  // k >= 950.005 <=> unscaled >= ceil; k <(=) 950.005
+                  // <=> unscaled <= floor; an exactly-representable
+                  // exclusive hi decrements (same Long.MinValue guard
+                  // as the integral path)
+                  import java.math.RoundingMode.{CEILING, FLOOR}
+                  val lo = r.lo.map(unscaledDir(_, sc, CEILING)._1)
+                  val hi = r.hi.map { v =>
+                    val (h, exact) = unscaledDir(v, sc, FLOOR)
+                    if (exact && r.hiExcl)
+                      (if (h == Long.MinValue) h else h - 1)
+                    else h
+                  }
+                  Some(TableLog.NumRange(c, lo, hi))
+                } catch { case _: ArithmeticException => None }
+              case None => None
+            }
           }
           else if (bs.forall(_.isInstanceOf[java.time.LocalDate]) &&
               isDateCol(c))
@@ -569,12 +644,9 @@ object LakeSelect {
         if (f.isNaN) None
         else Some(if (f == 0.0f) 0.0 else f.toDouble)
       case dec: org.apache.spark.sql.types.Decimal =>
-        // a bare `950.0` parses as DECIMAL; against an FP column Spark
-        // promotes it with the SAME toDouble cast, so the bound is
-        // exact in the comparison space. The lowering's schema guard
-        // keeps decimal probes off integral/decimal columns.
-        val d = dec.toDouble
-        if (d.isNaN) None else Some(if (d == 0.0) 0.0 else d)
+        // a bare `950.0` parses as DECIMAL — kept exact and tagged;
+        // the lowering dispatches on the column type
+        Some(DecLit(dec))
       case _ => None // timestamps/binary: not prunable here
     }
     def colName(e: Expression): Option[String] = e match {
@@ -1129,6 +1201,8 @@ object LakeSelect {
         case (x: String, y: String) => Some(utf8Compare(x, y))
         case (x: Double, y: Double) =>
           Some(java.lang.Double.compare(x, y)) // normalized, no NaN
+        case (DecLit(x), DecLit(y)) =>
+          Some(x.toJavaBigDecimal.compareTo(y.toJavaBigDecimal))
         case (x: java.time.LocalDate, y: java.time.LocalDate) =>
           Some(x.compareTo(y))
         case (x: TsLit, y: TsLit) if x.ntz == y.ntz =>

@@ -514,6 +514,56 @@ class LakeSelectSpec extends AnyFunSuite {
     assert(!cs.exact, s"FP count must stay conservative: $cs")
   }
 
+  test("decimal predicates route as exact unscaled bounds: ranges " +
+    "rescale exactly, unrepresentable equalities prune to empty, wide " +
+    "precision stays conservative") {
+    val dir = java.nio.file.Files.createTempDirectory("lsel_dec")
+      .toString + "/t"
+    // price = id + 0.25 as DECIMAL(12,2) (string-built: exact), plus a
+    // wide DECIMAL(20,2) twin whose stats are binary (unfoldable)
+    val df = spark.range(16000).selectExpr("id as k",
+      "cast(concat(cast(id as string), '.25') as decimal(12,2)) " +
+        "as price",
+      "cast(concat(cast(id as string), '.25') as decimal(20,2)) " +
+        "as price_wide")
+    TableLog.append(
+      df.repartitionByRange(4, col("price"), col("k"))
+        .sortWithinPartitions("price", "k"),
+      dir, options = smallRg)
+    def same(pred: String, strategy: String, prunes: Boolean): Long = {
+      val (got, st) = LakeSelect.readWhere(spark, dir, pred)
+      assert(st.strategy == strategy,
+        s"$pred routed ${st.strategy}, wanted $strategy ($st)")
+      if (prunes) assert(st.rgOpened < st.rgTotal, s"$pred: $st")
+      val want = TableLog.read(spark, dir).where(pred)
+      assert(got.orderBy("k").collect().toSeq ==
+        want.orderBy("k").collect().toSeq, s"$pred result drift")
+      got.count()
+    }
+    assert(same("price < 100.2", "rowgroup_range",
+      prunes = true) == 100L)
+    // a bound the scale cannot represent rescales EXACTLY in integer
+    // semantics (k < 100.005 <=> unscaled <= 10000)
+    assert(same("price < 100.005", "rowgroup_range",
+      prunes = true) == 100L)
+    assert(same("price >= 15000.25 and price <= 15010.0",
+      "rowgroup_range", prunes = true) == 10L)
+    assert(same("price = 123.25", "rowgroup_in", prunes = true) == 1L)
+    // an equality the scale cannot represent is provably false:
+    // nothing scans at all
+    val (gotF, stF) = LakeSelect.readWhere(spark, dir,
+      "price = 123.256")
+    assert(gotF.count() == 0L && stF.rgOpened == 0, s"$stF")
+    // precision > 18: binary stats, conservative full scan, exact
+    val (gotW, stW) = LakeSelect.readWhere(spark, dir,
+      "price_wide < 100.2")
+    assert(stW.strategy == "full_scan", s"$stW")
+    assert(gotW.count() == 100L)
+    // counts stay conservative in flag, exact in value
+    val (n, cs) = LakeSelect.countWhere(spark, dir, "price < 100.2")
+    assert(n == 100L && !cs.exact, s"$n $cs")
+  }
+
   test("readJoinPruned: dim keys route through zone stats and blooms, " +
     "wide/empty/untyped dims fall back safely") {
     val dir = java.nio.file.Files.createTempDirectory("lsel_join")
