@@ -1198,6 +1198,53 @@ object Stress {
       }
     }
 
+    if (sec("r15c")) {
+      time("FP+decimal routing (10M rows)") {
+        // round-15 numeric-family routing at scale: a 10M-row table
+        // with double and decimal measure columns, range predicates
+        // must prune >=90% of row groups on the new dmin/dmax and
+        // unscaled-int stats, with NaN rows surviving every
+        // NaN-matching probe
+        import graft.operators.{LakeSelect, TableLog}
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_stress_fp").toString + "/t"
+        TableLog.append(
+          spark.range(10000000L).selectExpr("id as k",
+            "cast(id as double) / 100.0 as price",
+            "cast(concat(cast(id as string), '.25') as decimal(18,2)) " +
+              "as price_dec")
+            .unionByName(spark.sql(
+              "SELECT 20000000L as k, double('NaN') as price, " +
+                "cast(1.25 as decimal(18,2)) as price_dec"))
+            .sortWithinPartitions("k")
+            .coalesce(8),
+          dir, options = Map("parquet.block.size" -> "1048576",
+            "parquet.page.size" -> "65536"))
+        TableLog.computeRowGroupIndex(spark, dir)
+        val (d1, s1) = LakeSelect.readWhere(spark, dir,
+          "price >= 50000.0 and price < 50010.005")
+        require(d1.count() == 1001L, s"double slice: ${d1.count()}")
+        require(s1.rgOpened * 10 <= s1.rgTotal,
+          s"double range must prune >=90%: $s1")
+        val (d2, s2) = LakeSelect.readWhere(spark, dir,
+          "price_dec >= 5000000.25 and price_dec <= 5000999.25")
+        require(d2.count() == 1000L, s"decimal slice: ${d2.count()}")
+        require(s2.rgOpened * 10 <= s2.rgTotal,
+          s"decimal range must prune >=90%: $s2")
+        // the NaN row matches a NaN-greatest probe and must survive
+        val (d3, _) = LakeSelect.readWhere(spark, dir,
+          "price > 99999.99")
+        require(d3.filter(col("k") === 20000000L).count() == 1L,
+          "NaN row pruned away at scale")
+        val (nMeta, cs) = LakeSelect.countWhere(spark, dir,
+          "price < 50000.0")
+        require(nMeta == 5000000L && !cs.exact,
+          s"FP count: $nMeta $cs")
+        println(f"    double ${s1.rgOpened}/${s1.rgTotal} rgs, " +
+          f"decimal ${s2.rgOpened}/${s2.rgTotal} rgs, NaN exact")
+      }
+    }
+
     if (sec("r15b")) {
       time("sidecar compaction (80 commits -> 1 sidecar each)") {
         // round-15 stats-compaction scaling: 80 appends to a bloom- and
