@@ -1293,8 +1293,11 @@ object LakeSelect {
       .collect()
     if (keyRows.length > maxKeys) return full("join_full")
     // probe values in the index's value space: integrals fold to Long,
-    // strings stay raw; any other key type (double joins, decimals)
-    // cannot probe the indexes soundly — unpruned join, still exact
+    // strings stay raw, DATE keys (the calendar-dim join) stay
+    // LocalDate so the lowering can demand a DateType fact column
+    // before pruning on epoch days; any other key type (double joins,
+    // decimals) cannot probe the indexes soundly — unpruned join,
+    // still exact
     val keys: Seq[Any] = keyRows.iterator.map(_.get(0))
       .filter(_ != null).map {
         case b: Byte => b.toLong
@@ -1302,6 +1305,8 @@ object LakeSelect {
         case i: Int => i.toLong
         case l: Long => l
         case s: String => s
+        case d: java.sql.Date => d.toLocalDate
+        case d: java.time.LocalDate => d
         case other => return full("join_full")
       }.toSeq.distinct
     if (keys.isEmpty) {

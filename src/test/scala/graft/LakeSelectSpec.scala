@@ -607,5 +607,27 @@ class LakeSelectSpec extends AnyFunSuite {
       dbl, "dk")
     assert(stD.strategy == "join_full", s"$stD")
     assert(dfD.count() == 2L)
+
+    // DATE join keys — the calendar-dim pattern: a date-typed fact
+    // column pruned by a narrow dim's dates via epoch-day zone stats
+    val dirD = java.nio.file.Files.createTempDirectory("lsel_joind")
+      .toString + "/t"
+    TableLog.append(
+      spark.range(16000).selectExpr("id as k",
+        "date_add(date'2023-01-01', cast(id % 400 as int)) as d")
+        .repartitionByRange(4, col("d"), col("k"))
+        .sortWithinPartitions("d", "k"),
+      dirD, options = smallRg)
+    val dimD = spark.sql(
+      "SELECT explode(sequence(date'2023-02-01', date'2023-02-03')) " +
+        "AS dd")
+    val (dfJ, stJ) = LakeSelect.readJoinPruned(spark, dirD, "d",
+      dimD, "dd")
+    assert(stJ.strategy == "join_rowgroup_in", s"$stJ")
+    assert(stJ.rgOpened < stJ.rgTotal, s"date-dim join must prune: $stJ")
+    assert(dfJ.count() ==
+      TableLog.read(spark, dirD)
+        .where("d BETWEEN date'2023-02-01' AND date'2023-02-03'")
+        .count(), "date-dim join row drift")
   }
 }
