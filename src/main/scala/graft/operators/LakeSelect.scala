@@ -1307,6 +1307,17 @@ object LakeSelect {
         case s: String => s
         case d: java.sql.Date => d.toLocalDate
         case d: java.time.LocalDate => d
+        // TIMESTAMP keys (event-time dims): micros-tagged, so the
+        // lowering demands a matching TS/NTZ fact column
+        case t: java.sql.Timestamp => TsLit(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJavaTimestamp(t), ntz = false)
+        case i: java.time.Instant => TsLit(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .instantToMicros(i), ntz = false)
+        case ldt: java.time.LocalDateTime => TsLit(
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .localDateTimeToMicros(ldt), ntz = true)
         case other => return full("join_full")
       }.toSeq.distinct
     if (keys.isEmpty) {

@@ -629,5 +629,25 @@ class LakeSelectSpec extends AnyFunSuite {
       TableLog.read(spark, dirD)
         .where("d BETWEEN date'2023-02-01' AND date'2023-02-03'")
         .count(), "date-dim join row drift")
+
+    // TIMESTAMP join keys — an event-time dim against a ts-sorted fact
+    val dirT = java.nio.file.Files.createTempDirectory("lsel_joint")
+      .toString + "/t"
+    TableLog.append(
+      spark.range(16000).selectExpr("id as k",
+        "timestamp'2023-01-01 00:00:00' + " +
+          "make_interval(0, 0, 0, 0, 0, cast(id as int), 0) as ts")
+        .repartitionByRange(4, col("ts"), col("k"))
+        .sortWithinPartitions("ts", "k"),
+      dirT, options = smallRg)
+    val dimT = spark.sql(
+      "SELECT timestamp'2023-01-03 05:00:00' + " +
+        "make_interval(0, 0, 0, 0, 0, cast(m as int), 0) AS dt " +
+        "FROM range(3) AS t(m)")
+    val (dfT, stT) = LakeSelect.readJoinPruned(spark, dirT, "ts",
+      dimT, "dt")
+    assert(stT.strategy == "join_rowgroup_in", s"$stT")
+    assert(stT.rgOpened < stT.rgTotal, s"ts-dim join must prune: $stT")
+    assert(dfT.count() == 3L, s"ts-dim join rows: ${dfT.count()}")
   }
 }
