@@ -32,12 +32,37 @@ object RunOne {
     val q = SparkEntry.queries(name)
     if (args.contains("explain")) q(spark, sfDir).explain("formatted")
     q(spark, sfDir).count() // warm-up: JIT + codegen + file index
+    // `jobs` arg: per-run Spark job/stage/task counts — the guide-§1
+    // "where does the fixed overhead go" probe for gates whose cost is
+    // job-count-bound rather than data-bound (lifecycle gates at sf0.1)
+    val counting = args.contains("jobs")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        tasks.addAndGet(s.stageInfo.numTasks)
+      }
+    }
+    if (counting) spark.sparkContext.addSparkListener(listener)
     val runs = (1 to 2).map { _ =>
+      jobs.set(0); stages.set(0); tasks.set(0)
       val t0 = System.nanoTime()
       val n = q(spark, sfDir).count()
-      (n, (System.nanoTime() - t0) / 1e9)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (counting) Thread.sleep(300) // listener events are async; drain
+      (n, dt, jobs.get, stages.get, tasks.get)
     }
-    runs.foreach { case (n, s) => println(f"RUNONE $name%s rows=$n%d time=$s%.3f s") }
+    runs.foreach { case (n, s, j, st, tk) =>
+      if (counting)
+        println(f"RUNONE $name%s rows=$n%d time=$s%.3f s jobs=$j%d stages=$st%d tasks=$tk%d")
+      else println(f"RUNONE $name%s rows=$n%d time=$s%.3f s")
+    }
     spark.stop()
   }
 }

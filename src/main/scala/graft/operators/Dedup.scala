@@ -453,11 +453,11 @@ object Dedup {
     * re-execute the whole upstream every iteration; `checkpointDir`
     * upgrades executor-local checkpoint blocks to reliable storage for
     * fault-tolerant cluster runs (results are identical either way —
-    * spec-pinned). Convergence is detected by the total label sum (one
-    * cheap aggregate per round) instead of a join + count: each step takes
-    * an elementwise `least`, so labels only ever decrease — the sum is
-    * stable iff no label moved. Decimal(38) accumulation cannot overflow
-    * on 64-bit ids. */
+    * spec-pinned). Convergence is detected by a changed-label count
+    * OBSERVED inside the checkpoint's own job (`Dataset.observe`) — zero
+    * extra actions per round: each step takes an elementwise `least`, so
+    * labels only ever decrease and "no row changed" is exactly the old
+    * label-sum stability test. */
   def clusters(pairs: DataFrame, maxIter: Int = 10,
       pointerJump: Option[Boolean] = None,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -476,25 +476,23 @@ object Dedup {
     val edges = truncate(pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .repartition(col("id_b")))
-    def checksum(df: DataFrame): java.math.BigDecimal = {
-      val r = df.agg(sum(col("label").cast("decimal(38,0)")).as("ls")).head()
-      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
-    }
     var labels = truncate(edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id")))
-    var prev = checksum(labels)
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
       val next = edges.join(labels, edges("id_b") === labels("id"))
         .groupBy(col("id_a").as("id")).agg(min(col("label")).as("nlabel"))
+      // the pre-round label rides along as __old so the convergence
+      // metric can compare without a second pass
       val merged = labels.join(next, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .select(col("id"), col("label").as("__old"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
       // pointer jumping: also adopt the label OF my label (path doubling —
       // Shiloach-Vishkin style), so propagation distance doubles per round
       // and the loop converges in O(log diameter) rounds instead of
       // O(diameter). `least` keeps labels monotonically decreasing, so the
-      // checksum convergence test stays valid. The ADAPTIVE default
+      // changed-row convergence test stays valid. The ADAPTIVE default
       // (None) runs PLAIN propagation first and starts jumping only if the
       // loop hasn't converged by round 4 (a de-facto diameter probe): the
       // jump join doubles per-round cost, and on the REALISTIC dup-graph
@@ -504,22 +502,44 @@ object Dedup {
       // 4096-hop chain plain alone would never finish in maxIter
       // (docs/NOTES.md round 8 A/B). Some(true/false) forces a mode.
       val jump = pointerJump.getOrElse(iter >= 4)
-      val jumped =
-        if (!jump) truncate(merged)
+      val stepped =
+        if (!jump) merged
         else {
           val parents = merged.select(col("id").as("pid"), col("label").as("plabel"))
-          truncate(merged.join(parents, col("label") === col("pid"), "left")
-            .select(col("id"),
-              least(col("label"), coalesce(col("plabel"), col("label"))).as("label")))
+          merged.join(parents, col("label") === col("pid"), "left")
+            .select(col("id"), col("__old"),
+              least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
         }
-      val cur = checksum(jumped)
-      changed = cur != prev
-      prev = cur
-      labels = jumped
+      // Convergence detection rides the SAME materializing action as the
+      // per-round checkpoint (Dataset.observe → CollectMetricsExec
+      // accumulators): ONE action per round where checkpoint + checksum
+      // was two — at 10 rounds that is 10 fewer driver round-trips and
+      // 10 fewer jobs per clusters() call, and on a cluster it halves
+      // the scheduler latency the loop serializes on. The metric counts
+      // CHANGED labels, which is sign-safe where a checksum is not:
+      // labels only decrease under `least`, so nchanged == 0 is exactly
+      // the old sum-stability test, and a speculative duplicate task can
+      // only inflate a nonzero count (never turn nonzero into zero), so
+      // the loop can never stop early under task duplication.
+      val obsName = s"__graft_cc_$iter"
+      val observed = stepped
+        .observe(obsName, sum(when(col("label") =!= col("__old"), 1L)
+          .otherwise(0L)).as("nchanged"))
+        .select(col("id"), col("label"))
+      labels = truncate(observed)
+      val row = observed.queryExecution.observedMetrics(obsName)
+      changed = !row.isNullAt(0) && row.getLong(0) > 0L
       iter += 1
     }
+    lastIterations.set(iter)
     labels
   }
+
+  /** Test diagnostic: iteration count of the most recent [[clusters]]
+    * call on this driver (races under concurrent calls — diagnostics
+    * only, never control flow). */
+  private[graft] val lastIterations =
+    new java.util.concurrent.atomic.AtomicInteger(-1)
 
   /** Edit-distance (Levenshtein) near-dup pairs with distance ≤ `maxDist`
     * — the fuzzy-dedup form for short fields (titles, URLs, names) where

@@ -501,6 +501,50 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(labels == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L))
   }
 
+  test("clusters convergence rides the checkpoint job (observe): early " +
+      "stop fires, no per-round checksum action") {
+    // star graph, diameter 1: plain propagation settles the labels in
+    // round 1 and the observed changed-count must detect stability in
+    // round 2 — an observe() regression (empty/missing metrics) would
+    // either throw or run the loop to maxIter
+    val star = (1L to 6L).map(i => (0L, i)).toDF("id_a", "id_b")
+    val got = Dedup.clusters(star, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 6L).map(_ -> 0L).toMap)
+    val iters = Dedup.lastIterations.get
+    assert(iters >= 2 && iters <= 3,
+      s"star graph must converge by round 2-3, ran $iters")
+    // the loop's actions: with convergence observed in-band, each round
+    // is exactly ONE materializing action (the checkpoint) — count jobs
+    // across a whole call and pin the per-round budget. Budget: edges +
+    // init truncates (AQE may split each into a couple of jobs) plus
+    // ≤2 jobs per round; the old checkpoint+checksum shape cost 1-2
+    // MORE jobs per round and blows this cap.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      Dedup.clusters(star, maxIter = 10)
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (System.nanoTime() < deadline &&
+        spark.sparkContext.statusTracker.getActiveJobIds.nonEmpty)
+        Thread.sleep(50)
+      Thread.sleep(500)
+      // measured at this AQE shape: edges+init truncates ≈ 6 jobs, each
+      // round ≈ 3 (one job per shuffle stage of the single checkpoint
+      // action). The old checkpoint+checksum loop added 1 job per round
+      // plus 1 initial checksum (15 here) — the cap sits between.
+      val rounds = Dedup.lastIterations.get
+      assert(jobs.get <= 7 + 3 * rounds,
+        s"clusters ran ${jobs.get} jobs over $rounds rounds — " +
+          "convergence must not cost a separate action per round")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("minhashPairs rejects k not divisible by bands") {
     val docs = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
