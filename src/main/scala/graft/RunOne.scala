@@ -29,20 +29,28 @@ object RunOne {
             s"SPARK_GRAFT_CONF token missing '=': '$kv' (expected k=v;k=v)")
         }
       })
-    val q = SparkEntry.queries(name)
-    if (args.contains("explain")) q(spark, sfDir).explain("formatted")
-    q(spark, sfDir).count() // warm-up: JIT + codegen + file index
     // `jobs` arg: per-run Spark job/stage/task counts — the guide-§1
     // "where does the fixed overhead go" probe for gates whose cost is
     // job-count-bound rather than data-bound (lifecycle gates at sf0.1)
-    val counting = args.contains("jobs")
+    val verbose = args.contains("jobsv")
+    val counting = args.contains("jobs") || verbose
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     val tasks = new java.util.concurrent.atomic.AtomicInteger
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
-          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (verbose) {
+          // the result stage's callsite names the action; its task count
+          // hints at the data volume behind the fixed job cost
+          val s = j.stageInfos.lastOption
+            .map(si => s"${si.name} tasks=${si.numTasks}")
+            .getOrElse("?")
+          sites.add(s)
+        }
+      }
       override def onStageCompleted(
           s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
@@ -50,18 +58,29 @@ object RunOne {
       }
     }
     if (counting) spark.sparkContext.addSparkListener(listener)
-    val runs = (1 to 2).map { _ =>
-      jobs.set(0); stages.set(0); tasks.set(0)
-      val t0 = System.nanoTime()
-      val n = q(spark, sfDir).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (counting) Thread.sleep(300) // listener events are async; drain
-      (n, dt, jobs.get, stages.get, tasks.get)
-    }
-    runs.foreach { case (n, s, j, st, tk) =>
-      if (counting)
-        println(f"RUNONE $name%s rows=$n%d time=$s%.3f s jobs=$j%d stages=$st%d tasks=$tk%d")
-      else println(f"RUNONE $name%s rows=$n%d time=$s%.3f s")
+    // comma-separated names share one JVM/session (cuts startup cost out
+    // of multi-gate probe sweeps; timings stay per-gate)
+    name.split(",").filter(_.nonEmpty).foreach { nm =>
+      val q = SparkEntry.queries(nm)
+      if (args.contains("explain")) q(spark, sfDir).explain("formatted")
+      q(spark, sfDir).count() // warm-up: JIT + codegen + file index
+      val runs = (1 to 2).map { _ =>
+        jobs.set(0); stages.set(0); tasks.set(0); sites.clear()
+        val t0 = System.nanoTime()
+        val n = q(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (counting) Thread.sleep(300) // listener events are async; drain
+        val siteList = sites.toArray(Array.empty[String])
+        (n, dt, jobs.get, stages.get, tasks.get, siteList)
+      }
+      runs.foreach { case (n, s, j, st, tk, sl) =>
+        if (counting)
+          println(f"RUNONE $nm%s rows=$n%d time=$s%.3f s jobs=$j%d stages=$st%d tasks=$tk%d")
+        else println(f"RUNONE $nm%s rows=$n%d time=$s%.3f s")
+        if (verbose) sl.zipWithIndex.foreach { case (site, i) =>
+          println(f"  JOB $i%3d  $site%s")
+        }
+      }
     }
     spark.stop()
   }

@@ -95,13 +95,24 @@ object RowGroupScan {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
     files.toDS().mapPartitions { it =>
+      it.flatMap { case (abs, label) => fileIdxRows(abs, label, conf.value) }
+    }.toDF()
+  }
+
+  /** One file's wide-index rows from its footer only — the per-file body
+    * of [[buildWideIndex]], also callable DRIVER-side so small snapshots
+    * can plan with zero Spark jobs (the Delta manifest posture: planning
+    * metadata is driver work). */
+  private[operators] def fileIdxRows(abs: String, label: String,
+      conf: org.apache.hadoop.conf.Configuration): Seq[IdxRow] = {
+    {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
       import scala.jdk.CollectionConverters._
-      it.flatMap { case (abs, label) =>
+      {
         indexFooterOpens.increment()
         val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(abs), conf.value))
+          new org.apache.hadoop.fs.Path(abs), conf))
         try {
           val msg = reader.getFooter.getFileMetaData.getSchema
           val fields = (0 until msg.getFieldCount).map { i =>
@@ -202,7 +213,32 @@ object RowGroupScan {
           }
         } finally reader.close()
       }
-    }.toDF()
+    }
+  }
+
+  /** Whole-file DRIVER-side read of a SMALL parquet into Spark rows —
+    * zero Spark jobs. For METADATA sidecars only (stats indexes, bloom
+    * bitmaps, DV position lists, vector codebooks): callers enforce a
+    * byte bound before calling. Shares [[taskSliceRows]]' converter
+    * stack, so values and schema are identical to
+    * `spark.read.parquet(file).collect()`. */
+  private[graft] def localParquetRows(file: String,
+      conf: org.apache.hadoop.conf.Configuration)
+      : (Array[Row], StructType) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file), conf))
+    val (msg, nRgs) =
+      try (r.getFooter.getFileMetaData.getSchema,
+        r.getFooter.getBlocks.size)
+      finally r.close()
+    val schema = sparkSchemaOf(msg)
+    val wanted = schema.fields.toSeq.map(f =>
+      f.name -> f.dataType.catalogString)
+    val rows = taskSliceRows(file, (0 until nRgs).map(i => (i, 0L)),
+      conf, wanted, emitPos = false).toArray
+    (rows, schema)
   }
 
   // ===== distributed prune =============================================

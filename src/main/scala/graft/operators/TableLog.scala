@@ -717,8 +717,30 @@ object TableLog {
   private def dvPairs(spark: SparkSession, dir: String,
       dvs: Map[String, String]): Option[DataFrame] =
     if (dvs.isEmpty) None
-    else Some(spark.read.parquet(dvs.values.toSeq.distinct.sorted
-      .map(p => Paths.get(dir).resolve(p).toString): _*))
+    else {
+      val paths = dvs.values.toSeq.distinct.sorted
+        .map(p => Paths.get(dir).resolve(p).toString)
+      // DVs are SELECTIVE by contract (bulk deletes take copy-on-write):
+      // under the byte budget the position lists read on the driver into
+      // a LocalRelation — the anti-join's broadcast then builds with no
+      // scan job, and a DV'd read plans jobs-free like the stats reads
+      val local: Option[DataFrame] =
+        try {
+          if (paths.map(p => Files.size(Paths.get(p))).sum >
+              localSidecarMaxBytes) None
+          else {
+            val conf = spark.sparkContext.hadoopConfiguration
+            val reads = paths.map(RowGroupScan.localParquetRows(_, conf))
+            val schema = reads.head._2
+            if (reads.forall(_._2 == schema)) {
+              val all = reads.flatMap(_._1)
+              Some(spark.createDataFrame(
+                java.util.Arrays.asList(all: _*), schema))
+            } else None
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      Some(local.getOrElse(spark.read.parquet(paths: _*)))
+    }
 
   /** Tag a parquet scan with its physical row identity — the join key
     * deletion vectors address rows by. */
@@ -1725,19 +1747,115 @@ object TableLog {
         // memoize) the full index only when the full snapshot is asked
         val buildFiles =
           if (files.size == snap.files.size) snap.files else files
-        val built = rgIndexForUncached(spark, dir, snap, buildFiles)
-        val rows = built.collect()
+        // zero-job driver build first (sidecars read via parquet-mr,
+        // un-indexed footers read driver-side) — planning a small
+        // snapshot should not cost Spark jobs at all; any surprise
+        // (oversized sidecar, schema drift) falls back to the
+        // distributed build below
+        val (rows, schema) =
+          rgIndexRowsLocal(spark, dir, snap, buildFiles).getOrElse {
+            val built = rgIndexForUncached(spark, dir, snap, buildFiles)
+            (built.collect(), built.schema)
+          }
         if (files.size == snap.files.size &&
             rows.length <= wideIdxMemoMaxRows) {
           if (wideIdxMemo.size > 64 ||
               wideIdxMemoRows + rows.length > wideIdxMemoBudgetRows)
             wideIdxMemo.clear()
-          wideIdxMemo.put(key, (rows, built.schema))
+          wideIdxMemo.put(key, (rows, schema))
         }
-        Some((rows, built.schema))
+        Some((rows, schema))
       case None => None
     }
   }
+
+  /** Byte budget for reading metadata sidecars on the DRIVER (per call
+    * site, across the sidecars it touches). Under it, planning reads go
+    * through [[RowGroupScan.localParquetRows]] — zero Spark jobs, the
+    * Delta checkpoint-read posture; over it, the distributed path runs
+    * unchanged. Test-visible so specs can force either path. */
+  @volatile private[graft] var localSidecarMaxBytes: Long = 16L << 20
+
+  /** The canonical wide-index schema ([[RowGroupScan.IdxRow]] shape) the
+    * driver-side build emits — all nullable, matching what the
+    * distributed union produces after the dmin/dmax null-fill. */
+  private val wideIdxSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("file", StringType), StructField("rg", IntegerType),
+      StructField("column", StringType), StructField("ord", IntegerType),
+      StructField("dtype", StringType), StructField("n_rows", LongType),
+      StructField("n_nulls", LongType), StructField("lmin", LongType),
+      StructField("lmax", LongType), StructField("smin", StringType),
+      StructField("smax", StringType), StructField("dmin", DoubleType),
+      StructField("dmax", DoubleType)))
+  }
+
+  /** Zero-job wide-index build for a small snapshot: mapped files' rows
+    * come from their sidecar parquets read driver-side, un-indexed files
+    * from driver-side footer reads (same [[RowGroupScan.fileIdxRows]]
+    * the distributed build runs in tasks). None = byte budget exceeded
+    * or a sidecar's schema isn't the IdxRow shape — caller falls back to
+    * the distributed build. */
+  private def rgIndexRowsLocal(spark: SparkSession, dir: String,
+      snap: Snapshot, files: Seq[String])
+      : Option[(Array[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType)] =
+    try {
+      import org.apache.spark.sql.Row
+      val conf = spark.sparkContext.hadoopConfiguration
+      val prefix = Paths.get(dir).toString + "/"
+      val (mapped, unmapped) = files.partition(snap.rgidx.contains)
+      val bySidecar = snap.rgidx.view
+        .filterKeys(mapped.toSet).toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+      val totalBytes = bySidecar.map { case (sc, _) =>
+        Files.size(Paths.get(dir).resolve(sc))
+      }.sum
+      if (totalBytes > localSidecarMaxBytes) return None
+      val names = wideIdxSchema.fieldNames
+      val out = Array.newBuilder[Row]
+      val ok = bySidecar.forall { case (sc, m) =>
+        val (rows, schema) = RowGroupScan.localParquetRows(
+          Paths.get(dir).resolve(sc).toString, conf)
+        // every sidecar field must BE a target field (same name+type);
+        // target fields the sidecar predates null-fill (dmin/dmax)
+        val aligned = schema.fields.forall(f =>
+          wideIdxSchema.fields.exists(t =>
+            t.name == f.name && t.dataType == f.dataType))
+        if (aligned) {
+          val pos = names.map(n =>
+            if (schema.fieldNames.contains(n)) schema.fieldIndex(n)
+            else -1)
+          val fileAt = schema.fieldIndex("file")
+          val want = m.map(_._1).toSet
+          rows.foreach { r =>
+            val rel = r.getString(fileAt)
+            if (want(rel)) out += Row.fromSeq(names.indices.map { j =>
+              if (j == 0) prefix + rel
+              else { val i = pos(j); if (i < 0) null else r.get(i) }
+            })
+          }
+        }
+        aligned
+      }
+      if (!ok) return None
+      unmapped.foreach { f =>
+        val abs = Paths.get(dir).resolve(f).toString
+        RowGroupScan.fileIdxRows(abs, abs, conf).foreach { ir =>
+          out += Row(ir.file, ir.rg, ir.column, ir.ord, ir.dtype,
+            ir.n_rows, ir.n_nulls.map(Long.box).orNull,
+            ir.lmin.map(Long.box).orNull, ir.lmax.map(Long.box).orNull,
+            ir.smin.orNull, ir.smax.orNull,
+            ir.dmin.map(Double.box).orNull,
+            ir.dmax.map(Double.box).orNull)
+        }
+      }
+      Some((out.result(), wideIdxSchema))
+    } catch {
+      // missing sidecar file, unsupported type, … — the distributed
+      // path re-derives (or fails loudly where failing is correct)
+      case scala.util.control.NonFatal(_) => None
+    }
 
   /** The wide row-group index for `files` (relative), file column
     * resolved to ABSOLUTE paths: sidecar-served for mapped files (no
@@ -2185,22 +2303,36 @@ object TableLog {
       pmod(xxhash64(lit(i), v), lit(mBits.toLong)).cast("int"))
   }
 
-  /** Per-file row counts from parquet footers only — one distributed
-    * task per file, no data pages read. */
+  /** Per-file row counts from parquet footers only, no data pages read.
+    * Small snapshots (≤512 files — the planning-memo bound) read on the
+    * DRIVER across cores: zero Spark jobs, each footer a ~KB metadata
+    * fetch (what Delta does with its log). Larger tables keep the
+    * distributed pass, one task per file. */
   private def footerCounts(spark: SparkSession, dir: String,
       files: Seq[String]): Map[String, Long] = {
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sparkContext.hadoopConfiguration)
-    import spark.implicits._
-    val base = dir
-    files.toDS().map { rel =>
+    def countOf(rel: String,
+        conf: org.apache.hadoop.conf.Configuration): Long = {
       import org.apache.parquet.hadoop.ParquetFileReader
       import org.apache.parquet.hadoop.util.HadoopInputFile
       val p = new org.apache.hadoop.fs.Path(
-        Paths.get(base).resolve(rel).toString)
-      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf.value))
-      try rel -> r.getRecordCount finally r.close()
-    }.collect().toMap
+        Paths.get(dir).resolve(rel).toString)
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try r.getRecordCount finally r.close()
+    }
+    if (files.size <= 512) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = files.toIndexedSeq
+      val out = new Array[Long](fs.size)
+      java.util.stream.IntStream.range(0, fs.size).parallel()
+        .forEach(i => out(i) = countOf(fs(i), conf))
+      fs.zip(out).toMap
+    } else {
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration)
+      import spark.implicits._
+      files.toDS().map(rel => rel -> countOf(rel, conf.value))
+        .collect().toMap
+    }
   }
 
   /** Build per-file bloom bitmaps for `files` and stage them as ONE
@@ -2355,16 +2487,48 @@ object TableLog {
     val key = (dir, snap.version)
     Option(bloomBitsMemo.get(key)).getOrElse {
       import spark.implicits._
-      val parts = snap.blooms.groupBy(_._2).toSeq.sortBy(_._1)
-        .map { case (sidecar, m) =>
+      val bySidecar = snap.blooms.groupBy(_._2).toSeq.sortBy(_._1)
+      // zero-job driver read when the sidecars fit the byte budget (the
+      // rgidx-planning posture); else the distributed read below
+      val localBits: Option[Map[String, Array[Byte]]] =
+        try {
+          val totalBytes = bySidecar.map { case (sc, _) =>
+            Files.size(Paths.get(dir).resolve(sc))
+          }.sum
+          if (totalBytes > localSidecarMaxBytes) None
+          else {
+            val conf = spark.sparkContext.hadoopConfiguration
+            val acc = Map.newBuilder[String, Array[Byte]]
+            val ok = bySidecar.forall { case (sc, m) =>
+              val (rows, schema) = RowGroupScan.localParquetRows(
+                Paths.get(dir).resolve(sc).toString, conf)
+              val shaped = schema.fieldNames.contains("f") &&
+                schema.fieldNames.contains("bitmap")
+              if (shaped) {
+                val fi = schema.fieldIndex("f")
+                val bi = schema.fieldIndex("bitmap")
+                val want = m.keySet
+                rows.foreach { r =>
+                  val f = r.getString(fi)
+                  if (want(f)) acc += f -> r.getAs[Array[Byte]](bi)
+                }
+              }
+              shaped
+            }
+            if (ok) Some(acc.result()) else None
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      val bits = localBits.getOrElse {
+        val parts = bySidecar.map { case (sidecar, m) =>
           val fs = m.keySet.toSeq
           spark.read
             .parquet(Paths.get(dir).resolve(sidecar).toString)
             .filter(org.apache.spark.sql.functions.col("f")
               .isin(fs: _*))
         }
-      val bits = parts.reduce(_.unionByName(_))
-        .as[(String, Array[Byte])].collect().toMap
+        parts.reduce(_.unionByName(_))
+          .as[(String, Array[Byte])].collect().toMap
+      }
       val newBytes = bits.valuesIterator.map(_.length.toLong).sum
       val retained = if (newBytes <= (32L << 20)) Some(bits) else None
       // global byte budget across snapshots (64 × 32 MB would be GBs)
