@@ -202,7 +202,10 @@ object Similarity {
       .select(col("qid"), col("qv"), col("nid"))
     val orig = corpus.select(col(idCol).as("nid"), col(vecCol).as("nv"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    shortlist.join(orig, Seq("nid"))
+    // the refine shortlist is ≤ |Q|·refine rows — broadcasting it keeps
+    // the corpus-side vector fetch map-only (the 100 TB posture: the
+    // corpus never shuffles by nid just to serve a shortlist)
+    broadcast(shortlist).join(orig, Seq("nid"))
       .withColumn("cos", cosine_similarity(col("qv"), col("nv")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -588,26 +591,40 @@ object Similarity {
     }.toMap
   }
 
+  /** Codebook sidecars read DRIVER-side (parquet-mr, zero Spark jobs,
+    * sorted locally): a codebook is nlist rows of metadata — the old
+    * spark.read + orderBy + collect paid a job AND an exchange per
+    * query just to fetch it. Same driver-residency bound as before
+    * (the rows were always collected). */
   private def loadCodebook(spark: org.apache.spark.sql.SparkSession,
-      dir: String, rel: String): Array[Array[Float]] =
-    spark.read.parquet(
-        java.nio.file.Paths.get(dir).resolve(rel).toString)
-      .orderBy("cell").collect()
-      .map(_.getSeq[Number](1).map(_.floatValue).toArray)
+      dir: String, rel: String): Array[Array[Float]] = {
+    val (rows, schema) = RowGroupScan.localParquetRows(
+      java.nio.file.Paths.get(dir).resolve(rel).toString,
+      spark.sparkContext.hadoopConfiguration)
+    val ci = schema.fieldIndex("cell")
+    val vi = schema.fieldIndex("centroid")
+    rows.sortBy(_.getInt(ci))
+      .map(_.getSeq[Number](vi).map(_.floatValue).toArray)
+  }
 
   /** The PQ codebook sidecar, (sub, code, centroid) rows →
     * books(sub)(code) = sub-centroid. Row counts are m·ksub (≤ 256·256
     * by the encode contract), driver-bounded like the coarse
-    * codebook. */
+    * codebook — read driver-side the same way. */
   private def loadPqBook(spark: org.apache.spark.sql.SparkSession,
-      dir: String, rel: String): Array[Array[Array[Float]]] =
-    spark.read.parquet(
-        java.nio.file.Paths.get(dir).resolve(rel).toString)
-      .orderBy("sub", "code").collect()
-      .map(r => (r.getInt(0),
-        r.getSeq[Number](2).map(_.floatValue).toArray))
+      dir: String, rel: String): Array[Array[Array[Float]]] = {
+    val (rows, schema) = RowGroupScan.localParquetRows(
+      java.nio.file.Paths.get(dir).resolve(rel).toString,
+      spark.sparkContext.hadoopConfiguration)
+    val si = schema.fieldIndex("sub")
+    val ci = schema.fieldIndex("code")
+    val vi = schema.fieldIndex("centroid")
+    rows.map(r => (r.getInt(si), r.getInt(ci),
+        r.getSeq[Number](vi).map(_.floatValue).toArray))
+      .sortBy(t => (t._1, t._2))
       .groupBy(_._1).toSeq.sortBy(_._1)
-      .map(_._2.map(_._2).toArray).toArray
+      .map(_._2.map(_._3).toArray).toArray
+  }
 
   /** Train the codebook ONCE over the table's current snapshot and
     * commit it plus per-file assignments as maintained sidecars.
@@ -730,7 +747,11 @@ object Similarity {
       .select(col("qid"), col("qv"),
         explode(nearest_cells(col("qv"), centroids, nprobe)).as("cell"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    probed.join(cand.withColumnRenamed("vid", "nid"), Seq("cell"))
+    // the probe side is |Q|·nprobe rows — the serving contract's small
+    // side (bruteForceTopK broadcasts the same frame): a broadcast join
+    // leaves the corpus-side candidates entirely un-shuffled
+    broadcast(probed).join(cand.withColumnRenamed("vid", "nid"),
+        Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosine_similarity(col("qv"), col("vec")))
       .withColumn("rk", row_number().over(w))
@@ -790,7 +811,8 @@ object Similarity {
         explode(nearest_cells(col("qv"), centroids, nprobe)).as("cell"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc,
       col("nid"))
-    val ranked = probed
+    // broadcast the |Q|·nprobe probe side (the ivfTopKPersisted shape)
+    val ranked = broadcast(probed)
       .join(cand.withColumnRenamed("vid", "nid"), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosine_similarity(col("qv"), col("vec")))
@@ -855,7 +877,8 @@ object Similarity {
       .withColumn("cdot", cell_dot(col("qv"), col("cell"), centroids))
     val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc,
       col("nid"))
-    val shortlist = probed
+    // probe side broadcast (|Q|·nprobe rows) — candidates un-shuffled
+    val shortlist = broadcast(probed)
       .join(cand.withColumnRenamed("vid", "nid"), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("adc",
@@ -867,7 +890,9 @@ object Similarity {
       col(vecCol).as("nv"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc,
       col("nid"))
-    val ranked = shortlist.join(orig, Seq("nid"))
+    // refine joins ≤ |Q|·refine shortlist rows against the table read —
+    // broadcasting the shortlist keeps the table scan map-only
+    val ranked = broadcast(shortlist).join(orig, Seq("nid"))
       .withColumn("cos", cosine_similarity(col("qv"), col("nv")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -935,7 +960,8 @@ object Similarity {
       .withColumn("cdot", cell_dot(col("qv"), col("cell"), centroids))
     val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc,
       col("nid"))
-    val shortlist = probed
+    // probe side broadcast (|Q|·nprobe rows) — candidates un-shuffled
+    val shortlist = broadcast(probed)
       .join(cand.withColumnRenamed("vid", "nid"), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("adc",
@@ -947,7 +973,9 @@ object Similarity {
       .select(col(idCol).as("nid"), col(vecCol).as("nv"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc,
       col("nid"))
-    shortlist.join(orig, Seq("nid"))
+    // refine joins ≤ |Q|·refine shortlist rows against the table read —
+    // broadcasting the shortlist keeps the table scan map-only
+    broadcast(shortlist).join(orig, Seq("nid"))
       .withColumn("cos", cosine_similarity(col("qv"), col("nv")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
