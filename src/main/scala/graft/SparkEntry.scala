@@ -61,7 +61,10 @@ object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     graft.functions.GeoSimplify.install(s) // idempotent; fuses geometry chains
-    s.read.parquet(s"$dir/$name.parquet")
+    // schema from the footer driver-side — spark.read.parquet otherwise
+    // runs a one-task inference job per call, a fixed scheduler
+    // round-trip every gate pays before any real work
+    graft.operators.RowGroupScan.readNoInfer(s, Seq(s"$dir/$name.parquet"))
   }
 
   /** events.parquet has carried three timestamp physical types across
@@ -3051,8 +3054,17 @@ object SparkEntry {
       graft.operators.TableLog.optimize(s, dir,
         clusterBy = Seq("o_orderkey"))
       val snap = graft.operators.TableLog.snapshot(dir)
-      val raw = snap.files.map(f => s.read.parquet(
-        java.nio.file.Paths.get(dir).resolve(f).toString).count()).sum
+      // physical row count from the footers directly (definitionally
+      // what count() on a plain parquet file returns) — one driver-side
+      // metadata read per file instead of one Spark job per file
+      val raw = snap.files.map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(
+              java.nio.file.Paths.get(dir).resolve(f).toString),
+            s.sparkContext.hadoopConfiguration))
+        try r.getRecordCount finally r.close()
+      }.sum
       graft.operators.TableLog.read(s, dir)
         .agg(count(lit(1)).as("n_after"),
           sum(col("price_cents")).as("sum_after"))

@@ -339,7 +339,7 @@ object LakeSelect {
     schemaMemo.computeIfAbsent((dir, snap.version), _ =>
       snap.files.lastOption.map { f =>
         val abs = java.nio.file.Paths.get(dir).resolve(f).toString
-        spark.read.parquet(abs).schema
+        RowGroupScan.readNoInfer(spark, Seq(abs)).schema
           .map(fd => fd.name -> fd.dataType).toMap
       }.getOrElse(Map.empty))
   }

@@ -216,6 +216,47 @@ object RowGroupScan {
     }
   }
 
+  /** `spark.read.parquet` minus the schema-inference job: Spark 4 runs a
+    * one-task Spark job per `spark.read.parquet` call just to read a
+    * footer for the schema — a fixed scheduler round-trip per read that
+    * dominates small-query latency and is pure overhead at any scale
+    * (the footer is driver-readable metadata). This derives the schema
+    * driver-side from the FIRST path's footer through Spark's own
+    * ParquetToSparkSchemaConverter (same session conversion flags:
+    * binaryAsString, int96AsTimestamp, inferTimestampNTZ, nanosAsLong),
+    * so the read plans with an explicit schema and zero jobs. For
+    * uniform-schema path sets only — the lake's write invariant;
+    * schema-evolution readers use mergeSchema and keep inference.
+    * Anything unexpected (directory with no parquet, unreadable footer)
+    * falls back to the inferring read. */
+  private[graft] def readNoInfer(spark: SparkSession,
+      paths: Seq[String]): DataFrame = {
+    require(paths.nonEmpty, "readNoInfer needs at least one path")
+    try {
+      val head = {
+        val p = java.nio.file.Paths.get(paths.head)
+        if (!java.nio.file.Files.isDirectory(p)) paths.head
+        else {
+          import scala.jdk.CollectionConverters._
+          val s = java.nio.file.Files.list(p)
+          try s.iterator.asScala.map(_.toString)
+            .filter(_.endsWith(".parquet")).toSeq.sorted.head
+          finally s.close()
+        }
+      }
+      val msg = parquetSchemaOf(head,
+        spark.sparkContext.hadoopConfiguration)
+      val schema = new org.apache.spark.sql.execution.datasources.parquet
+        .ParquetToSparkSchemaConverter(
+          org.apache.spark.sql.graft.SparkInternals.sqlConf(spark))
+        .convert(msg)
+      spark.read.schema(schema).parquet(paths: _*)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        spark.read.parquet(paths: _*)
+    }
+  }
+
   /** Whole-file DRIVER-side read of a SMALL parquet into Spark rows —
     * zero Spark jobs. For METADATA sidecars only (stats indexes, bloom
     * bitmaps, DV position lists, vector codebooks): callers enforce a

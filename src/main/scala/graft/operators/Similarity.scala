@@ -554,8 +554,8 @@ object Similarity {
     val bName = spark.sparkContext.broadcast(byName)
     val fidx = udf((p: String) =>
       bName.value.getOrElse(java.net.URI.create(p).getPath, -1))
-    val raw = spark.read.parquet(files.map(f =>
-        base.resolve(f).toString): _*)
+    val raw = RowGroupScan.readNoInfer(spark, files.map(f =>
+        base.resolve(f).toString))
       .select(col(idCol).as("vid"), col(vecCol).as("vec"),
         fidx(input_file_name()).as("__fidx"))
     // a PQ-enabled index additionally carries the m-byte code per row
@@ -725,13 +725,13 @@ object Similarity {
     val uncovered = snap.files.filterNot(snap.vecidx.contains)
     val fromSidecars =
       if (covered.isEmpty) None
-      else Some(spark.read.parquet(covered.map(f =>
-          base.resolve(snap.vecidx(f)).toString): _*)
+      else Some(RowGroupScan.readNoInfer(spark, covered.map(f =>
+          base.resolve(snap.vecidx(f)).toString))
         .select(col("vid"), col("vec"), col("cell")))
     val fromData =
       if (uncovered.isEmpty) None
-      else Some(spark.read.parquet(uncovered.map(f =>
-          base.resolve(f).toString): _*)
+      else Some(RowGroupScan.readNoInfer(spark, uncovered.map(f =>
+          base.resolve(f).toString))
         .select(col(idCol).as("vid"), col(vecCol).as("vec"))
         .withColumn("cell",
           element_at(nearest_cells(col("vec"), centroids, 1), 1)))
@@ -792,13 +792,13 @@ object Similarity {
     val keep = filtered.select(col(idCol).as("vid"))
     val fromSidecars =
       if (covered.isEmpty) None
-      else Some(spark.read.parquet(covered.map(f =>
-          base.resolve(snap.vecidx(f)).toString): _*)
+      else Some(RowGroupScan.readNoInfer(spark, covered.map(f =>
+          base.resolve(snap.vecidx(f)).toString))
         .select(col("vid"), col("vec"), col("cell")))
     val fromData =
       if (uncovered.isEmpty) None
-      else Some(spark.read.parquet(uncovered.map(f =>
-          base.resolve(f).toString): _*)
+      else Some(RowGroupScan.readNoInfer(spark, uncovered.map(f =>
+          base.resolve(f).toString))
         .select(col(idCol).as("vid"), col(vecCol).as("vec"))
         .withColumn("cell",
           element_at(nearest_cells(col("vec"), centroids, 1), 1)))
@@ -855,13 +855,13 @@ object Similarity {
     val keep = filtered.select(col(idCol).as("vid"))
     val fromSidecars =
       if (covered.isEmpty) None
-      else Some(spark.read.parquet(covered.map(f =>
-          base.resolve(snap.vecidx(f)).toString): _*)
+      else Some(RowGroupScan.readNoInfer(spark, covered.map(f =>
+          base.resolve(snap.vecidx(f)).toString))
         .select(col("vid"), col("cell"), col("codes")))
     val fromData =
       if (uncovered.isEmpty) None
-      else Some(spark.read.parquet(uncovered.map(f =>
-          base.resolve(f).toString): _*)
+      else Some(RowGroupScan.readNoInfer(spark, uncovered.map(f =>
+          base.resolve(f).toString))
         .select(col(idCol).as("vid"),
           ivfpq_encode(col(vecCol), centroids, books).as("enc"))
         .select(col("vid"), col("enc.cell").as("cell"),
@@ -934,13 +934,13 @@ object Similarity {
     val uncovered = snap.files.filterNot(snap.vecidx.contains)
     val fromSidecars =
       if (covered.isEmpty) None
-      else Some(spark.read.parquet(covered.map(f =>
-          base.resolve(snap.vecidx(f)).toString): _*)
+      else Some(RowGroupScan.readNoInfer(spark, covered.map(f =>
+          base.resolve(snap.vecidx(f)).toString))
         .select(col("vid"), col("cell"), col("codes")))
     val fromData =
       if (uncovered.isEmpty) None
-      else Some(spark.read.parquet(uncovered.map(f =>
-          base.resolve(f).toString): _*)
+      else Some(RowGroupScan.readNoInfer(spark, uncovered.map(f =>
+          base.resolve(f).toString))
         .select(col(idCol).as("vid"),
           ivfpq_encode(col(vecCol), centroids, books).as("enc"))
         .select(col("vid"), col("enc.cell").as("cell"),

@@ -522,7 +522,8 @@ object TableLog {
       }.parquet(staging)
     }
     if (postValidate)
-      enforceChecks(df.sparkSession.read.parquet(staging), checks,
+      enforceChecks(RowGroupScan.readNoInfer(df.sparkSession,
+          Seq(staging)), checks,
         s"write into $dir")
     val dataDir = Paths.get(dir, "data")
     Files.createDirectories(dataDir)
@@ -642,7 +643,8 @@ object TableLog {
     prior.bloomCol match {
       case Some(c) if files.nonEmpty =>
         val paths = files.map(f => Paths.get(dir).resolve(f).toString)
-        if (!spark.read.parquet(paths: _*).schema.fieldNames.contains(c))
+        if (!RowGroupScan.readNoInfer(spark, paths).schema.fieldNames
+          .contains(c))
           Map.empty
         else {
           val rel = stageBloomSidecar(spark, dir, c, files, v, 10)
@@ -954,7 +956,8 @@ object TableLog {
         .parquet(staging.toString)
     }
     if (postValidate) // the data files carry the real column (shadow)
-      enforceChecks(df.sparkSession.read.parquet(staging.toString),
+      enforceChecks(RowGroupScan.readNoInfer(df.sparkSession,
+        Seq(staging.toString)),
         checks, s"partitioned write into $dir")
     Files.createDirectories(Paths.get(dir, "data"))
     val moved = Seq.newBuilder[(String, String)]
@@ -1059,7 +1062,9 @@ object TableLog {
   def read(spark: SparkSession, dir: String, version: Int = -1): DataFrame = {
     val snap = snapshot(dir, version)
     val abs = snap.files.map(f => Paths.get(dir).resolve(f).toString)
-    applyDv(spark, dir, spark.read.parquet(abs: _*), snap.dvs)
+    // read()'s contract is a stable schema (readEvolved merges) — derive
+    // it from one footer driver-side instead of Spark's inference job
+    applyDv(spark, dir, RowGroupScan.readNoInfer(spark, abs), snap.dvs)
   }
 
   /** Snapshot read with schema evolution: per-file schemas are merged
@@ -1169,8 +1174,8 @@ object TableLog {
     require(keep.nonEmpty, s"no files for partitions $values in $dir")
     val keepSet = keep.toSet
     applyDv(spark, dir,
-      spark.read.parquet(keep.map(f =>
-        Paths.get(dir).resolve(f).toString): _*),
+      RowGroupScan.readNoInfer(spark, keep.map(f =>
+        Paths.get(dir).resolve(f).toString)),
       snap.dvs.filter { case (f, _) => keepSet(f) })
   }
 
@@ -1494,7 +1499,8 @@ object TableLog {
     if (newestColsMemo.size > 512) newestColsMemo.clear()
     newestColsMemo.computeIfAbsent((dir, snap.version), _ =>
       snap.files.lastOption.map { f =>
-        spark.read.parquet(Paths.get(dir).resolve(f).toString)
+        RowGroupScan.readNoInfer(spark,
+            Seq(Paths.get(dir).resolve(f).toString))
           .schema.fields.zipWithIndex.map { case (fd, i) =>
             (i, fd.name, fd.dataType.catalogString)
           }.toSeq
@@ -2739,7 +2745,8 @@ object TableLog {
         val abs = fs.map(f => Paths.get(base).resolve(f).toString)
         // rewrites MATERIALIZE deletion vectors: the deleted rows are
         // dropped here and the outputs carry no vector
-        val df0 = applyDv(spark, dir, spark.read.parquet(abs: _*), snap.dvs)
+        val df0 = applyDv(spark, dir,
+          RowGroupScan.readNoInfer(spark, abs), snap.dvs)
         val numeric = clusterBy.forall(c => df0.schema(c).dataType match {
           case _: org.apache.spark.sql.types.NumericType => true
           case _ => false
@@ -2764,8 +2771,13 @@ object TableLog {
             val qBits = math.max(1, math.min(8, 62 / clusterBy.size))
             val lim = (1 << qBits) - 1
             val probs = (1 to lim).map(_.toDouble / (lim + 1)).toArray
-            val scaled = clusterBy.map { c =>
-              val cuts = df0.stat.approxQuantile(c, probs, 0.001)
+            // ALL columns' quantiles in one multi-column call — one
+            // distributed pass over the group instead of one per
+            // cluster column (same sketches, identical cuts)
+            val allCuts = df0.stat.approxQuantile(clusterBy.toArray,
+              probs, 0.001)
+            val scaled = clusterBy.zipWithIndex.map { case (c, ci) =>
+              val cuts = allCuts(ci)
                 .filter(d => !d.isNaN && !d.isInfinite).distinct.sorted
               if (cuts.isEmpty) lit(0L)
               else aggregate(lit(cuts), lit(0L), (acc, cut) =>
@@ -2809,7 +2821,8 @@ object TableLog {
         if (bin.size == 1 && !snap.dvs.contains(bin.head)) kept += bin.head
         else {
           val abs = bin.map(f => Paths.get(base).resolve(f).toString)
-          writeMerged(applyDv(spark, dir, spark.read.parquet(abs: _*),
+          writeMerged(applyDv(spark, dir,
+            RowGroupScan.readNoInfer(spark, abs),
             snap.dvs).coalesce(1), tag)
         }
       }
@@ -2994,7 +3007,8 @@ object TableLog {
       val staging = Files.createTempDirectory("graft_cow").toString
       rewritten.write.mode("overwrite").parquet(staging)
       if (postValidate)
-        enforceChecks(spark.read.parquet(staging), snap.checks,
+        enforceChecks(RowGroupScan.readNoInfer(spark, Seq(staging)),
+          snap.checks,
           s"UPDATE rewrite of $dir")
       val s = Files.list(Paths.get(staging))
       try s.iterator.asScala

@@ -31,6 +31,15 @@ object SparkInternals {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.tableFunctionRegistry
 
+  /** The session's SQLConf (`sessionState` is `private[sql]`) — needed
+    * to run Spark's own parquet→Spark schema conversion driver-side with
+    * the session's conversion flags (binaryAsString, int96AsTimestamp,
+    * inferTimestampNTZ, nanosAsLong). */
+  def sqlConf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.internal.SQLConf =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.conf
+
   /** Ensure the driver's StateStoreCoordinator RPC endpoint exists. A
     * stateful STREAMING query registers it on start, but BATCH execution of
     * a stateful operator (transformWithState on a batch Dataset) skips that
