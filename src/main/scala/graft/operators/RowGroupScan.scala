@@ -257,6 +257,95 @@ object RowGroupScan {
     }
   }
 
+  /** DRIVER-side parquet write of wide-index rows (parquet-mr Group
+    * API) — the write half of zero-job sidecar staging. The schema
+    * matches what Spark writes for an IdxRow frame (same names, string
+    * annotations, physical types), so spark.read, the distributed
+    * planners, and [[localParquetRows]] consume either provenance
+    * identically. */
+  private[operators] def writeIdxRowsLocal(rows: Seq[IdxRow],
+      out: String, conf: org.apache.hadoop.conf.Configuration): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter,
+      GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType(
+      """message graft_rgidx {
+        |  optional binary file (UTF8);
+        |  optional int32 rg;
+        |  optional binary column (UTF8);
+        |  optional int32 ord;
+        |  optional binary dtype (UTF8);
+        |  optional int64 n_rows;
+        |  optional int64 n_nulls;
+        |  optional int64 lmin;
+        |  optional int64 lmax;
+        |  optional binary smin (UTF8);
+        |  optional binary smax (UTF8);
+        |  optional double dmin;
+        |  optional double dmax;
+        |}""".stripMargin)
+    val c = new org.apache.hadoop.conf.Configuration(conf)
+    GroupWriteSupport.setSchema(schema, c)
+    val writer = ExampleParquetWriter.builder(
+        new org.apache.hadoop.fs.Path(out))
+      .withConf(c)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val gf = new SimpleGroupFactory(schema)
+    try rows.foreach { r =>
+      val g = gf.newGroup()
+      g.append("file", r.file)
+      g.append("rg", r.rg)
+      g.append("column", r.column)
+      g.append("ord", r.ord)
+      g.append("dtype", r.dtype)
+      g.append("n_rows", r.n_rows)
+      r.n_nulls.foreach(v => g.append("n_nulls", v))
+      r.lmin.foreach(v => g.append("lmin", v))
+      r.lmax.foreach(v => g.append("lmax", v))
+      r.smin.foreach(v => g.append("smin", v))
+      r.smax.foreach(v => g.append("smax", v))
+      r.dmin.foreach(v => g.append("dmin", v))
+      r.dmax.foreach(v => g.append("dmax", v))
+      writer.write(g)
+    } finally writer.close()
+  }
+
+  /** DRIVER-side parquet write of (file, bitmap) bloom rows — the
+    * compaction twin of [[writeIdxRowsLocal]]; schema matches the
+    * Spark-written bloom sidecars. */
+  private[operators] def writeBloomRowsLocal(
+      rows: Seq[(String, Array[Byte])], out: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter,
+      GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType(
+      """message graft_bloom {
+        |  optional binary f (UTF8);
+        |  optional binary bitmap;
+        |}""".stripMargin)
+    val c = new org.apache.hadoop.conf.Configuration(conf)
+    GroupWriteSupport.setSchema(schema, c)
+    val writer = ExampleParquetWriter.builder(
+        new org.apache.hadoop.fs.Path(out))
+      .withConf(c)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val gf = new SimpleGroupFactory(schema)
+    try rows.foreach { case (f, bytes) =>
+      val g = gf.newGroup()
+      g.append("f", f)
+      g.add("bitmap", org.apache.parquet.io.api.Binary
+        .fromConstantByteArray(bytes))
+      writer.write(g)
+    } finally writer.close()
+  }
+
   /** Whole-file DRIVER-side read of a SMALL parquet into Spark rows —
     * zero Spark jobs. For METADATA sidecars only (stats indexes, bloom
     * bitmaps, DV position lists, vector codebooks): callers enforce a

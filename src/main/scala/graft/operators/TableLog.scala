@@ -1556,10 +1556,32 @@ object TableLog {
       files: Seq[String], v: Int): String = {
     val labeled = files.map(f =>
       (Paths.get(dir).resolve(f).toString, f))
+    Files.createDirectories(Paths.get(dir, "stats"))
+    // ≤512 files (the planning-memo bound): footers read across driver
+    // cores and the sidecar written with parquet-mr — the whole staging
+    // is driver metadata work, zero Spark jobs (an indexed append
+    // otherwise pays a footer job + a one-row-group write job per
+    // commit). Bigger batches keep the distributed build.
+    if (files.size <= 512) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val rows = new Array[Seq[RowGroupScan.IdxRow]](labeled.size)
+      java.util.stream.IntStream.range(0, labeled.size).parallel()
+        .forEach { i =>
+          val (abs, label) = labeled(i)
+          rows(i) = RowGroupScan.fileIdxRows(abs, label, conf)
+        }
+      val staging = Files.createTempDirectory("graft_rgidx")
+        .resolve("part-00000.parquet")
+      RowGroupScan.writeIdxRowsLocal(rows.toSeq.flatten,
+        staging.toString, conf)
+      val rel = f"stats/v$v%05d-rgidx-${staging.getFileName.toString}"
+      Files.move(staging, Paths.get(dir).resolve(rel),
+        StandardCopyOption.ATOMIC_MOVE)
+      return rel
+    }
     val idx = RowGroupScan.buildWideIndex(spark, labeled)
     val staging = Files.createTempDirectory("graft_rgidx").toString
     idx.repartition(1).write.mode("overwrite").parquet(staging)
-    Files.createDirectories(Paths.get(dir, "stats"))
     val sl = Files.list(Paths.get(staging))
     try {
       val p0 = sl.iterator.asScala
@@ -1622,25 +1644,42 @@ object TableLog {
         mapped.map(snap.rgidx).distinct.size <= 1) return snap.version
     val (_, v) = planNext(dir)
     val mappedSet = mapped.toSet
-    val combined = snap.rgidx.view.filterKeys(mappedSet).toSeq
-      .groupBy(_._2).toSeq.sortBy(_._1).map { case (sidecar, m) =>
-        spark.read.parquet(Paths.get(dir).resolve(sidecar).toString)
-          .join(broadcast(m.map(_._1).toDF("file")), Seq("file"),
-            "left_semi")
-      }.reduce(_ unionByName _)
-    val staging = Files.createTempDirectory("graft_rgcmp").toString
-    combined.repartition(1).write.mode("overwrite").parquet(staging)
+    val bySidecar = snap.rgidx.view.filterKeys(mappedSet).toSeq
+      .groupBy(_._2).toSeq.sortBy(_._1)
     Files.createDirectories(Paths.get(dir, "stats"))
-    val sl = Files.list(Paths.get(staging))
-    val rel = try {
-      val p0 = sl.iterator.asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error("empty rgidx compaction staging"))
-      val r = f"stats/v$v%05d-rgidx-${p0.getFileName.toString}"
-      Files.move(p0, Paths.get(dir).resolve(r),
-        StandardCopyOption.ATOMIC_MOVE)
-      r
-    } finally sl.close()
+    // byte-budgeted sidecars consolidate entirely on the driver (local
+    // reads + parquet-mr write — zero Spark jobs, same posture as the
+    // staging path); over budget or on schema drift the distributed
+    // union below runs unchanged
+    val rel = localRgSidecarRows(spark, dir, bySidecar) match {
+      case Some(irs) =>
+        val staging = Files.createTempDirectory("graft_rgcmp")
+          .resolve("part-00000.parquet")
+        RowGroupScan.writeIdxRowsLocal(irs, staging.toString,
+          spark.sparkContext.hadoopConfiguration)
+        val r = f"stats/v$v%05d-rgidx-${staging.getFileName.toString}"
+        Files.move(staging, Paths.get(dir).resolve(r),
+          StandardCopyOption.ATOMIC_MOVE)
+        r
+      case None =>
+        val combined = bySidecar.map { case (sidecar, m) =>
+          spark.read.parquet(Paths.get(dir).resolve(sidecar).toString)
+            .join(broadcast(m.map(_._1).toDF("file")), Seq("file"),
+              "left_semi")
+        }.reduce(_ unionByName _)
+        val staging = Files.createTempDirectory("graft_rgcmp").toString
+        combined.repartition(1).write.mode("overwrite").parquet(staging)
+        val sl = Files.list(Paths.get(staging))
+        try {
+          val p0 = sl.iterator.asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error("empty rgidx compaction staging"))
+          val r = f"stats/v$v%05d-rgidx-${p0.getFileName.toString}"
+          Files.move(p0, Paths.get(dir).resolve(r),
+            StandardCopyOption.ATOMIC_MOVE)
+          r
+        } finally sl.close()
+    }
     retryCommit(dir, maxRetries) { (head, vNext) =>
       val headSet = head.files.toSet
       Some(commit(dir, head.files, expectedVersion = vNext,
@@ -1674,25 +1713,41 @@ object TableLog {
         mapped.map(snap.blooms).distinct.size <= 1) return snap.version
     val (_, v) = planNext(dir)
     val mappedSet = mapped.toSet
-    val combined = snap.blooms.view.filterKeys(mappedSet).toSeq
-      .groupBy(_._2).toSeq.sortBy(_._1).map { case (sidecar, m) =>
-        spark.read.parquet(Paths.get(dir).resolve(sidecar).toString)
-          .join(broadcast(m.map(_._1).toDF("f")), Seq("f"),
-            "left_semi")
-      }.reduce(_ unionByName _)
-    val staging = Files.createTempDirectory("graft_blcmp").toString
-    combined.repartition(1).write.mode("overwrite").parquet(staging)
+    val bySidecar = snap.blooms.view.filterKeys(mappedSet).toSeq
+      .groupBy(_._2).toSeq.sortBy(_._1)
     Files.createDirectories(Paths.get(dir, "stats"))
-    val sl = Files.list(Paths.get(staging))
-    val rel = try {
-      val p0 = sl.iterator.asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error("empty bloom compaction staging"))
-      val r = f"stats/v$v%05d-bloom-${p0.getFileName.toString}"
-      Files.move(p0, Paths.get(dir).resolve(r),
-        StandardCopyOption.ATOMIC_MOVE)
-      r
-    } finally sl.close()
+    // byte-budgeted bitmaps consolidate on the driver (zero Spark
+    // jobs); over budget / schema drift keeps the distributed union
+    val rel = localBloomSidecarRows(spark, dir,
+        bySidecar.map { case (sc, m) => sc -> m.map(_._1).toSet }) match {
+      case Some(rows) =>
+        val staging = Files.createTempDirectory("graft_blcmp")
+          .resolve("part-00000.parquet")
+        RowGroupScan.writeBloomRowsLocal(rows, staging.toString,
+          spark.sparkContext.hadoopConfiguration)
+        val r = f"stats/v$v%05d-bloom-${staging.getFileName.toString}"
+        Files.move(staging, Paths.get(dir).resolve(r),
+          StandardCopyOption.ATOMIC_MOVE)
+        r
+      case None =>
+        val combined = bySidecar.map { case (sidecar, m) =>
+          spark.read.parquet(Paths.get(dir).resolve(sidecar).toString)
+            .join(broadcast(m.map(_._1).toDF("f")), Seq("f"),
+              "left_semi")
+        }.reduce(_ unionByName _)
+        val staging = Files.createTempDirectory("graft_blcmp").toString
+        combined.repartition(1).write.mode("overwrite").parquet(staging)
+        val sl = Files.list(Paths.get(staging))
+        try {
+          val p0 = sl.iterator.asScala
+            .find(_.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error("empty bloom compaction staging"))
+          val r = f"stats/v$v%05d-bloom-${p0.getFileName.toString}"
+          Files.move(p0, Paths.get(dir).resolve(r),
+            StandardCopyOption.ATOMIC_MOVE)
+          r
+        } finally sl.close()
+    }
     retryCommit(dir, maxRetries) { (head, vNext) =>
       val headSet = head.files.toSet
       Some(commit(dir, head.files, expectedVersion = vNext,
@@ -1797,29 +1852,22 @@ object TableLog {
       StructField("dmax", DoubleType)))
   }
 
-  /** Zero-job wide-index build for a small snapshot: mapped files' rows
-    * come from their sidecar parquets read driver-side, un-indexed files
-    * from driver-side footer reads (same [[RowGroupScan.fileIdxRows]]
-    * the distributed build runs in tasks). None = byte budget exceeded
-    * or a sidecar's schema isn't the IdxRow shape — caller falls back to
-    * the distributed build. */
-  private def rgIndexRowsLocal(spark: SparkSession, dir: String,
-      snap: Snapshot, files: Seq[String])
-      : Option[(Array[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType)] =
+  /** Driver-side read of rg-index sidecars TRIMMED to the given
+    * file→sidecar mapping, as IdxRows (file labels stay relative;
+    * stats columns a sidecar predates null-fill). None = byte budget
+    * exceeded or schema drift — callers fall back to the distributed
+    * read. */
+  private def localRgSidecarRows(spark: SparkSession, dir: String,
+      bySidecar: Seq[(String, Seq[(String, String)])])
+      : Option[Seq[RowGroupScan.IdxRow]] =
     try {
       import org.apache.spark.sql.Row
-      val conf = spark.sparkContext.hadoopConfiguration
-      val prefix = Paths.get(dir).toString + "/"
-      val (mapped, unmapped) = files.partition(snap.rgidx.contains)
-      val bySidecar = snap.rgidx.view
-        .filterKeys(mapped.toSet).toSeq.groupBy(_._2).toSeq.sortBy(_._1)
       val totalBytes = bySidecar.map { case (sc, _) =>
         Files.size(Paths.get(dir).resolve(sc))
       }.sum
       if (totalBytes > localSidecarMaxBytes) return None
-      val names = wideIdxSchema.fieldNames
-      val out = Array.newBuilder[Row]
+      val conf = spark.sparkContext.hadoopConfiguration
+      val out = Seq.newBuilder[RowGroupScan.IdxRow]
       val ok = bySidecar.forall { case (sc, m) =>
         val (rows, schema) = RowGroupScan.localParquetRows(
           Paths.get(dir).resolve(sc).toString, conf)
@@ -1829,39 +1877,79 @@ object TableLog {
           wideIdxSchema.fields.exists(t =>
             t.name == f.name && t.dataType == f.dataType))
         if (aligned) {
-          val pos = names.map(n =>
+          def idx(n: String): Int =
             if (schema.fieldNames.contains(n)) schema.fieldIndex(n)
-            else -1)
-          val fileAt = schema.fieldIndex("file")
+            else -1
+          val fI = idx("file"); val rgI = idx("rg")
+          val colI = idx("column"); val ordI = idx("ord")
+          val dtI = idx("dtype"); val nrI = idx("n_rows")
+          val nnI = idx("n_nulls"); val lmnI = idx("lmin")
+          val lmxI = idx("lmax"); val smnI = idx("smin")
+          val smxI = idx("smax"); val dmnI = idx("dmin")
+          val dmxI = idx("dmax")
+          def optL(r: Row, i: Int) =
+            if (i < 0 || r.isNullAt(i)) None else Some(r.getLong(i))
+          def optS(r: Row, i: Int) =
+            if (i < 0 || r.isNullAt(i)) None else Some(r.getString(i))
+          def optD(r: Row, i: Int) =
+            if (i < 0 || r.isNullAt(i)) None else Some(r.getDouble(i))
           val want = m.map(_._1).toSet
           rows.foreach { r =>
-            val rel = r.getString(fileAt)
-            if (want(rel)) out += Row.fromSeq(names.indices.map { j =>
-              if (j == 0) prefix + rel
-              else { val i = pos(j); if (i < 0) null else r.get(i) }
-            })
+            val rel = r.getString(fI)
+            if (want(rel)) out += RowGroupScan.IdxRow(rel,
+              r.getInt(rgI), r.getString(colI), r.getInt(ordI),
+              r.getString(dtI), r.getLong(nrI), optL(r, nnI),
+              optL(r, lmnI), optL(r, lmxI), optS(r, smnI),
+              optS(r, smxI), optD(r, dmnI), optD(r, dmxI))
           }
         }
         aligned
       }
-      if (!ok) return None
-      unmapped.foreach { f =>
-        val abs = Paths.get(dir).resolve(f).toString
-        RowGroupScan.fileIdxRows(abs, abs, conf).foreach { ir =>
-          out += Row(ir.file, ir.rg, ir.column, ir.ord, ir.dtype,
-            ir.n_rows, ir.n_nulls.map(Long.box).orNull,
-            ir.lmin.map(Long.box).orNull, ir.lmax.map(Long.box).orNull,
-            ir.smin.orNull, ir.smax.orNull,
-            ir.dmin.map(Double.box).orNull,
-            ir.dmax.map(Double.box).orNull)
-        }
-      }
-      Some((out.result(), wideIdxSchema))
+      if (ok) Some(out.result()) else None
     } catch {
       // missing sidecar file, unsupported type, … — the distributed
       // path re-derives (or fails loudly where failing is correct)
       case scala.util.control.NonFatal(_) => None
     }
+
+  private def idxRowAsRow(ir: RowGroupScan.IdxRow, file: String)
+      : org.apache.spark.sql.Row =
+    org.apache.spark.sql.Row(file, ir.rg, ir.column, ir.ord, ir.dtype,
+      ir.n_rows, ir.n_nulls.map(Long.box).orNull,
+      ir.lmin.map(Long.box).orNull, ir.lmax.map(Long.box).orNull,
+      ir.smin.orNull, ir.smax.orNull,
+      ir.dmin.map(Double.box).orNull, ir.dmax.map(Double.box).orNull)
+
+  /** Zero-job wide-index build for a small snapshot: mapped files' rows
+    * come from their sidecar parquets read driver-side, un-indexed files
+    * from driver-side footer reads (same [[RowGroupScan.fileIdxRows]]
+    * the distributed build runs in tasks). None = byte budget exceeded
+    * or a sidecar's schema isn't the IdxRow shape — caller falls back to
+    * the distributed build. */
+  private def rgIndexRowsLocal(spark: SparkSession, dir: String,
+      snap: Snapshot, files: Seq[String])
+      : Option[(Array[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prefix = Paths.get(dir).toString + "/"
+    val (mapped, unmapped) = files.partition(snap.rgidx.contains)
+    val bySidecar = snap.rgidx.view
+      .filterKeys(mapped.toSet).toSeq.groupBy(_._2).toSeq.sortBy(_._1)
+    localRgSidecarRows(spark, dir, bySidecar).flatMap { irs =>
+      try {
+        val out = Array.newBuilder[org.apache.spark.sql.Row]
+        irs.foreach(ir => out += idxRowAsRow(ir, prefix + ir.file))
+        unmapped.foreach { f =>
+          val abs = Paths.get(dir).resolve(f).toString
+          RowGroupScan.fileIdxRows(abs, abs, conf)
+            .foreach(ir => out += idxRowAsRow(ir, ir.file))
+        }
+        Some((out.result(), wideIdxSchema))
+      } catch {
+        case scala.util.control.NonFatal(_) => None
+      }
+    }
+  }
 
   /** The wide row-group index for `files` (relative), file column
     * resolved to ABSOLUTE paths: sidecar-served for mapped files (no
@@ -2487,6 +2575,38 @@ object TableLog {
     new java.util.concurrent.ConcurrentHashMap[(String, Int),
       Option[Map[String, Array[Byte]]]]()
 
+  /** Driver-side read of bloom sidecars TRIMMED to the given
+    * file→sidecar mapping, as (file, bitmap) rows. None = byte budget
+    * exceeded or schema drift — callers fall back to the distributed
+    * read. */
+  private def localBloomSidecarRows(spark: SparkSession, dir: String,
+      bySidecar: Seq[(String, collection.Set[String])])
+      : Option[Seq[(String, Array[Byte])]] =
+    try {
+      val totalBytes = bySidecar.map { case (sc, _) =>
+        Files.size(Paths.get(dir).resolve(sc))
+      }.sum
+      if (totalBytes > localSidecarMaxBytes) return None
+      val conf = spark.sparkContext.hadoopConfiguration
+      val acc = Seq.newBuilder[(String, Array[Byte])]
+      val ok = bySidecar.forall { case (sc, want) =>
+        val (rows, schema) = RowGroupScan.localParquetRows(
+          Paths.get(dir).resolve(sc).toString, conf)
+        val shaped = schema.fieldNames.contains("f") &&
+          schema.fieldNames.contains("bitmap")
+        if (shaped) {
+          val fi = schema.fieldIndex("f")
+          val bi = schema.fieldIndex("bitmap")
+          rows.foreach { r =>
+            val f = r.getString(fi)
+            if (want(f)) acc += f -> r.getAs[Array[Byte]](bi)
+          }
+        }
+        shaped
+      }
+      if (ok) Some(acc.result()) else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def bloomBitsLocal(spark: SparkSession, dir: String,
       snap: Snapshot): Option[Map[String, Array[Byte]]] = {
     if (snap.blooms.isEmpty || snap.blooms.size > 512) return None
@@ -2496,35 +2616,9 @@ object TableLog {
       val bySidecar = snap.blooms.groupBy(_._2).toSeq.sortBy(_._1)
       // zero-job driver read when the sidecars fit the byte budget (the
       // rgidx-planning posture); else the distributed read below
-      val localBits: Option[Map[String, Array[Byte]]] =
-        try {
-          val totalBytes = bySidecar.map { case (sc, _) =>
-            Files.size(Paths.get(dir).resolve(sc))
-          }.sum
-          if (totalBytes > localSidecarMaxBytes) None
-          else {
-            val conf = spark.sparkContext.hadoopConfiguration
-            val acc = Map.newBuilder[String, Array[Byte]]
-            val ok = bySidecar.forall { case (sc, m) =>
-              val (rows, schema) = RowGroupScan.localParquetRows(
-                Paths.get(dir).resolve(sc).toString, conf)
-              val shaped = schema.fieldNames.contains("f") &&
-                schema.fieldNames.contains("bitmap")
-              if (shaped) {
-                val fi = schema.fieldIndex("f")
-                val bi = schema.fieldIndex("bitmap")
-                val want = m.keySet
-                rows.foreach { r =>
-                  val f = r.getString(fi)
-                  if (want(f)) acc += f -> r.getAs[Array[Byte]](bi)
-                }
-              }
-              shaped
-            }
-            if (ok) Some(acc.result()) else None
-          }
-        } catch { case scala.util.control.NonFatal(_) => None }
-      val bits = localBits.getOrElse {
+      val bits = localBloomSidecarRows(spark, dir,
+          bySidecar.map { case (sc, m) => sc -> m.keySet })
+        .map(_.toMap).getOrElse {
         val parts = bySidecar.map { case (sidecar, m) =>
           val fs = m.keySet.toSeq
           spark.read
