@@ -68,12 +68,21 @@ object KnnJoin {
     val probes0 = left.select(col(leftId).as("lid"),
       col(leftX).cast("double").as("x"), col(leftY).cast("double").as("y"))
       .filter(valid("lid", "x", "y"))
-    val sites = truncate(right.select(col(rightId).as("rid"),
+    // the site count rides the sites checkpoint's own materializing job
+    // (Dataset.observe → CollectMetricsExec), not a standalone count()
+    // action — the Dedup.clusters discipline: every driver round-trip the
+    // loop serializes on is scheduler latency at cluster scale. count()
+    // is exact under speculative task duplication (Spark only commits one
+    // attempt's accumulator updates per task).
+    val sitesObs = right.select(col(rightId).as("rid"),
       col(rightX).cast("double").as("rx"),
       col(rightY).cast("double").as("ry"))
-      .filter(valid("rid", "rx", "ry")))
+      .filter(valid("rid", "rx", "ry"))
+      .observe("__graft_knn_sites", count(lit(1)).as("n"))
+    val sites = truncate(sitesObs)
     // a probe with every site in hand is done no matter what k asked for
-    val nSites = sites.count()
+    val nSites =
+      sitesObs.queryExecution.observedMetrics("__graft_knn_sites").getLong(0)
     val need = math.min(k.toLong, nSites)
 
     // empty seed built from the ACTUAL id schemas (limit(0) cross of the
@@ -84,10 +93,16 @@ object KnnJoin {
       .crossJoin(sites.select(col("rid")).limit(0))
       .withColumn("dist", lit(0.0)).withColumn("rn", lit(0))
     if (nSites == 0) return resolved
-    var probes = truncate(probes0)
+    // the unresolved-probe count rides each probe frame's checkpoint job
+    // (observe again): the loop condition costs ZERO extra actions where
+    // the old per-round isEmpty was one scheduler round-trip each
+    val probes0Obs = probes0.observe("__graft_knn_p", count(lit(1)).as("n"))
+    var probes = truncate(probes0Obs)
+    var nUnresolved =
+      probes0Obs.queryExecution.observedMetrics("__graft_knn_p").getLong(0)
     var r = r0
     var it = 0
-    while (it < maxIter && !probes.isEmpty) {
+    while (it < maxIter && nUnresolved > 0) {
       require(r.isFinite, s"radius overflow after $it doublings from $r0")
       // once the doubled radius outgrows the lat-band grid (10° of
       // latitude ≈ 1112 km), the still-unresolved probes are the sparse
@@ -123,12 +138,16 @@ object KnnJoin {
         .filter(col("_cnt") >= need && col("rn") <= k)
         .select(col("lid"), col("rid"), col("dist"), col("rn")))
       resolved = resolved.union(doneRows)
-      probes = truncate(probes.join(
-        doneRows.select(col("lid")).distinct(), Seq("lid"), "left_anti"))
+      val nextObs = probes.join(
+        doneRows.select(col("lid")).distinct(), Seq("lid"), "left_anti")
+        .observe(s"__graft_knn_p$it", count(lit(1)).as("n"))
+      probes = truncate(nextObs)
+      nUnresolved = nextObs.queryExecution
+        .observedMetrics(s"__graft_knn_p$it").getLong(0)
       r *= 2
       it += 1
     }
-    require(probes.isEmpty,
+    require(nUnresolved == 0L,
       s"knnJoin did not converge in $maxIter doublings from r0=$r0")
     resolved
   }

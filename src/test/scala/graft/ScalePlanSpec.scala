@@ -545,6 +545,44 @@ class ScalePlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("knnJoin loop control rides the checkpoint jobs (observe): no " +
+      "per-round isEmpty, no standalone site count") {
+    // 1-D line 0,1,2 plus an outlier at 10 (y=0): k=2 at r0=1.5 resolves
+    // the dense trio in round 1, the outlier only once the radius doubles
+    // past its 8-unit gap — a genuine multi-round run (4 rounds)
+    val pts = Seq((0L, 0.0, 0.0), (1L, 1.0, 0.0), (2L, 2.0, 0.0),
+      (3L, 10.0, 0.0)).toDF("id", "x", "y")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val out = graft.operators.KnnJoin.knnJoin(pts, pts, k = 2, r0 = 1.5)
+        .collect()
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (System.nanoTime() < deadline &&
+        spark.sparkContext.statusTracker.getActiveJobIds.nonEmpty)
+        Thread.sleep(50)
+      Thread.sleep(500)
+      // every probe gets exactly k=2 neighbors; the outlier's nearest is
+      // id 2 at dist 8 — proves the multi-round path actually ran
+      assert(out.length == 8, s"expected 4 probes x k=2, got ${out.length}")
+      // action budget: sites + probes init checkpoints, then exactly TWO
+      // materializing actions per round (doneRows + next-probes
+      // checkpoints, convergence observed in-band), 4 rounds, plus the
+      // final collect. Measured at this AQE shape: 25 jobs total (AQE
+      // splits each action into ~2-3 jobs). The old shape (per-round
+      // isEmpty + standalone sites.count + final isEmpty) cost 6 more
+      // actions and blows the cap.
+      assert(jobs.get <= 28,
+        s"knnJoin ran ${jobs.get} jobs — loop control must not cost a " +
+          "separate action per round")
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("minhashPairs rejects k not divisible by bands") {
     val docs = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
