@@ -81,6 +81,26 @@ object Bench {
       }
     }
 
+    // per-query job/stage counts ride a listener and land in the JSON as
+    // ADDITIONS-only keys ("jobs"/"stages"): at sf0.1 most gates are
+    // fixed-overhead-bound, so wall-clock cannot resolve a structural
+    // optimization across host-band shifts — the structural counts can.
+    // The counters are read OUTSIDE the timed region (after a listener
+    // drain), so the existing per-query seconds are untouched.
+    val jobsCnt = new java.util.concurrent.atomic.AtomicInteger
+    val stagesCnt = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobsCnt.incrementAndGet()
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          stagesCnt.incrementAndGet()
+      })
+    def drainListeners(): Unit = org.apache.spark.graft.CoreInternals
+      .waitListenerBusEmpty(spark.sparkContext, 10000)
+
     val sentinelPre = sentinelMs()
     val sentinelMtPre = sentinelMtMs()
     // best-of-2 per query (back-to-back, so both passes sit in the same
@@ -88,18 +108,27 @@ object Bench {
     // way isolated RunOne measurements do, making the recorded artifact
     // comparable across rounds
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val structural = scala.collection.mutable.LinkedHashMap[String, (Int, Int)]()
     val results = names.map { name =>
-      val times = (0 until passes).map { _ =>
+      val times = (0 until passes).map { i =>
         // GC quiescence outside the timed region: without it, garbage from
         // earlier queries' shuffles is collected INSIDE whichever later
         // query happens to allocate next (measured: t3/t5 2-3x inflated
         // late in the suite while isolated runs are flat)
         System.gc()
+        // job/stage counts are taken from the LAST pass (steady state):
+        // drain + reset before it, drain + read after — all outside the
+        // timed region
+        if (i == passes - 1) {
+          drainListeners(); jobsCnt.set(0); stagesCnt.set(0)
+        }
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      drainListeners()
+      structural(name) = (jobsCnt.get, stagesCnt.get)
       name -> times.min
     }
     val sentinelPost = sentinelMs()
@@ -109,7 +138,11 @@ object Bench {
     val total = results.map(_._2).sum
     val sentinel = (sentinelPre + sentinelPost) / 2
     val sentinelMt = (sentinelMtPre + sentinelMtPost) / 2
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sentinel_ms":$sentinel,"sentinel_pre_ms":$sentinelPre,"sentinel_post_ms":$sentinelPost,"sentinel_mt_ms":$sentinelMt,"sentinel_mt_pre_ms":$sentinelMtPre,"sentinel_mt_post_ms":$sentinelMtPost,"passes":$passes}"""
+    val js = structural.map { case (k, (j, _)) => s"\"" + k + "\":" + j }
+      .mkString("{", ",", "}")
+    val ss = structural.map { case (k, (_, s)) => s"\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","sentinel_ms":$sentinel,"sentinel_pre_ms":$sentinelPre,"sentinel_post_ms":$sentinelPost,"sentinel_mt_ms":$sentinelMt,"sentinel_mt_pre_ms":$sentinelMtPre,"sentinel_mt_post_ms":$sentinelMtPost,"passes":$passes,"jobs":$js,"stages":$ss}"""
     println(json)
     // stdout is interleaved with sbt/log4j noise; also write the line to a
     // file so machine parsers never miss it

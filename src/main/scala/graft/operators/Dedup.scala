@@ -460,24 +460,78 @@ object Dedup {
     * label-sum stability test. */
   def clusters(pairs: DataFrame, maxIter: Int = 10,
       pointerJump: Option[Boolean] = None,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      symmetric: Boolean = false,
+      partitionsHint: Option[Int] = None): DataFrame = {
     // checkpointDir opts into RELIABLE checkpoints (HDFS/object store):
     // localCheckpoint blocks live only on executors, so an executor loss
     // mid-iteration on a real cluster kills the job (no lineage left to
     // recompute). local[k] development keeps the default.
     checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // checkpointKeepLayout, NOT Dataset.checkpoint: under AQE the stock
+    // checkpoint loses outputPartitioning (UnknownPartitioning), so every
+    // round re-exchanged BOTH join sides — the layout reuse this loop was
+    // designed around never actually happened with AQE on
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+      org.apache.spark.sql.graft.SparkInternals
+        .checkpointKeepLayout(df, reliable = checkpointDir.isDefined)
     // pre-shuffle the (bigger) edge side by the per-round join key ONCE:
     // checkpointing preserves outputPartitioning into the LogicalRDD, so
     // every propagation round reuses this layout instead of re-exchanging
-    // 2|E| rows per iteration
-    val edges = truncate(pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .repartition(col("id_b")))
-    var labels = truncate(edges.select(col("id_a").as("id")).distinct()
-      .withColumn("label", col("id")))
+    // 2|E| rows per iteration. `symmetric = true` (caller guarantees both
+    // directions are already present — e.g. dbscan's eps-join emits every
+    // pair twice) skips the reverse union that would double the edge
+    // frame for nothing.
+    val edges0 =
+      if (symmetric) pairs.select(col("id_a"), col("id_b"))
+      else pairs.select(col("id_a"), col("id_b"))
+        .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    // the edge count sizes the loop's shuffle layout (LoopLayout): small
+    // graphs collapse to a few partitions instead of running every round
+    // at conf-N near-empty tasks; at cluster scale p == conf-N and
+    // nothing extra happens. A caller that already knows the edge
+    // magnitude (dbscan observed its pair count) passes `partitionsHint`
+    // and the first checkpoint materializes straight at p; otherwise the
+    // count rides the first checkpoint's own job and a small frame is
+    // cheaply re-pinned.
+    val spark = pairs.sparkSession
+    val confN = org.apache.spark.sql.graft.SparkInternals
+      .sqlConf(spark).numShufflePartitions
+    var edges: DataFrame = null
+    val p = partitionsHint match {
+      case Some(hint) =>
+        val p0 = math.max(1, math.min(hint, confN))
+        LoopLayout.withShufflePartitions(spark, p0) {
+          edges = truncate(edges0.repartition(col("id_b")))
+        }
+        p0
+      case None =>
+        // pinLayout = false: this frame is re-pinned below whenever it is
+        // small, so its own stages should stay AQE-coalesced; at scale
+        // nothing coalesces and the conf-N hash layout survives as-is
+        val edgesObs = edges0.repartition(col("id_b"))
+          .observe("__graft_cc_edges", count(lit(1)).as("n"))
+        edges = org.apache.spark.sql.graft.SparkInternals
+          .checkpointKeepLayout(edgesObs,
+            reliable = checkpointDir.isDefined, pinLayout = false)
+        val nEdges = edgesObs.queryExecution
+          .observedMetrics("__graft_cc_edges").getLong(0)
+        LoopLayout.partitionsFor(spark, nEdges)
+    }
+    LoopLayout.withShufflePartitions(spark, p) {
+    if (partitionsHint.isEmpty && p < confN)
+      edges = truncate(edges.repartition(col("id_b")))
+    // seed every node with min(own id, min neighbor id) instead of its
+    // own id: the init aggregate costs the same shuffle the old
+    // distinct() did but performs round 1's propagation inside it —
+    // one whole round (and its checkpoint job) vanishes for every graph,
+    // and star-shaped dup clusters (the dominant corpus shape) converge
+    // at init with a single stability-detect round. Labels stay ids of
+    // component members, so the min-label fixed point is unchanged.
+    var labels = truncate(edges.groupBy(col("id_a"))
+      .agg(min(col("id_b")).as("__mn"))
+      .select(col("id_a").as("id"),
+        least(col("__mn"), col("id_a")).as("label")))
     var changed = true
     var iter = 0
     while (changed && iter < maxIter) {
@@ -533,6 +587,7 @@ object Dedup {
     }
     lastIterations.set(iter)
     labels
+    } // withShufflePartitions
   }
 
   /** Test diagnostic: iteration count of the most recent [[clusters]]

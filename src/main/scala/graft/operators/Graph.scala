@@ -17,10 +17,16 @@ object Graph {
     * mid-iteration on a real cluster recomputes from storage instead of
     * killing the job. Results are identical either way (spec-pinned). */
   private def truncator(any: DataFrame, checkpointDir: Option[String])
-      : DataFrame => DataFrame = {
+      : (DataFrame, Boolean) => DataFrame = {
     checkpointDir.foreach(any.sparkSession.sparkContext.setCheckpointDir)
-    df => if (checkpointDir.isDefined) df.checkpoint(true)
-          else df.localCheckpoint(true)
+    // layout-preserving (AQE's stock checkpoint reports
+    // UnknownPartitioning — see SparkInternals.checkpointKeepLayout): the
+    // pre-partitioned edge list keeps its hash layout across iterations.
+    // pin = false for first materializations whose layout the caller
+    // re-pins right after (their stages stay AQE-coalesced).
+    (df, pin) => org.apache.spark.sql.graft.SparkInternals
+      .checkpointKeepLayout(df, reliable = checkpointDir.isDefined,
+        pinLayout = pin)
   }
 
   /** HITS (Kleinberg 1999): mutually-reinforcing hub and authority
@@ -39,13 +45,19 @@ object Graph {
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val truncate = truncator(edges, checkpointDir)
-    val e = truncate(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .filter(col("src").isNotNull && col("dst").isNotNull))
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+    // NO layout pinning here (unlike pageRank/labelPropagation): the two
+    // half-step joins key on src and dst ALTERNATELY, so no single hash
+    // layout is reusable, and pinning the loop to a few partitions
+    // serializes the norm-aggregate branches (measured 1.9 -> 3.0 s at
+    // sf0.1) — AQE coalescing is the right default for this loop.
+    val e = truncate(e0, false)
     val nodes = truncate(e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
-      .distinct())
+      .distinct(), false)
     var scores = truncate(nodes
-      .withColumn("hub", lit(1.0)).withColumn("auth", lit(1.0)))
+      .withColumn("hub", lit(1.0)).withColumn("auth", lit(1.0)), false)
     var it = 0
     while (it < iters) {
       // authority update: sum of in-neighbor hubs, then L2 normalize
@@ -68,7 +80,7 @@ object Graph {
         .withColumn("hub", when(col("n") > 0, col("hr") / col("n"))
           .otherwise(0.0))
         .select(col("id"), col("hub"))
-        .join(withAuth, Seq("id")))
+        .join(withAuth, Seq("id")), false)
       it += 1
     }
     scores.select(col("id"), col("hub"), col("auth"))
@@ -97,15 +109,26 @@ object Graph {
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 0, s"iters must be >= 0: $iters")
     val truncate = truncator(edges, checkpointDir)
+    val spark = edges.sparkSession
     val raw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
-    val und = truncate(raw
+    // observed edge count pins the loop's shuffle layout (LoopLayout)
+    val undObs = raw
       .union(raw.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .repartition(col("src")))
+      .repartition(col("src"))
+      .observe("__graft_lp_edges", count(lit(1)).as("n"))
+    var und = truncate(undObs, false)
+    val nEdges = undObs.queryExecution
+      .observedMetrics("__graft_lp_edges").getLong(0)
+    val p = LoopLayout.partitionsFor(spark, nEdges)
+    val confN = org.apache.spark.sql.graft.SparkInternals
+      .sqlConf(spark).numShufflePartitions
+    LoopLayout.withShufflePartitions(spark, p) {
+    if (p < confN) und = truncate(und.repartition(col("src")), true)
     var labels = truncate(und.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
+      .withColumn("label", col("id")), true)
     var it = 0
     while (it < iters) {
       // neighbor labels arrive over the reused src-partitioned layout;
@@ -121,16 +144,17 @@ object Graph {
       val cnt = truncate(und
         .join(labels.select(col("id").as("src"), col("label")), Seq("src"))
         .groupBy(col("dst").as("id"), col("label"))
-        .agg(count(lit(1)).as("_c")))
+        .agg(count(lit(1)).as("_c")), true)
       val top = cnt.groupBy(col("id")).agg(max(col("_c")).as("_mc"))
       val next = cnt.join(top, Seq("id"))
         .filter(col("_c") === col("_mc"))
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"))
-      labels = truncate(next)
+      labels = truncate(next, true)
       it += 1
     }
     labels.select(col("id"), col("label"))
+    } // withShufflePartitions
   }
 
   /** Per-vertex triangle counting by degree-ordered edge orientation
@@ -215,17 +239,35 @@ object Graph {
       .filter(col("src").isNotNull && col("dst").isNotNull &&
         col("src") =!= col("dst"))
       .distinct()
-    // reached(origin, v): v reachable from origin in <= current hops
+    // reached(origin, v): v reachable from origin in <= current hops.
+    // The first frontier checkpoint observes its size and pins the
+    // remaining hops' shuffle layout (LoopLayout).
     var reached = e.select(col("src").as("origin"), col("dst").as("v"))
+    val spark = edges.sparkSession
+    var pinned: Option[Int] = None
     var hop = 1
-    while (hop < k) {
-      val expanded = reached
-        .join(e.select(col("src").as("v"), col("dst").as("v2")), Seq("v"))
-        .select(col("origin"), col("v2").as("v"))
-        .filter(col("origin") =!= col("v")) // self via cycle: drop
-      reached = truncate(reached.union(expanded).distinct())
-      hop += 1
-    }
+    try {
+      while (hop < k) {
+        val expanded = reached
+          .join(e.select(col("src").as("v"), col("dst").as("v2")), Seq("v"))
+          .select(col("origin"), col("v2").as("v"))
+          .filter(col("origin") =!= col("v")) // self via cycle: drop
+        val obsName = s"__graft_khop_$hop"
+        val nextObs = reached.union(expanded).distinct()
+          .observe(obsName, count(lit(1)).as("n"))
+        reached = truncate(nextObs, false)
+        if (pinned.isEmpty && hop + 1 < k) {
+          val nReached = nextObs.queryExecution
+            .observedMetrics(obsName).getLong(0)
+          val p = LoopLayout.partitionsFor(spark, nReached)
+          pinned = Some(org.apache.spark.sql.graft.SparkInternals
+            .sqlConf(spark).numShufflePartitions)
+          spark.conf.set("spark.sql.shuffle.partitions", p.toString)
+        }
+        hop += 1
+      }
+    } finally pinned.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     reached.groupBy(col("origin").as("id"))
       .agg(count(lit(1)).as("reach_count"))
   }
@@ -249,26 +291,56 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1: $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1): $damping")
     val truncate = truncator(edges, checkpointDir)
-    val e = truncate(edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val spark = edges.sparkSession
+    // edge count rides the edge checkpoint's job and pins the loop's
+    // shuffle layout (LoopLayout); node count rides the node checkpoint
+    // (no standalone count() action); the dangling probe rides the ranks
+    // init — three driver round-trips fold into jobs that ran anyway
+    val eObs = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .repartition(col("src")))
-    val nodes = truncate(e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct())
-    val n = nodes.count().toDouble
+      .repartition(col("src"))
+      .observe("__graft_pr_edges", count(lit(1)).as("n"))
+    var e = truncate(eObs, false)
+    val nEdges = eObs.queryExecution
+      .observedMetrics("__graft_pr_edges").getLong(0)
+    val p = LoopLayout.partitionsFor(spark, nEdges)
+    val confN = org.apache.spark.sql.graft.SparkInternals
+      .sqlConf(spark).numShufflePartitions
+    LoopLayout.withShufflePartitions(spark, p) {
+    if (p < confN) e = truncate(e.repartition(col("src")), true)
+    // the node count comes from the node checkpoint's own count() action
+    // (exact by construction — it feeds every rank), not a standalone
+    // count() job and not an observe metric
+    val (nodes, nNodes) = org.apache.spark.sql.graft.SparkInternals
+      .checkpointKeepLayoutCounted(
+        e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id")))
+          .distinct(),
+        reliable = checkpointDir.isDefined)
+    val n = nNodes.toDouble
     val odeg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("odeg"))
-    var ranks = truncate(nodes.join(odeg, Seq("id"), "left")
-      .na.fill(0L, Seq("odeg"))
-      .withColumn("rank", lit(1.0 / n)))
     // graphs with no dangling nodes (every node links out — common for
     // synthetic/link-complete graphs) skip the per-iteration dangling-mass
-    // aggregate entirely: one cheap probe instead of `iters` 1-row jobs
-    val hasDangling = ranks.filter(col("odeg") === 0).limit(1).count() > 0
+    // aggregate entirely: the probe rides the ranks-init checkpoint
+    val ranksObs = nodes.join(odeg, Seq("id"), "left")
+      .na.fill(0L, Seq("odeg"))
+      .withColumn("rank", lit(1.0 / n))
+      .observe("__graft_pr_dangling",
+        sum(when(col("odeg") === 0, 1L).otherwise(0L)).as("nd"))
+    var ranks = truncate(ranksObs, true)
+    val dRow = ranksObs.queryExecution.observedMetrics("__graft_pr_dangling")
+    val hasDangling = !dRow.isNullAt(0) && dRow.getLong(0) > 0L
     var it = 0
     while (it < iters) {
+      // odeg-0 (dangling) rows never survive the inner join on src, but
+      // the projection can evaluate BEFORE the join depending on plan
+      // shape (a sort/exchange below the join materializes it) and ANSI
+      // division then aborts on the 0 — guard it; value-identical for
+      // every surviving row (all have odeg >= 1)
       val contrib = e.join(ranks.select(col("id").as("src"),
-          (col("rank") / col("odeg")).as("c")), Seq("src"))
+          when(col("odeg") =!= 0, col("rank") / col("odeg")).as("c")),
+          Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("c")).as("inflow"))
       val base = ranks.select(col("id"), col("odeg"))
@@ -284,9 +356,10 @@ object Graph {
           lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("inflow"), lit(0.0)) + col("dm") / n))
         .select(col("id"), col("odeg"), col("rank"))
-      ranks = truncate(next)
+      ranks = truncate(next, true)
       it += 1
     }
     ranks.select(col("id"), col("rank"))
+    } // withShufflePartitions
   }
 }

@@ -54,9 +54,11 @@ object KnnJoin {
     require(k >= 1, s"k must be >= 1: $k")
     require(r0 > 0, s"r0 must be positive: $r0")
     checkpointDir.foreach(left.sparkSession.sparkContext.setCheckpointDir)
+    // layout-preserving checkpoints (see SparkInternals): sites keep their
+    // grid-join layout across rounds instead of re-exchanging per round
     def truncate(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(true)
-      else df.localCheckpoint(true)
+      org.apache.spark.sql.graft.SparkInternals
+        .checkpointKeepLayout(df, reliable = checkpointDir.isDefined)
 
     // null/NaN coordinates (or a null id — the probe-retirement anti-join
     // is null-unsafe) have no defined neighborhood: dropped up front on
@@ -68,21 +70,20 @@ object KnnJoin {
     val probes0 = left.select(col(leftId).as("lid"),
       col(leftX).cast("double").as("x"), col(leftY).cast("double").as("y"))
       .filter(valid("lid", "x", "y"))
-    // the site count rides the sites checkpoint's own materializing job
-    // (Dataset.observe → CollectMetricsExec), not a standalone count()
-    // action — the Dedup.clusters discipline: every driver round-trip the
-    // loop serializes on is scheduler latency at cluster scale. count()
-    // is exact under speculative task duplication (Spark only commits one
-    // attempt's accumulator updates per task).
-    val sitesObs = right.select(col(rightId).as("rid"),
-      col(rightX).cast("double").as("rx"),
-      col(rightY).cast("double").as("ry"))
-      .filter(valid("rid", "rx", "ry"))
-      .observe("__graft_knn_sites", count(lit(1)).as("n"))
-    val sites = truncate(sitesObs)
+    // the site count comes from the sites checkpoint's own materializing
+    // count() action, not a standalone count() — the Dedup.clusters
+    // discipline: every driver round-trip the loop serializes on is
+    // scheduler latency at cluster scale. The action's return value (not
+    // an observe metric) because `need` is correctness-critical and must
+    // stay exact even if part of the plan re-executes.
+    val (sites, nSites) = org.apache.spark.sql.graft.SparkInternals
+      .checkpointKeepLayoutCounted(
+        right.select(col(rightId).as("rid"),
+          col(rightX).cast("double").as("rx"),
+          col(rightY).cast("double").as("ry"))
+          .filter(valid("rid", "rx", "ry")),
+        reliable = checkpointDir.isDefined)
     // a probe with every site in hand is done no matter what k asked for
-    val nSites =
-      sitesObs.queryExecution.observedMetrics("__graft_knn_sites").getLong(0)
     val need = math.min(k.toLong, nSites)
 
     // empty seed built from the ACTUAL id schemas (limit(0) cross of the
@@ -93,15 +94,22 @@ object KnnJoin {
       .crossJoin(sites.select(col("rid")).limit(0))
       .withColumn("dist", lit(0.0)).withColumn("rn", lit(0))
     if (nSites == 0) return resolved
-    // the unresolved-probe count rides each probe frame's checkpoint job
-    // (observe again): the loop condition costs ZERO extra actions where
-    // the old per-round isEmpty was one scheduler round-trip each
-    val probes0Obs = probes0.observe("__graft_knn_p", count(lit(1)).as("n"))
-    var probes = truncate(probes0Obs)
-    var nUnresolved =
-      probes0Obs.queryExecution.observedMetrics("__graft_knn_p").getLong(0)
+    // the unresolved-probe count rides each probe frame's checkpoint job:
+    // the loop condition costs ZERO extra actions where the old
+    // per-round isEmpty was one scheduler round-trip each. (Loop uses of
+    // nUnresolved are sign-safe — only compared against zero.)
+    val (probesInit, nProbes0) = org.apache.spark.sql.graft.SparkInternals
+      .checkpointKeepLayoutCounted(probes0,
+        reliable = checkpointDir.isDefined)
+    var probes = probesInit
+    var nUnresolved = nProbes0
     var r = r0
     var it = 0
+    // the observed counts also size the loop's shuffle layout
+    // (LoopLayout): a few thousand probes don't need conf-N-task rounds
+    LoopLayout.withShufflePartitions(left.sparkSession,
+        LoopLayout.partitionsFor(left.sparkSession,
+          math.max(nSites, nUnresolved))) {
     while (it < maxIter && nUnresolved > 0) {
       require(r.isFinite, s"radius overflow after $it doublings from $r0")
       // once the doubled radius outgrows the lat-band grid (10° of
@@ -147,6 +155,7 @@ object KnnJoin {
       r *= 2
       it += 1
     }
+    } // withShufflePartitions
     require(nUnresolved == 0L,
       s"knnJoin did not converge in $maxIter doublings from r0=$r0")
     resolved

@@ -233,24 +233,52 @@ object RowGroupScan {
       paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "readNoInfer needs at least one path")
     try {
-      val head = {
-        val p = java.nio.file.Paths.get(paths.head)
-        if (!java.nio.file.Files.isDirectory(p)) paths.head
+      def filesOf(path: String): Seq[String] = {
+        val p = java.nio.file.Paths.get(path)
+        if (!java.nio.file.Files.isDirectory(p)) Seq(path)
         else {
           import scala.jdk.CollectionConverters._
           val s = java.nio.file.Files.list(p)
           try s.iterator.asScala.map(_.toString)
-            .filter(_.endsWith(".parquet")).toSeq.sorted.head
+            .filter(_.endsWith(".parquet")).toSeq.sorted
           finally s.close()
         }
       }
+      val headFiles = filesOf(paths.head)
+      val head = headFiles.head
       val msg = parquetSchemaOf(head,
         spark.sparkContext.hadoopConfiguration)
-      val schema = new org.apache.spark.sql.execution.datasources.parquet
-        .ParquetToSparkSchemaConverter(
-          org.apache.spark.sql.graft.SparkInternals.sqlConf(spark))
-        .convert(msg)
-      spark.read.schema(schema).parquet(paths: _*)
+      // uniform-schema cross-check (one extra footer, driver-side): when
+      // the path set spans more than one file, a set that silently
+      // violates the write contract must fall back to inference LOUDLY
+      // here rather than read mismatched files as nulls. Field names in
+      // order are the cheap sufficient check — a type drift with the
+      // same names is the widening the lake handles via readEvolved,
+      // which keeps mergeSchema.
+      val guard =
+        if (paths.size > 1) Some(filesOf(paths.last).last)
+        else if (headFiles.size > 1) Some(headFiles.last)
+        else None
+      val drifted = guard.filter(_ != head).exists { g =>
+        val gMsg = parquetSchemaOf(g,
+          spark.sparkContext.hadoopConfiguration)
+        import scala.jdk.CollectionConverters._
+        def names(m: org.apache.parquet.schema.MessageType) =
+          m.getFields.asScala.map(_.getName).toSeq
+        names(msg) != names(gMsg)
+      }
+      if (drifted)
+        // detected drift: a plain inferring read would ALSO trust one
+        // arbitrary footer — mergeSchema is the read that is actually
+        // correct for a drifted set
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+      else {
+        val schema = new org.apache.spark.sql.execution.datasources.parquet
+          .ParquetToSparkSchemaConverter(
+            org.apache.spark.sql.graft.SparkInternals.sqlConf(spark))
+          .convert(msg)
+        spark.read.schema(schema).parquet(paths: _*)
+      }
     } catch {
       case scala.util.control.NonFatal(_) =>
         spark.read.parquet(paths: _*)

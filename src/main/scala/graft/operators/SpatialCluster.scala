@@ -168,12 +168,21 @@ object SpatialCluster {
         leftLon = "x", leftLat = "y", rightLon = "rx", rightLat = "ry")
       else SpatialJoin.distanceJoin(l, r, eps,
         leftX = "x", leftY = "y", rightX = "rx", rightY = "ry")
+    // the pair count rides the checkpoint's own job: it sizes the
+    // component-collapse loop's shuffle layout below (coreEdges ≤ pairs
+    // + one self-edge per core rep, so it is the right magnitude)
     val pairs0 = epsJoin
       .filter(col("lid") =!= col("rid2"))
       .select(col("lid"), col("rid2").as("rid"), col("rw"))
+      .observe("__graft_dbscan_pairs", count(lit(1)).as("n"))
+    // stock checkpoint (NOT checkpointKeepLayout): the pair frame's grid
+    // layout is never reused downstream — its three consumers key on
+    // lid/rid — so AQE's partition coalescing is pure win here
     val pairs =
       if (checkpointDir.isDefined) pairs0.checkpoint(true)
       else pairs0.localCheckpoint(true)
+    val nPairs = pairs0.queryExecution
+      .observedMetrics("__graft_dbscan_pairs").getLong(0)
     // neighbor count INCLUDES the point itself (the PostGIS contract):
     // own group's weight covers self + co-located others
     val nbrW = pairs.groupBy(col("lid")).agg(sum(col("rw")).as("_nw"))
@@ -189,8 +198,13 @@ object SpatialCluster {
       .join(coreReps, Seq("rid"))
       .select(col("lid").as("id_a"), col("rid").as("id_b"))
       .union(coreReps.select(col("rid").as("id_a"), col("rid").as("id_b")))
+    // coreEdges already carries BOTH directions (the eps-join emits every
+    // pair twice) plus self-edges: symmetric = true skips clusters()'s
+    // reverse-union, halving the edge frame it checkpoints and joins
     val coreLabels = Dedup.clusters(coreEdges, maxIter = maxIter,
-        checkpointDir = checkpointDir)
+        checkpointDir = checkpointDir, symmetric = true,
+        partitionsHint =
+          Some(LoopLayout.partitionsFor(points.sparkSession, nPairs)))
       .select(col("id").as("_cid"), col("label").as("_clabel"))
     // border groups: smallest core-neighbor label wins (deterministic)
     val borderLabels = pairs

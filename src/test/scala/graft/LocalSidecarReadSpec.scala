@@ -133,4 +133,37 @@ class LocalSidecarReadSpec extends AnyFunSuite {
     } finally TableLog.localSidecarMaxBytes = prev
     assert(ra == rb, s"DV local vs distributed disagree: $ra vs $rb")
   }
+
+  test("readNoInfer detects schema drift across files and falls back to " +
+    "a mergeSchema read instead of nulling the drifted file") {
+    // two files under one directory with DIFFERENT field names — a
+    // violation of the uniform-schema write contract. Trusting the first
+    // footer would read file b's columns as nulls; the one-extra-footer
+    // guard must detect the drift and route through mergeSchema, which
+    // surfaces every column.
+    val dir = java.nio.file.Files.createTempDirectory("lsr_drift").toString
+    spark.range(5).coalesce(1).selectExpr("id as a")
+      .write.parquet(dir + "/p1")
+    spark.range(5).coalesce(1).selectExpr("id as b")
+      .write.parquet(dir + "/p2")
+    // collapse into one directory of bare files (sorted order: a first)
+    val flat = java.nio.file.Files.createTempDirectory("lsr_flat").toString
+    def move(src: String, name: String): Unit = {
+      val f = new java.io.File(src).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(flat, name))
+    }
+    move(dir + "/p1", "part-0001.parquet")
+    move(dir + "/p2", "part-0002.parquet")
+    val out = RowGroupScan.readNoInfer(spark, Seq(flat))
+    assert(out.columns.toSet == Set("a", "b"),
+      s"drifted set must merge schemas, got ${out.columns.mkString(",")}")
+    assert(out.count() == 10)
+    // and the uniform fast path still yields the explicit-schema read
+    val uni = java.nio.file.Files.createTempDirectory("lsr_uni").toString
+    spark.range(7).selectExpr("id as a").write.mode("overwrite").parquet(uni + "/t")
+    val fast = RowGroupScan.readNoInfer(spark, Seq(uni + "/t"))
+    assert(fast.columns.toSeq == Seq("a") && fast.count() == 7)
+  }
 }

@@ -511,9 +511,11 @@ class ScalePlanSpec extends AnyFunSuite {
     val got = Dedup.clusters(star, maxIter = 10).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == (0L to 6L).map(_ -> 0L).toMap)
+    // the neighborhood-min seed settles a star AT INIT; the loop's only
+    // job is to observe zero changes in round 1
     val iters = Dedup.lastIterations.get
-    assert(iters >= 2 && iters <= 3,
-      s"star graph must converge by round 2-3, ran $iters")
+    assert(iters >= 1 && iters <= 2,
+      s"star graph must converge by round 1-2 with min-seeded init, ran $iters")
     // the loop's actions: with convergence observed in-band, each round
     // is exactly ONE materializing action (the checkpoint) — count jobs
     // across a whole call and pin the per-round budget. Budget: edges +
@@ -534,12 +536,13 @@ class ScalePlanSpec extends AnyFunSuite {
         spark.sparkContext.statusTracker.getActiveJobIds.nonEmpty)
         Thread.sleep(50)
       Thread.sleep(500)
-      // measured at this AQE shape: edges+init truncates ≈ 6 jobs, each
-      // round ≈ 3 (one job per shuffle stage of the single checkpoint
-      // action). The old checkpoint+checksum loop added 1 job per round
-      // plus 1 initial checksum (15 here) — the cap sits between.
+      // measured at this AQE shape: edges truncate + adaptive re-pin +
+      // labels init ≈ 8 jobs, each round ≈ 3 (one job per shuffle stage
+      // of the single checkpoint action). The old checkpoint+checksum
+      // loop added 1 job per round plus 1 initial checksum — the cap
+      // sits between.
       val rounds = Dedup.lastIterations.get
-      assert(jobs.get <= 7 + 3 * rounds,
+      assert(jobs.get <= 9 + 3 * rounds,
         s"clusters ran ${jobs.get} jobs over $rounds rounds — " +
           "convergence must not cost a separate action per round")
     } finally spark.sparkContext.removeSparkListener(l)
