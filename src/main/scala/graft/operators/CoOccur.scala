@@ -31,9 +31,20 @@ object CoOccur {
       topK: Int, maxBasketSize: Long = 1000L): DataFrame = {
     require(topK >= 1, s"topK must be >= 1: $topK")
     require(maxBasketSize >= 2, s"maxBasketSize must be >= 2: $maxBasketSize")
+    // one basket-keyed exchange feeds everything up to pair emission: the
+    // (b,i) distinct, the basket-size cap aggregate, the size-cap semi
+    // join, and BOTH sides of the per-basket self-join all require rows
+    // co-located by `b` (hashpartitioning(b) satisfies each one's
+    // clustered distribution), so repartitioning by `b` FIRST collapses
+    // what was three exchanges of the basket rows — distinct on (b,i),
+    // re-exchange by b for the size join, plus the size aggregate — into
+    // a single shuffle of the input. The per-basket self-join already
+    // concentrated each basket on one reducer, so this adds no skew the
+    // join did not have; the hub-basket cap below stays the skew guard.
     val bi = baskets
       .select(col(basketCol).as("b"), col(itemCol).as("i"))
       .filter(col("b").isNotNull && col("i").isNotNull)
+      .repartition(col("b"))
       .distinct()
     val kept = bi.join(
       bi.groupBy(col("b")).agg(count(lit(1)).as("_n"))

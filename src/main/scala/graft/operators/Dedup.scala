@@ -30,9 +30,19 @@ object Dedup {
         "silently ignore the last k % bands signature elements")
     val rows = k / bands
     // the signature kernel (k hashes × shingles/doc) is the expensive
-    // pre-shuffle stage — guard its parallelism against few-split inputs
+    // pre-shuffle stage — guard its parallelism against few-split inputs.
+    // The sigs frame has FOUR consumers (the band index feeds both the
+    // bucket-occupancy prefilter and the candidate join, and the
+    // verification step joins signatures back for each pair side), and
+    // none of them share an exchange — without materialization the text
+    // kernel re-runs once per consumer. Unlike jaccardPairs' exploded
+    // frame (corpus × shingles rows, where storage bandwidth loses to
+    // recompute), sigs is COMPACT — id + k ints ≈ 270 bytes/doc,
+    // orders of magnitude under the corpus text it replaces — so one
+    // executor-cached pass beats four kernel runs at any scale.
     val sigs = Scatter(docs).select(col(idCol).as("id"),
       minhash_signature(shingle_hashes(col(textCol), lit(shingle)), lit(k), lit(seed)).as("sig"))
+      .localCheckpoint(true)
     // posexplode_outer: plain posexplode infers size/isnotnull generate
     // filters that inline the band-hash transform (and through it the
     // signature) into an extra per-doc evaluation; the array here is

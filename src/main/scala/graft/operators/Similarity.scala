@@ -73,7 +73,9 @@ object Similarity {
       explode(expr(flipSql)).as("bucket"))
       .dropDuplicates("qid", "tbl", "bucket")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    probed.join(c, Seq("tbl", "bucket"))
+    // broadcast the |Q|·tables·(1+probes) probe fan-out — the corpus
+    // bucket index streams map-only through the candidate join
+    broadcast(probed).join(c, Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
       .dropDuplicates("qid", "nid") // union candidates across tables/probes
       .withColumn("cos", cosine_similarity(col("qv"), col("nv")))
@@ -92,8 +94,8 @@ object Similarity {
     * centroids then travel to executors as one literal array — corpus
     * assignment is a map-only argmax-dot pass, queries probe their `nprobe`
     * nearest cells, and candidates come from an equality join on the cell
-    * id. Per-query compute is nprobe/nlist of the corpus instead of all of
-    * it; the corpus shuffles once, on the cell key.
+    * id with the probe side broadcast. Per-query compute is nprobe/nlist
+    * of the corpus instead of all of it; the corpus never shuffles.
     *
     * Ties (equal dot products) break toward the lower centroid index on
     * BOTH sides (NearestCells' strict-greater argmax scan) — so a query
@@ -121,7 +123,12 @@ object Similarity {
       .select(col("qid"), col("qv"),
         explode(nearest_cells(col("qv"), centroids, nprobe)).as("cell"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))
-    probed.join(assigned, Seq("cell"))
+    // explicit broadcast on the |Q|·nprobe probe side (the persisted
+    // paths' posture): without CBO the filtered query frame inherits its
+    // scan's size estimate, so auto-broadcast can silently fail and
+    // sort-merge the whole cell-assigned corpus through an exchange.
+    // Hint-only — semantics unchanged, corpus side stays map-only.
+    broadcast(probed).join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosine_similarity(col("qv"), col("nv")))
       .withColumn("rk", row_number().over(w))
@@ -194,7 +201,9 @@ object Similarity {
       // it on the |Q|·nprobe probe rows, NOT per candidate after the join
       .withColumn("cdot", cell_dot(col("qv"), col("cell"), centroids))
     val wAdc = Window.partitionBy("qid").orderBy(col("adc").desc, col("nid"))
-    val shortlist = probed.join(assigned, Seq("cell"))
+    // probe side broadcast (|Q|·nprobe rows) — same rationale as ivfTopK:
+    // the code-carrying corpus side must never exchange for the probe join
+    val shortlist = broadcast(probed).join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .withColumn("adc", col("cdot") + pq_adc(col("lut"), col("codes"), ksubEff))
       .withColumn("ra", row_number().over(wAdc))

@@ -63,8 +63,17 @@ object TrainingData {
           explode(shingle_hashes(col(textCol), lit(n))).as("gram"))
     val cg = grams(Scatter(corpus), "doc_id_c")
     val eg = grams(evalSet, "doc_id_e").distinct()
+    // materialize the matched subset: it has TWO consumers (the hot-gram
+    // count and the final anti-join+aggregate), and without buffering each
+    // one re-runs the corpus-wide shingle kernel + explode + broadcast
+    // join — the dominant cost of the whole operator. Matched is the
+    // CONTAMINATED pair set — bounded by the eval overlap, orders of
+    // magnitude below the corpus gram stream it derives from — so one
+    // executor-cached pass wins at any scale (the jaccardPairs compact-
+    // vs-exploded materialization rule).
     val matched = cg.join(broadcast(eg), Seq("gram"))
       .filter(col("doc_id_c") =!= col("doc_id_e"))
+      .localCheckpoint(true)
     // hot-gram cap over the matched subset only: posting count = distinct
     // corpus docs containing the gram, identical to a full-corpus count for
     // every gram that can reach the output
@@ -230,7 +239,17 @@ object TrainingData {
             s"i -> substring($textCol, i, $spanLen))")).as("span"))
     val keyed = if (hashed) spans.select(col("__id"), xxhash64(col("span")).as("span"))
                 else spans
-    keyed.groupBy(col("span"))
+    // pre-partition by span: the single-distinct aggregate otherwise plans
+    // TWO corpus-sized exchanges — one keyed (span, __id) for the distinct
+    // phase and one keyed (span) for the final counts, and with mostly
+    // unique spans the second carries nearly every row again. With rows
+    // co-located by span up front, hashpartitioning(span) satisfies both
+    // phases' clustered distributions and the whole aggregate runs behind
+    // ONE exchange — half the shuffle bytes of the dominant cost. (The
+    // lost phase-1 map-side dedup only merged identical windows repeated
+    // within one doc+task — negligible against a full second shuffle.)
+    keyed.repartition(col("span"))
+      .groupBy(col("span"))
       .agg(countDistinct(col("__id")).as("n_docs"), count(lit(1)).as("n_occ"))
       .filter(col("n_docs") >= minDocs)
   }

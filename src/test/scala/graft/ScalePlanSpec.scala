@@ -1349,5 +1349,49 @@ class ScalePlanSpec extends AnyFunSuite {
     // the base table
     assert(p.contains("ivfasg"), s"candidates must come from the " +
       s"assignment sidecars:\n$p")
+    // the probe join must BROADCAST the |Q|·nprobe side: the candidate
+    // (corpus) side never crosses an exchange for the join, and the only
+    // shuffles left in the serving plan are the per-query (qid) window
+    // ranks (VERDICT r15 #3 pin)
+    assert(p.contains("BroadcastHashJoin"), s"probe join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus side must never exchange-shuffle through the probe join:\n$p")
+  }
+
+  test("ANN serving joins (v4 ivfTopK / v5 ivfPqTopK): probe and refine " +
+    "sides broadcast; the corpus side never exchange-shuffles and every " +
+    "remaining exchange is a per-query qid window") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val corpus = spark.range(2000).selectExpr("id as vec_id",
+      "transform(sequence(0, 15), " +
+        "j -> cast(sin(id * 37 + j * 11) as float)) as embedding")
+    val q = spark.range(4).selectExpr("id + 10000 as vec_id",
+      "transform(sequence(0, 15), " +
+        "j -> cast(sin(id * 37 + j * 11) as float)) as embedding")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def shape(df: org.apache.spark.sql.DataFrame, minBhj: Int,
+          name: String): Unit = {
+        val plan = df.queryExecution.executedPlan
+        val p = plan.toString
+        assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+          s"$name: corpus side exchange-shuffled through a join:\n$p")
+        assert(!p.contains("BroadcastNestedLoopJoin") &&
+          !p.contains("CartesianProduct"), s"$name: nested loop:\n$p")
+        val bhj = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+        assert(bhj >= minBhj,
+          s"$name: expected >= $minBhj broadcast joins, got $bhj:\n$p")
+        val badEx = plan.collect { case e: ShuffleExchangeExec
+          if !e.outputPartitioning.toString.contains("qid") => e }
+        assert(badEx.isEmpty,
+          s"$name: non-qid (corpus-sized) exchange in the serving plan: " +
+            s"${badEx.map(_.outputPartitioning).mkString(", ")}\n$p")
+      }
+      shape(Similarity.ivfTopK(corpus, q, k = 1, nlist = 8, nprobe = 2,
+        trainSample = 200, iters = 2), 1, "v4 ivfTopK")
+      shape(Similarity.ivfPqTopK(corpus, q, k = 1, nlist = 8, nprobe = 2,
+        m = 4, ksub = 16, refine = 8, trainSample = 200, iters = 2), 2,
+        "v5 ivfPqTopK")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
