@@ -507,18 +507,31 @@ object Dedup {
     val spark = pairs.sparkSession
     val confN = org.apache.spark.sql.graft.SparkInternals
       .sqlConf(spark).numShufflePartitions
+    // edges are pinned SORTED by the per-round join key: the checkpoint
+    // preserves outputOrdering alongside partitioning, so with in-loop
+    // broadcasts disabled (below) every round's sort-merge join reads the
+    // edge side pre-sorted — sort once, merge every round; only the small
+    // labels side sorts per round.
     var edges: DataFrame = null
     val p = partitionsHint match {
       case Some(hint) =>
         val p0 = math.max(1, math.min(hint, confN))
         LoopLayout.withShufflePartitions(spark, p0) {
-          edges = truncate(edges0.repartition(col("id_b")))
+          edges = truncate(edges0.repartition(col("id_b"))
+            .sortWithinPartitions("id_b"))
         }
         p0
       case None =>
-        // pinLayout = false: this frame is re-pinned below whenever it is
-        // small, so its own stages should stay AQE-coalesced; at scale
-        // nothing coalesces and the conf-N hash layout survives as-is
+        // pinLayout = false here ON PURPOSE: pinning disables AQE
+        // coalescing for the WHOLE materialization query, so the entire
+        // upstream pair-generation pipeline would run every exchange at
+        // conf-N near-empty tasks (measured: t15 53 → 198 tasks when
+        // this checkpoint pinned). The frame is re-pinned UNCONDITIONALLY
+        // below — the re-pin's plan is just this checkpointed RDD plus
+        // one exchange, so its pinned materialization is cheap, and at
+        // cluster scale (p == conf-N) that single re-exchange buys every
+        // round's layout reuse (an unpinned claim would re-exchange 2|E|
+        // per round).
         val edgesObs = edges0.repartition(col("id_b"))
           .observe("__graft_cc_edges", count(lit(1)).as("n"))
         edges = org.apache.spark.sql.graft.SparkInternals
@@ -529,8 +542,9 @@ object Dedup {
         LoopLayout.partitionsFor(spark, nEdges)
     }
     LoopLayout.withShufflePartitions(spark, p) {
-    if (partitionsHint.isEmpty && p < confN)
-      edges = truncate(edges.repartition(col("id_b")))
+    if (partitionsHint.isEmpty)
+      edges = truncate(edges.repartition(col("id_b"))
+        .sortWithinPartitions("id_b"))
     // seed every node with min(own id, min neighbor id) instead of its
     // own id: the init aggregate costs the same shuffle the old
     // distinct() did but performs round 1's propagation inside it —
@@ -544,6 +558,14 @@ object Dedup {
         least(col("__mn"), col("id_a")).as("label")))
     var changed = true
     var iter = 0
+    // NOTE (measured, kept for the record): forcing broadcasts OFF inside
+    // the loop cuts ~9 jobs/call (each in-loop BroadcastExchange build is
+    // a 1-task job) but costs 2-3× wall-clock on deep graphs at sf0.1
+    // (t15 2.5 → 7.2 s, t52 2.5 → 5.0 s — the pointer-jump rounds then
+    // recompute + exchange + sort both subplans serially), so the
+    // planner keeps the choice: it broadcasts while labels fit and falls
+    // back to the zero-exchange sort-merge over the kept sorted layouts
+    // when they don't — which is the 100 TB behaviour automatically.
     while (changed && iter < maxIter) {
       val next = edges.join(labels, edges("id_b") === labels("id"))
         .groupBy(col("id_a").as("id")).agg(min(col("label")).as("nlabel"))

@@ -123,10 +123,16 @@ object Graph {
     val nEdges = undObs.queryExecution
       .observedMetrics("__graft_lp_edges").getLong(0)
     val p = LoopLayout.partitionsFor(spark, nEdges)
-    val confN = org.apache.spark.sql.graft.SparkInternals
-      .sqlConf(spark).numShufflePartitions
     LoopLayout.withShufflePartitions(spark, p) {
-    if (p < confN) und = truncate(und.repartition(col("src")), true)
+    // re-pin UNCONDITIONALLY (not only when p < confN): the first
+    // checkpoint is unpinned (its claim is UnknownPartitioning — pinning
+    // it would disable AQE coalescing for the whole upstream pipeline),
+    // so at cluster scale skipping the re-pin left the loop re-exchanging
+    // 2|E| per round. One sorted re-exchange of the checkpointed RDD buys
+    // every round's layout (and, on the no-broadcast fallback, the
+    // merge-join ordering) — the clusters() fix, applied here too.
+    und = truncate(und.repartition(col("src"))
+      .sortWithinPartitions("src"), true)
     var labels = truncate(und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")), true)
     var it = 0
@@ -304,10 +310,12 @@ object Graph {
     val nEdges = eObs.queryExecution
       .observedMetrics("__graft_pr_edges").getLong(0)
     val p = LoopLayout.partitionsFor(spark, nEdges)
-    val confN = org.apache.spark.sql.graft.SparkInternals
-      .sqlConf(spark).numShufflePartitions
     LoopLayout.withShufflePartitions(spark, p) {
-    if (p < confN) e = truncate(e.repartition(col("src")), true)
+    // unconditional sorted re-pin — see labelPropagation: the unpinned
+    // first checkpoint claims no layout, so at p == conf-N the loop would
+    // re-exchange the edges every iteration without this
+    e = truncate(e.repartition(col("src"))
+      .sortWithinPartitions("src"), true)
     // the node count comes from the node checkpoint's own count() action
     // (exact by construction — it feeds every rank), not a standalone
     // count() job and not an observe metric

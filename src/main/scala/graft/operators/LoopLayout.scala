@@ -37,13 +37,19 @@ private[graft] object LoopLayout {
     * restoring the previous setting afterwards (exception-safe). The
     * session conf is global: callers are the sequential batch operators,
     * which is the engine's execution model. */
-  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val was = spark.conf.getOption(key)
-    spark.conf.set(key, n.toString)
-    try body finally was match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    withConfs(spark, "spark.sql.shuffle.partitions" -> n.toString)(body)
+
+  /** Run `body` with session confs temporarily set, restoring previous
+    * values afterwards (exception-safe; same global-session caveat as
+    * [[withShufflePartitions]]). */
+  def withConfs[T](spark: SparkSession, kvs: (String, String)*)
+      (body: => T): T = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 }
