@@ -45,8 +45,17 @@ object Retrieval {
     // the broadcast query vocabulary BEFORE the tf aggregate, so a
     // 4-term query over 60M tokens shuffles ~postings(4 terms), not 60M
     // (measured 74 s → 8 s at 1M docs).
+    // dl has TWO consumers (the global scalars aggregate and the final
+    // per-doc join) and tfq has two more (the df aggregate and the score
+    // join) — without materialization each consumer re-tokenizes the full
+    // corpus, four text passes per call. Both frames are COMPACT proxies
+    // of the text (dl: 16 bytes/doc; tfq: postings of the query terms
+    // only), so buffering each once follows the minhashPairs
+    // compact-vs-exploded rule: two corpus passes instead of four, at any
+    // scale.
     val dl = Scatter(docs).select(col(idCol).as("did"),
       expr(s"size(${toks(textCol)})").cast("long").as("dl"))
+      .localCheckpoint(true)
     val scalars = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("tot_dl"))
       .select(col("n_docs"),
         (col("tot_dl").cast("double") / col("n_docs")).as("avgdl"))
@@ -54,6 +63,7 @@ object Retrieval {
       .select(col(idCol).as("did"), explode(expr(toks(textCol))).as("term"))
       .join(broadcast(qterms.select("term").distinct()), Seq("term"), "left_semi")
     val tfq = docTerms.groupBy("did", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tfq.groupBy("term").agg(count(lit(1)).as("df"))
     tfq.join(broadcast(qterms), Seq("term"))
       .join(broadcast(df), Seq("term"))
