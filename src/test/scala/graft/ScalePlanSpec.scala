@@ -1193,6 +1193,48 @@ class ScalePlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"t69 must not cross join:\n$p")
   }
 
+  test("dupSpans: the single-distinct aggregate runs behind ONE exchange " +
+    "(pre-partitioned by span), not the stock two-exchange plan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try {
+      val docs = spark.range(500).selectExpr("id as doc_id",
+        "repeat(concat('w', cast(id % 7 as string), ' '), 30) as text")
+      graft.operators.TrainingData.dupSpans(docs, spanLen = 40)
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val ex = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.size == 1,
+      s"dupSpans must shuffle the span stream exactly once, got " +
+        s"${ex.size}:\n$plan")
+    assert(ex.head.outputPartitioning.toString.contains("span"),
+      s"the one exchange must be keyed by span:\n$plan")
+  }
+
+  test("topCoOccur: every basket-row exchange is keyed by the basket " +
+    "alone — the (b,i) distinct and size cap share the basket layout") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try {
+      val baskets = spark.range(2000).selectExpr(
+        "id % 100 as basket", "id % 37 as item")
+      graft.operators.CoOccur.topCoOccur(baskets, "basket", "item",
+        topK = 3, maxBasketSize = 100L)
+        .queryExecution.executedPlan
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val basketKeyed = plan.collect { case e: ShuffleExchangeExec =>
+      e.outputPartitioning }.collect {
+      case h: HashPartitioning
+        if h.expressions.exists(_.toString.contains("b#")) => h }
+    assert(basketKeyed.nonEmpty, s"no basket-keyed exchange found:\n$plan")
+    basketKeyed.foreach { h =>
+      assert(h.expressions.size == 1,
+        s"basket rows must exchange on b alone (the fused layout), got " +
+          s"$h:\n$plan")
+    }
+  }
+
   test("phraseMatch: the term filter runs BEFORE any exchange — the " +
     "shuffle carries only the phrase terms' postings") {
     val p = staticPlan("t64_phrase_match").toString
